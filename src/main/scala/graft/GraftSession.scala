@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session bootstrap with scale-appropriate defaults.
+  *
+  * Design notes (100 TB target):
+  *  - `spark.sql.shuffle.partitions` is sized for the local harness (32);
+  *    on a real cluster AQE coalesces / splits post-shuffle partitions from
+  *    runtime statistics, so the static value only seeds the initial plan.
+  *  - AQE is on: runtime broadcast-join demotion/promotion, skew-join
+  *    splitting and partition coalescing are exactly the knobs the reference
+  *    implements by hand (split_out tuning, broadcast heuristics —
+  *    reference `_merge.py:168-203`, `_groupby.py:142-150`); Spark does them
+  *    from observed sizes instead of estimates.
+  *  - 128 MiB file-split size matches the reference's parquet blocksize
+  *    (reference `io/parquet.py:511-521`).
+  */
+object GraftSession {
+  def builder(master: String = "local[*]", appName: String = "graft")
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(): SparkSession = builder().getOrCreate()
+
+  /** Table loader for the driver-provided TPC-H-ish directories. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

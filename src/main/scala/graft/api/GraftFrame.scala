@@ -1,0 +1,169 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Pandas-style DataFrame facade over `org.apache.spark.sql.DataFrame`.
+  *
+  * The reference (rjzamora/dask-expr-rapids) wraps every user call in an
+  * `Expr` node and re-implements an optimizer (`_expr.py`, `_core.py`).
+  * Here each method is a *declarative* Spark transformation, so Catalyst
+  * performs projection pushdown, predicate pushdown, constant folding and
+  * join planning that the reference hand-rolls (reference
+  * `_expr.py:930-947`, `_merge.py:348-404`).
+  *
+  * Index convention (reference divisions model, `_expr.py:351-369`):
+  * pandas' row index is represented as an ordinary column named by
+  * `indexCol`; sortedness is established with range partitioning + local
+  * sort (`setIndex`), mirroring known-divisions semantics without exposing
+  * partition boundaries — Spark's `outputOrdering`/`outputPartitioning`
+  * carry that metadata through the plan.
+  */
+final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
+
+  private def lift(d: DataFrame): GraftFrame = copy(df = d)
+
+  def spark: SparkSession = df.sparkSession
+  def schema = df.schema
+  def columns: Seq[String] = df.columns.toSeq
+
+  // ---- projections / row selection (reference _expr.py:1378-1441) ----
+  def select(cols: String*): GraftFrame = {
+    val keep = indexCol.filterNot(cols.contains).toSeq ++ cols
+    lift(df.select(keep.map(col): _*))
+  }
+  def selectCols(cols: Column*): GraftFrame = lift(df.select(cols: _*))
+  def filter(cond: Column): GraftFrame = lift(df.filter(cond))
+  /** `df.query("x > 1")` — string predicate (reference _expr.py:905-913). */
+  def query(predicate: String): GraftFrame = lift(df.filter(predicate))
+  /** `df.eval("z = x + y")` (reference _expr.py:1355-1363). */
+  def eval(name: String, sqlExpr: String): GraftFrame =
+    lift(df.withColumn(name, expr(sqlExpr)))
+  def assign(name: String, value: Column): GraftFrame =
+    lift(df.withColumn(name, value))
+  def drop(cols: String*): GraftFrame = lift(df.drop(cols: _*))
+  def rename(mapping: (String, String)*): GraftFrame =
+    lift(df.withColumnsRenamed(mapping.toMap))
+  def addPrefix(p: String): GraftFrame =
+    lift(df.toDF(df.columns.map(p + _).toIndexedSeq: _*))
+  def addSuffix(s: String): GraftFrame =
+    lift(df.toDF(df.columns.map(_ + s).toIndexedSeq: _*))
+  def astype(casts: (String, DataType)*): GraftFrame =
+    lift(casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) })
+  def selectDtypes(pred: DataType => Boolean): GraftFrame =
+    lift(df.select(df.schema.fields.filter(f => pred(f.dataType)).map(f => col(f.name)).toIndexedSeq: _*))
+
+  // ---- null handling (reference _expr.py:829-854, 1020-1032) ----
+  def fillna(value: Any, cols: Seq[String] = Nil): GraftFrame = {
+    val target = if (cols.isEmpty) df.columns.toSeq else cols
+    val filled = value match {
+      case v: Long    => df.na.fill(v, target)
+      case v: Int     => df.na.fill(v.toLong, target)
+      case v: Double  => df.na.fill(v, target)
+      case v: String  => df.na.fill(v, target)
+      case v: Boolean => df.na.fill(v, target)
+      case other => throw new IllegalArgumentException(s"fillna: $other")
+    }
+    lift(filled)
+  }
+  def dropna(how: String = "any", subset: Seq[String] = Nil): GraftFrame =
+    lift(if (subset.isEmpty) df.na.drop(how) else df.na.drop(how, subset))
+  def dropnaThresh(thresh: Int, subset: Seq[String]): GraftFrame =
+    lift(df.na.drop(thresh, subset))
+  def replace[T](colName: String, mapping: Map[T, T]): GraftFrame =
+    lift(df.na.replace(colName, mapping))
+  /** pandas mask/where (reference _expr.py:1146-1163). */
+  def mask(colName: String, cond: Column, other: Column): GraftFrame =
+    lift(df.withColumn(colName, when(cond, other).otherwise(col(colName))))
+  def whereKeep(colName: String, cond: Column, other: Column): GraftFrame =
+    lift(df.withColumn(colName, when(cond, col(colName)).otherwise(other)))
+
+  // ---- ordering / limits (reference _expr.py:1572-1703, _shuffle.py:864-1020) ----
+  /** Global sort = sampled range partitioning + per-partition sort; Spark's
+    * RangePartitioner reproduces the reference's RepartitionQuantiles
+    * machinery (reference `_quantiles.py:18-88`) internally. */
+  def sortValues(by: Seq[(String, Boolean)], naFirst: Boolean = false): GraftFrame = {
+    val exprs = by.map { case (c, asc) =>
+      (asc, naFirst) match {
+        case (true, true)   => col(c).asc_nulls_first
+        case (true, false)  => col(c).asc_nulls_last
+        case (false, true)  => col(c).desc_nulls_first
+        case (false, false) => col(c).desc_nulls_last
+      }
+    }
+    lift(df.orderBy(exprs: _*))
+  }
+  def head(n: Int): GraftFrame = lift(df.limit(n))
+  /** sort+limit: Catalyst plans TakeOrderedAndProject — per-partition top-k
+    * then a driver merge, the reference's NSmallest/NLargest
+    * (reference `_reductions.py:1074-1119`) without a global shuffle. */
+  def nlargest(n: Int, by: String*): GraftFrame =
+    lift(df.orderBy(by.map(col(_).desc): _*).limit(n))
+  def nsmallest(n: Int, by: String*): GraftFrame =
+    lift(df.orderBy(by.map(col(_).asc): _*).limit(n))
+  def sample(fraction: Double, seed: Long, withReplacement: Boolean = false): GraftFrame =
+    lift(df.sample(withReplacement, fraction, seed))
+
+  /** set_index: range-shuffle + local sort, the reference's SetIndex
+    * (reference `_shuffle.py:708-861`). Divisions are implicit — Spark
+    * tracks `outputPartitioning`/`outputOrdering`, so later merges/sorts on
+    * the index skip the exchange just like the reference's known-divisions
+    * fast path. */
+  def setIndex(c: String): GraftFrame =
+    GraftFrame(df.repartitionByRange(col(c)).sortWithinPartitions(c), Some(c))
+  def resetIndex: GraftFrame = copy(indexCol = None)
+
+  // ---- dedup / set ops (reference _reductions.py:478-553, _concat.py) ----
+  def distinct: GraftFrame = lift(df.distinct())
+  /** Deterministic drop_duplicates: keeps the row with minimal `keyOrder`
+    * per subset group (pandas keep="first" needs an order; we require one
+    * explicitly rather than inheriting partition order). */
+  def dropDuplicates(subset: Seq[String], keyOrder: Column): GraftFrame = {
+    val w = Window.partitionBy(subset.map(col): _*).orderBy(keyOrder)
+    lift(df.withColumn("__rn__", row_number().over(w)).filter(col("__rn__") === 1).drop("__rn__"))
+  }
+  def concat(other: GraftFrame): GraftFrame =
+    lift(df.unionByName(other.df, allowMissingColumns = true))
+  def intersect(other: GraftFrame): GraftFrame = lift(df.intersect(other.df))
+  def except(other: GraftFrame): GraftFrame = lift(df.except(other.df))
+
+  // ---- repartition family (reference _repartition.py:21-452) ----
+  def repartition(n: Int): GraftFrame = lift(df.repartition(n))
+  def repartitionByKeys(n: Int, keys: String*): GraftFrame =
+    lift(df.repartition(n, keys.map(col): _*))
+  def coalescePartitions(n: Int): GraftFrame = lift(df.coalesce(n))
+  def repartitionByRange(n: Int, keys: String*): GraftFrame =
+    lift(df.repartitionByRange(n, keys.map(col): _*))
+
+  // ---- groupby / rolling entry points ----
+  def groupby(keys: String*): GraftGroupBy = GraftGroupBy(df, keys)
+  def rolling(orderCol: String, window: Int): Rolling =
+    Rolling(df, Nil, orderCol, window)
+  def rollingBy(partitionCols: Seq[String], orderCol: String, window: Int): Rolling =
+    Rolling(df, partitionCols, orderCol, window)
+
+  // ---- merge (reference _merge.py:32-404) ----
+  def merge(right: GraftFrame, on: Seq[String], how: String = "inner",
+            suffixes: (String, String) = ("_x", "_y")): GraftFrame =
+    lift(graft.operators.Joins.merge(df, right.df, on, how, suffixes))
+
+  // ---- UDF escape hatches (reference _expr.py:517-592) ----
+  /** map_partitions analog: arbitrary per-partition logic with an explicit
+    * output schema (the reference's `meta`). */
+  def mapPartitionsRows(outSchema: org.apache.spark.sql.types.StructType)(
+      f: Iterator[Row] => Iterator[Row]): GraftFrame =
+    lift(df.mapPartitions(f)(org.apache.spark.sql.Encoders.row(outSchema)))
+
+  def cache(): GraftFrame = lift(df.cache())
+  def explainPlan(): Unit = df.explain("formatted")
+}
+
+object GraftFrame {
+  def readParquet(spark: SparkSession, path: String): GraftFrame =
+    GraftFrame(spark.read.parquet(path))
+  def readCsv(spark: SparkSession, path: String, header: Boolean = true,
+              inferSchema: Boolean = true): GraftFrame =
+    GraftFrame(spark.read.option("header", header).option("inferSchema", inferSchema).csv(path))
+}

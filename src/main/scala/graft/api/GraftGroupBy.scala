@@ -1,0 +1,90 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions.{col, lit, struct}
+
+/** Group-by surface (reference `_groupby.py:992-1418`).
+  *
+  * Every aggregation here compiles to Spark's partial-agg → exchange →
+  * final-agg pipeline, which is the reference's ApplyConcatApply /
+  * ShuffleReduce machinery (reference `_reductions.py:110-475`) natively:
+  * map-side combine happens before the shuffle, so the exchange moves one
+  * row per (partition, key), not per input row — the property that makes
+  * groupBy survive 100 TB inputs.
+  */
+final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
+  private def g = df.groupBy(keys.map(col): _*)
+
+  def agg(exprs: Column*): GraftFrame =
+    GraftFrame(g.agg(exprs.head, exprs.tail: _*))
+
+  /** Dict-spec multi-agg, the reference's GroupbyAggregation spec compiler
+    * (reference `_groupby.py:242-376`): `Map("x" -> Seq("sum","mean"))`. */
+  def aggSpec(spec: Map[String, Seq[String]]): GraftFrame = {
+    val exprs = for {
+      (c, fns) <- spec.toSeq
+      fn <- fns
+    } yield (fn match {
+      case "sum"    => F.sum(col(c))
+      case "mean"   => F.avg(col(c))
+      case "min"    => F.min(col(c))
+      case "max"    => F.max(col(c))
+      case "count"  => F.count(col(c))
+      case "var"    => F.var_samp(col(c))
+      case "std"    => F.stddev_samp(col(c))
+      case "median" => F.median(col(c))
+      case "nunique"=> F.countDistinct(col(c))
+      case "first"  => F.first(col(c))
+      case "last"   => F.last(col(c))
+      case other    => F.expr(s"$other($c)")
+    }).as(s"${c}_$fn")
+    GraftFrame(g.agg(exprs.head, exprs.tail: _*))
+  }
+
+  def sum(cols: String*): GraftFrame = GraftFrame(g.sum(cols: _*))
+  def mean(cols: String*): GraftFrame = GraftFrame(g.mean(cols: _*))
+  def min(cols: String*): GraftFrame = GraftFrame(g.min(cols: _*))
+  def max(cols: String*): GraftFrame = GraftFrame(g.max(cols: _*))
+  def count(): GraftFrame = GraftFrame(g.count())
+  def size(): GraftFrame = GraftFrame(g.agg(F.count(lit(1)).as("size")))
+  def nunique(c: String): GraftFrame =
+    GraftFrame(g.agg(F.countDistinct(col(c)).as(s"${c}_nunique")))
+
+  /** idxmin/idxmax (reference `_reductions.py:817-839`): `max_by`/`min_by`
+    * with an explicit deterministic tie-break ordering column. */
+  def idxmax(valueCol: String, idCol: String): GraftFrame =
+    GraftFrame(g.agg(F.max_by(col(idCol), struct(col(valueCol), -col(idCol))).as(s"idxmax_$valueCol")))
+  def idxmin(valueCol: String, idCol: String): GraftFrame =
+    GraftFrame(g.agg(F.min_by(col(idCol), struct(col(valueCol), col(idCol))).as(s"idxmin_$valueCol")))
+
+  /** group head: first n rows per key by `orderCol` — window row_number,
+    * no per-group collection (reference GroupByHead `_groupby.py:622-633`). */
+  def headPerGroup(n: Int, orderCol: Column): GraftFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+    GraftFrame(df.withColumn("__rn__", F.row_number().over(w)).filter(col("__rn__") <= n).drop("__rn__"))
+  }
+  def tailPerGroup(n: Int, orderCol: Column): GraftFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol.desc)
+    GraftFrame(df.withColumn("__rn__", F.row_number().over(w)).filter(col("__rn__") <= n).drop("__rn__"))
+  }
+
+  /** value_counts per group (reference `_reductions.py:1122-1158`). */
+  def valueCounts(c: String): GraftFrame =
+    GraftFrame(df.groupBy((keys :+ c).map(col): _*).agg(F.count(lit(1)).as("count")))
+
+  def pivot(pivotCol: String, values: Seq[String], aggExpr: Column): GraftFrame =
+    GraftFrame(g.pivot(pivotCol, values).agg(aggExpr))
+
+  /** get_group (reference `_groupby.py:794-809`). */
+  def getGroup(value: Any): GraftFrame =
+    GraftFrame(df.filter(col(keys.head) === lit(value)))
+
+  /** groupby().apply() escape hatch (reference `_groupby.py:636-778`):
+    * all rows of a group reach one task via Spark's shuffle, then the
+    * user function runs per group. */
+  def applyGroups[K: Encoder, T: Encoder](keyFn: Row => K)(f: (K, Iterator[Row]) => Iterator[T])
+      : org.apache.spark.sql.Dataset[T] =
+    df.groupByKey(keyFn).flatMapGroups(f)
+}

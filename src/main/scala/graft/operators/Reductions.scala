@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Global reductions & composites (reference `_reductions.py`).
+  *
+  * Spark executes every one of these as partial aggregation → single-row
+  * exchange → final aggregation, which is the reference's TreeReduce
+  * (reference `_reductions.py:257-350`) with fan-in chosen by the engine;
+  * no `split_every` knob to tune.
+  */
+object Reductions {
+
+  /** Deterministic mode: most frequent value, ties broken by smallest
+    * value (reference Mode `_reductions.py:994-1025` inherits pandas'
+    * sorted-ties behavior). */
+  def mode(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col(c)).agg(count(lit(1)).as("__n__"))
+      .orderBy(col("__n__").desc, col(c).asc)
+      .limit(1)
+      .select(col(c).as(s"mode_$c"))
+
+  /** value_counts (reference `_reductions.py:1122-1158`). */
+  def valueCounts(df: DataFrame, c: String, normalize: Boolean = false,
+                  ascending: Boolean = false): DataFrame = {
+    val counted = df.groupBy(col(c)).agg(count(lit(1)).as("count"))
+    val out =
+      if (normalize) {
+        // single-row dimension — broadcast, no shuffle of the counted side
+        val total = counted.agg(sum("count").as("__t__"))
+        counted.crossJoin(broadcast(total))
+          .withColumn("proportion", col("count") / col("__t__"))
+          .drop("count", "__t__")
+      } else counted
+    val ord = if (ascending) col(out.columns.last).asc else col(out.columns.last).desc
+    out.orderBy(ord, col(c).asc)
+  }
+
+  /** describe() for numeric columns (reference `_describe.py:16-103`):
+    * count/mean/std/min/quartiles/max in ONE aggregation pass — a single
+    * scan at any scale. */
+  def describeNumeric(df: DataFrame, c: String): DataFrame =
+    df.agg(
+      count(col(c)).as("count"),
+      avg(col(c)).as("mean"),
+      stddev_samp(col(c)).as("std"),
+      min(col(c)).as("min"),
+      percentile(col(c), lit(0.25)).as("p25"),
+      percentile(col(c), lit(0.5)).as("p50"),
+      percentile(col(c), lit(0.75)).as("p75"),
+      max(col(c)).as("max"))
+
+  /** Exact quantiles. At 100 TB prefer `approxQuantiles` —
+    * Greenwald-Khanna with bounded state, the analog of the reference's
+    * t-digest path (reference `_quantile.py:14-133`). */
+  def quantiles(df: DataFrame, c: String, qs: Seq[Double]): DataFrame =
+    df.agg(percentile(col(c), typedLit(qs)).as("quantiles"))
+  def approxQuantiles(df: DataFrame, c: String, qs: Seq[Double], accuracy: Int = 10000): DataFrame =
+    df.agg(percentile_approx(col(c), typedLit(qs), lit(accuracy)).as("quantiles"))
+
+  /** nunique exact & approximate (HLL, the reference's NuniqueApprox b=16
+    * — reference `_reductions.py:1028-1049`). */
+  def nunique(df: DataFrame, c: String): DataFrame =
+    df.agg(countDistinct(col(c)).as("nunique"))
+  def nuniqueApprox(df: DataFrame, c: String, rsd: Double = 0.02): DataFrame =
+    df.agg(approx_count_distinct(col(c), rsd).as("nunique_approx"))
+
+  /** memory_usage analog: engine statistics, no data read
+    * (reference `_reductions.py:1162-1205`). */
+  def sizeInBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+}

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run Verify output vs
+DuckDB oracle on the same tables. Usage: compare.py <sfDir> <outDir>"""
+import sys, json, glob, os
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails, passes, weak = [], [], []
+for name in sorted(os.listdir(outdir)):
+    d = os.path.join(outdir, name)
+    if not os.path.isdir(d):
+        continue
+    got = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
+    if name not in oracle:
+        weak.append((name, len(got)))
+        continue
+    try:
+        exp = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        fails.append((name, f"oracle sql error: {e}"))
+        continue
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    if list(got.columns) != list(exp.columns):
+        fails.append((name, f"columns differ: {list(got.columns)} vs {list(exp.columns)}"))
+        continue
+    if len(got) != len(exp):
+        fails.append((name, f"rowcount {len(got)} vs {len(exp)}"))
+        continue
+    ok = True
+    for c in got.columns:
+        gv, ev = got[c], exp[c]
+        if str(gv.dtype) != str(ev.dtype):
+            fails.append((name, f"dtype[{c}]: {gv.dtype} vs {ev.dtype}"))
+            ok = False
+            break
+        eq = (gv == ev) | (gv.isna() & ev.isna())
+        if not eq.all():
+            bad = (~eq).idxmax()
+            fails.append((name, f"value[{c}] row {bad}: {gv[bad]!r} vs {ev[bad]!r}"))
+            ok = False
+            break
+    if ok:
+        passes.append(name)
+
+print(f"PASS ({len(passes)}): {' '.join(passes)}")
+print(f"WEAK rows-only ({len(weak)}): {' '.join(n for n,_ in weak)}")
+if fails:
+    print(f"FAIL ({len(fails)}):")
+    for n, msg in fails:
+        print(f"  {n}: {msg}")
+    sys.exit(1)
