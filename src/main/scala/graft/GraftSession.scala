@@ -27,12 +27,28 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = builder().getOrCreate()
 
-  /** Table loader for the driver-provided TPC-H-ish directories. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Table loader for the driver-provided TPC-H-ish directories.
+    *
+    * `events.parquet` carries TIMESTAMP(NANOS) which the Spark reader
+    * rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    * Verify/Bench/builder) it arrives as a nanosecond LongType, converted
+    * here to TIMESTAMP_NTZ micros — `x div 1000` floor-truncation, the
+    * same losless-to-us conversion DuckDB applies, so oracles agree. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000"))
+            .cast(org.apache.spark.sql.types.TimestampNTZType))
+      else d
+    }
+  }
 }

@@ -1,0 +1,346 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.GraftFrame
+import graft.operators.Reductions
+import QHelp._
+
+/** Reductions + group-by oracle queries (SURVEY §2.5).
+  *
+  * Decimal discipline (r1 q_groupby_agg failed on exactly this): the
+  * source doubles carry ≤2 decimal digits, so casting them to DECIMAL
+  * BEFORE any arithmetic is exact on every engine; all products then have
+  * ≤6 decimal digits and every sum is order-independent. No
+  * double→decimal rounding ever happens after arithmetic.
+  */
+object QueriesAgg {
+
+  // exact decimal projections of the lineitem pricing columns
+  private def price6 = col("l_extendedprice").cast(DecimalType(18, 6))
+  private def oneMinusDisc =
+    (lit(1).cast(DecimalType(8, 6)) - col("l_discount").cast(DecimalType(8, 6)))
+      .cast(DecimalType(9, 6))
+  private def onePlusTax =
+    (lit(1).cast(DecimalType(8, 6)) + col("l_tax").cast(DecimalType(8, 6)))
+      .cast(DecimalType(9, 6))
+  private def discPrice = (price6 * oneMinusDisc).cast(DecimalType(24, 8))
+  private def charge = (discPrice * onePlusTax).cast(DecimalType(24, 8))
+
+  private val discPriceSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * " +
+      "CAST(CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(9,6)) AS DECIMAL(24,8))"
+  private val chargeSql =
+    s"CAST($discPriceSql * " +
+      "CAST(CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)) AS DECIMAL(9,6)) AS DECIMAL(24,8))"
+
+  /** TPC-H Q1 over the graft API (scan → pushed filter → partial/final
+    * agg → sort) — the flagship. */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    GraftFrame(t(s, dir, "lineitem"))
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupby("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast(DecimalType(38, 8)).as("sum_disc_price"),
+        sum(charge).cast(DecimalType(38, 8)).as("sum_charge"),
+        dmean(col("l_quantity")).as("avg_qty"),
+        dmean(col("l_extendedprice")).as("avg_price"),
+        dmean(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .sortValues(Seq("l_returnflag" -> true, "l_linestatus" -> true))
+      .df
+
+  val q1PricingSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+       |  CAST(sum($discPriceSql) AS DECIMAL(38,8)) AS sum_disc_price,
+       |  CAST(sum($chargeSql) AS DECIMAL(38,8)) AS sum_charge,
+       |  ${dmeanSql("l_quantity")} AS avg_qty,
+       |  ${dmeanSql("l_extendedprice")} AS avg_price,
+       |  ${dmeanSql("l_discount")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def register(r: QueryRegistry): Unit = {
+
+    r.reg("q_groupby_agg", q1PricingSql)((s, dir) => q1Pricing(s, dir))
+
+    r.reg("q_groupby_spec",
+      """SELECT o_orderstatus,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS o_orderkey_sum,
+        |  CAST(count(o_orderkey) AS BIGINT) AS o_orderkey_count,
+        |  min(o_totalprice) AS o_totalprice_min,
+        |  max(o_totalprice) AS o_totalprice_max,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS o_custkey_nunique
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .groupby("o_orderstatus")
+        .aggSpec(Map(
+          "o_orderkey" -> Seq("sum", "count"),
+          "o_totalprice" -> Seq("min", "max"),
+          "o_custkey" -> Seq("nunique")))
+        .sortValues(Seq("o_orderstatus" -> true)).df
+    }
+
+    r.reg("q_groupby_mean_var",
+      s"""SELECT l_returnflag,
+         |  ${dmeanSql("l_quantity")} AS mean_qty,
+         |  ${dvarSql("l_quantity")} AS var_qty,
+         |  ${dstdSql("l_quantity")} AS std_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "lineitem"))
+        .groupby("l_returnflag")
+        .agg(dmean(col("l_quantity")).as("mean_qty"),
+          dvar(col("l_quantity")).as("var_qty"),
+          dstd(col("l_quantity")).as("std_qty"))
+        .sortValues(Seq("l_returnflag" -> true)).df
+    }
+
+    r.reg("q_groupby_cov_corr",
+      s"""SELECT l_returnflag,
+         |  ${dcovSql("l_quantity", "l_discount")} AS cov_qd,
+         |  ${dcorrSql("l_quantity", "l_discount")} AS corr_qd
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "lineitem"))
+        .groupby("l_returnflag")
+        .agg(dcov(col("l_quantity"), col("l_discount")).as("cov_qd"),
+          dcorr(col("l_quantity"), col("l_discount")).as("corr_qd"))
+        .sortValues(Seq("l_returnflag" -> true)).df
+    }
+
+    r.reg("q_groupby_median",
+      """SELECT l_returnflag, median(l_quantity) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "lineitem"))
+        .groupby("l_returnflag")
+        .agg(median(col("l_quantity")).as("med_qty"))
+        .sortValues(Seq("l_returnflag" -> true)).df
+    }
+
+    r.reg("q_groupby_idxminmax",
+      """SELECT o_orderstatus, mx.o_orderkey AS idxmax_price, mn.o_orderkey AS idxmin_price
+        |FROM (
+        |  SELECT DISTINCT o_orderstatus FROM orders
+        |) s
+        |JOIN LATERAL (SELECT o_orderkey FROM orders o WHERE o.o_orderstatus = s.o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) mx ON true
+        |JOIN LATERAL (SELECT o_orderkey FROM orders o WHERE o.o_orderstatus = s.o_orderstatus
+        |  ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 1) mn ON true
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val gb = GraftFrame(t(s, dir, "orders")).groupby("o_orderstatus")
+      val mx = gb.idxmax("o_totalprice", "o_orderkey").rename("idxmax_o_totalprice" -> "idxmax_price")
+      val mn = gb.idxmin("o_totalprice", "o_orderkey").rename("idxmin_o_totalprice" -> "idxmin_price")
+      mx.merge(mn, Seq("o_orderstatus"))
+        .sortValues(Seq("o_orderstatus" -> true)).df
+    }
+
+    r.reg("q_groupby_head_tail",
+      """SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 2 AND o_custkey < 200
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .filter(col("o_custkey") < 200)
+        .groupby("o_custkey")
+        .headPerGroup(2, col("o_orderkey"))
+        .assign("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))))
+        .select("o_custkey", "o_orderkey", "rk")
+        .sortValues(Seq("o_custkey" -> true, "o_orderkey" -> true)).df
+    }
+
+    r.reg("q_groupby_get_group",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "lineitem"))
+        .groupby("l_returnflag", "l_linestatus")
+        .getGroup(Seq("R", "F"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .sortValues(Seq("l_orderkey" -> true, "l_linenumber" -> true)).df
+    }
+
+    r.reg("q_groupby_valuecounts",
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS count
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .groupby("o_orderstatus")
+        .valueCounts("o_orderpriority")
+        .sortValues(Seq("o_orderstatus" -> true, "o_orderpriority" -> true)).df
+    }
+
+    r.reg("q_pivot",
+      """SELECT o_orderstatus,
+        |  CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS "1-URGENT",
+        |  CAST(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS "2-HIGH",
+        |  CAST(count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS "3-MEDIUM"
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .groupby("o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"), count(lit(1)))
+        .sortValues(Seq("o_orderstatus" -> true)).df
+    }
+
+    r.reg("q_cube",
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "lineitem"))
+        .groupby("l_returnflag", "l_linestatus")
+        .cube(count(lit(1)).as("n"))
+        .sortValues(Seq("l_returnflag" -> true, "l_linestatus" -> true), naFirst = true).df
+    }
+
+    r.reg("q_rollup",
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "lineitem"))
+        .groupby("l_returnflag", "l_linestatus")
+        .rollup(count(lit(1)).as("n"))
+        .sortValues(Seq("l_returnflag" -> true, "l_linestatus" -> true), naFirst = true).df
+    }
+
+    // ---- global reductions ----
+    r.reg("q_reduce_global",
+      s"""SELECT ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dmeanSql("l_quantity")} AS mean_qty,
+         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         |  CAST(count(l_quantity) AS BIGINT) AS n,
+         |  ${dvarSql("l_quantity")} AS var_qty
+         |FROM lineitem""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dmean(col("l_quantity")).as("mean_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(col("l_quantity")).as("n"),
+        dvar(col("l_quantity")).as("var_qty"))
+    }
+
+    r.reg("q_idxminmax_global",
+      """SELECT
+        |  (SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) AS idxmax_o_totalprice,
+        |  (SELECT o_orderkey FROM orders ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 1) AS idxmin_o_totalprice""".stripMargin) { (s, dir) =>
+      val f = GraftFrame(t(s, dir, "orders"))
+      f.idxmax("o_totalprice", "o_orderkey").df
+        .crossJoin(f.idxmin("o_totalprice", "o_orderkey").df)
+    }
+
+    r.reg("q_mode",
+      """SELECT mode_l_quantity FROM (
+        |  SELECT l_quantity AS mode_l_quantity, count(*) AS n FROM lineitem
+        |  GROUP BY l_quantity ORDER BY n DESC, l_quantity ASC LIMIT 1)""".stripMargin) { (s, dir) =>
+      Reductions.mode(t(s, dir, "lineitem"), "l_quantity")
+    }
+
+    r.reg("q_value_counts",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS count
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY count DESC, o_orderpriority ASC""".stripMargin) { (s, dir) =>
+      Reductions.valueCounts(t(s, dir, "orders"), "o_orderpriority")
+    }
+
+    r.reg("q_value_counts_norm",
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM orders) AS proportion
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY proportion DESC, o_orderpriority ASC""".stripMargin) { (s, dir) =>
+      Reductions.valueCounts(t(s, dir, "orders"), "o_orderpriority", normalize = true)
+    }
+
+    r.reg("q_nunique",
+      "SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS nunique FROM orders") { (s, dir) =>
+      Reductions.nunique(t(s, dir, "orders"), "o_custkey")
+    }
+
+    r.weak("q_nunique_approx") { (s, dir) =>
+      // HLL estimates are engine-specific; rows-only.
+      Reductions.nuniqueApprox(t(s, dir, "orders"), "o_custkey")
+    }
+
+    r.reg("q_quantile",
+      """SELECT quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        percentile(col("l_quantity"), lit(0.25)).as("q25"),
+        percentile(col("l_quantity"), lit(0.5)).as("q50"),
+        percentile(col("l_quantity"), lit(0.75)).as("q75"))
+    }
+
+    r.reg("q_describe",
+      s"""SELECT CAST(count(l_quantity) AS BIGINT) AS count,
+         |  ${dmeanSql("l_quantity")} AS mean, ${dstdSql("l_quantity")} AS std,
+         |  min(l_quantity) AS min, max(l_quantity) AS max
+         |FROM lineitem""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(col("l_quantity")).as("count"),
+        dmean(col("l_quantity")).as("mean"),
+        dstd(col("l_quantity")).as("std"),
+        min(col("l_quantity")).as("min"),
+        max(col("l_quantity")).as("max"))
+    }
+
+    r.reg("q_nlargest",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 15""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders")).select("o_orderkey", "o_totalprice")
+        .nlargest(15, "o_totalprice", "o_orderkey").df
+    }
+
+    r.reg("q_nsmallest",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 15""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders")).select("o_orderkey", "o_totalprice")
+        .nsmallest(15, "o_totalprice", "o_orderkey").df
+    }
+
+    r.reg("q_distinct",
+      "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source") { (s, dir) =>
+      GraftFrame(t(s, dir, "documents")).select("lang", "source").distinct
+        .sortValues(Seq("lang" -> true, "source" -> true)).df
+    }
+
+    r.reg("q_drop_duplicates",
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "documents")).select("doc_id", "lang", "source")
+        .dropDuplicates(Seq("lang", "source"), col("doc_id"))
+        .sortValues(Seq("doc_id" -> true)).df
+    }
+
+    r.reg("q_cat_reduce",
+      """SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(array_join(array_sort(collect_set(col("source"))), ",").as("sources"))
+        .orderBy("lang")
+    }
+
+    r.reg("q_is_monotonic",
+      """WITH x AS (
+        |  SELECT o_orderkey, lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev
+        |  FROM orders)
+        |SELECT coalesce(bool_and(prev IS NULL OR prev <= o_orderkey), true) AS is_monotonic
+        |FROM x""".stripMargin) { (s, dir) =>
+      graft.operators.WindowOps.isMonotonicIncreasing(
+        t(s, dir, "orders"), "o_orderkey", "o_orderkey")
+    }
+  }
+}

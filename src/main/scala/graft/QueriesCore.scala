@@ -1,0 +1,362 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.GraftFrame
+import QHelp._
+
+/** IO + projection/filter/row-selection oracle queries (SURVEY §2.1-2.3). */
+object QueriesCore {
+
+  def register(r: QueryRegistry): Unit = {
+
+    // ---- IO / scan (SURVEY §2.1) ----
+    r.reg("q_read_parquet",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      // projection + predicate reach the parquet scan (PushedFilters);
+      // cutoff sits inside the data range (1995-01-02..2001-11-04) so the
+      // scan check is non-vacuous.
+      GraftFrame(t(s, dir, "lineitem"))
+        .filter(col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .sortValues(Seq("l_orderkey" -> true, "l_linenumber" -> true)).df
+    }
+
+    r.reg("q_read_csv",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, dir) =>
+      val path = "/root/repo/target/qtmp/region_csv"
+      GraftFrame(t(s, dir, "region")).toCsv(path)
+      GraftFrame.readCsv(s, path)
+        .sortValues(Seq("r_regionkey" -> true)).df
+    }
+
+    r.reg("q_to_parquet",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val path = "/root/repo/target/qtmp/orders_pq"
+      GraftFrame(t(s, dir, "orders"))
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_totalprice")
+        .toParquet(path)
+      GraftFrame.readParquet(s, path).sortValues(Seq("o_orderkey" -> true)).df
+    }
+
+    r.reg("q_from_local",
+      """SELECT * FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', -2.25),
+        |(3, 'gamma', 0.125)) t(id, name, score) ORDER BY id""".stripMargin) { (s, _) =>
+      val schema = StructType(Seq(
+        StructField("id", IntegerType), StructField("name", StringType),
+        StructField("score", DoubleType)))
+      GraftFrame.fromLocal(s, schema,
+        Seq(Row(1, "alpha", 1.5), Row(2, "beta", -2.25), Row(3, "gamma", 0.125)),
+        npartitions = 2)
+        .sortValues(Seq("id" -> true)).df
+    }
+
+    r.reg("q_timeseries",
+      """SELECT i AS id,
+        |  make_timestamp((1704067200 + i) * 1000000) AS ts,
+        |  'n' || CAST((i * 2654435761) % 23 AS VARCHAR) AS name,
+        |  CAST((i * 48271 + 11) % 1000000 AS DOUBLE) / 500000.0 - 1.0 AS x,
+        |  CAST((i * 69621 + 7) % 1000000 AS DOUBLE) / 500000.0 - 1.0 AS y
+        |FROM range(0, 100) t(i) ORDER BY id""".stripMargin) { (s, _) =>
+      GraftFrame.timeseries(s, 1704067200L, 100).sortValues(Seq("id" -> true)).df
+    }
+
+    // ---- projections / filters (SURVEY §2.2) ----
+    r.reg("q_projection",
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey") { (s, dir) =>
+      GraftFrame(t(s, dir, "customer")).select("c_custkey", "c_name")
+        .sortValues(Seq("c_custkey" -> true)).df
+    }
+
+    r.reg("q_filter",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 100000.0)
+        .select("o_orderkey", "o_totalprice")
+        .sortValues(Seq("o_orderkey" -> true)).df
+    }
+
+    r.reg("q_query_string",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .query("o_totalprice > 150000.0 AND o_orderstatus = 'F'")
+        .select("o_orderkey", "o_totalprice")
+        .sortValues(Seq("o_orderkey" -> true)).df
+    }
+
+    r.reg("q_eval",
+      """SELECT o_orderkey, o_totalprice * 0.1 AS margin FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .eval("margin", "o_totalprice * 0.1")
+        .select("o_orderkey", "margin")
+        .sortValues(Seq("o_orderkey" -> true)).df
+    }
+
+    r.reg("q_assign_arith",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue,
+        |  l_quantity + l_tax AS qt, l_extendedprice - l_discount AS pd,
+        |  l_extendedprice / l_quantity AS unit_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "lineitem"))
+        .assign("revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .assign("qt", col("l_quantity") + col("l_tax"))
+        .assign("pd", col("l_extendedprice") - col("l_discount"))
+        .assign("unit_price", col("l_extendedprice") / col("l_quantity"))
+        .select("l_orderkey", "l_linenumber", "revenue", "qt", "pd", "unit_price")
+        .sortValues(Seq("l_orderkey" -> true, "l_linenumber" -> true)).df
+    }
+
+    r.reg("q_head",
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10") { (s, dir) =>
+      GraftFrame(t(s, dir, "orders")).select("o_orderkey", "o_totalprice")
+        .sortValues(Seq("o_orderkey" -> true)).head(10).df
+    }
+
+    r.reg("q_tail",
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 10
+        |) ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders")).select("o_orderkey", "o_totalprice")
+        .tail(10, Seq("o_orderkey" -> true)).df
+    }
+
+    r.reg("q_drop_rename",
+      """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+        |FROM customer ORDER BY custkey""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "customer"))
+        .drop("c_mktsegment", "c_nationkey")
+        .rename("c_custkey" -> "custkey", "c_name" -> "name", "c_acctbal" -> "acctbal")
+        .sortValues(Seq("custkey" -> true)).df
+    }
+
+    r.reg("q_prefix_suffix",
+      """SELECT r_regionkey AS "x_r_regionkey_y", r_name AS "x_r_name_y"
+        |FROM region ORDER BY 1""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "region"))
+        .addPrefix("x_").addSuffix("_y")
+        .sortValues(Seq("x_r_regionkey_y" -> true)).df
+    }
+
+    r.reg("q_astype",
+      """SELECT CAST(o_orderkey AS INTEGER) AS k32,
+        |  CAST(o_custkey AS VARCHAR) AS ck_str,
+        |  CAST(o_orderkey AS DOUBLE) AS k_dbl
+        |FROM orders ORDER BY k32""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .select("o_orderkey", "o_custkey")
+        .astype("o_orderkey" -> IntegerType)
+        .assign("ck_str", col("o_custkey").cast(StringType))
+        .assign("k_dbl", col("o_orderkey").cast(DoubleType))
+        .select("o_orderkey", "ck_str", "k_dbl")
+        .rename("o_orderkey" -> "k32")
+        .sortValues(Seq("k32" -> true)).df
+    }
+
+    r.reg("q_fillna_dropna",
+      """SELECT o_orderkey,
+        |  coalesce(CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END, -1.0) AS filled
+        |FROM orders
+        |WHERE (CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_orderpriority END) IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .assign("filled", when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_totalprice")))
+        .assign("prio", when(col("o_orderpriority") === "1-URGENT", lit(null)).otherwise(col("o_orderpriority")))
+        .dropna(how = "any", subset = Seq("prio"))
+        .fillna(-1.0, Seq("filled"))
+        .select("o_orderkey", "filled")
+        .sortValues(Seq("o_orderkey" -> true)).df
+    }
+
+    r.reg("q_replace",
+      """SELECT o_orderkey,
+        |  CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FILLED' ELSE o_orderstatus END AS status
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .replace("o_orderstatus", Map("O" -> "OPEN", "F" -> "FILLED"))
+        .selectCols(col("o_orderkey"), col("o_orderstatus").as("status"))
+        .sortValues(Seq("o_orderkey" -> true)).df
+    }
+
+    r.reg("q_mask_where",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 200000.0 THEN 0.0 ELSE o_totalprice END AS masked,
+        |  CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE -1.0 END AS kept
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .assign("masked", col("o_totalprice"))
+        .assign("kept", col("o_totalprice"))
+        .mask("masked", col("o_totalprice") > 200000.0, lit(0.0))
+        .whereKeep("kept", col("o_orderstatus") === "O", lit(-1.0))
+        .select("o_orderkey", "masked", "kept")
+        .sortValues(Seq("o_orderkey" -> true)).df
+    }
+
+    r.reg("q_isin",
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .isinFilter("o_orderpriority", Seq("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+        .sortValues(Seq("o_orderkey" -> true)).df
+    }
+
+    r.reg("q_clip_floor_between",
+      """SELECT l_orderkey, l_linenumber,
+        |  greatest(least(l_quantity, 40.0), 10.0) AS clipped,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
+        |  abs(l_extendedprice - 50000.0) AS dist
+        |FROM lineitem WHERE l_quantity BETWEEN 5.0 AND 45.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "lineitem"))
+        .filter(col("l_quantity").between(5.0, 45.0))
+        .clip("l_quantity", 10.0, 40.0)
+        .selectCols(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("clipped"),
+          floor(col("l_extendedprice")).as("fl"),
+          ceil(col("l_extendedprice")).as("cl"),
+          abs(col("l_extendedprice") - 50000.0).as("dist"))
+        .sortValues(Seq("l_orderkey" -> true, "l_linenumber" -> true)).df
+    }
+
+    r.weak("q_sample") { (s, dir) =>
+      // seeded per-engine RNG — not cross-engine comparable; rows-only.
+      GraftFrame(t(s, dir, "orders")).sample(0.1, seed = 42L)
+        .select("o_orderkey")
+        .sortValues(Seq("o_orderkey" -> true)).df
+    }
+
+    r.reg("q_select_dtypes",
+      "SELECT c_custkey, c_acctbal FROM customer ORDER BY c_custkey") { (s, dir) =>
+      GraftFrame(t(s, dir, "customer"))
+        .selectDtypes(dt => dt == LongType || dt == DoubleType)
+        .sortValues(Seq("c_custkey" -> true)).df
+    }
+
+    r.reg("q_loc_iloc",
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE c_custkey >= 100 AND c_custkey <= 200 ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val f = GraftFrame(t(s, dir, "customer")).setIndex("c_custkey")
+      // loc: label-range filter on the index; iloc: positional columns 0,2
+      val ranged = f.filter(col("c_custkey") >= 100 && col("c_custkey") <= 200)
+      val positional = ranged.select(Seq(0, 2).map(ranged.columns): _*)
+      positional.sortValues(Seq("c_custkey" -> true)).df
+    }
+
+    r.reg("q_explode",
+      """SELECT doc_id, CAST(unnest(range(0, len(t))) AS INTEGER) AS pos, unnest(t) AS word
+        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 5)
+        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "documents"))
+        .filter(col("doc_id") < 5)
+        .assign("t", split(col("text"), " "))
+        .select("doc_id", "t")
+        .explodeCol("t", "pos", "word")
+        .sortValues(Seq("doc_id" -> true, "pos" -> true)).df
+    }
+
+    r.reg("q_concat_axis0",
+      """SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 250000.0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 5000.0
+        |) ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val hi = GraftFrame(t(s, dir, "orders")).filter(col("o_totalprice") > 250000.0)
+        .select("o_orderkey", "o_totalprice")
+      val lo = GraftFrame(t(s, dir, "orders")).filter(col("o_totalprice") < 5000.0)
+        .select("o_orderkey", "o_totalprice")
+      hi.concat(lo).sortValues(Seq("o_orderkey" -> true)).df
+    }
+
+    r.reg("q_concat_axis1",
+      """SELECT a.c_custkey, a.c_name, b.c_acctbal FROM
+        |(SELECT c_custkey, c_name FROM customer) a
+        |FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer) b
+        |USING (c_custkey) ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val a = GraftFrame(t(s, dir, "customer")).select("c_custkey", "c_name")
+      val b = GraftFrame(t(s, dir, "customer")).select("c_custkey", "c_acctbal")
+      a.concatAxis1(b, Seq("c_custkey")).sortValues(Seq("c_custkey" -> true)).df
+    }
+
+    r.reg("q_intersect_except",
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+        |) ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val a = GraftFrame(t(s, dir, "orders")).filter(col("o_orderstatus") === "O").select("o_custkey")
+      val b = GraftFrame(t(s, dir, "orders")).filter(col("o_totalprice") > 150000.0).select("o_custkey")
+      a.distinct.intersect(b.distinct).sortValues(Seq("o_custkey" -> true)).df
+    }
+
+    r.reg("q_except",
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+        |) ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val a = GraftFrame(t(s, dir, "orders")).filter(col("o_orderstatus") === "O").select("o_custkey")
+      val b = GraftFrame(t(s, dir, "orders")).filter(col("o_totalprice") > 150000.0).select("o_custkey")
+      a.distinct.except(b.distinct).sortValues(Seq("o_custkey" -> true)).df
+    }
+
+    r.reg("q_combine_first",
+      """SELECT o_orderkey,
+        |  coalesce(CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END,
+        |           o_totalprice) AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val base = GraftFrame(t(s, dir, "orders"))
+        .assign("o_totalprice",
+          when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_totalprice")))
+        .select("o_orderkey", "o_totalprice")
+      val fallback = GraftFrame(t(s, dir, "orders")).select("o_orderkey", "o_totalprice")
+      base.combineFirst(fallback, Seq("o_orderkey"))
+        .sortValues(Seq("o_orderkey" -> true)).df
+    }
+
+    r.reg("q_series_map",
+      """SELECT event_id,
+        |  CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+        |    WHEN 'purchase' THEN 3 ELSE -1 END AS type_code
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "events"))
+        .seriesMap("event_type", "type_code",
+          Map("click" -> 1, "view" -> 2, "purchase" -> 3), default = Some(-1))
+        .select("event_id", "type_code")
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
+    r.reg("q_apply_rows",
+      """SELECT event_id, value * 2.0 + 1.0 AS scored FROM events
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("scored", DoubleType)))
+      GraftFrame(t(s, dir, "events").select("event_id", "value"))
+        .applyRows(schema)(row => Row(row.getLong(0), row.getDouble(1) * 2.0 + 1.0))
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
+    r.reg("q_map_partitions",
+      """SELECT event_id, value - 1.0 AS shifted FROM events
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("shifted", DoubleType)))
+      GraftFrame(t(s, dir, "events").select("event_id", "value"))
+        .mapPartitionsRows(schema)(it => it.map(row => Row(row.getLong(0), row.getDouble(1) - 1.0)))
+        .sortValues(Seq("event_id" -> true)).df
+    }
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.Similarity
+import QHelp._
+
+/** Embedding similarity oracle queries. The DuckDB oracle reproduces the
+  * exact-decimal dot products (per-element IEEE double products, decimal
+  * accumulation), so cosine scores and LSH buckets compare bit-for-bit. */
+object QueriesEmbed {
+
+  /** zipped-unnest dot/norm products of every vector against the
+    * vec_id=0 query vector. */
+  private val dotCtes =
+    """q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |zipped AS (
+      |  SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+      |  FROM embeddings e, q),
+      |dots AS (
+      |  SELECT vec_id,
+      |    sum(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+      |    sum(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na
+      |  FROM zipped GROUP BY vec_id),
+      |qn AS (
+      |  SELECT sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(25,12))) AS nq
+      |  FROM (SELECT unnest(qv) AS x FROM q)),
+      |cosines AS (
+      |  SELECT vec_id,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))) AS cos
+      |  FROM dots, qn WHERE vec_id <> 0)""".stripMargin
+
+  /** hyperplane-LSH bucket of every vector (8 integer-hash hyperplanes,
+    * exact-decimal dot accumulation). */
+  private val bucketCtes =
+    """flat AS (
+      |  SELECT vec_id, j,
+      |    CAST(embedding[i+1] AS DOUBLE)
+      |      * CAST((j*64 + i) * 2654435761 % 4294967296 - 2147483648 AS DOUBLE) AS p
+      |  FROM embeddings, range(0, 8) rj(j), range(0, 64) ri(i)),
+      |pdots AS (
+      |  SELECT vec_id, j, sum(CAST(p AS DECIMAL(30,12))) AS d
+      |  FROM flat GROUP BY vec_id, j),
+      |buckets AS (
+      |  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM pdots GROUP BY vec_id)""".stripMargin
+
+  def register(r: QueryRegistry): Unit = {
+
+    // scale 12, not 18: the double→decimal cast of a float32² is exact
+    // only while the scaled value's tie pattern can't occur — at 18 the
+    // engines' rounding modes diverged on real data (r2 local run).
+    r.reg("q_embed_norm",
+      """SELECT vec_id,
+        |  CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(25,12))) AS DECIMAL(38,12)) AS norm2
+        |FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.dotExact(col("embedding"), col("embedding"), 12)
+            .cast(DecimalType(38, 12)).as("norm2"))
+        .orderBy("vec_id")
+    }
+
+    r.reg("q_cosine_topk",
+      s"""WITH $dotCtes
+         |SELECT vec_id, cos FROM cosines
+         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }
+
+    r.reg("q_ann_buckets",
+      s"""WITH $bucketCtes
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n
+         |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Similarity.bucketHistogram(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, planes = 8)
+    }
+
+    r.reg("q_ann_topk",
+      s"""WITH $bucketCtes,
+         |qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT b.vec_id FROM buckets b, qb
+         |  WHERE b.bucket = qb.bucket AND b.vec_id <> 0),
+         |$dotCtes
+         |SELECT c.vec_id, c.cos FROM cosines c JOIN cand USING (vec_id)
+         |ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin) { (s, dir) =>
+      Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, queryId = 0L, k = 5, planes = 8)
+    }
+  }
+}

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftFrame
+import graft.operators.Joins
+import QHelp._
+
+/** Join-family oracle queries (SURVEY §2.4). */
+object QueriesJoins {
+
+  def register(r: QueryRegistry): Unit = {
+
+    r.reg("q_join_inner",
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |WHERE o.o_totalprice > 200000.0
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
+      Joins.merge(c, o, Seq("o_custkey"), "inner")
+        .select(col("o_custkey").as("c_custkey"), col("c_name"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("c_custkey", "o_orderkey")
+    }
+
+    r.reg("q_join_left",
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name
+        |FROM (SELECT * FROM orders WHERE o_orderkey < 3000) o
+        |LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0.0) c
+        |  ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders").filter(col("o_orderkey") < 3000)
+        .withColumnRenamed("o_custkey", "c_custkey")
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 0.0)
+      Joins.merge(o, c, Seq("c_custkey"), "left")
+        .select(col("o_orderkey"), col("c_custkey").as("o_custkey"), col("c_name"))
+        .orderBy("o_orderkey")
+    }
+
+    r.reg("q_join_right",
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey
+        |FROM (SELECT * FROM orders WHERE o_orderkey < 3000) o
+        |RIGHT JOIN (SELECT * FROM customer WHERE c_custkey < 150) c
+        |  ON o.o_custkey = c.c_custkey
+        |ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders").filter(col("o_orderkey") < 3000)
+        .withColumnRenamed("o_custkey", "c_custkey")
+      val c = t(s, dir, "customer").filter(col("c_custkey") < 150)
+      Joins.merge(o, c, Seq("c_custkey"), "right")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+    }
+
+    r.reg("q_join_outer",
+      """SELECT coalesce(a.k, b.k) AS k, a.av, b.bv FROM
+        |(SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS av FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) a
+        |FULL OUTER JOIN
+        |(SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS bv FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) b
+        |USING (k) ORDER BY k""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("av"))
+      val b = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("bv"))
+      Joins.merge(a, b, Seq("k"), "outer").orderBy("k")
+    }
+
+    r.reg("q_join_suffixes",
+      """SELECT n.n_nationkey, n.n_name AS name_x, r2.n_name AS name_y
+        |FROM nation n JOIN (SELECT n_nationkey, n_name FROM nation) r2
+        |  ON n.n_nationkey = r2.n_nationkey
+        |ORDER BY n.n_nationkey""".stripMargin) { (s, dir) =>
+      val n = t(s, dir, "nation")
+      val n2 = t(s, dir, "nation").select("n_nationkey", "n_name")
+      Joins.merge(n, n2, Seq("n_nationkey"), "inner")
+        .select(col("n_nationkey"), col("n_name_x").as("name_x"), col("n_name_y").as("name_y"))
+        .orderBy("n_nationkey")
+    }
+
+    r.reg("q_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
+      Joins.semi(c, o, Seq("o_custkey"))
+        .select(col("o_custkey").as("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }
+
+    r.reg("q_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+      val o = t(s, dir, "orders")
+      Joins.anti(c, o, Seq("o_custkey"))
+        .select(col("o_custkey").as("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }
+
+    r.reg("q_join_indicator",
+      """SELECT k, av, bv, _merge FROM (
+        |  SELECT coalesce(a.k, b.k) AS k, a.av, b.bv,
+        |    CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL THEN 'both'
+        |         WHEN a.k IS NOT NULL THEN 'left_only' ELSE 'right_only' END AS _merge
+        |  FROM (SELECT DISTINCT o_custkey AS k, 1 AS av FROM orders WHERE o_totalprice > 250000.0) a
+        |  FULL OUTER JOIN (SELECT c_custkey AS k, 1 AS bv FROM customer WHERE c_custkey < 300) b
+        |  USING (k)
+        |) ORDER BY k""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
+        .select(col("o_custkey").as("k")).distinct().withColumn("av", lit(1))
+      val b = t(s, dir, "customer").filter(col("c_custkey") < 300)
+        .select(col("c_custkey").as("k")).withColumn("bv", lit(1))
+      Joins.mergeIndicator(a, b, Seq("k")).orderBy("k")
+    }
+
+    r.reg("q_join_broadcast",
+      """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").withColumnRenamed("c_nationkey", "n_nationkey")
+      val n = t(s, dir, "nation")
+      Joins.broadcastMerge(c, n, Seq("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_name")
+    }
+
+    r.reg("q_join_multi",
+      """SELECT r.r_name, n.n_name, CAST(count(*) AS BIGINT) AS n_cust
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").withColumnRenamed("c_nationkey", "n_nationkey")
+      val n = t(s, dir, "nation").withColumnRenamed("n_regionkey", "r_regionkey")
+      val joined = Joins.joinMany(Seq(c, n), Seq("n_nationkey"), "inner")
+      Joins.merge(joined, t(s, dir, "region"), Seq("r_regionkey"), "inner")
+        .groupBy("r_name", "n_name").agg(count(lit(1)).as("n_cust"))
+        .orderBy("r_name", "n_name")
+    }
+
+    r.reg("q_join_salted",
+      """SELECT o.o_orderkey, c.c_name FROM orders o
+        |JOIN (SELECT * FROM customer WHERE c_custkey < 100) c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+      val c = t(s, dir, "customer").filter(col("c_custkey") < 100)
+        .select("c_custkey", "c_name")
+      Joins.saltedJoin(o, c, "c_custkey", saltFactor = 8)
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    }
+
+    r.reg("q_asof_join",
+      """SELECT c.event_id, c.user_id, c.ts, c.value, p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click' AND user_id < 50) c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val clicks = t(s, dir, "events")
+        .filter(col("event_type") === "click" && col("user_id") < 50)
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      Joins.asofJoin(clicks, purchases, "ts", "ts", Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("value_y").as("purchase_value"))
+        .orderBy("event_id")
+    }
+  }
+}

@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.GraftFrame
+import graft.llm.{Dedup, Multimodal, TextHash, TextStats}
+import QHelp._
+
+/** LLM-pipeline text oracle queries: stats, fingerprints, exact + minhash
+  * dedup, simhash — the DuckDB oracle recomputes the full pipelines
+  * (identical integer hash arithmetic), so signatures, LSH buckets and
+  * candidate pairs are value-checked end-to-end, not just counted. */
+object QueriesText {
+
+  // DuckDB mirrors of TextHash — kept adjacent to the Scala definitions.
+  private def tokIdSql(w: String): String = TextHash.tokIdSql(w)
+
+  /** CTEs: tokens → distinct 3-shingles → shingle hashes → 16-hash minhash
+    * signature. */
+  private val sigCtes =
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(t)-1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+       |  FROM toks
+       |),
+       |hs AS (
+       |  SELECT doc_id, list_transform(gs, g -> ${tokIdSql("g")}) AS hs
+       |  FROM sh WHERE len(gs) > 0
+       |),
+       |sig AS (
+       |  SELECT doc_id, list_transform(range(0, 16), i ->
+       |    list_min(list_transform(hs,
+       |      h -> (h * (i*2000006 + 1012345) + i*999983 + 423307) % 2147483647))) AS sig
+       |  FROM hs
+       |)""".stripMargin
+
+  private val pairsCtes =
+    s"""$sigCtes,
+       |banded AS (
+       |  SELECT doc_id, unnest(range(0, 4)) AS band,
+       |    unnest(list_transform(range(0, 4), b ->
+       |      array_to_string(sig[b*4+1:b*4+4], '_'))) AS key
+       |  FROM sig
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(x.gs, y.gs)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(x.gs, y.gs))) AS jaccard
+       |  FROM cand
+       |  JOIN sh x ON x.doc_id = cand.id_a
+       |  JOIN sh y ON y.doc_id = cand.id_b
+       |)""".stripMargin
+
+  def register(r: QueryRegistry): Unit = {
+
+    val stop = Seq("the", "a", "of", "and", "to")
+    val stopSqlList = stop.map(w => s"'$w'").mkString(", ")
+
+    r.reg("q_text_stats",
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |  CAST(CAST(ceil(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / 4.0) AS BIGINT)
+         |    + length(regexp_replace(text, '[^0-9]', '', 'g'))
+         |    + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_tokens_bpe,
+         |  CAST(length(text) AS INTEGER) AS n_chars,
+         |  CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS avg_token_len,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS type_token_ratio,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         |    / length(text) AS punct_ratio,
+         |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopSqlList))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS stopword_ratio,
+         |  CAST(list_sum(list_transform(range(1, len(string_split(text, ' '))+1),
+         |    i -> (${tokIdSql("string_split(text, ' ')[i]")}
+         |          * ([1,31,961,29791,923521,28629151,887503681,1742810335])[(i-1)%8 + 1])
+         |         % 2147483647)) % 2147483647 AS BIGINT) AS fingerprint,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_md5
+         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      GraftFrame(TextStats.qualityFrame(
+          t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", stop))
+        .sortValues(Seq("doc_id" -> true)).df
+    }
+
+    r.reg("q_lang_predict",
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('data', 'table'))) AS s_de,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS s_en,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('query', 'join'))) AS s_fr
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CASE WHEN s_fr > (CASE WHEN s_en > s_de THEN s_en ELSE s_de END) THEN 'fr'
+        |       ELSE (CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END) END AS predicted
+        |FROM scored ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val markers = Map(
+        "de" -> Seq("data", "table"),
+        "en" -> Seq("the", "a"),
+        "fr" -> Seq("query", "join"))
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TextStats.langPredict(col("text"), markers).as("predicted"))
+        .orderBy("doc_id")
+    }
+
+    r.reg("q_dedup_exact",
+      """WITH ext AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |),
+        |keyed AS (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |  FROM ext)
+        |SELECT doc_id FROM keyed WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val ext = docs.union(
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.exact(ext, "doc_id", "text").select("doc_id").orderBy("doc_id")
+    }
+
+    r.reg("q_minhash_sig",
+      s"""WITH $sigCtes
+         |SELECT doc_id,
+         |  CAST(unnest(range(0, 16)) AS INTEGER) AS hash_idx,
+         |  unnest(sig) AS sig_val
+         |FROM sig WHERE doc_id < 50 ORDER BY doc_id, hash_idx""".stripMargin) { (s, dir) =>
+      Dedup.signatures(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("doc_id") < 50 && size(col("shingles")) > 0)
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("hash_idx", "sig_val")))
+        .orderBy("doc_id", "hash_idx")
+    }
+
+    r.reg("q_minhash_pairs",
+      s"""WITH $pairsCtes
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.nearDuplicatePairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }
+
+    r.reg("q_near_dedup",
+      s"""WITH $pairsCtes
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= 0.5)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.dropNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .select("doc_id").orderBy("doc_id")
+    }
+
+    r.reg("q_simhash", {
+      val terms = (0 until 16).map(j =>
+        s"(CASE WHEN 2*len(list_filter(hs16, h -> ((h >> $j) & 1) = 1)) > len(hs16) " +
+          s"THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(list_distinct(string_split(text, ' ')), w -> ${tokIdSql("w")}) AS hs16
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT doc_id, CAST($terms AS BIGINT) AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Dedup.simhashGroups(
+          t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+        .orderBy("doc_id")
+    }
+
+    r.reg("q_multimodal_features",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS format_byte,
+        |  CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS height,
+        |  CAST(list_sum(list_transform(range(1, length(text)+1),
+        |    i -> ascii(substr(text, i, 1)))) % 1000000007 AS BIGINT) AS checksum
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      Multimodal.decodeFeatures(
+          Multimodal.withPayload(docs, "text", "payload"), "doc_id", "payload")
+        .orderBy("doc_id")
+    }
+
+    r.reg("q_frame_plan",
+      """SELECT doc_id, n_bytes, frame_no, frame_no * 64 AS "offset" FROM (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |    unnest(range(0, greatest(CAST(floor(octet_length(encode(text)) / 64.0) AS BIGINT), 1))) AS frame_no
+        |  FROM documents WHERE doc_id < 50)
+        |ORDER BY doc_id, frame_no""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+      Multimodal.framePlan(
+          Multimodal.withPayload(docs, "text", "payload"), "doc_id", "payload", 64)
+        .orderBy("doc_id", "frame_no")
+    }
+  }
+}

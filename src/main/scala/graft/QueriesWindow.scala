@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.{GraftFrame, Rolling}
+import graft.operators.{Resample, WindowOps}
+import QHelp._
+
+/** Window / ordered / resample oracle queries (SURVEY §2.6-2.8).
+  *
+  * Determinism: window SUMs of doubles go through DECIMAL — engines use
+  * different frame-evaluation strategies (per-frame rescan vs segment
+  * tree), so double accumulation order differs; decimal accumulation is
+  * order-independent. Count/min/max/lag/lead are order-safe as-is.
+  */
+object QueriesWindow {
+
+  def register(r: QueryRegistry): Unit = {
+
+    r.reg("q_rolling",
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(38,6)) AS roll_sum,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / count(value) OVER w AS DOUBLE) AS roll_mean,
+        |  min(value) OVER w AS roll_min,
+        |  max(value) OVER w AS roll_max,
+        |  CAST(count(value) OVER w AS BIGINT) AS roll_n
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events").filter(col("user_id") < 30)
+        .withColumn("dv", col("value").cast(DecimalType(18, 6)))
+      val roll = Rolling(base, Seq("user_id"), "event_id", window = 3)
+      roll.withColumnRolled("roll_sum", roll.sum("dv").cast(DecimalType(38, 6)))
+        .assign("roll_mean", roll.sum("dv").cast(DoubleType) / roll.count("value"))
+        .assign("roll_min", roll.min("value"))
+        .assign("roll_max", roll.max("value"))
+        .assign("roll_n", roll.count("value"))
+        .select("event_id", "user_id", "roll_sum", "roll_mean", "roll_min", "roll_max", "roll_n")
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
+    r.reg("q_rolling_time",
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(38,6)) AS tsum,
+        |  CAST(count(*) OVER w AS BIGINT) AS tn
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events").filter(col("user_id") < 30)
+        .withColumn("dv", col("value").cast(DecimalType(18, 6)))
+      val w = Rolling.byTime(base, Seq("user_id"), "ts", spanSeconds = 3600)
+      GraftFrame(base
+        .withColumn("tsum", sum(col("dv")).over(w).cast(DecimalType(38, 6)))
+        .withColumn("tn", count(lit(1)).over(w)))
+        .select("event_id", "user_id", "tsum", "tn")
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
+    r.reg("q_cumsum",
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6)))
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS csum,
+        |  max(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmax,
+        |  CAST(count(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+        |FROM events WHERE user_id < 30 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events").filter(col("user_id") < 30)
+        .withColumn("dv", col("value").cast(DecimalType(18, 6)))
+      val w = WindowOps.cumWindow("event_id", Seq("user_id"))
+      GraftFrame(base
+        .withColumn("csum", WindowOps.cumsum("dv", w).cast(DecimalType(38, 6)))
+        .withColumn("cmax", WindowOps.cummax("value", w))
+        .withColumn("cn", WindowOps.cumcount("value", w)))
+        .select("event_id", "user_id", "csum", "cmax", "cn")
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
+    r.reg("q_global_cumsum",
+      """SELECT event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6)))
+        |    OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(38,6)) AS gsum
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events")
+        .withColumn("dv", col("value").cast(DecimalType(18, 6)))
+        .select("event_id", "dv")
+      GraftFrame(WindowOps.globalCumSum(base, "event_id", "dv", "gsum"))
+        .assign("gsum", col("gsum").cast(DecimalType(38, 6)))
+        .select("event_id", "gsum")
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
+    r.reg("q_cumprod",
+      """SELECT l_orderkey, l_linenumber,
+        |  product(CAST(l_linenumber AS DOUBLE))
+        |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cprod
+        |FROM lineitem WHERE l_orderkey < 2000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      // small exact integers: FP product is associative here, so engine
+      // accumulation order cannot change the result
+      val base = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .withColumn("ln_d", col("l_linenumber").cast(DoubleType))
+      val w = WindowOps.cumWindow("l_linenumber", Seq("l_orderkey"))
+      GraftFrame(base.withColumn("cprod", WindowOps.cumprod("ln_d", w)))
+        .select("l_orderkey", "l_linenumber", "cprod")
+        .sortValues(Seq("l_orderkey" -> true, "l_linenumber" -> true)).df
+    }
+
+    r.reg("q_diff_shift",
+      """SELECT event_id, user_id,
+        |  value - lag(value, 1) OVER w AS d1,
+        |  lag(value, 2) OVER w AS s2,
+        |  lead(value, 1) OVER w AS sm1
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events").filter(col("user_id") < 30)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      GraftFrame(base
+        .withColumn("d1", WindowOps.diff("value", 1, w))
+        .withColumn("s2", WindowOps.shift("value", 2, w))
+        .withColumn("sm1", WindowOps.shift("value", -1, w)))
+        .select("event_id", "user_id", "d1", "s2", "sm1")
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
+    r.reg("q_ffill_bfill",
+      """SELECT event_id, user_id,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bf
+        |FROM (SELECT event_id, user_id,
+        |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |      FROM events WHERE user_id < 30)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events").filter(col("user_id") < 30)
+        .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      GraftFrame(base
+        .withColumn("ff", WindowOps.ffill("v", "event_id", Seq("user_id")))
+        .withColumn("bf", WindowOps.bfill("v", "event_id", Seq("user_id"))))
+        .select("event_id", "user_id", "ff", "bf")
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
+    r.reg("q_groupby_shift",
+      """SELECT event_id, user_id,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS value_shift
+        |FROM events WHERE user_id < 30 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "events").filter(col("user_id") < 30))
+        .groupby("user_id")
+        .shift("value", 1, col("event_id"))
+        .select("event_id", "user_id", "value_shift")
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
+    r.reg("q_resample_agg",
+      """SELECT date_trunc('hour', ts) AS bucket,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS vsum,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events")
+        .withColumn("dv", col("value").cast(DecimalType(18, 6)))
+      Resample.agg(base, "ts", "1 hour",
+          sum(col("dv")).cast(DecimalType(38, 6)).as("vsum"),
+          count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }
+
+    r.reg("q_resample_ohlc",
+      """SELECT date_trunc('hour', ts) AS bucket,
+        |  arg_min(value, event_id) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  arg_max(value, event_id) AS close
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      // event_id is unique and time-ordered within the fixture, so it is
+      // the deterministic within-bin order required by open/close
+      Resample.ohlc(t(s, dir, "events"), "ts", "1 hour", "value", col("event_id"))
+        .orderBy("bucket")
+    }
+
+    r.reg("q_sort_multi",
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |ORDER BY o_orderdate DESC NULLS LAST, o_orderkey ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .sortValues(Seq("o_orderdate" -> false, "o_orderkey" -> true)).df
+    }
+
+    r.reg("q_set_index",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      // setIndex = range shuffle + local sort (divisions established);
+      // terminal global order only for the deterministic compare
+      GraftFrame(t(s, dir, "orders"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .setIndex("o_custkey")
+        .sortValues(Seq("o_custkey" -> true, "o_orderkey" -> true)).df
+    }
+
+    r.reg("q_repartition",
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .repartitionByKeys(16, "o_custkey")
+        .groupby("o_custkey").agg(count(lit(1)).as("n"))
+        .sortValues(Seq("o_custkey" -> true)).df
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ordered registry of driver-checked queries: each entry pairs a Spark
+  * query (over the graft API) with its DuckDB oracle SQL; entries without
+  * SQL get the driver's weaker rows-only check. */
+final class QueryRegistry {
+  val entries: scala.collection.mutable.LinkedHashMap[String,
+    ((SparkSession, String) => DataFrame, Option[String])] =
+    scala.collection.mutable.LinkedHashMap()
+
+  def reg(name: String, sql: String)(fn: (SparkSession, String) => DataFrame): Unit = {
+    require(!entries.contains(name), s"duplicate query $name")
+    entries(name) = (fn, Some(sql))
+  }
+  def weak(name: String)(fn: (SparkSession, String) => DataFrame): Unit = {
+    require(!entries.contains(name), s"duplicate query $name")
+    entries(name) = (fn, None)
+  }
+}
+
+/** Cross-engine determinism helpers.
+  *
+  * The driver hash-compares values bit-for-bit, so every aggregate of
+  * doubles must be order-independent: per-row IEEE arithmetic is
+  * deterministic on any engine, but a parallel double SUM is
+  * partition-order-dependent. Rule: sums/moments go through DECIMAL
+  * (order-independent); ratios divide exact decimals in double at the
+  * end (bit-identical inputs → bit-identical IEEE result).
+  */
+object QHelp {
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  /** Exact, order-independent sum of a double expression. Per-value cast
+    * is DECIMAL(28,s): |v| < 10^(28-s) before any value nulls out, far
+    * above TPC-H magnitudes at any SF (ADVICE r1: 18-s was too tight). */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(28, scale))).cast(DecimalType(38, scale))
+  def dsumSql(x: String, scale: Int = 4): String =
+    s"CAST(sum(CAST(($x) AS DECIMAL(28,$scale))) AS DECIMAL(38,$scale))"
+
+  /** Exact mean: decimal sum / count, final division in double. */
+  def dmean(c: Column): Column =
+    dsum(c, 6).cast(DoubleType) / count(c)
+  def dmeanSql(x: String): String =
+    s"(CAST(${dsumSql(x, 6)} AS DOUBLE) / count($x))"
+
+  /** Exact sample variance from decimal moments (the parallel Welford the
+    * engines run natively is partition-order-dependent in double; the
+    * moment form over exact decimals is reproducible). */
+  def dvar(c: Column): Column = {
+    val s1 = dsum(c, 6).cast(DoubleType)
+    val s2 = sum((c * c).cast(DecimalType(28, 4))).cast(DecimalType(38, 4)).cast(DoubleType)
+    val n = count(c).cast(DoubleType)
+    (s2 - s1 * s1 / n) / (n - lit(1.0))
+  }
+  // Scale 4 on the product sums: source columns carry <=2 decimal digits,
+  // so products are exact at 4 — and the smaller unscaled magnitude keeps
+  // the decimal->double conversion exactly representable (a scale-8 sum of
+  // squares exceeded 2^53 and double-rounded differently per engine).
+  def dvarSql(x: String): String =
+    s"((CAST(CAST(sum(CAST(($x) * ($x) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS DOUBLE)" +
+      s" - CAST(${dsumSql(x, 6)} AS DOUBLE) * CAST(${dsumSql(x, 6)} AS DOUBLE) / CAST(count($x) AS DOUBLE))" +
+      s" / (CAST(count($x) AS DOUBLE) - 1.0))"
+
+  def dstd(c: Column): Column = sqrt(dvar(c))
+  def dstdSql(x: String): String = s"sqrt(${dvarSql(x)})"
+
+  /** Exact sample covariance of two double columns via decimal co-moments. */
+  def dcov(x: Column, y: Column): Column = {
+    val sxy = sum((x * y).cast(DecimalType(28, 4))).cast(DecimalType(38, 4)).cast(DoubleType)
+    val sx = dsum(x, 6).cast(DoubleType)
+    val sy = dsum(y, 6).cast(DoubleType)
+    val n = count(x).cast(DoubleType)
+    (sxy - sx * sy / n) / (n - lit(1.0))
+  }
+  def dcovSql(x: String, y: String): String =
+    s"((CAST(CAST(sum(CAST(($x) * ($y) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS DOUBLE)" +
+      s" - CAST(${dsumSql(x, 6)} AS DOUBLE) * CAST(${dsumSql(y, 6)} AS DOUBLE) / CAST(count($x) AS DOUBLE))" +
+      s" / (CAST(count($x) AS DOUBLE) - 1.0))"
+
+  def dcorr(x: Column, y: Column): Column = dcov(x, y) / sqrt(dvar(x) * dvar(y))
+  def dcorrSql(x: String, y: String): String =
+    s"(${dcovSql(x, y)} / sqrt(${dvarSql(x)} * ${dvarSql(y)}))"
+}

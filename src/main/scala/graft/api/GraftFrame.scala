@@ -96,6 +96,16 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     lift(df.orderBy(exprs: _*))
   }
   def head(n: Int): GraftFrame = lift(df.limit(n))
+  /** Last n rows under an explicit total order (reference Tail
+    * `_expr.py:1572-1703` takes them from the final partition; Spark has
+    * no partition order, so the order must be named). Plans as
+    * TakeOrderedAndProject on the reversed order — per-partition top-k,
+    * no global sort. */
+  def tail(n: Int, by: Seq[(String, Boolean)]): GraftFrame = {
+    val rev = by.map { case (c, asc) => if (asc) col(c).desc else col(c).asc }
+    val fwd = by.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
+    lift(df.orderBy(rev: _*).limit(n).orderBy(fwd: _*))
+  }
   /** sort+limit: Catalyst plans TakeOrderedAndProject — per-partition top-k
     * then a driver merge, the reference's NSmallest/NLargest
     * (reference `_reductions.py:1074-1119`) without a global shuffle. */
@@ -137,12 +147,59 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
   def repartitionByRange(n: Int, keys: String*): GraftFrame =
     lift(df.repartitionByRange(n, keys.map(col): _*))
 
+  // ---- elementwise conveniences (reference _expr.py:1042-1169) ----
+  def clip(c: String, lo: Double, hi: Double): GraftFrame =
+    lift(df.withColumn(c, greatest(least(col(c), lit(hi)), lit(lo))))
+  def isinFilter(c: String, values: Seq[Any]): GraftFrame =
+    lift(df.filter(col(c).isin(values: _*)))
+  /** Series.map over a literal dict (reference `_expr.py:1240-1270`):
+    * chained `when`s — codegen'd, no UDF. Unmapped values → null (pandas
+    * semantics) or `default`. */
+  def seriesMap(c: String, out: String, mapping: Map[Any, Any],
+                default: Option[Any] = None): GraftFrame = {
+    val base = mapping.foldLeft(None: Option[Column]) {
+      case (acc, (k, v)) =>
+        Some(acc.fold(when(col(c) === lit(k), lit(v)))(_.when(col(c) === lit(k), lit(v))))
+    }.getOrElse(lit(null))
+    lift(df.withColumn(out, default.fold(base)(d => base.otherwise(lit(d)))))
+  }
+  /** explode with deterministic position (reference ExplodeSeries
+    * `_expr.py:1296-1306`): one output row per array element. */
+  def explodeCol(c: String, outPos: String, outVal: String): GraftFrame =
+    lift(df.select(df.columns.map(col).toIndexedSeq :+
+      posexplode(col(c)).as(Seq(outPos, outVal)): _*).drop(c))
+  /** combine_first (reference `_expr.py:857-884`): this frame's values,
+    * holes filled from `other`, aligned on key columns. */
+  def combineFirst(other: GraftFrame, on: Seq[String]): GraftFrame = {
+    val shared = (df.columns.toSet & other.df.columns.toSet) -- on.toSet
+    val r = shared.foldLeft(other.df)((d, c) => d.withColumnRenamed(c, c + "__o__"))
+    val joined = df.join(r, on, "full_outer")
+    val merged = shared.foldLeft(joined)((d, c) =>
+      d.withColumn(c, coalesce(col(c), col(c + "__o__"))).drop(c + "__o__"))
+    lift(merged)
+  }
+
+  // ---- global idxmin/idxmax (reference _reductions.py:817-839) ----
+  def idxmax(valueCol: String, idCol: String): GraftFrame =
+    lift(df.agg(max_by(col(idCol), struct(col(valueCol), -col(idCol))).as(s"idxmax_$valueCol")))
+  def idxmin(valueCol: String, idCol: String): GraftFrame =
+    lift(df.agg(min_by(col(idCol), struct(col(valueCol), col(idCol))).as(s"idxmin_$valueCol")))
+
+  /** concat axis=1 (reference ConcatIndexed `_concat.py:230-252`): align
+    * on key columns (the `__index__` convention) — an outer equi-join, so
+    * co-partitioned inputs skip the exchange. */
+  def concatAxis1(other: GraftFrame, on: Seq[String]): GraftFrame =
+    lift(df.join(other.df, on, "full_outer"))
+
   // ---- groupby / rolling entry points ----
   def groupby(keys: String*): GraftGroupBy = GraftGroupBy(df, keys)
-  def rolling(orderCol: String, window: Int): Rolling =
-    Rolling(df, Nil, orderCol, window)
-  def rollingBy(partitionCols: Seq[String], orderCol: String, window: Int): Rolling =
-    Rolling(df, partitionCols, orderCol, window)
+  /** Global-order rolling — single-task at scale; explicit opt-in only
+    * for small frames. Prefer rollingBy. */
+  def rollingGlobalUnsafe(orderCol: String, window: Int, minPeriods: Int = 1): Rolling =
+    Rolling(df, Nil, orderCol, window, minPeriods, allowGlobal = true)
+  def rollingBy(partitionCols: Seq[String], orderCol: String, window: Int,
+                minPeriods: Int = 1): Rolling =
+    Rolling(df, partitionCols, orderCol, window, minPeriods)
 
   // ---- merge (reference _merge.py:32-404) ----
   def merge(right: GraftFrame, on: Seq[String], how: String = "inner",
@@ -156,14 +213,59 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
       f: Iterator[Row] => Iterator[Row]): GraftFrame =
     lift(df.mapPartitions(f)(org.apache.spark.sql.Encoders.row(outSchema)))
 
+  /** Row-wise apply (reference `_expr.py:1212-1237`): arbitrary
+    * Row => Row with an explicit output schema (the reference's meta). */
+  def applyRows(outSchema: org.apache.spark.sql.types.StructType)(
+      f: Row => Row): GraftFrame =
+    lift(df.map(f)(org.apache.spark.sql.Encoders.row(outSchema)))
+
+  // ---- sinks (reference ToParquet io/parquet.py:90-395, ToCsv) ----
+  def toParquet(path: String, partitionOn: Seq[String] = Nil,
+                mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionOn.nonEmpty) w.partitionBy(partitionOn: _*) else w).parquet(path)
+  }
+  def toCsv(path: String, header: Boolean = true, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", header).csv(path)
+
   def cache(): GraftFrame = lift(df.cache())
   def explainPlan(): Unit = df.explain("formatted")
 }
 
 object GraftFrame {
+  import org.apache.spark.sql.types.StructType
+
   def readParquet(spark: SparkSession, path: String): GraftFrame =
     GraftFrame(spark.read.parquet(path))
   def readCsv(spark: SparkSession, path: String, header: Boolean = true,
               inferSchema: Boolean = true): GraftFrame =
     GraftFrame(spark.read.option("header", header).option("inferSchema", inferSchema).csv(path))
+
+  /** from_pandas analog (reference FromPandas `io/io.py:302-418`): local
+    * rows → distributed frame. `npartitions` mirrors the reference's
+    * chunking knob. */
+  def fromLocal(spark: SparkSession, schema: StructType, rows: Seq[Row],
+                npartitions: Int = 0): GraftFrame = {
+    val base = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+    GraftFrame(if (npartitions > 0) base.repartition(npartitions) else base)
+  }
+
+  /** Deterministic synthetic timeseries (reference `datasets.py:13-116`):
+    * integer-hash-driven columns so any engine reproduces the values. */
+  def timeseries(spark: SparkSession, startEpoch: Long, rows: Long,
+                 stepSeconds: Long = 1L): GraftFrame = {
+    // Constants stay well under int64 overflow so ANY engine (ANSI SQL,
+    // DuckDB, Spark) reproduces the values exactly.
+    val d = spark.range(rows)
+      .withColumn("ts", timestamp_seconds(lit(startEpoch) + col("id") * stepSeconds)
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
+      .withColumn("name", concat(lit("n"), pmod(col("id") * 2654435761L, lit(23L))))
+      .withColumn("x", (pmod(col("id") * 48271L + 11L, lit(1000000L))
+        .cast("double") / 500000.0) - 1.0)
+      .withColumn("y", (pmod(col("id") * 69621L + 7L, lit(1000000L))
+        .cast("double") / 500000.0) - 1.0)
+    GraftFrame(d)
+  }
 }

@@ -17,12 +17,17 @@ import org.apache.spark.sql.functions.{col, lit, struct}
 final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
   private def g = df.groupBy(keys.map(col): _*)
 
-  def agg(exprs: Column*): GraftFrame =
+  def agg(exprs: Column*): GraftFrame = {
+    require(exprs.nonEmpty, "groupby.agg needs at least one aggregate expression")
     GraftFrame(g.agg(exprs.head, exprs.tail: _*))
+  }
 
   /** Dict-spec multi-agg, the reference's GroupbyAggregation spec compiler
-    * (reference `_groupby.py:242-376`): `Map("x" -> Seq("sum","mean"))`. */
+    * (reference `_groupby.py:242-376`): `Map("x" -> Seq("sum","mean"))`.
+    * Function names are whitelisted — no raw SQL interpolation. */
   def aggSpec(spec: Map[String, Seq[String]]): GraftFrame = {
+    require(spec.nonEmpty && spec.values.forall(_.nonEmpty),
+      "groupby.aggSpec needs a non-empty spec")
     val exprs = for {
       (c, fns) <- spec.toSeq
       fn <- fns
@@ -38,7 +43,12 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
       case "nunique"=> F.countDistinct(col(c))
       case "first"  => F.first(col(c))
       case "last"   => F.last(col(c))
-      case other    => F.expr(s"$other($c)")
+      case "any"    => F.bool_or(col(c))
+      case "all"    => F.bool_and(col(c))
+      case "skew"   => F.skewness(col(c))
+      case "kurt"   => F.kurtosis(col(c))
+      case other    => throw new IllegalArgumentException(
+        s"aggSpec: unsupported aggregate '$other' for column '$c'")
     }).as(s"${c}_$fn")
     GraftFrame(g.agg(exprs.head, exprs.tail: _*))
   }
@@ -51,6 +61,13 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
   def size(): GraftFrame = GraftFrame(g.agg(F.count(lit(1)).as("size")))
   def nunique(c: String): GraftFrame =
     GraftFrame(g.agg(F.countDistinct(col(c)).as(s"${c}_nunique")))
+
+  /** Two-column covariance/correlation per group
+    * (reference `_groupby.py:428-455` chunked co-moment). */
+  def cov(c1: String, c2: String): GraftFrame =
+    GraftFrame(g.agg(F.covar_samp(col(c1), col(c2)).as(s"cov_${c1}_$c2")))
+  def corr(c1: String, c2: String): GraftFrame =
+    GraftFrame(g.agg(F.corr(col(c1), col(c2)).as(s"corr_${c1}_$c2")))
 
   /** idxmin/idxmax (reference `_reductions.py:817-839`): `max_by`/`min_by`
     * with an explicit deterministic tie-break ordering column. */
@@ -77,9 +94,40 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
   def pivot(pivotCol: String, values: Seq[String], aggExpr: Column): GraftFrame =
     GraftFrame(g.pivot(pivotCol, values).agg(aggExpr))
 
-  /** get_group (reference `_groupby.py:794-809`). */
-  def getGroup(value: Any): GraftFrame =
-    GraftFrame(df.filter(col(keys.head) === lit(value)))
+  /** Grouping-sets supersets (SURVEY §2.5; absent in reference). */
+  def cube(aggExprs: Column*): GraftFrame =
+    GraftFrame(df.cube(keys.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*))
+  def rollup(aggExprs: Column*): GraftFrame =
+    GraftFrame(df.rollup(keys.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*))
+
+  /** get_group (reference `_groupby.py:794-809`) — one value per key
+    * column, ANDed. */
+  def getGroup(values: Seq[Any]): GraftFrame = {
+    require(values.length == keys.length,
+      s"getGroup: ${keys.length} key(s) ${keys.mkString(",")} but ${values.length} value(s)")
+    val pred = keys.zip(values)
+      .map { case (k, v) => col(k) === lit(v) }
+      .reduce(_ && _)
+    GraftFrame(df.filter(pred))
+  }
+
+  /** Per-group ordered shift/ffill/bfill (reference `_groupby.py:636-778`);
+    * the group keys partition the window, so no single-task bottleneck. */
+  def shift(c: String, n: Int, orderCol: Column): GraftFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+    GraftFrame(df.withColumn(s"${c}_shift",
+      if (n >= 0) F.lag(col(c), n).over(w) else F.lead(col(c), -n).over(w)))
+  }
+  def ffill(c: String, orderCol: Column): GraftFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    GraftFrame(df.withColumn(c, F.last(col(c), ignoreNulls = true).over(w)))
+  }
+  def bfill(c: String, orderCol: Column): GraftFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    GraftFrame(df.withColumn(c, F.first(col(c), ignoreNulls = true).over(w)))
+  }
 
   /** groupby().apply() escape hatch (reference `_groupby.py:636-778`):
     * all rows of a group reach one task via Spark's shuffle, then the

@@ -10,13 +10,22 @@ import org.apache.spark.sql.functions.{col, when, unix_timestamp}
   * The reference materializes overlapping partitions (`MapOverlap`,
   * reference `_expr.py:595-794`) so each task sees `window-1` rows from its
   * neighbor. Spark window frames express the same computation without
-  * duplicating boundary rows: the range shuffle orders once and every frame
-  * aggregate is evaluated in a single pass — at 100 TB this avoids the
-  * reference's extra materialization of every partition boundary.
+  * duplicating boundary rows: the shuffle orders once and every frame
+  * aggregate is evaluated in a single pass.
+  *
+  * Scale contract: an empty `partitionCols` makes the window single-task
+  * (all rows in one partition) — refused unless `allowGlobal=true`, the
+  * explicit opt-in for small frames. At 100 TB use grouped rolling
+  * (partition by entity key), which is also the reference's
+  * groupby-rolling (`_rolling.py:228-322`).
   */
 final case class Rolling(df: DataFrame, partitionCols: Seq[String],
                          orderCol: String, window: Int, minPeriods: Int = 1,
-                         center: Boolean = false) {
+                         center: Boolean = false, allowGlobal: Boolean = false) {
+  require(partitionCols.nonEmpty || allowGlobal,
+    "rolling: empty partitionBy executes single-task at scale; use " +
+      "rollingBy(keys, ...) or opt in with allowGlobal=true for small frames")
+
   private def base: WindowSpec = {
     val w0 =
       if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
@@ -37,7 +46,8 @@ final case class Rolling(df: DataFrame, partitionCols: Seq[String],
   def mean(c: String): Column = guarded(col(c), F.avg)
   def min(c: String): Column = guarded(col(c), F.min)
   def max(c: String): Column = guarded(col(c), F.max)
-  def count(c: String): Column = F.count(col(c)).over(base)
+  /** pandas yields null below min_periods for count too. */
+  def count(c: String): Column = guarded(col(c), F.count)
   def variance(c: String): Column = guarded(col(c), F.var_samp)
   def std(c: String): Column = guarded(col(c), F.stddev_samp)
   def median(c: String): Column = guarded(col(c), F.median)
@@ -52,10 +62,10 @@ object Rolling {
     * (reference `_rolling.py:121-127`). `spanSeconds` is the lookback. */
   def byTime(df: DataFrame, partitionCols: Seq[String], tsCol: String,
              spanSeconds: Long): WindowSpec = {
-    val w0 =
-      if (partitionCols.isEmpty) Window.orderBy(unix_timestamp(col(tsCol)))
-      else Window.partitionBy(partitionCols.map(col): _*)
-        .orderBy(unix_timestamp(col(tsCol)))
-    w0.rangeBetween(-spanSeconds, 0)
+    require(partitionCols.nonEmpty,
+      "rolling-by-time: empty partitionBy executes single-task at scale")
+    Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(unix_timestamp(col(tsCol)))
+      .rangeBetween(-spanSeconds, 0)
   }
 }

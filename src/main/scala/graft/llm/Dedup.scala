@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines.
+  *
+  * Scale discipline: candidate generation is ALWAYS bucketed — the only
+  * self-join key is an LSH band (or an exact content hash), never a cross
+  * join. At 100 TB the all-pairs matrix is ~10^22 comparisons; LSH keeps
+  * the work proportional to bucket sizes (tunable via bands x rows).
+  */
+object Dedup {
+
+  /** Exact dedup by canonicalized content hash (md5 of lowercased,
+    * whitespace-collapsed text): keep the smallest id per hash group.
+    * One hash-shuffle; the window per content-hash group is as skewed as
+    * the duplicate clusters themselves — bounded in practice. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = docs.withColumn("__h__",
+      md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+    val w = Window.partitionBy(col("__h__")).orderBy(col(idCol).asc)
+    keyed.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1)
+      .drop("__h__", "__rn__")
+  }
+
+  /** MinHash signatures per doc: (id, signature array). Blockwise — fuses
+    * into the scan. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 shingleK: Int = 3, numHashes: Int = 16): DataFrame =
+    docs.select(col(idCol),
+      TextHash.minhashSignature(
+        TextHash.shingleHashes(col(textCol), shingleK), numHashes).as("sig"),
+      TextHash.shingles(col(textCol), shingleK).as("shingles"))
+
+  /** LSH candidate pairs: band the signature (bands x rowsPerBand =
+    * numHashes), shuffle once on (band index, band key), emit within-bucket
+    * pairs, dedupe across bands. Returns (id_a, id_b) with a < b plus the
+    * exact shingle-Jaccard of each candidate, filtered at `threshold`.
+    *
+    * The verify join fetches shingle sets for candidates only — cost is
+    * O(candidates), not O(n^2) (reference design requirement per SURVEY;
+    * no all-pairs anywhere).
+    */
+  def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, shingleK: Int = 3,
+                         numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = signatures(docs, idCol, textCol, shingleK, numHashes)
+      .filter(size(col("shingles")) > 0)
+      .cache()
+
+    // Band shuffle carries only (band, key, id) — the shingle sets join
+    // back for candidates only, so the wide arrays never ride the
+    // candidate-generation exchange.
+    val banded = sigs.select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))
+          .as(Seq("band", "key")))
+
+    val candidates = banded.select(col("band"), col("key"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("key"), col("id").as("id_b")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    val shingleSets = sigs.select(col(idCol).as("id"), col("shingles"))
+    candidates
+      .join(shingleSets.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shingleSets.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Near-dedup: drop every doc that joins a duplicate cluster with a
+    * smaller-id member. Components are resolved by iterative min-label
+    * propagation over the pair graph (duplicate clusters are short chains
+    * in practice; `iterations` bounds the join loop). */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, iterations: Int = 3): DataFrame = {
+    val pairs = nearDuplicatePairs(docs, idCol, textCol, threshold)
+      .select(col("id_a"), col("id_b")).cache()
+    // labels: id -> smallest id reachable (bounded hops)
+    var labels = pairs.select(col("id_b").as("id"), col("id_a").as("label"))
+      .union(pairs.select(col("id_a").as("id"), col("id_a").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
+    for (_ <- 1 to iterations) {
+      labels = labels.as("l")
+        .join(labels.select(col("id").as("label"), col("label").as("parent")).as("p"),
+          Seq("label"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("parent"), col("label"))).as("label"))
+        .groupBy("id").agg(min("label").as("label"))
+    }
+    val toDrop = labels.filter(col("id") =!= col("label")).select(col("id"))
+    docs.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** SimHash near-dup candidates: docs whose `bits`-bit simhash matches
+    * exactly (cheap, coarse; Hamming-distance banding would subdivide the
+    * hash for a finer pass). */
+  def simhashGroups(docs: DataFrame, idCol: String, textCol: String,
+                    bits: Int = 16): DataFrame =
+    docs.select(col(idCol), TextHash.simhash(col(textCol), bits).as("simhash"))
+}

@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Embedding similarity search over an `Array[Float]` column.
+  *
+  * Numerics: per-element products are IEEE doubles (deterministic on any
+  * engine); the *accumulation* runs in DECIMAL, which is order-independent
+  * — so partial aggregation / partition count never changes the result,
+  * and the DuckDB oracle reproduces it bit-for-bit. (A double sum would be
+  * partition-order-dependent at scale.)
+  */
+object Similarity {
+
+  /** Order-independent exact dot product of two float-array columns.
+    * Accumulator precision stays under Spark's 38-digit cap (adding a
+    * (p,s) element to a (p+5,s) accumulator never triggers the silent
+    * scale reduction); the cast back each step is exact (|dot| ≪ 10^12).
+    *
+    * `scale` trade-off: 12 keeps every unscaled sum < 2^53 so the
+    * decimal→double conversion is itself exact on any engine (use for
+    * ratios like cosine); 18 keeps more of the product (use when the
+    * decimal itself is the output). */
+  def dotExact(a: Column, b: Column, scale: Int = 18): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"),
+        (x, y) => (x * y).cast(DecimalType(25, scale))),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(30, scale)),
+      (acc, v) => (acc + v).cast(DecimalType(30, scale)))
+
+  def normExact(a: Column, scale: Int = 18): Column =
+    sqrt(dotExact(a, a, scale).cast("double"))
+
+  /** Cosine similarity; scale-12 exact decimals convert to double without
+    * rounding, then the IEEE divide/sqrt chain is bit-stable. */
+  def cosine(a: Column, b: Column): Column =
+    dotExact(a, b, 12).cast("double") / (normExact(a, 12) * normExact(b, 12))
+
+  /** Brute-force top-k neighbors of one query vector: broadcast the
+    * 1-row query, score every row blockwise, TakeOrderedAndProject picks
+    * k per partition then merges — no global sort, no shuffle of the
+    * scored set. The baseline every ANN variant is measured against. */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv__"))
+    embeddings.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col(vecCol), col("__qv__")))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane weight (integer Knuth-hash
+    * folded to a signed 32-bit value) — reproducible in any engine. */
+  private def weight(flat: Column): Column =
+    pmod(flat * lit(2654435761L), lit(4294967296L)) - lit(2147483648L)
+
+  /** Random-hyperplane LSH bucket id (`planes` sign bits). Blockwise; the
+    * scale path: bucket once (one narrow shuffle on the bucket id), then
+    * search within buckets only. */
+  def lshBucket(vec: Column, dim: Int, planes: Int = 8): Column = {
+    val bits = (0 until planes).map { j =>
+      val dotJ = aggregate(
+        zip_with(vec.cast("array<double>"),
+          transform(sequence(lit(j * dim), lit(j * dim + dim - 1)), f =>
+            weight(f).cast("double")),
+          (x, w) => (x * w).cast(DecimalType(25, 12))),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(30, 12)),
+        (acc, v) => (acc + v).cast(DecimalType(30, 12)))
+      when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k: LSH-bucket all vectors, keep only the query's bucket,
+    * exact-rank inside it. Recall is tunable via `planes` (fewer planes =
+    * bigger buckets = higher recall); multi-probe = union of neighbor
+    * buckets, omitted here. */
+  def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              dim: Int, queryId: Long, k: Int, planes: Int = 8): DataFrame = {
+    val bucketed = embeddings
+      .withColumn("bucket", lshBucket(col(vecCol), dim, planes))
+    val qb = bucketed.filter(col(idCol) === queryId)
+      .select(col("bucket"), col(vecCol).as("__qv__"))
+    bucketed.join(broadcast(qb), Seq("bucket"))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("cos", cosine(col(vecCol), col("__qv__")))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Bucket histogram — the LSH distribution diagnostic (also the oracle
+    * surface for the correctness gate). */
+  def bucketHistogram(embeddings: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, planes: Int = 8): DataFrame =
+    embeddings
+      .withColumn("bucket", lshBucket(col(vecCol), dim, planes))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+}

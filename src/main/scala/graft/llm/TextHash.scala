@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-agnostic deterministic text hashing.
+  *
+  * Every hash here is pure integer arithmetic over character codes, so the
+  * DuckDB oracle can recompute signatures bit-for-bit in SQL — the
+  * correctness gate then verifies the whole minhash/LSH pipeline, not just
+  * row counts. (Spark's `hash()` is Murmur3 with Spark-specific seeds and
+  * DuckDB's `hash()` is different again — neither is cross-checkable.)
+  *
+  * All expressions are codegen'd Column arithmetic — no UDFs — so
+  * signature computation is blockwise (zero shuffles) and fuses into the
+  * scan stage, the shape that survives 100 TB of documents.
+  */
+object TextHash {
+  /** Large Mersenne prime 2^31-1: modulus for all signature arithmetic;
+    * keeps every intermediate < 2^63. */
+  val P = 2147483647L
+
+  /** Token id: first 4 chars (padded) as base-128 digits + length mix.
+    * Collisions are fine (it is a hash); determinism and
+    * SQL-expressibility are the point. */
+  def tokId(w: Column): Column = {
+    val p = rpad(w, 4, "_")
+    (ascii(substring(p, 1, 1)) * lit(2097152L)) +
+      (ascii(substring(p, 2, 1)) * lit(16384L)) +
+      (ascii(substring(p, 3, 1)) * lit(128L)) +
+      ascii(substring(p, 4, 1)) +
+      length(w) * lit(7919L)
+  }
+  /** Same hash as DuckDB SQL, for oracle statements. */
+  def tokIdSql(w: String): String =
+    s"(ascii(substr(rpad($w, 4, '_'), 1, 1)) * 2097152 + " +
+      s"ascii(substr(rpad($w, 4, '_'), 2, 1)) * 16384 + " +
+      s"ascii(substr(rpad($w, 4, '_'), 3, 1)) * 128 + " +
+      s"ascii(substr(rpad($w, 4, '_'), 4, 1)) + length($w) * 7919)"
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word k-shingles ("w1 w2 w3") — the dedup unit
+    * (n-gram granularity separates true near-dups from shared-vocabulary
+    * noise). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val t = tokens(text)
+    array_distinct(
+      transform(sequence(lit(1), size(t) - lit(k - 1)), i =>
+        concat_ws(" ", (0 until k).map(d => element_at(t, i + lit(d))): _*)))
+  }
+  /** MinHash signature (k independent permutation hashes) over a
+    * pre-hashed shingle array. sig[i] = min over shingles of
+    * (a_i*h + b_i) mod P, a_i = 2000006*i + 1012345, b_i = 999983*i
+    * + 423307. */
+  def minhashSignature(shingleHashes: Column, numHashes: Int = 16): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(shingleHashes, h =>
+        pmod(h * (i * lit(2000006L) + lit(1012345L)) + i * lit(999983L) + lit(423307L), lit(P)))))
+
+  /** Shingle-hash array for a text column. */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    transform(shingles(text, k), w => tokId(w))
+
+  /** SimHash over token hashes: bit j set iff more token hashes have bit
+    * j set than not. `bits` ≤ 30 keeps it in an int. */
+  def simhash(text: Column, bits: Int = 16): Column = {
+    val hs = transform(array_distinct(tokens(text)), w => tokId(w))
+    val terms = (0 until bits).map { j =>
+      val withBit = size(filter(hs, h => pmod(shiftright(h, j), lit(2L)) === 1))
+      when(withBit * 2 > size(hs), lit(1L << j)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** Order-sensitive document fingerprint: positionally-weighted rolling
+    * hash mod P (near-identical reorderings get different fingerprints,
+    * unlike set-based minhash). */
+  def fingerprint(text: Column): Column = {
+    val t = tokens(text)
+    val weights = Seq(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 1742810335L)
+    val weightArr = typedLit(weights)
+    pmod(
+      aggregate(
+        zip_with(t, sequence(lit(0), size(t) - 1), (w, i) =>
+          pmod(tokId(w) * element_at(weightArr, pmod(i, lit(8)).cast("int") + 1), lit(P))),
+        lit(0L), (acc, x) => pmod(acc + x, lit(P))),
+      lit(P))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text quality / analysis columns for training-data curation.
+  * All pure Column arithmetic (codegen'd, blockwise, zero shuffle):
+  * at 100 TB these fuse into the parquet scan stage.
+  */
+object TextStats {
+
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword count: alpha runs ≈ 1 token / 4 chars (ceil),
+    * digits and symbols 1 token each — the standard quick estimator when
+    * the real tokenizer is out of process. */
+  def tokenCountBpeIsh(text: Column): Column = {
+    val alphaChars = length(regexp_replace(text, "[^A-Za-z]", ""))
+    val digits = length(regexp_replace(text, "[^0-9]", ""))
+    val symbols = length(regexp_replace(text, "[A-Za-z0-9 ]", ""))
+    ceil(alphaChars.cast("double") / 4.0).cast("long") + digits + symbols
+  }
+
+  def charCount(text: Column): Column = length(text)
+
+  def avgTokenLen(text: Column): Column = {
+    val t = split(text, " ")
+    aggregate(transform(t, w => length(w).cast("long")), lit(0L), _ + _)
+      .cast("double") / size(t)
+  }
+
+  /** distinct-token ratio — low values flag boilerplate/spam. */
+  def typeTokenRatio(text: Column): Column = {
+    val t = split(text, " ")
+    size(array_distinct(t)).cast("double") / size(t)
+  }
+
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+      .cast("double") / length(text)
+
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(split(text, " "), w => w.isInCollection(stopwords)))
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = split(text, " ")
+    size(filter(t, w => w.isInCollection(stopwords))).cast("double") / size(t)
+  }
+
+  /** Marker-token language scorer (n-gram-heuristic shape: count hits
+    * against per-language marker lists, argmax with deterministic
+    * tie-break by language code). Swap marker lists for real per-language
+    * n-grams in production. */
+  def langScores(text: Column, markers: Map[String, Seq[String]]): Seq[(String, Column)] =
+    markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> stopwordCount(text, words)
+    }
+
+  def langPredict(text: Column, markers: Map[String, Seq[String]]): Column = {
+    val scored = langScores(text, markers)
+    // argmax by (score, then reverse-alphabetical wins ties deterministically)
+    scored.map { case (lang, s) => struct(s.as("s"), lit(lang).as("l")) }
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+      .getField("l")
+  }
+
+  /** One-pass quality frame: every stat as a column over `textCol`. */
+  def qualityFrame(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      tokenCount(t).as("n_tokens"),
+      tokenCountBpeIsh(t).as("n_tokens_bpe"),
+      charCount(t).as("n_chars"),
+      avgTokenLen(t).as("avg_token_len"),
+      typeTokenRatio(t).as("type_token_ratio"),
+      punctRatio(t).as("punct_ratio"),
+      stopwordRatio(t, stopwords).as("stopword_ratio"),
+      TextHash.fingerprint(t).as("fingerprint"),
+      md5(regexp_replace(lower(trim(t)), "\\s+", " ")).as("content_md5"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** pandas merge semantics on Spark joins (reference `_merge.py:32-404`).
@@ -15,13 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  /** merge with pandas suffix semantics: overlapping non-key columns get
-    * suffixed (reference `_merge.py:348-404` suffix unwinding). */
-  def merge(left: DataFrame, right: DataFrame, on: Seq[String], how: String,
-            suffixes: (String, String) = ("_x", "_y")): DataFrame = {
+  /** Rename overlapping non-key columns with pandas suffixes
+    * (reference `_merge.py:348-404` suffix unwinding). */
+  private def suffixed(left: DataFrame, right: DataFrame, on: Seq[String],
+                       suffixes: (String, String)): (DataFrame, DataFrame) = {
     val overlap = (left.columns.toSet & right.columns.toSet) -- on.toSet
     val l = overlap.foldLeft(left)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
     val r = overlap.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+    (l, r)
+  }
+
+  def merge(left: DataFrame, right: DataFrame, on: Seq[String], how: String,
+            suffixes: (String, String) = ("_x", "_y")): DataFrame = {
+    val (l, r) = suffixed(left, right, on, suffixes)
     val sparkHow = how match {
       case "outer" => "full_outer"
       case h => h
@@ -40,11 +47,13 @@ object Joins {
     left.join(right, on, "left_anti")
 
   /** merge(indicator=True) (reference `_merge.py:45-58`): full outer join
-    * plus a `_merge` membership column. */
-  def mergeIndicator(left: DataFrame, right: DataFrame, on: Seq[String])
-      : DataFrame = {
-    val l = left.withColumn("__l__", lit(1))
-    val r = right.withColumn("__r__", lit(1))
+    * plus a `_merge` membership column. Overlapping columns are suffixed
+    * exactly as in `merge`. */
+  def mergeIndicator(left: DataFrame, right: DataFrame, on: Seq[String],
+                     suffixes: (String, String) = ("_x", "_y")): DataFrame = {
+    val (l0, r0) = suffixed(left, right, on, suffixes)
+    val l = l0.withColumn("__l__", lit(1))
+    val r = r0.withColumn("__r__", lit(1))
     l.join(r, on, "full_outer")
       .withColumn("_merge",
         when(col("__l__").isNotNull && col("__r__").isNotNull, "both")
@@ -72,21 +81,46 @@ object Joins {
     salted.join(exploded, Seq(key, "__salt__")).drop("__salt__")
   }
 
-  /** As-of join (nearest earlier match) — absent in both the reference
-    * (equi-join only, reference `_merge.py:32`) and vanilla Spark; a
-    * capability superset. Composition strategy: range-bucket both sides,
-    * union candidate buckets, window-pick the latest right row ≤ left ts.
-    * For moderate right-side cardinality a broadcast range lookup wins. */
+  /** As-of join (nearest right row with rightTs <= leftTs, per by-key) —
+    * a capability superset: absent in the reference (equi-join only,
+    * reference `_merge.py:32`) and in vanilla Spark.
+    *
+    * Scale-safe single-shuffle plan: union both sides tagged, hash-shuffle
+    * once on the by-keys, order each key's rows by (ts, side) and carry the
+    * most recent right-side values forward with `last(..., ignoreNulls)`.
+    * No per-key row explosion (the naive join-then-rank materializes
+    * |left|x|right| per key), left rows always survive (left-join
+    * semantics: a left row earlier than every right row gets nulls), and
+    * duplicate left timestamps are preserved.
+    *
+    * Right rows sort *before* left rows at equal ts (side 0 < 1), so an
+    * exact timestamp tie matches — pandas merge_asof default
+    * (allow_exact_matches=True). Output: every left column plus the right
+    * value columns (overlaps suffixed `_y`).
+    */
   def asofJoin(left: DataFrame, right: DataFrame, leftTs: String,
                rightTs: String, by: Seq[String]): DataFrame = {
-    val r = right.withColumn("__rts__", col(rightTs))
-    val joined = left.join(r, by, "left")
-      .filter(col("__rts__").isNull || col("__rts__") <= col(leftTs))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy((by.map(col) :+ col(leftTs)): _*)
-      .orderBy(col("__rts__").desc_nulls_last)
-    joined.withColumn("__rn__", row_number().over(w))
-      .filter(col("__rn__") === 1)
-      .drop("__rn__", "__rts__")
+    val overlap = (left.columns.toSet & right.columns.toSet) -- by.toSet - rightTs
+    val r0 = overlap.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_y"))
+    val rightVals = r0.columns.filterNot(c => by.contains(c) || c == rightTs).toSeq
+
+    val lTagged = left
+      .withColumn("__ts__", col(leftTs))
+      .withColumn("__side__", lit(1))
+    val rTagged =
+      r0.withColumn("__ts__", col(rightTs)).withColumn("__side__", lit(0))
+    // Align schemas: left lacks right value cols, right lacks left cols.
+    val leftOnly = left.columns.filterNot(by.contains).toSeq
+    val lFull = rightVals.foldLeft(lTagged)((d, c) => d.withColumn(c, lit(null)))
+    val rFull = leftOnly.foldLeft(rTagged)((d, c) => d.withColumn(c, lit(null)))
+    val cols = (by ++ leftOnly ++ rightVals ++ Seq("__ts__", "__side__")).map(col(_))
+    val unioned = lFull.select(cols: _*).unionByName(rFull.select(cols: _*))
+
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__ts__").asc, col("__side__").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightVals.foldLeft(unioned)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    filled.filter(col("__side__") === 1).drop("__ts__", "__side__")
   }
 }

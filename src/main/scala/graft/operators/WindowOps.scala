@@ -7,26 +7,66 @@ import org.apache.spark.sql.functions._
 /** Ordered / cumulative computations (reference `_cumulative.py:9-116`,
   * `_expr.py:2175-2315`).
   *
-  * The reference computes cumulatives with a per-partition pass plus a
-  * *serial* carry chain across partitions (`_cumulative.py:40-76`) — a
-  * driver-side O(npartitions) critical path. Spark's window functions do
-  * the same work inside one range-partitioned pass with no serial chain;
-  * at 1000 executors the carry chain is the difference between minutes and
-  * a straggler-bound hour.
+  * Scale contract: a window with an empty `partitionBy` shuffles EVERY row
+  * into one task — a guaranteed straggler/OOM at 100 TB. The reference
+  * avoids this with per-partition partials plus a serial carry chain
+  * (`_cumulative.py:40-76`). Here:
+  *  - `cumWindow` REQUIRES partition columns;
+  *  - `globalCumSum` implements the scale-safe global variant as two
+  *    passes: range-shuffle on the order column, per-range partials, a
+  *    tiny (npartitions-row) prefix frame broadcast back — the reference's
+  *    carry chain without the serial driver-side critical path;
+  *  - `cumWindowGlobalUnsafe` is the explicit single-partition opt-in for
+  *    small frames.
   */
 object WindowOps {
 
-  def cumWindow(orderCol: String, partitionCols: Seq[String] = Nil): WindowSpec = {
-    val w0 =
-      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
-      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
-    w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  def cumWindow(orderCol: String, partitionCols: Seq[String]): WindowSpec = {
+    require(partitionCols.nonEmpty,
+      "cumWindow: empty partitionBy would execute single-task; use " +
+        "globalCumSum (scale-safe) or cumWindowGlobalUnsafe (explicit opt-in)")
+    Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
   }
+
+  /** Single-partition global window — only for frames known to be small
+    * (post-aggregation results, dimension tables). */
+  def cumWindowGlobalUnsafe(orderCol: String): WindowSpec =
+    Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
   def cumsum(c: String, w: WindowSpec): Column = sum(col(c)).over(w)
   def cummax(c: String, w: WindowSpec): Column = max(col(c)).over(w)
   def cummin(c: String, w: WindowSpec): Column = min(col(c)).over(w)
   def cumcount(c: String, w: WindowSpec): Column = count(col(c)).over(w)
+
+  /** Globally-ordered cumulative sum without a single-partition window.
+    * Plan: range-repartition by `orderCol` (sampled boundaries — the
+    * reference's RepartitionQuantiles, `_quantiles.py:18-88`), compute the
+    * within-range cumsum with a window PARTITIONED by the range id, then
+    * add each range's prefix offset — an (npartitions)-row frame joined by
+    * broadcast. Two shuffles of the data total, no serial chain.
+    * `orderCol` must be globally unique for a deterministic result (pass a
+    * composite via a struct-ranked column otherwise). */
+  def globalCumSum(df: DataFrame, orderCol: String, valueCol: String,
+                   outCol: String): DataFrame = {
+    val ranged = df.repartitionByRange(col(orderCol))
+      .withColumn("__pid__", spark_partition_id())
+    val wIn = Window.partitionBy(col("__pid__")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = ranged.withColumn("__local__", sum(col(valueCol)).over(wIn))
+    // npartitions rows: cheap single-task window is fine here.
+    val wOff = Window.orderBy(col("__pid__"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withLocal.groupBy(col("__pid__"))
+      .agg(sum(col(valueCol)).as("__psum__"))
+      .withColumn("__offset__",
+        coalesce(sum(col("__psum__")).over(wOff), lit(0)))
+      .select(col("__pid__"), col("__offset__"))
+    withLocal.join(broadcast(offsets), "__pid__")
+      .withColumn(outCol, col("__local__") + col("__offset__"))
+      .drop("__pid__", "__local__", "__offset__")
+  }
 
   /** Exact cumulative product — Spark has no product aggregate; the
     * log/exp trick loses precision and sign. One small Aggregator
@@ -52,24 +92,28 @@ object WindowOps {
   def shift(c: String, n: Int, w: WindowSpec): Column =
     if (n >= 0) lag(col(c), n).over(w) else lead(col(c), -n).over(w)
 
+  private def orderedWindow(orderCol: String, partitionCols: Seq[String],
+                            what: String): WindowSpec = {
+    require(partitionCols.nonEmpty,
+      s"$what: empty partitionBy executes single-task at scale; partition " +
+        "by a key (per-group fill) or pre-bucket the order column")
+    Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+  }
+
   /** ffill/bfill (reference `_expr.py:2207-2252`): last/first non-null in
     * an ordered frame; `limit` bounds the frame. */
-  def ffill(c: String, orderCol: String, partitionCols: Seq[String] = Nil,
+  def ffill(c: String, orderCol: String, partitionCols: Seq[String],
             limit: Option[Int] = None): Column = {
-    val w0 =
-      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
-      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w0 = orderedWindow(orderCol, partitionCols, "ffill")
     val w = limit match {
       case Some(n) => w0.rowsBetween(-n, 0)
       case None    => w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     }
     last(col(c), ignoreNulls = true).over(w)
   }
-  def bfill(c: String, orderCol: String, partitionCols: Seq[String] = Nil,
+  def bfill(c: String, orderCol: String, partitionCols: Seq[String],
             limit: Option[Int] = None): Column = {
-    val w0 =
-      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
-      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w0 = orderedWindow(orderCol, partitionCols, "bfill")
     val w = limit match {
       case Some(n) => w0.rowsBetween(0, n)
       case None    => w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
@@ -77,11 +121,29 @@ object WindowOps {
     first(col(c), ignoreNulls = true).over(w)
   }
 
-  /** Monotonicity probe (reference `_reductions.py:1208-1217`). */
+  /** Monotonicity probe (reference `_reductions.py:1208-1217`), scale-safe:
+    * range-shuffle on the order column, check each range locally (window
+    * partitioned by range id), then verify the npartitions-row boundary
+    * frame — no full-data single-partition window. */
   def isMonotonicIncreasing(df: DataFrame, c: String, orderCol: String): DataFrame = {
-    val w = Window.orderBy(col(orderCol))
-    df.select(col(c), lag(col(c), 1).over(w).as("__prev__"))
-      .agg(coalesce(expr(s"bool_and(__prev__ IS NULL OR __prev__ <= $c)"), lit(true))
-        .as("is_monotonic"))
+    val ranged = df.select(col(c), col(orderCol))
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid__", spark_partition_id())
+    val wIn = Window.partitionBy(col("__pid__")).orderBy(col(orderCol))
+    val local = ranged
+      .withColumn("__prev__", lag(col(c), 1).over(wIn))
+      .groupBy(col("__pid__"))
+      .agg(
+        coalesce(expr(s"bool_and(__prev__ IS NULL OR __prev__ <= `$c`)"), lit(true))
+          .as("__ok__"),
+        min(col(c)).as("__min__"), max(col(c)).as("__max__"))
+    // Boundary check across ranges: each range's max must not exceed the
+    // next range's min. npartitions rows — single-task window is fine.
+    val wB = Window.orderBy(col("__pid__"))
+    local
+      .withColumn("__prevmax__", lag(col("__max__"), 1).over(wB))
+      .agg(coalesce(
+        expr("bool_and(__ok__ AND (__prevmax__ IS NULL OR __prevmax__ <= __min__))"),
+        lit(true)).as("is_monotonic"))
   }
 }

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming upgrades of the batch time-series ops (SURVEY
+  * §2.10). The reference has no streaming at all — its resample/rolling
+  * are batch ops over a datetime index (`_resample.py:21-269`). Because
+  * every graft aggregation is expressed as partial/merge/final, the same
+  * tumbling-window aggregation runs incrementally here with a watermark
+  * bounding state.
+  */
+object Streams {
+
+  /** Tumbling event-time aggregation with late-data bound — the streaming
+    * form of `Resample.agg`. State per (window, key) is pruned once the
+    * watermark passes the window end, so state size is bounded by
+    * (windows in flight x keys), not by stream length. */
+  def windowedAgg(stream: DataFrame, tsCol: String, every: String,
+                  watermarkDelay: String, keys: Seq[String], aggs: Column*): DataFrame = {
+    val grouped = stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), every) +: keys.map(col)): _*)
+    grouped.agg(aggs.head, aggs.tail: _*)
+      .withColumn("bucket", col("window.start")).drop("window")
+  }
+
+  /** Session windows (gap-based) — no reference analog; Spark-native. */
+  def sessionAgg(stream: DataFrame, tsCol: String, gap: String,
+                 watermarkDelay: String, keys: Seq[String], aggs: Column*): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .groupBy((session_window(col(tsCol), gap) +: keys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+
+  /** Streaming exact dedup by key columns: Spark keeps seen-key state,
+    * bounded by the watermark when a ts column is included. */
+  def dedup(stream: DataFrame, tsCol: String, watermarkDelay: String,
+            keys: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  def toMemorySink(df: DataFrame, name: String,
+                   mode: OutputMode = OutputMode.Update()): DataStreamWriter[Row] =
+    df.writeStream.format("memory").queryName(name).outputMode(mode)
+}
