@@ -41,7 +41,9 @@ object StrOps {
     def strMatch(pat: String): Column = c.rlike("^(?:" + pat + ")")
     def strFullmatch(pat: String): Column = c.rlike("^(?:" + pat + ")$")
     def strSplit(pat: String): Column = F.split(c, pat)
-    def strSplitGet(pat: String, i: Int): Column = F.split(c, pat).getItem(i)
+    /** null beyond bounds (pandas .str[i] semantics) — `get`, not
+      * `getItem`, which throws under ANSI. */
+    def strSplitGet(pat: String, i: Int): Column = F.get(F.split(c, pat), F.lit(i))
     def strRepeat(n: Int): Column = F.repeat(c, n)
     def strReverse: Column = F.reverse(c)
     def strIsdigit: Column = c.rlike("^[0-9]+$")

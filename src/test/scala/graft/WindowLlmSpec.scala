@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.{GraftFrame, Rolling}
+import graft.llm.{Dedup, Multimodal, Similarity, TextHash, TextStats}
+import graft.operators.WindowOps
+
+class WindowLlmSpec extends SparkTestBase {
+
+  private def seq6 = kv(
+    (1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0),
+    (4L, "h", 10.0), (5L, "h", 20.0), (6L, "h", 30.0))
+
+  // ---- windows ----
+
+  test("rolling sum with min_periods nulls early rows") {
+    val roll = Rolling(seq6, Seq("k"), "id", window = 2, minPeriods = 2)
+    val r = collectSorted(roll.withColumnRolled("rs", roll.sum("v")).df, "id")
+    assert(r.head.isNullAt(3))            // only 1 obs in first frame
+    assert(r(1).getDouble(3) == 3.0)      // 1+2
+    assert(r(5).getDouble(3) == 50.0)     // 20+30
+  }
+
+  test("rolling refuses empty partitionBy without opt-in") {
+    intercept[IllegalArgumentException] { Rolling(seq6, Nil, "id", 2) }
+    Rolling(seq6, Nil, "id", 2, allowGlobal = true) // opt-in ok
+  }
+
+  test("cumWindow requires partition columns") {
+    intercept[IllegalArgumentException] { WindowOps.cumWindow("id", Nil) }
+  }
+
+  test("cumsum/cummax/cumprod per group") {
+    val w = WindowOps.cumWindow("id", Seq("k"))
+    val d = seq6
+      .withColumn("cs", WindowOps.cumsum("v", w))
+      .withColumn("cp", WindowOps.cumprod("v", w))
+    val r = collectSorted(d, "id")
+    assert(r.map(_.getDouble(3)) == Seq(1.0, 3.0, 6.0, 10.0, 30.0, 60.0))
+    assert(r.map(_.getDouble(4)) == Seq(1.0, 2.0, 6.0, 10.0, 200.0, 6000.0))
+  }
+
+  test("globalCumSum equals single-partition reference") {
+    val d = seq6.repartition(3)
+    val got = WindowOps.globalCumSum(d, "id", "v", "gs")
+    val r = collectSorted(got, "id").map(_.getDouble(3))
+    assert(r == Seq(1.0, 3.0, 6.0, 16.0, 36.0, 66.0))
+  }
+
+  test("ffill requires partitions; fills within group") {
+    intercept[IllegalArgumentException] { WindowOps.ffill("v", "id", Nil) }
+    val d = seq6.withColumn("v",
+      when(col("id") === 2, lit(null)).otherwise(col("v")))
+    val r = collectSorted(
+      d.withColumn("f", WindowOps.ffill("v", "id", Seq("k"))), "id")
+    assert(r(1).getDouble(3) == 1.0)
+  }
+
+  test("isMonotonicIncreasing true and false cases") {
+    val mono = seq6.select(col("id"), col("id").cast(DoubleType).as("x"))
+    assert(WindowOps.isMonotonicIncreasing(mono, "x", "id")
+      .collect().head.getBoolean(0))
+    val not = seq6.select(col("id"), (lit(100.0) - col("v")).as("x"))
+    assert(!WindowOps.isMonotonicIncreasing(not, "x", "id")
+      .collect().head.getBoolean(0))
+  }
+
+  // ---- llm: hashing / dedup ----
+
+  test("tokId is deterministic and SQL-consistent") {
+    val got = spark.range(1).select(TextHash.tokId(lit("spark")).as("h"))
+      .collect().head.getLong(0)
+    // same formula by hand: rpad("spark",4) = "spar", len=5
+    val expect = 's'.toInt * 2097152L + 'p'.toInt * 16384L + 'a'.toInt * 128L +
+      'r'.toInt + 5L * 7919L
+    assert(got == expect)
+  }
+
+  test("minhash signature: identical texts share signature, k hashes") {
+    val docs = df(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      Row(1L, "a b c d e f"), Row(2L, "a b c d e f"), Row(3L, "z y x w v u"))
+    val sigs = Dedup.signatures(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length == 16)
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("nearDuplicatePairs finds planted near-dup, not unrelated docs") {
+    val docs = df(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      Row(1L, "the quick brown fox jumps over the lazy dog today"),
+      Row(2L, "the quick brown fox jumps over the lazy dog tonight"),
+      Row(3L, "completely different words appear in this other document here"))
+    val byName = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(byName == Set((1L, 2L)))
+  }
+
+  test("dropNearDuplicates keeps smallest id per cluster") {
+    val docs = df(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      Row(1L, "the quick brown fox jumps over the lazy dog today"),
+      Row(2L, "the quick brown fox jumps over the lazy dog tonight"),
+      Row(3L, "completely different words appear in this other document here"))
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("exact dedup keeps first by id, canonicalizes whitespace/case") {
+    val docs = df(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      Row(1L, "Hello  World"), Row(2L, "hello world"), Row(3L, "other"))
+    val kept = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("simhash equal for identical token multisets") {
+    val d = df(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      Row(1L, "a b c"), Row(2L, "c b a"), Row(3L, "p q r s t u v w"))
+    val m = Dedup.simhashGroups(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L)) // set-based: order-insensitive
+  }
+
+  // ---- llm: similarity ----
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val sch = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val e = df(sch,
+      Row(0L, Seq(1.0f, 0.0f)), Row(1L, Seq(1.0f, 0.0f)),
+      Row(2L, Seq(0.0f, 1.0f)), Row(3L, Seq(-1.0f, 0.0f)))
+    val top = Similarity.bruteForceTopK(e, "vec_id", "embedding", 0L, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.head == (1L, 1.0))
+    assert(top(1)._2 == 0.0 && top(2)._2 == -1.0)
+  }
+
+  test("lsh bucket is deterministic and annTopK subsets brute force") {
+    val sch = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 20L).map(i => Row(i, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+    val e = df(sch, rows: _*)
+    val h1 = Similarity.bucketHistogram(e, "vec_id", "embedding", 8, 4).collect().toSeq
+    val h2 = Similarity.bucketHistogram(e, "vec_id", "embedding", 8, 4).collect().toSeq
+    assert(h1 == h2 && h1.map(_.getLong(1)).sum == 20)
+    val ann = Similarity.annTopK(e, "vec_id", "embedding", 8, 0L, 5, 2)
+      .collect().map(_.getLong(0)).toSet
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", 0L, 19)
+      .collect().map(_.getLong(0)).toSet
+    assert(ann.subsetOf(brute))
+  }
+
+  // ---- llm: text stats / multimodal ----
+
+  test("text stats quality frame values") {
+    val d = df(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      Row(1L, "the cat sat, the cat ran!"))
+    val r = TextStats.qualityFrame(d, "doc_id", "text", Seq("the")).collect().head
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Int]("n_chars") == 25)
+    assert(math.abs(r.getAs[Double]("type_token_ratio") - 4.0 / 6.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 6.0) < 1e-12)
+    assert(r.getAs[Double]("punct_ratio") > 0.0)
+    assert(r.getAs[String]("content_md5").length == 32)
+  }
+
+  test("multimodal decode stub: schema, byte count, checksum") {
+    val d = df(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      Row(1L, "AB"))
+    val out = Multimodal.decodeFeatures(
+      Multimodal.withPayload(d, "text", "p"), "doc_id", "p").collect().head
+    assert(out.getAs[Int]("n_bytes") == 2)
+    assert(out.getAs[Int]("format_byte") == 'A'.toInt)
+    assert(out.getAs[Long]("checksum") == ('A'.toInt + 'B'.toInt))
+  }
+
+  test("framePlan fans out one row per frame") {
+    val d = df(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      Row(1L, "x" * 200))
+    val rows = Multimodal.framePlan(
+      Multimodal.withPayload(d, "text", "p"), "doc_id", "p", 64).collect()
+    assert(rows.length == 3) // floor(200/64)=3 frames
+    assert(rows.map(_.getAs[Long]("offset")).toSet == Set(0L, 64L, 128L))
+  }
+}
