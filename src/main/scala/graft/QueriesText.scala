@@ -16,25 +16,23 @@ object QueriesText {
   // DuckDB mirrors of TextHash — kept adjacent to the Scala definitions.
   private def tokIdSql(w: String): String = TextHash.tokIdSql(w)
 
-  /** CTEs: tokens → distinct 3-shingles → shingle hashes → 16-hash minhash
-    * signature. */
+  /** CTEs: token ids → distinct numeric 3-shingle hashes → 16-hash
+    * minhash signature (mirrors TextHash.shingleHashArray exactly). */
   private val sigCtes =
     s"""toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-       |),
-       |sh AS (
        |  SELECT doc_id,
-       |    list_distinct(list_transform(range(1, len(t)-1),
-       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
-       |  FROM toks
+       |    list_transform(string_split(text, ' '), g -> ${tokIdSql("g")}) AS tid
+       |  FROM documents
        |),
        |hs AS (
-       |  SELECT doc_id, list_transform(gs, g -> ${tokIdSql("g")}) AS hs
-       |  FROM sh WHERE len(gs) > 0
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(tid)-1),
+       |      i -> ((tid[i]*31 + tid[i+1])*31 + tid[i+2]) % 2147483647)) AS gs
+       |  FROM toks WHERE len(tid) >= 3
        |),
        |sig AS (
        |  SELECT doc_id, list_transform(range(0, 16), i ->
-       |    list_min(list_transform(hs,
+       |    list_min(list_transform(gs,
        |      h -> (h * (i*2000006 + 1012345) + i*999983 + 423307) % 2147483647))) AS sig
        |  FROM hs
        |)""".stripMargin
@@ -57,8 +55,8 @@ object QueriesText {
        |    CAST(len(list_intersect(x.gs, y.gs)) AS DOUBLE)
        |      / len(list_distinct(list_concat(x.gs, y.gs))) AS jaccard
        |  FROM cand
-       |  JOIN sh x ON x.doc_id = cand.id_a
-       |  JOIN sh y ON y.doc_id = cand.id_b
+       |  JOIN hs x ON x.doc_id = cand.id_a
+       |  JOIN hs y ON y.doc_id = cand.id_b
        |)""".stripMargin
 
   def register(r: QueryRegistry): Unit = {

@@ -26,14 +26,18 @@ object Dedup {
       .drop("__h__", "__rn__")
   }
 
-  /** MinHash signatures per doc: (id, signature array). Blockwise — fuses
-    * into the scan. */
+  /** MinHash signatures per doc: (id, signature array, shingle-hash set).
+    * Blockwise — fuses into the scan. The shingle set is kept as int
+    * hashes (not strings): Jaccard over hashes is what the verify step
+    * uses, and set ops over longs are ~an order of magnitude cheaper in
+    * interpreted higher-order evaluation. */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
-                 shingleK: Int = 3, numHashes: Int = 16): DataFrame =
+                 shingleK: Int = 3, numHashes: Int = 16): DataFrame = {
+    val sh = TextHash.shingleHashArray(col(textCol), shingleK)
     docs.select(col(idCol),
-      TextHash.minhashSignature(
-        TextHash.shingleHashes(col(textCol), shingleK), numHashes).as("sig"),
-      TextHash.shingles(col(textCol), shingleK).as("shingles"))
+      TextHash.minhashSignature(sh, numHashes).as("sig"),
+      sh.as("shingles"))
+  }
 
   /** LSH candidate pairs: band the signature (bands x rowsPerBand =
     * numHashes), shuffle once on (band index, band key), emit within-bucket
@@ -48,9 +52,23 @@ object Dedup {
                          threshold: Double, shingleK: Int = 3,
                          numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    val sigs = signatures(docs, idCol, textCol, shingleK, numHashes)
+    // Small doc sets arrive as one parquet split — spread them so the
+    // blockwise signature stage uses every core (at real scale the file
+    // count already provides this).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    // shingle sets cached FIRST, signatures computed from the cached
+    // column: keeps the 16 permutation lambdas from re-evaluating the
+    // shingle expression per hash (interpreted HOFs inline collapsed
+    // projections).
+    val shingled = spread.select(col(idCol),
+        TextHash.shingleHashArray(col(textCol), shingleK).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .cache()
+    val sigs = shingled.select(col(idCol),
+      TextHash.minhashSignature(col("shingles"), numHashes).as("sig"),
+      col("shingles"))
 
     // Band shuffle carries only (band, key, id) — the shingle sets join
     // back for candidates only, so the wide arrays never ride the
@@ -67,7 +85,7 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    val shingleSets = sigs.select(col(idCol).as("id"), col("shingles"))
+    val shingleSets = shingled.select(col(idCol).as("id"), col("shingles"))
     candidates
       .join(shingleSets.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(shingleSets.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))

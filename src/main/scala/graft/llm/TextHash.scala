@@ -41,14 +41,31 @@ object TextHash {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word k-shingles ("w1 w2 w3") — the dedup unit
-    * (n-gram granularity separates true near-dups from shared-vocabulary
-    * noise). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val t = tokens(text)
-    array_distinct(
-      transform(sequence(lit(1), size(t) - lit(k - 1)), i =>
-        concat_ws(" ", (0 until k).map(d => element_at(t, i + lit(d))): _*)))
+  /** Per-token id array — hash each token ONCE; shingle hashes combine
+    * these numerically (a string-concat shingle hash costs ~20 string ops
+    * per shingle inside interpreted higher-order functions — measured 30x
+    * slower at sf0.1). */
+  def tokenIds(text: Column): Column = transform(tokens(text), w => tokId(w))
+
+  /** Distinct word k-shingle hashes: polynomial combine of the k token
+    * ids mod P, built from k shifted slices zip_with'd together.
+    *
+    * Shape matters: an `element_at(tid, i+d)` inside a transform lambda
+    * re-evaluates the whole token-id array PER ELEMENT under interpreted
+    * higher-order evaluation — O(tokens^2) per row (measured: minutes at
+    * sf0.1). Slices evaluate their child once per row, so this form is
+    * O(tokens·k). Guarded for docs shorter than k tokens. */
+  def shingleHashArray(text: Column, k: Int = 3): Column = {
+    val tid = tokenIds(text)
+    val n = size(tid)
+    val win = n - lit(k - 1)
+    val first = slice(tid, lit(1), win)
+    val combined = (1 until k).foldLeft(first) { (acc, d) =>
+      zip_with(acc, slice(tid, lit(d + 1), win), (a, t) => a * lit(31L) + t)
+    }
+    when(n >= k,
+      array_distinct(transform(combined, h => pmod(h, lit(P)))))
+      .otherwise(array().cast("array<bigint>"))
   }
   /** MinHash signature (k independent permutation hashes) over a
     * pre-hashed shingle array. sig[i] = min over shingles of
@@ -58,10 +75,6 @@ object TextHash {
     transform(sequence(lit(0), lit(numHashes - 1)), i =>
       array_min(transform(shingleHashes, h =>
         pmod(h * (i * lit(2000006L) + lit(1012345L)) + i * lit(999983L) + lit(423307L), lit(P)))))
-
-  /** Shingle-hash array for a text column. */
-  def shingleHashes(text: Column, k: Int = 3): Column =
-    transform(shingles(text, k), w => tokId(w))
 
   /** SimHash over token hashes: bit j set iff more token hashes have bit
     * j set than not. `bits` ≤ 30 keeps it in an int. */
