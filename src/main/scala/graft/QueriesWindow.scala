@@ -204,6 +204,47 @@ object QueriesWindow {
         .sortValues(Seq("o_custkey" -> true, "o_orderkey" -> true)).df
     }
 
+    r.reg("q_map_overlap",
+      """SELECT event_id, value - lag(value) OVER (ORDER BY event_id) AS d
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("d", DoubleType)))
+      GraftFrame(t(s, dir, "events").select("event_id", "value"))
+        .mapOverlap("event_id", before = 1, after = 0, schema) { it =>
+          var prev: Option[Double] = None
+          it.flatMap { case (owned, row) =>
+            val v = row.getDouble(1)
+            val out =
+              if (!owned) None
+              else Some(org.apache.spark.sql.Row(row.getLong(0),
+                prev.map(p => v - p).orNull))
+            prev = Some(v)
+            out
+          }
+        }
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
+    r.reg("q_groupby_apply",
+      """SELECT user_id, max(value) - min(value) AS vrange
+        |FROM events WHERE user_id < 40 GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      // flatMapGroups escape hatch: arbitrary per-group logic (here a
+      // range, so the oracle can recompute it relationally)
+      import s.implicits._
+      GraftFrame(t(s, dir, "events").filter(col("user_id") < 40)
+        .select("user_id", "value")
+        .groupByKey((r: org.apache.spark.sql.Row) => r.getLong(0))
+        .flatMapGroups { (k: Long, it: Iterator[org.apache.spark.sql.Row]) =>
+          var mn = Double.MaxValue
+          var mx = Double.MinValue
+          var any = false
+          it.foreach { r => val v = r.getDouble(1); any = true
+            if (v < mn) mn = v; if (v > mx) mx = v }
+          if (any) Iterator((k, mx - mn)) else Iterator.empty
+        }.toDF("user_id", "vrange"))
+        .sortValues(Seq("user_id" -> true)).df
+    }
+
     r.reg("q_repartition",
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, dir) =>

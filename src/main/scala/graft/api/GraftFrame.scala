@@ -146,6 +146,27 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
   def coalescePartitions(n: Int): GraftFrame = lift(df.coalesce(n))
   def repartitionByRange(n: Int, keys: String*): GraftFrame =
     lift(df.repartitionByRange(n, keys.map(col): _*))
+  /** Repartition(freq=...) (reference `_repartition.py` Freq): calendar
+    * buckets become range partitions on the truncated timestamp. */
+  def repartitionByFreq(tsCol: String, unit: String): GraftFrame =
+    lift(df.repartitionByRange(date_trunc(unit, col(tsCol))))
+  /** Repartition(partition_size=...) (reference Size variant): partition
+    * count from optimizer size stats / target bytes — the static analog
+    * of AQE's advisoryPartitionSizeInBytes (which handles it adaptively
+    * post-shuffle). */
+  def repartitionBySize(targetBytes: Long): GraftFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = math.max(1, (bytes / BigInt(targetBytes)).toInt +
+      (if (bytes % BigInt(targetBytes) > 0) 1 else 0))
+    lift(df.repartition(n))
+  }
+
+  /** map_overlap (reference `_expr.py:595-794`): per-partition function
+    * seeing `before`/`after` neighbor rows under a global range order. */
+  def mapOverlap(orderCol: String, before: Int, after: Int,
+                 outSchema: org.apache.spark.sql.types.StructType)(
+      f: Iterator[(Boolean, Row)] => Iterator[Row]): GraftFrame =
+    lift(graft.operators.Overlap.mapOverlap(df, orderCol, before, after, outSchema)(f))
 
   // ---- elementwise conveniences (reference _expr.py:1042-1169) ----
   def clip(c: String, lo: Double, hi: Double): GraftFrame =

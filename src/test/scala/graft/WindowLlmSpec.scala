@@ -68,6 +68,32 @@ class WindowLlmSpec extends SparkTestBase {
       .collect().head.getBoolean(0))
   }
 
+  test("mapOverlap sees neighbor rows across partition boundaries") {
+    val d = GraftFrame(seq6.repartition(3)) // scatter the 6 rows
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("d", DoubleType)))
+    val out = d.mapOverlap("id", before = 1, after = 0, schema) { it =>
+      var prev: Option[Double] = None
+      it.flatMap { case (owned, row) =>
+        val v = row.getDouble(2)
+        val r = if (owned) Some(Row(row.getLong(0),
+          prev.map(p => v - p).orNull)) else None
+        prev = Some(v)
+        r
+      }
+    }
+    val got = collectSorted(out.df, "id")
+    assert(got.head.isNullAt(1)) // global first row has no predecessor
+    // id=4 (v=10.0) follows id=3 (v=3.0) even across a partition boundary
+    assert(got(3).getDouble(1) == 7.0)
+    assert(got.map(_.getLong(0)) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("repartitionBySize yields at least one partition") {
+    val f = GraftFrame(seq6).repartitionBySize(1L << 20)
+    assert(f.df.rdd.getNumPartitions >= 1 && f.df.count() == 6)
+  }
+
   // ---- llm: hashing / dedup ----
 
   test("tokId is deterministic and SQL-consistent") {
