@@ -124,6 +124,12 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
   def setIndex(c: String): GraftFrame =
     GraftFrame(df.repartitionByRange(col(c)).sortWithinPartitions(c), Some(c))
   def resetIndex: GraftFrame = copy(indexCol = None)
+  /** Index-as-Series extraction (reference `_expr.py:1444-1468`). */
+  def indexSeries: GraftFrame = {
+    val c = indexCol.getOrElse(
+      throw new IllegalStateException("indexSeries: no index set; call setIndex first"))
+    lift(df.select(col(c)))
+  }
 
   // ---- dedup / set ops (reference _reductions.py:478-553, _concat.py) ----
   def distinct: GraftFrame = lift(df.distinct())
@@ -261,6 +267,18 @@ object GraftFrame {
   def readCsv(spark: SparkSession, path: String, header: Boolean = true,
               inferSchema: Boolean = true): GraftFrame =
     GraftFrame(spark.read.option("header", header).option("inferSchema", inferSchema).csv(path))
+
+  /** FromMap analog (reference `io/io.py:139-299`): distribute driver-side
+    * items, build each partition's rows with `f` on the executors (the
+    * projectable `columns=` absorption is Catalyst's job once rows exist). */
+  def fromMap[T: scala.reflect.ClassTag](
+      spark: SparkSession, items: Seq[T], schema: StructType,
+      npartitions: Int)(f: T => Iterator[Row]): GraftFrame = {
+    val rdd = spark.sparkContext
+      .parallelize(items, math.max(1, math.min(npartitions, items.size)))
+      .flatMap(f)
+    GraftFrame(spark.createDataFrame(rdd, schema))
+  }
 
   /** from_pandas analog (reference FromPandas `io/io.py:302-418`): local
     * rows → distributed frame. `npartitions` mirrors the reference's

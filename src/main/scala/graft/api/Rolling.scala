@@ -51,6 +51,12 @@ final case class Rolling(df: DataFrame, partitionCols: Seq[String],
   def variance(c: String): Column = guarded(col(c), F.var_samp)
   def std(c: String): Column = guarded(col(c), F.stddev_samp)
   def median(c: String): Column = guarded(col(c), F.median)
+  def skew(c: String): Column = guarded(col(c), F.skewness)
+  def kurt(c: String): Column = guarded(col(c), F.kurtosis)
+  def quantile(c: String, q: Double): Column =
+    guarded(col(c), x => F.percentile_approx(x, F.lit(q), F.lit(10000)))
+  def cov(c1: String, c2: String): Column = F.covar_samp(col(c1), col(c2)).over(base)
+  def corr(c1: String, c2: String): Column = F.corr(col(c1), col(c2)).over(base)
   def apply(c: String, agg: Column => Column): Column = agg(col(c)).over(base)
 
   def withColumnRolled(name: String, c: Column): GraftFrame =

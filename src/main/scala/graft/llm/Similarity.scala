@@ -14,6 +14,14 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
+  /** Small embedding sets arrive as one parquet split — spread them so
+    * the blockwise scoring stage uses every core (at real scale the file
+    * count provides this naturally). */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Order-independent exact dot product of two float-array columns.
     * Accumulator precision stays under Spark's 38-digit cap (adding a
     * (p,s) element to a (p+5,s) accumulator never triggers the silent
@@ -46,7 +54,7 @@ object Similarity {
                      queryId: Long, k: Int): DataFrame = {
     val q = embeddings.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qv__"))
-    embeddings.filter(col(idCol) =!= queryId)
+    spread(embeddings).filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("cos", cosine(col(vecCol), col("__qv__")))
       .select(col(idCol), col("cos"))
@@ -82,7 +90,7 @@ object Similarity {
     * buckets, omitted here. */
   def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               dim: Int, queryId: Long, k: Int, planes: Int = 8): DataFrame = {
-    val bucketed = embeddings
+    val bucketed = spread(embeddings)
       .withColumn("bucket", lshBucket(col(vecCol), dim, planes))
     val qb = bucketed.filter(col(idCol) === queryId)
       .select(col("bucket"), col(vecCol).as("__qv__"))
@@ -98,7 +106,7 @@ object Similarity {
     * surface for the correctness gate). */
   def bucketHistogram(embeddings: DataFrame, idCol: String, vecCol: String,
                       dim: Int, planes: Int = 8): DataFrame =
-    embeddings
+    spread(embeddings)
       .withColumn("bucket", lshBucket(col(vecCol), dim, planes))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .orderBy("bucket")
