@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-hash hot path.
+  *
+  * The declarative forms (llm/TextHash.scala) run as interpreted
+  * higher-order functions — fine for oracle documentation, but each row
+  * pays hundreds of boxed lambda evaluations. These expressions compute
+  * the SAME integer arithmetic (bit-for-bit, so the DuckDB oracle still
+  * matches — WindowLlmSpec asserts equality against the declarative
+  * form) in one imperative pass per row.
+  *
+  * SURVEY §7 custom-work tier (b): a scalar Expression where composing
+  * built-ins can't reach the needed efficiency.
+  */
+
+/** Distinct k-shingle hashes of a whitespace-tokenized text; semantics
+  * identical to TextHash.shingleHashArray (split(' ', -1) tokenization,
+  * tokId = c1*128^3+c2*128^2+c3*128+c4 over rpad(tok,4,'_') + len*7919,
+  * shingle = polynomial-31 combine mod 2^31-1, distinct). */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes needs STRING, got ${child.dataType}")
+
+  private val P = 2147483647L
+
+  private def tokId(tok: String): Long = {
+    def ch(d: Int): Long = (if (d < tok.length) tok.charAt(d) else '_').toLong
+    ch(0) * 2097152L + ch(1) * 16384L + ch(2) * 128L + ch(3) +
+      tok.length.toLong * 7919L
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    // split(" ", -1): exactly Spark's split(text, ' ') semantics
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val m = toks.length
+    if (m < k) return new GenericArrayData(Array.empty[Long])
+    val tids = new Array[Long](m)
+    var i = 0
+    while (i < m) { tids(i) = tokId(toks(i)); i += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j + k <= m) {
+      var h = tids(j)
+      var d = 1
+      while (d < k) { h = h * 31L + tids(j + d); d += 1 }
+      seen.add(java.lang.Long.valueOf(((h % P) + P) % P))
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** MinHash signature over a long-array of element hashes; identical math
+  * to TextHash.minhashSignature. Empty input → empty signature (callers
+  * filter empty shingle sets first, as the declarative path does). */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig needs ARRAY<BIGINT>, got $other")
+  }
+
+  private val P = 2147483647L
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData].toLongArray()
+    if (arr.isEmpty) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val a = i.toLong * 2000006L + 1012345L
+      val b = i.toLong * 999983L + 423307L
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < arr.length) {
+        val h = (arr(j) * a + b) % P
+        val hp = if (h < 0) h + P else h
+        if (hp < mn) mn = hp
+        j += 1
+      }
+      out(i) = mn
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+object TextHashExprs {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    column(ShingleHashes(expression(text), k))
+  def minhashSig(hashes: Column, numHashes: Int = 16): Column =
+    column(MinHashSig(expression(hashes), numHashes))
+}

@@ -33,9 +33,12 @@ object Dedup {
     * interpreted higher-order evaluation. */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 3, numHashes: Int = 16): DataFrame = {
-    val sh = TextHash.shingleHashArray(col(textCol), shingleK)
+    // native Expressions (graft.functions.TextHashExprs) — bit-identical
+    // to the declarative TextHash forms (asserted in WindowLlmSpec), one
+    // imperative pass per row instead of interpreted lambda chains
+    val sh = graft.functions.TextHashExprs.shingleHashes(col(textCol), shingleK)
     docs.select(col(idCol),
-      TextHash.minhashSignature(sh, numHashes).as("sig"),
+      graft.functions.TextHashExprs.minhashSig(sh, numHashes).as("sig"),
       sh.as("shingles"))
   }
 
@@ -63,11 +66,13 @@ object Dedup {
     // shingle expression per hash (interpreted HOFs inline collapsed
     // projections).
     val shingled = spread.select(col(idCol),
-        TextHash.shingleHashArray(col(textCol), shingleK).as("shingles"))
+        graft.functions.TextHashExprs.shingleHashes(col(textCol), shingleK)
+          .as("shingles"))
       .filter(size(col("shingles")) > 0)
       .cache()
     val sigs = shingled.select(col(idCol),
-      TextHash.minhashSignature(col("shingles"), numHashes).as("sig"),
+      graft.functions.TextHashExprs.minhashSig(col("shingles"), numHashes)
+        .as("sig"),
       col("shingles"))
 
     // Band shuffle carries only (band, key, id) — the shingle sets join

@@ -105,6 +105,22 @@ class WindowLlmSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("native ShingleHashes/MinHashSig expressions match declarative forms bit-for-bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val both = docs.select(
+      col("doc_id"),
+      graft.functions.TextHashExprs.shingleHashes(col("text")).as("sh_fast"),
+      TextHash.shingleHashArray(col("text")).as("sh_slow"))
+    val shDiff = both.filter(col("sh_fast") =!= col("sh_slow")).count()
+    assert(shDiff == 0, s"$shDiff rows differ between native and declarative shingle hashes")
+    val sigs = both.select(col("doc_id"),
+      graft.functions.TextHashExprs.minhashSig(col("sh_fast")).as("sig_fast"),
+      TextHash.minhashSignature(col("sh_slow")).as("sig_slow"))
+      .filter(org.apache.spark.sql.functions.size(col("sh_fast")) > 0)
+    assert(sigs.filter(col("sig_fast") =!= col("sig_slow")).count() == 0)
+  }
+
   test("minhash signature: identical texts share signature, k hashes") {
     val docs = df(
       StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
