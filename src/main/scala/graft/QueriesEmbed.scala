@@ -79,6 +79,16 @@ object QueriesEmbed {
         dim = 64, planes = 8)
     }
 
+    r.weak("q_ivf_topk") { (s, dir) =>
+      // k-means refinement isn't reasonably expressible in oracle SQL;
+      // rows-only here, value-checked in WindowLlmSpec (subset of brute
+      // force, full assignment coverage)
+      val e = t(s, dir, "embeddings")
+      val cents = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 8, iters = 1)
+      graft.llm.Ivf.annTopK(e, "vec_id", "embedding", cents, queryId = 0L,
+        k = 10, nprobe = 2)
+    }
+
     r.reg("q_ann_topk",
       s"""WITH $bucketCtes,
          |qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),

@@ -202,6 +202,56 @@ class WindowLlmSpec extends SparkTestBase {
     assert(ann.subsetOf(brute))
   }
 
+  test("IVF: assignment covers all vectors, annTopK subsets brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200).cache()
+    val cents = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 4, iters = 1)
+    assert(cents.count() == 4)
+    val assigned = graft.llm.Ivf.assign(e, "vec_id", "embedding", cents)
+    assert(assigned.filter(col("cell") < 0).count() == 0)
+    assert(assigned.count() == 200)
+    val ann = graft.llm.Ivf.annTopK(e, "vec_id", "embedding", cents, 0L, 5, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", 0L, 199)
+      .collect().map(_.getLong(0)).toSet
+    assert(ann.nonEmpty && ann.subsetOf(brute))
+  }
+
+  test("streaming session windows and watermark dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = graft.streaming.Streams.sessionAgg(
+      in.toDF().toDF("ts", "k", "v"), "ts", "5 minutes", "1 minute", Seq("k"),
+      org.apache.spark.sql.functions.sum($"v").as("s"))
+    val q = agg.writeStream.format("memory").queryName("sess_test")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "a", 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), "a", 2.0),  // same session
+        (java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "a", 5.0))  // new session
+      q.processAllAvailable()
+      val sums = spark.table("sess_test").collect().map(_.getAs[Double]("s")).sorted
+      assert(sums.toSeq == Seq(3.0, 5.0))
+    } finally q.stop()
+
+    val in2 = MemoryStream[(java.sql.Timestamp, Long)]
+    val dd = graft.streaming.Streams.dedup(
+      in2.toDF().toDF("ts", "id"), "ts", "10 minutes", Seq("id"))
+    val q2 = dd.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      in2.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 1L),  // dup within watermark
+        (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 2L))
+      q2.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2)
+    } finally q2.stop()
+  }
+
   // ---- llm: text stats / multimodal ----
 
   test("text stats quality frame values") {
