@@ -204,6 +204,36 @@ object QueriesWindow {
         .sortValues(Seq("o_custkey" -> true, "o_orderkey" -> true)).df
     }
 
+    r.reg("q_global_ffill",
+      """SELECT event_id,
+        |  last_value(v IGNORE NULLS) OVER (ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
+        |FROM (SELECT event_id,
+        |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events")
+        .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+        .select("event_id", "v")
+      GraftFrame(WindowOps.globalFfill(base, "event_id", "v", "ff"))
+        .select("event_id", "ff")
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
+    r.reg("q_global_rolling",
+      """SELECT event_id, v,
+        |  sum(v) OVER (ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rsum
+        |FROM (SELECT event_id, floor(value) AS v FROM events)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      // integer-valued doubles so the imperative sliding sum and the
+      // engine's window sum are bit-identical regardless of FP order
+      val base = t(s, dir, "events")
+        .withColumn("v", floor(col("value")).cast(DoubleType))
+        .select("event_id", "v")
+      GraftFrame(WindowOps.globalRollingSum(base, "event_id", "v", 5, "rsum"))
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
     r.reg("q_map_overlap",
       """SELECT event_id, value - lag(value) OVER (ORDER BY event_id) AS d
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>

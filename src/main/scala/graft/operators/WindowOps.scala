@@ -68,6 +68,33 @@ object WindowOps {
       .drop("__pid__", "__local__", "__offset__")
   }
 
+  /** Globally-ordered forward fill without a single-partition window:
+    * range-shuffle, per-range fill (window partitioned by range id),
+    * then carry each range's last non-null value forward via a tiny
+    * (npartitions-row) ffilled frame joined back by broadcast — the
+    * cross-partition carry chain, parallelized. */
+  def globalFfill(df: DataFrame, orderCol: String, valueCol: String,
+                  outCol: String): DataFrame = {
+    val ranged = df.repartitionByRange(col(orderCol))
+      .withColumn("__pid__", spark_partition_id())
+    val wIn = Window.partitionBy(col("__pid__")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__lf__",
+      last(col(valueCol), ignoreNulls = true).over(wIn))
+    // npartitions rows: last non-null per range, ffilled across ranges,
+    // shifted so range i sees the carry from ranges < i
+    val wP = Window.orderBy(col("__pid__"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = local.groupBy(col("__pid__"))
+      .agg(last(col("__lf__"), ignoreNulls = true).as("__last__"))
+      .withColumn("__carry__",
+        last(col("__last__"), ignoreNulls = true).over(wP))
+      .select(col("__pid__"), col("__carry__"))
+    local.join(broadcast(carries), "__pid__")
+      .withColumn(outCol, coalesce(col("__lf__"), col("__carry__")))
+      .drop("__pid__", "__lf__", "__carry__")
+  }
+
   /** Exact cumulative product — Spark has no product aggregate; the
     * log/exp trick loses precision and sign. One small Aggregator
     * (reference cumprod: `_cumulative.py:99-104`). */
@@ -85,6 +112,30 @@ object WindowOps {
     }
   def product(c: Column): Column = udaf(productAgg).apply(c)
   def cumprod(c: String, w: WindowSpec): Column = udaf(productAgg).apply(col(c)).over(w)
+
+  /** Globally-ordered rolling sum without a single-partition window:
+    * mapOverlap gives each range partition the preceding `window-1` rows
+    * (reference MapOverlap `_expr.py:595-794` powering rolling), and the
+    * sliding sum runs imperatively per partition — the scale-safe global
+    * rolling the un-partitioned SQL window can't provide. */
+  def globalRollingSum(df: DataFrame, orderCol: String, valueCol: String,
+                       window: Int, outCol: String): DataFrame = {
+    val inSchema = df.select(orderCol, valueCol).schema
+    val outSchema = org.apache.spark.sql.types.StructType(
+      inSchema.fields :+ org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.DoubleType))
+    Overlap.mapOverlap(df.select(orderCol, valueCol), orderCol,
+      before = window - 1, after = 0, outSchema) { it =>
+      val buf = new scala.collection.mutable.Queue[Double]()
+      it.flatMap { case (owned, row) =>
+        buf.enqueue(row.getDouble(1))
+        if (buf.size > window) buf.dequeue()
+        if (owned)
+          Iterator(org.apache.spark.sql.Row(row.get(0), row.getDouble(1), buf.sum))
+        else Iterator.empty
+      }
+    }
+  }
 
   /** diff(n) (reference `_expr.py:2175-2204`). */
   def diff(c: String, n: Int, w: WindowSpec): Column = col(c) - lag(col(c), n).over(w)
