@@ -294,6 +294,18 @@ object QueriesAgg {
         max(col("l_quantity")).as("max"))
     }
 
+    r.reg("q_describe_nonnum",
+      """SELECT CAST(count(o_orderpriority) AS BIGINT) AS count,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS unique,
+        |  t.top, t.freq
+        |FROM orders, (
+        |  SELECT o_orderpriority AS top, CAST(count(*) AS BIGINT) AS freq
+        |  FROM orders WHERE o_orderpriority IS NOT NULL
+        |  GROUP BY 1 ORDER BY freq DESC, top ASC LIMIT 1) t
+        |GROUP BY t.top, t.freq""".stripMargin) { (s, dir) =>
+      Reductions.describeNonNumeric(t(s, dir, "orders"), "o_orderpriority")
+    }
+
     r.reg("q_nlargest",
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 15""".stripMargin) { (s, dir) =>

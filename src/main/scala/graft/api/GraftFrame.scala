@@ -175,6 +175,19 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     lift(graft.operators.Overlap.mapOverlap(df, orderCol, before, after, outSchema)(f))
 
   // ---- elementwise conveniences (reference _expr.py:1042-1169) ----
+  /** MethodOperator binops with fill_value (reference `_expr.py:1759-1770`):
+    * nulls on either side become `fill` before the op. */
+  def binopWithFill(out: String, l: Column, r: Column, fill: Double,
+                    op: (Column, Column) => Column): GraftFrame =
+    lift(df.withColumn(out,
+      op(coalesce(l, lit(fill)), coalesce(r, lit(fill)))))
+  /** to_numeric(errors='coerce') (reference `_expr.py:1071-1093`):
+    * unparseable strings become null, not an ANSI error. */
+  def toNumeric(c: String): GraftFrame =
+    lift(df.withColumn(c, expr(s"try_cast(`$c` AS DOUBLE)")))
+  /** to_datetime with an explicit pattern (reference ToDatetime). */
+  def toDatetime(c: String, fmt: String): GraftFrame =
+    lift(df.withColumn(c, to_timestamp(col(c), fmt)))
   def clip(c: String, lo: Double, hi: Double): GraftFrame =
     lift(df.withColumn(c, greatest(least(col(c), lit(hi)), lit(lo))))
   def isinFilter(c: String, values: Seq[Any]): GraftFrame =

@@ -51,6 +51,19 @@ object Reductions {
       percentile(col(c), lit(0.75)).as("p75"),
       max(col(c)).as("max"))
 
+  /** describe() for non-numeric columns (reference DescribeNonNumeric
+    * `_describe.py:16-103`): count / unique / top / freq in two
+    * aggregation passes (top+freq needs the per-value counts). */
+  def describeNonNumeric(df: DataFrame, c: String): DataFrame = {
+    val counts = df.filter(col(c).isNotNull)
+      .groupBy(col(c)).agg(count(lit(1)).as("__n__"))
+    val top = counts.orderBy(col("__n__").desc, col(c).asc).limit(1)
+      .select(col(c).as("top"), col("__n__").as("freq"))
+    df.agg(count(col(c)).as("count"),
+        countDistinct(col(c)).as("unique"))
+      .crossJoin(broadcast(top))
+  }
+
   /** Exact quantiles. At 100 TB prefer `approxQuantiles` —
     * Greenwald-Khanna with bounded state, the analog of the reference's
     * t-digest path (reference `_quantile.py:14-133`). */
