@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -113,6 +114,61 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_sig"
 }
 
+/** One-pass token statistics: (n_tokens, sum_token_len, n_distinct,
+  * n_stopwords, fingerprint) — the counters TextStats.qualityFrame
+  * needs, computed in a single tokenization pass instead of five
+  * interpreted higher-order scans. Same split(' ', -1) tokenization and
+  * fingerprint arithmetic as the declarative forms. */
+case class TokenStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("sum_token_len", LongType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("n_stopwords", IntegerType, nullable = false),
+    StructField("fingerprint", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_stats needs STRING, got ${child.dataType}")
+
+  private val P = 2147483647L
+  private val weights = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L,
+    887503681L, 1742810335L)
+  @transient private lazy val stopSet = stopwords.toSet
+
+  private def tokId(tok: String): Long = {
+    def ch(d: Int): Long = (if (d < tok.length) tok.charAt(d) else '_').toLong
+    ch(0) * 2097152L + ch(1) * 16384L + ch(2) * 128L + ch(3) +
+      tok.length.toLong * 7919L
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    var sumLen = 0L
+    var stops = 0
+    var fp = 0L
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      sumLen += t.length
+      if (stopSet.contains(t)) stops += 1
+      seen.add(t)
+      fp = (fp + (tokId(t) * weights(i % 8)) % P) % P
+      i += 1
+    }
+    InternalRow(toks.length, sumLen, seen.size, stops, fp)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+  override def prettyName: String = "token_stats"
+}
+
 object TextHashExprs {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -120,4 +176,6 @@ object TextHashExprs {
     column(ShingleHashes(expression(text), k))
   def minhashSig(hashes: Column, numHashes: Int = 16): Column =
     column(MinHashSig(expression(hashes), numHashes))
+  def tokenStats(text: Column, stopwords: Seq[String]): Column =
+    column(TokenStats(expression(text), stopwords))
 }

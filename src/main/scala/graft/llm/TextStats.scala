@@ -64,19 +64,28 @@ object TextStats {
       .getField("l")
   }
 
-  /** One-pass quality frame: every stat as a column over `textCol`. */
+  /** One-pass quality frame: the token-derived stats come from the
+    * native TokenStats expression (single tokenization pass, bit-identical
+    * to the declarative forms above — asserted in WindowLlmSpec); the
+    * char-class stats stay on codegen'd regexp functions. */
   def qualityFrame(docs: DataFrame, idCol: String, textCol: String,
                    stopwords: Seq[String]): DataFrame = {
     val t = col(textCol)
-    docs.select(col(idCol),
-      tokenCount(t).as("n_tokens"),
-      tokenCountBpeIsh(t).as("n_tokens_bpe"),
-      charCount(t).as("n_chars"),
-      avgTokenLen(t).as("avg_token_len"),
-      typeTokenRatio(t).as("type_token_ratio"),
-      punctRatio(t).as("punct_ratio"),
-      stopwordRatio(t, stopwords).as("stopword_ratio"),
-      TextHash.fingerprint(t).as("fingerprint"),
-      md5(regexp_replace(lower(trim(t)), "\\s+", " ")).as("content_md5"))
+    docs
+      .withColumn("__ts__",
+        graft.functions.TextHashExprs.tokenStats(t, stopwords))
+      .select(col(idCol),
+        col("__ts__.n_tokens").as("n_tokens"),
+        tokenCountBpeIsh(t).as("n_tokens_bpe"),
+        charCount(t).as("n_chars"),
+        (col("__ts__.sum_token_len").cast("double") / col("__ts__.n_tokens"))
+          .as("avg_token_len"),
+        (col("__ts__.n_distinct").cast("double") / col("__ts__.n_tokens"))
+          .as("type_token_ratio"),
+        punctRatio(t).as("punct_ratio"),
+        (col("__ts__.n_stopwords").cast("double") / col("__ts__.n_tokens"))
+          .as("stopword_ratio"),
+        col("__ts__.fingerprint").as("fingerprint"),
+        md5(regexp_replace(lower(trim(t)), "\\s+", " ")).as("content_md5"))
   }
 }

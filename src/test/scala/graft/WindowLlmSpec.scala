@@ -121,6 +121,23 @@ class WindowLlmSpec extends SparkTestBase {
     assert(sigs.filter(col("sig_fast") =!= col("sig_slow")).count() == 0)
   }
 
+  test("native TokenStats matches declarative stats bit-for-bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val stop = Seq("the", "a", "of")
+    val both = docs.select(
+      graft.functions.TextHashExprs.tokenStats(col("text"), stop).as("ts"),
+      TextStats.tokenCount(col("text")).as("nt"),
+      TextStats.stopwordCount(col("text"), stop).as("sw"),
+      TextHash.fingerprint(col("text")).as("fp"),
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.array_distinct(
+          org.apache.spark.sql.functions.split(col("text"), " "))).as("nd"))
+    val bad = both.filter(
+      col("ts.n_tokens") =!= col("nt") || col("ts.n_stopwords") =!= col("sw") ||
+        col("ts.fingerprint") =!= col("fp") || col("ts.n_distinct") =!= col("nd")).count()
+    assert(bad == 0)
+  }
+
   test("minhash signature: identical texts share signature, k hashes") {
     val docs = df(
       StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
