@@ -152,6 +152,18 @@ object QueriesJoins {
         .orderBy("o_orderkey")
     }
 
+    r.reg("q_join_on_names",
+      """SELECT c.c_custkey, o.o_orderkey FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |WHERE o.o_totalprice > 250000.0
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
+      Joins.mergeOn(c, o, Seq("c_custkey"), Seq("o_custkey"), "inner")
+        .select("c_custkey", "o_orderkey")
+        .orderBy("c_custkey", "o_orderkey")
+    }
+
     r.reg("q_asof_join",
       """SELECT c.event_id, c.user_id, c.ts, c.value, p.value AS purchase_value
         |FROM (SELECT * FROM events WHERE event_type = 'click' AND user_id < 50) c

@@ -90,6 +90,99 @@ object QueriesText {
         .sortValues(Seq("doc_id" -> true)).df
     }
 
+    r.reg("q_str_ops",
+      """SELECT doc_id,
+        |  upper(source) AS up, lower(source) AS lo, trim(source) AS tr,
+        |  CAST(length(text) AS INTEGER) AS len,
+        |  CAST(contains(text, 'spark') AS BOOLEAN) AS has_spark,
+        |  CAST(starts_with(source, 'src') AS BOOLEAN) AS sw,
+        |  CAST(ends_with(source, '1') AS BOOLEAN) AS ew,
+        |  replace(source, 'src', 'origin_') AS rep,
+        |  regexp_replace(text, '[aeiou]', '_', 'g') AS devowel,
+        |  lpad(source, 10, '0') AS padded,
+        |  substr(text, 1, 12) AS sliced,
+        |  CAST(length(text) - length(regexp_replace(text, 'data', '', 'g')) AS INTEGER) AS data_chars,
+        |  CAST(strpos(text, 'join') - 1 AS INTEGER) AS find_join,
+        |  regexp_extract(source, '([0-9]+)', 1) AS src_num,
+        |  CAST(regexp_matches(text, '^(?:key|data)') AS BOOLEAN) AS starts_kw,
+        |  reverse(source) AS rev,
+        |  repeat(source, 2) AS rep2
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.api.StrOps._
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          col("source").strUpper.as("up"), col("source").strLower.as("lo"),
+          col("source").strStrip.as("tr"),
+          col("text").strLen.as("len"),
+          col("text").strContains("spark").as("has_spark"),
+          col("source").strStartswith("src").as("sw"),
+          col("source").strEndswith("1").as("ew"),
+          col("source").strReplaceLit("src", "origin_").as("rep"),
+          col("text").strReplace("[aeiou]", "_").as("devowel"),
+          col("source").strPadLeft(10, "0").as("padded"),
+          col("text").strSlice(0, 12).as("sliced"),
+          (col("text").strCount("data") * 4).as("data_chars"),
+          col("text").strFind("join").as("find_join"),
+          col("source").strExtract("([0-9]+)", 1).as("src_num"),
+          col("text").strMatch("key|data").as("starts_kw"),
+          col("source").strReverse.as("rev"),
+          col("source").strRepeat(2).as("rep2"))
+        .orderBy("doc_id")
+    }
+
+    r.reg("q_dt_ops",
+      """SELECT event_id,
+        |  CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS mo,
+        |  CAST(day(ts) AS INTEGER) AS d, CAST(hour(ts) AS INTEGER) AS h,
+        |  CAST(minute(ts) AS INTEGER) AS mi, CAST(second(ts) AS INTEGER) AS sec,
+        |  CAST(quarter(ts) AS INTEGER) AS q, CAST(dayofyear(ts) AS INTEGER) AS doy,
+        |  CAST(weekofyear(ts) AS INTEGER) AS w,
+        |  CAST((dayofweek(ts) + 6) % 7 AS INTEGER) AS dw_pandas,
+        |  CAST(day(last_day(ts)) AS INTEGER) AS dim,
+        |  CAST(day(ts) = 1 AS BOOLEAN) AS is_ms,
+        |  date_trunc('hour', ts) AS fl_hour,
+        |  date_trunc('day', ts) AS norm,
+        |  strftime(ts, '%Y-%m-%d %H') AS fmt,
+        |  monthname(ts) AS mn, dayname(ts) AS dn,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import graft.api.DtOps._
+      t(s, dir, "events").filter(col("event_id") < 500)
+        .select(col("event_id"),
+          col("ts").dtYear.as("y"), col("ts").dtMonth.as("mo"),
+          col("ts").dtDay.as("d"), col("ts").dtHour.as("h"),
+          col("ts").dtMinute.as("mi"), col("ts").dtSecond.as("sec"),
+          col("ts").dtQuarter.as("q"), col("ts").dtDayofyear.as("doy"),
+          col("ts").dtWeek.as("w"),
+          col("ts").dtDayofweek.as("dw_pandas"),
+          col("ts").dtDaysInMonth.as("dim"),
+          col("ts").dtIsMonthStart.as("is_ms"),
+          col("ts").dtFloor("hour").cast(TimestampNTZType).as("fl_hour"),
+          col("ts").dtNormalize.cast(TimestampNTZType).as("norm"),
+          col("ts").dtStrftime("yyyy-MM-dd HH").as("fmt"),
+          col("ts").dtMonthName.as("mn"), col("ts").dtDayName.as("dn"),
+          col("ts").dtEpochSeconds.as("ep"))
+        .orderBy("event_id")
+    }
+
+    r.reg("q_factorize",
+      """SELECT doc_id, lang,
+        |  CAST(dense_rank() OVER (ORDER BY lang) - 1 AS INTEGER) AS lang_code
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // categorical-codes analog (SURVEY §2.3: no Spark categorical type;
+      // codes via dense_rank over the value order). Window over a
+      // low-cardinality VALUE column — partition-safe in practice via
+      // two-phase: distinct codes then broadcast join.
+      val docs = t(s, dir, "documents")
+      val codes = docs.select("lang").distinct()
+        .withColumn("lang_code",
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("lang"))) - 1).cast("int"))
+      docs.join(broadcast(codes), Seq("lang"))
+        .select("doc_id", "lang", "lang_code")
+        .orderBy("doc_id")
+    }
+
     r.reg("q_lang_predict",
       """WITH scored AS (
         |  SELECT doc_id,

@@ -41,6 +41,24 @@ object QueriesWindow {
         .sortValues(Seq("event_id" -> true)).df
     }
 
+    r.reg("q_rolling_center",
+      """SELECT event_id, user_id,
+        |  min(value) OVER w AS cmin,
+        |  max(value) OVER w AS cmax,
+        |  CAST(count(value) OVER w AS BIGINT) AS cn
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events").filter(col("user_id") < 30)
+      val roll = Rolling(base, Seq("user_id"), "event_id", window = 3, center = true)
+      roll.withColumnRolled("cmin", roll.min("value"))
+        .assign("cmax", roll.max("value"))
+        .assign("cn", roll.count("value"))
+        .select("event_id", "user_id", "cmin", "cmax", "cn")
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
     r.reg("q_rolling_time",
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(38,6)) AS tsum,

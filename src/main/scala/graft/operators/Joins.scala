@@ -36,6 +36,21 @@ object Joins {
     l.join(r, on, sparkHow)
   }
 
+  /** pandas merge(left_on=, right_on=): keys with different names on
+    * each side; both key columns survive in the output (pandas keeps
+    * both when names differ). */
+  def mergeOn(left: DataFrame, right: DataFrame,
+              leftOn: Seq[String], rightOn: Seq[String], how: String,
+              suffixes: (String, String) = ("_x", "_y")): DataFrame = {
+    require(leftOn.length == rightOn.length, "mergeOn: key arity mismatch")
+    val (l, r) = suffixed(left, right, Nil, suffixes)
+    val cond = leftOn.zip(rightOn)
+      .map { case (lc, rc) => l(lc) === r(rc) }
+      .reduce(_ && _)
+    val sparkHow = if (how == "outer") "full_outer" else how
+    l.join(r, cond, sparkHow)
+  }
+
   def broadcastMerge(left: DataFrame, right: DataFrame, on: Seq[String],
                      how: String = "inner"): DataFrame =
     left.join(broadcast(right), on, how)
