@@ -130,6 +130,30 @@ class PlanAccessorsSpec extends SparkTestBase {
     assert(r(0).getTimestamp(1).toString == "2024-03-15 14:00:00.0") // 45min rounds up
   }
 
+  test("GraftExtensions registers SQL-callable native functions") {
+    // getOrCreate() reuses the suite session and ignores withExtensions;
+    // clear the active/default session so a NEW session (same context)
+    // is built with the extensions, then restore for other suites.
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]").appName("ext-test")
+        .config("spark.sql.shuffle.partitions", "2")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT size(minhash_sig(shingle_hashes('a b c d e', 3), 16)) AS n, " +
+          "token_stats('x y x').n_tokens AS t")
+        .collect().head
+      assert(r.getInt(0) == 16 && r.getInt(1) == 3)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+    }
+  }
+
   test("streaming windowed agg over a memory stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

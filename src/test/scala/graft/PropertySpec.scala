@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.api.GraftFrame
+
+/** Algebraic-identity property tests (SURVEY §5): the laws Catalyst's
+  * rewrites must preserve, checked over generated frames. ScalaCheck
+  * generators driven with fixed seeds (scalatestplus bridge isn't in
+  * the offline dependency set). */
+class PropertySpec extends SparkTestBase {
+
+  private def forAll[T](gen: Gen[T], cases: Int = 10)(body: T => Unit): Unit =
+    (1 to cases).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], cases: Int = 10)(
+      body: (A, B) => Unit): Unit =
+    (1 to cases).foreach { i =>
+      body(ga.pureApply(Gen.Parameters.default, Seed(42L + i)),
+        gb.pureApply(Gen.Parameters.default, Seed(1042L + i)))
+    }
+
+  private val rowsGen: Gen[List[(Long, String, Double)]] = for {
+    n <- Gen.choose(0, 30)
+    rows <- Gen.listOfN(n, for {
+      id <- Gen.choose(0L, 1000L)
+      k <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.choose(-100, 100).map(_.toDouble / 4.0)
+    } yield (id, k, v))
+  } yield rows
+
+  private def sortedRows(f: GraftFrame): Seq[Row] =
+    f.df.orderBy("id", "k", "v").collect().toSeq
+
+  test("filter/select commute") {
+    forAll(rowsGen) { rows =>
+      val f = GraftFrame(kv(rows: _*))
+      val a = f.filter(col("v") > 0).select("id", "k", "v")
+      val b = f.select("id", "k", "v").filter(col("v") > 0)
+      assert(sortedRows(a) == sortedRows(b))
+    }
+  }
+
+  test("projection is idempotent") {
+    forAll(rowsGen) { rows =>
+      val f = GraftFrame(kv(rows: _*))
+      assert(sortedRows(f.select("id", "v").select("id", "v")) ==
+        sortedRows(f.select("id", "v")))
+    }
+  }
+
+  test("concat counts add; filter distributes over concat") {
+    forAll2(rowsGen, rowsGen) { (r1, r2) =>
+      val a = GraftFrame(kv(r1: _*))
+      val b = GraftFrame(kv(r2: _*))
+      assert(a.concat(b).df.count() == r1.length + r2.length)
+      val p = col("v") >= 0
+      assert(sortedRows(a.concat(b).filter(p)) ==
+        sortedRows(a.filter(p).concat(b.filter(p))))
+    }
+  }
+
+  test("dropDuplicates is idempotent and keeps min order key") {
+    forAll(rowsGen) { rows =>
+      val f = GraftFrame(kv(rows: _*))
+      val once = f.dropDuplicates(Seq("k"), col("id"))
+      val twice = once.dropDuplicates(Seq("k"), col("id"))
+      assert(sortedRows(once) == sortedRows(twice))
+      // each kept row carries the smallest id of its key group
+      val minIds = rows.groupBy(_._2).map { case (k, g) => k -> g.map(_._1).min }
+      once.df.collect().foreach { r =>
+        assert(r.getLong(0) == minIds(r.getString(1)))
+      }
+    }
+  }
+
+  test("groupby sum equals driver-side sum per key") {
+    forAll(rowsGen) { rows =>
+      val f = GraftFrame(kv(rows: _*))
+      val got = f.groupby("k")
+        .agg(sum(col("v").cast("decimal(18,6)")).as("s")).df
+        .collect().map(r => r.getString(0) -> r.getDecimal(1).doubleValue()).toMap
+      val expect = rows.groupBy(_._2).map { case (k, g) =>
+        k -> g.map(x => BigDecimal(x._3)).sum.toDouble }
+      assert(got.keySet == expect.keySet)
+      got.foreach { case (k, v) => assert(math.abs(v - expect(k)) < 1e-9) }
+    }
+  }
+
+  test("repartition count never changes row multiset size") {
+    forAll2(rowsGen, Gen.choose(1, 8)) { (rows, n) =>
+      val f = GraftFrame(kv(rows: _*))
+      assert(f.repartition(n).df.count() == rows.length)
+      assert(f.repartitionByRange(n, "id").df.count() == rows.length)
+    }
+  }
+
+  test("sortValues then head(n) == nsmallest(n)") {
+    forAll2(rowsGen, Gen.choose(1, 5)) { (rows, n) =>
+      val f = GraftFrame(kv(rows: _*)).select("id", "v")
+      val a = f.sortValues(Seq("v" -> true, "id" -> true)).head(n).df.collect().toSeq
+      val b = f.nsmallest(n, "v", "id").df.collect().toSeq
+      assert(a == b)
+    }
+  }
+}
