@@ -156,6 +156,16 @@ class RowOpsSpec extends SparkTestBase {
     assert(f.df.rdd.getNumPartitions == 2 && f.df.count() == 2)
   }
 
+  test("fromMap builds partitions from driver-side items") {
+    val schema = StructType(Seq(
+      StructField("part", IntegerType), StructField("i", IntegerType)))
+    val f = GraftFrame.fromMap(spark, Seq(0, 1, 2), schema, npartitions = 3) {
+      p => (0 until 2).iterator.map(i => Row(p, i))
+    }
+    assert(f.df.count() == 6)
+    assert(f.df.select("part").distinct().count() == 3)
+  }
+
   test("timeseries generator is deterministic") {
     val a = GraftFrame.timeseries(spark, 1704067200L, 10).df.collect()
     val b = GraftFrame.timeseries(spark, 1704067200L, 10).df.collect()
