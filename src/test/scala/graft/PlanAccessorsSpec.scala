@@ -130,6 +130,20 @@ class PlanAccessorsSpec extends SparkTestBase {
     assert(r(0).getTimestamp(1).toString == "2024-03-15 14:00:00.0") // 45min rounds up
   }
 
+  test("partitionBy write + filtered read prunes partitions at the scan") {
+    val path = "/root/repo/target/qtmp/events_by_type"
+    val events = GraftFrame(GraftSession.table(spark, "/root/testdata/sf0.001", "events"))
+    events.toParquet(path, partitionOn = Seq("event_type"))
+    val read = GraftFrame.readParquet(spark, path)
+      .filter(col("event_type") === "click").df
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type#") && plan.contains("click"),
+      s"partition filter not pushed:\n${plan.take(800)}")
+    val full = events.df.filter(col("event_type") === "click").count()
+    assert(read.count() == full)
+  }
+
   test("GraftExtensions registers SQL-callable native functions") {
     // getOrCreate() reuses the suite session and ignores withExtensions;
     // clear the active/default session so a NEW session (same context)
