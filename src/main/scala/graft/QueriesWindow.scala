@@ -203,6 +203,46 @@ object QueriesWindow {
         .orderBy("bucket")
     }
 
+    r.reg("q_sample_hash",
+      """SELECT o_orderkey FROM orders
+        |WHERE (o_orderkey * 2654435761) % 4294967296 < CAST(0.1 * 4294967296 AS BIGINT)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .sampleByHash("o_orderkey", 0.1)
+        .select("o_orderkey")
+        .sortValues(Seq("o_orderkey" -> true)).df
+    }
+
+    r.reg("q_groupby_transform",
+      """SELECT event_id, user_id,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id) AS DOUBLE)
+        |    / count(value) OVER (PARTITION BY user_id) AS DOUBLE) AS user_mean
+        |FROM events WHERE user_id < 40 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events").filter(col("user_id") < 40)
+        .withColumn("dv", col("value").cast(DecimalType(18, 6)))
+      GraftFrame(base)
+        .groupby("user_id")
+        .transform("dv", c => sum(c), "sum_d")
+        .groupby("user_id")
+        .transform("value", c => count(c), "cnt")
+        .assign("user_mean", col("sum_d").cast(DoubleType) / col("cnt").cast(DoubleType))
+        .select("event_id", "user_id", "user_mean")
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
+    r.reg("q_resample_more",
+      """SELECT date_trunc('hour', ts) AS bucket,
+        |  median(CAST(floor(value) AS DOUBLE)) AS med_v,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events")
+        .withColumn("fv", floor(col("value")).cast(DoubleType))
+      Resample.agg(base, "ts", "1 hour",
+          median(col("fv")).as("med_v"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy("bucket")
+    }
+
     r.reg("q_sort_multi",
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
         |ORDER BY o_orderdate DESC NULLS LAST, o_orderkey ASC NULLS LAST""".stripMargin) { (s, dir) =>

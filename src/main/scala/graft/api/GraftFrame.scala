@@ -115,6 +115,15 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     lift(df.orderBy(by.map(col(_).asc): _*).limit(n))
   def sample(fraction: Double, seed: Long, withReplacement: Boolean = false): GraftFrame =
     lift(df.sample(withReplacement, fraction, seed))
+  /** Deterministic engine-agnostic sample: keep rows whose Knuth-hashed
+    * key falls under `fraction` of the hash space. Unlike `sample` (RNG
+    * differs per engine/partitioning) this is reproducible anywhere —
+    * the right tool for carving stable eval/holdout splits from a
+    * 100 TB corpus. */
+  def sampleByHash(keyCol: String, fraction: Double): GraftFrame = {
+    val threshold = (fraction * 4294967296L).toLong
+    lift(df.filter(pmod(col(keyCol) * 2654435761L, lit(4294967296L)) < threshold))
+  }
 
   /** set_index: range-shuffle + local sort, the reference's SetIndex
     * (reference `_shuffle.py:708-861`). Divisions are implicit — Spark

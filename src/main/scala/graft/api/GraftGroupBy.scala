@@ -129,6 +129,15 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
     GraftFrame(df.withColumn(c, F.first(col(c), ignoreNulls = true).over(w)))
   }
 
+  /** groupby().transform(agg) (reference GroupByTransform
+    * `_groupby.py:636-778`): the group aggregate broadcast back onto
+    * every row — an unordered window over the group keys, so it stays
+    * one hash shuffle with no per-group collection. */
+  def transform(c: String, aggFn: Column => Column, out: String): GraftFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    GraftFrame(df.withColumn(out, aggFn(col(c)).over(w)))
+  }
+
   /** groupby().apply() escape hatch (reference `_groupby.py:636-778`):
     * all rows of a group reach one task via Spark's shuffle, then the
     * user function runs per group. */
