@@ -50,6 +50,10 @@ object WindowOps {
     * composite via a struct-ranked column otherwise). */
   def globalCumSum(df: DataFrame, orderCol: String, valueCol: String,
                    outCol: String): DataFrame = {
+    // Both consumers below (the windowed frame and the offsets frame)
+    // descend from THIS dataframe object — identical logical subplans —
+    // so the range exchange is planned once (ReusedExchange) and every
+    // branch sees the same sampled boundaries / partition ids.
     val ranged = df.repartitionByRange(col(orderCol))
       .withColumn("__pid__", spark_partition_id())
     val wIn = Window.partitionBy(col("__pid__")).orderBy(col(orderCol))
