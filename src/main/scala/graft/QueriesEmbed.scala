@@ -79,6 +79,53 @@ object QueriesEmbed {
         dim = 64, planes = 8)
     }
 
+    // ext = embeddings plus planted copies (vec_id+10000) so the
+    // near-dup check is non-vacuous: random vectors share no bucket-
+    // candidate with cosine >= 0.9 (probed: max candidate cos < 0.5).
+    r.reg("q_embed_dedup",
+      """WITH ext AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+        |),
+        |flat AS (
+        |  SELECT vec_id, j,
+        |    CAST(embedding[i+1] AS DOUBLE)
+        |      * CAST((j*64 + i) * 2654435761 % 4294967296 - 2147483648 AS DOUBLE) AS p
+        |  FROM ext, range(0, 8) rj(j), range(0, 64) ri(i)),
+        |pdots AS (
+        |  SELECT vec_id, j, sum(CAST(p AS DECIMAL(30,12))) AS d
+        |  FROM flat GROUP BY vec_id, j),
+        |buckets AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM pdots GROUP BY vec_id),
+        |cand AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |pz AS (
+        |  SELECT c.id_a, c.id_b, unnest(ea.embedding) AS a, unnest(eb.embedding) AS b
+        |  FROM cand c JOIN ext ea ON ea.vec_id = c.id_a JOIN ext eb ON eb.vec_id = c.id_b),
+        |pd AS (
+        |  SELECT id_a, id_b,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na,
+        |    sum(CAST(CAST(b AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS nb
+        |  FROM pz GROUP BY id_a, id_b)
+        |SELECT id_a, id_b,
+        |  CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cos
+        |FROM pd
+        |WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val ext = e.union(
+        e.filter(col("vec_id") % 5 === 0)
+          .withColumn("vec_id", col("vec_id") + 10000))
+        .select("vec_id", "embedding")
+      graft.llm.Dedup.embeddingNearDupPairs(ext, "vec_id", "embedding",
+          dim = 64, threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }
+
     r.weak("q_ivf_topk") { (s, dir) =>
       // k-means refinement isn't reasonably expressible in oracle SQL;
       // rows-only here, value-checked in WindowLlmSpec (subset of brute

@@ -124,6 +124,26 @@ object Dedup {
     docs.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket the
+    * vectors (blockwise), then exact-cosine only within buckets —
+    * candidate generation is the bucket equi-join, never all-pairs.
+    * Recall/selectivity trades via `planes` (fewer planes = bigger
+    * buckets = higher recall). */
+  def embeddingNearDupPairs(embeddings: DataFrame, idCol: String,
+                            vecCol: String, dim: Int, threshold: Double,
+                            planes: Int = 8): DataFrame = {
+    val bucketed = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), dim, planes))
+      .cache()
+    bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+      .join(bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb")),
+        Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** SimHash near-dup candidates: docs whose `bits`-bit simhash matches
     * exactly (cheap, coarse; Hamming-distance banding would subdivide the
     * hash for a finer pass). */
