@@ -203,10 +203,13 @@ object QueriesWindow {
         .orderBy("bucket")
     }
 
+    // threshold baked as the SAME integer literal both sides: Scala
+    // toLong truncates while a SQL CAST(double) rounds — an off-by-one
+    // at the hash boundary otherwise
     r.reg("q_sample_hash",
-      """SELECT o_orderkey FROM orders
-        |WHERE (o_orderkey * 2654435761) % 4294967296 < CAST(0.1 * 4294967296 AS BIGINT)
-        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      s"""SELECT o_orderkey FROM orders
+         |WHERE (o_orderkey * 2654435761) % 4294967296 < ${(0.1 * 4294967296L).toLong}
+         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       GraftFrame(t(s, dir, "orders"))
         .sampleByHash("o_orderkey", 0.1)
         .select("o_orderkey")
