@@ -45,5 +45,6 @@ object SparkEntry {
     "q_read_parquet", "q_assign_arith", "q_groupby_agg", "q_join_inner",
     "q_join_broadcast", "q_sort_multi", "q_rolling", "q_cumsum",
     "q_resample_agg", "q_asof_join", "q_text_stats", "q_dedup_exact",
-    "q_minhash_pairs", "q_cosine_topk", "q_ann_buckets")
+    "q_minhash_pairs", "q_near_dedup", "q_embed_dedup", "q_cosine_topk",
+    "q_ann_buckets")
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the text-hash hot path.
@@ -114,6 +114,47 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_sig"
 }
 
+/** Exact-decimal dot product of two double arrays — the native form of
+  * Similarity.dotExact. Per-element semantics replicate the declarative
+  * path bit-for-bit: IEEE double product, then the same
+  * toString-shortest-representation rounding Spark's double→decimal cast
+  * applies (java BigDecimal.valueOf + HALF_UP setScale), accumulated
+  * exactly. One virtual call per row instead of per-element lambda
+  * dispatch. */
+case class DotDecimal(left: Expression, right: Expression, scale: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = DecimalType(30, scale)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"dot_decimal needs two ARRAY<DOUBLE>, got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toDoubleArray()
+    val b = r.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(a.length, b.length)
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      acc = acc.add(java.math.BigDecimal.valueOf(a(i) * b(i))
+        .setScale(scale, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    Decimal(acc, 30, scale)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotDecimal =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_decimal"
+}
+
 /** One-pass token statistics: (n_tokens, sum_token_len, n_distinct,
   * n_stopwords, fingerprint) — the counters TextStats.qualityFrame
   * needs, computed in a single tokenization pass instead of five
@@ -178,4 +219,7 @@ object TextHashExprs {
     column(MinHashSig(expression(hashes), numHashes))
   def tokenStats(text: Column, stopwords: Seq[String]): Column =
     column(TokenStats(expression(text), stopwords))
+  def dotDecimal(a: Column, b: Column, scale: Int): Column =
+    column(DotDecimal(expression(a.cast("array<double>")),
+      expression(b.cast("array<double>")), scale))
 }

@@ -132,14 +132,20 @@ object Dedup {
   def embeddingNearDupPairs(embeddings: DataFrame, idCol: String,
                             vecCol: String, dim: Int, threshold: Double,
                             planes: Int = 8): DataFrame = {
+    // norms precomputed per VECTOR (not per pair — that would triple the
+    // dot-product work across every candidate pair)
     val bucketed = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", Similarity.lshBucket(col("v"), dim, planes))
+      .withColumn("norm", Similarity.normExact(col("v"), 12))
       .cache()
-    bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-      .join(bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb")),
-        Seq("bucket"))
+    bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"),
+        col("norm").as("na"))
+      .join(bucketed.select(col("bucket"), col("id").as("id_b"),
+        col("v").as("vb"), col("norm").as("nb")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cos",
+        Similarity.dotExact(col("va"), col("vb"), 12).cast("double") /
+          (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -32,6 +32,12 @@ object Similarity {
     * ratios like cosine); 18 keeps more of the product (use when the
     * decimal itself is the output). */
   def dotExact(a: Column, b: Column, scale: Int = 18): Column =
+    graft.functions.TextHashExprs.dotDecimal(a, b, scale)
+
+  /** The declarative (higher-order-function) form — kept as the
+    * documented reference semantics; WindowLlmSpec asserts the native
+    * expression matches it bit-for-bit. */
+  def dotExactDeclarative(a: Column, b: Column, scale: Int = 18): Column =
     aggregate(
       zip_with(a.cast("array<double>"), b.cast("array<double>"),
         (x, y) => (x * y).cast(DecimalType(25, scale))),

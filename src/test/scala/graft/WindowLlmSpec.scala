@@ -138,6 +138,17 @@ class WindowLlmSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("native DotDecimal matches declarative dotExact bit-for-bit") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    for (scale <- Seq(12, 18)) {
+      val diff = e.select(
+        Similarity.dotExact(col("embedding"), col("embedding"), scale).as("fast"),
+        Similarity.dotExactDeclarative(col("embedding"), col("embedding"), scale).as("slow"))
+        .filter(col("fast") =!= col("slow")).count()
+      assert(diff == 0, s"scale $scale: $diff rows differ")
+    }
+  }
+
   test("minhash signature: identical texts share signature, k hashes") {
     val docs = df(
       StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
