@@ -56,7 +56,8 @@ object QHelp {
     val s1 = dsum(c, 6).cast(DoubleType)
     val s2 = sum((c * c).cast(DecimalType(28, 4))).cast(DecimalType(38, 4)).cast(DoubleType)
     val n = count(c).cast(DoubleType)
-    (s2 - s1 * s1 / n) / (n - lit(1.0))
+    // n <= 1 -> null (ANSI divide-by-zero must not fail the job)
+    when(n > 1.0, (s2 - s1 * s1 / n) / (n - lit(1.0)))
   }
   // Scale 4 on the product sums: source columns carry <=2 decimal digits,
   // so products are exact at 4 — and the smaller unscaled magnitude keeps
@@ -76,7 +77,7 @@ object QHelp {
     val sx = dsum(x, 6).cast(DoubleType)
     val sy = dsum(y, 6).cast(DoubleType)
     val n = count(x).cast(DoubleType)
-    (sxy - sx * sy / n) / (n - lit(1.0))
+    when(n > 1.0, (sxy - sx * sy / n) / (n - lit(1.0)))
   }
   def dcovSql(x: String, y: String): String =
     s"((CAST(CAST(sum(CAST(($x) * ($y) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS DOUBLE)" +

@@ -144,8 +144,10 @@ object Dedup {
         col("v").as("vb"), col("norm").as("nb")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
-        Similarity.dotExact(col("va"), col("vb"), 12).cast("double") /
-          (col("na") * col("nb")))
+        org.apache.spark.sql.functions.when(col("na") * col("nb") === 0.0,
+          org.apache.spark.sql.functions.lit(null)).otherwise(
+          Similarity.dotExact(col("va"), col("vb"), 12).cast("double") /
+            (col("na") * col("nb"))))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

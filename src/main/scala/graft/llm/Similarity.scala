@@ -48,9 +48,14 @@ object Similarity {
     sqrt(dotExact(a, a, scale).cast("double"))
 
   /** Cosine similarity; scale-12 exact decimals convert to double without
-    * rounding, then the IEEE divide/sqrt chain is bit-stable. */
-  def cosine(a: Column, b: Column): Column =
-    dotExact(a, b, 12).cast("double") / (normExact(a, 12) * normExact(b, 12))
+    * rounding, then the IEEE divide/sqrt chain is bit-stable. Zero-norm
+    * vectors yield null (Spark 4 ANSI throws on divide-by-zero; a single
+    * zero vector must not fail the job). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = normExact(a, 12) * normExact(b, 12)
+    when(denom === 0.0, lit(null)).otherwise(
+      dotExact(a, b, 12).cast("double") / denom)
+  }
 
   /** Brute-force top-k neighbors of one query vector: broadcast the
     * 1-row query, score every row blockwise, TakeOrderedAndProject picks

@@ -35,9 +35,13 @@ object TextStats {
     size(array_distinct(t)).cast("double") / size(t)
   }
 
+  /** ANSI-safe: an empty string yields null, not a DIVIDE_BY_ZERO that
+    * kills the job (Spark 4 ANSI throws on x/0 — one empty doc in a
+    * 100 TB corpus must not fail the pipeline). */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
-      .cast("double") / length(text)
+    when(length(text) === 0, lit(null)).otherwise(
+      (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+        .cast("double") / length(text))
 
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
     size(filter(split(text, " "), w => w.isInCollection(stopwords)))

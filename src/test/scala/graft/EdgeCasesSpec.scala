@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.GraftFrame
+import graft.llm.{Dedup, Similarity, TextStats}
+import graft.operators.{Joins, WindowOps}
+
+/** Degenerate-input behavior: empty frames, single rows, short strings —
+  * the inputs a 100 TB pipeline inevitably contains somewhere. */
+class EdgeCasesSpec extends SparkTestBase {
+
+  private def empty = GraftFrame(kv())
+  private def one = GraftFrame(kv((1L, "a", 5.0)))
+
+  test("row ops on empty frames") {
+    assert(empty.filter(col("v") > 0).df.count() == 0)
+    assert(empty.select("id", "v").df.count() == 0)
+    assert(empty.distinct.df.count() == 0)
+    assert(empty.concat(one).df.count() == 1)
+    assert(empty.sortValues(Seq("id" -> true)).head(5).df.count() == 0)
+    assert(empty.tail(5, Seq("id" -> true)).df.count() == 0)
+  }
+
+  test("groupby on empty frame yields no groups") {
+    assert(empty.groupby("k").agg(sum("v").as("s")).df.count() == 0)
+    assert(empty.groupby("k").count().df.count() == 0)
+  }
+
+  test("merge with an empty side") {
+    assert(Joins.merge(empty.df, one.df, Seq("id"), "inner").count() == 0)
+    assert(Joins.merge(empty.df, one.df, Seq("id"), "outer").count() == 1)
+    assert(Joins.merge(one.df, empty.df, Seq("id"), "left").count() == 1)
+  }
+
+  test("asofJoin with empty right keeps all left rows with nulls") {
+    val out = Joins.asofJoin(one.df.withColumnRenamed("v", "lv"),
+      empty.df.withColumnRenamed("v", "rv").select("id", "k", "rv")
+        .withColumnRenamed("id", "t2"),
+      "id", "t2", Seq("k"))
+    assert(out.count() == 1)
+    assert(out.collect().head.isNullAt(out.columns.indexOf("rv")))
+  }
+
+  test("globalCumSum on empty and single-row frames") {
+    assert(WindowOps.globalCumSum(empty.df, "id", "v", "cs").count() == 0)
+    val r = WindowOps.globalCumSum(one.df, "id", "v", "cs").collect()
+    assert(r.length == 1 && r.head.getDouble(r.head.fieldIndex("cs")) == 5.0)
+  }
+
+  test("globalFfill with all-null and single-value columns") {
+    val d = kv((1L, "a", 0.0), (2L, "a", 0.0))
+      .withColumn("v", lit(null).cast(DoubleType))
+    val out = WindowOps.globalFfill(d, "id", "v", "ff").collect()
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("ff"))))
+  }
+
+  test("minhash on short and empty texts") {
+    val docs = df(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      Row(1L, ""), Row(2L, "one"), Row(3L, "two words"),
+      Row(4L, "three word doc"), Row(5L, "three word doc"))
+    // <3 tokens -> no shingles -> excluded; identical 3-token docs pair up
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.5).collect()
+    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet ==
+      Set((4L, 5L)))
+    val sigs = Dedup.signatures(docs, "doc_id", "text")
+    assert(sigs.filter(size(col("shingles")) > 0).count() == 2) // only the 3-token docs shingle
+  }
+
+  test("exact dedup on empty frame") {
+    val docs = df(StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))))
+    assert(Dedup.exact(docs, "doc_id", "text").count() == 0)
+  }
+
+  test("text stats on empty string") {
+    val d = df(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      Row(1L, ""))
+    val r = TextStats.qualityFrame(d, "doc_id", "text", Seq("the")).collect().head
+    // split('', -1) yields one empty token
+    assert(r.getAs[Int]("n_tokens") == 1)
+    assert(r.getAs[Int]("n_chars") == 0)
+  }
+
+  test("cosine of zero vector is null, not an ANSI divide-by-zero error") {
+    val sch = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val e = df(sch, Row(0L, Seq(0.0f, 0.0f)), Row(1L, Seq(1.0f, 0.0f)))
+    val r = Similarity.bruteForceTopK(e, "vec_id", "embedding", 0L, 1).collect()
+    assert(r.length == 1 && r.head.isNullAt(1))
+  }
+
+  test("mapOverlap on a single-partition single-row frame") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("echo", DoubleType)))
+    val out = one.mapOverlap("id", 1, 0, schema) { it =>
+      it.collect { case (true, row) => Row(row.getLong(0), row.getDouble(2)) }
+    }
+    assert(out.df.collect().toSeq == Seq(Row(1L, 5.0)))
+  }
+
+  test("sampleByHash fraction bounds") {
+    val d = GraftFrame(kv((1L to 100L).map(i => (i, "k", 1.0)): _*))
+    assert(d.sampleByHash("id", 0.0).df.count() == 0)
+    assert(d.sampleByHash("id", 1.0).df.count() == 100)
+  }
+}
