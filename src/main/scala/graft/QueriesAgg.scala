@@ -294,6 +294,61 @@ object QueriesAgg {
         max(col("l_quantity")).as("max"))
     }
 
+    r.reg("q_any_all",
+      """SELECT o_orderstatus,
+        |  bool_or(o_totalprice > 300000.0) AS any_big,
+        |  bool_and(o_totalprice > 1000.0) AS all_nontrivial
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .groupby("o_orderstatus")
+        .agg(bool_or(col("o_totalprice") > 300000.0).as("any_big"),
+          bool_and(col("o_totalprice") > 1000.0).as("all_nontrivial"))
+        .sortValues(Seq("o_orderstatus" -> true)).df
+    }
+
+    r.reg("q_groupby_product",
+      """SELECT l_orderkey, product(CAST(l_linenumber AS DOUBLE)) AS prod_ln
+        |FROM lineitem WHERE l_orderkey < 2000
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      // small exact integers: FP product is associative here, so the
+      // custom Aggregator's merge order cannot change the result
+      GraftFrame(t(s, dir, "lineitem").filter(col("l_orderkey") < 2000))
+        .groupby("l_orderkey")
+        .agg(graft.operators.WindowOps.product(
+          col("l_linenumber").cast(DoubleType)).as("prod_ln"))
+        .sortValues(Seq("l_orderkey" -> true)).df
+    }
+
+    // skew/kurt via explicit decimal central moments: the built-ins use
+    // engine-specific bias corrections and accumulation orders; the
+    // moment form is deterministic and identical in both engines.
+    r.reg("q_skew_kurt", {
+      def s1 = dsumSql("l_quantity", 6)
+      def s2 = "CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DECIMAL(38,4))"
+      def s3 = "CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(28,2))) AS DECIMAL(38,2))"
+      s"""SELECT l_returnflag,
+         |  ((CAST($s3 AS DOUBLE) / count(*)
+         |     - 3.0 * (CAST($s1 AS DOUBLE) / count(*)) * (CAST($s2 AS DOUBLE) / count(*))
+         |     + 2.0 * (CAST($s1 AS DOUBLE) / count(*)) * (CAST($s1 AS DOUBLE) / count(*)) * (CAST($s1 AS DOUBLE) / count(*)))
+         |   / ((CAST($s2 AS DOUBLE) / count(*) - (CAST($s1 AS DOUBLE) / count(*)) * (CAST($s1 AS DOUBLE) / count(*)))
+         |      * sqrt(CAST($s2 AS DOUBLE) / count(*) - (CAST($s1 AS DOUBLE) / count(*)) * (CAST($s1 AS DOUBLE) / count(*))))) AS skew_m
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    }) { (s, dir) =>
+      val q = col("l_quantity")
+      val n = count(lit(1)).cast(DoubleType)
+      val m1 = dsum(q, 6).cast(DoubleType) / n
+      val m2raw = sum((q * q).cast(DecimalType(28, 4))).cast(DecimalType(38, 4)).cast(DoubleType) / n
+      val m3raw = sum((q * q * q).cast(DecimalType(28, 2))).cast(DecimalType(38, 2)).cast(DoubleType) / n
+      GraftFrame(t(s, dir, "lineitem"))
+        .groupby("l_returnflag")
+        .agg({
+          val variance = m2raw - m1 * m1
+          ((m3raw - lit(3.0) * m1 * m2raw + lit(2.0) * m1 * m1 * m1)
+            / (variance * sqrt(variance))).as("skew_m")
+        })
+        .sortValues(Seq("l_returnflag" -> true)).df
+    }
+
     r.reg("q_describe_nonnum",
       """SELECT CAST(count(o_orderpriority) AS BIGINT) AS count,
         |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS unique,
