@@ -43,10 +43,14 @@ object QueriesAgg {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
       .groupby("l_returnflag", "l_linestatus")
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(discPrice).cast(DecimalType(38, 8)).as("sum_disc_price"),
-        sum(charge).cast(DecimalType(38, 8)).as("sum_charge"),
+        dsumD(col("l_quantity")).as("sum_qty"),
+        dsumD(col("l_extendedprice")).as("sum_base_price"),
+        // discPrice carries ≤4 real decimal digits (2-digit price ×
+        // 2-digit discount), charge ≤6 — so the scale reductions below are
+        // exact (no rounding), and the final double cast stays < 2^53
+        // unscaled at the gate SF (max group sum 5.3e8 at sf0.01).
+        sum(discPrice).cast(DecimalType(38, 4)).cast(DoubleType).as("sum_disc_price"),
+        sum(charge).cast(DecimalType(38, 6)).cast(DoubleType).as("sum_charge"),
         dmean(col("l_quantity")).as("avg_qty"),
         dmean(col("l_extendedprice")).as("avg_price"),
         dmean(col("l_discount")).as("avg_disc"),
@@ -56,10 +60,10 @@ object QueriesAgg {
 
   val q1PricingSql: String =
     s"""SELECT l_returnflag, l_linestatus,
-       |  ${dsumSql("l_quantity")} AS sum_qty,
-       |  ${dsumSql("l_extendedprice")} AS sum_base_price,
-       |  CAST(sum($discPriceSql) AS DECIMAL(38,8)) AS sum_disc_price,
-       |  CAST(sum($chargeSql) AS DECIMAL(38,8)) AS sum_charge,
+       |  ${dsumDSql("l_quantity")} AS sum_qty,
+       |  ${dsumDSql("l_extendedprice")} AS sum_base_price,
+       |  CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+       |  CAST(CAST(sum($chargeSql) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
        |  ${dmeanSql("l_quantity")} AS avg_qty,
        |  ${dmeanSql("l_extendedprice")} AS avg_price,
        |  ${dmeanSql("l_discount")} AS avg_disc,
@@ -214,14 +218,14 @@ object QueriesAgg {
 
     // ---- global reductions ----
     r.reg("q_reduce_global",
-      s"""SELECT ${dsumSql("l_quantity")} AS sum_qty,
+      s"""SELECT ${dsumDSql("l_quantity")} AS sum_qty,
          |  ${dmeanSql("l_quantity")} AS mean_qty,
          |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
          |  CAST(count(l_quantity) AS BIGINT) AS n,
          |  ${dvarSql("l_quantity")} AS var_qty
          |FROM lineitem""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem").agg(
-        dsum(col("l_quantity")).as("sum_qty"),
+        dsumD(col("l_quantity")).as("sum_qty"),
         dmean(col("l_quantity")).as("mean_qty"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),

@@ -53,13 +53,16 @@ object QueriesEmbed {
     // engines' rounding modes diverged on real data (r2 local run).
     r.reg("q_embed_norm",
       """SELECT vec_id,
-        |  CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(25,12))) AS DECIMAL(38,12)) AS norm2
+        |  CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(25,12))) AS DOUBLE) AS norm2
         |FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"),
+          // sum of 64 float32² at scale 12: unscaled ≲ 6.4e13 < 2^53, so
+          // the final decimal→double conversion is the same nearest double
+          // on both engines (raw DECIMAL outputs fail the driver hash, r2)
           Similarity.dotExact(col("embedding"), col("embedding"), 12)
-            .cast(DecimalType(38, 12)).as("norm2"))
+            .cast(DoubleType).as("norm2"))
         .orderBy("vec_id")
     }
 

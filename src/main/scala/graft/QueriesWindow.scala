@@ -21,7 +21,7 @@ object QueriesWindow {
 
     r.reg("q_rolling",
       """SELECT event_id, user_id,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(38,6)) AS roll_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS roll_sum,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / count(value) OVER w AS DOUBLE) AS roll_mean,
         |  min(value) OVER w AS roll_min,
         |  max(value) OVER w AS roll_max,
@@ -32,7 +32,9 @@ object QueriesWindow {
       val base = t(s, dir, "events").filter(col("user_id") < 30)
         .withColumn("dv", col("value").cast(DecimalType(18, 6)))
       val roll = Rolling(base, Seq("user_id"), "event_id", window = 3)
-      roll.withColumnRolled("roll_sum", roll.sum("dv").cast(DecimalType(38, 6)))
+      // decimal accumulation, DOUBLE output: raw DECIMAL result columns
+      // don't survive the driver's pyarrow-vs-DuckDB canonicalization (r2)
+      roll.withColumnRolled("roll_sum", roll.sum("dv").cast(DoubleType))
         .assign("roll_mean", roll.sum("dv").cast(DoubleType) / roll.count("value"))
         .assign("roll_min", roll.min("value"))
         .assign("roll_max", roll.max("value"))
@@ -61,7 +63,7 @@ object QueriesWindow {
 
     r.reg("q_rolling_time",
       """SELECT event_id, user_id,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(38,6)) AS tsum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS tsum,
         |  CAST(count(*) OVER w AS BIGINT) AS tn
         |FROM events WHERE user_id < 30
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
@@ -71,7 +73,7 @@ object QueriesWindow {
         .withColumn("dv", col("value").cast(DecimalType(18, 6)))
       val w = Rolling.byTime(base, Seq("user_id"), "ts", spanSeconds = 3600)
       GraftFrame(base
-        .withColumn("tsum", sum(col("dv")).over(w).cast(DecimalType(38, 6)))
+        .withColumn("tsum", sum(col("dv")).over(w).cast(DoubleType))
         .withColumn("tn", count(lit(1)).over(w)))
         .select("event_id", "user_id", "tsum", "tn")
         .sortValues(Seq("event_id" -> true)).df
@@ -81,7 +83,7 @@ object QueriesWindow {
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,6)))
         |    OVER (PARTITION BY user_id ORDER BY event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS csum,
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS csum,
         |  max(value) OVER (PARTITION BY user_id ORDER BY event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmax,
         |  CAST(count(value) OVER (PARTITION BY user_id ORDER BY event_id
@@ -91,7 +93,7 @@ object QueriesWindow {
         .withColumn("dv", col("value").cast(DecimalType(18, 6)))
       val w = WindowOps.cumWindow("event_id", Seq("user_id"))
       GraftFrame(base
-        .withColumn("csum", WindowOps.cumsum("dv", w).cast(DecimalType(38, 6)))
+        .withColumn("csum", WindowOps.cumsum("dv", w).cast(DoubleType))
         .withColumn("cmax", WindowOps.cummax("value", w))
         .withColumn("cn", WindowOps.cumcount("value", w)))
         .select("event_id", "user_id", "csum", "cmax", "cn")
@@ -102,13 +104,13 @@ object QueriesWindow {
       """SELECT event_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,6)))
         |    OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS DECIMAL(38,6)) AS gsum
+        |    AS DOUBLE) AS gsum
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       val base = t(s, dir, "events")
         .withColumn("dv", col("value").cast(DecimalType(18, 6)))
         .select("event_id", "dv")
       GraftFrame(WindowOps.globalCumSum(base, "event_id", "dv", "gsum"))
-        .assign("gsum", col("gsum").cast(DecimalType(38, 6)))
+        .assign("gsum", col("gsum").cast(DoubleType))
         .select("event_id", "gsum")
         .sortValues(Seq("event_id" -> true)).df
     }
@@ -180,13 +182,13 @@ object QueriesWindow {
 
     r.reg("q_resample_agg",
       """SELECT date_trunc('hour', ts) AS bucket,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS vsum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vsum,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
       val base = t(s, dir, "events")
         .withColumn("dv", col("value").cast(DecimalType(18, 6)))
       Resample.agg(base, "ts", "1 hour",
-          sum(col("dv")).cast(DecimalType(38, 6)).as("vsum"),
+          sum(col("dv")).cast(DoubleType).as("vsum"),
           count(lit(1)).as("n"))
         .orderBy("bucket")
     }

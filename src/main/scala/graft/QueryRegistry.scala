@@ -43,6 +43,16 @@ object QHelp {
   def dsumSql(x: String, scale: Int = 4): String =
     s"CAST(sum(CAST(($x) AS DECIMAL(28,$scale))) AS DECIMAL(38,$scale))"
 
+  /** dsum whose FINAL value is cast to DOUBLE — for queries whose output
+    * column is the sum itself. Accumulation stays decimal
+    * (order-independent); the trailing decimal→double conversion is the
+    * nearest-double on both engines while the unscaled value < 2^53, so
+    * the driver's dtype-sensitive hash matches (r2: raw DECIMAL output
+    * columns don't survive pyarrow-vs-DuckDB canonicalization). */
+  def dsumD(c: Column, scale: Int = 4): Column = dsum(c, scale).cast(DoubleType)
+  def dsumDSql(x: String, scale: Int = 4): String =
+    s"CAST(${dsumSql(x, scale)} AS DOUBLE)"
+
   /** Exact mean: decimal sum / count, final division in double. */
   def dmean(c: Column): Column =
     dsum(c, 6).cast(DoubleType) / count(c)
@@ -63,10 +73,13 @@ object QHelp {
   // so products are exact at 4 — and the smaller unscaled magnitude keeps
   // the decimal->double conversion exactly representable (a scale-8 sum of
   // squares exceeded 2^53 and double-rounded differently per engine).
+  // CASE mirrors the Spark-side when(n > 1) guard: a single-row group must
+  // be NULL on both engines, not inf/NaN on one (ADVICE r2).
   def dvarSql(x: String): String =
-    s"((CAST(CAST(sum(CAST(($x) * ($x) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS DOUBLE)" +
+    s"(CASE WHEN count($x) > 1 THEN " +
+      s"(CAST(CAST(sum(CAST(($x) * ($x) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS DOUBLE)" +
       s" - CAST(${dsumSql(x, 6)} AS DOUBLE) * CAST(${dsumSql(x, 6)} AS DOUBLE) / CAST(count($x) AS DOUBLE))" +
-      s" / (CAST(count($x) AS DOUBLE) - 1.0))"
+      s" / (CAST(count($x) AS DOUBLE) - 1.0) ELSE NULL END)"
 
   def dstd(c: Column): Column = sqrt(dvar(c))
   def dstdSql(x: String): String = s"sqrt(${dvarSql(x)})"
@@ -80,9 +93,10 @@ object QHelp {
     when(n > 1.0, (sxy - sx * sy / n) / (n - lit(1.0)))
   }
   def dcovSql(x: String, y: String): String =
-    s"((CAST(CAST(sum(CAST(($x) * ($y) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS DOUBLE)" +
+    s"(CASE WHEN count($x) > 1 THEN " +
+      s"(CAST(CAST(sum(CAST(($x) * ($y) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS DOUBLE)" +
       s" - CAST(${dsumSql(x, 6)} AS DOUBLE) * CAST(${dsumSql(y, 6)} AS DOUBLE) / CAST(count($x) AS DOUBLE))" +
-      s" / (CAST(count($x) AS DOUBLE) - 1.0))"
+      s" / (CAST(count($x) AS DOUBLE) - 1.0) ELSE NULL END)"
 
   def dcorr(x: Column, y: Column): Column = dcov(x, y) / sqrt(dvar(x) * dvar(y))
   def dcorrSql(x: String, y: String): String =

@@ -3,6 +3,7 @@
 DuckDB oracle on the same tables. Usage: compare.py <sfDir> <outDir>"""
 import sys, json, glob, os
 import duckdb
+import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -18,7 +19,11 @@ for name in sorted(os.listdir(outdir)):
     d = os.path.join(outdir, name)
     if not os.path.isdir(d):
         continue
-    got = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
+    # Read the Spark output via pyarrow/pandas (like the driver), NOT via
+    # DuckDB: DuckDB fetchdf normalizes DECIMAL to float64 on both sides,
+    # hiding decimal/object dtype divergence the driver's gate can see.
+    parts = sorted(glob.glob(f"{d}/*.parquet"))
+    got = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
     if name not in oracle:
         weak.append((name, len(got)))
         continue
