@@ -43,7 +43,11 @@ object GraftSession {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      // keyed on the table NAME too: only the driver's events fixture
+      // carries TIMESTAMP(NANOS); a user table with a legitimate bigint
+      // 'ts' (e.g. epoch millis) must not be reinterpreted (r2 ADVICE)
+      if (name == "events" && f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType)
         d.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000"))

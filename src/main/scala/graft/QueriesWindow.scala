@@ -210,7 +210,7 @@ object QueriesWindow {
     // at the hash boundary otherwise
     r.reg("q_sample_hash",
       s"""SELECT o_orderkey FROM orders
-         |WHERE (o_orderkey * 2654435761) % 4294967296 < ${(0.1 * 4294967296L).toLong}
+         |WHERE (o_orderkey % 2147483648) * 2654435761 % 4294967296 < ${(0.1 * 4294967296L).toLong}
          |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       GraftFrame(t(s, dir, "orders"))
         .sampleByHash("o_orderkey", 0.1)

@@ -122,7 +122,12 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     * 100 TB corpus. */
   def sampleByHash(keyCol: String, fraction: Double): GraftFrame = {
     val threshold = (fraction * 4294967296L).toLong
-    lift(df.filter(pmod(col(keyCol) * 2654435761L, lit(4294967296L)) < threshold))
+    // The key is reduced to 31 bits BEFORE the Knuth multiply: (2^31-1) *
+    // 2654435761 ≈ 5.7e18 stays inside Long, so a BIGINT key of any
+    // magnitude can't overflow (ANSI would throw; ADVICE r2).
+    lift(df.filter(
+      pmod(pmod(col(keyCol), lit(2147483648L)) * 2654435761L,
+        lit(4294967296L)) < threshold))
   }
 
   /** set_index: range-shuffle + local sort, the reference's SetIndex

@@ -102,26 +102,70 @@ object Dedup {
   }
 
   /** Near-dedup: drop every doc that joins a duplicate cluster with a
-    * smaller-id member. Components are resolved by iterative min-label
-    * propagation over the pair graph (duplicate clusters are short chains
-    * in practice; `iterations` bounds the join loop). */
+    * smaller-id member. Components are resolved by min-label propagation
+    * over the pair graph with POINTER DOUBLING (label := label-of-label
+    * each pass → log₂ convergence) iterated until no label changes — a
+    * fixed hop budget under-drops long transitive chains (boilerplate
+    * clusters at corpus scale can chain arbitrarily far). `maxIterations`
+    * is a runaway backstop, not the convergence mechanism: 30 doublings
+    * cover chains of ~2^30 docs. */
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                         threshold: Double, iterations: Int = 3): DataFrame = {
+                         threshold: Double, maxIterations: Int = 30): DataFrame = {
     val pairs = nearDuplicatePairs(docs, idCol, textCol, threshold)
       .select(col("id_a"), col("id_b")).cache()
-    // labels: id -> smallest id reachable (bounded hops)
-    var labels = pairs.select(col("id_b").as("id"), col("id_a").as("label"))
-      .union(pairs.select(col("id_a").as("id"), col("id_a").as("label")))
+    val labels = minLabelComponents(pairs, maxIterations)
+    // labels/pairs stay cached: the returned frame is lazy, and an eager
+    // unpersist here would replay the whole iterative lineage on first use
+    val toDrop = labels.filter(col("id") =!= col("label")).select(col("id"))
+    docs.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** Min-label connected components over an undirected (id_a, id_b) pair
+    * graph: returns (id, label) where label is the smallest id in the
+    * node's component. Each pass does (1) neighbor-min — labels flow one
+    * hop along edges, the step that guarantees convergence to the true
+    * component minimum — and (2) pointer doubling (label :=
+    * label-of-label), which compresses chains so the loop needs ~log₂
+    * passes, iterated UNTIL STABLE. `maxIterations` is a runaway
+    * backstop, not the convergence mechanism (r2's fixed 3-pass budget
+    * under-dropped long transitive clusters). */
+  def minLabelComponents(pairs: DataFrame, maxIterations: Int = 30): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .cache()
+    var labels = edges.select(col("u").as("id"), col("v").as("label"))
+      .union(edges.select(col("u").as("id"), col("u").as("label")))
       .groupBy("id").agg(min("label").as("label"))
-    for (_ <- 1 to iterations) {
-      labels = labels.as("l")
-        .join(labels.select(col("id").as("label"), col("label").as("parent")).as("p"),
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      iter += 1
+      // (1) neighbor-min: each node adopts the smallest label among its
+      // neighbors (without this, a node whose neighbors all carry larger
+      // ids never learns the component min through them)
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .select(col("u").as("id"), col("label"))
+      val combined = labels.union(viaEdges)
+        .groupBy("id").agg(min("label").as("label"))
+      // (2) pointer doubling: follow label-of-label to halve chain depth
+      val next = combined.as("l")
+        .join(combined.select(col("id").as("label"), col("label").as("parent")).as("p"),
           Seq("label"), "left")
         .select(col("id"), least(col("label"), coalesce(col("parent"), col("label"))).as("label"))
         .groupBy("id").agg(min("label").as("label"))
+        .cache()
+      // one cheap existence probe per pass; caches truncate the iterative
+      // plan so each pass re-reads materialized labels, not the lineage
+      converged = next.as("n")
+        .join(labels.select(col("id"), col("label").as("prev")).as("o"), Seq("id"))
+        .filter(col("label") =!= col("prev"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
     }
-    val toDrop = labels.filter(col("id") =!= col("label")).select(col("id"))
-    docs.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    labels
   }
 
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket the

@@ -21,19 +21,40 @@ object Ivf {
         (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Deterministic centroids: every (n/nCells)-th vector by id seeds a
-    * cell, refined with `iters` Lloyd steps. Returns (cell, centroid). */
+  /** Deterministic 31-bit Knuth hash of an id — engine-agnostic, can't
+    * overflow Long for any BIGINT key (key masked to 31 bits first). */
+  private def idHash(id: Column): Column =
+    pmod(pmod(id, lit(2147483648L)) * 2654435761L, lit(4294967296L))
+
+  /** Deterministic centroids trained ON A SAMPLE: the `trainFraction`
+    * hash-sample of the corpus seeds and Lloyd-refines the cells; full-data
+    * work happens only at `assign` time (blockwise, no shuffle). No
+    * driver-side count() — at 100 TB a count plus `iters` full-corpus
+    * Lloyd passes would dominate the whole pipeline, and k-means centroids
+    * converge on a fixed-size sample regardless of corpus size (size the
+    * fraction to ~100k vectors). Returns (cell, centroid). */
   def train(embeddings: DataFrame, idCol: String, vecCol: String,
-            nCells: Int, iters: Int = 2): DataFrame = {
-    val n = embeddings.count()
-    val step = math.max(1L, n / nCells)
-    var centroids = embeddings
-      .filter(pmod(col(idCol), lit(step)) === 0)
-      .orderBy(col(idCol)).limit(nCells)
-      .select((col(idCol) / step).cast("int").as("cell"),
+            nCells: Int, iters: Int = 2,
+            trainFraction: Double = 1.0): DataFrame = {
+    val ts =
+      if (trainFraction >= 1.0) embeddings
+      else embeddings.filter(
+        idHash(col(idCol)) < (trainFraction * 4294967296L).toLong)
+    // seeds: the nCells sample vectors with the smallest id-hash — a
+    // TakeOrdered (per-partition top-k, no global sort), deterministic on
+    // any partitioning; the row_number window runs on ≤ nCells rows.
+    val seeds = ts
+      .select(col(idCol).as("__id__"),
         col(vecCol).cast("array<double>").as("centroid"))
+      .withColumn("__h__", idHash(col("__id__")))
+      .orderBy(col("__h__").asc, col("__id__").asc).limit(nCells)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__h__").asc, col("__id__").asc)
+    var centroids = seeds
+      .withColumn("cell", (row_number().over(w) - 1).cast("int"))
+      .select("cell", "centroid")
     for (_ <- 1 to iters) {
-      val assigned = assign(embeddings, idCol, vecCol, centroids)
+      val assigned = assign(ts, idCol, vecCol, centroids)
       centroids = assigned
         .select(col("cell"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
         .groupBy("cell", "pos").agg(avg("v").as("m"))

@@ -131,8 +131,13 @@ object Joins {
     val cols = (by ++ leftOnly ++ rightVals ++ Seq("__ts__", "__side__")).map(col(_))
     val unioned = lFull.select(cols: _*).unionByName(rFull.select(cols: _*))
 
+    // tertiary sort on the right value columns: multiple right rows
+    // sharing a timestamp within a by-group must carry in a deterministic
+    // order (last-by-lexicographic-value), or the matched value differs
+    // run-to-run (r2 ADVICE)
+    val tieBreak = rightVals.map(c => col(c).asc_nulls_first)
     val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("__ts__").asc, col("__side__").asc)
+      .orderBy(col("__ts__").asc +: col("__side__").asc +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightVals.foldLeft(unioned)((d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))

@@ -108,4 +108,33 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(d.sampleByHash("id", 0.0).df.count() == 0)
     assert(d.sampleByHash("id", 1.0).df.count() == 100)
   }
+
+  test("mapOverlap cascades boundary rows past partitions smaller than the window") {
+    // 40 rows spread over ~32 range partitions → most partitions hold 1-2
+    // rows, far fewer than before=5: correct rolling sums REQUIRE boundary
+    // rows to cascade across several successor partitions (r2 ADVICE
+    // found adjacent-only forwarding silently wrong here)
+    val rows = (1L to 40L).map(i => (i, "k", i.toDouble))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val d = kv(rows: _*)
+      val got = WindowOps.globalRollingSum(d.select(col("id"), col("v")), "id", "v", 5, "rs")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val expect = (1L to 40L).map { i =>
+        i -> (math.max(1L, i - 4) to i).map(_.toDouble).sum
+      }.toMap
+      assert(got == expect)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("sampleByHash on keys > 2^33 doesn't overflow and samples ~fraction") {
+    // pre-fix, key * 2654435761 wrapped (and throws under ANSI) for keys
+    // >= ~3.5e9; the 31-bit mask keeps the product inside Long for any key
+    val big = (0L until 2000L).map(i => ((1L << 33) + i * 7919L, "k", 1.0))
+    val d = GraftFrame(kv(big: _*))
+    val n = d.sampleByHash("id", 0.25).df.count()
+    assert(n > 300 && n < 700, s"expected ~500 of 2000, got $n")
+    assert(d.sampleByHash("id", 1.0).df.count() == 2000)
+  }
 }

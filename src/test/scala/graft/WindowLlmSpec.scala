@@ -182,6 +182,25 @@ class WindowLlmSpec extends SparkTestBase {
     assert(kept == Set(1L, 3L))
   }
 
+  test("minLabelComponents: 40-hop chain, star with larger hub, isolated pair") {
+    val pairSchema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    // chain 1-2-3-...-40 (far beyond r2's fixed 3-pass budget), a
+    // component where node 2's only neighbor is LARGER (2-3, 1-3: the
+    // min reaches 2 only via neighbor-min, not pointer doubling alone),
+    // and an isolated pair
+    val chain = (1L until 40L).map(i => Row(i + 100L, i + 101L))
+    val star = Seq(Row(2L, 3L), Row(1L, 3L))
+    val iso = Seq(Row(900L, 901L))
+    val pairs = df(pairSchema, (chain ++ star ++ iso): _*)
+    val labels = Dedup.minLabelComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((101L to 140L).forall(labels(_) == 101L),
+      s"chain labels: ${(101L to 140L).map(labels).distinct}")
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(900L) == 900L && labels(901L) == 900L)
+  }
+
   test("exact dedup keeps first by id, canonicalizes whitespace/case") {
     val docs = df(
       StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
