@@ -106,7 +106,59 @@ object QueriesText {
         |  regexp_extract(source, '([0-9]+)', 1) AS src_num,
         |  CAST(regexp_matches(text, '^(?:key|data)') AS BOOLEAN) AS starts_kw,
         |  reverse(source) AS rev,
-        |  repeat(source, 2) AS rep2
+        |  repeat(source, 2) AS rep2,
+        |  lpad(source, 8, '0') AS zf,
+        |  ltrim(text) AS ls, rtrim(text) AS rs,
+        |  upper(substr(source, 1, 1)) || lower(substr(source, 2)) AS cap,
+        |  CASE WHEN length(source) = 0 THEN ''
+        |       ELSE list_aggregate(list_transform(string_split(source, ''),
+        |              x -> CASE WHEN x = lower(x) THEN upper(x) ELSE lower(x) END),
+        |            'string_agg', '') END AS sw_case,
+        |  CASE WHEN length(source) >= 11 THEN source
+        |       ELSE rpad(lpad(source,
+        |              CAST(length(source) + floor((11 - length(source)) / 2) AS INTEGER),
+        |              '*'), 11, '*') END AS ctr,
+        |  CASE WHEN strpos(source, 'r') = 0 THEN [source, '', '']
+        |       ELSE [substr(source, 1, strpos(source, 'r') - 1), 'r',
+        |             substr(source, strpos(source, 'r') + 1)] END AS part3,
+        |  CASE WHEN strpos(reverse(text), ' ') = 0 THEN ['', '', text]
+        |       ELSE [substr(text, 1, length(text) - strpos(reverse(text), ' ')), ' ',
+        |             substr(text, length(text) - strpos(reverse(text), ' ') + 2)]
+        |       END AS rpart3,
+        |  CASE WHEN starts_with(source, 'src') THEN substr(source, 4)
+        |       ELSE source END AS rmp,
+        |  CASE WHEN ends_with(source, '1') THEN substr(source, 1, length(source) - 1)
+        |       ELSE source END AS rms,
+        |  translate(source, 'src', 'XYZ') AS tl,
+        |  regexp_extract_all(text, 'da[a-z]+') AS fa,
+        |  CAST(CASE WHEN strpos(reverse(text), reverse('data')) = 0 THEN -1
+        |       ELSE length(text) - 4 - strpos(reverse(text), reverse('data')) + 1
+        |       END AS INTEGER) AS rf,
+        |  CAST(CASE WHEN strpos(text, 'data') = 0 THEN NULL
+        |       ELSE strpos(text, 'data') - 1 END AS INTEGER) AS idx0,
+        |  CAST(CASE WHEN strpos(reverse(text), reverse('data')) = 0 THEN NULL
+        |       ELSE length(text) - 4 - strpos(reverse(text), reverse('data')) + 1
+        |       END AS INTEGER) AS ridx,
+        |  CAST(regexp_matches(source,
+        |    '^[^A-Za-z]*(?:[A-Z][a-z]*[^A-Za-z]+)*(?:[A-Z][a-z]*)?[^A-Za-z]*$')
+        |    AND regexp_matches(source, '[A-Za-z]') AS BOOLEAN) AS ist,
+        |  CAST(regexp_matches(upper(substr(source, 1, 1)) || lower(substr(source, 2)),
+        |    '^[^A-Za-z]*(?:[A-Z][a-z]*[^A-Za-z]+)*(?:[A-Z][a-z]*)?[^A-Za-z]*$')
+        |    AND regexp_matches(source, '[A-Za-z]') AS BOOLEAN) AS ist_cap,
+        |  CAST(regexp_matches(source, '^[0-9]+$') AS BOOLEAN) AS isdec,
+        |  nfc_normalize(text) AS nfc,
+        |  rtrim(regexp_replace(substr(text, 1, 30), '(.{1,12})( +|$)',
+        |    '\1' || chr(10), 'g'), chr(10)) AS wr,
+        |  list_extract(string_split(text, ' '), 3) AS w2,
+        |  CAST(regexp_matches(text, '^(?:[a-z ]+)$') AS BOOLEAN) AS fm,
+        |  CAST(regexp_matches(source, '^[A-Za-z]+$') AS BOOLEAN) AS isal,
+        |  CAST(regexp_matches(source, '^[A-Za-z0-9]+$') AS BOOLEAN) AS isaln,
+        |  CAST(regexp_matches(source, '^\s+$') AS BOOLEAN) AS issp,
+        |  CAST(source = lower(source) AND regexp_matches(source, '[A-Za-z]') AS BOOLEAN) AS islo,
+        |  CAST(source = upper(source) AND regexp_matches(source, '[A-Za-z]') AS BOOLEAN) AS isup,
+        |  CAST(regexp_matches(source, '^[0-9]+$') AS BOOLEAN) AS isdg,
+        |  CASE WHEN source IS NULL OR lang IS NULL THEN NULL
+        |       ELSE source || '|' || lang END AS catl
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import graft.api.StrOps._
       t(s, dir, "documents").filter(col("doc_id") < 100)
@@ -126,7 +178,35 @@ object QueriesText {
           col("source").strExtract("([0-9]+)", 1).as("src_num"),
           col("text").strMatch("key|data").as("starts_kw"),
           col("source").strReverse.as("rev"),
-          col("source").strRepeat(2).as("rep2"))
+          col("source").strRepeat(2).as("rep2"),
+          col("source").strZfill(8).as("zf"),
+          col("text").strLstrip.as("ls"), col("text").strRstrip.as("rs"),
+          col("source").strCapitalize.as("cap"),
+          col("source").strSwapcase.as("sw_case"),
+          col("source").strCenter(11, "*").as("ctr"),
+          col("source").strPartition("r").as("part3"),
+          col("text").strRpartition(" ").as("rpart3"),
+          col("source").strRemoveprefix("src").as("rmp"),
+          col("source").strRemovesuffix("1").as("rms"),
+          col("source").strTranslate("src", "XYZ").as("tl"),
+          col("text").strFindall("da[a-z]+").as("fa"),
+          col("text").strRfind("data").as("rf"),
+          col("text").strIndexOf("data").as("idx0"),
+          col("text").strRindex("data").as("ridx"),
+          col("source").strIstitle.as("ist"),
+          col("source").strCapitalize.strIstitle.as("ist_cap"),
+          col("source").strIsdecimal.as("isdec"),
+          col("text").strNormalize.as("nfc"),
+          col("text").strSlice(0, 30).strWrap(12).as("wr"),
+          col("text").strSplitGet(" ", 2).as("w2"),
+          col("text").strFullmatch("[a-z ]+").as("fm"),
+          col("source").strIsalpha.as("isal"),
+          col("source").strIsalnum.as("isaln"),
+          col("source").strIsspace.as("issp"),
+          col("source").strIslower.as("islo"),
+          col("source").strIsupper.as("isup"),
+          col("source").strIsdigit.as("isdg"),
+          col("source").strCatAligned(col("lang"), "|").as("catl"))
         .orderBy("doc_id")
     }
 
@@ -144,7 +224,26 @@ object QueriesText {
         |  date_trunc('day', ts) AS norm,
         |  strftime(ts, '%Y-%m-%d %H') AS fmt,
         |  monthname(ts) AS mn, dayname(ts) AS dn,
-        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep,
+        |  CAST(strftime(ts, '%f') AS INTEGER) AS micro,
+        |  CAST(isoyear(ts) AS INTEGER) AS iso_y,
+        |  CAST(isodow(ts) AS INTEGER) AS iso_d,
+        |  strftime(ts, '%Y-%m') AS per_m,
+        |  CAST(year(ts) AS VARCHAR) || 'Q' || CAST(quarter(ts) AS VARCHAR) AS per_q,
+        |  strftime(ts, '%Y-%m-%d') AS per_d,
+        |  CAST(epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS DOUBLE) / 1000000 AS sec_of_day,
+        |  timezone('UTC', timezone('America/New_York', ts)) AS tz_loc,
+        |  CAST(day(ts) = 1 AND (month(ts) - 1) % 3 = 0 AS BOOLEAN) AS is_qs,
+        |  CAST(CAST(ts AS DATE) = last_day(ts) AND month(ts) % 3 = 0 AS BOOLEAN) AS is_qe,
+        |  CAST(dayofyear(ts) = 1 AS BOOLEAN) AS is_ys,
+        |  CAST(month(ts) = 12 AND day(ts) = 31 AS BOOLEAN) AS is_ye,
+        |  CAST(day(ts) = day(last_day(ts)) AS BOOLEAN) AS is_me,
+        |  CASE WHEN date_trunc('hour', ts) = ts THEN ts
+        |       ELSE date_trunc('hour', ts) + INTERVAL 1 HOUR END AS ceil_h,
+        |  CASE WHEN (epoch_us(ts) - epoch_us(date_trunc('hour', ts)))
+        |          < (epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) - epoch_us(ts))
+        |       THEN date_trunc('hour', ts)
+        |       ELSE date_trunc('hour', ts) + INTERVAL 1 HOUR END AS round_h
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin) { (s, dir) =>
       import graft.api.DtOps._
       t(s, dir, "events").filter(col("event_id") < 500)
@@ -161,8 +260,35 @@ object QueriesText {
           col("ts").dtNormalize.cast(TimestampNTZType).as("norm"),
           col("ts").dtStrftime("yyyy-MM-dd HH").as("fmt"),
           col("ts").dtMonthName.as("mn"), col("ts").dtDayName.as("dn"),
-          col("ts").dtEpochSeconds.as("ep"))
+          col("ts").dtEpochSeconds.as("ep"),
+          col("ts").dtMicrosecond.as("micro"),
+          col("ts").dtIsoYear.as("iso_y"),
+          col("ts").dtIsoDow.as("iso_d"),
+          col("ts").dtToPeriod("M").as("per_m"),
+          col("ts").dtToPeriod("Q").as("per_q"),
+          col("ts").dtToPeriod("D").as("per_d"),
+          graft.api.DtOps.secondsBetween(col("ts").dtNormalize, col("ts")).as("sec_of_day"),
+          col("ts").dtTzLocalize("America/New_York").cast(TimestampNTZType).as("tz_loc"),
+          col("ts").dtIsQuarterStart.as("is_qs"),
+          col("ts").dtIsQuarterEnd.as("is_qe"),
+          col("ts").dtIsYearStart.as("is_ys"),
+          col("ts").dtIsYearEnd.as("is_ye"),
+          col("ts").dtIsMonthEnd.as("is_me"),
+          col("ts").dtCeil("hour").cast(TimestampNTZType).as("ceil_h"),
+          col("ts").dtRound("hour").cast(TimestampNTZType).as("round_h"))
         .orderBy("event_id")
+    }
+
+    r.reg("q_str_dummies",
+      """SELECT doc_id,
+        |  CAST(list_contains(string_split(lang, ','), 'de') AS INTEGER) AS lang_de,
+        |  CAST(list_contains(string_split(lang, ','), 'en') AS INTEGER) AS lang_en,
+        |  CAST(list_contains(string_split(lang, ','), 'fr') AS INTEGER) AS lang_fr
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "documents").filter(col("doc_id") < 200))
+        .strGetDummies("lang", ",", Seq("de", "en", "fr"))
+        .select("doc_id", "lang_de", "lang_en", "lang_fr")
+        .sortValues(Seq("doc_id" -> true)).df
     }
 
     r.reg("q_factorize",

@@ -79,6 +79,24 @@ object QueriesWindow {
         .sortValues(Seq("event_id" -> true)).df
     }
 
+    // integer-valued doubles: sum-of-squares is exact, so the Scala-side
+    // lambda (collect_list order) and the engine window sum agree bitwise
+    r.reg("q_rolling_apply",
+      """SELECT event_id, user_id,
+        |  CASE WHEN count(v) OVER w >= 2 THEN sum(v * v) OVER w ELSE NULL END AS ssq
+        |FROM (SELECT event_id, user_id, floor(value) AS v
+        |      FROM events WHERE user_id < 30)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events").filter(col("user_id") < 30)
+        .withColumn("v", floor(col("value")).cast(DoubleType))
+      val roll = Rolling(base, Seq("user_id"), "event_id", window = 4, minPeriods = 2)
+      roll.withColumnRolled("ssq", roll.applyRows("v", xs => xs.map(x => x * x).sum))
+        .select("event_id", "user_id", "ssq")
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
     r.reg("q_cumsum",
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,6)))

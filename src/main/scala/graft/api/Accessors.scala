@@ -52,7 +52,102 @@ object StrOps {
     def strIsspace: Column = c.rlike("^\\s+$")
     def strIslower: Column = c === F.lower(c) && c.rlike("[A-Za-z]")
     def strIsupper: Column = c === F.upper(c) && c.rlike("[A-Za-z]")
+
+    // ---- breadth additions (reference `_str_accessor.py:22-76`) ----
+
+    /** simple case fold (full Unicode folding ≈ lower for ASCII). */
+    def strCasefold: Column = F.lower(c)
+    def strCapitalize: Column =
+      F.concat(F.upper(c.substr(F.lit(1), F.lit(1))),
+        F.lower(c.substr(F.lit(2), F.length(c))))
+    /** per-char case swap — lambda over chars (elementwise, no shuffle). */
+    def strSwapcase: Column =
+      F.concat_ws("", F.transform(F.split(c, ""), ch =>
+        when(ch === F.lower(ch), F.upper(ch)).otherwise(F.lower(ch))))
+    /** python str.center: extra pad char goes to the right. */
+    def strCenter(width: Int, fill: String = " "): Column = {
+      val len = F.length(c)
+      val leftTarget = (len + F.floor((F.lit(width) - len) / 2).cast("int")).cast("int")
+      when(len >= width, c).otherwise(
+        F.call_function("rpad",
+          F.call_function("lpad", c, leftTarget, lit(fill)), lit(width), lit(fill)))
+    }
+    /** (before, sep, after) of the FIRST occurrence; (whole, "", "") when
+      * absent — pandas str.partition as a 3-element array. */
+    def strPartition(sep: String): Column = {
+      val pos = F.instr(c, sep)
+      when(pos === 0, F.array(c, lit(""), lit("")))
+        .otherwise(F.array(c.substr(F.lit(1), pos - 1), lit(sep),
+          c.substr(pos + sep.length, F.length(c))))
+    }
+    /** (before, sep, after) of the LAST occurrence; ("", "", whole) when
+      * absent — pandas str.rpartition. */
+    def strRpartition(sep: String): Column = {
+      val rpos = F.instr(F.reverse(c), sep.reverse)
+      val start = F.length(c) - sep.length - rpos + 2 // 1-based last-match start
+      when(rpos === 0, F.array(lit(""), lit(""), c))
+        .otherwise(F.array(c.substr(F.lit(1), start - 1), lit(sep),
+          c.substr(start + sep.length, F.length(c))))
+    }
+    /** rsplit on a LITERAL separator with maxsplit n (reverse/split/
+      * un-reverse; n<0 = plain split). */
+    def strRsplit(sep: String, n: Int = -1): Column =
+      if (n < 0) F.split(c, java.util.regex.Pattern.quote(sep))
+      else F.reverse(F.transform(
+        F.split(F.reverse(c), java.util.regex.Pattern.quote(sep.reverse), n + 1),
+        x => F.reverse(x)))
+    def strRemoveprefix(p: String): Column =
+      when(c.startsWith(p), c.substr(F.lit(p.length + 1), F.length(c))).otherwise(c)
+    def strRemovesuffix(s: String): Column =
+      when(c.endsWith(s) && F.length(c) >= s.length,
+        c.substr(F.lit(1), F.length(c) - s.length)).otherwise(c)
+    def strTranslate(from: String, to: String): Column = F.translate(c, from, to)
+    /** all non-overlapping matches of `pat` (pandas findall). */
+    def strFindall(pat: String): Column =
+      F.regexp_extract_all(c, lit(pat), F.lit(0))
+    /** 0-based position of LAST occurrence, -1 if absent (pandas rfind). */
+    def strRfind(sub: String): Column = {
+      val rpos = F.instr(F.reverse(c), sub.reverse)
+      when(rpos === 0, F.lit(-1)).otherwise(F.length(c) - sub.length - rpos + 1)
+    }
+    /** pandas index/rindex raise on a miss; null is the SQL analog. */
+    def strIndexOf(sub: String): Column = {
+      val pos = F.instr(c, sub)
+      when(pos === 0, F.lit(null).cast("int")).otherwise(pos - 1)
+    }
+    def strRindex(sub: String): Column = {
+      val r = strRfind(sub)
+      when(r === -1, F.lit(null).cast("int")).otherwise(r)
+    }
+    /** python str.istitle via RE2-safe regex (no lookahead): optional
+      * leading non-alpha, then Word(non-alpha+) groups, optional final
+      * Word, trailing non-alpha; plus >=1 cased char. ASCII approx. */
+    def strIstitle: Column =
+      c.rlike("^[^A-Za-z]*(?:[A-Z][a-z]*[^A-Za-z]+)*(?:[A-Z][a-z]*)?[^A-Za-z]*$") &&
+        c.rlike("[A-Za-z]")
+    /** ASCII approximations (pandas uses Unicode categories). */
+    def strIsdecimal: Column = c.rlike("^[0-9]+$")
+    def strIsnumeric: Column = c.rlike("^[0-9]+$")
+    /** Unicode NFC normalize — inherently a JVM text op, the one UDF in
+      * the family (elementwise; not on any aggregation hot path). */
+    def strNormalize: Column = StrOps.nfcNormalize(c)
+    /** greedy wrap at `width` breaking on spaces (textwrap approx),
+      * no trailing newline. */
+    def strWrap(width: Int): Column =
+      F.rtrim(F.regexp_replace(c, s"(.{1,$width})( +|$$)", "$1\n"), "\n")
+    /** element-aligned cat: null if EITHER side is null (pandas na
+      * propagation; concat_ws would skip the null side). */
+    def strCatAligned(other: Column, sep: String): Column =
+      when(c.isNull || other.isNull, F.lit(null).cast("string"))
+        .otherwise(F.concat(c, lit(sep), other))
+    def strEncode(charset: String): Column = F.encode(c, charset)
+    def strDecode(charset: String): Column = F.decode(c, charset)
   }
+
+  private val nfcNormalize =
+    F.udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
 
   /** elementwise concat-with-sep (reference CatBlockwise
     * `_str_accessor.py:125-135`). */
@@ -99,12 +194,14 @@ object DtOps {
       when(floored === c, c).otherwise(
         floored + F.expr(s"INTERVAL 1 $unit"))
     }
-    /** half-up round to unit (pandas dt.round). */
+    /** half-up round to unit (pandas dt.round is half-to-even; half-up
+      * documented divergence). Micros-exact distances — the previous
+      * cast-to-long compared truncated seconds. */
     def dtRound(unit: String): Column = {
       val floored = F.date_trunc(unit, c)
       val ceiled = floored + F.expr(s"INTERVAL 1 $unit")
-      val toFloor = c.cast("long") - floored.cast("long")
-      val toCeil = ceiled.cast("long") - c.cast("long")
+      val toFloor = DtOps.secondsBetween(floored, c)
+      val toCeil = DtOps.secondsBetween(c, ceiled)
       when(toFloor < toCeil, floored).otherwise(ceiled)
     }
     /** strftime via Spark datetime patterns (pandas strftime uses C
@@ -116,5 +213,45 @@ object DtOps {
     def dtEpochSeconds: Column = F.unix_timestamp(c)
     def dtTzConvert(tz: String): Column = F.from_utc_timestamp(c, tz)
     def dtTzToUtc(tz: String): Column = F.to_utc_timestamp(c, tz)
+
+    // ---- breadth additions (reference `_datetime.py:16-76`) ----
+
+    /** microseconds within the current second (pandas .dt.microsecond). */
+    def dtMicrosecond: Column = F.date_format(c, "SSSSSS").cast("int")
+    /** nanos within the current microsecond — identically 0 at the µs
+      * resolution Spark timestamps carry (honest, not a stub). */
+    def dtNanosecond: Column = F.lit(0)
+    /** ISO weekday Monday=1..Sunday=7 (isocalendar().day). */
+    def dtIsoDow: Column = (F.dayofweek(c) + 5) % 7 + 1
+    /** ISO week-numbering year = calendar year of that week's Thursday
+      * ('YYYY' week-year patterns are rejected by Spark's formatter). */
+    def dtIsoYear: Column =
+      F.year(F.date_add(F.to_date(c), F.lit(4) - ((F.dayofweek(c) + 5) % 7 + 1)))
+    /** pandas isocalendar(): (year, week, day) struct. */
+    def dtIsoCalendar: Column =
+      F.struct(dtIsoYear.as("year"), F.weekofyear(c).as("week"), dtIsoDow.as("day"))
+    /** pandas to_period(freq).strftime analog: the period label string. */
+    def dtToPeriod(freq: String): Column = freq.toUpperCase match {
+      case "M" => F.date_format(c, "yyyy-MM")
+      case "Q" => F.concat(F.year(c).cast("string"), F.lit("Q"),
+        F.quarter(c).cast("string"))
+      case "Y" | "A" => F.year(c).cast("string")
+      case "W" => F.concat(dtIsoYear.cast("string"), F.lit("-W"),
+        F.lpad(F.weekofyear(c).cast("string"), 2, "0"))
+      case "D" => F.date_format(c, "yyyy-MM-dd")
+      case u => throw new IllegalArgumentException(s"to_period: unsupported freq '$u'")
+    }
+    /** pandas tz_localize(tz): interpret this NAIVE wall time as being in
+      * `tz`; the result is the corresponding absolute instant (Spark's
+      * UTC-internal TimestampType) — unlike r2's dtTzConvert, which goes
+      * the other direction (instant → wall time in tz). */
+    def dtTzLocalize(tz: String): Column = F.to_utc_timestamp(c, tz)
   }
+
+  /** timedelta(b - a).total_seconds(), micros-exact (pandas timedelta
+    * accessor; Spark's day-time interval has no direct seconds cast that
+    * keeps the fraction portable across engines). */
+  def secondsBetween(a: Column, b: Column): Column =
+    (F.unix_micros(b.cast("timestamp")) - F.unix_micros(a.cast("timestamp")))
+      .cast("double") / 1e6
 }

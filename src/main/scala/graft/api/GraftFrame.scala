@@ -217,6 +217,16 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     }.getOrElse(lit(null))
     lift(df.withColumn(out, default.fold(base)(d => base.otherwise(lit(d)))))
   }
+  /** str.get_dummies (reference `_str_accessor.py` GetDummies): one 0/1
+    * indicator column per value of the sep-delimited membership string.
+    * `values` is explicit (scale rule: the dummy vocabulary is a schema
+    * decision, not a full-corpus distinct scan — compute it once on a
+    * sample if unknown). */
+  def strGetDummies(c: String, sep: String, values: Seq[String]): GraftFrame =
+    lift(values.foldLeft(df)((d, v) =>
+      d.withColumn(s"${c}_$v",
+        array_contains(split(col(c), java.util.regex.Pattern.quote(sep)), v)
+          .cast("int"))))
   /** explode with deterministic position (reference ExplodeSeries
     * `_expr.py:1296-1306`): one output row per array element. */
   def explodeCol(c: String, outPos: String, outVal: String): GraftFrame =

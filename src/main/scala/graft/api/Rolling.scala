@@ -58,6 +58,18 @@ final case class Rolling(df: DataFrame, partitionCols: Seq[String],
   def cov(c1: String, c2: String): Column = F.covar_samp(col(c1), col(c2)).over(base)
   def corr(c1: String, c2: String): Column = F.corr(col(c1), col(c2)).over(base)
   def apply(c: String, agg: Column => Column): Column = agg(col(c)).over(base)
+  /** rolling().apply with an ARBITRARY Scala function over the window's
+    * raw values (reference `_rolling.py:220-222`, raw=True): collect_list
+    * over the frame, then a typed lambda on the array. Each row carries a
+    * `window`-sized array — bounded and fine for rolling frames, never
+    * use for unbounded ones. Values arrive in frame (row) order; nulls
+    * are skipped (collect_list semantics); below min_periods → null. */
+  def applyRows(c: String, f: Seq[Double] => Double): Column = {
+    val minP = minPeriods
+    val fn = F.udf((xs: Seq[Double]) =>
+      if (xs == null || xs.length < minP) None else Some(f(xs)))
+    fn(F.collect_list(col(c).cast("double")).over(base))
+  }
 
   def withColumnRolled(name: String, c: Column): GraftFrame =
     GraftFrame(df.withColumn(name, c))

@@ -95,6 +95,57 @@ class PlanAccessorsSpec extends SparkTestBase {
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
   }
 
+  test("str breadth: rsplit, partition, encode/decode, center, swapcase") {
+    val d = df(StructType(Seq(StructField("s", StringType))),
+      Row("a-b-c-d"))
+    val r = d.select(
+      col("s").strRsplit("-", 1).as("rs"),
+      col("s").strPartition("-").as("p"),
+      col("s").strRpartition("-").as("rp"),
+      col("s").strDecode("utf-8").as("dec_of_enc_fails_placeholder"),
+      col("s").strEncode("utf-8").strDecode("utf-8").as("roundtrip"),
+      col("s").strCenter(11, "*").as("ctr"),
+      lit("aB c1").strSwapcase.as("sw"),
+      col("s").strRemoveprefix("a-").as("rmp"),
+      col("s").strRemovesuffix("-d").as("rms"),
+      lit("Hello World").strIstitle.as("t1"),
+      lit("Hello world").strIstitle.as("t2"),
+      lit("HEllo").strIstitle.as("t3"),
+      lit("Src0 Abc").strIstitle.as("t4")).collect().head
+    assert(r.getSeq[String](0) == Seq("a-b-c", "d"))
+    assert(r.getSeq[String](1) == Seq("a", "-", "b-c-d"))
+    assert(r.getSeq[String](2) == Seq("a-b-c", "-", "d"))
+    assert(r.getString(4) == "a-b-c-d")
+    assert(r.getString(5) == "**a-b-c-d**")
+    assert(r.getString(6) == "Ab C1")
+    assert(r.getString(7) == "b-c-d" && r.getString(8) == "a-b-c")
+    assert(r.getBoolean(9) && !r.getBoolean(10) && !r.getBoolean(11) && r.getBoolean(12))
+  }
+
+  test("dt breadth: isocalendar, to_period, microsecond, tz_localize, secondsBetween") {
+    val d = df(
+      StructType(Seq(StructField("ts", TimestampType))),
+      // 2021-01-01 is ISO week 53 of ISO-year 2020, a Friday
+      Row(java.sql.Timestamp.valueOf("2021-01-01 10:30:00.123456")))
+    val r = d.select(
+      col("ts").dtIsoYear.as("iy"), col("ts").dtIsoDow.as("idw"),
+      col("ts").dtIsoCalendar.as("ic"),
+      col("ts").dtToPeriod("M").as("pm"), col("ts").dtToPeriod("Q").as("pq"),
+      col("ts").dtToPeriod("W").as("pw"),
+      col("ts").dtMicrosecond.as("us"), col("ts").dtNanosecond.as("ns"),
+      // UTC session: wall 10:30 in New York (UTC-5 in Jan) = 15:30 UTC
+      col("ts").dtTzLocalize("America/New_York").as("tzl"),
+      graft.api.DtOps.secondsBetween(col("ts").dtNormalize, col("ts")).as("sod"))
+      .collect().head
+    assert(r.getInt(0) == 2020 && r.getInt(1) == 5)
+    assert(r.getStruct(2).getInt(1) == 53)
+    assert(r.getString(3) == "2021-01" && r.getString(4) == "2021Q1")
+    assert(r.getString(5) == "2020-W53")
+    assert(r.getInt(6) == 123456 && r.getInt(7) == 0)
+    assert(r.getTimestamp(8).toString == "2021-01-01 15:30:00.123456")
+    assert(math.abs(r.getDouble(9) - (10 * 3600 + 30 * 60 + 0.123456)) < 1e-9)
+  }
+
   test("dt accessor family values") {
     val d = df(
       StructType(Seq(StructField("id", LongType), StructField("ts", TimestampType))),

@@ -3,7 +3,17 @@
 DuckDB oracle on the same tables. Usage: compare.py <sfDir> <outDir>"""
 import sys, json, glob, os
 import duckdb
+import numpy as np
 import pandas as pd
+
+def canon_cell(v):
+    """arrays arrive as np.ndarray (pyarrow) vs list (duckdb): compare as
+    tuples; scalars pass through."""
+    if isinstance(v, np.ndarray):
+        return tuple(canon_cell(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(canon_cell(x) for x in v)
+    return v
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -47,6 +57,9 @@ for name in sorted(os.listdir(outdir)):
             fails.append((name, f"dtype[{c}]: {gv.dtype} vs {ev.dtype}"))
             ok = False
             break
+        if str(gv.dtype) == "object":
+            gv = gv.map(canon_cell)
+            ev = ev.map(canon_cell)
         eq = (gv == ev) | (gv.isna() & ev.isna())
         if not eq.all():
             bad = (~eq).idxmax()
