@@ -46,5 +46,7 @@ object SparkEntry {
     "q_join_broadcast", "q_sort_multi", "q_rolling", "q_cumsum",
     "q_resample_agg", "q_asof_join", "q_text_stats", "q_dedup_exact",
     "q_minhash_pairs", "q_near_dedup", "q_embed_dedup", "q_cosine_topk",
-    "q_ann_buckets")
+    "q_ann_buckets",
+    // shuffle-heavy tail tracked round-over-round (r2 advice #10)
+    "q_global_cumsum", "q_set_index", "q_groupby_transform", "q_to_parquet")
 }
