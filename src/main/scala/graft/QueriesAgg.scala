@@ -264,6 +264,36 @@ object QueriesAgg {
       Reductions.valueCounts(t(s, dir, "orders"), "o_orderpriority", normalize = true)
     }
 
+    // dropna=false keeps the null group; sort=false orders by value —
+    // the two value_counts options r2 flagged as fixed-policy
+    r.reg("q_value_counts_nulls",
+      """SELECT v, CAST(count(*) AS BIGINT) AS count
+        |FROM (SELECT CASE WHEN event_type = 'error' THEN NULL
+        |             ELSE event_type END AS v FROM events)
+        |GROUP BY v ORDER BY v ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+      Reductions.valueCounts(
+        t(s, dir, "events")
+          .select(when(col("event_type") === "error", lit(null))
+            .otherwise(col("event_type")).as("v")),
+        "v", dropna = false, sort = false)
+    }
+
+    r.reg("q_groupby_dropna",
+      """SELECT v, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(user_id AS DECIMAL(28,0))) AS DOUBLE) AS uid_sum
+        |FROM (SELECT user_id, CASE WHEN event_type = 'error' THEN NULL
+        |             ELSE event_type END AS v FROM events)
+        |WHERE v IS NOT NULL GROUP BY v ORDER BY v""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "events")
+          .select(col("user_id"),
+            when(col("event_type") === "error", lit(null))
+              .otherwise(col("event_type")).as("v")))
+        .groupbyDropna("v")
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id").cast(DecimalType(28, 0))).cast(DoubleType).as("uid_sum"))
+        .sortValues(Seq("v" -> true)).df
+    }
+
     r.reg("q_nunique",
       "SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS nunique FROM orders") { (s, dir) =>
       Reductions.nunique(t(s, dir, "orders"), "o_custkey")

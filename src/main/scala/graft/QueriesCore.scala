@@ -358,5 +358,61 @@ object QueriesCore {
         .mapPartitionsRows(schema)(it => it.map(row => Row(row.getLong(0), row.getDouble(1) - 1.0)))
         .sortValues(Seq("event_id" -> true)).df
     }
+
+    // to_numeric(errors='coerce') + to_datetime: junk strings -> null,
+    // parseable ones -> exact values (try_cast / strptime on the oracle)
+    r.reg("q_conversions",
+      """SELECT doc_id,
+        |  try_cast(CASE WHEN doc_id % 10 = 0 THEN 'junk'
+        |                ELSE regexp_extract(source, '([0-9]+)', 1) END AS DOUBLE) AS num,
+        |  strptime('2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'),
+        |           '%Y-%m-%d') AS dt
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.api.StrOps._
+      GraftFrame(t(s, dir, "documents").filter(col("doc_id") < 100))
+        .assign("num", when(col("doc_id") % 10 === 0, lit("junk"))
+          .otherwise(col("source").strExtract("([0-9]+)", 1)))
+        .assign("dt", concat(lit("2024-01-"),
+          lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")))
+        .toNumeric("num")
+        .toDatetime("dt", "yyyy-MM-dd")
+        .assign("dt", col("dt").cast(TimestampNTZType))
+        .select("doc_id", "num", "dt")
+        .sortValues(Seq("doc_id" -> true)).df
+    }
+
+    r.reg("q_binop_fill",
+      """SELECT event_id,
+        |  coalesce(v, 0.0) + coalesce(value, 0.0) AS filled_sum
+        |FROM (SELECT event_id, value,
+        |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "events")
+          .withColumn("v",
+            when(col("event_type") === "error", lit(null)).otherwise(col("value"))))
+        .binopWithFill("filled_sum", col("v"), col("value"), 0.0, _ + _)
+        .select("event_id", "filled_sum")
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
+    r.reg("q_index_series",
+      "SELECT o_custkey FROM orders ORDER BY o_custkey") { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .setIndex("o_custkey")
+        .indexSeries
+        .sortValues(Seq("o_custkey" -> true)).df
+    }
+
+    // explicit-divisions repartition preserves content exactly (the
+    // partition-placement contract is asserted in PlanAccessorsSpec)
+    r.reg("q_repartition_divisions",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByDivisions("o_orderkey", Seq(10000L, 30000L, 45000L))
+        .sortValues(Seq("o_orderkey" -> true)).df
+    }
   }
 }

@@ -79,6 +79,41 @@ object QueriesWindow {
         .sortValues(Seq("event_id" -> true)).df
     }
 
+    // rolling median / exact quantile / moment-form variance: integer-
+    // valued doubles make the interpolation and moment arithmetic exact,
+    // so both engines produce identical doubles regardless of their
+    // internal algorithm (Welford vs moments would NOT match bitwise)
+    r.reg("q_rolling_more",
+      """SELECT event_id, user_id,
+        |  median(fv) OVER w AS rmed,
+        |  quantile_cont(fv, 0.25) OVER w AS rq25,
+        |  CASE WHEN count(fv) OVER w > 1 THEN
+        |    (CAST(sum(CAST(fv * fv AS DECIMAL(28,0))) OVER w AS DOUBLE)
+        |     - CAST(sum(CAST(fv AS DECIMAL(18,0))) OVER w AS DOUBLE)
+        |       * CAST(sum(CAST(fv AS DECIMAL(18,0))) OVER w AS DOUBLE)
+        |       / CAST(count(fv) OVER w AS DOUBLE))
+        |    / (CAST(count(fv) OVER w AS DOUBLE) - 1.0)
+        |  ELSE NULL END AS rvar
+        |FROM (SELECT event_id, user_id, floor(value) AS fv
+        |      FROM events WHERE user_id < 30)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events").filter(col("user_id") < 30)
+        .withColumn("fv", floor(col("value")).cast(DoubleType))
+        .withColumn("d1", col("fv").cast(DecimalType(18, 0)))
+        .withColumn("d2", (col("fv") * col("fv")).cast(DecimalType(28, 0)))
+      val roll = Rolling(base, Seq("user_id"), "event_id", window = 5)
+      val s1 = roll.sum("d1").cast(DoubleType)
+      val s2 = roll.sum("d2").cast(DoubleType)
+      val n = roll.count("fv").cast(DoubleType)
+      roll.withColumnRolled("rmed", roll.median("fv"))
+        .assign("rq25", roll.quantile("fv", 0.25))
+        .assign("rvar", when(n > 1.0, (s2 - s1 * s1 / n) / (n - lit(1.0))))
+        .select("event_id", "user_id", "rmed", "rq25", "rvar")
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
     // integer-valued doubles: sum-of-squares is exact, so the Scala-side
     // lambda (collect_list order) and the engine window sum agree bitwise
     r.reg("q_rolling_apply",

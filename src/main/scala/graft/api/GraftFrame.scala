@@ -180,6 +180,23 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
       (if (bytes % BigInt(targetBytes) > 0) 1 else 0))
     lift(df.repartition(n))
   }
+  /** Repartition(divisions=...) (reference `_repartition.py` Divisions
+    * variant): EXPLICIT range boundaries instead of sampled ones. Bucket i
+    * holds rows with divisions(i-1) <= c < divisions(i) (bucket 0 below
+    * the first boundary, bucket n above the last); rows of one bucket
+    * always land in one partition, sorted on `c` within it. The bucket
+    * expression is a chain of codegen'd comparisons — no sampling pass,
+    * the property that makes explicit divisions cheaper than
+    * repartitionByRange when the caller already knows the split points. */
+  def repartitionByDivisions(c: String, divisions: Seq[Any]): GraftFrame = {
+    require(divisions.nonEmpty, "repartitionByDivisions: empty divisions")
+    val bucket = divisions.foldLeft(lit(0))((acc, d) =>
+      acc + when(col(c) >= lit(d), 1).otherwise(0))
+    lift(df.withColumn("__div__", bucket)
+      .repartition(divisions.size + 1, col("__div__"))
+      .sortWithinPartitions(c)
+      .drop("__div__"))
+  }
 
   /** map_overlap (reference `_expr.py:595-794`): per-partition function
     * seeing `before`/`after` neighbor rows under a global range order. */
@@ -257,6 +274,11 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
 
   // ---- groupby / rolling entry points ----
   def groupby(keys: String*): GraftGroupBy = GraftGroupBy(df, keys)
+  /** pandas groupby(dropna=...): dropna=true filters null-keyed rows
+    * before grouping (the pandas default); the plain `groupby` keeps
+    * null groups (SQL semantics, what the oracles compare against). */
+  def groupbyDropna(keys: String*): GraftGroupBy =
+    GraftGroupBy(df.na.drop("any", keys), keys)
   /** Global-order rolling — single-task at scale; explicit opt-in only
     * for small frames. Prefer rollingBy. */
   def rollingGlobalUnsafe(orderCol: String, window: Int, minPeriods: Int = 1): Rolling =

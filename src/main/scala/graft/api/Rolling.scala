@@ -50,11 +50,17 @@ final case class Rolling(df: DataFrame, partitionCols: Seq[String],
   def count(c: String): Column = guarded(col(c), F.count)
   def variance(c: String): Column = guarded(col(c), F.var_samp)
   def std(c: String): Column = guarded(col(c), F.stddev_samp)
-  def median(c: String): Column = guarded(col(c), F.median)
+  // exact percentile, not median(): Spark rejects median with a window
+  // frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC); percentile is the
+  // frame-compatible exact equivalent
+  def median(c: String): Column = guarded(col(c), x => F.percentile(x, F.lit(0.5)))
   def skew(c: String): Column = guarded(col(c), F.skewness)
   def kurt(c: String): Column = guarded(col(c), F.kurtosis)
+  /** exact linear-interpolation quantile (pandas rolling quantile is
+    * exact; percentile_approx would diverge — r2 advice). Rolling frames
+    * are bounded, so the exact sort-based percentile is cheap. */
   def quantile(c: String, q: Double): Column =
-    guarded(col(c), x => F.percentile_approx(x, F.lit(q), F.lit(10000)))
+    guarded(col(c), x => F.percentile(x, F.lit(q)))
   def cov(c1: String, c2: String): Column = F.covar_samp(col(c1), col(c2)).over(base)
   def corr(c1: String, c2: String): Column = F.corr(col(c1), col(c2)).over(base)
   def apply(c: String, agg: Column => Column): Column = agg(col(c)).over(base)

@@ -21,10 +21,15 @@ object Reductions {
       .limit(1)
       .select(col(c).as(s"mode_$c"))
 
-  /** value_counts (reference `_reductions.py:1122-1158`). */
+  /** value_counts (reference `_reductions.py:1122-1158`) with the pandas
+    * options: dropna=false keeps the null group; sort=false orders by
+    * value instead of count (pandas keeps encounter order, which has no
+    * distributed analog — value order is the deterministic stand-in). */
   def valueCounts(df: DataFrame, c: String, normalize: Boolean = false,
-                  ascending: Boolean = false): DataFrame = {
-    val counted = df.groupBy(col(c)).agg(count(lit(1)).as("count"))
+                  ascending: Boolean = false, dropna: Boolean = true,
+                  sort: Boolean = true): DataFrame = {
+    val base = if (dropna) df.filter(col(c).isNotNull) else df
+    val counted = base.groupBy(col(c)).agg(count(lit(1)).as("count"))
     val out =
       if (normalize) {
         // single-row dimension — broadcast, no shuffle of the counted side
@@ -33,8 +38,11 @@ object Reductions {
           .withColumn("proportion", col("count") / col("__t__"))
           .drop("count", "__t__")
       } else counted
-    val ord = if (ascending) col(out.columns.last).asc else col(out.columns.last).desc
-    out.orderBy(ord, col(c).asc)
+    if (!sort) out.orderBy(col(c).asc)
+    else {
+      val ord = if (ascending) col(out.columns.last).asc else col(out.columns.last).desc
+      out.orderBy(ord, col(c).asc)
+    }
   }
 
   /** describe() for numeric columns (reference `_describe.py:16-103`):

@@ -103,6 +103,22 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(out.df.collect().toSeq == Seq(Row(1L, 5.0)))
   }
 
+  test("repartitionByDivisions: each bucket lands in exactly one partition") {
+    val divs = Seq(25L, 50L, 75L)
+    val d = GraftFrame(kv((1L to 100L).map(i => (i, "k", i.toDouble)): _*))
+      .repartitionByDivisions("id", divs)
+    val rows = d.df
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .collect()
+    assert(rows.length == 100)
+    val bucketOf = (id: Long) => divs.count(id >= _)
+    val partsPerBucket = rows.groupBy(r => bucketOf(r.getLong(0)))
+      .view.mapValues(_.map(_.getInt(3)).toSet).toMap
+    assert(partsPerBucket.keySet == Set(0, 1, 2, 3))
+    assert(partsPerBucket.values.forall(_.size == 1),
+      s"bucket spread over partitions: $partsPerBucket")
+  }
+
   test("sampleByHash fraction bounds") {
     val d = GraftFrame(kv((1L to 100L).map(i => (i, "k", 1.0)): _*))
     assert(d.sampleByHash("id", 0.0).df.count() == 0)
