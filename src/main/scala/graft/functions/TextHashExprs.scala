@@ -155,6 +155,62 @@ case class DotDecimal(left: Expression, right: Expression, scale: Int)
   override def prettyName: String = "dot_decimal"
 }
 
+/** Random-hyperplane LSH bucket id — native form of the declarative
+  * Similarity.lshBucketDeclarative, bit-identical (WindowLlmSpec asserts
+  * it): per plane j and element i the weight is the exact integer
+  * floorMod((j*dim+i) * 2654435761, 2^32) - 2^31 as a double, the
+  * product is an IEEE double, and accumulation replicates Spark's
+  * double→DECIMAL(25,12) cast (BigDecimal.valueOf shortest-repr +
+  * HALF_UP) summed exactly. The declarative HOF form re-evaluated the
+  * 8×64 weight array through interpreted lambdas PER ROW — this computes
+  * the weights once per executor and runs one imperative pass. */
+case class LshBucket(child: Expression, dim: Int, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket needs ARRAY<DOUBLE>, got $other")
+  }
+
+  @transient private lazy val weights: Array[Double] = {
+    val w = new Array[Double](planes * dim)
+    var f = 0
+    while (f < w.length) {
+      w(f) = (java.lang.Math.floorMod(f.toLong * 2654435761L, 4294967296L)
+        - 2147483648L).toDouble
+      f += 1
+    }
+    w
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, dim)
+    var bucket = 0L
+    var j = 0
+    while (j < planes) {
+      var acc = java.math.BigDecimal.ZERO
+      val off = j * dim
+      var i = 0
+      while (i < n) {
+        acc = acc.add(java.math.BigDecimal.valueOf(x(i) * weights(off + i))
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+        i += 1
+      }
+      if (acc.signum() > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_bucket"
+}
+
 /** One-pass token statistics: (n_tokens, sum_token_len, n_distinct,
   * n_stopwords, fingerprint) — the counters TextStats.qualityFrame
   * needs, computed in a single tokenization pass instead of five
@@ -222,4 +278,6 @@ object TextHashExprs {
   def dotDecimal(a: Column, b: Column, scale: Int): Column =
     column(DotDecimal(expression(a.cast("array<double>")),
       expression(b.cast("array<double>")), scale))
+  def lshBucket(vec: Column, dim: Int, planes: Int): Column =
+    column(LshBucket(expression(vec.cast("array<double>")), dim, planes))
 }

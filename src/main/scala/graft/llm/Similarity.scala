@@ -80,8 +80,15 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id (`planes` sign bits). Blockwise; the
     * scale path: bucket once (one narrow shuffle on the bucket id), then
-    * search within buckets only. */
-  def lshBucket(vec: Column, dim: Int, planes: Int = 8): Column = {
+    * search within buckets only. Native expression — the declarative HOF
+    * form below re-evaluated the weight array through interpreted lambdas
+    * per row (the q_embed_dedup/q_ann hot path). */
+  def lshBucket(vec: Column, dim: Int, planes: Int = 8): Column =
+    graft.functions.TextHashExprs.lshBucket(vec, dim, planes)
+
+  /** The declarative reference semantics; WindowLlmSpec asserts the
+    * native expression matches it bit-for-bit. */
+  def lshBucketDeclarative(vec: Column, dim: Int, planes: Int = 8): Column = {
     val bits = (0 until planes).map { j =>
       val dotJ = aggregate(
         zip_with(vec.cast("array<double>"),

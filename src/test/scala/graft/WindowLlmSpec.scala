@@ -233,6 +233,15 @@ class WindowLlmSpec extends SparkTestBase {
     assert(top(1)._2 == 0.0 && top(2)._2 == -1.0)
   }
 
+  test("native lsh_bucket matches the declarative HOF form bit-for-bit") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(300)
+    val both = e.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 64, 8).as("nat"),
+      Similarity.lshBucketDeclarative(col("embedding"), 64, 8).as("dec"))
+    assert(both.filter(col("nat") =!= col("dec")).isEmpty)
+  }
+
   test("lsh bucket is deterministic and annTopK subsets brute force") {
     val sch = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
