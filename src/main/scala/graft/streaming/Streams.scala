@@ -44,6 +44,33 @@ object Streams {
     stream.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Per-key RUNNING aggregate via mapGroupsWithState — the streaming
+    * upgrade of the cumulative family (WindowOps.cumsum): each trigger
+    * emits the (sum, count) accumulated across ALL batches so far for
+    * every key that received rows. State is one (Double, Long) pair per
+    * key — O(keys), not O(stream); pair with a watermark-keyed variant
+    * or TTL policy when the key space is unbounded. Run the query in
+    * Update output mode. */
+  def runningSum(stream: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    stream
+      .select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Double, Long), (String, Double, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Double)],
+         state: GroupState[(Double, Long)]) =>
+          var (s, n) = state.getOption.getOrElse((0.0, 0L))
+          rows.foreach { case (_, v) => s += v; n += 1 }
+          state.update((s, n))
+          (key, s, n)
+      }
+      .toDF(keyCol, "running_sum", "running_n")
+  }
+
   def toMemorySink(df: DataFrame, name: String,
                    mode: OutputMode = OutputMode.Update()): DataStreamWriter[Row] =
     df.writeStream.format("memory").queryName(name).outputMode(mode)

@@ -273,6 +273,29 @@ class WindowLlmSpec extends SparkTestBase {
     assert(ann.nonEmpty && ann.subsetOf(brute))
   }
 
+  test("streaming runningSum carries state across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val agg = graft.streaming.Streams.runningSum(
+      in.toDF().toDF("k", "v"), "k", "v")
+    val q = agg.writeStream.format("memory").queryName("run_test")
+      .outputMode("update").start()
+    try {
+      in.addData(("a", 1.0), ("a", 2.0), ("b", 5.0))
+      q.processAllAvailable()
+      in.addData(("a", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("run_test").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      // latest emission per key = state accumulated across both batches
+      val latest = rows.groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+      assert(latest("a") == (("a", 7.0, 3L)))
+      assert(latest("b") == (("b", 5.0, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming session windows and watermark dedup") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
