@@ -77,6 +77,56 @@ object QueriesAgg {
 
     r.reg("q_groupby_agg", q1PricingSql)((s, dir) => q1Pricing(s, dir))
 
+    // TPC-H Q6: the pushdown showcase — every predicate reaches the scan,
+    // one partial/final agg, zero joins
+    r.reg("q_tpch_q6",
+      """SELECT CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(24,8))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-01-01").cast(TimestampType) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 6))
+            * col("l_discount").cast(DecimalType(8, 6))).cast(DecimalType(24, 8)))
+          .cast(DecimalType(38, 4)).cast(DoubleType).as("revenue"))
+    }
+
+    // TPC-H Q3 (o_orderpriority for the fixture's missing o_shippriority):
+    // dim-filtered 3-way join -> grouped revenue -> top-k; the broadcast +
+    // partial-agg + TakeOrdered pipeline in one query
+    r.reg("q_tpch_q3",
+      """SELECT l_orderkey,
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * CAST(CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(9,6))
+        |    AS DECIMAL(24,8))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""".stripMargin) { (s, dir) =>
+      val cut = lit("1997-06-30").cast(TimestampType)
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(discPrice).cast(DecimalType(38, 4)).cast(DoubleType).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+        .limit(10)
+    }
+
     r.reg("q_groupby_spec",
       """SELECT o_orderstatus,
         |  CAST(sum(o_orderkey) AS BIGINT) AS o_orderkey_sum,
@@ -222,7 +272,8 @@ object QueriesAgg {
          |  ${dmeanSql("l_quantity")} AS mean_qty,
          |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
          |  CAST(count(l_quantity) AS BIGINT) AS n,
-         |  ${dvarSql("l_quantity")} AS var_qty
+         |  ${dvarSql("l_quantity")} AS var_qty,
+         |  ${dsemSql("l_quantity")} AS sem_qty
          |FROM lineitem""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem").agg(
         dsumD(col("l_quantity")).as("sum_qty"),
@@ -230,7 +281,8 @@ object QueriesAgg {
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
         count(col("l_quantity")).as("n"),
-        dvar(col("l_quantity")).as("var_qty"))
+        dvar(col("l_quantity")).as("var_qty"),
+        dsem(col("l_quantity")).as("sem_qty"))
     }
 
     r.reg("q_idxminmax_global",

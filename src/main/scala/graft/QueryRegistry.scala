@@ -84,6 +84,11 @@ object QHelp {
   def dstd(c: Column): Column = sqrt(dvar(c))
   def dstdSql(x: String): String = s"sqrt(${dvarSql(x)})"
 
+  /** Standard error of the mean (reference `sem`): std / sqrt(n). */
+  def dsem(c: Column): Column = dstd(c) / sqrt(count(c).cast(DoubleType))
+  def dsemSql(x: String): String =
+    s"(${dstdSql(x)} / sqrt(CAST(count($x) AS DOUBLE)))"
+
   /** Exact sample covariance of two double columns via decimal co-moments. */
   def dcov(x: Column, y: Column): Column = {
     val sxy = sum((x * y).cast(DecimalType(28, 4))).cast(DecimalType(38, 4)).cast(DoubleType)

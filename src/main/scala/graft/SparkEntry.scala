@@ -48,5 +48,7 @@ object SparkEntry {
     "q_minhash_pairs", "q_near_dedup", "q_embed_dedup", "q_cosine_topk",
     "q_ann_buckets",
     // shuffle-heavy tail tracked round-over-round (r2 advice #10)
-    "q_global_cumsum", "q_set_index", "q_groupby_transform", "q_to_parquet")
+    "q_global_cumsum", "q_set_index", "q_groupby_transform", "q_to_parquet",
+    // composite TPC-H pipelines (pushdown showcase; join+agg+topk)
+    "q_tpch_q6", "q_tpch_q3")
 }

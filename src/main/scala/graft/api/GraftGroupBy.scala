@@ -47,6 +47,9 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
       case "all"    => F.bool_and(col(c))
       case "skew"   => F.skewness(col(c))
       case "kurt"   => F.kurtosis(col(c))
+      case "sem"    => F.stddev_samp(col(c)) / F.sqrt(F.count(col(c)).cast("double"))
+      case "prod"   => graft.operators.WindowOps.product(col(c))
+      case "size"   => F.count(F.lit(1))
       case other    => throw new IllegalArgumentException(
         s"aggSpec: unsupported aggregate '$other' for column '$c'")
     }).as(s"${c}_$fn")
