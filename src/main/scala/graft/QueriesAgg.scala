@@ -127,6 +127,47 @@ object QueriesAgg {
         .limit(10)
     }
 
+    // TPC-H Q5: the 6-table join pipeline. Scale posture: only region/
+    // nation carry explicit broadcast hints (constant-size dims);
+    // supplier and customer are left to Catalyst/AQE — they auto-broadcast
+    // at small SF but grow linearly, so at 100 TB they must become
+    // shuffle joins, and hardcoding broadcast would OOM the driver.
+    r.reg("q_tpch_q5",
+      s"""SELECT n_name,
+         |  CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val asia = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      val nat = t(s, dir, "nation")
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-01-01").cast(TimestampType))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(discPrice).cast(DecimalType(38, 4)).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }
+
     r.reg("q_groupby_spec",
       """SELECT o_orderstatus,
         |  CAST(sum(o_orderkey) AS BIGINT) AS o_orderkey_sum,

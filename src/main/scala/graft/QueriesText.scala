@@ -309,6 +309,19 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // categorical accessor emulation end-to-end: asKnown dictionary +
+    // broadcast-joined dense codes (reference _categorical.py:14-129)
+    r.reg("q_categorical",
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS INTEGER)
+        |    AS c_mktsegment_code
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      graft.api.GraftCategorical(t(s, dir, "customer"), "c_mktsegment")
+        .asKnown.codes
+        .select("c_custkey", "c_mktsegment", "c_mktsegment_code")
+        .orderBy("c_custkey")
+    }
+
     r.reg("q_lang_predict",
       """WITH scored AS (
         |  SELECT doc_id,

@@ -43,6 +43,34 @@ object QueriesWindow {
         .sortValues(Seq("event_id" -> true)).df
     }
 
+    // ranking/analytic superset (SURVEY §2.6: not in the reference; Spark
+    // provides them codegen'd). rank/dense_rank/percent_rank ordered on a
+    // ties-bearing key are deterministic; row_number/ntile order on the
+    // unique event_id.
+    r.reg("q_rank",
+      """SELECT event_id, user_id,
+        |  CAST(rank() OVER wt AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+        |  CAST(percent_rank() OVER wt AS DOUBLE) AS prnk,
+        |  CAST(row_number() OVER wu AS BIGINT) AS rn,
+        |  CAST(ntile(4) OVER wu AS BIGINT) AS qtile
+        |FROM (SELECT event_id, user_id, floor(value) AS fv
+        |      FROM events WHERE user_id < 30)
+        |WINDOW wt AS (PARTITION BY user_id ORDER BY fv),
+        |       wu AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events").filter(col("user_id") < 30)
+        .withColumn("fv", floor(col("value")).cast(DoubleType))
+      base
+        .withColumn("rnk", WindowOps.rank("fv", Seq("user_id")).cast(LongType))
+        .withColumn("drnk", WindowOps.denseRank("fv", Seq("user_id")).cast(LongType))
+        .withColumn("prnk", WindowOps.percentRank("fv", Seq("user_id")))
+        .withColumn("rn", WindowOps.rowNumber("event_id", Seq("user_id")).cast(LongType))
+        .withColumn("qtile", WindowOps.ntileN(4, "event_id", Seq("user_id")).cast(LongType))
+        .select("event_id", "user_id", "rnk", "drnk", "prnk", "rn", "qtile")
+        .orderBy("event_id")
+    }
+
     r.reg("q_rolling_center",
       """SELECT event_id, user_id,
         |  min(value) OVER w AS cmin,

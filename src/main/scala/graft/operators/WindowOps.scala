@@ -155,6 +155,24 @@ object WindowOps {
     Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
   }
 
+  /** Ranking / analytic functions — absent from the reference (SURVEY §2.6:
+    * no rank/dense_rank/ntile), exposed as a capability superset since
+    * Catalyst provides them codegen'd. Same partition-required discipline
+    * as every ordered window. row_number/ntile need a total order within
+    * the partition (unique orderCol) to be deterministic; rank/dense_rank/
+    * percent_rank are deterministic under ties. */
+  def rank(orderCol: String, partitionCols: Seq[String]): Column =
+    org.apache.spark.sql.functions.rank()
+      .over(orderedWindow(orderCol, partitionCols, "rank"))
+  def denseRank(orderCol: String, partitionCols: Seq[String]): Column =
+    dense_rank().over(orderedWindow(orderCol, partitionCols, "denseRank"))
+  def percentRank(orderCol: String, partitionCols: Seq[String]): Column =
+    percent_rank().over(orderedWindow(orderCol, partitionCols, "percentRank"))
+  def rowNumber(orderCol: String, partitionCols: Seq[String]): Column =
+    row_number().over(orderedWindow(orderCol, partitionCols, "rowNumber"))
+  def ntileN(n: Int, orderCol: String, partitionCols: Seq[String]): Column =
+    ntile(n).over(orderedWindow(orderCol, partitionCols, "ntile"))
+
   /** ffill/bfill (reference `_expr.py:2207-2252`): last/first non-null in
     * an ordered frame; `limit` bounds the frame. */
   def ffill(c: String, orderCol: String, partitionCols: Seq[String],
