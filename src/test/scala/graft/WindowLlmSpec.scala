@@ -331,6 +331,42 @@ class WindowLlmSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("streaming windowedAgg equals batch Resample.agg on the same rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{sum, count, col}
+    implicit val sq = spark.sqlContext
+    val rows = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), "a", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:04:00"), "a", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:06:10"), "a", 4.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:07:00"), "b", 8.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:11:00"), "a", 16.0))
+    // streaming: tumbling 5m windows, incremental state
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = graft.streaming.Streams.windowedAgg(
+      in.toDF().toDF("ts", "k", "v"), "ts", "5 minutes", "1 minute", Seq("k"),
+      sum($"v").as("s"), count($"v").as("n"))
+    val q = agg.writeStream.format("memory").queryName("par_test")
+      .outputMode("complete").start()
+    val streamed = try {
+      in.addData(rows.take(3)); q.processAllAvailable()
+      in.addData(rows.drop(3)); q.processAllAvailable()
+      spark.table("par_test").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("bucket"), r.getAs[String]("k"),
+          r.getAs[Double]("s"), r.getAs[Long]("n"))).toSet
+    } finally q.stop()
+    // batch: the same tumbling bins through Resample (plus the key)
+    val batch = graft.operators.Resample
+      .tumble(rows.toDF("ts", "k", "v"), "ts", "5 minutes")
+      .groupBy(col("bucket"), col("k"))
+      .agg(sum($"v").as("s"), count($"v").as("n"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("bucket"), r.getAs[String]("k"),
+        r.getAs[Double]("s"), r.getAs[Long]("n"))).toSet
+    assert(streamed == batch && batch.size == 4)
+  }
+
   // ---- llm: text stats / multimodal ----
 
   test("text stats quality frame values") {
