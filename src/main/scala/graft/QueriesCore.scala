@@ -291,6 +291,27 @@ object QueriesCore {
       a.concatAxis1(b, Seq("c_custkey")).sortValues(Seq("c_custkey" -> true)).df
     }
 
+    // align (reference _collection.py:807): the aligned LEFT frame —
+    // reindexed to the union key set, holes filled with 0
+    r.reg("q_align",
+      """WITH l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt_even
+        |           FROM events WHERE event_id % 2 = 0 GROUP BY user_id),
+        |     r AS (SELECT user_id FROM events WHERE event_id % 3 = 0
+        |           GROUP BY user_id)
+        |SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+        |       COALESCE(l.cnt_even, 0) AS cnt_even
+        |FROM l FULL OUTER JOIN r ON l.user_id = r.user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val left = GraftFrame(ev.filter(col("event_id") % 2 === 0)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt_even")))
+      val right = GraftFrame(ev.filter(col("event_id") % 3 === 0)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt_third")))
+      val (alignedLeft, _) =
+        left.align(right, Seq("user_id"), "outer", Some(lit(0L)))
+      alignedLeft.sortValues(Seq("user_id" -> true)).df
+    }
+
     r.reg("q_intersect_except",
       """SELECT o_custkey FROM (
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'

@@ -260,6 +260,34 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     lift(merged)
   }
 
+  /** align (reference `_collection.py:807`, `_expr.py:317-340`): co-align
+    * two frames on key columns. Returns BOTH frames reindexed to the
+    * joined key set (outer = union, inner = intersection, left/right),
+    * holes filled with `fillValue` (null when None). Same one-exchange
+    * equi-join machinery as concatAxis1 — co-partitioned inputs skip the
+    * shuffle, and both returned frames share the joined subplan, so
+    * Catalyst plans the exchange once when both are consumed together. */
+  def align(other: GraftFrame, on: Seq[String], joinHow: String = "outer",
+            fillValue: Option[Column] = None): (GraftFrame, GraftFrame) = {
+    val how = joinHow match {
+      case "outer" => "full_outer"
+      case "inner" => "inner"
+      case "left"  => "left_outer"
+      case "right" => "right_outer"
+      case o => throw new IllegalArgumentException(s"align: unsupported join '$o'")
+    }
+    val leftCols = df.columns.filterNot(on.contains)
+    val rightCols = other.df.columns.filterNot(on.contains)
+    val l = leftCols.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + "__l__"))
+    val r = rightCols.foldLeft(other.df)((d, c) => d.withColumnRenamed(c, c + "__r__"))
+    val joined = l.join(r, on, how)
+    def side(cols: Array[String], suf: String): GraftFrame = lift(
+      cols.foldLeft(joined)((d, c) => d.withColumn(c,
+          fillValue.map(fv => coalesce(col(c + suf), fv)).getOrElse(col(c + suf))))
+        .select((on ++ cols).map(col).toIndexedSeq: _*))
+    (side(leftCols, "__l__"), side(rightCols, "__r__"))
+  }
+
   // ---- global idxmin/idxmax (reference _reductions.py:817-839) ----
   def idxmax(valueCol: String, idCol: String): GraftFrame =
     lift(df.agg(max_by(col(idCol), struct(col(valueCol), -col(idCol))).as(s"idxmax_$valueCol")))

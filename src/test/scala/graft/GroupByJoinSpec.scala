@@ -158,4 +158,18 @@ class GroupByJoinSpec extends SparkTestBase {
       4L -> Some(150.0), 5L -> None))
     assert(out.count() == 5) // every left row survives
   }
+
+  test("align reindexes both frames to the joined key set with fill") {
+    import graft.api.GraftFrame
+    val a = GraftFrame(kv((1L, "a", 1.0), (2L, "b", 2.0)).select("id", "v"))
+    val b = GraftFrame(kv((2L, "b", 20.0), (3L, "c", 30.0)).select("id", "v")
+      .withColumnRenamed("v", "w"))
+    val (l, r) = a.align(b, Seq("id"), "outer", Some(lit(-1.0)))
+    assert(collectSorted(l.df, "id").map(x => (x.getLong(0), x.getDouble(1))) ==
+      Seq((1L, 1.0), (2L, 2.0), (3L, -1.0)))
+    assert(collectSorted(r.df, "id").map(x => (x.getLong(0), x.getDouble(1))) ==
+      Seq((1L, -1.0), (2L, 20.0), (3L, 30.0)))
+    val (li, _) = a.align(b, Seq("id"), "inner")
+    assert(li.df.count() == 1)
+  }
 }
