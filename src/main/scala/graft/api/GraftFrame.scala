@@ -281,11 +281,14 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     val l = leftCols.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + "__l__"))
     val r = rightCols.foldLeft(other.df)((d, c) => d.withColumnRenamed(c, c + "__r__"))
     val joined = l.join(r, on, how)
-    def side(cols: Array[String], suf: String): GraftFrame = lift(
+    // the fill casts to each COLUMN's dtype (a numeric fill on a string
+    // column must not coerce the column — ANSI would reject the cast)
+    def side(src: DataFrame, cols: Array[String], suf: String): GraftFrame = lift(
       cols.foldLeft(joined)((d, c) => d.withColumn(c,
-          fillValue.map(fv => coalesce(col(c + suf), fv)).getOrElse(col(c + suf))))
+          fillValue.map(fv => coalesce(col(c + suf), fv.cast(src.schema(c).dataType)))
+            .getOrElse(col(c + suf))))
         .select((on ++ cols).map(col).toIndexedSeq: _*))
-    (side(leftCols, "__l__"), side(rightCols, "__r__"))
+    (side(df, leftCols, "__l__"), side(other.df, rightCols, "__r__"))
   }
 
   // ---- global idxmin/idxmax (reference _reductions.py:817-839) ----

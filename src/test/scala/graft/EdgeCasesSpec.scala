@@ -153,4 +153,34 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(n > 300 && n < 700, s"expected ~500 of 2000, got $n")
     assert(d.sampleByHash("id", 1.0).df.count() == 2000)
   }
+
+  test("align with an empty side fills every key from the other") {
+    val (l, r) = empty.align(one, Seq("id"), "outer", Some(lit(0.0)))
+    assert(l.df.count() == 1 && r.df.count() == 1)
+    assert(l.df.collect()(0).getDouble(2) == 0.0) // left v filled
+    val (li, ri) = empty.align(one, Seq("id"), "inner")
+    assert(li.df.count() == 0 && ri.df.count() == 0)
+  }
+
+  test("categorical on empty and all-null columns") {
+    import graft.api.GraftCategorical
+    val cat = GraftCategorical(empty.df, "k").asKnown
+    assert(cat.categories.count() == 0)
+    assert(cat.codes.count() == 0)
+    val nulls = df(kvSchema, Row(1L, null, 1.0), Row(2L, null, 2.0))
+    val catN = GraftCategorical(nulls, "k").asKnown
+    assert(catN.categories.count() == 0) // nulls are not a category
+    assert(catN.codes.collect().forall(_.getInt(3) == -1))
+  }
+
+  test("ranking functions on single-row partitions") {
+    val d = kv((1L, "a", 5.0), (2L, "b", 7.0))
+    val out = d
+      .withColumn("rnk", WindowOps.rank("v", Seq("k")))
+      .withColumn("pr", WindowOps.percentRank("v", Seq("k")))
+      .withColumn("nt", WindowOps.ntileN(4, "id", Seq("k")))
+      .collect()
+    assert(out.forall(r => r.getInt(3) == 1 && r.getDouble(4) == 0.0 &&
+      r.getInt(5) == 1))
+  }
 }
