@@ -118,8 +118,11 @@ object QueriesAgg {
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
       val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
         .select("l_orderkey", "l_extendedprice", "l_discount")
+      // no broadcast hint on customer: the BUILDING segment grows
+      // linearly with SF (same posture as q_tpch_q5) — AQE broadcasts it
+      // at small scale and shuffle-joins it at 100 TB
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(sum(discPrice).cast(DecimalType(38, 4)).cast(DoubleType).as("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")

@@ -116,7 +116,8 @@ object QueriesText {
         |            'string_agg', '') END AS sw_case,
         |  CASE WHEN length(source) >= 11 THEN source
         |       ELSE rpad(lpad(source,
-        |              CAST(length(source) + floor((11 - length(source)) / 2) AS INTEGER),
+        |              CAST(length(source) + floor((11 - length(source)) / 2)
+        |                   + ((11 - length(source)) % 2) AS INTEGER),
         |              '*'), 11, '*') END AS ctr,
         |  CASE WHEN strpos(source, 'r') = 0 THEN [source, '', '']
         |       ELSE [substr(source, 1, strpos(source, 'r') - 1), 'r',

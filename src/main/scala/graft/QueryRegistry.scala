@@ -35,6 +35,16 @@ object QHelp {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.table(s, dir, name)
 
+  /** Deterministic 31-bit Knuth key hash in [0, 2^32): engine-agnostic
+    * (pure integer arithmetic, DuckDB-reproducible) and overflow-safe for
+    * any BIGINT key — the key is masked to 31 bits BEFORE the multiply so
+    * (2^31-1) * 2654435761 stays inside Long (ANSI would throw on wrap).
+    * THE single definition — sampleByHash and Ivf both call this; a
+    * second copy of the formula could silently diverge from the oracle
+    * SQL mirror (q_sample_hash). */
+  def keyHash31(c: Column): Column =
+    pmod(pmod(c, lit(2147483648L)) * 2654435761L, lit(4294967296L))
+
   /** Exact, order-independent sum of a double expression. Per-value cast
     * is DECIMAL(28,s): |v| < 10^(28-s) before any value nulls out, far
     * above TPC-H magnitudes at any SF (ADVICE r1: 18-s was too tight). */

@@ -64,10 +64,15 @@ object StrOps {
     def strSwapcase: Column =
       F.concat_ws("", F.transform(F.split(c, ""), ch =>
         when(ch === F.lower(ch), F.upper(ch)).otherwise(F.lower(ch))))
-    /** python str.center: extra pad char goes to the right. */
+    /** python str.center: CPython puts the extra pad char LEFT only when
+      * both the margin and the width are odd (left = marg//2 +
+      * (marg & width & 1)); otherwise it goes right. */
     def strCenter(width: Int, fill: String = " "): Column = {
       val len = F.length(c)
-      val leftTarget = (len + F.floor((F.lit(width) - len) / 2).cast("int")).cast("int")
+      val marg = F.lit(width) - len
+      val extra = F.pmod(marg, F.lit(2)) * F.lit(width % 2)
+      val leftTarget =
+        (len + F.floor(marg / 2).cast("int") + extra).cast("int")
       when(len >= width, c).otherwise(
         F.call_function("rpad",
           F.call_function("lpad", c, leftTarget, lit(fill)), lit(width), lit(fill)))

@@ -59,11 +59,14 @@ final case class GraftCategorical(
   }
 
   /** New categories appended after the existing ones with the next codes
-    * (reference `add_categories`). */
+    * (reference `add_categories`). Next code is max(code)+1, not the
+    * dictionary size — after removals those differ, and size-based codes
+    * would collide with surviving entries. */
   def addCategories(cats: Seq[Any]): GraftCategorical = {
     val d = requireKnown("add_categories")
     val spark = df.sparkSession
-    val start = d.count().toInt
+    val start = d.agg(coalesce(max(col("__code__")), lit(-1)))
+      .head().getInt(0) + 1
     import scala.jdk.CollectionConverters._
     val extra = spark.createDataFrame(
       cats.zipWithIndex.map { case (c, i) =>
@@ -72,12 +75,15 @@ final case class GraftCategorical(
     copy(dict = Some(d.unionByName(extra)))
   }
 
-  /** Remove categories; their rows code as -1 afterwards (reference
-    * `remove_categories` turns them into nulls). Codes are NOT
-    * recompacted, matching pandas. */
+  /** Remove categories; their rows code as -1 afterwards (pandas turns
+    * them into NaN). Remaining codes are renumbered densely preserving
+    * order, as pandas `remove_categories` does. */
   def removeCategories(cats: Seq[Any]): GraftCategorical = {
     val d = requireKnown("remove_categories")
-    copy(dict = Some(d.filter(!col("__cat__").isin(cats: _*))))
+    copy(dict = Some(d.filter(!col("__cat__").isin(cats: _*))
+      .withColumn("__code__",
+        (row_number().over(Window.orderBy(col("__code__"))) - 1)
+          .cast(IntegerType))))
   }
 
   /** Rename categories by map; codes keep their positions (reference

@@ -122,12 +122,7 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     * 100 TB corpus. */
   def sampleByHash(keyCol: String, fraction: Double): GraftFrame = {
     val threshold = (fraction * 4294967296L).toLong
-    // The key is reduced to 31 bits BEFORE the Knuth multiply: (2^31-1) *
-    // 2654435761 ≈ 5.7e18 stays inside Long, so a BIGINT key of any
-    // magnitude can't overflow (ANSI would throw; ADVICE r2).
-    lift(df.filter(
-      pmod(pmod(col(keyCol), lit(2147483648L)) * 2654435761L,
-        lit(4294967296L)) < threshold))
+    lift(df.filter(graft.QHelp.keyHash31(col(keyCol)) < threshold))
   }
 
   /** set_index: range-shuffle + local sort, the reference's SetIndex
@@ -192,8 +187,12 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     require(divisions.nonEmpty, "repartitionByDivisions: empty divisions")
     val bucket = divisions.foldLeft(lit(0))((acc, d) =>
       acc + when(col(c) >= lit(d), 1).otherwise(0))
+    // range partitioning on the bucket id: hash placement could collide
+    // two division buckets into one partition (and leave others empty),
+    // and partition order would not follow division order — the layout
+    // explicit divisions exist to provide
     lift(df.withColumn("__div__", bucket)
-      .repartition(divisions.size + 1, col("__div__"))
+      .repartitionByRange(divisions.size + 1, col("__div__"))
       .sortWithinPartitions(c)
       .drop("__div__"))
   }

@@ -165,6 +165,10 @@ object Dedup {
       labels.unpersist()
       labels = next
     }
+    // edges served only the loop; the converged probe scanned every
+    // partition of the final cached labels, so dropping edges cannot
+    // force a replay (and repeated dedup calls must not pin stale caches)
+    edges.unpersist()
     labels
   }
 

@@ -21,10 +21,9 @@ object Ivf {
         (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Deterministic 31-bit Knuth hash of an id — engine-agnostic, can't
-    * overflow Long for any BIGINT key (key masked to 31 bits first). */
-  private def idHash(id: Column): Column =
-    pmod(pmod(id, lit(2147483648L)) * 2654435761L, lit(4294967296L))
+  /** Shared 31-bit Knuth key hash (single definition in QHelp — a local
+    * copy could silently diverge from the oracle's SQL mirror). */
+  private def idHash(id: Column): Column = graft.QHelp.keyHash31(id)
 
   /** Deterministic centroids trained ON A SAMPLE: the `trainFraction`
     * hash-sample of the corpus seeds and Lloyd-refines the cells; full-data

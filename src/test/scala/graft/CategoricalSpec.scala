@@ -33,13 +33,19 @@ class CategoricalSpec extends SparkTestBase {
     }
   }
 
-  test("addCategories appends with next codes; removeCategories codes as -1") {
+  test("addCategories appends with next codes; removeCategories renumbers") {
     val cat = GraftCategorical(frame, "k").asKnown.addCategories(Seq("z"))
     val d = cat.categories.orderBy("__code__").collect().toSeq
     assert(d.map(r => (r.getString(0), r.getInt(1))).last == ("z", 3))
-    val removed = cat.removeCategories(Seq("b")).codes
-    val r = collectSorted(removed, "id").map(_.getInt(3))
-    assert(r == Seq(-1, 0, 2, 0, -1))
+    // pandas renumbers densely on remove: {a,c,z} -> a=0, c=1, z=2
+    val removed = cat.removeCategories(Seq("b"))
+    val r = collectSorted(removed.codes, "id").map(_.getInt(3))
+    assert(r == Seq(-1, 0, 1, 0, -1))
+    // add after remove must not collide with surviving codes
+    val readded = removed.addCategories(Seq("w")).categories
+      .orderBy("__code__").collect().toSeq
+    assert(readded.map(x => (x.getString(0), x.getInt(1))) ==
+      Seq(("a", 0), ("c", 1), ("z", 2), ("w", 3)))
   }
 
   test("renameCategories keeps codes; setCategories reorders") {
