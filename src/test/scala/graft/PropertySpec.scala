@@ -108,4 +108,31 @@ class PropertySpec extends SparkTestBase {
       assert(a == b)
     }
   }
+
+  test("strCenter matches CPython str.center for all small widths/lengths") {
+    import graft.api.StrOps._
+    // CPython: left = marg//2 + (marg & width & 1)
+    def pyCenter(s: String, width: Int, fill: Char): String =
+      if (s.length >= width) s
+      else {
+        val marg = width - s.length
+        val left = marg / 2 + (marg & width & 1)
+        fill.toString * left + s + fill.toString * (marg - left)
+      }
+    val strings = Seq("", "a", "ab", "abc", "abcd", "abcde")
+    for (width <- 3 to 8) {
+      val in = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(strings.map(Row(_))).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("s",
+            org.apache.spark.sql.types.StringType))))
+      val got = in.select(col("s"), col("s").strCenter(width, "*").as("c"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      strings.foreach { s =>
+        assert(got(s) == pyCenter(s, width, '*'),
+          s"center('$s', $width): got '${got(s)}', py '${pyCenter(s, width, '*')}'")
+      }
+    }
+  }
 }
