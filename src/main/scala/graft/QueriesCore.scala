@@ -291,6 +291,24 @@ object QueriesCore {
       a.concatAxis1(b, Seq("c_custkey")).sortValues(Seq("c_custkey" -> true)).df
     }
 
+    // round over DECIMAL: HALF_UP on both engines (double round would
+    // inherit engine tie policy)
+    r.reg("q_round",
+      """SELECT event_id,
+        |  CAST(round(CAST(value AS DECIMAL(18,6)), 2) AS DOUBLE) AS v2,
+        |  CAST(round(CAST(value AS DECIMAL(18,6)), 0) AS DOUBLE) AS v0
+        |FROM events WHERE user_id < 50 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("event_id"),
+          col("value").cast(DecimalType(18, 6)).as("v2"),
+          col("value").cast(DecimalType(18, 6)).as("v0")))
+        .roundCols(2, Seq("v2"))
+        .roundCols(0, Seq("v0"))
+        .assign("v2", col("v2").cast(DoubleType))
+        .assign("v0", col("v0").cast(DoubleType))
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
     // align (reference _collection.py:807): the aligned LEFT frame —
     // reindexed to the union key set, holes filled with 0
     r.reg("q_align",

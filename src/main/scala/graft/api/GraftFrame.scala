@@ -140,6 +140,22 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     lift(df.select(col(c)))
   }
 
+  /** df.round(decimals) (reference Elemwise `round`): per-column round.
+    * Decimal-typed inputs round HALF_UP identically on every engine;
+    * double inputs inherit the engine's tie policy — cast to decimal
+    * first when cross-engine determinism matters. */
+  def roundCols(decimals: Int, cols: Seq[String]): GraftFrame =
+    lift(cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, round(col(c), decimals))))
+
+  /** get_partition(i) (reference `_collection.py` get_partition /
+    * Partitions `_expr.py:1879-1977`): rows of physical partition i.
+    * Partition membership follows the CURRENT plan's partitioning — pin
+    * it first (setIndex/repartitionByDivisions) for stable semantics. */
+  def getPartition(i: Int): GraftFrame =
+    lift(df.withColumn("__pid__", spark_partition_id())
+      .filter(col("__pid__") === i).drop("__pid__"))
+
   // ---- dedup / set ops (reference _reductions.py:478-553, _concat.py) ----
   def distinct: GraftFrame = lift(df.distinct())
   /** Deterministic drop_duplicates: keeps the row with minimal `keyOrder`

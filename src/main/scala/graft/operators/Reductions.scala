@@ -80,6 +80,13 @@ object Reductions {
   def approxQuantiles(df: DataFrame, c: String, qs: Seq[Double], accuracy: Int = 10000): DataFrame =
     df.agg(percentile_approx(col(c), typedLit(qs), lit(accuracy)).as("quantiles"))
 
+  /** median_approximate (reference `_collection.py` median_approximate):
+    * bounded-state GK sketch at phi=0.5 — the scale path where exact
+    * `median()` would shuffle whole groups. */
+  def medianApprox(df: DataFrame, c: String, accuracy: Int = 10000): DataFrame =
+    df.agg(percentile_approx(col(c), lit(0.5), lit(accuracy))
+      .as("median_approx"))
+
   /** nunique exact & approximate (HLL, the reference's NuniqueApprox b=16
     * — reference `_reductions.py:1028-1049`). */
   def nunique(df: DataFrame, c: String): DataFrame =

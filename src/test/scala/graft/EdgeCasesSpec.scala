@@ -173,6 +173,16 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(catN.codes.collect().forall(_.getInt(3) == -1))
   }
 
+  test("getPartition covers the frame exactly once; medianApprox near exact") {
+    val d = GraftFrame(kv((1L to 100L).map(i => (i, "k", i.toDouble)): _*))
+      .repartition(4)
+    val total = (0 until 4).map(i => d.getPartition(i).df.count()).sum
+    assert(total == 100)
+    val m = graft.operators.Reductions.medianApprox(d.df, "v")
+      .head().getDouble(0)
+    assert(math.abs(m - 50.0) <= 2.0)
+  }
+
   test("ranking functions on single-row partitions") {
     val d = kv((1L, "a", 5.0), (2L, "b", 7.0))
     val out = d
