@@ -64,6 +64,23 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
   def size(): GraftFrame = GraftFrame(g.agg(F.count(lit(1)).as("size")))
   def nunique(c: String): GraftFrame =
     GraftFrame(g.agg(F.countDistinct(col(c)).as(s"${c}_nunique")))
+  def median(c: String): GraftFrame =
+    GraftFrame(g.agg(F.median(col(c)).as(s"${c}_median")))
+  def prod(c: String): GraftFrame =
+    GraftFrame(g.agg(graft.operators.WindowOps.product(col(c)).as(s"${c}_prod")))
+  /** Deterministic first/last per group: pandas first/last follow row
+    * order, which a distributed engine doesn't have — an explicit order
+    * column is required (min_by/max_by, one agg pass). */
+  def firstBy(c: String, orderCol: String): GraftFrame =
+    GraftFrame(g.agg(F.min_by(col(c), col(orderCol)).as(s"${c}_first")))
+  def lastBy(c: String, orderCol: String): GraftFrame =
+    GraftFrame(g.agg(F.max_by(col(c), col(orderCol)).as(s"${c}_last")))
+
+  /** groupby(...).rolling(window) (reference `_rolling.py` groupby-
+    * rolling): the partitioned Rolling with the group keys as window
+    * partitions — already the scale-safe shape. */
+  def rolling(orderCol: String, window: Int, minPeriods: Int = 1): Rolling =
+    Rolling(df, keys, orderCol, window, minPeriods)
 
   /** Two-column covariance/correlation per group
     * (reference `_groupby.py:428-455` chunked co-moment). */

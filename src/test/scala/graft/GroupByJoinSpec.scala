@@ -159,6 +159,27 @@ class GroupByJoinSpec extends SparkTestBase {
     assert(out.count() == 5) // every left row survives
   }
 
+  test("groupby firstBy/lastBy/median/prod/rolling sugar") {
+    val f = GraftFrame(kv(
+      (1L, "a", 2.0), (2L, "a", 3.0), (3L, "a", 4.0), (4L, "b", 5.0)))
+    val first = f.groupby("k").firstBy("v", "id").df.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(first == Map("a" -> 2.0, "b" -> 5.0))
+    val last = f.groupby("k").lastBy("v", "id").df.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(last == Map("a" -> 4.0, "b" -> 5.0))
+    val med = f.groupby("k").median("v").df.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(med == Map("a" -> 3.0, "b" -> 5.0))
+    val prod = f.groupby("k").prod("v").df.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(prod == Map("a" -> 24.0, "b" -> 5.0))
+    val roll = f.groupby("k").rolling("id", 2)
+    val sums = roll.withColumnRolled("rs", roll.sum("v")).df.collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(sums == Map(1L -> 2.0, 2L -> 5.0, 3L -> 7.0, 4L -> 5.0))
+  }
+
   test("align reindexes both frames to the joined key set with fill") {
     import graft.api.GraftFrame
     val a = GraftFrame(kv((1L, "a", 1.0), (2L, "b", 2.0)).select("id", "v"))
