@@ -55,6 +55,34 @@ object Multimodal {
         it.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
       }(org.apache.spark.sql.Encoders.row(featureSchema))
 
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("out_w", IntegerType, nullable = false),
+    StructField("out_h", IntegerType, nullable = false)))
+
+  /** STUB resize: deterministic byte-stride downsample of the payload to
+    * a `outW*outH` byte budget (stands in for a real image resample —
+    * swap the loop body for the codec call). The engine-side shape is
+    * the point: binary in → binary out with typed dims, batched per
+    * partition, constant memory per row, no driver involvement. */
+  def resizeStub(df: DataFrame, idCol: String, payloadCol: String,
+                 outW: Int, outH: Int): DataFrame =
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { it =>
+        val budget = outW * outH
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val out =
+            if (bytes.length <= budget) bytes
+            else {
+              val stride = bytes.length.toDouble / budget
+              Array.tabulate(budget)(i => bytes((i * stride).toInt))
+            }
+          Row(r.getLong(0), out, outW, outH)
+        }
+      }(org.apache.spark.sql.Encoders.row(resizedSchema))
+
   /** Deterministic frame-sampling plan for a video-like payload: every
     * `stride`-th offset, as (doc_id, frame_no, offset) rows — the explode
     * pattern that fans one asset into per-frame work items without

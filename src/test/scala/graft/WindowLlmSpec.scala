@@ -393,6 +393,20 @@ class WindowLlmSpec extends SparkTestBase {
     assert(out.getAs[Long]("checksum") == ('A'.toInt + 'B'.toInt))
   }
 
+  test("resizeStub caps payload at the byte budget, keeps short payloads") {
+    import graft.llm.Multimodal
+    val docs = kv((1L, "a", 1.0), (2L, "b", 2.0))
+      .withColumn("text", org.apache.spark.sql.functions.when(
+        col("id") === 1, org.apache.spark.sql.functions.lit("x" * 100))
+        .otherwise(org.apache.spark.sql.functions.lit("short")))
+    val withBytes = Multimodal.withPayload(docs, "text", "payload")
+    val out = Multimodal.resizeStub(withBytes, "id", "payload", 4, 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]](1).length, r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L) == ((16, 4, 4)))  // 100 bytes -> 16-byte budget
+    assert(out(2L) == ((5, 4, 4)))   // under budget passes through
+  }
+
   test("framePlan fans out one row per frame") {
     val d = df(
       StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
