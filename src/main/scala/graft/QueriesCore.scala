@@ -291,6 +291,20 @@ object QueriesCore {
       a.concatAxis1(b, Seq("c_custkey")).sortValues(Seq("c_custkey" -> true)).df
     }
 
+    // melt/unpivot superset: blockwise Expand, no shuffle
+    r.reg("q_melt",
+      """SELECT c_custkey, 'c_acctbal' AS variable, c_acctbal AS value
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'c_nationkey_d', CAST(c_nationkey AS DOUBLE)
+        |FROM customer
+        |ORDER BY c_custkey, variable""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "customer")
+        .withColumn("c_nationkey_d", col("c_nationkey").cast(DoubleType)))
+        .melt(Seq("c_custkey"), Seq("c_acctbal", "c_nationkey_d"))
+        .sortValues(Seq("c_custkey" -> true, "variable" -> true)).df
+    }
+
     // round over DECIMAL: HALF_UP on both engines (double round would
     // inherit engine tie policy)
     r.reg("q_round",

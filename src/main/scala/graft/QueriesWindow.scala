@@ -142,6 +142,54 @@ object QueriesWindow {
         .sortValues(Seq("event_id" -> true)).df
     }
 
+    // rolling cov/corr via decimal co-moments (same discipline as rvar in
+    // q_rolling_more): integer-valued x/y make every window sum exact, so
+    // the moment-form cov and corr are bit-identical across engines
+    {
+      def wsum(e: String, p: Int) =
+        s"CAST(sum(CAST($e AS DECIMAL($p,0))) OVER w AS DOUBLE)"
+      val n = "CAST(count(x) OVER w AS DOUBLE)"
+      def mom(a: String, b: String, p: Int) =
+        s"(${wsum(s"$a*$b", p)} - ${wsum(a, 18)} * ${wsum(b, 18)} / $n) / ($n - 1.0)"
+      val covS = s"CASE WHEN $n > 1 THEN ${mom("x", "y", 28)} ELSE NULL END"
+      val varxS = s"CASE WHEN $n > 1 THEN ${mom("x", "x", 28)} ELSE NULL END"
+      val varyS = s"CASE WHEN $n > 1 THEN ${mom("y", "y", 28)} ELSE NULL END"
+      val corrS = s"CASE WHEN ($varxS) > 0 AND ($varyS) > 0 THEN " +
+        s"($covS) / sqrt(($varxS) * ($varyS)) ELSE NULL END"
+      r.reg("q_rolling_cov",
+        s"""SELECT event_id, user_id, $covS AS rcov, $corrS AS rcorr
+           |FROM (SELECT event_id, user_id, floor(value) AS x,
+           |             floor(value * 7) AS y
+           |      FROM events WHERE user_id < 30)
+           |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           |ORDER BY event_id""".stripMargin) { (s, dir) =>
+        val base = t(s, dir, "events").filter(col("user_id") < 30)
+          .withColumn("x", floor(col("value")).cast(DoubleType))
+          .withColumn("y", floor(col("value") * 7).cast(DoubleType))
+          .withColumn("dx", col("x").cast(DecimalType(18, 0)))
+          .withColumn("dy", col("y").cast(DecimalType(18, 0)))
+          .withColumn("dxy", (col("x") * col("y")).cast(DecimalType(28, 0)))
+          .withColumn("dxx", (col("x") * col("x")).cast(DecimalType(28, 0)))
+          .withColumn("dyy", (col("y") * col("y")).cast(DecimalType(28, 0)))
+        val roll = Rolling(base, Seq("user_id"), "event_id", window = 5)
+        val cn = roll.count("x").cast(DoubleType)
+        val sx = roll.sum("dx").cast(DoubleType)
+        val sy = roll.sum("dy").cast(DoubleType)
+        val sxy = roll.sum("dxy").cast(DoubleType)
+        val sxx = roll.sum("dxx").cast(DoubleType)
+        val syy = roll.sum("dyy").cast(DoubleType)
+        val cov = when(cn > 1.0, (sxy - sx * sy / cn) / (cn - lit(1.0)))
+        val vx = when(cn > 1.0, (sxx - sx * sx / cn) / (cn - lit(1.0)))
+        val vy = when(cn > 1.0, (syy - sy * sy / cn) / (cn - lit(1.0)))
+        val corr = when(vx > 0.0 && vy > 0.0, cov / sqrt(vx * vy))
+        roll.withColumnRolled("rcov", cov)
+          .assign("rcorr", corr)
+          .select("event_id", "user_id", "rcov", "rcorr")
+          .sortValues(Seq("event_id" -> true)).df
+      }
+    }
+
     // integer-valued doubles: sum-of-squares is exact, so the Scala-side
     // lambda (collect_list order) and the engine window sum agree bitwise
     r.reg("q_rolling_apply",

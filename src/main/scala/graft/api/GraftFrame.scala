@@ -140,6 +140,14 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     lift(df.select(col(c)))
   }
 
+  /** melt/unpivot (capability superset — not in the reference, standard
+    * pandas reshape): id columns stay, `valueCols` fold into
+    * (variable, value) rows. Blockwise (Spark Expand node) — no shuffle. */
+  def melt(idCols: Seq[String], valueCols: Seq[String],
+           varName: String = "variable", valueName: String = "value"): GraftFrame =
+    lift(df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+      varName, valueName))
+
   /** df.round(decimals) (reference Elemwise `round`): per-column round.
     * Decimal-typed inputs round HALF_UP identically on every engine;
     * double inputs inherit the engine's tie policy — cast to decimal
