@@ -190,6 +190,60 @@ object QueriesWindow {
       }
     }
 
+    // rolling skew/kurt in the population moment form (matches the global
+    // q_skew_kurt discipline): decimal raw-moment window sums over
+    // integer-valued y make m1..m4 bit-identical, and the identical
+    // double expression trees then agree everywhere
+    {
+      def wsum(e: String, p: Int) =
+        s"CAST(sum(CAST($e AS DECIMAL($p,0))) OVER w AS DOUBLE)"
+      val n = "CAST(count(y) OVER w AS DOUBLE)"
+      val m1 = s"(${wsum("y", 18)} / $n)"
+      val m2 = s"(${wsum("y*y", 28)} / $n)"
+      val m3 = s"(${wsum("y*y*y", 28)} / $n)"
+      val m4 = s"(${wsum("y*y*y*y", 28)} / $n)"
+      val v = s"($m2 - $m1 * $m1)"
+      val skewS = s"CASE WHEN $n > 2 AND $v > 0 THEN " +
+        s"($m3 - 3.0 * $m1 * $m2 + 2.0 * $m1 * $m1 * $m1) / ($v * sqrt($v)) " +
+        "ELSE NULL END"
+      val kurtS = s"CASE WHEN $n > 3 AND $v > 0 THEN " +
+        s"($m4 - 4.0 * $m1 * $m3 + 6.0 * $m1 * $m1 * $m2 " +
+        s"- 3.0 * $m1 * $m1 * $m1 * $m1) / ($v * $v) - 3.0 ELSE NULL END"
+      r.reg("q_rolling_skew",
+        s"""SELECT event_id, user_id, $skewS AS rskew, $kurtS AS rkurt
+           |FROM (SELECT event_id, user_id, floor(value * 7) AS y
+           |      FROM events WHERE user_id < 30)
+           |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           |  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+           |ORDER BY event_id""".stripMargin) { (s, dir) =>
+        val base = t(s, dir, "events").filter(col("user_id") < 30)
+          .withColumn("y", floor(col("value") * 7).cast(DoubleType))
+          .withColumn("d1", col("y").cast(DecimalType(18, 0)))
+          .withColumn("d2", (col("y") * col("y")).cast(DecimalType(28, 0)))
+          .withColumn("d3",
+            (col("y") * col("y") * col("y")).cast(DecimalType(28, 0)))
+          .withColumn("d4",
+            (col("y") * col("y") * col("y") * col("y")).cast(DecimalType(28, 0)))
+        val roll = Rolling(base, Seq("user_id"), "event_id", window = 6)
+        val cn = roll.count("y").cast(DoubleType)
+        val m1c = roll.sum("d1").cast(DoubleType) / cn
+        val m2c = roll.sum("d2").cast(DoubleType) / cn
+        val m3c = roll.sum("d3").cast(DoubleType) / cn
+        val m4c = roll.sum("d4").cast(DoubleType) / cn
+        val vc = m2c - m1c * m1c
+        val skew = when(cn > 2.0 && vc > 0.0,
+          (m3c - lit(3.0) * m1c * m2c + lit(2.0) * m1c * m1c * m1c)
+            / (vc * sqrt(vc)))
+        val kurt = when(cn > 3.0 && vc > 0.0,
+          (m4c - lit(4.0) * m1c * m3c + lit(6.0) * m1c * m1c * m2c
+            - lit(3.0) * m1c * m1c * m1c * m1c) / (vc * vc) - lit(3.0))
+        roll.withColumnRolled("rskew", skew)
+          .assign("rkurt", kurt)
+          .select("event_id", "user_id", "rskew", "rkurt")
+          .sortValues(Seq("event_id" -> true)).df
+      }
+    }
+
     // integer-valued doubles: sum-of-squares is exact, so the Scala-side
     // lambda (collect_list order) and the engine window sum agree bitwise
     r.reg("q_rolling_apply",
