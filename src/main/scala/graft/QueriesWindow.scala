@@ -146,8 +146,7 @@ object QueriesWindow {
     // q_rolling_more): integer-valued x/y make every window sum exact, so
     // the moment-form cov and corr are bit-identical across engines
     {
-      def wsum(e: String, p: Int) =
-        s"CAST(sum(CAST($e AS DECIMAL($p,0))) OVER w AS DOUBLE)"
+      def wsum(e: String, p: Int) = wsumSql(e, p)
       val n = "CAST(count(x) OVER w AS DOUBLE)"
       def mom(a: String, b: String, p: Int) =
         s"(${wsum(s"$a*$b", p)} - ${wsum(a, 18)} * ${wsum(b, 18)} / $n) / ($n - 1.0)"
@@ -195,8 +194,7 @@ object QueriesWindow {
     // integer-valued y make m1..m4 bit-identical, and the identical
     // double expression trees then agree everywhere
     {
-      def wsum(e: String, p: Int) =
-        s"CAST(sum(CAST($e AS DECIMAL($p,0))) OVER w AS DOUBLE)"
+      def wsum(e: String, p: Int) = wsumSql(e, p)
       val n = "CAST(count(y) OVER w AS DOUBLE)"
       val m1 = s"(${wsum("y", 18)} / $n)"
       val m2 = s"(${wsum("y*y", 28)} / $n)"

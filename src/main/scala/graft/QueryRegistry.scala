@@ -45,6 +45,12 @@ object QHelp {
   def keyHash31(c: Column): Column =
     pmod(pmod(c, lit(2147483648L)) * 2654435761L, lit(4294967296L))
 
+  /** Windowed decimal sum cast to double — the rolling moment
+    * discipline's single definition (q_rolling_cov / q_rolling_skew);
+    * `over` is the named window in the surrounding SQL. */
+  def wsumSql(e: String, p: Int, over: String = "w"): String =
+    s"CAST(sum(CAST($e AS DECIMAL($p,0))) OVER $over AS DOUBLE)"
+
   /** Exact, order-independent sum of a double expression. Per-value cast
     * is DECIMAL(28,s): |v| < 10^(28-s) before any value nulls out, far
     * above TPC-H magnitudes at any SF (ADVICE r1: 18-s was too tight). */

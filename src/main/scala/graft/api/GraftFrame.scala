@@ -159,10 +159,14 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
   /** get_partition(i) (reference `_collection.py` get_partition /
     * Partitions `_expr.py:1879-1977`): rows of physical partition i.
     * Partition membership follows the CURRENT plan's partitioning — pin
-    * it first (setIndex/repartitionByDivisions) for stable semantics. */
-  def getPartition(i: Int): GraftFrame =
+    * it first (setIndex/repartitionByDivisions) for stable semantics.
+    * An index past the plan's partition count yields an empty frame
+    * (the count isn't known until execution; the reference raises). */
+  def getPartition(i: Int): GraftFrame = {
+    require(i >= 0, s"getPartition: negative partition index $i")
     lift(df.withColumn("__pid__", spark_partition_id())
       .filter(col("__pid__") === i).drop("__pid__"))
+  }
 
   // ---- dedup / set ops (reference _reductions.py:478-553, _concat.py) ----
   def distinct: GraftFrame = lift(df.distinct())

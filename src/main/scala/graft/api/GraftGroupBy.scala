@@ -70,11 +70,15 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
     GraftFrame(g.agg(graft.operators.WindowOps.product(col(c)).as(s"${c}_prod")))
   /** Deterministic first/last per group: pandas first/last follow row
     * order, which a distributed engine doesn't have — an explicit order
-    * column is required (min_by/max_by, one agg pass). */
+    * column is required (min_by/max_by, one agg pass). Ties on the order
+    * column break on the value itself (same struct pattern as idxmin/
+    * idxmax below) so the result never depends on partition order. */
   def firstBy(c: String, orderCol: String): GraftFrame =
-    GraftFrame(g.agg(F.min_by(col(c), col(orderCol)).as(s"${c}_first")))
+    GraftFrame(g.agg(
+      F.min_by(col(c), struct(col(orderCol), col(c))).as(s"${c}_first")))
   def lastBy(c: String, orderCol: String): GraftFrame =
-    GraftFrame(g.agg(F.max_by(col(c), col(orderCol)).as(s"${c}_last")))
+    GraftFrame(g.agg(
+      F.max_by(col(c), struct(col(orderCol), col(c))).as(s"${c}_last")))
 
   /** groupby(...).rolling(window) (reference `_rolling.py` groupby-
     * rolling): the partitioned Rolling with the group keys as window

@@ -61,11 +61,13 @@ object Multimodal {
     StructField("out_w", IntegerType, nullable = false),
     StructField("out_h", IntegerType, nullable = false)))
 
-  /** STUB resize: deterministic byte-stride downsample of the payload to
-    * a `outW*outH` byte budget (stands in for a real image resample —
-    * swap the loop body for the codec call). The engine-side shape is
-    * the point: binary in → binary out with typed dims, batched per
-    * partition, constant memory per row, no driver involvement. */
+  /** STUB resize: deterministic byte-stride resample of the payload to
+    * exactly `outW*outH` bytes (stands in for a real image resample —
+    * swap the loop body for the codec call). Short payloads repeat bytes
+    * (the "upscale" path) so the emitted dims ALWAYS describe the
+    * payload: length == out_w * out_h is the row's contract. The
+    * engine-side shape is the point: binary in → binary out with typed
+    * dims, batched per partition, constant memory per row. */
   def resizeStub(df: DataFrame, idCol: String, payloadCol: String,
                  outW: Int, outH: Int): DataFrame =
     df.select(col(idCol).cast("long"), col(payloadCol))
@@ -74,11 +76,9 @@ object Multimodal {
         it.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
           val out =
-            if (bytes.length <= budget) bytes
-            else {
-              val stride = bytes.length.toDouble / budget
-              Array.tabulate(budget)(i => bytes((i * stride).toInt))
-            }
+            if (bytes.length == 0) new Array[Byte](budget)
+            else Array.tabulate(budget)(i =>
+              bytes(((i.toLong * bytes.length) / budget).toInt))
           Row(r.getLong(0), out, outW, outH)
         }
       }(org.apache.spark.sql.Encoders.row(resizedSchema))

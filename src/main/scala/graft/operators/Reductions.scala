@@ -82,10 +82,11 @@ object Reductions {
 
   /** median_approximate (reference `_collection.py` median_approximate):
     * bounded-state GK sketch at phi=0.5 — the scale path where exact
-    * `median()` would shuffle whole groups. */
+    * `median()` would shuffle whole groups. Delegates to approxQuantiles
+    * so the sketch call lives in one place. */
   def medianApprox(df: DataFrame, c: String, accuracy: Int = 10000): DataFrame =
-    df.agg(percentile_approx(col(c), lit(0.5), lit(accuracy))
-      .as("median_approx"))
+    approxQuantiles(df, c, Seq(0.5), accuracy)
+      .select(element_at(col("quantiles"), 1).as("median_approx"))
 
   /** nunique exact & approximate (HLL, the reference's NuniqueApprox b=16
     * — reference `_reductions.py:1028-1049`). */

@@ -393,7 +393,7 @@ class WindowLlmSpec extends SparkTestBase {
     assert(out.getAs[Long]("checksum") == ('A'.toInt + 'B'.toInt))
   }
 
-  test("resizeStub caps payload at the byte budget, keeps short payloads") {
+  test("resizeStub always emits exactly out_w*out_h bytes") {
     import graft.llm.Multimodal
     val docs = kv((1L, "a", 1.0), (2L, "b", 2.0))
       .withColumn("text", org.apache.spark.sql.functions.when(
@@ -403,8 +403,10 @@ class WindowLlmSpec extends SparkTestBase {
     val out = Multimodal.resizeStub(withBytes, "id", "payload", 4, 4)
       .collect().map(r => r.getLong(0) ->
         (r.getAs[Array[Byte]](1).length, r.getInt(2), r.getInt(3))).toMap
-    assert(out(1L) == ((16, 4, 4)))  // 100 bytes -> 16-byte budget
-    assert(out(2L) == ((5, 4, 4)))   // under budget passes through
+    // dims must DESCRIBE the payload: 100 bytes downsample, 5 bytes
+    // upsample by repetition — both land exactly on the 16-byte budget
+    assert(out(1L) == ((16, 4, 4)))
+    assert(out(2L) == ((16, 4, 4)))
   }
 
   test("framePlan fans out one row per frame") {
