@@ -71,6 +71,14 @@ object Streams {
       .toDF(keyCol, "running_sum", "running_n")
   }
 
+  /** Stream-static enrichment join: each micro-batch joins the static
+    * dimension (broadcast when small — AQE per micro-batch). The standard
+    * shape for attaching dimension attributes to a 100 TB event stream
+    * without restating the dimension per event. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+             joinHow: String = "left_outer"): DataFrame =
+    stream.join(dim, keys, joinHow)
+
   def toMemorySink(df: DataFrame, name: String,
                    mode: OutputMode = OutputMode.Update()): DataStreamWriter[Row] =
     df.writeStream.format("memory").queryName(name).outputMode(mode)

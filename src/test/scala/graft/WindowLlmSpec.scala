@@ -331,6 +331,25 @@ class WindowLlmSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("stream-static enrich joins dimension attributes per micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("k", "label")
+    val in = MemoryStream[(String, Double)]
+    val out = graft.streaming.Streams.enrich(
+      in.toDF().toDF("k", "v"), dim, Seq("k"))
+    val q = out.writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      in.addData(("a", 1.0), ("c", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test").collect()
+        .map(r => r.getString(0) -> Option(r.getString(2))).toMap
+      assert(rows == Map("a" -> Some("alpha"), "c" -> None))
+    } finally q.stop()
+  }
+
   test("streaming windowedAgg equals batch Resample.agg on the same rows") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
