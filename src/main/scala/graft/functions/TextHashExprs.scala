@@ -155,6 +155,43 @@ case class DotDecimal(left: Expression, right: Expression, scale: Int)
   override def prettyName: String = "dot_decimal"
 }
 
+/** Plain double dot product — the cheap PREFILTER companion to
+  * DotDecimal: one sequential IEEE loop per row (deterministic for a
+  * fixed array order, ~50× cheaper than per-term BigDecimal). Used to
+  * discard candidate pairs far below a similarity threshold so the
+  * exact-decimal dot runs only on survivors; callers must keep a
+  * conservative margin (double vs decimal dot differ by ≲1e-12 at unit
+  * scale, margins are set at 1e-6). */
+case class DotDouble(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"dot_double needs two ARRAY<DOUBLE>, got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toDoubleArray()
+    val b = r.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotDouble =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_double"
+}
+
 /** Random-hyperplane LSH bucket id — native form of the declarative
   * Similarity.lshBucketDeclarative, bit-identical (WindowLlmSpec asserts
   * it): per plane j and element i the weight is the exact integer
@@ -278,6 +315,9 @@ object TextHashExprs {
   def dotDecimal(a: Column, b: Column, scale: Int): Column =
     column(DotDecimal(expression(a.cast("array<double>")),
       expression(b.cast("array<double>")), scale))
+  def dotDouble(a: Column, b: Column): Column =
+    column(DotDouble(expression(a.cast("array<double>")),
+      expression(b.cast("array<double>"))))
   def lshBucket(vec: Column, dim: Int, planes: Int): Column =
     column(LshBucket(expression(vec.cast("array<double>")), dim, planes))
 }

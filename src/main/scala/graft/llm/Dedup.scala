@@ -191,11 +191,17 @@ object Dedup {
       .join(bucketed.select(col("bucket"), col("id").as("id_b"),
         col("v").as("vb"), col("norm").as("nb")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      // cheap double-dot PREFILTER: the exact-decimal dot (per-term
+      // BigDecimal) runs only on candidates within 1e-6 of the
+      // threshold — double vs decimal dots differ by ≲1e-12 at unit
+      // scale, so no true survivor can be dropped, and the emitted cos
+      // values (the oracle-compared ones) stay decimal-derived
+      .filter(col("na") * col("nb") > 0.0 &&
+        graft.functions.TextHashExprs.dotDouble(col("va"), col("vb")) /
+          (col("na") * col("nb")) >= threshold - 1e-6)
       .withColumn("cos",
-        org.apache.spark.sql.functions.when(col("na") * col("nb") === 0.0,
-          org.apache.spark.sql.functions.lit(null)).otherwise(
-          Similarity.dotExact(col("va"), col("vb"), 12).cast("double") /
-            (col("na") * col("nb"))))
+        Similarity.dotExact(col("va"), col("vb"), 12).cast("double") /
+          (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
