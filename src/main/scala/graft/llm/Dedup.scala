@@ -94,9 +94,16 @@ object Dedup {
     candidates
       .join(shingleSets.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(shingleSets.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      // |A ∪ B| = |A| + |B| − |A ∩ B| for the distinct shingle sets —
+      // skips the second full set operation per candidate; the double
+      // division sees the exact same integers as the union form, so the
+      // oracle's intersect/union jaccard matches bitwise
+      .withColumn("__i__",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("__i__") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("__i__")))
+      .drop("__i__")
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
