@@ -163,8 +163,7 @@ case class DotDecimal(left: Expression, right: Expression, scale: Int)
   * conservative margin (double vs decimal dot differ by ≲1e-12 at unit
   * scale, margins are set at 1e-6). */
 case class DotDouble(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.types._
 
   override def dataType: DataType = DoubleType
@@ -185,6 +184,27 @@ case class DotDouble(left: Expression, right: Expression)
     while (i < n) { acc += a(i) * b(i); i += 1 }
     acc
   }
+
+  // real codegen (not CodegenFallback): this runs per candidate pair in
+  // the dedup prefilter — a fallback here would split the filter's
+  // WholeStageCodegen span and pay a virtual call per row
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotDouble =

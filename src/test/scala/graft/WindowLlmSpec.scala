@@ -233,6 +233,22 @@ class WindowLlmSpec extends SparkTestBase {
     assert(top(1)._2 == 0.0 && top(2)._2 == -1.0)
   }
 
+  test("native dot_double (codegen) matches sequential double fold bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val d = spark.range(1, 200).toDF("id")
+      .withColumn("a", transform(sequence(lit(1), lit(64)), i =>
+        (i * col("id") % 97).cast("double") / 7.0))
+      .withColumn("b", transform(sequence(lit(1), lit(64)), i =>
+        (i + col("id") % 13).cast("double") / 3.0))
+    val got = d.select(col("id"),
+        graft.functions.TextHashExprs.dotDouble(col("a"), col("b")).as("nd"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"id=${r.getLong(0)}: native ${r.getDouble(1)} != hof ${r.getDouble(2)}"))
+  }
+
   test("native lsh_bucket matches the declarative HOF form bit-for-bit") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(300)
