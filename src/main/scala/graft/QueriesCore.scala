@@ -45,6 +45,34 @@ object QueriesCore {
       GraftFrame.readParquet(s, path).sortValues(Seq("o_orderkey" -> true)).df
     }
 
+    // JSON and ORC round-trips (superset sinks/sources): write from
+    // Spark, read back, compare against the parquet truth in DuckDB.
+    // JSON rides an explicit schema — inference must not decide dtypes
+    // inside a gate — and doubles round-trip exactly (shortest-repr).
+    r.reg("q_json_roundtrip",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id < 20 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val path = "/root/repo/target/qtmp/events_json"
+      GraftFrame(t(s, dir, "events")).filter(col("user_id") < 20)
+        .select("event_id", "user_id", "value")
+        .toJson(path)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType)))
+      GraftFrame.readJson(s, path, Some(schema))
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
+    r.reg("q_orc_roundtrip",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_totalprice > 200000.0 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val path = "/root/repo/target/qtmp/orders_orc"
+      GraftFrame(t(s, dir, "orders")).filter(col("o_totalprice") > 200000.0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .toOrc(path)
+      GraftFrame.readOrc(s, path).sortValues(Seq("o_orderkey" -> true)).df
+    }
+
     r.reg("q_from_local",
       """SELECT * FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', -2.25),
         |(3, 'gamma', 0.125)) t(id, name, score) ORDER BY id""".stripMargin) { (s, _) =>

@@ -371,6 +371,12 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
   }
   def toCsv(path: String, header: Boolean = true, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", header).csv(path)
+  /** JSON / ORC sinks (capability superset — the reference ships only
+    * parquet+csv, `io/`; Spark provides these natively). */
+  def toJson(path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+  def toOrc(path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
 
   def cache(): GraftFrame = lift(df.cache())
   def explainPlan(): Unit = df.explain("formatted")
@@ -384,6 +390,15 @@ object GraftFrame {
   def readCsv(spark: SparkSession, path: String, header: Boolean = true,
               inferSchema: Boolean = true): GraftFrame =
     GraftFrame(spark.read.option("header", header).option("inferSchema", inferSchema).csv(path))
+  /** JSON source: pass an explicit schema for deterministic dtypes
+    * (inference samples the data — fine interactively, not in a gate). */
+  def readJson(spark: SparkSession, path: String,
+               schema: Option[org.apache.spark.sql.types.StructType] = None): GraftFrame = {
+    val r = spark.read
+    GraftFrame(schema.fold(r.json(path))(sc => r.schema(sc).json(path)))
+  }
+  def readOrc(spark: SparkSession, path: String): GraftFrame =
+    GraftFrame(spark.read.orc(path))
 
   /** FromMap analog (reference `io/io.py:139-299`): distribute driver-side
     * items, build each partition's rows with `f` on the executors (the
