@@ -175,13 +175,20 @@ case class DotDouble(left: Expression, right: Expression)
         s"dot_double needs two ARRAY<DOUBLE>, got $other")
     }
 
+  // null ELEMENTS contribute 0 in BOTH evaluation paths (interpreted
+  // toDoubleArray would NPE on a null slot while unsafe codegen would
+  // silently read 0.0 — the explicit isNullAt check makes the two paths
+  // bit-identical for every legal input)
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toDoubleArray()
-    val b = r.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(a.length, b.length)
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a(i) * b(i); i += 1 }
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -200,7 +207,9 @@ case class DotDouble(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -198,17 +198,24 @@ object Dedup {
       .join(bucketed.select(col("bucket"), col("id").as("id_b"),
         col("v").as("vb"), col("norm").as("nb")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      // cheap double-dot PREFILTER: the exact-decimal dot (per-term
-      // BigDecimal) runs only on candidates within 1e-6 of the
-      // threshold — double vs decimal dots differ by ≲1e-12 at unit
-      // scale, so no true survivor can be dropped, and the emitted cos
-      // values (the oracle-compared ones) stay decimal-derived
-      .filter(col("na") * col("nb") > 0.0 &&
-        graft.functions.TextHashExprs.dotDouble(col("va"), col("vb")) /
-          (col("na") * col("nb")) >= threshold - 1e-6)
+      // cheap double-dot PREFILTER in MULTIPLIED form (no division, so
+      // no ANSI divide-by-zero path exists regardless of predicate
+      // evaluation order): keep a pair when
+      //   dot_double >= threshold*na*nb - (1e-6*na*nb + 1e-9).
+      // The relative term covers double-dot rounding (≤ ~1.4e-14·na·nb
+      // for dim 64); the absolute 1e-9 floor covers the decimal HALF_UP
+      // rounding of dotExact (≤ ~3.2e-11 for 64 scale-12 terms) even
+      // for tiny-norm vectors — so no true survivor can be dropped at
+      // ANY vector scale, and the emitted cos values (the
+      // oracle-compared ones) stay decimal-derived.
+      .filter(graft.functions.TextHashExprs.dotDouble(col("va"), col("vb")) >=
+        lit(threshold) * col("na") * col("nb") -
+          (lit(1e-6) * col("na") * col("nb") + lit(1e-9)))
       .withColumn("cos",
-        Similarity.dotExact(col("va"), col("vb"), 12).cast("double") /
-          (col("na") * col("nb")))
+        org.apache.spark.sql.functions.when(col("na") * col("nb") === 0.0,
+          org.apache.spark.sql.functions.lit(null)).otherwise(
+          Similarity.dotExact(col("va"), col("vb"), 12).cast("double") /
+            (col("na") * col("nb"))))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

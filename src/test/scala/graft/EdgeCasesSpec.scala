@@ -173,6 +173,31 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(catN.codes.collect().forall(_.getInt(3) == -1))
   }
 
+  test("embeddingNearDupPairs survives zero-norm vectors (no ANSI DBZ)") {
+    import org.apache.spark.sql.functions.{array, lit}
+    // two identical unit vectors (a true pair) plus two zero vectors
+    // that land in the same all-zero-sign LSH bucket: the pipeline must
+    // drop the zero-norm candidates as null-cos, not raise DIVIDE_BY_ZERO
+    val rows = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)), (2L, Array(1.0, 0.0, 0.0, 0.0)),
+      (3L, Array.fill(4)(0.0)), (4L, Array.fill(4)(0.0)))
+    val d = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(d, "vec_id", "embedding", 4, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("dot_double treats null array elements as 0 in both eval paths") {
+    import org.apache.spark.sql.functions.{array, lit, when, col => c}
+    val d = kv((1L, "a", 1.0))
+      .withColumn("x", array(lit(2.0), when(c("v") < 0, 1.0), lit(3.0)))
+      .withColumn("y", array(lit(5.0), lit(7.0), lit(11.0)))
+    val got = d.select(
+      graft.functions.TextHashExprs.dotDouble(c("x"), c("y")).as("d"))
+      .head().getDouble(0)
+    assert(got == 2.0 * 5.0 + 3.0 * 11.0) // null slot contributes 0
+  }
+
   test("getPartition covers the frame exactly once; medianApprox near exact") {
     val d = GraftFrame(kv((1L to 100L).map(i => (i, "k", i.toDouble)): _*))
       .repartition(4)
