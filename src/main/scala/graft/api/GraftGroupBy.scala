@@ -41,6 +41,9 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
       case "std"    => F.stddev_samp(col(c))
       case "median" => F.median(col(c))
       case "nunique"=> F.countDistinct(col(c))
+      // HLL sketch (reference nunique_approx `_reductions.py:1028-1049`):
+      // the scale path — bounded state vs an exact distinct shuffle
+      case "nunique_approx" => F.approx_count_distinct(col(c))
       case "first"  => F.first(col(c))
       case "last"   => F.last(col(c))
       case "any"    => F.bool_or(col(c))

@@ -159,6 +159,14 @@ class GroupByJoinSpec extends SparkTestBase {
     assert(out.count() == 5) // every left row survives
   }
 
+  test("aggSpec nunique_approx is near exact on small groups") {
+    val f = GraftFrame(kv(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 2.0), (4L, "b", 5.0)))
+    val r = f.groupby("k").aggSpec(Map("v" -> Seq("nunique_approx"))).df
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 2L, "b" -> 1L)) // HLL exact at this cardinality
+  }
+
   test("groupby firstBy/lastBy/median/prod/rolling sugar") {
     val f = GraftFrame(kv(
       (1L, "a", 2.0), (2L, "a", 3.0), (3L, "a", 4.0), (4L, "b", 5.0)))
