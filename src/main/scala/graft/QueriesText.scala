@@ -119,19 +119,19 @@ object QueriesText {
         |              CAST(length(source) + floor((11 - length(source)) / 2)
         |                   + ((11 - length(source)) % 2) AS INTEGER),
         |              '*'), 11, '*') END AS ctr,
-        |  CASE WHEN strpos(source, 'r') = 0 THEN [source, '', '']
+        |  array_to_string(CASE WHEN strpos(source, 'r') = 0 THEN [source, '', '']
         |       ELSE [substr(source, 1, strpos(source, 'r') - 1), 'r',
-        |             substr(source, strpos(source, 'r') + 1)] END AS part3,
-        |  CASE WHEN strpos(reverse(text), ' ') = 0 THEN ['', '', text]
+        |             substr(source, strpos(source, 'r') + 1)] END, chr(31)) AS part3,
+        |  array_to_string(CASE WHEN strpos(reverse(text), ' ') = 0 THEN ['', '', text]
         |       ELSE [substr(text, 1, length(text) - strpos(reverse(text), ' ')), ' ',
         |             substr(text, length(text) - strpos(reverse(text), ' ') + 2)]
-        |       END AS rpart3,
+        |       END, chr(31)) AS rpart3,
         |  CASE WHEN starts_with(source, 'src') THEN substr(source, 4)
         |       ELSE source END AS rmp,
         |  CASE WHEN ends_with(source, '1') THEN substr(source, 1, length(source) - 1)
         |       ELSE source END AS rms,
         |  translate(source, 'src', 'XYZ') AS tl,
-        |  regexp_extract_all(text, 'da[a-z]+') AS fa,
+        |  coalesce(array_to_string(regexp_extract_all(text, 'da[a-z]+'), chr(31)), '') AS fa,
         |  CAST(CASE WHEN strpos(reverse(text), reverse('data')) = 0 THEN -1
         |       ELSE length(text) - 4 - strpos(reverse(text), reverse('data')) + 1
         |       END AS INTEGER) AS rf,
@@ -185,12 +185,15 @@ object QueriesText {
           col("source").strCapitalize.as("cap"),
           col("source").strSwapcase.as("sw_case"),
           col("source").strCenter(11, "*").as("ctr"),
-          col("source").strPartition("r").as("part3"),
-          col("text").strRpartition(" ").as("rpart3"),
+          // partition/rpartition/findall produce array columns; the driver's
+          // pandas row-sort cannot hash ndarray cells, so the oracle-checked
+          // form joins the parts with a US (0x1f) separator on both engines.
+          array_join(col("source").strPartition("r"), "\u001f").as("part3"),
+          array_join(col("text").strRpartition(" "), "\u001f").as("rpart3"),
           col("source").strRemoveprefix("src").as("rmp"),
           col("source").strRemovesuffix("1").as("rms"),
           col("source").strTranslate("src", "XYZ").as("tl"),
-          col("text").strFindall("da[a-z]+").as("fa"),
+          array_join(col("text").strFindall("da[a-z]+"), "\u001f").as("fa"),
           col("text").strRfind("data").as("rf"),
           col("text").strIndexOf("data").as("idx0"),
           col("text").strRindex("data").as("ridx"),

@@ -15,6 +15,16 @@ def canon_cell(v):
         return tuple(canon_cell(x) for x in v)
     return v
 
+def has_array_cells(series):
+    """The DRIVER's compare sorts rows by every column with pandas, which
+    cannot hash ndarray cells — an array-typed output column passes here
+    (canon_cell) but fails the driver. Flag it so the local gate predicts
+    the driver gate."""
+    for v in series.head(50):
+        if isinstance(v, (np.ndarray, list, tuple)):
+            return True
+    return False
+
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
@@ -33,7 +43,12 @@ for name in sorted(os.listdir(outdir)):
     # DuckDB: DuckDB fetchdf normalizes DECIMAL to float64 on both sides,
     # hiding decimal/object dtype divergence the driver's gate can see.
     parts = sorted(glob.glob(f"{d}/*.parquet"))
-    got = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
+    if not parts:
+        # an empty result written with zero tasks leaves only _SUCCESS;
+        # synthesize an empty frame instead of letting pd.concat throw
+        got = pd.DataFrame()
+    else:
+        got = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
     if name not in oracle:
         weak.append((name, len(got)))
         continue
@@ -58,6 +73,12 @@ for name in sorted(os.listdir(outdir)):
             ok = False
             break
         if str(gv.dtype) == "object":
+            if has_array_cells(gv) or has_array_cells(ev):
+                fails.append((name, f"array-typed cells in [{c}]: driver's "
+                              "row-sort cannot hash them — emit scalars "
+                              "(array_join / explode) instead"))
+                ok = False
+                break
             gv = gv.map(canon_cell)
             ev = ev.map(canon_cell)
         eq = (gv == ev) | (gv.isna() & ev.isna())
