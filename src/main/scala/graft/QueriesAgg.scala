@@ -47,10 +47,12 @@ object QueriesAgg {
         dsumD(col("l_extendedprice")).as("sum_base_price"),
         // discPrice carries ≤4 real decimal digits (2-digit price ×
         // 2-digit discount), charge ≤6 — so the scale reductions below are
-        // exact (no rounding), and the final double cast stays < 2^53
-        // unscaled at the gate SF (max group sum 5.3e8 at sf0.01).
-        sum(discPrice).cast(DecimalType(38, 4)).cast(DoubleType).as("sum_disc_price"),
-        sum(charge).cast(DecimalType(38, 6)).cast(DoubleType).as("sum_charge"),
+        // exact (no rounding). exactDouble raises if a larger SF ever
+        // pushes the unscaled sum past 2^53 (charge at scale 6 leaves the
+        // exact range near sf≥10) instead of silently double-rounding
+        // differently per engine.
+        exactDouble(sum(discPrice).cast(DecimalType(38, 4)), 4).as("sum_disc_price"),
+        exactDouble(sum(charge).cast(DecimalType(38, 6)), 6).as("sum_charge"),
         dmean(col("l_quantity")).as("avg_qty"),
         dmean(col("l_extendedprice")).as("avg_price"),
         dmean(col("l_discount")).as("avg_disc"),

@@ -59,13 +59,27 @@ object QHelp {
   def dsumSql(x: String, scale: Int = 4): String =
     s"CAST(sum(CAST(($x) AS DECIMAL(28,$scale))) AS DECIMAL(38,$scale))"
 
+  /** Final decimal→double conversion, guarded: the conversion is the
+    * same nearest-double on both engines only while the unscaled value
+    * < 2^53, i.e. |v| < 2^53 / 10^scale. Nothing enforced that bound at
+    * runtime, so a larger scale factor would silently stop hash-matching
+    * — raise instead. Evaluated on final aggregated rows only. */
+  def exactDouble(s: Column, scale: Int): Column = {
+    val bound = lit(9007199254740992.0 / math.pow(10.0, scale))
+    when(abs(s) >= bound,
+        raise_error(concat(
+          lit(s"decimal->double output leaves the exact range (unscaled >= 2^53 at scale $scale): "),
+          s.cast(StringType))))
+      .otherwise(s.cast(DoubleType))
+  }
+
   /** dsum whose FINAL value is cast to DOUBLE — for queries whose output
     * column is the sum itself. Accumulation stays decimal
     * (order-independent); the trailing decimal→double conversion is the
     * nearest-double on both engines while the unscaled value < 2^53, so
     * the driver's dtype-sensitive hash matches (r2: raw DECIMAL output
     * columns don't survive pyarrow-vs-DuckDB canonicalization). */
-  def dsumD(c: Column, scale: Int = 4): Column = dsum(c, scale).cast(DoubleType)
+  def dsumD(c: Column, scale: Int = 4): Column = exactDouble(dsum(c, scale), scale)
   def dsumDSql(x: String, scale: Int = 4): String =
     s"CAST(${dsumSql(x, scale)} AS DOUBLE)"
 

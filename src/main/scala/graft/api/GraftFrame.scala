@@ -215,12 +215,17 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     require(divisions.nonEmpty, "repartitionByDivisions: empty divisions")
     val bucket = divisions.foldLeft(lit(0))((acc, d) =>
       acc + when(col(c) >= lit(d), 1).otherwise(0))
-    // range partitioning on the bucket id: hash placement could collide
-    // two division buckets into one partition (and leave others empty),
-    // and partition order would not follow division order — the layout
-    // explicit divisions exist to provide
-    lift(df.withColumn("__div__", bucket)
-      .repartitionByRange(divisions.size + 1, col("__div__"))
+    // the bucket id IS the partition id, placed by an identity
+    // partitioner: sampled range partitioning (repartitionByRange) can
+    // merge two division buckets into one partition under skew and leave
+    // others empty, violating the bucket-i→partition-i layout explicit
+    // divisions exist to provide
+    val n = divisions.size + 1
+    val withBucket = df.withColumn("__div__", bucket.cast("int"))
+    val divIdx = withBucket.schema.fieldIndex("__div__")
+    val placed = withBucket.rdd.map(r => (r.getInt(divIdx), r))
+      .partitionBy(new graft.operators.Overlap.IdPartitioner(n)).values
+    lift(df.sparkSession.createDataFrame(placed, withBucket.schema)
       .sortWithinPartitions(c)
       .drop("__div__"))
   }
@@ -305,17 +310,24 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     }
     val leftCols = df.columns.filterNot(on.contains)
     val rightCols = other.df.columns.filterNot(on.contains)
+    // presence markers: pandas align(fill_value=...) fills only the holes
+    // REINDEXING introduces (rows absent from that side), never a NaN the
+    // side already contained — a bare coalesce can't tell them apart
     val l = leftCols.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + "__l__"))
+      .withColumn("__lpresent__", lit(true))
     val r = rightCols.foldLeft(other.df)((d, c) => d.withColumnRenamed(c, c + "__r__"))
+      .withColumn("__rpresent__", lit(true))
     val joined = l.join(r, on, how)
     // the fill casts to each COLUMN's dtype (a numeric fill on a string
     // column must not coerce the column — ANSI would reject the cast)
-    def side(src: DataFrame, cols: Array[String], suf: String): GraftFrame = lift(
+    def side(src: DataFrame, cols: Array[String], suf: String, present: String): GraftFrame = lift(
       cols.foldLeft(joined)((d, c) => d.withColumn(c,
-          fillValue.map(fv => coalesce(col(c + suf), fv.cast(src.schema(c).dataType)))
+          fillValue.map(fv => when(col(present).isNull, fv.cast(src.schema(c).dataType))
+              .otherwise(col(c + suf)))
             .getOrElse(col(c + suf))))
         .select((on ++ cols).map(col).toIndexedSeq: _*))
-    (side(df, leftCols, "__l__"), side(other.df, rightCols, "__r__"))
+    (side(df, leftCols, "__l__", "__lpresent__"),
+     side(other.df, rightCols, "__r__", "__rpresent__"))
   }
 
   // ---- global idxmin/idxmax (reference _reductions.py:817-839) ----

@@ -253,8 +253,10 @@ case class LshBucket(child: Expression, dim: Int, planes: Int)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val x = input.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(x.length, dim)
+    // element-wise isNullAt/getDouble like DotDouble: a null slot is 0,
+    // never an NPE (toDoubleArray throws on null elements)
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
     var bucket = 0L
     var j = 0
     while (j < planes) {
@@ -262,8 +264,10 @@ case class LshBucket(child: Expression, dim: Int, planes: Int)
       val off = j * dim
       var i = 0
       while (i < n) {
-        acc = acc.add(java.math.BigDecimal.valueOf(x(i) * weights(off + i))
-          .setScale(12, java.math.RoundingMode.HALF_UP))
+        if (!arr.isNullAt(i)) {
+          acc = acc.add(java.math.BigDecimal.valueOf(arr.getDouble(i) * weights(off + i))
+            .setScale(12, java.math.RoundingMode.HALF_UP))
+        }
         i += 1
       }
       if (acc.signum() > 0) bucket |= (1L << j)

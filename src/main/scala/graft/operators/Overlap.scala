@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.StructType
   */
 object Overlap {
 
-  private final class IdPartitioner(n: Int) extends Partitioner {
+  /** Identity partitioner over precomputed partition ids — also used by
+    * GraftFrame.repartitionByDivisions, where sampled range partitioning
+    * could merge two division buckets under skew. */
+  private[graft] final class IdPartitioner(n: Int) extends Partitioner {
     def numPartitions: Int = n
     def getPartition(key: Any): Int = key.asInstanceOf[Int]
   }

@@ -59,17 +59,60 @@ object WindowOps {
     val wIn = Window.partitionBy(col("__pid__")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = ranged.withColumn("__local__", sum(col(valueCol)).over(wIn))
-    // npartitions rows: cheap single-task window is fine here.
-    val wOff = Window.orderBy(col("__pid__"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withLocal.groupBy(col("__pid__"))
+    // Prefix the npartitions-row per-range sums with a single narrow
+    // task (coalesce(1) + imperative scan): the aggregation's exchange
+    // keeps the data-side parallel, and no un-partitioned WindowExec
+    // appears in the plan. Accumulation mirrors the engine's own sum
+    // semantics per type (sequential in pid order).
+    val psums = withLocal.groupBy(col("__pid__"))
       .agg(sum(col(valueCol)).as("__psum__"))
-      .withColumn("__offset__",
-        coalesce(sum(col("__psum__")).over(wOff), lit(0)))
-      .select(col("__pid__"), col("__offset__"))
+    val offsets = prefixSum(psums, "__pid__", "__psum__", "__offset__")
     withLocal.join(broadcast(offsets), "__pid__")
       .withColumn(outCol, col("__local__") + col("__offset__"))
       .drop("__pid__", "__local__", "__offset__")
+  }
+
+  /** Running prefix (exclusive) of `valCol` over `pidCol` order, computed
+    * in ONE narrow task over an npartitions-row frame — the carry-chain
+    * scan shared by the global cumulative ops. Sequential adds in pid
+    * order replicate exactly what an ordered window sum would do. */
+  private def prefixSum(tiny: DataFrame, pidCol: String, valCol: String,
+                        outCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val valType = tiny.schema(valCol).dataType
+    val outSchema = StructType(Seq(
+      tiny.schema(pidCol).copy(name = pidCol),
+      StructField(outCol, valType)))
+    val pidIdx = tiny.schema.fieldIndex(pidCol)
+    val valIdx = tiny.schema.fieldIndex(valCol)
+    val scanned = tiny.coalesce(1).sortWithinPartitions(pidCol).rdd
+      .mapPartitions { it =>
+        valType match {
+          case d: DecimalType =>
+            var acc = java.math.BigDecimal.ZERO.setScale(d.scale)
+            it.map { r =>
+              val out = org.apache.spark.sql.Row(r.get(pidIdx), acc)
+              if (!r.isNullAt(valIdx))
+                acc = acc.add(r.getAs[java.math.BigDecimal](valIdx))
+              out
+            }
+          case _: DoubleType | _: FloatType =>
+            var acc = 0.0
+            it.map { r =>
+              val out = org.apache.spark.sql.Row(r.get(pidIdx), acc)
+              if (!r.isNullAt(valIdx)) acc += r.getAs[Number](valIdx).doubleValue()
+              out
+            }
+          case _ =>
+            var acc = 0L
+            it.map { r =>
+              val out = org.apache.spark.sql.Row(r.get(pidIdx), acc)
+              if (!r.isNullAt(valIdx)) acc += r.getAs[Number](valIdx).longValue()
+              out
+            }
+        }
+      }
+    tiny.sparkSession.createDataFrame(scanned, outSchema)
   }
 
   /** Globally-ordered forward fill without a single-partition window:
@@ -85,15 +128,24 @@ object WindowOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("__lf__",
       last(col(valueCol), ignoreNulls = true).over(wIn))
-    // npartitions rows: last non-null per range, ffilled across ranges,
-    // shifted so range i sees the carry from ranges < i
-    val wP = Window.orderBy(col("__pid__"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carries = local.groupBy(col("__pid__"))
+    // npartitions rows: last non-null per range, carried forward across
+    // ranges (exclusive — range i sees the carry from ranges < i) in one
+    // narrow task, so no un-partitioned WindowExec appears in the plan
+    val lasts = local.groupBy(col("__pid__"))
       .agg(last(col("__lf__"), ignoreNulls = true).as("__last__"))
-      .withColumn("__carry__",
-        last(col("__last__"), ignoreNulls = true).over(wP))
-      .select(col("__pid__"), col("__carry__"))
+    val lastIdx = 1
+    val carrySchema = org.apache.spark.sql.types.StructType(Seq(
+      lasts.schema.fields(0), lasts.schema.fields(1).copy(name = "__carry__")))
+    val carryRdd = lasts.coalesce(1).sortWithinPartitions("__pid__").rdd
+      .mapPartitions { it =>
+        var carry: Any = null
+        it.map { r =>
+          val out = org.apache.spark.sql.Row(r.get(0), carry)
+          if (!r.isNullAt(lastIdx)) carry = r.get(lastIdx)
+          out
+        }
+      }
+    val carries = df.sparkSession.createDataFrame(carryRdd, carrySchema)
     local.join(broadcast(carries), "__pid__")
       .withColumn(outCol, coalesce(col("__lf__"), col("__carry__")))
       .drop("__pid__", "__lf__", "__carry__")
@@ -210,13 +262,29 @@ object WindowOps {
         coalesce(expr(s"bool_and(__prev__ IS NULL OR __prev__ <= `$c`)"), lit(true))
           .as("__ok__"),
         min(col(c)).as("__min__"), max(col(c)).as("__max__"))
-    // Boundary check across ranges: each range's max must not exceed the
-    // next range's min. npartitions rows — single-task window is fine.
-    val wB = Window.orderBy(col("__pid__"))
-    local
-      .withColumn("__prevmax__", lag(col("__max__"), 1).over(wB))
-      .agg(coalesce(
-        expr("bool_and(__ok__ AND (__prevmax__ IS NULL OR __prevmax__ <= __min__))"),
-        lit(true)).as("is_monotonic"))
+    // Boundary check across ranges: every earlier range's max must not
+    // exceed this range's min. npartitions rows — one narrow task scans
+    // them in pid order (no un-partitioned WindowExec in the plan).
+    val okIdx = local.schema.fieldIndex("__ok__")
+    val minIdx = local.schema.fieldIndex("__min__")
+    val maxIdx = local.schema.fieldIndex("__max__")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "is_monotonic", org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val scanRdd = local.coalesce(1).sortWithinPartitions("__pid__").rdd
+      .mapPartitions { it =>
+        var all = true
+        var prevMax: Any = null
+        while (it.hasNext) {
+          val r = it.next()
+          if (!r.getBoolean(okIdx)) all = false
+          if (prevMax != null && !r.isNullAt(minIdx) &&
+              prevMax.asInstanceOf[Comparable[Any]].compareTo(r.get(minIdx)) > 0)
+            all = false
+          if (!r.isNullAt(maxIdx)) prevMax = r.get(maxIdx)
+        }
+        Iterator(org.apache.spark.sql.Row(all))
+      }
+    df.sparkSession.createDataFrame(scanRdd, outSchema)
   }
 }
