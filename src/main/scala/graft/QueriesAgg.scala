@@ -541,5 +541,32 @@ object QueriesAgg {
       graft.operators.WindowOps.isMonotonicIncreasing(
         t(s, dir, "orders"), "o_orderkey", "o_orderkey")
     }
+
+    // is_monotonic_decreasing: a genuinely decreasing series (negated key,
+    // true) and a non-monotonic one (totalprice over key order, false) in
+    // one output so both outcomes are value-checked
+    r.reg("q_is_monotonic_dec",
+      """WITH a AS (
+        |  SELECT -o_orderkey AS v, lag(-o_orderkey) OVER (ORDER BY o_orderkey) AS prev
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_totalprice AS v, lag(o_totalprice) OVER (ORDER BY o_orderkey) AS prev
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'neg_key' AS label,
+        |    coalesce(bool_and(prev IS NULL OR prev >= v), true) AS is_monotonic FROM a
+        |  UNION ALL
+        |  SELECT 'price' AS label,
+        |    coalesce(bool_and(prev IS NULL OR prev >= v), true) AS is_monotonic FROM b)
+        |ORDER BY label""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val negKey = graft.operators.WindowOps.isMonotonicDecreasing(
+          o.withColumn("v", -col("o_orderkey")), "v", "o_orderkey")
+        .withColumn("label", lit("neg_key"))
+      val price = graft.operators.WindowOps.isMonotonicDecreasing(
+          o.withColumn("v", col("o_totalprice")), "v", "o_orderkey")
+        .withColumn("label", lit("price"))
+      negKey.unionByName(price).select("label", "is_monotonic").orderBy("label")
+    }
   }
 }

@@ -448,6 +448,17 @@ object QueriesWindow {
         .sortValues(Seq("o_custkey" -> true, "o_orderkey" -> true)).df
     }
 
+    // rename_axis/reset_index: index-column rename flows through the
+    // pipeline (the renamed column feeds a real aggregation)
+    r.reg("q_rename_axis",
+      """SELECT o_custkey AS cust_id, count(*) AS n FROM orders
+        |GROUP BY 1 ORDER BY cust_id LIMIT 100""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .setIndex("o_custkey").renameAxis("cust_id").resetIndex
+        .df.groupBy("cust_id").agg(count(lit(1)).as("n"))
+        .orderBy("cust_id").limit(100)
+    }
+
     r.reg("q_global_ffill",
       """SELECT event_id,
         |  last_value(v IGNORE NULLS) OVER (ORDER BY event_id

@@ -133,6 +133,14 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
   def setIndex(c: String): GraftFrame =
     GraftFrame(df.repartitionByRange(col(c)).sortWithinPartitions(c), Some(c))
   def resetIndex: GraftFrame = copy(indexCol = None)
+  /** rename_axis (reference `_collection.py` rename_axis): rename the
+    * index column itself — data rows unchanged, sortedness preserved
+    * (a rename never perturbs partitioning or ordering). */
+  def renameAxis(name: String): GraftFrame = indexCol match {
+    case Some(c) if c != name =>
+      GraftFrame(df.withColumnRenamed(c, name), Some(name))
+    case _ => this
+  }
   /** Index-as-Series extraction (reference `_expr.py:1444-1468`). */
   def indexSeries: GraftFrame = {
     val c = indexCol.getOrElse(

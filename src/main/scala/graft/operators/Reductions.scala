@@ -99,4 +99,31 @@ object Reductions {
     * (reference `_reductions.py:1162-1205`). */
   def sizeInBytes(df: DataFrame): BigInt =
     df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** memory_usage_per_partition analog (reference
+    * `_collection.py` memory_usage_per_partition): per-partition row
+    * counts plus a bytes estimate prorated from the optimizer's size
+    * statistic — one narrow pass, nothing collected but the counts. */
+  def memoryUsagePerPartition(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val total = sizeInBytes(df).toDouble
+    val counts = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+      Iterator((pid, n))
+    }
+    val rows = counts.map { case (pid, n) => org.apache.spark.sql.Row(pid, n) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("partition",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("rows",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val base = spark.createDataFrame(rows, schema)
+    val totals = base.agg(sum(col("rows")).as("__total_rows__"))
+    base.crossJoin(broadcast(totals))
+      .withColumn("est_bytes",
+        when(col("__total_rows__") > 0,
+          (col("rows") / col("__total_rows__") * total).cast("long"))
+          .otherwise(lit(0L)))
+      .drop("__total_rows__")
+  }
 }

@@ -250,38 +250,53 @@ object WindowOps {
     * range-shuffle on the order column, check each range locally (window
     * partitioned by range id), then verify the npartitions-row boundary
     * frame — no full-data single-partition window. */
-  def isMonotonicIncreasing(df: DataFrame, c: String, orderCol: String): DataFrame = {
+  def isMonotonicIncreasing(df: DataFrame, c: String, orderCol: String): DataFrame =
+    isMonotonic(df, c, orderCol, increasing = true)
+  def isMonotonicDecreasing(df: DataFrame, c: String, orderCol: String): DataFrame =
+    isMonotonic(df, c, orderCol, increasing = false)
+
+  private def isMonotonic(df: DataFrame, c: String, orderCol: String,
+                          increasing: Boolean): DataFrame = {
     val ranged = df.select(col(c), col(orderCol))
       .repartitionByRange(col(orderCol))
       .withColumn("__pid__", spark_partition_id())
     val wIn = Window.partitionBy(col("__pid__")).orderBy(col(orderCol))
+    val cmp = if (increasing) "<=" else ">="
+    // __lead__ / __trail__: the boundary values a later range compares
+    // against — for increasing, every earlier max <= this min; for
+    // decreasing, every earlier min >= this max
+    val (leadAgg, trailAgg) =
+      if (increasing) (min(col(c)), max(col(c))) else (max(col(c)), min(col(c)))
     val local = ranged
       .withColumn("__prev__", lag(col(c), 1).over(wIn))
       .groupBy(col("__pid__"))
       .agg(
-        coalesce(expr(s"bool_and(__prev__ IS NULL OR __prev__ <= `$c`)"), lit(true))
+        coalesce(expr(s"bool_and(__prev__ IS NULL OR __prev__ $cmp `$c`)"), lit(true))
           .as("__ok__"),
-        min(col(c)).as("__min__"), max(col(c)).as("__max__"))
-    // Boundary check across ranges: every earlier range's max must not
-    // exceed this range's min. npartitions rows — one narrow task scans
-    // them in pid order (no un-partitioned WindowExec in the plan).
+        leadAgg.as("__lead__"), trailAgg.as("__trail__"))
+    // Boundary check across ranges: every earlier range's trail value
+    // must satisfy `cmp` against this range's lead value. npartitions
+    // rows — one narrow task scans them in pid order (no un-partitioned
+    // WindowExec in the plan).
     val okIdx = local.schema.fieldIndex("__ok__")
-    val minIdx = local.schema.fieldIndex("__min__")
-    val maxIdx = local.schema.fieldIndex("__max__")
+    val minIdx = local.schema.fieldIndex("__lead__")
+    val maxIdx = local.schema.fieldIndex("__trail__")
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(
         "is_monotonic", org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val badSign = if (increasing) 1 else -1
     val scanRdd = local.coalesce(1).sortWithinPartitions("__pid__").rdd
       .mapPartitions { it =>
         var all = true
-        var prevMax: Any = null
+        var prevTrail: Any = null
         while (it.hasNext) {
           val r = it.next()
           if (!r.getBoolean(okIdx)) all = false
-          if (prevMax != null && !r.isNullAt(minIdx) &&
-              prevMax.asInstanceOf[Comparable[Any]].compareTo(r.get(minIdx)) > 0)
+          if (prevTrail != null && !r.isNullAt(minIdx) &&
+              Integer.signum(prevTrail.asInstanceOf[Comparable[Any]]
+                .compareTo(r.get(minIdx))) == badSign)
             all = false
-          if (!r.isNullAt(maxIdx)) prevMax = r.get(maxIdx)
+          if (!r.isNullAt(maxIdx)) prevTrail = r.get(maxIdx)
         }
         Iterator(org.apache.spark.sql.Row(all))
       }

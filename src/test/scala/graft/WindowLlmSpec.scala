@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.api.{GraftFrame, Rolling}
 import graft.llm.{Dedup, Multimodal, Similarity, TextHash, TextStats}
-import graft.operators.WindowOps
+import graft.operators.{Reductions, WindowOps}
 
 class WindowLlmSpec extends SparkTestBase {
 
@@ -66,6 +66,23 @@ class WindowLlmSpec extends SparkTestBase {
     val not = seq6.select(col("id"), (lit(100.0) - col("v")).as("x"))
     assert(!WindowOps.isMonotonicIncreasing(not, "x", "id")
       .collect().head.getBoolean(0))
+  }
+
+  test("isMonotonicDecreasing true and false cases") {
+    val dec = seq6.select(col("id"), (-col("id")).cast(DoubleType).as("x"))
+    assert(WindowOps.isMonotonicDecreasing(dec, "x", "id")
+      .collect().head.getBoolean(0))
+    val inc = seq6.select(col("id"), col("id").cast(DoubleType).as("x"))
+    assert(!WindowOps.isMonotonicDecreasing(inc, "x", "id")
+      .collect().head.getBoolean(0))
+  }
+
+  test("memoryUsagePerPartition reports one row per partition, rows sum to total") {
+    val d = seq6.repartition(3)
+    val r = Reductions.memoryUsagePerPartition(d).collect()
+    assert(r.length == 3)
+    assert(r.map(_.getLong(1)).sum == 6L)
+    assert(r.forall(_.getLong(2) >= 0L))
   }
 
   test("mapOverlap sees neighbor rows across partition boundaries") {
