@@ -61,24 +61,26 @@ object Dedup {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    // shingle sets cached FIRST, signatures computed from the cached
-    // column: keeps the 16 permutation lambdas from re-evaluating the
-    // shingle expression per hash (interpreted HOFs inline collapsed
-    // projections).
-    val shingled = spread.select(col(idCol),
-        graft.functions.TextHashExprs.shingleHashes(col(textCol), shingleK)
-          .as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .cache()
-    val sigs = shingled.select(col(idCol),
-      graft.functions.TextHashExprs.minhashSig(col("shingles"), numHashes)
-        .as("sig"),
-      col("shingles"))
+    // No corpus-wide cache of derived shingle arrays (that is corpus-sized
+    // executor storage at 100 TB): the candidate branch computes the
+    // signature in ONE fused expression pass, and the verify branch
+    // recomputes shingles from a second scan for candidate docs only.
+    // The <k-token filter runs on the raw text (equivalent to
+    // size(shingles) > 0 — k tokens make at least one k-gram — and
+    // pushable) so the shingle expression is never evaluated twice per
+    // row. Banding consumes `sig` through a Generate node, which reads
+    // the projected attribute — the lambda cannot inline the minhash
+    // expression per band.
+    val eligible = spread.filter(size(split(col(textCol), " ", -1)) >= shingleK)
+    val sigs = eligible.select(col(idCol).as("id"),
+      graft.functions.TextHashExprs.minhashSig(
+        graft.functions.TextHashExprs.shingleHashes(col(textCol), shingleK),
+        numHashes).as("sig"))
 
     // Band shuffle carries only (band, key, id) — the shingle sets join
     // back for candidates only, so the wide arrays never ride the
     // candidate-generation exchange.
-    val banded = sigs.select(col(idCol).as("id"),
+    val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))
           .as(Seq("band", "key")))
@@ -90,7 +92,14 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    val shingleSets = shingled.select(col(idCol).as("id"), col("shingles"))
+    // Verify-side shingles: recomputed for candidate docs only — the
+    // candidate frame is orders of magnitude smaller than the corpus, so
+    // AQE broadcasts it and the corpus side never shuffles; when
+    // candidates outgrow the broadcast threshold the join degrades to a
+    // hash shuffle, still O(corpus + candidates), never all-pairs.
+    val shingleSets = eligible.select(col(idCol).as("id"),
+      graft.functions.TextHashExprs.shingleHashes(col(textCol), shingleK)
+        .as("shingles"))
     candidates
       .join(shingleSets.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(shingleSets.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
