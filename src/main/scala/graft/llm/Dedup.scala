@@ -80,10 +80,16 @@ object Dedup {
     // Band shuffle carries only (band, key, id) — the shingle sets join
     // back for candidates only, so the wide arrays never ride the
     // candidate-generation exchange.
+    // Explicit repartition on the join key BEFORE aliasing: both sides of
+    // the self-join then descend from one identical exchange subplan, so
+    // Catalyst plans the scan+signature computation once and reuses the
+    // exchange (ReusedExchange) — without it each aliased branch gets its
+    // own exchange and recomputes the signatures.
     val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))
           .as(Seq("band", "key")))
+      .repartition(col("band"), col("key"))
 
     val candidates = banded.select(col("band"), col("key"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("key"), col("id").as("id_b")),
@@ -197,11 +203,18 @@ object Dedup {
                             vecCol: String, dim: Int, threshold: Double,
                             planes: Int = 8): DataFrame = {
     // norms precomputed per VECTOR (not per pair — that would triple the
-    // dot-product work across every candidate pair)
+    // dot-product work across every candidate pair). Repartitioned on the
+    // join key before aliasing so the self-join's two branches share ONE
+    // exchange (ReusedExchange): one scan + one bucket/norm computation,
+    // no corpus-wide cache. Null vectors are dropped on the RAW column
+    // and bucket/norm wrapped non-nullable: otherwise the join-key
+    // isnotnull constraints are inferred as filters, pushed below the
+    // projection, and re-evaluate the decimal dot product per row.
     val bucketed = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", Similarity.lshBucket(col("v"), dim, planes))
-      .withColumn("norm", Similarity.normExact(col("v"), 12))
-      .cache()
+      .filter(col("v").isNotNull)
+      .withColumn("bucket", coalesce(Similarity.lshBucket(col("v"), dim, planes), lit(0L)))
+      .withColumn("norm", coalesce(Similarity.normExact(col("v"), 12), lit(0.0)))
+      .repartition(col("bucket"))
     bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"),
         col("norm").as("na"))
       .join(bucketed.select(col("bucket"), col("id").as("id_b"),
