@@ -119,6 +119,26 @@ class EdgeCasesSpec extends SparkTestBase {
       s"bucket spread over partitions: $partsPerBucket")
   }
 
+  test("repartitionByDivisions: bucket-i->partition-i holds under heavy skew") {
+    // 97% of rows in one bucket: sampled range partitioning would merge
+    // the small buckets into one partition and leave others empty; the
+    // identity partitioner must still place bucket i in partition i
+    val divs = Seq(10L, 20L, 30L)
+    val skewed = (1L to 9L) ++ (10L to 19L).take(2) ++ (20L to 29L).take(1) ++
+      (30L to 1000L)
+    val d = GraftFrame(kv(skewed.map(i => (i, "k", i.toDouble)): _*))
+      .repartitionByDivisions("id", divs)
+    val rows = d.df
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .collect()
+    assert(rows.length == skewed.length)
+    val bucketOf = (id: Long) => divs.count(id >= _)
+    rows.foreach { r =>
+      assert(r.getInt(3) == bucketOf(r.getLong(0)),
+        s"id ${r.getLong(0)} in partition ${r.getInt(3)}, expected bucket ${bucketOf(r.getLong(0))}")
+    }
+  }
+
   test("sampleByHash fraction bounds") {
     val d = GraftFrame(kv((1L to 100L).map(i => (i, "k", 1.0)): _*))
     assert(d.sampleByHash("id", 0.0).df.count() == 0)
