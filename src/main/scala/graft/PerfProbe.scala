@@ -28,6 +28,35 @@ object PerfProbe {
     time("signatures") {
       llm.Dedup.signatures(docs, "doc_id", "text").count()
     }
+    // sub-stages of nearDuplicatePairs (mirrors Dedup internals so a perf
+    // pass can see which exchange dominates; keep in sync with Dedup)
+    locally {
+      import org.apache.spark.sql.functions._
+      val (idCol, textCol, shingleK, numHashes, bands) =
+        ("doc_id", "text", 3, 16, 4)
+      val rows = numHashes / bands
+      val par = spark.sparkContext.defaultParallelism
+      val spread =
+        if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+      val eligible =
+        spread.filter(size(split(col(textCol), " ", -1)) >= shingleK)
+      val sigs = eligible.select(col(idCol).as("id"),
+        graft.functions.TextHashExprs.minhashSig(
+          graft.functions.TextHashExprs.shingleHashes(col(textCol), shingleK),
+          numHashes).as("sig"))
+      val banded = sigs.select(col("id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+            concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))
+            .as(Seq("band", "key")))
+        .repartition(col("band"), col("key"))
+      time("  banded") { banded.count() }
+      val candidates = banded.select(col("band"), col("key"), col("id").as("id_a"))
+        .join(banded.select(col("band"), col("key"), col("id").as("id_b")),
+          Seq("band", "key"))
+        .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b")
+      time("  candidates") { candidates.count() }
+    }
     time("pairs (cand+jaccard)") {
       llm.Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.6).count()
     }

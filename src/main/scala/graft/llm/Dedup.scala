@@ -136,8 +136,9 @@ object Dedup {
     val pairs = nearDuplicatePairs(docs, idCol, textCol, threshold)
       .select(col("id_a"), col("id_b")).cache()
     val labels = minLabelComponents(pairs, maxIterations)
-    // labels/pairs stay cached: the returned frame is lazy, and an eager
-    // unpersist here would replay the whole iterative lineage on first use
+    // labels is checkpointed (materialized, lineage-free) inside
+    // minLabelComponents, so the pair pipeline cache can be released now
+    pairs.unpersist()
     val toDrop = labels.filter(col("id") =!= col("label")).select(col("id"))
     docs.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
@@ -155,41 +156,49 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .cache()
+    // Iterative plans must have their lineage TRUNCATED each pass
+    // (eager localCheckpoint → LogicalRDD): a cached frame still embeds
+    // the full prior logical plan, which grows geometrically with the
+    // number of references per iteration and OOMs the driver on plan
+    // strings alone long before the data is large. (Same discipline as
+    // GraphX/GraphFrames iterative algorithms; swap for reliable
+    // checkpointing on a cluster where executor loss must be survivable.)
     var labels = edges.select(col("u").as("id"), col("v").as("label"))
       .union(edges.select(col("u").as("id"), col("u").as("label")))
       .groupBy("id").agg(min("label").as("label"))
-      .cache()
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
       iter += 1
-      // (1) neighbor-min: each node adopts the smallest label among its
-      // neighbors (without this, a node whose neighbors all carry larger
-      // ids never learns the component min through them)
+      // One pass folds BOTH convergence mechanisms into a single
+      // union + min-groupBy (3 shuffles/iteration, vs 5 when neighbor-min
+      // and doubling each did their own join + groupBy — at corpus scale
+      // every one of these shuffles is pair-graph-sized):
+      //   (1) neighbor-min: each node adopts the smallest label among its
+      //       neighbors — the step that guarantees convergence to the true
+      //       component minimum;
+      //   (2) pointer doubling: each node also adopts its label's label
+      //       (chains halve per pass → ~log₂ convergence).
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "v"), Seq("v"))
         .select(col("u").as("id"), col("label"))
-      val combined = labels.union(viaEdges)
+      val viaParent = labels.as("l")
+        .join(labels.select(col("id").as("label"), col("label").as("parent")).as("p"),
+          Seq("label"))
+        .select(col("id"), col("parent").as("label"))
+      val next = labels.union(viaEdges).union(viaParent)
         .groupBy("id").agg(min("label").as("label"))
-      // (2) pointer doubling: follow label-of-label to halve chain depth
-      val next = combined.as("l")
-        .join(combined.select(col("id").as("label"), col("label").as("parent")).as("p"),
-          Seq("label"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("parent"), col("label"))).as("label"))
-        .groupBy("id").agg(min("label").as("label"))
-        .cache()
-      // one cheap existence probe per pass; caches truncate the iterative
-      // plan so each pass re-reads materialized labels, not the lineage
+        .localCheckpoint() // eager: materializes AND truncates lineage
+      // one cheap existence probe per pass over two materialized frames
       converged = next.as("n")
         .join(labels.select(col("id"), col("label").as("prev")).as("o"), Seq("id"))
         .filter(col("label") =!= col("prev"))
         .isEmpty
-      labels.unpersist()
       labels = next
     }
-    // edges served only the loop; the converged probe scanned every
-    // partition of the final cached labels, so dropping edges cannot
-    // force a replay (and repeated dedup calls must not pin stale caches)
+    // edges served only the loop; labels is checkpointed (materialized,
+    // lineage-free), so dropping edges cannot force a replay
     edges.unpersist()
     labels
   }
