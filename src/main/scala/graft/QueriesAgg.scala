@@ -173,6 +173,89 @@ object QueriesAgg {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }
 
+    // TPC-H Q4 (EXISTS predicate adapted: the fixture lacks
+    // l_commitdate/l_receiptdate, so "late lineitem" becomes a
+    // discount predicate — the plan shape is identical: filtered fact
+    // scan -> LEFT SEMI join -> grouped count). Semi join goes through
+    // the library operator (Joins.semi); at 100 TB both sides shuffle
+    // on orderkey, no driver materialization.
+    r.reg("q_tpch_q4",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.06)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-10-01").cast(TimestampType))
+      val li = t(s, dir, "lineitem").filter(col("l_discount") > 0.06)
+        .select(col("l_orderkey").as("o_orderkey"))
+      graft.operators.Joins.semi(ord, li, Seq("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }
+
+    // TPC-H Q12 (l_shipmode is absent from the fixture; l_returnflag
+    // takes its place as the grouping column): fact-fact join ->
+    // conditional counts. The CASE folds into the partial aggregate, so
+    // the exchange carries 3 longs per group, not rows.
+    r.reg("q_tpch_q12",
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+        .select("l_orderkey", "l_returnflag")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).cast(LongType).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).cast(LongType).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }
+
+    // TPC-H Q14: promo revenue share. Ratio discipline: both sums stay
+    // decimal (order-independent), each converts to double once, and the
+    // final 100*a/b is a single deterministic IEEE expression — same
+    // shape on both engines.
+    r.reg("q_tpch_q14",
+      s"""SELECT (100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+         |    THEN $discPriceSql ELSE CAST(0 AS DECIMAL(24,8)) END) AS DECIMAL(38,4)) AS DOUBLE)
+         |  / CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE)) AS promo_revenue
+         |FROM lineitem, part
+         |WHERE l_partkey = p_partkey
+         |  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      // part grows with SF: no explicit broadcast hint (AQE broadcasts at
+      // small scale, shuffle-joins at 100 TB — same posture as Q3/Q5 dims)
+      val pt = t(s, dir, "part").select("p_partkey", "p_type")
+      li.join(pt, col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            sum(when(col("p_type") === "PROMO", discPrice)
+              .otherwise(lit(0).cast(DecimalType(24, 8))))
+              .cast(DecimalType(38, 4)).cast(DoubleType) /
+            sum(discPrice).cast(DecimalType(38, 4)).cast(DoubleType))
+            .as("promo_revenue"))
+    }
+
     r.reg("q_groupby_spec",
       """SELECT o_orderstatus,
         |  CAST(sum(o_orderkey) AS BIGINT) AS o_orderkey_sum,

@@ -50,5 +50,6 @@ object SparkEntry {
     // shuffle-heavy tail tracked round-over-round (r2 advice #10)
     "q_global_cumsum", "q_set_index", "q_groupby_transform", "q_to_parquet",
     // composite TPC-H pipelines (pushdown showcase; join+agg+topk)
-    "q_tpch_q6", "q_tpch_q3", "q_tpch_q5")
+    "q_tpch_q6", "q_tpch_q3", "q_tpch_q5", "q_tpch_q4", "q_tpch_q12",
+    "q_tpch_q14")
 }
