@@ -285,7 +285,14 @@ case class LshBucket(child: Expression, dim: Int, planes: Int)
   * n_stopwords, fingerprint) — the counters TextStats.qualityFrame
   * needs, computed in a single tokenization pass instead of five
   * interpreted higher-order scans. Same split(' ', -1) tokenization and
-  * fingerprint arithmetic as the declarative forms. */
+  * fingerprint arithmetic as the declarative forms.
+  *
+  * Also carries the char-class counters (n_chars, n_alpha, n_digit,
+  * n_symbol, n_punct) the BPE-ish token estimate and punct ratio need:
+  * the declarative forms pay one regexp_replace PER CLASS, each
+  * allocating a rewritten copy of the document — this counts all five in
+  * the same pass, by code point (regex and Spark's length() both count
+  * code points, so a supplementary char is one symbol, not two). */
 case class TokenStats(child: Expression, stopwords: Seq[String])
     extends UnaryExpression with CodegenFallback {
   import org.apache.spark.sql.types._
@@ -295,7 +302,12 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
     StructField("sum_token_len", LongType, nullable = false),
     StructField("n_distinct", IntegerType, nullable = false),
     StructField("n_stopwords", IntegerType, nullable = false),
-    StructField("fingerprint", LongType, nullable = false)))
+    StructField("fingerprint", LongType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_alpha", IntegerType, nullable = false),
+    StructField("n_digit", IntegerType, nullable = false),
+    StructField("n_symbol", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false)))
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -314,7 +326,22 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val s = input.asInstanceOf[UTF8String].toString
+    // char-class pass, by code point (same counting as '[A-Za-z]'-style
+    // regex classes and Spark's length())
+    var nChars = 0; var nAlpha = 0; var nDigit = 0; var nSym = 0; var nPunct = 0
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      nChars += 1
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) nAlpha += 1
+      else if (cp >= '0' && cp <= '9') nDigit += 1
+      else if (cp != ' ') nSym += 1
+      if (cp == '.' || cp == ',' || cp == '!' || cp == '?' ||
+          cp == ';' || cp == ':') nPunct += 1
+      ci += Character.charCount(cp)
+    }
+    val toks = s.split(" ", -1)
     var sumLen = 0L
     var stops = 0
     var fp = 0L
@@ -328,7 +355,8 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
       fp = (fp + (tokId(t) * weights(i % 8)) % P) % P
       i += 1
     }
-    InternalRow(toks.length, sumLen, seen.size, stops, fp)
+    InternalRow(toks.length, sumLen, seen.size, stops, fp,
+      nChars, nAlpha, nDigit, nSym, nPunct)
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenStats =

@@ -68,10 +68,12 @@ object TextStats {
       .getField("l")
   }
 
-  /** One-pass quality frame: the token-derived stats come from the
-    * native TokenStats expression (single tokenization pass, bit-identical
-    * to the declarative forms above — asserted in WindowLlmSpec); the
-    * char-class stats stay on codegen'd regexp functions. */
+  /** One-pass quality frame: every token- AND char-class-derived stat
+    * comes from the single native TokenStats pass (bit-identical to the
+    * declarative forms above — asserted in WindowLlmSpec). The
+    * declarative regexp_replace char-class forms each allocated a
+    * rewritten copy of the document per class (4 extra string passes per
+    * row); only the md5 canonicalization still runs a regex. */
   def qualityFrame(docs: DataFrame, idCol: String, textCol: String,
                    stopwords: Seq[String]): DataFrame = {
     val t = col(textCol)
@@ -80,13 +82,16 @@ object TextStats {
         graft.functions.TextHashExprs.tokenStats(t, stopwords))
       .select(col(idCol),
         col("__ts__.n_tokens").as("n_tokens"),
-        tokenCountBpeIsh(t).as("n_tokens_bpe"),
-        charCount(t).as("n_chars"),
+        (ceil(col("__ts__.n_alpha").cast("double") / 4.0).cast("long")
+          + col("__ts__.n_digit") + col("__ts__.n_symbol")).as("n_tokens_bpe"),
+        col("__ts__.n_chars").as("n_chars"),
         (col("__ts__.sum_token_len").cast("double") / col("__ts__.n_tokens"))
           .as("avg_token_len"),
         (col("__ts__.n_distinct").cast("double") / col("__ts__.n_tokens"))
           .as("type_token_ratio"),
-        punctRatio(t).as("punct_ratio"),
+        when(col("__ts__.n_chars") === 0, lit(null)).otherwise(
+          col("__ts__.n_punct").cast("double") / col("__ts__.n_chars"))
+          .as("punct_ratio"),
         (col("__ts__.n_stopwords").cast("double") / col("__ts__.n_tokens"))
           .as("stopword_ratio"),
         col("__ts__.fingerprint").as("fingerprint"),

@@ -139,7 +139,15 @@ class WindowLlmSpec extends SparkTestBase {
   }
 
   test("native TokenStats matches declarative stats bit-for-bit") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    import org.apache.spark.sql.functions.{length, regexp_replace}
+    // unicode rows exercise the code-point counting rule (é is alpha? no —
+    // the regex class is ASCII [A-Za-z], so é counts as symbol; the
+    // supplementary 𝄞 is ONE symbol code point, not two UTF-16 units)
+    val extra = df(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      Row(9001L, "café 𝄞 tab\tend."), Row(9002L, ""), Row(9003L, "a:b;c!?"))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100).select("doc_id", "text").unionByName(extra)
     val stop = Seq("the", "a", "of")
     val both = docs.select(
       graft.functions.TextHashExprs.tokenStats(col("text"), stop).as("ts"),
@@ -148,10 +156,19 @@ class WindowLlmSpec extends SparkTestBase {
       TextHash.fingerprint(col("text")).as("fp"),
       org.apache.spark.sql.functions.size(
         org.apache.spark.sql.functions.array_distinct(
-          org.apache.spark.sql.functions.split(col("text"), " "))).as("nd"))
+          org.apache.spark.sql.functions.split(col("text"), " "))).as("nd"),
+      length(col("text")).as("nc"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("na"),
+      length(regexp_replace(col("text"), "[^0-9]", "")).as("ndig"),
+      length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).as("nsym"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+        .as("np"))
     val bad = both.filter(
       col("ts.n_tokens") =!= col("nt") || col("ts.n_stopwords") =!= col("sw") ||
-        col("ts.fingerprint") =!= col("fp") || col("ts.n_distinct") =!= col("nd")).count()
+        col("ts.fingerprint") =!= col("fp") || col("ts.n_distinct") =!= col("nd") ||
+        col("ts.n_chars") =!= col("nc") || col("ts.n_alpha") =!= col("na") ||
+        col("ts.n_digit") =!= col("ndig") || col("ts.n_symbol") =!= col("nsym") ||
+        col("ts.n_punct") =!= col("np")).count()
     assert(bad == 0)
   }
 
