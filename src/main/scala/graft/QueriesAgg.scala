@@ -223,7 +223,10 @@ object QueriesAgg {
         .groupBy("l_returnflag")
         .agg(
           sum(when(high, 1L).otherwise(0L)).cast(LongType).as("high_line_count"),
-          sum(when(high, 0L).otherwise(1L)).cast(LongType).as("low_line_count"))
+          // when(not(high), ...): a NULL priority must fall to 0 exactly
+          // like the SQL CASE (NULL NOT IN (...) is NULL -> ELSE 0);
+          // when(high, 0).otherwise(1) would count it as a low_line
+          sum(when(not(high), 1L).otherwise(0L)).cast(LongType).as("low_line_count"))
         .orderBy("l_returnflag")
     }
 
@@ -249,10 +252,10 @@ object QueriesAgg {
       li.join(pt, col("l_partkey") === col("p_partkey"))
         .agg(
           (lit(100.0) *
-            sum(when(col("p_type") === "PROMO", discPrice)
+            exactDouble(sum(when(col("p_type") === "PROMO", discPrice)
               .otherwise(lit(0).cast(DecimalType(24, 8))))
-              .cast(DecimalType(38, 4)).cast(DoubleType) /
-            sum(discPrice).cast(DecimalType(38, 4)).cast(DoubleType))
+              .cast(DecimalType(38, 4)), 4) /
+            exactDouble(sum(discPrice).cast(DecimalType(38, 4)), 4))
             .as("promo_revenue"))
     }
 

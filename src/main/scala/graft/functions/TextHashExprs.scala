@@ -22,10 +22,42 @@ import org.apache.spark.unsafe.types.UTF8String
   * built-ins can't reach the needed efficiency.
   */
 
+/** Shared token-id hash for the native text expressions.
+  *
+  * The declarative specification (TextHash.tokId: `ascii(substring(
+  * rpad(tok,4,'_'), d, 1))` + `length(tok) * 7919`) and its DuckDB
+  * mirror both operate on CODE POINTS — Spark's substring/length and
+  * DuckDB's substr/length count code points, and ascii() yields the
+  * code point of the (possibly supplementary) first character. The
+  * native form must therefore walk code points too: a UTF-16
+  * `charAt`/`length` walk diverges on any non-BMP character (𝄞, emoji —
+  * ubiquitous in web corpora) by splitting it into two surrogate units. */
+private[functions] object TokHash {
+  /** tokId = cp1*128^3 + cp2*128^2 + cp3*128 + cp4 over the first four
+    * code points ('_'-padded) + codePointCount * 7919. */
+  def tokId(tok: String): Long = {
+    var id = 0L
+    var mult = 2097152L // 128^3, then /128 per digit
+    var ci = 0
+    var d = 0
+    while (d < 4) {
+      val cp =
+        if (ci < tok.length) {
+          val c = tok.codePointAt(ci); ci += Character.charCount(c); c
+        } else '_'.toInt
+      id += cp.toLong * mult
+      mult /= 128L
+      d += 1
+    }
+    id + tok.codePointCount(0, tok.length).toLong * 7919L
+  }
+}
+
 /** Distinct k-shingle hashes of a whitespace-tokenized text; semantics
   * identical to TextHash.shingleHashArray (split(' ', -1) tokenization,
-  * tokId = c1*128^3+c2*128^2+c3*128+c4 over rpad(tok,4,'_') + len*7919,
-  * shingle = polynomial-31 combine mod 2^31-1, distinct). */
+  * tokId = cp1*128^3+cp2*128^2+cp3*128+cp4 over rpad(tok,4,'_') +
+  * code-point-len*7919, shingle = polynomial-31 combine mod 2^31-1,
+  * distinct). */
 case class ShingleHashes(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
 
@@ -37,11 +69,7 @@ case class ShingleHashes(child: Expression, k: Int)
 
   private val P = 2147483647L
 
-  private def tokId(tok: String): Long = {
-    def ch(d: Int): Long = (if (d < tok.length) tok.charAt(d) else '_').toLong
-    ch(0) * 2097152L + ch(1) * 16384L + ch(2) * 128L + ch(3) +
-      tok.length.toLong * 7919L
-  }
+  private def tokId(tok: String): Long = TokHash.tokId(tok)
 
   override def nullSafeEval(input: Any): Any = {
     // split(" ", -1): exactly Spark's split(text, ' ') semantics
@@ -253,22 +281,31 @@ case class LshBucket(child: Expression, dim: Int, planes: Int)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    // element-wise isNullAt/getDouble like DotDouble: a null slot is 0,
-    // never an NPE (toDoubleArray throws on null elements)
+    // ONE bulk copy per row with null slots zeroed: null elements must
+    // contribute 0 without NPE (toDoubleArray throws on null slots), but
+    // per-element isNullAt/getDouble inside the planes×dim loop costs
+    // planes×dim virtual calls per row on this interpreted-eval
+    // expression (measured 5x on q_ann_buckets). A zero slot is
+    // bit-identical to skipping the term: BigDecimal.valueOf(±0.0)
+    // .setScale(12) is exactly zero, and adding zero is exact.
     val arr = input.asInstanceOf[ArrayData]
     val n = math.min(arr.numElements(), dim)
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) v(i) = arr.getDouble(i)
+      i += 1
+    }
     var bucket = 0L
     var j = 0
     while (j < planes) {
       var acc = java.math.BigDecimal.ZERO
       val off = j * dim
-      var i = 0
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          acc = acc.add(java.math.BigDecimal.valueOf(arr.getDouble(i) * weights(off + i))
-            .setScale(12, java.math.RoundingMode.HALF_UP))
-        }
-        i += 1
+      var k = 0
+      while (k < n) {
+        acc = acc.add(java.math.BigDecimal.valueOf(v(k) * weights(off + k))
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+        k += 1
       }
       if (acc.signum() > 0) bucket |= (1L << j)
       j += 1
@@ -319,11 +356,7 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
     887503681L, 1742810335L)
   @transient private lazy val stopSet = stopwords.toSet
 
-  private def tokId(tok: String): Long = {
-    def ch(d: Int): Long = (if (d < tok.length) tok.charAt(d) else '_').toLong
-    ch(0) * 2097152L + ch(1) * 16384L + ch(2) * 128L + ch(3) +
-      tok.length.toLong * 7919L
-  }
+  private def tokId(tok: String): Long = TokHash.tokId(tok)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
@@ -349,7 +382,9 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
-      sumLen += t.length
+      // code points, not UTF-16 units: feeds avg_token_len, which the
+      // declarative/oracle forms compute from length() (code points)
+      sumLen += t.codePointCount(0, t.length)
       if (stopSet.contains(t)) stops += 1
       seen.add(t)
       fp = (fp + (tokId(t) * weights(i % 8)) % P) % P

@@ -157,16 +157,23 @@ object Dedup {
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .cache()
     // Iterative plans must have their lineage TRUNCATED each pass
-    // (eager localCheckpoint → LogicalRDD): a cached frame still embeds
+    // (eager checkpoint → LogicalRDD): a cached frame still embeds
     // the full prior logical plan, which grows geometrically with the
     // number of references per iteration and OOMs the driver on plan
     // strings alone long before the data is large. (Same discipline as
-    // GraphX/GraphFrames iterative algorithms; swap for reliable
-    // checkpointing on a cluster where executor loss must be survivable.)
-    var labels = edges.select(col("u").as("id"), col("v").as("label"))
-      .union(edges.select(col("u").as("id"), col("u").as("label")))
-      .groupBy("id").agg(min("label").as("label"))
-      .localCheckpoint()
+    // GraphX/GraphFrames iterative algorithms.) Which checkpoint: when
+    // the session has a checkpoint dir configured, use RELIABLE
+    // checkpointing — on a 1000-executor cluster, executor loss under
+    // localCheckpoint (executor-local blocks) kills the lineage-free
+    // frame and the whole convergence loop with it. Locally (no dir
+    // set), localCheckpoint avoids pointless disk round-trips.
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var labels = truncate(
+      edges.select(col("u").as("id"), col("v").as("label"))
+        .union(edges.select(col("u").as("id"), col("u").as("label")))
+        .groupBy("id").agg(min("label").as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -187,9 +194,9 @@ object Dedup {
         .join(labels.select(col("id").as("label"), col("label").as("parent")).as("p"),
           Seq("label"))
         .select(col("id"), col("parent").as("label"))
-      val next = labels.union(viaEdges).union(viaParent)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint() // eager: materializes AND truncates lineage
+      val next = truncate( // eager: materializes AND truncates lineage
+        labels.union(viaEdges).union(viaParent)
+          .groupBy("id").agg(min("label").as("label")))
       // one cheap existence probe per pass over two materialized frames
       converged = next.as("n")
         .join(labels.select(col("id"), col("label").as("prev")).as("o"), Seq("id"))

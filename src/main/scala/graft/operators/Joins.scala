@@ -115,6 +115,9 @@ object Joins {
     */
   def asofJoin(left: DataFrame, right: DataFrame, leftTs: String,
                rightTs: String, by: Seq[String]): DataFrame = {
+    require(by.nonEmpty,
+      "asofJoin: empty `by` would order the whole union in one task; " +
+        "pass at least one equi-key (same discipline as every ordered window)")
     val overlap = (left.columns.toSet & right.columns.toSet) -- by.toSet - rightTs
     val r0 = overlap.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_y"))
     val rightVals = r0.columns.filterNot(c => by.contains(c) || c == rightTs).toSeq

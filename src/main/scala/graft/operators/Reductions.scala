@@ -119,10 +119,15 @@ object Reductions {
         org.apache.spark.sql.types.LongType, nullable = false)))
     val base = spark.createDataFrame(rows, schema)
     val totals = base.agg(sum(col("rows")).as("__total_rows__"))
+    // clamp: plans without real stats (joins multiply defaults) can carry
+    // an astronomically large sizeInBytes; an unclamped double→long cast
+    // past Long.MaxValue throws under ANSI, and an introspection call
+    // must never fail
+    val estimate = least(lit(Long.MaxValue.toDouble),
+      col("rows") / col("__total_rows__") * total)
     base.crossJoin(broadcast(totals))
       .withColumn("est_bytes",
-        when(col("__total_rows__") > 0,
-          (col("rows") / col("__total_rows__") * total).cast("long"))
+        when(col("__total_rows__") > 0, estimate.cast("long"))
           .otherwise(lit(0L)))
       .drop("__total_rows__")
   }

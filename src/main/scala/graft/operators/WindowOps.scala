@@ -59,60 +59,24 @@ object WindowOps {
     val wIn = Window.partitionBy(col("__pid__")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = ranged.withColumn("__local__", sum(col(valueCol)).over(wIn))
-    // Prefix the npartitions-row per-range sums with a single narrow
-    // task (coalesce(1) + imperative scan): the aggregation's exchange
-    // keeps the data-side parallel, and no un-partitioned WindowExec
-    // appears in the plan. Accumulation mirrors the engine's own sum
-    // semantics per type (sequential in pid order).
-    val psums = withLocal.groupBy(col("__pid__"))
+    // Prefix offsets over the npartitions-row per-range sums. This IS an
+    // un-partitioned window, deliberately: the frame is npartitions rows
+    // by construction (the aggregation's exchange keeps the data-side
+    // parallel), so the single task touches ~32-1000 rows at any scale —
+    // the WindowExec warning it triggers is cosmetic. Do NOT "fix" it by
+    // scanning via .rdd/createDataFrame: that severs the SQL plan, the
+    // broadcast branch loses ReusedExchange, and the whole data pipeline
+    // executes twice (measured 9.2x at sf0.1).
+    val wOff = Window.orderBy(col("__pid__"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withLocal.groupBy(col("__pid__"))
       .agg(sum(col(valueCol)).as("__psum__"))
-    val offsets = prefixSum(psums, "__pid__", "__psum__", "__offset__")
+      .withColumn("__offset__",
+        coalesce(sum(col("__psum__")).over(wOff), lit(0)))
+      .select(col("__pid__"), col("__offset__"))
     withLocal.join(broadcast(offsets), "__pid__")
       .withColumn(outCol, col("__local__") + col("__offset__"))
       .drop("__pid__", "__local__", "__offset__")
-  }
-
-  /** Running prefix (exclusive) of `valCol` over `pidCol` order, computed
-    * in ONE narrow task over an npartitions-row frame — the carry-chain
-    * scan shared by the global cumulative ops. Sequential adds in pid
-    * order replicate exactly what an ordered window sum would do. */
-  private def prefixSum(tiny: DataFrame, pidCol: String, valCol: String,
-                        outCol: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val valType = tiny.schema(valCol).dataType
-    val outSchema = StructType(Seq(
-      tiny.schema(pidCol).copy(name = pidCol),
-      StructField(outCol, valType)))
-    val pidIdx = tiny.schema.fieldIndex(pidCol)
-    val valIdx = tiny.schema.fieldIndex(valCol)
-    val scanned = tiny.coalesce(1).sortWithinPartitions(pidCol).rdd
-      .mapPartitions { it =>
-        valType match {
-          case d: DecimalType =>
-            var acc = java.math.BigDecimal.ZERO.setScale(d.scale)
-            it.map { r =>
-              val out = org.apache.spark.sql.Row(r.get(pidIdx), acc)
-              if (!r.isNullAt(valIdx))
-                acc = acc.add(r.getAs[java.math.BigDecimal](valIdx))
-              out
-            }
-          case _: DoubleType | _: FloatType =>
-            var acc = 0.0
-            it.map { r =>
-              val out = org.apache.spark.sql.Row(r.get(pidIdx), acc)
-              if (!r.isNullAt(valIdx)) acc += r.getAs[Number](valIdx).doubleValue()
-              out
-            }
-          case _ =>
-            var acc = 0L
-            it.map { r =>
-              val out = org.apache.spark.sql.Row(r.get(pidIdx), acc)
-              if (!r.isNullAt(valIdx)) acc += r.getAs[Number](valIdx).longValue()
-              out
-            }
-        }
-      }
-    tiny.sparkSession.createDataFrame(scanned, outSchema)
   }
 
   /** Globally-ordered forward fill without a single-partition window:
@@ -128,24 +92,17 @@ object WindowOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("__lf__",
       last(col(valueCol), ignoreNulls = true).over(wIn))
-    // npartitions rows: last non-null per range, carried forward across
-    // ranges (exclusive — range i sees the carry from ranges < i) in one
-    // narrow task, so no un-partitioned WindowExec appears in the plan
-    val lasts = local.groupBy(col("__pid__"))
+    // npartitions rows: last non-null per range, ffilled across ranges
+    // (exclusive — range i sees the carry from ranges < i). A tiny
+    // un-partitioned window on purpose — see globalCumSum: an RDD-boundary
+    // scan here would sever the plan and recompute the data pipeline.
+    val wP = Window.orderBy(col("__pid__"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = local.groupBy(col("__pid__"))
       .agg(last(col("__lf__"), ignoreNulls = true).as("__last__"))
-    val lastIdx = 1
-    val carrySchema = org.apache.spark.sql.types.StructType(Seq(
-      lasts.schema.fields(0), lasts.schema.fields(1).copy(name = "__carry__")))
-    val carryRdd = lasts.coalesce(1).sortWithinPartitions("__pid__").rdd
-      .mapPartitions { it =>
-        var carry: Any = null
-        it.map { r =>
-          val out = org.apache.spark.sql.Row(r.get(0), carry)
-          if (!r.isNullAt(lastIdx)) carry = r.get(lastIdx)
-          out
-        }
-      }
-    val carries = df.sparkSession.createDataFrame(carryRdd, carrySchema)
+      .withColumn("__carry__",
+        last(col("__last__"), ignoreNulls = true).over(wP))
+      .select(col("__pid__"), col("__carry__"))
     local.join(broadcast(carries), "__pid__")
       .withColumn(outCol, coalesce(col("__lf__"), col("__carry__")))
       .drop("__pid__", "__lf__", "__carry__")
@@ -274,32 +231,21 @@ object WindowOps {
         coalesce(expr(s"bool_and(__prev__ IS NULL OR __prev__ $cmp `$c`)"), lit(true))
           .as("__ok__"),
         leadAgg.as("__lead__"), trailAgg.as("__trail__"))
-    // Boundary check across ranges: every earlier range's trail value
-    // must satisfy `cmp` against this range's lead value. npartitions
-    // rows — one narrow task scans them in pid order (no un-partitioned
-    // WindowExec in the plan).
-    val okIdx = local.schema.fieldIndex("__ok__")
-    val minIdx = local.schema.fieldIndex("__lead__")
-    val maxIdx = local.schema.fieldIndex("__trail__")
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(
-        "is_monotonic", org.apache.spark.sql.types.BooleanType, nullable = false)))
-    val badSign = if (increasing) 1 else -1
-    val scanRdd = local.coalesce(1).sortWithinPartitions("__pid__").rdd
-      .mapPartitions { it =>
-        var all = true
-        var prevTrail: Any = null
-        while (it.hasNext) {
-          val r = it.next()
-          if (!r.getBoolean(okIdx)) all = false
-          if (prevTrail != null && !r.isNullAt(minIdx) &&
-              Integer.signum(prevTrail.asInstanceOf[Comparable[Any]]
-                .compareTo(r.get(minIdx))) == badSign)
-            all = false
-          if (!r.isNullAt(maxIdx)) prevTrail = r.get(maxIdx)
-        }
-        Iterator(org.apache.spark.sql.Row(all))
-      }
-    df.sparkSession.createDataFrame(scanRdd, outSchema)
+    // Boundary check across ranges: the last non-null trail value from
+    // any earlier range must satisfy `cmp` against this range's lead
+    // value. npartitions rows — the un-partitioned window is tiny by
+    // construction (see globalCumSum), and the closing GLOBAL aggregate
+    // guarantees exactly one row even when the input (and hence the
+    // range scan) is empty: bool_and over zero rows is NULL → true,
+    // matching the vacuous-truth contract of the reference.
+    val wP = Window.orderBy(col("__pid__"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    local
+      .withColumn("__prev_trail__",
+        last(col("__trail__"), ignoreNulls = true).over(wP))
+      .agg(coalesce(
+        expr("bool_and(__ok__ AND (__prev_trail__ IS NULL OR " +
+          s"__lead__ IS NULL OR __prev_trail__ $cmp __lead__))"), lit(true))
+        .as("is_monotonic"))
   }
 }

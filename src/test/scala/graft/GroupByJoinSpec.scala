@@ -159,6 +159,16 @@ class GroupByJoinSpec extends SparkTestBase {
     assert(out.count() == 5) // every left row survives
   }
 
+  test("asofJoin refuses empty by-keys (single-task global window)") {
+    val s = StructType(Seq(StructField("t", LongType), StructField("v", DoubleType)))
+    val l = df(s, Row(1L, 1.0))
+    val r = df(s, Row(1L, 2.0))
+    val e = intercept[IllegalArgumentException] {
+      Joins.asofJoin(l, r, "t", "t", Seq.empty)
+    }
+    assert(e.getMessage.contains("asofJoin"))
+  }
+
   test("aggSpec nunique_approx is near exact on small groups") {
     val f = GraftFrame(kv(
       (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 2.0), (4L, "b", 5.0)))

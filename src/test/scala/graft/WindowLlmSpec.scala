@@ -235,6 +235,28 @@ class WindowLlmSpec extends SparkTestBase {
     assert(labels(900L) == 900L && labels(901L) == 900L)
   }
 
+  test("minLabelComponents uses reliable checkpointing when a dir is set") {
+    val pairSchema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    val pairs = df(pairSchema,
+      Row(1L, 2L), Row(2L, 3L), Row(10L, 11L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir)
+    try {
+      val labels = Dedup.minLabelComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the reliable path must actually have written checkpoint data
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint written")
+    } finally {
+      // restore the local-only default for the rest of the suite
+      val f = sc.getClass.getMethods.find(_.getName == "checkpointDir_$eq")
+      f.foreach(_.invoke(sc, None))
+    }
+  }
+
   test("exact dedup keeps first by id, canonicalizes whitespace/case") {
     val docs = df(
       StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
