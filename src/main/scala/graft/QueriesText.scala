@@ -17,12 +17,16 @@ object QueriesText {
   private def tokIdSql(w: String): String = TextHash.tokIdSql(w)
 
   /** CTEs: token ids → distinct numeric 3-shingle hashes → 16-hash
-    * minhash signature (mirrors TextHash.shingleHashArray exactly). */
-  private val sigCtes =
+    * minhash signature (mirrors TextHash.shingleHashArray exactly).
+    * `src` lets a query swap the document source for an augmented CTE
+    * (q_minhash_sig unions a non-BMP fixture row — the sf fixtures are
+    * ASCII, so without it the driver gate is blind to code-point vs
+    * UTF-16 hashing divergence). */
+  private def sigCtesFrom(src: String): String =
     s"""toks AS (
        |  SELECT doc_id,
        |    list_transform(string_split(text, ' '), g -> ${tokIdSql("g")}) AS tid
-       |  FROM documents
+       |  FROM $src
        |),
        |hs AS (
        |  SELECT doc_id,
@@ -36,6 +40,8 @@ object QueriesText {
        |      h -> (h * (i*2000006 + 1012345) + i*999983 + 423307) % 2147483647))) AS sig
        |  FROM hs
        |)""".stripMargin
+
+  private val sigCtes = sigCtesFrom("documents")
 
   private val pairsCtes =
     s"""$sigCtes,
@@ -64,8 +70,25 @@ object QueriesText {
     val stop = Seq("the", "a", "of", "and", "to")
     val stopSqlList = stop.map(w => s"'$w'").mkString(", ")
 
+    // Non-BMP fixture row unioned into the text oracles: 𝄞 and 🚀 are
+    // supplementary (one code point = two UTF-16 units), so any relapse
+    // into UTF-16-unit hashing/counting hash-mismatches the DuckDB gate
+    // — the sf fixtures alone are ASCII and blind to that bug class.
+    val uniText = "café 𝄞 naïve 🚀🚀 code-point test."
+    def withUniRow(s: org.apache.spark.sql.SparkSession,
+                   docs: org.apache.spark.sql.DataFrame) =
+      docs.unionByName(s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(-1L, uniText)),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType)))))
+    val uniRowSql = s"UNION ALL SELECT -1, '$uniText'"
+
     r.reg("q_text_stats",
-      s"""SELECT doc_id,
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+         |  $uniRowSql
+         |)
+         |SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
          |  CAST(CAST(ceil(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / 4.0) AS BIGINT)
          |    + length(regexp_replace(text, '[^0-9]', '', 'g'))
@@ -84,9 +107,10 @@ object QueriesText {
          |          * ([1,31,961,29791,923521,28629151,887503681,1742810335])[(i-1)%8 + 1])
          |         % 2147483647)) % 2147483647 AS BIGINT) AS fingerprint,
          |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_md5
-         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      GraftFrame(TextStats.qualityFrame(
-          t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", stop))
+         |FROM docs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = withUniRow(s,
+        t(s, dir, "documents").filter(col("doc_id") < 200).select("doc_id", "text"))
+      GraftFrame(TextStats.qualityFrame(docs, "doc_id", "text", stop))
         .sortValues(Seq("doc_id" -> true)).df
     }
 
@@ -368,12 +392,18 @@ object QueriesText {
     }
 
     r.reg("q_minhash_sig",
-      s"""WITH $sigCtes
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  $uniRowSql
+         |),
+         |${sigCtesFrom("docs")}
          |SELECT doc_id,
          |  CAST(unnest(range(0, 16)) AS INTEGER) AS hash_idx,
          |  unnest(sig) AS sig_val
          |FROM sig WHERE doc_id < 50 ORDER BY doc_id, hash_idx""".stripMargin) { (s, dir) =>
-      Dedup.signatures(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.signatures(
+          withUniRow(s, t(s, dir, "documents").select("doc_id", "text")),
+          "doc_id", "text")
         .filter(col("doc_id") < 50 && size(col("shingles")) > 0)
         .select(col("doc_id"), posexplode(col("sig")).as(Seq("hash_idx", "sig_val")))
         .orderBy("doc_id", "hash_idx")

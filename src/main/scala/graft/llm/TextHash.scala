@@ -31,11 +31,14 @@ object TextHash {
       ascii(substring(p, 4, 1)) +
       length(w) * lit(7919L)
   }
-  /** Same hash as DuckDB SQL, for oracle statements. */
+  /** Same hash as DuckDB SQL, for oracle statements. The BIGINT cast on
+    * the first digit matters: DuckDB multiplies INT32 ascii codes in
+    * INT32, which overflows at supplementary code points (≥ 2^16) ×
+    * 2097152 — Spark's Column arithmetic is already 64-bit via lit(L). */
   def tokIdSql(w: String): String =
-    s"(ascii(substr(rpad($w, 4, '_'), 1, 1)) * 2097152 + " +
-      s"ascii(substr(rpad($w, 4, '_'), 2, 1)) * 16384 + " +
-      s"ascii(substr(rpad($w, 4, '_'), 3, 1)) * 128 + " +
+    s"(CAST(ascii(substr(rpad($w, 4, '_'), 1, 1)) AS BIGINT) * 2097152 + " +
+      s"CAST(ascii(substr(rpad($w, 4, '_'), 2, 1)) AS BIGINT) * 16384 + " +
+      s"CAST(ascii(substr(rpad($w, 4, '_'), 3, 1)) AS BIGINT) * 128 + " +
       s"ascii(substr(rpad($w, 4, '_'), 4, 1)) + length($w) * 7919)"
 
   /** Whitespace tokens. */
