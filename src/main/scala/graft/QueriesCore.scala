@@ -284,6 +284,17 @@ object QueriesCore {
       positional.sortValues(Seq("c_custkey" -> true)).df
     }
 
+    r.reg("q_loc_range",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey >= 100 AND c_custkey <= 200 ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      // label slice .loc[100:200] on a sorted index (inclusive both ends);
+      // the predicate reaches the scan as PushedFilters
+      GraftFrame(t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal"))
+        .setIndex("c_custkey")
+        .locRange(Some(100L), Some(200L))
+        .sortValues(Seq("c_custkey" -> true)).df
+    }
+
     r.reg("q_explode",
       """SELECT doc_id, CAST(unnest(range(0, len(t))) AS INTEGER) AS pos, unnest(t) AS word
         |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 5)

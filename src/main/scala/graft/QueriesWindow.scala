@@ -43,6 +43,30 @@ object QueriesWindow {
         .sortValues(Seq("event_id" -> true)).df
     }
 
+    r.reg("q_rolling_spec",
+      """SELECT event_id, user_id,
+        |  min(value) OVER w AS value_min,
+        |  max(value) OVER w AS value_max,
+        |  CAST(count(value) OVER w AS BIGINT) AS value_count,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS dv_sum
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      // dict-spec rolling agg (reference _rolling.py:220-225): every
+      // member shares one window spec, so Catalyst plans a single
+      // WindowExec — one shuffle+sort for the whole spec
+      val base = t(s, dir, "events").filter(col("user_id") < 30)
+        .withColumn("dv", col("value").cast(DecimalType(18, 6)))
+      Rolling(base, Seq("user_id"), "event_id", window = 4)
+        .aggSpec(Seq(
+          "value" -> Seq("min", "max", "count"),
+          "dv" -> Seq("sum")))
+        .assign("dv_sum", col("dv_sum").cast(DoubleType))
+        .select("event_id", "user_id", "value_min", "value_max",
+          "value_count", "dv_sum")
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
     // ranking/analytic superset (SURVEY §2.6: not in the reference; Spark
     // provides them codegen'd). rank/dense_rank/percent_rank ordered on a
     // ties-bearing key are deterministic; row_number/ntile order on the

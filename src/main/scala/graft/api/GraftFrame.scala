@@ -133,6 +133,19 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
   def setIndex(c: String): GraftFrame =
     GraftFrame(df.repartitionByRange(col(c)).sortWithinPartitions(c), Some(c))
   def resetIndex: GraftFrame = copy(indexCol = None)
+  /** Label-slice `.loc[lo:hi]` on the index (reference `_indexing.py:
+    * 39-84`): inclusive on both ends, either bound open (None). Purely
+    * declarative — the range predicate reaches the parquet scan as
+    * PushedFilters, and on a range-partitioned (setIndex'd) frame the
+    * non-overlapping partitions are pruned: the reference's
+    * known-divisions partition culling, for free from Catalyst. */
+  def locRange(lo: Option[Any] = None, hi: Option[Any] = None): GraftFrame = {
+    val c = indexCol.getOrElse(throw new IllegalArgumentException(
+      "locRange: label slices are defined on the index; call setIndex first"))
+    val bounds = lo.map(v => col(c) >= lit(v)).toSeq ++
+      hi.map(v => col(c) <= lit(v))
+    bounds.reduceOption(_ && _).fold(this)(p => lift(df.filter(p)))
+  }
   /** rename_axis (reference `_collection.py` rename_axis): rename the
     * index column itself — data rows unchanged, sortedness preserved
     * (a rename never perturbs partitioning or ordering). */

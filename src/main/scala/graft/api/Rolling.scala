@@ -79,6 +79,35 @@ final case class Rolling(df: DataFrame, partitionCols: Seq[String],
 
   def withColumnRolled(name: String, c: Column): GraftFrame =
     GraftFrame(df.withColumn(name, c))
+
+  /** rolling().agg with a dict spec (reference `_rolling.py:220-225`):
+    * `Map(col -> Seq(fn))` compiled over the existing members in ONE
+    * select — every output shares the same window spec, so Catalyst
+    * plans a single WindowExec (one shuffle+sort), not one per entry.
+    * Output columns are named `<col>_<fn>` in spec order. */
+  def aggSpec(spec: Seq[(String, Seq[String])]): GraftFrame = {
+    val rolled = spec.flatMap { case (c, fns) =>
+      fns.map { fn =>
+        val r: Column = fn match {
+          case "sum"    => sum(c)
+          case "mean"   => mean(c)
+          case "min"    => min(c)
+          case "max"    => max(c)
+          case "count"  => count(c)
+          case "var"    => variance(c)
+          case "std"    => std(c)
+          case "median" => median(c)
+          case "skew"   => skew(c)
+          case "kurt"   => kurt(c)
+          case other => throw new IllegalArgumentException(
+            s"rolling.aggSpec: unsupported function '$other' (use " +
+              "sum/mean/min/max/count/var/std/median/skew/kurt)")
+        }
+        r.as(s"${c}_$fn")
+      }
+    }
+    GraftFrame(df.select(df.columns.map(col).toSeq ++ rolled: _*))
+  }
 }
 
 object Rolling {

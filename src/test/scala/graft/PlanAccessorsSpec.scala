@@ -25,6 +25,42 @@ class PlanAccessorsSpec extends SparkTestBase {
       "projection not pruned to scan")
   }
 
+  test("locRange filters inclusively, pushes to scan, and refuses no-index") {
+    val f = GraftFrame.readParquet(spark, s"$sf/customer.parquet")
+      .setIndex("c_custkey")
+    val sliced = f.locRange(Some(10L), Some(20L))
+    val keys = sliced.df.select("c_custkey").collect().map(_.getLong(0)).sorted
+    assert(keys.head == 10L && keys.last == 20L && keys.length == 11)
+    val plan = sliced.df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(c_custkey") &&
+      plan.contains("LessThanOrEqual(c_custkey"),
+      s"label-slice bounds not pushed:\n$plan")
+    // open upper bound
+    val open = f.locRange(lo = Some(1495L))
+    assert(open.df.count() == open.df.filter(col("c_custkey") >= 1495L).count())
+    // no index -> refuse
+    intercept[IllegalArgumentException] {
+      GraftFrame.readParquet(spark, s"$sf/customer.parquet").locRange(Some(1L), None)
+    }
+  }
+
+  test("rolling aggSpec computes all members in a single WindowExec") {
+    val roll = api.Rolling(kv(
+      (1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 4.0), (4L, "h", 8.0)),
+      Seq("k"), "id", window = 2)
+    val out = roll.aggSpec(Seq("v" -> Seq("sum", "mean", "min", "max", "count")))
+    val rows = collectSorted(out.df, "id")
+    val iSum = out.df.columns.indexOf("v_sum")
+    assert(rows(1).getDouble(iSum) == 3.0)   // 1+2
+    assert(rows(2).getDouble(iSum) == 6.0)   // 2+4
+    assert(rows(3).getDouble(iSum) == 8.0)   // h group restarts
+    val nWindows = out.df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Window ["))
+    assert(nWindows == 1, s"expected one WindowExec, saw $nWindows")
+    intercept[IllegalArgumentException] { roll.aggSpec(Seq("v" -> Seq("nope"))) }
+  }
+
   test("nlargest plans TakeOrderedAndProject (per-partition top-k, no global sort)") {
     val d = GraftFrame.readParquet(spark, s"$sf/orders.parquet")
       .nlargest(5, "o_totalprice").df
