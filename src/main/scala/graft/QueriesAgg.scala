@@ -259,6 +259,103 @@ object QueriesAgg {
             .as("promo_revenue"))
     }
 
+    // TPC-H Q10: returned-item reporting (fixture lacks address/phone/
+    // comment — the join/agg/top-k shape is intact). Only nation carries
+    // a broadcast hint (constant-size dim); customer/orders grow with SF
+    // and stay with AQE. orderBy+limit plans TakeOrderedAndProject:
+    // per-partition top-20, no global sort.
+    r.reg("q_tpch_q10",
+      s"""SELECT c_custkey, c_name,
+         |  CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+         |  c_acctbal, n_name
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-04-01").cast(TimestampType))
+        .select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(exactDouble(sum(discPrice).cast(DecimalType(38, 4)), 4).as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }
+
+    // TPC-H Q18: large-volume customers. The HAVING subquery is a
+    // grouped pre-aggregate of lineitem semi-joined back into orders —
+    // at 100 TB both lineitem passes shuffle on l_orderkey, so AQE can
+    // reuse the exchange; nothing materializes on the driver. LIMIT
+    // tie-breaks on the unique o_orderkey for cross-engine determinism.
+    r.reg("q_tpch_q18",
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 200)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      val qty = col("l_quantity").cast(DecimalType(18, 6))
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val big = li.groupBy("l_orderkey").agg(sum(qty).as("__sumq__"))
+        .filter(col("__sumq__") > 200)
+        .select(col("l_orderkey").as("o_orderkey"))
+      val ord = graft.operators.Joins.semi(
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        big, Seq("o_orderkey"))
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name")
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(exactDouble(sum(qty).cast(DecimalType(38, 4)), 4).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+          col("o_orderkey").asc)
+        .limit(100)
+    }
+
+    // TPC-H Q19: disjunctive join predicate (fixture lacks
+    // l_shipinstruct/l_shipmode; brand×size×quantity windows keep the
+    // OR-of-conjunctions shape). The equi-key join carries the OR as a
+    // post-join filter; Catalyst's constraint propagation still pushes
+    // the derivable per-side bounds (brand IN, quantity ≤ widest window)
+    // to the scans.
+    r.reg("q_tpch_q19",
+      s"""SELECT CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+         |FROM lineitem, part
+         |WHERE p_partkey = l_partkey AND (
+         |     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin) { (s, dir) =>
+      val pt = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val li = t(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val cond =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30))
+      li.join(pt, col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(exactDouble(sum(discPrice).cast(DecimalType(38, 4)), 4).as("revenue"))
+    }
+
     r.reg("q_groupby_spec",
       """SELECT o_orderstatus,
         |  CAST(sum(o_orderkey) AS BIGINT) AS o_orderkey_sum,

@@ -51,5 +51,5 @@ object SparkEntry {
     "q_global_cumsum", "q_set_index", "q_groupby_transform", "q_to_parquet",
     // composite TPC-H pipelines (pushdown showcase; join+agg+topk)
     "q_tpch_q6", "q_tpch_q3", "q_tpch_q5", "q_tpch_q4", "q_tpch_q12",
-    "q_tpch_q14")
+    "q_tpch_q14", "q_tpch_q10", "q_tpch_q18", "q_tpch_q19")
 }
