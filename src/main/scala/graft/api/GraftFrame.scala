@@ -240,7 +240,11 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     // partitioner: sampled range partitioning (repartitionByRange) can
     // merge two division buckets into one partition under skew and leave
     // others empty, violating the bucket-i→partition-i layout explicit
-    // divisions exist to provide
+    // divisions exist to provide. The RDD crossing is a deliberate
+    // trade-off: the placement contract is unreachable from the SQL
+    // planner, the data passes through exactly once, but the boundary
+    // ends whole-stage codegen — downstream operators start a fresh
+    // WholeStageCodegen stage over a row-based scan
     val n = divisions.size + 1
     val withBucket = df.withColumn("__div__", bucket.cast("int"))
     val divIdx = withBucket.schema.fieldIndex("__div__")
