@@ -103,7 +103,7 @@ object QueriesText {
          |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopSqlList))) AS DOUBLE)
          |    / len(string_split(text, ' ')) AS stopword_ratio,
          |  CAST(list_sum(list_transform(range(1, len(string_split(text, ' '))+1),
-         |    i -> (${tokIdSql("string_split(text, ' ')[i]")}
+         |    i -> ((${tokIdSql("string_split(text, ' ')[i]")} % 2147483647)
          |          * ([1,31,961,29791,923521,28629151,887503681,1742810335])[(i-1)%8 + 1])
          |         % 2147483647)) % 2147483647 AS BIGINT) AS fingerprint,
          |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_md5

@@ -387,7 +387,10 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
       sumLen += t.codePointCount(0, t.length)
       if (stopSet.contains(t)) stops += 1
       seen.add(t)
-      fp = (fp + (tokId(t) * weights(i % 8)) % P) % P
+      // tokId mod P BEFORE the weight multiply — raw supplementary-char
+      // tokIds (~2^41) × the largest weight overflow Int64 (see
+      // TextHash.fingerprint, the declarative spec)
+      fp = (fp + ((tokId(t) % P) * weights(i % 8)) % P) % P
       i += 1
     }
     InternalRow(toks.length, sumLen, seen.size, stops, fp,

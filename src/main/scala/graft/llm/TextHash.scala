@@ -92,7 +92,14 @@ object TextHash {
 
   /** Order-sensitive document fingerprint: positionally-weighted rolling
     * hash mod P (near-identical reorderings get different fingerprints,
-    * unlike set-based minhash). */
+    * unlike set-based minhash).
+    *
+    * The tokId is reduced mod P BEFORE the weight multiply: a raw tokId
+    * reaches ~2^41 at supplementary code points, and ×1742810335 (the
+    * largest weight) overflows Int64 — ANSI Spark raises, DuckDB raises,
+    * and a wrapping implementation silently diverges. (tokId % P) ×
+    * weight stays < 2^62. ASCII tokIds are already < P, so the reduction
+    * changes nothing for them. */
   def fingerprint(text: Column): Column = {
     val t = tokens(text)
     val weights = Seq(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 1742810335L)
@@ -100,7 +107,7 @@ object TextHash {
     pmod(
       aggregate(
         zip_with(t, sequence(lit(0), size(t) - 1), (w, i) =>
-          pmod(tokId(w) * element_at(weightArr, pmod(i, lit(8)).cast("int") + 1), lit(P))),
+          pmod(pmod(tokId(w), lit(P)) * element_at(weightArr, pmod(i, lit(8)).cast("int") + 1), lit(P))),
         lit(0L), (acc, x) => pmod(acc + x, lit(P))),
       lit(P))
   }

@@ -135,4 +135,40 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("native text hashes equal declarative forms on arbitrary unicode") {
+    // Pin the code-point contract (r4: native tokId walked UTF-16 units
+    // and diverged on every supplementary char): generated docs mix
+    // ASCII, BMP accents/CJK, and SUPPLEMENTARY code points (𝄞, emoji).
+    val cpGen: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(4)),
+      Gen.oneOf("é", "ß", "中", "文", "π"),
+      Gen.oneOf("𝄞", "🚀", "💩")) // 𝄞 🚀 💩
+    val docGen: Gen[String] = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, for {
+        parts <- Gen.listOfN(3, cpGen)
+      } yield parts.mkString)
+    } yield toks.mkString(" ")
+    forAll(Gen.listOfN(25, docGen), cases = 4) { docs =>
+      val in = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(docs.map(Row(_))).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      val stop = Seq("the", "é")
+      val bad = in.select(
+        graft.functions.TextHashExprs.shingleHashes(col("text")).as("sh_n"),
+        graft.llm.TextHash.shingleHashArray(col("text")).as("sh_d"),
+        graft.functions.TextHashExprs.tokenStats(col("text"), stop).as("ts"),
+        graft.llm.TextHash.fingerprint(col("text")).as("fp_d"),
+        length(col("text")).as("nc_d"))
+        .filter(col("sh_n") =!= col("sh_d") ||
+          col("ts.fingerprint") =!= col("fp_d") ||
+          col("ts.n_chars") =!= col("nc_d"))
+        .count()
+      assert(bad == 0, s"$bad generated docs diverge native vs declarative")
+    }
+  }
 }
