@@ -187,22 +187,27 @@ object Dedup {
       //       component minimum;
       //   (2) pointer doubling: each node also adopts its label's label
       //       (chains halve per pass → ~log₂ convergence).
+      // The old label rides through the union as `__prev__` (non-null
+      // only on the labels branch; every id has exactly one, so
+      // min-ignoring-nulls recovers it). The convergence probe then
+      // FILTERS the already-materialized output — no per-iteration
+      // probe join, which at corpus scale was one more
+      // pair-graph-sized shuffle per pass.
+      val nullPrev = lit(null).cast(labels.schema("label").dataType)
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "v"), Seq("v"))
-        .select(col("u").as("id"), col("label"))
+        .select(col("u").as("id"), col("label"), nullPrev.as("__prev__"))
       val viaParent = labels.as("l")
         .join(labels.select(col("id").as("label"), col("label").as("parent")).as("p"),
           Seq("label"))
-        .select(col("id"), col("parent").as("label"))
+        .select(col("id"), col("parent").as("label"), nullPrev.as("__prev__"))
       val next = truncate( // eager: materializes AND truncates lineage
-        labels.union(viaEdges).union(viaParent)
-          .groupBy("id").agg(min("label").as("label")))
-      // one cheap existence probe per pass over two materialized frames
-      converged = next.as("n")
-        .join(labels.select(col("id"), col("label").as("prev")).as("o"), Seq("id"))
-        .filter(col("label") =!= col("prev"))
-        .isEmpty
-      labels = next
+        labels.select(col("id"), col("label"), col("label").as("__prev__"))
+          .union(viaEdges).union(viaParent)
+          .groupBy("id")
+          .agg(min("label").as("label"), min("__prev__").as("__prev__")))
+      converged = next.filter(col("label") =!= col("__prev__")).isEmpty
+      labels = next.select("id", "label")
     }
     // edges served only the loop; labels is checkpointed (materialized,
     // lineage-free), so dropping edges cannot force a replay
