@@ -473,6 +473,30 @@ object QueriesCore {
         .sortValues(Seq("doc_id" -> true)).df
     }
 
+    r.reg("q_timedelta",
+      """SELECT event_id,
+        |  ts + to_minutes(user_id % 60) AS shifted,
+        |  ts + to_seconds(event_id % 90) AS shifted_s,
+        |  strptime('2024-' || lpad(CAST(event_id % 12 + 1 AS VARCHAR), 2, '0') || '-01',
+        |           '%Y-%m-%d') AS period_start
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      // to_timedelta → DayTimeIntervalType; timestamp + interval is exact
+      // integer arithmetic on both engines (no double rounding to guard)
+      GraftFrame(t(s, dir, "events").filter(col("event_id") < 500))
+        .assign("dm", (col("user_id") % 60).cast("int"))
+        .assign("ds", (col("event_id") % 90).cast("int"))
+        .toTimedelta("dm", "m")
+        .toTimedelta("ds", "s")
+        .assign("shifted", col("ts") + col("dm"))
+        .assign("shifted_s", col("ts") + col("ds"))
+        .assign("period",
+          concat(lit("2024-"), lpad((col("event_id") % 12 + 1).cast("string"), 2, "0")))
+        .toTimestampPeriod("period")
+        .assign("period_start", col("period").cast(TimestampNTZType))
+        .select("event_id", "shifted", "shifted_s", "period_start")
+        .sortValues(Seq("event_id" -> true)).df
+    }
+
     r.reg("q_binop_fill",
       """SELECT event_id,
         |  coalesce(v, 0.0) + coalesce(value, 0.0) AS filled_sum

@@ -276,6 +276,27 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
   /** to_datetime with an explicit pattern (reference ToDatetime). */
   def toDatetime(c: String, fmt: String): GraftFrame =
     lift(df.withColumn(c, to_timestamp(col(c), fmt)))
+  /** to_timedelta (reference ToTimedelta, `_expr.py:1059-1093`): numeric
+    * column → DayTimeIntervalType via make_dt_interval. Interval columns
+    * add to timestamps with exact integer arithmetic, the pandas
+    * `ts + to_timedelta(n, unit)` pattern. */
+  def toTimedelta(c: String, unit: String = "s"): GraftFrame = {
+    val v = col(c)
+    val iv = unit match {
+      case "d" | "day" | "days"       => make_dt_interval(v)
+      case "h" | "hour" | "hours"     => make_dt_interval(lit(0), v)
+      case "m" | "min" | "minutes"    => make_dt_interval(lit(0), lit(0), v)
+      case "s" | "sec" | "seconds"    => make_dt_interval(lit(0), lit(0), lit(0), v)
+      case other => throw new IllegalArgumentException(
+        s"toTimedelta: unsupported unit '$other' (d/h/m/s)")
+    }
+    lift(df.withColumn(c, iv))
+  }
+  /** to_timestamp on a period string (reference ToTimestamp, how="start"):
+    * 'yyyy-MM' → first instant of the period. */
+  def toTimestampPeriod(c: String): GraftFrame =
+    lift(df.withColumn(c, to_timestamp(
+      org.apache.spark.sql.functions.concat(col(c), lit("-01")), "yyyy-MM-dd")))
   def clip(c: String, lo: Double, hi: Double): GraftFrame =
     lift(df.withColumn(c, greatest(least(col(c), lit(hi)), lit(lo))))
   def isinFilter(c: String, values: Seq[Any]): GraftFrame =
