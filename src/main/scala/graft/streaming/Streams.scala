@@ -79,6 +79,24 @@ object Streams {
              joinHow: String = "left_outer"): DataFrame =
     stream.join(dim, keys, joinHow)
 
+  /** Stream-stream interval join (e.g. impressions ⋈ clicks): both sides
+    * carry watermarks, and the time-range condition bounds how long a
+    * left row waits for a match — so per-side state is
+    * O(rows inside the interval), pruned as the watermark advances,
+    * never O(stream). The equi-key shuffles both streams; the range
+    * condition is evaluated within the key's state store. `within` is
+    * the max right-after-left delay (e.g. "10 minutes"). */
+  def intervalJoin(left: DataFrame, leftTs: String, right: DataFrame,
+                   rightTs: String, keys: Seq[String], within: String,
+                   watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val rangeCond = r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within")
+    l.join(r, keyCond && rangeCond, "inner")
+  }
+
   def toMemorySink(df: DataFrame, name: String,
                    mode: OutputMode = OutputMode.Update()): DataStreamWriter[Row] =
     df.writeStream.format("memory").queryName(name).outputMode(mode)

@@ -368,6 +368,33 @@ class WindowLlmSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks within the window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val imps = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val joined = graft.streaming.Streams.intervalJoin(
+      imps.toDF().toDF("its", "k", "imp_id"),
+      "its",
+      clicks.toDF().toDF("cts", "k", "click_id"),
+      "cts", Seq("k"), within = "10 minutes", watermarkDelay = "1 minute")
+    val q = joined.select("imp_id", "click_id")
+      .writeStream.format("memory").queryName("ivj_test")
+      .outputMode("append").start()
+    try {
+      imps.addData((ts(0), "u1", 1L), (ts(5), "u2", 2L), (ts(10), "u3", 3L))
+      // u1: click 4 min after -> match; u2: 15 min after -> outside the
+      // interval; u3: click BEFORE the impression -> no match
+      clicks.addData((ts(4), "u1", 101L), (ts(20), "u2", 102L), (ts(8), "u3", 103L))
+      q.processAllAvailable()
+      val got = spark.table("ivj_test").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(got == Set(1L -> 101L), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming session windows and watermark dedup") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
