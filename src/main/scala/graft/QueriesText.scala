@@ -114,6 +114,47 @@ object QueriesText {
         .sortValues(Seq("doc_id" -> true)).df
     }
 
+    // Gopher-style rule filter: planted rows exercise both repetition
+    // signals (doc -2 is one repeated 2-gram; doc -3 repeats a line).
+    val spamText = "buy now buy now buy now buy now"
+    val dupLineText = "line one\nline one\nline one\nend ad"
+    r.reg("q_quality_rules",
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+         |  UNION ALL SELECT -2, 'buy now buy now buy now buy now'
+         |  UNION ALL SELECT -3, 'line one' || chr(10) || 'line one' || chr(10) || 'line one' || chr(10) || 'end ad'
+         |),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+         |  FROM toks WHERE len(t) >= 2),
+         |gcnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+         |gtop AS (SELECT doc_id, max(c) AS topc, sum(c) AS totc FROM gcnt GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+         |  CAST(list_sum(list_transform(string_split(d.text, ' '), w -> length(w))) AS DOUBLE)
+         |    / len(string_split(d.text, ' ')) AS mean_word_len,
+         |  CAST(1.0 - len(list_distinct(string_split(d.text, chr(10)))) * 1.0
+         |    / len(string_split(d.text, chr(10))) AS DOUBLE) AS frac_dup_lines,
+         |  CAST(COALESCE(topc * 1.0 / totc, 0.0) AS DOUBLE) AS frac_top_2gram,
+         |  (len(string_split(d.text, ' ')) BETWEEN 3 AND 100000
+         |   AND 1.0 - len(list_distinct(string_split(d.text, chr(10)))) * 1.0
+         |       / len(string_split(d.text, chr(10))) < 0.3
+         |   AND COALESCE(topc * 1.0 / totc, 0.0) < 0.2) AS keep
+         |FROM docs d LEFT JOIN gtop USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val extra = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-2L, spamText),
+          org.apache.spark.sql.Row(-3L, dupLineText)),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select("doc_id", "text").unionByName(extra)
+      GraftFrame(TextStats.qualityRules(docs, "doc_id", "text"))
+        .sortValues(Seq("doc_id" -> true)).df
+    }
+
     r.reg("q_str_ops",
       """SELECT doc_id,
         |  upper(source) AS up, lower(source) AS lo, trim(source) AS tr,

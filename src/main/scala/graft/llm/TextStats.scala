@@ -68,6 +68,52 @@ object TextStats {
       .getField("l")
   }
 
+  /** Gopher-style quality rules (repetition + shape signals → keep
+    * flag), the rule-based document filter of large-corpus curation
+    * pipelines.
+    *
+    * Per-row signals (blockwise): token count, mean word length
+    * (code points), duplicate-LINE fraction. The top-2-gram fraction
+    * needs per-document gram counts: explode the 2-grams (zip_with of
+    * two slices — NOT per-element element_at, which is O(tokens²) under
+    * interpreted HOF eval) and aggregate twice — a fully parallel
+    * shuffle keyed by (doc, gram), the scalable shape for this signal
+    * at corpus size. Thresholds follow the published Gopher bounds
+    * loosely; all arithmetic is exact-int ratios so both engines round
+    * identically. */
+  def qualityRules(docs: DataFrame, idCol: String, textCol: String,
+                   minTokens: Int = 3, maxTokens: Int = 100000,
+                   maxDupLineFrac: Double = 0.3,
+                   maxTop2GramFrac: Double = 0.2): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, " ")
+    val lines = split(t, "\n")
+    val base = docs
+      .withColumn("__ts__",
+        graft.functions.TextHashExprs.tokenStats(t, Seq.empty))
+      .select(col(idCol),
+        col("__ts__.n_tokens").as("n_tokens"),
+        (col("__ts__.sum_token_len").cast("double") / col("__ts__.n_tokens"))
+          .as("mean_word_len"),
+        (lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
+          .as("frac_dup_lines"))
+    val n = size(toks)
+    val grams = docs.select(col(idCol),
+        explode(zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+          (a, b) => concat_ws(" ", a, b))).as("__g__"))
+    val gtop = grams.groupBy(col(idCol), col("__g__")).count()
+      .groupBy(col(idCol))
+      .agg(max(col("count")).as("__topc__"), sum(col("count")).as("__totc__"))
+    base.join(gtop, Seq(idCol), "left")
+      .withColumn("frac_top_2gram",
+        coalesce(col("__topc__").cast("double") / col("__totc__"), lit(0.0)))
+      .withColumn("keep",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+          col("frac_dup_lines") < maxDupLineFrac &&
+          col("frac_top_2gram") < maxTop2GramFrac)
+      .drop("__topc__", "__totc__")
+  }
+
   /** One-pass quality frame: every token- AND char-class-derived stat
     * comes from the single native TokenStats pass (bit-identical to the
     * declarative forms above — asserted in WindowLlmSpec). The

@@ -487,6 +487,24 @@ class WindowLlmSpec extends SparkTestBase {
 
   // ---- llm: text stats / multimodal ----
 
+  test("qualityRules flags repetition and keeps normal prose") {
+    val docs = df(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      Row(1L, "a perfectly ordinary sentence about nothing much"),
+      Row(2L, "buy now buy now buy now buy now"),          // top-2gram spam
+      Row(3L, "line one\nline one\nline one\nend ad"),     // dup lines
+      Row(4L, "hi"))                                       // too short
+    val got = TextStats.qualityRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(r.fieldIndex("keep")),
+         r.getDouble(r.fieldIndex("frac_top_2gram")),
+         r.getDouble(r.fieldIndex("frac_dup_lines")))).toMap
+    assert(got(1L)._1, s"normal prose dropped: ${got(1L)}")
+    assert(!got(2L)._1 && got(2L)._2 > 0.5, s"spam kept: ${got(2L)}")
+    assert(!got(3L)._1 && got(3L)._3 == 0.5, s"dup lines kept: ${got(3L)}")
+    assert(!got(4L)._1, "too-short doc kept")
+  }
+
   test("text stats quality frame values") {
     val d = df(
       StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
