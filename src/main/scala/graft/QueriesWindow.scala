@@ -423,6 +423,23 @@ object QueriesWindow {
         .sortValues(Seq("o_orderkey" -> true)).df
     }
 
+    // Domain-mixing: per-stratum deterministic rates off the same Knuth
+    // hash (src0 upweighted, src1 downweighted, everything else at the
+    // default) — the oracle recomputes the exact per-row decision.
+    r.reg("q_sample_stratified",
+      s"""SELECT doc_id, source FROM documents
+         |WHERE (doc_id % 2147483648) * 2654435761 % 4294967296 <
+         |  CASE WHEN source = 'src0' THEN ${(0.8 * 4294967296L).toLong}
+         |       WHEN source = 'src1' THEN ${(0.05 * 4294967296L).toLong}
+         |       ELSE ${(0.25 * 4294967296L).toLong} END
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "documents"))
+        .sampleByHashStratified("doc_id", "source",
+          Map("src0" -> 0.8, "src1" -> 0.05), default = 0.25)
+        .select("doc_id", "source")
+        .sortValues(Seq("doc_id" -> true)).df
+    }
+
     r.reg("q_groupby_transform",
       """SELECT event_id, user_id,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id) AS DOUBLE)

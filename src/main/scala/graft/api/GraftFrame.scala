@@ -124,6 +124,22 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     val threshold = (fraction * 4294967296L).toLong
     lift(df.filter(graft.QHelp.keyHash31(col(keyCol)) < threshold))
   }
+  /** Stratified deterministic sample — the domain-mixing primitive:
+    * each stratum (e.g. source/domain) keeps its own fraction of rows,
+    * selected by the SAME engine-agnostic Knuth hash as sampleByHash, so
+    * up/down-sampling weights reproduce bit-for-bit anywhere (and the
+    * DuckDB oracle mirrors it). Blockwise: a chained-when threshold per
+    * stratum fuses into the scan — no shuffle, no RNG, no per-stratum
+    * pass. Strata absent from `fractions` keep `default` (0 = drop). */
+  def sampleByHashStratified(keyCol: String, stratumCol: String,
+                             fractions: Map[String, Double],
+                             default: Double = 0.0): GraftFrame = {
+    def thr(f: Double) = lit((f * 4294967296L).toLong)
+    val threshold = fractions.foldLeft(when(lit(false), thr(0.0))) {
+      case (acc, (stratum, f)) => acc.when(col(stratumCol) === stratum, thr(f))
+    }.otherwise(thr(default))
+    lift(df.filter(graft.QHelp.keyHash31(col(keyCol)) < threshold))
+  }
 
   /** set_index: range-shuffle + local sort, the reference's SetIndex
     * (reference `_shuffle.py:708-861`). Divisions are implicit — Spark
