@@ -66,6 +66,33 @@ object QueriesEmbed {
         .orderBy("vec_id")
     }
 
+    // Per-label centroids: decimal per-dimension sums (order-independent),
+    // result round-trips through the API's array re-assembly and is
+    // posexploded back so element order is checked too. vec_id < 2000
+    // bounds the per-dim sum unscaled value at any SF (exactDouble's 2^53
+    // window at scale 12 allows |sum| < 9007). The VARCHAR-mediated cast
+    // matters: DuckDB's direct double→decimal rounds the BINARY value,
+    // Spark rounds the shortest string repr (BigDecimal.valueOf) — raw
+    // widened floats land in the divergence window ~1 in 10^5 (measured:
+    // 1 element at sf0.01); casting through VARCHAR makes DuckDB round
+    // the same shortest repr. (Float×float PRODUCTS are exact 48-bit
+    // doubles — the existing product oracles never diverge.)
+    r.reg("q_embed_centroid",
+      """WITH ex AS (
+        |  SELECT label, unnest(range(1, len(embedding)+1)) AS pos1, unnest(embedding) AS v
+        |  FROM embeddings WHERE vec_id < 2000
+        |)
+        |SELECT label, CAST(pos1 - 1 AS INTEGER) AS pos,
+        |  CAST(sum(CAST(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(28,12)) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / count(*) AS cmean
+        |FROM ex GROUP BY label, pos1 ORDER BY label, pos""".stripMargin) { (s, dir) =>
+      Similarity.groupCentroids(
+          t(s, dir, "embeddings").filter(col("vec_id") < 2000),
+          "label", "embedding")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "cmean")))
+        .orderBy("label", "pos")
+    }
+
     r.reg("q_cosine_topk",
       s"""WITH $dotCtes
          |SELECT vec_id, cos FROM cosines

@@ -128,4 +128,28 @@ object Similarity {
       .withColumn("bucket", lshBucket(col(vecCol), dim, planes))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .orderBy("bucket")
+
+  /** Per-group centroid of an embedding column — the distributed
+    * mean-of-vectors primitive (IVF retraining, cluster summaries,
+    * per-domain embedding profiles). Per-dimension sums go through
+    * DECIMAL so the centroid is independent of partitioning and row
+    * order (parallel double sums are not), with the exactDouble guard on
+    * the way back out. Two parallel shuffles: explode → (group, dim)
+    * partial/final agg → re-assemble the array sorted by position.
+    * float32 inputs round-trip exactly (shortest repr ≤ 9 significant
+    * digits ≤ scale 12). */
+  def groupCentroids(embeddings: DataFrame, groupCol: String,
+                     vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val ex = embeddings.select(col(groupCol),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+    val agg = ex.groupBy(col(groupCol), col("pos"))
+      .agg((graft.QHelp.exactDouble(
+          sum(col("v").cast(DoubleType).cast(DecimalType(28, 12))), 12)
+        / count(lit(1))).as("cmean"))
+    agg.groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cmean")))),
+        s => s.getField("cmean")).as("centroid"))
+  }
 }
