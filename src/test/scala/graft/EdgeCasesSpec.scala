@@ -238,4 +238,35 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(out.forall(r => r.getInt(3) == 1 && r.getDouble(4) == 0.0 &&
       r.getInt(5) == 1))
   }
+
+  test("round-5 APIs on degenerate inputs") {
+    // locRange on empty frame / no-match range
+    val idx = GraftFrame(kv((1L, "a", 1.0), (5L, "b", 2.0))).setIndex("id")
+    assert(idx.locRange(Some(2L), Some(4L)).df.count() == 0)
+    assert(GraftFrame(kv()).setIndex("id").locRange(Some(0L), None).df.count() == 0)
+    // qualityRules: empty corpus and single-token docs don't throw
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    assert(TextStats.qualityRules(df(docsSchema), "doc_id", "text").count() == 0)
+    val short = TextStats.qualityRules(
+      df(docsSchema, Row(1L, "solo"), Row(2L, "")), "doc_id", "text").collect()
+    assert(short.length == 2 &&
+      short.forall(r => !r.getBoolean(r.fieldIndex("keep"))))
+    // stratified sample: unknown stratum takes the default rate
+    val strat = GraftFrame(
+      df(docsSchema, Row(1L, "x"), Row(2L, "y")).withColumnRenamed("text", "src"))
+    assert(strat.sampleByHashStratified("doc_id", "src",
+      Map("absent" -> 1.0), default = 0.0).df.count() == 0)
+    assert(strat.sampleByHashStratified("doc_id", "src",
+      Map.empty, default = 1.0).df.count() == 2)
+    // centroids of an empty group set
+    val embSchema = StructType(Seq(
+      StructField("g", StringType),
+      StructField("vec", ArrayType(DoubleType))))
+    assert(Similarity.groupCentroids(df(embSchema), "g", "vec").count() == 0)
+    val c = Similarity.groupCentroids(
+      df(embSchema, Row("a", Seq(1.0, 3.0)), Row("a", Seq(3.0, 5.0))), "g", "vec")
+      .collect().head.getSeq[Double](1)
+    assert(c == Seq(2.0, 4.0))
+  }
 }
