@@ -18,7 +18,8 @@ import QHelp._
   */
 object QueriesAgg {
 
-  // exact decimal projections of the lineitem pricing columns
+  // exact decimal projections of the lineitem pricing columns (shared with
+  // QueriesTpch — ONE definition so the composite suite can't drift)
   private def price6 = col("l_extendedprice").cast(DecimalType(18, 6))
   private def oneMinusDisc =
     (lit(1).cast(DecimalType(8, 6)) - col("l_discount").cast(DecimalType(8, 6)))
@@ -26,10 +27,10 @@ object QueriesAgg {
   private def onePlusTax =
     (lit(1).cast(DecimalType(8, 6)) + col("l_tax").cast(DecimalType(8, 6)))
       .cast(DecimalType(9, 6))
-  private def discPrice = (price6 * oneMinusDisc).cast(DecimalType(24, 8))
+  private[graft] def discPrice = (price6 * oneMinusDisc).cast(DecimalType(24, 8))
   private def charge = (discPrice * onePlusTax).cast(DecimalType(24, 8))
 
-  private val discPriceSql =
+  private[graft] val discPriceSql =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * " +
       "CAST(CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(9,6)) AS DECIMAL(24,8))"
   private val chargeSql =

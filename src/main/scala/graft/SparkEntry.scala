@@ -20,6 +20,7 @@ object SparkEntry {
     val r = new QueryRegistry
     QueriesCore.register(r)
     QueriesAgg.register(r)
+    QueriesTpch.register(r)
     QueriesJoins.register(r)
     QueriesWindow.register(r)
     QueriesText.register(r)
@@ -51,5 +52,9 @@ object SparkEntry {
     "q_global_cumsum", "q_set_index", "q_groupby_transform", "q_to_parquet",
     // composite TPC-H pipelines (pushdown showcase; join+agg+topk)
     "q_tpch_q6", "q_tpch_q3", "q_tpch_q5", "q_tpch_q4", "q_tpch_q12",
-    "q_tpch_q14", "q_tpch_q10", "q_tpch_q18", "q_tpch_q19")
+    "q_tpch_q14", "q_tpch_q10", "q_tpch_q18", "q_tpch_q19",
+    // round-5 completion of the 22-query suite: the shuffle-heaviest of
+    // the new twelve (correlated min; 8-table share ratio; per-order
+    // distinct-count waiting test; two-level count distribution)
+    "q_tpch_q2", "q_tpch_q8", "q_tpch_q21", "q_tpch_q13")
 }
