@@ -485,6 +485,98 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Benchmark decontamination over a deterministic id split (doc_id % 10
+    // = 0 plays the benchmark): the oracle recomputes the identical
+    // 5-shingle hash sets, so per-doc overlap counts are value-checked —
+    // the hits are exactly the planted cross-split near-duplicates, not
+    // random prose (k=5 is past the fixture's chance-collision length).
+    val decontamCtes =
+      s"""train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |ttoks AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ' '), g -> ${tokIdSql("g")}) AS tid
+         |  FROM train),
+         |ths AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(tid)-3),
+         |    i -> ((((tid[i]*31 + tid[i+1])*31 + tid[i+2])*31 + tid[i+3])*31 + tid[i+4]) % 2147483647)) AS gs
+         |  FROM ttoks WHERE len(tid) >= 5),
+         |btoks AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ' '), g -> ${tokIdSql("g")}) AS tid
+         |  FROM bench),
+         |bhs AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(tid)-3),
+         |    i -> ((((tid[i]*31 + tid[i+1])*31 + tid[i+2])*31 + tid[i+3])*31 + tid[i+4]) % 2147483647)) AS gs
+         |  FROM btoks WHERE len(tid) >= 5),
+         |bh AS (SELECT DISTINCT unnest(gs) AS h FROM bhs)""".stripMargin
+
+    r.reg("q_decontaminate",
+      s"""WITH $decontamCtes
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |FROM (SELECT doc_id, unnest(gs) AS h FROM ths) th JOIN bh USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }
+
+    r.reg("q_decontam_clean",
+      s"""WITH $decontamCtes
+         |SELECT doc_id FROM train
+         |WHERE doc_id NOT IN (
+         |  SELECT DISTINCT doc_id
+         |  FROM (SELECT doc_id, unnest(gs) AS h FROM ths) th JOIN bh USING (h))
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+          "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    }
+
+    // PII redaction: fixture prose carries no PII, so planted rows
+    // exercise each pattern class (email, phone with punctuation, IPv4,
+    // digits that must NOT match) and the redacted strings themselves are
+    // hash-compared.
+    r.reg("q_pii_redact",
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT -10, 'contact john.doe+spam@example.co.uk or call +1 (555) 123-4567 now'
+        |  UNION ALL SELECT -11, 'server at 192.168.1.100 logged jane_a99@sub.domain.io twice'
+        |  UNION ALL SELECT -12, 'no pii here, just text with numbers 42 and 3.14'
+        |  UNION ALL SELECT -13, 'ids 123-45-6789 and bare 5551234567 plus a@b.io'
+        |)
+        |SELECT doc_id, redacted, (redacted <> text) AS has_pii FROM (
+        |  SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |      '\+?\d[\d \-()]{7,}\d', '[PHONE]', 'g') AS redacted
+        |  FROM docs)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = Seq(
+        (-10L, "contact john.doe+spam@example.co.uk or call +1 (555) 123-4567 now"),
+        (-11L, "server at 192.168.1.100 logged jane_a99@sub.domain.io twice"),
+        (-12L, "no pii here, just text with numbers 42 and 3.14"),
+        (-13L, "ids 123-45-6789 and bare 5551234567 plus a@b.io"))
+      val plantedDf = s.createDataFrame(
+        java.util.Arrays.asList(planted.map(p =>
+          org.apache.spark.sql.Row(p._1, p._2)): _*),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select("doc_id", "text").unionByName(plantedDf)
+      val red = TextStats.redactPii(col("text"))
+      docs.select(col("doc_id"), red.as("redacted"),
+          (red =!= col("text")).as("has_pii"))
+        .orderBy("doc_id")
+    }
+
     r.reg("q_multimodal_features",
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -269,4 +269,38 @@ object Dedup {
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String,
                     bits: Int = 16): DataFrame =
     docs.select(col(idCol), TextHash.simhash(col(textCol), bits).as("simhash"))
+
+  /** N-gram decontamination report: training docs sharing at least one
+    * token `k`-shingle with a benchmark corpus, with the count of distinct
+    * overlapping shingles per doc (k defaults to 5 — long enough that
+    * ordinary prose doesn't collide, short enough to catch paraphrased
+    * copies; real pipelines use 8-13).
+    *
+    * Scale shape: shingle hashing is the blockwise native expression
+    * (fuses into both scans); the benchmark side reduces to a distinct
+    * hash set — benchmarks are ~1e5 docs even when training data is
+    * 100 TB, so AQE broadcasts it — and the training side streams through
+    * one hash equi-join plus a groupBy on the doc id. No all-pairs, no
+    * driver materialization. */
+  def contaminationReport(train: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 5): DataFrame = {
+    val benchHashes = bench
+      .select(explode(graft.functions.TextHashExprs.shingleHashes(col(textCol), k)).as("__h__"))
+      .distinct()
+    train
+      .select(col(idCol),
+        explode(graft.functions.TextHashExprs.shingleHashes(col(textCol), k)).as("__h__"))
+      .join(benchHashes, "__h__")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Drop contaminated docs: anti join against the report's ids — the
+    * benchmark-overlap filter every training-data pipeline runs before a
+    * holdout evaluation. */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String, k: Int = 5): DataFrame =
+    train.join(contaminationReport(train, bench, idCol, textCol, k).select(idCol),
+      Seq(idCol), "left_anti")
 }

@@ -114,6 +114,22 @@ object TextStats {
       .drop("__topc__", "__totc__")
   }
 
+  /** PII redaction: emails, IPv4 addresses, then phone-like digit runs
+    * are replaced with typed placeholder tokens — in that order, so an
+    * address's digits can't be re-matched as a phone number. Pure
+    * `regexp_replace` chains: codegen'd, blockwise, fuses into the scan.
+    * Patterns stay within the RE2-compatible subset of Java regex
+    * (character classes, bounded repeats, ASCII `\b`) so the DuckDB
+    * oracle applies the byte-identical expressions (verified both
+    * engines produce identical output on email/phone/IP/no-PII rows). */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]")
+    regexp_replace(ip, "\\+?\\d[\\d \\-()]{7,}\\d", "[PHONE]")
+  }
+
   /** One-pass quality frame: every token- AND char-class-derived stat
     * comes from the single native TokenStats pass (bit-identical to the
     * declarative forms above — asserted in WindowLlmSpec). The

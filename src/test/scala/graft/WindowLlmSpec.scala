@@ -505,6 +505,37 @@ class WindowLlmSpec extends SparkTestBase {
     assert(!got(4L)._1, "too-short doc kept")
   }
 
+  test("contaminationReport finds planted 5-gram overlap, decontaminate drops it") {
+    val sch = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+    val bench = df(sch,
+      Row(100L, "the quick brown fox jumps over the lazy dog tonight"),
+      Row(101L, "completely unrelated benchmark prose about parquet files"))
+    val train = df(sch,
+      Row(1L, "we saw the quick brown fox jumps over a fence"),   // shares two 5-grams
+      Row(2L, "nothing here overlaps with any benchmark document at all"),
+      Row(3L, "short doc"))                                       // < 5 tokens: no shingles
+    val rep = Dedup.contaminationReport(train, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "the quick brown fox jumps" and "quick brown fox jumps over"
+    assert(rep == Map(1L -> 2L), s"expected only doc 1 with 2 overlaps, got $rep")
+    val clean = Dedup.decontaminate(train, bench, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(clean.sameElements(Array(2L, 3L)), s"clean set wrong: ${clean.toSeq}")
+  }
+
+  test("redactPii masks emails, phones, IPs and leaves clean text alone") {
+    val sch = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+    val d = df(sch,
+      Row(1L, "contact john.doe+spam@example.co.uk or call +1 (555) 123-4567 now"),
+      Row(2L, "server at 192.168.1.100 logged jane_a99@sub.domain.io twice"),
+      Row(3L, "no pii here, just text with numbers 42 and 3.14"))
+    val got = d.select(col("doc_id"), TextStats.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "contact [EMAIL] or call [PHONE] now")
+    assert(got(2L) == "server at [IP] logged [EMAIL] twice")
+    assert(got(3L) == "no pii here, just text with numbers 42 and 3.14")
+  }
+
   test("text stats quality frame values") {
     val d = df(
       StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
