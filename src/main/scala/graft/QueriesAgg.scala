@@ -531,6 +531,19 @@ object QueriesAgg {
       Reductions.mode(t(s, dir, "lineitem"), "l_quantity")
     }
 
+    // histogram: the SQL mirrors the Scala binning expression exactly
+    // (same division-then-multiply order, same folded top edge) so the
+    // per-row IEEE floor lands every value in the same bin on both
+    // engines; edges use the precomputed step literal.
+    r.reg("q_histogram",
+      """SELECT bin, 0.0 + bin * 5.0 AS lo_edge, 0.0 + (bin + 1) * 5.0 AS hi_edge,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT CAST(least(floor((l_quantity - 0.0) / (50.0 - 0.0) * 10), 9) AS INTEGER) AS bin
+        |      FROM lineitem WHERE l_quantity >= 0.0 AND l_quantity <= 50.0)
+        |GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      Reductions.histogram(t(s, dir, "lineitem"), "l_quantity", 0.0, 50.0, 10)
+    }
+
     r.reg("q_value_counts",
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS count
         |FROM orders GROUP BY o_orderpriority

@@ -21,6 +21,31 @@ object Reductions {
       .limit(1)
       .select(col(c).as(s"mode_$c"))
 
+  /** Fixed-bin histogram of a numeric column (value_counts superset —
+    * pandas exposes this as `Series.value_counts(bins=n)` / `pd.cut`):
+    * bin i covers [lo + i·w, lo + (i+1)·w) with the top edge folded into
+    * the last bin, w = (hi-lo)/bins. Binning is one per-row floor (all
+    * IEEE double ops, identical on any engine) followed by a single
+    * partial/final count aggregate over at most `bins` groups — the
+    * whole histogram is one map-side-combined pass at any data size. */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+                bins: Int): DataFrame = {
+    require(bins > 0, "histogram needs at least one bin")
+    require(hi > lo, "histogram needs hi > lo")
+    val x = col(c)
+    val step = (hi - lo) / bins
+    val bin = least(floor((x - lo) / (hi - lo) * bins), lit(bins - 1L)).cast("int")
+    df.filter(x >= lo && x <= hi)
+      .select(bin.as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * step).as("lo_edge"),
+        (lit(lo) + (col("bin") + 1) * step).as("hi_edge"),
+        col("n"))
+      .orderBy("bin")
+  }
+
   /** value_counts (reference `_reductions.py:1122-1158`) with the pandas
     * options: dropna=false keeps the null group; sort=false orders by
     * value instead of count (pandas keeps encounter order, which has no

@@ -61,6 +61,23 @@ class PlanAccessorsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { roll.aggSpec(Seq("v" -> Seq("nope"))) }
   }
 
+  test("no registered query plans a CartesianProduct") {
+    // Every cross join in the library broadcasts a bounded (≤1-row /
+    // centroid-count) side, which Spark plans as BroadcastNestedLoopJoin;
+    // a CartesianProduct node means an unbounded pairwise blowup — the
+    // canonical cluster-scale killer. Sweep EVERY registered query's
+    // physical plan so no future query can introduce one unnoticed.
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, sf).queryExecution.sparkPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      } catch {
+        case e: Throwable => Some(s"$name (plan failed: ${String.valueOf(e.getMessage).take(100)})")
+      }
+    }
+    assert(bad.isEmpty, s"cartesian or unplannable queries: $bad")
+  }
+
   test("nlargest plans TakeOrderedAndProject (per-partition top-k, no global sort)") {
     val d = GraftFrame.readParquet(spark, s"$sf/orders.parquet")
       .nlargest(5, "o_totalprice").df
