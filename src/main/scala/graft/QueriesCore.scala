@@ -85,6 +85,20 @@ object QueriesCore {
         .sortValues(Seq("id" -> true)).df
     }
 
+    r.reg("q_from_dict",
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'a', 1.5, true),
+        |(CAST(2 AS BIGINT), NULL, 2.5, false),
+        |(CAST(3 AS BIGINT), 'c', NULL, true)) t(id, name, score, ok)
+        |ORDER BY id""".stripMargin) { (s, _) =>
+      GraftFrame.fromDict(s, Seq(
+          "id" -> Seq(1, 2, 3),
+          "name" -> Seq("a", null, "c"),
+          "score" -> Seq(1.5, 2.5, null),
+          "ok" -> Seq(true, false, true)),
+        npartitions = 2)
+        .sortValues(Seq("id" -> true)).df
+    }
+
     r.reg("q_timeseries",
       """SELECT i AS id,
         |  make_timestamp((1704067200 + i) * 1000000) AS ts,

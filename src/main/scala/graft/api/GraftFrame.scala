@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 
 /** Pandas-style DataFrame facade over `org.apache.spark.sql.DataFrame`.
   *
@@ -495,6 +495,36 @@ object GraftFrame {
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       schema)
     GraftFrame(if (npartitions > 0) base.repartition(npartitions) else base)
+  }
+
+  /** Column-oriented local constructor (reference `from_dict`,
+    * `_collection.py`): columns as name → values, types inferred from the
+    * first non-null value per column (Long/Int → LongType, Double,
+    * Boolean, String; everything else stringified). */
+  def fromDict(spark: SparkSession, columns: Seq[(String, Seq[Any])],
+               npartitions: Int = 0): GraftFrame = {
+    require(columns.nonEmpty, "fromDict needs at least one column")
+    val n = columns.head._2.length
+    require(columns.forall(_._2.length == n), "fromDict columns must be equal length")
+    def dtypeOf(vs: Seq[Any]): DataType = vs.find(_ != null) match {
+      case Some(_: Long) | Some(_: Int) => LongType
+      case Some(_: Double) | Some(_: Float) => DoubleType
+      case Some(_: Boolean) => BooleanType
+      case _ => StringType
+    }
+    def norm(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (x: Int, LongType) => x.toLong
+      case (x: Float, DoubleType) => x.toDouble
+      case (x, StringType) => x.toString
+      case (x, _) => x
+    }
+    val dts = columns.map { case (_, vs) => dtypeOf(vs) }
+    val schema = StructType(columns.zip(dts).map { case ((name, _), dt) =>
+      StructField(name, dt) })
+    val rows = (0 until n).map(i =>
+      Row(columns.zip(dts).map { case ((_, vs), dt) => norm(vs(i), dt) }: _*))
+    fromLocal(spark, schema, rows, npartitions)
   }
 
   /** Deterministic synthetic timeseries (reference `datasets.py:13-116`):

@@ -37,6 +37,16 @@ class PropertySpec extends SparkTestBase {
   private def sortedRows(f: GraftFrame): Seq[Row] =
     f.df.orderBy("id", "k", "v").collect().toSeq
 
+  /** Short docs over a 6-word vocabulary: cross-doc 2-gram collisions are
+    * likely, so both decontamination outcomes occur across cases. */
+  private val docsGenSmall: Gen[List[String]] = for {
+    n <- Gen.choose(2, 12)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(0, 8)
+      ws <- Gen.listOfN(len, Gen.oneOf("red", "blue", "fox", "jumps", "runs", "far"))
+    } yield ws.mkString(" "))
+  } yield docs
+
   test("filter/select commute") {
     forAll(rowsGen) { rows =>
       val f = GraftFrame(kv(rows: _*))
@@ -106,6 +116,27 @@ class PropertySpec extends SparkTestBase {
       val a = f.sortValues(Seq("v" -> true, "id" -> true)).head(n).df.collect().toSeq
       val b = f.nsmallest(n, "v", "id").df.collect().toSeq
       assert(a == b)
+    }
+  }
+
+  test("decontaminate partitions train: clean ∪ flagged = train, disjoint") {
+    forAll(docsGenSmall) { docs =>
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val all = df(sch, docs.zipWithIndex.map { case (t, i) =>
+        org.apache.spark.sql.Row(i.toLong, t) }: _*)
+      val train = all.filter(col("doc_id") % 2 === 0)
+      val bench = all.filter(col("doc_id") % 2 =!= 0)
+      val flagged = graft.llm.Dedup.contaminationReport(train, bench, "doc_id", "text", k = 2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val clean = graft.llm.Dedup.decontaminate(train, bench, "doc_id", "text", k = 2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val trainIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert((clean & flagged).isEmpty)
+      assert((clean | flagged) == trainIds)
     }
   }
 

@@ -11,6 +11,21 @@ class RowOpsSpec extends SparkTestBase {
   private def frame = GraftFrame(kv(
     (1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 40.0)))
 
+  test("fromDict builds a typed frame from column-oriented data") {
+    val f = GraftFrame.fromDict(spark, Seq(
+      "id" -> Seq(1, 2, 3),
+      "name" -> Seq("a", null, "c"),
+      "score" -> Seq(1.5, 2.5, null),
+      "ok" -> Seq(true, false, true)))
+    val sch = f.df.schema.map(s => s.name -> s.dataType.simpleString)
+    assert(sch == Seq("id" -> "bigint", "name" -> "string",
+      "score" -> "double", "ok" -> "boolean"))
+    val r = f.df.orderBy("id").collect()
+    assert(r.length == 3 && r(1).isNullAt(1) && r(2).isNullAt(2))
+    assert(r(0).getLong(0) == 1L && r(0).getString(1) == "a" &&
+      r(0).getDouble(2) == 1.5 && r(0).getBoolean(3))
+  }
+
   test("select keeps only named columns") {
     assert(frame.select("id", "v").columns == Seq("id", "v"))
   }
