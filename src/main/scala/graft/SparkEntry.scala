@@ -56,5 +56,8 @@ object SparkEntry {
     // round-5 completion of the 22-query suite: the shuffle-heaviest of
     // the new twelve (correlated min; 8-table share ratio; per-order
     // distinct-count waiting test; two-level count distribution)
-    "q_tpch_q2", "q_tpch_q8", "q_tpch_q21", "q_tpch_q13")
+    "q_tpch_q2", "q_tpch_q8", "q_tpch_q21", "q_tpch_q13",
+    // r5 pipeline ops: benchmark decontamination (two shingle passes +
+    // hash join) and the pruned correlated-average Q17
+    "q_decontaminate", "q_tpch_q17")
 }
