@@ -577,6 +577,35 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Within-doc repeated-line removal: fixture docs are single-line, so
+    // planted multi-line rows exercise dedup + order preservation; the
+    // oracle reassembles by first-occurrence position exactly like the
+    // Spark side.
+    r.reg("q_dedup_lines",
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+        |  UNION ALL SELECT -20, 'line one' || chr(10) || 'line one' || chr(10) || 'end'
+        |  UNION ALL SELECT -21, 'b' || chr(10) || 'a' || chr(10) || 'b' || chr(10) || 'a'
+        |),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM docs),
+        |ex AS (SELECT doc_id, unnest(range(1, len(arr)+1)) AS pos, arr FROM ls),
+        |lines AS (SELECT doc_id, pos, arr[pos] AS line FROM ex),
+        |firsts AS (SELECT doc_id, line, min(pos) AS fp FROM lines GROUP BY doc_id, line)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY fp) AS text
+        |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = Seq(
+        (-20L, "line one\nline one\nend"),
+        (-21L, "b\na\nb\na"))
+      val plantedDf = s.createDataFrame(
+        java.util.Arrays.asList(planted.map(p =>
+          org.apache.spark.sql.Row(p._1, p._2)): _*),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select("doc_id", "text").unionByName(plantedDf)
+      TextStats.dropRepeatedLines(docs, "doc_id", "text").orderBy("doc_id")
+    }
+
     r.reg("q_multimodal_features",
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

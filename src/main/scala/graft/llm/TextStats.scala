@@ -114,6 +114,27 @@ object TextStats {
       .drop("__topc__", "__totc__")
   }
 
+  /** Within-document repeated-line removal (the C4/Dolma paragraph-dedup
+    * family, complementing the corpus-level Dedup ops): keep each line's
+    * FIRST occurrence, preserve original order, rejoin. Line explode is
+    * blockwise; the two aggregations shuffle on (doc, line) then doc —
+    * per-doc state is bounded by document size, the same contract as any
+    * per-document op. Reassembly sorts by first-occurrence position
+    * (unique per doc), so collect_list's arrival order never matters. */
+  def dropRepeatedLines(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos__", "__line__")))
+    lines.groupBy(col(idCol), col("__line__"))
+      .agg(min(col("__pos__")).as("__first__"))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__first__"), col("__line__")))),
+          x => x.getField("__line__")),
+        "\n").as(textCol))
+  }
+
   /** PII redaction: emails, IPv4 addresses, then phone-like digit runs
     * are replaced with typed placeholder tokens — in that order, so an
     * address's digits can't be re-matched as a phone number. Pure

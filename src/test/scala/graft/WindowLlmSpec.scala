@@ -523,6 +523,17 @@ class WindowLlmSpec extends SparkTestBase {
     assert(clean.sameElements(Array(2L, 3L)), s"clean set wrong: ${clean.toSeq}")
   }
 
+  test("dropRepeatedLines keeps first occurrences in original order") {
+    val sch = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+    val d = df(sch,
+      Row(1L, "b\na\nb\na"),
+      Row(2L, "only line"),
+      Row(3L, "x\nx\nx"))
+    val got = TextStats.dropRepeatedLines(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "b\na", 2L -> "only line", 3L -> "x"))
+  }
+
   test("redactPii masks emails, phones, IPs and leaves clean text alone") {
     val sch = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
     val d = df(sch,
