@@ -155,6 +155,26 @@ object QueriesText {
         .sortValues(Seq("doc_id" -> true)).df
     }
 
+    // str accessor completion: get / join / slice_replace (the last three
+    // reference `_str_accessor.py` members) — negative-index get and the
+    // Python slice identity s[:start] + repl + s[stop:] value-checked.
+    r.reg("q_str_ops2",
+      """SELECT doc_id,
+        |  CASE WHEN length(source) > 2 THEN substr(source, 3, 1) END AS get2,
+        |  CASE WHEN length(source) >= 1 THEN substr(source, -1, 1) END AS get_last,
+        |  array_to_string(string_split(text, ' '), '-') AS joined,
+        |  substr(source, 1, 2) || 'XY' || substr(source, 6) AS slice_rep
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.api.StrOps.RichStrColumn
+      t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          col("source").strGet(2).as("get2"),
+          col("source").strGet(-1).as("get_last"),
+          col("text").strJoinTokens(" ", "-").as("joined"),
+          col("source").strSliceReplace(2, 5, "XY").as("slice_rep"))
+        .orderBy("doc_id")
+    }
+
     r.reg("q_str_ops",
       """SELECT doc_id,
         |  upper(source) AS up, lower(source) AS lo, trim(source) AS tr,

@@ -44,6 +44,24 @@ object StrOps {
     /** null beyond bounds (pandas .str[i] semantics) — `get`, not
       * `getItem`, which throws under ANSI. */
     def strSplitGet(pat: String, i: Int): Column = F.get(F.split(c, pat), F.lit(i))
+    /** pandas `str.get(i)`: character at position i (negative = from the
+      * end); null when out of range — substring's "" would conflate with
+      * a real empty only possible out-of-range here. */
+    def strGet(i: Int): Column =
+      if (i >= 0)
+        F.when(F.length(c) > i, F.substring(c, i + 1, 1))
+      else
+        F.when(F.length(c) >= -i, F.substring(c, i, 1))
+    /** pandas `str.join(sep)` over whitespace-split tokens (Spark has no
+      * list-of-strings dtype on a string column; the split is explicit). */
+    def strJoinTokens(splitPat: String, sep: String): Column =
+      F.array_join(F.split(c, splitPat), sep)
+    /** pandas `str.slice_replace(start, stop, repl)` = s[:start] + repl +
+      * s[stop:]; 1-based substring bounds clamp exactly like Python
+      * slicing for non-negative start/stop. */
+    def strSliceReplace(start: Int, stop: Int, repl: String): Column =
+      F.concat(F.substring(c, 1, start), F.lit(repl),
+        F.substring(c, stop + 1, Int.MaxValue))
     def strRepeat(n: Int): Column = F.repeat(c, n)
     def strReverse: Column = F.reverse(c)
     def strIsdigit: Column = c.rlike("^[0-9]+$")
