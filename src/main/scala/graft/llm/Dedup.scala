@@ -298,7 +298,14 @@ object Dedup {
 
   /** Drop contaminated docs: anti join against the report's ids — the
     * benchmark-overlap filter every training-data pipeline runs before a
-    * holdout evaluation. */
+    * holdout evaluation.
+    *
+    * The training source is read by both branches, but the branches need
+    * DIFFERENT columns (the report reads id+text and explodes; the anti
+    * side reads whatever the caller keeps), so no shared exchange exists
+    * to reuse — and column pruning makes the report-branch scan read only
+    * (id, text) while the output branch reads its own projection. Same
+    * accepted posture as dropNearDuplicates' final anti join. */
   def decontaminate(train: DataFrame, bench: DataFrame,
                     idCol: String, textCol: String, k: Int = 5): DataFrame =
     train.join(contaminationReport(train, bench, idCol, textCol, k).select(idCol),
