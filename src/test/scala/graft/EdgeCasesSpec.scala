@@ -269,4 +269,39 @@ class EdgeCasesSpec extends SparkTestBase {
       .collect().head.getSeq[Double](1)
     assert(c == Seq(2.0, 4.0))
   }
+
+  test("late-round-5 APIs on degenerate inputs") {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val empty = df(docsSchema)
+    val some = df(docsSchema, Row(1L, "a b c d e f"), Row(2L, "x"))
+    // decontaminate: empty bench flags nothing; empty train yields nothing
+    assert(graft.llm.Dedup.contaminationReport(some, empty, "doc_id", "text").count() == 0)
+    assert(graft.llm.Dedup.decontaminate(some, empty, "doc_id", "text").count() == 2)
+    assert(graft.llm.Dedup.decontaminate(empty, some, "doc_id", "text").count() == 0)
+    // histogram: empty frame and out-of-range-only values give empty output;
+    // bad bounds refuse
+    val vals = kv((1L, "a", 5.0), (2L, "a", 500.0))
+    assert(graft.operators.Reductions.histogram(kv(), "v", 0.0, 1.0, 4).count() == 0)
+    assert(graft.operators.Reductions.histogram(
+      vals.filter(col("v") > 100), "v", 0.0, 10.0, 4).count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.operators.Reductions.histogram(vals, "v", 5.0, 5.0, 4) }
+    intercept[IllegalArgumentException] {
+      graft.operators.Reductions.histogram(vals, "v", 0.0, 1.0, 0) }
+    // dropRepeatedLines: empty text round-trips; null text row is dropped
+    // by the explode (posexplode of split(null) emits no rows)
+    val lines = graft.llm.TextStats.dropRepeatedLines(
+      df(docsSchema, Row(1L, ""), Row(2L, null)), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lines == Map(1L -> ""))
+    // redactPii: null in, null out
+    val red = df(docsSchema, Row(1L, null))
+      .select(graft.llm.TextStats.redactPii(col("text"))).collect().head
+    assert(red.isNullAt(0))
+    // fromDict refuses ragged/empty input
+    intercept[IllegalArgumentException] { GraftFrame.fromDict(spark, Nil) }
+    intercept[IllegalArgumentException] {
+      GraftFrame.fromDict(spark, Seq("a" -> Seq(1), "b" -> Seq(1, 2))) }
+  }
 }
