@@ -181,5 +181,28 @@ object QueriesJoins {
           col("value_y").as("purchase_value"))
         .orderBy("event_id")
     }
+
+    // Bucketed co-located join through the driver gate: both sides are
+    // persisted pre-shuffled on the join key (GraftFrame.toBucketedTable),
+    // then joined WITHOUT any exchange (asserted in PlanAccessorsSpec) —
+    // the durable cross-job co-location AQE can't provide. The oracle
+    // computes the same join/agg from the raw tables, so the bucketed
+    // round-trip is value-checked, not just planned.
+    r.reg("q_bucketed_join",
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         |  ${dsumDSql("o_totalprice")} AS sum_price
+         |FROM orders, customer WHERE o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val base = s"/tmp/graft_bucketed/${java.util.UUID.randomUUID()}"
+      GraftFrame(t(s, dir, "orders").select("o_custkey", "o_totalprice"))
+        .toBucketedTable("g_b_orders", s"$base/orders", 8, Seq("o_custkey"))
+      GraftFrame(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")))
+        .toBucketedTable("g_b_customer", s"$base/customer", 8, Seq("o_custkey"))
+      s.table("g_b_orders").join(s.table("g_b_customer"), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsumD(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment")
+    }
   }
 }

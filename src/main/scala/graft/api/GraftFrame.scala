@@ -445,6 +445,26 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
   }
   def toCsv(path: String, header: Boolean = true, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", header).csv(path)
+
+  /** Persist as a bucketed parquet table: rows are pre-shuffled on `keys`
+    * into `buckets` files (optionally sorted within each), so every FUTURE
+    * equi-join or aggregation on `keys` between bucketed tables skips the
+    * exchange entirely — co-location that survives across jobs, which
+    * runtime AQE cannot provide. This is the durable analog of the
+    * reference's fully-indexed merge (`_merge.py:254-259`: known divisions
+    * on both sides ⇒ zip-merge without shuffle), with hash buckets in
+    * place of sorted divisions. Registered in the session catalog under
+    * `name` with data at `path`. */
+  def toBucketedTable(name: String, path: String, buckets: Int,
+                      keys: Seq[String], sortCols: Seq[String] = Nil,
+                      mode: String = "overwrite"): Unit = {
+    require(keys.nonEmpty, "toBucketedTable needs at least one bucket key")
+    require(buckets > 0, "toBucketedTable needs a positive bucket count")
+    val w0 = df.write.mode(mode).option("path", path)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    val w = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
+    w.format("parquet").saveAsTable(name)
+  }
   /** JSON / ORC sinks (capability superset — the reference ships only
     * parquet+csv, `io/`; Spark provides these natively). */
   def toJson(path: String, mode: String = "overwrite"): Unit =

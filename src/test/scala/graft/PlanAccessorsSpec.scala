@@ -61,6 +61,24 @@ class PlanAccessorsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { roll.aggSpec(Seq("v" -> Seq("nope"))) }
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange on either side") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val d = GraftFrame(kv((1L to 200L).map(i => (i, s"k${i % 7}", i.toDouble)): _*))
+    d.toBucketedTable("bt1", s"$tmp/t1", 4, Seq("id"), Seq("id"))
+    d.toBucketedTable("bt2", s"$tmp/t2", 4, Seq("id"), Seq("id"))
+    try {
+      val j = spark.table("bt1").join(
+        spark.table("bt2").withColumnRenamed("v", "v2").withColumnRenamed("k", "k2"), "id")
+      assert(j.count() == 200)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n${plan.take(1500)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bt1")
+      spark.sql("DROP TABLE IF EXISTS bt2")
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Every cross join in the library broadcasts a bounded (≤1-row /
     // centroid-count) side, which Spark plans as BroadcastNestedLoopJoin;
