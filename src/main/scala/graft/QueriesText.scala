@@ -626,6 +626,21 @@ object QueriesText {
       TextStats.dropRepeatedLines(docs, "doc_id", "text").orderBy("doc_id")
     }
 
+    // Sequence packing: shard = floor(exclusive-cumsum / capacity) under
+    // doc_id order — the oracle recomputes the same window cumsum, so
+    // every shard assignment is value-checked.
+    r.reg("q_pack_shards",
+      """SELECT doc_id, n_chars,
+        |  CAST(floor((sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
+        |    / 10000.0) AS BIGINT) AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextStats.packIntoShards(
+          t(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", "doc_id", 10000L)
+        .orderBy("doc_id")
+    }
+
     r.reg("q_multimodal_features",
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -135,6 +135,26 @@ object TextStats {
         "\n").as(textCol))
   }
 
+  /** Deterministic sequence packing: assign each document to a
+    * fixed-token-capacity shard — the "pack to N-token training
+    * sequences" step of a pretraining pipeline. A document lands in the
+    * shard where its span STARTS under a global cumulative token count in
+    * `orderCol` order: shard = floor(exclusive_cumsum / capacity). Rides
+    * WindowOps.globalCumSum's scale-safe two-pass plan (range-partitioned
+    * local cumsums + an npartitions-row offset frame), so no global
+    * single-task window touches the data. The shard id is
+    * floor-of-double-division on exact long inputs — identical on any
+    * engine while total tokens < 2^53 (a 100 TB corpus is ~10^14). */
+  def packIntoShards(docs: DataFrame, idCol: String, tokenCol: String,
+                     orderCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, "packIntoShards needs a positive capacity")
+    graft.operators.WindowOps.globalCumSum(docs, orderCol, tokenCol, "__cum__")
+      .withColumn("shard",
+        floor((col("__cum__") - col(tokenCol)).cast("double") / capacity)
+          .cast("long"))
+      .drop("__cum__")
+  }
+
   /** PII redaction: emails, IPv4 addresses, then phone-like digit runs
     * are replaced with typed placeholder tokens — in that order, so an
     * address's digits can't be re-matched as a phone number. Pure
