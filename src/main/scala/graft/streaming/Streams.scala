@@ -100,4 +100,31 @@ object Streams {
   def toMemorySink(df: DataFrame, name: String,
                    mode: OutputMode = OutputMode.Update()): DataStreamWriter[Row] =
     df.writeStream.format("memory").queryName(name).outputMode(mode)
+
+  /** Streaming decontamination: drop incoming documents that share any
+    * token k-shingle with a static benchmark corpus — the ingest-time
+    * form of Dedup.contaminationReport.
+    *
+    * Shape: the STATIC bench side is hashed once on executors, collected
+    * to a driver Set and broadcast (benchmark corpora are ~1e5 docs even
+    * when the stream is unbounded — this is the one sanctioned driver
+    * materialization, same class as a broadcast dim table); each incoming
+    * doc is then a STATELESS filter — shingle-hash blockwise, probe the
+    * broadcast set. No watermark, no state store, append-mode safe. An
+    * exploded stream-static anti join would need a stateful
+    * re-aggregation per doc; the broadcast probe keeps the stream
+    * pipeline a pure map. For corpus-sized exclusion sets use the batch
+    * `Dedup.decontaminate` instead. */
+  def decontaminateStream(docs: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 5): DataFrame = {
+    val hashes = bench
+      .select(explode(
+        graft.functions.TextHashExprs.shingleHashes(col(textCol), k)).as("__h__"))
+      .distinct()
+      .collect().map(_.getLong(0)).toSet
+    val bc = docs.sparkSession.sparkContext.broadcast(hashes)
+    val hit = udf((arr: Seq[Long]) => arr.exists(bc.value.contains))
+    docs.filter(!hit(graft.functions.TextHashExprs.shingleHashes(col(textCol), k)))
+  }
 }

@@ -449,6 +449,29 @@ class WindowLlmSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming decontamination filters contaminated docs statelessly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val bench = df(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      Row(100L, "the quick brown fox jumps over the lazy dog"))
+    val in = MemoryStream[(Long, String)]
+    val out = graft.streaming.Streams.decontaminateStream(
+      in.toDF().toDF("doc_id", "text"), bench, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("decontam_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "we saw the quick brown fox jumps over a fence"), // overlaps
+        (2L, "totally clean document with no benchmark overlap at all"),
+        (3L, "tiny"))                                          // <k tokens
+      q.processAllAvailable()
+      val kept = spark.table("decontam_stream").collect().map(_.getLong(0)).sorted
+      assert(kept.sameElements(Array(2L, 3L)), s"kept: ${kept.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming windowedAgg equals batch Resample.agg on the same rows") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
