@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -59,7 +59,19 @@ private[functions] object TokHash {
   * code-point-len*7919, shingle = polynomial-31 combine mod 2^31-1,
   * distinct). */
 case class ShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+
+  // Real codegen via the reference-call pattern: the generated code
+  // invokes this expression's own nullSafeEval with the CHILD VALUE (not
+  // the input row), so the operator stays inside WholeStageCodegen — a
+  // CodegenFallback would force the surrounding span to materialize the
+  // full input row per call. One virtual call per row remains; the loop
+  // itself is already an imperative single pass.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
@@ -104,7 +116,12 @@ case class ShingleHashes(child: Expression, k: Int)
   * to TextHash.minhashSignature. Empty input → empty signature (callers
   * filter empty shingle sets first, as the declarative path does). */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -150,8 +167,12 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * exactly. One virtual call per row instead of per-element lambda
   * dispatch. */
 case class DotDecimal(left: Expression, right: Expression, scale: Int)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotDecimal", this)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (org.apache.spark.sql.types.Decimal) $ref.nullSafeEval($a, $b);")
+  }
   import org.apache.spark.sql.types._
 
   override def dataType: DataType = DecimalType(30, scale)
@@ -259,7 +280,12 @@ case class DotDouble(left: Expression, right: Expression)
   * 8×64 weight array through interpreted lambdas PER ROW — this computes
   * the weights once per executor and runs one imperative pass. */
 case class LshBucket(child: Expression, dim: Int, planes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBucket", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((java.lang.Long) $ref.nullSafeEval($c)).longValue();")
+  }
   import org.apache.spark.sql.types._
 
   override def dataType: DataType = LongType
@@ -331,7 +357,12 @@ case class LshBucket(child: Expression, dim: Int, planes: Int)
   * the same pass, by code point (regex and Spark's length() both count
   * code points, so a supplementary char is one symbol, not two). */
 case class TokenStats(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenStats", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($c);")
+  }
   import org.apache.spark.sql.types._
 
   override def dataType: DataType = StructType(Seq(
