@@ -61,6 +61,20 @@ class PlanAccessorsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { roll.aggSpec(Seq("v" -> Seq("nope"))) }
   }
 
+  test("flagship decimal agg is bit-identical across shuffle partition counts") {
+    // The QHelp determinism claim, tested directly: every double output
+    // flows through order-independent decimal accumulation, so changing
+    // the partition count (and thus partial-aggregation merge order) must
+    // not move a single bit. A raw double sum would fail this.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(n: String): Seq[org.apache.spark.sql.Row] = {
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      try QueriesAgg.q1Pricing(spark, sf).collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(run("3") == run("29"))
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange on either side") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
     val d = GraftFrame(kv((1L to 200L).map(i => (i, s"k${i % 7}", i.toDouble)): _*))
