@@ -29,6 +29,17 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
   def schema = df.schema
   def columns: Seq[String] = df.columns.toSeq
 
+  // pandas introspection sugar (reference `_collection.py` shape/size/
+  // dtypes/ndim/empty): dtypes/ndim are metadata-only; shape/size run a
+  // count action (the reference's len() — parquet answers from footers);
+  // empty is a limit-1 probe, not a full count.
+  def dtypes: Seq[(String, String)] =
+    df.schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq
+  def ndim: Int = 2
+  def shape: (Long, Int) = (df.count(), df.columns.length)
+  def size: Long = df.count() * df.columns.length
+  def empty: Boolean = df.isEmpty
+
   // ---- projections / row selection (reference _expr.py:1378-1441) ----
   def select(cols: String*): GraftFrame = {
     val keep = indexCol.filterNot(cols.contains).toSeq ++ cols

@@ -11,6 +11,15 @@ class RowOpsSpec extends SparkTestBase {
   private def frame = GraftFrame(kv(
     (1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 40.0)))
 
+  test("introspection: shape, size, dtypes, ndim, empty") {
+    val f = GraftFrame(kv((1L, "a", 1.0), (2L, "b", 2.0)))
+    assert(f.shape == (2L, 3))
+    assert(f.size == 6L)
+    assert(f.ndim == 2)
+    assert(f.dtypes == Seq("id" -> "bigint", "k" -> "string", "v" -> "double"))
+    assert(!f.empty && GraftFrame(kv()).empty)
+  }
+
   test("fromDict builds a typed frame from column-oriented data") {
     val f = GraftFrame.fromDict(spark, Seq(
       "id" -> Seq(1, 2, 3),
