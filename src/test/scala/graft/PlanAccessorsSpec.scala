@@ -61,6 +61,20 @@ class PlanAccessorsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { roll.aggSpec(Seq("v" -> Seq("nope"))) }
   }
 
+  test("q_tpch_q19: disjunctive predicate bounds reach both scans") {
+    // Catalyst's constraint propagation must derive the per-side
+    // implications of the OR-of-conjunctions (quantity windows on
+    // lineitem, brand/size on part) and push them into the scans — at
+    // 100 TB this is the difference between reading three quantity bands
+    // and reading everything.
+    val plan = SparkEntry.queries("q_tpch_q19")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert("FileScan parquet \\[l_partkey[^\\n]*l_quantity[^\\n]*>=".r
+      .findFirstIn(plan).isDefined, "lineitem scan lost its quantity bounds")
+    assert("FileScan parquet \\[p_partkey[^\\n]*p_brand[^\\n]*Brand#12".r
+      .findFirstIn(plan).isDefined, "part scan lost its brand/size filter")
+  }
+
   test("flagship decimal agg is bit-identical across shuffle partition counts") {
     // The QHelp determinism claim, tested directly: every double output
     // flows through order-independent decimal accumulation, so changing
