@@ -67,8 +67,15 @@ class PlanAccessorsSpec extends SparkTestBase {
     // lineitem, brand/size on part) and push them into the scans — at
     // 100 TB this is the difference between reading three quantity bands
     // and reading everything.
-    val plan = SparkEntry.queries("q_tpch_q19")(spark, sf)
-      .queryExecution.sparkPlan.toString
+    // FileScan metadata is truncated at spark.sql.maxMetadataStringLength
+    // (default 100): with large expression ids the Brand literal falls
+    // past the cutoff, so widen it for the duration of the assertion.
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan =
+      try SparkEntry.queries("q_tpch_q19")(spark, sf)
+        .queryExecution.sparkPlan.toString
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     assert("FileScan parquet \\[l_partkey[^\\n]*l_quantity[^\\n]*>=".r
       .findFirstIn(plan).isDefined, "lineitem scan lost its quantity bounds")
     assert("FileScan parquet \\[p_partkey[^\\n]*p_brand[^\\n]*Brand#12".r
