@@ -193,7 +193,9 @@ object QueriesJoins {
          |  ${dsumDSql("o_totalprice")} AS sum_price
          |FROM orders, customer WHERE o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
-      val base = s"/tmp/graft_bucketed/${java.util.UUID.randomUUID()}"
+      // repo-local like the other IO queries (QueriesCore qtmp convention);
+      // overwrite mode makes reruns idempotent
+      val base = "/root/repo/target/qtmp/bucketed"
       GraftFrame(t(s, dir, "orders").select("o_custkey", "o_totalprice"))
         .toBucketedTable("g_b_orders", s"$base/orders", 8, Seq("o_custkey"))
       GraftFrame(t(s, dir, "customer")
