@@ -124,7 +124,8 @@ object Streams {
       .distinct()
       .collect().map(_.getLong(0)).toSet
     val bc = docs.sparkSession.sparkContext.broadcast(hashes)
-    val hit = udf((arr: Seq[Long]) => arr.exists(bc.value.contains))
+    // null text → null shingle array → no evidence of overlap → keep
+    val hit = udf((arr: Seq[Long]) => arr != null && arr.exists(bc.value.contains))
     docs.filter(!hit(graft.functions.TextHashExprs.shingleHashes(col(textCol), k)))
   }
 }

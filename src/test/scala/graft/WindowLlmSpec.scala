@@ -465,10 +465,11 @@ class WindowLlmSpec extends SparkTestBase {
       in.addData(
         (1L, "we saw the quick brown fox jumps over a fence"), // overlaps
         (2L, "totally clean document with no benchmark overlap at all"),
-        (3L, "tiny"))                                          // <k tokens
+        (3L, "tiny"),                                          // <k tokens
+        (4L, null))                                            // null text → keep
       q.processAllAvailable()
       val kept = spark.table("decontam_stream").collect().map(_.getLong(0)).sorted
-      assert(kept.sameElements(Array(2L, 3L)), s"kept: ${kept.toSeq}")
+      assert(kept.sameElements(Array(2L, 3L, 4L)), s"kept: ${kept.toSeq}")
     } finally q.stop()
   }
 
