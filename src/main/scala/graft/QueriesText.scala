@@ -299,6 +299,25 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // dt accessor completion: weekday alias, leap-year flag, time-of-day
+    // string, monthly period end instant (next month start − 1 µs).
+    r.reg("q_dt_ops2",
+      """SELECT event_id,
+        |  CAST((dayofweek(ts) + 6) % 7 AS INTEGER) AS wd,
+        |  (year(ts) % 4 = 0 AND (year(ts) % 100 <> 0 OR year(ts) % 400 = 0)) AS leap,
+        |  strftime(ts, '%H:%M:%S') AS tod,
+        |  date_trunc('month', ts) + INTERVAL 1 MONTH - INTERVAL 1 MICROSECOND AS end_time
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import graft.api.DtOps.RichDtColumn
+      t(s, dir, "events").filter(col("event_id") < 200)
+        .select(col("event_id"),
+          col("ts").dtWeekday.cast(IntegerType).as("wd"),
+          col("ts").dtIsLeapYear.as("leap"),
+          col("ts").dtTime.as("tod"),
+          col("ts").dtEndTimeMonth.as("end_time"))
+        .orderBy("event_id")
+    }
+
     r.reg("q_dt_ops",
       """SELECT event_id,
         |  CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS mo,

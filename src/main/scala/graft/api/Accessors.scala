@@ -199,6 +199,21 @@ object DtOps {
     /** pandas convention: Monday=0 .. Sunday=6 (Spark's dayofweek has
       * Sunday=1 .. Saturday=7). */
     def dtDayofweek: Column = (F.dayofweek(c) + 5) % 7
+    /** pandas alias: weekday == dayofweek (Monday = 0). */
+    def dtWeekday: Column = dtDayofweek
+    def dtIsLeapYear: Column = {
+      val y = F.year(c)
+      y % 4 === 0 && (y % 100 =!= 0 || y % 400 === 0)
+    }
+    /** time-of-day as HH:mm:ss (no time dtype in Spark; string form). */
+    def dtTime: Column = F.date_format(c, "HH:mm:ss")
+    /** period end instant (reference `end_time`): start of the NEXT
+      * month minus 1 microsecond — monthly freq, matching dtToPeriod.
+      * date_trunc coerces NTZ input to LTZ; cast back so the output
+      * keeps the source's timestamp kind. */
+    def dtEndTimeMonth: Column =
+      (F.date_trunc("month", c) + F.expr("INTERVAL 1 MONTH")
+        - F.expr("INTERVAL 1 MICROSECOND")).cast("timestamp_ntz")
     def dtDaysInMonth: Column = F.dayofmonth(F.last_day(c))
     def dtIsMonthStart: Column = F.dayofmonth(c) === 1
     def dtIsMonthEnd: Column = F.dayofmonth(c) === F.dayofmonth(F.last_day(c))
