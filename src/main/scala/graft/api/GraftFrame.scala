@@ -449,8 +449,31 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     lift(df.map(f)(org.apache.spark.sql.Encoders.row(outSchema)))
 
   // ---- sinks (reference ToParquet io/parquet.py:90-395, ToCsv) ----
+  /** Overwrite-safety (reference ToParquet, `io/parquet.py:90-175`):
+    * refuse to overwrite a path this frame's plan is READING — Spark
+    * deletes the target before the job runs, so the job would consume
+    * its own half-deleted input and silently corrupt the result. */
+  private def guardOverwrite(path: String, mode: String): Unit = {
+    if (mode == "overwrite") {
+      val target = new org.apache.hadoop.fs.Path(path).toUri.getPath
+      val reads = df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toUri.getPath)
+            case _ => Nil
+          }
+      }.flatten
+      require(!reads.exists(p => p == target ||
+          p.startsWith(target + "/") || target.startsWith(p + "/")),
+        s"refusing to overwrite '$path': this frame reads from it " +
+          "(write elsewhere, or materialize first)")
+    }
+  }
+
   def toParquet(path: String, partitionOn: Seq[String] = Nil,
                 mode: String = "overwrite"): Unit = {
+    guardOverwrite(path, mode)
     val w = df.write.mode(mode)
     (if (partitionOn.nonEmpty) w.partitionBy(partitionOn: _*) else w).parquet(path)
   }

@@ -11,6 +11,16 @@ class RowOpsSpec extends SparkTestBase {
   private def frame = GraftFrame(kv(
     (1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 40.0)))
 
+  test("toParquet refuses to overwrite a path the plan reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ow").toString
+    val p = s"$dir/t"
+    GraftFrame(kv((1L, "a", 1.0))).toParquet(p)
+    val f = GraftFrame(spark.read.parquet(p)).filter(col("v") > 0)
+    intercept[IllegalArgumentException] { f.toParquet(p) }
+    f.toParquet(s"$dir/t2")                           // different path ok
+    GraftFrame(kv((2L, "b", 2.0))).toParquet(p)       // non-reading frame ok
+  }
+
   test("introspection: shape, size, dtypes, ndim, empty") {
     val f = GraftFrame(kv((1L, "a", 1.0), (2L, "b", 2.0)))
     assert(f.shape == (2L, 3))
