@@ -470,6 +470,26 @@ object QueriesWindow {
         .orderBy("bucket")
     }
 
+    // Batch sessionization over the events stream table: 30-minute gap,
+    // exact-microsecond arithmetic, event_id tiebreaker — every session
+    // assignment value-checked.
+    r.reg("q_sessionize",
+      """WITH g AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM g ORDER BY event_id""".stripMargin) { (s, dir) =>
+      graft.operators.WindowOps.sessionize(
+          t(s, dir, "events"), Seq("user_id"), "ts", 1800L, "event_id")
+        .select("event_id", "user_id", "session_id")
+        .orderBy("event_id")
+    }
+
     r.reg("q_sort_multi",
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
         |ORDER BY o_orderdate DESC NULLS LAST, o_orderkey ASC NULLS LAST""".stripMargin) { (s, dir) =>

@@ -182,6 +182,34 @@ object WindowOps {
   def ntileN(n: Int, orderCol: String, partitionCols: Seq[String]): Column =
     ntile(n).over(orderedWindow(orderCol, partitionCols, "ntile"))
 
+  /** Batch sessionization: per-key session ids where a gap of more than
+    * `gapSeconds` between consecutive events opens a new session (the
+    * batch complement of streaming/Streams.sessionAgg's session windows;
+    * the standard event-pipeline op). Two stacked windows on ONE
+    * partitioning — a new-session flag from lag, then its running sum —
+    * so the plan is one shuffle on the keys and a single sort. Gap
+    * arithmetic is exact integer MICROSECONDS (sub-second timestamps
+    * would silently mis-bucket under whole-second truncation);
+    * `tieCol` makes the order total when two events share a timestamp,
+    * keeping assignments engine-reproducible. */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
+                 gapSeconds: Long, tieCol: String,
+                 outCol: String = "session_id"): DataFrame = {
+    require(keys.nonEmpty,
+      "sessionize needs partition keys (a keyless global sessionization " +
+        "would single-task the whole corpus)")
+    require(gapSeconds > 0, "sessionize needs a positive gap")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    df.withColumn("__ns__",
+        when(us - lag(us, 1).over(w) > gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn(outCol,
+        sum(col("__ns__")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__ns__")
+  }
+
   /** ffill/bfill (reference `_expr.py:2207-2252`): last/first non-null in
     * an ordered frame; `limit` bounds the frame. */
   def ffill(c: String, orderCol: String, partitionCols: Seq[String],
