@@ -470,6 +470,25 @@ object QueriesWindow {
         .orderBy("bucket")
     }
 
+    // Remaining analytic members: cume_dist over a unique order (ties in
+    // cume_dist change values, so the order column is the unique id);
+    // nth_value/first over the default growing frame.
+    r.reg("q_rank2",
+      """SELECT event_id, user_id,
+        |  CAST(cume_dist() OVER wu AS DOUBLE) AS cd,
+        |  nth_value(value, 3) OVER wu AS nv3,
+        |  first_value(value) OVER wu AS fv
+        |FROM events WHERE user_id < 30
+        |WINDOW wu AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events").filter(col("user_id") < 30)
+        .withColumn("cd", WindowOps.cumeDist("event_id", Seq("user_id")))
+        .withColumn("nv3", WindowOps.nthValue(col("value"), 3, "event_id", Seq("user_id")))
+        .withColumn("fv", WindowOps.firstValue(col("value"), "event_id", Seq("user_id")))
+        .select("event_id", "user_id", "cd", "nv3", "fv")
+        .orderBy("event_id")
+    }
+
     // Batch sessionization over the events stream table: 30-minute gap,
     // exact-microsecond arithmetic, event_id tiebreaker — every session
     // assignment value-checked.

@@ -182,6 +182,18 @@ object WindowOps {
   def ntileN(n: Int, orderCol: String, partitionCols: Seq[String]): Column =
     ntile(n).over(orderedWindow(orderCol, partitionCols, "ntile"))
 
+  def cumeDist(orderCol: String, partitionCols: Seq[String]): Column =
+    cume_dist().over(orderedWindow(orderCol, partitionCols, "cumeDist"))
+  /** nth/first/last value over the default growing frame (SQL standard
+    * RANGE UNBOUNDED PRECEDING..CURRENT ROW — nth is null until n rows
+    * are in frame, lastValue is the current row's value). */
+  def nthValue(c: Column, n: Int, orderCol: String,
+               partitionCols: Seq[String]): Column =
+    nth_value(c, n).over(orderedWindow(orderCol, partitionCols, "nthValue"))
+  def firstValue(c: Column, orderCol: String,
+                 partitionCols: Seq[String]): Column =
+    first(c).over(orderedWindow(orderCol, partitionCols, "firstValue"))
+
   /** Batch sessionization: per-key session ids where a gap of more than
     * `gapSeconds` between consecutive events opens a new session (the
     * batch complement of streaming/Streams.sessionAgg's session windows;
