@@ -35,9 +35,7 @@ object PerfProbe {
       val (idCol, textCol, shingleK, numHashes, bands) =
         ("doc_id", "text", 3, 16, 4)
       val rows = numHashes / bands
-      val par = spark.sparkContext.defaultParallelism
-      val spread =
-        if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+      val spread = llm.Spread(docs)
       val eligible =
         spread.filter(size(split(col(textCol), " ", -1)) >= shingleK)
       val sigs = eligible.select(col(idCol).as("id"),

@@ -88,12 +88,15 @@ object QueriesJoins {
         .orderBy("c_custkey")
     }
 
+    // Anti-join against the *filtered* orders set so survivors exist at every
+    // fixture SF (every customer has at least one order, so an unfiltered anti
+    // join would be vacuously empty and the oracle hash would not discriminate).
     r.reg("q_join_anti",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0)
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       val c = t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
       Joins.anti(c, o, Seq("o_custkey"))
         .select(col("o_custkey").as("c_custkey"), col("c_name"))
         .orderBy("c_custkey")

@@ -660,7 +660,54 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // REAL codec round trip: Spark synthesizes a PNG per doc on the
+    // executors (pixels are a pure integer function of doc_id), decodes
+    // it back with JDK ImageIO, and reports actual decoded
+    // width/height/pixel-checksum. The oracle has no codec — it predicts
+    // the same values arithmetically — so a hash match proves the
+    // encode→decode path is lossless and real, not a stub.
     r.reg("q_multimodal_features",
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(doc_id % 13 + 4 AS INTEGER) AS width,
+        |  CAST(doc_id % 7 + 3 AS INTEGER) AS height,
+        |  CAST(list_sum(flatten(list_transform(range(0, doc_id % 7 + 3), y ->
+        |    list_transform(range(0, doc_id % 13 + 4), x ->
+        |      3*((doc_id*31 + x*7 + y*13) % 256)
+        |      + 5*((x*y + doc_id) % 256)
+        |      + 7*((x + y*3) % 256))))) % 1000000007 AS BIGINT) AS checksum
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      Multimodal.decodeImageFeatures(
+          Multimodal.synthPng(docs, "doc_id"), "doc_id", "payload")
+        .orderBy("doc_id")
+    }
+
+    // decode → nearest-neighbor resize (real pixel remap) → re-encode →
+    // decode again; the oracle predicts the resized checksum from the
+    // NN source-pixel mapping sx = x*w/8, sy = y*h/5 (integer floor).
+    r.reg("q_multimodal_resize",
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(8 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+        |  CAST(list_sum(flatten(list_transform(range(0, 5), y ->
+        |    list_transform(range(0, 8), x ->
+        |      3*((doc_id*31 + ((x*(doc_id % 13 + 4))//8)*7
+        |            + ((y*(doc_id % 7 + 3))//5)*13) % 256)
+        |      + 5*((((x*(doc_id % 13 + 4))//8)*((y*(doc_id % 7 + 3))//5) + doc_id) % 256)
+        |      + 7*((((x*(doc_id % 13 + 4))//8) + ((y*(doc_id % 7 + 3))//5)*3) % 256)))))
+        |    % 1000000007 AS BIGINT) AS checksum
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      Multimodal.decodeImageFeatures(
+          Multimodal.resizeImage(
+            Multimodal.synthPng(docs, "doc_id"), "doc_id", "payload", 8, 5),
+          "doc_id", "payload")
+        .orderBy("doc_id")
+    }
+
+    // Byte-level triage of an OPAQUE payload (no JDK codec for
+    // audio/video containers): length, magic byte, byte checksum — the
+    // pre-decode pass of a real pipeline.
+    r.reg("q_multimodal_bytes",
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS format_byte,
@@ -670,7 +717,7 @@ object QueriesText {
         |    i -> ascii(substr(text, i, 1)))) % 1000000007 AS BIGINT) AS checksum
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
-      Multimodal.decodeFeatures(
+      Multimodal.byteFeatures(
           Multimodal.withPayload(docs, "text", "payload"), "doc_id", "payload")
         .orderBy("doc_id")
     }

@@ -209,8 +209,12 @@ object DtOps {
     def dtTime: Column = F.date_format(c, "HH:mm:ss")
     /** period end instant (reference `end_time`): start of the NEXT
       * month minus 1 microsecond — monthly freq, matching dtToPeriod.
-      * date_trunc coerces NTZ input to LTZ; cast back so the output
-      * keeps the source's timestamp kind. */
+      * Output is ALWAYS timestamp_ntz: date_trunc coerces NTZ input to
+      * LTZ, and the cast back restores the wall-clock form. An LTZ input
+      * therefore CHANGES KIND here — its wall clock is read in the
+      * session timezone and the zone is dropped (a bare Column cannot
+      * inspect its own dataType to branch; the fixture's event
+      * timestamps are NTZ, where this is exact). */
     def dtEndTimeMonth: Column =
       (F.date_trunc("month", c) + F.expr("INTERVAL 1 MONTH")
         - F.expr("INTERVAL 1 MICROSECOND")).cast("timestamp_ntz")

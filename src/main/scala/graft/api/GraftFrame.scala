@@ -477,8 +477,10 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     val w = df.write.mode(mode)
     (if (partitionOn.nonEmpty) w.partitionBy(partitionOn: _*) else w).parquet(path)
   }
-  def toCsv(path: String, header: Boolean = true, mode: String = "overwrite"): Unit =
+  def toCsv(path: String, header: Boolean = true, mode: String = "overwrite"): Unit = {
+    guardOverwrite(path, mode)
     df.write.mode(mode).option("header", header).csv(path)
+  }
 
   /** Persist as a bucketed parquet table: rows are pre-shuffled on `keys`
     * into `buckets` files (optionally sorted within each), so every FUTURE
@@ -494,6 +496,7 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
                       mode: String = "overwrite"): Unit = {
     require(keys.nonEmpty, "toBucketedTable needs at least one bucket key")
     require(buckets > 0, "toBucketedTable needs a positive bucket count")
+    guardOverwrite(path, mode)
     val w0 = df.write.mode(mode).option("path", path)
       .bucketBy(buckets, keys.head, keys.tail: _*)
     val w = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
@@ -501,10 +504,14 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
   }
   /** JSON / ORC sinks (capability superset — the reference ships only
     * parquet+csv, `io/`; Spark provides these natively). */
-  def toJson(path: String, mode: String = "overwrite"): Unit =
+  def toJson(path: String, mode: String = "overwrite"): Unit = {
+    guardOverwrite(path, mode)
     df.write.mode(mode).json(path)
-  def toOrc(path: String, mode: String = "overwrite"): Unit =
+  }
+  def toOrc(path: String, mode: String = "overwrite"): Unit = {
+    guardOverwrite(path, mode)
     df.write.mode(mode).orc(path)
+  }
 
   def cache(): GraftFrame = lift(df.cache())
   def explainPlan(): Unit = df.explain("formatted")
@@ -552,23 +559,32 @@ object GraftFrame {
   }
 
   /** Column-oriented local constructor (reference `from_dict`,
-    * `_collection.py`): columns as name → values, types inferred from the
-    * first non-null value per column (Long/Int → LongType, Double,
-    * Boolean, String; everything else stringified). */
+    * `_collection.py`): columns as name → values, types inferred across
+    * ALL non-null values per column — all-integer → LongType, mixed
+    * numeric promotes to DoubleType (pandas-style upcast, so
+    * Seq(1, 2.5) is a double column, not a Long column with a stray
+    * Double that fails at row encoding), all-Boolean → BooleanType,
+    * anything else stringified. */
   def fromDict(spark: SparkSession, columns: Seq[(String, Seq[Any])],
                npartitions: Int = 0): GraftFrame = {
     require(columns.nonEmpty, "fromDict needs at least one column")
     val n = columns.head._2.length
     require(columns.forall(_._2.length == n), "fromDict columns must be equal length")
-    def dtypeOf(vs: Seq[Any]): DataType = vs.find(_ != null) match {
-      case Some(_: Long) | Some(_: Int) => LongType
-      case Some(_: Double) | Some(_: Float) => DoubleType
-      case Some(_: Boolean) => BooleanType
-      case _ => StringType
+    def dtypeOf(vs: Seq[Any]): DataType = {
+      val nn = vs.filter(_ != null)
+      def isInt(v: Any) = v.isInstanceOf[Long] || v.isInstanceOf[Int]
+      def isNum(v: Any) = isInt(v) || v.isInstanceOf[Double] || v.isInstanceOf[Float]
+      if (nn.isEmpty) StringType
+      else if (nn.forall(isInt)) LongType
+      else if (nn.forall(isNum)) DoubleType
+      else if (nn.forall(_.isInstanceOf[Boolean])) BooleanType
+      else StringType
     }
     def norm(v: Any, dt: DataType): Any = (v, dt) match {
       case (null, _) => null
       case (x: Int, LongType) => x.toLong
+      case (x: Int, DoubleType) => x.toDouble
+      case (x: Long, DoubleType) => x.toDouble
       case (x: Float, DoubleType) => x.toDouble
       case (x, StringType) => x.toString
       case (x, _) => x

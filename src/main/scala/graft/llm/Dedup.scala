@@ -57,10 +57,8 @@ object Dedup {
     val rows = numHashes / bands
     // Small doc sets arrive as one parquet split — spread them so the
     // blockwise signature stage uses every core (at real scale the file
-    // count already provides this).
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    // count already provides this). File-count heuristic, no `.rdd` probe.
+    val spread = Spread(docs)
     // No corpus-wide cache of derived shingle arrays (that is corpus-sized
     // executor storage at 100 TB): the candidate branch computes the
     // signature in ONE fused expression pass, and the verify branch

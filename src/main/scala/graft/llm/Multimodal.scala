@@ -1,5 +1,9 @@
 package graft.llm
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,52 +11,120 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns + typed metadata, processed per-partition in batches.
   *
-  * The actual codec work (JPEG decode, resample, frame extraction) is
-  * STUBBED — the decode libraries are not in this container — behind
-  * `fakeDecode`, a deterministic byte-level feature extractor. Everything
-  * around it is the real production shape: binary payload column,
-  * explicit output schema (the reference's `meta` contract,
-  * `_expr.py:517-592`), partition-batched iteration so one task holds at
-  * most one partition of payloads, and no driver-side collect anywhere.
+  * The image path is REAL: PNG encode/decode via the JDK's
+  * `javax.imageio.ImageIO` (no external codec library needed) and a
+  * hand-rolled nearest-neighbor resize over decoded pixels. The engine
+  * shape matches the reference's meta contract (`_expr.py:517-592`):
+  * binary payload column in, fixed output schema out, partition-batched
+  * iteration so one task holds at most one partition of payloads, and no
+  * driver-side collect anywhere.
+  *
+  * Determinism for the oracle: synthetic fixtures are generated from
+  * `doc_id` by [[pixel]]/[[dims]] — pure integer arithmetic — so a SQL
+  * engine with no codec can predict the decoded width/height/checksum
+  * while Spark actually encodes and decodes PNG bytes. A checksum match
+  * therefore proves a lossless real-codec round trip, not a stub.
   */
 object Multimodal {
 
+  private val ChecksumP = 1000000007L
+
+  /** Deterministic image dimensions for a synthetic fixture id. */
+  def dims(id: Long): (Int, Int) = ((id % 13).toInt + 4, (id % 7).toInt + 3)
+
+  /** Deterministic RGB pixel for (id, x, y) — pure integer arithmetic so
+    * any engine reproduces it. */
+  def pixel(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 31 + x * 7 + y * 13) % 256).toInt,
+    ((x.toLong * y + id) % 256).toInt,
+    ((x + y * 3) % 256))
+
+  /** Pixel checksum: weighted channel sum mod a prime. Order-independent
+    * (a sum), so partitioning can never change it. */
+  private def checksumOf(img: BufferedImage): Long = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += 3L * ((rgb >> 16) & 0xff) + 5L * ((rgb >> 8) & 0xff) + 7L * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum % ChecksumP
+  }
+
+  private def encodePngBytes(img: BufferedImage): Array[Byte] = {
+    val baos = new ByteArrayOutputStream(1024)
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Container-format sniff from magic bytes (the metadata a real
+    * pipeline extracts before deciding whether to decode at all). */
+  def sniffFormat(bytes: Array[Byte]): String =
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'
+        && bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I'
+        && bytes(2) == 'F' && bytes(3) == '8') "gif"
+    else "unknown"
+
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Synthesize a real PNG payload per id on the EXECUTORS (the fixture
+    * generator: stands in for `spark.read.format("binaryFile")` without
+    * needing image files on disk). Pixels come from [[pixel]], so the
+    * decoded content is independently predictable. */
+  def synthPng(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val (w, h) = dims(id)
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (cr, cg, cb) = pixel(id, x, y)
+              img.setRGB(x, y, (cr << 16) | (cg << 8) | cb)
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, encodePngBytes(img))
+        }
+      }(org.apache.spark.sql.Encoders.row(payloadSchema))
+
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
-    StructField("n_bytes", IntegerType, nullable = false),
-    StructField("format_byte", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("checksum", LongType, nullable = false)))
 
-  /** Attach a binary payload column (here: utf-8 bytes of a string
-    * column; in production: the image/audio bytes read by a binary
-    * source such as `spark.read.format("binaryFile")`). */
-  def withPayload(df: DataFrame, srcCol: String, outCol: String): DataFrame =
-    df.withColumn(outCol, encode(col(srcCol), "UTF-8"))
-
-  /** STUB decode: deterministic pseudo-features from raw bytes (stands in
-    * for a JPEG/PNG header parse + decode). Replace the body with the
-    * real codec; the signature — Iterator-batched rows with a fixed
-    * output schema — is the part that matters for the engine. */
-  private def fakeDecode(id: Long, bytes: Array[Byte]): Row = {
-    val n = bytes.length
-    val b0 = if (n > 0) bytes(0) & 0xff else 0
-    // order-independent byte sum: partition order can never change it
-    var checksum = 0L
-    var i = 0
-    while (i < n) { checksum += (bytes(i) & 0xff); i += 1 }
-    Row(id, n, b0, b0 % 64 + 1, (n % 64) + 1, checksum % 1000000007L)
-  }
-
-  /** Batched per-partition "decode": the mapPartitions shape that a real
-    * codec UDF uses (one JNI/process init per partition, streamed rows,
-    * no whole-partition materialization). */
-  def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+  /** REAL batched per-partition decode: `ImageIO.read` on each payload,
+    * emitting actual decoded dimensions and a pixel checksum. The
+    * mapPartitions shape is what a production codec UDF uses (codec
+    * registry warm per partition, streamed rows, no whole-partition
+    * materialization). Undecodable payloads surface as format="unknown"
+    * with -1 dims rather than failing the task. */
+  def decodeImageFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
     df.select(col(idCol).cast("long"), col(payloadCol))
       .mapPartitions { it =>
-        // real impl: init codec once per partition here
-        it.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          if (img == null) Row(id, "unknown", -1, -1, -1L)
+          else Row(id, sniffFormat(bytes), img.getWidth, img.getHeight, checksumOf(img))
+        }
       }(org.apache.spark.sql.Encoders.row(featureSchema))
 
   val resizedSchema: StructType = StructType(Seq(
@@ -61,27 +133,70 @@ object Multimodal {
     StructField("out_w", IntegerType, nullable = false),
     StructField("out_h", IntegerType, nullable = false)))
 
-  /** STUB resize: deterministic byte-stride resample of the payload to
-    * exactly `outW*outH` bytes (stands in for a real image resample —
-    * swap the loop body for the codec call). Short payloads repeat bytes
-    * (the "upscale" path) so the emitted dims ALWAYS describe the
-    * payload: length == out_w * out_h is the row's contract. The
-    * engine-side shape is the point: binary in → binary out with typed
+  /** REAL nearest-neighbor resize: decode, remap src pixel
+    * (x*srcW/outW, y*srcH/outH) — integer floor division, the standard
+    * NN kernel — re-encode as PNG. Binary in → binary out with typed
     * dims, batched per partition, constant memory per row. */
-  def resizeStub(df: DataFrame, idCol: String, payloadCol: String,
-                 outW: Int, outH: Int): DataFrame =
+  def resizeImage(df: DataFrame, idCol: String, payloadCol: String,
+                  outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, "resizeImage needs positive output dims")
     df.select(col(idCol).cast("long"), col(payloadCol))
       .mapPartitions { it =>
-        val budget = outW * outH
-        it.map { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          val out =
-            if (bytes.length == 0) new Array[Byte](budget)
-            else Array.tabulate(budget)(i =>
-              bytes(((i.toLong * bytes.length) / budget).toInt))
-          Row(r.getLong(0), out, outW, outH)
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          if (img == null) Iterator.empty
+          else {
+            val out = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < outH) {
+              val sy = (y.toLong * img.getHeight / outH).toInt
+              var x = 0
+              while (x < outW) {
+                val sx = (x.toLong * img.getWidth / outW).toInt
+                out.setRGB(x, y, img.getRGB(sx, sy))
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single(Row(id, encodePngBytes(out), outW, outH))
+          }
         }
       }(org.apache.spark.sql.Encoders.row(resizedSchema))
+  }
+
+  /** Attach a binary payload column (here: utf-8 bytes of a string
+    * column; in production: the image/audio bytes read by a binary
+    * source such as `spark.read.format("binaryFile")`). */
+  def withPayload(df: DataFrame, srcCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, encode(col(srcCol), "UTF-8"))
+
+  val byteFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("format_byte", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** Byte-level feature extraction for OPAQUE payloads (audio/video
+    * containers with no JDK codec): length, leading byte, byte checksum.
+    * This is the pre-decode triage pass of a real pipeline; for images
+    * use [[decodeImageFeatures]], which actually decodes. */
+  def byteFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val n = bytes.length
+          val b0 = if (n > 0) bytes(0) & 0xff else 0
+          var checksum = 0L
+          var i = 0
+          while (i < n) { checksum += (bytes(i) & 0xff); i += 1 }
+          Row(id, n, b0, b0 % 64 + 1, (n % 64) + 1, checksum % ChecksumP)
+        }
+      }(org.apache.spark.sql.Encoders.row(byteFeatureSchema))
 
   /** Deterministic frame-sampling plan for a video-like payload: every
     * `stride`-th offset, as (doc_id, frame_no, offset) rows — the explode

@@ -16,11 +16,9 @@ object Similarity {
 
   /** Small embedding sets arrive as one parquet split — spread them so
     * the blockwise scoring stage uses every core (at real scale the file
-    * count provides this naturally). */
-  private def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-  }
+    * count provides this naturally). Keyed off the input file count, not
+    * `.rdd`, to avoid a second physical plan (see [[Spread]]). */
+  private def spread(df: DataFrame): DataFrame = Spread(df)
 
   /** Order-independent exact dot product of two float-array columns.
     * Accumulator precision stays under Spark's 38-digit cap (adding a

@@ -213,7 +213,23 @@ object WindowOps {
     require(gapSeconds > 0, "sessionize needs a positive gap")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col(tieCol).asc)
-    val us = unix_micros(col(tsCol).cast("timestamp"))
+    // Gap micros must be timezone-independent: casting an NTZ timestamp
+    // to LTZ interprets the wall clock in the SESSION zone, so a gap
+    // spanning a DST transition would shift by an hour and mis-bucket
+    // sessions. For NTZ inputs compute epoch micros arithmetically from
+    // the wall-clock fields (unix_date/hour/minute/second read NTZ
+    // directly, no zone in play); LTZ inputs are real instants and
+    // unix_micros is already exact.
+    val tsc = col(tsCol)
+    val us = df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        (unix_date(to_date(tsc)).cast("long") * 86400L
+          + hour(tsc).cast("long") * 3600L
+          + minute(tsc).cast("long") * 60L
+          + second(tsc).cast("long")) * 1000000L +
+          date_format(tsc, "SSSSSS").cast("long")
+      case _ => unix_micros(tsc.cast("timestamp"))
+    }
     df.withColumn("__ns__",
         when(us - lag(us, 1).over(w) > gapSeconds * 1000000L, 1L).otherwise(0L))
       .withColumn(outCol,

@@ -584,31 +584,62 @@ class WindowLlmSpec extends SparkTestBase {
     assert(r.getAs[String]("content_md5").length == 32)
   }
 
-  test("multimodal decode stub: schema, byte count, checksum") {
+  test("multimodal byte triage: schema, byte count, checksum") {
     val d = df(
       StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
       Row(1L, "AB"))
-    val out = Multimodal.decodeFeatures(
+    val out = Multimodal.byteFeatures(
       Multimodal.withPayload(d, "text", "p"), "doc_id", "p").collect().head
     assert(out.getAs[Int]("n_bytes") == 2)
     assert(out.getAs[Int]("format_byte") == 'A'.toInt)
     assert(out.getAs[Long]("checksum") == ('A'.toInt + 'B'.toInt))
   }
 
-  test("resizeStub always emits exactly out_w*out_h bytes") {
-    import graft.llm.Multimodal
-    val docs = kv((1L, "a", 1.0), (2L, "b", 2.0))
-      .withColumn("text", org.apache.spark.sql.functions.when(
-        col("id") === 1, org.apache.spark.sql.functions.lit("x" * 100))
-        .otherwise(org.apache.spark.sql.functions.lit("short")))
-    val withBytes = Multimodal.withPayload(docs, "text", "payload")
-    val out = Multimodal.resizeStub(withBytes, "id", "payload", 4, 4)
-      .collect().map(r => r.getLong(0) ->
-        (r.getAs[Array[Byte]](1).length, r.getInt(2), r.getInt(3))).toMap
-    // dims must DESCRIBE the payload: 100 bytes downsample, 5 bytes
-    // upsample by repetition — both land exactly on the 16-byte budget
-    assert(out(1L) == ((16, 4, 4)))
-    assert(out(2L) == ((16, 4, 4)))
+  test("real PNG encode→decode round trip matches the pixel arithmetic") {
+    val d = df(
+      StructType(Seq(StructField("doc_id", LongType))),
+      Row(0L), Row(7L), Row(41L))
+    val out = Multimodal.decodeImageFeatures(
+        Multimodal.synthPng(d, "doc_id"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 7L, 41L)) {
+      val (w, h) = Multimodal.dims(id)
+      val expected = (for (y <- 0 until h; x <- 0 until w) yield {
+        val (cr, cg, cb) = Multimodal.pixel(id, x, y)
+        3L * cr + 5L * cg + 7L * cb
+      }).sum % 1000000007L
+      val r = out(id)
+      assert(r.getAs[String]("format") == "png")
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Long]("checksum") == expected, s"checksum mismatch for id=$id")
+    }
+  }
+
+  test("real nearest-neighbor resize: decoded output matches the NN source map") {
+    val d = df(StructType(Seq(StructField("doc_id", LongType))), Row(5L))
+    val (w, h) = Multimodal.dims(5L)
+    val out = Multimodal.decodeImageFeatures(
+        Multimodal.resizeImage(
+          Multimodal.synthPng(d, "doc_id"), "doc_id", "payload", 8, 5),
+        "doc_id", "payload")
+      .collect().head
+    val expected = (for (y <- 0 until 5; x <- 0 until 8) yield {
+      val (cr, cg, cb) = Multimodal.pixel(5L, (x * w / 8), (y * h / 5))
+      3L * cr + 5L * cg + 7L * cb
+    }).sum % 1000000007L
+    assert(out.getAs[Int]("width") == 8 && out.getAs[Int]("height") == 5)
+    assert(out.getAs[String]("format") == "png")
+    assert(out.getAs[Long]("checksum") == expected)
+  }
+
+  test("decodeImageFeatures flags undecodable payloads instead of failing") {
+    val d = df(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      Row(1L, "not an image"))
+    val out = Multimodal.decodeImageFeatures(
+      Multimodal.withPayload(d, "text", "p"), "doc_id", "p").collect().head
+    assert(out.getAs[String]("format") == "unknown")
+    assert(out.getAs[Int]("width") == -1)
   }
 
   test("framePlan fans out one row per frame") {
