@@ -178,5 +178,27 @@ object QueriesEmbed {
       Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, queryId = 0L, k = 5, planes = 8)
     }
+
+    // Multi-probe: the query's bucket plus its 8 Hamming-1 neighbors
+    // (one hyperplane sign flipped each) — recall strictly dominates
+    // single-probe at the same plane count; the oracle mirrors the
+    // probe-set union with xor.
+    r.reg("q_ann_multiprobe",
+      s"""WITH $bucketCtes,
+         |qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT bucket FROM qb
+         |  UNION
+         |  SELECT xor(qb.bucket, CAST(1 << j AS BIGINT)) AS bucket
+         |  FROM qb, range(0, 8) rj(j)),
+         |cand AS (
+         |  SELECT DISTINCT b.vec_id FROM buckets b JOIN probes p USING (bucket)
+         |  WHERE b.vec_id <> 0),
+         |$dotCtes
+         |SELECT c.vec_id, c.cos FROM cosines c JOIN cand USING (vec_id)
+         |ORDER BY cos DESC, vec_id ASC LIMIT 8""".stripMargin) { (s, dir) =>
+      Similarity.annTopKMultiProbe(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, queryId = 0L, k = 8, planes = 8)
+    }
   }
 }

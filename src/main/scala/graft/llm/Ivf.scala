@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * Everything is DataFrame ops: centroids are a small frame (broadcast),
   * assignment is a blockwise argmin over the broadcast list, refinement
   * is one groupBy per iteration. At 100 TB: train on a sample, assign
-  * blockwise (no shuffle), store `cell` as a partition column so a query
-  * prunes to nprobe cells at the scan.
+  * blockwise (no shuffle), and persist with `cell` as a partition column
+  * ([[writeIndex]]) so a query prunes to its nprobe cells at the scan
+  * ([[annTopKIndexed]]) — no corpus-sized cache, no full scan per query.
   */
 object Ivf {
 
@@ -83,19 +84,69 @@ object Ivf {
       .drop("cs")
   }
 
-  /** ANN top-k: probe the `nprobe` cells nearest the query vector, exact
-    * cosine rank inside them. */
+  /** ANN top-k over an UN-indexed frame: probe the `nprobe` cells
+    * nearest the query vector, exact cosine rank inside them.
+    *
+    * One blockwise pass, NO corpus-wide cache: the query vector comes
+    * from the RAW frame (pushdown-able id filter, not a scan of the
+    * assigned corpus), assignment is computed on the fly and immediately
+    * filtered to the probe cells — nothing corpus-sized is ever stored.
+    * For repeated queries at scale, persist once with [[writeIndex]] and
+    * search with [[annTopKIndexed]], which prunes to the probe cells AT
+    * THE SCAN. */
   def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               centroids: DataFrame, queryId: Long, k: Int,
               nprobe: Int = 2): DataFrame = {
-    val assigned = assign(embeddings, idCol, vecCol, centroids).cache()
-    val q = assigned.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qv__"))
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("__qv__"))
     val probeCells = centroids.crossJoin(broadcast(q))
       .withColumn("d", sqDist(col("centroid"), col("__qv__")))
       .orderBy(col("d").asc).limit(nprobe)
       .select(col("cell"))
-    assigned.join(broadcast(probeCells), Seq("cell"))
+    assign(embeddings, idCol, vecCol, centroids)
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", Similarity.cosine(col(vecCol), col("__qv__")))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Persist the assigned corpus as a cell-partitioned parquet index
+    * (plus the centroids alongside): one assignment pass at build time,
+    * then every [[annTopKIndexed]] search scans ONLY its nprobe cell
+    * directories — at 100 TB this is the difference between a full
+    * corpus scan per query and reading nprobe/nCells of the data. */
+  def writeIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                 centroids: DataFrame, path: String): Unit = {
+    assign(embeddings, idCol, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Search a persisted index: the nprobe cell ids are resolved to
+    * LITERALS (a bounded nprobe-int collect over the tiny centroid
+    * frame), so the `cell IN (...)` predicate is a STATIC partition
+    * filter — Spark plans a scan over exactly the probe-cell
+    * directories, never touching the rest of the corpus. The query
+    * vector is looked up from the raw frame, not the index. */
+  def annTopKIndexed(embeddings: DataFrame, idCol: String, vecCol: String,
+                     indexPath: String, queryId: Long, k: Int,
+                     nprobe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("__qv__"))
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    // bounded driver-side collect: exactly nprobe ints (cell ids), from
+    // an nCells-row frame — the literal form is what enables static
+    // partition pruning at the index scan below
+    val probeCells: Seq[Int] = centroids.crossJoin(broadcast(q))
+      .withColumn("d", sqDist(col("centroid"), col("__qv__")))
+      .orderBy(col("d").asc).limit(nprobe)
+      .select(col("cell")).collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("cell").isin(probeCells: _*))
       .filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("cos", Similarity.cosine(col(vecCol), col("__qv__")))

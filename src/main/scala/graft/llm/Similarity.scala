@@ -102,8 +102,8 @@ object Similarity {
 
   /** ANN top-k: LSH-bucket all vectors, keep only the query's bucket,
     * exact-rank inside it. Recall is tunable via `planes` (fewer planes =
-    * bigger buckets = higher recall); multi-probe = union of neighbor
-    * buckets, omitted here. */
+    * bigger buckets = higher recall); for recall at FIXED plane count use
+    * [[annTopKMultiProbe]], which also searches the neighbor buckets. */
   def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               dim: Int, queryId: Long, k: Int, planes: Int = 8): DataFrame = {
     val bucketed = spread(embeddings)
@@ -111,6 +111,35 @@ object Similarity {
     val qb = bucketed.filter(col(idCol) === queryId)
       .select(col("bucket"), col(vecCol).as("__qv__"))
     bucketed.join(broadcast(qb), Seq("bucket"))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("cos", cosine(col(vecCol), col("__qv__")))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Multi-probe ANN top-k: search the query's bucket PLUS every
+    * Hamming-distance-1 neighbor (one sign bit flipped — the planes the
+    * query was closest to crossing). Candidate set grows from one bucket
+    * to `planes`+1 buckets — still bucketed, never all-pairs — and
+    * recall strictly dominates single-probe at the same plane count
+    * (candidate superset). The probe list is a broadcast frame of
+    * `planes`+1 rows, so the corpus side still sees one equi-join on the
+    * bucket id. */
+  def annTopKMultiProbe(embeddings: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, queryId: Long, k: Int,
+                        planes: Int = 8): DataFrame = {
+    val bucketed = spread(embeddings)
+      .withColumn("bucket", lshBucket(col(vecCol), dim, planes))
+    val qb = bucketed.filter(col(idCol) === queryId)
+      .select(col("bucket").as("__qb__"), col(vecCol).as("__qv__"))
+    // query bucket + each one-bit flip, exploded to (bucket, qv) rows
+    val probes = qb.select(
+      explode(array(col("__qb__") +:
+        (0 until planes).map(j => col("__qb__").bitwiseXOR(lit(1L << j))): _*))
+        .as("bucket"),
+      col("__qv__"))
+    bucketed.join(broadcast(probes), Seq("bucket"))
       .filter(col(idCol) =!= queryId)
       .withColumn("cos", cosine(col(vecCol), col("__qv__")))
       .select(col(idCol), col("cos"))

@@ -328,6 +328,16 @@ class WindowLlmSpec extends SparkTestBase {
     val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", 0L, 19)
       .collect().map(_.getLong(0)).toSet
     assert(ann.subsetOf(brute))
+    // multi-probe searches the query bucket plus its Hamming-1 neighbors:
+    // with k unbounded the candidate set is a strict superset relation —
+    // at least as many rows back, all of them real vectors
+    val singleAll = Similarity.annTopK(e, "vec_id", "embedding", 8, 0L, 100, 2)
+      .collect().map(_.getLong(0)).toSet
+    val multiAll = Similarity.annTopKMultiProbe(e, "vec_id", "embedding", 8, 0L, 100, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(singleAll.subsetOf(multiAll),
+      s"multi-probe candidates $multiAll must contain single-probe $singleAll")
+    assert(multiAll.subsetOf(brute))
   }
 
   test("IVF: assignment covers all vectors, annTopK subsets brute force") {
@@ -343,6 +353,38 @@ class WindowLlmSpec extends SparkTestBase {
     val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", 0L, 199)
       .collect().map(_.getLong(0)).toSet
     assert(ann.nonEmpty && ann.subsetOf(brute))
+  }
+
+  test("IVF persisted index: search prunes to nprobe cell dirs and matches in-memory") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200).cache()
+    val cents = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
+      graft.llm.Ivf.writeIndex(e, "vec_id", "embedding", cents, dir)
+      val nprobe = 2
+      val idx = graft.llm.Ivf.annTopKIndexed(e, "vec_id", "embedding", dir,
+        queryId = 0L, k = 5, nprobe = nprobe)
+      // the scan must carry a static partition filter on `cell` and list
+      // exactly nprobe of the 4 cell directories — this is the 100 TB
+      // contract: a query reads nprobe/nCells of the corpus, not all of it
+      // (sparkPlan, not executedPlan: AQE's adaptive wrapper hides its
+      // children from collect until execution)
+      val scans = idx.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.partitionFilters.exists(_.references.exists(_.name == "cell")) => s
+      }
+      assert(scans.nonEmpty, "no scan with a partition filter on cell")
+      val dirsRead = scans.head.relation.location
+        .listFiles(scans.head.partitionFilters, scans.head.dataFilters).length
+      assert(dirsRead == nprobe, s"probe scan read $dirsRead cell dirs, wanted $nprobe")
+      // same answer as the un-indexed single-pass form
+      val mem = graft.llm.Ivf.annTopK(e, "vec_id", "embedding", cents, 0L, 5, nprobe)
+        .collect().map(_.getLong(0)).toSeq
+      assert(idx.collect().map(_.getLong(0)).toSeq == mem)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 
   test("streaming runningSum carries state across batches") {
