@@ -53,8 +53,10 @@ object Dedup {
     */
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double, shingleK: Int = 3,
-                         numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                         numHashes: Int = 16, bands: Int = 4,
+                         maxBucketSize: Int = 10000): DataFrame = {
     val rows = numHashes / bands
+    require(maxBucketSize > 1, "maxBucketSize must exceed 1")
     // Small doc sets arrive as one parquet split — spread them so the
     // blockwise signature stage uses every core (at real scale the file
     // count already provides this). File-count heuristic, no `.rdd` probe.
@@ -89,9 +91,34 @@ object Dedup {
           .as(Seq("band", "key")))
       .repartition(col("band"), col("key"))
 
-    val candidates = banded.select(col("band"), col("key"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("key"), col("id").as("id_b")),
-        Seq("band", "key"))
+    // Degenerate-bucket cap: a corpus with millions of near-identical
+    // short docs lands them all in ONE (band, key) bucket, making the
+    // within-bucket pair join quadratic there. Count each bucket on the
+    // SAME exchange (the window's required distribution is exactly the
+    // repartition above — no extra shuffle) and split oversized buckets
+    // by a secondary id-hash into ceil(n/max) sub-buckets, bounding every
+    // join group at ~maxBucketSize. Trade-off (standard): pairs crossing
+    // sub-buckets of the SAME band are lost, but near-identical docs
+    // collide in EVERY band, so the other bands' (differently-salted)
+    // splits and the transitive label propagation in dropNearDuplicates
+    // recover connectivity; fixture-scale buckets never hit the cap, so
+    // oracle results are unchanged.
+    val wBucket = Window.partitionBy(col("band"), col("key"))
+    val salted = banded
+      .withColumn("__n__", count(lit(1)).over(wBucket))
+      .withColumn("__salt__",
+        when(col("__n__") > maxBucketSize,
+          pmod(hash(col("id"), col("band")),
+            greatest(ceil(col("__n__").cast("double") / maxBucketSize)
+              .cast("int"), lit(1))))
+          .otherwise(lit(0)))
+      .select(col("id"), col("band"), col("key"), col("__salt__"))
+
+    val candidates = salted
+      .select(col("band"), col("key"), col("__salt__"), col("id").as("id_a"))
+      .join(salted.select(col("band"), col("key"), col("__salt__"),
+          col("id").as("id_b")),
+        Seq("band", "key", "__salt__"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")

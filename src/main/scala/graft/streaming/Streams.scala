@@ -48,8 +48,8 @@ object Streams {
     * upgrade of the cumulative family (WindowOps.cumsum): each trigger
     * emits the (sum, count) accumulated across ALL batches so far for
     * every key that received rows. State is one (Double, Long) pair per
-    * key — O(keys), not O(stream); pair with a watermark-keyed variant
-    * or TTL policy when the key space is unbounded. Run the query in
+    * key — O(keys), not O(stream); for an unbounded key space use
+    * [[runningSumWithTtl]], which evicts idle keys. Run the query in
     * Update output mode. */
   def runningSum(stream: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val spark = stream.sparkSession
@@ -67,6 +67,41 @@ object Streams {
           rows.foreach { case (_, v) => s += v; n += 1 }
           state.update((s, n))
           (key, s, n)
+      }
+      .toDF(keyCol, "running_sum", "running_n")
+  }
+
+  /** [[runningSum]] with a TTL: state for a key that stays idle past
+    * `ttl` is EVICTED (ProcessingTimeTimeout + setTimeoutDuration), so
+    * on an unbounded key space — the 100 TB reality, where NoTimeout
+    * state is O(all keys ever seen) forever — the store holds only the
+    * recently-active working set. An evicted key's final tally is
+    * emitted once as a flush row; if the key returns later it restarts
+    * from zero (the TTL is a correctness contract, not just a cap). */
+  def runningSumWithTtl(stream: DataFrame, keyCol: String, valueCol: String,
+                        ttl: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    stream
+      .select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Double, Long), (String, Double, Long)](
+        GroupStateTimeout.ProcessingTimeTimeout()) {
+        (key: String, rows: Iterator[(String, Double)],
+         state: GroupState[(Double, Long)]) =>
+          if (state.hasTimedOut) {
+            val (s, n) = state.get
+            state.remove()
+            (key, s, n) // final flush of the evicted key
+          } else {
+            var (s, n) = state.getOption.getOrElse((0.0, 0L))
+            rows.foreach { case (_, v) => s += v; n += 1 }
+            state.update((s, n))
+            state.setTimeoutDuration(ttl)
+            (key, s, n)
+          }
       }
       .toDF(keyCol, "running_sum", "running_n")
   }

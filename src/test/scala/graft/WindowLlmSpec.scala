@@ -205,6 +205,25 @@ class WindowLlmSpec extends SparkTestBase {
     assert(byName == Set((1L, 2L)))
   }
 
+  test("degenerate LSH bucket is split: candidate count bounded, pairs still found") {
+    // 60 identical docs land in ONE (band, key) bucket per band; with
+    // maxBucketSize=10 each band splits into ~6 sub-buckets, so the pair
+    // join is bounded at ~sum of 10²-sized groups instead of 60² — the
+    // planted mega-bucket must NOT produce the full quadratic pair list.
+    val sch = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+    val docs = df(sch, (1L to 60L).map(i =>
+      Row(i, "the exact same short document body repeated everywhere verbatim")): _*)
+    val capped = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.9,
+        maxBucketSize = 10).count()
+    val full = 60L * 59 / 2
+    assert(capped > 0, "split buckets must still yield within-group pairs")
+    assert(capped < full,
+      s"cap must bound the candidate join ($capped vs quadratic $full)")
+    // uncapped (default 10000) fixture-scale behavior is unchanged
+    val uncapped = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.9).count()
+    assert(uncapped == full)
+  }
+
   test("dropNearDuplicates keeps smallest id per cluster") {
     val docs = df(
       StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
@@ -407,6 +426,48 @@ class WindowLlmSpec extends SparkTestBase {
       val latest = rows.groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
       assert(latest("a") == (("a", 7.0, 3L)))
       assert(latest("b") == (("b", 5.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming runningSumWithTtl evicts idle keys after the TTL") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val agg = graft.streaming.Streams.runningSumWithTtl(
+      in.toDF().toDF("k", "v"), "k", "v", "1 second")
+    // A REAL trigger interval, and polling instead of
+    // processAllAvailable: with ProcessingTimeTimeout the engine keeps
+    // scheduling timeout-check batches, so processAllAvailable never
+    // sees a settled stream (observed hang) — the timeout machinery
+    // needs the clock, not an all-available barrier.
+    val q = agg.writeStream.format("memory").queryName("ttl_test")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def rowsFor(key: String): Seq[(Double, Long)] =
+      spark.table("ttl_test").collect().toSeq
+        .filter(_.getString(0) == key).map(r => (r.getDouble(1), r.getLong(2)))
+    def awaitRow(key: String, want: (Double, Long), timeoutMs: Long = 30000): Unit = {
+      val deadline = System.currentTimeMillis + timeoutMs
+      while (!rowsFor(key).contains(want)) {
+        assert(System.currentTimeMillis < deadline,
+          s"timed out waiting for $key -> $want; saw ${rowsFor(key)}")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      in.addData(("a", 1.0), ("b", 1.0))
+      awaitRow("a", (1.0, 1L))
+      // a stays idle past its 1s TTL; timeout-check batches keep firing
+      // on the 100ms trigger, so eviction happens without new input
+      Thread.sleep(1600)
+      // a returns AFTER eviction: state must restart from zero —
+      // (5,1), never (6,2), which would mean the idle state survived
+      in.addData(("a", 5.0))
+      awaitRow("a", (5.0, 1L))
+      assert(!rowsFor("a").contains((6.0, 2L)),
+        s"idle state survived the TTL: ${rowsFor("a")}")
     } finally q.stop()
   }
 
