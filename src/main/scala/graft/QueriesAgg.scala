@@ -65,8 +65,8 @@ object QueriesAgg {
     s"""SELECT l_returnflag, l_linestatus,
        |  ${dsumDSql("l_quantity")} AS sum_qty,
        |  ${dsumDSql("l_extendedprice")} AS sum_base_price,
-       |  CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
-       |  CAST(CAST(sum($chargeSql) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+       |  CAST(CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       |  CAST(CAST(CAST(sum($chargeSql) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_charge,
        |  ${dmeanSql("l_quantity")} AS avg_qty,
        |  ${dmeanSql("l_extendedprice")} AS avg_price,
        |  ${dmeanSql("l_discount")} AS avg_disc,
@@ -83,8 +83,8 @@ object QueriesAgg {
     // TPC-H Q6: the pushdown showcase — every predicate reaches the scan,
     // one partial/final agg, zero joins
     r.reg("q_tpch_q6",
-      """SELECT CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
-        |    * CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(24,8))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+      """SELECT CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(24,8))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
@@ -103,9 +103,9 @@ object QueriesAgg {
     // partial-agg + TakeOrdered pipeline in one query
     r.reg("q_tpch_q3",
       """SELECT l_orderkey,
-        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |  CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
         |    * CAST(CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(9,6))
-        |    AS DECIMAL(24,8))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+        |    AS DECIMAL(24,8))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue,
         |  o_orderdate, o_orderpriority
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -140,7 +140,7 @@ object QueriesAgg {
     // shuffle joins, and hardcoding broadcast would OOM the driver.
     r.reg("q_tpch_q5",
       s"""SELECT n_name,
-         |  CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+         |  CAST(CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue
          |FROM customer, orders, lineitem, supplier, nation, region
          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
          |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -236,9 +236,9 @@ object QueriesAgg {
     // final 100*a/b is a single deterministic IEEE expression — same
     // shape on both engines.
     r.reg("q_tpch_q14",
-      s"""SELECT (100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
-         |    THEN $discPriceSql ELSE CAST(0 AS DECIMAL(24,8)) END) AS DECIMAL(38,4)) AS DOUBLE)
-         |  / CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE)) AS promo_revenue
+      s"""SELECT (100.0 * CAST(CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+         |    THEN $discPriceSql ELSE CAST(0 AS DECIMAL(24,8)) END) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+         |  / CAST(CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)) AS promo_revenue
          |FROM lineitem, part
          |WHERE l_partkey = p_partkey
          |  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -267,7 +267,7 @@ object QueriesAgg {
     // per-partition top-20, no global sort.
     r.reg("q_tpch_q10",
       s"""SELECT c_custkey, c_name,
-         |  CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+         |  CAST(CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue,
          |  c_acctbal, n_name
          |FROM customer, orders, lineitem, nation
          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -302,7 +302,7 @@ object QueriesAgg {
     // tie-breaks on the unique o_orderkey for cross-engine determinism.
     r.reg("q_tpch_q18",
       """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total_qty
+        |  CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS total_qty
         |FROM customer, orders, lineitem
         |WHERE o_orderkey IN (
         |    SELECT l_orderkey FROM lineitem
@@ -336,7 +336,7 @@ object QueriesAgg {
     // the derivable per-side bounds (brand IN, quantity ≤ widest window)
     // to the scans.
     r.reg("q_tpch_q19",
-      s"""SELECT CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+      s"""SELECT CAST(CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue
          |FROM lineitem, part
          |WHERE p_partkey = l_partkey AND (
          |     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -656,11 +656,11 @@ object QueriesAgg {
       def s2 = "CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DECIMAL(38,4))"
       def s3 = "CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(28,2))) AS DECIMAL(38,2))"
       s"""SELECT l_returnflag,
-         |  ((CAST($s3 AS DOUBLE) / count(*)
-         |     - 3.0 * (CAST($s1 AS DOUBLE) / count(*)) * (CAST($s2 AS DOUBLE) / count(*))
-         |     + 2.0 * (CAST($s1 AS DOUBLE) / count(*)) * (CAST($s1 AS DOUBLE) / count(*)) * (CAST($s1 AS DOUBLE) / count(*)))
-         |   / ((CAST($s2 AS DOUBLE) / count(*) - (CAST($s1 AS DOUBLE) / count(*)) * (CAST($s1 AS DOUBLE) / count(*)))
-         |      * sqrt(CAST($s2 AS DOUBLE) / count(*) - (CAST($s1 AS DOUBLE) / count(*)) * (CAST($s1 AS DOUBLE) / count(*))))) AS skew_m
+         |  ((CAST(CAST($s3 AS VARCHAR) AS DOUBLE) / count(*)
+         |     - 3.0 * (CAST(CAST($s1 AS VARCHAR) AS DOUBLE) / count(*)) * (CAST(CAST($s2 AS VARCHAR) AS DOUBLE) / count(*))
+         |     + 2.0 * (CAST(CAST($s1 AS VARCHAR) AS DOUBLE) / count(*)) * (CAST(CAST($s1 AS VARCHAR) AS DOUBLE) / count(*)) * (CAST(CAST($s1 AS VARCHAR) AS DOUBLE) / count(*)))
+         |   / ((CAST(CAST($s2 AS VARCHAR) AS DOUBLE) / count(*) - (CAST(CAST($s1 AS VARCHAR) AS DOUBLE) / count(*)) * (CAST(CAST($s1 AS VARCHAR) AS DOUBLE) / count(*)))
+         |      * sqrt(CAST(CAST($s2 AS VARCHAR) AS DOUBLE) / count(*) - (CAST(CAST($s1 AS VARCHAR) AS DOUBLE) / count(*)) * (CAST(CAST($s1 AS VARCHAR) AS DOUBLE) / count(*))))) AS skew_m
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     }) { (s, dir) =>
       val q = col("l_quantity")

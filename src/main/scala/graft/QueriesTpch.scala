@@ -93,7 +93,7 @@ object QueriesTpch {
     // OR stays a post-join filter exactly as in the SQL.
     r.reg("q_tpch_q7",
       s"""SELECT supp_nation, cust_nation, l_year,
-         |  CAST(CAST(sum(volume) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+         |  CAST(CAST(CAST(sum(volume) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue
          |FROM (
          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |         CAST(year(l_shipdate) AS INTEGER) AS l_year, $discPriceSql AS volume
@@ -138,9 +138,9 @@ object QueriesTpch {
     // final divide is a single IEEE op (same bits both engines).
     r.reg("q_tpch_q8",
       s"""SELECT o_year,
-         |  (CAST(CAST(sum(CASE WHEN nation = 'NATION_12' THEN volume
-         |                 ELSE CAST(0 AS DECIMAL(24,8)) END) AS DECIMAL(38,4)) AS DOUBLE)
-         |   / CAST(CAST(sum(volume) AS DECIMAL(38,4)) AS DOUBLE)) AS mkt_share
+         |  (CAST(CAST(CAST(sum(CASE WHEN nation = 'NATION_12' THEN volume
+         |                 ELSE CAST(0 AS DECIMAL(24,8)) END) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+         |   / CAST(CAST(CAST(sum(volume) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)) AS mkt_share
          |FROM (
          |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, $discPriceSql AS volume, n2.n_name AS nation
          |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
@@ -189,7 +189,7 @@ object QueriesTpch {
     // LIKE-filtered 5-table join and (nation, year) rollup are intact.
     r.reg("q_tpch_q9",
       s"""SELECT nation, o_year,
-         |  CAST(CAST(sum(amount) AS DECIMAL(38,4)) AS DOUBLE) AS sum_profit
+         |  CAST(CAST(CAST(sum(amount) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sum_profit
          |FROM (
          |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year, $discPriceSql AS amount
          |  FROM part, supplier, lineitem, orders, nation
@@ -288,7 +288,7 @@ object QueriesTpch {
     r.reg("q_tpch_q15",
       s"""WITH rev AS (
          |  SELECT l_suppkey AS supplier_no,
-         |    CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
+         |    CAST(CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS total_revenue
          |  FROM lineitem
          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -344,7 +344,7 @@ object QueriesTpch {
     // joined back on partkey; the 0.2× threshold compare is per-row IEEE.
     // p_container is absent — p_type takes its place beside p_brand.
     r.reg("q_tpch_q17",
-      s"""SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / 7.0
+      s"""SELECT CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) / 7.0
          |  AS avg_yearly
          |FROM lineitem, part,
          |  (SELECT l_partkey AS ak, ${dmeanSql("l_quantity")} AS avg_qty FROM lineitem GROUP BY l_partkey) a
@@ -460,11 +460,11 @@ object QueriesTpch {
         |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
         |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
         |ab AS (
-        |  SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+        |  SELECT CAST(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
         |    / count(*) AS avg_bal
         |  FROM pool WHERE c_acctbal > 0.0)
         |SELECT c_nationkey AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
-        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS totacctbal
+        |  CAST(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS totacctbal
         |FROM pool, ab
         |WHERE c_acctbal > ab.avg_bal
         |  AND NOT EXISTS (SELECT 1 FROM orders

@@ -45,11 +45,24 @@ object QHelp {
   def keyHash31(c: Column): Column =
     pmod(pmod(c, lit(2147483648L)) * 2654435761L, lit(4294967296L))
 
+  /** Oracle-side decimal→double conversion, VARCHAR-mediated so DuckDB
+    * rounds IDENTICALLY to Spark at ANY magnitude. Spark's cast is
+    * always correctly rounded (BigDecimal.doubleValue: an exact ≤2^52
+    * compact value divided by an exact power of ten is one rounding;
+    * the general path parses the full digit string). DuckDB's direct
+    * CAST(decimal AS DOUBLE) double-rounds (unscaled→double, then
+    * ÷10^scale) and can differ by 1 ulp once the unscaled value leaves
+    * the 2^53 window — decimal→VARCHAR is exact digits and
+    * VARCHAR→DOUBLE is correctly rounded, so the mediated form matches
+    * Spark bit-for-bit without any magnitude bound. Inside the window
+    * both forms are exact, so adopting this is a no-op for small SFs. */
+  def dbl(e: String): String = s"CAST(CAST(($e) AS VARCHAR) AS DOUBLE)"
+
   /** Windowed decimal sum cast to double — the rolling moment
     * discipline's single definition (q_rolling_cov / q_rolling_skew);
     * `over` is the named window in the surrounding SQL. */
   def wsumSql(e: String, p: Int, over: String = "w"): String =
-    s"CAST(sum(CAST($e AS DECIMAL($p,0))) OVER $over AS DOUBLE)"
+    dbl(s"sum(CAST($e AS DECIMAL($p,0))) OVER $over")
 
   /** Exact, order-independent sum of a double expression. Per-value cast
     * is DECIMAL(28,s): |v| < 10^(28-s) before any value nulls out, far
@@ -59,19 +72,17 @@ object QHelp {
   def dsumSql(x: String, scale: Int = 4): String =
     s"CAST(sum(CAST(($x) AS DECIMAL(28,$scale))) AS DECIMAL(38,$scale))"
 
-  /** Final decimal→double conversion, guarded: the conversion is the
-    * same nearest-double on both engines only while the unscaled value
-    * < 2^53, i.e. |v| < 2^53 / 10^scale. Nothing enforced that bound at
-    * runtime, so a larger scale factor would silently stop hash-matching
-    * — raise instead. Evaluated on final aggregated rows only. */
-  def exactDouble(s: Column, scale: Int): Column = {
-    val bound = lit(9007199254740992.0 / math.pow(10.0, scale))
-    when(abs(s) >= bound,
-        raise_error(concat(
-          lit(s"decimal->double output leaves the exact range (unscaled >= 2^53 at scale $scale): "),
-          s.cast(StringType))))
-      .otherwise(s.cast(DoubleType))
-  }
+  /** Final decimal→double conversion. Historically this RAISED once the
+    * unscaled value left the 2^53 exact window (where DuckDB's direct
+    * decimal→double cast can double-round away from Spark). Every
+    * oracle-side conversion is now VARCHAR-mediated ([[dbl]]), which is
+    * correctly rounded at any magnitude — the same rounding Spark's
+    * cast always produces — so the conversion matches without a bound
+    * and the guard is a plain cast. (10×-sf0.1 stress sweep: the old
+    * guard fired on q_groupby_agg's sum_charge; with dbl-mediated
+    * oracles the hashes match instead.) `scale` is kept so call sites
+    * still document their accumulator scale. */
+  def exactDouble(s: Column, scale: Int): Column = s.cast(DoubleType)
 
   /** dsum whose FINAL value is cast to DOUBLE — for queries whose output
     * column is the sum itself. Accumulation stays decimal
@@ -81,13 +92,13 @@ object QHelp {
     * columns don't survive pyarrow-vs-DuckDB canonicalization). */
   def dsumD(c: Column, scale: Int = 4): Column = exactDouble(dsum(c, scale), scale)
   def dsumDSql(x: String, scale: Int = 4): String =
-    s"CAST(${dsumSql(x, scale)} AS DOUBLE)"
+    dbl(dsumSql(x, scale))
 
   /** Exact mean: decimal sum / count, final division in double. */
   def dmean(c: Column): Column =
     dsum(c, 6).cast(DoubleType) / count(c)
   def dmeanSql(x: String): String =
-    s"(CAST(${dsumSql(x, 6)} AS DOUBLE) / count($x))"
+    s"(${dbl(dsumSql(x, 6))} / count($x))"
 
   /** Exact sample variance from decimal moments (the parallel Welford the
     * engines run natively is partition-order-dependent in double; the
@@ -107,8 +118,8 @@ object QHelp {
   // be NULL on both engines, not inf/NaN on one (ADVICE r2).
   def dvarSql(x: String): String =
     s"(CASE WHEN count($x) > 1 THEN " +
-      s"(CAST(CAST(sum(CAST(($x) * ($x) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS DOUBLE)" +
-      s" - CAST(${dsumSql(x, 6)} AS DOUBLE) * CAST(${dsumSql(x, 6)} AS DOUBLE) / CAST(count($x) AS DOUBLE))" +
+      s"(${dbl(s"CAST(sum(CAST(($x) * ($x) AS DECIMAL(28,4))) AS DECIMAL(38,4))")}" +
+      s" - ${dbl(dsumSql(x, 6))} * ${dbl(dsumSql(x, 6))} / CAST(count($x) AS DOUBLE))" +
       s" / (CAST(count($x) AS DOUBLE) - 1.0) ELSE NULL END)"
 
   def dstd(c: Column): Column = sqrt(dvar(c))
@@ -129,8 +140,8 @@ object QHelp {
   }
   def dcovSql(x: String, y: String): String =
     s"(CASE WHEN count($x) > 1 THEN " +
-      s"(CAST(CAST(sum(CAST(($x) * ($y) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS DOUBLE)" +
-      s" - CAST(${dsumSql(x, 6)} AS DOUBLE) * CAST(${dsumSql(y, 6)} AS DOUBLE) / CAST(count($x) AS DOUBLE))" +
+      s"(${dbl(s"CAST(sum(CAST(($x) * ($y) AS DECIMAL(28,4))) AS DECIMAL(38,4))")}" +
+      s" - ${dbl(dsumSql(x, 6))} * ${dbl(dsumSql(y, 6))} / CAST(count($x) AS DOUBLE))" +
       s" / (CAST(count($x) AS DOUBLE) - 1.0) ELSE NULL END)"
 
   def dcorr(x: Column, y: Column): Column = dcov(x, y) / sqrt(dvar(x) * dvar(y))

@@ -1,0 +1,67 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Decimal-stress fixture generator: replicates sf0.1 to ~10× so the
+  * flagship aggregates run against sums an order of magnitude larger —
+  * the exactDouble 2^53 windows and double→decimal cast rules are
+  * exactly the class of logic that only larger data exercises.
+  *
+  * Scaling rules:
+  *  - lineitem / orders: 10 copies with disjoint order keys (offset per
+  *    copy), all measures unchanged → aggregate magnitudes grow 10×
+  *    while per-row values stay in fixture range.
+  *  - embeddings: 10 copies with disjoint vec_ids (per-row queries like
+  *    q_embed_norm must keep one row per id; the centroid query's
+  *    vec_id < 2000 bound still selects only the original copy).
+  *  - everything else: byte-for-byte file copy (events keeps its
+  *    TIMESTAMP(NANOS) physical type — a Spark rewrite would change it).
+  *
+  * Usage: StressGen <srcSfDir> <outDir> [copies]
+  */
+object StressGen {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val outDir = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+
+    val keyOffset = 100000000L // far above any fixture key
+    def replicateWithKeys(table: String, keyCols: Seq[String]): Unit = {
+      val base = spark.read.parquet(s"$srcDir/$table.parquet")
+      val out = (0 until copies).map { i =>
+        keyCols.foldLeft(base) { (d, k) =>
+          d.withColumn(k, col(k) + lit(i * keyOffset)) }
+      }.reduce(_ union _)
+      out.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+      println(s"[stress] $table x$copies -> ${out.count()} rows")
+    }
+    replicateWithKeys("lineitem", Seq("l_orderkey"))
+    replicateWithKeys("orders", Seq("o_orderkey"))
+
+    replicateWithKeys("embeddings", Seq("vec_id"))
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "events", "documents")) {
+      val src = Paths.get(s"$srcDir/$t.parquet")
+      if (Files.exists(src)) {
+        Files.copy(src, Paths.get(s"$outDir/$t.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        println(s"[stress] $t copied")
+      }
+    }
+    spark.stop()
+  }
+}
