@@ -17,7 +17,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the documented cosmetic WindowExec warnings (the
+    // npartitions-row carry frames) flood stderr; when the caller merges
+    // streams a mid-line interleave can corrupt the single JSON output
+    // line this main exists to print (r5: the driver recorded
+    // parsed=None for exactly that bench run).
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen warm-up outside the timed loop so the first query's
     // number is the query, not classloading (r1 verdict finding)
     try SparkEntry.queries("q_head")(spark, sfDir)

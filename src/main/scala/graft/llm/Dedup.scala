@@ -247,7 +247,9 @@ object Dedup {
     * buckets = higher recall). */
   def embeddingNearDupPairs(embeddings: DataFrame, idCol: String,
                             vecCol: String, dim: Int, threshold: Double,
-                            planes: Int = 8): DataFrame = {
+                            planes: Int = 8,
+                            maxBucketSize: Int = 10000): DataFrame = {
+    require(maxBucketSize > 1, "maxBucketSize must exceed 1")
     // norms precomputed per VECTOR (not per pair — that would triple the
     // dot-product work across every candidate pair). Repartitioned on the
     // join key before aliasing so the self-join's two branches share ONE
@@ -261,10 +263,27 @@ object Dedup {
       .withColumn("bucket", coalesce(Similarity.lshBucket(col("v"), dim, planes), lit(0L)))
       .withColumn("norm", coalesce(Similarity.normExact(col("v"), 12), lit(0.0)))
       .repartition(col("bucket"))
-    bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"),
-        col("norm").as("na"))
-      .join(bucketed.select(col("bucket"), col("id").as("id_b"),
-        col("v").as("vb"), col("norm").as("nb")), Seq("bucket"))
+    // Degenerate-bucket cap (same discipline as the minhash band join):
+    // count each bucket on the repartition exchange above (no extra
+    // shuffle) and split oversized buckets by a secondary id-hash,
+    // bounding the quadratic within-bucket join at ~maxBucketSize.
+    // Recall trade: pairs crossing sub-buckets are lost — acceptable for
+    // a corpus where one bucket holds millions of near-identical
+    // vectors; fixture-scale buckets never hit the cap.
+    val wB = Window.partitionBy(col("bucket"))
+    val salted = bucketed
+      .withColumn("__n__", count(lit(1)).over(wB))
+      .withColumn("__salt__",
+        when(col("__n__") > maxBucketSize,
+          pmod(hash(col("id")),
+            greatest(ceil(col("__n__").cast("double") / maxBucketSize)
+              .cast("int"), lit(1))))
+          .otherwise(lit(0)))
+      .drop("__n__")
+    salted.select(col("bucket"), col("__salt__"), col("id").as("id_a"),
+        col("v").as("va"), col("norm").as("na"))
+      .join(salted.select(col("bucket"), col("__salt__"), col("id").as("id_b"),
+        col("v").as("vb"), col("norm").as("nb")), Seq("bucket", "__salt__"))
       .filter(col("id_a") < col("id_b"))
       // cheap double-dot PREFILTER in MULTIPLIED form (no division, so
       // no ANSI divide-by-zero path exists regardless of predicate

@@ -207,6 +207,20 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("embedding mega-bucket is split: pair join bounded, pairs still found") {
+    // 40 identical vectors collapse into one LSH bucket; with
+    // maxBucketSize=8 the bucket splits into ~5 salt groups so the pair
+    // join is bounded — not the full 40·39/2 quadratic list
+    val rows = (1L to 40L).map(i => (i, Array(1.0, 0.0, 0.0, 0.0)))
+    val d = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingNearDupPairs(d, "vec_id", "embedding", 4, 0.9,
+      maxBucketSize = 8).count()
+    val full = 40L * 39 / 2
+    assert(capped > 0 && capped < full, s"got $capped, quadratic is $full")
+    val uncapped = Dedup.embeddingNearDupPairs(d, "vec_id", "embedding", 4, 0.9).count()
+    assert(uncapped == full)
+  }
+
   test("dot_double treats null array elements as 0 in both eval paths") {
     import org.apache.spark.sql.functions.{array, lit, when, col => c}
     val d = kv((1L, "a", 1.0))
