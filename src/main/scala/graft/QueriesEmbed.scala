@@ -159,11 +159,47 @@ object QueriesEmbed {
     r.weak("q_ivf_topk") { (s, dir) =>
       // k-means refinement isn't reasonably expressible in oracle SQL;
       // rows-only here, value-checked in WindowLlmSpec (subset of brute
-      // force, full assignment coverage)
+      // force, full assignment coverage). The UN-refined assignment IS
+      // SQL-expressible — q_ivf_assign below hash-checks it.
       val e = t(s, dir, "embeddings")
       val cents = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 8, iters = 1)
       graft.llm.Ivf.annTopK(e, "vec_id", "embedding", cents, queryId = 0L,
         k = 10, nprobe = 2)
+    }
+
+    // IVF coarse assignment with iters=0 (seed centroids = the 8 sample
+    // vectors with the smallest Knuth id-hash): fully SQL-expressible, so
+    // the blockwise argmin — the part of IVF that touches ALL data at
+    // scale — is hash-checked even though Lloyd refinement cannot be.
+    // Distances accumulate sequentially over the same element order on
+    // both engines; ties resolve to the lowest cell (assign sorts its
+    // centroid list, the oracle orders by d, cell).
+    r.reg("q_ivf_assign",
+      """WITH hs AS (
+        |  SELECT vec_id, embedding,
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell,
+        |    embedding AS centroid
+        |  FROM hs ORDER BY h ASC, vec_id ASC LIMIT 8),
+        |dists AS (
+        |  SELECT e.vec_id, s.cell,
+        |    list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE)))) AS d
+        |  FROM embeddings e, seeds s),
+        |best AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        |  FROM dists)
+        |SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM best WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cents = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 8, iters = 0)
+      graft.llm.Ivf.assign(e, "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
     }
 
     r.reg("q_ann_topk",

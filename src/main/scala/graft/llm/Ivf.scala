@@ -69,8 +69,13 @@ object Ivf {
     * broadcast centroid list — no shuffle of the vectors. */
   def assign(embeddings: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame): DataFrame = {
+    // array_sort: collect_list order is partition-order-dependent; the
+    // argmin scans the list left-to-right and keeps the FIRST strict
+    // improvement, so sorting by cell makes any exact-distance tie
+    // resolve to the lowest cell id deterministically (and lets an
+    // oracle reproduce the assignment).
     val cl = broadcast(centroids.agg(
-      collect_list(struct(col("cell"), col("centroid"))).as("cs")))
+      array_sort(collect_list(struct(col("cell"), col("centroid")))).as("cs")))
     embeddings.crossJoin(cl)
       .withColumn("cell",
         aggregate(col("cs"),

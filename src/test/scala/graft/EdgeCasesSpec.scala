@@ -207,6 +207,30 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("sessionize NTZ gaps are session-timezone independent across DST") {
+    // Two NTZ events straddle the US spring-forward (2024-03-10 02:00 in
+    // America/Los_Angeles): 100 wall-clock minutes apart, but only 40
+    // instant-minutes if the wall clock is interpreted in LA. With a
+    // 60-minute gap the old LTZ-cast arithmetic would keep them in ONE
+    // session under an LA session timezone while splitting them under
+    // UTC; the wall-clock-field arithmetic must split them everywhere.
+    val sch = StructType(Seq(StructField("uid", LongType),
+      StructField("ts", TimestampNTZType), StructField("eid", LongType)))
+    val d = df(sch,
+      Row(1L, java.time.LocalDateTime.parse("2024-03-10T01:30:00"), 1L),
+      Row(1L, java.time.LocalDateTime.parse("2024-03-10T03:10:00"), 2L))
+    def run(): Map[Long, Long] =
+      WindowOps.sessionize(d, Seq("uid"), "ts", 3600L, "eid")
+        .collect().map(r => r.getAs[Long]("eid") -> r.getAs[Long]("session_id")).toMap
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    val utc = run()
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      assert(run() == utc, "session assignment changed with the session timezone")
+      assert(utc(2L) == utc(1L) + 1, "100-min wall gap must start a new session")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("embedding mega-bucket is split: pair join bounded, pairs still found") {
     // 40 identical vectors collapse into one LSH bucket; with
     // maxBucketSize=8 the bucket splits into ~5 salt groups so the pair
