@@ -48,9 +48,24 @@ object PerfProbe {
             .as(Seq("band", "key")))
         .repartition(col("band"), col("key"))
       time("  banded") { banded.count() }
-      val candidates = banded.select(col("band"), col("key"), col("id").as("id_a"))
-        .join(banded.select(col("band"), col("key"), col("id").as("id_b")),
-          Seq("band", "key"))
+      // r6: bucket-size count + oversized-bucket salt (rides the band
+      // exchange; default cap never engages at fixture scale)
+      val wBucket = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key"))
+      val salted = banded
+        .withColumn("__n__", count(lit(1)).over(wBucket))
+        .withColumn("__salt__",
+          when(col("__n__") > 10000,
+            pmod(hash(col("id"), col("band")),
+              greatest(ceil(col("__n__").cast("double") / 10000)
+                .cast("int"), lit(1))))
+            .otherwise(lit(0)))
+        .select(col("id"), col("band"), col("key"), col("__salt__"))
+      val candidates = salted
+        .select(col("band"), col("key"), col("__salt__"), col("id").as("id_a"))
+        .join(salted.select(col("band"), col("key"), col("__salt__"),
+            col("id").as("id_b")),
+          Seq("band", "key", "__salt__"))
         .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
         .dropDuplicates("id_a", "id_b")
       time("  candidates") { candidates.count() }

@@ -59,5 +59,8 @@ object SparkEntry {
     "q_tpch_q2", "q_tpch_q8", "q_tpch_q21", "q_tpch_q13",
     // r5 pipeline ops: benchmark decontamination (two shingle passes +
     // hash join) and the pruned correlated-average Q17
-    "q_decontaminate", "q_tpch_q17")
+    "q_decontaminate", "q_tpch_q17",
+    // r6: real ImageIO codec round trip (mapPartitions batch shape) and
+    // multi-probe ANN (9-bucket probe union)
+    "q_multimodal_features", "q_ann_multiprobe")
 }
