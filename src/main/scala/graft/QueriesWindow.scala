@@ -440,6 +440,37 @@ object QueriesWindow {
         .sortValues(Seq("doc_id" -> true)).df
     }
 
+    // Deterministic corpus shuffle: global position under the Knuth-hash
+    // order (scale-safe two-pass plan) — the "shuffle before sharding"
+    // training-data pass; the oracle replays the permutation exactly.
+    r.reg("q_shuffle_index",
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY (doc_id + 7) % 2147483648 * 2654435761 % 4294967296) - 1
+        |    AS BIGINT) AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "documents"))
+        .shuffleIndex("doc_id", seed = 7L)
+        .select("doc_id", "shuffle_pos")
+        .sortValues(Seq("doc_id" -> true)).df
+    }
+
+    // Deterministic train/val/test split: cumulative hash thresholds,
+    // assignment independent of partitioning and of every other row.
+    r.reg("q_split_hash",
+      s"""SELECT doc_id,
+         |  CASE WHEN (doc_id % 2147483648) * 2654435761 % 4294967296
+         |         < ${(0.8 * 4294967296L).toLong} THEN 'train'
+         |       WHEN (doc_id % 2147483648) * 2654435761 % 4294967296
+         |         < ${((0.8 + 0.1) * 4294967296L).toLong} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "documents"))
+        .splitByHash("doc_id", 0.8, 0.1)
+        .select("doc_id", "split")
+        .sortValues(Seq("doc_id" -> true)).df
+    }
+
     r.reg("q_groupby_transform",
       """SELECT event_id, user_id,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id) AS DOUBLE)

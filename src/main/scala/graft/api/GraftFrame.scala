@@ -152,6 +152,42 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     lift(df.filter(graft.QHelp.keyHash31(col(keyCol)) < threshold))
   }
 
+  /** Deterministic corpus shuffle for training-order mixing: a global
+    * position under the engine-agnostic Knuth hash order — the standard
+    * "shuffle before sharding" pass, reproducible on any engine/cluster
+    * (no RNG). Scale-safe: rides [[graft.operators.WindowOps.globalCumSum]]'s
+    * two-pass range-partitioned plan (in-partition window + broadcast
+    * npartitions-row offsets), never a single-partition global window.
+    * Keys must be distinct mod 2^31 for a total order (hash is injective
+    * there); `seed` rotates the permutation. */
+  def shuffleIndex(keyCol: String, seed: Long = 0L,
+                   outCol: String = "shuffle_pos"): GraftFrame = {
+    val withH = df
+      .withColumn("__sh__", graft.QHelp.keyHash31(col(keyCol) + lit(seed)))
+      .withColumn("__one__", lit(1L))
+    lift(graft.operators.WindowOps
+      .globalCumSum(withH, "__sh__", "__one__", outCol)
+      .withColumn(outCol, col(outCol) - 1)
+      .drop("__sh__", "__one__"))
+  }
+
+  /** Deterministic train/val/test split by key hash — the dataset-split
+    * primitive: one blockwise expression (fuses into the scan, no
+    * shuffle, no RNG), assignment stable under repartitioning,
+    * re-ingestion, and engine choice. Fractions are cumulative
+    * thresholds on the same Knuth hash as [[sampleByHash]], so a row's
+    * split never changes when other rows are added or removed. */
+  def splitByHash(keyCol: String, trainFrac: Double, valFrac: Double,
+                  outCol: String = "split"): GraftFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      "splitByHash needs non-negative fractions summing to at most 1")
+    val h = graft.QHelp.keyHash31(col(keyCol))
+    val t1 = (trainFrac * 4294967296L).toLong
+    val t2 = ((trainFrac + valFrac) * 4294967296L).toLong
+    lift(df.withColumn(outCol,
+      when(h < t1, "train").when(h < t2, "val").otherwise("test")))
+  }
+
   /** set_index: range-shuffle + local sort, the reference's SetIndex
     * (reference `_shuffle.py:708-861`). Divisions are implicit — Spark
     * tracks `outputPartitioning`/`outputOrdering`, so later merges/sorts on

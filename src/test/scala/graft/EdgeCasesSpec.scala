@@ -207,6 +207,20 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("shuffleIndex is a permutation; splitByHash is row-stable") {
+    val d = GraftFrame(kv((1L to 50L).map(i => (i, s"s$i", i.toDouble)): _*))
+    val pos = d.shuffleIndex("id").df.collect().map(_.getAs[Long]("shuffle_pos"))
+    assert(pos.sorted.toSeq == (0L until 50L)) // exactly 0..n-1, each once
+    // a row's split must not change when OTHER rows appear (hash, not rank)
+    val s50 = d.splitByHash("id", 0.6, 0.2).df.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    val s99 = GraftFrame(kv((1L to 99L).map(i => (i, s"s$i", i.toDouble)): _*))
+      .splitByHash("id", 0.6, 0.2).df.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert((1L to 50L).forall(i => s50(i) == s99(i)))
+    assert(s99.values.toSet.size == 3) // all three splits occupied at n=99
+  }
+
   test("sessionize NTZ gaps are session-timezone independent across DST") {
     // Two NTZ events straddle the US spring-forward (2024-03-10 02:00 in
     // America/Los_Angeles): 100 wall-clock minutes apart, but only 40
