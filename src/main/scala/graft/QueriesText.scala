@@ -430,6 +430,17 @@ object QueriesText {
         .orderBy("c_custkey")
     }
 
+    // Corpus vocabulary: top-50 tokens by frequency — the tokenizer-vocab
+    // pass; deterministic cut via the (count desc, token asc) tie-break.
+    r.reg("q_vocab_topk",
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin) { (s, dir) =>
+      TextStats.vocabulary(t(s, dir, "documents"), "text", 50)
+    }
+
     r.reg("q_lang_predict",
       """WITH scored AS (
         |  SELECT doc_id,

@@ -114,6 +114,19 @@ object TextStats {
       .drop("__topc__", "__totc__")
   }
 
+  /** Corpus vocabulary: top-k whitespace tokens by document frequency —
+    * the tokenizer-vocab / stopword-discovery pass. One explode + one
+    * hash-aggregated count (partial map-side combine, so the shuffle
+    * carries distinct-token partials, not token instances) + a
+    * TakeOrdered top-k (per-partition heads, no global sort). Tie-break
+    * on the token string keeps the cut deterministic on any engine. */
+  def vocabulary(docs: DataFrame, textCol: String, topK: Int): DataFrame =
+    docs.select(explode(split(col(textCol), "\\s+", -1)).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topK)
+
   /** Within-document repeated-line removal (the C4/Dolma paragraph-dedup
     * family, complementing the corpus-level Dedup ops): keep each line's
     * FIRST occurrence, preserve original order, rejoin. Line explode is
