@@ -715,8 +715,30 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
-    // Byte-level triage of an OPAQUE payload (no JDK codec for
-    // audio/video containers): length, magic byte, byte checksum — the
+    // REAL audio codec round trip: Spark writes a PCM s16le WAV per doc
+    // (hand-built RIFF header, samples a pure integer function of
+    // doc_id), decodes it back with javax.sound.sampled, and reports the
+    // actual parsed format + frame count + sample checksum; the oracle
+    // predicts the same values arithmetically — a hash match proves the
+    // container parse and PCM stream are real and lossless.
+    r.reg("q_multimodal_wav",
+      """SELECT doc_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(16 AS INTEGER) AS bits,
+        |  CAST(doc_id % 400 + 100 AS BIGINT) AS frames,
+        |  CAST(((list_sum(list_transform(range(0, doc_id % 400 + 100),
+        |      i -> (doc_id*31 + i*7) % 65536 - 32768)) % 1000000007)
+        |    + 1000000007) % 1000000007 AS BIGINT) AS checksum
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      Multimodal.decodeAudioFeatures(
+          Multimodal.synthWav(docs, "doc_id"), "doc_id", "payload")
+        .orderBy("doc_id")
+    }
+
+    // Byte-level triage of an OPAQUE payload (formats with no JDK codec,
+    // e.g. video containers): length, magic byte, byte checksum — the
     // pre-decode pass of a real pipeline.
     r.reg("q_multimodal_bytes",
       """SELECT doc_id,

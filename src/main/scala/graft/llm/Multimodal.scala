@@ -165,6 +165,88 @@ object Multimodal {
       }(org.apache.spark.sql.Encoders.row(resizedSchema))
   }
 
+  // ---- audio: REAL WAV encode/decode via javax.sound.sampled ----
+
+  /** Deterministic frame count for a synthetic audio fixture id. */
+  def wavFrames(id: Long): Int = (id % 400).toInt + 100
+
+  /** Deterministic 16-bit PCM sample for (id, i) — pure integer
+    * arithmetic, engine-reproducible. */
+  def wavSample(id: Long, i: Int): Int = ((id * 31 + i.toLong * 7) % 65536).toInt - 32768
+
+  /** Synthesize a REAL RIFF/WAVE payload per id on the executors
+    * (PCM s16le mono 8 kHz, hand-written 44-byte header so the bytes are
+    * fully deterministic). The audio analog of [[synthPng]]. */
+  def synthWav(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val n = wavFrames(id)
+          val dataLen = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1) // PCM
+            .putShort(1) // mono
+            .putInt(8000).putInt(8000 * 2) // sample rate, byte rate
+            .putShort(2) // block align
+            .putShort(16) // bits per sample
+            .put("data".getBytes("US-ASCII")).putInt(dataLen)
+          var i = 0
+          while (i < n) { bb.putShort(wavSample(id, i).toShort); i += 1 }
+          Row(id, bb.array())
+        }
+      }(org.apache.spark.sql.Encoders.row(payloadSchema))
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("frames", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** REAL batched audio decode: `javax.sound.sampled.AudioSystem` parses
+    * the container and streams PCM frames; emits the decoded format
+    * (rate/channels/bits), frame count, and a sample checksum — the
+    * audio metadata+content pass of a multimodal pipeline, no external
+    * codec library. Unparseable payloads are flagged, not fatal. */
+  def decodeAudioFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val frames = ais.getFrameLength
+            val pcm = ais.readAllBytes()
+            val le = fmt.isBigEndian == false
+            var sum = 0L
+            var i = 0
+            while (i + 1 < pcm.length) {
+              val lo = pcm(if (le) i else i + 1) & 0xff
+              val hi = pcm(if (le) i + 1 else i)
+              sum += (hi << 8) | lo // signed 16-bit sample
+              i += 2
+            }
+            ais.close()
+            Row(id, fmt.getSampleRate.toInt, fmt.getChannels,
+              fmt.getSampleSizeInBits, frames,
+              ((sum % 1000000007L) + 1000000007L) % 1000000007L)
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException =>
+              Row(id, -1, -1, -1, -1L, -1L)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(audioFeatureSchema))
+
   /** Attach a binary payload column (here: utf-8 bytes of a string
     * column; in production: the image/audio bytes read by a binary
     * source such as `spark.read.format("binaryFile")`). */

@@ -735,6 +735,36 @@ class WindowLlmSpec extends SparkTestBase {
     assert(out.getAs[Long]("checksum") == expected)
   }
 
+  test("real WAV encode→decode round trip matches the sample arithmetic") {
+    val d = df(
+      StructType(Seq(StructField("doc_id", LongType))),
+      Row(0L), Row(3L), Row(257L))
+    val out = Multimodal.decodeAudioFeatures(
+        Multimodal.synthWav(d, "doc_id"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 3L, 257L)) {
+      val n = Multimodal.wavFrames(id)
+      val expected = {
+        val s = (0 until n).map(i => Multimodal.wavSample(id, i).toLong).sum
+        ((s % 1000000007L) + 1000000007L) % 1000000007L
+      }
+      val r = out(id)
+      assert(r.getAs[Int]("sample_rate") == 8000 && r.getAs[Int]("channels") == 1)
+      assert(r.getAs[Int]("bits") == 16 && r.getAs[Long]("frames") == n.toLong)
+      assert(r.getAs[Long]("checksum") == expected, s"wav checksum mismatch id=$id")
+    }
+  }
+
+  test("decodeAudioFeatures flags unparseable payloads instead of failing") {
+    val d = df(
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      Row(1L, "not audio at all"))
+    val out = Multimodal.decodeAudioFeatures(
+      Multimodal.withPayload(d, "text", "p"), "doc_id", "p").collect().head
+    assert(out.getAs[Int]("sample_rate") == -1)
+    assert(out.getAs[Long]("frames") == -1L)
+  }
+
   test("decodeImageFeatures flags undecodable payloads instead of failing") {
     val d = df(
       StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
