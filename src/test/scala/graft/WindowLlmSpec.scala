@@ -460,8 +460,16 @@ class WindowLlmSpec extends SparkTestBase {
       in.addData(("a", 1.0), ("b", 1.0))
       awaitRow("a", (1.0, 1L))
       // a stays idle past its 1s TTL; timeout-check batches keep firing
-      // on the 100ms trigger, so eviction happens without new input
-      Thread.sleep(1600)
+      // on the 100ms trigger, so eviction happens without new input.
+      // Wait for the eviction FLUSH row (a second (1.0, 1) emission for
+      // a) before sending a's return — on a stalled host, racing the
+      // return against the timeout batch would legitimately accumulate.
+      val deadline = System.currentTimeMillis + 30000
+      while (rowsFor("a").count(_ == ((1.0, 1L))) < 2) {
+        assert(System.currentTimeMillis < deadline,
+          s"timed out waiting for a's eviction flush; saw ${rowsFor("a")}")
+        Thread.sleep(100)
+      }
       // a returns AFTER eviction: state must restart from zero —
       // (5,1), never (6,2), which would mean the idle state survived
       in.addData(("a", 5.0))
