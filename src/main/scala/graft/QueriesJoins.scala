@@ -185,6 +185,79 @@ object QueriesJoins {
         .orderBy("event_id")
     }
 
+    // direction='forward': earliest purchase AT/AFTER each click
+    // (DuckDB ASOF with the inequality flipped matches the closest
+    // qualifying row on the other side).
+    r.reg("q_asof_forward",
+      """SELECT c.event_id, c.user_id, c.ts, c.value, p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click' AND user_id < 50) c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val clicks = t(s, dir, "events")
+        .filter(col("event_type") === "click" && col("user_id") < 50)
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      Joins.asofJoin(clicks, purchases, "ts", "ts", Seq("user_id"),
+          direction = "forward")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("value_y").as("purchase_value"))
+        .orderBy("event_id")
+    }
+
+    // direction='nearest': closer of the backward/forward matches, exact
+    // tie -> backward (the oracle CASE mirrors the same rule).
+    r.reg("q_asof_nearest",
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click' AND user_id < 50),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT c.event_id, p.ts AS bts, p.value AS bval
+        |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |f AS (SELECT c.event_id, p.ts AS fts, p.value AS fval
+        |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT c.event_id, c.user_id, c.ts, c.value,
+        |  CASE WHEN fts IS NULL THEN bval
+        |       WHEN bts IS NULL THEN fval
+        |       WHEN (c.ts - bts) <= (fts - c.ts) THEN bval ELSE fval
+        |  END AS purchase_value
+        |FROM c JOIN b USING (event_id) JOIN f USING (event_id)
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val clicks = t(s, dir, "events")
+        .filter(col("event_type") === "click" && col("user_id") < 50)
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      Joins.asofJoin(clicks, purchases, "ts", "ts", Seq("user_id"),
+          direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("value_y").as("purchase_value"))
+        .orderBy("event_id")
+    }
+
+    // tolerance: matches farther than 1 hour are nulled, rows kept.
+    r.reg("q_asof_tolerance",
+      """SELECT c.event_id, c.user_id, c.ts, c.value,
+        |  CASE WHEN p.ts IS NOT NULL AND c.ts - p.ts <= INTERVAL 1 HOUR
+        |       THEN p.value END AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click' AND user_id < 50) c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val clicks = t(s, dir, "events")
+        .filter(col("event_type") === "click" && col("user_id") < 50)
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      Joins.asofJoin(clicks, purchases, "ts", "ts", Seq("user_id"),
+          tolerance = Some(3600L * 1000000L))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("value_y").as("purchase_value"))
+        .orderBy("event_id")
+    }
+
     // Bucketed co-located join through the driver gate: both sides are
     // persisted pre-shuffled on the join key (GraftFrame.toBucketedTable),
     // then joined WITHOUT any exchange (asserted in PlanAccessorsSpec) —

@@ -114,10 +114,14 @@ object Joins {
     * value columns (overlaps suffixed `_y`).
     */
   def asofJoin(left: DataFrame, right: DataFrame, leftTs: String,
-               rightTs: String, by: Seq[String]): DataFrame = {
+               rightTs: String, by: Seq[String],
+               direction: String = "backward",
+               tolerance: Option[Long] = None): DataFrame = {
     require(by.nonEmpty,
       "asofJoin: empty `by` would order the whole union in one task; " +
         "pass at least one equi-key (same discipline as every ordered window)")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asofJoin: direction must be backward/forward/nearest, got '$direction'")
     val overlap = (left.columns.toSet & right.columns.toSet) -- by.toSet - rightTs
     val r0 = overlap.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_y"))
     val rightVals = r0.columns.filterNot(c => by.contains(c) || c == rightTs).toSeq
@@ -139,11 +143,70 @@ object Joins {
     // order (last-by-lexicographic-value), or the matched value differs
     // run-to-run (r2 ADVICE)
     val tieBreak = rightVals.map(c => col(c).asc_nulls_first)
-    val w = Window.partitionBy(by.map(col): _*)
+    val byCols = by.map(col)
+    // Backward: latest right row with rts <= lts — last non-null over an
+    // unbounded-preceding frame, right (side 0) sorting BEFORE left at
+    // equal ts so exact matches qualify (allow_exact_matches=True).
+    val wB = Window.partitionBy(byCols: _*)
       .orderBy(col("__ts__").asc +: col("__side__").asc +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(unioned)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    filled.filter(col("__side__") === 1).drop("__ts__", "__side__")
+    // Forward: earliest right row with rts >= lts — first non-null over
+    // an unbounded-following frame, side DESC so the equal-ts right row
+    // lands after the left row and inside its frame.
+    val wF = Window.partitionBy(byCols: _*)
+      .orderBy(col("__ts__").asc +: col("__side__").desc +: tieBreak: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the matched right row's OWN timestamp rides along (masked to the
+    // right side) so tolerance and nearest know the match distance
+    val withM = unioned.withColumn("__rts__",
+      when(col("__side__") === 0, col("__ts__")))
+    def bFill(d: DataFrame, src: String, out: String): DataFrame =
+      d.withColumn(out, last(col(src), ignoreNulls = true).over(wB))
+    def fFill(d: DataFrame, src: String, out: String): DataFrame =
+      d.withColumn(out, first(col(src), ignoreNulls = true).over(wF))
+
+    val filled = direction match {
+      case "backward" =>
+        (rightVals.map(c => c -> c) :+ ("__rts__" -> "__mts__"))
+          .foldLeft(withM) { case (d, (src, out)) => bFill(d, src, out) }
+      case "forward" =>
+        (rightVals.map(c => c -> c) :+ ("__rts__" -> "__mts__"))
+          .foldLeft(withM) { case (d, (src, out)) => fFill(d, src, out) }
+      case "nearest" =>
+        // both fills, then a per-row pick: closer match wins, exact tie
+        // goes backward (documented; the oracle mirrors the same rule)
+        val srcs = rightVals :+ "__rts__"
+        val db = srcs.foldLeft(withM)((d, c) => bFill(d, c, "__b_" + c))
+        val dbf = srcs.foldLeft(db)((d, c) => fFill(d, c, "__f_" + c))
+        val bts = col("__b___rts__")
+        val fts = col("__f___rts__")
+        val useB = fts.isNull ||
+          (bts.isNotNull && (col("__ts__") - bts) <= (fts - col("__ts__")))
+        val picked = rightVals.foldLeft(dbf)((d, c) =>
+          d.withColumn(c, when(useB, col("__b_" + c)).otherwise(col("__f_" + c))))
+        picked.withColumn("__mts__", when(useB, bts).otherwise(fts))
+          .drop(srcs.flatMap(c => Seq("__b_" + c, "__f_" + c)): _*)
+    }
+    // Tolerance (pandas merge_asof tolerance=): a match farther than the
+    // bound is nulled out, row kept (left join semantics preserved).
+    // Units: MICROSECONDS for timestamp ts columns (subtraction yields an
+    // interval), the column's own units for numeric ts columns.
+    val bounded = tolerance match {
+      case None => filled
+      case Some(t) =>
+        require(t >= 0, "asofJoin: tolerance must be non-negative")
+        val delta = greatest(col("__ts__") - col("__mts__"),
+          col("__mts__") - col("__ts__"))
+        val bound = filled.schema("__ts__").dataType match {
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType =>
+            expr(s"INTERVAL $t MICROSECOND")
+          case _ => lit(t)
+        }
+        val ok = col("__mts__").isNotNull && delta <= bound
+        rightVals.foldLeft(filled)((d, c) => d.withColumn(c, when(ok, col(c))))
+    }
+    bounded.filter(col("__side__") === 1)
+      .drop("__ts__", "__side__", "__rts__", "__mts__")
   }
 }

@@ -159,6 +159,41 @@ class GroupByJoinSpec extends SparkTestBase {
     assert(out.count() == 5) // every left row survives
   }
 
+  test("asofJoin forward/nearest/tolerance directions") {
+    val tsSchema = StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType),
+      StructField("t", LongType), StructField("lv", DoubleType)))
+    val left = df(tsSchema,
+      Row(1L, "g", 5L, 1.0),   // forward -> t=10; backward -> null
+      Row(2L, "g", 10L, 2.0),  // exact match both directions
+      Row(3L, "g", 12L, 3.0),  // nearest: b=10 (d2) vs f=15 (d3) -> 10
+      Row(4L, "g", 13L, 4.0),  // nearest: b=10 (d3) vs f=15 (d2) -> 15
+      Row(5L, "g", 30L, 5.0))  // forward -> null; backward -> t=15
+    val rightSchema = StructType(Seq(
+      StructField("g", StringType), StructField("t", LongType),
+      StructField("rv", DoubleType)))
+    val right = df(rightSchema, Row("g", 10L, 100.0), Row("g", 15L, 150.0))
+    def vals(direction: String, tol: Option[Long] = None): Map[Long, Option[Double]] = {
+      val out = Joins.asofJoin(left, right, "t", "t", Seq("g"), direction, tol)
+      out.collect().map(r =>
+        r.getLong(out.columns.indexOf("id")) ->
+          (if (r.isNullAt(out.columns.indexOf("rv"))) None
+           else Some(r.getDouble(out.columns.indexOf("rv"))))).toMap
+    }
+    assert(vals("forward") == Map(
+      1L -> Some(100.0), 2L -> Some(100.0), 3L -> Some(150.0),
+      4L -> Some(150.0), 5L -> None))
+    assert(vals("nearest") == Map(
+      1L -> Some(100.0), 2L -> Some(100.0), 3L -> Some(100.0),
+      4L -> Some(150.0), 5L -> Some(150.0)))
+    // mid-point (12 vs b=10,f=15... use a symmetric case): id=3 at t=12
+    // is 2 from 10 and 3 from 15 -> backward; tie (equidistant) -> backward
+    // tolerance 3 (numeric ts units): backward match farther than 3 nulls
+    assert(vals("backward", Some(3L)) == Map(
+      1L -> None, 2L -> Some(100.0), 3L -> Some(100.0),
+      4L -> Some(100.0), 5L -> None)) // id=5: 30-15=15 > 3 -> null
+  }
+
   test("asofJoin refuses empty by-keys (single-task global window)") {
     val s = StructType(Seq(StructField("t", LongType), StructField("v", DoubleType)))
     val l = df(s, Row(1L, 1.0))
