@@ -258,6 +258,27 @@ object QueriesJoins {
         .orderBy("event_id")
     }
 
+    // allow_exact_matches=False: strictly-earlier purchase only (DuckDB
+    // ASOF with the strict inequality).
+    r.reg("q_asof_strict",
+      """SELECT c.event_id, c.user_id, c.ts, c.value, p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click' AND user_id < 50) c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts > p.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val clicks = t(s, dir, "events")
+        .filter(col("event_type") === "click" && col("user_id") < 50)
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      Joins.asofJoin(clicks, purchases, "ts", "ts", Seq("user_id"),
+          allowExactMatches = false)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("value_y").as("purchase_value"))
+        .orderBy("event_id")
+    }
+
     // Bucketed co-located join through the driver gate: both sides are
     // persisted pre-shuffled on the join key (GraftFrame.toBucketedTable),
     // then joined WITHOUT any exchange (asserted in PlanAccessorsSpec) —

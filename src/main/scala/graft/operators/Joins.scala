@@ -116,7 +116,8 @@ object Joins {
   def asofJoin(left: DataFrame, right: DataFrame, leftTs: String,
                rightTs: String, by: Seq[String],
                direction: String = "backward",
-               tolerance: Option[Long] = None): DataFrame = {
+               tolerance: Option[Long] = None,
+               allowExactMatches: Boolean = true): DataFrame = {
     require(by.nonEmpty,
       "asofJoin: empty `by` would order the whole union in one task; " +
         "pass at least one equi-key (same discipline as every ordered window)")
@@ -145,16 +146,20 @@ object Joins {
     val tieBreak = rightVals.map(c => col(c).asc_nulls_first)
     val byCols = by.map(col)
     // Backward: latest right row with rts <= lts — last non-null over an
-    // unbounded-preceding frame, right (side 0) sorting BEFORE left at
-    // equal ts so exact matches qualify (allow_exact_matches=True).
+    // unbounded-preceding frame. The side order at EQUAL ts encodes
+    // allow_exact_matches: right-before-left (asc) includes the exact
+    // match in the preceding frame; left-before-right (desc) excludes it
+    // (strict rts < lts, pandas allow_exact_matches=False).
+    val bSide = if (allowExactMatches) col("__side__").asc else col("__side__").desc
     val wB = Window.partitionBy(byCols: _*)
-      .orderBy(col("__ts__").asc +: col("__side__").asc +: tieBreak: _*)
+      .orderBy(col("__ts__").asc +: bSide +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Forward: earliest right row with rts >= lts — first non-null over
-    // an unbounded-following frame, side DESC so the equal-ts right row
-    // lands after the left row and inside its frame.
+    // an unbounded-following frame; the mirrored side order does the
+    // same exact-match inclusion/exclusion.
+    val fSide = if (allowExactMatches) col("__side__").desc else col("__side__").asc
     val wF = Window.partitionBy(byCols: _*)
-      .orderBy(col("__ts__").asc +: col("__side__").desc +: tieBreak: _*)
+      .orderBy(col("__ts__").asc +: fSide +: tieBreak: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     // the matched right row's OWN timestamp rides along (masked to the
     // right side) so tolerance and nearest know the match distance

@@ -192,6 +192,17 @@ class GroupByJoinSpec extends SparkTestBase {
     assert(vals("backward", Some(3L)) == Map(
       1L -> None, 2L -> Some(100.0), 3L -> Some(100.0),
       4L -> Some(100.0), 5L -> None)) // id=5: 30-15=15 > 3 -> null
+    // allow_exact_matches=false: the t=10 left rows may no longer take
+    // the t=10 right row — strictly-earlier only, so they get null
+    val strict = Joins.asofJoin(left, right, "t", "t", Seq("g"),
+      allowExactMatches = false)
+    val sm = strict.collect().map(r =>
+      r.getLong(strict.columns.indexOf("id")) ->
+        (if (r.isNullAt(strict.columns.indexOf("rv"))) None
+         else Some(r.getDouble(strict.columns.indexOf("rv"))))).toMap
+    assert(sm == Map(
+      1L -> None, 2L -> None, 3L -> Some(100.0),
+      4L -> Some(100.0), 5L -> Some(150.0)))
   }
 
   test("asofJoin refuses empty by-keys (single-task global window)") {
