@@ -214,4 +214,19 @@ object Joins {
     bounded.filter(col("__side__") === 1)
       .drop("__ts__", "__side__", "__rts__", "__mts__")
   }
+
+  /** merge_asof(left_by=, right_by=): by-keys named differently on each
+    * side — the right side is renamed to the left's names and delegated;
+    * the output carries the LEFT names (pandas behavior). */
+  def asofJoinOn(left: DataFrame, right: DataFrame, leftTs: String,
+                 rightTs: String, leftBy: Seq[String], rightBy: Seq[String],
+                 direction: String = "backward",
+                 tolerance: Option[Long] = None,
+                 allowExactMatches: Boolean = true): DataFrame = {
+    require(leftBy.length == rightBy.length, "asofJoinOn: by-key arity mismatch")
+    val renamed = rightBy.zip(leftBy).foldLeft(right) {
+      case (d, (rc, lc)) => d.withColumnRenamed(rc, lc) }
+    asofJoin(left, renamed, leftTs, rightTs, leftBy,
+      direction, tolerance, allowExactMatches)
+  }
 }

@@ -132,6 +132,21 @@ object Streams {
     l.join(r, keyCond && rangeCond, "inner")
   }
 
+  /** Checkpointed streaming file sink — the production shape for landing
+    * a stream as parquet: exactly-once via the checkpoint's WAL + file
+    * manifest (restart resumes from the last committed batch, no
+    * duplicates, no data loss), append mode, optional time-based
+    * partitioning for downstream pruning. Returns the writer so callers
+    * pick the trigger (`.trigger(...)`) and `.start()` themselves. */
+  def toParquetSink(df: DataFrame, path: String, checkpoint: String,
+                    partitionOn: Seq[String] = Nil): DataStreamWriter[Row] = {
+    val w = df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+    if (partitionOn.nonEmpty) w.partitionBy(partitionOn: _*) else w
+  }
+
   def toMemorySink(df: DataFrame, name: String,
                    mode: OutputMode = OutputMode.Update()): DataStreamWriter[Row] =
     df.writeStream.format("memory").queryName(name).outputMode(mode)

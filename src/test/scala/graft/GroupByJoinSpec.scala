@@ -205,6 +205,41 @@ class GroupByJoinSpec extends SparkTestBase {
       4L -> Some(100.0), 5L -> Some(150.0)))
   }
 
+  test("asofJoinOn joins differently-named by-keys, output keeps left names") {
+    val ls = StructType(Seq(StructField("lg", StringType),
+      StructField("t", LongType), StructField("lv", DoubleType)))
+    val rs = StructType(Seq(StructField("rg", StringType),
+      StructField("t", LongType), StructField("rv", DoubleType)))
+    val left = df(ls, Row("g", 20L, 1.0))
+    val right = df(rs, Row("g", 10L, 100.0))
+    val out = Joins.asofJoinOn(left, right, "t", "t", Seq("lg"), Seq("rg"))
+    assert(out.columns.contains("lg") && !out.columns.contains("rg"))
+    assert(out.collect().head.getAs[Double]("rv") == 100.0)
+  }
+
+  test("streaming parquet sink lands each batch exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_pq").toString
+    val in = MemoryStream[(Long, Double)]
+    val q = graft.streaming.Streams.toParquetSink(
+        in.toDF().toDF("id", "v"), s"$dir/data", s"$dir/ckpt")
+      .start()
+    try {
+      in.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      in.addData((3L, 3.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/data")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("asofJoin refuses empty by-keys (single-task global window)") {
     val s = StructType(Seq(StructField("t", LongType), StructField("v", DoubleType)))
     val l = df(s, Row(1L, 1.0))
