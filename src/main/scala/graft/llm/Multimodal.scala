@@ -109,21 +109,31 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("checksum", LongType, nullable = false)))
 
+  /** Decode one payload, absorbing BOTH undecodable shapes: ImageIO.read
+    * returns null when no reader claims the bytes, but a corrupt payload a
+    * reader DOES claim (truncated PNG) throws IOException — at corpus
+    * scale a single bad row must flag, not fail the task. */
+  private def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
   /** REAL batched per-partition decode: `ImageIO.read` on each payload,
     * emitting actual decoded dimensions and a pixel checksum. The
     * mapPartitions shape is what a production codec UDF uses (codec
     * registry warm per partition, streamed rows, no whole-partition
-    * materialization). Undecodable payloads surface as format="unknown"
-    * with -1 dims rather than failing the task. */
+    * materialization). Undecodable OR corrupt payloads surface as
+    * format="unknown" with -1 dims rather than failing the task. */
   def decodeImageFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
     df.select(col(idCol).cast("long"), col(payloadCol))
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val img = ImageIO.read(new ByteArrayInputStream(bytes))
-          if (img == null) Row(id, "unknown", -1, -1, -1L)
-          else Row(id, sniffFormat(bytes), img.getWidth, img.getHeight, checksumOf(img))
+          tryDecode(bytes) match {
+            case None => Row(id, "unknown", -1, -1, -1L)
+            case Some(img) =>
+              Row(id, sniffFormat(bytes), img.getWidth, img.getHeight, checksumOf(img))
+          }
         }
       }(org.apache.spark.sql.Encoders.row(featureSchema))
 
@@ -136,30 +146,33 @@ object Multimodal {
   /** REAL nearest-neighbor resize: decode, remap src pixel
     * (x*srcW/outW, y*srcH/outH) — integer floor division, the standard
     * NN kernel — re-encode as PNG. Binary in → binary out with typed
-    * dims, batched per partition, constant memory per row. */
+    * dims, batched per partition, constant memory per row. Undecodable
+    * or corrupt payloads keep their row, flagged (-1 dims, empty
+    * payload), so a downstream `out_w > 0` filter decides their fate —
+    * silently dropping rows would skew corpus accounting. */
   def resizeImage(df: DataFrame, idCol: String, payloadCol: String,
                   outW: Int, outH: Int): DataFrame = {
     require(outW > 0 && outH > 0, "resizeImage needs positive output dims")
     df.select(col(idCol).cast("long"), col(payloadCol))
       .mapPartitions { it =>
-        it.flatMap { r =>
+        it.map { r =>
           val id = r.getLong(0)
-          val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-          if (img == null) Iterator.empty
-          else {
-            val out = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < outH) {
-              val sy = (y.toLong * img.getHeight / outH).toInt
-              var x = 0
-              while (x < outW) {
-                val sx = (x.toLong * img.getWidth / outW).toInt
-                out.setRGB(x, y, img.getRGB(sx, sy))
-                x += 1
+          tryDecode(r.getAs[Array[Byte]](1)) match {
+            case None => Row(id, Array.emptyByteArray, -1, -1)
+            case Some(img) =>
+              val out = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < outH) {
+                val sy = (y.toLong * img.getHeight / outH).toInt
+                var x = 0
+                while (x < outW) {
+                  val sx = (x.toLong * img.getWidth / outW).toInt
+                  out.setRGB(x, y, img.getRGB(sx, sy))
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
-            }
-            Iterator.single(Row(id, encodePngBytes(out), outW, outH))
+              Row(id, encodePngBytes(out), outW, outH)
           }
         }
       }(org.apache.spark.sql.Encoders.row(resizedSchema))

@@ -161,36 +161,41 @@ object Joins {
     val wF = Window.partitionBy(byCols: _*)
       .orderBy(col("__ts__").asc +: fSide +: tieBreak: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    // the matched right row's OWN timestamp rides along (masked to the
-    // right side) so tolerance and nearest know the match distance
-    val withM = unioned.withColumn("__rts__",
-      when(col("__side__") === 0, col("__ts__")))
-    def bFill(d: DataFrame, src: String, out: String): DataFrame =
-      d.withColumn(out, last(col(src), ignoreNulls = true).over(wB))
-    def fFill(d: DataFrame, src: String, out: String): DataFrame =
-      d.withColumn(out, first(col(src), ignoreNulls = true).over(wF))
+    // The matched right row rides along AS ONE STRUCT (every value column
+    // plus its own timestamp), masked to the right side. pandas merge_asof
+    // carries the matched row's values INCLUDING its nulls; filling each
+    // column independently with ignoreNulls would let a null value column
+    // borrow an OLDER row's value while tolerance/nearest measure distance
+    // against a different row's timestamp (r6 ADVICE). The struct is
+    // non-null for every right row, so one last/first(ignoreNulls) picks
+    // the matched row as a unit — also one window function instead of N+1.
+    val mFields = rightVals.map(c => col(c).as(c)) :+ col("__ts__").as("__rts__")
+    val withM = unioned.withColumn("__rv__",
+      when(col("__side__") === 0, struct(mFields: _*)))
+    def unpack(d: DataFrame): DataFrame =
+      rightVals.foldLeft(d)((dd, c) => dd.withColumn(c, col("__m__").getField(c)))
+        .withColumn("__mts__", col("__m__").getField("__rts__"))
 
     val filled = direction match {
       case "backward" =>
-        (rightVals.map(c => c -> c) :+ ("__rts__" -> "__mts__"))
-          .foldLeft(withM) { case (d, (src, out)) => bFill(d, src, out) }
+        unpack(withM.withColumn("__m__",
+          last(col("__rv__"), ignoreNulls = true).over(wB)))
       case "forward" =>
-        (rightVals.map(c => c -> c) :+ ("__rts__" -> "__mts__"))
-          .foldLeft(withM) { case (d, (src, out)) => fFill(d, src, out) }
+        unpack(withM.withColumn("__m__",
+          first(col("__rv__"), ignoreNulls = true).over(wF)))
       case "nearest" =>
         // both fills, then a per-row pick: closer match wins, exact tie
         // goes backward (documented; the oracle mirrors the same rule)
-        val srcs = rightVals :+ "__rts__"
-        val db = srcs.foldLeft(withM)((d, c) => bFill(d, c, "__b_" + c))
-        val dbf = srcs.foldLeft(db)((d, c) => fFill(d, c, "__f_" + c))
-        val bts = col("__b___rts__")
-        val fts = col("__f___rts__")
+        val both = withM
+          .withColumn("__mb__", last(col("__rv__"), ignoreNulls = true).over(wB))
+          .withColumn("__mf__", first(col("__rv__"), ignoreNulls = true).over(wF))
+        val bts = col("__mb__").getField("__rts__")
+        val fts = col("__mf__").getField("__rts__")
         val useB = fts.isNull ||
           (bts.isNotNull && (col("__ts__") - bts) <= (fts - col("__ts__")))
-        val picked = rightVals.foldLeft(dbf)((d, c) =>
-          d.withColumn(c, when(useB, col("__b_" + c)).otherwise(col("__f_" + c))))
-        picked.withColumn("__mts__", when(useB, bts).otherwise(fts))
-          .drop(srcs.flatMap(c => Seq("__b_" + c, "__f_" + c)): _*)
+        unpack(both
+          .withColumn("__m__", when(useB, col("__mb__")).otherwise(col("__mf__")))
+          .drop("__mb__", "__mf__"))
     }
     // Tolerance (pandas merge_asof tolerance=): a match farther than the
     // bound is nulled out, row kept (left join semantics preserved).
@@ -212,7 +217,7 @@ object Joins {
         rightVals.foldLeft(filled)((d, c) => d.withColumn(c, when(ok, col(c))))
     }
     bounded.filter(col("__side__") === 1)
-      .drop("__ts__", "__side__", "__rts__", "__mts__")
+      .drop("__ts__", "__side__", "__rv__", "__m__", "__mts__")
   }
 
   /** merge_asof(left_by=, right_by=): by-keys named differently on each
