@@ -215,6 +215,53 @@ object QueriesEmbed {
         dim = 64, queryId = 0L, k = 5, planes = 8)
     }
 
+    // Batched ANN: 20 query vectors (vec_id % 25 = 0) against the whole
+    // corpus in ONE job — probe-list explode, one bucket equi-join,
+    // per-query row_number top-k. The oracle mirrors the probe union
+    // (own bucket + 8 Hamming-1 flips) and the exact-decimal cosine;
+    // candidate pairs are unique by construction (a corpus vector has
+    // one bucket, a query's probe buckets are distinct) so UNION ALL on
+    // the probe list is safe.
+    r.reg("q_ann_batch",
+      s"""WITH $bucketCtes,
+         |qsel AS (
+         |  SELECT e.vec_id AS qid, e.embedding AS qv, b.bucket AS qb
+         |  FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+         |  WHERE e.vec_id % 25 = 0),
+         |probes AS (
+         |  SELECT qid, qv, qb AS bucket FROM qsel
+         |  UNION ALL
+         |  SELECT qid, qv, xor(qb, CAST(1 << j AS BIGINT)) AS bucket
+         |  FROM qsel, range(0, 8) rj(j)),
+         |cand AS (
+         |  SELECT p.qid, b.vec_id, p.qv
+         |  FROM buckets b JOIN probes p USING (bucket)
+         |  WHERE b.vec_id <> p.qid),
+         |pz AS (
+         |  SELECT c.qid, c.vec_id, unnest(e.embedding) AS a, unnest(c.qv) AS b
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id),
+         |pd AS (
+         |  SELECT qid, vec_id,
+         |    sum(CAST(CAST(a AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+         |    sum(CAST(CAST(a AS DOUBLE)*CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na,
+         |    sum(CAST(CAST(b AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS nb
+         |  FROM pz GROUP BY qid, vec_id),
+         |scored AS (
+         |  SELECT qid, vec_id,
+         |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC,
+         |      vec_id ASC) AS rn
+         |  FROM pd)
+         |SELECT qid AS query_id, vec_id, cos FROM scored WHERE rn <= 3
+         |ORDER BY query_id, vec_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 25 === 0).select("vec_id", "embedding")
+      Similarity.annTopKBatch(e, q, "vec_id", "embedding", "vec_id", "embedding",
+          dim = 64, k = 3, planes = 8, multiProbe = true)
+        .orderBy("query_id", "vec_id")
+    }
+
     // Multi-probe: the query's bucket plus its 8 Hamming-1 neighbors
     // (one hyperplane sign flipped each) — recall strictly dominates
     // single-probe at the same plane count; the oracle mirrors the

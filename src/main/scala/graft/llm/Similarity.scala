@@ -147,6 +147,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched ANN top-k: a query FRAME against the corpus in ONE job —
+    * the production retrieval shape (a pass over millions of query
+    * vectors must not become millions of Spark jobs, which is what
+    * looping [[annTopK]] per id would plan).
+    *
+    * Shape: LSH-bucket both sides blockwise (no shuffle), explode each
+    * query into its probe list (its own bucket plus, when `multiProbe`,
+    * every Hamming-1 neighbor — `planes`+1 rows per query), then ONE
+    * equi-join on the bucket id and a per-query top-k via `row_number`
+    * partitioned by query id. Two shuffles total — the bucket join and
+    * the window — both keyed, both bounded by the candidate set, never
+    * all-pairs. A corpus vector sits in exactly one bucket and a query's
+    * probe buckets are distinct, so no (query, candidate) pair is scored
+    * twice and no dedup pass is needed.
+    *
+    * At 100 TB neither side is collect()ed or broadcast: both flow
+    * through the bucket exchange, so a 10M-row query frame and a 10B-row
+    * corpus plan the same join. Rows with `id == query_id` are dropped
+    * (self-match when the query frame is drawn from the corpus; a
+    * disjoint id space simply never trips it). */
+  def annTopKBatch(embeddings: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String,
+                   qIdCol: String, qVecCol: String,
+                   dim: Int, k: Int, planes: Int = 8,
+                   multiProbe: Boolean = true): DataFrame = {
+    val bucketed = spread(embeddings)
+      .select(col(idCol), col(vecCol),
+        lshBucket(col(vecCol), dim, planes).as("bucket"))
+    val qb = queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).as("__qv__"),
+      lshBucket(col(qVecCol), dim, planes).as("__qb__"))
+    val probed =
+      if (multiProbe)
+        qb.select(col("query_id"), col("__qv__"),
+          explode(array(col("__qb__") +:
+            (0 until planes).map(j =>
+              col("__qb__").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+      else qb.withColumnRenamed("__qb__", "bucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col(idCol).asc)
+    bucketed.join(probed, Seq("bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos", cosine(col(vecCol), col("__qv__")))
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= k)
+      .select(col("query_id"), col(idCol), col("cos"))
+  }
+
   /** Bucket histogram — the LSH distribution diagnostic (also the oracle
     * surface for the correctness gate). */
   def bucketHistogram(embeddings: DataFrame, idCol: String, vecCol: String,

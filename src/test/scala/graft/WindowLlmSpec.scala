@@ -359,6 +359,41 @@ class WindowLlmSpec extends SparkTestBase {
     assert(multiAll.subsetOf(brute))
   }
 
+  test("annTopKBatch matches per-query multi-probe and plans ONE equi-join") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(300).cache()
+    // parity: the batch answer for each query id must equal the
+    // single-query multi-probe answer (same buckets, same probe set,
+    // same exact-decimal cosine, same tie-break)
+    val q = e.filter(col("vec_id") % 100 === 0).select("vec_id", "embedding")
+    val batch = Similarity.annTopKBatch(e, q, "vec_id", "embedding",
+      "vec_id", "embedding", dim = 64, k = 5, planes = 8)
+    val got = batch.collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rs) =>
+        qid -> rs.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+          .map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    assert(got.nonEmpty && got.keySet == Set(0L, 100L, 200L))
+    got.foreach { case (qid, rows) =>
+      val single = Similarity.annTopKMultiProbe(e, "vec_id", "embedding",
+        dim = 64, queryId = qid, k = 5, planes = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows == single, s"query $qid: batch $rows != single $single")
+    }
+    // scale contract: a 100-query frame plans exactly ONE join — the
+    // bucket equi-join — and never a cartesian/nested-loop product
+    val q100 = e.limit(100).select("vec_id", "embedding")
+    val plan = Similarity.annTopKBatch(e, q100, "vec_id", "embedding",
+        "vec_id", "embedding", dim = 64, k = 5, planes = 8)
+      .queryExecution.sparkPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.size == 1, s"wanted 1 bucket join, got ${joins.size}")
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      "batch ANN must never plan a pairwise product")
+  }
+
   test("IVF: assignment covers all vectors, annTopK subsets brute force") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200).cache()
