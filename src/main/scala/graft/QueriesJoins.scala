@@ -279,6 +279,127 @@ object QueriesJoins {
         .orderBy("event_id")
     }
 
+    // NULL-carry discipline (r7 struct refactor's discriminating oracle):
+    // purchase values are NULLed for event_id % 3 = 0 and the matched
+    // row's OWN timestamp rides along as a second value column, so the
+    // gate proves the matched row's values move AS A UNIT — a per-column
+    // ignoreNulls fill would borrow an OLDER row's value where the
+    // matched value is NULL (and its purchase_ts would expose the
+    // mismatch). Covers backward+tolerance here, forward and nearest
+    // below; DuckDB ASOF carries the matched row verbatim, nulls and all.
+    r.reg("q_asof_nulls",
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click' AND user_id < 50),
+        |p AS (SELECT user_id, ts,
+        |        CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS pval,
+        |        ts AS pts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts, c.value,
+        |  CASE WHEN p.pts IS NOT NULL AND c.ts - p.pts <= INTERVAL 1 HOUR
+        |       THEN p.pval END AS purchase_value,
+        |  CASE WHEN p.pts IS NOT NULL AND c.ts - p.pts <= INTERVAL 1 HOUR
+        |       THEN p.pts END AS purchase_ts
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val clicks = t(s, dir, "events")
+        .filter(col("event_type") === "click" && col("user_id") < 50)
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          when(col("event_id") % 3 =!= 0, col("value")).as("pval"),
+          col("ts").as("pts"))
+      Joins.asofJoin(clicks, purchases, "ts", "ts", Seq("user_id"),
+          tolerance = Some(3600L * 1000000L))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("pval").as("purchase_value"), col("pts").as("purchase_ts"))
+        .orderBy("event_id")
+    }
+
+    r.reg("q_asof_nulls_fwd",
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click' AND user_id < 50),
+        |p AS (SELECT user_id, ts,
+        |        CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS pval,
+        |        ts AS pts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts, c.value,
+        |  p.pval AS purchase_value, p.pts AS purchase_ts
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val clicks = t(s, dir, "events")
+        .filter(col("event_type") === "click" && col("user_id") < 50)
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          when(col("event_id") % 3 =!= 0, col("value")).as("pval"),
+          col("ts").as("pts"))
+      Joins.asofJoin(clicks, purchases, "ts", "ts", Seq("user_id"),
+          direction = "forward")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("pval").as("purchase_value"), col("pts").as("purchase_ts"))
+        .orderBy("event_id")
+    }
+
+    r.reg("q_asof_nulls_near",
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click' AND user_id < 50),
+        |p AS (SELECT user_id, ts,
+        |        CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS pval,
+        |        ts AS pts
+        |      FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT c.event_id, p.pts AS bts, p.pval AS bval
+        |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |f AS (SELECT c.event_id, p.pts AS fts, p.pval AS fval
+        |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT c.event_id, c.user_id, c.ts, c.value,
+        |  CASE WHEN fts IS NULL THEN bval
+        |       WHEN bts IS NULL THEN fval
+        |       WHEN (c.ts - bts) <= (fts - c.ts) THEN bval ELSE fval
+        |  END AS purchase_value,
+        |  CASE WHEN fts IS NULL THEN bts
+        |       WHEN bts IS NULL THEN fts
+        |       WHEN (c.ts - bts) <= (fts - c.ts) THEN bts ELSE fts
+        |  END AS purchase_ts
+        |FROM c JOIN b USING (event_id) JOIN f USING (event_id)
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val clicks = t(s, dir, "events")
+        .filter(col("event_type") === "click" && col("user_id") < 50)
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          when(col("event_id") % 3 =!= 0, col("value")).as("pval"),
+          col("ts").as("pts"))
+      Joins.asofJoin(clicks, purchases, "ts", "ts", Seq("user_id"),
+          direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("pval").as("purchase_value"), col("pts").as("purchase_ts"))
+        .orderBy("event_id")
+    }
+
+    // Global (by-less) merge_asof: latest purchase ANYWHERE at/before
+    // each click — asofJoinGlobal's range-partition + broadcast boundary
+    // carry, checked against DuckDB's by-less ASOF. The right side is
+    // pre-aggregated to one row per ts (max value) so the match is
+    // tie-free at any SF.
+    r.reg("q_asof_global",
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click' AND user_id < 50),
+        |p AS (SELECT ts, max(value) AS pval
+        |      FROM events WHERE event_type = 'purchase' GROUP BY ts)
+        |SELECT c.event_id, c.user_id, c.ts, c.value, p.pval AS last_purchase
+        |FROM c ASOF LEFT JOIN p ON c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val clicks = t(s, dir, "events")
+        .filter(col("event_type") === "click" && col("user_id") < 50)
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy("ts").agg(max("value").as("pval"))
+      Joins.asofJoinGlobal(clicks, purchases, "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("pval").as("last_purchase"))
+        .orderBy("event_id")
+    }
+
     // Bucketed co-located join through the driver gate: both sides are
     // persisted pre-shuffled on the join key (GraftFrame.toBucketedTable),
     // then joined WITHOUT any exchange (asserted in PlanAccessorsSpec) —

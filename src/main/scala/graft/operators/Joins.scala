@@ -120,30 +120,10 @@ object Joins {
                allowExactMatches: Boolean = true): DataFrame = {
     require(by.nonEmpty,
       "asofJoin: empty `by` would order the whole union in one task; " +
-        "pass at least one equi-key (same discipline as every ordered window)")
+        "use asofJoinGlobal (range-partitioned carry) for a by-less as-of")
     require(Set("backward", "forward", "nearest")(direction),
       s"asofJoin: direction must be backward/forward/nearest, got '$direction'")
-    val overlap = (left.columns.toSet & right.columns.toSet) -- by.toSet - rightTs
-    val r0 = overlap.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_y"))
-    val rightVals = r0.columns.filterNot(c => by.contains(c) || c == rightTs).toSeq
-
-    val lTagged = left
-      .withColumn("__ts__", col(leftTs))
-      .withColumn("__side__", lit(1))
-    val rTagged =
-      r0.withColumn("__ts__", col(rightTs)).withColumn("__side__", lit(0))
-    // Align schemas: left lacks right value cols, right lacks left cols.
-    val leftOnly = left.columns.filterNot(by.contains).toSeq
-    val lFull = rightVals.foldLeft(lTagged)((d, c) => d.withColumn(c, lit(null)))
-    val rFull = leftOnly.foldLeft(rTagged)((d, c) => d.withColumn(c, lit(null)))
-    val cols = (by ++ leftOnly ++ rightVals ++ Seq("__ts__", "__side__")).map(col(_))
-    val unioned = lFull.select(cols: _*).unionByName(rFull.select(cols: _*))
-
-    // tertiary sort on the right value columns: multiple right rows
-    // sharing a timestamp within a by-group must carry in a deterministic
-    // order (last-by-lexicographic-value), or the matched value differs
-    // run-to-run (r2 ADVICE)
-    val tieBreak = rightVals.map(c => col(c).asc_nulls_first)
+    val (withM, rightVals, tieBreak) = asofPrep(left, right, leftTs, rightTs, by)
     val byCols = by.map(col)
     // Backward: latest right row with rts <= lts — last non-null over an
     // unbounded-preceding frame. The side order at EQUAL ts encodes
@@ -161,42 +141,155 @@ object Joins {
     val wF = Window.partitionBy(byCols: _*)
       .orderBy(col("__ts__").asc +: fSide +: tieBreak: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    // The matched right row rides along AS ONE STRUCT (every value column
-    // plus its own timestamp), masked to the right side. pandas merge_asof
-    // carries the matched row's values INCLUDING its nulls; filling each
-    // column independently with ignoreNulls would let a null value column
-    // borrow an OLDER row's value while tolerance/nearest measure distance
-    // against a different row's timestamp (r6 ADVICE). The struct is
-    // non-null for every right row, so one last/first(ignoreNulls) picks
-    // the matched row as a unit — also one window function instead of N+1.
-    val mFields = rightVals.map(c => col(c).as(c)) :+ col("__ts__").as("__rts__")
-    val withM = unioned.withColumn("__rv__",
-      when(col("__side__") === 0, struct(mFields: _*)))
-    def unpack(d: DataFrame): DataFrame =
-      rightVals.foldLeft(d)((dd, c) => dd.withColumn(c, col("__m__").getField(c)))
-        .withColumn("__mts__", col("__m__").getField("__rts__"))
-
     val filled = direction match {
       case "backward" =>
-        unpack(withM.withColumn("__m__",
-          last(col("__rv__"), ignoreNulls = true).over(wB)))
+        withM.withColumn("__m__",
+          last(col("__rv__"), ignoreNulls = true).over(wB))
       case "forward" =>
-        unpack(withM.withColumn("__m__",
-          first(col("__rv__"), ignoreNulls = true).over(wF)))
+        withM.withColumn("__m__",
+          first(col("__rv__"), ignoreNulls = true).over(wF))
       case "nearest" =>
         // both fills, then a per-row pick: closer match wins, exact tie
         // goes backward (documented; the oracle mirrors the same rule)
-        val both = withM
+        nearestPick(withM
           .withColumn("__mb__", last(col("__rv__"), ignoreNulls = true).over(wB))
-          .withColumn("__mf__", first(col("__rv__"), ignoreNulls = true).over(wF))
-        val bts = col("__mb__").getField("__rts__")
-        val fts = col("__mf__").getField("__rts__")
-        val useB = fts.isNull ||
-          (bts.isNotNull && (col("__ts__") - bts) <= (fts - col("__ts__")))
-        unpack(both
-          .withColumn("__m__", when(useB, col("__mb__")).otherwise(col("__mf__")))
-          .drop("__mb__", "__mf__"))
+          .withColumn("__mf__", first(col("__rv__"), ignoreNulls = true).over(wF)))
     }
+    asofPost(filled, rightVals, tolerance)
+  }
+
+  /** Global (by-less) merge_asof — the guarded escape hatch for the
+    * empty-`by` refusal above. A single global window would order the
+    * whole union in ONE task; this plans the same two-shuffle carry as
+    * [[graft.operators.WindowOps.globalCumSum]]: range-repartition the
+    * tagged union on the timestamp (sampled boundaries, equal keys
+    * co-located), fill within each range with a window PARTITIONED by
+    * the range id, then bridge ranges with an (npartitions)-row carry
+    * frame joined back by broadcast — backward carries each range's
+    * latest right row forward (exclusive prefix), forward carries each
+    * range's earliest right row backward (exclusive suffix). Every
+    * range fills in parallel at any scale; the only serial window runs
+    * on npartitions rows. Matches [[asofJoin]] semantics exactly
+    * (struct'd matched row, exact-match side ordering, tolerance,
+    * nearest tie to backward). */
+  def asofJoinGlobal(left: DataFrame, right: DataFrame, leftTs: String,
+                     rightTs: String,
+                     direction: String = "backward",
+                     tolerance: Option[Long] = None,
+                     allowExactMatches: Boolean = true): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asofJoinGlobal: direction must be backward/forward/nearest, got '$direction'")
+    val (withM, rightVals, tieBreak) = asofPrep(left, right, leftTs, rightTs, Nil)
+    // Both carry consumers descend from THIS frame — one range exchange,
+    // planned once (ReusedExchange), same sampled boundaries everywhere.
+    val ranged = withM.repartitionByRange(col("__ts__"))
+      .withColumn("__pid__", spark_partition_id())
+    val bSide = if (allowExactMatches) col("__side__").asc else col("__side__").desc
+    val fSide = if (allowExactMatches) col("__side__").desc else col("__side__").asc
+    val ordB = col("__ts__").asc +: bSide +: tieBreak
+    val ordF = col("__ts__").asc +: fSide +: tieBreak
+    val wB = Window.partitionBy(col("__pid__")).orderBy(ordB: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("__pid__")).orderBy(ordF: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // Per-range local fill + cross-range carry. The npartitions-row
+    // windows are deliberately un-partitioned (see globalCumSum: an
+    // RDD-boundary "fix" severs the plan and recomputes the pipeline).
+    def fillBackward(d: DataFrame): DataFrame = {
+      val local = d.withColumn("__mbl__",
+        last(col("__rv__"), ignoreNulls = true).over(wB))
+      val wP = Window.orderBy(col("__pid__"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // grouped last() is deterministic here: each __pid__ group is one
+      // partition, sorted by ordB by the window above, and the local fill
+      // is monotone (latest-so-far), so "last" IS the range's latest right
+      val carries = local.groupBy(col("__pid__"))
+        .agg(last(col("__mbl__"), ignoreNulls = true).as("__lr__"))
+        .withColumn("__cb__", last(col("__lr__"), ignoreNulls = true).over(wP))
+        .select(col("__pid__"), col("__cb__"))
+      local.join(broadcast(carries), Seq("__pid__"))
+        .withColumn("__mb__", coalesce(col("__mbl__"), col("__cb__")))
+        .drop("__mbl__", "__cb__")
+    }
+    def fillForward(d: DataFrame): DataFrame = {
+      val local = d.withColumn("__mfl__",
+        first(col("__rv__"), ignoreNulls = true).over(wF))
+      val wN = Window.orderBy(col("__pid__"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val carries = local.groupBy(col("__pid__"))
+        .agg(first(col("__mfl__"), ignoreNulls = true).as("__fr__"))
+        .withColumn("__cf__", first(col("__fr__"), ignoreNulls = true).over(wN))
+        .select(col("__pid__"), col("__cf__"))
+      local.join(broadcast(carries), Seq("__pid__"))
+        .withColumn("__mf__", coalesce(col("__mfl__"), col("__cf__")))
+        .drop("__mfl__", "__cf__")
+    }
+    val filled = (direction match {
+      case "backward" => fillBackward(ranged).withColumnRenamed("__mb__", "__m__")
+      case "forward" => fillForward(ranged).withColumnRenamed("__mf__", "__m__")
+      case "nearest" => nearestPick(fillForward(fillBackward(ranged)))
+    }).drop("__pid__")
+    asofPost(filled, rightVals, tolerance)
+  }
+
+  /** Shared as-of prep: suffix overlapping non-key right columns `_y`,
+    * tag sides (right 0 < left 1 so equal-ts ordering encodes exact-match
+    * semantics), align schemas, union, and attach the matched-row STRUCT
+    * `__rv__` — every right value column plus the right row's own
+    * timestamp, masked to side 0. pandas merge_asof carries the matched
+    * row's values INCLUDING its nulls; filling each column independently
+    * with ignoreNulls would let a null value column borrow an OLDER row's
+    * value while tolerance/nearest measure distance against a different
+    * row's timestamp (r6 ADVICE). The struct is non-null for every right
+    * row, so one last/first(ignoreNulls) picks the matched row as a unit
+    * — also one window function instead of N+1. Returns
+    * (frame, right value names, deterministic tie-break sort). */
+  private def asofPrep(left: DataFrame, right: DataFrame, leftTs: String,
+                       rightTs: String, by: Seq[String])
+      : (DataFrame, Seq[String], Seq[Column]) = {
+    val overlap = (left.columns.toSet & right.columns.toSet) -- by.toSet - rightTs
+    val r0 = overlap.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_y"))
+    val rightVals = r0.columns.filterNot(c => by.contains(c) || c == rightTs).toSeq
+    val lTagged = left
+      .withColumn("__ts__", col(leftTs))
+      .withColumn("__side__", lit(1))
+    val rTagged =
+      r0.withColumn("__ts__", col(rightTs)).withColumn("__side__", lit(0))
+    // Align schemas: left lacks right value cols, right lacks left cols.
+    val leftOnly = left.columns.filterNot(by.contains).toSeq
+    val lFull = rightVals.foldLeft(lTagged)((d, c) => d.withColumn(c, lit(null)))
+    val rFull = leftOnly.foldLeft(rTagged)((d, c) => d.withColumn(c, lit(null)))
+    val cols = (by ++ leftOnly ++ rightVals ++ Seq("__ts__", "__side__")).map(col(_))
+    val unioned = lFull.select(cols: _*).unionByName(rFull.select(cols: _*))
+    // tertiary sort on the right value columns: multiple right rows
+    // sharing a timestamp within a by-group must carry in a deterministic
+    // order (last-by-lexicographic-value), or the matched value differs
+    // run-to-run (r2 ADVICE)
+    val tieBreak = rightVals.map(c => col(c).asc_nulls_first)
+    val mFields = rightVals.map(c => col(c).as(c)) :+ col("__ts__").as("__rts__")
+    val withM = unioned.withColumn("__rv__",
+      when(col("__side__") === 0, struct(mFields: _*)))
+    (withM, rightVals, tieBreak)
+  }
+
+  /** nearest = closer of the backward/forward structs, exact tie to
+    * backward (the oracles mirror the same CASE). */
+  private def nearestPick(both: DataFrame): DataFrame = {
+    val bts = col("__mb__").getField("__rts__")
+    val fts = col("__mf__").getField("__rts__")
+    val useB = fts.isNull ||
+      (bts.isNotNull && (col("__ts__") - bts) <= (fts - col("__ts__")))
+    both.withColumn("__m__", when(useB, col("__mb__")).otherwise(col("__mf__")))
+      .drop("__mb__", "__mf__")
+  }
+
+  /** Shared as-of postprocessing: unpack the matched struct into the
+    * output columns, apply tolerance, restore left-row-only output. */
+  private def asofPost(matched: DataFrame, rightVals: Seq[String],
+                       tolerance: Option[Long]): DataFrame = {
+    val filled = rightVals
+      .foldLeft(matched)((dd, c) => dd.withColumn(c, col("__m__").getField(c)))
+      .withColumn("__mts__", col("__m__").getField("__rts__"))
     // Tolerance (pandas merge_asof tolerance=): a match farther than the
     // bound is nulled out, row kept (left join semantics preserved).
     // Units: MICROSECONDS for timestamp ts columns (subtraction yields an
@@ -229,6 +322,16 @@ object Joins {
                  tolerance: Option[Long] = None,
                  allowExactMatches: Boolean = true): DataFrame = {
     require(leftBy.length == rightBy.length, "asofJoinOn: by-key arity mismatch")
+    // withColumnRenamed silently no-ops on a missing source and silently
+    // duplicates an existing target — both must refuse loudly (r6 ADVICE)
+    val missing = rightBy.filterNot(right.columns.contains)
+    require(missing.isEmpty,
+      s"asofJoinOn: right frame is missing by-column(s) ${missing.mkString(", ")}")
+    val clashes = rightBy.zip(leftBy).collect {
+      case (rc, lc) if rc != lc && right.columns.contains(lc) => lc }
+    require(clashes.isEmpty,
+      s"asofJoinOn: right frame already has column(s) ${clashes.mkString(", ")} " +
+        "that the left by-name rename would duplicate; rename or drop them first")
     val renamed = rightBy.zip(leftBy).foldLeft(right) {
       case (d, (rc, lc)) => d.withColumnRenamed(rc, lc) }
     asofJoin(left, renamed, leftTs, rightTs, leftBy,

@@ -217,6 +217,93 @@ class GroupByJoinSpec extends SparkTestBase {
     assert(out.collect().head.getAs[Double]("rv") == 100.0)
   }
 
+  test("asofJoin carries the matched row's NULL value, not an older row's") {
+    // the r7 struct refactor's exact bug class: the matched right row has
+    // a NULL value column; a per-column ignoreNulls fill would borrow the
+    // older row's 100.0 — the matched row must carry AS A UNIT
+    val rightSchema = StructType(Seq(
+      StructField("g", StringType), StructField("t", LongType),
+      StructField("rv", DoubleType)))
+    val left = df(StructType(Seq(
+        StructField("id", LongType), StructField("g", StringType),
+        StructField("t", LongType))),
+      Row(1L, "g", 25L), Row(2L, "g", 12L))
+    val right = df(rightSchema,
+      Row("g", 10L, 100.0), Row("g", 20L, null))
+    for (direction <- Seq("backward", "nearest")) {
+      val out = Joins.asofJoin(left, right, "t", "t", Seq("g"), direction)
+      val got = out.collect().map(r =>
+        r.getLong(out.columns.indexOf("id")) ->
+          (if (r.isNullAt(out.columns.indexOf("rv"))) None
+           else Some(r.getDouble(out.columns.indexOf("rv"))))).toMap
+      // id=1 matches the t=20 row (null value) in both directions;
+      // id=2 still sees t=10's 100.0
+      assert(got == Map(1L -> None, 2L -> Some(100.0)), s"direction=$direction")
+    }
+    // tolerance measures against the MATCHED row's ts (20), not the ts of
+    // some non-null value donor (10): distance 5 <= 6 keeps the match
+    val tol = Joins.asofJoin(left, right, "t", "t", Seq("g"),
+      tolerance = Some(6L))
+    val tm = tol.collect().map(r =>
+      r.getLong(tol.columns.indexOf("id")) ->
+        (if (r.isNullAt(tol.columns.indexOf("rv"))) None
+         else Some(r.getDouble(tol.columns.indexOf("rv"))))).toMap
+    assert(tm == Map(1L -> None, 2L -> Some(100.0)))
+  }
+
+  test("asofJoinGlobal matches constant-by asofJoin across directions") {
+    import org.apache.spark.sql.functions._
+    // enough rows to span several range partitions (4 shuffle partitions
+    // in the test session), interleaved left/right timestamps, plus a
+    // planted NULL right value so the struct carry is exercised globally
+    val left = spark.range(0, 200).toDF("id")
+      .select(col("id"), (col("id") * 7 % 501).as("t"))
+    val right = spark.range(0, 50).toDF("rid")
+      .select((col("rid") * 11 % 499).as("t"),
+        when(col("rid") % 5 =!= 0, col("rid").cast("double")).as("rv"))
+    val withBy = (d: org.apache.spark.sql.DataFrame) => d.withColumn("__g__", lit(1))
+    for (direction <- Seq("backward", "forward", "nearest")) {
+      val global = Joins.asofJoinGlobal(left, right, "t", "t", direction)
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      val keyed = Joins.asofJoin(withBy(left), right.withColumn("__g__", lit(1)),
+          "t", "t", Seq("__g__"), direction)
+        .drop("__g__").select("id", "t", "rv")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      val g2 = Joins.asofJoinGlobal(left, right, "t", "t", direction)
+        .select("id", "t", "rv").orderBy("id").collect().map(_.toSeq).toSeq
+      assert(g2 == keyed, s"direction=$direction: global != single-key reference")
+      assert(global.size == 200)
+    }
+    // tolerance + strict parity through the same carry machinery
+    val gt = Joins.asofJoinGlobal(left, right, "t", "t",
+        tolerance = Some(10L), allowExactMatches = false)
+      .select("id", "t", "rv").orderBy("id").collect().map(_.toSeq).toSeq
+    val kt = Joins.asofJoin(withBy(left), right.withColumn("__g__", lit(1)),
+        "t", "t", Seq("__g__"), tolerance = Some(10L), allowExactMatches = false)
+      .select("id", "t", "rv").orderBy("id").collect().map(_.toSeq).toSeq
+    assert(gt == kt)
+  }
+
+  test("asofJoinOn refuses missing right by-columns and rename clashes") {
+    val ls = StructType(Seq(StructField("lg", StringType),
+      StructField("t", LongType), StructField("lv", DoubleType)))
+    val rs = StructType(Seq(StructField("rg", StringType),
+      StructField("t", LongType), StructField("rv", DoubleType)))
+    val left = df(ls, Row("g", 20L, 1.0))
+    val right = df(rs, Row("g", 10L, 100.0))
+    val e1 = intercept[IllegalArgumentException] {
+      Joins.asofJoinOn(left, right, "t", "t", Seq("lg"), Seq("nope"))
+    }
+    assert(e1.getMessage.contains("missing"))
+    // right already has a column named like the left by-key: the rename
+    // would silently create a duplicate `lg` — must refuse instead
+    val rightClash = right.withColumn("lg", lit("x"))
+    val e2 = intercept[IllegalArgumentException] {
+      Joins.asofJoinOn(left, rightClash, "t", "t", Seq("lg"), Seq("rg"))
+    }
+    assert(e2.getMessage.contains("lg"))
+  }
+
   test("streaming parquet sink lands each batch exactly once") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
