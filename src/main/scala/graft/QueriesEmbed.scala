@@ -156,13 +156,63 @@ object QueriesEmbed {
         .orderBy("id_a", "id_b")
     }
 
-    r.weak("q_ivf_topk") { (s, dir) =>
-      // k-means refinement isn't reasonably expressible in oracle SQL;
-      // rows-only here, value-checked in WindowLlmSpec (subset of brute
-      // force, full assignment coverage). The UN-refined assignment IS
-      // SQL-expressible — q_ivf_assign below hash-checks it.
+    // IVF top-k with iters=0: seed centroids are the 8 hash-smallest
+    // sample vectors (sampling-invariant, so the oracle's full-corpus hs
+    // CTE matches the 0.05-sample training scan), probe-cell selection
+    // and the in-cell exact-cosine rank are plain SQL. The Lloyd-refined
+    // path stays value-checked in WindowLlmSpec (subset-of-brute-force);
+    // THIS entry hash-checks everything data-sized: assignment, probe
+    // pruning, and the final rank. Was weak() rows-only through r7.
+    r.reg("q_ivf_topk",
+      """WITH hs AS (
+        |  SELECT vec_id, embedding,
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell,
+        |    embedding AS centroid
+        |  FROM hs ORDER BY h ASC, vec_id ASC LIMIT 8),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |cdist AS (
+        |  SELECT s.cell,
+        |    list_sum(list_transform(range(1, len(s.centroid)+1),
+        |      i -> (CAST(s.centroid[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |         * (CAST(s.centroid[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) AS d
+        |  FROM seeds s, q),
+        |probec AS (
+        |  SELECT cell FROM (
+        |    SELECT cell, row_number() OVER (ORDER BY d ASC, cell ASC) AS rn
+        |    FROM cdist) WHERE rn <= 2),
+        |dists AS (
+        |  SELECT e.vec_id, s.cell,
+        |    list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE)))) AS d
+        |  FROM embeddings e, seeds s),
+        |best AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        |  FROM dists),
+        |cand AS (
+        |  SELECT b.vec_id FROM best b JOIN probec p USING (cell)
+        |  WHERE b.rn = 1 AND b.vec_id <> 0),
+        |zipped AS (
+        |  SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+        |  FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, q),
+        |dots AS (
+        |  SELECT vec_id,
+        |    sum(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+        |    sum(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na
+        |  FROM zipped GROUP BY vec_id),
+        |qn AS (
+        |  SELECT sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(25,12))) AS nq
+        |  FROM (SELECT unnest(qv) AS x FROM q))
+        |SELECT vec_id,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))) AS cos
+        |FROM dots, qn
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val cents = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 8, iters = 1)
+      val cents = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 8, iters = 0)
       graft.llm.Ivf.annTopK(e, "vec_id", "embedding", cents, queryId = 0L,
         k = 10, nprobe = 2)
     }

@@ -32,10 +32,15 @@ object Ivf {
     * driver-side count() — at 100 TB a count plus `iters` full-corpus
     * Lloyd passes would dominate the whole pipeline, and k-means centroids
     * converge on a fixed-size sample regardless of corpus size (size the
-    * fraction to ~100k vectors). Returns (cell, centroid). */
+    * fraction to ~100k vectors). The default is deliberately SMALL:
+    * training on everything is the pipeline-dominating footgun, so a
+    * caller who wants it must say `trainFraction = 1.0` out loud. Seed
+    * selection is sampling-invariant: the hash filter keeps every
+    * smallest-hash row, so the nCells seeds equal the full-corpus seeds
+    * whenever the sample has ≥ nCells rows. Returns (cell, centroid). */
   def train(embeddings: DataFrame, idCol: String, vecCol: String,
             nCells: Int, iters: Int = 2,
-            trainFraction: Double = 1.0): DataFrame = {
+            trainFraction: Double = 0.05): DataFrame = {
     val ts =
       if (trainFraction >= 1.0) embeddings
       else embeddings.filter(
@@ -106,7 +111,7 @@ object Ivf {
       .select(col(vecCol).cast("array<double>").as("__qv__"))
     val probeCells = centroids.crossJoin(broadcast(q))
       .withColumn("d", sqDist(col("centroid"), col("__qv__")))
-      .orderBy(col("d").asc).limit(nprobe)
+      .orderBy(col("d").asc, col("cell").asc).limit(nprobe)
       .select(col("cell"))
     assign(embeddings, idCol, vecCol, centroids)
       .join(broadcast(probeCells), Seq("cell"))
@@ -148,7 +153,7 @@ object Ivf {
     // partition pruning at the index scan below
     val probeCells: Seq[Int] = centroids.crossJoin(broadcast(q))
       .withColumn("d", sqDist(col("centroid"), col("__qv__")))
-      .orderBy(col("d").asc).limit(nprobe)
+      .orderBy(col("d").asc, col("cell").asc).limit(nprobe)
       .select(col("cell")).collect().map(_.getInt(0)).toSeq
     spark.read.parquet(s"$indexPath/vectors")
       .filter(col("cell").isin(probeCells: _*))

@@ -110,19 +110,25 @@ object Multimodal {
     StructField("checksum", LongType, nullable = false)))
 
   /** Decode one payload, absorbing BOTH undecodable shapes: ImageIO.read
-    * returns null when no reader claims the bytes, but a corrupt payload a
-    * reader DOES claim (truncated PNG) throws IOException — at corpus
-    * scale a single bad row must flag, not fail the task. */
+    * returns null when no reader claims the bytes, and a corrupt payload a
+    * reader DOES claim (truncated PNG) throws — IOException usually, but
+    * plugin readers also throw unchecked (IllegalArgumentException,
+    * ArrayIndexOutOfBounds, CMMException on bad color profiles), so the
+    * net is NonFatal — at corpus scale a single bad row must flag, not
+    * fail the task. */
   private def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL batched per-partition decode: `ImageIO.read` on each payload,
     * emitting actual decoded dimensions and a pixel checksum. The
     * mapPartitions shape is what a production codec UDF uses (codec
     * registry warm per partition, streamed rows, no whole-partition
-    * materialization). Undecodable OR corrupt payloads surface as
-    * format="unknown" with -1 dims rather than failing the task. */
+    * materialization). Undecodable OR corrupt payloads keep their row
+    * with -1 dims/-1 checksum; `format` still reports the CONTAINER
+    * sniff (a truncated PNG is "png" with -1 dims, garbage is
+    * "unknown") so triage can tell bad-codec from not-an-image — the -1
+    * dims alone flag the failed decode. */
   def decodeImageFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
     df.select(col(idCol).cast("long"), col(payloadCol))
       .mapPartitions { it =>
@@ -130,7 +136,7 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           tryDecode(bytes) match {
-            case None => Row(id, "unknown", -1, -1, -1L)
+            case None => Row(id, sniffFormat(bytes), -1, -1, -1L)
             case Some(img) =>
               Row(id, sniffFormat(bytes), img.getWidth, img.getHeight, checksumOf(img))
           }

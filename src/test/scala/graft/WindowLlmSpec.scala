@@ -409,6 +409,33 @@ class WindowLlmSpec extends SparkTestBase {
     assert(ann.nonEmpty && ann.subsetOf(brute))
   }
 
+  test("IVF train defaults to the hash-filtered sample, seeds sampling-invariant") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200).cache()
+    // the 0.05 default keeps ids whose 31-bit Knuth hash < 0.05 * 2^32;
+    // compute that sample size independently of the query under test
+    def h(i: Long): Long = ((i % 2147483648L) * 2654435761L) % 4294967296L
+    val thr = (0.05 * 4294967296L).toLong
+    val sampleSize = (0L until 200L).count(h(_) < thr)
+    assert(sampleSize > 0 && sampleSize < 200)
+    // asking for MORE cells than the sample has rows can only yield
+    // sample-many seeds — proof the default training scan is the filtered
+    // sample, not the full corpus (which would return all 100)
+    val cents = graft.llm.Ivf.train(e, "vec_id", "embedding",
+      nCells = 100, iters = 0)
+    assert(cents.count() == sampleSize,
+      s"default-path training scan saw ${cents.count()} rows, " +
+        s"expected the $sampleSize-row hash sample")
+    // sampling invariance: the hash filter keeps every smallest-hash row,
+    // so seeds at nCells <= sample size match the full-corpus seeds
+    val sampled = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 4, iters = 0)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val full = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 4,
+        iters = 0, trainFraction = 1.0)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(sampled == full)
+  }
+
   test("IVF persisted index: search prunes to nprobe cell dirs and matches in-memory") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200).cache()
@@ -776,6 +803,47 @@ class WindowLlmSpec extends SparkTestBase {
     assert(out.getAs[Int]("width") == 8 && out.getAs[Int]("height") == 5)
     assert(out.getAs[String]("format") == "png")
     assert(out.getAs[Long]("checksum") == expected)
+  }
+
+  test("corrupt payloads flag instead of failing: truncated PNG and garbage") {
+    import graft.llm.Multimodal
+    // a REAL synthPng payload cut in half: valid magic, so a reader
+    // claims it and then throws mid-decode — the r7 catch path, which the
+    // old "not an image" fixture (ImageIO.read == null) never exercised
+    val full = Multimodal.synthPng(
+        df(StructType(Seq(StructField("doc_id", LongType))), Row(5L)),
+        "doc_id")
+      .collect().head.getAs[Array[Byte]]("payload")
+    val truncated = full.take(full.length / 2)
+    val payloads = df(
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType))),
+      Row(1L, truncated),
+      Row(2L, "not an image".getBytes("UTF-8")),
+      Row(3L, full))
+    val feats = Multimodal.decodeImageFeatures(payloads, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // truncated: container sniff survives (png), -1 dims flag the decode
+    assert(feats(1L).getAs[String]("format") == "png")
+    assert(feats(1L).getAs[Int]("width") == -1 &&
+      feats(1L).getAs[Int]("height") == -1 &&
+      feats(1L).getAs[Long]("checksum") == -1L)
+    // garbage: no container, same flag shape
+    assert(feats(2L).getAs[String]("format") == "unknown")
+    assert(feats(2L).getAs[Int]("width") == -1)
+    // the intact sibling row in the same partition still decodes
+    assert(feats(3L).getAs[String]("format") == "png" &&
+      feats(3L).getAs[Int]("width") > 0)
+    // resize keeps flagged rows (-1 dims, empty payload) instead of
+    // dropping them — corpus accounting must see every input row
+    val rs = Multimodal.resizeImage(payloads, "doc_id", "payload", 4, 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rs.keySet == Set(1L, 2L, 3L))
+    assert(rs(1L).getAs[Int]("out_w") == -1 &&
+      rs(1L).getAs[Array[Byte]]("payload").isEmpty)
+    assert(rs(2L).getAs[Int]("out_w") == -1)
+    assert(rs(3L).getAs[Int]("out_w") == 4 &&
+      rs(3L).getAs[Array[Byte]]("payload").nonEmpty)
   }
 
   test("real WAV encode→decode round trip matches the sample arithmetic") {
