@@ -54,7 +54,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = best.values.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // also land the record on disk: round-over-round tracking must not
+    // depend on tail-grepping sbt logs (BENCH_r05-r07 all parsed null)
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
     if (failed.nonEmpty) System.err.println(s"[bench] ${failed.size} queries failed")
     spark.stop()
   }

@@ -519,6 +519,53 @@ object QueriesText {
         .select("doc_id").orderBy("doc_id")
     }
 
+    // Incremental near-dedup against a PERSISTED index: documents play
+    // the already-indexed corpus; a shard of re-idded copies (doc_id % 7
+    // = 2, +100000) plays the new ingest, so every shard doc plants a
+    // cross-shard duplicate (jaccard 1.0) plus whatever natural
+    // similarity exists. The oracle computes the same banded candidates
+    // restricted to corpus x shard; the Spark side must find them by
+    // joining the BUCKETED index tables (no corpus re-shuffle — the
+    // zero-exchange side is asserted in WindowLlmSpec).
+    r.reg("q_dedup_index",
+      s"""WITH ext AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 2
+         |),
+         |${sigCtesFrom("ext")},
+         |banded AS (
+         |  SELECT doc_id, unnest(range(0, 4)) AS band,
+         |    unnest(list_transform(range(0, 4), b ->
+         |      array_to_string(sig[b*4+1:b*4+4], '_'))) AS key
+         |  FROM sig
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key
+         |   AND a.doc_id < 100000 AND b.doc_id >= 100000
+         |),
+         |pairs AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(x.gs, y.gs)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(x.gs, y.gs))) AS jaccard
+         |  FROM cand
+         |  JOIN hs x ON x.doc_id = cand.id_a
+         |  JOIN hs y ON y.doc_id = cand.id_b
+         |)
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val shard = docs.filter(col("doc_id") % 7 === 2)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      Dedup.writeNearDupIndex(docs, "doc_id", "text", "g_ndi",
+        "/root/repo/target/qtmp/ndidx")
+      Dedup.nearDupPairsAgainstIndex(shard, "doc_id", "text", "g_ndi",
+          threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }
+
     r.reg("q_simhash", {
       val terms = (0 until 16).map(j =>
         s"(CASE WHEN 2*len(list_filter(hs16, h -> ((h >> $j) & 1) = 1)) > len(hs16) " +

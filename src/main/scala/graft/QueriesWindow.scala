@@ -19,10 +19,14 @@ object QueriesWindow {
 
   def register(r: QueryRegistry): Unit = {
 
+    // oracle windowed decimal→double conversions go through dbl()
+    // (VARCHAR-mediated): DuckDB's direct cast double-rounds once a
+    // windowed unscaled sum leaves the 2^53 window — a SILENT hash
+    // mismatch at larger SFs (r6 ADVICE; same discipline as QHelp.dsumD)
     r.reg("q_rolling",
-      """SELECT event_id, user_id,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS roll_sum,
-        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / count(value) OVER w AS DOUBLE) AS roll_mean,
+      s"""SELECT event_id, user_id,
+        |  ${dbl("sum(CAST(value AS DECIMAL(18,6))) OVER w")} AS roll_sum,
+        |  CAST(${dbl("sum(CAST(value AS DECIMAL(18,6))) OVER w")} / count(value) OVER w AS DOUBLE) AS roll_mean,
         |  min(value) OVER w AS roll_min,
         |  max(value) OVER w AS roll_max,
         |  CAST(count(value) OVER w AS BIGINT) AS roll_n
@@ -44,11 +48,11 @@ object QueriesWindow {
     }
 
     r.reg("q_rolling_spec",
-      """SELECT event_id, user_id,
+      s"""SELECT event_id, user_id,
         |  min(value) OVER w AS value_min,
         |  max(value) OVER w AS value_max,
         |  CAST(count(value) OVER w AS BIGINT) AS value_count,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS dv_sum
+        |  ${dbl("sum(CAST(value AS DECIMAL(18,6))) OVER w")} AS dv_sum
         |FROM events WHERE user_id < 30
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
@@ -114,8 +118,8 @@ object QueriesWindow {
     }
 
     r.reg("q_rolling_time",
-      """SELECT event_id, user_id,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS tsum,
+      s"""SELECT event_id, user_id,
+        |  ${dbl("sum(CAST(value AS DECIMAL(18,6))) OVER w")} AS tsum,
         |  CAST(count(*) OVER w AS BIGINT) AS tn
         |FROM events WHERE user_id < 30
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
@@ -136,13 +140,13 @@ object QueriesWindow {
     // so both engines produce identical doubles regardless of their
     // internal algorithm (Welford vs moments would NOT match bitwise)
     r.reg("q_rolling_more",
-      """SELECT event_id, user_id,
+      s"""SELECT event_id, user_id,
         |  median(fv) OVER w AS rmed,
         |  quantile_cont(fv, 0.25) OVER w AS rq25,
         |  CASE WHEN count(fv) OVER w > 1 THEN
-        |    (CAST(sum(CAST(fv * fv AS DECIMAL(28,0))) OVER w AS DOUBLE)
-        |     - CAST(sum(CAST(fv AS DECIMAL(18,0))) OVER w AS DOUBLE)
-        |       * CAST(sum(CAST(fv AS DECIMAL(18,0))) OVER w AS DOUBLE)
+        |    (${wsumSql("fv * fv", 28)}
+        |     - ${wsumSql("fv", 18)}
+        |       * ${wsumSql("fv", 18)}
         |       / CAST(count(fv) OVER w AS DOUBLE))
         |    / (CAST(count(fv) OVER w AS DOUBLE) - 1.0)
         |  ELSE NULL END AS rvar
@@ -285,10 +289,10 @@ object QueriesWindow {
     }
 
     r.reg("q_cumsum",
-      """SELECT event_id, user_id,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6)))
+      s"""SELECT event_id, user_id,
+        |  ${dbl("""sum(CAST(value AS DECIMAL(18,6)))
         |    OVER (PARTITION BY user_id ORDER BY event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS csum,
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")} AS csum,
         |  max(value) OVER (PARTITION BY user_id ORDER BY event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmax,
         |  CAST(count(value) OVER (PARTITION BY user_id ORDER BY event_id
@@ -306,10 +310,9 @@ object QueriesWindow {
     }
 
     r.reg("q_global_cumsum",
-      """SELECT event_id,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6)))
-        |    OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS DOUBLE) AS gsum
+      s"""SELECT event_id,
+        |  ${dbl("""sum(CAST(value AS DECIMAL(18,6)))
+        |    OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")} AS gsum
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       val base = t(s, dir, "events")
         .withColumn("dv", col("value").cast(DecimalType(18, 6)))
@@ -472,8 +475,8 @@ object QueriesWindow {
     }
 
     r.reg("q_groupby_transform",
-      """SELECT event_id, user_id,
-        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id) AS DOUBLE)
+      s"""SELECT event_id, user_id,
+        |  CAST(${dbl("sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id)")}
         |    / count(value) OVER (PARTITION BY user_id) AS DOUBLE) AS user_mean
         |FROM events WHERE user_id < 40 ORDER BY event_id""".stripMargin) { (s, dir) =>
       val base = t(s, dir, "events").filter(col("user_id") < 40)

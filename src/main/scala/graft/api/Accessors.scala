@@ -167,10 +167,11 @@ object StrOps {
     def strDecode(charset: String): Column = F.decode(c, charset)
   }
 
-  private val nfcNormalize =
-    F.udf((s: String) =>
-      if (s == null) null
-      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  /** Native codegen'd expression (graft.functions.NfcNormalize) — was
+    * the last hot-path text UDF; same java.text.Normalizer NFC call,
+    * now inside WholeStageCodegen. */
+  private def nfcNormalize(c: Column): Column =
+    graft.functions.TextHashExprs.nfcNormalize(c)
 
   /** elementwise concat-with-sep (reference CatBlockwise
     * `_str_accessor.py:125-135`). */

@@ -162,8 +162,20 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     * there); `seed` rotates the permutation. */
   def shuffleIndex(keyCol: String, seed: Long = 0L,
                    outCol: String = "shuffle_pos"): GraftFrame = {
+    // integer arithmetic only: a string key under `+ seed` yields null
+    // hashes (degenerate permutation) or throws under ANSI — refuse it
+    // loudly; factorize/hash string keys to a numeric id first (r6
+    // ADVICE). Both addends are masked mod 2^31 BEFORE the add so the
+    // sum never overflows Long at any key/seed magnitude; the residue
+    // (and so the permutation) is unchanged: pmod(k+s, 2^31) ==
+    // pmod(pmod(k,2^31) + pmod(s,2^31), 2^31).
+    val kt = df.schema(keyCol).dataType
+    require(kt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"shuffleIndex: key column '$keyCol' must be numeric (got ${kt.simpleString}); " +
+        "factorize or hash string keys to an id first")
     val withH = df
-      .withColumn("__sh__", graft.QHelp.keyHash31(col(keyCol) + lit(seed)))
+      .withColumn("__sh__", graft.QHelp.keyHash31(
+        pmod(col(keyCol), lit(2147483648L)) + lit(seed % 2147483648L)))
       .withColumn("__one__", lit(1L))
     lift(graft.operators.WindowOps
       .globalCumSum(withH, "__sh__", "__one__", outCol)

@@ -433,6 +433,36 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
   override def prettyName: String = "token_stats"
 }
 
+/** Unicode NFC normalization as a native expression — the last hot-path
+  * text transform that was a Scala UDF (a UDF call costs the
+  * serialization fence and blocks nulls-aware codegen; this inlines a
+  * single static JDK call inside WholeStageCodegen). Semantics are
+  * exactly `java.text.Normalizer.normalize(s, NFC)` — the same call the
+  * UDF made, so results are bit-for-bit identical. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  // straight-line codegen: no reference object — the normalizer is a
+  // static JDK method, so the generated code calls it directly
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), " +
+        "java.text.Normalizer.Form.NFC))")
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize needs STRING, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
 object TextHashExprs {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -450,4 +480,6 @@ object TextHashExprs {
       expression(b.cast("array<double>"))))
   def lshBucket(vec: Column, dim: Int, planes: Int): Column =
     column(LshBucket(expression(vec.cast("array<double>")), dim, planes))
+  def nfcNormalize(s: Column): Column =
+    column(NfcNormalize(expression(s)))
 }

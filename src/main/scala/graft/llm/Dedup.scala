@@ -307,6 +307,93 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Persist a corpus's banded MinHash index for INCREMENTAL near-dedup
+    * — the "new shard vs existing corpus" shape: a pipeline ingesting a
+    * shard must not recompute (or reshuffle) signatures for the other
+    * 100 TB it already indexed. Two bucketed tables (the durable
+    * co-location machinery of [[graft.api.GraftFrame.toBucketedTable]],
+    * same posture as [[Ivf.writeIndex]]'s cell-partitioned corpus):
+    *
+    *  - `<name>_bands` at `<path>/bands`: (id, band, key), bucketed on
+    *    (band, key) — the candidate join key, pre-shuffled at build time;
+    *  - `<name>_shingles` at `<path>/shingles`: (id, shingles), bucketed
+    *    on id — the verify side, so exact Jaccard needs no corpus text.
+    *
+    * Every future [[nearDupPairsAgainstIndex]] call then shuffles ONLY
+    * the new shard: the corpus side of both joins reads its buckets in
+    * place (zero exchange, asserted in spec). */
+  def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+                        name: String, path: String, shingleK: Int = 3,
+                        numHashes: Int = 16, bands: Int = 4,
+                        buckets: Int = 8): Unit = {
+    val rows = numHashes / bands
+    val eligible = docs.filter(size(split(col(textCol), " ", -1)) >= shingleK)
+    val withSh = eligible.select(col(idCol).as("id"),
+      graft.functions.TextHashExprs.shingleHashes(col(textCol), shingleK)
+        .as("shingles"))
+    val banded = withSh
+      .select(col("id"),
+        graft.functions.TextHashExprs.minhashSig(col("shingles"), numHashes)
+          .as("sig"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))
+          .as(Seq("band", "key")))
+    graft.api.GraftFrame(banded)
+      .toBucketedTable(s"${name}_bands", s"$path/bands", buckets,
+        Seq("band", "key"))
+    graft.api.GraftFrame(withSh)
+      .toBucketedTable(s"${name}_shingles", s"$path/shingles", buckets,
+        Seq("id"))
+  }
+
+  /** Near-dup pairs of a NEW SHARD against a persisted corpus index
+    * ([[writeNearDupIndex]]): band the shard's signatures (blockwise),
+    * equi-join the bucketed bands table (corpus pre-shuffled at build
+    * time — only the shard side exchanges), then verify exact Jaccard
+    * against the bucketed shingle table (again corpus-side
+    * exchange-free). Returns (id_a = corpus id, id_b = shard id,
+    * jaccard >= threshold). Shard-internal duplicates are out of scope
+    * here — run [[nearDuplicatePairs]] on the shard alone for those;
+    * `shingleK`/`numHashes`/`bands` must match the index build. */
+  def nearDupPairsAgainstIndex(newDocs: DataFrame, idCol: String,
+                               textCol: String, name: String,
+                               threshold: Double, shingleK: Int = 3,
+                               numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val spark = newDocs.sparkSession
+    val rows = numHashes / bands
+    val eligible = Spread(newDocs)
+      .filter(size(split(col(textCol), " ", -1)) >= shingleK)
+    val newSh = eligible.select(col(idCol).as("id_b"),
+      graft.functions.TextHashExprs.shingleHashes(col(textCol), shingleK)
+        .as("sh_b"))
+    val newBanded = newSh
+      .select(col("id_b"),
+        graft.functions.TextHashExprs.minhashSig(col("sh_b"), numHashes)
+          .as("sig"))
+      .select(col("id_b"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))
+          .as(Seq("band", "key")))
+    val cand = spark.table(s"${name}_bands")
+      .join(newBanded, Seq("band", "key"))
+      .filter(col("id") =!= col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val idxSh = spark.table(s"${name}_shingles")
+      .select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    cand.join(idxSh, Seq("id_a"))
+      .join(newSh, Seq("id_b"))
+      .withColumn("__i__",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("__i__") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("__i__")))
+      .drop("__i__")
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** SimHash near-dup candidates: docs whose `bits`-bit simhash matches
     * exactly (cheap, coarse; Hamming-distance banding would subdivide the
     * hash for a finer pass). */

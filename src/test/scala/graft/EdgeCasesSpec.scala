@@ -219,6 +219,25 @@ class EdgeCasesSpec extends SparkTestBase {
       .map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
     assert((1L to 50L).forall(i => s50(i) == s99(i)))
     assert(s99.values.toSet.size == 3) // all three splits occupied at n=99
+    // string keys must refuse loudly: `key + seed` on a string yields
+    // null hashes (degenerate permutation) or throws under ANSI
+    val e = intercept[IllegalArgumentException] {
+      d.shuffleIndex("k")
+    }
+    assert(e.getMessage.contains("numeric"))
+    // masked addends: huge keys + huge seed stay inside Long and still
+    // produce a full permutation
+    val big = GraftFrame(kv((1L to 20L)
+      .map(i => (Long.MaxValue - i, s"s$i", i.toDouble)): _*))
+    val bp = big.shuffleIndex("id", seed = Long.MaxValue - 3L)
+      .df.collect().map(_.getAs[Long]("shuffle_pos"))
+    assert(bp.sorted.toSeq == (0L until 20L))
+    // the seed actually rotates the permutation
+    val p0 = d.shuffleIndex("id", seed = 0L).df.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("shuffle_pos")).toMap
+    val p9 = d.shuffleIndex("id", seed = 9L).df.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("shuffle_pos")).toMap
+    assert(p0 != p9)
   }
 
   test("sessionize NTZ gaps are session-timezone independent across DST") {

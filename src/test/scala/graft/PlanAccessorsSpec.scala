@@ -114,6 +114,45 @@ class PlanAccessorsSpec extends SparkTestBase {
     }
   }
 
+  test("near-dedup index: corpus side exchange-free, planted cross-shard dups found") {
+    import graft.llm.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndi").toString
+    try {
+      Dedup.writeNearDupIndex(docs, "doc_id", "text", "ndi_t", tmp)
+      val shard = docs.filter(col("doc_id") % 11 === 3)
+        .withColumn("doc_id", col("doc_id") + 50000)
+      val pairs = Dedup.nearDupPairsAgainstIndex(shard, "doc_id", "text",
+        "ndi_t", threshold = 0.5)
+      // every shard doc is a re-idded corpus copy: its (corpus, shard)
+      // pair must surface with jaccard exactly 1.0
+      val got = pairs.collect()
+      val planted = got.filter(r => r.getLong(1) - 50000 == r.getLong(0))
+      assert(planted.nonEmpty && planted.forall(_.getDouble(2) == 1.0))
+      assert(planted.size == shard.count())
+      // the 100 TB contract: the persisted corpus index is read IN PLACE
+      // — both index scans (bands + shingles) sit under NO shuffle
+      // exchange; only the new shard's side may exchange
+      val sp = pairs.queryExecution.sparkPlan
+      def isIdxScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.exists(_.toString.contains("graft_ndi"))
+        case _ => false
+      }
+      val idxScans = sp.collect { case p if isIdxScan(p) => p }
+      assert(idxScans.size == 2, s"expected 2 index scans, got ${idxScans.size}")
+      val shuffledIdx = sp.collect {
+        case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          ex.collect { case p if isIdxScan(p) => p }
+      }.flatten
+      assert(shuffledIdx.isEmpty, "index scan rides a shuffle exchange")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ndi_t_bands")
+      spark.sql("DROP TABLE IF EXISTS ndi_t_shingles")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Every cross join in the library broadcasts a bounded (≤1-row /
     // centroid-count) side, which Spark plans as BroadcastNestedLoopJoin;

@@ -324,6 +324,33 @@ class WindowLlmSpec extends SparkTestBase {
       s"id=${r.getLong(0)}: native ${r.getDouble(1)} != hof ${r.getDouble(2)}"))
   }
 
+  test("native nfc_normalize matches the JDK normalizer bit-for-bit") {
+    import org.apache.spark.sql.functions.{col, udf}
+    val sch = StructType(Seq(StructField("s", StringType)))
+    val d = df(sch,
+      Row("café"),          // e + combining acute -> é (composes)
+      Row("é"),              // already composed é (idempotent)
+      Row("Å"),             // A + ring -> Å
+      Row("ṩ"),              // s with dot below and above
+      Row("plain ascii"), Row(""), Row(null))
+    val reference = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    val both = d.select(
+      graft.functions.TextHashExprs.nfcNormalize(col("s")).as("nat"),
+      reference(col("s")).as("ref"))
+    val rows = both.collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getString(0) == r.getString(1))
+    }
+    // the composing case actually composed (the fixture is non-vacuous)
+    val got = d.select(graft.functions.TextHashExprs.nfcNormalize(col("s")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got.contains("café") && got.contains("Å"))
+  }
+
   test("native lsh_bucket matches the declarative HOF form bit-for-bit") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(300)
