@@ -217,6 +217,72 @@ object QueriesEmbed {
         k = 10, nprobe = 2)
     }
 
+    // Batched IVF ANN: 20 query vectors in ONE job — per-query probe-cell
+    // rank over the broadcast seeds, blockwise corpus assignment, one
+    // cell equi-join, per-query top-k. Same iters=0 SQL-expressible seeds
+    // as q_ivf_topk; the oracle generalizes its CTEs per query id.
+    r.reg("q_ivf_batch",
+      """WITH hs AS (
+        |  SELECT vec_id, embedding,
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell,
+        |    embedding AS centroid
+        |  FROM hs ORDER BY h ASC, vec_id ASC LIMIT 8),
+        |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |       WHERE vec_id % 25 = 0),
+        |cdist AS (
+        |  SELECT q.qid, s.cell,
+        |    list_sum(list_transform(range(1, len(s.centroid)+1),
+        |      i -> (CAST(s.centroid[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |         * (CAST(s.centroid[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) AS d
+        |  FROM seeds s, qs q),
+        |probec AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT qid, cell,
+        |      row_number() OVER (PARTITION BY qid ORDER BY d ASC, cell ASC) AS rn
+        |    FROM cdist) WHERE rn <= 2),
+        |dists AS (
+        |  SELECT e.vec_id, s.cell,
+        |    list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE)))) AS d
+        |  FROM embeddings e, seeds s),
+        |best AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        |  FROM dists),
+        |cand AS (
+        |  SELECT p.qid, b.vec_id, q.qv
+        |  FROM best b JOIN probec p USING (cell) JOIN qs q ON q.qid = p.qid
+        |  WHERE b.rn = 1 AND b.vec_id <> p.qid),
+        |pz AS (
+        |  SELECT c.qid, c.vec_id, unnest(e.embedding) AS a, unnest(c.qv) AS b
+        |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id),
+        |pd AS (
+        |  SELECT qid, vec_id,
+        |    sum(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+        |    sum(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na,
+        |    sum(CAST(CAST(b AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS nb
+        |  FROM pz GROUP BY qid, vec_id),
+        |scored AS (
+        |  SELECT qid, vec_id,
+        |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC,
+        |      vec_id ASC) AS rn
+        |  FROM pd)
+        |SELECT qid AS query_id, vec_id, cos FROM scored WHERE rn <= 3
+        |ORDER BY query_id, vec_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cents = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 8, iters = 0)
+      val q = e.filter(col("vec_id") % 25 === 0).select("vec_id", "embedding")
+      graft.llm.Ivf.annTopKBatch(e, q, "vec_id", "embedding",
+          "vec_id", "embedding", cents, k = 3, nprobe = 2)
+        .orderBy("query_id", "vec_id")
+    }
+
     // IVF coarse assignment with iters=0 (seed centroids = the 8 sample
     // vectors with the smallest Knuth id-hash): fully SQL-expressible, so
     // the blockwise argmin — the part of IVF that touches ALL data at

@@ -62,5 +62,8 @@ object SparkEntry {
     "q_decontaminate", "q_tpch_q17",
     // r6: real ImageIO codec round trip (mapPartitions batch shape) and
     // multi-probe ANN (9-bucket probe union)
-    "q_multimodal_features", "q_ann_multiprobe")
+    "q_multimodal_features", "q_ann_multiprobe",
+    // r8: the production retrieval shape (20-query batch, one bucket
+    // join) and the by-less as-of (range-partitioned carry)
+    "q_ann_batch", "q_asof_global")
 }

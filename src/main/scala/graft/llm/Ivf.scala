@@ -123,6 +123,50 @@ object Ivf {
       .limit(k)
   }
 
+  /** Batched IVF ANN top-k: a query FRAME against the corpus in ONE job
+    * — the IVF analog of [[Similarity.annTopKBatch]] (a retrieval pass
+    * over millions of query vectors must not loop [[annTopK]] into
+    * millions of Spark jobs).
+    *
+    * Shape: each query ranks the BROADCAST centroid list and keeps its
+    * `nprobe` nearest cells (explode + per-query row_number — the only
+    * shuffles on the query side are this window and the final rank,
+    * both |Q|-sized, never corpus-sized); the corpus assigns blockwise
+    * exactly as [[assign]] (no shuffle), then ONE equi-join on the cell
+    * id pairs every query with its probe cells' vectors and a per-query
+    * `row_number` keeps k. Neither side is ever collected or crossed:
+    * a 10M-row query frame and a 10B-row corpus plan the same join. */
+  def annTopKBatch(embeddings: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String,
+                   qIdCol: String, qVecCol: String,
+                   centroids: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val cl = broadcast(centroids.agg(
+      array_sort(collect_list(struct(col("cell"), col("centroid")))).as("cs")))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d").asc, col("cell").asc)
+    val qcells = queries
+      .select(col(qIdCol).as("query_id"),
+        col(qVecCol).cast("array<double>").as("__qv__"))
+      .crossJoin(cl)
+      .select(col("query_id"), col("__qv__"),
+        explode(col("cs")).as("c"))
+      .select(col("query_id"), col("__qv__"),
+        col("c").getField("cell").as("cell"),
+        sqDist(col("__qv__"), col("c").getField("centroid")).as("d"))
+      .withColumn("__rn__", row_number().over(wProbe))
+      .filter(col("__rn__") <= nprobe)
+      .select(col("query_id"), col("__qv__"), col("cell"))
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col(idCol).asc)
+    assign(embeddings, idCol, vecCol, centroids)
+      .join(qcells, Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos", Similarity.cosine(col(vecCol), col("__qv__")))
+      .withColumn("__rk__", row_number().over(wK))
+      .filter(col("__rk__") <= k)
+      .select(col("query_id"), col(idCol), col("cos"))
+  }
+
   /** Persist the assigned corpus as a cell-partitioned parquet index
     * (plus the centroids alongside): one assignment pass at build time,
     * then every [[annTopKIndexed]] search scans ONLY its nprobe cell

@@ -463,6 +463,29 @@ class WindowLlmSpec extends SparkTestBase {
     assert(sampled == full)
   }
 
+  test("IVF annTopKBatch matches per-query annTopK, no cartesian") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200).cache()
+    val cents = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 4, iters = 0)
+    val q = e.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+    val batch = graft.llm.Ivf.annTopKBatch(e, q, "vec_id", "embedding",
+      "vec_id", "embedding", cents, k = 5, nprobe = 2)
+    val got = batch.collect().groupBy(_.getLong(0))
+      .map { case (qid, rs) =>
+        qid -> rs.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+          .map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    assert(got.keySet == Set(0L, 50L, 100L, 150L))
+    got.foreach { case (qid, rows) =>
+      val single = graft.llm.Ivf.annTopK(e, "vec_id", "embedding", cents,
+          queryId = qid, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows == single, s"query $qid: batch $rows != single $single")
+    }
+    val plan = batch.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "batched IVF must never plan a pairwise product")
+  }
+
   test("IVF persisted index: search prunes to nprobe cell dirs and matches in-memory") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200).cache()
