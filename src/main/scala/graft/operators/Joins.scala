@@ -180,8 +180,16 @@ object Joins {
     require(Set("backward", "forward", "nearest")(direction),
       s"asofJoinGlobal: direction must be backward/forward/nearest, got '$direction'")
     val (withM, rightVals, tieBreak) = asofPrep(left, right, leftTs, rightTs, Nil)
-    // Both carry consumers descend from THIS frame — one range exchange,
-    // planned once (ReusedExchange), same sampled boundaries everywhere.
+    // Both carry consumers descend from THIS frame. Measured (r8 final-
+    // plan audit): column pruning projects the carries branch narrower
+    // than the data branch, so the two range exchanges canonicalize
+    // differently and AQE does NOT reuse the stage — the union pipeline
+    // runs twice (q_asof_global ~1.6x q_asof_join at sf0.1, the honest
+    // price of the guarded escape hatch; still never a single-task
+    // window). Correctness does not depend on reuse: range-boundary
+    // sampling is deterministic over identical input splits, so both
+    // branches assign identical __pid__s — value-checked end-to-end by
+    // the q_asof_global oracle and the multi-partition parity spec.
     val ranged = withM.repartitionByRange(col("__ts__"))
       .withColumn("__pid__", spark_partition_id())
     val bSide = if (allowExactMatches) col("__side__").asc else col("__side__").desc
