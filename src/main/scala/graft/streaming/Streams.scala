@@ -165,6 +165,59 @@ object Streams {
     * re-aggregation per doc; the broadcast probe keeps the stream
     * pipeline a pure map. For corpus-sized exclusion sets use the batch
     * `Dedup.decontaminate` instead. */
+  /** Streaming near-dup flagging of an incoming doc stream against a
+    * PERSISTED corpus index ([[graft.llm.Dedup.writeNearDupIndex]]) —
+    * the streaming face of `nearDupPairsAgainstIndex`, for ingest
+    * pipelines that must reject duplicates as shards arrive rather
+    * than in a nightly batch. Every operator is stateless: band the
+    * arriving doc's signature blockwise (native expressions), then two
+    * stream-static equi-joins — candidate generation against the
+    * bucketed bands table, exact-Jaccard verify against the bucketed
+    * shingle table. No state store, no watermark, append-mode safe;
+    * the corpus side reads its buckets in place on every micro-batch.
+    *
+    * Emits (id_a = corpus id, id_b = stream id, jaccard >= threshold).
+    * A pair colliding in several bands is emitted once per band — all
+    * within the single micro-batch that carries the doc, so a
+    * `foreachBatch` sink dedups with a plain per-batch
+    * `dropDuplicates("id_a","id_b")` and stays stateless (a streaming
+    * dropDuplicates would grow a pair-keyed state store forever). */
+  def nearDupPairsStream(docs: DataFrame, idCol: String, textCol: String,
+                         indexName: String, threshold: Double,
+                         shingleK: Int = 3, numHashes: Int = 16,
+                         bands: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = numHashes / bands
+    val eligible = docs.filter(size(split(col(textCol), " ", -1)) >= shingleK)
+    val sigd = eligible
+      .select(col(idCol).as("id_b"),
+        graft.functions.TextHashExprs.shingleHashes(col(textCol), shingleK)
+          .as("sh_b"))
+      .withColumn("sig",
+        graft.functions.TextHashExprs.minhashSig(col("sh_b"), numHashes))
+    // sh_b rides the band explode: a micro-batch is bounded, so carrying
+    // the shingle array to the verify join beats a third scan of the
+    // stream source (which a second branch would need)
+    val banded = sigd.select(col("id_b"), col("sh_b"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))
+        .as(Seq("band", "key")))
+    val cand = banded
+      .join(spark.table(s"${indexName}_bands"), Seq("band", "key"))
+      .filter(col("id") =!= col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"), col("sh_b"))
+    val idxSh = spark.table(s"${indexName}_shingles")
+      .select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    cand.join(idxSh, Seq("id_a"))
+      .withColumn("__i__",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("__i__") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("__i__")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   def decontaminateStream(docs: DataFrame, bench: DataFrame,
                           idCol: String, textCol: String,
                           k: Int = 5): DataFrame = {

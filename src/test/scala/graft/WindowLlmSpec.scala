@@ -518,6 +518,53 @@ class WindowLlmSpec extends SparkTestBase {
     }
   }
 
+  test("streaming near-dup flags arrivals against a persisted index, batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(300).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndis").toString
+    try {
+      graft.llm.Dedup.writeNearDupIndex(corpus, "doc_id", "text", "ndi_s", tmp)
+      // stream two arrivals: an exact copy of corpus doc 7 (planted
+      // near-dup) and a text sharing no 3-shingles with anything
+      val dupText = corpus.filter(col("doc_id") === 7).collect().head.getString(1)
+      val in = MemoryStream[(Long, String)]
+      val flagged = graft.streaming.Streams.nearDupPairsStream(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", "ndi_s", 0.5)
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      val q = flagged.writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // per-batch dedup of multi-band hits — stateless by design
+          buf ++= b.dropDuplicates("id_a", "id_b").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          ()
+        }.start()
+      try {
+        in.addData((90001L, dupText),
+          (90002L, "zzqx wvut plomk jrhsd unseen gibberish tokens"))
+        q.processAllAvailable()
+      } finally q.stop()
+      // the planted copy flags against corpus doc 7 at jaccard 1.0 and
+      // matches the BATCH index path bit-for-bit; the gibberish doc
+      // flags nothing
+      assert(buf.exists(p => p._1 == 7L && p._2 == 90001L && p._3 == 1.0),
+        s"planted dup not flagged: $buf")
+      assert(!buf.exists(_._2 == 90002L))
+      val batch = graft.llm.Dedup.nearDupPairsAgainstIndex(
+          spark.createDataFrame(Seq((90001L, dupText), (90002L, "zzqx wvut plomk")))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", "ndi_s", threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(buf.toSet == batch, s"stream $buf != batch $batch")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ndi_s_bands")
+      spark.sql("DROP TABLE IF EXISTS ndi_s_shingles")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("streaming runningSum carries state across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
