@@ -179,6 +179,45 @@ object Ivf {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Batched search over a PERSISTED index: the cell ids each query
+    * probes are only known at runtime, so static `IN (...)` pruning
+    * ([[annTopKIndexed]]) can't apply — instead the probe-cell frame
+    * joins the cell-partitioned index and Spark's dynamic partition
+    * pruning turns the broadcast probe set into a runtime partition
+    * filter on the scan: the index read covers the UNION of all
+    * queries' probe cells, not the whole corpus. One job for the whole
+    * query frame; per-query top-k via `row_number`. */
+  def annTopKIndexedBatch(queries: DataFrame, qIdCol: String, qVecCol: String,
+                          indexPath: String, idCol: String, vecCol: String,
+                          k: Int, nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val cl = broadcast(centroids.agg(
+      array_sort(collect_list(struct(col("cell"), col("centroid")))).as("cs")))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d").asc, col("cell").asc)
+    val qcells = queries
+      .select(col(qIdCol).as("query_id"),
+        col(qVecCol).cast("array<double>").as("__qv__"))
+      .crossJoin(cl)
+      .select(col("query_id"), col("__qv__"), explode(col("cs")).as("c"))
+      .select(col("query_id"), col("__qv__"),
+        col("c").getField("cell").as("cell"),
+        sqDist(col("__qv__"), col("c").getField("centroid")).as("d"))
+      .withColumn("__rn__", row_number().over(wProbe))
+      .filter(col("__rn__") <= nprobe)
+      .select(col("query_id"), col("__qv__"), col("cell"))
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col(idCol).asc)
+    spark.read.parquet(s"$indexPath/vectors")
+      .join(broadcast(qcells), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos", Similarity.cosine(col(vecCol), col("__qv__")))
+      .withColumn("__rk__", row_number().over(wK))
+      .filter(col("__rk__") <= k)
+      .select(col("query_id"), col(idCol), col("cos"))
+  }
+
   /** Search a persisted index: the nprobe cell ids are resolved to
     * LITERALS (a bounded nprobe-int collect over the tiny centroid
     * frame), so the `cell IN (...)` predicate is a STATIC partition

@@ -518,6 +518,39 @@ class WindowLlmSpec extends SparkTestBase {
     }
   }
 
+  test("IVF indexed batch search: dynamic partition pruning + per-query parity") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200).cache()
+    val cents = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 4, iters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_bidx").toString
+    try {
+      graft.llm.Ivf.writeIndex(e, "vec_id", "embedding", cents, dir)
+      val q = e.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+      val batch = graft.llm.Ivf.annTopKIndexedBatch(q, "vec_id", "embedding",
+        dir, "vec_id", "embedding", k = 5, nprobe = 2)
+      // the scan must carry a RUNTIME partition filter (dynamic pruning
+      // from the broadcast probe frame) — the 100 TB contract: the index
+      // read covers the union of probed cells, not the whole corpus
+      val plan = batch.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no dynamic partition pruning on the index scan:\n${plan.take(1200)}")
+      // per-query parity with the single-query indexed search
+      val got = batch.collect().groupBy(_.getLong(0))
+        .map { case (qid, rs) =>
+          qid -> rs.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+            .map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+      assert(got.keySet == Set(0L, 50L, 100L, 150L))
+      got.foreach { case (qid, rows) =>
+        val single = graft.llm.Ivf.annTopKIndexed(e, "vec_id", "embedding",
+            dir, queryId = qid, k = 5, nprobe = 2)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(rows == single, s"query $qid: batch $rows != single $single")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("streaming near-dup flags arrivals against a persisted index, batch parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
