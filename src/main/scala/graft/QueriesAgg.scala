@@ -544,6 +544,18 @@ object QueriesAgg {
       Reductions.histogram(t(s, dir, "lineitem"), "l_quantity", 0.0, 50.0, 10)
     }
 
+    // Key-skew diagnostic: hottest join keys + corpus share — the pass
+    // that sizes a salt factor before a skewed join. Count, 1-row
+    // broadcast total, TakeOrdered — deterministic via (n desc, key asc).
+    r.reg("q_skew_report",
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT sum(n) AS tot FROM c)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        |FROM c, t ORDER BY n DESC, user_id ASC LIMIT 15""".stripMargin) { (s, dir) =>
+      Reductions.keySkewReport(t(s, dir, "events"), "user_id", 15)
+    }
+
     r.reg("q_value_counts",
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS count
         |FROM orders GROUP BY o_orderpriority

@@ -93,6 +93,37 @@ object QueriesEmbed {
         .orderBy("label", "pos")
     }
 
+    // int8 scalar quantization: scale and every quantized element are
+    // hash-checked; floor(x/s + 0.5) is the explicit half-up both
+    // engines compute identically (round() ties differ per engine).
+    // Quantized values are emitted as INTEGER — the driver's canonical
+    // hash is dtype-sensitive and DuckDB lists don't carry TINYINT
+    // through unnest uniformly.
+    r.reg("q_embed_quantize",
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT e.vec_id, s.scale,
+        |    list_transform(e.embedding, x ->
+        |      CASE WHEN s.scale = 0 THEN 0
+        |           ELSE CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS INTEGER) END) AS qv
+        |  FROM embeddings e JOIN s USING (vec_id))
+        |SELECT vec_id, scale,
+        |  CAST(unnest(range(0, len(qv))) AS INTEGER) AS pos,
+        |  CAST(unnest(qv) AS INTEGER) AS qval
+        |FROM q WHERE vec_id < 100 ORDER BY vec_id, pos""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).as("__z__"))
+        .select(col("vec_id"), col("__z__").getField("scale").as("scale"),
+          posexplode(col("__z__").getField("q")).as(Seq("pos", "qv")))
+        .select(col("vec_id"), col("scale"), col("pos"),
+          col("qv").cast(IntegerType).as("qval"))
+        .orderBy("vec_id", "pos")
+    }
+
     r.reg("q_cosine_topk",
       s"""WITH $dotCtes
          |SELECT vec_id, cos FROM cosines

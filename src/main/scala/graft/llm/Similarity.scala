@@ -204,6 +204,29 @@ object Similarity {
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .orderBy("bucket")
 
+  /** Symmetric per-vector int8 scalar quantization — the 4× storage cut
+    * a 100 TB embedding store takes before anything else: scale =
+    * max|x|/127, q_i = floor(x_i/scale + 0.5) (explicit half-up — both
+    * engines agree, unlike round()'s per-engine tie modes). Returns a
+    * struct (scale DOUBLE, q ARRAY<TINYINT>); |q_i| ≤ 127 by
+    * construction, zero vectors quantize to all-zero with scale 0.
+    * Blockwise, codegen'd, fuses into the scan. */
+  def quantizeInt8(vec: Column): Column = {
+    val dv = vec.cast("array<double>")
+    val s = array_max(transform(dv, v => abs(v))) / lit(127.0)
+    struct(s.as("scale"),
+      transform(dv, v =>
+        when(s === 0.0, lit(0).cast("byte"))
+          .otherwise(floor(v / s + lit(0.5)).cast("int").cast("byte"))).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: x̂_i = q_i · scale (lossy — bounded by
+    * scale/2 per element). */
+  def dequantizeInt8(quantized: Column): Column = {
+    val s = quantized.getField("scale")
+    transform(quantized.getField("q"), q => q.cast("double") * s)
+  }
+
   /** Per-group centroid of an embedding column — the distributed
     * mean-of-vectors primitive (IVF retraining, cluster summaries,
     * per-domain embedding profiles). Per-dimension sums go through

@@ -21,6 +21,23 @@ object Reductions {
       .limit(1)
       .select(col(c).as(s"mode_$c"))
 
+  /** Key-skew report: the `topK` hottest keys with row counts and
+    * corpus share — the diagnostic a pipeline runs BEFORE choosing a
+    * salt factor / AQE skew threshold for a join on `keyCol`. One
+    * map-side-combined count aggregation (group cardinality = distinct
+    * keys, far below row count), a 1-row broadcast total, and a
+    * TakeOrdered top-k — no full sort, nothing driver-sized. */
+  def keySkewReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "keySkewReport needs a positive topK")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t__"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("__t__").cast("double"))
+      .drop("__t__")
+      .orderBy(col("n").desc, col(keyCol).asc)
+      .limit(topK)
+  }
+
   /** Fixed-bin histogram of a numeric column (value_counts superset —
     * pandas exposes this as `Series.value_counts(bins=n)` / `pd.cut`):
     * bin i covers [lo + i·w, lo + (i+1)·w) with the top edge folded into

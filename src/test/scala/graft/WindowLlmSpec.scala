@@ -324,6 +324,37 @@ class WindowLlmSpec extends SparkTestBase {
       s"id=${r.getLong(0)}: native ${r.getDouble(1)} != hof ${r.getDouble(2)}"))
   }
 
+  test("int8 quantize/dequantize round trip bounds error at scale/2") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(100)
+    val rt = e.select(col("vec_id"), col("embedding"),
+        Similarity.quantizeInt8(col("embedding")).as("z"))
+      .select(col("vec_id"), col("embedding"),
+        col("z").getField("scale").as("scale"),
+        col("z").getField("q").as("q"),
+        Similarity.dequantizeInt8(col("z")).as("back"))
+      .collect()
+    assert(rt.length == 100)
+    rt.foreach { r =>
+      val orig = r.getSeq[Float](1).map(_.toDouble)
+      val scale = r.getDouble(2)
+      val q = r.getSeq[Byte](3)
+      val back = r.getSeq[Double](4)
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec ${r.getLong(0)} out of int8 range")
+      // max|x| maps to ±127 exactly; every element reconstructs within
+      // half a quantization step
+      orig.zip(back).foreach { case (o, b) =>
+        assert(math.abs(o - b) <= scale / 2 + 1e-12,
+          s"vec ${r.getLong(0)}: |$o - $b| > ${scale / 2}")
+      }
+    }
+    // zero vector: scale 0, all-zero codes, reconstructs to zeros
+    val z = spark.sql("SELECT array(0.0f, 0.0f, 0.0f) AS v")
+      .select(Similarity.quantizeInt8(col("v")).as("z"))
+      .select(col("z").getField("scale"), col("z").getField("q")).collect().head
+    assert(z.getDouble(0) == 0.0 && z.getSeq[Byte](1).forall(_ == 0))
+  }
+
   test("native nfc_normalize matches the JDK normalizer bit-for-bit") {
     import org.apache.spark.sql.functions.{col, udf}
     val sch = StructType(Seq(StructField("s", StringType)))
