@@ -202,4 +202,84 @@ class PropertySpec extends SparkTestBase {
       assert(bad == 0, s"$bad generated docs diverge native vs declarative")
     }
   }
+
+  // ---- merge_asof vs a brute-force per-row reference ----
+  // Small ts domain forces exact-ts collisions, duplicate right
+  // timestamps, and empty-candidate rows across cases; nullable right
+  // values exercise the matched-row NULL-carry discipline.
+
+  private val asofGen: Gen[(List[(Long, String, Long)], List[(String, Long, Option[Double])])] =
+    for {
+      nl <- Gen.choose(1, 25)
+      nr <- Gen.choose(0, 10)
+      left <- Gen.listOfN(nl, for {
+        g <- Gen.oneOf("g", "h")
+        t <- Gen.choose(0L, 20L)
+      } yield (g, t))
+      right <- Gen.listOfN(nr, for {
+        g <- Gen.oneOf("g", "h")
+        t <- Gen.choose(0L, 20L)
+        v <- Gen.option(Gen.choose(1, 9).map(_.toDouble))
+      } yield (g, t, v))
+    } yield (left.zipWithIndex.map { case ((g, t), i) => (i.toLong, g, t) }, right)
+
+  /** The pandas rule, spelled out row-at-a-time: candidates by direction
+    * and exact-match flag, matched row = extreme (ts, value) tuple with
+    * None-first value ordering (the asc_nulls_first tie-break), nearest
+    * ties to backward, tolerance nulls a too-far match afterwards. */
+  private def bruteAsof(lts: Long, rights: Seq[(Long, Option[Double])],
+                        direction: String, allowExact: Boolean,
+                        tol: Option[Long]): Option[(Long, Option[Double])] = {
+    implicit val ord: Ordering[(Long, Option[Double])] =
+      Ordering.Tuple2(Ordering.Long, Ordering.Option(Ordering.Double.TotalOrdering))
+    val back = rights.filter(r => if (allowExact) r._1 <= lts else r._1 < lts)
+      .sorted.lastOption
+    val fwd = rights.filter(r => if (allowExact) r._1 >= lts else r._1 > lts)
+      .sorted.headOption
+    val m = direction match {
+      case "backward" => back
+      case "forward" => fwd
+      case "nearest" => (back, fwd) match {
+        case (Some(b), Some(f)) =>
+          if (lts - b._1 <= f._1 - lts) Some(b) else Some(f)
+        case (b, f) => b.orElse(f)
+      }
+    }
+    m.filter(mm => tol.forall(t => math.abs(lts - mm._1) <= t))
+  }
+
+  test("asofJoin (all directions/flags) equals the brute-force reference") {
+    import org.apache.spark.sql.types._
+    val cases = for {
+      direction <- Seq("backward", "forward", "nearest")
+      allowExact <- Seq(true, false)
+      tol <- Seq(None, Some(3L))
+    } yield (direction, allowExact, tol)
+    forAll(asofGen, cases = 6) { case (left, right) =>
+      val lDf = df(StructType(Seq(StructField("id", LongType),
+          StructField("g", StringType), StructField("t", LongType))),
+        left.map { case (i, g, t) => Row(i, g, t) }: _*)
+      val rDf = df(StructType(Seq(StructField("g", StringType),
+          StructField("t", LongType), StructField("rv", DoubleType))),
+        right.map { case (g, t, v) => Row(g, t, v.map(Double.box).orNull) }: _*)
+      for ((direction, allowExact, tol) <- cases) {
+        val out = graft.operators.Joins.asofJoin(lDf, rDf, "t", "t", Seq("g"),
+          direction, tol, allowExact)
+        val got = out.collect().map { r =>
+          r.getLong(out.columns.indexOf("id")) ->
+            (if (r.isNullAt(out.columns.indexOf("rv"))) None
+             else Some(r.getDouble(out.columns.indexOf("rv"))))
+        }.toMap
+        assert(got.size == left.size, s"$direction/$allowExact/$tol lost rows")
+        left.foreach { case (id, g, lts) =>
+          val rights = right.filter(_._1 == g).map(r => (r._2, r._3))
+          val expect = bruteAsof(lts, rights, direction, allowExact, tol)
+            .flatMap(_._2)
+          assert(got(id) == expect,
+            s"id=$id g=$g t=$lts $direction exact=$allowExact tol=$tol: " +
+              s"got ${got(id)}, brute $expect (rights=$rights)")
+        }
+      }
+    }
+  }
 }
