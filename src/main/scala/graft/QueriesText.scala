@@ -43,8 +43,11 @@ object QueriesText {
 
   private val sigCtes = sigCtesFrom("documents")
 
-  private val pairsCtes =
-    s"""$sigCtes,
+  /** banded LSH candidates + exact-Jaccard pairs atop [[sigCtesFrom]]'s
+    * toks/hs/sig names — `src` parameterizes the document source so the
+    * e2e pipeline oracle can run the same machinery mid-chain. */
+  private def pairsCtesFrom(src: String): String =
+    s"""${sigCtesFrom(src)},
        |banded AS (
        |  SELECT doc_id, unnest(range(0, 4)) AS band,
        |    unnest(list_transform(range(0, 4), b ->
@@ -64,6 +67,8 @@ object QueriesText {
        |  JOIN hs x ON x.doc_id = cand.id_a
        |  JOIN hs y ON y.doc_id = cand.id_b
        |)""".stripMargin
+
+  private val pairsCtes = pairsCtesFrom("documents")
 
   def register(r: QueryRegistry): Unit = {
 
@@ -608,6 +613,75 @@ object QueriesText {
          |  FROM btoks WHERE len(tid) >= 5),
          |bh AS (SELECT DISTINCT unnest(gs) AS h FROM bhs)""".stripMargin
 
+    // END-TO-END pipeline: quality gate → exact dedup → near dedup →
+    // decontamination → split → shuffle position, composed as ONE plan
+    // (llm/Pipeline.pretrainCorpus) and recomputed stage-for-stage in
+    // SQL. The final (doc_id, split, shuffle_pos) triple is sensitive to
+    // every stage: a doc wrongly kept/dropped anywhere shifts EVERY
+    // later shuffle position, so the hash check has no slack.
+    r.reg("q_pipeline_e2e", {
+      val tTrain = (0.8 * 4294967296L).toLong
+      val tVal = (0.9 * 4294967296L).toLong
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+         |pbench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |qtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+         |qgrams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+         |  FROM qtoks WHERE len(t) >= 2),
+         |qgcnt AS (SELECT doc_id, g, count(*) AS c FROM qgrams GROUP BY doc_id, g),
+         |qgtop AS (SELECT doc_id, max(c) AS topc, sum(c) AS totc FROM qgcnt GROUP BY doc_id),
+         |kept AS (
+         |  SELECT d.doc_id, d.text FROM base d LEFT JOIN qgtop USING (doc_id)
+         |  WHERE len(string_split(d.text, ' ')) BETWEEN 3 AND 100000
+         |    AND 1.0 - len(list_distinct(string_split(d.text, chr(10)))) * 1.0
+         |          / len(string_split(d.text, chr(10))) < 0.3
+         |    AND COALESCE(topc * 1.0 / totc, 0.0) < 0.2),
+         |keyed AS (
+         |  SELECT doc_id, text, row_number() OVER (
+         |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn
+         |  FROM kept),
+         |ex AS (SELECT doc_id, text FROM keyed WHERE rn = 1),
+         |${pairsCtesFrom("ex")},
+         |nd AS (SELECT doc_id, text FROM ex
+         |       WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= 0.5)),
+         |ndtoks AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '), g -> ${tokIdSql("g")}) AS tid
+         |  FROM nd),
+         |ndhs AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(tid)-3),
+         |    i -> ((((tid[i]*31 + tid[i+1])*31 + tid[i+2])*31 + tid[i+3])*31 + tid[i+4]) % 2147483647)) AS gs
+         |  FROM ndtoks WHERE len(tid) >= 5),
+         |pbtoks AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '), g -> ${tokIdSql("g")}) AS tid
+         |  FROM pbench),
+         |pbhs AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(tid)-3),
+         |    i -> ((((tid[i]*31 + tid[i+1])*31 + tid[i+2])*31 + tid[i+3])*31 + tid[i+4]) % 2147483647)) AS gs
+         |  FROM pbtoks WHERE len(tid) >= 5),
+         |pbh AS (SELECT DISTINCT unnest(gs) AS h FROM pbhs),
+         |clean AS (
+         |  SELECT doc_id FROM nd WHERE doc_id NOT IN (
+         |    SELECT DISTINCT doc_id
+         |    FROM (SELECT doc_id, unnest(gs) AS h FROM ndhs) th JOIN pbh USING (h)))
+         |SELECT doc_id,
+         |  CASE WHEN (doc_id % 2147483648) * 2654435761 % 4294967296 < $tTrain THEN 'train'
+         |       WHEN (doc_id % 2147483648) * 2654435761 % 4294967296 < $tVal THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(row_number() OVER (
+         |    ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296) - 1
+         |    AS BIGINT) AS shuffle_pos
+         |FROM clean ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.llm.Pipeline.pretrainCorpus(
+          docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+          "doc_id", "text")
+        .select("doc_id", "split", "shuffle_pos")
+        .orderBy("doc_id")
+    }
+
     r.reg("q_decontaminate",
       s"""WITH $decontamCtes
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
@@ -701,6 +775,44 @@ object QueriesText {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
         .select("doc_id", "text").unionByName(plantedDf)
       TextStats.dropRepeatedLines(docs, "doc_id", "text").orderBy("doc_id")
+    }
+
+    // CORPUS-level boilerplate removal: 50 planted docs carry the same
+    // 'COOKIE BANNER' prefix line (doc-freq 51 > 3 -> stripped from every
+    // doc), one planted doc is banner-only (must survive with EMPTY
+    // text, not vanish), and naturally-duplicated single-line texts in
+    // the documents table exercise the threshold on organic data too.
+    r.reg("q_boilerplate_lines",
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL SELECT 100000 + doc_id, 'COOKIE BANNER' || chr(10) || text
+        |    FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT -30, 'COOKIE BANNER'
+        |),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM docs),
+        |ex AS (SELECT doc_id, unnest(range(1, len(arr)+1)) AS pos, arr FROM ls),
+        |lines AS (SELECT doc_id, pos, arr[pos] AS line FROM ex),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+        |kept AS (
+        |  SELECT l.doc_id, l.pos, l.line
+        |  FROM lines l JOIN freq f USING (line) WHERE f.df <= 3),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(r.text, '') AS text
+        |FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val docs = base.filter(col("doc_id") < 200)
+        .unionByName(base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("COOKIE BANNER\n"), col("text")).as("text")))
+        .unionByName(s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(-30L, "COOKIE BANNER")),
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("text", StringType)))))
+      TextStats.dropBoilerplateLines(docs, "doc_id", "text", maxDocFreq = 3)
+        .orderBy("doc_id")
     }
 
     // Sequence packing: shard = floor(exclusive-cumsum / capacity) under

@@ -64,6 +64,8 @@ object SparkEntry {
     // multi-probe ANN (9-bucket probe union)
     "q_multimodal_features", "q_ann_multiprobe",
     // r8: the production retrieval shape (20-query batch, one bucket
-    // join) and the by-less as-of (range-partitioned carry)
-    "q_ann_batch", "q_asof_global")
+    // join), the by-less as-of (range-partitioned carry), and the
+    // end-to-end corpus build (quality -> dedup×2 -> decontam -> split
+    // -> shuffle as ONE composed plan)
+    "q_ann_batch", "q_asof_global", "q_pipeline_e2e")
 }

@@ -148,6 +148,42 @@ object TextStats {
         "\n").as(textCol))
   }
 
+  /** CORPUS-level boilerplate line removal (the RefinedWeb/Dolma
+    * complement of [[dropRepeatedLines]]'s within-doc pass): drop every
+    * line occurring in more than `maxDocFreq` DISTINCT documents —
+    * headers, nav bars, cookie banners — keeping per-doc line order.
+    * Scale shape: the line explode is blockwise; document frequency is
+    * a two-level aggregate keyed on md5(line) (distinct (key, doc) then
+    * count), so the wide shuffle carries a 32-char key + id, never line
+    * text twice; the verdict rejoins by the same key (plain equi-join,
+    * no broadcast — the frequency table is corpus-sized); reassembly
+    * sorts by position within each doc. Docs whose every line is
+    * boilerplate survive with empty text (left join back) so downstream
+    * stages can flag rather than silently lose rows. md5 keying matches
+    * [[Dedup.exact]]'s engine-portable discipline: the oracle groups on
+    * the line text itself, equivalent because md5 equality is string
+    * equality. */
+  def dropBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                           maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 1, "dropBoilerplateLines needs maxDocFreq >= 1")
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos__", "__line__")))
+      .withColumn("__lh__", md5(col("__line__")))
+    val freq = lines.select(col("__lh__"), col(idCol)).distinct()
+      .groupBy("__lh__").agg(count(lit(1)).as("__df__"))
+    val kept = lines
+      .join(freq.filter(col("__df__") <= maxDocFreq).drop("__df__"), Seq("__lh__"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos__"), col("__line__")))),
+          x => x.getField("__line__")),
+        "\n").as(textCol))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+  }
+
   /** Deterministic sequence packing: assign each document to a
     * fixed-token-capacity shard — the "pack to N-token training
     * sequences" step of a pretraining pipeline. A document lands in the

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.llm.Pipeline
+
+/** End-to-end corpus build (llm/Pipeline.pretrainCorpus): one planted
+  * document per drop-reason, so each stage's effect on the composed
+  * plan is individually visible (the q_pipeline_e2e oracle checks the
+  * same chain against DuckDB at sf scale).
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private val base =
+    "the quick brown fox jumps over a lazy dog while rain falls on the quiet hills near town"
+
+  test("each stage drops exactly its planted doc; survivors get split + shuffle_pos") {
+    val docs = df(docSchema,
+      Row(1L, base),                                  // unique, passes everything
+      Row(2L, "hi there"),                            // < minTokens -> quality gate
+      Row(3L, "  THE  quick brown fox jumps over a lazy dog while rain falls on the quiet hills near town"), // exact dup of 1 (canonicalized)
+      Row(4L, base + " tonight"),                     // near dup of 1 (jaccard ~0.94)
+      Row(5L, "results for alpha beta gamma delta epsilon on the benchmark suite"), // contaminated
+      Row(6L, "completely different words about ships sailing across wide open seas under bright stars"))
+    val bench = df(docSchema,
+      Row(100L, "alpha beta gamma delta epsilon zeta"))
+
+    val out = Pipeline.pretrainCorpus(docs, bench, "doc_id", "text")
+      .select("doc_id", "text", "split", "shuffle_pos")
+      .collect().toSeq.sortBy(_.getLong(0))
+
+    assert(out.map(_.getLong(0)) == Seq(1L, 6L),
+      "quality (2), exact-dup (3), near-dup (4), contamination (5) must each drop their doc")
+    assert(out.forall(r => Set("train", "val", "test")(r.getString(2))))
+    // shuffle_pos is a dense 0..n-1 permutation over survivors
+    assert(out.map(_.getLong(3)).sorted == (0L until out.size).toSeq)
+    // survivors keep their input columns untouched
+    assert(out.find(_.getLong(0) == 1L).get.getString(1) == base)
+  }
+
+  test("near-dup stage keeps the smallest id of a duplicate cluster") {
+    val docs = df(docSchema,
+      Row(7L, base + " tonight"),
+      Row(2L, base))
+    val out = Pipeline.pretrainCorpus(docs, df(docSchema), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L))
+  }
+}

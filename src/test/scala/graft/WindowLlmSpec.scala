@@ -892,6 +892,26 @@ class WindowLlmSpec extends SparkTestBase {
     assert(got == Map(1L -> "b\na", 2L -> "only line", 3L -> "x"))
   }
 
+  test("dropBoilerplateLines strips corpus-frequent lines, keeps empty docs") {
+    val sch = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+    val d = df(sch,
+      Row(1L, "BANNER\nunique one"),
+      Row(2L, "BANNER\nunique two"),
+      Row(3L, "BANNER\nunique three"),
+      Row(4L, "BANNER"),           // banner-only: survives with empty text
+      Row(5L, "no banner here"))
+    val got = TextStats.dropBoilerplateLines(d, "doc_id", "text", maxDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "unique one", 2L -> "unique two", 3L -> "unique three",
+      4L -> "", 5L -> "no banner here"))
+    // at the threshold (freq == maxDocFreq) lines are KEPT
+    val kept = TextStats.dropBoilerplateLines(d.filter(col("doc_id") <= 3),
+        "doc_id", "text", maxDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept(1L) == "BANNER\nunique one")
+  }
+
   test("redactPii masks emails, phones, IPs and leaves clean text alone") {
     val sch = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
     val d = df(sch,
