@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** The full pretraining-corpus build, composed as ONE lazy plan — the
@@ -31,24 +31,68 @@ object Pipeline {
                      decontamK: Int = 5,
                      trainFrac: Double = 0.8,
                      valFrac: Double = 0.1,
-                     shuffleSeed: Long = 0L): DataFrame = {
+                     shuffleSeed: Long = 0L): DataFrame =
+    chain(docs, bench, idCol, textCol, minTokens, nearDupThreshold,
+      decontamK, trainFrac, valFrac, shuffleSeed, (_, d) => d)
+
+  /** [[pretrainCorpus]] with per-stage kept-row counts riding the same
+    * execution via CollectMetrics (`df.observe`) — the 100 TB answer to
+    * "how much did each stage drop": counts accumulate inside the one
+    * pass the pipeline already makes, instead of a count() re-scan per
+    * stage. Catalyst treats CollectMetrics as an optimization barrier
+    * (filters are not pushed through it), so each count is exactly the
+    * rows crossing that stage boundary. Read counts AFTER an action on
+    * the returned frame: `metrics(stage).get("rows")`. The early-stage
+    * observations may complete during near-dedup's internal label-
+    * propagation jobs (those jobs execute the same upstream plan) —
+    * same counts, just available sooner. The last tap ("output") sits at
+    * the plan ROOT, above shuffle-index's two-pass cumsum join — that
+    * join references its input subtree twice (main rows + the offsets
+    * aggregate), so an observe BELOW it would double-count; output rows
+    * equal decontamination survivors anyway (split/shuffle only add
+    * columns). */
+  def pretrainCorpusObserved(docs: DataFrame, bench: DataFrame,
+                             idCol: String, textCol: String,
+                             minTokens: Int = 3,
+                             nearDupThreshold: Double = 0.5,
+                             decontamK: Int = 5,
+                             trainFrac: Double = 0.8,
+                             valFrac: Double = 0.1,
+                             shuffleSeed: Long = 0L)
+      : (DataFrame, Map[String, Observation]) = {
+    val stages = Seq("input", "quality", "exact_dedup", "near_dedup", "output")
+    val obs = stages.map(s => s -> Observation()).toMap
+    val out = chain(docs, bench, idCol, textCol, minTokens,
+      nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
+      (stage, d) => d.observe(obs(stage), count(lit(1)).as("rows")))
+    (out, obs)
+  }
+
+  private def chain(docs: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String,
+                    minTokens: Int, nearDupThreshold: Double,
+                    decontamK: Int, trainFrac: Double, valFrac: Double,
+                    shuffleSeed: Long,
+                    tap: (String, DataFrame) => DataFrame): DataFrame = {
+    val in = tap("input", docs)
     // 1. quality gate: Gopher-style rule stats, keep only passing docs
-    val keepIds = TextStats.qualityRules(docs, idCol, textCol,
+    val keepIds = TextStats.qualityRules(in, idCol, textCol,
         minTokens = minTokens)
       .filter(col("keep")).select(idCol)
-    val kept = docs.join(keepIds, Seq(idCol), "left_semi")
+    val kept = tap("quality", in.join(keepIds, Seq(idCol), "left_semi"))
     // 2. exact dedup (canonicalized md5, keep smallest id)
-    val exact = Dedup.exact(kept, idCol, textCol)
+    val exact = tap("exact_dedup", Dedup.exact(kept, idCol, textCol))
     // 3. near dedup: banded MinHash candidates, exact-Jaccard verify,
     //    min-label components, drop non-minimal members
-    val near = Dedup.dropNearDuplicates(exact, idCol, textCol,
-      nearDupThreshold)
+    val near = tap("near_dedup", Dedup.dropNearDuplicates(exact, idCol,
+      textCol, nearDupThreshold))
     // 4. decontaminate vs the benchmark shingle set
     val clean = Dedup.decontaminate(near, bench, idCol, textCol, decontamK)
-    // 5+6. row-stable split and deterministic global shuffle position
-    graft.api.GraftFrame(clean)
+    // 5+6. row-stable split and deterministic global shuffle position;
+    // the output tap stays at the root (see pretrainCorpusObserved)
+    tap("output", graft.api.GraftFrame(clean)
       .splitByHash(idCol, trainFrac, valFrac)
       .shuffleIndex(idCol, seed = shuffleSeed)
-      .df
+      .df)
   }
 }

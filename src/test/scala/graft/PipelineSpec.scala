@@ -42,6 +42,26 @@ class PipelineSpec extends SparkTestBase {
     assert(out.find(_.getLong(0) == 1L).get.getString(1) == base)
   }
 
+  test("observed variant reports per-stage kept counts from the one pass") {
+    val docs = df(docSchema,
+      Row(1L, base),
+      Row(2L, "hi there"),
+      Row(3L, "  THE  quick brown fox jumps over a lazy dog while rain falls on the quiet hills near town"),
+      Row(4L, base + " tonight"),
+      Row(5L, "results for alpha beta gamma delta epsilon on the benchmark suite"),
+      Row(6L, "completely different words about ships sailing across wide open seas under bright stars"))
+    val bench = df(docSchema,
+      Row(100L, "alpha beta gamma delta epsilon zeta"))
+
+    val (out, metrics) = Pipeline.pretrainCorpusObserved(
+      docs, bench, "doc_id", "text")
+    assert(out.count() == 2)
+    val counts = metrics.map { case (k, o) => k -> o.get("rows") }
+    assert(counts == Map(
+      "input" -> 6L, "quality" -> 5L, "exact_dedup" -> 4L,
+      "near_dedup" -> 3L, "output" -> 2L))
+  }
+
   test("near-dup stage keeps the smallest id of a duplicate cluster") {
     val docs = df(docSchema,
       Row(7L, base + " tonight"),
