@@ -446,6 +446,36 @@ object QueriesText {
       TextStats.vocabulary(t(s, dir, "documents"), "text", 50)
     }
 
+    // Per-doc salient terms: tf·(N/df) with one IEEE double division —
+    // every value (tf, df, N products < 2^53) is exact, the division is
+    // correctly rounded on both engines, so score hashes bit-for-bit.
+    r.reg("q_tfidf_topk",
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |terms AS (
+        |  SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM d)
+        |  WHERE t <> '' AND len(t) >= 2),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, dfx.df,
+        |    CAST(t.tf * n.n_docs AS DOUBLE) / dfx.df AS score
+        |  FROM tf t JOIN dfx USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  score, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      TextStats.tfIdfTopTerms(
+          t(s, dir, "documents").filter(col("doc_id") < 300)
+            .select("doc_id", "text"),
+          "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")
+    }
+
     r.reg("q_lang_predict",
       """WITH scored AS (
         |  SELECT doc_id,

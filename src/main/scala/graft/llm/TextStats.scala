@@ -127,6 +127,40 @@ object TextStats {
       .orderBy(col("n").desc, col("token").asc)
       .limit(topK)
 
+  /** Per-document salient terms by tf·(N/df) — the log-free tf-idf
+    * variant, chosen because every arithmetic step (integer products
+    * below 2^53, one IEEE double division) is correctly rounded and
+    * therefore bit-identical on any engine; a ln()-based idf would hash
+    * differently across libm implementations. Scale shape: the term
+    * explode shuffles (doc, term) once; document frequency reuses the
+    * tf frame (already one row per (doc, term)) so no second distinct
+    * pass; the corpus size N rides in as a broadcast single-row frame
+    * (BroadcastNestedLoopJoin, not a CartesianProduct); per-doc top-k
+    * is a window over the doc's own distinct terms — state bounded by
+    * vocabulary-per-document, never corpus-wide. Tokenization mirrors
+    * [[vocabulary]] (whitespace split, empties dropped). */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, minTermLen: Int = 2): DataFrame = {
+    require(k >= 1, "tfIdfTopTerms needs k >= 1")
+    val terms = docs.select(col(idCol),
+        explode(split(col(textCol), "\\s+", -1)).as("term"))
+      .filter(col("term") =!= "" && length(col("term")) >= minTermLen)
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("__n__"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("__n__")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   /** Within-document repeated-line removal (the C4/Dolma paragraph-dedup
     * family, complementing the corpus-level Dedup ops): keep each line's
     * FIRST occurrence, preserve original order, rejoin. Line explode is

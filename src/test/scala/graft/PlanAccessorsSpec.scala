@@ -205,6 +205,35 @@ class PlanAccessorsSpec extends SparkTestBase {
     base.df.unpersist()
   }
 
+  test("PlanReport counts exchanges/scans and flags cartesian blowups") {
+    import graft.plans.PlanReport
+    // broadcast equi-join: one broadcast, no cartesian, scan pruned+pushed
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    val part = spark.read.parquet(s"$sf/part.parquet")
+    val j = lineitem.filter(col("l_quantity") > 10)
+      .select("l_partkey", "l_quantity")
+      .join(org.apache.spark.sql.functions.broadcast(
+        part.select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+    val r = PlanReport.of(j)
+    assert(r.scaleSafe && r.cartesianProducts == 0)
+    assert(r.broadcastExchanges == 1, s"expected 1 broadcast: $r")
+    val liScan = r.scans.find(_.readColumns.contains("l_quantity")).get
+    assert(liScan.readColumns.toSet == Set("l_partkey", "l_quantity"),
+      s"column pruning did not reach the scan: ${liScan.readColumns}")
+    assert(liScan.pushedFilters.contains("GreaterThan"),
+      s"filter not pushed: '${liScan.pushedFilters}'")
+    PlanReport.assertScaleSafe(j)
+    // unkeyed crossJoin of two non-broadcast frames IS the blowup (the
+    // hint models big-big: at sf0.001 both sides fit the broadcast
+    // threshold and Spark would plan BroadcastNestedLoopJoin instead)
+    val big1 = lineitem.select("l_orderkey")
+    val big2 = lineitem.select(col("l_partkey")).hint("shuffle_replicate_nl")
+    val cart = big1.crossJoin(big2)
+    assert(PlanReport.of(cart).cartesianProducts == 1)
+    intercept[IllegalArgumentException] { PlanReport.assertScaleSafe(cart) }
+  }
+
   // ---- accessors ----
 
   private def strings = df(
