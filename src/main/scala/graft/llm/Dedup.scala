@@ -326,6 +326,22 @@ object Dedup {
                         name: String, path: String, shingleK: Int = 3,
                         numHashes: Int = 16, bands: Int = 4,
                         buckets: Int = 8): Unit = {
+    val (withSh, banded) = indexRows(docs, idCol, textCol, shingleK,
+      numHashes, bands)
+    graft.api.GraftFrame(banded)
+      .toBucketedTable(s"${name}_bands", s"$path/bands", buckets,
+        Seq("band", "key"))
+    graft.api.GraftFrame(withSh)
+      .toBucketedTable(s"${name}_shingles", s"$path/shingles", buckets,
+        Seq("id"))
+  }
+
+  /** The (shingles, banded-signature) frames a near-dup index persists —
+    * shared by the initial build and incremental append so the two can
+    * never drift. */
+  private def indexRows(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, numHashes: Int,
+                        bands: Int): (DataFrame, DataFrame) = {
     val rows = numHashes / bands
     val eligible = docs.filter(size(split(col(textCol), " ", -1)) >= shingleK)
     val withSh = eligible.select(col(idCol).as("id"),
@@ -339,12 +355,42 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))
           .as(Seq("band", "key")))
-    graft.api.GraftFrame(banded)
-      .toBucketedTable(s"${name}_bands", s"$path/bands", buckets,
-        Seq("band", "key"))
-    graft.api.GraftFrame(withSh)
-      .toBucketedTable(s"${name}_shingles", s"$path/shingles", buckets,
-        Seq("id"))
+    (withSh, banded)
+  }
+
+  /** Incremental corpus maintenance: fold a new shard into a persisted
+    * near-dup index ([[writeNearDupIndex]]) in one pass — (1) drop the
+    * shard's internal near-duplicates, (2) drop shard docs near-dup
+    * against the existing corpus (corpus side exchange-free, see
+    * [[nearDupPairsAgainstIndex]]), (3) APPEND the survivors' bands and
+    * shingles to the two bucketed tables (bucketed appends add files per
+    * bucket; reads stay bucket-pruned and exchange-free). Returns the
+    * surviving shard docs for the caller to land next to the corpus.
+    * The daily-ingest shape at 100 TB: only the shard is ever
+    * re-shuffled; the corpus is touched through its pre-bucketed index.
+    * `shingleK`/`numHashes`/`bands` must match the index build. */
+  def appendShardToIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                         name: String, path: String, threshold: Double,
+                         shingleK: Int = 3, numHashes: Int = 16,
+                         bands: Int = 4, buckets: Int = 8): DataFrame = {
+    val internal = dropNearDuplicates(newDocs, idCol, textCol, threshold)
+    val vsCorpus = nearDupPairsAgainstIndex(internal, idCol, textCol, name,
+      threshold, shingleK, numHashes, bands)
+    // cache: survivors feed two table appends plus the caller's sink —
+    // without it the shard near-dedup would re-run per write
+    val survivors = internal.join(
+      vsCorpus.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti").cache()
+    val (withSh, banded) = indexRows(survivors, idCol, textCol, shingleK,
+      numHashes, bands)
+    // append MUST go through bucketBy+saveAsTable: insertInto drops the
+    // bucket spec on datasource tables and would silently land
+    // un-bucketed files, killing the exchange-free read property
+    graft.api.GraftFrame(banded).toBucketedTable(s"${name}_bands",
+      s"$path/bands", buckets, Seq("band", "key"), mode = "append")
+    graft.api.GraftFrame(withSh).toBucketedTable(s"${name}_shingles",
+      s"$path/shingles", buckets, Seq("id"), mode = "append")
+    survivors
   }
 
   /** Near-dup pairs of a NEW SHARD against a persisted corpus index

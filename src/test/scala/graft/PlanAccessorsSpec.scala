@@ -205,6 +205,56 @@ class PlanAccessorsSpec extends SparkTestBase {
     base.df.unpersist()
   }
 
+  test("appendShardToIndex dedups the shard, grows the index, stays bucketed") {
+    import graft.llm.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 300)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndapp").toString
+    val uniq = "zymurgy quokka paradox lantern gosling fjord velvet marzipan " +
+      "obelisk tundra quartz nimbus"
+    try {
+      Dedup.writeNearDupIndex(docs, "doc_id", "text", "ndapp_t", tmp)
+      val corpusText = docs.filter(col("doc_id") === 7)
+        .select("text").collect().head.getString(0)
+      val sch = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val shard = df(sch,
+        Row(90001L, uniq),                       // survives (cluster min)
+        Row(90002L, uniq),                       // internal dup of 90001
+        Row(90003L, corpusText),                 // dup of corpus doc 7
+        Row(90004L, uniq.reverse.toLowerCase.split(" ").mkString(" ") +
+          " axolotl breve cipher dynamo ember")) // unique, survives
+      val survivors = Dedup.appendShardToIndex(shard, "doc_id", "text",
+        "ndapp_t", tmp, threshold = 0.5)
+      assert(survivors.select("doc_id").collect().map(_.getLong(0)).sorted
+        .sameElements(Array(90001L, 90004L)))
+      // the index GREW: a later shard doc duplicating appended 90001 is
+      // caught against the index alone
+      val later = df(sch, Row(91000L, uniq))
+      val hits = Dedup.nearDupPairsAgainstIndex(later, "doc_id", "text",
+        "ndapp_t", threshold = 0.5).collect()
+      assert(hits.exists(r => r.getLong(0) == 90001L && r.getLong(1) == 91000L
+        && r.getDouble(2) == 1.0), s"appended doc not indexed: ${hits.toSeq}")
+      // and the appended files kept the bucket layout: the corpus side of
+      // that lookup still reads under no shuffle exchange
+      val sp = Dedup.nearDupPairsAgainstIndex(later, "doc_id", "text",
+        "ndapp_t", threshold = 0.5).queryExecution.sparkPlan
+      val shuffledIdx = sp.collect {
+        case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          ex.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.relation.location.rootPaths.exists(_.toString.contains("graft_ndapp")) => s
+          }
+      }.flatten
+      assert(shuffledIdx.isEmpty, "appended index scan rides a shuffle exchange")
+      survivors.unpersist()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ndapp_t_bands")
+      spark.sql("DROP TABLE IF EXISTS ndapp_t_shingles")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("PlanReport counts exchanges/scans and flags cartesian blowups") {
     import graft.plans.PlanReport
     // broadcast equi-join: one broadcast, no cartesian, scan pruned+pushed
