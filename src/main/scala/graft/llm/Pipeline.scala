@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** The full pretraining-corpus build, composed as ONE lazy plan — the
   * showcase that a reference user's whole pipeline runs here end-to-end:
@@ -21,6 +22,15 @@ object Pipeline {
 
   /** @param docs     training-candidate documents (idCol, textCol, …)
     * @param bench    benchmark/eval documents to decontaminate against
+    * @param persistStages  persist (MEMORY_AND_DISK) the two stage
+    *         boundaries the plan reuses — `near` (read twice by
+    *         decontamination: anti-join left side + its own shingle
+    *         report) and the decontaminated survivors (read twice by
+    *         shuffle-index's two-pass cumsum). Without it those reuses
+    *         MULTIPLY: the composed plan re-scans the input corpus 14×
+    *         (measured, PlanAudit sf0.001); with it, ~4×. Disable only
+    *         when the deduped corpus dwarfs cluster memory+disk — then
+    *         land intermediate parquet between stages instead.
     * @return one row per surviving doc: every input column plus
     *         `split` ('train'/'val'/'test') and `shuffle_pos` (global
     *         deterministic shuffle order for sharding) */
@@ -31,9 +41,11 @@ object Pipeline {
                      decontamK: Int = 5,
                      trainFrac: Double = 0.8,
                      valFrac: Double = 0.1,
-                     shuffleSeed: Long = 0L): DataFrame =
+                     shuffleSeed: Long = 0L,
+                     persistStages: Boolean = true): DataFrame =
     chain(docs, bench, idCol, textCol, minTokens, nearDupThreshold,
-      decontamK, trainFrac, valFrac, shuffleSeed, (_, d) => d)
+      decontamK, trainFrac, valFrac, shuffleSeed, (_, d) => d,
+      persistStages)
 
   /** [[pretrainCorpus]] with per-stage kept-row counts riding the same
     * execution via CollectMetrics (`df.observe`) — the 100 TB answer to
@@ -58,13 +70,15 @@ object Pipeline {
                              decontamK: Int = 5,
                              trainFrac: Double = 0.8,
                              valFrac: Double = 0.1,
-                             shuffleSeed: Long = 0L)
+                             shuffleSeed: Long = 0L,
+                             persistStages: Boolean = true)
       : (DataFrame, Map[String, Observation]) = {
     val stages = Seq("input", "quality", "exact_dedup", "near_dedup", "output")
     val obs = stages.map(s => s -> Observation()).toMap
     val out = chain(docs, bench, idCol, textCol, minTokens,
       nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
-      (stage, d) => d.observe(obs(stage), count(lit(1)).as("rows")))
+      (stage, d) => d.observe(obs(stage), count(lit(1)).as("rows")),
+      persistStages)
     (out, obs)
   }
 
@@ -73,7 +87,10 @@ object Pipeline {
                     minTokens: Int, nearDupThreshold: Double,
                     decontamK: Int, trainFrac: Double, valFrac: Double,
                     shuffleSeed: Long,
-                    tap: (String, DataFrame) => DataFrame): DataFrame = {
+                    tap: (String, DataFrame) => DataFrame,
+                    persistStages: Boolean = true): DataFrame = {
+    def reused(d: DataFrame): DataFrame =
+      if (persistStages) d.persist(StorageLevel.MEMORY_AND_DISK) else d
     val in = tap("input", docs)
     // 1. quality gate: Gopher-style rule stats, keep only passing docs
     val keepIds = TextStats.qualityRules(in, idCol, textCol,
@@ -84,10 +101,11 @@ object Pipeline {
     val exact = tap("exact_dedup", Dedup.exact(kept, idCol, textCol))
     // 3. near dedup: banded MinHash candidates, exact-Jaccard verify,
     //    min-label components, drop non-minimal members
-    val near = tap("near_dedup", Dedup.dropNearDuplicates(exact, idCol,
-      textCol, nearDupThreshold))
+    val near = reused(tap("near_dedup", Dedup.dropNearDuplicates(exact,
+      idCol, textCol, nearDupThreshold)))
     // 4. decontaminate vs the benchmark shingle set
-    val clean = Dedup.decontaminate(near, bench, idCol, textCol, decontamK)
+    val clean = reused(
+      Dedup.decontaminate(near, bench, idCol, textCol, decontamK))
     // 5+6. row-stable split and deterministic global shuffle position;
     // the output tap stays at the root (see pretrainCorpusObserved)
     tap("output", graft.api.GraftFrame(clean)
