@@ -433,6 +433,63 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
   override def prettyName: String = "token_stats"
 }
 
+/** Per-row n-gram concentration — (top_count, total_count) over adjacent
+  * n-grams of the space-split tokens: the Gopher-style repetition signal
+  * (reference quality-heuristics family) WITHOUT a (doc, gram) shuffle.
+  * The declarative form explodes every gram instance across the cluster
+  * and aggregates twice; this computes the same two integers in one
+  * imperative pass per row, memory bounded by the document's own
+  * distinct-gram count — the same per-doc bound the shuffle had, minus
+  * the network. Counts are keyed on the gram STRING (no hashing), so
+  * results are exactly the grouped counts the oracle computes. */
+case class TopGramFrac(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "top_gram_frac needs n >= 1")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topGramFrac", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($c);")
+  }
+
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_count", IntegerType, nullable = false),
+    StructField("total_count", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"top_gram_frac needs STRING, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val total = toks.length - n + 1
+    if (total <= 0) return InternalRow(0, 0)
+    val counts = new java.util.HashMap[String, Int]()
+    var top = 0
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val c = counts.merge(sb.toString, 1, Integer.sum)
+      if (c > top) top = c
+      i += 1
+    }
+    InternalRow(top, total)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopGramFrac =
+    copy(child = newChild)
+  override def prettyName: String = "top_gram_frac"
+}
+
 /** Unicode NFC normalization as a native expression — the last hot-path
   * text transform that was a Scala UDF (a UDF call costs the
   * serialization fence and blocks nulls-aware codegen; this inlines a
@@ -482,4 +539,6 @@ object TextHashExprs {
     column(LshBucket(expression(vec.cast("array<double>")), dim, planes))
   def nfcNormalize(s: Column): Column =
     column(NfcNormalize(expression(s)))
+  def topGramFrac(text: Column, n: Int): Column =
+    column(TopGramFrac(expression(text), n))
 }

@@ -92,11 +92,11 @@ object Pipeline {
     def reused(d: DataFrame): DataFrame =
       if (persistStages) d.persist(StorageLevel.MEMORY_AND_DISK) else d
     val in = tap("input", docs)
-    // 1. quality gate: Gopher-style rule stats, keep only passing docs
-    val keepIds = TextStats.qualityRules(in, idCol, textCol,
-        minTokens = minTokens)
-      .filter(col("keep")).select(idCol)
-    val kept = tap("quality", in.join(keepIds, Seq(idCol), "left_semi"))
+    // 1. quality gate: the Gopher-style keep predicate is all per-row
+    // expressions (TopGramFrac is native), so this is a plain filter
+    // fused into the input scan — no explode, no join-back
+    val kept = tap("quality",
+      TextStats.qualityFilter(in, textCol, minTokens = minTokens))
     // 2. exact dedup (canonicalized md5, keep smallest id)
     val exact = tap("exact_dedup", Dedup.exact(kept, idCol, textCol))
     // 3. near dedup: banded MinHash candidates, exact-Jaccard verify,

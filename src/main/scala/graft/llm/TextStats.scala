@@ -81,37 +81,67 @@ object TextStats {
     * at corpus size. Thresholds follow the published Gopher bounds
     * loosely; all arithmetic is exact-int ratios so both engines round
     * identically. */
+  /** The Gopher-style keep predicate as ONE boolean Column — every
+    * signal (token shape, dup-line fraction, top-2-gram concentration)
+    * is a per-row expression since TopGramFrac went native, so the
+    * whole gate FUSES into whatever scan feeds it: no explode, no
+    * shuffle, no join. Codegen CSE shares the repeated struct
+    * sub-expressions. */
+  def qualityKeep(t: Column, minTokens: Int = 3, maxTokens: Int = 100000,
+                  maxDupLineFrac: Double = 0.3,
+                  maxTop2GramFrac: Double = 0.2): Column = {
+    val ts = graft.functions.TextHashExprs.tokenStats(t, Seq.empty)
+    val gf = graft.functions.TextHashExprs.topGramFrac(t, 2)
+    val lines = split(t, "\n")
+    val fracDup =
+      lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines)
+    val fracTop = when(gf.getField("total_count") > 0,
+        gf.getField("top_count").cast("double") / gf.getField("total_count"))
+      .otherwise(lit(0.0))
+    ts.getField("n_tokens") >= minTokens &&
+      ts.getField("n_tokens") <= maxTokens &&
+      fracDup < maxDupLineFrac && fracTop < maxTop2GramFrac
+  }
+
+  /** Filter form of [[qualityRules]]: keep passing docs, drop the rest,
+    * zero added passes — the predicate rides the input's own scan. */
+  def qualityFilter(docs: DataFrame, textCol: String,
+                    minTokens: Int = 3, maxTokens: Int = 100000,
+                    maxDupLineFrac: Double = 0.3,
+                    maxTop2GramFrac: Double = 0.2): DataFrame =
+    docs.filter(qualityKeep(col(textCol), minTokens, maxTokens,
+      maxDupLineFrac, maxTop2GramFrac))
+
   def qualityRules(docs: DataFrame, idCol: String, textCol: String,
                    minTokens: Int = 3, maxTokens: Int = 100000,
                    maxDupLineFrac: Double = 0.3,
                    maxTop2GramFrac: Double = 0.2): DataFrame = {
     val t = col(textCol)
-    val toks = split(t, " ")
     val lines = split(t, "\n")
-    val base = docs
+    // ONE blockwise pass: token stats and the top-2-gram concentration
+    // are both native per-row expressions (TopGramFrac replaced the old
+    // (doc, gram) explode + double aggregation + join-back — the whole
+    // quality gate now fuses into the scan). Gram counts are exact
+    // string-keyed counts, so frac_top_2gram is bit-identical to the
+    // grouped form the oracle still computes.
+    docs
       .withColumn("__ts__",
         graft.functions.TextHashExprs.tokenStats(t, Seq.empty))
+      .withColumn("__gf__",
+        graft.functions.TextHashExprs.topGramFrac(t, 2))
       .select(col(idCol),
         col("__ts__.n_tokens").as("n_tokens"),
         (col("__ts__.sum_token_len").cast("double") / col("__ts__.n_tokens"))
           .as("mean_word_len"),
         (lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
-          .as("frac_dup_lines"))
-    val n = size(toks)
-    val grams = docs.select(col(idCol),
-        explode(zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
-          (a, b) => concat_ws(" ", a, b))).as("__g__"))
-    val gtop = grams.groupBy(col(idCol), col("__g__")).count()
-      .groupBy(col(idCol))
-      .agg(max(col("count")).as("__topc__"), sum(col("count")).as("__totc__"))
-    base.join(gtop, Seq(idCol), "left")
-      .withColumn("frac_top_2gram",
-        coalesce(col("__topc__").cast("double") / col("__totc__"), lit(0.0)))
+          .as("frac_dup_lines"),
+        when(col("__gf__.total_count") > 0,
+            col("__gf__.top_count").cast("double") / col("__gf__.total_count"))
+          .otherwise(lit(0.0)).as("frac_top_2gram"))
       .withColumn("keep",
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
           col("frac_dup_lines") < maxDupLineFrac &&
           col("frac_top_2gram") < maxTop2GramFrac)
-      .drop("__topc__", "__totc__")
   }
 
   /** Corpus vocabulary: top-k whitespace tokens by document frequency —

@@ -892,6 +892,33 @@ class WindowLlmSpec extends SparkTestBase {
     assert(got == Map(1L -> "b\na", 2L -> "only line", 3L -> "x"))
   }
 
+  test("TopGramFrac matches the declarative grouped gram counts bit-for-bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 200)
+      .unionByName(df(
+        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+        Row(-2L, "buy now buy now buy now buy now"),
+        Row(-3L, "one"), Row(-4L, ""), Row(-5L, "a  b")))  // <2 grams / empty-token edges
+    val native = docs.select(col("doc_id"),
+        graft.functions.TextHashExprs.topGramFrac(col("text"), 2).as("g"))
+      .select(col("doc_id"), col("g.top_count"), col("g.total_count"))
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val declarative = docs.select(col("doc_id"),
+        explode(zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+          (a, b) => concat_ws(" ", a, b))).as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id")
+      .agg(max("count").cast("int").as("top_count"),
+        sum("count").cast("int").as("total_count"))
+    // docs with <2 tokens produce no declarative rows; native says (0, 0)
+    val nat = native.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val dec = declarative.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(dec.forall { case (id, v) => nat(id) == v })
+    assert(nat.keySet -- dec.keySet == Set(-3L, -4L) || (nat(-3L) == ((0, 0))))
+    assert(nat(-3L) == ((0, 0)) && nat(-4L) == ((0, 0)))
+  }
+
   test("dropBoilerplateLines strips corpus-frequent lines, keeps empty docs") {
     val sch = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
     val d = df(sch,
