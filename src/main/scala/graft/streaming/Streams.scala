@@ -218,6 +218,35 @@ object Streams {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Streaming INGEST GATE — the stateless-plus-watermark front half of
+    * the batch pretraining pipeline (llm/Pipeline.pretrainCorpus), for
+    * documents arriving as a stream: Gopher-style quality filter (pure
+    * per-row predicate since TopGramFrac went native — fuses into the
+    * source micro-batch scan), PII redaction (codegen'd regex), then
+    * exact-content dedup within the watermark (canonicalized md5 key,
+    * state O(docs-in-watermark), bounded by the delay). Near-dedup
+    * against the standing corpus composes downstream via
+    * [[nearDupPairsStream]]; benchmark filtering via
+    * [[decontaminateStream]]. */
+  def ingestGateStream(docs: DataFrame, tsCol: String, textCol: String,
+                       watermarkDelay: String,
+                       minTokens: Int = 3,
+                       redactPii: Boolean = true): DataFrame = {
+    val quality = docs.filter(
+      graft.llm.TextStats.qualityKeep(col(textCol), minTokens = minTokens))
+    val redacted =
+      if (redactPii)
+        quality.withColumn(textCol,
+          graft.llm.TextStats.redactPii(col(textCol)))
+      else quality
+    redacted
+      .withColumn("__ck__",
+        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("__ck__"))
+      .drop("__ck__")
+  }
+
   def decontaminateStream(docs: DataFrame, bench: DataFrame,
                           idCol: String, textCol: String,
                           k: Int = 5): DataFrame = {

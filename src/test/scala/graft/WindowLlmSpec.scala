@@ -629,6 +629,38 @@ class WindowLlmSpec extends SparkTestBase {
     }
   }
 
+  test("ingestGateStream filters quality, redacts PII, dedups within watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val gated = graft.streaming.Streams.ingestGateStream(
+      in.toDF().toDF("doc_id", "ts", "text"), "ts", "text", "10 minutes")
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = gated.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf ++= b.select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        ()
+      }.start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    try {
+      in.addData(
+        (1L, t0, "a perfectly ordinary document about rivers and stones"),
+        (2L, t0, "hi"),                                      // quality drop
+        (3L, t0, "email me at jane.doe@example.com for the dataset details"),
+        (5L, t0, "buy now buy now buy now buy now buy now")) // top-2-gram drop
+      q.processAllAvailable()
+      // second batch: canonicalized duplicate of doc 1 — dropped by the
+      // watermark STATE, not intra-batch ordering
+      in.addData((4L, t0, "A  perfectly ordinary DOCUMENT about rivers and stones"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = buf.toMap
+    assert(got.keySet == Set(1L, 3L), s"wrong survivors: $buf")
+    assert(got(3L) == "email me at [EMAIL] for the dataset details")
+  }
+
   test("streaming runningSum carries state across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
