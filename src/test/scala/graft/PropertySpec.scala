@@ -282,4 +282,59 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  /** (unique order key, nullable integer-valued double) rows — integer
+    * values keep FP sums order-independent, so the brute single-pass
+    * reference is bit-comparable to the distributed two-pass plans. */
+  private val globalGen: Gen[List[(Long, Option[Double])]] = for {
+    n <- Gen.choose(0, 40)
+    ids <- Gen.listOfN(n, Gen.choose(0L, 10000L)).map(_.distinct)
+    vs <- Gen.listOfN(ids.size,
+      Gen.option(Gen.choose(-50, 50).map(_.toDouble)))
+  } yield ids.zip(vs)
+
+  test("global cumsum/ffill/rollingSum equal a single-pass reference under any partitioning") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    forAll2(globalGen, Gen.choose(1, 7), cases = 8) { (rows, nPart) =>
+      val base = df(sch, rows.map { case (i, v) =>
+        Row(i, v.map(Double.box).orNull) }: _*).repartition(nPart)
+      val sorted = rows.sortBy(_._1)
+
+      val cum = graft.operators.WindowOps.globalCumSum(base, "id", "v", "c")
+        .orderBy("id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      val expCum = sorted.scanLeft((0L, Option.empty[Double], Option.empty[Double])) {
+        case ((_, acc, _), (id, v)) =>
+          val s = (acc, v) match {
+            case (None, None) => None
+            case (a, b) => Some(a.getOrElse(0.0) + b.getOrElse(0.0))
+          }
+          (id, s, s)
+      }.drop(1).map(t => t._1 -> t._2)
+      assert(cum.toSeq == expCum.toSeq, s"cumsum diverged (nPart=$nPart)")
+
+      val ff = graft.operators.WindowOps.globalFfill(base, "id", "v", "f")
+        .orderBy("id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      val expFf = sorted.scanLeft((0L, Option.empty[Double])) {
+        case ((_, carry), (id, v)) => (id, v.orElse(carry))
+      }.drop(1)
+      assert(ff.toSeq == expFf.toSeq, s"ffill diverged (nPart=$nPart)")
+
+      // rollingSum needs non-null values (the imperative ring buffer and
+      // SQL window agree on nulls only trivially) — fill with 0
+      val filled = df(sch, rows.map { case (i, v) =>
+        Row(i, Double.box(v.getOrElse(0.0))) }: _*).repartition(nPart)
+      val rs = graft.operators.WindowOps
+        .globalRollingSum(filled, "id", "v", 5, "r")
+        .orderBy("id").collect().map(r => r.getLong(0) -> r.getDouble(2))
+      val vals = sorted.map(_._2.getOrElse(0.0))
+      val expRs = sorted.indices.map { i =>
+        sorted(i)._1 -> vals.slice(math.max(0, i - 4), i + 1).sum
+      }
+      assert(rs.toSeq == expRs, s"rollingSum diverged (nPart=$nPart)")
+    }
+  }
 }
