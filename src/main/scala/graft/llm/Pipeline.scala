@@ -42,10 +42,11 @@ object Pipeline {
                      trainFrac: Double = 0.8,
                      valFrac: Double = 0.1,
                      shuffleSeed: Long = 0L,
-                     persistStages: Boolean = true): DataFrame =
+                     persistStages: Boolean = true,
+                     boilerplateMaxDocFreq: Option[Int] = None): DataFrame =
     chain(docs, bench, idCol, textCol, minTokens, nearDupThreshold,
       decontamK, trainFrac, valFrac, shuffleSeed, (_, d) => d,
-      persistStages)
+      persistStages, boilerplateMaxDocFreq)
 
   /** [[pretrainCorpus]] with per-stage kept-row counts riding the same
     * execution via CollectMetrics (`df.observe`) — the 100 TB answer to
@@ -88,15 +89,23 @@ object Pipeline {
                     decontamK: Int, trainFrac: Double, valFrac: Double,
                     shuffleSeed: Long,
                     tap: (String, DataFrame) => DataFrame,
-                    persistStages: Boolean = true): DataFrame = {
+                    persistStages: Boolean = true,
+                    boilerplateMaxDocFreq: Option[Int] = None): DataFrame = {
     def reused(d: DataFrame): DataFrame =
       if (persistStages) d.persist(StorageLevel.MEMORY_AND_DISK) else d
     val in = tap("input", docs)
+    // 0. optional corpus-level boilerplate strip (nav bars, cookie
+    // banners) BEFORE hashing stages — removing shared lines first keeps
+    // boilerplate from gluing unrelated docs into near-dup clusters
+    val stripped = boilerplateMaxDocFreq.fold(in)(maxDf =>
+      TextStats.dropBoilerplateLines(in, idCol, textCol, maxDf)
+        .join(in.drop(textCol), Seq(idCol))
+        .select(in.columns.map(col).toSeq: _*))
     // 1. quality gate: the Gopher-style keep predicate is all per-row
     // expressions (TopGramFrac is native), so this is a plain filter
     // fused into the input scan — no explode, no join-back
     val kept = tap("quality",
-      TextStats.qualityFilter(in, textCol, minTokens = minTokens))
+      TextStats.qualityFilter(stripped, textCol, minTokens = minTokens))
     // 2. exact dedup (canonicalized md5, keep smallest id)
     val exact = tap("exact_dedup", Dedup.exact(kept, idCol, textCol))
     // 3. near dedup: banded MinHash candidates, exact-Jaccard verify,

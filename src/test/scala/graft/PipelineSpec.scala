@@ -62,6 +62,30 @@ class PipelineSpec extends SparkTestBase {
       "near_dedup" -> 3L, "output" -> 2L))
   }
 
+  test("boilerplate stage stops shared banners gluing docs into near-dup clusters") {
+    val banner = "accept cookies to continue reading this site uses essential " +
+      "tracking for analytics and advertising purposes please review our policy " +
+      "page before proceeding further because consent banners appear on every " +
+      "single article page across this entire publishing network today"
+    val docs = df(docSchema,
+      Row(1L, banner + "\nrivers flow gently north through quiet green valleys"),
+      Row(2L, banner + "\nmountains rise sharply east beyond the coastal plain"),
+      Row(3L, banner + "\ndeserts stretch quietly west under fading amber light"))
+    // without stripping, the 18-token banner dominates every doc's
+    // shingle set (pairwise jaccard ~0.67): at least one pair collapses
+    // into a near-dup cluster and a distinct body is lost
+    val without = Pipeline.pretrainCorpus(docs, df(docSchema), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(without.size < 3 && without.head == 1L,
+      s"expected banner-glued cluster, got $without")
+    // with the boilerplate stage the banner is corpus-frequent (3 > 2)
+    // and is stripped first: the three distinct bodies all survive
+    val withStrip = Pipeline.pretrainCorpus(docs, df(docSchema), "doc_id", "text",
+        boilerplateMaxDocFreq = Some(2))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(withStrip == Seq(1L, 2L, 3L), s"boilerplate strip failed: $withStrip")
+  }
+
   test("near-dup stage keeps the smallest id of a duplicate cluster") {
     val docs = df(docSchema,
       Row(7L, base + " tonight"),
