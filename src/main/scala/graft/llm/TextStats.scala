@@ -144,8 +144,8 @@ object TextStats {
           col("frac_top_2gram") < maxTop2GramFrac)
   }
 
-  /** Corpus vocabulary: top-k whitespace tokens by document frequency —
-    * the tokenizer-vocab / stopword-discovery pass. One explode + one
+  /** Corpus vocabulary: top-k whitespace tokens by total occurrence
+    * count — the tokenizer-vocab / stopword-discovery pass. One explode + one
     * hash-aggregated count (partial map-side combine, so the shuffle
     * carries distinct-token partials, not token instances) + a
     * TakeOrdered top-k (per-partition heads, no global sort). Tie-break

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashSig, ShingleHashes, TokenStats}
+import graft.functions.{MinHashSig, ShingleHashes, TokenStats, TopGramFrac}
 
 /** SparkSessionExtensions hook (SURVEY §7 custom-work tier c): registers
   * graft's native expressions as SQL functions, so `spark.sql` users get
@@ -51,6 +51,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text) => TokenStats(text, Nil)
         case _ => throw new IllegalArgumentException(
           "token_stats(text) takes 1 argument")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("top_gram_frac"),
+      new ExpressionInfo(classOf[TopGramFrac].getName, "top_gram_frac"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => TopGramFrac(text, 2)
+        case Seq(text, n) => TopGramFrac(text, intArg(n, "top_gram_frac n"))
+        case _ => throw new IllegalArgumentException(
+          "top_gram_frac(text[, n]) takes 1 or 2 arguments")
       }))
   }
 }

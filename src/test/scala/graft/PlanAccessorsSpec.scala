@@ -434,9 +434,10 @@ class PlanAccessorsSpec extends SparkTestBase {
         .getOrCreate()
       val r = s2.sql(
         "SELECT size(minhash_sig(shingle_hashes('a b c d e', 3), 16)) AS n, " +
-          "token_stats('x y x').n_tokens AS t")
+          "token_stats('x y x').n_tokens AS t, " +
+          "top_gram_frac('go go go go stop').top_count AS g")
         .collect().head
-      assert(r.getInt(0) == 16 && r.getInt(1) == 3)
+      assert(r.getInt(0) == 16 && r.getInt(1) == 3 && r.getInt(2) == 3)
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(base)
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
