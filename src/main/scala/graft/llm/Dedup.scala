@@ -13,13 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The exact-dedup identity key: md5 of lowercased, whitespace-
+    * collapsed text. Shared by the batch window ([[exact]]) and the
+    * streaming watermark dedup (Streams.ingestGateStream) so the two
+    * paths can never disagree on what "the same document" means. */
+  def canonicalKey(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
   /** Exact dedup by canonicalized content hash (md5 of lowercased,
     * whitespace-collapsed text): keep the smallest id per hash group.
     * One hash-shuffle; the window per content-hash group is as skewed as
     * the duplicate clusters themselves — bounded in practice. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keyed = docs.withColumn("__h__",
-      md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+    val keyed = docs.withColumn("__h__", canonicalKey(col(textCol)))
     val w = Window.partitionBy(col("__h__")).orderBy(col(idCol).asc)
     keyed.withColumn("__rn__", row_number().over(w))
       .filter(col("__rn__") === 1)
@@ -157,8 +163,11 @@ object Dedup {
     * is a runaway backstop, not the convergence mechanism: 30 doublings
     * cover chains of ~2^30 docs. */
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                         threshold: Double, maxIterations: Int = 30): DataFrame = {
-    val pairs = nearDuplicatePairs(docs, idCol, textCol, threshold)
+                         threshold: Double, maxIterations: Int = 30,
+                         shingleK: Int = 3, numHashes: Int = 16,
+                         bands: Int = 4): DataFrame = {
+    val pairs = nearDuplicatePairs(docs, idCol, textCol, threshold,
+        shingleK, numHashes, bands)
       .select(col("id_a"), col("id_b")).cache()
     val labels = minLabelComponents(pairs, maxIterations)
     // labels is checkpointed (materialized, lineage-free) inside
@@ -373,7 +382,8 @@ object Dedup {
                          name: String, path: String, threshold: Double,
                          shingleK: Int = 3, numHashes: Int = 16,
                          bands: Int = 4, buckets: Int = 8): DataFrame = {
-    val internal = dropNearDuplicates(newDocs, idCol, textCol, threshold)
+    val internal = dropNearDuplicates(newDocs, idCol, textCol, threshold,
+      shingleK = shingleK, numHashes = numHashes, bands = bands)
     val vsCorpus = nearDupPairsAgainstIndex(internal, idCol, textCol, name,
       threshold, shingleK, numHashes, bands)
     // cache: survivors feed two table appends plus the caller's sink —

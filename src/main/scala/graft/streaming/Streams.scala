@@ -240,8 +240,7 @@ object Streams {
           graft.llm.TextStats.redactPii(col(textCol)))
       else quality
     redacted
-      .withColumn("__ck__",
-        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+      .withColumn("__ck__", graft.llm.Dedup.canonicalKey(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("__ck__"))
       .drop("__ck__")
