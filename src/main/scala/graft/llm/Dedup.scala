@@ -316,6 +316,28 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Drop docs whose EMBEDDINGS are near-duplicates (semantic dedup —
+    * catches paraphrases the text shingles miss): restrict the embedding
+    * table to docs still alive, bucket-join for candidate pairs
+    * ([[embeddingNearDupPairs]]), resolve clusters with the same
+    * min-label propagation as the text path, keep each cluster's
+    * smallest id. Docs without an embedding row pass through (no
+    * evidence, no drop). */
+  def dropEmbeddingNearDuplicates(docs: DataFrame, idCol: String,
+                                  embeddings: DataFrame, embIdCol: String,
+                                  vecCol: String, dim: Int,
+                                  threshold: Double,
+                                  maxIterations: Int = 30): DataFrame = {
+    val alive = embeddings.join(
+      docs.select(col(idCol).as(embIdCol)), Seq(embIdCol), "left_semi")
+    val pairs = embeddingNearDupPairs(alive, embIdCol, vecCol, dim, threshold)
+      .select(col("id_a"), col("id_b")).cache()
+    val labels = minLabelComponents(pairs, maxIterations)
+    pairs.unpersist()
+    val toDrop = labels.filter(col("id") =!= col("label")).select(col("id"))
+    docs.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Persist a corpus's banded MinHash index for INCREMENTAL near-dedup
     * — the "new shard vs existing corpus" shape: a pipeline ingesting a
     * shard must not recompute (or reshuffle) signatures for the other

@@ -20,6 +20,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object Pipeline {
 
+  /** Spec for the optional SEMANTIC dedup stage: an embedding table
+    * keyed like the docs (`embIdCol` joins the doc id), cosine
+    * `threshold` above which two docs count as paraphrase duplicates. */
+  final case class EmbeddingDedup(embeddings: DataFrame, embIdCol: String,
+                                  vecCol: String, dim: Int,
+                                  threshold: Double)
+
   /** @param docs     training-candidate documents (idCol, textCol, …)
     * @param bench    benchmark/eval documents to decontaminate against
     * @param persistStages  persist (MEMORY_AND_DISK) the two stage
@@ -43,10 +50,11 @@ object Pipeline {
                      valFrac: Double = 0.1,
                      shuffleSeed: Long = 0L,
                      persistStages: Boolean = true,
-                     boilerplateMaxDocFreq: Option[Int] = None): DataFrame =
+                     boilerplateMaxDocFreq: Option[Int] = None,
+                     embeddingDedup: Option[EmbeddingDedup] = None): DataFrame =
     chain(docs, bench, idCol, textCol, minTokens, nearDupThreshold,
       decontamK, trainFrac, valFrac, shuffleSeed, (_, d) => d,
-      persistStages, boilerplateMaxDocFreq)
+      persistStages, boilerplateMaxDocFreq, embeddingDedup)
 
   /** [[pretrainCorpus]] with per-stage kept-row counts riding the same
     * execution via CollectMetrics (`df.observe`) — the 100 TB answer to
@@ -90,7 +98,8 @@ object Pipeline {
                     shuffleSeed: Long,
                     tap: (String, DataFrame) => DataFrame,
                     persistStages: Boolean = true,
-                    boilerplateMaxDocFreq: Option[Int] = None): DataFrame = {
+                    boilerplateMaxDocFreq: Option[Int] = None,
+                    embeddingDedup: Option[EmbeddingDedup] = None): DataFrame = {
     def reused(d: DataFrame): DataFrame =
       if (persistStages) d.persist(StorageLevel.MEMORY_AND_DISK) else d
     val in = tap("input", docs)
@@ -112,9 +121,14 @@ object Pipeline {
     //    min-label components, drop non-minimal members
     val near = reused(tap("near_dedup", Dedup.dropNearDuplicates(exact,
       idCol, textCol, nearDupThreshold)))
+    // 3b. optional SEMANTIC dedup on embeddings — paraphrases the text
+    // shingles can't see; only the surviving docs' vectors are bucketed
+    val deduped = embeddingDedup.fold(near)(e =>
+      Dedup.dropEmbeddingNearDuplicates(near, idCol, e.embeddings,
+        e.embIdCol, e.vecCol, e.dim, e.threshold))
     // 4. decontaminate vs the benchmark shingle set
     val clean = reused(
-      Dedup.decontaminate(near, bench, idCol, textCol, decontamK))
+      Dedup.decontaminate(deduped, bench, idCol, textCol, decontamK))
     // 5+6. row-stable split and deterministic global shuffle position;
     // the output tap stays at the root (see pretrainCorpusObserved)
     tap("output", graft.api.GraftFrame(clean)

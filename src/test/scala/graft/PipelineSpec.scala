@@ -86,6 +86,30 @@ class PipelineSpec extends SparkTestBase {
     assert(withStrip == Seq(1L, 2L, 3L), s"boilerplate strip failed: $withStrip")
   }
 
+  test("embedding stage drops paraphrases the text shingles cannot see") {
+    import org.apache.spark.sql.types._
+    val docs = df(docSchema,
+      Row(1L, "the committee approved the annual budget after a long debate"),
+      Row(2L, "following extended discussion the panel ratified this year's spending plan"),
+      Row(3L, "penguins huddle tightly together through the long antarctic winter"))
+    val embSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    // docs 1 and 2 are paraphrases: same direction, different magnitude
+    // (cosine 1.0); doc 3 is orthogonal
+    val emb = df(embSchema,
+      Row(1L, Seq(1.0, 2.0, 3.0, 4.0)),
+      Row(2L, Seq(2.0, 4.0, 6.0, 8.0)),
+      Row(3L, Seq(4.0, -3.0, 2.0, -1.0)))
+    val without = Pipeline.pretrainCorpus(docs, df(docSchema), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(without == Seq(1L, 2L, 3L), "text shingles should NOT catch the paraphrase")
+    val withEmb = Pipeline.pretrainCorpus(docs, df(docSchema), "doc_id", "text",
+        embeddingDedup = Some(Pipeline.EmbeddingDedup(emb, "vec_id",
+          "embedding", dim = 4, threshold = 0.95)))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(withEmb == Seq(1L, 3L), s"paraphrase not dropped: $withEmb")
+  }
+
   test("near-dup stage keeps the smallest id of a duplicate cluster") {
     val docs = df(docSchema,
       Row(7L, base + " tonight"),
