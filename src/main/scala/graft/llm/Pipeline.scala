@@ -71,7 +71,16 @@ object Pipeline {
     * join references its input subtree twice (main rows + the offsets
     * aggregate), so an observe BELOW it would double-count; output rows
     * equal decontamination survivors anyway (split/shuffle only add
-    * columns). */
+    * columns). CAVEAT: CollectMetrics does not surface through every
+    * execution shape (cache materializations and file-write commands
+    * don't report it), so which stages resolve depends on which
+    * internal job first executed each observe: "near_dedup" and
+    * "output" are reliable after any query action on the result;
+    * "input"/"quality"/"exact_dedup" resolve when near-dedup's label
+    * propagation executed the upstream — i.e. whenever candidate pairs
+    * exist, the overwhelmingly common case on real corpora. Check
+    * `o.getAsJava.isEmpty` before reading a count that must be
+    * optional-safe. */
   def pretrainCorpusObserved(docs: DataFrame, bench: DataFrame,
                              idCol: String, textCol: String,
                              minTokens: Int = 3,
@@ -80,15 +89,58 @@ object Pipeline {
                              trainFrac: Double = 0.8,
                              valFrac: Double = 0.1,
                              shuffleSeed: Long = 0L,
-                             persistStages: Boolean = true)
+                             persistStages: Boolean = true,
+                             boilerplateMaxDocFreq: Option[Int] = None,
+                             embeddingDedup: Option[EmbeddingDedup] = None)
       : (DataFrame, Map[String, Observation]) = {
     val stages = Seq("input", "quality", "exact_dedup", "near_dedup", "output")
     val obs = stages.map(s => s -> Observation()).toMap
     val out = chain(docs, bench, idCol, textCol, minTokens,
       nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
       (stage, d) => d.observe(obs(stage), count(lit(1)).as("rows")),
-      persistStages)
+      persistStages, boilerplateMaxDocFreq, embeddingDedup)
     (out, obs)
+  }
+
+  /** Run the pipeline and LAND it: parquet partitioned by `split` (so
+    * train/val/test are separate directory trees — readers
+    * partition-prune to their split) plus a `_graft_manifest.json`
+    * recording the split sizes. The split counts come from the WRITTEN
+    * files' parquet footers — metadata reads, no second data pass.
+    * (Per-stage drop counts are deliberately not in the manifest:
+    * CollectMetrics resolution depends on which internal action fires
+    * first and does not surface through file-write command executions —
+    * use [[pretrainCorpusObserved]] with a query action when stage
+    * attribution matters.) Returns the per-split row counts. The
+    * manifest goes through Hadoop's FileSystem so any Spark-visible
+    * target (local, HDFS, object store) works. */
+  def buildAndWrite(docs: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String, outPath: String,
+                    minTokens: Int = 3,
+                    nearDupThreshold: Double = 0.5,
+                    decontamK: Int = 5,
+                    trainFrac: Double = 0.8,
+                    valFrac: Double = 0.1,
+                    shuffleSeed: Long = 0L,
+                    boilerplateMaxDocFreq: Option[Int] = None,
+                    embeddingDedup: Option[EmbeddingDedup] = None): Map[String, Long] = {
+    val out = pretrainCorpus(docs, bench, idCol, textCol, minTokens,
+      nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
+      persistStages = true, boilerplateMaxDocFreq = boilerplateMaxDocFreq,
+      embeddingDedup = embeddingDedup)
+    out.write.mode("overwrite").partitionBy("split").parquet(outPath)
+    // split sizes from footer metadata of what was ACTUALLY written
+    val counts = docs.sparkSession.read.parquet(outPath)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val json = counts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(outPath, "_graft_manifest.json")
+    val fs = p.getFileSystem(conf)
+    val os = fs.create(p, true)
+    try os.write((json + "\n").getBytes("UTF-8")) finally os.close()
+    counts
   }
 
   private def chain(docs: DataFrame, bench: DataFrame,

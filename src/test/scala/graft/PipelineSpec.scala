@@ -110,6 +110,48 @@ class PipelineSpec extends SparkTestBase {
     assert(withEmb == Seq(1L, 3L), s"paraphrase not dropped: $withEmb")
   }
 
+  test("observed near_dedup/output metrics resolve even with zero near-dup pairs") {
+    val docs = df(docSchema,
+      Row(1L, base),
+      Row(2L, "hi there"),
+      Row(6L, "completely different words about ships sailing across wide open seas under bright stars"))
+    val (out, metrics) = Pipeline.pretrainCorpusObserved(
+      docs, df(docSchema), "doc_id", "text")
+    assert(out.count() == 2)
+    // the documented reliability contract: these two stages always
+    // resolve after a query action, whatever the internal job order
+    assert(metrics("near_dedup").get("rows") == 2L)
+    assert(metrics("output").get("rows") == 2L)
+  }
+
+  test("buildAndWrite lands split-partitioned parquet plus a stage manifest") {
+    val docs = df(docSchema,
+      Row(1L, base),
+      Row(2L, "hi there"),
+      Row(6L, "completely different words about ships sailing across wide open seas under bright stars"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pipe_out").toString
+    try {
+      val counts = graft.llm.Pipeline.buildAndWrite(
+        docs, df(docSchema), "doc_id", "text", s"$tmp/corpus")
+      // doc 2 fails quality; docs 1 and 6 land in their hash-split
+      assert(counts.values.sum == 2L, s"split counts: $counts")
+      assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+      // split partitioning: every surviving row lands under split=<x>/
+      val dirs = new java.io.File(s"$tmp/corpus").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs.nonEmpty && dirs.forall(_.startsWith("split=")), s"dirs: $dirs")
+      val back = spark.read.parquet(s"$tmp/corpus")
+      assert(back.count() == 2 &&
+        back.columns.toSet == Set("doc_id", "text", "split", "shuffle_pos"))
+      val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$tmp/corpus/_graft_manifest.json")), "UTF-8")
+      assert(counts.forall { case (k, v) => manifest.contains(s""""$k":$v""") },
+        s"manifest: $manifest vs $counts")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("near-dup stage keeps the smallest id of a duplicate cluster") {
     val docs = df(docSchema,
       Row(7L, base + " tonight"),
