@@ -167,8 +167,10 @@ object Pipeline {
     // fused into the input scan — no explode, no join-back
     val kept = tap("quality",
       TextStats.qualityFilter(stripped, textCol, minTokens = minTokens))
-    // 2. exact dedup (canonicalized md5, keep smallest id)
-    val exact = tap("exact_dedup", Dedup.exact(kept, idCol, textCol))
+    // 2. exact dedup (canonicalized md5, keep smallest id) — also a
+    // reused boundary: near-dedup reads it twice (candidate-pair
+    // construction and the anti-join's kept side)
+    val exact = reused(tap("exact_dedup", Dedup.exact(kept, idCol, textCol)))
     // 3. near dedup: banded MinHash candidates, exact-Jaccard verify,
     //    min-label components, drop non-minimal members
     val near = reused(tap("near_dedup", Dedup.dropNearDuplicates(exact,
