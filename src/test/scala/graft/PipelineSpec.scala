@@ -152,6 +152,21 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("composed e2e plan reads the corpus exactly twice (docs + bench branch)") {
+    // the round-8 scan-economy claim, pinned: persisted stage boundaries
+    // plus the fused quality gate leave exactly two parquet reads of the
+    // input table in the whole composed plan — one for the training
+    // candidates, one for the benchmark side. A regression here (a new
+    // unpersisted reuse, a join-back creeping into the gate) shows up as
+    // a third scan long before it shows up in a benchmark.
+    val q = SparkEntry.queries("q_pipeline_e2e")
+    val plan = q(spark, "/root/testdata/sf0.001").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val scans = plan.linesIterator
+      .count(l => l.contains("Location") && l.contains("documents.parquet"))
+    assert(scans == 2, s"expected 2 corpus scans, saw $scans")
+  }
+
   test("near-dup stage keeps the smallest id of a duplicate cluster") {
     val docs = df(docSchema,
       Row(7L, base + " tonight"),
