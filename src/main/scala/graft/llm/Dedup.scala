@@ -396,8 +396,9 @@ object Dedup {
     * [[nearDupPairsAgainstIndex]]), (3) APPEND the survivors' bands and
     * shingles to the two bucketed tables (bucketed appends add files per
     * bucket; reads stay bucket-pruned and exchange-free). Returns the
-    * surviving shard docs for the caller to land next to the corpus.
-    * The daily-ingest shape at 100 TB: only the shard is ever
+    * surviving shard docs for the caller to land next to the corpus —
+    * the frame is CACHED (it fed both table appends); unpersist it once
+    * landed. The daily-ingest shape at 100 TB: only the shard is ever
     * re-shuffled; the corpus is touched through its pre-bucketed index.
     * `shingleK`/`numHashes`/`bands` must match the index build. */
   def appendShardToIndex(newDocs: DataFrame, idCol: String, textCol: String,
