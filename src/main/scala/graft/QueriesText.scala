@@ -845,6 +845,51 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Corpus version diff: v2 drops every 7th doc (removed), re-texts
+    // every 5th (changed), adds two new ids — diffWith must report
+    // exactly the delta. The oracle mirrors the md5-signature compare
+    // (chr(31) separator, chr(30) null sentinel) over sorted non-keys.
+    r.reg("q_frame_diff",
+      """WITH v1 AS (
+        |  SELECT doc_id, text, lang, source FROM documents WHERE doc_id < 400
+        |),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' (edited)' ELSE text END AS text,
+        |    lang, source
+        |  FROM documents WHERE doc_id < 400 AND doc_id % 7 <> 0
+        |  UNION ALL SELECT -100, 'brand new doc alpha', 'en', 'web'
+        |  UNION ALL SELECT -101, 'brand new doc beta', 'en', 'web'
+        |),
+        |sig1 AS (SELECT doc_id, md5(concat_ws(chr(31),
+        |    COALESCE(lang, chr(30)), COALESCE(source, chr(30)),
+        |    COALESCE(text, chr(30)))) AS h FROM v1),
+        |sig2 AS (SELECT doc_id, md5(concat_ws(chr(31),
+        |    COALESCE(lang, chr(30)), COALESCE(source, chr(30)),
+        |    COALESCE(text, chr(30)))) AS h FROM v2)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change
+        |FROM sig1 a FULL OUTER JOIN sig2 b USING (doc_id)
+        |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val v1 = t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select("doc_id", "text", "lang", "source")
+      val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" (edited)"))).otherwise(col("text")))
+        .unionByName(s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(-100L, "brand new doc alpha", "en", "web"),
+            org.apache.spark.sql.Row(-101L, "brand new doc beta", "en", "web")),
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("text", StringType), StructField("lang", StringType),
+            StructField("source", StringType)))))
+      graft.api.GraftFrame(v1).diffWith(graft.api.GraftFrame(v2), Seq("doc_id"))
+        .orderBy("doc_id")
+    }
+
     // Sequence packing: shard = floor(exclusive-cumsum / capacity) under
     // doc_id order — the oracle recomputes the same window cumsum, so
     // every shard assignment is value-checked.

@@ -420,6 +420,39 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     * equi-join machinery as concatAxis1 — co-partitioned inputs skip the
     * shuffle, and both returned frames share the joined subplan, so
     * Catalyst plans the exchange once when both are consumed together. */
+  /** Version diff on keys — the corpus-audit operator ("what changed
+    * between corpus v1 and v2"): one full-outer equi-join on `keys`,
+    * rows classified `added` (only in `other`), `removed` (only in
+    * this), or `changed` (both sides, any non-key column differs).
+    * Unchanged rows are dropped, so the result is |delta|-sized, not
+    * corpus-sized. Content comparison is an md5 over all non-key
+    * columns cast to string with an explicit NULL sentinel and a unit
+    * separator (concat_ws silently SKIPS nulls, which would conflate
+    * (null,"x") with ("x",null)) — deterministic on any engine, so the
+    * operator is oracle-checkable. Both frames must share the same
+    * non-key column set. */
+  def diffWith(other: GraftFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diffWith needs at least one key column")
+    val nonKey = df.columns.filterNot(keys.contains).toSeq
+    require(other.df.columns.filterNot(keys.contains).toSeq.sorted ==
+      nonKey.sorted, "diffWith: non-key column sets differ")
+    def sig(d: DataFrame): Column =
+      md5(concat_ws("\u001f",
+        nonKey.sorted.map(c => coalesce(d(c).cast("string"), lit("\u001e"))): _*))
+    val l = df.select(keys.map(col) :+ sig(df).as("__lh__") :+
+      lit(true).as("__lp__"): _*)
+    val r = other.df.select(keys.map(col) :+ sig(other.df).as("__rh__") :+
+      lit(true).as("__rp__"): _*)
+    l.join(r, keys, "full_outer")
+      .withColumn("change",
+        when(col("__lp__").isNull, lit("added"))
+          .when(col("__rp__").isNull, lit("removed"))
+          .when(col("__lh__") =!= col("__rh__"), lit("changed"))
+          .otherwise(lit(null)))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
   def align(other: GraftFrame, on: Seq[String], joinHow: String = "outer",
             fillValue: Option[Column] = None): (GraftFrame, GraftFrame) = {
     val how = joinHow match {

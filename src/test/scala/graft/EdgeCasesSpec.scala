@@ -174,6 +174,28 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(d.sampleByHash("id", 1.0).df.count() == 2000)
   }
 
+  test("diffWith classifies adds/removes/changes and discriminates null shifts") {
+    val v1 = kv((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+    val v2 = kv((1L, "a", 1.0), (3L, "c", 9.0), (4L, "d", 4.0))
+    val got = GraftFrame(v1).diffWith(GraftFrame(v2), Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "removed", 3L -> "changed", 4L -> "added"))
+    // a null moving BETWEEN columns is a change, not an equality — the
+    // sentinel+separator signature must not conflate (null,x) with (x,null)
+    val sch = kvSchema
+    val n1 = df(sch, Row(7L, null, 5.0))
+    val n2 = df(sch, Row(7L, "5.0", null))
+    val nulls = GraftFrame(n1).diffWith(GraftFrame(n2), Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nulls == Map(7L -> "changed"), s"null shift conflated: $nulls")
+    // identical frames produce an EMPTY diff
+    assert(GraftFrame(v1).diffWith(GraftFrame(v1), Seq("id")).isEmpty)
+    // mismatched non-key columns refuse loudly
+    intercept[IllegalArgumentException] {
+      GraftFrame(v1).diffWith(GraftFrame(v1.drop("v")), Seq("id"))
+    }
+  }
+
   test("align with an empty side fills every key from the other") {
     val (l, r) = empty.align(one, Seq("id"), "outer", Some(lit(0.0)))
     assert(l.df.count() == 1 && r.df.count() == 1)
