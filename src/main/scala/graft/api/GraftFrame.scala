@@ -429,8 +429,13 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     * columns cast to string with an explicit NULL sentinel and a unit
     * separator (concat_ws silently SKIPS nulls, which would conflate
     * (null,"x") with ("x",null)) — deterministic on any engine, so the
-    * operator is oracle-checkable. Both frames must share the same
-    * non-key column set. */
+    * operator is oracle-checkable. Key matching is null-SAFE (`<=>`):
+    * a row whose key is null in both versions matches rather than
+    * appearing as a spurious add+remove pair. Known limit: a cell whose
+    * literal string value is the sentinel "\u001e" is indistinguishable
+    * from null in the signature — irrelevant for prose corpora, use a
+    * struct hash if your data carries control characters. Both frames
+    * must share the same non-key column set. */
   def diffWith(other: GraftFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "diffWith needs at least one key column")
     val nonKey = df.columns.filterNot(keys.contains).toSeq
@@ -439,18 +444,22 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     def sig(d: DataFrame): Column =
       md5(concat_ws("\u001f",
         nonKey.sorted.map(c => coalesce(d(c).cast("string"), lit("\u001e"))): _*))
-    val l = df.select(keys.map(col) :+ sig(df).as("__lh__") :+
-      lit(true).as("__lp__"): _*)
-    val r = other.df.select(keys.map(col) :+ sig(other.df).as("__rh__") :+
-      lit(true).as("__rp__"): _*)
-    l.join(r, keys, "full_outer")
+    val l = df.select(keys.map(k => col(k).as(k + "__dl__")) :+
+      sig(df).as("__lh__") :+ lit(true).as("__lp__"): _*)
+    val r = other.df.select(keys.map(k => col(k).as(k + "__dr__")) :+
+      sig(other.df).as("__rh__") :+ lit(true).as("__rp__"): _*)
+    val cond = keys.map(k => l(k + "__dl__") <=> r(k + "__dr__"))
+      .reduce(_ && _)
+    l.join(r, cond, "full_outer")
       .withColumn("change",
         when(col("__lp__").isNull, lit("added"))
           .when(col("__rp__").isNull, lit("removed"))
           .when(col("__lh__") =!= col("__rh__"), lit("changed"))
           .otherwise(lit(null)))
       .filter(col("change").isNotNull)
-      .select(keys.map(col) :+ col("change"): _*)
+      .select(keys.map(k =>
+        coalesce(col(k + "__dl__"), col(k + "__dr__")).as(k)) :+
+        col("change"): _*)
   }
 
   def align(other: GraftFrame, on: Seq[String], joinHow: String = "outer",

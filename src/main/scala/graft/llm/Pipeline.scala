@@ -37,7 +37,12 @@ object Pipeline {
     *         MULTIPLY: the composed plan re-scans the input corpus 14×
     *         (measured, PlanAudit sf0.001); with it, ~4×. Disable only
     *         when the deduped corpus dwarfs cluster memory+disk — then
-    *         land intermediate parquet between stages instead.
+    *         land intermediate parquet between stages instead. The
+    *         caches live for the session (the lazy return gives the
+    *         caller no handle to them): in a long-lived session that
+    *         rebuilds repeatedly, prefer [[buildAndWrite]] (which
+    *         releases them after landing), pass persistStages=false,
+    *         or clear via spark.catalog.clearCache().
     * @return one row per surviving doc: every input column plus
     *         `split` ('train'/'val'/'test') and `shuffle_pos` (global
     *         deterministic shuffle order for sharding) */
@@ -124,13 +129,18 @@ object Pipeline {
                     shuffleSeed: Long = 0L,
                     boilerplateMaxDocFreq: Option[Int] = None,
                     embeddingDedup: Option[EmbeddingDedup] = None): Map[String, Long] = {
-    val out = pretrainCorpus(docs, bench, idCol, textCol, minTokens,
+    val handles = scala.collection.mutable.Buffer.empty[DataFrame]
+    val out = chain(docs, bench, idCol, textCol, minTokens,
       nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
-      persistStages = true, boilerplateMaxDocFreq = boilerplateMaxDocFreq,
-      embeddingDedup = embeddingDedup)
-    out.write.mode("overwrite").partitionBy("split").parquet(outPath)
-    // split sizes from footer metadata of what was ACTUALLY written
-    val counts = docs.sparkSession.read.parquet(outPath)
+      (_, d) => d, persistStages = true,
+      boilerplateMaxDocFreq = boilerplateMaxDocFreq,
+      embeddingDedup = embeddingDedup, persisted = handles)
+    try out.write.mode("overwrite").partitionBy("split").parquet(outPath)
+    finally handles.foreach(_.unpersist())  // landing owns the cache lifecycle
+    // split sizes from footer metadata of what was ACTUALLY written; the
+    // explicit schema keeps an all-dropped (zero-file) result a valid
+    // empty read instead of an UNABLE_TO_INFER_SCHEMA failure
+    val counts = docs.sparkSession.read.schema(out.schema).parquet(outPath)
       .groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val json = counts.toSeq.sortBy(_._1)
@@ -151,9 +161,12 @@ object Pipeline {
                     tap: (String, DataFrame) => DataFrame,
                     persistStages: Boolean = true,
                     boilerplateMaxDocFreq: Option[Int] = None,
-                    embeddingDedup: Option[EmbeddingDedup] = None): DataFrame = {
+                    embeddingDedup: Option[EmbeddingDedup] = None,
+                    persisted: scala.collection.mutable.Buffer[DataFrame] =
+                      scala.collection.mutable.Buffer.empty): DataFrame = {
     def reused(d: DataFrame): DataFrame =
-      if (persistStages) d.persist(StorageLevel.MEMORY_AND_DISK) else d
+      if (persistStages) { persisted += d; d.persist(StorageLevel.MEMORY_AND_DISK) }
+      else d
     val in = tap("input", docs)
     // 0. optional corpus-level boilerplate strip (nav bars, cookie
     // banners) BEFORE hashing stages — removing shared lines first keeps
@@ -177,9 +190,12 @@ object Pipeline {
       idCol, textCol, nearDupThreshold)))
     // 3b. optional SEMANTIC dedup on embeddings — paraphrases the text
     // shingles can't see; only the surviving docs' vectors are bucketed
+    // when active, this output becomes the doubly-read decontamination
+    // input (anti-join left + shingle report), so IT is the boundary to
+    // persist
     val deduped = embeddingDedup.fold(near)(e =>
-      Dedup.dropEmbeddingNearDuplicates(near, idCol, e.embeddings,
-        e.embIdCol, e.vecCol, e.dim, e.threshold))
+      reused(Dedup.dropEmbeddingNearDuplicates(near, idCol, e.embeddings,
+        e.embIdCol, e.vecCol, e.dim, e.threshold)))
     // 4. decontaminate vs the benchmark shingle set
     val clean = reused(
       Dedup.decontaminate(deduped, bench, idCol, textCol, decontamK))

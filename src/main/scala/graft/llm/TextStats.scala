@@ -68,19 +68,6 @@ object TextStats {
       .getField("l")
   }
 
-  /** Gopher-style quality rules (repetition + shape signals → keep
-    * flag), the rule-based document filter of large-corpus curation
-    * pipelines.
-    *
-    * Per-row signals (blockwise): token count, mean word length
-    * (code points), duplicate-LINE fraction. The top-2-gram fraction
-    * needs per-document gram counts: explode the 2-grams (zip_with of
-    * two slices — NOT per-element element_at, which is O(tokens²) under
-    * interpreted HOF eval) and aggregate twice — a fully parallel
-    * shuffle keyed by (doc, gram), the scalable shape for this signal
-    * at corpus size. Thresholds follow the published Gopher bounds
-    * loosely; all arithmetic is exact-int ratios so both engines round
-    * identically. */
   /** The Gopher-style keep predicate as ONE boolean Column — every
     * signal (token shape, dup-line fraction, top-2-gram concentration)
     * is a per-row expression since TopGramFrac went native, so the

@@ -234,13 +234,18 @@ object Streams {
                        redactPii: Boolean = true): DataFrame = {
     val quality = docs.filter(
       graft.llm.TextStats.qualityKeep(col(textCol), minTokens = minTokens))
+    // the dedup key comes from the PRE-redaction text: the batch path
+    // (Dedup.exact) keys raw content, and two docs differing only in
+    // their PII values are different documents — keying post-redaction
+    // would merge them here but not in batch
+    val keyed = quality
+      .withColumn("__ck__", graft.llm.Dedup.canonicalKey(col(textCol)))
     val redacted =
       if (redactPii)
-        quality.withColumn(textCol,
+        keyed.withColumn(textCol,
           graft.llm.TextStats.redactPii(col(textCol)))
-      else quality
+      else keyed
     redacted
-      .withColumn("__ck__", graft.llm.Dedup.canonicalKey(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("__ck__"))
       .drop("__ck__")

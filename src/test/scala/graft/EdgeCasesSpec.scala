@@ -190,6 +190,14 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(nulls == Map(7L -> "changed"), s"null shift conflated: $nulls")
     // identical frames produce an EMPTY diff
     assert(GraftFrame(v1).diffWith(GraftFrame(v1), Seq("id")).isEmpty)
+    // null keys match null-safely: an identical null-keyed row is NOT a
+    // spurious add+remove pair, and a changed one reports 'changed'
+    val k1 = df(sch, Row(null, "a", 1.0))
+    val k2same = df(sch, Row(null, "a", 1.0))
+    val k2chg = df(sch, Row(null, "a", 2.0))
+    assert(GraftFrame(k1).diffWith(GraftFrame(k2same), Seq("id")).isEmpty)
+    val nk = GraftFrame(k1).diffWith(GraftFrame(k2chg), Seq("id")).collect()
+    assert(nk.length == 1 && nk(0).isNullAt(0) && nk(0).getString(1) == "changed")
     // mismatched non-key columns refuse loudly
     intercept[IllegalArgumentException] {
       GraftFrame(v1).diffWith(GraftFrame(v1.drop("v")), Seq("id"))
