@@ -476,6 +476,24 @@ object QueriesAgg {
         .sortValues(Seq("o_orderstatus" -> true)).df
     }
 
+    // Multi-measure pivot: two value columns under one pivot — Spark
+    // names the wide columns <pivotval>_<alias>; the oracle spells the
+    // same CASE-WHEN aggregates per (pivot value, measure) pair.
+    r.reg("q_pivot_multi",
+      s"""SELECT o_orderstatus,
+         |  ${QHelp.dsumDSql("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")} AS "1-URGENT_sum_price",
+         |  CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS "1-URGENT_n",
+         |  ${QHelp.dsumDSql("CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END")} AS "2-HIGH_sum_price",
+         |  CAST(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS "2-HIGH_n"
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "orders"))
+        .groupby("o_orderstatus")
+        .pivotAgg("o_orderpriority", Seq("1-URGENT", "2-HIGH"),
+          QHelp.dsumD(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .sortValues(Seq("o_orderstatus" -> true)).df
+    }
+
     r.reg("q_cube",
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)

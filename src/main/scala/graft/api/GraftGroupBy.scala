@@ -121,6 +121,17 @@ final case class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
   def pivot(pivotCol: String, values: Seq[String], aggExpr: Column): GraftFrame =
     GraftFrame(g.pivot(pivotCol, values).agg(aggExpr))
 
+  /** Multi-measure pivot (reference `test_reshape.py` pivot_table with
+    * values=[...]: several value columns under one aggfunc — pandas'
+    * column MultiIndex flattens here to Spark's `<pivotval>_<alias>`
+    * names). Same single wide aggregation as [[pivot]]; alias every
+    * aggExpr so the output names are deterministic. */
+  def pivotAgg(pivotCol: String, values: Seq[String],
+               aggExprs: Column*): GraftFrame = {
+    require(aggExprs.nonEmpty, "pivotAgg needs at least one aggregate")
+    GraftFrame(g.pivot(pivotCol, values).agg(aggExprs.head, aggExprs.tail: _*))
+  }
+
   /** Grouping-sets supersets (SURVEY §2.5; absent in reference). */
   def cube(aggExprs: Column*): GraftFrame =
     GraftFrame(df.cube(keys.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*))
