@@ -39,6 +39,18 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
   def shape: (Long, Int) = (df.count(), df.columns.length)
   def size: Long = df.count() * df.columns.length
   def empty: Boolean = df.isEmpty
+  /** pandas `df.info()` analog (reference `_collection.py` info): a
+    * driver-side summary string — columns with dtypes, row count, and
+    * the optimizer's size estimate (statistics, no data read beyond the
+    * count). */
+  def info(): String = {
+    val rows = df.count()
+    val bytes = graft.operators.Reductions.sizeInBytes(df)
+    val cols = df.schema.fields.zipWithIndex
+      .map { case (f, i) => s" $i  ${f.name}  ${f.dataType.simpleString}" }
+    (s"GraftFrame: ${df.columns.length} columns, $rows rows" +:
+      cols :+ s"estimated size: $bytes bytes").mkString("\n")
+  }
 
   // ---- projections / row selection (reference _expr.py:1378-1441) ----
   def select(cols: String*): GraftFrame = {

@@ -28,6 +28,9 @@ class RowOpsSpec extends SparkTestBase {
     assert(f.ndim == 2)
     assert(f.dtypes == Seq("id" -> "bigint", "k" -> "string", "v" -> "double"))
     assert(!f.empty && GraftFrame(kv()).empty)
+    val inf = f.info()
+    assert(inf.contains("3 columns") && inf.contains("2 rows") &&
+      inf.contains("k  string") && inf.contains("estimated size"))
   }
 
   test("fromDict builds a typed frame from column-oriented data") {
