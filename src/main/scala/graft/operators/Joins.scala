@@ -180,30 +180,53 @@ object Joins {
     require(Set("backward", "forward", "nearest")(direction),
       s"asofJoinGlobal: direction must be backward/forward/nearest, got '$direction'")
     val (withM, rightVals, tieBreak) = asofPrep(left, right, leftTs, rightTs, Nil)
-    // Both carry consumers descend from THIS frame. Measured (r8 final-
-    // plan audit): column pruning projects the carries branch narrower
-    // than the data branch, so the two range exchanges canonicalize
-    // differently and AQE does NOT reuse the stage — the union pipeline
-    // runs twice (q_asof_global ~1.6x q_asof_join at sf0.1, the honest
-    // price of the guarded escape hatch; still never a single-task
-    // window). Correctness does not depend on reuse: range-boundary
-    // sampling is deterministic over identical input splits, so both
-    // branches assign identical __pid__s — value-checked end-to-end by
-    // the q_asof_global oracle and the multi-partition parity spec.
-    val ranged = withM.repartitionByRange(col("__ts__"))
+    // Both carry consumers (the data branch and the npartitions-row
+    // carries aggregate) descend from THIS frame, so the range exchange
+    // appears twice in the plan. Exchange/stage reuse dedupes it ONLY if
+    // both occurrences canonicalize identically, and in r8 they did not:
+    // column pruning projected the carries branch narrower (it never
+    // touched the left payload columns), so the union pipeline executed
+    // twice (~1.6x q_asof_join at sf0.1). Fixed without materializing
+    // anything: the per-range fill window's tie-break ordering is
+    // extended with every remaining column (see ordTail below), so BOTH
+    // branches consume the full exchange output, pruning cannot narrow
+    // either side, and the second occurrence plans as a ReusedExchange —
+    // the scan+union+shuffle run once, and the reused shuffle files are
+    // exactly how Spark shares work at cluster scale (no cached blocks,
+    // no fault-tolerance loss). The explicit partition count pins both
+    // branches to the same range map even if a future Spark makes
+    // user range-repartitions AQE-coalescable (r8 ADVICE): divergent
+    // coalescing between branches would silently join carries to the
+    // wrong ranges. Reuse is asserted by the plan spec; values are
+    // checked end-to-end by the q_asof_global oracle and the
+    // multi-partition parity spec.
+    val nRanges = withM.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = withM.repartitionByRange(nRanges, col("__ts__"))
       .withColumn("__pid__", spark_partition_id())
     val bSide = if (allowExactMatches) col("__side__").asc else col("__side__").desc
     val fSide = if (allowExactMatches) col("__side__").desc else col("__side__").asc
-    val ordB = col("__ts__").asc +: bSide +: tieBreak
-    val ordF = col("__ts__").asc +: fSide +: tieBreak
-    val wB = Window.partitionBy(col("__pid__")).orderBy(ordB: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wF = Window.partitionBy(col("__pid__")).orderBy(ordF: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // Ordering tail: every input column not already consumed, appended
+    // AFTER the real tie-break. Semantically a no-op — payload columns
+    // are NULL on every right row (side 0), so the carry order among
+    // right rows is untouched, and order among tied LEFT rows cannot
+    // change any fill (left rows contribute only nulls to
+    // last/first(ignoreNulls)). Their job is to make each fill window
+    // consume its ENTIRE input (reuse, above). Computed per-fill from
+    // the actual input: in `nearest` the forward fill runs over the
+    // backward output, and leaving __mb__ unconsumed there would let
+    // pruning collapse the backward carries join to a distinct-pid
+    // broadcast over a third, differently-pruned exchange descent.
+    def ordTail(d: DataFrame): Seq[Column] = tieBreak ++ d.columns
+      .filterNot(c => rightVals.contains(c) ||
+        c == "__ts__" || c == "__side__" || c == "__rv__" || c == "__pid__")
+      .map(c => col(c).asc_nulls_first)
     // Per-range local fill + cross-range carry. The npartitions-row
     // windows are deliberately un-partitioned (see globalCumSum: an
     // RDD-boundary "fix" severs the plan and recomputes the pipeline).
     def fillBackward(d: DataFrame): DataFrame = {
+      val wB = Window.partitionBy(col("__pid__"))
+        .orderBy(col("__ts__").asc +: bSide +: ordTail(d): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val local = d.withColumn("__mbl__",
         last(col("__rv__"), ignoreNulls = true).over(wB))
       val wP = Window.orderBy(col("__pid__"))
@@ -220,6 +243,9 @@ object Joins {
         .drop("__mbl__", "__cb__")
     }
     def fillForward(d: DataFrame): DataFrame = {
+      val wF = Window.partitionBy(col("__pid__"))
+        .orderBy(col("__ts__").asc +: fSide +: ordTail(d): _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val local = d.withColumn("__mfl__",
         first(col("__rv__"), ignoreNulls = true).over(wF))
       val wN = Window.orderBy(col("__pid__"))

@@ -31,6 +31,13 @@ object PlanReport {
     def scaleSafe: Boolean = cartesianProducts == 0
   }
 
+  /** The flattened executed plan (AQE roots, query stages and codegen
+    * spans entered; ReusedExchange counted but not descended) — for
+    * callers that need to assert on node shapes [[Report]] doesn't
+    * summarize, e.g. "exactly one RANGE exchange". */
+  def nodes(df: DataFrame): Seq[SparkPlan] =
+    flatten(df.queryExecution.executedPlan)
+
   def of(df: DataFrame): Report = {
     val nodes = flatten(df.queryExecution.executedPlan)
     Report(

@@ -284,6 +284,37 @@ class GroupByJoinSpec extends SparkTestBase {
     assert(gt == kt)
   }
 
+  test("asofJoinGlobal plans ONE range exchange; every other descent reuses") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the r8 plan executed the scan+union+range-shuffle pipeline TWICE
+    // (carries branch pruned narrower -> no stage reuse); the ordTail fix
+    // makes both branches consume the full exchange output, so the second
+    // descent must plan as a ReusedExchange over ONE physical range shuffle
+    val left = spark.range(0, 200).toDF("id")
+      .select(col("id"), (col("id") * 7 % 501).as("t"))
+    val right = spark.range(0, 50).toDF("rid")
+      .select((col("rid") * 11 % 499).as("t"),
+        when(col("rid") % 5 =!= 0, col("rid").cast("double")).as("rv"))
+    for (direction <- Seq("backward", "forward", "nearest")) {
+      val out = Joins.asofJoinGlobal(left, right, "t", "t", direction)
+      out.collect() // materialize: reuse decisions land in the AQE final plan
+      val nodes = graft.plans.PlanReport.nodes(out)
+      val rangeEx = nodes.collect {
+        case s: ShuffleExchangeExec
+            if s.outputPartitioning.isInstanceOf[RangePartitioning] => s
+      }
+      assert(rangeEx.size == 1,
+        s"direction=$direction: ${rangeEx.size} physical range exchanges " +
+          s"(union pipeline executed more than once)\n" +
+          out.queryExecution.executedPlan.toString)
+      val rep = graft.plans.PlanReport.of(out)
+      assert(rep.reusedExchanges >= 1,
+        s"direction=$direction: no ReusedExchange in final plan")
+    }
+  }
+
   test("asofJoinOn refuses missing right by-columns and rename clashes") {
     val ls = StructType(Seq(StructField("lg", StringType),
       StructField("t", LongType), StructField("lv", DoubleType)))
