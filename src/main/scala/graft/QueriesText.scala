@@ -594,8 +594,12 @@ object QueriesText {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val shard = docs.filter(col("doc_id") % 7 === 2)
         .withColumn("doc_id", col("doc_id") + 100000)
-      Dedup.writeNearDupIndex(docs, "doc_id", "text", "g_ndi",
-        "/root/repo/target/qtmp/ndidx")
+      // index landing spot derived from the JVM temp dir, not a repo
+      // absolute path: the registered query must run from any checkout
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/ndidx")
+        .getAbsolutePath
+      Dedup.writeNearDupIndex(docs, "doc_id", "text", "g_ndi", idxPath)
       Dedup.nearDupPairsAgainstIndex(shard, "doc_id", "text", "g_ndi",
           threshold = 0.5)
         .orderBy("id_a", "id_b")

@@ -41,10 +41,25 @@ object Ivf {
   def train(embeddings: DataFrame, idCol: String, vecCol: String,
             nCells: Int, iters: Int = 2,
             trainFraction: Double = 0.05): DataFrame = {
-    val ts =
+    val sampled =
       if (trainFraction >= 1.0) embeddings
       else embeddings.filter(
         idHash(col(idCol)) < (trainFraction * 4294967296L).toLong)
+    // A sample with fewer than nCells rows would SILENTLY return fewer
+    // centroids than requested (every downstream nprobe/recall number
+    // quietly degrades). The check is a bounded count — limit(nCells)
+    // stops the scan early — and the fallback is safe by construction:
+    // a trainFraction sample smaller than nCells means the corpus holds
+    // at most ~nCells/trainFraction rows, so full-data training is
+    // cheap exactly when the fallback triggers (r8 ADVICE).
+    val ts =
+      if (trainFraction >= 1.0) sampled
+      else if (sampled.limit(nCells).count() < nCells) {
+        System.err.println(
+          s"[ivf] trainFraction=$trainFraction sample has < $nCells rows; " +
+            "training on the full frame instead")
+        embeddings
+      } else sampled
     // seeds: the nCells sample vectors with the smallest id-hash — a
     // TakeOrdered (per-partition top-k, no global sort), deterministic on
     // any partitioning; the row_number window runs on ≤ nCells rows.
@@ -177,6 +192,23 @@ object Ivf {
     assign(embeddings, idCol, vecCol, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Append a new shard to a PERSISTED index — the daily-ingest path
+    * (parity with [[Dedup.appendShardToIndex]]; before this, a growing
+    * embedding corpus forced a full [[writeIndex]] rewrite per shard).
+    * The shard assigns blockwise against the SAVED centroids — the cell
+    * geometry is frozen at build time, because re-training would orphan
+    * every existing cell directory — and lands as appended files inside
+    * the matching cell partitions. Only |shard| rows are ever written;
+    * the existing corpus files are untouched, and [[annTopKIndexed]]/
+    * [[annTopKIndexedBatch]] keep their probe-cells-only scan property
+    * over the grown index (spec-checked: directories read == nprobe). */
+  def appendToIndex(newEmbeddings: DataFrame, idCol: String, vecCol: String,
+                    path: String): Unit = {
+    val centroids = newEmbeddings.sparkSession.read.parquet(s"$path/centroids")
+    assign(newEmbeddings, idCol, vecCol, centroids)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
   }
 
   /** Batched search over a PERSISTED index: the cell ids each query

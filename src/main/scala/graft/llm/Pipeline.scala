@@ -40,9 +40,10 @@ object Pipeline {
     *         land intermediate parquet between stages instead. The
     *         caches live for the session (the lazy return gives the
     *         caller no handle to them): in a long-lived session that
-    *         rebuilds repeatedly, prefer [[buildAndWrite]] (which
-    *         releases them after landing), pass persistStages=false,
-    *         or clear via spark.catalog.clearCache().
+    *         rebuilds repeatedly, prefer [[pretrainCorpusManaged]]
+    *         (returns the handles to unpersist), [[buildAndWrite]]
+    *         (which releases them after landing), persistStages=false,
+    *         or spark.catalog.clearCache().
     * @return one row per surviving doc: every input column plus
     *         `split` ('train'/'val'/'test') and `shuffle_pos` (global
     *         deterministic shuffle order for sharding) */
@@ -107,6 +108,33 @@ object Pipeline {
     (out, obs)
   }
 
+  /** [[pretrainCorpus]] plus the persisted stage-boundary handles, for
+    * long-lived sessions that rebuild repeatedly: the plain overload
+    * persists 3–4 boundaries MEMORY_AND_DISK and returns no way to
+    * release them (each call leaks cached blocks for the session — r8
+    * ADVICE). Here the caller owns the lifecycle: after the result has
+    * been consumed, `handles.foreach(_.unpersist())`. [[buildAndWrite]]
+    * does exactly this internally around its landing write. */
+  def pretrainCorpusManaged(docs: DataFrame, bench: DataFrame,
+                            idCol: String, textCol: String,
+                            minTokens: Int = 3,
+                            nearDupThreshold: Double = 0.5,
+                            decontamK: Int = 5,
+                            trainFrac: Double = 0.8,
+                            valFrac: Double = 0.1,
+                            shuffleSeed: Long = 0L,
+                            boilerplateMaxDocFreq: Option[Int] = None,
+                            embeddingDedup: Option[EmbeddingDedup] = None)
+      : (DataFrame, Seq[DataFrame]) = {
+    val handles = scala.collection.mutable.Buffer.empty[DataFrame]
+    val out = chain(docs, bench, idCol, textCol, minTokens,
+      nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
+      (_, d) => d, persistStages = true,
+      boilerplateMaxDocFreq = boilerplateMaxDocFreq,
+      embeddingDedup = embeddingDedup, persisted = handles)
+    (out, handles.toSeq)
+  }
+
   /** Run the pipeline and LAND it: parquet partitioned by `split` (so
     * train/val/test are separate directory trees — readers
     * partition-prune to their split) plus a `_graft_manifest.json`
@@ -167,14 +195,24 @@ object Pipeline {
     def reused(d: DataFrame): DataFrame =
       if (persistStages) { persisted += d; d.persist(StorageLevel.MEMORY_AND_DISK) }
       else d
-    val in = tap("input", docs)
     // 0. optional corpus-level boilerplate strip (nav bars, cookie
     // banners) BEFORE hashing stages — removing shared lines first keeps
-    // boilerplate from gluing unrelated docs into near-dup clusters
-    val stripped = boilerplateMaxDocFreq.fold(in)(maxDf =>
-      TextStats.dropBoilerplateLines(in, idCol, textCol, maxDf)
-        .join(in.drop(textCol), Seq(idCol))
-        .select(in.columns.map(col).toSeq: _*))
+    // boilerplate from gluing unrelated docs into near-dup clusters.
+    // The "input" tap lands on whichever frame the rest of the plan
+    // consumes exactly ONCE: the boilerplate stage references the raw
+    // docs twice (line strip + payload join-back), and a CollectMetrics
+    // on a twice-referenced subtree executes twice and double-counts
+    // (r8 ADVICE). The stage is row-preserving (empty-text docs survive
+    // the left join back), so tapping after the join-back observes the
+    // same row count as tapping the raw input.
+    val stripped = boilerplateMaxDocFreq match {
+      case None => tap("input", docs)
+      case Some(maxDf) =>
+        tap("input",
+          TextStats.dropBoilerplateLines(docs, idCol, textCol, maxDf)
+            .join(docs.drop(textCol), Seq(idCol))
+            .select(docs.columns.map(col).toSeq: _*))
+    }
     // 1. quality gate: the Gopher-style keep predicate is all per-row
     // expressions (TopGramFrac is native), so this is a plain filter
     // fused into the input scan — no explode, no join-back

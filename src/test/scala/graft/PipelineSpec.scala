@@ -86,6 +86,46 @@ class PipelineSpec extends SparkTestBase {
     assert(withStrip == Seq(1L, 2L, 3L), s"boilerplate strip failed: $withStrip")
   }
 
+  test("observed input count is not doubled by the boilerplate stage") {
+    // r8 defect: the input tap sat on a subtree the boilerplate stage
+    // referenced twice (line strip + payload join-back), so the
+    // CollectMetrics executed twice and "input" read 2x. The tap now
+    // sits after the row-preserving join-back: 3 docs must read as 3.
+    val banner = "accept cookies to continue reading this site uses essential " +
+      "tracking for analytics and advertising purposes please review our policy " +
+      "page before proceeding further because consent banners appear on every " +
+      "single article page across this entire publishing network today"
+    val docs = df(docSchema,
+      Row(1L, banner + "\nrivers flow gently north through quiet green valleys"),
+      Row(2L, banner + "\nmountains rise sharply east beyond the coastal plain"),
+      Row(3L, banner + "\ndeserts stretch quietly west under fading amber light"))
+    val (out, metrics) = Pipeline.pretrainCorpusObserved(
+      docs, df(docSchema), "doc_id", "text", boilerplateMaxDocFreq = Some(2))
+    assert(out.count() == 3)
+    val input = metrics("input")
+    if (!input.getAsJava.isEmpty)
+      assert(input.get("rows") == 3L,
+        s"boilerplate-active input count = ${input.get("rows")}, expected 3")
+    assert(metrics("output").get("rows") == 3L)
+  }
+
+  test("pretrainCorpusManaged returns handles whose unpersist releases the caches") {
+    val docs = df(docSchema,
+      Row(1L, base),
+      Row(6L, "completely different words about ships sailing across wide open seas under bright stars"))
+    val (out, handles) = Pipeline.pretrainCorpusManaged(
+      docs, df(docSchema), "doc_id", "text")
+    assert(handles.nonEmpty, "managed build returned no stage handles")
+    assert(handles.forall(
+      _.storageLevel != org.apache.spark.storage.StorageLevel.NONE),
+      "handles must arrive persisted")
+    assert(out.count() == 2)
+    handles.foreach(_.unpersist(blocking = true))
+    assert(handles.forall(
+      _.storageLevel == org.apache.spark.storage.StorageLevel.NONE),
+      "unpersist must release every stage boundary")
+  }
+
   test("embedding stage drops paraphrases the text shingles cannot see") {
     import org.apache.spark.sql.types._
     val docs = df(docSchema,

@@ -476,14 +476,27 @@ class WindowLlmSpec extends SparkTestBase {
     val thr = (0.05 * 4294967296L).toLong
     val sampleSize = (0L until 200L).count(h(_) < thr)
     assert(sampleSize > 0 && sampleSize < 200)
-    // asking for MORE cells than the sample has rows can only yield
-    // sample-many seeds — proof the default training scan is the filtered
-    // sample, not the full corpus (which would return all 100)
+    // asking for MORE cells than the sample has rows must NOT silently
+    // return sample-many centroids (r8 behavior, flagged by ADVICE):
+    // train detects the undersized sample and falls back to full-data
+    // training, so the caller gets every cell it asked for
     val cents = graft.llm.Ivf.train(e, "vec_id", "embedding",
       nCells = 100, iters = 0)
-    assert(cents.count() == sampleSize,
-      s"default-path training scan saw ${cents.count()} rows, " +
-        s"expected the $sampleSize-row hash sample")
+    assert(cents.count() == 100,
+      s"undersized-sample fallback returned ${cents.count()} centroids, " +
+        "expected the full 100 (fallback to trainFraction=1.0)")
+    // proof the default path still trains on the sample when it is big
+    // enough: one Lloyd refinement averages over the sample's vectors,
+    // so refined centroids differ from full-data training's
+    val sampled1 = graft.llm.Ivf.train(e, "vec_id", "embedding",
+        nCells = 4, iters = 1)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val full1 = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 4,
+        iters = 1, trainFraction = 1.0)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(sampled1 != full1,
+      "sample-trained refinement equals full-data refinement — " +
+        "the default path is not actually training on the sample")
     // sampling invariance: the hash filter keeps every smallest-hash row,
     // so seeds at nCells <= sample size match the full-corpus seeds
     val sampled = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 4, iters = 0)
@@ -492,6 +505,54 @@ class WindowLlmSpec extends SparkTestBase {
         iters = 0, trainFraction = 1.0)
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     assert(sampled == full)
+  }
+
+  test("IVF appendToIndex: shard joins frozen cells, grown search stays nprobe-pruned") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").limit(200).cache()
+    val corpus = e.filter(col("vec_id") < 150)
+    val shard = e.filter(col("vec_id") >= 150)
+      // plant an exact duplicate of vector 0 under a shard-only id: the
+      // grown-index search below MUST surface it as the top neighbor
+      .unionByName(e.filter(col("vec_id") === 0L)
+        .select(lit(9999L).as("vec_id"), col("embedding")))
+    val cents = graft.llm.Ivf.train(corpus, "vec_id", "embedding",
+      nCells = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    try {
+      graft.llm.Ivf.writeIndex(corpus, "vec_id", "embedding", cents, dir)
+      graft.llm.Ivf.appendToIndex(shard, "vec_id", "embedding", dir)
+      // every shard row landed, assigned against the SAVED centroids —
+      // identical to a blockwise assign with the training-time frame
+      val grown = spark.read.parquet(s"$dir/vectors")
+      assert(grown.count() == 201)
+      val gotCells = grown.filter(col("vec_id") >= 150)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val wantCells = graft.llm.Ivf.assign(shard, "vec_id", "embedding", cents)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(gotCells == wantCells, "append assigned cells differently than assign()")
+      // the planted duplicate is found through the grown index, and the
+      // probe scan still reads exactly nprobe of the cell directories —
+      // appending must not erode the partitioned-index read contract
+      val nprobe = 2
+      val idx = graft.llm.Ivf.annTopKIndexed(e, "vec_id", "embedding", dir,
+        queryId = 0L, k = 5, nprobe = nprobe)
+      val scans = idx.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.partitionFilters.exists(_.references.exists(_.name == "cell")) => s
+      }
+      assert(scans.nonEmpty, "no scan with a partition filter on cell")
+      val dirsRead = scans.head.relation.location
+        .listFiles(scans.head.partitionFilters, scans.head.dataFilters).length
+      assert(dirsRead == nprobe, s"grown probe scan read $dirsRead cell dirs")
+      val top = idx.collect()
+      assert(top.head.getLong(0) == 9999L && top.head.getDouble(1) > 0.999999,
+        s"planted shard duplicate not surfaced: ${top.map(_.getLong(0)).toSeq}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 
   test("IVF annTopKBatch matches per-query annTopK, no cartesian") {
