@@ -409,6 +409,78 @@ object QueriesEmbed {
         .orderBy("query_id", "vec_id")
     }
 
+    // ANN recall@k vs brute force — the LSH tuning instrument. The same
+    // 20-query sample as q_ann_batch, k=5: ANN candidates via the probed
+    // bucket join, exact top-5 via all 20x500 cosines, hits counted per
+    // query; mean_recall is the pooled sum(hits)/sum(exact_k) (a ratio
+    // of exact integer sums — bit-stable where an IEEE mean of per-query
+    // doubles is summation-order-dependent).
+    r.reg("q_ann_recall",
+      s"""WITH $bucketCtes,
+         |qsel AS (
+         |  SELECT e.vec_id AS qid, e.embedding AS qv, b.bucket AS qb
+         |  FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+         |  WHERE e.vec_id % 25 = 0),
+         |probes AS (
+         |  SELECT qid, qv, qb AS bucket FROM qsel
+         |  UNION ALL
+         |  SELECT qid, qv, xor(qb, CAST(1 << j AS BIGINT)) AS bucket
+         |  FROM qsel, range(0, 8) rj(j)),
+         |cand AS (
+         |  SELECT p.qid, b.vec_id, p.qv
+         |  FROM buckets b JOIN probes p USING (bucket)
+         |  WHERE b.vec_id <> p.qid),
+         |pz AS (
+         |  SELECT c.qid, c.vec_id, unnest(e.embedding) AS a, unnest(c.qv) AS b
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id),
+         |pd AS (
+         |  SELECT qid, vec_id,
+         |    sum(CAST(CAST(a AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+         |    sum(CAST(CAST(a AS DOUBLE)*CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na,
+         |    sum(CAST(CAST(b AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS nb
+         |  FROM pz GROUP BY qid, vec_id),
+         |ann AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY
+         |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC,
+         |        vec_id ASC) AS rn
+         |    FROM pd) WHERE rn <= 5),
+         |bz AS (
+         |  SELECT q.qid, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+         |  FROM embeddings e, qsel q WHERE e.vec_id <> q.qid),
+         |bd AS (
+         |  SELECT qid, vec_id,
+         |    sum(CAST(CAST(a AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+         |    sum(CAST(CAST(a AS DOUBLE)*CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na,
+         |    sum(CAST(CAST(b AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS nb
+         |  FROM bz GROUP BY qid, vec_id),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY
+         |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC,
+         |        vec_id ASC) AS rn
+         |    FROM bd) WHERE rn <= 5),
+         |hits AS (
+         |  SELECT e.qid,
+         |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |    CAST(count(*) AS BIGINT) AS exact_k
+         |  FROM exact e LEFT JOIN ann a ON a.qid = e.qid AND a.vec_id = e.vec_id
+         |  GROUP BY e.qid),
+         |m AS (
+         |  SELECT CAST(sum(hits) AS DOUBLE)/CAST(sum(exact_k) AS DOUBLE) AS mean_recall
+         |  FROM hits)
+         |SELECT qid AS query_id, hits, exact_k,
+         |  CAST(hits AS DOUBLE)/CAST(exact_k AS DOUBLE) AS recall, m.mean_recall
+         |FROM hits, m ORDER BY query_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 25 === 0).select("vec_id", "embedding")
+      Similarity.recallReport(e, q, "vec_id", "embedding", "vec_id", "embedding",
+          dim = 64, k = 5, planes = 8, multiProbe = true)
+        .orderBy("query_id")
+    }
+
     // Multi-probe: the query's bucket plus its 8 Hamming-1 neighbors
     // (one hyperplane sign flipped each) — recall strictly dominates
     // single-probe at the same plane count; the oracle mirrors the

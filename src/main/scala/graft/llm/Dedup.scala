@@ -352,11 +352,20 @@ object Dedup {
     *
     * Every future [[nearDupPairsAgainstIndex]] call then shuffles ONLY
     * the new shard: the corpus side of both joins reads its buckets in
-    * place (zero exchange, asserted in spec). */
+    * place (zero exchange, asserted in spec).
+    *
+    *  - `<name>_keys` at `<path>/keys`: (id, key), bucketed on key — the
+    *    EXACT-dedup boundary (canonical content hash of every doc, no
+    *    shingle-eligibility filter, so sub-`shingleK`-token docs are
+    *    exact-dedupable too). [[dropExactAgainstIndex]] anti-joins it
+    *    corpus-side exchange-free. `keyCol` overrides the key when the
+    *    caller keyed the docs earlier in a pipeline (e.g. pre-PII-
+    *    redaction, matching Streams.ingestGateStream). */
   def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
                         name: String, path: String, shingleK: Int = 3,
                         numHashes: Int = 16, bands: Int = 4,
-                        buckets: Int = 8): Unit = {
+                        buckets: Int = 8,
+                        keyCol: Option[String] = None): Unit = {
     val (withSh, banded) = indexRows(docs, idCol, textCol, shingleK,
       numHashes, bands)
     graft.api.GraftFrame(banded)
@@ -365,6 +374,36 @@ object Dedup {
     graft.api.GraftFrame(withSh)
       .toBucketedTable(s"${name}_shingles", s"$path/shingles", buckets,
         Seq("id"))
+    graft.api.GraftFrame(keyRows(docs, idCol, textCol, keyCol))
+      .toBucketedTable(s"${name}_keys", s"$path/keys", buckets,
+        Seq("key"))
+  }
+
+  /** The (id, key) rows the exact-dedup boundary table persists — shared
+    * by build and append so the two can never drift. */
+  private def keyRows(docs: DataFrame, idCol: String, textCol: String,
+                      keyCol: Option[String]): DataFrame =
+    docs.select(col(idCol).as("id"),
+      keyCol.fold(canonicalKey(col(textCol)))(k => col(k)).as("key"))
+
+  /** Shard docs whose canonical content key is NOT already in the corpus
+    * keys table (`<name>_keys`, [[writeNearDupIndex]]) — the exact-dedup-
+    * vs-corpus-boundary stage of a daily ingest. The corpus side reads
+    * its buckets in place (bucketed on key → zero corpus exchange); only
+    * the shard shuffles. `keyCol` reuses an already-computed key column
+    * (kept in the output); otherwise the key is derived from `textCol`. */
+  def dropExactAgainstIndex(newDocs: DataFrame, idCol: String,
+                            textCol: String, name: String,
+                            keyCol: Option[String] = None): DataFrame = {
+    val spark = newDocs.sparkSession
+    // internal name must differ from any caller keyCol: dropping the
+    // join key must never destroy the caller's own column
+    val keyed = newDocs.withColumn("__gxk__",
+      keyCol.fold(canonicalKey(col(textCol)))(k => col(k)))
+    keyed.join(
+        spark.table(s"${name}_keys").select(col("key").as("__gxk__")),
+        Seq("__gxk__"), "left_anti")
+      .drop("__gxk__")
   }
 
   /** The (shingles, banded-signature) frames a near-dup index persists —
@@ -397,23 +436,31 @@ object Dedup {
     * shingles to the two bucketed tables (bucketed appends add files per
     * bucket; reads stay bucket-pruned and exchange-free). Returns the
     * surviving shard docs for the caller to land next to the corpus —
-    * the frame is CACHED (it fed both table appends); unpersist it once
-    * landed. The daily-ingest shape at 100 TB: only the shard is ever
+    * the frame is eagerly localCheckpointed (it fed the table appends,
+    * and a plain cache would be re-run against the grown index by the
+    * appends' own table refresh); its blocks free on GC, or
+    * `unpersist()` the returned frame. The daily-ingest shape at
+    * 100 TB: only the shard is ever
     * re-shuffled; the corpus is touched through its pre-bucketed index.
     * `shingleK`/`numHashes`/`bands` must match the index build. */
   def appendShardToIndex(newDocs: DataFrame, idCol: String, textCol: String,
                          name: String, path: String, threshold: Double,
                          shingleK: Int = 3, numHashes: Int = 16,
-                         bands: Int = 4, buckets: Int = 8): DataFrame = {
+                         bands: Int = 4, buckets: Int = 8,
+                         keyCol: Option[String] = None): DataFrame = {
     val internal = dropNearDuplicates(newDocs, idCol, textCol, threshold,
       shingleK = shingleK, numHashes = numHashes, bands = bands)
     val vsCorpus = nearDupPairsAgainstIndex(internal, idCol, textCol, name,
       threshold, shingleK, numHashes, bands)
-    // cache: survivors feed two table appends plus the caller's sink —
-    // without it the shard near-dedup would re-run per write
+    // localCheckpoint (eager), NOT cache(): the survivors plan READS the
+    // index tables this function is about to APPEND to, and saveAsTable
+    // refreshes the table → Spark re-runs dependent cached plans against
+    // the GROWN index, where the shard matches itself and a cached
+    // `survivors` silently recomputes to empty. A localCheckpoint is
+    // lineage-free — table refresh cannot touch it — and shard-sized.
     val survivors = internal.join(
       vsCorpus.select(col("id_b").as(idCol)).distinct(),
-      Seq(idCol), "left_anti").cache()
+      Seq(idCol), "left_anti").localCheckpoint(true)
     val (withSh, banded) = indexRows(survivors, idCol, textCol, shingleK,
       numHashes, bands)
     // append MUST go through bucketBy+saveAsTable: insertInto drops the
@@ -423,6 +470,12 @@ object Dedup {
       s"$path/bands", buckets, Seq("band", "key"), mode = "append")
     graft.api.GraftFrame(withSh).toBucketedTable(s"${name}_shingles",
       s"$path/shingles", buckets, Seq("id"), mode = "append")
+    // grow the exact-dedup boundary too (skip for a pre-keys-table
+    // index so r8-era indexes keep appending without migration)
+    if (newDocs.sparkSession.catalog.tableExists(s"${name}_keys"))
+      graft.api.GraftFrame(keyRows(survivors, idCol, textCol, keyCol))
+        .toBucketedTable(s"${name}_keys", s"$path/keys", buckets,
+          Seq("key"), mode = "append")
     survivors
   }
 

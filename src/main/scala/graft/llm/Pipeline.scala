@@ -181,6 +181,102 @@ object Pipeline {
     counts
   }
 
+  /** Incremental DAILY-INGEST pipeline — the batch analog of
+    * `Streams.ingestGateStream`, composed end-to-end: the shape a 100 TB
+    * corpus owner runs per arriving shard, where the standing corpus is
+    * touched ONLY through its pre-bucketed index
+    * ([[Dedup.writeNearDupIndex]] — bands, shingles, keys) and is never
+    * re-scanned or re-shuffled (plan-asserted in spec):
+    *
+    *   1. quality gate (same fused Gopher predicate as [[pretrainCorpus]])
+    *   2. canonical content key from the PRE-redaction text, then PII
+    *      redaction — keying first matches the streaming gate: two docs
+    *      differing only in their PII values are different documents
+    *   3. in-shard exact dedup (keep smallest id per key)
+    *   4. exact dedup vs the corpus boundary
+    *      ([[Dedup.dropExactAgainstIndex]]: bucketed keys table, corpus
+    *      side zero-exchange)
+    *   5. benchmark decontamination — BEFORE the index append, so a
+    *      contaminated doc can never enter the index and ghost-dedup
+    *      future shards against a doc the corpus doesn't contain
+    *   6. near dedup, in-shard then vs the corpus index, and append the
+    *      survivors' bands/shingles/keys ([[Dedup.appendShardToIndex]])
+    *
+    * Only the shard ever shuffles: its size bounds every exchange, so
+    * the daily cost is O(|shard|) regardless of corpus size. Returns the
+    * surviving docs (CACHED by the append — it feeds the table appends
+    * and the caller's sink; `unpersist()` once landed, or use
+    * [[ingestShard]] which owns the lifecycle). The `__ck__` key column
+    * rides the output for the landing variant to drop. */
+  def ingestShardFrame(shard: DataFrame, bench: DataFrame,
+                       idCol: String, textCol: String,
+                       indexName: String, indexPath: String,
+                       minTokens: Int = 3,
+                       nearDupThreshold: Double = 0.5,
+                       decontamK: Int = 5,
+                       redactPii: Boolean = true,
+                       shingleK: Int = 3, numHashes: Int = 16,
+                       bands: Int = 4, buckets: Int = 8): DataFrame = {
+    val quality = TextStats.qualityFilter(shard, textCol,
+      minTokens = minTokens)
+    val keyed = quality.withColumn("__ck__",
+      Dedup.canonicalKey(col(textCol)))
+    val redacted =
+      if (redactPii) keyed.withColumn(textCol,
+        TextStats.redactPii(col(textCol)))
+      else keyed
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__ck__")).orderBy(col(idCol).asc)
+    val inShardExact = redacted
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1).drop("__rn__")
+    val fresh = Dedup.dropExactAgainstIndex(inShardExact, idCol, textCol,
+      indexName, keyCol = Some("__ck__"))
+    val clean = Dedup.decontaminate(fresh, bench, idCol, textCol, decontamK)
+    Dedup.appendShardToIndex(clean, idCol, textCol, indexName, indexPath,
+      nearDupThreshold, shingleK, numHashes, bands, buckets,
+      keyCol = Some("__ck__"))
+  }
+
+  /** [[ingestShardFrame]] plus the LANDING: append the survivors as
+    * parquet next to the corpus at `outPath` and drop a per-shard
+    * `_graft_shard_<label>.json` manifest (underscore-prefixed: corpus
+    * readers ignore it) recording input and landed row counts. Owns the
+    * cache lifecycle ([[buildAndWrite]] posture). `shardLabel` names the
+    * manifest — use the ingest date / batch id; it must be unique per
+    * shard or the manifest (not the data) is overwritten. Returns
+    * Map("input" → …, "landed" → …); per-stage drop attribution is the
+    * observed pipeline's job, not the landing's (CollectMetrics does not
+    * surface through file-write commands). */
+  def ingestShard(shard: DataFrame, bench: DataFrame,
+                  idCol: String, textCol: String,
+                  indexName: String, indexPath: String,
+                  outPath: String, shardLabel: String,
+                  minTokens: Int = 3,
+                  nearDupThreshold: Double = 0.5,
+                  decontamK: Int = 5,
+                  redactPii: Boolean = true,
+                  shingleK: Int = 3, numHashes: Int = 16,
+                  bands: Int = 4, buckets: Int = 8): Map[String, Long] = {
+    val survivors = ingestShardFrame(shard, bench, idCol, textCol,
+      indexName, indexPath, minTokens, nearDupThreshold, decontamK,
+      redactPii, shingleK, numHashes, bands, buckets)
+    try {
+      survivors.drop("__ck__").write.mode("append").parquet(outPath)
+      val landed = survivors.count() // cached by the append — no re-run
+      val counts = Map("input" -> shard.count(), "landed" -> landed)
+      val json = counts.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      val conf = shard.sparkSession.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(outPath,
+        s"_graft_shard_$shardLabel.json")
+      val fs = p.getFileSystem(conf)
+      val os = fs.create(p, true)
+      try os.write((json + "\n").getBytes("UTF-8")) finally os.close()
+      counts
+    } finally survivors.unpersist()
+  }
+
   private def chain(docs: DataFrame, bench: DataFrame,
                     idCol: String, textCol: String,
                     minTokens: Int, nearDupThreshold: Double,

@@ -195,6 +195,57 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("cos"))
   }
 
+  /** ANN recall@k report — the tuning instrument for `planes` /
+    * `multiProbe`: without it a user picking LSH parameters is blind
+    * (the correctness oracles prove the *mechanism*, not the *quality*).
+    * One job: [[annTopKBatch]] for the approximate side, a broadcast
+    * brute-force pass for the exact side, joined per (query, candidate).
+    *
+    * `queries` must be a SAMPLE: the exact side scores |queries| ×
+    * |corpus| pairs (that cost is what "brute force" means) and the
+    * sample is broadcast. A few hundred query vectors measure recall to
+    * a few percent — never pass the full corpus.
+    *
+    * Output: one row per query — (query_id, hits, exact_k, recall) —
+    * plus `mean_recall`, the pooled Σhits/Σexact_k (equals the per-query
+    * mean whenever every query returns a full k; a ratio of exact
+    * integer sums, so it hashes identically cross-engine where an
+    * IEEE mean of per-query doubles would be summation-order-dependent).
+    * `exact_k` is the exact side's row count (= k when the corpus has at
+    * least k non-self rows), used as the denominator so a tiny corpus
+    * can't report recall > 1. */
+  def recallReport(embeddings: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String,
+                   qIdCol: String, qVecCol: String,
+                   dim: Int, k: Int, planes: Int = 8,
+                   multiProbe: Boolean = true): DataFrame = {
+    val ann = annTopKBatch(embeddings, queries, idCol, vecCol,
+        qIdCol, qVecCol, dim, k, planes, multiProbe)
+      .select(col("query_id"), col(idCol).as("cand_id"), lit(1L).as("__hit__"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).as("__qv__"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    val exact = spread(embeddings)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("__cv__"))
+      .crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__cv__"), col("__qv__")))
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= k)
+      .select(col("query_id"), col("cand_id"))
+    val perQuery = exact.join(ann, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(coalesce(sum("__hit__"), lit(0L)).as("hits"),
+        count(lit(1)).as("exact_k"))
+      .withColumn("recall",
+        col("hits").cast("double") / col("exact_k").cast("double"))
+    val overall = perQuery.agg(
+      (sum("hits").cast("double") / sum("exact_k").cast("double"))
+        .as("mean_recall"))
+    perQuery.crossJoin(broadcast(overall))
+  }
+
   /** Bucket histogram — the LSH distribution diagnostic (also the oracle
     * surface for the correctness gate). */
   def bucketHistogram(embeddings: DataFrame, idCol: String, vecCol: String,

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.llm.{Dedup, Pipeline}
+
+/** Incremental daily-ingest pipeline (llm/Pipeline.ingestShardFrame /
+  * ingestShard): one planted shard doc per drop reason, the corpus
+  * touched only through its pre-bucketed index tables — the batch analog
+  * of Streams.ingestGateStream, plan-asserted corpus-side exchange-free.
+  */
+class IngestSpec extends SparkTestBase {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private val uniq = "zymurgy quokka paradox lantern gosling fjord velvet " +
+    "marzipan obelisk tundra quartz nimbus"
+  private val uniq2 = "glaciers carve patient valleys while auroras paint " +
+    "the winter sky in silent green ribbons overhead"
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def dropIndex(name: String): Unit =
+    Seq("bands", "shingles", "keys").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_$s"))
+
+  test("ingestShardFrame: each planted doc drops for its own reason; index scans ride no exchange") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 300)
+    val tmp = tmpDir("graft_ing")
+    try {
+      Dedup.writeNearDupIndex(corpus, "doc_id", "text", "ing_t", tmp)
+      val corpusText = corpus.filter(col("doc_id") === 7)
+        .select("text").collect().head.getString(0)
+      val shard = df(docSchema,
+        Row(90001L, uniq),                      // unique, survives
+        Row(90002L, "hi there"),                // < minTokens -> quality gate
+        Row(90003L, "  " + corpusText + "  "),  // exact dup of corpus doc 7 (canonicalized key)
+        Row(90004L, uniq),                      // in-shard exact dup of 90001
+        Row(90005L, "results for alpha beta gamma delta epsilon on the benchmark suite"), // contaminated
+        Row(90006L, corpusText + " tonight"),   // near dup of corpus doc 7
+        Row(90007L, uniq + " tonight"),         // in-shard near dup of 90001
+        Row(90008L, uniq2))                     // unique, survives
+      val bench = df(docSchema,
+        Row(100L, "alpha beta gamma delta epsilon zeta"))
+
+      val survivors = Pipeline.ingestShardFrame(shard, bench, "doc_id",
+        "text", "ing_t", tmp)
+      val ids = survivors.select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(90001L, 90008L)),
+        s"quality (90002), exact-vs-corpus (90003), exact-in-shard (90004), " +
+          s"contamination (90005), near-vs-corpus (90006), near-in-shard " +
+          s"(90007) must each drop; got ${ids.toSeq}")
+
+      // the keying is PRE-redaction: __ck__ matches the canonical key of
+      // the ORIGINAL text (ingest order: key, then redact)
+      val ck = survivors.filter(col("doc_id") === 90001L)
+        .select("__ck__").collect().head.getString(0)
+      val expect = df(docSchema, Row(1L, uniq))
+        .select(Dedup.canonicalKey(col("text"))).collect().head.getString(0)
+      assert(ck == expect, "__ck__ must key the pre-redaction text")
+      survivors.unpersist()
+
+      // the corpus parquet is NEVER in the exact-boundary plan, and the
+      // bucketed keys table is read under no shuffle exchange
+      val probe = Dedup.dropExactAgainstIndex(
+        df(docSchema, Row(95000L, uniq2)), "doc_id", "text", "ing_t")
+      val sp = probe.queryExecution.sparkPlan
+      val scans = sp.collect { case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString).mkString(",") }
+      assert(!scans.exists(_.contains("documents.parquet")),
+        s"exact boundary must not rescan the corpus: $scans")
+      val shuffledKeys = sp.collect {
+        case ex: ShuffleExchangeExec => ex.collect {
+          case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("graft_ing")) => s
+        }
+      }.flatten
+      assert(shuffledKeys.isEmpty, "keys-table scan rides a shuffle exchange")
+    } finally {
+      dropIndex("ing_t")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("keys boundary grows across shards; PII-differing docs stay distinct at the exact stage") {
+    val tmp = tmpDir("graft_ing2")
+    try {
+      val corpus = df(docSchema, Row(1L, uniq2))
+      Dedup.writeNearDupIndex(corpus, "doc_id", "text", "ing2_t", tmp)
+      val bench = df(docSchema)
+
+      // shard 1 lands uniq; shard 2 re-submits it under a new id and the
+      // GROWN keys table catches it — no corpus rescan, no shingle work
+      val s1 = Pipeline.ingestShardFrame(df(docSchema, Row(10L, uniq)),
+        bench, "doc_id", "text", "ing2_t", tmp)
+      assert(s1.count() == 1)
+      s1.unpersist()
+      val s2 = Pipeline.ingestShardFrame(df(docSchema, Row(20L, uniq)),
+        bench, "doc_id", "text", "ing2_t", tmp)
+      assert(s2.count() == 0, "re-submitted doc must hit the grown keys boundary")
+      s2.unpersist()
+
+      // two docs differing ONLY in their PII values are different
+      // documents: the pre-redaction key keeps both through the exact
+      // stages, and their redacted texts then collapse at the near-dup
+      // stage (smallest id wins) — exactly the streaming-gate semantics
+      val pii = df(docSchema,
+        Row(30L, "contact alice@example.com about the northern harbor project timeline and budget review"),
+        Row(31L, "contact bob@sample.org about the northern harbor project timeline and budget review"))
+      val s3 = Pipeline.ingestShardFrame(pii, bench, "doc_id", "text",
+        "ing2_t", tmp)
+      val rows = s3.select("doc_id", "text").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(30L),
+        "redacted twins must collapse at near-dup, keeping the smallest id")
+      assert(rows.head.getString(1).contains("[EMAIL]"),
+        "landed text must be redacted")
+      s3.unpersist()
+    } finally {
+      dropIndex("ing2_t")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("ingestShard lands parquet + manifest, drops __ck__, append-only across shards") {
+    val tmp = tmpDir("graft_ing3")
+    val out = tmpDir("graft_ing3_out")
+    try {
+      Dedup.writeNearDupIndex(df(docSchema, Row(1L, uniq2)), "doc_id",
+        "text", "ing3_t", tmp)
+      val bench = df(docSchema)
+      val shard1 = df(docSchema,
+        Row(10L, uniq),
+        Row(11L, "hi"),     // quality drop
+        Row(12L, uniq))     // exact in-shard dup
+      val c1 = Pipeline.ingestShard(shard1, bench, "doc_id", "text",
+        "ing3_t", tmp, out, "d01")
+      assert(c1 == Map("input" -> 3L, "landed" -> 1L))
+
+      val landed1 = spark.read.parquet(out)
+      assert(landed1.columns.sorted.sameElements(Array("doc_id", "text")),
+        "__ck__ must not land")
+      assert(landed1.count() == 1)
+
+      // second shard: one dup of a shard-1 landing, one fresh — the
+      // corpus grows append-only and the manifest is per-shard
+      val c2 = Pipeline.ingestShard(
+        df(docSchema, Row(20L, uniq),
+          Row(21L, "harbor cranes lift crates of amber resin onto barges " +
+            "bound for distant river markets before dawn")),
+        bench, "doc_id", "text", "ing3_t", tmp, out, "d02")
+      assert(c2 == Map("input" -> 2L, "landed" -> 1L))
+      assert(spark.read.parquet(out).select("doc_id").collect()
+        .map(_.getLong(0)).sorted.sameElements(Array(10L, 21L)))
+
+      val manifests = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("_graft_shard_")).map(_.getName).sorted
+      assert(manifests.sameElements(
+        Array("_graft_shard_d01.json", "_graft_shard_d02.json")))
+      val m1 = scala.io.Source.fromFile(
+        new java.io.File(out, "_graft_shard_d01.json"))
+      val txt = try m1.mkString.trim finally m1.close()
+      assert(txt == """{"input":3,"landed":1}""")
+    } finally {
+      dropIndex("ing3_t")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+}

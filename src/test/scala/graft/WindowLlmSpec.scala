@@ -452,6 +452,35 @@ class WindowLlmSpec extends SparkTestBase {
       "batch ANN must never plan a pairwise product")
   }
 
+  test("recallReport: full-coverage probes give recall 1.0; pooled mean") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(300).cache()
+    val q = e.filter(col("vec_id") % 100 === 0).select("vec_id", "embedding")
+    // planes=1 + multiProbe: the probe set (own bucket + its one flip) IS
+    // the whole bucket space, so ANN == brute force and recall is exactly
+    // 1.0 for every query — a deterministic upper-bound fixture
+    val full = Similarity.recallReport(e, q, "vec_id", "embedding",
+      "vec_id", "embedding", dim = 64, k = 5, planes = 1, multiProbe = true)
+      .collect()
+    assert(full.length == 3)
+    full.foreach { r =>
+      assert(r.getLong(1) == 5 && r.getLong(2) == 5 &&
+        r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0, s"row $r")
+    }
+    // at 8 planes recall may drop below 1; the report must stay within
+    // [0,1] per query and the pooled mean must equal sum(hits)/sum(k)
+    val rep = Similarity.recallReport(e, q, "vec_id", "embedding",
+      "vec_id", "embedding", dim = 64, k = 5, planes = 8, multiProbe = true)
+      .collect()
+    assert(rep.length == 3)
+    val hits = rep.map(_.getLong(1)).sum
+    val ks = rep.map(_.getLong(2)).sum
+    rep.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) == hits.toDouble / ks.toDouble)
+    }
+  }
+
   test("IVF: assignment covers all vectors, annTopK subsets brute force") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200).cache()
