@@ -173,4 +173,19 @@ class IngestSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
   }
+
+  test("q_ingest_gate is deterministic across repeated runs in one session") {
+    // each invocation rebuilds the index (writeNearDupIndex overwrite)
+    // then appends the shard survivors to it — a second run must see a
+    // FRESH index (overwrite truncates the appended files), both when
+    // the catalog table already exists (this test) and in a new session
+    // over a dirty tmp dir (the driver re-runs Verify per round)
+    val fn = SparkEntry.queries("q_ingest_gate")
+    try {
+      val r1 = fn(spark, "/root/testdata/sf0.001").collect().map(_.toString).toSeq
+      val r2 = fn(spark, "/root/testdata/sf0.001").collect().map(_.toString).toSeq
+      assert(r1.nonEmpty, "gate must land survivors")
+      assert(r1 == r2, "repeated ingest-gate runs must be identical")
+    } finally dropIndex("g_ing")
+  }
 }
