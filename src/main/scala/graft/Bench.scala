@@ -53,6 +53,64 @@ object Bench {
         System.err.println(s"[bench] $name run $r FAILED: ${e.getMessage}")
       }
     }
+    // --- sf1 section: 10x the bench fixture, once per query ----------
+    // local[32]-at-sf0.1 numbers are too small to surface driver
+    // bottlenecks; a 10x run makes superlinear growth (ratio >> 10)
+    // visible round-over-round. StressGen byte-copies documents/events
+    // (their oracles pin fixed doc_id ranges, and replicating identical
+    // texts would make dedup candidate structure pathological rather
+    // than representative), so the section covers the queries whose
+    // plans scan the tables that DO scale — lineitem and orders — taking
+    // the 10 most expensive by this run's own min time. The fixture is
+    // generated once and reused (marker records source dir + copies).
+    val sf1Json: Option[String] =
+      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0") None
+      else try {
+        val copies = 10
+        val sf1Dir = "target/stress_sf1"
+        val marker = java.nio.file.Paths.get(sf1Dir, "_GRAFT_STRESS_OK")
+        val stamp = s"$sfDir|$copies"
+        val fresh = java.nio.file.Files.exists(marker) &&
+          new String(java.nio.file.Files.readAllBytes(marker),
+            java.nio.charset.StandardCharsets.UTF_8).trim == stamp
+        if (!fresh) {
+          graft.tools.StressGen.generate(spark, sfDir, sf1Dir, copies)
+          java.nio.file.Files.write(marker, (stamp + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        def scansScaled(name: String): Boolean = try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .queryExecution.sparkPlan.collect {
+              case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+                s.relation.location.rootPaths.map(_.toString)
+            }.flatten.exists(p =>
+              p.contains("lineitem") || p.contains("orders"))
+        } catch { case _: Throwable => false }
+        val picks = names.filter(times.contains).filter(scansScaled)
+          .sortBy(n => -times(n).min).take(10)
+        val t1 = scala.collection.mutable.LinkedHashMap[String, Double]()
+        for (name <- picks) {
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(name)(spark, sf1Dir)
+              .write.format("noop").mode("overwrite").save()
+            t1(name) = (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] sf1 $name FAILED: ${e.getMessage}")
+          }
+        }
+        val ok = picks.filter(t1.contains)
+        val q1 = ok.map(n => "\"" + n + "\":" + f"${t1(n)}%.3f")
+          .mkString("{", ",", "}")
+        val ratios = ok.map(n =>
+            "\"" + n + "\":" + f"${t1(n) / times(n).min}%.2f")
+          .mkString("{", ",", "}")
+        Some(s""""dir":"$sf1Dir","copies":$copies,"queries":$q1,"ratio":$ratios""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 section failed: ${e.getMessage}")
+        None
+      }
+
     val failed = names.filterNot(times.contains)
     val qs = names.map { n =>
       "\"" + n + "\":" + (if (times.contains(n)) f"${times(n).min}%.3f" else "-1")
@@ -73,7 +131,8 @@ object Bench {
       }
       s""""host":{"load_avg":${os.getSystemLoadAverage},"free_mem_mb":$free,"cpus":${Runtime.getRuntime.availableProcessors}}"""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"samples":$samples,"failed":$failedJson,$host,"sf":"$sfDir"}"""
+    val sf1Part = sf1Json.fold("")(s => s""","sf1":{$s}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"samples":$samples,"failed":$failedJson,$host$sf1Part,"sf":"$sfDir"}"""
     println(line)
     // also land the record on disk: round-over-round tracking must not
     // depend on tail-grepping sbt logs (BENCH_r05-r07 all parsed null)
@@ -84,6 +143,14 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
+    sf1Json.foreach { s =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/bench_sf1.json"),
+        s"{$s}\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write target/bench_sf1.json: ${e.getMessage}")
+      }
     }
     if (failed.nonEmpty) System.err.println(s"[bench] ${failed.size} queries failed")
     spark.stop()

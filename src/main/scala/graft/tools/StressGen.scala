@@ -36,6 +36,14 @@ object StressGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, srcDir, outDir, copies)
+    spark.stop()
+  }
+
+  /** Generation body, callable with an existing session (graft.Bench
+    * builds its sf1 section fixture in-process with this). */
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+               copies: Int): Unit = {
     Files.createDirectories(Paths.get(outDir))
 
     val keyOffset = 100000000L // far above any fixture key
@@ -62,6 +70,5 @@ object StressGen {
         println(s"[stress] $t copied")
       }
     }
-    spark.stop()
   }
 }
