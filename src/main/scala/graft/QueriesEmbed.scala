@@ -314,6 +314,100 @@ object QueriesEmbed {
         .orderBy("query_id", "vec_id")
     }
 
+    // IVF recall@k vs brute force — the nCells/nprobe tuning instrument
+    // (parity with q_ann_recall for the LSH family). Same iters=0
+    // SQL-expressible seeds and probe machinery as q_ivf_batch (k=3,
+    // nprobe=2, the 20-query vec_id%25 sample); the exact side is the
+    // all-pairs cosine top-3, hits counted per query, mean_recall the
+    // pooled Σhits/Σexact_k integer ratio.
+    r.reg("q_ivf_recall",
+      """WITH hs AS (
+        |  SELECT vec_id, embedding,
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell,
+        |    embedding AS centroid
+        |  FROM hs ORDER BY h ASC, vec_id ASC LIMIT 8),
+        |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |       WHERE vec_id % 25 = 0),
+        |cdist AS (
+        |  SELECT q.qid, s.cell,
+        |    list_sum(list_transform(range(1, len(s.centroid)+1),
+        |      i -> (CAST(s.centroid[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |         * (CAST(s.centroid[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) AS d
+        |  FROM seeds s, qs q),
+        |probec AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT qid, cell,
+        |      row_number() OVER (PARTITION BY qid ORDER BY d ASC, cell ASC) AS rn
+        |    FROM cdist) WHERE rn <= 2),
+        |dists AS (
+        |  SELECT e.vec_id, s.cell,
+        |    list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE)))) AS d
+        |  FROM embeddings e, seeds s),
+        |best AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        |  FROM dists),
+        |cand AS (
+        |  SELECT p.qid, b.vec_id, q.qv
+        |  FROM best b JOIN probec p USING (cell) JOIN qs q ON q.qid = p.qid
+        |  WHERE b.rn = 1 AND b.vec_id <> p.qid),
+        |pz AS (
+        |  SELECT c.qid, c.vec_id, unnest(e.embedding) AS a, unnest(c.qv) AS b
+        |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id),
+        |pd AS (
+        |  SELECT qid, vec_id,
+        |    sum(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+        |    sum(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na,
+        |    sum(CAST(CAST(b AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS nb
+        |  FROM pz GROUP BY qid, vec_id),
+        |ann AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY
+        |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC,
+        |        vec_id ASC) AS rn
+        |    FROM pd) WHERE rn <= 3),
+        |bz AS (
+        |  SELECT q.qid, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+        |  FROM embeddings e, qs q WHERE e.vec_id <> q.qid),
+        |bd AS (
+        |  SELECT qid, vec_id,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na,
+        |    sum(CAST(CAST(b AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS nb
+        |  FROM bz GROUP BY qid, vec_id),
+        |exact AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY
+        |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC,
+        |        vec_id ASC) AS rn
+        |    FROM bd) WHERE rn <= 3),
+        |hits AS (
+        |  SELECT e.qid,
+        |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |    CAST(count(*) AS BIGINT) AS exact_k
+        |  FROM exact e LEFT JOIN ann a ON a.qid = e.qid AND a.vec_id = e.vec_id
+        |  GROUP BY e.qid),
+        |m AS (
+        |  SELECT CAST(sum(hits) AS DOUBLE)/CAST(sum(exact_k) AS DOUBLE) AS mean_recall
+        |  FROM hits)
+        |SELECT qid AS query_id, hits, exact_k,
+        |  CAST(hits AS DOUBLE)/CAST(exact_k AS DOUBLE) AS recall, m.mean_recall
+        |FROM hits, m ORDER BY query_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cents = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 8, iters = 0)
+      val q = e.filter(col("vec_id") % 25 === 0).select("vec_id", "embedding")
+      graft.llm.Ivf.recallReport(e, q, "vec_id", "embedding",
+          "vec_id", "embedding", cents, k = 3, nprobe = 2)
+        .orderBy("query_id")
+    }
+
     // IVF coarse assignment with iters=0 (seed centroids = the 8 sample
     // vectors with the smallest Knuth id-hash): fully SQL-expressible, so
     // the blockwise argmin — the part of IVF that touches ALL data at

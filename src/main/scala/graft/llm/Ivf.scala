@@ -182,6 +182,25 @@ object Ivf {
       .select(col("query_id"), col(idCol), col("cos"))
   }
 
+  /** IVF recall@k report — the tuning instrument for `nCells` /
+    * `nprobe` / `trainFraction` (parity with [[Similarity.recallReport]]
+    * for the LSH family): [[annTopKBatch]] candidates vs a broadcast
+    * brute-force pass on a SAMPLED query frame, one job. Same output
+    * contract: (query_id, hits, exact_k, recall, mean_recall) with the
+    * pooled integer-ratio mean. */
+  def recallReport(embeddings: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String,
+                   qIdCol: String, qVecCol: String,
+                   centroids: DataFrame, k: Int,
+                   nprobe: Int = 2): DataFrame = {
+    val ann = annTopKBatch(embeddings, queries, idCol, vecCol,
+        qIdCol, qVecCol, centroids, k, nprobe)
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        org.apache.spark.sql.functions.lit(1L).as("__hit__"))
+    Similarity.recallFromCandidates(embeddings, queries, idCol, vecCol,
+      qIdCol, qVecCol, k, ann)
+  }
+
   /** Persist the assigned corpus as a cell-partitioned parquet index
     * (plus the centroids alongside): one assignment pass at build time,
     * then every [[annTopKIndexed]] search scans ONLY its nprobe cell

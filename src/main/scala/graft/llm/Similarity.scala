@@ -222,6 +222,19 @@ object Similarity {
     val ann = annTopKBatch(embeddings, queries, idCol, vecCol,
         qIdCol, qVecCol, dim, k, planes, multiProbe)
       .select(col("query_id"), col(idCol).as("cand_id"), lit(1L).as("__hit__"))
+    recallFromCandidates(embeddings, queries, idCol, vecCol, qIdCol,
+      qVecCol, k, ann)
+  }
+
+  /** Shared recall harness: exact brute-force top-k per query joined to
+    * ANY ANN candidate frame of shape (query_id, cand_id, __hit__=1) —
+    * [[recallReport]] feeds it LSH candidates, [[Ivf.recallReport]] the
+    * probe-cell ones, so both index families tune against the same
+    * measurement. */
+  private[llm] def recallFromCandidates(embeddings: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      qIdCol: String, qVecCol: String, k: Int,
+      ann: DataFrame): DataFrame = {
     val q = queries.select(col(qIdCol).as("query_id"),
       col(qVecCol).as("__qv__"))
     val w = org.apache.spark.sql.expressions.Window

@@ -481,6 +481,32 @@ class WindowLlmSpec extends SparkTestBase {
     }
   }
 
+  test("Ivf.recallReport: nprobe=nCells probes every cell, recall exactly 1.0") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(300).cache()
+    val q = e.filter(col("vec_id") % 100 === 0).select("vec_id", "embedding")
+    val cents = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 4, iters = 2)
+    // probing all 4 cells makes the candidate set the whole corpus, so
+    // the ANN side must equal brute force — the deterministic upper bound
+    val full = graft.llm.Ivf.recallReport(e, q, "vec_id", "embedding",
+      "vec_id", "embedding", cents, k = 5, nprobe = 4).collect()
+    assert(full.length == 3)
+    full.foreach { r =>
+      assert(r.getLong(1) == 5 && r.getLong(2) == 5 &&
+        r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0, s"row $r")
+    }
+    // at nprobe=1 recall may drop; the report must stay in [0,1] and the
+    // pooled mean must equal the integer ratio of sums
+    val rep = graft.llm.Ivf.recallReport(e, q, "vec_id", "embedding",
+      "vec_id", "embedding", cents, k = 5, nprobe = 1).collect()
+    val hits1 = rep.map(_.getLong(1)).sum
+    val ks1 = rep.map(_.getLong(2)).sum
+    rep.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) == hits1.toDouble / ks1.toDouble)
+    }
+  }
+
   test("IVF: assignment covers all vectors, annTopK subsets brute force") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200).cache()
