@@ -730,8 +730,8 @@ object QueriesText {
     // intermediate) and the corpus-vs-shard candidate drop. Surviving
     // (doc_id, canonical key) pairs are hash-compared. The corpus-side
     // zero-exchange property is asserted in IngestSpec.
-    r.reg("q_ingest_gate",
-      s"""WITH RECURSIVE icorpus AS (
+    val ingestCtes =
+      s"""icorpus AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id < 250),
          |sbase AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id >= 250 AND doc_id < 420),
@@ -802,11 +802,11 @@ object QueriesText {
          |nddrop AS (SELECT u AS id FROM reach GROUP BY u HAVING min(v) < u),
          |vsdrop AS (
          |  SELECT DISTINCT id_b AS id FROM pairs
-         |  WHERE jaccard >= 0.5 AND id_a < 250)
-         |SELECT doc_id, ck FROM clean
-         |WHERE doc_id NOT IN (SELECT id FROM nddrop)
-         |  AND doc_id NOT IN (SELECT id FROM vsdrop)
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+         |  WHERE jaccard >= 0.5 AND id_a < 250)""".stripMargin
+
+    /** Shared fixture for the two ingest oracles: corpus (< 250), the
+      * planted shard, and the benchmark slice (420-449). */
+    def ingestFixture(s: org.apache.spark.sql.SparkSession, dir: String) = {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val corpus = docs.filter(col("doc_id") < 250)
       val sbase = docs.filter(col("doc_id") >= 250 && col("doc_id") < 420)
@@ -822,6 +822,16 @@ object QueriesText {
           .select((col("doc_id") + 500000L).as("doc_id"),
             concat(col("text"), lit(" tonight")).as("text")))
       val bench = docs.filter(col("doc_id") >= 420 && col("doc_id") < 450)
+      (corpus, shard, bench)
+    }
+
+    r.reg("q_ingest_gate",
+      s"""WITH RECURSIVE $ingestCtes
+         |SELECT doc_id, ck FROM clean
+         |WHERE doc_id NOT IN (SELECT id FROM nddrop)
+         |  AND doc_id NOT IN (SELECT id FROM vsdrop)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val (corpus, shard, bench) = ingestFixture(s, dir)
       // index landing derived from the JVM temp dir (q_dedup_index
       // posture): the registered query must run from any checkout
       val idxPath = new java.io.File(
@@ -831,6 +841,35 @@ object QueriesText {
       graft.llm.Pipeline.ingestShardFrame(shard, bench, "doc_id", "text",
           "g_ing", idxPath, redactPii = false)
         .select(col("doc_id"), col("__ck__").as("ck"))
+        .orderBy("doc_id")
+    }
+
+    // Per-doc FATE attribution over the same fixture: every input doc
+    // classified by the FIRST stage that dropped it (or 'landed') — the
+    // report a corpus owner reads before re-tuning thresholds. Same CTE
+    // chain as q_ingest_gate; the CASE mirrors ingestAudit's precedence
+    // exactly, so each planted family must land on its own reason.
+    r.reg("q_ingest_audit",
+      s"""WITH RECURSIVE $ingestCtes
+         |SELECT s.doc_id,
+         |  CASE
+         |    WHEN s.doc_id NOT IN (SELECT doc_id FROM kept) THEN 'quality'
+         |    WHEN s.doc_id NOT IN (SELECT doc_id FROM keyed WHERE rn = 1) THEN 'exact_in_shard'
+         |    WHEN s.doc_id NOT IN (SELECT doc_id FROM fresh) THEN 'exact_vs_corpus'
+         |    WHEN s.doc_id NOT IN (SELECT doc_id FROM clean) THEN 'contaminated'
+         |    WHEN s.doc_id IN (SELECT id FROM nddrop) THEN 'near_in_shard'
+         |    WHEN s.doc_id IN (SELECT id FROM vsdrop) THEN 'near_vs_corpus'
+         |    ELSE 'landed' END AS fate
+         |FROM shard s ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      val (corpus, shard, bench) = ingestFixture(s, dir)
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/ingaidx")
+        .getAbsolutePath
+      // own index name/path: the audit must read a PRISTINE corpus index
+      // (q_ingest_gate's run appends its survivors to g_ing)
+      Dedup.writeNearDupIndex(corpus, "doc_id", "text", "g_inga", idxPath)
+      graft.llm.Pipeline.ingestAudit(shard, bench, "doc_id", "text",
+          "g_inga", redactPii = false)
         .orderBy("doc_id")
     }
 

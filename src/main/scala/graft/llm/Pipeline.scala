@@ -238,6 +238,72 @@ object Pipeline {
       keyCol = Some("__ck__"))
   }
 
+  /** Per-doc FATE audit of the ingest gate — the same stage chain as
+    * [[ingestShardFrame]], but a DRY RUN (the index is only read, never
+    * appended) that classifies EVERY input doc instead of returning the
+    * survivors: (id, fate) where fate is the FIRST stage that dropped
+    * the doc — 'quality', 'exact_in_shard', 'exact_vs_corpus',
+    * 'contaminated', 'near_in_shard', 'near_vs_corpus' — or 'landed'.
+    * This is the drop-attribution report [[ingestShard]]'s manifest
+    * deliberately omits (CollectMetrics cannot surface through the
+    * landing's file write): run it on a rejected-heavy shard to see
+    * WHERE the volume went before re-tuning thresholds. Each stage
+    * boundary is eagerly localCheckpointed (shard-sized) so the seven
+    * membership joins replay nothing; blocks free on GC. */
+  def ingestAudit(shard: DataFrame, bench: DataFrame,
+                  idCol: String, textCol: String,
+                  indexName: String,
+                  minTokens: Int = 3,
+                  nearDupThreshold: Double = 0.5,
+                  decontamK: Int = 5,
+                  redactPii: Boolean = true,
+                  shingleK: Int = 3, numHashes: Int = 16,
+                  bands: Int = 4): DataFrame = {
+    val quality = TextStats.qualityFilter(shard, textCol,
+      minTokens = minTokens)
+      .withColumn("__ck__", Dedup.canonicalKey(col(textCol)))
+      .localCheckpoint(true)
+    val redacted =
+      if (redactPii) quality.withColumn(textCol,
+        TextStats.redactPii(col(textCol)))
+      else quality
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__ck__")).orderBy(col(idCol).asc)
+    val inShardExact = redacted
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1).drop("__rn__")
+      .localCheckpoint(true)
+    val fresh = Dedup.dropExactAgainstIndex(inShardExact, idCol, textCol,
+      indexName, keyCol = Some("__ck__")).localCheckpoint(true)
+    val clean = Dedup.decontaminate(fresh, bench, idCol, textCol, decontamK)
+      .localCheckpoint(true)
+    val internal = Dedup.dropNearDuplicates(clean, idCol, textCol,
+      nearDupThreshold, shingleK = shingleK, numHashes = numHashes,
+      bands = bands).localCheckpoint(true)
+    val landed = internal.join(
+      Dedup.nearDupPairsAgainstIndex(internal, idCol, textCol, indexName,
+          nearDupThreshold, shingleK, numHashes, bands)
+        .select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti").localCheckpoint(true)
+    def flag(df: DataFrame, name: String): DataFrame =
+      df.select(col(idCol)).withColumn(name, lit(true))
+    shard.select(col(idCol))
+      .join(flag(quality, "__f1__"), Seq(idCol), "left")
+      .join(flag(inShardExact, "__f2__"), Seq(idCol), "left")
+      .join(flag(fresh, "__f3__"), Seq(idCol), "left")
+      .join(flag(clean, "__f4__"), Seq(idCol), "left")
+      .join(flag(internal, "__f5__"), Seq(idCol), "left")
+      .join(flag(landed, "__f6__"), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__f1__").isNull, "quality")
+          .when(col("__f2__").isNull, "exact_in_shard")
+          .when(col("__f3__").isNull, "exact_vs_corpus")
+          .when(col("__f4__").isNull, "contaminated")
+          .when(col("__f5__").isNull, "near_in_shard")
+          .when(col("__f6__").isNull, "near_vs_corpus")
+          .otherwise("landed").as("fate"))
+  }
+
   /** [[ingestShardFrame]] plus the LANDING: append the survivors as
     * parquet next to the corpus at `outPath` and drop a per-shard
     * `_graft_shard_<label>.json` manifest (underscore-prefixed: corpus

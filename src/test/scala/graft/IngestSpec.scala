@@ -174,6 +174,43 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("ingestAudit: per-doc fate attribution; dry run leaves the index unchanged") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 300)
+    val tmp = tmpDir("graft_ing4")
+    try {
+      Dedup.writeNearDupIndex(corpus, "doc_id", "text", "ing4_t", tmp)
+      val corpusText = corpus.filter(col("doc_id") === 7)
+        .select("text").collect().head.getString(0)
+      val shard = df(docSchema,
+        Row(90001L, uniq),
+        Row(90002L, "hi there"),
+        Row(90003L, "  " + corpusText + "  "),
+        Row(90004L, uniq),
+        Row(90005L, "results for alpha beta gamma delta epsilon on the benchmark suite"),
+        Row(90006L, corpusText + " tonight"),
+        Row(90007L, uniq + " tonight"),
+        Row(90008L, uniq2))
+      val bench = df(docSchema,
+        Row(100L, "alpha beta gamma delta epsilon zeta"))
+
+      val before = spark.table("ing4_t_keys").count()
+      val fates = Pipeline.ingestAudit(shard, bench, "doc_id", "text",
+          "ing4_t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(fates == Map(
+        90001L -> "landed", 90002L -> "quality",
+        90003L -> "exact_vs_corpus", 90004L -> "exact_in_shard",
+        90005L -> "contaminated", 90006L -> "near_vs_corpus",
+        90007L -> "near_in_shard", 90008L -> "landed"), s"got $fates")
+      // a DRY run: the audit must never grow the index
+      assert(spark.table("ing4_t_keys").count() == before)
+    } finally {
+      dropIndex("ing4_t")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("q_ingest_gate is deterministic across repeated runs in one session") {
     // each invocation rebuilds the index (writeNearDupIndex overwrite)
     // then appends the shard survivors to it — a second run must see a
