@@ -99,6 +99,21 @@ object QueriesCore {
         .sortValues(Seq("id" -> true)).df
     }
 
+    // from_delayed analog: four deferred partition thunks, each a pure
+    // integer function of its partition index, evaluated on executors —
+    // the oracle recomputes the whole frame arithmetically.
+    r.reg("q_from_delayed",
+      """SELECT range AS id, range * 3 + 1 AS triple
+        |FROM range(0, 40) ORDER BY id""".stripMargin) { (s, _) =>
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("triple", LongType)))
+      val thunks: Seq[() => Iterator[Row]] = (0 until 4).map(p =>
+        () => (p * 10 until (p + 1) * 10).iterator
+          .map(i => Row(i.toLong, i * 3L + 1L)))
+      GraftFrame.fromDelayed(s, schema, thunks)
+        .sortValues(Seq("id" -> true)).df
+    }
+
     r.reg("q_timeseries",
       """SELECT i AS id,
         |  make_timestamp((1704067200 + i) * 1000000) AS ts,

@@ -649,6 +649,24 @@ object GraftFrame {
     GraftFrame(spark.createDataFrame(rdd, schema))
   }
 
+  /** from_delayed analog (reference FromDelayed `io/_delayed.py:36-129`):
+    * a frame whose PARTITIONS are caller-supplied deferred computations —
+    * one partition per thunk, evaluated on the executors at scan time,
+    * never on the driver. `schema` plays the reference's `meta` role:
+    * the output contract is declared up front, so the plan resolves
+    * before any thunk runs. Thunks must be serializable and
+    * self-contained (no driver-state capture) — the usual Spark closure
+    * rules; at cluster scale each delayed source materializes inside its
+    * own task, exactly like the reference's delayed-object partitions. */
+  def fromDelayed(spark: SparkSession, schema: StructType,
+                  thunks: Seq[() => Iterator[Row]]): GraftFrame = {
+    require(thunks.nonEmpty, "fromDelayed needs at least one delayed partition")
+    val rdd = spark.sparkContext
+      .parallelize(thunks, thunks.size)
+      .flatMap(f => f())
+    GraftFrame(spark.createDataFrame(rdd, schema))
+  }
+
   /** from_pandas analog (reference FromPandas `io/io.py:302-418`): local
     * rows → distributed frame. `npartitions` mirrors the reference's
     * chunking knob. */

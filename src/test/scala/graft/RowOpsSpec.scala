@@ -193,6 +193,27 @@ class RowOpsSpec extends SparkTestBase {
     assert(f.df.rdd.getNumPartitions == 2 && f.df.count() == 2)
   }
 
+  test("fromDelayed: one partition per thunk, evaluated at scan time not build time") {
+    val schema = StructType(Seq(
+      StructField("p", IntegerType), StructField("v", IntegerType)))
+    RowOpsSpec.delayedRuns.set(0)
+    val f = GraftFrame.fromDelayed(spark, schema, (0 until 3).map(p =>
+      () => {
+        RowOpsSpec.delayedRuns.incrementAndGet()
+        (0 until 2).iterator.map(i => Row(p, p * 10 + i))
+      }))
+    // plan resolution alone must not run any thunk (local mode shares
+    // the JVM, so the executor-side increments are visible here)
+    assert(f.df.schema.fieldNames.sameElements(Array("p", "v")))
+    assert(RowOpsSpec.delayedRuns.get() == 0,
+      "thunks must be deferred until an action")
+    assert(f.df.rdd.getNumPartitions == 3)
+    assert(f.df.count() == 6)
+    assert(RowOpsSpec.delayedRuns.get() >= 3,
+      "every partition thunk must have run on the executors")
+    assert(f.df.select("p").distinct().count() == 3)
+  }
+
   test("fromMap builds partitions from driver-side items") {
     val schema = StructType(Seq(
       StructField("part", IntegerType), StructField("i", IntegerType)))
@@ -209,4 +230,11 @@ class RowOpsSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
     assert(a.length == 10)
   }
+}
+
+object RowOpsSpec {
+  /** Executor-visible run counter for the fromDelayed laziness test
+    * (static so the task closure serializes without the spec instance;
+    * local mode shares the JVM, so the test can read it back). */
+  val delayedRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 }
