@@ -53,6 +53,41 @@ object Bench {
         System.err.println(s"[bench] $name run $r FAILED: ${e.getMessage}")
       }
     }
+    val failed = names.filterNot(times.contains)
+    val qs = names.map { n =>
+      "\"" + n + "\":" + (if (times.contains(n)) f"${times(n).min}%.3f" else "-1")
+    }.mkString("{", ",", "}")
+    val samples = names.filter(times.contains).map { n =>
+      "\"" + n + "\":" + times(n).map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = times.values.map(_.min).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Host context at record time: a transient shows up as high load /
+    // low free memory, making the record self-explanatory.
+    def host = {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val free = os match {
+        case b: com.sun.management.OperatingSystemMXBean =>
+          b.getFreeMemorySize >> 20
+        case _ => -1L
+      }
+      s""""host":{"load_avg":${os.getSystemLoadAverage},"free_mem_mb":$free,"cpus":${Runtime.getRuntime.availableProcessors}}"""
+    }
+    def mkLine(sf1Part: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"samples":$samples,"failed":$failedJson,$host$sf1Part,"sf":"$sfDir"}"""
+    def writeBench(line: String): Unit = try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
+    // land the 3-pass record BEFORE the sf1 section: if an outer timeout
+    // kills the process during fixture generation or the 10x queries,
+    // the round still has its main numbers on disk
+    writeBench(mkLine(""))
+
     // --- sf1 section: 10x the bench fixture, once per query ----------
     // local[32]-at-sf0.1 numbers are too small to surface driver
     // bottlenecks; a 10x run makes superlinear growth (ratio >> 10)
@@ -60,16 +95,22 @@ object Bench {
     // (their oracles pin fixed doc_id ranges, and replicating identical
     // texts would make dedup candidate structure pathological rather
     // than representative), so the section covers the queries whose
-    // plans scan the tables that DO scale — lineitem and orders — taking
-    // the 10 most expensive by this run's own min time. The fixture is
-    // generated once and reused (marker records source dir + copies).
+    // plans scan the tables that DO scale — lineitem, orders and
+    // embeddings (replicas carry a per-copy orthogonal sign mask, so
+    // ANN bucketing stays representative) — taking the 10 most expensive by
+    // this run's own min time. The fixture is generated once and reused
+    // (marker records source dir + copies).
     val sf1Json: Option[String] =
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0") None
       else try {
         val copies = 10
         val sf1Dir = "target/stress_sf1"
         val marker = java.nio.file.Paths.get(sf1Dir, "_GRAFT_STRESS_OK")
-        val stamp = s"$sfDir|$copies"
+        // the generator version rides the stamp: a StressGen behavior
+        // change (e.g. v2's shifted embedding replicas) must invalidate
+        // a fixture the old generator wrote, or ratios silently compare
+        // against stale data
+        val stamp = s"$sfDir|$copies|v2"
         val fresh = java.nio.file.Files.exists(marker) &&
           new String(java.nio.file.Files.readAllBytes(marker),
             java.nio.charset.StandardCharsets.UTF_8).trim == stamp
@@ -84,7 +125,8 @@ object Bench {
               case s: org.apache.spark.sql.execution.FileSourceScanExec =>
                 s.relation.location.rootPaths.map(_.toString)
             }.flatten.exists(p =>
-              p.contains("lineitem") || p.contains("orders"))
+              p.contains("lineitem") || p.contains("orders") ||
+                p.contains("embeddings"))
         } catch { case _: Throwable => false }
         val picks = names.filter(times.contains).filter(scansScaled)
           .sortBy(n => -times(n).min).take(10)
@@ -111,39 +153,12 @@ object Bench {
         None
       }
 
-    val failed = names.filterNot(times.contains)
-    val qs = names.map { n =>
-      "\"" + n + "\":" + (if (times.contains(n)) f"${times(n).min}%.3f" else "-1")
-    }.mkString("{", ",", "}")
-    val samples = names.filter(times.contains).map { n =>
-      "\"" + n + "\":" + times(n).map(t => f"$t%.3f").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val total = times.values.map(_.min).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Host context at record time: a transient shows up as high load /
-    // low free memory, making the record self-explanatory.
-    val host = {
-      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      val free = os match {
-        case b: com.sun.management.OperatingSystemMXBean =>
-          b.getFreeMemorySize >> 20
-        case _ => -1L
-      }
-      s""""host":{"load_avg":${os.getSystemLoadAverage},"free_mem_mb":$free,"cpus":${Runtime.getRuntime.availableProcessors}}"""
-    }
     val sf1Part = sf1Json.fold("")(s => s""","sf1":{$s}""")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"samples":$samples,"failed":$failedJson,$host$sf1Part,"sf":"$sfDir"}"""
+    val line = mkLine(sf1Part)
     println(line)
-    // also land the record on disk: round-over-round tracking must not
-    // depend on tail-grepping sbt logs (BENCH_r05-r07 all parsed null)
-    try {
-      val out = java.nio.file.Paths.get("target/bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
-    }
+    // the on-disk record again, now complete: round-over-round tracking
+    // must not depend on tail-grepping sbt logs (BENCH_r05-r07 parsed null)
+    writeBench(line)
     sf1Json.foreach { s =>
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("target/bench_sf1.json"),

@@ -311,9 +311,9 @@ object Pipeline {
     * cache lifecycle ([[buildAndWrite]] posture). `shardLabel` names the
     * manifest — use the ingest date / batch id; it must be unique per
     * shard or the manifest (not the data) is overwritten. Returns
-    * Map("input" → …, "landed" → …); per-stage drop attribution is the
-    * observed pipeline's job, not the landing's (CollectMetrics does not
-    * surface through file-write commands). */
+    * Map("input" → …, "landed" → …); for per-doc drop attribution run
+    * [[ingestAudit]] — CollectMetrics cannot surface through the
+    * landing's file write, so the manifest stays counts-only. */
   def ingestShard(shard: DataFrame, bench: DataFrame,
                   idCol: String, textCol: String,
                   indexName: String, indexPath: String,

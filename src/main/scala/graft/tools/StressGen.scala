@@ -59,7 +59,30 @@ object StressGen {
     replicateWithKeys("lineitem", Seq("l_orderkey"))
     replicateWithKeys("orders", Seq("o_orderkey"))
 
-    replicateWithKeys("embeddings", Seq("vec_id"))
+    // embeddings: disjoint vec_ids AND a per-copy orthogonal sign-flip
+    // mask — byte-identical replicas would all land in the same LSH
+    // bucket / IVF cell, making candidate generation quadratic in the
+    // copy count. NOT a constant shift: adding c to every vector adds
+    // c·Σh to every hyperplane projection, which dominates for large c
+    // and collapses a whole copy into ONE bucket (measured: the sf1
+    // bench hung on exactly that). Flipping a per-(copy, coordinate)
+    // hash-selected sign subset is an isometry — cosine geometry and
+    // bucket-occupancy statistics are preserved while every copy lands
+    // in its own bucket pattern. Copy 0 keeps the original bytes (the
+    // centroid oracle pins vec_id < 2000 to the untouched copy).
+    {
+      val base = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      val out = (0 until copies).map { i =>
+        val reId = base.withColumn("vec_id", col("vec_id") + lit(i * keyOffset))
+        if (i == 0) reId
+        else reId.withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            when(shiftright((j.cast("long") + lit(i * 13L)) * lit(2654435761L), 7) % 2 === 0,
+              x).otherwise(-x)))
+      }.reduce(_ union _)
+      out.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      println(s"[stress] embeddings x$copies (sign-masked) -> ${out.count()} rows")
+    }
 
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
                   "events", "documents")) {
