@@ -155,22 +155,7 @@ object Ivf {
                    idCol: String, vecCol: String,
                    qIdCol: String, qVecCol: String,
                    centroids: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
-    val cl = broadcast(centroids.agg(
-      array_sort(collect_list(struct(col("cell"), col("centroid")))).as("cs")))
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("d").asc, col("cell").asc)
-    val qcells = queries
-      .select(col(qIdCol).as("query_id"),
-        col(qVecCol).cast("array<double>").as("__qv__"))
-      .crossJoin(cl)
-      .select(col("query_id"), col("__qv__"),
-        explode(col("cs")).as("c"))
-      .select(col("query_id"), col("__qv__"),
-        col("c").getField("cell").as("cell"),
-        sqDist(col("__qv__"), col("c").getField("centroid")).as("d"))
-      .withColumn("__rn__", row_number().over(wProbe))
-      .filter(col("__rn__") <= nprobe)
-      .select(col("query_id"), col("__qv__"), col("cell"))
+    val qcells = probeFrame(queries, qIdCol, qVecCol, centroids, nprobe)
     val wK = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col(idCol).asc)
     assign(embeddings, idCol, vecCol, centroids)
@@ -222,32 +207,75 @@ object Ivf {
     * the matching cell partitions. Only |shard| rows are ever written;
     * the existing corpus files are untouched, and [[annTopKIndexed]]/
     * [[annTopKIndexedBatch]] keep their probe-cells-only scan property
-    * over the grown index (spec-checked: directories read == nprobe). */
+    * over the grown index (spec-checked: directories read == nprobe).
+    *
+    * REPLAY-SAFE (r9 verdict): a re-submitted shard must not
+    * double-insert its vec ids (the text-side
+    * [[Dedup.appendShardToIndex]] dedups vs the corpus; this didn't).
+    * The already-present check broadcasts the SHARD's id set and
+    * semi-joins the index blockwise — the corpus side never exchanges
+    * and its scan prunes to the id column; the shard is the daily-
+    * bounded side, so its id set broadcasting is the same posture as
+    * the text gate's bench-set broadcast. N appends accumulate N small
+    * files per cell — run [[compactIndex]] periodically. */
   def appendToIndex(newEmbeddings: DataFrame, idCol: String, vecCol: String,
                     path: String): Unit = {
-    val centroids = newEmbeddings.sparkSession.read.parquet(s"$path/centroids")
-    assign(newEmbeddings, idCol, vecCol, centroids)
+    val spark = newEmbeddings.sparkSession
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val present = spark.read.parquet(s"$path/vectors")
+      .join(broadcast(newEmbeddings.select(col(idCol))), Seq(idCol),
+        "left_semi")
+      .select(col(idCol))
+    val fresh = newEmbeddings.join(present, Seq(idCol), "left_anti")
+    assign(fresh, idCol, vecCol, centroids)
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
   }
 
-  /** Batched search over a PERSISTED index: the cell ids each query
-    * probes are only known at runtime, so static `IN (...)` pruning
-    * ([[annTopKIndexed]]) can't apply — instead the probe-cell frame
-    * joins the cell-partitioned index and Spark's dynamic partition
-    * pruning turns the broadcast probe set into a runtime partition
-    * filter on the scan: the index read covers the UNION of all
-    * queries' probe cells, not the whole corpus. One job for the whole
-    * query frame; per-query top-k via `row_number`. */
-  def annTopKIndexedBatch(queries: DataFrame, qIdCol: String, qVecCol: String,
-                          indexPath: String, idCol: String, vecCol: String,
-                          k: Int, nprobe: Int = 2): DataFrame = {
-    val spark = queries.sparkSession
-    val centroids = spark.read.parquet(s"$indexPath/centroids")
+  /** Rewrite each cell's accumulated small files (one per
+    * [[appendToIndex]] call per cell) into one file per cell: the
+    * compaction pass that keeps a daily-appended index readable — file
+    * count per probe scan stays O(1) instead of O(days). One shuffle
+    * keyed on `cell` (each cell lands in exactly one task, so a task
+    * writes exactly one file per cell it owns), a rewrite into a
+    * sibling directory, then an atomic-enough directory swap through
+    * Hadoop's FileSystem. OFFLINE maintenance: a search running during
+    * the swap window can fail its file listing — schedule it like any
+    * index rebuild. Cell geometry, row set and the probe-scan pruning
+    * contract are unchanged (spec: files-per-cell drops to 1, dirs-read
+    * == nprobe holds, search results identical). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val tmp = s"$path/vectors__compacting"
+    vectors.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val next = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(s"$path/vectors__retired")
+    val fs = cur.getFileSystem(conf)
+    fs.delete(old, true)
+    if (!fs.rename(cur, old))
+      throw new java.io.IOException(s"compactIndex: could not retire $cur")
+    if (!fs.rename(next, cur)) {
+      fs.rename(old, cur) // roll back so the index stays readable
+      throw new java.io.IOException(s"compactIndex: could not install $next")
+    }
+    fs.delete(old, true)
+  }
+
+  /** The (query_id, __qv__, cell) probe frame every batched IVF search
+    * shapes its join around: each query ranks the BROADCAST centroid
+    * list and keeps its `nprobe` nearest cells — explode + per-query
+    * row_number, the only shuffle is the |Q|·nCells-sized window. */
+  private def probeFrame(queries: DataFrame, qIdCol: String,
+                         qVecCol: String, centroids: DataFrame,
+                         nprobe: Int): DataFrame = {
     val cl = broadcast(centroids.agg(
       array_sort(collect_list(struct(col("cell"), col("centroid")))).as("cs")))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("d").asc, col("cell").asc)
-    val qcells = queries
+    queries
       .select(col(qIdCol).as("query_id"),
         col(qVecCol).cast("array<double>").as("__qv__"))
       .crossJoin(cl)
@@ -258,10 +286,35 @@ object Ivf {
       .withColumn("__rn__", row_number().over(wProbe))
       .filter(col("__rn__") <= nprobe)
       .select(col("query_id"), col("__qv__"), col("cell"))
+  }
+
+  /** Batched search over a PERSISTED index: the cell ids each query
+    * probes are only known at runtime, so static `IN (...)` pruning
+    * ([[annTopKIndexed]]) can't apply — instead the DISTINCT probe-cell
+    * set (≤ nCells ints, NEVER the query vectors — r9 verdict: forcing
+    * a broadcast of `__qv__` × nprobe rows is a driver OOM at a 10M-
+    * query daily batch) is broadcast as a semi-join on the partition
+    * column, and Spark's dynamic partition pruning turns it into a
+    * runtime partition filter on the scan: the index read covers the
+    * UNION of all queries' probe cells, not the whole corpus. The query
+    * vectors then pair with the pruned cells through a plain equi-join
+    * on `cell` with NO forced distribution — Catalyst/AQE broadcasts a
+    * small query frame and shuffles a huge one (the pruned index subset
+    * exchanging on `cell` is the same accepted shape as
+    * [[annTopKBatch]]'s candidate join). One job for the whole query
+    * frame; per-query top-k via `row_number`. */
+  def annTopKIndexedBatch(queries: DataFrame, qIdCol: String, qVecCol: String,
+                          indexPath: String, idCol: String, vecCol: String,
+                          k: Int, nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val qcells = probeFrame(queries, qIdCol, qVecCol, centroids, nprobe)
+    val probedCells = broadcast(qcells.select(col("cell")).distinct())
     val wK = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col(idCol).asc)
     spark.read.parquet(s"$indexPath/vectors")
-      .join(broadcast(qcells), Seq("cell"))
+      .join(probedCells, Seq("cell"), "left_semi")
+      .join(qcells, Seq("cell"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("cos", Similarity.cosine(col(vecCol), col("__qv__")))
       .withColumn("__rk__", row_number().over(wK))
