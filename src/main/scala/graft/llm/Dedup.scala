@@ -338,6 +338,121 @@ object Dedup {
     docs.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** The (id, v, bucket, norm) rows an embedding near-dup index persists
+    * — shared by [[writeEmbeddingIndex]] and
+    * [[appendEmbeddingShardToIndex]] so build and append can never
+    * drift (same posture as the text side's indexRows/keyRows). Bucket
+    * and norm are wrapped non-nullable for the same reason as
+    * [[embeddingNearDupPairs]]: nullable join keys get isnotnull
+    * filters inferred below the projection, re-evaluating the decimal
+    * norm per row. */
+  private def embedIndexRows(embeddings: DataFrame, idCol: String,
+                             vecCol: String, dim: Int,
+                             planes: Int): DataFrame =
+    embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("bucket",
+        coalesce(Similarity.lshBucket(col("v"), dim, planes), lit(0L)))
+      .withColumn("norm", coalesce(Similarity.normExact(col("v"), 12), lit(0.0)))
+
+  /** Persist a corpus's EMBEDDING near-dup index for INCREMENTAL
+    * semantic dedup — the vector analog of [[writeNearDupIndex]]: a
+    * shard arriving tomorrow must not recompute (or reshuffle) buckets
+    * and norms for the 100 TB of vectors already indexed. One bucketed
+    * table `<name>_vecs` at `<path>/vecs`: (id, v, bucket, norm),
+    * bucketed on `bucket` — the hyperplane-LSH candidate join key,
+    * pre-shuffled at build time, so every future
+    * [[embeddingNearDupPairsAgainstIndex]] call shuffles ONLY the shard
+    * (corpus side zero-exchange, asserted in spec). `planes` must match
+    * between build and every probe. */
+  def writeEmbeddingIndex(embeddings: DataFrame, idCol: String,
+                          vecCol: String, dim: Int, name: String,
+                          path: String, planes: Int = 8,
+                          buckets: Int = 8): Unit =
+    graft.api.GraftFrame(embedIndexRows(embeddings, idCol, vecCol, dim, planes))
+      .toBucketedTable(s"${name}_vecs", s"$path/vecs", buckets, Seq("bucket"))
+
+  /** Near-dup pairs of a NEW embedding shard against a persisted
+    * embedding index ([[writeEmbeddingIndex]]): the shard buckets
+    * blockwise and exchanges on `bucket`; the corpus side reads its
+    * buckets in place (zero exchange). Verification is the same
+    * double-dot prefilter + decimal-exact cosine as
+    * [[embeddingNearDupPairs]]. Returns (id_a = corpus id, id_b = shard
+    * id, cos >= threshold). Shard-internal duplicates are out of scope
+    * — run [[embeddingNearDupPairs]] on the shard alone for those.
+    * `dim`/`planes` must match the index build. */
+  def embeddingNearDupPairsAgainstIndex(newEmbeddings: DataFrame,
+                                        idCol: String, vecCol: String,
+                                        name: String, dim: Int,
+                                        threshold: Double,
+                                        planes: Int = 8): DataFrame = {
+    val spark = newEmbeddings.sparkSession
+    val shard = embedIndexRows(newEmbeddings, idCol, vecCol, dim, planes)
+      .select(col("id").as("id_b"), col("v").as("vb"), col("bucket"),
+        col("norm").as("nb"))
+    spark.table(s"${name}_vecs")
+      .select(col("id").as("id_a"), col("v").as("va"), col("bucket"),
+        col("norm").as("na"))
+      .join(shard, Seq("bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      // same multiplied-form prefilter as embeddingNearDupPairs: no
+      // division, so no ANSI divide-by-zero path; the absolute floor
+      // covers decimal HALF_UP rounding at any vector scale
+      .filter(graft.functions.TextHashExprs.dotDouble(col("va"), col("vb")) >=
+        lit(threshold) * col("na") * col("nb") -
+          (lit(1e-6) * col("na") * col("nb") + lit(1e-9)))
+      .withColumn("cos",
+        when(col("na") * col("nb") === 0.0, lit(null)).otherwise(
+          Similarity.dotExact(col("va"), col("vb"), 12).cast("double") /
+            (col("na") * col("nb"))))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Incremental EMBEDDING corpus maintenance — the vector analog of
+    * [[appendShardToIndex]], in one pass: (1) drop the shard's internal
+    * semantic duplicates (bucketed candidates + min-label components,
+    * smallest id survives), (2) drop shard vectors near-dup against the
+    * existing corpus (corpus side exchange-free, see
+    * [[embeddingNearDupPairsAgainstIndex]]), (3) APPEND the survivors'
+    * (id, v, bucket, norm) rows to the bucketed vecs table. Returns the
+    * surviving shard vectors, eagerly localCheckpointed for the same
+    * reason as the text side: the survivors plan READS the table this
+    * function APPENDS to, and the append's table refresh would re-run a
+    * cached plan against the grown index (the shard would match itself
+    * and silently recompute to empty). Only the shard ever shuffles —
+    * daily cost is O(|shard|) regardless of corpus size.
+    *
+    * REPLAY-SAFE: a re-submitted shard keeps its ids, and a same-id
+    * vector is excluded from its own cosine pair (`id_a =!= id_b`), so
+    * semantic dedup alone would re-append it. Stage 0 drops shard ids
+    * already present in the index — [[Ivf.appendToIndex]] semantics:
+    * the shard's bounded id set broadcasts, the corpus side never
+    * exchanges and its scan prunes to the id column. */
+  def appendEmbeddingShardToIndex(newEmbeddings: DataFrame, idCol: String,
+                                  vecCol: String, dim: Int,
+                                  threshold: Double, name: String,
+                                  path: String, planes: Int = 8,
+                                  buckets: Int = 8): DataFrame = {
+    val spark = newEmbeddings.sparkSession
+    val present = spark.table(s"${name}_vecs").select(col("id"))
+      .join(broadcast(newEmbeddings.select(col(idCol).as("id"))),
+        Seq("id"), "left_semi")
+      .select(col("id").as(idCol))
+    val fresh = newEmbeddings.join(present, Seq(idCol), "left_anti")
+    val internal = dropEmbeddingNearDuplicates(fresh, idCol,
+      fresh, idCol, vecCol, dim, threshold)
+    val vsCorpus = embeddingNearDupPairsAgainstIndex(internal, idCol,
+      vecCol, name, dim, threshold, planes)
+    val survivors = internal.join(
+      vsCorpus.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti").localCheckpoint(true)
+    graft.api.GraftFrame(embedIndexRows(survivors, idCol, vecCol, dim, planes))
+      .toBucketedTable(s"${name}_vecs", s"$path/vecs", buckets,
+        Seq("bucket"), mode = "append")
+    survivors
+  }
+
   /** Persist a corpus's banded MinHash index for INCREMENTAL near-dedup
     * — the "new shard vs existing corpus" shape: a pipeline ingesting a
     * shard must not recompute (or reshuffle) signatures for the other

@@ -324,22 +324,86 @@ object Pipeline {
                   redactPii: Boolean = true,
                   shingleK: Int = 3, numHashes: Int = 16,
                   bands: Int = 4, buckets: Int = 8): Map[String, Long] = {
-    val survivors = ingestShardFrame(shard, bench, idCol, textCol,
+    // Eager checkpoint of the INPUT: one scan of the shard end-to-end
+    // (r9 verdict: the manifest's dedicated `shard.count()` was a
+    // second action over the input — and the chain's internal actions
+    // were each re-scanning the shard parquet anyway). Every stage now
+    // reads executor-local blocks, and the input count is a block
+    // count, not a rescan. A CollectMetrics tap cannot do this job:
+    // the shard subtree is multiply-referenced downstream
+    // (decontaminate reads its input twice), so an observe at the
+    // entry double-counts (the r8 boilerplate-tap lesson). Shard-sized
+    // by definition of the daily batch; blocks free on GC — the
+    // ingestAudit posture.
+    val cp = shard.localCheckpoint(true)
+    val survivors = ingestShardFrame(cp, bench, idCol, textCol,
       indexName, indexPath, minTokens, nearDupThreshold, decontamK,
       redactPii, shingleK, numHashes, bands, buckets)
     try {
       survivors.drop("__ck__").write.mode("append").parquet(outPath)
-      val landed = survivors.count() // cached by the append — no re-run
-      val counts = Map("input" -> shard.count(), "landed" -> landed)
-      val json = counts.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-      val conf = shard.sparkSession.sparkContext.hadoopConfiguration
-      val p = new org.apache.hadoop.fs.Path(outPath,
-        s"_graft_shard_$shardLabel.json")
-      val fs = p.getFileSystem(conf)
-      val os = fs.create(p, true)
-      try os.write((json + "\n").getBytes("UTF-8")) finally os.close()
-      counts
+      val landed = survivors.count() // checkpointed by the append — no re-run
+      writeShardManifest(shard, cp.count(), landed, outPath, shardLabel)
+    } finally survivors.unpersist()
+  }
+
+  /** Shared landing manifest for the two ingest variants. `input` is a
+    * checkpoint-block count, never a rescan of the shard source. */
+  private def writeShardManifest(shard: DataFrame, input: Long,
+                                 landed: Long, outPath: String,
+                                 shardLabel: String): Map[String, Long] = {
+    val counts = Map("input" -> input, "landed" -> landed)
+    val json = counts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val conf = shard.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(outPath,
+      s"_graft_shard_$shardLabel.json")
+    val fs = p.getFileSystem(conf)
+    val os = fs.create(p, true)
+    try os.write((json + "\n").getBytes("UTF-8")) finally os.close()
+    counts
+  }
+
+  /** Incremental daily ingest for the EMBEDDING side — the vector
+    * analog of [[ingestShard]], composed end-to-end: the shape a corpus
+    * owner runs per arriving batch of vectors, where the standing
+    * corpus is touched ONLY through its pre-bucketed embedding index
+    * ([[Dedup.writeEmbeddingIndex]]) and the IVF search index's saved
+    * centroids — never re-scanned or re-shuffled (plan-asserted in
+    * spec):
+    *
+    *   1. in-shard semantic dedup (bucketed cosine candidates,
+    *      min-label components, smallest id survives)
+    *   2. semantic dedup vs the corpus boundary
+    *      ([[Dedup.embeddingNearDupPairsAgainstIndex]]: bucketed vecs
+    *      table, corpus side zero-exchange)
+    *   3. append the survivors' bucket rows to the embedding index and
+    *      the vectors to the IVF search index ([[Ivf.appendToIndex]] —
+    *      replay-safe, assigns against the SAVED centroids)
+    *   4. land the survivors as parquet + a per-shard JSON manifest
+    *
+    * Exact duplicates need no separate stage: an identical vector is
+    * cosine 1.0 and falls to stage 1/2 at any threshold < 1. Only the
+    * shard ever shuffles — the daily cost is O(|shard|) regardless of
+    * corpus size. `ivfPath = None` skips the search-index growth (an
+    * index-less corpus still dedups). Returns Map("input" → …,
+    * "landed" → …); the input is eagerly checkpointed — ONE scan of the
+    * shard source end-to-end, the input count a block count
+    * ([[ingestShard]] posture). */
+  def ingestEmbeddingShard(shard: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, threshold: Double,
+                           indexName: String, indexPath: String,
+                           outPath: String, shardLabel: String,
+                           ivfPath: Option[String] = None,
+                           planes: Int = 8,
+                           buckets: Int = 8): Map[String, Long] = {
+    val cp = shard.localCheckpoint(true)
+    val survivors = Dedup.appendEmbeddingShardToIndex(cp, idCol,
+      vecCol, dim, threshold, indexName, indexPath, planes, buckets)
+    try {
+      ivfPath.foreach(p => Ivf.appendToIndex(survivors, idCol, vecCol, p))
+      survivors.write.mode("append").parquet(outPath)
+      val landed = survivors.count() // checkpointed — no re-run
+      writeShardManifest(shard, cp.count(), landed, outPath, shardLabel)
     } finally survivors.unpersist()
   }
 

@@ -1,0 +1,251 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.llm.{Dedup, Ivf, Pipeline}
+
+/** Embedding-side daily ingest (r9 verdict task 2): semantic dedup
+  * in-shard + vs the pre-bucketed corpus embedding index, IVF search
+  * index growth, landing + manifest — with the corpus side plan-asserted
+  * exchange-free, replay-safe appends on both indexes, and compaction
+  * keeping the probe-scan contract. Plus the text-side one-scan-of-the-
+  * shard landing (task 7) and the no-forced-__qv__-broadcast posture of
+  * the batched IVF search (task 5).
+  */
+class EmbedIngestSpec extends SparkTestBase {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rmDir(d: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select("vec_id", "embedding").cache()
+
+  test("ingestEmbeddingShard: planted dups drop, indexes grow replay-safe, corpus vecs ride no exchange") {
+    val corpus = emb.filter(col("vec_id") < 400)
+    // shard = 100 fresh vectors + a cross-corpus exact dup (9000 copies
+    // corpus vector 0) + an in-shard exact dup (9001 copies shard
+    // vector 450; the cluster keeps the smallest id, 450). Random
+    // fixture vectors never reach cos 0.9 with each other (probed in
+    // q_embed_dedup: max non-planted candidate cos < 0.5), so the two
+    // plants are exactly the non-vacuous drop set.
+    val shard = emb.filter(col("vec_id") >= 400)
+      .unionByName(emb.filter(col("vec_id") === 0L)
+        .select(lit(9000L).as("vec_id"), col("embedding")))
+      .unionByName(emb.filter(col("vec_id") === 450L)
+        .select(lit(9001L).as("vec_id"), col("embedding")))
+    val idxDir = tmpDir("graft_embidx")
+    val ivfDir = tmpDir("graft_embivf")
+    val outDir = tmpDir("graft_embout")
+    try {
+      Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding", 64,
+        "embt", idxDir)
+      val cents = Ivf.train(corpus, "vec_id", "embedding", nCells = 4,
+        iters = 1)
+      Ivf.writeIndex(corpus, "vec_id", "embedding", cents, ivfDir)
+
+      val counts = Pipeline.ingestEmbeddingShard(shard, "vec_id",
+        "embedding", dim = 64, threshold = 0.9, indexName = "embt",
+        indexPath = idxDir, outPath = outDir, shardLabel = "d1",
+        ivfPath = Some(ivfDir))
+      assert(counts == Map("input" -> 102L, "landed" -> 100L),
+        s"planted dups (9000 vs-corpus, 9001 in-shard) must drop: $counts")
+      val landedIds = spark.read.parquet(outDir)
+        .select("vec_id").collect().map(_.getLong(0)).sorted
+      assert(landedIds.toSeq == (400L until 500L).toSeq)
+      // both indexes grew by exactly the survivors
+      assert(spark.table("embt_vecs").count() == 500)
+      val ivf = spark.read.parquet(s"$ivfDir/vectors")
+      assert(ivf.count() == 500 &&
+        ivf.select("vec_id").distinct().count() == 500)
+      // the manifest landed next to the data
+      assert(new java.io.File(outDir, "_graft_shard_d1.json").exists())
+
+      // REPLAY: resubmitting the same shard must land nothing and must
+      // not duplicate any vec_id in either index — stage-0 id guard on
+      // the vecs table, grown-index cosine hits for the never-landed
+      // plants (9001's twin 450 is corpus now), id anti-join in the IVF
+      val counts2 = Pipeline.ingestEmbeddingShard(shard, "vec_id",
+        "embedding", dim = 64, threshold = 0.9, indexName = "embt",
+        indexPath = idxDir, outPath = outDir, shardLabel = "d2",
+        ivfPath = Some(ivfDir))
+      assert(counts2 == Map("input" -> 102L, "landed" -> 0L),
+        s"replayed shard must be fully rejected: $counts2")
+      assert(spark.table("embt_vecs").count() == 500,
+        "replay grew the embedding index")
+      val ivf2 = spark.read.parquet(s"$ivfDir/vectors")
+      assert(ivf2.count() == 500 &&
+        ivf2.select("vec_id").distinct().count() == 500,
+        "replay duplicated vec_ids in the IVF index")
+
+      // 100 TB contract: the corpus side of the vs-corpus probe reads
+      // its buckets in place — no shuffle exchange above the bucketed
+      // vecs-table scan (only the shard side exchanges)
+      val probe = Dedup.embeddingNearDupPairsAgainstIndex(
+        shard.limit(5), "vec_id", "embedding", "embt", 64, 0.9)
+      val sp = probe.queryExecution.sparkPlan
+      val shuffledVecs = sp.collect {
+        case ex: ShuffleExchangeExec => ex.collect {
+          case s: FileSourceScanExec if s.relation.location.rootPaths
+            .exists(_.toString.contains("graft_embidx")) => s
+        }
+      }.flatten
+      assert(shuffledVecs.isEmpty,
+        "corpus vecs-table scan rides a shuffle exchange")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS embt_vecs")
+      Seq(idxDir, ivfDir, outDir).foreach(rmDir)
+    }
+  }
+
+  test("IVF compactIndex: files-per-cell drop to one, probe pruning and results unchanged") {
+    val e = emb.limit(200)
+    val cents = Ivf.train(e, "vec_id", "embedding", nCells = 4, iters = 1)
+    val dir = tmpDir("graft_ivfc")
+    try {
+      Ivf.writeIndex(e.filter(col("vec_id") < 150), "vec_id", "embedding",
+        cents, dir)
+      Ivf.appendToIndex(e.filter(col("vec_id") >= 150 && col("vec_id") < 175),
+        "vec_id", "embedding", dir)
+      Ivf.appendToIndex(e.filter(col("vec_id") >= 175 && col("vec_id") < 200),
+        "vec_id", "embedding", dir)
+      def filesPerCell: Map[String, Int] = {
+        val root = new java.io.File(dir, "vectors")
+        root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+          .map(d => d.getName ->
+            d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+      }
+      val before = filesPerCell
+      assert(before.values.exists(_ > 1),
+        s"fixture must accumulate small files to make compaction observable: $before")
+      val nprobe = 2
+      def search = Ivf.annTopKIndexed(e, "vec_id", "embedding", dir,
+        queryId = 0L, k = 5, nprobe = nprobe)
+      val resBefore = search.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+      Ivf.compactIndex(spark, dir)
+      val after = filesPerCell
+      assert(after.keySet == before.keySet && after.values.forall(_ == 1),
+        s"compaction must leave one file per cell: $after")
+      assert(spark.read.parquet(s"$dir/vectors").count() == 200,
+        "compaction changed the row set")
+      // the probe-scan contract survives compaction: static partition
+      // filter, exactly nprobe cell directories listed, same answer
+      val q = search
+      val scans = q.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec
+            if s.partitionFilters.exists(_.references.exists(_.name == "cell")) => s
+      }
+      assert(scans.nonEmpty, "no scan with a partition filter on cell")
+      val dirsRead = scans.head.relation.location
+        .listFiles(scans.head.partitionFilters, scans.head.dataFilters).length
+      assert(dirsRead == nprobe, s"post-compaction probe read $dirsRead cell dirs")
+      assert(q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == resBefore,
+        "compaction changed search results")
+    } finally rmDir(dir)
+  }
+
+  test("IVF batched index search never FORCES a broadcast carrying the query vectors") {
+    val e = emb.limit(200)
+    val cents = Ivf.train(e, "vec_id", "embedding", nCells = 4, iters = 0)
+    val dir = tmpDir("graft_ivfb")
+    try {
+      Ivf.writeIndex(e, "vec_id", "embedding", cents, dir)
+      val q = e.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+      val batch = Ivf.annTopKIndexedBatch(q, "vec_id", "embedding", dir,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+      // r9 verdict: a forced broadcast(qcells) ships __qv__ x nprobe
+      // rows — a driver OOM at a 10M-query daily batch. Only the
+      // DISTINCT probe-cell ids (bounded by nCells ints) may carry a
+      // broadcast hint; the query vectors pair through a plain
+      // equi-join whose strategy is left to Catalyst/AQE size
+      // estimation (small query frames may still broadcast BY SIZE —
+      // that is correct and not a forced hint).
+      val joins = batch.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      val forced = joins.flatMap { j =>
+        Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).collect {
+          case (Some(h), side)
+              if h.strategy.exists(_.toString.toUpperCase.contains("BROADCAST")) &&
+                side.output.exists(_.name == "__qv__") => side
+        }
+      }
+      assert(forced.isEmpty,
+        "a join side outputting __qv__ carries a forced broadcast hint")
+    } finally rmDir(dir)
+  }
+
+  test("text ingestShard landing scans the shard source exactly once") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 100)
+    val shardSrc = tmpDir("graft_oneshard")
+    val idxDir = tmpDir("graft_oneidx")
+    val outDir = tmpDir("graft_oneout")
+    try {
+      df(docSchema,
+        Row(90001L, "zymurgy quokka paradox lantern gosling fjord velvet marzipan"),
+        Row(90002L, "glaciers carve patient valleys while auroras paint the winter sky"))
+        .write.mode("overwrite").parquet(shardSrc)
+      val shard = spark.read.parquet(shardSrc)
+      Dedup.writeNearDupIndex(corpus, "doc_id", "text", "one_t", idxDir)
+      val bench = df(docSchema)
+
+      // every execution whose physical plan scans the shard parquet is
+      // recorded with its action name: the landing must touch the
+      // source exactly once (the eager input checkpoint) — in
+      // particular NO dedicated count() rescan for the manifest (the
+      // r9 finding), and no per-stage re-scans either (each internal
+      // action reads the checkpoint blocks)
+      val seen = scala.collection.mutable.ArrayBuffer[String]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        private def scansShard(
+            qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+          qe.executedPlan.collect {
+            case s: FileSourceScanExec if s.relation.location.rootPaths
+              .exists(_.toString.contains("graft_oneshard")) => s
+          }.nonEmpty
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          if (scansShard(qe)) seen.synchronized { seen += funcName }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        val counts = Pipeline.ingestShard(shard, bench, "doc_id", "text",
+          "one_t", idxDir, outDir, "s1")
+        assert(counts == Map("input" -> 2L, "landed" -> 2L), s"$counts")
+        // listener events post asynchronously; settle before asserting
+        var last = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val n = seen.synchronized(seen.size)
+          if (n == last) stable += 1 else { stable = 0; last = n }
+        }
+        val scans = seen.synchronized(seen.toList)
+        assert(scans.size <= 1,
+          s"shard source scanned ${scans.size} times (actions: $scans); " +
+            "the landing contract is one scan end-to-end")
+        assert(!scans.contains("count"),
+          "a dedicated count() action rescanned the shard for the manifest")
+      } finally spark.listenerManager.unregister(listener)
+    } finally {
+      Seq("bands", "shingles", "keys").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS one_t_$s"))
+      Seq(shardSrc, idxDir, outDir).foreach(rmDir)
+    }
+  }
+}
