@@ -596,5 +596,109 @@ object QueriesEmbed {
       Similarity.annTopKMultiProbe(t(s, dir, "embeddings"), "vec_id",
         "embedding", dim = 64, queryId = 0L, k = 8, planes = 8)
     }
+
+    // Embedding-side daily ingest end-to-end (the vector analog of
+    // q_ingest_gate): corpus = vec_id < 400 pre-bucketed as the
+    // embedding index, shard = the rest plus two planted duplicates —
+    // 1000000 copies corpus vector 0 (drops vs-corpus), 1000001 copies
+    // shard vector 450 (in-shard cluster keeps the smaller id). The
+    // oracle recomputes LSH buckets, candidate pairs, exact-decimal
+    // cosine, min-label components via recursive reachability, and the
+    // vs-corpus drop — the landed parquet ids must match exactly.
+    // Random fixture vectors never reach cos 0.9 (probed in
+    // q_embed_dedup), so the planted families are the whole drop set.
+    r.reg("q_embed_ingest",
+      """WITH RECURSIVE corpusv AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+        |shardv AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 400
+        |  UNION ALL
+        |  SELECT CAST(1000000 AS BIGINT) AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id = 0
+        |  UNION ALL
+        |  SELECT CAST(1000001 AS BIGINT) AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id = 450),
+        |allv AS (SELECT * FROM corpusv UNION ALL SELECT * FROM shardv),
+        |flat AS (
+        |  SELECT vec_id, j,
+        |    CAST(embedding[i+1] AS DOUBLE)
+        |      * CAST((j*64 + i) * 2654435761 % 4294967296 - 2147483648 AS DOUBLE) AS p
+        |  FROM allv, range(0, 8) rj(j), range(0, 64) ri(i)),
+        |pdots AS (
+        |  SELECT vec_id, j, sum(CAST(p AS DECIMAL(30,12))) AS d
+        |  FROM flat GROUP BY vec_id, j),
+        |buckets AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM pdots GROUP BY vec_id),
+        |scand AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE a.vec_id IN (SELECT vec_id FROM shardv)
+        |    AND b.vec_id IN (SELECT vec_id FROM shardv)),
+        |ccand AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+        |  WHERE a.vec_id IN (SELECT vec_id FROM corpusv)
+        |    AND b.vec_id IN (SELECT vec_id FROM shardv)),
+        |vpairs AS (SELECT id_a, id_b FROM scand UNION SELECT id_a, id_b FROM ccand),
+        |pz AS (
+        |  SELECT c.id_a, c.id_b, unnest(ea.embedding) AS a, unnest(eb.embedding) AS b
+        |  FROM vpairs c JOIN allv ea ON ea.vec_id = c.id_a
+        |                JOIN allv eb ON eb.vec_id = c.id_b),
+        |pd AS (
+        |  SELECT id_a, id_b,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na,
+        |    sum(CAST(CAST(b AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS nb
+        |  FROM pz GROUP BY id_a, id_b),
+        |hits AS (
+        |  SELECT id_a, id_b FROM pd
+        |  WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) >= 0.9),
+        |sedges AS (
+        |  SELECT h.id_a AS u, h.id_b AS v FROM hits h JOIN scand c
+        |    ON h.id_a = c.id_a AND h.id_b = c.id_b
+        |  UNION
+        |  SELECT h.id_b AS u, h.id_a AS v FROM hits h JOIN scand c
+        |    ON h.id_a = c.id_a AND h.id_b = c.id_b),
+        |reach AS (
+        |  SELECT u, v FROM sedges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN sedges e ON r.v = e.u),
+        |nddrop AS (SELECT u AS id FROM reach GROUP BY u HAVING min(v) < u),
+        |vsdrop AS (
+        |  SELECT DISTINCT h.id_b AS id FROM hits h JOIN ccand c
+        |    ON h.id_a = c.id_a AND h.id_b = c.id_b)
+        |SELECT vec_id FROM shardv
+        |WHERE vec_id NOT IN (SELECT id FROM nddrop)
+        |  AND vec_id NOT IN (SELECT id FROM vsdrop)
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = e.filter(col("vec_id") < 400)
+      val shard = e.filter(col("vec_id") >= 400)
+        .unionByName(e.filter(col("vec_id") === 0L)
+          .select(lit(1000000L).as("vec_id"), col("embedding")))
+        .unionByName(e.filter(col("vec_id") === 450L)
+          .select(lit(1000001L).as("vec_id"), col("embedding")))
+      // tmp-dir landing (q_dedup_index posture: runs from any checkout);
+      // index rebuilds overwrite and the landing dir is cleared, so
+      // repeated runs in one session stay deterministic
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/embing")
+      val outDir = new java.io.File(base, "out")
+      org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+      graft.llm.Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding",
+        64, "g_embing", new java.io.File(base, "idx").getAbsolutePath)
+      val ivfDir = new java.io.File(base, "ivf").getAbsolutePath
+      val cents = graft.llm.Ivf.train(corpus, "vec_id", "embedding",
+        nCells = 8, iters = 0)
+      graft.llm.Ivf.writeIndex(corpus, "vec_id", "embedding", cents, ivfDir)
+      graft.llm.Pipeline.ingestEmbeddingShard(shard, "vec_id", "embedding",
+        dim = 64, threshold = 0.9, indexName = "g_embing",
+        indexPath = new java.io.File(base, "idx").getAbsolutePath,
+        outPath = outDir.getAbsolutePath, shardLabel = "oracle",
+        ivfPath = Some(ivfDir))
+      s.read.parquet(outDir.getAbsolutePath)
+        .select("vec_id").orderBy("vec_id")
+    }
   }
 }

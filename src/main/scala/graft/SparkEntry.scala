@@ -67,5 +67,10 @@ object SparkEntry {
     // join), the by-less as-of (range-partitioned carry), and the
     // end-to-end corpus build (quality -> dedup×2 -> decontam -> split
     // -> shuffle as ONE composed plan)
-    "q_ann_batch", "q_asof_global", "q_pipeline_e2e")
+    "q_ann_batch", "q_asof_global", "q_pipeline_e2e",
+    // r10: THE production query shapes — the daily text-shard ingest
+    // gate (index build + 6-stage gate + index append) and its
+    // embedding-side analog (bucketed semantic dedup + IVF growth +
+    // landing) — benched with per-run arrays like every headline
+    "q_ingest_gate", "q_embed_ingest")
 }
