@@ -181,6 +181,20 @@ class EmbedIngestSpec extends SparkTestBase {
     } finally rmDir(dir)
   }
 
+  test("q_embed_ingest is deterministic across repeated runs in one session") {
+    // the bench runs every headline 3x in one JVM: the registered query
+    // must rebuild a pristine index + landing each run (overwrite
+    // truncates prior appends; the landing dir is cleared at entry)
+    val run1 = SparkEntry.queries("q_embed_ingest")(spark,
+      "/root/testdata/sf0.001").collect().map(_.getLong(0)).toSeq
+    val run2 = SparkEntry.queries("q_embed_ingest")(spark,
+      "/root/testdata/sf0.001").collect().map(_.getLong(0)).toSeq
+    assert(run1 == run2 && run1.nonEmpty,
+      s"repeat run diverged: ${run1.size} vs ${run2.size} rows")
+    assert(run1 == (400L until 500L).toSeq,
+      "planted duplicates must drop and nothing else")
+  }
+
   test("text ingestShard landing scans the shard source exactly once") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
