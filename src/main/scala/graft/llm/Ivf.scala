@@ -264,6 +264,22 @@ object Ivf {
     fs.delete(old, true)
   }
 
+  /** Maintenance report over a persisted index: per cell, the row count
+    * and the parquet file count — the observable that tells an operator
+    * WHEN to run [[compactIndex]] (files grow by one per
+    * [[appendToIndex]] call per touched cell; probe-scan cost grows
+    * with file count, not row count, once cells fragment). One
+    * column-pruned scan of the index (cell + the file-name virtual
+    * column), no driver-side listing. */
+  def indexReport(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame =
+    spark.read.parquet(s"$path/vectors")
+      .select(col("cell"), input_file_name().as("__f__"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("__f__")).as("files"))
+      .orderBy("cell")
+
   /** The (query_id, __qv__, cell) probe frame every batched IVF search
     * shapes its join around: each query ranks the BROADCAST centroid
     * list and keeps its `nprobe` nearest cells — explode + per-query

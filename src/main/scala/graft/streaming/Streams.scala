@@ -218,6 +218,28 @@ object Streams {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Streaming SEMANTIC near-dup flagging of arriving embedding vectors
+    * against a PERSISTED embedding index
+    * ([[graft.llm.Dedup.writeEmbeddingIndex]]) — the vector face of
+    * [[nearDupPairsStream]], for pipelines that must reject paraphrase
+    * duplicates as vectors arrive. The batch probe
+    * (`embeddingNearDupPairsAgainstIndex`) is already fully stateless —
+    * blockwise LSH bucket + norm on the arriving rows, one stream-static
+    * equi-join against the bucketed vecs table, exact-decimal cosine
+    * verify — so the streaming form IS the batch form applied to a
+    * streaming frame: no state store, no watermark, append-mode safe,
+    * corpus buckets read in place every micro-batch. Emits (id_a =
+    * corpus id, id_b = stream id, cos >= threshold); each pair lands in
+    * the single micro-batch that carries the vector, so unlike the
+    * banded text path no per-batch dedup is needed (one bucket, one
+    * emission). `dim`/`planes` must match the index build. */
+  def embeddingNearDupStream(vectors: DataFrame, idCol: String,
+                             vecCol: String, indexName: String, dim: Int,
+                             threshold: Double,
+                             planes: Int = 8): DataFrame =
+    graft.llm.Dedup.embeddingNearDupPairsAgainstIndex(vectors, idCol,
+      vecCol, indexName, dim, threshold, planes)
+
   /** Streaming INGEST GATE — the stateless-plus-watermark front half of
     * the batch pretraining pipeline (llm/Pipeline.pretrainCorpus), for
     * documents arriving as a stream: Gopher-style quality filter (pure

@@ -123,6 +123,14 @@ class EmbedIngestSpec extends SparkTestBase {
       val before = filesPerCell
       assert(before.values.exists(_ > 1),
         s"fixture must accumulate small files to make compaction observable: $before")
+      // the maintenance report agrees with the filesystem ground truth —
+      // this is the API an operator watches to schedule compaction
+      val repBefore = Ivf.indexReport(spark, dir).collect()
+        .map(r => s"cell=${r.getInt(0)}" -> r.getLong(2).toInt).toMap
+      assert(repBefore == before,
+        s"indexReport files disagree with the filesystem: $repBefore vs $before")
+      assert(Ivf.indexReport(spark, dir).agg(sum(col("rows"))).collect()
+        .head.getLong(0) == 200)
       val nprobe = 2
       def search = Ivf.annTopKIndexed(e, "vec_id", "embedding", dir,
         queryId = 0L, k = 5, nprobe = nprobe)
@@ -132,6 +140,8 @@ class EmbedIngestSpec extends SparkTestBase {
       val after = filesPerCell
       assert(after.keySet == before.keySet && after.values.forall(_ == 1),
         s"compaction must leave one file per cell: $after")
+      assert(Ivf.indexReport(spark, dir).collect()
+        .forall(_.getLong(2) == 1L), "report must show 1 file per cell")
       assert(spark.read.parquet(s"$dir/vectors").count() == 200,
         "compaction changed the row set")
       // the probe-scan contract survives compaction: static partition
@@ -179,6 +189,57 @@ class EmbedIngestSpec extends SparkTestBase {
       assert(forced.isEmpty,
         "a join side outputting __qv__ carries a forced broadcast hint")
     } finally rmDir(dir)
+  }
+
+  test("streaming embedding near-dup flags arrivals against the persisted index, batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val corpus = emb.filter(col("vec_id") < 300)
+    val idxDir = tmpDir("graft_embstr")
+    try {
+      Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding", 64,
+        "embs", idxDir)
+      // two arrivals: an exact copy of corpus vector 7 (must flag with
+      // cos 1.0) and a random fixture vector from outside the corpus
+      // (must not flag — non-planted cosines stay far below 0.9)
+      val dupVec = corpus.filter(col("vec_id") === 7L)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val freshVec = emb.filter(col("vec_id") === 480L)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val in = MemoryStream[(Long, Seq[Float])]
+      val flagged = graft.streaming.Streams.embeddingNearDupStream(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        "embs", dim = 64, threshold = 0.9)
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      val q = flagged.writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= b.collect().map(r =>
+              (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          }; ()
+        }.start()
+      try {
+        in.addData((8007L, dupVec), (8480L, freshVec))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = buf.synchronized(buf.toList)
+      assert(got.map(t => (t._1, t._2)) == List((7L, 8007L)),
+        s"exactly the planted copy must flag: $got")
+      assert(got.head._3 > 0.999999)
+      // batch parity: the same rows through the batch probe
+      val batchRows = Dedup.embeddingNearDupPairsAgainstIndex(
+          emb.filter(col("vec_id") === 7L)
+            .select(lit(8007L).as("vec_id"), col("embedding"))
+            .unionByName(emb.filter(col("vec_id") === 480L)
+              .select(lit(8480L).as("vec_id"), col("embedding"))),
+          "vec_id", "embedding", "embs", 64, 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      assert(batchRows == got, s"stream $got != batch $batchRows")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS embs_vecs")
+      rmDir(idxDir)
+    }
   }
 
   test("q_embed_ingest is deterministic across repeated runs in one session") {
