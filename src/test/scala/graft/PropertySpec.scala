@@ -337,4 +337,71 @@ class PropertySpec extends SparkTestBase {
       assert(rs.toSeq == expRs, s"rollingSum diverged (nPart=$nPart)")
     }
   }
+
+  test("embedding near-dup: sound pairs, complete on exact dups, drop = min-label components") {
+    import org.apache.spark.sql.types._
+    // dim-8 vectors over a small non-zero grid: colinear and identical
+    // pairs occur (identical → identical LSH bucket → candidate
+    // GUARANTEED; colinear → same sign pattern → same bucket too), so
+    // both the completeness and the component-resolution branches are
+    // exercised; random grid pairs usually stay below the threshold.
+    val grid = Seq(-1.0f, -0.5f, 0.5f, 1.0f, 2.0f)
+    val caseGen: Gen[(List[List[Float]], List[Int])] = for {
+      n <- Gen.choose(3, 14)
+      vecs <- Gen.listOfN(n, Gen.listOfN(8, Gen.oneOf(grid)))
+      nDup <- Gen.choose(1, 3)
+      dupOf <- Gen.listOfN(nDup, Gen.choose(0, n - 1))
+    } yield (vecs, dupOf)
+    val sch = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def cosBrute(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    forAll(caseGen, cases = 8) { case (vecs, dupOf) =>
+      val all: Seq[(Long, Seq[Float])] =
+        vecs.zipWithIndex.map { case (v, i) => (i.toLong, v: Seq[Float]) } ++
+          dupOf.zipWithIndex.map { case (src, j) =>
+            (100L + j, vecs(src): Seq[Float]) }
+      val d = df(sch, all.map { case (id, v) => Row(id, v) }: _*)
+      val pairs = graft.llm.Dedup.embeddingNearDupPairs(d, "vec_id",
+          "embedding", dim = 8, threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val byId = all.toMap
+      // soundness: every emitted pair really is >= threshold (brute
+      // double recompute; 1e-6 slack covers decimal-vs-double rounding)
+      pairs.foreach { case (a, b, cos) =>
+        val brute = cosBrute(byId(a), byId(b))
+        assert(brute >= 0.9 - 1e-6, s"false positive ($a,$b): engine $cos brute $brute")
+        assert(math.abs(brute - cos) < 1e-6, s"cos mismatch ($a,$b): $cos vs $brute")
+      }
+      // completeness on exact duplicates: identical vectors share every
+      // hyperplane sign, so the pair can never be bucketed apart
+      val ids = all.map(_._1)
+      for (a <- ids; b <- ids if a < b && byId(a) == byId(b))
+        assert(pairs.exists(p => p._1 == a && p._2 == b),
+          s"exact duplicate pair ($a,$b) not emitted")
+      // drop semantics: connected components over the ENGINE's own pair
+      // graph, keep each component's minimum — recomputed imperatively
+      val adj = pairs.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def component(start: Long): Set[Long] = {
+        var seen = Set(start); var frontier = List(start)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+            .filterNot(seen)
+          seen ++= next; frontier = next
+        }
+        seen
+      }
+      val expectedKept = ids.filter(id => component(id).min == id).sorted
+      val kept = graft.llm.Dedup.dropEmbeddingNearDuplicates(
+          d.select("vec_id"), "vec_id", d, "vec_id", "embedding", 8, 0.9)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == expectedKept,
+        s"drop diverged: kept $kept expected $expectedKept (pairs ${pairs.toSeq})")
+    }
+  }
 }
