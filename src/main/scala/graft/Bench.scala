@@ -73,9 +73,12 @@ object Bench {
       }
       s"""{"load_avg":${os.getSystemLoadAverage},"free_mem_mb":$free,"cpus":${Runtime.getRuntime.availableProcessors}}"""
     }
-    def host = s""""host":$hostObj"""
+    // sampled ONCE, right after the main loop: the final record is
+    // re-serialized after the sf1 section, and re-sampling host there
+    // would attach post-sf1 load to the main loop's numbers
+    val mainHost = hostObj
     def mkLine(sf1Part: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"samples":$samples,"failed":$failedJson,$host$sf1Part,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"samples":$samples,"failed":$failedJson,"host":$mainHost$sf1Part,"sf":"$sfDir"}"""
     def writeBench(line: String): Unit = try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)

@@ -622,6 +622,68 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
 object GraftFrame {
   import org.apache.spark.sql.types.StructType
 
+  /** Compact a bucketed table created by [[GraftFrame.toBucketedTable]]
+    * back to one file per bucket. Every `mode = "append"` write adds up
+    * to (tasks × buckets-touched) files, so a daily-appended index
+    * table's file count grows O(days × tasks) — reads stay
+    * exchange-free but pay ever more file opens. The rewrite
+    * repartitions on the table's own bucket columns (aligned with the
+    * bucket hash, so each task holds exactly one bucket and writes
+    * exactly one file), lands in a sibling directory via a scratch
+    * table entry, then swaps directories — bucket-id file naming rides
+    * the file names, so the original table's metadata needs only a
+    * REFRESH. OFFLINE maintenance (same contract as `Ivf.compactIndex`):
+    * a read during the swap window can fail its file listing. Bucket
+    * spec, sort spec, row set and the zero-exchange read property are
+    * unchanged (spec-checked). */
+  def compactBucketedTable(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"compactBucketedTable: $table carries no bucket spec"))
+    val path = new org.apache.hadoop.fs.Path(meta.location)
+    val tmpTable = s"${table}__compacting"
+    val tmpPath = new org.apache.hadoop.fs.Path(
+      path.getParent, path.getName + "__compacting")
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    val cols = spec.bucketColumnNames
+    // One file per bucket needs the shuffle routing to EQUAL the write
+    // side's bucket-id function (pmod of the murmur hash): read the
+    // files raw (a bucketed-table read advertises its partitioning and
+    // lets the exchange elide over arbitrarily-packed appended files)
+    // and pin AQE off for the rewrite (adaptive re-planning can merge
+    // or re-pack the explicit hash partitions, leaving tasks holding
+    // several buckets → several files each).
+    val raw = spark.read.schema(spark.table(table).schema)
+      .parquet(path.toString)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val w0 = raw.repartition(spec.numBuckets, cols.map(col): _*)
+        .write.mode("overwrite").option("path", tmpPath.toString)
+        .bucketBy(spec.numBuckets, cols.head, cols.tail: _*)
+      val w = spec.sortColumnNames match {
+        case Nil => w0
+        case s => w0.sortBy(s.head, s.tail: _*)
+      }
+      w.format("parquet").saveAsTable(tmpTable)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    spark.sql(s"DROP TABLE $tmpTable") // external entry: the files stay
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retired = new org.apache.hadoop.fs.Path(
+      path.getParent, path.getName + "__retired")
+    fs.delete(retired, true)
+    if (!fs.rename(path, retired))
+      throw new java.io.IOException(s"compactBucketedTable: could not retire $path")
+    if (!fs.rename(tmpPath, path)) {
+      fs.rename(retired, path) // roll back so the table stays readable
+      throw new java.io.IOException(s"compactBucketedTable: could not install $tmpPath")
+    }
+    fs.delete(retired, true)
+    spark.sql(s"REFRESH TABLE $table")
+  }
+
   def readParquet(spark: SparkSession, path: String): GraftFrame =
     GraftFrame(spark.read.parquet(path))
   def readCsv(spark: SparkSession, path: String, header: Boolean = true,

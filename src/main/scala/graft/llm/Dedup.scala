@@ -594,6 +594,28 @@ object Dedup {
     survivors
   }
 
+  /** Compact a text near-dup index's bucketed tables
+    * ([[writeNearDupIndex]]) back to one file per bucket — the
+    * maintenance pass after N [[appendShardToIndex]] days (each append
+    * adds files per bucket; the exchange-free read property survives
+    * but file opens grow O(days)). Offline, same contract as
+    * [[Ivf.compactIndex]]. The keys table is compacted when present
+    * (pre-r9 indexes have none). */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                          name: String): Unit = {
+    graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_bands")
+    graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_shingles")
+    if (spark.catalog.tableExists(s"${name}_keys"))
+      graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_keys")
+  }
+
+  /** Compact an embedding index's bucketed vecs table
+    * ([[writeEmbeddingIndex]]) — the vector-side maintenance pass after
+    * N [[appendEmbeddingShardToIndex]] days. */
+  def compactEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+                            name: String): Unit =
+    graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_vecs")
+
   /** Near-dup pairs of a NEW SHARD against a persisted corpus index
     * ([[writeNearDupIndex]]): band the shard's signatures (blockwise),
     * equi-join the bucketed bands table (corpus pre-shuffled at build

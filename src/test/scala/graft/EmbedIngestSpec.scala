@@ -191,6 +191,49 @@ class EmbedIngestSpec extends SparkTestBase {
     } finally rmDir(dir)
   }
 
+  test("compactEmbeddingIndex: vecs files drop to one per bucket, probe identical and exchange-free") {
+    val idxDir = tmpDir("graft_embc")
+    try {
+      val buckets = 4
+      Dedup.writeEmbeddingIndex(emb.filter(col("vec_id") < 300), "vec_id",
+        "embedding", 64, "embc", idxDir, buckets = buckets)
+      Seq((300L, 350L), (350L, 400L)).foreach { case (lo, hi) =>
+        Dedup.appendEmbeddingShardToIndex(
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi),
+          "vec_id", "embedding", 64, 0.9, "embc", idxDir,
+          buckets = buckets).unpersist()
+      }
+      def files: Int = new java.io.File(idxDir, "vecs").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files > buckets, s"appends must fragment past $buckets files: $files")
+      val probe = emb.filter(col("vec_id") === 7L)
+        .select(lit(8007L).as("vec_id"), col("embedding"))
+      def hits = Dedup.embeddingNearDupPairsAgainstIndex(probe, "vec_id",
+          "embedding", "embc", 64, 0.9).orderBy("id_a", "id_b")
+        .collect().map(_.toString).toSeq
+      val hitsBefore = hits
+      assert(hitsBefore.nonEmpty, "planted probe must hit the index")
+      val rowsBefore = spark.table("embc_vecs").count()
+
+      Dedup.compactEmbeddingIndex(spark, "embc")
+      assert(files <= buckets, s"compaction must leave <= $buckets files: $files")
+      assert(spark.table("embc_vecs").count() == rowsBefore)
+      assert(hits == hitsBefore, "compaction changed probe results")
+      val sp = Dedup.embeddingNearDupPairsAgainstIndex(probe, "vec_id",
+        "embedding", "embc", 64, 0.9).queryExecution.sparkPlan
+      val shuffled = sp.collect {
+        case ex: ShuffleExchangeExec => ex.collect {
+          case s: FileSourceScanExec if s.relation.location.rootPaths
+            .exists(_.toString.contains("graft_embc")) => s
+        }
+      }.flatten
+      assert(shuffled.isEmpty, "vecs scan rides a shuffle exchange after compaction")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS embc_vecs")
+      rmDir(idxDir)
+    }
+  }
+
   test("streaming embedding near-dup flags arrivals against the persisted index, batch parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -225,4 +225,61 @@ class IngestSpec extends SparkTestBase {
       assert(r1 == r2, "repeated ingest-gate runs must be identical")
     } finally dropIndex("g_ing")
   }
+
+  test("compactNearDupIndex: files drop to one per bucket, probe stays exchange-free and identical") {
+    val tmp = tmpDir("graft_ingc")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      val buckets = 4
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "ingc_t", tmp, buckets = buckets)
+      // two daily appends fragment every table (each bucketed append
+      // writes new files per touched bucket)
+      Seq((200L, 260L), (260L, 320L)).foreach { case (lo, hi) =>
+        Dedup.appendShardToIndex(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          "doc_id", "text", "ingc_t", tmp, threshold = 0.5,
+          buckets = buckets).unpersist()
+      }
+      def files(sub: String): Int =
+        new java.io.File(tmp, sub).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+      val before = Seq("bands", "shingles", "keys").map(s => s -> files(s)).toMap
+      assert(before.values.exists(_ > buckets),
+        s"appends must fragment at least one table past $buckets files: $before")
+      val probeDoc = df(docSchema, Row(99001L,
+        docs.filter(col("doc_id") === 7).select("text")
+          .collect().head.getString(0)))
+      def probePairs = Dedup.nearDupPairsAgainstIndex(probeDoc, "doc_id",
+          "text", "ingc_t", 0.5).orderBy("id_a", "id_b")
+        .collect().map(_.toString).toSeq
+      val rowsBefore = Seq("bands", "shingles", "keys")
+        .map(s => spark.table(s"ingc_t_$s").count())
+      val pairsBefore = probePairs
+      assert(pairsBefore.nonEmpty, "planted probe must hit the index")
+
+      Dedup.compactNearDupIndex(spark, "ingc_t")
+      val after = Seq("bands", "shingles", "keys").map(s => s -> files(s)).toMap
+      assert(after.values.forall(_ <= buckets),
+        s"compaction must leave at most one file per bucket: $after")
+      assert(Seq("bands", "shingles", "keys")
+        .map(s => spark.table(s"ingc_t_$s").count()) == rowsBefore,
+        "compaction changed a table's row set")
+      assert(probePairs == pairsBefore, "compaction changed probe results")
+      // the zero-exchange read property survives the rewrite
+      val sp = Dedup.nearDupPairsAgainstIndex(probeDoc, "doc_id", "text",
+        "ingc_t", 0.5).queryExecution.sparkPlan
+      val shuffledIdx = sp.collect {
+        case ex: ShuffleExchangeExec => ex.collect {
+          case s: FileSourceScanExec if s.relation.location.rootPaths
+            .exists(_.toString.contains("graft_ingc")) => s
+        }
+      }.flatten
+      assert(shuffledIdx.isEmpty, "index scan rides a shuffle exchange after compaction")
+    } finally {
+      dropIndex("ingc_t")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
