@@ -597,6 +597,39 @@ object QueriesEmbed {
         "embedding", dim = 64, queryId = 0L, k = 8, planes = 8)
     }
 
+    // Quantized brute-force top-k: the int8 corpus-scan ranker. The
+    // quantized cosine is scale-free (per-vector scales cancel), so the
+    // whole rank is integer dot products — exact in both engines — with
+    // one IEEE division; the oracle replays quantization (floor(x/s +
+    // 0.5), the q_embed_quantize recipe) and the integer sums.
+    r.reg("q_ann_quantized",
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT e.vec_id,
+        |    list_transform(e.embedding, x ->
+        |      CASE WHEN s.scale = 0 THEN 0
+        |           ELSE CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT) END) AS q
+        |  FROM embeddings e JOIN s USING (vec_id)),
+        |qq AS (SELECT q FROM qv WHERE vec_id = 0),
+        |z AS (
+        |  SELECT a.vec_id, unnest(a.q) AS x, unnest(qq.q) AS y
+        |  FROM qv a, qq WHERE a.vec_id <> 0),
+        |d AS (
+        |  SELECT vec_id, sum(x*y) AS dot, sum(x*x) AS na
+        |  FROM z GROUP BY vec_id),
+        |nq AS (SELECT sum(y*y) AS nqv FROM (SELECT unnest(q) AS y FROM qq))
+        |SELECT vec_id,
+        |  CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nqv AS DOUBLE))) AS cos_q
+        |FROM d, nq
+        |WHERE na > 0 AND nqv > 0
+        |ORDER BY cos_q DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+      Similarity.annTopKQuantized(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryId = 0L, k = 10)
+    }
+
     // Embedding-side daily ingest end-to-end (the vector analog of
     // q_ingest_gate): corpus = vec_id < 400 pre-bucketed as the
     // embedding index, shard = the rest plus two planted duplicates —

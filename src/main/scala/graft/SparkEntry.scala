@@ -72,5 +72,7 @@ object SparkEntry {
     // gate (index build + 6-stage gate + index append) and its
     // embedding-side analog (bucketed semantic dedup + IVF growth +
     // landing) — benched with per-run arrays like every headline
-    "q_ingest_gate", "q_embed_ingest")
+    "q_ingest_gate", "q_embed_ingest",
+    // r10: the int8 corpus-scan ranker (4x scan-bandwidth lever)
+    "q_ann_quantized")
 }

@@ -71,6 +71,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Brute-force top-k over INT8-quantized vectors — the scan-bandwidth
+    * lever at 100 TB: a persisted quantized corpus (`quantizeInt8`'s
+    * `q` column, array<byte>) moves 4× fewer bytes per full-corpus
+    * rank than float32. The quantized cosine needs NO scale column:
+    *   cos_q = dot_int / (√(a·a)_int · √(q·q)_int)
+    * — the per-vector scales cancel, so ranking is pure integer
+    * arithmetic (exact, engine-reproducible) with one IEEE division at
+    * the end. Differs from the exact rank only by quantization error
+    * (≤ scale/2 per element); measure the gap with [[recallReport]]'s
+    * harness against [[bruteForceTopK]]. Zero vectors quantize to all
+    * zeros and are excluded (a zero norm has no cosine). */
+  def annTopKQuantized(embeddings: DataFrame, idCol: String, vecCol: String,
+                       queryId: Long, k: Int): DataFrame = {
+    def intSq(a: Column): Column =
+      aggregate(transform(a, x => x.cast("long") * x.cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    val qz = quantizeInt8(col(vecCol)).getField("q")
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(qz.as("__qq__"))
+    spread(embeddings).filter(col(idCol) =!= queryId)
+      .select(col(idCol), qz.as("__aq__"))
+      .crossJoin(broadcast(q))
+      .withColumn("__dot__",
+        aggregate(zip_with(col("__aq__"), col("__qq__"),
+          (x, y) => x.cast("long") * y.cast("long")),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("__na__", intSq(col("__aq__")))
+      .withColumn("__nq__", intSq(col("__qq__")))
+      .filter(col("__na__") > 0 && col("__nq__") > 0)
+      .withColumn("cos_q", col("__dot__").cast("double") /
+        (sqrt(col("__na__").cast("double")) * sqrt(col("__nq__").cast("double"))))
+      .select(col(idCol), col("cos_q"))
+      .orderBy(col("cos_q").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic pseudo-random hyperplane weight (integer Knuth-hash
     * folded to a signed 32-bit value) — reproducible in any engine. */
   private def weight(flat: Column): Column =
