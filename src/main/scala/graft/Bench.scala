@@ -42,16 +42,28 @@ object Bench {
     // run N-1 cache adjacency.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val times = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
-    for (r <- 1 to runs; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        times(name) = times.getOrElse(name, Vector.empty) :+ dt
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name run $r FAILED: ${e.getMessage}")
+    for (r <- 1 to runs) {
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          times(name) = times.getOrElse(name, Vector.empty) :+ dt
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name run $r FAILED: ${e.getMessage}")
+        }
       }
+      // Drop cached blocks between passes: queries that persist stage
+      // boundaries internally (q_pipeline_e2e's reused caches have no
+      // caller-visible handle) would otherwise accumulate
+      // MEMORY_AND_DISK blocks across passes — by the sf1 section the
+      // JVM is fighting its own leaked state and every number rides GC
+      // pressure (r10: q_ann_batch read 46 s in-record vs 10 s in a
+      // fresh probe on the same quiet host). Clearing BETWEEN passes
+      // never helps a measured query (each query's own run builds its
+      // caches from scratch inside its timed window either way).
+      spark.catalog.clearCache()
     }
     val failed = names.filterNot(times.contains)
     val qs = names.map { n =>
@@ -150,15 +162,21 @@ object Bench {
           sys.env.getOrElse("SPARK_GRAFT_SF1_RUNS", "2").toInt)
         val hostBefore = hostObj
         val t1 = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
-        for (r <- 1 to sf1Runs; name <- picks) {
-          val t0 = System.nanoTime()
-          try {
-            SparkEntry.queries(name)(spark, sf1Dir)
-              .write.format("noop").mode("overwrite").save()
-            val dt = (System.nanoTime() - t0) / 1e9
-            t1(name) = t1.getOrElse(name, Vector.empty) :+ dt
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] sf1 $name run $r FAILED: ${e.getMessage}")
+        for (r <- 1 to sf1Runs) {
+          // same leaked-cache discipline as the main loop, and doubly so
+          // here: the section starts with 3 passes' worth of session
+          // history behind it
+          spark.catalog.clearCache()
+          for (name <- picks) {
+            val t0 = System.nanoTime()
+            try {
+              SparkEntry.queries(name)(spark, sf1Dir)
+                .write.format("noop").mode("overwrite").save()
+              val dt = (System.nanoTime() - t0) / 1e9
+              t1(name) = t1.getOrElse(name, Vector.empty) :+ dt
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] sf1 $name run $r FAILED: ${e.getMessage}")
+            }
           }
         }
         val hostAfter = hostObj
