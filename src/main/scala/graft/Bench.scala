@@ -190,7 +190,8 @@ object Bench {
         // capped); scan/join/agg families should track data size or
         // better (dim-bound plans stay flat).
         def expectedGrowth(n: String): String =
-          if (n == "q_ann_batch") s"QxN_by_design_superlinear_ok_lt_${copies * copies}x"
+          if (n == "q_ann_batch" || n == "q_ann_quantized_batch")
+            s"QxN_by_design_superlinear_ok_lt_${copies * copies}x"
           else if (n.startsWith("q_embed_dedup") || n.startsWith("q_near_dedup") ||
             n.startsWith("q_minhash")) s"candidate_bound_le_${copies}x"
           else s"le_${copies}x"

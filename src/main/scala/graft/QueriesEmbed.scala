@@ -630,6 +630,60 @@ object QueriesEmbed {
         "embedding", queryId = 0L, k = 10)
     }
 
+    // Batched quantized retrieval — LSH buckets (raw vectors, so probe
+    // sets match the exact batch) + int8 verify. The oracle replays the
+    // bucket CTEs, the multi-probe union, quantization, and the
+    // integer dots; per-query top-5 by the scale-free quantized cosine.
+    r.reg("q_ann_quantized_batch",
+      s"""WITH $bucketCtes,
+         |s AS (
+         |  SELECT vec_id,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+         |  FROM embeddings),
+         |qv AS (
+         |  SELECT e.vec_id,
+         |    list_transform(e.embedding, x ->
+         |      CASE WHEN s.scale = 0 THEN 0
+         |           ELSE CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT) END) AS q
+         |  FROM embeddings e JOIN s USING (vec_id)),
+         |qs AS (SELECT vec_id AS query_id, bucket FROM buckets WHERE vec_id % 50 = 0),
+         |probes AS (
+         |  SELECT query_id, bucket FROM qs
+         |  UNION
+         |  SELECT query_id, xor(bucket, CAST(1 << j AS BIGINT)) AS bucket
+         |  FROM qs, range(0, 8) rj(j)),
+         |cand AS (
+         |  SELECT p.query_id, b.vec_id FROM buckets b JOIN probes p USING (bucket)
+         |  WHERE b.vec_id <> p.query_id),
+         |z AS (
+         |  SELECT c.query_id, c.vec_id, unnest(a.q) AS x, unnest(qq.q) AS y
+         |  FROM cand c JOIN qv a ON a.vec_id = c.vec_id
+         |              JOIN qv qq ON qq.vec_id = c.query_id),
+         |d AS (
+         |  SELECT query_id, vec_id, sum(x*y) AS dot, sum(x*x) AS na
+         |  FROM z GROUP BY query_id, vec_id),
+         |nqs AS (
+         |  SELECT vec_id AS query_id,
+         |    list_sum(list_transform(q, v -> v*v)) AS nqv FROM qv),
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nqv AS DOUBLE))) AS cos_q
+         |  FROM d JOIN nqs USING (query_id)
+         |  WHERE na > 0 AND nqv > 0),
+         |topk AS (
+         |  SELECT query_id, vec_id, cos_q,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_q DESC, vec_id ASC) AS rn
+         |  FROM ranked)
+         |SELECT query_id, vec_id, cos_q FROM topk WHERE rn <= 5
+         |ORDER BY query_id ASC, cos_q DESC, vec_id ASC""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+      Similarity.annTopKQuantizedBatch(e, q, "vec_id", "embedding",
+          "vec_id", "embedding", dim = 64, k = 5, planes = 8)
+        .orderBy(col("query_id").asc, col("cos_q").desc, col("vec_id").asc)
+    }
+
     // Embedding-side daily ingest end-to-end (the vector analog of
     // q_ingest_gate): corpus = vec_id < 400 pre-bucketed as the
     // embedding index, shard = the rest plus two planted duplicates —

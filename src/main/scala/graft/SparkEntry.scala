@@ -73,6 +73,9 @@ object SparkEntry {
     // embedding-side analog (bucketed semantic dedup + IVF growth +
     // landing) — benched with per-run arrays like every headline
     "q_ingest_gate", "q_embed_ingest",
-    // r10: the int8 corpus-scan ranker (4x scan-bandwidth lever)
-    "q_ann_quantized")
+    // r10: the int8 corpus-scan ranker (4x scan-bandwidth lever) and
+    // its batched composite (LSH candidates + int8 verify — the
+    // quantized production retrieval shape, directly comparable to
+    // q_ann_batch in the same record)
+    "q_ann_quantized", "q_ann_quantized_batch")
 }

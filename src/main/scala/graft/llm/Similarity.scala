@@ -231,6 +231,57 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("cos"))
   }
 
+  /** [[annTopKBatch]] with INT8-quantized verification — the composite
+    * retrieval shape at 100 TB: LSH buckets prune the candidate space
+    * (computed on the RAW vectors, so the probe sets are identical to
+    * the exact batch) and the int8 arrays ride the candidate join, so
+    * the bucket exchange — the dominant data movement of the batch
+    * shape — carries 4× fewer bytes than float32, and the verify is
+    * pure integer arithmetic ([[annTopKQuantized]]'s scale-free
+    * cosine). Ranking differs from the exact batch only by
+    * quantization error; measure with [[recallReport]]'s harness.
+    * Same contracts as [[annTopKBatch]]: one equi-join, per-query
+    * row_number, no pair scored twice, neither side collected. */
+  def annTopKQuantizedBatch(embeddings: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String,
+                            qIdCol: String, qVecCol: String,
+                            dim: Int, k: Int, planes: Int = 8,
+                            multiProbe: Boolean = true): DataFrame = {
+    def intSq(a: Column): Column =
+      aggregate(transform(a, x => x.cast("long") * x.cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    val bucketed = spread(embeddings)
+      .select(col(idCol),
+        quantizeInt8(col(vecCol)).getField("q").as("__aq__"),
+        lshBucket(col(vecCol), dim, planes).as("bucket"))
+    val qb = queries.select(col(qIdCol).as("query_id"),
+      quantizeInt8(col(qVecCol)).getField("q").as("__qq__"),
+      lshBucket(col(qVecCol), dim, planes).as("__qb__"))
+    val probed =
+      if (multiProbe)
+        qb.select(col("query_id"), col("__qq__"),
+          explode(array(col("__qb__") +:
+            (0 until planes).map(j =>
+              col("__qb__").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+      else qb.withColumnRenamed("__qb__", "bucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_q").desc, col(idCol).asc)
+    bucketed.join(probed, Seq("bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("__dot__",
+        aggregate(zip_with(col("__aq__"), col("__qq__"),
+          (x, y) => x.cast("long") * y.cast("long")),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("__na__", intSq(col("__aq__")))
+      .withColumn("__nq__", intSq(col("__qq__")))
+      .filter(col("__na__") > 0 && col("__nq__") > 0)
+      .withColumn("cos_q", col("__dot__").cast("double") /
+        (sqrt(col("__na__").cast("double")) * sqrt(col("__nq__").cast("double"))))
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= k)
+      .select(col("query_id"), col(idCol), col("cos_q"))
+  }
+
   /** ANN recall@k report — the tuning instrument for `planes` /
     * `multiProbe`: without it a user picking LSH parameters is blind
     * (the correctness oracles prove the *mechanism*, not the *quality*).
