@@ -270,6 +270,152 @@ case class DotDouble(left: Expression, right: Expression)
   override def prettyName: String = "dot_double"
 }
 
+/** Integer dot product of two ARRAY<BYTE> (int8-quantized vectors) —
+  * the hot inner loop of the quantized rankers
+  * (Similarity.annTopKQuantized / annTopKQuantizedBatch): it runs per
+  * candidate pair, and the declarative `aggregate(zip_with(...))` form
+  * it replaces is interpretation-fallback (HOFs don't codegen) —
+  * measured 5× slower than the exact decimal path it was meant to
+  * beat. Exact by construction: |acc| ≤ 127² · dim fits a long for any
+  * real dim. Null elements contribute 0 in both paths (the DotDouble
+  * discipline). Norms are DotLong(a, a). */
+case class DotLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"dot_long needs two ARRAY<TINYINT>, got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        acc += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += ((long) $a.getByte($i)) * ((long) $b.getByte($i));
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_long"
+}
+
+/** INT8 quantization of a vector — the `q` field of the declarative
+  * Similarity.quantizeInt8, bit-identical (parity spec): per element
+  * floor(x / (max|x| / 127) + 0.5) as a byte, zero vector → all
+  * zeros, null elements preserved as null (the declarative when/floor
+  * propagates them). Native because the quantized rankers run it per
+  * ROW over the whole corpus and the declarative transform-with-when
+  * is interpretation-fallback — profiled as the dominant cost of
+  * q_ann_quantized after DotLong went native. */
+case class QuantizeInt8Q(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = true)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"quantize_int8_q needs ARRAY<DOUBLE>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val v = math.abs(a.getDouble(i))
+        if (v > mx) mx = v
+      }
+      i += 1
+    }
+    val scale = mx / 127.0
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) out(i) = null
+      else if (scale == 0.0) out(i) = 0.toByte
+      else out(i) = math.floor(a.getDouble(i) / scale + 0.5).toInt.toByte
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val mx = ctx.freshName("mx")
+      val sc = ctx.freshName("sc")
+      val out = ctx.freshName("out")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $mx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $v = java.lang.Math.abs($a.getDouble($i));
+         |    if ($v > $mx) $mx = $v;
+         |  }
+         |}
+         |double $sc = $mx / 127.0;
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    $out[$i] = null;
+         |  } else if ($sc == 0.0) {
+         |    $out[$i] = (byte) 0;
+         |  } else {
+         |    $out[$i] = (byte)(int) java.lang.Math.floor($a.getDouble($i) / $sc + 0.5);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): QuantizeInt8Q = copy(child = newChild)
+  override def prettyName: String = "quantize_int8_q"
+}
+
 /** Random-hyperplane LSH bucket id — native form of the declarative
   * Similarity.lshBucketDeclarative, bit-identical (WindowLlmSpec asserts
   * it): per plane j and element i the weight is the exact integer
@@ -535,6 +681,10 @@ object TextHashExprs {
   def dotDouble(a: Column, b: Column): Column =
     column(DotDouble(expression(a.cast("array<double>")),
       expression(b.cast("array<double>"))))
+  def dotLong(a: Column, b: Column): Column =
+    column(DotLong(expression(a), expression(b)))
+  def quantizeInt8Q(vec: Column): Column =
+    column(QuantizeInt8Q(expression(vec.cast("array<double>"))))
   def lshBucket(vec: Column, dim: Int, planes: Int): Column =
     column(LshBucket(expression(vec.cast("array<double>")), dim, planes))
   def nfcNormalize(s: Column): Column =

@@ -84,21 +84,19 @@ object Similarity {
     * zeros and are excluded (a zero norm has no cosine). */
   def annTopKQuantized(embeddings: DataFrame, idCol: String, vecCol: String,
                        queryId: Long, k: Int): DataFrame = {
-    def intSq(a: Column): Column =
-      aggregate(transform(a, x => x.cast("long") * x.cast("long")),
-        lit(0L), (acc, v) => acc + v)
-    val qz = quantizeInt8(col(vecCol)).getField("q")
+    // native DotLong, not aggregate(zip_with(...)): HOFs are
+    // interpretation-fallback and measured 5× slower than the exact
+    // decimal ranker — the opposite of what int8 is for
+    import graft.functions.TextHashExprs.{dotLong, quantizeInt8Q}
+    val qz = quantizeInt8Q(col(vecCol))
     val q = embeddings.filter(col(idCol) === queryId)
       .select(qz.as("__qq__"))
     spread(embeddings).filter(col(idCol) =!= queryId)
       .select(col(idCol), qz.as("__aq__"))
       .crossJoin(broadcast(q))
-      .withColumn("__dot__",
-        aggregate(zip_with(col("__aq__"), col("__qq__"),
-          (x, y) => x.cast("long") * y.cast("long")),
-          lit(0L), (acc, v) => acc + v))
-      .withColumn("__na__", intSq(col("__aq__")))
-      .withColumn("__nq__", intSq(col("__qq__")))
+      .withColumn("__dot__", dotLong(col("__aq__"), col("__qq__")))
+      .withColumn("__na__", dotLong(col("__aq__"), col("__aq__")))
+      .withColumn("__nq__", dotLong(col("__qq__"), col("__qq__")))
       .filter(col("__na__") > 0 && col("__nq__") > 0)
       .withColumn("cos_q", col("__dot__").cast("double") /
         (sqrt(col("__na__").cast("double")) * sqrt(col("__nq__").cast("double"))))
@@ -247,15 +245,13 @@ object Similarity {
                             qIdCol: String, qVecCol: String,
                             dim: Int, k: Int, planes: Int = 8,
                             multiProbe: Boolean = true): DataFrame = {
-    def intSq(a: Column): Column =
-      aggregate(transform(a, x => x.cast("long") * x.cast("long")),
-        lit(0L), (acc, v) => acc + v)
+    import graft.functions.TextHashExprs.{dotLong, quantizeInt8Q}
     val bucketed = spread(embeddings)
       .select(col(idCol),
-        quantizeInt8(col(vecCol)).getField("q").as("__aq__"),
+        quantizeInt8Q(col(vecCol)).as("__aq__"),
         lshBucket(col(vecCol), dim, planes).as("bucket"))
     val qb = queries.select(col(qIdCol).as("query_id"),
-      quantizeInt8(col(qVecCol)).getField("q").as("__qq__"),
+      quantizeInt8Q(col(qVecCol)).as("__qq__"),
       lshBucket(col(qVecCol), dim, planes).as("__qb__"))
     val probed =
       if (multiProbe)
@@ -268,12 +264,9 @@ object Similarity {
       .partitionBy("query_id").orderBy(col("cos_q").desc, col(idCol).asc)
     bucketed.join(probed, Seq("bucket"))
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("__dot__",
-        aggregate(zip_with(col("__aq__"), col("__qq__"),
-          (x, y) => x.cast("long") * y.cast("long")),
-          lit(0L), (acc, v) => acc + v))
-      .withColumn("__na__", intSq(col("__aq__")))
-      .withColumn("__nq__", intSq(col("__qq__")))
+      .withColumn("__dot__", dotLong(col("__aq__"), col("__qq__")))
+      .withColumn("__na__", dotLong(col("__aq__"), col("__aq__")))
+      .withColumn("__nq__", dotLong(col("__qq__"), col("__qq__")))
       .filter(col("__na__") > 0 && col("__nq__") > 0)
       .withColumn("cos_q", col("__dot__").cast("double") /
         (sqrt(col("__na__").cast("double")) * sqrt(col("__nq__").cast("double"))))

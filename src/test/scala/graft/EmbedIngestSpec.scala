@@ -285,6 +285,44 @@ class EmbedIngestSpec extends SparkTestBase {
     }
   }
 
+  test("native QuantizeInt8Q and DotLong match the declarative forms bit-for-bit") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = true))))
+    // fixture vectors + the edges the declarative when/floor chain
+    // defines: zero vector (scale 0 → all-zero bytes), null elements
+    // (propagate as null), negative extremes
+    val edges = df(sch,
+      Row(9001L, Seq(0.0f, 0.0f, 0.0f)),
+      Row(9002L, Seq(1.0f, null, -2.0f)),
+      Row(9003L, Seq(-127.0f, 63.5f, 127.0f)))
+    val base = emb.limit(50).select(col("vec_id").as("id"),
+      col("embedding").as("v")).unionByName(edges)
+    val both = base.select(col("id"),
+      graft.functions.TextHashExprs.quantizeInt8Q(col("v")).as("nat"),
+      graft.llm.Similarity.quantizeInt8(col("v")).getField("q").as("dec"))
+    val rows = both.collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2),
+        s"quantize parity broke for id ${r.getLong(0)}: " +
+          s"${r.getSeq[Any](1)} vs ${r.getSeq[Any](2)}")
+    }
+    // DotLong == the HOF integer dot on the quantized arrays
+    val dots = base.select(col("id"),
+        graft.functions.TextHashExprs.quantizeInt8Q(col("v")).as("q"))
+      .select(col("id"),
+        graft.functions.TextHashExprs.dotLong(col("q"), col("q")).as("nat"),
+        aggregate(zip_with(col("q"), col("q"),
+          (x, y) => x.cast("long") * y.cast("long")),
+          lit(0L), (acc, v) => acc + coalesce(v, lit(0L))).as("dec"))
+      .collect()
+    dots.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"dot parity broke for id ${r.getLong(0)}: ${r.getLong(1)} vs ${r.getLong(2)}")
+    }
+  }
+
   test("q_embed_ingest is deterministic across repeated runs in one session") {
     // the bench runs every headline 3x in one JVM: the registered query
     // must rebuild a pristine index + landing each run (overwrite
