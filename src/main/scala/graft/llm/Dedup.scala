@@ -338,6 +338,31 @@ object Dedup {
     docs.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Index-geometry stamping: the probe-side `shingleK`/`numHashes`/
+    * `bands` (text) and `dim`/`planes` (embedding) MUST match the index
+    * build — mismatched geometry computes different band/bucket values
+    * and the probe SILENTLY misses duplicates (the worst failure mode:
+    * the pipeline keeps running and quietly stops deduplicating). The
+    * build stamps its parameters as table properties; every probe
+    * validates and throws on mismatch. Pre-stamp indexes (built before
+    * r10) carry no properties and skip validation. */
+  private def stampParams(spark: org.apache.spark.sql.SparkSession,
+                          table: String, params: Map[String, Int]): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      params.map { case (k, v) => s"'graft.$k'='$v'" }.mkString(", ") + ")")
+
+  private[graft] def checkParams(spark: org.apache.spark.sql.SparkSession,
+                                 table: String, params: Map[String, Int]): Unit = {
+    val props = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).properties
+    params.foreach { case (k, v) =>
+      props.get(s"graft.$k").foreach(stored =>
+        require(stored == v.toString,
+          s"$table was built with $k=$stored but probed with $k=$v — " +
+            "mismatched index geometry silently misses duplicates"))
+    }
+  }
+
   /** The (id, v, bucket, norm) rows an embedding near-dup index persists
     * — shared by [[writeEmbeddingIndex]] and
     * [[appendEmbeddingShardToIndex]] so build and append can never
@@ -368,9 +393,12 @@ object Dedup {
   def writeEmbeddingIndex(embeddings: DataFrame, idCol: String,
                           vecCol: String, dim: Int, name: String,
                           path: String, planes: Int = 8,
-                          buckets: Int = 8): Unit =
+                          buckets: Int = 8): Unit = {
     graft.api.GraftFrame(embedIndexRows(embeddings, idCol, vecCol, dim, planes))
       .toBucketedTable(s"${name}_vecs", s"$path/vecs", buckets, Seq("bucket"))
+    stampParams(embeddings.sparkSession, s"${name}_vecs",
+      Map("dim" -> dim, "planes" -> planes))
+  }
 
   /** Near-dup pairs of a NEW embedding shard against a persisted
     * embedding index ([[writeEmbeddingIndex]]): the shard buckets
@@ -387,6 +415,7 @@ object Dedup {
                                         threshold: Double,
                                         planes: Int = 8): DataFrame = {
     val spark = newEmbeddings.sparkSession
+    checkParams(spark, s"${name}_vecs", Map("dim" -> dim, "planes" -> planes))
     val shard = embedIndexRows(newEmbeddings, idCol, vecCol, dim, planes)
       .select(col("id").as("id_b"), col("v").as("vb"), col("bucket"),
         col("norm").as("nb"))
@@ -492,6 +521,8 @@ object Dedup {
     graft.api.GraftFrame(keyRows(docs, idCol, textCol, keyCol))
       .toBucketedTable(s"${name}_keys", s"$path/keys", buckets,
         Seq("key"))
+    stampParams(docs.sparkSession, s"${name}_bands", Map(
+      "shingleK" -> shingleK, "numHashes" -> numHashes, "bands" -> bands))
   }
 
   /** The (id, key) rows the exact-dedup boundary table persists — shared
@@ -630,6 +661,8 @@ object Dedup {
                                threshold: Double, shingleK: Int = 3,
                                numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val spark = newDocs.sparkSession
+    checkParams(spark, s"${name}_bands", Map(
+      "shingleK" -> shingleK, "numHashes" -> numHashes, "bands" -> bands))
     val rows = numHashes / bands
     val eligible = Spread(newDocs)
       .filter(size(split(col(textCol), " ", -1)) >= shingleK)

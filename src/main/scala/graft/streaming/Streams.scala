@@ -187,6 +187,8 @@ object Streams {
                          shingleK: Int = 3, numHashes: Int = 16,
                          bands: Int = 4): DataFrame = {
     val spark = docs.sparkSession
+    graft.llm.Dedup.checkParams(spark, s"${indexName}_bands", Map(
+      "shingleK" -> shingleK, "numHashes" -> numHashes, "bands" -> bands))
     val rows = numHashes / bands
     val eligible = docs.filter(size(split(col(textCol), " ", -1)) >= shingleK)
     val sigd = eligible

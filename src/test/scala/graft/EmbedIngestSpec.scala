@@ -285,6 +285,57 @@ class EmbedIngestSpec extends SparkTestBase {
     }
   }
 
+  test("index geometry is stamped at build and a mismatched probe throws instead of silently missing dups") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val embDir = tmpDir("graft_geomE")
+    val txtDir = tmpDir("graft_geomT")
+    try {
+      // embedding index: planes mismatch must throw, match must work
+      Dedup.writeEmbeddingIndex(emb.filter(col("vec_id") < 100), "vec_id",
+        "embedding", 64, "geomE", embDir, planes = 8)
+      val probe = emb.filter(col("vec_id") === 7L)
+        .select(lit(9107L).as("vec_id"), col("embedding"))
+      val e1 = intercept[IllegalArgumentException] {
+        Dedup.embeddingNearDupPairsAgainstIndex(probe, "vec_id",
+          "embedding", "geomE", 64, 0.9, planes = 4).collect()
+      }
+      assert(e1.getMessage.contains("planes=8") &&
+        e1.getMessage.contains("planes=4"), e1.getMessage)
+      assert(Dedup.embeddingNearDupPairsAgainstIndex(probe, "vec_id",
+        "embedding", "geomE", 64, 0.9, planes = 8).collect().nonEmpty)
+
+      // text index: bands mismatch must throw on both batch and stream
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").filter(col("doc_id") < 100)
+      Dedup.writeNearDupIndex(docs, "doc_id", "text", "geomT", txtDir,
+        numHashes = 16, bands = 4)
+      val tprobe = df(docSchema, Row(9001L,
+        docs.filter(col("doc_id") === 7).select("text")
+          .collect().head.getString(0)))
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.nearDupPairsAgainstIndex(tprobe, "doc_id", "text", "geomT",
+          0.5, numHashes = 16, bands = 2).collect()
+      }
+      assert(e2.getMessage.contains("bands=4") &&
+        e2.getMessage.contains("bands=2"), e2.getMessage)
+      val e3 = intercept[IllegalArgumentException] {
+        graft.streaming.Streams.nearDupPairsStream(tprobe, "doc_id",
+          "text", "geomT", 0.5, shingleK = 5)
+      }
+      assert(e3.getMessage.contains("shingleK"), e3.getMessage)
+      assert(Dedup.nearDupPairsAgainstIndex(tprobe, "doc_id", "text",
+        "geomT", 0.5).collect().nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS geomE_vecs")
+      Seq("bands", "shingles", "keys").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS geomT_$s"))
+      Seq(embDir, txtDir).foreach(rmDir)
+    }
+  }
+
   test("native QuantizeInt8Q and DotLong match the declarative forms bit-for-bit") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
