@@ -684,6 +684,89 @@ object QueriesEmbed {
         .orderBy(col("query_id").asc, col("cos_q").desc, col("vec_id").asc)
     }
 
+    // Recall@k of the quantized ranker vs exact — what int8 costs in
+    // rank quality (the tuning instrument completing the LSH/IVF
+    // recall family). Candidates/probes mirror q_ann_recall; only the
+    // approximate side's ORDERING is quantized (integer dots).
+    r.reg("q_quantized_recall",
+      s"""WITH $bucketCtes,
+         |s AS (
+         |  SELECT vec_id,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+         |  FROM embeddings),
+         |qz AS (
+         |  SELECT e.vec_id,
+         |    list_transform(e.embedding, x ->
+         |      CASE WHEN s.scale = 0 THEN 0
+         |           ELSE CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT) END) AS q
+         |  FROM embeddings e JOIN s USING (vec_id)),
+         |qsel AS (
+         |  SELECT e.vec_id AS qid, e.embedding AS qv, b.bucket AS qb
+         |  FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+         |  WHERE e.vec_id % 25 = 0),
+         |probes AS (
+         |  SELECT qid, qb AS bucket FROM qsel
+         |  UNION
+         |  SELECT qid, xor(qb, CAST(1 << j AS BIGINT)) AS bucket
+         |  FROM qsel, range(0, 8) rj(j)),
+         |cand AS (
+         |  SELECT p.qid, b.vec_id
+         |  FROM buckets b JOIN probes p USING (bucket)
+         |  WHERE b.vec_id <> p.qid),
+         |zq AS (
+         |  SELECT c.qid, c.vec_id, unnest(a.q) AS x, unnest(qq.q) AS y
+         |  FROM cand c JOIN qz a ON a.vec_id = c.vec_id
+         |              JOIN qz qq ON qq.vec_id = c.qid),
+         |dq AS (
+         |  SELECT qid, vec_id, sum(x*y) AS dot, sum(x*x) AS na
+         |  FROM zq GROUP BY qid, vec_id),
+         |nqs AS (
+         |  SELECT vec_id AS qid, list_sum(list_transform(q, v -> v*v)) AS nqv
+         |  FROM qz),
+         |ann AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT d.qid, d.vec_id,
+         |      row_number() OVER (PARTITION BY d.qid ORDER BY
+         |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nqv AS DOUBLE))) DESC,
+         |        d.vec_id ASC) AS rn
+         |    FROM dq d JOIN nqs USING (qid)
+         |    WHERE na > 0 AND nqv > 0) WHERE rn <= 5),
+         |bz AS (
+         |  SELECT q.qid, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+         |  FROM embeddings e, qsel q WHERE e.vec_id <> q.qid),
+         |bd AS (
+         |  SELECT qid, vec_id,
+         |    sum(CAST(CAST(a AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+         |    sum(CAST(CAST(a AS DOUBLE)*CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na,
+         |    sum(CAST(CAST(b AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS nb
+         |  FROM bz GROUP BY qid, vec_id),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY
+         |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC,
+         |        vec_id ASC) AS rn
+         |    FROM bd) WHERE rn <= 5),
+         |hits AS (
+         |  SELECT e.qid,
+         |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |    CAST(count(*) AS BIGINT) AS exact_k
+         |  FROM exact e LEFT JOIN ann a ON a.qid = e.qid AND a.vec_id = e.vec_id
+         |  GROUP BY e.qid),
+         |m AS (
+         |  SELECT CAST(sum(hits) AS DOUBLE)/CAST(sum(exact_k) AS DOUBLE) AS mean_recall
+         |  FROM hits)
+         |SELECT qid AS query_id, hits, exact_k,
+         |  CAST(hits AS DOUBLE)/CAST(exact_k AS DOUBLE) AS recall, m.mean_recall
+         |FROM hits, m ORDER BY query_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 25 === 0).select("vec_id", "embedding")
+      Similarity.quantizedRecallReport(e, q, "vec_id", "embedding",
+          "vec_id", "embedding", dim = 64, k = 5, planes = 8,
+          multiProbe = true)
+        .orderBy("query_id")
+    }
+
     // Embedding-side daily ingest end-to-end (the vector analog of
     // q_ingest_gate): corpus = vec_id < 400 pre-bucketed as the
     // embedding index, shard = the rest plus two planted duplicates —

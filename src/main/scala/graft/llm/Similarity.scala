@@ -306,6 +306,30 @@ object Similarity {
       qVecCol, k, ann)
   }
 
+  /** Recall@k of the QUANTIZED batch ranker against the exact one —
+    * completes the tuning-instrument family ([[recallReport]] for LSH,
+    * [[Ivf.recallReport]] for IVF): this one measures what int8
+    * quantization costs in rank quality at the chosen `planes`, so a
+    * user trading 4× scan/exchange bytes for approximate scores does
+    * it with eyes open. Same sampled-queries contract and pooled
+    * Σhits/Σk mean as the siblings. Calibration note: iid-random
+    * vectors (the test fixture) are the WORST case — their true
+    * cosines cluster tightly near 0, so int8 rounding reorders freely
+    * (measured 0.27 pooled recall@5 at sf0.01); real embedding spaces
+    * with cluster structure separate the top ranks far more and score
+    * correspondingly higher. That gap is the measurement, not noise. */
+  def quantizedRecallReport(embeddings: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String,
+                            qIdCol: String, qVecCol: String,
+                            dim: Int, k: Int, planes: Int = 8,
+                            multiProbe: Boolean = true): DataFrame = {
+    val ann = annTopKQuantizedBatch(embeddings, queries, idCol, vecCol,
+        qIdCol, qVecCol, dim, k, planes, multiProbe)
+      .select(col("query_id"), col(idCol).as("cand_id"), lit(1L).as("__hit__"))
+    recallFromCandidates(embeddings, queries, idCol, vecCol, qIdCol,
+      qVecCol, k, ann)
+  }
+
   /** Shared recall harness: exact brute-force top-k per query joined to
     * ANY ANN candidate frame of shape (query_id, cand_id, __hit__=1) —
     * [[recallReport]] feeds it LSH candidates, [[Ivf.recallReport]] the
