@@ -625,6 +625,28 @@ object Dedup {
     survivors
   }
 
+  /** Maintenance report over an index's bucketed tables: per table,
+    * row count and parquet file count — the observable that schedules
+    * [[compactNearDupIndex]]/[[compactEmbeddingIndex]] (file count
+    * grows with every shard append; read cost grows with file opens).
+    * One column-pruned scan per table; the parity sibling of
+    * [[Ivf.indexReport]]. Pass the table names the index actually has
+    * (keys is absent on pre-r9 text indexes, vecs on text ones). */
+  def indexReport(spark: org.apache.spark.sql.SparkSession,
+                  name: String): DataFrame = {
+    val tables = Seq("bands", "shingles", "keys", "vecs")
+      .map(s => s"${name}_$s")
+      .filter(spark.catalog.tableExists)
+    require(tables.nonEmpty, s"indexReport: no index tables found for '$name'")
+    tables.map { t =>
+      spark.table(t)
+        .select(input_file_name().as("__f__"))
+        .agg(count(lit(1)).as("rows"),
+          countDistinct(col("__f__")).as("files"))
+        .select(lit(t).as("table"), col("rows"), col("files"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Compact a text near-dup index's bucketed tables
     * ([[writeNearDupIndex]]) back to one file per bucket — the
     * maintenance pass after N [[appendShardToIndex]] days (each append

@@ -248,6 +248,12 @@ class IngestSpec extends SparkTestBase {
       val before = Seq("bands", "shingles", "keys").map(s => s -> files(s)).toMap
       assert(before.values.exists(_ > buckets),
         s"appends must fragment at least one table past $buckets files: $before")
+      // the maintenance report agrees with the filesystem — the API an
+      // operator watches to schedule this compaction
+      val rep = Dedup.indexReport(spark, "ingc_t").collect()
+        .map(r => r.getString(0) -> r.getLong(2).toInt).toMap
+      assert(rep == before.map { case (k, v) => s"ingc_t_$k" -> v },
+        s"indexReport disagrees with the filesystem: $rep vs $before")
       val probeDoc = df(docSchema, Row(99001L,
         docs.filter(col("doc_id") === 7).select("text")
           .collect().head.getString(0)))
