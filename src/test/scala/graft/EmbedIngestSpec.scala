@@ -374,6 +374,35 @@ class EmbedIngestSpec extends SparkTestBase {
     }
   }
 
+  test("persisted quantized corpus: rank parity with on-the-fly, scan prunes to the int8 column") {
+    val e = emb.limit(300)
+    val dir = tmpDir("graft_qcorp")
+    try {
+      graft.llm.Similarity.writeQuantizedCorpus(e, "vec_id", "embedding", dir)
+      val idx = graft.llm.Similarity.annTopKQuantizedIndexed(spark, dir,
+        "vec_id", queryId = 0L, k = 10)
+      val fly = graft.llm.Similarity.annTopKQuantized(e, "vec_id",
+        "embedding", queryId = 0L, k = 10)
+      assert(idx.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        fly.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+        "persisted and on-the-fly quantized ranks diverged")
+      // the 4x claim made observable: the corpus-side scan's ReadSchema
+      // must carry (vec_id, q) and NOT the float `scale` column — the
+      // rank path reads only the int8 data
+      val scans = idx.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec if s.relation.location.rootPaths
+          .exists(_.toString.contains("graft_qcorp")) => s
+      }
+      assert(scans.nonEmpty)
+      scans.foreach { s =>
+        val cols = s.requiredSchema.fieldNames.toSet
+        assert(!cols.contains("scale"),
+          s"rank path must not read the scale column: $cols")
+        assert(cols.contains("q"))
+      }
+    } finally rmDir(dir)
+  }
+
   test("q_embed_ingest is deterministic across repeated runs in one session") {
     // the bench runs every headline 3x in one JVM: the registered query
     // must rebuild a pristine index + landing each run (overwrite
