@@ -394,6 +394,7 @@ object Pipeline {
                            indexName: String, indexPath: String,
                            outPath: String, shardLabel: String,
                            ivfPath: Option[String] = None,
+                           quantizedPath: Option[String] = None,
                            planes: Int = 8,
                            buckets: Int = 8): Map[String, Long] = {
     val cp = shard.localCheckpoint(true)
@@ -401,6 +402,12 @@ object Pipeline {
       vecCol, dim, threshold, indexName, indexPath, planes, buckets)
     try {
       ivfPath.foreach(p => Ivf.appendToIndex(survivors, idCol, vecCol, p))
+      // keep the int8 serving copy in lockstep with the float corpus:
+      // the survivors append in quantized form, so the scan-bandwidth
+      // lever (annTopKQuantizedIndexed) never lags the daily growth
+      quantizedPath.foreach(p =>
+        Similarity.writeQuantizedCorpus(survivors, idCol, vecCol, p,
+          mode = "append"))
       survivors.write.mode("append").parquet(outPath)
       val landed = survivors.count() // checkpointed — no re-run
       writeShardManifest(shard, cp.count(), landed, outPath, shardLabel)

@@ -112,11 +112,12 @@ object Similarity {
     * scans just (id, q), an int8 column a quarter the width of the
     * float32 original (column pruning spec-asserted on the plan). */
   def writeQuantizedCorpus(embeddings: DataFrame, idCol: String,
-                           vecCol: String, path: String): Unit = {
+                           vecCol: String, path: String,
+                           mode: String = "overwrite"): Unit = {
     val z = quantizeInt8(col(vecCol))
     embeddings.select(col(idCol), z.getField("scale").as("scale"),
         graft.functions.TextHashExprs.quantizeInt8Q(col(vecCol)).as("q"))
-      .write.mode("overwrite").parquet(path)
+      .write.mode(mode).parquet(path)
   }
 
   /** [[annTopKQuantized]] over a PERSISTED quantized corpus

@@ -42,6 +42,7 @@ class EmbedIngestSpec extends SparkTestBase {
     val idxDir = tmpDir("graft_embidx")
     val ivfDir = tmpDir("graft_embivf")
     val outDir = tmpDir("graft_embout")
+    val qDir = tmpDir("graft_embq") + "/qcorp"
     try {
       Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding", 64,
         "embt", idxDir)
@@ -52,7 +53,7 @@ class EmbedIngestSpec extends SparkTestBase {
       val counts = Pipeline.ingestEmbeddingShard(shard, "vec_id",
         "embedding", dim = 64, threshold = 0.9, indexName = "embt",
         indexPath = idxDir, outPath = outDir, shardLabel = "d1",
-        ivfPath = Some(ivfDir))
+        ivfPath = Some(ivfDir), quantizedPath = Some(qDir))
       assert(counts == Map("input" -> 102L, "landed" -> 100L),
         s"planted dups (9000 vs-corpus, 9001 in-shard) must drop: $counts")
       val landedIds = spark.read.parquet(outDir)
@@ -65,6 +66,12 @@ class EmbedIngestSpec extends SparkTestBase {
         ivf.select("vec_id").distinct().count() == 500)
       // the manifest landed next to the data
       assert(new java.io.File(outDir, "_graft_shard_d1.json").exists())
+      // the int8 serving copy grew in lockstep with the landed survivors
+      val qc = spark.read.parquet(qDir)
+      assert(qc.count() == 100 &&
+        qc.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq ==
+          (400L until 500L).toSeq,
+        "quantized corpus must hold exactly the landed survivors")
 
       // REPLAY: resubmitting the same shard must land nothing and must
       // not duplicate any vec_id in either index — stage-0 id guard on
@@ -73,9 +80,11 @@ class EmbedIngestSpec extends SparkTestBase {
       val counts2 = Pipeline.ingestEmbeddingShard(shard, "vec_id",
         "embedding", dim = 64, threshold = 0.9, indexName = "embt",
         indexPath = idxDir, outPath = outDir, shardLabel = "d2",
-        ivfPath = Some(ivfDir))
+        ivfPath = Some(ivfDir), quantizedPath = Some(qDir))
       assert(counts2 == Map("input" -> 102L, "landed" -> 0L),
         s"replayed shard must be fully rejected: $counts2")
+      assert(spark.read.parquet(qDir).count() == 100,
+        "replay grew the quantized corpus")
       assert(spark.table("embt_vecs").count() == 500,
         "replay grew the embedding index")
       val ivf2 = spark.read.parquet(s"$ivfDir/vectors")
@@ -99,7 +108,7 @@ class EmbedIngestSpec extends SparkTestBase {
         "corpus vecs-table scan rides a shuffle exchange")
     } finally {
       spark.sql("DROP TABLE IF EXISTS embt_vecs")
-      Seq(idxDir, ivfDir, outDir).foreach(rmDir)
+      Seq(idxDir, ivfDir, outDir, new java.io.File(qDir).getParent).foreach(rmDir)
     }
   }
 
