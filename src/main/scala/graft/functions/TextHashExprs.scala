@@ -278,7 +278,14 @@ case class DotDouble(left: Expression, right: Expression)
   * measured 5× slower than the exact decimal path it was meant to
   * beat. Exact by construction: |acc| ≤ 127² · dim fits a long for any
   * real dim. Null elements contribute 0 in both paths (the DotDouble
-  * discipline). Norms are DotLong(a, a). */
+  * discipline). Norms are DotLong(a, a).
+  *
+  * NaN robustness (deliberate divergence from the declarative form,
+  * which only shows on corrupt data): a NaN element never updates the
+  * running max in QuantizeInt8Q (NaN comparisons are false), so a
+  * NaN-bearing vector quantizes to all-zeros and the rankers' `na > 0`
+  * guard EXCLUDES it — where the declarative floor-cast chain would
+  * throw under ANSI and fail the whole job for one corrupt row. */
 case class DotLong(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.types._
