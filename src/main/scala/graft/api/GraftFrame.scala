@@ -654,22 +654,42 @@ object GraftFrame {
     // lets the exchange elide over arbitrarily-packed appended files)
     // and pin AQE off for the rewrite (adaptive re-planning can merge
     // or re-pack the explicit hash partitions, leaving tasks holding
-    // several buckets → several files each).
-    val raw = spark.read.schema(spark.table(table).schema)
+    // several buckets → several files each). The AQE toggle lives in a
+    // CLONED session (shared SparkContext + catalog, isolated SQLConf)
+    // so a concurrent query on the caller's session never sees
+    // adaptive planning flip off mid-flight (r10 advice).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val raw = s2.read.schema(spark.table(table).schema)
       .parquet(path.toString)
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val w0 = raw.repartition(spec.numBuckets, cols.map(col): _*)
-        .write.mode("overwrite").option("path", tmpPath.toString)
-        .bucketBy(spec.numBuckets, cols.head, cols.tail: _*)
-      val w = spec.sortColumnNames match {
-        case Nil => w0
-        case s => w0.sortBy(s.head, s.tail: _*)
-      }
-      w.format("parquet").saveAsTable(tmpTable)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val w0 = raw.repartition(spec.numBuckets, cols.map(col): _*)
+      .write.mode("overwrite").option("path", tmpPath.toString)
+      .bucketBy(spec.numBuckets, cols.head, cols.tail: _*)
+    val w = spec.sortColumnNames match {
+      case Nil => w0
+      case s => w0.sortBy(s.head, s.tail: _*)
+    }
+    w.format("parquet").saveAsTable(tmpTable)
+    // Verify the rewrite BEFORE retiring the live directory: a row-count
+    // mismatch (partial write) or a file-per-bucket overshoot (AQE
+    // re-packing snuck in) must abort while the original data is still
+    // installed — after the rename there is no good rollback state.
+    val tmpRows = s2.read.schema(spark.table(table).schema)
+      .parquet(tmpPath.toString).count()
+    val srcRows = raw.count()
+    if (tmpRows != srcRows) {
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+      throw new IllegalStateException(
+        s"compactBucketedTable: rewrite holds $tmpRows rows, source $srcRows — aborting before swap")
+    }
     spark.sql(s"DROP TABLE $tmpTable") // external entry: the files stay
+    val fsCheck = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpFiles = fsCheck.listStatus(tmpPath)
+      .count(st => st.getPath.getName.endsWith(".parquet"))
+    if (tmpFiles > spec.numBuckets)
+      throw new IllegalStateException(
+        s"compactBucketedTable: rewrite produced $tmpFiles files for " +
+          s"${spec.numBuckets} buckets (adaptive re-packing?) — aborting before swap")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val retired = new org.apache.hadoop.fs.Path(
       path.getParent, path.getName + "__retired")

@@ -281,11 +281,14 @@ case class DotDouble(left: Expression, right: Expression)
   * discipline). Norms are DotLong(a, a).
   *
   * NaN robustness (deliberate divergence from the declarative form,
-  * which only shows on corrupt data): a NaN element never updates the
-  * running max in QuantizeInt8Q (NaN comparisons are false), so a
-  * NaN-bearing vector quantizes to all-zeros and the rankers' `na > 0`
-  * guard EXCLUDES it — where the declarative floor-cast chain would
-  * throw under ANSI and fail the whole job for one corrupt row. */
+  * which only shows on corrupt data): QuantizeInt8Q detects ANY NaN
+  * element and quantizes the whole vector to zeros, so the rankers'
+  * `na > 0` guard EXCLUDES every NaN-bearing vector — where the
+  * declarative floor-cast chain would throw under ANSI and fail the
+  * whole job for one corrupt row. (Without the explicit check, a
+  * vector with SOME NaN elements would take its scale from the finite
+  * elements, map only the NaN dims to 0, and be silently ranked —
+  * the r10-advice failure mode.) */
 case class DotLong(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.types._
@@ -340,13 +343,18 @@ case class DotLong(left: Expression, right: Expression)
 }
 
 /** INT8 quantization of a vector — the `q` field of the declarative
-  * Similarity.quantizeInt8, bit-identical (parity spec): per element
-  * floor(x / (max|x| / 127) + 0.5) as a byte, zero vector → all
-  * zeros, null elements preserved as null (the declarative when/floor
-  * propagates them). Native because the quantized rankers run it per
-  * ROW over the whole corpus and the declarative transform-with-when
-  * is interpretation-fallback — profiled as the dominant cost of
-  * q_ann_quantized after DotLong went native. */
+  * Similarity.quantizeInt8, bit-identical on clean data (parity spec):
+  * per element floor(x / (max|x| / 127) + 0.5) as a byte, zero vector
+  * → all zeros, null elements preserved as null (the declarative
+  * when/floor propagates them). A vector with ANY NaN element
+  * quantizes to ALL zeros (corrupt data carries no rankable
+  * direction), so the rankers' `na > 0` guard excludes it — the
+  * declarative form instead throws under ANSI there, which is why
+  * NaN rows sit outside the parity contract. Native because the
+  * quantized rankers run it per ROW over the whole corpus and the
+  * declarative transform-with-when is interpretation-fallback —
+  * profiled as the dominant cost of q_ann_quantized after DotLong
+  * went native. */
 case class QuantizeInt8Q(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.types._
@@ -363,15 +371,18 @@ case class QuantizeInt8Q(child: Expression)
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
     var mx = 0.0
+    var nan = false
     var i = 0
     while (i < n) {
       if (!a.isNullAt(i)) {
-        val v = math.abs(a.getDouble(i))
+        val x = a.getDouble(i)
+        if (x != x) nan = true
+        val v = math.abs(x)
         if (v > mx) mx = v
       }
       i += 1
     }
-    val scale = mx / 127.0
+    val scale = if (nan) 0.0 else mx / 127.0
     val out = new Array[Any](n)
     i = 0
     while (i < n) {
@@ -394,16 +405,20 @@ case class QuantizeInt8Q(child: Expression)
       val sc = ctx.freshName("sc")
       val out = ctx.freshName("out")
       val v = ctx.freshName("v")
+      val nan = ctx.freshName("nan")
       s"""
          |int $n = $a.numElements();
          |double $mx = 0.0;
+         |boolean $nan = false;
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i)) {
-         |    double $v = java.lang.Math.abs($a.getDouble($i));
+         |    double $v = $a.getDouble($i);
+         |    if (Double.isNaN($v)) $nan = true;
+         |    $v = java.lang.Math.abs($v);
          |    if ($v > $mx) $mx = $v;
          |  }
          |}
-         |double $sc = $mx / 127.0;
+         |double $sc = $nan ? 0.0 : $mx / 127.0;
          |Object[] $out = new Object[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) {

@@ -327,10 +327,13 @@ object Dedup {
                                   embeddings: DataFrame, embIdCol: String,
                                   vecCol: String, dim: Int,
                                   threshold: Double,
-                                  maxIterations: Int = 30): DataFrame = {
+                                  maxIterations: Int = 30,
+                                  planes: Int = 8,
+                                  maxBucketSize: Int = 10000): DataFrame = {
     val alive = embeddings.join(
       docs.select(col(idCol).as(embIdCol)), Seq(embIdCol), "left_semi")
-    val pairs = embeddingNearDupPairs(alive, embIdCol, vecCol, dim, threshold)
+    val pairs = embeddingNearDupPairs(alive, embIdCol, vecCol, dim, threshold,
+        planes, maxBucketSize)
       .select(col("id_a"), col("id_b")).cache()
     val labels = minLabelComponents(pairs, maxIterations)
     pairs.unpersist()
@@ -469,8 +472,11 @@ object Dedup {
         Seq("id"), "left_semi")
       .select(col("id").as(idCol))
     val fresh = newEmbeddings.join(present, Seq(idCol), "left_anti")
+    // planes threads through: stage 1 (in-shard) and stage 2 (vs-corpus)
+    // MUST share LSH geometry or a caller's planes != 8 silently splits
+    // the candidate space between the two stages (r10 advice)
     val internal = dropEmbeddingNearDuplicates(fresh, idCol,
-      fresh, idCol, vecCol, dim, threshold)
+      fresh, idCol, vecCol, dim, threshold, planes = planes)
     val vsCorpus = embeddingNearDupPairsAgainstIndex(internal, idCol,
       vecCol, name, dim, threshold, planes)
     val survivors = internal.join(

@@ -89,14 +89,17 @@ object Similarity {
     // decimal ranker — the opposite of what int8 is for
     import graft.functions.TextHashExprs.{dotLong, quantizeInt8Q}
     val qz = quantizeInt8Q(col(vecCol))
+    // query norm computed ONCE on the 1-row frame before the crossJoin —
+    // recomputing it per corpus row is O(N·dim) redundant integer work on
+    // exactly the hot path int8 exists to accelerate (r10 advice)
     val q = embeddings.filter(col(idCol) === queryId)
       .select(qz.as("__qq__"))
+      .withColumn("__nq__", dotLong(col("__qq__"), col("__qq__")))
     spread(embeddings).filter(col(idCol) =!= queryId)
       .select(col(idCol), qz.as("__aq__"))
       .crossJoin(broadcast(q))
       .withColumn("__dot__", dotLong(col("__aq__"), col("__qq__")))
       .withColumn("__na__", dotLong(col("__aq__"), col("__aq__")))
-      .withColumn("__nq__", dotLong(col("__qq__"), col("__qq__")))
       .filter(col("__na__") > 0 && col("__nq__") > 0)
       .withColumn("cos_q", col("__dot__").cast("double") /
         (sqrt(col("__na__").cast("double")) * sqrt(col("__nq__").cast("double"))))
@@ -130,13 +133,15 @@ object Similarity {
                               queryId: Long, k: Int): DataFrame = {
     import graft.functions.TextHashExprs.dotLong
     val corpus = spark.read.parquet(path)
+    // query norm hoisted before the crossJoin (same reason as the
+    // on-the-fly form: never per corpus row)
     val q = corpus.filter(col(idCol) === queryId).select(col("q").as("__qq__"))
+      .withColumn("__nq__", dotLong(col("__qq__"), col("__qq__")))
     spread(corpus.filter(col(idCol) =!= queryId)
         .select(col(idCol), col("q").as("__aq__")))
       .crossJoin(broadcast(q))
       .withColumn("__dot__", dotLong(col("__aq__"), col("__qq__")))
       .withColumn("__na__", dotLong(col("__aq__"), col("__aq__")))
-      .withColumn("__nq__", dotLong(col("__qq__"), col("__qq__")))
       .filter(col("__na__") > 0 && col("__nq__") > 0)
       .withColumn("cos_q", col("__dot__").cast("double") /
         (sqrt(col("__na__").cast("double")) * sqrt(col("__nq__").cast("double"))))
@@ -290,12 +295,15 @@ object Similarity {
       .select(col(idCol),
         quantizeInt8Q(col(vecCol)).as("__aq__"),
         lshBucket(col(vecCol), dim, planes).as("bucket"))
+    // per-QUERY norm computed once before the probe explode — never per
+    // candidate row (the candidate set is orders of magnitude larger)
     val qb = queries.select(col(qIdCol).as("query_id"),
       quantizeInt8Q(col(qVecCol)).as("__qq__"),
       lshBucket(col(qVecCol), dim, planes).as("__qb__"))
+      .withColumn("__nq__", dotLong(col("__qq__"), col("__qq__")))
     val probed =
       if (multiProbe)
-        qb.select(col("query_id"), col("__qq__"),
+        qb.select(col("query_id"), col("__qq__"), col("__nq__"),
           explode(array(col("__qb__") +:
             (0 until planes).map(j =>
               col("__qb__").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
@@ -306,7 +314,6 @@ object Similarity {
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("__dot__", dotLong(col("__aq__"), col("__qq__")))
       .withColumn("__na__", dotLong(col("__aq__"), col("__aq__")))
-      .withColumn("__nq__", dotLong(col("__qq__"), col("__qq__")))
       .filter(col("__na__") > 0 && col("__nq__") > 0)
       .withColumn("cos_q", col("__dot__").cast("double") /
         (sqrt(col("__na__").cast("double")) * sqrt(col("__nq__").cast("double"))))

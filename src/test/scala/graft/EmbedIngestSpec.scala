@@ -381,6 +381,25 @@ class EmbedIngestSpec extends SparkTestBase {
       assert(r.getLong(1) == r.getLong(2),
         s"dot parity broke for id ${r.getLong(0)}: ${r.getLong(1)} vs ${r.getLong(2)}")
     }
+    // NaN edge (native-only: the declarative form ANSI-throws here): a
+    // vector with ANY NaN element — not just all-NaN — must quantize to
+    // all zeros so the rankers' na > 0 guard excludes it (r10 advice:
+    // partial-NaN vectors previously took scale from the finite elements
+    // and were silently ranked with NaN dims as 0)
+    val nanRows = df(sch,
+      Row(9101L, Seq(1.0f, Float.NaN, -2.0f)),
+      Row(9102L, Seq(Float.NaN, Float.NaN, Float.NaN)))
+      .select(col("id"),
+        graft.functions.TextHashExprs.quantizeInt8Q(col("v")).as("q"))
+      .select(col("id"), col("q"),
+        graft.functions.TextHashExprs.dotLong(col("q"), col("q")).as("na"))
+      .collect()
+    nanRows.foreach { r =>
+      assert(r.getSeq[Byte](1).forall(_ == 0.toByte),
+        s"NaN-bearing vector ${r.getLong(0)} must quantize to zeros: ${r.getSeq[Byte](1)}")
+      assert(r.getLong(2) == 0L,
+        s"NaN-bearing vector ${r.getLong(0)} must fail the na > 0 guard")
+    }
   }
 
   test("persisted quantized corpus: rank parity with on-the-fly, scan prunes to the int8 column") {
