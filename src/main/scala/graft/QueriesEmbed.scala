@@ -684,6 +684,68 @@ object QueriesEmbed {
         .orderBy(col("query_id").asc, col("cos_q").desc, col("vec_id").asc)
     }
 
+    // Batched retrieval over the PERSISTED bucketed quantized corpus
+    // (id, scale, q, bucket written at index time): the corpus side
+    // reads only (id, bucket, q) — no float access at query time — and
+    // must rank IDENTICALLY to q_ann_quantized_batch (same write-time
+    // buckets, same int8 values), so the oracle is the same SQL. The
+    // plan-level ReadSchema pruning is spec-asserted in EmbedIngestSpec.
+    r.reg("q_ann_quantized_indexed",
+      s"""WITH $bucketCtes,
+         |s AS (
+         |  SELECT vec_id,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+         |  FROM embeddings),
+         |qv AS (
+         |  SELECT e.vec_id,
+         |    list_transform(e.embedding, x ->
+         |      CASE WHEN s.scale = 0 THEN 0
+         |           ELSE CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT) END) AS q
+         |  FROM embeddings e JOIN s USING (vec_id)),
+         |qs AS (SELECT vec_id AS query_id, bucket FROM buckets WHERE vec_id % 50 = 0),
+         |probes AS (
+         |  SELECT query_id, bucket FROM qs
+         |  UNION
+         |  SELECT query_id, xor(bucket, CAST(1 << j AS BIGINT)) AS bucket
+         |  FROM qs, range(0, 8) rj(j)),
+         |cand AS (
+         |  SELECT p.query_id, b.vec_id FROM buckets b JOIN probes p USING (bucket)
+         |  WHERE b.vec_id <> p.query_id),
+         |z AS (
+         |  SELECT c.query_id, c.vec_id, unnest(a.q) AS x, unnest(qq.q) AS y
+         |  FROM cand c JOIN qv a ON a.vec_id = c.vec_id
+         |              JOIN qv qq ON qq.vec_id = c.query_id),
+         |d AS (
+         |  SELECT query_id, vec_id, sum(x*y) AS dot, sum(x*x) AS na
+         |  FROM z GROUP BY query_id, vec_id),
+         |nqs AS (
+         |  SELECT vec_id AS query_id,
+         |    list_sum(list_transform(q, v -> v*v)) AS nqv FROM qv),
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nqv AS DOUBLE))) AS cos_q
+         |  FROM d JOIN nqs USING (query_id)
+         |  WHERE na > 0 AND nqv > 0),
+         |topk AS (
+         |  SELECT query_id, vec_id, cos_q,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_q DESC, vec_id ASC) AS rn
+         |  FROM ranked)
+         |SELECT query_id, vec_id, cos_q FROM topk WHERE rn <= 5
+         |ORDER BY query_id ASC, cos_q DESC, vec_id ASC""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      // tmp-dir index landing (q_embed_ingest posture: runs from any
+      // checkout; overwrite keeps repeated runs in one session pristine)
+      val qpath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/qidx").getAbsolutePath
+      Similarity.writeQuantizedCorpus(e, "vec_id", "embedding", qpath,
+        bucketDim = Some(64), planes = 8)
+      val q = e.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+      Similarity.annTopKQuantizedIndexedBatch(q, "vec_id", "embedding",
+          qpath, "vec_id", dim = 64, k = 5, planes = 8)
+        .orderBy(col("query_id").asc, col("cos_q").desc, col("vec_id").asc)
+    }
+
     // Recall@k of the quantized ranker vs exact — what int8 costs in
     // rank quality (the tuning instrument completing the LSH/IVF
     // recall family). Candidates/probes mirror q_ann_recall; only the

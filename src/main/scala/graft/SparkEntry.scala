@@ -77,5 +77,10 @@ object SparkEntry {
     // its batched composite (LSH candidates + int8 verify — the
     // quantized production retrieval shape, directly comparable to
     // q_ann_batch in the same record)
-    "q_ann_quantized", "q_ann_quantized_batch")
+    "q_ann_quantized", "q_ann_quantized_batch",
+    // r11: the SERVING shape — batched retrieval over the persisted
+    // bucketed int8 corpus: 4x byte cut on scan AND exchange, no float
+    // read at query time (comparable to q_ann_quantized_batch, whose
+    // corpus side still scans float32)
+    "q_ann_quantized_indexed")
 }

@@ -190,11 +190,18 @@ object Ivf {
     * (plus the centroids alongside): one assignment pass at build time,
     * then every [[annTopKIndexed]] search scans ONLY its nprobe cell
     * directories — at 100 TB this is the difference between a full
-    * corpus scan per query and reading nprobe/nCells of the data. */
+    * corpus scan per query and reading nprobe/nCells of the data.
+    * A narrow `ids` boundary table (just the id column) is written
+    * beside the vectors: [[appendToIndex]]'s replay guard reads THAT,
+    * not the fat vectors table — a 10B-vector index would otherwise pay
+    * a full id-column scan of the vectors files per daily shard
+    * (r10 verdict; the text side's `<name>_keys` posture). */
   def writeIndex(embeddings: DataFrame, idCol: String, vecCol: String,
                  centroids: DataFrame, path: String): Unit = {
     assign(embeddings, idCol, vecCol, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    embeddings.select(col(idCol))
+      .write.mode("overwrite").parquet(s"$path/ids")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
@@ -213,22 +220,49 @@ object Ivf {
     * double-insert its vec ids (the text-side
     * [[Dedup.appendShardToIndex]] dedups vs the corpus; this didn't).
     * The already-present check broadcasts the SHARD's id set and
-    * semi-joins the index blockwise — the corpus side never exchanges
-    * and its scan prunes to the id column; the shard is the daily-
-    * bounded side, so its id set broadcasting is the same posture as
-    * the text gate's bench-set broadcast. N appends accumulate N small
-    * files per cell — run [[compactIndex]] periodically. */
+    * semi-joins the NARROW `ids` boundary table blockwise (r10 verdict:
+    * the previous guard column-pruned the fat vectors table, which at a
+    * 10B-vector index is still ~80 GB of id-column scan per daily
+    * shard; the boundary table is the id column alone, the text side's
+    * `<name>_keys` posture) — the corpus side never exchanges, and the
+    * shard is the daily-bounded side, so its id-set broadcast is the
+    * same accepted shape as the text gate's bench-set broadcast.
+    * Pre-r11 indexes without an `ids` sidecar fall back to the pruned
+    * vectors scan and start maintaining the boundary from this append
+    * on. Crash window: the boundary grows AFTER the vectors append, so
+    * a crash between the two leaves ids missing from the boundary and a
+    * replay would re-append those vectors — run [[compactIndex]], which
+    * RECONCILES the boundary from the vectors table, before replaying a
+    * crashed append. N appends accumulate N small files per cell — run
+    * [[compactIndex]] periodically anyway. */
   def appendToIndex(newEmbeddings: DataFrame, idCol: String, vecCol: String,
                     path: String): Unit = {
     val spark = newEmbeddings.sparkSession
     val centroids = spark.read.parquet(s"$path/centroids")
-    val present = spark.read.parquet(s"$path/vectors")
+    val idsP = new org.apache.hadoop.fs.Path(s"$path/ids")
+    val fs = idsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBoundary = fs.exists(idsP)
+    val boundary =
+      if (hasBoundary) spark.read.parquet(s"$path/ids")
+      else spark.read.parquet(s"$path/vectors").select(col(idCol))
+    val present = boundary
       .join(broadcast(newEmbeddings.select(col(idCol))), Seq(idCol),
         "left_semi")
       .select(col(idCol))
     val fresh = newEmbeddings.join(present, Seq(idCol), "left_anti")
     assign(fresh, idCol, vecCol, centroids)
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+    // grow the boundary by the same fresh ids (pre-r11 indexes gain one
+    // here: the fallback vectors-guard above stays correct either way,
+    // and once `ids` exists every future append reads only it). The
+    // re-executed `fresh` plan reads the boundary state from BEFORE
+    // this write — the ids append hasn't landed yet — so the two sinks
+    // see the same row set.
+    val freshIds = fresh.select(col(idCol))
+    (if (hasBoundary) freshIds
+     else freshIds.unionByName(boundary))
+      .write.mode(if (hasBoundary) "append" else "overwrite")
+      .parquet(s"$path/ids")
   }
 
   /** Rewrite each cell's accumulated small files (one per
@@ -262,6 +296,31 @@ object Ivf {
       throw new java.io.IOException(s"compactIndex: could not install $next")
     }
     fs.delete(old, true)
+    // Rebuild the narrow `ids` replay boundary FROM the compacted
+    // vectors — one file, and (doubling as the documented crash
+    // recovery for [[appendToIndex]]'s vectors→ids window) any id whose
+    // vectors append committed but whose boundary append did not is
+    // reconciled back in. The id column is the vectors schema minus the
+    // partition column and the vector payload.
+    val vecDf = spark.read.parquet(s"$path/vectors")
+    val idName = vecDf.schema.fields.find(f => f.name != "cell" &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      .getOrElse(throw new IllegalStateException(
+        s"compactIndex: cannot infer the id column of $path/vectors"))
+      .name
+    val idsTmp = new org.apache.hadoop.fs.Path(s"$path/ids__compacting")
+    val idsCur = new org.apache.hadoop.fs.Path(s"$path/ids")
+    vecDf.select(col(idName)).coalesce(1)
+      .write.mode("overwrite").parquet(idsTmp.toString)
+    val idsOld = new org.apache.hadoop.fs.Path(s"$path/ids__retired")
+    fs.delete(idsOld, true)
+    if (fs.exists(idsCur) && !fs.rename(idsCur, idsOld))
+      throw new java.io.IOException(s"compactIndex: could not retire $idsCur")
+    if (!fs.rename(idsTmp, idsCur)) {
+      fs.rename(idsOld, idsCur)
+      throw new java.io.IOException(s"compactIndex: could not install $idsTmp")
+    }
+    fs.delete(idsOld, true)
   }
 
   /** Maintenance report over a persisted index: per cell, the row count

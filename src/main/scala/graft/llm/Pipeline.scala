@@ -403,11 +403,13 @@ object Pipeline {
     try {
       ivfPath.foreach(p => Ivf.appendToIndex(survivors, idCol, vecCol, p))
       // keep the int8 serving copy in lockstep with the float corpus:
-      // the survivors append in quantized form, so the scan-bandwidth
-      // lever (annTopKQuantizedIndexed) never lags the daily growth
+      // the survivors append in quantized form WITH their LSH bucket
+      // (same dim/planes as the dedup geometry), so the batched
+      // retrieval path (annTopKQuantizedIndexedBatch) never lags the
+      // daily growth and never re-reads floats at query time
       quantizedPath.foreach(p =>
         Similarity.writeQuantizedCorpus(survivors, idCol, vecCol, p,
-          mode = "append"))
+          mode = "append", bucketDim = Some(dim), planes = planes))
       survivors.write.mode("append").parquet(outPath)
       val landed = survivors.count() // checkpointed — no re-run
       writeShardManifest(shard, cp.count(), landed, outPath, shardLabel)

@@ -72,6 +72,17 @@ class EmbedIngestSpec extends SparkTestBase {
         qc.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq ==
           (400L until 500L).toSeq,
         "quantized corpus must hold exactly the landed survivors")
+      assert(qc.columns.contains("bucket"),
+        "lockstep quantized corpus must carry the write-time LSH bucket")
+      // the landed int8 copy is immediately servable through the
+      // batched bucketed path (geometry sidecar written by the append)
+      val served = graft.llm.Similarity.annTopKQuantizedIndexedBatch(
+        emb.filter(col("vec_id") === 450L).select("vec_id", "embedding"),
+        "vec_id", "embedding", qDir, "vec_id", dim = 64, k = 3)
+      assert(served.columns.toSeq == Seq("query_id", "vec_id", "cos_q") &&
+        served.collect().length <= 3,
+        "batched serve over the ingested int8 copy must run with the " +
+          "geometry the append stamped")
 
       // REPLAY: resubmitting the same shard must land nothing and must
       // not duplicate any vec_id in either index — stage-0 id guard on
@@ -166,6 +177,68 @@ class EmbedIngestSpec extends SparkTestBase {
       assert(dirsRead == nprobe, s"post-compaction probe read $dirsRead cell dirs")
       assert(q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == resBefore,
         "compaction changed search results")
+    } finally rmDir(dir)
+  }
+
+  test("IVF appendToIndex replay guard is O(shard): reads the narrow ids boundary, never the vectors files") {
+    val e = emb.limit(200)
+    val cents = Ivf.train(e, "vec_id", "embedding", nCells = 4, iters = 0)
+    val dir = tmpDir("graft_ivfbound")
+    try {
+      Ivf.writeIndex(e.filter(col("vec_id") < 150), "vec_id", "embedding",
+        cents, dir)
+      assert(new java.io.File(dir, "ids").exists(),
+        "writeIndex must lay down the ids boundary table")
+      // every execution during the append is checked: NO physical plan
+      // may scan the vectors directory — the r10 verdict's O(corpus)
+      // seam was exactly a per-append id-pruned scan of vectors; the
+      // guard must read only the narrow ids sidecar
+      val offenders = scala.collection.mutable.ArrayBuffer[String]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val hits = qe.executedPlan.collect {
+            case s: FileSourceScanExec if s.relation.location.rootPaths
+              .exists(p => p.toString.contains("graft_ivfbound") &&
+                p.toString.contains("/vectors")) => s
+          }
+          if (hits.nonEmpty) offenders.synchronized { offenders += funcName }
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        Ivf.appendToIndex(e.filter(col("vec_id") >= 150 && col("vec_id") < 180),
+          "vec_id", "embedding", dir)
+        // replay of the SAME shard: still no vectors scan, and no dups
+        Ivf.appendToIndex(e.filter(col("vec_id") >= 150 && col("vec_id") < 180),
+          "vec_id", "embedding", dir)
+        var last = -1; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val n = offenders.synchronized(offenders.size)
+          if (n == last) stable += 1 else { stable = 0; last = n }
+        }
+      } finally spark.listenerManager.unregister(listener)
+      assert(offenders.synchronized(offenders.isEmpty),
+        s"append scanned the vectors files (actions: ${offenders.toList}); " +
+          "the replay guard must read only the ids boundary")
+      val vec = spark.read.parquet(s"$dir/vectors")
+      assert(vec.count() == 180 && vec.select("vec_id").distinct().count() == 180,
+        "replayed append duplicated vectors")
+      // the boundary tracked both appends
+      val ids = spark.read.parquet(s"$dir/ids")
+      assert(ids.count() == 180 && ids.distinct().count() == 180,
+        "ids boundary out of lockstep with the vectors")
+      // compaction reconciles the boundary to one file and keeps lockstep
+      Ivf.compactIndex(spark, dir)
+      val idFiles = new java.io.File(dir, "ids").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(idFiles == 1, s"compacted ids boundary has $idFiles files")
+      assert(spark.read.parquet(s"$dir/ids").count() == 180)
     } finally rmDir(dir)
   }
 
@@ -429,6 +502,64 @@ class EmbedIngestSpec extends SparkTestBase {
         assert(cols.contains("q"))
       }
     } finally rmDir(dir)
+  }
+
+  test("bucketed quantized corpus: batch rank parity, scan reads only (id, bucket, q), geometry stamped") {
+    val e = emb.limit(300)
+    val dir = tmpDir("graft_qbidx") + "/qcorp"
+    try {
+      graft.llm.Similarity.writeQuantizedCorpus(e, "vec_id", "embedding",
+        dir, bucketDim = Some(64), planes = 8)
+      val q = e.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+      val idx = graft.llm.Similarity.annTopKQuantizedIndexedBatch(q,
+        "vec_id", "embedding", dir, "vec_id", dim = 64, k = 5)
+      val fly = graft.llm.Similarity.annTopKQuantizedBatch(e, q, "vec_id",
+        "embedding", "vec_id", "embedding", dim = 64, k = 5)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("query_id", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows(idx) == rows(fly),
+        "persisted-bucket and on-the-fly quantized batch ranks diverged")
+      // the 4x-on-scan claim made observable: the corpus scan reads
+      // exactly (vec_id, bucket, q) — never the float source, never the
+      // scale column
+      val scans = idx.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec if s.relation.location.rootPaths
+          .exists(_.toString.contains("graft_qbidx")) => s
+      }
+      assert(scans.nonEmpty, "no scan over the quantized corpus found")
+      scans.foreach { s =>
+        assert(s.requiredSchema.fieldNames.toSet == Set("vec_id", "bucket", "q"),
+          s"corpus scan must read exactly (vec_id, bucket, q): " +
+            s.requiredSchema.fieldNames.mkString(","))
+      }
+      // every OTHER scan in the plan is the query frame — the only
+      // float read is |Q|-sized, never the corpus
+      val floatScans = idx.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec if !s.relation.location.rootPaths
+          .exists(_.toString.contains("graft_qbidx")) => s
+      }
+      assert(floatScans.forall(
+        _.relation.location.rootPaths.exists(_.toString.contains("testdata"))),
+        "unexpected non-corpus scan in the serving plan")
+      // geometry stamp: mismatched planes must throw, not silently probe
+      val err = intercept[IllegalArgumentException] {
+        graft.llm.Similarity.annTopKQuantizedIndexedBatch(q, "vec_id",
+          "embedding", dir, "vec_id", dim = 64, k = 5, planes = 4)
+      }
+      assert(err.getMessage.contains("planes"), err.getMessage)
+      // an unbucketed corpus must be rejected up front
+      val plainDir = tmpDir("graft_qplain") + "/qcorp"
+      try {
+        graft.llm.Similarity.writeQuantizedCorpus(e, "vec_id", "embedding",
+          plainDir)
+        val err2 = intercept[IllegalArgumentException] {
+          graft.llm.Similarity.annTopKQuantizedIndexedBatch(q, "vec_id",
+            "embedding", plainDir, "vec_id", dim = 64, k = 5)
+        }
+        assert(err2.getMessage.contains("bucketDim"), err2.getMessage)
+      } finally rmDir(new java.io.File(plainDir).getParent)
+    } finally rmDir(new java.io.File(dir).getParent)
   }
 
   test("q_embed_ingest is deterministic across repeated runs in one session") {
