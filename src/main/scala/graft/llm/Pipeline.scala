@@ -304,16 +304,31 @@ object Pipeline {
           .otherwise("landed").as("fate"))
   }
 
-  /** [[ingestShardFrame]] plus the LANDING: append the survivors as
-    * parquet next to the corpus at `outPath` and drop a per-shard
+  /** [[ingestShardFrame]] plus the LANDING: the survivors land as
+    * parquet in a per-shard `shard_label=<label>` partition directory
+    * at `outPath` (readers of the corpus root see a `shard_label`
+    * partition column — per-shard lineage for free) and a per-shard
     * `_graft_shard_<label>.json` manifest (underscore-prefixed: corpus
-    * readers ignore it) recording input and landed row counts. Owns the
-    * cache lifecycle ([[buildAndWrite]] posture). `shardLabel` names the
-    * manifest — use the ingest date / batch id; it must be unique per
-    * shard or the manifest (not the data) is overwritten. Returns
-    * Map("input" → …, "landed" → …); for per-doc drop attribution run
-    * [[ingestAudit]] — CollectMetrics cannot surface through the
-    * landing's file write, so the manifest stays counts-only. */
+    * readers ignore it) records input and landed row counts. Owns the
+    * cache lifecycle ([[buildAndWrite]] posture). `shardLabel` names
+    * the manifest AND the landing directory — use the ingest date /
+    * batch id, unique per shard. Returns Map("input" → …,
+    * "landed" → …); for per-doc drop attribution run [[ingestAudit]] —
+    * CollectMetrics cannot surface through the landing's file write,
+    * so the manifest stays counts-only.
+    *
+    * CRASH-REPLAY CONTRACT (the [[ingestEmbeddingShard]] discipline):
+    * the manifest is written LAST, so a replay with the same label
+    * returns the recorded counts in O(1); the per-shard landing
+    * directory overwrites in place, never duplicates; and docs whose
+    * index append committed but which never landed (present BY ID in
+    * the `<name>_keys` boundary, absent from the landing) are
+    * RECOVERED — re-redacted and landed without re-gating (they
+    * already passed; a same-content-different-id doc is NOT in the
+    * keys table by id, so genuine duplicates still drop). One landing
+    * dir per index, as on the embedding side. Pre-keys-table indexes
+    * (r8-era) have no id boundary — no recovery there, only the
+    * manifest guard. */
   def ingestShard(shard: DataFrame, bench: DataFrame,
                   idCol: String, textCol: String,
                   indexName: String, indexPath: String,
@@ -324,6 +339,11 @@ object Pipeline {
                   redactPii: Boolean = true,
                   shingleK: Int = 3, numHashes: Int = 16,
                   bands: Int = 4, buckets: Int = 8): Map[String, Long] = {
+    val spark = shard.sparkSession
+    readShardManifest(spark, outPath, shardLabel) match {
+      case Some(counts) => return counts // fully processed — O(1) replay
+      case None => ()
+    }
     // Eager checkpoint of the INPUT: one scan of the shard end-to-end
     // (r9 verdict: the manifest's dedicated `shard.count()` was a
     // second action over the input — and the chain's internal actions
@@ -336,14 +356,76 @@ object Pipeline {
     // by definition of the daily batch; blocks free on GC — the
     // ingestAudit posture.
     val cp = shard.localCheckpoint(true)
+    // The suspect snapshot MUST be taken BEFORE the gate runs: the gate
+    // itself appends the survivors' keys, so a post-gate read of the
+    // boundary would classify every fresh survivor as a crashed append
+    // and land it twice. Eager (localCheckpoint) pins the pre-append
+    // state. Suspects: shard ids already in the keys boundary — either
+    // a crashed run's committed appends (recover) or, if also landed, a
+    // fully-processed older submission (skip). Bounded by |shard|; the
+    // landing id scan runs only when suspects exist, so a steady-state
+    // day pays nothing here.
+    val keysTable = s"${indexName}_keys"
+    val suspects: Option[DataFrame] =
+      if (!spark.catalog.tableExists(keysTable)) None
+      else Some(spark.table(keysTable).select(col("id"))
+        .join(broadcast(cp.select(col(idCol).as("id"))), Seq("id"),
+          "left_semi")
+        .select(col("id").as(idCol)).localCheckpoint(true))
     val survivors = ingestShardFrame(cp, bench, idCol, textCol,
       indexName, indexPath, minTokens, nearDupThreshold, decontamK,
       redactPii, shingleK, numHashes, bands, buckets)
     try {
-      survivors.drop("__ck__").write.mode("append").parquet(outPath)
-      val landed = survivors.count() // checkpointed by the append — no re-run
+      val recovered: DataFrame = suspects match {
+        case None => cp.limit(0)
+        case Some(suspects) =>
+          if (suspects.isEmpty) cp.limit(0)
+          else {
+            val landedIds =
+              try spark.read.parquet(outPath).select(col(idCol))
+              catch { case _: org.apache.spark.sql.AnalysisException =>
+                cp.select(col(idCol)).limit(0) }
+            val unlanded = suspects.join(
+              landedIds.join(broadcast(suspects), Seq(idCol), "left_semi"),
+              Seq(idCol), "left_anti")
+            cp.join(unlanded, Seq(idCol), "left_semi")
+          }
+        }
+      // recovered docs bypassed the gate, so re-apply what the gate
+      // would have done to their PAYLOAD (redaction); quality/dedup
+      // re-checks are unnecessary — they passed before the crash
+      val recoveredRed =
+        if (redactPii) recovered.withColumn(textCol,
+          TextStats.redactPii(col(textCol)))
+        else recovered
+      val toLand = survivors.drop("__ck__").unionByName(recoveredRed)
+        .localCheckpoint(true)
+      toLand.write.mode("overwrite")
+        .parquet(s"$outPath/shard_label=$shardLabel")
+      val landed = toLand.count() // checkpointed — no re-run
       writeShardManifest(shard, cp.count(), landed, outPath, shardLabel)
     } finally survivors.unpersist()
+  }
+
+  /** The O(1) full-replay guard both ingest variants share: the
+    * per-shard manifest is the LAST sink, so its existence proves every
+    * sink committed for this label. */
+  private def readShardManifest(spark: org.apache.spark.sql.SparkSession,
+                                outPath: String,
+                                shardLabel: String): Option[Map[String, Long]] = {
+    val p = new org.apache.hadoop.fs.Path(outPath,
+      s"_graft_shard_$shardLabel.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      def field(k: String): Long =
+        s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toLong).getOrElse(-1L)
+      Some(Map("input" -> field("input"), "landed" -> field("landed")))
+    }
   }
 
   /** Shared landing manifest for the two ingest variants. `input` is a
@@ -388,7 +470,28 @@ object Pipeline {
     * index-less corpus still dedups). Returns Map("input" → …,
     * "landed" → …); the input is eagerly checkpointed — ONE scan of the
     * shard source end-to-end, the input count a block count
-    * ([[ingestShard]] posture). */
+    * ([[ingestShard]] posture).
+    *
+    * CRASH-REPLAY CONTRACT (r10 advice: the vecs-index append commits
+    * first, so a crash before the later sinks used to strand the shard
+    * — replayed ids all read as 'present' and the shard went missing
+    * from IVF/int8/landing with landed=0 reported as success):
+    *
+    *  - The per-shard manifest is written LAST, so its existence proves
+    *    every sink committed: a replay with the same `shardLabel`
+    *    returns the recorded counts in O(1) without touching any sink.
+    *  - The landing and the int8 copy write into per-shard
+    *    `shard_label=<label>` partition directories with overwrite —
+    *    re-landing rewrites in place, never duplicates.
+    *  - Ids whose vecs append committed but which never LANDED (the
+    *    crashed run's survivors) are detected — present in the vecs
+    *    table, absent from the landing — and RECOVERED: they skip the
+    *    dedup gate (they already passed it) and flow to the IVF
+    *    (boundary-guarded), int8 and landing sinks.
+    *
+    * One landing dir per index: the recovery check reads THIS
+    * `outPath`, so splitting one index's shards across landing dirs
+    * would mis-classify older landings as crashed appends. */
   def ingestEmbeddingShard(shard: DataFrame, idCol: String, vecCol: String,
                            dim: Int, threshold: Double,
                            indexName: String, indexPath: String,
@@ -397,21 +500,54 @@ object Pipeline {
                            quantizedPath: Option[String] = None,
                            planes: Int = 8,
                            buckets: Int = 8): Map[String, Long] = {
+    val spark = shard.sparkSession
+    readShardManifest(spark, outPath, shardLabel) match {
+      case Some(counts) => return counts // fully processed — O(1) replay
+      case None => ()
+    }
     val cp = shard.localCheckpoint(true)
+    // Partial-replay recovery, snapshot taken BEFORE the gate (the gate
+    // appends survivors to the vecs table — a post-gate read would
+    // classify every fresh survivor as a crashed append and land it
+    // twice): shard ids present in the vecs table (stage-0 drops them
+    // from `survivors`) but absent from the landing are the crashed
+    // run's committed-but-unlanded survivors. `suspects` is bounded by
+    // |shard| (broadcast semi over the bucketed vecs table's id column
+    // — no corpus exchange); the landing id scan only runs when
+    // suspects exist at all, so the steady-state day pays nothing here.
+    val suspects = spark.table(s"${indexName}_vecs").select(col("id"))
+      .join(broadcast(cp.select(col(idCol).as("id"))), Seq("id"),
+        "left_semi")
+      .select(col("id").as(idCol)).localCheckpoint(true)
     val survivors = Dedup.appendEmbeddingShardToIndex(cp, idCol,
       vecCol, dim, threshold, indexName, indexPath, planes, buckets)
     try {
-      ivfPath.foreach(p => Ivf.appendToIndex(survivors, idCol, vecCol, p))
+      val recovered: DataFrame =
+        if (suspects.isEmpty) cp.limit(0)
+        else {
+          val landedIds =
+            try spark.read.parquet(outPath).select(col(idCol))
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              cp.select(col(idCol)).limit(0) }
+          val unlanded = suspects.join(
+            landedIds.join(broadcast(suspects), Seq(idCol), "left_semi"),
+            Seq(idCol), "left_anti")
+          cp.join(unlanded, Seq(idCol), "left_semi")
+        }
+      val toLand = survivors.unionByName(recovered).localCheckpoint(true)
+      ivfPath.foreach(p => Ivf.appendToIndex(toLand, idCol, vecCol, p))
       // keep the int8 serving copy in lockstep with the float corpus:
       // the survivors append in quantized form WITH their LSH bucket
       // (same dim/planes as the dedup geometry), so the batched
       // retrieval path (annTopKQuantizedIndexedBatch) never lags the
       // daily growth and never re-reads floats at query time
       quantizedPath.foreach(p =>
-        Similarity.writeQuantizedCorpus(survivors, idCol, vecCol, p,
-          mode = "append", bucketDim = Some(dim), planes = planes))
-      survivors.write.mode("append").parquet(outPath)
-      val landed = survivors.count() // checkpointed — no re-run
+        Similarity.writeQuantizedCorpus(toLand, idCol, vecCol, p,
+          bucketDim = Some(dim), planes = planes,
+          shardLabel = Some(shardLabel)))
+      toLand.write.mode("overwrite")
+        .parquet(s"$outPath/shard_label=$shardLabel")
+      val landed = toLand.count() // checkpointed — no re-run
       writeShardManifest(shard, cp.count(), landed, outPath, shardLabel)
     } finally survivors.unpersist()
   }

@@ -128,7 +128,8 @@ object Similarity {
                            vecCol: String, path: String,
                            mode: String = "overwrite",
                            bucketDim: Option[Int] = None,
-                           planes: Int = 8): Unit = {
+                           planes: Int = 8,
+                           shardLabel: Option[String] = None): Unit = {
     val z = quantizeInt8(col(vecCol))
     val base = embeddings.select(col(idCol), z.getField("scale").as("scale"),
       graft.functions.TextHashExprs.quantizeInt8Q(col(vecCol)).as("q"))
@@ -136,7 +137,17 @@ object Similarity {
       embeddings.select(col(idCol), z.getField("scale").as("scale"),
         graft.functions.TextHashExprs.quantizeInt8Q(col(vecCol)).as("q"),
         coalesce(lshBucket(col(vecCol), dim, planes), lit(0L)).as("bucket")))
-    out.write.mode(mode).parquet(path)
+    // shardLabel routes the rows into a per-shard PARTITION directory
+    // overwritten in place — a replayed daily append then rewrites its
+    // own directory instead of duplicating rows (the crash-replay
+    // contract of Pipeline.ingestEmbeddingShard); readers see a
+    // `shard_label` partition column, pruned away by the rank paths'
+    // (id, bucket, q) projection.
+    shardLabel match {
+      case Some(l) =>
+        out.write.mode("overwrite").parquet(s"$path/shard_label=$l")
+      case None => out.write.mode(mode).parquet(path)
+    }
     bucketDim.foreach { dim =>
       val meta = s"""{"dim":$dim,"planes":$planes}"""
       val p = new org.apache.hadoop.fs.Path(path, "_graft_quantized_meta.json")

@@ -123,6 +123,58 @@ class EmbedIngestSpec extends SparkTestBase {
     }
   }
 
+  test("ingestEmbeddingShard crash-replay: vecs-committed-but-unlanded vectors are recovered into every sink") {
+    val corpus = emb.filter(col("vec_id") < 300)
+    val shard = emb.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+    val idxDir = tmpDir("graft_embR")
+    val ivfDir = tmpDir("graft_embRivf")
+    val outDir = tmpDir("graft_embRout")
+    val qDir = tmpDir("graft_embRq") + "/qcorp"
+    try {
+      Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding", 64,
+        "embR", idxDir)
+      val cents = Ivf.train(corpus, "vec_id", "embedding", nCells = 4,
+        iters = 0)
+      Ivf.writeIndex(corpus, "vec_id", "embedding", cents, ivfDir)
+      // simulate the crash window the r10 advice named: the vecs-index
+      // append committed, then the process died before IVF / int8 /
+      // landing / manifest
+      Dedup.appendEmbeddingShardToIndex(shard, "vec_id", "embedding",
+        64, 0.9, "embR", idxDir).unpersist()
+      assert(spark.table("embR_vecs").count() == 350)
+      // replay the full ingest: stage-0 sees every shard id 'present',
+      // so without recovery this would report landed=0 and strand the
+      // shard out of IVF/int8/landing forever
+      val counts = Pipeline.ingestEmbeddingShard(shard, "vec_id",
+        "embedding", dim = 64, threshold = 0.9, indexName = "embR",
+        indexPath = idxDir, outPath = outDir, shardLabel = "dR",
+        ivfPath = Some(ivfDir), quantizedPath = Some(qDir))
+      assert(counts == Map("input" -> 50L, "landed" -> 50L),
+        s"crashed-run survivors must be recovered: $counts")
+      assert(spark.read.parquet(outDir).select("vec_id").collect()
+        .map(_.getLong(0)).sorted.toSeq == (300L until 350L).toSeq)
+      assert(spark.read.parquet(s"$ivfDir/vectors").count() == 350,
+        "IVF must gain the recovered vectors")
+      assert(spark.read.parquet(qDir).count() == 50,
+        "int8 serving copy must gain the recovered vectors")
+      assert(spark.table("embR_vecs").count() == 350 &&
+        spark.table("embR_vecs").select("id").distinct().count() == 350,
+        "recovery must not double-append the vecs index")
+      // O(1) manifest replay: same label returns recorded counts and
+      // nothing grows
+      val counts2 = Pipeline.ingestEmbeddingShard(shard, "vec_id",
+        "embedding", dim = 64, threshold = 0.9, indexName = "embR",
+        indexPath = idxDir, outPath = outDir, shardLabel = "dR",
+        ivfPath = Some(ivfDir), quantizedPath = Some(qDir))
+      assert(counts2 == counts)
+      assert(spark.read.parquet(s"$ivfDir/vectors").count() == 350 &&
+        spark.read.parquet(qDir).count() == 50)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS embR_vecs")
+      Seq(idxDir, ivfDir, outDir, new java.io.File(qDir).getParent).foreach(rmDir)
+    }
+  }
+
   test("IVF compactIndex: files-per-cell drop to one, probe pruning and results unchanged") {
     val e = emb.limit(200)
     val cents = Ivf.train(e, "vec_id", "embedding", nCells = 4, iters = 1)

@@ -144,8 +144,9 @@ class IngestSpec extends SparkTestBase {
       assert(c1 == Map("input" -> 3L, "landed" -> 1L))
 
       val landed1 = spark.read.parquet(out)
-      assert(landed1.columns.sorted.sameElements(Array("doc_id", "text")),
-        "__ck__ must not land")
+      assert(landed1.columns.sorted.sameElements(
+        Array("doc_id", "shard_label", "text")),
+        "__ck__ must not land; the per-shard partition column must")
       assert(landed1.count() == 1)
 
       // second shard: one dup of a shard-1 landing, one fresh — the
@@ -169,6 +170,59 @@ class IngestSpec extends SparkTestBase {
       assert(txt == """{"input":3,"landed":1}""")
     } finally {
       dropIndex("ing3_t")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("ingestShard crash-replay: manifest is an O(1) guard; committed-but-unlanded docs are recovered") {
+    val tmp = tmpDir("graft_ingR")
+    val out = tmpDir("graft_ingR_out")
+    try {
+      Dedup.writeNearDupIndex(df(docSchema, Row(1L, uniq2)), "doc_id",
+        "text", "ingR_t", tmp)
+      val bench = df(docSchema)
+      val shard = df(docSchema,
+        Row(10L, uniq),
+        Row(11L, "contact alice@example.com about the amber harbor " +
+          "cranes schedule and the river barge manifest for tuesday"))
+      // simulate the crash window: the gate ran and the index appends
+      // committed (bands/shingles/keys hold the survivors) but the
+      // landing and manifest never happened
+      Pipeline.ingestShardFrame(shard, bench, "doc_id", "text",
+        "ingR_t", tmp).unpersist()
+      assert(spark.table("ingR_t_keys").count() == 3,
+        "fixture: the crashed run must have grown the keys boundary")
+      // replay through the full ingest: the keys boundary would drop
+      // both docs at exact-vs-corpus — the r10-advice stranding — so
+      // they must come back through the recovery path, redacted
+      val c1 = Pipeline.ingestShard(shard, bench, "doc_id", "text",
+        "ingR_t", tmp, out, "dR")
+      assert(c1 == Map("input" -> 2L, "landed" -> 2L),
+        s"crashed-run survivors must be recovered, got $c1")
+      val landed = spark.read.parquet(out)
+      assert(landed.select("doc_id").collect().map(_.getLong(0)).sorted
+        .sameElements(Array(10L, 11L)))
+      assert(landed.filter(col("doc_id") === 11L).select("text")
+        .collect().head.getString(0).contains("[EMAIL]"),
+        "recovered docs must be re-redacted before landing")
+      assert(spark.table("ingR_t_keys").count() == 3,
+        "recovery must not double-append the index")
+      // full replay with the same label: O(1) manifest short-circuit,
+      // nothing re-lands, counts come back verbatim
+      val c2 = Pipeline.ingestShard(shard, bench, "doc_id", "text",
+        "ingR_t", tmp, out, "dR")
+      assert(c2 == c1, s"manifest replay must return recorded counts: $c2")
+      assert(spark.read.parquet(out).count() == 2)
+      // a DIFFERENT label re-submitting already-landed ids must reject
+      // them (suspects present AND landed → not recovered, and the
+      // exact boundary drops them from the gate)
+      val c3 = Pipeline.ingestShard(shard, bench, "doc_id", "text",
+        "ingR_t", tmp, out, "dR2")
+      assert(c3 == Map("input" -> 2L, "landed" -> 0L),
+        s"already-landed ids under a new label must not re-land: $c3")
+    } finally {
+      dropIndex("ingR_t")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
