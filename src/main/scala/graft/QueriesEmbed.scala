@@ -932,5 +932,109 @@ object QueriesEmbed {
       s.read.parquet(outDir.getAbsolutePath)
         .select("vec_id").orderBy("vec_id")
     }
+
+    // Per-vector FATE attribution over the q_embed_ingest fixture plus
+    // an 'already_present' plant (shard re-submits corpus vec 5 under
+    // its own id): every input vector classified by the FIRST stage
+    // that dropped it, with the Spark-side precedence mirrored exactly
+    // — already_present vectors join NO candidate pair (excluded
+    // before dedup), and near_in_shard takes precedence over
+    // near_vs_corpus (vs-corpus pairs are only computed for in-shard
+    // survivors). A DRY RUN: the audit itself never writes.
+    r.reg("q_embed_audit",
+      """WITH RECURSIVE corpusv AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+        |shardv AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 400
+        |  UNION ALL
+        |  SELECT CAST(1000000 AS BIGINT) AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id = 0
+        |  UNION ALL
+        |  SELECT CAST(1000001 AS BIGINT) AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id = 450
+        |  UNION ALL
+        |  SELECT CAST(5 AS BIGINT) AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id = 5),
+        |freshv AS (
+        |  SELECT vec_id, embedding FROM shardv
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM corpusv)),
+        |allv AS (SELECT * FROM corpusv UNION ALL SELECT * FROM freshv),
+        |flat AS (
+        |  SELECT vec_id, j,
+        |    CAST(embedding[i+1] AS DOUBLE)
+        |      * CAST((j*64 + i) * 2654435761 % 4294967296 - 2147483648 AS DOUBLE) AS p
+        |  FROM allv, range(0, 8) rj(j), range(0, 64) ri(i)),
+        |pdots AS (
+        |  SELECT vec_id, j, sum(CAST(p AS DECIMAL(30,12))) AS d
+        |  FROM flat GROUP BY vec_id, j),
+        |buckets AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM pdots GROUP BY vec_id),
+        |scand AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE a.vec_id IN (SELECT vec_id FROM freshv)
+        |    AND b.vec_id IN (SELECT vec_id FROM freshv)),
+        |ccand AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+        |  WHERE a.vec_id IN (SELECT vec_id FROM corpusv)
+        |    AND b.vec_id IN (SELECT vec_id FROM freshv)
+        |    AND a.vec_id <> b.vec_id),
+        |vpairs AS (SELECT id_a, id_b FROM scand UNION SELECT id_a, id_b FROM ccand),
+        |pz AS (
+        |  SELECT c.id_a, c.id_b, unnest(ea.embedding) AS a, unnest(eb.embedding) AS b
+        |  FROM vpairs c JOIN allv ea ON ea.vec_id = c.id_a
+        |                JOIN allv eb ON eb.vec_id = c.id_b),
+        |pd AS (
+        |  SELECT id_a, id_b,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na,
+        |    sum(CAST(CAST(b AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS nb
+        |  FROM pz GROUP BY id_a, id_b),
+        |hits AS (
+        |  SELECT id_a, id_b FROM pd
+        |  WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) >= 0.9),
+        |sedges AS (
+        |  SELECT h.id_a AS u, h.id_b AS v FROM hits h JOIN scand c
+        |    ON h.id_a = c.id_a AND h.id_b = c.id_b
+        |  UNION
+        |  SELECT h.id_b AS u, h.id_a AS v FROM hits h JOIN scand c
+        |    ON h.id_a = c.id_a AND h.id_b = c.id_b),
+        |reach AS (
+        |  SELECT u, v FROM sedges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN sedges e ON r.v = e.u),
+        |nddrop AS (SELECT u AS id FROM reach GROUP BY u HAVING min(v) < u),
+        |vsdrop AS (
+        |  SELECT DISTINCT h.id_b AS id FROM hits h JOIN ccand c
+        |    ON h.id_a = c.id_a AND h.id_b = c.id_b
+        |  WHERE h.id_b NOT IN (SELECT id FROM nddrop))
+        |SELECT s.vec_id,
+        |  CASE
+        |    WHEN s.vec_id IN (SELECT vec_id FROM corpusv) THEN 'already_present'
+        |    WHEN s.vec_id IN (SELECT id FROM nddrop) THEN 'near_in_shard'
+        |    WHEN s.vec_id IN (SELECT id FROM vsdrop) THEN 'near_vs_corpus'
+        |    ELSE 'landed' END AS fate
+        |FROM shardv s ORDER BY s.vec_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = e.filter(col("vec_id") < 400)
+      val shard = e.filter(col("vec_id") >= 400)
+        .unionByName(e.filter(col("vec_id") === 0L)
+          .select(lit(1000000L).as("vec_id"), col("embedding")))
+        .unionByName(e.filter(col("vec_id") === 450L)
+          .select(lit(1000001L).as("vec_id"), col("embedding")))
+        .unionByName(e.filter(col("vec_id") === 5L)
+          .select(lit(5L).as("vec_id"), col("embedding")))
+      // own index name/path: the audit must read a PRISTINE corpus
+      // index (q_embed_ingest's run appends survivors to g_embing)
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/embaud")
+      graft.llm.Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding",
+        64, "g_embaud", new java.io.File(base, "idx").getAbsolutePath)
+      graft.llm.Pipeline.ingestEmbeddingAudit(shard, "vec_id", "embedding",
+          dim = 64, threshold = 0.9, indexName = "g_embaud")
+        .orderBy("vec_id")
+    }
   }
 }

@@ -407,6 +407,52 @@ object Pipeline {
     } finally survivors.unpersist()
   }
 
+  /** Per-vector FATE audit of the embedding ingest gate — the vector
+    * analog of [[ingestAudit]] (r10 verdict: a corpus owner tuning the
+    * cosine threshold had no per-vector attribution and had to diff
+    * landed parquet by hand): the same stage chain as
+    * [[ingestEmbeddingShard]], but a DRY RUN — the vecs table, IVF
+    * index, int8 copy and landing are only read, never written — that
+    * classifies EVERY input vector by the FIRST stage that dropped it:
+    * 'already_present' (id already in the vecs boundary),
+    * 'near_in_shard' (semantic dup of a smaller-id shard vector),
+    * 'near_vs_corpus' (cosine ≥ threshold against an indexed corpus
+    * vector) — or 'landed'. Stage boundaries are eagerly
+    * localCheckpointed (shard-sized) so the membership joins replay
+    * nothing; blocks free on GC. `dim`/`planes` must match the index
+    * build (geometry-stamp-validated by the vs-corpus probe). */
+  def ingestEmbeddingAudit(shard: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, threshold: Double,
+                           indexName: String,
+                           planes: Int = 8): DataFrame = {
+    val spark = shard.sparkSession
+    val cp = shard.localCheckpoint(true)
+    val present = spark.table(s"${indexName}_vecs").select(col("id"))
+      .join(broadcast(cp.select(col(idCol).as("id"))), Seq("id"),
+        "left_semi")
+      .select(col("id").as(idCol))
+    val fresh = cp.join(present, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val internal = Dedup.dropEmbeddingNearDuplicates(fresh, idCol, fresh,
+      idCol, vecCol, dim, threshold, planes = planes).localCheckpoint(true)
+    val landed = internal.join(
+      Dedup.embeddingNearDupPairsAgainstIndex(internal, idCol, vecCol,
+          indexName, dim, threshold, planes)
+        .select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti").localCheckpoint(true)
+    def flag(df: DataFrame, name: String): DataFrame =
+      df.select(col(idCol)).withColumn(name, lit(true))
+    cp.select(col(idCol))
+      .join(flag(fresh, "__f1__"), Seq(idCol), "left")
+      .join(flag(internal, "__f2__"), Seq(idCol), "left")
+      .join(flag(landed, "__f3__"), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__f1__").isNull, "already_present")
+          .when(col("__f2__").isNull, "near_in_shard")
+          .when(col("__f3__").isNull, "near_vs_corpus")
+          .otherwise("landed").as("fate"))
+  }
+
   /** The O(1) full-replay guard both ingest variants share: the
     * per-shard manifest is the LAST sink, so its existence proves every
     * sink committed for this label. */

@@ -175,6 +175,40 @@ class EmbedIngestSpec extends SparkTestBase {
     }
   }
 
+  test("ingestEmbeddingAudit: one planted family per fate; dry run leaves the index unchanged") {
+    val corpus = emb.filter(col("vec_id") < 300)
+    val idxDir = tmpDir("graft_embA")
+    try {
+      Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding", 64,
+        "embA", idxDir)
+      // shard: 5 fresh vectors + one plant per fate — 7 re-submits a
+      // corpus id (already_present), 9000 copies corpus vec 3
+      // (near_vs_corpus), 9001 copies shard vec 305 (near_in_shard;
+      // the smaller id 305 stays landed)
+      val shard = emb.filter(col("vec_id") >= 300 && col("vec_id") < 305)
+        .unionByName(emb.filter(col("vec_id") === 305L))
+        .unionByName(emb.filter(col("vec_id") === 7L)
+          .select(lit(7L).as("vec_id"), col("embedding")))
+        .unionByName(emb.filter(col("vec_id") === 3L)
+          .select(lit(9000L).as("vec_id"), col("embedding")))
+        .unionByName(emb.filter(col("vec_id") === 305L)
+          .select(lit(9001L).as("vec_id"), col("embedding")))
+      val before = spark.table("embA_vecs").count()
+      val fates = Pipeline.ingestEmbeddingAudit(shard, "vec_id",
+          "embedding", dim = 64, threshold = 0.9, indexName = "embA")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = (300L until 306L).map(_ -> "landed").toMap ++
+        Map(7L -> "already_present", 9000L -> "near_vs_corpus",
+          9001L -> "near_in_shard")
+      assert(fates == expected, s"got $fates")
+      assert(spark.table("embA_vecs").count() == before,
+        "the audit is a dry run — it must never grow the index")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS embA_vecs")
+      rmDir(idxDir)
+    }
+  }
+
   test("IVF compactIndex: files-per-cell drop to one, probe pruning and results unchanged") {
     val e = emb.limit(200)
     val cents = Ivf.train(e, "vec_id", "embedding", nCells = 4, iters = 1)
