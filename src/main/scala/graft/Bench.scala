@@ -29,6 +29,15 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val names = SparkEntry.benchQueries
+    // Untimed prepare pass (r10 verdict #3): the steady-state ingest
+    // entries build + snapshot their corpus-index fixtures here, so
+    // every timed sample below — including pass 1 — measures the
+    // gate's marginal cost, not index construction.
+    for (name <- names; prep <- SparkEntry.benchPrepare.get(name))
+      try prep(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prepare $name FAILED: ${e.getMessage}")
+      }
     // Three full passes over the query list; "queries" reports the
     // per-query MINIMUM (the container shows 1.4-2x identical-build host
     // variance — STATUS.md — which single-run numbers confound with real
@@ -104,6 +113,7 @@ object Bench {
     // the round still has its main numbers on disk
     writeBench(mkLine(""))
 
+    var sf1Ratios: String = "{}"
     // --- sf1 section: 10x the bench fixture, once per query ----------
     // local[32]-at-sf0.1 numbers are too small to surface driver
     // bottlenecks; a 10x run makes superlinear growth (ratio >> 10)
@@ -202,6 +212,7 @@ object Bench {
         val samples1 = m(n => t1(n).map(t => f"$t%.3f").mkString("[", ",", "]"))
         val ratios = m(n => f"${t1(n).min / times(n).min}%.2f")
         val expect = m(n => "\"" + expectedGrowth(n) + "\"")
+        sf1Ratios = ratios
         Some(s""""dir":"$sf1Dir","copies":$copies,"runs":$sf1Runs,""" +
           s""""host_before":$hostBefore,"host_after":$hostAfter,""" +
           s""""queries":$q1,"samples":$samples1,"ratio":$ratios,"expected":$expect""")
@@ -225,6 +236,19 @@ object Bench {
       }
     }
     if (failed.nonEmpty) System.err.println(s"[bench] ${failed.size} queries failed")
+    // COMPACT summary as the FINAL stdout line (r10 verdict #4): the
+    // driver's durable artifact keeps only the last ~2000 chars of
+    // stdout, so the full record above (with per-run sample arrays)
+    // truncates mid-JSON every round ("parsed": null since r5). This
+    // line drops samples/host/sf1-samples — total + per-query mins +
+    // sf1 ratios only — and is short enough that the tail capture
+    // always contains one complete parseable record. The full record
+    // stays in target/bench.json (committed per round as
+    // BENCH_r{N}_local.json).
+    val compactQs = names.filter(times.contains).map { n =>
+      "\"" + n + "\":" + f"${times(n).min}%.2f"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","runs":$runs,"queries":$compactQs,"sf1_ratio":$sf1Ratios,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -829,6 +829,127 @@ object QueriesEmbed {
         .orderBy("query_id")
     }
 
+    // Quantized recall on a CLUSTERED fixture (r10 verdict #7): the
+    // iid-random fixture above measures the WORST case for LSH recall
+    // (random vectors sit near every hyperplane; ~0.27 at sf0.1) and
+    // invites misreading. Real corpora are clustered — near-duplicate
+    // documents, paraphrases, template families — so this entry plants
+    // 3 tight members per center (per-element multiplicative jitter
+    // ±2%, deterministic from (member, element), rounded back to
+    // float32 so both engines stay in the exact-decimal regime) and
+    // measures recall with the centers as queries: members share the
+    // center's bucket almost always, and top-k is dominated by planted
+    // neighbors — the regime a production corpus actually runs.
+    r.reg("q_quantized_recall_clustered",
+      s"""WITH centers AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+         |members AS (
+         |  SELECT c.vec_id*10 + 2000000 + r AS vec_id,
+         |    list_transform(range(0, 64), i ->
+         |      CAST(CAST(c.embedding[i+1] AS DOUBLE)
+         |        * (1.0 + CAST(((c.vec_id*10 + r)*64 + i) * 2654435761 % 101 - 50 AS DOUBLE) / 2500.0)
+         |        AS FLOAT)) AS embedding
+         |  FROM centers c, range(1, 4) rr(r)),
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id, embedding FROM members),
+         |flat AS (
+         |  SELECT vec_id, j,
+         |    CAST(embedding[i+1] AS DOUBLE)
+         |      * CAST((j*64 + i) * 2654435761 % 4294967296 - 2147483648 AS DOUBLE) AS p
+         |  FROM corpus, range(0, 8) rj(j), range(0, 64) ri(i)),
+         |pdots AS (
+         |  SELECT vec_id, j, sum(CAST(p AS DECIMAL(30,12))) AS d
+         |  FROM flat GROUP BY vec_id, j),
+         |buckets AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM pdots GROUP BY vec_id),
+         |s AS (
+         |  SELECT vec_id,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+         |  FROM corpus),
+         |qz AS (
+         |  SELECT e.vec_id,
+         |    list_transform(e.embedding, x ->
+         |      CASE WHEN s.scale = 0 THEN 0
+         |           ELSE CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT) END) AS q
+         |  FROM corpus e JOIN s USING (vec_id)),
+         |qsel AS (
+         |  SELECT e.vec_id AS qid, e.embedding AS qv, b.bucket AS qb
+         |  FROM corpus e JOIN buckets b ON b.vec_id = e.vec_id
+         |  WHERE e.vec_id % 25 = 0 AND e.vec_id < 2000000),
+         |probes AS (
+         |  SELECT qid, qb AS bucket FROM qsel
+         |  UNION
+         |  SELECT qid, xor(qb, CAST(1 << j AS BIGINT)) AS bucket
+         |  FROM qsel, range(0, 8) rj(j)),
+         |cand AS (
+         |  SELECT p.qid, b.vec_id
+         |  FROM buckets b JOIN probes p USING (bucket)
+         |  WHERE b.vec_id <> p.qid),
+         |zq AS (
+         |  SELECT c.qid, c.vec_id, unnest(a.q) AS x, unnest(qq.q) AS y
+         |  FROM cand c JOIN qz a ON a.vec_id = c.vec_id
+         |              JOIN qz qq ON qq.vec_id = c.qid),
+         |dq AS (
+         |  SELECT qid, vec_id, sum(x*y) AS dot, sum(x*x) AS na
+         |  FROM zq GROUP BY qid, vec_id),
+         |nqs AS (
+         |  SELECT vec_id AS qid, list_sum(list_transform(q, v -> v*v)) AS nqv
+         |  FROM qz),
+         |ann AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT d.qid, d.vec_id,
+         |      row_number() OVER (PARTITION BY d.qid ORDER BY
+         |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nqv AS DOUBLE))) DESC,
+         |        d.vec_id ASC) AS rn
+         |    FROM dq d JOIN nqs USING (qid)
+         |    WHERE na > 0 AND nqv > 0) WHERE rn <= 5),
+         |bz AS (
+         |  SELECT q.qid, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+         |  FROM corpus e, qsel q WHERE e.vec_id <> q.qid),
+         |bd AS (
+         |  SELECT qid, vec_id,
+         |    sum(CAST(CAST(a AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+         |    sum(CAST(CAST(a AS DOUBLE)*CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na,
+         |    sum(CAST(CAST(b AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS nb
+         |  FROM bz GROUP BY qid, vec_id),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY
+         |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC,
+         |        vec_id ASC) AS rn
+         |    FROM bd) WHERE rn <= 5),
+         |hits AS (
+         |  SELECT e.qid,
+         |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |    CAST(count(*) AS BIGINT) AS exact_k
+         |  FROM exact e LEFT JOIN ann a ON a.qid = e.qid AND a.vec_id = e.vec_id
+         |  GROUP BY e.qid),
+         |m AS (
+         |  SELECT CAST(sum(hits) AS DOUBLE)/CAST(sum(exact_k) AS DOUBLE) AS mean_recall
+         |  FROM hits)
+         |SELECT qid AS query_id, hits, exact_k,
+         |  CAST(hits AS DOUBLE)/CAST(exact_k AS DOUBLE) AS recall, m.mean_recall
+         |FROM hits, m ORDER BY query_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val centers = e.filter(col("vec_id") % 25 === 0)
+      val members = (1 to 3).map { rr =>
+        centers.select(
+          (col("vec_id") * 10 + lit(2000000L + rr)).as("vec_id"),
+          expr(s"""transform(embedding, (x, i) ->
+            CAST(CAST(x AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE) + CAST(((vec_id*10 + $rr)*64 + i) * 2654435761 % 101 - 50 AS DOUBLE) / CAST(2500.0 AS DOUBLE))
+            AS FLOAT))""").as("embedding"))
+      }.reduce(_ unionByName _)
+      val corpus = e.unionByName(members)
+      Similarity.quantizedRecallReport(corpus, centers, "vec_id",
+          "embedding", "vec_id", "embedding", dim = 64, k = 5,
+          planes = 8, multiProbe = true)
+        .orderBy("query_id")
+    }
+
     // Embedding-side daily ingest end-to-end (the vector analog of
     // q_ingest_gate): corpus = vec_id < 400 pre-bucketed as the
     // embedding index, shard = the rest plus two planted duplicates —
@@ -839,7 +960,7 @@ object QueriesEmbed {
     // vs-corpus drop — the landed parquet ids must match exactly.
     // Random fixture vectors never reach cos 0.9 (probed in
     // q_embed_dedup), so the planted families are the whole drop set.
-    r.reg("q_embed_ingest",
+    val embedIngestSql =
       """WITH RECURSIVE corpusv AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
         |shardv AS (
@@ -903,7 +1024,12 @@ object QueriesEmbed {
         |SELECT vec_id FROM shardv
         |WHERE vec_id NOT IN (SELECT id FROM nddrop)
         |  AND vec_id NOT IN (SELECT id FROM vsdrop)
-        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+        |ORDER BY vec_id""".stripMargin
+
+    /** Shared fixture for the embedding-ingest oracles: corpus
+      * (vec_id < 400) and the shard with its two planted duplicates. */
+    def embedIngestFixture(s: org.apache.spark.sql.SparkSession,
+                           dir: String) = {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val corpus = e.filter(col("vec_id") < 400)
       val shard = e.filter(col("vec_id") >= 400)
@@ -911,6 +1037,11 @@ object QueriesEmbed {
           .select(lit(1000000L).as("vec_id"), col("embedding")))
         .unionByName(e.filter(col("vec_id") === 450L)
           .select(lit(1000001L).as("vec_id"), col("embedding")))
+      (corpus, shard)
+    }
+
+    r.reg("q_embed_ingest", embedIngestSql) { (s, dir) =>
+      val (corpus, shard) = embedIngestFixture(s, dir)
       // tmp-dir landing (q_dedup_index posture: runs from any checkout);
       // index rebuilds overwrite and the landing dir is cleared, so
       // repeated runs in one session stay deterministic
@@ -930,6 +1061,39 @@ object QueriesEmbed {
         outPath = outDir.getAbsolutePath, shardLabel = "oracle",
         ivfPath = Some(ivfDir))
       s.read.parquet(outDir.getAbsolutePath)
+        .select("vec_id").orderBy("vec_id")
+    }
+
+    // STEADY-STATE embedding-ingest shape (r10 verdict #3, the vector
+    // analog of q_ingest_gate_steady): q_embed_ingest rebuilds the
+    // embedding index AND trains+writes the IVF index inside the timed
+    // query, so its headline number is fixture construction. This
+    // entry restores a pristine snapshot of both indexes (tiny local
+    // file copy) and times only the daily marginal work: shard →
+    // semantic dedup ×2 → replay-safe IVF growth → landing + manifest.
+    // Same fixture, same oracle — only the timing boundary moves.
+    r.reg("q_embed_ingest_steady", embedIngestSql) { (s, dir) =>
+      val (corpus, shard) = embedIngestFixture(s, dir)
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/embst")
+      val idx = new java.io.File(base, "idx")
+      val ivf = new java.io.File(base, "ivf")
+      val out = new java.io.File(base, "out")
+      FixtureSnapshot.ensure(s, base, s"embst|$dir",
+        Seq("g_embst_vecs"), Seq("idx", "ivf")) {
+        graft.llm.Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding",
+          64, "g_embst", idx.getAbsolutePath)
+        val cents = graft.llm.Ivf.train(corpus, "vec_id", "embedding",
+          nCells = 8, iters = 0)
+        graft.llm.Ivf.writeIndex(corpus, "vec_id", "embedding", cents,
+          ivf.getAbsolutePath)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(out)
+      graft.llm.Pipeline.ingestEmbeddingShard(shard, "vec_id", "embedding",
+        dim = 64, threshold = 0.9, indexName = "g_embst",
+        indexPath = idx.getAbsolutePath, outPath = out.getAbsolutePath,
+        shardLabel = "steady", ivfPath = Some(ivf.getAbsolutePath))
+      s.read.parquet(out.getAbsolutePath)
         .select("vec_id").orderBy("vec_id")
     }
 

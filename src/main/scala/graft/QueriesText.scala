@@ -844,6 +844,41 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // STEADY-STATE daily-ingest shape (r10 verdict #3): q_ingest_gate
+    // times fixture construction — the corpus-index rebuild dominates
+    // (~40 actions, warm-up spread [26.5..7.2] in the r10 record) and
+    // the number cannot move when the GATE's marginal cost moves, which
+    // is the thing a corpus owner watches daily. This entry times the
+    // per-day cost alone: restore the pristine pre-built index (a tiny
+    // fixture-sized file copy), then shard → 6-stage gate → index
+    // append → landing + manifest. The index is built ONCE per
+    // JVM+dir (first call, or Bench's untimed prepare pass) and
+    // snapshotted (FixtureSnapshot); each later call restores the
+    // snapshot, so every timed run does identical steady-state work.
+    r.reg("q_ingest_gate_steady",
+      s"""WITH RECURSIVE $ingestCtes
+         |SELECT doc_id FROM clean
+         |WHERE doc_id NOT IN (SELECT id FROM nddrop)
+         |  AND doc_id NOT IN (SELECT id FROM vsdrop)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val (corpus, shard, bench) = ingestFixture(s, dir)
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/ingst")
+      val idx = new java.io.File(base, "idx")
+      val out = new java.io.File(base, "out")
+      FixtureSnapshot.ensure(s, base, s"ingst|$dir",
+        Seq("g_ingst_bands", "g_ingst_shingles", "g_ingst_keys"),
+        Seq("idx")) {
+        Dedup.writeNearDupIndex(corpus, "doc_id", "text", "g_ingst",
+          idx.getAbsolutePath)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(out)
+      graft.llm.Pipeline.ingestShard(shard, bench, "doc_id", "text",
+        "g_ingst", idx.getAbsolutePath, out.getAbsolutePath, "steady",
+        redactPii = false)
+      s.read.parquet(out.getAbsolutePath).select("doc_id").orderBy("doc_id")
+    }
+
     // Per-doc FATE attribution over the same fixture: every input doc
     // classified by the FIRST stage that dropped it (or 'landed') — the
     // report a corpus owner reads before re-tuning thresholds. Same CTE

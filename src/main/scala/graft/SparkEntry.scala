@@ -69,10 +69,13 @@ object SparkEntry {
     // -> shuffle as ONE composed plan)
     "q_ann_batch", "q_asof_global", "q_pipeline_e2e",
     // r10: THE production query shapes — the daily text-shard ingest
-    // gate (index build + 6-stage gate + index append) and its
-    // embedding-side analog (bucketed semantic dedup + IVF growth +
-    // landing) — benched with per-run arrays like every headline
-    "q_ingest_gate", "q_embed_ingest",
+    // gate and its embedding-side analog — r11: benched in their
+    // STEADY-STATE form (r10 verdict #3: the r10 entries rebuilt the
+    // corpus index inside the timed region, so the headline was
+    // fixture construction and could not detect a regression in the
+    // gate's marginal cost; the steady variants restore a pristine
+    // snapshot and time only shard → gate → append → landing)
+    "q_ingest_gate_steady", "q_embed_ingest_steady",
     // r10: the int8 corpus-scan ranker (4x scan-bandwidth lever) and
     // its batched composite (LSH candidates + int8 verify — the
     // quantized production retrieval shape, directly comparable to
@@ -83,4 +86,17 @@ object SparkEntry {
     // read at query time (comparable to q_ann_quantized_batch, whose
     // corpus side still scans float32)
     "q_ann_quantized_indexed")
+
+  /** Untimed per-query preparation Bench runs ONCE before the timed
+    * passes (r10 verdict #3): the steady-state ingest entries build and
+    * snapshot their corpus-index fixtures on first execution, so
+    * running each once here leaves pass 1 of the timed loop
+    * warm-up-free — every sample measures the daily marginal cost.
+    * The queries are self-initializing (FixtureSnapshot), so Verify
+    * and ad-hoc callers need no hook. */
+  val benchPrepare: Map[String, (SparkSession, String) => Unit] =
+    Seq("q_ingest_gate_steady", "q_embed_ingest_steady").map { n =>
+      n -> ((s: SparkSession, dir: String) =>
+        queries(n)(s, dir).write.format("noop").mode("overwrite").save())
+    }.toMap
 }

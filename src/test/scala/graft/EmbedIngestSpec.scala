@@ -662,6 +662,24 @@ class EmbedIngestSpec extends SparkTestBase {
       "planted duplicates must drop and nothing else")
   }
 
+  test("q_embed_ingest_steady: snapshot restore keeps repeated runs identical and steady-state") {
+    // r10 verdict #3 (vector side): run 1 builds + snapshots the
+    // embedding index AND the IVF index; later runs restore both from
+    // the snapshot, so each timed bench pass does identical daily-
+    // marginal work. A wrong restore (stale file listing, leftover IVF
+    // append) diverges run 2/3 — survivors would drop against their
+    // own previous append or the IVF replay boundary.
+    def run() = SparkEntry.queries("q_embed_ingest_steady")(spark,
+      "/root/testdata/sf0.001").collect().map(_.getLong(0)).toSeq
+    try {
+      val (r1, r2, r3) = (run(), run(), run())
+      assert(r1 == r2 && r2 == r3 && r1.nonEmpty,
+        s"steady repeat diverged: ${r1.size}/${r2.size}/${r3.size} rows")
+      assert(r1 == (400L until 500L).toSeq,
+        "planted duplicates must drop and nothing else")
+    } finally spark.sql("DROP TABLE IF EXISTS g_embst_vecs")
+  }
+
   test("text ingestShard landing scans the shard source exactly once") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row

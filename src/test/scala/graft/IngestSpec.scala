@@ -280,6 +280,25 @@ class IngestSpec extends SparkTestBase {
     } finally dropIndex("g_ing")
   }
 
+  test("q_ingest_gate_steady: snapshot restore keeps repeated runs identical and steady-state") {
+    // r10 verdict #3: the steady bench entry must measure the gate's
+    // marginal cost, so run 1 builds + snapshots the corpus index and
+    // every later run RESTORES the pristine snapshot instead of
+    // rebuilding. Three runs in one session must agree (the restore
+    // path truncates run N-1's appended index files, and refreshTable
+    // drops the stale file listings); a wrong restore shows up as
+    // survivors dropping against their own previous append.
+    val fn = SparkEntry.queries("q_ingest_gate_steady")
+    try {
+      val r1 = fn(spark, "/root/testdata/sf0.001").collect().map(_.toString).toSeq
+      val r2 = fn(spark, "/root/testdata/sf0.001").collect().map(_.toString).toSeq
+      val r3 = fn(spark, "/root/testdata/sf0.001").collect().map(_.toString).toSeq
+      assert(r1.nonEmpty, "steady gate must land survivors")
+      assert(r1 == r2 && r2 == r3,
+        "restore-per-run must make repeated steady runs identical")
+    } finally dropIndex("g_ingst")
+  }
+
   test("compactNearDupIndex: files drop to one per bucket, probe stays exchange-free and identical") {
     val tmp = tmpDir("graft_ingc")
     try {
