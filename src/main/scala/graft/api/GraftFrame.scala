@@ -598,8 +598,19 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
                       mode: String = "overwrite"): Unit = {
     require(keys.nonEmpty, "toBucketedTable needs at least one bucket key")
     require(buckets > 0, "toBucketedTable needs a positive bucket count")
-    guardOverwrite(path, mode)
-    val w0 = df.write.mode(mode).option("path", path)
+    // an APPEND to an existing table must land at the table's CURRENT
+    // location, not the caller's original path: an online compaction
+    // ([[GraftFrame.compactBucketedTable]]) moves the table to a new
+    // generation directory, and an append addressed at the stale path
+    // would either conflict or silently write beside the live data
+    val target =
+      if (mode == "append" && df.sparkSession.catalog.tableExists(name))
+        df.sparkSession.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(name))
+          .location.toString
+      else path
+    guardOverwrite(target, mode)
+    val w0 = df.write.mode(mode).option("path", target)
       .bucketBy(buckets, keys.head, keys.tail: _*)
     val w = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
     w.format("parquet").saveAsTable(name)
@@ -629,12 +640,21 @@ object GraftFrame {
     * exchange-free but pay ever more file opens. The rewrite
     * repartitions on the table's own bucket columns (aligned with the
     * bucket hash, so each task holds exactly one bucket and writes
-    * exactly one file), lands in a sibling directory via a scratch
-    * table entry, then swaps directories — bucket-id file naming rides
-    * the file names, so the original table's metadata needs only a
-    * REFRESH. OFFLINE maintenance (same contract as `Ivf.compactIndex`):
-    * a read during the swap window can fail its file listing. Bucket
-    * spec, sort spec, row set and the zero-exchange read property are
+    * exactly one file), lands in a NEW generation directory via a
+    * scratch table entry, and is installed by `ALTER TABLE SET
+    * LOCATION` — a catalog-metadata flip, never a rename under the
+    * live directory.
+    *
+    * ONLINE-SAFE vs READERS (r10 verdict #6, same contract as
+    * `Ivf.compactIndex`): a concurrent query that resolved the old
+    * location keeps reading its files — the generation being replaced
+    * stays on disk until the NEXT compaction retires it; only a reader
+    * outliving TWO compactions can lose its listing. New queries (and
+    * appends — `toBucketedTable` resolves the append target from the
+    * catalog, not the caller's path) follow the flipped location.
+    * WRITERS stay exclusive with the rewrite itself: an append racing
+    * the rewrite lands rows the new generation never saw. Bucket spec,
+    * sort spec, row set and the zero-exchange read property are
     * unchanged (spec-checked). */
   def compactBucketedTable(spark: SparkSession, table: String): Unit = {
     import org.apache.spark.sql.functions.col
@@ -643,9 +663,18 @@ object GraftFrame {
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"compactBucketedTable: $table carries no bucket spec"))
     val path = new org.apache.hadoop.fs.Path(meta.location)
+    // generation chain: <base>, <base>__gen1, <base>__gen2, ... — the
+    // live location's suffix names the current generation
+    val GenName = """(.*)__gen(\d+)""".r
+    val (baseName, curGen) = path.getName match {
+      case GenName(b, g) => (b, g.toInt)
+      case n => (n, 0)
+    }
     val tmpTable = s"${table}__compacting"
     val tmpPath = new org.apache.hadoop.fs.Path(
-      path.getParent, path.getName + "__compacting")
+      path.getParent, s"${baseName}__gen${curGen + 1}")
+    tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(tmpPath, true)
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
     val cols = spec.bucketColumnNames
     // One file per bucket needs the shuffle routing to EQUAL the write
@@ -683,25 +712,23 @@ object GraftFrame {
         s"compactBucketedTable: rewrite holds $tmpRows rows, source $srcRows — aborting before swap")
     }
     spark.sql(s"DROP TABLE $tmpTable") // external entry: the files stay
-    val fsCheck = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmpFiles = fsCheck.listStatus(tmpPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpFiles = fs.listStatus(tmpPath)
       .count(st => st.getPath.getName.endsWith(".parquet"))
     if (tmpFiles > spec.numBuckets)
       throw new IllegalStateException(
         s"compactBucketedTable: rewrite produced $tmpFiles files for " +
           s"${spec.numBuckets} buckets (adaptive re-packing?) — aborting before swap")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val retired = new org.apache.hadoop.fs.Path(
-      path.getParent, path.getName + "__retired")
-    fs.delete(retired, true)
-    if (!fs.rename(path, retired))
-      throw new java.io.IOException(s"compactBucketedTable: could not retire $path")
-    if (!fs.rename(tmpPath, path)) {
-      fs.rename(retired, path) // roll back so the table stays readable
-      throw new java.io.IOException(s"compactBucketedTable: could not install $tmpPath")
-    }
-    fs.delete(retired, true)
+    // the FLIP: catalog metadata only — a concurrent reader holding the
+    // old location's file listing keeps reading intact files
+    spark.sql(s"ALTER TABLE $table SET LOCATION '${tmpPath.toString}'")
     spark.sql(s"REFRESH TABLE $table")
+    // retire generations OLDER than the one just replaced — the
+    // replaced generation itself survives for in-flight readers
+    for (g <- 0 until curGen) {
+      val n = if (g == 0) baseName else s"${baseName}__gen$g"
+      fs.delete(new org.apache.hadoop.fs.Path(path.getParent, n), true)
+    }
   }
 
   def readParquet(spark: SparkSession, path: String): GraftFrame =

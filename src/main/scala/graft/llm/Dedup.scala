@@ -657,9 +657,12 @@ object Dedup {
     * ([[writeNearDupIndex]]) back to one file per bucket — the
     * maintenance pass after N [[appendShardToIndex]] days (each append
     * adds files per bucket; the exchange-free read property survives
-    * but file opens grow O(days)). Offline, same contract as
-    * [[Ivf.compactIndex]]. The keys table is compacted when present
-    * (pre-r9 indexes have none). */
+    * but file opens grow O(days)). ONLINE-SAFE vs readers, exclusive
+    * with appends — same contract as [[Ivf.compactIndex]] (each table
+    * flips to a new generation directory via `ALTER TABLE SET
+    * LOCATION`; see [[graft.api.GraftFrame.compactBucketedTable]]).
+    * The keys table is compacted when present (pre-r9 indexes have
+    * none). */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                           name: String): Unit = {
     graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_bands")
@@ -670,7 +673,8 @@ object Dedup {
 
   /** Compact an embedding index's bucketed vecs table
     * ([[writeEmbeddingIndex]]) — the vector-side maintenance pass after
-    * N [[appendEmbeddingShardToIndex]] days. */
+    * N [[appendEmbeddingShardToIndex]] days. Online-safe vs readers
+    * (generation flip, [[compactNearDupIndex]] contract). */
   def compactEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
                             name: String): Unit =
     graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_vecs")

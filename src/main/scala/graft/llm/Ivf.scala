@@ -203,6 +203,53 @@ object Ivf {
     embeddings.select(col(idCol))
       .write.mode("overwrite").parquet(s"$path/ids")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    // a rebuild resets the generation chain: the flat layout IS the
+    // live data again, so a stale manifest must not shadow it
+    val m = new org.apache.hadoop.fs.Path(s"$path/MANIFEST")
+    m.getFileSystem(embeddings.sparkSession.sparkContext
+      .hadoopConfiguration).delete(m, false)
+  }
+
+  /** Resolve the LIVE generation root of an index at `path` (r10
+    * verdict #6): after an online [[compactIndex]] a tiny `MANIFEST`
+    * file names the current generation subdirectory (`gen-N`); a flat
+    * pre-manifest layout resolves to `path` itself. Every read and
+    * append goes through this, so a compaction can install a new
+    * generation by flipping the manifest — never renaming data files
+    * out from under a reader that already resolved its root. */
+  def resolveRoot(spark: org.apache.spark.sql.SparkSession,
+                  path: String): String = {
+    val g = currentGen(spark, path)
+    if (g == 0) path else s"$path/gen-$g"
+  }
+
+  private def currentGen(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Int = {
+    val m = new org.apache.hadoop.fs.Path(s"$path/MANIFEST")
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(m)) 0
+    else {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** Install generation `gen` as live: write a sibling tmp file, then
+    * an OVERWRITE rename through [[org.apache.hadoop.fs.FileContext]] —
+    * atomic on HDFS and POSIX local filesystems, so a concurrent
+    * [[resolveRoot]] sees either the old or the new generation, never a
+    * missing manifest. */
+  private def flipManifest(spark: org.apache.spark.sql.SparkSession,
+                           path: String, gen: Int): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/MANIFEST__tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$path/MANIFEST")
+    val fs = dst.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(s"$gen\n".getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Append a new shard to a PERSISTED index — the daily-ingest path
@@ -236,8 +283,9 @@ object Ivf {
     * crashed append. N appends accumulate N small files per cell — run
     * [[compactIndex]] periodically anyway. */
   def appendToIndex(newEmbeddings: DataFrame, idCol: String, vecCol: String,
-                    path: String): Unit = {
+                    indexPath: String): Unit = {
     val spark = newEmbeddings.sparkSession
+    val path = resolveRoot(spark, indexPath)
     val centroids = spark.read.parquet(s"$path/centroids")
     val idsP = new org.apache.hadoop.fs.Path(s"$path/ids")
     val fs = idsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -270,57 +318,72 @@ object Ivf {
     * compaction pass that keeps a daily-appended index readable — file
     * count per probe scan stays O(1) instead of O(days). One shuffle
     * keyed on `cell` (each cell lands in exactly one task, so a task
-    * writes exactly one file per cell it owns), a rewrite into a
-    * sibling directory, then an atomic-enough directory swap through
-    * Hadoop's FileSystem. OFFLINE maintenance: a search running during
-    * the swap window can fail its file listing — schedule it like any
-    * index rebuild. Cell geometry, row set and the probe-scan pruning
-    * contract are unchanged (spec: files-per-cell drops to 1, dirs-read
-    * == nprobe holds, search results identical). */
+    * writes exactly one file per cell it owns).
+    *
+    * ONLINE-SAFE vs READERS (r10 verdict #6 — the previous directory
+    * swap could fail a concurrent probe's file listing): the compacted
+    * vectors + reconciled ids + copied centroids land in a NEW
+    * generation directory (`gen-N`), verified, and then a tiny
+    * `MANIFEST` is atomically replaced — [[resolveRoot]] readers see
+    * either the old or the new generation, both fully on disk. The
+    * generation being replaced stays on disk until the NEXT compaction
+    * retires it, so a probe that resolved its root pre-flip finishes
+    * against intact files; only a reader outliving TWO compactions can
+    * lose its files. WRITERS stay exclusive: an [[appendToIndex]]
+    * racing the rewrite would land rows in the old generation after
+    * the rewrite read it — those rows would vanish at the flip — so
+    * schedule compaction in the daily gap between shard appends.
+    * Cell geometry, row set and the probe-scan pruning contract are
+    * unchanged (spec: files-per-cell drops to 1, dirs-read == nprobe
+    * holds, search results identical, probe planned pre-flip still
+    * executes post-flip). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String): Unit = {
-    val vectors = spark.read.parquet(s"$path/vectors")
-    val tmp = s"$path/vectors__compacting"
-    vectors.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
-    val cur = new org.apache.hadoop.fs.Path(s"$path/vectors")
-    val next = new org.apache.hadoop.fs.Path(tmp)
-    val old = new org.apache.hadoop.fs.Path(s"$path/vectors__retired")
-    val fs = cur.getFileSystem(conf)
-    fs.delete(old, true)
-    if (!fs.rename(cur, old))
-      throw new java.io.IOException(s"compactIndex: could not retire $cur")
-    if (!fs.rename(next, cur)) {
-      fs.rename(old, cur) // roll back so the index stays readable
-      throw new java.io.IOException(s"compactIndex: could not install $next")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val curGen = currentGen(spark, path)
+    val curRoot = if (curGen == 0) path else s"$path/gen-$curGen"
+    val nextGen = curGen + 1
+    val nextRoot = s"$path/gen-$nextGen"
+    fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
+    val vectors = spark.read.parquet(s"$curRoot/vectors")
+    vectors.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$nextRoot/vectors")
+    // verify BEFORE the flip: a partial rewrite must abort while the
+    // live generation is still the one readers resolve
+    val srcRows = vectors.count()
+    val vecDf = spark.read.parquet(s"$nextRoot/vectors")
+    val dstRows = vecDf.count()
+    if (dstRows != srcRows) {
+      fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
+      throw new java.io.IOException(
+        s"compactIndex: rewrite row mismatch ($dstRows != $srcRows), aborted")
     }
-    fs.delete(old, true)
     // Rebuild the narrow `ids` replay boundary FROM the compacted
     // vectors — one file, and (doubling as the documented crash
     // recovery for [[appendToIndex]]'s vectors→ids window) any id whose
     // vectors append committed but whose boundary append did not is
     // reconciled back in. The id column is the vectors schema minus the
     // partition column and the vector payload.
-    val vecDf = spark.read.parquet(s"$path/vectors")
     val idName = vecDf.schema.fields.find(f => f.name != "cell" &&
         !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
       .getOrElse(throw new IllegalStateException(
-        s"compactIndex: cannot infer the id column of $path/vectors"))
+        s"compactIndex: cannot infer the id column of $nextRoot/vectors"))
       .name
-    val idsTmp = new org.apache.hadoop.fs.Path(s"$path/ids__compacting")
-    val idsCur = new org.apache.hadoop.fs.Path(s"$path/ids")
     vecDf.select(col(idName)).coalesce(1)
-      .write.mode("overwrite").parquet(idsTmp.toString)
-    val idsOld = new org.apache.hadoop.fs.Path(s"$path/ids__retired")
-    fs.delete(idsOld, true)
-    if (fs.exists(idsCur) && !fs.rename(idsCur, idsOld))
-      throw new java.io.IOException(s"compactIndex: could not retire $idsCur")
-    if (!fs.rename(idsTmp, idsCur)) {
-      fs.rename(idsOld, idsCur)
-      throw new java.io.IOException(s"compactIndex: could not install $idsTmp")
+      .write.mode("overwrite").parquet(s"$nextRoot/ids")
+    spark.read.parquet(s"$curRoot/centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$nextRoot/centroids")
+    flipManifest(spark, path, nextGen)
+    // retire generations OLDER than the one just replaced — curGen
+    // itself survives for readers that resolved their root pre-flip
+    for (g <- 0 until curGen) {
+      if (g == 0)
+        Seq("vectors", "ids", "centroids").foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+      else fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen-$g"), true)
     }
-    fs.delete(idsOld, true)
   }
 
   /** Maintenance report over a persisted index: per cell, the row count
@@ -332,7 +395,7 @@ object Ivf {
     * column), no driver-side listing. */
   def indexReport(spark: org.apache.spark.sql.SparkSession,
                   path: String): DataFrame =
-    spark.read.parquet(s"$path/vectors")
+    spark.read.parquet(s"${resolveRoot(spark, path)}/vectors")
       .select(col("cell"), input_file_name().as("__f__"))
       .groupBy("cell")
       .agg(count(lit(1)).as("rows"),
@@ -382,12 +445,13 @@ object Ivf {
                           indexPath: String, idCol: String, vecCol: String,
                           k: Int, nprobe: Int = 2): DataFrame = {
     val spark = queries.sparkSession
-    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val root = resolveRoot(spark, indexPath)
+    val centroids = spark.read.parquet(s"$root/centroids")
     val qcells = probeFrame(queries, qIdCol, qVecCol, centroids, nprobe)
     val probedCells = broadcast(qcells.select(col("cell")).distinct())
     val wK = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col(idCol).asc)
-    spark.read.parquet(s"$indexPath/vectors")
+    spark.read.parquet(s"$root/vectors")
       .join(probedCells, Seq("cell"), "left_semi")
       .join(qcells, Seq("cell"))
       .filter(col(idCol) =!= col("query_id"))
@@ -407,9 +471,10 @@ object Ivf {
                      indexPath: String, queryId: Long, k: Int,
                      nprobe: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
+    val root = resolveRoot(spark, indexPath)
     val q = embeddings.filter(col(idCol) === queryId)
       .select(col(vecCol).cast("array<double>").as("__qv__"))
-    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val centroids = spark.read.parquet(s"$root/centroids")
     // bounded driver-side collect: exactly nprobe ints (cell ids), from
     // an nCells-row frame — the literal form is what enables static
     // partition pruning at the index scan below
@@ -417,7 +482,7 @@ object Ivf {
       .withColumn("d", sqDist(col("centroid"), col("__qv__")))
       .orderBy(col("d").asc, col("cell").asc).limit(nprobe)
       .select(col("cell")).collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(s"$indexPath/vectors")
+    spark.read.parquet(s"$root/vectors")
       .filter(col("cell").isin(probeCells: _*))
       .filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))

@@ -221,7 +221,9 @@ class EmbedIngestSpec extends SparkTestBase {
       Ivf.appendToIndex(e.filter(col("vec_id") >= 175 && col("vec_id") < 200),
         "vec_id", "embedding", dir)
       def filesPerCell: Map[String, Int] = {
-        val root = new java.io.File(dir, "vectors")
+        // resolveRoot: post-compaction the live data sits in a
+        // generation subdirectory named by the MANIFEST (r11)
+        val root = new java.io.File(Ivf.resolveRoot(spark, dir), "vectors")
         root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
           .map(d => d.getName ->
             d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
@@ -241,6 +243,11 @@ class EmbedIngestSpec extends SparkTestBase {
       def search = Ivf.annTopKIndexed(e, "vec_id", "embedding", dir,
         queryId = 0L, k = 5, nprobe = nprobe)
       val resBefore = search.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // ONLINE-SAFETY (r10 verdict #6): hold a probe plan that resolved
+      // its generation root BEFORE the compaction flip — it must still
+      // execute (its files survive until the NEXT compaction) and give
+      // the same answer
+      val heldProbe = search
 
       Ivf.compactIndex(spark, dir)
       val after = filesPerCell
@@ -248,8 +255,12 @@ class EmbedIngestSpec extends SparkTestBase {
         s"compaction must leave one file per cell: $after")
       assert(Ivf.indexReport(spark, dir).collect()
         .forall(_.getLong(2) == 1L), "report must show 1 file per cell")
-      assert(spark.read.parquet(s"$dir/vectors").count() == 200,
+      assert(spark.read.parquet(
+          s"${Ivf.resolveRoot(spark, dir)}/vectors").count() == 200,
         "compaction changed the row set")
+      assert(heldProbe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          == resBefore,
+        "a probe planned pre-flip must still run post-flip (online safety)")
       // the probe-scan contract survives compaction: static partition
       // filter, exactly nprobe cell directories listed, same answer
       val q = search
@@ -263,6 +274,19 @@ class EmbedIngestSpec extends SparkTestBase {
       assert(dirsRead == nprobe, s"post-compaction probe read $dirsRead cell dirs")
       assert(q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == resBefore,
         "compaction changed search results")
+      // SECOND compaction exercises the generation chain: gen-1 → gen-2
+      // flips the manifest, retires the flat gen-0 layout (now older
+      // than the previous generation), keeps gen-1 for in-flight
+      // readers, and search still answers identically
+      Ivf.compactIndex(spark, dir)
+      assert(Ivf.resolveRoot(spark, dir) == s"$dir/gen-2",
+        s"manifest must resolve gen-2, got ${Ivf.resolveRoot(spark, dir)}")
+      assert(!new java.io.File(dir, "vectors").exists(),
+        "flat gen-0 layout must be retired after the second compaction")
+      assert(new java.io.File(dir, "gen-1").exists(),
+        "the replaced generation must survive for in-flight readers")
+      assert(search.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          == resBefore, "second compaction changed search results")
     } finally rmDir(dir)
   }
 
@@ -321,10 +345,11 @@ class EmbedIngestSpec extends SparkTestBase {
         "ids boundary out of lockstep with the vectors")
       // compaction reconciles the boundary to one file and keeps lockstep
       Ivf.compactIndex(spark, dir)
-      val idFiles = new java.io.File(dir, "ids").listFiles()
+      val root = Ivf.resolveRoot(spark, dir)
+      val idFiles = new java.io.File(root, "ids").listFiles()
         .count(_.getName.endsWith(".parquet"))
       assert(idFiles == 1, s"compacted ids boundary has $idFiles files")
-      assert(spark.read.parquet(s"$dir/ids").count() == 180)
+      assert(spark.read.parquet(s"$root/ids").count() == 180)
     } finally rmDir(dir)
   }
 
@@ -371,7 +396,13 @@ class EmbedIngestSpec extends SparkTestBase {
           "vec_id", "embedding", 64, 0.9, "embc", idxDir,
           buckets = buckets).unpersist()
       }
-      def files: Int = new java.io.File(idxDir, "vecs").listFiles()
+      // file counts resolve the table's CURRENT catalog location: the
+      // online compaction (r11) installs each rewrite as a new
+      // generation directory via ALTER TABLE SET LOCATION
+      def files: Int = new java.io.File(java.net.URI.create(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier("embc_vecs"))
+            .location.toString)).listFiles()
         .count(_.getName.endsWith(".parquet"))
       assert(files > buckets, s"appends must fragment past $buckets files: $files")
       val probe = emb.filter(col("vec_id") === 7L)
@@ -382,9 +413,16 @@ class EmbedIngestSpec extends SparkTestBase {
       val hitsBefore = hits
       assert(hitsBefore.nonEmpty, "planted probe must hit the index")
       val rowsBefore = spark.table("embc_vecs").count()
+      // ONLINE-SAFETY (r10 verdict #6): a probe that resolved the old
+      // location pre-flip must still execute post-flip — its generation
+      // survives until the NEXT compaction
+      val heldProbe = Dedup.embeddingNearDupPairsAgainstIndex(probe,
+        "vec_id", "embedding", "embc", 64, 0.9).orderBy("id_a", "id_b")
 
       Dedup.compactEmbeddingIndex(spark, "embc")
       assert(files <= buckets, s"compaction must leave <= $buckets files: $files")
+      assert(heldProbe.collect().map(_.toString).toSeq == hitsBefore,
+        "a probe planned pre-flip must still run post-flip (online safety)")
       assert(spark.table("embc_vecs").count() == rowsBefore)
       assert(hits == hitsBefore, "compaction changed probe results")
       val sp = Dedup.embeddingNearDupPairsAgainstIndex(probe, "vec_id",

@@ -315,8 +315,14 @@ class IngestSpec extends SparkTestBase {
           "doc_id", "text", "ingc_t", tmp, threshold = 0.5,
           buckets = buckets).unpersist()
       }
+      // file counts resolve each table's CURRENT catalog location: the
+      // online compaction (r11) installs each rewrite as a new
+      // generation directory via ALTER TABLE SET LOCATION
       def files(sub: String): Int =
-        new java.io.File(tmp, sub).listFiles()
+        new java.io.File(java.net.URI.create(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(s"ingc_t_$sub"))
+            .location.toString)).listFiles()
           .count(_.getName.endsWith(".parquet"))
       val before = Seq("bands", "shingles", "keys").map(s => s -> files(s)).toMap
       assert(before.values.exists(_ > buckets),
@@ -337,8 +343,15 @@ class IngestSpec extends SparkTestBase {
         .map(s => spark.table(s"ingc_t_$s").count())
       val pairsBefore = probePairs
       assert(pairsBefore.nonEmpty, "planted probe must hit the index")
+      // ONLINE-SAFETY (r10 verdict #6): a probe that resolved the old
+      // locations pre-flip must still execute post-flip — the replaced
+      // generation survives until the NEXT compaction
+      val heldProbe = Dedup.nearDupPairsAgainstIndex(probeDoc, "doc_id",
+        "text", "ingc_t", 0.5).orderBy("id_a", "id_b")
 
       Dedup.compactNearDupIndex(spark, "ingc_t")
+      assert(heldProbe.collect().map(_.toString).toSeq == pairsBefore,
+        "a probe planned pre-flip must still run post-flip (online safety)")
       val after = Seq("bands", "shingles", "keys").map(s => s -> files(s)).toMap
       assert(after.values.forall(_ <= buckets),
         s"compaction must leave at most one file per bucket: $after")
