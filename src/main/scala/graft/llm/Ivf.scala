@@ -205,9 +205,7 @@ object Ivf {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     // a rebuild resets the generation chain: the flat layout IS the
     // live data again, so a stale manifest must not shadow it
-    val m = new org.apache.hadoop.fs.Path(s"$path/MANIFEST")
-    m.getFileSystem(embeddings.sparkSession.sparkContext
-      .hadoopConfiguration).delete(m, false)
+    Generations.reset(embeddings.sparkSession, path, "MANIFEST")
   }
 
   /** Resolve the LIVE generation root of an index at `path` (r10
@@ -218,39 +216,8 @@ object Ivf {
     * generation by flipping the manifest — never renaming data files
     * out from under a reader that already resolved its root. */
   def resolveRoot(spark: org.apache.spark.sql.SparkSession,
-                  path: String): String = {
-    val g = currentGen(spark, path)
-    if (g == 0) path else s"$path/gen-$g"
-  }
-
-  private def currentGen(spark: org.apache.spark.sql.SparkSession,
-                         path: String): Int = {
-    val m = new org.apache.hadoop.fs.Path(s"$path/MANIFEST")
-    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(m)) 0
-    else {
-      val in = fs.open(m)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-      finally in.close()
-    }
-  }
-
-  /** Install generation `gen` as live: write a sibling tmp file, then
-    * an OVERWRITE rename through [[org.apache.hadoop.fs.FileContext]] —
-    * atomic on HDFS and POSIX local filesystems, so a concurrent
-    * [[resolveRoot]] sees either the old or the new generation, never a
-    * missing manifest. */
-  private def flipManifest(spark: org.apache.spark.sql.SparkSession,
-                           path: String, gen: Int): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/MANIFEST__tmp")
-    val dst = new org.apache.hadoop.fs.Path(s"$path/MANIFEST")
-    val fs = dst.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    try out.write(s"$gen\n".getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+                  path: String): String =
+    Generations.resolve(spark, path, "MANIFEST")
 
   /** Append a new shard to a PERSISTED index — the daily-ingest path
     * (parity with [[Dedup.appendShardToIndex]]; before this, a growing
@@ -341,7 +308,7 @@ object Ivf {
                    path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    val curGen = currentGen(spark, path)
+    val curGen = Generations.current(spark, path, "MANIFEST")
     val curRoot = if (curGen == 0) path else s"$path/gen-$curGen"
     val nextGen = curGen + 1
     val nextRoot = s"$path/gen-$nextGen"
@@ -375,7 +342,7 @@ object Ivf {
       .write.mode("overwrite").parquet(s"$nextRoot/ids")
     spark.read.parquet(s"$curRoot/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$nextRoot/centroids")
-    flipManifest(spark, path, nextGen)
+    Generations.flip(spark, path, "MANIFEST", nextGen)
     // retire generations OLDER than the one just replaced — curGen
     // itself survives for readers that resolved their root pre-flip
     for (g <- 0 until curGen) {

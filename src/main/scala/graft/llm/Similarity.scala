@@ -142,11 +142,23 @@ object Similarity {
     // own directory instead of duplicating rows (the crash-replay
     // contract of Pipeline.ingestEmbeddingShard); readers see a
     // `shard_label` partition column, pruned away by the rank paths'
-    // (id, bucket, q) projection.
+    // (id, bucket, q) projection. Writes land in the LIVE generation
+    // root ([[compactQuantizedCorpus]]): compaction preserves the
+    // shard_label partition layout, so a crashed shard's replay
+    // overwrite stays row-exact even across a compaction between the
+    // crash and the replay.
+    val spark = embeddings.sparkSession
+    val root = Generations.resolve(spark, path, "_MANIFEST")
     shardLabel match {
       case Some(l) =>
-        out.write.mode("overwrite").parquet(s"$path/shard_label=$l")
-      case None => out.write.mode(mode).parquet(path)
+        out.write.mode("overwrite").parquet(s"$root/shard_label=$l")
+      case None if mode == "append" =>
+        out.write.mode(mode).parquet(root)
+      case None =>
+        // full rebuild: overwrite the ROOT path (deleting any prior
+        // generation chain and manifest with it) — the flat layout is
+        // the live data again
+        out.write.mode(mode).parquet(path)
     }
     bucketDim.foreach { dim =>
       val meta = s"""{"dim":$dim,"planes":$planes}"""
@@ -155,6 +167,61 @@ object Similarity {
         embeddings.sparkSession.sparkContext.hadoopConfiguration)
       val os = fs.create(p, true)
       try os.write((meta + "\n").getBytes("UTF-8")) finally os.close()
+    }
+  }
+
+  /** Compact the persisted quantized corpus's accumulated append files
+    * (one set per daily [[writeQuantizedCorpus]] shard append) — the
+    * int8 serving copy is the fourth index family a daily ingest grows
+    * (vecs table, IVF cells, text tables are the other three) and was
+    * the only one without a maintenance pass. Same online-vs-readers
+    * generation contract as [[Ivf.compactIndex]]: the rewrite lands in
+    * a new `gen-N` directory, a `_MANIFEST` (underscore-prefixed: the
+    * flat generation-0 layout IS a parquet directory, and parquet
+    * readers must ignore the manifest) flips atomically, and the
+    * replaced generation survives until the next compaction. The
+    * shard_label partition layout is PRESERVED (one file per shard
+    * instead of one per task per shard), which keeps per-shard lineage
+    * AND the crash-replay overwrite contract of
+    * `Pipeline.ingestEmbeddingShard` row-exact across a compaction.
+    * Exclusive with writers, like every compaction here: replay any
+    * crashed shard before compacting. */
+  def compactQuantizedCorpus(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val curGen = Generations.current(spark, path, "_MANIFEST")
+    val curRoot = if (curGen == 0) path else s"$path/gen-$curGen"
+    val nextGen = curGen + 1
+    val nextRoot = s"$path/gen-$nextGen"
+    fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
+    val cur = spark.read.parquet(curRoot)
+    if (cur.columns.contains("shard_label"))
+      cur.repartition(col("shard_label"))
+        .write.mode("overwrite").partitionBy("shard_label")
+        .parquet(nextRoot)
+    else
+      cur.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(nextRoot)
+    // verify BEFORE the flip (the Ivf.compactIndex discipline)
+    val srcRows = cur.count()
+    val dstRows = spark.read.parquet(nextRoot).count()
+    if (dstRows != srcRows) {
+      fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
+      throw new java.io.IOException(
+        s"compactQuantizedCorpus: rewrite row mismatch ($dstRows != $srcRows), aborted")
+    }
+    Generations.flip(spark, path, "_MANIFEST", nextGen)
+    // retire generations OLDER than the one just replaced; generation 0
+    // is the loose flat layout at the root — everything except the
+    // underscore-prefixed sidecars and the gen-* chain
+    for (g <- 0 until curGen) {
+      if (g == 0)
+        fs.listStatus(new org.apache.hadoop.fs.Path(path))
+          .filter(st => !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("gen-"))
+          .foreach(st => fs.delete(st.getPath, true))
+      else fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen-$g"), true)
     }
   }
 
@@ -194,7 +261,8 @@ object Similarity {
       s"$path was built with geometry $meta but probed with " +
         s"""{"dim":$dim,"planes":$planes} — mismatched LSH buckets """ +
         "silently return wrong neighbors")
-    val corpus = spark.read.parquet(path)
+    val corpus = spark.read
+      .parquet(Generations.resolve(spark, path, "_MANIFEST"))
       .select(col(idCol), col("bucket"), col("q").as("__aq__"))
     val qb = queries.select(col(qIdCol).as("query_id"),
       quantizeInt8Q(col(qVecCol)).as("__qq__"),
@@ -230,7 +298,8 @@ object Similarity {
                               path: String, idCol: String,
                               queryId: Long, k: Int): DataFrame = {
     import graft.functions.TextHashExprs.dotLong
-    val corpus = spark.read.parquet(path)
+    val corpus = spark.read
+      .parquet(Generations.resolve(spark, path, "_MANIFEST"))
     // query norm hoisted before the crossJoin (same reason as the
     // on-the-fly form: never per corpus row)
     val q = corpus.filter(col(idCol) === queryId).select(col("q").as("__qq__"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
-import graft.llm.{Dedup, Ivf, Pipeline}
+import graft.llm.{Dedup, Ivf, Pipeline, Similarity}
 
 /** Embedding-side daily ingest (r9 verdict task 2): semantic dedup
   * in-shard + vs the pre-bucketed corpus embedding index, IVF search
@@ -438,6 +438,67 @@ class EmbedIngestSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS embc_vecs")
       rmDir(idxDir)
     }
+  }
+
+  test("compactQuantizedCorpus: shard files drop to one, probe planned pre-flip survives, replay stays row-exact") {
+    val dir = tmpDir("graft_qcc")
+    try {
+      val e = emb.filter(col("vec_id") < 300).repartition(4) // 4 files per shard append
+      def shard(lo: Long, hi: Long, label: String): Unit =
+        Similarity.writeQuantizedCorpus(
+          e.filter(col("vec_id") >= lo && col("vec_id") < hi),
+          "vec_id", "embedding", dir, bucketDim = Some(64),
+          shardLabel = Some(label))
+      shard(0, 200, "d0"); shard(200, 250, "d1"); shard(250, 300, "d2")
+      def root = new java.io.File(
+        graft.llm.Generations.resolve(spark, dir, "_MANIFEST"))
+      def filesPerShard: Map[String, Int] =
+        root.listFiles().filter(f =>
+          f.isDirectory && f.getName.startsWith("shard_label="))
+          .map(d => d.getName ->
+            d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+      val before = filesPerShard
+      assert(before.size == 3 && before.values.exists(_ > 1),
+        s"appends must fragment the shard dirs: $before")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding")
+      def rank = Similarity.annTopKQuantizedIndexedBatch(q, "vec_id",
+          "embedding", dir, "vec_id", dim = 64, k = 3)
+        .orderBy(col("query_id").asc, col("cos_q").desc, col("vec_id").asc)
+      val resBefore = rank.collect().map(_.toString).toSeq
+      assert(resBefore.nonEmpty)
+      // ONLINE-SAFETY: a batch rank that resolved the flat root
+      // pre-flip must still execute post-flip
+      val held = rank
+
+      Similarity.compactQuantizedCorpus(spark, dir)
+      val after = filesPerShard
+      assert(after.keySet == before.keySet && after.values.forall(_ == 1),
+        s"compaction must leave one file per shard: $after")
+      assert(held.collect().map(_.toString).toSeq == resBefore,
+        "a rank planned pre-flip must still run post-flip (online safety)")
+      assert(rank.collect().map(_.toString).toSeq == resBefore,
+        "compaction changed rank results")
+      // the crash-replay overwrite contract survives compaction: a
+      // replayed shard rewrites ITS partition dir in the live
+      // generation — no duplicates, same corpus
+      shard(250, 300, "d2")
+      val ids = spark.read.parquet(root.getAbsolutePath).select("vec_id")
+      assert(ids.count() == 300 && ids.distinct().count() == 300,
+        "post-compaction replay duplicated or lost rows")
+      assert(rank.collect().map(_.toString).toSeq == resBefore,
+        "post-compaction replay changed rank results")
+      // second compaction retires the flat generation-0 layout but
+      // keeps gen-1 for in-flight readers, and the geometry stamp
+      // survives at the root
+      Similarity.compactQuantizedCorpus(spark, dir)
+      assert(root.getName == "gen-2", s"expected gen-2, got $root")
+      assert(!new java.io.File(dir, "shard_label=d0").exists(),
+        "flat layout must be retired after the second compaction")
+      assert(new java.io.File(dir, "gen-1").exists(),
+        "replaced generation must survive for in-flight readers")
+      assert(rank.collect().map(_.toString).toSeq == resBefore)
+    } finally rmDir(dir)
   }
 
   test("streaming embedding near-dup flags arrivals against the persisted index, batch parity") {
