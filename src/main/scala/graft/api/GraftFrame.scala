@@ -614,6 +614,20 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
       .bucketBy(buckets, keys.head, keys.tail: _*)
     val w = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
     w.format("parquet").saveAsTable(name)
+    if (mode == "overwrite") {
+      // a full rebuild (inherently exclusive — it overwrites the flat
+      // layout in place) resets the compaction generation chain: stale
+      // `<dir>__genN` siblings from a previous chain would leak disk
+      // forever ([[GraftFrame.compactBucketedTable]] layout)
+      val p = new org.apache.hadoop.fs.Path(target)
+      val fs = p.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      if (p.getParent != null && fs.exists(p.getParent))
+        fs.listStatus(p.getParent)
+          .filter(_.getPath.getName.matches(
+            java.util.regex.Pattern.quote(p.getName) + "__gen\\d+"))
+          .foreach(st => fs.delete(st.getPath, true))
+    }
   }
   /** JSON / ORC sinks (capability superset — the reference ships only
     * parquet+csv, `io/`; Spark provides these natively). */
@@ -670,6 +684,18 @@ object GraftFrame {
       case GenName(b, g) => (b, g.toInt)
       case n => (n, 0)
     }
+    graft.llm.Generations.withCompactionLock(spark,
+      new org.apache.hadoop.fs.Path(path.getParent,
+        s"_COMPACTION_LOCK__$baseName").toString) {
+      compactBucketedTableLocked(spark, table, spec, path, baseName, curGen)
+    }
+  }
+
+  private def compactBucketedTableLocked(spark: SparkSession, table: String,
+      spec: org.apache.spark.sql.catalyst.catalog.BucketSpec,
+      path: org.apache.hadoop.fs.Path, baseName: String,
+      curGen: Int): Unit = {
+    import org.apache.spark.sql.functions.col
     val tmpTable = s"${table}__compacting"
     val tmpPath = new org.apache.hadoop.fs.Path(
       path.getParent, s"${baseName}__gen${curGen + 1}")

@@ -50,12 +50,42 @@ private[graft] object Generations {
       .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Delete the manifest so the flat layout is live again — a full
-    * rebuild resets the generation chain. */
+  /** Delete the manifest AND any generation directories so the flat
+    * layout is live again — a full rebuild resets the chain (rebuilds
+    * overwrite the flat layout in place, so they are inherently
+    * exclusive with everything; stale generations would otherwise leak
+    * disk forever). */
   def reset(spark: org.apache.spark.sql.SparkSession, path: String,
             manifest: String): Unit = {
-    val m = new org.apache.hadoop.fs.Path(s"$path/$manifest")
-    m.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(m, false)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$manifest"), false)
+    if (fs.exists(p))
+      fs.listStatus(p).filter(_.getPath.getName.matches("gen-\\d+"))
+        .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Run `body` holding the path's compaction lock: compactions are
+    * exclusive with each other (two racing rewrites would both target
+    * gen-N+1) and with writers — this enforces the first and gives the
+    * second a visible artifact. The lock is an atomically-created file
+    * (`create(overwrite = false)`); a crashed compaction leaves it
+    * behind, and the error says which file to delete after confirming
+    * nothing is running. */
+  def withCompactionLock[T](spark: org.apache.spark.sql.SparkSession,
+                            lockFile: String)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(lockFile)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out =
+      try fs.create(lock, false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"another compaction holds $lock (or a crashed one left it " +
+            s"behind) — verify nothing is running, then delete it to " +
+            s"proceed")
+      }
+    try out.write(s"${java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName}\n".getBytes("UTF-8")) finally out.close()
+    try body finally fs.delete(lock, false)
   }
 }

@@ -305,7 +305,13 @@ object Ivf {
     * holds, search results identical, probe planned pre-flip still
     * executes post-flip). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-                   path: String): Unit = {
+                   path: String): Unit =
+    Generations.withCompactionLock(spark, s"$path/_COMPACTION_LOCK") {
+      compactIndexLocked(spark, path)
+    }
+
+  private def compactIndexLocked(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val curGen = Generations.current(spark, path, "MANIFEST")

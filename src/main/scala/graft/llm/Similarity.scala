@@ -187,7 +187,13 @@ object Similarity {
     * Exclusive with writers, like every compaction here: replay any
     * crashed shard before compacting. */
   def compactQuantizedCorpus(spark: org.apache.spark.sql.SparkSession,
-                             path: String): Unit = {
+                             path: String): Unit =
+    Generations.withCompactionLock(spark, s"$path/_COMPACTION_LOCK") {
+      compactQuantizedCorpusLocked(spark, path)
+    }
+
+  private def compactQuantizedCorpusLocked(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val curGen = Generations.current(spark, path, "_MANIFEST")

@@ -287,6 +287,22 @@ class EmbedIngestSpec extends SparkTestBase {
         "the replaced generation must survive for in-flight readers")
       assert(search.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
           == resBefore, "second compaction changed search results")
+      // writer-exclusivity is ENFORCED, not just documented: a held (or
+      // crashed) lock makes another compaction throw, naming the lock
+      val lock = new java.io.File(dir, "_COMPACTION_LOCK")
+      java.nio.file.Files.write(lock.toPath, "held\n".getBytes("UTF-8"))
+      val ex = intercept[IllegalStateException](Ivf.compactIndex(spark, dir))
+      assert(ex.getMessage.contains("_COMPACTION_LOCK"))
+      assert(lock.delete())
+      // a full rebuild resets the generation chain: flat is live again
+      // and stale generations don't leak disk
+      Ivf.writeIndex(e.filter(col("vec_id") < 150), "vec_id", "embedding",
+        cents, dir)
+      assert(Ivf.resolveRoot(spark, dir) == dir,
+        "rebuild must make the flat layout live again")
+      assert(!new java.io.File(dir, "gen-1").exists() &&
+        !new java.io.File(dir, "gen-2").exists(),
+        "rebuild must free the old generation chain")
     } finally rmDir(dir)
   }
 
