@@ -242,6 +242,38 @@ object Streams {
     graft.llm.Dedup.embeddingNearDupPairsAgainstIndex(vectors, idCol,
       vecCol, indexName, dim, threshold, planes)
 
+  /** Streaming retrieval over the PERSISTED bucketed int8 corpus — the
+    * SERVING loop of the quantized family: query vectors arrive as a
+    * stream, and each micro-batch is ranked with the full batch path
+    * ([[graft.llm.Similarity.annTopKQuantizedIndexedBatch]]: one bucket
+    * equi-join against the (id, bucket, q) corpus, native integer-dot
+    * verify, per-query row_number top-k — a WINDOW, which streaming
+    * plans forbid outside foreachBatch; here the window is bounded by
+    * the trigger's batch, never the stream). Results land under
+    * `outPath/batch_id=<id>` with OVERWRITE, so a failure-replayed
+    * micro-batch rewrites its own partition instead of duplicating
+    * rows — the same crash-replay discipline as the ingest landings.
+    * The corpus re-resolves its live generation at EVERY micro-batch,
+    * so an online [[graft.llm.Similarity.compactQuantizedCorpus]]
+    * mid-stream is picked up at the next trigger: the serving loop
+    * never holds a generation across triggers, closing the
+    * two-compactions reader hazard for 24/7 serving. */
+  def annTopKQuantizedStream(queries: DataFrame, qIdCol: String,
+                             qVecCol: String, path: String, idCol: String,
+                             dim: Int, k: Int,
+                             outPath: String, checkpoint: String,
+                             planes: Int = 8,
+                             multiProbe: Boolean = true): DataStreamWriter[Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.llm.Similarity.annTopKQuantizedIndexedBatch(batch, qIdCol,
+              qVecCol, path, idCol, dim, k, planes, multiProbe)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        ()
+      }
+
   /** Streaming INGEST GATE — the stateless-plus-watermark front half of
     * the batch pretraining pipeline (llm/Pipeline.pretrainCorpus), for
     * documents arriving as a stream: Gopher-style quality filter (pure

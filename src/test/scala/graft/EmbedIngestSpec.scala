@@ -517,6 +517,55 @@ class EmbedIngestSpec extends SparkTestBase {
     } finally rmDir(dir)
   }
 
+  test("streaming quantized retrieval: per-micro-batch top-k, batch parity, mid-stream compaction picked up") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = tmpDir("graft_qserve")
+    val corpusDir = s"$base/corpus"
+    val outDir = s"$base/out"
+    try {
+      val corpus = emb.filter(col("vec_id") < 300).repartition(4)
+      Similarity.writeQuantizedCorpus(corpus, "vec_id", "embedding",
+        corpusDir, bucketDim = Some(64), shardLabel = Some("d0"))
+      def qvec(id: Long): Seq[Float] = emb.filter(col("vec_id") === id)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.Streams.annTopKQuantizedStream(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        corpusDir, "vec_id", dim = 64, k = 3,
+        outPath = outDir, checkpoint = s"$base/ckpt").start()
+      try {
+        in.addData((9000L, qvec(0L)), (9001L, qvec(50L)))
+        q.processAllAvailable()
+        // ONLINE compaction between micro-batches: the serving loop
+        // re-resolves the live generation at the next trigger
+        Similarity.compactQuantizedCorpus(spark, corpusDir)
+        in.addData((9002L, qvec(100L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(outDir)
+        .select("query_id", "vec_id", "cos_q")
+        .collect().map(_.toString).sorted.toSeq
+      // batch parity: the same three queries through the batch path
+      val expect = Similarity.annTopKQuantizedIndexedBatch(
+          emb.filter(col("vec_id") === 0L).select(lit(9000L).as("vec_id"), col("embedding"))
+            .unionByName(emb.filter(col("vec_id") === 50L).select(lit(9001L).as("vec_id"), col("embedding")))
+            .unionByName(emb.filter(col("vec_id") === 100L).select(lit(9002L).as("vec_id"), col("embedding"))),
+          "vec_id", "embedding", corpusDir, "vec_id", dim = 64, k = 3)
+        .select("query_id", "vec_id", "cos_q")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got.nonEmpty && got == expect,
+        s"stream results must match the batch path: $got vs $expect")
+      // per-batch partition dirs carry the replay contract
+      assert(new java.io.File(outDir).listFiles()
+        .count(_.getName.startsWith("batch_id=")) == 2,
+        "each micro-batch must land its own overwrite-able partition")
+    } finally {
+      rmDir(base)
+    }
+  }
+
   test("streaming embedding near-dup flags arrivals against the persisted index, batch parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
