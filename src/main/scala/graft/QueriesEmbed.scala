@@ -735,11 +735,24 @@ object QueriesEmbed {
          |ORDER BY query_id ASC, cos_q DESC, vec_id ASC""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       // tmp-dir index landing (q_embed_ingest posture: runs from any
-      // checkout; overwrite keeps repeated runs in one session pristine)
-      val qpath = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/qidx").getAbsolutePath
-      Similarity.writeQuantizedCorpus(e, "vec_id", "embedding", qpath,
-        bucketDim = Some(64), planes = 8)
+      // checkout). Built ONCE per JVM+dir (r11 review: rebuilding the
+      // corpus inside the timed query is the same fixture-dominated-
+      // headline flaw the steady ingest entries fixed — the number
+      // could not move when the (id, bucket, q) serving scan moved).
+      // The corpus is read-only for this query, so a stamp check
+      // suffices; no restore needed.
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/qidx")
+      val qpath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir
+      if (!fresh) {
+        Similarity.writeQuantizedCorpus(e, "vec_id", "embedding", qpath,
+          bucketDim = Some(64), planes = 8)
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
       val q = e.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
       Similarity.annTopKQuantizedIndexedBatch(q, "vec_id", "embedding",
           qpath, "vec_id", dim = 64, k = 5, planes = 8)

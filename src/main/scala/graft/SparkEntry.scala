@@ -95,7 +95,8 @@ object SparkEntry {
     * The queries are self-initializing (FixtureSnapshot), so Verify
     * and ad-hoc callers need no hook. */
   val benchPrepare: Map[String, (SparkSession, String) => Unit] =
-    Seq("q_ingest_gate_steady", "q_embed_ingest_steady").map { n =>
+    Seq("q_ingest_gate_steady", "q_embed_ingest_steady",
+        "q_ann_quantized_indexed").map { n =>
       n -> ((s: SparkSession, dir: String) =>
         queries(n)(s, dir).write.format("noop").mode("overwrite").save())
     }.toMap

@@ -465,12 +465,19 @@ object Dedup {
                                   vecCol: String, dim: Int,
                                   threshold: Double, name: String,
                                   path: String, planes: Int = 8,
-                                  buckets: Int = 8): DataFrame = {
+                                  buckets: Int = 8,
+                                  presentIds: Option[DataFrame] = None): DataFrame = {
     val spark = newEmbeddings.sparkSession
-    val present = spark.table(s"${name}_vecs").select(col("id"))
-      .join(broadcast(newEmbeddings.select(col(idCol).as("id"))),
-        Seq("id"), "left_semi")
-      .select(col("id").as(idCol))
+    // presentIds: the caller's precomputed shard∩index id set (a frame
+    // of idCol). Pipeline.ingestEmbeddingShard already materializes
+    // exactly this as its crash-recovery suspects snapshot — without
+    // the handoff every daily ingest paid the corpus-sized vecs-table
+    // id-column scan twice (r11 review)
+    val present = presentIds.getOrElse(
+      spark.table(s"${name}_vecs").select(col("id"))
+        .join(broadcast(newEmbeddings.select(col(idCol).as("id"))),
+          Seq("id"), "left_semi")
+        .select(col("id").as(idCol)))
     val fresh = newEmbeddings.join(present, Seq(idCol), "left_anti")
     // planes threads through: stage 1 (in-shard) and stage 2 (vs-corpus)
     // MUST share LSH geometry or a caller's planes != 8 silently splits

@@ -256,6 +256,23 @@ object Ivf {
     val centroids = spark.read.parquet(s"$path/centroids")
     val idsP = new org.apache.hadoop.fs.Path(s"$path/ids")
     val fs = idsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // SELF-RECONCILING crash window: the vectors append commits before
+    // the ids-boundary append, so a crash between them leaves committed
+    // vectors invisible to the guard — a replay would double-insert
+    // them. An in-flight marker brackets the two writes; finding one
+    // here means the last append crashed mid-window, so the boundary is
+    // rebuilt FROM the vectors (one id-column scan, paid only on the
+    // append after a crash — the steady-state day never sees it). This
+    // closes the hole the scaladoc previously pushed onto the operator
+    // ("run compactIndex before replaying"), which the pipeline's
+    // replay contract never actually did.
+    val inflight = new org.apache.hadoop.fs.Path(s"$path/_APPEND_INFLIGHT")
+    if (fs.exists(inflight)) {
+      val vecIds = spark.read.parquet(s"$path/vectors").select(col(idCol))
+        .localCheckpoint(true)
+      vecIds.write.mode("overwrite").parquet(s"$path/ids")
+      fs.delete(inflight, false)
+    }
     val hasBoundary = fs.exists(idsP)
     val boundary =
       if (hasBoundary) spark.read.parquet(s"$path/ids")
@@ -265,6 +282,8 @@ object Ivf {
         "left_semi")
       .select(col(idCol))
     val fresh = newEmbeddings.join(present, Seq(idCol), "left_anti")
+    val out = fs.create(inflight, true)
+    try out.write("appending\n".getBytes("UTF-8")) finally out.close()
     assign(fresh, idCol, vecCol, centroids)
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
     // grow the boundary by the same fresh ids (pre-r11 indexes gain one
@@ -278,6 +297,7 @@ object Ivf {
      else freshIds.unionByName(boundary))
       .write.mode(if (hasBoundary) "append" else "overwrite")
       .parquet(s"$path/ids")
+    fs.delete(inflight, false)
   }
 
   /** Rewrite each cell's accumulated small files (one per
@@ -344,7 +364,12 @@ object Ivf {
       .getOrElse(throw new IllegalStateException(
         s"compactIndex: cannot infer the id column of $nextRoot/vectors"))
       .name
-    vecDf.select(col(idName)).coalesce(1)
+    // bounded parallelism, NOT coalesce(1): at the 10B-vector scale the
+    // boundary exists for, one task funneling the whole id column is a
+    // single-core stall (and a single multi-GB file); defaultParallelism
+    // files keep the boundary cheap to open without the bottleneck
+    vecDf.select(col(idName))
+      .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$nextRoot/ids")
     spark.read.parquet(s"$curRoot/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$nextRoot/centroids")

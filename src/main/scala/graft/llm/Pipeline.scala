@@ -381,10 +381,8 @@ object Pipeline {
         case Some(suspects) =>
           if (suspects.isEmpty) cp.limit(0)
           else {
-            val landedIds =
-              try spark.read.parquet(outPath).select(col(idCol))
-              catch { case _: org.apache.spark.sql.AnalysisException =>
-                cp.select(col(idCol)).limit(0) }
+            val landedIds = landedUnderOtherLabels(spark, outPath, idCol,
+              shardLabel, cp)
             val unlanded = suspects.join(
               landedIds.join(broadcast(suspects), Seq(idCol), "left_semi"),
               Seq(idCol), "left_anti")
@@ -456,6 +454,31 @@ object Pipeline {
   /** The O(1) full-replay guard both ingest variants share: the
     * per-shard manifest is the LAST sink, so its existence proves every
     * sink committed for this label. */
+  /** Ids already landed under a DIFFERENT shard label — the suspect-
+    * exclusion set of the crash-replay recovery. The CURRENT label's
+    * partition must NOT count as landed: a crash in the landing→manifest
+    * window leaves this very shard's partition on disk, and since the
+    * replay OVERWRITES that partition, anything already in it is about
+    * to be deleted — excluding those ids from recovery would turn the
+    * replay into silent data loss (the replayed run would overwrite the
+    * landed partition with the empty difference and record landed=0 as
+    * success). Same-id docs under OTHER labels are genuine older
+    * submissions and still skip. Pre-partitioned (flat, pre-r11)
+    * landings carry no shard_label column — all their rows are other
+    * submissions by construction. */
+  private def landedUnderOtherLabels(
+      spark: org.apache.spark.sql.SparkSession, outPath: String,
+      idCol: String, shardLabel: String,
+      empty: DataFrame): DataFrame =
+    try {
+      val landed = spark.read.parquet(outPath)
+      (if (landed.columns.contains("shard_label"))
+        landed.filter(col("shard_label") =!= shardLabel)
+      else landed).select(col(idCol))
+    } catch { case _: org.apache.spark.sql.AnalysisException =>
+      empty.select(col(idCol)).limit(0)
+    }
+
   private def readShardManifest(spark: org.apache.spark.sql.SparkSession,
                                 outPath: String,
                                 shardLabel: String): Option[Map[String, Long]] = {
@@ -566,15 +589,16 @@ object Pipeline {
         "left_semi")
       .select(col("id").as(idCol)).localCheckpoint(true)
     val survivors = Dedup.appendEmbeddingShardToIndex(cp, idCol,
-      vecCol, dim, threshold, indexName, indexPath, planes, buckets)
+      vecCol, dim, threshold, indexName, indexPath, planes, buckets,
+      // the suspects snapshot IS stage-0's present set — hand it over
+      // so the day pays ONE corpus id-column scan, not two
+      presentIds = Some(suspects))
     try {
       val recovered: DataFrame =
         if (suspects.isEmpty) cp.limit(0)
         else {
-          val landedIds =
-            try spark.read.parquet(outPath).select(col(idCol))
-            catch { case _: org.apache.spark.sql.AnalysisException =>
-              cp.select(col(idCol)).limit(0) }
+          val landedIds = landedUnderOtherLabels(spark, outPath, idCol,
+            shardLabel, cp)
           val unlanded = suspects.join(
             landedIds.join(broadcast(suspects), Seq(idCol), "left_semi"),
             Seq(idCol), "left_anti")

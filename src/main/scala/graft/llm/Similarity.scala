@@ -149,6 +149,33 @@ object Similarity {
     // crash and the replay.
     val spark = embeddings.sparkSession
     val root = Generations.resolve(spark, path, "_MANIFEST")
+    val conf = spark.sparkContext.hadoopConfiguration
+    // a corpus is EITHER flat parquet files OR shard_label partitions —
+    // mixing them breaks Spark's partition discovery for every future
+    // read, so refuse the write that would create the mix instead of
+    // bricking the path (a pre-partition-era corpus must be rebuilt
+    // once before switching to labeled appends)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val rootFs = rootP.getFileSystem(conf)
+    if (rootFs.exists(rootP)) {
+      val entries = rootFs.listStatus(rootP)
+      def loose = entries.exists(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet"))
+      def parts = entries.exists(st => st.isDirectory &&
+        st.getPath.getName.startsWith("shard_label="))
+      shardLabel match {
+        case Some(_) => require(!loose,
+          s"$root holds flat parquet files; a shard_label partition " +
+            "write beside them would make the whole corpus unreadable " +
+            "(conflicting directory structures) — rebuild the corpus " +
+            "with writeQuantizedCorpus(mode = \"overwrite\") first")
+        case None if mode == "append" => require(!parts,
+          s"$root is shard_label-partitioned; a flat append beside the " +
+            "partitions would make the corpus unreadable — append with " +
+            "a shardLabel instead")
+        case None => ()
+      }
+    }
     shardLabel match {
       case Some(l) =>
         out.write.mode("overwrite").parquet(s"$root/shard_label=$l")
@@ -163,10 +190,26 @@ object Similarity {
     bucketDim.foreach { dim =>
       val meta = s"""{"dim":$dim,"planes":$planes}"""
       val p = new org.apache.hadoop.fs.Path(path, "_graft_quantized_meta.json")
-      val fs = p.getFileSystem(
-        embeddings.sparkSession.sparkContext.hadoopConfiguration)
-      val os = fs.create(p, true)
-      try os.write((meta + "\n").getBytes("UTF-8")) finally os.close()
+      val fs = p.getFileSystem(conf)
+      // appends must MATCH the existing geometry stamp, never replace
+      // it: silently re-stamping would make the reader's validation
+      // pass against a corpus whose older rows carry buckets from a
+      // different geometry — exactly the wrong-neighbors failure the
+      // stamp exists to turn into a throw. (A full rebuild deletes the
+      // sidecar with the directory, so it re-stamps freely.)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val existing =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        require(existing == meta,
+          s"$path was built with geometry $existing but this append " +
+            s"carries $meta — mixed-geometry buckets silently return " +
+            "wrong neighbors; rebuild the corpus to change geometry")
+      } else {
+        val os = fs.create(p, true)
+        try os.write((meta + "\n").getBytes("UTF-8")) finally os.close()
+      }
     }
   }
 

@@ -175,6 +175,105 @@ class EmbedIngestSpec extends SparkTestBase {
     }
   }
 
+  test("embedding ingest replay after a crash between landing and manifest re-lands intact; IVF append self-reconciles its ids window") {
+    val corpus = emb.filter(col("vec_id") < 300)
+    val shard = emb.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+    val idxDir = tmpDir("graft_embL")
+    val ivfDir = tmpDir("graft_embLivf")
+    val outDir = tmpDir("graft_embLout")
+    try {
+      Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding", 64,
+        "embL", idxDir)
+      val cents = Ivf.train(corpus, "vec_id", "embedding", nCells = 4,
+        iters = 0)
+      Ivf.writeIndex(corpus, "vec_id", "embedding", cents, ivfDir)
+      val c1 = Pipeline.ingestEmbeddingShard(shard, "vec_id", "embedding",
+        dim = 64, threshold = 0.9, indexName = "embL", indexPath = idxDir,
+        outPath = outDir, shardLabel = "dX", ivfPath = Some(ivfDir))
+      assert(c1 == Map("input" -> 50L, "landed" -> 50L))
+      // crash in the landing→manifest window: partition on disk, no
+      // manifest. The pre-r11-review recovery counted the crashed
+      // label's own rows as landed, overwrote the partition with the
+      // empty difference, and recorded landed=0 — data loss.
+      assert(new java.io.File(outDir, "_graft_shard_dX.json").delete())
+      val c2 = Pipeline.ingestEmbeddingShard(shard, "vec_id", "embedding",
+        dim = 64, threshold = 0.9, indexName = "embL", indexPath = idxDir,
+        outPath = outDir, shardLabel = "dX", ivfPath = Some(ivfDir))
+      assert(c2 == Map("input" -> 50L, "landed" -> 50L),
+        s"replay must re-land the crashed landing, got $c2")
+      assert(spark.read.parquet(outDir).select("vec_id").collect()
+        .map(_.getLong(0)).sorted.toSeq == (300L until 350L).toSeq,
+        "the landed partition must survive the replay intact")
+      assert(spark.read.parquet(s"$ivfDir/vectors").count() == 350 &&
+        spark.read.parquet(s"$ivfDir/vectors").select("vec_id")
+          .distinct().count() == 350,
+        "the replayed IVF append must not duplicate vectors")
+
+      // IVF vectors→ids crash window: simulate a crash AFTER the
+      // vectors append but BEFORE the boundary append — ids dir reset
+      // to the pre-append state, in-flight marker left behind. The
+      // next append must reconcile the boundary from the vectors and
+      // NOT double-insert the committed rows (previously the scaladoc
+      // pushed a manual compactIndex onto the operator; the replay
+      // path never did it).
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(ivfDir, "ids"))
+      corpus.select("vec_id").write.parquet(s"$ivfDir/ids")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(ivfDir, "_APPEND_INFLIGHT"),
+        "appending\n".getBytes("UTF-8"))
+      Ivf.appendToIndex(shard, "vec_id", "embedding", ivfDir)
+      val vec = spark.read.parquet(s"$ivfDir/vectors")
+      assert(vec.count() == 350 &&
+        vec.select("vec_id").distinct().count() == 350,
+        "the in-flight reconcile must prevent double-insert")
+      assert(spark.read.parquet(s"$ivfDir/ids").count() == 350,
+        "the reconciled boundary must cover the committed vectors")
+      assert(!new java.io.File(ivfDir, "_APPEND_INFLIGHT").exists(),
+        "a clean append must clear the in-flight marker")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS embL_vecs")
+      Seq(idxDir, ivfDir, outDir).foreach(rmDir)
+    }
+  }
+
+  test("quantized corpus guards: mixed flat+partitioned layout refused; append geometry must match the stamp") {
+    val base = tmpDir("graft_qg")
+    try {
+      val e = emb.filter(col("vec_id") < 100)
+      // flat corpus, then a labeled append beside it → refused (the mix
+      // would break partition discovery for every future read)
+      val flat = s"$base/flat"
+      Similarity.writeQuantizedCorpus(e, "vec_id", "embedding", flat,
+        bucketDim = Some(64))
+      val exMix = intercept[IllegalArgumentException](
+        Similarity.writeQuantizedCorpus(e, "vec_id", "embedding", flat,
+          bucketDim = Some(64), shardLabel = Some("d1")))
+      assert(exMix.getMessage.contains("flat parquet files"))
+      // partitioned corpus, then a flat append beside it → refused
+      val parts = s"$base/parts"
+      Similarity.writeQuantizedCorpus(e, "vec_id", "embedding", parts,
+        bucketDim = Some(64), shardLabel = Some("d0"))
+      val exFlat = intercept[IllegalArgumentException](
+        Similarity.writeQuantizedCorpus(e, "vec_id", "embedding", parts,
+          bucketDim = Some(64), mode = "append"))
+      assert(exFlat.getMessage.contains("shard_label-partitioned"))
+      // geometry drift on append → refused instead of silently
+      // re-stamping the sidecar (the reader's validation would then
+      // pass against mixed-geometry buckets — wrong neighbors)
+      val exGeom = intercept[IllegalArgumentException](
+        Similarity.writeQuantizedCorpus(e, "vec_id", "embedding", parts,
+          bucketDim = Some(64), planes = 16, shardLabel = Some("d2")))
+      assert(exGeom.getMessage.contains("geometry"))
+      // matching geometry still appends fine
+      Similarity.writeQuantizedCorpus(
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 150),
+        "vec_id", "embedding", parts, bucketDim = Some(64),
+        shardLabel = Some("d2"))
+      assert(spark.read.parquet(parts).count() == 150)
+    } finally rmDir(base)
+  }
+
   test("ingestEmbeddingAudit: one planted family per fate; dry run leaves the index unchanged") {
     val corpus = emb.filter(col("vec_id") < 300)
     val idxDir = tmpDir("graft_embA")
@@ -359,13 +458,17 @@ class EmbedIngestSpec extends SparkTestBase {
       val ids = spark.read.parquet(s"$dir/ids")
       assert(ids.count() == 180 && ids.distinct().count() == 180,
         "ids boundary out of lockstep with the vectors")
-      // compaction reconciles the boundary to one file and keeps lockstep
+      // compaction reconciles the boundary (bounded file count) and
+      // keeps lockstep
       Ivf.compactIndex(spark, dir)
       val root = Ivf.resolveRoot(spark, dir)
       val idFiles = new java.io.File(root, "ids").listFiles()
         .count(_.getName.endsWith(".parquet"))
-      assert(idFiles == 1, s"compacted ids boundary has $idFiles files")
-      assert(spark.read.parquet(s"$root/ids").count() == 180)
+      assert(idFiles >= 1 &&
+        idFiles <= spark.sparkContext.defaultParallelism,
+        s"compacted ids boundary has $idFiles files")
+      assert(spark.read.parquet(s"$root/ids").count() == 180 &&
+        spark.read.parquet(s"$root/ids").distinct().count() == 180)
     } finally rmDir(dir)
   }
 

@@ -228,6 +228,44 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("ingestShard replay after a crash between landing and manifest re-lands intact — no data loss") {
+    val tmp = tmpDir("graft_ingL")
+    val out = tmpDir("graft_ingL_out")
+    try {
+      Dedup.writeNearDupIndex(df(docSchema, Row(1L, uniq2)), "doc_id",
+        "text", "ingL_t", tmp)
+      val bench = df(docSchema)
+      val shard = df(docSchema,
+        Row(10L, uniq),
+        Row(11L, "the amber harbor cranes schedule and the river barge " +
+          "manifest wait for tuesday morning inspection"))
+      val c1 = Pipeline.ingestShard(shard, bench, "doc_id", "text",
+        "ingL_t", tmp, out, "dX")
+      assert(c1 == Map("input" -> 2L, "landed" -> 2L))
+      // crash simulation for the landing→manifest window: the partition
+      // is fully on disk but the manifest write never happened. The
+      // r11 review found the recovery's landedIds subtraction counted
+      // the crashed label's own partition as landed — the replay then
+      // OVERWROTE it with the empty difference and recorded landed=0
+      // as success (permanent data loss). Same-label rows must NOT
+      // count as landed; only other labels skip.
+      assert(new java.io.File(out, "_graft_shard_dX.json").delete(),
+        "fixture: manifest must exist to delete")
+      val c2 = Pipeline.ingestShard(shard, bench, "doc_id", "text",
+        "ingL_t", tmp, out, "dX")
+      assert(c2 == Map("input" -> 2L, "landed" -> 2L),
+        s"replay must re-land the crashed landing, got $c2")
+      val landed = spark.read.parquet(out)
+      assert(landed.select("doc_id").collect().map(_.getLong(0)).sorted
+        .sameElements(Array(10L, 11L)),
+        "the landed partition must survive the replay intact")
+    } finally {
+      dropIndex("ingL_t")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("ingestAudit: per-doc fate attribution; dry run leaves the index unchanged") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").filter(col("doc_id") < 300)
