@@ -213,6 +213,51 @@ object Similarity {
     }
   }
 
+  /** Migrate a FLAT quantized corpus (pre-partition-era appends, or an
+    * initial unlabeled build) to the shard_label-partitioned layout the
+    * daily ingest writes — without the float re-quantization a full
+    * rebuild would cost. All existing rows land under one label (pick
+    * something like "migrated" or the build date); labeled appends then
+    * compose, where before this the mixed-layout guard forced a
+    * rebuild. Installed as a new generation with the same online-flip
+    * contract as [[compactQuantizedCorpus]] (and the same
+    * writer-exclusive lock). No-op error if the corpus is already
+    * partitioned. */
+  def migrateQuantizedCorpus(spark: org.apache.spark.sql.SparkSession,
+                             path: String, label: String): Unit =
+    Generations.withCompactionLock(spark, s"$path/_COMPACTION_LOCK") {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val curGen = Generations.current(spark, path, "_MANIFEST")
+      val curRoot = if (curGen == 0) path else s"$path/gen-$curGen"
+      val cur = spark.read.parquet(curRoot)
+      require(!cur.columns.contains("shard_label"),
+        s"$path is already shard_label-partitioned")
+      val nextGen = curGen + 1
+      val nextRoot = s"$path/gen-$nextGen"
+      fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
+      cur.withColumn("shard_label", lit(label))
+        .repartition(col("shard_label"))
+        .write.mode("overwrite").partitionBy("shard_label")
+        .parquet(nextRoot)
+      val srcRows = cur.count()
+      val dstRows = spark.read.parquet(nextRoot).count()
+      if (dstRows != srcRows) {
+        fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
+        throw new java.io.IOException(
+          s"migrateQuantizedCorpus: rewrite row mismatch ($dstRows != $srcRows), aborted")
+      }
+      Generations.flip(spark, path, "_MANIFEST", nextGen)
+      for (g <- 0 until curGen) {
+        if (g == 0)
+          fs.listStatus(new org.apache.hadoop.fs.Path(path))
+            .filter(st => !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("gen-"))
+            .foreach(st => fs.delete(st.getPath, true))
+        else fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen-$g"), true)
+      }
+    }
+
   /** Compact the persisted quantized corpus's accumulated append files
     * (one set per daily [[writeQuantizedCorpus]] shard append) — the
     * int8 serving copy is the fourth index family a daily ingest grows

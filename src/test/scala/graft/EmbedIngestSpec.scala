@@ -250,6 +250,27 @@ class EmbedIngestSpec extends SparkTestBase {
         Similarity.writeQuantizedCorpus(e, "vec_id", "embedding", flat,
           bucketDim = Some(64), shardLabel = Some("d1")))
       assert(exMix.getMessage.contains("flat parquet files"))
+      // ...but migration converts the flat corpus in place (generation
+      // flip, no float re-quantization) and labeled appends compose
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding")
+      def rank = Similarity.annTopKQuantizedIndexedBatch(q, "vec_id",
+          "embedding", flat, "vec_id", dim = 64, k = 3)
+        .orderBy(col("query_id").asc, col("cos_q").desc, col("vec_id").asc)
+        .collect().map(_.toString).toSeq
+      val rankBefore = rank
+      Similarity.migrateQuantizedCorpus(spark, flat, "migrated")
+      assert(rank == rankBefore,
+        "migration must not change rank results")
+      Similarity.writeQuantizedCorpus(
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+        "vec_id", "embedding", flat, bucketDim = Some(64),
+        shardLabel = Some("d1"))
+      val migrated = spark.read.parquet(
+        graft.llm.Generations.resolve(spark, flat, "_MANIFEST"))
+      assert(migrated.count() == 120 &&
+        migrated.select("shard_label").distinct().count() == 2,
+        "labeled appends must compose after migration")
       // partitioned corpus, then a flat append beside it → refused
       val parts = s"$base/parts"
       Similarity.writeQuantizedCorpus(e, "vec_id", "embedding", parts,
