@@ -26,7 +26,25 @@ object FixtureSnapshot {
         java.nio.charset.StandardCharsets.UTF_8).trim == stamp &&
       tables.forall(spark.catalog.tableExists) &&
       dirs.forall(d => new java.io.File(bakRoot, d).isDirectory)
-    if (!valid) {
+    val restoredOk = valid && {
+      dirs.foreach { d =>
+        val live = new java.io.File(base, d)
+        FileUtils.deleteDirectory(live)
+        FileUtils.copyDirectory(new java.io.File(bakRoot, d), live)
+      }
+      tables.foreach(spark.catalog.refreshTable)
+      // a generation-moving rewrite (retraction, compaction) may have
+      // pointed a catalog table at a __genN sibling the restore just
+      // deleted — the snapshot predates the move, so the table must be
+      // re-registered by a rebuild, not trusted
+      tables.forall { t =>
+        new java.io.File(java.net.URI.create(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t))
+            .location.toString)).isDirectory
+      }
+    }
+    if (!restoredOk) {
       dirs.foreach(d => FileUtils.deleteDirectory(new java.io.File(base, d)))
       build
       FileUtils.deleteDirectory(bakRoot)
@@ -34,13 +52,6 @@ object FixtureSnapshot {
         new java.io.File(base, d), new java.io.File(bakRoot, d)))
       java.nio.file.Files.write(marker.toPath,
         (stamp + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } else {
-      dirs.foreach { d =>
-        val live = new java.io.File(base, d)
-        FileUtils.deleteDirectory(live)
-        FileUtils.copyDirectory(new java.io.File(bakRoot, d), live)
-      }
-      tables.foreach(spark.catalog.refreshTable)
     }
   }
 }

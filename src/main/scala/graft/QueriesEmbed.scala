@@ -1039,6 +1039,15 @@ object QueriesEmbed {
         |  AND vec_id NOT IN (SELECT id FROM vsdrop)
         |ORDER BY vec_id""".stripMargin
 
+    /** [[embedIngestSql]] with an extra landed-set predicate — the
+      * retraction oracle reuses the whole ingest recompute and drops
+      * the retracted ids from the expected landing. (The SQL ends with
+      * its only `ORDER BY vec_id`, so the splice point is unique.) */
+    def embedIngestSqlWhere(extra: String): String =
+      embedIngestSql.replace(
+        "ORDER BY vec_id",
+        s"AND $extra\nORDER BY vec_id")
+
     /** Shared fixture for the embedding-ingest oracles: corpus
       * (vec_id < 400) and the shard with its two planted duplicates. */
     def embedIngestFixture(s: org.apache.spark.sql.SparkSession,
@@ -1106,6 +1115,43 @@ object QueriesEmbed {
         dim = 64, threshold = 0.9, indexName = "g_embst",
         indexPath = idx.getAbsolutePath, outPath = out.getAbsolutePath,
         shardLabel = "steady", ivfPath = Some(ivf.getAbsolutePath))
+      s.read.parquet(out.getAbsolutePath)
+        .select("vec_id").orderBy("vec_id")
+    }
+
+    // RETRACTION over the steady-embedding fixture
+    // (Pipeline.retractEmbeddings): ingest the shard, then retract
+    // every shard id with vec_id % 23 = 5 from the vecs index, the IVF
+    // index and the landing — the landing read back must equal the
+    // gate's survivors minus the retracted set (retracting
+    // gate-dropped ids is a no-op, mirrored by filtering the survivor
+    // set). Shares the embst snapshot.
+    r.reg("q_retract_embed",
+      embedIngestSqlWhere("vec_id % 23 <> 5")) { (s, dir) =>
+      val (corpus, shard) = embedIngestFixture(s, dir)
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/embst")
+      val idx = new java.io.File(base, "idx")
+      val ivf = new java.io.File(base, "ivf")
+      val out = new java.io.File(base, "out_retract")
+      FixtureSnapshot.ensure(s, base, s"embst|$dir",
+        Seq("g_embst_vecs"), Seq("idx", "ivf")) {
+        graft.llm.Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding",
+          64, "g_embst", idx.getAbsolutePath)
+        val cents = graft.llm.Ivf.train(corpus, "vec_id", "embedding",
+          nCells = 8, iters = 0)
+        graft.llm.Ivf.writeIndex(corpus, "vec_id", "embedding", cents,
+          ivf.getAbsolutePath)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(out)
+      graft.llm.Pipeline.ingestEmbeddingShard(shard, "vec_id", "embedding",
+        dim = 64, threshold = 0.9, indexName = "g_embst",
+        indexPath = idx.getAbsolutePath, outPath = out.getAbsolutePath,
+        shardLabel = "steady", ivfPath = Some(ivf.getAbsolutePath))
+      graft.llm.Pipeline.retractEmbeddings(s,
+        shard.filter(col("vec_id") % 23 === 5).select("vec_id"),
+        "vec_id", "g_embst", out.getAbsolutePath,
+        ivfPath = Some(ivf.getAbsolutePath))
       s.read.parquet(out.getAbsolutePath)
         .select("vec_id").orderBy("vec_id")
     }

@@ -879,6 +879,43 @@ object QueriesText {
       s.read.parquet(out.getAbsolutePath).select("doc_id").orderBy("doc_id")
     }
 
+    // RETRACTION over the steady-ingest fixture (Pipeline
+    // .retractDocuments): ingest the shard against the pristine
+    // restored index, then retract every shard id with doc_id % 17 = 3
+    // from ALL sinks — the landing read back must equal the gate's
+    // survivors minus the retracted set. Retracting ids the gate
+    // dropped is a no-op by construction (they never entered any
+    // sink), which the oracle mirrors by filtering the survivor set.
+    // Shares the ingst snapshot: both entries restore the identical
+    // pristine state before working.
+    r.reg("q_retract_docs",
+      s"""WITH RECURSIVE $ingestCtes
+         |SELECT doc_id FROM clean
+         |WHERE doc_id NOT IN (SELECT id FROM nddrop)
+         |  AND doc_id NOT IN (SELECT id FROM vsdrop)
+         |  AND doc_id % 17 <> 3
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val (corpus, shard, bench) = ingestFixture(s, dir)
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/ingst")
+      val idx = new java.io.File(base, "idx")
+      val out = new java.io.File(base, "out_retract")
+      FixtureSnapshot.ensure(s, base, s"ingst|$dir",
+        Seq("g_ingst_bands", "g_ingst_shingles", "g_ingst_keys"),
+        Seq("idx")) {
+        Dedup.writeNearDupIndex(corpus, "doc_id", "text", "g_ingst",
+          idx.getAbsolutePath)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(out)
+      graft.llm.Pipeline.ingestShard(shard, bench, "doc_id", "text",
+        "g_ingst", idx.getAbsolutePath, out.getAbsolutePath, "steady",
+        redactPii = false)
+      graft.llm.Pipeline.retractDocuments(s,
+        shard.filter(col("doc_id") % 17 === 3).select("doc_id"),
+        "doc_id", "g_ingst", out.getAbsolutePath)
+      s.read.parquet(out.getAbsolutePath).select("doc_id").orderBy("doc_id")
+    }
+
     // Per-doc FATE attribution over the same fixture: every input doc
     // classified by the FIRST stage that dropped it (or 'landed') — the
     // report a corpus owner reads before re-tuning thresholds. Same CTE

@@ -687,14 +687,45 @@ object GraftFrame {
     graft.llm.Generations.withCompactionLock(spark,
       new org.apache.hadoop.fs.Path(path.getParent,
         s"_COMPACTION_LOCK__$baseName").toString) {
-      compactBucketedTableLocked(spark, table, spec, path, baseName, curGen)
+      rewriteBucketedTableLocked(spark, table, spec, path, baseName,
+        curGen, identity, "compactBucketedTable")
+    }
+    ()
+  }
+
+  /** Rewrite a bucketed table's ROWS through `transform` (e.g. an
+    * anti-join retracting ids) with the same online generation-flip
+    * install as [[compactBucketedTable]] — compaction is just the
+    * identity transform. Returns (source rows, surviving rows). */
+  private[graft] def rewriteBucketedTable(spark: SparkSession,
+      table: String, transform: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame,
+      opName: String): (Long, Long) = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$opName: $table carries no bucket spec"))
+    val path = new org.apache.hadoop.fs.Path(meta.location)
+    val GenName = """(.*)__gen(\d+)""".r
+    val (baseName, curGen) = path.getName match {
+      case GenName(b, g) => (b, g.toInt)
+      case n => (n, 0)
+    }
+    graft.llm.Generations.withCompactionLock(spark,
+      new org.apache.hadoop.fs.Path(path.getParent,
+        s"_COMPACTION_LOCK__$baseName").toString) {
+      rewriteBucketedTableLocked(spark, table, spec, path, baseName,
+        curGen, transform, opName)
     }
   }
 
-  private def compactBucketedTableLocked(spark: SparkSession, table: String,
+  private def rewriteBucketedTableLocked(spark: SparkSession, table: String,
       spec: org.apache.spark.sql.catalyst.catalog.BucketSpec,
       path: org.apache.hadoop.fs.Path, baseName: String,
-      curGen: Int): Unit = {
+      curGen: Int,
+      transform: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame,
+      opName: String): (Long, Long) = {
     import org.apache.spark.sql.functions.col
     val tmpTable = s"${table}__compacting"
     val tmpPath = new org.apache.hadoop.fs.Path(
@@ -717,7 +748,8 @@ object GraftFrame {
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     val raw = s2.read.schema(spark.table(table).schema)
       .parquet(path.toString)
-    val w0 = raw.repartition(spec.numBuckets, cols.map(col): _*)
+    val transformed = transform(raw)
+    val w0 = transformed.repartition(spec.numBuckets, cols.map(col): _*)
       .write.mode("overwrite").option("path", tmpPath.toString)
       .bucketBy(spec.numBuckets, cols.head, cols.tail: _*)
     val w = spec.sortColumnNames match {
@@ -726,16 +758,18 @@ object GraftFrame {
     }
     w.format("parquet").saveAsTable(tmpTable)
     // Verify the rewrite BEFORE retiring the live directory: a row-count
-    // mismatch (partial write) or a file-per-bucket overshoot (AQE
-    // re-packing snuck in) must abort while the original data is still
-    // installed — after the rename there is no good rollback state.
+    // mismatch (partial write — the transform is deterministic, so a
+    // recount is a faithful expectation) or a file-per-bucket overshoot
+    // (AQE re-packing snuck in) must abort while the original data is
+    // still installed — after the flip there is no good rollback state.
     val tmpRows = s2.read.schema(spark.table(table).schema)
       .parquet(tmpPath.toString).count()
+    val wantRows = transformed.count()
     val srcRows = raw.count()
-    if (tmpRows != srcRows) {
+    if (tmpRows != wantRows) {
       spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
       throw new IllegalStateException(
-        s"compactBucketedTable: rewrite holds $tmpRows rows, source $srcRows — aborting before swap")
+        s"$opName: rewrite holds $tmpRows rows, expected $wantRows — aborting before swap")
     }
     spark.sql(s"DROP TABLE $tmpTable") // external entry: the files stay
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -743,7 +777,7 @@ object GraftFrame {
       .count(st => st.getPath.getName.endsWith(".parquet"))
     if (tmpFiles > spec.numBuckets)
       throw new IllegalStateException(
-        s"compactBucketedTable: rewrite produced $tmpFiles files for " +
+        s"$opName: rewrite produced $tmpFiles files for " +
           s"${spec.numBuckets} buckets (adaptive re-packing?) — aborting before swap")
     // the FLIP: catalog metadata only — a concurrent reader holding the
     // old location's file listing keeps reading intact files
@@ -755,6 +789,7 @@ object GraftFrame {
       val n = if (g == 0) baseName else s"${baseName}__gen$g"
       fs.delete(new org.apache.hadoop.fs.Path(path.getParent, n), true)
     }
+    (srcRows, tmpRows)
   }
 
   def readParquet(spark: SparkSession, path: String): GraftFrame =

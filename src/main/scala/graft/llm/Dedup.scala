@@ -678,6 +678,66 @@ object Dedup {
       graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_keys")
   }
 
+  /** RETRACT documents by id from a text near-dup index — the index leg
+    * of a takedown / contamination-discovery / right-to-be-forgotten
+    * batch: each bucketed table (bands, shingles, and keys when
+    * present) rewrites its surviving rows into a new generation with
+    * the same online flip + writer-exclusive lock as
+    * [[compactNearDupIndex]] (a retraction IS a compaction with an
+    * anti-join transform). Removing the keys row means a SAME-CONTENT
+    * future submission will land again — that is the point of a
+    * takedown, not a leak. The id set is staged to a temp parquet so
+    * the rewrite's isolated session can read it (bounded batch — the
+    * rewrite is O(index) like any compaction, so batch requests).
+    * Returns per-table (rows before, rows after). */
+  def retractFromTextIndex(spark: org.apache.spark.sql.SparkSession,
+                           name: String, ids: DataFrame,
+                           idCol: String): Map[String, (Long, Long)] =
+    withStagedIds(spark, ids, idCol) { idsPath =>
+      Seq("bands", "shingles", "keys")
+        .map(s => s"${name}_$s")
+        .filter(spark.catalog.tableExists)
+        .map { t =>
+          t -> graft.api.GraftFrame.rewriteBucketedTable(spark, t,
+            raw => raw.join(
+              broadcast(raw.sparkSession.read.parquet(idsPath)
+                .withColumnRenamed(idCol, "id")),
+              Seq("id"), "left_anti"),
+            "retractFromTextIndex")
+        }.toMap
+    }
+
+  /** RETRACT vectors by id from an embedding near-dup index — the vecs
+    * leg of an embedding-side takedown ([[retractFromTextIndex]]
+    * semantics: retracted vectors stop participating in every future
+    * dedup probe, and a re-submission of the same id lands again). */
+  def retractFromEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+                                name: String, ids: DataFrame,
+                                idCol: String): (Long, Long) =
+    withStagedIds(spark, ids, idCol) { idsPath =>
+      graft.api.GraftFrame.rewriteBucketedTable(spark, s"${name}_vecs",
+        raw => raw.join(
+          broadcast(raw.sparkSession.read.parquet(idsPath)
+            .withColumnRenamed(idCol, "id")),
+          Seq("id"), "left_anti"),
+        "retractFromEmbeddingIndex")
+    }
+
+  /** Stage a bounded id set to temp parquet for a rewrite that runs in
+    * an isolated session (mixing DataFrames across sessions is
+    * unsupported; a file is the clean handoff), cleaning up after. */
+  private def withStagedIds[T](spark: org.apache.spark.sql.SparkSession,
+                               ids: DataFrame, idCol: String)
+                              (body: String => T): T = {
+    val idsPath = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-retract-${java.util.UUID.randomUUID()}").getAbsolutePath
+    ids.select(col(idCol)).distinct().write.parquet(idsPath)
+    try body(idsPath)
+    finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idsPath))
+  }
+
   /** Compact an embedding index's bucketed vecs table
     * ([[writeEmbeddingIndex]]) — the vector-side maintenance pass after
     * N [[appendEmbeddingShardToIndex]] days. Online-safe vs readers

@@ -325,13 +325,37 @@ object Ivf {
     * holds, search results identical, probe planned pre-flip still
     * executes post-flip). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-                   path: String): Unit =
+                   path: String): Unit = {
     Generations.withCompactionLock(spark, s"$path/_COMPACTION_LOCK") {
-      compactIndexLocked(spark, path)
+      rewriteIndexLocked(spark, path, identity, "compactIndex")
+    }
+    ()
+  }
+
+  /** RETRACT vectors by id from a persisted index — takedowns,
+    * contamination discoveries, right-to-be-forgotten: the surviving
+    * rows rewrite into a new generation (one file per cell, boundary
+    * reconciled, same online flip + writer-exclusive lock as
+    * [[compactIndex]] — a retraction IS a compaction with an anti-join
+    * transform). `ids` is a frame holding the id column under `idCol`;
+    * it broadcasts, so batch retractions (bounded id sets) are the
+    * intended shape — the rewrite itself is O(index) like any
+    * compaction, so batch requests rather than retracting one id at a
+    * time. Returns (rows before, rows after). */
+  def retractFromIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, ids: DataFrame,
+                       idCol: String): (Long, Long) =
+    Generations.withCompactionLock(spark, s"$path/_COMPACTION_LOCK") {
+      val key = ids.select(col(idCol)).distinct()
+      rewriteIndexLocked(spark, path,
+        _.join(broadcast(key), Seq(idCol), "left_anti"),
+        "retractFromIndex")
     }
 
-  private def compactIndexLocked(spark: org.apache.spark.sql.SparkSession,
-                                 path: String): Unit = {
+  private def rewriteIndexLocked(spark: org.apache.spark.sql.SparkSession,
+                                 path: String,
+                                 transform: DataFrame => DataFrame,
+                                 opName: String): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val curGen = Generations.current(spark, path, "MANIFEST")
@@ -340,18 +364,21 @@ object Ivf {
     val nextRoot = s"$path/gen-$nextGen"
     fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
     val vectors = spark.read.parquet(s"$curRoot/vectors")
-    vectors.repartition(col("cell"))
+    val transformed = transform(vectors)
+    transformed.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$nextRoot/vectors")
     // verify BEFORE the flip: a partial rewrite must abort while the
-    // live generation is still the one readers resolve
+    // live generation is still the one readers resolve (the transform
+    // is deterministic, so a recount is a faithful expectation)
     val srcRows = vectors.count()
+    val wantRows = transformed.count()
     val vecDf = spark.read.parquet(s"$nextRoot/vectors")
     val dstRows = vecDf.count()
-    if (dstRows != srcRows) {
+    if (dstRows != wantRows) {
       fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
       throw new java.io.IOException(
-        s"compactIndex: rewrite row mismatch ($dstRows != $srcRows), aborted")
+        s"$opName: rewrite row mismatch ($dstRows != $wantRows), aborted")
     }
     // Rebuild the narrow `ids` replay boundary FROM the compacted
     // vectors — one file, and (doubling as the documented crash
@@ -362,7 +389,7 @@ object Ivf {
     val idName = vecDf.schema.fields.find(f => f.name != "cell" &&
         !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
       .getOrElse(throw new IllegalStateException(
-        s"compactIndex: cannot infer the id column of $nextRoot/vectors"))
+        s"$opName: cannot infer the id column of $nextRoot/vectors"))
       .name
     // bounded parallelism, NOT coalesce(1): at the 10B-vector scale the
     // boundary exists for, one task funneling the whole id column is a
@@ -382,6 +409,7 @@ object Ivf {
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
       else fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen-$g"), true)
     }
+    (srcRows, dstRows)
   }
 
   /** Maintenance report over a persisted index: per cell, the row count

@@ -454,6 +454,87 @@ object Pipeline {
   /** The O(1) full-replay guard both ingest variants share: the
     * per-shard manifest is the LAST sink, so its existence proves every
     * sink committed for this label. */
+  /** RETRACT documents EVERYWHERE a text daily ingest put them —
+    * takedown requests, post-hoc contamination discoveries,
+    * right-to-be-forgotten: the near-dup index tables (bands, shingles,
+    * keys — each an online generation-flip rewrite, see
+    * [[Dedup.retractFromTextIndex]]) and the landing parquet (only the
+    * shard_label partitions that actually hold retracted ids rewrite;
+    * the rest of the corpus is untouched and readable throughout).
+    * Returns removed-row counts per sink. Boundary semantics: the keys
+    * row goes too, so a same-content future submission lands again —
+    * the point of a takedown. Per-shard manifests keep their historical
+    * counts (they are per-ingest records, not live inventory). The
+    * rewrites are O(index)/O(affected partitions) — batch requests
+    * rather than retracting one id at a time. */
+  def retractDocuments(spark: org.apache.spark.sql.SparkSession,
+                       ids: DataFrame, idCol: String,
+                       indexName: String, outPath: String): Map[String, Long] = {
+    val idx = Dedup.retractFromTextIndex(spark, indexName, ids, idCol)
+    val landing = retractFromLanding(spark, outPath, ids, idCol)
+    idx.map { case (t, (before, after)) => t -> (before - after) } +
+      ("landing" -> landing)
+  }
+
+  /** The embedding-side analog of [[retractDocuments]]: the vecs index,
+    * the IVF search index, the int8 serving corpus and the landing all
+    * drop the retracted ids (each through its family's online
+    * generation-flip rewrite). */
+  def retractEmbeddings(spark: org.apache.spark.sql.SparkSession,
+                        ids: DataFrame, idCol: String,
+                        indexName: String, outPath: String,
+                        ivfPath: Option[String] = None,
+                        quantizedPath: Option[String] = None): Map[String, Long] = {
+    val (vb, va) = Dedup.retractFromEmbeddingIndex(spark, indexName, ids, idCol)
+    val ivf = ivfPath.map { p =>
+      val (b, a) = Ivf.retractFromIndex(spark, p, ids, idCol); b - a
+    }
+    val quant = quantizedPath.map { p =>
+      val (b, a) = Similarity.retractFromQuantizedCorpus(spark, p, ids, idCol)
+      b - a
+    }
+    val landing = retractFromLanding(spark, outPath, ids, idCol)
+    Map(s"${indexName}_vecs" -> (vb - va), "landing" -> landing) ++
+      ivf.map("ivf" -> _) ++ quant.map("quantized" -> _)
+  }
+
+  /** Rewrite only the landing partitions that hold retracted ids: the
+    * surviving rows of each affected shard_label partition are eagerly
+    * materialized (localCheckpoint — the rewrite overwrites the very
+    * files the plan reads) and written back per partition, so the rest
+    * of the corpus stays untouched and readable throughout. A
+    * pre-partition-era flat landing rewrites wholesale. Returns removed
+    * rows. */
+  private def retractFromLanding(spark: org.apache.spark.sql.SparkSession,
+                                 outPath: String, ids: DataFrame,
+                                 idCol: String): Long = {
+    val landed =
+      try spark.read.parquet(outPath)
+      catch { case _: org.apache.spark.sql.AnalysisException => return 0L }
+    val key = broadcast(ids.select(col(idCol)).distinct())
+    if (!landed.columns.contains("shard_label")) {
+      val keep = landed.join(key, Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+      val removed = landed.count() - keep.count()
+      if (removed > 0L)
+        keep.write.mode("overwrite").parquet(outPath)
+      removed
+    } else {
+      val affectedLabels = landed.join(key, Seq(idCol), "left_semi")
+        .select("shard_label").distinct()
+        .collect().map(_.getString(0)) // bounded: shards holding retracted ids
+      if (affectedLabels.isEmpty) return 0L
+      val affected = landed.filter(col("shard_label").isin(affectedLabels: _*))
+      val keep = affected.join(key, Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+      val removed = affected.count() - keep.count()
+      for (l <- affectedLabels)
+        keep.filter(col("shard_label") === l).drop("shard_label")
+          .write.mode("overwrite").parquet(s"$outPath/shard_label=$l")
+      removed
+    }
+  }
+
   /** Ids already landed under a DIFFERENT shard label — the suspect-
     * exclusion set of the crash-replay recovery. The CURRENT label's
     * partition must NOT count as landed: a crash in the landing→manifest

@@ -275,13 +275,34 @@ object Similarity {
     * Exclusive with writers, like every compaction here: replay any
     * crashed shard before compacting. */
   def compactQuantizedCorpus(spark: org.apache.spark.sql.SparkSession,
-                             path: String): Unit =
+                             path: String): Unit = {
     Generations.withCompactionLock(spark, s"$path/_COMPACTION_LOCK") {
-      compactQuantizedCorpusLocked(spark, path)
+      rewriteQuantizedCorpusLocked(spark, path, identity,
+        "compactQuantizedCorpus")
+    }
+    ()
+  }
+
+  /** RETRACT vectors by id from the persisted int8 serving corpus —
+    * the quantized leg of a takedown/right-to-be-forgotten batch: the
+    * surviving rows rewrite into a new generation (shard_label layout
+    * preserved, same online flip + writer-exclusive lock as
+    * [[compactQuantizedCorpus]]). `ids` broadcasts; batch the requests
+    * — the rewrite is O(corpus) like any compaction. Returns
+    * (rows before, rows after). */
+  def retractFromQuantizedCorpus(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, ids: DataFrame,
+                                 idCol: String): (Long, Long) =
+    Generations.withCompactionLock(spark, s"$path/_COMPACTION_LOCK") {
+      val key = ids.select(col(idCol)).distinct()
+      rewriteQuantizedCorpusLocked(spark, path,
+        _.join(broadcast(key), Seq(idCol), "left_anti"),
+        "retractFromQuantizedCorpus")
     }
 
-  private def compactQuantizedCorpusLocked(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+  private def rewriteQuantizedCorpusLocked(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      transform: DataFrame => DataFrame, opName: String): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val curGen = Generations.current(spark, path, "_MANIFEST")
@@ -290,20 +311,24 @@ object Similarity {
     val nextRoot = s"$path/gen-$nextGen"
     fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
     val cur = spark.read.parquet(curRoot)
+    val transformed = transform(cur)
     if (cur.columns.contains("shard_label"))
-      cur.repartition(col("shard_label"))
+      transformed.repartition(col("shard_label"))
         .write.mode("overwrite").partitionBy("shard_label")
         .parquet(nextRoot)
     else
-      cur.repartition(spark.sparkContext.defaultParallelism)
+      transformed.repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(nextRoot)
-    // verify BEFORE the flip (the Ivf.compactIndex discipline)
+    // verify BEFORE the flip (the Ivf.compactIndex discipline; the
+    // transform is deterministic, so a recount is a faithful
+    // expectation)
     val srcRows = cur.count()
+    val wantRows = transformed.count()
     val dstRows = spark.read.parquet(nextRoot).count()
-    if (dstRows != srcRows) {
+    if (dstRows != wantRows) {
       fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
       throw new java.io.IOException(
-        s"compactQuantizedCorpus: rewrite row mismatch ($dstRows != $srcRows), aborted")
+        s"$opName: rewrite row mismatch ($dstRows != $wantRows), aborted")
     }
     Generations.flip(spark, path, "_MANIFEST", nextGen)
     // retire generations OLDER than the one just replaced; generation 0
@@ -317,6 +342,7 @@ object Similarity {
           .foreach(st => fs.delete(st.getPath, true))
       else fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen-$g"), true)
     }
+    (srcRows, dstRows)
   }
 
   /** Batched retrieval over a PERSISTED bucketed quantized corpus

@@ -237,6 +237,67 @@ class EmbedIngestSpec extends SparkTestBase {
     }
   }
 
+  test("retractEmbeddings: ids leave vecs index, IVF, int8 corpus and landing; probes stop matching; re-ingest lands") {
+    val corpus = emb.filter(col("vec_id") < 300)
+    val shard = emb.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+    val idxDir = tmpDir("graft_embT")
+    val ivfDir = tmpDir("graft_embTivf")
+    val outDir = tmpDir("graft_embTout")
+    val qDir = tmpDir("graft_embTq") + "/qcorp"
+    try {
+      Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding", 64,
+        "embT", idxDir)
+      val cents = Ivf.train(corpus, "vec_id", "embedding", nCells = 4,
+        iters = 0)
+      Ivf.writeIndex(corpus, "vec_id", "embedding", cents, ivfDir)
+      val c0 = Pipeline.ingestEmbeddingShard(shard, "vec_id", "embedding",
+        dim = 64, threshold = 0.9, indexName = "embT", indexPath = idxDir,
+        outPath = outDir, shardLabel = "s1", ivfPath = Some(ivfDir),
+        quantizedPath = Some(qDir))
+      assert(c0("landed") == 50L)
+      val retractIds = shard.filter(col("vec_id") < 310).select("vec_id")
+      val counts = Pipeline.retractEmbeddings(spark, retractIds, "vec_id",
+        "embT", outDir, ivfPath = Some(ivfDir), quantizedPath = Some(qDir))
+      assert(counts == Map("embT_vecs" -> 10L, "landing" -> 10L,
+        "ivf" -> 10L, "quantized" -> 10L), s"per-sink removal: $counts")
+      // every sink dropped exactly the retracted ids
+      assert(spark.table("embT_vecs").filter(col("id") < 310 &&
+        col("id") >= 300).isEmpty)
+      val ivfRoot = Ivf.resolveRoot(spark, ivfDir)
+      assert(spark.read.parquet(s"$ivfRoot/vectors")
+        .filter(col("vec_id") >= 300 && col("vec_id") < 310).isEmpty)
+      assert(spark.read.parquet(s"$ivfRoot/ids")
+        .filter(col("vec_id") >= 300 && col("vec_id") < 310).isEmpty)
+      assert(spark.read.parquet(
+          graft.llm.Generations.resolve(spark, qDir, "_MANIFEST"))
+        .filter(col("vec_id") >= 300 && col("vec_id") < 310).isEmpty)
+      assert(spark.read.parquet(outDir)
+        .filter(col("vec_id") >= 300 && col("vec_id") < 310).isEmpty)
+      assert(spark.read.parquet(outDir).count() == 40)
+      // a semantic probe with a retracted vector's exact copy no longer
+      // matches the index
+      val probe = emb.filter(col("vec_id") === 305L)
+        .select(lit(8305L).as("vec_id"), col("embedding"))
+      assert(Dedup.embeddingNearDupPairsAgainstIndex(probe, "vec_id",
+        "embedding", "embT", 64, 0.9).isEmpty,
+        "retracted vectors must stop matching probes")
+      // the id boundary freed: re-submitting the retracted vectors
+      // under a new label lands them again in every sink
+      val c2 = Pipeline.ingestEmbeddingShard(
+        shard.filter(col("vec_id") < 310), "vec_id", "embedding",
+        dim = 64, threshold = 0.9, indexName = "embT", indexPath = idxDir,
+        outPath = outDir, shardLabel = "s2", ivfPath = Some(ivfDir),
+        quantizedPath = Some(qDir))
+      assert(c2 == Map("input" -> 10L, "landed" -> 10L),
+        s"retracted ids must be ingestable again: $c2")
+      assert(spark.read.parquet(outDir).count() == 50)
+      assert(spark.read.parquet(s"$ivfRoot/vectors").count() == 350)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS embT_vecs")
+      Seq(idxDir, ivfDir, outDir, new java.io.File(qDir).getParent).foreach(rmDir)
+    }
+  }
+
   test("quantized corpus guards: mixed flat+partitioned layout refused; append geometry must match the stamp") {
     val base = tmpDir("graft_qg")
     try {

@@ -266,6 +266,59 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("retractDocuments: ids leave every sink, the boundary frees, and only affected landing partitions rewrite") {
+    val tmp = tmpDir("graft_ingT")
+    val out = tmpDir("graft_ingT_out")
+    try {
+      Dedup.writeNearDupIndex(df(docSchema, Row(1L, uniq2)), "doc_id",
+        "text", "ingT_t", tmp)
+      val bench = df(docSchema)
+      val d10 = "the amber harbor cranes schedule and the river barge " +
+        "manifest wait for tuesday morning inspection"
+      Pipeline.ingestShard(df(docSchema, Row(10L, d10), Row(11L, uniq)),
+        bench, "doc_id", "text", "ingT_t", tmp, out, "s1",
+        redactPii = false)
+      Pipeline.ingestShard(df(docSchema,
+          Row(20L, "granite lighthouse keepers trade lantern oil for " +
+            "woven rope every second thursday evening")),
+        bench, "doc_id", "text", "ingT_t", tmp, out, "s2",
+        redactPii = false)
+      val s2File = new java.io.File(out, "shard_label=s2")
+      val s2Mtime = s2File.lastModified()
+      val counts = Pipeline.retractDocuments(spark,
+        df(docSchema, Row(10L, "ignored")).select("doc_id"), "doc_id",
+        "ingT_t", out)
+      assert(counts("landing") == 1L, s"one landed doc removed: $counts")
+      assert(counts("ingT_t_keys") == 1L, s"one keys row removed: $counts")
+      // the untouched shard's partition was not rewritten
+      assert(s2File.lastModified() == s2Mtime,
+        "an unaffected landing partition must not rewrite")
+      val landed = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(landed.sameElements(Array(11L, 20L)),
+        s"retracted doc must leave the landing: ${landed.toSeq}")
+      // no index table still knows the id, and a near-dup probe with
+      // the retracted content no longer matches
+      Seq("bands", "shingles", "keys").foreach { s =>
+        assert(spark.table(s"ingT_t_$s").filter(col("id") === 10L)
+          .isEmpty, s"$s must drop the retracted id")
+      }
+      assert(Dedup.nearDupPairsAgainstIndex(
+        df(docSchema, Row(99L, d10 + " tonight")), "doc_id", "text",
+        "ingT_t", 0.5).isEmpty,
+        "a retracted doc must stop matching near-dup probes")
+      // the content boundary freed: the SAME text under a new id lands
+      val c = Pipeline.ingestShard(df(docSchema, Row(30L, d10)), bench,
+        "doc_id", "text", "ingT_t", tmp, out, "s3", redactPii = false)
+      assert(c("landed") == 1L,
+        s"same content must land again after retraction: $c")
+    } finally {
+      dropIndex("ingT_t")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("ingestAudit: per-doc fate attribution; dry run leaves the index unchanged") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").filter(col("doc_id") < 300)
