@@ -605,6 +605,42 @@ object QueriesText {
         .orderBy("id_a", "id_b")
     }
 
+    // Bloom-sidecar exact gate: documents % 3 <> 0 play the indexed
+    // corpus (keys boundary + per-bucket Blooms); a re-idded shard of
+    // documents % 5 = 0 probes it — ids sharing 15 as a factor carry
+    // corpus content and must drop, the rest are genuinely new. The
+    // Bloom path is TRANSPARENT to results (no false negatives; false
+    // positives only widen the verify join), so the oracle is the exact
+    // key-membership recompute — identical answer, different cost: the
+    // bloom-negative majority never reads the corpus (plan-asserted in
+    // KeyBloomsSpec).
+    r.reg("q_exact_gate_bloom",
+      s"""WITH corpusk AS (
+         |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck
+         |  FROM documents WHERE doc_id % 3 <> 0
+         |),
+         |shard AS (
+         |  SELECT doc_id + 200000 AS doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck
+         |  FROM documents WHERE doc_id % 5 = 0
+         |)
+         |SELECT s.doc_id FROM shard s
+         |WHERE s.ck NOT IN (SELECT ck FROM corpusk)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val shard = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/blmidx")
+        .getAbsolutePath
+      Dedup.writeNearDupIndex(corpus, "doc_id", "text", "g_blm", idxPath)
+      graft.llm.KeyBlooms.build(s, "g_blm", idxPath, nBlooms = 8)
+      Dedup.dropExactAgainstIndexBloom(shard, "doc_id", "text", "g_blm",
+          idxPath)
+        .select("doc_id").orderBy("doc_id")
+    }
+
     r.reg("q_simhash", {
       val terms = (0 until 16).map(j =>
         s"(CASE WHEN 2*len(list_filter(hs16, h -> ((h >> $j) & 1) = 1)) > len(hs16) " +

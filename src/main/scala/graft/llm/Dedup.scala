@@ -565,6 +565,52 @@ object Dedup {
       .drop("__gxk__")
   }
 
+  /** [[dropExactAgainstIndex]] through the [[KeyBlooms]] sidecar — the
+    * 100 TB form of the daily exact-vs-corpus gate. Same output, charged
+    * differently: shard keys test against per-bucket Bloom filters
+    * first; negatives are definitely new (no false negatives) and never
+    * touch the corpus, and only the suspects — true duplicates plus an
+    * fpp-sized slice of the shard — resolve against the keys table.
+    * When the suspect set fits `suspectCap` it inlines as an IN-literal
+    * probe, which BUCKET-PRUNES the keys scan (the table is bucketed on
+    * `key`) — the corpus read is then proportional to suspects, not
+    * corpus size; past the cap it falls back to the plain bucketed
+    * anti-join restricted to the suspect rows. Runs two bounded driver
+    * actions (suspect take + probe collect) — gate functions are
+    * action-ful by nature ([[Pipeline.ingestShard]] posture). */
+  def dropExactAgainstIndexBloom(newDocs: DataFrame, idCol: String,
+                                 textCol: String, name: String,
+                                 indexPath: String,
+                                 keyCol: Option[String] = None,
+                                 suspectCap: Int = 10000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val keyed = newDocs.withColumn("__gxk__",
+      keyCol.fold(canonicalKey(col(textCol)))(k => col(k)))
+    val suspectKeys = KeyBlooms
+      .suspects(keyed.select(col("__gxk__").as("key")), indexPath)
+      .distinct()
+    // bounded collect: cap+1 rows decides inline-vs-fallback, and the
+    // inline path reuses exactly these literals (no recompute)
+    val sample = suspectKeys.take(suspectCap + 1)
+    val out =
+      if (sample.isEmpty) keyed // whole shard bloom-negative: zero corpus IO
+      else if (sample.length <= suspectCap) {
+        val lits = sample.map(_.getString(0)).toSeq
+        val existing = spark.table(s"${name}_keys")
+          .filter(col("key").isInCollection(lits)) // InSet → bucket pruning
+          .select(col("key").as("__gxk__")).distinct()
+        keyed.join(broadcast(existing), Seq("__gxk__"), "left_anti")
+      } else {
+        // suspect set too large to inline (degraded Blooms or a genuinely
+        // duplicate-heavy shard): plain bucketed anti-join — still
+        // corpus-side exchange-free, correctness unchanged
+        keyed.join(
+          spark.table(s"${name}_keys").select(col("key").as("__gxk__")),
+          Seq("__gxk__"), "left_anti")
+      }
+    out.drop("__gxk__")
+  }
+
   /** The (shingles, banded-signature) frames a near-dup index persists —
     * shared by the initial build and incremental append so the two can
     * never drift. */
@@ -631,10 +677,19 @@ object Dedup {
       s"$path/shingles", buckets, Seq("id"), mode = "append")
     // grow the exact-dedup boundary too (skip for a pre-keys-table
     // index so r8-era indexes keep appending without migration)
-    if (newDocs.sparkSession.catalog.tableExists(s"${name}_keys"))
-      graft.api.GraftFrame(keyRows(survivors, idCol, textCol, keyCol))
+    if (newDocs.sparkSession.catalog.tableExists(s"${name}_keys")) {
+      val keyed = keyRows(survivors, idCol, textCol, keyCol)
+      // Bloom sidecar FIRST, keys table second: a crash between the two
+      // leaves the Blooms AHEAD of the boundary (stale positives route
+      // to the exact verify — correct), never behind it (a missing key
+      // would be a silent false negative = a landed duplicate). Inserts
+      // are idempotent, so a replay re-put is a no-op.
+      if (KeyBlooms.exists(newDocs.sparkSession, path))
+        KeyBlooms.append(keyed, path)
+      graft.api.GraftFrame(keyed)
         .toBucketedTable(s"${name}_keys", s"$path/keys", buckets,
           Seq("key"), mode = "append")
+    }
     survivors
   }
 

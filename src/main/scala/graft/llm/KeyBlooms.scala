@@ -1,0 +1,263 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-bucket Bloom sidecar over an index's exact-dedup boundary keys
+  * (`<name>_keys`, [[Dedup.writeNearDupIndex]]) — the structure that
+  * makes the daily exact-vs-corpus gate touch the corpus proportional
+  * to the number of SUSPECTED duplicates instead of corpus size.
+  *
+  * Why: the plain boundary anti-join ([[Dedup.dropExactAgainstIndex]])
+  * reads the full keys column every day — corpus-side exchange-free,
+  * but still an O(corpus) scan that grows forever (a 100 B-doc corpus
+  * pays ~5 TB of key reads per shard). With the sidecar, the shard
+  * tests its keys against per-bucket Bloom filters first: negatives
+  * are DEFINITELY new (Blooms have no false negatives) and skip the
+  * corpus entirely; the surviving suspects — true duplicates plus an
+  * `fpp` fraction of the shard — resolve against the keys table
+  * through a literal IN probe that bucket-prunes the scan. Daily
+  * corpus cost: O(suspects), not O(corpus).
+  *
+  * Scale shape: ONE driver-merged Bloom for a 100 B-key corpus would
+  * need ~100 GB of driver memory; instead the key space is hashed into
+  * `nBlooms` buckets and each executor group builds/loads only its own
+  * bucket's filter (`groupByKey(bucket)` — per-task memory is one
+  * bucket's filter, total size scales out with `nBlooms`). The probe
+  * shuffles ONLY the shard's (bucket, key) pairs.
+  *
+  * Consistency contract (no silent duplicate-miss, the geometry-stamp
+  * discipline): the sidecar lives INSIDE the index directory
+  * (`<path>/keyblooms`), [[Dedup.appendShardToIndex]] grows it
+  * automatically whenever it exists, and it is updated BEFORE the keys
+  * table commits — a crash between the two leaves the Bloom AHEAD of
+  * the boundary (stale positives route to the exact verify, which is
+  * correct) never behind it (a missing key would be a false negative
+  * and a silently landed duplicate). Bloom inserts are idempotent, so
+  * crash-replay re-puts are no-ops. Retraction
+  * ([[Dedup.retractFromTextIndex]]) leaves retracted keys
+  * bloom-positive — also just a stale positive: the verify join no
+  * longer finds them and the re-submission lands.
+  *
+  * Public-knowledge provenance: Bloom-gated dedup at ingest is the
+  * standard web-corpus design (e.g. the fuzzy-dedup stage described in
+  * the RefinedWeb and CCNet papers); the per-partition filter layout
+  * mirrors parquet's own per-row-group Bloom metadata. */
+object KeyBlooms {
+
+  private val DIR = "keyblooms"
+  private val META = "_BLOOMS.json"
+
+  /** Hadoop Configuration shipped to executors (it is a Writable, not
+    * Serializable — the standard wrapper; Spark's own is private). */
+  private class ConfBox(@transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+  private def shipConf(spark: SparkSession) =
+    spark.sparkContext.broadcast(
+      new ConfBox(spark.sparkContext.hadoopConfiguration))
+
+  private def dirPath(indexPath: String) = s"$indexPath/$DIR"
+
+  private case class Meta(nBlooms: Int, fpp: Double, expectedPerBucket: Long,
+                          totalKeys: Long)
+
+  /** Deterministic bucket of a key: Murmur3 (Spark's `hash`, seed 42) mod
+    * `nBlooms`. Build and probe share this expression — they can never
+    * disagree on which filter owns a key. */
+  private def bucketOf(key: org.apache.spark.sql.Column, nBlooms: Int) =
+    pmod(hash(key), lit(nBlooms)).cast("int")
+
+  def exists(spark: SparkSession, indexPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${dirPath(indexPath)}/$META")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): Meta = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$META")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no Bloom sidecar at $dir — build one with KeyBlooms.build " +
+        "(a missing sidecar must fail loudly: probing nothing would " +
+        "classify every key as new)")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    def f(k: String) = {
+      val m = s""""$k"\\s*:\\s*([0-9.eE+-]+)""".r
+      m.findFirstMatchIn(txt).getOrElse(
+        sys.error(s"corrupt Bloom sidecar $p: missing $k")).group(1)
+    }
+    Meta(f("nBlooms").toInt, f("fpp").toDouble, f("expectedPerBucket").toLong,
+      f("totalKeys").toLong)
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/${META}__tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/$META")
+    val fs = dst.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(
+      (s"""{"nBlooms": ${m.nBlooms}, "fpp": ${m.fpp}, """ +
+       s""""expectedPerBucket": ${m.expectedPerBucket}, """ +
+       s""""totalKeys": ${m.totalKeys}}""" + "\n").getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def bloomFile(dir: String, b: Int) = s"$dir/bloom-$b.bf"
+
+  /** Executor-side load of one bucket's filter; a missing file is an
+    * EMPTY filter (legitimate: the bucket held no keys when last
+    * written — only the sidecar's absence is an error, checked on the
+    * driver before the job launches). */
+  private def load(conf: org.apache.hadoop.conf.Configuration, dir: String,
+                   b: Int): Option[BloomFilter] = {
+    val p = new org.apache.hadoop.fs.Path(bloomFile(dir, b))
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(BloomFilter.readFrom(in)) finally in.close()
+    }
+  }
+
+  /** Executor-side atomic install of one bucket's filter (tmp + OVERWRITE
+    * rename — a concurrent probe sees the old or the new file, never a
+    * torn one). */
+  private def store(conf: org.apache.hadoop.conf.Configuration, dir: String,
+                    b: Int, bloom: BloomFilter): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"${bloomFile(dir, b)}__tmp")
+    val dst = new org.apache.hadoop.fs.Path(bloomFile(dir, b))
+    val fs = dst.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try bloom.writeTo(out) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Build (or REBUILD — prior filters are replaced wholesale) the
+    * sidecar from the index's current `<name>_keys` table. One O(corpus)
+    * pass, sanctioned at build/compaction time; every daily probe
+    * afterwards is O(shard + suspects). `nBlooms` scales the layout out:
+    * per-task memory is one bucket's filter (~1.2 bytes/key at 1% fpp),
+    * so size nBlooms ≈ corpusKeys / 10^8 at scale. Headroom ×2 on the
+    * per-bucket sizing absorbs growth between rebuilds; [[report]] shows
+    * the measured load so maintenance can schedule the next rebuild. */
+  def build(spark: SparkSession, name: String, indexPath: String,
+            nBlooms: Int = 32, fpp: Double = 0.01): Unit = {
+    val dir = dirPath(indexPath)
+    val keys = spark.table(s"${name}_keys").select(col("key"))
+    val total = keys.count()
+    val expected = math.max(2L * total / math.max(nBlooms, 1), 1024L)
+    val confBc = shipConf(spark)
+    import spark.implicits._
+    val written = keys
+      .select(bucketOf(col("key"), nBlooms).as("b"), col("key").as("k"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .mapGroups { (b, it) =>
+        val bloom = BloomFilter.create(expected, fpp)
+        var n = 0L
+        it.foreach { kv => bloom.putString(kv._2); n += 1 }
+        store(confBc.value.conf, dir, b, bloom)
+        (b, n)
+      }
+      .collect() // ≤ nBlooms rows — bounded by construction
+    // buckets the grouping never saw keep any stale file from a prior
+    // build: delete them so a rebuild is a true replacement
+    val seen = written.map(_._1).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    (0 until nBlooms).filterNot(seen).foreach { b =>
+      val p = new org.apache.hadoop.fs.Path(bloomFile(dir, b))
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    writeMeta(spark, dir, Meta(nBlooms, fpp, expected, total))
+  }
+
+  /** Grow the sidecar with a shard's (distinct) keys — called by
+    * [[Dedup.appendShardToIndex]] BEFORE the keys table commits (see the
+    * ordering contract above). Each touched bucket loads its filter,
+    * puts the new keys (idempotent), and atomically reinstalls it; only
+    * the shard shuffles. Returns the number of keys put. */
+  def append(keysFrame: DataFrame, indexPath: String): Long = {
+    val spark = keysFrame.sparkSession
+    val dir = dirPath(indexPath)
+    val meta = readMeta(spark, dir)
+    val confBc = shipConf(spark)
+    val expected = meta.expectedPerBucket
+    val fpp = meta.fpp
+    import spark.implicits._
+    val added = keysFrame
+      .select(bucketOf(col("key"), meta.nBlooms).as("b"), col("key").as("k"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .mapGroups { (b, it) =>
+        val conf = confBc.value.conf
+        val bloom = load(conf, dir, b)
+          .getOrElse(BloomFilter.create(expected, fpp))
+        var n = 0L
+        it.foreach { kv => bloom.putString(kv._2); n += 1 }
+        store(conf, dir, b, bloom)
+        n
+      }
+      .collect() // ≤ nBlooms rows
+      .sum
+    writeMeta(spark, dir,
+      meta.copy(totalKeys = meta.totalKeys + added))
+    added
+  }
+
+  /** The shard keys that MIGHT be in the corpus: each key tests against
+    * its bucket's filter; per-task memory is the filters of the buckets
+    * that task owns (~1 at partitions ≥ nBlooms). Output ⊆ input;
+    * keys absent from the output are guaranteed absent from the corpus
+    * boundary. `keysFrame` must expose the key under column `key`. */
+  def suspects(keysFrame: DataFrame, indexPath: String): DataFrame = {
+    val spark = keysFrame.sparkSession
+    val dir = dirPath(indexPath)
+    val meta = readMeta(spark, dir)
+    val confBc = shipConf(spark)
+    import spark.implicits._
+    keysFrame
+      .select(bucketOf(col("key"), meta.nBlooms).as("b"), col("key").as("k"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (b, it) =>
+        load(confBc.value.conf, dir, b) match {
+          case None        => Iterator.empty
+          case Some(bloom) => it.collect {
+            case (_, k) if bloom.mightContainString(k) => k
+          }
+        }
+      }
+      .toDF("key")
+  }
+
+  /** Maintenance observable: sidecar geometry plus the measured load —
+    * `load_factor` > 1 means the corpus outgrew the build-time sizing
+    * and the realized false-positive rate is drifting above `fpp`
+    * (probes stay CORRECT — false positives only route more rows to the
+    * exact verify — but the daily suspect set grows); schedule
+    * [[build]] (a rebuild) when it crosses ~1. */
+  def report(spark: SparkSession, indexPath: String): DataFrame = {
+    val m = readMeta(spark, dirPath(indexPath))
+    import spark.implicits._
+    Seq((m.nBlooms, m.fpp, m.expectedPerBucket, m.totalKeys,
+      m.totalKeys.toDouble / (m.nBlooms.toLong * m.expectedPerBucket)))
+      .toDF("n_blooms", "target_fpp", "expected_per_bucket", "total_keys",
+        "load_factor")
+  }
+}

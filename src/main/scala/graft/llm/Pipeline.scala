@@ -230,8 +230,16 @@ object Pipeline {
     val inShardExact = redacted
       .withColumn("__rn__", row_number().over(w))
       .filter(col("__rn__") === 1).drop("__rn__")
-    val fresh = Dedup.dropExactAgainstIndex(inShardExact, idCol, textCol,
-      indexName, keyCol = Some("__ck__"))
+    // the exact-vs-corpus boundary goes through the Bloom sidecar
+    // whenever the index has one (KeyBlooms.build): same output, corpus
+    // touch O(suspects) instead of O(corpus keys) — the sidecar then
+    // grows in lockstep inside appendShardToIndex
+    val fresh =
+      if (KeyBlooms.exists(shard.sparkSession, indexPath))
+        Dedup.dropExactAgainstIndexBloom(inShardExact, idCol, textCol,
+          indexName, indexPath, keyCol = Some("__ck__"))
+      else Dedup.dropExactAgainstIndex(inShardExact, idCol, textCol,
+        indexName, keyCol = Some("__ck__"))
     val clean = Dedup.decontaminate(fresh, bench, idCol, textCol, decontamK)
     Dedup.appendShardToIndex(clean, idCol, textCol, indexName, indexPath,
       nearDupThreshold, shingleK, numHashes, bands, buckets,
