@@ -443,6 +443,31 @@ object QueriesWindow {
         .sortValues(Seq("doc_id" -> true)).df
     }
 
+    // Temperature-flattened domain mixing (alpha = 0.5): keep rates
+    // derived from per-domain counts, p_d = sqrt(cmin / c_d), so the
+    // expected sampled mix is proportional to sqrt(c_d). Every
+    // arithmetic step is bit-reproducible cross-engine: integer counts,
+    // correctly-rounded IEEE division/sqrt/multiply, integer floor,
+    // then the same Knuth-hash compare as q_sample_hash — the oracle
+    // recomputes the exact per-row decision.
+    r.reg("q_temperature_mix",
+      s"""WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+         |m AS (SELECT MIN(cnt) AS cmin FROM c),
+         |thr AS (
+         |  SELECT source,
+         |    CAST(floor(sqrt(CAST(cmin AS DOUBLE) / CAST(cnt AS DOUBLE))
+         |      * 4294967296) AS BIGINT) AS thr
+         |  FROM c, m)
+         |SELECT d.doc_id, d.source FROM documents d
+         |JOIN thr USING (source)
+         |WHERE (d.doc_id % 2147483648) * 2654435761 % 4294967296 < thr
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "documents"))
+        .sampleByTemperature("doc_id", "source", alpha = 0.5)
+        .select("doc_id", "source")
+        .sortValues(Seq("doc_id" -> true)).df
+    }
+
     // Deterministic corpus shuffle: global position under the Knuth-hash
     // order (scale-safe two-pass plan) — the "shuffle before sharding"
     // training-data pass; the oracle replays the permutation exactly.

@@ -164,6 +164,45 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     lift(df.filter(graft.QHelp.keyHash31(col(keyCol)) < threshold))
   }
 
+  /** Temperature-weighted domain mixing — [[sampleByHashStratified]]
+    * with the rates DERIVED from the corpus itself: keep probabilities
+    * p_d = (c_min / c_d)^(1-alpha) make the sampled corpus's expected
+    * domain proportions ∝ c_d^alpha (the temperature-flattened
+    * multinomial of the Pile/Gopher/LLaMA data-mixing recipes, realized
+    * as a one-pass deterministic filter — no RNG, reproducible on any
+    * cluster). alpha = 1 keeps the natural mix (everything), alpha = 0
+    * equalizes expected domain counts, alpha in between downweights
+    * head domains; the smallest domain always keeps all rows (rates
+    * are normalized to its count, the lossless-for-the-tail choice).
+    *
+    * Scale shape: one map-side-combined count over the domain column
+    * (domain cardinality-sized result), thresholds broadcast back, and
+    * the row decision is the same blockwise Knuth-hash compare as
+    * [[sampleByHash]] — no data-sized shuffle anywhere. alpha = 0.5
+    * computes through sqrt (correctly rounded IEEE — bit-reproducible
+    * across engines, the oracle-covered path); other alphas go through
+    * pow (≤1 ulp, reproducible within the JVM). Rows with a NULL
+    * domain are dropped (inner-join semantics, as in SQL USING). */
+  def sampleByTemperature(keyCol: String, domainCol: String,
+                          alpha: Double): GraftFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0, 1], got $alpha")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__c__"))
+    val cmin = counts.agg(min(col("__c__")).as("__cmin__"))
+    val ratio = col("__cmin__").cast("double") / col("__c__").cast("double")
+    val p =
+      if (alpha == 1.0) lit(1.0)
+      else if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 0.0) ratio
+      else pow(ratio, lit(1.0 - alpha))
+    val thresholds = counts.crossJoin(broadcast(cmin))
+      .select(col(domainCol),
+        floor(p * lit(4294967296.0)).cast("long").as("__thr__"))
+    lift(df.join(broadcast(thresholds), Seq(domainCol))
+      .filter(graft.QHelp.keyHash31(col(keyCol)) < col("__thr__"))
+      .select(df.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** Deterministic corpus shuffle for training-order mixing: a global
     * position under the engine-agnostic Knuth hash order — the standard
     * "shuffle before sharding" pass, reproducible on any engine/cluster

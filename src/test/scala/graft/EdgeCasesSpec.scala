@@ -405,4 +405,47 @@ class EdgeCasesSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       GraftFrame.fromDict(spark, Seq("a" -> Seq(1), "b" -> Seq(1, 2))) }
   }
+
+  test("sampleByTemperature: alpha=1 natural mix, alpha=0 equalizes, smallest domain lossless") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType)))
+    // head domain 4000 rows, mid 1000, tail 50 — ids interleaved so the
+    // hash decision is independent of the domain layout
+    val rows = (0L until 5050L).map { i =>
+      val src = if (i % 101 < 80) "head" else if (i % 101 < 100) "mid" else "tail"
+      Row(i, src)
+    }
+    val docs = GraftFrame(df(schema, rows: _*))
+
+    assert(docs.sampleByTemperature("doc_id", "source", 1.0).df.count() == 5050,
+      "alpha=1 must keep the natural mix (everything)")
+
+    val flat = docs.sampleByTemperature("doc_id", "source", 0.0).df
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tailCount = rows.count(_.getString(1) == "tail")
+    assert(flat("tail") == tailCount, "smallest domain must keep all rows")
+    // expected kept count per domain == tail size; binomial noise bound
+    flat.foreach { case (s, n) =>
+      assert(math.abs(n - tailCount) <= 3 * math.sqrt(tailCount.toDouble),
+        s"alpha=0 must equalize expected counts: $s kept $n vs ~$tailCount")
+    }
+
+    val mixed = docs.sampleByTemperature("doc_id", "source", 0.5).df
+    val again = docs.sampleByTemperature("doc_id", "source", 0.5).df
+    assert(mixed.orderBy("doc_id").collect().map(_.getLong(0)).toSeq ==
+      again.orderBy("doc_id").collect().map(_.getLong(0)).toSeq,
+      "deterministic: no RNG anywhere")
+    assert(mixed.columns.toSeq == Seq("doc_id", "source"),
+      "schema preserved in original order")
+
+    // interior alpha through pow: monotone between the endpoints
+    val kept07 = docs.sampleByTemperature("doc_id", "source", 0.7).df.count()
+    assert(mixed.count() <= kept07 && kept07 <= 5050,
+      "higher alpha keeps more of the head")
+
+    intercept[IllegalArgumentException] {
+      docs.sampleByTemperature("doc_id", "source", 1.5)
+    }
+  }
 }
