@@ -401,6 +401,13 @@ object Dedup {
       .toBucketedTable(s"${name}_vecs", s"$path/vecs", buckets, Seq("bucket"))
     stampParams(embeddings.sparkSession, s"${name}_vecs",
       Map("dim" -> dim, "planes" -> planes))
+    // rebuild-in-lockstep, as in writeNearDupIndex: a stale id sidecar
+    // behind a rebuilt index is a silent double-insert
+    val spark = embeddings.sparkSession
+    if (KeyBlooms.exists(spark, path, "idblooms"))
+      KeyBlooms.rebuild(
+        spark.table(s"${name}_vecs").select(col("id").as("key")), path,
+        "idblooms")
   }
 
   /** Near-dup pairs of a NEW embedding shard against a persisted
@@ -489,6 +496,12 @@ object Dedup {
     val survivors = internal.join(
       vsCorpus.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti").localCheckpoint(true)
+    // id sidecar BEFORE the vecs append (KeyBlooms ordering contract:
+    // a crash between the two leaves the blooms ahead — stale positives
+    // route to the verify scan, never a silent double-insert)
+    if (KeyBlooms.exists(spark, path, "idblooms"))
+      KeyBlooms.append(survivors.select(col(idCol).as("key")), path,
+        "idblooms")
     graft.api.GraftFrame(embedIndexRows(survivors, idCol, vecCol, dim, planes))
       .toBucketedTable(s"${name}_vecs", s"$path/vecs", buckets,
         Seq("bucket"), mode = "append")
@@ -536,7 +549,41 @@ object Dedup {
         Seq("key"))
     stampParams(docs.sparkSession, s"${name}_bands", Map(
       "shingleK" -> shingleK, "numHashes" -> numHashes, "bands" -> bands))
+    // a REBUILD changes the key population — Bloom sidecars left behind
+    // it would answer "definitely new" for keys the new index contains
+    // (a silent duplicate-miss); rebuild them in lockstep
+    val spark = docs.sparkSession
+    if (KeyBlooms.exists(spark, path))
+      KeyBlooms.rebuild(
+        spark.table(s"${name}_keys").select(col("key")), path)
+    if (KeyBlooms.exists(spark, path, "idblooms"))
+      KeyBlooms.rebuild(
+        spark.table(s"${name}_keys").select(col("id").as("key")), path,
+        "idblooms")
   }
+
+  /** Opt-in id-boundary Bloom sidecar for a TEXT index: retires the
+    * daily O(corpus) id-column scan of [[graft.llm.Pipeline.ingestShard]]'s
+    * crash-replay suspects snapshot — on a steady-state day (no
+    * replayed ids) the shard is all bloom-negative and the keys table
+    * is never read for it. Grown automatically by
+    * [[appendShardToIndex]]; rebuilt by [[writeNearDupIndex]]. */
+  def buildIdBlooms(spark: org.apache.spark.sql.SparkSession, name: String,
+                    path: String, nBlooms: Int = 32,
+                    fpp: Double = 0.01): Unit =
+    KeyBlooms.buildFrom(
+      spark.table(s"${name}_keys").select(col("id").as("key")), path,
+      "idblooms", nBlooms, fpp)
+
+  /** The embedding-index analog of [[buildIdBlooms]]: id boundary of
+    * `<name>_vecs`, used by [[graft.llm.Pipeline.ingestEmbeddingShard]]'s
+    * stage-0 presence guard. */
+  def buildEmbedIdBlooms(spark: org.apache.spark.sql.SparkSession,
+                         name: String, path: String, nBlooms: Int = 32,
+                         fpp: Double = 0.01): Unit =
+    KeyBlooms.buildFrom(
+      spark.table(s"${name}_vecs").select(col("id").as("key")), path,
+      "idblooms", nBlooms, fpp)
 
   /** The (id, key) rows the exact-dedup boundary table persists — shared
     * by build and append so the two can never drift. */
@@ -686,6 +733,9 @@ object Dedup {
       // are idempotent, so a replay re-put is a no-op.
       if (KeyBlooms.exists(newDocs.sparkSession, path))
         KeyBlooms.append(keyed, path)
+      if (KeyBlooms.exists(newDocs.sparkSession, path, "idblooms"))
+        KeyBlooms.append(keyed.select(col("id").as("key")), path,
+          "idblooms")
       graft.api.GraftFrame(keyed)
         .toBucketedTable(s"${name}_keys", s"$path/keys", buckets,
           Seq("key"), mode = "append")

@@ -206,6 +206,30 @@ object Ivf {
     // a rebuild resets the generation chain: the flat layout IS the
     // live data again, so a stale manifest must not shadow it
     Generations.reset(embeddings.sparkSession, path, "MANIFEST")
+    // and rebuilds the id-Bloom sidecar in lockstep when one exists — a
+    // sidecar missing the new population would answer "definitely new"
+    // for ids the index contains (silent double-insert on replay)
+    val spark = embeddings.sparkSession
+    if (KeyBlooms.exists(spark, path, "idblooms"))
+      KeyBlooms.rebuild(
+        spark.read.parquet(s"$path/ids").select(col(idCol).as("key")),
+        path, "idblooms")
+  }
+
+  /** Opt-in id-boundary Bloom sidecar ([[KeyBlooms]]) for a persisted
+    * IVF index: [[appendToIndex]]'s replay guard then skips the ids
+    * boundary read entirely on a steady-state day (all shard ids
+    * bloom-negative) and restricts it to the bloom-positive ids
+    * otherwise. Grown automatically by every append; rebuilt by
+    * [[writeIndex]]. Lives at the index ROOT (not inside a generation),
+    * so compaction flips never touch it. */
+  def buildIdBlooms(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String, nBlooms: Int = 32,
+                    fpp: Double = 0.01): Unit = {
+    val root = resolveRoot(spark, indexPath)
+    val ids = spark.read.parquet(s"$root/ids")
+    KeyBlooms.buildFrom(ids.select(col(ids.columns.head).as("key")),
+      indexPath, "idblooms", nBlooms, fpp)
   }
 
   /** Resolve the LIVE generation root of an index at `path` (r10
@@ -277,11 +301,34 @@ object Ivf {
     val boundary =
       if (hasBoundary) spark.read.parquet(s"$path/ids")
       else spark.read.parquet(s"$path/vectors").select(col(idCol))
-    val present = boundary
-      .join(broadcast(newEmbeddings.select(col(idCol))), Seq(idCol),
-        "left_semi")
-      .select(col(idCol))
+    val hasBlooms = KeyBlooms.exists(spark, indexPath, "idblooms")
+    val present =
+      if (hasBlooms) {
+        // id-Bloom shortcut ([[buildIdBlooms]]): a steady-state append
+        // (no replayed ids) is all bloom-negative and never reads the
+        // boundary at all; bloom-positive ids restrict the semi-join
+        val pos = KeyBlooms.suspects(
+          newEmbeddings.select(col(idCol).as("key")), indexPath,
+          "idblooms").select(col("key").as(idCol))
+        if (pos.isEmpty) newEmbeddings.select(col(idCol)).limit(0)
+        else boundary.join(broadcast(pos), Seq(idCol), "left_semi")
+          .select(col(idCol))
+      }
+      else boundary
+        .join(broadcast(newEmbeddings.select(col(idCol))), Seq(idCol),
+          "left_semi")
+        .select(col(idCol))
+    // eager: the fresh set feeds up to three sinks (blooms, vectors,
+    // ids) — one evaluation, pinned against the boundary state from
+    // BEFORE any of them commit
     val fresh = newEmbeddings.join(present, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    // sidecar BEFORE any durable sink (KeyBlooms ordering contract: a
+    // crash leaves the blooms ahead — stale positives, never a silent
+    // double-insert); puts are replay-idempotent
+    if (hasBlooms)
+      KeyBlooms.append(fresh.select(col(idCol).as("key")), indexPath,
+        "idblooms")
     val out = fs.create(inflight, true)
     try out.write("appending\n".getBytes("UTF-8")) finally out.close()
     assign(fresh, idCol, vecCol, centroids)

@@ -66,7 +66,8 @@ object KeyBlooms {
     spark.sparkContext.broadcast(
       new ConfBox(spark.sparkContext.hadoopConfiguration))
 
-  private def dirPath(indexPath: String) = s"$indexPath/$DIR"
+  private def dirPath(indexPath: String, sidecar: String) =
+    s"$indexPath/$sidecar"
 
   private case class Meta(nBlooms: Int, fpp: Double, expectedPerBucket: Long,
                           totalKeys: Long)
@@ -77,8 +78,10 @@ object KeyBlooms {
   private def bucketOf(key: org.apache.spark.sql.Column, nBlooms: Int) =
     pmod(hash(key), lit(nBlooms)).cast("int")
 
-  def exists(spark: SparkSession, indexPath: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"${dirPath(indexPath)}/$META")
+  def exists(spark: SparkSession, indexPath: String,
+             sidecar: String = DIR): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"${dirPath(indexPath, sidecar)}/$META")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
@@ -156,9 +159,21 @@ object KeyBlooms {
     * per-bucket sizing absorbs growth between rebuilds; [[report]] shows
     * the measured load so maintenance can schedule the next rebuild. */
   def build(spark: SparkSession, name: String, indexPath: String,
-            nBlooms: Int = 32, fpp: Double = 0.01): Unit = {
-    val dir = dirPath(indexPath)
-    val keys = spark.table(s"${name}_keys").select(col("key"))
+            nBlooms: Int = 32, fpp: Double = 0.01): Unit =
+    buildFrom(spark.table(s"${name}_keys").select(col("key")), indexPath,
+      nBlooms = nBlooms, fpp = fpp)
+
+  /** [[build]] from an arbitrary key frame (column `key`, any atomic
+    * type — longs and strings alike are keyed by their canonical string
+    * form, exact for integers) into a NAMED sidecar directory — the id
+    * boundaries of the three daily-ingest structures use this with
+    * `sidecar = "idblooms"`. */
+  def buildFrom(keysFrame: DataFrame, indexPath: String,
+                sidecar: String = DIR, nBlooms: Int = 32,
+                fpp: Double = 0.01): Unit = {
+    val spark = keysFrame.sparkSession
+    val dir = dirPath(indexPath, sidecar)
+    val keys = keysFrame.select(col("key").cast("string").as("key"))
     val total = keys.count()
     val expected = math.max(2L * total / math.max(nBlooms, 1), 1024L)
     val confBc = shipConf(spark)
@@ -192,15 +207,17 @@ object KeyBlooms {
     * ordering contract above). Each touched bucket loads its filter,
     * puts the new keys (idempotent), and atomically reinstalls it; only
     * the shard shuffles. Returns the number of keys put. */
-  def append(keysFrame: DataFrame, indexPath: String): Long = {
+  def append(keysFrame: DataFrame, indexPath: String,
+             sidecar: String = DIR): Long = {
     val spark = keysFrame.sparkSession
-    val dir = dirPath(indexPath)
+    val dir = dirPath(indexPath, sidecar)
     val meta = readMeta(spark, dir)
     val confBc = shipConf(spark)
     val expected = meta.expectedPerBucket
     val fpp = meta.fpp
     import spark.implicits._
     val added = keysFrame
+      .select(col("key").cast("string").as("key"))
       .select(bucketOf(col("key"), meta.nBlooms).as("b"), col("key").as("k"))
       .as[(Int, String)]
       .groupByKey(_._1)
@@ -225,13 +242,16 @@ object KeyBlooms {
     * that task owns (~1 at partitions ≥ nBlooms). Output ⊆ input;
     * keys absent from the output are guaranteed absent from the corpus
     * boundary. `keysFrame` must expose the key under column `key`. */
-  def suspects(keysFrame: DataFrame, indexPath: String): DataFrame = {
+  def suspects(keysFrame: DataFrame, indexPath: String,
+               sidecar: String = DIR): DataFrame = {
     val spark = keysFrame.sparkSession
-    val dir = dirPath(indexPath)
+    val dir = dirPath(indexPath, sidecar)
     val meta = readMeta(spark, dir)
     val confBc = shipConf(spark)
+    val inType = keysFrame.schema("key").dataType
     import spark.implicits._
     keysFrame
+      .select(col("key").cast("string").as("key"))
       .select(bucketOf(col("key"), meta.nBlooms).as("b"), col("key").as("k"))
       .as[(Int, String)]
       .groupByKey(_._1)
@@ -244,6 +264,19 @@ object KeyBlooms {
         }
       }
       .toDF("key")
+      .select(col("key").cast(inType).as("key")) // round-trip exact
+  }
+
+  /** Rebuild an EXISTING sidecar from a fresh key frame, keeping its
+    * stored geometry (nBlooms/fpp) — called by the index REBUILD paths:
+    * a wholesale index rewrite changes the key population, and a
+    * sidecar left behind it would answer "definitely new" for keys the
+    * new index DOES contain (a silent duplicate-miss, the one failure
+    * mode the whole design exists to prevent). */
+  def rebuild(keysFrame: DataFrame, indexPath: String,
+              sidecar: String = DIR): Unit = {
+    val m = readMeta(keysFrame.sparkSession, dirPath(indexPath, sidecar))
+    buildFrom(keysFrame, indexPath, sidecar, m.nBlooms, m.fpp)
   }
 
   /** Maintenance observable: sidecar geometry plus the measured load —
@@ -252,8 +285,9 @@ object KeyBlooms {
     * (probes stay CORRECT — false positives only route more rows to the
     * exact verify — but the daily suspect set grows); schedule
     * [[build]] (a rebuild) when it crosses ~1. */
-  def report(spark: SparkSession, indexPath: String): DataFrame = {
-    val m = readMeta(spark, dirPath(indexPath))
+  def report(spark: SparkSession, indexPath: String,
+             sidecar: String = DIR): DataFrame = {
+    val m = readMeta(spark, dirPath(indexPath, sidecar))
     import spark.implicits._
     Seq((m.nBlooms, m.fpp, m.expectedPerBucket, m.totalKeys,
       m.totalKeys.toDouble / (m.nBlooms.toLong * m.expectedPerBucket)))

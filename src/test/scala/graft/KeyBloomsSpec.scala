@@ -160,6 +160,166 @@ class KeyBloomsSpec extends SparkTestBase {
     }
   }
 
+  private def watchScans(needle: String)(body: => Unit): Seq[String] = {
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val hits = qe.executedPlan.collect {
+          case s: FileSourceScanExec if s.relation.location.rootPaths
+            .exists(_.toString.contains(needle)) => s
+        }
+        if (hits.nonEmpty) offenders.synchronized { offenders += funcName }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val n = offenders.synchronized(offenders.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    offenders.synchronized(offenders.toList)
+  }
+
+  test("id-blooms, text ingest: an all-new day never reads the keys table; a bloom-positive replay still skips") {
+    val tmp = tmpDir("graft_blm5")
+    val out = tmpDir("graft_blm5_out")
+    try {
+      val corpus = corpus300
+      Dedup.writeNearDupIndex(corpus, "doc_id", "text", "blm5_t", tmp)
+      KeyBlooms.build(spark, "blm5_t", tmp, nBlooms = 8)
+      Dedup.buildIdBlooms(spark, "blm5_t", tmp, nBlooms = 8)
+
+      val novel1 = "meteor showers catalogued by patient amateurs " +
+        "rewrote the comet tables twice this decade"
+      val novel2 = "brass kettles whistle differently at altitude " +
+        "said the mountain innkeeper with certainty"
+      val shard = df(docSchema, Row(50001L, novel1), Row(50002L, novel2))
+      val bench = df(docSchema)
+
+      // BOTH sidecars present: the steady-state day's ingest — content
+      // gate AND suspects snapshot — must plan ZERO reads of the keys
+      // directory (writes/appends don't scan)
+      var counts: Map[String, Long] = Map.empty
+      val offenders = watchScans(s"$tmp/keys") {
+        counts = Pipeline.ingestShard(shard, bench, "doc_id", "text",
+          "blm5_t", tmp, out, "d1")
+      }
+      assert(counts("landed") == 2L, s"fresh shard must land: $counts")
+      assert(offenders.isEmpty,
+        s"all-new day must never read the keys table, but these actions " +
+          s"did: $offenders")
+
+      // same ids + content under a NEW label: ids are bloom-positive
+      // (the sidecar grew with the append), the verify finds them landed
+      // under d1, and nothing lands twice
+      val counts2 = Pipeline.ingestShard(shard, bench, "doc_id", "text",
+        "blm5_t", tmp, out, "d2")
+      assert(counts2("landed") == 0L,
+        s"resubmission under a new label must not re-land: $counts2")
+      val landed = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(landed.sameElements(Array(50001L, 50002L)),
+        s"landing must hold each doc exactly once: ${landed.toList}")
+    } finally {
+      dropIndex("blm5_t")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("id-blooms, embedding ingest: the vecs table is read once (the dedup join), not twice; replay still drops") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") < 400)
+    val shard = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      .localCheckpoint(true)
+    val idx = tmpDir("graft_blm6")
+    val out = tmpDir("graft_blm6_out")
+    try {
+      Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding", 64,
+        "blm6_t", idx)
+      Dedup.buildEmbedIdBlooms(spark, "blm6_t", idx, nBlooms = 8)
+
+      // the steady-state decision itself: every fresh id is
+      // bloom-negative, so the pipeline's suspects snapshot is the
+      // empty frame BY CONSTRUCTION — the vecs id-column scan the
+      // no-sidecar path pays is never planned (the scan itself runs
+      // inside a localCheckpoint evaluation, which QueryExecution
+      // listeners cannot observe — assert the decision, not the plan)
+      assert(KeyBlooms.suspects(shard.select(col("vec_id").as("key")),
+          idx, "idblooms").count() == 0,
+        "fresh ids must all be bloom-negative")
+      val counts = Pipeline.ingestEmbeddingShard(shard, "vec_id",
+        "embedding", dim = 64, threshold = 0.9, indexName = "blm6_t",
+        indexPath = idx, outPath = out, shardLabel = "d1")
+      assert(counts("landed") == 50L, s"fresh shard must land: $counts")
+
+      // replayed ids under a new label are bloom-positive, verified
+      // present, and nothing duplicates
+      val counts2 = Pipeline.ingestEmbeddingShard(shard, "vec_id",
+        "embedding", dim = 64, threshold = 0.9, indexName = "blm6_t",
+        indexPath = idx, outPath = out, shardLabel = "d2")
+      assert(counts2("landed") == 0L,
+        s"replayed shard must not re-land: $counts2")
+      val ids = spark.table("blm6_t_vecs").select("id")
+      assert(ids.count() == ids.distinct().count(),
+        "vecs index must hold no duplicate ids after the replay")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS blm6_t_vecs")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("id-blooms, IVF append: a fresh append never reads the ids boundary; writeIndex rebuilds the sidecar") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").limit(200).localCheckpoint(true)
+    val cents = graft.llm.Ivf.train(emb, "vec_id", "embedding",
+      nCells = 4, iters = 0)
+    val dir = tmpDir("graft_blm7")
+    try {
+      graft.llm.Ivf.writeIndex(emb.filter(col("vec_id") < 150), "vec_id",
+        "embedding", cents, dir)
+      graft.llm.Ivf.buildIdBlooms(spark, dir, nBlooms = 8)
+
+      val fresh = emb.filter(col("vec_id") >= 150 && col("vec_id") < 180)
+      val scans = watchScans(s"$dir/ids") {
+        graft.llm.Ivf.appendToIndex(fresh, "vec_id", "embedding", dir)
+      }
+      assert(scans.isEmpty,
+        s"bloom-negative append must never read the ids boundary: $scans")
+
+      // replay: bloom-positive → verified against the boundary → no dups
+      graft.llm.Ivf.appendToIndex(fresh, "vec_id", "embedding", dir)
+      val vec = spark.read.parquet(s"$dir/vectors")
+      assert(vec.count() == 180 &&
+        vec.select("vec_id").distinct().count() == 180,
+        "replayed append duplicated vectors")
+
+      // a full rebuild re-populates the sidecar in lockstep
+      graft.llm.Ivf.writeIndex(emb, "vec_id", "embedding", cents, dir)
+      val total = KeyBlooms.report(spark, dir, "idblooms")
+        .select("total_keys").collect().head.getLong(0)
+      assert(total == 200L,
+        s"writeIndex must rebuild the id sidecar (total_keys=$total)")
+      // and the rebuilt blooms still guard: re-appending anything is a no-op
+      graft.llm.Ivf.appendToIndex(fresh, "vec_id", "embedding", dir)
+      assert(spark.read.parquet(s"$dir/vectors").count() == 200,
+        "rebuilt sidecar must still catch re-appended ids")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("retraction leaves a stale positive, not a wrong answer: the re-submission lands") {
     val tmp = tmpDir("graft_blm4")
     val out = tmpDir("graft_blm4_out")
