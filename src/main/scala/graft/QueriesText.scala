@@ -605,6 +605,48 @@ object QueriesText {
         .orderBy("id_a", "id_b")
     }
 
+    // Corpus drift report: two overlapping snapshots of documents play
+    // the old and new corpus versions (old additionally excludes src0,
+    // planting an APPEARING domain whose old-side stats must be NULL).
+    // Exact integer sums divided as doubles — the oracle recomputes the
+    // identical float op sequence, so means and deltas hash
+    // cross-engine.
+    r.reg("q_drift_report", {
+      def sideSql(name: String, filter: String, tag: String) =
+        s"""$name AS (
+           |  SELECT source, COUNT(*) AS ${tag}_n,
+           |    SUM(len(string_split(text, ' '))) AS ${tag}_tokens,
+           |    SUM(length(text)) AS ${tag}_chars,
+           |    SUM(len(list_filter(string_split(text, ' '),
+           |      w -> w IN ($stopSqlList)))) AS ${tag}_stop,
+           |    SUM(len(list_distinct(string_split(text, ' ')))) AS ${tag}_distinct
+           |  FROM documents WHERE $filter GROUP BY source)"""
+      val metricSql = Seq("tokens" -> "tokens", "chars" -> "chars",
+        "stopwords" -> "stop", "distinct" -> "distinct").map { case (m, c) =>
+        s"""SELECT source, '$m' AS metric, old_n, new_n,
+           |  CAST(old_$c AS DOUBLE) / CAST(old_n AS DOUBLE) AS old_mean,
+           |  CAST(new_$c AS DOUBLE) / CAST(new_n AS DOUBLE) AS new_mean,
+           |  CAST(new_$c AS DOUBLE) / CAST(new_n AS DOUBLE)
+           |    - CAST(old_$c AS DOUBLE) / CAST(old_n AS DOUBLE) AS delta
+           |FROM j""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${sideSql("oa", "doc_id % 10 <> 1 AND source <> 'src0'", "old")},
+         |${sideSql("na", "doc_id % 10 <> 2", "new")},
+         |j AS (
+         |  SELECT COALESCE(oa.source, na.source) AS source,
+         |    old_n, old_tokens, old_chars, old_stop, old_distinct,
+         |    new_n, new_tokens, new_chars, new_stop, new_distinct
+         |  FROM oa FULL JOIN na ON oa.source = na.source)
+         |$metricSql
+         |ORDER BY source, metric""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      val old = docs.filter(col("doc_id") % 10 =!= 1 && col("source") =!= "src0")
+      val nw = docs.filter(col("doc_id") % 10 =!= 2)
+      TextStats.driftReport(old, nw, "text", "source", stop)
+        .orderBy("source", "metric")
+    }
+
     // Bloom-sidecar exact gate: documents % 3 <> 0 play the indexed
     // corpus (keys boundary + per-bucket Blooms); a re-idded shard of
     // documents % 5 = 0 probes it — ids sharing 15 as a factor carry

@@ -300,4 +300,53 @@ object TextStats {
         col("__ts__.fingerprint").as("fingerprint"),
         md5(regexp_replace(lower(trim(t)), "\\s+", " ")).as("content_md5"))
   }
+
+  /** Corpus DRIFT report between two corpus versions — the monitoring
+    * pass a daily-ingested corpus runs before promoting a new snapshot:
+    * per group (source/domain) and per text statistic, the old and new
+    * means and their delta, so a crawl whose token-length or stopword
+    * distribution shifted shows up as numbers instead of being
+    * discovered post-training. Metrics ride the same native
+    * [[graft.functions.TextHashExprs.tokenStats]] pass as
+    * [[qualityFrame]]: doc count plus mean tokens / chars / stopwords /
+    * distinct tokens per doc.
+    *
+    * Scale shape: ONE blockwise stats pass + map-side-combined
+    * aggregation per side (group-cardinality-sized results), a
+    * full-outer join of the two tiny aggregates (appearing and
+    * disappearing domains survive with NULL means on their absent
+    * side), and a `stack` unpivot — no data-sized shuffle beyond the
+    * two group-by exchanges. Means are computed as exact integer sums
+    * divided as doubles — deterministic across engines while sums stay
+    * below 2^53 (beyond that they are still correct to double
+    * precision). */
+  def driftReport(oldDocs: DataFrame, newDocs: DataFrame,
+                  textCol: String, groupCol: String,
+                  stopwords: Seq[String]): DataFrame = {
+    def side(d: DataFrame, tag: String): DataFrame =
+      d.withColumn("__ts__",
+          graft.functions.TextHashExprs.tokenStats(col(textCol), stopwords))
+        .groupBy(col(groupCol).as("__grp__"))
+        .agg(count(lit(1)).as(s"${tag}_n"),
+          sum(col("__ts__.n_tokens").cast("long")).as(s"${tag}_tokens"),
+          sum(col("__ts__.n_chars").cast("long")).as(s"${tag}_chars"),
+          sum(col("__ts__.n_stopwords").cast("long")).as(s"${tag}_stop"),
+          sum(col("__ts__.n_distinct").cast("long")).as(s"${tag}_distinct"))
+    val j = side(oldDocs, "old")
+      .join(side(newDocs, "new"), Seq("__grp__"), "full_outer")
+    val stacked = j.select(col("__grp__"), col("old_n"), col("new_n"),
+      expr("""stack(4,
+        'tokens',   old_tokens,   new_tokens,
+        'chars',    old_chars,    new_chars,
+        'stopwords', old_stop,    new_stop,
+        'distinct', old_distinct, new_distinct) AS (metric, old_sum, new_sum)"""))
+    stacked.select(
+        col("__grp__").as(groupCol), col("metric"),
+        col("old_n"), col("new_n"),
+        (col("old_sum").cast("double") / col("old_n").cast("double"))
+          .as("old_mean"),
+        (col("new_sum").cast("double") / col("new_n").cast("double"))
+          .as("new_mean"))
+      .withColumn("delta", col("new_mean") - col("old_mean"))
+  }
 }
