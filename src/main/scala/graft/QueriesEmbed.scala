@@ -248,6 +248,174 @@ object QueriesEmbed {
         k = 10, nprobe = 2)
     }
 
+    // Product-quantized ADC top-k (m=8 subspaces × 16 codes over dim 64,
+    // iters=0 so the per-subspace codebooks are the SQL-reproducible
+    // seed slices — the q_ivf_topk construction): the oracle recomputes
+    // the full pipeline — codebook slicing, per-subspace argmin encode
+    // (strict-improvement tie → lowest code ≡ row_number ORDER BY d, c),
+    // exact decimal norms, per-query LUT dots, and the ordered ADC fold
+    // (list_sum mirrors Spark's left fold) — so the 32×-compressed
+    // approximate rank is hash-checked end to end.
+    r.reg("q_pq_topk",
+      """WITH hs AS (
+        |  SELECT vec_id, embedding,
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS code,
+        |    embedding
+        |  FROM hs ORDER BY h ASC, vec_id ASC LIMIT 16),
+        |cb AS (
+        |  SELECT j, s.code AS c,
+        |    list_transform(range(1, 9),
+        |      i -> CAST(s.embedding[j*8 + i] AS DOUBLE)) AS cent
+        |  FROM seeds s, range(0, 8) rj(j)),
+        |dist AS (
+        |  SELECT e.vec_id, cb.j, cb.c,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (CAST(e.embedding[cb.j*8 + i] AS DOUBLE) - cb.cent[i])
+        |      * (CAST(e.embedding[cb.j*8 + i] AS DOUBLE) - cb.cent[i]))) AS d
+        |  FROM embeddings e, cb WHERE e.vec_id <> 0),
+        |codes AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |codelist AS (
+        |  SELECT vec_id, list(c ORDER BY j) AS cl FROM codes GROUP BY vec_id),
+        |norms AS (
+        |  SELECT vec_id,
+        |    sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |      AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings
+        |        WHERE vec_id <> 0) GROUP BY vec_id),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |qn AS (
+        |  SELECT CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |    AS DECIMAL(25,12))) AS DOUBLE) AS nq2
+        |  FROM (SELECT unnest(qv) AS x FROM q)),
+        |lutrows AS (
+        |  SELECT cb.j, cb.c,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> cb.cent[i] * CAST(q.qv[cb.j*8 + i] AS DOUBLE))) AS lv
+        |  FROM cb, q),
+        |lut AS (SELECT list(lv ORDER BY j, c) AS lt FROM lutrows)
+        |SELECT cl.vec_id,
+        |  list_sum(list_transform(range(0, 8), j -> lt[j*16 + cl.cl[j+1] + 1]))
+        |    / (sqrt(qn.nq2) * norms.nrm) AS cos_adc
+        |FROM codelist cl JOIN norms USING (vec_id), lut, qn
+        |WHERE norms.nrm > 0 AND qn.nq2 > 0
+        |ORDER BY cos_adc DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cbs = graft.llm.Pq.trainCodebooks(e, "vec_id", "embedding",
+        dim = 64, m = 8, codes = 16, iters = 0)
+      val enc = graft.llm.Pq.encode(e.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", cbs, 64, 8)
+      graft.llm.Pq.annTopKPq(enc, "vec_id", cbs,
+        e.filter(col("vec_id") === 0).select(col("embedding").as("qv")),
+        dim = 64, m = 8, k = 10)
+    }
+
+    // PQ recall@5 vs exact brute force — the instrument that prices the
+    // 32× compression (family sibling of q_ann_recall / q_ivf_recall /
+    // q_quantized_recall): the ann side is the full batched ADC rank
+    // recomputed per query id from the q_pq_topk CTEs, the exact side
+    // and pooled Σhits/Σk mean are the shared harness shapes.
+    r.reg("q_pq_recall",
+      """WITH hs AS (
+        |  SELECT vec_id, embedding,
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS code,
+        |    embedding
+        |  FROM hs ORDER BY h ASC, vec_id ASC LIMIT 16),
+        |cb AS (
+        |  SELECT j, s.code AS c,
+        |    list_transform(range(1, 9),
+        |      i -> CAST(s.embedding[j*8 + i] AS DOUBLE)) AS cent
+        |  FROM seeds s, range(0, 8) rj(j)),
+        |dist AS (
+        |  SELECT e.vec_id, cb.j, cb.c,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (CAST(e.embedding[cb.j*8 + i] AS DOUBLE) - cb.cent[i])
+        |      * (CAST(e.embedding[cb.j*8 + i] AS DOUBLE) - cb.cent[i]))) AS d
+        |  FROM embeddings e, cb),
+        |codes AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |codelist AS (
+        |  SELECT vec_id, list(c ORDER BY j) AS cl FROM codes GROUP BY vec_id),
+        |norms AS (
+        |  SELECT vec_id,
+        |    sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |      AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        |  GROUP BY vec_id),
+        |qsel AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id % 25 = 0),
+        |qn AS (
+        |  SELECT qid, CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |    AS DECIMAL(25,12))) AS DOUBLE) AS nq2
+        |  FROM (SELECT qid, unnest(qv) AS x FROM qsel) GROUP BY qid),
+        |lutrows AS (
+        |  SELECT q.qid, cb.j, cb.c,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> cb.cent[i] * CAST(q.qv[cb.j*8 + i] AS DOUBLE))) AS lv
+        |  FROM cb, qsel q),
+        |lut AS (SELECT qid, list(lv ORDER BY j, c) AS lt
+        |        FROM lutrows GROUP BY qid),
+        |adc AS (
+        |  SELECT l.qid, cl.vec_id,
+        |    list_sum(list_transform(range(0, 8), j -> l.lt[j*16 + cl.cl[j+1] + 1]))
+        |      / (sqrt(qn.nq2) * n.nrm) AS s
+        |  FROM codelist cl JOIN norms n USING (vec_id), lut l JOIN qn USING (qid)
+        |  WHERE cl.vec_id <> l.qid AND n.nrm > 0 AND qn.nq2 > 0),
+        |ann AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+        |    FROM adc) WHERE rn <= 5),
+        |bz AS (
+        |  SELECT q.qid, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+        |  FROM embeddings e, qsel q WHERE e.vec_id <> q.qid),
+        |bd AS (
+        |  SELECT qid, vec_id,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na,
+        |    sum(CAST(CAST(b AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS nb
+        |  FROM bz GROUP BY qid, vec_id),
+        |exact AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY
+        |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC,
+        |        vec_id ASC) AS rn
+        |    FROM bd) WHERE rn <= 5),
+        |hits AS (
+        |  SELECT e.qid,
+        |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |    CAST(count(*) AS BIGINT) AS exact_k
+        |  FROM exact e LEFT JOIN ann a ON a.qid = e.qid AND a.vec_id = e.vec_id
+        |  GROUP BY e.qid),
+        |m AS (
+        |  SELECT CAST(sum(hits) AS DOUBLE)/CAST(sum(exact_k) AS DOUBLE) AS mean_recall
+        |  FROM hits)
+        |SELECT qid AS query_id, hits, exact_k,
+        |  CAST(hits AS DOUBLE)/CAST(exact_k AS DOUBLE) AS recall, m.mean_recall
+        |FROM hits, m ORDER BY query_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 25 === 0).select("vec_id", "embedding")
+      val cbs = graft.llm.Pq.trainCodebooks(e, "vec_id", "embedding",
+        dim = 64, m = 8, codes = 16, iters = 0)
+      graft.llm.Pq.recallReport(e, q, "vec_id", "embedding", "vec_id",
+          "embedding", cbs, dim = 64, m = 8, k = 5)
+        .orderBy("query_id")
+    }
+
     // Batched IVF ANN: 20 query vectors in ONE job — per-query probe-cell
     // rank over the broadcast seeds, blockwise corpus assignment, one
     // cell equi-join, per-query top-k. Same iters=0 SQL-expressible seeds

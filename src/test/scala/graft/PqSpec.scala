@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Pq, Similarity}
+
+/** Product quantization (llm/Pq): codebook training, blockwise encode,
+  * ADC search, persisted corpus, and the recall instrument. The
+  * hash-level exactness is pinned by q_pq_topk / q_pq_recall; these
+  * specs cover the properties an oracle can't: approximation quality on
+  * clustered data, geometry guards, and path parity. */
+class PqSpec extends SparkTestBase {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select("vec_id", "embedding").localCheckpoint(true)
+
+  // clustered fixture: 20 centers, 3 tight members each (deterministic
+  // ±2% per-element jitter) — the regime a real embedding corpus runs
+  private lazy val clustered = {
+    val centers = emb.filter(col("vec_id") % 25 === 0)
+    val members = centers.crossJoin(
+        spark.range(1, 4).select(col("id").as("r")))
+      .select((col("vec_id") * 10 + 2000000 + col("r")).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          (col("embedding").getItem(i).cast("double") *
+            (lit(1.0) + pmod((col("vec_id") * 10 + col("r")) * 64 + i, lit(101))
+              .cast("double").minus(50.0) / 2500.0)).cast("float"))
+          .as("embedding"))
+    emb.unionByName(members).localCheckpoint(true)
+  }
+
+  test("encode: m codes per vector, all in range, deterministic") {
+    val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", dim = 64,
+      m = 8, codes = 16, iters = 1).localCheckpoint(true)
+    assert(cbs.count() == 8 * 16, "8 subspaces x 16 codes")
+    val enc = Pq.encode(emb, "vec_id", "embedding", cbs, 64, 8)
+    val rows = enc.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cs = r.getAs[scala.collection.Seq[Int]]("codes")
+      assert(cs.size == 8, s"expected 8 codes, got ${cs.size}")
+      assert(cs.forall(c => c >= 0 && c < 16), s"code out of range: $cs")
+    }
+    val again = Pq.encode(emb, "vec_id", "embedding", cbs, 64, 8)
+      .collect().map(_.toString).sorted
+    assert(rows.map(_.toString).sorted.sameElements(again),
+      "encode must be deterministic")
+  }
+
+  test("clustered corpus: ADC top-k finds the planted neighbors (recall >= 0.5 where iid scores ~0.15)") {
+    val cbs = Pq.trainCodebooks(clustered, "vec_id", "embedding",
+      dim = 64, m = 8, codes = 16, iters = 2, trainFraction = 1.0)
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+      .select("vec_id", "embedding")
+    val recall = Pq.recallReport(clustered, queries, "vec_id",
+        "embedding", "vec_id", "embedding", cbs, dim = 64, m = 8, k = 3)
+      .select("mean_recall").distinct().collect().head.getDouble(0)
+    assert(recall >= 0.5,
+      s"planted ±2% members must dominate ADC top-3 (recall=$recall)")
+  }
+
+  test("persisted corpus: indexed search matches in-memory; geometry mismatch throws") {
+    val dir = tmpDir("graft_pq")
+    try {
+      val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", dim = 64,
+        m = 8, codes = 16, iters = 1).localCheckpoint(true)
+      val enc = Pq.encode(emb, "vec_id", "embedding", cbs, 64, 8)
+      Pq.writePqCorpus(enc, cbs, dir, dim = 64, m = 8)
+      val q = emb.filter(col("vec_id") === 3L)
+        .select(col("embedding").as("qv"))
+      val mem = Pq.annTopKPq(enc, "vec_id", cbs, q, 64, 8, 10)
+        .collect().map(_.toString)
+      val idx = Pq.annTopKPqIndexed(spark, dir, "vec_id", q, 10)
+        .collect().map(_.toString)
+      assert(mem.sameElements(idx),
+        "persisted-corpus search must equal the in-memory path")
+      val ex = intercept[IllegalArgumentException] {
+        Pq.annTopKPqIndexed(spark, dir, "vec_id", q, 10,
+          expectDim = Some(128))
+      }
+      assert(ex.getMessage.contains("dim=64"),
+        s"geometry mismatch must throw, got: ${ex.getMessage}")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("single-query and batched ADC agree") {
+    val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", dim = 64,
+      m = 8, codes = 16, iters = 0).localCheckpoint(true)
+    val enc = Pq.encode(emb, "vec_id", "embedding", cbs, 64, 8)
+      .localCheckpoint(true)
+    val qid = 50L
+    val single = Pq.annTopKPq(enc.filter(col("vec_id") =!= qid),
+        "vec_id", cbs,
+        emb.filter(col("vec_id") === qid).select(col("embedding").as("qv")),
+        64, 8, 10)
+      .select("vec_id", "cos_adc").collect().map(_.toString)
+    val batch = Pq.annTopKPqBatch(enc, "vec_id", cbs,
+        emb.filter(col("vec_id") === qid).select("vec_id", "embedding"),
+        "vec_id", "embedding", 64, 8, 10)
+      .select("vec_id", "cos_adc").collect().map(_.toString)
+    assert(single.sameElements(batch),
+      "batched ADC must reproduce the single-query ranking")
+  }
+}
