@@ -316,6 +316,104 @@ object QueriesEmbed {
         dim = 64, m = 8, k = 10)
     }
 
+    // Combined IVF+PQ (the full FAISS-IVFPQ shape): coarse-quantizer
+    // probe-cell membership (8 cells, nprobe=2 — the q_ivf_topk CTEs)
+    // composed with PQ ADC ranking (the q_pq_topk CTEs) over the
+    // candidates. The Spark side searches a PERSISTED cell-partitioned
+    // encoded corpus — partition pruning × 32× compression — and the
+    // oracle recomputes membership AND the approximate rank exactly.
+    r.reg("q_ivfpq_topk",
+      """WITH hs AS (
+        |  SELECT vec_id, embedding,
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
+        |  FROM embeddings),
+        |seeds8 AS (
+        |  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell,
+        |    embedding AS centroid
+        |  FROM hs ORDER BY h ASC, vec_id ASC LIMIT 8),
+        |seeds16 AS (
+        |  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS code,
+        |    embedding
+        |  FROM hs ORDER BY h ASC, vec_id ASC LIMIT 16),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |cdist AS (
+        |  SELECT s.cell,
+        |    list_sum(list_transform(range(1, len(s.centroid)+1),
+        |      i -> (CAST(s.centroid[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |         * (CAST(s.centroid[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) AS d
+        |  FROM seeds8 s, q),
+        |probec AS (
+        |  SELECT cell FROM (
+        |    SELECT cell, row_number() OVER (ORDER BY d ASC, cell ASC) AS rn
+        |    FROM cdist) WHERE rn <= 2),
+        |adists AS (
+        |  SELECT e.vec_id, s.cell,
+        |    list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE)))) AS d
+        |  FROM embeddings e, seeds8 s),
+        |best AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        |  FROM adists),
+        |cand AS (
+        |  SELECT b.vec_id FROM best b JOIN probec p USING (cell) WHERE b.rn = 1),
+        |cb AS (
+        |  SELECT j, s.code AS c,
+        |    list_transform(range(1, 9),
+        |      i -> CAST(s.embedding[j*8 + i] AS DOUBLE)) AS cent
+        |  FROM seeds16 s, range(0, 8) rj(j)),
+        |dist AS (
+        |  SELECT e.vec_id, cb.j, cb.c,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (CAST(e.embedding[cb.j*8 + i] AS DOUBLE) - cb.cent[i])
+        |      * (CAST(e.embedding[cb.j*8 + i] AS DOUBLE) - cb.cent[i]))) AS d
+        |  FROM embeddings e JOIN cand USING (vec_id), cb),
+        |codes AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |codelist AS (
+        |  SELECT vec_id, list(c ORDER BY j) AS cl FROM codes GROUP BY vec_id),
+        |norms AS (
+        |  SELECT vec_id,
+        |    sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |      AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+        |  FROM (SELECT e.vec_id, unnest(e.embedding) AS x
+        |        FROM embeddings e JOIN cand USING (vec_id))
+        |  GROUP BY vec_id),
+        |qn AS (
+        |  SELECT CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |    AS DECIMAL(25,12))) AS DOUBLE) AS nq2
+        |  FROM (SELECT unnest(qv) AS x FROM q)),
+        |lutrows AS (
+        |  SELECT cb.j, cb.c,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> cb.cent[i] * CAST(q.qv[cb.j*8 + i] AS DOUBLE))) AS lv
+        |  FROM cb, q),
+        |lut AS (SELECT list(lv ORDER BY j, c) AS lt FROM lutrows)
+        |SELECT cl.vec_id,
+        |  list_sum(list_transform(range(0, 8), j -> lt[j*16 + cl.cl[j+1] + 1]))
+        |    / (sqrt(qn.nq2) * norms.nrm) AS cos_adc
+        |FROM codelist cl JOIN norms USING (vec_id), lut, qn
+        |WHERE norms.nrm > 0 AND qn.nq2 > 0
+        |ORDER BY cos_adc DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cents = graft.llm.Ivf.train(e, "vec_id", "embedding",
+        nCells = 8, iters = 0)
+      val cbs = graft.llm.Pq.trainCodebooks(e, "vec_id", "embedding",
+        dim = 64, m = 8, codes = 16, iters = 0)
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/ivfpq")
+        .getAbsolutePath
+      graft.llm.Pq.writeIvfPqCorpus(e, "vec_id", "embedding", cents,
+        cbs, idxPath, dim = 64, m = 8)
+      graft.llm.Pq.annTopKIvfPq(s, idxPath, "vec_id",
+        e.filter(col("vec_id") === 0).select(col("embedding").as("qv")),
+        k = 10, nprobe = 2)
+    }
+
     // PQ recall@5 vs exact brute force — the instrument that prices the
     // 32× compression (family sibling of q_ann_recall / q_ivf_recall /
     // q_quantized_recall): the ann side is the full batched ADC rank

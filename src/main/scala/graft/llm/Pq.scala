@@ -49,14 +49,25 @@ object Pq {
                      trainFraction: Double = 0.05): DataFrame = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val subDim = dim / m
-    (0 until m).map { j =>
+    val cb = (0 until m).map { j =>
       val sv = embeddings.select(col(idCol),
         slice(col(vecCol).cast("array<double>"), j * subDim + 1, subDim)
           .as("__sv__"))
       Ivf.train(sv, idCol, "__sv__", nCells = codes, iters = iters,
           trainFraction = trainFraction)
         .select(lit(j).as("sub"), col("cell").as("code"), col("centroid"))
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_)).localCheckpoint(true)
+    // Lloyd refinement DROPS a centroid whose cell lost every member —
+    // a subspace with fewer than `codes` entries would silently skew the
+    // flat (sub, code) → index layout every encode/search relies on.
+    // Codebook-sized check; rerun with fewer codes (or iters=0) if hit.
+    val bad = cb.groupBy("sub").count()
+      .filter(col("count") =!= codes).collect()
+    require(bad.isEmpty,
+      s"subspaces ${bad.map(_.get(0)).mkString(",")} trained fewer than " +
+        s"$codes codes (empty cells dropped during refinement) — lower " +
+        "`codes` or use iters=0")
+    cb
   }
 
   /** The broadcast flat codebook: element (j*codes + c + 1) is the
@@ -82,7 +93,15 @@ object Pq {
     * Ties in the per-subspace argmin resolve to the lowest code
     * (strict-improvement fold — the [[Ivf.assign]] contract). */
   def encode(embeddings: DataFrame, idCol: String, vecCol: String,
-             codebooks: DataFrame, dim: Int, m: Int = 8): DataFrame = {
+             codebooks: DataFrame, dim: Int, m: Int = 8): DataFrame =
+    encodeCols(embeddings, vecCol, codebooks, dim, m)
+      .select(col(idCol), col("codes"), col("norm"))
+
+  /** [[encode]] keeping the input's other columns (the IVF+PQ writer
+    * needs `cell` to ride along). */
+  private def encodeCols(embeddings: DataFrame, vecCol: String,
+                         codebooks: DataFrame, dim: Int,
+                         m: Int): DataFrame = {
     val subDim = dim / m
     val nCodes = codesPerSub(codebooks, m)
     embeddings.crossJoin(flatCodebook(codebooks))
@@ -105,7 +124,7 @@ object Pq {
         }))
       .withColumn("norm",
         coalesce(Similarity.normExact(col(vecCol), 12), lit(0.0)))
-      .select(col(idCol), col("codes"), col("norm"))
+      .drop("__cb__")
   }
 
   /** ADC top-k: score = Σ_j LUT[j][codes[j]] / (|q|·|x|) where
@@ -198,6 +217,60 @@ object Pq {
       s"PQ corpus at $path was built at dim=$dim, caller expects $d"))
     annTopKPq(spark.read.parquet(s"$path/encoded"), idCol,
       spark.read.parquet(s"$path/codebooks"), query, dim, m, k)
+  }
+
+  /** Persist the combined IVF+PQ index — the full FAISS-IVFPQ shape:
+    * the encoded corpus lands cell-partitioned (coarse quantizer =
+    * saved IVF centroids), so a search scans only the `nprobe` probe
+    * cell DIRECTORIES and reads only (id, codes, norm) inside them —
+    * partition pruning × 32× row compression multiply. Geometry (dim,
+    * m, codes, nCells) stamps the root; [[annTopKIvfPq]] validates. */
+  def writeIvfPqCorpus(embeddings: DataFrame, idCol: String,
+                       vecCol: String, centroids: DataFrame,
+                       codebooks: DataFrame, path: String, dim: Int,
+                       m: Int): Unit = {
+    val spark = embeddings.sparkSession
+    val nCodes = codesPerSub(codebooks, m)
+    val nCells = centroids.count()
+    val assigned = Ivf.assign(embeddings, idCol, vecCol, centroids)
+    encodeCols(assigned, vecCol, codebooks, dim, m)
+      .select(col(idCol), col("codes"), col("norm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/encoded")
+    codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$path/_PQ.json")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(
+      (s"""{"dim": $dim, "m": $m, "codes": $nCodes, """ +
+       s""""nCells": $nCells}\n""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Probe-cell ADC over a persisted [[writeIvfPqCorpus]] index: the
+    * `nprobe` cells nearest the query resolve to LITERALS (the
+    * [[Ivf.annTopKIndexed]] pattern), so the scan statically prunes to
+    * nprobe cell directories — at a 10 B-vector corpus with 4096
+    * cells and nprobe=8, the search reads ~0.2% of an already-32×-
+    * compressed index. Scoring is the same ADC as [[annTopKPq]]. */
+  def annTopKIvfPq(spark: SparkSession, path: String, idCol: String,
+                   query: DataFrame, k: Int,
+                   nprobe: Int = 2): DataFrame = {
+    val (dim, m, _) = readGeometry(spark, path)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val codebooks = spark.read.parquet(s"$path/codebooks")
+    val probeCells = centroids
+      .crossJoin(broadcast(query.select(
+        col("qv").cast("array<double>").as("__qv__"))))
+      .withColumn("__d__", sqDist(col("centroid"), col("__qv__")))
+      .orderBy(col("__d__").asc, col("cell").asc).limit(nprobe)
+      .select("cell").collect().map(_.getInt(0)) // bounded: nprobe rows
+    val enc = spark.read.parquet(s"$path/encoded")
+      .filter(col("cell").isin(probeCells.toSeq: _*)) // partition-pruned
+      .drop("cell")
+    annTopKPq(enc, idCol, codebooks, query, dim, m, k)
   }
 
   /** Batched ADC: every query in ONE job — per-query LUTs broadcast

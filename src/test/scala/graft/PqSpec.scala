@@ -89,6 +89,48 @@ class PqSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("IVF+PQ: probe scan reads exactly nprobe cell dirs; rank equals ADC restricted to probe cells") {
+    val dir = tmpDir("graft_ivfpq")
+    try {
+      val cents = graft.llm.Ivf.train(emb, "vec_id", "embedding",
+        nCells = 4, iters = 1)
+      val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", dim = 64,
+        m = 8, codes = 16, iters = 1).localCheckpoint(true)
+      Pq.writeIvfPqCorpus(emb, "vec_id", "embedding", cents, cbs, dir,
+        dim = 64, m = 8)
+      val q = emb.filter(col("vec_id") === 7L)
+        .select(col("embedding").as("qv"))
+      val nprobe = 2
+      val res = Pq.annTopKIvfPq(spark, dir, "vec_id", q, k = 10,
+        nprobe = nprobe)
+      val scans = res.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.partitionFilters.exists(_.references.exists(_.name == "cell")) => s
+      }
+      assert(scans.nonEmpty, "no scan with a partition filter on cell")
+      val dirsRead = scans.head.relation.location
+        .listFiles(scans.head.partitionFilters, scans.head.dataFilters).length
+      assert(dirsRead == nprobe, s"probe scan read $dirsRead cell dirs")
+
+      // parity: same rank as flat ADC restricted to the probe-cell members
+      val assigned = graft.llm.Ivf.assign(emb, "vec_id", "embedding", cents)
+      val probeCells = cents
+        .crossJoin(broadcast(q.select(col("qv").cast("array<double>").as("__qv__"))))
+        .withColumn("__d__",
+          aggregate(zip_with(col("centroid"), col("__qv__"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v))
+        .orderBy(col("__d__").asc, col("cell").asc).limit(nprobe)
+        .select("cell").collect().map(_.getInt(0)).toSeq
+      val flat = Pq.annTopKPq(
+        Pq.encode(assigned.filter(col("cell").isin(probeCells: _*)),
+          "vec_id", "embedding", cbs, 64, 8),
+        "vec_id", cbs, q, 64, 8, 10).collect().map(_.toString)
+      assert(res.collect().map(_.toString).sameElements(flat),
+        "persisted IVF+PQ rank must equal flat ADC over the probe cells")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("single-query and batched ADC agree") {
     val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", dim = 64,
       m = 8, codes = 16, iters = 0).localCheckpoint(true)
