@@ -247,6 +247,134 @@ object Pq {
       (s"""{"dim": $dim, "m": $m, "codes": $nCodes, """ +
        s""""nCells": $nCells}\n""").getBytes("UTF-8"))
     finally out.close()
+    // a full rebuild resets the generation chain (the flat layout IS
+    // the live data again) — and must re-populate any id sidecar, whose
+    // stale-behind state would otherwise silently re-admit present ids
+    Generations.reset(spark, path, "MANIFEST")
+    if (KeyBlooms.exists(spark, path, "idblooms"))
+      KeyBlooms.rebuild(
+        spark.read.parquet(s"$path/encoded").select(col(idCol).as("key")),
+        path, "idblooms")
+  }
+
+  /** The LIVE generation root of a persisted PQ corpus — maintenance
+    * rewrites install new generations behind an atomic manifest flip
+    * (the [[Ivf.resolveRoot]] machinery), so probes planned pre-flip
+    * finish on intact files. */
+  def resolveRoot(spark: SparkSession, path: String): String =
+    Generations.resolve(spark, path, "MANIFEST")
+
+  /** Opt-in id-boundary Bloom sidecar for the PQ corpus (the
+    * [[KeyBlooms]] family): [[appendToPqCorpus]] then skips its replay
+    * guard's encoded id-column read entirely on a steady-state day.
+    * Lives at the corpus ROOT — generation flips never touch it. */
+  def buildIdBlooms(spark: SparkSession, path: String, idCol: String,
+                    nBlooms: Int = 32, fpp: Double = 0.01): Unit = {
+    val root = resolveRoot(spark, path)
+    KeyBlooms.buildFrom(
+      spark.read.parquet(s"$root/encoded").select(col(idCol).as("key")),
+      path, "idblooms", nBlooms, fpp)
+  }
+
+  /** Daily growth of a persisted PQ corpus: assign against the SAVED
+    * coarse quantizer, encode against the SAVED codebooks, append into
+    * the matching cell partitions — only the shard is ever written.
+    * REPLAY-SAFE like [[Ivf.appendToIndex]]: already-present ids drop
+    * (with an id-Bloom sidecar the steady-state day never reads the
+    * corpus id column; without one the guard column-prunes the encoded
+    * table); the sidecar grows BEFORE the data commits (stale
+    * positives, never a silent double-insert). */
+  def appendToPqCorpus(newEmbeddings: DataFrame, idCol: String,
+                       vecCol: String, path: String): Unit = {
+    val spark = newEmbeddings.sparkSession
+    val root = resolveRoot(spark, path)
+    val (dim, m, _) = readGeometry(spark, path)
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val codebooks = spark.read.parquet(s"$root/codebooks")
+    val hasBlooms = KeyBlooms.exists(spark, path, "idblooms")
+    val present =
+      if (hasBlooms) {
+        val pos = KeyBlooms.suspects(
+          newEmbeddings.select(col(idCol).as("key")), path, "idblooms")
+          .select(col("key").as(idCol))
+        if (pos.isEmpty) newEmbeddings.select(col(idCol)).limit(0)
+        else spark.read.parquet(s"$root/encoded").select(col(idCol))
+          .join(broadcast(pos), Seq(idCol), "left_semi")
+      }
+      else spark.read.parquet(s"$root/encoded").select(col(idCol))
+        .join(broadcast(newEmbeddings.select(col(idCol))), Seq(idCol),
+          "left_semi")
+    val fresh = newEmbeddings.join(present, Seq(idCol), "left_anti")
+      .localCheckpoint(true) // one pinned evaluation across the sinks
+    if (hasBlooms)
+      KeyBlooms.append(fresh.select(col(idCol).as("key")), path,
+        "idblooms")
+    val assigned = Ivf.assign(fresh, idCol, vecCol, centroids)
+    encodeCols(assigned, vecCol, codebooks, dim, m)
+      .select(col(idCol), col("codes"), col("norm"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$root/encoded")
+  }
+
+  /** Rewrite each cell's accumulated append files into one file per
+    * cell — same online generation-flip + writer-exclusive lock as
+    * [[Ivf.compactIndex]]; geometry, row set and the probe-pruning
+    * contract unchanged. */
+  def compactPqCorpus(spark: SparkSession, path: String): Unit = {
+    Generations.withCompactionLock(spark, s"$path/_COMPACTION_LOCK") {
+      rewritePqLocked(spark, path, identity, "compactPqCorpus")
+    }
+    ()
+  }
+
+  /** RETRACT ids from the PQ corpus — a retraction IS a compaction with
+    * an anti-join transform (the family-wide contract). A retracted id
+    * stays Bloom-positive in any id sidecar — a stale positive the next
+    * append verifies and re-admits, never a wrong answer. Returns
+    * (rows before, rows after). */
+  def retractFromPqCorpus(spark: SparkSession, path: String,
+                          ids: DataFrame, idCol: String): (Long, Long) =
+    Generations.withCompactionLock(spark, s"$path/_COMPACTION_LOCK") {
+      val key = ids.select(col(idCol)).distinct()
+      rewritePqLocked(spark, path,
+        _.join(broadcast(key), Seq(idCol), "left_anti"),
+        "retractFromPqCorpus")
+    }
+
+  private def rewritePqLocked(spark: SparkSession, path: String,
+                              transform: DataFrame => DataFrame,
+                              opName: String): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val curGen = Generations.current(spark, path, "MANIFEST")
+    val curRoot = if (curGen == 0) path else s"$path/gen-$curGen"
+    val nextGen = curGen + 1
+    val nextRoot = s"$path/gen-$nextGen"
+    fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
+    val encoded = spark.read.parquet(s"$curRoot/encoded")
+    val transformed = transform(encoded)
+    transformed.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$nextRoot/encoded")
+    val srcRows = encoded.count()
+    val wantRows = transformed.count()
+    val dstRows = spark.read.parquet(s"$nextRoot/encoded").count()
+    if (dstRows != wantRows) {
+      fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
+      throw new java.io.IOException(
+        s"$opName: rewrite row mismatch ($dstRows != $wantRows), aborted")
+    }
+    spark.read.parquet(s"$curRoot/codebooks").coalesce(1)
+      .write.mode("overwrite").parquet(s"$nextRoot/codebooks")
+    spark.read.parquet(s"$curRoot/centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$nextRoot/centroids")
+    Generations.flip(spark, path, "MANIFEST", nextGen)
+    for (g <- 0 until curGen) {
+      if (g == 0)
+        Seq("encoded", "codebooks", "centroids").foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+      else fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen-$g"), true)
+    }
+    (srcRows, dstRows)
   }
 
   /** Probe-cell ADC over a persisted [[writeIvfPqCorpus]] index: the
@@ -259,15 +387,16 @@ object Pq {
                    query: DataFrame, k: Int,
                    nprobe: Int = 2): DataFrame = {
     val (dim, m, _) = readGeometry(spark, path)
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val codebooks = spark.read.parquet(s"$path/codebooks")
+    val root = resolveRoot(spark, path)
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val codebooks = spark.read.parquet(s"$root/codebooks")
     val probeCells = centroids
       .crossJoin(broadcast(query.select(
         col("qv").cast("array<double>").as("__qv__"))))
       .withColumn("__d__", sqDist(col("centroid"), col("__qv__")))
       .orderBy(col("__d__").asc, col("cell").asc).limit(nprobe)
       .select("cell").collect().map(_.getInt(0)) // bounded: nprobe rows
-    val enc = spark.read.parquet(s"$path/encoded")
+    val enc = spark.read.parquet(s"$root/encoded")
       .filter(col("cell").isin(probeCells.toSeq: _*)) // partition-pruned
       .drop("cell")
     annTopKPq(enc, idCol, codebooks, query, dim, m, k)

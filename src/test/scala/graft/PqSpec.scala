@@ -131,6 +131,66 @@ class PqSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("PQ corpus maintenance: replay-safe append, online compaction, retraction") {
+    val dir = tmpDir("graft_pqmaint")
+    try {
+      val corpus = emb.filter(col("vec_id") < 400)
+      val cents = graft.llm.Ivf.train(corpus, "vec_id", "embedding",
+        nCells = 4, iters = 0)
+      val cbs = Pq.trainCodebooks(corpus, "vec_id", "embedding", dim = 64,
+        m = 8, codes = 16, iters = 0).localCheckpoint(true)
+      Pq.writeIvfPqCorpus(corpus, "vec_id", "embedding", cents, cbs, dir,
+        dim = 64, m = 8)
+      Pq.buildIdBlooms(spark, dir, "vec_id", nBlooms = 8)
+
+      // replay-safe append: fresh shard lands once, replay adds nothing
+      val shard = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      Pq.appendToPqCorpus(shard, "vec_id", "embedding", dir)
+      Pq.appendToPqCorpus(shard, "vec_id", "embedding", dir)
+      def enc() = spark.read.parquet(
+        s"${Pq.resolveRoot(spark, dir)}/encoded")
+      assert(enc().count() == 450 &&
+        enc().select("vec_id").distinct().count() == 450,
+        "replayed append must not duplicate ids")
+
+      val q = emb.filter(col("vec_id") === 7L)
+        .select(col("embedding").as("qv"))
+      val before = Pq.annTopKIvfPq(spark, dir, "vec_id", q, k = 10)
+        .collect().map(_.toString)
+
+      // online compaction: probe planned pre-flip runs post-flip,
+      // results identical, files per cell -> 1
+      val held = Pq.annTopKIvfPq(spark, dir, "vec_id", q, k = 10)
+      Pq.compactPqCorpus(spark, dir)
+      assert(held.collect().map(_.toString).sameElements(before),
+        "probe planned pre-flip must still run post-flip")
+      assert(Pq.annTopKIvfPq(spark, dir, "vec_id", q, k = 10)
+        .collect().map(_.toString).sameElements(before),
+        "compaction changed search results")
+      val cells = new java.io.File(
+        s"${Pq.resolveRoot(spark, dir)}/encoded").listFiles()
+        .filter(_.getName.startsWith("cell="))
+      assert(cells.nonEmpty && cells.forall(
+        _.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+        "compaction must leave one file per cell")
+
+      // retraction: ids gone everywhere, stale bloom positive verified,
+      // re-append lands again
+      val idsSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType)))
+      val (b, a) = Pq.retractFromPqCorpus(spark, dir,
+        df(idsSchema, org.apache.spark.sql.Row(405L)), "vec_id")
+      assert(b == 450 && a == 449, s"retraction removed ${b - a} rows")
+      assert(enc().filter(col("vec_id") === 405L).count() == 0)
+      Pq.appendToPqCorpus(shard.filter(col("vec_id") === 405L),
+        "vec_id", "embedding", dir)
+      assert(enc().filter(col("vec_id") === 405L).count() == 1,
+        "retracted id must land again through the stale-positive verify")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("single-query and batched ADC agree") {
     val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", dim = 64,
       m = 8, codes = 16, iters = 0).localCheckpoint(true)
