@@ -187,7 +187,11 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
                           alpha: Double): GraftFrame = {
     require(alpha >= 0.0 && alpha <= 1.0,
       s"alpha must be in [0, 1], got $alpha")
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__c__"))
+    // NULL domains are dropped by the inner join below — they must not
+    // set c_min either (a tiny NULL group would silently undersample
+    // every real domain and break both documented invariants)
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("__c__"))
     val cmin = counts.agg(min(col("__c__")).as("__cmin__"))
     val ratio = col("__cmin__").cast("double") / col("__c__").cast("double")
     val p =

@@ -621,8 +621,11 @@ object Dedup {
     * When the suspect set fits `suspectCap` it inlines as an IN-literal
     * probe, which BUCKET-PRUNES the keys scan (the table is bucketed on
     * `key`) — the corpus read is then proportional to suspects, not
-    * corpus size; past the cap it falls back to the plain bucketed
-    * anti-join restricted to the suspect rows. Runs two bounded driver
+    * corpus size; past the cap it falls back to the PLAIN bucketed
+    * anti-join over the whole shard (identical output, no IN-literal
+    * optimization — an over-cap suspect set is exactly the
+    * duplicate-heavy regime where the full boundary join is the honest
+    * cost anyway). Runs two bounded driver
     * actions (suspect take + probe collect) — gate functions are
     * action-ful by nature ([[Pipeline.ingestShard]] posture). */
   def dropExactAgainstIndexBloom(newDocs: DataFrame, idCol: String,

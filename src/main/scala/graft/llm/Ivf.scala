@@ -302,22 +302,11 @@ object Ivf {
       if (hasBoundary) spark.read.parquet(s"$path/ids")
       else spark.read.parquet(s"$path/vectors").select(col(idCol))
     val hasBlooms = KeyBlooms.exists(spark, indexPath, "idblooms")
-    val present =
-      if (hasBlooms) {
-        // id-Bloom shortcut ([[buildIdBlooms]]): a steady-state append
-        // (no replayed ids) is all bloom-negative and never reads the
-        // boundary at all; bloom-positive ids restrict the semi-join
-        val pos = KeyBlooms.suspects(
-          newEmbeddings.select(col(idCol).as("key")), indexPath,
-          "idblooms").select(col("key").as(idCol))
-        if (pos.isEmpty) newEmbeddings.select(col(idCol)).limit(0)
-        else boundary.join(broadcast(pos), Seq(idCol), "left_semi")
-          .select(col(idCol))
-      }
-      else boundary
-        .join(broadcast(newEmbeddings.select(col(idCol))), Seq(idCol),
-          "left_semi")
-        .select(col(idCol))
+    // the shared id-guard ([[KeyBlooms.presentIds]], built by
+    // [[buildIdBlooms]]): a steady-state append (no replayed ids) is
+    // all bloom-negative and never reads the boundary at all
+    val present = KeyBlooms.presentIds(newEmbeddings.select(col(idCol)),
+      idCol, boundary.select(col(idCol)), indexPath)
     // eager: the fresh set feeds up to three sinks (blooms, vectors,
     // ids) — one evaluation, pinned against the boundary state from
     // BEFORE any of them commit

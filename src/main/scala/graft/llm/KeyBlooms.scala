@@ -173,6 +173,13 @@ object KeyBlooms {
                 fpp: Double = 0.01): Unit = {
     val spark = keysFrame.sparkSession
     val dir = dirPath(indexPath, sidecar)
+    Generations.withCompactionLock(spark, s"$dir/_APPEND_LOCK") {
+    buildLocked(spark, keysFrame, dir, nBlooms, fpp) }
+  }
+
+  private def buildLocked(spark: SparkSession, keysFrame: DataFrame,
+                          dir: String, nBlooms: Int,
+                          fpp: Double): Unit = {
     val keys = keysFrame.select(col("key").cast("string").as("key"))
     val total = keys.count()
     val expected = math.max(2L * total / math.max(nBlooms, 1), 1024L)
@@ -211,6 +218,13 @@ object KeyBlooms {
              sidecar: String = DIR): Long = {
     val spark = keysFrame.sparkSession
     val dir = dirPath(indexPath, sidecar)
+    // sidecar mutations are read-modify-write per bucket file: two
+    // concurrent appenders would each load, put their own keys, and the
+    // second install would ERASE the first's bits — the silent
+    // duplicate-miss this design exists to prevent. The same loud
+    // exclusive-lock contract as compaction serializes them (a crashed
+    // append leaves the lock; the error message names it for removal).
+    Generations.withCompactionLock(spark, s"$dir/_APPEND_LOCK") {
     val meta = readMeta(spark, dir)
     val confBc = shipConf(spark)
     val expected = meta.expectedPerBucket
@@ -226,7 +240,11 @@ object KeyBlooms {
         val bloom = load(conf, dir, b)
           .getOrElse(BloomFilter.create(expected, fpp))
         var n = 0L
-        it.foreach { kv => bloom.putString(kv._2); n += 1 }
+        // count only puts that CHANGED the filter: replayed keys (the
+        // crash-recovery path re-puts the whole shard) and duplicates
+        // add ~nothing, so the load-factor report tracks real filter
+        // load instead of drifting toward spurious rebuilds
+        it.foreach { kv => if (bloom.putString(kv._2)) n += 1 }
         store(conf, dir, b, bloom)
         n
       }
@@ -235,6 +253,7 @@ object KeyBlooms {
     writeMeta(spark, dir,
       meta.copy(totalKeys = meta.totalKeys + added))
     added
+    }
   }
 
   /** The shard keys that MIGHT be in the corpus: each key tests against
@@ -265,6 +284,32 @@ object KeyBlooms {
       }
       .toDF("key")
       .select(col("key").cast(inType).as("key")) // round-trip exact
+  }
+
+  /** The shard ids already present in a boundary — THE shared id-guard
+    * of the four daily-ingest paths (text suspects snapshot, embedding
+    * stage-0, IVF append, PQ append), so the contract lives in ONE
+    * place: with an id sidecar, bloom-negative ids skip the boundary
+    * entirely (a steady-state day reads NO corpus id column; the
+    * positive set is evaluated ONCE — pinned — before both the
+    * emptiness test and the verify join); without one, the plain
+    * broadcast semi-join. `boundary` is by-name: the all-negative day
+    * never constructs it. Output: a frame of `idCol`. */
+  def presentIds(shardIds: DataFrame, idCol: String,
+                 boundary: => DataFrame, indexPath: String,
+                 sidecar: String = "idblooms"): DataFrame = {
+    val spark = shardIds.sparkSession
+    if (!exists(spark, indexPath, sidecar))
+      boundary.join(broadcast(shardIds), Seq(idCol), "left_semi")
+        .select(col(idCol))
+    else {
+      val pos = suspects(shardIds.select(col(idCol).as("key")), indexPath,
+          sidecar)
+        .select(col("key").as(idCol)).localCheckpoint(true)
+      if (pos.isEmpty) shardIds.limit(0)
+      else boundary.join(broadcast(pos), Seq(idCol), "left_semi")
+        .select(col(idCol))
+    }
   }
 
   /** Rebuild an EXISTING sidecar from a fresh key frame, keeping its

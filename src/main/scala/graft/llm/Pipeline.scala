@@ -374,27 +374,14 @@ object Pipeline {
     // landing id scan runs only when suspects exist, so a steady-state
     // day pays nothing here.
     val keysTable = s"${indexName}_keys"
+    // the shared id-guard (KeyBlooms.presentIds): with an id sidecar
+    // (Dedup.buildIdBlooms) a steady-state day never reads the keys
+    // table here; only bloom-positive (replayed) ids pay the semi-join
     val suspects: Option[DataFrame] =
       if (!spark.catalog.tableExists(keysTable)) None
-      else if (KeyBlooms.exists(spark, indexPath, "idblooms")) {
-        // id-Bloom sidecar (Dedup.buildIdBlooms): on a steady-state day
-        // every shard id is bloom-negative and the keys table is NEVER
-        // read here — the snapshot costs O(shard); only replayed ids
-        // (bloom-positive) pay the verify semi-join
-        val pos = KeyBlooms.suspects(cp.select(col(idCol).as("key")),
-          indexPath, "idblooms").select(col("key").as(idCol))
-        Some((
-          if (pos.isEmpty) cp.select(col(idCol)).limit(0)
-          else spark.table(keysTable).select(col("id"))
-            .join(broadcast(pos.select(col(idCol).as("id"))), Seq("id"),
-              "left_semi")
-            .select(col("id").as(idCol))
-        ).localCheckpoint(true))
-      }
-      else Some(spark.table(keysTable).select(col("id"))
-        .join(broadcast(cp.select(col(idCol).as("id"))), Seq("id"),
-          "left_semi")
-        .select(col("id").as(idCol)).localCheckpoint(true))
+      else Some(KeyBlooms.presentIds(cp.select(col(idCol)), idCol,
+          spark.table(keysTable).select(col("id").as(idCol)), indexPath)
+        .localCheckpoint(true))
     val survivors = ingestShardFrame(cp, bench, idCol, textCol,
       indexName, indexPath, minTokens, nearDupThreshold, decontamK,
       redactPii, shingleK, numHashes, bands, buckets)
@@ -688,24 +675,13 @@ object Pipeline {
     // |shard| (broadcast semi over the bucketed vecs table's id column
     // — no corpus exchange); the landing id scan only runs when
     // suspects exist at all, so the steady-state day pays nothing here.
-    val suspects = (
-      if (KeyBlooms.exists(spark, indexPath, "idblooms")) {
-        // id-Bloom sidecar (Dedup.buildEmbedIdBlooms): a steady-state
-        // day is all bloom-negative and skips the vecs id-column scan
-        // entirely; only bloom-positive ids pay the verify semi-join
-        val pos = KeyBlooms.suspects(cp.select(col(idCol).as("key")),
-          indexPath, "idblooms").select(col("key").as(idCol))
-        if (pos.isEmpty) cp.select(col(idCol)).limit(0)
-        else spark.table(s"${indexName}_vecs").select(col("id"))
-          .join(broadcast(pos.select(col(idCol).as("id"))), Seq("id"),
-            "left_semi")
-          .select(col("id").as(idCol))
-      }
-      else spark.table(s"${indexName}_vecs").select(col("id"))
-        .join(broadcast(cp.select(col(idCol).as("id"))), Seq("id"),
-          "left_semi")
-        .select(col("id").as(idCol))
-    ).localCheckpoint(true)
+    // the shared id-guard (KeyBlooms.presentIds): with an id sidecar
+    // (Dedup.buildEmbedIdBlooms) a steady-state day skips the vecs
+    // id-column scan entirely
+    val suspects = KeyBlooms.presentIds(cp.select(col(idCol)), idCol,
+        spark.table(s"${indexName}_vecs").select(col("id").as(idCol)),
+        indexPath)
+      .localCheckpoint(true)
     val survivors = Dedup.appendEmbeddingShardToIndex(cp, idCol,
       vecCol, dim, threshold, indexName, indexPath, planes, buckets,
       // the suspects snapshot IS stage-0's present set — hand it over

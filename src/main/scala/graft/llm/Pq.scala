@@ -104,7 +104,13 @@ object Pq {
                          m: Int): DataFrame = {
     val subDim = dim / m
     val nCodes = codesPerSub(codebooks, m)
-    embeddings.crossJoin(flatCodebook(codebooks))
+    // a null or wrong-dimension vector would fold to the -1 sentinel in
+    // every subspace and CRASH every later ADC lookup (index 0 into the
+    // LUT) — malformed rows are excluded here, the embedIndexRows
+    // contract (they can never rank anyway: no meaningful codes exist)
+    embeddings
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .crossJoin(flatCodebook(codebooks))
       .withColumn("codes",
         transform(sequence(lit(0), lit(m - 1)), j => {
           val sv = slice(col(vecCol).cast("array<double>"),
@@ -136,9 +142,12 @@ object Pq {
     * (compose from any source — corpus row, external literal). Zero
     * norms rank as null and drop (the int8 ranker's contract). */
   def annTopKPq(encoded: DataFrame, idCol: String, codebooks: DataFrame,
-                query: DataFrame, dim: Int, m: Int, k: Int): DataFrame = {
+                query: DataFrame, dim: Int, m: Int, k: Int,
+                nCodesKnown: Option[Int] = None): DataFrame = {
     val subDim = dim / m
-    val nCodes = codesPerSub(codebooks, m)
+    // serving paths pass the stamped codes count through — recounting
+    // the codebook would launch an extra job per query served
+    val nCodes = nCodesKnown.getOrElse(codesPerSub(codebooks, m))
     val lut = broadcast(
       codebooks.crossJoin(broadcast(query.select(
           col("qv").cast("array<double>").as("__qv__"),
@@ -212,11 +221,13 @@ object Pq {
   def annTopKPqIndexed(spark: SparkSession, path: String, idCol: String,
                        query: DataFrame, k: Int,
                        expectDim: Option[Int] = None): DataFrame = {
-    val (dim, m, _) = readGeometry(spark, path)
+    val (dim, m, codes) = readGeometry(spark, path)
     expectDim.foreach(d => require(d == dim,
       s"PQ corpus at $path was built at dim=$dim, caller expects $d"))
-    annTopKPq(spark.read.parquet(s"$path/encoded"), idCol,
-      spark.read.parquet(s"$path/codebooks"), query, dim, m, k)
+    val root = resolveRoot(spark, path)
+    annTopKPq(spark.read.parquet(s"$root/encoded"), idCol,
+      spark.read.parquet(s"$root/codebooks"), query, dim, m, k,
+      nCodesKnown = Some(codes))
   }
 
   /** Persist the combined IVF+PQ index — the full FAISS-IVFPQ shape:
@@ -292,18 +303,11 @@ object Pq {
     val centroids = spark.read.parquet(s"$root/centroids")
     val codebooks = spark.read.parquet(s"$root/codebooks")
     val hasBlooms = KeyBlooms.exists(spark, path, "idblooms")
-    val present =
-      if (hasBlooms) {
-        val pos = KeyBlooms.suspects(
-          newEmbeddings.select(col(idCol).as("key")), path, "idblooms")
-          .select(col("key").as(idCol))
-        if (pos.isEmpty) newEmbeddings.select(col(idCol)).limit(0)
-        else spark.read.parquet(s"$root/encoded").select(col(idCol))
-          .join(broadcast(pos), Seq(idCol), "left_semi")
-      }
-      else spark.read.parquet(s"$root/encoded").select(col(idCol))
-        .join(broadcast(newEmbeddings.select(col(idCol))), Seq(idCol),
-          "left_semi")
+    // the shared id-guard ([[KeyBlooms.presentIds]]): a steady-state
+    // append never reads the encoded id column
+    val present = KeyBlooms.presentIds(newEmbeddings.select(col(idCol)),
+      idCol, spark.read.parquet(s"$root/encoded").select(col(idCol)),
+      path)
     val fresh = newEmbeddings.join(present, Seq(idCol), "left_anti")
       .localCheckpoint(true) // one pinned evaluation across the sinks
     if (hasBlooms)
@@ -386,7 +390,7 @@ object Pq {
   def annTopKIvfPq(spark: SparkSession, path: String, idCol: String,
                    query: DataFrame, k: Int,
                    nprobe: Int = 2): DataFrame = {
-    val (dim, m, _) = readGeometry(spark, path)
+    val (dim, m, nCodes) = readGeometry(spark, path)
     val root = resolveRoot(spark, path)
     val centroids = spark.read.parquet(s"$root/centroids")
     val codebooks = spark.read.parquet(s"$root/codebooks")
@@ -399,7 +403,8 @@ object Pq {
     val enc = spark.read.parquet(s"$root/encoded")
       .filter(col("cell").isin(probeCells.toSeq: _*)) // partition-pruned
       .drop("cell")
-    annTopKPq(enc, idCol, codebooks, query, dim, m, k)
+    annTopKPq(enc, idCol, codebooks, query, dim, m, k,
+      nCodesKnown = Some(nCodes))
   }
 
   /** Batched ADC: every query in ONE job — per-query LUTs broadcast
@@ -411,9 +416,10 @@ object Pq {
   def annTopKPqBatch(encoded: DataFrame, idCol: String,
                      codebooks: DataFrame, queries: DataFrame,
                      qIdCol: String, qVecCol: String,
-                     dim: Int, m: Int, k: Int): DataFrame = {
+                     dim: Int, m: Int, k: Int,
+                     nCodesKnown: Option[Int] = None): DataFrame = {
     val subDim = dim / m
-    val nCodes = codesPerSub(codebooks, m)
+    val nCodes = nCodesKnown.getOrElse(codesPerSub(codebooks, m))
     val luts = broadcast(
       codebooks.crossJoin(broadcast(queries.select(
           col(qIdCol).as("query_id"),
