@@ -459,6 +459,24 @@ object Pq {
       .select(col("query_id"), col(idCol), col("cos_adc"))
   }
 
+  /** [[annTopKPqBatch]] over a persisted corpus ([[writePqCorpus]] /
+    * [[writeIvfPqCorpus]]): resolves the live generation, reads only
+    * (id, codes, norm), threads the stamped geometry — the batch
+    * serving entrypoint, and the per-trigger body of the streaming
+    * form (graft.streaming.Streams.annTopKPqStream). */
+  def annTopKPqIndexedBatch(spark: SparkSession, path: String,
+                            idCol: String, queries: DataFrame,
+                            qIdCol: String, qVecCol: String,
+                            k: Int): DataFrame = {
+    val (dim, m, codes) = readGeometry(spark, path)
+    val root = resolveRoot(spark, path)
+    annTopKPqBatch(
+      spark.read.parquet(s"$root/encoded").select(col(idCol),
+        col("codes"), col("norm")),
+      idCol, spark.read.parquet(s"$root/codebooks"), queries, qIdCol,
+      qVecCol, dim, m, k, nCodesKnown = Some(codes))
+  }
+
   /** Recall@k of the PQ path vs exact brute force — the tuning
     * instrument completing the family ([[Similarity.recallReport]] for
     * LSH, [[Ivf.recallReport]] for IVF, quantizedRecallReport for

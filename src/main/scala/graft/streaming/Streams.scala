@@ -274,6 +274,30 @@ object Streams {
         ()
       }
 
+  /** Streaming ADC retrieval over a persisted PQ corpus — the PQ
+    * analog of [[annTopKQuantizedStream]], completing the fifth index
+    * family's serving story: each micro-batch of arriving query
+    * vectors ranks through the batched ADC (per-query LUTs broadcast,
+    * the corpus read as (id, codes, norm) only — 32× narrower than the
+    * floats), lands per-batch OVERWRITE partitions (failure-replayed
+    * micro-batches rewrite themselves), and re-resolves the corpus's
+    * live generation at EVERY trigger, so an online
+    * [[graft.llm.Pq.compactPqCorpus]] mid-stream is picked up at the
+    * next micro-batch. */
+  def annTopKPqStream(queries: DataFrame, qIdCol: String,
+                      qVecCol: String, path: String, idCol: String,
+                      k: Int, outPath: String,
+                      checkpoint: String): DataStreamWriter[Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.llm.Pq.annTopKPqIndexedBatch(batch.sparkSession, path,
+              idCol, batch, qIdCol, qVecCol, k)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        ()
+      }
+
   /** Streaming INGEST GATE — the stateless-plus-watermark front half of
     * the batch pretraining pipeline (llm/Pipeline.pretrainCorpus), for
     * documents arriving as a stream: Gopher-style quality filter (pure
