@@ -425,6 +425,124 @@ object QueriesEmbed {
         k = 10, nprobe = 2)
     }
 
+    // RESIDUAL IVF+PQ (the accuracy-correct FAISS recipe): codes encode
+    // x − centroid(cell(x)), search adds the exact query·centroid term
+    // back per probe cell. The oracle recomputes cell assignment, the
+    // per-vector residuals, the residual codebook (seed-slice residuals
+    // at iters=0), the argmin encode, per-cell constants, LUT dots and
+    // the ordered fold — the full residual pipeline, hash-checked.
+    r.reg("q_ivfpq_residual",
+      """WITH hs AS (
+        |  SELECT vec_id, embedding,
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
+        |  FROM embeddings),
+        |seeds8 AS (
+        |  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell,
+        |    embedding AS centroid
+        |  FROM hs ORDER BY h ASC, vec_id ASC LIMIT 8),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |adists AS (
+        |  SELECT e.vec_id, s.cell,
+        |    list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE)))) AS d
+        |  FROM embeddings e, seeds8 s),
+        |cellof AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        |    FROM adists) WHERE rn = 1),
+        |resv AS (
+        |  SELECT e.vec_id,
+        |    list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE)) AS res
+        |  FROM embeddings e JOIN cellof c ON c.vec_id = e.vec_id
+        |                    JOIN seeds8 s ON s.cell = c.cell),
+        |rseeds AS (
+        |  SELECT row_number() OVER (ORDER BY h.h ASC, h.vec_id ASC) - 1 AS code,
+        |    r.res
+        |  FROM resv r JOIN hs h USING (vec_id)
+        |  ORDER BY h.h ASC, h.vec_id ASC LIMIT 16),
+        |cbr AS (
+        |  SELECT j, rs.code AS c,
+        |    list_transform(range(1, 9), i -> rs.res[j*8 + i]) AS cent
+        |  FROM rseeds rs, range(0, 8) rj(j)),
+        |dist AS (
+        |  SELECT r.vec_id, cbr.j, cbr.c,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (r.res[cbr.j*8 + i] - cbr.cent[i])
+        |      * (r.res[cbr.j*8 + i] - cbr.cent[i]))) AS d
+        |  FROM resv r, cbr),
+        |codes AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |codelist AS (
+        |  SELECT vec_id, list(c ORDER BY j) AS cl FROM codes GROUP BY vec_id),
+        |norms AS (
+        |  SELECT vec_id,
+        |    sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |      AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        |  GROUP BY vec_id),
+        |qn AS (
+        |  SELECT CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |    AS DECIMAL(25,12))) AS DOUBLE) AS nq2
+        |  FROM (SELECT unnest(qv) AS x FROM q)),
+        |cdist AS (
+        |  SELECT s.cell,
+        |    list_sum(list_transform(range(1, len(s.centroid)+1),
+        |      i -> (CAST(s.centroid[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |         * (CAST(s.centroid[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) AS d
+        |  FROM seeds8 s, q),
+        |probec AS (
+        |  SELECT cell FROM (
+        |    SELECT cell, row_number() OVER (ORDER BY d ASC, cell ASC) AS rn
+        |    FROM cdist) WHERE rn <= 2),
+        |qc AS (
+        |  SELECT s.cell,
+        |    list_sum(list_transform(range(1, len(s.centroid)+1),
+        |      i -> CAST(s.centroid[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) AS qcv
+        |  FROM seeds8 s JOIN probec USING (cell), q),
+        |lutrows AS (
+        |  SELECT cbr.j, cbr.c,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> cbr.cent[i] * CAST(q.qv[cbr.j*8 + i] AS DOUBLE))) AS lv
+        |  FROM cbr, q),
+        |lut AS (SELECT list(lv ORDER BY j, c) AS lt FROM lutrows)
+        |SELECT cl.vec_id,
+        |  (qc.qcv + list_sum(list_transform(range(0, 8),
+        |     j -> lt[j*16 + cl.cl[j+1] + 1])))
+        |    / (sqrt(qn.nq2) * norms.nrm) AS cos_adc
+        |FROM codelist cl
+        |JOIN cellof co USING (vec_id)
+        |JOIN qc ON qc.cell = co.cell
+        |JOIN norms USING (vec_id), lut, qn
+        |WHERE norms.nrm > 0 AND qn.nq2 > 0
+        |ORDER BY cos_adc DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/ivfpqr")
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir
+      if (!fresh) {
+        val cents = graft.llm.Ivf.train(e, "vec_id", "embedding",
+          nCells = 8, iters = 0)
+        val cbr = graft.llm.Pq.trainResidualCodebooks(e, "vec_id",
+          "embedding", cents, dim = 64, m = 8, codes = 16, iters = 0)
+        graft.llm.Pq.writeIvfPqCorpus(e, "vec_id", "embedding", cents,
+          cbr, idxPath, dim = 64, m = 8, residual = true)
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
+      graft.llm.Pq.annTopKIvfPq(s, idxPath, "vec_id",
+        e.filter(col("vec_id") === 0).select(col("embedding").as("qv")),
+        k = 10, nprobe = 2)
+    }
+
     // PQ recall@5 vs exact brute force — the instrument that prices the
     // 32× compression (family sibling of q_ann_recall / q_ivf_recall /
     // q_quantized_recall): the ann side is the full batched ADC rank

@@ -70,6 +70,32 @@ object Pq {
     cb
   }
 
+  /** Residual codebooks — the accuracy-correct FAISS-IVFPQ recipe:
+    * train the per-subspace quantizers on x − centroid(cell(x))
+    * instead of the raw vectors, so the codes spend their entire
+    * budget on the WITHIN-cell structure the coarse quantizer cannot
+    * express (scores then add the exact query·centroid term back at
+    * search time). `iters = 0` keeps them SQL-reproducible like
+    * [[trainCodebooks]]. */
+  def trainResidualCodebooks(embeddings: DataFrame, idCol: String,
+                             vecCol: String, centroids: DataFrame,
+                             dim: Int, m: Int = 8, codes: Int = 16,
+                             iters: Int = 2,
+                             trainFraction: Double = 0.05): DataFrame =
+    trainCodebooks(
+      withResidual(Ivf.assign(embeddings, idCol, vecCol, centroids),
+        vecCol, centroids).select(col(idCol), col("__res__")),
+      idCol, "__res__", dim, m, codes, iters, trainFraction)
+
+  /** x − centroid(cell(x)) for a frame already carrying `cell`. */
+  private def withResidual(assigned: DataFrame, vecCol: String,
+                           centroids: DataFrame): DataFrame =
+    assigned.join(broadcast(centroids), Seq("cell"))
+      .withColumn("__res__",
+        zip_with(col(vecCol).cast("array<double>"),
+          col("centroid").cast("array<double>"), (x, y) => x - y))
+      .drop("centroid")
+
   /** The broadcast flat codebook: element (j*codes + c + 1) is the
     * centroid of (sub=j, code=c) — array_sort on the (sub, code) struct
     * prefix gives the deterministic layout. */
@@ -141,14 +167,12 @@ object Pq {
     * never read. `query` is a 1-row frame with the vector under `qv`
     * (compose from any source — corpus row, external literal). Zero
     * norms rank as null and drop (the int8 ranker's contract). */
-  def annTopKPq(encoded: DataFrame, idCol: String, codebooks: DataFrame,
-                query: DataFrame, dim: Int, m: Int, k: Int,
-                nCodesKnown: Option[Int] = None): DataFrame = {
+  /** The broadcast 1-row (LUT, |q|²) frame of a single query — shared
+    * by the plain and residual scoring paths. */
+  private def lutFrame(codebooks: DataFrame, query: DataFrame, dim: Int,
+                       m: Int): DataFrame = {
     val subDim = dim / m
-    // serving paths pass the stamped codes count through — recounting
-    // the codebook would launch an extra job per query served
-    val nCodes = nCodesKnown.getOrElse(codesPerSub(codebooks, m))
-    val lut = broadcast(
+    broadcast(
       codebooks.crossJoin(broadcast(query.select(
           col("qv").cast("array<double>").as("__qv__"),
           Similarity.dotExact(col("qv"), col("qv"), 12).cast("double")
@@ -167,12 +191,24 @@ object Pq {
               col("lv")))),
             s => s.getField("lv")).as("__lut__"),
           first(col("__nq2__")).as("__nq2__")))
+  }
+
+  /** The per-row ordered ADC fold: Σ_j LUT[j*nCodes + codes[j]]. */
+  private def adcFold(m: Int, nCodes: Int): org.apache.spark.sql.Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(col("__lut__"),
+        (j * nCodes + element_at(col("codes"), (j + 1).cast("int"))
+          + 1).cast("int")))
+
+  def annTopKPq(encoded: DataFrame, idCol: String, codebooks: DataFrame,
+                query: DataFrame, dim: Int, m: Int, k: Int,
+                nCodesKnown: Option[Int] = None): DataFrame = {
+    // serving paths pass the stamped codes count through — recounting
+    // the codebook would launch an extra job per query served
+    val nCodes = nCodesKnown.getOrElse(codesPerSub(codebooks, m))
+    val lut = lutFrame(codebooks, query, dim, m)
     encoded.crossJoin(lut)
-      .withColumn("adc",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, j) => acc + element_at(col("__lut__"),
-            (j * nCodes + element_at(col("codes"), (j + 1).cast("int"))
-              + 1).cast("int"))))
+      .withColumn("adc", adcFold(m, nCodes))
       .filter(col("norm") > 0.0 && col("__nq2__") > 0.0)
       .withColumn("cos_adc",
         col("adc") / (sqrt(col("__nq2__")) * col("norm")))
@@ -215,6 +251,21 @@ object Pq {
     (f("dim"), f("m"), f("codes"))
   }
 
+  /** Whether the stamp declares residual codes (absent on pre-residual
+    * stamps → false). */
+  private def readResidual(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_PQ.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) false
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      """"residual":\s*(\d+)""".r.findFirstMatchIn(txt)
+        .exists(_.group(1).toInt == 1)
+    }
+  }
+
   /** [[annTopKPq]] over a persisted corpus ([[writePqCorpus]]): the scan
     * reads only (id, codes, norm) — geometry comes from the stamp, and
     * a caller-supplied expectation that disagrees with it throws. */
@@ -224,6 +275,9 @@ object Pq {
     val (dim, m, codes) = readGeometry(spark, path)
     expectDim.foreach(d => require(d == dim,
       s"PQ corpus at $path was built at dim=$dim, caller expects $d"))
+    require(!readResidual(spark, path),
+      s"the corpus at $path holds RESIDUAL codes — serve it through " +
+        "annTopKIvfPq (scores need the per-cell centroid term)")
     val root = resolveRoot(spark, path)
     annTopKPq(spark.read.parquet(s"$root/encoded"), idCol,
       spark.read.parquet(s"$root/codebooks"), query, dim, m, k,
@@ -239,13 +293,13 @@ object Pq {
   def writeIvfPqCorpus(embeddings: DataFrame, idCol: String,
                        vecCol: String, centroids: DataFrame,
                        codebooks: DataFrame, path: String, dim: Int,
-                       m: Int): Unit = {
+                       m: Int, residual: Boolean = false): Unit = {
     val spark = embeddings.sparkSession
     val nCodes = codesPerSub(codebooks, m)
     val nCells = centroids.count()
     val assigned = Ivf.assign(embeddings, idCol, vecCol, centroids)
-    encodeCols(assigned, vecCol, codebooks, dim, m)
-      .select(col(idCol), col("codes"), col("norm"), col("cell"))
+    encodeAssigned(assigned, idCol, vecCol, codebooks, centroids, dim,
+        m, residual)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/encoded")
     codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
@@ -256,7 +310,8 @@ object Pq {
     val out = fs.create(p, true)
     try out.write(
       (s"""{"dim": $dim, "m": $m, "codes": $nCodes, """ +
-       s""""nCells": $nCells}\n""").getBytes("UTF-8"))
+       s""""nCells": $nCells, "residual": ${if (residual) 1 else 0}}\n""")
+        .getBytes("UTF-8"))
     finally out.close()
     // a full rebuild resets the generation chain (the flat layout IS
     // the live data again) — and must re-populate any id sidecar, whose
@@ -314,9 +369,25 @@ object Pq {
       KeyBlooms.append(fresh.select(col(idCol).as("key")), path,
         "idblooms")
     val assigned = Ivf.assign(fresh, idCol, vecCol, centroids)
-    encodeCols(assigned, vecCol, codebooks, dim, m)
-      .select(col(idCol), col("codes"), col("norm"), col("cell"))
+    encodeAssigned(assigned, idCol, vecCol, codebooks, centroids, dim,
+        m, readResidual(spark, path))
       .write.mode("append").partitionBy("cell").parquet(s"$root/encoded")
+  }
+
+  /** Encode a cell-assigned frame to (id, codes, norm, cell) — plain
+    * or residual codes; `norm` is ALWAYS the original vector's (the
+    * ADC denominator needs |x| whichever space the codes live in). */
+  private def encodeAssigned(assigned: DataFrame, idCol: String,
+                             vecCol: String, codebooks: DataFrame,
+                             centroids: DataFrame, dim: Int, m: Int,
+                             residual: Boolean): DataFrame = {
+    val base =
+      if (!residual) encodeCols(assigned, vecCol, codebooks, dim, m)
+      else encodeCols(withResidual(assigned, vecCol, centroids),
+          "__res__", codebooks, dim, m)
+        .withColumn("norm",
+          coalesce(Similarity.normExact(col(vecCol), 12), lit(0.0)))
+    base.select(col(idCol), col("codes"), col("norm"), col("cell"))
   }
 
   /** Rewrite each cell's accumulated append files into one file per
@@ -402,9 +473,33 @@ object Pq {
       .select("cell").collect().map(_.getInt(0)) // bounded: nprobe rows
     val enc = spark.read.parquet(s"$root/encoded")
       .filter(col("cell").isin(probeCells.toSeq: _*)) // partition-pruned
-      .drop("cell")
-    annTopKPq(enc, idCol, codebooks, query, dim, m, k,
-      nCodesKnown = Some(nCodes))
+    if (!readResidual(spark, path))
+      annTopKPq(enc.drop("cell"), idCol, codebooks, query, dim, m, k,
+        nCodesKnown = Some(nCodes))
+    else {
+      // residual scoring: dot(q, x) ≈ dot(q, centroid(cell)) + ADC over
+      // the residual codes — the exact per-cell constant comes back
+      // from the coarse quantizer, so the code budget was spent purely
+      // on within-cell structure
+      val qcs = broadcast(centroids
+        .filter(col("cell").isin(probeCells.toSeq: _*))
+        .crossJoin(broadcast(query.select(
+          col("qv").cast("array<double>").as("__qv__"))))
+        .select(col("cell"),
+          aggregate(zip_with(col("centroid").cast("array<double>"),
+            col("__qv__"), (x, y) => x * y),
+            lit(0.0), (acc, v) => acc + v).as("__qc__")))
+      enc.join(qcs, Seq("cell"))
+        .crossJoin(lutFrame(codebooks, query, dim, m))
+        .withColumn("adc", adcFold(m, nCodes))
+        .filter(col("norm") > 0.0 && col("__nq2__") > 0.0)
+        .withColumn("cos_adc",
+          (col("__qc__") + col("adc")) /
+            (sqrt(col("__nq2__")) * col("norm")))
+        .select(col(idCol), col("cos_adc"))
+        .orderBy(col("cos_adc").desc, col(idCol).asc)
+        .limit(k)
+    }
   }
 
   /** Batched ADC: every query in ONE job — per-query LUTs broadcast
@@ -469,6 +564,9 @@ object Pq {
                             qIdCol: String, qVecCol: String,
                             k: Int): DataFrame = {
     val (dim, m, codes) = readGeometry(spark, path)
+    require(!readResidual(spark, path),
+      s"the corpus at $path holds RESIDUAL codes — serve it through " +
+        "annTopKIvfPq (scores need the per-cell centroid term)")
     val root = resolveRoot(spark, path)
     annTopKPqBatch(
       spark.read.parquet(s"$root/encoded").select(col(idCol),

@@ -241,6 +241,71 @@ class PqSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("residual codes: hits at least match plain codes on the clustered fixture; flat serving refuses residual corpora") {
+    val plainDir = tmpDir("graft_pqplain")
+    val resDir = tmpDir("graft_pqres")
+    try {
+      val cents = graft.llm.Ivf.train(clustered, "vec_id", "embedding",
+        nCells = 4, iters = 1)
+      val cbs = Pq.trainCodebooks(clustered, "vec_id", "embedding",
+        dim = 64, m = 8, codes = 16, iters = 1, trainFraction = 1.0)
+        .localCheckpoint(true)
+      val cbr = Pq.trainResidualCodebooks(clustered, "vec_id",
+        "embedding", cents, dim = 64, m = 8, codes = 16, iters = 1,
+        trainFraction = 1.0).localCheckpoint(true)
+      Pq.writeIvfPqCorpus(clustered, "vec_id", "embedding", cents, cbs,
+        plainDir, dim = 64, m = 8)
+      Pq.writeIvfPqCorpus(clustered, "vec_id", "embedding", cents, cbr,
+        resDir, dim = 64, m = 8, residual = true)
+
+      // exact top-3 of each center query are its planted members; count
+      // how many each encoding surfaces at nprobe=all (isolates code
+      // quality from probe misses)
+      val centers = emb.filter(col("vec_id") % 25 === 0)
+        .select("vec_id").collect().map(_.getLong(0)).take(10)
+      def hits(dir: String): Int = centers.map { qid =>
+        val q = emb.filter(col("vec_id") === qid)
+          .select(col("embedding").as("qv"))
+        val exact = graft.llm.Similarity.bruteForceTopK(clustered,
+            "vec_id", "embedding", queryId = qid, k = 3)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val approx = Pq.annTopKIvfPq(spark, dir, "vec_id", q, k = 3,
+            nprobe = 4)
+          .filter(col("vec_id") =!= qid)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (exact & approx).size
+      }.sum
+      val plainHits = hits(plainDir)
+      val resHits = hits(resDir)
+      assert(resHits >= plainHits,
+        s"residual codes must not lose rank quality (plain=$plainHits, " +
+          s"residual=$resHits of ${centers.length * 3})")
+      assert(resHits >= centers.length * 3 / 2,
+        s"residual encoding must surface most planted members ($resHits)")
+
+      // flat entrypoints refuse residual corpora loudly
+      val q0 = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("qv"))
+      val ex = intercept[IllegalArgumentException] {
+        Pq.annTopKPqIndexed(spark, resDir, "vec_id", q0, 5)
+      }
+      assert(ex.getMessage.contains("RESIDUAL"),
+        s"flat serving must refuse residual codes: ${ex.getMessage}")
+
+      // append composes with residual corpora (encode path shared)
+      val extra = emb.filter(col("vec_id") >= 490 && col("vec_id") < 495)
+        .withColumn("vec_id", col("vec_id") + 5000000L)
+      Pq.appendToPqCorpus(extra, "vec_id", "embedding", resDir)
+      val enc = spark.read.parquet(
+        s"${Pq.resolveRoot(spark, resDir)}/encoded")
+      assert(enc.filter(col("vec_id") >= 5000000L).count() == 5,
+        "append must land residual-encoded rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(plainDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(resDir))
+    }
+  }
+
   test("single-query and batched ADC agree") {
     val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", dim = 64,
       m = 8, codes = 16, iters = 0).localCheckpoint(true)
