@@ -81,11 +81,26 @@ object Pq {
                              vecCol: String, centroids: DataFrame,
                              dim: Int, m: Int = 8, codes: Int = 16,
                              iters: Int = 2,
-                             trainFraction: Double = 0.05): DataFrame =
-    trainCodebooks(
-      withResidual(Ivf.assign(embeddings, idCol, vecCol, centroids),
-        vecCol, centroids).select(col(idCol), col("__res__")),
-      idCol, "__res__", dim, m, codes, iters, trainFraction)
+                             trainFraction: Double = 0.05): DataFrame = {
+    // sample FIRST (the same hash filter + undersized fallback as
+    // Ivf.train, so iters=0 seeds are unchanged), assign and form
+    // residuals for the SAMPLE only, and pin them once — otherwise each
+    // of the m per-subspace training passes would re-run a corpus-wide
+    // assignment to train on 5% of it
+    val sampled =
+      if (trainFraction >= 1.0) embeddings
+      else embeddings.filter(graft.QHelp.keyHash31(col(idCol)) <
+        (trainFraction * 4294967296L).toLong)
+    val base =
+      if (trainFraction < 1.0 && sampled.limit(codes).count() < codes)
+        embeddings
+      else sampled
+    val res = withResidual(Ivf.assign(base, idCol, vecCol, centroids),
+        vecCol, centroids)
+      .select(col(idCol), col("__res__")).localCheckpoint(true)
+    trainCodebooks(res, idCol, "__res__", dim, m, codes, iters,
+      trainFraction = 1.0)
+  }
 
   /** x − centroid(cell(x)) for a frame already carrying `cell`. */
   private def withResidual(assigned: DataFrame, vecCol: String,
@@ -159,14 +174,6 @@ object Pq {
       .drop("__cb__")
   }
 
-  /** ADC top-k: score = Σ_j LUT[j][codes[j]] / (|q|·|x|) where
-    * LUT[j][c] = dot(q_subvector_j, codebook[j][c]). The per-query work
-    * is a codebook-sized LUT build (m·codes dots, broadcast); the
-    * corpus-side work is m integer lookups + one divide per row over
-    * the NARROW (id, codes, norm) frame — the original vectors are
-    * never read. `query` is a 1-row frame with the vector under `qv`
-    * (compose from any source — corpus row, external literal). Zero
-    * norms rank as null and drop (the int8 ranker's contract). */
   /** The broadcast 1-row (LUT, |q|²) frame of a single query — shared
     * by the plain and residual scoring paths. */
   private def lutFrame(codebooks: DataFrame, query: DataFrame, dim: Int,
@@ -200,18 +207,32 @@ object Pq {
         (j * nCodes + element_at(col("codes"), (j + 1).cast("int"))
           + 1).cast("int")))
 
+  /** ADC top-k: score = Σ_j LUT[j][codes[j]] / (|q|·|x|) where
+    * LUT[j][c] = dot(q_subvector_j, codebook[j][c]). The per-query work
+    * is a codebook-sized LUT build (m·codes dots, broadcast); the
+    * corpus-side work is m integer lookups + one divide per row over
+    * the NARROW (id, codes, norm) frame — the original vectors are
+    * never read. `query` is a 1-row frame with the vector under `qv`
+    * (compose from any source — corpus row, external literal). Zero
+    * norms rank as null and drop (the int8 ranker's contract). */
   def annTopKPq(encoded: DataFrame, idCol: String, codebooks: DataFrame,
                 query: DataFrame, dim: Int, m: Int, k: Int,
-                nCodesKnown: Option[Int] = None): DataFrame = {
+                nCodesKnown: Option[Int] = None,
+                offsetCol: Option[String] = None): DataFrame = {
     // serving paths pass the stamped codes count through — recounting
     // the codebook would launch an extra job per query served
     val nCodes = nCodesKnown.getOrElse(codesPerSub(codebooks, m))
     val lut = lutFrame(codebooks, query, dim, m)
+    // offsetCol: an additive per-row score term (the residual path's
+    // query·centroid constant) — absent, the expression is exactly the
+    // plain ADC (no `0.0 +`, which would flip -0.0 and break the
+    // bit-level oracle)
+    val score = offsetCol.fold(col("adc"))(o => col(o) + col("adc"))
     encoded.crossJoin(lut)
       .withColumn("adc", adcFold(m, nCodes))
       .filter(col("norm") > 0.0 && col("__nq2__") > 0.0)
       .withColumn("cos_adc",
-        col("adc") / (sqrt(col("__nq2__")) * col("norm")))
+        score / (sqrt(col("__nq2__")) * col("norm")))
       .select(col(idCol), col("cos_adc"))
       .orderBy(col("cos_adc").desc, col(idCol).asc)
       .limit(k)
@@ -239,7 +260,7 @@ object Pq {
   }
 
   private def readGeometry(spark: SparkSession,
-                           path: String): (Int, Int, Int) = {
+                           path: String): Geom = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_PQ.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no PQ geometry stamp at $p")
@@ -248,23 +269,15 @@ object Pq {
               finally in.close()
     def f(k: String) = s""""$k":\\s*(\\d+)""".r.findFirstMatchIn(txt)
       .getOrElse(sys.error(s"corrupt PQ stamp $p: missing $k")).group(1).toInt
-    (f("dim"), f("m"), f("codes"))
+    // residual flag is optional (absent on pre-residual stamps → false);
+    // ONE stamp read serves every entrypoint — no second open per query
+    val residual = """"residual":\s*(\d+)""".r.findFirstMatchIn(txt)
+      .exists(_.group(1).toInt == 1)
+    Geom(f("dim"), f("m"), f("codes"), residual)
   }
 
-  /** Whether the stamp declares residual codes (absent on pre-residual
-    * stamps → false). */
-  private def readResidual(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_PQ.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) false
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                finally in.close()
-      """"residual":\s*(\d+)""".r.findFirstMatchIn(txt)
-        .exists(_.group(1).toInt == 1)
-    }
-  }
+  private case class Geom(dim: Int, m: Int, codes: Int,
+                          residual: Boolean)
 
   /** [[annTopKPq]] over a persisted corpus ([[writePqCorpus]]): the scan
     * reads only (id, codes, norm) — geometry comes from the stamp, and
@@ -272,16 +285,16 @@ object Pq {
   def annTopKPqIndexed(spark: SparkSession, path: String, idCol: String,
                        query: DataFrame, k: Int,
                        expectDim: Option[Int] = None): DataFrame = {
-    val (dim, m, codes) = readGeometry(spark, path)
-    expectDim.foreach(d => require(d == dim,
-      s"PQ corpus at $path was built at dim=$dim, caller expects $d"))
-    require(!readResidual(spark, path),
+    val g = readGeometry(spark, path)
+    expectDim.foreach(d => require(d == g.dim,
+      s"PQ corpus at $path was built at dim=${g.dim}, caller expects $d"))
+    require(!g.residual,
       s"the corpus at $path holds RESIDUAL codes — serve it through " +
         "annTopKIvfPq (scores need the per-cell centroid term)")
     val root = resolveRoot(spark, path)
     annTopKPq(spark.read.parquet(s"$root/encoded"), idCol,
-      spark.read.parquet(s"$root/codebooks"), query, dim, m, k,
-      nCodesKnown = Some(codes))
+      spark.read.parquet(s"$root/codebooks"), query, g.dim, g.m, k,
+      nCodesKnown = Some(g.codes))
   }
 
   /** Persist the combined IVF+PQ index — the full FAISS-IVFPQ shape:
@@ -354,7 +367,7 @@ object Pq {
                        vecCol: String, path: String): Unit = {
     val spark = newEmbeddings.sparkSession
     val root = resolveRoot(spark, path)
-    val (dim, m, _) = readGeometry(spark, path)
+    val g = readGeometry(spark, path)
     val centroids = spark.read.parquet(s"$root/centroids")
     val codebooks = spark.read.parquet(s"$root/codebooks")
     val hasBlooms = KeyBlooms.exists(spark, path, "idblooms")
@@ -369,8 +382,8 @@ object Pq {
       KeyBlooms.append(fresh.select(col(idCol).as("key")), path,
         "idblooms")
     val assigned = Ivf.assign(fresh, idCol, vecCol, centroids)
-    encodeAssigned(assigned, idCol, vecCol, codebooks, centroids, dim,
-        m, readResidual(spark, path))
+    encodeAssigned(assigned, idCol, vecCol, codebooks, centroids, g.dim,
+        g.m, g.residual)
       .write.mode("append").partitionBy("cell").parquet(s"$root/encoded")
   }
 
@@ -461,7 +474,8 @@ object Pq {
   def annTopKIvfPq(spark: SparkSession, path: String, idCol: String,
                    query: DataFrame, k: Int,
                    nprobe: Int = 2): DataFrame = {
-    val (dim, m, nCodes) = readGeometry(spark, path)
+    val g = readGeometry(spark, path)
+    val (dim, m, nCodes) = (g.dim, g.m, g.codes)
     val root = resolveRoot(spark, path)
     val centroids = spark.read.parquet(s"$root/centroids")
     val codebooks = spark.read.parquet(s"$root/codebooks")
@@ -473,7 +487,7 @@ object Pq {
       .select("cell").collect().map(_.getInt(0)) // bounded: nprobe rows
     val enc = spark.read.parquet(s"$root/encoded")
       .filter(col("cell").isin(probeCells.toSeq: _*)) // partition-pruned
-    if (!readResidual(spark, path))
+    if (!g.residual)
       annTopKPq(enc.drop("cell"), idCol, codebooks, query, dim, m, k,
         nCodesKnown = Some(nCodes))
     else {
@@ -489,16 +503,9 @@ object Pq {
           aggregate(zip_with(col("centroid").cast("array<double>"),
             col("__qv__"), (x, y) => x * y),
             lit(0.0), (acc, v) => acc + v).as("__qc__")))
-      enc.join(qcs, Seq("cell"))
-        .crossJoin(lutFrame(codebooks, query, dim, m))
-        .withColumn("adc", adcFold(m, nCodes))
-        .filter(col("norm") > 0.0 && col("__nq2__") > 0.0)
-        .withColumn("cos_adc",
-          (col("__qc__") + col("adc")) /
-            (sqrt(col("__nq2__")) * col("norm")))
-        .select(col(idCol), col("cos_adc"))
-        .orderBy(col("cos_adc").desc, col(idCol).asc)
-        .limit(k)
+      annTopKPq(enc.join(qcs, Seq("cell")).drop("cell"), idCol,
+        codebooks, query, dim, m, k, nCodesKnown = Some(nCodes),
+        offsetCol = Some("__qc__"))
     }
   }
 
@@ -541,11 +548,7 @@ object Pq {
       .orderBy(col("cos_adc").desc, col(idCol).asc)
     encoded.crossJoin(luts)
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("adc",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, j) => acc + element_at(col("__lut__"),
-            (j * nCodes + element_at(col("codes"), (j + 1).cast("int"))
-              + 1).cast("int"))))
+      .withColumn("adc", adcFold(m, nCodes))
       .filter(col("norm") > 0.0 && col("__nq2__") > 0.0)
       .withColumn("cos_adc",
         col("adc") / (sqrt(col("__nq2__")) * col("norm")))
@@ -563,8 +566,8 @@ object Pq {
                             idCol: String, queries: DataFrame,
                             qIdCol: String, qVecCol: String,
                             k: Int): DataFrame = {
-    val (dim, m, codes) = readGeometry(spark, path)
-    require(!readResidual(spark, path),
+    val g = readGeometry(spark, path)
+    require(!g.residual,
       s"the corpus at $path holds RESIDUAL codes — serve it through " +
         "annTopKIvfPq (scores need the per-cell centroid term)")
     val root = resolveRoot(spark, path)
@@ -572,7 +575,7 @@ object Pq {
       spark.read.parquet(s"$root/encoded").select(col(idCol),
         col("codes"), col("norm")),
       idCol, spark.read.parquet(s"$root/codebooks"), queries, qIdCol,
-      qVecCol, dim, m, k, nCodesKnown = Some(codes))
+      qVecCol, g.dim, g.m, k, nCodesKnown = Some(g.codes))
   }
 
   /** Recall@k of the PQ path vs exact brute force — the tuning

@@ -260,7 +260,10 @@ class PqSpec extends SparkTestBase {
 
       // exact top-3 of each center query are its planted members; count
       // how many each encoding surfaces at nprobe=all (isolates code
-      // quality from probe misses)
+      // quality from probe misses). k = 4 on the approximate side: the
+      // query vector itself is IN the corpus and ranks first, so top-4
+      // minus the self-match leaves 3 reachable slots — the full
+      // denominator (k = 3 would cap every query at 2/3)
       val centers = emb.filter(col("vec_id") % 25 === 0)
         .select("vec_id").collect().map(_.getLong(0)).take(10)
       def hits(dir: String): Int = centers.map { qid =>
@@ -269,7 +272,7 @@ class PqSpec extends SparkTestBase {
         val exact = graft.llm.Similarity.bruteForceTopK(clustered,
             "vec_id", "embedding", queryId = qid, k = 3)
           .select("vec_id").collect().map(_.getLong(0)).toSet
-        val approx = Pq.annTopKIvfPq(spark, dir, "vec_id", q, k = 3,
+        val approx = Pq.annTopKIvfPq(spark, dir, "vec_id", q, k = 4,
             nprobe = 4)
           .filter(col("vec_id") =!= qid)
           .select("vec_id").collect().map(_.getLong(0)).toSet
