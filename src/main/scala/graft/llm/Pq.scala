@@ -557,6 +557,82 @@ object Pq {
       .select(col("query_id"), col(idCol), col("cos_adc"))
   }
 
+  /** Batched probe-cell ADC over a persisted [[writeIvfPqCorpus]]
+    * index — the production batch serving shape, and the one batch
+    * entrypoint that serves RESIDUAL corpora too (the cell rides every
+    * row, so the per-(query, cell) centroid constant joins naturally).
+    * Per-query probe cells resolve on the broadcast centroids; the
+    * scan prunes to the DISTINCT probe cells across the batch
+    * (bounded literals, the [[Ivf.annTopKIndexedBatch]] pattern); each
+    * encoded row pairs only with the queries probing ITS cell through
+    * one (query_id, cell) equi-join — never all query×corpus pairs.
+    * Self-matches drop. */
+  def annTopKIvfPqBatch(spark: SparkSession, path: String, idCol: String,
+                        queries: DataFrame, qIdCol: String,
+                        qVecCol: String, k: Int,
+                        nprobe: Int = 2): DataFrame = {
+    val g = readGeometry(spark, path)
+    val root = resolveRoot(spark, path)
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val codebooks = spark.read.parquet(s"$root/codebooks")
+    val subDim = g.dim / g.m
+    val qs = broadcast(queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).cast("array<double>").as("__qv__")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__d__").asc, col("cell").asc)
+    // (query_id, cell) probe pairs + the per-pair centroid dot (free on
+    // the same tiny frame; only the residual path consumes it)
+    val probes = centroids.crossJoin(qs)
+      .withColumn("__d__", sqDist(col("centroid"), col("__qv__")))
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= nprobe)
+      .select(col("query_id"), col("cell"),
+        aggregate(zip_with(col("centroid").cast("array<double>"),
+          col("__qv__"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v).as("__qc__"))
+      .localCheckpoint(true) // Q×nprobe rows: one evaluation, reused thrice
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)) // bounded: ≤ min(Q·nprobe, nCells)
+    val luts = broadcast(
+      codebooks.crossJoin(broadcast(queries.select(
+          col(qIdCol).as("query_id"),
+          col(qVecCol).cast("array<double>").as("__qv__"),
+          Similarity.dotExact(col(qVecCol), col(qVecCol), 12)
+            .cast("double").as("__nq2__"))))
+        .select(col("query_id"), col("sub"), col("code"),
+          aggregate(
+            zip_with(col("centroid").cast("array<double>"),
+              slice(col("__qv__"), col("sub") * subDim + lit(1),
+                lit(subDim)),
+              (x, y) => x * y),
+            lit(0.0), (acc, v) => acc + v).as("lv"),
+          col("__nq2__"))
+        .groupBy("query_id")
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("sub"), col("code"),
+              col("lv")))),
+            s => s.getField("lv")).as("__lut__"),
+          first(col("__nq2__")).as("__nq2__")))
+    val score =
+      if (g.residual) col("__qc__") + col("adc") else col("adc")
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos_adc").desc, col(idCol).asc)
+    spark.read.parquet(s"$root/encoded")
+      .filter(col("cell").isin(cells.toSeq: _*)) // partition-pruned
+      .join(broadcast(probes), Seq("cell"))      // row × its probers only
+      .join(luts, Seq("query_id"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("adc", adcFold(g.m, g.codes))
+      .filter(col("norm") > 0.0 && col("__nq2__") > 0.0)
+      .withColumn("cos_adc",
+        score / (sqrt(col("__nq2__")) * col("norm")))
+      .withColumn("__rn__", row_number().over(wk))
+      .filter(col("__rn__") <= k)
+      .select(col("query_id"), col(idCol), col("cos_adc"))
+  }
+
   /** [[annTopKPqBatch]] over a persisted corpus ([[writePqCorpus]] /
     * [[writeIvfPqCorpus]]): resolves the live generation, reads only
     * (id, codes, norm), threads the stamped geometry — the batch

@@ -309,6 +309,50 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("batched IVF+PQ agrees with per-query serving on plain AND residual corpora") {
+    val plainDir = tmpDir("graft_ivfpqb")
+    val resDir = tmpDir("graft_ivfpqbr")
+    try {
+      val cents = graft.llm.Ivf.train(emb, "vec_id", "embedding",
+        nCells = 4, iters = 0)
+      val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", dim = 64,
+        m = 8, codes = 16, iters = 0).localCheckpoint(true)
+      val cbr = Pq.trainResidualCodebooks(emb, "vec_id", "embedding",
+        cents, dim = 64, m = 8, codes = 16, iters = 0)
+        .localCheckpoint(true)
+      Pq.writeIvfPqCorpus(emb, "vec_id", "embedding", cents, cbs,
+        plainDir, dim = 64, m = 8)
+      Pq.writeIvfPqCorpus(emb, "vec_id", "embedding", cents, cbr,
+        resDir, dim = 64, m = 8, residual = true)
+      // query ids OUTSIDE the corpus so self-exclusion (batch-only)
+      // cannot skew the comparison
+      val qids = Seq(3L, 150L, 420L)
+      val queries = qids.zipWithIndex.map { case (src, i) =>
+        emb.filter(col("vec_id") === src)
+          .select(lit(9000L + i).as("vec_id"), col("embedding"))
+      }.reduce(_.unionByName(_))
+      for (dir <- Seq(plainDir, resDir)) {
+        val batch = Pq.annTopKIvfPqBatch(spark, dir, "vec_id", queries,
+            "vec_id", "embedding", k = 5, nprobe = 2)
+          .collect().groupBy(_.getLong(0))
+          .map { case (q, rows) => q -> rows.map(r =>
+            (r.getLong(1), r.getDouble(2))).sortBy(-_._2).toSeq }
+        qids.zipWithIndex.foreach { case (src, i) =>
+          val single = Pq.annTopKIvfPq(spark, dir, "vec_id",
+              emb.filter(col("vec_id") === src)
+                .select(col("embedding").as("qv")), k = 5, nprobe = 2)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          assert(batch(9000L + i) == single,
+            s"batch must equal per-query serving ($dir, query $src): " +
+              s"${batch(9000L + i)} vs $single")
+        }
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(plainDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(resDir))
+    }
+  }
+
   test("single-query and batched ADC agree") {
     val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", dim = 64,
       m = 8, codes = 16, iters = 0).localCheckpoint(true)
