@@ -487,14 +487,15 @@ object Pipeline {
   }
 
   /** The embedding-side analog of [[retractDocuments]]: the vecs index,
-    * the IVF search index, the int8 serving corpus and the landing all
-    * drop the retracted ids (each through its family's online
-    * generation-flip rewrite). */
+    * the IVF search index, the int8 serving corpus, the PQ serving
+    * corpus and the landing all drop the retracted ids (each through
+    * its family's online generation-flip rewrite). */
   def retractEmbeddings(spark: org.apache.spark.sql.SparkSession,
                         ids: DataFrame, idCol: String,
                         indexName: String, outPath: String,
                         ivfPath: Option[String] = None,
-                        quantizedPath: Option[String] = None): Map[String, Long] = {
+                        quantizedPath: Option[String] = None,
+                        pqPath: Option[String] = None): Map[String, Long] = {
     val (vb, va) = Dedup.retractFromEmbeddingIndex(spark, indexName, ids, idCol)
     val ivf = ivfPath.map { p =>
       val (b, a) = Ivf.retractFromIndex(spark, p, ids, idCol); b - a
@@ -503,9 +504,13 @@ object Pipeline {
       val (b, a) = Similarity.retractFromQuantizedCorpus(spark, p, ids, idCol)
       b - a
     }
+    val pq = pqPath.map { p =>
+      val (b, a) = Pq.retractFromPqCorpus(spark, p, ids, idCol); b - a
+    }
     val landing = retractFromLanding(spark, outPath, ids, idCol)
     Map(s"${indexName}_vecs" -> (vb - va), "landing" -> landing) ++
-      ivf.map("ivf" -> _) ++ quant.map("quantized" -> _)
+      ivf.map("ivf" -> _) ++ quant.map("quantized" -> _) ++
+      pq.map("pq" -> _)
   }
 
   /** Rewrite only the landing partitions that hold retracted ids: the
@@ -658,6 +663,7 @@ object Pipeline {
                            outPath: String, shardLabel: String,
                            ivfPath: Option[String] = None,
                            quantizedPath: Option[String] = None,
+                           pqPath: Option[String] = None,
                            planes: Int = 8,
                            buckets: Int = 8): Map[String, Long] = {
     val spark = shard.sparkSession
@@ -709,6 +715,11 @@ object Pipeline {
         Similarity.writeQuantizedCorpus(toLand, idCol, vecCol, p,
           bucketDim = Some(dim), planes = planes,
           shardLabel = Some(shardLabel)))
+      // the PQ serving copy grows in lockstep too — appendToPqCorpus
+      // carries its own replay-safe id guard, so a crash between this
+      // sink and the landing replays to a no-op append
+      pqPath.foreach(p =>
+        Pq.appendToPqCorpus(toLand, idCol, vecCol, p))
       toLand.write.mode("overwrite")
         .parquet(s"$outPath/shard_label=$shardLabel")
       val landed = toLand.count() // checkpointed — no re-run

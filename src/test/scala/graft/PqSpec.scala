@@ -353,6 +353,63 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("embedding ingest keeps the PQ serving copy in lockstep; retraction clears it") {
+    val idx = tmpDir("graft_pql")
+    val out = tmpDir("graft_pql_out")
+    val pqDir = tmpDir("graft_pql_pq")
+    try {
+      val corpus = emb.filter(col("vec_id") < 300)
+      val shard = emb.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+        .localCheckpoint(true)
+      graft.llm.Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding",
+        64, "pql_t", idx)
+      val cents = graft.llm.Ivf.train(corpus, "vec_id", "embedding",
+        nCells = 4, iters = 0)
+      val cbs = Pq.trainCodebooks(corpus, "vec_id", "embedding", dim = 64,
+        m = 8, codes = 16, iters = 0).localCheckpoint(true)
+      Pq.writeIvfPqCorpus(corpus, "vec_id", "embedding", cents, cbs,
+        pqDir, dim = 64, m = 8)
+
+      def pqIds() = spark.read.parquet(
+        s"${Pq.resolveRoot(spark, pqDir)}/encoded").select("vec_id")
+      val counts = graft.llm.Pipeline.ingestEmbeddingShard(shard,
+        "vec_id", "embedding", dim = 64, threshold = 0.9,
+        indexName = "pql_t", indexPath = idx, outPath = out,
+        shardLabel = "d1", pqPath = Some(pqDir))
+      assert(counts("landed") == 50L, s"$counts")
+      assert(pqIds().count() == 350 && pqIds().distinct().count() == 350,
+        "PQ corpus must grow in lockstep with the ingest")
+
+      // same-label replay is the O(1) manifest path; a new-label replay
+      // drops at the gate AND the PQ append's own id guard holds
+      graft.llm.Pipeline.ingestEmbeddingShard(shard, "vec_id",
+        "embedding", dim = 64, threshold = 0.9, indexName = "pql_t",
+        indexPath = idx, outPath = out, shardLabel = "d1",
+        pqPath = Some(pqDir))
+      val counts2 = graft.llm.Pipeline.ingestEmbeddingShard(shard,
+        "vec_id", "embedding", dim = 64, threshold = 0.9,
+        indexName = "pql_t", indexPath = idx, outPath = out,
+        shardLabel = "d2", pqPath = Some(pqDir))
+      assert(counts2("landed") == 0L, s"$counts2")
+      assert(pqIds().count() == 350, "replays must not grow the PQ corpus")
+
+      // retraction reaches the PQ sink like every other
+      val idsSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType)))
+      val removed = graft.llm.Pipeline.retractEmbeddings(spark,
+        df(idsSchema, org.apache.spark.sql.Row(310L)), "vec_id",
+        "pql_t", out, pqPath = Some(pqDir))
+      assert(removed("pq") == 1L, s"$removed")
+      assert(pqIds().filter(col("vec_id") === 310L).count() == 0,
+        "retracted id must leave the PQ corpus")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pql_t_vecs")
+      Seq(idx, out, pqDir).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("single-query and batched ADC agree") {
     val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", dim = 64,
       m = 8, codes = 16, iters = 0).localCheckpoint(true)
