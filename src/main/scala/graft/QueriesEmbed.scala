@@ -425,6 +425,64 @@ object QueriesEmbed {
         k = 10, nprobe = 2)
     }
 
+    // Embedding drift report: two corpus snapshots (old = vec_id % 3
+    // <> 0, new = all) assign against the SAME iters=0 coarse quantizer
+    // and compare per-cell occupancy — counts exact, fractions the
+    // identical float op sequence both engines, every cell present via
+    // the centroid spine.
+    r.reg("q_embed_drift",
+      """WITH hs AS (
+        |  SELECT vec_id, embedding,
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
+        |  FROM embeddings),
+        |seeds8 AS (
+        |  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell,
+        |    embedding AS centroid
+        |  FROM hs ORDER BY h ASC, vec_id ASC LIMIT 8),
+        |olds AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0),
+        |od AS (
+        |  SELECT e.vec_id, s.cell,
+        |    list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE)))) AS d
+        |  FROM olds e, seeds8 s),
+        |oc AS (
+        |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS old_n FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        |    FROM od) WHERE rn = 1 GROUP BY cell),
+        |nd AS (
+        |  SELECT e.vec_id, s.cell,
+        |    list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE)))) AS d
+        |  FROM embeddings e, seeds8 s),
+        |nc AS (
+        |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS new_n FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        |    FROM nd) WHERE rn = 1 GROUP BY cell),
+        |j AS (
+        |  SELECT s.cell,
+        |    CAST(COALESCE(oc.old_n, 0) AS BIGINT) AS old_n,
+        |    CAST(COALESCE(nc.new_n, 0) AS BIGINT) AS new_n
+        |  FROM seeds8 s LEFT JOIN oc USING (cell) LEFT JOIN nc USING (cell)),
+        |t AS (SELECT SUM(old_n) AS toto, SUM(new_n) AS totn FROM j)
+        |SELECT CAST(cell AS INTEGER) AS cell, old_n, new_n,
+        |  CAST(old_n AS DOUBLE)/CAST(toto AS DOUBLE) AS old_frac,
+        |  CAST(new_n AS DOUBLE)/CAST(totn AS DOUBLE) AS new_frac,
+        |  CAST(new_n AS DOUBLE)/CAST(totn AS DOUBLE)
+        |    - CAST(old_n AS DOUBLE)/CAST(toto AS DOUBLE) AS delta
+        |FROM j, t ORDER BY cell""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cents = graft.llm.Ivf.train(e, "vec_id", "embedding",
+        nCells = 8, iters = 0)
+      graft.llm.Ivf.cellDriftReport(
+          e.filter(col("vec_id") % 3 =!= 0), e, "vec_id", "embedding",
+          cents)
+        .orderBy("cell")
+    }
+
     // Batched IVF+PQ serving: every query in one job — per-query probe
     // cells, scan pruned to the distinct probe-cell union, each encoded
     // row paired only with the queries probing its cell, per-query ADC

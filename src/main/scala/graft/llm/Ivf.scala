@@ -336,6 +336,41 @@ object Ivf {
     fs.delete(inflight, false)
   }
 
+  /** EMBEDDING drift report — the vector analog of
+    * [[TextStats.driftReport]]: assign two corpus versions against the
+    * SAME saved coarse quantizer and compare per-cell occupancy
+    * (count + fraction + delta). A new crawl whose embedding
+    * distribution shifted shows up as cells draining/flooding — the
+    * observable that schedules IVF re-training (drifted centroids cost
+    * probe recall silently otherwise). Scale shape: two blockwise
+    * assignment passes (broadcast centroids, no shuffle of the
+    * vectors), two tiny cell aggregates, and the centroid spine keeps
+    * every cell in the output even when a version leaves it empty.
+    * Fractions are exact integer counts divided as doubles —
+    * deterministic cross-engine. */
+  def cellDriftReport(oldEmbeddings: DataFrame, newEmbeddings: DataFrame,
+                      idCol: String, vecCol: String,
+                      centroids: DataFrame): DataFrame = {
+    def counts(d: DataFrame, tag: String) =
+      assign(d, idCol, vecCol, centroids)
+        .groupBy("cell").agg(count(lit(1)).as(s"${tag}_n"))
+    val j = centroids.select(col("cell"))
+      .join(counts(oldEmbeddings, "old"), Seq("cell"), "left")
+      .join(counts(newEmbeddings, "new"), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"))
+      .localCheckpoint(true) // nCells rows; totals + output reuse it
+    val tot = j.agg(sum("old_n").as("__to__"), sum("new_n").as("__tn__"))
+    j.crossJoin(broadcast(tot))
+      .select(col("cell"), col("old_n"), col("new_n"),
+        (col("old_n").cast("double") / col("__to__").cast("double"))
+          .as("old_frac"),
+        (col("new_n").cast("double") / col("__tn__").cast("double"))
+          .as("new_frac"))
+      .withColumn("delta", col("new_frac") - col("old_frac"))
+  }
+
   /** Rewrite each cell's accumulated small files (one per
     * [[appendToIndex]] call per cell) into one file per cell: the
     * compaction pass that keeps a daily-appended index readable — file
