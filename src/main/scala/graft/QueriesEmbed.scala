@@ -603,6 +603,156 @@ object QueriesEmbed {
         .orderBy(col("query_id"), col("cos_adc").desc, col("vec_id"))
     }
 
+    // Recall@5 of the persisted IVF+PQ serving path — probe misses AND
+    // quantization error priced together at the serving nprobe
+    // (completes the instrument family for the new tier): the ann side
+    // is q_ivfpq_batch's per-query rank, the exact side and pooled
+    // mean are the shared harness shapes.
+    r.reg("q_ivfpq_recall",
+      """WITH hs AS (
+        |  SELECT vec_id, embedding,
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
+        |  FROM embeddings),
+        |seeds8 AS (
+        |  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell,
+        |    embedding AS centroid
+        |  FROM hs ORDER BY h ASC, vec_id ASC LIMIT 8),
+        |seeds16 AS (
+        |  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS code,
+        |    embedding
+        |  FROM hs ORDER BY h ASC, vec_id ASC LIMIT 16),
+        |qsel AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id % 50 = 0),
+        |cdist AS (
+        |  SELECT q.qid, s.cell,
+        |    list_sum(list_transform(range(1, len(s.centroid)+1),
+        |      i -> (CAST(s.centroid[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |         * (CAST(s.centroid[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) AS d
+        |  FROM seeds8 s, qsel q),
+        |probec AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT qid, cell,
+        |      row_number() OVER (PARTITION BY qid ORDER BY d ASC, cell ASC) AS rn
+        |    FROM cdist) WHERE rn <= 2),
+        |adists AS (
+        |  SELECT e.vec_id, s.cell,
+        |    list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE)))) AS d
+        |  FROM embeddings e, seeds8 s),
+        |cellof AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        |    FROM adists) WHERE rn = 1),
+        |cand AS (
+        |  SELECT p.qid, c.vec_id FROM cellof c JOIN probec p USING (cell)
+        |  WHERE c.vec_id <> p.qid),
+        |cb AS (
+        |  SELECT j, s.code AS c,
+        |    list_transform(range(1, 9),
+        |      i -> CAST(s.embedding[j*8 + i] AS DOUBLE)) AS cent
+        |  FROM seeds16 s, range(0, 8) rj(j)),
+        |dist AS (
+        |  SELECT e.vec_id, cb.j, cb.c,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (CAST(e.embedding[cb.j*8 + i] AS DOUBLE) - cb.cent[i])
+        |      * (CAST(e.embedding[cb.j*8 + i] AS DOUBLE) - cb.cent[i]))) AS d
+        |  FROM embeddings e, cb),
+        |codes AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |codelist AS (
+        |  SELECT vec_id, list(c ORDER BY j) AS cl FROM codes GROUP BY vec_id),
+        |norms AS (
+        |  SELECT vec_id,
+        |    sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |      AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        |  GROUP BY vec_id),
+        |qn AS (
+        |  SELECT qid, CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |    AS DECIMAL(25,12))) AS DOUBLE) AS nq2
+        |  FROM (SELECT qid, unnest(qv) AS x FROM qsel) GROUP BY qid),
+        |lutrows AS (
+        |  SELECT q.qid, cb.j, cb.c,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> cb.cent[i] * CAST(q.qv[cb.j*8 + i] AS DOUBLE))) AS lv
+        |  FROM cb, qsel q),
+        |lut AS (SELECT qid, list(lv ORDER BY j, c) AS lt
+        |        FROM lutrows GROUP BY qid),
+        |scored AS (
+        |  SELECT cd.qid, cd.vec_id,
+        |    list_sum(list_transform(range(0, 8),
+        |      j -> l.lt[j*16 + cl.cl[j+1] + 1]))
+        |      / (sqrt(qn.nq2) * n.nrm) AS s
+        |  FROM cand cd
+        |  JOIN codelist cl ON cl.vec_id = cd.vec_id
+        |  JOIN norms n ON n.vec_id = cd.vec_id
+        |  JOIN lut l ON l.qid = cd.qid
+        |  JOIN qn ON qn.qid = cd.qid
+        |  WHERE n.nrm > 0 AND qn.nq2 > 0),
+        |ann AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+        |    FROM scored) WHERE rn <= 5),
+        |bz AS (
+        |  SELECT q.qid, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+        |  FROM embeddings e, qsel q WHERE e.vec_id <> q.qid),
+        |bd AS (
+        |  SELECT qid, vec_id,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na,
+        |    sum(CAST(CAST(b AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS nb
+        |  FROM bz GROUP BY qid, vec_id),
+        |exact AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY
+        |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC,
+        |        vec_id ASC) AS rn
+        |    FROM bd) WHERE rn <= 5),
+        |hits AS (
+        |  SELECT e.qid,
+        |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |    CAST(count(*) AS BIGINT) AS exact_k
+        |  FROM exact e LEFT JOIN ann a ON a.qid = e.qid AND a.vec_id = e.vec_id
+        |  GROUP BY e.qid),
+        |m AS (
+        |  SELECT CAST(sum(hits) AS DOUBLE)/CAST(sum(exact_k) AS DOUBLE) AS mean_recall
+        |  FROM hits)
+        |SELECT qid AS query_id, hits, exact_k,
+        |  CAST(hits AS DOUBLE)/CAST(exact_k AS DOUBLE) AS recall, m.mean_recall
+        |FROM hits, m ORDER BY query_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      // shares the q_ivfpq_topk/q_ivfpq_batch fixture
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/ivfpq")
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir
+      if (!fresh) {
+        val cents = graft.llm.Ivf.train(e, "vec_id", "embedding",
+          nCells = 8, iters = 0)
+        val cbs = graft.llm.Pq.trainCodebooks(e, "vec_id", "embedding",
+          dim = 64, m = 8, codes = 16, iters = 0)
+        graft.llm.Pq.writeIvfPqCorpus(e, "vec_id", "embedding", cents,
+          cbs, idxPath, dim = 64, m = 8)
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
+      graft.llm.Pq.ivfPqRecallReport(e,
+          e.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding"),
+          "vec_id", "embedding", "vec_id", "embedding", idxPath, k = 5,
+          nprobe = 2)
+        .orderBy("query_id")
+    }
+
     // RESIDUAL IVF+PQ (the accuracy-correct FAISS recipe): codes encode
     // x − centroid(cell(x)), search adds the exact query·centroid term
     // back per probe cell. The oracle recomputes cell assignment, the

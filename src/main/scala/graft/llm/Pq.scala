@@ -654,6 +654,24 @@ object Pq {
       qVecCol, g.dim, g.m, k, nCodesKnown = Some(g.codes))
   }
 
+  /** Recall@k of the PERSISTED IVF+PQ serving path vs exact brute
+    * force — unlike [[recallReport]] (flat ADC: quantization error
+    * only), this prices the full serving stack: probe-cell misses AND
+    * code quantization together, at the `nprobe` the corpus actually
+    * serves with. Same sampled-queries contract and pooled Σhits/Σk
+    * mean as every sibling instrument. */
+  def ivfPqRecallReport(embeddings: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, qIdCol: String,
+                        qVecCol: String, path: String, k: Int,
+                        nprobe: Int = 2): DataFrame = {
+    val ann = annTopKIvfPqBatch(embeddings.sparkSession, path, idCol,
+        queries, qIdCol, qVecCol, k, nprobe)
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        lit(1L).as("__hit__"))
+    Similarity.recallFromCandidates(embeddings, queries, idCol, vecCol,
+      qIdCol, qVecCol, k, ann)
+  }
+
   /** Recall@k of the PQ path vs exact brute force — the tuning
     * instrument completing the family ([[Similarity.recallReport]] for
     * LSH, [[Ivf.recallReport]] for IVF, quantizedRecallReport for
