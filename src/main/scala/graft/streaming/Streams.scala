@@ -298,6 +298,28 @@ object Streams {
         ()
       }
 
+  /** Streaming retrieval over the persisted IVF+PQ index — the
+    * cell-pruned sibling of [[annTopKPqStream]] (which scans the whole
+    * flat corpus): each micro-batch ranks through
+    * [[graft.llm.Pq.annTopKIvfPqBatch]], so the scan prunes to the
+    * batch's distinct probe cells and RESIDUAL corpora serve too (the
+    * flat path refuses them). Per-batch overwrite partitions,
+    * generation re-resolved every trigger — the family's serving
+    * contract. */
+  def annTopKIvfPqStream(queries: DataFrame, qIdCol: String,
+                         qVecCol: String, path: String, idCol: String,
+                         k: Int, outPath: String, checkpoint: String,
+                         nprobe: Int = 2): DataStreamWriter[Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.llm.Pq.annTopKIvfPqBatch(batch.sparkSession, path,
+              idCol, batch, qIdCol, qVecCol, k, nprobe)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        ()
+      }
+
   /** Streaming INGEST GATE — the stateless-plus-watermark front half of
     * the batch pretraining pipeline (llm/Pipeline.pretrainCorpus), for
     * documents arriving as a stream: Gopher-style quality filter (pure

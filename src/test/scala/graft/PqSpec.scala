@@ -410,6 +410,56 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("streaming IVF+PQ retrieval: batch parity on a RESIDUAL corpus, mid-stream compaction picked up") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = tmpDir("graft_ivfpqserve")
+    val corpusDir = s"$base/corpus"
+    val outDir = s"$base/out"
+    try {
+      val corpus = emb.filter(col("vec_id") < 300)
+      val cents = graft.llm.Ivf.train(corpus, "vec_id", "embedding",
+        nCells = 4, iters = 0)
+      val cbr = Pq.trainResidualCodebooks(corpus, "vec_id", "embedding",
+        cents, dim = 64, m = 8, codes = 16, iters = 0)
+        .localCheckpoint(true)
+      Pq.writeIvfPqCorpus(corpus, "vec_id", "embedding", cents, cbr,
+        corpusDir, dim = 64, m = 8, residual = true)
+      def qvec(id: Long): Seq[Float] = emb.filter(col("vec_id") === id)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.Streams.annTopKIvfPqStream(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        corpusDir, "vec_id", k = 3,
+        outPath = outDir, checkpoint = s"$base/ckpt").start()
+      try {
+        in.addData((9000L, qvec(0L)), (9001L, qvec(50L)))
+        q.processAllAvailable()
+        Pq.compactPqCorpus(spark, corpusDir)
+        in.addData((9002L, qvec(100L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(outDir)
+        .select("query_id", "vec_id", "cos_adc")
+        .collect().map(_.toString).sorted.toSeq
+      val expect = Pq.annTopKIvfPqBatch(spark, corpusDir, "vec_id",
+          emb.filter(col("vec_id") === 0L).select(lit(9000L).as("vec_id"), col("embedding"))
+            .unionByName(emb.filter(col("vec_id") === 50L).select(lit(9001L).as("vec_id"), col("embedding")))
+            .unionByName(emb.filter(col("vec_id") === 100L).select(lit(9002L).as("vec_id"), col("embedding"))),
+          "vec_id", "embedding", k = 3)
+        .select("query_id", "vec_id", "cos_adc")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got.nonEmpty && got == expect,
+        s"stream must match the batch path on the residual corpus: " +
+          s"$got vs $expect")
+      assert(new java.io.File(outDir).listFiles()
+        .count(_.getName.startsWith("batch_id=")) == 2,
+        "each micro-batch must land its own overwrite-able partition")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("single-query and batched ADC agree") {
     val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", dim = 64,
       m = 8, codes = 16, iters = 0).localCheckpoint(true)
