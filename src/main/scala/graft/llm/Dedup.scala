@@ -904,11 +904,54 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates: docs whose `bits`-bit simhash matches
-    * exactly (cheap, coarse; Hamming-distance banding would subdivide the
-    * hash for a finer pass). */
+    * exactly (cheap, coarse; [[simhashNearDupPairs]] subdivides the
+    * hash for the Hamming-distance pass). */
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String,
                     bits: Int = 16): DataFrame =
     docs.select(col(idCol), TextHash.simhash(col(textCol), bits).as("simhash"))
+
+  /** SimHash near-dup PAIRS within Hamming distance `hammingK` — the
+    * full SimHash dedup recipe (the pigeonhole banding of the
+    * Manku/Jain/Sarma web-dedup paper): the `bits`-bit signature splits
+    * into hammingK+1 bands, so any two signatures within Hamming
+    * distance hammingK agree EXACTLY on at least one band — candidates
+    * come from hammingK+1 band equi-joins (one exchange, never
+    * all-pairs, the LSH-band discipline), and the verify is an integer
+    * popcount of the XOR on candidates only. Returns (id_a < id_b,
+    * hamming ≤ hammingK). All-integer → bit-reproducible cross-engine.
+    * Scale: signatures are 8 bytes and ride the band exchange, so the
+    * verify needs no join-back to the corpus. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String,
+                          textCol: String, bits: Int = 16,
+                          hammingK: Int = 1): DataFrame = {
+    require(hammingK >= 0 && bits % (hammingK + 1) == 0,
+      s"bits=$bits must split into hammingK+1=${hammingK + 1} bands")
+    val w = bits / (hammingK + 1)
+    val mask = (1L << w) - 1
+    val sh = docs.select(col(idCol).as("id"),
+      TextHash.simhash(col(textCol), bits).as("sh"))
+    val bandCols = (0 to hammingK).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sh"), b * w).bitwiseAND(lit(mask))
+          .as("key")))
+    val banded = sh
+      .select(col("id"), col("sh"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+      .repartition(col("band"), col("key"))
+    banded.select(col("band"), col("key"), col("id").as("id_a"),
+        col("sh").as("sa"))
+      .join(banded.select(col("band"), col("key"), col("id").as("id_b"),
+          col("sh").as("sb")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int")
+          .as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= hammingK)
+  }
 
   /** N-gram decontamination report: training docs sharing at least one
     * token `k`-shingle with a benchmark corpus, with the count of distinct

@@ -406,6 +406,26 @@ class EdgeCasesSpec extends SparkTestBase {
       GraftFrame.fromDict(spark, Seq("a" -> Seq(1), "b" -> Seq(1, 2))) }
   }
 
+  test("simhashNearDupPairs equals brute-force Hamming pairs (pigeonhole completeness)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 300)
+    val sigs = Dedup.simhashGroups(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 1
+    } yield (ia, ib, h)).toSet
+    val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute,
+      s"banding must find EXACTLY the Hamming<=1 pairs: missing " +
+        s"${brute -- got}, extra ${got -- brute}")
+    assert(brute.nonEmpty, "fixture must contain at least one close pair")
+    // banding is a strict candidate filter: distance-2 pairs may share
+    // no band and MUST not appear even as candidates that verify
+    assert(got.forall(_._3 <= 1))
+  }
+
   test("sampleByTemperature: alpha=1 natural mix, alpha=0 equalizes, smallest domain lossless") {
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("source", StringType)))
