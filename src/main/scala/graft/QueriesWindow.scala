@@ -468,6 +468,29 @@ object QueriesWindow {
         .sortValues(Seq("doc_id" -> true)).df
     }
 
+    // Token-budgeted mixing: domain sizes measured by total chars (the
+    // n_chars column — any integer weight), expected sampled mass per
+    // domain ∝ W_d^0.5; same exact integer sums → sqrt → floor →
+    // Knuth-hash chain, recomputed per row by the oracle.
+    r.reg("q_temperature_mix_tokens",
+      s"""WITH c AS (SELECT source, SUM(n_chars) AS cnt FROM documents GROUP BY source),
+         |m AS (SELECT MIN(cnt) AS cmin FROM c),
+         |thr AS (
+         |  SELECT source,
+         |    CAST(floor(sqrt(CAST(cmin AS DOUBLE) / CAST(cnt AS DOUBLE))
+         |      * 4294967296) AS BIGINT) AS thr
+         |  FROM c, m)
+         |SELECT d.doc_id, d.source FROM documents d
+         |JOIN thr USING (source)
+         |WHERE (d.doc_id % 2147483648) * 2654435761 % 4294967296 < thr
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "documents"))
+        .sampleByTemperatureWeighted("doc_id", "source", "n_chars",
+          alpha = 0.5)
+        .select("doc_id", "source")
+        .sortValues(Seq("doc_id" -> true)).df
+    }
+
     // Deterministic corpus shuffle: global position under the Knuth-hash
     // order (scale-safe two-pass plan) — the "shuffle before sharding"
     // training-data pass; the oracle replays the permutation exactly.

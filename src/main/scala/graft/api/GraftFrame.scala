@@ -183,15 +183,34 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     * across engines, the oracle-covered path); other alphas go through
     * pow (≤1 ulp, reproducible within the JVM). Rows with a NULL
     * domain are dropped (inner-join semantics, as in SQL USING). */
+  /** [[sampleByTemperature]] with domain sizes measured by an integer
+    * WEIGHT column (token counts, bytes) instead of document counts —
+    * the form a token-budgeted pretraining mix actually runs: expected
+    * sampled token mass per domain ∝ W_d^alpha, where W_d is the
+    * domain's total weight. Same exact-integer-sums + sqrt/pow
+    * thresholds + blockwise Knuth-hash decision; the per-document keep
+    * probability is uniform within a domain (long documents are not
+    * individually favored — the DOMAIN's budget scales). */
+  def sampleByTemperatureWeighted(keyCol: String, domainCol: String,
+                                  weightCol: String,
+                                  alpha: Double): GraftFrame =
+    sampleByTemperatureImpl(keyCol, domainCol,
+      sum(col(weightCol).cast("long")), alpha)
+
   def sampleByTemperature(keyCol: String, domainCol: String,
-                          alpha: Double): GraftFrame = {
+                          alpha: Double): GraftFrame =
+    sampleByTemperatureImpl(keyCol, domainCol, count(lit(1)), alpha)
+
+  private def sampleByTemperatureImpl(keyCol: String, domainCol: String,
+                                      sizeAgg: Column,
+                                      alpha: Double): GraftFrame = {
     require(alpha >= 0.0 && alpha <= 1.0,
       s"alpha must be in [0, 1], got $alpha")
     // NULL domains are dropped by the inner join below — they must not
     // set c_min either (a tiny NULL group would silently undersample
     // every real domain and break both documented invariants)
     val counts = df.filter(col(domainCol).isNotNull)
-      .groupBy(col(domainCol)).agg(count(lit(1)).as("__c__"))
+      .groupBy(col(domainCol)).agg(sizeAgg.as("__c__"))
     val cmin = counts.agg(min(col("__c__")).as("__cmin__"))
     val ratio = col("__cmin__").cast("double") / col("__c__").cast("double")
     val p =
