@@ -468,6 +468,27 @@ object QueriesWindow {
         .sortValues(Seq("doc_id" -> true)).df
     }
 
+    // The equalizing endpoint (alpha = 0): p_d = cmin/c_d — exact
+    // integer counts, one correctly-rounded division, integer floor —
+    // pins the ratio path (alpha=0.5 pins the sqrt path above).
+    r.reg("q_temperature_mix_flat",
+      s"""WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+         |m AS (SELECT MIN(cnt) AS cmin FROM c),
+         |thr AS (
+         |  SELECT source,
+         |    CAST(floor((CAST(cmin AS DOUBLE) / CAST(cnt AS DOUBLE))
+         |      * 4294967296) AS BIGINT) AS thr
+         |  FROM c, m)
+         |SELECT d.doc_id, d.source FROM documents d
+         |JOIN thr USING (source)
+         |WHERE (d.doc_id % 2147483648) * 2654435761 % 4294967296 < thr
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "documents"))
+        .sampleByTemperature("doc_id", "source", alpha = 0.0)
+        .select("doc_id", "source")
+        .sortValues(Seq("doc_id" -> true)).df
+    }
+
     // Token-budgeted mixing: domain sizes measured by total chars (the
     // n_chars column — any integer weight), expected sampled mass per
     // domain ∝ W_d^0.5; same exact integer sums → sqrt → floor →
