@@ -683,48 +683,44 @@ object QueriesText {
         .select("doc_id").orderBy("doc_id")
     }
 
-    // SimHash near-dup pairs: 16-bit signatures split into 2 bands
-    // (hammingK=1, pigeonhole: Hamming ≤ 1 ⇒ one band agrees exactly);
-    // the oracle recomputes the signatures, the band joins, and the
-    // integer popcount verify — all exact arithmetic.
-    r.reg("q_simhash_pairs", {
-      val terms = (0 until 16).map(j =>
-        s"(CASE WHEN 2*len(list_filter(hs16, h -> ((h >> $j) & 1) = 1)) > len(hs16) " +
-          s"THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    // SimHash near-dup pairs at the r12 production geometry: 64-bit
+    // signatures (per-position mixed bits — the minhash affine family)
+    // split into 4 bands of 16 bits (hammingK=3, pigeonhole: Hamming
+    // ≤ 3 ⇒ one 16-bit band agrees exactly — the Manku/Jain/Sarma
+    // web-dedup geometry, 65,536 keys per band); the oracle recomputes
+    // the signatures, the band joins, and the integer popcount verify —
+    // all exact arithmetic. Fixture buckets never reach the 10k cap, so
+    // the capped Spark path and the uncapped SQL agree exactly.
+    r.reg("q_simhash_pairs",
       s"""WITH h AS (
          |  SELECT doc_id,
-         |    list_transform(list_distinct(string_split(text, ' ')), w -> ${tokIdSql("w")}) AS hs16
+         |    list_transform(list_distinct(string_split(text, ' ')), w -> ${tokIdSql("w")} % 2147483647) AS hs
          |  FROM documents WHERE doc_id < 300),
-         |sh AS (SELECT doc_id, CAST($terms AS BIGINT) AS s FROM h),
+         |sh AS (SELECT doc_id, CAST(${graft.llm.TextHash.simhashTermsSql("hs", 64)} AS BIGINT) AS s FROM h),
          |banded AS (
-         |  SELECT doc_id, s, b.band, (s >> (b.band * 8)) & 255 AS key
-         |  FROM sh, (SELECT unnest(range(0, 2)) AS band) b),
+         |  SELECT doc_id, s, b.band, (s >> (b.band * 16)) & 65535 AS key
+         |  FROM sh, (SELECT unnest(range(0, 4)) AS band) b),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |    a.s AS sa, b.s AS sb
          |  FROM banded a JOIN banded b
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-         |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
-         |ORDER BY id_a, id_b""".stripMargin
-    }) { (s, dir) =>
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       Dedup.simhashNearDupPairs(
           t(s, dir, "documents").filter(col("doc_id") < 300),
           "doc_id", "text")
         .orderBy("id_a", "id_b")
     }
 
-    r.reg("q_simhash", {
-      val terms = (0 until 16).map(j =>
-        s"(CASE WHEN 2*len(list_filter(hs16, h -> ((h >> $j) & 1) = 1)) > len(hs16) " +
-          s"THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    r.reg("q_simhash",
       s"""WITH h AS (
          |  SELECT doc_id,
-         |    list_transform(list_distinct(string_split(text, ' ')), w -> ${tokIdSql("w")}) AS hs16
+         |    list_transform(list_distinct(string_split(text, ' ')), w -> ${tokIdSql("w")} % 2147483647) AS hs
          |  FROM documents WHERE doc_id < 100)
-         |SELECT doc_id, CAST($terms AS BIGINT) AS simhash
-         |FROM h ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
+         |SELECT doc_id, CAST(${graft.llm.TextHash.simhashTermsSql("hs", 64)} AS BIGINT) AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Dedup.simhashGroups(
           t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
         .orderBy("doc_id")

@@ -183,6 +183,10 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     * across engines, the oracle-covered path); other alphas go through
     * pow (≤1 ulp, reproducible within the JVM). Rows with a NULL
     * domain are dropped (inner-join semantics, as in SQL USING). */
+  def sampleByTemperature(keyCol: String, domainCol: String,
+                          alpha: Double): GraftFrame =
+    sampleByTemperatureImpl(keyCol, domainCol, count(lit(1)), alpha)
+
   /** [[sampleByTemperature]] with domain sizes measured by an integer
     * WEIGHT column (token counts, bytes) instead of document counts —
     * the form a token-budgeted pretraining mix actually runs: expected
@@ -190,16 +194,15 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     * domain's total weight. Same exact-integer-sums + sqrt/pow
     * thresholds + blockwise Knuth-hash decision; the per-document keep
     * probability is uniform within a domain (long documents are not
-    * individually favored — the DOMAIN's budget scales). */
+    * individually favored — the DOMAIN's budget scales). Domains whose
+    * total weight is ≤ 0 (all-empty docs) are dropped like NULL
+    * domains: they carry no sampleable mass, and letting one set c_min
+    * = 0 would zero every threshold and silently empty the output. */
   def sampleByTemperatureWeighted(keyCol: String, domainCol: String,
                                   weightCol: String,
                                   alpha: Double): GraftFrame =
     sampleByTemperatureImpl(keyCol, domainCol,
       sum(col(weightCol).cast("long")), alpha)
-
-  def sampleByTemperature(keyCol: String, domainCol: String,
-                          alpha: Double): GraftFrame =
-    sampleByTemperatureImpl(keyCol, domainCol, count(lit(1)), alpha)
 
   private def sampleByTemperatureImpl(keyCol: String, domainCol: String,
                                       sizeAgg: Column,
@@ -208,9 +211,13 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
       s"alpha must be in [0, 1], got $alpha")
     // NULL domains are dropped by the inner join below — they must not
     // set c_min either (a tiny NULL group would silently undersample
-    // every real domain and break both documented invariants)
+    // every real domain and break both documented invariants). The
+    // same reasoning excludes non-positive-size domains (possible only
+    // on the weighted path, e.g. a domain of all-empty docs): c_min = 0
+    // would floor every threshold to 0 and empty the whole output.
     val counts = df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol)).agg(sizeAgg.as("__c__"))
+      .filter(col("__c__") > 0L)
     val cmin = counts.agg(min(col("__c__")).as("__cmin__"))
     val ratio = col("__cmin__").cast("double") / col("__c__").cast("double")
     val p =

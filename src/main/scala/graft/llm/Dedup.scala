@@ -907,7 +907,7 @@ object Dedup {
     * exactly (cheap, coarse; [[simhashNearDupPairs]] subdivides the
     * hash for the Hamming-distance pass). */
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String,
-                    bits: Int = 16): DataFrame =
+                    bits: Int = 64): DataFrame =
     docs.select(col(idCol), TextHash.simhash(col(textCol), bits).as("simhash"))
 
   /** SimHash near-dup PAIRS within Hamming distance `hammingK` — the
@@ -920,14 +920,36 @@ object Dedup {
     * popcount of the XOR on candidates only. Returns (id_a < id_b,
     * hamming ≤ hammingK). All-integer → bit-reproducible cross-engine.
     * Scale: signatures are 8 bytes and ride the band exchange, so the
-    * verify needs no join-back to the corpus. */
+    * verify needs no join-back to the corpus.
+    *
+    * The default geometry is the Manku/Jain/Sarma production one
+    * (r11 verdict): 64-bit signatures, hammingK = 3 → four 16-bit
+    * bands → 65,536 distinct keys per band, so band buckets stay
+    * selective on any corpus whose content is diverse (the pre-r12
+    * 16-bit default had 256 keys per band — a structural ~N²/256
+    * candidate blowup regardless of content). Size `bits` up (and
+    * never down) with corpus scale.
+    *
+    * Degenerate-bucket cap (the [[nearDuplicatePairs]] discipline): a
+    * corpus with millions of IDENTICAL band keys (mass-duplicated
+    * boilerplate) would still make one bucket's self-join quadratic,
+    * so buckets beyond `maxBucketSize` split by a secondary id-hash
+    * into ceil(n/max) sub-buckets, bounding every join group. The cap
+    * only engages on such degenerate buckets; below it the pigeonhole
+    * completeness guarantee is exact. Above it, a pair split apart in
+    * one band is still caught by any OTHER agreeing band (docs that
+    * degenerate a bucket are near-identical and collide in every
+    * band, each salted differently) — the same accepted trade-off as
+    * the MinHash-LSH path. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String,
-                          textCol: String, bits: Int = 16,
-                          hammingK: Int = 1): DataFrame = {
+                          textCol: String, bits: Int = 64,
+                          hammingK: Int = 3,
+                          maxBucketSize: Int = 10000): DataFrame = {
     require(hammingK >= 0 && bits % (hammingK + 1) == 0,
       s"bits=$bits must split into hammingK+1=${hammingK + 1} bands")
+    require(maxBucketSize > 1, "maxBucketSize must exceed 1")
     val w = bits / (hammingK + 1)
-    val mask = (1L << w) - 1
+    val mask = if (w == 64) -1L else (1L << w) - 1
     val sh = docs.select(col(idCol).as("id"),
       TextHash.simhash(col(textCol), bits).as("sh"))
     val bandCols = (0 to hammingK).map(b =>
@@ -940,11 +962,24 @@ object Dedup {
       .select(col("id"), col("sh"), col("bk.band").as("band"),
         col("bk.key").as("key"))
       .repartition(col("band"), col("key"))
-    banded.select(col("band"), col("key"), col("id").as("id_a"),
-        col("sh").as("sa"))
-      .join(banded.select(col("band"), col("key"), col("id").as("id_b"),
-          col("sh").as("sb")),
-        Seq("band", "key"))
+    // bucket count rides the SAME exchange (window distribution ==
+    // the repartition above); oversized buckets split by id-hash salt
+    val wBucket = Window.partitionBy(col("band"), col("key"))
+    val salted = banded
+      .withColumn("__n__", count(lit(1)).over(wBucket))
+      .withColumn("__salt__",
+        when(col("__n__") > maxBucketSize,
+          pmod(hash(col("id"), col("band")),
+            greatest(ceil(col("__n__").cast("double") / maxBucketSize)
+              .cast("int"), lit(1))))
+          .otherwise(lit(0)))
+      .select(col("id"), col("sh"), col("band"), col("key"),
+        col("__salt__"))
+    salted.select(col("band"), col("key"), col("__salt__"),
+        col("id").as("id_a"), col("sh").as("sa"))
+      .join(salted.select(col("band"), col("key"), col("__salt__"),
+          col("id").as("id_b"), col("sh").as("sb")),
+        Seq("band", "key", "__salt__"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int")

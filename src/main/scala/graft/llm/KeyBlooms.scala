@@ -177,10 +177,20 @@ object KeyBlooms {
     buildLocked(spark, keysFrame, dir, nBlooms, fpp) }
   }
 
+  /** NULL keys are dropped by every sidecar path (build, append,
+    * probe): a null key is definitionally not a duplicate of anything
+    * — the plain boundary anti-join lets null-key rows survive — so
+    * null is never a suspect, never inserted, and (crucially) never
+    * reaches the executor-side putString/mightContainString, which NPE
+    * on null. */
+  private def nonNullKeys(keysFrame: DataFrame): DataFrame =
+    keysFrame.select(col("key").cast("string").as("key"))
+      .filter(col("key").isNotNull)
+
   private def buildLocked(spark: SparkSession, keysFrame: DataFrame,
                           dir: String, nBlooms: Int,
                           fpp: Double): Unit = {
-    val keys = keysFrame.select(col("key").cast("string").as("key"))
+    val keys = nonNullKeys(keysFrame)
     val total = keys.count()
     val expected = math.max(2L * total / math.max(nBlooms, 1), 1024L)
     val confBc = shipConf(spark)
@@ -230,8 +240,7 @@ object KeyBlooms {
     val expected = meta.expectedPerBucket
     val fpp = meta.fpp
     import spark.implicits._
-    val added = keysFrame
-      .select(col("key").cast("string").as("key"))
+    val added = nonNullKeys(keysFrame)
       .select(bucketOf(col("key"), meta.nBlooms).as("b"), col("key").as("k"))
       .as[(Int, String)]
       .groupByKey(_._1)
@@ -269,8 +278,7 @@ object KeyBlooms {
     val confBc = shipConf(spark)
     val inType = keysFrame.schema("key").dataType
     import spark.implicits._
-    keysFrame
-      .select(col("key").cast("string").as("key"))
+    nonNullKeys(keysFrame)
       .select(bucketOf(col("key"), meta.nBlooms).as("b"), col("key").as("k"))
       .as[(Int, String)]
       .groupByKey(_._1)

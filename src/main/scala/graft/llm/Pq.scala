@@ -509,9 +509,33 @@ object Pq {
     }
   }
 
+  /** Loud enforcement of the sampled-queries contract on the batched
+    * serving paths: their per-query LUT broadcast is Q·m·codes doubles,
+    * so an unbounded Q turns into a multi-GB broadcast failure deep
+    * inside Spark — the suspectCap/geometry-stamp discipline applied to
+    * the last unbounded broadcast (r11 verdict). The check is a
+    * bounded probe (`limit(qCap+1)` stops the scan early), never a full
+    * count of the query frame. */
+  private def requireBoundedBatch(queries: DataFrame, m: Int, codes: Int,
+                                  qCap: Int, entry: String): Unit = {
+    require(qCap > 0, s"$entry: qCap must be positive, got $qCap")
+    val over = queries.limit(qCap + 1).count() > qCap
+    require(!over,
+      s"$entry: the query batch exceeds qCap=$qCap rows — the per-query " +
+        s"LUT broadcast (Q x m=$m x codes=$codes doubles) would blow " +
+        "past broadcast limits at this Q. Chunk the query frame into " +
+        "<= qCap slices and union the per-chunk results (exact: scores " +
+        "are per-query), raise qCap deliberately if your cluster's " +
+        "broadcast budget allows, or serve continuous traffic through " +
+        "the per-trigger streaming form (Streams.annTopKPqStream / " +
+        "annTopKIvfPqStream)")
+  }
+
   /** Batched ADC: every query in ONE job — per-query LUTs broadcast
-    * (Q·m·codes doubles, bounded by the sampled-queries contract), each
-    * narrow corpus row scored against all Q tables, per-query top-k.
+    * (Q·m·codes doubles, bounded by the sampled-queries contract — now
+    * ENFORCED by `qCap`, default 10k: an over-cap batch fails loudly
+    * before the broadcast builds), each narrow corpus row scored
+    * against all Q tables, per-query top-k.
     * Deliberately Q×N (the scan-everything shape ADC exists to make
     * cheap — 8 lookups/row instead of 64 multiplies); candidates-first
     * variants belong to the LSH/IVF tiers. Self-matches are excluded. */
@@ -519,9 +543,11 @@ object Pq {
                      codebooks: DataFrame, queries: DataFrame,
                      qIdCol: String, qVecCol: String,
                      dim: Int, m: Int, k: Int,
-                     nCodesKnown: Option[Int] = None): DataFrame = {
+                     nCodesKnown: Option[Int] = None,
+                     qCap: Int = 10000): DataFrame = {
     val subDim = dim / m
     val nCodes = nCodesKnown.getOrElse(codesPerSub(codebooks, m))
+    requireBoundedBatch(queries, m, nCodes, qCap, "annTopKPqBatch")
     val luts = broadcast(
       codebooks.crossJoin(broadcast(queries.select(
           col(qIdCol).as("query_id"),
@@ -570,8 +596,10 @@ object Pq {
   def annTopKIvfPqBatch(spark: SparkSession, path: String, idCol: String,
                         queries: DataFrame, qIdCol: String,
                         qVecCol: String, k: Int,
-                        nprobe: Int = 2): DataFrame = {
+                        nprobe: Int = 2,
+                        qCap: Int = 10000): DataFrame = {
     val g = readGeometry(spark, path)
+    requireBoundedBatch(queries, g.m, g.codes, qCap, "annTopKIvfPqBatch")
     val root = resolveRoot(spark, path)
     val centroids = spark.read.parquet(s"$root/centroids")
     val codebooks = spark.read.parquet(s"$root/codebooks")
@@ -645,7 +673,7 @@ object Pq {
     val g = readGeometry(spark, path)
     require(!g.residual,
       s"the corpus at $path holds RESIDUAL codes — serve it through " +
-        "annTopKIvfPq (scores need the per-cell centroid term)")
+        "annTopKIvfPqBatch (scores need the per-cell centroid term)")
     val root = resolveRoot(spark, path)
     annTopKPqBatch(
       spark.read.parquet(s"$root/encoded").select(col(idCol),

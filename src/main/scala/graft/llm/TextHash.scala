@@ -79,15 +79,54 @@ object TextHash {
       array_min(transform(shingleHashes, h =>
         pmod(h * (i * lit(2000006L) + lit(1012345L)) + i * lit(999983L) + lit(423307L), lit(P)))))
 
-  /** SimHash over token hashes: bit j set iff more token hashes have bit
-    * j set than not. `bits` ≤ 30 keeps it in an int. */
-  def simhash(text: Column, bits: Int = 16): Column = {
-    val hs = transform(array_distinct(tokens(text)), w => tokId(w))
+  /** The (a, b) multipliers of simhash bit `j` — the same public
+    * affine family as [[minhashSignature]], so each signature position
+    * is an INDEPENDENT well-mixed hash of the token. This matters for
+    * wide signatures: the raw tokId carries only ~28 bits of entropy on
+    * ASCII text, so a signature that read raw tokId bits (the pre-r12
+    * form) would have every position past ~28 constantly 0 — and any
+    * band covering those positions would put the WHOLE corpus in one
+    * bucket (a quadratic self-join). Mixed per-position bits keep all
+    * 64 positions uniform, which is what makes the
+    * Manku/Jain/Sarma 64-bit banding geometry selective. */
+  private def simhashAB(j: Int): (Long, Long) =
+    (2000006L * j + 1012345L, 999983L * j + 423307L)
+
+  /** SimHash over token hashes: signature bit j is set iff more
+    * distinct tokens have bit_j = 1 than not, where bit_j(h) =
+    * ((h mod P) · a_j + b_j) mod P, taken mod 2 ([[simhashAB]]). The
+    * tokId is reduced mod P before the multiply so the product stays
+    * < 2^62 at any code point (the [[fingerprint]] overflow posture).
+    * `bits` ≤ 64; position 63 contributes Long.MinValue as a pure bit
+    * term (the sum of distinct bit terms is a bitwise OR — no
+    * arithmetic overflow is possible). */
+  def simhash(text: Column, bits: Int = 64): Column = {
+    require(bits >= 1 && bits <= 64, s"simhash bits must be in [1, 64], got $bits")
+    val hs = transform(array_distinct(tokens(text)),
+      w => pmod(tokId(w), lit(P)))
     val terms = (0 until bits).map { j =>
-      val withBit = size(filter(hs, h => pmod(shiftright(h, j), lit(2L)) === 1))
+      val (a, b) = simhashAB(j)
+      val withBit = size(filter(hs, h =>
+        pmod(pmod(h * lit(a) + lit(b), lit(P)), lit(2L)) === 1))
       when(withBit * 2 > size(hs), lit(1L << j)).otherwise(lit(0L))
     }
     terms.reduce(_ + _)
+  }
+
+  /** DuckDB SQL mirror of [[simhash]]'s bit-term sum over a list
+    * variable holding the mod-P distinct token hashes — kept next to
+    * the Scala definition so the two derivations can never drift. The
+    * j = 63 term is spelled `(-9223372036854775807 - 1)`: the bare
+    * literal −2^63 does not parse as a BIGINT in SQL (the positive half
+    * overflows before negation). */
+  def simhashTermsSql(hsVar: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 64)
+    (0 until bits).map { j =>
+      val (a, b) = simhashAB(j)
+      val v = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+      s"(CASE WHEN 2*len(list_filter($hsVar, h -> ((h * $a + $b) % 2147483647) % 2 = 1)) " +
+        s"> len($hsVar) THEN $v ELSE 0 END)"
+    }.mkString(" + ")
   }
 
   /** Order-sensitive document fingerprint: positionally-weighted rolling

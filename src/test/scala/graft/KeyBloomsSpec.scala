@@ -346,4 +346,38 @@ class KeyBloomsSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
   }
+
+  test("null keys never crash the bloom path and match anti-join semantics") {
+    // r11 ADVICE: canonicalKey(null) is null; the plain anti-join lets
+    // null-key rows survive (null never equals a boundary key), so the
+    // bloom gate must produce the SAME output — null keys are
+    // definitionally non-suspects, not executor NPEs.
+    val tmp = tmpDir("graft_blm5")
+    try {
+      val corpus = corpus300
+      Dedup.writeNearDupIndex(corpus, "doc_id", "text", "blm5_t", tmp)
+      KeyBlooms.build(spark, "blm5_t", tmp, nBlooms = 4)
+      val corpusText = corpus.filter(col("doc_id") === 7)
+        .select("text").collect().head.getString(0)
+      val shard = df(docSchema,
+        Row(90001L, null),            // null text -> null canonical key
+        Row(90002L, corpusText),      // exact dup -> dropped
+        Row(90003L, "freshly minted never seen sentence about nothing"))
+      val bloomed = Dedup.dropExactAgainstIndexBloom(shard, "doc_id",
+        "text", "blm5_t", tmp).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      val plain = Dedup.dropExactAgainstIndex(shard, "doc_id", "text",
+        "blm5_t").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloomed == plain && bloomed == Set(90001L, 90003L),
+        s"null-key rows must survive both gates: bloom=$bloomed plain=$plain")
+      // append with a null key is a no-op for that key, not a crash
+      val added = KeyBlooms.append(
+        df(StructType(Seq(StructField("key", StringType))),
+          Row(null), Row("some-new-key")), tmp)
+      assert(added == 1L, s"only the non-null key counts, got $added")
+    } finally {
+      dropIndex("blm5_t")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }

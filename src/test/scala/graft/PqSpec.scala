@@ -478,4 +478,37 @@ class PqSpec extends SparkTestBase {
     assert(single.sameElements(batch),
       "batched ADC must reproduce the single-query ranking")
   }
+
+  test("batched serving refuses an over-cap query frame loudly (qCap contract)") {
+    // r11 verdict #3: the per-query LUT broadcast is Q*m*codes doubles;
+    // an unbounded Q must fail at the entrypoint with a message naming
+    // the chunked/streaming alternative, not deep inside Spark's
+    // broadcast machinery.
+    val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", dim = 64,
+      m = 8, codes = 16, iters = 0).localCheckpoint(true)
+    val enc = Pq.encode(emb, "vec_id", "embedding", cbs, 64, 8)
+    val queries = emb.select("vec_id", "embedding") // 200 rows
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.annTopKPqBatch(enc, "vec_id", cbs, queries,
+        "vec_id", "embedding", 64, 8, 3, qCap = 100)
+    }
+    assert(e1.getMessage.contains("qCap") &&
+      e1.getMessage.contains("Chunk"), e1.getMessage)
+    // under the cap: unchanged behavior
+    assert(Pq.annTopKPqBatch(enc, "vec_id", cbs, queries.limit(5),
+      "vec_id", "embedding", 64, 8, 3, qCap = 100).count() == 15)
+    val tmp = tmpDir("graft_pq_qcap")
+    try {
+      val cents = graft.llm.Ivf.train(emb, "vec_id", "embedding",
+        nCells = 4, iters = 0)
+      Pq.writeIvfPqCorpus(emb, "vec_id", "embedding", cents, cbs, tmp,
+        64, 8)
+      val e2 = intercept[IllegalArgumentException] {
+        Pq.annTopKIvfPqBatch(spark, tmp, "vec_id", queries, "vec_id",
+          "embedding", 3, nprobe = 2, qCap = 100)
+      }
+      assert(e2.getMessage.contains("annTopKIvfPqBatch"), e2.getMessage)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
 }
