@@ -194,7 +194,7 @@ object QueriesEmbed {
     // path stays value-checked in WindowLlmSpec (subset-of-brute-force);
     // THIS entry hash-checks everything data-sized: assignment, probe
     // pruning, and the final rank. Was weak() rows-only through r7.
-    r.reg("q_ivf_topk",
+    val ivfTopkSql =
       """WITH hs AS (
         |  SELECT vec_id, embedding,
         |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
@@ -241,11 +241,37 @@ object QueriesEmbed {
         |SELECT vec_id,
         |  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))) AS cos
         |FROM dots, qn
-        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+    r.reg("q_ivf_topk", ivfTopkSql) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val cents = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 8, iters = 0)
       graft.llm.Ivf.annTopK(e, "vec_id", "embedding", cents, queryId = 0L,
         k = 10, nprobe = 2)
+    }
+
+    // Online retraining migration (r12): build the index on HALF the
+    // corpus (its seeds differ from the full-corpus ones), append the
+    // rest, then retrainIndex with iters=0/trainFraction=1 — the
+    // migrated index must serve EXACTLY the canonical full-corpus
+    // geometry, so the oracle is the same SQL as q_ivf_topk (seeds over
+    // all vectors). This hash-checks the whole lifecycle: stale build,
+    // replay-safe growth, re-train, re-assign, generation flip, search.
+    r.reg("q_ivf_retrain", ivfTopkSql) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/ivfrt")
+      org.apache.commons.io.FileUtils.deleteDirectory(idx)
+      val path = idx.getAbsolutePath
+      val half = e.filter(col("vec_id") < 250)
+      val cents0 = graft.llm.Ivf.train(half, "vec_id", "embedding",
+        nCells = 8, iters = 0)
+      graft.llm.Ivf.writeIndex(half, "vec_id", "embedding", cents0, path)
+      graft.llm.Ivf.appendToIndex(e.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", path)
+      graft.llm.Ivf.retrainIndex(s, path, nCells = 8, iters = 0,
+        trainFraction = 1.0)
+      graft.llm.Ivf.annTopKIndexed(e, "vec_id", "embedding", path,
+        queryId = 0L, k = 10, nprobe = 2)
     }
 
     // Product-quantized ADC top-k (m=8 subspaces × 16 codes over dim 64,

@@ -423,10 +423,60 @@ object Ivf {
         "retractFromIndex")
     }
 
+  /** RETRAIN the coarse quantizer on the index's CURRENT vectors and
+    * migrate the whole corpus onto the new cell geometry in one online
+    * generation flip — the operator that turns [[cellDriftReport]] from
+    * a warning into an action (r11 verdict #2). Before this, acting on
+    * drift meant a wholesale [[writeIndex]] rebuild with serving
+    * downtime; here the re-trained centroids, re-assigned vectors and
+    * reconciled ids land in `gen-N+1` and install via the atomic
+    * manifest flip, so a probe that resolved its root pre-flip
+    * finishes intact and the next probe serves the migrated geometry.
+    *
+    * Self-contained: the IVF index stores the full vectors, so the new
+    * centroids train on the index's own current corpus (same
+    * deterministic hash-sample + Lloyd recipe as [[train]]). The id
+    * POPULATION is unchanged by construction — a root-level id-Bloom
+    * sidecar stays exact across the migration, no repopulation needed.
+    * Writer-exclusive like every rewrite (compaction lock); schedule in
+    * the daily gap between shard appends.
+    *
+    * Reference posture analog: the reference re-derives divisions when
+    * the data distribution changes (`_shuffle.py:745`); for a
+    * vector index the "divisions" are the coarse quantizer. Returns
+    * (rows before, rows after) — equal on success. */
+  def retrainIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String, nCells: Int, iters: Int = 2,
+                   trainFraction: Double = 0.05): (Long, Long) =
+    Generations.withCompactionLock(spark, s"$path/_COMPACTION_LOCK") {
+      val curRoot = resolveRoot(spark, path)
+      val vectors = spark.read.parquet(s"$curRoot/vectors")
+      val idName = vectors.schema.fields.find(f => f.name != "cell" &&
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        .getOrElse(throw new IllegalStateException(
+          s"retrainIndex: cannot infer the id column of $curRoot/vectors"))
+        .name
+      val vecName = vectors.schema.fields
+        .find(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        .getOrElse(throw new IllegalStateException(
+          s"retrainIndex: cannot infer the vector column of $curRoot/vectors"))
+        .name
+      // pinned: consumed by the re-assignment AND written as the new
+      // generation's centroids — one training pass, not two
+      val newCents = train(vectors.select(col(idName), col(vecName)),
+        idName, vecName, nCells, iters, trainFraction)
+        .localCheckpoint(true)
+      rewriteIndexLocked(spark, path,
+        v => assign(v.drop("cell"), idName, vecName, newCents),
+        "retrainIndex", newCentroids = Some(newCents))
+    }
+
   private def rewriteIndexLocked(spark: org.apache.spark.sql.SparkSession,
                                  path: String,
                                  transform: DataFrame => DataFrame,
-                                 opName: String): (Long, Long) = {
+                                 opName: String,
+                                 newCentroids: Option[DataFrame] = None)
+      : (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val curGen = Generations.current(spark, path, "MANIFEST")
@@ -469,7 +519,10 @@ object Ivf {
     vecDf.select(col(idName))
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$nextRoot/ids")
-    spark.read.parquet(s"$curRoot/centroids").coalesce(1)
+    // a geometry-preserving rewrite (compaction/retraction) carries the
+    // centroids forward; a retraining migration installs the NEW ones
+    newCentroids.getOrElse(spark.read.parquet(s"$curRoot/centroids"))
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$nextRoot/centroids")
     Generations.flip(spark, path, "MANIFEST", nextGen)
     // retire generations OLDER than the one just replaced — curGen

@@ -428,6 +428,92 @@ object Pq {
         "retractFromPqCorpus")
     }
 
+  /** RETRAIN the IVF+PQ geometry (coarse centroids AND per-subspace
+    * codebooks) on the CURRENT source-of-truth embeddings and migrate
+    * the serving corpus onto it in one online generation flip — the
+    * [[Ivf.retrainIndex]] analog for the compressed tier, closing the
+    * loop [[Ivf.cellDriftReport]] opens (r11 verdict #2).
+    *
+    * Unlike the IVF index, a PQ corpus stores only lossy codes, so
+    * retraining REQUIRES the original float vectors: pass the corpus's
+    * embeddings table (the vecs store the ingest pipeline maintains).
+    * The stamped geometry (dim, m, codes, nCells, residual) is kept —
+    * this migrates centroid/codebook VALUES onto the drifted
+    * distribution, not the shape; residual corpora retrain residual
+    * codebooks against the NEW coarse quantizer (the FAISS recipe).
+    *
+    * The new generation is re-encoded wholesale (assign + encode are
+    * blockwise against broadcast geometry — the same cost as the
+    * compaction rewrite it replaces, plus the bounded training
+    * passes), verified, and installed behind the atomic manifest flip:
+    * probes planned pre-flip finish intact. Any id-Bloom sidecar is
+    * REBUILT from the new encoded ids in lockstep — the embeddings
+    * frame is the new population and may differ from the old corpus,
+    * and a sidecar behind the population is a silent re-admit.
+    * Returns (rows in the old generation, rows in the new one). */
+  def retrainIvfPqCorpus(embeddings: DataFrame, idCol: String,
+                         vecCol: String, path: String, iters: Int = 2,
+                         trainFraction: Double = 0.05): (Long, Long) = {
+    val spark = embeddings.sparkSession
+    Generations.withCompactionLock(spark, s"$path/_COMPACTION_LOCK") {
+      val g = readGeometry(spark, path)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val curGen = Generations.current(spark, path, "MANIFEST")
+      val curRoot = if (curGen == 0) path else s"$path/gen-$curGen"
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$curRoot/centroids")),
+        s"no centroids under $curRoot — retrainIvfPqCorpus migrates " +
+          "writeIvfPqCorpus indexes; rebuild a flat writePqCorpus " +
+          "corpus with writePqCorpus (it has no serving generation to " +
+          "keep online)")
+      val nCells = spark.read.parquet(s"$curRoot/centroids").count().toInt
+      val newCents = Ivf.train(embeddings, idCol, vecCol, nCells,
+        iters, trainFraction).localCheckpoint(true)
+      val newCbs =
+        (if (g.residual)
+          trainResidualCodebooks(embeddings, idCol, vecCol, newCents,
+            g.dim, g.m, g.codes, iters, trainFraction)
+        else
+          trainCodebooks(embeddings, idCol, vecCol, g.dim, g.m, g.codes,
+            iters, trainFraction)).localCheckpoint(true)
+      val nextGen = curGen + 1
+      val nextRoot = s"$path/gen-$nextGen"
+      fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
+      val assigned = Ivf.assign(embeddings, idCol, vecCol, newCents)
+      val transformed = encodeAssigned(assigned, idCol, vecCol, newCbs,
+        newCents, g.dim, g.m, g.residual)
+      transformed.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$nextRoot/encoded")
+      val srcRows = spark.read.parquet(s"$curRoot/encoded").count()
+      val wantRows = transformed.count()
+      val dstRows = spark.read.parquet(s"$nextRoot/encoded").count()
+      if (dstRows != wantRows) {
+        fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
+        throw new java.io.IOException(
+          s"retrainIvfPqCorpus: rewrite row mismatch " +
+            s"($dstRows != $wantRows), aborted")
+      }
+      newCbs.coalesce(1).write.mode("overwrite")
+        .parquet(s"$nextRoot/codebooks")
+      newCents.coalesce(1).write.mode("overwrite")
+        .parquet(s"$nextRoot/centroids")
+      Generations.flip(spark, path, "MANIFEST", nextGen)
+      for (old <- 0 until curGen) {
+        if (old == 0)
+          Seq("encoded", "codebooks", "centroids").foreach(d =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+        else fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen-$old"), true)
+      }
+      if (KeyBlooms.exists(spark, path, "idblooms"))
+        KeyBlooms.rebuild(
+          spark.read.parquet(s"$nextRoot/encoded")
+            .select(col(idCol).as("key")),
+          path, "idblooms")
+      (srcRows, dstRows)
+    }
+  }
+
   private def rewritePqLocked(spark: SparkSession, path: String,
                               transform: DataFrame => DataFrame,
                               opName: String): (Long, Long) = {

@@ -487,6 +487,132 @@ class EmbedIngestSpec extends SparkTestBase {
     } finally rmDir(dir)
   }
 
+  // ---- r12: online retraining migration (the action cellDriftReport
+  // schedules) ----
+
+  /** Drifted fixture shared by both retrain specs: the base iid corpus
+    * plus a LOOSE far-away cluster (big offset, wide jitter) whose
+    * members scatter across several stale cells — the regime where a
+    * frozen coarse quantizer visibly costs probe recall. */
+  private lazy val driftCluster = {
+    val base = emb.filter(col("vec_id") === 123)
+    base.crossJoin(spark.range(0, 40).select(col("id").as("r")))
+      .select((lit(3000L) + col("r")).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          (col("embedding").getItem(i).cast("double") * 0.2 + lit(0.5) +
+            pmod(col("r") * 64 + i, lit(97)).cast("double")
+              .minus(48.0) / 96.0).cast("float"))
+          .as("embedding"))
+  }
+
+  test("retrainIndex: drifted corpus regains recall; held probe survives the flip; id sidecar stays exact") {
+    val dir = tmpDir("graft_ivfrt")
+    try {
+      val drifted = emb.unionByName(driftCluster).localCheckpoint(true)
+      // stale geometry: centroids trained on the PRE-drift corpus only
+      val cents0 = Ivf.train(emb, "vec_id", "embedding", nCells = 8,
+        iters = 2, trainFraction = 1.0)
+      Ivf.writeIndex(emb, "vec_id", "embedding", cents0, dir)
+      Ivf.buildIdBlooms(spark, dir, nBlooms = 4)
+      Ivf.appendToIndex(driftCluster, "vec_id", "embedding", dir)
+      // the observable that schedules this migration: the drift report
+      // against the SAVED centroids shows the new mass flooding cells
+      val rep = Ivf.cellDriftReport(emb, drifted, "vec_id", "embedding",
+        cents0).collect()
+      assert(rep.map(r => math.abs(r.getDouble(5))).max > 0.01,
+        "fixture must actually drift the cell occupancy")
+      val queries = driftCluster.filter(col("vec_id") % 7 === 0)
+        .select("vec_id", "embedding")
+      def recallWith(cents: org.apache.spark.sql.DataFrame): Double =
+        Ivf.recallReport(drifted, queries, "vec_id", "embedding",
+            "vec_id", "embedding", cents, k = 5, nprobe = 1)
+          .select("mean_recall").head().getDouble(0)
+      val recallBefore = recallWith(cents0)
+      // hold a probe planned against the pre-migration generation
+      val held = Ivf.annTopKIndexed(drifted, "vec_id", "embedding", dir,
+        queryId = 3003L, k = 5, nprobe = 2)
+      val heldExpected = held.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+      val (before, after) = Ivf.retrainIndex(spark, dir, nCells = 8,
+        iters = 2, trainFraction = 1.0)
+      assert(before == 540 && after == 540,
+        s"retrain must keep the row set: $before -> $after")
+      assert(Ivf.resolveRoot(spark, dir) == s"$dir/gen-1",
+        "retrain must install a new generation behind the manifest")
+      // online safety: the held pre-flip probe still executes intact
+      assert(held.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          == heldExpected,
+        "a probe planned pre-flip must still run post-flip")
+      val newCents = spark.read.parquet(
+        s"${Ivf.resolveRoot(spark, dir)}/centroids")
+      val recallAfter = recallWith(newCents)
+      assert(recallAfter > recallBefore,
+        s"retraining on the drifted corpus must improve probe recall: " +
+          s"$recallBefore -> $recallAfter")
+      // id population is unchanged, so the ROOT-level sidecar stays
+      // exact: a replayed id still drops without any rebuild
+      val n0 = spark.read.parquet(
+        s"${Ivf.resolveRoot(spark, dir)}/vectors").count()
+      Ivf.appendToIndex(driftCluster.limit(5), "vec_id", "embedding", dir)
+      assert(spark.read.parquet(
+          s"${Ivf.resolveRoot(spark, dir)}/vectors").count() == n0,
+        "replayed ids must still drop through the surviving sidecar")
+    } finally rmDir(dir)
+  }
+
+  test("retrainIvfPqCorpus: recall recovers on drift, stamp/geometry kept, id blooms rebuilt in lockstep") {
+    val dir = tmpDir("graft_pqrt")
+    try {
+      val drifted = emb.unionByName(driftCluster).localCheckpoint(true)
+      val cents0 = Ivf.train(emb, "vec_id", "embedding", nCells = 8,
+        iters = 2, trainFraction = 1.0)
+      val cbs0 = graft.llm.Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, codes = 16, iters = 0)
+      // the serving corpus is built from the DRIFTED population but the
+      // stale pre-drift geometry — exactly the migration-pending state
+      graft.llm.Pq.writeIvfPqCorpus(drifted, "vec_id", "embedding",
+        cents0, cbs0, dir, 64, 8)
+      graft.llm.Pq.buildIdBlooms(spark, dir, "vec_id", nBlooms = 4)
+      val queries = driftCluster.filter(col("vec_id") % 7 === 0)
+        .select("vec_id", "embedding")
+      def recall: Double =
+        graft.llm.Pq.ivfPqRecallReport(drifted, queries, "vec_id",
+            "embedding", "vec_id", "embedding", dir, k = 5, nprobe = 1)
+          .select("mean_recall").head().getDouble(0)
+      val recallBefore = recall
+      val held = graft.llm.Pq.annTopKIvfPq(spark, dir, "vec_id",
+        drifted.filter(col("vec_id") === 3003L)
+          .select(col("embedding").as("qv")), k = 5, nprobe = 2)
+      val heldExpected = held.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+      val (before, after) = graft.llm.Pq.retrainIvfPqCorpus(drifted,
+        "vec_id", "embedding", dir, iters = 2, trainFraction = 1.0)
+      assert(before == 540 && after == 540,
+        s"retrain must keep the encoded row set: $before -> $after")
+      assert(held.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          == heldExpected,
+        "a probe planned pre-flip must still run post-flip")
+      val recallAfter = recall
+      assert(recallAfter > recallBefore,
+        s"retrained IVF+PQ must improve serving recall: " +
+          s"$recallBefore -> $recallAfter")
+      // sidecar rebuilt in lockstep: replayed appends still drop
+      val root = graft.llm.Pq.resolveRoot(spark, dir)
+      val n0 = spark.read.parquet(s"$root/encoded").count()
+      graft.llm.Pq.appendToPqCorpus(driftCluster.limit(5), "vec_id",
+        "embedding", dir)
+      assert(spark.read.parquet(
+          s"${graft.llm.Pq.resolveRoot(spark, dir)}/encoded").count() == n0,
+        "replayed ids must drop through the rebuilt sidecar")
+      // geometry stamp survives: serving entrypoints still validate
+      assert(graft.llm.Pq.annTopKIvfPq(spark, dir, "vec_id",
+        drifted.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("qv")), k = 3).count() == 3)
+    } finally rmDir(dir)
+  }
+
   test("IVF appendToIndex replay guard is O(shard): reads the narrow ids boundary, never the vectors files") {
     val e = emb.limit(200)
     val cents = Ivf.train(e, "vec_id", "embedding", nCells = 4, iters = 0)
