@@ -758,9 +758,12 @@ object QueriesText {
     // SQL. The final (doc_id, split, shuffle_pos) triple is sensitive to
     // every stage: a doc wrongly kept/dropped anywhere shifts EVERY
     // later shuffle position, so the hash check has no slack.
-    r.reg("q_pipeline_e2e", {
-      val tTrain = (0.8 * 4294967296L).toLong
-      val tVal = (0.9 * 4294967296L).toLong
+    val pipeTTrain = (0.8 * 4294967296L).toLong
+    val pipeTVal = (0.9 * 4294967296L).toLong
+    // the 6-stage chain up to decontamination, shared by q_pipeline_e2e
+    // and the r12 mixed variant (q_pipeline_mix) — one definition, so
+    // the two oracles can never drift
+    val pipeCleanCtes =
       s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
          |pbench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
          |qtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
@@ -802,21 +805,59 @@ object QueriesText {
          |clean AS (
          |  SELECT doc_id FROM nd WHERE doc_id NOT IN (
          |    SELECT DISTINCT doc_id
-         |    FROM (SELECT doc_id, unnest(gs) AS h FROM ndhs) th JOIN pbh USING (h)))
-         |SELECT doc_id,
-         |  CASE WHEN (doc_id % 2147483648) * 2654435761 % 4294967296 < $tTrain THEN 'train'
-         |       WHEN (doc_id % 2147483648) * 2654435761 % 4294967296 < $tVal THEN 'val'
+         |    FROM (SELECT doc_id, unnest(gs) AS h FROM ndhs) th JOIN pbh USING (h)))""".stripMargin
+    def pipeFinal(from: String): String =
+      s"""SELECT doc_id,
+         |  CASE WHEN (doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTTrain THEN 'train'
+         |       WHEN (doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTVal THEN 'val'
          |       ELSE 'test' END AS split,
          |  CAST(row_number() OVER (
          |    ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296) - 1
          |    AS BIGINT) AS shuffle_pos
-         |FROM clean ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
+         |FROM $from ORDER BY doc_id""".stripMargin
+
+    r.reg("q_pipeline_e2e", pipeCleanCtes + "\n" + pipeFinal("clean")) {
+      (s, dir) =>
       val docs = t(s, dir, "documents")
       graft.llm.Pipeline.pretrainCorpus(
           docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
           docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
           "doc_id", "text")
+        .select("doc_id", "split", "shuffle_pos")
+        .orderBy("doc_id")
+    }
+
+    // The composed pipeline WITH the temperature-mixing stage (r12):
+    // same chain through decontamination, then alpha=0.5 doc-count
+    // mixing on the CLEAN survivors' per-source sizes — thresholds
+    // p_d = sqrt(cmin/c_d) recomputed exactly (integer counts, IEEE
+    // sqrt, integer floor, Knuth-hash compare), split and shuffle
+    // positions re-derived over the MIXED survivor set. Value-checks
+    // that the stage composes inside the one-plan build, not just
+    // standalone (q_temperature_mix covers the operator alone).
+    r.reg("q_pipeline_mix", pipeCleanCtes +
+      s""",
+         |mixsrc AS (
+         |  SELECT c.doc_id, d.source FROM clean c JOIN documents d USING (doc_id)),
+         |mc AS (SELECT source, COUNT(*) AS cnt FROM mixsrc GROUP BY source),
+         |mm AS (SELECT MIN(cnt) AS cmin FROM mc),
+         |mthr AS (
+         |  SELECT source,
+         |    CAST(floor(sqrt(CAST(cmin AS DOUBLE) / CAST(cnt AS DOUBLE))
+         |      * 4294967296) AS BIGINT) AS thr
+         |  FROM mc, mm),
+         |mixed AS (
+         |  SELECT m.doc_id FROM mixsrc m JOIN mthr USING (source)
+         |  WHERE (m.doc_id % 2147483648) * 2654435761 % 4294967296 < thr)
+         |""".stripMargin + pipeFinal("mixed")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.llm.Pipeline.pretrainCorpus(
+          docs.filter(col("doc_id") % 10 =!= 0)
+            .select("doc_id", "text", "source"),
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+          "doc_id", "text",
+          temperatureMix = Some(
+            graft.llm.Pipeline.TemperatureMix("source", alpha = 0.5)))
         .select("doc_id", "split", "shuffle_pos")
         .orderBy("doc_id")
     }

@@ -27,6 +27,20 @@ object Pipeline {
                                   vecCol: String, dim: Int,
                                   threshold: Double)
 
+  /** Spec for the optional TEMPERATURE-MIXING stage (r11 verdict #3):
+    * the last content-selection step of the standard pretraining recipe
+    * (quality → dedup → decontam → MIX → split → shuffle), run INSIDE
+    * the one-plan composition so its keep decisions ride the same
+    * execution and its kept-row count lands in the observed metrics.
+    * `weightCol = None` sizes domains by document count
+    * ([[graft.api.GraftFrame.sampleByTemperature]]); `Some(w)` by the
+    * integer weight column (token counts, bytes —
+    * sampleByTemperatureWeighted). Mixing runs AFTER dedup/decontam by
+    * design: duplicates must not inflate a domain's budget, and
+    * contaminated docs must not consume it. */
+  final case class TemperatureMix(domainCol: String, alpha: Double,
+                                  weightCol: Option[String] = None)
+
   /** @param docs     training-candidate documents (idCol, textCol, …)
     * @param bench    benchmark/eval documents to decontaminate against
     * @param persistStages  persist (MEMORY_AND_DISK) the two stage
@@ -57,10 +71,12 @@ object Pipeline {
                      shuffleSeed: Long = 0L,
                      persistStages: Boolean = true,
                      boilerplateMaxDocFreq: Option[Int] = None,
-                     embeddingDedup: Option[EmbeddingDedup] = None): DataFrame =
+                     embeddingDedup: Option[EmbeddingDedup] = None,
+                     temperatureMix: Option[TemperatureMix] = None): DataFrame =
     chain(docs, bench, idCol, textCol, minTokens, nearDupThreshold,
       decontamK, trainFrac, valFrac, shuffleSeed, (_, d) => d,
-      persistStages, boilerplateMaxDocFreq, embeddingDedup)
+      persistStages, boilerplateMaxDocFreq, embeddingDedup,
+      temperatureMix = temperatureMix)
 
   /** [[pretrainCorpus]] with per-stage kept-row counts riding the same
     * execution via CollectMetrics (`df.observe`) — the 100 TB answer to
@@ -97,14 +113,20 @@ object Pipeline {
                              shuffleSeed: Long = 0L,
                              persistStages: Boolean = true,
                              boilerplateMaxDocFreq: Option[Int] = None,
-                             embeddingDedup: Option[EmbeddingDedup] = None)
+                             embeddingDedup: Option[EmbeddingDedup] = None,
+                             temperatureMix: Option[TemperatureMix] = None)
       : (DataFrame, Map[String, Observation]) = {
-    val stages = Seq("input", "quality", "exact_dedup", "near_dedup", "output")
+    // "temperature_mix" only joins the map when the stage is ACTIVE: an
+    // Observation that never attaches would block a caller's get() forever
+    val stages = Seq("input", "quality", "exact_dedup", "near_dedup") ++
+      (if (temperatureMix.isDefined) Seq("temperature_mix") else Nil) ++
+      Seq("output")
     val obs = stages.map(s => s -> Observation()).toMap
     val out = chain(docs, bench, idCol, textCol, minTokens,
       nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
       (stage, d) => d.observe(obs(stage), count(lit(1)).as("rows")),
-      persistStages, boilerplateMaxDocFreq, embeddingDedup)
+      persistStages, boilerplateMaxDocFreq, embeddingDedup,
+      temperatureMix = temperatureMix)
     (out, obs)
   }
 
@@ -124,14 +146,16 @@ object Pipeline {
                             valFrac: Double = 0.1,
                             shuffleSeed: Long = 0L,
                             boilerplateMaxDocFreq: Option[Int] = None,
-                            embeddingDedup: Option[EmbeddingDedup] = None)
+                            embeddingDedup: Option[EmbeddingDedup] = None,
+                            temperatureMix: Option[TemperatureMix] = None)
       : (DataFrame, Seq[DataFrame]) = {
     val handles = scala.collection.mutable.Buffer.empty[DataFrame]
     val out = chain(docs, bench, idCol, textCol, minTokens,
       nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
       (_, d) => d, persistStages = true,
       boilerplateMaxDocFreq = boilerplateMaxDocFreq,
-      embeddingDedup = embeddingDedup, persisted = handles)
+      embeddingDedup = embeddingDedup, persisted = handles,
+      temperatureMix = temperatureMix)
     (out, handles.toSeq)
   }
 
@@ -737,7 +761,8 @@ object Pipeline {
                     boilerplateMaxDocFreq: Option[Int] = None,
                     embeddingDedup: Option[EmbeddingDedup] = None,
                     persisted: scala.collection.mutable.Buffer[DataFrame] =
-                      scala.collection.mutable.Buffer.empty): DataFrame = {
+                      scala.collection.mutable.Buffer.empty,
+                    temperatureMix: Option[TemperatureMix] = None): DataFrame = {
     def reused(d: DataFrame): DataFrame =
       if (persistStages) { persisted += d; d.persist(StorageLevel.MEMORY_AND_DISK) }
       else d
@@ -783,11 +808,31 @@ object Pipeline {
     // 4. decontaminate vs the benchmark shingle set
     val clean = reused(
       Dedup.decontaminate(deduped, bench, idCol, textCol, decontamK))
-    // 5+6. row-stable split and deterministic global shuffle position;
-    // the output tap stays at the root (see pretrainCorpusObserved)
-    tap("output", graft.api.GraftFrame(clean)
+    // 4c. optional temperature-weighted domain mixing ([[TemperatureMix]]):
+    // thresholds derive from the CLEAN survivors' domain sizes (a tiny
+    // domain-cardinality aggregate over the persisted decontam boundary,
+    // broadcast back), the row decision is the blockwise Knuth-hash
+    // compare — no data-sized shuffle joins the composition
+    val mixed = temperatureMix.fold(clean) { tm =>
+      val gf = graft.api.GraftFrame(clean)
+      tm.weightCol.fold(
+        gf.sampleByTemperature(idCol, tm.domainCol, tm.alpha))(w =>
+        gf.sampleByTemperatureWeighted(idCol, tm.domainCol, w, tm.alpha))
+        .df
+    }
+    // 5+6. row-stable split and deterministic global shuffle position.
+    // BOTH root taps (mix + output) sit ABOVE shuffle-index's two-pass
+    // cumsum join — that join references its input subtree twice, so a
+    // tap between the mixer and the shuffle would double-count
+    // (measured: 2×). Split/shuffle only add columns, so the root count
+    // IS the mixed-survivor count; the mixer's drop reads as
+    // near_dedup (≡ decontam survivors when bench overlap is nil) vs
+    // temperature_mix in the observed map.
+    val root = graft.api.GraftFrame(mixed)
       .splitByHash(idCol, trainFrac, valFrac)
       .shuffleIndex(idCol, seed = shuffleSeed)
-      .df)
+      .df
+    tap("output",
+      if (temperatureMix.isDefined) tap("temperature_mix", root) else root)
   }
 }

@@ -215,4 +215,40 @@ class PipelineSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(out == Seq(2L))
   }
+
+  test("temperature-mix stage composes inside the build: rates from CLEAN survivors, metrics observed") {
+    // two domains of distinct docs plus planted exact duplicates in the
+    // head domain: if mixing ran BEFORE dedup, the duplicates would
+    // inflate the head's budget (keep rate would derive from 40+20
+    // docs); after dedup the head holds 40 clean docs vs the tail's 10,
+    // so alpha=0 keeps the tail lossless and ~10/40 of the head.
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    val mkDoc = (i: Long) =>
+      s"document number $i with plenty of ordinary distinct words " +
+        s"about topic ${i * 37 % 91} and matter ${i * 53 % 89} end"
+    val rows =
+      (1L to 40L).map(i => Row(i, mkDoc(i), "head")) ++
+      (41L to 60L).map(i => Row(i, mkDoc(i - 40), "head")) ++ // exact dups
+      (101L to 110L).map(i => Row(i, mkDoc(i), "tail"))
+    val docs = df(schema, rows: _*)
+    val (out2, m2) = Pipeline.pretrainCorpusObserved(
+      docs, df(docSchema), "doc_id", "text",
+      temperatureMix = Some(Pipeline.TemperatureMix("source", 0.0)))
+    val got = out2.collect()
+    val bySource = got.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.length).toMap
+    assert(bySource("tail") == 10,
+      s"smallest domain must stay lossless: $bySource")
+    assert(bySource("head") < 40 && bySource("head") > 0,
+      s"head domain must downsample toward the tail's clean size: $bySource")
+    assert(m2("temperature_mix").get("rows") == got.length.toLong,
+      "mix-stage metric must count exactly the mixed survivors")
+    assert(m2("near_dedup").get("rows") == 50L,
+      "dedup must remove the planted duplicates BEFORE mixing")
+    // without the stage the observed map must not carry a blocking key
+    val (_, m3) = Pipeline.pretrainCorpusObserved(
+      docs, df(docSchema), "doc_id", "text")
+    assert(!m3.contains("temperature_mix"))
+  }
 }
