@@ -634,7 +634,7 @@ object QueriesEmbed {
     // (completes the instrument family for the new tier): the ann side
     // is q_ivfpq_batch's per-query rank, the exact side and pooled
     // mean are the shared harness shapes.
-    r.reg("q_ivfpq_recall",
+    val ivfpqRecallSql =
       """WITH hs AS (
         |  SELECT vec_id, embedding,
         |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
@@ -753,7 +753,8 @@ object QueriesEmbed {
         |  FROM hits)
         |SELECT qid AS query_id, hits, exact_k,
         |  CAST(hits AS DOUBLE)/CAST(exact_k AS DOUBLE) AS recall, m.mean_recall
-        |FROM hits, m ORDER BY query_id""".stripMargin) { (s, dir) =>
+        |FROM hits, m ORDER BY query_id""".stripMargin
+    r.reg("q_ivfpq_recall", ivfpqRecallSql) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       // shares the q_ivfpq_topk/q_ivfpq_batch fixture
       val qdir = new java.io.File(
@@ -902,7 +903,7 @@ object QueriesEmbed {
     // q_quantized_recall): the ann side is the full batched ADC rank
     // recomputed per query id from the q_pq_topk CTEs, the exact side
     // and pooled Σhits/Σk mean are the shared harness shapes.
-    r.reg("q_pq_recall",
+    val pqRecallSql =
       """WITH hs AS (
         |  SELECT vec_id, embedding,
         |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
@@ -987,7 +988,8 @@ object QueriesEmbed {
         |  FROM hits)
         |SELECT qid AS query_id, hits, exact_k,
         |  CAST(hits AS DOUBLE)/CAST(exact_k AS DOUBLE) AS recall, m.mean_recall
-        |FROM hits, m ORDER BY query_id""".stripMargin) { (s, dir) =>
+        |FROM hits, m ORDER BY query_id""".stripMargin
+    r.reg("q_pq_recall", pqRecallSql) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 25 === 0).select("vec_id", "embedding")
       val cbs = graft.llm.Pq.trainCodebooks(e, "vec_id", "embedding",
@@ -1069,7 +1071,7 @@ object QueriesEmbed {
     // nprobe=2, the 20-query vec_id%25 sample); the exact side is the
     // all-pairs cosine top-3, hits counted per query, mean_recall the
     // pooled Σhits/Σexact_k integer ratio.
-    r.reg("q_ivf_recall",
+    val ivfRecallSql =
       """WITH hs AS (
         |  SELECT vec_id, embedding,
         |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
@@ -1148,7 +1150,8 @@ object QueriesEmbed {
         |  FROM hits)
         |SELECT qid AS query_id, hits, exact_k,
         |  CAST(hits AS DOUBLE)/CAST(exact_k AS DOUBLE) AS recall, m.mean_recall
-        |FROM hits, m ORDER BY query_id""".stripMargin) { (s, dir) =>
+        |FROM hits, m ORDER BY query_id""".stripMargin
+    r.reg("q_ivf_recall", ivfRecallSql) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val cents = graft.llm.Ivf.train(e, "vec_id", "embedding", nCells = 8, iters = 0)
       val q = e.filter(col("vec_id") % 25 === 0).select("vec_id", "embedding")
@@ -1258,7 +1261,7 @@ object QueriesEmbed {
     // query; mean_recall is the pooled sum(hits)/sum(exact_k) (a ratio
     // of exact integer sums — bit-stable where an IEEE mean of per-query
     // doubles is summation-order-dependent).
-    r.reg("q_ann_recall",
+    val annRecallSql =
       s"""WITH $bucketCtes,
          |qsel AS (
          |  SELECT e.vec_id AS qid, e.embedding AS qv, b.bucket AS qb
@@ -1316,7 +1319,8 @@ object QueriesEmbed {
          |  FROM hits)
          |SELECT qid AS query_id, hits, exact_k,
          |  CAST(hits AS DOUBLE)/CAST(exact_k AS DOUBLE) AS recall, m.mean_recall
-         |FROM hits, m ORDER BY query_id""".stripMargin) { (s, dir) =>
+         |FROM hits, m ORDER BY query_id""".stripMargin
+    r.reg("q_ann_recall", annRecallSql) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 25 === 0).select("vec_id", "embedding")
       Similarity.recallReport(e, q, "vec_id", "embedding", "vec_id", "embedding",
@@ -1512,7 +1516,7 @@ object QueriesEmbed {
     // rank quality (the tuning instrument completing the LSH/IVF
     // recall family). Candidates/probes mirror q_ann_recall; only the
     // approximate side's ORDERING is quantized (integer dots).
-    r.reg("q_quantized_recall",
+    val int8RecallSql =
       s"""WITH $bucketCtes,
          |s AS (
          |  SELECT vec_id,
@@ -1582,13 +1586,92 @@ object QueriesEmbed {
          |  FROM hits)
          |SELECT qid AS query_id, hits, exact_k,
          |  CAST(hits AS DOUBLE)/CAST(exact_k AS DOUBLE) AS recall, m.mean_recall
-         |FROM hits, m ORDER BY query_id""".stripMargin) { (s, dir) =>
+         |FROM hits, m ORDER BY query_id""".stripMargin
+    r.reg("q_quantized_recall", int8RecallSql) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 25 === 0).select("vec_id", "embedding")
       Similarity.quantizedRecallReport(e, q, "vec_id", "embedding",
           "vec_id", "embedding", dim = 64, k = 5, planes = 8,
           multiProbe = true)
         .orderBy("query_id")
+    }
+
+    // UNIFIED recall comparison (r12): every serving tier's recall@5 on
+    // ONE corpus/query-set (vec_id % 50, the q_ivfpq_recall sample) —
+    // the table a corpus owner reads when choosing a tier. The oracle
+    // COMPOSES the five per-tier recall oracles above: each tier's
+    // full per-query SQL runs as a self-contained WITH-subquery
+    // retargeted to the shared sample (the only text edits are the
+    // query filter `% 25 = 0` -> `% 50 = 0` and, for the IVF block,
+    // its k `rn <= 3` -> `rn <= 5`; q_ivfpq_recall already runs this
+    // exact geometry), then reduces to the pooled Σhits/Σexact_k row.
+    // The brute spine recomputes the exact side's row count directly.
+    val recallCompareSql = {
+      def pooledRow(tier: String, sql: String) =
+        s"""SELECT '$tier' AS tier, CAST(sum(hits) AS BIGINT) AS hits,
+           |  CAST(sum(exact_k) AS BIGINT) AS exact_k,
+           |  CAST(sum(hits) AS DOUBLE)/CAST(sum(exact_k) AS DOUBLE) AS mean_recall
+           |FROM (
+           |$sql
+           |)""".stripMargin
+      def onSample(sql: String) = sql.replace("% 25 = 0", "% 50 = 0")
+      val bruteSql =
+        """SELECT 'brute' AS tier, cnt AS hits, cnt AS exact_k, 1.0 AS mean_recall
+          |FROM (
+          |WITH qsel AS (
+          |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          |  WHERE vec_id % 50 = 0),
+          |bz AS (
+          |  SELECT q.qid, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+          |  FROM embeddings e, qsel q WHERE e.vec_id <> q.qid),
+          |bd AS (
+          |  SELECT qid, vec_id,
+          |    sum(CAST(CAST(a AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+          |    sum(CAST(CAST(a AS DOUBLE)*CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na,
+          |    sum(CAST(CAST(b AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS nb
+          |  FROM bz GROUP BY qid, vec_id),
+          |exact AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qid, vec_id,
+          |      row_number() OVER (PARTITION BY qid ORDER BY
+          |        CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC,
+          |        vec_id ASC) AS rn
+          |    FROM bd) WHERE rn <= 5)
+          |SELECT CAST(count(*) AS BIGINT) AS cnt FROM exact
+          |)""".stripMargin
+      Seq(bruteSql,
+        pooledRow("int8", onSample(int8RecallSql)),
+        pooledRow("ivf",
+          onSample(ivfRecallSql).replace("rn <= 3", "rn <= 5")),
+        pooledRow("ivfpq", ivfpqRecallSql),
+        pooledRow("lsh", onSample(annRecallSql)),
+        pooledRow("pq", onSample(pqRecallSql)))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY tier")
+    }
+    r.reg("q_recall_compare", recallCompareSql) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+      val cents = graft.llm.Ivf.train(e, "vec_id", "embedding",
+        nCells = 8, iters = 0)
+      val cbs = graft.llm.Pq.trainCodebooks(e, "vec_id", "embedding",
+        dim = 64, m = 8, codes = 16, iters = 0)
+      // the persisted IVF+PQ tier shares the q_ivfpq_* fixture
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/ivfpq")
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir
+      if (!fresh) {
+        graft.llm.Pq.writeIvfPqCorpus(e, "vec_id", "embedding", cents,
+          cbs, idxPath, dim = 64, m = 8)
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
+      Similarity.recallComparisonReport(e, q, "vec_id", "embedding",
+        "vec_id", "embedding", dim = 64, k = 5, ivfCentroids = cents,
+        pqCodebooks = cbs, planes = 8, multiProbe = true, nprobe = 2,
+        m = 8, ivfPqPath = Some(idxPath))
     }
 
     // Quantized recall on a CLUSTERED fixture (r10 verdict #7): the

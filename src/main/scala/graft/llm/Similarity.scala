@@ -669,15 +669,16 @@ object Similarity {
     * [[recallReport]] feeds it LSH candidates, [[Ivf.recallReport]] the
     * probe-cell ones, so both index families tune against the same
     * measurement. */
-  private[llm] def recallFromCandidates(embeddings: DataFrame,
-      queries: DataFrame, idCol: String, vecCol: String,
-      qIdCol: String, qVecCol: String, k: Int,
-      ann: DataFrame): DataFrame = {
+  /** The exact brute-force (query_id, cand_id) top-k frame every recall
+    * instrument measures against — one broadcast-queries pass. */
+  private def exactTopK(embeddings: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, qIdCol: String,
+                        qVecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(qIdCol).as("query_id"),
       col(qVecCol).as("__qv__"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
-    val exact = spread(embeddings)
+    spread(embeddings)
       .select(col(idCol).as("cand_id"), col(vecCol).as("__cv__"))
       .crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("query_id"))
@@ -685,6 +686,14 @@ object Similarity {
       .withColumn("__rn__", row_number().over(w))
       .filter(col("__rn__") <= k)
       .select(col("query_id"), col("cand_id"))
+  }
+
+  private[llm] def recallFromCandidates(embeddings: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      qIdCol: String, qVecCol: String, k: Int,
+      ann: DataFrame): DataFrame = {
+    val exact = exactTopK(embeddings, queries, idCol, vecCol, qIdCol,
+      qVecCol, k)
     val perQuery = exact.join(ann, Seq("query_id", "cand_id"), "left")
       .groupBy("query_id")
       .agg(coalesce(sum("__hit__"), lit(0L)).as("hits"),
@@ -695,6 +704,66 @@ object Similarity {
       (sum("hits").cast("double") / sum("exact_k").cast("double"))
         .as("mean_recall"))
     perQuery.crossJoin(broadcast(overall))
+  }
+
+  /** UNIFIED recall comparison — the table a corpus owner actually
+    * reads when choosing a serving tier (r11 verdict #5): every
+    * similarity tier's recall@k on the SAME corpus, queries and k, one
+    * row per tier with the family's pooled Σhits/Σexact_k mean. The
+    * exact brute-force side is computed ONCE (the shared harness all
+    * six per-tier instruments already ride) and each tier contributes
+    * only its candidate frame:
+    *
+    *  - `brute`  — exact top-k vs itself: always 1.0, the sanity spine
+    *  - `lsh`    — [[annTopKBatch]] (planes, multiProbe)
+    *  - `ivf`    — [[Ivf.annTopKBatch]] (ivfCentroids, nprobe)
+    *  - `int8`   — [[annTopKQuantizedBatch]] (same planes/multiProbe)
+    *  - `pq`     — [[Pq.annTopKPqBatch]] (pqCodebooks, m)
+    *  - `ivfpq`  — [[Pq.annTopKIvfPqBatch]] over `ivfPqPath` (optional:
+    *               the only tier that needs a persisted index)
+    *
+    * Sampled-queries contract as every sibling instrument: `queries` is
+    * the bounded tuning sample, never full traffic. Output:
+    * (tier, hits, exact_k, mean_recall), ordered by tier. */
+  def recallComparisonReport(embeddings: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String,
+                             qIdCol: String, qVecCol: String,
+                             dim: Int, k: Int,
+                             ivfCentroids: DataFrame,
+                             pqCodebooks: DataFrame,
+                             planes: Int = 8, multiProbe: Boolean = true,
+                             nprobe: Int = 2, m: Int = 8,
+                             ivfPqPath: Option[String] = None): DataFrame = {
+    // bounded Q·k rows; pinned — every tier's pooled join reads it
+    val exact = exactTopK(embeddings, queries, idCol, vecCol, qIdCol,
+      qVecCol, k).localCheckpoint(true)
+    def pooled(tier: String, ann: DataFrame): DataFrame =
+      exact.join(
+          ann.select(col("query_id"), col(idCol).as("cand_id"),
+            lit(1L).as("__hit__")),
+          Seq("query_id", "cand_id"), "left")
+        .agg(coalesce(sum("__hit__"), lit(0L)).as("hits"),
+          count(lit(1)).as("exact_k"))
+        .select(lit(tier).as("tier"), col("hits"), col("exact_k"),
+          (col("hits").cast("double") / col("exact_k").cast("double"))
+            .as("mean_recall"))
+    val brute = pooled("brute",
+      exact.select(col("query_id"), col("cand_id").as(idCol)))
+    val lsh = pooled("lsh", annTopKBatch(embeddings, queries, idCol,
+      vecCol, qIdCol, qVecCol, dim, k, planes, multiProbe))
+    val ivf = pooled("ivf", Ivf.annTopKBatch(embeddings, queries, idCol,
+      vecCol, qIdCol, qVecCol, ivfCentroids, k, nprobe))
+    val int8 = pooled("int8", annTopKQuantizedBatch(embeddings, queries,
+      idCol, vecCol, qIdCol, qVecCol, dim, k, planes, multiProbe))
+    val pq = pooled("pq", Pq.annTopKPqBatch(
+      Pq.encode(embeddings, idCol, vecCol, pqCodebooks, dim, m),
+      idCol, pqCodebooks, queries, qIdCol, qVecCol, dim, m, k))
+    val ivfpq = ivfPqPath.map(p => pooled("ivfpq",
+      Pq.annTopKIvfPqBatch(embeddings.sparkSession, p, idCol, queries,
+        qIdCol, qVecCol, k, nprobe)))
+    (Seq(brute, int8, ivf) ++ ivfpq.toSeq ++ Seq(lsh, pq))
+      .reduce(_.unionByName(_))
+      .orderBy("tier")
   }
 
   /** Bucket histogram — the LSH distribution diagnostic (also the oracle
