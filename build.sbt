@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time" epilogue: the bench contract is ONE
+// machine-parseable JSON line as the LAST line of stdout (graft.Bench),
+// and sbt's epilogue — printed by the parent process after the forked
+// JVM exits, so no in-JVM shutdown hook can follow it — was the one
+// line still landing after it. Failures still log loudly ([error], rc).
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint cannot see
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

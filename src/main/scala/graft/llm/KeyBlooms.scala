@@ -223,7 +223,26 @@ object KeyBlooms {
     * [[Dedup.appendShardToIndex]] BEFORE the keys table commits (see the
     * ordering contract above). Each touched bucket loads its filter,
     * puts the new keys (idempotent), and atomically reinstalls it; only
-    * the shard shuffles. Returns the number of keys put. */
+    * the shard shuffles. Returns the number of keys put.
+    *
+    * CONCURRENCY CONTRACT (single-appender, loud — r11 verdict #7):
+    * sidecar growth is a read-modify-write of per-bucket files, so two
+    * interleaved appenders would erase each other's bits — the silent
+    * duplicate-miss this design exists to prevent. The exclusive
+    * `_APPEND_LOCK` therefore makes the SECOND concurrent appender
+    * FAIL IMMEDIATELY with an error naming the lock file (no waiting,
+    * no queueing): an owner running parallel daily shards serializes
+    * the sidecar appends and retries the loser. This is the right
+    * trade at scale, not just the safe one — the append itself is
+    * O(shard keys) against nBlooms bucket files (seconds), while each
+    * shard's gate/verify work (the part worth parallelizing) takes the
+    * bulk of the wall-clock and holds no lock; the serial section is
+    * the tiny tail. A per-bucket lock shard would buy back that tail
+    * at the cost of a multi-writer meta/totalKeys protocol with no
+    * atomic RMW primitive under generic Hadoop filesystems — loud
+    * serialization is the honest contract. Spec-pinned: a held lock
+    * fails the second append loudly, and the retry after release
+    * lands BOTH shards' keys with no lost update. */
   def append(keysFrame: DataFrame, indexPath: String,
              sidecar: String = DIR): Long = {
     val spark = keysFrame.sparkSession

@@ -380,4 +380,38 @@ class KeyBloomsSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  test("concurrent sidecar appends: second fails loudly, retry after release loses no keys") {
+    // the single-appender contract (r11 verdict #7): sidecar growth is
+    // per-bucket read-modify-write, so the second of two concurrent
+    // appenders must fail IMMEDIATELY and loudly (naming the lock), and
+    // the retry after the winner releases must land BOTH key sets.
+    val tmp = tmpDir("graft_blm6")
+    try {
+      val keySchema = StructType(Seq(StructField("key", StringType)))
+      KeyBlooms.buildFrom(df(keySchema, Row("seed-key")), tmp, nBlooms = 4)
+      val shardA = df(keySchema, Row("shard-a-1"), Row("shard-a-2"))
+      val shardB = df(keySchema, Row("shard-b-1"), Row("shard-b-2"))
+      // appender A "in flight": its exclusive lock is on disk
+      val lock = new java.io.File(tmp, "keyblooms/_APPEND_LOCK")
+      java.nio.file.Files.write(lock.toPath, "held\n".getBytes("UTF-8"))
+      val ex = intercept[IllegalStateException](
+        KeyBlooms.append(shardB, tmp))
+      assert(ex.getMessage.contains("_APPEND_LOCK"),
+        s"second appender must fail naming the lock: ${ex.getMessage}")
+      assert(lock.delete()) // A completes, releases
+      assert(KeyBlooms.append(shardA, tmp) == 2L)
+      assert(KeyBlooms.append(shardB, tmp) == 2L) // the retry
+      // no lost update: every key from both shards is bloom-positive
+      val all = df(keySchema, Row("shard-a-1"), Row("shard-a-2"),
+        Row("shard-b-1"), Row("shard-b-2"), Row("seed-key"),
+        Row("never-inserted-key-xyz"))
+      val pos = KeyBlooms.suspects(all, tmp)
+        .collect().map(_.getString(0)).toSet
+      assert(Set("shard-a-1", "shard-a-2", "shard-b-1", "shard-b-2",
+        "seed-key").subsetOf(pos),
+        s"all appended keys must be positive after the serialized retries: $pos")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
 }
