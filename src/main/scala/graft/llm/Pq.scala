@@ -609,13 +609,63 @@ object Pq {
     require(!over,
       s"$entry: the query batch exceeds qCap=$qCap rows — the per-query " +
         s"LUT broadcast (Q x m=$m x codes=$codes doubles) would blow " +
-        "past broadcast limits at this Q. Chunk the query frame into " +
-        "<= qCap slices and union the per-chunk results (exact: scores " +
-        "are per-query), raise qCap deliberately if your cluster's " +
-        "broadcast budget allows, or serve continuous traffic through " +
-        "the per-trigger streaming form (Streams.annTopKPqStream / " +
-        "annTopKIvfPqStream)")
+        "past broadcast limits at this Q. Use the Chunked form of this " +
+        "entrypoint (annTopKPqIndexedBatchChunked / " +
+        "annTopKIvfPqBatchChunked — exact: scores are per-query), raise " +
+        "qCap deliberately if your cluster's broadcast budget allows, " +
+        "or serve continuous traffic through the per-trigger streaming " +
+        "form (Streams.annTopKPqStream / annTopKIvfPqStream)")
   }
+
+  /** Slice an over-cap query frame into bounded chunks and serve each
+    * through `serve`, unioning the per-query results — EXACT, because
+    * every score and per-query top-k is independent across queries.
+    * Chunk membership is a hash of the query id into
+    * ceil(Q / (qCap/2)) ranges: targeting HALF the cap makes a chunk
+    * overflowing it a Chernoff-tail event (mean qCap/2, bound qCap) —
+    * and the inner entrypoint still enforces the cap loudly if a
+    * pathological id distribution defeats the hash. One bounded count
+    * of the query frame decides the split. Plan size grows linearly
+    * with the chunk count (each chunk is its own broadcast + scan
+    * subplan): right for a few dozen caps' worth of queries; beyond
+    * that, the per-trigger streaming form is the honest shape. */
+  private def serveChunked(queries: DataFrame, qIdCol: String, qCap: Int)
+                          (serve: DataFrame => DataFrame): DataFrame = {
+    require(qCap > 1, s"qCap must exceed 1, got $qCap")
+    val total = queries.count()
+    if (total <= qCap) serve(queries)
+    else {
+      val n = math.ceil(total.toDouble / (qCap / 2)).toInt
+      (0 until n)
+        .map(i => serve(queries.filter(
+          pmod(hash(col(qIdCol)), lit(n)) === i)))
+        .reduce(_.unionByName(_))
+    }
+  }
+
+  /** [[annTopKPqIndexedBatch]] for UNBOUNDED query frames: qCap-sized
+    * hash chunks served sequentially through the bounded path
+    * ([[serveChunked]]). */
+  def annTopKPqIndexedBatchChunked(spark: SparkSession, path: String,
+                                   idCol: String, queries: DataFrame,
+                                   qIdCol: String, qVecCol: String,
+                                   k: Int, qCap: Int = 10000): DataFrame =
+    serveChunked(queries, qIdCol, qCap)(q =>
+      annTopKPqIndexedBatch(spark, path, idCol, q, qIdCol, qVecCol, k,
+        qCap))
+
+  /** [[annTopKIvfPqBatch]] for UNBOUNDED query frames: qCap-sized hash
+    * chunks served sequentially through the bounded path
+    * ([[serveChunked]]); each chunk prunes to its own probe-cell
+    * union, so the scan stays cell-bounded per chunk. */
+  def annTopKIvfPqBatchChunked(spark: SparkSession, path: String,
+                               idCol: String, queries: DataFrame,
+                               qIdCol: String, qVecCol: String, k: Int,
+                               nprobe: Int = 2,
+                               qCap: Int = 10000): DataFrame =
+    serveChunked(queries, qIdCol, qCap)(q =>
+      annTopKIvfPqBatch(spark, path, idCol, q, qIdCol, qVecCol, k,
+        nprobe, qCap))
 
   /** Batched ADC: every query in ONE job — per-query LUTs broadcast
     * (Q·m·codes doubles, bounded by the sampled-queries contract — now
@@ -755,7 +805,7 @@ object Pq {
   def annTopKPqIndexedBatch(spark: SparkSession, path: String,
                             idCol: String, queries: DataFrame,
                             qIdCol: String, qVecCol: String,
-                            k: Int): DataFrame = {
+                            k: Int, qCap: Int = 10000): DataFrame = {
     val g = readGeometry(spark, path)
     require(!g.residual,
       s"the corpus at $path holds RESIDUAL codes — serve it through " +
@@ -765,7 +815,7 @@ object Pq {
       spark.read.parquet(s"$root/encoded").select(col(idCol),
         col("codes"), col("norm")),
       idCol, spark.read.parquet(s"$root/codebooks"), queries, qIdCol,
-      qVecCol, g.dim, g.m, k, nCodesKnown = Some(g.codes))
+      qVecCol, g.dim, g.m, k, nCodesKnown = Some(g.codes), qCap = qCap)
   }
 
   /** Recall@k of the PERSISTED IVF+PQ serving path vs exact brute

@@ -508,6 +508,20 @@ class PqSpec extends SparkTestBase {
           "embedding", 3, nprobe = 2, qCap = 100)
       }
       assert(e2.getMessage.contains("annTopKIvfPqBatch"), e2.getMessage)
+      // the chunked form the error message names: exact parity with the
+      // over-cap-refused one-shot (run under a permissive cap), because
+      // scores and per-query top-k are independent across queries
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val oneShot = Pq.annTopKIvfPqBatch(spark, tmp, "vec_id", queries,
+        "vec_id", "embedding", 3, nprobe = 2, qCap = 100000)
+        .collect().map(key).toSet
+      val chunkedRes = Pq.annTopKIvfPqBatchChunked(spark, tmp, "vec_id",
+        queries, "vec_id", "embedding", 3, nprobe = 2, qCap = 40)
+        .collect().map(key).toSet
+      assert(chunkedRes == oneShot,
+        s"chunked serving must reproduce the one-shot batch exactly " +
+          s"(${chunkedRes.size} vs ${oneShot.size} rows)")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(tmp))
   }
