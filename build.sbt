@@ -11,12 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// No "[success] Total time" epilogue: the bench contract is ONE
-// machine-parseable JSON line as the LAST line of stdout (graft.Bench),
-// and sbt's epilogue — printed by the parent process after the forked
-// JVM exits, so no in-JVM shutdown hook can follow it — was the one
-// line still landing after it. Failures still log loudly ([error], rc).
+// The bench contract is ONE machine-parseable JSON line as the LAST
+// line of stdout (graft.Bench). Two sbt layers used to break it:
+// the "[success] Total time" epilogue — printed by the parent process
+// after the forked JVM exits, so no in-JVM shutdown hook can follow
+// it — landed after the record, and the default forked-run
+// OutputStrategy routed the record through sbt's logger, prefixing it
+// "[info] ". Suppress the epilogue and inherit stdout directly.
+// Failures still log loudly ([error], non-zero rc).
 Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // showSuccess is consumed by sbt's command layer, which the unused-key
 // lint cannot see
 Global / excludeLintKeys += showSuccess
