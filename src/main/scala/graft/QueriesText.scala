@@ -1284,6 +1284,58 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Context-window chunking (r12): each doc's tokens split into
+    // ≤10-token chunks with 3 tokens of overlap (stride 7); the oracle
+    // recomputes the chunk count formula, every slice and the joined
+    // text, so chunk boundaries are value-checked per row. DuckDB list
+    // slices are 1-based inclusive and clamp like Spark's slice().
+    r.reg("q_chunk_tokens",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id, toks,
+        |        CASE WHEN len(toks) <= 10 THEN 1
+        |             ELSE 1 + CAST(ceil((len(toks) - 10) * 1.0 / 7) AS INT) END AS nc
+        |      FROM t),
+        |e AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM n)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  array_to_string(toks[chunk_id*7+1 : chunk_id*7+10], ' ') AS chunk_text,
+        |  CAST(len(toks[chunk_id*7+1 : chunk_id*7+10]) AS INT) AS n_tokens
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      TextStats.chunkByTokens(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", maxTokens = 10, overlap = 3)
+        .orderBy("doc_id", "chunk_id")
+    }
+
+    // Concat-and-chop token windows (r12): global offsets under the
+    // seed-3 shuffle permutation, 1000-unit windows; the oracle replays
+    // the hash order, the exclusive cumsum, and both floor divisions —
+    // boundary-straddling docs' window RANGES are value-checked.
+    r.reg("q_token_windows",
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (
+        |      ORDER BY (doc_id + 3) % 2147483648 * 2654435761 % 4294967296
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars
+        |      AS BIGINT) AS token_start
+        |  FROM documents)
+        |SELECT doc_id, n_chars, token_start,
+        |  CAST(floor(token_start / 1000.0) AS BIGINT) AS window_first,
+        |  CASE WHEN n_chars > 0
+        |       THEN CAST(floor((token_start + n_chars - 1) / 1000.0) AS BIGINT)
+        |       ELSE CAST(floor(token_start / 1000.0) AS BIGINT)
+        |  END AS window_last,
+        |  CASE WHEN n_chars > 0
+        |       THEN CAST(floor((token_start + n_chars - 1) / 1000.0) AS BIGINT)
+        |       ELSE CAST(floor(token_start / 1000.0) AS BIGINT)
+        |  END - CAST(floor(token_start / 1000.0) AS BIGINT) + 1 AS n_windows
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextStats.tokenWindows(
+          t(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", windowSize = 1000L, seed = 3L)
+        .orderBy("doc_id")
+    }
+
     // REAL codec round trip: Spark synthesizes a PNG per doc on the
     // executors (pixels are a pure integer function of doc_id), decodes
     // it back with JDK ImageIO, and reports actual decoded

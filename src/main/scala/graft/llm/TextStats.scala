@@ -255,6 +255,86 @@ object TextStats {
       .drop("__cum__")
   }
 
+  /** Split each document's whitespace tokens into fixed-size chunks of
+    * at most `maxTokens` tokens, consecutive chunks sharing `overlap`
+    * tokens — the context-window chunking an embedding or long-document
+    * pipeline runs before a fixed-window model. Chunk i covers tokens
+    * [i·stride, i·stride + maxTokens) with stride = maxTokens − overlap;
+    * chunking stops at the first chunk whose window reaches the document
+    * end, so no tail chunk is fully contained in its predecessor, and a
+    * doc of ≤ maxTokens tokens yields exactly one chunk. NULL-text rows
+    * are dropped (no tokens to chunk — the eligibility convention of the
+    * dedup family).
+    *
+    * Scale shape: one split + a per-row sequence explode — blockwise, no
+    * shuffle, no UDF, output rows ∝ input tokens / stride. The slice is
+    * re-evaluated per chunk from the projected token array (O(tokens ×
+    * chunks-per-doc) worst case), never per token.
+    *
+    * Output: (idCol, chunk_id, chunk_text, n_tokens). */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+                    maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap of $maxTokens")
+    val stride = maxTokens - overlap
+    val n = size(col("__t__"))
+    val nChunks = when(n <= maxTokens, lit(1))
+      .otherwise(lit(1) +
+        ceil((n - maxTokens).cast("double") / stride).cast("int"))
+    val chunkToks = slice(col("__t__"),
+      col("chunk_id") * stride + lit(1), lit(maxTokens))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__t__"))
+      .select(col(idCol), col("__t__"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(chunkToks, " ").as("chunk_text"),
+        size(chunkToks).as("n_tokens"))
+  }
+
+  /** Concat-and-chop token-window spans — the GPT-style pretraining
+    * layout: conceptually concatenate every document's tokens in the
+    * deterministic shuffle order ([[graft.api.GraftFrame.shuffleIndex]]'s
+    * Knuth-hash permutation, `seed`-rotated) and cut the stream into
+    * fixed `windowSize`-token training windows. Each document gets its
+    * global token offset and the RANGE of window ids it lands in —
+    * boundary-straddling docs span several windows (unlike
+    * [[packIntoShards]], which assigns a whole doc to the shard where
+    * its span starts). Zero-token docs span their start window only.
+    *
+    * Scale shape: rides [[graft.operators.WindowOps.globalCumSum]]'s
+    * two-pass range-partitioned plan — no single-task global window.
+    * Window ids are floor-of-double-division on exact long inputs:
+    * identical on any engine while total tokens < 2^53 (a 100 TB
+    * corpus is ~10^14). Keys must be numeric and distinct mod 2^31
+    * (the shuffleIndex contract).
+    *
+    * Output: every input column + token_start (exclusive-cumsum global
+    * offset), window_first, window_last, n_windows. */
+  def tokenWindows(docs: DataFrame, idCol: String, tokenCol: String,
+                   windowSize: Long, seed: Long = 0L): DataFrame = {
+    require(windowSize > 0, s"windowSize must be positive, got $windowSize")
+    val kt = docs.schema(idCol).dataType
+    require(kt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"tokenWindows: key column '$idCol' must be numeric (got " +
+        s"${kt.simpleString}); factorize or hash string keys first")
+    val withH = docs.withColumn("__sh__", graft.QHelp.keyHash31(
+      pmod(col(idCol), lit(2147483648L)) + lit(seed % 2147483648L)))
+    graft.operators.WindowOps
+      .globalCumSum(withH, "__sh__", tokenCol, "__cum__")
+      .withColumn("token_start", col("__cum__") - col(tokenCol))
+      .withColumn("window_first",
+        floor(col("token_start").cast("double") / windowSize).cast("long"))
+      .withColumn("window_last",
+        when(col(tokenCol) > 0,
+          floor((col("__cum__") - 1).cast("double") / windowSize)
+            .cast("long"))
+          .otherwise(col("window_first")))
+      .withColumn("n_windows", col("window_last") - col("window_first") + 1)
+      .drop("__sh__", "__cum__")
+  }
+
   /** PII redaction: emails, IPv4 addresses, then phone-like digit runs
     * are replaced with typed placeholder tokens — in that order, so an
     * address's digits can't be re-matched as a phone number. Pure

@@ -294,6 +294,73 @@ class WindowLlmSpec extends SparkTestBase {
     assert(m(1L) == m(2L)) // set-based: order-insensitive
   }
 
+  test("chunkByTokens: overlap invariant, full coverage, no redundant tail; guards") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val words = (1 to 23).map(i => s"w$i").mkString(" ")
+    val docs = df(schema,
+      Row(1L, words),           // 23 tokens -> chunks at stride 7: 0..2 (+1 = 3)
+      Row(2L, "a b c"),         // under maxTokens -> exactly 1 chunk
+      Row(3L, null))            // null text -> dropped
+    val out = graft.llm.TextStats
+      .chunkByTokens(docs, "doc_id", "text", maxTokens = 10, overlap = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(!byDoc.contains(3L), "null text must be dropped")
+    assert(byDoc(2L).map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0, "a b c", 3)))
+    val c1 = byDoc(1L).sortBy(_._2)
+    // nChunks = 1 + ceil((23-10)/7) = 3; last chunk reaches token 23
+    assert(c1.length == 3, s"expected 3 chunks, got ${c1.length}")
+    assert(c1(0)._3.startsWith("w1 ") && c1(0)._4 == 10)
+    // consecutive chunks share exactly `overlap` tokens
+    val t0 = c1(0)._3.split(" ").toSeq
+    val t1 = c1(1)._3.split(" ").toSeq
+    assert(t0.takeRight(3) == t1.take(3),
+      s"chunks must overlap by 3 tokens: ${t0.takeRight(3)} vs ${t1.take(3)}")
+    // full coverage: union of chunk tokens = the document, in order
+    val reassembled = c1.zipWithIndex.flatMap { case (c, i) =>
+      val ts = c._3.split(" ").toSeq
+      if (i == 0) ts else ts.drop(3)
+    }.toSeq
+    assert(reassembled == (1 to 23).map(i => s"w$i"),
+      "chunks must tile the document exactly")
+    // last chunk is short but non-redundant (reaches the end)
+    assert(c1(2)._4 == 23 - 2 * 7)
+    intercept[IllegalArgumentException] {
+      graft.llm.TextStats.chunkByTokens(docs, "doc_id", "text", 10, 10)
+    }
+  }
+
+  test("tokenWindows: offsets are a permutation-ordered exclusive cumsum; straddlers span; zero-token docs pin to start window") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("tok", LongType)))
+    val docs = df(schema,
+      Row(1L, 60L), Row(2L, 50L), Row(3L, 0L), Row(4L, 45L), Row(5L, 70L))
+    val out = graft.llm.TextStats
+      .tokenWindows(docs, "doc_id", "tok", windowSize = 100L, seed = 0L)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Long]("token_start"), r.getAs[Long]("window_first"),
+        r.getAs[Long]("window_last"), r.getAs[Long]("n_windows"))).toSeq
+    // offsets: ordered by the Knuth hash of doc_id, exclusive cumsum
+    val hash = (id: Long) => (id % 2147483648L) * 2654435761L % 4294967296L
+    val order = Seq(1L, 2L, 3L, 4L, 5L).sortBy(hash)
+    val toks = Map(1L -> 60L, 2L -> 50L, 3L -> 0L, 4L -> 45L, 5L -> 70L)
+    val expStart = order.scanLeft(0L)((acc, id) => acc + toks(id))
+      .zip(order).map { case (s, id) => id -> s }.toMap
+    out.foreach { case (id, start, first, last, n) =>
+      assert(start == expStart(id), s"doc $id offset $start != ${expStart(id)}")
+      assert(first == start / 100)
+      val expLast = if (toks(id) > 0) (start + toks(id) - 1) / 100 else first
+      assert(last == expLast && n == expLast - first + 1)
+    }
+    // total mass 225 over 100-token windows: at least one doc straddles
+    assert(out.exists(_._5 > 1), "fixture must contain a straddling doc")
+    val z = out.find(_._1 == 3L).get
+    assert(z._5 == 1, "zero-token doc spans exactly its start window")
+  }
+
   // ---- llm: similarity ----
 
   test("cosine of identical vectors is 1, orthogonal is 0") {
