@@ -512,6 +512,48 @@ object QueriesWindow {
         .sortValues(Seq("doc_id" -> true)).df
     }
 
+    // Temperature UP-sampling (r12, alpha = 0.5): repeat factors
+    // f_d = min(sqrt(cmax/c_d), maxRepeat) — floor(f) whole epochs plus
+    // one fractional epoch kept under the (key, epoch)-salted Knuth
+    // hash. The oracle recomputes the factor, the epoch explode, and
+    // the exact per-copy keep decision; the largest domain keeps
+    // exactly one copy of every row.
+    // (The fixture's `source` domains are perfectly balanced — every
+    // factor would be 1 and the oracle vacuous — so both engines derive
+    // a skewed 60/30/10 domain from doc_id: tail repeats ~sqrt(6)x.)
+    r.reg("q_temperature_upsample",
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 < 6 THEN 'head'
+         |         WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'tail' END AS dom
+         |  FROM documents),
+         |c AS (SELECT dom, COUNT(*) AS cnt FROM d GROUP BY dom),
+         |m AS (SELECT MAX(cnt) AS cmax FROM c),
+         |f AS (
+         |  SELECT dom,
+         |    LEAST(sqrt(CAST(cmax AS DOUBLE) / CAST(cnt AS DOUBLE)), 10.0) AS fac
+         |  FROM c, m),
+         |t AS (
+         |  SELECT dom, CAST(floor(fac) AS BIGINT) AS fullr,
+         |    CAST(floor((fac - floor(fac)) * 4294967296) AS BIGINT) AS thr
+         |  FROM f),
+         |r AS (SELECT unnest(range(0, 11)) AS epoch)
+         |SELECT d.doc_id, d.dom, CAST(r.epoch AS BIGINT) AS epoch
+         |FROM d JOIN t USING (dom) JOIN r ON r.epoch <= t.fullr
+         |WHERE r.epoch < t.fullr
+         |   OR ((d.doc_id % 2147483648 + r.epoch * 7919) % 2147483648)
+         |      * 2654435761 % 4294967296 < t.thr
+         |ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 < 6, "head")
+              .when(col("doc_id") % 10 < 9, "mid")
+              .otherwise("tail").as("dom")))
+        .upsampleByTemperature("doc_id", "dom", alpha = 0.5)
+        .select("doc_id", "dom", "epoch")
+        .sortValues(Seq("doc_id" -> true, "epoch" -> true)).df
+    }
+
     // Deterministic corpus shuffle: global position under the Knuth-hash
     // order (scale-safe two-pass plan) — the "shuffle before sharding"
     // training-data pass; the oracle replays the permutation exactly.

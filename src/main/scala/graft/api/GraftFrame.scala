@@ -204,6 +204,65 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     sampleByTemperatureImpl(keyCol, domainCol,
       sum(col(weightCol).cast("long")), alpha)
 
+  /** Temperature-weighted domain UP-sampling — the complement of
+    * [[sampleByTemperature]] for the curated-data recipe (the Pile /
+    * LLaMA "epochs > 1" weighting): instead of dropping head-domain
+    * rows, small domains REPEAT. Repeat factors f_d =
+    * (c_max / c_d)^(1-alpha) make expected domain mass ∝ c_d^alpha
+    * with the LARGEST domain kept exactly once (lossless everywhere —
+    * no row of any domain is dropped, alpha=1 degenerates to the
+    * identity). Each row emits floor(f_d) whole copies plus one extra
+    * copy kept when the (key, epoch)-salted Knuth hash falls under the
+    * fractional part — deterministic, no RNG, reproducible on any
+    * engine. Factors are capped at `maxRepeat` (a tiny domain next to
+    * a 1000× head would otherwise explode the output; the cap is the
+    * standard at-most-N-epochs discipline — raise it deliberately).
+    *
+    * Scale shape: one tiny domain-count aggregate, factors broadcast
+    * back, one explode bounded by maxRepeat+1 — output rows ≤
+    * (maxRepeat+1)·input, no data-sized shuffle. Output: every input
+    * column plus `epoch` (0-based copy index); (key, epoch) is the
+    * natural downstream shuffle key. NULL and zero-size domains drop,
+    * as in the down-sampler. */
+  def upsampleByTemperature(keyCol: String, domainCol: String,
+                            alpha: Double,
+                            maxRepeat: Int = 10): GraftFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0, 1], got $alpha")
+    require(maxRepeat >= 1, s"maxRepeat must be >= 1, got $maxRepeat")
+    // the (key, epoch) salt is integer arithmetic — a string key would
+    // null the hash or throw under ANSI (the shuffleIndex contract)
+    val kt = df.schema(keyCol).dataType
+    require(kt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"upsampleByTemperature: key column '$keyCol' must be numeric " +
+        s"(got ${kt.simpleString}); factorize or hash string keys first")
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("__c__"))
+      .filter(col("__c__") > 0L)
+    val cmax = counts.agg(max(col("__c__")).as("__cmax__"))
+    val ratio = col("__cmax__").cast("double") / col("__c__").cast("double")
+    val f =
+      if (alpha == 1.0) lit(1.0)
+      else if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 0.0) ratio
+      else pow(ratio, lit(1.0 - alpha))
+    val capped = least(f, lit(maxRepeat.toDouble))
+    val factors = counts.crossJoin(broadcast(cmax))
+      .select(col(domainCol),
+        floor(capped).cast("long").as("__full__"),
+        floor((capped - floor(capped)) * lit(4294967296.0)).cast("long")
+          .as("__thr__"))
+    val cols = df.columns.map(col).toIndexedSeq
+    lift(df.join(broadcast(factors), Seq(domainCol))
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__full__"))))
+      .filter(col("epoch") < col("__full__") ||
+        graft.QHelp.keyHash31(
+          pmod(col(keyCol), lit(2147483648L)) + col("epoch") * lit(7919L))
+          < col("__thr__"))
+      .select(cols :+ col("epoch"): _*))
+  }
+
   private def sampleByTemperatureImpl(keyCol: String, domainCol: String,
                                       sizeAgg: Column,
                                       alpha: Double): GraftFrame = {

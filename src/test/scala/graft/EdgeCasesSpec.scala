@@ -515,6 +515,37 @@ class EdgeCasesSpec extends SparkTestBase {
     }
   }
 
+  test("upsampleByTemperature: largest domain kept once, tail repeats, cap engages, deterministic") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType)))
+    val rows = (1L to 400L).map(i => Row(i, "head")) ++
+      (1001L to 1100L).map(i => Row(i, "mid")) ++   // f = sqrt(4) = 2
+      (2001L to 2004L).map(i => Row(i, "tiny"))     // f = 10 (capped from 10)
+    val docs = GraftFrame(df(schema, rows: _*))
+    val out = docs.upsampleByTemperature("doc_id", "source", 0.5,
+      maxRepeat = 5).df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySource("head") == 400, "largest domain keeps exactly one copy")
+    assert(bySource("mid") == 200,
+      s"integral factor 2 doubles the domain exactly: $bySource")
+    // tiny: f = sqrt(400/4) = 10 -> capped at 5 -> exactly 5 copies each
+    assert(bySource("tiny") == 20,
+      s"cap must bound the repeat factor: $bySource")
+    // epochs are dense from 0 and every original row survives at epoch 0
+    assert(out.filter(_._3 == 0L).map(_._1).toSet.size == 504)
+    assert(out.forall(_._3 >= 0) && out.filter(_._2 == "mid")
+      .groupBy(_._1).forall(_._2.map(_._3).sorted.sameElements(Seq(0L, 1L))))
+    // deterministic: identical output across runs
+    val again = docs.upsampleByTemperature("doc_id", "source", 0.5,
+      maxRepeat = 5).df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sorted.sameElements(again.sorted))
+    // alpha = 1 is the identity (plus the epoch column)
+    assert(docs.upsampleByTemperature("doc_id", "source", 1.0).df.count()
+      == 504)
+  }
+
   test("sampleByTemperatureWeighted: a zero-weight domain is dropped, not a silent global wipe") {
     // r11 ADVICE: a domain whose weights sum to 0 (all-empty docs) made
     // c_min = 0, flooring every threshold to 0 and emptying the output.
