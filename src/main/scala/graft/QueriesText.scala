@@ -695,7 +695,7 @@ object QueriesText {
       s"""WITH h AS (
          |  SELECT doc_id,
          |    list_transform(list_distinct(string_split(text, ' ')), w -> ${tokIdSql("w")} % 2147483647) AS hs
-         |  FROM documents WHERE doc_id < 300),
+         |  FROM documents),
          |sh AS (SELECT doc_id, CAST(${graft.llm.TextHash.simhashTermsSql("hs", 64)} AS BIGINT) AS s FROM h),
          |banded AS (
          |  SELECT doc_id, s, b.band, (s >> (b.band * 16)) & 65535 AS key
@@ -708,9 +708,7 @@ object QueriesText {
          |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      Dedup.simhashNearDupPairs(
-          t(s, dir, "documents").filter(col("doc_id") < 300),
-          "doc_id", "text")
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b")
     }
 

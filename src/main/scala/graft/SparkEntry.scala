@@ -89,7 +89,12 @@ object SparkEntry {
     // r11: the PQ serving shape — probe-cell resolve + partition-pruned
     // ADC over the 32x-compressed (id, codes, norm) layout; the corpus
     // builds once per JVM (benchPrepare), so samples time the search
-    "q_ivfpq_topk")
+    "q_ivfpq_topk",
+    // r12: SimHash near-dup pairs at the fixed 64-bit/4-band geometry
+    // (full documents table — tracks the band self-join at the
+    // selective key space) and the context-window chunking layout op
+    // (blockwise split + bounded explode)
+    "q_simhash_pairs", "q_chunk_tokens")
 
   /** Untimed per-query preparation Bench runs ONCE before the timed
     * passes (r10 verdict #3): the steady-state ingest entries build and

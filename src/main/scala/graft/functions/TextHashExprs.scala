@@ -688,11 +688,79 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def prettyName: String = "nfc_normalize"
 }
 
+/** SimHash signature over a text's DISTINCT whitespace tokens —
+  * identical math to TextHash.simhash (r12 geometry): per distinct
+  * token, hp = tokId mod P; signature bit j is set iff more tokens have
+  * ((hp·a_j + b_j) mod P) odd than even, with (a_j, b_j) the minhash
+  * affine family (a = 2000006j + 1012345, b = 999983j + 423307). The
+  * declarative form evaluates `bits` interpreted higher-order filter
+  * passes per row — measured ~15× slower at sf0.1 — and, worse, gets
+  * recomputed per join branch when AQE broadcasts a side of the band
+  * self-join; this is one imperative pass per row inside
+  * WholeStageCodegen (the ShingleHashes reference-call pattern).
+  * Bit-parity with the declarative form is spec-asserted. */
+case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 64, s"simhash bits must be in [1, 64], got $bits")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((Long) $ref.nullSafeEval($c)).longValue();")
+  }
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash needs STRING, got ${child.dataType}")
+
+  private val P = 2147483647L
+
+  override def nullSafeEval(input: Any): Any = {
+    // array_distinct(split(text, ' ')) semantics: distinct TOKENS (not
+    // distinct hashes — colliding tokens count twice, as declaratively)
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < toks.length) { seen.add(toks(i)); i += 1 }
+    val n = seen.size
+    val hp = new Array[Long](n)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) {
+      val h = TokHash.tokId(it.next()) % P
+      hp(o) = if (h < 0) h + P else h
+      o += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      val a = j.toLong * 2000006L + 1012345L
+      val b = j.toLong * 999983L + 423307L
+      var cnt = 0
+      var t = 0
+      while (t < n) {
+        if ((hp(t) * a + b) % P % 2L == 1L) cnt += 1
+        t += 1
+      }
+      if (2 * cnt > n) sig |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+  override def prettyName: String = "simhash"
+}
+
 object TextHashExprs {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
   def shingleHashes(text: Column, k: Int = 3): Column =
     column(ShingleHashes(expression(text), k))
+  def simhash(text: Column, bits: Int = 64): Column =
+    column(SimHash(expression(text), bits))
   def minhashSig(hashes: Column, numHashes: Int = 16): Column =
     column(MinHashSig(expression(hashes), numHashes))
   def tokenStats(text: Column, stopwords: Seq[String]): Column =

@@ -908,7 +908,9 @@ object Dedup {
     * hash for the Hamming-distance pass). */
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String,
                     bits: Int = 64): DataFrame =
-    docs.select(col(idCol), TextHash.simhash(col(textCol), bits).as("simhash"))
+    docs.select(col(idCol),
+      graft.functions.TextHashExprs.simhash(col(textCol), bits)
+        .as("simhash"))
 
   /** SimHash near-dup PAIRS within Hamming distance `hammingK` — the
     * full SimHash dedup recipe (the pigeonhole banding of the
@@ -950,8 +952,11 @@ object Dedup {
     require(maxBucketSize > 1, "maxBucketSize must exceed 1")
     val w = bits / (hammingK + 1)
     val mask = if (w == 64) -1L else (1L << w) - 1
+    // native one-pass signature (graft.functions.SimHash): the
+    // declarative HOF form costs ~bits interpreted passes per row AND
+    // recomputes per join branch when AQE broadcasts a side
     val sh = docs.select(col(idCol).as("id"),
-      TextHash.simhash(col(textCol), bits).as("sh"))
+      graft.functions.TextHashExprs.simhash(col(textCol), bits).as("sh"))
     val bandCols = (0 to hammingK).map(b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sh"), b * w).bitwiseAND(lit(mask))
@@ -984,8 +989,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int")
           .as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // verify BEFORE the dedup exchange: the popcount is per-row
+      // arithmetic, and candidates failing it (the majority on a
+      // diverse corpus) must not ride the distinct shuffle
       .filter(col("hamming") <= hammingK)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** N-gram decontamination report: training docs sharing at least one

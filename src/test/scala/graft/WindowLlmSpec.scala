@@ -285,6 +285,30 @@ class WindowLlmSpec extends SparkTestBase {
     assert(kept == Set(1L, 3L))
   }
 
+  test("native SimHash matches the declarative form bit-for-bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(200)
+    val both = docs.select(col("doc_id"),
+        graft.functions.TextHashExprs.simhash(col("text"), 64).as("nat"),
+        graft.llm.TextHash.simhash(col("text"), 64).as("dec"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"doc ${r.getLong(0)}: native ${r.getLong(1)} != declarative ${r.getLong(2)}"))
+    // 16-bit variant too (the narrow-signature path stays consistent)
+    val b16 = docs.select(
+        graft.functions.TextHashExprs.simhash(col("text"), 16).as("nat"),
+        graft.llm.TextHash.simhash(col("text"), 16).as("dec"))
+      .collect()
+    b16.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // null text -> null signature on both paths
+    val nulls = df(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))), Row(1L, null))
+      .select(graft.functions.TextHashExprs.simhash(col("text"), 64))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("simhash equal for identical token multisets") {
     val d = df(
       StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
