@@ -1334,6 +1334,42 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Window-assembly mapping (r12): tokenWindows spans exploded to one
+    // row per (window, doc) with the doc-local slice [tok_from, tok_to)
+    // and the window-local write offset; the oracle recomputes the
+    // exclusive cumsum, the span bounds, and all three slice formulas.
+    r.reg("q_token_window_members",
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (
+        |      ORDER BY (doc_id + 3) % 2147483648 * 2654435761 % 4294967296
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars
+        |      AS BIGINT) AS token_start
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, n_chars, token_start,
+        |    CAST(floor(token_start / 1000.0) AS BIGINT) AS wf,
+        |    CASE WHEN n_chars > 0
+        |         THEN CAST(floor((token_start + n_chars - 1) / 1000.0) AS BIGINT)
+        |         ELSE CAST(floor(token_start / 1000.0) AS BIGINT)
+        |    END AS wl
+        |  FROM c),
+        |r AS (
+        |  SELECT unnest(range(0,
+        |    (SELECT CAST(ceil(sum(n_chars) / 1000.0) AS BIGINT) + 1
+        |     FROM documents))) AS window_id)
+        |SELECT w.doc_id, w.n_chars, w.token_start, r.window_id,
+        |  GREATEST(r.window_id * 1000 - w.token_start, 0) AS tok_from,
+        |  LEAST((r.window_id + 1) * 1000 - w.token_start, w.n_chars) AS tok_to,
+        |  GREATEST(w.token_start - r.window_id * 1000, 0) AS window_pos
+        |FROM w JOIN r ON r.window_id BETWEEN w.wf AND w.wl
+        |ORDER BY doc_id, window_id""".stripMargin) { (s, dir) =>
+      TextStats.tokenWindowMembers(
+          t(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", windowSize = 1000L, seed = 3L)
+        .orderBy("doc_id", "window_id")
+    }
+
     // REAL codec round trip: Spark synthesizes a PNG per doc on the
     // executors (pixels are a pure integer function of doc_id), decodes
     // it back with JDK ImageIO, and reports actual decoded

@@ -335,6 +335,36 @@ object TextStats {
       .drop("__sh__", "__cum__")
   }
 
+  /** Explode [[tokenWindows]] spans into the (window, doc) assembly
+    * list a shard builder actually consumes: one row per (window_id,
+    * doc), carrying the DOC-LOCAL token sub-range [tok_from, tok_to)
+    * that lands in that window and the window-local write offset
+    * `window_pos`. A window's content is exactly the concatenation of
+    * its rows' slices ordered by window_pos; slices of one doc tile the
+    * doc across its windows with no gap or overlap (spec-pinned).
+    * Zero-token docs emit one degenerate (0, 0) slice in their start
+    * window — they keep an addressable position without contributing
+    * tokens.
+    *
+    * Scale shape: the [[tokenWindows]] two-pass cumsum plus one explode
+    * bounded by each doc's window span (≤ tokens/windowSize + 2 rows
+    * per doc — output ∝ corpus tokens / windowSize + docs). */
+  def tokenWindowMembers(docs: DataFrame, idCol: String, tokenCol: String,
+                         windowSize: Long, seed: Long = 0L): DataFrame =
+    tokenWindows(docs, idCol, tokenCol, windowSize, seed)
+      .withColumn("window_id",
+        explode(sequence(col("window_first"), col("window_last"))))
+      .withColumn("tok_from",
+        greatest(col("window_id") * windowSize - col("token_start"),
+          lit(0L)))
+      .withColumn("tok_to",
+        least((col("window_id") + 1) * windowSize - col("token_start"),
+          col(tokenCol).cast("long")))
+      .withColumn("window_pos",
+        greatest(col("token_start") - col("window_id") * windowSize,
+          lit(0L)))
+      .drop("window_first", "window_last", "n_windows")
+
   /** PII redaction: emails, IPv4 addresses, then phone-like digit runs
     * are replaced with typed placeholder tokens — in that order, so an
     * address's digits can't be re-matched as a phone number. Pure

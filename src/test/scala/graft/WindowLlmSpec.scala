@@ -385,6 +385,46 @@ class WindowLlmSpec extends SparkTestBase {
     assert(z._5 == 1, "zero-token doc spans exactly its start window")
   }
 
+  test("tokenWindowMembers: slices tile every doc and fill every window exactly") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("tok", LongType)))
+    val docs = df(schema, Row(1L, 60L), Row(2L, 250L), Row(3L, 0L),
+      Row(4L, 45L), Row(5L, 70L)) // total 425 over 100-token windows
+    val out = graft.llm.TextStats
+      .tokenWindowMembers(docs, "doc_id", "tok", windowSize = 100L)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("window_id"),
+        r.getAs[Long]("tok_from"), r.getAs[Long]("tok_to"),
+        r.getAs[Long]("window_pos"))).toSeq
+    val toks = Map(1L -> 60L, 2L -> 250L, 3L -> 0L, 4L -> 45L, 5L -> 70L)
+    // per doc: slices tile [0, n) in window order — no gap, no overlap
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val slices = rows.sortBy(_._2).map(r => (r._3, r._4))
+      assert(slices.head._1 == 0L, s"doc $id first slice must start at 0")
+      assert(slices.last._2 == toks(id), s"doc $id last slice must reach n")
+      slices.sliding(2).foreach {
+        case Seq((_, aTo), (bFrom, _)) =>
+          assert(aTo == bFrom, s"doc $id slices must tile: $slices")
+        case _ => ()
+      }
+    }
+    // per window: slice lengths sum to a full window (or the stream tail)
+    val total = toks.values.sum
+    out.groupBy(_._2).foreach { case (wid, rows) =>
+      val mass = rows.map(r => r._4 - r._3).sum
+      val expected = math.min(100L, total - wid * 100L)
+      assert(mass == expected, s"window $wid holds $mass of $expected")
+      // write offsets + lengths pack the window contiguously
+      val packed = rows.sortBy(_._5).foldLeft(0L) { (pos, r) =>
+        if (r._4 > r._3) { assert(r._5 == pos,
+          s"window $wid: slice at ${r._5} expected $pos") ; pos + (r._4 - r._3) }
+        else pos // degenerate zero-token slice: position pinned but massless
+      }
+      assert(packed == expected)
+    }
+    // the 250-token doc spans at least 3 windows
+    assert(out.count(_._1 == 2L) >= 3)
+  }
+
   // ---- llm: similarity ----
 
   test("cosine of identical vectors is 1, orthogonal is 0") {
