@@ -712,6 +712,42 @@ object QueriesText {
         .orderBy("id_a", "id_b")
     }
 
+    // SimHash drop-composite (r12): pairs → min-label components → keep
+    // component minima. The oracle runs the FAITHFUL transitive
+    // reachability (recursive CTE), not the drop-id_b shortcut — at
+    // hamming ≤ 3 over the full table, chains through intermediates
+    // (a~b~c with a,c not directly close) exist and the shortcut would
+    // keep docs the component rule drops.
+    r.reg("q_simhash_dedup",
+      s"""WITH RECURSIVE h AS (
+         |  SELECT doc_id,
+         |    list_transform(list_distinct(string_split(text, ' ')), w -> ${tokIdSql("w")} % 2147483647) AS hs
+         |  FROM documents),
+         |sh AS (SELECT doc_id, CAST(${graft.llm.TextHash.simhashTermsSql("hs", 64)} AS BIGINT) AS s FROM h),
+         |banded AS (
+         |  SELECT doc_id, s, b.band, (s >> (b.band * 16)) & 65535 AS key
+         |  FROM sh, (SELECT unnest(range(0, 4)) AS band) b),
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.s, b.s)) <= 3),
+         |sedges AS (
+         |  SELECT id_a AS u, id_b AS v FROM prs
+         |  UNION SELECT id_b AS u, id_a AS v FROM prs),
+         |reach AS (
+         |  SELECT u, v FROM sedges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN sedges e ON r.v = e.u),
+         |drp AS (SELECT u AS id FROM reach GROUP BY u HAVING min(v) < u)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM drp)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.dropSimhashNearDuplicates(t(s, dir, "documents"), "doc_id",
+          "text")
+        .select("doc_id").orderBy("doc_id")
+    }
+
     r.reg("q_simhash",
       s"""WITH h AS (
          |  SELECT doc_id,

@@ -996,6 +996,28 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Drop SimHash near-duplicates: [[simhashNearDupPairs]] →
+    * [[minLabelComponents]] → keep each component's smallest id — the
+    * drop-composite completing the SimHash family in parity with the
+    * MinHash [[dropNearDuplicates]] (same transitive-component
+    * discipline: a chain a~b~c collapses to ONE survivor even when a
+    * and c are not directly within Hamming distance). Same scale shape:
+    * banded candidate generation, log₂ label propagation, one final
+    * anti join. */
+  def dropSimhashNearDuplicates(docs: DataFrame, idCol: String,
+                                textCol: String, bits: Int = 64,
+                                hammingK: Int = 3,
+                                maxIterations: Int = 30,
+                                maxBucketSize: Int = 10000): DataFrame = {
+    val pairs = simhashNearDupPairs(docs, idCol, textCol, bits, hammingK,
+        maxBucketSize)
+      .select(col("id_a"), col("id_b")).cache()
+    val labels = minLabelComponents(pairs, maxIterations)
+    pairs.unpersist()
+    val toDrop = labels.filter(col("id") =!= col("label")).select(col("id"))
+    docs.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** N-gram decontamination report: training docs sharing at least one
     * token `k`-shingle with a benchmark corpus, with the count of distinct
     * overlapping shingles per doc (k defaults to 5 — long enough that

@@ -285,6 +285,37 @@ class WindowLlmSpec extends SparkTestBase {
     assert(kept == Set(1L, 3L))
   }
 
+  test("dropSimhashNearDuplicates collapses transitive chains to the smallest id") {
+    // a ~ b and b ~ c within hamming 3, but ham(a, c) = 6: the
+    // component rule keeps ONLY the smallest id — the drop-id_b
+    // shortcut would differ exactly here (c never pairs with a).
+    // Token edits found by offline search over the exact signature
+    // arithmetic: 300 base tokens, B swaps {tk238, tk286}→{zz231,
+    // zz260} (ham 3 from A), C further swaps tk064→zz116 (ham 3 from
+    // B, 6 from A).
+    val baseToks = (0 until 300).map(i => f"tk$i%03d")
+    val base = baseToks.mkString(" ")
+    val mid = (baseToks.filterNot(Set("tk238", "tk286")) ++
+      Seq("zz231", "zz260")).mkString(" ")
+    val far = (baseToks.filterNot(Set("tk064", "tk238", "tk286")) ++
+      Seq("zz231", "zz260", "zz116")).mkString(" ")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val docs = df(schema, Row(10L, base), Row(20L, mid), Row(30L, far),
+      Row(40L, "completely different words about rivers and stones and light"))
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only meaningful if the fixture actually forms a chain (not a
+    // triangle): 10~20, 20~30, but NOT 10~30
+    assume(pairs.contains((10L, 20L)) && pairs.contains((20L, 30L)) &&
+      !pairs.contains((10L, 30L)),
+      s"fixture drifted (pairs=$pairs) — rebuild the chain texts")
+    val kept = Dedup.dropSimhashNearDuplicates(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 40L),
+      s"chain must collapse to its smallest id: $kept")
+  }
+
   test("native SimHash matches the declarative form bit-for-bit") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").limit(200)
