@@ -1406,6 +1406,41 @@ object QueriesText {
         .orderBy("doc_id", "window_id")
     }
 
+    // Assembled training windows (r12): the end of the concat-and-chop
+    // chain — window TEXT built token-exactly from every member doc's
+    // slice in write-offset order; the oracle recomputes the whole
+    // assembly (real token counts, cumsum, spans, slices, ordered
+    // string_agg), so a hash match proves windows are token-identical
+    // cross-engine, not just counted alike.
+    r.reg("q_assemble_windows",
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks,
+        |             CAST(len(string_split(text,' ')) AS BIGINT) AS n
+        |           FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, toks, n,
+        |       CAST(sum(n) OVER (ORDER BY (doc_id + 3) % 2147483648 * 2654435761 % 4294967296
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS start FROM d),
+        |w AS (SELECT doc_id, toks, n, start,
+        |       CAST(floor(start/500.0) AS BIGINT) AS wf,
+        |       CASE WHEN n>0 THEN CAST(floor((start+n-1)/500.0) AS BIGINT)
+        |            ELSE CAST(floor(start/500.0) AS BIGINT) END AS wl FROM c),
+        |r AS (SELECT unnest(range(0, (SELECT CAST(ceil(sum(n)/500.0) AS BIGINT)+1 FROM d))) AS window_id),
+        |mem AS (SELECT w.doc_id, r.window_id,
+        |         GREATEST(r.window_id*500 - w.start, 0) AS f,
+        |         LEAST((r.window_id+1)*500 - w.start, w.n) AS t2,
+        |         GREATEST(w.start - r.window_id*500, 0) AS pos, w.toks
+        |        FROM w JOIN r ON r.window_id BETWEEN w.wf AND w.wl),
+        |parts AS (SELECT window_id, pos,
+        |           array_to_string(toks[CAST(f+1 AS INT):CAST(t2 AS INT)], ' ') AS part,
+        |           t2 - f AS len FROM mem WHERE t2 > f)
+        |SELECT window_id, string_agg(part, ' ' ORDER BY pos) AS window_text,
+        |  CAST(sum(len) AS BIGINT) AS n_tokens
+        |FROM parts GROUP BY window_id ORDER BY window_id""".stripMargin) { (s, dir) =>
+      TextStats.assembleWindows(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", windowSize = 500L, seed = 3L)
+        .orderBy("window_id")
+    }
+
     // REAL codec round trip: Spark synthesizes a PNG per doc on the
     // executors (pixels are a pure integer function of doc_id), decodes
     // it back with JDK ImageIO, and reports actual decoded

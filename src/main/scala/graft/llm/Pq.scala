@@ -498,6 +498,18 @@ object Pq {
         .parquet(s"$nextRoot/codebooks")
       newCents.coalesce(1).write.mode("overwrite")
         .parquet(s"$nextRoot/centroids")
+      // sidecar rebuild BEFORE the flip (the family's blooms-first
+      // ordering): the instant the manifest switches, the live
+      // population already has an exact sidecar. Crash anywhere in
+      // this window is covered by the compaction lock the migration
+      // holds — appends fail loudly against a left-behind lock, and
+      // the documented recovery for a crashed migration is to re-run
+      // it before deleting the lock (wholesale rewrite, idempotent).
+      if (KeyBlooms.exists(spark, path, "idblooms"))
+        KeyBlooms.rebuild(
+          spark.read.parquet(s"$nextRoot/encoded")
+            .select(col(idCol).as("key")),
+          path, "idblooms")
       Generations.flip(spark, path, "MANIFEST", nextGen)
       for (old <- 0 until curGen) {
         if (old == 0)
@@ -505,11 +517,6 @@ object Pq {
             fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
         else fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen-$old"), true)
       }
-      if (KeyBlooms.exists(spark, path, "idblooms"))
-        KeyBlooms.rebuild(
-          spark.read.parquet(s"$nextRoot/encoded")
-            .select(col(idCol).as("key")),
-          path, "idblooms")
       (srcRows, dstRows)
     }
   }

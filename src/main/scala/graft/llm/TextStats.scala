@@ -365,6 +365,42 @@ object TextStats {
           lit(0L)))
       .drop("window_first", "window_last", "n_windows")
 
+  /** Materialize the training windows themselves — the end of the
+    * concat-and-chop chain: every document's token slices
+    * ([[tokenWindowMembers]] over the REAL whitespace token counts)
+    * join in window order into (window_id, window_text, n_tokens).
+    * Every window holds exactly `windowSize` tokens except the stream
+    * tail (callers typically keep only full windows for training).
+    * NULL-text docs drop (the chunking convention); zero-token members
+    * contribute nothing and vanish from the assembly.
+    *
+    * Scale shape: the members explode plus ONE shuffle keyed on
+    * window_id (each window's slices meet exactly once); within-window
+    * order is the deterministic write offset, so the assembled text is
+    * engine- and partitioning-independent. Window text is ~windowSize
+    * tokens — size `windowSize` so a single assembled row stays far
+    * under spark's row limits (a 8k-token window of ~6-byte tokens is
+    * ~50 KB). */
+  def assembleWindows(docs: DataFrame, idCol: String, textCol: String,
+                      windowSize: Long, seed: Long = 0L): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val withN = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__toks__"),
+        size(toks).cast("long").as("__n__"))
+    tokenWindowMembers(withN, idCol, "__n__", windowSize, seed)
+      .filter(col("tok_to") > col("tok_from"))
+      .select(col("window_id"), col("window_pos"),
+        slice(col("__toks__"), (col("tok_from") + 1).cast("int"),
+          (col("tok_to") - col("tok_from")).cast("int")).as("__slice__"))
+      .groupBy("window_id")
+      .agg(
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("window_pos"),
+            col("__slice__")))),
+          s => s.getField("__slice__"))), " ").as("window_text"),
+        sum(size(col("__slice__")).cast("long")).as("n_tokens"))
+  }
+
   /** PII redaction: emails, IPv4 addresses, then phone-like digit runs
     * are replaced with typed placeholder tokens — in that order, so an
     * address's digits can't be re-matched as a phone number. Pure

@@ -416,6 +416,30 @@ class WindowLlmSpec extends SparkTestBase {
     assert(z._5 == 1, "zero-token doc spans exactly its start window")
   }
 
+  test("assembleWindows: token-exact reconstruction of the chopped stream") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val docs = df(schema,
+      (1L to 9L).map(i =>
+        Row(i, (1 to 17).map(t => s"d${i}t$t").mkString(" "))): _*)
+    val out = graft.llm.TextStats
+      .assembleWindows(docs, "doc_id", "text", windowSize = 20L)
+      .orderBy("window_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // reference: concatenate tokens in the hash permutation, chop at 20
+    val hash = (id: Long) => (id % 2147483648L) * 2654435761L % 4294967296L
+    val stream = (1L to 9L).sortBy(hash)
+      .flatMap(i => (1 to 17).map(t => s"d${i}t$t"))
+    val expected = stream.grouped(20).toSeq
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case ((wid, text, n), exp) =>
+      assert(n == exp.length, s"window $wid mass $n != ${exp.length}")
+      assert(text == exp.mkString(" "),
+        s"window $wid text diverged from the chopped stream")
+    }
+    assert(out.init.forall(_._3 == 20L) && out.last._3 == (9 * 17) % 20)
+  }
+
   test("tokenWindowMembers: slices tile every doc and fill every window exactly") {
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("tok", LongType)))
