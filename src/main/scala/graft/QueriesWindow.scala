@@ -554,6 +554,43 @@ object QueriesWindow {
         .sortValues(Seq("doc_id" -> true, "epoch" -> true)).df
     }
 
+    // Token-weighted upsampling (r12): repeat factors from total domain
+    // MASS (n_chars), f_d = min(sqrt(Wmax/W_d), 10) — same epoch
+    // machinery as the doc-count form, recomputed exactly.
+    r.reg("q_temperature_upsample_tokens",
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN doc_id % 10 < 6 THEN 'head'
+         |         WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'tail' END AS dom
+         |  FROM documents),
+         |c AS (SELECT dom, SUM(n_chars) AS cnt FROM d GROUP BY dom),
+         |m AS (SELECT MAX(cnt) AS cmax FROM c),
+         |f AS (
+         |  SELECT dom,
+         |    LEAST(sqrt(CAST(cmax AS DOUBLE) / CAST(cnt AS DOUBLE)), 10.0) AS fac
+         |  FROM c, m),
+         |t AS (
+         |  SELECT dom, CAST(floor(fac) AS BIGINT) AS fullr,
+         |    CAST(floor((fac - floor(fac)) * 4294967296) AS BIGINT) AS thr
+         |  FROM f),
+         |r AS (SELECT unnest(range(0, 11)) AS epoch)
+         |SELECT d.doc_id, d.dom, CAST(r.epoch AS BIGINT) AS epoch
+         |FROM d JOIN t USING (dom) JOIN r ON r.epoch <= t.fullr
+         |WHERE r.epoch < t.fullr
+         |   OR ((d.doc_id % 2147483648 + r.epoch * 7919) % 2147483648)
+         |      * 2654435761 % 4294967296 < t.thr
+         |ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            when(col("doc_id") % 10 < 6, "head")
+              .when(col("doc_id") % 10 < 9, "mid")
+              .otherwise("tail").as("dom")))
+        .upsampleByTemperatureWeighted("doc_id", "dom", "n_chars",
+          alpha = 0.5)
+        .select("doc_id", "dom", "epoch")
+        .sortValues(Seq("doc_id" -> true, "epoch" -> true)).df
+    }
+
     // Deterministic corpus shuffle: global position under the Knuth-hash
     // order (scale-safe two-pass plan) — the "shuffle before sharding"
     // training-data pass; the oracle replays the permutation exactly.

@@ -226,7 +226,27 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     * as in the down-sampler. */
   def upsampleByTemperature(keyCol: String, domainCol: String,
                             alpha: Double,
-                            maxRepeat: Int = 10): GraftFrame = {
+                            maxRepeat: Int = 10): GraftFrame =
+    upsampleByTemperatureImpl(keyCol, domainCol, count(lit(1)), alpha,
+      maxRepeat)
+
+  /** [[upsampleByTemperature]] with domain sizes measured by an integer
+    * WEIGHT column (token counts, bytes) — repeat factors derive from
+    * total domain MASS, f_d = (W_max/W_d)^(1-alpha), so the expected
+    * sampled token mass per domain ∝ W_d^alpha with the heaviest
+    * domain kept once. The per-document epoch treatment is uniform
+    * within a domain (long documents are not individually favored —
+    * the weighted-downsampler contract); non-positive-weight domains
+    * drop like NULL domains. */
+  def upsampleByTemperatureWeighted(keyCol: String, domainCol: String,
+                                    weightCol: String, alpha: Double,
+                                    maxRepeat: Int = 10): GraftFrame =
+    upsampleByTemperatureImpl(keyCol, domainCol,
+      sum(col(weightCol).cast("long")), alpha, maxRepeat)
+
+  private def upsampleByTemperatureImpl(keyCol: String, domainCol: String,
+                                        sizeAgg: Column, alpha: Double,
+                                        maxRepeat: Int): GraftFrame = {
     require(alpha >= 0.0 && alpha <= 1.0,
       s"alpha must be in [0, 1], got $alpha")
     require(maxRepeat >= 1, s"maxRepeat must be >= 1, got $maxRepeat")
@@ -237,7 +257,7 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
       s"upsampleByTemperature: key column '$keyCol' must be numeric " +
         s"(got ${kt.simpleString}); factorize or hash string keys first")
     val counts = df.filter(col(domainCol).isNotNull)
-      .groupBy(col(domainCol)).agg(count(lit(1)).as("__c__"))
+      .groupBy(col(domainCol)).agg(sizeAgg.as("__c__"))
       .filter(col("__c__") > 0L)
     val cmax = counts.agg(max(col("__c__")).as("__cmax__"))
     val ratio = col("__cmax__").cast("double") / col("__c__").cast("double")
