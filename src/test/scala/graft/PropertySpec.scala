@@ -404,4 +404,70 @@ class PropertySpec extends SparkTestBase {
         s"drop diverged: kept $kept expected $expectedKept (pairs ${pairs.toSeq})")
     }
   }
+
+  // ---- r12 training-layout family: random configs vs Scala references ----
+
+  test("chunkByTokens equals a reference chunker for random (n, maxTokens, overlap)") {
+    import org.apache.spark.sql.types._
+    val cfgGen = for {
+      n <- Gen.choose(0, 120)
+      maxT <- Gen.choose(1, 30)
+      ov <- Gen.choose(0, maxT - 1)
+    } yield (n, maxT, ov)
+    forAll(cfgGen, cases = 25) { case (n, maxT, ov) =>
+      val words = (1 to n).map(i => s"w$i")
+      val text = words.mkString(" ")
+      val docs = df(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))), Row(1L, text))
+      val got = graft.llm.TextStats
+        .chunkByTokens(docs, "doc_id", "text", maxT, ov)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getInt(1), r.getString(2), r.getInt(3))).toSeq
+      // reference: stride windows until one reaches the end. The token
+      // list mirrors split(" ", -1): an empty text is ONE empty token.
+      val toks = text.split(" ", -1).toSeq
+      val stride = maxT - ov
+      val nChunks =
+        if (toks.length <= maxT) 1
+        else 1 + math.ceil((toks.length - maxT).toDouble / stride).toInt
+      val expected = (0 until nChunks).map { c =>
+        val slice = toks.slice(c * stride, c * stride + maxT)
+        (c, slice.mkString(" "), slice.length)
+      }
+      assert(got == expected,
+        s"n=$n maxT=$maxT ov=$ov: $got != $expected")
+      // invariants: full coverage, last chunk reaches the end
+      assert(got.map(_._3).sum == toks.length + ov * (nChunks - 1))
+    }
+  }
+
+  test("tokenWindows equals a reference cumsum-chop for random weights") {
+    import org.apache.spark.sql.types._
+    val rowsGenW = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 100000L)
+        w <- Gen.oneOf(Gen.const(0L), Gen.choose(1L, 400L))
+      } yield (id, w))
+    } yield rows.groupBy(_._1).map(_._2.head).toList // distinct keys
+    forAll2(rowsGenW, Gen.choose(1L, 300L), cases = 20) { (rows, wsize) =>
+      val docs = df(StructType(Seq(StructField("doc_id", LongType),
+        StructField("tok", LongType))), rows.map(r => Row(r._1, r._2)): _*)
+      val got = graft.llm.TextStats
+        .tokenWindows(docs, "doc_id", "tok", wsize)
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("token_start"),
+          r.getAs[Long]("window_first"), r.getAs[Long]("window_last")))
+        .sortBy(_._1).toSeq
+      val hash = (id: Long) => (id % 2147483648L) * 2654435761L % 4294967296L
+      val ordered = rows.sortBy(r => hash(r._1))
+      var acc = 0L
+      val expected = ordered.map { case (id, w) =>
+        val start = acc; acc += w
+        val first = start / wsize
+        val last = if (w > 0) (start + w - 1) / wsize else first
+        (id, start, first, last)
+      }.sortBy(_._1)
+      assert(got == expected, s"wsize=$wsize: $got != $expected")
+    }
+  }
 }
