@@ -561,6 +561,46 @@ class EmbedIngestSpec extends SparkTestBase {
     } finally rmDir(dir)
   }
 
+  test("retrain guards: flat PQ corpus refused with the rebuild hint; held lock fails loudly") {
+    val dir = tmpDir("graft_rtguard")
+    try {
+      val cbs = graft.llm.Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, codes = 16, iters = 0)
+      val enc = graft.llm.Pq.encode(emb, "vec_id", "embedding", cbs, 64, 8)
+      graft.llm.Pq.writePqCorpus(enc, cbs, dir, 64, 8)
+      // a FLAT corpus has no coarse quantizer to migrate — the error
+      // must say to rebuild with writePqCorpus instead
+      val e = intercept[IllegalArgumentException] {
+        graft.llm.Pq.retrainIvfPqCorpus(emb, "vec_id", "embedding", dir)
+      }
+      assert(e.getMessage.contains("writePqCorpus"), e.getMessage)
+      // writer exclusivity: a held (or crashed) compaction lock makes
+      // the migration throw, naming the lock file
+      val lock = new java.io.File(dir, "_COMPACTION_LOCK")
+      java.nio.file.Files.write(lock.toPath, "held\n".getBytes("UTF-8"))
+      val e2 = intercept[IllegalStateException] {
+        graft.llm.Pq.retrainIvfPqCorpus(emb, "vec_id", "embedding", dir)
+      }
+      assert(e2.getMessage.contains("_COMPACTION_LOCK"), e2.getMessage)
+      assert(lock.delete())
+      // the IVF side holds the same exclusivity contract
+      val ivfDir = tmpDir("graft_rtguard_ivf")
+      try {
+        val cents = Ivf.train(emb, "vec_id", "embedding", nCells = 4,
+          iters = 0)
+        Ivf.writeIndex(emb, "vec_id", "embedding", cents, ivfDir)
+        val lock2 = new java.io.File(ivfDir, "_COMPACTION_LOCK")
+        java.nio.file.Files.write(lock2.toPath, "held\n".getBytes("UTF-8"))
+        val e3 = intercept[IllegalStateException] {
+          Ivf.retrainIndex(spark, ivfDir, nCells = 4, iters = 0,
+            trainFraction = 1.0)
+        }
+        assert(e3.getMessage.contains("_COMPACTION_LOCK"), e3.getMessage)
+        assert(lock2.delete())
+      } finally rmDir(ivfDir)
+    } finally rmDir(dir)
+  }
+
   test("retrainIvfPqCorpus: recall recovers on drift, stamp/geometry kept, id blooms rebuilt in lockstep") {
     val dir = tmpDir("graft_pqrt")
     try {
