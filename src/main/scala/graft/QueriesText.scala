@@ -748,6 +748,31 @@ object QueriesText {
         .select("doc_id").orderBy("doc_id")
     }
 
+    // Cap-engagement observability (r13, r12 ADVICE): the buckets the
+    // simhash degenerate-bucket cap WOULD split at maxBucketSize=8 —
+    // the report that makes silent recall loss observable. The fixture
+    // has 28/34 such buckets at sf0.001/sf0.01 (probed), so the oracle
+    // is non-vacuous at both scales; the production default cap (10k)
+    // yields the empty report that certifies exact recall.
+    r.reg("q_simhash_capped",
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(list_distinct(string_split(text, ' ')), w -> ${tokIdSql("w")} % 2147483647) AS hs
+         |  FROM documents),
+         |sh AS (SELECT doc_id, CAST(${graft.llm.TextHash.simhashTermsSql("hs", 64)} AS BIGINT) AS s FROM h),
+         |banded AS (
+         |  SELECT doc_id, b.band, (s >> (b.band * 16)) & 65535 AS key
+         |  FROM sh, (SELECT unnest(range(0, 4)) AS band) b)
+         |SELECT CAST(band AS INT) AS band, CAST(key AS BIGINT) AS key,
+         |  count(*) AS n_docs,
+         |  CAST(ceil(count(*) / 8.0) AS INT) AS n_subbuckets
+         |FROM banded GROUP BY band, key HAVING count(*) > 8
+         |ORDER BY band, key""".stripMargin) { (s, dir) =>
+      Dedup.simhashCappedBuckets(t(s, dir, "documents"), "doc_id", "text",
+          maxBucketSize = 8)
+        .orderBy("band", "key")
+    }
+
     r.reg("q_simhash",
       s"""WITH h AS (
          |  SELECT doc_id,
@@ -894,6 +919,63 @@ object QueriesText {
             graft.llm.Pipeline.TemperatureMix("source", alpha = 0.5)))
         .select("doc_id", "split", "shuffle_pos")
         .orderBy("doc_id")
+    }
+
+    // The composed corpus -> TRAINING-FILES last mile (r13): the full
+    // pipeline chain through decontamination, split assignment, then the
+    // per-split GPT-style concat-and-chop INTO THE LANDED PARQUET — the
+    // Spark side runs Pipeline.buildAndWriteWindows to disk and reads
+    // the landing back, so the oracle hash-checks the composed product
+    // (every pipeline stage + split isolation + window assembly + the
+    // partitioned write), not just the lazy plan. The oracle recomputes
+    // window ids AND the token-exact assembled text per split: a doc
+    // wrongly kept/dropped/split anywhere shifts every later window of
+    // that split, so the check has no slack.
+    r.reg("q_pipeline_windows", pipeCleanCtes +
+      s""",
+         |wdocs AS (
+         |  SELECT c.doc_id, d.text,
+         |    CASE WHEN (c.doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTTrain THEN 'train'
+         |         WHEN (c.doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTVal THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM clean c JOIN documents d USING (doc_id)),
+         |wd AS (SELECT split, doc_id, string_split(text, ' ') AS toks,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM wdocs),
+         |wc AS (SELECT split, doc_id, toks, n,
+         |        CAST(sum(n) OVER (PARTITION BY split
+         |          ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS start FROM wd),
+         |ww AS (SELECT split, doc_id, toks, n, start,
+         |        CAST(floor(start/200.0) AS BIGINT) AS wf,
+         |        CASE WHEN n > 0 THEN CAST(floor((start+n-1)/200.0) AS BIGINT)
+         |             ELSE CAST(floor(start/200.0) AS BIGINT) END AS wl FROM wc),
+         |wr AS (SELECT unnest(range(0,
+         |        (SELECT CAST(ceil(sum(n)/200.0) AS BIGINT) + 1 FROM wd))) AS window_id),
+         |wmem AS (SELECT w.split, r.window_id,
+         |          GREATEST(r.window_id*200 - w.start, 0) AS f,
+         |          LEAST((r.window_id+1)*200 - w.start, w.n) AS t2,
+         |          GREATEST(w.start - r.window_id*200, 0) AS pos, w.toks
+         |         FROM ww w JOIN wr r ON r.window_id BETWEEN w.wf AND w.wl),
+         |wparts AS (SELECT split, window_id, pos,
+         |            array_to_string(toks[CAST(f+1 AS INT):CAST(t2 AS INT)], ' ') AS part,
+         |            t2 - f AS len FROM wmem WHERE t2 > f)
+         |SELECT split, window_id, string_agg(part, ' ' ORDER BY pos) AS window_text,
+         |  CAST(sum(len) AS BIGINT) AS n_tokens
+         |FROM wparts GROUP BY split, window_id
+         |ORDER BY split, window_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val out = "/root/repo/target/qtmp/pipeline_windows"
+      // a fresh landing every run: the crash-replay manifest guard would
+      // otherwise O(1)-return a PREVIOUS scale factor's landing
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.llm.Pipeline.buildAndWriteWindows(
+        docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+        "doc_id", "text", out, windowSize = 200L)
+      s.read.parquet(out)
+        .select("split", "window_id", "window_text", "n_tokens")
+        .orderBy("split", "window_id")
     }
 
     // Incremental DAILY-INGEST gate (llm/Pipeline.ingestShardFrame): the

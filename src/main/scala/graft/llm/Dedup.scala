@@ -942,7 +942,8 @@ object Dedup {
     * one band is still caught by any OTHER agreeing band (docs that
     * degenerate a bucket are near-identical and collide in every
     * band, each salted differently) — the same accepted trade-off as
-    * the MinHash-LSH path. */
+    * the MinHash-LSH path. [[simhashCappedBuckets]] reports exactly
+    * which buckets engaged the cap (empty report = exact recall). */
   def simhashNearDupPairs(docs: DataFrame, idCol: String,
                           textCol: String, bits: Int = 64,
                           hammingK: Int = 3,
@@ -950,6 +951,13 @@ object Dedup {
     require(hammingK >= 0 && bits % (hammingK + 1) == 0,
       s"bits=$bits must split into hammingK+1=${hammingK + 1} bands")
     require(maxBucketSize > 1, "maxBucketSize must exceed 1")
+    // the engine-agnostic sub-bucket salt below is integer arithmetic
+    // on the id — refuse string keys loudly (the shuffleIndex posture)
+    require(docs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"simhashNearDupPairs: id column '$idCol' must be numeric (got " +
+        s"${docs.schema(idCol).dataType.simpleString}); factorize or " +
+        "hash string keys first")
     val w = bits / (hammingK + 1)
     val mask = if (w == 64) -1L else (1L << w) - 1
     // native one-pass signature (graft.functions.SimHash): the
@@ -968,15 +976,22 @@ object Dedup {
         col("bk.key").as("key"))
       .repartition(col("band"), col("key"))
     // bucket count rides the SAME exchange (window distribution ==
-    // the repartition above); oversized buckets split by id-hash salt
+    // the repartition above); oversized buckets split by id-hash salt.
+    // The salt is the repo's engine-agnostic keyHash31 (Knuth hash on
+    // the integer id, band-rotated), NOT Spark's Murmur3 hash(): when
+    // the cap engages, which sub-bucket a doc lands in decides which
+    // pairs survive, so an engine-specific salt would quietly break the
+    // family's bit-reproducible-cross-engine contract (r12 ADVICE).
+    // Requires a numeric id — the family-wide key contract.
     val wBucket = Window.partitionBy(col("band"), col("key"))
     val salted = banded
       .withColumn("__n__", count(lit(1)).over(wBucket))
       .withColumn("__salt__",
         when(col("__n__") > maxBucketSize,
-          pmod(hash(col("id"), col("band")),
+          pmod(graft.QHelp.keyHash31(
+            pmod(col("id"), lit(2147483648L)) + col("band") * lit(7919L)),
             greatest(ceil(col("__n__").cast("double") / maxBucketSize)
-              .cast("int"), lit(1))))
+              .cast("int"), lit(1)).cast("long")).cast("int"))
           .otherwise(lit(0)))
       .select(col("id"), col("sh"), col("band"), col("key"),
         col("__salt__"))
@@ -994,6 +1009,42 @@ object Dedup {
       // diverse corpus) must not ride the distinct shuffle
       .filter(col("hamming") <= hammingK)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Observability for the [[simhashNearDupPairs]] degenerate-bucket
+    * cap (r12 ADVICE: recall lost to cap-split buckets was silent): one
+    * row per (band, key) bucket whose population exceeds
+    * `maxBucketSize`, with its size and the sub-bucket count it splits
+    * into. EMPTY output proves the cap never engaged and the pigeonhole
+    * completeness guarantee held exactly end-to-end; non-empty rows
+    * name the boilerplate masses whose only-agreeing-band pairs may
+    * have been dropped — run at the SAME parameters as the pair join
+    * to audit a corpus before trusting its dedup. Scale shape: the
+    * banding expressions fused into one scan plus a (band, key)
+    * aggregate with map-side partials — cheaper than the pair join it
+    * audits. */
+  def simhashCappedBuckets(docs: DataFrame, idCol: String,
+                           textCol: String, bits: Int = 64,
+                           hammingK: Int = 3,
+                           maxBucketSize: Int = 10000): DataFrame = {
+    require(hammingK >= 0 && bits % (hammingK + 1) == 0,
+      s"bits=$bits must split into hammingK+1=${hammingK + 1} bands")
+    require(maxBucketSize > 1, "maxBucketSize must exceed 1")
+    val w = bits / (hammingK + 1)
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val sh = docs.select(col(idCol).as("id"),
+      graft.functions.TextHashExprs.simhash(col(textCol), bits).as("sh"))
+    val bandCols = (0 to hammingK).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sh"), b * w).bitwiseAND(lit(mask))
+          .as("key")))
+    sh.select(explode(array(bandCols: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"))
+      .groupBy("band", "key")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucketSize)
+      .withColumn("n_subbuckets",
+        ceil(col("n_docs").cast("double") / maxBucketSize).cast("int"))
   }
 
   /** Drop SimHash near-duplicates: [[simhashNearDupPairs]] →

@@ -447,20 +447,26 @@ object Ivf {
     * (rows before, rows after) — equal on success. */
   def retrainIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String, nCells: Int, iters: Int = 2,
-                   trainFraction: Double = 0.05): (Long, Long) =
+                   trainFraction: Double = 0.05,
+                   idCol: Option[String] = None,
+                   vecCol: Option[String] = None): (Long, Long) =
     Generations.withCompactionLock(spark, s"$path/_COMPACTION_LOCK") {
       val curRoot = resolveRoot(spark, path)
       val vectors = spark.read.parquet(s"$curRoot/vectors")
-      val idName = vectors.schema.fields.find(f => f.name != "cell" &&
-          !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
-        .getOrElse(throw new IllegalStateException(
-          s"retrainIndex: cannot infer the id column of $curRoot/vectors"))
-        .name
-      val vecName = vectors.schema.fields
-        .find(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
-        .getOrElse(throw new IllegalStateException(
-          s"retrainIndex: cannot infer the vector column of $curRoot/vectors"))
-        .name
+      // explicit idCol/vecCol win (the convention of every other Ivf
+      // entrypoint); inference THROWS on ambiguity instead of silently
+      // retraining on the first matching field — an index persisted
+      // from a frame with extra scalar or array columns must name its
+      // columns, not have them guessed (r12 ADVICE)
+      val idName = idCol.getOrElse(
+        inferUnique(vectors, "retrainIndex", s"$curRoot/vectors",
+          f => f.name != "cell" &&
+            !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          "id"))
+      val vecName = vecCol.getOrElse(
+        inferUnique(vectors, "retrainIndex", s"$curRoot/vectors",
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          "vector"))
       // pinned: consumed by the re-assignment AND written as the new
       // generation's centroids — one training pass, not two
       val newCents = train(vectors.select(col(idName), col(vecName)),
@@ -470,6 +476,23 @@ object Ivf {
         v => assign(v.drop("cell"), idName, vecName, newCents),
         "retrainIndex", newCentroids = Some(newCents))
     }
+
+  /** Schema inference shared by the index rewrites: the UNIQUE field
+    * matching `pred`, or a loud throw naming the candidates — more than
+    * one match means the caller's frame carried extra columns into the
+    * persisted layout, and guessing would silently rewrite the index
+    * keyed on the wrong column (r12 ADVICE). */
+  private def inferUnique(df: DataFrame, opName: String, where: String,
+                          pred: org.apache.spark.sql.types.StructField => Boolean,
+                          what: String): String = {
+    val hits = df.schema.fields.filter(pred).map(_.name)
+    if (hits.length == 1) hits.head
+    else if (hits.isEmpty) throw new IllegalStateException(
+      s"$opName: cannot infer the $what column of $where (no candidate)")
+    else throw new IllegalStateException(
+      s"$opName: ambiguous $what column of $where — candidates " +
+        s"${hits.mkString("[", ", ", "]")}; pass idCol/vecCol explicitly")
+  }
 
   private def rewriteIndexLocked(spark: org.apache.spark.sql.SparkSession,
                                  path: String,
@@ -507,11 +530,10 @@ object Ivf {
     // vectors append committed but whose boundary append did not is
     // reconciled back in. The id column is the vectors schema minus the
     // partition column and the vector payload.
-    val idName = vecDf.schema.fields.find(f => f.name != "cell" &&
-        !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
-      .getOrElse(throw new IllegalStateException(
-        s"$opName: cannot infer the id column of $nextRoot/vectors"))
-      .name
+    val idName = inferUnique(vecDf, opName, s"$nextRoot/vectors",
+      f => f.name != "cell" &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+      "id")
     // bounded parallelism, NOT coalesce(1): at the 10B-vector scale the
     // boundary exists for, one task funneling the whole id column is a
     // single-core stall (and a single multi-GB file); defaultParallelism

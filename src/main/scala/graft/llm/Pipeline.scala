@@ -96,8 +96,12 @@ object Pipeline {
     * columns). CAVEAT: CollectMetrics does not surface through every
     * execution shape (cache materializations and file-write commands
     * don't report it), so which stages resolve depends on which
-    * internal job first executed each observe: "near_dedup" and
-    * "output" are reliable after any query action on the result;
+    * internal job first executed each observe: "near_dedup", "decontam"
+    * (attached only when persistStages=true — its boundary is multiply
+    * referenced, and only the cache materializes the observe exactly
+    * once; near_dedup → decontam → temperature_mix then attribute each
+    * stage's own drop) and "output" are reliable after any query action
+    * on the result;
     * "input"/"quality"/"exact_dedup" resolve when near-dedup's label
     * propagation executed the upstream — i.e. whenever candidate pairs
     * exist, the overwhelmingly common case on real corpora. Check
@@ -117,14 +121,23 @@ object Pipeline {
                              temperatureMix: Option[TemperatureMix] = None)
       : (DataFrame, Map[String, Observation]) = {
     // "temperature_mix" only joins the map when the stage is ACTIVE: an
-    // Observation that never attaches would block a caller's get() forever
+    // Observation that never attaches would block a caller's get() forever.
+    // "decontam" (r12 ADVICE: without it the mix stage's drop was only
+    // attributable when decontamination dropped nothing) joins only when
+    // the stage boundaries persist: the decontam output is multiply
+    // referenced downstream (the mixer's domain-size aggregate + its row
+    // side, or shuffle-index's two-pass cumsum), so without the persist
+    // the observe node would execute per reference and double-count (the
+    // r8 lesson); WITH it the cache materializes the node once.
     val stages = Seq("input", "quality", "exact_dedup", "near_dedup") ++
+      (if (persistStages) Seq("decontam") else Nil) ++
       (if (temperatureMix.isDefined) Seq("temperature_mix") else Nil) ++
       Seq("output")
     val obs = stages.map(s => s -> Observation()).toMap
     val out = chain(docs, bench, idCol, textCol, minTokens,
       nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
-      (stage, d) => d.observe(obs(stage), count(lit(1)).as("rows")),
+      (stage, d) => obs.get(stage)
+        .fold(d)(o => d.observe(o, count(lit(1)).as("rows"))),
       persistStages, boilerplateMaxDocFreq, embeddingDedup,
       temperatureMix = temperatureMix)
     (out, obs)
@@ -203,6 +216,162 @@ object Pipeline {
     val os = fs.create(p, true)
     try os.write((json + "\n").getBytes("UTF-8")) finally os.close()
     counts
+  }
+
+  /** The corpus → TRAINING-FILES last mile, composed (r12 verdict #1):
+    * the full pretraining build (quality → exact dedup → near dedup →
+    * [semantic dedup] → decontamination → [temperature mix] → split)
+    * followed by the GPT-style concat-and-chop — each split's surviving
+    * documents conceptually concatenate in the deterministic Knuth-hash
+    * shuffle order and cut into fixed `windowSize`-token training
+    * windows ([[TextStats.assembleWindows]], seed = shuffleSeed; the
+    * SAME permutation [[pretrainCorpus]]'s shuffle_pos ranks, so the
+    * window stream IS the shuffled corpus). Windows are chopped PER
+    * SPLIT: a train document's tokens can never straddle into a val or
+    * test window — chopping the splits together would leak evaluation
+    * text into training windows by construction. Within each split,
+    * window ids are dense from 0 and the assembled text is engine- and
+    * partitioning-independent (the assembleWindows contract).
+    *
+    * `fullWindowsOnly` drops each split's tail window when it holds
+    * fewer than `windowSize` tokens — the usual training discipline
+    * (a short tail window would train at a different effective batch
+    * shape); keep it for token-accounting audits.
+    *
+    * Scale shape: the pipeline's own stages plus, per split, one
+    * two-pass cumsum and ONE shuffle keyed on window_id — no new
+    * corpus-sized exchange beyond assembly's own. shuffle-index is
+    * skipped entirely (its cumsum would duplicate the assembly's).
+    * Lazy; stage caches live for the session ([[pretrainCorpus]]
+    * posture) — [[buildAndWriteWindows]] owns the lifecycle and lands
+    * the result.
+    *
+    * @return one row per training window: (split, window_id,
+    *         window_text, n_tokens) */
+  def pretrainWindows(docs: DataFrame, bench: DataFrame,
+                      idCol: String, textCol: String,
+                      windowSize: Long,
+                      minTokens: Int = 3,
+                      nearDupThreshold: Double = 0.5,
+                      decontamK: Int = 5,
+                      trainFrac: Double = 0.8,
+                      valFrac: Double = 0.1,
+                      shuffleSeed: Long = 0L,
+                      persistStages: Boolean = true,
+                      boilerplateMaxDocFreq: Option[Int] = None,
+                      embeddingDedup: Option[EmbeddingDedup] = None,
+                      temperatureMix: Option[TemperatureMix] = None,
+                      fullWindowsOnly: Boolean = false): DataFrame = {
+    val corpus = chain(docs, bench, idCol, textCol, minTokens,
+      nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
+      (_, d) => d, persistStages, boilerplateMaxDocFreq, embeddingDedup,
+      temperatureMix = temperatureMix, withShuffleIndex = false)
+    windowsFrom(corpus, idCol, textCol, windowSize, shuffleSeed,
+      fullWindowsOnly)
+  }
+
+  /** [[pretrainWindows]] plus the LANDING — the composed product a
+    * pretraining run actually consumes: windows land as parquet
+    * partitioned by `split` (readers partition-prune to their split;
+    * each partition's files are ready-to-stream training shards) and a
+    * `_graft_windows_manifest.json` records per-split window and token
+    * counts from the WRITTEN files (footer-metadata reads, no second
+    * data pass — the [[buildAndWrite]] posture). Owns the stage-cache
+    * lifecycle (handles released after the write).
+    *
+    * CRASH-REPLAY CONTRACT (the family discipline): the manifest is
+    * written LAST, so its existence proves the landing committed — a
+    * replay returns the recorded counts in O(1) without touching data;
+    * a crash BEFORE the manifest replays as a full rebuild whose
+    * overwrite lands in place, never duplicates. Returns
+    * Map("<split>_windows" → n, "<split>_tokens" → n). */
+  def buildAndWriteWindows(docs: DataFrame, bench: DataFrame,
+                           idCol: String, textCol: String, outPath: String,
+                           windowSize: Long,
+                           minTokens: Int = 3,
+                           nearDupThreshold: Double = 0.5,
+                           decontamK: Int = 5,
+                           trainFrac: Double = 0.8,
+                           valFrac: Double = 0.1,
+                           shuffleSeed: Long = 0L,
+                           boilerplateMaxDocFreq: Option[Int] = None,
+                           embeddingDedup: Option[EmbeddingDedup] = None,
+                           temperatureMix: Option[TemperatureMix] = None,
+                           fullWindowsOnly: Boolean = false): Map[String, Long] = {
+    val spark = docs.sparkSession
+    readJsonManifest(spark, outPath, WINDOWS_MANIFEST) match {
+      case Some(counts) => return counts // fully landed — O(1) replay
+      case None => ()
+    }
+    val handles = scala.collection.mutable.Buffer.empty[DataFrame]
+    val corpus = chain(docs, bench, idCol, textCol, minTokens,
+      nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
+      (_, d) => d, persistStages = true,
+      boilerplateMaxDocFreq = boilerplateMaxDocFreq,
+      embeddingDedup = embeddingDedup, persisted = handles,
+      temperatureMix = temperatureMix, withShuffleIndex = false)
+    val win = windowsFrom(corpus, idCol, textCol, windowSize, shuffleSeed,
+      fullWindowsOnly)
+    try win.write.mode("overwrite").partitionBy("split").parquet(outPath)
+    finally handles.foreach(_.unpersist())
+    // per-split counts from the files ACTUALLY written; explicit schema
+    // keeps an all-dropped landing a valid empty read
+    val counts = spark.read.schema(win.schema).parquet(outPath)
+      .groupBy("split")
+      .agg(count(lit(1)).as("__w__"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("__t__"))
+      .collect()
+      .flatMap(r => Seq(s"${r.getString(0)}_windows" -> r.getLong(1),
+        s"${r.getString(0)}_tokens" -> r.getLong(2)))
+      .toMap
+    writeJsonManifest(spark, counts, outPath, WINDOWS_MANIFEST)
+    counts
+  }
+
+  private val WINDOWS_MANIFEST = "_graft_windows_manifest.json"
+
+  /** Per-split window assembly shared by the two windows entrypoints:
+    * each split chops independently (leakage isolation), the split set
+    * is the static three of [[graft.api.GraftFrame.splitByHash]] — an
+    * empty split assembles to an empty frame and vanishes from the
+    * union. */
+  private def windowsFrom(corpus: DataFrame, idCol: String,
+                          textCol: String, windowSize: Long, seed: Long,
+                          fullWindowsOnly: Boolean): DataFrame = {
+    val win = Seq("train", "val", "test").map { sp =>
+      TextStats.assembleWindows(
+          corpus.filter(col("split") === sp).select(col(idCol), col(textCol)),
+          idCol, textCol, windowSize, seed)
+        .select(lit(sp).as("split"), col("window_id"), col("window_text"),
+          col("n_tokens"))
+    }.reduce(_.unionByName(_))
+    if (fullWindowsOnly) win.filter(col("n_tokens") === windowSize) else win
+  }
+
+  private def readJsonManifest(spark: org.apache.spark.sql.SparkSession,
+                               outPath: String,
+                               name: String): Option[Map[String, Long]] = {
+    val p = new org.apache.hadoop.fs.Path(outPath, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      Some(""""([^"]+)":(-?\d+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap)
+    }
+  }
+
+  private def writeJsonManifest(spark: org.apache.spark.sql.SparkSession,
+                                counts: Map[String, Long], outPath: String,
+                                name: String): Unit = {
+    val json = counts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val p = new org.apache.hadoop.fs.Path(outPath, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write((json + "\n").getBytes("UTF-8")) finally os.close()
   }
 
   /** Incremental DAILY-INGEST pipeline — the batch analog of
@@ -762,7 +931,8 @@ object Pipeline {
                     embeddingDedup: Option[EmbeddingDedup] = None,
                     persisted: scala.collection.mutable.Buffer[DataFrame] =
                       scala.collection.mutable.Buffer.empty,
-                    temperatureMix: Option[TemperatureMix] = None): DataFrame = {
+                    temperatureMix: Option[TemperatureMix] = None,
+                    withShuffleIndex: Boolean = true): DataFrame = {
     def reused(d: DataFrame): DataFrame =
       if (persistStages) { persisted += d; d.persist(StorageLevel.MEMORY_AND_DISK) }
       else d
@@ -805,9 +975,13 @@ object Pipeline {
     val deduped = embeddingDedup.fold(near)(e =>
       reused(Dedup.dropEmbeddingNearDuplicates(near, idCol, e.embeddings,
         e.embIdCol, e.vecCol, e.dim, e.threshold)))
-    // 4. decontaminate vs the benchmark shingle set
-    val clean = reused(
-      Dedup.decontaminate(deduped, bench, idCol, textCol, decontamK))
+    // 4. decontaminate vs the benchmark shingle set. The tap sits INSIDE
+    // the persisted boundary so the observe materializes exactly once
+    // with the cache even though the output is read multiply downstream
+    // (pretrainCorpusObserved only attaches this stage when
+    // persistStages=true — see its scaladoc)
+    val clean = reused(tap("decontam",
+      Dedup.decontaminate(deduped, bench, idCol, textCol, decontamK)))
     // 4c. optional temperature-weighted domain mixing ([[TemperatureMix]]):
     // thresholds derive from the CLEAN survivors' domain sizes (a tiny
     // domain-cardinality aggregate over the persisted decontam boundary,
@@ -825,13 +999,19 @@ object Pipeline {
     // cumsum join — that join references its input subtree twice, so a
     // tap between the mixer and the shuffle would double-count
     // (measured: 2×). Split/shuffle only add columns, so the root count
-    // IS the mixed-survivor count; the mixer's drop reads as
-    // near_dedup (≡ decontam survivors when bench overlap is nil) vs
-    // temperature_mix in the observed map.
-    val root = graft.api.GraftFrame(mixed)
+    // IS the mixed-survivor count; with the decontam tap (persisted
+    // runs) each stage's drop attributes cleanly: near_dedup → decontam
+    // is decontamination's drop, decontam → temperature_mix is the
+    // mixer's own. The windows landing skips shuffle-index
+    // (withShuffleIndex=false): window assembly derives its OWN
+    // positions from the identical Knuth-hash permutation, so computing
+    // shuffle_pos there would pay the two-pass cumsum twice for a
+    // column the chop never reads.
+    val split = graft.api.GraftFrame(mixed)
       .splitByHash(idCol, trainFrac, valFrac)
-      .shuffleIndex(idCol, seed = shuffleSeed)
-      .df
+    val root =
+      if (withShuffleIndex) split.shuffleIndex(idCol, seed = shuffleSeed).df
+      else split.df
     tap("output",
       if (temperatureMix.isDefined) tap("temperature_mix", root) else root)
   }

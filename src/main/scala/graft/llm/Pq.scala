@@ -631,11 +631,18 @@ object Pq {
     * ceil(Q / (qCap/2)) ranges: targeting HALF the cap makes a chunk
     * overflowing it a Chernoff-tail event (mean qCap/2, bound qCap) —
     * and the inner entrypoint still enforces the cap loudly if a
-    * pathological id distribution defeats the hash. One bounded count
-    * of the query frame decides the split. Plan size grows linearly
-    * with the chunk count (each chunk is its own broadcast + scan
-    * subplan): right for a few dozen caps' worth of queries; beyond
-    * that, the per-trigger streaming form is the honest shape. */
+    * pathological id distribution defeats the hash. ONE full count of
+    * the query frame decides the split (full by necessity — the split
+    * arity depends on Q itself), and on the over-cap path the frame is
+    * materialized ONCE with its chunk id (eager localCheckpoint): every
+    * per-chunk filter and the inner entrypoints' bounded cap probes
+    * read executor-local blocks, so the query SOURCE is scanned at most
+    * twice regardless of chunk count (r12 ADVICE: the previous shape
+    * re-scanned the source once per chunk plus a probe action each).
+    * Plan size still grows linearly with the chunk count (each chunk is
+    * its own broadcast + scan subplan): right for a few dozen caps'
+    * worth of queries; beyond that, the per-trigger streaming form is
+    * the honest shape. Checkpoint blocks free on GC. */
   private def serveChunked(queries: DataFrame, qIdCol: String, qCap: Int)
                           (serve: DataFrame => DataFrame): DataFrame = {
     require(qCap > 1, s"qCap must exceed 1, got $qCap")
@@ -643,9 +650,12 @@ object Pq {
     if (total <= qCap) serve(queries)
     else {
       val n = math.ceil(total.toDouble / (qCap / 2)).toInt
+      val sliced = queries
+        .withColumn("__chunk__", pmod(hash(col(qIdCol)), lit(n)))
+        .localCheckpoint(true) // the ONE materialization of the queries
       (0 until n)
-        .map(i => serve(queries.filter(
-          pmod(hash(col(qIdCol)), lit(n)) === i)))
+        .map(i => serve(sliced.filter(col("__chunk__") === i)
+          .drop("__chunk__")))
         .reduce(_.unionByName(_))
     }
   }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, size, split, sum}
 import org.apache.spark.sql.types._
 
 import graft.llm.Pipeline
@@ -57,9 +58,12 @@ class PipelineSpec extends SparkTestBase {
       docs, bench, "doc_id", "text")
     assert(out.count() == 2)
     val counts = metrics.map { case (k, o) => k -> o.get("rows") }
+    // decontam (r13): doc 5 shares a 5-shingle with the benchmark and
+    // drops there — near_dedup -> decontam now attributes that stage's
+    // own drop instead of folding it into output
     assert(counts == Map(
       "input" -> 6L, "quality" -> 5L, "exact_dedup" -> 4L,
-      "near_dedup" -> 3L, "output" -> 2L))
+      "near_dedup" -> 3L, "decontam" -> 2L, "output" -> 2L))
   }
 
   test("boilerplate stage stops shared banners gluing docs into near-dup clusters") {
@@ -207,6 +211,73 @@ class PipelineSpec extends SparkTestBase {
     assert(scans == 2, s"expected 2 corpus scans, saw $scans")
   }
 
+  test("buildAndWriteWindows lands per-split training windows; manifest replay is O(1)") {
+    // 30 docs of ~14 tokens each, all clean and distinct — enough to
+    // produce multiple 32-token windows in the train split
+    val mk = (i: Long) =>
+      s"document number $i holds plenty of ordinary distinct words " +
+        s"about topic ${i * 37 % 91} and matter ${i * 53 % 89} end"
+    val docs = df(docSchema, (1L to 30L).map(i => Row(i, mk(i))): _*)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pipe_win").toString
+    try {
+      val out = s"$tmp/windows"
+      val counts = graft.llm.Pipeline.buildAndWriteWindows(
+        docs, df(docSchema), "doc_id", "text", out, windowSize = 32L)
+      assert(counts.keys.exists(_.endsWith("_windows")), s"counts: $counts")
+      val back = spark.read.parquet(out)
+      assert(back.columns.toSet ==
+        Set("split", "window_id", "window_text", "n_tokens"))
+      // per-split isolation + token exactness: each split's window token
+      // mass equals its own documents' token mass (no token crosses a
+      // split boundary), and window ids are dense from 0 per split
+      val corpus = graft.llm.Pipeline.pretrainCorpus(
+        docs, df(docSchema), "doc_id", "text")
+      val docTokens = corpus
+        .groupBy("split")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val winTokens = back.groupBy("split")
+        .agg(sum(col("n_tokens")).as("toks"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(winTokens == docTokens,
+        s"window token mass per split $winTokens != doc token mass $docTokens")
+      for ((sp, n) <- back.groupBy("split").count().collect()
+             .map(r => (r.getString(0), r.getLong(1)))) {
+        val ids = back.filter(col("split") === sp)
+          .select("window_id").collect().map(_.getLong(0)).sorted
+        assert(ids.sameElements(0L until n),
+          s"split $sp window ids not dense: ${ids.take(5).mkString(",")}")
+        assert(counts(s"${sp}_windows") == n)
+      }
+      // all but each split's tail window hold exactly windowSize tokens
+      assert(back.filter(col("n_tokens") =!= 32L).count() <= 3,
+        "at most one partial (tail) window per split")
+      // crash-replay: the manifest is the commit record — delete a data
+      // file, re-run, and the recorded counts come back in O(1) with NO
+      // rewrite (the landing stays exactly as corrupted)
+      val dataFile = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("split=")).head.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(dataFile.delete())
+      val replay = graft.llm.Pipeline.buildAndWriteWindows(
+        docs, df(docSchema), "doc_id", "text", out, windowSize = 32L)
+      assert(replay == counts, "manifest replay must return recorded counts")
+      assert(!dataFile.exists(),
+        "O(1) replay must not rewrite the landing")
+      // fullWindowsOnly drops the partial tails
+      val out2 = s"$tmp/windows_full"
+      graft.llm.Pipeline.buildAndWriteWindows(
+        docs, df(docSchema), "doc_id", "text", out2, windowSize = 32L,
+        fullWindowsOnly = true)
+      val full = spark.read.parquet(out2)
+      assert(full.count() > 0 &&
+        full.filter(col("n_tokens") =!= 32L).count() == 0,
+        "fullWindowsOnly must land only exact-size windows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("near-dup stage keeps the smallest id of a duplicate cluster") {
     val docs = df(docSchema,
       Row(7L, base + " tonight"),
@@ -246,6 +317,11 @@ class PipelineSpec extends SparkTestBase {
       "mix-stage metric must count exactly the mixed survivors")
     assert(m2("near_dedup").get("rows") == 50L,
       "dedup must remove the planted duplicates BEFORE mixing")
+    // r13 (r12 ADVICE): the decontam tap cleanly attributes each drop —
+    // decontamination drops nothing here (empty bench), so the mixer's
+    // entire drop reads as decontam -> temperature_mix
+    assert(m2("decontam").get("rows") == 50L,
+      "decontam tap must count decontamination survivors")
     // without the stage the observed map must not carry a blocking key
     val (_, m3) = Pipeline.pretrainCorpusObserved(
       docs, df(docSchema), "doc_id", "text")

@@ -525,4 +525,57 @@ class PqSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(tmp))
   }
+
+  test("chunked serving scans the query SOURCE at most twice, whatever the chunk count") {
+    // r12 ADVICE / r12-verdict efficiency note: the previous serveChunked
+    // filtered the original frame per chunk — an over-cap serve ran n
+    // full scans of the query source plus a bounded probe each. The
+    // single-pass shape (one count + one chunk-id materialization via
+    // localCheckpoint) must leave at most TWO executions that touch the
+    // query parquet; every per-chunk filter and cap probe reads
+    // checkpoint blocks.
+    val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", dim = 64,
+      m = 8, codes = 16, iters = 0).localCheckpoint(true)
+    val enc = Pq.encode(emb, "vec_id", "embedding", cbs, 64, 8)
+    val tmp = tmpDir("graft_pq_chunkscan")
+    try {
+      Pq.writePqCorpus(enc, cbs, s"$tmp/corpus", 64, 8)
+      emb.select("vec_id", "embedding").write.mode("overwrite")
+        .parquet(s"$tmp/queries_src")
+      val queries = spark.read.parquet(s"$tmp/queries_src")
+      val sourceScans = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val hits = qe.executedPlan.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.relation.location.rootPaths
+                .exists(_.toString.contains("queries_src")) => s
+          }
+          if (hits.nonEmpty) sourceScans.incrementAndGet()
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        // Q queries at qCap=40 -> ceil(Q/20) chunks (Q = 500 at sf0.001)
+        val res = Pq.annTopKPqIndexedBatchChunked(spark, s"$tmp/corpus",
+          "vec_id", queries, "vec_id", "embedding", k = 3, qCap = 40)
+        assert(res.select("query_id").distinct().count() == emb.count())
+        var last = -1; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val n = sourceScans.get()
+          if (n == last) stable += 1 else { stable = 0; last = n }
+        }
+      } finally spark.listenerManager.unregister(listener)
+      assert(sourceScans.get() <= 2,
+        s"query source scanned ${sourceScans.get()} times; the chunked " +
+          "serve must materialize the chunk id once and read blocks")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
 }
