@@ -342,6 +342,85 @@ object QueriesEmbed {
         dim = 64, m = 8, k = 10)
     }
 
+    // FLAT-PQ ONLINE RETRAINING lifecycle (r13, the q_ivf_retrain
+    // discipline): stale codebooks trained on HALF the corpus, the half
+    // landed as a flat writePqCorpus serving corpus, then
+    // retrainPqCorpus on the full corpus with iters=0/trainFraction=1 —
+    // the migrated generation must serve EXACTLY the canonical
+    // full-corpus geometry, so the oracle is the q_pq_topk SQL with
+    // seeds drawn from the retrain population (vec_id <> 0: the corpus
+    // the lifecycle actually re-encodes — the query row is not in it).
+    // Hash-checks stale build → codebook retrain → wholesale re-encode
+    // → generation flip → stamped serve.
+    r.reg("q_pq_retrain",
+      """WITH hs AS (
+        |  SELECT vec_id, embedding,
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
+        |  FROM embeddings WHERE vec_id <> 0),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS code,
+        |    embedding
+        |  FROM hs ORDER BY h ASC, vec_id ASC LIMIT 16),
+        |cb AS (
+        |  SELECT j, s.code AS c,
+        |    list_transform(range(1, 9),
+        |      i -> CAST(s.embedding[j*8 + i] AS DOUBLE)) AS cent
+        |  FROM seeds s, range(0, 8) rj(j)),
+        |dist AS (
+        |  SELECT e.vec_id, cb.j, cb.c,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (CAST(e.embedding[cb.j*8 + i] AS DOUBLE) - cb.cent[i])
+        |      * (CAST(e.embedding[cb.j*8 + i] AS DOUBLE) - cb.cent[i]))) AS d
+        |  FROM embeddings e, cb WHERE e.vec_id <> 0),
+        |codes AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |codelist AS (
+        |  SELECT vec_id, list(c ORDER BY j) AS cl FROM codes GROUP BY vec_id),
+        |norms AS (
+        |  SELECT vec_id,
+        |    sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |      AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings
+        |        WHERE vec_id <> 0) GROUP BY vec_id),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |qn AS (
+        |  SELECT CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |    AS DECIMAL(25,12))) AS DOUBLE) AS nq2
+        |  FROM (SELECT unnest(qv) AS x FROM q)),
+        |lutrows AS (
+        |  SELECT cb.j, cb.c,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> cb.cent[i] * CAST(q.qv[cb.j*8 + i] AS DOUBLE))) AS lv
+        |  FROM cb, q),
+        |lut AS (SELECT list(lv ORDER BY j, c) AS lt FROM lutrows)
+        |SELECT cl.vec_id,
+        |  list_sum(list_transform(range(0, 8), j -> lt[j*16 + cl.cl[j+1] + 1]))
+        |    / (sqrt(qn.nq2) * norms.nrm) AS cos_adc
+        |FROM codelist cl JOIN norms USING (vec_id), lut, qn
+        |WHERE norms.nrm > 0 AND qn.nq2 > 0
+        |ORDER BY cos_adc DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val idx = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/pqrt")
+      org.apache.commons.io.FileUtils.deleteDirectory(idx)
+      val path = idx.getAbsolutePath
+      val half = corpus.filter(col("vec_id") < 250)
+      val cbs0 = graft.llm.Pq.trainCodebooks(half, "vec_id", "embedding",
+        dim = 64, m = 8, codes = 16, iters = 0)
+      graft.llm.Pq.writePqCorpus(
+        graft.llm.Pq.encode(half, "vec_id", "embedding", cbs0, 64, 8),
+        cbs0, path, 64, 8)
+      graft.llm.Pq.retrainPqCorpus(corpus, "vec_id", "embedding", path,
+        iters = 0, trainFraction = 1.0)
+      graft.llm.Pq.annTopKPqIndexed(s, path, "vec_id",
+        e.filter(col("vec_id") === 0).select(col("embedding").as("qv")),
+        k = 10)
+    }
+
     // Combined IVF+PQ (the full FAISS-IVFPQ shape): coarse-quantizer
     // probe-cell membership (8 cells, nprobe=2 — the q_ivf_topk CTEs)
     // composed with PQ ADC ranking (the q_pq_topk CTEs) over the

@@ -257,6 +257,17 @@ object Pq {
     try out.write(
       s"""{"dim": $dim, "m": $m, "codes": $nCodes}\n""".getBytes("UTF-8"))
     finally out.close()
+    // a full rebuild resets the generation chain (r13 — latent gap: a
+    // rebuild AFTER a retrainPqCorpus flip would otherwise write flat
+    // files a stale gen-N manifest silently shadows) and re-populates
+    // any id sidecar, whose stale-behind state would silently re-admit
+    // present ids — the writeIvfPqCorpus discipline
+    Generations.reset(spark, path, "MANIFEST")
+    val idName = encoded.columns.head
+    if (KeyBlooms.exists(spark, path, "idblooms"))
+      KeyBlooms.rebuild(
+        spark.read.parquet(s"$path/encoded").select(col(idName).as("key")),
+        path, "idblooms")
   }
 
   private def readGeometry(spark: SparkSession,
@@ -463,9 +474,9 @@ object Pq {
       val curRoot = if (curGen == 0) path else s"$path/gen-$curGen"
       require(fs.exists(new org.apache.hadoop.fs.Path(s"$curRoot/centroids")),
         s"no centroids under $curRoot — retrainIvfPqCorpus migrates " +
-          "writeIvfPqCorpus indexes; rebuild a flat writePqCorpus " +
-          "corpus with writePqCorpus (it has no serving generation to " +
-          "keep online)")
+          "writeIvfPqCorpus indexes; a flat writePqCorpus corpus " +
+          "migrates with retrainPqCorpus (codebooks only, no coarse " +
+          "quantizer)")
       val nCells = spark.read.parquet(s"$curRoot/centroids").count().toInt
       val newCents = Ivf.train(embeddings, idCol, vecCol, nCells,
         iters, trainFraction).localCheckpoint(true)
@@ -521,6 +532,73 @@ object Pq {
     }
   }
 
+  /** RETRAIN the FLAT PQ corpus's codebooks on the CURRENT
+    * source-of-truth embeddings and re-encode the serving corpus onto
+    * them in one online generation flip — [[retrainIvfPqCorpus]] for
+    * the [[writePqCorpus]] family (r12 verdict #2: the flat corpus's
+    * learned codebooks drift identically but had only a wholesale-
+    * rebuild path with serving downtime). Like the IVF+PQ migration,
+    * the corpus stores only lossy codes, so retraining REQUIRES the
+    * original float vectors: pass the embeddings table the ingest
+    * pipeline maintains (its ids become the new population). The
+    * stamped geometry (dim, m, codes) is kept — this migrates codebook
+    * VALUES onto the drifted distribution, not the shape. Any id-Bloom
+    * sidecar rebuilds from the new encoded ids BEFORE the flip (the
+    * family's blooms-first ordering). Probes planned pre-flip finish
+    * on the intact old generation. Returns (rows in the old
+    * generation, rows in the new one). */
+  def retrainPqCorpus(embeddings: DataFrame, idCol: String,
+                      vecCol: String, path: String, iters: Int = 2,
+                      trainFraction: Double = 0.05): (Long, Long) = {
+    val spark = embeddings.sparkSession
+    Generations.withCompactionLock(spark, s"$path/_COMPACTION_LOCK") {
+      val g = readGeometry(spark, path)
+      require(!g.residual,
+        s"the corpus at $path holds RESIDUAL codes (an IVF+PQ layout) " +
+          "— migrate it with retrainIvfPqCorpus")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val curGen = Generations.current(spark, path, "MANIFEST")
+      val curRoot = if (curGen == 0) path else s"$path/gen-$curGen"
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$curRoot/centroids")),
+        s"centroids found under $curRoot — this is a cell-partitioned " +
+          "writeIvfPqCorpus index; migrate it with retrainIvfPqCorpus " +
+          "(its coarse quantizer must retrain with the codebooks)")
+      val newCbs = trainCodebooks(embeddings, idCol, vecCol, g.dim, g.m,
+        g.codes, iters, trainFraction).localCheckpoint(true)
+      val nextGen = curGen + 1
+      val nextRoot = s"$path/gen-$nextGen"
+      fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
+      val transformed = encode(embeddings, idCol, vecCol, newCbs, g.dim,
+        g.m)
+      transformed.write.mode("overwrite").parquet(s"$nextRoot/encoded")
+      val srcRows = spark.read.parquet(s"$curRoot/encoded").count()
+      val wantRows = transformed.count()
+      val dstRows = spark.read.parquet(s"$nextRoot/encoded").count()
+      if (dstRows != wantRows) {
+        fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
+        throw new java.io.IOException(
+          s"retrainPqCorpus: rewrite row mismatch " +
+            s"($dstRows != $wantRows), aborted")
+      }
+      newCbs.coalesce(1).write.mode("overwrite")
+        .parquet(s"$nextRoot/codebooks")
+      if (KeyBlooms.exists(spark, path, "idblooms"))
+        KeyBlooms.rebuild(
+          spark.read.parquet(s"$nextRoot/encoded")
+            .select(col(idCol).as("key")),
+          path, "idblooms")
+      Generations.flip(spark, path, "MANIFEST", nextGen)
+      for (old <- 0 until curGen) {
+        if (old == 0)
+          Seq("encoded", "codebooks").foreach(d =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+        else fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen-$old"), true)
+      }
+      (srcRows, dstRows)
+    }
+  }
+
   private def rewritePqLocked(spark: SparkSession, path: String,
                               transform: DataFrame => DataFrame,
                               opName: String): (Long, Long) = {
@@ -533,9 +611,16 @@ object Pq {
     fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
     val encoded = spark.read.parquet(s"$curRoot/encoded")
     val transformed = transform(encoded)
-    transformed.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$nextRoot/encoded")
+    // a FLAT writePqCorpus corpus has no cell partitioning (and no
+    // centroids) — its rewrite lands plain parquet (r13: compaction and
+    // retraction previously crashed on the flat family's missing cell)
+    val cellPartitioned = encoded.columns.contains("cell")
+    if (cellPartitioned)
+      transformed.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$nextRoot/encoded")
+    else
+      transformed.write.mode("overwrite").parquet(s"$nextRoot/encoded")
     val srcRows = encoded.count()
     val wantRows = transformed.count()
     val dstRows = spark.read.parquet(s"$nextRoot/encoded").count()
@@ -546,8 +631,9 @@ object Pq {
     }
     spark.read.parquet(s"$curRoot/codebooks").coalesce(1)
       .write.mode("overwrite").parquet(s"$nextRoot/codebooks")
-    spark.read.parquet(s"$curRoot/centroids").coalesce(1)
-      .write.mode("overwrite").parquet(s"$nextRoot/centroids")
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$curRoot/centroids")))
+      spark.read.parquet(s"$curRoot/centroids").coalesce(1)
+        .write.mode("overwrite").parquet(s"$nextRoot/centroids")
     Generations.flip(spark, path, "MANIFEST", nextGen)
     for (g <- 0 until curGen) {
       if (g == 0)

@@ -569,11 +569,24 @@ class EmbedIngestSpec extends SparkTestBase {
       val enc = graft.llm.Pq.encode(emb, "vec_id", "embedding", cbs, 64, 8)
       graft.llm.Pq.writePqCorpus(enc, cbs, dir, 64, 8)
       // a FLAT corpus has no coarse quantizer to migrate — the error
-      // must say to rebuild with writePqCorpus instead
+      // must name the flat family's own migration (retrainPqCorpus)
       val e = intercept[IllegalArgumentException] {
         graft.llm.Pq.retrainIvfPqCorpus(emb, "vec_id", "embedding", dir)
       }
-      assert(e.getMessage.contains("writePqCorpus"), e.getMessage)
+      assert(e.getMessage.contains("retrainPqCorpus"), e.getMessage)
+      // and the reverse direction refuses too: the cell-partitioned
+      // family must retrain its coarse quantizer WITH the codebooks
+      val ivfpqDir = tmpDir("graft_rtguard_ivfpq")
+      try {
+        val cents = Ivf.train(emb, "vec_id", "embedding", nCells = 4,
+          iters = 0)
+        graft.llm.Pq.writeIvfPqCorpus(emb, "vec_id", "embedding", cents,
+          cbs, ivfpqDir, 64, 8)
+        val eRev = intercept[IllegalArgumentException] {
+          graft.llm.Pq.retrainPqCorpus(emb, "vec_id", "embedding", ivfpqDir)
+        }
+        assert(eRev.getMessage.contains("retrainIvfPqCorpus"), eRev.getMessage)
+      } finally rmDir(ivfpqDir)
       // writer exclusivity: a held (or crashed) compaction lock makes
       // the migration throw, naming the lock file
       val lock = new java.io.File(dir, "_COMPACTION_LOCK")
@@ -650,6 +663,73 @@ class EmbedIngestSpec extends SparkTestBase {
       assert(graft.llm.Pq.annTopKIvfPq(spark, dir, "vec_id",
         drifted.filter(col("vec_id") === 0L)
           .select(col("embedding").as("qv")), k = 3).count() == 3)
+    } finally rmDir(dir)
+  }
+
+  test("retrainPqCorpus: FLAT corpus codebooks retrain online; recall improves; retraction works post-flip") {
+    // r12 verdict #2: the flat writePqCorpus family's codebooks drift
+    // exactly like the IVF+PQ tier's but had only a wholesale-rebuild
+    // path. Same recipe: retrain on source-of-truth embeddings,
+    // re-encode into gen-N+1, atomic manifest flip, sidecar in lockstep.
+    val dir = tmpDir("graft_flatpqrt")
+    try {
+      val drifted = emb.unionByName(driftCluster).localCheckpoint(true)
+      // stale codebooks: trained on the PRE-drift corpus only; the
+      // serving corpus holds the DRIFTED population encoded with them —
+      // exactly the migration-pending state
+      val cbs0 = graft.llm.Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, codes = 16, iters = 0)
+      val enc0 = graft.llm.Pq.encode(drifted, "vec_id", "embedding",
+        cbs0, 64, 8)
+      graft.llm.Pq.writePqCorpus(enc0, cbs0, dir, 64, 8)
+      graft.llm.Pq.buildIdBlooms(spark, dir, "vec_id", nBlooms = 4)
+      val queries = driftCluster.filter(col("vec_id") % 7 === 0)
+        .select("vec_id", "embedding")
+      def recallWith(cbs: org.apache.spark.sql.DataFrame): Double =
+        graft.llm.Pq.recallReport(drifted, queries, "vec_id", "embedding",
+            "vec_id", "embedding", cbs, 64, 8, 5)
+          .select("mean_recall").head().getDouble(0)
+      val recallBefore = recallWith(cbs0)
+      // hold a probe planned against the pre-migration generation
+      val held = graft.llm.Pq.annTopKPqIndexed(spark, dir, "vec_id",
+        drifted.filter(col("vec_id") === 3003L)
+          .select(col("embedding").as("qv")), k = 5)
+      val heldExpected = held.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+      val (before, after) = graft.llm.Pq.retrainPqCorpus(drifted,
+        "vec_id", "embedding", dir, iters = 2, trainFraction = 1.0)
+      assert(before == 540 && after == 540,
+        s"retrain must keep the encoded row set: $before -> $after")
+      assert(graft.llm.Pq.resolveRoot(spark, dir) == s"$dir/gen-1",
+        "retrain must install a new generation behind the manifest")
+      assert(held.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          == heldExpected,
+        "a probe planned pre-flip must still run post-flip")
+      val newCbs = spark.read.parquet(
+        s"${graft.llm.Pq.resolveRoot(spark, dir)}/codebooks")
+      val recallAfter = recallWith(newCbs)
+      assert(recallAfter > recallBefore,
+        s"retrained codebooks must improve ADC recall on the drifted " +
+          s"cluster: $recallBefore -> $recallAfter")
+      // the sidecar rebuilt in lockstep with the new population
+      val root = graft.llm.Pq.resolveRoot(spark, dir)
+      val present = graft.llm.KeyBlooms.presentIds(
+        drifted.limit(5).select(col("vec_id")), "vec_id",
+        spark.read.parquet(s"$root/encoded").select(col("vec_id")), dir)
+      assert(present.count() == 5,
+        "present ids must still answer present through the rebuilt sidecar")
+      // serving through the stamped entrypoint still validates
+      assert(graft.llm.Pq.annTopKPqIndexed(spark, dir, "vec_id",
+        drifted.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("qv")), k = 3).count() == 3)
+      // the generation-flip rewrite now covers the flat family (r13):
+      // a retraction after the retrain lands gen-2 and drops the rows
+      val (rb, ra) = graft.llm.Pq.retractFromPqCorpus(spark, dir,
+        drifted.limit(3).select(col("vec_id")), "vec_id")
+      assert(rb == 540 && ra == 537,
+        s"flat retraction must drop exactly the 3 ids: $rb -> $ra")
+      assert(graft.llm.Pq.resolveRoot(spark, dir) == s"$dir/gen-2")
     } finally rmDir(dir)
   }
 
