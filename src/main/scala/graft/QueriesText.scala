@@ -921,6 +921,62 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // The composed pipeline in the UP-sampling direction (r13): same
+    // chain through decontamination, then the curated-set recipe — the
+    // CLEAN survivors' skewed derived domains (60/30/10 by doc_id; the
+    // fixture's natural domains are balanced and would make the oracle
+    // vacuous) repeat with deterministic epoch copies at alpha=0.5,
+    // every copy split-assigned by DOCUMENT id (no cross-split leakage)
+    // and shuffle-positioned by the composite id*11+epoch. The oracle
+    // recomputes factors, the epoch keep decision, the split, and every
+    // composite-keyed shuffle position.
+    r.reg("q_pipeline_upsample", pipeCleanCtes +
+      s""",
+         |updom AS (
+         |  SELECT c.doc_id,
+         |    CASE WHEN c.doc_id % 10 < 6 THEN 'head'
+         |         WHEN c.doc_id % 10 < 9 THEN 'mid' ELSE 'tail' END AS dom
+         |  FROM clean c),
+         |uc AS (SELECT dom, COUNT(*) AS cnt FROM updom GROUP BY dom),
+         |um AS (SELECT MAX(cnt) AS cmax FROM uc),
+         |uf AS (
+         |  SELECT dom,
+         |    LEAST(sqrt(CAST(cmax AS DOUBLE) / CAST(cnt AS DOUBLE)), 10.0) AS fac
+         |  FROM uc, um),
+         |ut AS (
+         |  SELECT dom, CAST(floor(fac) AS BIGINT) AS fullr,
+         |    CAST(floor((fac - floor(fac)) * 4294967296) AS BIGINT) AS thr
+         |  FROM uf),
+         |ur AS (SELECT unnest(range(0, 11)) AS epoch),
+         |upsampled AS (
+         |  SELECT d.doc_id, CAST(r.epoch AS BIGINT) AS epoch
+         |  FROM updom d JOIN ut USING (dom) JOIN ur r ON r.epoch <= ut.fullr
+         |  WHERE r.epoch < ut.fullr
+         |     OR ((d.doc_id % 2147483648 + r.epoch * 7919) % 2147483648)
+         |        * 2654435761 % 4294967296 < ut.thr)
+         |SELECT doc_id, epoch,
+         |  CASE WHEN (doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTTrain THEN 'train'
+         |       WHEN (doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTVal THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(row_number() OVER (
+         |    ORDER BY ((doc_id * 11 + epoch) % 2147483648) * 2654435761 % 4294967296) - 1
+         |    AS BIGINT) AS shuffle_pos
+         |FROM upsampled ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.llm.Pipeline.pretrainCorpus(
+          docs.filter(col("doc_id") % 10 =!= 0)
+            .select(col("doc_id"), col("text"),
+              when(col("doc_id") % 10 < 6, "head")
+                .when(col("doc_id") % 10 < 9, "mid")
+                .otherwise("tail").as("dom")),
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+          "doc_id", "text",
+          temperatureMix = Some(graft.llm.Pipeline.TemperatureMix(
+            "dom", alpha = 0.5, up = true)))
+        .select("doc_id", "epoch", "split", "shuffle_pos")
+        .orderBy("doc_id", "epoch")
+    }
+
     // The composed corpus -> TRAINING-FILES last mile (r13): the full
     // pipeline chain through decontamination, split assignment, then the
     // per-split GPT-style concat-and-chop INTO THE LANDED PARQUET — the

@@ -37,9 +37,24 @@ object Pipeline {
     * integer weight column (token counts, bytes —
     * sampleByTemperatureWeighted). Mixing runs AFTER dedup/decontam by
     * design: duplicates must not inflate a domain's budget, and
-    * contaminated docs must not consume it. */
+    * contaminated docs must not consume it.
+    *
+    * `up = true` (r13) runs the stage in the UP-sampling direction —
+    * the Pile/LLaMA curated-set recipe: no row of any domain drops;
+    * small domains REPEAT with deterministic epoch copies
+    * ([[graft.api.GraftFrame.upsampleByTemperature]], factors capped at
+    * `maxRepeat`). The output then carries an `epoch` column, the split
+    * assignment keys on the DOCUMENT id (every copy of a doc lands in
+    * the same split — copies straddling train/val would be leakage by
+    * construction), and the shuffle position keys on the composite
+    * id·(maxRepeat+1)+epoch so each copy gets its own deterministic
+    * position (requires ids distinct mod 2^31/(maxRepeat+1) — the
+    * shuffleIndex contract scaled by the copy arity). `maxRepeat` is
+    * ignored when `up = false`. */
   final case class TemperatureMix(domainCol: String, alpha: Double,
-                                  weightCol: Option[String] = None)
+                                  weightCol: Option[String] = None,
+                                  up: Boolean = false,
+                                  maxRepeat: Int = 10)
 
   /** @param docs     training-candidate documents (idCol, textCol, …)
     * @param bench    benchmark/eval documents to decontaminate against
@@ -267,7 +282,8 @@ object Pipeline {
       (_, d) => d, persistStages, boilerplateMaxDocFreq, embeddingDedup,
       temperatureMix = temperatureMix, withShuffleIndex = false)
     windowsFrom(corpus, idCol, textCol, windowSize, shuffleSeed,
-      fullWindowsOnly)
+      fullWindowsOnly,
+      temperatureMix.filter(_.up).map(_.maxRepeat + 1))
   }
 
   /** [[pretrainWindows]] plus the LANDING — the composed product a
@@ -311,7 +327,8 @@ object Pipeline {
       embeddingDedup = embeddingDedup, persisted = handles,
       temperatureMix = temperatureMix, withShuffleIndex = false)
     val win = windowsFrom(corpus, idCol, textCol, windowSize, shuffleSeed,
-      fullWindowsOnly)
+      fullWindowsOnly,
+      temperatureMix.filter(_.up).map(_.maxRepeat + 1))
     try win.write.mode("overwrite").partitionBy("split").parquet(outPath)
     finally handles.foreach(_.unpersist())
     // per-split counts from the files ACTUALLY written; explicit schema
@@ -334,14 +351,24 @@ object Pipeline {
     * each split chops independently (leakage isolation), the split set
     * is the static three of [[graft.api.GraftFrame.splitByHash]] — an
     * empty split assembles to an empty frame and vanishes from the
-    * union. */
+    * union. An UP-mixed corpus (epoch copies present) keys the
+    * assembly on the composite id·(maxRepeat+1)+epoch — the same key
+    * that positions copies in the shuffle order, so each epoch copy of
+    * a doc takes its own place in the chopped token stream. */
   private def windowsFrom(corpus: DataFrame, idCol: String,
                           textCol: String, windowSize: Long, seed: Long,
-                          fullWindowsOnly: Boolean): DataFrame = {
+                          fullWindowsOnly: Boolean,
+                          epochScale: Option[Int] = None): DataFrame = {
     val win = Seq("train", "val", "test").map { sp =>
-      TextStats.assembleWindows(
-          corpus.filter(col("split") === sp).select(col(idCol), col(textCol)),
-          idCol, textCol, windowSize, seed)
+      val part = corpus.filter(col("split") === sp)
+      val (keyed, key) = epochScale match {
+        case None => (part.select(col(idCol), col(textCol)), idCol)
+        case Some(scale) =>
+          (part.select(
+            (col(idCol).cast("long") * scale + col("epoch")).as("__wkey__"),
+            col(textCol)), "__wkey__")
+      }
+      TextStats.assembleWindows(keyed, key, textCol, windowSize, seed)
         .select(lit(sp).as("split"), col("window_id"), col("window_text"),
           col("n_tokens"))
     }.reduce(_.unionByName(_))
@@ -983,16 +1010,25 @@ object Pipeline {
     val clean = reused(tap("decontam",
       Dedup.decontaminate(deduped, bench, idCol, textCol, decontamK)))
     // 4c. optional temperature-weighted domain mixing ([[TemperatureMix]]):
-    // thresholds derive from the CLEAN survivors' domain sizes (a tiny
-    // domain-cardinality aggregate over the persisted decontam boundary,
-    // broadcast back), the row decision is the blockwise Knuth-hash
-    // compare — no data-sized shuffle joins the composition
+    // thresholds/factors derive from the CLEAN survivors' domain sizes
+    // (a tiny domain-cardinality aggregate over the persisted decontam
+    // boundary, broadcast back); the row decision is the blockwise
+    // Knuth-hash compare (down) or the bounded epoch explode (up) — no
+    // data-sized shuffle joins the composition either way
     val mixed = temperatureMix.fold(clean) { tm =>
       val gf = graft.api.GraftFrame(clean)
-      tm.weightCol.fold(
-        gf.sampleByTemperature(idCol, tm.domainCol, tm.alpha))(w =>
-        gf.sampleByTemperatureWeighted(idCol, tm.domainCol, w, tm.alpha))
-        .df
+      if (!tm.up)
+        tm.weightCol.fold(
+          gf.sampleByTemperature(idCol, tm.domainCol, tm.alpha))(w =>
+          gf.sampleByTemperatureWeighted(idCol, tm.domainCol, w, tm.alpha))
+          .df
+      else
+        tm.weightCol.fold(
+          gf.upsampleByTemperature(idCol, tm.domainCol, tm.alpha,
+            tm.maxRepeat))(w =>
+          gf.upsampleByTemperatureWeighted(idCol, tm.domainCol, w,
+            tm.alpha, tm.maxRepeat))
+          .df
     }
     // 5+6. row-stable split and deterministic global shuffle position.
     // BOTH root taps (mix + output) sit ABOVE shuffle-index's two-pass
@@ -1007,11 +1043,23 @@ object Pipeline {
     // positions from the identical Knuth-hash permutation, so computing
     // shuffle_pos there would pay the two-pass cumsum twice for a
     // column the chop never reads.
+    // Up-mixing emits epoch COPIES: the split keys on the document id
+    // (all copies of a doc share a split — no cross-split leakage), but
+    // the shuffle position keys on the composite id·(maxRepeat+1)+epoch
+    // so every copy holds its own deterministic position (distinct keys
+    // are the shuffleIndex total-order contract).
     val split = graft.api.GraftFrame(mixed)
       .splitByHash(idCol, trainFrac, valFrac)
-    val root =
-      if (withShuffleIndex) split.shuffleIndex(idCol, seed = shuffleSeed).df
-      else split.df
+    val root = (temperatureMix.filter(_.up), withShuffleIndex) match {
+      case (_, false) => split.df
+      case (None, true) =>
+        split.shuffleIndex(idCol, seed = shuffleSeed).df
+      case (Some(tm), true) =>
+        graft.api.GraftFrame(split.df.withColumn("__mixkey__",
+            col(idCol).cast("long") * (tm.maxRepeat + 1) + col("epoch")))
+          .shuffleIndex("__mixkey__", seed = shuffleSeed)
+          .df.drop("__mixkey__")
+    }
     tap("output",
       if (temperatureMix.isDefined) tap("temperature_mix", root) else root)
   }

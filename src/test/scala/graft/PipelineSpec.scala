@@ -278,6 +278,52 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("up-mix stage composes: epoch copies, split keyed on doc id, windows chop every copy") {
+    // 40-doc head vs 5-doc tail: alpha=0.5 repeats each tail doc
+    // ~sqrt(8) ~ 2.83x while the head keeps exactly one copy
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    val mk = (i: Long) =>
+      s"document number $i holds plenty of ordinary distinct words " +
+        s"about topic ${i * 37 % 91} and matter ${i * 53 % 89} end"
+    val docs = df(schema,
+      ((1L to 40L).map(i => Row(i, mk(i), "head")) ++
+       (101L to 105L).map(i => Row(i, mk(i), "tail"))): _*)
+    val up = Some(Pipeline.TemperatureMix("source", alpha = 0.5, up = true))
+    val (out, m) = Pipeline.pretrainCorpusObserved(
+      docs, df(docSchema), "doc_id", "text", temperatureMix = up)
+    val got = out.collect()
+    val headRows = got.count(_.getAs[String]("source") == "head")
+    val tailRows = got.count(_.getAs[String]("source") == "tail")
+    assert(headRows == 40, s"largest domain must keep exactly one copy: $headRows")
+    assert(tailRows > 5 && tailRows <= 20,
+      s"tail domain must repeat ~2.83x: $tailRows")
+    // the mix metric counts the GROWN row set (> decontam survivors)
+    assert(m("temperature_mix").get("rows") == got.length.toLong &&
+      m("temperature_mix").get("rows").asInstanceOf[Long] >
+        m("decontam").get("rows").asInstanceOf[Long])
+    // copies share their doc's split; shuffle positions are a dense
+    // permutation over ALL copies (the composite key gives each its own)
+    val byDoc = got.groupBy(_.getLong(0))
+    assert(byDoc.forall(_._2.map(_.getAs[String]("split")).distinct.size == 1),
+      "all epoch copies of a doc must share its split")
+    assert(got.map(_.getAs[Long]("shuffle_pos")).sorted.toSeq ==
+      (0L until got.length).toSeq, "dense positions over every copy")
+    // windows over the up-mixed corpus: every copy's tokens are chopped
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pipe_upwin").toString
+    try {
+      val counts = Pipeline.buildAndWriteWindows(
+        docs, df(docSchema), "doc_id", "text", s"$tmp/w",
+        windowSize = 32L, temperatureMix = up)
+      val winToks = counts.filter(_._1.endsWith("_tokens")).values.sum
+      val expected = got.map(r =>
+        r.getAs[String]("text").split(" ").length.toLong).sum
+      assert(winToks == expected,
+        s"window token mass $winToks must equal the mixed corpus's $expected")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("near-dup stage keeps the smallest id of a duplicate cluster") {
     val docs = df(docSchema,
       Row(7L, base + " tonight"),
