@@ -1479,6 +1479,28 @@ object QueriesText {
         .orderBy("doc_id", "chunk_id")
     }
 
+    // The LINEAR (posexplode-then-group) chunker (r13): same chunk
+    // semantics at maxTokens=8/overlap=2, recomputed with the identical
+    // slice formula — a hash match proves the one-shuffle restructure
+    // is bit-equivalent to the blockwise form it relieves.
+    r.reg("q_chunk_tokens_grouped",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id, toks,
+        |        CASE WHEN len(toks) <= 8 THEN 1
+        |             ELSE 1 + CAST(ceil((len(toks) - 8) * 1.0 / 6) AS INT) END AS nc
+        |      FROM t),
+        |e AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM n)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  array_to_string(toks[chunk_id*6+1 : chunk_id*6+8], ' ') AS chunk_text,
+        |  CAST(len(toks[chunk_id*6+1 : chunk_id*6+8]) AS INT) AS n_tokens
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      TextStats.chunkByTokensGrouped(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", maxTokens = 8, overlap = 2)
+        .orderBy("doc_id", "chunk_id")
+    }
+
     // Concat-and-chop token windows (r12): global offsets under the
     // seed-3 shuffle permutation, 1000-unit windows; the oracle replays
     // the hash order, the exclusive cumsum, and both floor divisions —

@@ -388,6 +388,40 @@ class WindowLlmSpec extends SparkTestBase {
     }
   }
 
+  test("chunkByTokensGrouped: bit-parity with the blockwise chunker; straggler guard fails loudly") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val docs = df(schema,
+      Row(1L, (1 to 23).map(i => s"w$i").mkString(" ")),
+      Row(2L, "a b c"),
+      Row(3L, null),
+      Row(4L, (1 to 40).map(i => s"x$i").mkString(" ")))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .toSet
+    // parity across overlap regimes, including overlap=0 tiling
+    for ((mt, ov) <- Seq((10, 3), (8, 2), (7, 0))) {
+      val block = rows(graft.llm.TextStats
+        .chunkByTokens(docs, "doc_id", "text", mt, ov))
+      val grouped = rows(graft.llm.TextStats
+        .chunkByTokensGrouped(docs, "doc_id", "text", mt, ov))
+      assert(grouped == block,
+        s"grouped chunker must match blockwise at ($mt, $ov)")
+    }
+    // the blockwise form's straggler guard: a doc over maxDocTokens
+    // fails loudly, naming the linear restructure
+    val e = intercept[Exception] {
+      graft.llm.TextStats.chunkByTokens(docs, "doc_id", "text",
+        maxTokens = 10, overlap = 3, maxDocTokens = 30).collect()
+    }
+    assert(e.getMessage.contains("chunkByTokensGrouped"),
+      s"guard must name the restructure: ${e.getMessage}")
+    // and the grouped form handles the same doc without a guard
+    assert(graft.llm.TextStats.chunkByTokensGrouped(
+      docs.filter(col("doc_id") === 4L), "doc_id", "text", 10, 3)
+      .count() == 6) // 1 + ceil((40-10)/7) = 6
+  }
+
   test("tokenWindows: offsets are a permutation-ordered exclusive cumsum; straddlers span; zero-token docs pin to start window") {
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("tok", LongType)))
