@@ -1,0 +1,146 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The drift-policy maintenance ENTRYPOINT (r12 verdict #7): one
+  * operator that reads the observables the index families already
+  * publish — per-cell fragmentation ([[Ivf.indexReport]]), Bloom
+  * sidecar load ([[KeyBlooms.report]]), cell-occupancy drift
+  * ([[Ivf.cellDriftReport]]) — against caller thresholds, and FIRES
+  * the corresponding maintenance action ([[Ivf.compactIndex]],
+  * [[KeyBlooms.rebuild]], [[Ivf.retrainIndex]]). The button on top of
+  * the buttons: before this, an operator read three reports and chose
+  * among five actions by hand; now a scheduled job runs one pass in
+  * the daily gap between shard appends (every fired action holds the
+  * family's writer-exclusive locks itself).
+  *
+  * Reference posture analog: the reference re-derives divisions when
+  * the data distribution changes (`_shuffle.py:745`) — this is the
+  * maintenance loop that DECIDES when, from measured state. */
+object Maintain {
+
+  /** Thresholds a maintenance pass enforces; each check can be
+    * disabled by setting its threshold out of reach.
+    *
+    * @param maxFilesPerCell compact when any cell's parquet file count
+    *        exceeds this (probe-scan cost grows with files, not rows)
+    * @param maxBloomLoadFactor rebuild the id sidecar when its measured
+    *        load factor exceeds this (realized fpp drifts above target;
+    *        the rebuild re-sizes buckets from the current key count)
+    * @param maxDriftDelta retrain the coarse quantizer when any cell's
+    *        occupancy fraction moved more than this between the index's
+    *        own vectors and the fresh sample (drifted centroids cost
+    *        probe recall silently)
+    * @param retrainIters / retrainTrainFraction forwarded to
+    *        [[Ivf.retrainIndex]] when the drift check fires */
+  final case class Policy(maxFilesPerCell: Int = 8,
+                          maxBloomLoadFactor: Double = 1.0,
+                          maxDriftDelta: Double = 0.1,
+                          retrainIters: Int = 2,
+                          retrainTrainFraction: Double = 0.05)
+
+  /** One maintenance pass over a persisted IVF index. Checks run in
+    * escalation order and the REPORT records every decision:
+    *
+    *  1. drift (only when `newSample` is provided): max |new_frac −
+    *     old_frac| over cells, old = the index's own vectors, both
+    *     assigned against the SAVED centroids. Fires
+    *     [[Ivf.retrainIndex]] at the current cell count.
+    *  2. fragmentation: max files per cell. Fires [[Ivf.compactIndex]]
+    *     — SKIPPED (recorded as fired=false, action "subsumed") when
+    *     the retrain already fired, because a retrain rewrites the
+    *     whole index one-file-per-cell anyway; firing both would
+    *     rewrite the corpus twice in one pass.
+    *  3. Bloom load (only when an `idblooms` sidecar exists): measured
+    *     load factor. Fires [[KeyBlooms.rebuild]] from the LIVE
+    *     generation's ids boundary — after any retrain/compaction, so
+    *     the rebuild reads the surviving population.
+    *
+    * Observables are tiny (nCells rows, one meta row) — the pass costs
+    * O(reports) when nothing fires and exactly the fired rewrites
+    * otherwise. Returns (check, observed, threshold, fired, action),
+    * one row per check, in escalation order.
+    *
+    * `newSample` is the fresh-distribution sample for the drift check
+    * (a recent shard, a rolling window of appends) with `idCol` /
+    * `vecCol` naming its columns; omit it to skip drift (the other
+    * checks still run). */
+  def maintainIvfIndex(spark: SparkSession, path: String,
+                       policy: Policy = Policy(),
+                       newSample: Option[DataFrame] = None,
+                       idCol: String = "id",
+                       vecCol: String = "vec"): DataFrame = {
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+
+    // 1. drift → retrain
+    val retrained = newSample match {
+      case None =>
+        results += (("cell_drift", Double.NaN, policy.maxDriftDelta,
+          false, "skipped: no newSample provided"))
+        false
+      case Some(sample) =>
+        val root = Ivf.resolveRoot(spark, path)
+        val vectors = spark.read.parquet(s"$root/vectors")
+        val centroids = spark.read.parquet(s"$root/centroids")
+        val nCells = centroids.count().toInt
+        // the index's own id/vec columns may be named differently from
+        // the sample's — remap the sample onto the index's column names
+        // (from the saved schema) so one cellDriftReport serves both
+        val vecName = vectors.schema.fields
+          .find(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          .map(_.name).getOrElse(vecCol)
+        val idName = vectors.schema.fields
+          .find(f => f.name != "cell" && f.name != vecName)
+          .map(_.name).getOrElse(idCol)
+        val sampleRemapped = sample.select(col(idCol).as(idName),
+          col(vecCol).as(vecName))
+        val drift = Ivf.cellDriftReport(
+          vectors.select(col(idName), col(vecName)), sampleRemapped,
+          idName, vecName, centroids)
+        val maxDelta = drift.agg(max(abs(col("delta")))).head().getDouble(0)
+        val fire = maxDelta > policy.maxDriftDelta
+        if (fire)
+          Ivf.retrainIndex(spark, path, nCells, policy.retrainIters,
+            policy.retrainTrainFraction,
+            idCol = Some(idName), vecCol = Some(vecName))
+        results += (("cell_drift", maxDelta, policy.maxDriftDelta, fire,
+          if (fire) "Ivf.retrainIndex" else "none"))
+        fire
+    }
+
+    // 2. fragmentation → compact (subsumed by a retrain's rewrite)
+    val files = Ivf.indexReport(spark, path)
+      .agg(max(col("files"))).head().getLong(0).toDouble
+    if (retrained)
+      results += (("cell_files", files, policy.maxFilesPerCell.toDouble,
+        false, "subsumed: retrain rewrote one file per cell"))
+    else {
+      val fire = files > policy.maxFilesPerCell
+      if (fire) Ivf.compactIndex(spark, path)
+      results += (("cell_files", files, policy.maxFilesPerCell.toDouble,
+        fire, if (fire) "Ivf.compactIndex" else "none"))
+    }
+
+    // 3. Bloom load → rebuild from the LIVE ids boundary
+    if (!KeyBlooms.exists(spark, path, "idblooms"))
+      results += (("bloom_load", Double.NaN, policy.maxBloomLoadFactor,
+        false, "skipped: no idblooms sidecar"))
+    else {
+      val load = KeyBlooms.report(spark, path, "idblooms")
+        .select("load_factor").head().getDouble(0)
+      val fire = load > policy.maxBloomLoadFactor
+      if (fire) {
+        val root = Ivf.resolveRoot(spark, path)
+        val ids = spark.read.parquet(s"$root/ids")
+        KeyBlooms.rebuild(
+          ids.select(col(ids.columns.head).as("key")), path, "idblooms")
+      }
+      results += (("bloom_load", load, policy.maxBloomLoadFactor, fire,
+        if (fire) "KeyBlooms.rebuild" else "none"))
+    }
+
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
+  }
+}

@@ -733,6 +733,72 @@ class EmbedIngestSpec extends SparkTestBase {
     } finally rmDir(dir)
   }
 
+  test("Maintain.maintainIvfIndex: healthy index untouched; drifted+fragmented+overloaded fires exactly the indicated actions") {
+    import graft.llm.Maintain
+    val dir = tmpDir("graft_maint")
+    try {
+      val cents0 = Ivf.train(emb, "vec_id", "embedding", nCells = 8,
+        iters = 2, trainFraction = 1.0)
+      Ivf.writeIndex(emb, "vec_id", "embedding", cents0, dir)
+      Ivf.buildIdBlooms(spark, dir, nBlooms = 4)
+      // fragment: two distinct appends -> multiple files in touched cells
+      Ivf.appendToIndex(driftCluster.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", dir)
+      Ivf.appendToIndex(driftCluster.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", dir)
+      def reportMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> ((r.getBoolean(3), r.getString(4))))
+        .toMap
+      // HEALTHY pass (lenient thresholds): every check runs, nothing
+      // fires, the index is untouched (no generation installed)
+      val healthy = reportMap(Maintain.maintainIvfIndex(spark, dir,
+        Maintain.Policy(maxFilesPerCell = 50, maxBloomLoadFactor = 10.0,
+          maxDriftDelta = 0.99),
+        newSample = Some(driftCluster), idCol = "vec_id",
+        vecCol = "embedding"))
+      assert(healthy.keySet == Set("cell_drift", "cell_files", "bloom_load"))
+      assert(healthy.values.forall(!_._1), s"nothing may fire: $healthy")
+      assert(Ivf.resolveRoot(spark, dir) == dir,
+        "a no-op pass must not rewrite the index")
+      // FIRING pass: drift over threshold -> retrain; fragmentation
+      // check subsumed by the retrain's one-file-per-cell rewrite;
+      // bloom over threshold -> rebuild from the live ids boundary
+      val fired = reportMap(Maintain.maintainIvfIndex(spark, dir,
+        Maintain.Policy(maxFilesPerCell = 1, maxBloomLoadFactor = 0.01,
+          maxDriftDelta = 0.01, retrainIters = 2,
+          retrainTrainFraction = 1.0),
+        newSample = Some(driftCluster), idCol = "vec_id",
+        vecCol = "embedding"))
+      assert(fired("cell_drift") == ((true, "Ivf.retrainIndex")), s"$fired")
+      assert(!fired("cell_files")._1 &&
+        fired("cell_files")._2.startsWith("subsumed"), s"$fired")
+      assert(fired("bloom_load") == ((true, "KeyBlooms.rebuild")), s"$fired")
+      assert(Ivf.resolveRoot(spark, dir) == s"$dir/gen-1",
+        "the fired retrain must install a new generation")
+      val filesAfter = Ivf.indexReport(spark, dir)
+        .agg(org.apache.spark.sql.functions.max(col("files")))
+        .head().getLong(0)
+      assert(filesAfter == 1L,
+        s"retrain leaves one file per cell, saw $filesAfter")
+      // FRAGMENTATION-ONLY pass on a fresh index (no drift sample):
+      // drift skipped, compaction fires on its own
+      val dir2 = tmpDir("graft_maint2")
+      try {
+        Ivf.writeIndex(emb, "vec_id", "embedding", cents0, dir2)
+        Ivf.appendToIndex(driftCluster.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", dir2)
+        val frag = reportMap(Maintain.maintainIvfIndex(spark, dir2,
+          Maintain.Policy(maxFilesPerCell = 1)))
+        assert(!frag("cell_drift")._1 &&
+          frag("cell_drift")._2.startsWith("skipped"), s"$frag")
+        assert(frag("cell_files") == ((true, "Ivf.compactIndex")), s"$frag")
+        assert(!frag("bloom_load")._1 &&
+          frag("bloom_load")._2.startsWith("skipped"), s"$frag")
+        assert(Ivf.resolveRoot(spark, dir2) == s"$dir2/gen-1")
+      } finally rmDir(dir2)
+    } finally rmDir(dir)
+  }
+
   test("IVF appendToIndex replay guard is O(shard): reads the narrow ids boundary, never the vectors files") {
     val e = emb.limit(200)
     val cents = Ivf.train(e, "vec_id", "embedding", nCells = 4, iters = 0)
