@@ -81,6 +81,16 @@ object PerfProbe {
     time("embed pairs") {
       llm.Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 64, 0.95).count()
     }
+    // r13: the training-window assembly (two-pass cumsum + member
+    // explode + one window_id shuffle) — declared bound ~linear in
+    // corpus tokens; run at sf0.01 vs sf0.1 for the 10x probe
+    locally {
+      import org.apache.spark.sql.functions.col
+      time("assembleWindows(500)") {
+        llm.TextStats.assembleWindows(docs.select(col("doc_id"),
+          col("text")), "doc_id", "text", 500L, 3L).count()
+      }
+    }
     spark.stop()
   }
 }

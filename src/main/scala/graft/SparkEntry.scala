@@ -94,7 +94,13 @@ object SparkEntry {
     // (full documents table — tracks the band self-join at the
     // selective key space) and the context-window chunking layout op
     // (blockwise split + bounded explode)
-    "q_simhash_pairs", "q_chunk_tokens")
+    "q_simhash_pairs", "q_chunk_tokens",
+    // r13: the training-window ASSEMBLY (two-pass cumsum + bounded
+    // member explode + ONE shuffle keyed on window_id) — the last hop
+    // of the corpus->training-files chain; declared bound ~linear in
+    // corpus tokens (the window count scales with token mass, each
+    // window's slice list is bounded by windowSize/stride + 2)
+    "q_assemble_windows")
 
   /** Untimed per-query preparation Bench runs ONCE before the timed
     * passes (r10 verdict #3): the steady-state ingest entries build and
