@@ -268,8 +268,11 @@ object QueriesEmbed {
       graft.llm.Ivf.writeIndex(half, "vec_id", "embedding", cents0, path)
       graft.llm.Ivf.appendToIndex(e.filter(col("vec_id") >= 250),
         "vec_id", "embedding", path)
+      // the fixture carries a `label` column, so inference is ambiguous
+      // by design — name the columns (the r13 explicit-params contract)
       graft.llm.Ivf.retrainIndex(s, path, nCells = 8, iters = 0,
-        trainFraction = 1.0)
+        trainFraction = 1.0, idCol = Some("vec_id"),
+        vecCol = Some("embedding"))
       graft.llm.Ivf.annTopKIndexed(e, "vec_id", "embedding", path,
         queryId = 0L, k = 10, nprobe = 2)
     }

@@ -977,19 +977,26 @@ object Dedup {
       .repartition(col("band"), col("key"))
     // bucket count rides the SAME exchange (window distribution ==
     // the repartition above); oversized buckets split by id-hash salt.
-    // The salt is the repo's engine-agnostic keyHash31 (Knuth hash on
-    // the integer id, band-rotated), NOT Spark's Murmur3 hash(): when
-    // the cap engages, which sub-bucket a doc lands in decides which
-    // pairs survive, so an engine-specific salt would quietly break the
-    // family's bit-reproducible-cross-engine contract (r12 ADVICE).
-    // Requires a numeric id — the family-wide key contract.
+    // The salt is engine-agnostic integer arithmetic (the keyHash31
+    // family), NOT Spark's Murmur3 hash(): when the cap engages, which
+    // sub-bucket a doc lands in decides which pairs survive, so an
+    // engine-specific salt would quietly break the family's
+    // bit-reproducible-cross-engine contract (r12 ADVICE). The band
+    // enters as a band-rotated odd MULTIPLIER (Knuth's M + 2·band), not
+    // an additive offset: multiplicative hashes are affine, so an added
+    // band constant would shift every id's hash by the SAME amount —
+    // identical splits in all bands, and the cross-band pair recovery
+    // the cap's completeness argument rests on would silently vanish
+    // (two ids split apart in one band differ by (id_a−id_b)·2·band
+    // here, so other bands re-unite them). Requires a numeric id — the
+    // family-wide key contract.
     val wBucket = Window.partitionBy(col("band"), col("key"))
     val salted = banded
       .withColumn("__n__", count(lit(1)).over(wBucket))
       .withColumn("__salt__",
         when(col("__n__") > maxBucketSize,
-          pmod(graft.QHelp.keyHash31(
-            pmod(col("id"), lit(2147483648L)) + col("band") * lit(7919L)),
+          pmod(pmod(pmod(col("id"), lit(2147483648L)) *
+              (lit(2654435761L) + col("band") * 2), lit(2147483648L)),
             greatest(ceil(col("__n__").cast("double") / maxBucketSize)
               .cast("int"), lit(1)).cast("long")).cast("int"))
           .otherwise(lit(0)))

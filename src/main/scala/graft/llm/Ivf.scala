@@ -474,7 +474,8 @@ object Ivf {
         .localCheckpoint(true)
       rewriteIndexLocked(spark, path,
         v => assign(v.drop("cell"), idName, vecName, newCents),
-        "retrainIndex", newCentroids = Some(newCents))
+        "retrainIndex", newCentroids = Some(newCents),
+        idColKnown = Some(idName))
     }
 
   /** Schema inference shared by the index rewrites: the UNIQUE field
@@ -498,7 +499,8 @@ object Ivf {
                                  path: String,
                                  transform: DataFrame => DataFrame,
                                  opName: String,
-                                 newCentroids: Option[DataFrame] = None)
+                                 newCentroids: Option[DataFrame] = None,
+                                 idColKnown: Option[String] = None)
       : (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
@@ -530,10 +532,11 @@ object Ivf {
     // vectors append committed but whose boundary append did not is
     // reconciled back in. The id column is the vectors schema minus the
     // partition column and the vector payload.
-    val idName = inferUnique(vecDf, opName, s"$nextRoot/vectors",
-      f => f.name != "cell" &&
-        !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
-      "id")
+    val idName = idColKnown.getOrElse(
+      inferUnique(vecDf, opName, s"$nextRoot/vectors",
+        f => f.name != "cell" &&
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+        "id"))
     // bounded parallelism, NOT coalesce(1): at the 10B-vector scale the
     // boundary exists for, one task funneling the whole id column is a
     // single-core stall (and a single multi-GB file); defaultParallelism

@@ -143,4 +143,111 @@ object Maintain {
     import spark.implicits._
     results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
   }
+
+  /** [[maintainIvfIndex]] for the cell-partitioned IVF+PQ SERVING
+    * corpus ([[Pq.writeIvfPqCorpus]]). Same escalation order, with the
+    * family's own observables and actions:
+    *
+    *  1. drift (when `embeddings` — the source-of-truth float store the
+    *     retrain REQUIRES — is provided): the stored per-cell occupancy
+    *     of the ENCODED corpus (codes are lossy, but the stored `cell`
+    *     column IS the old assignment — no float reconstruction needed)
+    *     vs the fresh assignment of `newSample` (recent arrivals; the
+    *     sharp observable) or, absent one, of the whole embeddings
+    *     store, against the SAVED coarse quantizer. Fires
+    *     [[Pq.retrainIvfPqCorpus]] on the embeddings store.
+    *  2. fragmentation: max parquet files per cell directory. Fires
+    *     [[Pq.compactPqCorpus]]; subsumed under a fired retrain.
+    *  3. Bloom load: fires [[KeyBlooms.rebuild]] from the live
+    *     generation's encoded ids.
+    *
+    * FLAT [[Pq.writePqCorpus]] corpora are refused loudly (no cells to
+    * observe — compact/retrain them directly via [[Pq.compactPqCorpus]]
+    * / [[Pq.retrainPqCorpus]] on their own schedule). */
+  def maintainIvfPqCorpus(spark: SparkSession, path: String,
+                          policy: Policy = Policy(),
+                          embeddings: Option[DataFrame] = None,
+                          newSample: Option[DataFrame] = None,
+                          idCol: String = "id",
+                          vecCol: String = "vec"): DataFrame = {
+    val root0 = Pq.resolveRoot(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$root0/centroids")),
+      s"no centroids under $root0 — maintainIvfPqCorpus observes the " +
+        "cell-partitioned writeIvfPqCorpus family; a flat writePqCorpus " +
+        "corpus has no cell observables (schedule Pq.compactPqCorpus / " +
+        "Pq.retrainPqCorpus directly)")
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+
+    // 1. drift → retrain (stored cells vs fresh assignment)
+    val retrained = embeddings match {
+      case None =>
+        results += (("cell_drift", Double.NaN, policy.maxDriftDelta,
+          false, "skipped: no embeddings provided"))
+        false
+      case Some(src) =>
+        val centroids = spark.read.parquet(s"$root0/centroids")
+        val storedRaw = spark.read.parquet(s"$root0/encoded")
+          .groupBy("cell").agg(count(lit(1)).as("old_n"))
+        val freshRaw = Ivf.assign(newSample.getOrElse(src), idCol, vecCol,
+            centroids)
+          .groupBy("cell").agg(count(lit(1)).as("new_n"))
+        val j = centroids.select(col("cell"))
+          .join(storedRaw, Seq("cell"), "left")
+          .join(freshRaw, Seq("cell"), "left")
+          .select(coalesce(col("old_n"), lit(0L)).as("old_n"),
+            coalesce(col("new_n"), lit(0L)).as("new_n"))
+          .localCheckpoint(true) // nCells rows
+        val tot = j.agg(sum("old_n").as("__to__"), sum("new_n").as("__tn__"))
+        val maxDelta = j.crossJoin(broadcast(tot))
+          .select(abs(col("new_n").cast("double") / col("__tn__").cast("double")
+            - col("old_n").cast("double") / col("__to__").cast("double"))
+            .as("__d__"))
+          .agg(max(col("__d__"))).head().getDouble(0)
+        val fire = maxDelta > policy.maxDriftDelta
+        if (fire)
+          Pq.retrainIvfPqCorpus(src, idCol, vecCol, path,
+            policy.retrainIters, policy.retrainTrainFraction)
+        results += (("cell_drift", maxDelta, policy.maxDriftDelta, fire,
+          if (fire) "Pq.retrainIvfPqCorpus" else "none"))
+        fire
+    }
+
+    // 2. fragmentation → compact (subsumed by a retrain's rewrite)
+    val files = spark.read.parquet(s"${Pq.resolveRoot(spark, path)}/encoded")
+      .select(col("cell"), input_file_name().as("__f__"))
+      .groupBy("cell").agg(countDistinct(col("__f__")).as("files"))
+      .agg(max(col("files"))).head().getLong(0).toDouble
+    if (retrained)
+      results += (("cell_files", files, policy.maxFilesPerCell.toDouble,
+        false, "subsumed: retrain rewrote one file per cell"))
+    else {
+      val fire = files > policy.maxFilesPerCell
+      if (fire) Pq.compactPqCorpus(spark, path)
+      results += (("cell_files", files, policy.maxFilesPerCell.toDouble,
+        fire, if (fire) "Pq.compactPqCorpus" else "none"))
+    }
+
+    // 3. Bloom load → rebuild from the LIVE encoded ids
+    if (!KeyBlooms.exists(spark, path, "idblooms"))
+      results += (("bloom_load", Double.NaN, policy.maxBloomLoadFactor,
+        false, "skipped: no idblooms sidecar"))
+    else {
+      val load = KeyBlooms.report(spark, path, "idblooms")
+        .select("load_factor").head().getDouble(0)
+      val fire = load > policy.maxBloomLoadFactor
+      if (fire) {
+        val enc = spark.read
+          .parquet(s"${Pq.resolveRoot(spark, path)}/encoded")
+        KeyBlooms.rebuild(
+          enc.select(col(enc.columns.head).as("key")), path, "idblooms")
+      }
+      results += (("bloom_load", load, policy.maxBloomLoadFactor, fire,
+        if (fire) "KeyBlooms.rebuild" else "none"))
+    }
+
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
+  }
 }

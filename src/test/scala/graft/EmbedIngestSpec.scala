@@ -799,6 +799,63 @@ class EmbedIngestSpec extends SparkTestBase {
     } finally rmDir(dir)
   }
 
+  test("Maintain.maintainIvfPqCorpus: stored-cell drift fires the compressed-tier retrain; flat corpus refused") {
+    import graft.llm.{Maintain, Pq}
+    val dir = tmpDir("graft_maintpq")
+    try {
+      val drifted = emb.unionByName(driftCluster).localCheckpoint(true)
+      val cents0 = Ivf.train(emb, "vec_id", "embedding", nCells = 8,
+        iters = 2, trainFraction = 1.0)
+      val cbs0 = Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, codes = 16, iters = 0)
+      Pq.writeIvfPqCorpus(emb, "vec_id", "embedding", cents0, cbs0, dir,
+        64, 8)
+      Pq.buildIdBlooms(spark, dir, "vec_id", nBlooms = 4)
+      // two appends fragment the cells AND carry the drifted mass in
+      Pq.appendToPqCorpus(driftCluster.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", dir)
+      Pq.appendToPqCorpus(driftCluster.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", dir)
+      def reportMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> ((r.getBoolean(3), r.getString(4))))
+        .toMap
+      val healthy = reportMap(Maintain.maintainIvfPqCorpus(spark, dir,
+        Maintain.Policy(maxFilesPerCell = 50, maxBloomLoadFactor = 10.0,
+          maxDriftDelta = 0.99),
+        embeddings = Some(drifted), newSample = Some(driftCluster),
+        idCol = "vec_id", vecCol = "embedding"))
+      assert(healthy.values.forall(!_._1), s"nothing may fire: $healthy")
+      assert(Pq.resolveRoot(spark, dir) == dir,
+        "a no-op pass must not rewrite the corpus")
+      val fired = reportMap(Maintain.maintainIvfPqCorpus(spark, dir,
+        Maintain.Policy(maxFilesPerCell = 1, maxBloomLoadFactor = 0.01,
+          maxDriftDelta = 0.01, retrainIters = 2,
+          retrainTrainFraction = 1.0),
+        embeddings = Some(drifted), newSample = Some(driftCluster),
+        idCol = "vec_id", vecCol = "embedding"))
+      assert(fired("cell_drift") == ((true, "Pq.retrainIvfPqCorpus")),
+        s"$fired")
+      assert(!fired("cell_files")._1 &&
+        fired("cell_files")._2.startsWith("subsumed"), s"$fired")
+      assert(fired("bloom_load") == ((true, "KeyBlooms.rebuild")), s"$fired")
+      assert(Pq.resolveRoot(spark, dir) == s"$dir/gen-1")
+      assert(spark.read.parquet(s"$dir/gen-1/encoded").count() == 540,
+        "the retrained generation must hold the whole source population")
+      // the flat family has no cell observables — refused loudly,
+      // naming its own direct maintenance entrypoints
+      val flat = tmpDir("graft_maintpq_flat")
+      try {
+        Pq.writePqCorpus(
+          Pq.encode(emb, "vec_id", "embedding", cbs0, 64, 8), cbs0,
+          flat, 64, 8)
+        val e = intercept[IllegalArgumentException] {
+          Maintain.maintainIvfPqCorpus(spark, flat)
+        }
+        assert(e.getMessage.contains("retrainPqCorpus"), e.getMessage)
+      } finally rmDir(flat)
+    } finally rmDir(dir)
+  }
+
   test("IVF appendToIndex replay guard is O(shard): reads the narrow ids boundary, never the vectors files") {
     val e = emb.limit(200)
     val cents = Ivf.train(e, "vec_id", "embedding", nCells = 4, iters = 0)

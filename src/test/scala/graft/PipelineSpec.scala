@@ -324,6 +324,25 @@ class PipelineSpec extends SparkTestBase {
       .deleteDirectory(new java.io.File(tmp))
   }
 
+  test("composed windows plan reads the corpus exactly twice (docs + bench branch)") {
+    // the e2e scan-economy claim extended to the windows product: three
+    // per-split assembly branches each reference the persisted decontam
+    // boundary (its cache absorbs the reuse), so the whole composed
+    // windows plan still leaves exactly two parquet reads of the input
+    // table — a new unpersisted reuse would show up here as a third
+    // scan long before a benchmark
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val win = Pipeline.pretrainWindows(
+      d.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
+      d.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+      "doc_id", "text", windowSize = 200L)
+    val plan = win.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val scans = plan.linesIterator
+      .count(l => l.contains("Location") && l.contains("documents.parquet"))
+    assert(scans == 2, s"expected 2 corpus scans, saw $scans")
+  }
+
   test("near-dup stage keeps the smallest id of a duplicate cluster") {
     val docs = df(docSchema,
       Row(7L, base + " tonight"),
