@@ -33,12 +33,18 @@ object Maintain {
     *        own vectors and the fresh sample (drifted centroids cost
     *        probe recall silently)
     * @param retrainIters / retrainTrainFraction forwarded to
-    *        [[Ivf.retrainIndex]] when the drift check fires */
+    *        [[Ivf.retrainIndex]] when the drift check fires
+    * @param maxFilesFlat compact when a family WITHOUT per-cell layout
+    *        (flat PQ corpus, a near-dup index's bucketed tables)
+    *        exceeds this many parquet files in one directory unit —
+    *        the same observable at the coarser granularity those
+    *        layouts actually have */
   final case class Policy(maxFilesPerCell: Int = 8,
                           maxBloomLoadFactor: Double = 1.0,
                           maxDriftDelta: Double = 0.1,
                           retrainIters: Int = 2,
-                          retrainTrainFraction: Double = 0.05)
+                          retrainTrainFraction: Double = 0.05,
+                          maxFilesFlat: Int = 64)
 
   /** One maintenance pass over a persisted IVF index. Checks run in
     * escalation order and the REPORT records every decision:
@@ -162,8 +168,8 @@ object Maintain {
     *     generation's encoded ids.
     *
     * FLAT [[Pq.writePqCorpus]] corpora are refused loudly (no cells to
-    * observe — compact/retrain them directly via [[Pq.compactPqCorpus]]
-    * / [[Pq.retrainPqCorpus]] on their own schedule). */
+    * observe — their pass is [[maintainPqCorpus]], whose drift
+    * observable is the code histogram instead). */
   def maintainIvfPqCorpus(spark: SparkSession, path: String,
                           policy: Policy = Policy(),
                           embeddings: Option[DataFrame] = None,
@@ -176,8 +182,8 @@ object Maintain {
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$root0/centroids")),
       s"no centroids under $root0 — maintainIvfPqCorpus observes the " +
         "cell-partitioned writeIvfPqCorpus family; a flat writePqCorpus " +
-        "corpus has no cell observables (schedule Pq.compactPqCorpus / " +
-        "Pq.retrainPqCorpus directly)")
+        "corpus has no cell observables (its pass is maintainPqCorpus, " +
+        "which observes the code histogram and fires Pq.retrainPqCorpus)")
     val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
 
     // 1. drift → retrain (stored cells vs fresh assignment)
@@ -245,6 +251,219 @@ object Maintain {
       }
       results += (("bloom_load", load, policy.maxBloomLoadFactor, fire,
         if (fire) "KeyBlooms.rebuild" else "none"))
+    }
+
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
+  }
+
+  /** [[maintainIvfPqCorpus]] for the FLAT [[Pq.writePqCorpus]] family —
+    * the last index family without a maintenance button (it was refused
+    * with "schedule directly"; now the scheduler exists). Escalation
+    * order, with the flat family's own observables:
+    *
+    *  1. code drift (when `embeddings` — the float source-of-truth the
+    *     retrain requires — is provided): a flat corpus has no cells,
+    *     but its trained state (the codebooks) publishes an exactly
+    *     analogous observable — the per-(sub, code) assignment
+    *     histogram. The stored `codes` arrays ARE the old assignment
+    *     (posexplode, no float reconstruction — the same trick as the
+    *     IVF+PQ side's stored `cell` column); the fresh side encodes
+    *     `newSample` (recent arrivals; absent one, the whole embeddings
+    *     store) under the SAVED codebooks. Max |new_frac − old_frac|
+    *     over (sub, code) cells past `maxDriftDelta` fires
+    *     [[Pq.retrainPqCorpus]] — drifted codebooks cost ADC ranking
+    *     accuracy silently, the flat analog of drifted centroids
+    *     costing probe recall.
+    *  2. fragmentation: parquet files in the single `encoded/`
+    *     directory (no cells → the directory IS the unit) past
+    *     `maxFilesFlat` fires [[Pq.compactPqCorpus]]; subsumed under a
+    *     fired retrain (its wholesale re-encode rewrites `encoded/`).
+    *  3. Bloom load: fires [[KeyBlooms.rebuild]] from the live
+    *     generation's encoded ids.
+    *
+    * CELL-partitioned corpora are refused loudly (their maintenance
+    * pass is [[maintainIvfPqCorpus]] — the cell observable is sharper
+    * than the code histogram and their retrain must migrate the coarse
+    * quantizer too). */
+  def maintainPqCorpus(spark: SparkSession, path: String,
+                       policy: Policy = Policy(),
+                       embeddings: Option[DataFrame] = None,
+                       newSample: Option[DataFrame] = None,
+                       idCol: String = "id",
+                       vecCol: String = "vec"): DataFrame = {
+    val root0 = Pq.resolveRoot(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$root0/centroids")),
+      s"centroids found under $root0 — this is a cell-partitioned " +
+        "writeIvfPqCorpus index; maintain it with maintainIvfPqCorpus " +
+        "(cell occupancy is the sharper observable and its retrain " +
+        "migrates the coarse quantizer too)")
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+
+    // 1. code-histogram drift → retrain codebooks
+    val retrained = embeddings match {
+      case None =>
+        results += (("code_drift", Double.NaN, policy.maxDriftDelta,
+          false, "skipped: no embeddings provided"))
+        false
+      case Some(src) =>
+        val g = Pq.readGeometry(spark, path)
+        val cbs = spark.read.parquet(s"$root0/codebooks")
+        val oldHist = spark.read.parquet(s"$root0/encoded")
+          .select(posexplode(col("codes")).as(Seq("sub", "code")))
+          .groupBy("sub", "code").agg(count(lit(1)).as("old_n"))
+        val freshHist = Pq.encode(newSample.getOrElse(src), idCol, vecCol,
+            cbs, g.dim, g.m)
+          .select(posexplode(col("codes")).as(Seq("sub", "code")))
+          .groupBy("sub", "code").agg(count(lit(1)).as("new_n"))
+        // ≤ m·codes rows after the joins — pin them before the window
+        val j = oldHist.join(freshHist, Seq("sub", "code"), "full_outer")
+          .select(col("sub"),
+            coalesce(col("old_n"), lit(0L)).as("old_n"),
+            coalesce(col("new_n"), lit(0L)).as("new_n"))
+          .localCheckpoint(true)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("sub")
+        val maxDelta = j
+          .withColumn("__of__", col("old_n") / sum(col("old_n")).over(w))
+          .withColumn("__nf__", col("new_n") / sum(col("new_n")).over(w))
+          .agg(coalesce(max(abs(col("__nf__") - col("__of__"))), lit(0.0)))
+          .head().getDouble(0)
+        val fire = maxDelta > policy.maxDriftDelta
+        if (fire)
+          Pq.retrainPqCorpus(src, idCol, vecCol, path,
+            policy.retrainIters, policy.retrainTrainFraction)
+        results += (("code_drift", maxDelta, policy.maxDriftDelta, fire,
+          if (fire) "Pq.retrainPqCorpus" else "none"))
+        fire
+    }
+
+    // 2. fragmentation → compact (subsumed by a retrain's re-encode)
+    val files = spark.read
+      .parquet(s"${Pq.resolveRoot(spark, path)}/encoded")
+      .select(input_file_name().as("__f__"))
+      .agg(countDistinct(col("__f__"))).head().getLong(0).toDouble
+    if (retrained)
+      results += (("flat_files", files, policy.maxFilesFlat.toDouble,
+        false, "subsumed: retrain rewrote the encoded directory"))
+    else {
+      val fire = files > policy.maxFilesFlat
+      if (fire) Pq.compactPqCorpus(spark, path)
+      results += (("flat_files", files, policy.maxFilesFlat.toDouble,
+        fire, if (fire) "Pq.compactPqCorpus" else "none"))
+    }
+
+    // 3. Bloom load → rebuild from the LIVE encoded ids
+    if (!KeyBlooms.exists(spark, path, "idblooms"))
+      results += (("bloom_load", Double.NaN, policy.maxBloomLoadFactor,
+        false, "skipped: no idblooms sidecar"))
+    else {
+      val load = KeyBlooms.report(spark, path, "idblooms")
+        .select("load_factor").head().getDouble(0)
+      val fire = load > policy.maxBloomLoadFactor
+      if (fire) {
+        val enc = spark.read
+          .parquet(s"${Pq.resolveRoot(spark, path)}/encoded")
+        KeyBlooms.rebuild(
+          enc.select(col(enc.columns.head).as("key")), path, "idblooms")
+      }
+      results += (("bloom_load", load, policy.maxBloomLoadFactor, fire,
+        if (fire) "KeyBlooms.rebuild" else "none"))
+    }
+
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
+  }
+
+  /** Maintenance pass over a persisted TEXT near-dup index
+    * ([[Dedup.writeNearDupIndex]] catalog tables `<name>_bands` /
+    * `_shingles` / `_keys`). The family's distinguishing property: its
+    * "model" (MinHash permutations + banding) is DATA-INDEPENDENT hash
+    * arithmetic — there is no trained state to drift, so there is no
+    * drift check and never a retrain (the structural reason LSH indexes
+    * only ever need compaction, recorded in the report so a fleet-wide
+    * maintenance dashboard shows WHY the column is empty rather than a
+    * hole). Remaining checks, escalation order:
+    *
+    *  1. fragmentation: max parquet files over the index's bucketed
+    *     tables ([[Dedup.indexReport]] — file opens grow O(append
+    *     days)) past `maxFilesFlat` fires [[Dedup.compactNearDupIndex]].
+    *  2. Bloom load (when `bloomPath` names the sidecar the ingest gate
+    *     probes): fires [[KeyBlooms.rebuild]] from the live `_keys` id
+    *     boundary.
+    *
+    * `bloomPath` is the filesystem path [[Dedup.buildIdBlooms]] wrote
+    * beside the index tables; omit when the index has no sidecar. */
+  def maintainTextIndex(spark: SparkSession, name: String,
+                        policy: Policy = Policy(),
+                        bloomPath: Option[String] = None): DataFrame = {
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+    results += (("band_drift", Double.NaN, Double.NaN, false,
+      "n/a: MinHash banding is data-independent hash arithmetic — no trained state to drift"))
+
+    val files = Dedup.indexReport(spark, name)
+      .agg(max(col("files"))).head().getLong(0).toDouble
+    val fireCompact = files > policy.maxFilesFlat
+    if (fireCompact) Dedup.compactNearDupIndex(spark, name)
+    results += (("table_files", files, policy.maxFilesFlat.toDouble,
+      fireCompact, if (fireCompact) "Dedup.compactNearDupIndex" else "none"))
+
+    bloomPath match {
+      case None =>
+        results += (("bloom_load", Double.NaN, policy.maxBloomLoadFactor,
+          false, "skipped: no bloomPath provided"))
+      case Some(bp) =>
+        val load = KeyBlooms.report(spark, bp, "idblooms")
+          .select("load_factor").head().getDouble(0)
+        val fire = load > policy.maxBloomLoadFactor
+        if (fire)
+          KeyBlooms.rebuild(
+            spark.table(s"${name}_keys").select(col("id").as("key")),
+            bp, "idblooms")
+        results += (("bloom_load", load, policy.maxBloomLoadFactor, fire,
+          if (fire) "KeyBlooms.rebuild" else "none"))
+    }
+
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
+  }
+
+  /** [[maintainTextIndex]] for the EMBEDDING near-dup index
+    * ([[Dedup.writeEmbeddingIndex]] table `<name>_vecs`): hyperplane-LSH
+    * buckets are equally data-independent (fixed seeded planes), so the
+    * same no-drift structure holds — fragmentation fires
+    * [[Dedup.compactEmbeddingIndex]], Bloom overload rebuilds from the
+    * live `_vecs` id boundary. */
+  def maintainEmbeddingIndex(spark: SparkSession, name: String,
+                             policy: Policy = Policy(),
+                             bloomPath: Option[String] = None): DataFrame = {
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+    results += (("bucket_drift", Double.NaN, Double.NaN, false,
+      "n/a: hyperplane-LSH buckets are data-independent (fixed seeded planes) — no trained state to drift"))
+
+    val files = spark.table(s"${name}_vecs")
+      .select(input_file_name().as("__f__"))
+      .agg(countDistinct(col("__f__"))).head().getLong(0).toDouble
+    val fireCompact = files > policy.maxFilesFlat
+    if (fireCompact) Dedup.compactEmbeddingIndex(spark, name)
+    results += (("table_files", files, policy.maxFilesFlat.toDouble,
+      fireCompact, if (fireCompact) "Dedup.compactEmbeddingIndex" else "none"))
+
+    bloomPath match {
+      case None =>
+        results += (("bloom_load", Double.NaN, policy.maxBloomLoadFactor,
+          false, "skipped: no bloomPath provided"))
+      case Some(bp) =>
+        val load = KeyBlooms.report(spark, bp, "idblooms")
+          .select("load_factor").head().getDouble(0)
+        val fire = load > policy.maxBloomLoadFactor
+        if (fire)
+          KeyBlooms.rebuild(
+            spark.table(s"${name}_vecs").select(col("id").as("key")),
+            bp, "idblooms")
+        results += (("bloom_load", load, policy.maxBloomLoadFactor, fire,
+          if (fire) "KeyBlooms.rebuild" else "none"))
     }
 
     import spark.implicits._

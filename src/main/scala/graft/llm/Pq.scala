@@ -270,8 +270,8 @@ object Pq {
         path, "idblooms")
   }
 
-  private def readGeometry(spark: SparkSession,
-                           path: String): Geom = {
+  private[llm] def readGeometry(spark: SparkSession,
+                                path: String): Geom = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_PQ.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no PQ geometry stamp at $p")
@@ -287,7 +287,7 @@ object Pq {
     Geom(f("dim"), f("m"), f("codes"), residual)
   }
 
-  private case class Geom(dim: Int, m: Int, codes: Int,
+  private[llm] case class Geom(dim: Int, m: Int, codes: Int,
                           residual: Boolean)
 
   /** [[annTopKPq]] over a persisted corpus ([[writePqCorpus]]): the scan

@@ -1465,4 +1465,140 @@ class EmbedIngestSpec extends SparkTestBase {
       Seq(shardSrc, idxDir, outDir).foreach(rmDir)
     }
   }
+
+  test("Maintain.maintainPqCorpus: code-histogram drift fires the flat retrain; cell corpus refused") {
+    import graft.llm.{Maintain, Pq}
+    def reportMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(3), r.getString(4))))
+      .toMap
+    val dir = tmpDir("graft_maintflat")
+    try {
+      val drifted = emb.unionByName(driftCluster).localCheckpoint(true)
+      // stale codebooks: trained on the PRE-drift corpus only; the
+      // encoded frame lands pre-fragmented (8 files) so the healthy
+      // pass exercises a real file count
+      val cbs0 = Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, codes = 16, iters = 0)
+      Pq.writePqCorpus(
+        Pq.encode(emb, "vec_id", "embedding", cbs0, 64, 8).repartition(8),
+        cbs0, dir, 64, 8)
+      Pq.buildIdBlooms(spark, dir, "vec_id", nBlooms = 4)
+      // HEALTHY pass: fresh side = the corpus itself under its own
+      // codebooks -> histograms identical, drift exactly 0; lenient
+      // thresholds everywhere else; no generation installed
+      val healthy = reportMap(Maintain.maintainPqCorpus(spark, dir,
+        Maintain.Policy(maxFilesFlat = 50, maxBloomLoadFactor = 10.0,
+          maxDriftDelta = 0.01),
+        embeddings = Some(emb), newSample = Some(emb),
+        idCol = "vec_id", vecCol = "embedding"))
+      assert(healthy.keySet == Set("code_drift", "flat_files", "bloom_load"))
+      assert(healthy.values.forall(!_._1), s"nothing may fire: $healthy")
+      assert(Pq.resolveRoot(spark, dir) == dir,
+        "a no-op pass must not rewrite the corpus")
+      // FIRING pass: the drifted cluster's codes concentrate away from
+      // the stored histogram -> retrain on the full drifted store;
+      // fragmentation subsumed; bloom rebuild from the live encoded ids
+      val fired = reportMap(Maintain.maintainPqCorpus(spark, dir,
+        Maintain.Policy(maxFilesFlat = 1, maxBloomLoadFactor = 0.01,
+          maxDriftDelta = 0.01, retrainIters = 0,
+          retrainTrainFraction = 1.0),
+        embeddings = Some(drifted), newSample = Some(driftCluster),
+        idCol = "vec_id", vecCol = "embedding"))
+      assert(fired("code_drift") == ((true, "Pq.retrainPqCorpus")),
+        s"$fired")
+      assert(!fired("flat_files")._1 &&
+        fired("flat_files")._2.startsWith("subsumed"), s"$fired")
+      assert(fired("bloom_load") == ((true, "KeyBlooms.rebuild")), s"$fired")
+      assert(Pq.resolveRoot(spark, dir) == s"$dir/gen-1",
+        "the fired retrain must install a new generation")
+      assert(spark.read.parquet(s"$dir/gen-1/encoded").count() == 540,
+        "the retrained generation must hold the whole source population")
+      // FRAGMENTATION-ONLY pass on a fresh corpus: drift skipped
+      // without embeddings, compaction fires alone and shrinks files
+      val dir2 = tmpDir("graft_maintflat2")
+      try {
+        Pq.writePqCorpus(
+          Pq.encode(emb, "vec_id", "embedding", cbs0, 64, 8)
+            .repartition(8), cbs0, dir2, 64, 8)
+        val frag = reportMap(Maintain.maintainPqCorpus(spark, dir2,
+          Maintain.Policy(maxFilesFlat = 4)))
+        assert(!frag("code_drift")._1 &&
+          frag("code_drift")._2.startsWith("skipped"), s"$frag")
+        assert(frag("flat_files") == ((true, "Pq.compactPqCorpus")), s"$frag")
+        assert(!frag("bloom_load")._1 &&
+          frag("bloom_load")._2.startsWith("skipped"), s"$frag")
+        assert(Pq.resolveRoot(spark, dir2) == s"$dir2/gen-1")
+        val filesAfter = spark.read.parquet(s"$dir2/gen-1/encoded")
+          .select(input_file_name().as("f")).distinct().count()
+        assert(filesAfter < 8, s"compaction must shrink files, saw $filesAfter")
+      } finally rmDir(dir2)
+      // reverse-direction refusal: a CELL-partitioned corpus names its
+      // own maintenance pass
+      val cell = tmpDir("graft_maintflat_cell")
+      try {
+        val cents0 = Ivf.train(emb, "vec_id", "embedding", nCells = 8,
+          iters = 2, trainFraction = 1.0)
+        Pq.writeIvfPqCorpus(emb, "vec_id", "embedding", cents0, cbs0,
+          cell, 64, 8)
+        val e = intercept[IllegalArgumentException] {
+          Maintain.maintainPqCorpus(spark, cell)
+        }
+        assert(e.getMessage.contains("maintainIvfPqCorpus"), e.getMessage)
+      } finally rmDir(cell)
+    } finally rmDir(dir)
+  }
+
+  test("Maintain.maintainEmbeddingIndex: no drift check by construction; fragmentation compacts, bloom overload rebuilds") {
+    import graft.llm.{Dedup, Maintain}
+    def reportMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(3), r.getString(4))))
+      .toMap
+    val name = "maint_e"
+    val dir = tmpDir("graft_mainte")
+    try {
+      Dedup.writeEmbeddingIndex(emb.filter(col("vec_id") < 400),
+        "vec_id", "embedding", 64, name, dir, buckets = 4)
+      Dedup.buildEmbedIdBlooms(spark, name, dir, nBlooms = 4)
+      // two daily appends fragment the vecs table
+      Seq(0, 1).foreach(p =>
+        Dedup.appendEmbeddingShardToIndex(
+          emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === p),
+          "vec_id", "embedding", 64, 0.9, name, dir, buckets = 4)
+          .unpersist())
+      val filesBefore = spark.table(s"${name}_vecs")
+        .select(input_file_name().as("f")).distinct().count()
+      val healthy = reportMap(Maintain.maintainEmbeddingIndex(spark, name,
+        Maintain.Policy(maxFilesFlat = 100, maxBloomLoadFactor = 100.0),
+        bloomPath = Some(dir)))
+      assert(healthy.keySet ==
+        Set("bucket_drift", "table_files", "bloom_load"))
+      assert(healthy.values.forall(!_._1), s"nothing may fire: $healthy")
+      assert(healthy("bucket_drift")._2.startsWith("n/a"),
+        "the report must record WHY there is no drift check")
+      val fired = reportMap(Maintain.maintainEmbeddingIndex(spark, name,
+        Maintain.Policy(maxFilesFlat = 4, maxBloomLoadFactor = 0.001),
+        bloomPath = Some(dir)))
+      assert(fired("table_files") ==
+        ((true, "Dedup.compactEmbeddingIndex")), s"$fired")
+      assert(fired("bloom_load") == ((true, "KeyBlooms.rebuild")), s"$fired")
+      val filesAfter = spark.table(s"${name}_vecs")
+        .select(input_file_name().as("f")).distinct().count()
+      assert(filesAfter < filesBefore,
+        s"compaction must shrink files: $filesBefore -> $filesAfter")
+      // rebuilt sidecar still answers the boundary exactly: every
+      // indexed id present, a fresh id absent (no false "present")
+      val probe = graft.llm.KeyBlooms.presentIds(
+        emb.select(col("vec_id")), "vec_id",
+        spark.table(s"${name}_vecs").select(col("id").as("vec_id")), dir)
+        .collect().map(_.getLong(0)).toSet
+      val indexed = spark.table(s"${name}_vecs")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(probe == indexed.intersect(
+        emb.select("vec_id").collect().map(_.getLong(0)).toSet),
+        "rebuilt sidecar must route exactly the indexed ids")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_vecs")
+      rmDir(dir)
+    }
+  }
 }

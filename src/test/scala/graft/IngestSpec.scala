@@ -465,4 +465,58 @@ class IngestSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  test("Maintain.maintainTextIndex: no drift check by construction; fragmentation compacts, bloom overload rebuilds, gate unchanged") {
+    import graft.llm.Maintain
+    def reportMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(3), r.getString(4))))
+      .toMap
+    val tmp = tmpDir("graft_maintt")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "maintt_t", tmp)
+      Dedup.buildIdBlooms(spark, "maintt_t", tmp, nBlooms = 4)
+      Seq((200L, 260L), (260L, 320L)).foreach { case (lo, hi) =>
+        Dedup.appendShardToIndex(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          "doc_id", "text", "maintt_t", tmp, threshold = 0.5).unpersist()
+      }
+      val filesBefore = Dedup.indexReport(spark, "maintt_t")
+        .agg(max(col("files"))).head().getLong(0)
+      val healthy = reportMap(Maintain.maintainTextIndex(spark, "maintt_t",
+        Maintain.Policy(maxFilesFlat = 100, maxBloomLoadFactor = 100.0),
+        bloomPath = Some(tmp)))
+      assert(healthy.keySet == Set("band_drift", "table_files", "bloom_load"))
+      assert(healthy.values.forall(!_._1), s"nothing may fire: $healthy")
+      assert(healthy("band_drift")._2.startsWith("n/a"),
+        "the report must record WHY the family never retrains")
+      val fired = reportMap(Maintain.maintainTextIndex(spark, "maintt_t",
+        Maintain.Policy(maxFilesFlat = 4, maxBloomLoadFactor = 0.001),
+        bloomPath = Some(tmp)))
+      assert(fired("table_files") ==
+        ((true, "Dedup.compactNearDupIndex")), s"$fired")
+      assert(fired("bloom_load") == ((true, "KeyBlooms.rebuild")), s"$fired")
+      val filesAfter = Dedup.indexReport(spark, "maintt_t")
+        .agg(max(col("files"))).head().getLong(0)
+      assert(filesAfter < filesBefore,
+        s"compaction must shrink files: $filesBefore -> $filesAfter")
+      // the maintained index still gates correctly: a corpus doc's
+      // duplicate drops, a unique survivor lands
+      val corpusText = docs.filter(col("doc_id") === 7)
+        .select("text").collect().head.getString(0)
+      val shard = df(docSchema,
+        Row(95001L, uniq), Row(95002L, "  " + corpusText + "  "))
+      val survivors = Pipeline.ingestShardFrame(shard,
+        df(docSchema, Row(100L, "alpha beta gamma delta epsilon zeta")),
+        "doc_id", "text", "maintt_t", tmp)
+      assert(survivors.select("doc_id").collect().map(_.getLong(0)).toSeq
+        == Seq(95001L),
+        "post-maintenance gate must still drop the corpus duplicate")
+    } finally {
+      dropIndex("maintt_t")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
