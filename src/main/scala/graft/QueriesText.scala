@@ -160,6 +160,63 @@ object QueriesText {
         .sortValues(Seq("doc_id" -> true)).df
     }
 
+    // Declarative one-pass constraint suite (operators/Checks): the
+    // whole expectation set is a single aggregate scan; the oracle
+    // recomputes every metric AND the pass verdicts. The set mixes
+    // passing and failing rows on purpose — an all-pass fixture would
+    // leave the verdict column vacuous (unique(lang) and the ≤100-chars
+    // bound fail at both scales).
+    r.reg("q_check_constraints",
+      """WITH m AS (
+        |  SELECT
+        |    CAST(COUNT(text) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS nn,
+        |    CAST(COUNT(DISTINCT doc_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ud,
+        |    CAST(COUNT(DISTINCT lang) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ul,
+        |    CAST(COUNT(CASE WHEN n_chars >= 1 AND n_chars <= 10000 THEN 1 END) AS DOUBLE)
+        |      / CAST(COUNT(n_chars) AS DOUBLE) AS b1,
+        |    CAST(COUNT(CASE WHEN n_chars >= 0 AND n_chars <= 100 THEN 1 END) AS DOUBLE)
+        |      / CAST(COUNT(n_chars) AS DOUBLE) AS b2,
+        |    CAST(COUNT(CASE WHEN lang IN ('en', 'de', 'fr') THEN 1 END) AS DOUBLE)
+        |      / CAST(COUNT(lang) AS DOUBLE) AS s1,
+        |    CAST(COUNT(CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN 1 END) AS DOUBLE)
+        |      / CAST(COUNT(source) AS DOUBLE) AS m1,
+        |    CAST(COUNT(*) AS DOUBLE) AS rc,
+        |    CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+        |      / CAST(COUNT(n_chars) AS DOUBLE) AS mu
+        |  FROM documents
+        |)
+        |SELECT 'not_null' AS "constraint", 'text' AS "column", nn AS observed,
+        |  CAST(1.0 AS DOUBLE) AS lo, CAST(1.0 AS DOUBLE) AS hi,
+        |  nn >= 1.0 AND nn <= 1.0 AS passed FROM m
+        |UNION ALL SELECT 'unique', 'doc_id', ud, CAST(1.0 AS DOUBLE),
+        |  CAST(1.0 AS DOUBLE), ud >= 1.0 AND ud <= 1.0 FROM m
+        |UNION ALL SELECT 'unique', 'lang', ul, CAST(1.0 AS DOUBLE),
+        |  CAST(1.0 AS DOUBLE), ul >= 1.0 AND ul <= 1.0 FROM m
+        |UNION ALL SELECT 'bounds', 'n_chars', b1, CAST(1.0 AS DOUBLE),
+        |  CAST(1.0 AS DOUBLE), b1 >= 1.0 AND b1 <= 1.0 FROM m
+        |UNION ALL SELECT 'bounds', 'n_chars', b2, CAST(0.9 AS DOUBLE),
+        |  CAST(1.0 AS DOUBLE), b2 >= 0.9 AND b2 <= 1.0 FROM m
+        |UNION ALL SELECT 'in_set', 'lang', s1, CAST(0.5 AS DOUBLE),
+        |  CAST(1.0 AS DOUBLE), s1 >= 0.5 AND s1 <= 1.0 FROM m
+        |UNION ALL SELECT 'matches', 'source', m1, CAST(1.0 AS DOUBLE),
+        |  CAST(1.0 AS DOUBLE), m1 >= 1.0 AND m1 <= 1.0 FROM m
+        |UNION ALL SELECT 'row_count', '*', rc, CAST(100 AS DOUBLE),
+        |  CAST(10000000 AS DOUBLE), rc >= 100 AND rc <= 10000000 FROM m
+        |UNION ALL SELECT 'mean', 'n_chars', mu, CAST(100.0 AS DOUBLE),
+        |  CAST(500.0 AS DOUBLE), mu >= 100.0 AND mu <= 500.0 FROM m""".stripMargin) { (s, dir) =>
+      import graft.operators.Checks
+      Checks.check(t(s, dir, "documents"), Seq(
+        Checks.NotNull("text"),
+        Checks.Unique(Seq("doc_id")),
+        Checks.Unique(Seq("lang")),
+        Checks.Bounds("n_chars", 1, 10000),
+        Checks.Bounds("n_chars", 0, 100, 0.9),
+        Checks.InSet("lang", Seq("en", "de", "fr"), 0.5),
+        Checks.Matches("source", "^src[0-9]+$"),
+        Checks.RowCountBetween(100L, 10000000L),
+        Checks.MeanBetween("n_chars", 100.0, 500.0)))
+    }
+
     // str accessor completion: get / join / slice_replace (the last three
     // reference `_str_accessor.py` members) — negative-index get and the
     // Python slice identity s[:start] + repl + s[stop:] value-checked.

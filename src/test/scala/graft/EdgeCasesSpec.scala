@@ -570,4 +570,52 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(a0.filter(col("source") === "big").count() > 0,
       "alpha=0 downsamples the head toward the small domain's mass, not to zero-by-accident")
   }
+
+  test("Checks: one-pass report; gate passes clean frames through and names every failing constraint; empty ratios are vacuous") {
+    import graft.operators.Checks
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("n", LongType)))
+    val clean = df(schema, Row(1L, "aa", 10L), Row(2L, "bb", 20L),
+      Row(3L, "cc", 30L))
+    val cs = Seq(
+      Checks.NotNull("v"), Checks.Unique(Seq("id")),
+      Checks.Bounds("n", 5, 50), Checks.InSet("v", Seq("aa", "bb", "cc")),
+      Checks.Matches("v", "^[a-c]+$"), Checks.RowCountBetween(1L, 10L),
+      Checks.MeanBetween("n", 15.0, 25.0))
+    // the whole suite is ONE aggregate pass: a single scan of the source
+    val rep = Checks.check(clean, cs)
+    assert(rep.columns.toSeq ==
+      Seq("constraint", "column", "observed", "lo", "hi", "passed"))
+    assert(rep.collect().forall(_.getBoolean(5)), "clean frame must pass")
+    val scans = rep.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.LocalTableScanExec => s
+      case s: org.apache.spark.sql.execution.SparkPlan
+        if s.nodeName.contains("Scan") => s }
+    assert(scans.size <= 2,
+      s"the suite must not multiply source scans: ${scans.map(_.nodeName)}")
+    assert(Checks.requireAll(clean, cs).count() == 3,
+      "the gate must pass a clean frame through unchanged")
+
+    // dirty frame: null v, duplicate id, out-of-bounds n, off-alphabet v
+    val dirty = df(schema, Row(1L, "aa", 10L), Row(1L, "zz", 999L),
+      Row(2L, null, 20L))
+    val e = intercept[IllegalStateException] {
+      Checks.requireAll(dirty, cs) }
+    assert(e.getMessage.contains("not_null(v)") &&
+      e.getMessage.contains("unique(id)") &&
+      e.getMessage.contains("bounds(n)") &&
+      e.getMessage.contains("mean(n)"), e.getMessage)
+
+    // empty frame: every ratio is vacuously 1.0 (pass); row_count and
+    // mean are the constraints that MUST catch emptiness
+    val empty = df(schema)
+    val er = Checks.check(empty, cs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(5)).toMap
+    assert(er(("not_null", "v")) && er(("unique", "id")) &&
+      er(("bounds", "n")) && er(("in_set", "v")) && er(("matches", "v")),
+      s"ratios over an empty frame are vacuous: $er")
+    assert(!er(("row_count", "*")), "row_count must catch emptiness")
+    assert(!er(("mean", "n")), "NaN mean must fail, not pass")
+  }
 }
