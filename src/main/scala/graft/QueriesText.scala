@@ -217,6 +217,45 @@ object QueriesText {
         Checks.MeanBetween("n_chars", 100.0, 500.0)))
     }
 
+    // Per-group (fleet-view) constraint report: one map-side-combined
+    // groupBy pass; RowCountBetween bounds each LANGUAGE's share here,
+    // and the 60-char bound (minRatio 0.98) fails for some languages only — the oracle
+    // checks verdicts vary BY group, not just globally.
+    r.reg("q_check_constraints_by",
+      """WITH m AS (
+        |  SELECT lang,
+        |    CAST(COUNT(text) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS nn,
+        |    CAST(COUNT(DISTINCT doc_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ud,
+        |    CAST(COUNT(CASE WHEN n_chars >= 60 AND n_chars <= 10000 THEN 1 END) AS DOUBLE)
+        |      / CAST(COUNT(n_chars) AS DOUBLE) AS b1,
+        |    CAST(COUNT(*) AS DOUBLE) AS rc,
+        |    CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+        |      / CAST(COUNT(n_chars) AS DOUBLE) AS mu
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT * FROM (
+        |  SELECT lang, 'bounds' AS "constraint", 'n_chars' AS "column",
+        |    b1 AS observed, CAST(0.98 AS DOUBLE) AS lo,
+        |    CAST(1.0 AS DOUBLE) AS hi, b1 >= 0.98 AND b1 <= 1.0 AS passed
+        |  FROM m
+        |  UNION ALL SELECT lang, 'mean', 'n_chars', mu, CAST(100.0 AS DOUBLE),
+        |    CAST(500.0 AS DOUBLE), mu >= 100.0 AND mu <= 500.0 FROM m
+        |  UNION ALL SELECT lang, 'not_null', 'text', nn, CAST(1.0 AS DOUBLE),
+        |    CAST(1.0 AS DOUBLE), nn >= 1.0 AND nn <= 1.0 FROM m
+        |  UNION ALL SELECT lang, 'row_count', '*', rc, CAST(60 AS DOUBLE),
+        |    CAST(100000 AS DOUBLE), rc >= 60 AND rc <= 100000 FROM m
+        |  UNION ALL SELECT lang, 'unique', 'doc_id', ud, CAST(1.0 AS DOUBLE),
+        |    CAST(1.0 AS DOUBLE), ud >= 1.0 AND ud <= 1.0 FROM m
+        |) ORDER BY lang, "constraint", "column", lo""".stripMargin) { (s, dir) =>
+      import graft.operators.Checks
+      Checks.checkBy(t(s, dir, "documents"), Seq("lang"), Seq(
+        Checks.NotNull("text"),
+        Checks.Unique(Seq("doc_id")),
+        Checks.Bounds("n_chars", 60, 10000, 0.98),
+        Checks.RowCountBetween(60L, 100000L),
+        Checks.MeanBetween("n_chars", 100.0, 500.0)))
+    }
+
     // str accessor completion: get / join / slice_replace (the last three
     // reference `_str_accessor.py` members) — negative-index get and the
     // Python slice identity s[:start] + repl + s[stop:] value-checked.

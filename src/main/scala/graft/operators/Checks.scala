@@ -128,6 +128,37 @@ object Checks {
         col("r.lo"), col("r.hi"), col("r.passed"))
   }
 
+  /** Per-GROUP constraint report — the fleet view: one row per (group,
+    * constraint), still ONE aggregate pass (a map-side-combined groupBy
+    * instead of a global agg — the shuffle carries only
+    * |groups| × |constraints| partial aggregates, never rows). The
+    * per-source / per-language quality dashboards a 100 TB corpus runs
+    * daily are exactly this shape. [[RowCountBetween]] bounds each
+    * GROUP's size here; [[Unique]] is within-group distinctness.
+    * Output is sorted (group cols, then constraint, column, lo) so the
+    * report is deterministic under any partitioning. */
+  def checkBy(df: DataFrame, groupCols: Seq[String],
+              constraints: Seq[Constraint]): DataFrame = {
+    require(groupCols.nonEmpty, "checkBy: empty group column list")
+    require(constraints.nonEmpty, "checkBy: empty constraint list")
+    val compiled = constraints.map(compile)
+    val metrics = compiled.zipWithIndex.map { case (cc, i) =>
+      cc.metric.as(s"__m$i") }
+    val rows = compiled.zipWithIndex.map { case (cc, i) =>
+      struct(lit(cc.name).as("constraint"), lit(cc.colDesc).as("column"),
+        col(s"__m$i").as("observed"), lit(cc.lo).as("lo"),
+        lit(cc.hi).as("hi"),
+        (col(s"__m$i") >= cc.lo && col(s"__m$i") <= cc.hi).as("passed")) }
+    df.groupBy(groupCols.map(col): _*)
+      .agg(metrics.head, metrics.tail: _*)
+      .select(groupCols.map(col) :+ explode(array(rows: _*)).as("r"): _*)
+      .select(groupCols.map(col) ++ Seq(col("r.constraint"),
+        col("r.column"), col("r.observed"), col("r.lo"), col("r.hi"),
+        col("r.passed")): _*)
+      .orderBy(groupCols.map(col) ++
+        Seq(col("constraint"), col("column"), col("lo")): _*)
+  }
+
   /** The GATE form: evaluate and pass `df` through unchanged when every
     * constraint holds; otherwise throw, naming each failing constraint
     * with its observed value — the loud-refusal discipline every ingest
