@@ -1258,6 +1258,70 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // The INCREMENTAL corpus→training-files mile, composed and
+    // oracle-checked end to end (r13): the ingest gate's survivors
+    // (the SHARED CTE chain above — the two oracles cannot drift) are
+    // split by the stable id-hash and chopped into SHARD-LOCAL windows
+    // whose permutation folds the shard label into the seed; the
+    // oracle recomputes the gate, the split, the seeded Knuth order,
+    // and the token-exact assembled text of every landed window.
+    val wshSeed = 0L ^ scala.util.hashing.MurmurHash3.stringHash("d01").toLong
+    val wshSeedRem = wshSeed % 2147483648L
+    r.reg("q_ingest_windows",
+      s"""WITH RECURSIVE $ingestCtes,
+         |survivors AS (
+         |  SELECT doc_id, text FROM clean
+         |  WHERE doc_id NOT IN (SELECT id FROM nddrop)
+         |    AND doc_id NOT IN (SELECT id FROM vsdrop)),
+         |wdocs AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN (doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTTrain THEN 'train'
+         |         WHEN (doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTVal THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    (((doc_id % 2147483648 + $wshSeedRem) % 2147483648 + 2147483648) % 2147483648)
+         |      * 2654435761 % 4294967296 AS ordkey
+         |  FROM survivors),
+         |wd AS (SELECT split, doc_id, ordkey, string_split(text, ' ') AS toks,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM wdocs),
+         |wc AS (SELECT split, doc_id, toks, n,
+         |        CAST(sum(n) OVER (PARTITION BY split ORDER BY ordkey
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS start FROM wd),
+         |ww AS (SELECT split, doc_id, toks, n, start,
+         |        CAST(floor(start/150.0) AS BIGINT) AS wf,
+         |        CASE WHEN n > 0 THEN CAST(floor((start+n-1)/150.0) AS BIGINT)
+         |             ELSE CAST(floor(start/150.0) AS BIGINT) END AS wl FROM wc),
+         |wr AS (SELECT unnest(range(0,
+         |        (SELECT CAST(ceil(sum(n)/150.0) AS BIGINT) + 1 FROM wd))) AS window_id),
+         |wmem AS (SELECT w.split, r.window_id,
+         |          GREATEST(r.window_id*150 - w.start, 0) AS f,
+         |          LEAST((r.window_id+1)*150 - w.start, w.n) AS t2,
+         |          GREATEST(w.start - r.window_id*150, 0) AS pos, w.toks
+         |         FROM ww w JOIN wr r ON r.window_id BETWEEN w.wf AND w.wl),
+         |wparts AS (SELECT split, window_id, pos,
+         |            array_to_string(toks[CAST(f+1 AS INT):CAST(t2 AS INT)], ' ') AS part,
+         |            t2 - f AS len FROM wmem WHERE t2 > f)
+         |SELECT split, window_id, string_agg(part, ' ' ORDER BY pos) AS window_text,
+         |  CAST(sum(len) AS BIGINT) AS n_tokens
+         |FROM wparts GROUP BY split, window_id
+         |ORDER BY split, window_id""".stripMargin) { (s, dir) =>
+      val (corpus, shard, bench) = ingestFixture(s, dir)
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp")
+      val idxPath = new java.io.File(base, "ingwidx").getAbsolutePath
+      val outPath = new java.io.File(base, "ingwout").getAbsolutePath
+      // a fresh landing every run: the per-shard manifest would
+      // otherwise O(1)-return a PREVIOUS scale factor's counts
+      val p = new org.apache.hadoop.fs.Path(outPath)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Dedup.writeNearDupIndex(corpus, "doc_id", "text", "g_ingw", idxPath)
+      graft.llm.Pipeline.ingestWindowsShard(shard, bench, "doc_id",
+        "text", "g_ingw", idxPath, outPath, windowSize = 150L,
+        shardLabel = "d01", redactPii = false)
+      s.read.parquet(outPath)
+        .select("split", "window_id", "window_text", "n_tokens")
+        .orderBy("split", "window_id")
+    }
+
     // STEADY-STATE daily-ingest shape (r10 verdict #3): q_ingest_gate
     // times fixture construction — the corpus-index rebuild dominates
     // (~40 actions, warm-up spread [26.5..7.2] in the r10 record) and

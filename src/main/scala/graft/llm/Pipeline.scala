@@ -347,6 +347,136 @@ object Pipeline {
 
   private val WINDOWS_MANIFEST = "_graft_windows_manifest.json"
 
+  /** INCREMENTAL training-window landing — the daily-shard analog of
+    * [[buildAndWriteWindows]], which rebuilds wholesale: a 100 TB
+    * corpus cannot re-chop itself every day, so each arriving shard is
+    * gated ([[ingestShardFrame]] — the standing corpus touched ONLY
+    * through its pre-bucketed index, O(shard)), split by the SAME
+    * stable id-hash as the batch path (a doc id lands the same split on
+    * every shard of every day — split ratios hold corpus-wide and a doc
+    * can never migrate between train and val), chopped into
+    * SHARD-LOCAL windows, and landed under
+    * `outPath/shard_label=<label>/split=.../` — the standard
+    * shard-local-shuffle layout: window ids are dense per (shard,
+    * split) from 0, the in-shard order is the deterministic Knuth-hash
+    * permutation (seed folded with the shard label so consecutive days
+    * draw different permutations), and the TRAINING-time loader
+    * interleaves shard files for the global shuffle (readers of
+    * `outPath` see `shard_label` and `split` partition columns for
+    * free). A tail window shorter than `windowSize` per (shard, split)
+    * is the price of shard-local chopping — `fullWindowsOnly` drops
+    * them; the manifest records exact token masses either way.
+    *
+    * CRASH-REPLAY CONTRACT (the [[ingestShard]] discipline, adapted to
+    * a landing that stores TEXT WINDOWS, not ids): windows cannot
+    * answer "which docs landed", so each shard also writes an id
+    * sidecar (`_docsidecar/shard_label=<label>`: (id, split) —
+    * underscore-prefixed, invisible to corpus readers, and doubling as
+    * the doc→shard lineage map a retraction batch plans from). The
+    * per-shard manifest (`_graft_wshard_<label>.json`) is written LAST:
+    * a replay with the same label returns its counts in O(1); a crash
+    * after the index append but before the manifest leaves the shard's
+    * docs present in the keys boundary, so the gate would re-drop them
+    * as exact-vs-corpus — the suspects snapshot (taken BEFORE the gate,
+    * Bloom-routed) recovers every suspect absent from OTHER shards'
+    * sidecars, re-redacts, and lands them with this shard; the shard's
+    * own directories overwrite in place, never duplicate.
+    *
+    * Returns Map("input" → …, "landed" → … [gated docs], plus
+    * "<split>_windows" / "<split>_tokens" per non-empty split). */
+  def ingestWindowsShard(shard: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         indexName: String, indexPath: String,
+                         outPath: String, windowSize: Long,
+                         shardLabel: String,
+                         minTokens: Int = 3,
+                         nearDupThreshold: Double = 0.5,
+                         decontamK: Int = 5,
+                         trainFrac: Double = 0.8,
+                         valFrac: Double = 0.1,
+                         shuffleSeed: Long = 0L,
+                         redactPii: Boolean = true,
+                         fullWindowsOnly: Boolean = false): Map[String, Long] = {
+    val spark = shard.sparkSession
+    val manifestName = s"_graft_wshard_$shardLabel.json"
+    readJsonManifest(spark, outPath, manifestName) match {
+      case Some(counts) => return counts // fully landed — O(1) replay
+      case None => ()
+    }
+    // one scan of the input end-to-end (the ingestShard posture)
+    val cp = shard.localCheckpoint(true)
+    // pre-gate suspects snapshot: ids already in the keys boundary are
+    // either a crashed run's committed appends (recover) or an older
+    // fully-processed submission (skip) — Bloom-routed, O(suspects)
+    val keysTable = s"${indexName}_keys"
+    val suspects: Option[DataFrame] =
+      if (!spark.catalog.tableExists(keysTable)) None
+      else Some(KeyBlooms.presentIds(cp.select(col(idCol)), idCol,
+          spark.table(keysTable).select(col("id").as(idCol)), indexPath)
+        .localCheckpoint(true))
+    val survivors = ingestShardFrame(cp, bench, idCol, textCol,
+      indexName, indexPath, minTokens, nearDupThreshold, decontamK,
+      redactPii)
+    try {
+      val recovered: DataFrame = suspects match {
+        case None => cp.limit(0)
+        case Some(sus) =>
+          if (sus.isEmpty) cp.limit(0)
+          else {
+            // landed = the id sidecars of OTHER shards (this shard's
+            // own landing overwrites in place either way)
+            val landedIds =
+              try spark.read.parquet(s"$outPath/_docsidecar")
+                .filter(col("shard_label") =!= shardLabel)
+                .select(col(idCol))
+              catch { case _: org.apache.spark.sql.AnalysisException =>
+                cp.select(col(idCol)).limit(0) }
+            val unlanded = sus.join(
+              landedIds.join(broadcast(sus), Seq(idCol), "left_semi"),
+              Seq(idCol), "left_anti")
+            cp.join(unlanded, Seq(idCol), "left_semi")
+          }
+      }
+      // recovered docs passed the gate before the crash — re-apply
+      // only the payload transform (redaction), as in ingestShard
+      val recoveredRed =
+        if (redactPii) recovered.withColumn(textCol,
+          TextStats.redactPii(col(textCol)))
+        else recovered
+      val toAssemble = graft.api.GraftFrame(
+          survivors.drop("__ck__").unionByName(recoveredRed))
+        .splitByHash(idCol, trainFrac, valFrac).df
+        .localCheckpoint(true) // windowsFrom reads it once per split
+      // shard-local permutation: fold the label into the seed so two
+      // days' shards never share an ordering by accident (deterministic
+      // — a replay of the same label re-derives the same permutation)
+      val shardSeed = shuffleSeed ^
+        scala.util.hashing.MurmurHash3.stringHash(shardLabel).toLong
+      val win = windowsFrom(toAssemble, idCol, textCol, windowSize,
+        shardSeed, fullWindowsOnly)
+      // sidecar BEFORE windows: a crash between the two leaves the ids
+      // visible to the next replay, which overwrites both in place
+      toAssemble.select(col(idCol), col("split"))
+        .write.mode("overwrite")
+        .parquet(s"$outPath/_docsidecar/shard_label=$shardLabel")
+      win.write.mode("overwrite").partitionBy("split")
+        .parquet(s"$outPath/shard_label=$shardLabel")
+      val perSplit = spark.read.schema(win.schema)
+        .parquet(s"$outPath/shard_label=$shardLabel")
+        .groupBy("split")
+        .agg(count(lit(1)).as("__w__"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("__t__"))
+        .collect()
+        .flatMap(r => Seq(s"${r.getString(0)}_windows" -> r.getLong(1),
+          s"${r.getString(0)}_tokens" -> r.getLong(2)))
+        .toMap
+      val counts = Map("input" -> cp.count(),
+        "landed" -> toAssemble.count()) ++ perSplit
+      writeJsonManifest(spark, counts, outPath, manifestName)
+      counts
+    } finally survivors.unpersist()
+  }
+
   /** Per-split window assembly shared by the two windows entrypoints:
     * each split chops independently (leakage isolation), the split set
     * is the static three of [[graft.api.GraftFrame.splitByHash]] — an

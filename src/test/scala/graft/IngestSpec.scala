@@ -519,4 +519,103 @@ class IngestSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  test("ingestWindowsShard: shard-local windows land per split, token-exact; O(1) replay; crashed index append recovered") {
+    val tmp = tmpDir("graft_wsh_idx")
+    val out = tmpDir("graft_wsh_out")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "wsh_t", tmp)
+      Dedup.buildIdBlooms(spark, "wsh_t", tmp, nBlooms = 4)
+      val corpusText = docs.filter(col("doc_id") === 7)
+        .select("text").collect().head.getString(0)
+      val shard1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 260)
+        .unionByName(df(docSchema,
+          Row(90001L, "hi"),                     // quality drop
+          Row(90002L, "  " + corpusText + "  "))) // exact dup vs corpus
+      val c1 = Pipeline.ingestWindowsShard(shard1, df(docSchema),
+        "doc_id", "text", "wsh_t", tmp, out, windowSize = 64L,
+        shardLabel = "d01", redactPii = false)
+      assert(c1("input") == 62L, s"$c1")
+      assert(c1("landed") <= 60L && c1("landed") > 0, s"$c1")
+
+      // landed windows: partition columns discovered, ids dense per
+      // (shard, split), every non-tail window exactly windowSize, and
+      // the token mass equals the gated docs' token mass exactly
+      val win = spark.read.parquet(out)
+      assert(win.columns.sorted.sameElements(Array("n_tokens",
+        "shard_label", "split", "window_id", "window_text")))
+      val sidecar = spark.read.parquet(s"$out/_docsidecar")
+      assert(sidecar.count() == c1("landed"),
+        "sidecar must hold exactly the landed doc ids")
+      val docTokens = docs.join(sidecar.select("doc_id"), Seq("doc_id"),
+          "left_semi")
+        .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+      val winTokens = win.agg(sum("n_tokens")).head().getLong(0)
+      assert(winTokens == docTokens,
+        s"window token mass must conserve the gated docs: $winTokens != $docTokens")
+      val perSplit = win.groupBy("split")
+        .agg(count(lit(1)).as("n"), max("window_id").as("mx"),
+          sum(when(col("n_tokens") =!= 64L, 1).otherwise(0)).as("short"))
+        .collect()
+      perSplit.foreach { r =>
+        assert(r.getLong(2) == r.getLong(1) - 1,
+          s"window ids must be dense per split: $r")
+        assert(r.getLong(3) <= 1, s"at most one tail window per split: $r")
+      }
+      assert(c1("train_windows") ==
+        win.filter(col("split") === "train").count(), s"$c1")
+
+      // O(1) replay: same label returns identical counts, no re-landing
+      val filesBefore = spark.read.parquet(out)
+        .select(input_file_name().as("f")).distinct().count()
+      val c1b = Pipeline.ingestWindowsShard(shard1, df(docSchema),
+        "doc_id", "text", "wsh_t", tmp, out, 64L, "d01",
+        redactPii = false)
+      assert(c1b == c1, "replay must return the recorded counts")
+      val filesAfter = spark.read.parquet(out)
+        .select(input_file_name().as("f")).distinct().count()
+      assert(filesAfter == filesBefore, "replay must not rewrite the landing")
+
+      // crashed-append recovery: shard 2's index append committed
+      // (simulated direct append) but nothing landed — the gate alone
+      // would drop every doc as exact-vs-corpus; the suspects snapshot
+      // must recover and land them
+      val shard2 = docs.filter(col("doc_id") >= 260 && col("doc_id") < 300)
+      Dedup.appendShardToIndex(shard2, "doc_id", "text", "wsh_t", tmp,
+        threshold = 0.5).unpersist()
+      val c2 = Pipeline.ingestWindowsShard(shard2, df(docSchema),
+        "doc_id", "text", "wsh_t", tmp, out, 64L, "d02",
+        redactPii = false)
+      assert(c2("landed") > 0,
+        s"crashed-append docs must be recovered, not silently dropped: $c2")
+      val d2ids = spark.read.parquet(s"$out/_docsidecar")
+        .filter(col("shard_label") === "d02").count()
+      assert(d2ids == c2("landed"), s"$c2 vs sidecar $d2ids")
+      // and a THIRD submission of the same docs under a new label now
+      // finds them landed -> nothing recovered, nothing landed twice
+      val c3 = Pipeline.ingestWindowsShard(shard2, df(docSchema),
+        "doc_id", "text", "wsh_t", tmp, out, 64L, "d03",
+        redactPii = false)
+      assert(c3("landed") == 0L,
+        s"already-landed docs must not land again under a new label: $c3")
+
+      // split stability: the sidecar's split equals the stable id-hash
+      // split the batch path uses
+      val expectSplit = graft.api.GraftFrame(
+          spark.read.parquet(s"$out/_docsidecar").select("doc_id"))
+        .splitByHash("doc_id", 0.8, 0.1).df
+      val mismatch = spark.read.parquet(s"$out/_docsidecar")
+        .join(expectSplit.withColumnRenamed("split", "esplit"),
+          Seq("doc_id"))
+        .filter(col("split") =!= col("esplit")).count()
+      assert(mismatch == 0, "sidecar split must be the stable id-hash split")
+    } finally {
+      dropIndex("wsh_t")
+      Seq(tmp, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
 }
