@@ -382,6 +382,12 @@ object Pipeline {
     * sidecars, re-redacts, and lands them with this shard; the shard's
     * own directories overwrite in place, never duplicate.
     *
+    * `admission` (optional): a [[graft.operators.Checks]] expectation
+    * set the RAW shard must satisfy before anything is touched — a
+    * violating shard (a broken scraper day) refuses loudly rather than
+    * polluting the index with its keys and landing a sliver; one extra
+    * aggregate over the already-checkpointed input.
+    *
     * Returns Map("input" → …, "landed" → … [gated docs], plus
     * "<split>_windows" / "<split>_tokens" per non-empty split). */
   def ingestWindowsShard(shard: DataFrame, bench: DataFrame,
@@ -396,7 +402,8 @@ object Pipeline {
                          valFrac: Double = 0.1,
                          shuffleSeed: Long = 0L,
                          redactPii: Boolean = true,
-                         fullWindowsOnly: Boolean = false): Map[String, Long] = {
+                         fullWindowsOnly: Boolean = false,
+                         admission: Seq[graft.operators.Checks.Constraint] = Nil): Map[String, Long] = {
     val spark = shard.sparkSession
     val manifestName = s"_graft_wshard_$shardLabel.json"
     readJsonManifest(spark, outPath, manifestName) match {
@@ -405,6 +412,10 @@ object Pipeline {
     }
     // one scan of the input end-to-end (the ingestShard posture)
     val cp = shard.localCheckpoint(true)
+    // admission control BEFORE any state is touched: a shard violating
+    // its contract (a broken scraper day) refuses loudly instead of
+    // polluting the index with its keys and landing a sliver
+    if (admission.nonEmpty) graft.operators.Checks.requireAll(cp, admission)
     // pre-gate suspects snapshot: ids already in the keys boundary are
     // either a crashed run's committed appends (recover) or an older
     // fully-processed submission (skip) — Bloom-routed, O(suspects)
@@ -686,7 +697,10 @@ object Pipeline {
     * keys table by id, so genuine duplicates still drop). One landing
     * dir per index, as on the embedding side. Pre-keys-table indexes
     * (r8-era) have no id boundary — no recovery there, only the
-    * manifest guard. */
+    * manifest guard. `admission` (optional): a
+    * [[graft.operators.Checks]] expectation set the RAW shard must
+    * satisfy before anything is touched — a violating shard refuses
+    * loudly (nothing appended, nothing landed, no manifest). */
   def ingestShard(shard: DataFrame, bench: DataFrame,
                   idCol: String, textCol: String,
                   indexName: String, indexPath: String,
@@ -696,7 +710,8 @@ object Pipeline {
                   decontamK: Int = 5,
                   redactPii: Boolean = true,
                   shingleK: Int = 3, numHashes: Int = 16,
-                  bands: Int = 4, buckets: Int = 8): Map[String, Long] = {
+                  bands: Int = 4, buckets: Int = 8,
+                  admission: Seq[graft.operators.Checks.Constraint] = Nil): Map[String, Long] = {
     val spark = shard.sparkSession
     readShardManifest(spark, outPath, shardLabel) match {
       case Some(counts) => return counts // fully processed — O(1) replay
@@ -714,6 +729,10 @@ object Pipeline {
     // by definition of the daily batch; blocks free on GC — the
     // ingestAudit posture.
     val cp = shard.localCheckpoint(true)
+    // admission control BEFORE any state is touched: a shard violating
+    // its contract (a broken scraper day) refuses loudly instead of
+    // polluting the index with its keys and landing a sliver
+    if (admission.nonEmpty) graft.operators.Checks.requireAll(cp, admission)
     // The suspect snapshot MUST be taken BEFORE the gate runs: the gate
     // itself appends the survivors' keys, so a post-gate read of the
     // boundary would classify every fresh survivor as a crashed append

@@ -618,4 +618,47 @@ class IngestSpec extends SparkTestBase {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }
   }
+
+  test("shard admission control: a contract-violating shard refuses loudly, index and landing untouched") {
+    import graft.operators.Checks
+    val tmp = tmpDir("graft_adm_idx")
+    val out = tmpDir("graft_adm_out")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "adm_t", tmp)
+      val contract = Seq(Checks.NotNull("text"),
+        Checks.Unique(Seq("doc_id")), Checks.RowCountBetween(10L, 100000L))
+      val keysBefore = spark.table("adm_t_keys").count()
+      // broken-scraper day: null texts and a duplicated id
+      val bad = docs.filter(col("doc_id") >= 200 && col("doc_id") < 230)
+        .unionByName(df(docSchema, Row(9000L, null), Row(9000L, "x y z a b")))
+      val e = intercept[IllegalStateException] {
+        Pipeline.ingestShard(bad, df(docSchema), "doc_id", "text",
+          "adm_t", tmp, out, "bad01", admission = contract)
+      }
+      assert(e.getMessage.contains("not_null(text)") &&
+        e.getMessage.contains("unique(doc_id)"), e.getMessage)
+      assert(spark.table("adm_t_keys").count() == keysBefore,
+        "a refused shard must not grow the index")
+      assert(!new java.io.File(out, "_graft_shard_bad01.json").exists(),
+        "a refused shard must not write its manifest")
+      // the same contract admits a clean shard; the windows landing
+      // enforces it identically
+      val good = docs.filter(col("doc_id") >= 200 && col("doc_id") < 230)
+      val c = Pipeline.ingestShard(good, df(docSchema), "doc_id", "text",
+        "adm_t", tmp, out, "good01", admission = contract)
+      assert(c("landed") > 0, s"$c")
+      val e2 = intercept[IllegalStateException] {
+        Pipeline.ingestWindowsShard(bad, df(docSchema), "doc_id", "text",
+          "adm_t", tmp, out + "_w", 64L, "bad02", admission = contract)
+      }
+      assert(e2.getMessage.contains("not_null(text)"), e2.getMessage)
+    } finally {
+      dropIndex("adm_t")
+      Seq(tmp, out, out + "_w").foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
 }
