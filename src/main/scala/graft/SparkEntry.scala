@@ -100,7 +100,12 @@ object SparkEntry {
     // of the corpus->training-files chain; declared bound ~linear in
     // corpus tokens (the window count scales with token mass, each
     // window's slice list is bounded by windowSize/stride + 2)
-    "q_assemble_windows")
+    "q_assemble_windows",
+    // r13: the one-pass constraint suite — nine expectations compiled
+    // into a single aggregate scan; tracks that the "adding a
+    // constraint adds an expression, never a job" claim holds as the
+    // suite grows (declared bound: one scan, O(constraints) rows out)
+    "q_check_constraints")
 
   /** Untimed per-query preparation Bench runs ONCE before the timed
     * passes (r10 verdict #3): the steady-state ingest entries build and
