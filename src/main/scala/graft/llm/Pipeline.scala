@@ -488,6 +488,86 @@ object Pipeline {
     } finally survivors.unpersist()
   }
 
+  /** RETRACT documents from an [[ingestWindowsShard]] landing — the
+    * windows leg of a takedown batch ([[retractDocuments]] covers the
+    * index and the document landing; a training-window corpus is a
+    * SINK TOO, and one that concatenates the retracted text into its
+    * neighbors' windows). Windows store assembled text, not ids, so
+    * retraction REBUILDS — but only the shards that actually hold a
+    * retracted doc (the `_docsidecar` lineage map finds them in one
+    * bounded pass): each affected shard's surviving docs re-chop under
+    * the shard's own re-derived seed (label folded in, exactly as the
+    * landing derived it), so the retracted tokens vanish and the
+    * shard's window stream closes up; every other shard stays
+    * byte-identical and readable throughout. O(affected shards), not
+    * O(corpus) — batch requests, the family discipline.
+    *
+    * `docs` is the source-of-truth text store (the document landing,
+    * or the upstream corpus) — windows cannot reconstruct text from
+    * themselves; a surviving doc MISSING from `docs` fails loudly
+    * (silently re-assembling without it would be an unrequested
+    * retraction). `trainFrac`/`valFrac`/`windowSize`/`shuffleSeed`/
+    * `fullWindowsOnly` must match the landing's parameters (splits come
+    * from the sidecar record, not recomputed — but the chop geometry
+    * must agree). Per-shard manifests keep their historical counts
+    * (per-ingest records, not live inventory — the
+    * [[retractDocuments]] convention).
+    *
+    * Returns Map("docs" → removed docs, "windows" → removed windows,
+    * "shards" → shards rewritten). */
+  def retractFromWindows(spark: org.apache.spark.sql.SparkSession,
+                         outPath: String, ids: DataFrame, idCol: String,
+                         docs: DataFrame, textCol: String,
+                         windowSize: Long,
+                         shuffleSeed: Long = 0L,
+                         fullWindowsOnly: Boolean = false): Map[String, Long] = {
+    val sidecar =
+      try spark.read.parquet(s"$outPath/_docsidecar")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        return Map("docs" -> 0L, "windows" -> 0L, "shards" -> 0L) }
+    val key = broadcast(ids.select(col(idCol)).distinct())
+    val affectedLabels = sidecar.join(key, Seq(idCol), "left_semi")
+      .select("shard_label").distinct()
+      .collect().map(_.getString(0)) // bounded: shards holding retracted ids
+    if (affectedLabels.isEmpty)
+      return Map("docs" -> 0L, "windows" -> 0L, "shards" -> 0L)
+    var removedDocs = 0L
+    var removedWindows = 0L
+    for (label <- affectedLabels) {
+      // survivors carry their RECORDED split (stable id-hash — the
+      // sidecar is the authoritative per-shard record); checkpoint
+      // eagerly: the rewrite overwrites the very sidecar files read
+      val shardDocs = sidecar.filter(col("shard_label") === label)
+        .select(col(idCol), col("split")).localCheckpoint(true)
+      val survivors = shardDocs.join(key, Seq(idCol), "left_anti")
+      val withText = survivors
+        .join(docs.select(col(idCol), col(textCol)), Seq(idCol), "left")
+        .localCheckpoint(true)
+      val missing = withText.filter(col(textCol).isNull).count()
+      require(missing == 0L,
+        s"retractFromWindows: $missing surviving doc(s) of shard " +
+          s"'$label' are missing from the provided text store — " +
+          "re-assembling without them would silently retract docs " +
+          "nobody asked to retract")
+      removedDocs += shardDocs.count() - withText.count()
+      val windowsBefore =
+        try spark.read.parquet(s"$outPath/shard_label=$label").count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      val shardSeed = shuffleSeed ^
+        scala.util.hashing.MurmurHash3.stringHash(label).toLong
+      val win = windowsFrom(withText, idCol, textCol, windowSize,
+        shardSeed, fullWindowsOnly).localCheckpoint(true)
+      win.write.mode("overwrite").partitionBy("split")
+        .parquet(s"$outPath/shard_label=$label")
+      withText.select(col(idCol), col("split"))
+        .write.mode("overwrite")
+        .parquet(s"$outPath/_docsidecar/shard_label=$label")
+      removedWindows += windowsBefore - win.count()
+    }
+    Map("docs" -> removedDocs, "windows" -> removedWindows,
+      "shards" -> affectedLabels.length.toLong)
+  }
+
   /** Per-split window assembly shared by the two windows entrypoints:
     * each split chops independently (leakage isolation), the split set
     * is the static three of [[graft.api.GraftFrame.splitByHash]] — an

@@ -661,4 +661,81 @@ class IngestSpec extends SparkTestBase {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }
   }
+
+  test("retractFromWindows: only affected shards rebuild, retracted tokens vanish, others byte-identical; missing text fails loudly") {
+    val tmp = tmpDir("graft_wrt_idx")
+    val out = tmpDir("graft_wrt_out")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "wrt_t", tmp)
+      val s1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 240)
+      val s2 = docs.filter(col("doc_id") >= 240 && col("doc_id") < 280)
+      Pipeline.ingestWindowsShard(s1, df(docSchema), "doc_id", "text",
+        "wrt_t", tmp, out, 64L, "d01", redactPii = false)
+      Pipeline.ingestWindowsShard(s2, df(docSchema), "doc_id", "text",
+        "wrt_t", tmp, out, 64L, "d02", redactPii = false)
+      // retract two docs that landed in shard 1
+      val landed1 = spark.read.parquet(s"$out/_docsidecar")
+        .filter(col("shard_label") === "d01")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      val victims = landed1.take(2)
+      val victimTokens = docs
+        .filter(col("doc_id").isin(victims.map(Long.box): _*))
+        .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+      val tokens1Before = spark.read.parquet(out)
+        .filter(col("shard_label") === "d01")
+        .agg(sum("n_tokens")).head().getLong(0)
+      val files2Before = spark.read
+        .parquet(s"$out/shard_label=d02")
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val idsDf = spark.createDataFrame(
+        java.util.Arrays.asList(victims.map(org.apache.spark.sql.Row(_)): _*),
+        StructType(Seq(StructField("doc_id", LongType))))
+      val r = Pipeline.retractFromWindows(spark, out, idsDf, "doc_id",
+        docs, "text", 64L)
+      assert(r("docs") == 2L && r("shards") == 1L, s"$r")
+      // shard 1: token mass drops by EXACTLY the victims' tokens and
+      // the victims' ids leave the sidecar
+      val tokens1After = spark.read.parquet(out)
+        .filter(col("shard_label") === "d01")
+        .agg(sum("n_tokens")).head().getLong(0)
+      assert(tokens1After == tokens1Before - victimTokens,
+        s"$tokens1Before -> $tokens1After, victims $victimTokens")
+      assert(spark.read.parquet(s"$out/_docsidecar")
+        .filter(col("doc_id").isin(victims.map(Long.box): _*)).count() == 0)
+      // shard 2: untouched file listing
+      val files2After = spark.read
+        .parquet(s"$out/shard_label=d02")
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(files2After == files2Before, "unaffected shard must not rewrite")
+      // windows in the rebuilt shard still chop at 64 except the tail
+      val shorts = spark.read.parquet(out)
+        .filter(col("shard_label") === "d01")
+        .groupBy("split")
+        .agg(sum(when(col("n_tokens") =!= 64L, 1).otherwise(0)).as("s"))
+        .collect().map(_.getLong(1))
+      assert(shorts.forall(_ <= 1), s"rebuilt shard must re-chop cleanly")
+      // unknown id -> no-op; missing text store entry -> loud failure
+      val none = Pipeline.retractFromWindows(spark, out,
+        df(StructType(Seq(StructField("doc_id", LongType))), Row(999999L)),
+        "doc_id", docs, "text", 64L)
+      assert(none == Map("docs" -> 0L, "windows" -> 0L, "shards" -> 0L))
+      val e = intercept[IllegalArgumentException] {
+        Pipeline.retractFromWindows(spark, out,
+          df(StructType(Seq(StructField("doc_id", LongType))),
+            Row(landed1.last)),
+          "doc_id", docs.filter(col("doc_id") < 0), "text", 64L)
+      }
+      assert(e.getMessage.contains("missing from the provided text store"),
+        e.getMessage)
+    } finally {
+      dropIndex("wrt_t")
+      Seq(tmp, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
 }
