@@ -298,6 +298,43 @@ object Streams {
         ()
       }
 
+  /** Streaming ADMISSION CONTROL — the streaming form of
+    * [[graft.llm.Pipeline.ingestShard]]'s `admission` refusal, where
+    * throwing would kill the whole query: each micro-batch is evaluated
+    * against a [[graft.operators.Checks]] expectation set (ONE
+    * aggregate over the batch); a passing batch lands under
+    * `goodPath/batch_id=N`, a violating batch QUARANTINES wholesale —
+    * raw rows plus the failing report — under `quarantinePath/
+    * batch_id=N` for operator review, and the stream keeps running. A
+    * broken upstream hour parks its batches instead of poisoning the
+    * corpus OR stopping ingestion. Per-batch overwrite partitions, so
+    * a failure-replayed micro-batch rewrites itself (the family's sink
+    * contract); the batch is checkpointed once and feeds both the
+    * verdict and the write — one evaluation end-to-end. */
+  def admissionStream(docs: DataFrame,
+                      constraints: Seq[graft.operators.Checks.Constraint],
+                      goodPath: String, quarantinePath: String,
+                      checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val cp = batch.localCheckpoint(true)
+          val report = graft.operators.Checks.check(cp, constraints)
+            .localCheckpoint(true)
+          if (report.filter(!col("passed")).isEmpty)
+            cp.write.mode("overwrite")
+              .parquet(s"$goodPath/batch_id=$batchId")
+          else {
+            cp.write.mode("overwrite")
+              .parquet(s"$quarantinePath/batch_id=$batchId/rows")
+            report.write.mode("overwrite")
+              .parquet(s"$quarantinePath/batch_id=$batchId/report")
+          }
+        }
+        ()
+      }
+
   /** Streaming retrieval over the persisted IVF+PQ index — the
     * cell-pruned sibling of [[annTopKPqStream]] (which scans the whole
     * flat corpus): each micro-batch ranks through

@@ -965,6 +965,41 @@ class WindowLlmSpec extends SparkTestBase {
     }
   }
 
+  test("admissionStream: passing batches land, violating batches quarantine with their report, stream survives") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.operators.Checks
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_adm_s").toString
+    val (good, quar, ckpt) = (s"$base/good", s"$base/quarantine", s"$base/ckpt")
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.admissionStream(
+        in.toDF().toDF("doc_id", "text"),
+        Seq(Checks.NotNull("text"), Checks.Unique(Seq("doc_id"))),
+        good, quar, ckpt).start()
+      try {
+        in.addData((1L, "clean doc one"), (2L, "clean doc two"))
+        q.processAllAvailable()
+        in.addData((3L, "dup id batch"), (3L, "same id again"))
+        q.processAllAvailable()
+        in.addData((5L, "clean again after the bad hour"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val landed = spark.read.parquet(good)
+      assert(landed.select("doc_id").collect().map(_.getLong(0)).sorted
+        .sameElements(Array(1L, 2L, 5L)),
+        "both clean batches must land; the violating one must not")
+      val qRows = spark.read.parquet(s"$quar/batch_id=1/rows")
+      assert(qRows.count() == 2L, "the violating batch parks wholesale")
+      val rep = spark.read.parquet(s"$quar/batch_id=1/report")
+        .filter(!col("passed")).collect()
+      assert(rep.length == 1 && rep.head.getString(0) == "unique",
+        s"the quarantine report names the failing constraint: ${rep.toSeq}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(base))
+  }
+
   test("ingestGateStream filters quality, redacts PII, dedups within watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
