@@ -568,6 +568,70 @@ object Pipeline {
       "shards" -> affectedLabels.length.toLong)
   }
 
+  /** Maintenance observable for an [[ingestWindowsShard]] landing — the
+    * family's report sibling ([[Dedup.indexReport]], [[Ivf.indexReport]],
+    * [[KeyBlooms.report]]): per shard, the doc count (sidecar), window
+    * and token counts (landed parquet), parquet file count (the
+    * compaction observable) and whether the shard's manifest committed
+    * (`manifest=false` flags a crashed landing the next replay will
+    * rebuild). With `docs` — the source-of-truth text store — the
+    * report also verifies TOKEN CONSERVATION per shard: `doc_tokens`
+    * recomputes the sidecar docs' token mass and `tokens_match` says
+    * whether the landed windows hold exactly it (the fsck bit; expect
+    * false only on fullWindowsOnly landings, whose dropped tails are
+    * priced in the manifest, or after text-store drift — both worth an
+    * operator's eyes). One column-pruned scan of the windows plus one
+    * of the sidecar (and one of `docs` when auditing); report is
+    * O(shards) rows. */
+  def windowsReport(spark: org.apache.spark.sql.SparkSession,
+                    outPath: String,
+                    docs: Option[DataFrame] = None,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val win = spark.read.parquet(outPath)
+    val sidecar = spark.read.parquet(s"$outPath/_docsidecar")
+    val winAgg = win
+      .select(col("shard_label"), col("n_tokens"),
+        input_file_name().as("__f__"))
+      .groupBy("shard_label")
+      .agg(count(lit(1)).as("windows"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("tokens"),
+        countDistinct(col("__f__")).as("files"))
+    val docAgg = docs match {
+      case None =>
+        sidecar.groupBy("shard_label")
+          .agg(count(lit(1)).as("docs"), lit(null).cast("long").as("doc_tokens"))
+      case Some(store) =>
+        sidecar.join(store.select(col(idCol), col(textCol)), Seq(idCol),
+            "left")
+          .groupBy("shard_label")
+          .agg(count(lit(1)).as("docs"),
+            coalesce(sum(size(split(col(textCol), " ")).cast("long")),
+              lit(0L)).as("doc_tokens"))
+    }
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifested = docAgg.select("shard_label").collect()
+      .map(_.getString(0))
+      .map(l => l -> fs.exists(new org.apache.hadoop.fs.Path(outPath,
+        s"_graft_wshard_$l.json"))).toMap
+    import spark.implicits._
+    val manifestDf = manifested.toSeq.toDF("shard_label", "manifest")
+    docAgg.join(winAgg, Seq("shard_label"), "full_outer")
+      .join(manifestDf, Seq("shard_label"), "left")
+      .select(col("shard_label"),
+        coalesce(col("docs"), lit(0L)).as("docs"),
+        coalesce(col("windows"), lit(0L)).as("windows"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"),
+        coalesce(col("files"), lit(0L)).as("files"),
+        coalesce(col("manifest"), lit(false)).as("manifest"),
+        col("doc_tokens"),
+        when(col("doc_tokens").isNull, lit(null).cast("boolean"))
+          .otherwise(col("doc_tokens") === coalesce(col("tokens"), lit(0L)))
+          .as("tokens_match"))
+      .orderBy("shard_label")
+  }
+
   /** Per-split window assembly shared by the two windows entrypoints:
     * each split chops independently (leakage isolation), the split set
     * is the static three of [[graft.api.GraftFrame.splitByHash]] — an

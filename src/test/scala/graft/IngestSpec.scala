@@ -738,4 +738,51 @@ class IngestSpec extends SparkTestBase {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }
   }
+
+  test("windowsReport: per-shard inventory, manifest bit, token-conservation fsck") {
+    val tmp = tmpDir("graft_wrp_idx")
+    val out = tmpDir("graft_wrp_out")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "wrp_t", tmp)
+      Pipeline.ingestWindowsShard(
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 240),
+        df(docSchema), "doc_id", "text", "wrp_t", tmp, out, 64L, "d01",
+        redactPii = false)
+      Pipeline.ingestWindowsShard(
+        docs.filter(col("doc_id") >= 240 && col("doc_id") < 280),
+        df(docSchema), "doc_id", "text", "wrp_t", tmp, out, 64L, "d02",
+        redactPii = false)
+      val rep = Pipeline.windowsReport(spark, out, Some(docs)).collect()
+      assert(rep.map(_.getString(0)).toSeq == Seq("d01", "d02"))
+      rep.foreach { r =>
+        assert(r.getBoolean(5), s"manifest must be committed: $r")
+        assert(r.getBoolean(7), s"tokens must conserve: $r")
+        assert(r.getLong(1) > 0 && r.getLong(2) > 0, s"$r")
+      }
+      // simulate a crashed landing: delete d02's manifest -> the report
+      // flags it; a drifted text store -> tokens_match goes false
+      new java.io.File(out, "_graft_wshard_d02.json").delete()
+      val rep2 = Pipeline.windowsReport(spark, out, Some(docs)).collect()
+        .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+      assert(rep2("d01") && !rep2("d02"),
+        s"a missing manifest must flag the crashed shard: $rep2")
+      val drifted = docs.withColumn("text",
+        concat(col("text"), lit(" extradrifttoken")))
+      val rep3 = Pipeline.windowsReport(spark, out, Some(drifted))
+        .collect().map(r => r.getString(0) -> r.getBoolean(7)).toMap
+      assert(rep3.values.forall(_ == false),
+        s"text-store drift must fail the fsck bit: $rep3")
+      // without a store: inventory only, fsck column null
+      val rep4 = Pipeline.windowsReport(spark, out).collect()
+      assert(rep4.forall(r => r.isNullAt(6) && r.isNullAt(7)),
+        "no store -> no conservation verdict")
+    } finally {
+      dropIndex("wrp_t")
+      Seq(tmp, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
 }
