@@ -91,6 +91,36 @@ object PerfProbe {
           col("text")), "doc_id", "text", 500L, 3L).count()
       }
     }
+    // r13: the INCREMENTAL windows landing end-to-end — index built on
+    // the first half (untimed fixture), then ingestWindowsShard of the
+    // second half: gate O(shard) + split + shard-local assembly + the
+    // sidecar/windows/manifest writes. Declared bound ~linear in shard
+    // tokens (every stage is; the corpus side is index-bucket reads).
+    locally {
+      import org.apache.spark.sql.functions.col
+      val half = docs.agg(org.apache.spark.sql.functions
+        .expr("percentile(doc_id, 0.5)")).head().getDouble(0).toLong
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_probe_wsh").toString
+      try {
+        llm.Dedup.writeNearDupIndex(docs.filter(col("doc_id") <= half),
+          "doc_id", "text", "probe_wsh", s"$base/idx")
+        llm.Dedup.buildIdBlooms(spark, "probe_wsh", s"$base/idx")
+        time("ingestWindowsShard") {
+          val c = llm.Pipeline.ingestWindowsShard(
+            docs.filter(col("doc_id") > half),
+            docs.limit(0).select(col("doc_id"), col("text")),
+            "doc_id", "text", "probe_wsh", s"$base/idx", s"$base/out",
+            2048L, "probe", redactPii = false)
+          c("landed")
+        }
+      } finally {
+        Seq("bands", "shingles", "keys").foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS probe_wsh_$t"))
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(base))
+      }
+    }
     spark.stop()
   }
 }
