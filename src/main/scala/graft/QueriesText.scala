@@ -182,7 +182,8 @@ object QueriesText {
         |      / CAST(COUNT(source) AS DOUBLE) AS m1,
         |    CAST(COUNT(*) AS DOUBLE) AS rc,
         |    CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
-        |      / CAST(COUNT(n_chars) AS DOUBLE) AS mu
+        |      / CAST(COUNT(n_chars) AS DOUBLE) AS mu,
+        |    CAST(quantile_cont(n_chars, 0.9) AS DOUBLE) AS q90
         |  FROM documents
         |)
         |SELECT 'not_null' AS "constraint", 'text' AS "column", nn AS observed,
@@ -203,7 +204,9 @@ object QueriesText {
         |UNION ALL SELECT 'row_count', '*', rc, CAST(100 AS DOUBLE),
         |  CAST(10000000 AS DOUBLE), rc >= 100 AND rc <= 10000000 FROM m
         |UNION ALL SELECT 'mean', 'n_chars', mu, CAST(100.0 AS DOUBLE),
-        |  CAST(500.0 AS DOUBLE), mu >= 100.0 AND mu <= 500.0 FROM m""".stripMargin) { (s, dir) =>
+        |  CAST(500.0 AS DOUBLE), mu >= 100.0 AND mu <= 500.0 FROM m
+        |UNION ALL SELECT 'p0.9', 'n_chars', q90, CAST(300.0 AS DOUBLE),
+        |  CAST(520.0 AS DOUBLE), q90 >= 300.0 AND q90 <= 520.0 FROM m""".stripMargin) { (s, dir) =>
       import graft.operators.Checks
       Checks.check(t(s, dir, "documents"), Seq(
         Checks.NotNull("text"),
@@ -214,7 +217,8 @@ object QueriesText {
         Checks.InSet("lang", Seq("en", "de", "fr"), 0.5),
         Checks.Matches("source", "^src[0-9]+$"),
         Checks.RowCountBetween(100L, 10000000L),
-        Checks.MeanBetween("n_chars", 100.0, 500.0)))
+        Checks.MeanBetween("n_chars", 100.0, 500.0),
+        Checks.PercentileBetween("n_chars", 0.9, 300.0, 520.0)))
     }
 
     // Per-group (fleet-view) constraint report: one map-side-combined

@@ -928,6 +928,50 @@ object Pipeline {
     } finally survivors.unpersist()
   }
 
+  /** Re-admit an operator-reviewed QUARANTINED micro-batch — the
+    * return path of [[graft.streaming.Streams.admissionStream]], which
+    * parks a contract-violating batch under
+    * `quarantinePath/batch_id=N` and keeps streaming: after review the
+    * operator requeues the batch through the BATCH gate
+    * ([[ingestShard]]) under a shard label, with the admission
+    * contract RE-CHECKED (pass the corrected expectation set, or the
+    * original one if the data was fixed upstream and re-parked — an
+    * admission failure here refuses loudly and leaves the batch
+    * requeueable). On success the batch is marked `_ADMITTED` (audit
+    * trail kept, never deleted; the marker records the landing label)
+    * and a second requeue of the same batch refuses loudly — a
+    * quarantined batch lands at most once. */
+  def ingestQuarantined(spark: org.apache.spark.sql.SparkSession,
+                        quarantinePath: String, batchId: Long,
+                        bench: DataFrame, idCol: String, textCol: String,
+                        indexName: String, indexPath: String,
+                        outPath: String, shardLabel: String,
+                        admission: Seq[graft.operators.Checks.Constraint] = Nil,
+                        minTokens: Int = 3,
+                        nearDupThreshold: Double = 0.5,
+                        decontamK: Int = 5,
+                        redactPii: Boolean = true): Map[String, Long] = {
+    val dir = s"$quarantinePath/batch_id=$batchId"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/rows")),
+      s"no quarantined batch at $dir/rows — nothing to requeue")
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_ADMITTED")
+    require(!fs.exists(marker),
+      s"batch $batchId was already admitted (see $marker) — a " +
+        "quarantined batch lands at most once")
+    val batch = spark.read.parquet(s"$dir/rows")
+    val counts = ingestShard(batch, bench, idCol, textCol, indexName,
+      indexPath, outPath, shardLabel, minTokens, nearDupThreshold,
+      decontamK, redactPii, admission = admission)
+    val os = fs.create(marker, true)
+    try os.write(
+      (s"""{"shard_label":"$shardLabel","landed":${counts("landed")}}""" +
+        "\n").getBytes("UTF-8"))
+    finally os.close()
+    counts
+  }
+
   /** Per-vector FATE audit of the embedding ingest gate — the vector
     * analog of [[ingestAudit]] (r10 verdict: a corpus owner tuning the
     * cosine threshold had no per-vector attribution and had to diff

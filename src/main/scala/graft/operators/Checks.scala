@@ -68,6 +68,18 @@ object Checks {
   final case class MeanBetween(column: String, lo: Double, hi: Double)
     extends Constraint
 
+  /** EXACT interpolated percentile `p` of non-null `column` values must
+    * land in [lo, hi] — the tail-shape check a mean can't see (one
+    * giant document moves the mean, the p99 flags a whole drifted
+    * tail). Exact, not approximate: `percentile()` sorts per group —
+    * fine for the O(shard) admission use; reach for
+    * `approx_percentile` manually when auditing a full 100 TB corpus
+    * in one pass. Both DuckDB's `quantile_cont` and Spark interpolate
+    * `a + f·(b−a)`, so the observed value is oracle-exact. */
+  final case class PercentileBetween(column: String, p: Double,
+                                     lo: Double, hi: Double)
+    extends Constraint
+
   /** The compiled form: metric expression + report row constants. */
   private final case class Compiled(name: String, colDesc: String,
                                     metric: Column, lo: Double, hi: Double)
@@ -106,6 +118,10 @@ object Checks {
         when(count(col(cn)) === 0L, lit(Double.NaN))
           .otherwise(sum(col(cn).cast("decimal(38,12)")).cast("double")
             / count(col(cn)).cast("double")), lo, hi)
+    case PercentileBetween(cn, p, lo, hi) =>
+      Compiled(s"p$p", cn,
+        coalesce(expr(s"percentile($cn, $p)").cast("double"),
+          lit(Double.NaN)), lo, hi)
   }
 
   /** Evaluate `constraints` against `df` in one aggregate pass; returns

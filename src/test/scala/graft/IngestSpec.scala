@@ -785,4 +785,55 @@ class IngestSpec extends SparkTestBase {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }
   }
+
+  test("ingestQuarantined: reviewed batch requeues through the batch gate exactly once; admission re-checked") {
+    import graft.operators.Checks
+    val tmp = tmpDir("graft_rq_idx")
+    val out = tmpDir("graft_rq_out")
+    val quar = tmpDir("graft_rq_quar")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "rq_t", tmp)
+      // the parked batch admissionStream would leave: duplicate ids
+      // (the original violation), texts fine
+      df(docSchema, Row(7001L, uniq), Row(7001L, uniq2))
+        .write.parquet(s"$quar/batch_id=7/rows")
+      // requeue under the ORIGINAL contract: still violating -> loud
+      // refusal, marker NOT written, batch stays requeueable
+      val strict = Seq(Checks.Unique(Seq("doc_id")))
+      val e1 = intercept[IllegalStateException] {
+        Pipeline.ingestQuarantined(spark, quar, 7L, df(docSchema),
+          "doc_id", "text", "rq_t", tmp, out, "rq01", admission = strict)
+      }
+      assert(e1.getMessage.contains("unique(doc_id)"), e1.getMessage)
+      assert(!new java.io.File(s"$quar/batch_id=7/_ADMITTED").exists())
+      // reviewed: the dup id is tolerable -> corrected contract admits;
+      // the batch rides the full gate and lands under its label
+      val c = Pipeline.ingestQuarantined(spark, quar, 7L, df(docSchema),
+        "doc_id", "text", "rq_t", tmp, out, "rq01",
+        admission = Seq(Checks.NotNull("text")))
+      assert(c("input") == 2L && c("landed") == 2L, s"$c")
+      assert(new java.io.File(s"$quar/batch_id=7/_ADMITTED").exists(),
+        "admission must leave the audit marker")
+      assert(spark.read.parquet(out).count() == 2L)
+      // at-most-once: the second requeue refuses on the marker
+      val e2 = intercept[IllegalArgumentException] {
+        Pipeline.ingestQuarantined(spark, quar, 7L, df(docSchema),
+          "doc_id", "text", "rq_t", tmp, out, "rq02")
+      }
+      assert(e2.getMessage.contains("already admitted"), e2.getMessage)
+      // unknown batch refuses naming the path
+      val e3 = intercept[IllegalArgumentException] {
+        Pipeline.ingestQuarantined(spark, quar, 99L, df(docSchema),
+          "doc_id", "text", "rq_t", tmp, out, "rq03")
+      }
+      assert(e3.getMessage.contains("nothing to requeue"), e3.getMessage)
+    } finally {
+      dropIndex("rq_t")
+      Seq(tmp, out, quar).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
 }
