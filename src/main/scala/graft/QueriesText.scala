@@ -260,6 +260,44 @@ object QueriesText {
         Checks.MeanBetween("n_chars", 100.0, 500.0)))
     }
 
+    // Vector-shard admission constraints over the embeddings table:
+    // dimension uniformity and element finiteness — the checks the
+    // embedding ingest gate's admission parameter runs at the door.
+    // The dim=32 row fails on every vector (observed 0.0) so the
+    // verdict column is non-vacuous at both scales.
+    r.reg("q_check_constraints_vec",
+      """WITH m AS (
+        |  SELECT
+        |    CAST(COUNT(embedding) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS nn,
+        |    CAST(COUNT(CASE WHEN len(embedding) = 64 THEN 1 END) AS DOUBLE)
+        |      / CAST(COUNT(embedding) AS DOUBLE) AS d64,
+        |    CAST(COUNT(CASE WHEN len(embedding) = 32 THEN 1 END) AS DOUBLE)
+        |      / CAST(COUNT(embedding) AS DOUBLE) AS d32,
+        |    CAST(COUNT(CASE WHEN len(list_filter(embedding,
+        |        x -> isnan(x) OR isinf(x))) = 0 THEN 1 END) AS DOUBLE)
+        |      / CAST(COUNT(embedding) AS DOUBLE) AS fin
+        |  FROM embeddings
+        |)
+        |SELECT 'finite_vector' AS "constraint", 'embedding' AS "column",
+        |  fin AS observed, CAST(1.0 AS DOUBLE) AS lo,
+        |  CAST(1.0 AS DOUBLE) AS hi, fin >= 1.0 AND fin <= 1.0 AS passed FROM m
+        |UNION ALL SELECT 'not_null', 'embedding', nn, CAST(1.0 AS DOUBLE),
+        |  CAST(1.0 AS DOUBLE), nn >= 1.0 AND nn <= 1.0 FROM m
+        |UNION ALL SELECT 'vector_dim', 'embedding', d32, CAST(1.0 AS DOUBLE),
+        |  CAST(1.0 AS DOUBLE), d32 >= 1.0 AND d32 <= 1.0 FROM m
+        |UNION ALL SELECT 'vector_dim', 'embedding', d64, CAST(1.0 AS DOUBLE),
+        |  CAST(1.0 AS DOUBLE), d64 >= 1.0 AND d64 <= 1.0 FROM m
+        |ORDER BY "constraint", observed""".stripMargin) { (s, dir) =>
+      import graft.operators.Checks
+      import org.apache.spark.sql.functions.col
+      Checks.check(t(s, dir, "embeddings"), Seq(
+        Checks.FiniteVector("embedding"),
+        Checks.NotNull("embedding"),
+        Checks.VectorDim("embedding", 32),
+        Checks.VectorDim("embedding", 64)))
+        .orderBy(col("constraint"), col("observed"))
+    }
+
     // str accessor completion: get / join / slice_replace (the last three
     // reference `_str_accessor.py` members) — negative-index get and the
     // Python slice identity s[:start] + repl + s[stop:] value-checked.

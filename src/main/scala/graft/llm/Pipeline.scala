@@ -1222,13 +1222,18 @@ object Pipeline {
                            quantizedPath: Option[String] = None,
                            pqPath: Option[String] = None,
                            planes: Int = 8,
-                           buckets: Int = 8): Map[String, Long] = {
+                           buckets: Int = 8,
+                           admission: Seq[graft.operators.Checks.Constraint] = Nil): Map[String, Long] = {
     val spark = shard.sparkSession
     readShardManifest(spark, outPath, shardLabel) match {
       case Some(counts) => return counts // fully processed — O(1) replay
       case None => ()
     }
     val cp = shard.localCheckpoint(true)
+    // admission control BEFORE any state is touched (the ingestShard
+    // contract): a malformed embedding feed — wrong dims, NaN vectors —
+    // refuses loudly instead of growing five sinks with a sliver
+    if (admission.nonEmpty) graft.operators.Checks.requireAll(cp, admission)
     // Partial-replay recovery, snapshot taken BEFORE the gate (the gate
     // appends survivors to the vecs table — a post-gate read would
     // classify every fresh survivor as a crashed append and land it

@@ -62,6 +62,19 @@ object Checks {
   /** Total row count must land in [lo, hi] (inclusive). */
   final case class RowCountBetween(lo: Long, hi: Long) extends Constraint
 
+  /** Fraction of non-null array values with EXACTLY `dim` elements must
+    * reach `minRatio` — the embedding-shard admission check: a
+    * wrong-dimension vector would fold to the encode sentinel (or fail
+    * a zip) deep inside an index append; refuse it at the door. */
+  final case class VectorDim(column: String, dim: Int,
+                             minRatio: Double = 1.0) extends Constraint
+
+  /** Fraction of non-null array values whose every element is finite
+    * (no NaN/±Inf) must reach `minRatio` — NaN cosines rank as null
+    * and silently vanish from retrieval; catch the feed at admission. */
+  final case class FiniteVector(column: String, minRatio: Double = 1.0)
+    extends Constraint
+
   /** Mean of non-null `column` values must land in [lo, hi]. The sum
     * rides decimal(38,12) — order-independent, so the report hashes
     * identically at any partitioning. */
@@ -122,6 +135,16 @@ object Checks {
       Compiled(s"p$p", cn,
         coalesce(expr(s"percentile($cn, $p)").cast("double"),
           lit(Double.NaN)), lo, hi)
+    case VectorDim(cn, dim, r) =>
+      Compiled("vector_dim", cn,
+        ratio(count(when(size(col(cn)) === dim, lit(1))),
+          count(col(cn))), r, 1.0)
+    case FiniteVector(cn, r) =>
+      Compiled("finite_vector", cn,
+        ratio(count(when(!exists(col(cn), e =>
+            isnan(e.cast("double")) ||
+              abs(e.cast("double")) === lit(Double.PositiveInfinity)),
+          lit(1))), count(col(cn))), r, 1.0)
   }
 
   /** Evaluate `constraints` against `df` in one aggregate pass; returns

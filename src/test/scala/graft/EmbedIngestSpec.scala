@@ -123,6 +123,48 @@ class EmbedIngestSpec extends SparkTestBase {
     }
   }
 
+  test("embedding-shard admission: malformed feed (wrong dim, NaN) refused, sinks untouched; clean shard admitted") {
+    import graft.operators.Checks
+    val idxDir = tmpDir("graft_embadm_idx")
+    val outDir = tmpDir("graft_embadm_out")
+    try {
+      val corpus = emb.filter(col("vec_id") < 400)
+      Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding", 64,
+        "embadm", idxDir)
+      val contract = Seq(Checks.NotNull("embedding"),
+        Checks.VectorDim("embedding", 64),
+        Checks.FiniteVector("embedding"))
+      // malformed feed: one truncated vector, one NaN-poisoned vector
+      val bad = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+        .unionByName(emb.filter(col("vec_id") === 450L)
+          .select(lit(9100L).as("vec_id"),
+            slice(col("embedding"), 1, 32).as("embedding")))
+        .unionByName(emb.filter(col("vec_id") === 451L)
+          .select(lit(9101L).as("vec_id"),
+            transform(col("embedding"),
+              x => when(x > lit(-2.0f), lit(Float.NaN)).otherwise(x))
+              .as("embedding")))
+      val vecsBefore = spark.table("embadm_vecs").count()
+      val e = intercept[IllegalStateException] {
+        Pipeline.ingestEmbeddingShard(bad, "vec_id", "embedding", 64,
+          0.9, "embadm", idxDir, outDir, "bad1", admission = contract)
+      }
+      assert(e.getMessage.contains("vector_dim(embedding)") &&
+        e.getMessage.contains("finite_vector(embedding)"), e.getMessage)
+      assert(spark.table("embadm_vecs").count() == vecsBefore,
+        "a refused shard must not grow the vecs index")
+      assert(!new java.io.File(outDir, "_graft_shard_bad1.json").exists())
+      // the same contract admits the clean rows
+      val good = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      val c = Pipeline.ingestEmbeddingShard(good, "vec_id", "embedding",
+        64, 0.9, "embadm", idxDir, outDir, "good1", admission = contract)
+      assert(c("landed") == 50L, s"$c")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS embadm_vecs")
+      Seq(idxDir, outDir).foreach(rmDir)
+    }
+  }
+
   test("ingestEmbeddingShard crash-replay: vecs-committed-but-unlanded vectors are recovered into every sink") {
     val corpus = emb.filter(col("vec_id") < 300)
     val shard = emb.filter(col("vec_id") >= 300 && col("vec_id") < 350)
