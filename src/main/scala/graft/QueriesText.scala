@@ -183,7 +183,11 @@ object QueriesText {
         |    CAST(COUNT(*) AS DOUBLE) AS rc,
         |    CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
         |      / CAST(COUNT(n_chars) AS DOUBLE) AS mu,
-        |    CAST(quantile_cont(n_chars, 0.9) AS DOUBLE) AS q90
+        |    CAST(quantile_cont(n_chars, 0.9) AS DOUBLE) AS q90,
+        |    CAST(COUNT(CASE WHEN n_chars = length(text) THEN 1 END) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS sat1,
+        |    CAST(COUNT(CASE WHEN n_chars > 100 THEN 1 END) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS sat2
         |  FROM documents
         |)
         |SELECT 'not_null' AS "constraint", 'text' AS "column", nn AS observed,
@@ -206,7 +210,13 @@ object QueriesText {
         |UNION ALL SELECT 'mean', 'n_chars', mu, CAST(100.0 AS DOUBLE),
         |  CAST(500.0 AS DOUBLE), mu >= 100.0 AND mu <= 500.0 FROM m
         |UNION ALL SELECT 'p0.9', 'n_chars', q90, CAST(300.0 AS DOUBLE),
-        |  CAST(520.0 AS DOUBLE), q90 >= 300.0 AND q90 <= 520.0 FROM m""".stripMargin) { (s, dir) =>
+        |  CAST(520.0 AS DOUBLE), q90 >= 300.0 AND q90 <= 520.0 FROM m
+        |UNION ALL SELECT 'satisfies', 'n_chars_consistent', sat1,
+        |  CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+        |  sat1 >= 1.0 AND sat1 <= 1.0 FROM m
+        |UNION ALL SELECT 'satisfies', 'long_docs', sat2,
+        |  CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+        |  sat2 >= 1.0 AND sat2 <= 1.0 FROM m""".stripMargin) { (s, dir) =>
       import graft.operators.Checks
       Checks.check(t(s, dir, "documents"), Seq(
         Checks.NotNull("text"),
@@ -218,7 +228,9 @@ object QueriesText {
         Checks.Matches("source", "^src[0-9]+$"),
         Checks.RowCountBetween(100L, 10000000L),
         Checks.MeanBetween("n_chars", 100.0, 500.0),
-        Checks.PercentileBetween("n_chars", 0.9, 300.0, 520.0)))
+        Checks.PercentileBetween("n_chars", 0.9, 300.0, 520.0),
+        Checks.Satisfies("n_chars_consistent", "n_chars = length(text)"),
+        Checks.Satisfies("long_docs", "n_chars > 100")))
     }
 
     // Per-group (fleet-view) constraint report: one map-side-combined

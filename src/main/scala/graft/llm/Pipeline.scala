@@ -568,6 +568,37 @@ object Pipeline {
       "shards" -> affectedLabels.length.toLong)
   }
 
+  /** One dense GLOBAL window-id space per split over an
+    * [[ingestWindowsShard]] landing, WITHOUT shuffling a single window
+    * row: per-(shard, split) window counts aggregate map-side (a
+    * column-pruned count), shard offsets accumulate over the
+    * lexicographic label order on that TINY frame, and the windows then
+    * pick up `global_id = offset + window_id` through a broadcast join
+    * — O(windows) map-side work, exchange-free on the window side at
+    * any corpus size. The induced global order is (shard label asc,
+    * in-shard position): exactly the shard-interleave a training
+    * loader would derive itself; most loaders never need this (they
+    * stream shard files directly), but eval tooling addressing "window
+    * #N of val" wants one id space. Deterministic for a fixed landing;
+    * ids shift when shards are added or retracted — address stable
+    * work by (shard_label, split, window_id), which never changes. */
+  def globalWindowIds(spark: org.apache.spark.sql.SparkSession,
+                      outPath: String): DataFrame = {
+    val win = spark.read.parquet(outPath)
+    val counts = win.groupBy("shard_label", "split")
+      .agg(count(lit(1)).as("__n__"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("split").orderBy("shard_label")
+    val offsets = counts
+      .withColumn("__off__",
+        coalesce(sum(col("__n__")).over(w) - col("__n__"), lit(0L)))
+      .select(col("shard_label"), col("split"), col("__off__"))
+    win.join(broadcast(offsets), Seq("shard_label", "split"))
+      .select(col("shard_label"), col("split"), col("window_id"),
+        (col("__off__") + col("window_id")).as("global_id"),
+        col("window_text"), col("n_tokens"))
+  }
+
   /** Maintenance observable for an [[ingestWindowsShard]] landing — the
     * family's report sibling ([[Dedup.indexReport]], [[Ivf.indexReport]],
     * [[KeyBlooms.report]]): per shard, the doc count (sidecar), window

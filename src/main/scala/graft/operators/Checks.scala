@@ -75,6 +75,16 @@ object Checks {
   final case class FiniteVector(column: String, minRatio: Double = 1.0)
     extends Constraint
 
+  /** Fraction of rows satisfying an arbitrary SQL predicate must reach
+    * `minRatio` — the free-form cross-column contract (`"n_chars =
+    * length(text)"`, `"ts_end >= ts_start"`) the typed constraints
+    * can't spell. `name` labels the report row (predicates make poor
+    * identifiers). A NULL predicate result counts as NOT satisfied
+    * (SQL WHERE semantics). Keep the predicate in the shared SQL
+    * subset when an external oracle recomputes the report. */
+  final case class Satisfies(name: String, predicate: String,
+                             minRatio: Double = 1.0) extends Constraint
+
   /** Mean of non-null `column` values must land in [lo, hi]. The sum
     * rides decimal(38,12) — order-independent, so the report hashes
     * identically at any partitioning. */
@@ -145,6 +155,9 @@ object Checks {
             isnan(e.cast("double")) ||
               abs(e.cast("double")) === lit(Double.PositiveInfinity)),
           lit(1))), count(col(cn))), r, 1.0)
+    case Satisfies(nm, pred, r) =>
+      Compiled("satisfies", nm,
+        ratio(count(when(expr(pred), lit(1))), count(lit(1))), r, 1.0)
   }
 
   /** Evaluate `constraints` against `df` in one aggregate pass; returns
@@ -212,6 +225,35 @@ object Checks {
       throw new IllegalStateException(
         s"data-quality gate failed ${failed.length} constraint(s):\n  " +
           lines.mkString("\n  "))
+    }
+    df
+  }
+
+  /** The per-group gate: EVERY group must satisfy every constraint —
+    * the per-domain contract form ("each language keeps ≥N docs",
+    * "every source's null ratio stays 0"). One [[checkBy]] pass; the
+    * refusal names each (group, constraint) failure, capped at 20
+    * lines so a wholesale-broken frame doesn't dump its whole report
+    * into the exception. */
+  def requireAllBy(df: DataFrame, groupCols: Seq[String],
+                   constraints: Seq[Constraint]): DataFrame = {
+    val rep = checkBy(df, groupCols, constraints)
+    val failed = rep.filter(!col("passed")).collect()
+    if (failed.nonEmpty) {
+      val n = groupCols.length
+      val lines = failed.take(20).map { r =>
+        val grp = (0 until n).map(i => String.valueOf(r.get(i)))
+          .mkString(",")
+        s"[$grp] ${r.getString(n)}(${r.getString(n + 1)}): observed " +
+          s"${r.getDouble(n + 2)} outside " +
+          s"[${r.getDouble(n + 3)}, ${r.getDouble(n + 4)}]"
+      }
+      val more = if (failed.length > 20)
+        s"\n  ... and ${failed.length - 20} more" else ""
+      throw new IllegalStateException(
+        s"per-group data-quality gate failed ${failed.length} " +
+          s"(group, constraint) pair(s):\n  " +
+          lines.mkString("\n  ") + more)
     }
     df
   }

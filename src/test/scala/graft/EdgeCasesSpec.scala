@@ -618,4 +618,32 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(!er(("row_count", "*")), "row_count must catch emptiness")
     assert(!er(("mean", "n")), "NaN mean must fail, not pass")
   }
+
+  test("Checks: Satisfies treats NULL predicates as unsatisfied; requireAllBy names every failing (group, constraint) pair") {
+    import graft.operators.Checks
+    val schema = StructType(Seq(
+      StructField("grp", StringType), StructField("a", LongType),
+      StructField("b", LongType)))
+    // NULL b makes the predicate NULL -> NOT satisfied (WHERE semantics)
+    val d = df(schema,
+      Row("x", 1L, 2L), Row("x", 3L, 4L),
+      Row("y", 5L, 1L),            // violates a <= b
+      Row("y", 6L, null))          // NULL predicate
+    val rep = Checks.check(d, Seq(Checks.Satisfies("ordered", "a <= b")))
+      .collect().head
+    assert(rep.getDouble(2) == 0.5 && !rep.getBoolean(5),
+      s"2 of 4 rows satisfy (NULL counts as no): $rep")
+    // per-group gate: group x is clean, group y fails twice
+    val e = intercept[IllegalStateException] {
+      Checks.requireAllBy(d, Seq("grp"), Seq(
+        Checks.Satisfies("ordered", "a <= b"),
+        Checks.NotNull("b")))
+    }
+    assert(e.getMessage.contains("[y] satisfies(ordered)") &&
+      e.getMessage.contains("[y] not_null(b)") &&
+      !e.getMessage.contains("[x]"), e.getMessage)
+    // clean per-group contract passes the frame through
+    assert(Checks.requireAllBy(d, Seq("grp"),
+      Seq(Checks.RowCountBetween(1L, 10L))).count() == 4)
+  }
 }

@@ -836,4 +836,51 @@ class IngestSpec extends SparkTestBase {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }
   }
+
+  test("globalWindowIds: dense per split across shards, shard-interleave order, window rows ride no exchange") {
+    val tmp = tmpDir("graft_gwi_idx")
+    val out = tmpDir("graft_gwi_out")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "gwi_t", tmp)
+      Pipeline.ingestWindowsShard(
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 240),
+        df(docSchema), "doc_id", "text", "gwi_t", tmp, out, 64L, "d01",
+        redactPii = false)
+      Pipeline.ingestWindowsShard(
+        docs.filter(col("doc_id") >= 240 && col("doc_id") < 280),
+        df(docSchema), "doc_id", "text", "gwi_t", tmp, out, 64L, "d02",
+        redactPii = false)
+      val g = Pipeline.globalWindowIds(spark, out)
+      // dense 0..n-1 per split, ordered (shard asc, window_id asc)
+      g.select("split").distinct().collect().map(_.getString(0)).foreach { sp =>
+        val rows = g.filter(col("split") === sp)
+          .select("shard_label", "window_id", "global_id")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._3)
+        assert(rows.map(_._3).toSeq == rows.indices.map(_.toLong),
+          s"global ids must be dense per split: $sp")
+        assert(rows.map(r => (r._1, r._2)).toSeq ==
+          rows.map(r => (r._1, r._2)).sortBy(identity).toSeq,
+          s"global order must be (shard, in-shard position): $sp")
+      }
+      // the window rows themselves ride no shuffle exchange (offsets
+      // broadcast; only the tiny counts frame exchanges)
+      val sp = g.queryExecution.executedPlan
+      val shuffledWindows = sp.collect {
+        case ex: ShuffleExchangeExec => ex.collect {
+          case s: FileSourceScanExec
+            if s.requiredSchema.fieldNames.contains("window_text") => s
+        }
+      }.flatten
+      assert(shuffledWindows.isEmpty,
+        "window rows must reach their global id without an exchange")
+    } finally {
+      dropIndex("gwi_t")
+      Seq(tmp, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
 }
