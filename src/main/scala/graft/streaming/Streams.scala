@@ -335,6 +335,43 @@ object Streams {
         ()
       }
 
+  /** STREAMING training-window landing: arriving documents flow
+    * straight into GPT-style training windows — each micro-batch runs
+    * [[graft.llm.Pipeline.ingestWindowsShard]] as its own mini-shard
+    * under the label `stream-<batchId>`: the full O(batch) gate
+    * against the standing index, the stable id-hash split, a
+    * batch-local chop, and the `shard_label=/split=` landing. EXACTLY
+    * the batch layout — a corpus can mix daily bulk shards and a live
+    * stream under one root, and [[graft.llm.Pipeline.windowsReport]] /
+    * `retractFromWindows` / `globalWindowIds` cover both identically.
+    * Replay safety is inherited rather than re-invented: Structured
+    * Streaming re-delivers a failed micro-batch under the SAME batch
+    * id, which maps to the same shard label, where the per-shard
+    * manifest makes the landing O(1)-idempotent and the suspects
+    * snapshot recovers a crashed index append. Windows chop per batch
+    * (a window never spans micro-batches) — the shard-local layout's
+    * semantics, at micro-batch grain. */
+  def windowsLandingStream(docs: DataFrame, bench: DataFrame,
+                           idCol: String, textCol: String,
+                           indexName: String, indexPath: String,
+                           outPath: String, windowSize: Long,
+                           checkpoint: String,
+                           minTokens: Int = 3,
+                           nearDupThreshold: Double = 0.5,
+                           decontamK: Int = 5,
+                           redactPii: Boolean = true,
+                           fullWindowsOnly: Boolean = false): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.llm.Pipeline.ingestWindowsShard(batch, bench, idCol,
+            textCol, indexName, indexPath, outPath, windowSize,
+            s"stream-$batchId", minTokens, nearDupThreshold, decontamK,
+            redactPii = redactPii, fullWindowsOnly = fullWindowsOnly)
+        ()
+      }
+
   /** Streaming retrieval over the persisted IVF+PQ index — the
     * cell-pruned sibling of [[annTopKPqStream]] (which scans the whole
     * flat corpus): each micro-batch ranks through

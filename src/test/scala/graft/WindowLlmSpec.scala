@@ -1000,6 +1000,72 @@ class WindowLlmSpec extends SparkTestBase {
       new java.io.File(base))
   }
 
+  test("windowsLandingStream: each micro-batch lands as a mini-shard; gate drops dups; report all-green; replay idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val idx = java.nio.file.Files.createTempDirectory("graft_wls_idx").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_wls").toString
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      graft.llm.Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200),
+        "doc_id", "text", "wls_t", idx)
+      val corpusText = docs.filter(col("doc_id") === 7)
+        .select("text").collect().head.getString(0)
+      val batch1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 230)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.windowsLandingStream(
+        in.toDF().toDF("doc_id", "text"),
+        spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+          lit("").as("text")).limit(0),
+        "doc_id", "text", "wls_t", idx, out, 64L, ckpt,
+        redactPii = false).start()
+      try {
+        in.addData(batch1.toSeq: _*)
+        q.processAllAvailable()
+        in.addData((90001L, corpusText),     // exact dup vs corpus -> drops
+          (90002L, "glaciers carve patient valleys while auroras paint " +
+            "the winter sky in silent green ribbons"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val win = spark.read.parquet(out)
+      val shards = win.select("shard_label").distinct()
+        .collect().map(_.getString(0)).sorted
+      assert(shards.sameElements(Array("stream-0", "stream-1")), shards.toSeq)
+      // batch 2's dup dropped: its shard holds only the fresh doc's mass
+      val b2tok = win.filter(col("shard_label") === "stream-1")
+        .agg(sum("n_tokens")).head().getLong(0)
+      val freshTok = 14L // tokens of the fresh doc above
+      assert(b2tok == freshTok,
+        s"dup must drop from the streamed shard: $b2tok != $freshTok")
+      // the landing is the BATCH layout: report all-green, fsck holds
+      val rep = graft.llm.Pipeline.windowsReport(spark, out,
+        Some(docs.unionByName(df(docSchema,
+          Row(90002L, "glaciers carve patient valleys while auroras " +
+            "paint the winter sky in silent green ribbons"))))).collect()
+      assert(rep.forall(r => r.getBoolean(5) && r.getBoolean(7)),
+        s"streamed shards must pass the fsck: ${rep.toSeq}")
+      // replay idempotence: the same batch label O(1)-returns
+      val again = graft.llm.Pipeline.ingestWindowsShard(
+        df(docSchema, batch1.map(p => Row(p._1, p._2)): _*),
+        df(docSchema), "doc_id", "text", "wls_t", idx, out, 64L,
+        "stream-0", redactPii = false)
+      assert(again("landed") > 0 &&
+        spark.read.parquet(out).select("shard_label").distinct().count() == 2,
+        "a replayed stream batch must not land a new shard")
+    } finally {
+      Seq("bands", "shingles", "keys").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS wls_t_$t"))
+      Seq(idx, base).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("ingestGateStream filters quality, redacts PII, dedups within watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
