@@ -470,4 +470,55 @@ class PropertySpec extends SparkTestBase {
       assert(got == expected, s"wsize=$wsize: $got != $expected")
     }
   }
+
+  test("property: Checks.check verdicts equal a driver-side reference over generated frames") {
+    import graft.operators.Checks
+    import org.apache.spark.sql.types._
+    val gen: Gen[List[(Option[Long], Option[String])]] = for {
+      n <- Gen.choose(0, 25)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.option(Gen.choose(-50L, 50L))
+        b <- Gen.option(Gen.oneOf("x", "y", "zz", "w3"))
+      } yield (a, b))
+    } yield rows
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    forAll(gen, cases = 15) { rows =>
+      val d = df(schema, rows.map { case (a, b) =>
+        Row(a.map(Long.box).orNull, b.orNull) }: _*)
+      val cs = Seq(
+        Checks.NotNull("a", 0.7), Checks.NotNull("b", 0.7),
+        Checks.Unique(Seq("a"), 0.5),
+        Checks.Bounds("a", -10, 30, 0.4),
+        Checks.InSet("b", Seq("x", "y"), 0.4),
+        Checks.Matches("b", "^[a-z]+$", 0.5),
+        Checks.RowCountBetween(1L, 20L),
+        Checks.MeanBetween("a", -5.0, 5.0))
+      val got = Checks.check(d, cs).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getBoolean(5)))
+      // driver-side reference: same semantics in plain Scala
+      val as = rows.flatMap(_._1)
+      val bs = rows.flatMap(_._2)
+      val n = rows.size
+      def vac(num: Long, den: Long) = if (den == 0) 1.0 else num.toDouble / den
+      val expect = Seq(
+        ("not_null", "a", vac(as.size, n) >= 0.7),
+        ("not_null", "b", vac(bs.size, n) >= 0.7),
+        ("unique", "a", vac(as.distinct.size, n) >= 0.5),
+        ("bounds", "a",
+          vac(as.count(v => v >= -10 && v <= 30), as.size) >= 0.4),
+        ("in_set", "b", vac(bs.count(Set("x", "y")), bs.size) >= 0.4),
+        ("matches", "b",
+          vac(bs.count(_.matches("^[a-z]+$")), bs.size) >= 0.5),
+        ("row_count", "*", n >= 1 && n <= 20),
+        ("mean", "a",
+          as.nonEmpty && {
+            val m = as.sum.toDouble / as.size; m >= -5.0 && m <= 5.0 }))
+      assert(got.map(g => (g._1, g._2)).toSeq == expect.map(e => (e._1, e._2)),
+        "report order must be declaration order")
+      got.zip(expect).foreach { case (g, e) =>
+        assert(g._3 == e._3, s"${g._1}(${g._2}): engine ${g._3} != reference ${e._3} on $rows")
+      }
+    }
+  }
 }
