@@ -172,6 +172,8 @@ object QueriesText {
         |    CAST(COUNT(text) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS nn,
         |    CAST(COUNT(DISTINCT doc_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ud,
         |    CAST(COUNT(DISTINCT lang) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ul,
+        |    CAST(COUNT(DISTINCT (lang, source)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS uls,
         |    CAST(COUNT(CASE WHEN n_chars >= 1 AND n_chars <= 10000 THEN 1 END) AS DOUBLE)
         |      / CAST(COUNT(n_chars) AS DOUBLE) AS b1,
         |    CAST(COUNT(CASE WHEN n_chars >= 0 AND n_chars <= 100 THEN 1 END) AS DOUBLE)
@@ -197,6 +199,8 @@ object QueriesText {
         |  CAST(1.0 AS DOUBLE), ud >= 1.0 AND ud <= 1.0 FROM m
         |UNION ALL SELECT 'unique', 'lang', ul, CAST(1.0 AS DOUBLE),
         |  CAST(1.0 AS DOUBLE), ul >= 1.0 AND ul <= 1.0 FROM m
+        |UNION ALL SELECT 'unique', 'lang,source', uls, CAST(1.0 AS DOUBLE),
+        |  CAST(1.0 AS DOUBLE), uls >= 1.0 AND uls <= 1.0 FROM m
         |UNION ALL SELECT 'bounds', 'n_chars', b1, CAST(1.0 AS DOUBLE),
         |  CAST(1.0 AS DOUBLE), b1 >= 1.0 AND b1 <= 1.0 FROM m
         |UNION ALL SELECT 'bounds', 'n_chars', b2, CAST(0.9 AS DOUBLE),
@@ -222,6 +226,7 @@ object QueriesText {
         Checks.NotNull("text"),
         Checks.Unique(Seq("doc_id")),
         Checks.Unique(Seq("lang")),
+        Checks.Unique(Seq("lang", "source")),
         Checks.Bounds("n_chars", 1, 10000),
         Checks.Bounds("n_chars", 0, 100, 0.9),
         Checks.InSet("lang", Seq("en", "de", "fr"), 0.5),

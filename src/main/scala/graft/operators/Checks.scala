@@ -49,8 +49,9 @@ object Checks {
   final case class Bounds(column: String, lo: Double, hi: Double,
                           minRatio: Double = 1.0) extends Constraint
 
-  /** Fraction of non-null values in `allowed` must reach `minRatio`. */
-  final case class InSet(column: String, allowed: Seq[String],
+  /** Fraction of non-null values in `allowed` must reach `minRatio`.
+    * Values may be any literal type `isin` accepts (strings, numbers). */
+  final case class InSet(column: String, allowed: Seq[Any],
                          minRatio: Double = 1.0) extends Constraint
 
   /** Fraction of non-null values matching `regex` (Java dialect; keep
