@@ -429,6 +429,72 @@ object Maintain {
     results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
   }
 
+  /** A maintenance TARGET for [[maintainAll]]: one persisted family
+    * instance plus the side inputs its pass needs. The heterogeneous
+    * parameters (drift samples, source-of-truth embeddings, Bloom
+    * sidecar paths) live here so the fleet sweep itself is one flat
+    * list. */
+  sealed trait Target
+  final case class IvfIndexTarget(path: String,
+                                  newSample: Option[DataFrame] = None,
+                                  idCol: String = "id",
+                                  vecCol: String = "vec") extends Target
+  final case class IvfPqCorpusTarget(path: String,
+                                     embeddings: Option[DataFrame] = None,
+                                     newSample: Option[DataFrame] = None,
+                                     idCol: String = "id",
+                                     vecCol: String = "vec") extends Target
+  final case class PqCorpusTarget(path: String,
+                                  embeddings: Option[DataFrame] = None,
+                                  newSample: Option[DataFrame] = None,
+                                  idCol: String = "id",
+                                  vecCol: String = "vec") extends Target
+  final case class TextIndexTarget(name: String,
+                                   bloomPath: Option[String] = None)
+    extends Target
+  final case class EmbeddingIndexTarget(name: String,
+                                        bloomPath: Option[String] = None)
+    extends Target
+
+  /** The NIGHTLY SWEEP: one call maintains every persisted family a
+    * corpus owner operates — each (label, target) runs its family's
+    * drift-policy pass in order and the decision reports union under a
+    * leading `target` column, so the fleet's nightly job is one
+    * scheduled call and its output is one frame a dashboard ingests.
+    * Failure isolation: a target whose pass THROWS (corrupted
+    * manifest, missing directory) is recorded as a
+    * (check="pass_failed", fired=false, action=<message>) row and the
+    * sweep continues — one broken index must not stop the other
+    * nineteen families' compactions. Policies are per-sweep; run two
+    * sweeps for per-target thresholds. */
+  def maintainAll(spark: SparkSession,
+                  targets: Seq[(String, Target)],
+                  policy: Policy = Policy()): DataFrame = {
+    import spark.implicits._
+    val reports = targets.map { case (label, t) =>
+      val rep =
+        try t match {
+          case IvfIndexTarget(p, ns, ic, vc) =>
+            maintainIvfIndex(spark, p, policy, ns, ic, vc)
+          case IvfPqCorpusTarget(p, e, ns, ic, vc) =>
+            maintainIvfPqCorpus(spark, p, policy, e, ns, ic, vc)
+          case PqCorpusTarget(p, e, ns, ic, vc) =>
+            maintainPqCorpus(spark, p, policy, e, ns, ic, vc)
+          case TextIndexTarget(n, bp) =>
+            maintainTextIndex(spark, n, policy, bp)
+          case EmbeddingIndexTarget(n, bp) =>
+            maintainEmbeddingIndex(spark, n, policy, bp)
+        } catch { case e: Exception =>
+          Seq(("pass_failed", Double.NaN, Double.NaN, false,
+            s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+            .toDF("check", "observed", "threshold", "fired", "action")
+        }
+      rep.select(lit(label).as("target"), col("check"), col("observed"),
+        col("threshold"), col("fired"), col("action"))
+    }
+    reports.reduce(_ unionByName _)
+  }
+
   /** [[maintainTextIndex]] for the EMBEDDING near-dup index
     * ([[Dedup.writeEmbeddingIndex]] table `<name>_vecs`): hyperplane-LSH
     * buckets are equally data-independent (fixed seeded planes), so the

@@ -1643,4 +1643,54 @@ class EmbedIngestSpec extends SparkTestBase {
       rmDir(dir)
     }
   }
+
+  test("Maintain.maintainAll: one sweep over heterogeneous families; a broken target is recorded, not fatal") {
+    import graft.llm.{Dedup, Maintain, Pq}
+    val ivfDir = tmpDir("graft_ma_ivf")
+    val flatDir = tmpDir("graft_ma_flat")
+    val embDir = tmpDir("graft_ma_emb")
+    try {
+      val cents0 = Ivf.train(emb, "vec_id", "embedding", nCells = 8,
+        iters = 2, trainFraction = 1.0)
+      Ivf.writeIndex(emb, "vec_id", "embedding", cents0, ivfDir)
+      val cbs0 = Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, codes = 16, iters = 0)
+      Pq.writePqCorpus(
+        Pq.encode(emb, "vec_id", "embedding", cbs0, 64, 8),
+        cbs0, flatDir, 64, 8)
+      Dedup.writeEmbeddingIndex(emb, "vec_id", "embedding", 64,
+        "ma_e", embDir, buckets = 4)
+      val rep = Maintain.maintainAll(spark, Seq(
+        "search-ivf" -> Maintain.IvfIndexTarget(ivfDir,
+          Some(emb), "vec_id", "embedding"),
+        "serve-pq" -> Maintain.PqCorpusTarget(flatDir,
+          Some(emb), Some(emb), "vec_id", "embedding"),
+        "dedup-emb" -> Maintain.EmbeddingIndexTarget("ma_e"),
+        "broken" -> Maintain.TextIndexTarget("no_such_index")),
+        Maintain.Policy(maxFilesPerCell = 50, maxFilesFlat = 50,
+          maxBloomLoadFactor = 100.0, maxDriftDelta = 0.99))
+      val byTarget = rep.collect()
+        .groupBy(_.getString(0))
+        .map { case (k, v) => k -> v.map(r =>
+          (r.getString(1), r.getBoolean(4), r.getString(5))) }
+      assert(byTarget.keySet ==
+        Set("search-ivf", "serve-pq", "dedup-emb", "broken"))
+      // healthy targets: full check set present, nothing fired
+      assert(byTarget("search-ivf").map(_._1).toSet ==
+        Set("cell_drift", "cell_files", "bloom_load"))
+      assert(byTarget("serve-pq").map(_._1).toSet ==
+        Set("code_drift", "flat_files", "bloom_load"))
+      assert(byTarget("dedup-emb").map(_._1).toSet ==
+        Set("bucket_drift", "table_files", "bloom_load"))
+      assert(byTarget.filterKeys(_ != "broken").values
+        .forall(_.forall(!_._2)), s"nothing may fire: $byTarget")
+      // the broken target is one recorded row, not a sweep abort
+      val b = byTarget("broken")
+      assert(b.length == 1 && b.head._1 == "pass_failed" && !b.head._2 &&
+        b.head._3.contains("no_such_index"), s"$b")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ma_e_vecs")
+      Seq(ivfDir, flatDir, embDir).foreach(rmDir)
+    }
+  }
 }
