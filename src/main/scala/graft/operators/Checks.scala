@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   * Empty-denominator convention: a ratio over zero qualifying rows is
   * vacuously 1.0 (an empty shard violates nothing; pair with
   * [[RowCountBetween]] when emptiness itself is the defect).
+  *
+  * Plan shape (audited): Scan → [Expand] → partial agg → one
+  * aggregate-row exchange → final agg → Generate(report). The only
+  * caveat to "one scan": each DISTINCT-style constraint ([[Unique]],
+  * [[PercentileBetween]]) adds a branch to the map-side Expand, so d
+  * such constraints replicate the scanned rows ×(d+1) BEFORE the
+  * partial aggregate — still one pass over the files, but budget
+  * Unique/percentile constraints on a 100 TB audit accordingly (the
+  * counting constraints are free; they fold into one branch).
   */
 object Checks {
 
