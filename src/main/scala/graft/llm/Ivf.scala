@@ -510,15 +510,20 @@ object Ivf {
     val nextRoot = s"$path/gen-$nextGen"
     fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
     val vectors = spark.read.parquet(s"$curRoot/vectors")
+    // the expected row count OBSERVES the write's own execution (one
+    // pass — r12 efficiency note: a post-hoc transformed.count() was a
+    // full re-run of the transform, and needed a determinism caveat
+    // this form doesn't: the count IS the written execution's)
+    val obs = new org.apache.spark.sql.Observation(s"$opName-rows")
     val transformed = transform(vectors)
+      .observe(obs, count(lit(1)).as("rows"))
     transformed.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$nextRoot/vectors")
     // verify BEFORE the flip: a partial rewrite must abort while the
-    // live generation is still the one readers resolve (the transform
-    // is deterministic, so a recount is a faithful expectation)
-    val srcRows = vectors.count()
-    val wantRows = transformed.count()
+    // live generation is still the one readers resolve
+    val srcRows = vectors.count() // parquet metadata count, no data scan
+    val wantRows = obs.get("rows").asInstanceOf[Long]
     val vecDf = spark.read.parquet(s"$nextRoot/vectors")
     val dstRows = vecDf.count()
     if (dstRows != wantRows) {

@@ -491,13 +491,15 @@ object Pq {
       val nextRoot = s"$path/gen-$nextGen"
       fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
       val assigned = Ivf.assign(embeddings, idCol, vecCol, newCents)
+      val obs = new org.apache.spark.sql.Observation("retrainIvfPq-rows")
       val transformed = encodeAssigned(assigned, idCol, vecCol, newCbs,
-        newCents, g.dim, g.m, g.residual)
+          newCents, g.dim, g.m, g.residual)
+        .observe(obs, count(lit(1)).as("rows"))
       transformed.repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$nextRoot/encoded")
       val srcRows = spark.read.parquet(s"$curRoot/encoded").count()
-      val wantRows = transformed.count()
+      val wantRows = obs.get("rows").asInstanceOf[Long]
       val dstRows = spark.read.parquet(s"$nextRoot/encoded").count()
       if (dstRows != wantRows) {
         fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
@@ -569,11 +571,13 @@ object Pq {
       val nextGen = curGen + 1
       val nextRoot = s"$path/gen-$nextGen"
       fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
+      val obs = new org.apache.spark.sql.Observation("retrainPq-rows")
       val transformed = encode(embeddings, idCol, vecCol, newCbs, g.dim,
-        g.m)
+          g.m)
+        .observe(obs, count(lit(1)).as("rows"))
       transformed.write.mode("overwrite").parquet(s"$nextRoot/encoded")
       val srcRows = spark.read.parquet(s"$curRoot/encoded").count()
-      val wantRows = transformed.count()
+      val wantRows = obs.get("rows").asInstanceOf[Long]
       val dstRows = spark.read.parquet(s"$nextRoot/encoded").count()
       if (dstRows != wantRows) {
         fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
@@ -610,7 +614,11 @@ object Pq {
     val nextRoot = s"$path/gen-$nextGen"
     fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
     val encoded = spark.read.parquet(s"$curRoot/encoded")
+    // expected count observes the write's own execution (one pass; the
+    // Ivf.rewriteIndexLocked discipline)
+    val obs = new org.apache.spark.sql.Observation(s"$opName-rows")
     val transformed = transform(encoded)
+      .observe(obs, count(lit(1)).as("rows"))
     // a FLAT writePqCorpus corpus has no cell partitioning (and no
     // centroids) — its rewrite lands plain parquet (r13: compaction and
     // retraction previously crashed on the flat family's missing cell)
@@ -621,8 +629,8 @@ object Pq {
         .parquet(s"$nextRoot/encoded")
     else
       transformed.write.mode("overwrite").parquet(s"$nextRoot/encoded")
-    val srcRows = encoded.count()
-    val wantRows = transformed.count()
+    val srcRows = encoded.count() // parquet metadata count
+    val wantRows = obs.get("rows").asInstanceOf[Long]
     val dstRows = spark.read.parquet(s"$nextRoot/encoded").count()
     if (dstRows != wantRows) {
       fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
