@@ -50,9 +50,12 @@ object Maintain {
     * escalation order and the REPORT records every decision:
     *
     *  1. drift (only when `newSample` is provided): max |new_frac −
-    *     old_frac| over cells, old = the index's own vectors, both
-    *     assigned against the SAVED centroids. Fires
-    *     [[Ivf.retrainIndex]] at the current cell count.
+    *     old_frac| over cells — the old side reads the stored `cell`
+    *     partition column (it IS the saved assignment; re-assigning
+    *     the whole index would be O(corpus·nCells·dim) for the same
+    *     histogram), only the fresh sample assigns against the SAVED
+    *     centroids. Fires [[Ivf.retrainIndex]] at the current cell
+    *     count.
     *  2. fragmentation: max files per cell. Fires [[Ivf.compactIndex]]
     *     — SKIPPED (recorded as fired=false, action "subsumed") when
     *     the retrain already fired, because a retrain rewrites the
@@ -91,20 +94,53 @@ object Maintain {
         val centroids = spark.read.parquet(s"$root/centroids")
         val nCells = centroids.count().toInt
         // the index's own id/vec columns may be named differently from
-        // the sample's — remap the sample onto the index's column names
-        // (from the saved schema) so one cellDriftReport serves both
-        val vecName = vectors.schema.fields
-          .find(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
-          .map(_.name).getOrElse(vecCol)
-        val idName = vectors.schema.fields
-          .find(f => f.name != "cell" && f.name != vecName)
-          .map(_.name).getOrElse(idCol)
-        val sampleRemapped = sample.select(col(idCol).as(idName),
-          col(vecCol).as(vecName))
-        val drift = Ivf.cellDriftReport(
-          vectors.select(col(idName), col(vecName)), sampleRemapped,
-          idName, vecName, centroids)
-        val maxDelta = drift.agg(max(abs(col("delta")))).head().getDouble(0)
+        // the sample's — resolve them from the saved schema, THROWING
+        // on ambiguity (a first-match guess on an index persisted with
+        // extra columns would retrain/rebuild on the wrong column
+        // silently — the r12-advice failure mode, closed on
+        // Ivf.retrainIndex and equally required here since this pass
+        // passes explicit columns that BYPASS retrainIndex's guard)
+        val vecCands = vectors.schema.fields
+          .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          .map(_.name)
+        require(vecCands.length == 1,
+          s"maintainIvfIndex: cannot infer the vector column of " +
+            s"$root/vectors — array-typed candidates " +
+            s"[${vecCands.mkString(", ")}]; the index holds extra " +
+            "columns, so rebuild it with an unambiguous schema")
+        val vecName = vecCands.head
+        val idCands = vectors.schema.fields.map(_.name)
+          .filter(n => n != "cell" && n != vecName)
+        require(idCands.length == 1,
+          s"maintainIvfIndex: cannot infer the id column of " +
+            s"$root/vectors — candidates [${idCands.mkString(", ")}]")
+        val idName = idCands.head
+        // old side: the stored `cell` partition column IS the saved
+        // assignment — a groupBy count, never a re-assignment of the
+        // whole index (O(corpus·nCells·dim) avoided; the
+        // maintainIvfPqCorpus shortcut applied here too). Only the
+        // (small) fresh sample assigns.
+        val storedRaw = vectors.groupBy("cell")
+          .agg(count(lit(1)).as("old_n"))
+        val freshRaw = Ivf.assign(sample.select(col(idCol).as(idName),
+              col(vecCol).as(vecName)), idName, vecName, centroids)
+          .groupBy("cell").agg(count(lit(1)).as("new_n"))
+        val j = centroids.select(col("cell"))
+          .join(storedRaw, Seq("cell"), "left")
+          .join(freshRaw, Seq("cell"), "left")
+          .select(coalesce(col("old_n"), lit(0L)).as("old_n"),
+            coalesce(col("new_n"), lit(0L)).as("new_n"))
+          .localCheckpoint(true) // nCells rows
+        val tot = j.agg(sum("old_n").as("__to__"), sum("new_n").as("__tn__"))
+        // an empty sample (zero-arrival day) or empty index is ZERO
+        // drift, not a crash: try_divide nulls the 0-total side (ANSI
+        // division would THROW) and the max coalesces to 0.0
+        val maxDelta = j.crossJoin(broadcast(tot))
+          .select(abs(
+            try_divide(col("new_n").cast("double"), col("__tn__").cast("double"))
+            - try_divide(col("old_n").cast("double"), col("__to__").cast("double")))
+            .as("__d__"))
+          .agg(coalesce(max(col("__d__")), lit(0.0))).head().getDouble(0)
         val fire = maxDelta > policy.maxDriftDelta
         if (fire)
           Ivf.retrainIndex(spark, path, nCells, policy.retrainIters,
@@ -206,11 +242,15 @@ object Maintain {
             coalesce(col("new_n"), lit(0L)).as("new_n"))
           .localCheckpoint(true) // nCells rows
         val tot = j.agg(sum("old_n").as("__to__"), sum("new_n").as("__tn__"))
+        // empty sample / empty corpus → zero drift, not a crash:
+        // try_divide nulls the 0-total side (ANSI division would
+        // THROW); coalesce the max
         val maxDelta = j.crossJoin(broadcast(tot))
-          .select(abs(col("new_n").cast("double") / col("__tn__").cast("double")
-            - col("old_n").cast("double") / col("__to__").cast("double"))
+          .select(abs(
+            try_divide(col("new_n").cast("double"), col("__tn__").cast("double"))
+            - try_divide(col("old_n").cast("double"), col("__to__").cast("double")))
             .as("__d__"))
-          .agg(max(col("__d__"))).head().getDouble(0)
+          .agg(coalesce(max(col("__d__")), lit(0.0))).head().getDouble(0)
         val fire = maxDelta > policy.maxDriftDelta
         if (fire)
           Pq.retrainIvfPqCorpus(src, idCol, vecCol, path,
@@ -326,8 +366,10 @@ object Maintain {
           .localCheckpoint(true)
         val w = org.apache.spark.sql.expressions.Window.partitionBy("sub")
         val maxDelta = j
-          .withColumn("__of__", col("old_n") / sum(col("old_n")).over(w))
-          .withColumn("__nf__", col("new_n") / sum(col("new_n")).over(w))
+          .withColumn("__of__",
+            try_divide(col("old_n"), sum(col("old_n")).over(w)))
+          .withColumn("__nf__",
+            try_divide(col("new_n"), sum(col("new_n")).over(w)))
           .agg(coalesce(max(abs(col("__nf__") - col("__of__"))), lit(0.0)))
           .head().getDouble(0)
         val fire = maxDelta > policy.maxDriftDelta
@@ -471,6 +513,11 @@ object Maintain {
                   targets: Seq[(String, Target)],
                   policy: Policy = Policy()): DataFrame = {
     import spark.implicits._
+    // a dynamically-assembled fleet can legitimately be empty today —
+    // an empty report, not an empty.reduce crash
+    if (targets.isEmpty)
+      return Seq.empty[(String, String, Double, Double, Boolean, String)]
+        .toDF("target", "check", "observed", "threshold", "fired", "action")
     val reports = targets.map { case (label, t) =>
       val rep =
         try t match {

@@ -438,7 +438,7 @@ object Pipeline {
             // own landing overwrites in place either way)
             val landedIds =
               try spark.read.parquet(s"$outPath/_docsidecar")
-                .filter(col("shard_label") =!= shardLabel)
+                .filter(col("shard_label").cast("string") =!= shardLabel)
                 .select(col(idCol))
               catch { case _: org.apache.spark.sql.AnalysisException =>
                 cp.select(col(idCol)).limit(0) }
@@ -521,8 +521,12 @@ object Pipeline {
                          windowSize: Long,
                          shuffleSeed: Long = 0L,
                          fullWindowsOnly: Boolean = false): Map[String, Long] = {
+    // cast defends against partition-type inference: a date-like label
+    // (shard_label=20260814) discovers as an INT column, and a string
+    // read would throw
     val sidecar =
       try spark.read.parquet(s"$outPath/_docsidecar")
+        .withColumn("shard_label", col("shard_label").cast("string"))
       catch { case _: org.apache.spark.sql.AnalysisException =>
         return Map("docs" -> 0L, "windows" -> 0L, "shards" -> 0L) }
     val key = broadcast(ids.select(col(idCol)).distinct())
@@ -540,6 +544,8 @@ object Pipeline {
       val shardDocs = sidecar.filter(col("shard_label") === label)
         .select(col(idCol), col("split")).localCheckpoint(true)
       val survivors = shardDocs.join(key, Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+      val survCount = survivors.count()
       val withText = survivors
         .join(docs.select(col(idCol), col(textCol)), Seq(idCol), "left")
         .localCheckpoint(true)
@@ -549,7 +555,15 @@ object Pipeline {
           s"'$label' are missing from the provided text store — " +
           "re-assembling without them would silently retract docs " +
           "nobody asked to retract")
-      removedDocs += shardDocs.count() - withText.count()
+      // a duplicate-id text store is equally refused: the left join
+      // would multiply the doc's text into the rebuilt windows (silent
+      // training-corpus corruption) and which copy is "the" text is
+      // ambiguous — the caller must dedupe their store first
+      require(withText.count() == survCount,
+        s"retractFromWindows: the provided text store holds " +
+          s"${withText.count() - survCount} duplicate row(s) for shard " +
+          s"'$label' ids — dedupe the store (one text per id) and retry")
+      removedDocs += shardDocs.count() - survCount
       val windowsBefore =
         try spark.read.parquet(s"$outPath/shard_label=$label").count()
         catch { case _: org.apache.spark.sql.AnalysisException => 0L }
@@ -584,7 +598,10 @@ object Pipeline {
     * work by (shard_label, split, window_id), which never changes. */
   def globalWindowIds(spark: org.apache.spark.sql.SparkSession,
                       outPath: String): DataFrame = {
+    // string cast: date-like labels discover as INT otherwise (and the
+    // label order must be the string order at any label shape)
     val win = spark.read.parquet(outPath)
+      .withColumn("shard_label", col("shard_label").cast("string"))
     val counts = win.groupBy("shard_label", "split")
       .agg(count(lit(1)).as("__n__"))
     val w = org.apache.spark.sql.expressions.Window
@@ -619,8 +636,12 @@ object Pipeline {
                     docs: Option[DataFrame] = None,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
+    // string casts defend against partition-type inference on
+    // date-like labels (shard_label=20260814 discovers as INT)
     val win = spark.read.parquet(outPath)
+      .withColumn("shard_label", col("shard_label").cast("string"))
     val sidecar = spark.read.parquet(s"$outPath/_docsidecar")
+      .withColumn("shard_label", col("shard_label").cast("string"))
     val winAgg = win
       .select(col("shard_label"), col("n_tokens"),
         input_file_name().as("__f__"))

@@ -1693,4 +1693,61 @@ class EmbedIngestSpec extends SparkTestBase {
       Seq(ivfDir, flatDir, embDir).foreach(rmDir)
     }
   }
+
+  test("maintenance hardening: empty drift sample is zero drift, empty fleet is an empty report, ambiguous schema refused") {
+    import graft.llm.{Maintain, Pq}
+    val ivfDir = tmpDir("graft_mh_ivf")
+    val flatDir = tmpDir("graft_mh_flat")
+    val ambDir = tmpDir("graft_mh_amb")
+    try {
+      val cents0 = Ivf.train(emb, "vec_id", "embedding", nCells = 8,
+        iters = 2, trainFraction = 1.0)
+      Ivf.writeIndex(emb, "vec_id", "embedding", cents0, ivfDir)
+      val cbs0 = Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, codes = 16, iters = 0)
+      Pq.writePqCorpus(
+        Pq.encode(emb, "vec_id", "embedding", cbs0, 64, 8),
+        cbs0, flatDir, 64, 8)
+      // a zero-arrival day: the drift check reads 0.0 and fires
+      // nothing — it must NOT throw (the divisions go null)
+      def dmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(3))))
+        .toMap
+      val ivfRep = dmap(Maintain.maintainIvfIndex(spark, ivfDir,
+        Maintain.Policy(maxDriftDelta = 0.01),
+        newSample = Some(emb.limit(0)), idCol = "vec_id",
+        vecCol = "embedding"))
+      assert(ivfRep("cell_drift") == ((0.0, false)), s"$ivfRep")
+      val pqRep = dmap(Maintain.maintainPqCorpus(spark, flatDir,
+        Maintain.Policy(maxDriftDelta = 0.01),
+        embeddings = Some(emb), newSample = Some(emb.limit(0)),
+        idCol = "vec_id", vecCol = "embedding"))
+      assert(pqRep("code_drift") == ((0.0, false)), s"$pqRep")
+      val ivfpqDir = tmpDir("graft_mh_ivfpq")
+      try {
+        Pq.writeIvfPqCorpus(emb, "vec_id", "embedding", cents0, cbs0,
+          ivfpqDir, 64, 8)
+        val ipRep = dmap(Maintain.maintainIvfPqCorpus(spark, ivfpqDir,
+          Maintain.Policy(maxDriftDelta = 0.01),
+          embeddings = Some(emb), newSample = Some(emb.limit(0)),
+          idCol = "vec_id", vecCol = "embedding"))
+        assert(ipRep("cell_drift") == ((0.0, false)), s"$ipRep")
+      } finally rmDir(ivfpqDir)
+      // empty fleet: an empty report with the sweep's schema
+      val fleet = Maintain.maintainAll(spark, Seq.empty)
+      assert(fleet.columns.toSeq == Seq("target", "check", "observed",
+        "threshold", "fired", "action") && fleet.count() == 0L)
+      // ambiguous index schema (an extra scalar column rides the
+      // vectors): the drift pass must refuse, not guess a column
+      Ivf.writeIndex(emb.withColumn("label", col("vec_id") % 3),
+        "vec_id", "embedding", cents0, ambDir)
+      val e = intercept[IllegalArgumentException] {
+        Maintain.maintainIvfIndex(spark, ambDir,
+          Maintain.Policy(maxDriftDelta = 0.01),
+          newSample = Some(emb), idCol = "vec_id", vecCol = "embedding")
+      }
+      assert(e.getMessage.contains("cannot infer the id column"),
+        e.getMessage)
+    } finally Seq(ivfDir, flatDir, ambDir).foreach(rmDir)
+  }
 }

@@ -837,6 +837,62 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("windows landing survives numeric shard labels and refuses a duplicate-id text store") {
+    val tmp = tmpDir("graft_num_idx")
+    val out = tmpDir("graft_num_out")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "num_t", tmp)
+      // date-like labels: partition discovery would infer shard_label
+      // as INT — the landing/report/retraction/global-id paths must
+      // all survive the cast
+      Pipeline.ingestWindowsShard(
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 240),
+        df(docSchema), "doc_id", "text", "num_t", tmp, out, 64L,
+        "20260813", redactPii = false)
+      Pipeline.ingestWindowsShard(
+        docs.filter(col("doc_id") >= 240 && col("doc_id") < 280),
+        df(docSchema), "doc_id", "text", "num_t", tmp, out, 64L,
+        "20260814", redactPii = false)
+      val rep = Pipeline.windowsReport(spark, out, Some(docs)).collect()
+      assert(rep.map(_.getString(0)).toSeq == Seq("20260813", "20260814"))
+      assert(rep.forall(r => r.getBoolean(5) && r.getBoolean(7)), rep.toSeq)
+      val g = Pipeline.globalWindowIds(spark, out)
+      assert(g.filter(col("split") === "train")
+        .agg(max("global_id")).head().getLong(0) + 1 ==
+        g.filter(col("split") === "train").count(),
+        "global ids stay dense under numeric labels")
+      val victim = spark.read.parquet(s"$out/_docsidecar")
+        .filter(col("shard_label").cast("string") === "20260813")
+        .select("doc_id").head().getLong(0)
+      val idsDf = df(StructType(Seq(StructField("doc_id", LongType))),
+        Row(victim))
+      val r = Pipeline.retractFromWindows(spark, out, idsDf, "doc_id",
+        docs, "text", 64L)
+      assert(r("docs") == 1L && r("shards") == 1L, s"$r")
+      // duplicate-id text store: refused loudly, not multiplied in
+      val dupStore = docs.unionByName(
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 280)
+          .withColumn("text", concat(col("text"), lit(" v2"))))
+      val victim2 = spark.read.parquet(s"$out/_docsidecar")
+        .filter(col("shard_label").cast("string") === "20260814")
+        .select("doc_id").head().getLong(0)
+      val e = intercept[IllegalArgumentException] {
+        Pipeline.retractFromWindows(spark, out,
+          df(StructType(Seq(StructField("doc_id", LongType))),
+            Row(victim2)),
+          "doc_id", dupStore, "text", 64L)
+      }
+      assert(e.getMessage.contains("duplicate row"), e.getMessage)
+    } finally {
+      dropIndex("num_t")
+      Seq(tmp, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("globalWindowIds: dense per split across shards, shard-interleave order, window rows ride no exchange") {
     val tmp = tmpDir("graft_gwi_idx")
     val out = tmpDir("graft_gwi_out")
