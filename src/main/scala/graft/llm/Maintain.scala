@@ -46,6 +46,31 @@ object Maintain {
                           retrainTrainFraction: Double = 0.05,
                           maxFilesFlat: Int = 64)
 
+  /** The shared tail of every maintenance pass: measure the Bloom
+    * sidecar's load factor and rebuild it from the family's LIVE key
+    * frame when over threshold — ONE implementation for the five
+    * families (five hand-copies diverged once already; r13 review).
+    * `sidecar` is the filesystem path holding the `idblooms` dir, None
+    * to record the skip with `skipMsg`; `keys` is evaluated only when
+    * the rebuild fires. */
+  private def bloomLoadCheck(
+      spark: SparkSession,
+      results: scala.collection.mutable.Buffer[(String, Double, Double, Boolean, String)],
+      policy: Policy, sidecar: Option[String], skipMsg: String,
+      keys: () => DataFrame): Unit =
+    sidecar match {
+      case None =>
+        results += (("bloom_load", Double.NaN, policy.maxBloomLoadFactor,
+          false, skipMsg))
+      case Some(bp) =>
+        val load = KeyBlooms.report(spark, bp, "idblooms")
+          .select("load_factor").head().getDouble(0)
+        val fire = load > policy.maxBloomLoadFactor
+        if (fire) KeyBlooms.rebuild(keys(), bp, "idblooms")
+        results += (("bloom_load", load, policy.maxBloomLoadFactor, fire,
+          if (fire) "KeyBlooms.rebuild" else "none"))
+    }
+
   /** One maintenance pass over a persisted IVF index. Checks run in
     * escalation order and the REPORT records every decision:
     *
@@ -165,22 +190,12 @@ object Maintain {
     }
 
     // 3. Bloom load → rebuild from the LIVE ids boundary
-    if (!KeyBlooms.exists(spark, path, "idblooms"))
-      results += (("bloom_load", Double.NaN, policy.maxBloomLoadFactor,
-        false, "skipped: no idblooms sidecar"))
-    else {
-      val load = KeyBlooms.report(spark, path, "idblooms")
-        .select("load_factor").head().getDouble(0)
-      val fire = load > policy.maxBloomLoadFactor
-      if (fire) {
-        val root = Ivf.resolveRoot(spark, path)
-        val ids = spark.read.parquet(s"$root/ids")
-        KeyBlooms.rebuild(
-          ids.select(col(ids.columns.head).as("key")), path, "idblooms")
-      }
-      results += (("bloom_load", load, policy.maxBloomLoadFactor, fire,
-        if (fire) "KeyBlooms.rebuild" else "none"))
-    }
+    bloomLoadCheck(spark, results, policy,
+      Some(path).filter(KeyBlooms.exists(spark, _, "idblooms")),
+      "skipped: no idblooms sidecar", () => {
+        val ids = spark.read.parquet(s"${Ivf.resolveRoot(spark, path)}/ids")
+        ids.select(col(ids.columns.head).as("key"))
+      })
 
     import spark.implicits._
     results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
@@ -276,22 +291,13 @@ object Maintain {
     }
 
     // 3. Bloom load → rebuild from the LIVE encoded ids
-    if (!KeyBlooms.exists(spark, path, "idblooms"))
-      results += (("bloom_load", Double.NaN, policy.maxBloomLoadFactor,
-        false, "skipped: no idblooms sidecar"))
-    else {
-      val load = KeyBlooms.report(spark, path, "idblooms")
-        .select("load_factor").head().getDouble(0)
-      val fire = load > policy.maxBloomLoadFactor
-      if (fire) {
+    bloomLoadCheck(spark, results, policy,
+      Some(path).filter(KeyBlooms.exists(spark, _, "idblooms")),
+      "skipped: no idblooms sidecar", () => {
         val enc = spark.read
           .parquet(s"${Pq.resolveRoot(spark, path)}/encoded")
-        KeyBlooms.rebuild(
-          enc.select(col(enc.columns.head).as("key")), path, "idblooms")
-      }
-      results += (("bloom_load", load, policy.maxBloomLoadFactor, fire,
-        if (fire) "KeyBlooms.rebuild" else "none"))
-    }
+        enc.select(col(enc.columns.head).as("key"))
+      })
 
     import spark.implicits._
     results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
@@ -397,22 +403,13 @@ object Maintain {
     }
 
     // 3. Bloom load → rebuild from the LIVE encoded ids
-    if (!KeyBlooms.exists(spark, path, "idblooms"))
-      results += (("bloom_load", Double.NaN, policy.maxBloomLoadFactor,
-        false, "skipped: no idblooms sidecar"))
-    else {
-      val load = KeyBlooms.report(spark, path, "idblooms")
-        .select("load_factor").head().getDouble(0)
-      val fire = load > policy.maxBloomLoadFactor
-      if (fire) {
+    bloomLoadCheck(spark, results, policy,
+      Some(path).filter(KeyBlooms.exists(spark, _, "idblooms")),
+      "skipped: no idblooms sidecar", () => {
         val enc = spark.read
           .parquet(s"${Pq.resolveRoot(spark, path)}/encoded")
-        KeyBlooms.rebuild(
-          enc.select(col(enc.columns.head).as("key")), path, "idblooms")
-      }
-      results += (("bloom_load", load, policy.maxBloomLoadFactor, fire,
-        if (fire) "KeyBlooms.rebuild" else "none"))
-    }
+        enc.select(col(enc.columns.head).as("key"))
+      })
 
     import spark.implicits._
     results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
@@ -451,21 +448,9 @@ object Maintain {
     results += (("table_files", files, policy.maxFilesFlat.toDouble,
       fireCompact, if (fireCompact) "Dedup.compactNearDupIndex" else "none"))
 
-    bloomPath match {
-      case None =>
-        results += (("bloom_load", Double.NaN, policy.maxBloomLoadFactor,
-          false, "skipped: no bloomPath provided"))
-      case Some(bp) =>
-        val load = KeyBlooms.report(spark, bp, "idblooms")
-          .select("load_factor").head().getDouble(0)
-        val fire = load > policy.maxBloomLoadFactor
-        if (fire)
-          KeyBlooms.rebuild(
-            spark.table(s"${name}_keys").select(col("id").as("key")),
-            bp, "idblooms")
-        results += (("bloom_load", load, policy.maxBloomLoadFactor, fire,
-          if (fire) "KeyBlooms.rebuild" else "none"))
-    }
+    bloomLoadCheck(spark, results, policy, bloomPath,
+      "skipped: no bloomPath provided",
+      () => spark.table(s"${name}_keys").select(col("id").as("key")))
 
     import spark.implicits._
     results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
@@ -563,21 +548,9 @@ object Maintain {
     results += (("table_files", files, policy.maxFilesFlat.toDouble,
       fireCompact, if (fireCompact) "Dedup.compactEmbeddingIndex" else "none"))
 
-    bloomPath match {
-      case None =>
-        results += (("bloom_load", Double.NaN, policy.maxBloomLoadFactor,
-          false, "skipped: no bloomPath provided"))
-      case Some(bp) =>
-        val load = KeyBlooms.report(spark, bp, "idblooms")
-          .select("load_factor").head().getDouble(0)
-        val fire = load > policy.maxBloomLoadFactor
-        if (fire)
-          KeyBlooms.rebuild(
-            spark.table(s"${name}_vecs").select(col("id").as("key")),
-            bp, "idblooms")
-        results += (("bloom_load", load, policy.maxBloomLoadFactor, fire,
-          if (fire) "KeyBlooms.rebuild" else "none"))
-    }
+    bloomLoadCheck(spark, results, policy, bloomPath,
+      "skipped: no bloomPath provided",
+      () => spark.table(s"${name}_vecs").select(col("id").as("key")))
 
     import spark.implicits._
     results.toSeq.toDF("check", "observed", "threshold", "fired", "action")

@@ -331,9 +331,21 @@ object Pipeline {
       temperatureMix.filter(_.up).map(_.maxRepeat + 1))
     try win.write.mode("overwrite").partitionBy("split").parquet(outPath)
     finally handles.foreach(_.unpersist())
-    // per-split counts from the files ACTUALLY written; explicit schema
-    // keeps an all-dropped landing a valid empty read
-    val counts = spark.read.schema(win.schema).parquet(outPath)
+    val counts = landedSplitCounts(spark, outPath, win.schema)
+    writeJsonManifest(spark, counts, outPath, WINDOWS_MANIFEST)
+    counts
+  }
+
+  private val WINDOWS_MANIFEST = "_graft_windows_manifest.json"
+
+  /** Per-split (windows, tokens) counts from the files ACTUALLY
+    * written — shared by the batch and incremental windows landings so
+    * their manifests can never drift in shape; the explicit schema
+    * keeps an all-dropped landing a valid empty read. */
+  private def landedSplitCounts(spark: org.apache.spark.sql.SparkSession,
+                                path: String,
+                                schema: org.apache.spark.sql.types.StructType): Map[String, Long] =
+    spark.read.schema(schema).parquet(path)
       .groupBy("split")
       .agg(count(lit(1)).as("__w__"),
         coalesce(sum(col("n_tokens")), lit(0L)).as("__t__"))
@@ -341,11 +353,6 @@ object Pipeline {
       .flatMap(r => Seq(s"${r.getString(0)}_windows" -> r.getLong(1),
         s"${r.getString(0)}_tokens" -> r.getLong(2)))
       .toMap
-    writeJsonManifest(spark, counts, outPath, WINDOWS_MANIFEST)
-    counts
-  }
-
-  private val WINDOWS_MANIFEST = "_graft_windows_manifest.json"
 
   /** INCREMENTAL training-window landing — the daily-shard analog of
     * [[buildAndWriteWindows]], which rebuilds wholesale: a 100 TB
@@ -472,15 +479,8 @@ object Pipeline {
         .parquet(s"$outPath/_docsidecar/shard_label=$shardLabel")
       win.write.mode("overwrite").partitionBy("split")
         .parquet(s"$outPath/shard_label=$shardLabel")
-      val perSplit = spark.read.schema(win.schema)
-        .parquet(s"$outPath/shard_label=$shardLabel")
-        .groupBy("split")
-        .agg(count(lit(1)).as("__w__"),
-          coalesce(sum(col("n_tokens")), lit(0L)).as("__t__"))
-        .collect()
-        .flatMap(r => Seq(s"${r.getString(0)}_windows" -> r.getLong(1),
-          s"${r.getString(0)}_tokens" -> r.getLong(2)))
-        .toMap
+      val perSplit = landedSplitCounts(spark,
+        s"$outPath/shard_label=$shardLabel", win.schema)
       val counts = Map("input" -> cp.count(),
         "landed" -> toAssemble.count()) ++ perSplit
       writeJsonManifest(spark, counts, outPath, manifestName)
@@ -1184,23 +1184,13 @@ object Pipeline {
       empty.select(col(idCol)).limit(0)
     }
 
+  /** Per-shard manifests delegate to the generic JSON pair — ONE
+    * reader/writer implementation for every manifest in the family
+    * (format drift between two copies was a live risk; r13 review). */
   private def readShardManifest(spark: org.apache.spark.sql.SparkSession,
                                 outPath: String,
-                                shardLabel: String): Option[Map[String, Long]] = {
-    val p = new org.apache.hadoop.fs.Path(outPath,
-      s"_graft_shard_$shardLabel.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                finally in.close()
-      def field(k: String): Long =
-        s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt)
-          .map(_.group(1).toLong).getOrElse(-1L)
-      Some(Map("input" -> field("input"), "landed" -> field("landed")))
-    }
-  }
+                                shardLabel: String): Option[Map[String, Long]] =
+    readJsonManifest(spark, outPath, s"_graft_shard_$shardLabel.json")
 
   /** Shared landing manifest for the two ingest variants. `input` is a
     * checkpoint-block count, never a rescan of the shard source. */
@@ -1208,14 +1198,8 @@ object Pipeline {
                                  landed: Long, outPath: String,
                                  shardLabel: String): Map[String, Long] = {
     val counts = Map("input" -> input, "landed" -> landed)
-    val json = counts.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val conf = shard.sparkSession.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(outPath,
+    writeJsonManifest(shard.sparkSession, counts, outPath,
       s"_graft_shard_$shardLabel.json")
-    val fs = p.getFileSystem(conf)
-    val os = fs.create(p, true)
-    try os.write((json + "\n").getBytes("UTF-8")) finally os.close()
     counts
   }
 
