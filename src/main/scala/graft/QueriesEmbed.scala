@@ -12,8 +12,9 @@ import QHelp._
 object QueriesEmbed {
 
   /** zipped-unnest dot/norm products of every vector against the
-    * vec_id=0 query vector. */
-  private val dotCtes =
+    * vec_id=0 query vector. Shared with QueriesText's hybrid-fusion
+    * oracle (one definition of the exact-cosine spine). */
+  private[graft] val dotCtes =
     """q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
       |zipped AS (
       |  SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.api.GraftFrame
-import graft.llm.{Dedup, Multimodal, TextHash, TextStats}
+import graft.llm.{Dedup, Lexical, Multimodal, Similarity, TextHash, TextStats}
 import QHelp._
 
 /** LLM-pipeline text oracle queries: stats, fingerprints, exact + minhash
@@ -1915,5 +1915,128 @@ object QueriesText {
           Multimodal.withPayload(docs, "text", "payload"), "doc_id", "payload", 64)
         .orderBy("doc_id", "frame_no")
     }
+
+    // ------------------------------------------------------------------
+    // Lexical retrieval (r13): BM25 ranked search + hybrid RRF fusion.
+    // The oracle recomputes the ENTIRE scoring pipeline — tokenization,
+    // postings, document frequencies, corpus stats, the per-term
+    // log-free-idf BM25 score (every step IEEE correctly-rounded; see
+    // Lexical's scaladoc for why ln() is not oracle-safe), the ordered
+    // per-(query, doc) fold, and the ranked top-k — so scores are
+    // hash-checked bit-for-bit, not just counted.
+
+    r.reg("q_bm25_topk",
+      s"""WITH ${bm25Ctes(bm25FixtureQueries)}
+         |SELECT query_id, doc_id, n_terms, score, "rank"
+         |FROM lranked WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
+      Lexical.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        bm25QueryFrame(s), "qid", "qtext", k = 10)
+    }
+
+    // Hybrid lexical+vector retrieval: the BM25 run over `documents`
+    // and the exact-cosine run over `embeddings` (the two fixtures
+    // share the 0..N id domain) fused by reciprocal rank — integer
+    // ranks, one correctly-rounded division per contribution, ordered
+    // fold by run tag, so the fusion is hash-checked end to end.
+    r.reg("q_hybrid_rrf",
+      s"""WITH ${bm25Ctes("(CAST(0 AS BIGINT), 'spark window join')")},
+         |${QueriesEmbed.dotCtes},
+         |annrank AS (
+         |  SELECT vec_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS arank
+         |  FROM cosines),
+         |runs AS (
+         |  SELECT query_id, doc_id, 'bm25' AS run,
+         |    (CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST("rank" AS DOUBLE))) AS s
+         |  FROM lranked WHERE "rank" <= 20
+         |  UNION ALL
+         |  SELECT CAST(0 AS BIGINT) AS query_id, doc_id, 'ann' AS run,
+         |    (CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(arank AS DOUBLE))) AS s
+         |  FROM annrank WHERE arank <= 20),
+         |fused AS (
+         |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+         |    list_sum(list(s ORDER BY run)) AS rrf_score
+         |  FROM runs GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, n_runs, rrf_score, "rank" FROM (
+         |  SELECT query_id, doc_id, n_runs, rrf_score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS "rank"
+         |  FROM fused)
+         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val oneQ = Seq((0L, "spark window join")).toDF("qid", "qtext")
+      val bm25Run = Lexical.bm25TopK(t(s, dir, "documents"), "doc_id",
+        "text", oneQ, "qid", "qtext", k = 20)
+      val annW = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val annRun = Similarity.bruteForceTopK(t(s, dir, "embeddings"),
+          "vec_id", "embedding", queryId = 0L, k = 20)
+        .withColumn("rank", row_number().over(annW).cast("long"))
+        .withColumn("query_id", lit(0L))
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Lexical.rrfFuse(
+        Seq("ann" -> annRun,
+          "bm25" -> bm25Run.select("query_id", "doc_id", "rank")),
+        "query_id", "doc_id", "rank", k = 10)
+    }
+  }
+
+  /** The literal BM25 fixture query set: terms spanning the fixture
+    * vocabulary's df range, plus a sub-minTermLen token ('a') that the
+    * length filter must drop on both engines. */
+  private val bm25FixtureQueries: String =
+    "(CAST(0 AS BIGINT), 'spark window join'), " +
+      "(CAST(1 AS BIGINT), 'customer order batch stream'), " +
+      "(CAST(2 AS BIGINT), 'vector a the merge')"
+
+  private[graft] def bm25QueryFrame(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Seq((0L, "spark window join"), (1L, "customer order batch stream"),
+      (2L, "vector a the merge")).toDF("qid", "qtext")
+  }
+
+  /** BM25 CTE chain over `documents` for a literal (query_id, qtext)
+    * VALUES list — the DuckDB mirror of [[graft.llm.Lexical.bm25TopK]],
+    * CTE names prefixed `l` so the chain composes beside the embedding
+    * cosine CTEs in the hybrid oracle. Tokenization, the per-term score
+    * (via [[graft.llm.Lexical.termScoreSql]] — constants injected from
+    * the SAME Scala doubles the engine uses), the ordered fold and the
+    * ranking all recompute exactly. */
+  private[graft] def bm25Ctes(qvals: String, minTermLen: Int = 2,
+                              src: String = "documents"): String = {
+    def toks(c: String) = graft.llm.Lexical.tokensSql(c, minTermLen)
+    s"""lq(query_id, qtext) AS (VALUES $qvals),
+       |lqt AS (
+       |  SELECT DISTINCT query_id, unnest(${toks("qtext")}) AS term FROM lq),
+       |ldlens AS (
+       |  SELECT doc_id, coalesce(len(${toks("text")}), 0) AS dl FROM $src),
+       |lstats AS (
+       |  SELECT count(*) AS n_docs, sum(dl) AS total_len FROM ldlens),
+       |ltoks AS (
+       |  SELECT doc_id, len(tt) AS dl, unnest(tt) AS term
+       |  FROM (SELECT doc_id, ${toks("text")} AS tt FROM $src)),
+       |lpost AS (
+       |  SELECT doc_id, term, dl, count(*) AS tf
+       |  FROM ltoks GROUP BY doc_id, term, dl),
+       |lrestr AS (
+       |  SELECT p.* FROM lpost p WHERE p.term IN (SELECT term FROM lqt)),
+       |ldfs AS (SELECT term, count(*) AS df FROM lrestr GROUP BY term),
+       |lscored AS (
+       |  SELECT lqt.query_id, r.doc_id, r.term,
+       |    ${graft.llm.Lexical.termScoreSql("r.tf", "ldfs.df", "r.dl",
+              "lstats.n_docs",
+              "(CAST(lstats.total_len AS DOUBLE) / CAST(lstats.n_docs AS DOUBLE))")} AS s
+       |  FROM lrestr r JOIN ldfs USING (term) JOIN lqt USING (term), lstats),
+       |lfolded AS (
+       |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |    list_sum(list(s ORDER BY term)) AS score
+       |  FROM lscored GROUP BY query_id, doc_id),
+       |lranked AS (
+       |  SELECT query_id, doc_id, n_terms, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS "rank"
+       |  FROM lfolded)""".stripMargin
   }
 }

