@@ -1934,6 +1934,25 @@ object QueriesText {
         bm25QueryFrame(s), "qid", "qtext", k = 10)
     }
 
+    // The PERSISTED index path must be transparent to results: build
+    // the inverted index from the fixture, serve through the
+    // bucket-pruned postings restriction, and hash-match the SAME CTE
+    // chain as the one-shot oracle — tokenizer geometry from the stamp,
+    // df over the restriction, stats from the doclens boundary.
+    r.reg("q_bm25_indexed",
+      s"""WITH ${bm25Ctes(bm25FixtureQueries)}
+         |SELECT query_id, doc_id, n_terms, score, "rank"
+         |FROM lranked WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/lexidx")
+        .getAbsolutePath
+      Lexical.writeLexicalIndex(t(s, dir, "documents"), "doc_id", "text",
+        "g_lex", idxPath)
+      Lexical.bm25TopKIndexed(s, "g_lex", idxPath,
+        bm25QueryFrame(s), "qid", "qtext", k = 10)
+    }
+
     // Hybrid lexical+vector retrieval: the BM25 run over `documents`
     // and the exact-cosine run over `embeddings` (the two fixtures
     // share the 0..N id domain) fused by reciprocal rank — integer

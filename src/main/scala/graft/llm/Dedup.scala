@@ -834,9 +834,9 @@ object Dedup {
   /** Stage a bounded id set to temp parquet for a rewrite that runs in
     * an isolated session (mixing DataFrames across sessions is
     * unsupported; a file is the clean handoff), cleaning up after. */
-  private def withStagedIds[T](spark: org.apache.spark.sql.SparkSession,
-                               ids: DataFrame, idCol: String)
-                              (body: String => T): T = {
+  private[llm] def withStagedIds[T](spark: org.apache.spark.sql.SparkSession,
+                                    ids: DataFrame, idCol: String)
+                                   (body: String => T): T = {
     val idsPath = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       s"graft-retract-${java.util.UUID.randomUUID()}").getAbsolutePath

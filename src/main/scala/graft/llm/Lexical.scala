@@ -185,6 +185,248 @@ object Lexical {
     scoreAndRank(restricted, stats, qt, k, k1, b, logIdf)
   }
 
+  // ------------------------------------------------------------------
+  // Persisted inverted index — the lexical family's production form.
+  //
+  // Two bucketed tables: `<name>_postings` (doc_id, term, tf, dl)
+  // bucketed on `term` (a query's IN-literal restriction bucket-prunes
+  // the scan — the corpus read is proportional to the query's terms,
+  // never corpus size) and `<name>_doclens` (doc_id, dl) bucketed on
+  // `doc_id` (the id/replay boundary AND the corpus-stats source — a
+  // two-long column scan per serve keeps n_docs/avgdl exact through
+  // appends, retractions and compactions with no stats sidecar to
+  // drift). Tokenization geometry (minTermLen) is stamped beside the
+  // tables; serving reads the stamp, so a caller can never score with a
+  // tokenizer the index wasn't built with.
+
+  private def metaFile(path: String) = s"$path/_graft_lexical_meta.json"
+
+  private def stampMeta(spark: SparkSession, path: String,
+                        minTermLen: Int, buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(metaFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(
+      s"""{"minTermLen":$minTermLen,"buckets":$buckets}\n""".getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** (minTermLen, buckets) from the stamp — a stampless directory is a
+    * crashed or foreign build and refuses loudly (serving it would score
+    * with an unknown tokenizer; appending would guess a bucket count). */
+  private[llm] def readMeta(spark: SparkSession, path: String): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(metaFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no lexical index stamp at ${metaFile(path)} — build with " +
+        "writeLexicalIndex first")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    def field(n: String): Int =
+      (s""""$n"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(txt) match {
+        case Some(m) => m.group(1).toInt
+        case None => throw new IllegalStateException(
+          s"malformed lexical index stamp at ${metaFile(path)}: $txt")
+      }
+    (field("minTermLen"), field("buckets"))
+  }
+
+  /** Build (or wholesale REBUILD) the persisted index. Overwrite-mode
+    * bucketed writes reset each table's compaction generation chain; the
+    * stamp lands LAST so a crashed build leaves no stamp and serving
+    * refuses it. A rebuild re-populates an existing id-Bloom sidecar in
+    * lockstep (a stale-behind sidecar would answer "definitely new" for
+    * ids the new index DOES contain — the silent double-insert
+    * direction). */
+  def writeLexicalIndex(docs: DataFrame, idCol: String, textCol: String,
+                        name: String, path: String, buckets: Int = 8,
+                        minTermLen: Int = 2): Unit = {
+    val spark = docs.sparkSession
+    graft.api.GraftFrame(postings(docs, idCol, textCol, minTermLen))
+      .toBucketedTable(s"${name}_postings", s"$path/postings", buckets,
+        Seq("term"))
+    graft.api.GraftFrame(docLengths(docs, idCol, textCol, minTermLen))
+      .toBucketedTable(s"${name}_doclens", s"$path/doclens", buckets,
+        Seq("doc_id"))
+    stampMeta(spark, path, minTermLen, buckets)
+    if (KeyBlooms.exists(spark, path, "idblooms"))
+      KeyBlooms.rebuild(spark.table(s"${name}_doclens")
+        .select(col("doc_id").as("key")), path, "idblooms")
+  }
+
+  /** Opt-in id-Bloom sidecar over the doclens boundary — with it, a
+    * steady-state append's replay guard reads NO corpus id column
+    * ([[KeyBlooms.presentIds]] auto-routes when the sidecar exists). */
+  def buildLexicalIdBlooms(spark: SparkSession, name: String, path: String,
+                           nBlooms: Int = 32, fpp: Double = 0.01): Unit =
+    KeyBlooms.buildFrom(spark.table(s"${name}_doclens")
+      .select(col("doc_id").as("key")), path, "idblooms", nBlooms, fpp)
+
+  /** Replay-safe incremental append: fold a day's shard into the index.
+    * Already-present ids drop (resubmitting a shard is a no-op), and the
+    * write ORDER makes every crash window recoverable by replaying the
+    * same shard:
+    *
+    *  1. id-Bloom sidecar (when present) — stale-AHEAD positives only
+    *     route to the exact boundary check, never a missed duplicate;
+    *  2. `doclens` — the boundary commits BEFORE content, so a crash
+    *     here can never let a replay double-append postings (duplicate
+    *     postings rows would silently double df and tf-fold terms);
+    *  3. `postings` — a crash between 2 and 3 leaves present docs with
+    *     dl > 0 and no postings rows; the ORPHAN RECOVERY below
+    *     re-derives exactly those docs' postings from the replayed
+    *     shard's text (bounded by the present set — a steady-state day
+    *     has zero present ids and never probes).
+    *
+    * Single-appender contract per index (the [[KeyBlooms]] precedent):
+    * concurrent appends of DISTINCT shards are file-additive and safe;
+    * the same doc id racing through two appenders can double-land —
+    * serialize shard submissions per index. Returns the number of docs
+    * actually landed. */
+  def appendToLexicalIndex(newDocs: DataFrame, idCol: String,
+                           textCol: String, name: String, path: String,
+                           presentCap: Int = 10000): Long = {
+    val spark = newDocs.sparkSession
+    val (minTermLen, buckets) = readMeta(spark, path)
+    val shardIds = newDocs.select(col(idCol).as("doc_id")).distinct()
+    // pinned ONCE before any append mutates the boundary it reads
+    val present = KeyBlooms.presentIds(shardIds, "doc_id",
+      spark.table(s"${name}_doclens").select("doc_id"), path)
+      .localCheckpoint(true)
+    val presentRows = present.take(presentCap + 1)
+
+    // ORPHAN RECOVERY (crashed-append replay): present docs whose
+    // doclens row says dl > 0 but that have no postings rows. The
+    // postings probe is doc_id over a term-bucketed table — an honest
+    // column-pruned scan, paid only when the present set is non-empty
+    // (i.e. on a replay), IN-literal-pushed under the cap.
+    val recovered: Option[DataFrame] =
+      if (presentRows.isEmpty) None
+      else {
+        val withDl = spark.table(s"${name}_doclens")
+          .join(broadcast(present), Seq("doc_id"))
+          .filter(col("dl") > 0)
+        val postingsT = spark.table(s"${name}_postings")
+        val have =
+          (if (presentRows.length <= presentCap)
+            postingsT.filter(col("doc_id")
+              .isInCollection(presentRows.map(_.get(0)).toSeq))
+          else
+            postingsT.join(broadcast(present), Seq("doc_id"), "left_semi"))
+            .select("doc_id").distinct()
+        val orphans = withDl.select("doc_id")
+          .join(have, Seq("doc_id"), "left_anti")
+        val orphanDocs = newDocs.join(
+          broadcast(orphans.withColumnRenamed("doc_id", idCol))
+            .select(idCol), Seq(idCol), "left_semi")
+        val p = postings(orphanDocs, idCol, textCol, minTermLen)
+          .localCheckpoint(true)
+        if (p.isEmpty) None else Some(p)
+      }
+
+    // lineage-free BEFORE the appends: the fresh plan reads the doclens
+    // table this function is about to append to, and saveAsTable's
+    // refresh re-runs dependent cached plans against the GROWN boundary
+    // (the appendShardToIndex lesson)
+    val fresh = newDocs.join(
+      broadcast(present.withColumnRenamed("doc_id", idCol)).select(idCol),
+      Seq(idCol), "left_anti").localCheckpoint(true)
+    val freshP = postings(fresh, idCol, textCol, minTermLen)
+      .localCheckpoint(true)
+    val freshD = docLengths(fresh, idCol, textCol, minTermLen)
+      .localCheckpoint(true)
+
+    if (KeyBlooms.exists(spark, path, "idblooms"))
+      KeyBlooms.append(freshD.select(col("doc_id").as("key")), path,
+        "idblooms")
+    graft.api.GraftFrame(freshD).toBucketedTable(s"${name}_doclens",
+      s"$path/doclens", buckets, Seq("doc_id"), mode = "append")
+    val allP = recovered.fold(freshP)(r => freshP.unionByName(r))
+    graft.api.GraftFrame(allP).toBucketedTable(s"${name}_postings",
+      s"$path/postings", buckets, Seq("term"), mode = "append")
+    freshD.count()
+  }
+
+  /** Serve BM25 from the persisted index — hash-identical to the
+    * one-shot [[bm25TopK]] over the same corpus (spec- and
+    * oracle-pinned): the postings restriction keeps every row of each
+    * query term, so df over it equals corpus df, and the stats
+    * aggregate reads the full doclens boundary. Under `termCap` the
+    * restriction inlines the query's terms as an InSet literal, which
+    * BUCKET-PRUNES the postings scan (plan-asserted); past the cap it
+    * falls back to the plain semi-join — identical output, whole-scan
+    * cost stated honestly. */
+  def bm25TopKIndexed(spark: SparkSession, name: String, path: String,
+                      queries: DataFrame, qIdCol: String, qTextCol: String,
+                      k: Int, k1: Double = 1.2, b: Double = 0.75,
+                      logIdf: Boolean = false,
+                      termCap: Int = 10000): DataFrame = {
+    require(k >= 1, "bm25TopKIndexed needs k >= 1")
+    val (minTermLen, _) = readMeta(spark, path)
+    val qt = queryTerms(queries, qIdCol, qTextCol, minTermLen)
+      .localCheckpoint(true) // evaluated once: the term probe + scoring join
+    val termRows = qt.select("term").distinct().take(termCap + 1)
+    val postingsT = spark.table(s"${name}_postings")
+    val restricted =
+      if (termRows.isEmpty) postingsT.limit(0)
+      else if (termRows.length <= termCap)
+        postingsT.filter(col("term")
+          .isInCollection(termRows.map(_.getString(0)).toSeq))
+      else
+        postingsT.join(broadcast(qt.select("term").distinct()),
+          Seq("term"), "left_semi")
+    val stats = spark.table(s"${name}_doclens")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    scoreAndRank(restricted, stats, qt, k, k1, b, logIdf)
+  }
+
+  /** Maintenance observable: per table, row count and parquet file
+    * count (file opens grow O(append days)) — schedules
+    * [[compactLexicalIndex]]; the [[Dedup.indexReport]] sibling. */
+  def lexicalIndexReport(spark: SparkSession, name: String): DataFrame =
+    Seq("postings", "doclens").map(s => s"${name}_$s").map { t =>
+      spark.table(t)
+        .select(input_file_name().as("__f__"))
+        .agg(count(lit(1)).as("rows"),
+          countDistinct(col("__f__")).as("files"))
+        .select(lit(t).as("table"), col("rows"), col("files"))
+    }.reduce(_ unionByName _)
+
+  /** Compact both tables back to one file per bucket — online-safe vs
+    * readers, writer-exclusive ([[graft.api.GraftFrame.compactBucketedTable]]
+    * contract: generation flip via `ALTER TABLE SET LOCATION`). */
+  def compactLexicalIndex(spark: SparkSession, name: String): Unit = {
+    graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_postings")
+    graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_doclens")
+  }
+
+  /** RETRACT documents by id — the lexical leg of a takedown batch:
+    * both tables rewrite their survivors into a new generation
+    * (a retraction IS a compaction with an anti-join transform,
+    * [[Dedup.retractFromTextIndex]] posture; O(index), so batch
+    * requests). `postings` rewrites FIRST: the safe crash direction is
+    * "unfindable but still in the boundary" (stale stats, re-run the
+    * batch) — boundary-first would let a same-id resubmission re-append
+    * postings beside the crashed retraction's surviving rows, silently
+    * doubling df. A retracted id leaves the Bloom sidecar as a stale
+    * POSITIVE (routes to the exact check — correct); the id can land
+    * again afterwards, which is the point of a takedown. Returns
+    * per-table (rows before, rows after). */
+  def retractFromLexicalIndex(spark: SparkSession, name: String,
+                              ids: DataFrame, idCol: String)
+      : Map[String, (Long, Long)] =
+    Dedup.withStagedIds(spark, ids, idCol) { idsPath =>
+      Seq("postings", "doclens").map(s => s"${name}_$s").map { t =>
+        t -> graft.api.GraftFrame.rewriteBucketedTable(spark, t,
+          raw => raw.join(
+            broadcast(raw.sparkSession.read.parquet(idsPath)
+              .withColumnRenamed(idCol, "doc_id")),
+            Seq("doc_id"), "left_anti"),
+          "retractFromLexicalIndex")
+      }.toMap
+    }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009): fuse named
     * rank lists — e.g. a BM25 run and an ANN run over the same doc-id
     * domain — by score(d) = Σ_runs 1/(k0 + rank_run(d)). Pure integer

@@ -482,6 +482,9 @@ object Maintain {
   final case class EmbeddingIndexTarget(name: String,
                                         bloomPath: Option[String] = None)
     extends Target
+  final case class LexicalIndexTarget(name: String,
+                                      bloomPath: Option[String] = None)
+    extends Target
 
   /** The NIGHTLY SWEEP: one call maintains every persisted family a
     * corpus owner operates — each (label, target) runs its family's
@@ -516,6 +519,8 @@ object Maintain {
             maintainTextIndex(spark, n, policy, bp)
           case EmbeddingIndexTarget(n, bp) =>
             maintainEmbeddingIndex(spark, n, policy, bp)
+          case LexicalIndexTarget(n, bp) =>
+            maintainLexicalIndex(spark, n, policy, bp)
         } catch { case e: Exception =>
           Seq(("pass_failed", Double.NaN, Double.NaN, false,
             s"${e.getClass.getSimpleName}: ${e.getMessage}"))
@@ -525,6 +530,37 @@ object Maintain {
         col("threshold"), col("fired"), col("action"))
     }
     reports.reduce(_ unionByName _)
+  }
+
+  /** [[maintainTextIndex]] for the LEXICAL (BM25 inverted) index
+    * ([[Lexical.writeLexicalIndex]] tables `<name>_postings` /
+    * `<name>_doclens`): tokenization and bucket hashing are
+    * data-independent, and the corpus stats BM25 scores against (n_docs,
+    * avgdl) re-derive from the live doclens boundary at every serve — so
+    * there is no trained state to drift and never a retrain (recorded in
+    * the report, the [[maintainTextIndex]] structure). Fragmentation
+    * over either table fires [[Lexical.compactLexicalIndex]]; Bloom
+    * overload rebuilds from the live doclens id boundary. */
+  def maintainLexicalIndex(spark: SparkSession, name: String,
+                           policy: Policy = Policy(),
+                           bloomPath: Option[String] = None): DataFrame = {
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+    results += (("stats_drift", Double.NaN, Double.NaN, false,
+      "n/a: tokenization/bucketing are data-independent and corpus stats re-derive from the live doclens boundary per serve — no trained state to drift"))
+
+    val files = Lexical.lexicalIndexReport(spark, name)
+      .agg(max(col("files"))).head().getLong(0).toDouble
+    val fireCompact = files > policy.maxFilesFlat
+    if (fireCompact) Lexical.compactLexicalIndex(spark, name)
+    results += (("table_files", files, policy.maxFilesFlat.toDouble,
+      fireCompact, if (fireCompact) "Lexical.compactLexicalIndex" else "none"))
+
+    bloomLoadCheck(spark, results, policy, bloomPath,
+      "skipped: no bloomPath provided",
+      () => spark.table(s"${name}_doclens").select(col("doc_id").as("key")))
+
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
   }
 
   /** [[maintainTextIndex]] for the EMBEDDING near-dup index
