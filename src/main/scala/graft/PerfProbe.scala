@@ -121,6 +121,55 @@ object PerfProbe {
           new java.io.File(base))
       }
     }
+    // r13: the lexical family — index build (one (doc, term) shuffle)
+    // and the bucket-pruned BM25 serve over the persisted postings.
+    // Declared bounds: build ~linear in corpus tokens; serve ~linear in
+    // MATCHED postings (the pruned scan), flat-ish in corpus size.
+    locally {
+      import org.apache.spark.sql.functions.lit
+      import spark.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_probe_lex").toString
+      try {
+        time("writeLexicalIndex") {
+          llm.Lexical.writeLexicalIndex(docs, "doc_id", "text",
+            "probe_lex", s"$base/lex")
+          spark.table("probe_lex_postings").count()
+        }
+        val qf = Seq((0L, "spark window join"),
+          (1L, "customer order batch stream"),
+          (2L, "vector a the merge")).toDF("qid", "qtext")
+        time("bm25TopKIndexed") {
+          llm.Lexical.bm25TopKIndexed(spark, "probe_lex", s"$base/lex",
+            qf, "qid", "qtext", k = 10).count()
+        }
+        // r13: retroactive decontamination, full-scan vs index-routed —
+        // the probe index above covers the FULL docs table, so the
+        // indexed sweep's candidate read prices the champion pruning
+        // against re-shingling the whole corpus. Declared shape:
+        // full scan ~linear in corpus tokens; indexed ~linear in the
+        // benchmark + matched-candidate mass, flat-ish in corpus size.
+        locally {
+          import org.apache.spark.sql.functions.col
+          val benchDf = docs.filter(col("doc_id") % 101 === 0)
+            .select("doc_id", "text")
+          time("contamReport(full scan)") {
+            llm.Dedup.contaminationReport(docs.select("doc_id", "text"),
+              benchDf, "doc_id", "text").count()
+          }
+          time("contamReport(indexed)") {
+            llm.Lexical.contaminationReportIndexed(
+              docs.select("doc_id", "text"), benchDf, "doc_id", "text",
+              "probe_lex", s"$base/lex").count()
+          }
+        }
+      } finally {
+        Seq("postings", "doclens").foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS probe_lex_$t"))
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(base))
+      }
+    }
     spark.stop()
   }
 }

@@ -1510,6 +1510,42 @@ object QueriesText {
         .select("doc_id").orderBy("doc_id")
     }
 
+    // INDEX-ROUTED decontamination (r13): the champion-term pruned path
+    // must produce the IDENTICAL report to the full-scan form — same CTE
+    // chain as q_decontaminate, but the Spark side routes candidates
+    // through the persisted postings index (rarest-term election +
+    // bucket-pruned postings read) and verifies on the candidate docs
+    // only. The equality IS the claim: pruning drops corpus IO, never
+    // results. Index fixture on the train split builds once per
+    // (JVM, sf dir) — serving shape, not construction, rides Verify.
+    r.reg("q_decontam_indexed",
+      s"""WITH $decontamCtes
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |FROM (SELECT doc_id, unnest(gs) AS h FROM ths) th JOIN bh USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val trainDf = docs.filter(col("doc_id") % 10 =!= 0)
+        .select("doc_id", "text")
+      val benchDf = docs.filter(col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/lexdcidx")
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir &&
+        s.catalog.tableExists("g_lexd_postings")
+      if (!fresh) {
+        Lexical.writeLexicalIndex(trainDf, "doc_id", "text", "g_lexd",
+          idxPath)
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
+      Lexical.contaminationReportIndexed(trainDf, benchDf, "doc_id",
+          "text", "g_lexd", idxPath)
+        .orderBy("doc_id")
+    }
+
     // PII redaction: fixture prose carries no PII, so planted rows
     // exercise each pattern class (email, phone with punctuation, IPv4,
     // digits that must NOT match) and the redacted strings themselves are
@@ -1944,11 +1980,25 @@ object QueriesText {
          |SELECT query_id, doc_id, n_terms, score, "rank"
          |FROM lranked WHERE "rank" <= 10
          |ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
-      val idxPath = new java.io.File(
+      // build-once-per-(JVM, sf dir) fixture (the q_ann_quantized_indexed
+      // stamp pattern): the index is read-only for this query, so bench
+      // passes time the SERVING shape — term InSet resolve +
+      // bucket-pruned postings scan + stats fold — not index
+      // construction. The catalog check matters: a fresh JVM inherits
+      // the stamp file but not the table registrations.
+      val qdir = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft-qtmp/lexidx")
-        .getAbsolutePath
-      Lexical.writeLexicalIndex(t(s, dir, "documents"), "doc_id", "text",
-        "g_lex", idxPath)
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir &&
+        s.catalog.tableExists("g_lex_postings")
+      if (!fresh) {
+        Lexical.writeLexicalIndex(t(s, dir, "documents"), "doc_id", "text",
+          "g_lex", idxPath)
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
       Lexical.bm25TopKIndexed(s, "g_lex", idxPath,
         bm25QueryFrame(s), "qid", "qtext", k = 10)
     }

@@ -105,7 +105,18 @@ object SparkEntry {
     // into a single aggregate scan; tracks that the "adding a
     // constraint adds an expression, never a job" claim holds as the
     // suite grows (declared bound: one scan, O(constraints) rows out)
-    "q_check_constraints")
+    "q_check_constraints",
+    // r13: lexical retrieval — the one-shot form tracks the corpus
+    // (doc, term) shuffle + restricted scoring; the indexed form
+    // (fixture built once per JVM, benchPrepare) tracks the PRODUCTION
+    // serving shape: term-InSet resolve + bucket-pruned postings scan
+    // + doclens stats fold. Declared bounds ~linear in matched postings
+    "q_bm25_topk", "q_bm25_indexed",
+    // r13: index-routed retroactive decontamination — champion-term
+    // pruned candidate read + exact verify on candidates only; declared
+    // bound ~linear in benchmark + matched-candidate mass (the full-scan
+    // form is ~linear in corpus tokens — the gap IS the feature)
+    "q_decontam_indexed")
 
   /** Untimed per-query preparation Bench runs ONCE before the timed
     * passes (r10 verdict #3): the steady-state ingest entries build and
@@ -120,7 +131,13 @@ object SparkEntry {
     // r11: the PQ serving shape — probe-cell resolve + partition-pruned
     // ADC over the 32x-compressed (id, codes, norm) layout; the corpus
     // builds once per JVM (benchPrepare), so samples time the search
-    "q_ivfpq_topk").map { n =>
+    "q_ivfpq_topk",
+    // r13: the lexical serving shape — inverted index built once per
+    // JVM, samples time the bucket-pruned BM25 serve
+    "q_bm25_indexed",
+    // r13: the decontam index fixture (train-split lexical index) builds
+    // once per JVM — samples time the champion-pruned sweep itself
+    "q_decontam_indexed").map { n =>
       n -> ((s: SparkSession, dir: String) =>
         queries(n)(s, dir).write.format("noop").mode("overwrite").save())
     }.toMap

@@ -48,7 +48,7 @@ object Maintain {
 
   /** The shared tail of every maintenance pass: measure the Bloom
     * sidecar's load factor and rebuild it from the family's LIVE key
-    * frame when over threshold — ONE implementation for the five
+    * frame when over threshold — ONE implementation for the six
     * families (five hand-copies diverged once already; r13 review).
     * `sidecar` is the filesystem path holding the `idblooms` dir, None
     * to record the skip with `skipMsg`; `keys` is evaluated only when

@@ -896,7 +896,10 @@ object Pipeline {
     * manifest guard. `admission` (optional): a
     * [[graft.operators.Checks]] expectation set the RAW shard must
     * satisfy before anything is touched — a violating shard refuses
-    * loudly (nothing appended, nothing landed, no manifest). */
+    * loudly (nothing appended, nothing landed, no manifest).
+    * `lexical` (optional): the (name, path) of a
+    * [[Lexical.writeLexicalIndex]] build to grow in lockstep — the
+    * landed payload becomes keyword-searchable the same day. */
   def ingestShard(shard: DataFrame, bench: DataFrame,
                   idCol: String, textCol: String,
                   indexName: String, indexPath: String,
@@ -907,7 +910,8 @@ object Pipeline {
                   redactPii: Boolean = true,
                   shingleK: Int = 3, numHashes: Int = 16,
                   bands: Int = 4, buckets: Int = 8,
-                  admission: Seq[graft.operators.Checks.Constraint] = Nil): Map[String, Long] = {
+                  admission: Seq[graft.operators.Checks.Constraint] = Nil,
+                  lexical: Option[(String, String)] = None): Map[String, Long] = {
     val spark = shard.sparkSession
     readShardManifest(spark, outPath, shardLabel) match {
       case Some(counts) => return counts // fully processed — O(1) replay
@@ -973,6 +977,17 @@ object Pipeline {
         else recovered
       val toLand = survivors.drop("__ck__").unionByName(recoveredRed)
         .localCheckpoint(true)
+      // lexical lockstep (opt-in, (name, path) of a writeLexicalIndex
+      // build): the landed payload grows the BM25 postings index too.
+      // BEFORE the landing write, so both crash directions replay
+      // clean: crash after this append → the replay's recovery set
+      // re-submits the same docs and appendToLexicalIndex drops them
+      // as present; crash before it → the replayed recovery set
+      // carries them here. The append's own boundary-first order
+      // covers its internal window.
+      lexical.foreach { case (ln, lp) =>
+        Lexical.appendToLexicalIndex(toLand, idCol, textCol, ln, lp)
+      }
       toLand.write.mode("overwrite")
         .parquet(s"$outPath/shard_label=$shardLabel")
       val landed = toLand.count() // checkpointed — no re-run
@@ -1088,11 +1103,51 @@ object Pipeline {
     * rather than retracting one id at a time. */
   def retractDocuments(spark: org.apache.spark.sql.SparkSession,
                        ids: DataFrame, idCol: String,
-                       indexName: String, outPath: String): Map[String, Long] = {
+                       indexName: String, outPath: String,
+                       lexical: Option[String] = None): Map[String, Long] = {
     val idx = Dedup.retractFromTextIndex(spark, indexName, ids, idCol)
     val landing = retractFromLanding(spark, outPath, ids, idCol)
-    idx.map { case (t, (before, after)) => t -> (before - after) } +
+    // the lexical index (when the ingest grew one) drops the ids too —
+    // a takedown that left a doc findable by keyword search would not
+    // be a takedown
+    val lex = lexical.fold(Map.empty[String, (Long, Long)])(ln =>
+      Lexical.retractFromLexicalIndex(spark, ln, ids, idCol))
+    idx.map { case (t, (before, after)) => t -> (before - after) } ++
+      lex.map { case (t, (before, after)) => t -> (before - after) } +
       ("landing" -> landing)
+  }
+
+  /** RETROACTIVE benchmark sweep — the full takedown loop for the
+    * "new benchmark arrives AFTER the corpus landed" event, composed:
+    *
+    *  1. the standing landed corpus (the `outPath` text store) is
+    *     screened through [[Lexical.contaminationReportIndexed]] — the
+    *     champion-term route reads corpus TEXT only for candidate docs
+    *     (postings-pruned), never scans the landing in full;
+    *  2. every hit retracts from every sink via [[retractDocuments]]
+    *     (near-dup index tables, affected landing partitions, and the
+    *     lexical index itself).
+    *
+    * The report pins (doc_id, n_overlap) BEFORE the retraction rewrites
+    * the landing it was computed from (eager localCheckpoint — a lazy
+    * plan would re-read the already-swept store and return nothing).
+    * Returns the materialized report plus the per-sink removed counts.
+    * A sweep is idempotent: re-running with the same benchmark finds
+    * zero hits (they are gone) and rewrites nothing. */
+  def sweepBenchmark(spark: org.apache.spark.sql.SparkSession,
+                     bench: DataFrame, idCol: String, textCol: String,
+                     indexName: String, outPath: String,
+                     lexicalName: String, lexicalPath: String,
+                     k: Int = 5): (DataFrame, Map[String, Long]) = {
+    val landed = spark.read.parquet(outPath)
+    val report = Lexical.contaminationReportIndexed(
+      landed.select(col(idCol), col(textCol)), bench, idCol, textCol,
+      lexicalName, lexicalPath, k).localCheckpoint(true)
+    val removed =
+      if (report.isEmpty) Map.empty[String, Long]
+      else retractDocuments(spark, report.select(idCol), idCol,
+        indexName, outPath, lexical = Some(lexicalName))
+    (report, removed)
   }
 
   /** The embedding-side analog of [[retractDocuments]]: the vecs index,

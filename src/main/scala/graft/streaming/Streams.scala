@@ -298,6 +298,31 @@ object Streams {
         ()
       }
 
+  /** Streaming BM25 retrieval over a persisted lexical index — the
+    * keyword sibling of [[annTopKPqStream]], completing the SIXTH
+    * family's serving story: each micro-batch of arriving query texts
+    * ranks through [[graft.llm.Lexical.bm25TopKIndexed]] (the
+    * bucket-pruned postings restriction — the corpus read stays
+    * proportional to the batch's terms), lands per-batch OVERWRITE
+    * partitions (failure-replayed micro-batches rewrite themselves),
+    * and resolves the index tables through the CATALOG at every
+    * trigger, so an online [[graft.llm.Lexical.compactLexicalIndex]]
+    * (or an append — fresh docs AND the stats they shift) mid-stream
+    * is picked up at the next micro-batch. */
+  def bm25QueryStream(queries: DataFrame, qIdCol: String,
+                      qTextCol: String, name: String, path: String,
+                      k: Int, outPath: String,
+                      checkpoint: String): DataStreamWriter[Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.llm.Lexical.bm25TopKIndexed(batch.sparkSession, name,
+              path, batch, qIdCol, qTextCol, k)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        ()
+      }
+
   /** Streaming ADMISSION CONTROL — the streaming form of
     * [[graft.llm.Pipeline.ingestShard]]'s `admission` refusal, where
     * throwing would kill the whole query: each micro-batch is evaluated

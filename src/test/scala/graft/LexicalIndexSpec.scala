@@ -215,6 +215,99 @@ class LexicalIndexSpec extends SparkTestBase {
     }
   }
 
+  test("ingestShard lexical lockstep: landed docs keyword-searchable, replay no-op, retraction reaches the index") {
+    import graft.llm.{Dedup, Pipeline}
+    val (half, rest) = corpus.partition(_._1 < 5L)
+    val base = java.nio.file.Files.createTempDirectory("graft_lex_ing")
+      .toString
+    try {
+      Dedup.writeNearDupIndex(docsDf(half), "doc_id", "text", "lxing_t",
+        s"$base/idx")
+      Lexical.writeLexicalIndex(docsDf(half), "doc_id", "text", "lxj",
+        s"$base/lex")
+      val bench = docsDf(Seq(100L -> "alpha beta gamma delta epsilon zeta"))
+      // shard: the rest of the corpus plus an exact dup of corpus doc 0
+      // under a new id — the gate must drop it and the lexical index
+      // must never see it
+      val shard = docsDf(rest :+ (900L -> half.head._2))
+      val counts = Pipeline.ingestShard(shard, bench, "doc_id", "text",
+        "lxing_t", s"$base/idx", s"$base/land", "day1",
+        lexical = Some(("lxj", s"$base/lex")))
+      val landedIds = spark.read.parquet(s"$base/land")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(!landedIds.contains(900L) && counts("landed") == landedIds.size)
+      val expected = corpus.filter(d => half.exists(_._1 == d._1) ||
+        landedIds.contains(d._1))
+      assert(served("lxj", s"$base/lex") == oneShot(expected))
+      // O(1) manifest replay leaves the lexical index untouched; a
+      // forced re-run (manifest deleted) appends nothing new
+      val before = tableRows("lxj")
+      Pipeline.ingestShard(shard, bench, "doc_id", "text", "lxing_t",
+        s"$base/idx", s"$base/land", "day1",
+        lexical = Some(("lxj", s"$base/lex")))
+      assert(new java.io.File(
+        s"$base/land/_graft_shard_day1.json").delete())
+      Pipeline.ingestShard(shard, bench, "doc_id", "text", "lxing_t",
+        s"$base/idx", s"$base/land", "day1",
+        lexical = Some(("lxj", s"$base/lex")))
+      assert(tableRows("lxj") == before)
+      assert(served("lxj", s"$base/lex") == oneShot(expected))
+      // a takedown through the pipeline reaches the lexical leg too
+      import spark.implicits._
+      val removed = Pipeline.retractDocuments(spark, Seq(6L).toDF("doc_id"),
+        "doc_id", "lxing_t", s"$base/land", lexical = Some("lxj"))
+      assert(removed("lxj_doclens") == 1L)
+      assert(served("lxj", s"$base/lex") ==
+        oneShot(expected.filterNot(_._1 == 6L)))
+    } finally {
+      Seq("lxing_t_bands", "lxing_t_shingles", "lxing_t_keys",
+        "lxj_postings", "lxj_doclens")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  test("streaming BM25 serving: batch parity, per-batch partitions, mid-stream compaction picked up") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_lex_srv")
+      .toString
+    try {
+      Lexical.writeLexicalIndex(docsDf(corpus), "doc_id", "text", "lxk",
+        s"$base/lex")
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.bm25QueryStream(
+        in.toDF().toDF("qid", "qtext"), "qid", "qtext", "lxk",
+        s"$base/lex", k = 3, outPath = s"$base/out",
+        checkpoint = s"$base/ckpt").start()
+      try {
+        in.addData((0L, "red fox"))
+        q.processAllAvailable()
+        // an online compaction between micro-batches: the next trigger
+        // resolves the flipped table location through the catalog
+        Lexical.compactLexicalIndex(spark, "lxk")
+        in.addData((1L, "lazy dog barn"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$base/out")
+        .select("query_id", "doc_id", "score", "rank")
+        .collect().map(_.toString).sorted.toSeq
+      val expect = Lexical.bm25TopKIndexed(spark, "lxk", s"$base/lex",
+          queriesDf(qs), "qid", "qtext", k = 3)
+        .select("query_id", "doc_id", "score", "rank")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got.nonEmpty && got == expect,
+        s"stream results must match the batch path: $got vs $expect")
+      assert(new java.io.File(s"$base/out").listFiles()
+        .count(_.getName.startsWith("batch_id=")) == 2)
+    } finally {
+      Seq("lxk_postings", "lxk_doclens")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("a stampless directory refuses to serve or append") {
     withIndex("lxi", corpus) { path =>
       val stamp = new java.io.File(path, "_graft_lexical_meta.json")
