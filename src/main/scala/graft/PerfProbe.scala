@@ -170,6 +170,22 @@ object PerfProbe {
           new java.io.File(base))
       }
     }
+    // r13: the reference-LM family — train is one (ctx, w) reference
+    // shuffle; score is one (id, ctx, w) corpus shuffle + two model
+    // joins + a per-doc ordered fold. Declared bounds ~linear in corpus
+    // tokens for both (run at sf0.01 vs sf0.1 for the 10x probe).
+    locally {
+      import org.apache.spark.sql.functions.col
+      val ref = docs.filter(col("doc_id") % 10 === 0)
+      val cand = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val model = llm.NgramLm.train(ref, "text", 2)
+        .localCheckpoint(true) // untimed fixture for the score probe
+      time("lmTrain") { llm.NgramLm.train(ref, "text", 2).count() }
+      time("lmScore") {
+        llm.NgramLm.score(cand, "doc_id", "text", model, 2).count()
+      }
+    }
     spark.stop()
   }
 }

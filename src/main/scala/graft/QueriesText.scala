@@ -1546,6 +1546,96 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Reference-corpus n-gram LM (CCNet shape, r13): documents with
+    // doc_id % 10 = 0 play the high-quality reference, the rest are
+    // candidates. The bigram chain is shared by the three oracles —
+    // model counts, per-doc integer statistics (the join/multiplicity
+    // machinery: every hit count and count mass is exact), and the
+    // FILTER DECISION at logprob >= -3.5 (ln is engine libm — values
+    // differ in the last ulp cross-engine, but the nearest doc sits
+    // ~2e-4 from the threshold at both scales, ten orders above ulp
+    // noise, so the DECISION is deterministic; the exact score values
+    // are spec-pinned against a StrictMath driver reference instead).
+    val lmCtes =
+      s"""lmref AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+         |lmcand AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+         |lmtoks AS (SELECT ${graft.llm.NgramLm.toksSql("text")} AS t FROM lmref),
+         |lmgrams AS (
+         |  SELECT unnest(list_transform(range(1, len(t)),
+         |    i -> struct_pack(ctx := t[i], w := t[i+1]))) AS g
+         |  FROM lmtoks WHERE len(t) >= 2),
+         |lmcnts AS (SELECT g.ctx AS ctx, g.w AS w,
+         |  CAST(count(*) AS BIGINT) AS cnt FROM lmgrams GROUP BY 1, 2),
+         |lmctx AS (SELECT ctx, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+         |  FROM lmcnts GROUP BY ctx),
+         |lmv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM lmcnts),
+         |lmctoks AS (SELECT doc_id, ${graft.llm.NgramLm.toksSql("text")} AS t FROM lmcand),
+         |lmcgrams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |    i -> struct_pack(ctx := t[i], w := t[i+1]))) AS g
+         |  FROM lmctoks WHERE len(t) >= 2),
+         |lmcks AS (SELECT doc_id, g.ctx AS ctx, g.w AS w,
+         |  CAST(count(*) AS BIGINT) AS k FROM lmcgrams GROUP BY 1, 2, 3),
+         |lmcj AS (
+         |  SELECT lmcks.doc_id, lmcks.ctx, lmcks.w, lmcks.k, c.cnt, x.ctx_cnt
+         |  FROM lmcks LEFT JOIN lmcnts c ON lmcks.ctx = c.ctx AND lmcks.w = c.w
+         |             LEFT JOIN lmctx x ON lmcks.ctx = x.ctx)""".stripMargin
+
+    def lmModel(s: org.apache.spark.sql.SparkSession, dir: String) =
+      graft.llm.NgramLm.train(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0), "text", 2)
+    def lmCand(s: org.apache.spark.sql.SparkSession, dir: String) =
+      t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
+        .select("doc_id", "text")
+
+    r.reg("q_ngram_lm",
+      s"""WITH $lmCtes
+         |SELECT c.ctx, c.w, c.cnt, x.ctx_cnt
+         |FROM lmcnts c JOIN lmctx x USING (ctx)
+         |ORDER BY ctx, w""".stripMargin) { (s, dir) =>
+      lmModel(s, dir).orderBy("ctx", "w")
+    }
+
+    r.reg("q_lm_stats",
+      s"""WITH $lmCtes,
+         |lmagg AS (
+         |  SELECT doc_id,
+         |    CAST(sum(k) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN cnt IS NOT NULL THEN k ELSE 0 END) AS BIGINT) AS n_hit,
+         |    CAST(sum(CASE WHEN ctx_cnt IS NOT NULL THEN k ELSE 0 END) AS BIGINT) AS n_ctx_hit,
+         |    CAST(sum(k * coalesce(cnt, 0)) AS BIGINT) AS sum_cnt,
+         |    CAST(sum(k * coalesce(ctx_cnt, 0)) AS BIGINT) AS sum_ctx
+         |  FROM lmcj GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+         |  coalesce(a.n_hit, 0) AS n_hit,
+         |  coalesce(a.n_ctx_hit, 0) AS n_ctx_hit,
+         |  coalesce(a.sum_cnt, 0) AS sum_cnt,
+         |  coalesce(a.sum_ctx, 0) AS sum_ctx
+         |FROM lmcand d LEFT JOIN lmagg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.NgramLm.score(lmCand(s, dir), "doc_id", "text",
+          lmModel(s, dir), n = 2)
+        .select("doc_id", "n_grams", "n_hit", "n_ctx_hit", "sum_cnt",
+          "sum_ctx")
+        .orderBy("doc_id")
+    }
+
+    r.reg("q_lm_filter",
+      s"""WITH $lmCtes,
+         |lmsc AS (
+         |  SELECT doc_id,
+         |    list_sum(list(k * ln((CAST(coalesce(cnt, 0) AS DOUBLE) + 1.0) /
+         |      (CAST(coalesce(ctx_cnt, 0) AS DOUBLE) + CAST(v AS DOUBLE)))
+         |      ORDER BY ctx, w)) / CAST(sum(k) AS DOUBLE) AS logprob
+         |  FROM lmcj, lmv GROUP BY doc_id)
+         |SELECT doc_id FROM lmcand
+         |WHERE doc_id NOT IN (SELECT doc_id FROM lmsc WHERE logprob < -3.5)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.NgramLm.filterByLm(lmCand(s, dir), "doc_id", "text",
+          lmModel(s, dir), minLogprob = -3.5, n = 2)
+        .select("doc_id").orderBy("doc_id")
+    }
+
     // PII redaction: fixture prose carries no PII, so planted rows
     // exercise each pattern class (email, phone with punctuation, IPv4,
     // digits that must NOT match) and the redacted strings themselves are

@@ -116,7 +116,11 @@ object SparkEntry {
     // pruned candidate read + exact verify on candidates only; declared
     // bound ~linear in benchmark + matched-candidate mass (the full-scan
     // form is ~linear in corpus tokens — the gap IS the feature)
-    "q_decontam_indexed")
+    "q_decontam_indexed",
+    // r13: reference-LM scoring (CCNet shape) — one (id, ctx, w) corpus
+    // shuffle + two model joins + a per-doc fold; ~linear in corpus
+    // tokens, the honest cost every model-based quality gate pays
+    "q_lm_stats")
 
   /** Untimed per-query preparation Bench runs ONCE before the timed
     * passes (r10 verdict #3): the steady-state ingest entries build and

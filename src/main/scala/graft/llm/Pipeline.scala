@@ -56,6 +56,19 @@ object Pipeline {
                                   up: Boolean = false,
                                   maxRepeat: Int = 10)
 
+  /** Optional MODEL-BASED quality stage (the CCNet recipe, Wenzek et
+    * al. 2020): drop docs whose mean n-gram log-probability under a
+    * reference-corpus LM ([[NgramLm.train]]) falls below `minLogprob` —
+    * the high-perplexity tail (gibberish, boilerplate, SEO spam) that
+    * rule-based gates miss. Runs between the rule-quality gate and
+    * exact dedup: scoring only quality survivors, and dedup/decontam
+    * never paying for docs the LM would drop anyway. `keepUnscorable`
+    * keeps docs with fewer than n tokens (no LM evidence either way —
+    * the rule gate owns short docs). */
+  final case class LmFilter(model: DataFrame, minLogprob: Double,
+                            n: Int = 2, alpha: Double = 1.0,
+                            keepUnscorable: Boolean = true)
+
   /** @param docs     training-candidate documents (idCol, textCol, …)
     * @param bench    benchmark/eval documents to decontaminate against
     * @param persistStages  persist (MEMORY_AND_DISK) the two stage
@@ -87,11 +100,12 @@ object Pipeline {
                      persistStages: Boolean = true,
                      boilerplateMaxDocFreq: Option[Int] = None,
                      embeddingDedup: Option[EmbeddingDedup] = None,
-                     temperatureMix: Option[TemperatureMix] = None): DataFrame =
+                     temperatureMix: Option[TemperatureMix] = None,
+                     lmFilter: Option[LmFilter] = None): DataFrame =
     chain(docs, bench, idCol, textCol, minTokens, nearDupThreshold,
       decontamK, trainFrac, valFrac, shuffleSeed, (_, d) => d,
       persistStages, boilerplateMaxDocFreq, embeddingDedup,
-      temperatureMix = temperatureMix)
+      temperatureMix = temperatureMix, lmFilter = lmFilter)
 
   /** [[pretrainCorpus]] with per-stage kept-row counts riding the same
     * execution via CollectMetrics (`df.observe`) — the 100 TB answer to
@@ -133,7 +147,8 @@ object Pipeline {
                              persistStages: Boolean = true,
                              boilerplateMaxDocFreq: Option[Int] = None,
                              embeddingDedup: Option[EmbeddingDedup] = None,
-                             temperatureMix: Option[TemperatureMix] = None)
+                             temperatureMix: Option[TemperatureMix] = None,
+                             lmFilter: Option[LmFilter] = None)
       : (DataFrame, Map[String, Observation]) = {
     // "temperature_mix" only joins the map when the stage is ACTIVE: an
     // Observation that never attaches would block a caller's get() forever.
@@ -144,7 +159,13 @@ object Pipeline {
     // side, or shuffle-index's two-pass cumsum), so without the persist
     // the observe node would execute per reference and double-count (the
     // r8 lesson); WITH it the cache materializes the node once.
-    val stages = Seq("input", "quality", "exact_dedup", "near_dedup") ++
+    // "quality" gates on persistStages while the LM stage is on: the LM
+    // stage references the quality output twice, and only the persist
+    // makes its observe materialize once (same reasoning as "decontam").
+    val stages = Seq("input") ++
+      (if (lmFilter.isEmpty || persistStages) Seq("quality") else Nil) ++
+      (if (lmFilter.isDefined) Seq("lm_quality") else Nil) ++
+      Seq("exact_dedup", "near_dedup") ++
       (if (persistStages) Seq("decontam") else Nil) ++
       (if (temperatureMix.isDefined) Seq("temperature_mix") else Nil) ++
       Seq("output")
@@ -154,7 +175,7 @@ object Pipeline {
       (stage, d) => obs.get(stage)
         .fold(d)(o => d.observe(o, count(lit(1)).as("rows"))),
       persistStages, boilerplateMaxDocFreq, embeddingDedup,
-      temperatureMix = temperatureMix)
+      temperatureMix = temperatureMix, lmFilter = lmFilter)
     (out, obs)
   }
 
@@ -175,7 +196,8 @@ object Pipeline {
                             shuffleSeed: Long = 0L,
                             boilerplateMaxDocFreq: Option[Int] = None,
                             embeddingDedup: Option[EmbeddingDedup] = None,
-                            temperatureMix: Option[TemperatureMix] = None)
+                            temperatureMix: Option[TemperatureMix] = None,
+                            lmFilter: Option[LmFilter] = None)
       : (DataFrame, Seq[DataFrame]) = {
     val handles = scala.collection.mutable.Buffer.empty[DataFrame]
     val out = chain(docs, bench, idCol, textCol, minTokens,
@@ -183,7 +205,7 @@ object Pipeline {
       (_, d) => d, persistStages = true,
       boilerplateMaxDocFreq = boilerplateMaxDocFreq,
       embeddingDedup = embeddingDedup, persisted = handles,
-      temperatureMix = temperatureMix)
+      temperatureMix = temperatureMix, lmFilter = lmFilter)
     (out, handles.toSeq)
   }
 
@@ -208,13 +230,15 @@ object Pipeline {
                     valFrac: Double = 0.1,
                     shuffleSeed: Long = 0L,
                     boilerplateMaxDocFreq: Option[Int] = None,
-                    embeddingDedup: Option[EmbeddingDedup] = None): Map[String, Long] = {
+                    embeddingDedup: Option[EmbeddingDedup] = None,
+                    lmFilter: Option[LmFilter] = None): Map[String, Long] = {
     val handles = scala.collection.mutable.Buffer.empty[DataFrame]
     val out = chain(docs, bench, idCol, textCol, minTokens,
       nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
       (_, d) => d, persistStages = true,
       boilerplateMaxDocFreq = boilerplateMaxDocFreq,
-      embeddingDedup = embeddingDedup, persisted = handles)
+      embeddingDedup = embeddingDedup, persisted = handles,
+      lmFilter = lmFilter)
     try out.write.mode("overwrite").partitionBy("split").parquet(outPath)
     finally handles.foreach(_.unpersist())  // landing owns the cache lifecycle
     // split sizes from footer metadata of what was ACTUALLY written; the
@@ -276,11 +300,13 @@ object Pipeline {
                       boilerplateMaxDocFreq: Option[Int] = None,
                       embeddingDedup: Option[EmbeddingDedup] = None,
                       temperatureMix: Option[TemperatureMix] = None,
-                      fullWindowsOnly: Boolean = false): DataFrame = {
+                      fullWindowsOnly: Boolean = false,
+                      lmFilter: Option[LmFilter] = None): DataFrame = {
     val corpus = chain(docs, bench, idCol, textCol, minTokens,
       nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
       (_, d) => d, persistStages, boilerplateMaxDocFreq, embeddingDedup,
-      temperatureMix = temperatureMix, withShuffleIndex = false)
+      temperatureMix = temperatureMix, withShuffleIndex = false,
+      lmFilter = lmFilter)
     windowsFrom(corpus, idCol, textCol, windowSize, shuffleSeed,
       fullWindowsOnly,
       temperatureMix.filter(_.up).map(_.maxRepeat + 1))
@@ -313,7 +339,8 @@ object Pipeline {
                            boilerplateMaxDocFreq: Option[Int] = None,
                            embeddingDedup: Option[EmbeddingDedup] = None,
                            temperatureMix: Option[TemperatureMix] = None,
-                           fullWindowsOnly: Boolean = false): Map[String, Long] = {
+                           fullWindowsOnly: Boolean = false,
+                           lmFilter: Option[LmFilter] = None): Map[String, Long] = {
     val spark = docs.sparkSession
     readJsonManifest(spark, outPath, WINDOWS_MANIFEST) match {
       case Some(counts) => return counts // fully landed — O(1) replay
@@ -325,7 +352,8 @@ object Pipeline {
       (_, d) => d, persistStages = true,
       boilerplateMaxDocFreq = boilerplateMaxDocFreq,
       embeddingDedup = embeddingDedup, persisted = handles,
-      temperatureMix = temperatureMix, withShuffleIndex = false)
+      temperatureMix = temperatureMix, withShuffleIndex = false,
+      lmFilter = lmFilter)
     val win = windowsFrom(corpus, idCol, textCol, windowSize, shuffleSeed,
       fullWindowsOnly,
       temperatureMix.filter(_.up).map(_.maxRepeat + 1))
@@ -1392,7 +1420,8 @@ object Pipeline {
                     persisted: scala.collection.mutable.Buffer[DataFrame] =
                       scala.collection.mutable.Buffer.empty,
                     temperatureMix: Option[TemperatureMix] = None,
-                    withShuffleIndex: Boolean = true): DataFrame = {
+                    withShuffleIndex: Boolean = true,
+                    lmFilter: Option[LmFilter] = None): DataFrame = {
     def reused(d: DataFrame): DataFrame =
       if (persistStages) { persisted += d; d.persist(StorageLevel.MEMORY_AND_DISK) }
       else d
@@ -1419,10 +1448,22 @@ object Pipeline {
     // fused into the input scan — no explode, no join-back
     val kept = tap("quality",
       TextStats.qualityFilter(stripped, textCol, minTokens = minTokens))
+    // 1b. optional MODEL-BASED quality — the CCNet reference-LM
+    // perplexity gate ([[NgramLm.filterByLm]]). The stage reads its
+    // input twice (the scoring side and the semi-join's kept side), so
+    // the rule-quality output becomes a persisted boundary while the
+    // stage is active — which also makes the "quality" tap materialize
+    // exactly once (the decontam-tap precedent; pretrainCorpusObserved
+    // gates that tap on persistStages when this stage is on).
+    val lmed = lmFilter.fold(kept) { f =>
+      val q = reused(kept)
+      tap("lm_quality", NgramLm.filterByLm(q, idCol, textCol, f.model,
+        f.minLogprob, f.n, f.alpha, f.keepUnscorable))
+    }
     // 2. exact dedup (canonicalized md5, keep smallest id) — also a
     // reused boundary: near-dedup reads it twice (candidate-pair
     // construction and the anti-join's kept side)
-    val exact = reused(tap("exact_dedup", Dedup.exact(kept, idCol, textCol)))
+    val exact = reused(tap("exact_dedup", Dedup.exact(lmed, idCol, textCol)))
     // 3. near dedup: banded MinHash candidates, exact-Jaccard verify,
     //    min-label components, drop non-minimal members
     val near = reused(tap("near_dedup", Dedup.dropNearDuplicates(exact,
