@@ -438,7 +438,8 @@ object Pipeline {
                          shuffleSeed: Long = 0L,
                          redactPii: Boolean = true,
                          fullWindowsOnly: Boolean = false,
-                         admission: Seq[graft.operators.Checks.Constraint] = Nil): Map[String, Long] = {
+                         admission: Seq[graft.operators.Checks.Constraint] = Nil,
+                         lmFilter: Option[LmFilter] = None): Map[String, Long] = {
     val spark = shard.sparkSession
     val manifestName = s"_graft_wshard_$shardLabel.json"
     readJsonManifest(spark, outPath, manifestName) match {
@@ -462,7 +463,7 @@ object Pipeline {
         .localCheckpoint(true))
     val survivors = ingestShardFrame(cp, bench, idCol, textCol,
       indexName, indexPath, minTokens, nearDupThreshold, decontamK,
-      redactPii)
+      redactPii, lmFilter = lmFilter)
     try {
       val recovered: DataFrame = suspects match {
         case None => cp.limit(0)
@@ -801,9 +802,18 @@ object Pipeline {
                        decontamK: Int = 5,
                        redactPii: Boolean = true,
                        shingleK: Int = 3, numHashes: Int = 16,
-                       bands: Int = 4, buckets: Int = 8): DataFrame = {
-    val quality = TextStats.qualityFilter(shard, textCol,
+                       bands: Int = 4, buckets: Int = 8,
+                       lmFilter: Option[LmFilter] = None): DataFrame = {
+    val ruleQuality = TextStats.qualityFilter(shard, textCol,
       minTokens = minTokens)
+    // optional model-based quality (the pretrainCorpus LmFilter slot):
+    // scored on the PRE-redaction text like the rule gate; the model
+    // frame must be the same on a crash replay (deterministic gate —
+    // the recovery path never re-gates, so this only matters for the
+    // docs that had NOT yet committed, which simply re-gate)
+    val quality = lmFilter.fold(ruleQuality)(f =>
+      NgramLm.filterByLm(ruleQuality, idCol, textCol, f.model,
+        f.minLogprob, f.n, f.alpha, f.keepUnscorable))
     val keyed = quality.withColumn("__ck__",
       Dedup.canonicalKey(col(textCol)))
     val redacted =
@@ -851,9 +861,13 @@ object Pipeline {
                   decontamK: Int = 5,
                   redactPii: Boolean = true,
                   shingleK: Int = 3, numHashes: Int = 16,
-                  bands: Int = 4): DataFrame = {
-    val quality = TextStats.qualityFilter(shard, textCol,
-      minTokens = minTokens)
+                  bands: Int = 4,
+                  lmFilter: Option[LmFilter] = None): DataFrame = {
+    val ruleQ = TextStats.qualityFilter(shard, textCol,
+      minTokens = minTokens).localCheckpoint(true)
+    val quality = lmFilter.fold(ruleQ)(f =>
+        NgramLm.filterByLm(ruleQ, idCol, textCol, f.model, f.minLogprob,
+          f.n, f.alpha, f.keepUnscorable))
       .withColumn("__ck__", Dedup.canonicalKey(col(textCol)))
       .localCheckpoint(true)
     val redacted =
@@ -881,6 +895,7 @@ object Pipeline {
     def flag(df: DataFrame, name: String): DataFrame =
       df.select(col(idCol)).withColumn(name, lit(true))
     shard.select(col(idCol))
+      .join(flag(ruleQ, "__f0__"), Seq(idCol), "left")
       .join(flag(quality, "__f1__"), Seq(idCol), "left")
       .join(flag(inShardExact, "__f2__"), Seq(idCol), "left")
       .join(flag(fresh, "__f3__"), Seq(idCol), "left")
@@ -888,7 +903,8 @@ object Pipeline {
       .join(flag(internal, "__f5__"), Seq(idCol), "left")
       .join(flag(landed, "__f6__"), Seq(idCol), "left")
       .select(col(idCol),
-        when(col("__f1__").isNull, "quality")
+        when(col("__f0__").isNull, "quality")
+          .when(col("__f1__").isNull, "lm_quality")
           .when(col("__f2__").isNull, "exact_in_shard")
           .when(col("__f3__").isNull, "exact_vs_corpus")
           .when(col("__f4__").isNull, "contaminated")
@@ -939,7 +955,8 @@ object Pipeline {
                   shingleK: Int = 3, numHashes: Int = 16,
                   bands: Int = 4, buckets: Int = 8,
                   admission: Seq[graft.operators.Checks.Constraint] = Nil,
-                  lexical: Option[(String, String)] = None): Map[String, Long] = {
+                  lexical: Option[(String, String)] = None,
+                  lmFilter: Option[LmFilter] = None): Map[String, Long] = {
     val spark = shard.sparkSession
     readShardManifest(spark, outPath, shardLabel) match {
       case Some(counts) => return counts // fully processed — O(1) replay
@@ -981,7 +998,7 @@ object Pipeline {
         .localCheckpoint(true))
     val survivors = ingestShardFrame(cp, bench, idCol, textCol,
       indexName, indexPath, minTokens, nearDupThreshold, decontamK,
-      redactPii, shingleK, numHashes, bands, buckets)
+      redactPii, shingleK, numHashes, bands, buckets, lmFilter)
     try {
       val recovered: DataFrame = suspects match {
         case None => cp.limit(0)

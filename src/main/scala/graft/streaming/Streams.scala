@@ -323,6 +323,37 @@ object Streams {
         ()
       }
 
+  /** Streaming reference-LM scoring — the monitoring/serving form of
+    * [[graft.llm.NgramLm.score]]: each micro-batch of arriving docs
+    * scores against the reference model (per-doc integer statistics +
+    * smoothed mean log-prob + perplexity) and lands under its own
+    * OVERWRITE batch_id partition (failure-replayed micro-batches
+    * rewrite themselves — the serving-stream discipline). The model is
+    * named by CATALOG TABLE and re-resolved at every trigger (the
+    * family's live-generation discipline — a captured DataFrame would
+    * pin a stale file listing), so a retrain that overwrites
+    * `modelTable` is picked up at the next micro-batch. The streaming
+    * analog of watching a feed's quality drift in real time: a
+    * collapsing logprob distribution IS the broken-scraper alarm. */
+  def lmScoreStream(docs: DataFrame, idCol: String, textCol: String,
+                    modelTable: String, n: Int, outPath: String,
+                    checkpoint: String,
+                    alpha: Double = 1.0): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          // the catalog caches the table's file index — refresh per
+          // trigger (metadata-only) so an overwrite-retrain's file set
+          // replaces the stale listing instead of failing the batch
+          batch.sparkSession.catalog.refreshTable(modelTable)
+          graft.llm.NgramLm.score(batch, idCol, textCol,
+              batch.sparkSession.table(modelTable), n, alpha)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        }
+        ()
+      }
+
   /** Streaming ADMISSION CONTROL — the streaming form of
     * [[graft.llm.Pipeline.ingestShard]]'s `admission` refusal, where
     * throwing would kill the whole query: each micro-batch is evaluated

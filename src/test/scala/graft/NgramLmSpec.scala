@@ -190,6 +190,95 @@ class NgramLmSpec extends SparkTestBase {
       obs("near_dedup").get("rows") == 3L)
   }
 
+  test("LmFilter rides the daily ingest: gibberish never reaches the keys boundary or landing; audit says lm_quality") {
+    import graft.llm.{Dedup, NgramLm, Pipeline}
+    val base = java.nio.file.Files.createTempDirectory("graft_lm_ing")
+      .toString
+    try {
+      val model = NgramLm.train(docsDf(ref), "text", 2)
+      val corpus = docsDf(Seq(
+        60L -> "the cat sat on the mat and the dog sat on the rug early"))
+      Dedup.writeNearDupIndex(corpus, "doc_id", "text", "lming_t",
+        s"$base/idx")
+      val shard = docsDf(Seq(
+        61L -> "a cat and a dog met on the mat near the rug in daylight",
+        62L -> "zz qq ww rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk"))
+      val sc = NgramLm.score(shard, "doc_id", "text", model, 2)
+        .orderBy("doc_id").collect().map(_.getDouble(6))
+      assert(sc(0) > sc(1))
+      val lf = Pipeline.LmFilter(model, (sc(0) + sc(1)) / 2.0)
+      val bench = docsDf(Seq(
+        100L -> "benchmark prose sharing no shingle with anything here"))
+      val counts = Pipeline.ingestShard(shard, bench, "doc_id", "text",
+        "lming_t", s"$base/idx", s"$base/land", "d1", redactPii = false,
+        lmFilter = Some(lf))
+      assert(counts("landed") == 1L)
+      assert(spark.read.parquet(s"$base/land").select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(61L))
+      // the LM-dropped doc never entered the index boundary
+      assert(spark.table("lming_t_keys").filter(col("id") === 62L).isEmpty)
+      // fate attribution names the new stage (61 re-audits as
+      // exact_vs_corpus now that its key is in the boundary)
+      val fates = Pipeline.ingestAudit(shard, bench, "doc_id", "text",
+          "lming_t", redactPii = false, lmFilter = Some(lf))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(fates(62L) == "lm_quality")
+      assert(fates(61L) == "exact_vs_corpus")
+    } finally {
+      Seq("lming_t_bands", "lming_t_shingles", "lming_t_keys")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  test("lmScoreStream: batch parity, per-batch partitions, mid-stream retrain picked up via the catalog") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.llm.NgramLm
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_lm_srv")
+      .toString
+    try {
+      NgramLm.train(docsDf(ref), "text", 2).write
+        .saveAsTable("lmsrv_model")
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.lmScoreStream(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        "lmsrv_model", n = 2, outPath = s"$base/out",
+        checkpoint = s"$base/ckpt").start()
+      val d1 = Seq(70L -> "the cat sat on the mat")
+      val d2 = Seq(71L -> "a dog met a cat on the rug")
+      try {
+        in.addData(d1.head._1 -> d1.head._2)
+        q.processAllAvailable()
+        // RETRAIN mid-stream: overwrite the model table (larger ref) —
+        // the next trigger must resolve the new generation
+        NgramLm.train(docsDf(ref :+ (9L -> "the rug sat on the dog")),
+            "text", 2)
+          .write.mode("overwrite").saveAsTable("lmsrv_model")
+        in.addData(d2.head._1 -> d2.head._2)
+        q.processAllAvailable()
+      } finally q.stop()
+      def batchScore(docs: Seq[(Long, String)], refDocs: Seq[(Long, String)]) =
+        NgramLm.score(docsDf(docs), "doc_id", "text",
+            NgramLm.train(docsDf(refDocs), "text", 2), 2)
+          .select("doc_id", "logprob").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = spark.read.parquet(s"$base/out")
+        .select("doc_id", "logprob").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      val want = (batchScore(d1, ref) ++
+        batchScore(d2, ref :+ (9L -> "the rug sat on the dog")))
+        .sortBy(_._1)
+      assert(got == want, s"$got vs $want")
+      assert(new java.io.File(s"$base/out").listFiles()
+        .count(_.getName.startsWith("batch_id=")) == 2)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lmsrv_model")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("reference-like text outscores gibberish and the filter drops the tail") {
     val model = NgramLm.train(docsDf(ref), "text", 2)
     val docs = docsDf(Seq(
