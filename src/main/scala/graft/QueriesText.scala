@@ -1620,6 +1620,48 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // the persisted round-trip (the q_bm25_indexed pattern): serving
+    // through the bucketed `_lm` table — ctx totals and V re-derived
+    // from the live table — must hash-match the SAME chain as the
+    // one-shot q_lm_stats. Fixture builds once per (JVM, sf dir).
+    r.reg("q_lm_indexed",
+      s"""WITH $lmCtes,
+         |lmagg AS (
+         |  SELECT doc_id,
+         |    CAST(sum(k) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN cnt IS NOT NULL THEN k ELSE 0 END) AS BIGINT) AS n_hit,
+         |    CAST(sum(CASE WHEN ctx_cnt IS NOT NULL THEN k ELSE 0 END) AS BIGINT) AS n_ctx_hit,
+         |    CAST(sum(k * coalesce(cnt, 0)) AS BIGINT) AS sum_cnt,
+         |    CAST(sum(k * coalesce(ctx_cnt, 0)) AS BIGINT) AS sum_ctx
+         |  FROM lmcj GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+         |  coalesce(a.n_hit, 0) AS n_hit,
+         |  coalesce(a.n_ctx_hit, 0) AS n_ctx_hit,
+         |  coalesce(a.sum_cnt, 0) AS sum_cnt,
+         |  coalesce(a.sum_ctx, 0) AS sum_ctx
+         |FROM lmcand d LEFT JOIN lmagg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/lmidx")
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir &&
+        s.catalog.tableExists("g_plm_lm")
+      if (!fresh) {
+        graft.llm.NgramLm.writeLm(
+          t(s, dir, "documents").filter(col("doc_id") % 10 === 0), "text",
+          "g_plm", idxPath)
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
+      graft.llm.NgramLm.scoreIndexed(s, "g_plm", idxPath, lmCand(s, dir),
+          "doc_id", "text")
+        .select("doc_id", "n_grams", "n_hit", "n_ctx_hit", "sum_cnt",
+          "sum_ctx")
+        .orderBy("doc_id")
+    }
+
     r.reg("q_lm_filter",
       s"""WITH $lmCtes,
          |lmsc AS (

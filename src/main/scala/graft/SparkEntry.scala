@@ -119,8 +119,10 @@ object SparkEntry {
     "q_decontam_indexed",
     // r13: reference-LM scoring (CCNet shape) — one (id, ctx, w) corpus
     // shuffle + two model joins + a per-doc fold; ~linear in corpus
-    // tokens, the honest cost every model-based quality gate pays
-    "q_lm_stats")
+    // tokens, the honest cost every model-based quality gate pays.
+    // The indexed form (fixture once per JVM) times the PRODUCTION
+    // serving shape: bucketed model table, exchange-free ctx totals
+    "q_lm_stats", "q_lm_indexed")
 
   /** Untimed per-query preparation Bench runs ONCE before the timed
     * passes (r10 verdict #3): the steady-state ingest entries build and
@@ -141,7 +143,10 @@ object SparkEntry {
     "q_bm25_indexed",
     // r13: the decontam index fixture (train-split lexical index) builds
     // once per JVM — samples time the champion-pruned sweep itself
-    "q_decontam_indexed").map { n =>
+    "q_decontam_indexed",
+    // r13: the persisted-LM fixture builds once per JVM — samples time
+    // the indexed scoring serve
+    "q_lm_indexed").map { n =>
       n -> ((s: SparkSession, dir: String) =>
         queries(n)(s, dir).write.format("noop").mode("overwrite").save())
     }.toMap

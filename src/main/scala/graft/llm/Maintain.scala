@@ -485,6 +485,9 @@ object Maintain {
   final case class LexicalIndexTarget(name: String,
                                       bloomPath: Option[String] = None)
     extends Target
+  final case class LmTarget(name: String, path: String,
+                            freshRef: Option[DataFrame] = None,
+                            textCol: String = "text") extends Target
 
   /** The NIGHTLY SWEEP: one call maintains every persisted family a
     * corpus owner operates — each (label, target) runs its family's
@@ -521,6 +524,8 @@ object Maintain {
             maintainEmbeddingIndex(spark, n, policy, bp)
           case LexicalIndexTarget(n, bp) =>
             maintainLexicalIndex(spark, n, policy, bp)
+          case LmTarget(n, p, fr, tc) =>
+            maintainLm(spark, n, p, policy, fr, tc)
         } catch { case e: Exception =>
           Seq(("pass_failed", Double.NaN, Double.NaN, false,
             s"${e.getClass.getSimpleName}: ${e.getMessage}"))
@@ -558,6 +563,68 @@ object Maintain {
     bloomLoadCheck(spark, results, policy, bloomPath,
       "skipped: no bloomPath provided",
       () => spark.table(s"${name}_doclens").select(col("doc_id").as("key")))
+
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
+  }
+
+  /** Maintenance pass for the persisted reference LM
+    * ([[NgramLm.writeLm]] table `<name>_lm`) — the SEVENTH maintained
+    * family, with a lifecycle deliberately unlike the index families:
+    * counts are aggregates over the reference corpus, so per-doc
+    * append/retraction is structurally absent (the KenLM/CCNet
+    * practice) and the one corrective action is a WHOLESALE retrain
+    * from the reference source of record. Checks, in escalation order:
+    *
+    *  1. OOV drift (only when `freshRef` is provided): the fraction of
+    *     the fresh slice's gram occurrences unseen by the stored model
+    *     ([[NgramLm.lmOovRate]] — an integer ratio, engine-
+    *     deterministic). Over `policy.maxDriftDelta` fires
+    *     [[NgramLm.writeLm]] ON `freshRef` — the caller passes the
+    *     current reference corpus, which is both the drift measure and
+    *     the retrain source ([[IvfPqCorpusTarget]]'s embeddings
+    *     pattern).
+    *  2. fragmentation: parquet files over `policy.maxFilesFlat` fires
+    *     [[NgramLm.compactLm]] — recorded as subsumed when the retrain
+    *     already fired (a rebuild writes one file per bucket anyway). */
+  def maintainLm(spark: SparkSession, name: String, path: String,
+                 policy: Policy = Policy(),
+                 freshRef: Option[DataFrame] = None,
+                 textCol: String = "text"): DataFrame = {
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+    results += (("retraction", Double.NaN, Double.NaN, false,
+      "n/a: counts are aggregates over the reference — per-doc retraction is structurally absent; correct the reference source and retrain (NgramLm.writeLm)"))
+
+    // fragmentation measured BEFORE any retrain rewrites the table, so
+    // the report records the state the decisions were made on
+    val files = NgramLm.lmReport(spark, name)
+      .agg(max(col("files"))).head().getLong(0).toDouble
+
+    val firedRetrain = freshRef match {
+      case None =>
+        results += (("oov_drift", Double.NaN, policy.maxDriftDelta, false,
+          "skipped: no freshRef provided"))
+        false
+      case Some(fr) =>
+        val oov = NgramLm.lmOovRate(spark, name, path, fr, textCol)
+        val fire = oov > policy.maxDriftDelta
+        if (fire) {
+          val (n, buckets) = NgramLm.readLmMeta(spark, path)
+          NgramLm.writeLm(fr, textCol, name, path, n, buckets)
+        }
+        results += (("oov_drift", oov, policy.maxDriftDelta, fire,
+          if (fire) "NgramLm.writeLm(freshRef)" else "none"))
+        fire
+    }
+
+    val over = files > policy.maxFilesFlat
+    val fireCompact = over && !firedRetrain
+    if (fireCompact) NgramLm.compactLm(spark, name)
+    results += (("table_files", files, policy.maxFilesFlat.toDouble,
+      fireCompact,
+      if (fireCompact) "NgramLm.compactLm"
+      else if (over) "subsumed: retrain rewrote one file per bucket"
+      else "none"))
 
     import spark.implicits._
     results.toSeq.toDF("check", "observed", "threshold", "fired", "action")

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Reference-corpus n-gram language-model scoring — the MODEL-BASED
@@ -81,10 +81,21 @@ object NgramLm {
     * must never kill a 100 TB pass). */
   def score(docs: DataFrame, idCol: String, textCol: String,
             model: DataFrame, n: Int = 2,
-            alpha: Double = 1.0): DataFrame = {
+            alpha: Double = 1.0): DataFrame =
+    scoreImpl(docs, idCol, textCol, model.select("ctx", "w", "cnt"),
+      model.select("ctx", "ctx_cnt").distinct(), n, alpha)
+
+  private def scoreImpl(docs: DataFrame, idCol: String, textCol: String,
+                        cnts: DataFrame, ctxc: DataFrame, n: Int,
+                        alpha: Double): DataFrame = {
     require(n >= 1, s"ngram order must be >= 1, got $n")
     require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
-    val vrow = model.agg(countDistinct(col("w")).as("__v__"))
+    // an empty model gives V = 0 and every denominator 0 — that would
+    // surface as an ANSI DIVIDE_BY_ZERO deep inside codegen; refuse
+    // loudly instead (one bounded limit-probe, the qCap discipline)
+    require(!cnts.isEmpty,
+      "empty LM model — train on a non-empty reference corpus first")
+    val vrow = cnts.agg(countDistinct(col("w")).as("__v__"))
     val base = docs.select(col(idCol), toks(col(textCol)).as("__t__"))
     val ks = base.filter(size(col("__t__")) >= n)
       .select(col(idCol), explode(gramsOf(col("__t__"), n)).as("g"))
@@ -92,8 +103,8 @@ object NgramLm {
       .groupBy(col(idCol), col("ctx"), col("w"))
       .agg(count(lit(1)).as("k"))
     val joined = ks
-      .join(model.select("ctx", "w", "cnt"), Seq("ctx", "w"), "left")
-      .join(model.select("ctx", "ctx_cnt").distinct(), Seq("ctx"), "left")
+      .join(cnts, Seq("ctx", "w"), "left")
+      .join(ctxc, Seq("ctx"), "left")
       .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
       .withColumn("ctxc0", coalesce(col("ctx_cnt"), lit(0L)))
     val folded = joined.groupBy(col(idCol))
@@ -142,5 +153,115 @@ object NgramLm {
       if (keepUnscorable) col("logprob").isNull || col("logprob") >= minLogprob
       else col("logprob") >= minLogprob)
     docs.join(keep.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted LM — the family's production form: ONE bucketed table
+  // `<name>_lm` (ctx, w, cnt) bucketed on `ctx`. ctx_cnt and V are
+  // deliberately NOT stored: both re-derive from the live table at
+  // every serve (the doclens-stats discipline — no stats sidecar that
+  // could drift), and the ctx totals aggregate WITHOUT an exchange
+  // because the grouping key IS the bucketing key (plan-asserted).
+  //
+  // Lifecycle posture (differs from the six index families, on
+  // purpose): counts are AGGREGATES over the reference corpus, so
+  // per-doc append/retraction is structurally absent — the public
+  // n-gram-LM practice (KenLM/CCNet) retrains wholesale from the
+  // reference source of record, and [[writeLm]] IS that retrain (an
+  // overwrite-mode bucketed write resets the compaction generation
+  // chain like every rebuild). A takedown that must remove one doc's
+  // contribution re-runs writeLm on the corrected reference.
+
+  private def lmMetaFile(path: String) = s"$path/_graft_lm_meta.json"
+
+  private def stampLmMeta(spark: SparkSession, path: String, n: Int,
+                          buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(lmMetaFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(s"""{"n":$n,"buckets":$buckets}\n""".getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** (n, buckets) from the stamp — a stampless directory is a crashed
+    * or foreign build and refuses loudly (serving would score with an
+    * unknown gram order/tokenizer geometry). */
+  private[llm] def readLmMeta(spark: SparkSession, path: String): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(lmMetaFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no LM stamp at ${lmMetaFile(path)} — build with writeLm first")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    def field(nm: String): Int =
+      (s""""$nm"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(txt) match {
+        case Some(m) => m.group(1).toInt
+        case None => throw new IllegalStateException(
+          s"malformed LM stamp at ${lmMetaFile(path)}: $txt")
+      }
+    (field("n"), field("buckets"))
+  }
+
+  /** Build (or wholesale RETRAIN — the family's one maintenance
+    * action) the persisted LM. The stamp lands LAST, so a crashed
+    * build refuses to serve. */
+  def writeLm(ref: DataFrame, textCol: String, name: String,
+              path: String, n: Int = 2, buckets: Int = 8): Unit = {
+    val spark = ref.sparkSession
+    graft.api.GraftFrame(train(ref, textCol, n).select("ctx", "w", "cnt"))
+      .toBucketedTable(s"${name}_lm", s"$path/lm", buckets, Seq("ctx"))
+    stampLmMeta(spark, path, n, buckets)
+  }
+
+  /** Serve [[score]] from the persisted LM — bit-identical to the
+    * one-shot form over the same reference (oracle-pinned): ctx totals
+    * and V re-derive from the live table (the ctx aggregate is
+    * exchange-free — grouping key == bucketing key). */
+  def scoreIndexed(spark: SparkSession, name: String, path: String,
+                   docs: DataFrame, idCol: String, textCol: String,
+                   alpha: Double = 1.0): DataFrame = {
+    val (n, _) = readLmMeta(spark, path)
+    val cnts = spark.table(s"${name}_lm")
+    val ctxc = cnts.groupBy("ctx").agg(sum("cnt").as("ctx_cnt"))
+    scoreImpl(docs, idCol, textCol, cnts, ctxc, n, alpha)
+  }
+
+  /** Maintenance observable: rows + parquet file count (file opens
+    * grow with rebuild frequency only — the table never appends — but
+    * a small-executor build can still fragment). */
+  def lmReport(spark: SparkSession, name: String): DataFrame =
+    spark.table(s"${name}_lm")
+      .select(input_file_name().as("__f__"))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("__f__")).as("files"))
+      .select(lit(s"${name}_lm").as("table"), col("rows"), col("files"))
+
+  /** Compact to one file per bucket — online-safe generation flip
+    * ([[graft.api.GraftFrame.compactBucketedTable]] contract). */
+  def compactLm(spark: SparkSession, name: String): Unit =
+    graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_lm")
+
+  /** OOV drift of a fresh reference slice against the stored model:
+    * the fraction of the slice's gram OCCURRENCES whose (ctx, w) the
+    * model has never seen — a pure integer ratio (one division), so
+    * the observable is engine-deterministic. A growing OOV rate means
+    * the reference distribution moved and scores are decaying
+    * silently; the action is [[writeLm]] on the current reference. */
+  def lmOovRate(spark: SparkSession, name: String, path: String,
+                freshRef: DataFrame, textCol: String): Double = {
+    val (n, _) = readLmMeta(spark, path)
+    val base = freshRef.select(toks(col(textCol)).as("__t__"))
+      .filter(size(col("__t__")) >= n)
+      .select(explode(gramsOf(col("__t__"), n)).as("g"))
+      .select(col("g.ctx").as("ctx"), col("g.w").as("w"))
+    val row = base.join(spark.table(s"${name}_lm").select("ctx", "w")
+          .withColumn("__hit__", lit(true)),
+        Seq("ctx", "w"), "left")
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("__hit__").isNull, 1L).otherwise(0L)).as("oov"))
+      .head()
+    if (row.getLong(0) == 0L) 0.0
+    else row.getLong(1).toDouble / row.getLong(0).toDouble
   }
 }

@@ -109,6 +109,14 @@ class NgramLmSpec extends SparkTestBase {
     assert(model2.contains(("on", "the")) && model2.contains(("the", "rug")))
   }
 
+  test("an empty model refuses loudly instead of an ANSI divide-by-zero") {
+    val empty = NgramLm.train(docsDf(Seq(0L -> "x")), "text", 2)
+    val e = intercept[IllegalArgumentException] {
+      NgramLm.score(docsDf(Seq(1L -> "a b c")), "doc_id", "text", empty, 2)
+    }
+    assert(e.getMessage.contains("empty LM model"))
+  }
+
   test("unseen context degrades to uniform 1/V; ppl = exp(-logprob)") {
     val model = NgramLm.train(docsDf(ref), "text", 2)
     val v = model.select("w").distinct().count()
