@@ -2135,6 +2135,66 @@ object QueriesText {
         bm25QueryFrame(s), "qid", "qtext", k = 10)
     }
 
+    // The PRODUCTION hybrid: the lexical leg served from the PERSISTED
+    // inverted index (the g_lex fixture above — bucket-pruned postings,
+    // stats from the live doclens boundary) fused with the exact-cosine
+    // run; must hash-match the SAME chain as the one-shot q_hybrid_rrf
+    // — the persisted route is transparent through the fusion too.
+    r.reg("q_hybrid_rrf_indexed",
+      s"""WITH ${bm25Ctes("(CAST(0 AS BIGINT), 'spark window join')")},
+         |${QueriesEmbed.dotCtes},
+         |annrank AS (
+         |  SELECT vec_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS arank
+         |  FROM cosines),
+         |runs AS (
+         |  SELECT query_id, doc_id, 'bm25' AS run,
+         |    (CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST("rank" AS DOUBLE))) AS s
+         |  FROM lranked WHERE "rank" <= 20
+         |  UNION ALL
+         |  SELECT CAST(0 AS BIGINT) AS query_id, doc_id, 'ann' AS run,
+         |    (CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(arank AS DOUBLE))) AS s
+         |  FROM annrank WHERE arank <= 20),
+         |fused AS (
+         |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+         |    list_sum(list(s ORDER BY run)) AS rrf_score
+         |  FROM runs GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, n_runs, rrf_score, "rank" FROM (
+         |  SELECT query_id, doc_id, n_runs, rrf_score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS "rank"
+         |  FROM fused)
+         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/lexidx")
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir &&
+        s.catalog.tableExists("g_lex_postings")
+      if (!fresh) {
+        Lexical.writeLexicalIndex(t(s, dir, "documents"), "doc_id", "text",
+          "g_lex", idxPath)
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
+      val oneQ = Seq((0L, "spark window join")).toDF("qid", "qtext")
+      val bm25Run = Lexical.bm25TopKIndexed(s, "g_lex", idxPath, oneQ,
+        "qid", "qtext", k = 20)
+      val annW = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val annRun = Similarity.bruteForceTopK(t(s, dir, "embeddings"),
+          "vec_id", "embedding", queryId = 0L, k = 20)
+        .withColumn("rank", row_number().over(annW).cast("long"))
+        .withColumn("query_id", lit(0L))
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Lexical.rrfFuse(
+        Seq("ann" -> annRun,
+          "bm25" -> bm25Run.select("query_id", "doc_id", "rank")),
+        "query_id", "doc_id", "rank", k = 10)
+    }
+
     // Hybrid lexical+vector retrieval: the BM25 run over `documents`
     // and the exact-cosine run over `embeddings` (the two fixtures
     // share the 0..N id domain) fused by reciprocal rank — integer
