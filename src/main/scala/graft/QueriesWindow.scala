@@ -591,6 +591,60 @@ object QueriesWindow {
         .sortValues(Seq("doc_id" -> true, "epoch" -> true)).df
     }
 
+    // EXPLICIT-RECIPE mixing (r13): the mixture-proportion-table form —
+    // per-domain target masses, down- AND up-sampling in one call. The
+    // budgets derive from the fixture's own masses (floor(0.4·W_head):
+    // a literal budget would change meaning across scales), computed
+    // identically on both engines; 'tail' is absent from the recipe and
+    // must vanish. The oracle recomputes masses, budgets, factors
+    // (LEAST(B/W, cap)), the epoch explode and the salted-hash keep
+    // decision exactly — the q_temperature_upsample machinery with
+    // recipe-driven factors.
+    r.reg("q_budget_mix",
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN doc_id % 10 < 6 THEN 'head'
+         |         WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'tail' END AS dom
+         |  FROM documents),
+         |c AS (SELECT dom, SUM(n_chars) AS w FROM d GROUP BY dom),
+         |b AS (
+         |  SELECT dom, w,
+         |    CASE dom
+         |      WHEN 'head' THEN CAST(floor(CAST('0.4' AS DOUBLE) * CAST(w AS DOUBLE)) AS BIGINT)
+         |      WHEN 'mid'  THEN CAST(floor(CAST('2.5' AS DOUBLE) * CAST(w AS DOUBLE)) AS BIGINT)
+         |    END AS bud
+         |  FROM c WHERE dom IN ('head', 'mid')),
+         |f AS (
+         |  SELECT dom,
+         |    LEAST(CAST(bud AS DOUBLE) / CAST(w AS DOUBLE), 10.0) AS fac
+         |  FROM b),
+         |t AS (
+         |  SELECT dom, CAST(floor(fac) AS BIGINT) AS fullr,
+         |    CAST(floor((fac - floor(fac)) * 4294967296) AS BIGINT) AS thr
+         |  FROM f),
+         |r AS (SELECT unnest(range(0, 11)) AS epoch)
+         |SELECT d.doc_id, d.dom, CAST(r.epoch AS BIGINT) AS epoch
+         |FROM d JOIN t USING (dom) JOIN r ON r.epoch <= t.fullr
+         |WHERE r.epoch < t.fullr
+         |   OR ((d.doc_id % 2147483648 + r.epoch * 7919) % 2147483648)
+         |      * 2654435761 % 4294967296 < t.thr
+         |ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          when(col("doc_id") % 10 < 6, "head")
+            .when(col("doc_id") % 10 < 9, "mid")
+            .otherwise("tail").as("dom"))
+      val masses = d.groupBy("dom")
+        .agg(sum(col("n_chars").cast("long")).as("w"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val budgets = Map(
+        "head" -> math.floor(0.4 * masses("head").toDouble).toLong,
+        "mid" -> math.floor(2.5 * masses("mid").toDouble).toLong)
+      GraftFrame(d).sampleByBudget("doc_id", "dom", "n_chars", budgets)
+        .select("doc_id", "dom", "epoch")
+        .sortValues(Seq("doc_id" -> true, "epoch" -> true)).df
+    }
+
     // Deterministic corpus shuffle: global position under the Knuth-hash
     // order (scale-safe two-pass plan) — the "shuffle before sharding"
     // training-data pass; the oracle replays the permutation exactly.

@@ -244,6 +244,72 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     upsampleByTemperatureImpl(keyCol, domainCol,
       sum(col(weightCol).cast("long")), alpha, maxRepeat)
 
+  /** EXPLICIT-RECIPE domain mixing — the published mixture-proportion
+    * TABLE form (the LLaMA/Pile "this many tokens from each source"
+    * recipe): every domain carries a TARGET mass `budgets(domain)` in
+    * `weightCol` units, and each domain independently down- OR
+    * up-samples to hit it in expectation. f_d = B_d / W_d: f ≤ 1 is a
+    * deterministic Knuth-hash keep at rate f; f > 1 is the epoch
+    * machinery (floor(f) whole copies + a fractional (key, epoch)-
+    * salted copy), capped at `maxRepeat` like the temperature
+    * up-samplers. Domains ABSENT from the recipe drop — the table is
+    * the complete mix statement (budget a domain at its own W_d to
+    * pass it through unchanged); an explicit zero budget drops its
+    * domain loudly-by-declaration. Output carries `epoch` (all-0 for
+    * down-sampled domains); exact-integer factors emit exactly f
+    * copies (thr = 0 — the fractional copy never fires).
+    *
+    * Scale shape: one map-side-combined mass aggregate COLLECTED to
+    * the driver — bounded by |budgets|, a hand-written table — then
+    * factors inline as literal when-chains and the row decision is the
+    * blockwise salted-hash compare with one explode bounded by
+    * maxRepeat+1. No data-sized shuffle, no RNG; every arithmetic step
+    * (integer sums, one divide, floor, the 2^32 threshold) is
+    * IEEE-correctly-rounded, so the oracle recomputes decisions
+    * exactly. */
+  def sampleByBudget(keyCol: String, domainCol: String,
+                     weightCol: String, budgets: Map[String, Long],
+                     maxRepeat: Int = 10): GraftFrame = {
+    require(budgets.nonEmpty, "sampleByBudget needs a non-empty recipe")
+    require(budgets.values.forall(_ >= 0L),
+      "sampleByBudget budgets must be >= 0")
+    require(maxRepeat >= 1, s"maxRepeat must be >= 1, got $maxRepeat")
+    val kt = df.schema(keyCol).dataType
+    require(kt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"sampleByBudget: key column '$keyCol' must be numeric " +
+        s"(got ${kt.simpleString}); factorize or hash string keys first")
+    val dom = col(domainCol).cast("string")
+    val masses = df.filter(dom.isInCollection(budgets.keys.toSeq))
+      .groupBy(dom.as("__d__"))
+      .agg(sum(col(weightCol).cast("long")).as("__w__"))
+      .filter(col("__w__") > 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val factors = budgets.toSeq.sortBy(_._1).flatMap { case (d, b) =>
+      masses.get(d).map { w =>
+        val f = math.min(b.toDouble / w.toDouble, maxRepeat.toDouble)
+        (d, math.floor(f).toLong,
+          math.floor((f - math.floor(f)) * 4294967296.0).toLong)
+      }
+    }
+    val cols = df.columns.map(col).toIndexedSeq
+    if (factors.isEmpty)
+      return lift(df.limit(0).withColumn("epoch", lit(0L))
+        .select(cols :+ col("epoch"): _*))
+    def chain(sel: ((String, Long, Long)) => Long): Column =
+      factors.foldLeft(when(lit(false), lit(0L))) { case (acc, t) =>
+        acc.when(dom === t._1, lit(sel(t)))
+      }.otherwise(lit(0L))
+    lift(df.filter(dom.isInCollection(factors.map(_._1)))
+      .withColumn("__full__", chain(_._2))
+      .withColumn("__thr__", chain(_._3))
+      .withColumn("epoch", explode(sequence(lit(0L), col("__full__"))))
+      .filter(col("epoch") < col("__full__") ||
+        graft.QHelp.keyHash31(
+          pmod(col(keyCol), lit(2147483648L)) + col("epoch") * lit(7919L))
+          < col("__thr__"))
+      .select(cols :+ col("epoch"): _*))
+  }
+
   private def upsampleByTemperatureImpl(keyCol: String, domainCol: String,
                                         sizeAgg: Column, alpha: Double,
                                         maxRepeat: Int): GraftFrame = {

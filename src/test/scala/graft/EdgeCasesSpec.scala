@@ -546,6 +546,56 @@ class EdgeCasesSpec extends SparkTestBase {
       == 504)
   }
 
+  test("sampleByBudget: each domain hits its target mass, absent domains drop, zero budget drops, integral factors are exact, deterministic") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("tokens", LongType)))
+    val rows =
+      (1L to 1000L).map(i => Row(i, "web", 10L)) ++      // W = 10000
+      (2001L to 2100L).map(i => Row(i, "books", 10L)) ++ // W = 1000
+      (3001L to 3010L).map(i => Row(i, "junk", 10L)) ++  // W = 100
+      (4001L to 4010L).map(i => Row(i, "unlisted", 10L))
+    val docs = GraftFrame(df(schema, rows: _*))
+    val budgets = Map("web" -> 4000L,   // f = 0.4 down
+      "books" -> 2500L,                 // f = 2.5 up
+      "junk" -> 0L)                     // explicit drop
+    val out = docs.sampleByBudget("doc_id", "source", "tokens", budgets)
+      .df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mass = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // down-sampled web lands near its 4000-token budget (hash variance)
+    assert(mass("web") > 3200 && mass("web") < 4800, s"web mass: $mass")
+    // up-sampled books: 2 whole epochs exact + ~half a fractional epoch
+    assert(mass("books") >= 2000 && mass("books") < 3000,
+      s"books mass: $mass")
+    assert(!mass.contains("junk") && !mass.contains("unlisted"))
+    // every books row has epochs 0 and 1 (the exact whole copies)
+    val booksEpochs = docs.sampleByBudget("doc_id", "source", "tokens",
+        budgets).df.filter(col("source") === "books")
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    for (id <- 2001L to 2100L)
+      assert(booksEpochs.filter(_._1 == id).map(_._2).sorted
+        .startsWith(Seq(0L, 1L)), s"whole copies missing for $id")
+    // an exactly-integral factor emits exactly f copies: budget == 2W
+    val exact = docs.sampleByBudget("doc_id", "source", "tokens",
+        Map("junk" -> 200L)).df
+    assert(exact.count() == 20L, "f=2.0 doubles the domain exactly")
+    // deterministic across runs
+    val again = docs.sampleByBudget("doc_id", "source", "tokens", budgets)
+      .df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sorted.sameElements(again.sorted))
+    // pass-through: budget == own mass keeps every row exactly once
+    val pass = docs.sampleByBudget("doc_id", "source", "tokens",
+      Map("books" -> 1000L)).df
+    assert(pass.count() == 100L &&
+      pass.select("epoch").distinct().head().getLong(0) == 0L)
+    intercept[IllegalArgumentException] {
+      docs.sampleByBudget("doc_id", "source", "tokens", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      docs.sampleByBudget("doc_id", "source", "tokens", Map("web" -> -1L))
+    }
+  }
+
   test("sampleByTemperatureWeighted: a zero-weight domain is dropped, not a silent global wipe") {
     // r11 ADVICE: a domain whose weights sum to 0 (all-empty docs) made
     // c_min = 0, flooring every threshold to 0 and emptying the output.
