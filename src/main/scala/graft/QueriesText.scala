@@ -1132,6 +1132,74 @@ object QueriesText {
         .orderBy("doc_id", "epoch")
     }
 
+    // BUDGET mixing rides the Pipeline (r13): the explicit-recipe stage
+    // at the TemperatureMix slot — budgets act on the CLEAN survivors'
+    // n_chars masses (derived in-oracle: a literal budget would change
+    // meaning across scales), 'tail' absent from the recipe drops, and
+    // every copy's split/composite-keyed shuffle position recomputes
+    // end to end (the q_pipeline_upsample machinery, recipe-driven).
+    r.reg("q_pipeline_budget", pipeCleanCtes +
+      s""",
+         |bdom AS (
+         |  SELECT c.doc_id, d.n_chars,
+         |    CASE WHEN c.doc_id % 10 < 6 THEN 'head'
+         |         WHEN c.doc_id % 10 < 9 THEN 'mid' ELSE 'tail' END AS dom
+         |  FROM clean c JOIN documents d USING (doc_id)),
+         |bc AS (SELECT dom, SUM(n_chars) AS w FROM bdom GROUP BY dom),
+         |bb AS (
+         |  SELECT dom, w,
+         |    CASE dom
+         |      WHEN 'head' THEN CAST(floor(CAST('0.4' AS DOUBLE) * CAST(w AS DOUBLE)) AS BIGINT)
+         |      WHEN 'mid'  THEN CAST(floor(CAST('2.5' AS DOUBLE) * CAST(w AS DOUBLE)) AS BIGINT)
+         |    END AS bud
+         |  FROM bc WHERE dom IN ('head', 'mid')),
+         |bf AS (
+         |  SELECT dom,
+         |    LEAST(CAST(bud AS DOUBLE) / CAST(w AS DOUBLE), 10.0) AS fac
+         |  FROM bb),
+         |bt AS (
+         |  SELECT dom, CAST(floor(fac) AS BIGINT) AS fullr,
+         |    CAST(floor((fac - floor(fac)) * 4294967296) AS BIGINT) AS thr
+         |  FROM bf),
+         |br AS (SELECT unnest(range(0, 11)) AS epoch),
+         |budgeted AS (
+         |  SELECT d.doc_id, CAST(r.epoch AS BIGINT) AS epoch
+         |  FROM bdom d JOIN bt USING (dom) JOIN br r ON r.epoch <= bt.fullr
+         |  WHERE r.epoch < bt.fullr
+         |     OR ((d.doc_id % 2147483648 + r.epoch * 7919) % 2147483648)
+         |        * 2654435761 % 4294967296 < bt.thr)
+         |SELECT doc_id, epoch,
+         |  CASE WHEN (doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTTrain THEN 'train'
+         |       WHEN (doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTVal THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(row_number() OVER (
+         |    ORDER BY ((doc_id * 11 + epoch) % 2147483648) * 2654435761 % 4294967296) - 1
+         |    AS BIGINT) AS shuffle_pos
+         |FROM budgeted ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          when(col("doc_id") % 10 < 6, "head")
+            .when(col("doc_id") % 10 < 9, "mid")
+            .otherwise("tail").as("dom"))
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+      // budgets from the CLEAN survivors' masses — the same frame the
+      // stage itself aggregates (shares the chain up to decontam)
+      val cleanMasses = graft.llm.Pipeline.pretrainCorpus(train, bench,
+          "doc_id", "text", persistStages = false)
+        .groupBy("dom").agg(sum(col("n_chars").cast("long")).as("w"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val budgets = Map(
+        "head" -> math.floor(0.4 * cleanMasses("head").toDouble).toLong,
+        "mid" -> math.floor(2.5 * cleanMasses("mid").toDouble).toLong)
+      graft.llm.Pipeline.pretrainCorpus(train, bench, "doc_id", "text",
+          budgetMix = Some(graft.llm.Pipeline.BudgetMix("dom", "n_chars",
+            budgets)))
+        .select("doc_id", "epoch", "split", "shuffle_pos")
+        .orderBy("doc_id", "epoch")
+    }
+
     // The composed corpus -> TRAINING-FILES last mile (r13): the full
     // pipeline chain through decontamination, split assignment, then the
     // per-split GPT-style concat-and-chop INTO THE LANDED PARQUET — the

@@ -259,14 +259,14 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     * down-sampled domains); exact-integer factors emit exactly f
     * copies (thr = 0 — the fractional copy never fires).
     *
-    * Scale shape: one map-side-combined mass aggregate COLLECTED to
-    * the driver — bounded by |budgets|, a hand-written table — then
-    * factors inline as literal when-chains and the row decision is the
-    * blockwise salted-hash compare with one explode bounded by
-    * maxRepeat+1. No data-sized shuffle, no RNG; every arithmetic step
-    * (integer sums, one divide, floor, the 2^32 threshold) is
-    * IEEE-correctly-rounded, so the oracle recomputes decisions
-    * exactly. */
+    * Scale shape: LAZY end to end (safe inside the Pipeline's one-plan
+    * composition) — the recipe enters as a |budgets|-row literal frame
+    * joined to one map-side-combined mass aggregate, factors broadcast
+    * back, and the row decision is the blockwise salted-hash compare
+    * with one explode bounded by maxRepeat+1. No data-sized shuffle,
+    * no RNG; every arithmetic step (integer sums, one divide via
+    * `least`, floor, the 2^32 threshold) is IEEE-correctly-rounded, so
+    * the oracle recomputes decisions exactly. */
   def sampleByBudget(keyCol: String, domainCol: String,
                      weightCol: String, budgets: Map[String, Long],
                      maxRepeat: Int = 10): GraftFrame = {
@@ -278,30 +278,23 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     require(kt.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"sampleByBudget: key column '$keyCol' must be numeric " +
         s"(got ${kt.simpleString}); factorize or hash string keys first")
+    val spark = df.sparkSession
+    import spark.implicits._
     val dom = col(domainCol).cast("string")
-    val masses = df.filter(dom.isInCollection(budgets.keys.toSeq))
+    val bdf = budgets.toSeq.sortBy(_._1).toDF("__d__", "__b__")
+    val counts = df.filter(dom.isInCollection(budgets.keys.toSeq))
       .groupBy(dom.as("__d__"))
       .agg(sum(col(weightCol).cast("long")).as("__w__"))
       .filter(col("__w__") > 0L)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val factors = budgets.toSeq.sortBy(_._1).flatMap { case (d, b) =>
-      masses.get(d).map { w =>
-        val f = math.min(b.toDouble / w.toDouble, maxRepeat.toDouble)
-        (d, math.floor(f).toLong,
-          math.floor((f - math.floor(f)) * 4294967296.0).toLong)
-      }
-    }
+    val fac = least(col("__b__").cast("double") / col("__w__").cast("double"),
+      lit(maxRepeat.toDouble))
+    val factors = counts.join(bdf, "__d__")
+      .select(col("__d__"),
+        floor(fac).cast("long").as("__full__"),
+        floor((fac - floor(fac)) * lit(4294967296.0)).cast("long")
+          .as("__thr__"))
     val cols = df.columns.map(col).toIndexedSeq
-    if (factors.isEmpty)
-      return lift(df.limit(0).withColumn("epoch", lit(0L))
-        .select(cols :+ col("epoch"): _*))
-    def chain(sel: ((String, Long, Long)) => Long): Column =
-      factors.foldLeft(when(lit(false), lit(0L))) { case (acc, t) =>
-        acc.when(dom === t._1, lit(sel(t)))
-      }.otherwise(lit(0L))
-    lift(df.filter(dom.isInCollection(factors.map(_._1)))
-      .withColumn("__full__", chain(_._2))
-      .withColumn("__thr__", chain(_._3))
+    lift(df.join(broadcast(factors), dom === col("__d__"))
       .withColumn("epoch", explode(sequence(lit(0L), col("__full__"))))
       .filter(col("epoch") < col("__full__") ||
         graft.QHelp.keyHash31(

@@ -56,6 +56,19 @@ object Pipeline {
                                   up: Boolean = false,
                                   maxRepeat: Int = 10)
 
+  /** Optional EXPLICIT-RECIPE mixing stage — the mixture-proportion
+    * TABLE form ([[graft.api.GraftFrame.sampleByBudget]]): per-domain
+    * TARGET masses in `weightCol` units, each domain independently
+    * down- or up-sampled (epoch copies) to hit its budget in
+    * expectation; absent domains drop. Slots where [[TemperatureMix]]
+    * does (after decontamination — budgets act on CLEAN survivors);
+    * one mixing stage per build. The output always carries `epoch`, so
+    * the shuffle position keys on the composite id·(maxRepeat+1)+epoch
+    * and the split on the document id (the up-mix discipline). */
+  final case class BudgetMix(domainCol: String, weightCol: String,
+                             budgets: Map[String, Long],
+                             maxRepeat: Int = 10)
+
   /** Optional MODEL-BASED quality stage (the CCNet recipe, Wenzek et
     * al. 2020): drop docs whose mean n-gram log-probability under a
     * reference-corpus LM ([[NgramLm.train]]) falls below `minLogprob` —
@@ -101,11 +114,13 @@ object Pipeline {
                      boilerplateMaxDocFreq: Option[Int] = None,
                      embeddingDedup: Option[EmbeddingDedup] = None,
                      temperatureMix: Option[TemperatureMix] = None,
-                     lmFilter: Option[LmFilter] = None): DataFrame =
+                     lmFilter: Option[LmFilter] = None,
+                     budgetMix: Option[BudgetMix] = None): DataFrame =
     chain(docs, bench, idCol, textCol, minTokens, nearDupThreshold,
       decontamK, trainFrac, valFrac, shuffleSeed, (_, d) => d,
       persistStages, boilerplateMaxDocFreq, embeddingDedup,
-      temperatureMix = temperatureMix, lmFilter = lmFilter)
+      temperatureMix = temperatureMix, lmFilter = lmFilter,
+      budgetMix = budgetMix)
 
   /** [[pretrainCorpus]] with per-stage kept-row counts riding the same
     * execution via CollectMetrics (`df.observe`) — the 100 TB answer to
@@ -148,7 +163,8 @@ object Pipeline {
                              boilerplateMaxDocFreq: Option[Int] = None,
                              embeddingDedup: Option[EmbeddingDedup] = None,
                              temperatureMix: Option[TemperatureMix] = None,
-                             lmFilter: Option[LmFilter] = None)
+                             lmFilter: Option[LmFilter] = None,
+                             budgetMix: Option[BudgetMix] = None)
       : (DataFrame, Map[String, Observation]) = {
     // "temperature_mix" only joins the map when the stage is ACTIVE: an
     // Observation that never attaches would block a caller's get() forever.
@@ -168,6 +184,7 @@ object Pipeline {
       Seq("exact_dedup", "near_dedup") ++
       (if (persistStages) Seq("decontam") else Nil) ++
       (if (temperatureMix.isDefined) Seq("temperature_mix") else Nil) ++
+      (if (budgetMix.isDefined) Seq("budget_mix") else Nil) ++
       Seq("output")
     val obs = stages.map(s => s -> Observation()).toMap
     val out = chain(docs, bench, idCol, textCol, minTokens,
@@ -175,7 +192,8 @@ object Pipeline {
       (stage, d) => obs.get(stage)
         .fold(d)(o => d.observe(o, count(lit(1)).as("rows"))),
       persistStages, boilerplateMaxDocFreq, embeddingDedup,
-      temperatureMix = temperatureMix, lmFilter = lmFilter)
+      temperatureMix = temperatureMix, lmFilter = lmFilter,
+      budgetMix = budgetMix)
     (out, obs)
   }
 
@@ -197,7 +215,8 @@ object Pipeline {
                             boilerplateMaxDocFreq: Option[Int] = None,
                             embeddingDedup: Option[EmbeddingDedup] = None,
                             temperatureMix: Option[TemperatureMix] = None,
-                            lmFilter: Option[LmFilter] = None)
+                            lmFilter: Option[LmFilter] = None,
+                            budgetMix: Option[BudgetMix] = None)
       : (DataFrame, Seq[DataFrame]) = {
     val handles = scala.collection.mutable.Buffer.empty[DataFrame]
     val out = chain(docs, bench, idCol, textCol, minTokens,
@@ -205,7 +224,8 @@ object Pipeline {
       (_, d) => d, persistStages = true,
       boilerplateMaxDocFreq = boilerplateMaxDocFreq,
       embeddingDedup = embeddingDedup, persisted = handles,
-      temperatureMix = temperatureMix, lmFilter = lmFilter)
+      temperatureMix = temperatureMix, lmFilter = lmFilter,
+      budgetMix = budgetMix)
     (out, handles.toSeq)
   }
 
@@ -301,15 +321,17 @@ object Pipeline {
                       embeddingDedup: Option[EmbeddingDedup] = None,
                       temperatureMix: Option[TemperatureMix] = None,
                       fullWindowsOnly: Boolean = false,
-                      lmFilter: Option[LmFilter] = None): DataFrame = {
+                      lmFilter: Option[LmFilter] = None,
+                      budgetMix: Option[BudgetMix] = None): DataFrame = {
     val corpus = chain(docs, bench, idCol, textCol, minTokens,
       nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
       (_, d) => d, persistStages, boilerplateMaxDocFreq, embeddingDedup,
       temperatureMix = temperatureMix, withShuffleIndex = false,
-      lmFilter = lmFilter)
+      lmFilter = lmFilter, budgetMix = budgetMix)
     windowsFrom(corpus, idCol, textCol, windowSize, shuffleSeed,
       fullWindowsOnly,
-      temperatureMix.filter(_.up).map(_.maxRepeat + 1))
+      temperatureMix.filter(_.up).map(_.maxRepeat + 1)
+        .orElse(budgetMix.map(_.maxRepeat + 1)))
   }
 
   /** [[pretrainWindows]] plus the LANDING — the composed product a
@@ -340,7 +362,8 @@ object Pipeline {
                            embeddingDedup: Option[EmbeddingDedup] = None,
                            temperatureMix: Option[TemperatureMix] = None,
                            fullWindowsOnly: Boolean = false,
-                           lmFilter: Option[LmFilter] = None): Map[String, Long] = {
+                           lmFilter: Option[LmFilter] = None,
+                           budgetMix: Option[BudgetMix] = None): Map[String, Long] = {
     val spark = docs.sparkSession
     readJsonManifest(spark, outPath, WINDOWS_MANIFEST) match {
       case Some(counts) => return counts // fully landed — O(1) replay
@@ -353,10 +376,11 @@ object Pipeline {
       boilerplateMaxDocFreq = boilerplateMaxDocFreq,
       embeddingDedup = embeddingDedup, persisted = handles,
       temperatureMix = temperatureMix, withShuffleIndex = false,
-      lmFilter = lmFilter)
+      lmFilter = lmFilter, budgetMix = budgetMix)
     val win = windowsFrom(corpus, idCol, textCol, windowSize, shuffleSeed,
       fullWindowsOnly,
-      temperatureMix.filter(_.up).map(_.maxRepeat + 1))
+      temperatureMix.filter(_.up).map(_.maxRepeat + 1)
+        .orElse(budgetMix.map(_.maxRepeat + 1)))
     try win.write.mode("overwrite").partitionBy("split").parquet(outPath)
     finally handles.foreach(_.unpersist())
     val counts = landedSplitCounts(spark, outPath, win.schema)
@@ -1438,7 +1462,10 @@ object Pipeline {
                       scala.collection.mutable.Buffer.empty,
                     temperatureMix: Option[TemperatureMix] = None,
                     withShuffleIndex: Boolean = true,
-                    lmFilter: Option[LmFilter] = None): DataFrame = {
+                    lmFilter: Option[LmFilter] = None,
+                    budgetMix: Option[BudgetMix] = None): DataFrame = {
+    require(temperatureMix.isEmpty || budgetMix.isEmpty,
+      "one mixing stage per build: TemperatureMix or BudgetMix, not both")
     def reused(d: DataFrame): DataFrame =
       if (persistStages) { persisted += d; d.persist(StorageLevel.MEMORY_AND_DISK) }
       else d
@@ -1506,7 +1533,7 @@ object Pipeline {
     // boundary, broadcast back); the row decision is the blockwise
     // Knuth-hash compare (down) or the bounded epoch explode (up) — no
     // data-sized shuffle joins the composition either way
-    val mixed = temperatureMix.fold(clean) { tm =>
+    val tmixed = temperatureMix.fold(clean) { tm =>
       val gf = graft.api.GraftFrame(clean)
       if (!tm.up)
         tm.weightCol.fold(
@@ -1521,6 +1548,13 @@ object Pipeline {
             tm.alpha, tm.maxRepeat))
           .df
     }
+    // 4d. optional explicit-recipe mixing ([[BudgetMix]]) — the same
+    // slot, exclusive with 4c (required above): LAZY factors (the
+    // recipe joins as a literal frame against the clean survivors'
+    // mass aggregate), the bounded epoch explode, no data-sized shuffle
+    val mixed = budgetMix.fold(tmixed)(bm =>
+      graft.api.GraftFrame(clean).sampleByBudget(idCol, bm.domainCol,
+        bm.weightCol, bm.budgets, bm.maxRepeat).df)
     // 5+6. row-stable split and deterministic global shuffle position.
     // BOTH root taps (mix + output) sit ABOVE shuffle-index's two-pass
     // cumsum join — that join references its input subtree twice, so a
@@ -1541,17 +1575,24 @@ object Pipeline {
     // are the shuffleIndex total-order contract).
     val split = graft.api.GraftFrame(mixed)
       .splitByHash(idCol, trainFrac, valFrac)
-    val root = (temperatureMix.filter(_.up), withShuffleIndex) match {
+    // any epoch-emitting mix (temperature UP or a budget recipe) keys
+    // the position on the composite id·(maxRepeat+1)+epoch
+    val upArity: Option[Int] =
+      temperatureMix.filter(_.up).map(_.maxRepeat + 1)
+        .orElse(budgetMix.map(_.maxRepeat + 1))
+    val root = (upArity, withShuffleIndex) match {
       case (_, false) => split.df
       case (None, true) =>
         split.shuffleIndex(idCol, seed = shuffleSeed).df
-      case (Some(tm), true) =>
+      case (Some(arity), true) =>
         graft.api.GraftFrame(split.df.withColumn("__mixkey__",
-            col(idCol).cast("long") * (tm.maxRepeat + 1) + col("epoch")))
+            col(idCol).cast("long") * arity + col("epoch")))
           .shuffleIndex("__mixkey__", seed = shuffleSeed)
           .df.drop("__mixkey__")
     }
     tap("output",
-      if (temperatureMix.isDefined) tap("temperature_mix", root) else root)
+      if (temperatureMix.isDefined) tap("temperature_mix", root)
+      else if (budgetMix.isDefined) tap("budget_mix", root)
+      else root)
   }
 }

@@ -596,6 +596,47 @@ class EdgeCasesSpec extends SparkTestBase {
     }
   }
 
+  test("BudgetMix rides the Pipeline: budget_mix observation, composite positions, exclusive with TemperatureMix") {
+    import graft.llm.Pipeline
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("tokens", LongType),
+      StructField("dom", StringType)))
+    // prose long enough to clear the rule-quality gate; two near-dup
+    // rows so every pretrainCorpusObserved stage resolves
+    val rows = (1L to 30L).map(i => Row(i,
+      s"document number $i speaks plainly about spark shuffles rows and joins today",
+      10L, if (i <= 20) "web" else "books")) ++ Seq(
+      Row(50L, "the exact same sentence repeated for the near dup detector to find alright", 10L, "web"),
+      Row(51L, "the exact same sentence repeated for the near dup detector to find okay", 10L, "books"))
+    val docs = df(schema, rows: _*)
+    val bench = df(StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType))),
+      Row(900L, "benchmark text sharing absolutely nothing relevant"))
+    val bm = Pipeline.BudgetMix("dom", "tokens",
+      Map("web" -> 100L, "books" -> 200L)) // web ~halves, books ~doubles
+    val (out, obs) = Pipeline.pretrainCorpusObserved(docs, bench,
+      "doc_id", "text", budgetMix = Some(bm))
+    val got = out.select("doc_id", "dom", "epoch", "split", "shuffle_pos")
+      .collect()
+    // positions are dense and unique across copies (composite keying)
+    val pos = got.map(_.getLong(4)).sorted
+    assert(pos.toSeq == (0L until got.length).toSeq,
+      s"dense unique positions: ${pos.toSeq}")
+    // all copies of a doc share a split
+    assert(got.groupBy(_.getLong(0))
+      .forall(_._2.map(_.getString(3)).distinct.length == 1))
+    // the budget_mix observation equals the output rows
+    assert(obs("budget_mix").get("rows") == got.length.toLong)
+    // books up-sampled (epochs > 0 exist), web down-sampled (epoch 0 only)
+    assert(got.filter(_.getString(1) == "books").exists(_.getLong(2) > 0L))
+    assert(got.filter(_.getString(1) == "web").forall(_.getLong(2) == 0L))
+    intercept[IllegalArgumentException] {
+      Pipeline.pretrainCorpus(docs, bench, "doc_id", "text",
+        budgetMix = Some(bm),
+        temperatureMix = Some(Pipeline.TemperatureMix("dom", 0.5)))
+    }
+  }
+
   test("sampleByTemperatureWeighted: a zero-weight domain is dropped, not a silent global wipe") {
     // r11 ADVICE: a domain whose weights sum to 0 (all-empty docs) made
     // c_min = 0, flooring every threshold to 0 and emptying the output.
