@@ -1813,6 +1813,106 @@ object QueriesText {
       TextStats.dropRepeatedLines(docs, "doc_id", "text").orderBy("doc_id")
     }
 
+    // Span-level exact-substring dedup (Lee et al. 2021 ExactSubstr,
+    // Spark-shaped): duplicated 4-gram fingerprints over a third of the
+    // documents table plus planted rows covering each geometry — a
+    // whole-doc duplicate (-30/-31, the copy embedded mid-doc so the
+    // span is interior), in-doc self-repetition with adjacent-window
+    // merge (-32), and an untouched doc with irregular whitespace that
+    // must come back VERBATIM (-33). The oracle recomputes the gram
+    // explode, the global duplicate decision, the interval merge (same
+    // window frames) and — for the scrub — the token-exact rebuilt text.
+    def spanPlanted(s: org.apache.spark.sql.SparkSession,
+                    dir: String): org.apache.spark.sql.DataFrame = {
+      val planted = Seq(
+        (-30L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (-31L, "prefix words alpha beta gamma delta epsilon zeta eta theta iota kappa suffix words"),
+        (-32L, "one two three four one two three four tail bit"),
+        (-33L, "unique doc nothing  shared here at all   today"))
+      val plantedDf = s.createDataFrame(
+        java.util.Arrays.asList(planted.map(p =>
+          org.apache.spark.sql.Row(p._1, p._2)): _*),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+      t(s, dir, "documents").filter(col("doc_id") % 3 === 1)
+        .select("doc_id", "text").unionByName(plantedDf)
+    }
+    def spanCtes(minSpan: Int): String =
+      s"""spdocs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+         |  UNION ALL SELECT -30, 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
+         |  UNION ALL SELECT -31, 'prefix words alpha beta gamma delta epsilon zeta eta theta iota kappa suffix words'
+         |  UNION ALL SELECT -32, 'one two three four one two three four tail bit'
+         |  UNION ALL SELECT -33, 'unique doc nothing  shared here at all   today'
+         |),
+         |sptoks AS (SELECT doc_id, ${graft.llm.NgramLm.toksSql("text")} AS t FROM spdocs),
+         |spocc AS (
+         |  SELECT doc_id,
+         |    CAST(unnest(range(1, len(t) - 4 + 2)) AS INTEGER) AS pos,
+         |    unnest(list_transform(range(1, len(t) - 4 + 2),
+         |      p -> array_to_string(t[p:p+4-1], ' '))) AS gram
+         |  FROM sptoks WHERE len(t) >= 4),
+         |spdup AS (SELECT gram FROM spocc GROUP BY gram HAVING count(*) >= 2),
+         |sphit AS (SELECT doc_id, pos FROM spocc
+         |  WHERE gram IN (SELECT gram FROM spdup)),
+         |spmark AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN coalesce(pos > max(pos + 4) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), TRUE)
+         |      THEN 1 ELSE 0 END AS nw
+         |  FROM sphit),
+         |spgrp AS (SELECT doc_id, pos,
+         |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM spmark),
+         |spspans AS (SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+         |  CAST(max(pos) + 4 AS INTEGER) AS span_end
+         |  FROM spgrp GROUP BY doc_id, grp
+         |  HAVING max(pos) + 4 - min(pos) >= $minSpan)""".stripMargin
+
+    r.reg("q_dup_spans",
+      s"""WITH ${spanCtes(0)}
+         |SELECT doc_id, span_start, span_end FROM spspans
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      graft.llm.Dedup.duplicateSpans(spanPlanted(s, dir), "doc_id", "text",
+          k = 4)
+        .orderBy("doc_id", "span_start")
+    }
+
+    r.reg("q_span_scrub",
+      s"""WITH ${spanCtes(6)},
+         |sppos AS (SELECT doc_id,
+         |    CAST(unnest(range(1, len(t)+1)) AS INTEGER) AS i,
+         |    unnest(t) AS tok
+         |  FROM sptoks),
+         |spkept AS (
+         |  SELECT p.doc_id, p.i, p.tok FROM sppos p
+         |  WHERE NOT EXISTS (SELECT 1 FROM spspans s
+         |    WHERE s.doc_id = p.doc_id
+         |      AND p.i >= s.span_start AND p.i < s.span_end)),
+         |sprebuilt AS (SELECT doc_id,
+         |    coalesce(string_agg(tok, ' ' ORDER BY i), '') AS rebuilt,
+         |    count(*) AS n_kept
+         |  FROM spkept GROUP BY doc_id),
+         |spdocspans AS (SELECT DISTINCT doc_id FROM spspans)
+         |SELECT d.doc_id,
+         |  CASE WHEN sp.doc_id IS NULL THEN d.text
+         |       ELSE coalesce(r.rebuilt, '') END AS text,
+         |  CASE WHEN sp.doc_id IS NULL THEN CAST(0 AS INTEGER)
+         |       ELSE CAST(len(t.t) - coalesce(r.n_kept, 0) AS INTEGER)
+         |       END AS tokens_removed
+         |FROM spdocs d
+         |JOIN sptoks t USING (doc_id)
+         |LEFT JOIN spdocspans sp USING (doc_id)
+         |LEFT JOIN sprebuilt r ON r.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.Dedup.scrubDuplicateSpans(spanPlanted(s, dir), "doc_id",
+          "text", k = 4, minSpanTokens = 6)
+        .select("doc_id", "text", "tokens_removed")
+        .orderBy("doc_id")
+    }
+
     // CORPUS-level boilerplate removal: 50 planted docs carry the same
     // 'COOKIE BANNER' prefix line (doc-freq 51 > 3 -> stripped from every
     // doc), one planted doc is banner-only (must survive with EMPTY

@@ -1116,4 +1116,125 @@ object Dedup {
                     idCol: String, textCol: String, k: Int = 5): DataFrame =
     train.join(contaminationReport(train, bench, idCol, textCol, k).select(idCol),
       Seq(idCol), "left_anti")
+
+  // -------------------------------------------------------------------
+  // Span-level exact-substring dedup — SUB-document granularity.
+  //
+  // Public recipe: Lee et al. 2021, "Deduplicating Training Data Makes
+  // Language Models Better" (ExactSubstr): a substring duplicated
+  // anywhere in the corpus is removed from EVERY document carrying it
+  // (the published tool's default — no canonical copy survives, unlike
+  // the doc-level families above, because the unit being deduplicated
+  // is not an identifiable row). Their suffix array is replaced by the
+  // Spark-shaped equivalent: k-token gram fingerprints, one global
+  // gram aggregate, candidates-only join-back, per-doc interval merge.
+  // Reference analog: the doc-level drop_duplicates tree
+  // (dask_expr/_collection.py drop_duplicates) has no sub-row form —
+  // this is capability-superset territory.
+  // -------------------------------------------------------------------
+
+  /** One row per k-token gram occurrence: (id, pos, gram), pos 1-based
+    * token index of the gram's first token. Tokenization is the LM
+    * convention (whitespace runs, empties dropped — NgramLm.toks) so
+    * the DuckDB mirror is shared. Docs shorter than k emit nothing. */
+  private def gramOccurrences(docs: DataFrame, idCol: String,
+                              textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol), NgramLm.toks(col(textCol)).as("__t__"))
+      .filter(size(col("__t__")) >= k)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), size(col("__t__")) - (k - 1)),
+          i => concat_ws(" ", slice(col("__t__"), i, lit(k)))))
+          .as(Seq("__p0__", "gram")))
+      .select(col(idCol), (col("__p0__") + 1).as("pos"), col("gram"))
+
+  /** Duplicated-token spans per document: maximal runs of tokens
+    * covered by k-grams that occur at least `minCount` times in the
+    * whole corpus (occurrences, not distinct docs — in-doc
+    * self-repetition is duplication too, exactly as in the suffix-array
+    * formulation). Returns (idCol, span_start, span_end): 1-based token
+    * positions, end exclusive.
+    *
+    * Geometry: a duplicated region of m ≥ k tokens yields m−k+1
+    * contiguous gram hits whose merged interval covers EXACTLY those m
+    * tokens, so `minSpanTokens` thresholds the true duplicated-region
+    * length (Lee et al. use 50): fingerprint with a small k, threshold
+    * with minSpanTokens. Windows merge when overlapping or exactly
+    * adjacent (a gap of zero uncovered tokens is one region).
+    *
+    * Scale shape (100 TB): the gram explode is O(corpus tokens) rows —
+    * the honest cost, identical to every shingle pass in this file.
+    * The duplicate decision is ONE map-side-partial aggregate on the
+    * gram (count only — no occurrence lists, so a degenerate hot gram
+    * costs a combiner cell, not a collect); the join-back is left_semi
+    * and candidates-only ride the per-doc window. The gram string
+    * itself is the exchange payload — exact by choice (the oracle
+    * hashes text verbatim); at petabyte scale substitute a 128-bit
+    * fingerprint (two independent xxhash64 calls) to cut exchange
+    * bytes, accepting ~2^-128 collision odds. Per-doc interval merge is
+    * one window partitioned on the doc id — skew bounded by tokens per
+    * doc, the same bound chunkByTokensGrouped declares. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minCount: Long = 2,
+                     minSpanTokens: Int = 0): DataFrame = {
+    require(k >= 1, s"gram width must be >= 1, got $k")
+    require(minCount >= 2,
+      s"minCount < 2 would mark every token duplicated, got $minCount")
+    val occ = gramOccurrences(docs, idCol, textCol, k)
+    val dup = occ.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__c__"))
+      .filter(col("__c__") >= minCount)
+      .select("gram")
+    val hits = occ.join(dup, Seq("gram"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos").asc)
+    val prevEnd = max(col("pos") + k)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = hits.withColumn("__new__",
+      when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+    marked
+      .withColumn("__grp__", sum(col("__new__"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__grp__"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k).as("span_end"))
+      .filter(col("span_end") - col("span_start") >= minSpanTokens)
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Remove every duplicated span from every document (ExactSubstr
+    * scrub). Output: the input columns with `textCol` rebuilt from the
+    * surviving tokens, plus `tokens_removed`. Documents with NO
+    * qualifying span keep their text VERBATIM (whitespace and all);
+    * scrubbed documents are re-joined with single spaces (the
+    * tokenize-rebuild convention assembleWindows already uses). A doc
+    * that was one big duplicated region scrubs to the empty string —
+    * kept, not dropped: whether empty survivors stay is the caller's
+    * policy (qualityFilter downstream removes them).
+    *
+    * Per-doc span lists are merged maximal intervals — a handful of
+    * struct rows — so the exists() probe per token is O(spans), and the
+    * spans join is id-equi (sort-merge at corpus scale, broadcast when
+    * the span set is small). */
+  def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8, minCount: Long = 2,
+                          minSpanTokens: Int = 0): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, k, minCount,
+        minSpanTokens)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans__"))
+    val toks = NgramLm.toks(col(textCol))
+    val kept = filter(toks, (tok, i0) =>
+      !exists(col("__spans__"), s =>
+        i0 + 1 >= s.getField("span_start") &&
+          i0 + 1 < s.getField("span_end")))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("tokens_removed",
+        when(col("__spans__").isNull, lit(0))
+          .otherwise(size(toks) - size(kept)))
+      .withColumn(textCol,
+        when(col("__spans__").isNull, col(textCol))
+          .otherwise(concat_ws(" ", kept)))
+      .drop("__spans__")
+  }
 }

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.Dedup
+
+/** Span-level exact-substring dedup (Lee et al. 2021 ExactSubstr shape):
+  * constructed fixtures pin every geometry the oracle can't isolate —
+  * exact span extents, adjacent-window merge, distinct-region splits,
+  * the minSpanTokens threshold on TRUE region length, minCount, and the
+  * scrub-all-copies / keep-verbatim contracts. */
+class SpanDedupSpec extends SparkTestBase {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    df(docSchema, rows.map { case (i, t) => Row(i, t) }: _*)
+
+  private def spans(d: DataFrame, k: Int, minCount: Long = 2,
+                    minSpan: Int = 0): Seq[(Long, Int, Int)] =
+    Dedup.duplicateSpans(d, "doc_id", "text", k, minCount, minSpan)
+      .orderBy("doc_id", "span_start")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+
+  private def scrub(d: DataFrame, k: Int, minCount: Long = 2,
+                    minSpan: Int = 0): Map[Long, (String, Int)] =
+    Dedup.scrubDuplicateSpans(d, "doc_id", "text", k, minCount, minSpan)
+      .collect().toSeq
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Int]("tokens_removed")))
+      .toMap
+
+  test("shared region yields exact-extent spans in BOTH docs") {
+    // 6-token shared region, k=3: merged span must cover exactly the
+    // region (positions are 1-based, end exclusive)
+    val d = docs(
+      (1L, "u1 u2 s1 s2 s3 s4 s5 s6 u3"),
+      (2L, "s1 s2 s3 s4 s5 s6 v1 v2 v3 v4"))
+    assert(spans(d, k = 3) == Seq((1L, 3, 9), (2L, 1, 7)))
+  }
+
+  test("in-doc self-repetition: adjacent windows merge to ONE span") {
+    val d = docs((1L, "a b c d a b c d tail bits here now"))
+    // "a b c d" at pos 1 and 5 with k=4: windows [1,5) and [5,9) are
+    // exactly adjacent -> one merged region covering both copies
+    assert(spans(d, k = 4) == Seq((1L, 1, 9)))
+  }
+
+  test("two separated duplicated regions stay two spans") {
+    val d = docs(
+      (1L, "p q r gap1 gap2 gap3 x y z end1 end2"),
+      (2L, "p q r other words x y z trailing stuff here"))
+    assert(spans(d, k = 3) ==
+      Seq((1L, 1, 4), (1L, 7, 10), (2L, 1, 4), (2L, 6, 9)))
+  }
+
+  test("minSpanTokens thresholds TRUE region length") {
+    // doc 1 vs 2 share a 4-token region; doc 1 vs 3 share a 7-token
+    // region; with k=3 both fingerprint, minSpanTokens=6 keeps only the
+    // long one (span length == region length for isolated regions)
+    val d = docs(
+      (1L, "a1 a2 a3 a4 mid1 mid2 b1 b2 b3 b4 b5 b6 b7"),
+      (2L, "a1 a2 a3 a4 zz1 zz2 zz3 zz4 zz5"),
+      (3L, "yy1 yy2 b1 b2 b3 b4 b5 b6 b7 yy3"))
+    val all = spans(d, k = 3)
+    assert(all.contains((1L, 1, 5)) && all.contains((1L, 7, 14)))
+    val thresholded = spans(d, k = 3, minSpan = 6)
+    assert(thresholded == Seq((1L, 7, 14), (3L, 3, 10)))
+  }
+
+  test("minCount=3 ignores pairs, catches triples") {
+    val d = docs(
+      (1L, "c1 c2 c3 c4 one1 one2 one3 one4"),
+      (2L, "c1 c2 c3 c4 other tokens here"),
+      (3L, "c1 c2 c3 c4 third copy words"),
+      (4L, "one1 one2 one3 one4 second copy only"))
+    val s = spans(d, k = 4, minCount = 3L)
+    assert(s == Seq((1L, 1, 5), (2L, 1, 5), (3L, 1, 5)))
+  }
+
+  test("scrub removes ALL copies and keeps untouched docs verbatim") {
+    val weird = "no  dup   here at all  today friend ok"
+    val d = docs(
+      (1L, "head1 head2 dup1 dup2 dup3 dup4 tail1"),
+      (2L, "dup1 dup2 dup3 dup4 xx1 xx2 xx3"),
+      (3L, weird))
+    val out = scrub(d, k = 4)
+    assert(out(1L) == ("head1 head2 tail1", 4))
+    assert(out(2L) == ("xx1 xx2 xx3", 4))
+    // untouched text comes back VERBATIM, irregular whitespace intact
+    assert(out(3L) == (weird, 0))
+  }
+
+  test("whole-doc duplicate scrubs to EMPTY string, not a dropped row") {
+    val d = docs(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "w1 w2 w3 w4 w5"))
+    val out = scrub(d, k = 5)
+    assert(out(1L) == ("", 5) && out(2L) == ("", 5))
+    assert(out.size == 2)
+  }
+
+  test("extra columns ride through scrub unchanged") {
+    val d = docs((1L, "z1 z2 z3 z4"), (2L, "z1 z2 z3 z4"))
+      .withColumn("lang", concat(lit("en-"), col("doc_id")))
+    val out = Dedup.scrubDuplicateSpans(d, "doc_id", "text", 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("lang")).toSeq == Seq("en-1", "en-2"))
+    assert(out.forall(_.getAs[String]("text") == ""))
+  }
+
+  test("docs shorter than k never fingerprint; empty text is safe") {
+    val d = docs((1L, "a b"), (2L, "a b"), (3L, ""), (4L, "   "))
+    assert(spans(d, k = 3).isEmpty)
+    val out = scrub(d, k = 3)
+    assert(out(1L) == ("a b", 0) && out(3L) == ("", 0) &&
+      out(4L) == ("   ", 0))
+  }
+
+  test("minCount < 2 refuses loudly") {
+    val d = docs((1L, "a b c"))
+    intercept[IllegalArgumentException] {
+      Dedup.duplicateSpans(d, "doc_id", "text", 3, minCount = 1L)
+    }
+  }
+}
