@@ -1746,6 +1746,176 @@ object QueriesText {
         .select("doc_id").orderBy("doc_id")
     }
 
+    // Trained quality classifier (GPT-3/CCNet shape, r13): docs with
+    // doc_id % 10 = 0 play the curated (positive) seed, % 10 = 5 the
+    // crawl (negative) seed; the other 80% are candidates. The unigram
+    // NB chain is shared by four oracles — model counts, per-doc
+    // integer statistics, the FILTER DECISION at llr_mean >= 0.002
+    // (nearest candidate sits 2.1e-5 from the threshold at sf0.01 and
+    // 1.2e-4 at sf0.001 — seven orders above cross-engine ln ulp
+    // noise; exact llr values are spec-pinned against StrictMath), and
+    // the persisted `_nbc` round trip which must hash-match the
+    // one-shot stats.
+    val nbCtes =
+      s"""nbpos AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+         |nbneg AS (SELECT text FROM documents WHERE doc_id % 10 = 5),
+         |nbcand AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 10 NOT IN (0, 5)),
+         |nbptk AS (SELECT ${graft.llm.NgramLm.toksSql("text")} AS t FROM nbpos),
+         |nbposc AS (SELECT w, CAST(count(*) AS BIGINT) AS pos_cnt
+         |  FROM (SELECT unnest(t) AS w FROM nbptk) GROUP BY w),
+         |nbntk AS (SELECT ${graft.llm.NgramLm.toksSql("text")} AS t FROM nbneg),
+         |nbnegc AS (SELECT w, CAST(count(*) AS BIGINT) AS neg_cnt
+         |  FROM (SELECT unnest(t) AS w FROM nbntk) GROUP BY w),
+         |nbmodel AS (SELECT coalesce(p.w, n.w) AS w,
+         |    coalesce(pos_cnt, 0) AS pos_cnt,
+         |    coalesce(neg_cnt, 0) AS neg_cnt
+         |  FROM nbposc p FULL OUTER JOIN nbnegc n ON p.w = n.w),
+         |nbtot AS (SELECT CAST(count(*) AS BIGINT) AS v,
+         |  sum(pos_cnt) AS npos, sum(neg_cnt) AS nneg FROM nbmodel),
+         |nbctk AS (SELECT doc_id, ${graft.llm.NgramLm.toksSql("text")} AS t FROM nbcand),
+         |nbks AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+         |  FROM (SELECT doc_id, unnest(t) AS w FROM nbctk) GROUP BY doc_id, w),
+         |nbj AS (SELECT nbks.doc_id, nbks.w, nbks.k,
+         |    coalesce(m.pos_cnt, 0) AS pos0, coalesce(m.neg_cnt, 0) AS neg0,
+         |    m.w IS NOT NULL AS hit
+         |  FROM nbks LEFT JOIN nbmodel m USING (w)),
+         |nbagg AS (
+         |  SELECT doc_id,
+         |    CAST(sum(k) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN pos0 > 0 THEN k ELSE 0 END) AS BIGINT) AS n_hit_pos,
+         |    CAST(sum(CASE WHEN neg0 > 0 THEN k ELSE 0 END) AS BIGINT) AS n_hit_neg,
+         |    CAST(sum(k * pos0) AS BIGINT) AS sum_pos_cnt,
+         |    CAST(sum(k * neg0) AS BIGINT) AS sum_neg_cnt
+         |  FROM nbj GROUP BY doc_id)""".stripMargin
+    val nbStatsSql =
+      s"""WITH $nbCtes
+         |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         |  coalesce(a.n_hit_pos, 0) AS n_hit_pos,
+         |  coalesce(a.n_hit_neg, 0) AS n_hit_neg,
+         |  coalesce(a.sum_pos_cnt, 0) AS sum_pos_cnt,
+         |  coalesce(a.sum_neg_cnt, 0) AS sum_neg_cnt
+         |FROM nbcand d LEFT JOIN nbagg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+
+    def nbSeed(s: org.apache.spark.sql.SparkSession, dir: String,
+               m: Int): org.apache.spark.sql.DataFrame =
+      t(s, dir, "documents").filter(col("doc_id") % 10 === m).select("text")
+    def nbModel(s: org.apache.spark.sql.SparkSession, dir: String) =
+      graft.llm.Classifier.train(nbSeed(s, dir, 0), nbSeed(s, dir, 5),
+        "text")
+    def nbCand(s: org.apache.spark.sql.SparkSession, dir: String) =
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+        .select("doc_id", "text")
+
+    r.reg("q_nb_model",
+      s"""WITH $nbCtes
+         |SELECT w, pos_cnt, neg_cnt FROM nbmodel ORDER BY w""".stripMargin) {
+      (s, dir) => nbModel(s, dir).orderBy("w")
+    }
+
+    r.reg("q_nb_stats", nbStatsSql) { (s, dir) =>
+      graft.llm.Classifier.score(nbCand(s, dir), "doc_id", "text",
+          nbModel(s, dir))
+        .select("doc_id", "n_tokens", "n_hit_pos", "n_hit_neg",
+          "sum_pos_cnt", "sum_neg_cnt")
+        .orderBy("doc_id")
+    }
+
+    r.reg("q_nb_filter",
+      s"""WITH $nbCtes,
+         |nbsc AS (
+         |  SELECT doc_id,
+         |    list_sum(list(k * (
+         |      ln((CAST(pos0 AS DOUBLE) + 1.0) /
+         |        (CAST(npos AS DOUBLE) + CAST(v AS DOUBLE)))
+         |      - ln((CAST(neg0 AS DOUBLE) + 1.0) /
+         |        (CAST(nneg AS DOUBLE) + CAST(v AS DOUBLE)))) ORDER BY w))
+         |      / CAST(sum(k) AS DOUBLE) AS llr_mean
+         |  FROM nbj, nbtot GROUP BY doc_id)
+         |SELECT doc_id FROM nbcand
+         |WHERE doc_id NOT IN (SELECT doc_id FROM nbsc WHERE llr_mean < 0.002)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.Classifier.filterByClassifier(nbCand(s, dir), "doc_id",
+          "text", nbModel(s, dir), minLlrMean = 0.002)
+        .select("doc_id").orderBy("doc_id")
+    }
+
+    // persisted `_nbc` round trip (the q_lm_indexed pattern): serving
+    // through the bucketed table — Npos/Nneg/V re-derived live — must
+    // hash-match the SAME chain as the one-shot q_nb_stats. Fixture
+    // builds once per (JVM, sf dir).
+    r.reg("q_nb_indexed", nbStatsSql) { (s, dir) =>
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/nbcidx")
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir &&
+        s.catalog.tableExists("g_pnbc_nbc")
+      if (!fresh) {
+        graft.llm.Classifier.writeClassifier(nbSeed(s, dir, 0),
+          nbSeed(s, dir, 5), "text", "g_pnbc", idxPath)
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
+      graft.llm.Classifier.scoreIndexed(s, "g_pnbc", idxPath,
+          nbCand(s, dir), "doc_id", "text")
+        .select("doc_id", "n_tokens", "n_hit_pos", "n_hit_neg",
+          "sum_pos_cnt", "sum_neg_cnt")
+        .orderBy("doc_id")
+    }
+
+    // The composed pipeline WITH the classifier gate (1c): the shared
+    // 6-stage chain with the NB llr_mean >= 0.002 decision SPLICED
+    // between the rule-quality gate and exact dedup — exactly where
+    // chain() runs it. The gate is decisive (drops ~half the quality
+    // survivors; nearest doc sits 3.0e-5 / 2.1e-5 from the threshold at
+    // sf0.001 / sf0.01) and every downstream stage (exact, near,
+    // decontam, split, shuffle_pos) re-derives over the gated set, so a
+    // doc wrongly kept or dropped shifts every later position — no
+    // slack. Model seeds are the q_nb_model fixture (%10 = 0 / 5).
+    val clfStageCtes =
+      s"""clfktk AS (SELECT doc_id, ${graft.llm.NgramLm.toksSql("text")} AS t FROM kept),
+         |clfks AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+         |  FROM (SELECT doc_id, unnest(t) AS w FROM clfktk) GROUP BY doc_id, w),
+         |clfj AS (SELECT clfks.doc_id, clfks.k,
+         |    coalesce(m.pos_cnt, 0) AS pos0, coalesce(m.neg_cnt, 0) AS neg0,
+         |    clfks.w AS w
+         |  FROM clfks LEFT JOIN nbmodel m USING (w)),
+         |clfsc AS (SELECT doc_id,
+         |    list_sum(list(k * (
+         |      ln((CAST(pos0 AS DOUBLE) + 1.0) /
+         |        (CAST(npos AS DOUBLE) + CAST(v AS DOUBLE)))
+         |      - ln((CAST(neg0 AS DOUBLE) + 1.0) /
+         |        (CAST(nneg AS DOUBLE) + CAST(v AS DOUBLE)))) ORDER BY w))
+         |      / CAST(sum(k) AS DOUBLE) AS llr_mean
+         |  FROM clfj, nbtot GROUP BY doc_id),
+         |clfkept AS (SELECT k.doc_id, k.text FROM kept k
+         |  JOIN clfsc USING (doc_id) WHERE llr_mean >= 0.002),""".stripMargin
+    val pipeClfCtes = {
+      val spliced = pipeCleanCtes.replace("keyed AS (",
+        nbCtes + ",\n" + clfStageCtes + "\nkeyed AS (")
+      val rerooted = spliced.replace("AS rn\n  FROM kept),",
+        "AS rn\n  FROM clfkept),")
+      require(spliced != pipeCleanCtes && rerooted != spliced,
+        "q_pipeline_clf splice anchors drifted — update the replaces")
+      rerooted
+    }
+    r.reg("q_pipeline_clf", pipeClfCtes + "\n" + pipeFinal("clean")) {
+      (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.llm.Pipeline.pretrainCorpus(
+          docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+          "doc_id", "text",
+          classifierFilter = Some(graft.llm.Pipeline.ClassifierFilter(
+            nbModel(s, dir), minLlrMean = 0.002)))
+        .select("doc_id", "split", "shuffle_pos")
+        .orderBy("doc_id")
+    }
+
     // PII redaction: fixture prose carries no PII, so planted rows
     // exercise each pattern class (email, phone with punctuation, IPv4,
     // digits that must NOT match) and the redacted strings themselves are

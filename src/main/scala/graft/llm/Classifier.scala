@@ -1,0 +1,230 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trained counting quality classifier — the DISCRIMINATIVE quality
+  * modality (public recipe: the GPT-3 quality filter, Brown et al.
+  * 2020 — a linear classifier trained on curated-vs-crawl seed sets
+  * scores every crawl doc; CCNet and fastText, Joulin et al. 2016, are
+  * the same shape; DSIR, Xie et al. 2023, uses the identical hashed
+  * n-gram likelihood-ratio as an importance weight). Where [[NgramLm]]
+  * is GENERATIVE (how plausible is this text under one reference
+  * corpus), this is a two-corpus multinomial Naive Bayes: tokens are
+  * scored by the log-likelihood RATIO between a positive (curated) and
+  * a negative (raw-crawl) seed corpus. No external model binaries: the
+  * model IS a DataFrame of per-token (pos_cnt, neg_cnt) counts, trained
+  * in-engine and persistable like any frame.
+  *
+  * Scale shape (100 TB): training is one unigram shuffle over each
+  * seed corpus (seeds are sample-sized, not corpus-sized) and a
+  * model-sized full-outer merge. Scoring shuffles the candidate corpus
+  * once on (id, w) for multiplicities, left-joins the model on w
+  * (broadcast beneath the AQE threshold — quality-classifier vocabs
+  * are ~1e6 rows), and folds once per doc — O(corpus tokens), the same
+  * honest cost as every LM pass. No driver-side state, no UDFs.
+  *
+  * Determinism: the [[NgramLm]] discipline verbatim — every integer
+  * statistic (counts, hit multiplicities, count masses) is exact and
+  * oracle-checked cross-engine; the log-ratio uses the engine's ln
+  * with an ordered fold (bit-deterministic in-engine), and threshold
+  * DECISIONS are ulp-robust and oracle-checked while raw score values
+  * are spec-pinned against a StrictMath driver reference. */
+object Classifier {
+
+  /** TRAIN: unigram token counts over the two seed corpora, merged
+    * full-outer → (w, pos_cnt, neg_cnt) with 0 where a side has never
+    * seen the token. Tokenization is the LM convention
+    * ([[NgramLm.toks]]: whitespace runs, empties dropped) so the DuckDB
+    * mirror is shared. */
+  def train(pos: DataFrame, neg: DataFrame, textCol: String): DataFrame = {
+    def counts(d: DataFrame, out: String): DataFrame = d
+      .select(explode(NgramLm.toks(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as(out))
+    counts(pos, "pos_cnt").join(counts(neg, "neg_cnt"), Seq("w"), "outer")
+      .select(col("w"), coalesce(col("pos_cnt"), lit(0L)).as("pos_cnt"),
+        coalesce(col("neg_cnt"), lit(0L)).as("neg_cnt"))
+  }
+
+  /** SCORE: per-doc NB log-likelihood-ratio statistics.
+    *
+    * For each doc token w with multiplicity k, with model masses
+    * Npos = Σ pos_cnt, Nneg = Σ neg_cnt, V = |model vocab|:
+    *   lr_w = ln((pos_cnt + α)/(Npos + α·V))
+    *        − ln((neg_cnt + α)/(Nneg + α·V))
+    * llr = Σ k·lr_w folded in sorted w order; llr_mean = llr/n_tokens
+    * (length-normalized — the filterable score, so a long doc can't
+    * win on volume). Out-of-vocab tokens score the smoothed floor on
+    * BOTH sides — near-zero lr, correctly uninformative.
+    *
+    * Returns one row per input doc: (idCol, n_tokens, n_hit_pos,
+    * n_hit_neg, sum_pos_cnt, sum_neg_cnt, llr, llr_mean) — hits count
+    * token OCCURRENCES the respective seed side has seen; the sums are
+    * multiplicity-weighted count masses (exact integers, the oracle
+    * surface). Token-less docs are unscorable: n_tokens = 0, NULL
+    * llr/llr_mean (the filter owns the policy — an ANSI divide-by-zero
+    * must never kill a 100 TB pass). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            model: DataFrame, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    // an empty model gives V = 0 and both denominators 0 — refuse
+    // loudly instead of dying in codegen (one bounded limit-probe)
+    require(!model.isEmpty,
+      "empty classifier model — train on non-empty seed corpora first")
+    val mrow = model.agg(count(lit(1)).as("__v__"),
+      sum(col("pos_cnt")).as("__npos__"),
+      sum(col("neg_cnt")).as("__nneg__"))
+    val base = docs.select(col(idCol), NgramLm.toks(col(textCol)).as("__t__"))
+    val ks = base.filter(size(col("__t__")) >= 1)
+      .select(col(idCol), explode(col("__t__")).as("w"))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("k"))
+    val joined = ks.join(model, Seq("w"), "left")
+      .withColumn("pos0", coalesce(col("pos_cnt"), lit(0L)))
+      .withColumn("neg0", coalesce(col("neg_cnt"), lit(0L)))
+    val folded = joined.groupBy(col(idCol))
+      .agg(
+        collect_list(struct(col("w"), col("k"), col("pos0"), col("neg0")))
+          .as("__xs__"),
+        sum(col("k")).as("n_tokens"),
+        sum(when(col("pos0") > 0, col("k")).otherwise(lit(0L)))
+          .as("n_hit_pos"),
+        sum(when(col("neg0") > 0, col("k")).otherwise(lit(0L)))
+          .as("n_hit_neg"),
+        sum(col("k") * col("pos0")).as("sum_pos_cnt"),
+        sum(col("k") * col("neg0")).as("sum_neg_cnt"))
+      .crossJoin(broadcast(mrow))
+      .withColumn("llr",
+        aggregate(array_sort(col("__xs__")), lit(0.0), (acc, x) =>
+          acc + x.getField("k").cast("double") *
+            (log((x.getField("pos0").cast("double") + lit(alpha)) /
+              (col("__npos__").cast("double") +
+                lit(alpha) * col("__v__").cast("double"))) -
+              log((x.getField("neg0").cast("double") + lit(alpha)) /
+                (col("__nneg__").cast("double") +
+                  lit(alpha) * col("__v__").cast("double"))))))
+      .withColumn("llr_mean", col("llr") / col("n_tokens").cast("double"))
+      .drop("__xs__", "__v__", "__npos__", "__nneg__")
+    base.select(col(idCol))
+      .join(folded, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_hit_pos"), lit(0L)).as("n_hit_pos"),
+        coalesce(col("n_hit_neg"), lit(0L)).as("n_hit_neg"),
+        coalesce(col("sum_pos_cnt"), lit(0L)).as("sum_pos_cnt"),
+        coalesce(col("sum_neg_cnt"), lit(0L)).as("sum_neg_cnt"),
+        col("llr"), col("llr_mean"))
+  }
+
+  /** FILTER: keep docs whose mean log-likelihood-ratio clears
+    * `minLlrMean` (the GPT-3 gate — drop docs the classifier reads as
+    * crawl-like). Unscorable docs (no tokens) keep by default: they
+    * carry no classifier evidence either way, and the rule gates
+    * already own empty docs. All caller columns survive. */
+  def filterByClassifier(docs: DataFrame, idCol: String, textCol: String,
+                         model: DataFrame, minLlrMean: Double,
+                         alpha: Double = 1.0,
+                         keepUnscorable: Boolean = true): DataFrame = {
+    val s = score(docs, idCol, textCol, model, alpha)
+    val keep = s.filter(
+      if (keepUnscorable)
+        col("llr_mean").isNull || col("llr_mean") >= minLlrMean
+      else col("llr_mean") >= minLlrMean)
+    docs.join(keep.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted classifier — the EIGHTH maintained family: ONE bucketed
+  // table `<name>_nbc` (w, pos_cnt, neg_cnt) bucketed on `w`. Npos,
+  // Nneg and V are deliberately NOT stored: all three re-derive from
+  // the live table at every serve (the doclens-stats discipline — no
+  // stats sidecar that could drift).
+  //
+  // Lifecycle posture: the [[NgramLm]] one exactly — counts are
+  // AGGREGATES over the seed corpora, per-doc append/retraction is
+  // structurally absent, and the one corrective action is a WHOLESALE
+  // retrain from the seed sources of record ([[writeClassifier]] IS
+  // it; the stamp lands last so a crashed build refuses to serve).
+
+  private def nbcMetaFile(path: String) = s"$path/_graft_nbc_meta.json"
+
+  private def stampNbcMeta(spark: SparkSession, path: String,
+                           buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(nbcMetaFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(s"""{"buckets":$buckets}\n""".getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** buckets from the stamp — a stampless directory is a crashed or
+    * foreign build and refuses loudly. */
+  private[llm] def readNbcMeta(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(nbcMetaFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no classifier stamp at ${nbcMetaFile(path)} — build with writeClassifier first")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt) match {
+      case Some(m) => m.group(1).toInt
+      case None => throw new IllegalStateException(
+        s"malformed classifier stamp at ${nbcMetaFile(path)}: $txt")
+    }
+  }
+
+  /** Build (or wholesale RETRAIN — the family's one maintenance
+    * action) the persisted classifier. */
+  def writeClassifier(pos: DataFrame, neg: DataFrame, textCol: String,
+                      name: String, path: String,
+                      buckets: Int = 8): Unit = {
+    val spark = pos.sparkSession
+    graft.api.GraftFrame(train(pos, neg, textCol))
+      .toBucketedTable(s"${name}_nbc", s"$path/nbc", buckets, Seq("w"))
+    stampNbcMeta(spark, path, buckets)
+  }
+
+  /** Serve [[score]] from the persisted classifier — bit-identical to
+    * the one-shot form over the same seeds (oracle-pinned): Npos, Nneg
+    * and V re-derive from the live table. */
+  def scoreIndexed(spark: SparkSession, name: String, path: String,
+                   docs: DataFrame, idCol: String, textCol: String,
+                   alpha: Double = 1.0): DataFrame = {
+    readNbcMeta(spark, path)
+    score(docs, idCol, textCol, spark.table(s"${name}_nbc"), alpha)
+  }
+
+  /** Maintenance observable: rows + parquet file count. */
+  def classifierReport(spark: SparkSession, name: String): DataFrame =
+    spark.table(s"${name}_nbc")
+      .select(input_file_name().as("__f__"))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("__f__")).as("files"))
+      .select(lit(s"${name}_nbc").as("table"), col("rows"), col("files"))
+
+  /** Compact to one file per bucket — online-safe generation flip. */
+  def compactClassifier(spark: SparkSession, name: String): Unit =
+    graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_nbc")
+
+  /** OOV drift of a fresh corpus slice against the stored vocab: the
+    * fraction of the slice's token OCCURRENCES the model has never
+    * seen on either side — a pure integer ratio, engine-deterministic.
+    * A growing OOV rate means the classifier is scoring ever more
+    * tokens at the uninformative smoothed floor; the action is
+    * [[writeClassifier]] on refreshed seed corpora. */
+  def classifierOovRate(spark: SparkSession, name: String, path: String,
+                        fresh: DataFrame, textCol: String): Double = {
+    readNbcMeta(spark, path)
+    val row = fresh
+      .select(explode(NgramLm.toks(col(textCol))).as("w"))
+      .join(spark.table(s"${name}_nbc").select("w")
+          .withColumn("__hit__", lit(true)),
+        Seq("w"), "left")
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("__hit__").isNull, 1L).otherwise(0L)).as("oov"))
+      .head()
+    if (row.getLong(0) == 0L) 0.0
+    else row.getLong(1).toDouble / row.getLong(0).toDouble
+  }
+}

@@ -488,6 +488,11 @@ object Maintain {
   final case class LmTarget(name: String, path: String,
                             freshRef: Option[DataFrame] = None,
                             textCol: String = "text") extends Target
+  final case class NbcTarget(name: String, path: String,
+                             freshSample: Option[DataFrame] = None,
+                             freshPos: Option[DataFrame] = None,
+                             freshNeg: Option[DataFrame] = None,
+                             textCol: String = "text") extends Target
 
   /** The NIGHTLY SWEEP: one call maintains every persisted family a
     * corpus owner operates — each (label, target) runs its family's
@@ -526,6 +531,8 @@ object Maintain {
             maintainLexicalIndex(spark, n, policy, bp)
           case LmTarget(n, p, fr, tc) =>
             maintainLm(spark, n, p, policy, fr, tc)
+          case NbcTarget(n, p, fs, fp, fn, tc) =>
+            maintainClassifier(spark, n, p, policy, fs, fp, fn, tc)
         } catch { case e: Exception =>
           Seq(("pass_failed", Double.NaN, Double.NaN, false,
             s"${e.getClass.getSimpleName}: ${e.getMessage}"))
@@ -623,6 +630,76 @@ object Maintain {
     results += (("table_files", files, policy.maxFilesFlat.toDouble,
       fireCompact,
       if (fireCompact) "NgramLm.compactLm"
+      else if (over) "subsumed: retrain rewrote one file per bucket"
+      else "none"))
+
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
+  }
+
+  /** [[maintainLm]] for the persisted quality CLASSIFIER
+    * ([[Classifier.writeClassifier]] table `<name>_nbc`) — the EIGHTH
+    * maintained family, sharing the LM's aggregate-counts lifecycle
+    * posture (no per-doc retraction; wholesale retrain is the one
+    * corrective action). Checks, in escalation order:
+    *
+    *  1. OOV drift (only when `freshSample` is provided): the fraction
+    *     of a fresh CORPUS slice's token occurrences outside the model
+    *     vocab ([[Classifier.classifierOovRate]] — an integer ratio).
+    *     Drift is measured against the population being SCORED, not the
+    *     seeds: a vocabulary the corpus has outgrown scores ever more
+    *     tokens at the uninformative smoothed floor. Over
+    *     `policy.maxDriftDelta` the retrain
+    *     ([[Classifier.writeClassifier]]) fires — but only when BOTH
+    *     refreshed seed corpora are provided; with seeds absent the
+    *     indication is recorded un-fired so the nightly report still
+    *     surfaces the debt.
+    *  2. fragmentation: parquet files over `policy.maxFilesFlat` fires
+    *     [[Classifier.compactClassifier]] — subsumed when the retrain
+    *     already rewrote one file per bucket. */
+  def maintainClassifier(spark: SparkSession, name: String, path: String,
+                         policy: Policy = Policy(),
+                         freshSample: Option[DataFrame] = None,
+                         freshPos: Option[DataFrame] = None,
+                         freshNeg: Option[DataFrame] = None,
+                         textCol: String = "text"): DataFrame = {
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+    results += (("retraction", Double.NaN, Double.NaN, false,
+      "n/a: counts are aggregates over the seed corpora — per-doc retraction is structurally absent; correct the seeds and retrain (Classifier.writeClassifier)"))
+
+    val files = Classifier.classifierReport(spark, name)
+      .agg(max(col("files"))).head().getLong(0).toDouble
+
+    val firedRetrain = freshSample match {
+      case None =>
+        results += (("oov_drift", Double.NaN, policy.maxDriftDelta, false,
+          "skipped: no freshSample provided"))
+        false
+      case Some(fs) =>
+        val oov = Classifier.classifierOovRate(spark, name, path, fs,
+          textCol)
+        val indicated = oov > policy.maxDriftDelta
+        val canFire = freshPos.isDefined && freshNeg.isDefined
+        val fire = indicated && canFire
+        if (fire) {
+          val buckets = Classifier.readNbcMeta(spark, path)
+          Classifier.writeClassifier(freshPos.get, freshNeg.get, textCol,
+            name, path, buckets)
+        }
+        results += (("oov_drift", oov, policy.maxDriftDelta, fire,
+          if (fire) "Classifier.writeClassifier(freshPos, freshNeg)"
+          else if (indicated)
+            "indicated: provide freshPos AND freshNeg to retrain"
+          else "none"))
+        fire
+    }
+
+    val over = files > policy.maxFilesFlat
+    val fireCompact = over && !firedRetrain
+    if (fireCompact) Classifier.compactClassifier(spark, name)
+    results += (("table_files", files, policy.maxFilesFlat.toDouble,
+      fireCompact,
+      if (fireCompact) "Classifier.compactClassifier"
       else if (over) "subsumed: retrain rewrote one file per bucket"
       else "none"))
 

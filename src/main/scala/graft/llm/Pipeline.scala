@@ -82,6 +82,18 @@ object Pipeline {
                             n: Int = 2, alpha: Double = 1.0,
                             keepUnscorable: Boolean = true)
 
+  /** Optional DISCRIMINATIVE quality stage ([[Classifier]] — the GPT-3
+    * curated-vs-crawl gate): a trained Naive-Bayes token model scores
+    * every doc's mean log-likelihood ratio; docs below `minLlrMean`
+    * drop. Runs right after the (optional) LM gate and before exact
+    * dedup, so the two model gates compose — the LM catches gibberish
+    * (generatively implausible), the classifier catches fluent-but-
+    * crawl-like text the LM reads as fine. `model` is
+    * [[Classifier.train]] output (or the live `<name>_nbc` table). */
+  final case class ClassifierFilter(model: DataFrame, minLlrMean: Double,
+                                    alpha: Double = 1.0,
+                                    keepUnscorable: Boolean = true)
+
   /** @param docs     training-candidate documents (idCol, textCol, …)
     * @param bench    benchmark/eval documents to decontaminate against
     * @param persistStages  persist (MEMORY_AND_DISK) the two stage
@@ -115,12 +127,13 @@ object Pipeline {
                      embeddingDedup: Option[EmbeddingDedup] = None,
                      temperatureMix: Option[TemperatureMix] = None,
                      lmFilter: Option[LmFilter] = None,
-                     budgetMix: Option[BudgetMix] = None): DataFrame =
+                     budgetMix: Option[BudgetMix] = None,
+                     classifierFilter: Option[ClassifierFilter] = None): DataFrame =
     chain(docs, bench, idCol, textCol, minTokens, nearDupThreshold,
       decontamK, trainFrac, valFrac, shuffleSeed, (_, d) => d,
       persistStages, boilerplateMaxDocFreq, embeddingDedup,
       temperatureMix = temperatureMix, lmFilter = lmFilter,
-      budgetMix = budgetMix)
+      budgetMix = budgetMix, classifierFilter = classifierFilter)
 
   /** [[pretrainCorpus]] with per-stage kept-row counts riding the same
     * execution via CollectMetrics (`df.observe`) — the 100 TB answer to
@@ -164,7 +177,8 @@ object Pipeline {
                              embeddingDedup: Option[EmbeddingDedup] = None,
                              temperatureMix: Option[TemperatureMix] = None,
                              lmFilter: Option[LmFilter] = None,
-                             budgetMix: Option[BudgetMix] = None)
+                             budgetMix: Option[BudgetMix] = None,
+                             classifierFilter: Option[ClassifierFilter] = None)
       : (DataFrame, Map[String, Observation]) = {
     // "temperature_mix" only joins the map when the stage is ACTIVE: an
     // Observation that never attaches would block a caller's get() forever.
@@ -179,8 +193,12 @@ object Pipeline {
     // stage references the quality output twice, and only the persist
     // makes its observe materialize once (same reasoning as "decontam").
     val stages = Seq("input") ++
-      (if (lmFilter.isEmpty || persistStages) Seq("quality") else Nil) ++
-      (if (lmFilter.isDefined) Seq("lm_quality") else Nil) ++
+      (if ((lmFilter.isEmpty && classifierFilter.isEmpty) || persistStages)
+        Seq("quality") else Nil) ++
+      (if (lmFilter.isDefined &&
+          (classifierFilter.isEmpty || persistStages))
+        Seq("lm_quality") else Nil) ++
+      (if (classifierFilter.isDefined) Seq("clf_quality") else Nil) ++
       Seq("exact_dedup", "near_dedup") ++
       (if (persistStages) Seq("decontam") else Nil) ++
       (if (temperatureMix.isDefined) Seq("temperature_mix") else Nil) ++
@@ -193,7 +211,7 @@ object Pipeline {
         .fold(d)(o => d.observe(o, count(lit(1)).as("rows"))),
       persistStages, boilerplateMaxDocFreq, embeddingDedup,
       temperatureMix = temperatureMix, lmFilter = lmFilter,
-      budgetMix = budgetMix)
+      budgetMix = budgetMix, classifierFilter = classifierFilter)
     (out, obs)
   }
 
@@ -216,7 +234,8 @@ object Pipeline {
                             embeddingDedup: Option[EmbeddingDedup] = None,
                             temperatureMix: Option[TemperatureMix] = None,
                             lmFilter: Option[LmFilter] = None,
-                            budgetMix: Option[BudgetMix] = None)
+                            budgetMix: Option[BudgetMix] = None,
+                            classifierFilter: Option[ClassifierFilter] = None)
       : (DataFrame, Seq[DataFrame]) = {
     val handles = scala.collection.mutable.Buffer.empty[DataFrame]
     val out = chain(docs, bench, idCol, textCol, minTokens,
@@ -225,7 +244,7 @@ object Pipeline {
       boilerplateMaxDocFreq = boilerplateMaxDocFreq,
       embeddingDedup = embeddingDedup, persisted = handles,
       temperatureMix = temperatureMix, lmFilter = lmFilter,
-      budgetMix = budgetMix)
+      budgetMix = budgetMix, classifierFilter = classifierFilter)
     (out, handles.toSeq)
   }
 
@@ -251,14 +270,15 @@ object Pipeline {
                     shuffleSeed: Long = 0L,
                     boilerplateMaxDocFreq: Option[Int] = None,
                     embeddingDedup: Option[EmbeddingDedup] = None,
-                    lmFilter: Option[LmFilter] = None): Map[String, Long] = {
+                    lmFilter: Option[LmFilter] = None,
+                    classifierFilter: Option[ClassifierFilter] = None): Map[String, Long] = {
     val handles = scala.collection.mutable.Buffer.empty[DataFrame]
     val out = chain(docs, bench, idCol, textCol, minTokens,
       nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
       (_, d) => d, persistStages = true,
       boilerplateMaxDocFreq = boilerplateMaxDocFreq,
       embeddingDedup = embeddingDedup, persisted = handles,
-      lmFilter = lmFilter)
+      lmFilter = lmFilter, classifierFilter = classifierFilter)
     try out.write.mode("overwrite").partitionBy("split").parquet(outPath)
     finally handles.foreach(_.unpersist())  // landing owns the cache lifecycle
     // split sizes from footer metadata of what was ACTUALLY written; the
@@ -322,12 +342,14 @@ object Pipeline {
                       temperatureMix: Option[TemperatureMix] = None,
                       fullWindowsOnly: Boolean = false,
                       lmFilter: Option[LmFilter] = None,
-                      budgetMix: Option[BudgetMix] = None): DataFrame = {
+                      budgetMix: Option[BudgetMix] = None,
+                      classifierFilter: Option[ClassifierFilter] = None): DataFrame = {
     val corpus = chain(docs, bench, idCol, textCol, minTokens,
       nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
       (_, d) => d, persistStages, boilerplateMaxDocFreq, embeddingDedup,
       temperatureMix = temperatureMix, withShuffleIndex = false,
-      lmFilter = lmFilter, budgetMix = budgetMix)
+      lmFilter = lmFilter, budgetMix = budgetMix,
+      classifierFilter = classifierFilter)
     windowsFrom(corpus, idCol, textCol, windowSize, shuffleSeed,
       fullWindowsOnly,
       temperatureMix.filter(_.up).map(_.maxRepeat + 1)
@@ -363,7 +385,8 @@ object Pipeline {
                            temperatureMix: Option[TemperatureMix] = None,
                            fullWindowsOnly: Boolean = false,
                            lmFilter: Option[LmFilter] = None,
-                           budgetMix: Option[BudgetMix] = None): Map[String, Long] = {
+                           budgetMix: Option[BudgetMix] = None,
+                           classifierFilter: Option[ClassifierFilter] = None): Map[String, Long] = {
     val spark = docs.sparkSession
     readJsonManifest(spark, outPath, WINDOWS_MANIFEST) match {
       case Some(counts) => return counts // fully landed — O(1) replay
@@ -376,7 +399,8 @@ object Pipeline {
       boilerplateMaxDocFreq = boilerplateMaxDocFreq,
       embeddingDedup = embeddingDedup, persisted = handles,
       temperatureMix = temperatureMix, withShuffleIndex = false,
-      lmFilter = lmFilter, budgetMix = budgetMix)
+      lmFilter = lmFilter, budgetMix = budgetMix,
+      classifierFilter = classifierFilter)
     val win = windowsFrom(corpus, idCol, textCol, windowSize, shuffleSeed,
       fullWindowsOnly,
       temperatureMix.filter(_.up).map(_.maxRepeat + 1)
@@ -463,7 +487,8 @@ object Pipeline {
                          redactPii: Boolean = true,
                          fullWindowsOnly: Boolean = false,
                          admission: Seq[graft.operators.Checks.Constraint] = Nil,
-                         lmFilter: Option[LmFilter] = None): Map[String, Long] = {
+                         lmFilter: Option[LmFilter] = None,
+                         classifierFilter: Option[ClassifierFilter] = None): Map[String, Long] = {
     val spark = shard.sparkSession
     val manifestName = s"_graft_wshard_$shardLabel.json"
     readJsonManifest(spark, outPath, manifestName) match {
@@ -487,7 +512,7 @@ object Pipeline {
         .localCheckpoint(true))
     val survivors = ingestShardFrame(cp, bench, idCol, textCol,
       indexName, indexPath, minTokens, nearDupThreshold, decontamK,
-      redactPii, lmFilter = lmFilter)
+      redactPii, lmFilter = lmFilter, classifierFilter = classifierFilter)
     try {
       val recovered: DataFrame = suspects match {
         case None => cp.limit(0)
@@ -827,7 +852,8 @@ object Pipeline {
                        redactPii: Boolean = true,
                        shingleK: Int = 3, numHashes: Int = 16,
                        bands: Int = 4, buckets: Int = 8,
-                       lmFilter: Option[LmFilter] = None): DataFrame = {
+                       lmFilter: Option[LmFilter] = None,
+                       classifierFilter: Option[ClassifierFilter] = None): DataFrame = {
     val ruleQuality = TextStats.qualityFilter(shard, textCol,
       minTokens = minTokens)
     // optional model-based quality (the pretrainCorpus LmFilter slot):
@@ -835,9 +861,14 @@ object Pipeline {
     // frame must be the same on a crash replay (deterministic gate —
     // the recovery path never re-gates, so this only matters for the
     // docs that had NOT yet committed, which simply re-gate)
-    val quality = lmFilter.fold(ruleQuality)(f =>
+    val lmQuality = lmFilter.fold(ruleQuality)(f =>
       NgramLm.filterByLm(ruleQuality, idCol, textCol, f.model,
         f.minLogprob, f.n, f.alpha, f.keepUnscorable))
+    // optional discriminative quality (the ClassifierFilter slot) —
+    // same pre-redaction, deterministic-on-replay contract
+    val quality = classifierFilter.fold(lmQuality)(f =>
+      Classifier.filterByClassifier(lmQuality, idCol, textCol, f.model,
+        f.minLlrMean, f.alpha, f.keepUnscorable))
     val keyed = quality.withColumn("__ck__",
       Dedup.canonicalKey(col(textCol)))
     val redacted =
@@ -869,7 +900,8 @@ object Pipeline {
     * [[ingestShardFrame]], but a DRY RUN (the index is only read, never
     * appended) that classifies EVERY input doc instead of returning the
     * survivors: (id, fate) where fate is the FIRST stage that dropped
-    * the doc — 'quality', 'exact_in_shard', 'exact_vs_corpus',
+    * the doc — 'quality', 'lm_quality' (LmFilter active), 'clf_quality'
+    * (ClassifierFilter active), 'exact_in_shard', 'exact_vs_corpus',
     * 'contaminated', 'near_in_shard', 'near_vs_corpus' — or 'landed'.
     * This is the drop-attribution report [[ingestShard]]'s manifest
     * deliberately omits (CollectMetrics cannot surface through the
@@ -886,12 +918,17 @@ object Pipeline {
                   redactPii: Boolean = true,
                   shingleK: Int = 3, numHashes: Int = 16,
                   bands: Int = 4,
-                  lmFilter: Option[LmFilter] = None): DataFrame = {
+                  lmFilter: Option[LmFilter] = None,
+                  classifierFilter: Option[ClassifierFilter] = None): DataFrame = {
     val ruleQ = TextStats.qualityFilter(shard, textCol,
       minTokens = minTokens).localCheckpoint(true)
-    val quality = lmFilter.fold(ruleQ)(f =>
+    val lmQ = lmFilter.fold(ruleQ)(f =>
         NgramLm.filterByLm(ruleQ, idCol, textCol, f.model, f.minLogprob,
           f.n, f.alpha, f.keepUnscorable))
+      .localCheckpoint(true)
+    val quality = classifierFilter.fold(lmQ)(f =>
+        Classifier.filterByClassifier(lmQ, idCol, textCol, f.model,
+          f.minLlrMean, f.alpha, f.keepUnscorable))
       .withColumn("__ck__", Dedup.canonicalKey(col(textCol)))
       .localCheckpoint(true)
     val redacted =
@@ -920,6 +957,7 @@ object Pipeline {
       df.select(col(idCol)).withColumn(name, lit(true))
     shard.select(col(idCol))
       .join(flag(ruleQ, "__f0__"), Seq(idCol), "left")
+      .join(flag(lmQ, "__f0b__"), Seq(idCol), "left")
       .join(flag(quality, "__f1__"), Seq(idCol), "left")
       .join(flag(inShardExact, "__f2__"), Seq(idCol), "left")
       .join(flag(fresh, "__f3__"), Seq(idCol), "left")
@@ -928,7 +966,8 @@ object Pipeline {
       .join(flag(landed, "__f6__"), Seq(idCol), "left")
       .select(col(idCol),
         when(col("__f0__").isNull, "quality")
-          .when(col("__f1__").isNull, "lm_quality")
+          .when(col("__f0b__").isNull, "lm_quality")
+          .when(col("__f1__").isNull, "clf_quality")
           .when(col("__f2__").isNull, "exact_in_shard")
           .when(col("__f3__").isNull, "exact_vs_corpus")
           .when(col("__f4__").isNull, "contaminated")
@@ -980,7 +1019,8 @@ object Pipeline {
                   bands: Int = 4, buckets: Int = 8,
                   admission: Seq[graft.operators.Checks.Constraint] = Nil,
                   lexical: Option[(String, String)] = None,
-                  lmFilter: Option[LmFilter] = None): Map[String, Long] = {
+                  lmFilter: Option[LmFilter] = None,
+                  classifierFilter: Option[ClassifierFilter] = None): Map[String, Long] = {
     val spark = shard.sparkSession
     readShardManifest(spark, outPath, shardLabel) match {
       case Some(counts) => return counts // fully processed — O(1) replay
@@ -1022,7 +1062,8 @@ object Pipeline {
         .localCheckpoint(true))
     val survivors = ingestShardFrame(cp, bench, idCol, textCol,
       indexName, indexPath, minTokens, nearDupThreshold, decontamK,
-      redactPii, shingleK, numHashes, bands, buckets, lmFilter)
+      redactPii, shingleK, numHashes, bands, buckets, lmFilter,
+      classifierFilter)
     try {
       val recovered: DataFrame = suspects match {
         case None => cp.limit(0)
@@ -1463,7 +1504,8 @@ object Pipeline {
                     temperatureMix: Option[TemperatureMix] = None,
                     withShuffleIndex: Boolean = true,
                     lmFilter: Option[LmFilter] = None,
-                    budgetMix: Option[BudgetMix] = None): DataFrame = {
+                    budgetMix: Option[BudgetMix] = None,
+                    classifierFilter: Option[ClassifierFilter] = None): DataFrame = {
     require(temperatureMix.isEmpty || budgetMix.isEmpty,
       "one mixing stage per build: TemperatureMix or BudgetMix, not both")
     def reused(d: DataFrame): DataFrame =
@@ -1504,10 +1546,19 @@ object Pipeline {
       tap("lm_quality", NgramLm.filterByLm(q, idCol, textCol, f.model,
         f.minLogprob, f.n, f.alpha, f.keepUnscorable))
     }
+    // 1c. optional DISCRIMINATIVE quality — the GPT-3 curated-vs-crawl
+    // classifier gate ([[Classifier.filterByClassifier]]). Same
+    // twice-read shape as 1b (scoring side + semi-join kept side), so
+    // its input becomes a persisted boundary while the stage is active.
+    val classed = classifierFilter.fold(lmed) { f =>
+      val q = reused(lmed)
+      tap("clf_quality", Classifier.filterByClassifier(q, idCol, textCol,
+        f.model, f.minLlrMean, f.alpha, f.keepUnscorable))
+    }
     // 2. exact dedup (canonicalized md5, keep smallest id) — also a
     // reused boundary: near-dedup reads it twice (candidate-pair
     // construction and the anti-join's kept side)
-    val exact = reused(tap("exact_dedup", Dedup.exact(lmed, idCol, textCol)))
+    val exact = reused(tap("exact_dedup", Dedup.exact(classed, idCol, textCol)))
     // 3. near dedup: banded MinHash candidates, exact-Jaccard verify,
     //    min-label components, drop non-minimal members
     val near = reused(tap("near_dedup", Dedup.dropNearDuplicates(exact,

@@ -1,0 +1,278 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.{Classifier, Maintain}
+
+/** Trained counting quality classifier (the GPT-3 curated-vs-crawl
+  * gate): exact count training, scoring pinned bit-for-bit against a
+  * driver-side StrictMath reference, smoothing/OOV semantics,
+  * unscorable policy, the filter, and the persisted-family lifecycle
+  * (stamp guard, bit-parity serve, OOV drift, maintenance pass). */
+class ClassifierSpec extends SparkTestBase {
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame =
+    df(StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType))),
+      rows.map { case (i, t) => Row(i, t) }: _*)
+
+  private def textDf(rows: Seq[String]): DataFrame =
+    df(StructType(Seq(StructField("text", StringType))),
+      rows.map(Row(_)): _*)
+
+  private val posSeed = Seq(
+    "curated prose reads well and flows clearly",
+    "well written careful prose with clear flow",
+    "clear careful writing reads well")
+  private val negSeed = Seq(
+    "click here buy now cheap cheap deals",
+    "buy cheap now click now best deals here",
+    "cheap deals click buy")
+
+  // ------- driver-side reference implementation (plain Scala) -------
+
+  private def toksRef(t: String): Seq[String] =
+    t.split("\\s+").filter(_.nonEmpty).toSeq
+
+  private def countsRef(docs: Seq[String]): Map[String, Long] =
+    docs.flatMap(toksRef).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+
+  private def modelRef: Map[String, (Long, Long)] = {
+    val p = countsRef(posSeed); val n = countsRef(negSeed)
+    (p.keySet ++ n.keySet).map(w =>
+      w -> (p.getOrElse(w, 0L), n.getOrElse(w, 0L))).toMap
+  }
+
+  private def scoreRef(text: String, model: Map[String, (Long, Long)],
+                       alpha: Double): Option[(Double, Double)] = {
+    val v = model.size
+    val npos = model.values.map(_._1).sum
+    val nneg = model.values.map(_._2).sum
+    val ts = toksRef(text)
+    if (ts.isEmpty) None
+    else {
+      val byW = ts.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val llr = byW.foldLeft(0.0) { case (acc, (w, k)) =>
+        val (p0, n0) = model.getOrElse(w, (0L, 0L))
+        acc + k.toDouble *
+          (StrictMath.log((p0.toDouble + alpha) /
+            (npos.toDouble + alpha * v.toDouble)) -
+            StrictMath.log((n0.toDouble + alpha) /
+              (nneg.toDouble + alpha * v.toDouble)))
+      }
+      Some((llr, llr / ts.size.toDouble))
+    }
+  }
+
+  // -------------------------------------------------------------------
+
+  test("train: exact merged counts, zero where a side never saw w") {
+    val m = Classifier.train(textDf(posSeed), textDf(negSeed), "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(m == modelRef)
+    assert(m("cheap") == (0L, 4L))
+    assert(m("prose") == (2L, 0L))
+    assert(m("well") == (3L, 0L))
+  }
+
+  test("score matches the StrictMath driver reference exactly") {
+    val model = Classifier.train(textDf(posSeed), textDf(negSeed), "text")
+    val cands = Seq(
+      10L -> "careful clear prose and careful flow",
+      11L -> "cheap cheap deals click here now",
+      12L -> "prose deals unknownword cheap well",
+      13L -> "totally novel tokens nowhere in seeds")
+    val got = Classifier.score(docsDf(cands), "doc_id", "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("llr"), r.getAs[Double]("llr_mean"))).toMap
+    val ref = modelRef
+    for ((id, text) <- cands) {
+      val Some((llr, mean)) = scoreRef(text, ref, 1.0)
+      assert(got(id)._1 == llr, s"llr mismatch at $id")
+      assert(got(id)._2 == mean, s"llr_mean mismatch at $id")
+    }
+    // sign sanity: curated-like positive, crawl-like negative,
+    // all-OOV near zero (smoothed floor on both sides)
+    assert(got(10L)._2 > 0 && got(11L)._2 < 0)
+    assert(math.abs(got(13L)._2) < math.abs(got(10L)._2))
+  }
+
+  test("integer statistics: hits and count masses are exact") {
+    val model = Classifier.train(textDf(posSeed), textDf(negSeed), "text")
+    val row = Classifier.score(
+        docsDf(Seq(1L -> "prose cheap prose mystery")),
+        "doc_id", "text", model)
+      .head()
+    assert(row.getAs[Long]("n_tokens") == 4L)
+    assert(row.getAs[Long]("n_hit_pos") == 2L) // prose x2
+    assert(row.getAs[Long]("n_hit_neg") == 1L) // cheap
+    assert(row.getAs[Long]("sum_pos_cnt") == 4L) // 2 copies x pos_cnt 2
+    assert(row.getAs[Long]("sum_neg_cnt") == 4L) // 1 copy x neg_cnt 4
+  }
+
+  test("unscorable docs: n_tokens = 0, NULL llr, kept by default") {
+    val model = Classifier.train(textDf(posSeed), textDf(negSeed), "text")
+    val d = docsDf(Seq(1L -> "", 2L -> "   ", 3L -> "cheap deals"))
+    val s = Classifier.score(d, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+    assert(s(0).getAs[Long]("n_tokens") == 0L && s(0).isNullAt(6))
+    assert(s(1).getAs[Long]("n_tokens") == 0L)
+    val kept = Classifier.filterByClassifier(d, "doc_id", "text", model,
+      minLlrMean = 0.0).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L)) // crawl-like doc 3 drops; empties keep
+    val strict = Classifier.filterByClassifier(d, "doc_id", "text", model,
+        minLlrMean = 0.0, keepUnscorable = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict.isEmpty)
+  }
+
+  test("empty model refuses loudly; alpha must be positive") {
+    val model = Classifier.train(textDf(Nil), textDf(Nil), "text")
+    val d = docsDf(Seq(1L -> "anything"))
+    intercept[IllegalArgumentException] {
+      Classifier.score(d, "doc_id", "text", model)
+    }
+    val ok = Classifier.train(textDf(posSeed), textDf(negSeed), "text")
+    intercept[IllegalArgumentException] {
+      Classifier.score(d, "doc_id", "text", ok, alpha = 0.0)
+    }
+  }
+
+  test("persisted family: stamp guard, bit-parity serve, drift, maintain") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nbc").toString
+    val spark2 = spark
+    // stampless serve refuses
+    intercept[IllegalArgumentException] {
+      Classifier.scoreIndexed(spark2, "t_nbc0", dir + "/none",
+        docsDf(Seq(1L -> "x")), "doc_id", "text")
+    }
+    Classifier.writeClassifier(textDf(posSeed), textDf(negSeed), "text",
+      "t_nbc", dir)
+    val cands = docsDf(Seq(
+      1L -> "careful clear prose and careful flow",
+      2L -> "cheap cheap deals click here now"))
+    val oneShot = Classifier.score(cands, "doc_id", "text",
+        Classifier.train(textDf(posSeed), textDf(negSeed), "text"))
+      .orderBy("doc_id").collect().toSeq
+    val served = Classifier.scoreIndexed(spark2, "t_nbc", dir, cands,
+      "doc_id", "text").orderBy("doc_id").collect().toSeq
+    assert(served == oneShot) // bit parity, llr included
+    // OOV drift: a fresh slice full of unseen tokens reads high
+    val oov = Classifier.classifierOovRate(spark2, "t_nbc", dir,
+      textDf(Seq("totally novel words beyond any seed")), "text")
+    assert(oov == 1.0)
+    val oovLow = Classifier.classifierOovRate(spark2, "t_nbc", dir,
+      textDf(Seq("careful prose cheap deals")), "text")
+    assert(oovLow == 0.0)
+    // maintenance: drift over threshold with seeds present -> retrain
+    // fires and the served vocab picks up the fresh tokens
+    val rep = Maintain.maintainClassifier(spark2, "t_nbc", dir,
+      Maintain.Policy(maxDriftDelta = 0.5),
+      freshSample = Some(textDf(Seq("totally novel words"))),
+      freshPos = Some(textDf(Seq("totally novel words of quality"))),
+      freshNeg = Some(textDf(negSeed)))
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(3), r.getString(4))).toMap
+    assert(rep("oov_drift")._1,
+      "drift over threshold with both seeds must fire the retrain")
+    assert(Classifier.classifierOovRate(spark2, "t_nbc", dir,
+      textDf(Seq("totally novel words")), "text") == 0.0)
+    // drift indicated but seeds absent -> recorded, not fired
+    val rep2 = Maintain.maintainClassifier(spark2, "t_nbc", dir,
+      Maintain.Policy(maxDriftDelta = 0.0001),
+      freshSample = Some(textDf(Seq("yet more unseen vocabulary"))))
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(3), r.getString(4))).toMap
+    assert(!rep2("oov_drift")._1 &&
+      rep2("oov_drift")._2.contains("indicated"))
+  }
+
+  test("ClassifierFilter rides the Pipeline: equals pre-filtering, clf_quality metric resolves, composes with LmFilter") {
+    import graft.llm.{NgramLm, Pipeline, TextStats}
+    val model = Classifier.train(textDf(posSeed), textDf(negSeed), "text")
+    // 72 crawl-like, 73 exact dup of 70, 74/75 a near-dup pair so the
+    // early observations resolve (the pretrainCorpusObserved caveat)
+    val docs = docsDf(Seq(
+      70L -> "curated careful prose reads well and flows clearly all day",
+      71L -> "clear careful writing reads well and flows along nicely too",
+      72L -> "buy cheap deals click here now buy cheap deals click again",
+      73L -> "curated careful prose reads well and flows clearly all day",
+      74L -> "careful prose flows clearly and reads well in the morning ok",
+      75L -> "careful prose flows clearly and reads well in the morning yes"))
+    val bench = docsDf(Seq(100L -> "benchmark prose sharing no shingle"))
+    val cf = Pipeline.ClassifierFilter(model, 0.0)
+    val composed = Pipeline.pretrainCorpus(docs, bench, "doc_id", "text",
+        classifierFilter = Some(cf), persistStages = false)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val qKept = TextStats.qualityFilter(docs, "text")
+    val clfKeptIds = Classifier.filterByClassifier(qKept, "doc_id",
+        "text", model, 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val qIds = qKept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val preDropped = docs.filter(
+      !col("doc_id").isin((qIds -- clfKeptIds).toSeq: _*))
+    val expected = Pipeline.pretrainCorpus(preDropped, bench, "doc_id",
+        "text", persistStages = false)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(composed == expected)
+    assert(!composed.contains(72L), s"classifier must drop crawl-like: $composed")
+    assert(!composed.contains(73L), "exact dedup still runs after the stage")
+    val (out, obs) = Pipeline.pretrainCorpusObserved(docs, bench,
+      "doc_id", "text", classifierFilter = Some(cf))
+    out.collect()
+    assert(obs("clf_quality").get("rows") == clfKeptIds.size.toLong)
+    assert(obs("quality").get("rows") == qIds.size.toLong)
+    assert(obs("input").get("rows") == 6L)
+    // both model gates co-active: LM permissive, classifier decisive —
+    // the chain composes and the result matches classifier-only
+    val lmModel = NgramLm.train(docsDf(Seq(0L -> posSeed.mkString(" "))),
+      "text", 1)
+    val both = Pipeline.pretrainCorpus(docs, bench, "doc_id", "text",
+        lmFilter = Some(Pipeline.LmFilter(lmModel, -1e9, n = 1)),
+        classifierFilter = Some(cf), persistStages = false)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(both == composed)
+  }
+
+  test("ClassifierFilter rides the daily ingest: crawl-like never reaches the keys boundary; audit says clf_quality") {
+    import graft.llm.{Dedup, Pipeline}
+    val base = java.nio.file.Files.createTempDirectory("graft_nbc_ing")
+      .toString
+    try {
+      val model = Classifier.train(textDf(posSeed), textDf(negSeed),
+        "text")
+      val corpus = docsDf(Seq(
+        80L -> "curated careful prose reads well and flows clearly early"))
+      Dedup.writeNearDupIndex(corpus, "doc_id", "text", "nbcing_t",
+        s"$base/idx")
+      val shard = docsDf(Seq(
+        81L -> "clear careful writing reads well and flows along nicely",
+        82L -> "buy cheap deals click here now best online prices today"))
+      val cf = Pipeline.ClassifierFilter(model, 0.0)
+      val bench = docsDf(Seq(
+        100L -> "benchmark prose sharing no shingle with anything here"))
+      val counts = Pipeline.ingestShard(shard, bench, "doc_id", "text",
+        "nbcing_t", s"$base/idx", s"$base/land", "d1", redactPii = false,
+        classifierFilter = Some(cf))
+      assert(counts("landed") == 1L)
+      assert(spark.read.parquet(s"$base/land").select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(81L))
+      assert(spark.table("nbcing_t_keys").filter(col("id") === 82L).isEmpty)
+      val fates = Pipeline.ingestAudit(shard, bench, "doc_id", "text",
+          "nbcing_t", redactPii = false, classifierFilter = Some(cf))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(fates(82L) == "clf_quality")
+      assert(fates(81L) == "exact_vs_corpus")
+    } finally {
+      Seq("nbcing_t_bands", "nbcing_t_shingles", "nbcing_t_keys")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+}
