@@ -1916,6 +1916,82 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // The composed pipeline WITH the span-scrub stage (0c): ExactSubstr
+    // at k=5 cuts corpus-duplicated 5-gram regions from every doc
+    // BEFORE the quality gate — at both scales the scrub touches ~50
+    // docs and EMPTIES the ~17 whole-doc duplicates (which then fail
+    // minTokens instead of reaching exact dedup), so quality, both
+    // dedups, decontam, split and every shuffle position re-derive over
+    // scrubbed text. The oracle recomputes the scrub token-exactly and
+    // feeds the rebuilt text through the same downstream chain.
+    val pipeSpanCtes = {
+      val scrub =
+        s"""sptoks AS (SELECT doc_id, ${graft.llm.NgramLm.toksSql("text")} AS t FROM base),
+           |spocc AS (
+           |  SELECT doc_id,
+           |    CAST(unnest(range(1, len(t) - 5 + 2)) AS INTEGER) AS pos,
+           |    unnest(list_transform(range(1, len(t) - 5 + 2),
+           |      p -> array_to_string(t[p:p+5-1], ' '))) AS gram
+           |  FROM sptoks WHERE len(t) >= 5),
+           |spdup AS (SELECT gram FROM spocc GROUP BY gram HAVING count(*) >= 2),
+           |sphit AS (SELECT doc_id, pos FROM spocc
+           |  WHERE gram IN (SELECT gram FROM spdup)),
+           |spmark AS (
+           |  SELECT doc_id, pos,
+           |    CASE WHEN coalesce(pos > max(pos + 5) OVER (
+           |        PARTITION BY doc_id ORDER BY pos
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), TRUE)
+           |      THEN 1 ELSE 0 END AS nw
+           |  FROM sphit),
+           |spgrp AS (SELECT doc_id, pos,
+           |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           |  FROM spmark),
+           |spspans AS (SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+           |  CAST(max(pos) + 5 AS INTEGER) AS span_end
+           |  FROM spgrp GROUP BY doc_id, grp),
+           |sppos AS (SELECT doc_id,
+           |    CAST(unnest(range(1, len(t)+1)) AS INTEGER) AS i,
+           |    unnest(t) AS tok
+           |  FROM sptoks),
+           |spkept2 AS (
+           |  SELECT p.doc_id, p.i, p.tok FROM sppos p
+           |  WHERE NOT EXISTS (SELECT 1 FROM spspans sx
+           |    WHERE sx.doc_id = p.doc_id
+           |      AND p.i >= sx.span_start AND p.i < sx.span_end)),
+           |sprebuilt AS (SELECT doc_id,
+           |    coalesce(string_agg(tok, ' ' ORDER BY i), '') AS rebuilt
+           |  FROM spkept2 GROUP BY doc_id),
+           |spdocspans AS (SELECT DISTINCT doc_id FROM spspans),
+           |spbase AS (
+           |  SELECT d.doc_id,
+           |    CASE WHEN sp.doc_id IS NULL THEN d.text
+           |         ELSE coalesce(r.rebuilt, '') END AS text
+           |  FROM base d
+           |  LEFT JOIN spdocspans sp USING (doc_id)
+           |  LEFT JOIN sprebuilt r ON r.doc_id = d.doc_id),
+           |""".stripMargin
+      val spliced = pipeCleanCtes.replace("qtoks AS (", scrub + "qtoks AS (")
+      val r1 = spliced.replace("AS t FROM base),\nqgrams AS (",
+        "AS t FROM spbase),\nqgrams AS (")
+      val r2 = r1.replace("FROM base d LEFT JOIN qgtop",
+        "FROM spbase d LEFT JOIN qgtop")
+      require(spliced != pipeCleanCtes && r1 != spliced && r2 != r1,
+        "q_pipeline_spans splice anchors drifted — update the replaces")
+      r2
+    }
+    r.reg("q_pipeline_spans", pipeSpanCtes + "\n" + pipeFinal("clean")) {
+      (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.llm.Pipeline.pretrainCorpus(
+          docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+          "doc_id", "text",
+          spanScrub = Some(graft.llm.Pipeline.SpanScrub(k = 5)))
+        .select("doc_id", "split", "shuffle_pos")
+        .orderBy("doc_id")
+    }
+
     // PII redaction: fixture prose carries no PII, so planted rows
     // exercise each pattern class (email, phone with punctuation, IPv4,
     // digits that must NOT match) and the redacted strings themselves are

@@ -94,6 +94,18 @@ object Pipeline {
                                     alpha: Double = 1.0,
                                     keepUnscorable: Boolean = true)
 
+  /** Optional SPAN-level exact-substring scrub stage
+    * ([[Dedup.scrubDuplicateSpans]] — the Lee et al. 2021 ExactSubstr
+    * pass): corpus-duplicated k-gram regions are cut from EVERY doc
+    * before any row-level stage, so the quality gate judges the
+    * post-scrub text (a doc the scrub EMPTIES is a whole-doc duplicate
+    * and drops at minTokens), and exact/near dedup see scrubbed
+    * content. Batch-build only: the spans are a CORPUS-global
+    * aggregate, so the daily-shard paths deliberately omit the stage —
+    * an incremental analog would need a persisted gram index. */
+  final case class SpanScrub(k: Int = 8, minCount: Long = 2,
+                             minSpanTokens: Int = 0)
+
   /** @param docs     training-candidate documents (idCol, textCol, …)
     * @param bench    benchmark/eval documents to decontaminate against
     * @param persistStages  persist (MEMORY_AND_DISK) the two stage
@@ -128,12 +140,14 @@ object Pipeline {
                      temperatureMix: Option[TemperatureMix] = None,
                      lmFilter: Option[LmFilter] = None,
                      budgetMix: Option[BudgetMix] = None,
-                     classifierFilter: Option[ClassifierFilter] = None): DataFrame =
+                     classifierFilter: Option[ClassifierFilter] = None,
+                     spanScrub: Option[SpanScrub] = None): DataFrame =
     chain(docs, bench, idCol, textCol, minTokens, nearDupThreshold,
       decontamK, trainFrac, valFrac, shuffleSeed, (_, d) => d,
       persistStages, boilerplateMaxDocFreq, embeddingDedup,
       temperatureMix = temperatureMix, lmFilter = lmFilter,
-      budgetMix = budgetMix, classifierFilter = classifierFilter)
+      budgetMix = budgetMix, classifierFilter = classifierFilter,
+      spanScrub = spanScrub)
 
   /** [[pretrainCorpus]] with per-stage kept-row counts riding the same
     * execution via CollectMetrics (`df.observe`) — the 100 TB answer to
@@ -178,7 +192,8 @@ object Pipeline {
                              temperatureMix: Option[TemperatureMix] = None,
                              lmFilter: Option[LmFilter] = None,
                              budgetMix: Option[BudgetMix] = None,
-                             classifierFilter: Option[ClassifierFilter] = None)
+                             classifierFilter: Option[ClassifierFilter] = None,
+                             spanScrub: Option[SpanScrub] = None)
       : (DataFrame, Map[String, Observation]) = {
     // "temperature_mix" only joins the map when the stage is ACTIVE: an
     // Observation that never attaches would block a caller's get() forever.
@@ -192,7 +207,8 @@ object Pipeline {
     // "quality" gates on persistStages while the LM stage is on: the LM
     // stage references the quality output twice, and only the persist
     // makes its observe materialize once (same reasoning as "decontam").
-    val stages = Seq("input") ++
+    val stages =
+      (if (spanScrub.isEmpty || persistStages) Seq("input") else Nil) ++
       (if ((lmFilter.isEmpty && classifierFilter.isEmpty) || persistStages)
         Seq("quality") else Nil) ++
       (if (lmFilter.isDefined &&
@@ -211,7 +227,8 @@ object Pipeline {
         .fold(d)(o => d.observe(o, count(lit(1)).as("rows"))),
       persistStages, boilerplateMaxDocFreq, embeddingDedup,
       temperatureMix = temperatureMix, lmFilter = lmFilter,
-      budgetMix = budgetMix, classifierFilter = classifierFilter)
+      budgetMix = budgetMix, classifierFilter = classifierFilter,
+      spanScrub = spanScrub)
     (out, obs)
   }
 
@@ -235,7 +252,8 @@ object Pipeline {
                             temperatureMix: Option[TemperatureMix] = None,
                             lmFilter: Option[LmFilter] = None,
                             budgetMix: Option[BudgetMix] = None,
-                            classifierFilter: Option[ClassifierFilter] = None)
+                            classifierFilter: Option[ClassifierFilter] = None,
+                            spanScrub: Option[SpanScrub] = None)
       : (DataFrame, Seq[DataFrame]) = {
     val handles = scala.collection.mutable.Buffer.empty[DataFrame]
     val out = chain(docs, bench, idCol, textCol, minTokens,
@@ -244,7 +262,8 @@ object Pipeline {
       boilerplateMaxDocFreq = boilerplateMaxDocFreq,
       embeddingDedup = embeddingDedup, persisted = handles,
       temperatureMix = temperatureMix, lmFilter = lmFilter,
-      budgetMix = budgetMix, classifierFilter = classifierFilter)
+      budgetMix = budgetMix, classifierFilter = classifierFilter,
+      spanScrub = spanScrub)
     (out, handles.toSeq)
   }
 
@@ -271,14 +290,16 @@ object Pipeline {
                     boilerplateMaxDocFreq: Option[Int] = None,
                     embeddingDedup: Option[EmbeddingDedup] = None,
                     lmFilter: Option[LmFilter] = None,
-                    classifierFilter: Option[ClassifierFilter] = None): Map[String, Long] = {
+                    classifierFilter: Option[ClassifierFilter] = None,
+                    spanScrub: Option[SpanScrub] = None): Map[String, Long] = {
     val handles = scala.collection.mutable.Buffer.empty[DataFrame]
     val out = chain(docs, bench, idCol, textCol, minTokens,
       nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
       (_, d) => d, persistStages = true,
       boilerplateMaxDocFreq = boilerplateMaxDocFreq,
       embeddingDedup = embeddingDedup, persisted = handles,
-      lmFilter = lmFilter, classifierFilter = classifierFilter)
+      lmFilter = lmFilter, classifierFilter = classifierFilter,
+      spanScrub = spanScrub)
     try out.write.mode("overwrite").partitionBy("split").parquet(outPath)
     finally handles.foreach(_.unpersist())  // landing owns the cache lifecycle
     // split sizes from footer metadata of what was ACTUALLY written; the
@@ -343,13 +364,14 @@ object Pipeline {
                       fullWindowsOnly: Boolean = false,
                       lmFilter: Option[LmFilter] = None,
                       budgetMix: Option[BudgetMix] = None,
-                      classifierFilter: Option[ClassifierFilter] = None): DataFrame = {
+                      classifierFilter: Option[ClassifierFilter] = None,
+                      spanScrub: Option[SpanScrub] = None): DataFrame = {
     val corpus = chain(docs, bench, idCol, textCol, minTokens,
       nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
       (_, d) => d, persistStages, boilerplateMaxDocFreq, embeddingDedup,
       temperatureMix = temperatureMix, withShuffleIndex = false,
       lmFilter = lmFilter, budgetMix = budgetMix,
-      classifierFilter = classifierFilter)
+      classifierFilter = classifierFilter, spanScrub = spanScrub)
     windowsFrom(corpus, idCol, textCol, windowSize, shuffleSeed,
       fullWindowsOnly,
       temperatureMix.filter(_.up).map(_.maxRepeat + 1)
@@ -386,7 +408,8 @@ object Pipeline {
                            fullWindowsOnly: Boolean = false,
                            lmFilter: Option[LmFilter] = None,
                            budgetMix: Option[BudgetMix] = None,
-                           classifierFilter: Option[ClassifierFilter] = None): Map[String, Long] = {
+                           classifierFilter: Option[ClassifierFilter] = None,
+                           spanScrub: Option[SpanScrub] = None): Map[String, Long] = {
     val spark = docs.sparkSession
     readJsonManifest(spark, outPath, WINDOWS_MANIFEST) match {
       case Some(counts) => return counts // fully landed — O(1) replay
@@ -400,7 +423,7 @@ object Pipeline {
       embeddingDedup = embeddingDedup, persisted = handles,
       temperatureMix = temperatureMix, withShuffleIndex = false,
       lmFilter = lmFilter, budgetMix = budgetMix,
-      classifierFilter = classifierFilter)
+      classifierFilter = classifierFilter, spanScrub = spanScrub)
     val win = windowsFrom(corpus, idCol, textCol, windowSize, shuffleSeed,
       fullWindowsOnly,
       temperatureMix.filter(_.up).map(_.maxRepeat + 1)
@@ -1505,7 +1528,8 @@ object Pipeline {
                     withShuffleIndex: Boolean = true,
                     lmFilter: Option[LmFilter] = None,
                     budgetMix: Option[BudgetMix] = None,
-                    classifierFilter: Option[ClassifierFilter] = None): DataFrame = {
+                    classifierFilter: Option[ClassifierFilter] = None,
+                    spanScrub: Option[SpanScrub] = None): DataFrame = {
     require(temperatureMix.isEmpty || budgetMix.isEmpty,
       "one mixing stage per build: TemperatureMix or BudgetMix, not both")
     def reused(d: DataFrame): DataFrame =
@@ -1529,11 +1553,23 @@ object Pipeline {
             .join(docs.drop(textCol), Seq(idCol))
             .select(docs.columns.map(col).toSeq: _*))
     }
+    // 0c. optional span-level exact-substring scrub ([[SpanScrub]]):
+    // row-preserving (its effect surfaces as the quality gate's drop —
+    // emptied whole-doc duplicates fail minTokens), so it carries no
+    // tap of its own; it references its input twice (gram/occurrence
+    // side + the spans join-back), so the input persists while active
+    // and the "input" observation gates on persistStages (the LmFilter
+    // precedent).
+    val scrubbed = spanScrub.fold(stripped) { sp =>
+      val s0 = reused(stripped)
+      Dedup.scrubDuplicateSpans(s0, idCol, textCol, sp.k, sp.minCount,
+        sp.minSpanTokens).drop("tokens_removed")
+    }
     // 1. quality gate: the Gopher-style keep predicate is all per-row
     // expressions (TopGramFrac is native), so this is a plain filter
     // fused into the input scan — no explode, no join-back
     val kept = tap("quality",
-      TextStats.qualityFilter(stripped, textCol, minTokens = minTokens))
+      TextStats.qualityFilter(scrubbed, textCol, minTokens = minTokens))
     // 1b. optional MODEL-BASED quality — the CCNet reference-LM
     // perplexity gate ([[NgramLm.filterByLm]]). The stage reads its
     // input twice (the scoring side and the semi-join's kept side), so

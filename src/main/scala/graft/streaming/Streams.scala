@@ -354,6 +354,30 @@ object Streams {
         ()
       }
 
+  /** [[lmScoreStream]] for the quality CLASSIFIER
+    * ([[graft.llm.Classifier.score]]): each micro-batch scores its
+    * mean log-likelihood-ratio against the `<name>_nbc` catalog table —
+    * re-resolved per trigger, so a wholesale retrain is picked up at
+    * the next micro-batch — and lands under its own OVERWRITE batch_id
+    * partition. The real-time curated-vs-crawl meter on a live feed:
+    * a sinking llr_mean distribution means the feed is turning into
+    * the negative seed. */
+  def classifierScoreStream(docs: DataFrame, idCol: String,
+                            textCol: String, modelTable: String,
+                            outPath: String, checkpoint: String,
+                            alpha: Double = 1.0): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.sparkSession.catalog.refreshTable(modelTable)
+          graft.llm.Classifier.score(batch, idCol, textCol,
+              batch.sparkSession.table(modelTable), alpha)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        }
+        ()
+      }
+
   /** Streaming ADMISSION CONTROL — the streaming form of
     * [[graft.llm.Pipeline.ingestShard]]'s `admission` refusal, where
     * throwing would kill the whole query: each micro-batch is evaluated

@@ -240,6 +240,51 @@ class ClassifierSpec extends SparkTestBase {
     assert(both == composed)
   }
 
+  test("classifierScoreStream: batch parity, per-batch partitions, mid-stream retrain picked up via the catalog") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_nbc_srv")
+      .toString
+    try {
+      Classifier.train(textDf(posSeed), textDf(negSeed), "text")
+        .write.saveAsTable("nbcsrv_model")
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.classifierScoreStream(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        "nbcsrv_model", outPath = s"$base/out",
+        checkpoint = s"$base/ckpt").start()
+      val d1 = Seq(90L -> "careful clear prose flows well")
+      val d2 = Seq(91L -> "cheap deals and fresh vocabulary")
+      val posSeed2 = posSeed :+ "fresh vocabulary reads clearly"
+      try {
+        in.addData(d1.head._1 -> d1.head._2)
+        q.processAllAvailable()
+        // RETRAIN mid-stream: the next trigger must resolve it
+        Classifier.train(textDf(posSeed2), textDf(negSeed), "text")
+          .write.mode("overwrite").saveAsTable("nbcsrv_model")
+        in.addData(d2.head._1 -> d2.head._2)
+        q.processAllAvailable()
+      } finally q.stop()
+      def batchScore(docs: Seq[(Long, String)], pos: Seq[String]) =
+        Classifier.score(docsDf(docs), "doc_id", "text",
+            Classifier.train(textDf(pos), textDf(negSeed), "text"))
+          .select("doc_id", "llr_mean").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = spark.read.parquet(s"$base/out")
+        .select("doc_id", "llr_mean").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      val want = (batchScore(d1, posSeed) ++ batchScore(d2, posSeed2))
+        .sortBy(_._1)
+      assert(got == want, s"$got vs $want")
+      assert(new java.io.File(s"$base/out").listFiles()
+        .count(_.getName.startsWith("batch_id=")) == 2)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS nbcsrv_model")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("ClassifierFilter rides the daily ingest: crawl-like never reaches the keys boundary; audit says clf_quality") {
     import graft.llm.{Dedup, Pipeline}
     val base = java.nio.file.Files.createTempDirectory("graft_nbc_ing")

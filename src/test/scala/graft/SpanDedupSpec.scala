@@ -127,4 +127,57 @@ class SpanDedupSpec extends SparkTestBase {
       Dedup.duplicateSpans(d, "doc_id", "text", 3, minCount = 1L)
     }
   }
+
+  test("SpanScrub rides the Pipeline: equals pre-scrubbing, emptied whole-doc dups drop at the quality gate") {
+    import graft.llm.Pipeline
+    // minSpanTokens=10 shapes the interaction: 1/2 share a 12-token
+    // region (>= 10: scrubbed, both survive on their remainders); 3/4
+    // are 12-token whole-doc duplicates (scrub empties BOTH — the
+    // quality gate drops them, so exact dedup never sees them); 5/6
+    // share only an 8-token region (< 10: the scrub SPARES it, so they
+    // stay a near-dup pair and label propagation resolves the early
+    // observations); 7 untouched
+    val d = docs(
+      (1L, "u1 u2 s1 s2 s3 s4 s5 s6 s7 s8 s9 sa sb sc u3 u4 u5 u6 u7"),
+      (2L, "s1 s2 s3 s4 s5 s6 s7 s8 s9 sa sb sc v1 v2 v3 v4 v5 v6 v7"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc"),
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc"),
+      (5L, "p1 p2 p3 p4 p5 p6 p7 p8 zz1"),
+      (6L, "p1 p2 p3 p4 p5 p6 p7 p8 zz2"),
+      (7L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 qq qw qe"))
+    val bench = docs((100L, "benchmark prose sharing no shingle"))
+    val sp = Pipeline.SpanScrub(k = 5, minSpanTokens = 10)
+    val composed = Pipeline.pretrainCorpus(d, bench, "doc_id", "text",
+        spanScrub = Some(sp), persistStages = false)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val expected = Pipeline.pretrainCorpus(
+        Dedup.scrubDuplicateSpans(d, "doc_id", "text", 5,
+            minSpanTokens = 10)
+          .drop("tokens_removed"),
+        bench, "doc_id", "text", persistStages = false)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(composed == expected)
+    assert(!composed.contains(3L) && !composed.contains(4L),
+      s"whole-doc duplicates must empty and drop at quality: $composed")
+    assert(composed.contains(1L) && composed.contains(2L),
+      s"partially-scrubbed docs survive: $composed")
+    // observed run: quality counts post-scrub survivors; with
+    // persistStages the input tap materializes once despite the
+    // stage's double read
+    val (out, obs) = Pipeline.pretrainCorpusObserved(d, bench, "doc_id",
+      "text", spanScrub = Some(sp))
+    out.collect()
+    assert(obs("quality").get("rows") == 5L) // 3/4 emptied and dropped
+    // "input" is optional-safe under a persisted boundary (the
+    // pretrainCorpusObserved caveat: cache materializations don't
+    // always surface CollectMetrics) — when it resolves it must be
+    // exact, and it must never double-count
+    if (!obs("input").getAsJava.isEmpty)
+      assert(obs("input").get("rows") == 7L)
+    // without persistStages the input tap is withheld (double-read)
+    val (out2, obs2) = Pipeline.pretrainCorpusObserved(d, bench,
+      "doc_id", "text", spanScrub = Some(sp), persistStages = false)
+    out2.collect()
+    assert(!obs2.contains("input") && obs2.contains("output"))
+  }
 }
