@@ -122,7 +122,17 @@ object SparkEntry {
     // tokens, the honest cost every model-based quality gate pays.
     // The indexed form (fixture once per JVM) times the PRODUCTION
     // serving shape: bucketed model table, exchange-free ctx totals
-    "q_lm_stats", "q_lm_indexed")
+    "q_lm_stats", "q_lm_indexed",
+    // r13: span-level exact-substring scrub (ExactSubstr) — the gram
+    // explode + ONE map-side-partial gram aggregate + semi join-back +
+    // per-doc interval window + rebuild; declared bound ~linear in
+    // corpus tokens (the gram stream IS the token stream, k-shifted)
+    "q_span_scrub",
+    // r13: NB classifier scoring — one (id, w) corpus shuffle + a
+    // model-sized join + per-doc fold; ~linear in corpus tokens, the
+    // same honest cost as q_lm_stats with a smaller (unigram) model.
+    // The indexed form times the persisted `_nbc` serving shape
+    "q_nb_stats", "q_nb_indexed")
 
   /** Untimed per-query preparation Bench runs ONCE before the timed
     * passes (r10 verdict #3): the steady-state ingest entries build and
@@ -146,7 +156,10 @@ object SparkEntry {
     "q_decontam_indexed",
     // r13: the persisted-LM fixture builds once per JVM — samples time
     // the indexed scoring serve
-    "q_lm_indexed").map { n =>
+    "q_lm_indexed",
+    // r13: the persisted-classifier fixture builds once per JVM —
+    // samples time the `_nbc` serving shape
+    "q_nb_indexed").map { n =>
       n -> ((s: SparkSession, dir: String) =>
         queries(n)(s, dir).write.format("noop").mode("overwrite").save())
     }.toMap
