@@ -186,6 +186,42 @@ object PerfProbe {
         llm.NgramLm.score(cand, "doc_id", "text", model, 2).count()
       }
     }
+    // r13: span-level exact-substring dedup — gram explode + one
+    // map-side-partial gram aggregate + semi join-back + per-doc
+    // interval window (+ rebuild for the scrub). Declared bound ~linear
+    // in corpus tokens; run at sf0.01 vs sf0.1 for the 10x probe.
+    locally {
+      import org.apache.spark.sql.functions.col
+      val d = docs.select(col("doc_id"), col("text"))
+      time("duplicateSpans(k=5)") {
+        llm.Dedup.duplicateSpans(d, "doc_id", "text", 5).count()
+      }
+      time("scrubSpans(k=5)") {
+        // sum(length(text)) forces the token-filter rebuild — a bare
+        // count() lets Catalyst skip the scrub entirely (row-preserving)
+        llm.Dedup.scrubDuplicateSpans(d, "doc_id", "text", 5)
+          .agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.length(col("text"))))
+          .head().getLong(0)
+      }
+    }
+    // r13: the NB classifier — train is one unigram shuffle per seed;
+    // score is one (id, w) corpus shuffle + a model join + per-doc
+    // fold. Declared bounds ~linear in corpus tokens (run at sf0.01 vs
+    // sf0.1 for the 10x probe).
+    locally {
+      import org.apache.spark.sql.functions.col
+      val pos = docs.filter(col("doc_id") % 10 === 0).select("text")
+      val neg = docs.filter(col("doc_id") % 10 === 5).select("text")
+      val cand = docs.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 10 =!= 5).select(col("doc_id"), col("text"))
+      val model = llm.Classifier.train(pos, neg, "text")
+        .localCheckpoint(true) // untimed fixture for the score probe
+      time("nbTrain") { llm.Classifier.train(pos, neg, "text").count() }
+      time("nbScore") {
+        llm.Classifier.score(cand, "doc_id", "text", model).count()
+      }
+    }
     spark.stop()
   }
 }
