@@ -2159,6 +2159,111 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Index-routed span scrub (the NINTH family's serving path): the
+    // gram LEDGER builds on doc_id % 3 = 0, a first shard (% 3 = 2)
+    // APPENDS its counts, then the arriving shard (the q_span_scrub
+    // fixture) scrubs against the SUMMED ledger + its own occurrences —
+    // cross-corpus duplication (natural docs repeating base/appended
+    // grams) and shard-internal duplication (the planted pairs) fall
+    // out of one decision. The oracle recomputes ledger counts from
+    // both source populations, the combined >= 2 decision, the interval
+    // merge and the token-exact rebuilt shard text. Fixture (index +
+    // append) builds once per (JVM, sf dir).
+    r.reg("q_span_indexed",
+      s"""WITH ixsrc AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 3 = 0 OR doc_id % 3 = 2),
+         |ixtoks AS (SELECT doc_id, ${graft.llm.NgramLm.toksSql("text")} AS t FROM ixsrc),
+         |ixocc AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 4 + 2),
+         |      p -> array_to_string(t[p:p+4-1], ' '))) AS gram
+         |  FROM ixtoks WHERE len(t) >= 4),
+         |ixcnt AS (SELECT gram, count(*) AS ic FROM ixocc GROUP BY gram),
+         |spdocs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+         |  UNION ALL SELECT -30, 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
+         |  UNION ALL SELECT -31, 'prefix words alpha beta gamma delta epsilon zeta eta theta iota kappa suffix words'
+         |  UNION ALL SELECT -32, 'one two three four one two three four tail bit'
+         |  UNION ALL SELECT -33, 'unique doc nothing  shared here at all   today'
+         |),
+         |sptoks AS (SELECT doc_id, ${graft.llm.NgramLm.toksSql("text")} AS t FROM spdocs),
+         |spocc AS (
+         |  SELECT doc_id,
+         |    CAST(unnest(range(1, len(t) - 4 + 2)) AS INTEGER) AS pos,
+         |    unnest(list_transform(range(1, len(t) - 4 + 2),
+         |      p -> array_to_string(t[p:p+4-1], ' '))) AS gram
+         |  FROM sptoks WHERE len(t) >= 4),
+         |spsc AS (SELECT gram, count(*) AS sc FROM spocc GROUP BY gram),
+         |spdup AS (
+         |  SELECT s.gram FROM spsc s LEFT JOIN ixcnt USING (gram)
+         |  WHERE s.sc + coalesce(ic, 0) >= 2),
+         |sphit AS (SELECT doc_id, pos FROM spocc
+         |  WHERE gram IN (SELECT gram FROM spdup)),
+         |spmark AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN coalesce(pos > max(pos + 4) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), TRUE)
+         |      THEN 1 ELSE 0 END AS nw
+         |  FROM sphit),
+         |spgrp AS (SELECT doc_id, pos,
+         |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM spmark),
+         |spspans AS (SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+         |  CAST(max(pos) + 4 AS INTEGER) AS span_end
+         |  FROM spgrp GROUP BY doc_id, grp
+         |  HAVING max(pos) + 4 - min(pos) >= 6),
+         |sppos AS (SELECT doc_id,
+         |    CAST(unnest(range(1, len(t)+1)) AS INTEGER) AS i,
+         |    unnest(t) AS tok
+         |  FROM sptoks),
+         |spkept AS (
+         |  SELECT p.doc_id, p.i, p.tok FROM sppos p
+         |  WHERE NOT EXISTS (SELECT 1 FROM spspans s
+         |    WHERE s.doc_id = p.doc_id
+         |      AND p.i >= s.span_start AND p.i < s.span_end)),
+         |sprebuilt AS (SELECT doc_id,
+         |    coalesce(string_agg(tok, ' ' ORDER BY i), '') AS rebuilt,
+         |    count(*) AS n_kept
+         |  FROM spkept GROUP BY doc_id),
+         |spdocspans AS (SELECT DISTINCT doc_id FROM spspans)
+         |SELECT d.doc_id,
+         |  CASE WHEN sp.doc_id IS NULL THEN d.text
+         |       ELSE coalesce(r.rebuilt, '') END AS text,
+         |  CASE WHEN sp.doc_id IS NULL THEN CAST(0 AS INTEGER)
+         |       ELSE CAST(len(t.t) - coalesce(r.n_kept, 0) AS INTEGER)
+         |       END AS tokens_removed
+         |FROM spdocs d
+         |JOIN sptoks t USING (doc_id)
+         |LEFT JOIN spdocspans sp USING (doc_id)
+         |LEFT JOIN sprebuilt r ON r.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/gramidx")
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir &&
+        s.catalog.tableExists("g_gram_grams")
+      if (!fresh) {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        graft.llm.Dedup.writeGramIndex(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+          "g_gram", idxPath, k = 4)
+        graft.llm.Dedup.appendShardGrams(
+          docs.filter(col("doc_id") % 3 === 2), "doc_id", "text",
+          "g_gram", idxPath, "shard-a")
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
+      graft.llm.Dedup.scrubSpansAgainstIndex(spanPlanted(s, dir),
+          "doc_id", "text", "g_gram", idxPath, minSpanTokens = 6)
+        .select("doc_id", "text", "tokens_removed")
+        .orderBy("doc_id")
+    }
+
     // CORPUS-level boilerplate removal: 50 planted docs carry the same
     // 'COOKIE BANNER' prefix line (doc-freq 51 > 3 -> stripped from every
     // doc), one planted doc is banner-only (must survive with EMPTY

@@ -1173,19 +1173,12 @@ object Dedup {
     * bytes, accepting ~2^-128 collision odds. Per-doc interval merge is
     * one window partitioned on the doc id — skew bounded by tokens per
     * doc, the same bound chunkByTokensGrouped declares. */
-  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int = 8, minCount: Long = 2,
-                     minSpanTokens: Int = 0): DataFrame = {
-    require(k >= 1, s"gram width must be >= 1, got $k")
-    require(minCount >= 2,
-      s"minCount < 2 would mark every token duplicated, got $minCount")
-    val occ = gramOccurrences(docs, idCol, textCol, k)
-    val dup = occ.groupBy(col("gram"))
-      .agg(count(lit(1)).as("__c__"))
-      .filter(col("__c__") >= minCount)
-      .select("gram")
-    val hits = occ.join(dup, Seq("gram"), "left_semi")
-      .select(col(idCol), col("pos"))
+  /** Merge the covered windows of (idCol, pos) gram hits into maximal
+    * spans — overlapping or exactly adjacent windows are one region.
+    * One window partitioned on the doc id; skew bounded by tokens per
+    * doc. Shared by the batch and index-routed span paths. */
+  private def spansFromHits(hits: DataFrame, idCol: String, k: Int,
+                            minSpanTokens: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos").asc)
     val prevEnd = max(col("pos") + k)
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -1199,6 +1192,53 @@ object Dedup {
         (max(col("pos")) + k).as("span_end"))
       .filter(col("span_end") - col("span_start") >= minSpanTokens)
       .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Cut `spans` out of `docs` — the shared rebuild of the two scrub
+    * forms: all input columns with `textCol` rebuilt from surviving
+    * tokens plus `tokens_removed`; docs with no span keep their text
+    * VERBATIM. */
+  private def applySpans(docs: DataFrame, spans: DataFrame,
+                         idCol: String, textCol: String): DataFrame = {
+    val spanArr = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans__"))
+    val toks = NgramLm.toks(col(textCol))
+    val kept = filter(toks, (tok, i0) =>
+      !exists(col("__spans__"), s =>
+        i0 + 1 >= s.getField("span_start") &&
+          i0 + 1 < s.getField("span_end")))
+    docs.join(spanArr, Seq(idCol), "left")
+      .withColumn("tokens_removed",
+        when(col("__spans__").isNull, lit(0))
+          .otherwise(size(toks) - size(kept)))
+      .withColumn(textCol,
+        when(col("__spans__").isNull, col(textCol))
+          .otherwise(concat_ws(" ", kept)))
+      .drop("__spans__")
+  }
+
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minCount: Long = 2,
+                     minSpanTokens: Int = 0): DataFrame = {
+    require(k >= 1, s"gram width must be >= 1, got $k")
+    require(minCount >= 2,
+      s"minCount < 2 would mark every token duplicated, got $minCount")
+    val occ = gramOccurrences(docs, idCol, textCol, k)
+    // one map-side-partial aggregate decides duplication, then the
+    // candidates ride a semi join back — the occurrence stream is
+    // built twice (two source scans, the decontaminate posture) BY
+    // CHOICE: the single-pass alternative, count() OVER (PARTITION BY
+    // gram), funnels every occurrence of a degenerate hot gram into
+    // one window partition, and span dedup exists precisely because
+    // corpora carry such grams
+    val dup = occ.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__c__"))
+      .filter(col("__c__") >= minCount)
+      .select("gram")
+    val hits = occ.join(dup, Seq("gram"), "left_semi")
+      .select(col(idCol), col("pos"))
+    spansFromHits(hits, idCol, k, minSpanTokens)
   }
 
   /** Remove every duplicated span from every document (ExactSubstr
@@ -1217,24 +1257,202 @@ object Dedup {
     * the span set is small). */
   def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                           k: Int = 8, minCount: Long = 2,
-                          minSpanTokens: Int = 0): DataFrame = {
-    val spans = duplicateSpans(docs, idCol, textCol, k, minCount,
-        minSpanTokens)
-      .groupBy(col(idCol))
-      .agg(collect_list(struct(col("span_start"), col("span_end")))
-        .as("__spans__"))
-    val toks = NgramLm.toks(col(textCol))
-    val kept = filter(toks, (tok, i0) =>
-      !exists(col("__spans__"), s =>
-        i0 + 1 >= s.getField("span_start") &&
-          i0 + 1 < s.getField("span_end")))
-    docs.join(spans, Seq(idCol), "left")
-      .withColumn("tokens_removed",
-        when(col("__spans__").isNull, lit(0))
-          .otherwise(size(toks) - size(kept)))
-      .withColumn(textCol,
-        when(col("__spans__").isNull, col(textCol))
-          .otherwise(concat_ws(" ", kept)))
-      .drop("__spans__")
+                          minSpanTokens: Int = 0): DataFrame =
+    applySpans(docs,
+      duplicateSpans(docs, idCol, textCol, k, minCount, minSpanTokens),
+      idCol, textCol)
+
+  // -------------------------------------------------------------------
+  // Persisted GRAM index — the NINTH maintained family: the span
+  // family's incremental production form. ONE bucketed table
+  // `<name>_grams` (gram, cnt, shard_label) bucketed on `gram`; gram
+  // totals re-derive per serve by summing the matched rows (the
+  // doclens-stats discipline — nothing stored that could drift), so
+  // the table is an append-only LEDGER of per-shard count deltas.
+  //
+  // Idempotency WITHOUT an id boundary: grams have no document ids, so
+  // the replay guard is the label column itself — an append first
+  // probes the live table for its own shard_label (one column-pruned
+  // read of a dictionary-encoded column) and no-ops when present; the
+  // table is written in ONE commit, so a crashed job leaves no label
+  // behind. Unlike the LM/classifier aggregate families, RETRACTION is
+  // structurally possible here: deltas are signed, so retracting a
+  // shard appends its NEGATIVE counts under a derived label and every
+  // serve's per-gram sum simply stops seeing the mass. Compaction
+  // (file merge) preserves rows, so the label ledger — and with it
+  // replay idempotency — survives it.
+  //
+  // Incremental SEMANTICS (differs from the batch scrub, on purpose):
+  // the batch pass removes EVERY copy; the index-routed pass scrubs
+  // only the ARRIVING shard — the landed corpus keeps its copy, the
+  // keep-first discipline every ingest gate in this file applies. The
+  // decision is still GLOBAL: shard occurrences + ledger total ≥
+  // minCount, so shard-vs-corpus and shard-internal duplication fall
+  // out of one number, and duplicateSpansAgainstIndex(shard) equals
+  // duplicateSpans(corpus ∪ shard) restricted to shard rows
+  // (spec-asserted).
+  // -------------------------------------------------------------------
+
+  private def gramMetaFile(path: String) = s"$path/_graft_gram_meta.json"
+  private[llm] val GRAM_BASE_LABEL = "__base__"
+
+  private def stampGramMeta(spark: org.apache.spark.sql.SparkSession,
+                            path: String, k: Int, buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(gramMetaFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(s"""{"k":$k,"buckets":$buckets}\n""".getBytes("UTF-8"))
+    finally os.close()
   }
+
+  /** (k, buckets) from the stamp — a stampless directory is a crashed
+    * or foreign build and refuses loudly (a serve at the wrong k would
+    * silently fingerprint different substrings). */
+  private[llm] def readGramMeta(spark: org.apache.spark.sql.SparkSession,
+                                path: String): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(gramMetaFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no gram-index stamp at ${gramMetaFile(path)} — build with writeGramIndex first")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    def field(nm: String): Int =
+      (s""""$nm"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(txt) match {
+        case Some(m) => m.group(1).toInt
+        case None => throw new IllegalStateException(
+          s"malformed gram-index stamp at ${gramMetaFile(path)}: $txt")
+      }
+    (field("k"), field("buckets"))
+  }
+
+  /** Build (or wholesale REBUILD — overwrite resets the generation
+    * chain and the whole ledger) the persisted gram index from the
+    * landed corpus. The stamp lands LAST: a crashed build refuses to
+    * serve. */
+  def writeGramIndex(docs: DataFrame, idCol: String, textCol: String,
+                     name: String, path: String, k: Int = 8,
+                     buckets: Int = 8): Unit = {
+    require(k >= 1, s"gram width must be >= 1, got $k")
+    val spark = docs.sparkSession
+    val grams = gramOccurrences(docs, idCol, textCol, k)
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("shard_label", lit(GRAM_BASE_LABEL))
+    graft.api.GraftFrame(grams).toBucketedTable(s"${name}_grams",
+      s"$path/grams", buckets, Seq("gram"))
+    stampGramMeta(spark, path, k, buckets)
+  }
+
+  private def appendGramDelta(docs: DataFrame, idCol: String,
+                              textCol: String, name: String, path: String,
+                              label: String, sign: Long): Unit = {
+    val spark = docs.sparkSession
+    val (k, buckets) = readGramMeta(spark, path)
+    require(label.nonEmpty && label != GRAM_BASE_LABEL,
+      s"shard label must be non-empty and not $GRAM_BASE_LABEL")
+    // replay guard: the ledger is the boundary — one column-pruned
+    // probe of shard_label; the delta lands in ONE table commit, so a
+    // crashed append leaves no label and the replay redoes it cleanly
+    val present = !spark.table(s"${name}_grams")
+      .filter(col("shard_label") === label).limit(1).isEmpty
+    if (present) return
+    val delta = gramOccurrences(docs, idCol, textCol, k)
+      .groupBy(col("gram")).agg((count(lit(1)) * sign).as("cnt"))
+      .withColumn("shard_label", lit(label))
+    graft.api.GraftFrame(delta).toBucketedTable(s"${name}_grams",
+      s"$path/grams", buckets, Seq("gram"), mode = "append")
+  }
+
+  /** Grow the ledger with an ingested shard's gram counts —
+    * label-idempotent (a replayed append no-ops). Call AFTER the shard
+    * passed its gate, with the text that actually landed. */
+  def appendShardGrams(shard: DataFrame, idCol: String, textCol: String,
+                       name: String, path: String,
+                       shardLabel: String): Unit =
+    appendGramDelta(shard, idCol, textCol, name, path, shardLabel, 1L)
+
+  /** RETRACT a previously-appended shard's gram mass: appends the
+    * NEGATIVE delta under `__retract__<label>` — itself idempotent,
+    * and refused when the positive label was never appended (silently
+    * retracting unknown mass would corrupt the ledger). Serve-side
+    * sums see the mass vanish; the positive rows stay as audit. */
+  def retractShardGrams(shard: DataFrame, idCol: String, textCol: String,
+                        name: String, path: String,
+                        shardLabel: String): Unit = {
+    val spark = shard.sparkSession
+    val present = !spark.table(s"${name}_grams")
+      .filter(col("shard_label") === shardLabel).limit(1).isEmpty
+    require(present,
+      s"cannot retract shard '$shardLabel': no such label in ${name}_grams")
+    appendGramDelta(shard, idCol, textCol, name, path,
+      s"__retract__$shardLabel", -1L)
+  }
+
+  /** Duplicated-token spans of an ARRIVING shard against the ledger:
+    * a gram is duplicated when its shard occurrences plus its summed
+    * ledger count reach `minCount` — shard-internal repetition and
+    * shard-vs-corpus duplication in one decision, equal to the batch
+    * pass over (corpus ∪ shard) restricted to shard rows.
+    *
+    * Scale shape: the shard explodes once (O(shard tokens)); the
+    * ledger is touched candidates-only — a semi join against the
+    * shard's distinct grams with ZERO exchange on the bucketed index
+    * side (gram == bucket key; plan-asserted), then a per-gram sum
+    * that reuses the bucket partitioning. The corpus never re-shuffles
+    * and never re-tokenizes — the O(shard) daily posture every gate in
+    * this file declares. */
+  def duplicateSpansAgainstIndex(shard: DataFrame, idCol: String,
+                                 textCol: String, name: String,
+                                 path: String, minCount: Long = 2,
+                                 minSpanTokens: Int = 0): DataFrame = {
+    require(minCount >= 2,
+      s"minCount < 2 would mark every token duplicated, got $minCount")
+    val spark = shard.sparkSession
+    val (k, _) = readGramMeta(spark, path)
+    val occ = gramOccurrences(shard, idCol, textCol, k)
+    val shardCnt = occ.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__sc__"))
+    val idxMatched = spark.table(s"${name}_grams")
+      .join(occ.select("gram").distinct(), Seq("gram"), "left_semi")
+      .groupBy(col("gram")).agg(sum(col("cnt")).as("__ic__"))
+    val dup = shardCnt.join(idxMatched, Seq("gram"), "left")
+      .filter(col("__sc__") + coalesce(col("__ic__"), lit(0L)) >= minCount)
+      .select("gram")
+    val hits = occ.join(dup, Seq("gram"), "left_semi")
+      .select(col(idCol), col("pos"))
+    spansFromHits(hits, idCol, k, minSpanTokens)
+  }
+
+  /** [[scrubDuplicateSpans]] against the ledger — the daily-shard
+    * ExactSubstr pass: the arriving shard's duplicated regions are cut
+    * (keep-first: the landed corpus keeps its copies), untouched docs
+    * come back verbatim. Pair with [[appendShardGrams]] AFTER landing
+    * the scrubbed text so the next shard sees this one's mass. */
+  def scrubSpansAgainstIndex(shard: DataFrame, idCol: String,
+                             textCol: String, name: String, path: String,
+                             minCount: Long = 2,
+                             minSpanTokens: Int = 0): DataFrame =
+    applySpans(shard,
+      duplicateSpansAgainstIndex(shard, idCol, textCol, name, path,
+        minCount, minSpanTokens),
+      idCol, textCol)
+
+  /** Maintenance observables: ledger rows, parquet files, shard-label
+    * count (ledger depth — per-gram serve cost grows with it). */
+  def gramIndexReport(spark: org.apache.spark.sql.SparkSession,
+                      name: String): DataFrame =
+    spark.table(s"${name}_grams")
+      .select(col("shard_label"), input_file_name().as("__f__"))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("__f__")).as("files"),
+        countDistinct(col("shard_label")).as("labels"))
+      .select(lit(s"${name}_grams").as("table"), col("rows"),
+        col("files"), col("labels"))
+
+  /** Compact to one file per bucket — row-preserving (the label ledger
+    * and its replay idempotency survive), online-safe generation
+    * flip. */
+  def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
+                       name: String): Unit =
+    graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_grams")
 }

@@ -493,6 +493,7 @@ object Maintain {
                              freshPos: Option[DataFrame] = None,
                              freshNeg: Option[DataFrame] = None,
                              textCol: String = "text") extends Target
+  final case class GramIndexTarget(name: String) extends Target
 
   /** The NIGHTLY SWEEP: one call maintains every persisted family a
     * corpus owner operates — each (label, target) runs its family's
@@ -533,6 +534,8 @@ object Maintain {
             maintainLm(spark, n, p, policy, fr, tc)
           case NbcTarget(n, p, fs, fp, fn, tc) =>
             maintainClassifier(spark, n, p, policy, fs, fp, fn, tc)
+          case GramIndexTarget(n) =>
+            maintainGramIndex(spark, n, policy)
         } catch { case e: Exception =>
           Seq(("pass_failed", Double.NaN, Double.NaN, false,
             s"${e.getClass.getSimpleName}: ${e.getMessage}"))
@@ -703,6 +706,41 @@ object Maintain {
       else if (over) "subsumed: retrain rewrote one file per bucket"
       else "none"))
 
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
+  }
+
+  /** Maintenance pass for the persisted GRAM index
+    * ([[Dedup.writeGramIndex]] table `<name>_grams`) — the NINTH
+    * maintained family. No drift check, structurally: the ledger holds
+    * exact signed count deltas (nothing trained, nothing approximate),
+    * recorded as an explicit n/a row like the text/embedding/lexical
+    * families. Retraction IS native here (signed deltas —
+    * [[Dedup.retractShardGrams]]), also recorded. Fragmentation: the
+    * ledger grows a file set per appended shard, so files over
+    * `policy.maxFilesFlat` fire [[Dedup.compactGramIndex]]
+    * (row-preserving — the label ledger and replay idempotency
+    * survive); ledger DEPTH (distinct labels) is reported as an
+    * observable-only row — per-gram serve cost grows with it, and the
+    * corrective is a wholesale [[Dedup.writeGramIndex]] rebuild from
+    * the corrected corpus, which resets the chain. */
+  def maintainGramIndex(spark: SparkSession, name: String,
+                        policy: Policy = Policy()): DataFrame = {
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+    results += (("drift", Double.NaN, Double.NaN, false,
+      "n/a: the ledger is exact signed count deltas — nothing trained to drift"))
+    results += (("retraction", Double.NaN, Double.NaN, false,
+      "native: signed deltas (Dedup.retractShardGrams) — no action needed here"))
+    val rep = Dedup.gramIndexReport(spark, name).head()
+    val files = rep.getAs[Long]("files").toDouble
+    val labels = rep.getAs[Long]("labels").toDouble
+    results += (("ledger_labels", labels, Double.NaN, false,
+      "observable only: per-gram serve cost grows with ledger depth; wholesale writeGramIndex rebuild resets it"))
+    val fireCompact = files > policy.maxFilesFlat
+    if (fireCompact) Dedup.compactGramIndex(spark, name)
+    results += (("table_files", files, policy.maxFilesFlat.toDouble,
+      fireCompact,
+      if (fireCompact) "Dedup.compactGramIndex" else "none"))
     import spark.implicits._
     results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
   }

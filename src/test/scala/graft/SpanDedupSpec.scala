@@ -128,6 +128,162 @@ class SpanDedupSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Persisted gram index — the ninth family's lifecycle
+  // ------------------------------------------------------------------
+
+  private def withGramIndex(name: String, base: DataFrame, k: Int = 4)
+                           (body: String => Unit): Unit = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory(s"graft_gram_$name").toString
+    try {
+      Dedup.writeGramIndex(base, "doc_id", "text", name, tmp, k)
+      body(tmp)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_grams")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(tmp))
+    }
+  }
+
+  test("index-routed spans == batch spans over (corpus ∪ shard) restricted to shard rows") {
+    val base = docs(
+      (1L, "c1 c2 c3 c4 c5 base tail words here"),
+      (2L, "other base doc with its own words entirely"))
+    val shard = docs(
+      (10L, "c1 c2 c3 c4 c5 fresh suffix now"),   // cross-corpus dup
+      (11L, "r1 r2 r3 r4 r1 r2 r3 r4 end"),       // shard-internal dup
+      (12L, "nothing shared with anyone at all"))
+    withGramIndex("gx_par", base) { path =>
+      val indexed = Dedup.duplicateSpansAgainstIndex(shard, "doc_id",
+          "text", "gx_par", path)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .toSet
+      val batch = Dedup.duplicateSpans(base.unionByName(shard),
+          "doc_id", "text", k = 4)
+        .filter(col("doc_id") >= 10L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .toSet
+      assert(indexed == batch && indexed.nonEmpty)
+      assert(indexed.exists(_._1 == 10L) && indexed.exists(_._1 == 11L))
+    }
+  }
+
+  test("ledger: append grows detection, a replayed label no-ops, retraction removes the mass") {
+    val base = docs((1L, "plain base words sharing nothing with shards"))
+    val shardA = docs((20L, "x1 x2 x3 x4 x5 unique to shard a"))
+    // shard B repeats shard A's gram — absent from base, so detection
+    // exists ONLY via the ledger
+    val shardB = docs((30L, "x1 x2 x3 x4 x5 later arrival text"))
+    withGramIndex("gx_led", base) { path =>
+      def spansB = Dedup.duplicateSpansAgainstIndex(shardB, "doc_id",
+        "text", "gx_led", path).collect().toSeq
+      assert(spansB.isEmpty, "nothing appended yet — no duplication")
+      Dedup.appendShardGrams(shardA, "doc_id", "text", "gx_led", path,
+        "day1")
+      assert(spansB.map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        == Seq((30L, 1, 6)))
+      // replayed append: same label, counts unchanged
+      Dedup.appendShardGrams(shardA, "doc_id", "text", "gx_led", path,
+        "day1")
+      assert(spansB.size == 1)
+      val totalRows = spark.table("gx_led_grams")
+        .filter(col("shard_label") === "day1").count()
+      Dedup.appendShardGrams(shardA, "doc_id", "text", "gx_led", path,
+        "day1")
+      assert(spark.table("gx_led_grams")
+        .filter(col("shard_label") === "day1").count() == totalRows)
+      // retraction: negative delta removes the duplication signal
+      Dedup.retractShardGrams(shardA, "doc_id", "text", "gx_led", path,
+        "day1")
+      assert(spansB.isEmpty, "retracted mass must stop flagging")
+      // retract is itself idempotent; unknown labels refuse
+      Dedup.retractShardGrams(shardA, "doc_id", "text", "gx_led", path,
+        "day1")
+      assert(spansB.isEmpty)
+      intercept[IllegalArgumentException] {
+        Dedup.retractShardGrams(shardA, "doc_id", "text", "gx_led",
+          path, "never-appended")
+      }
+    }
+  }
+
+  test("serve: zero exchange on the bucketed ledger side; compaction preserves results and labels") {
+    val base = docs(
+      (1L, "c1 c2 c3 c4 c5 base tail words here"),
+      (2L, "some other unrelated base document text"))
+    val shard = docs((10L, "c1 c2 c3 c4 c5 fresh suffix now"))
+    withGramIndex("gx_pl", base) { path =>
+      // the ledger-side aggregate after the semi join must ride the
+      // bucketing (gram == bucket key): assert the bucketed scan's
+      // subtree up to the sum carries no hash exchange
+      val occ = spark.table("gx_pl_grams")
+        .join(docs((99L, "c1 c2 c3 c4 c5")).select(
+          explode(lit(Array("c1 c2 c3 c4", "c2 c3 c4 c5"))).as("gram")),
+          Seq("gram"), "left_semi")
+        .groupBy("gram").agg(sum("cnt").as("ic"))
+      val plan = occ.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(gram"),
+        s"ledger aggregate must ride the bucketing:\n$plan")
+      val before = Dedup.scrubSpansAgainstIndex(shard, "doc_id", "text",
+          "gx_pl", path)
+        .select("doc_id", "text", "tokens_removed").collect().toSeq
+      Dedup.appendShardGrams(docs((20L, "filler shard alpha one")),
+        "doc_id", "text", "gx_pl", path, "f1")
+      Dedup.appendShardGrams(docs((21L, "filler shard beta two")),
+        "doc_id", "text", "gx_pl", path, "f2")
+      Dedup.compactGramIndex(spark, "gx_pl")
+      val after = Dedup.scrubSpansAgainstIndex(shard, "doc_id", "text",
+          "gx_pl", path)
+        .select("doc_id", "text", "tokens_removed").collect().toSeq
+      assert(after == before, "compaction must preserve serving")
+      assert(spark.table("gx_pl_grams")
+        .select("shard_label").distinct().count() == 3,
+        "compaction must preserve the label ledger")
+    }
+  }
+
+  test("gram index refusals and maintenance") {
+    val base = docs((1L, "a1 a2 a3 a4 a5 a6"))
+    // stampless serve refuses
+    intercept[IllegalArgumentException] {
+      Dedup.duplicateSpansAgainstIndex(base, "doc_id", "text", "gx_no",
+        "/tmp/graft-gx-nowhere")
+    }
+    withGramIndex("gx_mx", base) { path =>
+      // base label is reserved
+      intercept[IllegalArgumentException] {
+        Dedup.appendShardGrams(base, "doc_id", "text", "gx_mx", path,
+          "__base__")
+      }
+      // healthy pass: nothing fires, n/a-drift + native-retraction rows
+      val rep = graft.llm.Maintain.maintainGramIndex(spark, "gx_mx")
+        .collect().map(r => r.getString(0) ->
+          (r.getBoolean(3), r.getString(4))).toMap
+      assert(!rep.values.exists(_._1), s"healthy pass fired: $rep")
+      assert(rep("drift")._2.contains("n/a"))
+      assert(rep("retraction")._2.contains("native"))
+      // fragment the ledger, then a tight policy fires the compaction
+      for (i <- 1 to 4)
+        Dedup.appendShardGrams(docs((100L + i, s"sh$i t$i u$i v$i w$i")),
+          "doc_id", "text", "gx_mx", path, s"d$i")
+      val rep2 = graft.llm.Maintain.maintainGramIndex(spark, "gx_mx",
+          graft.llm.Maintain.Policy(maxFilesFlat = 3))
+        .collect().map(r => r.getString(0) ->
+          (r.getBoolean(3), r.getString(4))).toMap
+      assert(rep2("table_files")._1 &&
+        rep2("table_files")._2 == "Dedup.compactGramIndex")
+      val filesAfter = graft.llm.Dedup.gramIndexReport(spark, "gx_mx")
+        .head().getAs[Long]("files")
+      assert(filesAfter <= 8, s"compaction must shrink files: $filesAfter")
+      // the fleet sweep reaches the family
+      val fleet = graft.llm.Maintain.maintainAll(spark,
+          Seq("grams" -> graft.llm.Maintain.GramIndexTarget("gx_mx")))
+        .collect()
+      assert(fleet.forall(_.getString(0) == "grams") && fleet.length == 4)
+    }
+  }
+
   test("SpanScrub rides the Pipeline: equals pre-scrubbing, emptied whole-doc dups drop at the quality gate") {
     import graft.llm.Pipeline
     // minSpanTokens=10 shapes the interaction: 1/2 share a 12-token
