@@ -1404,7 +1404,8 @@ object Dedup {
   def duplicateSpansAgainstIndex(shard: DataFrame, idCol: String,
                                  textCol: String, name: String,
                                  path: String, minCount: Long = 2,
-                                 minSpanTokens: Int = 0): DataFrame = {
+                                 minSpanTokens: Int = 0,
+                                 excludeLabel: Option[String] = None): DataFrame = {
     require(minCount >= 2,
       s"minCount < 2 would mark every token duplicated, got $minCount")
     val spark = shard.sparkSession
@@ -1412,7 +1413,13 @@ object Dedup {
     val occ = gramOccurrences(shard, idCol, textCol, k)
     val shardCnt = occ.groupBy(col("gram"))
       .agg(count(lit(1)).as("__sc__"))
-    val idxMatched = spark.table(s"${name}_grams")
+    // excludeLabel: a gate that appends the shard's own grams BEFORE
+    // its landing commits must not see that mass on a crash replay —
+    // counting the shard against its own ledger rows would flag every
+    // shard gram as duplicated and scrub the replay to nothing
+    val ledger = excludeLabel.foldLeft(spark.table(s"${name}_grams"))(
+      (t, l) => t.filter(col("shard_label") =!= l))
+    val idxMatched = ledger
       .join(occ.select("gram").distinct(), Seq("gram"), "left_semi")
       .groupBy(col("gram")).agg(sum(col("cnt")).as("__ic__"))
     val dup = shardCnt.join(idxMatched, Seq("gram"), "left")
@@ -1431,10 +1438,11 @@ object Dedup {
   def scrubSpansAgainstIndex(shard: DataFrame, idCol: String,
                              textCol: String, name: String, path: String,
                              minCount: Long = 2,
-                             minSpanTokens: Int = 0): DataFrame =
+                             minSpanTokens: Int = 0,
+                             excludeLabel: Option[String] = None): DataFrame =
     applySpans(shard,
       duplicateSpansAgainstIndex(shard, idCol, textCol, name, path,
-        minCount, minSpanTokens),
+        minCount, minSpanTokens, excludeLabel),
       idCol, textCol)
 
   /** Maintenance observables: ledger rows, parquet files, shard-label

@@ -100,11 +100,23 @@ object Pipeline {
     * before any row-level stage, so the quality gate judges the
     * post-scrub text (a doc the scrub EMPTIES is a whole-doc duplicate
     * and drops at minTokens), and exact/near dedup see scrubbed
-    * content. Batch-build only: the spans are a CORPUS-global
-    * aggregate, so the daily-shard paths deliberately omit the stage —
-    * an incremental analog would need a persisted gram index. */
+    * content. Batch builds only — the spans are a CORPUS-global
+    * aggregate; the daily-shard analog is [[GramScrub]], which serves
+    * the same decision from the persisted gram ledger. */
   final case class SpanScrub(k: Int = 8, minCount: Long = 2,
                              minSpanTokens: Int = 0)
+
+  /** The daily-shard ExactSubstr pass ([[SpanScrub]]'s incremental
+    * form): an arriving shard scrubs its duplicated spans against the
+    * persisted gram LEDGER ([[Dedup.writeGramIndex]]) before the gate
+    * runs, and the landed text's grams append to the ledger under the
+    * shard's label so the NEXT shard sees this one's mass. Keep-first
+    * semantics: the landed corpus keeps its copies, arrivals are cut.
+    * The serve excludes the shard's own label, so a crash replay (gram
+    * append committed, landing not) scrubs identically instead of
+    * flagging the shard against itself. */
+  final case class GramScrub(name: String, path: String,
+                             minCount: Long = 2, minSpanTokens: Int = 0)
 
   /** @param docs     training-candidate documents (idCol, textCol, …)
     * @param bench    benchmark/eval documents to decontaminate against
@@ -511,7 +523,8 @@ object Pipeline {
                          fullWindowsOnly: Boolean = false,
                          admission: Seq[graft.operators.Checks.Constraint] = Nil,
                          lmFilter: Option[LmFilter] = None,
-                         classifierFilter: Option[ClassifierFilter] = None): Map[String, Long] = {
+                         classifierFilter: Option[ClassifierFilter] = None,
+                         gramScrub: Option[GramScrub] = None): Map[String, Long] = {
     val spark = shard.sparkSession
     val manifestName = s"_graft_wshard_$shardLabel.json"
     readJsonManifest(spark, outPath, manifestName) match {
@@ -533,7 +546,14 @@ object Pipeline {
       else Some(KeyBlooms.presentIds(cp.select(col(idCol)), idCol,
           spark.table(keysTable).select(col("id").as(idCol)), indexPath)
         .localCheckpoint(true))
-    val survivors = ingestShardFrame(cp, bench, idCol, textCol,
+    // optional ExactSubstr scrub against the gram ledger (the
+    // ingestShard position and replay reasoning: own label excluded,
+    // checkpointed once, gate and recovery both read the scrubbed view)
+    val gated = gramScrub.fold(cp)(g =>
+      Dedup.scrubSpansAgainstIndex(cp, idCol, textCol, g.name, g.path,
+          g.minCount, g.minSpanTokens, excludeLabel = Some(shardLabel))
+        .drop("tokens_removed").localCheckpoint(true))
+    val survivors = ingestShardFrame(gated, bench, idCol, textCol,
       indexName, indexPath, minTokens, nearDupThreshold, decontamK,
       redactPii, lmFilter = lmFilter, classifierFilter = classifierFilter)
     try {
@@ -553,7 +573,7 @@ object Pipeline {
             val unlanded = sus.join(
               landedIds.join(broadcast(sus), Seq(idCol), "left_semi"),
               Seq(idCol), "left_anti")
-            cp.join(unlanded, Seq(idCol), "left_semi")
+            gated.join(unlanded, Seq(idCol), "left_semi")
           }
       }
       // recovered docs passed the gate before the crash — re-apply
@@ -575,6 +595,12 @@ object Pipeline {
         shardSeed, fullWindowsOnly)
       // sidecar BEFORE windows: a crash between the two leaves the ids
       // visible to the next replay, which overwrites both in place
+      // gram-ledger lockstep (opt-in, before the landings — the
+      // label-idempotent ledger covers its own replay window): what the
+      // windows will hold is the ASSEMBLED gated text, so that is the
+      // mass the next shard must see
+      gramScrub.foreach(g => Dedup.appendShardGrams(toAssemble, idCol,
+        textCol, g.name, g.path, shardLabel))
       toAssemble.select(col(idCol), col("split"))
         .write.mode("overwrite")
         .parquet(s"$outPath/_docsidecar/shard_label=$shardLabel")
@@ -1043,7 +1069,8 @@ object Pipeline {
                   admission: Seq[graft.operators.Checks.Constraint] = Nil,
                   lexical: Option[(String, String)] = None,
                   lmFilter: Option[LmFilter] = None,
-                  classifierFilter: Option[ClassifierFilter] = None): Map[String, Long] = {
+                  classifierFilter: Option[ClassifierFilter] = None,
+                  gramScrub: Option[GramScrub] = None): Map[String, Long] = {
     val spark = shard.sparkSession
     readShardManifest(spark, outPath, shardLabel) match {
       case Some(counts) => return counts // fully processed — O(1) replay
@@ -1083,7 +1110,17 @@ object Pipeline {
       else Some(KeyBlooms.presentIds(cp.select(col(idCol)), idCol,
           spark.table(keysTable).select(col("id").as(idCol)), indexPath)
         .localCheckpoint(true))
-    val survivors = ingestShardFrame(cp, bench, idCol, textCol,
+    // optional span-level ExactSubstr scrub against the gram ledger,
+    // BEFORE the gate so quality/dedup/keys all see the scrubbed text
+    // (the batch chain's stage-0c position). Own label excluded — a
+    // replay whose gram append committed must scrub identically.
+    // Checkpointed: the gate multiply-references its input, and the
+    // scrub's ledger join must not re-run per reference.
+    val gated = gramScrub.fold(cp)(g =>
+      Dedup.scrubSpansAgainstIndex(cp, idCol, textCol, g.name, g.path,
+          g.minCount, g.minSpanTokens, excludeLabel = Some(shardLabel))
+        .drop("tokens_removed").localCheckpoint(true))
+    val survivors = ingestShardFrame(gated, bench, idCol, textCol,
       indexName, indexPath, minTokens, nearDupThreshold, decontamK,
       redactPii, shingleK, numHashes, bands, buckets, lmFilter,
       classifierFilter)
@@ -1098,7 +1135,11 @@ object Pipeline {
             val unlanded = suspects.join(
               landedIds.join(broadcast(suspects), Seq(idCol), "left_semi"),
               Seq(idCol), "left_anti")
-            cp.join(unlanded, Seq(idCol), "left_semi")
+            // recovered payloads come from the SCRUBBED view: their
+            // crashed run gated scrubbed text (deterministic on replay
+            // — own label excluded), so landing the raw text would
+            // resurrect the cut spans
+            gated.join(unlanded, Seq(idCol), "left_semi")
           }
         }
       // recovered docs bypassed the gate, so re-apply what the gate
@@ -1121,6 +1162,12 @@ object Pipeline {
       lexical.foreach { case (ln, lp) =>
         Lexical.appendToLexicalIndex(toLand, idCol, textCol, ln, lp)
       }
+      // gram-ledger lockstep (opt-in): the LANDED text's gram mass
+      // becomes visible to the next shard's scrub. Same before-landing
+      // position and crash reasoning as the lexical append — the
+      // label-idempotent ledger covers its own replay window.
+      gramScrub.foreach(g => Dedup.appendShardGrams(toLand, idCol,
+        textCol, g.name, g.path, shardLabel))
       toLand.write.mode("overwrite")
         .parquet(s"$outPath/shard_label=$shardLabel")
       val landed = toLand.count() // checkpointed — no re-run

@@ -284,6 +284,78 @@ class SpanDedupSpec extends SparkTestBase {
     }
   }
 
+  test("GramScrub rides the daily ingest: corpus spans cut from arrivals, cross-shard via the ledger, replay never self-scrubs") {
+    import graft.llm.Pipeline
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_gram_ing").toString
+    try {
+      val corpus = docs(
+        (1L, "c1 c2 c3 c4 c5 c6 landed corpus document text here"))
+      graft.llm.Dedup.writeNearDupIndex(corpus, "doc_id", "text",
+        "gsing_t", s"$base/idx")
+      Dedup.writeGramIndex(corpus, "doc_id", "text", "gsing_g",
+        s"$base/gram", k = 4)
+      val gs = Pipeline.GramScrub("gsing_g", s"$base/gram")
+      val bench = docs((100L, "benchmark prose sharing no shingle"))
+      // day 1: doc 10 repeats the corpus's 6-token region (cut,
+      // remainder lands); doc 11 carries a unique phrase (lands whole)
+      val shard1 = docs(
+        (10L, "c1 c2 c3 c4 c5 c6 fresh remainder words beyond that point today"),
+        (11L, "u1 u2 u3 u4 u5 unique phrase first sighting today ok"))
+      val counts1 = Pipeline.ingestShard(shard1, bench, "doc_id",
+        "text", "gsing_t", s"$base/idx", s"$base/land", "d1",
+        redactPii = false, gramScrub = Some(gs))
+      assert(counts1("landed") == 2L)
+      val landed1 = spark.read.parquet(s"$base/land")
+        .filter(col("shard_label") === "d1")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[String]("text")).toMap
+      assert(landed1(10L) == "fresh remainder words beyond that point today",
+        s"corpus-duplicated span must be cut: ${landed1(10L)}")
+      assert(landed1(11L).startsWith("u1 u2 u3 u4 u5"),
+        "first sighting lands whole")
+      // day 2: repeating day 1's unique phrase is now duplication —
+      // detection exists only through the ledger append
+      val shard2 = docs(
+        (20L, "u1 u2 u3 u4 u5 second sighting gets trimmed here now fine"))
+      Pipeline.ingestShard(shard2, bench, "doc_id", "text", "gsing_t",
+        s"$base/idx", s"$base/land", "d2", redactPii = false,
+        gramScrub = Some(gs))
+      val landed2 = spark.read.parquet(s"$base/land")
+        .filter(col("shard_label") === "d2")
+        .collect().map(_.getAs[String]("text"))
+      assert(landed2.toSeq == Seq("second sighting gets trimmed here now fine"),
+        s"cross-shard duplication must be cut via the ledger: ${landed2.toSeq}")
+      // manifest replay: O(1), same counts, landing untouched
+      val replay = Pipeline.ingestShard(shard1, bench, "doc_id", "text",
+        "gsing_t", s"$base/idx", s"$base/land", "d1",
+        redactPii = false, gramScrub = Some(gs))
+      assert(replay == counts1)
+      // crash replay: gram append committed, landing did not — the
+      // scrub must EXCLUDE the shard's own label or the replay would
+      // flag the shard against itself and land nothing but stubs
+      val shard3 = docs(
+        (30L, "v1 v2 v3 v4 v5 crash window document totally fresh"))
+      Dedup.appendShardGrams(shard3, "doc_id", "text", "gsing_g",
+        s"$base/gram", "d3") // the crashed run's committed append
+      Pipeline.ingestShard(shard3, bench, "doc_id", "text", "gsing_t",
+        s"$base/idx", s"$base/land", "d3", redactPii = false,
+        gramScrub = Some(gs))
+      val landed3 = spark.read.parquet(s"$base/land")
+        .filter(col("shard_label") === "d3")
+        .collect().map(_.getAs[String]("text"))
+      assert(landed3.toSeq ==
+        Seq("v1 v2 v3 v4 v5 crash window document totally fresh"),
+        s"replay must not scrub the shard against itself: ${landed3.toSeq}")
+    } finally {
+      Seq("gsing_t_bands", "gsing_t_shingles", "gsing_t_keys",
+          "gsing_g_grams")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+    }
+  }
+
   test("SpanScrub rides the Pipeline: equals pre-scrubbing, emptied whole-doc dups drop at the quality gate") {
     import graft.llm.Pipeline
     // minSpanTokens=10 shapes the interaction: 1/2 share a 12-token
