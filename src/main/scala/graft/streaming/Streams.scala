@@ -440,7 +440,10 @@ object Streams {
                            nearDupThreshold: Double = 0.5,
                            decontamK: Int = 5,
                            redactPii: Boolean = true,
-                           fullWindowsOnly: Boolean = false): DataStreamWriter[Row] =
+                           fullWindowsOnly: Boolean = false,
+                           lmFilter: Option[graft.llm.Pipeline.LmFilter] = None,
+                           classifierFilter: Option[graft.llm.Pipeline.ClassifierFilter] = None,
+                           gramScrub: Option[graft.llm.Pipeline.GramScrub] = None): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
@@ -448,7 +451,9 @@ object Streams {
           graft.llm.Pipeline.ingestWindowsShard(batch, bench, idCol,
             textCol, indexName, indexPath, outPath, windowSize,
             s"stream-$batchId", minTokens, nearDupThreshold, decontamK,
-            redactPii = redactPii, fullWindowsOnly = fullWindowsOnly)
+            redactPii = redactPii, fullWindowsOnly = fullWindowsOnly,
+            lmFilter = lmFilter, classifierFilter = classifierFilter,
+            gramScrub = gramScrub)
         ()
       }
 
