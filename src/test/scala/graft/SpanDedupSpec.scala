@@ -356,6 +356,57 @@ class SpanDedupSpec extends SparkTestBase {
     }
   }
 
+  test("GramScrub rides the streaming windows landing: batch 2 is scrubbed against batch 1's ledger mass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_gsw_idx").toString
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_gsw").toString
+    try {
+      val corpus = docs(
+        (1L, "seed corpus document with plain unrelated words inside"))
+      graft.llm.Dedup.writeNearDupIndex(corpus, "doc_id", "text",
+        "gsw_t", idx)
+      Dedup.writeGramIndex(corpus, "doc_id", "text", "gsw_g",
+        s"$base/gram", k = 4)
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.windowsLandingStream(
+        in.toDF().toDF("doc_id", "text"),
+        docs(), "doc_id", "text", "gsw_t", idx, s"$base/out", 64L,
+        s"$base/ckpt", redactPii = false,
+        gramScrub = Some(graft.llm.Pipeline.GramScrub("gsw_g",
+          s"$base/gram"))).start()
+      try {
+        in.addData(
+          (10L, "p1 p2 p3 p4 p5 first sighting of this phrase today"))
+        q.processAllAvailable()
+        in.addData(
+          (20L, "p1 p2 p3 p4 p5 second arrival must lose the prefix today ok"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val win = spark.read.parquet(s"$base/out")
+      val texts = win.select("shard_label", "window_text").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(texts("stream-0").startsWith("p1 p2 p3 p4 p5"),
+        s"first sighting lands whole: ${texts("stream-0")}")
+      assert(texts("stream-1") ==
+        "second arrival must lose the prefix today ok",
+        s"ledger mass from batch 1 must trim batch 2: ${texts("stream-1")}")
+      // both stream labels entered the ledger
+      assert(spark.table("gsw_g_grams").select("shard_label").distinct()
+        .collect().map(_.getString(0)).toSet ==
+        Set("__base__", "stream-0", "stream-1"))
+    } finally {
+      Seq("gsw_t_bands", "gsw_t_shingles", "gsw_t_keys", "gsw_g_grams")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(idx, base).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(d)))
+    }
+  }
+
   test("SpanScrub rides the Pipeline: equals pre-scrubbing, emptied whole-doc dups drop at the quality gate") {
     import graft.llm.Pipeline
     // minSpanTokens=10 shapes the interaction: 1/2 share a 12-token
