@@ -1867,6 +1867,72 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Multiclass NB — trained language ID (the fastText/CCNet role;
+    // the model-based upgrade of the marker-heuristic q_lang_predict):
+    // docs with doc_id % 5 = 0 are the labeled seed (their own `lang`
+    // column), the rest are candidates. Integer per-(doc, label)
+    // statistics are hash-exact; the PREDICTION argmax is oracle-safe —
+    // min top-2 score margin 3.0e-3 / 3.2e-3 at the two scales, ten
+    // orders above the ln-fold's cross-engine ulp accumulation.
+    val nbmCtes =
+      s"""nbmtr AS (SELECT lang AS label, text FROM documents WHERE doc_id % 5 = 0),
+         |nbmcand AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |nbmm AS (SELECT label, w, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT label, unnest(${graft.llm.NgramLm.toksSql("text")}) AS w
+         |        FROM nbmtr) GROUP BY label, w),
+         |nbmtot AS (SELECT label, sum(cnt) AS nl FROM nbmm GROUP BY label),
+         |nbmv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM nbmm),
+         |nbmlbl AS (SELECT DISTINCT label FROM nbmm),
+         |nbmks AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+         |  FROM (SELECT doc_id, unnest(${graft.llm.NgramLm.toksSql("text")}) AS w
+         |        FROM nbmcand) GROUP BY doc_id, w),
+         |nbmj AS (SELECT nbmks.doc_id, nbmlbl.label, nbmks.w, nbmks.k,
+         |    coalesce(m.cnt, 0) AS c0
+         |  FROM nbmks CROSS JOIN nbmlbl
+         |  LEFT JOIN nbmm m ON m.label = nbmlbl.label AND m.w = nbmks.w),
+         |nbmagg AS (
+         |  SELECT doc_id, label,
+         |    CAST(sum(k) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN c0 > 0 THEN k ELSE 0 END) AS BIGINT) AS n_hit,
+         |    CAST(sum(k * c0) AS BIGINT) AS sum_cnt,
+         |    list_sum(list(k * ln((CAST(c0 AS DOUBLE) + 1.0) /
+         |      (CAST(nl AS DOUBLE) + CAST(v AS DOUBLE))) ORDER BY w)) AS score
+         |  FROM nbmj JOIN nbmtot USING (label), nbmv
+         |  GROUP BY doc_id, label)""".stripMargin
+
+    def nbmModel(s: org.apache.spark.sql.SparkSession, dir: String) =
+      graft.llm.Classifier.trainMulti(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+          .select("lang", "text"), "lang", "text")
+    def nbmCand(s: org.apache.spark.sql.SparkSession, dir: String) =
+      t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0)
+        .select("doc_id", "text")
+
+    r.reg("q_nbm_stats",
+      s"""WITH $nbmCtes
+         |SELECT doc_id, label, n_tokens, n_hit, sum_cnt FROM nbmagg
+         |ORDER BY doc_id, label""".stripMargin) { (s, dir) =>
+      graft.llm.Classifier.scoreMulti(nbmCand(s, dir), "doc_id", "text",
+          nbmModel(s, dir))
+        .select("doc_id", "label", "n_tokens", "n_hit", "sum_cnt")
+        .orderBy("doc_id", "label")
+    }
+
+    r.reg("q_nbm_predict",
+      s"""WITH $nbmCtes,
+         |nbmrk AS (SELECT doc_id, label,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, label) AS r
+         |  FROM nbmagg)
+         |SELECT d.doc_id, rk.label AS predicted
+         |FROM nbmcand d LEFT JOIN (
+         |  SELECT doc_id, label FROM nbmrk WHERE r = 1) rk USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.Classifier.predictMulti(nbmCand(s, dir), "doc_id",
+          "text", nbmModel(s, dir))
+        .orderBy("doc_id")
+    }
+
     // The composed pipeline WITH the classifier gate (1c): the shared
     // 6-stage chain with the NB llr_mean >= 0.002 decision SPLICED
     // between the rule-quality gate and exact dedup — exactly where

@@ -134,6 +134,77 @@ object Classifier {
   }
 
   // ------------------------------------------------------------------
+  // MULTICLASS form — trained language/domain identification (the
+  // fastText/CCNet lang-ID role; the model-based upgrade of the
+  // marker-heuristic TextStats.langPredict): one NB model per label
+  // from a labeled seed corpus, prediction = argmax of the per-label
+  // Laplace-smoothed log-likelihood (uniform prior — the standard
+  // lang-ID choice; likelihood dominates at any document length).
+  // ------------------------------------------------------------------
+
+  /** TRAIN: per-label unigram counts over a LABELED seed corpus →
+    * (label, w, cnt). The label column is read as string. */
+  def trainMulti(docs: DataFrame, labelCol: String,
+                 textCol: String): DataFrame =
+    docs.select(col(labelCol).cast("string").as("label"),
+        explode(NgramLm.toks(col(textCol))).as("w"))
+      .groupBy("label", "w").agg(count(lit(1)).as("cnt"))
+
+  /** SCORE, multiclass: one row per (doc, label) with the integer
+    * statistics (n_tokens, n_hit, sum_cnt — hits/masses against THAT
+    * label's counts) and the ordered-fold log-likelihood
+    * Σ k·ln((cnt + α)/(N_label + α·V)), V = |union vocab|. Every doc
+    * scores against every label (|labels| is small — languages,
+    * domains); token-less docs emit no rows here ([[predictMulti]]
+    * returns them with a NULL prediction). */
+  def scoreMulti(docs: DataFrame, idCol: String, textCol: String,
+                 model: DataFrame, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    require(!model.isEmpty,
+      "empty multiclass model — train on a non-empty labeled corpus first")
+    val totals = model.groupBy("label").agg(sum(col("cnt")).as("__nl__"))
+    val vrow = model.agg(countDistinct(col("w")).as("__v__"))
+    val labels = model.select("label").distinct()
+    val ks = docs
+      .select(col(idCol), explode(NgramLm.toks(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k"))
+    ks.crossJoin(broadcast(labels))
+      .join(model, Seq("label", "w"), "left")
+      .withColumn("c0", coalesce(col("cnt"), lit(0L)))
+      .groupBy(col(idCol), col("label"))
+      .agg(
+        collect_list(struct(col("w"), col("k"), col("c0"))).as("__xs__"),
+        sum(col("k")).as("n_tokens"),
+        sum(when(col("c0") > 0, col("k")).otherwise(lit(0L))).as("n_hit"),
+        sum(col("k") * col("c0")).as("sum_cnt"))
+      .join(broadcast(totals), Seq("label"))
+      .crossJoin(broadcast(vrow))
+      .withColumn("score",
+        aggregate(array_sort(col("__xs__")), lit(0.0), (acc, x) =>
+          acc + x.getField("k").cast("double") *
+            log((x.getField("c0").cast("double") + lit(alpha)) /
+              (col("__nl__").cast("double") +
+                lit(alpha) * col("__v__").cast("double")))))
+      .select(col(idCol), col("label"), col("n_tokens"), col("n_hit"),
+        col("sum_cnt"), col("score"))
+  }
+
+  /** PREDICT: argmax label per doc (ties break on the smaller label —
+    * deterministic); token-less docs return a NULL prediction (no
+    * evidence — the caller owns the policy, as everywhere). */
+  def predictMulti(docs: DataFrame, idCol: String, textCol: String,
+                   model: DataFrame, alpha: Double = 1.0): DataFrame = {
+    val scored = scoreMulti(docs, idCol, textCol, model, alpha)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("label").asc)
+    val best = scored.withColumn("__r__", row_number().over(w))
+      .filter(col("__r__") === 1)
+      .select(col(idCol), col("label").as("predicted"))
+    docs.select(col(idCol)).join(best, Seq(idCol), "left")
+  }
+
+  // ------------------------------------------------------------------
   // Persisted classifier — the EIGHTH maintained family: ONE bucketed
   // table `<name>_nbc` (w, pos_cnt, neg_cnt) bucketed on `w`. Npos,
   // Nneg and V are deliberately NOT stored: all three re-derive from

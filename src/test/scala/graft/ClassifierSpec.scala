@@ -143,6 +143,64 @@ class ClassifierSpec extends SparkTestBase {
     }
   }
 
+  test("multiclass: StrictMath score parity, argmax prediction, tie-break, unscorable NULL") {
+    val seed = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog"),
+      ("en", "a quick dog jumps over the brown fence"),
+      ("de", "der schnelle braune fuchs springt gern hoch"),
+      ("de", "der hund springt hoch und gern"),
+      ("fr", "le renard brun rapide saute par dessus le chien"))
+    val seedDf = df(StructType(Seq(StructField("lang", StringType),
+      StructField("text", StringType))),
+      seed.map { case (l, t) => Row(l, t) }: _*)
+    val model = Classifier.trainMulti(seedDf, "lang", "text")
+    // driver-side reference
+    val cnts = seed.groupBy(_._1).map { case (l, ds) =>
+      l -> ds.flatMap(d => toksRef(d._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+    }
+    val v = seed.flatMap(d => toksRef(d._2)).distinct.size
+    def scoreRefM(text: String, l: String): Double = {
+      val m = cnts(l); val nl = m.values.sum
+      toksRef(text).groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (w, k)) =>
+          acc + k.toDouble * StrictMath.log(
+            (m.getOrElse(w, 0L).toDouble + 1.0) /
+              (nl.toDouble + v.toDouble))
+        }
+    }
+    val cands = Seq(
+      10L -> "the quick dog jumps high",
+      11L -> "der schnelle hund springt hoch",
+      12L -> "le renard saute par dessus")
+    val candsDf = docsDf(cands)
+    val got = Classifier.scoreMulti(candsDf, "doc_id", "text", model)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("label")) -> r.getAs[Double]("score")).toMap
+    for ((id, text) <- cands; l <- Seq("en", "de", "fr"))
+      assert(got((id, l)) == scoreRefM(text, l),
+        s"score mismatch at ($id, $l)")
+    val pred = Classifier.predictMulti(candsDf, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(10L -> "en", 11L -> "de", 12L -> "fr"), s"$pred")
+    // unscorable doc: NULL prediction, no scoreMulti rows
+    val withEmpty = docsDf(Seq(1L -> "", 2L -> "the quick dog"))
+    val p2 = Classifier.predictMulti(withEmpty, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getString(1))).toMap
+    assert(p2(1L).isEmpty && p2(2L).contains("en"))
+    // tie-break: a doc of only-OOV tokens scores every label at the
+    // same smoothed floor ONLY if label masses are equal — construct
+    // equal-mass labels and assert the smaller label wins
+    val eq = df(StructType(Seq(StructField("lang", StringType),
+      StructField("text", StringType))),
+      Row("b", "bb1 bb2 bb3"), Row("a", "aa1 aa2 aa3"))
+    val eqModel = Classifier.trainMulti(eq, "lang", "text")
+    val tie = Classifier.predictMulti(docsDf(Seq(5L -> "zz1 zz2")),
+      "doc_id", "text", eqModel).collect()
+    assert(tie.head.getString(1) == "a", "ties must break on label asc")
+  }
+
   test("persisted family: stamp guard, bit-parity serve, drift, maintain") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-nbc").toString
