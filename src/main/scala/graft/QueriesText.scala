@@ -2670,6 +2670,191 @@ object QueriesText {
     }
 
     // ------------------------------------------------------------------
+    // Multimodal perceptual dedup (r13): dHash over REAL decoded PNGs
+    // and energy-envelope hashes over REAL parsed WAVs, paired through
+    // the shared Hamming banding. The oracle has no codec — it
+    // recomputes every hash from the synthetic-pixel/-sample integer
+    // arithmetic — so a match proves Spark's decode→hash path is real
+    // AND that the banded pair join is complete (the SQL side is the
+    // BRUTE-FORCE popcount join; pigeonhole banding must equal it when
+    // no bucket reaches the cap).
+
+    // dHash CTE chain: image rows (rid = row id, pid = pixel-source id,
+    // pert = 1 on planted variants whose (0,0) red shifts by +64) →
+    // 9×8 NN grayscale grid → 64-bit difference hash assembled in two
+    // 31-bit halves + the sign bit (bit 63 is -2^63 in signed BIGINT).
+    val dhashCtes =
+      """imgs AS (
+        |  SELECT doc_id AS rid, doc_id AS pid, 0 AS pert
+        |  FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 100000, doc_id, 1
+        |  FROM documents WHERE doc_id < 150 AND doc_id % 7 = 0),
+        |gsrc AS (
+        |  SELECT rid, pid, pert, gy, gx,
+        |    (gx*(pid%13+4))//9 AS sx, (gy*(pid%7+3))//8 AS sy
+        |  FROM imgs, (SELECT unnest(range(0,8)) AS gy),
+        |    (SELECT unnest(range(0,9)) AS gx)),
+        |gpix AS (
+        |  SELECT rid, gy, gx,
+        |    (299*(((pid*31 + 7*sx + 13*sy) % 256
+        |            + CASE WHEN pert=1 AND sx=0 AND sy=0 THEN 64 ELSE 0 END) % 256)
+        |     + 587*((sx*sy + pid) % 256)
+        |     + 114*((sx + 3*sy) % 256)) // 1000 AS gray
+        |  FROM gsrc),
+        |dh AS (
+        |  SELECT c.rid,
+        |    CAST(COALESCE(SUM(CASE WHEN n.gray > c.gray AND c.gy*8+c.gx < 32
+        |        THEN (1::BIGINT << (c.gy*8+c.gx)) ELSE 0 END), 0) AS BIGINT)
+        |    + CAST(COALESCE(SUM(CASE WHEN n.gray > c.gray
+        |          AND c.gy*8+c.gx BETWEEN 32 AND 62
+        |        THEN (1::BIGINT << (c.gy*8+c.gx-32)) ELSE 0 END), 0) AS BIGINT)
+        |      * 4294967296
+        |    + CASE WHEN MAX(CASE WHEN n.gray > c.gray AND c.gy*8+c.gx = 63
+        |        THEN 1 ELSE 0 END) = 1
+        |      THEN -9223372036854775807 - 1 ELSE 0 END AS dhash
+        |  FROM gpix c JOIN gpix n
+        |    ON n.rid = c.rid AND n.gy = c.gy AND n.gx = c.gx + 1
+        |  WHERE c.gx < 8
+        |  GROUP BY c.rid)""".stripMargin
+
+    def imageFixture(s: org.apache.spark.sql.SparkSession,
+                             dir: String) = {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select("doc_id")
+      Multimodal.synthPng(docs, "doc_id").union(
+        Multimodal.synthPngVariant(
+          docs.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"),
+              col("doc_id").as("src")),
+          "doc_id", "src"))
+    }
+
+    // Real decode → perceptual dHash, value-checked bit-for-bit against
+    // the pixel-arithmetic recompute (base images only).
+    r.reg("q_image_dhash",
+      s"""WITH $dhashCtes
+         |SELECT i.rid AS doc_id,
+         |  CAST(i.pid % 13 + 4 AS INTEGER) AS width,
+         |  CAST(i.pid % 7 + 3 AS INTEGER) AS height,
+         |  dh.dhash
+         |FROM imgs i JOIN dh ON dh.rid = i.rid
+         |WHERE i.pert = 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select("doc_id")
+      Multimodal.dhashFeatures(
+          Multimodal.synthPng(docs, "doc_id"), "doc_id", "payload")
+        .orderBy("doc_id")
+    }
+
+    // Banded image near-dup pairs vs the brute-force popcount join:
+    // 150 base images + 22 planted byte-distinct retouched variants
+    // (probed: 2289 pairs at both scales incl. all 22 planted — the
+    // synthetic pixel patterns also collide incidentally, which makes
+    // the completeness check non-vacuous far beyond the plants).
+    r.reg("q_image_pairs",
+      s"""WITH $dhashCtes
+         |SELECT a.rid AS id_a, b.rid AS id_b,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+         |FROM dh a JOIN dh b ON a.rid < b.rid
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.imageNearDupPairs(imageFixture(s, dir), "doc_id", "payload")
+        .orderBy("id_a", "id_b")
+    }
+
+    // Image drop-composite: pairs → transitive components (faithful
+    // recursive-CTE reachability — chains exist in the incidental
+    // collisions) → keep each component's minimum.
+    r.reg("q_image_dedup",
+      s"""WITH RECURSIVE $dhashCtes,
+         |prs AS (
+         |  SELECT a.rid AS id_a, b.rid AS id_b
+         |  FROM dh a JOIN dh b ON a.rid < b.rid
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+         |sedges AS (
+         |  SELECT id_a AS u, id_b AS v FROM prs
+         |  UNION SELECT id_b AS u, id_a AS v FROM prs),
+         |reach AS (
+         |  SELECT u, v FROM sedges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN sedges e ON r.v = e.u),
+         |drp AS (SELECT u AS id FROM reach GROUP BY u HAVING min(v) < u)
+         |SELECT rid AS doc_id FROM imgs
+         |WHERE rid NOT IN (SELECT id FROM drp)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.dropImageNearDuplicates(imageFixture(s, dir), "doc_id",
+          "payload")
+        .select("doc_id").orderBy("doc_id")
+    }
+
+    // Envelope-hash CTE chain: audio rows (pert = 1 shifts sample 0 by
+    // +9999 mod 2^16) → 64 segment energies (boundaries s·n/64, floor)
+    // → adjacent-segment comparison bits; bit 63 is always 0 so the
+    // hash assembles in two halves with no sign-bit case.
+    val ehashCtes =
+      """auds AS (
+        |  SELECT doc_id AS rid, doc_id AS pid, 0 AS pert
+        |  FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 200000, doc_id, 1
+        |  FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0),
+        |seg AS (
+        |  SELECT rid, s,
+        |    COALESCE(list_sum(list_transform(
+        |      range(s*(pid%400+100)//64, (s+1)*(pid%400+100)//64),
+        |      i -> abs(CASE WHEN pert = 1 AND i = 0
+        |               THEN (pid*31 + 9999) % 65536 - 32768
+        |               ELSE (pid*31 + i*7) % 65536 - 32768 END))), 0) AS e
+        |  FROM auds, (SELECT unnest(range(0,64)) AS s)),
+        |eh AS (
+        |  SELECT a.rid,
+        |    CAST(COALESCE(SUM(CASE WHEN a.e > b.e AND a.s < 32
+        |        THEN (1::BIGINT << a.s) ELSE 0 END), 0) AS BIGINT)
+        |    + CAST(COALESCE(SUM(CASE WHEN a.e > b.e AND a.s >= 32
+        |        THEN (1::BIGINT << (a.s-32)) ELSE 0 END), 0) AS BIGINT)
+        |      * 4294967296 AS ehash
+        |  FROM seg a JOIN seg b ON b.rid = a.rid AND b.s = a.s + 1
+        |  WHERE a.s < 63 GROUP BY a.rid)""".stripMargin
+
+    // Real WAV parse → envelope hash, value-checked against the
+    // sample-arithmetic recompute (base audio only).
+    r.reg("q_audio_envelope",
+      s"""WITH $ehashCtes
+         |SELECT a.rid AS doc_id,
+         |  CAST(a.pid % 400 + 100 AS BIGINT) AS frames, eh.ehash
+         |FROM auds a JOIN eh ON eh.rid = a.rid
+         |WHERE a.pert = 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select("doc_id")
+      Multimodal.audioEnvelopeHash(
+          Multimodal.synthWav(docs, "doc_id"), "doc_id", "payload")
+        .orderBy("doc_id")
+    }
+
+    // Banded audio near-dup pairs vs brute force: 150 base recordings
+    // + 30 planted first-sample edits (probed: 301 pairs incl. all 30
+    // planted at both scales).
+    r.reg("q_audio_pairs",
+      s"""WITH $ehashCtes
+         |SELECT a.rid AS id_a, b.rid AS id_b,
+         |  CAST(bit_count(xor(a.ehash, b.ehash)) AS INTEGER) AS hamming
+         |FROM eh a JOIN eh b ON a.rid < b.rid
+         |WHERE bit_count(xor(a.ehash, b.ehash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select("doc_id")
+      val fixture = Multimodal.synthWav(docs, "doc_id").union(
+        Multimodal.synthWavVariant(
+          docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 200000L).as("doc_id"),
+              col("doc_id").as("src")),
+          "doc_id", "src"))
+      Dedup.audioNearDupPairs(fixture, "doc_id", "payload")
+        .orderBy("id_a", "id_b")
+    }
+
+    // ------------------------------------------------------------------
     // Lexical retrieval (r13): BM25 ranked search + hybrid RRF fusion.
     // The oracle recomputes the ENTIRE scoring pipeline — tokenization,
     // postings, document frequencies, corpus stats, the per-term

@@ -958,13 +958,40 @@ object Dedup {
       s"simhashNearDupPairs: id column '$idCol' must be numeric (got " +
         s"${docs.schema(idCol).dataType.simpleString}); factorize or " +
         "hash string keys first")
-    val w = bits / (hammingK + 1)
-    val mask = if (w == 64) -1L else (1L << w) - 1
     // native one-pass signature (graft.functions.SimHash): the
     // declarative HOF form costs ~bits interpreted passes per row AND
     // recomputes per join branch when AQE broadcasts a side
     val sh = docs.select(col(idCol).as("id"),
       graft.functions.TextHashExprs.simhash(col(textCol), bits).as("sh"))
+    hammingNearDupPairs(sh, "id", "sh", bits, hammingK, maxBucketSize)
+  }
+
+  /** The Hamming-banding pair core, over ANY precomputed `bits`-bit
+    * signature column — the machinery [[simhashNearDupPairs]] runs on
+    * text simhashes, factored out (r13) so OTHER signature modalities
+    * ride the same audited scale shape: perceptual image dHash
+    * ([[imageNearDupPairs]]), audio envelope hashes
+    * ([[audioNearDupPairs]]), or any caller-computed fingerprint.
+    * `sigs` needs a NUMERIC id column and a long signature column;
+    * returns (id_a < id_b, hamming ≤ hammingK). Pigeonhole banding
+    * (hammingK+1 bands → one band agrees exactly), one band exchange,
+    * degenerate-bucket cap-and-split with the engine-agnostic salt,
+    * popcount verify before the distinct shuffle — see
+    * [[simhashNearDupPairs]] for the full geometry rationale. */
+  def hammingNearDupPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                          bits: Int = 64, hammingK: Int = 3,
+                          maxBucketSize: Int = 10000): DataFrame = {
+    require(hammingK >= 0 && bits % (hammingK + 1) == 0,
+      s"bits=$bits must split into hammingK+1=${hammingK + 1} bands")
+    require(maxBucketSize > 1, "maxBucketSize must exceed 1")
+    require(sigs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"hammingNearDupPairs: id column '$idCol' must be numeric (got " +
+        s"${sigs.schema(idCol).dataType.simpleString}); factorize or " +
+        "hash string keys first")
+    val w = bits / (hammingK + 1)
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val sh = sigs.select(col(idCol).as("id"), col(sigCol).as("sh"))
     val bandCols = (0 to hammingK).map(b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sh"), b * w).bitwiseAND(lit(mask))
@@ -981,24 +1008,37 @@ object Dedup {
     // family), NOT Spark's Murmur3 hash(): when the cap engages, which
     // sub-bucket a doc lands in decides which pairs survive, so an
     // engine-specific salt would quietly break the family's
-    // bit-reproducible-cross-engine contract (r12 ADVICE). The band
-    // enters as a band-rotated odd MULTIPLIER (Knuth's M + 2·band), not
-    // an additive offset: multiplicative hashes are affine, so an added
-    // band constant would shift every id's hash by the SAME amount —
-    // identical splits in all bands, and the cross-band pair recovery
-    // the cap's completeness argument rests on would silently vanish
-    // (two ids split apart in one band differ by (id_a−id_b)·2·band
-    // here, so other bands re-unite them). Requires a numeric id — the
-    // family-wide key contract.
+    // bit-reproducible-cross-engine contract (r12 ADVICE). Two
+    // properties the cap's cross-band recovery argument NEEDS (r13 —
+    // a constructed-fixture spec caught the prior form violating both):
+    // (1) the sub-bucket index takes the HIGH bits of the
+    // multiplicative hash ((x·nSub) div 2^31), never `mod nSub` — the
+    // low bits of x·M are the low bits of x·(M mod 2^k), so `mod 2`
+    // degenerates to parity(id), identical in every band; (2) the band
+    // enters the hash INPUT (id + band·C before the multiply), not the
+    // multiplier — multipliers M + 2·band are nearly equal, so their
+    // high bits split every band the same way, and a pair split apart
+    // in one band would be split apart in all of them. With both, the
+    // splits decorrelate across bands and a pair lost to one band's
+    // cap is re-united by another agreeing band with probability
+    // 1 − (1/nSub)^bands. Requires a numeric id — the family-wide key
+    // contract. C is a public avalanche offset (SHA-256's h0), M is
+    // Knuth's multiplier.
     val wBucket = Window.partitionBy(col("band"), col("key"))
+    val nSub = greatest(ceil(col("__n__").cast("double") / maxBucketSize)
+      .cast("long"), lit(1L))
+    val mixed = pmod(
+      pmod(pmod(col("id"), lit(2147483648L)) + col("band") * lit(1779033703L),
+        lit(2147483648L)) * lit(2654435761L),
+      lit(2147483648L))
     val salted = banded
       .withColumn("__n__", count(lit(1)).over(wBucket))
       .withColumn("__salt__",
         when(col("__n__") > maxBucketSize,
-          pmod(pmod(pmod(col("id"), lit(2147483648L)) *
-              (lit(2654435761L) + col("band") * 2), lit(2147483648L)),
-            greatest(ceil(col("__n__").cast("double") / maxBucketSize)
-              .cast("int"), lit(1)).cast("long")).cast("int"))
+          // (x·nSub) div 2^31 without a double round trip: x·nSub is
+          // nonnegative and < 2^31·nSub, so an unsigned shift IS the
+          // floor division (and DuckDB's `// 2147483648` matches)
+          shiftrightunsigned(mixed * nSub, 31).cast("int"))
           .otherwise(lit(0)))
       .select(col("id"), col("sh"), col("band"), col("key"),
         col("__salt__"))
@@ -1074,6 +1114,73 @@ object Dedup {
     pairs.unpersist()
     val toDrop = labels.filter(col("id") =!= col("label")).select(col("id"))
     docs.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** IMAGE near-dup pairs — the multimodal dedup modality (the recipe
+    * the large image-text corpus builds run, e.g. LAION's dedup by
+    * perceptual hash): REAL codec decode → 64-bit perceptual dHash
+    * ([[Multimodal.dhashFeatures]] — 9×8 grayscale grid, adjacent-
+    * column comparisons, the standard difference-hash) → the SAME
+    * pigeonhole Hamming banding as the text SimHash family
+    * ([[hammingNearDupPairs]]). A re-encoded, slightly re-compressed
+    * or locally-retouched copy keeps a near-identical dHash (Hamming
+    * ≤ hammingK) while any resolution change is absorbed by the grid
+    * normalization — exactly the duplicates byte-level exact dedup
+    * cannot see. Rows whose payload fails to decode are EXCLUDED from
+    * pairing (they flag in [[Multimodal.dhashFeatures]] with -1 dims;
+    * triage owns them — silently pairing flagged zero hashes would
+    * declare all corrupt rows mutual duplicates). Scale shape: one
+    * decode pass fused per partition, 8-byte signatures ride the one
+    * band exchange, verify is an integer popcount on candidates only. */
+  def imageNearDupPairs(docs: DataFrame, idCol: String,
+                        payloadCol: String, hammingK: Int = 3,
+                        maxBucketSize: Int = 10000): DataFrame = {
+    val sigs = Multimodal.dhashFeatures(
+        docs.select(col(idCol).cast("long").as("doc_id"), col(payloadCol)),
+        "doc_id", payloadCol)
+      .filter(col("width") > 0)
+      .select(col("doc_id"), col("dhash"))
+    hammingNearDupPairs(sigs, "doc_id", "dhash", 64, hammingK,
+      maxBucketSize)
+  }
+
+  /** Drop image near-duplicates: [[imageNearDupPairs]] →
+    * [[minLabelComponents]] → keep each component's smallest id — the
+    * multimodal drop-composite in parity with the text families (same
+    * transitive-component discipline; a re-encode chain a~b~c keeps
+    * ONE copy). Undecodable rows are never dropped (they carry no
+    * signature; quality triage owns their fate). */
+  def dropImageNearDuplicates(docs: DataFrame, idCol: String,
+                              payloadCol: String, hammingK: Int = 3,
+                              maxIterations: Int = 30,
+                              maxBucketSize: Int = 10000): DataFrame = {
+    val pairs = imageNearDupPairs(docs, idCol, payloadCol, hammingK,
+        maxBucketSize)
+      .select(col("id_a"), col("id_b")).cache()
+    val labels = minLabelComponents(pairs, maxIterations)
+    pairs.unpersist()
+    val toDrop = labels.filter(col("id") =!= col("label")).select(col("id"))
+    docs.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** AUDIO near-dup pairs: REAL container decode → 64-bit energy-
+    * envelope hash ([[Multimodal.audioEnvelopeHash]] — per-segment
+    * |PCM| energy, adjacent-segment comparisons: the coarse shape of
+    * an acoustic fingerprint, comparisons-of-band-energies, reduced to
+    * its time-envelope form so it stays integer-exact) → the shared
+    * Hamming banding. Catches re-encoded / slightly-edited copies of
+    * the same recording; unparseable payloads are excluded (flagged
+    * upstream, triage owns them). */
+  def audioNearDupPairs(docs: DataFrame, idCol: String,
+                        payloadCol: String, hammingK: Int = 3,
+                        maxBucketSize: Int = 10000): DataFrame = {
+    val sigs = Multimodal.audioEnvelopeHash(
+        docs.select(col(idCol).cast("long").as("doc_id"), col(payloadCol)),
+        "doc_id", payloadCol)
+      .filter(col("frames") >= 0)
+      .select(col("doc_id"), col("ehash"))
+    hammingNearDupPairs(sigs, "doc_id", "ehash", 64, hammingK,
+      maxBucketSize)
   }
 
   /** N-gram decontamination report: training docs sharing at least one

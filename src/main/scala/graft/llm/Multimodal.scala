@@ -143,6 +143,111 @@ object Multimodal {
         }
       }(org.apache.spark.sql.Encoders.row(featureSchema))
 
+  /** Red-channel perturbation applied by [[synthPngVariant]] to pixel
+    * (0, 0) — a "locally retouched copy" fixture whose dHash provably
+    * stays within Hamming distance h of the original (every grid cell
+    * sampling pixel (0,0) shifts to the SAME new gray, so comparisons
+    * between two affected cells never flip; only the one boundary
+    * comparison per affected grid row can — at most one bit per row,
+    * and pixel (0,0) is sampled by at most 3 grid rows at the
+    * [[dims]] geometry). */
+  val VariantRedDelta = 64
+
+  /** Synthesize the PNG of `srcIdCol`'s image with pixel (0, 0)'s red
+    * channel shifted by [[VariantRedDelta]] (mod 256) — the planted
+    * near-duplicate fixture for [[graft.llm.Dedup.imageNearDupPairs]]:
+    * a real re-encoded payload whose perceptual hash is provably close
+    * to the original's while staying byte-distinct (exact dedup cannot
+    * see it). Output schema: (doc_id = `idCol`, payload). */
+  def synthPngVariant(df: DataFrame, idCol: String,
+                      srcIdCol: String): DataFrame =
+    df.select(col(idCol).cast("long"), col(srcIdCol).cast("long"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val src = r.getLong(1)
+          val (w, h) = dims(src)
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (cr, cg, cb) = pixel(src, x, y)
+              val pr = if (x == 0 && y == 0) (cr + VariantRedDelta) % 256
+                       else cr
+              img.setRGB(x, y, (pr << 16) | (cg << 8) | cb)
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, encodePngBytes(img))
+        }
+      }(org.apache.spark.sql.Encoders.row(payloadSchema))
+
+  /** ITU-R BT.601 integer luma: (299r + 587g + 114b) / 1000, floor —
+    * pure integer arithmetic so any engine reproduces it. */
+  private def grayOf(rgb: Int): Int =
+    (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+      + 114 * (rgb & 0xff)) / 1000
+
+  /** 64-bit perceptual difference hash of a decoded image: sample a
+    * 9×8 grayscale grid by nearest neighbor (sx = gx·w/9, sy = gy·h/8,
+    * integer floor — resolution-normalizing, so a resized copy keeps
+    * its hash), then bit gy·8+gx = 1 iff gray(gx+1, gy) > gray(gx, gy).
+    * The standard dHash: integer-exact end to end. */
+  def dhashOf(img: BufferedImage): Long = {
+    val gray = Array.ofDim[Int](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val sx = (gx.toLong * img.getWidth / 9).toInt
+        val sy = (gy.toLong * img.getHeight / 8).toInt
+        gray(gy)(gx) = grayOf(img.getRGB(sx, sy))
+        gx += 1
+      }
+      gy += 1
+    }
+    var h = 0L
+    gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (gray(gy)(gx + 1) > gray(gy)(gx)) h |= (1L << (gy * 8 + gx))
+        gx += 1
+      }
+      gy += 1
+    }
+    h
+  }
+
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+
+  /** REAL batched perceptual hashing: decode each payload and emit its
+    * 64-bit [[dhashOf]] plus the decoded dims. Undecodable or corrupt
+    * payloads keep their row FLAGGED (-1 dims, hash 0) — pairing
+    * excludes them explicitly rather than letting all corrupt rows
+    * collide on the zero hash. The image-side analog of the text
+    * SimHash signature pass; feeds
+    * [[graft.llm.Dedup.imageNearDupPairs]]. */
+  def dhashFeatures(df: DataFrame, idCol: String,
+                    payloadCol: String): DataFrame =
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          tryDecode(r.getAs[Array[Byte]](1)) match {
+            case None => Row(id, -1, -1, 0L)
+            case Some(img) =>
+              Row(id, img.getWidth, img.getHeight, dhashOf(img))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(dhashSchema))
+
   val resizedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = false),
@@ -265,6 +370,117 @@ object Multimodal {
           }
         }
       }(org.apache.spark.sql.Encoders.row(audioFeatureSchema))
+
+  /** Sample-0 perturbation applied by [[synthWavVariant]] — the audio
+    * "slightly edited copy" fixture: only segment 0's energy changes,
+    * so the [[audioEnvelopeHash]] moves by at most ONE bit (bit 0, the
+    * E(0) > E(1) comparison). */
+  val VariantSampleDelta = 9999
+
+  /** Synthesize the WAV of `srcIdCol`'s audio with its FIRST sample
+    * shifted by [[VariantSampleDelta]] (mod 2^16) — a byte-distinct
+    * re-edit whose envelope hash provably stays within Hamming
+    * distance 1. Output schema: (doc_id = `idCol`, payload). */
+  def synthWavVariant(df: DataFrame, idCol: String,
+                      srcIdCol: String): DataFrame =
+    df.select(col(idCol).cast("long"), col(srcIdCol).cast("long"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val src = r.getLong(1)
+          val n = wavFrames(src)
+          val dataLen = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1)
+            .putInt(8000).putInt(8000 * 2)
+            .putShort(2).putShort(16)
+            .put("data".getBytes("US-ASCII")).putInt(dataLen)
+          var i = 0
+          while (i < n) {
+            val s = if (i == 0)
+              ((src * 31 + VariantSampleDelta) % 65536).toInt - 32768
+            else wavSample(src, i)
+            bb.putShort(s.toShort)
+            i += 1
+          }
+          Row(id, bb.array())
+        }
+      }(org.apache.spark.sql.Encoders.row(payloadSchema))
+
+  /** 64-bit energy-envelope hash over signed 16-bit PCM samples: split
+    * the stream into 64 equal segments (boundaries s·n/64, integer
+    * floor — duration-normalizing), E(s) = Σ|sample|, bit s (s < 63) =
+    * 1 iff E(s) > E(s+1); bit 63 is always 0. The time-envelope
+    * reduction of an acoustic fingerprint's band-energy comparisons,
+    * kept integer-exact so any engine reproduces it. */
+  def envelopeHashOf(samples: Array[Int]): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    val e = new Array[Long](64)
+    var s = 0
+    while (s < 64) {
+      var i = (s.toLong * n / 64).toInt
+      val to = ((s + 1).toLong * n / 64).toInt
+      var sum = 0L
+      while (i < to) { sum += math.abs(samples(i).toLong); i += 1 }
+      e(s) = sum
+      s += 1
+    }
+    var h = 0L
+    s = 0
+    while (s < 63) {
+      if (e(s) > e(s + 1)) h |= (1L << s)
+      s += 1
+    }
+    h
+  }
+
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frames", LongType, nullable = false),
+    StructField("ehash", LongType, nullable = false)))
+
+  /** REAL batched audio fingerprinting: parse the container
+    * (javax.sound.sampled), stream the 16-bit PCM frames, emit the
+    * frame count and [[envelopeHashOf]]. Unparseable payloads keep
+    * their row flagged (frames = -1, hash 0) — pairing excludes them.
+    * Feeds [[graft.llm.Dedup.audioNearDupPairs]]. */
+  def audioEnvelopeHash(df: DataFrame, idCol: String,
+                        payloadCol: String): DataFrame =
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val frames = ais.getFrameLength
+            val pcm = ais.readAllBytes()
+            ais.close()
+            val le = !fmt.isBigEndian
+            val n = pcm.length / 2
+            val samples = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              val lo = pcm(if (le) 2 * i else 2 * i + 1) & 0xff
+              val hi = pcm(if (le) 2 * i + 1 else 2 * i)
+              samples(i) = (hi << 8) | lo
+              i += 1
+            }
+            Row(id, frames, envelopeHashOf(samples))
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException =>
+              Row(id, -1L, 0L)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(envelopeSchema))
 
   /** Attach a binary payload column (here: utf-8 bytes of a string
     * column; in production: the image/audio bytes read by a binary

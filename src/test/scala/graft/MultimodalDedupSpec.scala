@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.{Dedup, Multimodal}
+
+/** Multimodal perceptual dedup (r13): dHash over REAL decoded PNGs and
+  * envelope hashes over REAL parsed WAVs, paired through the shared
+  * Hamming banding core. The planted-variant fixtures are byte-distinct
+  * re-encodes whose hashes are provably close (see the Multimodal
+  * scaladocs for the bounds), so these specs pin: the real-codec hash
+  * path, the Hamming bound of each perturbation, banding == brute-force
+  * completeness, flagged-row exclusion, and the drop-composite. */
+class MultimodalDedupSpec extends SparkTestBase {
+
+  private val idSchema = StructType(Seq(StructField("doc_id", LongType)))
+
+  private def ids(n: Long, from: Long = 0L) =
+    df(idSchema, (from until (from + n)).map(Row(_)): _*)
+
+  /** The dHash recomputed from the synthetic-pixel arithmetic alone
+    * (no codec) — what the DuckDB oracle does. */
+  private def expectedDhash(id: Long, pert: Boolean): Long = {
+    val (w, h) = Multimodal.dims(id)
+    val gray = Array.ofDim[Int](8, 9)
+    for (gy <- 0 until 8; gx <- 0 until 9) {
+      val sx = gx * w / 9
+      val sy = gy * h / 8
+      val (r0, g, b) = Multimodal.pixel(id, sx, sy)
+      val r = if (pert && sx == 0 && sy == 0)
+        (r0 + Multimodal.VariantRedDelta) % 256 else r0
+      gray(gy)(gx) = (299 * r + 587 * g + 114 * b) / 1000
+    }
+    var hash = 0L
+    for (gy <- 0 until 8; gx <- 0 until 8)
+      if (gray(gy)(gx + 1) > gray(gy)(gx)) hash |= (1L << (gy * 8 + gx))
+    hash
+  }
+
+  test("dhashFeatures: real PNG decode reproduces the arithmetic dHash") {
+    val got = Multimodal.dhashFeatures(
+        Multimodal.synthPng(ids(40), "doc_id"), "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(got.length == 40)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = Multimodal.dims(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      assert(r.getLong(3) == expectedDhash(id, pert = false),
+        s"dhash mismatch for id=$id")
+    }
+  }
+
+  test("variant perturbation keeps dHash within Hamming 3 and stays byte-distinct") {
+    val base = Multimodal.synthPng(ids(60), "doc_id")
+    val vari = Multimodal.synthPngVariant(
+      ids(60).select(col("doc_id") + 100000L as "doc_id",
+        col("doc_id") as "src"), "doc_id", "src")
+    val bh = Multimodal.dhashFeatures(base, "doc_id", "payload")
+      .select(col("doc_id"), col("dhash").as("hb"))
+    val vh = Multimodal.dhashFeatures(vari, "doc_id", "payload")
+      .select((col("doc_id") - 100000L).as("doc_id"), col("dhash").as("hv"))
+    val joined = bh.join(vh, "doc_id")
+      .select(col("doc_id"), bit_count(col("hb").bitwiseXOR(col("hv"))))
+      .collect()
+    assert(joined.length == 60)
+    joined.foreach(r => assert(r.getInt(1) <= 3,
+      s"variant of ${r.getLong(0)} drifted ${r.getInt(1)} bits"))
+    // byte-distinct: exact (payload-hash) dedup must NOT see the copies
+    val pays = base.union(vari.select(col("doc_id"), col("payload")))
+      .select(md5(col("payload"))).distinct().count()
+    assert(pays == 120L)
+  }
+
+  test("imageNearDupPairs == brute-force popcount join (banding completeness)") {
+    val base = Multimodal.synthPng(ids(80), "doc_id")
+    val vari = Multimodal.synthPngVariant(
+      ids(80).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id") + 100000L as "doc_id", col("doc_id") as "src"),
+      "doc_id", "src")
+    val corpus = base.union(vari)
+    val got = Dedup.imageNearDupPairs(corpus, "doc_id", "payload")
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val sigs = Multimodal.dhashFeatures(corpus, "doc_id", "payload")
+    val brute = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).cast("int").as("hm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(_._3 <= 3).sorted
+    assert(got.toSeq == brute.toSeq)
+    // every planted variant pair is found (its Hamming bound is ≤ 3)
+    val pairSet = got.map(p => (p._1, p._2)).toSet
+    (0L until 80L).filter(_ % 7 == 0).foreach { id =>
+      assert(pairSet.contains((id, id + 100000L)),
+        s"planted variant pair ($id, ${id + 100000L}) missed")
+    }
+  }
+
+  test("corrupt payloads are flagged and excluded from pairing") {
+    val base = Multimodal.synthPng(ids(10), "doc_id")
+    val junkSchema = Multimodal.payloadSchema
+    val junk = df(junkSchema,
+      Row(900L, Array[Byte](1, 2, 3)),
+      Row(901L, Array[Byte](9, 9, 9, 9)))
+    val corpus = base.union(junk)
+    val feats = Multimodal.dhashFeatures(corpus, "doc_id", "payload")
+      .filter(col("width") < 0).collect()
+    assert(feats.map(_.getLong(0)).toSet == Set(900L, 901L))
+    // two corrupt rows share dhash 0 but must NOT pair
+    val pairs = Dedup.imageNearDupPairs(corpus, "doc_id", "payload")
+      .filter(col("id_a") >= 900L || col("id_b") >= 900L).count()
+    assert(pairs == 0L)
+  }
+
+  test("dropImageNearDuplicates keeps component minima, never flagged rows") {
+    val base = Multimodal.synthPng(ids(30), "doc_id")
+    val vari = Multimodal.synthPngVariant(
+      ids(30).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id") + 100000L as "doc_id", col("doc_id") as "src"),
+      "doc_id", "src")
+    val junk = df(Multimodal.payloadSchema, Row(900L, Array[Byte](0, 1)))
+    val corpus = base.union(vari).union(junk)
+    val kept = Dedup.dropImageNearDuplicates(corpus, "doc_id", "payload")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // expected survivors: transitive components over the pair graph
+    // (incidental base-image near-dups included), keep each minimum
+    val pairs = Dedup.imageNearDupPairs(corpus, "doc_id", "payload")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val allIds = (0L until 30L) ++
+      (0L until 30L).filter(_ % 3 == 0).map(_ + 100000L) :+ 900L
+    val expected = allIds.filter(id => find(id) == id).toSet
+    assert(kept == expected)
+    // in particular: every planted variant drops, flagged rows never do
+    (0L until 30L).filter(_ % 3 == 0)
+      .foreach(id => assert(!kept.contains(id + 100000L)))
+    assert(kept.contains(900L), "undecodable row must never drop")
+  }
+
+  test("cap-and-split keeps identical images CONNECTED across bands") {
+    // three byte-identical renders of the same image under distinct ids:
+    // every band bucket holds all three, a cap of 2 splits each bucket.
+    // The contract is not pair-completeness (a pair can lose every band
+    // with probability (1/nSub)^bands — documented trade-off) but
+    // CONNECTIVITY: the band-mixed high-bit salt splits differently per
+    // band, so the component stays connected and the drop-composite
+    // still collapses it to one survivor. The pre-r13 salt (low bits,
+    // band in the multiplier) split all bands identically — this
+    // fixture caught it finding only (1,3) and leaving 2 unreachable.
+    val payload = Multimodal.synthPng(df(idSchema, Row(7L)), "doc_id")
+      .select("payload").collect()(0).getAs[Array[Byte]](0)
+    val same = df(Multimodal.payloadSchema,
+      Row(1L, payload), Row(2L, payload), Row(3L, payload))
+    val pairs = Dedup.imageNearDupPairs(same, "doc_id", "payload",
+        hammingK = 3, maxBucketSize = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))) && pairs.size >= 2,
+      s"got $pairs")
+    // connectivity: all three ids in one component → one survivor
+    val kept = Dedup.dropImageNearDuplicates(same, "doc_id", "payload",
+        hammingK = 3, maxBucketSize = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
+  // ---- audio ----
+
+  private def expectedEnvelope(id: Long, pert: Boolean): Long = {
+    val n = Multimodal.wavFrames(id)
+    val samples = (0 until n).map { i =>
+      if (pert && i == 0)
+        ((id * 31 + Multimodal.VariantSampleDelta) % 65536).toInt - 32768
+      else Multimodal.wavSample(id, i)
+    }.toArray
+    Multimodal.envelopeHashOf(samples)
+  }
+
+  test("audioEnvelopeHash: real WAV parse reproduces the arithmetic hash") {
+    val got = Multimodal.audioEnvelopeHash(
+        Multimodal.synthWav(ids(40), "doc_id"), "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(got.length == 40)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == Multimodal.wavFrames(id).toLong)
+      assert(r.getLong(2) == expectedEnvelope(id, pert = false),
+        s"envelope mismatch for id=$id")
+    }
+  }
+
+  test("audio variant stays within Hamming 1; pairs match brute force") {
+    val base = Multimodal.synthWav(ids(60), "doc_id")
+    val vari = Multimodal.synthWavVariant(
+      ids(60).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id") + 200000L as "doc_id", col("doc_id") as "src"),
+      "doc_id", "src")
+    // Hamming bound of the perturbation
+    (0L until 60L by 5).foreach { id =>
+      val d = java.lang.Long.bitCount(
+        expectedEnvelope(id, pert = false) ^ expectedEnvelope(id, pert = true))
+      assert(d <= 1, s"audio variant of $id drifted $d bits")
+    }
+    val corpus = base.union(vari)
+    val got = Dedup.audioNearDupPairs(corpus, "doc_id", "payload")
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val sigs = Multimodal.audioEnvelopeHash(corpus, "doc_id", "payload")
+    val brute = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.ehash").bitwiseXOR(col("b.ehash"))).cast("int").as("hm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(_._3 <= 3).sorted
+    assert(got.toSeq == brute.toSeq)
+    val pairSet = got.map(p => (p._1, p._2)).toSet
+    (0L until 60L by 5).foreach { id =>
+      assert(pairSet.contains((id, id + 200000L)),
+        s"planted audio pair ($id, ${id + 200000L}) missed")
+    }
+  }
+
+  test("unparseable audio is flagged and excluded from pairing") {
+    val base = Multimodal.synthWav(ids(8), "doc_id")
+    val junk = df(Multimodal.payloadSchema,
+      Row(900L, Array[Byte](1, 2)), Row(901L, Array[Byte](3, 4)))
+    val corpus = base.union(junk)
+    val flagged = Multimodal.audioEnvelopeHash(corpus, "doc_id", "payload")
+      .filter(col("frames") < 0).collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(900L, 901L))
+    val pairs = Dedup.audioNearDupPairs(corpus, "doc_id", "payload")
+      .filter(col("id_a") >= 900L || col("id_b") >= 900L).count()
+    assert(pairs == 0L)
+  }
+}
