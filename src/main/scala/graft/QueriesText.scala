@@ -2855,6 +2855,145 @@ object QueriesText {
     }
 
     // ------------------------------------------------------------------
+    // BPE tokenizer training (r13): the oracle REPLAYS whole training
+    // iterations in SQL — pair counts over the current symbolization,
+    // argmax with the code-point tie-break, then the merge applied as a
+    // greedy-left `replace` over a space-joined symbol form (exactly the
+    // Scala mergePair semantics) — so the learned merge table, the
+    // encode, and the vocab ids are all value-checked bit-for-bit, not
+    // counted. Training corpus: doc_id < 400 (same rows at every sf).
+
+    // spaced symbol form of a word: ' c1 c2 ... cn '
+    def spacedSql(w: String): String =
+      s"' ' || array_to_string(list_transform(range(1, length($w)+1), " +
+        s"q -> substr($w, CAST(q AS INTEGER), 1)), ' ') || ' '"
+
+    /** w0 (type counts + spaced form) and nMerges chained
+      * (pair-count, argmax, replace) iterations: p_r/b_r/w_r. */
+    def bpeTrainCtes(nMerges: Int): String = {
+      val init =
+        s"""w0 AS MATERIALIZED (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS cnt, ${spacedSql("w")} AS sp
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+           |        FROM documents WHERE doc_id < 400)
+           |  WHERE length(w) >= 1 GROUP BY w)""".stripMargin
+      val iters = (1 to nMerges).map { r =>
+        val p = r - 1
+        s"""p$r AS MATERIALIZED (
+           |  SELECT toks[CAST(i AS INTEGER)] AS l,
+           |    toks[CAST(i AS INTEGER)+1] AS rr,
+           |    CAST(SUM(cnt) AS BIGINT) AS c
+           |  FROM (SELECT cnt, string_split(trim(sp), ' ') AS toks,
+           |          unnest(range(1, len(string_split(trim(sp), ' ')))) AS i
+           |        FROM w$p)
+           |  GROUP BY 1, 2),
+           |b$r AS MATERIALIZED (SELECT l, rr, c FROM p$r ORDER BY c DESC, l, rr LIMIT 1),
+           |w$r AS MATERIALIZED (
+           |  SELECT w, cnt,
+           |    replace(sp, (SELECT ' '||l||' '||rr||' ' FROM b$r),
+           |                (SELECT ' '||l||rr||' ' FROM b$r)) AS sp
+           |  FROM w$p)""".stripMargin
+      }
+      (init +: iters).mkString(",\n")
+    }
+
+    // Iteration-0 adjacent-pair counts (the statistic every merge
+    // maximizes), as a standalone distributed operator over the FULL
+    // documents table.
+    r.reg("q_bpe_pairs",
+      """WITH wc AS (
+        |  SELECT w, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |prs AS (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM wc)
+        |SELECT substr(w, CAST(i AS INTEGER), 1) AS "left",
+        |  substr(w, CAST(i AS INTEGER)+1, 1) AS "right",
+        |  CAST(SUM(cnt) AS BIGINT) AS pair_count
+        |FROM prs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.llm.Bpe.pairCounts(t(s, dir, "documents"), "text")
+        .orderBy("left", "right")
+    }
+
+    // The learned merge table: 8 unrolled iterations, hash-exact on
+    // (rank, left, right, merged, pair_count).
+    r.reg("q_bpe_train", {
+      val sel = (1 to 8).map(r =>
+        s"SELECT ${r - 1} AS rank, l AS \"left\", rr AS \"right\", " +
+          s"l||rr AS merged, c AS pair_count FROM b$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${bpeTrainCtes(8)}
+         |$sel
+         |ORDER BY rank""".stripMargin
+    }) { (s, dir) =>
+      graft.llm.Bpe.train(
+          t(s, dir, "documents").filter(col("doc_id") < 400), "text", 8)
+        .orderBy("rank")
+    }
+
+    // Distributed encode under the trained merges (docs < 100), exploded
+    // as (doc_id, word_pos, tok_pos, token): SQL applies the 8 learned
+    // merges in rank order via nested greedy replaces.
+    r.reg("q_bpe_tokens", {
+      val nested = (1 to 8).foldLeft(spacedSql("w")) { (acc, r) =>
+        s"replace($acc, (SELECT ' '||l||' '||rr||' ' FROM b$r), " +
+          s"(SELECT ' '||l||rr||' ' FROM b$r))"
+      }
+      s"""WITH ${bpeTrainCtes(8)},
+         |docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+         |wrds AS (
+         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_pos,
+         |    toks[CAST(i AS INTEGER)] AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+         |          unnest(range(1, len(string_split(text, ' '))+1)) AS i
+         |        FROM docs)
+         |  WHERE toks[CAST(i AS INTEGER)] <> ''),
+         |enc AS (
+         |  SELECT doc_id, word_pos,
+         |    string_split(trim($nested), ' ') AS etoks
+         |  FROM wrds)
+         |SELECT doc_id, word_pos, CAST(j - 1 AS INTEGER) AS tok_pos,
+         |  etoks[CAST(j AS INTEGER)] AS token
+         |FROM (SELECT doc_id, word_pos, etoks,
+         |        unnest(range(1, len(etoks)+1)) AS j FROM enc)
+         |ORDER BY doc_id, word_pos, tok_pos""".stripMargin
+    }) { (s, dir) =>
+      val train = t(s, dir, "documents").filter(col("doc_id") < 400)
+      val merges = graft.llm.Bpe.mergeList(
+        graft.llm.Bpe.train(train, "text", 8))
+      graft.llm.Bpe.encodeTokens(
+          t(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", merges)
+        .orderBy("doc_id", "word_pos", "tok_pos")
+    }
+
+    // Vocabulary ids: base code points 0..B-1 in code-point order,
+    // merged symbols B + rank — both recomputed in SQL.
+    r.reg("q_bpe_vocab", {
+      val mrg = (1 to 8).map(r =>
+        s"SELECT l||rr AS token, ${r - 1} AS rnk FROM b$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${bpeTrainCtes(8)},
+         |chars AS (
+         |  SELECT DISTINCT substr(w, CAST(i AS INTEGER), 1) AS token
+         |  FROM (SELECT w, unnest(range(1, length(w)+1)) AS i FROM w0)),
+         |basev AS (
+         |  SELECT token,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+         |  FROM chars),
+         |mrg AS ($mrg)
+         |SELECT token, token_id FROM basev
+         |UNION ALL
+         |SELECT token, CAST(rnk + (SELECT count(*) FROM basev) AS BIGINT)
+         |FROM mrg
+         |ORDER BY token_id""".stripMargin
+    }) { (s, dir) =>
+      val train = t(s, dir, "documents").filter(col("doc_id") < 400)
+      graft.llm.Bpe.vocabFrame(train, "text",
+          graft.llm.Bpe.train(train, "text", 8))
+        .orderBy("token_id")
+    }
+
+    // ------------------------------------------------------------------
     // Lexical retrieval (r13): BM25 ranked search + hybrid RRF fusion.
     // The oracle recomputes the ENTIRE scoring pipeline — tokenization,
     // postings, document frequencies, corpus stats, the per-term

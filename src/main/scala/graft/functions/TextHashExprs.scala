@@ -754,8 +754,99 @@ case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
   override def prettyName: String = "simhash"
 }
 
+/** Byte-pair-encoding segmentation of ONE word under a learned merge
+  * table (Sennrich et al. 2016 `apply_bpe` semantics): start from the
+  * word's code points, apply each merge IN RANK ORDER, each application
+  * replacing adjacent (left, right) symbol pairs greedily left-to-right
+  * (non-overlapping). Returns the final symbol array — lossless by
+  * construction (concatenating the tokens reproduces the word; symbols
+  * the merges never touch pass through, so out-of-vocabulary characters
+  * degrade to singletons rather than erroring).
+  *
+  * Deterministic and engine-reproducible: pure code-point string
+  * operations — the DuckDB oracle replays the same merges with greedy
+  * `replace` over a space-joined symbol form and must match exactly.
+  * Per-expression memo cache (words are Zipfian: a few thousand types
+  * cover most of a corpus) — concurrent because one expression instance
+  * can be shared across executor task threads; capped so an adversarial
+  * all-unique corpus cannot grow it unboundedly. */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode needs STRING, got ${child.dataType}")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncode", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, ArrayData]()
+  private val CacheCap = 65536
+
+  override def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[UTF8String].toString
+    val hit = cache.get(word)
+    if (hit != null) return hit
+    val toks = BpeEncode.encodeWord(word, merges)
+    val out: ArrayData = new GenericArrayData(
+      toks.map(t => UTF8String.fromString(t): AnyRef))
+    if (cache.size < CacheCap) cache.put(word, out)
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_encode"
+}
+
+object BpeEncode {
+  /** Code-point symbols of a word (surrogate-pair safe). */
+  def codePointSymbols(word: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** One merge applied greedily left-to-right (non-overlapping) — the
+    * exact semantics of a string `replace` over the space-joined form,
+    * which is what the oracle runs. */
+  def mergePair(syms: Array[String], left: String, right: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == left && syms(i + 1) == right) {
+        out += left + right; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Full encode: code points, then every merge in rank order. */
+  def encodeWord(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms = codePointSymbols(word)
+    merges.foreach { case (l, r) =>
+      if (syms.length >= 2) syms = mergePair(syms, l, r)
+    }
+    syms
+  }
+}
+
 object TextHashExprs {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
+    column(BpeEncode(expression(word), merges))
 
   def shingleHashes(text: Column, k: Int = 3): Column =
     column(ShingleHashes(expression(text), k))

@@ -1,0 +1,217 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{BpeEncode, TextHashExprs}
+
+/** Byte-pair-encoding TOKENIZER TRAINING over a Spark corpus, plus the
+  * distributed encode — the step a pretraining pipeline runs between
+  * "clean corpus" and "token budget accounting" when the whitespace /
+  * regex token counts ([[TextStats]]) are not the unit the model will
+  * actually train on.
+  *
+  * Scale posture (the standard one — Sennrich et al. 2016; the same
+  * split every production subword trainer uses): the CORPUS-sized pass
+  * is one distributed word-count shuffle with map-side combine; the
+  * merge loop then runs on the word-TYPE frequency table, which Zipf
+  * keeps orders of magnitude smaller than the corpus (bounded here by
+  * `maxTypes` with a loud refusal — the qCap discipline — because the
+  * loop is driver-side BY DESIGN: 10^5-10^6 types fit one machine even
+  * when the corpus is 100 TB, and a per-merge Spark job ×32k merges
+  * would be strictly worse). Encode is fully distributed: the learned
+  * merge table (numMerges-bounded) rides into a native expression
+  * ([[graft.functions.BpeEncode]]) that fuses into the scan.
+  *
+  * Determinism contract (the oracle surface): pair occurrences are
+  * counted over ALL adjacent symbol pairs (overlaps included); the
+  * chosen merge maximizes count with ties broken by CODE-POINT order of
+  * (left, right) — the binary collation both Spark and DuckDB sort
+  * strings by; merge application is greedy left-to-right. Every step is
+  * exact string/integer arithmetic, so DuckDB replays whole training
+  * iterations (q_bpe_train unrolls them as CTEs) and the encode
+  * (q_bpe_tokens) bit-for-bit.
+  */
+object Bpe {
+
+  /** Distributed word-type counts: one explode + one map-side-combined
+    * aggregation — the only corpus-sized pass in training. Empty
+    * tokens from repeated separators drop (they carry no symbols). */
+  def wordCounts(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(explode(split(col(textCol), " ", -1)).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Distributed adjacent-pair counts over the CURRENT symbolization
+    * (iteration 0: code points) — the statistic each training iteration
+    * maximizes, exposed as its own operator so the driver gate can
+    * value-check it and so callers can inspect merge candidates without
+    * training. Weighted by word frequency; every adjacent occurrence
+    * counts (overlaps included). Built from `substring`/`length`, which
+    * count CODE POINTS on both engines. */
+  def pairCounts(corpus: DataFrame, textCol: String): DataFrame = {
+    val wc = wordCounts(corpus, textCol).filter(length(col("word")) >= 2)
+    wc.select(col("cnt"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1), i =>
+          struct(substring(col("word"), i, lit(1)).as("left"),
+            substring(col("word"), i + 1, lit(1)).as("right")))).as("pr"))
+      .groupBy(col("pr.left").as("left"), col("pr.right").as("right"))
+      .agg(sum(col("cnt")).as("pair_count"))
+  }
+
+  /** Code-point-order string comparison (= the binary UTF-8 collation
+    * Spark and DuckDB sort by; Java's compareTo is UTF-16 order, which
+    * disagrees above U+FFFF). */
+  private def cpLess(a: String, b: String): Boolean = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    a.length - i < b.length - j
+  }
+
+  val mergesSchema: StructType = StructType(Seq(
+    StructField("rank", IntegerType, nullable = false),
+    StructField("left", StringType, nullable = false),
+    StructField("right", StringType, nullable = false),
+    StructField("merged", StringType, nullable = false),
+    StructField("pair_count", LongType, nullable = false)))
+
+  /** Train a BPE merge table: distributed word counts, then `numMerges`
+    * iterations over the type table — each picks the most frequent
+    * adjacent symbol pair (ties: code-point order) and merges it
+    * greedily left-to-right in every type. Stops early when the best
+    * pair's count falls below `minPairCount` (merging noise memorizes
+    * the corpus, it doesn't compress it). Refuses loudly when the type
+    * table exceeds `maxTypes` — the driver-side loop is the designed
+    * posture (see the object scaladoc), and the refusal names the knob
+    * instead of silently OOMing. Returns (rank, left, right, merged,
+    * pair_count) with rank 0 applied first. */
+  def train(corpus: DataFrame, textCol: String, numMerges: Int,
+            minPairCount: Long = 2L,
+            maxTypes: Int = 2000000): DataFrame = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    require(minPairCount >= 1, "minPairCount must be >= 1")
+    val spark = corpus.sparkSession
+    val wc = wordCounts(corpus, textCol)
+    // bounded probe, not a full count: the refusal must cost O(maxTypes)
+    val probe = wc.limit(maxTypes + 1).count()
+    require(probe <= maxTypes,
+      s"Bpe.train: corpus has more than $maxTypes distinct word types; " +
+        "raise maxTypes (the merge loop is driver-side over the TYPE " +
+        "table — size the bound to driver memory, ~100 bytes/type) or " +
+        "pre-normalize the text to shrink the type space")
+    var types: Array[(Array[String], Long)] = wc.collect()
+      .map(r => (BpeEncode.codePointSymbols(r.getString(0)), r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var rank = 0
+    var continue = true
+    while (rank < numMerges && continue) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      types.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.merge(k, cnt, (x, y) => x + y)
+          i += 1
+        }
+      }
+      var best: (String, String) = null
+      var bestCnt = 0L
+      counts.forEach { (k, v) =>
+        if (v > bestCnt || (v == bestCnt && best != null &&
+            (cpLess(k._1, best._1) ||
+              (k._1 == best._1 && cpLess(k._2, best._2))))) {
+          best = k; bestCnt = v
+        }
+      }
+      if (best == null || bestCnt < minPairCount) continue = false
+      else {
+        merges += Row(rank, best._1, best._2, best._1 + best._2, bestCnt)
+        types = types.map { case (syms, cnt) =>
+          (if (syms.length >= 2) BpeEncode.mergePair(syms, best._1, best._2)
+           else syms, cnt)
+        }
+        rank += 1
+      }
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(merges.toSeq).asJava),
+      mergesSchema)
+  }
+
+  /** Collect a merges frame (numMerges-bounded by construction) into
+    * the rank-ordered pair list the encode expression embeds. */
+  def mergeList(merges: DataFrame): Seq[(String, String)] =
+    merges.select("rank", "left", "right").collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Distributed encode: whitespace words → BPE tokens under the
+    * learned merges, exploded as (id, word_pos, tok_pos, token) — the
+    * layout downstream consumers want (token counting, vocab joins,
+    * window assembly), with no array columns to reassemble. One fused
+    * scan: split + two Generate nodes + the native per-word expression
+    * (memoized — Zipf makes the cache hit rate the common case). */
+  def encodeTokens(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), " ", -1)).as(Seq("word_pos", "__w__")))
+      .filter(length(col("__w__")) >= 1)
+      .select(col(idCol), col("word_pos"),
+        posexplode(TextHashExprs.bpeEncode(col("__w__"), merges))
+          .as(Seq("tok_pos", "token")))
+
+  /** Per-doc BPE token counts — the token-budget unit for the mixing /
+    * window families once a real subword vocab exists (whitespace
+    * counts over-weight long words, under-weight morphology). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol),
+        explode(split(col(textCol), " ", -1)).as("__w__"))
+      .filter(length(col("__w__")) >= 1)
+      .select(col(idCol),
+        size(TextHashExprs.bpeEncode(col("__w__"), merges)).as("__n__"))
+      .groupBy(col(idCol)).agg(sum(col("__n__")).as("n_tokens"))
+
+  /** Deterministic vocabulary with stable ids: base symbols (the
+    * corpus's distinct code points, encoded with ZERO merges) get ids
+    * 0..B-1 in code-point order, merged symbols get B + rank — the
+    * standard id assignment, and SQL-recomputable given the merges.
+    * The ordering window runs over the VOCAB-sized distinct set, not
+    * the corpus (the no-global-window discipline holds: the input to
+    * row_number is an aggregate output, bounded by |alphabet|). */
+  def vocabFrame(corpus: DataFrame, textCol: String,
+                 merges: DataFrame): DataFrame = {
+    val base = corpus
+      .select(explode(split(col(textCol), " ", -1)).as("__w__"))
+      .filter(length(col("__w__")) >= 1)
+      .select(explode(TextHashExprs.bpeEncode(col("__w__"), Seq.empty))
+        .as("token"))
+      .distinct()
+      .withColumn("token_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("token"))).cast("long") - 1)
+    val nBase = base.select(count(lit(1)).as("__b__"))
+    val mergedIds = merges.crossJoin(broadcast(nBase))
+      .select(col("merged").as("token"),
+        (col("rank").cast("long") + col("__b__")).as("token_id"))
+    base.unionByName(mergedIds)
+  }
+
+  /** Encode + vocab join: (id, word_pos, tok_pos, token_id) — the
+    * integer token stream. Tokens outside the vocab (new text whose
+    * characters the training corpus never saw) carry id -1 so the
+    * caller can count OOV mass instead of losing rows. */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)],
+                vocab: DataFrame): DataFrame =
+    encodeTokens(docs, idCol, textCol, merges)
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col(idCol), col("word_pos"), col("tok_pos"),
+        coalesce(col("token_id"), lit(-1L)).as("token_id"))
+}

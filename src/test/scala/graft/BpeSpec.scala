@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.BpeEncode
+import graft.llm.Bpe
+
+/** BPE tokenizer training + distributed encode (r13). The driver gate
+  * value-checks the distributed surfaces (pair counts, the unrolled
+  * training replay, the encode, the vocab) in DuckDB; these specs pin
+  * the parts SQL can't reach plus the classic hand-computed example. */
+class BpeSpec extends SparkTestBase {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** The Sennrich-paper-style fixture (code-point symbols, no
+    * end-of-word marker — this library's documented variant). */
+  private def classic = df(docSchema,
+    Row(1L, "low low low low low"),
+    Row(2L, "lower lower"),
+    Row(3L, "newest newest newest newest newest newest"),
+    Row(4L, "widest widest widest"))
+
+  test("train reproduces the hand-computed classic merge sequence") {
+    val merges = Bpe.train(classic, "text", numMerges = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val expected = Seq(
+      (0, "e", "s", "es", 9L), (1, "es", "t", "est", 9L),
+      (2, "l", "o", "lo", 7L), (3, "lo", "w", "low", 7L),
+      (4, "e", "w", "ew", 6L), (5, "ew", "est", "ewest", 6L),
+      (6, "n", "ewest", "newest", 6L), (7, "d", "est", "dest", 3L))
+    assert(merges.toSeq == expected)
+  }
+
+  test("encode segments the classic fixture as trained; lossless round trip") {
+    val merges = Bpe.mergeList(Bpe.train(classic, "text", 8))
+    assert(BpeEncode.encodeWord("low", merges).toSeq == Seq("low"))
+    assert(BpeEncode.encodeWord("lower", merges).toSeq == Seq("low", "e", "r"))
+    assert(BpeEncode.encodeWord("newest", merges).toSeq == Seq("newest"))
+    assert(BpeEncode.encodeWord("widest", merges).toSeq == Seq("w", "i", "dest"))
+    // lossless: concatenating tokens reproduces any word, including ones
+    // training never saw (OOV chars degrade to singletons, never error)
+    Seq("lowest", "slower", "zzz!", "𝄞clef", "").foreach { w =>
+      assert(BpeEncode.encodeWord(w, merges).mkString == w)
+    }
+  }
+
+  test("greedy left-to-right merge on overlapping runs (aaa) and rank order") {
+    // merge (a,a) over "aaaa" greedily: (aa)(aa); over "aaa": (aa)a
+    assert(BpeEncode.encodeWord("aaa", Seq(("a", "a"))).toSeq == Seq("aa", "a"))
+    assert(BpeEncode.encodeWord("aaaa", Seq(("a", "a"))).toSeq == Seq("aa", "aa"))
+    // rank order matters: (a,a) then (aa,a) consumes the leftover;
+    // the reverse order can't (no (aa,a) pair exists pre-merge)
+    assert(BpeEncode.encodeWord("aaa", Seq(("a", "a"), ("aa", "a"))).toSeq
+      == Seq("aaa"))
+    assert(BpeEncode.encodeWord("aaa", Seq(("aa", "a"), ("a", "a"))).toSeq
+      == Seq("aa", "a"))
+  }
+
+  test("stop-early below minPairCount; numMerges 0 yields code points") {
+    val merges = Bpe.train(classic, "text", numMerges = 50, minPairCount = 4L)
+    // counts from the classic sequence: ranks with pair_count >= 4 only
+    assert(merges.count() == 7) // the 8th merge (d,est) has count 3
+    assert(merges.agg(min(col("pair_count"))).collect()(0).getLong(0) >= 4L)
+    val none = Bpe.train(classic, "text", numMerges = 0)
+    assert(none.count() == 0)
+    assert(BpeEncode.encodeWord("low", Seq.empty).toSeq == Seq("l", "o", "w"))
+  }
+
+  test("maxTypes refuses loudly on an over-bound type table") {
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.train(classic, "text", 4, maxTypes = 2)
+    }
+    assert(ex.getMessage.contains("maxTypes"))
+  }
+
+  test("train is deterministic under repartition") {
+    val a = Bpe.train(classic.repartition(7), "text", 8)
+      .orderBy("rank").collect().toSeq
+    val b = Bpe.train(classic.coalesce(1), "text", 8)
+      .orderBy("rank").collect().toSeq
+    assert(a == b)
+  }
+
+  test("code-point tie-break and surrogate-safe symbols") {
+    // two pairs with equal count: the code-point-smaller (left, right)
+    // wins. U+FFFD < U+1D11E in code-point order (what Spark/DuckDB
+    // binary collation sorts by), but a Java UTF-16 compareTo would
+    // order 𝄞 FIRST (its lead surrogate 0xD834 < 0xFFFD) — this pins
+    // the cpLess tie-break against that divergence.
+    val docs = df(docSchema, Row(1L, "�q �q 𝄞q 𝄞q"))
+    val m = Bpe.train(docs, "text", 1).collect()(0)
+    assert((m.getString(1), m.getString(2)) == ("�", "q"))
+    // supplementary chars stay whole symbols
+    assert(BpeEncode.encodeWord("𝄞q", Seq(("𝄞", "q"))).toSeq == Seq("𝄞q"))
+  }
+
+  test("encodeTokens / tokenCounts / vocab / encodeIds over the fixture") {
+    val mergesDf = Bpe.train(classic, "text", 8)
+    val merges = Bpe.mergeList(mergesDf)
+    val toks = Bpe.encodeTokens(classic, "doc_id", "text", merges)
+    // doc 2: "lower lower" -> (low, e, r) x2 = 6 tokens
+    assert(toks.filter(col("doc_id") === 2L).count() == 6)
+    val counts = Bpe.tokenCounts(classic, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(counts.toSeq == Seq((1L, 5L), (2L, 6L), (3L, 6L), (4L, 9L)))
+    val vocab = Bpe.vocabFrame(classic, "text", mergesDf)
+    val vmap = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // base alphabet {d,e,i,l,n,o,r,s,t,w} ids 0..9 in code-point order
+    assert(vmap("d") == 0L && vmap("w") == 9L)
+    // merged ids = base size + rank
+    assert(vmap("es") == 10L && vmap("dest") == 17L)
+    val ids = Bpe.encodeIds(classic, "doc_id", "text", merges, vocab)
+    assert(ids.filter(col("token_id") < 0).count() == 0)
+    // OOV text: unseen chars carry -1, known ones resolve
+    val oov = Bpe.encodeIds(
+      df(docSchema, Row(9L, "low!")), "doc_id", "text", merges, vocab)
+      .orderBy("tok_pos").collect().map(_.getLong(3))
+    assert(oov.last == -1L && oov.head == vmap("low"))
+  }
+
+  test("the expression memo cache returns consistent results across rows") {
+    val merges = Bpe.mergeList(Bpe.train(classic, "text", 8))
+    val many = df(docSchema,
+      (1L to 200L).map(i => Row(i, "newest lower widest")): _*)
+    val distinctSegs = Bpe.encodeTokens(many, "doc_id", "text", merges)
+      .groupBy("doc_id")
+      .agg(concat_ws("|", array_sort(collect_list(
+        concat_ws(":", col("word_pos"), col("tok_pos"), col("token")))))
+        .as("seg"))
+      .select("seg").distinct().count()
+    assert(distinctSegs == 1L)
+  }
+}
