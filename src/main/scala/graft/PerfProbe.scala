@@ -222,6 +222,44 @@ object PerfProbe {
         llm.Classifier.score(cand, "doc_id", "text", model).count()
       }
     }
+    // r13: multimodal perceptual dedup — decode+hash is the linear
+    // full-corpus pass; the pair join runs at the 10x oracle-fixture
+    // geometry (banding candidates, not all-pairs)
+    locally {
+      import org.apache.spark.sql.functions.col
+      val ids = docs.select("doc_id")
+      time("imageDhash(full)") {
+        llm.Multimodal.dhashFeatures(
+          llm.Multimodal.synthPng(ids, "doc_id"), "doc_id", "payload")
+          .count()
+      }
+      time("audioEnvelope(full)") {
+        llm.Multimodal.audioEnvelopeHash(
+          llm.Multimodal.synthWav(ids, "doc_id"), "doc_id", "payload")
+          .count()
+      }
+      val slice = ids.filter(col("doc_id") < 1500)
+      val fixture = llm.Multimodal.synthPng(slice, "doc_id").union(
+        llm.Multimodal.synthPngVariant(
+          slice.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"),
+              col("doc_id").as("src")), "doc_id", "src"))
+      time("imageNearDupPairs(1500)") {
+        llm.Dedup.imageNearDupPairs(fixture, "doc_id", "payload").count()
+      }
+    }
+    // r13: BPE — word counts and the pair aggregate are the linear
+    // corpus passes; train(32) bounds the driver loop cost at the
+    // full type table; encode times the fused per-word expression
+    locally {
+      time("bpeWordCounts") { llm.Bpe.wordCounts(docs, "text").count() }
+      time("bpePairCounts") { llm.Bpe.pairCounts(docs, "text").count() }
+      val merges = llm.Bpe.mergeList(llm.Bpe.train(docs, "text", 32))
+      time("bpeTrain(32)") { llm.Bpe.train(docs, "text", 32).count() }
+      time("bpeEncode(full)") {
+        llm.Bpe.encodeTokens(docs, "doc_id", "text", merges).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -2932,8 +2932,10 @@ object QueriesText {
 
     // Distributed encode under the trained merges (docs < 100), exploded
     // as (doc_id, word_pos, tok_pos, token): SQL applies the 8 learned
-    // merges in rank order via nested greedy replaces.
-    r.reg("q_bpe_tokens", {
+    // merges in rank order via nested greedy replaces. (Shared by
+    // q_bpe_tokens and the persisted-model round trip q_bpe_indexed —
+    // the served path must be TRANSPARENT to results.)
+    val bpeTokensSql = {
       val nested = (1 to 8).foldLeft(spacedSql("w")) { (acc, r) =>
         s"replace($acc, (SELECT ' '||l||' '||rr||' ' FROM b$r), " +
           s"(SELECT ' '||l||rr||' ' FROM b$r))"
@@ -2956,13 +2958,40 @@ object QueriesText {
          |FROM (SELECT doc_id, word_pos, etoks,
          |        unnest(range(1, len(etoks)+1)) AS j FROM enc)
          |ORDER BY doc_id, word_pos, tok_pos""".stripMargin
-    }) { (s, dir) =>
+    }
+
+    r.reg("q_bpe_tokens", bpeTokensSql) { (s, dir) =>
       val train = t(s, dir, "documents").filter(col("doc_id") < 400)
       val merges = graft.llm.Bpe.mergeList(
         graft.llm.Bpe.train(train, "text", 8))
       graft.llm.Bpe.encodeTokens(
           t(s, dir, "documents").filter(col("doc_id") < 100),
           "doc_id", "text", merges)
+        .orderBy("doc_id", "word_pos", "tok_pos")
+    }
+
+    // Persisted-model round trip (the TENTH maintained family): build
+    // `<name>_bpe` / `<name>_bpe_vocab` once per (JVM, sf dir), serve
+    // the encode through the catalog tables, and hash-match the SAME
+    // SQL chain as the one-shot — the q_nb_indexed discipline.
+    r.reg("q_bpe_indexed", bpeTokensSql) { (s, dir) =>
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/bpeidx")
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir &&
+        s.catalog.tableExists("g_pbpe_bpe")
+      if (!fresh) {
+        graft.llm.Bpe.writeBpeModel(
+          t(s, dir, "documents").filter(col("doc_id") < 400), "text",
+          "g_pbpe", idxPath, numMerges = 8)
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
+      graft.llm.Bpe.encodeIndexed(s, "g_pbpe", idxPath,
+          t(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text")
         .orderBy("doc_id", "word_pos", "tok_pos")
     }
 

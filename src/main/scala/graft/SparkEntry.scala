@@ -136,7 +136,16 @@ object SparkEntry {
     // r13: the gram-ledger serving shape — shard explode + zero-exchange
     // bucketed ledger join + interval merge + rebuild; O(shard), the
     // corpus never re-tokenizes (fixture builds once in benchPrepare)
-    "q_span_indexed")
+    "q_span_indexed",
+    // r13: multimodal perceptual dedup — real PNG decode + dHash +
+    // Hamming banding over the planted-variant fixture; declared bound
+    // ~linear in payload count (decode-dominated) + banding candidates
+    "q_image_pairs",
+    // r13: BPE — the full-table adjacent-pair count (one word shuffle +
+    // one pair aggregate, ~linear in corpus chars) and the persisted-
+    // model serving encode (fixture once per JVM; samples time the
+    // catalog resolve + fused per-word expression encode)
+    "q_bpe_pairs", "q_bpe_indexed")
 
   /** Untimed per-query preparation Bench runs ONCE before the timed
     * passes (r10 verdict #3): the steady-state ingest entries build and
@@ -166,7 +175,10 @@ object SparkEntry {
     "q_nb_indexed",
     // r13: the gram-ledger fixture (base build + one append) builds
     // once per JVM — samples time the index-routed span scrub
-    "q_span_indexed").map { n =>
+    "q_span_indexed",
+    // r13: the persisted-BPE fixture (train + two tables) builds once
+    // per JVM — samples time the serving encode
+    "q_bpe_indexed").map { n =>
       n -> ((s: SparkSession, dir: String) =>
         queries(n)(s, dir).write.format("noop").mode("overwrite").save())
     }.toMap

@@ -214,4 +214,119 @@ object Bpe {
       .join(broadcast(vocab), Seq("token"), "left")
       .select(col(idCol), col("word_pos"), col("tok_pos"),
         coalesce(col("token_id"), lit(-1L)).as("token_id"))
+
+  // ------------------------------------------------------------------
+  // Persisted BPE model — the TENTH maintained family: two bucketed
+  // tables, `<name>_bpe` (the merge table) and `<name>_bpe_vocab` (the
+  // id assignment), one stamp landing LAST (a crashed build refuses to
+  // serve). Lifecycle posture = the LM/classifier one: the model is an
+  // AGGREGATE over the training corpus — per-doc retraction is
+  // structurally absent, and the one corrective action is a wholesale
+  // retrain ([[writeBpeModel]] IS it). Drift observable: the OOV rate
+  // of the population being ENCODED — a vocabulary the corpus outgrew
+  // degrades ever more tokens to -1 singletons.
+
+  private def bpeMetaFile(path: String) = s"$path/_graft_bpe_meta.json"
+
+  private def stampBpeMeta(spark: SparkSession, path: String,
+                           numMerges: Int, minPairCount: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(bpeMetaFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(
+      s"""{"num_merges":$numMerges,"min_pair_count":$minPairCount}\n"""
+        .getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** (numMerges, minPairCount) from the stamp — a stampless directory
+    * is a crashed or foreign build and refuses loudly. */
+  private[llm] def readBpeMeta(spark: SparkSession,
+                               path: String): (Int, Long) = {
+    val p = new org.apache.hadoop.fs.Path(bpeMetaFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no BPE stamp at ${bpeMetaFile(path)} — build with writeBpeModel first")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val m = """"num_merges"\s*:\s*(\d+).*"min_pair_count"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(txt)
+    m match {
+      case Some(g) => (g.group(1).toInt, g.group(2).toLong)
+      case None => throw new IllegalStateException(
+        s"malformed BPE stamp at ${bpeMetaFile(path)}: $txt")
+    }
+  }
+
+  /** Build (or wholesale RETRAIN — the family's one maintenance
+    * action) the persisted model: train, land merges + vocab, stamp
+    * last. The training geometry rides in the stamp so a drift-fired
+    * retrain reproduces it without the caller re-specifying. */
+  def writeBpeModel(corpus: DataFrame, textCol: String, name: String,
+                    path: String, numMerges: Int,
+                    minPairCount: Long = 2L,
+                    maxTypes: Int = 2000000): Unit = {
+    val spark = corpus.sparkSession
+    val merges = train(corpus, textCol, numMerges, minPairCount, maxTypes)
+    graft.api.GraftFrame(merges)
+      .toBucketedTable(s"${name}_bpe", s"$path/bpe", 1, Seq("merged"))
+    graft.api.GraftFrame(vocabFrame(corpus, textCol, merges))
+      .toBucketedTable(s"${name}_bpe_vocab", s"$path/vocab", 1,
+        Seq("token"))
+    stampBpeMeta(spark, path, numMerges, minPairCount)
+  }
+
+  /** Serve [[encodeTokens]] from the persisted model — bit-identical
+    * to the one-shot form over the same corpus (oracle-pinned). */
+  def encodeIndexed(spark: SparkSession, name: String, path: String,
+                    docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    readBpeMeta(spark, path)
+    encodeTokens(docs, idCol, textCol,
+      mergeList(spark.table(s"${name}_bpe")))
+  }
+
+  /** Serve [[encodeIds]] from the persisted model (merges + vocab). */
+  def encodeIdsIndexed(spark: SparkSession, name: String, path: String,
+                       docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    readBpeMeta(spark, path)
+    encodeIds(docs, idCol, textCol,
+      mergeList(spark.table(s"${name}_bpe")),
+      spark.table(s"${name}_bpe_vocab"))
+  }
+
+  /** OOV drift of a fresh corpus slice against the stored vocab: the
+    * fraction of encoded token occurrences with no vocab id — a pure
+    * integer ratio, engine-deterministic. Growing OOV means the corpus
+    * outgrew the vocabulary (new scripts, new markup) and every such
+    * token degrades to an untrainable -1; the action is
+    * [[writeBpeModel]] on a refreshed corpus. */
+  def bpeOovRate(spark: SparkSession, name: String, path: String,
+                 fresh: DataFrame, textCol: String): Double = {
+    val ids = encodeIdsIndexed(spark, name, path,
+      fresh.select(lit(0L).as("__id__"), col(textCol)), "__id__", textCol)
+    val row = ids.agg(count(lit(1)).as("total"),
+      sum(when(col("token_id") < 0, 1L).otherwise(0L)).as("oov")).head()
+    if (row.getLong(0) == 0L) 0.0
+    else row.getLong(1).toDouble / row.getLong(0).toDouble
+  }
+
+  /** Maintenance observable: rows + parquet file count per table. */
+  def bpeReport(spark: SparkSession, name: String): DataFrame = {
+    def one(table: String) =
+      spark.table(table)
+        .select(input_file_name().as("__f__"))
+        .agg(count(lit(1)).as("rows"),
+          countDistinct(col("__f__")).as("files"))
+        .select(lit(table).as("table"), col("rows"), col("files"))
+    one(s"${name}_bpe").unionByName(one(s"${name}_bpe_vocab"))
+  }
+
+  /** Compact both tables to one file per bucket — online-safe flip. */
+  def compactBpe(spark: SparkSession, name: String): Unit = {
+    graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_bpe")
+    graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_bpe_vocab")
+  }
 }

@@ -494,6 +494,10 @@ object Maintain {
                              freshNeg: Option[DataFrame] = None,
                              textCol: String = "text") extends Target
   final case class GramIndexTarget(name: String) extends Target
+  final case class BpeTarget(name: String, path: String,
+                             freshSample: Option[DataFrame] = None,
+                             freshCorpus: Option[DataFrame] = None,
+                             textCol: String = "text") extends Target
 
   /** The NIGHTLY SWEEP: one call maintains every persisted family a
     * corpus owner operates — each (label, target) runs its family's
@@ -536,6 +540,8 @@ object Maintain {
             maintainClassifier(spark, n, p, policy, fs, fp, fn, tc)
           case GramIndexTarget(n) =>
             maintainGramIndex(spark, n, policy)
+          case BpeTarget(n, p, fs, fc, tc) =>
+            maintainBpe(spark, n, p, policy, fs, fc, tc)
         } catch { case e: Exception =>
           Seq(("pass_failed", Double.NaN, Double.NaN, false,
             s"${e.getClass.getSimpleName}: ${e.getMessage}"))
@@ -703,6 +709,72 @@ object Maintain {
     results += (("table_files", files, policy.maxFilesFlat.toDouble,
       fireCompact,
       if (fireCompact) "Classifier.compactClassifier"
+      else if (over) "subsumed: retrain rewrote one file per bucket"
+      else "none"))
+
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
+  }
+
+  /** [[maintainClassifier]] for the persisted BPE model
+    * ([[Bpe.writeBpeModel]] tables `<name>_bpe` / `<name>_bpe_vocab`)
+    * — the TENTH maintained family, sharing the LM/classifier
+    * aggregate lifecycle posture (no per-doc retraction; wholesale
+    * retrain is the one corrective action). Checks, in escalation
+    * order:
+    *
+    *  1. OOV drift (only when `freshSample` is provided): the fraction
+    *     of a fresh slice's ENCODED token occurrences with no vocab id
+    *     ([[Bpe.bpeOovRate]] — an integer ratio over the population
+    *     being encoded; a vocabulary the corpus outgrew degrades ever
+    *     more tokens to untrainable -1 singletons). Over
+    *     `policy.maxDriftDelta` the retrain fires —
+    *     [[Bpe.writeBpeModel]] at the STAMPED training geometry — but
+    *     only when `freshCorpus` is provided; with it absent the
+    *     indication is recorded un-fired so the nightly report still
+    *     surfaces the debt.
+    *  2. fragmentation: parquet files over `policy.maxFilesFlat` over
+    *     either table fires [[Bpe.compactBpe]] — subsumed when the
+    *     retrain already rewrote one file per bucket. */
+  def maintainBpe(spark: SparkSession, name: String, path: String,
+                  policy: Policy = Policy(),
+                  freshSample: Option[DataFrame] = None,
+                  freshCorpus: Option[DataFrame] = None,
+                  textCol: String = "text"): DataFrame = {
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+    results += (("retraction", Double.NaN, Double.NaN, false,
+      "n/a: the merge table is an aggregate over the training corpus — per-doc retraction is structurally absent; correct the corpus and retrain (Bpe.writeBpeModel)"))
+
+    val files = Bpe.bpeReport(spark, name)
+      .agg(max(col("files"))).head().getLong(0).toDouble
+
+    val firedRetrain = freshSample match {
+      case None =>
+        results += (("oov_drift", Double.NaN, policy.maxDriftDelta, false,
+          "skipped: no freshSample provided"))
+        false
+      case Some(fs) =>
+        val oov = Bpe.bpeOovRate(spark, name, path, fs, textCol)
+        val indicated = oov > policy.maxDriftDelta
+        val fire = indicated && freshCorpus.isDefined
+        if (fire) {
+          val (numMerges, minPairCount) = Bpe.readBpeMeta(spark, path)
+          Bpe.writeBpeModel(freshCorpus.get, textCol, name, path,
+            numMerges, minPairCount)
+        }
+        results += (("oov_drift", oov, policy.maxDriftDelta, fire,
+          if (fire) "Bpe.writeBpeModel(freshCorpus)"
+          else if (indicated) "indicated: provide freshCorpus to retrain"
+          else "none"))
+        fire
+    }
+
+    val over = files > policy.maxFilesFlat
+    val fireCompact = over && !firedRetrain
+    if (fireCompact) Bpe.compactBpe(spark, name)
+    results += (("table_files", files, policy.maxFilesFlat.toDouble,
+      fireCompact,
+      if (fireCompact) "Bpe.compactBpe"
       else if (over) "subsumed: retrain rewrote one file per bucket"
       else "none"))
 

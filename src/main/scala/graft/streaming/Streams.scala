@@ -378,6 +378,30 @@ object Streams {
         ()
       }
 
+  /** Streaming BPE encode ([[graft.llm.Bpe]]): each micro-batch
+    * re-resolves the live `<name>_bpe` merge table from the catalog
+    * (the [[classifierScoreStream]] discipline), so a mid-stream
+    * wholesale retrain ([[graft.llm.Bpe.writeBpeModel]]) is picked up
+    * at the next trigger without restarting the query; the
+    * numMerges-bounded merge list is the only driver materialization
+    * per batch. Per-batch overwrite partitions — a failure-replayed
+    * micro-batch rewrites itself. */
+  def bpeEncodeStream(docs: DataFrame, idCol: String, textCol: String,
+                      mergesTable: String, outPath: String,
+                      checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.sparkSession.catalog.refreshTable(mergesTable)
+          graft.llm.Bpe.encodeTokens(batch, idCol, textCol,
+              graft.llm.Bpe.mergeList(
+                batch.sparkSession.table(mergesTable)))
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        }
+        ()
+      }
+
   /** Streaming ADMISSION CONTROL — the streaming form of
     * [[graft.llm.Pipeline.ingestShard]]'s `admission` refusal, where
     * throwing would kill the whole query: each micro-batch is evaluated

@@ -124,6 +124,114 @@ class BpeSpec extends SparkTestBase {
     assert(oov.last == -1L && oov.head == vmap("low"))
   }
 
+  // ---- the persisted model (the tenth maintained family) ----
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("persisted model round trip: encodeIndexed == one-shot; stampless refuses") {
+    val path = tmp("graft_bpe_idx")
+    Bpe.writeBpeModel(classic, "text", "bpet", path, numMerges = 8)
+    val oneShot = Bpe.encodeTokens(classic, "doc_id", "text",
+        Bpe.mergeList(Bpe.train(classic, "text", 8)))
+      .orderBy("doc_id", "word_pos", "tok_pos").collect().toSeq
+    val served = Bpe.encodeIndexed(spark, "bpet", path, classic,
+        "doc_id", "text")
+      .orderBy("doc_id", "word_pos", "tok_pos").collect().toSeq
+    assert(served == oneShot)
+    val ids = Bpe.encodeIdsIndexed(spark, "bpet", path, classic,
+      "doc_id", "text")
+    assert(ids.filter(col("token_id") < 0).count() == 0)
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.encodeIndexed(spark, "bpet", tmp("graft_bpe_nostamp"),
+        classic, "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("stamp"))
+  }
+
+  test("bpeOovRate sees exactly the unseen-character mass") {
+    val path = tmp("graft_bpe_oov")
+    Bpe.writeBpeModel(classic, "text", "bpeo", path, numMerges = 8)
+    // known text: zero OOV
+    assert(Bpe.bpeOovRate(spark, "bpeo", path,
+      df(docSchema, Row(1L, "low newest")), "text") == 0.0)
+    // "zz!" -> tokens z, z, ! (3 OOV); "low" -> 1 token in-vocab
+    val r = Bpe.bpeOovRate(spark, "bpeo", path,
+      df(docSchema, Row(1L, "low zz!")), "text")
+    assert(r == 3.0 / 4.0)
+  }
+
+  test("maintainBpe: drift fires the stamped retrain only with a fresh corpus") {
+    val path = tmp("graft_bpe_m")
+    Bpe.writeBpeModel(classic, "text", "bpem", path, numMerges = 8)
+    val drifted = df(docSchema,
+      Row(1L, "zzzz qqqq zzzz qqqq"), Row(2L, "zzzz qqqq zzzz qqqq"))
+    val pol = graft.llm.Maintain.Policy(maxDriftDelta = 0.5)
+    // indicated but unfireable: no fresh corpus
+    val rep1 = graft.llm.Maintain.maintainBpe(spark, "bpem", path, pol,
+        freshSample = Some(drifted))
+      .collect().map(r => (r.getString(0), r.getBoolean(3), r.getString(4)))
+    val d1 = rep1.find(_._1 == "oov_drift").get
+    assert(!d1._2 && d1._3.contains("indicated"))
+    // with the corpus: fires at the STAMPED geometry and the new vocab
+    // absorbs the drifted chars
+    val rep2 = graft.llm.Maintain.maintainBpe(spark, "bpem", path, pol,
+        freshSample = Some(drifted),
+        freshCorpus = Some(classic.unionByName(drifted)))
+      .collect().map(r => (r.getString(0), r.getBoolean(3)))
+    assert(rep2.find(_._1 == "oov_drift").get._2)
+    assert(Bpe.bpeOovRate(spark, "bpem", path, drifted, "text") == 0.0)
+    // the retrained model kept numMerges=8 (stamp-driven)
+    assert(spark.table("bpem_bpe").count() == 8)
+  }
+
+  test("compaction preserves serving; fleet sweep reaches BpeTarget") {
+    val path = tmp("graft_bpe_c")
+    Bpe.writeBpeModel(classic, "text", "bpec", path, numMerges = 4)
+    val before = Bpe.encodeIndexed(spark, "bpec", path, classic,
+        "doc_id", "text")
+      .orderBy("doc_id", "word_pos", "tok_pos").collect().toSeq
+    Bpe.compactBpe(spark, "bpec")
+    val after = Bpe.encodeIndexed(spark, "bpec", path, classic,
+        "doc_id", "text")
+      .orderBy("doc_id", "word_pos", "tok_pos").collect().toSeq
+    assert(after == before)
+    val sweep = graft.llm.Maintain.maintainAll(spark,
+      Seq("bpe" -> graft.llm.Maintain.BpeTarget("bpec", path)))
+      .collect()
+    assert(sweep.map(_.getString(0)).toSet == Set("bpe"))
+    assert(sweep.exists(r => r.getString(1) == "retraction" &&
+      r.getString(5).contains("structurally absent")))
+  }
+
+  test("streaming encode picks up a mid-stream wholesale retrain") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = tmp("graft_bpe_srv")
+    val path = s"$base/model"
+    Bpe.writeBpeModel(classic, "text", "bpes", path, numMerges = 2)
+    // merges after 2 ranks: (e,s), (es,t) -> "newest" = n,e,w,est
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.bpeEncodeStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      "bpes_bpe", outPath = s"$base/out",
+      checkpoint = s"$base/ckpt").start()
+    try {
+      in.addData(1L -> "newest")
+      q.processAllAvailable()
+      Bpe.writeBpeModel(classic, "text", "bpes", path, numMerges = 8)
+      in.addData(2L -> "newest")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .orderBy("doc_id", "tok_pos").collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(got.filter(_._1 == 1L).map(_._2).toSeq
+      == Seq("n", "e", "w", "est"))
+    assert(got.filter(_._1 == 2L).map(_._2).toSeq == Seq("newest"))
+  }
+
   test("the expression memo cache returns consistent results across rows") {
     val merges = Bpe.mergeList(Bpe.train(classic, "text", 8))
     val many = df(docSchema,
