@@ -2679,44 +2679,48 @@ object QueriesText {
     // BRUTE-FORCE popcount join; pigeonhole banding must equal it when
     // no bucket reaches the cap).
 
-    // dHash CTE chain: image rows (rid = row id, pid = pixel-source id,
-    // pert = 1 on planted variants whose (0,0) red shifts by +64) →
-    // 9×8 NN grayscale grid → 64-bit difference hash assembled in two
-    // 31-bit halves + the sign bit (bit 63 is -2^63 in signed BIGINT).
-    val dhashCtes =
-      """imgs AS (
-        |  SELECT doc_id AS rid, doc_id AS pid, 0 AS pert
+    // dHash CTE chain builder: image rows (rid = row id, pid = pixel-
+    // source id, pert = 1 on planted variants whose (0,0) red shifts by
+    // +64, role disambiguates a same-rid replay) → 9×8 NN grayscale
+    // grid → 64-bit difference hash assembled in two 31-bit halves +
+    // the sign bit (bit 63 is -2^63 in signed BIGINT).
+    def dhashChain(imgsBody: String): String =
+      s"""imgs AS (
+         |$imgsBody),
+         |gsrc AS (
+         |  SELECT rid, role, pid, pert, gy, gx,
+         |    (gx*(pid%13+4))//9 AS sx, (gy*(pid%7+3))//8 AS sy
+         |  FROM imgs, (SELECT unnest(range(0,8)) AS gy),
+         |    (SELECT unnest(range(0,9)) AS gx)),
+         |gpix AS (
+         |  SELECT rid, role, gy, gx,
+         |    (299*(((pid*31 + 7*sx + 13*sy) % 256
+         |            + CASE WHEN pert=1 AND sx=0 AND sy=0 THEN 64 ELSE 0 END) % 256)
+         |     + 587*((sx*sy + pid) % 256)
+         |     + 114*((sx + 3*sy) % 256)) // 1000 AS gray
+         |  FROM gsrc),
+         |dh AS (
+         |  SELECT c.rid, c.role,
+         |    CAST(COALESCE(SUM(CASE WHEN n.gray > c.gray AND c.gy*8+c.gx < 32
+         |        THEN (1::BIGINT << (c.gy*8+c.gx)) ELSE 0 END), 0) AS BIGINT)
+         |    + CAST(COALESCE(SUM(CASE WHEN n.gray > c.gray
+         |          AND c.gy*8+c.gx BETWEEN 32 AND 62
+         |        THEN (1::BIGINT << (c.gy*8+c.gx-32)) ELSE 0 END), 0) AS BIGINT)
+         |      * 4294967296
+         |    + CASE WHEN MAX(CASE WHEN n.gray > c.gray AND c.gy*8+c.gx = 63
+         |        THEN 1 ELSE 0 END) = 1
+         |      THEN -9223372036854775807 - 1 ELSE 0 END AS dhash
+         |  FROM gpix c JOIN gpix n
+         |    ON n.rid = c.rid AND n.role = c.role AND n.gy = c.gy
+         |      AND n.gx = c.gx + 1
+         |  WHERE c.gx < 8
+         |  GROUP BY c.rid, c.role)""".stripMargin
+    val dhashCtes = dhashChain(
+      """  SELECT doc_id AS rid, 'x' AS role, doc_id AS pid, 0 AS pert
         |  FROM documents WHERE doc_id < 150
         |  UNION ALL
-        |  SELECT doc_id + 100000, doc_id, 1
-        |  FROM documents WHERE doc_id < 150 AND doc_id % 7 = 0),
-        |gsrc AS (
-        |  SELECT rid, pid, pert, gy, gx,
-        |    (gx*(pid%13+4))//9 AS sx, (gy*(pid%7+3))//8 AS sy
-        |  FROM imgs, (SELECT unnest(range(0,8)) AS gy),
-        |    (SELECT unnest(range(0,9)) AS gx)),
-        |gpix AS (
-        |  SELECT rid, gy, gx,
-        |    (299*(((pid*31 + 7*sx + 13*sy) % 256
-        |            + CASE WHEN pert=1 AND sx=0 AND sy=0 THEN 64 ELSE 0 END) % 256)
-        |     + 587*((sx*sy + pid) % 256)
-        |     + 114*((sx + 3*sy) % 256)) // 1000 AS gray
-        |  FROM gsrc),
-        |dh AS (
-        |  SELECT c.rid,
-        |    CAST(COALESCE(SUM(CASE WHEN n.gray > c.gray AND c.gy*8+c.gx < 32
-        |        THEN (1::BIGINT << (c.gy*8+c.gx)) ELSE 0 END), 0) AS BIGINT)
-        |    + CAST(COALESCE(SUM(CASE WHEN n.gray > c.gray
-        |          AND c.gy*8+c.gx BETWEEN 32 AND 62
-        |        THEN (1::BIGINT << (c.gy*8+c.gx-32)) ELSE 0 END), 0) AS BIGINT)
-        |      * 4294967296
-        |    + CASE WHEN MAX(CASE WHEN n.gray > c.gray AND c.gy*8+c.gx = 63
-        |        THEN 1 ELSE 0 END) = 1
-        |      THEN -9223372036854775807 - 1 ELSE 0 END AS dhash
-        |  FROM gpix c JOIN gpix n
-        |    ON n.rid = c.rid AND n.gy = c.gy AND n.gx = c.gx + 1
-        |  WHERE c.gx < 8
-        |  GROUP BY c.rid)""".stripMargin
+        |  SELECT doc_id + 100000, 'x', doc_id, 1
+        |  FROM documents WHERE doc_id < 150 AND doc_id % 7 = 0""".stripMargin)
 
     def imageFixture(s: org.apache.spark.sql.SparkSession,
                              dir: String) = {
@@ -2785,6 +2789,65 @@ object QueriesText {
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Dedup.dropImageNearDuplicates(imageFixture(s, dir), "doc_id",
           "payload")
+        .select("doc_id").orderBy("doc_id")
+    }
+
+    // The persisted dHash index LIFECYCLE (the ELEVENTH maintained
+    // family): build `<name>_dhash` once per (JVM, sf dir) over the 150
+    // base images, then GATE a shard — 22 retouched variants (must
+    // drop: Hamming ≤ 3 of their source), one crash-replayed corpus row
+    // (same id, same payload — must drop at Hamming 0: the gate is its
+    // own replay guard), and 50 fresh images (land unless incidentally
+    // within Hamming 3 of some corpus image — the oracle recomputes
+    // exactly which). SQL is the brute-force recompute of every hash
+    // and the NOT EXISTS gate, so the zero-exchange banded serve is
+    // value-checked end to end.
+    r.reg("q_image_gate", {
+      val chain = dhashChain(
+        """  SELECT doc_id AS rid, 'corpus' AS role, doc_id AS pid, 0 AS pert
+          |  FROM documents WHERE doc_id < 150
+          |  UNION ALL
+          |  SELECT doc_id + 100000, 'shard', doc_id, 1
+          |  FROM documents WHERE doc_id < 150 AND doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT 5, 'shard', 5, 0 FROM documents WHERE doc_id = 5
+          |  UNION ALL
+          |  SELECT doc_id, 'shard', doc_id, 0
+          |  FROM documents WHERE doc_id >= 150 AND doc_id < 200""".stripMargin)
+      s"""WITH $chain
+         |SELECT s.rid AS doc_id FROM dh s
+         |WHERE s.role = 'shard' AND NOT EXISTS (
+         |  SELECT 1 FROM dh c
+         |  WHERE c.role = 'corpus'
+         |    AND bit_count(xor(c.dhash, s.dhash)) <= 3)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/dhidx")
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir &&
+        s.catalog.tableExists("g_dhix_dhash")
+      val base = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select("doc_id")
+      if (!fresh) {
+        Dedup.writeDhashIndex(Multimodal.synthPng(base, "doc_id"),
+          "doc_id", "payload", "g_dhix", idxPath)
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
+      val shard = Multimodal.synthPngVariant(
+          base.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"),
+              col("doc_id").as("src")), "doc_id", "src")
+        .union(Multimodal.synthPng(
+          base.filter(col("doc_id") === 5), "doc_id"))
+        .union(Multimodal.synthPng(
+          t(s, dir, "documents")
+            .filter(col("doc_id") >= 150 && col("doc_id") < 200)
+            .select("doc_id"), "doc_id"))
+      Dedup.dropImageAgainstIndex(shard, "doc_id", "payload", "g_dhix")
         .select("doc_id").orderBy("doc_id")
     }
 

@@ -1183,6 +1183,163 @@ object Dedup {
       maxBucketSize)
   }
 
+  // ------------------------------------------------------------------
+  // Persisted PERCEPTUAL-HASH index — the multimodal daily-ingest form
+  // (the [[writeNearDupIndex]] posture for image payloads): a shard of
+  // images arriving tomorrow must not re-decode or re-band the corpus
+  // already indexed. ONE bucketed table `<name>_dhash` of banded
+  // signatures, bucketed on (band, key) — the candidate join key,
+  // pre-shuffled at build time, so every future gate call shuffles ONLY
+  // the shard (corpus side zero-exchange). Undecodable payloads are
+  // never indexed (they carry no signature; triage owns them).
+
+  /** (id, sh, band, key) band rows for a (id, sig) signature frame —
+    * shared by build, append and the gate probe so they can never
+    * disagree on the banding. */
+  private def sigBandRows(sigs: DataFrame, sigCol: String, bits: Int,
+                          hammingK: Int): DataFrame = {
+    val w = bits / (hammingK + 1)
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val bandCols = (0 to hammingK).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col(sigCol), b * w).bitwiseAND(lit(mask))
+          .as("key")))
+    sigs.select(col("id"), col(sigCol).as("sh"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+  }
+
+  private def dhashSigs(docs: DataFrame, idCol: String,
+                        payloadCol: String): DataFrame =
+    Multimodal.dhashFeatures(
+        docs.select(col(idCol).cast("long").as("doc_id"), col(payloadCol)),
+        "doc_id", payloadCol)
+      .filter(col("width") > 0)
+      .select(col("doc_id").as("id"), col("dhash"))
+
+  /** Build (or wholesale rebuild) the persisted dHash index. */
+  def writeDhashIndex(docs: DataFrame, idCol: String, payloadCol: String,
+                      name: String, path: String, hammingK: Int = 3,
+                      buckets: Int = 8): Unit = {
+    require(hammingK >= 0 && 64 % (hammingK + 1) == 0,
+      s"hammingK=$hammingK must split 64 bits into hammingK+1 bands")
+    graft.api.GraftFrame(
+        sigBandRows(dhashSigs(docs, idCol, payloadCol), "dhash", 64,
+          hammingK))
+      .toBucketedTable(s"${name}_dhash", s"$path/dhash", buckets,
+        Seq("band", "key"))
+    stampParams(docs.sparkSession, s"${name}_dhash",
+      Map("hammingK" -> hammingK))
+  }
+
+  /** Shard-vs-corpus candidates through the index, self-id matches
+    * INCLUDED (the drop path needs them: a crash-replayed arrival
+    * matches its own landed copy at Hamming 0 and must drop). */
+  private def dhashCandidatesAgainstIndex(newDocs: DataFrame, idCol: String,
+                                          payloadCol: String, name: String,
+                                          hammingK: Int): DataFrame = {
+    val spark = newDocs.sparkSession
+    checkParams(spark, s"${name}_dhash", Map("hammingK" -> hammingK))
+    val shard = sigBandRows(dhashSigs(newDocs, idCol, payloadCol),
+        "dhash", 64, hammingK)
+      .select(col("id").as("id_b"), col("sh").as("sb"), col("band"),
+        col("key"))
+    spark.table(s"${name}_dhash")
+      .select(col("id").as("id_a"), col("sh").as("sa"), col("band"),
+        col("key"))
+      .join(shard, Seq("band", "key"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= hammingK)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Image near-dup pairs of a NEW shard against the persisted index:
+    * the shard decodes, hashes and bands blockwise and exchanges on
+    * (band, key); the corpus side reads its buckets in place (zero
+    * exchange, plan-asserted in spec). Returns (id_a = corpus id,
+    * id_b = shard id, hamming). Shard-internal duplicates are out of
+    * scope — run [[imageNearDupPairs]] on the shard alone for those. */
+  def imageNearDupPairsAgainstIndex(newDocs: DataFrame, idCol: String,
+                                    payloadCol: String, name: String,
+                                    hammingK: Int = 3): DataFrame =
+    dhashCandidatesAgainstIndex(newDocs, idCol, payloadCol, name, hammingK)
+      .filter(col("id_a") =!= col("id_b"))
+
+  /** The daily image GATE: drop every arrival within Hamming `hammingK`
+    * of ANY indexed image — keep-first semantics (the landed corpus
+    * keeps its copies, arrivals drop), and self-id matches drop too,
+    * which makes the gate its own replay guard: a crash-replayed shard
+    * whose append committed re-arrives, matches its landed copies at
+    * Hamming 0, and drops to zero instead of double-appending.
+    * Undecodable arrivals PASS the gate (no signature to compare —
+    * quality triage owns their fate, the [[dropImageNearDuplicates]]
+    * contract). */
+  def dropImageAgainstIndex(newDocs: DataFrame, idCol: String,
+                            payloadCol: String, name: String,
+                            hammingK: Int = 3): DataFrame = {
+    val dups = dhashCandidatesAgainstIndex(newDocs, idCol, payloadCol,
+        name, hammingK)
+      .select(col("id_b").as(idCol)).distinct()
+    newDocs.join(dups, Seq(idCol), "left_anti")
+  }
+
+  /** Daily append: shard-internal perceptual dedup → vs-corpus gate →
+    * survivors' band rows land through bucketBy+saveAsTable (append
+    * mode — insertInto drops the bucket spec and would kill the
+    * exchange-free read property). Survivors are localCheckpointed
+    * before the append for the same reason [[appendShardToIndex]]
+    * does: their plan reads the table the append refreshes. Returns
+    * the landed survivor rows. */
+  def appendImageShardToIndex(newDocs: DataFrame, idCol: String,
+                              payloadCol: String, name: String,
+                              path: String, hammingK: Int = 3,
+                              buckets: Int = 8): DataFrame = {
+    val internal = dropImageNearDuplicates(newDocs, idCol, payloadCol,
+      hammingK)
+    val survivors = dropImageAgainstIndex(internal, idCol, payloadCol,
+      name, hammingK).localCheckpoint(true)
+    graft.api.GraftFrame(
+        sigBandRows(dhashSigs(survivors, idCol, payloadCol), "dhash", 64,
+          hammingK))
+      .toBucketedTable(s"${name}_dhash", s"$path/dhash", buckets,
+        Seq("band", "key"), mode = "append")
+    survivors
+  }
+
+  /** RETRACT images by id from the persisted dHash index
+    * ([[retractFromTextIndex]] semantics: retracted images stop
+    * participating in every future gate probe; a re-submission of the
+    * same content lands again — the point of a takedown). */
+  def retractFromDhashIndex(spark: org.apache.spark.sql.SparkSession,
+                            name: String, ids: DataFrame,
+                            idCol: String): (Long, Long) =
+    withStagedIds(spark, ids, idCol) { idsPath =>
+      graft.api.GraftFrame.rewriteBucketedTable(spark, s"${name}_dhash",
+        raw => raw.join(
+          broadcast(raw.sparkSession.read.parquet(idsPath)
+            .withColumnRenamed(idCol, "id")),
+          Seq("id"), "left_anti"),
+        "retractFromDhashIndex")
+    }
+
+  /** Maintenance observable for the dHash index: rows + file count. */
+  def dhashIndexReport(spark: org.apache.spark.sql.SparkSession,
+                       name: String): DataFrame =
+    spark.table(s"${name}_dhash")
+      .select(input_file_name().as("__f__"))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("__f__")).as("files"))
+      .select(lit(s"${name}_dhash").as("table"), col("rows"),
+        col("files"))
+
+  /** Compact the dHash index to one file per bucket (online-safe). */
+  def compactDhashIndex(spark: org.apache.spark.sql.SparkSession,
+                        name: String): Unit =
+    graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_dhash")
+
   /** N-gram decontamination report: training docs sharing at least one
     * token `k`-shingle with a benchmark corpus, with the count of distinct
     * overlapping shingles per doc (k defaults to 5 — long enough that

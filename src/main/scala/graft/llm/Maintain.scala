@@ -494,6 +494,7 @@ object Maintain {
                              freshNeg: Option[DataFrame] = None,
                              textCol: String = "text") extends Target
   final case class GramIndexTarget(name: String) extends Target
+  final case class DhashIndexTarget(name: String) extends Target
   final case class BpeTarget(name: String, path: String,
                              freshSample: Option[DataFrame] = None,
                              freshCorpus: Option[DataFrame] = None,
@@ -542,6 +543,8 @@ object Maintain {
             maintainGramIndex(spark, n, policy)
           case BpeTarget(n, p, fs, fc, tc) =>
             maintainBpe(spark, n, p, policy, fs, fc, tc)
+          case DhashIndexTarget(n) =>
+            maintainDhashIndex(spark, n, policy)
         } catch { case e: Exception =>
           Seq(("pass_failed", Double.NaN, Double.NaN, false,
             s"${e.getClass.getSimpleName}: ${e.getMessage}"))
@@ -711,6 +714,34 @@ object Maintain {
       if (fireCompact) "Classifier.compactClassifier"
       else if (over) "subsumed: retrain rewrote one file per bucket"
       else "none"))
+
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
+  }
+
+  /** [[maintainTextIndex]] for the persisted perceptual dHash index
+    * ([[Dedup.writeDhashIndex]] table `<name>_dhash`) — the ELEVENTH
+    * maintained family. The hash is data-independent arithmetic over
+    * decoded pixels — no trained state to drift, never a retrain
+    * (recorded as the explicit n/a row). Retraction is native
+    * ([[Dedup.retractFromDhashIndex]] — signature rows key on the
+    * image id), also recorded. Fragmentation: the banded table grows a
+    * file set per appended shard; files over `policy.maxFilesFlat`
+    * fire [[Dedup.compactDhashIndex]]. */
+  def maintainDhashIndex(spark: SparkSession, name: String,
+                         policy: Policy = Policy()): DataFrame = {
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+    results += (("drift", Double.NaN, Double.NaN, false,
+      "n/a: dHash banding is data-independent arithmetic over decoded pixels — no trained state to drift"))
+    results += (("retraction", Double.NaN, Double.NaN, false,
+      "native: Dedup.retractFromDhashIndex removes signature rows by image id"))
+
+    val files = Dedup.dhashIndexReport(spark, name)
+      .agg(max(col("files"))).head().getLong(0).toDouble
+    val fireCompact = files > policy.maxFilesFlat
+    if (fireCompact) Dedup.compactDhashIndex(spark, name)
+    results += (("table_files", files, policy.maxFilesFlat.toDouble,
+      fireCompact, if (fireCompact) "Dedup.compactDhashIndex" else "none"))
 
     import spark.implicits._
     results.toSeq.toDF("check", "observed", "threshold", "fired", "action")

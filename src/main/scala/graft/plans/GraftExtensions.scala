@@ -2,9 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{MinHashSig, ShingleHashes, TokenStats, TopGramFrac}
+import graft.functions.{DotLong, LshBucket, MinHashSig, NfcNormalize,
+  QuantizeInt8Q, ShingleHashes, SimHash, TokenStats, TopGramFrac}
 
 /** SparkSessionExtensions hook (SURVEY §7 custom-work tier c): registers
   * graft's native expressions as SQL functions, so `spark.sql` users get
@@ -60,6 +62,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text, n) => TopGramFrac(text, intArg(n, "top_gram_frac n"))
         case _ => throw new IllegalArgumentException(
           "top_gram_frac(text[, n]) takes 1 or 2 arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "simhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => SimHash(text, 64)
+        case Seq(text, bits) => SimHash(text, intArg(bits, "simhash bits"))
+        case _ => throw new IllegalArgumentException(
+          "simhash(text[, bits]) takes 1 or 2 arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => NfcNormalize(s)
+        case _ => throw new IllegalArgumentException(
+          "nfc_normalize(text) takes 1 argument")
+      }))
+    // vector args arrive as whatever array type the SQL literal or
+    // column carries; cast to the expressions' declared element types
+    // exactly as the Scala Column helpers do
+    ext.injectFunction((
+      new FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotLong(a, b)
+        case _ => throw new IllegalArgumentException(
+          "dot_long(a, b) takes 2 arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("quantize_int8q"),
+      new ExpressionInfo(classOf[QuantizeInt8Q].getName, "quantize_int8q"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) =>
+          QuantizeInt8Q(Cast(v, ArrayType(DoubleType)))
+        case _ => throw new IllegalArgumentException(
+          "quantize_int8q(vec) takes 1 argument")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, dim, planes) =>
+          LshBucket(Cast(v, ArrayType(DoubleType)),
+            intArg(dim, "lsh_bucket dim"), intArg(planes, "lsh_bucket planes"))
+        case _ => throw new IllegalArgumentException(
+          "lsh_bucket(vec, dim, planes) takes 3 arguments")
       }))
   }
 }

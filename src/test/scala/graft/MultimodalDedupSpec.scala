@@ -174,6 +174,112 @@ class MultimodalDedupSpec extends SparkTestBase {
     assert(kept == Set(1L))
   }
 
+  // ---- the persisted dHash index (the eleventh maintained family) ----
+
+  test("dhash index: gate drops variants and replays, lands fresh; append is replay-safe") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dhi").toString
+    try {
+      val corpus = Multimodal.synthPng(ids(30), "doc_id")
+      Dedup.writeDhashIndex(corpus, "doc_id", "payload", "dhi_t", tmp)
+      // shard: 10 retouched variants of corpus images (+100000), one
+      // crash-replayed corpus row (same id 5, same payload), 10 fresh
+      val variants = Multimodal.synthPngVariant(
+        ids(30).filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id") + 100000L as "doc_id", col("doc_id") as "src"),
+        "doc_id", "src")
+      val replay = corpus.filter(col("doc_id") === 5L)
+      val fresh = Multimodal.synthPng(ids(10, from = 500L), "doc_id")
+      val shard = variants.union(replay).union(fresh)
+      val landed = Dedup.appendImageShardToIndex(shard, "doc_id",
+          "payload", "dhi_t", tmp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // variants: Hamming ≤ 3 of their corpus source → drop; the
+      // replayed id 5 matches itself at Hamming 0 → drop; fresh land
+      // unless incidentally colliding — verify against brute force
+      assert(!landed.contains(5L))
+      assert(landed.forall(_ >= 500L))
+      val corpusSigs = Multimodal.dhashFeatures(corpus, "doc_id", "payload")
+        .collect().map(r => (r.getLong(0), r.getLong(3)))
+      val freshSigs = Multimodal.dhashFeatures(fresh, "doc_id", "payload")
+        .collect().map(r => (r.getLong(0), r.getLong(3)))
+      // shard-internal dedup first: fresh images near-dup of a smaller
+      // SHARD member also drop; compute expected exactly
+      val variantSigs = Multimodal.dhashFeatures(variants, "doc_id", "payload")
+        .collect().map(r => (r.getLong(0), r.getLong(3)))
+      val shardSigs = (variantSigs ++ Array((5L, corpusSigs.find(_._1 == 5L).get._2)) ++ freshSigs).sortBy(_._1)
+      def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+      val internalKept = shardSigs.filter { case (id, h) =>
+        !shardSigs.exists { case (id2, h2) => id2 < id && ham(h, h2) <= 3 } }
+      val expected = internalKept.filter { case (_, h) =>
+        !corpusSigs.exists { case (_, hc) => ham(h, hc) <= 3 } }
+        .map(_._1).toSet
+      assert(landed == expected)
+      // index grew by exactly the survivors' band rows (4 per image)
+      assert(spark.table("dhi_t_dhash").count() == (30 + landed.size) * 4L)
+      // REPLAY the same shard: everything matches its landed copy (or
+      // the corpus) → zero land, index unchanged
+      val landed2 = Dedup.appendImageShardToIndex(shard, "doc_id",
+        "payload", "dhi_t", tmp).count()
+      assert(landed2 == 0L)
+      assert(spark.table("dhi_t_dhash").count() == (30 + landed.size) * 4L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dhi_t_dhash")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("dhash index: corpus side reads in place (zero exchange); retraction re-lands") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dhi2").toString
+    try {
+      val corpus = Multimodal.synthPng(ids(25), "doc_id")
+      Dedup.writeDhashIndex(corpus, "doc_id", "payload", "dhi2_t", tmp)
+      val shard = Multimodal.synthPngVariant(
+        ids(25).select(col("doc_id") + 100000L as "doc_id",
+          col("doc_id") as "src"), "doc_id", "src")
+      val pairs = Dedup.imageNearDupPairsAgainstIndex(shard, "doc_id",
+        "payload", "dhi2_t")
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // every variant pairs with its source (Hamming ≤ 3 by the bound)
+      (0L until 25L).foreach(i => assert(got.contains((i, i + 100000L))))
+      // the 100 TB contract: the index scan sits under NO shuffle
+      val sp = pairs.queryExecution.sparkPlan
+      def isIdxScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.exists(_.toString.contains("graft_dhi2"))
+        case _ => false
+      }
+      assert(sp.collect { case p if isIdxScan(p) => p }.size == 1)
+      val shuffledIdx = sp.collect {
+        case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          ex.collect { case p if isIdxScan(p) => p }
+      }.flatten
+      assert(shuffledIdx.isEmpty, "index scan rides a shuffle exchange")
+      // hammingK must match the stamp
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.imageNearDupPairsAgainstIndex(shard, "doc_id", "payload",
+          "dhi2_t", hammingK = 7)
+      }
+      assert(ex.getMessage.contains("hammingK"))
+      // RETRACTION: take down image 3 — its variant then lands again
+      val (before, after) = Dedup.retractFromDhashIndex(spark, "dhi2_t",
+        ids(1).select((col("doc_id") + 3L).as("doc_id")), "doc_id")
+      assert(before == 25L * 4 && after == 24L * 4)
+      val regate = Dedup.dropImageAgainstIndex(
+        shard.filter(col("doc_id") === 100003L), "doc_id", "payload",
+        "dhi2_t")
+      assert(regate.count() == 1L, "retracted image must stop gating")
+      // the fleet sweep reaches the family
+      val sweep = graft.llm.Maintain.maintainAll(spark,
+        Seq("dhi" -> graft.llm.Maintain.DhashIndexTarget("dhi2_t")))
+        .collect()
+      assert(sweep.exists(r => r.getString(1) == "retraction" &&
+        r.getString(5).contains("native")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dhi2_t_dhash")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   // ---- audio ----
 
   private def expectedEnvelope(id: Long, pert: Boolean): Long = {

@@ -438,6 +438,31 @@ class PlanAccessorsSpec extends SparkTestBase {
           "top_gram_frac('go go go go stop').top_count AS g")
         .collect().head
       assert(r.getInt(0) == 16 && r.getInt(1) == 3 && r.getInt(2) == 3)
+      // r13 additions: simhash / nfc / vector kernels — each result
+      // must equal its Scala Column-helper twin on the same session
+      val r2 = s2.sql(
+        "SELECT simhash('a b c') AS sh, " +
+          "nfc_normalize('é') AS nfc, " +
+          "dot_long(quantize_int8q(array(1.0d, 2.0d)), " +
+          "         quantize_int8q(array(1.0d, 2.0d))) AS d, " +
+          "lsh_bucket(array(1.0d, -2.0d), 2, 4) AS b")
+        .collect().head
+      import org.apache.spark.sql.functions.{lit, typedLit}
+      val twin = s2.range(1).select(
+        graft.functions.TextHashExprs.simhash(lit("a b c"), 64).as("sh"),
+        graft.functions.TextHashExprs.nfcNormalize(lit("é")).as("nfc"),
+        graft.functions.TextHashExprs.dotLong(
+          graft.functions.TextHashExprs.quantizeInt8Q(
+            typedLit(Seq(1.0, 2.0))),
+          graft.functions.TextHashExprs.quantizeInt8Q(
+            typedLit(Seq(1.0, 2.0)))).as("d"),
+        graft.functions.TextHashExprs.lshBucket(
+          typedLit(Seq(1.0, -2.0)), 2, 4).as("b"))
+        .collect().head
+      assert(r2.getLong(0) == twin.getLong(0))
+      assert(r2.getString(1) == twin.getString(1) && r2.getString(1) == "é")
+      assert(r2.getLong(2) == twin.getLong(2))
+      assert(r2.get(3) == twin.get(3))
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(base)
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
