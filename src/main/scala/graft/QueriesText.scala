@@ -1200,6 +1200,50 @@ object QueriesText {
         .orderBy("doc_id", "epoch")
     }
 
+    // IMPORTANCE mixing rides the Pipeline (r13): the per-ROW DSIR-
+    // shaped axis at the mixing slot — char mass plays the importance
+    // weight of each CLEAN survivor, systematic resampling selects
+    // exactly 321 copies (cumulative weights in Knuth-hash traversal
+    // order; the multiplicity is pure integer arithmetic), and every
+    // copy's split (document-keyed) and composite-keyed shuffle
+    // position recompute end to end.
+    r.reg("q_pipeline_importance", pipeCleanCtes +
+      s""",
+         |impw AS (
+         |  SELECT c.doc_id, length(d.text) AS wgt,
+         |    (c.doc_id % 2147483648) * 2654435761 % 4294967296 AS h
+         |  FROM clean c JOIN documents d USING (doc_id)),
+         |impc AS (
+         |  SELECT doc_id, wgt, SUM(wgt) OVER (ORDER BY h) AS cum FROM impw),
+         |impt AS (SELECT SUM(wgt) AS W FROM impw),
+         |impm AS (
+         |  SELECT doc_id,
+         |    CAST((cum * 321) // W - ((cum - wgt) * 321) // W AS BIGINT) AS mult
+         |  FROM impc, impt),
+         |imixed AS (
+         |  SELECT doc_id, CAST(unnest(range(0, mult)) AS BIGINT) AS epoch
+         |  FROM impm WHERE mult >= 1)
+         |SELECT doc_id, epoch,
+         |  CASE WHEN (doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTTrain THEN 'train'
+         |       WHEN (doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTVal THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(row_number() OVER (
+         |    ORDER BY ((doc_id * 322 + epoch) % 2147483648) * 2654435761 % 4294967296) - 1
+         |    AS BIGINT) AS shuffle_pos
+         |FROM imixed ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.llm.Pipeline.pretrainCorpus(
+          docs.filter(col("doc_id") % 10 =!= 0)
+            .select(col("doc_id"), col("text"),
+              length(col("text")).as("wgt")),
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+          "doc_id", "text",
+          importanceMix = Some(
+            graft.llm.Pipeline.ImportanceMix("wgt", n = 321L)))
+        .select("doc_id", "epoch", "split", "shuffle_pos")
+        .orderBy("doc_id", "epoch")
+    }
+
     // The composed corpus -> TRAINING-FILES last mile (r13): the full
     // pipeline chain through decontamination, split assignment, then the
     // per-split GPT-style concat-and-chop INTO THE LANDED PARQUET — the

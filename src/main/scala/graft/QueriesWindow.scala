@@ -660,6 +660,33 @@ object QueriesWindow {
         .sortValues(Seq("doc_id" -> true)).df
     }
 
+    // SYSTEMATIC importance resampling (the DSIR-shaped per-ROW axis of
+    // the mixing matrix): char mass plays the importance weight, rows
+    // traverse in Knuth-hash order, and the oracle replays the exact
+    // integer multiplicity floor(cum·n/W) − floor((cum−w)·n/W) for
+    // every row — selection, certainty of heavy rows, and the exact-n
+    // output size are all value-checked.
+    r.reg("q_sample_systematic",
+      """WITH w AS (
+        |  SELECT doc_id, length(text) AS wgt,
+        |    (doc_id + 7) % 2147483648 * 2654435761 % 4294967296 AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, wgt, SUM(wgt) OVER (ORDER BY h) AS cum FROM w),
+        |tot AS (SELECT SUM(wgt) AS W FROM w),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST((cum * 437) // W - ((cum - wgt) * 437) // W AS BIGINT) AS mult
+        |  FROM c, tot)
+        |SELECT doc_id, CAST(unnest(range(0, mult)) AS BIGINT) AS epoch
+        |FROM m WHERE mult >= 1
+        |ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "documents")
+          .withColumn("wgt", length(col("text"))))
+        .sampleBySystematic("doc_id", "wgt", n = 437L, seed = 7L)
+        .select("doc_id", "epoch")
+        .sortValues(Seq("doc_id" -> true, "epoch" -> true)).df
+    }
+
     // Deterministic train/val/test split: cumulative hash thresholds,
     // assignment independent of partitioning and of every other row.
     r.reg("q_split_hash",

@@ -402,6 +402,73 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
       .drop("__sh__", "__one__"))
   }
 
+  /** SYSTEMATIC importance resampling — the per-ROW weighted selection
+    * axis of the mixing matrix (the fourth: temperature and budget
+    * mixing act on DOMAINS; this acts on individual documents — the
+    * DSIR recipe shape, Xie et al. 2023: select a target-sized subset
+    * with inclusion probability ∝ an importance weight such as a
+    * classifier log-likelihood ratio mapped to a non-negative integer,
+    * a token count, or any quality score). The usual Gumbel-top-k draw
+    * is engine-irreproducible (transcendental per-row noise);
+    * systematic resampling (the particle-filter standard, offset 0) is
+    * the deterministic integer-exact equivalent: rows order by the
+    * engine-agnostic Knuth shuffle hash (the [[shuffleIndex]]
+    * discipline — keys distinct mod 2^31, `seed` rotates the
+    * traversal), weights cumulate through the two-pass range-
+    * partitioned cumsum, and row i earns multiplicity
+    * floor(cum_i·n/W) − floor((cum_i−w_i)·n/W) — expected copies
+    * n·w_i/W, every row with w_i ≥ W/n kept WITH CERTAINTY (the
+    * systematic low-variance guarantee), output size exactly n.
+    * Output carries `epoch` (0-based copy index) like the up-samplers;
+    * rows with multiplicity 0 drop. Zero/negative weights never
+    * select; cum·n computes in DECIMAL(38,0), where the product of two
+    * signed-64 values always fits — no weight mass / n combination can
+    * overflow.
+    *
+    * Scale shape: one weight-sum aggregate, one range exchange for the
+    * cumsum (reused across its two branches), a blockwise multiplicity
+    * expression, one explode bounded by each row's own multiplicity.
+    * No RNG, no data-sized driver state; every step is integer
+    * arithmetic, so an oracle replays each decision exactly. */
+  def sampleBySystematic(keyCol: String, weightCol: String, n: Long,
+                         seed: Long = 0L): GraftFrame = {
+    require(n >= 1, s"sampleBySystematic needs n >= 1, got $n")
+    val kt = df.schema(keyCol).dataType
+    require(kt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"sampleBySystematic: key column '$keyCol' must be numeric (got " +
+        s"${kt.simpleString}); factorize or hash string keys first")
+    val withH = df
+      .withColumn("__w__", greatest(col(weightCol).cast("long"), lit(0L)))
+      .withColumn("__sh__", graft.QHelp.keyHash31(
+        pmod(col(keyCol), lit(2147483648L)) + lit(seed % 2147483648L)))
+    val cum = graft.operators.WindowOps
+      .globalCumSum(withH, "__sh__", "__w__", "__cum__")
+    // W (total mass) as a broadcast 1-row frame. The aggregate
+    // descends from cum itself, so this is a SELF-join: a crossJoin +
+    // name resolution trips the analyzer's ambiguous-self-join
+    // detection, but the Seq-form equi-join on a dummy key (the
+    // globalCumSum offsets-join discipline) dedups cleanly and stays
+    // lazy — no checkpoint, the op composes inside one plan.
+    val tot = cum.groupBy().agg(sum(col("__w__")).as("__sysW__"))
+      .withColumn("__k__", lit(1))
+    // cum·n in DECIMAL(38,0): two signed-64 factors always fit 38
+    // digits (≤ 8.5e37), so no weight/n combination can overflow — and
+    // integral `div`, never `/` (long/long in the Column API is DOUBLE
+    // division, which silently loses exactness past 2^53; the oracle
+    // and a 100 TB weight mass both need the true floor quotient)
+    val m = expr(
+      s"((CAST(__cum__ AS DECIMAL(38,0)) * ${n}L) div __sysW__) - " +
+        s"(((CAST(__cum__ AS DECIMAL(38,0)) - __w__) * ${n}L) div __sysW__)")
+    val cols = df.columns.map(col).toIndexedSeq
+    lift(cum.withColumn("__k__", lit(1))
+      .join(broadcast(tot), Seq("__k__"))
+      .filter(col("__sysW__") > 0L)
+      .withColumn("__m__", m)
+      .filter(col("__m__") >= 1L)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__m__") - 1)))
+      .select(cols :+ col("epoch"): _*))
+  }
+
   /** Deterministic train/val/test split by key hash — the dataset-split
     * primitive: one blockwise expression (fuses into the scan, no
     * shuffle, no RNG), assignment stable under repartitioning,

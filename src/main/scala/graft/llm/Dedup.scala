@@ -1008,28 +1008,38 @@ object Dedup {
     // family), NOT Spark's Murmur3 hash(): when the cap engages, which
     // sub-bucket a doc lands in decides which pairs survive, so an
     // engine-specific salt would quietly break the family's
-    // bit-reproducible-cross-engine contract (r12 ADVICE). Two
+    // bit-reproducible-cross-engine contract (r12 ADVICE). Three
     // properties the cap's cross-band recovery argument NEEDS (r13 —
-    // a constructed-fixture spec caught the prior form violating both):
-    // (1) the sub-bucket index takes the HIGH bits of the
-    // multiplicative hash ((x·nSub) div 2^31), never `mod nSub` — the
-    // low bits of x·M are the low bits of x·(M mod 2^k), so `mod 2`
-    // degenerates to parity(id), identical in every band; (2) the band
-    // enters the hash INPUT (id + band·C before the multiply), not the
-    // multiplier — multipliers M + 2·band are nearly equal, so their
-    // high bits split every band the same way, and a pair split apart
-    // in one band would be split apart in all of them. With both, the
-    // splits decorrelate across bands and a pair lost to one band's
-    // cap is re-united by another agreeing band with probability
-    // 1 − (1/nSub)^bands. Requires a numeric id — the family-wide key
-    // contract. C is a public avalanche offset (SHA-256's h0), M is
-    // Knuth's multiplier.
+    // constructed-fixture specs caught earlier forms violating each):
+    // (1) the sub-bucket index takes the HIGH bits of the hash
+    // ((x·nSub) div 2^31), never `mod nSub` — the low bits of x·M are
+    // the low bits of x·(M mod 2^k), so `mod 2` degenerates to
+    // parity(id), identical in every band; (2) the band enters the
+    // hash INPUT (id + band·C before the first multiply), not the
+    // multiplier — multipliers M + 2·band are nearly equal and split
+    // every band the same way; (3) the mix must be NON-AFFINE in the
+    // id (the xor-shift between the two multiplies): any affine hash
+    // preserves pairwise distances, so two ids further apart than one
+    // sub-bucket interval would land in different sub-buckets in EVERY
+    // band no matter how the band shifts the positions — measured 27%
+    // pair retention on a 60-identical-doc fixture vs the ~52% the
+    // independence model predicts. With all three, the splits
+    // decorrelate across bands and a pair lost to one band's cap is
+    // re-united by another agreeing band with probability
+    // ≈ 1 − (1 − 1/nSub)^bands. Requires a numeric id — the
+    // family-wide key contract. C is a public avalanche offset
+    // (SHA-256's h0), M is Knuth's multiplier, M2 is the JDK LCG
+    // multiplier — all public constants; xor/shift/multiply are
+    // engine-agnostic integer ops (DuckDB: xor(), >>, //).
     val wBucket = Window.partitionBy(col("band"), col("key"))
     val nSub = greatest(ceil(col("__n__").cast("double") / maxBucketSize)
       .cast("long"), lit(1L))
-    val mixed = pmod(
+    val mix1 = pmod(
       pmod(pmod(col("id"), lit(2147483648L)) + col("band") * lit(1779033703L),
         lit(2147483648L)) * lit(2654435761L),
+      lit(2147483648L))
+    val mixed = pmod(
+      mix1.bitwiseXOR(shiftrightunsigned(mix1, 15)) * lit(1566083941L),
       lit(2147483648L))
     val salted = banded
       .withColumn("__n__", count(lit(1)).over(wBucket))

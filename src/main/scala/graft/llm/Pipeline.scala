@@ -69,6 +69,22 @@ object Pipeline {
                              budgets: Map[String, Long],
                              maxRepeat: Int = 10)
 
+  /** Optional PER-ROW importance mixing stage — the DSIR-shaped axis
+    * ([[graft.api.GraftFrame.sampleBySystematic]]): select exactly `n`
+    * copies from the CLEAN survivors with inclusion probability ∝ the
+    * integer `weightCol` (a classifier log-likelihood ratio mapped to
+    * a non-negative integer, a token count, any per-document quality
+    * mass), via deterministic systematic resampling — no RNG, no
+    * transcendental noise, engine-replayable. Slots where the domain
+    * mixers do (after decontamination — contaminated docs must not
+    * consume the budget); one mixing stage per build. Output carries
+    * `epoch` (heavy rows earn multiple copies), the split keys on the
+    * DOCUMENT id, and the shuffle position keys on the composite
+    * id·(n+1)+epoch (requires ids distinct mod 2^31/(n+1) for the
+    * total order — the up-mix contract scaled by the output size). */
+  final case class ImportanceMix(weightCol: String, n: Long,
+                                 seed: Long = 0L)
+
   /** Optional MODEL-BASED quality stage (the CCNet recipe, Wenzek et
     * al. 2020): drop docs whose mean n-gram log-probability under a
     * reference-corpus LM ([[NgramLm.train]]) falls below `minLogprob` —
@@ -153,13 +169,14 @@ object Pipeline {
                      lmFilter: Option[LmFilter] = None,
                      budgetMix: Option[BudgetMix] = None,
                      classifierFilter: Option[ClassifierFilter] = None,
-                     spanScrub: Option[SpanScrub] = None): DataFrame =
+                     spanScrub: Option[SpanScrub] = None,
+                     importanceMix: Option[ImportanceMix] = None): DataFrame =
     chain(docs, bench, idCol, textCol, minTokens, nearDupThreshold,
       decontamK, trainFrac, valFrac, shuffleSeed, (_, d) => d,
       persistStages, boilerplateMaxDocFreq, embeddingDedup,
       temperatureMix = temperatureMix, lmFilter = lmFilter,
       budgetMix = budgetMix, classifierFilter = classifierFilter,
-      spanScrub = spanScrub)
+      spanScrub = spanScrub, importanceMix = importanceMix)
 
   /** [[pretrainCorpus]] with per-stage kept-row counts riding the same
     * execution via CollectMetrics (`df.observe`) — the 100 TB answer to
@@ -205,7 +222,8 @@ object Pipeline {
                              lmFilter: Option[LmFilter] = None,
                              budgetMix: Option[BudgetMix] = None,
                              classifierFilter: Option[ClassifierFilter] = None,
-                             spanScrub: Option[SpanScrub] = None)
+                             spanScrub: Option[SpanScrub] = None,
+                             importanceMix: Option[ImportanceMix] = None)
       : (DataFrame, Map[String, Observation]) = {
     // "temperature_mix" only joins the map when the stage is ACTIVE: an
     // Observation that never attaches would block a caller's get() forever.
@@ -231,6 +249,7 @@ object Pipeline {
       (if (persistStages) Seq("decontam") else Nil) ++
       (if (temperatureMix.isDefined) Seq("temperature_mix") else Nil) ++
       (if (budgetMix.isDefined) Seq("budget_mix") else Nil) ++
+      (if (importanceMix.isDefined) Seq("importance_mix") else Nil) ++
       Seq("output")
     val obs = stages.map(s => s -> Observation()).toMap
     val out = chain(docs, bench, idCol, textCol, minTokens,
@@ -240,7 +259,7 @@ object Pipeline {
       persistStages, boilerplateMaxDocFreq, embeddingDedup,
       temperatureMix = temperatureMix, lmFilter = lmFilter,
       budgetMix = budgetMix, classifierFilter = classifierFilter,
-      spanScrub = spanScrub)
+      spanScrub = spanScrub, importanceMix = importanceMix)
     (out, obs)
   }
 
@@ -265,7 +284,8 @@ object Pipeline {
                             lmFilter: Option[LmFilter] = None,
                             budgetMix: Option[BudgetMix] = None,
                             classifierFilter: Option[ClassifierFilter] = None,
-                            spanScrub: Option[SpanScrub] = None)
+                            spanScrub: Option[SpanScrub] = None,
+                            importanceMix: Option[ImportanceMix] = None)
       : (DataFrame, Seq[DataFrame]) = {
     val handles = scala.collection.mutable.Buffer.empty[DataFrame]
     val out = chain(docs, bench, idCol, textCol, minTokens,
@@ -275,7 +295,7 @@ object Pipeline {
       embeddingDedup = embeddingDedup, persisted = handles,
       temperatureMix = temperatureMix, lmFilter = lmFilter,
       budgetMix = budgetMix, classifierFilter = classifierFilter,
-      spanScrub = spanScrub)
+      spanScrub = spanScrub, importanceMix = importanceMix)
     (out, handles.toSeq)
   }
 
@@ -377,17 +397,20 @@ object Pipeline {
                       lmFilter: Option[LmFilter] = None,
                       budgetMix: Option[BudgetMix] = None,
                       classifierFilter: Option[ClassifierFilter] = None,
-                      spanScrub: Option[SpanScrub] = None): DataFrame = {
+                      spanScrub: Option[SpanScrub] = None,
+                      importanceMix: Option[ImportanceMix] = None): DataFrame = {
     val corpus = chain(docs, bench, idCol, textCol, minTokens,
       nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
       (_, d) => d, persistStages, boilerplateMaxDocFreq, embeddingDedup,
       temperatureMix = temperatureMix, withShuffleIndex = false,
       lmFilter = lmFilter, budgetMix = budgetMix,
-      classifierFilter = classifierFilter, spanScrub = spanScrub)
+      classifierFilter = classifierFilter, spanScrub = spanScrub,
+      importanceMix = importanceMix)
     windowsFrom(corpus, idCol, textCol, windowSize, shuffleSeed,
       fullWindowsOnly,
-      temperatureMix.filter(_.up).map(_.maxRepeat + 1)
-        .orElse(budgetMix.map(_.maxRepeat + 1)))
+      temperatureMix.filter(_.up).map(_.maxRepeat + 1L)
+        .orElse(budgetMix.map(_.maxRepeat + 1L))
+        .orElse(importanceMix.map(_.n + 1L)))
   }
 
   /** [[pretrainWindows]] plus the LANDING — the composed product a
@@ -421,7 +444,8 @@ object Pipeline {
                            lmFilter: Option[LmFilter] = None,
                            budgetMix: Option[BudgetMix] = None,
                            classifierFilter: Option[ClassifierFilter] = None,
-                           spanScrub: Option[SpanScrub] = None): Map[String, Long] = {
+                           spanScrub: Option[SpanScrub] = None,
+                           importanceMix: Option[ImportanceMix] = None): Map[String, Long] = {
     val spark = docs.sparkSession
     readJsonManifest(spark, outPath, WINDOWS_MANIFEST) match {
       case Some(counts) => return counts // fully landed — O(1) replay
@@ -435,11 +459,13 @@ object Pipeline {
       embeddingDedup = embeddingDedup, persisted = handles,
       temperatureMix = temperatureMix, withShuffleIndex = false,
       lmFilter = lmFilter, budgetMix = budgetMix,
-      classifierFilter = classifierFilter, spanScrub = spanScrub)
+      classifierFilter = classifierFilter, spanScrub = spanScrub,
+      importanceMix = importanceMix)
     val win = windowsFrom(corpus, idCol, textCol, windowSize, shuffleSeed,
       fullWindowsOnly,
-      temperatureMix.filter(_.up).map(_.maxRepeat + 1)
-        .orElse(budgetMix.map(_.maxRepeat + 1)))
+      temperatureMix.filter(_.up).map(_.maxRepeat + 1L)
+        .orElse(budgetMix.map(_.maxRepeat + 1L))
+        .orElse(importanceMix.map(_.n + 1L)))
     try win.write.mode("overwrite").partitionBy("split").parquet(outPath)
     finally handles.foreach(_.unpersist())
     val counts = landedSplitCounts(spark, outPath, win.schema)
@@ -822,7 +848,7 @@ object Pipeline {
   private def windowsFrom(corpus: DataFrame, idCol: String,
                           textCol: String, windowSize: Long, seed: Long,
                           fullWindowsOnly: Boolean,
-                          epochScale: Option[Int] = None): DataFrame = {
+                          epochScale: Option[Long] = None): DataFrame = {
     val win = Seq("train", "val", "test").map { sp =>
       val part = corpus.filter(col("split") === sp)
       val (keyed, key) = epochScale match {
@@ -1576,9 +1602,12 @@ object Pipeline {
                     lmFilter: Option[LmFilter] = None,
                     budgetMix: Option[BudgetMix] = None,
                     classifierFilter: Option[ClassifierFilter] = None,
-                    spanScrub: Option[SpanScrub] = None): DataFrame = {
-    require(temperatureMix.isEmpty || budgetMix.isEmpty,
-      "one mixing stage per build: TemperatureMix or BudgetMix, not both")
+                    spanScrub: Option[SpanScrub] = None,
+                    importanceMix: Option[ImportanceMix] = None): DataFrame = {
+    require(Seq(temperatureMix, budgetMix, importanceMix)
+        .count(_.isDefined) <= 1,
+      "one mixing stage per build: TemperatureMix, BudgetMix or " +
+        "ImportanceMix, never two")
     def reused(d: DataFrame): DataFrame =
       if (persistStages) { persisted += d; d.persist(StorageLevel.MEMORY_AND_DISK) }
       else d
@@ -1686,9 +1715,17 @@ object Pipeline {
     // slot, exclusive with 4c (required above): LAZY factors (the
     // recipe joins as a literal frame against the clean survivors'
     // mass aggregate), the bounded epoch explode, no data-sized shuffle
-    val mixed = budgetMix.fold(tmixed)(bm =>
+    val bmixed = budgetMix.fold(tmixed)(bm =>
       graft.api.GraftFrame(clean).sampleByBudget(idCol, bm.domainCol,
         bm.weightCol, bm.budgets, bm.maxRepeat).df)
+    // 4e. optional per-row IMPORTANCE mixing ([[ImportanceMix]]) — the
+    // same slot, exclusive with 4c/4d: one weight-sum aggregate + the
+    // two-pass range cumsum (the shuffleIndex machinery the composition
+    // already pays when withShuffleIndex) + a blockwise integer
+    // multiplicity; output is exactly n copies with an epoch column
+    val mixed = importanceMix.fold(bmixed)(im =>
+      graft.api.GraftFrame(clean).sampleBySystematic(idCol, im.weightCol,
+        im.n, im.seed).df)
     // 5+6. row-stable split and deterministic global shuffle position.
     // BOTH root taps (mix + output) sit ABOVE shuffle-index's two-pass
     // cumsum join — that join references its input subtree twice, so a
@@ -1711,9 +1748,10 @@ object Pipeline {
       .splitByHash(idCol, trainFrac, valFrac)
     // any epoch-emitting mix (temperature UP or a budget recipe) keys
     // the position on the composite id·(maxRepeat+1)+epoch
-    val upArity: Option[Int] =
-      temperatureMix.filter(_.up).map(_.maxRepeat + 1)
-        .orElse(budgetMix.map(_.maxRepeat + 1))
+    val upArity: Option[Long] =
+      temperatureMix.filter(_.up).map(_.maxRepeat + 1L)
+        .orElse(budgetMix.map(_.maxRepeat + 1L))
+        .orElse(importanceMix.map(_.n + 1L))
     val root = (upArity, withShuffleIndex) match {
       case (_, false) => split.df
       case (None, true) =>
@@ -1727,6 +1765,7 @@ object Pipeline {
     tap("output",
       if (temperatureMix.isDefined) tap("temperature_mix", root)
       else if (budgetMix.isDefined) tap("budget_mix", root)
+      else if (importanceMix.isDefined) tap("importance_mix", root)
       else root)
   }
 }

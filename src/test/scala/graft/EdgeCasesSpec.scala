@@ -596,6 +596,52 @@ class EdgeCasesSpec extends SparkTestBase {
     }
   }
 
+  test("sampleBySystematic: exactly n copies, mass-proportional, heavy rows certain, deterministic") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("w", LongType)))
+    // 1 heavy row (w=500) among 999 light rows (w=1): W=1499
+    val rows = Row(1L, 500L) +: (2L to 1000L).map(i => Row(i, 1L))
+    val docs = GraftFrame(df(schema, rows: _*))
+    val out = docs.sampleBySystematic("doc_id", "w", n = 100L)
+      .df.select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // systematic guarantee: output size is EXACTLY n
+    assert(out.length == 100, s"got ${out.length}")
+    // the heavy row earns floor-or-ceil of n*w/W = 33.35 copies, with
+    // consecutive epochs 0..m-1
+    val heavy = out.filter(_._1 == 1L).map(_._2).sorted
+    assert(heavy.length == 33 || heavy.length == 34, s"${heavy.length}")
+    assert(heavy.toSeq == (0L until heavy.length.toLong))
+    // light rows earn at most 1 copy each
+    assert(out.filter(_._1 != 1L).forall(_._2 == 0L))
+    // deterministic across runs and repartitionings
+    val again = GraftFrame(df(schema, rows: _*).repartition(7))
+      .sampleBySystematic("doc_id", "w", n = 100L)
+      .df.select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+    // seed rotates the traversal (different marginal winners among the
+    // light rows) while keeping exactly n
+    val seeded = docs.sampleBySystematic("doc_id", "w", 100L, seed = 9L)
+      .df.count()
+    assert(seeded == 100L)
+    // zero/negative weights never select
+    val wz = GraftFrame(df(schema,
+      Row(1L, 10L), Row(2L, 0L), Row(3L, -5L)))
+    val kept = wz.sampleBySystematic("doc_id", "w", 5L)
+      .df.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+    // extreme masses cannot overflow: cum·n rides DECIMAL(38,0)
+    val big = GraftFrame(df(schema,
+      Row(1L, Long.MaxValue / 2), Row(2L, Long.MaxValue / 3)))
+    assert(big.sampleBySystematic("doc_id", "w", 1000L).df.count()
+      == 1000L)
+    // string key refuses
+    intercept[IllegalArgumentException] {
+      GraftFrame(kv((1L, "a", 1.0))).sampleBySystematic("k", "v", 1L)
+    }
+  }
+
   test("BudgetMix rides the Pipeline: budget_mix observation, composite positions, exclusive with TemperatureMix") {
     import graft.llm.Pipeline
     val schema = StructType(Seq(StructField("doc_id", LongType),
@@ -634,6 +680,53 @@ class EdgeCasesSpec extends SparkTestBase {
       Pipeline.pretrainCorpus(docs, bench, "doc_id", "text",
         budgetMix = Some(bm),
         temperatureMix = Some(Pipeline.TemperatureMix("dom", 0.5)))
+    }
+  }
+
+  test("ImportanceMix rides the Pipeline: exact n, importance_mix tap, composite positions, exclusivity") {
+    import graft.llm.Pipeline
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("wgt", LongType)))
+    // one heavy doc among light ones: systematic certainty shows as
+    // multiple epochs for the heavy row
+    val rows = (1L to 30L).map(i => Row(i,
+      s"document number $i speaks plainly about spark shuffles rows and joins today",
+      if (i == 7L) 300L else 10L)) ++ Seq(
+      Row(50L, "the exact same sentence repeated for the near dup detector to find alright", 10L),
+      Row(51L, "the exact same sentence repeated for the near dup detector to find okay", 10L))
+    val docs = df(schema, rows: _*)
+    val bench = df(StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType))),
+      Row(900L, "benchmark text sharing absolutely nothing relevant"))
+    val im = Pipeline.ImportanceMix("wgt", n = 20L)
+    val (out, obs) = Pipeline.pretrainCorpusObserved(docs, bench,
+      "doc_id", "text", importanceMix = Some(im))
+    val got = out.select("doc_id", "epoch", "split", "shuffle_pos")
+      .collect()
+    // systematic output is EXACTLY n copies
+    assert(got.length == 20, s"got ${got.length}")
+    // the heavy doc earns multiple copies; positions dense + unique
+    assert(got.filter(_.getLong(0) == 7L).length > 1)
+    val pos = got.map(_.getLong(3)).sorted
+    assert(pos.toSeq == (0L until 20L))
+    // copies share a split; the tap equals the output rows
+    assert(got.groupBy(_.getLong(0))
+      .forall(_._2.map(_.getString(2)).distinct.length == 1))
+    assert(obs("importance_mix").get("rows") == 20L)
+    // equivalence with the standalone op over the non-mixed chain
+    val clean = Pipeline.pretrainCorpus(docs, bench, "doc_id", "text",
+      persistStages = false)
+    val expect = GraftFrame(clean.select("doc_id", "wgt"))
+      .sampleBySystematic("doc_id", "wgt", 20L)
+      .df.select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      == expect.toSeq)
+    // one mixing stage per build
+    intercept[IllegalArgumentException] {
+      Pipeline.pretrainCorpus(docs, bench, "doc_id", "text",
+        importanceMix = Some(im),
+        budgetMix = Some(Pipeline.BudgetMix("wgt", "wgt", Map("x" -> 1L))))
     }
   }
 
