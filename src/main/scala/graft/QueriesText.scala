@@ -2895,34 +2895,38 @@ object QueriesText {
         .select("doc_id").orderBy("doc_id")
     }
 
-    // Envelope-hash CTE chain: audio rows (pert = 1 shifts sample 0 by
-    // +9999 mod 2^16) → 64 segment energies (boundaries s·n/64, floor)
-    // → adjacent-segment comparison bits; bit 63 is always 0 so the
+    // Envelope-hash CTE chain builder: audio rows (pert = 1 shifts
+    // sample 0 by +9999 mod 2^16, role disambiguates a same-rid
+    // replay) → 64 segment energies (boundaries s·n/64, floor) →
+    // adjacent-segment comparison bits; bit 63 is always 0 so the
     // hash assembles in two halves with no sign-bit case.
-    val ehashCtes =
-      """auds AS (
-        |  SELECT doc_id AS rid, doc_id AS pid, 0 AS pert
+    def ehashChain(audsBody: String): String =
+      s"""auds AS (
+         |$audsBody),
+         |seg AS (
+         |  SELECT rid, role, s,
+         |    COALESCE(list_sum(list_transform(
+         |      range(s*(pid%400+100)//64, (s+1)*(pid%400+100)//64),
+         |      i -> abs(CASE WHEN pert = 1 AND i = 0
+         |               THEN (pid*31 + 9999) % 65536 - 32768
+         |               ELSE (pid*31 + i*7) % 65536 - 32768 END))), 0) AS e
+         |  FROM auds, (SELECT unnest(range(0,64)) AS s)),
+         |eh AS (
+         |  SELECT a.rid, a.role,
+         |    CAST(COALESCE(SUM(CASE WHEN a.e > b.e AND a.s < 32
+         |        THEN (1::BIGINT << a.s) ELSE 0 END), 0) AS BIGINT)
+         |    + CAST(COALESCE(SUM(CASE WHEN a.e > b.e AND a.s >= 32
+         |        THEN (1::BIGINT << (a.s-32)) ELSE 0 END), 0) AS BIGINT)
+         |      * 4294967296 AS ehash
+         |  FROM seg a JOIN seg b
+         |    ON b.rid = a.rid AND b.role = a.role AND b.s = a.s + 1
+         |  WHERE a.s < 63 GROUP BY a.rid, a.role)""".stripMargin
+    val ehashCtes = ehashChain(
+      """  SELECT doc_id AS rid, 'x' AS role, doc_id AS pid, 0 AS pert
         |  FROM documents WHERE doc_id < 150
         |  UNION ALL
-        |  SELECT doc_id + 200000, doc_id, 1
-        |  FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0),
-        |seg AS (
-        |  SELECT rid, s,
-        |    COALESCE(list_sum(list_transform(
-        |      range(s*(pid%400+100)//64, (s+1)*(pid%400+100)//64),
-        |      i -> abs(CASE WHEN pert = 1 AND i = 0
-        |               THEN (pid*31 + 9999) % 65536 - 32768
-        |               ELSE (pid*31 + i*7) % 65536 - 32768 END))), 0) AS e
-        |  FROM auds, (SELECT unnest(range(0,64)) AS s)),
-        |eh AS (
-        |  SELECT a.rid,
-        |    CAST(COALESCE(SUM(CASE WHEN a.e > b.e AND a.s < 32
-        |        THEN (1::BIGINT << a.s) ELSE 0 END), 0) AS BIGINT)
-        |    + CAST(COALESCE(SUM(CASE WHEN a.e > b.e AND a.s >= 32
-        |        THEN (1::BIGINT << (a.s-32)) ELSE 0 END), 0) AS BIGINT)
-        |      * 4294967296 AS ehash
-        |  FROM seg a JOIN seg b ON b.rid = a.rid AND b.s = a.s + 1
-        |  WHERE a.s < 63 GROUP BY a.rid)""".stripMargin
+        |  SELECT doc_id + 200000, 'x', doc_id, 1
+        |  FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0""".stripMargin)
 
     // Real WAV parse → envelope hash, value-checked against the
     // sample-arithmetic recompute (base audio only).
@@ -2959,6 +2963,61 @@ object QueriesText {
           "doc_id", "src"))
       Dedup.audioNearDupPairs(fixture, "doc_id", "payload")
         .orderBy("id_a", "id_b")
+    }
+
+    // The persisted ENVELOPE index lifecycle — the audio modality's
+    // daily-ingest gate (the TWELFTH maintained family; the q_image_gate
+    // machinery over PCM envelopes): corpus = 150 base recordings,
+    // shard = 30 first-sample edits (drop at Hamming ≤ 1), one same-id
+    // replay (drops at Hamming 0 — the gate is its own replay guard),
+    // 50 fresh recordings (land unless incidentally close).
+    r.reg("q_audio_gate", {
+      val chain = ehashChain(
+        """  SELECT doc_id AS rid, 'corpus' AS role, doc_id AS pid, 0 AS pert
+          |  FROM documents WHERE doc_id < 150
+          |  UNION ALL
+          |  SELECT doc_id + 200000, 'shard', doc_id, 1
+          |  FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT 5, 'shard', 5, 0 FROM documents WHERE doc_id = 5
+          |  UNION ALL
+          |  SELECT doc_id, 'shard', doc_id, 0
+          |  FROM documents WHERE doc_id >= 150 AND doc_id < 200""".stripMargin)
+      s"""WITH $chain
+         |SELECT s.rid AS doc_id FROM eh s
+         |WHERE s.role = 'shard' AND NOT EXISTS (
+         |  SELECT 1 FROM eh c
+         |  WHERE c.role = 'corpus'
+         |    AND bit_count(xor(c.ehash, s.ehash)) <= 3)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/ehidx")
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir &&
+        s.catalog.tableExists("g_ehix_ehash")
+      val base = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select("doc_id")
+      if (!fresh) {
+        Dedup.writeEnvelopeIndex(Multimodal.synthWav(base, "doc_id"),
+          "doc_id", "payload", "g_ehix", idxPath)
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
+      val shard = Multimodal.synthWavVariant(
+          base.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 200000L).as("doc_id"),
+              col("doc_id").as("src")), "doc_id", "src")
+        .union(Multimodal.synthWav(
+          base.filter(col("doc_id") === 5), "doc_id"))
+        .union(Multimodal.synthWav(
+          t(s, dir, "documents")
+            .filter(col("doc_id") >= 150 && col("doc_id") < 200)
+            .select("doc_id"), "doc_id"))
+      Dedup.dropAudioAgainstIndex(shard, "doc_id", "payload", "g_ehix")
+        .select("doc_id").orderBy("doc_id")
     }
 
     // ------------------------------------------------------------------

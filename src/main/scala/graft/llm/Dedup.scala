@@ -1226,36 +1226,49 @@ object Dedup {
         docs.select(col(idCol).cast("long").as("doc_id"), col(payloadCol)),
         "doc_id", payloadCol)
       .filter(col("width") > 0)
-      .select(col("doc_id").as("id"), col("dhash"))
+      .select(col("doc_id").as("id"), col("dhash").as("sig"))
 
-  /** Build (or wholesale rebuild) the persisted dHash index. */
-  def writeDhashIndex(docs: DataFrame, idCol: String, payloadCol: String,
-                      name: String, path: String, hammingK: Int = 3,
-                      buckets: Int = 8): Unit = {
+  /** The audio-side signature frame ([[Multimodal.audioEnvelopeHash]],
+    * unparseable rows excluded) — the envelope analog of
+    * [[dhashSigs]]. */
+  private def envelopeSigs(docs: DataFrame, idCol: String,
+                           payloadCol: String): DataFrame =
+    Multimodal.audioEnvelopeHash(
+        docs.select(col(idCol).cast("long").as("doc_id"), col(payloadCol)),
+        "doc_id", payloadCol)
+      .filter(col("frames") >= 0)
+      .select(col("doc_id").as("id"), col("ehash").as("sig"))
+
+  // the generic persisted-signature-index machinery: image (dHash) and
+  // audio (envelope) wrappers share these, parameterized only by the
+  // signature extractor and the table suffix — the two modalities can
+  // never drift in lifecycle semantics
+
+  private def writeSigIndex(docs: DataFrame,
+                            sigsOf: DataFrame => DataFrame,
+                            table: String, dataPath: String,
+                            hammingK: Int, buckets: Int): Unit = {
     require(hammingK >= 0 && 64 % (hammingK + 1) == 0,
       s"hammingK=$hammingK must split 64 bits into hammingK+1 bands")
     graft.api.GraftFrame(
-        sigBandRows(dhashSigs(docs, idCol, payloadCol), "dhash", 64,
-          hammingK))
-      .toBucketedTable(s"${name}_dhash", s"$path/dhash", buckets,
-        Seq("band", "key"))
-    stampParams(docs.sparkSession, s"${name}_dhash",
-      Map("hammingK" -> hammingK))
+        sigBandRows(sigsOf(docs), "sig", 64, hammingK))
+      .toBucketedTable(table, dataPath, buckets, Seq("band", "key"))
+    stampParams(docs.sparkSession, table, Map("hammingK" -> hammingK))
   }
 
-  /** Shard-vs-corpus candidates through the index, self-id matches
-    * INCLUDED (the drop path needs them: a crash-replayed arrival
-    * matches its own landed copy at Hamming 0 and must drop). */
-  private def dhashCandidatesAgainstIndex(newDocs: DataFrame, idCol: String,
-                                          payloadCol: String, name: String,
-                                          hammingK: Int): DataFrame = {
+  /** Shard-vs-corpus candidates through a signature index, self-id
+    * matches INCLUDED (the drop path needs them: a crash-replayed
+    * arrival matches its own landed copy at Hamming 0 and must drop). */
+  private def sigCandidatesAgainstIndex(newDocs: DataFrame,
+                                        sigsOf: DataFrame => DataFrame,
+                                        table: String,
+                                        hammingK: Int): DataFrame = {
     val spark = newDocs.sparkSession
-    checkParams(spark, s"${name}_dhash", Map("hammingK" -> hammingK))
-    val shard = sigBandRows(dhashSigs(newDocs, idCol, payloadCol),
-        "dhash", 64, hammingK)
+    checkParams(spark, table, Map("hammingK" -> hammingK))
+    val shard = sigBandRows(sigsOf(newDocs), "sig", 64, hammingK)
       .select(col("id").as("id_b"), col("sh").as("sb"), col("band"),
         col("key"))
-    spark.table(s"${name}_dhash")
+    spark.table(table)
       .select(col("id").as("id_a"), col("sh").as("sa"), col("band"),
         col("key"))
       .join(shard, Seq("band", "key"))
@@ -1266,6 +1279,23 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Build (or wholesale rebuild) the persisted dHash index. */
+  def writeDhashIndex(docs: DataFrame, idCol: String, payloadCol: String,
+                      name: String, path: String, hammingK: Int = 3,
+                      buckets: Int = 8): Unit =
+    writeSigIndex(docs, dhashSigs(_, idCol, payloadCol),
+      s"${name}_dhash", s"$path/dhash", hammingK, buckets)
+
+  /** Build (or wholesale rebuild) the persisted audio ENVELOPE index —
+    * the audio modality's daily-ingest form, sharing the dHash index's
+    * machinery and lifecycle exactly (zero-exchange banded serve,
+    * keep-first gate = its own replay guard, native retraction). */
+  def writeEnvelopeIndex(docs: DataFrame, idCol: String,
+                         payloadCol: String, name: String, path: String,
+                         hammingK: Int = 3, buckets: Int = 8): Unit =
+    writeSigIndex(docs, envelopeSigs(_, idCol, payloadCol),
+      s"${name}_ehash", s"$path/ehash", hammingK, buckets)
+
   /** Image near-dup pairs of a NEW shard against the persisted index:
     * the shard decodes, hashes and bands blockwise and exchanges on
     * (band, key); the corpus side reads its buckets in place (zero
@@ -1275,7 +1305,16 @@ object Dedup {
   def imageNearDupPairsAgainstIndex(newDocs: DataFrame, idCol: String,
                                     payloadCol: String, name: String,
                                     hammingK: Int = 3): DataFrame =
-    dhashCandidatesAgainstIndex(newDocs, idCol, payloadCol, name, hammingK)
+    sigCandidatesAgainstIndex(newDocs, dhashSigs(_, idCol, payloadCol),
+        s"${name}_dhash", hammingK)
+      .filter(col("id_a") =!= col("id_b"))
+
+  /** [[imageNearDupPairsAgainstIndex]] for the audio envelope index. */
+  def audioNearDupPairsAgainstIndex(newDocs: DataFrame, idCol: String,
+                                    payloadCol: String, name: String,
+                                    hammingK: Int = 3): DataFrame =
+    sigCandidatesAgainstIndex(newDocs, envelopeSigs(_, idCol, payloadCol),
+        s"${name}_ehash", hammingK)
       .filter(col("id_a") =!= col("id_b"))
 
   /** The daily image GATE: drop every arrival within Hamming `hammingK`
@@ -1290,8 +1329,20 @@ object Dedup {
   def dropImageAgainstIndex(newDocs: DataFrame, idCol: String,
                             payloadCol: String, name: String,
                             hammingK: Int = 3): DataFrame = {
-    val dups = dhashCandidatesAgainstIndex(newDocs, idCol, payloadCol,
-        name, hammingK)
+    val dups = sigCandidatesAgainstIndex(newDocs,
+        dhashSigs(_, idCol, payloadCol), s"${name}_dhash", hammingK)
+      .select(col("id_b").as(idCol)).distinct()
+    newDocs.join(dups, Seq(idCol), "left_anti")
+  }
+
+  /** The daily audio GATE — [[dropImageAgainstIndex]] semantics over
+    * the envelope index (keep-first; self-id matches make it its own
+    * replay guard; unparseable arrivals pass to triage). */
+  def dropAudioAgainstIndex(newDocs: DataFrame, idCol: String,
+                            payloadCol: String, name: String,
+                            hammingK: Int = 3): DataFrame = {
+    val dups = sigCandidatesAgainstIndex(newDocs,
+        envelopeSigs(_, idCol, payloadCol), s"${name}_ehash", hammingK)
       .select(col("id_b").as(idCol)).distinct()
     newDocs.join(dups, Seq(idCol), "left_anti")
   }
@@ -1312,9 +1363,33 @@ object Dedup {
     val survivors = dropImageAgainstIndex(internal, idCol, payloadCol,
       name, hammingK).localCheckpoint(true)
     graft.api.GraftFrame(
-        sigBandRows(dhashSigs(survivors, idCol, payloadCol), "dhash", 64,
+        sigBandRows(dhashSigs(survivors, idCol, payloadCol), "sig", 64,
           hammingK))
       .toBucketedTable(s"${name}_dhash", s"$path/dhash", buckets,
+        Seq("band", "key"), mode = "append")
+    survivors
+  }
+
+  /** [[appendImageShardToIndex]] for the audio envelope index:
+    * shard-internal envelope dedup → vs-corpus gate → survivors' band
+    * rows append. */
+  def appendAudioShardToIndex(newDocs: DataFrame, idCol: String,
+                              payloadCol: String, name: String,
+                              path: String, hammingK: Int = 3,
+                              buckets: Int = 8): DataFrame = {
+    val pairs = audioNearDupPairs(newDocs, idCol, payloadCol, hammingK)
+      .select(col("id_a"), col("id_b")).cache()
+    val labels = minLabelComponents(pairs)
+    pairs.unpersist()
+    val toDrop = labels.filter(col("id") =!= col("label")).select(col("id"))
+    val internal = newDocs.join(toDrop.withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+    val survivors = dropAudioAgainstIndex(internal, idCol, payloadCol,
+      name, hammingK).localCheckpoint(true)
+    graft.api.GraftFrame(
+        sigBandRows(envelopeSigs(survivors, idCol, payloadCol), "sig", 64,
+          hammingK))
+      .toBucketedTable(s"${name}_ehash", s"$path/ehash", buckets,
         Seq("band", "key"), mode = "append")
     survivors
   }
@@ -1349,6 +1424,34 @@ object Dedup {
   def compactDhashIndex(spark: org.apache.spark.sql.SparkSession,
                         name: String): Unit =
     graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_dhash")
+
+  /** [[retractFromDhashIndex]] for the audio envelope index. */
+  def retractFromEnvelopeIndex(spark: org.apache.spark.sql.SparkSession,
+                               name: String, ids: DataFrame,
+                               idCol: String): (Long, Long) =
+    withStagedIds(spark, ids, idCol) { idsPath =>
+      graft.api.GraftFrame.rewriteBucketedTable(spark, s"${name}_ehash",
+        raw => raw.join(
+          broadcast(raw.sparkSession.read.parquet(idsPath)
+            .withColumnRenamed(idCol, "id")),
+          Seq("id"), "left_anti"),
+        "retractFromEnvelopeIndex")
+    }
+
+  /** Maintenance observable for the envelope index. */
+  def envelopeIndexReport(spark: org.apache.spark.sql.SparkSession,
+                          name: String): DataFrame =
+    spark.table(s"${name}_ehash")
+      .select(input_file_name().as("__f__"))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("__f__")).as("files"))
+      .select(lit(s"${name}_ehash").as("table"), col("rows"),
+        col("files"))
+
+  /** Compact the envelope index to one file per bucket (online-safe). */
+  def compactEnvelopeIndex(spark: org.apache.spark.sql.SparkSession,
+                           name: String): Unit =
+    graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_ehash")
 
   /** N-gram decontamination report: training docs sharing at least one
     * token `k`-shingle with a benchmark corpus, with the count of distinct

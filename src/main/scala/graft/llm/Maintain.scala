@@ -495,6 +495,7 @@ object Maintain {
                              textCol: String = "text") extends Target
   final case class GramIndexTarget(name: String) extends Target
   final case class DhashIndexTarget(name: String) extends Target
+  final case class EnvelopeIndexTarget(name: String) extends Target
   final case class BpeTarget(name: String, path: String,
                              freshSample: Option[DataFrame] = None,
                              freshCorpus: Option[DataFrame] = None,
@@ -545,6 +546,8 @@ object Maintain {
             maintainBpe(spark, n, p, policy, fs, fc, tc)
           case DhashIndexTarget(n) =>
             maintainDhashIndex(spark, n, policy)
+          case EnvelopeIndexTarget(n) =>
+            maintainEnvelopeIndex(spark, n, policy)
         } catch { case e: Exception =>
           Seq(("pass_failed", Double.NaN, Double.NaN, false,
             s"${e.getClass.getSimpleName}: ${e.getMessage}"))
@@ -742,6 +745,29 @@ object Maintain {
     if (fireCompact) Dedup.compactDhashIndex(spark, name)
     results += (("table_files", files, policy.maxFilesFlat.toDouble,
       fireCompact, if (fireCompact) "Dedup.compactDhashIndex" else "none"))
+
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
+  }
+
+  /** [[maintainDhashIndex]] for the audio envelope index
+    * ([[Dedup.writeEnvelopeIndex]] table `<name>_ehash`) — the TWELFTH
+    * maintained family, sharing the dHash index's lifecycle exactly. */
+  def maintainEnvelopeIndex(spark: SparkSession, name: String,
+                            policy: Policy = Policy()): DataFrame = {
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+    results += (("drift", Double.NaN, Double.NaN, false,
+      "n/a: the envelope hash is data-independent arithmetic over decoded PCM — no trained state to drift"))
+    results += (("retraction", Double.NaN, Double.NaN, false,
+      "native: Dedup.retractFromEnvelopeIndex removes signature rows by id"))
+
+    val files = Dedup.envelopeIndexReport(spark, name)
+      .agg(max(col("files"))).head().getLong(0).toDouble
+    val fireCompact = files > policy.maxFilesFlat
+    if (fireCompact) Dedup.compactEnvelopeIndex(spark, name)
+    results += (("table_files", files, policy.maxFilesFlat.toDouble,
+      fireCompact,
+      if (fireCompact) "Dedup.compactEnvelopeIndex" else "none"))
 
     import spark.implicits._
     results.toSeq.toDF("check", "observed", "threshold", "fired", "action")

@@ -282,6 +282,47 @@ class MultimodalDedupSpec extends SparkTestBase {
 
   // ---- audio ----
 
+  test("envelope index: gate drops edits and replays, append replay-safe, retraction re-lands") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ehi").toString
+    try {
+      val corpus = Multimodal.synthWav(ids(25), "doc_id")
+      Dedup.writeEnvelopeIndex(corpus, "doc_id", "payload", "ehi_t", tmp)
+      val edits = Multimodal.synthWavVariant(
+        ids(25).filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id") + 200000L as "doc_id", col("doc_id") as "src"),
+        "doc_id", "src")
+      val replay = corpus.filter(col("doc_id") === 3L)
+      val fresh = Multimodal.synthWav(ids(5, from = 500L), "doc_id")
+      val shard = edits.union(replay).union(fresh)
+      val got = Dedup.appendAudioShardToIndex(shard, "doc_id", "payload",
+          "ehi_t", tmp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(!got.contains(3L), "same-id replay must drop at Hamming 0")
+      assert(got.forall(_ >= 500L), s"edits must drop: $got")
+      // replay the whole shard: nothing lands, index unchanged
+      val n1 = spark.table("ehi_t_ehash").count()
+      assert(Dedup.appendAudioShardToIndex(shard, "doc_id", "payload",
+        "ehi_t", tmp).count() == 0L)
+      assert(spark.table("ehi_t_ehash").count() == n1)
+      // retraction re-admits content; the fleet sweep reaches the family
+      val (b, a) = Dedup.retractFromEnvelopeIndex(spark, "ehi_t",
+        ids(1).select((col("doc_id") + 10L).as("doc_id")), "doc_id")
+      assert(b - a == 4L, s"one recording = 4 band rows, got $b -> $a")
+      val regate = Dedup.dropAudioAgainstIndex(
+        edits.filter(col("doc_id") === 200010L), "doc_id", "payload",
+        "ehi_t")
+      assert(regate.count() == 1L)
+      val sweep = graft.llm.Maintain.maintainAll(spark,
+        Seq("ehi" -> graft.llm.Maintain.EnvelopeIndexTarget("ehi_t")))
+        .collect()
+      assert(sweep.exists(r => r.getString(1) == "retraction" &&
+        r.getString(5).contains("native")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ehi_t_ehash")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   private def expectedEnvelope(id: Long, pert: Boolean): Long = {
     val n = Multimodal.wavFrames(id)
     val samples = (0 until n).map { i =>
