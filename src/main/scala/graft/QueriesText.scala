@@ -3020,6 +3020,138 @@ object QueriesText {
         .select("doc_id").orderBy("doc_id")
     }
 
+    // Byte-envelope CTE chain builder — the OPAQUE-payload (no JDK
+    // codec: video containers) fingerprint: payload = utf-8 bytes of
+    // the doc text (ASCII fixture, so byte i == ascii(char i+1)),
+    // pert = 1 replaces byte 0 with 'Z' (90) — a one-segment edit
+    // whose hash provably moves at most one bit.
+    def bhashChain(rowsBody: String): String =
+      s"""prows AS (
+         |$rowsBody),
+         |ptxt AS (
+         |  SELECT p.rid, p.role, p.pert, d.text, length(d.text) AS n
+         |  FROM prows p JOIN documents d ON d.doc_id = p.pid),
+         |pseg AS (
+         |  SELECT rid, role, s,
+         |    COALESCE(list_sum(list_transform(range(s*n//64, (s+1)*n//64),
+         |      i -> CASE WHEN pert = 1 AND i = 0 THEN 90
+         |           ELSE ascii(substr(text, CAST(i+1 AS INTEGER), 1)) END)),
+         |      0) AS e
+         |  FROM ptxt, (SELECT unnest(range(0,64)) AS s)),
+         |ph AS (
+         |  SELECT a.rid, a.role,
+         |    CAST(COALESCE(SUM(CASE WHEN a.e > b.e AND a.s < 32
+         |        THEN (1::BIGINT << a.s) ELSE 0 END), 0) AS BIGINT)
+         |    + CAST(COALESCE(SUM(CASE WHEN a.e > b.e AND a.s >= 32
+         |        THEN (1::BIGINT << (a.s-32)) ELSE 0 END), 0) AS BIGINT)
+         |      * 4294967296 AS bhash
+         |  FROM pseg a JOIN pseg b
+         |    ON b.rid = a.rid AND b.role = a.role AND b.s = a.s + 1
+         |  WHERE a.s < 63 GROUP BY a.rid, a.role)""".stripMargin
+    val bhashCtes = bhashChain(
+      """  SELECT doc_id AS rid, 'x' AS role, doc_id AS pid, 0 AS pert
+        |  FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 300000, 'x', doc_id, 1
+        |  FROM documents WHERE doc_id < 150 AND doc_id % 4 = 0""".stripMargin)
+
+    def payloadFixture(s: org.apache.spark.sql.SparkSession, dir: String) = {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select("doc_id", "text")
+      Multimodal.withPayload(docs, "text", "payload")
+        .select("doc_id", "payload")
+        .union(docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            encode(concat(lit("Z"), expr("substring(text, 2)")), "UTF-8")
+              .as("payload")))
+    }
+
+    // Codec-independent fingerprint, value-checked against the byte
+    // arithmetic (base payloads only).
+    r.reg("q_payload_envelope",
+      s"""WITH $bhashCtes
+         |SELECT p.rid AS doc_id,
+         |  CAST(length(d.text) AS BIGINT) AS n_bytes, ph.bhash
+         |FROM prows p JOIN documents d ON d.doc_id = p.pid
+         |  JOIN ph ON ph.rid = p.rid
+         |WHERE p.pert = 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 150)
+      Multimodal.byteEnvelopeHash(
+          Multimodal.withPayload(docs, "text", "payload"), "doc_id",
+          "payload")
+        .orderBy("doc_id")
+    }
+
+    // Banded opaque-payload near-dup pairs vs brute force: 150 base
+    // payloads + 38 planted one-byte edits.
+    r.reg("q_payload_pairs",
+      s"""WITH $bhashCtes
+         |SELECT a.rid AS id_a, b.rid AS id_b,
+         |  CAST(bit_count(xor(a.bhash, b.bhash)) AS INTEGER) AS hamming
+         |FROM ph a JOIN ph b ON a.rid < b.rid
+         |WHERE bit_count(xor(a.bhash, b.bhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.payloadNearDupPairs(payloadFixture(s, dir), "doc_id",
+          "payload")
+        .orderBy("id_a", "id_b")
+    }
+
+    // The persisted byte-envelope index lifecycle — the THIRTEENTH
+    // maintained family (the q_image_gate machinery for the opaque
+    // modality): planted edits and a same-id replay drop, fresh
+    // arrivals land unless incidentally close.
+    r.reg("q_payload_gate", {
+      val chain = bhashChain(
+        """  SELECT doc_id AS rid, 'corpus' AS role, doc_id AS pid, 0 AS pert
+          |  FROM documents WHERE doc_id < 150
+          |  UNION ALL
+          |  SELECT doc_id + 300000, 'shard', doc_id, 1
+          |  FROM documents WHERE doc_id < 150 AND doc_id % 4 = 0
+          |  UNION ALL
+          |  SELECT 5, 'shard', 5, 0 FROM documents WHERE doc_id = 5
+          |  UNION ALL
+          |  SELECT doc_id, 'shard', doc_id, 0
+          |  FROM documents WHERE doc_id >= 150 AND doc_id < 200""".stripMargin)
+      s"""WITH $chain
+         |SELECT s.rid AS doc_id FROM ph s
+         |WHERE s.role = 'shard' AND NOT EXISTS (
+         |  SELECT 1 FROM ph c
+         |  WHERE c.role = 'corpus'
+         |    AND bit_count(xor(c.bhash, s.bhash)) <= 3)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/bhidx")
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir &&
+        s.catalog.tableExists("g_bhix_bhash")
+      val base = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select("doc_id", "text")
+      if (!fresh) {
+        Dedup.writePayloadIndex(
+          Multimodal.withPayload(base, "text", "payload"),
+          "doc_id", "payload", "g_bhix", idxPath)
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
+      val shard = base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          encode(concat(lit("Z"), expr("substring(text, 2)")), "UTF-8")
+            .as("payload"))
+        .union(Multimodal.withPayload(
+          base.filter(col("doc_id") === 5), "text", "payload")
+          .select("doc_id", "payload"))
+        .union(Multimodal.withPayload(
+          t(s, dir, "documents")
+            .filter(col("doc_id") >= 150 && col("doc_id") < 200)
+            .select("doc_id", "text"), "text", "payload")
+          .select("doc_id", "payload"))
+      Dedup.dropPayloadAgainstIndex(shard, "doc_id", "payload", "g_bhix")
+        .select("doc_id").orderBy("doc_id")
+    }
+
     // ------------------------------------------------------------------
     // BPE tokenizer training (r13): the oracle REPLAYS whole training
     // iterations in SQL — pair counts over the current symbolization,

@@ -1228,6 +1228,33 @@ object Dedup {
       .filter(col("width") > 0)
       .select(col("doc_id").as("id"), col("dhash").as("sig"))
 
+  /** OPAQUE-payload near-dup pairs ([[Multimodal.byteEnvelopeHash]] —
+    * the codec-independent byte-envelope fingerprint for modalities
+    * with no JDK decoder, e.g. video containers) through the shared
+    * Hamming banding. Empty payloads are excluded (no content to
+    * compare). */
+  def payloadNearDupPairs(docs: DataFrame, idCol: String,
+                          payloadCol: String, hammingK: Int = 3,
+                          maxBucketSize: Int = 10000): DataFrame = {
+    val sigs = Multimodal.byteEnvelopeHash(
+        docs.select(col(idCol).cast("long").as("doc_id"), col(payloadCol)),
+        "doc_id", payloadCol)
+      .filter(col("n_bytes") > 0L)
+      .select(col("doc_id"), col("bhash"))
+    hammingNearDupPairs(sigs, "doc_id", "bhash", 64, hammingK,
+      maxBucketSize)
+  }
+
+  /** The byte-envelope signature frame (empty payloads excluded) —
+    * the opaque-payload analog of [[dhashSigs]]. */
+  private def byteSigs(docs: DataFrame, idCol: String,
+                       payloadCol: String): DataFrame =
+    Multimodal.byteEnvelopeHash(
+        docs.select(col(idCol).cast("long").as("doc_id"), col(payloadCol)),
+        "doc_id", payloadCol)
+      .filter(col("n_bytes") > 0L)
+      .select(col("doc_id").as("id"), col("bhash").as("sig"))
+
   /** The audio-side signature frame ([[Multimodal.audioEnvelopeHash]],
     * unparseable rows excluded) — the envelope analog of
     * [[dhashSigs]]. */
@@ -1255,6 +1282,65 @@ object Dedup {
       .toBucketedTable(table, dataPath, buckets, Seq("band", "key"))
     stampParams(docs.sparkSession, table, Map("hammingK" -> hammingK))
   }
+
+  /** Build (or wholesale rebuild) the persisted byte-envelope index —
+    * the opaque-payload (video-container) modality's daily-ingest
+    * form, on the same machinery and lifecycle as the image/audio
+    * families. */
+  def writePayloadIndex(docs: DataFrame, idCol: String,
+                        payloadCol: String, name: String, path: String,
+                        hammingK: Int = 3, buckets: Int = 8): Unit =
+    writeSigIndex(docs, byteSigs(_, idCol, payloadCol),
+      s"${name}_bhash", s"$path/bhash", hammingK, buckets)
+
+  /** The daily opaque-payload GATE ([[dropImageAgainstIndex]]
+    * semantics over the byte-envelope index; empty payloads pass to
+    * triage). */
+  def dropPayloadAgainstIndex(newDocs: DataFrame, idCol: String,
+                              payloadCol: String, name: String,
+                              hammingK: Int = 3): DataFrame = {
+    val dups = sigCandidatesAgainstIndex(newDocs,
+        byteSigs(_, idCol, payloadCol), s"${name}_bhash", hammingK)
+      .select(col("id_b").as(idCol)).distinct()
+    newDocs.join(dups, Seq(idCol), "left_anti")
+  }
+
+  /** [[appendImageShardToIndex]] for the byte-envelope index. */
+  def appendPayloadShardToIndex(newDocs: DataFrame, idCol: String,
+                                payloadCol: String, name: String,
+                                path: String, hammingK: Int = 3,
+                                buckets: Int = 8): DataFrame =
+    appendSigShard(newDocs, idCol, payloadCol,
+      byteSigs(_, idCol, payloadCol), s"${name}_bhash",
+      s"$path/bhash", hammingK, buckets)
+
+  /** [[retractFromDhashIndex]] for the byte-envelope index. */
+  def retractFromPayloadIndex(spark: org.apache.spark.sql.SparkSession,
+                              name: String, ids: DataFrame,
+                              idCol: String): (Long, Long) =
+    withStagedIds(spark, ids, idCol) { idsPath =>
+      graft.api.GraftFrame.rewriteBucketedTable(spark, s"${name}_bhash",
+        raw => raw.join(
+          broadcast(raw.sparkSession.read.parquet(idsPath)
+            .withColumnRenamed(idCol, "id")),
+          Seq("id"), "left_anti"),
+        "retractFromPayloadIndex")
+    }
+
+  /** Maintenance observable for the byte-envelope index. */
+  def payloadIndexReport(spark: org.apache.spark.sql.SparkSession,
+                         name: String): DataFrame =
+    spark.table(s"${name}_bhash")
+      .select(input_file_name().as("__f__"))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("__f__")).as("files"))
+      .select(lit(s"${name}_bhash").as("table"), col("rows"),
+        col("files"))
+
+  /** Compact the byte-envelope index (online-safe). */
+  def compactPayloadIndex(spark: org.apache.spark.sql.SparkSession,
+                          name: String): Unit =
+    graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_bhash")
 
   /** Shard-vs-corpus candidates through a signature index, self-id
     * matches INCLUDED (the drop path needs them: a crash-replayed
@@ -1354,45 +1440,74 @@ object Dedup {
     * before the append for the same reason [[appendShardToIndex]]
     * does: their plan reads the table the append refreshes. Returns
     * the landed survivor rows. */
+  /** The shared daily-append core: the codec runs EXACTLY ONCE — the
+    * shard's signature frame is computed and pinned up front
+    * (shard-sized, eager: the dedup, gate and append branches all read
+    * it, and the append's table refresh must not invalidate their
+    * plan), then the internal dedup, the vs-corpus gate (self-id
+    * matches included — the replay guard) and the landed band rows all
+    * derive from those signatures. Returned survivors are the ORIGINAL
+    * rows (payloads intact); rows whose payload failed to decode carry
+    * no signature, so they pass through UNINDEXED for quality triage —
+    * they are returned (silently dropping corrupt arrivals would skew
+    * shard accounting) but never gate future arrivals. */
+  private def appendSigShard(newDocs: DataFrame, idCol: String,
+                             payloadCol: String,
+                             sigsOf: DataFrame => DataFrame,
+                             table: String, dataPath: String,
+                             hammingK: Int, buckets: Int): DataFrame = {
+    val spark = newDocs.sparkSession
+    checkParams(spark, table, Map("hammingK" -> hammingK))
+    val sigs = sigsOf(newDocs).localCheckpoint(true) // one decode pass
+    // shard-internal components over the signatures (keep minima)
+    val pairs = hammingNearDupPairs(sigs, "id", "sig", 64, hammingK)
+      .select(col("id_a"), col("id_b"))
+    val internalDrop = minLabelComponents(pairs)
+      .filter(col("id") =!= col("label")).select(col("id"))
+    val internal = sigs.join(internalDrop, Seq("id"), "left_anti")
+    // vs-corpus gate on the SAME signatures
+    val shardBands = sigBandRows(internal, "sig", 64, hammingK)
+      .select(col("id").as("id_b"), col("sh").as("sb"), col("band"),
+        col("key"))
+    val dups = spark.table(table)
+      .select(col("sh").as("sa"), col("band"), col("key"))
+      .join(shardBands, Seq("band", "key"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= hammingK)
+      .select(col("id_b").as("id")).distinct()
+    val survivorSigs = internal.join(dups, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    graft.api.GraftFrame(sigBandRows(survivorSigs, "sig", 64, hammingK))
+      .toBucketedTable(table, dataPath, buckets, Seq("band", "key"),
+        mode = "append")
+    val survivorRows = newDocs.join(survivorSigs.select(col("id")),
+      newDocs(idCol).cast("long") === col("id"), "left_semi")
+    val flagged = newDocs.join(sigs.select(col("id")),
+      newDocs(idCol).cast("long") === col("id"), "left_anti")
+    survivorRows.unionByName(flagged)
+  }
+
+  /** Daily image append: shard-internal perceptual dedup → vs-corpus
+    * gate → survivors' band rows land through bucketBy+saveAsTable
+    * (append mode — insertInto drops the bucket spec and would kill the
+    * exchange-free read property). One decode pass end to end
+    * ([[appendSigShard]]); returns the landed survivor rows plus any
+    * undecodable pass-throughs. */
   def appendImageShardToIndex(newDocs: DataFrame, idCol: String,
                               payloadCol: String, name: String,
                               path: String, hammingK: Int = 3,
-                              buckets: Int = 8): DataFrame = {
-    val internal = dropImageNearDuplicates(newDocs, idCol, payloadCol,
-      hammingK)
-    val survivors = dropImageAgainstIndex(internal, idCol, payloadCol,
-      name, hammingK).localCheckpoint(true)
-    graft.api.GraftFrame(
-        sigBandRows(dhashSigs(survivors, idCol, payloadCol), "sig", 64,
-          hammingK))
-      .toBucketedTable(s"${name}_dhash", s"$path/dhash", buckets,
-        Seq("band", "key"), mode = "append")
-    survivors
-  }
+                              buckets: Int = 8): DataFrame =
+    appendSigShard(newDocs, idCol, payloadCol,
+      dhashSigs(_, idCol, payloadCol), s"${name}_dhash", s"$path/dhash",
+      hammingK, buckets)
 
-  /** [[appendImageShardToIndex]] for the audio envelope index:
-    * shard-internal envelope dedup → vs-corpus gate → survivors' band
-    * rows append. */
+  /** [[appendImageShardToIndex]] for the audio envelope index. */
   def appendAudioShardToIndex(newDocs: DataFrame, idCol: String,
                               payloadCol: String, name: String,
                               path: String, hammingK: Int = 3,
-                              buckets: Int = 8): DataFrame = {
-    val pairs = audioNearDupPairs(newDocs, idCol, payloadCol, hammingK)
-      .select(col("id_a"), col("id_b")).cache()
-    val labels = minLabelComponents(pairs)
-    pairs.unpersist()
-    val toDrop = labels.filter(col("id") =!= col("label")).select(col("id"))
-    val internal = newDocs.join(toDrop.withColumnRenamed("id", idCol),
-      Seq(idCol), "left_anti")
-    val survivors = dropAudioAgainstIndex(internal, idCol, payloadCol,
-      name, hammingK).localCheckpoint(true)
-    graft.api.GraftFrame(
-        sigBandRows(envelopeSigs(survivors, idCol, payloadCol), "sig", 64,
-          hammingK))
-      .toBucketedTable(s"${name}_ehash", s"$path/ehash", buckets,
-        Seq("band", "key"), mode = "append")
-    survivors
-  }
+                              buckets: Int = 8): DataFrame =
+    appendSigShard(newDocs, idCol, payloadCol,
+      envelopeSigs(_, idCol, payloadCol), s"${name}_ehash",
+      s"$path/ehash", hammingK, buckets)
 
   /** RETRACT images by id from the persisted dHash index
     * ([[retractFromTextIndex]] semantics: retracted images stop

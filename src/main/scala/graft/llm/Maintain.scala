@@ -496,6 +496,7 @@ object Maintain {
   final case class GramIndexTarget(name: String) extends Target
   final case class DhashIndexTarget(name: String) extends Target
   final case class EnvelopeIndexTarget(name: String) extends Target
+  final case class PayloadIndexTarget(name: String) extends Target
   final case class BpeTarget(name: String, path: String,
                              freshSample: Option[DataFrame] = None,
                              freshCorpus: Option[DataFrame] = None,
@@ -548,6 +549,8 @@ object Maintain {
             maintainDhashIndex(spark, n, policy)
           case EnvelopeIndexTarget(n) =>
             maintainEnvelopeIndex(spark, n, policy)
+          case PayloadIndexTarget(n) =>
+            maintainPayloadIndex(spark, n, policy)
         } catch { case e: Exception =>
           Seq(("pass_failed", Double.NaN, Double.NaN, false,
             s"${e.getClass.getSimpleName}: ${e.getMessage}"))
@@ -768,6 +771,29 @@ object Maintain {
     results += (("table_files", files, policy.maxFilesFlat.toDouble,
       fireCompact,
       if (fireCompact) "Dedup.compactEnvelopeIndex" else "none"))
+
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
+  }
+
+  /** [[maintainDhashIndex]] for the opaque-payload byte-envelope index
+    * ([[Dedup.writePayloadIndex]] table `<name>_bhash`) — the
+    * THIRTEENTH maintained family, same lifecycle. */
+  def maintainPayloadIndex(spark: SparkSession, name: String,
+                           policy: Policy = Policy()): DataFrame = {
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+    results += (("drift", Double.NaN, Double.NaN, false,
+      "n/a: the byte-envelope hash is data-independent arithmetic over raw payload bytes — no trained state to drift"))
+    results += (("retraction", Double.NaN, Double.NaN, false,
+      "native: Dedup.retractFromPayloadIndex removes signature rows by id"))
+
+    val files = Dedup.payloadIndexReport(spark, name)
+      .agg(max(col("files"))).head().getLong(0).toDouble
+    val fireCompact = files > policy.maxFilesFlat
+    if (fireCompact) Dedup.compactPayloadIndex(spark, name)
+    results += (("table_files", files, policy.maxFilesFlat.toDouble,
+      fireCompact,
+      if (fireCompact) "Dedup.compactPayloadIndex" else "none"))
 
     import spark.implicits._
     results.toSeq.toDF("check", "observed", "threshold", "fired", "action")

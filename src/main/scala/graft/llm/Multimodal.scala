@@ -482,6 +482,34 @@ object Multimodal {
         }
       }(org.apache.spark.sql.Encoders.row(envelopeSchema))
 
+  val byteEnvelopeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("bhash", LongType, nullable = false)))
+
+  /** 64-bit byte-envelope hash of an OPAQUE payload: [[envelopeHashOf]]
+    * over the raw unsigned bytes — the codec-independent content
+    * fingerprint for modalities with no JDK decoder (video containers,
+    * unknown formats): the coarse byte-mass envelope survives
+    * container-level re-muxing noise the exact hash can't, while
+    * staying pure integer arithmetic any engine reproduces. Empty
+    * payloads hash to 0 with n_bytes 0 — pairing excludes them (all
+    * empties would otherwise declare each other duplicates). Feeds
+    * [[graft.llm.Dedup.payloadNearDupPairs]]. */
+  def byteEnvelopeHash(df: DataFrame, idCol: String,
+                       payloadCol: String): DataFrame =
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val vals = new Array[Int](bytes.length)
+          var i = 0
+          while (i < bytes.length) { vals(i) = bytes(i) & 0xff; i += 1 }
+          Row(id, bytes.length.toLong, envelopeHashOf(vals))
+        }
+      }(org.apache.spark.sql.Encoders.row(byteEnvelopeSchema))
+
   /** Attach a binary payload column (here: utf-8 bytes of a string
     * column; in production: the image/audio bytes read by a binary
     * source such as `spark.read.format("binaryFile")`). */

@@ -189,13 +189,16 @@ class MultimodalDedupSpec extends SparkTestBase {
         "doc_id", "src")
       val replay = corpus.filter(col("doc_id") === 5L)
       val fresh = Multimodal.synthPng(ids(10, from = 500L), "doc_id")
-      val shard = variants.union(replay).union(fresh)
+      val junk = df(Multimodal.payloadSchema, Row(900L, Array[Byte](7)))
+      val shard = variants.union(replay).union(fresh).union(junk)
       val landed = Dedup.appendImageShardToIndex(shard, "doc_id",
           "payload", "dhi_t", tmp)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       // variants: Hamming ≤ 3 of their corpus source → drop; the
       // replayed id 5 matches itself at Hamming 0 → drop; fresh land
       // unless incidentally colliding — verify against brute force
+      // the undecodable arrival passes through to triage, unindexed
+      assert(landed.contains(900L))
       assert(!landed.contains(5L))
       assert(landed.forall(_ >= 500L))
       val corpusSigs = Multimodal.dhashFeatures(corpus, "doc_id", "payload")
@@ -213,15 +216,19 @@ class MultimodalDedupSpec extends SparkTestBase {
       val expected = internalKept.filter { case (_, h) =>
         !corpusSigs.exists { case (_, hc) => ham(h, hc) <= 3 } }
         .map(_._1).toSet
-      assert(landed == expected)
-      // index grew by exactly the survivors' band rows (4 per image)
-      assert(spark.table("dhi_t_dhash").count() == (30 + landed.size) * 4L)
-      // REPLAY the same shard: everything matches its landed copy (or
-      // the corpus) → zero land, index unchanged
+      assert(landed == expected + 900L)
+      // index grew by exactly the DECODABLE survivors' band rows (4 per
+      // image — the junk pass-through is never indexed)
+      assert(spark.table("dhi_t_dhash").count() == (30 + expected.size) * 4L)
+      // REPLAY the same shard: every decodable row matches its landed
+      // copy (or the corpus) → only the signature-less junk row passes
+      // through again (no signature, no replay guard possible — triage
+      // owns it), and the index is unchanged
       val landed2 = Dedup.appendImageShardToIndex(shard, "doc_id",
-        "payload", "dhi_t", tmp).count()
-      assert(landed2 == 0L)
-      assert(spark.table("dhi_t_dhash").count() == (30 + landed.size) * 4L)
+        "payload", "dhi_t", tmp).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(landed2 == Set(900L))
+      assert(spark.table("dhi_t_dhash").count() == (30 + expected.size) * 4L)
     } finally {
       spark.sql("DROP TABLE IF EXISTS dhi_t_dhash")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
@@ -319,6 +326,76 @@ class MultimodalDedupSpec extends SparkTestBase {
         r.getString(5).contains("native")))
     } finally {
       spark.sql("DROP TABLE IF EXISTS ehi_t_ehash")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  // ---- opaque payloads (the no-codec video-container modality) ----
+
+  test("payload byte-envelope: pairs match brute force; index gate + replay + retraction") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bhi").toString
+    try {
+      val texts = (0L until 20L).map(i =>
+        Row(i, s"opaque container payload number $i with some distinct trailing content ${i * 31}"))
+      val docs = df(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))), texts: _*)
+      val base = Multimodal.withPayload(docs, "text", "payload")
+        .select("doc_id", "payload")
+      // one-byte edits: first byte -> 'Z'; Hamming <= 1 by the segment
+      // argument (only E(0) changes, so only bit 0 can flip)
+      val edits = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          encode(concat(lit("Z"), expr("substring(text, 2)")), "UTF-8")
+            .as("payload"))
+      val corpus = base.union(edits)
+      val got = Dedup.payloadNearDupPairs(corpus, "doc_id", "payload")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val sigs = Multimodal.byteEnvelopeHash(corpus, "doc_id", "payload")
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+      val brute = for {
+        (a, ha) <- sigs; (b, hb) <- sigs
+        if a < b && ham(ha, hb) <= 3
+      } yield (a, b, ham(ha, hb))
+      assert(got.sorted.toSeq == brute.sorted.toSeq)
+      val pairSet = got.map(p => (p._1, p._2)).toSet
+      (0L until 20L by 3).foreach(i =>
+        assert(pairSet.contains((i, i + 300000L)), s"planted edit $i missed"))
+      // empty payloads never pair
+      val withEmpty = corpus.union(df(Multimodal.payloadSchema,
+        Row(900L, Array.emptyByteArray), Row(901L, Array.emptyByteArray)))
+      assert(Dedup.payloadNearDupPairs(withEmpty, "doc_id", "payload")
+        .filter(col("id_a").isin(900L, 901L) ||
+          col("id_b").isin(900L, 901L)).count() == 0L)
+      // index lifecycle: gate drops edits + a same-id replay; replayed
+      // append lands nothing; retraction re-admits
+      Dedup.writePayloadIndex(base, "doc_id", "payload", "bhi_t", tmp)
+      val shard = edits.union(base.filter(col("doc_id") === 4L))
+      val landed = Dedup.appendPayloadShardToIndex(shard, "doc_id",
+        "payload", "bhi_t", tmp)
+      assert(landed.count() == 0L, "edits and the replay must all drop")
+      // retraction re-admits: pick a planted edit whose ONLY close
+      // corpus neighbor is its own source (prose envelopes also collide
+      // incidentally, so not every planted id qualifies)
+      val baseSigs = sigs.filter(_._1 < 300000L)
+      val lone = (0L until 20L by 3).find { i =>
+        val eh2 = sigs.find(_._1 == i + 300000L).get._2
+        baseSigs.count(b => ham(b._2, eh2) <= 3) == 1
+      }
+      assert(lone.isDefined, "fixture must contain a lone planted pair")
+      val (b0, a0) = Dedup.retractFromPayloadIndex(spark, "bhi_t",
+        docs.filter(col("doc_id") === lone.get).select("doc_id"), "doc_id")
+      assert(b0 - a0 == 4L)
+      assert(Dedup.dropPayloadAgainstIndex(
+        edits.filter(col("doc_id") === lone.get + 300000L), "doc_id",
+        "payload", "bhi_t").count() == 1L)
+      val sweep = graft.llm.Maintain.maintainAll(spark,
+        Seq("bhi" -> graft.llm.Maintain.PayloadIndexTarget("bhi_t")))
+        .collect()
+      assert(sweep.exists(r => r.getString(1) == "retraction" &&
+        r.getString(5).contains("native")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bhi_t_bhash")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
