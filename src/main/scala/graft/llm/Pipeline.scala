@@ -1511,6 +1511,107 @@ object Pipeline {
     * One landing dir per index: the recovery check reads THIS
     * `outPath`, so splitting one index's shards across landing dirs
     * would mis-classify older landings as crashed appends. */
+  /** The shared MEDIA daily-ingest composition (image / audio / opaque
+    * payloads): admission control, the perceptual gate + index append
+    * ([[Dedup.appendImageShardToIndex]] family — the codec runs once),
+    * the parquet landing under `shard_label=<label>`, and the per-shard
+    * manifest written LAST.
+    *
+    * CRASH-REPLAY CONTRACT (the [[ingestEmbeddingShard]] discipline,
+    * simplified by the gate being its own replay guard): a manifest
+    * present returns the recorded counts in O(1). Without it, a
+    * re-arriving shard whose index append COMMITTED re-matches its own
+    * landed signatures at Hamming 0 and drops at the gate — so ids
+    * present in the index but absent from the landing are the crashed
+    * run's committed-but-unlanded survivors, detected (one id-column
+    * scan of the index, suspects bounded by |shard|; the landing is
+    * only read when suspects exist) and RECOVERED to the landing.
+    * Undecodable arrivals pass the gate unindexed and land (triage owns
+    * them; a replay without a manifest re-lands them — the overwrite
+    * partition makes that idempotent). One landing dir per index: the
+    * recovery check reads THIS `outPath`, and a corpus bootstrapped
+    * into the index without landing there reads as crashed-unlanded —
+    * land the bootstrap corpus, or accept that a same-id resubmission
+    * re-lands once. */
+  private def ingestMediaShard(shard: DataFrame, idCol: String,
+                               append: DataFrame => DataFrame,
+                               indexTable: String, outPath: String,
+                               shardLabel: String,
+                               admission: Seq[graft.operators.Checks.Constraint])
+      : Map[String, Long] = {
+    val spark = shard.sparkSession
+    readShardManifest(spark, outPath, shardLabel) match {
+      case Some(counts) => return counts // fully processed — O(1) replay
+      case None => ()
+    }
+    val cp = shard.localCheckpoint(true)
+    if (admission.nonEmpty) graft.operators.Checks.requireAll(cp, admission)
+    // suspects snapshot BEFORE the append (after it, every fresh
+    // survivor's id is in the index and would read as crashed)
+    val suspects = cp.select(col(idCol)).join(
+        spark.table(indexTable).select(col("id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .localCheckpoint(true)
+    val survivors = append(cp)
+    val recovered: DataFrame =
+      if (suspects.isEmpty) cp.limit(0)
+      else {
+        val landedIds = landedUnderOtherLabels(spark, outPath, idCol,
+          shardLabel, cp)
+        val unlanded = suspects.join(
+          landedIds.join(broadcast(suspects), Seq(idCol), "left_semi"),
+          Seq(idCol), "left_anti")
+        cp.join(unlanded, Seq(idCol), "left_semi")
+      }
+    val toLand = survivors.unionByName(recovered).localCheckpoint(true)
+    toLand.write.mode("overwrite")
+      .parquet(s"$outPath/shard_label=$shardLabel")
+    writeShardManifest(cp, cp.count(), toLand.count(), outPath,
+      shardLabel)
+  }
+
+  /** Daily IMAGE ingest, composed end-to-end over the persisted dHash
+    * index ([[Dedup.writeDhashIndex]]): gate, append, landing,
+    * manifest — see [[ingestMediaShard]] for the contract. Returns
+    * Map("input" → …, "landed" → …). */
+  def ingestImageShard(shard: DataFrame, idCol: String,
+                       payloadCol: String, indexName: String,
+                       indexPath: String, outPath: String,
+                       shardLabel: String, hammingK: Int = 3,
+                       buckets: Int = 8,
+                       admission: Seq[graft.operators.Checks.Constraint] = Nil)
+      : Map[String, Long] =
+    ingestMediaShard(shard, idCol,
+      Dedup.appendImageShardToIndex(_, idCol, payloadCol, indexName,
+        indexPath, hammingK, buckets),
+      s"${indexName}_dhash", outPath, shardLabel, admission)
+
+  /** [[ingestImageShard]] for the audio envelope index. */
+  def ingestAudioShard(shard: DataFrame, idCol: String,
+                       payloadCol: String, indexName: String,
+                       indexPath: String, outPath: String,
+                       shardLabel: String, hammingK: Int = 3,
+                       buckets: Int = 8,
+                       admission: Seq[graft.operators.Checks.Constraint] = Nil)
+      : Map[String, Long] =
+    ingestMediaShard(shard, idCol,
+      Dedup.appendAudioShardToIndex(_, idCol, payloadCol, indexName,
+        indexPath, hammingK, buckets),
+      s"${indexName}_ehash", outPath, shardLabel, admission)
+
+  /** [[ingestImageShard]] for the opaque-payload byte-envelope index. */
+  def ingestPayloadShard(shard: DataFrame, idCol: String,
+                         payloadCol: String, indexName: String,
+                         indexPath: String, outPath: String,
+                         shardLabel: String, hammingK: Int = 3,
+                         buckets: Int = 8,
+                         admission: Seq[graft.operators.Checks.Constraint] = Nil)
+      : Map[String, Long] =
+    ingestMediaShard(shard, idCol,
+      Dedup.appendPayloadShardToIndex(_, idCol, payloadCol, indexName,
+        indexPath, hammingK, buckets),
+      s"${indexName}_bhash", outPath, shardLabel, admission)
+
   def ingestEmbeddingShard(shard: DataFrame, idCol: String, vecCol: String,
                            dim: Int, threshold: Double,
                            indexName: String, indexPath: String,
