@@ -1535,8 +1535,8 @@ object Pipeline {
     * re-lands once. */
   private def ingestMediaShard(shard: DataFrame, idCol: String,
                                append: DataFrame => DataFrame,
-                               indexTable: String, outPath: String,
-                               shardLabel: String,
+                               indexTable: String, indexPath: String,
+                               outPath: String, shardLabel: String,
                                admission: Seq[graft.operators.Checks.Constraint])
       : Map[String, Long] = {
     val spark = shard.sparkSession
@@ -1547,10 +1547,14 @@ object Pipeline {
     val cp = shard.localCheckpoint(true)
     if (admission.nonEmpty) graft.operators.Checks.requireAll(cp, admission)
     // suspects snapshot BEFORE the append (after it, every fresh
-    // survivor's id is in the index and would read as crashed)
-    val suspects = cp.select(col(idCol)).join(
-        spark.table(indexTable).select(col("id").as(idCol)).distinct(),
-        Seq(idCol), "left_semi")
+    // survivor's id is in the index and would read as crashed). The
+    // shared id-guard broadcasts the SHARD ids over the index's id
+    // column (never the index over the shard — the index is the
+    // 100 TB side), and picks up an `idblooms` sidecar at the index
+    // path if one exists so a steady-state day skips the id scan.
+    val suspects = KeyBlooms.presentIds(cp.select(col(idCol)), idCol,
+        spark.table(indexTable).select(col("id").as(idCol)), indexPath)
+      .distinct()
       .localCheckpoint(true)
     val survivors = append(cp)
     val recovered: DataFrame =
@@ -1584,7 +1588,7 @@ object Pipeline {
     ingestMediaShard(shard, idCol,
       Dedup.appendImageShardToIndex(_, idCol, payloadCol, indexName,
         indexPath, hammingK, buckets),
-      s"${indexName}_dhash", outPath, shardLabel, admission)
+      s"${indexName}_dhash", indexPath, outPath, shardLabel, admission)
 
   /** [[ingestImageShard]] for the audio envelope index. */
   def ingestAudioShard(shard: DataFrame, idCol: String,
@@ -1597,7 +1601,7 @@ object Pipeline {
     ingestMediaShard(shard, idCol,
       Dedup.appendAudioShardToIndex(_, idCol, payloadCol, indexName,
         indexPath, hammingK, buckets),
-      s"${indexName}_ehash", outPath, shardLabel, admission)
+      s"${indexName}_ehash", indexPath, outPath, shardLabel, admission)
 
   /** [[ingestImageShard]] for the opaque-payload byte-envelope index. */
   def ingestPayloadShard(shard: DataFrame, idCol: String,
@@ -1610,7 +1614,7 @@ object Pipeline {
     ingestMediaShard(shard, idCol,
       Dedup.appendPayloadShardToIndex(_, idCol, payloadCol, indexName,
         indexPath, hammingK, buckets),
-      s"${indexName}_bhash", outPath, shardLabel, admission)
+      s"${indexName}_bhash", indexPath, outPath, shardLabel, admission)
 
   def ingestEmbeddingShard(shard: DataFrame, idCol: String, vecCol: String,
                            dim: Int, threshold: Double,
