@@ -3155,16 +3155,51 @@ object QueriesText {
     // ------------------------------------------------------------------
     // BPE tokenizer training (r13): the oracle REPLAYS whole training
     // iterations in SQL — pair counts over the current symbolization,
-    // argmax with the code-point tie-break, then the merge applied as a
-    // greedy-left `replace` over a space-joined symbol form (exactly the
-    // Scala mergePair semantics) — so the learned merge table, the
-    // encode, and the vocab ids are all value-checked bit-for-bit, not
-    // counted. Training corpus: doc_id < 400 (same rows at every sf).
+    // argmax with the code-point tie-break, then the merge applied
+    // greedily left-to-right non-overlapping (the Scala mergePair
+    // semantics) — so the learned merge table, the encode, and the
+    // vocab ids are all value-checked bit-for-bit, not counted.
+    //
+    // Symbol encoding (r14 fix): each symbol is wrapped in its OWN
+    // leading+trailing space (' a  b  c ', double-space separators).
+    // The r13 single-space form made `replace(' l r ', ' lr ')` skip
+    // adjacent overlapping merge sites because consecutive occurrences
+    // SHARED the separator space (' a a a a ' → ' aa a a ', losing the
+    // second pair), silently diverging from mergePair on words like
+    // 'aaaa'. With per-symbol wrapping the occurrences are disjoint
+    // substrings and one `replace` IS leftmost greedy non-overlapping
+    // (' q  q  q  q ' → ' qq  qq '). The injected fixture word below
+    // makes this non-vacuous: 2500 'qqqq' tokens force the rank-0
+    // merge (q,q) — ~6.5k pairs vs the corpus max ~3.8k — and rank 1
+    // (qq,qq), both applying at ADJACENT positions.
+    //
+    // Training corpus: documents doc_id < 400 plus the fixture word.
+    val bpeFixtureWord = "qqqq"
+    val bpeFixtureReps = 2500
+    // encode-side fixture doc: every adjacent-overlap shape —
+    // 'qqqqq' → [qqqq, q], 'qqqq' → [qqqq], 'qqq' → [qq, q]
+    val bpeEncodeFixture = "qqqqq qqqq qqq qq q"
 
-    // spaced symbol form of a word: ' c1 c2 ... cn '
+    def bpeTrainFixture(s: org.apache.spark.sql.SparkSession, dir: String) = {
+      import s.implicits._
+      t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq((-7L,
+          Array.fill(bpeFixtureReps)(bpeFixtureWord).mkString(" ")))
+          .toDF("doc_id", "text"))
+    }
+    def bpeEncodeDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+      import s.implicits._
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq((-7L, bpeEncodeFixture)).toDF("doc_id", "text"))
+    }
+
+    // spaced symbol form of a word: ' c1  c2  ...  cn ' — each symbol
+    // wrapped in its own spaces (see the r14 note above)
     def spacedSql(w: String): String =
       s"' ' || array_to_string(list_transform(range(1, length($w)+1), " +
-        s"q -> substr($w, CAST(q AS INTEGER), 1)), ' ') || ' '"
+        s"q -> substr($w, CAST(q AS INTEGER), 1)), '  ') || ' '"
 
     /** w0 (type counts + spaced form) and nMerges chained
       * (pair-count, argmax, replace) iterations: p_r/b_r/w_r. */
@@ -3173,7 +3208,9 @@ object QueriesText {
         s"""w0 AS MATERIALIZED (
            |  SELECT w, CAST(count(*) AS BIGINT) AS cnt, ${spacedSql("w")} AS sp
            |  FROM (SELECT unnest(string_split(text, ' ')) AS w
-           |        FROM documents WHERE doc_id < 400)
+           |        FROM documents WHERE doc_id < 400
+           |        UNION ALL
+           |        SELECT '$bpeFixtureWord' FROM range($bpeFixtureReps))
            |  WHERE length(w) >= 1 GROUP BY w)""".stripMargin
       val iters = (1 to nMerges).map { r =>
         val p = r - 1
@@ -3181,14 +3218,14 @@ object QueriesText {
            |  SELECT toks[CAST(i AS INTEGER)] AS l,
            |    toks[CAST(i AS INTEGER)+1] AS rr,
            |    CAST(SUM(cnt) AS BIGINT) AS c
-           |  FROM (SELECT cnt, string_split(trim(sp), ' ') AS toks,
-           |          unnest(range(1, len(string_split(trim(sp), ' ')))) AS i
+           |  FROM (SELECT cnt, string_split(trim(sp), '  ') AS toks,
+           |          unnest(range(1, len(string_split(trim(sp), '  ')))) AS i
            |        FROM w$p)
            |  GROUP BY 1, 2),
            |b$r AS MATERIALIZED (SELECT l, rr, c FROM p$r ORDER BY c DESC, l, rr LIMIT 1),
            |w$r AS MATERIALIZED (
            |  SELECT w, cnt,
-           |    replace(sp, (SELECT ' '||l||' '||rr||' ' FROM b$r),
+           |    replace(sp, (SELECT ' '||l||'  '||rr||' ' FROM b$r),
            |                (SELECT ' '||l||rr||' ' FROM b$r)) AS sp
            |  FROM w$p)""".stripMargin
       }
@@ -3223,8 +3260,7 @@ object QueriesText {
          |$sel
          |ORDER BY rank""".stripMargin
     }) { (s, dir) =>
-      graft.llm.Bpe.train(
-          t(s, dir, "documents").filter(col("doc_id") < 400), "text", 8)
+      graft.llm.Bpe.train(bpeTrainFixture(s, dir), "text", 8)
         .orderBy("rank")
     }
 
@@ -3235,11 +3271,13 @@ object QueriesText {
     // the served path must be TRANSPARENT to results.)
     val bpeTokensSql = {
       val nested = (1 to 8).foldLeft(spacedSql("w")) { (acc, r) =>
-        s"replace($acc, (SELECT ' '||l||' '||rr||' ' FROM b$r), " +
+        s"replace($acc, (SELECT ' '||l||'  '||rr||' ' FROM b$r), " +
           s"(SELECT ' '||l||rr||' ' FROM b$r))"
       }
       s"""WITH ${bpeTrainCtes(8)},
-         |docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+         |docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100
+         |         UNION ALL
+         |         SELECT CAST(-7 AS BIGINT), '$bpeEncodeFixture'),
          |wrds AS (
          |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_pos,
          |    toks[CAST(i AS INTEGER)] AS w
@@ -3249,7 +3287,7 @@ object QueriesText {
          |  WHERE toks[CAST(i AS INTEGER)] <> ''),
          |enc AS (
          |  SELECT doc_id, word_pos,
-         |    string_split(trim($nested), ' ') AS etoks
+         |    string_split(trim($nested), '  ') AS etoks
          |  FROM wrds)
          |SELECT doc_id, word_pos, CAST(j - 1 AS INTEGER) AS tok_pos,
          |  etoks[CAST(j AS INTEGER)] AS token
@@ -3259,11 +3297,9 @@ object QueriesText {
     }
 
     r.reg("q_bpe_tokens", bpeTokensSql) { (s, dir) =>
-      val train = t(s, dir, "documents").filter(col("doc_id") < 400)
       val merges = graft.llm.Bpe.mergeList(
-        graft.llm.Bpe.train(train, "text", 8))
-      graft.llm.Bpe.encodeTokens(
-          t(s, dir, "documents").filter(col("doc_id") < 100),
+        graft.llm.Bpe.train(bpeTrainFixture(s, dir), "text", 8))
+      graft.llm.Bpe.encodeTokens(bpeEncodeDocs(s, dir),
           "doc_id", "text", merges)
         .orderBy("doc_id", "word_pos", "tok_pos")
     }
@@ -3281,20 +3317,21 @@ object QueriesText {
         java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir &&
         s.catalog.tableExists("g_pbpe_bpe")
       if (!fresh) {
-        graft.llm.Bpe.writeBpeModel(
-          t(s, dir, "documents").filter(col("doc_id") < 400), "text",
+        graft.llm.Bpe.writeBpeModel(bpeTrainFixture(s, dir), "text",
           "g_pbpe", idxPath, numMerges = 8)
         java.nio.file.Files.write(stamp.toPath,
           (dir + "\n").getBytes("UTF-8"))
       }
       graft.llm.Bpe.encodeIndexed(s, "g_pbpe", idxPath,
-          t(s, dir, "documents").filter(col("doc_id") < 100),
-          "doc_id", "text")
+          bpeEncodeDocs(s, dir), "doc_id", "text")
         .orderBy("doc_id", "word_pos", "tok_pos")
     }
 
     // Vocabulary ids: base code points 0..B-1 in code-point order,
-    // merged symbols B + rank — both recomputed in SQL.
+    // merged symbols B + rank — both recomputed in SQL. Duplicate
+    // merged surfaces (two ranks concatenating to the same string)
+    // collapse to the min id on BOTH sides (r14 — mirrors vocabFrame's
+    // dedup so encode joins can never fan out).
     r.reg("q_bpe_vocab", {
       val mrg = (1 to 8).map(r =>
         s"SELECT l||rr AS token, ${r - 1} AS rnk FROM b$r")
@@ -3308,13 +3345,15 @@ object QueriesText {
          |    CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
          |  FROM chars),
          |mrg AS ($mrg)
-         |SELECT token, token_id FROM basev
-         |UNION ALL
-         |SELECT token, CAST(rnk + (SELECT count(*) FROM basev) AS BIGINT)
-         |FROM mrg
+         |SELECT token, MIN(token_id) AS token_id FROM (
+         |  SELECT token, token_id FROM basev
+         |  UNION ALL
+         |  SELECT token, CAST(rnk + (SELECT count(*) FROM basev) AS BIGINT)
+         |  FROM mrg)
+         |GROUP BY token
          |ORDER BY token_id""".stripMargin
     }) { (s, dir) =>
-      val train = t(s, dir, "documents").filter(col("doc_id") < 400)
+      val train = bpeTrainFixture(s, dir)
       graft.llm.Bpe.vocabFrame(train, "text",
           graft.llm.Bpe.train(train, "text", 8))
         .orderBy("token_id")

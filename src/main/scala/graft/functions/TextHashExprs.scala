@@ -818,9 +818,13 @@ object BpeEncode {
     out.toArray
   }
 
-  /** One merge applied greedily left-to-right (non-overlapping) — the
-    * exact semantics of a string `replace` over the space-joined form,
-    * which is what the oracle runs. */
+  /** One merge applied greedily left-to-right (non-overlapping).
+    * NOTE: this is NOT a string `replace` over a single-space-joined
+    * symbol form — adjacent occurrences share the separator there, so
+    * `replace` skips every second site ([a,a,a,a] must merge to
+    * [aa,aa], not [aa,a,a]). The oracle replays it as a replace over a
+    * form with each symbol wrapped in its OWN spaces (double-space
+    * separators), which makes occurrences disjoint and IS equivalent. */
   def mergePair(syms: Array[String], left: String, right: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0

@@ -200,7 +200,13 @@ object Bpe {
     val mergedIds = merges.crossJoin(broadcast(nBase))
       .select(col("merged").as("token"),
         (col("rank").cast("long") + col("__b__")).as("token_id"))
+    // two distinct merge ranks CAN concatenate to the same surface
+    // ((a,bc) and (ab,c) both yield 'abc'); keep the min id per token
+    // so encodeIds' vocab join can never fan out rows. Base tokens are
+    // single code points and merged tokens ≥ 2, so the dedup can only
+    // collapse merged-merged collisions — base ids are untouched.
     base.unionByName(mergedIds)
+      .groupBy("token").agg(min(col("token_id")).as("token_id"))
   }
 
   /** Encode + vocab join: (id, word_pos, tok_pos, token_id) — the
@@ -229,20 +235,27 @@ object Bpe {
   private def bpeMetaFile(path: String) = s"$path/_graft_bpe_meta.json"
 
   private def stampBpeMeta(spark: SparkSession, path: String,
-                           numMerges: Int, minPairCount: Long): Unit = {
+                           numMerges: Int, minPairCount: Long,
+                           maxTypes: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(bpeMetaFile(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
     try os.write(
-      s"""{"num_merges":$numMerges,"min_pair_count":$minPairCount}\n"""
+      s"""{"num_merges":$numMerges,"min_pair_count":$minPairCount,"max_types":$maxTypes}\n"""
         .getBytes("UTF-8"))
     finally os.close()
   }
 
-  /** (numMerges, minPairCount) from the stamp — a stampless directory
-    * is a crashed or foreign build and refuses loudly. */
+  /** (numMerges, minPairCount, maxTypes) from the stamp — a stampless
+    * directory is a crashed or foreign build and refuses loudly.
+    * maxTypes rides in the stamp so a drift-fired retrain
+    * ([[graft.llm.Maintain.maintainBpe]]) replays the bound the model
+    * was originally built under — a model built with a raised bound
+    * over a large type space must not refuse at the default on
+    * retrain. Stamps from builds predating the field read back the
+    * default (2000000). */
   private[llm] def readBpeMeta(spark: SparkSession,
-                               path: String): (Int, Long) = {
+                               path: String): (Int, Long, Int) = {
     val p = new org.apache.hadoop.fs.Path(bpeMetaFile(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
@@ -252,8 +265,10 @@ object Bpe {
     finally in.close()
     val m = """"num_merges"\s*:\s*(\d+).*"min_pair_count"\s*:\s*(\d+)""".r
       .findFirstMatchIn(txt)
+    val mt = """"max_types"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(2000000)
     m match {
-      case Some(g) => (g.group(1).toInt, g.group(2).toLong)
+      case Some(g) => (g.group(1).toInt, g.group(2).toLong, mt)
       case None => throw new IllegalStateException(
         s"malformed BPE stamp at ${bpeMetaFile(path)}: $txt")
     }
@@ -274,7 +289,7 @@ object Bpe {
     graft.api.GraftFrame(vocabFrame(corpus, textCol, merges))
       .toBucketedTable(s"${name}_bpe_vocab", s"$path/vocab", 1,
         Seq("token"))
-    stampBpeMeta(spark, path, numMerges, minPairCount)
+    stampBpeMeta(spark, path, numMerges, minPairCount, maxTypes)
   }
 
   /** Serve [[encodeTokens]] from the persisted model — bit-identical

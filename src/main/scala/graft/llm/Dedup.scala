@@ -1479,10 +1479,13 @@ object Dedup {
     graft.api.GraftFrame(sigBandRows(survivorSigs, "sig", 64, hammingK))
       .toBucketedTable(table, dataPath, buckets, Seq("band", "key"),
         mode = "append")
-    val survivorRows = newDocs.join(survivorSigs.select(col("id")),
-      newDocs(idCol).cast("long") === col("id"), "left_semi")
-    val flagged = newDocs.join(sigs.select(col("id")),
-      newDocs(idCol).cast("long") === col("id"), "left_anti")
+    // the signature side's id is aliased so a caller whose idCol is
+    // literally named 'id' can't make the join condition ambiguous
+    val survivorRows = newDocs.join(
+      survivorSigs.select(col("id").as("__sig_id__")),
+      newDocs(idCol).cast("long") === col("__sig_id__"), "left_semi")
+    val flagged = newDocs.join(sigs.select(col("id").as("__sig_id__")),
+      newDocs(idCol).cast("long") === col("__sig_id__"), "left_anti")
     survivorRows.unionByName(flagged)
   }
 

@@ -841,9 +841,10 @@ object Maintain {
         val indicated = oov > policy.maxDriftDelta
         val fire = indicated && freshCorpus.isDefined
         if (fire) {
-          val (numMerges, minPairCount) = Bpe.readBpeMeta(spark, path)
+          val (numMerges, minPairCount, maxTypes) =
+            Bpe.readBpeMeta(spark, path)
           Bpe.writeBpeModel(freshCorpus.get, textCol, name, path,
-            numMerges, minPairCount)
+            numMerges, minPairCount, maxTypes)
         }
         results += (("oov_drift", oov, policy.maxDriftDelta, fire,
           if (fire) "Bpe.writeBpeModel(freshCorpus)"
