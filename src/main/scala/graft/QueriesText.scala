@@ -3264,16 +3264,42 @@ object QueriesText {
         .orderBy("rank")
     }
 
+    // The 8 learned merges applied in rank order to a word `w`, as one
+    // nested-replace expression over the double-spaced symbol form —
+    // shared by the token, window and pipeline oracles.
+    val bpeNestedSql = (1 to 8).foldLeft(spacedSql("w")) { (acc, r) =>
+      s"replace($acc, (SELECT ' '||l||'  '||rr||' ' FROM b$r), " +
+        s"(SELECT ' '||l||rr||' ' FROM b$r))"
+    }
+
+    // Build the persisted g_pbpe model once per (JVM, sf dir) — shared
+    // by q_bpe_indexed and the BPE windows landing query. Returns the
+    // model path.
+    def ensurePbpeModel(s: org.apache.spark.sql.SparkSession,
+                        dir: String): String = {
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/bpeidx")
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir &&
+        s.catalog.tableExists("g_pbpe_bpe")
+      if (!fresh) {
+        graft.llm.Bpe.writeBpeModel(bpeTrainFixture(s, dir), "text",
+          "g_pbpe", idxPath, numMerges = 8)
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
+      idxPath
+    }
+
     // Distributed encode under the trained merges (docs < 100), exploded
     // as (doc_id, word_pos, tok_pos, token): SQL applies the 8 learned
     // merges in rank order via nested greedy replaces. (Shared by
     // q_bpe_tokens and the persisted-model round trip q_bpe_indexed —
     // the served path must be TRANSPARENT to results.)
     val bpeTokensSql = {
-      val nested = (1 to 8).foldLeft(spacedSql("w")) { (acc, r) =>
-        s"replace($acc, (SELECT ' '||l||'  '||rr||' ' FROM b$r), " +
-          s"(SELECT ' '||l||rr||' ' FROM b$r))"
-      }
+      val nested = bpeNestedSql
       s"""WITH ${bpeTrainCtes(8)},
          |docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100
          |         UNION ALL
@@ -3309,19 +3335,7 @@ object QueriesText {
     // the encode through the catalog tables, and hash-match the SAME
     // SQL chain as the one-shot — the q_nb_indexed discipline.
     r.reg("q_bpe_indexed", bpeTokensSql) { (s, dir) =>
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/bpeidx")
-      val idxPath = qdir.getAbsolutePath
-      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
-      val fresh = stamp.isFile && new String(
-        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir &&
-        s.catalog.tableExists("g_pbpe_bpe")
-      if (!fresh) {
-        graft.llm.Bpe.writeBpeModel(bpeTrainFixture(s, dir), "text",
-          "g_pbpe", idxPath, numMerges = 8)
-        java.nio.file.Files.write(stamp.toPath,
-          (dir + "\n").getBytes("UTF-8"))
-      }
+      val idxPath = ensurePbpeModel(s, dir)
       graft.llm.Bpe.encodeIndexed(s, "g_pbpe", idxPath,
           bpeEncodeDocs(s, dir), "doc_id", "text")
         .orderBy("doc_id", "word_pos", "tok_pos")
@@ -3357,6 +3371,115 @@ object QueriesText {
       graft.llm.Bpe.vocabFrame(train, "text",
           graft.llm.Bpe.train(train, "text", 8))
         .orderBy("token_id")
+    }
+
+    // BPE-token-ID training windows, landed through the FULL pipeline
+    // (r14): the composed corpus→training-files last mile where
+    // windowSize counts BPE tokens under the persisted g_pbpe model and
+    // windows land as array<long> token ids — the artifact a trainer
+    // actually loads. The Spark side runs buildAndWriteWindows to disk
+    // (every pipeline stage + split isolation + the id-space chop + the
+    // partitioned write) and reads the landing back; the oracle
+    // recomputes EVERYTHING — the clean chain, the 8 training
+    // iterations, the vocab ids, each clean doc's full id sequence, the
+    // per-split cumsum/chop, and the assembled id arrays (compared as
+    // space-joined strings) — so a hash match proves the landed token
+    // ids are bit-identical end-to-end, with no slack anywhere.
+    r.reg("q_pipeline_windows_bpe", pipeCleanCtes +
+      s""",
+         |${bpeTrainCtes(8)},
+         |bchars AS (
+         |  SELECT DISTINCT substr(w, CAST(i AS INTEGER), 1) AS token
+         |  FROM (SELECT w, unnest(range(1, length(w)+1)) AS i FROM w0)),
+         |bbasev AS (
+         |  SELECT token,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+         |  FROM bchars),
+         |bvocab AS (
+         |  SELECT token, MIN(token_id) AS token_id FROM (
+         |    SELECT token, token_id FROM bbasev
+         |    UNION ALL
+         |    ${(1 to 8).map(r =>
+               s"SELECT l||rr AS token, CAST(${r - 1} + " +
+                 s"(SELECT count(*) FROM bbasev) AS BIGINT) FROM b$r")
+               .mkString("\n    UNION ALL\n    ")})
+         |  GROUP BY token),
+         |bwdocs AS (
+         |  SELECT c.doc_id, d.text,
+         |    CASE WHEN (c.doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTTrain THEN 'train'
+         |         WHEN (c.doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTVal THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM clean c JOIN documents d USING (doc_id)),
+         |bwrd AS (
+         |  SELECT split, doc_id, CAST(i - 1 AS INTEGER) AS word_pos,
+         |    toks[CAST(i AS INTEGER)] AS w
+         |  FROM (SELECT split, doc_id, string_split(text, ' ') AS toks,
+         |          unnest(range(1, len(string_split(text, ' '))+1)) AS i
+         |        FROM bwdocs)
+         |  WHERE toks[CAST(i AS INTEGER)] <> ''),
+         |bencw AS (
+         |  SELECT split, doc_id, word_pos,
+         |    string_split(trim($bpeNestedSql), '  ') AS etoks
+         |  FROM bwrd),
+         |btokw AS (
+         |  SELECT split, doc_id, word_pos, CAST(j - 1 AS INTEGER) AS tok_pos,
+         |    etoks[CAST(j AS INTEGER)] AS token
+         |  FROM (SELECT split, doc_id, word_pos, etoks,
+         |          unnest(range(1, len(etoks)+1)) AS j FROM bencw)),
+         |bidw AS (
+         |  SELECT b.split, b.doc_id, b.word_pos, b.tok_pos,
+         |    COALESCE(v.token_id, -1) AS token_id
+         |  FROM btokw b LEFT JOIN bvocab v USING (token)),
+         |bdoc AS (
+         |  SELECT split, doc_id,
+         |    list(token_id ORDER BY word_pos, tok_pos) AS ids,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM bidw GROUP BY split, doc_id),
+         |bwc AS (SELECT split, doc_id, ids, n,
+         |  CAST(sum(n) OVER (PARTITION BY split
+         |    ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS start
+         |  FROM bdoc),
+         |bww AS (SELECT split, doc_id, ids, n, start,
+         |  CAST(floor(start/300.0) AS BIGINT) AS wf,
+         |  CASE WHEN n > 0 THEN CAST(floor((start+n-1)/300.0) AS BIGINT)
+         |       ELSE CAST(floor(start/300.0) AS BIGINT) END AS wl
+         |  FROM bwc),
+         |bwrg AS (SELECT unnest(range(0,
+         |  (SELECT CAST(ceil(sum(n)/300.0) AS BIGINT) + 1 FROM bdoc))) AS window_id),
+         |bwm AS (SELECT w.split, r.window_id,
+         |  GREATEST(r.window_id*300 - w.start, 0) AS f,
+         |  LEAST((r.window_id+1)*300 - w.start, w.n) AS t2,
+         |  GREATEST(w.start - r.window_id*300, 0) AS pos, w.ids
+         |  FROM bww w JOIN bwrg r ON r.window_id BETWEEN w.wf AND w.wl),
+         |bwp AS (SELECT split, window_id, pos,
+         |  ids[CAST(f+1 AS INT):CAST(t2 AS INT)] AS part, t2 - f AS len
+         |  FROM bwm WHERE t2 > f)
+         |SELECT split, window_id,
+         |  array_to_string(list_transform(flatten(list(part ORDER BY pos)),
+         |    x -> CAST(x AS VARCHAR)), ' ') AS ids_text,
+         |  CAST(sum(len) AS BIGINT) AS n_tokens
+         |FROM bwp GROUP BY split, window_id
+         |ORDER BY split, window_id""".stripMargin) { (s, dir) =>
+      val idxPath = ensurePbpeModel(s, dir)
+      val docs = t(s, dir, "documents")
+      val out = "/root/repo/target/qtmp/pipeline_windows_bpe"
+      // a fresh landing every run: the crash-replay manifest guard would
+      // otherwise O(1)-return a PREVIOUS scale factor's landing
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.llm.Pipeline.buildAndWriteWindows(
+        docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+        "doc_id", "text", out, windowSize = 300L,
+        bpeWindows = Some(graft.llm.Pipeline.BpeWindows("g_pbpe", idxPath)))
+      s.read.parquet(out)
+        .select(col("split"), col("window_id"),
+          concat_ws(" ",
+            transform(col("window_ids"), x => x.cast("string")))
+            .as("ids_text"),
+          col("n_tokens"))
+        .orderBy("split", "window_id")
     }
 
     // ------------------------------------------------------------------

@@ -765,7 +765,8 @@ case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
   *
   * Deterministic and engine-reproducible: pure code-point string
   * operations — the DuckDB oracle replays the same merges with greedy
-  * `replace` over a space-joined symbol form and must match exactly.
+  * `replace` over a symbol form with each symbol wrapped in its own
+  * spaces (see [[BpeEncode.mergePair]]'s note) and must match exactly.
   * Per-expression memo cache (words are Zipfian: a few thousand types
   * cover most of a corpus) — concurrent because one expression instance
   * can be shared across executor task threads; capped so an adversarial
@@ -803,6 +804,58 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
     copy(child = newChild)
   override def prettyName: String = "bpe_encode"
+}
+
+/** [[BpeEncode]] fused with the VOCAB LOOKUP: one word → its BPE
+  * token IDS (`array<long>`), out-of-vocab tokens degrading to -1 (the
+  * [[graft.llm.Bpe.encodeIds]] convention — OOV mass stays countable
+  * instead of vanishing). This is the hot path of token-ID window
+  * assembly: the per-word hash-map lookup replaces the exploded
+  * vocab JOIN (and its regroup shuffle) the row-wise form needs, so a
+  * document's full id sequence materializes INSIDE the scan — zero
+  * extra exchanges at any corpus size. The vocab rides the expression
+  * as an immutable map: it is MODEL-sized (|alphabet| + numMerges —
+  * the same bounded object [[graft.llm.Bpe.encodeIds]] broadcasts),
+  * never corpus-sized. Same memo cache as [[BpeEncode]]. */
+case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)],
+                        vocab: Map[String, Long])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_ids needs STRING, got ${child.dataType}")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncodeIds", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, ArrayData]()
+  private val CacheCap = 65536
+
+  override def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[UTF8String].toString
+    val hit = cache.get(word)
+    if (hit != null) return hit
+    val toks = BpeEncode.encodeWord(word, merges)
+    val ids = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      ids(i) = vocab.getOrElse(toks(i), -1L)
+      i += 1
+    }
+    val out: ArrayData = new GenericArrayData(ids)
+    if (cache.size < CacheCap) cache.put(word, out)
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_encode_ids"
 }
 
 object BpeEncode {
@@ -851,6 +904,9 @@ object TextHashExprs {
 
   def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
     column(BpeEncode(expression(word), merges))
+  def bpeEncodeIds(word: Column, merges: Seq[(String, String)],
+                   vocab: Map[String, Long]): Column =
+    column(BpeEncodeIds(expression(word), merges, vocab))
 
   def shingleHashes(text: Column, k: Int = 3): Column =
     column(ShingleHashes(expression(text), k))

@@ -312,6 +312,59 @@ object Bpe {
       spark.table(s"${name}_bpe_vocab"))
   }
 
+  /** Collect a vocab frame into the bounded map [[BpeEncodeIds]]
+    * embeds — MODEL-sized (|alphabet| + numMerges), never
+    * corpus-sized; the same object [[encodeIds]] broadcasts. */
+  def vocabMap(vocab: DataFrame): Map[String, Long] =
+    vocab.select("token", "token_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** GPT-style concat-and-chop training windows in BPE TOKEN-ID space —
+    * the artifact a trainer actually loads: `windowSize` counts BPE
+    * tokens (not whitespace words) and each window lands as
+    * `window_ids: array<long>` under the learned vocab (OOV → -1, the
+    * [[encodeIds]] convention). Same chop semantics as
+    * [[graft.llm.TextStats.assembleWindows]] — deterministic Knuth-hash
+    * doc permutation, exclusive-cumsum offsets, boundary-straddling
+    * docs tiled across windows with no gap or overlap — with the token
+    * unit swapped: conservation holds in ID space (sum of window
+    * n_tokens = sum of per-doc BPE token counts).
+    *
+    * Scale shape: the id sequence materializes INSIDE the scan (one
+    * fused [[graft.functions.BpeEncodeIds]] per word — no vocab join,
+    * no per-doc regroup shuffle), then the [[graft.llm.TextStats
+    * .tokenWindowMembers]] two-pass cumsum and ONE shuffle keyed on
+    * window_id. Docs with zero BPE tokens contribute nothing and
+    * vanish from the assembly (the [[graft.llm.TextStats
+    * .assembleWindows]] convention for zero-token members). A
+    * windowSize-id row is ~8·windowSize bytes — an 8k-token window is
+    * ~64 KB, far under row limits. */
+  def assembleWindowsIds(docs: DataFrame, idCol: String, textCol: String,
+                         windowSize: Long, seed: Long,
+                         merges: Seq[(String, String)],
+                         vocab: Map[String, Long]): DataFrame = {
+    val words = filter(split(col(textCol), " ", -1),
+      w => length(w) >= 1)
+    val idsArr = flatten(transform(words,
+      w => TextHashExprs.bpeEncodeIds(w, merges, vocab)))
+    val withN = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), idsArr.as("__ids__"))
+      .select(col(idCol), col("__ids__"),
+        size(col("__ids__")).cast("long").as("__n__"))
+    TextStats.tokenWindowMembers(withN, idCol, "__n__", windowSize, seed)
+      .filter(col("tok_to") > col("tok_from"))
+      .select(col("window_id"), col("window_pos"),
+        slice(col("__ids__"), (col("tok_from") + 1).cast("int"),
+          (col("tok_to") - col("tok_from")).cast("int")).as("__slice__"))
+      .groupBy("window_id")
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("window_pos"),
+            col("__slice__")))),
+          s => s.getField("__slice__"))).as("window_ids"),
+        sum(size(col("__slice__")).cast("long")).as("n_tokens"))
+  }
+
   /** OOV drift of a fresh corpus slice against the stored vocab: the
     * fraction of encoded token occurrences with no vocab id — a pure
     * integer ratio, engine-deterministic. Growing OOV means the corpus

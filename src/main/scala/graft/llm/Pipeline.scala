@@ -134,6 +134,28 @@ object Pipeline {
   final case class GramScrub(name: String, path: String,
                              minCount: Long = 2, minSpanTokens: Int = 0)
 
+  /** Chop training windows in BPE TOKEN-ID space (r14 — the landed
+    * artifact becomes the one a trainer actually loads): `name`/`path`
+    * address a persisted BPE model ([[Bpe.writeBpeModel]] — the tenth
+    * maintained family); `windowSize` then counts BPE tokens and
+    * windows land as `window_ids: array<long>` (OOV → -1) instead of
+    * `window_text`. Token accounting everywhere downstream (manifest
+    * masses, conservation fsck) is in the SAME id unit. The model is
+    * resolved ONCE per landing (merge list + vocab map — both
+    * model-sized, the bounded objects the encode expression embeds);
+    * a stampless path refuses loudly ([[Bpe.readBpeMeta]]). */
+  final case class BpeWindows(name: String, path: String)
+
+  /** Resolve a [[BpeWindows]] spec to the (merges, vocab) the encode
+    * expression embeds — one driver-side read of the two model-sized
+    * tables, stamp-guarded. */
+  private def resolveBpe(spark: org.apache.spark.sql.SparkSession,
+                         bw: BpeWindows): (Seq[(String, String)], Map[String, Long]) = {
+    Bpe.readBpeMeta(spark, bw.path) // crashed/foreign build refuses here
+    (Bpe.mergeList(spark.table(s"${bw.name}_bpe")),
+      Bpe.vocabMap(spark.table(s"${bw.name}_bpe_vocab")))
+  }
+
   /** @param docs     training-candidate documents (idCol, textCol, …)
     * @param bench    benchmark/eval documents to decontaminate against
     * @param persistStages  persist (MEMORY_AND_DISK) the two stage
@@ -398,7 +420,8 @@ object Pipeline {
                       budgetMix: Option[BudgetMix] = None,
                       classifierFilter: Option[ClassifierFilter] = None,
                       spanScrub: Option[SpanScrub] = None,
-                      importanceMix: Option[ImportanceMix] = None): DataFrame = {
+                      importanceMix: Option[ImportanceMix] = None,
+                      bpeWindows: Option[BpeWindows] = None): DataFrame = {
     val corpus = chain(docs, bench, idCol, textCol, minTokens,
       nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
       (_, d) => d, persistStages, boilerplateMaxDocFreq, embeddingDedup,
@@ -410,7 +433,8 @@ object Pipeline {
       fullWindowsOnly,
       temperatureMix.filter(_.up).map(_.maxRepeat + 1L)
         .orElse(budgetMix.map(_.maxRepeat + 1L))
-        .orElse(importanceMix.map(_.n + 1L)))
+        .orElse(importanceMix.map(_.n + 1L)),
+      bpeWindows.map(resolveBpe(docs.sparkSession, _)))
   }
 
   /** [[pretrainWindows]] plus the LANDING — the composed product a
@@ -418,9 +442,9 @@ object Pipeline {
     * partitioned by `split` (readers partition-prune to their split;
     * each partition's files are ready-to-stream training shards) and a
     * `_graft_windows_manifest.json` records per-split window and token
-    * counts from the WRITTEN files (footer-metadata reads, no second
-    * data pass — the [[buildAndWrite]] posture). Owns the stage-cache
-    * lifecycle (handles released after the write).
+    * counts from the WRITTEN files (footer-count reads plus one
+    * column-pruned n_tokens read — see [[landedSplitCounts]]). Owns the
+    * stage-cache lifecycle (handles released after the write).
     *
     * CRASH-REPLAY CONTRACT (the family discipline): the manifest is
     * written LAST, so its existence proves the landing committed — a
@@ -445,7 +469,8 @@ object Pipeline {
                            budgetMix: Option[BudgetMix] = None,
                            classifierFilter: Option[ClassifierFilter] = None,
                            spanScrub: Option[SpanScrub] = None,
-                           importanceMix: Option[ImportanceMix] = None): Map[String, Long] = {
+                           importanceMix: Option[ImportanceMix] = None,
+                           bpeWindows: Option[BpeWindows] = None): Map[String, Long] = {
     val spark = docs.sparkSession
     readJsonManifest(spark, outPath, WINDOWS_MANIFEST) match {
       case Some(counts) => return counts // fully landed — O(1) replay
@@ -465,7 +490,8 @@ object Pipeline {
       fullWindowsOnly,
       temperatureMix.filter(_.up).map(_.maxRepeat + 1L)
         .orElse(budgetMix.map(_.maxRepeat + 1L))
-        .orElse(importanceMix.map(_.n + 1L)))
+        .orElse(importanceMix.map(_.n + 1L)),
+      bpeWindows.map(resolveBpe(spark, _)))
     try win.write.mode("overwrite").partitionBy("split").parquet(outPath)
     finally handles.foreach(_.unpersist())
     val counts = landedSplitCounts(spark, outPath, win.schema)
@@ -478,7 +504,10 @@ object Pipeline {
   /** Per-split (windows, tokens) counts from the files ACTUALLY
     * written — shared by the batch and incremental windows landings so
     * their manifests can never drift in shape; the explicit schema
-    * keeps an all-dropped landing a valid empty read. */
+    * keeps an all-dropped landing a valid empty read. The window count
+    * is footer metadata; the token mass is one COLUMN-PRUNED read of
+    * n_tokens back from the landed files (not a free footer read, but
+    * never a full-data second pass). */
   private def landedSplitCounts(spark: org.apache.spark.sql.SparkSession,
                                 path: String,
                                 schema: org.apache.spark.sql.types.StructType): Map[String, Long] =
@@ -550,7 +579,8 @@ object Pipeline {
                          admission: Seq[graft.operators.Checks.Constraint] = Nil,
                          lmFilter: Option[LmFilter] = None,
                          classifierFilter: Option[ClassifierFilter] = None,
-                         gramScrub: Option[GramScrub] = None): Map[String, Long] = {
+                         gramScrub: Option[GramScrub] = None,
+                         bpeWindows: Option[BpeWindows] = None): Map[String, Long] = {
     val spark = shard.sparkSession
     val manifestName = s"_graft_wshard_$shardLabel.json"
     readJsonManifest(spark, outPath, manifestName) match {
@@ -618,7 +648,8 @@ object Pipeline {
       val shardSeed = shuffleSeed ^
         scala.util.hashing.MurmurHash3.stringHash(shardLabel).toLong
       val win = windowsFrom(toAssemble, idCol, textCol, windowSize,
-        shardSeed, fullWindowsOnly)
+        shardSeed, fullWindowsOnly,
+        bpe = bpeWindows.map(resolveBpe(spark, _)))
       // sidecar BEFORE windows: a crash between the two leaves the ids
       // visible to the next replay, which overwrites both in place
       // gram-ledger lockstep (opt-in, before the landings — the
@@ -673,7 +704,11 @@ object Pipeline {
                          docs: DataFrame, textCol: String,
                          windowSize: Long,
                          shuffleSeed: Long = 0L,
-                         fullWindowsOnly: Boolean = false): Map[String, Long] = {
+                         fullWindowsOnly: Boolean = false,
+                         bpeWindows: Option[BpeWindows] = None): Map[String, Long] = {
+    // the chop geometry must match the landing's — including the token
+    // unit: a BPE landing rebuilds in id space under the SAME model
+    val bpeResolved = bpeWindows.map(resolveBpe(spark, _))
     // cast defends against partition-type inference: a date-like label
     // (shard_label=20260814) discovers as an INT column, and a string
     // read would throw
@@ -723,7 +758,8 @@ object Pipeline {
       val shardSeed = shuffleSeed ^
         scala.util.hashing.MurmurHash3.stringHash(label).toLong
       val win = windowsFrom(withText, idCol, textCol, windowSize,
-        shardSeed, fullWindowsOnly).localCheckpoint(true)
+        shardSeed, fullWindowsOnly, bpe = bpeResolved)
+        .localCheckpoint(true)
       win.write.mode("overwrite").partitionBy("split")
         .parquet(s"$outPath/shard_label=$label")
       withText.select(col(idCol), col("split"))
@@ -763,11 +799,41 @@ object Pipeline {
       .withColumn("__off__",
         coalesce(sum(col("__n__")).over(w) - col("__n__"), lit(0L)))
       .select(col("shard_label"), col("split"), col("__off__"))
+    // payload columns ride through generically: a text landing carries
+    // window_text, a BPE landing window_ids — the id space is the same
+    val payload = win.columns
+      .filterNot(Set("shard_label", "split", "window_id").contains)
+      .map(col)
     win.join(broadcast(offsets), Seq("shard_label", "split"))
-      .select(col("shard_label"), col("split"), col("window_id"),
-        (col("__off__") + col("window_id")).as("global_id"),
-        col("window_text"), col("n_tokens"))
+      .select(Seq(col("shard_label"), col("split"), col("window_id"),
+        (col("__off__") + col("window_id")).as("global_id")) ++ payload: _*)
   }
+
+  /** The READER-SIDE loader contract of a windows landing — the
+    * consumer's half of [[ingestWindowsShard]]'s layout, as code
+    * instead of convention: given the landing root and a split, the
+    * split's windows stream back in the canonical global order
+    * (shard_label ascending, in-shard window position) with their
+    * [[globalWindowIds]] ids — every reader that starts here sees the
+    * SAME deterministic sequence, so "window #N of val" means one
+    * thing across eval tooling, resumption bookkeeping, and debugging.
+    *
+    * Scale shape: partition pruning on `split` (a partition column of
+    * the landing), the exchange-free broadcast offset join of
+    * [[globalWindowIds]], then ONE range shuffle on global_id with an
+    * in-partition sort — O(split windows), no global single-task sort.
+    * Rows stream out range-partitioned: partition k holds a contiguous
+    * id range entirely before partition k+1's, and is sorted inside,
+    * so a sequential reader (toLocalIterator, or per-partition file
+    * export) sees strictly increasing global ids. Ids shift when
+    * shards are added or retracted — the [[globalWindowIds]] contract;
+    * address durable work by (shard_label, split, window_id). */
+  def loadWindows(spark: org.apache.spark.sql.SparkSession,
+                  outPath: String, split: String): DataFrame =
+    globalWindowIds(spark, outPath)
+      .filter(col("split") === split)
+      .repartitionByRange(col("global_id"))
+      .sortWithinPartitions("global_id")
 
   /** Maintenance observable for an [[ingestWindowsShard]] landing — the
     * family's report sibling ([[Dedup.indexReport]], [[Ivf.indexReport]],
@@ -788,7 +854,11 @@ object Pipeline {
                     outPath: String,
                     docs: Option[DataFrame] = None,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    bpeWindows: Option[BpeWindows] = None): DataFrame = {
+    // the conservation fsck must count in the LANDING's token unit:
+    // whitespace words for text windows, BPE token ids for id windows
+    val bpeResolved = bpeWindows.map(resolveBpe(spark, _))
     // string casts defend against partition-type inference on
     // date-like labels (shard_label=20260814 discovers as INT)
     val win = spark.read.parquet(outPath)
@@ -807,12 +877,21 @@ object Pipeline {
         sidecar.groupBy("shard_label")
           .agg(count(lit(1)).as("docs"), lit(null).cast("long").as("doc_tokens"))
       case Some(store) =>
+        val docTok: org.apache.spark.sql.Column = bpeResolved match {
+          case None => size(split(col(textCol), " ")).cast("long")
+          case Some((merges, vocab)) =>
+            aggregate(
+              transform(
+                filter(split(col(textCol), " ", -1), w => length(w) >= 1),
+                w => size(graft.functions.TextHashExprs
+                  .bpeEncodeIds(w, merges, vocab)).cast("long")),
+              lit(0L), (acc, n) => acc + n)
+        }
         sidecar.join(store.select(col(idCol), col(textCol)), Seq(idCol),
             "left")
           .groupBy("shard_label")
           .agg(count(lit(1)).as("docs"),
-            coalesce(sum(size(split(col(textCol), " ")).cast("long")),
-              lit(0L)).as("doc_tokens"))
+            coalesce(sum(docTok), lit(0L)).as("doc_tokens"))
     }
     val fs = new org.apache.hadoop.fs.Path(outPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -848,7 +927,8 @@ object Pipeline {
   private def windowsFrom(corpus: DataFrame, idCol: String,
                           textCol: String, windowSize: Long, seed: Long,
                           fullWindowsOnly: Boolean,
-                          epochScale: Option[Long] = None): DataFrame = {
+                          epochScale: Option[Long] = None,
+                          bpe: Option[(Seq[(String, String)], Map[String, Long])] = None): DataFrame = {
     val win = Seq("train", "val", "test").map { sp =>
       val part = corpus.filter(col("split") === sp)
       val (keyed, key) = epochScale match {
@@ -858,9 +938,17 @@ object Pipeline {
             (col(idCol).cast("long") * scale + col("epoch")).as("__wkey__"),
             col(textCol)), "__wkey__")
       }
-      TextStats.assembleWindows(keyed, key, textCol, windowSize, seed)
-        .select(lit(sp).as("split"), col("window_id"), col("window_text"),
-          col("n_tokens"))
+      bpe match {
+        case None =>
+          TextStats.assembleWindows(keyed, key, textCol, windowSize, seed)
+            .select(lit(sp).as("split"), col("window_id"),
+              col("window_text"), col("n_tokens"))
+        case Some((merges, vocab)) =>
+          Bpe.assembleWindowsIds(keyed, key, textCol, windowSize, seed,
+              merges, vocab)
+            .select(lit(sp).as("split"), col("window_id"),
+              col("window_ids"), col("n_tokens"))
+      }
     }.reduce(_.unionByName(_))
     if (fullWindowsOnly) win.filter(col("n_tokens") === windowSize) else win
   }

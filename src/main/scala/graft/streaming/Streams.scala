@@ -467,7 +467,8 @@ object Streams {
                            fullWindowsOnly: Boolean = false,
                            lmFilter: Option[graft.llm.Pipeline.LmFilter] = None,
                            classifierFilter: Option[graft.llm.Pipeline.ClassifierFilter] = None,
-                           gramScrub: Option[graft.llm.Pipeline.GramScrub] = None): DataStreamWriter[Row] =
+                           gramScrub: Option[graft.llm.Pipeline.GramScrub] = None,
+                           bpeWindows: Option[graft.llm.Pipeline.BpeWindows] = None): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
@@ -477,7 +478,7 @@ object Streams {
             s"stream-$batchId", minTokens, nearDupThreshold, decontamK,
             redactPii = redactPii, fullWindowsOnly = fullWindowsOnly,
             lmFilter = lmFilter, classifierFilter = classifierFilter,
-            gramScrub = gramScrub)
+            gramScrub = gramScrub, bpeWindows = bpeWindows)
         ()
       }
 

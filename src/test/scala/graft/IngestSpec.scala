@@ -939,4 +939,111 @@ class IngestSpec extends SparkTestBase {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }
   }
+
+  test("BPE-token-id windows: id-space landing, conservation fsck, O(1) replay, retraction, loader order") {
+    val tmp = tmpDir("graft_bwin_idx")
+    val mdl = tmpDir("graft_bwin_bpe")
+    val out = tmpDir("graft_bwin_out")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      graft.llm.Bpe.writeBpeModel(docs.filter(col("doc_id") < 300), "text",
+        "bwin_bpe", mdl, numMerges = 6)
+      val bw = Pipeline.BpeWindows("bwin_bpe", mdl)
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "bwin_t", tmp)
+      val s1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 240)
+      val s2 = docs.filter(col("doc_id") >= 240 && col("doc_id") < 280)
+      val c1 = Pipeline.ingestWindowsShard(s1, df(docSchema), "doc_id",
+        "text", "bwin_t", tmp, out, 64L, "d01", redactPii = false,
+        bpeWindows = Some(bw))
+      Pipeline.ingestWindowsShard(s2, df(docSchema), "doc_id", "text",
+        "bwin_t", tmp, out, 64L, "d02", redactPii = false,
+        bpeWindows = Some(bw))
+      // the landing is in ID space: window_ids array, no window_text
+      val win = spark.read.parquet(out)
+      assert(win.columns.sorted.sameElements(Array("n_tokens",
+        "shard_label", "split", "window_id", "window_ids")))
+      // (parquet reads array elements back nullable — check the type)
+      assert(win.schema("window_ids").dataType
+        .asInstanceOf[ArrayType].elementType == LongType)
+      // every window's n_tokens is its array length; non-tail = 64
+      assert(win.filter(size(col("window_ids")) =!= col("n_tokens"))
+        .count() == 0)
+      val shortPerSplit = win.groupBy("shard_label", "split")
+        .agg(sum(when(col("n_tokens") =!= 64L, 1).otherwise(0)).as("s"))
+        .collect().map(_.getLong(2))
+      assert(shortPerSplit.forall(_ <= 1), "one tail window max per (shard, split)")
+      // conservation IN THE ID UNIT: window mass == the landed docs'
+      // BPE token counts (whitespace words would NOT match)
+      val merges = graft.llm.Bpe.mergeList(spark.table("bwin_bpe_bpe"))
+      val sidecar = spark.read.parquet(s"$out/_docsidecar")
+      val landedDocs = docs.join(sidecar.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      val bpeMass = graft.llm.Bpe.tokenCounts(landedDocs, "doc_id",
+        "text", merges).agg(sum("n_tokens")).head().getLong(0)
+      val winMass = win.agg(sum("n_tokens")).head().getLong(0)
+      assert(winMass == bpeMass, s"id-space conservation: $winMass != $bpeMass")
+      val wsMass = landedDocs.agg(sum(size(split(col("text"), " "))))
+        .head().getLong(0)
+      assert(winMass != wsMass,
+        "BPE mass must differ from whitespace mass or the unit check is vacuous")
+      // the fsck counts in the landing's unit: green with the model,
+      // token-mismatched without it
+      val rep = Pipeline.windowsReport(spark, out, Some(docs),
+        bpeWindows = Some(bw)).collect()
+      assert(rep.forall(_.getAs[Boolean]("tokens_match")), rep.mkString(";"))
+      val repWs = Pipeline.windowsReport(spark, out, Some(docs)).collect()
+      assert(repWs.forall(!_.getAs[Boolean]("tokens_match")),
+        "whitespace fsck against an id landing must flag, not silently pass")
+      // O(1) replay returns the recorded manifest
+      val c1b = Pipeline.ingestWindowsShard(s1, df(docSchema), "doc_id",
+        "text", "bwin_t", tmp, out, 64L, "d01", redactPii = false,
+        bpeWindows = Some(bw))
+      assert(c1b == c1)
+      // retraction rebuilds in the SAME unit: mass drops by exactly the
+      // victim's BPE tokens
+      val victim = sidecar.filter(col("shard_label") === "d01")
+        .select("doc_id").orderBy("doc_id").head().getLong(0)
+      val victimMass = graft.llm.Bpe.tokenCounts(
+          docs.filter(col("doc_id") === victim), "doc_id", "text", merges)
+        .agg(sum("n_tokens")).head().getLong(0)
+      val r = Pipeline.retractFromWindows(spark, out,
+        df(StructType(Seq(StructField("doc_id", LongType))), Row(victim)),
+        "doc_id", docs, "text", 64L, bpeWindows = Some(bw))
+      assert(r("docs") == 1L && r("shards") == 1L, s"$r")
+      val winMass2 = spark.read.parquet(out)
+        .agg(sum("n_tokens")).head().getLong(0)
+      assert(winMass2 == winMass - victimMass,
+        s"$winMass -> $winMass2, victim $victimMass")
+      assert(Pipeline.windowsReport(spark, out, Some(docs),
+          bpeWindows = Some(bw))
+        .collect().forall(_.getAs[Boolean]("tokens_match")))
+      // loader contract: global ids are 0..N-1 per split in
+      // (shard_label asc, window_id) order, streamed strictly
+      // increasing, payload column intact
+      val loaded = Pipeline.loadWindows(spark, out, "train")
+      assert(loaded.columns.contains("window_ids"))
+      val seq = loaded.select("global_id", "shard_label", "window_id")
+        .toLocalIterator()
+      var expect = 0L
+      var prev: (String, Long) = ("", -1L)
+      while (seq.hasNext) {
+        val row = seq.next()
+        assert(row.getLong(0) == expect, s"global_id gap at $expect")
+        val cur = (row.getString(1), row.getLong(2))
+        assert(Ordering.Tuple2[String, Long].lt(prev, cur),
+          s"loader order violated: $prev !< $cur")
+        prev = cur; expect += 1
+      }
+      assert(expect == spark.read.parquet(out)
+        .filter(col("split") === "train").count())
+    } finally {
+      dropIndex("bwin_t")
+      Seq("bwin_bpe_bpe", "bwin_bpe_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(tmp, mdl, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
 }
