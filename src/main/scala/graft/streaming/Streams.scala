@@ -482,6 +482,96 @@ object Streams {
         ()
       }
 
+  /** STREAMING MEDIA INGEST — the [[windowsLandingStream]] posture
+    * applied to the three perceptual-dedup families: each micro-batch
+    * runs the composed batch ingest ([[graft.llm.Pipeline
+    * .ingestImageShard]] / ingestAudioShard / ingestPayloadShard) as
+    * its own mini-shard under the label `stream-<batchId>` — full
+    * O(batch) perceptual gate against the standing index, single
+    * decode pass, `shard_label=` landing, per-shard manifest. EXACTLY
+    * the batch layout, so bulk daily shards and a live stream share
+    * one landing root and one retraction path. Replay safety is
+    * inherited: a failed micro-batch redelivers under the same batch
+    * id → same label → the manifest O(1)-returns and the suspects
+    * snapshot recovers a crashed index append.
+    *
+    * Admission composes the [[admissionStream]] posture rather than
+    * the batch path's throw (which would kill the query): a violating
+    * batch parks wholesale — raw rows plus the failing report — under
+    * `quarantinePath/batch_id=N` and the stream keeps running; with no
+    * quarantinePath the batch ingest's loud refusal propagates and
+    * stops the stream (an operator choice, not a default). The batch
+    * is checkpointed once; verdict and ingest read the same
+    * materialization. */
+  def imageIngestStream(docs: DataFrame, idCol: String, payloadCol: String,
+                        indexName: String, indexPath: String,
+                        outPath: String, checkpoint: String,
+                        hammingK: Int = 3, buckets: Int = 8,
+                        admission: Seq[graft.operators.Checks.Constraint] = Nil,
+                        quarantinePath: Option[String] = None): DataStreamWriter[Row] =
+    mediaIngestStream(docs, admission, quarantinePath, checkpoint,
+      (batch, label, adm) => graft.llm.Pipeline.ingestImageShard(batch,
+        idCol, payloadCol, indexName, indexPath, outPath, label, hammingK,
+        buckets, adm))
+
+  /** [[imageIngestStream]] for the audio envelope family. */
+  def audioIngestStream(docs: DataFrame, idCol: String, payloadCol: String,
+                        indexName: String, indexPath: String,
+                        outPath: String, checkpoint: String,
+                        hammingK: Int = 3, buckets: Int = 8,
+                        admission: Seq[graft.operators.Checks.Constraint] = Nil,
+                        quarantinePath: Option[String] = None): DataStreamWriter[Row] =
+    mediaIngestStream(docs, admission, quarantinePath, checkpoint,
+      (batch, label, adm) => graft.llm.Pipeline.ingestAudioShard(batch,
+        idCol, payloadCol, indexName, indexPath, outPath, label, hammingK,
+        buckets, adm))
+
+  /** [[imageIngestStream]] for the opaque-payload byte-envelope family. */
+  def payloadIngestStream(docs: DataFrame, idCol: String, payloadCol: String,
+                          indexName: String, indexPath: String,
+                          outPath: String, checkpoint: String,
+                          hammingK: Int = 3, buckets: Int = 8,
+                          admission: Seq[graft.operators.Checks.Constraint] = Nil,
+                          quarantinePath: Option[String] = None): DataStreamWriter[Row] =
+    mediaIngestStream(docs, admission, quarantinePath, checkpoint,
+      (batch, label, adm) => graft.llm.Pipeline.ingestPayloadShard(batch,
+        idCol, payloadCol, indexName, indexPath, outPath, label, hammingK,
+        buckets, adm))
+
+  private def mediaIngestStream(docs: DataFrame,
+                                constraints: Seq[graft.operators.Checks.Constraint],
+                                quarantinePath: Option[String],
+                                checkpoint: String,
+                                ingest: (org.apache.spark.sql.Dataset[Row], String, Seq[graft.operators.Checks.Constraint]) => Map[String, Long]): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val label = s"stream-$batchId"
+          (constraints, quarantinePath) match {
+            case (Nil, _) => ingest(batch, label, Nil)
+            case (cs, None) =>
+              // no parking lot: the batch ingest's requireAll refuses
+              // loudly and the failure stops the stream — the operator
+              // chose refusal over quarantine
+              ingest(batch, label, cs)
+            case (cs, Some(qp)) =>
+              val cp = batch.localCheckpoint(true)
+              val report = graft.operators.Checks.check(cp, cs)
+                .localCheckpoint(true)
+              if (report.filter(!col("passed")).isEmpty)
+                ingest(cp, label, Nil) // verdict already green — don't re-aggregate
+              else {
+                cp.write.mode("overwrite")
+                  .parquet(s"$qp/batch_id=$batchId/rows")
+                report.write.mode("overwrite")
+                  .parquet(s"$qp/batch_id=$batchId/report")
+              }
+          }
+        }
+        ()
+      }
+
   /** Streaming retrieval over the persisted IVF+PQ index — the
     * cell-pruned sibling of [[annTopKPqStream]] (which scans the whole
     * flat corpus): each micro-batch ranks through

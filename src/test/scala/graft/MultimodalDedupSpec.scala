@@ -529,4 +529,126 @@ class MultimodalDedupSpec extends SparkTestBase {
       .filter(col("id_a") >= 900L || col("id_b") >= 900L).count()
     assert(pairs == 0L)
   }
+
+  test("payloadIngestStream: micro-batches land as mini-shards, corpus dup drops, replay O(1), admission quarantines") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_smi").toString
+    val (idx, out, out2, qp) =
+      (s"$base/idx", s"$base/out", s"$base/out2", s"$base/quarantine")
+    try {
+      val texts = (0L until 20L).map(i =>
+        Row(i, s"opaque container payload number $i with some distinct trailing content ${i * 31}"))
+      val docs = df(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))), texts: _*)
+      Dedup.writePayloadIndex(
+        Multimodal.withPayload(docs, "text", "payload")
+          .select("doc_id", "payload"),
+        "doc_id", "payload", "smi_t", idx)
+      val dupText = texts(4).getString(1)
+      // byte-DIVERSE arrivals: the envelope hash is a coarse byte-
+      // distribution signature, so near-identical prose would (by
+      // design) read as near-duplicates of each other — each fixture
+      // text gets its own byte shape, and the pairwise distance is
+      // asserted below so a drop means plumbing, never fixture luck
+      val freshTexts: Map[Long, String] = Map(
+        30L -> ("z" * 40 + " unique thirty"),
+        31L -> "mm distinct thirty one with much longer rambling content that goes on and on and on and never quite stops",
+        32L -> "QQ 12345 67890 mixed digits short",
+        40L -> ("eo" * 25 + " vowels everywhere in pairs"),
+        41L -> "The quick brown fox jumps over the lazy dog repeatedly and again the quick brown fox jumps far",
+        51L -> ("9" * 18 + " numeric fifty one block"),
+        60L -> "kratkiy tekst shestdesyat s dlinnym hvostom iz soglasnykh zvukov pod konets kkkkkkkkkkkkkkkk",
+        61L -> ("AB" * 12 + " " + "cd" * 30 + " sixty one"))
+      def fresh(i: Long) = i -> freshTexts(i)
+      val allCand = docs.unionByName(
+        df(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))),
+          freshTexts.toSeq.map { case (i, t) => Row(i, t) }: _*))
+      val sigs = Multimodal.byteEnvelopeHash(
+          Multimodal.withPayload(allCand, "text", "payload"),
+          "doc_id", "payload")
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      for ((a, ha) <- sigs; (b, hb) <- sigs
+           if a < b && (a >= 20L || b >= 20L))
+        assert(java.lang.Long.bitCount(ha ^ hb) > 3,
+          s"fixture texts $a and $b are envelope-close — pick more byte-diverse texts")
+
+      val in = MemoryStream[(Long, String)]
+      val stream = Multimodal.withPayload(
+          in.toDF().toDF("doc_id", "text"), "text", "payload")
+        .select("doc_id", "payload")
+      val q = graft.streaming.Streams.payloadIngestStream(stream,
+        "doc_id", "payload", "smi_t", idx, out,
+        checkpoint = s"$base/ckpt").start()
+      val batch1: Seq[(Long, String)] =
+        Seq(fresh(30L), fresh(31L), fresh(32L), 99004L -> dupText)
+      try {
+        in.addData(batch1: _*)
+        q.processAllAvailable()
+        in.addData(fresh(40L), fresh(41L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val landed = spark.read.parquet(out)
+        .select(col("shard_label").cast("string"), col("doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(landed.map(_._1) == Set("stream-0", "stream-1"),
+        s"two micro-batches, two shards: $landed")
+      assert(!landed.map(_._2).contains(99004L),
+        "the corpus duplicate must drop at the gate")
+      assert(Set(30L, 31L, 32L).subsetOf(
+        landed.filter(_._1 == "stream-0").map(_._2)))
+      assert(landed.filter(_._1 == "stream-1").map(_._2) == Set(40L, 41L))
+      // replay under the SAME label O(1)-returns the manifest: counts
+      // match and nothing duplicates
+      val before = spark.read.parquet(out).count()
+      val replay = graft.llm.Pipeline.ingestPayloadShard(
+        Multimodal.withPayload(
+          df(StructType(Seq(StructField("doc_id", LongType),
+            StructField("text", StringType))),
+            batch1.map { case (i, t) => Row(i, t) }: _*),
+          "text", "payload").select("doc_id", "payload"),
+        "doc_id", "payload", "smi_t", idx, out, "stream-0")
+      assert(replay("input") == 4L && replay("landed") == 3L, s"$replay")
+      assert(spark.read.parquet(out).count() == before,
+        "a replayed micro-batch must not duplicate its landing")
+      // admission failure QUARANTINES the batch and touches nothing:
+      // null payloads park under the quarantine path, the index and the
+      // landing root stay unchanged, and the stream keeps running
+      val keysBefore = spark.table("smi_t_bhash").count()
+      val in2 = MemoryStream[(Long, String)]
+      val stream2 = Multimodal.withPayload(
+          in2.toDF().toDF("doc_id", "text"), "text", "payload")
+        .select("doc_id", "payload")
+      val q2 = graft.streaming.Streams.payloadIngestStream(stream2,
+        "doc_id", "payload", "smi_t", idx, out2,
+        checkpoint = s"$base/ckpt2",
+        admission = Seq(graft.operators.Checks.NotNull("payload")),
+        quarantinePath = Some(qp)).start()
+      try {
+        in2.addData(50L -> null, fresh(51L))
+        q2.processAllAvailable()
+        in2.addData(fresh(60L), fresh(61L)) // clean batch still flows
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val parked = spark.read.parquet(s"$qp/batch_id=0/rows")
+      assert(parked.count() == 2L, "the violating batch parks WHOLESALE")
+      assert(spark.read.parquet(s"$qp/batch_id=0/report")
+        .filter(!col("passed")).count() >= 1L)
+      val landed2 = spark.read.parquet(out2)
+        .select(col("shard_label").cast("string"), col("doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(landed2 == Set("stream-1" -> 60L, "stream-1" -> 61L),
+        s"only the clean batch lands: $landed2")
+      // the stream's foreachBatch ran in a CLONED session — refresh the
+      // outer session's cached file listing before counting
+      spark.catalog.refreshTable("smi_t_bhash")
+      assert(spark.table("smi_t_bhash").count() > keysBefore,
+        s"the clean follow-up batch must still append (landed2=$landed2)")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS smi_t_bhash")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
 }
