@@ -136,7 +136,7 @@ object Bench {
         // change (e.g. v2's shifted embedding replicas) must invalidate
         // a fixture the old generator wrote, or ratios silently compare
         // against stale data
-        val stamp = s"$sfDir|$copies|v2"
+        val stamp = s"$sfDir|$copies|v3"
         val fresh = java.nio.file.Files.exists(marker) &&
           new String(java.nio.file.Files.readAllBytes(marker),
             java.nio.charset.StandardCharsets.UTF_8).trim == stamp
@@ -154,8 +154,15 @@ object Bench {
               p.contains("lineitem") || p.contains("orders") ||
                 p.contains("embeddings"))
         } catch { case _: Throwable => false }
-        val picks = names.filter(times.contains).filter(scansScaled)
+        val autoPicks = names.filter(times.contains).filter(scansScaled)
           .sortBy(n => -times(n).min).take(10)
+        // r14: the composed windows landing gets in-record scale
+        // evidence — documents scales as of StressGen v3 (per-copy
+        // word tags keep dedup candidate structure representative),
+        // and the landing is force-included rather than competing
+        // with the lineitem/embeddings top-10
+        val picks = (autoPicks ++
+          Seq("q_pipeline_windows").filter(times.contains)).distinct
         // Transient-proofing (r9 verdict: the shipped single-pass
         // record claimed a 301x quadratic that a quiet re-run
         // disproved — host load, not the plan): the sf1 section gets

@@ -145,7 +145,14 @@ object SparkEntry {
     // one pair aggregate, ~linear in corpus chars) and the persisted-
     // model serving encode (fixture once per JVM; samples time the
     // catalog resolve + fused per-word expression encode)
-    "q_bpe_pairs", "q_bpe_indexed")
+    "q_bpe_pairs", "q_bpe_indexed",
+    // r14: the composed corpus->training-files landings — whitespace
+    // form (also the sf1 scale-probe target: documents scales as of
+    // StressGen v3) and the BPE token-id form, the trainer-loadable
+    // artifact (persisted-model resolve + fused per-word id encode +
+    // id-space chop + partitioned write). Declared bound ~linear in
+    // corpus tokens end-to-end
+    "q_pipeline_windows", "q_pipeline_windows_bpe")
 
   /** Untimed per-query preparation Bench runs ONCE before the timed
     * passes (r10 verdict #3): the steady-state ingest entries build and
@@ -178,7 +185,10 @@ object SparkEntry {
     "q_span_indexed",
     // r13: the persisted-BPE fixture (train + two tables) builds once
     // per JVM — samples time the serving encode
-    "q_bpe_indexed").map { n =>
+    "q_bpe_indexed",
+    // r14: the BPE windows landing rides the same persisted model —
+    // one untimed run trains it, so samples time chain + chop + write
+    "q_pipeline_windows_bpe").map { n =>
       n -> ((s: SparkSession, dir: String) =>
         queries(n)(s, dir).write.format("noop").mode("overwrite").save())
     }.toMap

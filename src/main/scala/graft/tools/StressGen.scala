@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   *  - embeddings: 10 copies with disjoint vec_ids (per-row queries like
   *    q_embed_norm must keep one row per id; the centroid query's
   *    vec_id < 2000 bound still selects only the original copy).
+  *  - documents: 10 copies with disjoint doc_ids and per-copy word
+  *    tags (r14 — see the inline note: exact replicas would collapse
+  *    in dedup, near replicas would go quadratic in candidates).
   *  - everything else: byte-for-byte file copy (events keeps its
   *    TIMESTAMP(NANOS) physical type — a Spark rewrite would change it).
   *
@@ -84,8 +87,33 @@ object StressGen {
       println(s"[stress] embeddings x$copies (sign-masked) -> ${out.count()} rows")
     }
 
+    // documents: disjoint doc_ids AND a per-copy token-surface tag —
+    // byte-identical replicas would COLLAPSE in the chain's exact-dedup
+    // stage (one survivor per copy set: the composed pipeline's cost
+    // structure degenerates instead of scaling) and near-identical ones
+    // would make near-dup candidate generation quadratic in the copy
+    // count. Tagging every 3rd word with the copy index leaves NO
+    // 3-token shingle (hence no 5-gram) shared across copies — cross-
+    // copy Jaccard ~0, so dedup/decontam candidate structure stays
+    // representative while doc and token mass scale by `copies`. The
+    // keyOffset is a multiple of 10, so each copy keeps the fixture's
+    // doc_id%10 train/bench partition. Copy 0 keeps the original bytes
+    // (fixed-doc_id oracles pin it).
+    {
+      val base = spark.read.parquet(s"$srcDir/documents.parquet")
+      val out = (0 until copies).map { i =>
+        val reId = base.withColumn("doc_id", col("doc_id") + lit(i * keyOffset))
+        if (i == 0) reId
+        else reId.withColumn("text",
+          array_join(transform(split(col("text"), " "), (w, j) =>
+            when(j % 3 === 2, concat(w, lit(s"x$i"))).otherwise(w)), " "))
+      }.reduce(_ union _)
+      out.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      println(s"[stress] documents x$copies (word-tagged) -> ${out.count()} rows")
+    }
+
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "events", "documents")) {
+                  "events")) {
       val src = Paths.get(s"$srcDir/$t.parquet")
       if (Files.exists(src)) {
         Files.copy(src, Paths.get(s"$outDir/$t.parquet"),
