@@ -3385,10 +3385,9 @@ object QueriesText {
     // per-split cumsum/chop, and the assembled id arrays (compared as
     // space-joined strings) — so a hash match proves the landed token
     // ids are bit-identical end-to-end, with no slack anywhere.
-    r.reg("q_pipeline_windows_bpe", pipeCleanCtes +
-      s""",
-         |${bpeTrainCtes(8)},
-         |bchars AS (
+    // chars -> base ids -> deduped vocab, shared by the windows oracles
+    val bpeVocabCtes =
+      s"""bchars AS (
          |  SELECT DISTINCT substr(w, CAST(i AS INTEGER), 1) AS token
          |  FROM (SELECT w, unnest(range(1, length(w)+1)) AS i FROM w0)),
          |bbasev AS (
@@ -3403,7 +3402,12 @@ object QueriesText {
                s"SELECT l||rr AS token, CAST(${r - 1} + " +
                  s"(SELECT count(*) FROM bbasev) AS BIGINT) FROM b$r")
                .mkString("\n    UNION ALL\n    ")})
-         |  GROUP BY token),
+         |  GROUP BY token)""".stripMargin
+
+    r.reg("q_pipeline_windows_bpe", pipeCleanCtes +
+      s""",
+         |${bpeTrainCtes(8)},
+         |$bpeVocabCtes,
          |bwdocs AS (
          |  SELECT c.doc_id, d.text,
          |    CASE WHEN (c.doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTTrain THEN 'train'
@@ -3480,6 +3484,102 @@ object QueriesText {
             .as("ids_text"),
           col("n_tokens"))
         .orderBy("split", "window_id")
+    }
+
+    // EOD insertion + doc-boundary spans (r14): the two trainer-facing
+    // refinements of the id-space window assembly — every document
+    // contributes one trailing end-of-document id (reserved as
+    // max(vocab id)+1, recomputed identically on both engines) and each
+    // window carries its (doc, offset, length) tiling for cross-doc
+    // attention masking. The oracle recomputes the trained model, the
+    // per-doc id arrays WITH the appended EOD (zero-token docs reduce
+    // to a lone EOD — a LEFT join keeps them), the seed-5 permutation
+    // (full pmod form: the fixture doc id is NEGATIVE), the 120-token
+    // chop, and both the flattened id stream and the span tiling.
+    r.reg("q_windows_bpe_eod", {
+      val hv = "((((doc_id % 2147483648) + 2147483648) % 2147483648 + 5)" +
+        " % 2147483648) * 2654435761 % 4294967296"
+      s"""WITH ${bpeTrainCtes(8)},
+         |$bpeVocabCtes,
+         |eodv AS (SELECT max(token_id) + 1 AS e FROM bvocab),
+         |edocs AS (SELECT doc_id, text FROM documents
+         |          WHERE doc_id < 100 AND text IS NOT NULL
+         |          UNION ALL
+         |          SELECT CAST(-7 AS BIGINT), '$bpeEncodeFixture'),
+         |ewrd AS (
+         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_pos,
+         |    toks[CAST(i AS INTEGER)] AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+         |          unnest(range(1, len(string_split(text, ' '))+1)) AS i
+         |        FROM edocs)
+         |  WHERE toks[CAST(i AS INTEGER)] <> ''),
+         |eenc AS (
+         |  SELECT doc_id, word_pos,
+         |    string_split(trim($bpeNestedSql), '  ') AS etoks
+         |  FROM ewrd),
+         |etok AS (
+         |  SELECT doc_id, word_pos, CAST(j - 1 AS INTEGER) AS tok_pos,
+         |    etoks[CAST(j AS INTEGER)] AS token
+         |  FROM (SELECT doc_id, word_pos, etoks,
+         |          unnest(range(1, len(etoks)+1)) AS j FROM eenc)),
+         |eid AS (
+         |  SELECT t.doc_id, t.word_pos, t.tok_pos,
+         |    COALESCE(v.token_id, -1) AS token_id
+         |  FROM etok t LEFT JOIN bvocab v USING (token)),
+         |edoc AS (
+         |  SELECT d.doc_id,
+         |    list_append(COALESCE(g.ids0, CAST([] AS BIGINT[])),
+         |      (SELECT e FROM eodv)) AS ids
+         |  FROM (SELECT DISTINCT doc_id FROM edocs) d
+         |  LEFT JOIN (SELECT doc_id,
+         |      list(token_id ORDER BY word_pos, tok_pos) AS ids0
+         |    FROM eid GROUP BY doc_id) g USING (doc_id)),
+         |edn AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n FROM edoc),
+         |ecu AS (SELECT doc_id, ids, n,
+         |  CAST(sum(n) OVER (ORDER BY $hv
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS start
+         |  FROM edn),
+         |eww AS (SELECT doc_id, ids, n, start,
+         |  CAST(floor(start/120.0) AS BIGINT) AS wf,
+         |  CASE WHEN n > 0 THEN CAST(floor((start+n-1)/120.0) AS BIGINT)
+         |       ELSE CAST(floor(start/120.0) AS BIGINT) END AS wl
+         |  FROM ecu),
+         |erg AS (SELECT unnest(range(0,
+         |  (SELECT CAST(ceil(sum(n)/120.0) AS BIGINT) + 1 FROM edn))) AS window_id),
+         |emem AS (SELECT w.doc_id, r.window_id,
+         |  GREATEST(r.window_id*120 - w.start, 0) AS f,
+         |  LEAST((r.window_id+1)*120 - w.start, w.n) AS t2,
+         |  GREATEST(w.start - r.window_id*120, 0) AS pos, w.ids
+         |  FROM eww w JOIN erg r ON r.window_id BETWEEN w.wf AND w.wl),
+         |eprt AS (SELECT doc_id, window_id, pos,
+         |  ids[CAST(f+1 AS INT):CAST(t2 AS INT)] AS part, t2 - f AS len
+         |  FROM emem WHERE t2 > f)
+         |SELECT window_id,
+         |  array_to_string(list_transform(flatten(list(part ORDER BY pos)),
+         |    x -> CAST(x AS VARCHAR)), ' ') AS ids_text,
+         |  string_agg(doc_id || ':' || pos || ':' || len, ' ' ORDER BY pos)
+         |    AS spans_text,
+         |  CAST(sum(len) AS BIGINT) AS n_tokens
+         |FROM eprt GROUP BY window_id
+         |ORDER BY window_id""".stripMargin
+    }) { (s, dir) =>
+      val idxPath = ensurePbpeModel(s, dir)
+      val merges = graft.llm.Bpe.mergeList(s.table("g_pbpe_bpe"))
+      val vocab = graft.llm.Bpe.vocabMap(s.table("g_pbpe_bpe_vocab"))
+      val _ = idxPath
+      graft.llm.Bpe.assembleWindowsIds(bpeEncodeDocs(s, dir), "doc_id",
+          "text", windowSize = 120L, seed = 5L, merges, vocab,
+          eodId = Some(vocab.values.max + 1L), withDocSpans = true)
+        .select(col("window_id"),
+          concat_ws(" ",
+            transform(col("window_ids"), x => x.cast("string")))
+            .as("ids_text"),
+          concat_ws(" ", transform(col("doc_spans"), sp =>
+            concat_ws(":", sp.getField("id").cast("string"),
+              sp.getField("pos").cast("string"),
+              sp.getField("len").cast("string")))).as("spans_text"),
+          col("n_tokens"))
+        .orderBy("window_id")
     }
 
     // ------------------------------------------------------------------

@@ -342,27 +342,51 @@ object Bpe {
   def assembleWindowsIds(docs: DataFrame, idCol: String, textCol: String,
                          windowSize: Long, seed: Long,
                          merges: Seq[(String, String)],
-                         vocab: Map[String, Long]): DataFrame = {
+                         vocab: Map[String, Long],
+                         eodId: Option[Long] = None,
+                         withDocSpans: Boolean = false): DataFrame = {
+    eodId.foreach(e => require(e != -1L && !vocab.valuesIterator.contains(e),
+      s"assembleWindowsIds: eodId $e collides with a vocab id (or the " +
+        "-1 OOV sentinel) — reserve an id outside the vocabulary, e.g. " +
+        "max(token_id) + 1"))
     val words = filter(split(col(textCol), " ", -1),
       w => length(w) >= 1)
-    val idsArr = flatten(transform(words,
+    val bare = flatten(transform(words,
       w => TextHashExprs.bpeEncodeIds(w, merges, vocab)))
+    // EOD insertion (the GPT concat convention): every document
+    // contributes exactly one trailing end-of-document id, so token
+    // accounting everywhere downstream is docTokens + 1 per doc
+    val idsArr = eodId.fold(bare)(e => concat(bare, array(lit(e))))
     val withN = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), idsArr.as("__ids__"))
       .select(col(idCol), col("__ids__"),
         size(col("__ids__")).cast("long").as("__n__"))
-    TextStats.tokenWindowMembers(withN, idCol, "__n__", windowSize, seed)
+    val members = TextStats
+      .tokenWindowMembers(withN, idCol, "__n__", windowSize, seed)
       .filter(col("tok_to") > col("tok_from"))
       .select(col("window_id"), col("window_pos"),
+        col(idCol).cast("long").as("__mid__"),
         slice(col("__ids__"), (col("tok_from") + 1).cast("int"),
           (col("tok_to") - col("tok_from")).cast("int")).as("__slice__"))
-      .groupBy("window_id")
-      .agg(
-        flatten(transform(
-          array_sort(collect_list(struct(col("window_pos"),
-            col("__slice__")))),
-          s => s.getField("__slice__"))).as("window_ids"),
-        sum(size(col("__slice__")).cast("long")).as("n_tokens"))
+    val sorted = array_sort(collect_list(struct(col("window_pos"),
+      col("__slice__"), col("__mid__"))))
+    val aggs = Seq(
+      flatten(transform(sorted, s => s.getField("__slice__")))
+        .as("window_ids"),
+      sum(size(col("__slice__")).cast("long")).as("n_tokens")) ++
+      // doc-boundary metadata (the attention-masking contract: a
+      // trainer that masks cross-document attention needs each
+      // window's (doc, offset, length) tiling — Llama-3-style). Same
+      // collect, zero extra exchange; spans tile the window exactly
+      // (Σ len == n_tokens, offsets contiguous — spec-pinned).
+      (if (withDocSpans) Seq(
+        transform(sorted, s => struct(
+          s.getField("__mid__").as("id"),
+          s.getField("window_pos").as("pos"),
+          size(s.getField("__slice__")).cast("long").as("len")))
+          .as("doc_spans"))
+       else Nil)
+    members.groupBy("window_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** OOV drift of a fresh corpus slice against the stored vocab: the

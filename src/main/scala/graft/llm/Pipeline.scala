@@ -144,16 +144,24 @@ object Pipeline {
     * resolved ONCE per landing (merge list + vocab map — both
     * model-sized, the bounded objects the encode expression embeds);
     * a stampless path refuses loudly ([[Bpe.readBpeMeta]]). */
-  final case class BpeWindows(name: String, path: String)
+  final case class BpeWindows(name: String, path: String,
+                              eodId: Option[Long] = None,
+                              docSpans: Boolean = false)
 
-  /** Resolve a [[BpeWindows]] spec to the (merges, vocab) the encode
-    * expression embeds — one driver-side read of the two model-sized
-    * tables, stamp-guarded. */
+  /** A [[BpeWindows]] spec resolved to the objects the encode
+    * expression embeds (one driver-side read of the two model-sized
+    * tables, stamp-guarded) plus the landing options it carries. */
+  private final case class ResolvedBpe(merges: Seq[(String, String)],
+                                       vocab: Map[String, Long],
+                                       eodId: Option[Long],
+                                       docSpans: Boolean)
+
   private def resolveBpe(spark: org.apache.spark.sql.SparkSession,
-                         bw: BpeWindows): (Seq[(String, String)], Map[String, Long]) = {
+                         bw: BpeWindows): ResolvedBpe = {
     Bpe.readBpeMeta(spark, bw.path) // crashed/foreign build refuses here
-    (Bpe.mergeList(spark.table(s"${bw.name}_bpe")),
-      Bpe.vocabMap(spark.table(s"${bw.name}_bpe_vocab")))
+    ResolvedBpe(Bpe.mergeList(spark.table(s"${bw.name}_bpe")),
+      Bpe.vocabMap(spark.table(s"${bw.name}_bpe_vocab")),
+      bw.eodId, bw.docSpans)
   }
 
   /** @param docs     training-candidate documents (idCol, textCol, …)
@@ -879,13 +887,15 @@ object Pipeline {
       case Some(store) =>
         val docTok: org.apache.spark.sql.Column = bpeResolved match {
           case None => size(split(col(textCol), " ")).cast("long")
-          case Some((merges, vocab)) =>
+          case Some(rb) =>
             aggregate(
               transform(
                 filter(split(col(textCol), " ", -1), w => length(w) >= 1),
                 w => size(graft.functions.TextHashExprs
-                  .bpeEncodeIds(w, merges, vocab)).cast("long")),
-              lit(0L), (acc, n) => acc + n)
+                  .bpeEncodeIds(w, rb.merges, rb.vocab)).cast("long")),
+              // each landed doc carries exactly one EOD id when the
+              // landing inserts them — the conservation unit follows
+              lit(if (rb.eodId.isDefined) 1L else 0L), (acc, n) => acc + n)
         }
         sidecar.join(store.select(col(idCol), col(textCol)), Seq(idCol),
             "left")
@@ -928,7 +938,7 @@ object Pipeline {
                           textCol: String, windowSize: Long, seed: Long,
                           fullWindowsOnly: Boolean,
                           epochScale: Option[Long] = None,
-                          bpe: Option[(Seq[(String, String)], Map[String, Long])] = None): DataFrame = {
+                          bpe: Option[ResolvedBpe] = None): DataFrame = {
     val win = Seq("train", "val", "test").map { sp =>
       val part = corpus.filter(col("split") === sp)
       val (keyed, key) = epochScale match {
@@ -943,11 +953,13 @@ object Pipeline {
           TextStats.assembleWindows(keyed, key, textCol, windowSize, seed)
             .select(lit(sp).as("split"), col("window_id"),
               col("window_text"), col("n_tokens"))
-        case Some((merges, vocab)) =>
+        case Some(rb) =>
+          val cols = Seq(lit(sp).as("split"), col("window_id"),
+            col("window_ids"), col("n_tokens")) ++
+            (if (rb.docSpans) Seq(col("doc_spans")) else Nil)
           Bpe.assembleWindowsIds(keyed, key, textCol, windowSize, seed,
-              merges, vocab)
-            .select(lit(sp).as("split"), col("window_id"),
-              col("window_ids"), col("n_tokens"))
+              rb.merges, rb.vocab, rb.eodId, rb.docSpans)
+            .select(cols: _*)
       }
     }.reduce(_.unionByName(_))
     if (fullWindowsOnly) win.filter(col("n_tokens") === windowSize) else win

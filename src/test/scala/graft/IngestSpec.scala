@@ -1046,4 +1046,82 @@ class IngestSpec extends SparkTestBase {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }
   }
+
+  test("EOD insertion + doc-boundary spans: id windows carry the trainer contract") {
+    val tmp = tmpDir("graft_eod_idx")
+    val mdl = tmpDir("graft_eod_bpe")
+    val out = tmpDir("graft_eod_out")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      graft.llm.Bpe.writeBpeModel(docs.filter(col("doc_id") < 300), "text",
+        "eodw_bpe", mdl, numMerges = 6)
+      val vocab = graft.llm.Bpe.vocabMap(spark.table("eodw_bpe_bpe_vocab"))
+      val eod = vocab.values.max + 1L
+      val bw = Pipeline.BpeWindows("eodw_bpe", mdl, eodId = Some(eod),
+        docSpans = true)
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "eodw_t", tmp)
+      val s1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 240)
+      Pipeline.ingestWindowsShard(s1, df(docSchema), "doc_id", "text",
+        "eodw_t", tmp, out, 64L, "d01", redactPii = false,
+        bpeWindows = Some(bw))
+      val win = spark.read.parquet(out)
+      assert(win.columns.sorted.sameElements(Array("doc_spans", "n_tokens",
+        "shard_label", "split", "window_id", "window_ids")))
+      // conservation in the EOD-inclusive unit: window mass == BPE
+      // tokens + exactly one EOD per landed doc
+      val merges = graft.llm.Bpe.mergeList(spark.table("eodw_bpe_bpe"))
+      val sidecar = spark.read.parquet(s"$out/_docsidecar")
+      val landedDocs = docs.join(sidecar.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      val bpeMass = graft.llm.Bpe.tokenCounts(landedDocs, "doc_id",
+        "text", merges).agg(sum("n_tokens")).head().getLong(0)
+      val nDocs = landedDocs.count()
+      val winMass = win.agg(sum("n_tokens")).head().getLong(0)
+      assert(winMass == bpeMass + nDocs,
+        s"EOD-inclusive conservation: $winMass != $bpeMass + $nDocs")
+      // every doc's trailing EOD id is present exactly once in the
+      // flattened stream
+      val eodCount = win.select(explode(col("window_ids")).as("id"))
+        .filter(col("id") === eod).count()
+      assert(eodCount == nDocs, s"one EOD per doc: $eodCount != $nDocs")
+      // the fsck counts in the same unit
+      assert(Pipeline.windowsReport(spark, out, Some(docs),
+          bpeWindows = Some(bw))
+        .collect().forall(_.getAs[Boolean]("tokens_match")))
+      // spans TILE each window exactly: sum(len) == n_tokens, offsets
+      // contiguous from 0, and each span's ids slice belongs to its doc
+      val rows = win.select("window_ids", "n_tokens", "doc_spans")
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val n = r.getLong(1)
+        val spans = r.getSeq[org.apache.spark.sql.Row](2)
+        assert(spans.map(_.getLong(2)).sum == n,
+          s"span lengths must tile the window: $spans vs $n")
+        var off = 0L
+        spans.foreach { sp =>
+          assert(sp.getLong(1) == off,
+            s"span offsets must be contiguous: $spans")
+          off += sp.getLong(2)
+        }
+      }
+      // the loader carries the metadata through
+      val loaded = Pipeline.loadWindows(spark, out, "train").columns
+      assert(loaded.contains("doc_spans") && loaded.contains("window_ids"))
+      // an eodId colliding with a vocab id refuses loudly
+      val bad = intercept[IllegalArgumentException] {
+        graft.llm.Bpe.assembleWindowsIds(s1, "doc_id", "text", 64L, 0L,
+          merges, vocab, eodId = Some(vocab.values.max))
+      }
+      assert(bad.getMessage.contains("collides"), bad.getMessage)
+    } finally {
+      dropIndex("eodw_t")
+      Seq("eodw_bpe_bpe", "eodw_bpe_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(tmp, mdl, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
 }
