@@ -2026,6 +2026,65 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // The composed pipeline WITH the LANGUAGE gate (1a, r14): the
+    // CCNet-style lang-ID filter every production pipeline runs before
+    // its quality models — multiclass NB trained on the %5==0 labeled
+    // seed (the q_nbm fixture), argmax prediction over the quality
+    // survivors, keep {en, zh}. The gate is decisive (drops the three
+    // other languages' survivors) and every downstream stage (exact,
+    // near, decontam, split, shuffle_pos) re-derives over the gated
+    // set; the argmax's cross-engine safety rides the q_nbm_predict
+    // margin argument (training members score far above alternatives).
+    val pipeLangCtes = {
+      val tok = graft.llm.NgramLm.toksSql("text")
+      val lngCtes =
+        s"""lngtr AS (SELECT lang AS label, text FROM documents WHERE doc_id % 5 = 0),
+           |lngm AS (SELECT label, w, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT label, unnest($tok) AS w FROM lngtr) GROUP BY label, w),
+           |lngtot AS (SELECT label, sum(cnt) AS nl FROM lngm GROUP BY label),
+           |lngv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM lngm),
+           |lnglbl AS (SELECT DISTINCT label FROM lngm),
+           |lngks AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+           |  FROM (SELECT doc_id, unnest($tok) AS w FROM kept) GROUP BY doc_id, w),
+           |lngj AS (SELECT lngks.doc_id, lnglbl.label, lngks.w, lngks.k,
+           |    coalesce(m.cnt, 0) AS c0
+           |  FROM lngks CROSS JOIN lnglbl
+           |  LEFT JOIN lngm m ON m.label = lnglbl.label AND m.w = lngks.w),
+           |lngsc AS (SELECT doc_id, label,
+           |    list_sum(list(k * ln((CAST(c0 AS DOUBLE) + 1.0) /
+           |      (CAST(nl AS DOUBLE) + CAST(v AS DOUBLE))) ORDER BY w)) AS score
+           |  FROM lngj JOIN lngtot USING (label), lngv
+           |  GROUP BY doc_id, label),
+           |lngpred AS (SELECT doc_id, label FROM (
+           |  SELECT doc_id, label, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY score DESC, label) AS r FROM lngsc) WHERE r = 1),
+           |lngkept AS (SELECT k.doc_id, k.text FROM kept k
+           |  JOIN lngpred USING (doc_id) WHERE label IN ('en', 'zh'))""".stripMargin
+      val spliced = pipeCleanCtes.replace("keyed AS (",
+        lngCtes + ",\nkeyed AS (")
+      val rerooted = spliced.replace("AS rn\n  FROM kept),",
+        "AS rn\n  FROM lngkept),")
+      require(spliced != pipeCleanCtes && rerooted != spliced,
+        "q_pipeline_lang splice anchors drifted — update the replaces")
+      rerooted
+    }
+
+    r.reg("q_pipeline_lang", pipeLangCtes + "\n" + pipeFinal("clean")) {
+      (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.llm.Pipeline.pretrainCorpus(
+          docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+          "doc_id", "text",
+          langFilter = Some(graft.llm.Pipeline.LangFilter(
+            graft.llm.Classifier.trainMulti(
+              docs.filter(col("doc_id") % 5 === 0).select("lang", "text"),
+              "lang", "text"),
+            keep = Set("en", "zh"))))
+        .select("doc_id", "split", "shuffle_pos")
+        .orderBy("doc_id")
+    }
+
     // The composed pipeline WITH the span-scrub stage (0c): ExactSubstr
     // at k=5 cuts corpus-duplicated 5-gram regions from every doc
     // BEFORE the quality gate — at both scales the scrub touches ~50

@@ -204,6 +204,41 @@ object Classifier {
     docs.select(col(idCol)).join(best, Seq(idCol), "left")
   }
 
+  /** Language/domain GATE over [[predictMulti]] — the fastText/CCNet
+    * lang-ID filter every production pretraining pipeline runs before
+    * its quality models: keep documents whose PREDICTED label is in
+    * `keep`. Docs with no prediction (token-less — no evidence) follow
+    * `keepUnpredicted` (default false: an unidentifiable doc is not
+    * provably in-language). Cost: one (id, w) shard shuffle × a
+    * broadcast |labels| fan-out, then a semi-join back — the
+    * [[scoreMulti]] shape; the input is read twice (score side +
+    * join-back), so callers composing it persist the boundary. */
+  def filterByLang(docs: DataFrame, idCol: String, textCol: String,
+                   model: DataFrame, keep: Set[String],
+                   alpha: Double = 1.0,
+                   keepUnpredicted: Boolean = false): DataFrame = {
+    require(keep.nonEmpty,
+      "filterByLang: an empty keep set drops everything — pass the " +
+        "allowed labels explicitly")
+    val scored = scoreMulti(docs, idCol, textCol, model, alpha)
+    // argmax as an AGGREGATE over the already-grouped (id, label)
+    // frame (min of (-score, label): max score, ties to the smaller
+    // label — predictMulti's exact decision) instead of predictMulti's
+    // row_number window + join-back: one node fewer, and the gate
+    // references its input exactly twice (score side + semi-join), the
+    // filterByClassifier shape the pipeline's observed taps rely on
+    val best = scored.groupBy(col(idCol))
+      .agg(min(struct((-col("score")).as("__ns__"), col("label")))
+        .as("__b__"))
+      .select(col(idCol), col("__b__.label").as("predicted"))
+    val keepIds = best.filter(col("predicted").isin(keep.toSeq: _*))
+      .select(col(idCol))
+    val kept = docs.join(keepIds, Seq(idCol), "left_semi")
+    if (!keepUnpredicted) kept
+    else kept.unionByName(docs.join(
+      scored.select(col(idCol)), Seq(idCol), "left_anti"))
+  }
+
   // ------------------------------------------------------------------
   // Persisted classifier — the EIGHTH maintained family: ONE bucketed
   // table `<name>_nbc` (w, pos_cnt, neg_cnt) bucketed on `w`. Npos,

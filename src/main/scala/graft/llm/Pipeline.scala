@@ -94,6 +94,19 @@ object Pipeline {
     * never paying for docs the LM would drop anyway. `keepUnscorable`
     * keeps docs with fewer than n tokens (no LM evidence either way —
     * the rule gate owns short docs). */
+  /** CCNet-style LANGUAGE gate — stage 1a, between the rule-quality
+    * gate and the model-quality gates: keep docs whose predicted
+    * language (multiclass NB lang-ID, [[Classifier.predictMulti]])
+    * is in `keep`. Runs AFTER the cheap per-row rule gate (the
+    * lang-ID token shuffle should not be paid for garbage) and BEFORE
+    * the LM/classifier gates (whose reference corpora are
+    * language-specific — scoring out-of-language text against an
+    * in-language LM measures only noise). Token-less docs follow
+    * `keepUnpredicted`. */
+  final case class LangFilter(model: DataFrame, keep: Set[String],
+                              alpha: Double = 1.0,
+                              keepUnpredicted: Boolean = false)
+
   final case class LmFilter(model: DataFrame, minLogprob: Double,
                             n: Int = 2, alpha: Double = 1.0,
                             keepUnscorable: Boolean = true)
@@ -200,13 +213,15 @@ object Pipeline {
                      budgetMix: Option[BudgetMix] = None,
                      classifierFilter: Option[ClassifierFilter] = None,
                      spanScrub: Option[SpanScrub] = None,
-                     importanceMix: Option[ImportanceMix] = None): DataFrame =
+                     importanceMix: Option[ImportanceMix] = None,
+                     langFilter: Option[LangFilter] = None): DataFrame =
     chain(docs, bench, idCol, textCol, minTokens, nearDupThreshold,
       decontamK, trainFrac, valFrac, shuffleSeed, (_, d) => d,
       persistStages, boilerplateMaxDocFreq, embeddingDedup,
       temperatureMix = temperatureMix, lmFilter = lmFilter,
       budgetMix = budgetMix, classifierFilter = classifierFilter,
-      spanScrub = spanScrub, importanceMix = importanceMix)
+      spanScrub = spanScrub, importanceMix = importanceMix,
+      langFilter = langFilter)
 
   /** [[pretrainCorpus]] with per-stage kept-row counts riding the same
     * execution via CollectMetrics (`df.observe`) — the 100 TB answer to
@@ -253,7 +268,8 @@ object Pipeline {
                              budgetMix: Option[BudgetMix] = None,
                              classifierFilter: Option[ClassifierFilter] = None,
                              spanScrub: Option[SpanScrub] = None,
-                             importanceMix: Option[ImportanceMix] = None)
+                             importanceMix: Option[ImportanceMix] = None,
+                             langFilter: Option[LangFilter] = None)
       : (DataFrame, Map[String, Observation]) = {
     // "temperature_mix" only joins the map when the stage is ACTIVE: an
     // Observation that never attaches would block a caller's get() forever.
@@ -269,8 +285,12 @@ object Pipeline {
     // makes its observe materialize once (same reasoning as "decontam").
     val stages =
       (if (spanScrub.isEmpty || persistStages) Seq("input") else Nil) ++
-      (if ((lmFilter.isEmpty && classifierFilter.isEmpty) || persistStages)
+      (if ((langFilter.isEmpty && lmFilter.isEmpty &&
+          classifierFilter.isEmpty) || persistStages)
         Seq("quality") else Nil) ++
+      (if (langFilter.isDefined &&
+          ((lmFilter.isEmpty && classifierFilter.isEmpty) || persistStages))
+        Seq("lang") else Nil) ++
       (if (lmFilter.isDefined &&
           (classifierFilter.isEmpty || persistStages))
         Seq("lm_quality") else Nil) ++
@@ -289,7 +309,8 @@ object Pipeline {
       persistStages, boilerplateMaxDocFreq, embeddingDedup,
       temperatureMix = temperatureMix, lmFilter = lmFilter,
       budgetMix = budgetMix, classifierFilter = classifierFilter,
-      spanScrub = spanScrub, importanceMix = importanceMix)
+      spanScrub = spanScrub, importanceMix = importanceMix,
+      langFilter = langFilter)
     (out, obs)
   }
 
@@ -315,7 +336,8 @@ object Pipeline {
                             budgetMix: Option[BudgetMix] = None,
                             classifierFilter: Option[ClassifierFilter] = None,
                             spanScrub: Option[SpanScrub] = None,
-                            importanceMix: Option[ImportanceMix] = None)
+                            importanceMix: Option[ImportanceMix] = None,
+                            langFilter: Option[LangFilter] = None)
       : (DataFrame, Seq[DataFrame]) = {
     val handles = scala.collection.mutable.Buffer.empty[DataFrame]
     val out = chain(docs, bench, idCol, textCol, minTokens,
@@ -325,7 +347,8 @@ object Pipeline {
       embeddingDedup = embeddingDedup, persisted = handles,
       temperatureMix = temperatureMix, lmFilter = lmFilter,
       budgetMix = budgetMix, classifierFilter = classifierFilter,
-      spanScrub = spanScrub, importanceMix = importanceMix)
+      spanScrub = spanScrub, importanceMix = importanceMix,
+      langFilter = langFilter)
     (out, handles.toSeq)
   }
 
@@ -429,14 +452,15 @@ object Pipeline {
                       classifierFilter: Option[ClassifierFilter] = None,
                       spanScrub: Option[SpanScrub] = None,
                       importanceMix: Option[ImportanceMix] = None,
-                      bpeWindows: Option[BpeWindows] = None): DataFrame = {
+                      bpeWindows: Option[BpeWindows] = None,
+                      langFilter: Option[LangFilter] = None): DataFrame = {
     val corpus = chain(docs, bench, idCol, textCol, minTokens,
       nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
       (_, d) => d, persistStages, boilerplateMaxDocFreq, embeddingDedup,
       temperatureMix = temperatureMix, withShuffleIndex = false,
       lmFilter = lmFilter, budgetMix = budgetMix,
       classifierFilter = classifierFilter, spanScrub = spanScrub,
-      importanceMix = importanceMix)
+      importanceMix = importanceMix, langFilter = langFilter)
     windowsFrom(corpus, idCol, textCol, windowSize, shuffleSeed,
       fullWindowsOnly,
       temperatureMix.filter(_.up).map(_.maxRepeat + 1L)
@@ -478,7 +502,8 @@ object Pipeline {
                            classifierFilter: Option[ClassifierFilter] = None,
                            spanScrub: Option[SpanScrub] = None,
                            importanceMix: Option[ImportanceMix] = None,
-                           bpeWindows: Option[BpeWindows] = None): Map[String, Long] = {
+                           bpeWindows: Option[BpeWindows] = None,
+                           langFilter: Option[LangFilter] = None): Map[String, Long] = {
     val spark = docs.sparkSession
     readJsonManifest(spark, outPath, WINDOWS_MANIFEST) match {
       case Some(counts) => return counts // fully landed — O(1) replay
@@ -493,7 +518,7 @@ object Pipeline {
       temperatureMix = temperatureMix, withShuffleIndex = false,
       lmFilter = lmFilter, budgetMix = budgetMix,
       classifierFilter = classifierFilter, spanScrub = spanScrub,
-      importanceMix = importanceMix)
+      importanceMix = importanceMix, langFilter = langFilter)
     val win = windowsFrom(corpus, idCol, textCol, windowSize, shuffleSeed,
       fullWindowsOnly,
       temperatureMix.filter(_.up).map(_.maxRepeat + 1L)
@@ -588,7 +613,8 @@ object Pipeline {
                          lmFilter: Option[LmFilter] = None,
                          classifierFilter: Option[ClassifierFilter] = None,
                          gramScrub: Option[GramScrub] = None,
-                         bpeWindows: Option[BpeWindows] = None): Map[String, Long] = {
+                         bpeWindows: Option[BpeWindows] = None,
+                         langFilter: Option[LangFilter] = None): Map[String, Long] = {
     val spark = shard.sparkSession
     val manifestName = s"_graft_wshard_$shardLabel.json"
     readJsonManifest(spark, outPath, manifestName) match {
@@ -619,7 +645,8 @@ object Pipeline {
         .drop("tokens_removed").localCheckpoint(true))
     val survivors = ingestShardFrame(gated, bench, idCol, textCol,
       indexName, indexPath, minTokens, nearDupThreshold, decontamK,
-      redactPii, lmFilter = lmFilter, classifierFilter = classifierFilter)
+      redactPii, lmFilter = lmFilter, classifierFilter = classifierFilter,
+      langFilter = langFilter)
     try {
       val recovered: DataFrame = suspects match {
         case None => cp.limit(0)
@@ -1028,16 +1055,23 @@ object Pipeline {
                        shingleK: Int = 3, numHashes: Int = 16,
                        bands: Int = 4, buckets: Int = 8,
                        lmFilter: Option[LmFilter] = None,
-                       classifierFilter: Option[ClassifierFilter] = None): DataFrame = {
+                       classifierFilter: Option[ClassifierFilter] = None,
+                       langFilter: Option[LangFilter] = None): DataFrame = {
     val ruleQuality = TextStats.qualityFilter(shard, textCol,
       minTokens = minTokens)
+    // optional LANGUAGE gate (the chain's 1a slot): after the cheap
+    // rule predicate, before the model-quality gates — pre-redaction,
+    // deterministic-on-replay like the other gates
+    val langQuality = langFilter.fold(ruleQuality)(f =>
+      Classifier.filterByLang(ruleQuality, idCol, textCol, f.model,
+        f.keep, f.alpha, f.keepUnpredicted))
     // optional model-based quality (the pretrainCorpus LmFilter slot):
     // scored on the PRE-redaction text like the rule gate; the model
     // frame must be the same on a crash replay (deterministic gate —
     // the recovery path never re-gates, so this only matters for the
     // docs that had NOT yet committed, which simply re-gate)
-    val lmQuality = lmFilter.fold(ruleQuality)(f =>
-      NgramLm.filterByLm(ruleQuality, idCol, textCol, f.model,
+    val lmQuality = lmFilter.fold(langQuality)(f =>
+      NgramLm.filterByLm(langQuality, idCol, textCol, f.model,
         f.minLogprob, f.n, f.alpha, f.keepUnscorable))
     // optional discriminative quality (the ClassifierFilter slot) —
     // same pre-redaction, deterministic-on-replay contract
@@ -1094,11 +1128,16 @@ object Pipeline {
                   shingleK: Int = 3, numHashes: Int = 16,
                   bands: Int = 4,
                   lmFilter: Option[LmFilter] = None,
-                  classifierFilter: Option[ClassifierFilter] = None): DataFrame = {
+                  classifierFilter: Option[ClassifierFilter] = None,
+                  langFilter: Option[LangFilter] = None): DataFrame = {
     val ruleQ = TextStats.qualityFilter(shard, textCol,
       minTokens = minTokens).localCheckpoint(true)
-    val lmQ = lmFilter.fold(ruleQ)(f =>
-        NgramLm.filterByLm(ruleQ, idCol, textCol, f.model, f.minLogprob,
+    val langQ = langFilter.fold(ruleQ)(f =>
+        Classifier.filterByLang(ruleQ, idCol, textCol, f.model,
+          f.keep, f.alpha, f.keepUnpredicted))
+      .localCheckpoint(true)
+    val lmQ = lmFilter.fold(langQ)(f =>
+        NgramLm.filterByLm(langQ, idCol, textCol, f.model, f.minLogprob,
           f.n, f.alpha, f.keepUnscorable))
       .localCheckpoint(true)
     val quality = classifierFilter.fold(lmQ)(f =>
@@ -1132,6 +1171,7 @@ object Pipeline {
       df.select(col(idCol)).withColumn(name, lit(true))
     shard.select(col(idCol))
       .join(flag(ruleQ, "__f0__"), Seq(idCol), "left")
+      .join(flag(langQ, "__f0a__"), Seq(idCol), "left")
       .join(flag(lmQ, "__f0b__"), Seq(idCol), "left")
       .join(flag(quality, "__f1__"), Seq(idCol), "left")
       .join(flag(inShardExact, "__f2__"), Seq(idCol), "left")
@@ -1141,6 +1181,7 @@ object Pipeline {
       .join(flag(landed, "__f6__"), Seq(idCol), "left")
       .select(col(idCol),
         when(col("__f0__").isNull, "quality")
+          .when(col("__f0a__").isNull, "lang")
           .when(col("__f0b__").isNull, "lm_quality")
           .when(col("__f1__").isNull, "clf_quality")
           .when(col("__f2__").isNull, "exact_in_shard")
@@ -1196,7 +1237,8 @@ object Pipeline {
                   lexical: Option[(String, String)] = None,
                   lmFilter: Option[LmFilter] = None,
                   classifierFilter: Option[ClassifierFilter] = None,
-                  gramScrub: Option[GramScrub] = None): Map[String, Long] = {
+                  gramScrub: Option[GramScrub] = None,
+                  langFilter: Option[LangFilter] = None): Map[String, Long] = {
     val spark = shard.sparkSession
     readShardManifest(spark, outPath, shardLabel) match {
       case Some(counts) => return counts // fully processed — O(1) replay
@@ -1249,7 +1291,7 @@ object Pipeline {
     val survivors = ingestShardFrame(gated, bench, idCol, textCol,
       indexName, indexPath, minTokens, nearDupThreshold, decontamK,
       redactPii, shingleK, numHashes, bands, buckets, lmFilter,
-      classifierFilter)
+      classifierFilter, langFilter)
     try {
       val recovered: DataFrame = suspects match {
         case None => cp.limit(0)
@@ -1808,7 +1850,8 @@ object Pipeline {
                     budgetMix: Option[BudgetMix] = None,
                     classifierFilter: Option[ClassifierFilter] = None,
                     spanScrub: Option[SpanScrub] = None,
-                    importanceMix: Option[ImportanceMix] = None): DataFrame = {
+                    importanceMix: Option[ImportanceMix] = None,
+                    langFilter: Option[LangFilter] = None): DataFrame = {
     require(Seq(temperatureMix, budgetMix, importanceMix)
         .count(_.isDefined) <= 1,
       "one mixing stage per build: TemperatureMix, BudgetMix or " +
@@ -1851,6 +1894,15 @@ object Pipeline {
     // fused into the input scan — no explode, no join-back
     val kept = tap("quality",
       TextStats.qualityFilter(scrubbed, textCol, minTokens = minTokens))
+    // 1a. optional LANGUAGE gate ([[LangFilter]]): the lang-ID scores
+    // read the quality output twice (score side + semi-join back), so
+    // it becomes a persisted boundary while the stage is active — the
+    // 1b/1c discipline.
+    val langed = langFilter.fold(kept) { f =>
+      val q = reused(kept)
+      tap("lang", Classifier.filterByLang(q, idCol, textCol, f.model,
+        f.keep, f.alpha, f.keepUnpredicted))
+    }
     // 1b. optional MODEL-BASED quality — the CCNet reference-LM
     // perplexity gate ([[NgramLm.filterByLm]]). The stage reads its
     // input twice (the scoring side and the semi-join's kept side), so
@@ -1858,8 +1910,8 @@ object Pipeline {
     // stage is active — which also makes the "quality" tap materialize
     // exactly once (the decontam-tap precedent; pretrainCorpusObserved
     // gates that tap on persistStages when this stage is on).
-    val lmed = lmFilter.fold(kept) { f =>
-      val q = reused(kept)
+    val lmed = lmFilter.fold(langed) { f =>
+      val q = reused(langed)
       tap("lm_quality", NgramLm.filterByLm(q, idCol, textCol, f.model,
         f.minLogprob, f.n, f.alpha, f.keepUnscorable))
     }

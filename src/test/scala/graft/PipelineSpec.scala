@@ -392,4 +392,92 @@ class PipelineSpec extends SparkTestBase {
       docs, df(docSchema), "doc_id", "text")
     assert(!m3.contains("temperature_mix"))
   }
+
+  test("language gate (1a): predicted-label filter composes, tap observes, audit attributes, refusals hold") {
+    val labeled = StructType(Seq(StructField("lang", StringType),
+      StructField("text", StringType)))
+    // two unmistakable "languages" with disjoint vocabularies
+    val seed = df(labeled,
+      Row("aa", "alpha beta gamma delta epsilon zeta eta theta"),
+      Row("aa", "beta gamma alpha epsilon theta zeta delta alpha"),
+      Row("bb", "uno dos tres cuatro cinco seis siete ocho"),
+      Row("bb", "dos tres uno cinco ocho siete cuatro uno"))
+    val model = graft.llm.Classifier.trainMulti(seed, "lang", "text")
+    val docs = df(docSchema,
+      Row(1L, "alpha beta gamma epsilon delta zeta theta words here"),   // aa -> kept
+      Row(2L, "uno dos tres cuatro cinco seis ocho siete extra"),        // bb -> dropped
+      Row(3L, "beta alpha theta zeta gamma epsilon more alpha tokens"),  // aa -> kept
+      // exact dup of 1 (canonicalized): with zero dups the near stage
+      // short-circuits early and completes the UPSTREAM observations
+      // with partial rows (only near_dedup/output are contractually
+      // reliable then — the zero-pair test above); a planted dup makes
+      // the internal job order deliver every stage's count
+      Row(4L, "  ALPHA beta gamma epsilon delta zeta  theta words here "),
+      // 5/6: an aa-language near-dup pair so the early observations
+      // resolve (the pretrainCorpusObserved caveat the clf spec names)
+      Row(5L, "gamma delta epsilon zeta eta theta alpha beta closing line one"),
+      Row(6L, "gamma delta epsilon zeta eta theta alpha beta closing line two"))
+    // the standalone gate
+    val kept = graft.llm.Classifier.filterByLang(docs, "doc_id", "text",
+      model, keep = Set("aa"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L, 4L, 5L, 6L)))
+    // empty keep set refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Classifier.filterByLang(docs, "doc_id", "text", model,
+        keep = Set.empty)
+    }
+    assert(e.getMessage.contains("keep"), e.getMessage)
+    // composed: the pipeline drops doc 2 at the lang stage and the
+    // observed tap records the stage's kept count
+    val (out, obs) = Pipeline.pretrainCorpusObserved(docs,
+      df(docSchema, Row(900L, "unrelated benchmark sentence about satellites")),
+      "doc_id", "text",
+      langFilter = Some(Pipeline.LangFilter(model, Set("aa"))))
+    val rows0 = out.collect()
+    val ids = rows0.map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 3L, 5L)), ids.toSeq.toString)
+    assert(obs.contains("lang"))
+    assert(obs("quality").get("rows") == 6L)
+    assert(obs("lang").get("rows") == 5L)
+    assert(obs("exact_dedup").get("rows") == 4L)
+    // the audit names the stage as doc 2's fate
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lang_idx")
+      .toString
+    try {
+      graft.llm.Dedup.writeNearDupIndex(
+        df(docSchema, Row(100L,
+          "ships sailing across wide open seas under bright stars tonight")),
+        "doc_id", "text", "lang_t", tmp)
+      val fates = Pipeline.ingestAudit(docs, df(docSchema), "doc_id",
+          "text", "lang_t",
+          langFilter = Some(Pipeline.LangFilter(model, Set("aa"))))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(fates(2L) == "lang", fates.toString)
+      assert(fates(1L) == "landed" && fates(3L) == "landed", fates.toString)
+      assert(fates(4L) == "exact_in_shard" && fates(6L) == "near_in_shard",
+        fates.toString)
+      // the incremental gate applies it too
+      val surv = Pipeline.ingestShardFrame(docs, df(docSchema), "doc_id",
+        "text", "lang_t", tmp,
+        langFilter = Some(Pipeline.LangFilter(model, Set("aa"))))
+      assert(surv.select("doc_id").collect().map(_.getLong(0)).sorted
+        .sameElements(Array(1L, 3L, 5L)))
+      surv.unpersist()
+    } finally {
+      Seq("bands", "shingles", "keys").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS lang_t_$t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    // keepUnpredicted: a token-less doc follows the flag
+    val withEmpty = df(docSchema, Row(7L, ""),
+      Row(8L, "alpha beta gamma alpha"))
+    assert(graft.llm.Classifier.filterByLang(withEmpty, "doc_id", "text",
+        model, Set("aa"), keepUnpredicted = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(8L))
+    assert(graft.llm.Classifier.filterByLang(withEmpty, "doc_id", "text",
+        model, Set("aa"), keepUnpredicted = true)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(7L, 8L))
+  }
 }
