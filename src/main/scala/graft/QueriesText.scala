@@ -1977,6 +1977,36 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // Persisted MULTICLASS model round trip (r14 — the FOURTEENTH
+    // maintained family): serving the per-(doc, label) statistics
+    // through the bucketed `_nbm` table — label totals, V and the
+    // label set re-derived live — must hash-match the SAME CTE chain
+    // as the one-shot q_nbm_stats. Fixture builds once per (JVM, dir).
+    r.reg("q_nbm_indexed",
+      s"""WITH $nbmCtes
+         |SELECT doc_id, label, n_tokens, n_hit, sum_cnt FROM nbmagg
+         |ORDER BY doc_id, label""".stripMargin) { (s, dir) =>
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/nbmidx")
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir &&
+        s.catalog.tableExists("g_pnbm_nbm")
+      if (!fresh) {
+        graft.llm.Classifier.writeMulti(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+            .select("lang", "text"),
+          "lang", "text", "g_pnbm", idxPath)
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
+      graft.llm.Classifier.scoreMultiIndexed(s, "g_pnbm", idxPath,
+          nbmCand(s, dir), "doc_id", "text")
+        .select("doc_id", "label", "n_tokens", "n_hit", "sum_cnt")
+        .orderBy("doc_id", "label")
+    }
+
     // The composed pipeline WITH the classifier gate (1c): the shared
     // 6-stage chain with the NB llr_mean >= 0.002 decision SPLICED
     // between the rule-quality gate and exact dedup — exactly where

@@ -333,4 +333,117 @@ object Classifier {
     if (row.getLong(0) == 0L) 0.0
     else row.getLong(1).toDouble / row.getLong(0).toDouble
   }
+
+  // ------------------------------------------------------------------
+  // Persisted MULTICLASS model — the FOURTEENTH maintained family: one
+  // bucketed table `<name>_nbm` (label, w, cnt) bucketed on `w` (the
+  // scoring join key). Label totals, V and the label set all re-derive
+  // from the live table per serve (the _nbc no-stats-sidecar
+  // discipline), and the lifecycle posture is the aggregate-family
+  // one: per-doc retraction is structurally absent, [[writeMulti]] IS
+  // the wholesale retrain, the stamp lands LAST so a crashed build
+  // refuses to serve. This is the production form of the lang-ID gate:
+  // [[filterByLangIndexed]] feeds [[graft.llm.Pipeline.LangFilter]]
+  // from the catalog, and the streaming serve re-resolves the table
+  // per micro-batch so a mid-stream retrain is picked up.
+
+  private def nbmMetaFile(path: String) = s"$path/_graft_nbm_meta.json"
+
+  private def stampNbmMeta(spark: SparkSession, path: String,
+                           buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(nbmMetaFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(s"""{"buckets":$buckets}
+""".getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** buckets from the stamp — a stampless directory is a crashed or
+    * foreign build and refuses loudly. */
+  private[llm] def readNbmMeta(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(nbmMetaFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no multiclass stamp at ${nbmMetaFile(path)} — build with writeMulti first")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt) match {
+      case Some(m) => m.group(1).toInt
+      case None => throw new IllegalStateException(
+        s"malformed multiclass stamp at ${nbmMetaFile(path)}: $txt")
+    }
+  }
+
+  /** Build (or wholesale RETRAIN — the family's one maintenance
+    * action) the persisted multiclass model. */
+  def writeMulti(seed: DataFrame, labelCol: String, textCol: String,
+                 name: String, path: String, buckets: Int = 8): Unit = {
+    val spark = seed.sparkSession
+    graft.api.GraftFrame(trainMulti(seed, labelCol, textCol))
+      .toBucketedTable(s"${name}_nbm", s"$path/nbm", buckets, Seq("w"))
+    stampNbmMeta(spark, path, buckets)
+  }
+
+  /** Serve [[scoreMulti]] from the persisted model — bit-identical to
+    * the one-shot form over the same seed (oracle-pinned). */
+  def scoreMultiIndexed(spark: SparkSession, name: String, path: String,
+                        docs: DataFrame, idCol: String, textCol: String,
+                        alpha: Double = 1.0): DataFrame = {
+    readNbmMeta(spark, path)
+    scoreMulti(docs, idCol, textCol, spark.table(s"${name}_nbm"), alpha)
+  }
+
+  /** Serve [[predictMulti]] from the persisted model. */
+  def predictMultiIndexed(spark: SparkSession, name: String, path: String,
+                          docs: DataFrame, idCol: String, textCol: String,
+                          alpha: Double = 1.0): DataFrame = {
+    readNbmMeta(spark, path)
+    predictMulti(docs, idCol, textCol, spark.table(s"${name}_nbm"), alpha)
+  }
+
+  /** Serve [[filterByLang]] from the persisted model — the production
+    * form of the pipeline's language gate. */
+  def filterByLangIndexed(spark: SparkSession, name: String, path: String,
+                          docs: DataFrame, idCol: String, textCol: String,
+                          keep: Set[String], alpha: Double = 1.0,
+                          keepUnpredicted: Boolean = false): DataFrame = {
+    readNbmMeta(spark, path)
+    filterByLang(docs, idCol, textCol, spark.table(s"${name}_nbm"),
+      keep, alpha, keepUnpredicted)
+  }
+
+  /** Maintenance observable: rows + parquet file count. */
+  def multiReport(spark: SparkSession, name: String): DataFrame =
+    spark.table(s"${name}_nbm")
+      .select(input_file_name().as("__f__"))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("__f__")).as("files"))
+      .select(lit(s"${name}_nbm").as("table"), col("rows"), col("files"))
+
+  /** Compact to one file per bucket — online-safe generation flip. */
+  def compactMulti(spark: SparkSession, name: String): Unit =
+    graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_nbm")
+
+  /** OOV drift of a fresh corpus slice against the stored vocab — the
+    * [[classifierOovRate]] measure for the multiclass model: growing
+    * OOV means lang-ID is deciding on ever fewer informative tokens
+    * (new scripts, new markup score at the smoothed floor on EVERY
+    * label); the action is [[writeMulti]] on a refreshed labeled
+    * seed. */
+  def multiOovRate(spark: SparkSession, name: String, path: String,
+                   fresh: DataFrame, textCol: String): Double = {
+    readNbmMeta(spark, path)
+    val row = fresh
+      .select(explode(NgramLm.toks(col(textCol))).as("w"))
+      .join(spark.table(s"${name}_nbm").select("w").distinct()
+          .withColumn("__hit__", lit(true)),
+        Seq("w"), "left")
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("__hit__").isNull, 1L).otherwise(0L)).as("oov"))
+      .head()
+    if (row.getLong(0) == 0L) 0.0
+    else row.getLong(1).toDouble / row.getLong(0).toDouble
+  }
 }

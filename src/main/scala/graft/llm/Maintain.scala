@@ -501,6 +501,11 @@ object Maintain {
                              freshSample: Option[DataFrame] = None,
                              freshCorpus: Option[DataFrame] = None,
                              textCol: String = "text") extends Target
+  final case class MultiTarget(name: String, path: String,
+                               freshSample: Option[DataFrame] = None,
+                               freshSeed: Option[DataFrame] = None,
+                               labelCol: String = "label",
+                               textCol: String = "text") extends Target
 
   /** The NIGHTLY SWEEP: one call maintains every persisted family a
     * corpus owner operates — each (label, target) runs its family's
@@ -545,6 +550,8 @@ object Maintain {
             maintainGramIndex(spark, n, policy)
           case BpeTarget(n, p, fs, fc, tc) =>
             maintainBpe(spark, n, p, policy, fs, fc, tc)
+          case MultiTarget(n, p, fs, fsd, lc, tc) =>
+            maintainMulti(spark, n, p, policy, fs, fsd, lc, tc)
           case DhashIndexTarget(n) =>
             maintainDhashIndex(spark, n, policy)
           case EnvelopeIndexTarget(n) =>
@@ -718,6 +725,64 @@ object Maintain {
     results += (("table_files", files, policy.maxFilesFlat.toDouble,
       fireCompact,
       if (fireCompact) "Classifier.compactClassifier"
+      else if (over) "subsumed: retrain rewrote one file per bucket"
+      else "none"))
+
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
+  }
+
+  /** [[maintainClassifier]] for the persisted MULTICLASS model
+    * ([[Classifier.writeMulti]] table `<name>_nbm`) — the FOURTEENTH
+    * maintained family, sharing the aggregate-counts lifecycle posture
+    * (no per-doc retraction; wholesale retrain is the one corrective
+    * action). OOV drift is measured against the population being
+    * PREDICTED ([[Classifier.multiOovRate]]); over
+    * `policy.maxDriftDelta` the retrain fires — but only when a
+    * refreshed LABELED seed is provided; otherwise the indication is
+    * recorded un-fired so the nightly report still surfaces the
+    * debt. Fragmentation compacts (subsumed under a retrain). */
+  def maintainMulti(spark: SparkSession, name: String, path: String,
+                    policy: Policy = Policy(),
+                    freshSample: Option[DataFrame] = None,
+                    freshSeed: Option[DataFrame] = None,
+                    labelCol: String = "label",
+                    textCol: String = "text"): DataFrame = {
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+    results += (("retraction", Double.NaN, Double.NaN, false,
+      "n/a: counts are aggregates over the labeled seed — per-doc retraction is structurally absent; correct the seed and retrain (Classifier.writeMulti)"))
+
+    val files = Classifier.multiReport(spark, name)
+      .agg(max(col("files"))).head().getLong(0).toDouble
+
+    val firedRetrain = freshSample match {
+      case None =>
+        results += (("oov_drift", Double.NaN, policy.maxDriftDelta, false,
+          "skipped: no freshSample provided"))
+        false
+      case Some(fs) =>
+        val oov = Classifier.multiOovRate(spark, name, path, fs, textCol)
+        val indicated = oov > policy.maxDriftDelta
+        val fire = indicated && freshSeed.isDefined
+        if (fire) {
+          val buckets = Classifier.readNbmMeta(spark, path)
+          Classifier.writeMulti(freshSeed.get, labelCol, textCol, name,
+            path, buckets)
+        }
+        results += (("oov_drift", oov, policy.maxDriftDelta, fire,
+          if (fire) "Classifier.writeMulti(freshSeed)"
+          else if (indicated)
+            "indicated: provide a refreshed labeled freshSeed to retrain"
+          else "none"))
+        fire
+    }
+
+    val over = files > policy.maxFilesFlat
+    val fireCompact = over && !firedRetrain
+    if (fireCompact) Classifier.compactMulti(spark, name)
+    results += (("table_files", files, policy.maxFilesFlat.toDouble,
+      fireCompact,
+      if (fireCompact) "Classifier.compactMulti"
       else if (over) "subsumed: retrain rewrote one file per bucket"
       else "none"))
 

@@ -402,6 +402,28 @@ object Streams {
         ()
       }
 
+  /** Streaming LANGUAGE ID over the persisted multiclass model — the
+    * monitoring/serving form of the pipeline's [[graft.llm.Pipeline
+    * .LangFilter]] gate: each micro-batch predicts through the catalog
+    * table (re-resolved per trigger, so a mid-stream wholesale retrain
+    * is picked up at the next batch — the [[bpeEncodeStream]]
+    * posture), landing (id, predicted) per batch partition. */
+  def langPredictStream(docs: DataFrame, idCol: String, textCol: String,
+                        modelTable: String, outPath: String,
+                        checkpoint: String,
+                        alpha: Double = 1.0): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.sparkSession.catalog.refreshTable(modelTable)
+          graft.llm.Classifier.predictMulti(batch, idCol, textCol,
+              batch.sparkSession.table(modelTable), alpha)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        }
+        ()
+      }
+
   /** Streaming ADMISSION CONTROL — the streaming form of
     * [[graft.llm.Pipeline.ingestShard]]'s `admission` refusal, where
     * throwing would kill the whole query: each micro-batch is evaluated

@@ -378,4 +378,106 @@ class ClassifierSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }
   }
+
+  test("persisted multiclass model: round trip, stampless refusal, fleet-fired retrain, compaction, streaming retrain pickup") {
+    val labeled = StructType(Seq(StructField("lang", StringType),
+      StructField("text", StringType)))
+    val seed = df(labeled,
+      Row("aa", "alpha beta gamma delta epsilon zeta eta theta"),
+      Row("aa", "beta gamma alpha epsilon theta zeta delta alpha"),
+      Row("bb", "uno dos tres cuatro cinco seis siete ocho"),
+      Row("bb", "dos tres uno cinco ocho siete cuatro uno"))
+    val cand = docsDf(Seq(
+      1L -> "alpha beta gamma epsilon words",
+      2L -> "uno dos tres cuatro palabras",
+      3L -> ""))
+    val base = java.nio.file.Files.createTempDirectory("graft_nbm").toString
+    val path = s"$base/model"
+    try {
+      Classifier.writeMulti(seed, "lang", "text", "nbm_t", path)
+      // bit parity with the one-shot forms
+      val model = Classifier.trainMulti(seed, "lang", "text")
+      val want = Classifier.scoreMulti(cand, "doc_id", "text", model)
+        .orderBy("doc_id", "label").collect().toSeq
+      assert(Classifier.scoreMultiIndexed(spark, "nbm_t", path, cand,
+          "doc_id", "text")
+        .orderBy("doc_id", "label").collect().toSeq == want)
+      val wantPred = Classifier.predictMulti(cand, "doc_id", "text", model)
+        .orderBy("doc_id").collect().toSeq
+      assert(Classifier.predictMultiIndexed(spark, "nbm_t", path, cand,
+          "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq == wantPred)
+      // the production lang gate serves from the catalog
+      assert(Classifier.filterByLangIndexed(spark, "nbm_t", path, cand,
+          "doc_id", "text", Set("aa"))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+      // compaction preserves serving
+      Classifier.compactMulti(spark, "nbm_t")
+      assert(Classifier.scoreMultiIndexed(spark, "nbm_t", path, cand,
+          "doc_id", "text")
+        .orderBy("doc_id", "label").collect().toSeq == want)
+      // fleet sweep: drift indicated-but-unfireable without a seed,
+      // FIRED with one, and serving reads the new generation
+      val drifted = docsDf(Seq(
+        100L -> "voltage resistor capacitor diode relay circuit"))
+      assert(Classifier.multiOovRate(spark, "nbm_t", path, drifted,
+        "text") > 0.5)
+      val pol = Maintain.Policy(maxDriftDelta = 0.1)
+      val sweep1 = Maintain.maintainAll(spark, Seq(
+        "nbm" -> Maintain.MultiTarget("nbm_t", path,
+          freshSample = Some(drifted))), pol).collect()
+        .map(r => r.getString(1) -> (r.getBoolean(4), r.getString(5)))
+        .toMap
+      assert(!sweep1("oov_drift")._1 &&
+        sweep1("oov_drift")._2.contains("indicated"), sweep1.toString)
+      val freshSeed = seed.unionByName(df(labeled,
+        Row("cc", "voltage resistor capacitor diode relay circuit fuse")))
+      val sweep2 = Maintain.maintainAll(spark, Seq(
+        "nbm" -> Maintain.MultiTarget("nbm_t", path,
+          freshSample = Some(drifted), freshSeed = Some(freshSeed),
+          labelCol = "lang")), pol).collect()
+        .map(r => r.getString(1) -> (r.getBoolean(4), r.getString(5)))
+        .toMap
+      assert(sweep2("oov_drift") ==
+        ((true, "Classifier.writeMulti(freshSeed)")), sweep2.toString)
+      assert(Classifier.multiOovRate(spark, "nbm_t", path, drifted,
+        "text") == 0.0)
+      assert(Classifier.predictMultiIndexed(spark, "nbm_t", path,
+          drifted, "doc_id", "text")
+        .head().getString(1) == "cc")
+      // streaming serve picks up a mid-stream wholesale retrain
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sq = spark.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.langPredictStream(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        "nbm_t_nbm", outPath = s"$base/out",
+        checkpoint = s"$base/ckpt").start()
+      try {
+        in.addData(10L -> "alpha beta gamma epsilon")
+        q.processAllAvailable()
+        Classifier.writeMulti(seed, "lang", "text", "nbm_t", path)
+        in.addData(11L -> "voltage resistor capacitor diode")
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$base/out")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(10L) == "aa", got.toString)
+      // after the retrain back to the 2-label seed, 'cc' is gone: the
+      // drifted text predicts one of aa/bb (floor everywhere) — the
+      // point is the NEW generation decided, not the old
+      assert(Set("aa", "bb").contains(got(11L)), got.toString)
+      // stampless refusal
+      assert(new java.io.File(path, "_graft_nbm_meta.json").delete())
+      val e = intercept[IllegalArgumentException] {
+        Classifier.scoreMultiIndexed(spark, "nbm_t", path, cand,
+          "doc_id", "text")
+      }
+      assert(e.getMessage.contains("writeMulti"), e.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS nbm_t_nbm")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
 }
