@@ -162,7 +162,8 @@ object Bench {
         // and the landing is force-included rather than competing
         // with the lineitem/embeddings top-10
         val picks = (autoPicks ++
-          Seq("q_pipeline_windows").filter(times.contains)).distinct
+          Seq("q_pipeline_windows", "q_pipeline_windows_bpe")
+            .filter(times.contains)).distinct
         // Transient-proofing (r9 verdict: the shipped single-pass
         // record claimed a 301x quadratic that a quiet re-run
         // disproved — host load, not the plan): the sf1 section gets
