@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -518,6 +519,77 @@ class PropertySpec extends SparkTestBase {
         "report order must be declaration order")
       got.zip(expect).foreach { case (g, e) =>
         assert(g._3 == e._3, s"${g._1}(${g._2}): engine ${g._3} != reference ${e._3} on $rows")
+      }
+    }
+  }
+
+  // generated corpora for the id-space window law: distinct ids, words
+  // from a small vocab (merges apply), some empty docs, some docs with
+  // characters the training corpus never saw (OOV -> -1)
+  private val winDocsGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 14)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(len, Gen.oneOf("teeth", "tees", "street",
+        "meet", "seat", "xyz?!", "a"))
+    } yield ws.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("id-space windows: flattened stream == concatenated per-doc encodes in permutation order; conservation; EOD invariants") {
+    val trainDocs = df(
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      Row(0L, "teeth tees street meet seat a teeth street"),
+      Row(1L, "seat street tees teeth meet a a street"))
+    val merges = graft.llm.Bpe.mergeList(
+      graft.llm.Bpe.train(trainDocs, "text", 5))
+    val vocab = graft.llm.Bpe.vocabMap(
+      graft.llm.Bpe.vocabFrame(trainDocs, "text",
+        graft.llm.Bpe.train(trainDocs, "text", 5)))
+    val eod = vocab.values.max + 1L
+    forAll2(winDocsGen, Gen.zip(Gen.choose(2L, 9L), Gen.choose(0L, 99L)),
+      cases = 6) { case (docRows, (windowSize, seed)) =>
+      val docs = df(
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))),
+        docRows.map { case (i, t) => Row(i, t) }: _*)
+      for (eodOpt <- Seq(None, Some(eod))) {
+        val win = graft.llm.Bpe.assembleWindowsIds(docs, "doc_id",
+            "text", windowSize, seed, merges, vocab, eodOpt,
+            withDocSpans = true)
+          .orderBy("window_id").collect()
+        // the reference stream: per-doc id sequences (plus EOD) in the
+        // SAME permutation the chop declares (QHelp.keyHash31 — the
+        // oracle-pinned hash), concatenated on the driver
+        def docIds(t: String): Seq[Long] =
+          t.split(" ", -1).filter(_.nonEmpty).toSeq
+            .flatMap(w => graft.functions.BpeEncode
+              .encodeWord(w, merges).toSeq)
+            .map(tok => vocab.getOrElse(tok, -1L)) ++ eodOpt.toSeq.map(_ => eod)
+        def h(id: Long): Long = {
+          val m = 2147483648L
+          val c = ((id % m) + m) % m + seed % m
+          ((c % m) * 2654435761L) % 4294967296L
+        }
+        val expected = docRows.sortBy { case (i, _) => (h(i), i) }
+          .flatMap { case (_, t) => docIds(t) }
+        val got = win.flatMap(_.getSeq[Long](1))
+        assert(got.toSeq == expected,
+          s"ws=$windowSize seed=$seed eod=$eodOpt: stream mismatch")
+        // conservation + window sizing: every window except the global
+        // tail holds exactly windowSize ids
+        assert(win.map(_.getLong(2)).sum == expected.size.toLong)
+        win.dropRight(1).foreach(r =>
+          assert(r.getLong(2) == windowSize, "non-tail window size"))
+        // spans tile each window exactly
+        win.foreach { r =>
+          val spans = r.getSeq[Row](3)
+          assert(spans.map(_.getLong(2)).sum == r.getLong(2))
+          var off = 0L
+          spans.foreach { sp =>
+            assert(sp.getLong(1) == off); off += sp.getLong(2)
+          }
+        }
       }
     }
   }
