@@ -3671,6 +3671,85 @@ object QueriesText {
         .orderBy("window_id")
     }
 
+    // SLIDING id-space windows (r14): the eval layout — window w covers
+    // [w*40, w*40+100) over the same concatenated permutation stream,
+    // so consecutive windows overlap by 60 tokens. The oracle recomputes
+    // the trained model, per-doc id arrays, the seed-7 permutation
+    // (full-pmod form — the fixture doc id is negative), and the
+    // STRIDED membership formulas (wf = max(0, floor((s-100)/40)+1),
+    // wl = floor((e-1)/40), clip both ends), so the overlap logic is
+    // value-checked, not just counted.
+    r.reg("q_windows_bpe_strided", {
+      val hv = "((((doc_id % 2147483648) + 2147483648) % 2147483648 + 7)" +
+        " % 2147483648) * 2654435761 % 4294967296"
+      s"""WITH ${bpeTrainCtes(8)},
+         |$bpeVocabCtes,
+         |sdocs AS (SELECT doc_id, text FROM documents
+         |          WHERE doc_id < 100 AND text IS NOT NULL
+         |          UNION ALL
+         |          SELECT CAST(-7 AS BIGINT), '$bpeEncodeFixture'),
+         |swrd AS (
+         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_pos,
+         |    toks[CAST(i AS INTEGER)] AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+         |          unnest(range(1, len(string_split(text, ' '))+1)) AS i
+         |        FROM sdocs)
+         |  WHERE toks[CAST(i AS INTEGER)] <> ''),
+         |senc AS (
+         |  SELECT doc_id, word_pos,
+         |    string_split(trim($bpeNestedSql), '  ') AS etoks
+         |  FROM swrd),
+         |stok AS (
+         |  SELECT doc_id, word_pos, CAST(j - 1 AS INTEGER) AS tok_pos,
+         |    etoks[CAST(j AS INTEGER)] AS token
+         |  FROM (SELECT doc_id, word_pos, etoks,
+         |          unnest(range(1, len(etoks)+1)) AS j FROM senc)),
+         |sid AS (
+         |  SELECT t.doc_id, t.word_pos, t.tok_pos,
+         |    COALESCE(v.token_id, -1) AS token_id
+         |  FROM stok t LEFT JOIN bvocab v USING (token)),
+         |sdoc AS (
+         |  SELECT doc_id, list(token_id ORDER BY word_pos, tok_pos) AS ids,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM sid GROUP BY doc_id),
+         |scu AS (SELECT doc_id, ids, n,
+         |  CAST(sum(n) OVER (ORDER BY $hv
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS start
+         |  FROM sdoc),
+         |sw AS (SELECT doc_id, ids, n, start,
+         |  unnest(range(
+         |    GREATEST(CAST(0 AS BIGINT),
+         |      CAST(floor((start - 100) / 40.0) AS BIGINT) + 1),
+         |    CAST(floor((start + n - 1) / 40.0) AS BIGINT) + 1)) AS window_id
+         |  FROM scu WHERE n > 0),
+         |sprt AS (SELECT window_id,
+         |  GREATEST(window_id*40 - start, 0) AS f,
+         |  LEAST(window_id*40 + 100 - start, n) AS t2,
+         |  GREATEST(start - window_id*40, 0) AS pos, ids
+         |  FROM sw)
+         |SELECT window_id,
+         |  array_to_string(list_transform(
+         |    flatten(list(ids[CAST(f+1 AS INT):CAST(t2 AS INT)] ORDER BY pos)),
+         |    x -> CAST(x AS VARCHAR)), ' ') AS ids_text,
+         |  CAST(sum(t2 - f) AS BIGINT) AS n_tokens
+         |FROM sprt WHERE t2 > f GROUP BY window_id
+         |ORDER BY window_id""".stripMargin
+    }) { (s, dir) =>
+      val idxPath = ensurePbpeModel(s, dir)
+      val _ = idxPath
+      val merges = graft.llm.Bpe.mergeList(s.table("g_pbpe_bpe"))
+      val vocab = graft.llm.Bpe.vocabMap(s.table("g_pbpe_bpe_vocab"))
+      graft.llm.Bpe.assembleWindowsIdsStrided(bpeEncodeDocs(s, dir),
+          "doc_id", "text", windowSize = 100L, stride = 40L, seed = 7L,
+          merges, vocab)
+        .select(col("window_id"),
+          concat_ws(" ",
+            transform(col("window_ids"), x => x.cast("string")))
+            .as("ids_text"),
+          col("n_tokens"))
+        .orderBy("window_id")
+    }
+
     // ------------------------------------------------------------------
     // Lexical retrieval (r13): BM25 ranked search + hybrid RRF fusion.
     // The oracle recomputes the ENTIRE scoring pipeline — tokenization,

@@ -389,6 +389,78 @@ object Bpe {
     members.groupBy("window_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** SLIDING-window variant of [[assembleWindowsIds]] — the EVAL
+    * layout (perplexity with overlapping context): window `w` covers
+    * the global token span [w·stride, w·stride + windowSize) over the
+    * same concatenated permutation stream, so consecutive windows
+    * overlap by windowSize − stride tokens (stride == windowSize
+    * degenerates to the disjoint training form; stride > windowSize
+    * SUBSAMPLES the stream — the gaps simply produce no window ids).
+    * Output (window_id, window_ids, n_tokens): every window holds
+    * exactly windowSize ids except those clipped by the stream tail.
+    *
+    * Scale shape: the same two-pass cumsum, then a bounded member
+    * explode and ONE shuffle keyed on window_id — but the materialized
+    * id mass is corpus_tokens × windowSize/stride (each token lands in
+    * up to ⌈windowSize/stride⌉ windows): the honest sliding-window
+    * blow-up, priced by the caller's stride. Zero-token docs
+    * contribute nothing (no degenerate membership — the eval layout
+    * has no per-doc addressing to preserve). */
+  def assembleWindowsIdsStrided(docs: DataFrame, idCol: String,
+                                textCol: String, windowSize: Long,
+                                stride: Long, seed: Long,
+                                merges: Seq[(String, String)],
+                                vocab: Map[String, Long],
+                                eodId: Option[Long] = None): DataFrame = {
+    require(windowSize > 0, s"windowSize must be positive, got $windowSize")
+    require(stride > 0, s"stride must be positive, got $stride")
+    eodId.foreach(e => require(e != -1L && !vocab.valuesIterator.contains(e),
+      s"assembleWindowsIdsStrided: eodId $e collides with a vocab id " +
+        "(or the -1 OOV sentinel)"))
+    val words = filter(split(col(textCol), " ", -1), w => length(w) >= 1)
+    val bare = flatten(transform(words,
+      w => TextHashExprs.bpeEncodeIds(w, merges, vocab)))
+    val idsArr = eodId.fold(bare)(e => concat(bare, array(lit(e))))
+    val withN = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), idsArr.as("__ids__"))
+      .select(col(idCol), col("__ids__"),
+        size(col("__ids__")).cast("long").as("__n__"))
+    val withH = withN.withColumn("__sh__", graft.QHelp.keyHash31(
+      pmod(col(idCol), lit(2147483648L)) + lit(seed % 2147483648L)))
+    val cum = graft.operators.WindowOps
+      .globalCumSum(withH, "__sh__", "__n__", "__cum__")
+      .withColumn("token_start", col("__cum__") - col("__n__"))
+    // doc [s, e) meets window w iff w·stride < e AND w·stride+size > s:
+    // wf = max(0, floor((s − size)/stride) + 1), wl = floor((e−1)/stride)
+    val members = cum.filter(col("__n__") > 0)
+      .withColumn("window_first", greatest(lit(0L),
+        floor((col("token_start") - windowSize).cast("double") / stride)
+          .cast("long") + 1))
+      .withColumn("window_last",
+        floor((col("__cum__") - 1).cast("double") / stride).cast("long"))
+      .withColumn("window_id",
+        explode(sequence(col("window_first"), col("window_last"))))
+      .withColumn("tok_from",
+        greatest(col("window_id") * stride - col("token_start"), lit(0L)))
+      .withColumn("tok_to",
+        least(col("window_id") * stride + windowSize - col("token_start"),
+          col("__n__")))
+      .withColumn("window_pos",
+        greatest(col("token_start") - col("window_id") * stride, lit(0L)))
+      .filter(col("tok_to") > col("tok_from"))
+    members
+      .select(col("window_id"), col("window_pos"),
+        slice(col("__ids__"), (col("tok_from") + 1).cast("int"),
+          (col("tok_to") - col("tok_from")).cast("int")).as("__slice__"))
+      .groupBy("window_id")
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("window_pos"),
+            col("__slice__")))),
+          s => s.getField("__slice__"))).as("window_ids"),
+        sum(size(col("__slice__")).cast("long")).as("n_tokens"))
+  }
+
   /** OOV drift of a fresh corpus slice against the stored vocab: the
     * fraction of encoded token occurrences with no vocab id — a pure
     * integer ratio, engine-deterministic. Growing OOV means the corpus

@@ -593,4 +593,65 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("strided id windows are exact stream slices; stride == size degenerates to the disjoint form") {
+    val trainDocs = df(
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      Row(0L, "teeth tees street meet seat a teeth street"),
+      Row(1L, "seat street tees teeth meet a a street"))
+    val merges = graft.llm.Bpe.mergeList(
+      graft.llm.Bpe.train(trainDocs, "text", 5))
+    val vocab = graft.llm.Bpe.vocabMap(
+      graft.llm.Bpe.vocabFrame(trainDocs, "text",
+        graft.llm.Bpe.train(trainDocs, "text", 5)))
+    def docIds(t: String): Seq[Long] =
+      t.split(" ", -1).filter(_.nonEmpty).toSeq
+        .flatMap(w => graft.functions.BpeEncode.encodeWord(w, merges).toSeq)
+        .map(tok => vocab.getOrElse(tok, -1L))
+    def h(seed: Long)(id: Long): Long = {
+      val m = 2147483648L
+      val c = ((id % m) + m) % m + seed % m
+      ((c % m) * 2654435761L) % 4294967296L
+    }
+    forAll2(winDocsGen,
+      Gen.zip(Gen.choose(3L, 9L), Gen.choose(1L, 11L), Gen.choose(0L, 99L)),
+      cases = 6) { case (docRows, (windowSize, stride, seed)) =>
+      val docs = df(
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))),
+        docRows.map { case (i, t) => Row(i, t) }: _*)
+      val stream = docRows.sortBy { case (i, _) => (h(seed)(i), i) }
+        .flatMap { case (_, t) => docIds(t) }
+      val win = graft.llm.Bpe.assembleWindowsIdsStrided(docs, "doc_id",
+          "text", windowSize, stride, seed, merges, vocab)
+        .orderBy("window_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      // every produced window is EXACTLY the stream slice its id names
+      win.foreach { case (w, ids, n) =>
+        val want = stream.slice((w * stride).toInt,
+          (w * stride + windowSize).toInt)
+        assert(ids == want,
+          s"ws=$windowSize stride=$stride seed=$seed w=$w: $ids != $want")
+        assert(n == want.size.toLong)
+      }
+      // and the produced id set is every window whose span starts
+      // before the stream ends (stride > size legitimately subsamples)
+      val wantIds = (0L until
+        (if (stream.isEmpty) 0L
+         else (stream.size.toLong - 1) / stride + 1)).toSeq
+      assert(win.map(_._1).toSeq == wantIds,
+        s"ws=$windowSize stride=$stride: ${win.map(_._1).toSeq} != $wantIds")
+      // stride == size is the disjoint training form, bit for bit
+      val disjoint = graft.llm.Bpe.assembleWindowsIds(docs, "doc_id",
+          "text", windowSize, seed, merges, vocab)
+        .orderBy("window_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      val stridedSame = graft.llm.Bpe.assembleWindowsIdsStrided(docs,
+          "doc_id", "text", windowSize, windowSize, seed, merges, vocab)
+        .orderBy("window_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      assert(stridedSame.toSeq == disjoint.toSeq)
+    }
+  }
 }
