@@ -376,7 +376,8 @@ object Pipeline {
                     embeddingDedup: Option[EmbeddingDedup] = None,
                     lmFilter: Option[LmFilter] = None,
                     classifierFilter: Option[ClassifierFilter] = None,
-                    spanScrub: Option[SpanScrub] = None): Map[String, Long] = {
+                    spanScrub: Option[SpanScrub] = None,
+                    langFilter: Option[LangFilter] = None): Map[String, Long] = {
     val handles = scala.collection.mutable.Buffer.empty[DataFrame]
     val out = chain(docs, bench, idCol, textCol, minTokens,
       nearDupThreshold, decontamK, trainFrac, valFrac, shuffleSeed,
@@ -384,7 +385,7 @@ object Pipeline {
       boilerplateMaxDocFreq = boilerplateMaxDocFreq,
       embeddingDedup = embeddingDedup, persisted = handles,
       lmFilter = lmFilter, classifierFilter = classifierFilter,
-      spanScrub = spanScrub)
+      spanScrub = spanScrub, langFilter = langFilter)
     try out.write.mode("overwrite").partitionBy("split").parquet(outPath)
     finally handles.foreach(_.unpersist())  // landing owns the cache lifecycle
     // split sizes from footer metadata of what was ACTUALLY written; the

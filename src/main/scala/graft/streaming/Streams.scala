@@ -490,7 +490,8 @@ object Streams {
                            lmFilter: Option[graft.llm.Pipeline.LmFilter] = None,
                            classifierFilter: Option[graft.llm.Pipeline.ClassifierFilter] = None,
                            gramScrub: Option[graft.llm.Pipeline.GramScrub] = None,
-                           bpeWindows: Option[graft.llm.Pipeline.BpeWindows] = None): DataStreamWriter[Row] =
+                           bpeWindows: Option[graft.llm.Pipeline.BpeWindows] = None,
+                           langFilter: Option[graft.llm.Pipeline.LangFilter] = None): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
@@ -500,7 +501,8 @@ object Streams {
             s"stream-$batchId", minTokens, nearDupThreshold, decontamK,
             redactPii = redactPii, fullWindowsOnly = fullWindowsOnly,
             lmFilter = lmFilter, classifierFilter = classifierFilter,
-            gramScrub = gramScrub, bpeWindows = bpeWindows)
+            gramScrub = gramScrub, bpeWindows = bpeWindows,
+            langFilter = langFilter)
         ()
       }
 
