@@ -3751,6 +3751,123 @@ object QueriesText {
     }
 
     // ------------------------------------------------------------------
+    // BYTE-LEVEL BPE (r14): the GPT-2 symbolization — words start as
+    // UTF-8 BYTES (uppercase hex pairs on both engines: Spark
+    // hex(encode(w,'UTF-8')) == DuckDB hex(w)), so the 256-entry base
+    // alphabet covers every script and NO code point is ever OOV;
+    // multibyte characters are SPLIT (é = C3 A9) and merges re-join
+    // them from data. The oracle replays whole training iterations over
+    // the hex-pair symbol form — same double-space replace semantics as
+    // the code-point family — with an injected fixture (1500× 'héé':
+    // byte pairs (C3,A9) ×2 and the adjacent-overlap (A9,C3) inside one
+    // word) making the byte split and the overlap non-vacuous.
+    val bpeByteReps = 1500
+    def bpeByteTrainFixture(s: org.apache.spark.sql.SparkSession,
+                            dir: String) = {
+      import s.implicits._
+      t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq((-8L,
+          Array.fill(bpeByteReps)("héé").mkString(" ")))
+          .toDF("doc_id", "text"))
+    }
+    val bpeByteEncodeFixture = "héé hééé 中中 z"
+    def bpeByteEncodeDocs(s: org.apache.spark.sql.SparkSession,
+                          dir: String) = {
+      import s.implicits._
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq((-8L, bpeByteEncodeFixture)).toDF("doc_id", "text"))
+    }
+
+    def spacedBytesSql(w: String): String =
+      s"' ' || array_to_string(list_transform(range(1, length(hex($w))//2 + 1), " +
+        s"q -> substr(hex($w), CAST(q*2-1 AS INTEGER), 2)), '  ') || ' '"
+
+    def bpeByteTrainCtes(nMerges: Int): String = {
+      val init =
+        s"""yw0 AS MATERIALIZED (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS cnt, ${spacedBytesSql("w")} AS sp
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+           |        FROM documents WHERE doc_id < 400
+           |        UNION ALL
+           |        SELECT 'héé' FROM range($bpeByteReps))
+           |  WHERE length(w) >= 1 GROUP BY w)""".stripMargin
+      val iters = (1 to nMerges).map { r =>
+        val p = r - 1
+        s"""yp$r AS MATERIALIZED (
+           |  SELECT toks[CAST(i AS INTEGER)] AS l,
+           |    toks[CAST(i AS INTEGER)+1] AS rr,
+           |    CAST(SUM(cnt) AS BIGINT) AS c
+           |  FROM (SELECT cnt, string_split(trim(sp), '  ') AS toks,
+           |          unnest(range(1, len(string_split(trim(sp), '  ')))) AS i
+           |        FROM yw$p)
+           |  GROUP BY 1, 2),
+           |yb$r AS MATERIALIZED (SELECT l, rr, c FROM yp$r ORDER BY c DESC, l, rr LIMIT 1),
+           |yw$r AS MATERIALIZED (
+           |  SELECT w, cnt,
+           |    replace(sp, (SELECT ' '||l||'  '||rr||' ' FROM yb$r),
+           |                (SELECT ' '||l||rr||' ' FROM yb$r)) AS sp
+           |  FROM yw$p)""".stripMargin
+      }
+      (init +: iters).mkString(",\n")
+    }
+
+    // The byte-level merge table: 8 unrolled iterations over hex-pair
+    // symbols, hash-exact on (rank, left, right, merged, pair_count).
+    r.reg("q_bpe_bytes", {
+      val sel = (1 to 8).map(r =>
+        s"SELECT ${r - 1} AS rank, l AS \"left\", rr AS \"right\", " +
+          s"l||rr AS merged, c AS pair_count FROM yb$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${bpeByteTrainCtes(8)}
+         |$sel
+         |ORDER BY rank""".stripMargin
+    }) { (s, dir) =>
+      graft.llm.Bpe.train(bpeByteTrainFixture(s, dir), "text", 8,
+          byteLevel = true)
+        .orderBy("rank")
+    }
+
+    // Byte-level encode under the trained merges, exploded per token —
+    // hex-pair base symbols re-joined by the learned merges; the
+    // non-ASCII fixture words prove multibyte characters SPLIT at the
+    // base level and reassemble only where a merge was learned.
+    r.reg("q_bpe_bytes_tokens", {
+      val nested = (1 to 8).foldLeft(spacedBytesSql("w")) { (acc, r) =>
+        s"replace($acc, (SELECT ' '||l||'  '||rr||' ' FROM yb$r), " +
+          s"(SELECT ' '||l||rr||' ' FROM yb$r))"
+      }
+      s"""WITH ${bpeByteTrainCtes(8)},
+         |ydocs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100
+         |          UNION ALL
+         |          SELECT CAST(-8 AS BIGINT), '$bpeByteEncodeFixture'),
+         |ywrd AS (
+         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_pos,
+         |    toks[CAST(i AS INTEGER)] AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+         |          unnest(range(1, len(string_split(text, ' '))+1)) AS i
+         |        FROM ydocs)
+         |  WHERE toks[CAST(i AS INTEGER)] <> ''),
+         |yenc AS (
+         |  SELECT doc_id, word_pos,
+         |    string_split(trim($nested), '  ') AS etoks
+         |  FROM ywrd)
+         |SELECT doc_id, word_pos, CAST(j - 1 AS INTEGER) AS tok_pos,
+         |  etoks[CAST(j AS INTEGER)] AS token
+         |FROM (SELECT doc_id, word_pos, etoks,
+         |        unnest(range(1, len(etoks)+1)) AS j FROM yenc)
+         |ORDER BY doc_id, word_pos, tok_pos""".stripMargin
+    }) { (s, dir) =>
+      val merges = graft.llm.Bpe.mergeList(
+        graft.llm.Bpe.train(bpeByteTrainFixture(s, dir), "text", 8,
+          byteLevel = true))
+      graft.llm.Bpe.encodeTokens(bpeByteEncodeDocs(s, dir),
+          "doc_id", "text", merges, byteLevel = true)
+        .orderBy("doc_id", "word_pos", "tok_pos")
+    }
+
+    // ------------------------------------------------------------------
     // Lexical retrieval (r13): BM25 ranked search + hybrid RRF fusion.
     // The oracle recomputes the ENTIRE scoring pipeline — tokenization,
     // postings, document frequencies, corpus stats, the per-term

@@ -771,7 +771,8 @@ case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
   * cover most of a corpus) — concurrent because one expression instance
   * can be shared across executor task threads; capped so an adversarial
   * all-unique corpus cannot grow it unboundedly. */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+                     byteLevel: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -794,7 +795,7 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     val word = input.asInstanceOf[UTF8String].toString
     val hit = cache.get(word)
     if (hit != null) return hit
-    val toks = BpeEncode.encodeWord(word, merges)
+    val toks = BpeEncode.encodeWord(word, merges, byteLevel)
     val out: ArrayData = new GenericArrayData(
       toks.map(t => UTF8String.fromString(t): AnyRef))
     if (cache.size < CacheCap) cache.put(word, out)
@@ -818,7 +819,8 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   * the same bounded object [[graft.llm.Bpe.encodeIds]] broadcasts),
   * never corpus-sized. Same memo cache as [[BpeEncode]]. */
 case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)],
-                        vocab: Map[String, Long])
+                        vocab: Map[String, Long],
+                        byteLevel: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -841,7 +843,7 @@ case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)],
     val word = input.asInstanceOf[UTF8String].toString
     val hit = cache.get(word)
     if (hit != null) return hit
-    val toks = BpeEncode.encodeWord(word, merges)
+    val toks = BpeEncode.encodeWord(word, merges, byteLevel)
     val ids = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {
@@ -889,9 +891,31 @@ object BpeEncode {
     out.toArray
   }
 
-  /** Full encode: code points, then every merge in rank order. */
-  def encodeWord(word: String, merges: Seq[(String, String)]): Array[String] = {
-    var syms = codePointSymbols(word)
+  /** UTF-8 byte symbols of a word as UPPERCASE two-hex-char strings —
+    * the BYTE-LEVEL symbolization (the GPT-2 foundation: every word is
+    * coverable by a 256-entry base alphabet, no code point is ever
+    * OOV). Hex pairs rather than raw bytes so the symbols stay plain
+    * strings the merge machinery — and the DuckDB oracle, via
+    * hex(encode(w)) — operates on unchanged. */
+  def byteSymbolsHex(word: String): Array[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = f"${bytes(i) & 0xff}%02X"
+      i += 1
+    }
+    out
+  }
+
+  /** Initial symbolization: code points, or UTF-8 hex-pair bytes. */
+  def symbols(word: String, byteLevel: Boolean): Array[String] =
+    if (byteLevel) byteSymbolsHex(word) else codePointSymbols(word)
+
+  /** Full encode: initial symbols, then every merge in rank order. */
+  def encodeWord(word: String, merges: Seq[(String, String)],
+                 byteLevel: Boolean = false): Array[String] = {
+    var syms = symbols(word, byteLevel)
     merges.foreach { case (l, r) =>
       if (syms.length >= 2) syms = mergePair(syms, l, r)
     }
@@ -902,11 +926,13 @@ object BpeEncode {
 object TextHashExprs {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
-  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
-    column(BpeEncode(expression(word), merges))
+  def bpeEncode(word: Column, merges: Seq[(String, String)],
+                byteLevel: Boolean = false): Column =
+    column(BpeEncode(expression(word), merges, byteLevel))
   def bpeEncodeIds(word: Column, merges: Seq[(String, String)],
-                   vocab: Map[String, Long]): Column =
-    column(BpeEncodeIds(expression(word), merges, vocab))
+                   vocab: Map[String, Long],
+                   byteLevel: Boolean = false): Column =
+    column(BpeEncodeIds(expression(word), merges, vocab, byteLevel))
 
   def shingleHashes(text: Column, k: Int = 3): Column =
     column(ShingleHashes(expression(text), k))

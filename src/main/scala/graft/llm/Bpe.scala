@@ -92,7 +92,8 @@ object Bpe {
     * pair_count) with rank 0 applied first. */
   def train(corpus: DataFrame, textCol: String, numMerges: Int,
             minPairCount: Long = 2L,
-            maxTypes: Int = 2000000): DataFrame = {
+            maxTypes: Int = 2000000,
+            byteLevel: Boolean = false): DataFrame = {
     require(numMerges >= 0, "numMerges must be >= 0")
     require(minPairCount >= 1, "minPairCount must be >= 1")
     val spark = corpus.sparkSession
@@ -105,7 +106,7 @@ object Bpe {
         "table — size the bound to driver memory, ~100 bytes/type) or " +
         "pre-normalize the text to shrink the type space")
     var types: Array[(Array[String], Long)] = wc.collect()
-      .map(r => (BpeEncode.codePointSymbols(r.getString(0)), r.getLong(1)))
+      .map(r => (BpeEncode.symbols(r.getString(0), byteLevel), r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var rank = 0
     var continue = true
@@ -158,24 +159,27 @@ object Bpe {
     * scan: split + two Generate nodes + the native per-word expression
     * (memoized — Zipf makes the cache hit rate the common case). */
   def encodeTokens(docs: DataFrame, idCol: String, textCol: String,
-                   merges: Seq[(String, String)]): DataFrame =
+                   merges: Seq[(String, String)],
+                   byteLevel: Boolean = false): DataFrame =
     docs.select(col(idCol),
         posexplode(split(col(textCol), " ", -1)).as(Seq("word_pos", "__w__")))
       .filter(length(col("__w__")) >= 1)
       .select(col(idCol), col("word_pos"),
-        posexplode(TextHashExprs.bpeEncode(col("__w__"), merges))
+        posexplode(TextHashExprs.bpeEncode(col("__w__"), merges, byteLevel))
           .as(Seq("tok_pos", "token")))
 
   /** Per-doc BPE token counts — the token-budget unit for the mixing /
     * window families once a real subword vocab exists (whitespace
     * counts over-weight long words, under-weight morphology). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
-                  merges: Seq[(String, String)]): DataFrame =
+                  merges: Seq[(String, String)],
+                  byteLevel: Boolean = false): DataFrame =
     docs.select(col(idCol),
         explode(split(col(textCol), " ", -1)).as("__w__"))
       .filter(length(col("__w__")) >= 1)
       .select(col(idCol),
-        size(TextHashExprs.bpeEncode(col("__w__"), merges)).as("__n__"))
+        size(TextHashExprs.bpeEncode(col("__w__"), merges, byteLevel))
+          .as("__n__"))
       .groupBy(col(idCol)).agg(sum(col("__n__")).as("n_tokens"))
 
   /** Deterministic vocabulary with stable ids: base symbols (the
@@ -186,16 +190,27 @@ object Bpe {
     * the corpus (the no-global-window discipline holds: the input to
     * row_number is an aggregate output, bounded by |alphabet|). */
   def vocabFrame(corpus: DataFrame, textCol: String,
-                 merges: DataFrame): DataFrame = {
-    val base = corpus
-      .select(explode(split(col(textCol), " ", -1)).as("__w__"))
-      .filter(length(col("__w__")) >= 1)
-      .select(explode(TextHashExprs.bpeEncode(col("__w__"), Seq.empty))
-        .as("token"))
-      .distinct()
-      .withColumn("token_id",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("token"))).cast("long") - 1)
+                 merges: DataFrame,
+                 byteLevel: Boolean = false): DataFrame = {
+    // byte level: the base alphabet is ALL 256 bytes (ids 0..255 in
+    // byte order — the GPT-2 construction), NOT the corpus-seen set:
+    // any future text's bytes are in-vocab by construction, so a
+    // byte-level model never emits -1 and bpeOovRate is structurally 0
+    val base =
+      if (byteLevel)
+        corpus.sparkSession.range(256)
+          .select(format_string("%02X", col("id")).as("token"),
+            col("id").as("token_id"))
+      else corpus
+        .select(explode(split(col(textCol), " ", -1)).as("__w__"))
+        .filter(length(col("__w__")) >= 1)
+        .select(explode(
+            TextHashExprs.bpeEncode(col("__w__"), Seq.empty, byteLevel))
+          .as("token"))
+        .distinct()
+        .withColumn("token_id",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("token"))).cast("long") - 1)
     val nBase = base.select(count(lit(1)).as("__b__"))
     val mergedIds = merges.crossJoin(broadcast(nBase))
       .select(col("merged").as("token"),
@@ -215,8 +230,9 @@ object Bpe {
     * caller can count OOV mass instead of losing rows. */
   def encodeIds(docs: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)],
-                vocab: DataFrame): DataFrame =
-    encodeTokens(docs, idCol, textCol, merges)
+                vocab: DataFrame,
+                byteLevel: Boolean = false): DataFrame =
+    encodeTokens(docs, idCol, textCol, merges, byteLevel)
       .join(broadcast(vocab), Seq("token"), "left")
       .select(col(idCol), col("word_pos"), col("tok_pos"),
         coalesce(col("token_id"), lit(-1L)).as("token_id"))
@@ -236,12 +252,12 @@ object Bpe {
 
   private def stampBpeMeta(spark: SparkSession, path: String,
                            numMerges: Int, minPairCount: Long,
-                           maxTypes: Int): Unit = {
+                           maxTypes: Int, byteLevel: Boolean): Unit = {
     val p = new org.apache.hadoop.fs.Path(bpeMetaFile(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
     try os.write(
-      s"""{"num_merges":$numMerges,"min_pair_count":$minPairCount,"max_types":$maxTypes}\n"""
+      s"""{"num_merges":$numMerges,"min_pair_count":$minPairCount,"max_types":$maxTypes,"byte_level":$byteLevel}\n"""
         .getBytes("UTF-8"))
     finally os.close()
   }
@@ -255,7 +271,7 @@ object Bpe {
     * retrain. Stamps from builds predating the field read back the
     * default (2000000). */
   private[llm] def readBpeMeta(spark: SparkSession,
-                               path: String): (Int, Long, Int) = {
+                               path: String): (Int, Long, Int, Boolean) = {
     val p = new org.apache.hadoop.fs.Path(bpeMetaFile(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
@@ -267,8 +283,10 @@ object Bpe {
       .findFirstMatchIn(txt)
     val mt = """"max_types"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt).getOrElse(2000000)
+    val bl = """"byte_level"\s*:\s*(true|false)""".r.findFirstMatchIn(txt)
+      .exists(_.group(1) == "true") // pre-r14 stamps: code-point level
     m match {
-      case Some(g) => (g.group(1).toInt, g.group(2).toLong, mt)
+      case Some(g) => (g.group(1).toInt, g.group(2).toLong, mt, bl)
       case None => throw new IllegalStateException(
         s"malformed BPE stamp at ${bpeMetaFile(path)}: $txt")
     }
@@ -281,15 +299,18 @@ object Bpe {
   def writeBpeModel(corpus: DataFrame, textCol: String, name: String,
                     path: String, numMerges: Int,
                     minPairCount: Long = 2L,
-                    maxTypes: Int = 2000000): Unit = {
+                    maxTypes: Int = 2000000,
+                    byteLevel: Boolean = false): Unit = {
     val spark = corpus.sparkSession
-    val merges = train(corpus, textCol, numMerges, minPairCount, maxTypes)
+    val merges = train(corpus, textCol, numMerges, minPairCount,
+      maxTypes, byteLevel)
     graft.api.GraftFrame(merges)
       .toBucketedTable(s"${name}_bpe", s"$path/bpe", 1, Seq("merged"))
-    graft.api.GraftFrame(vocabFrame(corpus, textCol, merges))
+    graft.api.GraftFrame(vocabFrame(corpus, textCol, merges, byteLevel))
       .toBucketedTable(s"${name}_bpe_vocab", s"$path/vocab", 1,
         Seq("token"))
-    stampBpeMeta(spark, path, numMerges, minPairCount, maxTypes)
+    stampBpeMeta(spark, path, numMerges, minPairCount, maxTypes,
+      byteLevel)
   }
 
   /** Serve [[encodeTokens]] from the persisted model — bit-identical
@@ -297,19 +318,19 @@ object Bpe {
   def encodeIndexed(spark: SparkSession, name: String, path: String,
                     docs: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
-    readBpeMeta(spark, path)
+    val (_, _, _, byteLevel) = readBpeMeta(spark, path)
     encodeTokens(docs, idCol, textCol,
-      mergeList(spark.table(s"${name}_bpe")))
+      mergeList(spark.table(s"${name}_bpe")), byteLevel)
   }
 
   /** Serve [[encodeIds]] from the persisted model (merges + vocab). */
   def encodeIdsIndexed(spark: SparkSession, name: String, path: String,
                        docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
-    readBpeMeta(spark, path)
+    val (_, _, _, byteLevel) = readBpeMeta(spark, path)
     encodeIds(docs, idCol, textCol,
       mergeList(spark.table(s"${name}_bpe")),
-      spark.table(s"${name}_bpe_vocab"))
+      spark.table(s"${name}_bpe_vocab"), byteLevel)
   }
 
   /** Collect a vocab frame into the bounded map [[BpeEncodeIds]]
@@ -344,7 +365,8 @@ object Bpe {
                          merges: Seq[(String, String)],
                          vocab: Map[String, Long],
                          eodId: Option[Long] = None,
-                         withDocSpans: Boolean = false): DataFrame = {
+                         withDocSpans: Boolean = false,
+                         byteLevel: Boolean = false): DataFrame = {
     eodId.foreach(e => require(e != -1L && !vocab.valuesIterator.contains(e),
       s"assembleWindowsIds: eodId $e collides with a vocab id (or the " +
         "-1 OOV sentinel) — reserve an id outside the vocabulary, e.g. " +
@@ -352,7 +374,7 @@ object Bpe {
     val words = filter(split(col(textCol), " ", -1),
       w => length(w) >= 1)
     val bare = flatten(transform(words,
-      w => TextHashExprs.bpeEncodeIds(w, merges, vocab)))
+      w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel)))
     // EOD insertion (the GPT concat convention): every document
     // contributes exactly one trailing end-of-document id, so token
     // accounting everywhere downstream is docTokens + 1 per doc
@@ -411,7 +433,8 @@ object Bpe {
                                 stride: Long, seed: Long,
                                 merges: Seq[(String, String)],
                                 vocab: Map[String, Long],
-                                eodId: Option[Long] = None): DataFrame = {
+                                eodId: Option[Long] = None,
+                                byteLevel: Boolean = false): DataFrame = {
     require(windowSize > 0, s"windowSize must be positive, got $windowSize")
     require(stride > 0, s"stride must be positive, got $stride")
     eodId.foreach(e => require(e != -1L && !vocab.valuesIterator.contains(e),
@@ -419,7 +442,7 @@ object Bpe {
         "(or the -1 OOV sentinel)"))
     val words = filter(split(col(textCol), " ", -1), w => length(w) >= 1)
     val bare = flatten(transform(words,
-      w => TextHashExprs.bpeEncodeIds(w, merges, vocab)))
+      w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel)))
     val idsArr = eodId.fold(bare)(e => concat(bare, array(lit(e))))
     val withN = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), idsArr.as("__ids__"))

@@ -167,14 +167,17 @@ object Pipeline {
   private final case class ResolvedBpe(merges: Seq[(String, String)],
                                        vocab: Map[String, Long],
                                        eodId: Option[Long],
-                                       docSpans: Boolean)
+                                       docSpans: Boolean,
+                                       byteLevel: Boolean)
 
   private def resolveBpe(spark: org.apache.spark.sql.SparkSession,
                          bw: BpeWindows): ResolvedBpe = {
-    Bpe.readBpeMeta(spark, bw.path) // crashed/foreign build refuses here
+    // a crashed/foreign build refuses here; the SYMBOLIZATION LEVEL
+    // rides the stamp — a byte-level model serves byte-level windows
+    val (_, _, _, byteLevel) = Bpe.readBpeMeta(spark, bw.path)
     ResolvedBpe(Bpe.mergeList(spark.table(s"${bw.name}_bpe")),
       Bpe.vocabMap(spark.table(s"${bw.name}_bpe_vocab")),
-      bw.eodId, bw.docSpans)
+      bw.eodId, bw.docSpans, byteLevel)
   }
 
   /** @param docs     training-candidate documents (idCol, textCol, …)
@@ -920,7 +923,8 @@ object Pipeline {
               transform(
                 filter(split(col(textCol), " ", -1), w => length(w) >= 1),
                 w => size(graft.functions.TextHashExprs
-                  .bpeEncodeIds(w, rb.merges, rb.vocab)).cast("long")),
+                  .bpeEncodeIds(w, rb.merges, rb.vocab, rb.byteLevel))
+                  .cast("long")),
               // each landed doc carries exactly one EOD id when the
               // landing inserts them — the conservation unit follows
               lit(if (rb.eodId.isDefined) 1L else 0L), (acc, n) => acc + n)
@@ -986,7 +990,7 @@ object Pipeline {
             col("window_ids"), col("n_tokens")) ++
             (if (rb.docSpans) Seq(col("doc_spans")) else Nil)
           Bpe.assembleWindowsIds(keyed, key, textCol, windowSize, seed,
-              rb.merges, rb.vocab, rb.eodId, rb.docSpans)
+              rb.merges, rb.vocab, rb.eodId, rb.docSpans, rb.byteLevel)
             .select(cols: _*)
       }
     }.reduce(_.unionByName(_))

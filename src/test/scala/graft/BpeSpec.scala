@@ -244,4 +244,71 @@ class BpeSpec extends SparkTestBase {
       .select("seg").distinct().count()
     assert(distinctSegs == 1L)
   }
+
+  test("byte-level mode: hex-pair symbols, lossless round trip through bytes, stamped level served end to end") {
+    // byte symbolization splits multibyte characters: é = C3 A9,
+    // 𝄞 (non-BMP) = F0 9D 84 9E — where code-point mode keeps them atomic
+    assert(BpeEncode.byteSymbolsHex("hé").toSeq == Seq("68", "C3", "A9"))
+    assert(BpeEncode.byteSymbolsHex("𝄞").toSeq ==
+      Seq("F0", "9D", "84", "9E"))
+    assert(BpeEncode.codePointSymbols("𝄞").toSeq == Seq("𝄞"))
+    // training over bytes learns multibyte re-joins from data
+    val corpus = df(docSchema,
+      Row(1L, "héé héé héé héé"),
+      Row(2L, "hé hé zz"))
+    val merges = Bpe.mergeList(Bpe.train(corpus, "text", 4,
+      byteLevel = true))
+    // (C3,A9) dominates: 2/word in héé ×4 + 1/word in hé ×2 = 10
+    assert(merges.head == (("C3", "A9")))
+    // lossless round trip THROUGH BYTES for any input, training-seen
+    // or not: un-hexing the concatenated tokens reproduces the word
+    Seq("héé", "hé", "h", "中中", "𝄞clef", "zz", "").foreach { w =>
+      val toks = BpeEncode.encodeWord(w, merges, byteLevel = true)
+      val hexCat = toks.mkString
+      val bytes = hexCat.grouped(2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
+      assert(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        == w, s"byte round trip broke on '$w': $hexCat")
+    }
+    // the persisted family stamps the level and serves at it
+    val base = java.nio.file.Files.createTempDirectory("graft_bpeb")
+      .toString
+    try {
+      Bpe.writeBpeModel(corpus, "text", "bpeb", base, numMerges = 4,
+        byteLevel = true)
+      val docs = df(docSchema, Row(10L, "héé zz"))
+      val want = Bpe.encodeTokens(docs, "doc_id", "text", merges,
+          byteLevel = true)
+        .orderBy("word_pos", "tok_pos").collect()
+        .map(_.getString(3)).toSeq
+      val got = Bpe.encodeIndexed(spark, "bpeb", base, docs, "doc_id",
+          "text")
+        .orderBy("word_pos", "tok_pos").collect()
+        .map(_.getString(3)).toSeq
+      assert(got == want, s"$got != $want")
+      assert(got.forall(_.matches("[0-9A-F]+")),
+        "served tokens must be hex strings — the stamped byte level")
+      // vocab ids: base alphabet is the corpus's distinct BYTES (hex
+      // order == byte order), and the id-space windows ride the
+      // stamped level through BpeWindows resolution
+      val vocab = Bpe.vocabMap(spark.table("bpeb_bpe_vocab"))
+      assert(vocab.keys.filter(_.length == 2)
+        .forall(_.matches("[0-9A-F]{2}")))
+      val win = Bpe.assembleWindowsIds(docs, "doc_id", "text", 3L, 0L,
+        merges, vocab, byteLevel = true)
+      val mass = win.agg(sum("n_tokens")).head().getLong(0)
+      val wantMass = Bpe.tokenCounts(docs, "doc_id", "text", merges,
+        byteLevel = true).agg(sum("n_tokens")).head().getLong(0)
+      assert(mass == wantMass)
+      // drift observable serves at the stamped level too: byte-level
+      // models NEVER see OOV ids from new scripts (the GPT-2 property)
+      assert(Bpe.bpeOovRate(spark, "bpeb", base,
+        df(docSchema, Row(99L, "中中 𝄞 entirely new")), "text") == 0.0)
+    } finally {
+      Seq("bpeb_bpe", "bpeb_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+    }
+  }
 }
