@@ -3867,6 +3867,109 @@ object QueriesText {
         .orderBy("doc_id", "word_pos", "tok_pos")
     }
 
+    // GPT-2 pre-tokenization composed with byte-level training (r14):
+    // the regex word stream — letter/digit/punctuation runs each
+    // optionally carrying ONE LEADING SPACE into the token (the
+    // defining GPT-2 feature: ' héé' and 'héé' are different words,
+    // detokenization is plain concatenation) — feeds byte-level BPE.
+    // Both engines extract with the same RE2-compatible pattern; the
+    // injected fixture text ('héé' ×1500 space-joined) extracts as ONE
+    // bare 'héé' + 1499 ' héé' (leading space IN the word), so the
+    // space byte 20 participates in merges and the replay checks the
+    // pattern semantics, not just the merge loop.
+    val gpt2Pat = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+    val gpt2PatSql = """ ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"""
+    def bpeGpt2TrainCtes(nMerges: Int): String = {
+      val init =
+        s"""gw0 AS MATERIALIZED (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS cnt, ${spacedBytesSql("w")} AS sp
+           |  FROM (SELECT unnest(regexp_extract_all(text, '$gpt2PatSql')) AS w
+           |        FROM documents WHERE doc_id < 400
+           |        UNION ALL SELECT 'héé'
+           |        UNION ALL SELECT ' héé' FROM range(${bpeByteReps - 1}))
+           |  WHERE length(w) >= 1 GROUP BY w)""".stripMargin
+      val iters = (1 to nMerges).map { r =>
+        val p = r - 1
+        s"""gp$r AS MATERIALIZED (
+           |  SELECT toks[CAST(i AS INTEGER)] AS l,
+           |    toks[CAST(i AS INTEGER)+1] AS rr,
+           |    CAST(SUM(cnt) AS BIGINT) AS c
+           |  FROM (SELECT cnt, string_split(trim(sp), '  ') AS toks,
+           |          unnest(range(1, len(string_split(trim(sp), '  ')))) AS i
+           |        FROM gw$p)
+           |  GROUP BY 1, 2),
+           |gb$r AS MATERIALIZED (SELECT l, rr, c FROM gp$r ORDER BY c DESC, l, rr LIMIT 1),
+           |gw$r AS MATERIALIZED (
+           |  SELECT w, cnt,
+           |    replace(sp, (SELECT ' '||l||'  '||rr||' ' FROM gb$r),
+           |                (SELECT ' '||l||rr||' ' FROM gb$r)) AS sp
+           |  FROM gw$p)""".stripMargin
+      }
+      (init +: iters).mkString(",\n")
+    }
+    def bpeGpt2TrainFixture(s: org.apache.spark.sql.SparkSession,
+                            dir: String) = {
+      import s.implicits._
+      t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq((-8L,
+          Array.fill(bpeByteReps)("héé").mkString(" ")))
+          .toDF("doc_id", "text"))
+    }
+
+    r.reg("q_bpe_gpt2", {
+      val sel = (1 to 8).map(r =>
+        s"SELECT ${r - 1} AS rank, l AS \"left\", rr AS \"right\", " +
+          s"l||rr AS merged, c AS pair_count FROM gb$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${bpeGpt2TrainCtes(8)}
+         |$sel
+         |ORDER BY rank""".stripMargin
+    }) { (s, dir) =>
+      graft.llm.Bpe.train(bpeGpt2TrainFixture(s, dir), "text", 8,
+          byteLevel = true, wordPattern = Some(gpt2Pat))
+        .orderBy("rank")
+    }
+
+    // the GPT-2 encode: regex words (leading spaces in-token) through
+    // the byte-level merges — token streams concatenate back to the
+    // ORIGINAL text bytes including its separators
+    r.reg("q_bpe_gpt2_tokens", {
+      val nested = (1 to 8).foldLeft(spacedBytesSql("w")) { (acc, r) =>
+        s"replace($acc, (SELECT ' '||l||'  '||rr||' ' FROM gb$r), " +
+          s"(SELECT ' '||l||rr||' ' FROM gb$r))"
+      }
+      s"""WITH ${bpeGpt2TrainCtes(8)},
+         |gdocs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100
+         |          UNION ALL
+         |          SELECT CAST(-8 AS BIGINT), '$bpeByteEncodeFixture'),
+         |gwrd AS (
+         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_pos,
+         |    toks[CAST(i AS INTEGER)] AS w
+         |  FROM (SELECT doc_id,
+         |          regexp_extract_all(text, '$gpt2PatSql') AS toks,
+         |          unnest(range(1, len(regexp_extract_all(text, '$gpt2PatSql'))+1)) AS i
+         |        FROM gdocs)
+         |  WHERE toks[CAST(i AS INTEGER)] <> ''),
+         |genc AS (
+         |  SELECT doc_id, word_pos,
+         |    string_split(trim($nested), '  ') AS etoks
+         |  FROM gwrd)
+         |SELECT doc_id, word_pos, CAST(j - 1 AS INTEGER) AS tok_pos,
+         |  etoks[CAST(j AS INTEGER)] AS token
+         |FROM (SELECT doc_id, word_pos, etoks,
+         |        unnest(range(1, len(etoks)+1)) AS j FROM genc)
+         |ORDER BY doc_id, word_pos, tok_pos""".stripMargin
+    }) { (s, dir) =>
+      val merges = graft.llm.Bpe.mergeList(
+        graft.llm.Bpe.train(bpeGpt2TrainFixture(s, dir), "text", 8,
+          byteLevel = true, wordPattern = Some(gpt2Pat)))
+      graft.llm.Bpe.encodeTokens(bpeByteEncodeDocs(s, dir),
+          "doc_id", "text", merges, byteLevel = true,
+          wordPattern = Some(gpt2Pat))
+        .orderBy("doc_id", "word_pos", "tok_pos")
+    }
+
     // ------------------------------------------------------------------
     // Lexical retrieval (r13): BM25 ranked search + hybrid RRF fusion.
     // The oracle recomputes the ENTIRE scoring pipeline — tokenization,

@@ -35,11 +35,34 @@ import graft.functions.{BpeEncode, TextHashExprs}
   */
 object Bpe {
 
+  /** The GPT-2-shaped pre-tokenizer pattern, restricted to the
+    * RE2-compatible subset (no lookahead — both engines must extract
+    * identically): letter runs, digit runs and punctuation runs, each
+    * optionally carrying ONE leading space INTO the token (the
+    * defining GPT-2 feature: ' world' and 'world' are different
+    * tokens, so detokenization is concatenation). Whitespace beyond
+    * one space per token is dropped — the same information loss as
+    * whitespace splitting. */
+  val Gpt2WordPattern: String =
+    " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Word stream of a text column: whitespace split (the default), or
+    * regex pre-tokenization via `wordPattern` (ordered matches —
+    * Spark regexp_extract_all and DuckDB regexp_extract_all agree on
+    * the RE2-compatible subset). */
+  private[llm] def wordsOf(textCol: String,
+                           wordPattern: Option[String]): org.apache.spark.sql.Column =
+    wordPattern match {
+      case None => split(col(textCol), " ", -1)
+      case Some(p) => regexp_extract_all(col(textCol), lit(p), lit(0))
+    }
+
   /** Distributed word-type counts: one explode + one map-side-combined
     * aggregation — the only corpus-sized pass in training. Empty
     * tokens from repeated separators drop (they carry no symbols). */
-  def wordCounts(corpus: DataFrame, textCol: String): DataFrame =
-    corpus.select(explode(split(col(textCol), " ", -1)).as("word"))
+  def wordCounts(corpus: DataFrame, textCol: String,
+                 wordPattern: Option[String] = None): DataFrame =
+    corpus.select(explode(wordsOf(textCol, wordPattern)).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
@@ -93,11 +116,12 @@ object Bpe {
   def train(corpus: DataFrame, textCol: String, numMerges: Int,
             minPairCount: Long = 2L,
             maxTypes: Int = 2000000,
-            byteLevel: Boolean = false): DataFrame = {
+            byteLevel: Boolean = false,
+            wordPattern: Option[String] = None): DataFrame = {
     require(numMerges >= 0, "numMerges must be >= 0")
     require(minPairCount >= 1, "minPairCount must be >= 1")
     val spark = corpus.sparkSession
-    val wc = wordCounts(corpus, textCol)
+    val wc = wordCounts(corpus, textCol, wordPattern)
     // bounded probe, not a full count: the refusal must cost O(maxTypes)
     val probe = wc.limit(maxTypes + 1).count()
     require(probe <= maxTypes,
@@ -160,9 +184,10 @@ object Bpe {
     * (memoized — Zipf makes the cache hit rate the common case). */
   def encodeTokens(docs: DataFrame, idCol: String, textCol: String,
                    merges: Seq[(String, String)],
-                   byteLevel: Boolean = false): DataFrame =
+                   byteLevel: Boolean = false,
+                   wordPattern: Option[String] = None): DataFrame =
     docs.select(col(idCol),
-        posexplode(split(col(textCol), " ", -1)).as(Seq("word_pos", "__w__")))
+        posexplode(wordsOf(textCol, wordPattern)).as(Seq("word_pos", "__w__")))
       .filter(length(col("__w__")) >= 1)
       .select(col(idCol), col("word_pos"),
         posexplode(TextHashExprs.bpeEncode(col("__w__"), merges, byteLevel))
@@ -173,9 +198,10 @@ object Bpe {
     * counts over-weight long words, under-weight morphology). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
                   merges: Seq[(String, String)],
-                  byteLevel: Boolean = false): DataFrame =
+                  byteLevel: Boolean = false,
+                  wordPattern: Option[String] = None): DataFrame =
     docs.select(col(idCol),
-        explode(split(col(textCol), " ", -1)).as("__w__"))
+        explode(wordsOf(textCol, wordPattern)).as("__w__"))
       .filter(length(col("__w__")) >= 1)
       .select(col(idCol),
         size(TextHashExprs.bpeEncode(col("__w__"), merges, byteLevel))
@@ -191,7 +217,8 @@ object Bpe {
     * row_number is an aggregate output, bounded by |alphabet|). */
   def vocabFrame(corpus: DataFrame, textCol: String,
                  merges: DataFrame,
-                 byteLevel: Boolean = false): DataFrame = {
+                 byteLevel: Boolean = false,
+                 wordPattern: Option[String] = None): DataFrame = {
     // byte level: the base alphabet is ALL 256 bytes (ids 0..255 in
     // byte order — the GPT-2 construction), NOT the corpus-seen set:
     // any future text's bytes are in-vocab by construction, so a
@@ -202,7 +229,7 @@ object Bpe {
           .select(format_string("%02X", col("id")).as("token"),
             col("id").as("token_id"))
       else corpus
-        .select(explode(split(col(textCol), " ", -1)).as("__w__"))
+        .select(explode(wordsOf(textCol, wordPattern)).as("__w__"))
         .filter(length(col("__w__")) >= 1)
         .select(explode(
             TextHashExprs.bpeEncode(col("__w__"), Seq.empty, byteLevel))
@@ -231,8 +258,9 @@ object Bpe {
   def encodeIds(docs: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)],
                 vocab: DataFrame,
-                byteLevel: Boolean = false): DataFrame =
-    encodeTokens(docs, idCol, textCol, merges, byteLevel)
+                byteLevel: Boolean = false,
+                wordPattern: Option[String] = None): DataFrame =
+    encodeTokens(docs, idCol, textCol, merges, byteLevel, wordPattern)
       .join(broadcast(vocab), Seq("token"), "left")
       .select(col(idCol), col("word_pos"), col("tok_pos"),
         coalesce(col("token_id"), lit(-1L)).as("token_id"))
@@ -252,12 +280,16 @@ object Bpe {
 
   private def stampBpeMeta(spark: SparkSession, path: String,
                            numMerges: Int, minPairCount: Long,
-                           maxTypes: Int, byteLevel: Boolean): Unit = {
+                           maxTypes: Int, byteLevel: Boolean,
+                           wordPattern: Option[String]): Unit = {
     val p = new org.apache.hadoop.fs.Path(bpeMetaFile(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
+    // the pattern carries regex backslashes — JSON-escape them
+    val wp = wordPattern.fold("")(pat =>
+      s""","word_pattern":"${pat.replace("\\", "\\\\").replace("\"", "\\\"")}\"""")
     try os.write(
-      s"""{"num_merges":$numMerges,"min_pair_count":$minPairCount,"max_types":$maxTypes,"byte_level":$byteLevel}\n"""
+      s"""{"num_merges":$numMerges,"min_pair_count":$minPairCount,"max_types":$maxTypes,"byte_level":$byteLevel$wp}\n"""
         .getBytes("UTF-8"))
     finally os.close()
   }
@@ -271,7 +303,7 @@ object Bpe {
     * retrain. Stamps from builds predating the field read back the
     * default (2000000). */
   private[llm] def readBpeMeta(spark: SparkSession,
-                               path: String): (Int, Long, Int, Boolean) = {
+                               path: String): (Int, Long, Int, Boolean, Option[String]) = {
     val p = new org.apache.hadoop.fs.Path(bpeMetaFile(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
@@ -285,8 +317,11 @@ object Bpe {
       .map(_.group(1).toInt).getOrElse(2000000)
     val bl = """"byte_level"\s*:\s*(true|false)""".r.findFirstMatchIn(txt)
       .exists(_.group(1) == "true") // pre-r14 stamps: code-point level
+    val wp = """"word_pattern"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(txt)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     m match {
-      case Some(g) => (g.group(1).toInt, g.group(2).toLong, mt, bl)
+      case Some(g) => (g.group(1).toInt, g.group(2).toLong, mt, bl, wp)
       case None => throw new IllegalStateException(
         s"malformed BPE stamp at ${bpeMetaFile(path)}: $txt")
     }
@@ -300,17 +335,19 @@ object Bpe {
                     path: String, numMerges: Int,
                     minPairCount: Long = 2L,
                     maxTypes: Int = 2000000,
-                    byteLevel: Boolean = false): Unit = {
+                    byteLevel: Boolean = false,
+                    wordPattern: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
     val merges = train(corpus, textCol, numMerges, minPairCount,
-      maxTypes, byteLevel)
+      maxTypes, byteLevel, wordPattern)
     graft.api.GraftFrame(merges)
       .toBucketedTable(s"${name}_bpe", s"$path/bpe", 1, Seq("merged"))
-    graft.api.GraftFrame(vocabFrame(corpus, textCol, merges, byteLevel))
+    graft.api.GraftFrame(
+        vocabFrame(corpus, textCol, merges, byteLevel, wordPattern))
       .toBucketedTable(s"${name}_bpe_vocab", s"$path/vocab", 1,
         Seq("token"))
     stampBpeMeta(spark, path, numMerges, minPairCount, maxTypes,
-      byteLevel)
+      byteLevel, wordPattern)
   }
 
   /** Serve [[encodeTokens]] from the persisted model — bit-identical
@@ -318,19 +355,19 @@ object Bpe {
   def encodeIndexed(spark: SparkSession, name: String, path: String,
                     docs: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
-    val (_, _, _, byteLevel) = readBpeMeta(spark, path)
+    val (_, _, _, byteLevel, wordPattern) = readBpeMeta(spark, path)
     encodeTokens(docs, idCol, textCol,
-      mergeList(spark.table(s"${name}_bpe")), byteLevel)
+      mergeList(spark.table(s"${name}_bpe")), byteLevel, wordPattern)
   }
 
   /** Serve [[encodeIds]] from the persisted model (merges + vocab). */
   def encodeIdsIndexed(spark: SparkSession, name: String, path: String,
                        docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
-    val (_, _, _, byteLevel) = readBpeMeta(spark, path)
+    val (_, _, _, byteLevel, wordPattern) = readBpeMeta(spark, path)
     encodeIds(docs, idCol, textCol,
       mergeList(spark.table(s"${name}_bpe")),
-      spark.table(s"${name}_bpe_vocab"), byteLevel)
+      spark.table(s"${name}_bpe_vocab"), byteLevel, wordPattern)
   }
 
   /** Collect a vocab frame into the bounded map [[BpeEncodeIds]]
@@ -366,12 +403,13 @@ object Bpe {
                          vocab: Map[String, Long],
                          eodId: Option[Long] = None,
                          withDocSpans: Boolean = false,
-                         byteLevel: Boolean = false): DataFrame = {
+                         byteLevel: Boolean = false,
+                         wordPattern: Option[String] = None): DataFrame = {
     eodId.foreach(e => require(e != -1L && !vocab.valuesIterator.contains(e),
       s"assembleWindowsIds: eodId $e collides with a vocab id (or the " +
         "-1 OOV sentinel) — reserve an id outside the vocabulary, e.g. " +
         "max(token_id) + 1"))
-    val words = filter(split(col(textCol), " ", -1),
+    val words = filter(wordsOf(textCol, wordPattern),
       w => length(w) >= 1)
     val bare = flatten(transform(words,
       w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel)))
@@ -434,13 +472,14 @@ object Bpe {
                                 merges: Seq[(String, String)],
                                 vocab: Map[String, Long],
                                 eodId: Option[Long] = None,
-                                byteLevel: Boolean = false): DataFrame = {
+                                byteLevel: Boolean = false,
+                                wordPattern: Option[String] = None): DataFrame = {
     require(windowSize > 0, s"windowSize must be positive, got $windowSize")
     require(stride > 0, s"stride must be positive, got $stride")
     eodId.foreach(e => require(e != -1L && !vocab.valuesIterator.contains(e),
       s"assembleWindowsIdsStrided: eodId $e collides with a vocab id " +
         "(or the -1 OOV sentinel)"))
-    val words = filter(split(col(textCol), " ", -1), w => length(w) >= 1)
+    val words = filter(wordsOf(textCol, wordPattern), w => length(w) >= 1)
     val bare = flatten(transform(words,
       w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel)))
     val idsArr = eodId.fold(bare)(e => concat(bare, array(lit(e))))

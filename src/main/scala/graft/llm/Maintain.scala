@@ -906,10 +906,10 @@ object Maintain {
         val indicated = oov > policy.maxDriftDelta
         val fire = indicated && freshCorpus.isDefined
         if (fire) {
-          val (numMerges, minPairCount, maxTypes, byteLevel) =
+          val (numMerges, minPairCount, maxTypes, byteLevel, wordPat) =
             Bpe.readBpeMeta(spark, path)
           Bpe.writeBpeModel(freshCorpus.get, textCol, name, path,
-            numMerges, minPairCount, maxTypes, byteLevel)
+            numMerges, minPairCount, maxTypes, byteLevel, wordPat)
         }
         results += (("oov_drift", oov, policy.maxDriftDelta, fire,
           if (fire) "Bpe.writeBpeModel(freshCorpus)"

@@ -168,16 +168,18 @@ object Pipeline {
                                        vocab: Map[String, Long],
                                        eodId: Option[Long],
                                        docSpans: Boolean,
-                                       byteLevel: Boolean)
+                                       byteLevel: Boolean,
+                                       wordPattern: Option[String])
 
   private def resolveBpe(spark: org.apache.spark.sql.SparkSession,
                          bw: BpeWindows): ResolvedBpe = {
     // a crashed/foreign build refuses here; the SYMBOLIZATION LEVEL
-    // rides the stamp — a byte-level model serves byte-level windows
-    val (_, _, _, byteLevel) = Bpe.readBpeMeta(spark, bw.path)
+    // and pre-tokenizer ride the stamp — the landing serves exactly
+    // the geometry the model was trained under
+    val (_, _, _, byteLevel, wordPattern) = Bpe.readBpeMeta(spark, bw.path)
     ResolvedBpe(Bpe.mergeList(spark.table(s"${bw.name}_bpe")),
       Bpe.vocabMap(spark.table(s"${bw.name}_bpe_vocab")),
-      bw.eodId, bw.docSpans, byteLevel)
+      bw.eodId, bw.docSpans, byteLevel, wordPattern)
   }
 
   /** @param docs     training-candidate documents (idCol, textCol, …)
@@ -921,7 +923,8 @@ object Pipeline {
           case Some(rb) =>
             aggregate(
               transform(
-                filter(split(col(textCol), " ", -1), w => length(w) >= 1),
+                filter(graft.llm.Bpe.wordsOf(textCol, rb.wordPattern),
+                  w => length(w) >= 1),
                 w => size(graft.functions.TextHashExprs
                   .bpeEncodeIds(w, rb.merges, rb.vocab, rb.byteLevel))
                   .cast("long")),
@@ -990,7 +993,8 @@ object Pipeline {
             col("window_ids"), col("n_tokens")) ++
             (if (rb.docSpans) Seq(col("doc_spans")) else Nil)
           Bpe.assembleWindowsIds(keyed, key, textCol, windowSize, seed,
-              rb.merges, rb.vocab, rb.eodId, rb.docSpans, rb.byteLevel)
+              rb.merges, rb.vocab, rb.eodId, rb.docSpans, rb.byteLevel,
+              rb.wordPattern)
             .select(cols: _*)
       }
     }.reduce(_.unionByName(_))

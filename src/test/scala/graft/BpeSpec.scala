@@ -311,4 +311,55 @@ class BpeSpec extends SparkTestBase {
         new java.io.File(base))
     }
   }
+
+  test("GPT-2 pre-tokenization: leading spaces ride into tokens, detokenization is concatenation, stamped pattern served") {
+    val pat = Bpe.Gpt2WordPattern
+    val corpus = df(docSchema,
+      Row(1L, "the cat, the cat! 42 cats"),
+      Row(2L, "héé the cat 42"))
+    // words carry ONE leading space; concatenating ALL words of a doc
+    // reproduces the text up to multi-space runs — for single-spaced
+    // text, exactly
+    val words = Bpe.wordCounts(corpus, "text", Some(pat))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(words.contains(" cat") && words.contains("the"))
+    assert(words(" cat") == 3L) // two in doc 1, one in doc 2 (' cats' is its own word)
+    assert(words.contains(",") && words.contains("!"))
+    assert(words.contains(" 42"))
+    // detokenization-by-concatenation: encode then concat bytes == text
+    val merges = Bpe.mergeList(Bpe.train(corpus, "text", 6,
+      byteLevel = true, wordPattern = Some(pat)))
+    val toks = Bpe.encodeTokens(corpus.filter(col("doc_id") === 1L),
+        "doc_id", "text", merges, byteLevel = true,
+        wordPattern = Some(pat))
+      .orderBy("word_pos", "tok_pos").collect().map(_.getString(3))
+    val bytes = toks.mkString.grouped(2)
+      .map(h => Integer.parseInt(h, 16).toByte).toArray
+    assert(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      == "the cat, the cat! 42 cats",
+      "GPT-2 tokens must concatenate back to the original text")
+    // the persisted family stamps the pattern (with its regex
+    // backslashes JSON-escaped) and serves it
+    val base = java.nio.file.Files.createTempDirectory("graft_bpeg")
+      .toString
+    try {
+      Bpe.writeBpeModel(corpus, "text", "bpeg", base, numMerges = 6,
+        byteLevel = true, wordPattern = Some(pat))
+      val want = Bpe.encodeTokens(corpus, "doc_id", "text", merges,
+          byteLevel = true, wordPattern = Some(pat))
+        .orderBy("doc_id", "word_pos", "tok_pos").collect()
+        .map(_.getString(3)).toSeq
+      val got = Bpe.encodeIndexed(spark, "bpeg", base, corpus,
+          "doc_id", "text")
+        .orderBy("doc_id", "word_pos", "tok_pos").collect()
+        .map(_.getString(3)).toSeq
+      assert(got == want,
+        "the indexed serve must replay the stamped pattern + level")
+    } finally {
+      Seq("bpeg_bpe", "bpeg_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+    }
+  }
 }
