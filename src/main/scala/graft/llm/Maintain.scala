@@ -506,6 +506,12 @@ object Maintain {
                                freshSeed: Option[DataFrame] = None,
                                labelCol: String = "label",
                                textCol: String = "text") extends Target
+  final case class WindowsTarget(outPath: String,
+                                 docs: Option[DataFrame] = None,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text",
+                                 bpeWindows: Option[graft.llm.Pipeline.BpeWindows] = None)
+    extends Target
 
   /** The NIGHTLY SWEEP: one call maintains every persisted family a
     * corpus owner operates — each (label, target) runs its family's
@@ -552,6 +558,8 @@ object Maintain {
             maintainBpe(spark, n, p, policy, fs, fc, tc)
           case MultiTarget(n, p, fs, fsd, lc, tc) =>
             maintainMulti(spark, n, p, policy, fs, fsd, lc, tc)
+          case WindowsTarget(op, d, ic, tc, bw) =>
+            maintainWindows(spark, op, policy, d, ic, tc, bw)
           case DhashIndexTarget(n) =>
             maintainDhashIndex(spark, n, policy)
           case EnvelopeIndexTarget(n) =>
@@ -728,6 +736,67 @@ object Maintain {
       else if (over) "subsumed: retrain rewrote one file per bucket"
       else "none"))
 
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
+  }
+
+  /** Maintenance pass for a training-WINDOWS LANDING
+    * ([[Pipeline.ingestWindowsShard]] roots) — the fleet's eye on the
+    * SINK, not an index: the landing has no drift (windows are exact
+    * chops of gated text) and its per-shard files rewrite wholesale on
+    * retraction, so the pass is OBSERVE-AND-INDICATE — it never
+    * rewrites data itself. Checks, from [[Pipeline.windowsReport]]:
+    *
+    *  1. uncommitted shards: `manifest=false` means a crashed landing —
+    *     the indicated action is replaying [[Pipeline
+    *     .ingestWindowsShard]] under the same label (O(1) if it had in
+    *     fact committed).
+    *  2. token conservation (only when `docs` — the source-of-truth
+    *     text store — is provided): any shard with `tokens_match=false`
+    *     indicates text-store drift or a wrong-unit audit; the action
+    *     is operator investigation, never an automatic rewrite
+    *     (the report cannot know which side is wrong).
+    *  3. fragmentation: max files per shard over `policy.maxFilesFlat`
+    *     is recorded as indicated-only — shards rewrite in place on
+    *     retraction and a forced rewrite would churn a live reader.
+    *
+    * All three record fired=false by design; the sweep's value is ONE
+    * nightly frame where a crashed or drifted landing cannot hide. */
+  def maintainWindows(spark: SparkSession, outPath: String,
+                      policy: Policy = Policy(),
+                      docs: Option[DataFrame] = None,
+                      idCol: String = "doc_id",
+                      textCol: String = "text",
+                      bpeWindows: Option[graft.llm.Pipeline.BpeWindows] = None): DataFrame = {
+    val rep = graft.llm.Pipeline.windowsReport(spark, outPath, docs,
+      idCol, textCol, bpeWindows).collect()
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+    val uncommitted = rep.filter(!_.getAs[Boolean]("manifest"))
+      .map(_.getAs[String]("shard_label"))
+    results += (("uncommitted_shards", uncommitted.length.toDouble, 0.0,
+      false,
+      if (uncommitted.isEmpty) "none"
+      else s"indicated: replay ingestWindowsShard for ${uncommitted.take(5).mkString(",")}"))
+    docs match {
+      case None =>
+        results += (("token_conservation", Double.NaN, Double.NaN, false,
+          "skipped: no source-of-truth docs provided"))
+      case Some(_) =>
+        val bad = rep.filter(r => !r.isNullAt(r.fieldIndex("tokens_match"))
+            && !r.getAs[Boolean]("tokens_match"))
+          .map(_.getAs[String]("shard_label"))
+        results += (("token_conservation", bad.length.toDouble, 0.0,
+          false,
+          if (bad.isEmpty) "none"
+          else s"indicated: investigate text-store drift on ${bad.take(5).mkString(",")}"))
+    }
+    val maxFiles =
+      if (rep.isEmpty) 0.0 else rep.map(_.getAs[Long]("files")).max.toDouble
+    results += (("shard_files", maxFiles, policy.maxFilesFlat.toDouble,
+      false,
+      if (maxFiles > policy.maxFilesFlat)
+        "indicated: shard file counts high — rewrites happen in place on retraction; no automatic compaction for a live-reader sink"
+      else "none"))
     import spark.implicits._
     results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
   }

@@ -1124,4 +1124,52 @@ class IngestSpec extends SparkTestBase {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }
   }
+
+  test("WindowsTarget: the fleet sweep surfaces crashed shards and conservation drift on a windows landing") {
+    val tmp = tmpDir("graft_wmt_idx")
+    val out = tmpDir("graft_wmt_out")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "wmt_t", tmp)
+      Pipeline.ingestWindowsShard(
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 230),
+        df(docSchema), "doc_id", "text", "wmt_t", tmp, out, 64L, "d01",
+        redactPii = false)
+      Pipeline.ingestWindowsShard(
+        docs.filter(col("doc_id") >= 230 && col("doc_id") < 260),
+        df(docSchema), "doc_id", "text", "wmt_t", tmp, out, 64L, "d02",
+        redactPii = false)
+      def sweep(store: Option[org.apache.spark.sql.DataFrame]) =
+        graft.llm.Maintain.maintainAll(spark, Seq(
+          "windows" -> graft.llm.Maintain.WindowsTarget(out, store)))
+          .collect()
+          .map(r => r.getString(1) -> (r.getDouble(2), r.getString(5)))
+          .toMap
+      // healthy: nothing indicated, conservation green with the store
+      val healthy = sweep(Some(docs))
+      assert(healthy("uncommitted_shards") == ((0.0, "none")), healthy)
+      assert(healthy("token_conservation") == ((0.0, "none")), healthy)
+      // the sweep NEVER fires on this sink (observe-and-indicate)
+      assert(graft.llm.Maintain.maintainAll(spark, Seq(
+          "windows" -> graft.llm.Maintain.WindowsTarget(out)))
+        .filter(col("fired")).isEmpty)
+      // a crashed landing (manifest missing) is indicated by label
+      assert(new java.io.File(out, "_graft_wshard_d02.json").delete())
+      val crashed = sweep(None)
+      assert(crashed("uncommitted_shards")._1 == 1.0, crashed)
+      assert(crashed("uncommitted_shards")._2.contains("d02"), crashed)
+      assert(crashed("token_conservation")._2.contains("skipped"))
+      // a drifted text store is indicated per shard
+      val drifted = docs.withColumn("text",
+        concat(col("text"), lit(" extra")))
+      val drift = sweep(Some(drifted))
+      assert(drift("token_conservation")._1 == 2.0, drift)
+    } finally {
+      dropIndex("wmt_t")
+      Seq(tmp, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
 }
