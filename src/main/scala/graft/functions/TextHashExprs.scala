@@ -860,6 +860,67 @@ case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)],
   override def prettyName: String = "bpe_encode_ids"
 }
 
+/** Inverse of [[BpeEncodeIds]]: an `array<long>` of token ids back to
+  * the SURFACE STRING — vocab tokens concatenate (at byte level the
+  * hex stream is un-hexed back to UTF-8 first); a -1 (OOV) id renders
+  * as the replacement character U+FFFD, the standard lossy-decode
+  * marker. With a GPT-2-pretokenized model the result IS the original
+  * text (leading spaces ride in the tokens); with whitespace-split
+  * models word boundaries are gone by construction — the caller knows
+  * which contract their model stamped. The reverse map is model-sized
+  * (the vocab object, inverted once per expression instance). */
+case class BpeDecodeIds(child: Expression, vocab: Map[String, Long],
+                        byteLevel: Boolean = false)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_decode_ids needs ARRAY<BIGINT>, got $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeDecodeIds", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($c);")
+  }
+
+  @transient private lazy val inverse: Map[Long, String] =
+    vocab.map(_.swap)
+
+  override def nullSafeEval(input: Any): Any = {
+    val ids = input.asInstanceOf[ArrayData].toLongArray()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < ids.length) {
+      sb.append(inverse.getOrElse(ids(i), "\ufffd"))
+      i += 1
+    }
+    val cat = sb.toString
+    val out =
+      if (!byteLevel) cat
+      else {
+        // hex pairs -> bytes -> UTF-8 (ids not in the vocab already
+        // rendered as U+FFFD above; its own bytes pass through)
+        val bytes = new java.io.ByteArrayOutputStream()
+        var j = 0
+        while (j < cat.length) {
+          val c = cat.charAt(j)
+          if (c == '\ufffd') { bytes.write(0xEF); bytes.write(0xBF); bytes.write(0xBD); j += 1 }
+          else { bytes.write(Integer.parseInt(cat.substring(j, j + 2), 16)); j += 2 }
+        }
+        new String(bytes.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
+    UTF8String.fromString(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeIds =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_decode_ids"
+}
+
 object BpeEncode {
   /** Code-point symbols of a word (surrogate-pair safe). */
   def codePointSymbols(word: String): Array[String] = {
@@ -933,6 +994,9 @@ object TextHashExprs {
                    vocab: Map[String, Long],
                    byteLevel: Boolean = false): Column =
     column(BpeEncodeIds(expression(word), merges, vocab, byteLevel))
+  def bpeDecodeIds(ids: Column, vocab: Map[String, Long],
+                   byteLevel: Boolean = false): Column =
+    column(BpeDecodeIds(expression(ids), vocab, byteLevel))
 
   def shingleHashes(text: Column, k: Int = 3): Column =
     column(ShingleHashes(expression(text), k))

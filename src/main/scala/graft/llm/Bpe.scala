@@ -523,6 +523,22 @@ object Bpe {
         sum(size(col("__slice__")).cast("long")).as("n_tokens"))
   }
 
+  /** DETOKENIZE an id-array column back to its surface string through
+    * the persisted model — the reader-side inverse of the id-space
+    * window landings: a trainer (or an operator debugging a window)
+    * reads `window_ids` back as text with one expression. With a
+    * GPT-2-pretokenized byte-level model this reproduces the original
+    * text exactly (leading spaces ride inside tokens); whitespace-split
+    * models lose word boundaries by construction, and the model's
+    * STAMP decides which contract applies — the caller never
+    * re-specifies. OOV (-1) ids render as U+FFFD. */
+  def detokenizeIndexed(spark: SparkSession, name: String, path: String,
+                        ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val (_, _, _, byteLevel, _) = readBpeMeta(spark, path)
+    TextHashExprs.bpeDecodeIds(ids,
+      vocabMap(spark.table(s"${name}_bpe_vocab")), byteLevel)
+  }
+
   /** OOV drift of a fresh corpus slice against the stored vocab: the
     * fraction of encoded token occurrences with no vocab id — a pure
     * integer ratio, engine-deterministic. Growing OOV means the corpus

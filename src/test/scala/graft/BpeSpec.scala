@@ -362,4 +362,64 @@ class BpeSpec extends SparkTestBase {
         new java.io.File(base))
     }
   }
+
+  test("detokenizeIndexed: landed id windows read back as the original text under a GPT-2 model") {
+    val pat = Bpe.Gpt2WordPattern
+    val corpus = df(docSchema,
+      Row(1L, "the cat sat, the cat sat again! 42"),
+      Row(2L, "héé sat on the mat while the cat watched"),
+      Row(3L, "a dog barked at the cat and the cat sat"))
+    val base = java.nio.file.Files.createTempDirectory("graft_detok")
+      .toString
+    try {
+      Bpe.writeBpeModel(corpus, "text", "dtk", base, numMerges = 6,
+        byteLevel = true, wordPattern = Some(pat))
+      // per-doc round trip: encode to ids, detokenize back — exact
+      val merges = Bpe.mergeList(spark.table("dtk_bpe"))
+      val vocab = Bpe.vocabMap(spark.table("dtk_bpe_vocab"))
+      val perDoc = corpus.select(col("doc_id"), col("text"),
+        Bpe.detokenizeIndexed(spark, "dtk", base,
+          flatten(transform(
+            filter(regexp_extract_all(col("text"), lit(pat), lit(0)),
+              w => length(w) >= 1),
+            w => graft.functions.TextHashExprs
+              .bpeEncodeIds(w, merges, vocab, byteLevel = true))))
+          .as("rt"))
+        .collect()
+      perDoc.foreach(r => assert(r.getString(2) == r.getString(1),
+        s"doc ${r.getLong(0)}: '${r.getString(2)}' != '${r.getString(1)}'"))
+      // window round trip: flatten the id windows in order, detokenize
+      // the whole stream — equals the docs' texts concatenated in the
+      // permutation order (GPT-2: single-spaced text reproduces byte
+      // for byte; doc boundaries butt together without a separator)
+      val win = Bpe.assembleWindowsIds(corpus, "doc_id", "text", 7L, 0L,
+          merges, vocab, byteLevel = true, wordPattern = Some(pat))
+        .orderBy("window_id")
+      val streamTxt = win
+        .agg(Bpe.detokenizeIndexed(spark, "dtk", base,
+          flatten(transform(
+            array_sort(collect_list(struct(col("window_id"),
+              col("window_ids")))),
+            s => s.getField("window_ids")))).as("t"))
+        .head().getString(0)
+      def h(id: Long): Long = {
+        val m = 2147483648L
+        (((id % m) + m) % m * 2654435761L) % 4294967296L
+      }
+      val want = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy { case (i, _) => (h(i), i) }.map(_._2).mkString
+      assert(streamTxt == want, s"'$streamTxt' != '$want'")
+      // OOV ids render as the replacement character, never throw
+      import spark.implicits._
+      val bad = Seq(Seq(-1L, 0L)).toDF("ids")
+        .select(Bpe.detokenizeIndexed(spark, "dtk", base, col("ids")))
+        .head().getString(0)
+      assert(bad.startsWith("\ufffd"), bad)
+    } finally {
+      Seq("dtk_bpe", "dtk_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+    }
+  }
 }
