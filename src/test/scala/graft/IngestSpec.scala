@@ -1172,4 +1172,75 @@ class IngestSpec extends SparkTestBase {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }
   }
+
+  test("capstone: GPT-2 byte-level windows landing with EOD + spans reads back as text through the loader") {
+    val tmp = tmpDir("graft_cap_idx")
+    val mdl = tmpDir("graft_cap_bpe")
+    val out = tmpDir("graft_cap_out")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      // the REAL tokenizer shape: GPT-2 regex pre-tokenization over
+      // byte-level symbols, all-256 base vocab — stamped once
+      graft.llm.Bpe.writeBpeModel(docs.filter(col("doc_id") < 300),
+        "text", "cap_bpe", mdl, numMerges = 12, byteLevel = true,
+        wordPattern = Some(graft.llm.Bpe.Gpt2WordPattern))
+      val vocab = graft.llm.Bpe.vocabMap(spark.table("cap_bpe_bpe_vocab"))
+      val eod = vocab.values.max + 1L
+      val bw = Pipeline.BpeWindows("cap_bpe", mdl, eodId = Some(eod),
+        docSpans = true)
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "cap_t", tmp)
+      val shard = docs.filter(col("doc_id") >= 200 && col("doc_id") < 240)
+      Pipeline.ingestWindowsShard(shard, df(docSchema), "doc_id", "text",
+        "cap_t", tmp, out, 128L, "d01", redactPii = false,
+        bpeWindows = Some(bw))
+      // loader -> detokenizer: the landed train split reads back as
+      // TEXT — the landed docs' texts concatenated in the shard's
+      // permutation order, EODs rendered as U+FFFD boundaries (the id
+      // is deliberately outside the vocab)
+      val loaded = Pipeline.loadWindows(spark, out, "train")
+      val streamTxt = loaded
+        .agg(graft.llm.Bpe.detokenizeIndexed(spark, "cap_bpe", mdl,
+          flatten(transform(
+            array_sort(collect_list(struct(col("global_id"),
+              col("window_ids")))),
+            s => s.getField("window_ids")))).as("t"))
+        .head().getString(0)
+      val sidecar = spark.read.parquet(s"$out/_docsidecar")
+        .filter(col("split") === "train").select("doc_id")
+      val landedTrain = docs.join(sidecar, Seq("doc_id"), "left_semi")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(landedTrain.nonEmpty)
+      val shardSeed = 0L ^
+        scala.util.hashing.MurmurHash3.stringHash("d01").toLong
+      def h(id: Long): Long = {
+        val m = 2147483648L
+        val c = ((id % m) + m) % m + shardSeed % m
+        (((c % m) + m) % m * 2654435761L) % 4294967296L
+      }
+      val want = landedTrain.sortBy { case (i, _) => (h(i), i) }
+        .map(_._2).mkString("\ufffd") + "\ufffd"
+      assert(streamTxt == want,
+        s"loader+detok must reproduce the landed train text: " +
+          s"${streamTxt.take(120)}... != ${want.take(120)}...")
+      // conservation in the stamped unit (GPT-2 words, byte symbols,
+      // +1 EOD per doc) — the fsck agrees
+      assert(Pipeline.windowsReport(spark, out, Some(docs),
+          bpeWindows = Some(bw))
+        .collect().forall(_.getAs[Boolean]("tokens_match")))
+      // spans still tile under the composed geometry
+      spark.read.parquet(out).select("n_tokens", "doc_spans").collect()
+        .foreach { r =>
+          assert(r.getSeq[org.apache.spark.sql.Row](1)
+            .map(_.getLong(2)).sum == r.getLong(0))
+        }
+    } finally {
+      dropIndex("cap_t")
+      Seq("cap_bpe_bpe", "cap_bpe_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(tmp, mdl, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
 }
