@@ -2706,6 +2706,73 @@ object QueriesText {
         .orderBy("window_id")
     }
 
+    // PACKED training windows (r14): the doc-aware "fewer truncations"
+    // layout — docs never split unless they exceed the window (C=64 <
+    // the 99-token max doc, so the oversize pre-split path is
+    // exercised); next-fit runs inside bounded 32-piece permutation
+    // segments. The oracle replays the permutation rank, the segment
+    // recurrence (recursive CTE — the placement depends on the running
+    // fill, exactly what the engine's native PackNextFit expression
+    // computes), dense global ids via dense_rank over (seg, win), and
+    // the token-exact window text AND span tiling, so a hash match
+    // value-checks the whole packing law cross-engine.
+    r.reg("q_windows_packed",
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split(text,' ') AS toks,
+        |        CAST(len(string_split(text,' ')) AS BIGINT) AS n
+        |      FROM documents WHERE text IS NOT NULL),
+        |d2 AS (SELECT * FROM d WHERE n > 0),
+        |p0 AS (SELECT doc_id, n,
+        |        unnest(range(0, CAST(floor((n-1)/64.0) AS BIGINT) + 1)) AS piece
+        |       FROM d2),
+        |p2 AS (SELECT doc_id, piece,
+        |        LEAST(64, n - piece*64) AS plen,
+        |        ((doc_id + 3) % 2147483648) * 2654435761 % 4294967296 AS h
+        |       FROM p0),
+        |rk AS (SELECT doc_id, piece, plen,
+        |        row_number() OVER (ORDER BY h, piece) AS rnk FROM p2),
+        |sg AS (SELECT doc_id, piece, plen,
+        |        CAST(floor((rnk-1)/32.0) AS BIGINT) AS seg,
+        |        CAST((rnk-1)%32 AS BIGINT) AS pos FROM rk),
+        |pk AS (
+        |  SELECT seg, pos, doc_id, piece, plen,
+        |         CAST(0 AS BIGINT) AS win, plen AS fill
+        |  FROM sg WHERE pos = 0
+        |  UNION ALL
+        |  SELECT c.seg, c.pos, c.doc_id, c.piece, c.plen,
+        |    CASE WHEN k.fill + c.plen <= 64 THEN k.win ELSE k.win + 1 END,
+        |    CASE WHEN k.fill + c.plen <= 64 THEN k.fill + c.plen ELSE c.plen END
+        |  FROM pk k JOIN sg c ON c.seg = k.seg AND c.pos = k.pos + 1),
+        |wid AS (SELECT seg, win,
+        |         dense_rank() OVER (ORDER BY seg, win) - 1 AS window_id
+        |        FROM (SELECT DISTINCT seg, win FROM pk)),
+        |mem AS (SELECT k.seg, k.pos, k.doc_id, k.piece, k.plen,
+        |               k.fill - k.plen AS off, w.window_id
+        |        FROM pk k JOIN wid w ON w.seg = k.seg AND w.win = k.win),
+        |parts AS (SELECT m.window_id, m.off, m.doc_id, m.plen AS len,
+        |           array_to_string(
+        |             d.toks[CAST(m.piece*64+1 AS INT):CAST(m.piece*64+m.plen AS INT)],
+        |             ' ') AS part
+        |          FROM mem m JOIN d2 d USING (doc_id))
+        |SELECT window_id,
+        |  string_agg(part, ' ' ORDER BY off) AS window_text,
+        |  string_agg(doc_id || ':' || off || ':' || len, ' ' ORDER BY off)
+        |    AS spans_text,
+        |  CAST(sum(len) AS BIGINT) AS n_tokens
+        |FROM parts GROUP BY window_id ORDER BY window_id""".stripMargin) { (s, dir) =>
+      TextStats.assembleWindowsPacked(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", windowSize = 64L, seed = 3L,
+          segmentDocs = 32, withDocSpans = true)
+        .select(col("window_id"), col("window_text"),
+          concat_ws(" ", transform(col("doc_spans"), sp =>
+            concat_ws(":", sp.getField("id").cast("string"),
+              sp.getField("pos").cast("string"),
+              sp.getField("len").cast("string")))).as("spans_text"),
+          col("n_tokens"))
+        .orderBy("window_id")
+    }
+
     // REAL codec round trip: Spark synthesizes a PNG per doc on the
     // executors (pixels are a pure integer function of doc_id), decodes
     // it back with JDK ImageIO, and reports actual decoded
@@ -3746,6 +3813,117 @@ object QueriesText {
           concat_ws(" ",
             transform(col("window_ids"), x => x.cast("string")))
             .as("ids_text"),
+          col("n_tokens"))
+        .orderBy("window_id")
+    }
+
+    // PACKED id-space windows (r14): the doc-aware layout in the unit a
+    // trainer loads — every window is EXACTLY 96 ids (pad = eod+1 fills
+    // [n_tokens, 96)), docs ≤ 96 ids (incl. their EOD) land whole, the
+    // ~56-word docs whose encodes exceed 96 pre-split losslessly. The
+    // oracle replays training + vocab + per-doc encode + EOD, then the
+    // seed-11 permutation (full-pmod hash — the fixture doc id is
+    // negative), the 16-piece-segment NEXT-FIT recurrence (recursive
+    // CTE), dense ids, padded id text and span tiling end to end.
+    r.reg("q_windows_packed_bpe", {
+      val hv = "((((doc_id % 2147483648) + 2147483648) % 2147483648 + 11)" +
+        " % 2147483648) * 2654435761 % 4294967296"
+      s"""WITH RECURSIVE ${bpeTrainCtes(8)},
+         |$bpeVocabCtes,
+         |pbeod AS (SELECT max(token_id) + 1 AS e FROM bvocab),
+         |pbdocs AS (SELECT doc_id, text FROM documents
+         |           WHERE doc_id < 100 AND text IS NOT NULL
+         |           UNION ALL
+         |           SELECT CAST(-7 AS BIGINT), '$bpeEncodeFixture'),
+         |pbwrd AS (
+         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_pos,
+         |    toks[CAST(i AS INTEGER)] AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+         |          unnest(range(1, len(string_split(text, ' '))+1)) AS i
+         |        FROM pbdocs)
+         |  WHERE toks[CAST(i AS INTEGER)] <> ''),
+         |pbenc AS (
+         |  SELECT doc_id, word_pos,
+         |    string_split(trim($bpeNestedSql), '  ') AS etoks
+         |  FROM pbwrd),
+         |pbtok AS (
+         |  SELECT doc_id, word_pos, CAST(j - 1 AS INTEGER) AS tok_pos,
+         |    etoks[CAST(j AS INTEGER)] AS token
+         |  FROM (SELECT doc_id, word_pos, etoks,
+         |          unnest(range(1, len(etoks)+1)) AS j FROM pbenc)),
+         |pbid AS (
+         |  SELECT t.doc_id, t.word_pos, t.tok_pos,
+         |    COALESCE(v.token_id, -1) AS token_id
+         |  FROM pbtok t LEFT JOIN bvocab v USING (token)),
+         |pbdoc AS (
+         |  SELECT d.doc_id,
+         |    list_append(COALESCE(g.ids0, CAST([] AS BIGINT[])),
+         |      (SELECT e FROM pbeod)) AS ids
+         |  FROM (SELECT DISTINCT doc_id FROM pbdocs) d
+         |  LEFT JOIN (SELECT doc_id,
+         |      list(token_id ORDER BY word_pos, tok_pos) AS ids0
+         |    FROM pbid GROUP BY doc_id) g USING (doc_id)),
+         |pbdn AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n FROM pbdoc),
+         |pb0 AS (SELECT doc_id, n,
+         |        unnest(range(0, CAST(floor((n-1)/96.0) AS BIGINT) + 1)) AS piece
+         |        FROM pbdn WHERE n > 0),
+         |pb2 AS (SELECT doc_id, piece,
+         |        LEAST(96, n - piece*96) AS plen, $hv AS h
+         |        FROM pb0),
+         |pbrk AS (SELECT doc_id, piece, plen,
+         |        row_number() OVER (ORDER BY h, piece) AS rnk FROM pb2),
+         |pbsg AS (SELECT doc_id, piece, plen,
+         |        CAST(floor((rnk-1)/16.0) AS BIGINT) AS seg,
+         |        CAST((rnk-1)%16 AS BIGINT) AS pos FROM pbrk),
+         |pbpk AS (
+         |  SELECT seg, pos, doc_id, piece, plen,
+         |         CAST(0 AS BIGINT) AS win, plen AS fill
+         |  FROM pbsg WHERE pos = 0
+         |  UNION ALL
+         |  SELECT c.seg, c.pos, c.doc_id, c.piece, c.plen,
+         |    CASE WHEN k.fill + c.plen <= 96 THEN k.win ELSE k.win + 1 END,
+         |    CASE WHEN k.fill + c.plen <= 96 THEN k.fill + c.plen ELSE c.plen END
+         |  FROM pbpk k JOIN pbsg c ON c.seg = k.seg AND c.pos = k.pos + 1),
+         |pbwid AS (SELECT seg, win,
+         |         dense_rank() OVER (ORDER BY seg, win) - 1 AS window_id
+         |        FROM (SELECT DISTINCT seg, win FROM pbpk)),
+         |pbmem AS (SELECT k.doc_id, k.piece, k.plen,
+         |               k.fill - k.plen AS off, w.window_id
+         |        FROM pbpk k JOIN pbwid w ON w.seg = k.seg AND w.win = k.win),
+         |pbprt AS (SELECT m.window_id, m.off, m.doc_id, m.plen AS len,
+         |           d.ids[CAST(m.piece*96+1 AS INT):CAST(m.piece*96+m.plen AS INT)] AS part
+         |          FROM pbmem m JOIN pbdn d USING (doc_id)),
+         |pbwin AS (SELECT window_id,
+         |  flatten(list(part ORDER BY off)) AS ids,
+         |  string_agg(doc_id || ':' || off || ':' || len, ' ' ORDER BY off)
+         |    AS spans_text,
+         |  CAST(sum(len) AS BIGINT) AS n_tokens
+         |  FROM pbprt GROUP BY window_id)
+         |SELECT window_id,
+         |  array_to_string(list_transform(
+         |    list_concat(ids, list_transform(range(0, 96 - n_tokens),
+         |      x -> pe.e + 1)),
+         |    x -> CAST(x AS VARCHAR)), ' ') AS ids_text,
+         |  spans_text, n_tokens
+         |FROM pbwin, pbeod pe ORDER BY window_id""".stripMargin
+    }) { (s, dir) =>
+      val idxPath = ensurePbpeModel(s, dir)
+      val _ = idxPath
+      val merges = graft.llm.Bpe.mergeList(s.table("g_pbpe_bpe"))
+      val vocab = graft.llm.Bpe.vocabMap(s.table("g_pbpe_bpe_vocab"))
+      val eod = vocab.values.max + 1L
+      graft.llm.Bpe.assembleWindowsIdsPacked(bpeEncodeDocs(s, dir),
+          "doc_id", "text", windowSize = 96L, seed = 11L, merges, vocab,
+          eodId = Some(eod), padId = Some(eod + 1L), withDocSpans = true,
+          segmentDocs = 16)
+        .select(col("window_id"),
+          concat_ws(" ",
+            transform(col("window_ids"), x => x.cast("string")))
+            .as("ids_text"),
+          concat_ws(" ", transform(col("doc_spans"), sp =>
+            concat_ws(":", sp.getField("id").cast("string"),
+              sp.getField("pos").cast("string"),
+              sp.getField("len").cast("string")))).as("spans_text"),
           col("n_tokens"))
         .orderBy("window_id")
     }

@@ -921,6 +921,68 @@ case class BpeDecodeIds(child: Expression, vocab: Map[String, Long],
   override def prettyName: String = "bpe_decode_ids"
 }
 
+/** NEXT-FIT sequence packing over an ordered list of piece lengths —
+  * the kernel of the doc-aware training-window packers (the "fewer
+  * truncations" layout, Ding et al. 2024; the packed-batch idea of
+  * Krell et al. 2021): pieces are placed in the GIVEN order into
+  * windows of `capacity` tokens, a new window opening exactly when the
+  * current one cannot hold the next piece. Input is the per-piece
+  * length array of ONE bounded permutation segment (the caller caps
+  * segment size — this row is segment-sized, never corpus-sized);
+  * output is the aligned array<struct<win:int, off:bigint>>: the
+  * window index within the segment and the token offset at which the
+  * piece lands. One imperative O(|segment|) pass per row — the
+  * recurrence (each placement depends on the running fill) is exactly
+  * what a declarative prefix sum cannot express, which is why
+  * concat-and-chop (assembleWindows) splits documents and this layout
+  * doesn't. Every length must be in (0, capacity] — callers pre-split
+  * oversized docs into capacity-sized pieces, so token conservation is
+  * exact; a violating length throws rather than silently truncating. */
+case class PackNextFit(child: Expression, capacity: Long)
+    extends UnaryExpression {
+  require(capacity > 0, s"pack_next_fit needs capacity > 0, got $capacity")
+
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("win", IntegerType, nullable = false),
+    StructField("off", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pack_next_fit needs ARRAY<BIGINT>, got $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("packNextFit", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val lens = input.asInstanceOf[ArrayData].toLongArray()
+    val out = new Array[Any](lens.length)
+    var win = 0
+    var fill = 0L
+    var i = 0
+    while (i < lens.length) {
+      val l = lens(i)
+      if (l <= 0L || l > capacity) throw new IllegalArgumentException(
+        s"pack_next_fit: piece length $l outside (0, $capacity] at " +
+          s"position $i — pre-split oversized docs before packing")
+      if (fill + l > capacity) { win += 1; fill = 0L }
+      out(i) = InternalRow(win, fill)
+      fill += l
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PackNextFit =
+    copy(child = newChild)
+  override def prettyName: String = "pack_next_fit"
+}
+
 object BpeEncode {
   /** Code-point symbols of a word (surrogate-pair safe). */
   def codePointSymbols(word: String): Array[String] = {
@@ -1022,4 +1084,6 @@ object TextHashExprs {
     column(NfcNormalize(expression(s)))
   def topGramFrac(text: Column, n: Int): Column =
     column(TopGramFrac(expression(text), n))
+  def packNextFit(lengths: Column, capacity: Long): Column =
+    column(PackNextFit(expression(lengths), capacity))
 }

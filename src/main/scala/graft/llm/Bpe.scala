@@ -523,6 +523,80 @@ object Bpe {
         sum(size(col("__slice__")).cast("long")).as("n_tokens"))
   }
 
+  /** PACKED training windows in BPE TOKEN-ID space — the doc-aware
+    * layout ([[graft.llm.TextStats.assembleWindowsPacked]] semantics in
+    * the id unit): a document whose encode (+ its one EOD id, when
+    * `eodId` is set) fits in `windowSize` lands WHOLE in exactly one
+    * window; longer docs pre-split into windowSize-sized pieces, so
+    * conservation is exact in id space — no truncation loss, unlike the
+    * published truncate-to-fit packers. `padId` (reserved outside the
+    * vocab, like `eodId`) right-pads every window to exactly
+    * `windowSize` ids — the fixed-shape tensor a trainer loads —
+    * while `n_tokens` keeps the REAL count, so the loss/attention mask
+    * is `position < n_tokens` and token accounting (conservation fsck,
+    * mixing budgets) never sees pad ids. `doc_spans` carry the same
+    * (id, pos, len) tiling as [[assembleWindowsIds]] — spans tile
+    * n_tokens, not the padded length.
+    *
+    * Scale shape: the fused per-word encode inside the scan, then
+    * [[TextStats.packedPieceMembers]] (two tiny cumsums + one
+    * segment-keyed shuffle of scalar structs — token ids do NOT ride
+    * the segment row), one corpus-sized join back to the id arrays,
+    * one window-keyed shuffle. */
+  def assembleWindowsIdsPacked(docs: DataFrame, idCol: String,
+                               textCol: String, windowSize: Long,
+                               seed: Long,
+                               merges: Seq[(String, String)],
+                               vocab: Map[String, Long],
+                               eodId: Option[Long] = None,
+                               padId: Option[Long] = None,
+                               withDocSpans: Boolean = false,
+                               byteLevel: Boolean = false,
+                               wordPattern: Option[String] = None,
+                               segmentDocs: Int = 512): DataFrame = {
+    eodId.foreach(e => require(e != -1L && !vocab.valuesIterator.contains(e),
+      s"assembleWindowsIdsPacked: eodId $e collides with a vocab id (or " +
+        "the -1 OOV sentinel) — reserve an id outside the vocabulary"))
+    padId.foreach(p => require(p != -1L && !vocab.valuesIterator.contains(p)
+        && !eodId.contains(p),
+      s"assembleWindowsIdsPacked: padId $p collides with a vocab id, the " +
+        "-1 OOV sentinel, or the eodId — reserve a distinct id outside " +
+        "the vocabulary"))
+    val words = filter(wordsOf(textCol, wordPattern), w => length(w) >= 1)
+    val bare = flatten(transform(words,
+      w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel)))
+    val idsArr = eodId.fold(bare)(e => concat(bare, array(lit(e))))
+    val withN = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), idsArr.as("__ids__"))
+      .select(col(idCol), col("__ids__"),
+        size(col("__ids__")).cast("long").as("__n__"))
+    val members = TextStats.packedPieceMembers(
+      withN.select(col(idCol), col("__n__")), idCol, "__n__",
+      windowSize, seed, segmentDocs)
+    val joined = members.join(
+      withN.select(col(idCol).cast("long").as("__mid__"), col("__ids__")),
+      Seq("__mid__"))
+      .select(col("window_id"), col("__off__"), col("__mid__"),
+        col("__plen__"),
+        slice(col("__ids__"), (col("tok_from") + 1).cast("int"),
+          col("__plen__").cast("int")).as("__slice__"))
+    val sorted = array_sort(collect_list(struct(col("__off__"),
+      col("__slice__"), col("__mid__"), col("__plen__"))))
+    val rawIds = flatten(transform(sorted, s => s.getField("__slice__")))
+    val nTok = sum(col("__plen__")).as("n_tokens")
+    val idsOut = padId.fold(rawIds)(p => concat(rawIds,
+      array_repeat(lit(p),
+        (lit(windowSize) - size(rawIds)).cast("int")))).as("window_ids")
+    val aggs = Seq(idsOut, nTok) ++
+      (if (withDocSpans) Seq(
+        transform(sorted, s => struct(
+          s.getField("__mid__").as("id"),
+          s.getField("__off__").as("pos"),
+          s.getField("__plen__").as("len"))).as("doc_spans"))
+       else Nil)
+    joined.groupBy("window_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** DETOKENIZE an id-array column back to its surface string through
     * the persisted model — the reader-side inverse of the id-space
     * window landings: a trainer (or an operator debugging a window)

@@ -459,6 +459,148 @@ object TextStats {
         sum(size(col("__slice__")).cast("long")).as("n_tokens"))
   }
 
+  /** NEXT-FIT PACKED piece membership — the doc-aware alternative to
+    * [[tokenWindowMembers]]'s concat-and-chop: documents are never
+    * split across windows (the "fewer truncations" layout of Ding et
+    * al. 2024; the packed-batch construction of Krell et al. 2021)
+    * unless they exceed `windowSize`, in which case they pre-split
+    * into windowSize-sized pieces so token conservation stays exact —
+    * nothing is truncated away. Pieces travel in the SAME deterministic
+    * Knuth-hash permutation as the chop layout, grouped into bounded
+    * SEGMENTS of `segmentDocs` consecutive pieces; packing runs
+    * next-fit within each segment (windows never cross segments — the
+    * bounded waste this costs at segment tails is the price of a
+    * partitioning-independent, engine-reproducible layout; size
+    * segments so segmentDocs·avgDocTokens ≫ windowSize and the tail
+    * waste amortizes to noise).
+    *
+    * Scale shape: the [[graft.operators.WindowOps.globalCumSum]]
+    * two-pass rank, one segment-keyed shuffle whose rows are
+    * segment-sized (≤ segmentDocs structs of four scalars — NO token
+    * data rides the segment row), the O(segment) native
+    * [[graft.functions.TextHashExprs.packNextFit]] recurrence per
+    * segment (a placement depends on the running fill — exactly what a
+    * prefix sum cannot express), and a second tiny cumsum over
+    * per-segment window counts for DENSE global window ids. Content
+    * assembly joins back to the corpus by id downstream — the one
+    * corpus-sized exchange, same as the chop layout's window shuffle.
+    *
+    * Output: one row per piece — `window_id` (global, dense), `__mid__`
+    * (the doc key cast long), `__piece__`, `__plen__`, `__off__` (token
+    * offset inside the window), `tok_from`/`tok_to` (doc-local token
+    * sub-range [from, to) of this piece). Zero-token docs vanish (the
+    * [[assembleWindows]] convention). Keys must be numeric and distinct
+    * mod 2^31 (the shuffleIndex contract). */
+  def packedPieceMembers(docs: DataFrame, idCol: String, tokenCol: String,
+                         windowSize: Long, seed: Long = 0L,
+                         segmentDocs: Int = 512): DataFrame = {
+    require(windowSize > 0, s"windowSize must be positive, got $windowSize")
+    require(segmentDocs > 0, s"segmentDocs must be positive, got $segmentDocs")
+    val kt = docs.schema(idCol).dataType
+    require(kt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packedPieceMembers: key column '$idCol' must be numeric (got " +
+        s"${kt.simpleString}); factorize or hash string keys first")
+    val pieces = docs.filter(col(tokenCol) > 0)
+      .select(col(idCol).cast("long").as("__mid__"),
+        col(tokenCol).cast("long").as("__n__"),
+        graft.QHelp.keyHash31(
+          pmod(col(idCol), lit(2147483648L)) + lit(seed % 2147483648L))
+          .as("__sh__"))
+      .withColumn("__piece__", explode(sequence(lit(0L),
+        floor((col("__n__") - 1).cast("double") / windowSize).cast("long"))))
+      .withColumn("__plen__",
+        least(lit(windowSize), col("__n__") - col("__piece__") * windowSize))
+      // single-column total order == (hash, piece) lexicographic: hash
+      // < 2^32 and piece < 2^31, so hash·2^31 + piece < 2^63 — exact
+      // in a long, and the Knuth hash is injective on ids mod 2^31
+      // (odd multiplier mod 2^32), so the order is collision-free
+      .withColumn("__ord__",
+        col("__sh__") * lit(2147483648L) + col("__piece__"))
+      .withColumn("__one__", lit(1L))
+    val ranked = graft.operators.WindowOps
+      .globalCumSum(pieces, "__ord__", "__one__", "__rank__")
+      .withColumn("__seg__",
+        floor((col("__rank__") - 1).cast("double") / segmentDocs)
+          .cast("long"))
+      .withColumn("__spos__",
+        pmod(col("__rank__") - 1, lit(segmentDocs.toLong)))
+    val segRows = ranked.groupBy(col("__seg__"))
+      .agg(array_sort(collect_list(struct(col("__spos__"), col("__mid__"),
+        col("__piece__"), col("__plen__")))).as("__items__"))
+      .withColumn("__packed__", graft.functions.TextHashExprs.packNextFit(
+        transform(col("__items__"), it => it.getField("__plen__")),
+        windowSize))
+      .withColumn("__nwins__",
+        element_at(col("__packed__"), -1).getField("win").cast("long") + 1L)
+    graft.operators.WindowOps
+      .globalCumSum(segRows, "__seg__", "__nwins__", "__wcum__")
+      .withColumn("__woff__", col("__wcum__") - col("__nwins__"))
+      .select(col("__woff__"), explode(zip_with(col("__items__"),
+        col("__packed__"), (it, pk) => struct(
+          it.getField("__mid__").as("__mid__"),
+          it.getField("__piece__").as("__piece__"),
+          it.getField("__plen__").as("__plen__"),
+          pk.getField("win").cast("long").as("__win__"),
+          pk.getField("off").as("__off__")))).as("__m__"))
+      .select(
+        (col("__woff__") + col("__m__.__win__")).as("window_id"),
+        col("__m__.__mid__").as("__mid__"),
+        col("__m__.__piece__").as("__piece__"),
+        col("__m__.__plen__").as("__plen__"),
+        col("__m__.__off__").as("__off__"),
+        (col("__m__.__piece__") * windowSize).as("tok_from"),
+        (col("__m__.__piece__") * windowSize + col("__m__.__plen__"))
+          .as("tok_to"))
+  }
+
+  /** Materialize PACKED training windows over whitespace tokens — the
+    * doc-aware counterpart of [[assembleWindows]]: same deterministic
+    * permutation, but a document ≤ windowSize tokens lands WHOLE in
+    * exactly one window (no mid-document chops feeding truncated
+    * contexts to the trainer); only oversized docs split, into
+    * windowSize-sized pieces. Windows carry up to `windowSize` tokens
+    * (underfull windows are the packing waste — callers pad at load
+    * time or train with variable lengths; the id-space form
+    * [[graft.llm.Bpe.assembleWindowsIdsPacked]] pads natively).
+    * Conservation holds exactly: Σ n_tokens == Σ per-doc token counts.
+    *
+    * Scale shape: [[packedPieceMembers]] (two tiny cumsums + one
+    * segment shuffle of scalar structs) plus ONE corpus-sized join back
+    * to the token arrays by id and ONE shuffle keyed on window_id —
+    * the same corpus exchange count as [[assembleWindows]]. */
+  def assembleWindowsPacked(docs: DataFrame, idCol: String,
+                            textCol: String, windowSize: Long,
+                            seed: Long = 0L, segmentDocs: Int = 512,
+                            withDocSpans: Boolean = false): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val withN = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__toks__"),
+        size(toks).cast("long").as("__n__"))
+    val members = packedPieceMembers(
+      withN.select(col(idCol), col("__n__")), idCol, "__n__",
+      windowSize, seed, segmentDocs)
+    val joined = members.join(
+      withN.select(col(idCol).cast("long").as("__mid__"), col("__toks__")),
+      Seq("__mid__"))
+      .select(col("window_id"), col("__off__"), col("__mid__"),
+        col("__plen__"),
+        slice(col("__toks__"), (col("tok_from") + 1).cast("int"),
+          col("__plen__").cast("int")).as("__slice__"))
+    val sorted = array_sort(collect_list(struct(col("__off__"),
+      col("__slice__"), col("__mid__"), col("__plen__"))))
+    val aggs = Seq(
+      array_join(flatten(transform(sorted, s => s.getField("__slice__"))),
+        " ").as("window_text"),
+      sum(col("__plen__")).as("n_tokens")) ++
+      (if (withDocSpans) Seq(
+        transform(sorted, s => struct(
+          s.getField("__mid__").as("id"),
+          s.getField("__off__").as("pos"),
+          s.getField("__plen__").as("len"))).as("doc_spans"))
+       else Nil)
+    joined.groupBy("window_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** PII redaction: emails, IPv4 addresses, then phone-like digit runs
     * are replaced with typed placeholder tokens — in that order, so an
     * address's digits can't be re-matched as a phone number. Pure
