@@ -157,9 +157,23 @@ object Pipeline {
     * resolved ONCE per landing (merge list + vocab map — both
     * model-sized, the bounded objects the encode expression embeds);
     * a stampless path refuses loudly ([[Bpe.readBpeMeta]]). */
+  /** `packed = true` switches the landing from GPT-style concat-and-chop
+    * to the DOC-AWARE packed layout ([[Bpe.assembleWindowsIdsPacked]] —
+    * docs never split unless they exceed windowSize; next-fit within
+    * `segmentDocs`-piece permutation segments), and `padId` (reserved
+    * outside the vocab, like eodId) then right-pads every window to
+    * exactly windowSize ids — the fixed-shape tensor a trainer loads —
+    * while n_tokens and ALL token accounting (manifest masses, the
+    * conservation fsck, mixing budgets) keep counting REAL ids only, so
+    * conservation laws are identical across both layouts. Incompatible
+    * with fullWindowsOnly (packing makes underfull REAL counts the
+    * norm; the shape guarantee comes from padId) — refused loudly. */
   final case class BpeWindows(name: String, path: String,
                               eodId: Option[Long] = None,
-                              docSpans: Boolean = false)
+                              docSpans: Boolean = false,
+                              packed: Boolean = false,
+                              padId: Option[Long] = None,
+                              segmentDocs: Int = 512)
 
   /** A [[BpeWindows]] spec resolved to the objects the encode
     * expression embeds (one driver-side read of the two model-sized
@@ -169,17 +183,24 @@ object Pipeline {
                                        eodId: Option[Long],
                                        docSpans: Boolean,
                                        byteLevel: Boolean,
-                                       wordPattern: Option[String])
+                                       wordPattern: Option[String],
+                                       packed: Boolean = false,
+                                       padId: Option[Long] = None,
+                                       segmentDocs: Int = 512)
 
   private def resolveBpe(spark: org.apache.spark.sql.SparkSession,
                          bw: BpeWindows): ResolvedBpe = {
+    require(bw.padId.isEmpty || bw.packed,
+      "BpeWindows: padId only applies to the packed layout (the chop " +
+        "layout's windows are full by construction) — set packed = true")
     // a crashed/foreign build refuses here; the SYMBOLIZATION LEVEL
     // and pre-tokenizer ride the stamp — the landing serves exactly
     // the geometry the model was trained under
     val (_, _, _, byteLevel, wordPattern) = Bpe.readBpeMeta(spark, bw.path)
     ResolvedBpe(Bpe.mergeList(spark.table(s"${bw.name}_bpe")),
       Bpe.vocabMap(spark.table(s"${bw.name}_bpe_vocab")),
-      bw.eodId, bw.docSpans, byteLevel, wordPattern)
+      bw.eodId, bw.docSpans, byteLevel, wordPattern,
+      bw.packed, bw.padId, bw.segmentDocs)
   }
 
   /** @param docs     training-candidate documents (idCol, textCol, …)
@@ -989,13 +1010,23 @@ object Pipeline {
             .select(lit(sp).as("split"), col("window_id"),
               col("window_text"), col("n_tokens"))
         case Some(rb) =>
+          require(!(rb.packed && fullWindowsOnly),
+            "packed windows + fullWindowsOnly: packing makes underfull " +
+              "REAL token counts the norm (the shape guarantee is padId) " +
+              "— the filter would drop nearly every window")
           val cols = Seq(lit(sp).as("split"), col("window_id"),
             col("window_ids"), col("n_tokens")) ++
             (if (rb.docSpans) Seq(col("doc_spans")) else Nil)
-          Bpe.assembleWindowsIds(keyed, key, textCol, windowSize, seed,
-              rb.merges, rb.vocab, rb.eodId, rb.docSpans, rb.byteLevel,
-              rb.wordPattern)
-            .select(cols: _*)
+          val asm =
+            if (rb.packed)
+              Bpe.assembleWindowsIdsPacked(keyed, key, textCol, windowSize,
+                seed, rb.merges, rb.vocab, rb.eodId, rb.padId, rb.docSpans,
+                rb.byteLevel, rb.wordPattern, rb.segmentDocs)
+            else
+              Bpe.assembleWindowsIds(keyed, key, textCol, windowSize, seed,
+                rb.merges, rb.vocab, rb.eodId, rb.docSpans, rb.byteLevel,
+                rb.wordPattern)
+          asm.select(cols: _*)
       }
     }.reduce(_.unionByName(_))
     if (fullWindowsOnly) win.filter(col("n_tokens") === windowSize) else win

@@ -1243,4 +1243,92 @@ class IngestSpec extends SparkTestBase {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }
   }
+
+  test("PACKED id windows through the landing: fixed shape, no-split law, fsck, replay, retraction") {
+    val tmp = tmpDir("graft_pck_idx")
+    val mdl = tmpDir("graft_pck_bpe")
+    val out = tmpDir("graft_pck_out")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      graft.llm.Bpe.writeBpeModel(docs.filter(col("doc_id") < 300), "text",
+        "pck_bpe", mdl, numMerges = 6)
+      val vocab = graft.llm.Bpe.vocabMap(spark.table("pck_bpe_bpe_vocab"))
+      val eod = vocab.values.max + 1L
+      val pad = eod + 1L
+      val bw = Pipeline.BpeWindows("pck_bpe", mdl, eodId = Some(eod),
+        docSpans = true, packed = true, padId = Some(pad),
+        segmentDocs = 8)
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "pck_t", tmp)
+      val s1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 240)
+      val c1 = Pipeline.ingestWindowsShard(s1, df(docSchema), "doc_id",
+        "text", "pck_t", tmp, out, 64L, "d01", redactPii = false,
+        bpeWindows = Some(bw))
+      val win = spark.read.parquet(out)
+      // FIXED SHAPE: every window is exactly 64 ids, pads only in the
+      // tail region [n_tokens, 64), and n_tokens counts real ids only
+      win.select("window_ids", "n_tokens").collect().foreach { r =>
+        val ids = r.getSeq[Long](0)
+        val n = r.getLong(1)
+        assert(ids.length == 64)
+        assert(n >= 1L && n <= 64L)
+        assert(ids.take(n.toInt).forall(_ != pad))
+        assert(ids.drop(n.toInt).forall(_ == pad))
+      }
+      // NO-SPLIT LAW: every landed doc whose BPE mass + EOD fits in 64
+      // appears in exactly one window's spans
+      val merges = graft.llm.Bpe.mergeList(spark.table("pck_bpe_bpe"))
+      val sidecar = spark.read.parquet(s"$out/_docsidecar")
+      val landedDocs = docs.join(sidecar.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      val massByDoc = graft.llm.Bpe.tokenCounts(landedDocs, "doc_id",
+        "text", merges).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1) + 1L)).toMap
+      val spanCount = win.select(explode(col("doc_spans")).as("s"))
+        .select(col("s.id")).collect().map(_.getLong(0))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      massByDoc.foreach { case (id, m) =>
+        if (m <= 64L) assert(spanCount(id) == 1,
+          s"doc $id (mass $m <= 64) split across ${spanCount(id)} windows")
+        else assert(spanCount(id) == ((m + 63L) / 64L).toInt,
+          s"oversized doc $id (mass $m) must tile into ceil pieces")
+      }
+      // conservation fsck counts REAL ids (pad excluded), green
+      assert(Pipeline.windowsReport(spark, out, Some(docs),
+          bpeWindows = Some(bw))
+        .collect().forall(_.getAs[Boolean]("tokens_match")))
+      // O(1) replay; retraction drops exactly the victim's mass + EOD
+      val c1b = Pipeline.ingestWindowsShard(s1, df(docSchema), "doc_id",
+        "text", "pck_t", tmp, out, 64L, "d01", redactPii = false,
+        bpeWindows = Some(bw))
+      assert(c1b == c1)
+      val winMass = win.agg(sum("n_tokens")).head().getLong(0)
+      val victim = massByDoc.keys.min
+      val r = Pipeline.retractFromWindows(spark, out,
+        df(StructType(Seq(StructField("doc_id", LongType))), Row(victim)),
+        "doc_id", docs, "text", 64L, bpeWindows = Some(bw))
+      assert(r("docs") == 1L && r("shards") == 1L, s"$r")
+      val winMass2 = spark.read.parquet(out)
+        .agg(sum("n_tokens")).head().getLong(0)
+      assert(winMass2 == winMass - massByDoc(victim),
+        s"$winMass -> $winMass2, victim ${massByDoc(victim)}")
+      // refusals: padId without packed; packed + fullWindowsOnly
+      intercept[IllegalArgumentException] {
+        Pipeline.windowsReport(spark, out, Some(docs),
+          bpeWindows = Some(bw.copy(packed = false)))
+      }
+      intercept[IllegalArgumentException] {
+        Pipeline.ingestWindowsShard(s1, df(docSchema), "doc_id", "text",
+          "pck_t", tmp, out, 64L, "d99", redactPii = false,
+          fullWindowsOnly = true, bpeWindows = Some(bw))
+      }
+    } finally {
+      dropIndex("pck_t")
+      Seq("pck_bpe_bpe", "pck_bpe_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(tmp, mdl, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
 }
