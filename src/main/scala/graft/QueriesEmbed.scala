@@ -188,6 +188,53 @@ object QueriesEmbed {
         .orderBy("id_a", "id_b")
     }
 
+    // SEMANTIC decontamination (r14): the embedding-route contamination
+    // report — EXACT full corpus-vs-benchmark cosine (no LSH/IVF
+    // candidate loss: a decontam miss is a silent eval leak). The
+    // planted benchmark is exact copies (vec_id%97=0 → bench_id+20000)
+    // plus 2×-SCALED copies (vec_id%89=1 → bench_id+30000 — doubling a
+    // float only bumps the exponent, so both engines hold identical
+    // vectors and cosine's scale-invariance is value-checked, not
+    // assumed); iid-random non-copies stay far below 0.9 (max |cos| ~
+    // 0.5 at these pair counts). The oracle brute-forces every pair
+    // with the q_embed_dedup decimal-dot discipline, so the SCORES
+    // hash bit-for-bit.
+    r.reg("q_semantic_decontam",
+      """WITH bench AS (
+        |  SELECT vec_id + 20000 AS bench_id, embedding
+        |  FROM embeddings WHERE vec_id % 97 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 30000 AS bench_id,
+        |    list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE) * 2 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 89 = 1),
+        |pz AS (
+        |  SELECT c.vec_id, b.bench_id,
+        |    unnest(c.embedding) AS a, unnest(b.embedding) AS bb
+        |  FROM embeddings c, bench b),
+        |pd AS (
+        |  SELECT vec_id, bench_id,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(bb AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na,
+        |    sum(CAST(CAST(bb AS DOUBLE)*CAST(bb AS DOUBLE) AS DECIMAL(25,12))) AS nb
+        |  FROM pz GROUP BY 1, 2)
+        |SELECT vec_id, bench_id,
+        |  CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cos
+        |FROM pd
+        |WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) >= 0.9
+        |ORDER BY vec_id, bench_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val bench = e.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 20000).as("bench_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") % 89 === 1)
+          .select((col("vec_id") + 30000).as("bench_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      graft.llm.Dedup.semanticContaminationReport(
+          e.select("vec_id", "embedding"), "vec_id", "embedding",
+          bench, "bench_id", "embedding", threshold = 0.9)
+        .orderBy("vec_id", "bench_id")
+    }
+
     // IVF top-k with iters=0: seed centroids are the 8 hash-smallest
     // sample vectors (sampling-invariant, so the oracle's full-corpus hs
     // CTE matches the 0.05-sample training scan), probe-cell selection

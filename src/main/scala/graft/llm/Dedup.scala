@@ -1612,6 +1612,65 @@ object Dedup {
     train.join(contaminationReport(train, bench, idCol, textCol, k).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** SEMANTIC (embedding-route) benchmark contamination — the modality
+    * the n-gram [[contaminationReport]] structurally cannot see: a
+    * paraphrased or translated benchmark item shares no 5-shingle with
+    * the training doc that leaks it, but its embedding sits within
+    * cosine `threshold`. One row per (corpus doc, benchmark item) pair
+    * at or above the threshold, with the exact cosine — the evidence a
+    * takedown reviewer reads.
+    *
+    * EXACT by construction (no LSH bucketing, no IVF probe): a
+    * decontamination miss is a silent eval leak, so this pays the
+    * honest full-scan cost — ONE corpus scan against the BROADCAST
+    * benchmark (benchmarks are bounded by nature; `maxBench` makes the
+    * bound loud rather than an OOM). Scale shape: |corpus|·|bench|
+    * cosine evaluations streamed blockwise through the broadcast
+    * nested-loop join — no shuffle, no corpus re-scan, the same
+    * posture as [[graft.llm.Similarity.bruteForceTopK]]. The cheap
+    * lossy screen for daily use is the IVF/LSH candidate route
+    * ([[embeddingNearDupPairsAgainstIndex]]); THIS is the sweep a
+    * benchmark release triggers. Cosine arithmetic is the
+    * scale-12-decimal-exact chain of [[Similarity.cosine]] (oracle
+    * hash-checks scores bit-for-bit); zero-norm vectors have no cosine
+    * and never match. */
+  def semanticContaminationReport(corpus: DataFrame, idCol: String,
+                                  vecCol: String, bench: DataFrame,
+                                  benchIdCol: String, benchVecCol: String,
+                                  threshold: Double,
+                                  maxBench: Int = 200000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"semanticContaminationReport: threshold must be in (0, 1], got " +
+        s"$threshold — a non-positive threshold would emit the full " +
+        "cross product")
+    val probe = bench.limit(maxBench + 1).count()
+    require(probe <= maxBench,
+      s"semanticContaminationReport: benchmark exceeds maxBench=$maxBench " +
+        "rows — the benchmark side broadcasts; raise the bound " +
+        "deliberately or screen through the embedding index instead")
+    val b = broadcast(bench.select(
+      col(benchIdCol).cast("long").as("bench_id"),
+      col(benchVecCol).as("__bv__")))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(b)
+      .withColumn("cos", Similarity.cosine(col(vecCol), col("__bv__")))
+      .filter(col("cos") >= threshold)
+      .select(col(idCol), col("bench_id"), col("cos"))
+  }
+
+  /** Drop semantically contaminated docs — the embedding-route sibling
+    * of [[decontaminate]]: anti join against the report's corpus ids. */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String,
+                            vecCol: String, bench: DataFrame,
+                            benchIdCol: String, benchVecCol: String,
+                            threshold: Double,
+                            maxBench: Int = 200000): DataFrame =
+    corpus.join(
+      semanticContaminationReport(corpus, idCol, vecCol, bench,
+        benchIdCol, benchVecCol, threshold, maxBench)
+        .select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   // -------------------------------------------------------------------
   // Span-level exact-substring dedup — SUB-document granularity.
   //

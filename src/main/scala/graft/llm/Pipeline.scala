@@ -1565,6 +1565,40 @@ object Pipeline {
       pq.map("pq" -> _)
   }
 
+  /** SEMANTIC benchmark sweep — the embedding-side sibling of
+    * [[sweepBenchmark]] for the "benchmark released AFTER the corpus
+    * landed" event when the leak is paraphrase-shaped: the LANDED
+    * embedding corpus is screened EXACTLY against the benchmark's
+    * vectors ([[Dedup.semanticContaminationReport]] — one corpus scan,
+    * broadcast bench, no lossy candidate route: a decontamination miss
+    * is a silent eval leak), and every hit retracts from EVERY serving
+    * sink through [[retractEmbeddings]] (vecs index, IVF, int8, PQ,
+    * landing — each via its family's online rewrite). The report pins
+    * BEFORE the rewrite (localCheckpoint — a lazy plan would re-read
+    * the swept landing and report nothing); a re-sweep of the same
+    * benchmark is a no-op. Returns (report, per-sink removed). */
+  def sweepBenchmarkSemantic(spark: org.apache.spark.sql.SparkSession,
+                             bench: DataFrame, benchIdCol: String,
+                             benchVecCol: String,
+                             idCol: String, vecCol: String,
+                             indexName: String, outPath: String,
+                             threshold: Double,
+                             ivfPath: Option[String] = None,
+                             quantizedPath: Option[String] = None,
+                             pqPath: Option[String] = None,
+                             maxBench: Int = 200000): (DataFrame, Map[String, Long]) = {
+    val landed = spark.read.parquet(outPath)
+    val report = Dedup.semanticContaminationReport(
+      landed.select(col(idCol), col(vecCol)), idCol, vecCol,
+      bench, benchIdCol, benchVecCol, threshold, maxBench)
+      .localCheckpoint(true)
+    val removed =
+      if (report.isEmpty) Map.empty[String, Long]
+      else retractEmbeddings(spark, report.select(idCol).distinct(), idCol,
+        indexName, outPath, ivfPath, quantizedPath, pqPath)
+    (report, removed)
+  }
+
   /** Rewrite only the landing partitions that hold retracted ids: the
     * surviving rows of each affected shard_label partition are eagerly
     * materialized (localCheckpoint — the rewrite overwrites the very
