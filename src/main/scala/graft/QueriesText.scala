@@ -160,6 +160,87 @@ object QueriesText {
         .sortValues(Seq("doc_id" -> true)).df
     }
 
+    // The COMPLETE published Gopher rule set (r14, Rae et al. 2021
+    // A1.1): mean word length, #/ellipsis symbol ratio, bullet-start
+    // and ellipsis-end line fractions, alpha-word fraction, distinct
+    // stop-word hits. Planted docs make every rule non-vacuous (one
+    // fails each); minStopHits=1 here so the verdict also varies
+    // across the real corpus ('the' appears, the other seven rarely).
+    // The oracle recomputes every metric AND the keep verdict.
+    r.reg("q_gopher_rules",
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |  UNION ALL SELECT CAST(-1 AS BIGINT),
+        |    array_to_string(list_transform(range(0,10), x -> '- item the'), chr(10))
+        |      || chr(10) || 'plain tail'
+        |  UNION ALL SELECT CAST(-2 AS BIGINT),
+        |    'alpha beta...' || chr(10) || 'gamma…' || chr(10) || 'delta the of'
+        |  UNION ALL SELECT CAST(-3 AS BIGINT), '### ### alpha the of and # with...'
+        |  UNION ALL SELECT CAST(-4 AS BIGINT), '123 456 789 000 111 222'
+        |  UNION ALL SELECT CAST(-5 AS BIGINT), 'abcdefghijklmnopqrstuvwxyz0123'
+        |  UNION ALL SELECT CAST(-6 AS BIGINT),
+        |    array_to_string(list_transform(range(0,20), x -> 'lorem ipsum dolor'), ' ')
+        |  UNION ALL SELECT CAST(-7 AS BIGINT),
+        |    array_to_string(list_transform(range(0,56), x -> 'word'), ' ')
+        |      || ' the of and that'),
+        |g AS (
+        |  SELECT doc_id,
+        |    string_split(text, ' ') AS toks,
+        |    string_split(text, chr(10)) AS lines,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    length(text) - length(replace(text, '#', '')) AS nhash,
+        |    (length(text) - length(replace(text, '...', ''))) // 3
+        |      + (length(text) - length(replace(text, '…', ''))) AS nell
+        |  FROM d),
+        |m AS (
+        |  SELECT doc_id, n AS n_words,
+        |    CASE WHEN n = 0 THEN 0.0 ELSE
+        |      CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / n
+        |    END AS mean_word_len,
+        |    CAST(nhash + nell AS DOUBLE)
+        |      / (CASE WHEN n = 0 THEN 1 ELSE n END) AS symbol_ratio,
+        |    CAST(len(list_filter(lines,
+        |        l -> substr(ltrim(l),1,1) IN ('-','*','•'))) AS DOUBLE)
+        |      / len(lines) AS bullet_line_frac,
+        |    CAST(len(list_filter(lines,
+        |        l -> right(rtrim(l),3) = '...' OR right(rtrim(l),1) = '…')) AS DOUBLE)
+        |      / len(lines) AS ellipsis_line_frac,
+        |    CASE WHEN n = 0 THEN 0.0 ELSE
+        |      CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / n
+        |    END AS alpha_word_frac,
+        |    CAST(len(list_intersect(list_distinct(toks),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+        |  FROM g)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+        |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |   AND stop_hits >= 1) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val extra = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L,
+            Seq.fill(10)("- item the").mkString("\n") + "\nplain tail"),
+          org.apache.spark.sql.Row(-2L,
+            "alpha beta...\ngamma…\ndelta the of"),
+          org.apache.spark.sql.Row(-3L, "### ### alpha the of and # with..."),
+          org.apache.spark.sql.Row(-4L, "123 456 789 000 111 222"),
+          org.apache.spark.sql.Row(-5L, "abcdefghijklmnopqrstuvwxyz0123"),
+          org.apache.spark.sql.Row(-6L,
+            Seq.fill(20)("lorem ipsum dolor").mkString(" ")),
+          org.apache.spark.sql.Row(-7L,
+            Seq.fill(56)("word").mkString(" ") + " the of and that")),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select("doc_id", "text").unionByName(extra)
+      GraftFrame(TextStats.gopherReport(docs, "doc_id", "text",
+          minStopHits = 1L))
+        .sortValues(Seq("doc_id" -> true)).df
+    }
+
     // Declarative one-pass constraint suite (operators/Checks): the
     // whole expectation set is a single aggregate scan; the oracle
     // recomputes every metric AND the pass verdicts. The set mixes

@@ -90,6 +90,113 @@ object TextStats {
       fracDup < maxDupLineFrac && fracTop < maxTop2GramFrac
   }
 
+  /** The eight stop words of the published Gopher rule (Rae et al.
+    * 2021, A1.1): a document must contain at least `minStopHits`
+    * DISTINCT members or it is judged non-linguistic. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The COMPLETE published Gopher rule set (Rae et al. 2021, Appendix
+    * A1.1) as one row of named metrics — the rules [[qualityKeep]]'s
+    * token-shape/repetition trio doesn't cover: mean word length in
+    * [3, 10]; symbol-to-word ratio (# and ellipsis, ASCII '...' or
+    * '…') ≤ 0.1; ≤ 90% of lines starting with a bullet ('-', '*',
+    * '•'); ≤ 30% of lines ending in an ellipsis; ≥ 80% of words
+    * carrying at least one alphabetic character; and ≥ 2 distinct
+    * members of the eight-stop-word set present.
+    *
+    * All pure per-row Column arithmetic over the whitespace/newline
+    * structure — no explode, no shuffle, no join: the whole report
+    * fuses into the input's scan (the higher-order filters evaluate
+    * per row; move them into a native TokenStats-style pass if a
+    * profile ever shows them hot). Ratios are exact-integer divisions
+    * evaluated once as doubles, so the DuckDB oracle hash-checks every
+    * metric bit-for-bit; empty-token docs yield 0-ratios rather than
+    * an ANSI divide-by-zero kill. */
+  def gopherStats(t: Column,
+                  stopwords: Seq[String] = GopherStopWords): Column = {
+    val toks = split(t, " ")
+    val lines = split(t, "\n")
+    val nTok = size(toks).cast("long")
+    val nLine = size(lines).cast("long")
+    val safeTok = when(nTok === 0, lit(1L)).otherwise(nTok)
+    val meanWordLen = when(nTok === 0, lit(0.0)).otherwise(
+      aggregate(transform(toks, w => length(w).cast("long")), lit(0L),
+        _ + _).cast("double") / nTok)
+    val nHash = (length(t) - length(regexp_replace(t, "#", "")))
+      .cast("long")
+    val nEllipsis =
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3 +
+        (length(t) - length(regexp_replace(t, "…", "")))).cast("long")
+    val symbolRatio = (nHash + nEllipsis).cast("double") / safeTok
+    val bulletFrac = size(filter(lines, l =>
+      substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+      .cast("double") / nLine
+    val ellipsisFrac = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+      .cast("double") / nLine
+    val alphaFrac = when(nTok === 0, lit(0.0)).otherwise(
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double") / nTok)
+    val stopHits = size(array_intersect(array_distinct(toks),
+      array(stopwords.map(lit): _*))).cast("long")
+    struct(
+      nTok.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      stopHits.as("stop_hits"))
+  }
+
+  /** The Gopher keep predicate over [[gopherStats]] with the PUBLISHED
+    * thresholds as defaults — one boolean Column that fuses into the
+    * scan, composable with [[qualityKeep]] (which carries the
+    * repetition rules this set doesn't). */
+  def gopherKeep(t: Column,
+                 minWords: Long = 50L, maxWords: Long = 100000L,
+                 minMeanWordLen: Double = 3.0,
+                 maxMeanWordLen: Double = 10.0,
+                 maxSymbolRatio: Double = 0.1,
+                 maxBulletLineFrac: Double = 0.9,
+                 maxEllipsisLineFrac: Double = 0.3,
+                 minAlphaWordFrac: Double = 0.8,
+                 minStopHits: Long = 2L,
+                 stopwords: Seq[String] = GopherStopWords): Column = {
+    val g = gopherStats(t, stopwords)
+    g.getField("n_words") >= minWords &&
+      g.getField("n_words") <= maxWords &&
+      g.getField("mean_word_len") >= minMeanWordLen &&
+      g.getField("mean_word_len") <= maxMeanWordLen &&
+      g.getField("symbol_ratio") <= maxSymbolRatio &&
+      g.getField("bullet_line_frac") <= maxBulletLineFrac &&
+      g.getField("ellipsis_line_frac") <= maxEllipsisLineFrac &&
+      g.getField("alpha_word_frac") >= minAlphaWordFrac &&
+      g.getField("stop_hits") >= minStopHits
+  }
+
+  /** Report form: every Gopher metric plus the keep verdict per doc —
+    * the audit a curation run reads before committing to thresholds. */
+  def gopherReport(docs: DataFrame, idCol: String, textCol: String,
+                   minWords: Long = 50L, maxWords: Long = 100000L,
+                   minMeanWordLen: Double = 3.0,
+                   maxMeanWordLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1,
+                   maxBulletLineFrac: Double = 0.9,
+                   maxEllipsisLineFrac: Double = 0.3,
+                   minAlphaWordFrac: Double = 0.8,
+                   minStopHits: Long = 2L,
+                   stopwords: Seq[String] = GopherStopWords): DataFrame =
+    docs
+      .withColumn("__g__", gopherStats(col(textCol), stopwords))
+      .withColumn("__keep__", gopherKeep(col(textCol), minWords, maxWords,
+        minMeanWordLen, maxMeanWordLen, maxSymbolRatio, maxBulletLineFrac,
+        maxEllipsisLineFrac, minAlphaWordFrac, minStopHits, stopwords))
+      .select(col(idCol), col("__g__.n_words"), col("__g__.mean_word_len"),
+        col("__g__.symbol_ratio"), col("__g__.bullet_line_frac"),
+        col("__g__.ellipsis_line_frac"), col("__g__.alpha_word_frac"),
+        col("__g__.stop_hits"), col("__keep__").as("keep"))
+
   /** Filter form of [[qualityRules]]: keep passing docs, drop the rest,
     * zero added passes — the predicate rides the input's own scan. */
   def qualityFilter(docs: DataFrame, textCol: String,

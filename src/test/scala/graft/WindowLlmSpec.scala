@@ -1332,6 +1332,61 @@ class WindowLlmSpec extends SparkTestBase {
     assert(!got(4L)._1, "too-short doc kept")
   }
 
+  test("gopherKeep: each published rule fires on its planted doc, boundaries inclusive") {
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val good = (Seq.fill(56)("word") ++ Seq("the", "of", "and", "that"))
+      .mkString(" ")
+    val docs = df(sch,
+      Row(1L, good),                                       // passes all
+      Row(2L, good.replace("word", "w")),                  // mean len < 3
+      Row(3L, Seq.fill(60)("abcdefghijklm").mkString(" ")
+        + " the of"),                                      // mean len > 10
+      Row(4L, good + " " + Seq.fill(12)("#").mkString(" ")), // symbols
+      Row(5L, Seq.fill(20)("- bullet the of item line here").mkString("\n")), // bullets
+      Row(6L, Seq.fill(10)("some of the line goes on...").mkString("\n")),    // ellipses
+      Row(7L, (Seq.fill(45)("word") ++ Seq.fill(13)("123")
+        ++ Seq("the", "of")).mkString(" ")),               // alpha < 0.8
+      Row(8L, Seq.fill(60)("lorem").mkString(" ")),        // no stop words
+      Row(9L, null))
+    val got = TextStats.gopherReport(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"), s"good doc dropped: ${got(1L)}")
+    assert(!got(2L).getAs[Boolean]("keep")
+      && got(2L).getAs[Double]("mean_word_len") < 3.0)
+    assert(!got(3L).getAs[Boolean]("keep")
+      && got(3L).getAs[Double]("mean_word_len") > 10.0)
+    assert(!got(4L).getAs[Boolean]("keep")
+      && got(4L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!got(5L).getAs[Boolean]("keep")
+      && got(5L).getAs[Double]("bullet_line_frac") > 0.9)
+    assert(!got(6L).getAs[Boolean]("keep")
+      && got(6L).getAs[Double]("ellipsis_line_frac") > 0.3)
+    assert(!got(7L).getAs[Boolean]("keep")
+      && got(7L).getAs[Double]("alpha_word_frac") < 0.8)
+    assert(!got(8L).getAs[Boolean]("keep")
+      && got(8L).getAs[Long]("stop_hits") == 0L)
+    // null text: metrics null, keep null — never a throw
+    assert(got(9L).isNullAt(got(9L).fieldIndex("keep")))
+    // boundary inclusivity: exactly 50 words with healthy stats passes
+    val fifty = (Seq.fill(46)("word") ++ Seq("the", "of", "and", "that"))
+      .mkString(" ")
+    val b = TextStats.gopherReport(df(sch, Row(10L, fifty)),
+      "doc_id", "text").head()
+    assert(b.getAs[Long]("n_words") == 50L && b.getAs[Boolean]("keep"))
+    // filter composes with the repetition gate without extra passes —
+    // a DISTINCT-word prose doc passes both; the repeated-word doc 1
+    // passes Gopher but (correctly) fails qualityKeep's top-2-gram rule
+    val prose = ((1 to 56).map(i => s"word$i")
+      ++ Seq("the", "of", "and", "that")).mkString(" ")
+    val both = docs.filter(col("text").isNotNull)
+      .unionByName(df(sch, Row(11L, prose)))
+      .filter(TextStats.gopherKeep(col("text"))
+        && TextStats.qualityKeep(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(both == Seq(11L))
+  }
+
   test("contaminationReport finds planted 5-gram overlap, decontaminate drops it") {
     val sch = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
     val bench = df(sch,
