@@ -235,6 +235,66 @@ object QueriesEmbed {
         .orderBy("vec_id", "bench_id")
     }
 
+    // SemDeDup (r14, Abbas et al. 2023): k-means CELLS as the semantic
+    // candidate grouping — the oracle replays the iters=0 seeding (16
+    // smallest id-hashes, the q_ivf_assign construction), the
+    // first-strict-improvement argmin assignment, the within-cell pair
+    // join, and the decimal-exact cosine verify over planted copies
+    // (vec_id%5=0 → +10000; identical vectors land in identical cells,
+    // so the cluster route's completeness on exact dups is structural).
+    r.reg("q_semdedup",
+      """WITH ext AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1500
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id < 1500 AND vec_id % 5 = 0),
+        |hs AS (SELECT vec_id, embedding,
+        |        ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
+        |       FROM ext),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell,
+        |    embedding AS centroid
+        |  FROM hs ORDER BY h ASC, vec_id ASC LIMIT 16),
+        |dists AS (
+        |  SELECT e.vec_id, s.cell,
+        |    list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE)))) AS d
+        |  FROM ext e, seeds s),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |cand AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |pz AS (
+        |  SELECT c.id_a, c.id_b, unnest(ea.embedding) AS a, unnest(eb.embedding) AS b
+        |  FROM cand c JOIN ext ea ON ea.vec_id = c.id_a JOIN ext eb ON eb.vec_id = c.id_b),
+        |pd AS (
+        |  SELECT id_a, id_b,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na,
+        |    sum(CAST(CAST(b AS DOUBLE)*CAST(b AS DOUBLE) AS DECIMAL(25,12))) AS nb
+        |  FROM pz GROUP BY id_a, id_b)
+        |SELECT id_a, id_b,
+        |  CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cos
+        |FROM pd
+        |WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 1500)
+      val ext = e.union(
+        e.filter(col("vec_id") % 5 === 0)
+          .withColumn("vec_id", col("vec_id") + 10000))
+        .select("vec_id", "embedding")
+      val cents = graft.llm.Ivf.train(ext, "vec_id", "embedding",
+        nCells = 16, iters = 0)
+      graft.llm.Dedup.semDeDupPairs(ext, "vec_id", "embedding", cents,
+          threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }
+
     // IVF top-k with iters=0: seed centroids are the 8 hash-smallest
     // sample vectors (sampling-invariant, so the oracle's full-corpus hs
     // CTE matches the 0.05-sample training scan), probe-cell selection

@@ -270,29 +270,48 @@ object Dedup {
     val bucketed = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
       .withColumn("bucket", coalesce(Similarity.lshBucket(col("v"), dim, planes), lit(0L)))
+    withinKeyPairs(bucketed, "bucket", threshold, maxBucketSize)
+  }
+
+  /** Shared within-group candidate self-join + exact-cosine verify of
+    * the two semantic pair generators — LSH buckets
+    * ([[embeddingNearDupPairs]]) and k-means cells ([[semDeDupPairs]])
+    * differ ONLY in the grouping key; factoring the join keeps their
+    * cap, prefilter and verify semantics identical by construction.
+    * Input: (id, v, <keyCol>) with v and key non-null. */
+  private def withinKeyPairs(keyed0: DataFrame, keyCol: String,
+                             threshold: Double,
+                             maxGroupSize: Int): DataFrame = {
+    require(maxGroupSize > 1, "maxGroupSize must exceed 1")
+    // norms precomputed per VECTOR (not per pair — that would triple the
+    // dot-product work across every candidate pair). Repartitioned on the
+    // join key before aliasing so the self-join's two branches share ONE
+    // exchange (ReusedExchange): one scan + one key/norm computation,
+    // no corpus-wide cache.
+    val keyed = keyed0
       .withColumn("norm", coalesce(Similarity.normExact(col("v"), 12), lit(0.0)))
-      .repartition(col("bucket"))
-    // Degenerate-bucket cap (same discipline as the minhash band join):
-    // count each bucket on the repartition exchange above (no extra
-    // shuffle) and split oversized buckets by a secondary id-hash,
-    // bounding the quadratic within-bucket join at ~maxBucketSize.
-    // Recall trade: pairs crossing sub-buckets are lost — acceptable for
-    // a corpus where one bucket holds millions of near-identical
-    // vectors; fixture-scale buckets never hit the cap.
-    val wB = Window.partitionBy(col("bucket"))
-    val salted = bucketed
+      .repartition(col(keyCol))
+    // Degenerate-group cap (same discipline as the minhash band join):
+    // count each group on the repartition exchange above (no extra
+    // shuffle) and split oversized groups by a secondary id-hash,
+    // bounding the quadratic within-group join at ~maxGroupSize.
+    // Recall trade: pairs crossing sub-groups are lost — acceptable for
+    // a corpus where one group holds millions of near-identical
+    // vectors; fixture-scale groups never hit the cap.
+    val wB = Window.partitionBy(col(keyCol))
+    val salted = keyed
       .withColumn("__n__", count(lit(1)).over(wB))
       .withColumn("__salt__",
-        when(col("__n__") > maxBucketSize,
+        when(col("__n__") > maxGroupSize,
           pmod(hash(col("id")),
-            greatest(ceil(col("__n__").cast("double") / maxBucketSize)
+            greatest(ceil(col("__n__").cast("double") / maxGroupSize)
               .cast("int"), lit(1))))
           .otherwise(lit(0)))
       .drop("__n__")
-    salted.select(col("bucket"), col("__salt__"), col("id").as("id_a"),
+    salted.select(col(keyCol), col("__salt__"), col("id").as("id_a"),
         col("v").as("va"), col("norm").as("na"))
-      .join(salted.select(col("bucket"), col("__salt__"), col("id").as("id_b"),
-        col("v").as("vb"), col("norm").as("nb")), Seq("bucket", "__salt__"))
+      .join(salted.select(col(keyCol), col("__salt__"), col("id").as("id_b"),
+        col("v").as("vb"), col("norm").as("nb")), Seq(keyCol, "__salt__"))
       .filter(col("id_a") < col("id_b"))
       // cheap double-dot PREFILTER in MULTIPLIED form (no division, so
       // no ANSI divide-by-zero path exists regardless of predicate
@@ -314,6 +333,54 @@ object Dedup {
             (col("na") * col("nb"))))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+  }
+
+  /** SemDeDup candidate pairs (Abbas et al. 2023): k-means CELLS as the
+    * candidate grouping instead of LSH hyperplane buckets — the
+    * published semantic-dedup recipe clusters the corpus once (reuse
+    * the IVF family's [[Ivf.train]] centroids: the index and the dedup
+    * share one clustering) and compares pairs only within a cluster.
+    * Versus [[embeddingNearDupPairs]]: cells follow the DATA's density
+    * (a paraphrase cluster lands in one cell regardless of which
+    * hyperplane sides it straddles, where 8-plane LSH needs all planes
+    * to agree), at the cost of the assignment pass and the
+    * recall-at-cell-boundary trade the paper accepts. Choose nCells ~
+    * corpus/10k so cells stay near the quadratic-join comfort zone;
+    * `maxCellSize` caps degenerate cells exactly like the bucket path.
+    * Same exact-decimal cosine verify — the oracle hash-checks pair
+    * scores bit-for-bit. */
+  def semDeDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double,
+                    maxCellSize: Int = 10000): DataFrame = {
+    val assigned = Ivf.assign(
+        embeddings.select(col(idCol), col(vecCol))
+          .filter(col(vecCol).isNotNull),
+        idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        col("cell").cast("long").as("cell"))
+    withinKeyPairs(assigned, "cell", threshold, maxCellSize)
+  }
+
+  /** Drop SemDeDup duplicates keeping one doc per near-dup component —
+    * the same min-label resolution as [[dropEmbeddingNearDuplicates]],
+    * candidates from the cluster route. Docs without an embedding row
+    * pass through (no evidence, no drop). */
+  def dropSemanticDuplicatesClustered(docs: DataFrame, idCol: String,
+                                      embeddings: DataFrame,
+                                      embIdCol: String, vecCol: String,
+                                      centroids: DataFrame,
+                                      threshold: Double,
+                                      maxIterations: Int = 30,
+                                      maxCellSize: Int = 10000): DataFrame = {
+    val alive = embeddings.join(
+      docs.select(col(idCol).as(embIdCol)), Seq(embIdCol), "left_semi")
+    val pairs = semDeDupPairs(alive, embIdCol, vecCol, centroids,
+        threshold, maxCellSize)
+      .select(col("id_a"), col("id_b")).cache()
+    val labels = minLabelComponents(pairs, maxIterations)
+    pairs.unpersist()
+    val toDrop = labels.filter(col("id") =!= col("label")).select(col("id"))
+    docs.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
   /** Drop docs whose EMBEDDINGS are near-duplicates (semantic dedup —

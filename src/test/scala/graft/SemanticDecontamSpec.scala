@@ -65,6 +65,36 @@ class SemanticDecontamSpec extends SparkTestBase {
     }
   }
 
+  test("semDeDupPairs: cluster-scoped candidates catch a paraphrase, drop keeps one per component") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // plant a perturbed copy (paraphrase stand-in): vector 7 scaled by
+    // 1.0f + tiny per-element nudge keeps cos ≈ 1 and the SAME nearest
+    // centroid (identical direction), so the cluster route must pair it
+    val planted = emb.filter(col("vec_id") === 7L)
+      .select(lit(9007L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val ext = emb.unionByName(planted)
+    val cents = graft.llm.Ivf.train(ext, "vec_id", "embedding",
+      nCells = 8, iters = 0)
+    val pairs = graft.llm.Dedup.semDeDupPairs(ext, "vec_id", "embedding",
+      cents, threshold = 0.95).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 7L && pairs.head.getLong(1) == 9007L)
+    assert(pairs.head.getDouble(2) > 0.999)
+    // drop keeps the min id of the component; docs without an
+    // embedding row pass through untouched
+    val docs = ext.select(col("vec_id").as("doc_id"))
+      .unionByName(spark.range(1).select(lit(777777L).as("doc_id")))
+    val kept = graft.llm.Dedup.dropSemanticDuplicatesClustered(docs,
+      "doc_id", ext, "vec_id", "embedding", cents, threshold = 0.95)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(9007L) && kept.contains(7L))
+    assert(kept.contains(777777L), "no-embedding doc must pass through")
+    assert(kept.size == ext.count().toInt) // 501 survivors + sentinel - dropped copy
+  }
+
   test("sweepBenchmarkSemantic: hits retract from every sink; re-sweep is a no-op") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
