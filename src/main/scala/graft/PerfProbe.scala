@@ -260,6 +260,44 @@ object PerfProbe {
         llm.Bpe.encodeTokens(docs, "doc_id", "text", merges).count()
       }
     }
+    // r14 cont: the PACKED window assembly — two tiny cumsums + the
+    // segment-bounded next-fit + join-back + window shuffle. Declared
+    // bound ~linear in corpus tokens (the recurrence is O(segment) per
+    // segment row); run at sf0.01 vs sf0.1 for the 10x probe, directly
+    // comparable to assembleWindows(500) above (same unit, same corpus)
+    locally {
+      import org.apache.spark.sql.functions.col
+      time("assembleWindowsPacked") {
+        llm.TextStats.assembleWindowsPacked(docs.select(col("doc_id"),
+          col("text")), "doc_id", "text", 500L, 3L).count()
+      }
+    }
+    // r14 cont: SEMANTIC decontam (exact broadcast-bench cosine — bound
+    // ~|corpus|·|bench|, bench fixed here so ~linear in corpus) and
+    // SemDeDup (assign + within-cell join at fixed nCells — bound
+    // ~ Σ|cell|², i.e. ~quadratic-in-corpus/nCells; nCells should grow
+    // with the corpus in production, fixed here to expose the shape)
+    locally {
+      import org.apache.spark.sql.functions.col
+      val bench = emb.filter(col("vec_id") % 101 === 0)
+        .select((col("vec_id") + 900000L).as("bench_id"), col("embedding"))
+      time("semanticContamReport") {
+        llm.Dedup.semanticContaminationReport(emb, "vec_id", "embedding",
+          bench, "bench_id", "embedding", 0.9).count()
+      }
+      val cents = llm.Ivf.train(emb, "vec_id", "embedding",
+        nCells = 16, iters = 0)
+      time("semDeDupPairs(16cells)") {
+        llm.Dedup.semDeDupPairs(emb, "vec_id", "embedding", cents,
+          0.9).count()
+      }
+    }
+    // r14 cont: the full Gopher rule report — one scan-fused pass
+    locally {
+      time("gopherReport(full)") {
+        llm.TextStats.gopherReport(docs, "doc_id", "text").count()
+      }
+    }
     spark.stop()
   }
 }

@@ -241,6 +241,101 @@ object QueriesText {
         .sortValues(Seq("doc_id" -> true)).df
     }
 
+    // DATASET CARD (r14 cont): the one-pass GROUPING SETS corpus
+    // summary — global + per-lang + per-source rows with doc/token/
+    // char masses, gate pass rates and PII incidence. Planted docs
+    // (lang 'xx', source 'planted') carry an email, a spam doc and a
+    // healthy doc so every rate column varies; minStopHits=1 keeps
+    // the gopher rate non-vacuous over the real corpus.
+    r.reg("q_dataset_card",
+      """WITH raw AS (
+        |  SELECT doc_id, lang, source, text FROM documents
+        |  UNION ALL SELECT CAST(-1 AS BIGINT), 'xx', 'planted',
+        |    'contact me at alice.smith@example.org for the of and details today always'
+        |  UNION ALL SELECT CAST(-2 AS BIGINT), 'xx', 'planted',
+        |    'buy now buy now buy now buy now'
+        |  UNION ALL SELECT CAST(-3 AS BIGINT), 'xx', 'planted', NULL),
+        |toks AS (SELECT doc_id, lang, source, text,
+        |          string_split(text, ' ') AS t FROM raw),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks WHERE text IS NOT NULL AND len(t) >= 2),
+        |gtop AS (SELECT doc_id, max(c) AS topc, sum(c) AS totc FROM
+        |          (SELECT doc_id, g, count(*) AS c FROM grams
+        |           GROUP BY doc_id, g) GROUP BY doc_id),
+        |d AS (
+        |  SELECT x.lang, x.source,
+        |    CASE WHEN x.text IS NOT NULL THEN CAST(len(x.t) AS BIGINT) ELSE 0 END AS tok,
+        |    CASE WHEN x.text IS NOT NULL THEN CAST(length(x.text) AS BIGINT) ELSE 0 END AS ch,
+        |    CASE WHEN x.text IS NOT NULL THEN 1 ELSE 0 END AS nn,
+        |    CASE WHEN x.text IS NOT NULL
+        |          AND len(x.t) BETWEEN 3 AND 100000
+        |          AND 1.0 - len(list_distinct(string_split(x.text, chr(10)))) * 1.0
+        |              / len(string_split(x.text, chr(10))) < 0.3
+        |          AND COALESCE(g.topc * 1.0 / g.totc, 0.0) < 0.2
+        |         THEN 1 ELSE 0 END AS q,
+        |    CASE WHEN x.text IS NOT NULL
+        |          AND len(x.t) BETWEEN 50 AND 100000
+        |          AND CAST(list_sum(list_transform(x.t, w -> length(w))) AS DOUBLE)
+        |              / len(x.t) BETWEEN 3.0 AND 10.0
+        |          AND CAST((length(x.text) - length(replace(x.text,'#','')))
+        |              + (length(x.text) - length(replace(x.text,'...',''))) // 3
+        |              + (length(x.text) - length(replace(x.text,'…',''))) AS DOUBLE)
+        |              / len(x.t) <= 0.1
+        |          AND CAST(len(list_filter(string_split(x.text, chr(10)),
+        |              l -> substr(ltrim(l),1,1) IN ('-','*','•'))) AS DOUBLE)
+        |              / len(string_split(x.text, chr(10))) <= 0.9
+        |          AND CAST(len(list_filter(string_split(x.text, chr(10)),
+        |              l -> right(rtrim(l),3) = '...' OR right(rtrim(l),1) = '…')) AS DOUBLE)
+        |              / len(string_split(x.text, chr(10))) <= 0.3
+        |          AND CAST(len(list_filter(x.t, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |              / len(x.t) >= 0.8
+        |          AND len(list_intersect(list_distinct(x.t),
+        |              ['the','be','to','of','and','that','have','with'])) >= 1
+        |         THEN 1 ELSE 0 END AS gk,
+        |    CASE WHEN x.text IS NOT NULL AND regexp_matches(x.text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |         THEN 1 ELSE 0 END AS pii
+        |  FROM toks x LEFT JOIN gtop g USING (doc_id))
+        |SELECT
+        |  CASE WHEN GROUPING(lang) = 0 THEN 'lang'
+        |       WHEN GROUPING(source) = 0 THEN 'source' ELSE 'corpus' END AS section,
+        |  CASE WHEN GROUPING(lang) = 0 THEN COALESCE(CAST(lang AS VARCHAR), '<null>')
+        |       WHEN GROUPING(source) = 0 THEN COALESCE(CAST(source AS VARCHAR), '<null>')
+        |       ELSE '_all_' END AS key,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(ch) AS BIGINT) AS n_chars,
+        |  CASE WHEN sum(nn) = 0 THEN NULL
+        |       ELSE CAST(sum(tok) AS DOUBLE) / sum(nn) END AS mean_doc_tokens,
+        |  CASE WHEN sum(nn) = 0 THEN NULL
+        |       ELSE CAST(sum(q) AS DOUBLE) / sum(nn) END AS quality_keep_rate,
+        |  CASE WHEN sum(nn) = 0 THEN NULL
+        |       ELSE CAST(sum(gk) AS DOUBLE) / sum(nn) END AS gopher_keep_rate,
+        |  CASE WHEN sum(nn) = 0 THEN NULL
+        |       ELSE CAST(sum(pii) AS DOUBLE) / sum(nn) END AS pii_email_rate
+        |FROM d GROUP BY GROUPING SETS ((), (lang), (source))
+        |ORDER BY section, key""".stripMargin) { (s, dir) =>
+      val extra = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, "xx", "planted",
+            "contact me at alice.smith@example.org for the of and " +
+              "details today always"),
+          org.apache.spark.sql.Row(-2L, "xx", "planted",
+            "buy now buy now buy now buy now"),
+          org.apache.spark.sql.Row(-3L, "xx", "planted", null)),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("text", StringType))))
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "lang", "source", "text").unionByName(extra)
+      GraftFrame(TextStats.datasetCard(docs, "text",
+          Seq("lang", "source"), minStopHits = 1L))
+        .sortValues(Seq("section" -> true, "key" -> true)).df
+    }
+
     // Declarative one-pass constraint suite (operators/Checks): the
     // whole expectation set is a single aggregate scan; the oracle
     // recomputes every metric AND the pass verdicts. The set mixes

@@ -703,6 +703,54 @@ object QueriesWindow {
         .sortValues(Seq("doc_id" -> true)).df
     }
 
+    // Quality tiers by EXACT quantile cutpoints (r14 cont — the
+    // curriculum / percentile-filter primitive): both engines
+    // interpolate a + f·(b−a) at index p·(n−1) (the PercentileBetween
+    // discipline), ties at a cutpoint land in the lower tier.
+    r.reg("q_quality_tiers",
+      """WITH cuts AS (
+        |  SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS cs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST((CASE WHEN n_chars > cs[1] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN n_chars > cs[2] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN n_chars > cs[3] THEN 1 ELSE 0 END) AS INTEGER) AS tier
+        |FROM documents, cuts ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      GraftFrame(t(s, dir, "documents"))
+        .withQuantileTier("n_chars", nTiers = 4)
+        .select("doc_id", "tier")
+        .sortValues(Seq("doc_id" -> true)).df
+    }
+
+    // Token-budget selection (r14 cont — "take the best B tokens"):
+    // rank by (score desc, id asc), cumulate token counts through the
+    // two-pass range cumsum, keep the prefix whose running total stays
+    // within the budget (derived from the fixture's own mass — a
+    // literal budget would change meaning across scales). The oracle
+    // recomputes the ordered cumsum and every kept row's running total.
+    r.reg("q_select_budget",
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT CAST(floor(0.3 * sum(tok)) AS BIGINT) AS budget FROM d),
+        |c AS (SELECT doc_id, tok,
+        |       sum(tok) OVER (ORDER BY n_chars DESC, doc_id ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d)
+        |SELECT doc_id, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c, b WHERE cum <= budget ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+      val budget = math.floor(
+        0.3 * d.agg(sum("tok")).head().getLong(0)).toLong
+      GraftFrame(d)
+        .selectByBudget("n_chars", "tok", budget, "doc_id")
+        .select("doc_id", "cum_tokens")
+        .sortValues(Seq("doc_id" -> true)).df
+    }
+
     r.reg("q_groupby_transform",
       s"""SELECT event_id, user_id,
         |  CAST(${dbl("sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id)")}

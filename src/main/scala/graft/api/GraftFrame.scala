@@ -469,6 +469,85 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
       .select(cols :+ col("epoch"): _*))
   }
 
+  /** QUALITY TIERS by exact quantile cutpoints — the curriculum /
+    * percentile-filter primitive: rows bucket into `nTiers` tiers by a
+    * score column, tier k meaning the score exceeds k of the nTiers−1
+    * interior cutpoints (ties at a cutpoint land in the LOWER tier —
+    * deterministic, no rank arithmetic). Cutpoints are EXACT
+    * interpolated percentiles (the [[graft.operators.Checks]]
+    * PercentileBetween discipline: both engines interpolate
+    * a + f·(b−a) at index p·(n−1), so the oracle hash-checks tiers);
+    * the per-row assignment is then a literal when-chain that fuses
+    * into the scan — one aggregate pass + one blockwise pass, no
+    * data-sized shuffle, no global sort, no window.
+    *
+    * Scale note: exact `percentile` buffers the score column per
+    * partition (the accepted cost everywhere this repo needs
+    * oracle-exact percentiles); at sizes where that bites, swap the
+    * cutpoint aggregate for `approx_percentile(…, accuracy)` — the
+    * assignment chain is unchanged, the oracle becomes rows-only. */
+  def withQuantileTier(scoreCol: String, nTiers: Int,
+                       outCol: String = "tier"): GraftFrame = {
+    require(nTiers >= 2 && nTiers <= 1000,
+      s"withQuantileTier needs 2 <= nTiers <= 1000, got $nTiers")
+    val st = df.schema(scoreCol).dataType
+    require(st.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"withQuantileTier: score column '$scoreCol' must be numeric " +
+        s"(got ${st.simpleString})")
+    val ps = (1 until nTiers).map(i => i.toDouble / nTiers)
+    val row = df.agg(expr(
+      s"percentile($scoreCol, array(${ps.mkString(", ")}))")).head()
+    if (row.isNullAt(0)) return lift(df.withColumn(outCol, lit(0)))
+    val cuts = row.getSeq[Double](0)
+    val tier = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(scoreCol).cast("double") > c, 1).otherwise(0) }
+    lift(df.withColumn(outCol, tier.cast("int")))
+  }
+
+  /** Highest-scoring rows under a TOKEN BUDGET — the data-selection
+    * primitive (the DataComp/DSIR-style "take the best B tokens"
+    * move): rows rank by (score desc, key asc — the tiebreak makes the
+    * selection total-order deterministic), token counts cumulate along
+    * that order, and the kept set is the PREFIX whose running total
+    * stays ≤ `budget` (greedy prefix, not a knapsack: the first row
+    * past the budget line closes the selection for everything ranked
+    * below it — the published recipes' semantics, and the only one
+    * that is order-stable under re-partitioning). Output rows carry
+    * `<outCol>` (the inclusive running token total) for audit.
+    *
+    * Scale shape: the [[graft.operators.WindowOps.globalCumSum]]
+    * two-pass range cumsum over the (−score, key) order — no global
+    * single-task sort, no window over the corpus; negative/NULL token
+    * counts clamp to 0 (they cost nothing and cannot poison the
+    * running total). */
+  def selectByBudget(scoreCol: String, tokenCol: String, budget: Long,
+                     keyCol: String,
+                     outCol: String = "cum_tokens"): GraftFrame = {
+    require(budget >= 0L, s"selectByBudget needs budget >= 0, got $budget")
+    Seq(scoreCol, tokenCol, keyCol).foreach { c =>
+      require(df.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"selectByBudget: column '$c' must be numeric " +
+          s"(got ${df.schema(c).dataType.simpleString})")
+    }
+    val cols = df.columns.map(col).toIndexedSeq
+    val withOrd = df
+      .withColumn("__tok__", greatest(coalesce(col(tokenCol).cast("long"),
+        lit(0L)), lit(0L)))
+      // NULL scores rank LAST deterministically (coalesce to -inf →
+      // +inf after negation) instead of riding engine-specific
+      // null-struct ordering — a scoreless row is the worst candidate,
+      // not an undefined one
+      .withColumn("__ord__", struct(
+        (coalesce(col(scoreCol).cast("double"),
+          lit(Double.NegativeInfinity)) * -1.0).as("s"),
+        col(keyCol).cast("long").as("k")))
+    val cum = graft.operators.WindowOps
+      .globalCumSum(withOrd, "__ord__", "__tok__", "__cum__")
+    lift(cum.filter(col("__cum__") <= budget)
+      .select(cols :+ col("__cum__").as(outCol): _*))
+  }
+
   /** Deterministic train/val/test split by key hash — the dataset-split
     * primitive: one blockwise expression (fuses into the scan, no
     * shuffle, no RNG), assignment stable under repartitioning,

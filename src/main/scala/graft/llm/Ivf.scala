@@ -641,6 +641,45 @@ object Ivf {
       .select(col("query_id"), col(idCol), col("cos"))
   }
 
+  /** IVF-routed SEMANTIC CONTAMINATION SCREEN — the cheap daily
+    * sibling of [[graft.llm.Dedup.semanticContaminationReport]]: the
+    * benchmark's vectors probe their `nprobe` nearest cells of the
+    * persisted index, candidates ride the pruned partition scan, and
+    * the exact-cosine threshold verifies inside them. Output one
+    * (corpus id, bench_id, cos) row per hit — the same report shape as
+    * the exact form.
+    *
+    * The RECALL TRADE is explicit and priced: a contaminated vector is
+    * found only if it lies in one of its benchmark item's probed
+    * cells — at nprobe == nCells the screen EQUALS the exact report
+    * over the indexed corpus (spec-pinned), below that it is a strict
+    * subset. Takedowns use the exact sweep
+    * ([[graft.llm.Pipeline.sweepBenchmarkSemantic]]); the screen is
+    * the continuous-monitoring form whose cost is candidate mass, not
+    * corpus size. No self-exclusion: benchmark ids are a different id
+    * space, and an equal id is evidence, not identity. */
+  def semanticContaminationScreen(bench: DataFrame, benchIdCol: String,
+                                  benchVecCol: String, indexPath: String,
+                                  idCol: String, vecCol: String,
+                                  threshold: Double,
+                                  nprobe: Int = 2): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"semanticContaminationScreen: threshold must be in (0, 1], got " +
+        s"$threshold")
+    val spark = bench.sparkSession
+    val root = resolveRoot(spark, indexPath)
+    val centroids = spark.read.parquet(s"$root/centroids")
+    val qcells = probeFrame(bench, benchIdCol, benchVecCol, centroids,
+      nprobe)
+    val probedCells = broadcast(qcells.select(col("cell")).distinct())
+    spark.read.parquet(s"$root/vectors")
+      .join(probedCells, Seq("cell"), "left_semi")
+      .join(qcells, Seq("cell"))
+      .withColumn("cos", Similarity.cosine(col(vecCol), col("__qv__")))
+      .filter(col("cos") >= threshold)
+      .select(col(idCol), col("query_id").as("bench_id"), col("cos"))
+  }
+
   /** Search a persisted index: the nprobe cell ids are resolved to
     * LITERALS (a bounded nprobe-int collect over the tiny centroid
     * frame), so the `cell IN (...)` predicate is a STATIC partition

@@ -510,7 +510,9 @@ object Maintain {
                                  docs: Option[DataFrame] = None,
                                  idCol: String = "doc_id",
                                  textCol: String = "text",
-                                 bpeWindows: Option[graft.llm.Pipeline.BpeWindows] = None)
+                                 bpeWindows: Option[graft.llm.Pipeline.BpeWindows] = None,
+                                 windowSize: Option[Long] = None,
+                                 minFillRate: Double = 0.5)
     extends Target
 
   /** The NIGHTLY SWEEP: one call maintains every persisted family a
@@ -558,8 +560,8 @@ object Maintain {
             maintainBpe(spark, n, p, policy, fs, fc, tc)
           case MultiTarget(n, p, fs, fsd, lc, tc) =>
             maintainMulti(spark, n, p, policy, fs, fsd, lc, tc)
-          case WindowsTarget(op, d, ic, tc, bw) =>
-            maintainWindows(spark, op, policy, d, ic, tc, bw)
+          case WindowsTarget(op, d, ic, tc, bw, ws, mf) =>
+            maintainWindows(spark, op, policy, d, ic, tc, bw, ws, mf)
           case DhashIndexTarget(n) =>
             maintainDhashIndex(spark, n, policy)
           case EnvelopeIndexTarget(n) =>
@@ -767,7 +769,9 @@ object Maintain {
                       docs: Option[DataFrame] = None,
                       idCol: String = "doc_id",
                       textCol: String = "text",
-                      bpeWindows: Option[graft.llm.Pipeline.BpeWindows] = None): DataFrame = {
+                      bpeWindows: Option[graft.llm.Pipeline.BpeWindows] = None,
+                      windowSize: Option[Long] = None,
+                      minFillRate: Double = 0.5): DataFrame = {
     val rep = graft.llm.Pipeline.windowsReport(spark, outPath, docs,
       idCol, textCol, bpeWindows).collect()
     val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
@@ -797,6 +801,29 @@ object Maintain {
       if (maxFiles > policy.maxFilesFlat)
         "indicated: shard file counts high — rewrites happen in place on retraction; no automatic compaction for a live-reader sink"
       else "none"))
+    // FILL-RATE observable (r14 cont — the packed-layout waste eye):
+    // real tokens per windowSize slot, per shard. Low fill on a PACKED
+    // landing means segment tails dominate (segmentDocs too small for
+    // windowSize) or the corpus's docs dwarf the window; on a chop
+    // landing it can only be the per-(shard, split) tail windows —
+    // either way a number the operator should see before the trainer
+    // pays for pad (packed) or short batches (chop). Indicated-only:
+    // the fix is a parameter change on the NEXT landing, never a
+    // rewrite of this one.
+    windowSize.foreach { ws =>
+      require(ws > 0, s"maintainWindows: windowSize must be positive, got $ws")
+      val fills = rep.filter(_.getAs[Long]("windows") > 0).map(r =>
+        (r.getAs[String]("shard_label"),
+          r.getAs[Long]("tokens").toDouble /
+            (r.getAs[Long]("windows").toDouble * ws)))
+      val minFill = if (fills.isEmpty) 1.0 else fills.map(_._2).min
+      val low = fills.filter(_._2 < minFillRate).map(_._1)
+      results += (("window_fill", minFill, minFillRate, false,
+        if (low.isEmpty) "none"
+        else "indicated: low fill on " + low.take(5).mkString(",") +
+          " — retune segmentDocs/windowSize (packed layout) or accept " +
+          "chop-tail waste"))
+    }
     import spark.implicits._
     results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
   }

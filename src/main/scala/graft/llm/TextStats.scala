@@ -754,6 +754,70 @@ object TextStats {
         md5(regexp_replace(lower(trim(t)), "\\s+", " ")).as("content_md5"))
   }
 
+  /** DATASET CARD — the one-pass corpus summary a curation run
+    * publishes next to its landing (the "datasheet" numbers): doc /
+    * token / char masses, mean doc length, the rule-gate pass rates
+    * ([[qualityKeep]] trio and the published [[gopherKeep]] set) and
+    * the email-PII incidence — globally AND per section (one row per
+    * value of each `groupCols` column: language, source, …).
+    *
+    * ONE aggregation pass: per-row indicator columns fuse into the
+    * scan, and the global + per-section rows come out of a single
+    * GROUPING SETS aggregate — adding a section adds a grouping set,
+    * never a job. Rates are exact-count divisions evaluated once as
+    * doubles (oracle hash-checks them); a section value of NULL prints
+    * as '<null>'; NULL-text docs count in n_docs but in no rate
+    * denominator. */
+  def datasetCard(docs: DataFrame, textCol: String,
+                  groupCols: Seq[String],
+                  minStopHits: Long = 2L): DataFrame = {
+    require(groupCols.nonEmpty, "datasetCard needs at least one section " +
+      "column (language, source, …) — for a global-only card pass a " +
+      "constant column")
+    val t = col(textCol)
+    val nn = when(t.isNotNull, 1L).otherwise(0L)
+    val base = docs
+      .withColumn("__tok__",
+        when(t.isNotNull, size(split(t, " ")).cast("long")).otherwise(0L))
+      .withColumn("__ch__",
+        when(t.isNotNull, length(t).cast("long")).otherwise(0L))
+      .withColumn("__nn__", nn)
+      .withColumn("__q__",
+        when(t.isNotNull && qualityKeep(t), 1L).otherwise(0L))
+      .withColumn("__g__",
+        when(t.isNotNull && gopherKeep(t, minStopHits = minStopHits), 1L)
+          .otherwise(0L))
+      .withColumn("__pii__",
+        when(t.isNotNull &&
+          t.rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), 1L)
+          .otherwise(0L))
+    val sets = Seq(Seq.empty[Column]) ++ groupCols.map(c => Seq(col(c)))
+    // grouping() resolves only INSIDE the aggregate, so section/key
+    // are aggregate output expressions, not a downstream projection
+    val section = groupCols.foldLeft(lit("corpus")) { (acc, c) =>
+      when(grouping(col(c)) === 0, lit(c)).otherwise(acc) }
+    val key = groupCols.foldLeft(lit("_all_")) { (acc, c) =>
+      when(grouping(col(c)) === 0,
+        coalesce(col(c).cast("string"), lit("<null>"))).otherwise(acc) }
+    val grouped = base.groupingSets(sets, groupCols.map(col): _*)
+      .agg(section.as("section"), key.as("key"),
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok__")).as("n_tokens"),
+        sum(col("__ch__")).as("n_chars"),
+        sum(col("__nn__")).as("__snn__"),
+        sum(col("__q__")).as("__sq__"),
+        sum(col("__g__")).as("__sg__"),
+        sum(col("__pii__")).as("__spii__"))
+    def rate(c: String) = when(col("__snn__") === 0L, lit(null))
+      .otherwise(col(c).cast("double") / col("__snn__"))
+    grouped.select(col("section"), col("key"),
+      col("n_docs"), col("n_tokens"), col("n_chars"),
+      rate("n_tokens").as("mean_doc_tokens"),
+      rate("__sq__").as("quality_keep_rate"),
+      rate("__sg__").as("gopher_keep_rate"),
+      rate("__spii__").as("pii_email_rate"))
+  }
+
   /** Corpus DRIFT report between two corpus versions — the monitoring
     * pass a daily-ingested corpus runs before promoting a new snapshot:
     * per group (source/domain) and per text statistic, the old and new

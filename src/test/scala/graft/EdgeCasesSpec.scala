@@ -830,4 +830,57 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(Checks.requireAllBy(d, Seq("grp"),
       Seq(Checks.RowCountBetween(1L, 10L))).count() == 4)
   }
+
+  test("withQuantileTier: cutpoint ties go low, empty frame safe, refusals") {
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("s", LongType)))
+    // scores 1..8: quartile cutpoints (interpolated) 2.75 / 4.5 / 6.25
+    val d = df(sch, (1L to 8L).map(i => Row(i, i)): _*)
+    val tiers = GraftFrame(d).withQuantileTier("s", 4).df
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(tiers == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1,
+      5L -> 2, 6L -> 2, 7L -> 3, 8L -> 3), s"$tiers")
+    // a score EXACTLY at a cutpoint lands in the LOWER tier: with all
+    // scores equal every cutpoint equals the score, so all tier 0
+    val flat = df(sch, (1L to 4L).map(i => Row(i, 7L)): _*)
+    assert(GraftFrame(flat).withQuantileTier("s", 4).df
+      .select("tier").collect().forall(_.getInt(0) == 0))
+    // empty frame: tier 0 everywhere (vacuous), no throw
+    assert(GraftFrame(df(sch)).withQuantileTier("s", 3).df.count() == 0)
+    intercept[IllegalArgumentException] {
+      GraftFrame(d).withQuantileTier("s", 1)
+    }
+  }
+
+  test("selectByBudget: deterministic prefix, exact-budget row kept, clamps, refusal") {
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("score", DoubleType), StructField("tok", LongType)))
+    val d = df(sch,
+      Row(1L, 9.0, 40L), Row(2L, 8.0, 30L), Row(3L, 7.0, 30L),
+      Row(4L, 6.0, 5L), Row(5L, 5.0, 100L))
+    // budget 100: rows 1 (cum 40), 2 (cum 70), 3 (cum 100 — EXACTLY at
+    // the line, kept); row 4 would fit greedily but the PREFIX rule
+    // closes at the first overflow rank — deterministic, not knapsack
+    val got = GraftFrame(d).selectByBudget("score", "tok", 100L, "id").df
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cum_tokens")).toMap
+    assert(got == Map(1L -> 40L, 2L -> 70L, 3L -> 100L), s"$got")
+    // score ties break by id ascending: equal scores, budget covers one
+    val tied = df(sch, Row(10L, 1.0, 10L), Row(9L, 1.0, 10L))
+    assert(GraftFrame(tied).selectByBudget("score", "tok", 10L, "id").df
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // negative/NULL token counts clamp to 0 (cost nothing)
+    val neg = df(sch, Row(1L, 2.0, -5L), Row(2L, 1.0, null))
+    assert(GraftFrame(neg).selectByBudget("score", "tok", 0L, "id").df
+      .count() == 2)
+    // deterministic under repartition
+    val a = GraftFrame(d).selectByBudget("score", "tok", 100L, "id").df
+      .orderBy("id").collect().toSeq
+    val b = GraftFrame(d.repartition(5))
+      .selectByBudget("score", "tok", 100L, "id").df
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      GraftFrame(d).selectByBudget("score", "tok", -1L, "id")
+    }
+  }
 }

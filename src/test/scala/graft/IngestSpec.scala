@@ -1166,6 +1166,46 @@ class IngestSpec extends SparkTestBase {
         concat(col("text"), lit(" extra")))
       val drift = sweep(Some(drifted))
       assert(drift("token_conservation")._1 == 2.0, drift)
+      // FILL observable (r14 cont): healthy chop landing fills well
+      // (only per-(shard, split) tails are short at C=64 << shard mass)
+      val fillOk = graft.llm.Maintain.maintainAll(spark, Seq(
+          "windows" -> graft.llm.Maintain.WindowsTarget(out,
+            windowSize = Some(64L))))
+        .filter(col("check") === "window_fill").head()
+      assert(fillOk.getDouble(2) > 0.5 && fillOk.getString(5) == "none",
+        fillOk.toString)
+      // a degenerate PACKED landing (segmentDocs = 1 at a huge window:
+      // one window per doc, almost all pad) is indicated — the waste
+      // eye the trainer's pad budget needs
+      val mdl = tmpDir("graft_wmt_bpe")
+      try {
+        graft.llm.Bpe.writeBpeModel(docs.filter(col("doc_id") < 200),
+          "text", "wmt_bpe", mdl, numMerges = 4)
+        val vocab = graft.llm.Bpe.vocabMap(spark.table("wmt_bpe_bpe_vocab"))
+        val out2 = tmpDir("graft_wmt_out2")
+        try {
+          Pipeline.ingestWindowsShard(
+            docs.filter(col("doc_id") >= 260 && col("doc_id") < 280),
+            df(docSchema), "doc_id", "text", "wmt_t", tmp, out2, 4096L,
+            "d01", redactPii = false,
+            bpeWindows = Some(Pipeline.BpeWindows("wmt_bpe", mdl,
+              packed = true, padId = Some(vocab.values.max + 1L),
+              segmentDocs = 1)))
+          val lowFill = graft.llm.Maintain.maintainWindows(spark, out2,
+            windowSize = Some(4096L)).collect()
+            .find(_.getString(0) == "window_fill").get
+          assert(lowFill.getDouble(1) < 0.5 &&
+            lowFill.getString(4).contains("segmentDocs"),
+            lowFill.toString)
+        } finally {
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(out2))
+        }
+      } finally {
+        Seq("wmt_bpe_bpe", "wmt_bpe_bpe_vocab").foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS $t"))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(mdl))
+      }
     } finally {
       dropIndex("wmt_t")
       Seq(tmp, out).foreach(d =>

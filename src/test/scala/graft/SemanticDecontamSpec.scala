@@ -65,6 +65,46 @@ class SemanticDecontamSpec extends SparkTestBase {
     }
   }
 
+  test("IVF contamination screen: full probe equals the exact report; partial probe is a subset; cosine parity") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") < 400)
+    val ivfDir = tmpDir("graft_scr_ivf")
+    try {
+      val cents = Ivf.train(corpus, "vec_id", "embedding", nCells = 4,
+        iters = 0)
+      Ivf.writeIndex(corpus, "vec_id", "embedding", cents, ivfDir)
+      val bench = emb.filter(col("vec_id") % 83 === 2)
+        .select((col("vec_id") + 7000).as("bench_id"), col("embedding"))
+      val exact = Dedup.semanticContaminationReport(corpus, "vec_id",
+          "embedding", bench, "bench_id", "embedding", 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(exact.nonEmpty)
+      // nprobe == nCells: the screen EQUALS the exact report (scores too)
+      val full = Ivf.semanticContaminationScreen(bench, "bench_id",
+          "embedding", ivfDir, "vec_id", "embedding", 0.9, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(full == exact, s"full-probe screen must equal exact:\n$full\n$exact")
+      // partial probe: a strict-or-equal SUBSET — the priced recall trade
+      val part = Ivf.semanticContaminationScreen(bench, "bench_id",
+          "embedding", ivfDir, "vec_id", "embedding", 0.9, nprobe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(part.subsetOf(exact))
+      // an exact copy's own cell is always its nearest cell: nprobe=1
+      // still finds every planted identity hit
+      assert(part == exact,
+        "identity hits live in the benchmark vector's own nearest cell")
+      intercept[IllegalArgumentException] {
+        Ivf.semanticContaminationScreen(bench, "bench_id", "embedding",
+          ivfDir, "vec_id", "embedding", 0.0)
+      }
+    } finally rmDir(ivfDir)
+  }
+
   test("semDeDupPairs: cluster-scoped candidates catch a paraphrase, drop keeps one per component") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -1066,6 +1066,62 @@ class WindowLlmSpec extends SparkTestBase {
     }
   }
 
+  test("windowsLandingStream with the PACKED layout: streamed mini-shards land fixed-shape padded windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_wlp_idx").toString
+    val mdl = java.nio.file.Files.createTempDirectory("graft_wlp_bpe").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_wlp").toString
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      graft.llm.Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200),
+        "doc_id", "text", "wlp_t", idx)
+      graft.llm.Bpe.writeBpeModel(docs.filter(col("doc_id") < 200),
+        "text", "wlp_bpe", mdl, numMerges = 4)
+      val vocab = graft.llm.Bpe.vocabMap(spark.table("wlp_bpe_bpe_vocab"))
+      val (eod, pad) = (vocab.values.max + 1L, vocab.values.max + 2L)
+      val bw = graft.llm.Pipeline.BpeWindows("wlp_bpe", mdl,
+        eodId = Some(eod), packed = true, padId = Some(pad),
+        segmentDocs = 8)
+      val batch = docs.filter(col("doc_id") >= 200 && col("doc_id") < 230)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.windowsLandingStream(
+        in.toDF().toDF("doc_id", "text"),
+        spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+          lit("").as("text")).limit(0),
+        "doc_id", "text", "wlp_t", idx, out, 64L, ckpt,
+        redactPii = false, bpeWindows = Some(bw)).start()
+      try {
+        in.addData(batch.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val win = spark.read.parquet(out)
+      assert(win.count() > 0)
+      win.select("window_ids", "n_tokens").collect().foreach { r =>
+        val ids = r.getSeq[Long](0)
+        val n = r.getLong(1)
+        assert(ids.length == 64 && n <= 64L)
+        assert(ids.drop(n.toInt).forall(_ == pad) &&
+          ids.take(n.toInt).forall(_ != pad))
+      }
+      // the fsck counts REAL ids in the stamped unit on the streamed shard
+      assert(graft.llm.Pipeline.windowsReport(spark, out, Some(docs),
+          bpeWindows = Some(bw))
+        .collect().forall(_.getAs[Boolean]("tokens_match")))
+    } finally {
+      Seq("bands", "shingles", "keys").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS wlp_t_$t"))
+      Seq("wlp_bpe_bpe", "wlp_bpe_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(idx, mdl, base).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("ingestGateStream filters quality, redacts PII, dedups within watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
