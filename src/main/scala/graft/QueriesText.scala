@@ -4104,6 +4104,56 @@ object QueriesText {
         .orderBy("window_id")
     }
 
+    // TOKENIZER FERTILITY by language (r14 cont): tokens-per-word and
+    // OOV share per lang under the persisted model — the tokenizer-QC
+    // metric multilingual work tunes. The oracle replays training +
+    // vocab + the per-word encode and aggregates by lang; the planted
+    // 'xx' doc carries a char the training corpus never saw ('ø'), so
+    // the OOV column is non-vacuous at both scales.
+    r.reg("q_bpe_fertility",
+      s"""WITH ${bpeTrainCtes(8)},
+         |$bpeVocabCtes,
+         |fdocs AS (SELECT doc_id, lang, text FROM documents
+         |          WHERE doc_id < 100 AND text IS NOT NULL
+         |          UNION ALL
+         |          SELECT CAST(-8 AS BIGINT), 'xx', 'øøø foo the'),
+         |fwrd AS (
+         |  SELECT doc_id, lang, toks[CAST(i AS INTEGER)] AS w
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         |          unnest(range(1, len(string_split(text, ' '))+1)) AS i
+         |        FROM fdocs)
+         |  WHERE toks[CAST(i AS INTEGER)] <> ''),
+         |fenc AS (
+         |  SELECT doc_id, lang,
+         |    string_split(trim($bpeNestedSql), '  ') AS etoks
+         |  FROM fwrd),
+         |ftok AS (SELECT doc_id, lang, unnest(etoks) AS token FROM fenc),
+         |fid AS (
+         |  SELECT t.lang, COALESCE(v.token_id, -1) AS tid
+         |  FROM ftok t LEFT JOIN bvocab v USING (token)),
+         |fw AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words
+         |       FROM fwrd GROUP BY lang),
+         |ft AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        CAST(sum(CASE WHEN tid < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |       FROM fid GROUP BY lang)
+         |SELECT fw.lang, n_words, n_tokens, n_oov,
+         |  CAST(n_tokens AS DOUBLE) / n_words AS fertility,
+         |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+         |FROM fw JOIN ft USING (lang) ORDER BY lang""".stripMargin) { (s, dir) =>
+      val idxPath = ensurePbpeModel(s, dir)
+      val extra = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("xx", "øøø foo the")),
+        StructType(Seq(StructField("lang", StringType),
+          StructField("text", StringType))))
+      val fdocs = t(s, dir, "documents")
+        .filter(col("doc_id") < 100 && col("text").isNotNull)
+        .select("lang", "text").unionByName(extra)
+      graft.llm.Bpe.fertilityReport(s, "g_pbpe", idxPath, fdocs,
+          "text", "lang")
+        .orderBy("lang")
+    }
+
     // ------------------------------------------------------------------
     // BYTE-LEVEL BPE (r14): the GPT-2 symbolization — words start as
     // UTF-8 BYTES (uppercase hex pairs on both engines: Spark

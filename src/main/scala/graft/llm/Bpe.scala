@@ -613,6 +613,48 @@ object Bpe {
       vocabMap(spark.table(s"${name}_bpe_vocab")), byteLevel)
   }
 
+  /** TOKENIZER FERTILITY report — the per-language tokenizer-QC metric
+    * (tokens emitted per word; the number multilingual tokenizer work
+    * tunes, e.g. the XLM-R/BLOOM analyses): for each `groupCol` value,
+    * total words, total encoded tokens, `fertility` = tokens/words,
+    * and the OOV share of emitted tokens. A language whose fertility
+    * is far above the corpus mean is being shredded into characters
+    * (the vocab under-serves it); growing OOV means unseen scripts.
+    * Served from the persisted model — symbolization level and
+    * pre-tokenizer ride the stamp.
+    *
+    * Scale shape: ONE pass — per-row word extraction + the fused
+    * memoized encode expression + a map-side-combined groupBy on the
+    * group column; output is group-cardinality-sized. Exact integer
+    * masses divided once as doubles (oracle hash-checks them). */
+  def fertilityReport(spark: SparkSession, name: String, path: String,
+                      docs: DataFrame, textCol: String,
+                      groupCol: String): DataFrame = {
+    val (_, _, _, byteLevel, wordPattern) = readBpeMeta(spark, path)
+    val merges = mergeList(spark.table(s"${name}_bpe"))
+    val vocab = vocabMap(spark.table(s"${name}_bpe_vocab"))
+    val words = filter(wordsOf(textCol, wordPattern), w => length(w) >= 1)
+    val ids = flatten(transform(words,
+      w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel)))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol),
+        size(words).cast("long").as("__w__"),
+        size(ids).cast("long").as("__t__"),
+        size(filter(ids, i => i < 0L)).cast("long").as("__o__"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__w__")).as("n_words"),
+        sum(col("__t__")).as("n_tokens"),
+        sum(col("__o__")).as("n_oov"))
+      .select(col(groupCol),
+        col("n_words"), col("n_tokens"), col("n_oov"),
+        when(col("n_words") === 0L, lit(null))
+          .otherwise(col("n_tokens").cast("double") / col("n_words"))
+          .as("fertility"),
+        when(col("n_tokens") === 0L, lit(null))
+          .otherwise(col("n_oov").cast("double") / col("n_tokens"))
+          .as("oov_rate"))
+  }
+
   /** OOV drift of a fresh corpus slice against the stored vocab: the
     * fraction of encoded token occurrences with no vocab id — a pure
     * integer ratio, engine-deterministic. Growing OOV means the corpus
