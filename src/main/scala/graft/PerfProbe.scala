@@ -285,8 +285,10 @@ object PerfProbe {
         llm.Dedup.semanticContaminationReport(emb, "vec_id", "embedding",
           bench, "bench_id", "embedding", 0.9).count()
       }
-      val cents = llm.Ivf.train(emb, "vec_id", "embedding",
-        nCells = 16, iters = 0)
+      val cents = llm.Ivf.train(
+        emb.select(col("vec_id"),
+          llm.Similarity.unitVector(col("embedding")).as("embedding")),
+        "vec_id", "embedding", nCells = 16, iters = 0)
       time("semDeDupPairs(16cells)") {
         llm.Dedup.semDeDupPairs(emb, "vec_id", "embedding", cents,
           0.9).count()

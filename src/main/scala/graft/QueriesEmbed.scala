@@ -236,31 +236,42 @@ object QueriesEmbed {
     }
 
     // SemDeDup (r14, Abbas et al. 2023): k-means CELLS as the semantic
-    // candidate grouping — the oracle replays the iters=0 seeding (16
-    // smallest id-hashes, the q_ivf_assign construction), the
-    // first-strict-improvement argmin assignment, the within-cell pair
-    // join, and the decimal-exact cosine verify over planted copies
-    // (vec_id%5=0 → +10000; identical vectors land in identical cells,
-    // so the cluster route's completeness on exact dups is structural).
+    // candidate grouping, clustered on the L2-UNIT vectors (the paper's
+    // normalized k-means — on the unit sphere L2 is monotone in cosine,
+    // so direction-mates share cells regardless of magnitude). The
+    // oracle replays the per-vector exact-decimal norm, the unit forms,
+    // the iters=0 seeding (16 smallest id-hashes, the q_ivf_assign
+    // construction), the first-strict-improvement argmin assignment,
+    // the within-cell pair join, and the decimal-exact cosine verify
+    // over planted copies (vec_id%5=0 → +10000).
     r.reg("q_semdedup",
       """WITH ext AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1500
         |  UNION ALL
         |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
         |  WHERE vec_id < 1500 AND vec_id % 5 = 0),
-        |hs AS (SELECT vec_id, embedding,
+        |nrm AS (
+        |  SELECT vec_id,
+        |    sqrt(CAST(sum(CAST(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)
+        |      AS DECIMAL(25,12))) AS DOUBLE)) AS nv
+        |  FROM (SELECT vec_id, unnest(embedding) AS a FROM ext)
+        |  GROUP BY vec_id),
+        |un AS (
+        |  SELECT e.vec_id,
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE) / n.nv) AS u
+        |  FROM ext e JOIN nrm n USING (vec_id) WHERE n.nv > 0),
+        |hs AS (SELECT vec_id, u,
         |        ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
-        |       FROM ext),
+        |       FROM un),
         |seeds AS (
         |  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell,
-        |    embedding AS centroid
+        |    u AS centroid
         |  FROM hs ORDER BY h ASC, vec_id ASC LIMIT 16),
         |dists AS (
         |  SELECT e.vec_id, s.cell,
-        |    list_sum(list_transform(range(1, len(e.embedding)+1),
-        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE))
-        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.centroid[i] AS DOUBLE)))) AS d
-        |  FROM ext e, seeds s),
+        |    list_sum(list_transform(range(1, len(e.u)+1),
+        |      i -> (e.u[i] - s.centroid[i]) * (e.u[i] - s.centroid[i]))) AS d
+        |  FROM un e, seeds s),
         |asg AS (
         |  SELECT vec_id, cell FROM (
         |    SELECT vec_id, cell,
@@ -288,7 +299,10 @@ object QueriesEmbed {
         e.filter(col("vec_id") % 5 === 0)
           .withColumn("vec_id", col("vec_id") + 10000))
         .select("vec_id", "embedding")
-      val cents = graft.llm.Ivf.train(ext, "vec_id", "embedding",
+      val unitized = ext.select(col("vec_id"),
+          graft.llm.Similarity.unitVector(col("embedding")).as("embedding"))
+        .filter(col("embedding").isNotNull)
+      val cents = graft.llm.Ivf.train(unitized, "vec_id", "embedding",
         nCells = 16, iters = 0)
       graft.llm.Dedup.semDeDupPairs(ext, "vec_id", "embedding", cents,
           threshold = 0.9)

@@ -352,10 +352,18 @@ object Dedup {
   def semDeDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, threshold: Double,
                     maxCellSize: Int = 10000): DataFrame = {
-    val assigned = Ivf.assign(
-        embeddings.select(col(idCol), col(vecCol))
-          .filter(col(vecCol).isNotNull),
-        idCol, vecCol, centroids)
+    // assignment runs on the L2-UNIT vectors (the paper's normalized
+    // k-means): on the unit sphere Euclidean distance is monotone in
+    // cosine, so a paraphrase pair differing only in magnitude shares a
+    // cell — raw-vector assignment would split direction-mates. Train
+    // the supplied centroids on unit forms too
+    // ([[Similarity.unitVector]]); zero-norm vectors have no direction
+    // (and no cosine) and drop here
+    val unit = embeddings.select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
+      .withColumn("__unit__", Similarity.unitVector(col(vecCol)))
+      .filter(col("__unit__").isNotNull)
+    val assigned = Ivf.assign(unit, idCol, "__unit__", centroids)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         col("cell").cast("long").as("cell"))
     withinKeyPairs(assigned, "cell", threshold, maxCellSize)

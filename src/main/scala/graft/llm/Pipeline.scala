@@ -22,10 +22,19 @@ object Pipeline {
 
   /** Spec for the optional SEMANTIC dedup stage: an embedding table
     * keyed like the docs (`embIdCol` joins the doc id), cosine
-    * `threshold` above which two docs count as paraphrase duplicates. */
+    * `threshold` above which two docs count as paraphrase duplicates.
+    * Candidate route: LSH hyperplane buckets by default; pass
+    * `centroids` ([[graft.llm.Ivf.train]]'s frame — the search index
+    * and the dedup can share one clustering) to run the published
+    * SemDeDup cluster-scoped route instead
+    * ([[graft.llm.Dedup.semDeDupPairs]] — density-following cells,
+    * `maxCellSize` caps degenerate ones); `dim` only drives the LSH
+    * route. */
   final case class EmbeddingDedup(embeddings: DataFrame, embIdCol: String,
                                   vecCol: String, dim: Int,
-                                  threshold: Double)
+                                  threshold: Double,
+                                  centroids: Option[DataFrame] = None,
+                                  maxCellSize: Int = 10000)
 
   /** Spec for the optional TEMPERATURE-MIXING stage (r11 verdict #3):
     * the last content-selection step of the standard pretraining recipe
@@ -2012,8 +2021,13 @@ object Pipeline {
     // input (anti-join left + shingle report), so IT is the boundary to
     // persist
     val deduped = embeddingDedup.fold(near)(e =>
-      reused(Dedup.dropEmbeddingNearDuplicates(near, idCol, e.embeddings,
-        e.embIdCol, e.vecCol, e.dim, e.threshold)))
+      reused(e.centroids match {
+        case Some(c) => Dedup.dropSemanticDuplicatesClustered(near, idCol,
+          e.embeddings, e.embIdCol, e.vecCol, c, e.threshold,
+          maxCellSize = e.maxCellSize)
+        case None => Dedup.dropEmbeddingNearDuplicates(near, idCol,
+          e.embeddings, e.embIdCol, e.vecCol, e.dim, e.threshold)
+      }))
     // 4. decontaminate vs the benchmark shingle set. The tap sits INSIDE
     // the persisted boundary so the observe materializes exactly once
     // with the cache even though the output is read multiply downstream

@@ -55,6 +55,18 @@ object Similarity {
       dotExact(a, b, 12).cast("double") / denom)
   }
 
+  /** L2-UNIT form of a vector column — the normalized-k-means input of
+    * SemDeDup-style clustering (on unit vectors, Euclidean distance is
+    * monotone in cosine, so direction-mates share cells regardless of
+    * magnitude). Norm via the exact scale-12 decimal (deterministic),
+    * then one correctly-rounded division per element; zero-norm
+    * vectors have no direction and yield null. */
+  def unitVector(v: Column): Column = {
+    val n = normExact(v, 12)
+    when(n === 0.0, lit(null)).otherwise(
+      transform(v.cast("array<double>"), x => x / n))
+  }
+
   /** Brute-force top-k neighbors of one query vector: broadcast the
     * 1-row query, score every row blockwise, TakeOrderedAndProject picks
     * k per partition then merges — no global sort, no shuffle of the

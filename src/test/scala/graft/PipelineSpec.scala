@@ -152,6 +152,19 @@ class PipelineSpec extends SparkTestBase {
           "embedding", dim = 4, threshold = 0.95)))
       .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
     assert(withEmb == Seq(1L, 3L), s"paraphrase not dropped: $withEmb")
+    // the SemDeDup cluster route drops the same paraphrase through the
+    // same stage slot when centroids are supplied (cells follow the
+    // data: the two parallel vectors share a nearest centroid)
+    val cents = graft.llm.Ivf.train(
+      emb.select(col("vec_id"),
+        graft.llm.Similarity.unitVector(col("embedding")).as("embedding")),
+      "vec_id", "embedding", nCells = 2, iters = 0, trainFraction = 1.0)
+    val withSem = Pipeline.pretrainCorpus(docs, df(docSchema), "doc_id", "text",
+        embeddingDedup = Some(Pipeline.EmbeddingDedup(emb, "vec_id",
+          "embedding", dim = 4, threshold = 0.95,
+          centroids = Some(cents))))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(withSem == Seq(1L, 3L), s"SemDeDup route must drop it too: $withSem")
   }
 
   test("observed near_dedup/output metrics resolve even with zero near-dup pairs") {

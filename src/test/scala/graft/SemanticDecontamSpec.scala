@@ -116,8 +116,11 @@ class SemanticDecontamSpec extends SparkTestBase {
       .select(lit(9007L).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
     val ext = emb.unionByName(planted)
-    val cents = graft.llm.Ivf.train(ext, "vec_id", "embedding",
-      nCells = 8, iters = 0)
+    // SemDeDup's normalized k-means: centroids trained on unit forms
+    val cents = graft.llm.Ivf.train(
+      ext.select(col("vec_id"),
+        graft.llm.Similarity.unitVector(col("embedding")).as("embedding")),
+      "vec_id", "embedding", nCells = 8, iters = 0)
     val pairs = graft.llm.Dedup.semDeDupPairs(ext, "vec_id", "embedding",
       cents, threshold = 0.95).collect()
     assert(pairs.length == 1)
