@@ -3818,6 +3818,121 @@ object QueriesText {
         .orderBy("split", "window_id")
     }
 
+    // PACKED id windows through the FULL pipeline (r14 cont — the
+    // capstone of the doc-aware layout): the composed chain lands
+    // fixed-shape 120-id windows (EOD per doc, pad = eod+1, docs never
+    // split unless their id mass exceeds 120 — at ~8 merges most docs
+    // DO split, so the oversize path is live in the composed oracle
+    // too). The oracle recomputes the clean chain, training, vocab,
+    // per-split id sequences with EOD, the per-SPLIT permutation rank,
+    // the 16-piece-segment next-fit recurrence, dense per-split ids
+    // and the padded arrays end to end.
+    r.reg("q_pipeline_windows_packed",
+      pipeCleanCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s""",
+         |${bpeTrainCtes(8)},
+         |$bpeVocabCtes,
+         |pweod AS (SELECT max(token_id) + 1 AS e FROM bvocab),
+         |pwdocs AS (
+         |  SELECT c.doc_id, d.text,
+         |    CASE WHEN (c.doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTTrain THEN 'train'
+         |         WHEN (c.doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTVal THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM clean c JOIN documents d USING (doc_id)),
+         |pwwrd AS (
+         |  SELECT split, doc_id, CAST(i - 1 AS INTEGER) AS word_pos,
+         |    toks[CAST(i AS INTEGER)] AS w
+         |  FROM (SELECT split, doc_id, string_split(text, ' ') AS toks,
+         |          unnest(range(1, len(string_split(text, ' '))+1)) AS i
+         |        FROM pwdocs)
+         |  WHERE toks[CAST(i AS INTEGER)] <> ''),
+         |pwenc AS (
+         |  SELECT split, doc_id, word_pos,
+         |    string_split(trim($bpeNestedSql), '  ') AS etoks
+         |  FROM pwwrd),
+         |pwtok AS (
+         |  SELECT split, doc_id, word_pos, CAST(j - 1 AS INTEGER) AS tok_pos,
+         |    etoks[CAST(j AS INTEGER)] AS token
+         |  FROM (SELECT split, doc_id, word_pos, etoks,
+         |          unnest(range(1, len(etoks)+1)) AS j FROM pwenc)),
+         |pwid AS (
+         |  SELECT b.split, b.doc_id, b.word_pos, b.tok_pos,
+         |    COALESCE(v.token_id, -1) AS token_id
+         |  FROM pwtok b LEFT JOIN bvocab v USING (token)),
+         |pwdoc AS (
+         |  SELECT split, doc_id,
+         |    list_append(list(token_id ORDER BY word_pos, tok_pos),
+         |      (SELECT e FROM pweod)) AS ids,
+         |    CAST(count(*) + 1 AS BIGINT) AS n
+         |  FROM pwid GROUP BY split, doc_id),
+         |pw0 AS (SELECT split, doc_id, n,
+         |        unnest(range(0, CAST(floor((n-1)/120.0) AS BIGINT) + 1)) AS piece
+         |        FROM pwdoc),
+         |pw2 AS (SELECT split, doc_id, piece,
+         |        LEAST(120, n - piece*120) AS plen,
+         |        (doc_id % 2147483648) * 2654435761 % 4294967296 AS h
+         |        FROM pw0),
+         |pwrk AS (SELECT split, doc_id, piece, plen,
+         |        row_number() OVER (PARTITION BY split ORDER BY h, piece) AS rnk
+         |        FROM pw2),
+         |pwsg AS (SELECT split, doc_id, piece, plen,
+         |        CAST(floor((rnk-1)/16.0) AS BIGINT) AS seg,
+         |        CAST((rnk-1)%16 AS BIGINT) AS pos FROM pwrk),
+         |pwpk AS (
+         |  SELECT split, seg, pos, doc_id, piece, plen,
+         |         CAST(0 AS BIGINT) AS win, plen AS fill
+         |  FROM pwsg WHERE pos = 0
+         |  UNION ALL
+         |  SELECT c.split, c.seg, c.pos, c.doc_id, c.piece, c.plen,
+         |    CASE WHEN k.fill + c.plen <= 120 THEN k.win ELSE k.win + 1 END,
+         |    CASE WHEN k.fill + c.plen <= 120 THEN k.fill + c.plen ELSE c.plen END
+         |  FROM pwpk k JOIN pwsg c
+         |    ON c.split = k.split AND c.seg = k.seg AND c.pos = k.pos + 1),
+         |pwwid AS (SELECT split, seg, win,
+         |         dense_rank() OVER (PARTITION BY split ORDER BY seg, win) - 1 AS window_id
+         |        FROM (SELECT DISTINCT split, seg, win FROM pwpk)),
+         |pwmem AS (SELECT k.split, k.doc_id, k.piece, k.plen,
+         |               k.fill - k.plen AS off, w.window_id
+         |        FROM pwpk k JOIN pwwid w
+         |          ON w.split = k.split AND w.seg = k.seg AND w.win = k.win),
+         |pwprt AS (SELECT m.split, m.window_id, m.off, m.plen AS len,
+         |           d.ids[CAST(m.piece*120+1 AS INT):CAST(m.piece*120+m.plen AS INT)] AS part
+         |          FROM pwmem m JOIN pwdoc d
+         |            ON d.split = m.split AND d.doc_id = m.doc_id),
+         |pwwin AS (SELECT split, window_id,
+         |  flatten(list(part ORDER BY off)) AS ids,
+         |  CAST(sum(len) AS BIGINT) AS n_tokens
+         |  FROM pwprt GROUP BY split, window_id)
+         |SELECT split, window_id,
+         |  array_to_string(list_transform(
+         |    list_concat(ids, list_transform(range(0, 120 - n_tokens),
+         |      x -> pe.e + 1)),
+         |    x -> CAST(x AS VARCHAR)), ' ') AS ids_text,
+         |  n_tokens
+         |FROM pwwin, pweod pe ORDER BY split, window_id""".stripMargin) { (s, dir) =>
+      val idxPath = ensurePbpeModel(s, dir)
+      val vocab = graft.llm.Bpe.vocabMap(s.table("g_pbpe_bpe_vocab"))
+      val eod = vocab.values.max + 1L
+      val docs = t(s, dir, "documents")
+      val out = "/root/repo/target/qtmp/pipeline_windows_packed"
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.llm.Pipeline.buildAndWriteWindows(
+        docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+        "doc_id", "text", out, windowSize = 120L,
+        bpeWindows = Some(graft.llm.Pipeline.BpeWindows("g_pbpe", idxPath,
+          eodId = Some(eod), packed = true, padId = Some(eod + 1L),
+          segmentDocs = 16)))
+      s.read.parquet(out)
+        .select(col("split"), col("window_id"),
+          concat_ws(" ",
+            transform(col("window_ids"), x => x.cast("string")))
+            .as("ids_text"),
+          col("n_tokens"))
+        .orderBy("split", "window_id")
+    }
+
     // EOD insertion + doc-boundary spans (r14): the two trainer-facing
     // refinements of the id-space window assembly — every document
     // contributes one trailing end-of-document id (reserved as
