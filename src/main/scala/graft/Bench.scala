@@ -162,7 +162,8 @@ object Bench {
         // and the landing is force-included rather than competing
         // with the lineitem/embeddings top-10
         val picks = (autoPicks ++
-          Seq("q_pipeline_windows", "q_pipeline_windows_bpe")
+          Seq("q_pipeline_windows", "q_pipeline_windows_bpe",
+            "q_pipeline_windows_packed")
             .filter(times.contains)).distinct
         // Transient-proofing (r9 verdict: the shipped single-pass
         // record claimed a 301x quadratic that a quiet re-run
@@ -212,6 +213,15 @@ object Bench {
             s"QxN_by_design_superlinear_ok_lt_${copies * copies}x"
           else if (n.startsWith("q_embed_dedup") || n.startsWith("q_near_dedup") ||
             n.startsWith("q_minhash")) s"candidate_bound_le_${copies}x"
+          // both sides of the benchmark cross product scale with the
+          // corpus (bench derives from it), so the honest bound is the
+          // product, not the data size
+          else if (n == "q_semantic_decontam")
+            s"corpus_x_bench_product_ok_lt_${copies * copies}x"
+          // within-cell pairs at FIXED nCells grow quadratically in
+          // cell occupancy; production grows nCells with the corpus
+          else if (n == "q_semdedup")
+            s"fixed_cells_quadratic_ok_lt_${copies * copies}x"
           else s"le_${copies}x"
         val ok = picks.filter(t1.contains)
         def m(f: String => String) =

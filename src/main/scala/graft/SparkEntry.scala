@@ -167,7 +167,12 @@ object SparkEntry {
     // the exact broadcast-bench sweep (|corpus|·|bench| blockwise);
     // q_gopher_rules the full scan-fused rule set
     "q_windows_packed_bpe", "q_semdedup", "q_semantic_decontam",
-    "q_gopher_rules")
+    "q_gopher_rules",
+    // r14 cont: the packed layout's COMPOSED landing (chain + encode +
+    // EOD + segment next-fit + pad + partitioned write) — also an sf1
+    // force-pick, so the doc-aware artifact carries in-record scale
+    // evidence like its chop sibling
+    "q_pipeline_windows_packed")
 
   /** Untimed per-query preparation Bench runs ONCE before the timed
     * passes (r10 verdict #3): the steady-state ingest entries build and
@@ -210,7 +215,9 @@ object SparkEntry {
     // r14 cont: the packed id-window assembly reuses the per-JVM
     // g_pbpe model — one untimed run trains it, so samples time
     // encode + packing + assembly only
-    "q_windows_packed_bpe").map { n =>
+    "q_windows_packed_bpe",
+    // r14 cont: the composed packed landing shares the same model
+    "q_pipeline_windows_packed").map { n =>
       n -> ((s: SparkSession, dir: String) =>
         queries(n)(s, dir).write.format("noop").mode("overwrite").save())
     }.toMap

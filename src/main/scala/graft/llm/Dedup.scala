@@ -361,6 +361,8 @@ object Dedup {
     // (and no cosine) and drop here
     val unit = embeddings.select(col(idCol), col(vecCol))
       .filter(col(vecCol).isNotNull)
+      // native one-pass unitization — the declarative form re-evaluates
+      // the decimal norm fold per element under optimizer inlining
       .withColumn("__unit__", Similarity.unitVector(col(vecCol)))
       .filter(col("__unit__").isNotNull)
     val assigned = Ivf.assign(unit, idCol, "__unit__", centroids)

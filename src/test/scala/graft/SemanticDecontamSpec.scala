@@ -105,6 +105,29 @@ class SemanticDecontamSpec extends SparkTestBase {
     } finally rmDir(ivfDir)
   }
 
+  test("unitVector: native one-pass form is bit-identical to the declarative chain") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // float input: every element of every unit vector matches exactly
+    val diff = emb.select(
+        graft.llm.Similarity.unitVector(col("embedding")).as("a"),
+        graft.llm.Similarity.unitVectorDeclarative(col("embedding")).as("b"))
+      .select(explode(arrays_zip(col("a"), col("b"))).as("z"))
+      .filter(col("z.a") =!= col("z.b"))
+    assert(diff.count() == 0, "native unit vector must equal the declarative form")
+    // double input path and the zero-norm null contract
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val d = df(sch, Row(1L, Seq(3.0, 4.0)), Row(2L, Seq(0.0, 0.0)))
+    val rows = d.select(col("id"),
+        graft.llm.Similarity.unitVector(col("v")).as("u")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Double](1)))
+      .toMap
+    assert(rows(1L) == Seq(0.6, 0.8))
+    assert(rows(2L) == null, "zero-norm vector has no direction")
+  }
+
   test("semDeDupPairs: cluster-scoped candidates catch a paraphrase, drop keeps one per component") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
