@@ -626,7 +626,9 @@ object Bpe {
     * Scale shape: ONE pass — per-row word extraction + the fused
     * memoized encode expression + a map-side-combined groupBy on the
     * group column; output is group-cardinality-sized. Exact integer
-    * masses divided once as doubles (oracle hash-checks them). */
+    * masses divided once as doubles (oracle hash-checks them). A group
+    * whose docs are all word-less still surfaces (n_words 0, fertility
+    * null) — absence would hide a broken-extraction language. */
   def fertilityReport(spark: SparkSession, name: String, path: String,
                       docs: DataFrame, textCol: String,
                       groupCol: String): DataFrame = {
