@@ -235,6 +235,46 @@ object QueriesEmbed {
         .orderBy("vec_id", "bench_id")
     }
 
+    // The anti-join half of the semantic route (the q_decontam_clean
+    // symmetry): corpus minus every vec with a >= 0.9 benchmark hit.
+    r.reg("q_semantic_clean",
+      """WITH bench AS (
+        |  SELECT vec_id + 20000 AS bench_id, embedding
+        |  FROM embeddings WHERE vec_id % 97 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 30000 AS bench_id,
+        |    list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE) * 2 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 89 = 1),
+        |pz AS (
+        |  SELECT c.vec_id, b.bench_id,
+        |    unnest(c.embedding) AS a, unnest(b.embedding) AS bb
+        |  FROM embeddings c, bench b),
+        |pd AS (
+        |  SELECT vec_id, bench_id,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(bb AS DOUBLE) AS DECIMAL(25,12))) AS dot,
+        |    sum(CAST(CAST(a AS DOUBLE)*CAST(a AS DOUBLE) AS DECIMAL(25,12))) AS na,
+        |    sum(CAST(CAST(bb AS DOUBLE)*CAST(bb AS DOUBLE) AS DECIMAL(25,12))) AS nb
+        |  FROM pz GROUP BY 1, 2),
+        |hits AS (
+        |  SELECT DISTINCT vec_id FROM pd
+        |  WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) >= 0.9)
+        |SELECT e.vec_id FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM hits)
+        |ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val bench = e.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 20000).as("bench_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") % 89 === 1)
+          .select((col("vec_id") + 30000).as("bench_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      graft.llm.Dedup.semanticDecontaminate(
+          e.select("vec_id", "embedding"), "vec_id", "embedding",
+          bench, "bench_id", "embedding", threshold = 0.9)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }
+
     // SemDeDup (r14, Abbas et al. 2023): k-means CELLS as the semantic
     // candidate grouping, clustered on the L2-UNIT vectors (the paper's
     // normalized k-means — on the unit sphere L2 is monotone in cosine,
