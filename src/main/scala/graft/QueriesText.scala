@@ -4224,14 +4224,22 @@ object QueriesText {
     // metric multilingual work tunes. The oracle replays training +
     // vocab + the per-word encode and aggregates by lang; the planted
     // 'xx' doc carries a char the training corpus never saw ('ø'), so
-    // the OOV column is non-vacuous at both scales.
+    // the OOV column is non-vacuous at both scales, and the planted
+    // 'zz' doc is WORD-LESS (empty text) so the zero-word-group
+    // semantics — the group SURFACES with n_words 0 / fertility null,
+    // absence would hide a broken-extraction language — are
+    // value-checked, not avoided by fixture luck (r14 advice): groups
+    // derive from fdocs and outer-join the word/token masses.
     r.reg("q_bpe_fertility",
       s"""WITH ${bpeTrainCtes(8)},
          |$bpeVocabCtes,
          |fdocs AS (SELECT doc_id, lang, text FROM documents
          |          WHERE doc_id < 100 AND text IS NOT NULL
          |          UNION ALL
-         |          SELECT CAST(-8 AS BIGINT), 'xx', 'øøø foo the'),
+         |          SELECT CAST(-8 AS BIGINT), 'xx', 'øøø foo the'
+         |          UNION ALL
+         |          SELECT CAST(-9 AS BIGINT), 'zz', ''),
+         |fgrp AS (SELECT DISTINCT lang FROM fdocs),
          |fwrd AS (
          |  SELECT doc_id, lang, toks[CAST(i AS INTEGER)] AS w
          |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks,
@@ -4251,14 +4259,23 @@ object QueriesText {
          |ft AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
          |        CAST(sum(CASE WHEN tid < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
          |       FROM fid GROUP BY lang)
-         |SELECT fw.lang, n_words, n_tokens, n_oov,
-         |  CAST(n_tokens AS DOUBLE) / n_words AS fertility,
-         |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
-         |FROM fw JOIN ft USING (lang) ORDER BY lang""".stripMargin) { (s, dir) =>
+         |SELECT lang,
+         |  COALESCE(n_words, 0) AS n_words,
+         |  COALESCE(n_tokens, 0) AS n_tokens,
+         |  COALESCE(n_oov, 0) AS n_oov,
+         |  CASE WHEN COALESCE(n_words, 0) = 0 THEN NULL
+         |       ELSE CAST(COALESCE(n_tokens, 0) AS DOUBLE)
+         |            / COALESCE(n_words, 0) END AS fertility,
+         |  CASE WHEN COALESCE(n_tokens, 0) = 0 THEN NULL
+         |       ELSE CAST(COALESCE(n_oov, 0) AS DOUBLE)
+         |            / COALESCE(n_tokens, 0) END AS oov_rate
+         |FROM fgrp LEFT JOIN fw USING (lang) LEFT JOIN ft USING (lang)
+         |ORDER BY lang""".stripMargin) { (s, dir) =>
       val idxPath = ensurePbpeModel(s, dir)
       val extra = s.createDataFrame(
         java.util.Arrays.asList(
-          org.apache.spark.sql.Row("xx", "øøø foo the")),
+          org.apache.spark.sql.Row("xx", "øøø foo the"),
+          org.apache.spark.sql.Row("zz", "")),
         StructType(Seq(StructField("lang", StringType),
           StructField("text", StringType))))
       val fdocs = t(s, dir, "documents")

@@ -481,6 +481,13 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
     * into the scan — one aggregate pass + one blockwise pass, no
     * data-sized shuffle, no global sort, no window.
     *
+    * Degenerate scores — NULL and NaN — land in tier 0 (the WORST
+    * tier) and are EXCLUDED from the cutpoint aggregate: a row without
+    * a well-defined score is the worst candidate, never the best (the
+    * [[selectByBudget]] stance — without the guard Spark's NaN-greatest
+    * comparison ordering would promote NaN rows to the TOP tier,
+    * inverting the curriculum intent).
+    *
     * Scale note: exact `percentile` buffers the score column per
     * partition (the accepted cost everywhere this repo needs
     * oracle-exact percentiles); at sizes where that bites, swap the
@@ -495,12 +502,18 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
       s"withQuantileTier: score column '$scoreCol' must be numeric " +
         s"(got ${st.simpleString})")
     val ps = (1 until nTiers).map(i => i.toDouble / nTiers)
-    val row = df.agg(expr(
-      s"percentile($scoreCol, array(${ps.mkString(", ")}))")).head()
+    // Column-based aggregate (no SQL-string interpolation — a column
+    // name needing backticks must resolve like every other API here);
+    // NaN maps to NULL so percentile ignores it along with real NULLs
+    val sc = col(scoreCol).cast("double")
+    val cleanScore = when(isnan(sc), lit(null)).otherwise(sc)
+    val row = df.agg(percentile(cleanScore,
+      lit(ps.toArray)).as("__cuts__")).head()
     if (row.isNullAt(0)) return lift(df.withColumn(outCol, lit(0)))
     val cuts = row.getSeq[Double](0)
-    val tier = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(col(scoreCol).cast("double") > c, 1).otherwise(0) }
+    val chain = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(sc > c, 1).otherwise(0) }
+    val tier = when(sc.isNull || isnan(sc), lit(0)).otherwise(chain)
     lift(df.withColumn(outCol, tier.cast("int")))
   }
 
@@ -524,11 +537,25 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
                      keyCol: String,
                      outCol: String = "cum_tokens"): GraftFrame = {
     require(budget >= 0L, s"selectByBudget needs budget >= 0, got $budget")
-    Seq(scoreCol, tokenCol, keyCol).foreach { c =>
+    Seq(scoreCol, tokenCol).foreach { c =>
       require(df.schema(c).dataType
           .isInstanceOf[org.apache.spark.sql.types.NumericType],
         s"selectByBudget: column '$c' must be numeric " +
           s"(got ${df.schema(c).dataType.simpleString})")
+    }
+    // the tiebreak key casts to long for the total order — a fractional
+    // type would silently collide after the cast (1.2 and 1.7 both
+    // become 1) and the documented determinism contract would be a lie;
+    // integral-only is the packedPieceMembers-style explicit contract
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"selectByBudget: key column '$keyCol' must be an integral type " +
+          s"(byte/short/int/long — the deterministic tiebreak casts it " +
+          s"to long), got ${other.simpleString}")
     }
     val cols = df.columns.map(col).toIndexedSeq
     val withOrd = df

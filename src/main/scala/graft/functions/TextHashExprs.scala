@@ -214,7 +214,10 @@ case class DotDecimal(left: Expression, right: Expression, scale: Int)
   * sub-expression sits inside a lambda where CollapseProject inlining
   * re-evaluates the decimal fold PER ELEMENT (measured 6× on the
   * SemDeDup assignment even with the norm pre-projected); this
-  * computes it once. Zero-norm vectors have no direction → null. */
+  * computes it once. Zero-norm vectors have no direction → null, and so
+  * is a vector with a NULL ELEMENT (its norm is undefined — the typed
+  * outcome, not a runtime cast crash; callers treating null-element
+  * vectors as data should fill them upstream). */
 case class UnitVector(child: Expression) extends UnaryExpression {
   import org.apache.spark.sql.types._
 
@@ -244,6 +247,14 @@ case class UnitVector(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    // a null element makes the norm undefined: return null (typed),
+    // never let toFloatArray/toDoubleArray throw on the hole
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      if (arr.isNullAt(j)) return null
+      j += 1
+    }
     val xs =
       if (isFloat) arr.toFloatArray().map(_.toDouble)
       else arr.toDoubleArray()

@@ -850,6 +850,30 @@ class EdgeCasesSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       GraftFrame(d).withQuantileTier("s", 1)
     }
+    // NaN and NULL scores land in tier 0 (the WORST tier — the
+    // selectByBudget stance) and are excluded from the cutpoints:
+    // without the guard Spark's NaN-greatest ordering would put NaN in
+    // the TOP tier, inverting the curriculum intent (r14 advice)
+    val dsch = StructType(Seq(StructField("id", LongType),
+      StructField("s", DoubleType)))
+    val degen = df(dsch,
+      (1L to 8L).map(i => Row(i, i.toDouble)) ++
+        Seq(Row(9L, Double.NaN), Row(10L, null)): _*)
+    val dtiers = GraftFrame(degen).withQuantileTier("s", 4).df
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(dtiers(9L) == 0 && dtiers(10L) == 0, s"$dtiers")
+    // the clean scores tier exactly as without the degenerate rows
+    // (cutpoints saw only 1..8)
+    assert((1L to 8L).forall(i => dtiers(i) == ((i.toInt - 1) / 2)),
+      s"$dtiers")
+    // all-NaN scores: no cutpoints, everything tier 0, no throw
+    val allNan = df(dsch, Row(1L, Double.NaN), Row(2L, Double.NaN))
+    assert(GraftFrame(allNan).withQuantileTier("s", 3).df
+      .select("tier").collect().forall(_.getInt(0) == 0))
+    // a column name needing backticks resolves (no raw SQL interpolation)
+    val odd = df(StructType(Seq(StructField("id", LongType),
+      StructField("my score", DoubleType))), Row(1L, 1.0), Row(2L, 2.0))
+    assert(GraftFrame(odd).withQuantileTier("my score", 2).df.count() == 2)
   }
 
   test("selectByBudget: deterministic prefix, exact-budget row kept, clamps, refusal") {
@@ -882,5 +906,13 @@ class EdgeCasesSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       GraftFrame(d).selectByBudget("score", "tok", -1L, "id")
     }
+    // a fractional key refuses: the tiebreak casts the key to long, and
+    // 1.2 vs 1.7 would silently collide after the cast — breaking the
+    // documented total-order determinism (r14 advice)
+    val fkey = intercept[IllegalArgumentException] {
+      GraftFrame(d.withColumn("fid", col("id") + lit(0.5)))
+        .selectByBudget("score", "tok", 100L, "fid")
+    }
+    assert(fkey.getMessage.contains("integral"), fkey.getMessage)
   }
 }

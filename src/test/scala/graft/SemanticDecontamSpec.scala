@@ -126,6 +126,15 @@ class SemanticDecontamSpec extends SparkTestBase {
       .toMap
     assert(rows(1L) == Seq(0.6, 0.8))
     assert(rows(2L) == null, "zero-norm vector has no direction")
+    // a NULL ELEMENT yields null (typed outcome), never a runtime
+    // crash from toDoubleArray on the hole (r14 advice)
+    val holes = df(sch, Row(3L, Seq[Any](1.0, null, 2.0)),
+      Row(4L, Seq[Any](3.0, 4.0)))
+    val hs = holes.select(col("id"),
+        graft.llm.Similarity.unitVector(col("v")).as("u")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(hs(3L), "null-element vector must map to null")
+    assert(!hs(4L), "null-free vector unaffected by the guard")
   }
 
   test("semDeDupPairs: cluster-scoped candidates catch a paraphrase, drop keeps one per component") {
