@@ -4506,6 +4506,91 @@ object QueriesText {
         .orderBy("doc_id", "word_pos", "tok_pos")
     }
 
+    // IMPORTED pretrained tokenizer (r15): the persisted model built
+    // from a hand-constructed PUBLISHED-style merges/vocab pair (the
+    // GPT-2 merges.txt/vocab.json shape, alias surface forms decoded
+    // through the public bytes_to_unicode table) instead of training —
+    // the production-common case (most teams train under a published
+    // tokenizer). The oracle carries the SAME literal pair: the 5
+    // merges replay as a fixed replace chain over the spaced-hex byte
+    // form, the vocab is 256 base byte rows + 5 literal merged rows,
+    // and the served ids must hash-match bit-for-bit. The fixture doc
+    // exercises full merges ('the', ' cat' → one id each), a partial
+    // merge inside a longer word ('theft' → the,f,t), the leading-space
+    // pre-tokenizer, and multibyte byte-split ('中' → three base ids).
+    val impMerges = Seq(("74", "68"), ("7468", "65"), ("61", "74"),
+      ("20", "63"), ("2063", "6174"))
+    val impFixture = "the cat theft 中"
+    def ensureImpModel(s: org.apache.spark.sql.SparkSession): String = {
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/bpeimp")
+      val p = qdir.getAbsolutePath
+      val fresh = s.catalog.tableExists("g_impbpe_bpe") &&
+        new java.io.File(qdir, "_graft_bpe_meta.json").isFile
+      if (!fresh) {
+        import s.implicits._
+        val merges = Seq((0, "t", "h"), (1, "th", "e"), (2, "a", "t"),
+          (3, "Ġ", "c"), (4, "Ġc", "at")).toDF("rank", "left", "right")
+        val vocab = ((0 until 256).map(b =>
+          (graft.llm.Bpe.gpt2AliasForByte(b), b.toLong)) ++
+          Seq(("th", 256L), ("the", 257L), ("at", 258L), ("Ġc", 259L),
+            ("Ġcat", 260L))).toDF("token", "token_id")
+        graft.llm.Bpe.importBpeModel(s, merges, vocab, "g_impbpe", p,
+          gpt2Alias = true)
+      }
+      p
+    }
+    r.reg("q_bpe_import", {
+      val nested = impMerges.foldLeft(spacedBytesSql("w")) {
+        case (acc, (l, rr)) =>
+          s"replace($acc, ' $l  $rr ', ' $l$rr ')"
+      }
+      s"""WITH idocs AS (SELECT doc_id, text FROM documents
+         |        WHERE doc_id < 100 AND text IS NOT NULL
+         |        UNION ALL
+         |        SELECT CAST(-8 AS BIGINT), '$impFixture'),
+         |iwrd AS (
+         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_pos,
+         |    toks[CAST(i AS INTEGER)] AS w
+         |  FROM (SELECT doc_id,
+         |          regexp_extract_all(text, '$gpt2PatSql') AS toks,
+         |          unnest(range(1, len(regexp_extract_all(text, '$gpt2PatSql'))+1)) AS i
+         |        FROM idocs)
+         |  WHERE toks[CAST(i AS INTEGER)] <> ''),
+         |ienc AS (
+         |  SELECT doc_id, word_pos,
+         |    string_split(trim($nested), '  ') AS etoks
+         |  FROM iwrd),
+         |itok AS (
+         |  SELECT doc_id, word_pos, CAST(j - 1 AS INTEGER) AS tok_pos,
+         |    etoks[CAST(j AS INTEGER)] AS token
+         |  FROM (SELECT doc_id, word_pos, etoks,
+         |          unnest(range(1, len(etoks)+1)) AS j FROM ienc)),
+         |ivoc AS (
+         |  SELECT lpad(upper(to_hex(r)), 2, '0') AS token,
+         |         CAST(r AS BIGINT) AS token_id
+         |  FROM range(256) t(r)
+         |  UNION ALL
+         |  SELECT token, token_id FROM (VALUES
+         |    ('7468', CAST(256 AS BIGINT)), ('746865', 257),
+         |    ('6174', 258), ('2063', 259), ('20636174', 260))
+         |    AS v(token, token_id))
+         |SELECT doc_id, word_pos, tok_pos,
+         |  COALESCE(v.token_id, -1) AS token_id
+         |FROM itok LEFT JOIN ivoc v USING (token)
+         |ORDER BY doc_id, word_pos, tok_pos""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val path = ensureImpModel(s)
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 100 && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq((-8L, impFixture)).toDF("doc_id", "text"))
+      graft.llm.Bpe.encodeIdsIndexed(s, "g_impbpe", path, docs,
+          "doc_id", "text")
+        .orderBy("doc_id", "word_pos", "tok_pos")
+    }
+
     // ------------------------------------------------------------------
     // Lexical retrieval (r13): BM25 ranked search + hybrid RRF fusion.
     // The oracle recomputes the ENTIRE scoring pipeline — tokenization,

@@ -110,25 +110,44 @@ object Bpe {
     * pair's count falls below `minPairCount` (merging noise memorizes
     * the corpus, it doesn't compress it). Refuses loudly when the type
     * table exceeds `maxTypes` — the driver-side loop is the designed
-    * posture (see the object scaladoc), and the refusal names the knob
-    * instead of silently OOMing. Returns (rank, left, right, merged,
-    * pair_count) with rank 0 applied first. */
+    * posture (see the object scaladoc), and the refusal names the knobs
+    * instead of silently OOMing.
+    *
+    * `minWordCount` is the crawl-scale relief valve: word types seen
+    * fewer than this many times drop from the TYPE table before the
+    * bound probe — a 100 TB multilingual crawl's distinct types blow
+    * past any driver-sized bound, and Zipf's tail (hapax junk, random
+    * ids, binary spill) contributes ~nothing to pair counts above
+    * minPairCount. This is the STANDARD approximation every production
+    * subword trainer offers, and it IS approximate: pair counts
+    * aggregate across types, so mass from dropped rare types no longer
+    * reaches pairs that frequent types also contain — a pair near a
+    * count tie can flip. cutoff = 1 keeps every type (bit-identical to
+    * the unfiltered train; spec-pinned). Returns (rank, left, right,
+    * merged, pair_count) with rank 0 applied first. */
   def train(corpus: DataFrame, textCol: String, numMerges: Int,
             minPairCount: Long = 2L,
             maxTypes: Int = 2000000,
             byteLevel: Boolean = false,
-            wordPattern: Option[String] = None): DataFrame = {
+            wordPattern: Option[String] = None,
+            minWordCount: Long = 1L): DataFrame = {
     require(numMerges >= 0, "numMerges must be >= 0")
     require(minPairCount >= 1, "minPairCount must be >= 1")
+    require(minWordCount >= 1, "minWordCount must be >= 1")
     val spark = corpus.sparkSession
-    val wc = wordCounts(corpus, textCol, wordPattern)
+    val wc0 = wordCounts(corpus, textCol, wordPattern)
+    val wc =
+      if (minWordCount <= 1L) wc0
+      else wc0.filter(col("cnt") >= minWordCount)
     // bounded probe, not a full count: the refusal must cost O(maxTypes)
     val probe = wc.limit(maxTypes + 1).count()
     require(probe <= maxTypes,
-      s"Bpe.train: corpus has more than $maxTypes distinct word types; " +
-        "raise maxTypes (the merge loop is driver-side over the TYPE " +
-        "table — size the bound to driver memory, ~100 bytes/type) or " +
-        "pre-normalize the text to shrink the type space")
+      s"Bpe.train: corpus has more than $maxTypes distinct word types " +
+        s"at minWordCount=$minWordCount; raise maxTypes (the merge loop " +
+        "is driver-side over the TYPE table — size the bound to driver " +
+        "memory, ~100 bytes/type) or raise minWordCount (drop rare " +
+        "types before the bound — the standard frequency-cutoff " +
+        "approximation; Zipf's tail carries ~no pair mass)")
     var types: Array[(Array[String], Long)] = wc.collect()
       .map(r => (BpeEncode.symbols(r.getString(0), byteLevel), r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
@@ -278,36 +297,48 @@ object Bpe {
 
   private def bpeMetaFile(path: String) = s"$path/_graft_bpe_meta.json"
 
-  private def stampBpeMeta(spark: SparkSession, path: String,
-                           numMerges: Int, minPairCount: Long,
+  /** The persisted model's stamp, as a typed record: training geometry
+    * (replayed verbatim by a drift-fired retrain), symbolization level
+    * and pre-tokenizer (they decide the encode/detokenize contract),
+    * the frequency cutoff, and whether the model was IMPORTED from a
+    * published merges/vocab pair ([[importBpeModel]]) — imported models
+    * have no training corpus to replay, so maintenance can indicate
+    * drift but never fire a retrain. */
+  final case class BpeMeta(numMerges: Int, minPairCount: Long,
                            maxTypes: Int, byteLevel: Boolean,
-                           wordPattern: Option[String]): Unit = {
+                           wordPattern: Option[String],
+                           minWordCount: Long = 1L,
+                           imported: Boolean = false)
+
+  private def stampBpeMeta(spark: SparkSession, path: String,
+                           meta: BpeMeta): Unit = {
     val p = new org.apache.hadoop.fs.Path(bpeMetaFile(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
     // the pattern carries regex backslashes — JSON-escape them
-    val wp = wordPattern.fold("")(pat =>
+    val wp = meta.wordPattern.fold("")(pat =>
       s""","word_pattern":"${pat.replace("\\", "\\\\").replace("\"", "\\\"")}\"""")
     try os.write(
-      s"""{"num_merges":$numMerges,"min_pair_count":$minPairCount,"max_types":$maxTypes,"byte_level":$byteLevel$wp}\n"""
+      s"""{"num_merges":${meta.numMerges},"min_pair_count":${meta.minPairCount},"max_types":${meta.maxTypes},"byte_level":${meta.byteLevel},"min_word_count":${meta.minWordCount},"imported":${meta.imported}$wp}\n"""
         .getBytes("UTF-8"))
     finally os.close()
   }
 
-  /** (numMerges, minPairCount, maxTypes) from the stamp — a stampless
-    * directory is a crashed or foreign build and refuses loudly.
-    * maxTypes rides in the stamp so a drift-fired retrain
-    * ([[graft.llm.Maintain.maintainBpe]]) replays the bound the model
+  /** The stamp, read back — a stampless directory is a crashed or
+    * foreign build and refuses loudly. The full training geometry
+    * rides in the stamp so a drift-fired retrain
+    * ([[graft.llm.Maintain.maintainBpe]]) replays the bounds the model
     * was originally built under — a model built with a raised bound
     * over a large type space must not refuse at the default on
-    * retrain. Stamps from builds predating the field read back the
-    * default (2000000). */
+    * retrain. Stamps from builds predating a field read back its
+    * default (maxTypes 2000000, minWordCount 1, imported false). */
   private[llm] def readBpeMeta(spark: SparkSession,
-                               path: String): (Int, Long, Int, Boolean, Option[String]) = {
+                               path: String): BpeMeta = {
     val p = new org.apache.hadoop.fs.Path(bpeMetaFile(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
-      s"no BPE stamp at ${bpeMetaFile(path)} — build with writeBpeModel first")
+      s"no BPE stamp at ${bpeMetaFile(path)} — build with writeBpeModel " +
+        "(train) or importBpeModel (published pair) first")
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
@@ -317,11 +348,16 @@ object Bpe {
       .map(_.group(1).toInt).getOrElse(2000000)
     val bl = """"byte_level"\s*:\s*(true|false)""".r.findFirstMatchIn(txt)
       .exists(_.group(1) == "true") // pre-r14 stamps: code-point level
+    val mwc = """"min_word_count"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toLong).getOrElse(1L)
+    val imp = """"imported"\s*:\s*(true|false)""".r.findFirstMatchIn(txt)
+      .exists(_.group(1) == "true")
     val wp = """"word_pattern"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
       .findFirstMatchIn(txt)
       .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     m match {
-      case Some(g) => (g.group(1).toInt, g.group(2).toLong, mt, bl, wp)
+      case Some(g) => BpeMeta(g.group(1).toInt, g.group(2).toLong, mt, bl,
+        wp, mwc, imp)
       case None => throw new IllegalStateException(
         s"malformed BPE stamp at ${bpeMetaFile(path)}: $txt")
     }
@@ -336,18 +372,174 @@ object Bpe {
                     minPairCount: Long = 2L,
                     maxTypes: Int = 2000000,
                     byteLevel: Boolean = false,
-                    wordPattern: Option[String] = None): Unit = {
+                    wordPattern: Option[String] = None,
+                    minWordCount: Long = 1L): Unit = {
     val spark = corpus.sparkSession
     val merges = train(corpus, textCol, numMerges, minPairCount,
-      maxTypes, byteLevel, wordPattern)
+      maxTypes, byteLevel, wordPattern, minWordCount)
     graft.api.GraftFrame(merges)
       .toBucketedTable(s"${name}_bpe", s"$path/bpe", 1, Seq("merged"))
     graft.api.GraftFrame(
         vocabFrame(corpus, textCol, merges, byteLevel, wordPattern))
       .toBucketedTable(s"${name}_bpe_vocab", s"$path/vocab", 1,
         Seq("token"))
-    stampBpeMeta(spark, path, numMerges, minPairCount, maxTypes,
-      byteLevel, wordPattern)
+    stampBpeMeta(spark, path, BpeMeta(numMerges, minPairCount, maxTypes,
+      byteLevel, wordPattern, minWordCount))
+  }
+
+  /** The published GPT-2 byte↔printable alias table (the
+    * `bytes_to_unicode` construction from the public GPT-2 release,
+    * Radford et al. 2019): bytes that are "printable" (0x21-0x7E,
+    * 0xA1-0xAC, 0xAE-0xFF) alias to their own code point; the rest
+    * alias to 256+n in ascending byte order — so every byte has a
+    * visible one-char stand-in and the published merges.txt/vocab.json
+    * are plain text (e.g. space → U+0120 'Ġ', newline → U+010A 'Ċ').
+    * This is the map [[importBpeModel]] inverts to read a published
+    * pair back into this engine's hex-pair byte symbolization. */
+  private lazy val gpt2ByteForAlias: Map[Char, Int] = {
+    val printable = ((0x21 to 0x7E) ++ (0xA1 to 0xAC) ++ (0xAE to 0xFF))
+    val direct = printable.map(b => b.toChar -> b)
+    val printSet = printable.toSet
+    val rest = (0 until 256).filterNot(printSet).zipWithIndex
+      .map { case (b, n) => (256 + n).toChar -> b }
+    (direct ++ rest).toMap
+  }
+
+  /** The forward direction of the same table (byte → its one-char
+    * printable alias) — exposed so callers can synthesize
+    * published-style surface forms (fixtures, round-trip checks)
+    * without re-deriving the construction. */
+  lazy val gpt2AliasForByte: IndexedSeq[String] = {
+    val inv = gpt2ByteForAlias.map { case (c, b) => b -> c.toString }
+    (0 until 256).map(inv)
+  }
+
+  /** A published GPT-2-alias token surface → this engine's hex-pair
+    * byte symbols ("Ġab" → "20" "61" "62" → "206162"). Refuses on a
+    * char outside the 256-entry alias alphabet — such a token cannot
+    * come from a real GPT-2-format file. */
+  def gpt2AliasToHex(token: String): String = {
+    val sb = new java.lang.StringBuilder(token.length * 2)
+    var i = 0
+    while (i < token.length) {
+      val c = token.charAt(i)
+      gpt2ByteForAlias.get(c) match {
+        case Some(b) => sb.append(f"$b%02X")
+        case None => throw new IllegalArgumentException(
+          f"gpt2AliasToHex: char U+${c.toInt}%04X in token '$token' " +
+            "is not in the GPT-2 byte-alias alphabet — not a " +
+            "GPT-2-format surface form")
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** IMPORT a PRETRAINED tokenizer — the production-common case (most
+    * teams train with a published tokenizer, not their own): construct
+    * the persisted stamped model from caller-provided merge and vocab
+    * frames in the published GPT-2 `merges.txt`/`vocab.json` shape,
+    * instead of training. Every serving path — [[encodeIdsIndexed]],
+    * the windows landings ([[graft.llm.Pipeline.BpeWindows]]),
+    * [[detokenizeIndexed]], [[fertilityReport]], maintenance — reads
+    * the stamp and the two tables, so an imported model is a drop-in:
+    * the engine then produces ids under the EXACT tokenizer the team
+    * trains with.
+    *
+    * `merges`: (rank, left, right) — rank 0 applied first, the
+    * merges.txt line order; `vocab`: (token, token_id) — the
+    * vocab.json map. With `gpt2Alias = true` (requires `byteLevel`)
+    * the surfaces are read as published GPT-2 alias text ('Ġ' = space)
+    * and converted to this engine's hex-pair byte symbols; otherwise
+    * they must already BE in engine symbolization (hex pairs when
+    * byteLevel, code points otherwise).
+    *
+    * Validation is loud and total (model-sized, driver-side — the
+    * frames are ≤ `maxImport` rows by contract, probed before
+    * collect): distinct ranks; merged surfaces consistent; every
+    * merged surface AND (when byteLevel) all 256 base byte symbols
+    * present in vocab (a missing one would silently degrade encode to
+    * -1 — the import exists to prevent exactly that); unique tokens
+    * and ids; no id collides with the -1 OOV sentinel.
+    *
+    * Lifecycle: the stamp carries `imported = true` — there is no
+    * training corpus to replay, so [[graft.llm.Maintain.maintainBpe]]
+    * can indicate OOV drift but never auto-fire a retrain; the
+    * corrective is a re-import of a refreshed published pair. */
+  def importBpeModel(spark: SparkSession, merges: DataFrame,
+                     vocab: DataFrame, name: String, path: String,
+                     byteLevel: Boolean = true,
+                     wordPattern: Option[String] = Some(Gpt2WordPattern),
+                     gpt2Alias: Boolean = false,
+                     maxImport: Int = 1000000): Unit = {
+    require(!gpt2Alias || byteLevel,
+      "importBpeModel: gpt2Alias decodes the published BYTE-alias " +
+        "surface forms — it requires byteLevel = true")
+    def bounded(df: DataFrame, what: String): Unit =
+      require(df.limit(maxImport + 1).count() <= maxImport,
+        s"importBpeModel: $what exceeds $maxImport rows — published " +
+          "tokenizers are model-sized; raise maxImport only if this " +
+          "is really a tokenizer")
+    bounded(merges, "merges frame"); bounded(vocab, "vocab frame")
+    val conv: String => String =
+      if (gpt2Alias) gpt2AliasToHex else identity
+    val mergeRows = merges.select(col("rank").cast("int"),
+        col("left").cast("string"), col("right").cast("string"))
+      .collect()
+      .map(r => (r.getInt(0), conv(r.getString(1)), conv(r.getString(2))))
+      .sortBy(_._1)
+    require(mergeRows.map(_._1).distinct.length == mergeRows.length,
+      "importBpeModel: duplicate merge ranks — the merge order would " +
+        "be ambiguous")
+    val vocabRows = vocab.select(col("token").cast("string"),
+        col("token_id").cast("long")).collect()
+      .map(r => (conv(r.getString(0)), r.getLong(1)))
+    require(vocabRows.map(_._1).distinct.length == vocabRows.length,
+      "importBpeModel: duplicate vocab tokens — the encode's vocab " +
+        "join would fan out")
+    require(vocabRows.map(_._2).distinct.length == vocabRows.length,
+      "importBpeModel: duplicate vocab ids — two tokens sharing an id " +
+        "make detokenization ambiguous")
+    require(vocabRows.forall(_._2 != -1L),
+      "importBpeModel: a vocab id collides with the -1 OOV sentinel")
+    val vocabSet = vocabRows.map(_._1).toSet
+    val missingMerged = mergeRows
+      .map { case (_, l, r) => l + r }.filterNot(vocabSet.contains)
+    require(missingMerged.isEmpty,
+      s"importBpeModel: ${missingMerged.length} merged surface(s) " +
+        s"missing from vocab (first: '${missingMerged.headOption.getOrElse("")}') — " +
+        "their tokens would encode to -1, defeating the import")
+    if (byteLevel) {
+      val missingBase = (0 until 256).map(b => f"$b%02X")
+        .filterNot(vocabSet.contains)
+      require(missingBase.isEmpty,
+        s"importBpeModel: ${missingBase.length} of the 256 base byte " +
+          s"symbols missing from vocab (first: '${missingBase.headOption.getOrElse("")}') — " +
+          "a byte-level model must cover every byte or OOV is no " +
+          "longer structurally zero")
+    }
+    val mergeFrame = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          mergeRows.toSeq.map { case (rk, l, r) =>
+            // pair_count 0: the published pair publishes no counts —
+            // nothing downstream reads the column for serving
+            Row(rk, l, r, l + r, 0L)
+          }).asJava), mergesSchema)
+    val vocabFrame = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          vocabRows.toSeq.map { case (t, id) => Row(t, id) }).asJava),
+      StructType(Seq(StructField("token", StringType, nullable = false),
+        StructField("token_id", LongType, nullable = false))))
+    graft.api.GraftFrame(mergeFrame)
+      .toBucketedTable(s"${name}_bpe", s"$path/bpe", 1, Seq("merged"))
+    graft.api.GraftFrame(vocabFrame)
+      .toBucketedTable(s"${name}_bpe_vocab", s"$path/vocab", 1,
+        Seq("token"))
+    stampBpeMeta(spark, path, BpeMeta(mergeRows.length,
+      minPairCount = 1L, maxTypes = maxImport, byteLevel = byteLevel,
+      wordPattern = wordPattern, imported = true))
   }
 
   /** Serve [[encodeTokens]] from the persisted model — bit-identical
@@ -355,19 +547,20 @@ object Bpe {
   def encodeIndexed(spark: SparkSession, name: String, path: String,
                     docs: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
-    val (_, _, _, byteLevel, wordPattern) = readBpeMeta(spark, path)
+    val meta = readBpeMeta(spark, path)
     encodeTokens(docs, idCol, textCol,
-      mergeList(spark.table(s"${name}_bpe")), byteLevel, wordPattern)
+      mergeList(spark.table(s"${name}_bpe")), meta.byteLevel,
+      meta.wordPattern)
   }
 
   /** Serve [[encodeIds]] from the persisted model (merges + vocab). */
   def encodeIdsIndexed(spark: SparkSession, name: String, path: String,
                        docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
-    val (_, _, _, byteLevel, wordPattern) = readBpeMeta(spark, path)
+    val meta = readBpeMeta(spark, path)
     encodeIds(docs, idCol, textCol,
       mergeList(spark.table(s"${name}_bpe")),
-      spark.table(s"${name}_bpe_vocab"), byteLevel, wordPattern)
+      spark.table(s"${name}_bpe_vocab"), meta.byteLevel, meta.wordPattern)
   }
 
   /** Collect a vocab frame into the bounded map [[BpeEncodeIds]]
@@ -608,9 +801,9 @@ object Bpe {
     * re-specifies. OOV (-1) ids render as U+FFFD. */
   def detokenizeIndexed(spark: SparkSession, name: String, path: String,
                         ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val (_, _, _, byteLevel, _) = readBpeMeta(spark, path)
     TextHashExprs.bpeDecodeIds(ids,
-      vocabMap(spark.table(s"${name}_bpe_vocab")), byteLevel)
+      vocabMap(spark.table(s"${name}_bpe_vocab")),
+      readBpeMeta(spark, path).byteLevel)
   }
 
   /** TOKENIZER FERTILITY report — the per-language tokenizer-QC metric
@@ -632,12 +825,13 @@ object Bpe {
   def fertilityReport(spark: SparkSession, name: String, path: String,
                       docs: DataFrame, textCol: String,
                       groupCol: String): DataFrame = {
-    val (_, _, _, byteLevel, wordPattern) = readBpeMeta(spark, path)
+    val meta = readBpeMeta(spark, path)
     val merges = mergeList(spark.table(s"${name}_bpe"))
     val vocab = vocabMap(spark.table(s"${name}_bpe_vocab"))
-    val words = filter(wordsOf(textCol, wordPattern), w => length(w) >= 1)
+    val words = filter(wordsOf(textCol, meta.wordPattern),
+      w => length(w) >= 1)
     val ids = flatten(transform(words,
-      w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel)))
+      w => TextHashExprs.bpeEncodeIds(w, merges, vocab, meta.byteLevel)))
     docs.filter(col(textCol).isNotNull)
       .select(col(groupCol),
         size(words).cast("long").as("__w__"),

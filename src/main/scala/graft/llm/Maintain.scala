@@ -1000,15 +1000,21 @@ object Maintain {
       case Some(fs) =>
         val oov = Bpe.bpeOovRate(spark, name, path, fs, textCol)
         val indicated = oov > policy.maxDriftDelta
-        val fire = indicated && freshCorpus.isDefined
+        val meta = Bpe.readBpeMeta(spark, path)
+        // an IMPORTED model has no training corpus to replay — drift is
+        // indicated but never auto-fired (the NbcTarget-without-seeds
+        // posture): the corrective is a re-import of a refreshed
+        // published pair, a human decision by construction
+        val fire = indicated && freshCorpus.isDefined && !meta.imported
         if (fire) {
-          val (numMerges, minPairCount, maxTypes, byteLevel, wordPat) =
-            Bpe.readBpeMeta(spark, path)
           Bpe.writeBpeModel(freshCorpus.get, textCol, name, path,
-            numMerges, minPairCount, maxTypes, byteLevel, wordPat)
+            meta.numMerges, meta.minPairCount, meta.maxTypes,
+            meta.byteLevel, meta.wordPattern, meta.minWordCount)
         }
         results += (("oov_drift", oov, policy.maxDriftDelta, fire,
           if (fire) "Bpe.writeBpeModel(freshCorpus)"
+          else if (indicated && meta.imported)
+            "indicated: imported model is retrain-ineligible — re-import a refreshed published pair (Bpe.importBpeModel)"
           else if (indicated) "indicated: provide freshCorpus to retrain"
           else "none"))
         fire

@@ -205,10 +205,10 @@ object Pipeline {
     // a crashed/foreign build refuses here; the SYMBOLIZATION LEVEL
     // and pre-tokenizer ride the stamp — the landing serves exactly
     // the geometry the model was trained under
-    val (_, _, _, byteLevel, wordPattern) = Bpe.readBpeMeta(spark, bw.path)
+    val meta = Bpe.readBpeMeta(spark, bw.path)
     ResolvedBpe(Bpe.mergeList(spark.table(s"${bw.name}_bpe")),
       Bpe.vocabMap(spark.table(s"${bw.name}_bpe_vocab")),
-      bw.eodId, bw.docSpans, byteLevel, wordPattern,
+      bw.eodId, bw.docSpans, meta.byteLevel, meta.wordPattern,
       bw.packed, bw.padId, bw.segmentDocs)
   }
 

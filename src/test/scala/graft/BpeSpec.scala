@@ -79,6 +79,55 @@ class BpeSpec extends SparkTestBase {
     assert(ex.getMessage.contains("maxTypes"))
   }
 
+  test("minWordCount: cutoff=1 is bit-identical; rare types drop before the bound; stamped and replayed on retrain") {
+    // cutoff = 1 keeps every type: bit-identical to the unfiltered train
+    val a = Bpe.train(classic, "text", 8).orderBy("rank").collect().toSeq
+    val b = Bpe.train(classic, "text", 8, minWordCount = 1L)
+      .orderBy("rank").collect().toSeq
+    assert(a == b)
+    // 50 hapax types + 2 frequent ones: over a maxTypes=10 bound the
+    // train refuses (and the refusal names the relief knob); under
+    // cutoff=5 only the frequent types survive and training proceeds
+    val docs = df(docSchema,
+      Row(1L, (1 to 50).map(i => s"unique$i").mkString(" ")),
+      Row(2L, Array.fill(5)("low lower").mkString(" ")))
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.train(docs, "text", 2, maxTypes = 10)
+    }
+    assert(ex.getMessage.contains("minWordCount"), ex.getMessage)
+    val m = Bpe.train(docs, "text", 2, maxTypes = 10, minWordCount = 5L)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    // types low(5) lower(5): (l,o) 10 wins the (o,w) tie by code
+    // point, then (lo,w) 10
+    assert(m.toSeq == Seq(("l", "o", 10L), ("lo", "w", 10L)))
+    // the cutoff rides the stamp: a drift-fired retrain over an
+    // over-bound fresh corpus must replay it, not refuse at cutoff 1
+    val path = tmp("graft_bpe_mwc")
+    try {
+      Bpe.writeBpeModel(docs, "text", "mwc", path, numMerges = 2,
+        maxTypes = 10, minWordCount = 5L)
+      val fresh = df(docSchema,
+        Row(1L, (1 to 50).map(i => s"fresh$i").mkString(" ")),
+        Row(2L, Array.fill(6)("mid midst").mkString(" ")))
+      val rep = graft.llm.Maintain.maintainBpe(spark, "mwc", path,
+        freshSample = Some(df(docSchema, Row(9L, "ZZZ QQQ"))),
+        freshCorpus = Some(fresh))
+      val drift = rep.filter(col("check") === "oov_drift").head()
+      assert(drift.getBoolean(3), "all-OOV sample must fire the retrain")
+      // the retrain landed the FRESH corpus's merges (proves the
+      // replayed cutoff let the over-bound type table through)
+      assert(spark.table("mwc_bpe").count() == 2L)
+      assert(spark.table("mwc_bpe").filter(col("merged") === "mid")
+        .count() == 1L)
+    } finally {
+      Seq("mwc_bpe", "mwc_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(path))
+    }
+  }
+
   test("train is deterministic under repartition") {
     val a = Bpe.train(classic.repartition(7), "text", 8)
       .orderBy("rank").collect().toSeq
@@ -420,6 +469,150 @@ class BpeSpec extends SparkTestBase {
         spark.sql(s"DROP TABLE IF EXISTS $t"))
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(base))
+    }
+  }
+
+  // ---- imported pretrained tokenizer (r15) ----
+
+  /** The public GPT-2 bytes→alias construction, rebuilt independently
+    * in the spec so the engine's inverse table is pinned against the
+    * published algorithm, not against itself. */
+  private def gpt2AliasAlphabet: Seq[(String, Long)] = {
+    val printable = (0x21 to 0x7E) ++ (0xA1 to 0xAC) ++ (0xAE to 0xFF)
+    val direct = printable.map(b => (b.toChar.toString, b.toLong))
+    val printSet = printable.toSet
+    val rest = (0 until 256).filterNot(printSet).zipWithIndex
+      .map { case (b, n) => ((256 + n).toChar.toString, b.toLong) }
+    direct ++ rest
+  }
+
+  test("importBpeModel: published GPT-2-style pair reproduces known ids bit-exactly, round-trips, and lands windows") {
+    import spark.implicits._
+    // the alias decode itself: space aliases to Ġ (U+0120), printable
+    // ASCII to itself; out-of-alphabet chars refuse
+    assert(Bpe.gpt2AliasToHex("Ġ") == "20")
+    assert(Bpe.gpt2AliasToHex("the") == "746865")
+    assert(Bpe.gpt2AliasToHex("Ġcat") == "20636174")
+    intercept[IllegalArgumentException] { Bpe.gpt2AliasToHex("中") }
+    val path = tmp("graft_bpe_imp")
+    try {
+      // hand-constructed published-style pair: merges.txt line order,
+      // vocab.json token→id map over the full 256-byte base alphabet
+      // plus every merged surface
+      val merges = Seq((0, "t", "h"), (1, "th", "e"), (2, "a", "t"),
+        (3, "Ġ", "c"), (4, "Ġc", "at"))
+        .toDF("rank", "left", "right")
+      val vocab = (gpt2AliasAlphabet ++ Seq(("th", 256L), ("the", 257L),
+        ("at", 258L), ("Ġc", 259L), ("Ġcat", 260L)))
+        .toDF("token", "token_id")
+      Bpe.importBpeModel(spark, merges, vocab, "impg", path,
+        gpt2Alias = true)
+      // KNOWN ids, bit-exact: "the cat" → [the][Ġcat] = [257, 260]
+      val got = Bpe.encodeIdsIndexed(spark, "impg", path,
+          Seq((1L, "the cat")).toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("word_pos", "tok_pos").collect().map(_.getLong(3)).toSeq
+      assert(got == Seq(257L, 260L), s"$got")
+      // un-merged text falls back to base byte ids (= byte values here)
+      val hat = Bpe.encodeIdsIndexed(spark, "impg", path,
+          Seq((1L, "ha")).toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("tok_pos").collect().map(_.getLong(3)).toSeq
+      assert(hat == Seq(0x68L, 0x61L), s"$hat")
+      // detokenize inverse through the stamped model
+      val rt = Seq(Seq(257L, 260L)).toDF("ids")
+        .select(Bpe.detokenizeIndexed(spark, "impg", path, col("ids")))
+        .head().getString(0)
+      assert(rt == "the cat")
+      // the imported model FEEDS the composed windows landing: land,
+      // then check id-space token conservation against the chain's own
+      // survivor set encoded under the same model
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("doc_id") < 60).select("doc_id", "text")
+      val out = tmp("graft_bpe_imp_out")
+      try {
+        val counts = graft.llm.Pipeline.buildAndWriteWindows(docs,
+          df(docSchema), "doc_id", "text", out, windowSize = 32L,
+          bpeWindows = Some(graft.llm.Pipeline.BpeWindows("impg", path)))
+        assert(counts.filter(_._1.endsWith("_windows")).values.sum > 0,
+          s"$counts")
+        val landed = spark.read.parquet(out)
+        assert(landed.columns.contains("window_ids"))
+        val winTok = landed.agg(sum("n_tokens")).head().getLong(0)
+        val surv = graft.llm.Pipeline.pretrainCorpus(docs, df(docSchema),
+            "doc_id", "text", persistStages = false)
+          .select("doc_id")
+        val docTok = Bpe.encodeIdsIndexed(spark, "impg", path,
+          docs.join(surv, Seq("doc_id"), "left_semi"),
+          "doc_id", "text").count()
+        assert(winTok == docTok,
+          s"landed id mass must conserve the survivors': $winTok != $docTok")
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(out))
+    } finally {
+      Seq("impg_bpe", "impg_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(path))
+    }
+  }
+
+  test("importBpeModel: validation refusals and retrain-ineligible maintenance") {
+    import spark.implicits._
+    val path = tmp("graft_bpe_impv")
+    try {
+      val okMerges = Seq((0, "a", "b")).toDF("rank", "left", "right")
+      // merged surface missing from vocab → the import exists to make
+      // encode serve the published ids; a silent -1 defeats it
+      val noMerged = (gpt2AliasAlphabet).toDF("token", "token_id")
+      val e1 = intercept[IllegalArgumentException] {
+        Bpe.importBpeModel(spark, okMerges, noMerged, "impv", path,
+          gpt2Alias = true)
+      }
+      assert(e1.getMessage.contains("merged surface"), e1.getMessage)
+      // byte-level without full byte coverage → OOV no longer
+      // structurally zero
+      val partial = Seq(("a", 0L), ("b", 1L), ("ab", 2L))
+        .toDF("token", "token_id")
+      val e2 = intercept[IllegalArgumentException] {
+        Bpe.importBpeModel(spark, okMerges, partial, "impv", path,
+          gpt2Alias = true)
+      }
+      assert(e2.getMessage.contains("base byte"), e2.getMessage)
+      // duplicate ids → ambiguous detokenization
+      val dupIds = (gpt2AliasAlphabet ++ Seq(("ab", 0L)))
+        .toDF("token", "token_id")
+      val e3 = intercept[IllegalArgumentException] {
+        Bpe.importBpeModel(spark, okMerges, dupIds, "impv", path,
+          gpt2Alias = true)
+      }
+      assert(e3.getMessage.contains("duplicate vocab ids"), e3.getMessage)
+      // gpt2Alias without byteLevel is a contract violation
+      intercept[IllegalArgumentException] {
+        Bpe.importBpeModel(spark, okMerges, partial, "impv", path,
+          byteLevel = false, gpt2Alias = true)
+      }
+      // a CODE-POINT-level import (no alias): legal, and its drift is
+      // indicated-unfireable — no training corpus to replay
+      Bpe.importBpeModel(spark, okMerges, partial, "impv", path,
+        byteLevel = false, wordPattern = None, gpt2Alias = false)
+      val rep = graft.llm.Maintain.maintainBpe(spark, "impv", path,
+        freshSample = Some(df(docSchema, Row(9L, "zzz qqq"))),
+        freshCorpus = Some(df(docSchema, Row(1L, "ab ab ab"))))
+      val drift = rep.filter(col("check") === "oov_drift").head()
+      assert(!drift.getBoolean(3),
+        "imported model must never auto-fire a retrain")
+      assert(drift.getString(4).contains("retrain-ineligible"),
+        drift.getString(4))
+      // the model still serves after the (non-)maintenance pass
+      val ids = Bpe.encodeIdsIndexed(spark, "impv", path,
+          Seq((1L, "ab zb")).toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("word_pos", "tok_pos").collect().map(_.getLong(3)).toSeq
+      assert(ids == Seq(2L, -1L, 1L), s"$ids")
+    } finally {
+      Seq("impv_bpe", "impv_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(path))
     }
   }
 }
