@@ -160,10 +160,14 @@ object Bench {
         // evidence — documents scales as of StressGen v3 (per-copy
         // word tags keep dedup candidate structure representative),
         // and the landing is force-included rather than competing
-        // with the lineitem/embeddings top-10
+        // with the lineitem/embeddings top-10. r15 adds the eval
+        // (strided) landing and the two model gates (q_pipeline_lang,
+        // q_nbm_indexed — r14 verdict #4: the most expensive
+        // non-packed entries had no in-record scale evidence)
         val picks = (autoPicks ++
           Seq("q_pipeline_windows", "q_pipeline_windows_bpe",
-            "q_pipeline_windows_packed")
+            "q_pipeline_windows_packed", "q_eval_windows",
+            "q_pipeline_lang", "q_nbm_indexed")
             .filter(times.contains)).distinct
         // Transient-proofing (r9 verdict: the shipped single-pass
         // record claimed a 301x quadratic that a quiet re-run

@@ -3818,6 +3818,97 @@ object QueriesText {
         .orderBy("split", "window_id")
     }
 
+    // EVAL (strided) windows, LANDED through the full pipeline (r15):
+    // the held-out perplexity layout a trainer evaluates with — window
+    // w covers token span [w·120, w·120 + 300) of each split's
+    // permutation stream, consecutive windows overlapping by 180 ids —
+    // landed beside the training form with the same manifest/replay
+    // discipline (buildAndWriteWindows with a strided BpeWindows spec).
+    // The oracle recomputes the clean chain, the 8 training iterations,
+    // the vocab, each clean doc's id sequence, the per-split cumsum and
+    // the STRIDED membership formulas (window_first/window_last/f/t2/
+    // pos) over the LANDED parquet — a hash match proves the landed
+    // eval windows are bit-identical end to end.
+    r.reg("q_eval_windows", pipeCleanCtes +
+      s""",
+         |${bpeTrainCtes(8)},
+         |$bpeVocabCtes,
+         |ewdocs AS (
+         |  SELECT c.doc_id, d.text,
+         |    CASE WHEN (c.doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTTrain THEN 'train'
+         |         WHEN (c.doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTVal THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM clean c JOIN documents d USING (doc_id)),
+         |ewrd AS (
+         |  SELECT split, doc_id, CAST(i - 1 AS INTEGER) AS word_pos,
+         |    toks[CAST(i AS INTEGER)] AS w
+         |  FROM (SELECT split, doc_id, string_split(text, ' ') AS toks,
+         |          unnest(range(1, len(string_split(text, ' '))+1)) AS i
+         |        FROM ewdocs)
+         |  WHERE toks[CAST(i AS INTEGER)] <> ''),
+         |eenc AS (
+         |  SELECT split, doc_id, word_pos,
+         |    string_split(trim($bpeNestedSql), '  ') AS etoks
+         |  FROM ewrd),
+         |etok AS (
+         |  SELECT split, doc_id, word_pos, CAST(j - 1 AS INTEGER) AS tok_pos,
+         |    etoks[CAST(j AS INTEGER)] AS token
+         |  FROM (SELECT split, doc_id, word_pos, etoks,
+         |          unnest(range(1, len(etoks)+1)) AS j FROM eenc)),
+         |eid AS (
+         |  SELECT e.split, e.doc_id, e.word_pos, e.tok_pos,
+         |    COALESCE(v.token_id, -1) AS token_id
+         |  FROM etok e LEFT JOIN bvocab v USING (token)),
+         |edoc AS (
+         |  SELECT split, doc_id,
+         |    list(token_id ORDER BY word_pos, tok_pos) AS ids,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM eid GROUP BY split, doc_id),
+         |ecu AS (SELECT split, doc_id, ids, n,
+         |  CAST(sum(n) OVER (PARTITION BY split
+         |    ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS start
+         |  FROM edoc),
+         |ewm AS (SELECT split, doc_id, ids, n, start,
+         |  unnest(range(
+         |    GREATEST(CAST(0 AS BIGINT),
+         |      CAST(floor((start - 300) / 120.0) AS BIGINT) + 1),
+         |    CAST(floor((start + n - 1) / 120.0) AS BIGINT) + 1)) AS window_id
+         |  FROM ecu WHERE n > 0),
+         |ewp AS (SELECT split, window_id,
+         |  GREATEST(window_id*120 - start, 0) AS f,
+         |  LEAST(window_id*120 + 300 - start, n) AS t2,
+         |  GREATEST(start - window_id*120, 0) AS pos, ids
+         |  FROM ewm)
+         |SELECT split, window_id,
+         |  array_to_string(list_transform(
+         |    flatten(list(ids[CAST(f+1 AS INT):CAST(t2 AS INT)] ORDER BY pos)),
+         |    x -> CAST(x AS VARCHAR)), ' ') AS ids_text,
+         |  CAST(sum(t2 - f) AS BIGINT) AS n_tokens
+         |FROM ewp WHERE t2 > f GROUP BY split, window_id
+         |ORDER BY split, window_id""".stripMargin) { (s, dir) =>
+      val idxPath = ensurePbpeModel(s, dir)
+      val docs = t(s, dir, "documents")
+      val out = "/root/repo/target/qtmp/eval_windows"
+      // a fresh landing every run: the crash-replay manifest guard would
+      // otherwise O(1)-return a PREVIOUS scale factor's landing
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.llm.Pipeline.buildAndWriteWindows(
+        docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+        "doc_id", "text", out, windowSize = 300L,
+        bpeWindows = Some(graft.llm.Pipeline.BpeWindows("g_pbpe", idxPath,
+          stride = Some(120L))))
+      s.read.parquet(out)
+        .select(col("split"), col("window_id"),
+          concat_ws(" ",
+            transform(col("window_ids"), x => x.cast("string")))
+            .as("ids_text"),
+          col("n_tokens"))
+        .orderBy("split", "window_id")
+    }
+
     // PACKED id windows through the FULL pipeline (r14 cont — the
     // capstone of the doc-aware layout): the composed chain lands
     // fixed-shape 120-id windows (EOD per doc, pad = eod+1, docs never

@@ -172,7 +172,12 @@ object SparkEntry {
     // EOD + segment next-fit + pad + partitioned write) — also an sf1
     // force-pick, so the doc-aware artifact carries in-record scale
     // evidence like its chop sibling
-    "q_pipeline_windows_packed")
+    "q_pipeline_windows_packed",
+    // r15: the EVAL (strided) landing — chain + encode + sliding
+    // membership + partitioned write; declared bound ~linear in corpus
+    // tokens × windowSize/stride (the honest overlap blow-up, 2.5x at
+    // the oracle's 300/120 geometry)
+    "q_eval_windows")
 
   /** Untimed per-query preparation Bench runs ONCE before the timed
     * passes (r10 verdict #3): the steady-state ingest entries build and
@@ -217,7 +222,9 @@ object SparkEntry {
     // encode + packing + assembly only
     "q_windows_packed_bpe",
     // r14 cont: the composed packed landing shares the same model
-    "q_pipeline_windows_packed").map { n =>
+    "q_pipeline_windows_packed",
+    // r15: the eval (strided) landing rides the same per-JVM model
+    "q_eval_windows").map { n =>
       n -> ((s: SparkSession, dir: String) =>
         queries(n)(s, dir).write.format("noop").mode("overwrite").save())
     }.toMap

@@ -773,7 +773,10 @@ object Maintain {
                       windowSize: Option[Long] = None,
                       minFillRate: Double = 0.5): DataFrame = {
     val rep = graft.llm.Pipeline.windowsReport(spark, outPath, docs,
-      idCol, textCol, bpeWindows).collect()
+      idCol, textCol, bpeWindows,
+      // the strided (eval) conservation law needs the window size; the
+      // chop law is size-independent and ignores it
+      windowSize).collect()
     val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
     val uncommitted = rep.filter(!_.getAs[Boolean]("manifest"))
       .map(_.getAs[String]("shard_label"))

@@ -177,12 +177,27 @@ object Pipeline {
     * conservation laws are identical across both layouts. Incompatible
     * with fullWindowsOnly (packing makes underfull REAL counts the
     * norm; the shape guarantee comes from padId) — refused loudly. */
+  /** `stride = Some(s)` switches the landing to the SLIDING EVAL
+    * layout ([[Bpe.assembleWindowsIdsStrided]] — window w covers token
+    * span [w·s, w·s + windowSize) of the split's permutation stream,
+    * consecutive windows overlapping by windowSize − s): the held-out
+    * perplexity windows a trainer evaluates with, landed beside the
+    * training windows with the same manifest/replay/fsck/loader
+    * discipline and the same split isolation. Land eval windows under
+    * their OWN outPath — the layouts carry different conservation laws
+    * (the strided id mass is ~windowSize/s × the doc mass, priced by
+    * the caller's stride; [[windowsReport]] verifies it from the
+    * closed form when given the windowSize). Incompatible with
+    * `packed`/`padId` (the eval layout is chop-shaped by construction)
+    * and with `docSpans` (overlapping windows have no disjoint doc
+    * tiling) — both refused loudly. */
   final case class BpeWindows(name: String, path: String,
                               eodId: Option[Long] = None,
                               docSpans: Boolean = false,
                               packed: Boolean = false,
                               padId: Option[Long] = None,
-                              segmentDocs: Int = 512)
+                              segmentDocs: Int = 512,
+                              stride: Option[Long] = None)
 
   /** A [[BpeWindows]] spec resolved to the objects the encode
     * expression embeds (one driver-side read of the two model-sized
@@ -195,13 +210,24 @@ object Pipeline {
                                        wordPattern: Option[String],
                                        packed: Boolean = false,
                                        padId: Option[Long] = None,
-                                       segmentDocs: Int = 512)
+                                       segmentDocs: Int = 512,
+                                       stride: Option[Long] = None)
 
   private def resolveBpe(spark: org.apache.spark.sql.SparkSession,
                          bw: BpeWindows): ResolvedBpe = {
     require(bw.padId.isEmpty || bw.packed,
       "BpeWindows: padId only applies to the packed layout (the chop " +
         "layout's windows are full by construction) — set packed = true")
+    bw.stride.foreach { s =>
+      require(s > 0, s"BpeWindows: stride must be positive, got $s")
+      require(!bw.packed,
+        "BpeWindows: stride selects the SLIDING eval layout, which is " +
+          "chop-shaped by construction — packed and stride are " +
+          "mutually exclusive")
+      require(!bw.docSpans,
+        "BpeWindows: overlapping strided windows have no disjoint doc " +
+          "tiling — docSpans and stride are mutually exclusive")
+    }
     // a crashed/foreign build refuses here; the SYMBOLIZATION LEVEL
     // and pre-tokenizer ride the stamp — the landing serves exactly
     // the geometry the model was trained under
@@ -209,7 +235,7 @@ object Pipeline {
     ResolvedBpe(Bpe.mergeList(spark.table(s"${bw.name}_bpe")),
       Bpe.vocabMap(spark.table(s"${bw.name}_bpe_vocab")),
       bw.eodId, bw.docSpans, meta.byteLevel, meta.wordPattern,
-      bw.packed, bw.padId, bw.segmentDocs)
+      bw.packed, bw.padId, bw.segmentDocs, bw.stride)
   }
 
   /** @param docs     training-candidate documents (idCol, textCol, …)
@@ -920,13 +946,24 @@ object Pipeline {
     * priced in the manifest, or after text-store drift — both worth an
     * operator's eyes). One column-pruned scan of the windows plus one
     * of the sidecar (and one of `docs` when auditing); report is
-    * O(shards) rows. */
+    * O(shards) rows.
+    *
+    * STRIDED (eval) landings carry a different conservation law: each
+    * (shard, split) stream of mass T lands exactly
+    * ⌊(T−1)/stride⌋ + 1 windows whose id mass is the closed form
+    * Σ_w (min(w·stride + windowSize, T) − w·stride) — pass the
+    * landing's `windowSize` (required when the [[BpeWindows]] spec has
+    * a stride; the chop law is size-independent, so it is otherwise
+    * unused) and `doc_tokens` then reports that EXPECTED window mass,
+    * derived per split from the docs' recomputed stream mass, with
+    * `tokens_match` comparing it to the landed mass exactly. */
   def windowsReport(spark: org.apache.spark.sql.SparkSession,
                     outPath: String,
                     docs: Option[DataFrame] = None,
                     idCol: String = "doc_id",
                     textCol: String = "text",
-                    bpeWindows: Option[BpeWindows] = None): DataFrame = {
+                    bpeWindows: Option[BpeWindows] = None,
+                    windowSize: Option[Long] = None): DataFrame = {
     // the conservation fsck must count in the LANDING's token unit:
     // whitespace words for text windows, BPE token ids for id windows
     val bpeResolved = bpeWindows.map(resolveBpe(spark, _))
@@ -962,11 +999,38 @@ object Pipeline {
               // landing inserts them — the conservation unit follows
               lit(if (rb.eodId.isDefined) 1L else 0L), (acc, n) => acc + n)
         }
-        sidecar.join(store.select(col(idCol), col(textCol)), Seq(idCol),
-            "left")
-          .groupBy("shard_label")
-          .agg(count(lit(1)).as("docs"),
-            coalesce(sum(docTok), lit(0L)).as("doc_tokens"))
+        val joined = sidecar
+          .join(store.select(col(idCol), col(textCol)), Seq(idCol), "left")
+        bpeResolved.flatMap(_.stride) match {
+          case None =>
+            joined.groupBy("shard_label")
+              .agg(count(lit(1)).as("docs"),
+                coalesce(sum(docTok), lit(0L)).as("doc_tokens"))
+          case Some(st) =>
+            val size = windowSize.getOrElse(throw new IllegalArgumentException(
+              "windowsReport: a strided landing's conservation law " +
+                "depends on the window size — pass windowSize"))
+            // per-(shard, split) stream mass T → the closed-form strided
+            // window mass: f full windows of `size` ids plus the clipped
+            // tail windows' (T − w·stride) masses; the triangular sum's
+            // product is always even, so the halving is exact (shiftright)
+            val perSplit = joined.groupBy("shard_label", "split")
+              .agg(count(lit(1)).as("__d__"),
+                coalesce(sum(docTok), lit(0L)).as("__T__"))
+            val bigT = col("__T__")
+            val wmax = floor((bigT - 1).cast("double") / st).cast("long")
+            val fFull = when(bigT >= size,
+              floor((bigT - size).cast("double") / st).cast("long") + 1L)
+              .otherwise(lit(0L))
+            val mass = when(bigT <= 0L, lit(0L)).otherwise(
+              fFull * size + (wmax - fFull + 1) * bigT -
+                lit(st) * shiftright((wmax + fFull) * (wmax - fFull + 1), 1))
+            perSplit
+              .select(col("shard_label"), col("__d__"), mass.as("__m__"))
+              .groupBy("shard_label")
+              .agg(sum(col("__d__")).as("docs"),
+                sum(col("__m__")).as("doc_tokens"))
+        }
     }
     val fs = new org.apache.hadoop.fs.Path(outPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1026,15 +1090,20 @@ object Pipeline {
           val cols = Seq(lit(sp).as("split"), col("window_id"),
             col("window_ids"), col("n_tokens")) ++
             (if (rb.docSpans) Seq(col("doc_spans")) else Nil)
-          val asm =
-            if (rb.packed)
+          val asm = (rb.packed, rb.stride) match {
+            case (true, _) =>
               Bpe.assembleWindowsIdsPacked(keyed, key, textCol, windowSize,
                 seed, rb.merges, rb.vocab, rb.eodId, rb.padId, rb.docSpans,
                 rb.byteLevel, rb.wordPattern, rb.segmentDocs)
-            else
+            case (false, Some(st)) =>
+              Bpe.assembleWindowsIdsStrided(keyed, key, textCol,
+                windowSize, st, seed, rb.merges, rb.vocab, rb.eodId,
+                rb.byteLevel, rb.wordPattern)
+            case (false, None) =>
               Bpe.assembleWindowsIds(keyed, key, textCol, windowSize, seed,
                 rb.merges, rb.vocab, rb.eodId, rb.docSpans, rb.byteLevel,
                 rb.wordPattern)
+          }
           asm.select(cols: _*)
       }
     }.reduce(_.unionByName(_))

@@ -1047,6 +1047,126 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("STRIDED eval windows: overlapping landing, closed-form fsck, O(1) replay, loader order, refusals") {
+    val tmp = tmpDir("graft_sev_idx")
+    val mdl = tmpDir("graft_sev_bpe")
+    val out = tmpDir("graft_sev_out")
+    val wsize = 60L
+    val stride = 25L
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      graft.llm.Bpe.writeBpeModel(docs.filter(col("doc_id") < 300), "text",
+        "sev_bpe", mdl, numMerges = 6)
+      val bw = Pipeline.BpeWindows("sev_bpe", mdl, stride = Some(stride))
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "sev_t", tmp)
+      val s1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 240)
+      val c1 = Pipeline.ingestWindowsShard(s1, df(docSchema), "doc_id",
+        "text", "sev_t", tmp, out, wsize, "e01", redactPii = false,
+        bpeWindows = Some(bw))
+      Pipeline.ingestWindowsShard(
+        docs.filter(col("doc_id") >= 240 && col("doc_id") < 280),
+        df(docSchema), "doc_id", "text", "sev_t", tmp, out, wsize, "e02",
+        redactPii = false, bpeWindows = Some(bw))
+      val win = spark.read.parquet(out)
+      assert(win.filter(size(col("window_ids")) =!= col("n_tokens"))
+        .count() == 0)
+      // per (shard, split): dense ids 0..wmax with wmax = ⌊(T−1)/stride⌋,
+      // every non-clipped window EXACTLY windowSize, and consecutive
+      // windows OVERLAP by size − stride ids (the eval layout's defining
+      // property — the training chop has zero overlap)
+      val merges = graft.llm.Bpe.mergeList(spark.table("sev_bpe_bpe"))
+      val sidecar = spark.read.parquet(s"$out/_docsidecar")
+        .withColumn("shard_label", col("shard_label").cast("string"))
+      val massPerSplit = graft.llm.Bpe.tokenCounts(
+          docs.join(sidecar, Seq("doc_id"), "left_semi"), "doc_id",
+          "text", merges)
+        .join(sidecar, Seq("doc_id"))
+        .groupBy("shard_label", "split")
+        .agg(sum("n_tokens").as("T"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val bySplit = win
+        .withColumn("shard_label", col("shard_label").cast("string"))
+        .select("shard_label", "split", "window_id", "window_ids",
+          "n_tokens")
+        .collect()
+        .groupBy(r => (r.getString(0), r.getString(1)))
+      var overlapsChecked = 0
+      bySplit.foreach { case (key, rows) =>
+        val bigT = massPerSplit(key)
+        val sorted = rows.sortBy(_.getLong(2))
+        assert(sorted.map(_.getLong(2)).toSeq ==
+          (0L to (bigT - 1) / stride).toSeq,
+          s"$key: ids must be dense to floor((T-1)/stride)")
+        sorted.foreach { r =>
+          val w = r.getLong(2)
+          val expect = math.min(w * stride + wsize, bigT) - w * stride
+          assert(r.getLong(4) == expect,
+            s"$key window $w: ${r.getLong(4)} != $expect (T=$bigT)")
+        }
+        sorted.sliding(2).foreach {
+          case Array(a, b) if a.getLong(4) == wsize =>
+            val aIds = a.getSeq[Long](3)
+            val bIds = b.getSeq[Long](3)
+            assert(aIds.drop(stride.toInt) ==
+              bIds.take((wsize - stride).toInt),
+              s"$key: windows ${a.getLong(2)}/${b.getLong(2)} must " +
+                "overlap by wsize - stride ids")
+            overlapsChecked += 1
+          case _ => ()
+        }
+      }
+      assert(overlapsChecked > 0, "fixture must exercise real overlaps")
+      // closed-form fsck: green with the stride + windowSize; refuses
+      // without the size; the CHOP law against this landing must flag
+      val rep = Pipeline.windowsReport(spark, out, Some(docs),
+        bpeWindows = Some(bw), windowSize = Some(wsize)).collect()
+      assert(rep.nonEmpty &&
+        rep.forall(_.getAs[Boolean]("tokens_match")), rep.mkString(";"))
+      val eNoSize = intercept[IllegalArgumentException] {
+        Pipeline.windowsReport(spark, out, Some(docs),
+          bpeWindows = Some(bw)).collect()
+      }
+      assert(eNoSize.getMessage.contains("windowSize"), eNoSize.getMessage)
+      val repChop = Pipeline.windowsReport(spark, out, Some(docs),
+        bpeWindows = Some(Pipeline.BpeWindows("sev_bpe", mdl))).collect()
+      assert(repChop.forall(!_.getAs[Boolean]("tokens_match")),
+        "the chop conservation law must flag a strided landing")
+      // O(1) replay returns the recorded manifest counts
+      val c1b = Pipeline.ingestWindowsShard(s1, df(docSchema), "doc_id",
+        "text", "sev_t", tmp, out, wsize, "e01", redactPii = false,
+        bpeWindows = Some(bw))
+      assert(c1b == c1)
+      // the loader is layout-agnostic: strictly increasing global ids
+      val loaded = Pipeline.loadWindows(spark, out, "train")
+        .select("global_id").toLocalIterator()
+      var expect = 0L
+      while (loaded.hasNext) {
+        assert(loaded.next().getLong(0) == expect); expect += 1
+      }
+      assert(expect > 0)
+      // spec refusals: the eval layout is chop-shaped and unspanned
+      intercept[IllegalArgumentException] {
+        Pipeline.ingestWindowsShard(s1, df(docSchema), "doc_id", "text",
+          "sev_t", tmp, out, wsize, "e03", redactPii = false,
+          bpeWindows = Some(bw.copy(packed = true)))
+      }
+      intercept[IllegalArgumentException] {
+        Pipeline.ingestWindowsShard(s1, df(docSchema), "doc_id", "text",
+          "sev_t", tmp, out, wsize, "e04", redactPii = false,
+          bpeWindows = Some(bw.copy(docSpans = true)))
+      }
+    } finally {
+      dropIndex("sev_t")
+      Seq("sev_bpe_bpe", "sev_bpe_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(tmp, mdl, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("EOD insertion + doc-boundary spans: id windows carry the trainer contract") {
     val tmp = tmpDir("graft_eod_idx")
     val mdl = tmpDir("graft_eod_bpe")
