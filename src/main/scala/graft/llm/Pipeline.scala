@@ -932,6 +932,39 @@ object Pipeline {
       .repartitionByRange(col("global_id"))
       .sortWithinPartitions("global_id")
 
+  /** [[loadWindows]] with a PER-EPOCH re-shuffle — multi-epoch training
+    * over one landing: epoch k streams the SAME window set in a
+    * deterministic permutation of its own (epoch and seed fold into a
+    * Murmur3 order key over the global id; ties break on the id, so
+    * the order is total), without re-landing anything — the landed
+    * bytes never move, only the read order changes. Epochs are
+    * reproducible across runs and machines for a fixed landing
+    * (the same determinism contract as every sampler here — no RNG
+    * state, the permutation is a pure function of (id, epoch, seed)).
+    *
+    * Each row carries `epoch_ord`, the order key the stream is sorted
+    * by — resumption bookkeeping can record the last (epoch_ord,
+    * global_id) seen and re-enter the stream with a filter, the same
+    * move loadWindows supports via global_id alone.
+    *
+    * Scale shape: identical to [[loadWindows]] — the exchange-free
+    * offset join, then ONE range shuffle on (epoch_ord, global_id)
+    * with an in-partition sort; no global single-task sort at any
+    * size. A non-linear hash (not an additive offset on the id hash)
+    * is load-bearing: a linear mix would make every epoch's order a
+    * ROTATION of every other's, which is not a re-shuffle. */
+  def loadWindowsEpoch(spark: org.apache.spark.sql.SparkSession,
+                       outPath: String, split: String, epoch: Long,
+                       seed: Long = 0L): DataFrame = {
+    require(epoch >= 0L, s"epoch must be >= 0, got $epoch")
+    globalWindowIds(spark, outPath)
+      .filter(col("split") === split)
+      .withColumn("epoch_ord",
+        hash(col("global_id"), lit(epoch), lit(seed)))
+      .repartitionByRange(col("epoch_ord"), col("global_id"))
+      .sortWithinPartitions("epoch_ord", "global_id")
+  }
+
   /** Maintenance observable for an [[ingestWindowsShard]] landing — the
     * family's report sibling ([[Dedup.indexReport]], [[Ivf.indexReport]],
     * [[KeyBlooms.report]]): per shard, the doc count (sidecar), window
