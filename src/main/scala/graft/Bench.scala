@@ -28,7 +28,15 @@ object Bench {
     try SparkEntry.queries("q_head")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val names = SparkEntry.benchQueries
+    // SPARK_GRAFT_BENCH_ONLY=substr1,substr2 scopes the list — the
+    // dev loop for adjudicating a single query's drift (a same-HEAD
+    // pair on a quiet host) without paying for the full suite
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) =>
+        val pats = only.split(",").toSeq
+        SparkEntry.benchQueries.filter(n => pats.exists(n.contains))
+      case None => SparkEntry.benchQueries
+    }
     // Untimed prepare pass (r10 verdict #3): the steady-state ingest
     // entries build + snapshot their corpus-index fixtures here, so
     // every timed sample below — including pass 1 — measures the

@@ -3909,6 +3909,137 @@ object QueriesText {
         .orderBy("split", "window_id")
     }
 
+    // POST-LANDING id-space benchmark decontamination screen (r15):
+    // "do my landed training windows contain eval text?" answered over
+    // the window_ids arrays themselves — every 5-consecutive-id gram
+    // of every landed window joins against the benchmark's id grams
+    // under the SAME persisted model (grams containing the -1 OOV
+    // sentinel excluded on both sides). The oracle recomputes the
+    // landed windows end to end (chain + training + vocab + chop) AND
+    // the benchmark's id encode, re-derives both gram sets and the
+    // positional hit counts — non-vacuous by construction: the chain's
+    // WORD-shingle decontamination ran at k=5 words, so finer 5-ID
+    // (~1.5 word) overlaps survive it and the screen must find them.
+    r.reg("q_windows_decontam", pipeCleanCtes +
+      s""",
+         |${bpeTrainCtes(8)},
+         |$bpeVocabCtes,
+         |bwdocs AS (
+         |  SELECT c.doc_id, d.text,
+         |    CASE WHEN (c.doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTTrain THEN 'train'
+         |         WHEN (c.doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTVal THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM clean c JOIN documents d USING (doc_id)),
+         |bwrd AS (
+         |  SELECT split, doc_id, CAST(i - 1 AS INTEGER) AS word_pos,
+         |    toks[CAST(i AS INTEGER)] AS w
+         |  FROM (SELECT split, doc_id, string_split(text, ' ') AS toks,
+         |          unnest(range(1, len(string_split(text, ' '))+1)) AS i
+         |        FROM bwdocs)
+         |  WHERE toks[CAST(i AS INTEGER)] <> ''),
+         |bencw AS (
+         |  SELECT split, doc_id, word_pos,
+         |    string_split(trim($bpeNestedSql), '  ') AS etoks
+         |  FROM bwrd),
+         |btokw AS (
+         |  SELECT split, doc_id, word_pos, CAST(j - 1 AS INTEGER) AS tok_pos,
+         |    etoks[CAST(j AS INTEGER)] AS token
+         |  FROM (SELECT split, doc_id, word_pos, etoks,
+         |          unnest(range(1, len(etoks)+1)) AS j FROM bencw)),
+         |bidw AS (
+         |  SELECT b.split, b.doc_id, b.word_pos, b.tok_pos,
+         |    COALESCE(v.token_id, -1) AS token_id
+         |  FROM btokw b LEFT JOIN bvocab v USING (token)),
+         |bdoc AS (
+         |  SELECT split, doc_id,
+         |    list(token_id ORDER BY word_pos, tok_pos) AS ids,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM bidw GROUP BY split, doc_id),
+         |bwc AS (SELECT split, doc_id, ids, n,
+         |  CAST(sum(n) OVER (PARTITION BY split
+         |    ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS start
+         |  FROM bdoc),
+         |bww AS (SELECT split, doc_id, ids, n, start,
+         |  CAST(floor(start/300.0) AS BIGINT) AS wf,
+         |  CASE WHEN n > 0 THEN CAST(floor((start+n-1)/300.0) AS BIGINT)
+         |       ELSE CAST(floor(start/300.0) AS BIGINT) END AS wl
+         |  FROM bwc),
+         |bwm AS (SELECT w.split, w.doc_id, w.ids, w.n, w.start,
+         |  unnest(range(w.wf, w.wl + 1)) AS window_id
+         |  FROM bww w WHERE w.n > 0),
+         |bwp AS (SELECT split, window_id,
+         |  GREATEST(window_id*300 - start, 0) AS f,
+         |  LEAST((window_id+1)*300 - start, n) AS t2,
+         |  GREATEST(start - window_id*300, 0) AS pos, ids
+         |  FROM bwm),
+         |wdwin AS (
+         |  SELECT split, window_id,
+         |    flatten(list(ids[CAST(f+1 AS INT):CAST(t2 AS INT)]
+         |      ORDER BY pos)) AS ids
+         |  FROM bwp WHERE t2 > f GROUP BY split, window_id),
+         |wdcg AS (
+         |  SELECT split, window_id,
+         |    ids[CAST(i+1 AS INT):CAST(i+5 AS INT)] AS g
+         |  FROM (SELECT split, window_id, ids,
+         |          unnest(range(0, len(ids) - 4)) AS i
+         |        FROM wdwin WHERE len(ids) >= 5)),
+         |wdcf AS (
+         |  SELECT split, window_id,
+         |    array_to_string(list_transform(g, x -> CAST(x AS VARCHAR)), ':') AS gram
+         |  FROM wdcg WHERE NOT list_contains(g, -1)),
+         |wbdoc AS (
+         |  SELECT doc_id, list(token_id ORDER BY word_pos, tok_pos) AS ids
+         |  FROM (
+         |    SELECT t.doc_id, t.word_pos, t.tok_pos,
+         |      COALESCE(v.token_id, -1) AS token_id
+         |    FROM (
+         |      SELECT doc_id, word_pos, CAST(j - 1 AS INTEGER) AS tok_pos,
+         |        etoks[CAST(j AS INTEGER)] AS token
+         |      FROM (SELECT doc_id, word_pos, etoks,
+         |              unnest(range(1, len(etoks)+1)) AS j
+         |            FROM (
+         |              SELECT doc_id, word_pos,
+         |                string_split(trim($bpeNestedSql), '  ') AS etoks
+         |              FROM (
+         |                SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_pos,
+         |                  toks[CAST(i AS INTEGER)] AS w
+         |                FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+         |                        unnest(range(1, len(string_split(text, ' '))+1)) AS i
+         |                      FROM documents
+         |                      WHERE doc_id % 10 = 0 AND text IS NOT NULL)
+         |                WHERE toks[CAST(i AS INTEGER)] <> ''))))
+         |      t LEFT JOIN bvocab v USING (token))
+         |  GROUP BY doc_id),
+         |wbg0 AS (
+         |  SELECT ids[CAST(i+1 AS INT):CAST(i+5 AS INT)] AS g
+         |  FROM (SELECT ids, unnest(range(0, len(ids) - 4)) AS i
+         |        FROM wbdoc WHERE len(ids) >= 5)),
+         |wbg AS (
+         |  SELECT DISTINCT
+         |    array_to_string(list_transform(g, x -> CAST(x AS VARCHAR)), ':') AS gram
+         |  FROM wbg0 WHERE NOT list_contains(g, -1))
+         |SELECT split, window_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM wdcf JOIN wbg USING (gram)
+         |GROUP BY split, window_id
+         |ORDER BY split, window_id""".stripMargin
+        ) { (s, dir) =>
+      val idxPath = ensurePbpeModel(s, dir)
+      val docs = t(s, dir, "documents")
+      val out = "/root/repo/target/qtmp/windows_decontam"
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.llm.Pipeline.buildAndWriteWindows(
+        docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+        "doc_id", "text", out, windowSize = 300L,
+        bpeWindows = Some(graft.llm.Pipeline.BpeWindows("g_pbpe", idxPath)))
+      graft.llm.Pipeline.windowsContaminationScreen(s, out,
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+          "text", graft.llm.Pipeline.BpeWindows("g_pbpe", idxPath), k = 5)
+        .orderBy("split", "window_id")
+    }
+
     // PACKED id windows through the FULL pipeline (r14 cont — the
     // capstone of the doc-aware layout): the composed chain lands
     // fixed-shape 120-id windows (EOD per doc, pad = eod+1, docs never

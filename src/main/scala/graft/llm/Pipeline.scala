@@ -1088,6 +1088,105 @@ object Pipeline {
       .orderBy("shard_label")
   }
 
+  /** POST-LANDING benchmark contamination screen in the LANDED unit —
+    * the fsck nobody regrets running: the build decontaminated against
+    * the benchmarks it knew at landing time, but benchmarks update and
+    * landings are long-lived, so the question "do my landed training
+    * windows contain eval text?" must be answerable over the
+    * `window_ids` arrays themselves, without re-deriving the text
+    * corpus. The benchmark encodes under the SAME persisted model the
+    * landing used (stamp-resolved — the id spaces are comparable by
+    * construction) and every k-consecutive-id gram of every landed
+    * window joins against the benchmark's id-gram set.
+    *
+    * Grams containing the -1 OOV sentinel, the landing's `eodId` or
+    * its `padId` are excluded on both sides: -1 conflates distinct
+    * unseen tokens (a match would be noise), and eod/pad are landing
+    * artifacts no benchmark text contains — a gram crossing a document
+    * boundary is not contamination of either document.
+    *
+    * Returns one row per CONTAMINATED window: the landing's addressing
+    * columns (shard_label when present, split, window_id), `n_hits`
+    * (the count of gram positions matching the benchmark — not
+    * distinct grams: a window repeating an eval sentence twice is
+    * twice as contaminated), and, when the landing carries
+    * `doc_spans`, `doc_ids` — the documents whose spans overlap a hit
+    * position, exactly the batch [[retractFromWindows]] wants.
+    *
+    * Scale shape: ~linear in landed window ids (each window emits one
+    * gram per position, filtered and hashed inside the scan) against a
+    * BROADCAST benchmark gram set — `maxBench` bounds the benchmark
+    * side with a loud refusal (the semantic-decontam discipline; a
+    * benchmark is small by construction). One column-pruned read of
+    * the landing, one aggregate; no corpus re-scan, no all-pairs. */
+  def windowsContaminationScreen(spark: org.apache.spark.sql.SparkSession,
+                                 outPath: String, bench: DataFrame,
+                                 benchTextCol: String,
+                                 bpeWindows: BpeWindows,
+                                 k: Int = 5,
+                                 maxBench: Int = 200000): DataFrame = {
+    require(k >= 2, s"windowsContaminationScreen: k must be >= 2, got $k")
+    require(bench.limit(maxBench + 1).count() <= maxBench,
+      s"windowsContaminationScreen: benchmark side exceeds $maxBench " +
+        "rows — the gram set broadcasts; screen in bounded batches or " +
+        "raise maxBench deliberately")
+    val rb = resolveBpe(spark, bpeWindows)
+    // ids a gram must not contain: OOV, and the landing's structural ids
+    val banned = Seq(-1L) ++ rb.eodId.toSeq ++ rb.padId.toSeq
+    def gramKey(g: org.apache.spark.sql.Column) =
+      concat_ws(":", transform(g, x => x.cast("string")))
+    def cleanGram(g: org.apache.spark.sql.Column) =
+      banned.map(b => !array_contains(g, b)).reduce(_ && _)
+    def posGrams(ids: org.apache.spark.sql.Column) =
+      when(size(ids) >= k,
+        transform(sequence(lit(0), size(ids) - k),
+          i => slice(ids, i + 1, lit(k))))
+        .otherwise(array())
+    val words = filter(Bpe.wordsOf(benchTextCol, rb.wordPattern),
+      w => length(w) >= 1)
+    val benchIds = flatten(transform(words,
+      w => graft.functions.TextHashExprs
+        .bpeEncodeIds(w, rb.merges, rb.vocab, rb.byteLevel)))
+    val benchGrams = bench.filter(col(benchTextCol).isNotNull)
+      .select(explode(posGrams(benchIds)).as("__g__"))
+      .filter(cleanGram(col("__g__")))
+      .select(gramKey(col("__g__")).as("__gram__"))
+      .distinct()
+    val win0 = spark.read.parquet(outPath)
+    val win =
+      if (win0.columns.contains("shard_label"))
+        win0.withColumn("shard_label", col("shard_label").cast("string"))
+      else win0
+    val groupCols = Seq("shard_label", "split", "window_id")
+      .filter(win.columns.contains)
+    val hasSpans = win.columns.contains("doc_spans")
+    val corpusGrams = win
+      .select(groupCols.map(col) ++
+        (if (hasSpans) Seq(col("doc_spans")) else Nil) :+
+        posexplode(posGrams(col("window_ids"))).as(Seq("__pos__", "__g__")): _*)
+      .filter(cleanGram(col("__g__")))
+      .withColumn("__gram__", gramKey(col("__g__")))
+    val hits = corpusGrams
+      .join(broadcast(benchGrams), Seq("__gram__"))
+    val aggCols = Seq(count(lit(1)).as("n_hits")) ++
+      (if (hasSpans) Seq(
+        // spans ride the group (constant per window); hit positions
+        // resolve to the docs whose [pos, pos+len) tiles they touch
+        first(col("doc_spans")).as("__sp__"),
+        collect_set(col("__pos__").cast("long")).as("__ps__"))
+       else Nil)
+    val agg = hits.groupBy(groupCols.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    if (!hasSpans) agg
+    else agg.select(groupCols.map(col) ++ Seq(col("n_hits"),
+      array_sort(array_distinct(transform(
+        filter(col("__sp__"), sp =>
+          exists(col("__ps__"), p =>
+            p < sp.getField("pos") + sp.getField("len") &&
+              p + k > sp.getField("pos"))),
+        sp => sp.getField("id")))).as("doc_ids")): _*)
+  }
+
   /** Per-split window assembly shared by the two windows entrypoints:
     * each split chops independently (leakage isolation), the split set
     * is the static three of [[graft.api.GraftFrame.splitByHash]] — an

@@ -1047,6 +1047,70 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("windowsContaminationScreen: sub-shingle eval overlap resolves to its documents; eod-straddling grams never match") {
+    val mdl = tmpDir("graft_wcs_bpe")
+    val out = tmpDir("graft_wcs_out")
+    try {
+      // corpus: filler docs on a disjoint vocab; doc 50 carries a
+      // 3-WORD run of the benchmark phrase — SHORT enough to survive
+      // the build's 5-word-shingle decontamination, long enough for
+      // 5-consecutive-id grams (each word encodes to >= 2 ids here);
+      // docs 60/61 carry the phrase SPLIT across their boundary, so
+      // any id run exists only straddling an EOD
+      val filler = (1L to 40L).map(i => Row(i,
+        s"alpha$i beta$i gamma delta epsilon zeta eta theta iota " +
+          s"kappa lambda mu nu xi omicron pi rho sigma tau upsilon"))
+      val docs = df(docSchema, filler ++ Seq(
+        Row(50L, "alpha50 beta50 gamma delta qq ww ee zeta eta theta " +
+          "iota kappa lambda mu nu xi omicron pi rho sigma"),
+        Row(60L, "alpha60 beta60 gamma delta epsilon zeta eta qq ww"),
+        Row(61L, "ee rr zeta eta theta iota kappa lambda mu nu xi")): _*)
+      val bench = df(docSchema, Row(900L, "qq ww ee rr tt yy uu"))
+      graft.llm.Bpe.writeBpeModel(docs, "text", "wcs_bpe", mdl,
+        numMerges = 4)
+      val vocab = graft.llm.Bpe.vocabMap(spark.table("wcs_bpe_bpe_vocab"))
+      val eod = vocab.values.max + 1L
+      val bw = Pipeline.BpeWindows("wcs_bpe", mdl, eodId = Some(eod),
+        docSpans = true)
+      Pipeline.buildAndWriteWindows(docs, df(docSchema), "doc_id",
+        "text", out, windowSize = 64L, decontamK = 5,
+        bpeWindows = Some(bw))
+      // the planted doc SURVIVED the word-shingle build decontam
+      // (3-word overlap < decontamK) — the screen exists because of
+      // exactly this gap
+      val sidecarless = spark.read.parquet(out)
+      assert(sidecarless.columns.contains("doc_spans"))
+      val rep = Pipeline.windowsContaminationScreen(spark, out, bench,
+        "text", bw, k = 5).collect()
+      assert(rep.nonEmpty, "the sub-shingle overlap must be found")
+      val implicated = rep.flatMap(_.getSeq[Long](
+        rep.head.fieldIndex("doc_ids"))).toSet
+      assert(implicated.contains(50L),
+        s"doc 50 carries the planted overlap: $implicated")
+      // docs 60/61 hold the phrase only ACROSS their eod boundary:
+      // every straddling gram contains the eod id and is excluded, so
+      // neither doc may be implicated — an eod crossing is not
+      // contamination of either document
+      assert(!implicated.contains(60L) && !implicated.contains(61L),
+        s"eod-straddling grams must never match: $implicated")
+      assert(rep.forall(_.getAs[Long]("n_hits") > 0))
+      // refusals: k too small, benchmark side over the broadcast bound
+      intercept[IllegalArgumentException] {
+        Pipeline.windowsContaminationScreen(spark, out, bench, "text",
+          bw, k = 1)
+      }
+      intercept[IllegalArgumentException] {
+        Pipeline.windowsContaminationScreen(spark, out, bench, "text",
+          bw, k = 5, maxBench = 0)
+      }
+    } finally {
+      Seq("wcs_bpe_bpe", "wcs_bpe_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(mdl, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("loadWindowsEpoch: each epoch streams the same window set in its own deterministic permutation") {
     val tmp = tmpDir("graft_lwe_idx")
     val out = tmpDir("graft_lwe_out")
