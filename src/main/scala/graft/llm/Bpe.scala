@@ -435,6 +435,127 @@ object Bpe {
     sb.toString
   }
 
+  private def readSmallTextFile(spark: SparkSession, path: String,
+                                maxBytes: Long): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no file at $path")
+    val len = fs.getFileStatus(p).getLen
+    require(len <= maxBytes,
+      s"$path is $len bytes — a published tokenizer file is model-sized " +
+        s"(<= $maxBytes); this is probably not one")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Read a published `merges.txt` into the (rank, left, right) frame
+    * [[importBpeModel]] takes: each non-comment line is "left right"
+    * with rank = line order (`#`-prefixed header lines and blank lines
+    * skip, the published-file convention). Driver-side through the
+    * session's Hadoop FS — the file is model-sized by contract
+    * (size-guarded). Surfaces stay in the published alias form; pass
+    * the frame to importBpeModel with `gpt2Alias = true`. */
+  def readGpt2Merges(spark: SparkSession, path: String,
+                     maxBytes: Long = 64L << 20): DataFrame = {
+    val lines = readSmallTextFile(spark, path, maxBytes)
+      .split("\n", -1).iterator
+      .map(_.stripSuffix("\r"))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .toIndexedSeq
+    val rows = lines.zipWithIndex.map { case (l, i) =>
+      val sp = l.split(" ", -1)
+      require(sp.length == 2,
+        s"readGpt2Merges: line ${i + 1} ('$l') is not 'left right'")
+      Row(i, sp(0), sp(1))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("rank", IntegerType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false))))
+  }
+
+  /** Read a published `vocab.json` — ONE flat `{"token": id}` object —
+    * into the (token, token_id) frame. The file is a flat string→int
+    * map, so a small escape-aware scanner (strings, `\uXXXX` and the
+    * standard short escapes, integer values) covers it exactly; no
+    * JSON library, no schema inference (Spark's JSON reader would see
+    * one row with 50k columns). Driver-side, size-guarded. */
+  def readGpt2Vocab(spark: SparkSession, path: String,
+                    maxBytes: Long = 64L << 20): DataFrame = {
+    val txt = readSmallTextFile(spark, path, maxBytes)
+    def fail(i: Int, what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"readGpt2Vocab: $path is not a flat {\"token\": id} object " +
+          s"($what at offset $i)")
+    var i = 0
+    val n = txt.length
+    def skipWs(): Unit = while (i < n && txt.charAt(i).isWhitespace) i += 1
+    def readString(): String = {
+      if (txt.charAt(i) != '"') fail(i, "expected '\"'")
+      i += 1
+      val sb = new java.lang.StringBuilder
+      while (i < n && txt.charAt(i) != '"') {
+        val c = txt.charAt(i)
+        if (c == '\\') {
+          if (i + 1 >= n) fail(i, "dangling escape")
+          txt.charAt(i + 1) match {
+            case '"' => sb.append('"'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case '/' => sb.append('/'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'u' =>
+              if (i + 6 > n) fail(i, "truncated \\u escape")
+              sb.append(Integer.parseInt(txt.substring(i + 2, i + 6), 16)
+                .toChar)
+              i += 6
+            case other => fail(i, s"unknown escape '\\$other'")
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      if (i >= n) fail(i, "unterminated string")
+      i += 1 // closing quote
+      sb.toString
+    }
+    skipWs()
+    if (i >= n || txt.charAt(i) != '{') fail(i, "expected '{'")
+    i += 1
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    skipWs()
+    if (i < n && txt.charAt(i) == '}') i += 1
+    else {
+      var more = true
+      while (more) {
+        skipWs()
+        val tok = readString()
+        skipWs()
+        if (i >= n || txt.charAt(i) != ':') fail(i, "expected ':'")
+        i += 1
+        skipWs()
+        val start = i
+        if (i < n && txt.charAt(i) == '-') i += 1
+        while (i < n && txt.charAt(i).isDigit) i += 1
+        if (i == start) fail(i, "expected an integer id")
+        rows += Row(tok, txt.substring(start, i).toLong)
+        skipWs()
+        if (i < n && txt.charAt(i) == ',') { i += 1 }
+        else if (i < n && txt.charAt(i) == '}') { i += 1; more = false }
+        else fail(i, "expected ',' or '}'")
+      }
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+      StructType(Seq(StructField("token", StringType, nullable = false),
+        StructField("token_id", LongType, nullable = false))))
+  }
+
   /** IMPORT a PRETRAINED tokenizer — the production-common case (most
     * teams train with a published tokenizer, not their own): construct
     * the persisted stamped model from caller-provided merge and vocab

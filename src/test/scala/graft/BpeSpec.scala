@@ -556,6 +556,69 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("readGpt2Merges/readGpt2Vocab: published files to frames, import end to end") {
+    import spark.implicits._
+    val dir = tmp("graft_bpe_files")
+    val path = tmp("graft_bpe_filem")
+    try {
+      // merges.txt: the published shape — version header, "left right"
+      // lines in rank order, raw UTF-8 alias chars
+      val mergesTxt = "#version: 0.2\nt h\nth e\na t\nĠ c\nĠc at\n"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "merges.txt"),
+        mergesTxt.getBytes("UTF-8"))
+      // vocab.json: one flat object; exercise raw alias chars AND
+      // \uXXXX / short escapes (the published file mixes them)
+      val vocabJson = new java.lang.StringBuilder("{")
+      gpt2AliasAlphabet.zipWithIndex.foreach { case ((tok, id), ix) =>
+        if (ix > 0) vocabJson.append(", ")
+        val esc = tok.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c > 0x7E => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }
+        vocabJson.append(s""""$esc": $id""")
+      }
+      vocabJson.append(""", "th": 256, "the": 257, "at": 258""")
+      vocabJson.append(""", "Ġc": 259, "Ġcat": 260}""")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "vocab.json"),
+        vocabJson.toString.getBytes("UTF-8"))
+      val merges = Bpe.readGpt2Merges(spark, s"$dir/merges.txt")
+      assert(merges.count() == 5)
+      assert(merges.orderBy("rank").collect().map(_.getString(1)).toSeq
+        == Seq("t", "th", "a", "Ġ", "Ġc"))
+      val vocab = Bpe.readGpt2Vocab(spark, s"$dir/vocab.json")
+      assert(vocab.count() == 261)
+      Bpe.importBpeModel(spark, merges, vocab, "impf", path,
+        gpt2Alias = true)
+      val got = Bpe.encodeIdsIndexed(spark, "impf", path,
+          Seq((1L, "the cat")).toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("word_pos", "tok_pos").collect().map(_.getLong(3)).toSeq
+      assert(got == Seq(257L, 260L), s"$got")
+      // malformed inputs refuse with position context
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "bad.json"),
+        """{"a": 1, "b"}""".getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException] {
+        Bpe.readGpt2Vocab(spark, s"$dir/bad.json")
+      }
+      assert(e.getMessage.contains("expected ':'"), e.getMessage)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "bad.txt"),
+        "t h x\n".getBytes("UTF-8"))
+      intercept[IllegalArgumentException] {
+        Bpe.readGpt2Merges(spark, s"$dir/bad.txt")
+      }
+    } finally {
+      Seq("impf_bpe", "impf_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(dir, path).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("importBpeModel: validation refusals and retrain-ineligible maintenance") {
     import spark.implicits._
     val path = tmp("graft_bpe_impv")
