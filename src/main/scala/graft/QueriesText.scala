@@ -4728,6 +4728,83 @@ object QueriesText {
         .orderBy("doc_id", "word_pos", "tok_pos")
     }
 
+    // SFT example assembly (r15): (prompt, response) pairs → training
+    // tensors under the persisted model — input_ids = enc(prompt) ++
+    // [sep] ++ enc(response) ++ [eod] with the loss-mask boundary
+    // loss_from = |enc(prompt)| + 1. Pairs derive from documents (first
+    // half of each doc's words as prompt, rest as response) so the
+    // fixture is corpus-shaped at every scale; the oracle replays the
+    // per-word encode on BOTH sides of the boundary, tags each word's
+    // side, and re-derives the concatenated ids, the structural sep/eod
+    // ids (vocab max + 1/+2) and the mask boundary exactly.
+    r.reg("q_sft_examples",
+      s"""WITH ${bpeTrainCtes(8)},
+         |$bpeVocabCtes,
+         |sft0 AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+         |sft1 AS (SELECT doc_id, ws, CAST(len(ws)//2 AS BIGINT) AS np
+         |  FROM sft0 WHERE len(ws) >= 2),
+         |sftw AS (
+         |  SELECT doc_id, np, i,
+         |    CASE WHEN i <= np THEN 0 ELSE 1 END AS side,
+         |    ws[CAST(i AS INT)] AS w
+         |  FROM (SELECT doc_id, np, ws, unnest(range(1, len(ws)+1)) AS i
+         |        FROM sft1)),
+         |sfte AS (
+         |  SELECT doc_id, np, i, side,
+         |    string_split(trim($bpeNestedSql), '  ') AS etoks
+         |  FROM sftw),
+         |sftt AS (
+         |  SELECT doc_id, np, i, side, CAST(j AS INT) AS j,
+         |    etoks[CAST(j AS INT)] AS token
+         |  FROM (SELECT doc_id, np, i, side, etoks,
+         |          unnest(range(1, len(etoks)+1)) AS j FROM sfte)),
+         |sfti AS (
+         |  SELECT t.doc_id, t.i, t.side, t.j,
+         |    COALESCE(v.token_id, -1) AS tid
+         |  FROM sftt t LEFT JOIN bvocab v USING (token)),
+         |sftm AS (SELECT CAST(max(token_id) AS BIGINT) AS mx FROM bvocab),
+         |sfta AS (
+         |  SELECT doc_id,
+         |    list(tid ORDER BY i, j) FILTER (WHERE side = 0) AS pids,
+         |    list(tid ORDER BY i, j) FILTER (WHERE side = 1) AS rids
+         |  FROM sfti GROUP BY doc_id)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(
+         |    list_concat(list_concat(list_concat(
+         |      COALESCE(pids, []), [mx+1]), rids), [mx+2]),
+         |    x -> CAST(x AS VARCHAR)), ' ') AS ids_text,
+         |  CAST(COALESCE(len(pids), 0) + len(rids) + 2 AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(len(pids), 0) + 1 AS BIGINT) AS loss_from
+         |FROM sfta, sftm
+         |WHERE rids IS NOT NULL AND len(rids) >= 1
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val idxPath = ensurePbpeModel(s, dir)
+      val vocabMax = graft.llm.Bpe
+        .vocabMap(s.table("g_pbpe_bpe_vocab")).values.max
+      val words = filter(split(col("text"), " ", -1), w => length(w) >= 1)
+      val pairs = t(s, dir, "documents")
+        .filter(col("doc_id") < 100 && col("text").isNotNull)
+        .withColumn("__ws__", words)
+        .filter(size(col("__ws__")) >= 2)
+        .withColumn("__np__", (size(col("__ws__")) / 2).cast("int"))
+        .select(col("doc_id"),
+          array_join(slice(col("__ws__"), lit(1), col("__np__")), " ")
+            .as("prompt"),
+          array_join(slice(col("__ws__"), col("__np__") + 1,
+            size(col("__ws__")) - col("__np__")), " ").as("response"))
+      graft.llm.Sft.assembleExamplesIndexed(s, "g_pbpe", idxPath, pairs,
+          "doc_id", "prompt", "response",
+          sepId = Some(vocabMax + 1L), eodId = Some(vocabMax + 2L))
+        .select(col("doc_id"),
+          concat_ws(" ",
+            transform(col("input_ids"), x => x.cast("string")))
+            .as("ids_text"),
+          col("n_tokens"), col("loss_from"))
+        .orderBy("doc_id")
+    }
+
     // IMPORTED pretrained tokenizer (r15): the persisted model built
     // from a hand-constructed PUBLISHED-style merges/vocab pair (the
     // GPT-2 merges.txt/vocab.json shape, alias surface forms decoded

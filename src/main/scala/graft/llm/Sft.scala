@@ -1,0 +1,162 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHashExprs
+
+/** SUPERVISED-FINE-TUNING example assembly — the step between "curated
+  * (prompt, response) pairs" and "training tensors" that every
+  * post-training pipeline runs: each pair encodes under the SAME
+  * persisted tokenizer the base model was trained with, lands as one id
+  * array, and carries the LOSS-MASK boundary (`loss_from`) that makes
+  * the example trainable — the trainer computes loss only on positions
+  * `[loss_from, n_tokens)`, i.e. the response (and the end-of-document
+  * id, the standard convention), never on the prompt.
+  *
+  * Layout contract: `input_ids = enc(prompt) ++ [sepId?] ++
+  * enc(response) ++ [eodId?]`, `loss_from = |enc(prompt)| + (sepId ? 1
+  * : 0)`. The separator is the template hook — a chat template's
+  * role-delimiter id (reserved outside the vocabulary, like every
+  * structural id here); richer templates are string-side concerns the
+  * caller applies to the prompt/response columns BEFORE assembly, so
+  * the engine never hard-codes one vendor's chat format.
+  *
+  * Row policy (all documented, none silent-surprising): a NULL response
+  * drops (nothing to train on), a NULL prompt is the empty prompt (a
+  * continuation example), a response that encodes to ZERO ids drops
+  * (loss over nothing), and `maxLen` drops examples whose id mass
+  * exceeds it — the published drop-overlong guard; truncating a
+  * response mid-thought teaches the model to stop mid-thought.
+  *
+  * Scale shape: one blockwise pass — the fused memoized per-word encode
+  * inside the scan, no shuffle, no join; output is pair-cardinality.
+  */
+object Sft {
+
+  private def encCol(textCol: String, merges: Seq[(String, String)],
+                     vocab: Map[String, Long], byteLevel: Boolean,
+                     wordPattern: Option[String]): org.apache.spark.sql.Column =
+    flatten(transform(
+      filter(Bpe.wordsOf(textCol, wordPattern), w => length(w) >= 1),
+      w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel)))
+
+  /** Assemble (idCol, input_ids, n_tokens, loss_from) from (prompt,
+    * response) pairs under an explicit merge list + vocab map. */
+  def assembleExamples(pairs: DataFrame, idCol: String, promptCol: String,
+                       responseCol: String,
+                       merges: Seq[(String, String)],
+                       vocab: Map[String, Long],
+                       sepId: Option[Long] = None,
+                       eodId: Option[Long] = None,
+                       maxLen: Option[Long] = None,
+                       byteLevel: Boolean = false,
+                       wordPattern: Option[String] = None): DataFrame = {
+    Seq("sepId" -> sepId, "eodId" -> eodId).foreach { case (name, id) =>
+      id.foreach(v => require(v != -1L && !vocab.valuesIterator.contains(v),
+        s"assembleExamples: $name $v collides with a vocab id (or the " +
+          "-1 OOV sentinel) — reserve an id outside the vocabulary"))
+    }
+    require(sepId.isEmpty || sepId != eodId,
+      "assembleExamples: sepId and eodId must differ — a trainer " +
+        "cannot tell the template boundary from the document end")
+    maxLen.foreach(l => require(l > 0, s"maxLen must be positive, got $l"))
+    val base = pairs.filter(col(responseCol).isNotNull)
+      .withColumn("__sft_p__", coalesce(col(promptCol), lit("")))
+    val pIds = encCol("__sft_p__", merges, vocab, byteLevel, wordPattern)
+    val rIds = encCol(responseCol, merges, vocab, byteLevel, wordPattern)
+    val pFull = sepId.fold(pIds)(s => concat(pIds, array(lit(s))))
+    val rFull = eodId.fold(rIds)(e => concat(rIds, array(lit(e))))
+    val out = base
+      .select(col(idCol), pFull.as("__pi__"), rIds.as("__rr__"),
+        rFull.as("__ri__"))
+      .filter(size(col("__rr__")) >= 1) // loss over nothing: drop
+      .select(col(idCol),
+        concat(col("__pi__"), col("__ri__")).as("input_ids"),
+        size(col("__pi__")).cast("long").as("loss_from"))
+      .withColumn("n_tokens", size(col("input_ids")).cast("long"))
+      .select(col(idCol), col("input_ids"), col("n_tokens"),
+        col("loss_from"))
+    maxLen.fold(out)(l => out.filter(col("n_tokens") <= l))
+  }
+
+  /** [[assembleExamples]] served from a persisted BPE model
+    * ([[Bpe.writeBpeModel]] / [[Bpe.importBpeModel]]) — symbolization
+    * level and pre-tokenizer ride the stamp, so SFT examples are
+    * guaranteed to tokenize EXACTLY like the pretraining windows the
+    * base model saw. */
+  def assembleExamplesIndexed(spark: SparkSession, name: String,
+                              path: String, pairs: DataFrame,
+                              idCol: String, promptCol: String,
+                              responseCol: String,
+                              sepId: Option[Long] = None,
+                              eodId: Option[Long] = None,
+                              maxLen: Option[Long] = None): DataFrame = {
+    val meta = Bpe.readBpeMeta(spark, path)
+    assembleExamples(pairs, idCol, promptCol, responseCol,
+      Bpe.mergeList(spark.table(s"${name}_bpe")),
+      Bpe.vocabMap(spark.table(s"${name}_bpe_vocab")),
+      sepId, eodId, maxLen, meta.byteLevel, meta.wordPattern)
+  }
+
+  /** PACK assembled examples into fixed-shape windows — the SFT batch
+    * layout (multiple short examples per `windowSize` slot, the same
+    * waste-control move as the pretraining packed landing): examples
+    * travel the deterministic permutation, next-fit packs them within
+    * bounded segments ([[TextStats.packedPieceMembers]] — the
+    * oracle-pinned kernel the pretraining layout runs on), `padId`
+    * right-pads to exactly `windowSize`, and every window carries
+    * `doc_spans` (example id, offset, length) so the trainer
+    * reconstructs per-example loss masks by joining `loss_from`:
+    * position p of span (id, pos, len) is a LOSS position iff
+    * p − pos >= loss_from(id). The span column shares the pretraining
+    * landings' name and shape, so downstream tooling (the id-space
+    * contamination screen's doc resolution, the fsck conventions)
+    * reads both.
+    *
+    * Examples must fit WHOLE (`n_tokens <= windowSize`, loud refusal):
+    * splitting an example across windows would break the loss-mask
+    * alignment — [[assembleExamples]]' `maxLen` is the upstream guard.
+    * `padId` is the caller's reserved id (outside the vocabulary and
+    * distinct from sep/eod — the structural-id contract).
+    *
+    * Scale shape: two tiny cumsums + one segment shuffle of scalar
+    * structs + one join back to the id arrays + one window shuffle —
+    * identical to the pretraining packed landing. */
+  def packExamples(examples: DataFrame, idCol: String, idsCol: String,
+                   windowSize: Long, seed: Long = 0L,
+                   padId: Option[Long] = None,
+                   segmentDocs: Int = 512): DataFrame = {
+    require(windowSize > 0, s"windowSize must be positive, got $windowSize")
+    padId.foreach(p => require(p != -1L,
+      "packExamples: padId collides with the -1 OOV sentinel"))
+    val sized = examples.select(col(idCol), col(idsCol),
+      size(col(idsCol)).cast("long").as("__n__"))
+    val over = sized.filter(col("__n__") > windowSize).limit(1).count()
+    require(over == 0L,
+      s"packExamples: an example exceeds windowSize=$windowSize ids — " +
+        "splitting would break the loss-mask alignment; drop or " +
+        "re-assemble with maxLen <= windowSize first")
+    val members = TextStats.packedPieceMembers(
+      sized.select(col(idCol), col("__n__")), idCol, "__n__",
+      windowSize, seed, segmentDocs)
+    val joined = members.join(
+      sized.select(col(idCol).cast("long").as("__mid__"),
+        col(idsCol).as("__ids__")),
+      Seq("__mid__"))
+      .select(col("window_id"), col("__off__"), col("__mid__"),
+        col("__plen__"), col("__ids__"))
+    val sorted = array_sort(collect_list(struct(col("__off__"),
+      col("__ids__"), col("__mid__"), col("__plen__"))))
+    val rawIds = flatten(transform(sorted, s => s.getField("__ids__")))
+    val idsOut = padId.fold(rawIds)(p => concat(rawIds,
+      array_repeat(lit(p),
+        (lit(windowSize) - size(rawIds)).cast("int")))).as("window_ids")
+    joined.groupBy("window_id").agg(idsOut,
+      sum(col("__plen__")).as("n_tokens"),
+      transform(sorted, s => struct(
+        s.getField("__mid__").as("id"),
+        s.getField("__off__").as("pos"),
+        s.getField("__plen__").as("len"))).as("doc_spans"))
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.{Bpe, Sft}
+
+/** SFT example assembly + whole-example packing (r15). The driver gate
+  * value-checks the assembly over corpus-derived pairs
+  * (q_sft_examples); these specs pin the row policies, the loss-mask
+  * arithmetic, the structural-id refusals, and the packed layout's
+  * mask-alignment guarantees. */
+class SftSpec extends SparkTestBase {
+
+  private val pairSchema = StructType(Seq(
+    StructField("id", LongType), StructField("p", StringType),
+    StructField("r", StringType)))
+
+  // classic fixture: merges learned from it give multi-id words
+  private def corpus = df(StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))),
+    Row(1L, "low low low low low"),
+    Row(2L, "lower lower"),
+    Row(3L, "newest newest newest newest newest newest"),
+    Row(4L, "widest widest widest"))
+
+  test("assembleExamples: layout, loss boundary, row policies, refusals") {
+    val mergesDf = Bpe.train(corpus, "text", 8)
+    val merges = Bpe.mergeList(mergesDf)
+    val vocab = Bpe.vocabMap(Bpe.vocabFrame(corpus, "text", mergesDf))
+    val mx = vocab.values.max
+    val (sep, eod) = (mx + 1L, mx + 2L)
+    val pairs = df(pairSchema,
+      Row(1L, "low lower", "newest widest"),
+      Row(2L, null, "low"),          // null prompt = empty prompt
+      Row(3L, "low", null),          // null response drops
+      Row(4L, "low", "  "))          // zero-token response drops
+    val got = Sft.assembleExamples(pairs, "id", "p", "r", merges, vocab,
+        sepId = Some(sep), eodId = Some(eod))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), "rows 3 and 4 must drop")
+    // example 1: enc("low")=[low], enc("lower")=[low,e,r] → prompt 4
+    // ids; response enc("newest")=[newest], enc("widest")=[w,i,dest]
+    val ex1 = got(0)
+    assert(ex1._2 == Seq(vocab("low"), vocab("low"), vocab("e"),
+      vocab("r"), sep, vocab("newest"), vocab("w"), vocab("i"),
+      vocab("dest"), eod), s"${ex1._2}")
+    assert(ex1._3 == 10L && ex1._4 == 5L,
+      "loss_from must point at the first response id (after the sep)")
+    // loss positions [loss_from, n_tokens) are exactly response + eod
+    assert(ex1._2.slice(ex1._4.toInt, ex1._3.toInt) ==
+      Seq(vocab("newest"), vocab("w"), vocab("i"), vocab("dest"), eod))
+    // null prompt: ids = [sep] ++ response ++ [eod], loss_from = 1
+    val ex2 = got(1)
+    assert(ex2._2 == Seq(sep, vocab("low"), eod) && ex2._4 == 1L)
+    // no structural ids: plain concat, loss_from = |prompt ids|
+    val bare = Sft.assembleExamples(pairs, "id", "p", "r", merges, vocab)
+      .filter(col("id") === 1L).head()
+    assert(bare.getSeq[Long](1).length == 8 && bare.getLong(3) == 4L)
+    // maxLen drops the overlong example
+    assert(Sft.assembleExamples(pairs, "id", "p", "r", merges, vocab,
+      sepId = Some(sep), eodId = Some(eod), maxLen = Some(3L))
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // refusals: in-vocab structural id; sep == eod
+    intercept[IllegalArgumentException] {
+      Sft.assembleExamples(pairs, "id", "p", "r", merges, vocab,
+        sepId = Some(vocab("low")))
+    }
+    intercept[IllegalArgumentException] {
+      Sft.assembleExamples(pairs, "id", "p", "r", merges, vocab,
+        sepId = Some(sep), eodId = Some(sep))
+    }
+    // indexed form serves bit-identically to the explicit form
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sft_idx").toString
+    try {
+      Bpe.writeBpeModel(corpus, "text", "sfti", path, numMerges = 8)
+      val a = Sft.assembleExamples(pairs, "id", "p", "r", merges, vocab,
+        Some(sep), Some(eod)).orderBy("id").collect().toSeq
+      val b = Sft.assembleExamplesIndexed(spark, "sfti", path, pairs,
+        "id", "p", "r", Some(sep), Some(eod)).orderBy("id")
+        .collect().toSeq
+      assert(a == b)
+    } finally {
+      Seq("sfti_bpe", "sfti_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(path))
+    }
+  }
+
+  test("packExamples: whole-example packing, pad shape, span-based mask reconstruction, refusals") {
+    val mergesDf = Bpe.train(corpus, "text", 8)
+    val merges = Bpe.mergeList(mergesDf)
+    val vocab = Bpe.vocabMap(Bpe.vocabFrame(corpus, "text", mergesDf))
+    val mx = vocab.values.max
+    val (sep, eod, pad) = (mx + 1L, mx + 2L, mx + 3L)
+    val pairs = df(pairSchema, (1L to 12L).map(i =>
+      Row(i, "low lower", "newest widest")): _*)
+    val examples = Sft.assembleExamples(pairs, "id", "p", "r", merges,
+      vocab, Some(sep), Some(eod)) // 10 ids each
+    val packed = Sft.packExamples(examples, "id", "input_ids", 32L,
+      seed = 3L, padId = Some(pad))
+    val rows = packed.orderBy("window_id").collect()
+    // 12 examples x 10 ids into 32-slots: 3 per window, 4 windows
+    assert(rows.length == 4, s"${rows.length}")
+    rows.foreach { r =>
+      val ids = r.getSeq[Long](1)
+      assert(ids.length == 32, "padId must fix the shape")
+      val n = r.getLong(2)
+      assert(n == 30L && ids.drop(30).forall(_ == pad))
+      // spans tile the real ids exactly
+      val spans = r.getSeq[Row](3)
+      assert(spans.map(_.getLong(2)).sum == n)
+      assert(spans.map(_.getLong(1)).toSeq ==
+        spans.scanLeft(0L)((acc, sp) => acc + sp.getLong(2)).init)
+      // mask reconstruction: position p of span (id, pos, len) is a
+      // loss position iff p - pos >= loss_from(id); with uniform
+      // loss_from = 5, each span contributes 5 loss positions
+      val lossFrom = examples.select("id", "loss_from").collect()
+        .map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+      val lossPositions = (0L until n).count { p =>
+        val sp = spans.find(s =>
+          p >= s.getLong(1) && p < s.getLong(1) + s.getLong(2)).get
+        p - sp.getLong(1) >= lossFrom(sp.getLong(0))
+      }
+      assert(lossPositions == spans.length * 5,
+        "each packed example must contribute its response+eod mass")
+    }
+    // every example lands exactly once, whole
+    val allSpans = rows.flatMap(_.getSeq[Row](3))
+    assert(allSpans.map(_.getLong(0)).sorted.toSeq == (1L to 12L).toSeq)
+    // deterministic under repartition
+    val again = Sft.packExamples(
+        examples.repartition(7), "id", "input_ids", 32L,
+        seed = 3L, padId = Some(pad))
+      .orderBy("window_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(again == rows.map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq)
+    // an example over windowSize refuses (mask alignment would break)
+    val ex = intercept[IllegalArgumentException] {
+      Sft.packExamples(examples, "id", "input_ids", 8L)
+    }
+    assert(ex.getMessage.contains("loss-mask"), ex.getMessage)
+  }
+}
