@@ -4805,6 +4805,96 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // PREFERENCE PAIRS (r15 cont — the DPO/reward-model layout): one
+    // prompt, two responses, both encoded against the SHARED prompt
+    // prefix with one loss boundary. Pairs derive from documents
+    // (first third of words = prompt, middle = chosen, rest =
+    // rejected); the oracle side-tags each word 0/1/2 and re-derives
+    // both id sequences, the structural ids and the shared boundary.
+    r.reg("q_dpo_pairs",
+      s"""WITH ${bpeTrainCtes(8)},
+         |$bpeVocabCtes,
+         |dpo0 AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+         |dpo1 AS (SELECT doc_id, ws,
+         |    CAST(len(ws)//3 AS BIGINT) AS np,
+         |    CAST(2*len(ws)//3 AS BIGINT) AS nc2
+         |  FROM dpo0 WHERE len(ws) >= 3),
+         |dpow AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN i <= np THEN 0 WHEN i <= nc2 THEN 1 ELSE 2 END AS side,
+         |    ws[CAST(i AS INT)] AS w
+         |  FROM (SELECT doc_id, np, nc2, ws,
+         |          unnest(range(1, len(ws)+1)) AS i FROM dpo1)),
+         |dpoe AS (
+         |  SELECT doc_id, i, side,
+         |    string_split(trim($bpeNestedSql), '  ') AS etoks
+         |  FROM dpow),
+         |dpot AS (
+         |  SELECT doc_id, i, side, CAST(j AS INT) AS j,
+         |    etoks[CAST(j AS INT)] AS token
+         |  FROM (SELECT doc_id, i, side, etoks,
+         |          unnest(range(1, len(etoks)+1)) AS j FROM dpoe)),
+         |dpoi AS (
+         |  SELECT t.doc_id, t.i, t.side, t.j,
+         |    COALESCE(v.token_id, -1) AS tid
+         |  FROM dpot t LEFT JOIN bvocab v USING (token)),
+         |dpom AS (SELECT CAST(max(token_id) AS BIGINT) AS mx FROM bvocab),
+         |dpoa AS (
+         |  SELECT doc_id,
+         |    list(tid ORDER BY i, j) FILTER (WHERE side = 0) AS pids,
+         |    list(tid ORDER BY i, j) FILTER (WHERE side = 1) AS cids,
+         |    list(tid ORDER BY i, j) FILTER (WHERE side = 2) AS rids
+         |  FROM dpoi GROUP BY doc_id)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(
+         |    list_concat(list_concat(list_concat(
+         |      COALESCE(pids, []), [mx+1]), cids), [mx+2]),
+         |    x -> CAST(x AS VARCHAR)), ' ') AS chosen_text,
+         |  array_to_string(list_transform(
+         |    list_concat(list_concat(list_concat(
+         |      COALESCE(pids, []), [mx+1]), rids), [mx+2]),
+         |    x -> CAST(x AS VARCHAR)), ' ') AS rejected_text,
+         |  CAST(COALESCE(len(pids), 0) + len(cids) + 2 AS BIGINT) AS n_chosen,
+         |  CAST(COALESCE(len(pids), 0) + len(rids) + 2 AS BIGINT) AS n_rejected,
+         |  CAST(COALESCE(len(pids), 0) + 1 AS BIGINT) AS loss_from
+         |FROM dpoa, dpom
+         |WHERE cids IS NOT NULL AND len(cids) >= 1
+         |  AND rids IS NOT NULL AND len(rids) >= 1
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val idxPath = ensurePbpeModel(s, dir)
+      val vocabMax = graft.llm.Bpe
+        .vocabMap(s.table("g_pbpe_bpe_vocab")).values.max
+      val words = filter(split(col("text"), " ", -1), w => length(w) >= 1)
+      val pairs = t(s, dir, "documents")
+        .filter(col("doc_id") < 100 && col("text").isNotNull)
+        .withColumn("__ws__", words)
+        .filter(size(col("__ws__")) >= 3)
+        .withColumn("__np__", (size(col("__ws__")) / 3).cast("int"))
+        .withColumn("__nc2__",
+          (size(col("__ws__")) * 2 / 3).cast("int"))
+        .select(col("doc_id"),
+          array_join(slice(col("__ws__"), lit(1), col("__np__")), " ")
+            .as("prompt"),
+          array_join(slice(col("__ws__"), col("__np__") + 1,
+            col("__nc2__") - col("__np__")), " ").as("chosen"),
+          array_join(slice(col("__ws__"), col("__nc2__") + 1,
+            size(col("__ws__")) - col("__nc2__")), " ").as("rejected"))
+      graft.llm.Sft.assemblePreferencePairsIndexed(s, "g_pbpe", idxPath,
+          pairs, "doc_id", "prompt", "chosen", "rejected",
+          sepId = Some(vocabMax + 1L), eodId = Some(vocabMax + 2L))
+        .select(col("doc_id"),
+          concat_ws(" ",
+            transform(col("chosen_ids"), x => x.cast("string")))
+            .as("chosen_text"),
+          concat_ws(" ",
+            transform(col("rejected_ids"), x => x.cast("string")))
+            .as("rejected_text"),
+          col("n_chosen"), col("n_rejected"), col("loss_from"))
+        .orderBy("doc_id")
+    }
+
     // IMPORTED pretrained tokenizer (r15): the persisted model built
     // from a hand-constructed PUBLISHED-style merges/vocab pair (the
     // GPT-2 merges.txt/vocab.json shape, alias surface forms decoded

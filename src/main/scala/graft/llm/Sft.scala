@@ -99,6 +99,84 @@ object Sft {
       sepId, eodId, maxLen, meta.byteLevel, meta.wordPattern)
   }
 
+  /** PREFERENCE-PAIR assembly — the DPO / reward-model data layout
+    * (one prompt, two responses, a preference): each row encodes the
+    * SHARED prompt once and both responses against it, so
+    * `chosen_ids` and `rejected_ids` each follow the
+    * [[assembleExamples]] layout (prompt ++ sep? ++ response ++ eod?)
+    * and SHARE `loss_from` — the prompt prefix is bit-identical by
+    * construction, which is exactly what a DPO loss needs (the
+    * per-pair logprob difference is computed over the response
+    * positions of two sequences with a common prefix).
+    *
+    * Row policy mirrors [[assembleExamples]], applied to BOTH sides: a
+    * null or zero-token chosen OR rejected drops the row (a
+    * preference needs both sides), a null prompt is the empty prompt,
+    * and `maxLen` drops rows where EITHER side's id mass exceeds it.
+    *
+    * Scale shape: one blockwise pass, no shuffle; output is
+    * pair-cardinality. */
+  def assemblePreferencePairs(pairs: DataFrame, idCol: String,
+                              promptCol: String, chosenCol: String,
+                              rejectedCol: String,
+                              merges: Seq[(String, String)],
+                              vocab: Map[String, Long],
+                              sepId: Option[Long] = None,
+                              eodId: Option[Long] = None,
+                              maxLen: Option[Long] = None,
+                              byteLevel: Boolean = false,
+                              wordPattern: Option[String] = None): DataFrame = {
+    Seq("sepId" -> sepId, "eodId" -> eodId).foreach { case (name, id) =>
+      id.foreach(v => require(v != -1L && !vocab.valuesIterator.contains(v),
+        s"assemblePreferencePairs: $name $v collides with a vocab id " +
+          "(or the -1 OOV sentinel) — reserve an id outside the " +
+          "vocabulary"))
+    }
+    require(sepId.isEmpty || sepId != eodId,
+      "assemblePreferencePairs: sepId and eodId must differ")
+    maxLen.foreach(l => require(l > 0, s"maxLen must be positive, got $l"))
+    val base = pairs
+      .filter(col(chosenCol).isNotNull && col(rejectedCol).isNotNull)
+      .withColumn("__sft_p__", coalesce(col(promptCol), lit("")))
+    val pIds = encCol("__sft_p__", merges, vocab, byteLevel, wordPattern)
+    val cIds = encCol(chosenCol, merges, vocab, byteLevel, wordPattern)
+    val rIds = encCol(rejectedCol, merges, vocab, byteLevel, wordPattern)
+    val pFull = sepId.fold(pIds)(s => concat(pIds, array(lit(s))))
+    def full(ids: org.apache.spark.sql.Column) =
+      eodId.fold(ids)(e => concat(ids, array(lit(e))))
+    val out = base
+      .select(col(idCol), pFull.as("__pi__"),
+        cIds.as("__cc__"), rIds.as("__rr__"))
+      .filter(size(col("__cc__")) >= 1 && size(col("__rr__")) >= 1)
+      .select(col(idCol),
+        concat(col("__pi__"), full(col("__cc__"))).as("chosen_ids"),
+        concat(col("__pi__"), full(col("__rr__"))).as("rejected_ids"),
+        size(col("__pi__")).cast("long").as("loss_from"))
+      .withColumn("n_chosen", size(col("chosen_ids")).cast("long"))
+      .withColumn("n_rejected", size(col("rejected_ids")).cast("long"))
+      .select(col(idCol), col("chosen_ids"), col("rejected_ids"),
+        col("n_chosen"), col("n_rejected"), col("loss_from"))
+    maxLen.fold(out)(l =>
+      out.filter(col("n_chosen") <= l && col("n_rejected") <= l))
+  }
+
+  /** [[assemblePreferencePairs]] served from the persisted model —
+    * the [[assembleExamplesIndexed]] contract for preference data. */
+  def assemblePreferencePairsIndexed(spark: SparkSession, name: String,
+                                     path: String, pairs: DataFrame,
+                                     idCol: String, promptCol: String,
+                                     chosenCol: String,
+                                     rejectedCol: String,
+                                     sepId: Option[Long] = None,
+                                     eodId: Option[Long] = None,
+                                     maxLen: Option[Long] = None): DataFrame = {
+    val meta = Bpe.readBpeMeta(spark, path)
+    assemblePreferencePairs(pairs, idCol, promptCol, chosenCol,
+      rejectedCol, Bpe.mergeList(spark.table(s"${name}_bpe")),
+      Bpe.vocabMap(spark.table(s"${name}_bpe_vocab")),
+      sepId, eodId, maxLen, meta.byteLevel, meta.wordPattern)
+  }
+
   /** PACK assembled examples into fixed-shape windows — the SFT batch
     * layout (multiple short examples per `windowSize` slot, the same
     * waste-control move as the pretraining packed landing): examples

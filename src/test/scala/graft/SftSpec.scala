@@ -92,6 +92,46 @@ class SftSpec extends SparkTestBase {
     }
   }
 
+  test("assemblePreferencePairs: shared prompt prefix, one boundary, both-sides row policy") {
+    val mergesDf = Bpe.train(corpus, "text", 8)
+    val merges = Bpe.mergeList(mergesDf)
+    val vocab = Bpe.vocabMap(Bpe.vocabFrame(corpus, "text", mergesDf))
+    val mx = vocab.values.max
+    val (sep, eod) = (mx + 1L, mx + 2L)
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("p", StringType), StructField("c", StringType),
+      StructField("r", StringType)))
+    val pairs = df(sch,
+      Row(1L, "low lower", "newest", "widest"),
+      Row(2L, "low", null, "widest"),   // missing chosen drops
+      Row(3L, "low", "newest", " "))    // zero-token rejected drops
+    val got = Sft.assemblePreferencePairs(pairs, "id", "p", "c", "r",
+        merges, vocab, Some(sep), Some(eod))
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L))
+    val row = got.head
+    val chosen = row.getSeq[Long](1)
+    val rejected = row.getSeq[Long](2)
+    val lossFrom = row.getLong(5)
+    // both sequences share the prompt prefix bit-identically
+    assert(chosen.take(lossFrom.toInt) == rejected.take(lossFrom.toInt))
+    assert(chosen.take(lossFrom.toInt) ==
+      Seq(vocab("low"), vocab("low"), vocab("e"), vocab("r"), sep))
+    assert(chosen.drop(lossFrom.toInt) == Seq(vocab("newest"), eod))
+    assert(rejected.drop(lossFrom.toInt) ==
+      Seq(vocab("w"), vocab("i"), vocab("dest"), eod))
+    assert(row.getLong(3) == chosen.length &&
+      row.getLong(4) == rejected.length)
+    // maxLen applies to EITHER side: rejected (9 ids) over an 8 bound
+    assert(Sft.assemblePreferencePairs(pairs, "id", "p", "c", "r",
+      merges, vocab, Some(sep), Some(eod), maxLen = Some(8L))
+      .count() == 0)
+    intercept[IllegalArgumentException] {
+      Sft.assemblePreferencePairs(pairs, "id", "p", "c", "r", merges,
+        vocab, sepId = Some(vocab("low")))
+    }
+  }
+
   test("packExamples: whole-example packing, pad shape, span-based mask reconstruction, refusals") {
     val mergesDf = Bpe.train(corpus, "text", 8)
     val merges = Bpe.mergeList(mergesDf)
