@@ -1242,7 +1242,7 @@ object Pipeline {
     if (fullWindowsOnly) win.filter(col("n_tokens") === windowSize) else win
   }
 
-  private def readJsonManifest(spark: org.apache.spark.sql.SparkSession,
+  private[llm] def readJsonManifest(spark: org.apache.spark.sql.SparkSession,
                                outPath: String,
                                name: String): Option[Map[String, Long]] = {
     val p = new org.apache.hadoop.fs.Path(outPath, name)
@@ -1257,7 +1257,7 @@ object Pipeline {
     }
   }
 
-  private def writeJsonManifest(spark: org.apache.spark.sql.SparkSession,
+  private[llm] def writeJsonManifest(spark: org.apache.spark.sql.SparkSession,
                                 counts: Map[String, Long], outPath: String,
                                 name: String): Unit = {
     val json = counts.toSeq.sortBy(_._1)

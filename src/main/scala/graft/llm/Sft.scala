@@ -177,6 +177,122 @@ object Sft {
       sepId, eodId, maxLen, meta.byteLevel, meta.wordPattern)
   }
 
+  private val SFT_MANIFEST = "_graft_sft_manifest.json"
+
+  /** LAND packed SFT windows — the post-training analog of
+    * [[Pipeline.buildAndWriteWindows]], end to end: pairs assemble
+    * under the persisted model ([[assembleExamplesIndexed]] — the
+    * stamp decides the tokenizer), split deterministically by the
+    * example-id hash ([[graft.api.GraftFrame.splitByHash]] — an
+    * example can never migrate between train and val), pack per split
+    * ([[packExamples]], split isolation; the per-split seed folds the
+    * split label so the two permutations never coincide by accident),
+    * and land as parquet partitioned by `split` in the windows-landing
+    * schema (window_id, window_ids, n_tokens, doc_spans) — so the
+    * id-space contamination screen and every doc_spans-aware tool read
+    * this landing unchanged. A `_losssidecar/` parquet (example id,
+    * split, loss_from, n_tokens) completes the loss masks (spans name
+    * the example; the sidecar gives its boundary) and doubles as the
+    * landed-example lineage.
+    *
+    * Overlong examples (id mass > windowSize) DROP — the
+    * [[assembleExamples]] maxLen guard applied automatically, priced
+    * in the returned counts ("dropped_overlong") — and empty/null
+    * responses drop as always ("input" vs "examples" shows both).
+    *
+    * CRASH-REPLAY CONTRACT (the family discipline): the manifest
+    * writes LAST — a replay returns the recorded counts in O(1); a
+    * crash before it replays as a full rebuild that overwrites in
+    * place, never duplicates. */
+  def writeSftWindows(spark: SparkSession, pairs: DataFrame,
+                      idCol: String, promptCol: String,
+                      responseCol: String, name: String, path: String,
+                      outPath: String, windowSize: Long,
+                      sepId: Option[Long] = None,
+                      eodId: Option[Long] = None,
+                      padId: Option[Long] = None,
+                      trainFrac: Double = 0.9, valFrac: Double = 0.1,
+                      seed: Long = 0L,
+                      segmentDocs: Int = 512): Map[String, Long] = {
+    Pipeline.readJsonManifest(spark, outPath, SFT_MANIFEST) match {
+      case Some(counts) => return counts // fully landed — O(1) replay
+      case None => ()
+    }
+    val input = pairs.count()
+    val assembled = assembleExamplesIndexed(spark, name, path, pairs,
+        idCol, promptCol, responseCol, sepId, eodId)
+      .localCheckpoint(true) // read once per split + once for sizing
+    val nAssembled = assembled.count()
+    val kept = graft.api.GraftFrame(assembled)
+      .splitByHash(idCol, trainFrac, valFrac).df
+      .filter(col("n_tokens") <= windowSize)
+      .localCheckpoint(true)
+    val nKept = kept.count()
+    val win = Seq("train", "val", "test").map { sp =>
+      val part = kept.filter(col("split") === sp)
+      val spSeed = seed ^
+        scala.util.hashing.MurmurHash3.stringHash(sp).toLong
+      packExamples(part, idCol, "input_ids", windowSize, spSeed, padId,
+          segmentDocs)
+        .select(lit(sp).as("split"), col("window_id"),
+          col("window_ids"), col("n_tokens"), col("doc_spans"))
+    }.reduce(_.unionByName(_))
+    // windows FIRST: their overwrite truncates outPath, so the sidecar
+    // (an outPath subdirectory) must land after them; the manifest
+    // still lands last, so a crash anywhere replays as a full rebuild
+    win.write.mode("overwrite").partitionBy("split").parquet(outPath)
+    kept.select(col(idCol), col("split"), col("loss_from"),
+        col("n_tokens"))
+      .write.mode("overwrite").parquet(s"$outPath/_losssidecar")
+    val perSplit = spark.read.parquet(outPath)
+      .groupBy("split")
+      .agg(count(lit(1)).as("__w__"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("__t__"))
+      .collect()
+      .flatMap(r => Seq(s"${r.getString(0)}_windows" -> r.getLong(1),
+        s"${r.getString(0)}_tokens" -> r.getLong(2)))
+      .toMap
+    val counts = Map("input" -> input, "examples" -> nAssembled,
+      "dropped_overlong" -> (nAssembled - nKept)) ++ perSplit
+    Pipeline.writeJsonManifest(spark, counts, outPath, SFT_MANIFEST)
+    counts
+  }
+
+  /** Maintenance observable for a [[writeSftWindows]] landing — the
+    * windowsReport sibling: per split, window/token/example counts,
+    * whether the manifest committed, the fill rate (real ids per
+    * windowSize slot — the packing-waste eye), and `tokens_match`:
+    * the landed window mass against the sidecar's example mass, a
+    * conservation fsck that needs NO re-encode (the sidecar recorded
+    * each example's id mass at landing time). */
+  def sftWindowsReport(spark: SparkSession, outPath: String,
+                       windowSize: Long): DataFrame = {
+    val win = spark.read.parquet(outPath)
+      .groupBy("split")
+      .agg(count(lit(1)).as("windows"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("tokens"))
+    val side = spark.read.parquet(s"$outPath/_losssidecar")
+      .groupBy("split")
+      .agg(count(lit(1)).as("examples"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("example_tokens"))
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = fs.exists(
+      new org.apache.hadoop.fs.Path(outPath, SFT_MANIFEST))
+    win.join(side, Seq("split"), "full_outer")
+      .select(col("split"),
+        coalesce(col("windows"), lit(0L)).as("windows"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"),
+        coalesce(col("examples"), lit(0L)).as("examples"),
+        (coalesce(col("tokens"), lit(0L)) ===
+          coalesce(col("example_tokens"), lit(0L))).as("tokens_match"),
+        (coalesce(col("tokens"), lit(0L)).cast("double") /
+          (coalesce(col("windows"), lit(0L)) * windowSize))
+          .as("fill_rate"),
+        lit(manifest).as("manifest"))
+      .orderBy("split")
+  }
+
   /** PACK assembled examples into fixed-shape windows — the SFT batch
     * layout (multiple short examples per `windowSize` slot, the same
     * waste-control move as the pretraining packed landing): examples

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.llm.{Bpe, Sft}
+import graft.llm.{Bpe, Pipeline, Sft}
 
 /** SFT example assembly + whole-example packing (r15). The driver gate
   * value-checks the assembly over corpus-derived pairs
@@ -129,6 +129,84 @@ class SftSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Sft.assemblePreferencePairs(pairs, "id", "p", "c", "r", merges,
         vocab, sepId = Some(vocab("low")))
+    }
+  }
+
+  test("writeSftWindows: landed splits, sidecar masks, O(1) replay, fsck, screen compatibility") {
+    val mdl = java.nio.file.Files
+      .createTempDirectory("graft_sftw_mdl").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sftw_out").toString
+    try {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      Bpe.writeBpeModel(docs.filter(col("doc_id") < 300), "text",
+        "sftw", mdl, numMerges = 6)
+      val vocab = Bpe.vocabMap(spark.table("sftw_bpe_vocab"))
+      val mx = vocab.values.max
+      val (sep, eod, pad) = (mx + 1L, mx + 2L, mx + 3L)
+      val words = filter(split(col("text"), " ", -1), w => length(w) >= 1)
+      val pairs = docs.filter(col("doc_id") < 120)
+        .withColumn("__ws__", words)
+        .filter(size(col("__ws__")) >= 2)
+        .withColumn("__np__", (size(col("__ws__")) / 2).cast("int"))
+        .select(col("doc_id"),
+          array_join(slice(col("__ws__"), lit(1), col("__np__")), " ")
+            .as("prompt"),
+          array_join(slice(col("__ws__"), col("__np__") + 1,
+            size(col("__ws__")) - col("__np__")), " ").as("response"))
+      val c1 = Sft.writeSftWindows(spark, pairs, "doc_id", "prompt",
+        "response", "sftw", mdl, out, windowSize = 256L,
+        sepId = Some(sep), eodId = Some(eod), padId = Some(pad))
+      assert(c1("input") > 0 && c1("examples") > 0, s"$c1")
+      assert(c1.keys.exists(_.endsWith("_windows")), s"$c1")
+      // landed schema is the windows-landing schema (+ spans)
+      val win = spark.read.parquet(out)
+      assert(win.columns.sorted.sameElements(Array("doc_spans",
+        "n_tokens", "split", "window_id", "window_ids")))
+      // padId fixes the shape; n_tokens counts real ids only
+      assert(win.filter(size(col("window_ids")) =!= 256).count() == 0)
+      // sidecar completes the masks: every landed example has exactly
+      // one boundary row, and the span masses agree with it
+      val side = spark.read.parquet(s"$out/_losssidecar")
+      val spanMass = win
+        .select(explode(col("doc_spans")).as("sp"))
+        .groupBy(col("sp.id").as("doc_id"))
+        .agg(sum("sp.len").as("m"))
+      val both = spanMass.join(side, Seq("doc_id"))
+      assert(both.count() == side.count())
+      assert(both.filter(col("m") =!= col("n_tokens")).count() == 0,
+        "sidecar token mass must equal the landed span mass per example")
+      // fsck green; O(1) replay returns the manifest
+      val rep = Sft.sftWindowsReport(spark, out, 256L).collect()
+      assert(rep.nonEmpty && rep.forall(r =>
+        r.getAs[Boolean]("tokens_match") && r.getAs[Boolean]("manifest")),
+        rep.mkString(";"))
+      assert(rep.forall(r => r.getAs[Double]("fill_rate") > 0.3),
+        rep.mkString(";"))
+      assert(Sft.writeSftWindows(spark, pairs.limit(1), "doc_id",
+        "prompt", "response", "sftw", mdl, out, 256L) == c1,
+        "manifest must O(1)-replay regardless of the new input")
+      // the landed shape feeds the id-space contamination screen
+      // unchanged: a benchmark made of one landed response must hit,
+      // and resolve to its example id (packed=true rides along only to
+      // satisfy the padId spec contract — the screen reads model +
+      // structural ids from it)
+      val benchRow = pairs.filter(col("doc_id") === 2L)
+        .select(col("response").as("text"))
+      val screen = Pipeline.windowsContaminationScreen(spark, out,
+        benchRow, "text",
+        Pipeline.BpeWindows("sftw", mdl, eodId = Some(eod),
+          packed = true, padId = Some(pad)), k = 5).collect()
+      assert(screen.nonEmpty, "the planted response must be found")
+      assert(screen.flatMap(_.getSeq[Long](
+        screen.head.fieldIndex("doc_ids"))).contains(2L), screen.mkString(";"))
+    } finally {
+      Seq("sftw_bpe", "sftw_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(mdl, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }
   }
 
