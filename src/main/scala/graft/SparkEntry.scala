@@ -177,7 +177,11 @@ object SparkEntry {
     // membership + partitioned write; declared bound ~linear in corpus
     // tokens × windowSize/stride (the honest overlap blow-up, 2.5x at
     // the oracle's 300/120 geometry)
-    "q_eval_windows")
+    "q_eval_windows",
+    // r15 cont: the post-training assembly surfaces — blockwise
+    // fused-encode passes, ~linear in pair tokens (the per-JVM model
+    // trains in benchPrepare via q_bpe_indexed's shared fixture)
+    "q_sft_examples", "q_dpo_pairs")
 
   /** Untimed per-query preparation Bench runs ONCE before the timed
     * passes (r10 verdict #3): the steady-state ingest entries build and
