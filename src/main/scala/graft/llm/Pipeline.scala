@@ -965,6 +965,65 @@ object Pipeline {
       .sortWithinPartitions("epoch_ord", "global_id")
   }
 
+  /** LOAD-TIME MIXING across several landed corpora — training-time
+    * domain mixing WITHOUT re-landing anything: given sources
+    * (label, landing root, weight), the split's windows from every
+    * source stream back as ONE deterministic interleave whose source
+    * proportions track the weights in EVERY prefix (not just overall
+    * — a curriculum-sensitive trainer must not see one corpus
+    * clustered early). The construction is systematic midpoint
+    * spacing: within each source, windows take their per-epoch order
+    * ([[loadWindowsEpoch]] — fresh permutation per epoch), rank
+    * densely via the two-pass cumsum, and land at mix position
+    * (rank + 0.5) / weight; the merged stream sorts by that position
+    * (ties: label, id). A weight-2 source emits two windows per unit
+    * to a weight-1 source's one, so any prefix holds the sources in
+    * ~weight proportion, deterministically — no RNG, reproducible
+    * across runs and machines.
+    *
+    * Sources must share a payload layout (all text windows or all id
+    * windows — mixing the two would hand the trainer a ragged batch);
+    * rows carry `source` (the label) and `mix_ord` (the stream's
+    * order key — resumption bookkeeping, the loadWindowsEpoch
+    * convention). Weights are RATES, not fractions: only their ratios
+    * matter.
+    *
+    * Scale shape: per source, the loadWindowsEpoch range shuffle plus
+    * one dense-rank cumsum; then ONE range shuffle on the merged mix
+    * position — O(total windows), no global single-task sort. */
+  def loadWindowsMixed(spark: org.apache.spark.sql.SparkSession,
+                       sources: Seq[(String, String, Double)],
+                       split: String, epoch: Long = 0L,
+                       seed: Long = 0L): DataFrame = {
+    require(sources.nonEmpty, "loadWindowsMixed: no sources")
+    require(sources.forall(_._3 > 0.0),
+      "loadWindowsMixed: every weight must be positive")
+    require(sources.map(_._1).distinct.length == sources.length,
+      "loadWindowsMixed: duplicate source labels — rows would be " +
+        "indistinguishable")
+    val streams = sources.map { case (label, path, w) =>
+      val s = loadWindowsEpoch(spark, path, split, epoch, seed)
+        .withColumn("__eord__",
+          struct(col("epoch_ord"), col("global_id")))
+        .withColumn("__one__", lit(1L))
+      val ranked = graft.operators.WindowOps
+        .globalCumSum(s, "__eord__", "__one__", "__rk__")
+      ranked
+        .withColumn("source", lit(label))
+        .withColumn("mix_ord",
+          (col("__rk__").cast("double") - 0.5) / w)
+        .drop("__eord__", "__one__", "__rk__")
+    }
+    val schemas = streams.map(_.schema.fieldNames.sorted.toSeq).distinct
+    require(schemas.length == 1,
+      s"loadWindowsMixed: sources disagree on the window layout " +
+        s"($schemas) — mix text landings with text landings and id " +
+        "landings with id landings")
+    streams.reduce(_.unionByName(_))
+      .repartitionByRange(col("mix_ord"), col("source"), col("global_id"))
+      .sortWithinPartitions("mix_ord", "source", "global_id")
+  }
+
   /** Maintenance observable for an [[ingestWindowsShard]] landing — the
     * family's report sibling ([[Dedup.indexReport]], [[Ivf.indexReport]],
     * [[KeyBlooms.report]]): per shard, the doc count (sidecar), window

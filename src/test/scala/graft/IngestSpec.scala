@@ -1047,6 +1047,86 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("loadWindowsMixed: weight-proportional deterministic interleave across landings") {
+    val tmpA = tmpDir("graft_lwm_ia"); val outA = tmpDir("graft_lwm_oa")
+    val tmpB = tmpDir("graft_lwm_ib"); val outB = tmpDir("graft_lwm_ob")
+    val tmpC = tmpDir("graft_lwm_ic"); val outC = tmpDir("graft_lwm_oc")
+    val mdl = tmpDir("graft_lwm_mdl")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      def land(idx: String, tmp: String, out: String, lo: Long, hi: Long,
+               bw: Option[Pipeline.BpeWindows] = None): Unit = {
+        Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 100),
+          "doc_id", "text", idx, tmp)
+        Pipeline.ingestWindowsShard(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          df(docSchema), "doc_id", "text", idx, tmp, out, 48L, "d01",
+          redactPii = false, bpeWindows = bw)
+      }
+      land("lwm_a", tmpA, outA, 200L, 280L)
+      land("lwm_b", tmpB, outB, 280L, 330L)
+      val mixed = Pipeline.loadWindowsMixed(spark,
+        Seq(("a", outA, 2.0), ("b", outB, 1.0)), "train")
+      val rows = mixed.select("source", "global_id", "mix_ord").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // set law: each source contributes exactly its loader's window set
+      def setOf(path: String) = Pipeline.loadWindows(spark, path, "train")
+        .select("global_id").collect().map(_.getLong(0)).toSet
+      assert(rows.filter(_._1 == "a").map(_._2).toSet == setOf(outA))
+      assert(rows.filter(_._1 == "b").map(_._2).toSet == setOf(outB))
+      // proportion law: while both sources still stream, every prefix
+      // holds #a ~ 2 x #b (midpoint spacing keeps the drift <= 2)
+      var (na, nb) = (0, 0)
+      val (totA, totB) = (rows.count(_._1 == "a"), rows.count(_._1 == "b"))
+      rows.foreach { case (s, _) =>
+        if (s == "a") na += 1 else nb += 1
+        if (na < totA && nb < totB)
+          assert(math.abs(na - 2 * nb) <= 2,
+            s"prefix drift: a=$na b=$nb")
+      }
+      assert(totA > 10 && totB > 5, "fixture must be non-trivial")
+      // deterministic across calls; epoch re-orders within source but
+      // keeps the same sets
+      val again = Pipeline.loadWindowsMixed(spark,
+        Seq(("a", outA, 2.0), ("b", outB, 1.0)), "train")
+        .select("source", "global_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(again.toSeq == rows.toSeq)
+      val e1 = Pipeline.loadWindowsMixed(spark,
+        Seq(("a", outA, 2.0), ("b", outB, 1.0)), "train", epoch = 1L)
+        .select("source", "global_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(e1.filter(_._1 == "a").map(_._2).toSet == setOf(outA) &&
+        e1.filter(_._1 == "b").map(_._2).toSet == setOf(outB))
+      assert(e1.toSeq != rows.toSeq, "epochs must draw fresh interleaves")
+      // a layout mismatch refuses: an ID landing cannot mix with text
+      graft.llm.Bpe.writeBpeModel(docs.filter(col("doc_id") < 100),
+        "text", "lwm_bpe", mdl, numMerges = 4)
+      land("lwm_c", tmpC, outC, 330L, 350L,
+        bw = Some(Pipeline.BpeWindows("lwm_bpe", mdl)))
+      val eMix = intercept[IllegalArgumentException] {
+        Pipeline.loadWindowsMixed(spark,
+          Seq(("a", outA, 1.0), ("c", outC, 1.0)), "train")
+      }
+      assert(eMix.getMessage.contains("layout"), eMix.getMessage)
+      intercept[IllegalArgumentException] {
+        Pipeline.loadWindowsMixed(spark,
+          Seq(("a", outA, 1.0), ("a", outB, 1.0)), "train")
+      }
+      intercept[IllegalArgumentException] {
+        Pipeline.loadWindowsMixed(spark,
+          Seq(("a", outA, 0.0)), "train")
+      }
+    } finally {
+      Seq("lwm_a", "lwm_b", "lwm_c").foreach(dropIndex)
+      Seq("lwm_bpe_bpe", "lwm_bpe_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(tmpA, outA, tmpB, outB, tmpC, outC, mdl).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("windowsContaminationScreen: sub-shingle eval overlap resolves to its documents; eod-straddling grams never match") {
     val mdl = tmpDir("graft_wcs_bpe")
     val out = tmpDir("graft_wcs_out")
