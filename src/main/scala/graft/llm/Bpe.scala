@@ -308,7 +308,8 @@ object Bpe {
                            maxTypes: Int, byteLevel: Boolean,
                            wordPattern: Option[String],
                            minWordCount: Long = 1L,
-                           imported: Boolean = false)
+                           imported: Boolean = false,
+                           specialIds: Seq[Long] = Nil)
 
   private def stampBpeMeta(spark: SparkSession, path: String,
                            meta: BpeMeta): Unit = {
@@ -318,8 +319,11 @@ object Bpe {
     // the pattern carries regex backslashes — JSON-escape them
     val wp = meta.wordPattern.fold("")(pat =>
       s""","word_pattern":"${pat.replace("\\", "\\\\").replace("\"", "\\\"")}\"""")
+    val sp =
+      if (meta.specialIds.isEmpty) ""
+      else s""","special_ids":[${meta.specialIds.mkString(",")}]"""
     try os.write(
-      s"""{"num_merges":${meta.numMerges},"min_pair_count":${meta.minPairCount},"max_types":${meta.maxTypes},"byte_level":${meta.byteLevel},"min_word_count":${meta.minWordCount},"imported":${meta.imported}$wp}\n"""
+      s"""{"num_merges":${meta.numMerges},"min_pair_count":${meta.minPairCount},"max_types":${meta.maxTypes},"byte_level":${meta.byteLevel},"min_word_count":${meta.minWordCount},"imported":${meta.imported}$sp$wp}\n"""
         .getBytes("UTF-8"))
     finally os.close()
   }
@@ -352,12 +356,17 @@ object Bpe {
       .map(_.group(1).toLong).getOrElse(1L)
     val imp = """"imported"\s*:\s*(true|false)""".r.findFirstMatchIn(txt)
       .exists(_.group(1) == "true")
+    val sp = """"special_ids"\s*:\s*\[([0-9,\s-]*)\]""".r
+      .findFirstMatchIn(txt)
+      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong).toSeq)
+      .getOrElse(Nil)
     val wp = """"word_pattern"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
       .findFirstMatchIn(txt)
       .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     m match {
       case Some(g) => BpeMeta(g.group(1).toInt, g.group(2).toLong, mt, bl,
-        wp, mwc, imp)
+        wp, mwc, imp, sp)
       case None => throw new IllegalStateException(
         s"malformed BPE stamp at ${bpeMetaFile(path)}: $txt")
     }
@@ -587,12 +596,25 @@ object Bpe {
     * training corpus to replay, so [[graft.llm.Maintain.maintainBpe]]
     * can indicate OOV drift but never auto-fire a retrain; the
     * corrective is a re-import of a refreshed published pair. */
+  /** `specialTokens` declares the published pair's DEDICATED control
+    * tokens (the GPT-2 `<|endoftext|>` shape): surface forms that live
+    * IN the vocab but that the merge chain can never emit — their ids
+    * record in the stamp, and the stamped serving paths (the windows
+    * landings' [[graft.llm.Pipeline.BpeWindows]] resolution, the
+    * [[Sft]] indexed assemblers) then accept exactly these ids as
+    * `eodId`/`sepId`/`padId` instead of refusing them as vocab
+    * collisions — the refusal exists to catch ACCIDENTAL collisions
+    * with content tokens, and a declared special is not an accident.
+    * Detokenization still renders them (the full vocab map), while
+    * encode never produces them (the special surface is not a merge
+    * result, and pre-tokenization splits any literal occurrence). */
   def importBpeModel(spark: SparkSession, merges: DataFrame,
                      vocab: DataFrame, name: String, path: String,
                      byteLevel: Boolean = true,
                      wordPattern: Option[String] = Some(Gpt2WordPattern),
                      gpt2Alias: Boolean = false,
-                     maxImport: Int = 1000000): Unit = {
+                     maxImport: Int = 1000000,
+                     specialTokens: Seq[String] = Nil): Unit = {
     require(!gpt2Alias || byteLevel,
       "importBpeModel: gpt2Alias decodes the published BYTE-alias " +
         "surface forms — it requires byteLevel = true")
@@ -653,6 +675,13 @@ object Bpe {
           vocabRows.toSeq.map { case (t, id) => Row(t, id) }).asJava),
       StructType(Seq(StructField("token", StringType, nullable = false),
         StructField("token_id", LongType, nullable = false))))
+    val vocabByToken = vocabRows.toMap
+    val specialIds = specialTokens.map { t =>
+      val surf = conv(t)
+      vocabByToken.getOrElse(surf, throw new IllegalArgumentException(
+        s"importBpeModel: special token '$t' is not in the vocab — a " +
+          "declared control token must carry a published id"))
+    }
     graft.api.GraftFrame(mergeFrame)
       .toBucketedTable(s"${name}_bpe", s"$path/bpe", 1, Seq("merged"))
     graft.api.GraftFrame(vocabFrame)
@@ -660,7 +689,23 @@ object Bpe {
         Seq("token"))
     stampBpeMeta(spark, path, BpeMeta(mergeRows.length,
       minPairCount = 1L, maxTypes = maxImport, byteLevel = byteLevel,
-      wordPattern = wordPattern, imported = true))
+      wordPattern = wordPattern, imported = true,
+      specialIds = specialIds))
+  }
+
+  /** The vocab map SERVING paths embed for encode and structural-id
+    * validation: the full persisted vocab minus the stamp's declared
+    * special ids — encode can never emit a special (its surface is not
+    * a merge result), so subtracting it changes nothing the encoder
+    * does while letting a landing legitimately use the special as its
+    * eodId/sepId/padId (the collision refusal guards against CONTENT
+    * tokens). Detokenization keeps the full map — it must render
+    * specials. */
+  def servingVocabMap(spark: SparkSession, name: String,
+                      path: String): Map[String, Long] = {
+    val specials = readBpeMeta(spark, path).specialIds.toSet
+    vocabMap(spark.table(s"${name}_bpe_vocab"))
+      .filterNot { case (_, id) => specials.contains(id) }
   }
 
   /** Serve [[encodeTokens]] from the persisted model — bit-identical

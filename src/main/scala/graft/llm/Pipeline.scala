@@ -232,8 +232,13 @@ object Pipeline {
     // and pre-tokenizer ride the stamp — the landing serves exactly
     // the geometry the model was trained under
     val meta = Bpe.readBpeMeta(spark, bw.path)
+    // the SERVING vocab: stamped special ids subtracted, so an
+    // imported model's dedicated control tokens (<|endoftext|>-style)
+    // are usable as the landing's eodId/padId instead of refused as
+    // vocab collisions — encode is unaffected (a special surface is
+    // never a merge result)
     ResolvedBpe(Bpe.mergeList(spark.table(s"${bw.name}_bpe")),
-      Bpe.vocabMap(spark.table(s"${bw.name}_bpe_vocab")),
+      Bpe.servingVocabMap(spark, bw.name, bw.path),
       bw.eodId, bw.docSpans, meta.byteLevel, meta.wordPattern,
       bw.packed, bw.padId, bw.segmentDocs, bw.stride)
   }

@@ -93,9 +93,11 @@ object Sft {
                               eodId: Option[Long] = None,
                               maxLen: Option[Long] = None): DataFrame = {
     val meta = Bpe.readBpeMeta(spark, path)
+    // serving vocab: stamped specials subtracted, so a published
+    // model's control tokens are usable as sepId/eodId here
     assembleExamples(pairs, idCol, promptCol, responseCol,
       Bpe.mergeList(spark.table(s"${name}_bpe")),
-      Bpe.vocabMap(spark.table(s"${name}_bpe_vocab")),
+      Bpe.servingVocabMap(spark, name, path),
       sepId, eodId, maxLen, meta.byteLevel, meta.wordPattern)
   }
 
@@ -173,7 +175,7 @@ object Sft {
     val meta = Bpe.readBpeMeta(spark, path)
     assemblePreferencePairs(pairs, idCol, promptCol, chosenCol,
       rejectedCol, Bpe.mergeList(spark.table(s"${name}_bpe")),
-      Bpe.vocabMap(spark.table(s"${name}_bpe_vocab")),
+      Bpe.servingVocabMap(spark, name, path),
       sepId, eodId, maxLen, meta.byteLevel, meta.wordPattern)
   }
 

@@ -619,6 +619,73 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("importBpeModel: declared special tokens serve as structural ids; content tokens still refuse") {
+    import spark.implicits._
+    val path = tmp("graft_bpe_spc")
+    val out = tmp("graft_bpe_spc_out")
+    try {
+      // published-style pair WITH the GPT-2 control token: it lives in
+      // the vocab at its published id, like the real <|endoftext|>
+      val merges = Seq((0, "t", "h"), (1, "th", "e"))
+        .toDF("rank", "left", "right")
+      val eot = "<|endoftext|>"
+      val vocab = (gpt2AliasAlphabet ++ Seq(("th", 256L), ("the", 257L),
+        (eot, 300L))).toDF("token", "token_id")
+      Bpe.importBpeModel(spark, merges, vocab, "spcg", path,
+        gpt2Alias = true, specialTokens = Seq(eot))
+      // an undeclared special refuses at import
+      intercept[IllegalArgumentException] {
+        Bpe.importBpeModel(spark, merges, vocab, "spcg2", tmp("spc2"),
+          gpt2Alias = true, specialTokens = Seq("<|missing|>"))
+      }
+      // the landing accepts the DECLARED special as its eodId (the
+      // refusal is for content-token collisions, and 300 is stamped
+      // special) — and the landed stream carries it per doc
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("doc_id") < 40).select("doc_id", "text")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      graft.llm.Pipeline.buildAndWriteWindows(docs,
+        df(docSchema), "doc_id", "text", out, windowSize = 64L,
+        bpeWindows = Some(graft.llm.Pipeline.BpeWindows("spcg", path,
+          eodId = Some(300L))))
+      val win = spark.read.parquet(out)
+      val eods = win
+        .agg(sum(size(filter(col("window_ids"), x => x === 300L))))
+        .head().getLong(0)
+      val sidecarDocs = graft.llm.Pipeline.pretrainCorpus(docs,
+        df(docSchema), "doc_id", "text", persistStages = false).count()
+      assert(eods == sidecarDocs,
+        s"one stamped-special EOD per landed doc: $eods != $sidecarDocs")
+      // a CONTENT token's id still refuses — the guard lost nothing
+      val contentId = Bpe.vocabMap(spark.table("spcg_bpe_vocab"))("746865")
+      intercept[IllegalArgumentException] {
+        graft.llm.Pipeline.buildAndWriteWindows(docs,
+          df(docSchema), "doc_id", "text", tmp("spc_bad"), 64L,
+          bpeWindows = Some(graft.llm.Pipeline.BpeWindows("spcg", path,
+            eodId = Some(contentId))))
+      }
+      // the SFT indexed assemblers accept the special too, and
+      // detokenization renders its published surface
+      val ex = graft.llm.Sft.assembleExamplesIndexed(spark, "spcg",
+          path, Seq((1L, "the", "the")).toDF("id", "p", "r"),
+          "id", "p", "r", eodId = Some(300L))
+        .head().getSeq[Long](1)
+      assert(ex == Seq(257L, 257L, 300L), s"$ex")
+      val rendered = Seq(Seq(257L, 300L)).toDF("ids")
+        .select(Bpe.detokenizeIndexed(spark, "spcg", path, col("ids")))
+        .head().getString(0)
+      assert(rendered == "the" + eot, rendered)
+    } finally {
+      Seq("spcg_bpe", "spcg_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(path, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("importBpeModel: validation refusals and retrain-ineligible maintenance") {
     import spark.implicits._
     val path = tmp("graft_bpe_impv")
