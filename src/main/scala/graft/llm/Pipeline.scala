@@ -1178,22 +1178,24 @@ object Pipeline {
     * position, exactly the batch [[retractFromWindows]] wants.
     *
     * Scale shape: ~linear in landed window ids (each window emits one
-    * gram per position, filtered and hashed inside the scan) against a
-    * BROADCAST benchmark gram set — `maxBench` bounds the benchmark
-    * side with a loud refusal (the semantic-decontam discipline; a
-    * benchmark is small by construction). One column-pruned read of
-    * the landing, one aggregate; no corpus re-scan, no all-pairs. */
+    * gram per position, filtered and hashed inside the scan) against
+    * the benchmark gram set. The broadcast side is GRAMS, not docs —
+    * roughly one per benchmark token — so the bound probes the
+    * distinct GRAM mass (`maxBenchGrams`, one bench-sized encode
+    * pass): a benchmark under it broadcasts (zero corpus exchange); a
+    * larger one refuses loudly, naming `broadcastBench = false`, which
+    * switches the hit join to a plain shuffled equi-join — one extra
+    * corpus-gram exchange, linear at any benchmark size. One
+    * column-pruned read of the landing either way; no corpus re-scan,
+    * no all-pairs. */
   def windowsContaminationScreen(spark: org.apache.spark.sql.SparkSession,
                                  outPath: String, bench: DataFrame,
                                  benchTextCol: String,
                                  bpeWindows: BpeWindows,
                                  k: Int = 5,
-                                 maxBench: Int = 200000): DataFrame = {
+                                 maxBenchGrams: Long = 2000000L,
+                                 broadcastBench: Boolean = true): DataFrame = {
     require(k >= 2, s"windowsContaminationScreen: k must be >= 2, got $k")
-    require(bench.limit(maxBench + 1).count() <= maxBench,
-      s"windowsContaminationScreen: benchmark side exceeds $maxBench " +
-        "rows — the gram set broadcasts; screen in bounded batches or " +
-        "raise maxBench deliberately")
     val rb = resolveBpe(spark, bpeWindows)
     // ids a gram must not contain: OOV, and the landing's structural ids
     val banned = Seq(-1L) ++ rb.eodId.toSeq ++ rb.padId.toSeq
@@ -1216,6 +1218,17 @@ object Pipeline {
       .filter(cleanGram(col("__g__")))
       .select(gramKey(col("__g__")).as("__gram__"))
       .distinct()
+    if (broadcastBench) {
+      // the broadcast rides GRAM mass (~one per benchmark token), so
+      // the bound must probe grams, not benchmark rows
+      val probe = benchGrams.limit((maxBenchGrams + 1).toInt).count()
+      require(probe <= maxBenchGrams,
+        s"windowsContaminationScreen: benchmark gram set exceeds " +
+          s"$maxBenchGrams distinct grams — too large to broadcast; " +
+          "pass broadcastBench = false (one extra corpus-gram " +
+          "exchange, linear at any benchmark size) or screen in " +
+          "bounded benchmark batches")
+    }
     val win0 = spark.read.parquet(outPath)
     val win =
       if (win0.columns.contains("shard_label"))
@@ -1230,8 +1243,9 @@ object Pipeline {
         posexplode(posGrams(col("window_ids"))).as(Seq("__pos__", "__g__")): _*)
       .filter(cleanGram(col("__g__")))
       .withColumn("__gram__", gramKey(col("__g__")))
-    val hits = corpusGrams
-      .join(broadcast(benchGrams), Seq("__gram__"))
+    val hits =
+      if (broadcastBench) corpusGrams.join(broadcast(benchGrams), Seq("__gram__"))
+      else corpusGrams.join(benchGrams, Seq("__gram__"))
     val aggCols = Seq(count(lit(1)).as("n_hits")) ++
       (if (hasSpans) Seq(
         // spans ride the group (constant per window); hit positions

@@ -1174,15 +1174,24 @@ class IngestSpec extends SparkTestBase {
       assert(!implicated.contains(60L) && !implicated.contains(61L),
         s"eod-straddling grams must never match: $implicated")
       assert(rep.forall(_.getAs[Long]("n_hits") > 0))
-      // refusals: k too small, benchmark side over the broadcast bound
+      // the shuffle-join fallback (benchmark too big to broadcast)
+      // reports IDENTICALLY — the route is a cost choice, never a
+      // semantics choice
+      val repShuffled = Pipeline.windowsContaminationScreen(spark, out,
+          bench, "text", bw, k = 5, broadcastBench = false).collect()
+      assert(repShuffled.map(_.toString).sorted.toSeq ==
+        rep.map(_.toString).sorted.toSeq)
+      // refusals: k too small; gram mass over the broadcast bound
+      // (the refusal names the fallback)
       intercept[IllegalArgumentException] {
         Pipeline.windowsContaminationScreen(spark, out, bench, "text",
           bw, k = 1)
       }
-      intercept[IllegalArgumentException] {
+      val eBig = intercept[IllegalArgumentException] {
         Pipeline.windowsContaminationScreen(spark, out, bench, "text",
-          bw, k = 5, maxBench = 0)
+          bw, k = 5, maxBenchGrams = 0L)
       }
+      assert(eBig.getMessage.contains("broadcastBench"), eBig.getMessage)
     } finally {
       Seq("wcs_bpe_bpe", "wcs_bpe_bpe_vocab").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
