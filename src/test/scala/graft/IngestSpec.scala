@@ -1200,6 +1200,49 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("strided fsck closed form holds across geometries: overlap, chop-degenerate, subsampling") {
+    val tmp = tmpDir("graft_sgeo_idx")
+    val mdl = tmpDir("graft_sgeo_bpe")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      graft.llm.Bpe.writeBpeModel(docs.filter(col("doc_id") < 300),
+        "text", "sgeo_bpe", mdl, numMerges = 6)
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "sgeo_t", tmp)
+      val shard = docs.filter(col("doc_id") >= 200 && col("doc_id") < 240)
+      // stride < size (overlap), stride == size (bit-degenerate to the
+      // chop), stride > size (subsampling: gap tokens land in NO
+      // window) — the closed form must price all three
+      for (((size, stride), ix) <- Seq((60L, 25L), (48L, 48L),
+          (30L, 70L)).zipWithIndex) {
+        val out = tmpDir(s"graft_sgeo_out$ix")
+        try {
+          val bw = Pipeline.BpeWindows("sgeo_bpe", mdl,
+            stride = Some(stride))
+          Pipeline.ingestWindowsShard(shard, df(docSchema), "doc_id",
+            "text", "sgeo_t", tmp, out, size, s"g$ix",
+            redactPii = false, bpeWindows = Some(bw))
+          val rep = Pipeline.windowsReport(spark, out, Some(docs),
+            bpeWindows = Some(bw), windowSize = Some(size)).collect()
+          assert(rep.nonEmpty && rep.forall(
+            _.getAs[Boolean]("tokens_match")),
+            s"geometry ($size, $stride): ${rep.mkString(";")}")
+          // tokens_match green means the closed form priced this
+          // geometry's landed mass exactly (overlap blow-up, the
+          // chop-equal case, and the subsampled deficit respectively)
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(out))
+      }
+    } finally {
+      dropIndex("sgeo_t")
+      Seq("sgeo_bpe_bpe", "sgeo_bpe_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(tmp, mdl).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("loadWindowsEpoch: each epoch streams the same window set in its own deterministic permutation") {
     val tmp = tmpDir("graft_lwe_idx")
     val out = tmpDir("graft_lwe_out")
