@@ -3909,6 +3909,79 @@ object QueriesText {
         .orderBy("split", "window_id")
     }
 
+    // POST-LANDING TEXT-window contamination screen (r15 cont): the
+    // word-shingle sibling of the id screen for landings that store
+    // window_text — distinct window shingles joined to the benchmark
+    // shingle set, counted per window. The oracle recomputes the text
+    // landing (chain + per-split chop), each window's TOKEN stream,
+    // the engine-agnostic shingle hashes on both sides, and the
+    // distinct-hit counts. Non-vacuous for the q_windows_decontam
+    // reason: 5-word window shingles CROSS doc boundaries inside a
+    // window (the chop concatenates docs), which the doc-level build
+    // decontam never saw.
+    r.reg("q_windows_decontam_text", pipeCleanCtes +
+      s""",
+         |wdocs AS (
+         |  SELECT c.doc_id, d.text,
+         |    CASE WHEN (c.doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTTrain THEN 'train'
+         |         WHEN (c.doc_id % 2147483648) * 2654435761 % 4294967296 < $pipeTVal THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM clean c JOIN documents d USING (doc_id)),
+         |wd AS (SELECT split, doc_id, string_split(text, ' ') AS toks,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM wdocs),
+         |wc AS (SELECT split, doc_id, toks, n,
+         |        CAST(sum(n) OVER (PARTITION BY split
+         |          ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS start FROM wd),
+         |ww AS (SELECT split, doc_id, toks, n, start,
+         |        CAST(floor(start/200.0) AS BIGINT) AS wf,
+         |        CASE WHEN n > 0 THEN CAST(floor((start+n-1)/200.0) AS BIGINT)
+         |             ELSE CAST(floor(start/200.0) AS BIGINT) END AS wl FROM wc),
+         |wr AS (SELECT unnest(range(0,
+         |        (SELECT CAST(ceil(sum(n)/200.0) AS BIGINT) + 1 FROM wd))) AS window_id),
+         |wmem AS (SELECT w.split, r.window_id,
+         |          GREATEST(r.window_id*200 - w.start, 0) AS f,
+         |          LEAST((r.window_id+1)*200 - w.start, w.n) AS t2,
+         |          GREATEST(w.start - r.window_id*200, 0) AS pos, w.toks
+         |         FROM ww w JOIN wr r ON r.window_id BETWEEN w.wf AND w.wl),
+         |wtok2 AS (SELECT split, window_id,
+         |          flatten(list(toks[CAST(f+1 AS INT):CAST(t2 AS INT)]
+         |            ORDER BY pos)) AS wt
+         |          FROM wmem WHERE t2 > f GROUP BY split, window_id),
+         |wsh AS (
+         |  SELECT split, window_id,
+         |    list_distinct(list_transform(range(1, len(tid)-1),
+         |      i -> (((tid[i]*31 + tid[i+1])*31 + tid[i+2])) % 2147483647)) AS gs
+         |  FROM (SELECT split, window_id,
+         |          list_transform(wt, g -> ${tokIdSql("g")}) AS tid
+         |        FROM wtok2)
+         |  WHERE len(tid) >= 3),
+         |tb AS (
+         |  SELECT list_distinct(list_transform(range(1, len(tid)-1),
+         |    i -> (((tid[i]*31 + tid[i+1])*31 + tid[i+2])) % 2147483647)) AS gs
+         |  FROM (SELECT list_transform(string_split(text, ' '), g -> ${tokIdSql("g")}) AS tid
+         |        FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL)
+         |  WHERE len(tid) >= 3),
+         |tbh AS (SELECT DISTINCT unnest(gs) AS h FROM tb)
+         |SELECT split, window_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM (SELECT split, window_id, unnest(gs) AS h FROM wsh) ws
+         |  JOIN tbh USING (h)
+         |GROUP BY split, window_id
+         |ORDER BY split, window_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val out = "/root/repo/target/qtmp/windows_decontam_text"
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.llm.Pipeline.buildAndWriteWindows(
+        docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+        "doc_id", "text", out, windowSize = 200L)
+      graft.llm.Pipeline.windowsContaminationScreenText(s, out,
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+          "text", k = 3)
+        .orderBy("split", "window_id")
+    }
+
     // POST-LANDING id-space benchmark decontamination screen (r15):
     // "do my landed training windows contain eval text?" answered over
     // the window_ids arrays themselves — every 5-consecutive-id gram

@@ -1265,6 +1265,60 @@ object Pipeline {
         sp => sp.getField("id")))).as("doc_ids")): _*)
   }
 
+  /** The TEXT-landing sibling of [[windowsContaminationScreen]]: a
+    * landing that stores `window_text` screens via WORD k-shingles
+    * (the [[Dedup.contaminationReport]] hash machinery — the same
+    * engine-agnostic integer shingles every text-decontam path here
+    * uses), computed over the landed windows themselves. `n_hits` is
+    * the count of DISTINCT window shingles present in the benchmark
+    * set (the contaminationReport convention). Text landings carry no
+    * doc spans, so hits name WINDOWS; to name retractable documents,
+    * screen the doc store with [[Dedup.contaminationReport]] and feed
+    * [[retractFromWindows]] — this screen's job is the landed-artifact
+    * fsck ("is eval text in what the trainer reads?"), answered
+    * without re-deriving the corpus.
+    *
+    * Scale shape: one column-pruned read of the landing (each window's
+    * shingles fuse into the scan) joined to the benchmark's distinct
+    * shingle set — `maxBenchShingles`-bounded broadcast (~one shingle
+    * per benchmark token; the gram-mass reasoning of the id screen),
+    * with `broadcastBench = false` the linear shuffled fallback. */
+  def windowsContaminationScreenText(spark: org.apache.spark.sql.SparkSession,
+                                     outPath: String, bench: DataFrame,
+                                     benchTextCol: String,
+                                     k: Int = 5,
+                                     maxBenchShingles: Long = 2000000L,
+                                     broadcastBench: Boolean = true): DataFrame = {
+    require(k >= 2, s"windowsContaminationScreenText: k must be >= 2, got $k")
+    val benchH = bench.filter(col(benchTextCol).isNotNull)
+      .select(explode(graft.functions.TextHashExprs
+        .shingleHashes(col(benchTextCol), k)).as("__h__"))
+      .distinct()
+    if (broadcastBench) {
+      val probe = benchH.limit((maxBenchShingles + 1).toInt).count()
+      require(probe <= maxBenchShingles,
+        s"windowsContaminationScreenText: benchmark shingle set " +
+          s"exceeds $maxBenchShingles — too large to broadcast; pass " +
+          "broadcastBench = false (linear shuffled join) or screen in " +
+          "bounded benchmark batches")
+    }
+    val win0 = spark.read.parquet(outPath)
+    val win =
+      if (win0.columns.contains("shard_label"))
+        win0.withColumn("shard_label", col("shard_label").cast("string"))
+      else win0
+    val groupCols = Seq("shard_label", "split", "window_id")
+      .filter(win.columns.contains)
+    val winH = win.select(groupCols.map(col) :+
+      explode(graft.functions.TextHashExprs
+        .shingleHashes(col("window_text"), k)).as("__h__"): _*)
+    val hits =
+      if (broadcastBench) winH.join(broadcast(benchH), Seq("__h__"))
+      else winH.join(benchH, Seq("__h__"))
+    hits.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Per-split window assembly shared by the two windows entrypoints:
     * each split chops independently (leakage isolation), the split set
     * is the static three of [[graft.api.GraftFrame.splitByHash]] — an

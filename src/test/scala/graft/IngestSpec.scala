@@ -1200,6 +1200,52 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("windowsContaminationScreenText: word-shingle screen over a text landing, route equality, refusals") {
+    val tmp = tmpDir("graft_wst_idx")
+    val out = tmpDir("graft_wst_out")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "wst_t", tmp)
+      Pipeline.ingestWindowsShard(
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 240),
+        df(docSchema), "doc_id", "text", "wst_t", tmp, out, 64L, "t01",
+        redactPii = false)
+      // a benchmark holding a 5-word run from a LANDED doc must hit
+      val landedText = docs.filter(col("doc_id") === 210)
+        .head().getString(1)
+      val phrase = landedText.split(" ").slice(3, 8).mkString(" ")
+      val bench = df(docSchema, Row(900L, "zz yy " + phrase + " xx ww"))
+      val rep = Pipeline.windowsContaminationScreenText(spark, out,
+        bench, "text", k = 5).collect()
+      assert(rep.nonEmpty && rep.forall(_.getAs[Long]("n_hits") > 0),
+        rep.mkString(";"))
+      // the shuffled route reports identically
+      val rep2 = Pipeline.windowsContaminationScreenText(spark, out,
+        bench, "text", k = 5, broadcastBench = false).collect()
+      assert(rep2.map(_.toString).sorted.toSeq ==
+        rep.map(_.toString).sorted.toSeq)
+      // an unrelated benchmark reports nothing
+      assert(Pipeline.windowsContaminationScreenText(spark, out,
+        df(docSchema, Row(901L, "qq1 qq2 qq3 qq4 qq5 qq6")), "text",
+        k = 5).count() == 0)
+      intercept[IllegalArgumentException] {
+        Pipeline.windowsContaminationScreenText(spark, out, bench,
+          "text", k = 1)
+      }
+      val eBig = intercept[IllegalArgumentException] {
+        Pipeline.windowsContaminationScreenText(spark, out, bench,
+          "text", k = 5, maxBenchShingles = 0L)
+      }
+      assert(eBig.getMessage.contains("broadcastBench"), eBig.getMessage)
+    } finally {
+      dropIndex("wst_t")
+      Seq(tmp, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("strided fsck closed form holds across geometries: overlap, chop-degenerate, subsampling") {
     val tmp = tmpDir("graft_sgeo_idx")
     val mdl = tmpDir("graft_sgeo_bpe")
