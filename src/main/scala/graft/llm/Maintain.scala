@@ -514,6 +514,9 @@ object Maintain {
                                  windowSize: Option[Long] = None,
                                  minFillRate: Double = 0.5)
     extends Target
+  final case class SftWindowsTarget(outPath: String, windowSize: Long,
+                                    minFillRate: Double = 0.5)
+    extends Target
 
   /** The NIGHTLY SWEEP: one call maintains every persisted family a
     * corpus owner operates — each (label, target) runs its family's
@@ -562,6 +565,8 @@ object Maintain {
             maintainMulti(spark, n, p, policy, fs, fsd, lc, tc)
           case WindowsTarget(op, d, ic, tc, bw, ws, mf) =>
             maintainWindows(spark, op, policy, d, ic, tc, bw, ws, mf)
+          case SftWindowsTarget(op, ws, mf) =>
+            maintainSftWindows(spark, op, ws, mf)
           case DhashIndexTarget(n) =>
             maintainDhashIndex(spark, n, policy)
           case EnvelopeIndexTarget(n) =>
@@ -827,6 +832,44 @@ object Maintain {
           " — retune segmentDocs/windowSize (packed layout) or accept " +
           "chop-tail waste"))
     }
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
+  }
+
+  /** [[maintainWindows]] for a LANDED SFT-windows artifact
+    * ([[graft.llm.Sft.writeSftWindows]]) — observe-and-indicate only,
+    * like every windows sink (nothing trained, rewrites are wholesale
+    * by design): the manifest bit (a crashed landing replays as a full
+    * rebuild — indicated), the NO-RE-ENCODE conservation fsck (the
+    * sidecar recorded each example's id mass at landing time, so
+    * landed window mass must equal it exactly), and the per-split fill
+    * rate (pad waste — the corrective is a windowSize/packing
+    * parameter change on the NEXT landing, never a rewrite). */
+  def maintainSftWindows(spark: SparkSession, outPath: String,
+                         windowSize: Long,
+                         minFillRate: Double = 0.5): DataFrame = {
+    require(windowSize > 0,
+      s"maintainSftWindows: windowSize must be positive, got $windowSize")
+    val rep = graft.llm.Sft.sftWindowsReport(spark, outPath, windowSize)
+      .collect()
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+    val manifested = rep.forall(_.getAs[Boolean]("manifest"))
+    results += (("manifest", if (manifested) 1.0 else 0.0, 1.0, false,
+      if (manifested) "none"
+      else "indicated: no committed manifest — replay writeSftWindows (full rebuild, overwrites in place)"))
+    val bad = rep.filter(!_.getAs[Boolean]("tokens_match"))
+      .map(_.getAs[String]("split"))
+    results += (("token_conservation", bad.length.toDouble, 0.0, false,
+      if (bad.isEmpty) "none"
+      else s"indicated: landed mass disagrees with the sidecar on ${bad.mkString(",")} — investigate partial overwrite"))
+    val fills = rep.filter(_.getAs[Long]("windows") > 0)
+      .map(r => (r.getAs[String]("split"), r.getAs[Double]("fill_rate")))
+    val minFill = if (fills.isEmpty) 1.0 else fills.map(_._2).min
+    val low = fills.filter(_._2 < minFillRate).map(_._1)
+    results += (("window_fill", minFill, minFillRate, false,
+      if (low.isEmpty) "none"
+      else "indicated: low fill on " + low.mkString(",") +
+        " — shrink windowSize or accept pad waste"))
     import spark.implicits._
     results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
   }

@@ -202,6 +202,21 @@ class SftSpec extends SparkTestBase {
       assert(screen.nonEmpty, "the planted response must be found")
       assert(screen.flatMap(_.getSeq[Long](
         screen.head.fieldIndex("doc_ids"))).contains(2L), screen.mkString(";"))
+      // the fleet eye: healthy landing = all-none via maintainAll; a
+      // deleted manifest is indicated (observe-only — never fired)
+      val sweep = graft.llm.Maintain.maintainAll(spark, Seq(
+        "sftw" -> graft.llm.Maintain.SftWindowsTarget(out, 256L)))
+      val checks = sweep.collect().map(r =>
+        r.getString(1) -> (r.getBoolean(4), r.getString(5))).toMap
+      assert(checks("manifest")._2 == "none" &&
+        checks("token_conservation")._2 == "none", checks.toString)
+      assert(sweep.filter(col("fired")).count() == 0,
+        "the SFT sink is observe-and-indicate only")
+      new java.io.File(out, "_graft_sft_manifest.json").delete()
+      val sweep2 = graft.llm.Maintain.maintainSftWindows(spark, out, 256L)
+        .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+      assert(sweep2("manifest").contains("replay writeSftWindows"),
+        sweep2.toString)
     } finally {
       Seq("sftw_bpe", "sftw_bpe_vocab").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
