@@ -1122,6 +1122,68 @@ class WindowLlmSpec extends SparkTestBase {
     }
   }
 
+  test("windowsLandingStream with the STRIDED (eval) layout: streamed mini-shards land overlapping windows, fsck green") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_wse_idx").toString
+    val mdl = java.nio.file.Files.createTempDirectory("graft_wse_bpe").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_wse").toString
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      graft.llm.Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200),
+        "doc_id", "text", "wse_t", idx)
+      graft.llm.Bpe.writeBpeModel(docs.filter(col("doc_id") < 200),
+        "text", "wse_bpe", mdl, numMerges = 4)
+      val bw = graft.llm.Pipeline.BpeWindows("wse_bpe", mdl,
+        stride = Some(25L))
+      val batch = docs.filter(col("doc_id") >= 200 && col("doc_id") < 230)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.windowsLandingStream(
+        in.toDF().toDF("doc_id", "text"),
+        spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+          lit("").as("text")).limit(0),
+        "doc_id", "text", "wse_t", idx, out, 60L, ckpt,
+        redactPii = false, bpeWindows = Some(bw)).start()
+      try {
+        in.addData(batch.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val win = spark.read.parquet(out)
+      assert(win.count() > 0)
+      // the streamed shard is genuinely STRIDED: full windows overlap
+      // their successor by windowSize - stride ids
+      val perSplit = win
+        .select("split", "window_id", "window_ids", "n_tokens").collect()
+        .groupBy(_.getString(0))
+      var overlaps = 0
+      perSplit.values.foreach { rows =>
+        rows.sortBy(_.getLong(1)).sliding(2).foreach {
+          case Array(a, b) if a.getLong(3) == 60L =>
+            assert(a.getSeq[Long](2).drop(25) ==
+              b.getSeq[Long](2).take(35))
+            overlaps += 1
+          case _ => ()
+        }
+      }
+      assert(overlaps > 0, "fixture must exercise real overlaps")
+      // the closed-form fsck prices the streamed landing exactly
+      assert(graft.llm.Pipeline.windowsReport(spark, out, Some(docs),
+          bpeWindows = Some(bw), windowSize = Some(60L))
+        .collect().forall(_.getAs[Boolean]("tokens_match")))
+    } finally {
+      Seq("bands", "shingles", "keys").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS wse_t_$t"))
+      Seq("wse_bpe_bpe", "wse_bpe_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(idx, mdl, base).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("ingestGateStream filters quality, redacts PII, dedups within watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
