@@ -4878,6 +4878,126 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // PACKED SFT windows (r15 cont — the whole post-training chain
+    // value-checked): assembled examples (the q_sft_examples layout,
+    // maxLen=128) pack whole into fixed-shape 128-id windows via the
+    // shared next-fit kernel. The oracle recomputes EVERYTHING —
+    // training, vocab, the side-tagged example assembly, the seed-11
+    // permutation rank, the 16-example-segment next-fit recurrence
+    // (recursive CTE), dense window ids, padded arrays and the span
+    // tiling — so a hash match proves the packed SFT artifact is
+    // bit-identical end to end.
+    r.reg("q_sft_pack", {
+      val hv = "((((doc_id % 2147483648) + 2147483648) % 2147483648 + 11)" +
+        " % 2147483648) * 2654435761 % 4294967296"
+      s"""WITH RECURSIVE ${bpeTrainCtes(8)},
+         |$bpeVocabCtes,
+         |sft0 AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+         |sft1 AS (SELECT doc_id, ws, CAST(len(ws)//2 AS BIGINT) AS np
+         |  FROM sft0 WHERE len(ws) >= 2),
+         |sftw AS (
+         |  SELECT doc_id, np, i,
+         |    CASE WHEN i <= np THEN 0 ELSE 1 END AS side,
+         |    ws[CAST(i AS INT)] AS w
+         |  FROM (SELECT doc_id, np, ws, unnest(range(1, len(ws)+1)) AS i
+         |        FROM sft1)),
+         |sfte AS (
+         |  SELECT doc_id, np, i, side,
+         |    string_split(trim($bpeNestedSql), '  ') AS etoks
+         |  FROM sftw),
+         |sftt AS (
+         |  SELECT doc_id, np, i, side, CAST(j AS INT) AS j,
+         |    etoks[CAST(j AS INT)] AS token
+         |  FROM (SELECT doc_id, np, i, side, etoks,
+         |          unnest(range(1, len(etoks)+1)) AS j FROM sfte)),
+         |sfti AS (
+         |  SELECT t.doc_id, t.i, t.side, t.j,
+         |    COALESCE(v.token_id, -1) AS tid
+         |  FROM sftt t LEFT JOIN bvocab v USING (token)),
+         |sftm AS (SELECT CAST(max(token_id) AS BIGINT) AS mx FROM bvocab),
+         |sfta AS (
+         |  SELECT doc_id,
+         |    list(tid ORDER BY i, j) FILTER (WHERE side = 0) AS pids,
+         |    list(tid ORDER BY i, j) FILTER (WHERE side = 1) AS rids
+         |  FROM sfti GROUP BY doc_id),
+         |spk0 AS (
+         |  SELECT doc_id,
+         |    list_concat(list_concat(list_concat(
+         |      pids, [mx+1]), rids), [mx+2]) AS ids,
+         |    CAST(len(pids) + len(rids) + 2 AS BIGINT) AS n
+         |  FROM sfta, sftm
+         |  WHERE rids IS NOT NULL AND len(rids) >= 1
+         |    AND len(pids) + len(rids) + 2 <= 128),
+         |spkr AS (SELECT doc_id, ids, n,
+         |  row_number() OVER (ORDER BY $hv) AS rnk FROM spk0),
+         |spks AS (SELECT doc_id, ids, n,
+         |  CAST(floor((rnk-1)/16.0) AS BIGINT) AS seg,
+         |  CAST((rnk-1)%16 AS BIGINT) AS pos FROM spkr),
+         |spkk AS (
+         |  SELECT seg, pos, doc_id, n,
+         |         CAST(0 AS BIGINT) AS win, n AS fill
+         |  FROM spks WHERE pos = 0
+         |  UNION ALL
+         |  SELECT c.seg, c.pos, c.doc_id, c.n,
+         |    CASE WHEN k.fill + c.n <= 128 THEN k.win ELSE k.win + 1 END,
+         |    CASE WHEN k.fill + c.n <= 128 THEN k.fill + c.n ELSE c.n END
+         |  FROM spkk k JOIN spks c ON c.seg = k.seg AND c.pos = k.pos + 1),
+         |spkw AS (SELECT seg, win,
+         |         dense_rank() OVER (ORDER BY seg, win) - 1 AS window_id
+         |        FROM (SELECT DISTINCT seg, win FROM spkk)),
+         |spkm AS (SELECT k.doc_id, k.n, k.fill - k.n AS off, w.window_id
+         |        FROM spkk k JOIN spkw w ON w.seg = k.seg AND w.win = k.win),
+         |spkp AS (SELECT m.window_id, m.off, m.doc_id, m.n AS len, e.ids
+         |        FROM spkm m JOIN spk0 e USING (doc_id)),
+         |spkwin AS (SELECT window_id,
+         |  flatten(list(ids ORDER BY off)) AS ids,
+         |  string_agg(doc_id || ':' || off || ':' || len, ' ' ORDER BY off)
+         |    AS spans_text,
+         |  CAST(sum(len) AS BIGINT) AS n_tokens
+         |  FROM spkp GROUP BY window_id)
+         |SELECT window_id,
+         |  array_to_string(list_transform(
+         |    list_concat(ids, list_transform(range(0, 128 - n_tokens),
+         |      x -> m.mx + 3)),
+         |    x -> CAST(x AS VARCHAR)), ' ') AS ids_text,
+         |  spans_text, n_tokens
+         |FROM spkwin, sftm m ORDER BY window_id""".stripMargin
+    }) { (s, dir) =>
+      val idxPath = ensurePbpeModel(s, dir)
+      val vocabMax = graft.llm.Bpe
+        .vocabMap(s.table("g_pbpe_bpe_vocab")).values.max
+      val words = filter(split(col("text"), " ", -1), w => length(w) >= 1)
+      val pairs = t(s, dir, "documents")
+        .filter(col("doc_id") < 100 && col("text").isNotNull)
+        .withColumn("__ws__", words)
+        .filter(size(col("__ws__")) >= 2)
+        .withColumn("__np__", (size(col("__ws__")) / 2).cast("int"))
+        .select(col("doc_id"),
+          array_join(slice(col("__ws__"), lit(1), col("__np__")), " ")
+            .as("prompt"),
+          array_join(slice(col("__ws__"), col("__np__") + 1,
+            size(col("__ws__")) - col("__np__")), " ").as("response"))
+      val assembled = graft.llm.Sft.assembleExamplesIndexed(s, "g_pbpe",
+        idxPath, pairs, "doc_id", "prompt", "response",
+        sepId = Some(vocabMax + 1L), eodId = Some(vocabMax + 2L),
+        maxLen = Some(128L))
+      graft.llm.Sft.packExamples(assembled, "doc_id", "input_ids",
+          windowSize = 128L, seed = 11L, padId = Some(vocabMax + 3L),
+          segmentDocs = 16)
+        .select(col("window_id"),
+          concat_ws(" ",
+            transform(col("window_ids"), x => x.cast("string")))
+            .as("ids_text"),
+          concat_ws(" ", transform(col("doc_spans"), sp =>
+            concat_ws(":", sp.getField("id").cast("string"),
+              sp.getField("pos").cast("string"),
+              sp.getField("len").cast("string")))).as("spans_text"),
+          col("n_tokens"))
+        .orderBy("window_id")
+    }
+
     // PREFERENCE PAIRS (r15 cont — the DPO/reward-model layout): one
     // prompt, two responses, both encoded against the SHARED prompt
     // prefix with one loss boundary. Pairs derive from documents
