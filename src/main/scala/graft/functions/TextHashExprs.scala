@@ -1057,6 +1057,330 @@ case class PackNextFit(child: Expression, capacity: Long)
   override def prettyName: String = "pack_next_fit"
 }
 
+/** Shared lattice machinery for the UNIGRAM-LM tokenizer family
+  * (Kudo 2018, the SentencePiece unigram algorithm — public). A model
+  * is a bounded piece table; a word's segmentations form a lattice
+  * over its code-point positions with edges = vocabulary pieces (plus
+  * a single-code-point OOV fallback for SERVING — training corpora
+  * cover their own alphabet by construction, so the EM lattice is
+  * vocabulary-only).
+  *
+  * DETERMINISM CONTRACT (the reason this engine's unigram models carry
+  * `logp_micro: long`): Viterbi runs on FIXED-POINT micro-nat
+  * log-probs (round(logp·1e6) as a BIGINT), so the best-path score is
+  * an exact integer sum — the argmax segmentation is bit-reproducible
+  * on any engine and any summation order, and the DuckDB oracle can
+  * replay it by exact path enumeration with zero float tolerance.
+  * Float Viterbi would make near-tie segmentations engine-dependent
+  * (libm exp/log differ by ulps), which silently changes landed
+  * training ids. Tie-break among equal-score paths: fewer pieces,
+  * then the piece-LENGTH sequence lexicographically LARGEST (longer
+  * pieces earlier) — realized by a right-to-left DP that prefers the
+  * longest extension, and replayed in SQL as `ORDER BY score DESC,
+  * n_pieces ASC, lens DESC`. */
+object UnigramKernel {
+  /** Micro-nat score charged per OOV code point at serving time.
+    * Every model logp_micro must exceed this (enforced by the
+    * expressions) so an in-vocab piece always beats the fallback on a
+    * pure tie — OOV is reachable only where the vocabulary has no
+    * cover. -100 nats ≈ prob 3.7e-44: no real vocab entry is rarer. */
+  val OovMicro: Long = -100000000L
+
+  /** Code-point boundary offsets of a word: offs(i) = char index of
+    * the i-th code point, offs(n) = length (surrogate-pair safe). */
+  def cpOffsets(w: String): Array[Int] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < w.length) { buf += i; i += Character.charCount(w.codePointAt(i)) }
+    buf += w.length
+    buf.toArray
+  }
+
+  /** Viterbi best segmentation of `word` under (piece → (id, micro)):
+    * (ids, score_micro, n_pieces). OOV code points emit id -1 at
+    * OovMicro each. Empty word → (empty, 0, 0). */
+  def segment(word: String, lookup: java.util.HashMap[String, (Long, Long)],
+              maxPieceLen: Int): (Array[Long], Long, Int) = {
+    val offs = cpOffsets(word)
+    val n = offs.length - 1
+    if (n == 0) return (Array.emptyLongArray, 0L, 0)
+    val score = new Array[Long](n + 1)
+    val np = new Array[Int](n + 1)
+    val choiceLen = new Array[Int](n + 1)
+    val choiceId = new Array[Long](n + 1)
+    var i = n - 1
+    while (i >= 0) {
+      // seed with the OOV fallback, then let any vocab edge beat it
+      // (strict improvement on (score, np); iterate L descending so
+      // the longest piece wins pure ties)
+      var bScore = OovMicro + score(i + 1)
+      var bNp = 1 + np(i + 1)
+      var bLen = 1
+      var bId = -1L
+      var L = math.min(maxPieceLen, n - i)
+      while (L >= 1) {
+        val hit = lookup.get(word.substring(offs(i), offs(i + L)))
+        if (hit != null) {
+          val s = hit._2 + score(i + L)
+          val k = 1 + np(i + L)
+          if (s > bScore || (s == bScore && k < bNp)) {
+            bScore = s; bNp = k; bLen = L; bId = hit._1
+          }
+        }
+        L -= 1
+      }
+      score(i) = bScore; np(i) = bNp; choiceLen(i) = bLen; choiceId(i) = bId
+      i -= 1
+    }
+    val ids = new Array[Long](np(0))
+    var p = 0; var j = 0
+    while (p < n) { ids(j) = choiceId(p); j += 1; p += choiceLen(p) }
+    (ids, score(0), np(0))
+  }
+
+  /** E-step lattice sums of `word` under (piece → (id, prob)), in
+    * PROBABILITY space (prob = exp(logp); products, not log-sums —
+    * on a dyadic-prob fixture every intermediate is exact, which is
+    * what makes the EM oracle engine-exact). Forward f(i) = total
+    * weight of segmentations of the prefix, backward b(i) of the
+    * suffix; per-piece numerator = Σ over occurrences (j, j+L) of
+    * f(j)·p·b(j+L). Returns (z = f(n), per-piece (id, numer)); z == 0
+    * means the vocabulary cannot cover the word (no OOV edges in the
+    * EM lattice) and the word contributes nothing. Underflow note:
+    * serving-scale words are bounded (pre-tokenized runs), so products
+    * of ≥1e-9 probs over ≤~50 pieces stay in double range; training
+    * corpora with pathological 1000-char "words" should raise
+    * minWordCount or pre-normalize. */
+  def expected(word: String, lookup: java.util.HashMap[String, (Long, Double)],
+               maxPieceLen: Int): (Double, Array[(Long, Double)]) = {
+    val offs = cpOffsets(word)
+    val n = offs.length - 1
+    if (n == 0) return (0.0, Array.empty)
+    val f = new Array[Double](n + 1)
+    val b = new Array[Double](n + 1)
+    f(0) = 1.0; b(n) = 1.0
+    var i = 1
+    while (i <= n) {
+      var s = 0.0
+      var L = 1
+      val maxL = math.min(maxPieceLen, i)
+      while (L <= maxL) {
+        val hit = lookup.get(word.substring(offs(i - L), offs(i)))
+        if (hit != null) s += f(i - L) * hit._2
+        L += 1
+      }
+      f(i) = s; i += 1
+    }
+    i = n - 1
+    while (i >= 0) {
+      var s = 0.0
+      var L = 1
+      val maxL = math.min(maxPieceLen, n - i)
+      while (L <= maxL) {
+        val hit = lookup.get(word.substring(offs(i), offs(i + L)))
+        if (hit != null) s += hit._2 * b(i + L)
+        L += 1
+      }
+      b(i) = s; i -= 1
+    }
+    val z = f(n)
+    if (z == 0.0) return (0.0, Array.empty)
+    val acc = new java.util.LinkedHashMap[java.lang.Long, java.lang.Double]()
+    var j = 0
+    while (j < n) {
+      var L = 1
+      val maxL = math.min(maxPieceLen, n - j)
+      while (L <= maxL) {
+        val hit = lookup.get(word.substring(offs(j), offs(j + L)))
+        if (hit != null) {
+          val w = f(j) * hit._2 * b(j + L)
+          val prev = acc.get(hit._1)
+          acc.put(hit._1, if (prev == null) w else prev.doubleValue() + w)
+        }
+        L += 1
+      }
+      j += 1
+    }
+    val out = new Array[(Long, Double)](acc.size)
+    val it = acc.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) { val e = it.next(); out(k) = (e.getKey, e.getValue); k += 1 }
+    (z, out)
+  }
+
+  private[functions] def cpCount(s: String): Int = s.codePointCount(0, s.length)
+}
+
+/** Viterbi segmentation of one word under a unigram-LM piece table:
+  * struct<ids: array<bigint>, score_micro: bigint, n_pieces: int>.
+  * The piece table rides the expression as a bounded model object
+  * (|vocab| entries — the [[BpeEncodeIds]] posture: no vocab join, no
+  * regroup shuffle; a document's id stream materializes inside the
+  * scan). Integer micro-nat scores make the argmax engine-exact — see
+  * [[UnigramKernel]]. */
+case class UnigramSegment(child: Expression,
+                          pieces: Seq[(String, Long, Long)])
+    extends UnaryExpression {
+  require(pieces.forall(_._3 > UnigramKernel.OovMicro),
+    "unigram_segment: every piece logp_micro must exceed the OOV floor " +
+      s"${UnigramKernel.OovMicro} — an in-vocab piece may never lose to the fallback")
+
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StructType(Seq(
+    StructField("ids", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("score_micro", LongType, nullable = false),
+    StructField("n_pieces", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unigram_segment needs STRING, got ${child.dataType}")
+
+  @transient private lazy val lookup = {
+    val m = new java.util.HashMap[String, (Long, Long)](pieces.size * 2)
+    pieces.foreach { case (p, id, micro) => m.put(p, (id, micro)) }
+    m
+  }
+  @transient private lazy val maxPieceLen =
+    if (pieces.isEmpty) 1 else pieces.iterator.map(p => UnigramKernel.cpCount(p._1)).max
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramSegment", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($c);")
+  }
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, InternalRow]()
+  private val CacheCap = 65536
+
+  override def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[UTF8String].toString
+    val hit = cache.get(word)
+    if (hit != null) return hit
+    val (ids, score, n) = UnigramKernel.segment(word, lookup, maxPieceLen)
+    val out = InternalRow(new GenericArrayData(ids), score, n)
+    if (cache.size < CacheCap) cache.put(word, out)
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegment =
+    copy(child = newChild)
+  override def prettyName: String = "unigram_segment"
+}
+
+/** [[UnigramSegment]] restricted to the ids — the hot path of unigram
+  * token-ID window assembly (same contract as [[BpeEncodeIds]]: OOV
+  * code points degrade to -1, the id stream materializes inside the
+  * scan with zero extra exchanges). */
+case class UnigramEncodeIds(child: Expression,
+                            pieces: Seq[(String, Long, Long)])
+    extends UnaryExpression {
+  require(pieces.forall(_._3 > UnigramKernel.OovMicro),
+    "unigram_encode_ids: every piece logp_micro must exceed the OOV floor " +
+      s"${UnigramKernel.OovMicro} — an in-vocab piece may never lose to the fallback")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unigram_encode_ids needs STRING, got ${child.dataType}")
+
+  @transient private lazy val lookup = {
+    val m = new java.util.HashMap[String, (Long, Long)](pieces.size * 2)
+    pieces.foreach { case (p, id, micro) => m.put(p, (id, micro)) }
+    m
+  }
+  @transient private lazy val maxPieceLen =
+    if (pieces.isEmpty) 1 else pieces.iterator.map(p => UnigramKernel.cpCount(p._1)).max
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramEncodeIds", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, ArrayData]()
+  private val CacheCap = 65536
+
+  override def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[UTF8String].toString
+    val hit = cache.get(word)
+    if (hit != null) return hit
+    val (ids, _, _) = UnigramKernel.segment(word, lookup, maxPieceLen)
+    val out: ArrayData = new GenericArrayData(ids)
+    if (cache.size < CacheCap) cache.put(word, out)
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncodeIds =
+    copy(child = newChild)
+  override def prettyName: String = "unigram_encode_ids"
+}
+
+/** EM E-step lattice sums of one word under a unigram-LM model in
+  * PROBABILITY space: struct<z: double, parts: array<struct<pid:
+  * bigint, numer: double>>> — z the word's total segmentation weight,
+  * numer the per-piece occupancy numerator (posterior = numer / z;
+  * the division is the caller's, kept out of the kernel so the oracle
+  * can compare exact dyadic numerators). The model rides the
+  * expression bounded; one O(len · maxPieceLen) pass per distinct
+  * word (memoized). Training is the only caller — the EM lattice has
+  * no OOV edges ([[UnigramKernel.expected]]). */
+case class UnigramExpected(child: Expression,
+                           pieces: Seq[(String, Long, Double)])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StructType(Seq(
+    StructField("z", DoubleType, nullable = false),
+    StructField("parts", ArrayType(StructType(Seq(
+      StructField("pid", LongType, nullable = false),
+      StructField("numer", DoubleType, nullable = false))),
+      containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unigram_expected needs STRING, got ${child.dataType}")
+
+  @transient private lazy val lookup = {
+    val m = new java.util.HashMap[String, (Long, Double)](pieces.size * 2)
+    pieces.foreach { case (p, id, prob) => m.put(p, (id, prob)) }
+    m
+  }
+  @transient private lazy val maxPieceLen =
+    if (pieces.isEmpty) 1 else pieces.iterator.map(p => UnigramKernel.cpCount(p._1)).max
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramExpected", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($c);")
+  }
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, InternalRow]()
+  private val CacheCap = 65536
+
+  override def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[UTF8String].toString
+    val hit = cache.get(word)
+    if (hit != null) return hit
+    val (z, parts) = UnigramKernel.expected(word, lookup, maxPieceLen)
+    val rows = new Array[Any](parts.length)
+    var i = 0
+    while (i < parts.length) { rows(i) = InternalRow(parts(i)._1, parts(i)._2); i += 1 }
+    val out = InternalRow(z, new GenericArrayData(rows))
+    if (cache.size < CacheCap) cache.put(word, out)
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramExpected =
+    copy(child = newChild)
+  override def prettyName: String = "unigram_expected"
+}
+
 object BpeEncode {
   /** Code-point symbols of a word (surrogate-pair safe). */
   def codePointSymbols(word: String): Array[String] = {
@@ -1162,4 +1486,11 @@ object TextHashExprs {
     column(PackNextFit(expression(lengths), capacity))
   def unitVector(vec: Column): Column =
     column(UnitVector(expression(vec)))
+
+  def unigramSegment(word: Column, pieces: Seq[(String, Long, Long)]): Column =
+    column(UnigramSegment(expression(word), pieces))
+  def unigramEncodeIds(word: Column, pieces: Seq[(String, Long, Long)]): Column =
+    column(UnigramEncodeIds(expression(word), pieces))
+  def unigramExpected(word: Column, pieces: Seq[(String, Long, Double)]): Column =
+    column(UnigramExpected(expression(word), pieces))
 }

@@ -86,7 +86,7 @@ object Bpe {
   /** Code-point-order string comparison (= the binary UTF-8 collation
     * Spark and DuckDB sort by; Java's compareTo is UTF-16 order, which
     * disagrees above U+FFFF). */
-  private def cpLess(a: String, b: String): Boolean = {
+  private[llm] def cpLess(a: String, b: String): Boolean = {
     var i = 0; var j = 0
     while (i < a.length && j < b.length) {
       val ca = a.codePointAt(i); val cb = b.codePointAt(j)

@@ -1,0 +1,482 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextHashExprs
+
+/** UNIGRAM-LM subword tokenizer (Kudo 2018 — the SentencePiece unigram
+  * algorithm; the tokenizer family of T5/ALBERT/XLNet-class models and
+  * the `model_type=unigram` default of the public SentencePiece
+  * release): a vocabulary of PIECES with log-probabilities, trained by
+  * EM over the segmentation lattice and pruned top-down from a large
+  * seed — the second tokenizer family beside [[Bpe]] (bottom-up
+  * merges). A production corpus team picks per model family; the
+  * engine must serve both.
+  *
+  * Scale posture — strictly STRONGER than BPE's: training never
+  * collects the corpus-dependent type table. The corpus-sized work is
+  * ONE word-count shuffle ([[Bpe.wordCounts]], map-side combined);
+  * every EM iteration is then a distributed pass over the word-TYPE
+  * table (a native lattice expression per row — no joins, no extra
+  * exchanges) whose only driver-side product is the PIECE table,
+  * bounded by `seedSize` by construction. BPE's driver-side merge loop
+  * needs the full type table on one machine ([[Bpe.train]]'s maxTypes
+  * refusal); unigram EM needs only |pieces| driver memory at any
+  * corpus size. Seed selection is a TakeOrderedAndProject (per-
+  * partition top-K, K = seedSize — bounded driver merge, no global
+  * sort).
+  *
+  * Determinism contract: the persisted model carries `logp_micro =
+  * round(logp · 1e6)` as a BIGINT, and Viterbi segmentation runs on
+  * those integers ([[graft.functions.UnigramKernel]]) — the argmax is
+  * an exact integer comparison, bit-reproducible on any engine and
+  * replayable in DuckDB by path enumeration with zero float tolerance
+  * (ties: fewer pieces, then piece-length sequence lexicographically
+  * largest). EM expected counts aggregate through DECIMAL (order-
+  * independent sums), so training itself is run-deterministic.
+  * Serving OOV: a code point with no vocabulary cover emits id -1
+  * (the [[Bpe.encodeIds]] convention) at [[graft.functions
+  * .UnigramKernel.OovMicro]] per code point.
+  */
+object Unigram {
+
+  /** Model-table schema: (piece_id, piece, prob, logp, logp_micro).
+    * Ids are assigned in code-point order of the piece surface —
+    * SQL-recomputable, stable under retrains of identical data. */
+  val piecesSchema: StructType = StructType(Seq(
+    StructField("piece_id", LongType, nullable = false),
+    StructField("piece", StringType, nullable = false),
+    StructField("prob", DoubleType, nullable = false),
+    StructField("logp", DoubleType, nullable = false),
+    StructField("logp_micro", LongType, nullable = false)))
+
+  /** Distributed SEED-candidate counts: every substring (1 ..
+    * maxPieceLen code points) of every word type, weighted by type
+    * frequency — the statistic seed selection ranks. Exposed as its
+    * own operator so the driver gate can value-check it (exact string
+    * + integer arithmetic, engine-portable). */
+  def seedCandidates(corpus: DataFrame, textCol: String,
+                     maxPieceLen: Int,
+                     wordPattern: Option[String] = None,
+                     minWordCount: Long = 1L): DataFrame = {
+    require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
+    val types = Bpe.wordCounts(corpus, textCol, wordPattern)
+      .filter(col("cnt") >= minWordCount)
+    types.select(col("cnt"), explode(flatten(
+        transform(sequence(lit(1), length(col("word"))), i =>
+          transform(sequence(lit(1),
+              least(lit(maxPieceLen), length(col("word")) - i + 1)), l =>
+            substring(col("word"), i, l))))).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("seed_count"))
+  }
+
+  /** The EM E-step as a frame — per (word, piece): the lattice
+    * occupancy NUMERATOR and the word's total segmentation weight `z`
+    * (posterior = numer / z), under an explicit (piece, id, prob)
+    * model. The division stays out so the oracle can compare exact
+    * dyadic numerators (q_unigram_em fixes a dyadic-prob model, under
+    * which every double here is exact and the DuckDB path-enumeration
+    * replay matches bit-for-bit). One native lattice pass per word;
+    * words the vocabulary cannot cover (z = 0) surface with an empty
+    * parts array rather than vanishing. */
+  def eStepFrame(words: DataFrame, wordCol: String,
+                 pieces: Seq[(String, Long, Double)]): DataFrame =
+    words.select(col(wordCol).as("word"),
+        TextHashExprs.unigramExpected(col(wordCol), pieces).as("__ex__"))
+      .select(col("word"), col("__ex__.z").as("z"),
+        col("__ex__.parts").as("parts"))
+
+  /** One EM iteration over the word-type table: expected piece counts
+    * (posterior-weighted, frequency-scaled) aggregated through
+    * DECIMAL(38,15) — order-independent, so training is
+    * run-deterministic — then the M-step renormalization. Returns the
+    * re-estimated (piece, prob) alongside each piece's expected count
+    * (the prune statistic). Pieces with zero lattice occupancy keep a
+    * floor probability if single-code-point (alphabet coverage must
+    * never drop) and are listed with exp 0 otherwise. */
+  private def emStep(types: DataFrame,
+                     pieces: IndexedSeq[(String, Double)])
+    : IndexedSeq[(String, Double, java.math.BigDecimal)] = {
+    val modeled = pieces.zipWithIndex
+      .map { case ((p, pr), i) => (p, i.toLong, pr) }
+    val rows = types.select(col("cnt"),
+        TextHashExprs.unigramExpected(col("word"), modeled).as("ex"))
+      .filter(col("ex.z") > 0.0)
+      .select(col("cnt"), col("ex.z").as("z"),
+        explode(col("ex.parts")).as("pt"))
+      .select(col("pt.pid").as("pid"),
+        (col("pt.numer") / col("z") * col("cnt"))
+          .cast(DecimalType(38, 15)).as("e"))
+      .groupBy("pid").agg(sum(col("e")).as("e"))
+      .collect()
+    val exp = new Array[java.math.BigDecimal](pieces.length)
+    java.util.Arrays.fill(exp.asInstanceOf[Array[AnyRef]],
+      java.math.BigDecimal.ZERO)
+    rows.foreach { r =>
+      exp(r.getLong(0).toInt) = r.getDecimal(1)
+    }
+    val total = exp.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+    val totalD = total.doubleValue()
+    require(totalD > 0.0,
+      "unigram emStep: zero total lattice mass — the piece set covers " +
+        "no word in the type table")
+    pieces.indices.map { i =>
+      val e = exp(i)
+      val p = e.doubleValue() / totalD
+      // alphabet floor: a single-code-point piece must stay encodable
+      // even if EM starves it (coverage is structural, not statistical)
+      val floored =
+        if (p == 0.0 && pieces(i)._1.codePointCount(0, pieces(i)._1.length) == 1)
+          1e-12
+        else p
+      (pieces(i)._1, floored, e)
+    }
+  }
+
+  /** Train a unigram-LM piece table. `vocabSize` counts ALL pieces
+    * (single code points included); `seedSize` bounds the initial
+    * candidate set (default 8× vocabSize) — every single-code-point
+    * substring is always seeded and never pruned (total coverage of
+    * the training alphabet), multi-code-point candidates enter by
+    * frequency rank. Each round runs `emIters` EM sweeps then prunes
+    * the lowest-expected-count multi-piece tail to
+    * max(vocabSize, shrinkFactor · size); after the size reaches
+    * vocabSize a final `emIters` polish re-estimates probabilities.
+    * Pruning by expected count is the standard approximation of the
+    * published loss-delta prune (the alternative-segmentation term is
+    * dropped); documented, not hidden.
+    *
+    * Returns [[piecesSchema]]: ids in code-point order, probs
+    * renormalized, logp_micro the fixed-point Viterbi surface. */
+  def train(corpus: DataFrame, textCol: String, vocabSize: Int,
+            maxPieceLen: Int = 4,
+            seedSize: Int = 0,
+            emIters: Int = 2,
+            shrinkFactor: Double = 0.75,
+            wordPattern: Option[String] = None,
+            minWordCount: Long = 1L): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    require(emIters >= 1, "emIters must be >= 1")
+    require(shrinkFactor > 0.0 && shrinkFactor < 1.0,
+      s"shrinkFactor must be in (0,1), got $shrinkFactor")
+    val spark = corpus.sparkSession
+    val seedK = if (seedSize > 0) seedSize else 8 * vocabSize
+    val types = Bpe.wordCounts(corpus, textCol, wordPattern)
+      .filter(col("cnt") >= minWordCount)
+      .cache()
+    try {
+      val cands = seedCandidates(corpus, textCol, maxPieceLen,
+        wordPattern, minWordCount)
+      // singles: the complete training alphabet (bounded by the
+      // corpus's distinct code points); multis: frequency-ranked
+      val singles = cands.filter(length(col("piece")) === 1)
+        .select("piece", "seed_count").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val nMulti = math.max(0, seedK - singles.length)
+      val multis = cands.filter(length(col("piece")) > 1)
+        .orderBy(col("seed_count").desc, col("piece").asc)
+        .limit(nMulti)
+        .select("piece", "seed_count").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      require(singles.nonEmpty,
+        "unigram train: empty corpus (no word types survive " +
+          s"minWordCount=$minWordCount)")
+      val seedTotal = (singles.iterator ++ multis.iterator)
+        .map(_._2).sum.toDouble
+      var pieces: IndexedSeq[(String, Double)] =
+        (singles ++ multis).toIndexedSeq
+          .map { case (p, c) => (p, c.toDouble / seedTotal) }
+
+      var done = pieces.length <= vocabSize
+      var rounds = 0
+      while (!done) {
+        rounds += 1
+        require(rounds <= 1000,
+          "unigram train: 1000 prune rounds without reaching " +
+            s"vocabSize=$vocabSize — shrinkFactor=$shrinkFactor cannot " +
+            "make progress (multi-piece candidates exhausted?)")
+        var est: IndexedSeq[(String, Double, java.math.BigDecimal)] = null
+        var it = 0
+        while (it < emIters) {
+          est = emStep(types, pieces)
+          pieces = est.map(e => (e._1, e._2))
+          it += 1
+        }
+        val target = math.max(vocabSize,
+          (pieces.length * shrinkFactor).toInt)
+        val (sgl, mul) = est.partition(
+          e => e._1.codePointCount(0, e._1.length) == 1)
+        if (pieces.length <= vocabSize || mul.isEmpty) done = true
+        else {
+          // prune the lowest-expected-count multis (ties: code-point-
+          // LARGER surface drops first — deterministic)
+          val keepMulti = math.max(0, target - sgl.length)
+          val kept = mul.sortWith { (a, b) =>
+            val c = a._3.compareTo(b._3)
+            if (c != 0) c > 0 else Bpe.cpLess(a._1, b._1)
+          }.take(keepMulti)
+          pieces = (sgl ++ kept).map(e => (e._1, e._2))
+          if (pieces.length <= vocabSize) done = true
+        }
+      }
+      // final polish at the landed size
+      var it = 0
+      while (it < emIters) {
+        pieces = emStep(types, pieces).map(e => (e._1, e._2))
+        it += 1
+      }
+      val norm = pieces.map(_._2).sum
+      val ordered = pieces.sortWith((a, b) => Bpe.cpLess(a._1, b._1))
+      import scala.jdk.CollectionConverters._
+      val out = ordered.zipWithIndex.map { case ((p, pr), i) =>
+        val prob = pr / norm
+        val logp = math.log(prob)
+        org.apache.spark.sql.Row(
+          i.toLong, p, prob, logp, math.round(logp * 1e6))
+      }
+      spark.createDataFrame(out.asJava, piecesSchema)
+    } finally types.unpersist()
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted unigram model — one bucketed table `<name>_uni` plus a
+  // stamp landing LAST (the [[Bpe]] lifecycle posture: the model is an
+  // aggregate of the training corpus; the one corrective action is a
+  // wholesale retrain, and the stamp carries the full training
+  // geometry so a drift-fired retrain replays it).
+
+  private def uniMetaFile(path: String) = s"$path/_graft_uni_meta.json"
+
+  /** The persisted model's stamp. `wordPattern` decides the
+    * encode/detokenize contract exactly as in [[Bpe.BpeMeta]]. */
+  final case class UniMeta(vocabSize: Int, maxPieceLen: Int,
+                           seedSize: Int, emIters: Int,
+                           shrinkFactor: Double,
+                           wordPattern: Option[String],
+                           minWordCount: Long = 1L)
+
+  private def stampUniMeta(spark: SparkSession, path: String,
+                           meta: UniMeta): Unit = {
+    val p = new org.apache.hadoop.fs.Path(uniMetaFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    val wp = meta.wordPattern.fold("")(pat =>
+      s""","word_pattern":"${pat.replace("\\", "\\\\").replace("\"", "\\\"")}\"""")
+    try os.write(
+      s"""{"vocab_size":${meta.vocabSize},"max_piece_len":${meta.maxPieceLen},"seed_size":${meta.seedSize},"em_iters":${meta.emIters},"shrink_factor":${meta.shrinkFactor},"min_word_count":${meta.minWordCount}$wp}\n"""
+        .getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  private[llm] def readUniMeta(spark: SparkSession,
+                               path: String): UniMeta = {
+    val p = new org.apache.hadoop.fs.Path(uniMetaFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no unigram stamp at ${uniMetaFile(path)} — build with " +
+        "writeUnigramModel first")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    def long(k: String): Option[Long] =
+      (s""""$k"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+    val sf = """"shrink_factor"\s*:\s*([0-9.eE+-]+)""".r
+      .findFirstMatchIn(txt).map(_.group(1).toDouble)
+    val wp = """"word_pattern"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(txt)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    (long("vocab_size"), long("max_piece_len"), long("seed_size"),
+      long("em_iters"), sf) match {
+      case (Some(v), Some(m), Some(s), Some(e), Some(f)) =>
+        UniMeta(v.toInt, m.toInt, s.toInt, e.toInt, f, wp,
+          long("min_word_count").getOrElse(1L))
+      case _ => throw new IllegalStateException(
+        s"malformed unigram stamp at ${uniMetaFile(path)}: $txt")
+    }
+  }
+
+  /** Build (or wholesale retrain) the persisted model: train, land
+    * the piece table, stamp last. */
+  def writeUnigramModel(corpus: DataFrame, textCol: String, name: String,
+                        path: String, vocabSize: Int,
+                        maxPieceLen: Int = 4,
+                        seedSize: Int = 0,
+                        emIters: Int = 2,
+                        shrinkFactor: Double = 0.75,
+                        wordPattern: Option[String] = None,
+                        minWordCount: Long = 1L): Unit = {
+    val spark = corpus.sparkSession
+    val model = train(corpus, textCol, vocabSize, maxPieceLen, seedSize,
+      emIters, shrinkFactor, wordPattern, minWordCount)
+    graft.api.GraftFrame(model)
+      .toBucketedTable(s"${name}_uni", s"$path/uni", 1, Seq("piece"))
+    stampUniMeta(spark, path, UniMeta(vocabSize, maxPieceLen,
+      if (seedSize > 0) seedSize else 8 * vocabSize, emIters,
+      shrinkFactor, wordPattern, minWordCount))
+  }
+
+  /** The Viterbi serving objects: (piece, id, logp_micro) — MODEL-
+    * sized, embedded in the encode expressions. */
+  def piecesViterbi(model: DataFrame): Seq[(String, Long, Long)] =
+    model.select("piece", "piece_id", "logp_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+  /** id → piece map for detokenization (the [[Bpe.vocabMap]] shape —
+    * [[graft.functions.BpeDecodeIds]] consumes it directly: unigram
+    * pieces are code-point surfaces, so decode is concatenation). */
+  def pieceMap(model: DataFrame): Map[String, Long] =
+    model.select("piece", "piece_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Viterbi encode: (id, word_pos, tok_pos, token_id) — the integer
+    * token stream, the [[Bpe.encodeIds]] shape. OOV code points carry
+    * id -1. */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                pieces: Seq[(String, Long, Long)],
+                wordPattern: Option[String] = None): DataFrame =
+    docs.select(col(idCol),
+        posexplode(Bpe.wordsOf(textCol, wordPattern))
+          .as(Seq("word_pos", "__w__")))
+      .filter(length(col("__w__")) >= 1)
+      .select(col(idCol), col("word_pos"),
+        posexplode(TextHashExprs.unigramEncodeIds(col("__w__"), pieces))
+          .as(Seq("tok_pos", "token_id")))
+
+  /** Per-WORD segmentation report: (id, word_pos, word, ids,
+    * score_micro, n_pieces) — the oracle surface (integer-exact; the
+    * DuckDB replay enumerates paths and must reproduce score and ids
+    * bit-for-bit). */
+  def segments(docs: DataFrame, idCol: String, textCol: String,
+               pieces: Seq[(String, Long, Long)],
+               wordPattern: Option[String] = None): DataFrame =
+    docs.select(col(idCol),
+        posexplode(Bpe.wordsOf(textCol, wordPattern))
+          .as(Seq("word_pos", "word")))
+      .filter(length(col("word")) >= 1)
+      .withColumn("__s__",
+        TextHashExprs.unigramSegment(col("word"), pieces))
+      .select(col(idCol), col("word_pos"), col("word"),
+        col("__s__.ids").as("ids"),
+        col("__s__.score_micro").as("score_micro"),
+        col("__s__.n_pieces").as("n_pieces"))
+
+  /** Serve [[encodeIds]] from the persisted model. */
+  def encodeIdsIndexed(spark: SparkSession, name: String, path: String,
+                       docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val meta = readUniMeta(spark, path)
+    encodeIds(docs, idCol, textCol,
+      piecesViterbi(spark.table(s"${name}_uni")), meta.wordPattern)
+  }
+
+  /** Landed ids back to the surface string (pieces concatenate; OOV
+    * renders U+FFFD — the [[graft.functions.BpeDecodeIds]] contract).
+    * With a GPT-2-pretokenized stamp the result IS the original text. */
+  def detokenizeIndexed(spark: SparkSession, name: String, path: String,
+                        ids: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.Column =
+    TextHashExprs.bpeDecodeIds(ids, pieceMap(spark.table(s"${name}_uni")),
+      byteLevel = false)
+
+  /** Tokenizer fertility / OOV report under the unigram model — the
+    * same per-group metric as [[Bpe.fertilityReport]] (tokens per
+    * word, OOV share), one corpus pass, group-cardinality output. */
+  def fertilityReport(spark: SparkSession, name: String, path: String,
+                      docs: DataFrame, textCol: String,
+                      groupCol: String): DataFrame = {
+    val meta = readUniMeta(spark, path)
+    val pieces = piecesViterbi(spark.table(s"${name}_uni"))
+    val words = filter(Bpe.wordsOf(textCol, meta.wordPattern),
+      w => length(w) >= 1)
+    val ids = flatten(transform(words,
+      w => TextHashExprs.unigramEncodeIds(w, pieces)))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol),
+        size(words).cast("long").as("__w__"),
+        size(ids).cast("long").as("__t__"),
+        size(filter(ids, i => i < 0L)).cast("long").as("__o__"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__w__")).as("n_words"),
+        sum(col("__t__")).as("n_tokens"),
+        sum(col("__o__")).as("n_oov"))
+      .select(col(groupCol),
+        col("n_words"), col("n_tokens"), col("n_oov"),
+        when(col("n_words") === 0L, lit(null))
+          .otherwise(col("n_tokens").cast("double") / col("n_words"))
+          .as("fertility"),
+        when(col("n_tokens") === 0L, lit(null))
+          .otherwise(col("n_oov").cast("double") / col("n_tokens"))
+          .as("oov_rate"))
+  }
+
+  /** GPT-style concat-and-chop training windows in unigram TOKEN-ID
+    * space — [[Bpe.assembleWindowsIds]] with the encode expression
+    * swapped: the id stream materializes inside the scan (one fused
+    * [[graft.functions.UnigramEncodeIds]] per word), then the same
+    * two-pass cumsum + ONE window-keyed shuffle. Conservation holds in
+    * id space; zero-token docs vanish (the assembleWindows
+    * convention). */
+  def assembleWindowsIds(docs: DataFrame, idCol: String, textCol: String,
+                         windowSize: Long, seed: Long,
+                         pieces: Seq[(String, Long, Long)],
+                         eodId: Option[Long] = None,
+                         withDocSpans: Boolean = false,
+                         wordPattern: Option[String] = None): DataFrame = {
+    eodId.foreach(e => require(e != -1L && !pieces.exists(_._2 == e),
+      s"assembleWindowsIds: eodId $e collides with a piece id (or the " +
+        "-1 OOV sentinel) — reserve an id outside the vocabulary"))
+    val words = filter(Bpe.wordsOf(textCol, wordPattern),
+      w => length(w) >= 1)
+    val bare = flatten(transform(words,
+      w => TextHashExprs.unigramEncodeIds(w, pieces)))
+    val idsArr = eodId.fold(bare)(e => concat(bare, array(lit(e))))
+    val withN = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), idsArr.as("__ids__"))
+      .select(col(idCol), col("__ids__"),
+        size(col("__ids__")).cast("long").as("__n__"))
+    val members = TextStats
+      .tokenWindowMembers(withN, idCol, "__n__", windowSize, seed)
+      .filter(col("tok_to") > col("tok_from"))
+      .select(col("window_id"), col("window_pos"),
+        col(idCol).cast("long").as("__mid__"),
+        slice(col("__ids__"), (col("tok_from") + 1).cast("int"),
+          (col("tok_to") - col("tok_from")).cast("int")).as("__slice__"))
+    val sorted = array_sort(collect_list(struct(col("window_pos"),
+      col("__slice__"), col("__mid__"))))
+    val aggs = Seq(
+      flatten(transform(sorted, s => s.getField("__slice__")))
+        .as("window_ids"),
+      sum(size(col("__slice__")).cast("long")).as("n_tokens")) ++
+      (if (withDocSpans) Seq(
+        transform(sorted, s => struct(
+          s.getField("__mid__").as("id"),
+          s.getField("window_pos").as("pos"),
+          size(s.getField("__slice__")).cast("long").as("len")))
+          .as("doc_spans"))
+       else Nil)
+    members.groupBy("window_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Maintenance observable: rows + parquet file count. */
+  def uniReport(spark: SparkSession, name: String): DataFrame =
+    spark.table(s"${name}_uni")
+      .select(input_file_name().as("__f__"))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("__f__")).as("files"))
+      .select(lit(s"${name}_uni").as("table"), col("rows"), col("files"))
+
+  /** OOV drift of a fresh corpus slice against the stored pieces —
+    * the [[Bpe.bpeOovRate]] drift observable for this family. */
+  def uniOovRate(spark: SparkSession, name: String, path: String,
+                 fresh: DataFrame, textCol: String): Double = {
+    val ids = encodeIdsIndexed(spark, name, path,
+      fresh.select(lit(0L).as("__id__"), col(textCol)), "__id__", textCol)
+    val row = ids.agg(count(lit(1)).as("total"),
+      sum(when(col("token_id") < 0, 1L).otherwise(0L)).as("oov")).head()
+    if (row.getLong(0) == 0L) 0.0
+    else row.getLong(1).toDouble / row.getLong(0).toDouble
+  }
+}
