@@ -5330,6 +5330,150 @@ object QueriesText {
           "bm25" -> bm25Run.select("query_id", "doc_id", "rank")),
         "query_id", "doc_id", "rank", k = 10)
     }
+
+    // ------------------------------------------------------------------
+    // UNIGRAM-LM tokenizer (Kudo 2018 — the SECOND tokenizer family,
+    // SentencePiece-unigram shape). Three value-checked surfaces:
+    //
+    //  q_unigram_seed   — the seed-candidate substring counts over the
+    //                     real corpus (exact string + integer SQL).
+    //  q_unigram_em     — the EM E-step lattice sums under a DYADIC
+    //                     literal model: every probability is a power
+    //                     of two, so every path product, forward/
+    //                     backward sum and occupancy numerator is an
+    //                     EXACT double on both engines — the DuckDB
+    //                     path-enumeration replay (recursive CTE over
+    //                     all segmentations) matches bit-for-bit with
+    //                     zero float tolerance, proving the lattice
+    //                     forward-backward against the path-sum
+    //                     identity it implements.
+    //  q_unigram_encode — fixed-point Viterbi segmentation of the real
+    //                     corpus's word types under a literal micro-nat
+    //                     model: scores are BIGINT sums, so the replay
+    //                     (enumerate every segmentation incl. the OOV
+    //                     single-char fallback, rank by score DESC,
+    //                     n_pieces ASC, piece-length list DESC) must
+    //                     reproduce ids, score and piece count exactly.
+
+    r.reg("q_unigram_seed",
+      """WITH wt AS (
+        |  SELECT w AS word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL) s
+        |  WHERE w <> '' GROUP BY 1 HAVING count(*) >= 2),
+        |subs AS (
+        |  SELECT substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece, cnt
+        |  FROM (SELECT word, cnt, unnest(range(1, length(word)+1)) AS i FROM wt) a,
+        |       (SELECT unnest(range(1, 4)) AS l) b
+        |  WHERE CAST(i AS BIGINT) + CAST(l AS BIGINT) - 1 <= length(word))
+        |SELECT piece, CAST(sum(cnt) AS BIGINT) AS seed_count
+        |FROM subs GROUP BY 1
+        |ORDER BY seed_count DESC, piece LIMIT 300""".stripMargin) { (s, dir) =>
+      graft.llm.Unigram.seedCandidates(t(s, dir, "documents"), "text",
+          maxPieceLen = 3, minWordCount = 2L)
+        .orderBy(col("seed_count").desc, col("piece").asc)
+        .limit(300)
+    }
+
+    // literal dyadic E-step model + words (mirrored verbatim in SQL)
+    val uniEmModel = Seq(("a", 0L, 0.25), ("ab", 1L, 0.5),
+      ("b", 2L, 0.125), ("bc", 3L, 0.25), ("c", 4L, 0.0625))
+    val uniEmWords = Seq("ab", "abc", "bab", "ca", "aab", "zzz")
+
+    r.reg("q_unigram_em",
+      s"""WITH RECURSIVE pieces(piece, pid, p) AS (
+         |  SELECT * FROM (VALUES ('a', CAST(0 AS BIGINT), CAST(0.25 AS DOUBLE)),
+         |    ('ab', 1, 0.5), ('b', 2, 0.125), ('bc', 3, 0.25),
+         |    ('c', 4, 0.0625)) v),
+         |words(word) AS (SELECT * FROM (VALUES
+         |  ${uniEmWords.map(w => s"('$w')").mkString(", ")}) w),
+         |paths(word, pos, w, pids) AS (
+         |  SELECT word, 0, CAST(1.0 AS DOUBLE), CAST([] AS BIGINT[]) FROM words
+         |  UNION ALL
+         |  SELECT p.word, p.pos + length(pc.piece), p.w * pc.p,
+         |    list_append(p.pids, pc.pid)
+         |  FROM paths p JOIN pieces pc
+         |    ON p.pos < length(p.word)
+         |   AND substr(p.word, p.pos + 1, length(pc.piece)) = pc.piece),
+         |fp AS (SELECT * FROM paths WHERE pos = length(word)),
+         |z AS (SELECT word, sum(w) AS z FROM fp GROUP BY 1),
+         |occ AS (SELECT word, unnest(pids) AS pid, w FROM fp),
+         |numer AS (SELECT word, pid, sum(w) AS numer FROM occ GROUP BY 1, 2)
+         |SELECT n.word, n.pid AS piece_id, n.numer, z.z
+         |FROM numer n JOIN z USING (word)
+         |ORDER BY word, piece_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // doubles compare bit-for-bit here BECAUSE the fixture is dyadic:
+      // every path product and lattice sum is exact in IEEE double, so
+      // forward-backward (Spark) == path enumeration (DuckDB) with no
+      // decimal mediation needed
+      graft.llm.Unigram.eStepFrame(uniEmWords.toDF("w"), "w", uniEmModel)
+        .select(col("word"), explode(col("parts")).as("p"), col("z"))
+        .select(col("word"), col("p.pid").as("piece_id"),
+          col("p.numer").as("numer"), col("z"))
+        .orderBy("word", "piece_id")
+    }
+
+    // literal micro-nat Viterbi model over the corpus vocabulary's
+    // common fragments; several code points are deliberately absent so
+    // the OOV single-char fallback is exercised on real words
+    val uniVitModel: Seq[(String, Long, Long)] = Seq(
+      ("a", 0L, -2400000L), ("an", 1L, -3600000L), ("ble", 2L, -5200000L),
+      ("d", 3L, -2900000L), ("dow", 4L, -5600000L), ("e", 5L, -2300000L),
+      ("er", 6L, -3200000L), ("he", 7L, -3300000L), ("in", 8L, -3500000L),
+      ("me", 9L, -3900000L), ("n", 10L, -2700000L), ("o", 11L, -2500000L),
+      ("or", 12L, -3400000L), ("r", 13L, -2600000L), ("rge", 14L, -5400000L),
+      ("s", 15L, -2450000L), ("scan", 16L, -6100000L), ("sort", 17L, -6200000L),
+      ("st", 18L, -3100000L), ("t", 19L, -2350000L), ("ta", 20L, -3700000L),
+      ("th", 21L, -3000000L), ("win", 22L, -5000000L))
+
+    r.reg("q_unigram_encode",
+      s"""WITH RECURSIVE wt AS (
+         |  SELECT w AS word, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w
+         |    FROM documents WHERE text IS NOT NULL) s
+         |  WHERE w <> '' AND length(w) <= 12
+         |  GROUP BY 1 ORDER BY cnt DESC, word LIMIT 1000),
+         |up(piece, pid, lp) AS (SELECT * FROM (VALUES
+         |  ${uniVitModel.map { case (p, id, lp) =>
+             s"('$p', CAST($id AS BIGINT), CAST($lp AS BIGINT))" }
+             .mkString(", ")}) v),
+         |ext AS (SELECT piece, pid, lp, length(piece) AS plen FROM up
+         |        UNION ALL
+         |        SELECT NULL, CAST(-1 AS BIGINT),
+         |          CAST(-100000000 AS BIGINT), 1),
+         |paths(word, pos, score, np, ids, lens) AS (
+         |  SELECT word, 0, CAST(0 AS BIGINT), 0,
+         |    CAST([] AS BIGINT[]), CAST([] AS INTEGER[]) FROM wt
+         |  UNION ALL
+         |  SELECT p.word, p.pos + u.plen, p.score + u.lp, p.np + 1,
+         |    list_append(p.ids, u.pid), list_append(p.lens, u.plen)
+         |  FROM paths p JOIN ext u
+         |    ON p.pos < length(p.word)
+         |   AND (u.pid = -1 OR substr(p.word, p.pos + 1, u.plen) = u.piece)),
+         |fp AS (SELECT * FROM paths WHERE pos = length(word)),
+         |best AS (SELECT word, score, np, ids,
+         |  row_number() OVER (PARTITION BY word
+         |    ORDER BY score DESC, np ASC, lens DESC) AS rn
+         |  FROM fp)
+         |SELECT word, array_to_string(ids, ',') AS ids_csv,
+         |  score AS score_micro, CAST(np AS BIGINT) AS n_pieces
+         |FROM best WHERE rn = 1 ORDER BY word""".stripMargin) { (s, dir) =>
+      val types = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ", -1)).as("word"))
+        .filter(length(col("word")) >= 1 && length(col("word")) <= 12)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc).limit(1000)
+      types.select(col("word"),
+          graft.functions.TextHashExprs
+            .unigramSegment(col("word"), uniVitModel).as("sg"))
+        .select(col("word"),
+          concat_ws(",", transform(col("sg.ids"), i => i.cast("string")))
+            .as("ids_csv"),
+          col("sg.score_micro").as("score_micro"),
+          col("sg.n_pieces").cast("long").as("n_pieces"))
+        .orderBy("word")
+    }
   }
 
   /** The literal BM25 fixture query set: terms spanning the fixture
