@@ -5474,6 +5474,107 @@ object QueriesText {
           col("sg.n_pieces").cast("long").as("n_pieces"))
         .orderBy("word")
     }
+
+    // Unigram token-ID training windows: the full chop assembly under
+    // the literal Viterbi model — per-word argmax segmentation (path
+    // enumeration + the documented tie-break), per-doc id concatenation
+    // + one EOD id (23 — outside the 0..22 piece ids), the seed-5
+    // Knuth-hash permutation, exclusive-cumsum offsets, and the
+    // boundary-straddling membership/tiling formulas, all recomputed in
+    // SQL — proving the tokenizer SWITCH lands id windows with the same
+    // oracle-pinned chop semantics as the BPE family.
+    r.reg("q_unigram_windows", {
+      val hv = "((((doc_id % 2147483648) + 2147483648) % 2147483648 + 5)" +
+        " % 2147483648) * 2654435761 % 4294967296"
+      s"""WITH RECURSIVE edocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < 100 AND text IS NOT NULL),
+         |ewrd AS (
+         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_pos,
+         |    toks[CAST(i AS INTEGER)] AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+         |          unnest(range(1, len(string_split(text, ' '))+1)) AS i
+         |        FROM edocs)
+         |  WHERE toks[CAST(i AS INTEGER)] <> ''),
+         |wd AS (SELECT DISTINCT w AS word FROM ewrd),
+         |up(piece, pid, lp) AS (SELECT * FROM (VALUES
+         |  ${uniVitModel.map { case (p, id, lp) =>
+             s"('$p', CAST($id AS BIGINT), CAST($lp AS BIGINT))" }
+             .mkString(", ")}) v),
+         |ext AS (SELECT piece, pid, lp, length(piece) AS plen FROM up
+         |        UNION ALL
+         |        SELECT NULL, CAST(-1 AS BIGINT),
+         |          CAST(-100000000 AS BIGINT), 1),
+         |paths(word, pos, score, np, ids, lens) AS (
+         |  SELECT word, 0, CAST(0 AS BIGINT), 0,
+         |    CAST([] AS BIGINT[]), CAST([] AS INTEGER[]) FROM wd
+         |  UNION ALL
+         |  SELECT p.word, p.pos + u.plen, p.score + u.lp, p.np + 1,
+         |    list_append(p.ids, u.pid), list_append(p.lens, u.plen)
+         |  FROM paths p JOIN ext u
+         |    ON p.pos < length(p.word)
+         |   AND (u.pid = -1 OR substr(p.word, p.pos + 1, u.plen) = u.piece)),
+         |fp AS (SELECT * FROM paths WHERE pos = length(word)),
+         |best AS (SELECT word, ids FROM (
+         |  SELECT word, ids, row_number() OVER (PARTITION BY word
+         |    ORDER BY score DESC, np ASC, lens DESC) AS rn FROM fp)
+         |  WHERE rn = 1),
+         |eid AS (SELECT e.doc_id, e.word_pos, b.ids
+         |  FROM ewrd e JOIN best b ON e.w = b.word),
+         |edoc AS (
+         |  SELECT d.doc_id,
+         |    list_append(COALESCE(g.ids0, CAST([] AS BIGINT[])),
+         |      CAST(23 AS BIGINT)) AS ids
+         |  FROM (SELECT DISTINCT doc_id FROM edocs) d
+         |  LEFT JOIN (SELECT doc_id,
+         |      flatten(list(ids ORDER BY word_pos)) AS ids0
+         |    FROM eid GROUP BY doc_id) g USING (doc_id)),
+         |edn AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n FROM edoc),
+         |ecu AS (SELECT doc_id, ids, n,
+         |  CAST(sum(n) OVER (ORDER BY $hv
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS start
+         |  FROM edn),
+         |eww AS (SELECT doc_id, ids, n, start,
+         |  CAST(floor(start/60.0) AS BIGINT) AS wf,
+         |  CASE WHEN n > 0 THEN CAST(floor((start+n-1)/60.0) AS BIGINT)
+         |       ELSE CAST(floor(start/60.0) AS BIGINT) END AS wl
+         |  FROM ecu),
+         |erg AS (SELECT unnest(range(0,
+         |  (SELECT CAST(ceil(sum(n)/60.0) AS BIGINT) + 1 FROM edn))) AS window_id),
+         |emem AS (SELECT w.doc_id, r.window_id,
+         |  GREATEST(r.window_id*60 - w.start, 0) AS f,
+         |  LEAST((r.window_id+1)*60 - w.start, w.n) AS t2,
+         |  GREATEST(w.start - r.window_id*60, 0) AS pos, w.ids
+         |  FROM eww w JOIN erg r ON r.window_id BETWEEN w.wf AND w.wl),
+         |eprt AS (SELECT doc_id, window_id, pos,
+         |  ids[CAST(f+1 AS INT):CAST(t2 AS INT)] AS part, t2 - f AS len
+         |  FROM emem WHERE t2 > f)
+         |SELECT window_id,
+         |  array_to_string(list_transform(flatten(list(part ORDER BY pos)),
+         |    x -> CAST(x AS VARCHAR)), ' ') AS ids_text,
+         |  string_agg(doc_id || ':' || pos || ':' || len, ' ' ORDER BY pos)
+         |    AS spans_text,
+         |  CAST(sum(len) AS BIGINT) AS n_tokens
+         |FROM eprt GROUP BY window_id
+         |ORDER BY window_id""".stripMargin
+    }) { (s, dir) =>
+      graft.llm.Unigram.assembleWindowsIds(
+          t(s, dir, "documents")
+            .filter(col("doc_id") < 100 && col("text").isNotNull)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", windowSize = 60L, seed = 5L, uniVitModel,
+          eodId = Some(23L), withDocSpans = true)
+        .select(col("window_id"),
+          concat_ws(" ",
+            transform(col("window_ids"), x => x.cast("string")))
+            .as("ids_text"),
+          concat_ws(" ", transform(col("doc_spans"), sp =>
+            concat_ws(":", sp.getField("id").cast("string"),
+              sp.getField("pos").cast("string"),
+              sp.getField("len").cast("string")))).as("spans_text"),
+          col("n_tokens"))
+        .orderBy("window_id")
+    }
   }
 
   /** The literal BM25 fixture query set: terms spanning the fixture

@@ -768,10 +768,27 @@ object Bpe {
       s"assembleWindowsIds: eodId $e collides with a vocab id (or the " +
         "-1 OOV sentinel) — reserve an id outside the vocabulary, e.g. " +
         "max(token_id) + 1"))
+    assembleWindowsIdsFrom(docs, idCol, textCol, windowSize, seed,
+      w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel),
+      eodId, withDocSpans, wordPattern)
+  }
+
+  /** Tokenizer-generic body of [[assembleWindowsIds]]: the per-word
+    * encode expression is the ONLY model-specific part of the chop
+    * landing, so [[graft.llm.Unigram]] shares every membership/
+    * conservation/shuffle decision with the BPE form by construction
+    * (a second copy could silently drift from the oracle-pinned
+    * semantics). Callers validate eodId against THEIR vocabulary. */
+  private[llm] def assembleWindowsIdsFrom(
+      docs: DataFrame, idCol: String, textCol: String,
+      windowSize: Long, seed: Long,
+      encode: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      eodId: Option[Long],
+      withDocSpans: Boolean,
+      wordPattern: Option[String]): DataFrame = {
     val words = filter(wordsOf(textCol, wordPattern),
       w => length(w) >= 1)
-    val bare = flatten(transform(words,
-      w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel)))
+    val bare = flatten(transform(words, encode))
     // EOD insertion (the GPT concat convention): every document
     // contributes exactly one trailing end-of-document id, so token
     // accounting everywhere downstream is docTokens + 1 per doc
@@ -838,9 +855,24 @@ object Bpe {
     eodId.foreach(e => require(e != -1L && !vocab.valuesIterator.contains(e),
       s"assembleWindowsIdsStrided: eodId $e collides with a vocab id " +
         "(or the -1 OOV sentinel)"))
+    assembleWindowsIdsStridedFrom(docs, idCol, textCol, windowSize,
+      stride, seed,
+      w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel),
+      eodId, wordPattern)
+  }
+
+  /** Tokenizer-generic body of [[assembleWindowsIdsStrided]] (see
+    * [[assembleWindowsIdsFrom]] for why the encode is a parameter). */
+  private[llm] def assembleWindowsIdsStridedFrom(
+      docs: DataFrame, idCol: String, textCol: String,
+      windowSize: Long, stride: Long, seed: Long,
+      encode: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      eodId: Option[Long],
+      wordPattern: Option[String]): DataFrame = {
+    require(windowSize > 0, s"windowSize must be positive, got $windowSize")
+    require(stride > 0, s"stride must be positive, got $stride")
     val words = filter(wordsOf(textCol, wordPattern), w => length(w) >= 1)
-    val bare = flatten(transform(words,
-      w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel)))
+    val bare = flatten(transform(words, encode))
     val idsArr = eodId.fold(bare)(e => concat(bare, array(lit(e))))
     val withN = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), idsArr.as("__ids__"))
@@ -921,9 +953,24 @@ object Bpe {
       s"assembleWindowsIdsPacked: padId $p collides with a vocab id, the " +
         "-1 OOV sentinel, or the eodId — reserve a distinct id outside " +
         "the vocabulary"))
+    assembleWindowsIdsPackedFrom(docs, idCol, textCol, windowSize, seed,
+      w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel),
+      eodId, padId, withDocSpans, wordPattern, segmentDocs)
+  }
+
+  /** Tokenizer-generic body of [[assembleWindowsIdsPacked]] (see
+    * [[assembleWindowsIdsFrom]] for why the encode is a parameter). */
+  private[llm] def assembleWindowsIdsPackedFrom(
+      docs: DataFrame, idCol: String, textCol: String,
+      windowSize: Long, seed: Long,
+      encode: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      eodId: Option[Long],
+      padId: Option[Long],
+      withDocSpans: Boolean,
+      wordPattern: Option[String],
+      segmentDocs: Int): DataFrame = {
     val words = filter(wordsOf(textCol, wordPattern), w => length(w) >= 1)
-    val bare = flatten(transform(words,
-      w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel)))
+    val bare = flatten(transform(words, encode))
     val idsArr = eodId.fold(bare)(e => concat(bare, array(lit(e))))
     val withN = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), idsArr.as("__ids__"))

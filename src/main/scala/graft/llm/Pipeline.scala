@@ -191,17 +191,30 @@ object Pipeline {
     * `packed`/`padId` (the eval layout is chop-shaped by construction)
     * and with `docSpans` (overlapping windows have no disjoint doc
     * tiling) — both refused loudly. */
+  /** `tokenizer` selects the model FAMILY the landing encodes under:
+    * "bpe" (default — `name`/`path` address a [[Bpe.writeBpeModel]] /
+    * [[Bpe.importBpeModel]] model) or "unigram" (`name`/`path` address
+    * a [[Unigram.writeUnigramModel]] / [[Unigram.importUnigramModel]]
+    * model — the SentencePiece-unigram family). Every landing layout
+    * (chop / packed / strided), the manifest/replay/fsck discipline
+    * and the loaders are tokenizer-agnostic: the id unit changes, the
+    * conservation laws don't. */
   final case class BpeWindows(name: String, path: String,
                               eodId: Option[Long] = None,
                               docSpans: Boolean = false,
                               packed: Boolean = false,
                               padId: Option[Long] = None,
                               segmentDocs: Int = 512,
-                              stride: Option[Long] = None)
+                              stride: Option[Long] = None,
+                              tokenizer: String = "bpe")
 
   /** A [[BpeWindows]] spec resolved to the objects the encode
-    * expression embeds (one driver-side read of the two model-sized
-    * tables, stamp-guarded) plus the landing options it carries. */
+    * expression embeds (one driver-side read of the model-sized
+    * tables, stamp-guarded) plus the landing options it carries.
+    * `uniPieces` is the unigram family's serving object; when set,
+    * `merges`/`vocab`/`byteLevel` are unused by encode (the unigram
+    * piece ids live in `uniPieces`) and [[encode]]/the assembler
+    * dispatch route to the Viterbi forms. */
   private final case class ResolvedBpe(merges: Seq[(String, String)],
                                        vocab: Map[String, Long],
                                        eodId: Option[Long],
@@ -211,7 +224,42 @@ object Pipeline {
                                        packed: Boolean = false,
                                        padId: Option[Long] = None,
                                        segmentDocs: Int = 512,
-                                       stride: Option[Long] = None)
+                                       stride: Option[Long] = None,
+                                       uniPieces: Option[Seq[(String, Long, Long)]] = None) {
+    /** One word → its token ids, under whichever family is stamped. */
+    def encode(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      uniPieces match {
+        case Some(ps) => graft.functions.TextHashExprs.unigramEncodeIds(w, ps)
+        case None => graft.functions.TextHashExprs
+          .bpeEncodeIds(w, merges, vocab, byteLevel)
+      }
+    def asmChop(docs: DataFrame, idCol: String, textCol: String,
+                windowSize: Long, seed: Long): DataFrame = uniPieces match {
+      case Some(ps) => Unigram.assembleWindowsIds(docs, idCol, textCol,
+        windowSize, seed, ps, eodId, docSpans, wordPattern)
+      case None => Bpe.assembleWindowsIds(docs, idCol, textCol,
+        windowSize, seed, merges, vocab, eodId, docSpans, byteLevel,
+        wordPattern)
+    }
+    def asmStrided(docs: DataFrame, idCol: String, textCol: String,
+                   windowSize: Long, st: Long, seed: Long): DataFrame =
+      uniPieces match {
+        case Some(ps) => Unigram.assembleWindowsIdsStrided(docs, idCol,
+          textCol, windowSize, st, seed, ps, eodId, wordPattern)
+        case None => Bpe.assembleWindowsIdsStrided(docs, idCol, textCol,
+          windowSize, st, seed, merges, vocab, eodId, byteLevel,
+          wordPattern)
+      }
+    def asmPacked(docs: DataFrame, idCol: String, textCol: String,
+                  windowSize: Long, seed: Long): DataFrame = uniPieces match {
+      case Some(ps) => Unigram.assembleWindowsIdsPacked(docs, idCol,
+        textCol, windowSize, seed, ps, eodId, padId, docSpans,
+        wordPattern, segmentDocs)
+      case None => Bpe.assembleWindowsIdsPacked(docs, idCol, textCol,
+        windowSize, seed, merges, vocab, eodId, padId, docSpans,
+        byteLevel, wordPattern, segmentDocs)
+    }
+  }
 
   private def resolveBpe(spark: org.apache.spark.sql.SparkSession,
                          bw: BpeWindows): ResolvedBpe = {
@@ -228,19 +276,34 @@ object Pipeline {
         "BpeWindows: overlapping strided windows have no disjoint doc " +
           "tiling — docSpans and stride are mutually exclusive")
     }
-    // a crashed/foreign build refuses here; the SYMBOLIZATION LEVEL
-    // and pre-tokenizer ride the stamp — the landing serves exactly
-    // the geometry the model was trained under
-    val meta = Bpe.readBpeMeta(spark, bw.path)
-    // the SERVING vocab: stamped special ids subtracted, so an
-    // imported model's dedicated control tokens (<|endoftext|>-style)
-    // are usable as the landing's eodId/padId instead of refused as
-    // vocab collisions — encode is unaffected (a special surface is
-    // never a merge result)
-    ResolvedBpe(Bpe.mergeList(spark.table(s"${bw.name}_bpe")),
-      Bpe.servingVocabMap(spark, bw.name, bw.path),
-      bw.eodId, bw.docSpans, meta.byteLevel, meta.wordPattern,
-      bw.packed, bw.padId, bw.segmentDocs, bw.stride)
+    require(bw.tokenizer == "bpe" || bw.tokenizer == "unigram",
+      s"BpeWindows: unknown tokenizer '${bw.tokenizer}' — " +
+        "\"bpe\" or \"unigram\"")
+    if (bw.tokenizer == "unigram") {
+      // the unigram family: ONE piece table, pre-tokenizer from its
+      // stamp; a stampless path refuses in readUniMeta. The vocab map
+      // (piece → id) is carried only for id-collision bookkeeping —
+      // encode embeds uniPieces directly.
+      val meta = Unigram.readUniMeta(spark, bw.path)
+      val pieces = Unigram.piecesViterbi(spark.table(s"${bw.name}_uni"))
+      ResolvedBpe(Nil, pieces.map(p => p._1 -> p._2).toMap,
+        bw.eodId, bw.docSpans, byteLevel = false, meta.wordPattern,
+        bw.packed, bw.padId, bw.segmentDocs, bw.stride, Some(pieces))
+    } else {
+      // a crashed/foreign build refuses here; the SYMBOLIZATION LEVEL
+      // and pre-tokenizer ride the stamp — the landing serves exactly
+      // the geometry the model was trained under
+      val meta = Bpe.readBpeMeta(spark, bw.path)
+      // the SERVING vocab: stamped special ids subtracted, so an
+      // imported model's dedicated control tokens (<|endoftext|>-style)
+      // are usable as the landing's eodId/padId instead of refused as
+      // vocab collisions — encode is unaffected (a special surface is
+      // never a merge result)
+      ResolvedBpe(Bpe.mergeList(spark.table(s"${bw.name}_bpe")),
+        Bpe.servingVocabMap(spark, bw.name, bw.path),
+        bw.eodId, bw.docSpans, meta.byteLevel, meta.wordPattern,
+        bw.packed, bw.padId, bw.segmentDocs, bw.stride)
+    }
   }
 
   /** @param docs     training-candidate documents (idCol, textCol, …)
@@ -1089,9 +1152,7 @@ object Pipeline {
               transform(
                 filter(graft.llm.Bpe.wordsOf(textCol, rb.wordPattern),
                   w => length(w) >= 1),
-                w => size(graft.functions.TextHashExprs
-                  .bpeEncodeIds(w, rb.merges, rb.vocab, rb.byteLevel))
-                  .cast("long")),
+                w => size(rb.encode(w)).cast("long")),
               // each landed doc carries exactly one EOD id when the
               // landing inserts them — the conservation unit follows
               lit(if (rb.eodId.isDefined) 1L else 0L), (acc, n) => acc + n)
@@ -1210,9 +1271,7 @@ object Pipeline {
         .otherwise(array())
     val words = filter(Bpe.wordsOf(benchTextCol, rb.wordPattern),
       w => length(w) >= 1)
-    val benchIds = flatten(transform(words,
-      w => graft.functions.TextHashExprs
-        .bpeEncodeIds(w, rb.merges, rb.vocab, rb.byteLevel)))
+    val benchIds = flatten(transform(words, w => rb.encode(w)))
     val benchGrams = bench.filter(col(benchTextCol).isNotNull)
       .select(explode(posGrams(benchIds)).as("__g__"))
       .filter(cleanGram(col("__g__")))
@@ -1356,17 +1415,11 @@ object Pipeline {
             (if (rb.docSpans) Seq(col("doc_spans")) else Nil)
           val asm = (rb.packed, rb.stride) match {
             case (true, _) =>
-              Bpe.assembleWindowsIdsPacked(keyed, key, textCol, windowSize,
-                seed, rb.merges, rb.vocab, rb.eodId, rb.padId, rb.docSpans,
-                rb.byteLevel, rb.wordPattern, rb.segmentDocs)
+              rb.asmPacked(keyed, key, textCol, windowSize, seed)
             case (false, Some(st)) =>
-              Bpe.assembleWindowsIdsStrided(keyed, key, textCol,
-                windowSize, st, seed, rb.merges, rb.vocab, rb.eodId,
-                rb.byteLevel, rb.wordPattern)
+              rb.asmStrided(keyed, key, textCol, windowSize, st, seed)
             case (false, None) =>
-              Bpe.assembleWindowsIds(keyed, key, textCol, windowSize, seed,
-                rb.merges, rb.vocab, rb.eodId, rb.docSpans, rb.byteLevel,
-                rb.wordPattern)
+              rb.asmChop(keyed, key, textCol, windowSize, seed)
           }
           asm.select(cols: _*)
       }

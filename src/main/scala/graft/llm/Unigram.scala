@@ -255,7 +255,8 @@ object Unigram {
                            seedSize: Int, emIters: Int,
                            shrinkFactor: Double,
                            wordPattern: Option[String],
-                           minWordCount: Long = 1L)
+                           minWordCount: Long = 1L,
+                           imported: Boolean = false)
 
   private def stampUniMeta(spark: SparkSession, path: String,
                            meta: UniMeta): Unit = {
@@ -265,7 +266,7 @@ object Unigram {
     val wp = meta.wordPattern.fold("")(pat =>
       s""","word_pattern":"${pat.replace("\\", "\\\\").replace("\"", "\\\"")}\"""")
     try os.write(
-      s"""{"vocab_size":${meta.vocabSize},"max_piece_len":${meta.maxPieceLen},"seed_size":${meta.seedSize},"em_iters":${meta.emIters},"shrink_factor":${meta.shrinkFactor},"min_word_count":${meta.minWordCount}$wp}\n"""
+      s"""{"vocab_size":${meta.vocabSize},"max_piece_len":${meta.maxPieceLen},"seed_size":${meta.seedSize},"em_iters":${meta.emIters},"shrink_factor":${meta.shrinkFactor},"min_word_count":${meta.minWordCount},"imported":${meta.imported}$wp}\n"""
         .getBytes("UTF-8"))
     finally os.close()
   }
@@ -288,11 +289,13 @@ object Unigram {
     val wp = """"word_pattern"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
       .findFirstMatchIn(txt)
       .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    val imp = """"imported"\s*:\s*(true|false)""".r.findFirstMatchIn(txt)
+      .exists(_.group(1) == "true")
     (long("vocab_size"), long("max_piece_len"), long("seed_size"),
       long("em_iters"), sf) match {
       case (Some(v), Some(m), Some(s), Some(e), Some(f)) =>
         UniMeta(v.toInt, m.toInt, s.toInt, e.toInt, f, wp,
-          long("min_word_count").getOrElse(1L))
+          long("min_word_count").getOrElse(1L), imp)
       case _ => throw new IllegalStateException(
         s"malformed unigram stamp at ${uniMetaFile(path)}: $txt")
     }
@@ -316,6 +319,74 @@ object Unigram {
     stampUniMeta(spark, path, UniMeta(vocabSize, maxPieceLen,
       if (seedSize > 0) seedSize else 8 * vocabSize, emIters,
       shrinkFactor, wordPattern, minWordCount))
+  }
+
+  /** Import a PRETRAINED unigram model from a published (piece,
+    * log-prob) pair — the SentencePiece model shape every
+    * T5/ALBERT-class release ships — instead of training: the most
+    * common production case (teams tokenize under the EXACT tokenizer
+    * their model was trained with). `pieces` carries (piece: string,
+    * logp: double) and optionally an explicit `piece_id` column (the
+    * published id assignment — row order in a SentencePiece file);
+    * absent, ids are assigned in code-point order. Validation is total
+    * and loud: non-empty, unique surfaces, unique ids, finite
+    * non-positive logp, and every fixed-point logp_micro above the OOV
+    * floor (an in-vocab piece must never lose to the fallback).
+    *
+    * Imported models are RETRAIN-INELIGIBLE: there is no training
+    * corpus to replay, so maintenance may indicate OOV drift but never
+    * auto-fire ([[graft.llm.Maintain]] — the importBpeModel posture).
+    * The piece table is bounded (model-sized); the one collect here is
+    * the same bounded read every serve performs. */
+  def importUnigramModel(spark: SparkSession, pieces: DataFrame,
+                         name: String, path: String,
+                         wordPattern: Option[String] = None): Unit = {
+    val hasIds = pieces.columns.contains("piece_id")
+    val rows = (if (hasIds)
+        pieces.select(col("piece"), col("logp").cast("double"),
+          col("piece_id").cast("long"))
+      else pieces.select(col("piece"), col("logp").cast("double"),
+        lit(null).cast("long"))).collect()
+    require(rows.nonEmpty, "importUnigramModel: empty piece table")
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && r.getString(0).nonEmpty,
+        "importUnigramModel: null/empty piece surface")
+      val lp = r.getDouble(1)
+      require(!lp.isNaN && !lp.isInfinite && lp <= 0.0,
+        s"importUnigramModel: piece '${r.getString(0)}' has invalid " +
+          s"logp $lp — published unigram scores are finite log-probs <= 0")
+      require(math.round(lp * 1e6) > graft.functions.UnigramKernel.OovMicro,
+        s"importUnigramModel: piece '${r.getString(0)}' logp $lp is at " +
+          "or below the OOV floor (-100 nats) — it could lose to the " +
+          "fallback; such a piece cannot come from a real model")
+    }
+    val surfaces = rows.map(_.getString(0))
+    require(surfaces.distinct.length == surfaces.length,
+      "importUnigramModel: duplicate piece surfaces")
+    val withIds: Seq[(String, Double, Long)] =
+      if (hasIds) {
+        val ids = rows.map(_.getLong(2))
+        require(ids.distinct.length == ids.length,
+          "importUnigramModel: duplicate piece_id values")
+        rows.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+      } else {
+        rows.map(r => (r.getString(0), r.getDouble(1)))
+          .sortWith((a, b) => Bpe.cpLess(a._1, b._1))
+          .zipWithIndex.map { case ((p, lp), i) => (p, lp, i.toLong) }.toSeq
+      }
+    val maxLen = withIds.iterator
+      .map(p => p._1.codePointCount(0, p._1.length)).max
+    import scala.jdk.CollectionConverters._
+    val model = spark.createDataFrame(
+      withIds.sortBy(_._3).map { case (p, lp, id) =>
+        org.apache.spark.sql.Row(id, p, math.exp(lp), lp,
+          math.round(lp * 1e6))
+      }.asJava, piecesSchema)
+    graft.api.GraftFrame(model)
+      .toBucketedTable(s"${name}_uni", s"$path/uni", 1, Seq("piece"))
+    stampUniMeta(spark, path, UniMeta(withIds.length, maxLen,
+      seedSize = 0, emIters = 0, shrinkFactor = 0.5, wordPattern,
+      minWordCount = 1L, imported = true))
   }
 
   /** The Viterbi serving objects: (piece, id, logp_micro) — MODEL-
@@ -428,36 +499,50 @@ object Unigram {
     eodId.foreach(e => require(e != -1L && !pieces.exists(_._2 == e),
       s"assembleWindowsIds: eodId $e collides with a piece id (or the " +
         "-1 OOV sentinel) — reserve an id outside the vocabulary"))
-    val words = filter(Bpe.wordsOf(textCol, wordPattern),
-      w => length(w) >= 1)
-    val bare = flatten(transform(words,
-      w => TextHashExprs.unigramEncodeIds(w, pieces)))
-    val idsArr = eodId.fold(bare)(e => concat(bare, array(lit(e))))
-    val withN = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), idsArr.as("__ids__"))
-      .select(col(idCol), col("__ids__"),
-        size(col("__ids__")).cast("long").as("__n__"))
-    val members = TextStats
-      .tokenWindowMembers(withN, idCol, "__n__", windowSize, seed)
-      .filter(col("tok_to") > col("tok_from"))
-      .select(col("window_id"), col("window_pos"),
-        col(idCol).cast("long").as("__mid__"),
-        slice(col("__ids__"), (col("tok_from") + 1).cast("int"),
-          (col("tok_to") - col("tok_from")).cast("int")).as("__slice__"))
-    val sorted = array_sort(collect_list(struct(col("window_pos"),
-      col("__slice__"), col("__mid__"))))
-    val aggs = Seq(
-      flatten(transform(sorted, s => s.getField("__slice__")))
-        .as("window_ids"),
-      sum(size(col("__slice__")).cast("long")).as("n_tokens")) ++
-      (if (withDocSpans) Seq(
-        transform(sorted, s => struct(
-          s.getField("__mid__").as("id"),
-          s.getField("window_pos").as("pos"),
-          size(s.getField("__slice__")).cast("long").as("len")))
-          .as("doc_spans"))
-       else Nil)
-    members.groupBy("window_id").agg(aggs.head, aggs.tail: _*)
+    Bpe.assembleWindowsIdsFrom(docs, idCol, textCol, windowSize, seed,
+      w => TextHashExprs.unigramEncodeIds(w, pieces),
+      eodId, withDocSpans, wordPattern)
+  }
+
+  /** SLIDING-window (eval-layout) variant — [[Bpe
+    * .assembleWindowsIdsStrided]] semantics with the Viterbi encode. */
+  def assembleWindowsIdsStrided(docs: DataFrame, idCol: String,
+                                textCol: String, windowSize: Long,
+                                stride: Long, seed: Long,
+                                pieces: Seq[(String, Long, Long)],
+                                eodId: Option[Long] = None,
+                                wordPattern: Option[String] = None): DataFrame = {
+    eodId.foreach(e => require(e != -1L && !pieces.exists(_._2 == e),
+      s"assembleWindowsIdsStrided: eodId $e collides with a piece id " +
+        "(or the -1 OOV sentinel)"))
+    Bpe.assembleWindowsIdsStridedFrom(docs, idCol, textCol, windowSize,
+      stride, seed,
+      w => TextHashExprs.unigramEncodeIds(w, pieces),
+      eodId, wordPattern)
+  }
+
+  /** Doc-aware PACKED variant — [[Bpe.assembleWindowsIdsPacked]]
+    * semantics with the Viterbi encode. */
+  def assembleWindowsIdsPacked(docs: DataFrame, idCol: String,
+                               textCol: String, windowSize: Long,
+                               seed: Long,
+                               pieces: Seq[(String, Long, Long)],
+                               eodId: Option[Long] = None,
+                               padId: Option[Long] = None,
+                               withDocSpans: Boolean = false,
+                               wordPattern: Option[String] = None,
+                               segmentDocs: Int = 512): DataFrame = {
+    eodId.foreach(e => require(e != -1L && !pieces.exists(_._2 == e),
+      s"assembleWindowsIdsPacked: eodId $e collides with a piece id " +
+        "(or the -1 OOV sentinel) — reserve an id outside the vocabulary"))
+    padId.foreach(p => require(p != -1L && !pieces.exists(_._2 == p)
+        && !eodId.contains(p),
+      s"assembleWindowsIdsPacked: padId $p collides with a piece id, " +
+        "the -1 OOV sentinel, or the eodId — reserve a distinct id " +
+        "outside the vocabulary"))
+    Bpe.assembleWindowsIdsPackedFrom(docs, idCol, textCol, windowSize,
+      seed, w => TextHashExprs.unigramEncodeIds(w, pieces),
+      eodId, padId, withDocSpans, wordPattern, segmentDocs)
   }
 
   /** Maintenance observable: rows + parquet file count. */

@@ -228,6 +228,118 @@ class UnigramSpec extends SparkTestBase {
     assert(bad.getMessage.contains("collides"))
   }
 
+  test("tokenizer switch: unigram id-space landing — conservation in the Viterbi unit, fsck, O(1) replay") {
+    import graft.llm.{Dedup, Pipeline}
+    def tmpd(p: String) = tmp(p)
+    val idx = tmpd("graft_uwin_idx")
+    val mdl = tmpd("graft_uwin_uni")
+    val out = tmpd("graft_uwin_out")
+    try {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      Unigram.writeUnigramModel(docs.filter(col("doc_id") < 300), "text",
+        "uwin_uni", mdl, vocabSize = 40, maxPieceLen = 3, seedSize = 80,
+        emIters = 1)
+      val bw = Pipeline.BpeWindows("uwin_uni", mdl, tokenizer = "unigram")
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "uwin_t", idx)
+      val s1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 240)
+      val s2 = docs.filter(col("doc_id") >= 240 && col("doc_id") < 280)
+      val c1 = Pipeline.ingestWindowsShard(s1, df(docSchema), "doc_id",
+        "text", "uwin_t", idx, out, 64L, "u01", redactPii = false,
+        bpeWindows = Some(bw))
+      Pipeline.ingestWindowsShard(s2, df(docSchema), "doc_id", "text",
+        "uwin_t", idx, out, 64L, "u02", redactPii = false,
+        bpeWindows = Some(bw))
+      val win = spark.read.parquet(out)
+      assert(win.columns.sorted.sameElements(Array("n_tokens",
+        "shard_label", "split", "window_id", "window_ids")))
+      assert(win.filter(size(col("window_ids")) =!= col("n_tokens"))
+        .count() === 0L)
+      // conservation in the UNIGRAM id unit: window mass == the landed
+      // docs' Viterbi token counts (whitespace words would not match)
+      val sidecar = spark.read.parquet(s"$out/_docsidecar")
+      val landed = docs.join(sidecar.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      val uniMass = Unigram.encodeIdsIndexed(spark, "uwin_uni", mdl,
+        landed, "doc_id", "text").count()
+      val winMass = win.agg(sum("n_tokens")).head().getLong(0)
+      assert(winMass === uniMass)
+      val wsMass = landed.agg(sum(size(split(col("text"), " "))))
+        .head().getLong(0)
+      assert(winMass !== wsMass,
+        "unigram mass must differ from whitespace mass or the unit check is vacuous")
+      // the fsck counts in the landing's unit: green with the model,
+      // flagged without it
+      val rep = Pipeline.windowsReport(spark, out, Some(docs),
+        bpeWindows = Some(bw)).collect()
+      assert(rep.forall(_.getAs[Boolean]("tokens_match")), rep.mkString(";"))
+      val repWs = Pipeline.windowsReport(spark, out, Some(docs)).collect()
+      assert(repWs.forall(!_.getAs[Boolean]("tokens_match")))
+      // O(1) replay returns the recorded manifest
+      val c1b = Pipeline.ingestWindowsShard(s1, df(docSchema), "doc_id",
+        "text", "uwin_t", idx, out, 64L, "u01", redactPii = false,
+        bpeWindows = Some(bw))
+      assert(c1b === c1)
+      // a BPE-stamped resolve against the unigram path refuses loudly
+      val e = intercept[IllegalArgumentException] {
+        Pipeline.windowsReport(spark, out, Some(docs),
+          bpeWindows = Some(Pipeline.BpeWindows("uwin_uni", mdl)))
+      }
+      assert(e.getMessage.contains("BPE stamp"))
+      val e2 = intercept[IllegalArgumentException] {
+        Pipeline.windowsReport(spark, out, Some(docs),
+          bpeWindows = Some(Pipeline.BpeWindows("uwin_uni", mdl,
+            tokenizer = "wordpiece")))
+      }
+      assert(e2.getMessage.contains("unknown tokenizer"))
+    } finally {
+      Seq("bands", "shingles", "keys").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS uwin_t_$s"))
+    }
+  }
+
+  test("importUnigramModel: published (piece, logp, piece_id) serves known ids; total validation") {
+    import org.apache.spark.sql.Row
+    val path = tmp("graft_uni_imp")
+    val pieceSchema = StructType(Seq(
+      StructField("piece", StringType), StructField("logp", DoubleType),
+      StructField("piece_id", LongType)))
+    // published-style ids deliberately NOT in code-point order
+    val published = df(pieceSchema,
+      Row("at", -2.0, 7L), Row("c", -3.0, 2L), Row("a", -2.5, 0L),
+      Row("t", -2.75, 1L), Row("cat", -3.5, 9L))
+    Unigram.importUnigramModel(spark, published, "unimp", path)
+    val meta = spark.table("unimp_uni").orderBy("piece_id").collect()
+    assert(meta.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((0L, "a"), (1L, "t"), (2L, "c"), (7L, "at"), (9L, "cat")))
+    // "cat": [cat] = -3.5 beats [c][at] = -5.0, [c][a][t] = -8.25
+    // "tat": [t][at] = -4.75 beats [t][a][t] = -8.0
+    val docs = df(docSchema, Row(1L, "cat tat catx"))
+    val got = Unigram.encodeIdsIndexed(spark, "unimp", path, docs,
+        "doc_id", "text")
+      .orderBy("word_pos", "tok_pos")
+      .select("token_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(9L, 1L, 7L, 9L, -1L))
+    // imported stamp rides back
+    val stamp = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_graft_uni_meta.json")), "UTF-8")
+    assert(stamp.contains("\"imported\":true"))
+    // validation refusals
+    def bad(rows: Row*): Exception = intercept[Exception] {
+      Unigram.importUnigramModel(spark, df(pieceSchema, rows: _*),
+        "unibad", tmp("graft_uni_impbad"))
+    }
+    assert(bad().getMessage.contains("empty"))
+    assert(bad(Row("a", -1.0, 0L), Row("a", -2.0, 1L)).getMessage
+      .contains("duplicate piece surfaces"))
+    assert(bad(Row("a", -1.0, 0L), Row("b", -2.0, 0L)).getMessage
+      .contains("duplicate piece_id"))
+    assert(bad(Row("a", 0.5, 0L)).getMessage.contains("invalid"))
+    assert(bad(Row("a", -200.0, 0L)).getMessage.contains("OOV floor"))
+  }
+
   test("fertility and OOV drift observables") {
     val path = tmp("graft_uni_fert")
     val docs = df(
