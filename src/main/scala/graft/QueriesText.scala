@@ -5575,6 +5575,84 @@ object QueriesText {
           col("n_tokens"))
         .orderBy("window_id")
     }
+
+    // Unigram tokenizer fertility / OOV per language — the same
+    // metric as q_bpe_fertility under the SECOND tokenizer family:
+    // every word's Viterbi segmentation replayed by path enumeration
+    // (integer micro-nat scores — zero float tolerance), masses
+    // outer-joined against the group universe so a planted ZERO-WORD
+    // group ('zz', empty text) is value-checked rather than avoided by
+    // fixture luck (the r14 ADVICE lesson), and a planted unseen-script
+    // doc ('xx') makes the OOV share non-vacuous.
+    r.reg("q_unigram_fertility",
+      s"""WITH RECURSIVE fdocs AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE doc_id < 100 AND text IS NOT NULL
+         |  UNION ALL SELECT CAST(-8 AS BIGINT), 'xx', 'øøø foo the'
+         |  UNION ALL SELECT CAST(-9 AS BIGINT), 'zz', ''),
+         |fgrp AS (SELECT DISTINCT lang FROM fdocs),
+         |fwrd AS (
+         |  SELECT lang, toks[CAST(i AS INTEGER)] AS w
+         |  FROM (SELECT lang, string_split(text, ' ') AS toks,
+         |          unnest(range(1, len(string_split(text, ' '))+1)) AS i
+         |        FROM fdocs)
+         |  WHERE toks[CAST(i AS INTEGER)] <> ''),
+         |wd AS (SELECT DISTINCT w AS word FROM fwrd),
+         |up(piece, pid, lp) AS (SELECT * FROM (VALUES
+         |  ${uniVitModel.map { case (p, id, lp) =>
+             s"('$p', CAST($id AS BIGINT), CAST($lp AS BIGINT))" }
+             .mkString(", ")}) v),
+         |ext AS (SELECT piece, pid, lp, length(piece) AS plen FROM up
+         |        UNION ALL
+         |        SELECT NULL, CAST(-1 AS BIGINT),
+         |          CAST(-100000000 AS BIGINT), 1),
+         |paths(word, pos, score, np, ids, lens) AS (
+         |  SELECT word, 0, CAST(0 AS BIGINT), 0,
+         |    CAST([] AS BIGINT[]), CAST([] AS INTEGER[]) FROM wd
+         |  UNION ALL
+         |  SELECT p.word, p.pos + u.plen, p.score + u.lp, p.np + 1,
+         |    list_append(p.ids, u.pid), list_append(p.lens, u.plen)
+         |  FROM paths p JOIN ext u
+         |    ON p.pos < length(p.word)
+         |   AND (u.pid = -1 OR substr(p.word, p.pos + 1, u.plen) = u.piece)),
+         |fp AS (SELECT * FROM paths WHERE pos = length(word)),
+         |best AS (SELECT word, np, ids FROM (
+         |  SELECT word, np, ids, row_number() OVER (PARTITION BY word
+         |    ORDER BY score DESC, np ASC, lens DESC) AS rn FROM fp)
+         |  WHERE rn = 1),
+         |fcnt AS (SELECT f.lang, b.np,
+         |    len(list_filter(b.ids, x -> x < 0)) AS oov
+         |  FROM fwrd f JOIN best b ON f.w = b.word),
+         |fw AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words
+         |       FROM fwrd GROUP BY lang),
+         |ft AS (SELECT lang, CAST(sum(np) AS BIGINT) AS n_tokens,
+         |        CAST(sum(oov) AS BIGINT) AS n_oov
+         |       FROM fcnt GROUP BY lang)
+         |SELECT lang,
+         |  COALESCE(n_words, 0) AS n_words,
+         |  COALESCE(n_tokens, 0) AS n_tokens,
+         |  COALESCE(n_oov, 0) AS n_oov,
+         |  CASE WHEN COALESCE(n_words, 0) = 0 THEN NULL
+         |       ELSE CAST(COALESCE(n_tokens, 0) AS DOUBLE)
+         |            / COALESCE(n_words, 0) END AS fertility,
+         |  CASE WHEN COALESCE(n_tokens, 0) = 0 THEN NULL
+         |       ELSE CAST(COALESCE(n_oov, 0) AS DOUBLE)
+         |            / COALESCE(n_tokens, 0) END AS oov_rate
+         |FROM fgrp LEFT JOIN fw USING (lang) LEFT JOIN ft USING (lang)
+         |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val extra = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("xx", "øøø foo the"),
+          org.apache.spark.sql.Row("zz", "")),
+        StructType(Seq(StructField("lang", StringType),
+          StructField("text", StringType))))
+      val fdocs = t(s, dir, "documents")
+        .filter(col("doc_id") < 100 && col("text").isNotNull)
+        .select("lang", "text").unionByName(extra)
+      graft.llm.Unigram.fertilityReportWith(fdocs, "text", "lang",
+          uniVitModel)
+        .orderBy("lang")
+    }
   }
 
   /** The literal BM25 fixture query set: terms spanning the fixture

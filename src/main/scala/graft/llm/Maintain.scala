@@ -501,6 +501,10 @@ object Maintain {
                              freshSample: Option[DataFrame] = None,
                              freshCorpus: Option[DataFrame] = None,
                              textCol: String = "text") extends Target
+  final case class UnigramTarget(name: String, path: String,
+                                 freshSample: Option[DataFrame] = None,
+                                 freshCorpus: Option[DataFrame] = None,
+                                 textCol: String = "text") extends Target
   final case class MultiTarget(name: String, path: String,
                                freshSample: Option[DataFrame] = None,
                                freshSeed: Option[DataFrame] = None,
@@ -561,6 +565,8 @@ object Maintain {
             maintainGramIndex(spark, n, policy)
           case BpeTarget(n, p, fs, fc, tc) =>
             maintainBpe(spark, n, p, policy, fs, fc, tc)
+          case UnigramTarget(n, p, fs, fc, tc) =>
+            maintainUnigram(spark, n, p, policy, fs, fc, tc)
           case MultiTarget(n, p, fs, fsd, lc, tc) =>
             maintainMulti(spark, n, p, policy, fs, fsd, lc, tc)
           case WindowsTarget(op, d, ic, tc, bw, ws, mf) =>
@@ -1072,6 +1078,70 @@ object Maintain {
     results += (("table_files", files, policy.maxFilesFlat.toDouble,
       fireCompact,
       if (fireCompact) "Bpe.compactBpe"
+      else if (over) "subsumed: retrain rewrote one file per bucket"
+      else "none"))
+
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
+  }
+
+  /** Maintenance pass for the persisted UNIGRAM-LM tokenizer
+    * ([[Unigram.writeUnigramModel]] table `<name>_uni`) — the
+    * FIFTEENTH maintained family, on the [[maintainBpe]] structure:
+    * the piece table is an aggregate of the training corpus (per-doc
+    * retraction structurally absent — recorded), drift is the OOV rate
+    * of a fresh slice against the stored pieces
+    * ([[Unigram.uniOovRate]]; with a total single-code-point alphabet
+    * OOV means genuinely unseen CHARACTERS — new scripts arriving),
+    * and the one corrective is a wholesale retrain replaying the
+    * stamped geometry. An IMPORTED model ([[Unigram
+    * .importUnigramModel]] — the SentencePiece release shape) has no
+    * training corpus to replay: drift is indicated but never
+    * auto-fired, the [[maintainBpe]] imported posture. Fragmentation
+    * fires [[Unigram.compactUnigram]] unless a retrain already rewrote
+    * the table. */
+  def maintainUnigram(spark: SparkSession, name: String, path: String,
+                      policy: Policy = Policy(),
+                      freshSample: Option[DataFrame] = None,
+                      freshCorpus: Option[DataFrame] = None,
+                      textCol: String = "text"): DataFrame = {
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+    results += (("retraction", Double.NaN, Double.NaN, false,
+      "n/a: the piece table is an aggregate over the training corpus — per-doc retraction is structurally absent; correct the corpus and retrain (Unigram.writeUnigramModel)"))
+
+    val files = Unigram.uniReport(spark, name)
+      .agg(max(col("files"))).head().getLong(0).toDouble
+
+    val firedRetrain = freshSample match {
+      case None =>
+        results += (("oov_drift", Double.NaN, policy.maxDriftDelta, false,
+          "skipped: no freshSample provided"))
+        false
+      case Some(fs) =>
+        val oov = Unigram.uniOovRate(spark, name, path, fs, textCol)
+        val indicated = oov > policy.maxDriftDelta
+        val meta = Unigram.readUniMeta(spark, path)
+        val fire = indicated && freshCorpus.isDefined && !meta.imported
+        if (fire) {
+          Unigram.writeUnigramModel(freshCorpus.get, textCol, name, path,
+            meta.vocabSize, meta.maxPieceLen, meta.seedSize, meta.emIters,
+            meta.shrinkFactor, meta.wordPattern, meta.minWordCount)
+        }
+        results += (("oov_drift", oov, policy.maxDriftDelta, fire,
+          if (fire) "Unigram.writeUnigramModel(freshCorpus)"
+          else if (indicated && meta.imported)
+            "indicated: imported model is retrain-ineligible — re-import a refreshed published pair (Unigram.importUnigramModel)"
+          else if (indicated) "indicated: provide freshCorpus to retrain"
+          else "none"))
+        fire
+    }
+
+    val over = files > policy.maxFilesFlat
+    val fireCompact = over && !firedRetrain
+    if (fireCompact) Unigram.compactUnigram(spark, name)
+    results += (("table_files", files, policy.maxFilesFlat.toDouble,
+      fireCompact,
+      if (fireCompact) "Unigram.compactUnigram"
       else if (over) "subsumed: retrain rewrote one file per bucket"
       else "none"))
 

@@ -271,8 +271,8 @@ object Unigram {
     finally os.close()
   }
 
-  private[llm] def readUniMeta(spark: SparkSession,
-                               path: String): UniMeta = {
+  private[graft] def readUniMeta(spark: SparkSession,
+                                 path: String): UniMeta = {
     val p = new org.apache.hadoop.fs.Path(uniMetaFile(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
@@ -459,8 +459,20 @@ object Unigram {
                       docs: DataFrame, textCol: String,
                       groupCol: String): DataFrame = {
     val meta = readUniMeta(spark, path)
-    val pieces = piecesViterbi(spark.table(s"${name}_uni"))
-    val words = filter(Bpe.wordsOf(textCol, meta.wordPattern),
+    fertilityReportWith(docs, textCol, groupCol,
+      piecesViterbi(spark.table(s"${name}_uni")), meta.wordPattern)
+  }
+
+  /** [[fertilityReport]] under an EXPLICIT serving-object model (the
+    * [[piecesViterbi]] shape) — the oracle surface: the driver gate
+    * value-checks the metric under a literal micro-nat model by
+    * enumerating every segmentation path in SQL, with no training
+    * replay in the way. The indexed form above delegates here. */
+  def fertilityReportWith(docs: DataFrame, textCol: String,
+                          groupCol: String,
+                          pieces: Seq[(String, Long, Long)],
+                          wordPattern: Option[String] = None): DataFrame = {
+    val words = filter(Bpe.wordsOf(textCol, wordPattern),
       w => length(w) >= 1)
     val ids = flatten(transform(words,
       w => TextHashExprs.unigramEncodeIds(w, pieces)))
@@ -544,6 +556,12 @@ object Unigram {
       seed, w => TextHashExprs.unigramEncodeIds(w, pieces),
       eodId, padId, withDocSpans, wordPattern, segmentDocs)
   }
+
+  /** Rewrite the piece table to one file per bucket — the
+    * fragmentation corrective ([[Bpe.compactBpe]] posture; serving is
+    * unchanged, spec-pinned). */
+  def compactUnigram(spark: SparkSession, name: String): Unit =
+    graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_uni")
 
   /** Maintenance observable: rows + parquet file count. */
   def uniReport(spark: SparkSession, name: String): DataFrame =

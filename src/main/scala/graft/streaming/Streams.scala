@@ -402,6 +402,30 @@ object Streams {
         ()
       }
 
+  /** Streaming UNIGRAM-LM encode ([[graft.llm.Unigram]]): the
+    * [[bpeEncodeStream]] posture for the second tokenizer family —
+    * each micro-batch re-resolves the live `<name>_uni` piece table
+    * AND the stamp from the catalog/path, so a mid-stream wholesale
+    * retrain ([[graft.llm.Unigram.writeUnigramModel]]) or re-import is
+    * picked up at the next trigger without restarting the query; the
+    * vocabSize-bounded piece list is the only driver materialization
+    * per batch. Per-batch overwrite partitions — a failure-replayed
+    * micro-batch rewrites itself. */
+  def uniEncodeStream(docs: DataFrame, idCol: String, textCol: String,
+                      name: String, modelPath: String, outPath: String,
+                      checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.sparkSession.catalog.refreshTable(s"${name}_uni")
+          graft.llm.Unigram.encodeIdsIndexed(batch.sparkSession, name,
+              modelPath, batch, idCol, textCol)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        }
+        ()
+      }
+
   /** Streaming LANGUAGE ID over the persisted multiclass model — the
     * monitoring/serving form of the pipeline's [[graft.llm.Pipeline
     * .LangFilter]] gate: each micro-batch predicts through the catalog

@@ -340,6 +340,91 @@ class UnigramSpec extends SparkTestBase {
     assert(bad(Row("a", -200.0, 0L)).getMessage.contains("OOV floor"))
   }
 
+  test("maintenance: OOV drift fires a stamp-replayed retrain; imported is indicated-unfireable; compaction preserves serving") {
+    import graft.llm.Maintain
+    val path = tmp("graft_uni_maint")
+    Unigram.writeUnigramModel(classic, "text", "unim", path,
+      vocabSize = 25, maxPieceLen = 3, seedSize = 50, emIters = 2)
+    val drifted = df(docSchema, Row(7L, "øø ææ øø"), Row(8L, "ææ øø"))
+    // drift indicated but unfireable without a refresh corpus
+    val rep1 = Maintain.maintainAll(spark,
+      Seq("uni" -> Maintain.UnigramTarget("unim", path,
+        freshSample = Some(drifted))))
+      .collect().map(r => (r.getString(1), r.getBoolean(4), r.getString(5)))
+    assert(rep1.exists(r => r._1 == "oov_drift" && !r._2 &&
+      r._3.contains("freshCorpus")))
+    assert(rep1.exists(r => r._1 == "retraction" &&
+      r._3.contains("structurally absent")))
+    // with a refresh corpus the retrain fires and replays the stamp
+    val refreshed = classic.unionByName(drifted)
+    val rep2 = Maintain.maintainUnigram(spark, "unim", path,
+      freshSample = Some(drifted), freshCorpus = Some(refreshed))
+      .collect().map(r => (r.getString(0), r.getBoolean(3), r.getString(4)))
+    assert(rep2.find(_._1 == "oov_drift").get._2)
+    assert(Unigram.uniOovRate(spark, "unim", path, drifted, "text") == 0.0)
+    val meta = Unigram.readUniMeta(spark, path)
+    assert(meta.vocabSize == 25 && meta.maxPieceLen == 3 &&
+      meta.seedSize == 50)
+    // a second sweep on the same inputs is quiescent
+    val rep3 = Maintain.maintainUnigram(spark, "unim", path,
+      freshSample = Some(drifted), freshCorpus = Some(refreshed))
+      .collect().map(r => (r.getString(0), r.getBoolean(3)))
+    assert(!rep3.find(_._1 == "oov_drift").get._2)
+    // compaction preserves serving bit-for-bit
+    val before = collectSorted(
+      Unigram.encodeIdsIndexed(spark, "unim", path, classic,
+        "doc_id", "text"), "doc_id", "word_pos", "tok_pos")
+    Unigram.compactUnigram(spark, "unim")
+    val after = collectSorted(
+      Unigram.encodeIdsIndexed(spark, "unim", path, classic,
+        "doc_id", "text"), "doc_id", "word_pos", "tok_pos")
+    assert(after === before)
+    // imported model: drift indicated, NEVER auto-fired even with a corpus
+    val ipath = tmp("graft_uni_maint_imp")
+    Unigram.importUnigramModel(spark,
+      df(StructType(Seq(StructField("piece", StringType),
+        StructField("logp", DoubleType))),
+        Row("a", -1.0), Row("b", -1.5), Row("ab", -2.0)),
+      "unimi", ipath)
+    val rep4 = Maintain.maintainUnigram(spark, "unimi", ipath,
+      freshSample = Some(drifted), freshCorpus = Some(refreshed))
+      .collect().map(r => (r.getString(0), r.getBoolean(3), r.getString(4)))
+    val d4 = rep4.find(_._1 == "oov_drift").get
+    assert(!d4._2 && d4._3.contains("retrain-ineligible"))
+  }
+
+  test("streaming encode picks up a mid-stream wholesale retrain") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = tmp("graft_uni_srv")
+    val path = s"$base/model"
+    Unigram.writeUnigramModel(classic, "text", "unis", path,
+      vocabSize = 25, maxPieceLen = 3, seedSize = 50, emIters = 2)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.uniEncodeStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      "unis", path, outPath = s"$base/out",
+      checkpoint = s"$base/ckpt").start()
+    try {
+      in.addData(1L -> "øø cat")
+      q.processAllAvailable()
+      // mid-stream wholesale retrain on a corpus that covers 'ø'
+      Unigram.writeUnigramModel(
+        classic.unionByName(df(docSchema, Row(9L, "øø øø"))),
+        "text", "unis", path, vocabSize = 27, maxPieceLen = 3,
+        seedSize = 54, emIters = 2)
+      in.addData(2L -> "øø cat")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // batch 1: 'ø' unseen -> OOV ids; batch 2: the retrain covers it
+    assert(got.filter(_._1 == 1L).exists(_._2 == -1L))
+    assert(!got.filter(_._1 == 2L).exists(_._2 == -1L))
+    assert(got.filter(_._1 == 2L).nonEmpty)
+  }
+
   test("fertility and OOV drift observables") {
     val path = tmp("graft_uni_fert")
     val docs = df(
