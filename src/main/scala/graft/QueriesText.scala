@@ -5653,6 +5653,205 @@ object QueriesText {
           uniVitModel)
         .orderBy("lang")
     }
+
+    // ------------------------------------------------------------------
+    // WORDPIECE (Devlin et al. 2019 — the THIRD tokenizer family, the
+    // BERT-class greedy longest-match-first with ##-continuations and
+    // all-or-nothing per-word UNK). The literal vocabulary is designed
+    // so the real corpus exercises every branch: multi-char pieces win
+    // greedy ties ('sc'+'##an', 'win'+'##dow', 'the' whole), two words
+    // STALL mid-word (no '##y': 'key', 'query' → UNK), and
+    // maxInputChars=7 forces a LENGTH UNK ('customer'). The replay is
+    // pure integer/string SQL: precompute the longest match per (word,
+    // cursor, is-continuation), then walk the deterministic greedy
+    // chain as a recursive CTE — a word whose walk stalls short of its
+    // end, or that exceeds the length bound, is the single unknown id.
+    val wpVocabFixture: Seq[(String, Long)] =
+      Seq(("[UNK]", 0L), ("s", 1L), ("sc", 2L), ("w", 3L), ("win", 4L),
+        ("t", 5L), ("the", 6L), ("j", 7L), ("a", 8L), ("b", 9L),
+        ("c", 10L), ("d", 11L), ("f", 12L), ("g", 13L), ("h", 14L),
+        ("k", 15L), ("l", 16L), ("m", 17L), ("o", 18L), ("p", 19L),
+        ("q", 20L), ("r", 21L), ("v", 22L)) ++
+      Seq("a", "b", "c", "d", "e", "g", "h", "i", "j", "k", "l", "m",
+        "n", "o", "p", "r", "s", "t", "u", "w").zipWithIndex
+        .map { case (ch, i) => (s"##$ch", (23 + i).toLong) } ++
+      Seq(("##an", 44L), ("##dow", 45L), ("##ort", 46L), ("##ream", 47L))
+
+    val wpVocabValues = wpVocabFixture
+      .map { case (p, id) => s"('$p', CAST($id AS BIGINT))" }
+      .mkString(", ")
+
+    // the greedy longest-match machinery over a `wt(word)` CTE — the
+    // best-match table and the walk, shared by the encode and windows
+    // oracles. Emits: wbest (word, pos, pid, plen) and wseg (word,
+    // ids) where a stalled or over-length word is [unkId].
+    def wpGreedyCtes(maxChars: Int): String =
+      s"""wp(piece, pid) AS (SELECT * FROM (VALUES $wpVocabValues) v),
+         |wini AS (SELECT piece AS raw, pid, length(piece) AS plen
+         |         FROM wp WHERE NOT starts_with(piece, '##')),
+         |wcon AS (SELECT substr(piece, 3) AS raw, pid,
+         |           length(piece) - 2 AS plen
+         |         FROM wp WHERE starts_with(piece, '##')),
+         |wposx AS (SELECT word, unnest(range(0, length(word))) AS pos
+         |          FROM wt),
+         |wcand AS (
+         |  SELECT p.word, p.pos, m.pid, m.plen
+         |  FROM wposx p JOIN wini m
+         |    ON p.pos = 0 AND substr(p.word, 1, CAST(m.plen AS INTEGER)) = m.raw
+         |  UNION ALL
+         |  SELECT p.word, p.pos, m.pid, m.plen
+         |  FROM wposx p JOIN wcon m
+         |    ON p.pos > 0
+         |   AND substr(p.word, CAST(p.pos + 1 AS INTEGER), CAST(m.plen AS INTEGER)) = m.raw),
+         |wbest AS (SELECT word, pos, pid, plen FROM (
+         |  SELECT word, pos, pid, plen, row_number() OVER (
+         |    PARTITION BY word, pos ORDER BY plen DESC) AS rn FROM wcand)
+         |  WHERE rn = 1),
+         |wwalk(word, pos, ids) AS (
+         |  SELECT word, CAST(0 AS BIGINT), CAST([] AS BIGINT[]) FROM wt
+         |  UNION ALL
+         |  SELECT w.word, w.pos + b.plen, list_append(w.ids, b.pid)
+         |  FROM wwalk w JOIN wbest b
+         |    ON b.word = w.word AND b.pos = w.pos
+         |  WHERE w.pos < length(w.word)),
+         |wfin AS (SELECT word, max(pos) AS fpos FROM wwalk GROUP BY 1),
+         |wseg AS (
+         |  SELECT f.word,
+         |    CASE WHEN length(f.word) > $maxChars OR f.fpos < length(f.word)
+         |         THEN [CAST(0 AS BIGINT)] ELSE x.ids END AS ids
+         |  FROM wfin f JOIN wwalk x
+         |    ON x.word = f.word AND x.pos = f.fpos)""".stripMargin
+
+    // Build the persisted wordpiece model once per (JVM, sf dir) —
+    // the ensurePbpeModel discipline; the oracle path then runs the
+    // import + stamp + indexed serve end to end.
+    def ensureWpModel(s: org.apache.spark.sql.SparkSession,
+                      dir: String): String = {
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/wpidx")
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir &&
+        s.catalog.tableExists("g_pwp_wp")
+      if (!fresh) {
+        graft.llm.WordPiece.importWordPieceModel(s,
+          s.createDataFrame(
+            java.util.Arrays.asList(wpVocabFixture.map(p =>
+              org.apache.spark.sql.Row(p._2, p._1)): _*),
+            graft.llm.WordPiece.vocabSchema),
+          "g_pwp", idxPath, maxInputChars = 7)
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
+      idxPath
+    }
+
+    r.reg("q_wordpiece_encode",
+      s"""WITH RECURSIVE wt AS (
+         |  SELECT DISTINCT w AS word FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w
+         |    FROM documents WHERE text IS NOT NULL) s
+         |  WHERE w <> ''),
+         |${wpGreedyCtes(7)}
+         |SELECT word, array_to_string(ids, ',') AS ids_csv,
+         |  CAST(len(ids) AS BIGINT) AS n_pieces
+         |FROM wseg ORDER BY word""".stripMargin) { (s, dir) =>
+      val idxPath = ensureWpModel(s, dir)
+      val types = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ", -1)).as("word"))
+        .filter(length(col("word")) >= 1).distinct()
+      graft.llm.WordPiece.encodeIdsIndexed(s, "g_pwp", idxPath,
+          types.withColumn("text", col("word")), "word", "text")
+        .groupBy(col("word"))
+        .agg(sort_array(collect_list(struct(col("tok_pos"),
+          col("token_id")))).as("ts"))
+        .select(col("word"),
+          concat_ws(",", transform(col("ts"), x =>
+            x.getField("token_id").cast("string"))).as("ids_csv"),
+          size(col("ts")).cast("long").as("n_pieces"))
+        .orderBy("word")
+    }
+
+    // WordPiece token-ID training windows: the chop assembly under the
+    // greedy unit — per-word greedy segmentation (stall/length words
+    // as the single UNK id), per-doc id concatenation + one EOD id
+    // (100 — outside the 0..47 vocabulary), the seed-5 Knuth-hash
+    // permutation and the boundary-straddling membership formulas, all
+    // recomputed in SQL: the THIRD family lands id windows with the
+    // same oracle-pinned chop semantics.
+    r.reg("q_wordpiece_windows", {
+      val hv = "((((doc_id % 2147483648) + 2147483648) % 2147483648 + 5)" +
+        " % 2147483648) * 2654435761 % 4294967296"
+      s"""WITH RECURSIVE edocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < 100 AND text IS NOT NULL),
+         |ewrd AS (
+         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_pos,
+         |    toks[CAST(i AS INTEGER)] AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+         |          unnest(range(1, len(string_split(text, ' '))+1)) AS i
+         |        FROM edocs)
+         |  WHERE toks[CAST(i AS INTEGER)] <> ''),
+         |wt AS (SELECT DISTINCT w AS word FROM ewrd),
+         |${wpGreedyCtes(7)},
+         |eid AS (SELECT e.doc_id, e.word_pos, b.ids
+         |  FROM ewrd e JOIN wseg b ON e.w = b.word),
+         |edoc AS (
+         |  SELECT d.doc_id,
+         |    list_append(COALESCE(g.ids0, CAST([] AS BIGINT[])),
+         |      CAST(100 AS BIGINT)) AS ids
+         |  FROM (SELECT DISTINCT doc_id FROM edocs) d
+         |  LEFT JOIN (SELECT doc_id,
+         |      flatten(list(ids ORDER BY word_pos)) AS ids0
+         |    FROM eid GROUP BY doc_id) g USING (doc_id)),
+         |edn AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n FROM edoc),
+         |ecu AS (SELECT doc_id, ids, n,
+         |  CAST(sum(n) OVER (ORDER BY $hv
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS start
+         |  FROM edn),
+         |eww AS (SELECT doc_id, ids, n, start,
+         |  CAST(floor(start/60.0) AS BIGINT) AS wf,
+         |  CASE WHEN n > 0 THEN CAST(floor((start+n-1)/60.0) AS BIGINT)
+         |       ELSE CAST(floor(start/60.0) AS BIGINT) END AS wl
+         |  FROM ecu),
+         |erg AS (SELECT unnest(range(0,
+         |  (SELECT CAST(ceil(sum(n)/60.0) AS BIGINT) + 1 FROM edn))) AS window_id),
+         |emem AS (SELECT w.doc_id, r.window_id,
+         |  GREATEST(r.window_id*60 - w.start, 0) AS f,
+         |  LEAST((r.window_id+1)*60 - w.start, w.n) AS t2,
+         |  GREATEST(w.start - r.window_id*60, 0) AS pos, w.ids
+         |  FROM eww w JOIN erg r ON r.window_id BETWEEN w.wf AND w.wl),
+         |eprt AS (SELECT doc_id, window_id, pos,
+         |  ids[CAST(f+1 AS INT):CAST(t2 AS INT)] AS part, t2 - f AS len
+         |  FROM emem WHERE t2 > f)
+         |SELECT window_id,
+         |  array_to_string(list_transform(flatten(list(part ORDER BY pos)),
+         |    x -> CAST(x AS VARCHAR)), ' ') AS ids_text,
+         |  string_agg(doc_id || ':' || pos || ':' || len, ' ' ORDER BY pos)
+         |    AS spans_text,
+         |  CAST(sum(len) AS BIGINT) AS n_tokens
+         |FROM eprt GROUP BY window_id
+         |ORDER BY window_id""".stripMargin
+    }) { (s, dir) =>
+      graft.llm.WordPiece.assembleWindowsIds(
+          t(s, dir, "documents")
+            .filter(col("doc_id") < 100 && col("text").isNotNull)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", windowSize = 60L, seed = 5L,
+          wpVocabFixture, unkId = 0L, contPrefix = "##",
+          maxInputChars = 7, eodId = Some(100L), withDocSpans = true)
+        .select(col("window_id"),
+          concat_ws(" ",
+            transform(col("window_ids"), x => x.cast("string")))
+            .as("ids_text"),
+          concat_ws(" ", transform(col("doc_spans"), sp =>
+            concat_ws(":", sp.getField("id").cast("string"),
+              sp.getField("pos").cast("string"),
+              sp.getField("len").cast("string")))).as("spans_text"),
+          col("n_tokens"))
+        .orderBy("window_id")
+    }
   }
 
   /** The literal BM25 fixture query set: terms spanning the fixture

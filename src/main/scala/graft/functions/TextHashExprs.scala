@@ -1320,6 +1320,124 @@ case class UnigramEncodeIds(child: Expression,
   override def prettyName: String = "unigram_encode_ids"
 }
 
+object WordPieceKernel {
+  /** Greedy longest-match-first segmentation of one word — the
+    * published WordPiece serving algorithm (Devlin et al. 2019 BERT;
+    * the `WordpieceTokenizer` of the public BERT release): from the
+    * current cursor take the LONGEST vocabulary piece matching
+    * (continuation pieces carry the `##`-style prefix when the cursor
+    * is not at the word start); if no piece matches at any cursor, or
+    * the word exceeds `maxInputChars` code points, the WHOLE word
+    * emits the single unknown id. Unlike the BPE/unigram families
+    * there is no partial OOV — UNK is all-or-nothing per word, by the
+    * published contract. Surrogate-safe: cursor and bounds count code
+    * points. */
+  def encode(word: String,
+             init: java.util.HashMap[String, java.lang.Long],
+             cont: java.util.HashMap[String, java.lang.Long],
+             unkId: Long, maxInputChars: Int,
+             maxInit: Int, maxCont: Int): Array[Long] = {
+    val offs = UnigramKernel.cpOffsets(word)
+    val n = offs.length - 1
+    if (n == 0) return Array.emptyLongArray
+    if (n > maxInputChars) return Array(unkId)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](4)
+    var start = 0
+    while (start < n) {
+      val lookup = if (start == 0) init else cont
+      var l = math.min(if (start == 0) maxInit else maxCont, n - start)
+      var hit: java.lang.Long = null
+      while (l >= 1 && hit == null) {
+        hit = lookup.get(word.substring(offs(start), offs(start + l)))
+        if (hit == null) l -= 1
+      }
+      if (hit == null) return Array(unkId)
+      out += hit.longValue()
+      start += l
+    }
+    out.toArray
+  }
+}
+
+/** WordPiece greedy encode of one word to token ids: array<bigint>
+  * (never null elements — OOV is the whole-word unknown id, the
+  * published all-or-nothing contract). The vocabulary rides the
+  * expression as a bounded model object (the [[BpeEncodeIds]] /
+  * [[UnigramEncodeIds]] posture: no vocab join, no regroup shuffle —
+  * a document's id stream materializes inside the scan). Matching is
+  * exact-string and greedy, so the result is engine-exact and the
+  * oracle replays it in SQL as a precomputed longest-match table plus
+  * a deterministic recursive walk. */
+case class WordPieceEncodeIds(child: Expression,
+                              vocab: Seq[(String, Long)],
+                              unkId: Long, contPrefix: String,
+                              maxInputChars: Int)
+    extends UnaryExpression {
+  require(vocab.nonEmpty, "wordpiece_encode_ids: empty vocabulary")
+  require(contPrefix.nonEmpty,
+    "wordpiece_encode_ids: empty continuation prefix")
+  require(maxInputChars >= 1,
+    s"wordpiece_encode_ids: maxInputChars must be >= 1, got $maxInputChars")
+  require(vocab.exists(_._2 == unkId),
+    s"wordpiece_encode_ids: unkId $unkId is not a vocabulary id — the " +
+      "unknown token must be IN the vocabulary (the published contract)")
+  require(!vocab.exists(_._1 == contPrefix),
+    s"wordpiece_encode_ids: a piece equal to the continuation prefix " +
+      s"'$contPrefix' would match the empty string — malformed vocabulary")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_encode_ids needs STRING, got ${child.dataType}")
+
+  // split the vocabulary once: pieces carrying the prefix match only
+  // at non-initial cursors (keyed by their RAW surface), the rest only
+  // at the word start
+  @transient private lazy val (initLk, contLk, maxInit, maxCont) = {
+    val ini = new java.util.HashMap[String, java.lang.Long]()
+    val con = new java.util.HashMap[String, java.lang.Long]()
+    var mi = 1; var mc = 1
+    vocab.foreach { case (p, id) =>
+      if (p.startsWith(contPrefix)) {
+        val raw = p.substring(contPrefix.length)
+        con.put(raw, id)
+        mc = math.max(mc, UnigramKernel.cpCount(raw))
+      } else {
+        ini.put(p, id)
+        mi = math.max(mi, UnigramKernel.cpCount(p))
+      }
+    }
+    (ini, con, mi, mc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordPieceEncodeIds", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, ArrayData]()
+  private val CacheCap = 65536
+
+  override def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[UTF8String].toString
+    val hit = cache.get(word)
+    if (hit != null) return hit
+    val ids = WordPieceKernel.encode(word, initLk, contLk, unkId,
+      maxInputChars, maxInit, maxCont)
+    val out: ArrayData = new GenericArrayData(ids)
+    if (cache.size < CacheCap) cache.put(word, out)
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieceEncodeIds =
+    copy(child = newChild)
+  override def prettyName: String = "wordpiece_encode_ids"
+}
+
 /** EM E-step lattice sums of one word under a unigram-LM model in
   * PROBABILITY space: struct<z: double, parts: array<struct<pid:
   * bigint, numer: double>>> — z the word's total segmentation weight,
@@ -1493,4 +1611,9 @@ object TextHashExprs {
     column(UnigramEncodeIds(expression(word), pieces))
   def unigramExpected(word: Column, pieces: Seq[(String, Long, Double)]): Column =
     column(UnigramExpected(expression(word), pieces))
+  def wordPieceEncodeIds(word: Column, vocab: Seq[(String, Long)],
+                         unkId: Long, contPrefix: String = "##",
+                         maxInputChars: Int = 200): Column =
+    column(WordPieceEncodeIds(expression(word), vocab, unkId, contPrefix,
+      maxInputChars))
 }

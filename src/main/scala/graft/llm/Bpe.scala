@@ -444,8 +444,8 @@ object Bpe {
     sb.toString
   }
 
-  private def readSmallTextFile(spark: SparkSession, path: String,
-                                maxBytes: Long): String = {
+  private[llm] def readSmallTextFile(spark: SparkSession, path: String,
+                                     maxBytes: Long): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no file at $path")

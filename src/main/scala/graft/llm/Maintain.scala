@@ -505,6 +505,9 @@ object Maintain {
                                  freshSample: Option[DataFrame] = None,
                                  freshCorpus: Option[DataFrame] = None,
                                  textCol: String = "text") extends Target
+  final case class WordPieceTarget(name: String, path: String,
+                                   freshSample: Option[DataFrame] = None,
+                                   textCol: String = "text") extends Target
   final case class MultiTarget(name: String, path: String,
                                freshSample: Option[DataFrame] = None,
                                freshSeed: Option[DataFrame] = None,
@@ -567,6 +570,8 @@ object Maintain {
             maintainBpe(spark, n, p, policy, fs, fc, tc)
           case UnigramTarget(n, p, fs, fc, tc) =>
             maintainUnigram(spark, n, p, policy, fs, fc, tc)
+          case WordPieceTarget(n, p, fs, tc) =>
+            maintainWordPiece(spark, n, p, policy, fs, tc)
           case MultiTarget(n, p, fs, fsd, lc, tc) =>
             maintainMulti(spark, n, p, policy, fs, fsd, lc, tc)
           case WindowsTarget(op, d, ic, tc, bw, ws, mf) =>
@@ -1144,6 +1149,50 @@ object Maintain {
       if (fireCompact) "Unigram.compactUnigram"
       else if (over) "subsumed: retrain rewrote one file per bucket"
       else "none"))
+
+    import spark.implicits._
+    results.toSeq.toDF("check", "observed", "threshold", "fired", "action")
+  }
+
+  /** Maintenance pass for the persisted WORDPIECE vocabulary
+    * ([[WordPiece.importWordPieceModel]] table `<name>_wp`) — the
+    * SIXTEENTH maintained family. The family is IMPORT-ONLY by design
+    * (every published BERT-class model ships its vocab.txt; training a
+    * new subword vocabulary is the [[Bpe]]/[[Unigram]] families'
+    * role), so there is never a training corpus to replay: UNK-word
+    * drift of a fresh slice ([[WordPiece.wpUnkRate]]) is INDICATED but
+    * never auto-fired — the corrective is a re-import of a refreshed
+    * published vocabulary, a human decision by construction (the
+    * imported-BPE posture, here structural rather than conditional).
+    * Fragmentation fires [[WordPiece.compactWordPiece]]. */
+  def maintainWordPiece(spark: SparkSession, name: String, path: String,
+                        policy: Policy = Policy(),
+                        freshSample: Option[DataFrame] = None,
+                        textCol: String = "text"): DataFrame = {
+    val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
+    results += (("retraction", Double.NaN, Double.NaN, false,
+      "n/a: import-only family — correct the published vocabulary and re-import (WordPiece.importWordPieceModel)"))
+
+    freshSample match {
+      case None =>
+        results += (("unk_drift", Double.NaN, policy.maxDriftDelta, false,
+          "skipped: no freshSample provided"))
+      case Some(fs) =>
+        val unk = WordPiece.wpUnkRate(spark, name, path, fs, textCol)
+        val indicated = unk > policy.maxDriftDelta
+        results += (("unk_drift", unk, policy.maxDriftDelta, false,
+          if (indicated)
+            "indicated: import-only family is retrain-ineligible — re-import a refreshed published vocabulary (WordPiece.importWordPieceModel)"
+          else "none"))
+    }
+
+    val files = WordPiece.wpReport(spark, name)
+      .agg(max(col("files"))).head().getLong(0).toDouble
+    val fireCompact = files > policy.maxFilesFlat
+    if (fireCompact) WordPiece.compactWordPiece(spark, name)
+    results += (("table_files", files, policy.maxFilesFlat.toDouble,
+      fireCompact,
+      if (fireCompact) "WordPiece.compactWordPiece" else "none"))
 
     import spark.implicits._
     results.toSeq.toDF("check", "observed", "threshold", "fired", "action")

@@ -193,12 +193,16 @@ object Pipeline {
     * tiling) — both refused loudly. */
   /** `tokenizer` selects the model FAMILY the landing encodes under:
     * "bpe" (default — `name`/`path` address a [[Bpe.writeBpeModel]] /
-    * [[Bpe.importBpeModel]] model) or "unigram" (`name`/`path` address
+    * [[Bpe.importBpeModel]] model), "unigram" (`name`/`path` address
     * a [[Unigram.writeUnigramModel]] / [[Unigram.importUnigramModel]]
-    * model — the SentencePiece-unigram family). Every landing layout
-    * (chop / packed / strided), the manifest/replay/fsck discipline
-    * and the loaders are tokenizer-agnostic: the id unit changes, the
-    * conservation laws don't. */
+    * model — the SentencePiece-unigram family) or "wordpiece"
+    * (`name`/`path` address a [[WordPiece.importWordPieceModel]]
+    * model — the BERT-class greedy family; the stamped unknown id is
+    * a REAL vocabulary id, so eodId/padId must avoid it like any
+    * other). Every landing layout (chop / packed / strided), the
+    * manifest/replay/fsck discipline and the loaders are
+    * tokenizer-agnostic: the id unit changes, the conservation laws
+    * don't. */
   final case class BpeWindows(name: String, path: String,
                               eodId: Option[Long] = None,
                               docSpans: Boolean = false,
@@ -225,37 +229,54 @@ object Pipeline {
                                        padId: Option[Long] = None,
                                        segmentDocs: Int = 512,
                                        stride: Option[Long] = None,
-                                       uniPieces: Option[Seq[(String, Long, Long)]] = None) {
-    /** One word → its token ids, under whichever family is stamped. */
+                                       uniPieces: Option[Seq[(String, Long, Long)]] = None,
+                                       wp: Option[WordPiece.WpMeta] = None,
+                                       wpVocab: Seq[(String, Long)] = Nil) {
+    /** One word → its token ids, under whichever family is stamped.
+      * For the wordpiece family the id-ordered (piece, id) pairs ride
+      * `wpVocab` and the greedy contract rides `wp`. */
     def encode(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      uniPieces match {
-        case Some(ps) => graft.functions.TextHashExprs.unigramEncodeIds(w, ps)
-        case None => graft.functions.TextHashExprs
+      (uniPieces, wp) match {
+        case (Some(ps), _) => graft.functions.TextHashExprs.unigramEncodeIds(w, ps)
+        case (_, Some(m)) => graft.functions.TextHashExprs
+          .wordPieceEncodeIds(w, wpVocab, m.unkId, m.contPrefix,
+            m.maxInputChars)
+        case _ => graft.functions.TextHashExprs
           .bpeEncodeIds(w, merges, vocab, byteLevel)
       }
     def asmChop(docs: DataFrame, idCol: String, textCol: String,
-                windowSize: Long, seed: Long): DataFrame = uniPieces match {
-      case Some(ps) => Unigram.assembleWindowsIds(docs, idCol, textCol,
+                windowSize: Long, seed: Long): DataFrame = (uniPieces, wp) match {
+      case (Some(ps), _) => Unigram.assembleWindowsIds(docs, idCol, textCol,
         windowSize, seed, ps, eodId, docSpans, wordPattern)
-      case None => Bpe.assembleWindowsIds(docs, idCol, textCol,
+      case (_, Some(m)) => WordPiece.assembleWindowsIds(docs, idCol,
+        textCol, windowSize, seed, wpVocab, m.unkId, m.contPrefix,
+        m.maxInputChars, eodId, docSpans, wordPattern)
+      case _ => Bpe.assembleWindowsIds(docs, idCol, textCol,
         windowSize, seed, merges, vocab, eodId, docSpans, byteLevel,
         wordPattern)
     }
     def asmStrided(docs: DataFrame, idCol: String, textCol: String,
                    windowSize: Long, st: Long, seed: Long): DataFrame =
-      uniPieces match {
-        case Some(ps) => Unigram.assembleWindowsIdsStrided(docs, idCol,
+      (uniPieces, wp) match {
+        case (Some(ps), _) => Unigram.assembleWindowsIdsStrided(docs, idCol,
           textCol, windowSize, st, seed, ps, eodId, wordPattern)
-        case None => Bpe.assembleWindowsIdsStrided(docs, idCol, textCol,
+        case (_, Some(m)) => WordPiece.assembleWindowsIdsStrided(docs,
+          idCol, textCol, windowSize, st, seed, wpVocab, m.unkId,
+          m.contPrefix, m.maxInputChars, eodId, wordPattern)
+        case _ => Bpe.assembleWindowsIdsStrided(docs, idCol, textCol,
           windowSize, st, seed, merges, vocab, eodId, byteLevel,
           wordPattern)
       }
     def asmPacked(docs: DataFrame, idCol: String, textCol: String,
-                  windowSize: Long, seed: Long): DataFrame = uniPieces match {
-      case Some(ps) => Unigram.assembleWindowsIdsPacked(docs, idCol,
+                  windowSize: Long, seed: Long): DataFrame = (uniPieces, wp) match {
+      case (Some(ps), _) => Unigram.assembleWindowsIdsPacked(docs, idCol,
         textCol, windowSize, seed, ps, eodId, padId, docSpans,
         wordPattern, segmentDocs)
-      case None => Bpe.assembleWindowsIdsPacked(docs, idCol, textCol,
+      case (_, Some(m)) => WordPiece.assembleWindowsIdsPacked(docs,
+        idCol, textCol, windowSize, seed, wpVocab, m.unkId,
+        m.contPrefix, m.maxInputChars, eodId, padId, docSpans,
+        wordPattern, segmentDocs)
+      case _ => Bpe.assembleWindowsIdsPacked(docs, idCol, textCol,
         windowSize, seed, merges, vocab, eodId, padId, docSpans,
         byteLevel, wordPattern, segmentDocs)
     }
@@ -276,10 +297,22 @@ object Pipeline {
         "BpeWindows: overlapping strided windows have no disjoint doc " +
           "tiling — docSpans and stride are mutually exclusive")
     }
-    require(bw.tokenizer == "bpe" || bw.tokenizer == "unigram",
+    require(bw.tokenizer == "bpe" || bw.tokenizer == "unigram" ||
+        bw.tokenizer == "wordpiece",
       s"BpeWindows: unknown tokenizer '${bw.tokenizer}' — " +
-        "\"bpe\" or \"unigram\"")
-    if (bw.tokenizer == "unigram") {
+        "\"bpe\", \"unigram\" or \"wordpiece\"")
+    if (bw.tokenizer == "wordpiece") {
+      // the wordpiece family: ONE vocabulary table, serving contract
+      // (unk id, prefix, length bound, pre-tokenizer) from its stamp;
+      // a stampless path refuses in readWpMeta. The vocab map is
+      // carried for id-collision bookkeeping; encode embeds the
+      // id-ordered pairs directly.
+      val meta = WordPiece.readWpMeta(spark, bw.path)
+      val pairs = WordPiece.vocabServing(spark.table(s"${bw.name}_wp"))
+      ResolvedBpe(Nil, pairs.toMap, bw.eodId, bw.docSpans,
+        byteLevel = false, meta.wordPattern, bw.packed, bw.padId,
+        bw.segmentDocs, bw.stride, None, Some(meta), pairs)
+    } else if (bw.tokenizer == "unigram") {
       // the unigram family: ONE piece table, pre-tokenizer from its
       // stamp; a stampless path refuses in readUniMeta. The vocab map
       // (piece → id) is carried only for id-collision bookkeeping —

@@ -1,0 +1,376 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextHashExprs
+
+/** WORDPIECE subword tokenizer (Devlin et al. 2019 — the BERT family's
+  * tokenizer; the published `WordpieceTokenizer` of the public BERT
+  * release): a vocabulary of pieces where continuation pieces carry a
+  * `##`-style prefix, served by GREEDY LONGEST-MATCH-FIRST — from the
+  * cursor take the longest matching piece; if any cursor has no match,
+  * or the word exceeds `maxInputChars` code points, the WHOLE word is
+  * the unknown token (all-or-nothing UNK, unlike the BPE/unigram
+  * per-code-point fallback). The third tokenizer family beside [[Bpe]]
+  * (bottom-up merges) and [[Unigram]] (EM-pruned Viterbi) — a
+  * BERT/DistilBERT/ELECTRA-class corpus team tokenizes under exactly
+  * this algorithm and vocabulary.
+  *
+  * IMPORT-ONLY by design: every published WordPiece model ships its
+  * `vocab.txt` (one piece per line, id = line number — [[readBertVocab]]
+  * reads it directly), and the production requirement is tokenizing
+  * under the EXACT released vocabulary. Training a new subword
+  * vocabulary from a corpus is served by the [[Bpe]] and [[Unigram]]
+  * families; a WordPiece model accordingly has no training corpus to
+  * replay, so maintenance ([[Maintain.maintainWordPiece]]) indicates
+  * drift but never auto-fires — the corrective is a re-import of a
+  * refreshed published vocabulary, a human decision by construction.
+  *
+  * Scale posture — the family's serving objects are MODEL-sized
+  * (|vocab| pieces, bounded by the published release): encode embeds
+  * the vocabulary in a native expression
+  * ([[graft.functions.WordPieceEncodeIds]] — no vocab join, no regroup
+  * shuffle; a document's id stream materializes inside the scan), and
+  * the windows assemblers share the [[Bpe]] bodies, so every landing
+  * layout (chop / strided / packed) carries the same one-shuffle
+  * plans and conservation laws with only the id unit changed.
+  * Determinism: matching is exact-string and greedy — engine-exact,
+  * replayable in SQL as a precomputed longest-match table plus a
+  * deterministic recursive walk (no float anywhere). */
+object WordPiece {
+
+  /** Model-table schema: (piece_id, piece). Published vocabularies are
+    * id-dense in file order; explicit ids are preserved verbatim. */
+  val vocabSchema: StructType = StructType(Seq(
+    StructField("piece_id", LongType, nullable = false),
+    StructField("piece", StringType, nullable = false)))
+
+  private def wpMetaFile(path: String) = s"$path/_graft_wp_meta.json"
+
+  /** The persisted model's stamp: the serving contract
+    * ([[encodeIdsIndexed]] replays exactly these — the [[Bpe.BpeMeta]]
+    * posture). `imported` is structurally always true for this family
+    * (recorded anyway so the maintenance plane reads one shape across
+    * the three tokenizer families). */
+  final case class WpMeta(unkId: Long, contPrefix: String,
+                          maxInputChars: Int,
+                          wordPattern: Option[String],
+                          imported: Boolean = true)
+
+  private def stampWpMeta(spark: SparkSession, path: String,
+                          meta: WpMeta): Unit = {
+    val p = new org.apache.hadoop.fs.Path(wpMetaFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val wp = meta.wordPattern.fold("")(pat =>
+      s""","word_pattern":"${esc(pat)}"""")
+    val os = fs.create(p, true)
+    try os.write(
+      s"""{"unk_id":${meta.unkId},"cont_prefix":"${esc(meta.contPrefix)}","max_input_chars":${meta.maxInputChars},"imported":${meta.imported}$wp}\n"""
+        .getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  private[graft] def readWpMeta(spark: SparkSession,
+                                path: String): WpMeta = {
+    val p = new org.apache.hadoop.fs.Path(wpMetaFile(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no wordpiece stamp at ${wpMetaFile(path)} — build with " +
+        "importWordPieceModel first")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    def str(k: String): Option[String] =
+      (s""""$k"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(txt)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    def long(k: String): Option[Long] =
+      (s""""$k"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+    (long("unk_id"), str("cont_prefix"), long("max_input_chars")) match {
+      case (Some(u), Some(c), Some(m)) =>
+        WpMeta(u, c, m.toInt, str("word_pattern"))
+      case _ => throw new IllegalStateException(
+        s"malformed wordpiece stamp at ${wpMetaFile(path)}: $txt")
+    }
+  }
+
+  /** Read a published `vocab.txt` — ONE PIECE PER LINE, id = line
+    * number (the BERT release shape) — into the (piece, piece_id)
+    * frame [[importWordPieceModel]] takes. Driver-side and
+    * size-guarded ([[Bpe.readSmallTextFile]]): a published vocabulary
+    * is model-sized by construction. Lines are pieces VERBATIM (no
+    * trimming beyond the line terminator — a leading/trailing space
+    * in a piece is meaningful); an empty line refuses at import. */
+  def readBertVocab(spark: SparkSession, path: String,
+                    maxBytes: Long = 64L << 20): DataFrame = {
+    val lines = Bpe.readSmallTextFile(spark, path, maxBytes)
+      .split("\n", -1).iterator.map(_.stripSuffix("\r")).toIndexedSeq
+    // the file's final newline yields one trailing empty entry — drop
+    // exactly that (interior empties stay, and refuse at import)
+    val trimmed =
+      if (lines.nonEmpty && lines.last.isEmpty) lines.dropRight(1) else lines
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      trimmed.zipWithIndex
+        .map { case (p, i) => Row(i.toLong, p) }.asJava,
+      vocabSchema)
+  }
+
+  /** Import a PRETRAINED WordPiece vocabulary — `vocab` carries
+    * (piece: string) and optionally an explicit `piece_id` column (the
+    * published id assignment — line order in a vocab.txt; absent, ids
+    * are assigned in code-point order of the surface, the [[Unigram
+    * .importUnigramModel]] posture). Validation is total and loud:
+    * non-empty, unique surfaces, unique ids, the unknown piece
+    * present, no empty piece, and no piece equal to the continuation
+    * prefix (its raw surface would match the empty string). Lands ONE
+    * bucketed table `<name>_wp` plus the stamp LAST (a crashed build
+    * refuses to serve). */
+  def importWordPieceModel(spark: SparkSession, vocab: DataFrame,
+                           name: String, path: String,
+                           unkPiece: String = "[UNK]",
+                           contPrefix: String = "##",
+                           maxInputChars: Int = 200,
+                           wordPattern: Option[String] = None): Unit = {
+    require(contPrefix.nonEmpty,
+      "importWordPieceModel: empty continuation prefix")
+    require(maxInputChars >= 1,
+      s"importWordPieceModel: maxInputChars must be >= 1, got $maxInputChars")
+    val hasIds = vocab.columns.contains("piece_id")
+    val rows = (if (hasIds)
+        vocab.select(col("piece"), col("piece_id").cast("long"))
+      else vocab.select(col("piece"), lit(null).cast("long"))).collect()
+    require(rows.nonEmpty, "importWordPieceModel: empty vocabulary")
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && r.getString(0).nonEmpty,
+        "importWordPieceModel: null/empty piece surface")
+      require(r.getString(0) != contPrefix,
+        s"importWordPieceModel: piece equal to the continuation prefix " +
+          s"'$contPrefix' would match the empty string — malformed vocabulary")
+    }
+    val surfaces = rows.map(_.getString(0))
+    require(surfaces.distinct.length == surfaces.length,
+      "importWordPieceModel: duplicate piece surfaces")
+    val withIds: Seq[(String, Long)] =
+      if (hasIds) {
+        val ids = rows.map(_.getLong(1))
+        require(ids.distinct.length == ids.length,
+          "importWordPieceModel: duplicate piece_id values")
+        rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      } else
+        surfaces.sortWith(Bpe.cpLess).zipWithIndex
+          .map { case (p, i) => (p, i.toLong) }.toSeq
+    val unkId = withIds.collectFirst { case (p, id) if p == unkPiece => id }
+      .getOrElse(throw new IllegalArgumentException(
+        s"importWordPieceModel: unknown piece '$unkPiece' is not in the " +
+          "vocabulary — the published contract requires it (every " +
+          "unmatched word serves as this token)"))
+    import scala.jdk.CollectionConverters._
+    val model = spark.createDataFrame(
+      withIds.sortBy(_._2).map { case (p, id) => Row(id, p) }.asJava,
+      vocabSchema)
+    graft.api.GraftFrame(model)
+      .toBucketedTable(s"${name}_wp", s"$path/wp", 1, Seq("piece"))
+    stampWpMeta(spark, path, WpMeta(unkId, contPrefix, maxInputChars,
+      wordPattern))
+  }
+
+  /** The greedy serving object: (piece, id) — MODEL-sized, embedded
+    * in the encode expression. */
+  def vocabServing(model: DataFrame): Seq[(String, Long)] =
+    model.select("piece", "piece_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Greedy encode: (id, word_pos, tok_pos, token_id) — the
+    * [[Bpe.encodeIds]] / [[Unigram.encodeIds]] shape. Unmatched or
+    * over-length words emit the single `unkId`. */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                vocab: Seq[(String, Long)], unkId: Long,
+                contPrefix: String = "##", maxInputChars: Int = 200,
+                wordPattern: Option[String] = None): DataFrame =
+    docs.select(col(idCol),
+        posexplode(Bpe.wordsOf(textCol, wordPattern))
+          .as(Seq("word_pos", "__w__")))
+      .filter(length(col("__w__")) >= 1)
+      .select(col(idCol), col("word_pos"),
+        posexplode(TextHashExprs.wordPieceEncodeIds(col("__w__"), vocab,
+          unkId, contPrefix, maxInputChars))
+          .as(Seq("tok_pos", "token_id")))
+
+  /** Serve [[encodeIds]] from the persisted model (stamp-guarded). */
+  def encodeIdsIndexed(spark: SparkSession, name: String, path: String,
+                       docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val meta = readWpMeta(spark, path)
+    encodeIds(docs, idCol, textCol,
+      vocabServing(spark.table(s"${name}_wp")), meta.unkId,
+      meta.contPrefix, meta.maxInputChars, meta.wordPattern)
+  }
+
+  /** Landed ids back to readable text — the published
+    * convert-tokens-to-string convention: pieces join with a space,
+    * then the continuation prefix re-attaches (" ##" removed), so a
+    * word's pieces concatenate and words separate by ONE space.
+    * Inherently lossy (original whitespace is not recorded; UNK words
+    * render as the unknown piece) — stated, not hidden. Implemented by
+    * re-surfacing each id through a transformed map (initial piece →
+    * " "+piece, continuation → raw) on the shared
+    * [[graft.functions.BpeDecodeIds]] concat kernel, then trimming the
+    * leading space. */
+  def detokenizeIndexed(spark: SparkSession, name: String, path: String,
+                        ids: Column): Column = {
+    val meta = readWpMeta(spark, path)
+    val mapped = vocabServing(spark.table(s"${name}_wp")).map {
+      case (p, id) if p.startsWith(meta.contPrefix) =>
+        p.substring(meta.contPrefix.length) -> id
+      case (p, id) => (" " + p) -> id
+    }.toMap
+    ltrim(TextHashExprs.bpeDecodeIds(ids, mapped, byteLevel = false))
+  }
+
+  /** Tokenizer fertility / UNK report under an explicit vocabulary —
+    * per group: word mass, token mass, UNK-WORD mass (whole words
+    * serving as the unknown token — this family's OOV unit), fertility
+    * and unk share. One scan-fused pass, group-cardinality output. */
+  def fertilityReportWith(docs: DataFrame, textCol: String,
+                          groupCol: String, vocab: Seq[(String, Long)],
+                          unkId: Long, contPrefix: String = "##",
+                          maxInputChars: Int = 200,
+                          wordPattern: Option[String] = None): DataFrame = {
+    val words = filter(Bpe.wordsOf(textCol, wordPattern),
+      w => length(w) >= 1)
+    val enc = transform(words, w =>
+      TextHashExprs.wordPieceEncodeIds(w, vocab, unkId, contPrefix,
+        maxInputChars))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol),
+        size(words).cast("long").as("__w__"),
+        size(flatten(enc)).cast("long").as("__t__"),
+        size(filter(enc, a =>
+          size(a) === 1 && a.getItem(0) === unkId))
+          .cast("long").as("__u__"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__w__")).as("n_words"),
+        sum(col("__t__")).as("n_tokens"),
+        sum(col("__u__")).as("n_unk_words"))
+      .select(col(groupCol),
+        col("n_words"), col("n_tokens"), col("n_unk_words"),
+        when(col("n_words") === 0L, lit(null))
+          .otherwise(col("n_tokens").cast("double") / col("n_words"))
+          .as("fertility"),
+        when(col("n_words") === 0L, lit(null))
+          .otherwise(col("n_unk_words").cast("double") / col("n_words"))
+          .as("unk_rate"))
+  }
+
+  /** [[fertilityReportWith]] from the persisted model. */
+  def fertilityReport(spark: SparkSession, name: String, path: String,
+                      docs: DataFrame, textCol: String,
+                      groupCol: String): DataFrame = {
+    val meta = readWpMeta(spark, path)
+    fertilityReportWith(docs, textCol, groupCol,
+      vocabServing(spark.table(s"${name}_wp")), meta.unkId,
+      meta.contPrefix, meta.maxInputChars, meta.wordPattern)
+  }
+
+  /** UNK-word drift of a fresh corpus slice against the stored
+    * vocabulary — the [[Bpe.bpeOovRate]] observable for this family
+    * (share of WORDS serving as the unknown token: the vocabulary is
+    * closed, so a corpus drifting toward unseen scripts or new
+    * morphology surfaces here first). */
+  def wpUnkRate(spark: SparkSession, name: String, path: String,
+                fresh: DataFrame, textCol: String): Double = {
+    val meta = readWpMeta(spark, path)
+    val row = fertilityReportWith(
+        fresh.select(lit(0L).as("__g__"), col(textCol)), textCol, "__g__",
+        vocabServing(spark.table(s"${name}_wp")), meta.unkId,
+        meta.contPrefix, meta.maxInputChars, meta.wordPattern)
+      .agg(sum(col("n_words")).as("w"), sum(col("n_unk_words")).as("u"))
+      .head()
+    if (row.isNullAt(0) || row.getLong(0) == 0L) 0.0
+    else row.getLong(1).toDouble / row.getLong(0).toDouble
+  }
+
+  private def checkReserved(vocab: Seq[(String, Long)], unkId: Long,
+                            eodId: Option[Long], padId: Option[Long],
+                            what: String): Unit = {
+    eodId.foreach(e => require(!vocab.exists(_._2 == e),
+      s"$what: eodId $e collides with a vocabulary id (the unknown id " +
+        s"$unkId included) — reserve an id outside the vocabulary"))
+    padId.foreach { p =>
+      require(!vocab.exists(_._2 == p) && !eodId.contains(p),
+        s"$what: padId $p collides with a vocabulary id or the eodId — " +
+          "reserve a distinct id outside the vocabulary")
+    }
+  }
+
+  /** GPT-style concat-and-chop training windows in WordPiece TOKEN-ID
+    * space — the shared [[Bpe.assembleWindowsIdsFrom]] body with the
+    * greedy encode expression: the id stream materializes inside the
+    * scan, then the two-pass cumsum + ONE window-keyed shuffle. */
+  def assembleWindowsIds(docs: DataFrame, idCol: String, textCol: String,
+                         windowSize: Long, seed: Long,
+                         vocab: Seq[(String, Long)], unkId: Long,
+                         contPrefix: String = "##",
+                         maxInputChars: Int = 200,
+                         eodId: Option[Long] = None,
+                         withDocSpans: Boolean = false,
+                         wordPattern: Option[String] = None): DataFrame = {
+    checkReserved(vocab, unkId, eodId, None, "assembleWindowsIds")
+    Bpe.assembleWindowsIdsFrom(docs, idCol, textCol, windowSize, seed,
+      w => TextHashExprs.wordPieceEncodeIds(w, vocab, unkId, contPrefix,
+        maxInputChars),
+      eodId, withDocSpans, wordPattern)
+  }
+
+  /** SLIDING-window (eval-layout) variant. */
+  def assembleWindowsIdsStrided(docs: DataFrame, idCol: String,
+                                textCol: String, windowSize: Long,
+                                stride: Long, seed: Long,
+                                vocab: Seq[(String, Long)], unkId: Long,
+                                contPrefix: String = "##",
+                                maxInputChars: Int = 200,
+                                eodId: Option[Long] = None,
+                                wordPattern: Option[String] = None): DataFrame = {
+    checkReserved(vocab, unkId, eodId, None, "assembleWindowsIdsStrided")
+    Bpe.assembleWindowsIdsStridedFrom(docs, idCol, textCol, windowSize,
+      stride, seed,
+      w => TextHashExprs.wordPieceEncodeIds(w, vocab, unkId, contPrefix,
+        maxInputChars),
+      eodId, wordPattern)
+  }
+
+  /** Doc-aware PACKED variant. */
+  def assembleWindowsIdsPacked(docs: DataFrame, idCol: String,
+                               textCol: String, windowSize: Long,
+                               seed: Long,
+                               vocab: Seq[(String, Long)], unkId: Long,
+                               contPrefix: String = "##",
+                               maxInputChars: Int = 200,
+                               eodId: Option[Long] = None,
+                               padId: Option[Long] = None,
+                               withDocSpans: Boolean = false,
+                               wordPattern: Option[String] = None,
+                               segmentDocs: Int = 512): DataFrame = {
+    checkReserved(vocab, unkId, eodId, padId, "assembleWindowsIdsPacked")
+    Bpe.assembleWindowsIdsPackedFrom(docs, idCol, textCol, windowSize,
+      seed, w => TextHashExprs.wordPieceEncodeIds(w, vocab, unkId,
+        contPrefix, maxInputChars),
+      eodId, padId, withDocSpans, wordPattern, segmentDocs)
+  }
+
+  /** Rewrite the vocabulary table to one file per bucket. */
+  def compactWordPiece(spark: SparkSession, name: String): Unit =
+    graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_wp")
+
+  /** Maintenance observable: rows + parquet file count. */
+  def wpReport(spark: SparkSession, name: String): DataFrame =
+    spark.table(s"${name}_wp")
+      .select(input_file_name().as("__f__"))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("__f__")).as("files"))
+      .select(lit(s"${name}_wp").as("table"), col("rows"), col("files"))
+}

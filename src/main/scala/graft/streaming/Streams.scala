@@ -426,6 +426,26 @@ object Streams {
         ()
       }
 
+  /** Streaming WORDPIECE encode ([[graft.llm.WordPiece]]): the
+    * [[bpeEncodeStream]] posture for the third tokenizer family —
+    * each micro-batch re-resolves the live `<name>_wp` vocabulary and
+    * stamp, so a mid-stream re-import is picked up at the next
+    * trigger. Per-batch overwrite partitions. */
+  def wpEncodeStream(docs: DataFrame, idCol: String, textCol: String,
+                     name: String, modelPath: String, outPath: String,
+                     checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.sparkSession.catalog.refreshTable(s"${name}_wp")
+          graft.llm.WordPiece.encodeIdsIndexed(batch.sparkSession, name,
+              modelPath, batch, idCol, textCol)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        }
+        ()
+      }
+
   /** Streaming LANGUAGE ID over the persisted multiclass model — the
     * monitoring/serving form of the pipeline's [[graft.llm.Pipeline
     * .LangFilter]] gate: each micro-batch predicts through the catalog

@@ -288,12 +288,20 @@ class UnigramSpec extends SparkTestBase {
           bpeWindows = Some(Pipeline.BpeWindows("uwin_uni", mdl)))
       }
       assert(e.getMessage.contains("BPE stamp"))
+      // a wordpiece resolve against the unigram path refuses at ITS
+      // stamp guard (the family is known; the model here is not its)
       val e2 = intercept[IllegalArgumentException] {
         Pipeline.windowsReport(spark, out, Some(docs),
           bpeWindows = Some(Pipeline.BpeWindows("uwin_uni", mdl,
             tokenizer = "wordpiece")))
       }
-      assert(e2.getMessage.contains("unknown tokenizer"))
+      assert(e2.getMessage.contains("wordpiece stamp"))
+      val e3 = intercept[IllegalArgumentException] {
+        Pipeline.windowsReport(spark, out, Some(docs),
+          bpeWindows = Some(Pipeline.BpeWindows("uwin_uni", mdl,
+            tokenizer = "sentencepiece")))
+      }
+      assert(e3.getMessage.contains("unknown tokenizer"))
     } finally {
       Seq("bands", "shingles", "keys").foreach(s =>
         spark.sql(s"DROP TABLE IF EXISTS uwin_t_$s"))

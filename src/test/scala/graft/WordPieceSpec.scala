@@ -1,0 +1,304 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextHashExprs
+import graft.llm.WordPiece
+
+/** WordPiece tokenizer (Devlin et al. 2019 — the BERT family): greedy
+  * longest-match-first with `##` continuation pieces and all-or-nothing
+  * per-word UNK, hand-computed against the published algorithm; the
+  * persisted import-only model lifecycle; vocab.txt reading; windows
+  * landings through the tokenizer switch; maintenance and streaming. */
+class WordPieceSpec extends SparkTestBase {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val fullVocab: Seq[(String, Long)] = Seq(
+    ("[UNK]", 0L), ("un", 1L), ("##aff", 2L), ("##able", 3L),
+    ("una", 4L), ("##ffable", 5L), ("runn", 6L), ("##ing", 7L),
+    ("the", 8L), ("t", 9L), ("##h", 10L), ("##e", 11L),
+    ("hug", 12L), ("##s", 13L))
+
+  private def enc(word: String, vocab: Seq[(String, Long)] = fullVocab,
+                  maxChars: Int = 200): Seq[Long] =
+    spark.range(1)
+      .select(TextHashExprs.wordPieceEncodeIds(lit(word), vocab, 0L,
+        "##", maxChars).as("ids"))
+      .head().getSeq[Long](0)
+
+  test("greedy longest-match-first: longest piece wins at every cursor") {
+    // with 'una'/'##ffable' present, greedy takes the LONGER start
+    assert(enc("unaffable") === Seq(4L, 5L))
+    // without them, the classic BERT segmentation
+    val noUna = fullVocab.filterNot(p => p._1 == "una" || p._1 == "##ffable")
+    assert(enc("unaffable", noUna) === Seq(1L, 2L, 3L))
+    assert(enc("the") === Seq(8L))
+    assert(enc("thee") === Seq(8L, 11L))
+    assert(enc("hugs") === Seq(12L, 13L))
+    assert(enc("running") === Seq(6L, 7L))
+  }
+
+  test("all-or-nothing UNK: stalled cursor, over-length word, prefix-at-start") {
+    // no init piece covers 'runs' -> the WHOLE word is UNK (no partial)
+    assert(enc("runs") === Seq(0L))
+    // a word longer than maxInputChars is UNK without scanning
+    assert(enc("unaffable", maxChars = 5) === Seq(0L))
+    assert(enc("unaffable", maxChars = 9) === Seq(4L, 5L))
+    // continuation pieces never match at the word start: a literal
+    // '##s' word finds no init piece and is UNK
+    assert(enc("##s") === Seq(0L))
+    // empty word encodes to nothing (filtered upstream anyway)
+    assert(enc("") === Seq.empty)
+  }
+
+  test("surrogate-safe: non-BMP chars are single code points") {
+    val v = fullVocab ++ Seq(("𝄞", 20L), ("##𝄞", 21L))
+    assert(enc("𝄞", v) === Seq(20L))
+    assert(enc("t𝄞", v) === Seq(9L, 21L))
+    // maxInputChars counts code points, not UTF-16 units
+    assert(enc("t𝄞", v, maxChars = 2) === Seq(9L, 21L))
+  }
+
+  test("expression validation: unk in vocab, prefix piece refused") {
+    val e1 = intercept[IllegalArgumentException] {
+      enc("x", Seq(("a", 1L)), 200) // unkId 0 not a vocab id
+    }
+    assert(e1.getMessage.contains("unkId"))
+    val e2 = intercept[IllegalArgumentException] {
+      enc("x", Seq(("[UNK]", 0L), ("##", 1L)), 200)
+    }
+    assert(e2.getMessage.contains("continuation prefix"))
+  }
+
+  test("import + indexed serve == one-shot; stamp replayed; stampless refuses; validation total") {
+    val path = tmp("graft_wp_idx")
+    val vocabDf = df(
+      StructType(Seq(StructField("piece", StringType),
+        StructField("piece_id", LongType))),
+      fullVocab.map(p => Row(p._1, p._2)): _*)
+    WordPiece.importWordPieceModel(spark, vocabDf, "wpt", path,
+      maxInputChars = 50)
+    val docs = df(docSchema, Row(1L, "the unaffable hugs"),
+      Row(2L, "running runs thee"))
+    val oneShot = WordPiece.encodeIds(docs, "doc_id", "text", fullVocab,
+      0L, "##", 50)
+    val served = WordPiece.encodeIdsIndexed(spark, "wpt", path, docs,
+      "doc_id", "text")
+    assert(collectSorted(served, "doc_id", "word_pos", "tok_pos") ===
+      collectSorted(oneShot, "doc_id", "word_pos", "tok_pos"))
+    val meta = WordPiece.readWpMeta(spark, path)
+    assert(meta.unkId === 0L && meta.contPrefix === "##" &&
+      meta.maxInputChars === 50 && meta.imported)
+    val e = intercept[IllegalArgumentException] {
+      WordPiece.encodeIdsIndexed(spark, "wpt", tmp("graft_wp_nostamp"),
+        docs, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("stamp"))
+    // total validation
+    def bad(rows: Row*): Exception = intercept[Exception] {
+      WordPiece.importWordPieceModel(spark,
+        df(StructType(Seq(StructField("piece", StringType),
+          StructField("piece_id", LongType))), rows: _*),
+        "wpbad", tmp("graft_wp_bad"))
+    }
+    assert(bad(Row("a", 0L), Row("a", 1L)).getMessage
+      .contains("duplicate piece surfaces"))
+    assert(bad(Row("[UNK]", 0L), Row("a", 0L)).getMessage
+      .contains("duplicate piece_id"))
+    assert(bad(Row("a", 0L), Row("b", 1L)).getMessage
+      .contains("not in the vocabulary"))
+    assert(bad(Row("[UNK]", 0L), Row("##", 1L)).getMessage
+      .contains("continuation prefix"))
+    assert(bad(Row("[UNK]", 0L), Row("", 1L)).getMessage
+      .contains("empty piece"))
+  }
+
+  test("readBertVocab: one piece per line, id = line number") {
+    val f = java.nio.file.Files.createTempFile("graft_wp_vocab", ".txt")
+    java.nio.file.Files.write(f,
+      "[UNK]\nthe\n##s\nun\n##aff\n##able\n".getBytes("UTF-8"))
+    val v = WordPiece.readBertVocab(spark, f.toString)
+    val rows = v.orderBy("piece_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq((0L, "[UNK]"), (1L, "the"), (2L, "##s"),
+      (3L, "un"), (4L, "##aff"), (5L, "##able")))
+    val path = tmp("graft_wp_fromtxt")
+    WordPiece.importWordPieceModel(spark, v, "wptxt", path)
+    val ids = WordPiece.encodeIdsIndexed(spark, "wptxt", path,
+        df(docSchema, Row(1L, "unaffable the runs")), "doc_id", "text")
+      .orderBy("word_pos", "tok_pos").collect().map(_.getLong(3))
+    assert(ids.toSeq === Seq(3L, 4L, 5L, 1L, 0L))
+  }
+
+  test("detokenize: pieces re-join, continuations re-attach, UNK renders as the unknown piece") {
+    val path = tmp("graft_wp_detok")
+    WordPiece.importWordPieceModel(spark,
+      df(StructType(Seq(StructField("piece", StringType),
+        StructField("piece_id", LongType))),
+        fullVocab.map(p => Row(p._1, p._2)): _*),
+      "wpd", path)
+    val docs = df(docSchema, Row(1L, "the unaffable runs"))
+    val back = WordPiece.encodeIdsIndexed(spark, "wpd", path, docs,
+        "doc_id", "text")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("word_pos"),
+        col("tok_pos"), col("token_id")))).as("s"))
+      .select(WordPiece.detokenizeIndexed(spark, "wpd", path,
+        expr("transform(s, x -> x.token_id)")).as("rt"))
+      .head().getString(0)
+    assert(back === "the unaffable [UNK]")
+  }
+
+  test("fertility report and UNK drift observable") {
+    val rep = WordPiece.fertilityReportWith(
+        df(StructType(Seq(StructField("lang", StringType),
+          StructField("text", StringType))),
+          Row("en", "the unaffable thee"), Row("en", "hugs"),
+          Row("xx", "zz qq runs"), Row("zz", "")),
+        "text", "lang", fullVocab, 0L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rep("en").getAs[Long]("n_words") === 4L)
+    assert(rep("en").getAs[Long]("n_unk_words") === 0L)
+    assert(rep("en").getAs[Long]("n_tokens") === 7L) // 1+2+2 + 2
+    assert(rep("xx").getAs[Long]("n_unk_words") === 3L)
+    assert(rep("zz").getAs[Long]("n_words") === 0L)
+    assert(rep("zz").isNullAt(rep("zz").fieldIndex("fertility")))
+    val path = tmp("graft_wp_drift")
+    WordPiece.importWordPieceModel(spark,
+      df(StructType(Seq(StructField("piece", StringType),
+        StructField("piece_id", LongType))),
+        fullVocab.map(p => Row(p._1, p._2)): _*),
+      "wpu", path)
+    assert(WordPiece.wpUnkRate(spark, "wpu", path,
+      df(docSchema, Row(1L, "the thee hugs")), "text") === 0.0)
+    assert(WordPiece.wpUnkRate(spark, "wpu", path,
+      df(docSchema, Row(1L, "zz qq the")), "text") > 0.5)
+  }
+
+  test("maintenance: import-only family — drift indicated, NEVER fired; compaction preserves serving") {
+    import graft.llm.Maintain
+    val path = tmp("graft_wp_maint")
+    WordPiece.importWordPieceModel(spark,
+      df(StructType(Seq(StructField("piece", StringType),
+        StructField("piece_id", LongType))),
+        fullVocab.map(p => Row(p._1, p._2)): _*),
+      "wpm", path)
+    val drifted = df(docSchema, Row(7L, "zz qq xx"), Row(8L, "qq zz"))
+    val rep = Maintain.maintainAll(spark,
+      Seq("wp" -> Maintain.WordPieceTarget("wpm", path,
+        freshSample = Some(drifted))))
+      .collect().map(r => (r.getString(1), r.getBoolean(4), r.getString(5)))
+    val d = rep.find(_._1 == "unk_drift").get
+    assert(!d._2 && d._3.contains("retrain-ineligible"))
+    assert(rep.exists(r => r._1 == "retraction" &&
+      r._3.contains("import-only")))
+    val before = collectSorted(
+      WordPiece.encodeIdsIndexed(spark, "wpm", path,
+        df(docSchema, Row(1L, "the unaffable hugs")), "doc_id", "text"),
+      "doc_id", "word_pos", "tok_pos")
+    WordPiece.compactWordPiece(spark, "wpm")
+    val after = collectSorted(
+      WordPiece.encodeIdsIndexed(spark, "wpm", path,
+        df(docSchema, Row(1L, "the unaffable hugs")), "doc_id", "text"),
+      "doc_id", "word_pos", "tok_pos")
+    assert(after === before)
+  }
+
+  test("streaming encode picks up a mid-stream re-import") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = tmp("graft_wp_srv")
+    val path = s"$base/model"
+    val noRuns = fullVocab // 'runs' is UNK under the full vocab
+    WordPiece.importWordPieceModel(spark,
+      df(StructType(Seq(StructField("piece", StringType),
+        StructField("piece_id", LongType))),
+        noRuns.map(p => Row(p._1, p._2)): _*),
+      "wps", path)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.wpEncodeStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      "wps", path, outPath = s"$base/out",
+      checkpoint = s"$base/ckpt").start()
+    try {
+      in.addData(1L -> "runs")
+      q.processAllAvailable()
+      // mid-stream re-import of a refreshed vocabulary covering 'runs'
+      WordPiece.importWordPieceModel(spark,
+        df(StructType(Seq(StructField("piece", StringType),
+          StructField("piece_id", LongType))),
+          (fullVocab ++ Seq(("runs", 20L))).map(p => Row(p._1, p._2)): _*),
+        "wps", path)
+      in.addData(2L -> "runs")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.filter(_._1 == 1L).map(_._2).toSeq === Seq(0L))
+    assert(got.filter(_._1 == 2L).map(_._2).toSeq === Seq(20L))
+  }
+
+  test("tokenizer switch: wordpiece id-space landing — conservation in the greedy unit, fsck, O(1) replay") {
+    import graft.llm.{Dedup, Pipeline}
+    val idx = tmp("graft_wwin_idx")
+    val mdl = tmp("graft_wwin_wp")
+    val out = tmp("graft_wwin_out")
+    try {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      // letters as init+cont pieces: alpha words tokenize per char,
+      // anything else is whole-word UNK — the greedy unit differs
+      // from both the whitespace and the other families' units
+      val pieces = Seq(("[UNK]", 0L)) ++
+        ('a' to 'z').zipWithIndex.map { case (c, i) =>
+          (c.toString, (i + 1).toLong) } ++
+        ('a' to 'z').zipWithIndex.map { case (c, i) =>
+          (s"##$c", (i + 27).toLong) }
+      WordPiece.importWordPieceModel(spark,
+        df(StructType(Seq(StructField("piece", StringType),
+          StructField("piece_id", LongType))),
+          pieces.map(p => Row(p._1, p._2)): _*),
+        "wwin_wp", mdl)
+      val bw = Pipeline.BpeWindows("wwin_wp", mdl, tokenizer = "wordpiece")
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "wwin_t", idx)
+      val s1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 240)
+      val c1 = Pipeline.ingestWindowsShard(s1, df(docSchema), "doc_id",
+        "text", "wwin_t", idx, out, 64L, "w01", redactPii = false,
+        bpeWindows = Some(bw))
+      val win = spark.read.parquet(out)
+      assert(win.filter(size(col("window_ids")) =!= col("n_tokens"))
+        .count() === 0L)
+      // conservation in the WORDPIECE id unit
+      val sidecar = spark.read.parquet(s"$out/_docsidecar")
+      val landed = docs.join(sidecar.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      val wpMass = WordPiece.encodeIdsIndexed(spark, "wwin_wp", mdl,
+        landed, "doc_id", "text").count()
+      assert(win.agg(sum("n_tokens")).head().getLong(0) === wpMass)
+      val wsMass = landed.agg(sum(size(split(col("text"), " "))))
+        .head().getLong(0)
+      assert(wpMass !== wsMass)
+      // fsck in the landing's unit; O(1) replay
+      val rep = Pipeline.windowsReport(spark, out, Some(docs),
+        bpeWindows = Some(bw)).collect()
+      assert(rep.forall(_.getAs[Boolean]("tokens_match")), rep.mkString(";"))
+      val c1b = Pipeline.ingestWindowsShard(s1, df(docSchema), "doc_id",
+        "text", "wwin_t", idx, out, 64L, "w01", redactPii = false,
+        bpeWindows = Some(bw))
+      assert(c1b === c1)
+    } finally {
+      Seq("bands", "shingles", "keys").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS wwin_t_$s"))
+    }
+  }
+}
