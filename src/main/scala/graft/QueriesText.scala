@@ -5654,6 +5654,39 @@ object QueriesText {
         .orderBy("lang")
     }
 
+    // Pretrained unigram import — the full published path value-checked:
+    // a SentencePiece-style vocabulary TSV (piece<TAB>logp, id = line
+    // number, '▁'-prefixed surfaces) is WRITTEN as a file, read back by
+    // readSentencePieceTsv, imported as the persisted stamped model, and
+    // the landed table compared against the literal replay. The logp
+    // values are DYADIC so logp and round(logp·1e6) are exact on both
+    // engines (prob = exp(logp) is engine-libm and deliberately not
+    // compared; serving runs on logp_micro, which is).
+    r.reg("q_unigram_import",
+      """WITH up(piece, logp, piece_id) AS (SELECT * FROM (VALUES
+        |  ('▁the', CAST(-1.0 AS DOUBLE), CAST(0 AS BIGINT)),
+        |  ('▁a', -1.5, 1), ('t', -2.25, 2), ('he', -2.5, 3),
+        |  ('▁', -3.5, 4), ('▁scan', -4.75, 5)) v)
+        |SELECT piece_id, piece, logp,
+        |  CAST(round(logp * 1e6) AS BIGINT) AS logp_micro
+        |FROM up ORDER BY piece_id""".stripMargin) { (s, dir) =>
+      val qdir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-qtmp/uniimp")
+      qdir.mkdirs()
+      val tsv = new java.io.File(qdir, "vocab.tsv")
+      java.nio.file.Files.write(tsv.toPath,
+        "▁the\t-1.0\n▁a\t-1.5\nt\t-2.25\nhe\t-2.5\n▁\t-3.5\n▁scan\t-4.75\n"
+          .getBytes("UTF-8"))
+      if (!s.catalog.tableExists("g_puni_uni"))
+        graft.llm.Unigram.importUnigramModel(s,
+          graft.llm.Unigram.readSentencePieceTsv(s, tsv.getAbsolutePath),
+          "g_puni", qdir.getAbsolutePath)
+      s.table("g_puni_uni")
+        .select(col("piece_id"), col("piece"), col("logp"),
+          col("logp_micro"))
+        .orderBy("piece_id")
+    }
+
     // ------------------------------------------------------------------
     // WORDPIECE (Devlin et al. 2019 — the THIRD tokenizer family, the
     // BERT-class greedy longest-match-first with ##-continuations and

@@ -389,6 +389,43 @@ object Unigram {
       minWordCount = 1L, imported = true))
   }
 
+  /** Read a published SentencePiece VOCABULARY TSV — the
+    * `spm_export_vocab` exchange shape every SentencePiece release can
+    * emit: one `piece<TAB>logp` line per piece, id = line number —
+    * into the (piece, logp, piece_id) frame [[importUnigramModel]]
+    * takes. Driver-side and size-guarded ([[Bpe.readSmallTextFile]]:
+    * a published vocabulary is model-sized). Pieces are taken
+    * VERBATIM up to the LAST tab on the line (a tab inside a piece
+    * surface cannot round-trip this format and refuses loudly). */
+  def readSentencePieceTsv(spark: SparkSession, path: String,
+                           maxBytes: Long = 64L << 20): DataFrame = {
+    val lines = Bpe.readSmallTextFile(spark, path, maxBytes)
+      .split("\n", -1).iterator.map(_.stripSuffix("\r")).toIndexedSeq
+    val trimmed =
+      if (lines.nonEmpty && lines.last.isEmpty) lines.dropRight(1) else lines
+    val rows = trimmed.zipWithIndex.map { case (l, i) =>
+      val cut = l.lastIndexOf('\t')
+      require(cut > 0,
+        s"readSentencePieceTsv: line ${i + 1} ('$l') is not 'piece<TAB>logp'")
+      val piece = l.substring(0, cut)
+      require(piece.indexOf('\t') < 0,
+        s"readSentencePieceTsv: line ${i + 1} piece contains a TAB — " +
+          "this surface cannot round-trip the TSV format")
+      val lp = try l.substring(cut + 1).toDouble
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"readSentencePieceTsv: line ${i + 1} score " +
+            s"'${l.substring(cut + 1)}' is not a number")
+      }
+      org.apache.spark.sql.Row(piece, lp, i.toLong)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("piece", StringType, nullable = false),
+      StructField("logp", DoubleType, nullable = false),
+      StructField("piece_id", LongType, nullable = false))))
+  }
+
   /** The Viterbi serving objects: (piece, id, logp_micro) — MODEL-
     * sized, embedded in the encode expressions. */
   def piecesViterbi(model: DataFrame): Seq[(String, Long, Long)] =

@@ -348,6 +348,28 @@ class UnigramSpec extends SparkTestBase {
     assert(bad(Row("a", -200.0, 0L)).getMessage.contains("OOV floor"))
   }
 
+  test("readSentencePieceTsv: piece<TAB>logp lines, id = line number, loud refusals") {
+    val f = java.nio.file.Files.createTempFile("graft_uni_tsv", ".tsv")
+    java.nio.file.Files.write(f,
+      "▁the\t-1.0\n▁a\t-1.5\nt\t-2.25\n".getBytes("UTF-8"))
+    val v = Unigram.readSentencePieceTsv(spark, f.toString)
+    assert(v.orderBy("piece_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ===
+      Seq(("▁the", -1.0, 0L), ("▁a", -1.5, 1L), ("t", -2.25, 2L)))
+    // the frame feeds the import directly
+    val path = tmp("graft_uni_tsvimp")
+    Unigram.importUnigramModel(spark, v, "unitsv", path)
+    assert(Unigram.readUniMeta(spark, path).imported)
+    def badFile(content: String): Exception = {
+      val g = java.nio.file.Files.createTempFile("graft_uni_tsvbad", ".tsv")
+      java.nio.file.Files.write(g, content.getBytes("UTF-8"))
+      intercept[Exception] { Unigram.readSentencePieceTsv(spark, g.toString) }
+    }
+    assert(badFile("nologp\n").getMessage.contains("piece<TAB>logp"))
+    assert(badFile("a\tb\t-1.0\n").getMessage.contains("TAB"))
+    assert(badFile("a\tnotanumber\n").getMessage.contains("not a number"))
+  }
+
   test("maintenance: OOV drift fires a stamp-replayed retrain; imported is indicated-unfireable; compaction preserves serving") {
     import graft.llm.Maintain
     val path = tmp("graft_uni_maint")
