@@ -5688,6 +5688,78 @@ object QueriesText {
     }
 
     // ------------------------------------------------------------------
+    // LENGTH-BUCKETED batch assembly (Sft.bucketByLength) — the
+    // dynamic-batching layout for loss shapes that cannot pack: bucket
+    // capacity = smallest boundary holding the example, a deterministic
+    // Knuth-hash shuffle within buckets, dense global batch ids,
+    // per-batch positions and pad accounting, all recomputed in SQL
+    // (global rank in (cap, hash, key) order, bucket/batch prefix
+    // offsets, integer div/mod). batchSize 7 forces partial final
+    // batches; the report oracle runs dropIncomplete=true so the
+    // full-batch filter is value-checked too.
+    val sftBucketSql = """WITH ex AS (
+      |  SELECT doc_id AS id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+      |  FROM documents WHERE text IS NOT NULL),
+      |cap AS (SELECT id, n,
+      |  CASE WHEN n <= 16 THEN CAST(16 AS BIGINT) WHEN n <= 32 THEN 32
+      |       WHEN n <= 64 THEN 64 ELSE 128 END AS bucket_cap
+      |  FROM ex),
+      |h AS (SELECT *, ((((id % 2147483648) + 2147483648) % 2147483648 + 5)
+      |        % 2147483648) * 2654435761 % 4294967296 AS hv FROM cap),
+      |rk AS (SELECT *, row_number() OVER (ORDER BY bucket_cap, hv, id) - 1 AS grk
+      |       FROM h),
+      |cnt AS (SELECT bucket_cap, count(*) AS c FROM cap GROUP BY 1),
+      |boff AS (SELECT bucket_cap, c,
+      |  COALESCE(sum(c) OVER (ORDER BY bucket_cap
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+      |  COALESCE(sum(CAST(ceil(c / 7.0) AS BIGINT)) OVER (ORDER BY bucket_cap
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boffs
+      |  FROM cnt),
+      |asg AS (SELECT r.id, r.n, r.bucket_cap, b.c, b.boffs,
+      |    r.grk - b.off AS rib
+      |  FROM rk r JOIN boff b USING (bucket_cap))""".stripMargin
+
+    r.reg("q_sft_buckets",
+      s"""$sftBucketSql
+         |SELECT id, n, bucket_cap,
+         |  CAST(boffs + rib // 7 AS BIGINT) AS batch_id,
+         |  CAST(rib % 7 AS BIGINT) AS pos_in_batch,
+         |  bucket_cap - n AS pad
+         |FROM asg ORDER BY id""".stripMargin) { (s, dir) =>
+      val ex = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id").as("id"),
+          size(filter(split(col("text"), " ", -1), w => length(w) >= 1))
+            .cast("long").as("n"))
+      graft.llm.Sft.bucketByLength(ex, "id", "n",
+          boundaries = Seq(16L, 32L, 64L, 128L), batchSize = 7, seed = 5L)
+        .orderBy("id")
+    }
+
+    r.reg("q_sft_bucket_report",
+      s"""$sftBucketSql,
+         |kept AS (SELECT * FROM asg WHERE rib // 7 < c // 7)
+         |SELECT bucket_cap,
+         |  CAST(count(*) AS BIGINT) AS n_examples,
+         |  CAST(count(DISTINCT rib // 7) AS BIGINT) AS n_batches,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(bucket_cap - n) AS BIGINT) AS n_pad,
+         |  CAST(sum(n) AS DOUBLE)
+         |    / (count(DISTINCT rib // 7) * 7 * bucket_cap) AS fill_rate
+         |FROM kept GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin) { (s, dir) =>
+      val ex = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id").as("id"),
+          size(filter(split(col("text"), " ", -1), w => length(w) >= 1))
+            .cast("long").as("n"))
+      graft.llm.Sft.bucketReport(
+          graft.llm.Sft.bucketByLength(ex, "id", "n",
+            boundaries = Seq(16L, 32L, 64L, 128L), batchSize = 7,
+            seed = 5L, dropIncomplete = true),
+          "n", 7)
+        .orderBy("bucket_cap")
+    }
+
+    // ------------------------------------------------------------------
     // WORDPIECE (Devlin et al. 2019 — the THIRD tokenizer family, the
     // BERT-class greedy longest-match-first with ##-continuations and
     // all-or-nothing per-word UNK). The literal vocabulary is designed

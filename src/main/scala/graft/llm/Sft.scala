@@ -355,4 +355,117 @@ object Sft {
         s.getField("__off__").as("pos"),
         s.getField("__plen__").as("len"))).as("doc_spans"))
   }
+
+  /** LENGTH-BUCKETED batch assembly — the dynamic-batching alternative
+    * to [[packExamples]] for loss shapes that cannot pack (pairwise DPO
+    * batches, pipeline stages with fixed shapes): each example lands in
+    * the smallest capacity bucket holding it, buckets shuffle
+    * deterministically (Knuth hash over (key, seed) — the shard-
+    * permutation reasoning: batches mix the corpus, re-runs reproduce),
+    * and examples group into `batchSize`-sized batches padded to the
+    * bucket capacity. The padding waste this trades against
+    * [[packExamples]]' cross-example attention complexity is exactly
+    * what [[bucketReport]] prices.
+    *
+    * Output: the input columns + `bucket_cap` (the padded length),
+    * `batch_id` (DENSE across buckets — a trainer iterates 0..B−1),
+    * `pos_in_batch` (0..batchSize−1; the last batch of a bucket may be
+    * partial unless `dropIncomplete`), `pad` (= cap − length). An
+    * example longer than the largest boundary refuses LOUDLY at
+    * execution (truncation belongs to assembly, not batching).
+    *
+    * Scale shape: one bounded |boundaries|-group count aggregate (the
+    * [[graft.api.GraftFrame]] two-pass posture — persist upstream if
+    * it is expensive), then ONE range-partitioned cumsum in (cap,
+    * hash, key) order assigns global ranks with no single-task sort;
+    * bucket and batch offsets inline as literal when-chains. The key
+    * column must be integral and distinct (the selectByBudget
+    * determinism contract). */
+  def bucketByLength(examples: DataFrame, idCol: String, nCol: String,
+                     boundaries: Seq[Long], batchSize: Int, seed: Long,
+                     dropIncomplete: Boolean = false): DataFrame = {
+    require(boundaries.nonEmpty, "bucketByLength: empty boundaries")
+    require(boundaries.head > 0 &&
+        boundaries.sliding(2).forall(s => s.length < 2 || s(0) < s(1)),
+      s"bucketByLength: boundaries must be positive and strictly " +
+        s"ascending, got ${boundaries.mkString(",")}")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    examples.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"bucketByLength: key column '$idCol' must be an integral type " +
+          s"(the deterministic order casts it to long), got ${other.simpleString}")
+    }
+    val maxB = boundaries.last
+    val n = col(nCol).cast("long")
+    val capChain = boundaries.init.reverse
+      .foldLeft(when(n > lit(maxB),
+          raise_error(concat(lit("bucketByLength: example length "),
+            n.cast("string"),
+            lit(s" exceeds the largest boundary $maxB — drop or " +
+              "re-assemble with maxLen first"))).cast("long"))
+        .otherwise(lit(maxB))) { (acc, b) =>
+        when(n <= lit(b), lit(b)).otherwise(acc)
+      }
+    val hash = graft.QHelp.keyHash31(
+      pmod(col(idCol).cast("long"), lit(2147483648L)) +
+        lit(seed % 2147483648L))
+    val withCap = examples
+      .withColumn("__cap__", capChain)
+      .withColumn("__ord__", struct(col("__cap__").as("c"),
+        hash.as("h"), col(idCol).cast("long").as("k")))
+      .withColumn("__one__", lit(1L))
+    // bounded: one row per non-empty bucket
+    val counts = withCap.groupBy("__cap__").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val bucketOff = counts.scanLeft(0L)(_ + _._2).init
+      .zip(counts).map { case (off, (cap, _)) => (cap, off) }
+    val nFull = counts.map { case (cap, c) => (cap, c / batchSize) }.toMap
+    val nBatches = counts.map { case (cap, c) =>
+      (cap, if (dropIncomplete) c / batchSize
+            else (c + batchSize - 1) / batchSize)
+    }
+    val batchOff = nBatches.scanLeft(0L)(_ + _._2).init
+      .zip(nBatches).map { case (off, (cap, _)) => (cap, off) }
+    def chain(pairs: Seq[(Long, Long)]): org.apache.spark.sql.Column =
+      pairs.foldLeft(lit(0L)) { case (acc, (cap, v)) =>
+        when(col("__cap__") === lit(cap), lit(v)).otherwise(acc) }
+    val ranked = graft.operators.WindowOps
+      .globalCumSum(withCap, "__ord__", "__one__", "__rk__")
+      .withColumn("__rib__",
+        col("__rk__") - lit(1L) - chain(bucketOff.toSeq))
+      .withColumn("__bo__", expr(s"__rib__ div ${batchSize.toLong}"))
+    val kept =
+      if (dropIncomplete)
+        ranked.filter(col("__bo__") <
+          chain(nFull.toSeq.map { case (c, f) => (c, f) }))
+      else ranked
+    val cols = examples.columns.map(col).toIndexedSeq
+    kept.select(cols ++ Seq(
+      col("__cap__").as("bucket_cap"),
+      (chain(batchOff.toSeq) + col("__bo__")).as("batch_id"),
+      pmod(col("__rib__"), lit(batchSize.toLong)).as("pos_in_batch"),
+      (col("__cap__") - n).as("pad")): _*)
+  }
+
+  /** Per-bucket padding economics over a [[bucketByLength]] assignment:
+    * examples, batches, real-token mass, pad mass (empty slots of
+    * partial batches included — they cost accelerator time too) and
+    * the fill rate a trainer compares against [[packExamples]]' ~1.0.
+    * Bucket-cardinality output. */
+  def bucketReport(assigned: DataFrame, nCol: String,
+                   batchSize: Int): DataFrame =
+    assigned.groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_examples"),
+        countDistinct(col("batch_id")).as("n_batches"),
+        sum(col(nCol).cast("long")).as("n_tokens"),
+        sum(col("pad")).as("n_pad"))
+      .select(col("bucket_cap"), col("n_examples"), col("n_batches"),
+        col("n_tokens"), col("n_pad"),
+        (col("n_tokens").cast("double") /
+          (col("n_batches") * batchSize * col("bucket_cap")).cast("double"))
+          .as("fill_rate"))
 }

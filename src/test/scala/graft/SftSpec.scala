@@ -279,4 +279,67 @@ class SftSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("loss-mask"), ex.getMessage)
   }
+
+  test("bucketByLength: capacity assignment, dense batches, determinism, dropIncomplete, refusals") {
+    val exSchema = StructType(Seq(
+      StructField("id", LongType), StructField("n", LongType)))
+    val ex = df(exSchema, Row(1L, 3L), Row(2L, 5L), Row(3L, 8L),
+      Row(4L, 9L), Row(5L, 16L), Row(6L, 2L), Row(7L, 17L), Row(8L, 4L))
+    val got = Sft.bucketByLength(ex, "id", "n", Seq(8L, 16L, 32L),
+      batchSize = 2, seed = 0L)
+    val rows = got.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[Long]("bucket_cap"), r.getAs[Long]("batch_id"),
+        r.getAs[Long]("pos_in_batch"), r.getAs[Long]("pad"))).toMap
+    // capacity = smallest boundary holding n
+    assert(rows(1L)._1 === 8L && rows(4L)._1 === 16L && rows(7L)._1 === 32L)
+    assert(rows(1L)._4 === 5L && rows(5L)._4 === 0L)
+    // bucket 8 holds {1,2,3,6,8} -> 3 batches (ids 0..2), bucket 16
+    // holds {4,5} -> batch 3, bucket 32 holds {7} -> batch 4: DENSE
+    val byBucket = got.collect().groupBy(_.getAs[Long]("bucket_cap"))
+    assert(byBucket(8L).map(_.getAs[Long]("batch_id")).toSet === Set(0L, 1L, 2L))
+    assert(byBucket(16L).map(_.getAs[Long]("batch_id")).toSet === Set(3L))
+    assert(byBucket(32L).map(_.getAs[Long]("batch_id")).toSet === Set(4L))
+    // every batch holds <= batchSize with positions 0..size-1
+    got.collect().groupBy(_.getAs[Long]("batch_id")).foreach { case (_, b) =>
+      assert(b.length <= 2)
+      assert(b.map(_.getAs[Long]("pos_in_batch")).sorted.toSeq ===
+        (0 until b.length).map(_.toLong))
+    }
+    // deterministic under repartitioning
+    val again = Sft.bucketByLength(ex.repartition(7), "id", "n",
+      Seq(8L, 16L, 32L), batchSize = 2, seed = 0L)
+    assert(collectSorted(again, "id") === collectSorted(got, "id"))
+    // dropIncomplete keeps only full batches: bucket 8 keeps 2 of 3
+    // batches (4 rows), buckets 16 keeps its full pair, 32 drops
+    val full = Sft.bucketByLength(ex, "id", "n", Seq(8L, 16L, 32L),
+      batchSize = 2, seed = 0L, dropIncomplete = true)
+    val fb = full.collect().groupBy(_.getAs[Long]("bucket_cap"))
+    assert(fb(8L).length === 4 && fb(16L).length === 2 && !fb.contains(32L))
+    assert(fb.values.flatten.map(_.getAs[Long]("batch_id")).toSet ===
+      Set(0L, 1L, 2L))
+    // the report prices padding incl. partial-batch empty slots
+    val rep = Sft.bucketReport(got, "n", 2).collect()
+      .map(r => r.getAs[Long]("bucket_cap") -> r).toMap
+    assert(rep(8L).getAs[Long]("n_examples") === 5L)
+    assert(rep(8L).getAs[Long]("n_batches") === 3L)
+    assert(rep(8L).getAs[Long]("n_tokens") === 22L) // 3+5+8+2+4
+    assert(rep(8L).getAs[Double]("fill_rate") === 22.0 / (3 * 2 * 8))
+    // an over-boundary example refuses loudly at execution
+    val e = intercept[Exception] {
+      Sft.bucketByLength(df(exSchema, Row(1L, 40L)), "id", "n",
+        Seq(8L, 16L, 32L), batchSize = 2, seed = 0L).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("largest boundary") ||
+        e.getCause != null &&
+          e.getCause.getMessage.contains("largest boundary")))
+    // structural refusals
+    assert(intercept[IllegalArgumentException] {
+      Sft.bucketByLength(ex, "id", "n", Seq(16L, 8L), 2, 0L)
+    }.getMessage.contains("ascending"))
+    assert(intercept[IllegalArgumentException] {
+      Sft.bucketByLength(ex.withColumn("id", col("id").cast("double")),
+        "id", "n", Seq(8L), 2, 0L)
+    }.getMessage.contains("integral"))
+  }
 }
