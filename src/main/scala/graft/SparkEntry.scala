@@ -181,7 +181,16 @@ object SparkEntry {
     // r15 cont: the post-training assembly surfaces — blockwise
     // fused-encode passes, ~linear in pair tokens (the per-JVM model
     // trains in benchPrepare via q_bpe_indexed's shared fixture)
-    "q_sft_examples", "q_dpo_pairs")
+    "q_sft_examples", "q_dpo_pairs",
+    // r15 cont: the two new tokenizer families' serving encodes —
+    // unigram integer-Viterbi (fused per-word lattice, ~linear in
+    // corpus chars × maxPieceLen) and wordpiece greedy longest-match
+    // (persisted-model resolve + fused per-word walk, ~linear in
+    // corpus chars) — plus their id-space window assemblies and the
+    // length-bucketed batch layout (one bounded count pass + one
+    // range-partitioned rank cumsum)
+    "q_unigram_encode", "q_unigram_windows", "q_wordpiece_encode",
+    "q_wordpiece_windows", "q_sft_buckets")
 
   /** Untimed per-query preparation Bench runs ONCE before the timed
     * passes (r10 verdict #3): the steady-state ingest entries build and
@@ -228,7 +237,10 @@ object SparkEntry {
     // r14 cont: the composed packed landing shares the same model
     "q_pipeline_windows_packed",
     // r15: the eval (strided) landing rides the same per-JVM model
-    "q_eval_windows").map { n =>
+    "q_eval_windows",
+    // r15 cont: the persisted wordpiece fixture imports once per JVM —
+    // samples time the greedy serving encode
+    "q_wordpiece_encode").map { n =>
       n -> ((s: SparkSession, dir: String) =>
         queries(n)(s, dir).write.format("noop").mode("overwrite").save())
     }.toMap
