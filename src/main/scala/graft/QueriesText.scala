@@ -5654,6 +5654,83 @@ object QueriesText {
         .orderBy("lang")
     }
 
+    // Unigram BYTE FALLBACK (the published SentencePiece byte_fallback
+    // — the LLaMA-class tokenizer shape): uncovered code points emit
+    // their UTF-8 BYTE ids (100 + byte here) instead of -1, so the id
+    // stream is lossless on any script. The lattice is unchanged (one
+    // OovMicro edge per uncovered code point; expansion at emission),
+    // which the oracle proves by replaying the SAME path enumeration
+    // and expanding the OOV edges to byte ids computed from hex() by
+    // pure string arithmetic — covered words' ids are bit-identical to
+    // q_unigram_encode's. Planted multibyte words ('héé': 2-byte é;
+    // '中中': 3-byte CJK; 'z𝄞a': 4-byte non-BMP between two covered-
+    // alphabet letters) make the multi-byte expansion non-vacuous.
+    r.reg("q_unigram_bytefallback", {
+      val ch = "substr(p.word, CAST(p.pos + 1 AS INT), 1)"
+      val hexDig = (o: Int) =>
+        s"(strpos('0123456789ABCDEF', substr(hex(encode($ch)), CAST(2*j+$o AS INT), 1)) - 1)"
+      val byteList =
+        s"""list_transform(range(0, length(hex(encode($ch))) // 2),
+           |      j -> CAST(100 + ${hexDig(1)} * 16 + ${hexDig(2)} AS BIGINT))""".stripMargin
+      s"""WITH RECURSIVE wt AS (
+         |  SELECT DISTINCT word FROM (
+         |    SELECT w AS word FROM (
+         |      SELECT w, count(*) AS cnt FROM (
+         |        SELECT unnest(string_split(text, ' ')) AS w
+         |        FROM documents WHERE text IS NOT NULL) s
+         |      WHERE w <> '' AND length(w) <= 12
+         |      GROUP BY 1 ORDER BY cnt DESC, w LIMIT 1000)
+         |    UNION ALL SELECT * FROM (VALUES ('héé'), ('中中'), ('z𝄞a')) v(word))),
+         |up(piece, pid, lp) AS (SELECT * FROM (VALUES
+         |  ${uniVitModel.map { case (p, id, lp) =>
+             s"('$p', CAST($id AS BIGINT), CAST($lp AS BIGINT))" }
+             .mkString(", ")}) v),
+         |ext AS (SELECT piece, pid, lp, length(piece) AS plen FROM up
+         |        UNION ALL
+         |        SELECT NULL, CAST(-1 AS BIGINT),
+         |          CAST(-100000000 AS BIGINT), 1),
+         |paths(word, pos, score, np, ids, lens) AS (
+         |  SELECT word, 0, CAST(0 AS BIGINT), 0,
+         |    CAST([] AS BIGINT[]), CAST([] AS INTEGER[]) FROM wt
+         |  UNION ALL
+         |  SELECT p.word, p.pos + u.plen, p.score + u.lp, p.np + 1,
+         |    CASE WHEN u.pid = -1 THEN list_concat(p.ids, $byteList)
+         |         ELSE list_append(p.ids, u.pid) END,
+         |    list_append(p.lens, u.plen)
+         |  FROM paths p JOIN ext u
+         |    ON p.pos < length(p.word)
+         |   AND (u.pid = -1 OR substr(p.word, p.pos + 1, u.plen) = u.piece)),
+         |fp AS (SELECT * FROM paths WHERE pos = length(word)),
+         |best AS (SELECT word, score, ids,
+         |  row_number() OVER (PARTITION BY word
+         |    ORDER BY score DESC, np ASC, lens DESC) AS rn
+         |  FROM fp)
+         |SELECT word, array_to_string(ids, ',') AS ids_csv,
+         |  score AS score_micro, CAST(len(ids) AS BIGINT) AS n_pieces
+         |FROM best WHERE rn = 1 ORDER BY word""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val byteIds: IndexedSeq[Long] = (0 until 256).map(b => 100L + b)
+      val types = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ", -1)).as("word"))
+        .filter(length(col("word")) >= 1 && length(col("word")) <= 12)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc).limit(1000)
+        .select("word")
+        .unionByName(Seq("héé", "中中", "z𝄞a").toDF("word"))
+        .distinct()
+      types.select(col("word"),
+          graft.functions.TextHashExprs
+            .unigramSegment(col("word"), uniVitModel, Some(byteIds))
+            .as("sg"))
+        .select(col("word"),
+          concat_ws(",", transform(col("sg.ids"), i => i.cast("string")))
+            .as("ids_csv"),
+          col("sg.score_micro").as("score_micro"),
+          col("sg.n_pieces").cast("long").as("n_pieces"))
+        .orderBy("word")
+    }
+
     // Pretrained unigram import — the full published path value-checked:
     // a SentencePiece-style vocabulary TSV (piece<TAB>logp, id = line
     // number, '▁'-prefixed surfaces) is WRITTEN as a file, read back by

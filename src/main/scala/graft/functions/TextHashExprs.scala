@@ -1098,9 +1098,17 @@ object UnigramKernel {
 
   /** Viterbi best segmentation of `word` under (piece → (id, micro)):
     * (ids, score_micro, n_pieces). OOV code points emit id -1 at
-    * OovMicro each. Empty word → (empty, 0, 0). */
+    * OovMicro each — or, when `byteIds` is provided (the published
+    * SentencePiece `byte_fallback` convention: 256 reserved byte
+    * pieces), the UTF-8 BYTE ids of the uncovered code point, making
+    * the id stream lossless on any script. The lattice itself is
+    * unchanged (one OovMicro edge per uncovered code point; the
+    * expansion happens at emission), so covered text segments
+    * bit-identically with or without the fallback. Empty word →
+    * (empty, 0, 0); n_pieces counts EMITTED ids. */
   def segment(word: String, lookup: java.util.HashMap[String, (Long, Long)],
-              maxPieceLen: Int): (Array[Long], Long, Int) = {
+              maxPieceLen: Int,
+              byteIds: Array[Long] = null): (Array[Long], Long, Int) = {
     val offs = cpOffsets(word)
     val n = offs.length - 1
     if (n == 0) return (Array.emptyLongArray, 0L, 0)
@@ -1132,10 +1140,18 @@ object UnigramKernel {
       score(i) = bScore; np(i) = bNp; choiceLen(i) = bLen; choiceId(i) = bId
       i -= 1
     }
-    val ids = new Array[Long](np(0))
-    var p = 0; var j = 0
-    while (p < n) { ids(j) = choiceId(p); j += 1; p += choiceLen(p) }
-    (ids, score(0), np(0))
+    val out = new scala.collection.mutable.ArrayBuffer[Long](np(0))
+    var p = 0
+    while (p < n) {
+      if (choiceId(p) == -1L && byteIds != null) {
+        val bs = word.substring(offs(p), offs(p + 1)).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)
+        var b = 0
+        while (b < bs.length) { out += byteIds(bs(b) & 0xFF); b += 1 }
+      } else out += choiceId(p)
+      p += choiceLen(p)
+    }
+    (out.toArray, score(0), out.length)
   }
 
   /** E-step lattice sums of `word` under (piece → (id, prob)), in
@@ -1219,11 +1235,18 @@ object UnigramKernel {
   * scan). Integer micro-nat scores make the argmax engine-exact — see
   * [[UnigramKernel]]. */
 case class UnigramSegment(child: Expression,
-                          pieces: Seq[(String, Long, Long)])
+                          pieces: Seq[(String, Long, Long)],
+                          byteFallback: Option[IndexedSeq[Long]] = None)
     extends UnaryExpression {
   require(pieces.forall(_._3 > UnigramKernel.OovMicro),
     "unigram_segment: every piece logp_micro must exceed the OOV floor " +
       s"${UnigramKernel.OovMicro} — an in-vocab piece may never lose to the fallback")
+  byteFallback.foreach { b =>
+    require(b.length == 256,
+      s"unigram_segment: byteFallback needs exactly 256 byte ids, got ${b.length}")
+    require(!b.exists(id => id == -1L || pieces.exists(_._2 == id)),
+      "unigram_segment: a byte-fallback id collides with a piece id or -1")
+  }
 
   import org.apache.spark.sql.types._
   override def dataType: DataType = StructType(Seq(
@@ -1243,6 +1266,8 @@ case class UnigramSegment(child: Expression,
   }
   @transient private lazy val maxPieceLen =
     if (pieces.isEmpty) 1 else pieces.iterator.map(p => UnigramKernel.cpCount(p._1)).max
+  @transient private lazy val byteArr: Array[Long] =
+    byteFallback.map(_.toArray).orNull
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("unigramSegment", this)
@@ -1258,7 +1283,8 @@ case class UnigramSegment(child: Expression,
     val word = input.asInstanceOf[UTF8String].toString
     val hit = cache.get(word)
     if (hit != null) return hit
-    val (ids, score, n) = UnigramKernel.segment(word, lookup, maxPieceLen)
+    val (ids, score, n) = UnigramKernel.segment(word, lookup, maxPieceLen,
+      byteArr)
     val out = InternalRow(new GenericArrayData(ids), score, n)
     if (cache.size < CacheCap) cache.put(word, out)
     out
@@ -1274,11 +1300,18 @@ case class UnigramSegment(child: Expression,
   * code points degrade to -1, the id stream materializes inside the
   * scan with zero extra exchanges). */
 case class UnigramEncodeIds(child: Expression,
-                            pieces: Seq[(String, Long, Long)])
+                            pieces: Seq[(String, Long, Long)],
+                            byteFallback: Option[IndexedSeq[Long]] = None)
     extends UnaryExpression {
   require(pieces.forall(_._3 > UnigramKernel.OovMicro),
     "unigram_encode_ids: every piece logp_micro must exceed the OOV floor " +
       s"${UnigramKernel.OovMicro} — an in-vocab piece may never lose to the fallback")
+  byteFallback.foreach { b =>
+    require(b.length == 256,
+      s"unigram_encode_ids: byteFallback needs exactly 256 byte ids, got ${b.length}")
+    require(!b.exists(id => id == -1L || pieces.exists(_._2 == id)),
+      "unigram_encode_ids: a byte-fallback id collides with a piece id or -1")
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -1294,6 +1327,8 @@ case class UnigramEncodeIds(child: Expression,
   }
   @transient private lazy val maxPieceLen =
     if (pieces.isEmpty) 1 else pieces.iterator.map(p => UnigramKernel.cpCount(p._1)).max
+  @transient private lazy val byteArr: Array[Long] =
+    byteFallback.map(_.toArray).orNull
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("unigramEncodeIds", this)
@@ -1309,7 +1344,8 @@ case class UnigramEncodeIds(child: Expression,
     val word = input.asInstanceOf[UTF8String].toString
     val hit = cache.get(word)
     if (hit != null) return hit
-    val (ids, _, _) = UnigramKernel.segment(word, lookup, maxPieceLen)
+    val (ids, _, _) = UnigramKernel.segment(word, lookup, maxPieceLen,
+      byteArr)
     val out: ArrayData = new GenericArrayData(ids)
     if (cache.size < CacheCap) cache.put(word, out)
     out
@@ -1436,6 +1472,61 @@ case class WordPieceEncodeIds(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): WordPieceEncodeIds =
     copy(child = newChild)
   override def prettyName: String = "wordpiece_encode_ids"
+}
+
+/** Token ids back to surface text for a model that mixes TEXT pieces
+  * with BYTE pieces (the SentencePiece `byte_fallback` shape): text
+  * piece ids append their surface's UTF-8 bytes, byte ids append their
+  * single raw byte, and the whole buffer decodes as UTF-8 at the end —
+  * so a multi-byte character split across consecutive byte pieces
+  * reassembles exactly. Unknown ids (and byte runs that do not form
+  * valid UTF-8) render U+FFFD, the [[BpeDecodeIds]] convention. */
+case class SubwordDecodeIds(child: Expression,
+                            surfaces: Map[Long, String],
+                            byteOf: Map[Long, Int])
+    extends UnaryExpression {
+  require(byteOf.valuesIterator.forall(b => b >= 0 && b <= 255),
+    "subword_decode_ids: byte values must be 0..255")
+  require(byteOf.keysIterator.forall(id => !surfaces.contains(id)),
+    "subword_decode_ids: an id maps to both a surface and a byte")
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"subword_decode_ids needs ARRAY<BIGINT>, got $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("subwordDecodeIds", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val ids = input.asInstanceOf[ArrayData].toLongArray()
+    val buf = new java.io.ByteArrayOutputStream(ids.length * 2)
+    var i = 0
+    while (i < ids.length) {
+      val id = ids(i)
+      byteOf.get(id) match {
+        case Some(b) => buf.write(b)
+        case None => buf.write(surfaces.getOrElse(id, "�")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      i += 1
+    }
+    // String's UTF-8 decoder substitutes U+FFFD for malformed runs —
+    // the documented lossy rendering for ids that never came from a
+    // real encode
+    UTF8String.fromString(new String(buf.toByteArray,
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordDecodeIds =
+    copy(child = newChild)
+  override def prettyName: String = "subword_decode_ids"
 }
 
 /** EM E-step lattice sums of one word under a unigram-LM model in
@@ -1605,10 +1696,15 @@ object TextHashExprs {
   def unitVector(vec: Column): Column =
     column(UnitVector(expression(vec)))
 
-  def unigramSegment(word: Column, pieces: Seq[(String, Long, Long)]): Column =
-    column(UnigramSegment(expression(word), pieces))
-  def unigramEncodeIds(word: Column, pieces: Seq[(String, Long, Long)]): Column =
-    column(UnigramEncodeIds(expression(word), pieces))
+  def unigramSegment(word: Column, pieces: Seq[(String, Long, Long)],
+                     byteFallback: Option[IndexedSeq[Long]] = None): Column =
+    column(UnigramSegment(expression(word), pieces, byteFallback))
+  def unigramEncodeIds(word: Column, pieces: Seq[(String, Long, Long)],
+                       byteFallback: Option[IndexedSeq[Long]] = None): Column =
+    column(UnigramEncodeIds(expression(word), pieces, byteFallback))
+  def subwordDecodeIds(ids: Column, surfaces: Map[Long, String],
+                       byteOf: Map[Long, Int]): Column =
+    column(SubwordDecodeIds(expression(ids), surfaces, byteOf))
   def unigramExpected(word: Column, pieces: Seq[(String, Long, Double)]): Column =
     column(UnigramExpected(expression(word), pieces))
   def wordPieceEncodeIds(word: Column, vocab: Seq[(String, Long)],

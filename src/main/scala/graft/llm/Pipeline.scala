@@ -231,13 +231,15 @@ object Pipeline {
                                        stride: Option[Long] = None,
                                        uniPieces: Option[Seq[(String, Long, Long)]] = None,
                                        wp: Option[WordPiece.WpMeta] = None,
-                                       wpVocab: Seq[(String, Long)] = Nil) {
+                                       wpVocab: Seq[(String, Long)] = Nil,
+                                       uniBytes: Option[IndexedSeq[Long]] = None) {
     /** One word → its token ids, under whichever family is stamped.
       * For the wordpiece family the id-ordered (piece, id) pairs ride
       * `wpVocab` and the greedy contract rides `wp`. */
     def encode(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       (uniPieces, wp) match {
-        case (Some(ps), _) => graft.functions.TextHashExprs.unigramEncodeIds(w, ps)
+        case (Some(ps), _) => graft.functions.TextHashExprs
+          .unigramEncodeIds(w, ps, uniBytes)
         case (_, Some(m)) => graft.functions.TextHashExprs
           .wordPieceEncodeIds(w, wpVocab, m.unkId, m.contPrefix,
             m.maxInputChars)
@@ -247,7 +249,7 @@ object Pipeline {
     def asmChop(docs: DataFrame, idCol: String, textCol: String,
                 windowSize: Long, seed: Long): DataFrame = (uniPieces, wp) match {
       case (Some(ps), _) => Unigram.assembleWindowsIds(docs, idCol, textCol,
-        windowSize, seed, ps, eodId, docSpans, wordPattern)
+        windowSize, seed, ps, eodId, docSpans, wordPattern, uniBytes)
       case (_, Some(m)) => WordPiece.assembleWindowsIds(docs, idCol,
         textCol, windowSize, seed, wpVocab, m.unkId, m.contPrefix,
         m.maxInputChars, eodId, docSpans, wordPattern)
@@ -259,7 +261,7 @@ object Pipeline {
                    windowSize: Long, st: Long, seed: Long): DataFrame =
       (uniPieces, wp) match {
         case (Some(ps), _) => Unigram.assembleWindowsIdsStrided(docs, idCol,
-          textCol, windowSize, st, seed, ps, eodId, wordPattern)
+          textCol, windowSize, st, seed, ps, eodId, wordPattern, uniBytes)
         case (_, Some(m)) => WordPiece.assembleWindowsIdsStrided(docs,
           idCol, textCol, windowSize, st, seed, wpVocab, m.unkId,
           m.contPrefix, m.maxInputChars, eodId, wordPattern)
@@ -271,7 +273,7 @@ object Pipeline {
                   windowSize: Long, seed: Long): DataFrame = (uniPieces, wp) match {
       case (Some(ps), _) => Unigram.assembleWindowsIdsPacked(docs, idCol,
         textCol, windowSize, seed, ps, eodId, padId, docSpans,
-        wordPattern, segmentDocs)
+        wordPattern, segmentDocs, uniBytes)
       case (_, Some(m)) => WordPiece.assembleWindowsIdsPacked(docs,
         idCol, textCol, windowSize, seed, wpVocab, m.unkId,
         m.contPrefix, m.maxInputChars, eodId, padId, docSpans,
@@ -318,10 +320,11 @@ object Pipeline {
       // (piece → id) is carried only for id-collision bookkeeping —
       // encode embeds uniPieces directly.
       val meta = Unigram.readUniMeta(spark, bw.path)
-      val pieces = Unigram.piecesViterbi(spark.table(s"${bw.name}_uni"))
+      val (pieces, bytes) = Unigram.servingViterbi(spark, bw.name, bw.path)
       ResolvedBpe(Nil, pieces.map(p => p._1 -> p._2).toMap,
         bw.eodId, bw.docSpans, byteLevel = false, meta.wordPattern,
-        bw.packed, bw.padId, bw.segmentDocs, bw.stride, Some(pieces))
+        bw.packed, bw.padId, bw.segmentDocs, bw.stride, Some(pieces),
+        uniBytes = bytes)
     } else {
       // a crashed/foreign build refuses here; the SYMBOLIZATION LEVEL
       // and pre-tokenizer ride the stamp — the landing serves exactly

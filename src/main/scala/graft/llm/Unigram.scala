@@ -256,7 +256,20 @@ object Unigram {
                            shrinkFactor: Double,
                            wordPattern: Option[String],
                            minWordCount: Long = 1L,
-                           imported: Boolean = false)
+                           imported: Boolean = false,
+                           byteFallback: Boolean = false)
+
+  /** The 256 reserved byte-piece surfaces of the published
+    * SentencePiece `byte_fallback` convention: `<0x00>`..`<0xFF>`.
+    * These are STRUCTURAL pieces — they never enter the Viterbi
+    * lattice (a literal "<0x41>" in text must not match one) and carry
+    * the uncovered code points' raw UTF-8 bytes instead, making the id
+    * stream lossless on any script (the LLaMA-class tokenizer shape). */
+  val ByteFallbackSurfaces: IndexedSeq[String] =
+    (0 until 256).map(b => f"<0x$b%02X>")
+
+  private val byteSurfaceSet = ByteFallbackSurfaces.toSet
+  private def isByteSurface(s: String): Boolean = byteSurfaceSet.contains(s)
 
   private def stampUniMeta(spark: SparkSession, path: String,
                            meta: UniMeta): Unit = {
@@ -266,7 +279,7 @@ object Unigram {
     val wp = meta.wordPattern.fold("")(pat =>
       s""","word_pattern":"${pat.replace("\\", "\\\\").replace("\"", "\\\"")}\"""")
     try os.write(
-      s"""{"vocab_size":${meta.vocabSize},"max_piece_len":${meta.maxPieceLen},"seed_size":${meta.seedSize},"em_iters":${meta.emIters},"shrink_factor":${meta.shrinkFactor},"min_word_count":${meta.minWordCount},"imported":${meta.imported}$wp}\n"""
+      s"""{"vocab_size":${meta.vocabSize},"max_piece_len":${meta.maxPieceLen},"seed_size":${meta.seedSize},"em_iters":${meta.emIters},"shrink_factor":${meta.shrinkFactor},"min_word_count":${meta.minWordCount},"imported":${meta.imported},"byte_fallback":${meta.byteFallback}$wp}\n"""
         .getBytes("UTF-8"))
     finally os.close()
   }
@@ -291,18 +304,25 @@ object Unigram {
       .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     val imp = """"imported"\s*:\s*(true|false)""".r.findFirstMatchIn(txt)
       .exists(_.group(1) == "true")
+    val bf = """"byte_fallback"\s*:\s*(true|false)""".r.findFirstMatchIn(txt)
+      .exists(_.group(1) == "true")
     (long("vocab_size"), long("max_piece_len"), long("seed_size"),
       long("em_iters"), sf) match {
       case (Some(v), Some(m), Some(s), Some(e), Some(f)) =>
         UniMeta(v.toInt, m.toInt, s.toInt, e.toInt, f, wp,
-          long("min_word_count").getOrElse(1L), imp)
+          long("min_word_count").getOrElse(1L), imp, bf)
       case _ => throw new IllegalStateException(
         s"malformed unigram stamp at ${uniMetaFile(path)}: $txt")
     }
   }
 
   /** Build (or wholesale retrain) the persisted model: train, land
-    * the piece table, stamp last. */
+    * the piece table, stamp last. `byteFallback = true` appends the
+    * 256 reserved [[ByteFallbackSurfaces]] AFTER the trained pieces
+    * (ids vocabSize'..vocabSize'+255 in byte order, floor probability
+    * — they never enter the lattice, so content segmentation is
+    * unchanged) and stamps the mode; every serve then emits uncovered
+    * code points as their UTF-8 byte ids instead of -1. */
   def writeUnigramModel(corpus: DataFrame, textCol: String, name: String,
                         path: String, vocabSize: Int,
                         maxPieceLen: Int = 4,
@@ -310,15 +330,32 @@ object Unigram {
                         emIters: Int = 2,
                         shrinkFactor: Double = 0.75,
                         wordPattern: Option[String] = None,
-                        minWordCount: Long = 1L): Unit = {
+                        minWordCount: Long = 1L,
+                        byteFallback: Boolean = false): Unit = {
     val spark = corpus.sparkSession
-    val model = train(corpus, textCol, vocabSize, maxPieceLen, seedSize,
+    val trained = train(corpus, textCol, vocabSize, maxPieceLen, seedSize,
       emIters, shrinkFactor, wordPattern, minWordCount)
+    val model = if (!byteFallback) trained else {
+      val rows = trained.collect()
+      rows.foreach(r => require(!isByteSurface(r.getString(1)),
+        s"writeUnigramModel: trained piece '${r.getString(1)}' collides " +
+          "with a reserved byte-fallback surface — lower maxPieceLen or " +
+          "pre-normalize the text"))
+      val base = rows.length.toLong
+      val lp = math.log(1e-12)
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        (rows.toSeq ++ ByteFallbackSurfaces.zipWithIndex.map { case (s, b) =>
+          org.apache.spark.sql.Row(base + b, s, 1e-12, lp,
+            math.round(lp * 1e6))
+        }).asJava, piecesSchema)
+    }
     graft.api.GraftFrame(model)
       .toBucketedTable(s"${name}_uni", s"$path/uni", 1, Seq("piece"))
     stampUniMeta(spark, path, UniMeta(vocabSize, maxPieceLen,
       if (seedSize > 0) seedSize else 8 * vocabSize, emIters,
-      shrinkFactor, wordPattern, minWordCount))
+      shrinkFactor, wordPattern, minWordCount,
+      byteFallback = byteFallback))
   }
 
   /** Import a PRETRAINED unigram model from a published (piece,
@@ -384,9 +421,13 @@ object Unigram {
       }.asJava, piecesSchema)
     graft.api.GraftFrame(model)
       .toBucketedTable(s"${name}_uni", s"$path/uni", 1, Seq("piece"))
+    // a published pair shipping ALL 256 reserved byte surfaces IS a
+    // byte_fallback model (the LLaMA-class shape) — detect and stamp,
+    // so serving routes uncovered code points to the byte ids
+    val bf = ByteFallbackSurfaces.forall(s => surfaces.contains(s))
     stampUniMeta(spark, path, UniMeta(withIds.length, maxLen,
       seedSize = 0, emIters = 0, shrinkFactor = 0.5, wordPattern,
-      minWordCount = 1L, imported = true))
+      minWordCount = 1L, imported = true, byteFallback = bf))
   }
 
   /** Read a published SentencePiece VOCABULARY TSV — the
@@ -432,6 +473,27 @@ object Unigram {
     model.select("piece", "piece_id", "logp_micro").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
 
+  /** The stamp-aware serving pair: the CONTENT pieces that enter the
+    * lattice, plus (for a byte_fallback model) the 256 byte-piece ids
+    * in byte order — the reserved surfaces are structural and must
+    * never match literal text, so they are partitioned out here, once,
+    * for every serve. */
+  def servingViterbi(spark: SparkSession, name: String, path: String)
+    : (Seq[(String, Long, Long)], Option[IndexedSeq[Long]]) = {
+    val meta = readUniMeta(spark, path)
+    val all = piecesViterbi(spark.table(s"${name}_uni"))
+    if (!meta.byteFallback) (all, None)
+    else {
+      val (bytes, content) = all.partition(p => isByteSurface(p._1))
+      val m = bytes.map(p => p._1 -> p._2).toMap
+      val arr = ByteFallbackSurfaces.map(s => m.getOrElse(s,
+        throw new IllegalStateException(
+          s"byte_fallback stamp at $path but byte piece '$s' is missing " +
+            s"from ${name}_uni — corrupted model table")))
+      (content, Some(arr))
+    }
+  }
+
   /** id → piece map for detokenization (the [[Bpe.vocabMap]] shape —
     * [[graft.functions.BpeDecodeIds]] consumes it directly: unigram
     * pieces are code-point surfaces, so decode is concatenation). */
@@ -444,13 +506,15 @@ object Unigram {
     * id -1. */
   def encodeIds(docs: DataFrame, idCol: String, textCol: String,
                 pieces: Seq[(String, Long, Long)],
-                wordPattern: Option[String] = None): DataFrame =
+                wordPattern: Option[String] = None,
+                byteFallback: Option[IndexedSeq[Long]] = None): DataFrame =
     docs.select(col(idCol),
         posexplode(Bpe.wordsOf(textCol, wordPattern))
           .as(Seq("word_pos", "__w__")))
       .filter(length(col("__w__")) >= 1)
       .select(col(idCol), col("word_pos"),
-        posexplode(TextHashExprs.unigramEncodeIds(col("__w__"), pieces))
+        posexplode(TextHashExprs.unigramEncodeIds(col("__w__"), pieces,
+          byteFallback))
           .as(Seq("tok_pos", "token_id")))
 
   /** Per-WORD segmentation report: (id, word_pos, word, ids,
@@ -476,18 +540,30 @@ object Unigram {
                        docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     val meta = readUniMeta(spark, path)
-    encodeIds(docs, idCol, textCol,
-      piecesViterbi(spark.table(s"${name}_uni")), meta.wordPattern)
+    val (pieces, bytes) = servingViterbi(spark, name, path)
+    encodeIds(docs, idCol, textCol, pieces, meta.wordPattern, bytes)
   }
 
   /** Landed ids back to the surface string (pieces concatenate; OOV
     * renders U+FFFD — the [[graft.functions.BpeDecodeIds]] contract).
-    * With a GPT-2-pretokenized stamp the result IS the original text. */
+    * Under a byte_fallback stamp, byte ids reassemble as raw UTF-8
+    * ([[graft.functions.SubwordDecodeIds]]) so even text the
+    * vocabulary never covered reads back EXACTLY. With a
+    * GPT-2-pretokenized stamp the result IS the original text. */
   def detokenizeIndexed(spark: SparkSession, name: String, path: String,
                         ids: org.apache.spark.sql.Column)
-    : org.apache.spark.sql.Column =
-    TextHashExprs.bpeDecodeIds(ids, pieceMap(spark.table(s"${name}_uni")),
-      byteLevel = false)
+    : org.apache.spark.sql.Column = {
+    val meta = readUniMeta(spark, path)
+    if (!meta.byteFallback)
+      TextHashExprs.bpeDecodeIds(ids, pieceMap(spark.table(s"${name}_uni")),
+        byteLevel = false)
+    else {
+      val (pieces, bytes) = servingViterbi(spark, name, path)
+      TextHashExprs.subwordDecodeIds(ids,
+        pieces.map(p => p._2 -> p._1).toMap,
+        bytes.get.zipWithIndex.map { case (id, b) => id -> b }.toMap)
+    }
+  }
 
   /** Tokenizer fertility / OOV report under the unigram model — the
     * same per-group metric as [[Bpe.fertilityReport]] (tokens per
@@ -496,8 +572,9 @@ object Unigram {
                       docs: DataFrame, textCol: String,
                       groupCol: String): DataFrame = {
     val meta = readUniMeta(spark, path)
-    fertilityReportWith(docs, textCol, groupCol,
-      piecesViterbi(spark.table(s"${name}_uni")), meta.wordPattern)
+    val (pieces, bytes) = servingViterbi(spark, name, path)
+    fertilityReportWith(docs, textCol, groupCol, pieces,
+      meta.wordPattern, bytes)
   }
 
   /** [[fertilityReport]] under an EXPLICIT serving-object model (the
@@ -508,16 +585,23 @@ object Unigram {
   def fertilityReportWith(docs: DataFrame, textCol: String,
                           groupCol: String,
                           pieces: Seq[(String, Long, Long)],
-                          wordPattern: Option[String] = None): DataFrame = {
+                          wordPattern: Option[String] = None,
+                          byteFallback: Option[IndexedSeq[Long]] = None): DataFrame = {
     val words = filter(Bpe.wordsOf(textCol, wordPattern),
       w => length(w) >= 1)
+    // under byte fallback -1 is structurally absent: n_oov counts the
+    // byte-fallback tokens instead (the mode's own OOV currency —
+    // fertility then prices the byte blow-up of uncovered scripts)
     val ids = flatten(transform(words,
-      w => TextHashExprs.unigramEncodeIds(w, pieces)))
+      w => TextHashExprs.unigramEncodeIds(w, pieces, byteFallback)))
     docs.filter(col(textCol).isNotNull)
       .select(col(groupCol),
         size(words).cast("long").as("__w__"),
         size(ids).cast("long").as("__t__"),
-        size(filter(ids, i => i < 0L)).cast("long").as("__o__"))
+        size(filter(ids, i => byteFallback match {
+          case None => i < 0L
+          case Some(b) => i.isInCollection(b)
+        })).cast("long").as("__o__"))
       .groupBy(col(groupCol))
       .agg(sum(col("__w__")).as("n_words"),
         sum(col("__t__")).as("n_tokens"),
@@ -544,12 +628,15 @@ object Unigram {
                          pieces: Seq[(String, Long, Long)],
                          eodId: Option[Long] = None,
                          withDocSpans: Boolean = false,
-                         wordPattern: Option[String] = None): DataFrame = {
-    eodId.foreach(e => require(e != -1L && !pieces.exists(_._2 == e),
-      s"assembleWindowsIds: eodId $e collides with a piece id (or the " +
-        "-1 OOV sentinel) — reserve an id outside the vocabulary"))
+                         wordPattern: Option[String] = None,
+                         byteFallback: Option[IndexedSeq[Long]] = None): DataFrame = {
+    eodId.foreach(e => require(e != -1L && !pieces.exists(_._2 == e) &&
+        !byteFallback.exists(_.contains(e)),
+      s"assembleWindowsIds: eodId $e collides with a piece id, a " +
+        "byte-fallback id, or the -1 OOV sentinel — reserve an id " +
+        "outside the vocabulary"))
     Bpe.assembleWindowsIdsFrom(docs, idCol, textCol, windowSize, seed,
-      w => TextHashExprs.unigramEncodeIds(w, pieces),
+      w => TextHashExprs.unigramEncodeIds(w, pieces, byteFallback),
       eodId, withDocSpans, wordPattern)
   }
 
@@ -560,13 +647,15 @@ object Unigram {
                                 stride: Long, seed: Long,
                                 pieces: Seq[(String, Long, Long)],
                                 eodId: Option[Long] = None,
-                                wordPattern: Option[String] = None): DataFrame = {
-    eodId.foreach(e => require(e != -1L && !pieces.exists(_._2 == e),
-      s"assembleWindowsIdsStrided: eodId $e collides with a piece id " +
-        "(or the -1 OOV sentinel)"))
+                                wordPattern: Option[String] = None,
+                                byteFallback: Option[IndexedSeq[Long]] = None): DataFrame = {
+    eodId.foreach(e => require(e != -1L && !pieces.exists(_._2 == e) &&
+        !byteFallback.exists(_.contains(e)),
+      s"assembleWindowsIdsStrided: eodId $e collides with a piece id, " +
+        "a byte-fallback id, or the -1 OOV sentinel"))
     Bpe.assembleWindowsIdsStridedFrom(docs, idCol, textCol, windowSize,
       stride, seed,
-      w => TextHashExprs.unigramEncodeIds(w, pieces),
+      w => TextHashExprs.unigramEncodeIds(w, pieces, byteFallback),
       eodId, wordPattern)
   }
 
@@ -580,17 +669,20 @@ object Unigram {
                                padId: Option[Long] = None,
                                withDocSpans: Boolean = false,
                                wordPattern: Option[String] = None,
-                               segmentDocs: Int = 512): DataFrame = {
-    eodId.foreach(e => require(e != -1L && !pieces.exists(_._2 == e),
-      s"assembleWindowsIdsPacked: eodId $e collides with a piece id " +
-        "(or the -1 OOV sentinel) — reserve an id outside the vocabulary"))
-    padId.foreach(p => require(p != -1L && !pieces.exists(_._2 == p)
-        && !eodId.contains(p),
-      s"assembleWindowsIdsPacked: padId $p collides with a piece id, " +
-        "the -1 OOV sentinel, or the eodId — reserve a distinct id " +
+                               segmentDocs: Int = 512,
+                               byteFallback: Option[IndexedSeq[Long]] = None): DataFrame = {
+    eodId.foreach(e => require(e != -1L && !pieces.exists(_._2 == e) &&
+        !byteFallback.exists(_.contains(e)),
+      s"assembleWindowsIdsPacked: eodId $e collides with a piece id, a " +
+        "byte-fallback id, or the -1 OOV sentinel — reserve an id " +
         "outside the vocabulary"))
+    padId.foreach(p => require(p != -1L && !pieces.exists(_._2 == p)
+        && !eodId.contains(p) && !byteFallback.exists(_.contains(p)),
+      s"assembleWindowsIdsPacked: padId $p collides with a piece id, a " +
+        "byte-fallback id, the -1 OOV sentinel, or the eodId — reserve " +
+        "a distinct id outside the vocabulary"))
     Bpe.assembleWindowsIdsPackedFrom(docs, idCol, textCol, windowSize,
-      seed, w => TextHashExprs.unigramEncodeIds(w, pieces),
+      seed, w => TextHashExprs.unigramEncodeIds(w, pieces, byteFallback),
       eodId, padId, withDocSpans, wordPattern, segmentDocs)
   }
 
@@ -609,13 +701,22 @@ object Unigram {
       .select(lit(s"${name}_uni").as("table"), col("rows"), col("files"))
 
   /** OOV drift of a fresh corpus slice against the stored pieces —
-    * the [[Bpe.bpeOovRate]] drift observable for this family. */
+    * the [[Bpe.bpeOovRate]] drift observable for this family. Under a
+    * byte_fallback stamp -1 is structurally absent, so the observable
+    * becomes the BYTE-FALLBACK share of tokens — the same signal (the
+    * vocabulary no longer covers what arrives) in the mode's own
+    * currency. */
   def uniOovRate(spark: SparkSession, name: String, path: String,
                  fresh: DataFrame, textCol: String): Double = {
+    val (_, bytes) = servingViterbi(spark, name, path)
     val ids = encodeIdsIndexed(spark, name, path,
       fresh.select(lit(0L).as("__id__"), col(textCol)), "__id__", textCol)
+    val isOov = bytes match {
+      case None => col("token_id") < 0
+      case Some(b) => col("token_id").isInCollection(b)
+    }
     val row = ids.agg(count(lit(1)).as("total"),
-      sum(when(col("token_id") < 0, 1L).otherwise(0L)).as("oov")).head()
+      sum(when(isOov, 1L).otherwise(0L)).as("oov")).head()
     if (row.getLong(0) == 0L) 0.0
     else row.getLong(1).toDouble / row.getLong(0).toDouble
   }

@@ -348,6 +348,110 @@ class UnigramSpec extends SparkTestBase {
     assert(bad(Row("a", -200.0, 0L)).getMessage.contains("OOV floor"))
   }
 
+  test("byte fallback: lattice unchanged on covered text, UTF-8 byte expansion on OOV, collision refusals") {
+    val byteIds: IndexedSeq[Long] = (0 until 256).map(b => 100L + b)
+    def encBf(word: String) = spark.range(1)
+      .select(TextHashExprs.unigramSegment(lit(word), vit, Some(byteIds))
+        .as("s"))
+      .select(col("s.ids"), col("s.score_micro"), col("s.n_pieces"))
+      .head()
+    // covered word: identical ids and score with or without fallback
+    val plain = seg("abc")
+    val bf = encBf("abc")
+    assert(bf.getSeq[Long](0) === plain._1 && bf.getLong(1) === plain._2)
+    // OOV 'z' (0x7A) -> byte id 100+122; score still one OovMicro edge
+    val z = encBf("z")
+    assert(z.getSeq[Long](0) === Seq(100L + 0x7A))
+    assert(z.getLong(1) === UnigramKernel.OovMicro)
+    // multibyte: é = C3 A9 (2 ids), 𝄞 = F0 9D 84 9E (4 ids, non-BMP
+    // counted as ONE code point / one OovMicro edge)
+    assert(encBf("é").getSeq[Long](0) === Seq(100L + 0xC3, 100L + 0xA9))
+    val g = encBf("𝄞")
+    assert(g.getSeq[Long](0) ===
+      Seq(100L + 0xF0, 100L + 0x9D, 100L + 0x84, 100L + 0x9E))
+    assert(g.getLong(1) === UnigramKernel.OovMicro)
+    assert(g.getInt(2) === 4) // n_pieces counts EMITTED ids
+    // a byte id colliding with a piece id refuses
+    val e = intercept[IllegalArgumentException] {
+      spark.range(1).select(TextHashExprs.unigramSegment(lit("a"), vit,
+        Some((0 until 256).map(_.toLong)))).head()
+    }
+    assert(e.getMessage.contains("collides"))
+  }
+
+  test("byte fallback: persisted lifecycle — lossless round trip on unseen scripts, drift in byte currency, landing conservation") {
+    val path = tmp("graft_uni_bf")
+    Unigram.writeUnigramModel(classic, "text", "unibf", path,
+      vocabSize = 25, maxPieceLen = 3, seedSize = 50, emIters = 2,
+      byteFallback = true)
+    assert(Unigram.readUniMeta(spark, path).byteFallback)
+    // the table carries the 256 reserved surfaces after the content ids
+    val m = spark.table("unibf_uni")
+    assert(m.filter(col("piece").startsWith("<0x")).count() === 256L)
+    // no -1 anywhere, even on a never-seen script
+    val docs = df(docSchema, Row(1L, "the cat"), Row(2L, "日本語 χξζ"))
+    val enc = Unigram.encodeIdsIndexed(spark, "unibf", path, docs,
+      "doc_id", "text")
+    assert(enc.filter(col("token_id") < 0).count() === 0L)
+    // detokenize reads the unseen script back EXACTLY
+    val back = docs.join(
+      enc.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("word_pos"),
+          col("tok_pos"), col("token_id")))).as("s"))
+        .select(col("doc_id"),
+          Unigram.detokenizeIndexed(spark, "unibf", path,
+            expr("transform(s, x -> x.token_id)")).as("rt")),
+      Seq("doc_id"))
+    // whitespace pre-tokenizer drops the spaces; per-word surfaces
+    // must reassemble exactly, including the multibyte script
+    val rt2 = back.filter(col("doc_id") === 2L).head().getAs[String]("rt")
+    assert(rt2 === "日本語χξζ")
+    // drift observable speaks the byte currency
+    assert(Unigram.uniOovRate(spark, "unibf", path,
+      df(docSchema, Row(9L, "ЖЖЖ")), "text") === 1.0)
+    assert(Unigram.uniOovRate(spark, "unibf", path,
+      df(docSchema, Row(9L, "the cat")), "text") === 0.0)
+    // windows land in the EXPANDED unit and conserve
+    val (pieces, bytes) = Unigram.servingViterbi(spark, "unibf", path)
+    val win = Unigram.assembleWindowsIds(docs, "doc_id", "text", 8L, 3L,
+      pieces, eodId = Some(5000L), wordPattern = None,
+      byteFallback = bytes)
+    val mass = win.agg(sum("n_tokens")).head().getLong(0)
+    assert(mass === enc.count() + 2L) // +1 EOD per doc
+    // an eodId colliding with a byte id refuses
+    val e = intercept[IllegalArgumentException] {
+      Unigram.assembleWindowsIds(docs, "doc_id", "text", 8L, 3L,
+        pieces, eodId = Some(bytes.get.head), byteFallback = bytes)
+    }
+    assert(e.getMessage.contains("byte-fallback"))
+  }
+
+  test("byte fallback: import auto-detects the published 256-surface shape") {
+    val path = tmp("graft_uni_bfimp")
+    val rows = Seq(("▁the", -1.0), ("t", -2.25)) ++
+      Unigram.ByteFallbackSurfaces.map(s => (s, -12.0))
+    val pieceSchema = StructType(Seq(
+      StructField("piece", StringType), StructField("logp", DoubleType)))
+    Unigram.importUnigramModel(spark,
+      df(pieceSchema, rows.map(p => Row(p._1, p._2)): _*), "unibfi", path)
+    val meta = Unigram.readUniMeta(spark, path)
+    assert(meta.imported && meta.byteFallback)
+    // a literal "<0x41>" in TEXT does not match the structural piece —
+    // it decomposes per character (byte ids for '<','0','x','4','1','>')
+    val enc = Unigram.encodeIdsIndexed(spark, "unibfi", path,
+      df(docSchema, Row(1L, "<0x41>")), "doc_id", "text")
+    val (_, bytes) = Unigram.servingViterbi(spark, "unibfi", path)
+    val got = enc.orderBy("tok_pos").collect().map(_.getLong(3)).toSeq
+    assert(got === "<0x41>".getBytes("UTF-8").toSeq.map(b =>
+      bytes.get(b & 0xFF)))
+    // without all 256 surfaces, NOT a byte-fallback model
+    val p2 = tmp("graft_uni_bfimp2")
+    Unigram.importUnigramModel(spark,
+      df(pieceSchema, Row("▁the", -1.0), Row("<0x41>", -12.0)),
+      "unibfi2", p2)
+    assert(!Unigram.readUniMeta(spark, p2).byteFallback)
+  }
+
   test("readSentencePieceTsv: piece<TAB>logp lines, id = line number, loud refusals") {
     val f = java.nio.file.Files.createTempFile("graft_uni_tsv", ".tsv")
     java.nio.file.Files.write(f,
