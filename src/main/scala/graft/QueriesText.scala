@@ -5427,14 +5427,16 @@ object QueriesText {
       ("st", 18L, -3100000L), ("t", 19L, -2350000L), ("ta", 20L, -3700000L),
       ("th", 21L, -3000000L), ("win", 22L, -5000000L))
 
-    r.reg("q_unigram_encode",
-      s"""WITH RECURSIVE wt AS (
-         |  SELECT w AS word, count(*) AS cnt FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS w
-         |    FROM documents WHERE text IS NOT NULL) s
-         |  WHERE w <> '' AND length(w) <= 12
-         |  GROUP BY 1 ORDER BY cnt DESC, word LIMIT 1000),
-         |up(piece, pid, lp) AS (SELECT * FROM (VALUES
+    // The Viterbi path-enumeration replay over a `wt(word, …)` CTE —
+    // the lattice argmax recomputed by enumerating EVERY segmentation
+    // (vocab edges + the per-code-point OOV fallback) and ranking by
+    // (score DESC, n_pieces ASC, piece-length list DESC), shared by
+    // all four unigram oracles so the tie-break can never diverge
+    // between them. `idsStep` parameterizes the ids accumulation (the
+    // byte-fallback oracle expands OOV edges to UTF-8 byte ids).
+    // Emits `ubest(word, score, np, ids)`.
+    def uniPathCtes(idsStep: String = "list_append(p.ids, u.pid)"): String =
+      s"""up(piece, pid, lp) AS (SELECT * FROM (VALUES
          |  ${uniVitModel.map { case (p, id, lp) =>
              s"('$p', CAST($id AS BIGINT), CAST($lp AS BIGINT))" }
              .mkString(", ")}) v),
@@ -5447,18 +5449,27 @@ object QueriesText {
          |    CAST([] AS BIGINT[]), CAST([] AS INTEGER[]) FROM wt
          |  UNION ALL
          |  SELECT p.word, p.pos + u.plen, p.score + u.lp, p.np + 1,
-         |    list_append(p.ids, u.pid), list_append(p.lens, u.plen)
+         |    $idsStep, list_append(p.lens, u.plen)
          |  FROM paths p JOIN ext u
          |    ON p.pos < length(p.word)
          |   AND (u.pid = -1 OR substr(p.word, p.pos + 1, u.plen) = u.piece)),
          |fp AS (SELECT * FROM paths WHERE pos = length(word)),
-         |best AS (SELECT word, score, np, ids,
-         |  row_number() OVER (PARTITION BY word
-         |    ORDER BY score DESC, np ASC, lens DESC) AS rn
-         |  FROM fp)
+         |ubest AS (SELECT word, score, np, ids FROM (
+         |  SELECT word, score, np, ids, row_number() OVER (PARTITION BY word
+         |    ORDER BY score DESC, np ASC, lens DESC) AS rn FROM fp)
+         |  WHERE rn = 1)""".stripMargin
+
+    r.reg("q_unigram_encode",
+      s"""WITH RECURSIVE wt AS (
+         |  SELECT w AS word, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w
+         |    FROM documents WHERE text IS NOT NULL) s
+         |  WHERE w <> '' AND length(w) <= 12
+         |  GROUP BY 1 ORDER BY cnt DESC, word LIMIT 1000),
+         |${uniPathCtes()}
          |SELECT word, array_to_string(ids, ',') AS ids_csv,
          |  score AS score_micro, CAST(np AS BIGINT) AS n_pieces
-         |FROM best WHERE rn = 1 ORDER BY word""".stripMargin) { (s, dir) =>
+         |FROM ubest ORDER BY word""".stripMargin) { (s, dir) =>
       val types = t(s, dir, "documents").filter(col("text").isNotNull)
         .select(explode(split(col("text"), " ", -1)).as("word"))
         .filter(length(col("word")) >= 1 && length(col("word")) <= 12)
@@ -5496,31 +5507,10 @@ object QueriesText {
          |          unnest(range(1, len(string_split(text, ' '))+1)) AS i
          |        FROM edocs)
          |  WHERE toks[CAST(i AS INTEGER)] <> ''),
-         |wd AS (SELECT DISTINCT w AS word FROM ewrd),
-         |up(piece, pid, lp) AS (SELECT * FROM (VALUES
-         |  ${uniVitModel.map { case (p, id, lp) =>
-             s"('$p', CAST($id AS BIGINT), CAST($lp AS BIGINT))" }
-             .mkString(", ")}) v),
-         |ext AS (SELECT piece, pid, lp, length(piece) AS plen FROM up
-         |        UNION ALL
-         |        SELECT NULL, CAST(-1 AS BIGINT),
-         |          CAST(-100000000 AS BIGINT), 1),
-         |paths(word, pos, score, np, ids, lens) AS (
-         |  SELECT word, 0, CAST(0 AS BIGINT), 0,
-         |    CAST([] AS BIGINT[]), CAST([] AS INTEGER[]) FROM wd
-         |  UNION ALL
-         |  SELECT p.word, p.pos + u.plen, p.score + u.lp, p.np + 1,
-         |    list_append(p.ids, u.pid), list_append(p.lens, u.plen)
-         |  FROM paths p JOIN ext u
-         |    ON p.pos < length(p.word)
-         |   AND (u.pid = -1 OR substr(p.word, p.pos + 1, u.plen) = u.piece)),
-         |fp AS (SELECT * FROM paths WHERE pos = length(word)),
-         |best AS (SELECT word, ids FROM (
-         |  SELECT word, ids, row_number() OVER (PARTITION BY word
-         |    ORDER BY score DESC, np ASC, lens DESC) AS rn FROM fp)
-         |  WHERE rn = 1),
+         |wt AS (SELECT DISTINCT w AS word FROM ewrd),
+         |${uniPathCtes()},
          |eid AS (SELECT e.doc_id, e.word_pos, b.ids
-         |  FROM ewrd e JOIN best b ON e.w = b.word),
+         |  FROM ewrd e JOIN ubest b ON e.w = b.word),
          |edoc AS (
          |  SELECT d.doc_id,
          |    list_append(COALESCE(g.ids0, CAST([] AS BIGINT[])),
@@ -5597,32 +5587,11 @@ object QueriesText {
          |          unnest(range(1, len(string_split(text, ' '))+1)) AS i
          |        FROM fdocs)
          |  WHERE toks[CAST(i AS INTEGER)] <> ''),
-         |wd AS (SELECT DISTINCT w AS word FROM fwrd),
-         |up(piece, pid, lp) AS (SELECT * FROM (VALUES
-         |  ${uniVitModel.map { case (p, id, lp) =>
-             s"('$p', CAST($id AS BIGINT), CAST($lp AS BIGINT))" }
-             .mkString(", ")}) v),
-         |ext AS (SELECT piece, pid, lp, length(piece) AS plen FROM up
-         |        UNION ALL
-         |        SELECT NULL, CAST(-1 AS BIGINT),
-         |          CAST(-100000000 AS BIGINT), 1),
-         |paths(word, pos, score, np, ids, lens) AS (
-         |  SELECT word, 0, CAST(0 AS BIGINT), 0,
-         |    CAST([] AS BIGINT[]), CAST([] AS INTEGER[]) FROM wd
-         |  UNION ALL
-         |  SELECT p.word, p.pos + u.plen, p.score + u.lp, p.np + 1,
-         |    list_append(p.ids, u.pid), list_append(p.lens, u.plen)
-         |  FROM paths p JOIN ext u
-         |    ON p.pos < length(p.word)
-         |   AND (u.pid = -1 OR substr(p.word, p.pos + 1, u.plen) = u.piece)),
-         |fp AS (SELECT * FROM paths WHERE pos = length(word)),
-         |best AS (SELECT word, np, ids FROM (
-         |  SELECT word, np, ids, row_number() OVER (PARTITION BY word
-         |    ORDER BY score DESC, np ASC, lens DESC) AS rn FROM fp)
-         |  WHERE rn = 1),
+         |wt AS (SELECT DISTINCT w AS word FROM fwrd),
+         |${uniPathCtes()},
          |fcnt AS (SELECT f.lang, b.np,
          |    len(list_filter(b.ids, x -> x < 0)) AS oov
-         |  FROM fwrd f JOIN best b ON f.w = b.word),
+         |  FROM fwrd f JOIN ubest b ON f.w = b.word),
          |fw AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words
          |       FROM fwrd GROUP BY lang),
          |ft AS (SELECT lang, CAST(sum(np) AS BIGINT) AS n_tokens,
@@ -5681,33 +5650,12 @@ object QueriesText {
          |      WHERE w <> '' AND length(w) <= 12
          |      GROUP BY 1 ORDER BY cnt DESC, w LIMIT 1000)
          |    UNION ALL SELECT * FROM (VALUES ('héé'), ('中中'), ('z𝄞a')) v(word))),
-         |up(piece, pid, lp) AS (SELECT * FROM (VALUES
-         |  ${uniVitModel.map { case (p, id, lp) =>
-             s"('$p', CAST($id AS BIGINT), CAST($lp AS BIGINT))" }
-             .mkString(", ")}) v),
-         |ext AS (SELECT piece, pid, lp, length(piece) AS plen FROM up
-         |        UNION ALL
-         |        SELECT NULL, CAST(-1 AS BIGINT),
-         |          CAST(-100000000 AS BIGINT), 1),
-         |paths(word, pos, score, np, ids, lens) AS (
-         |  SELECT word, 0, CAST(0 AS BIGINT), 0,
-         |    CAST([] AS BIGINT[]), CAST([] AS INTEGER[]) FROM wt
-         |  UNION ALL
-         |  SELECT p.word, p.pos + u.plen, p.score + u.lp, p.np + 1,
-         |    CASE WHEN u.pid = -1 THEN list_concat(p.ids, $byteList)
-         |         ELSE list_append(p.ids, u.pid) END,
-         |    list_append(p.lens, u.plen)
-         |  FROM paths p JOIN ext u
-         |    ON p.pos < length(p.word)
-         |   AND (u.pid = -1 OR substr(p.word, p.pos + 1, u.plen) = u.piece)),
-         |fp AS (SELECT * FROM paths WHERE pos = length(word)),
-         |best AS (SELECT word, score, ids,
-         |  row_number() OVER (PARTITION BY word
-         |    ORDER BY score DESC, np ASC, lens DESC) AS rn
-         |  FROM fp)
+         |${uniPathCtes(
+             s"""CASE WHEN u.pid = -1 THEN list_concat(p.ids, $byteList)
+                |         ELSE list_append(p.ids, u.pid) END""".stripMargin)}
          |SELECT word, array_to_string(ids, ',') AS ids_csv,
          |  score AS score_micro, CAST(len(ids) AS BIGINT) AS n_pieces
-         |FROM best WHERE rn = 1 ORDER BY word""".stripMargin
+         |FROM ubest ORDER BY word""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
       val byteIds: IndexedSeq[Long] = (0 until 256).map(b => 100L + b)
@@ -5820,7 +5768,7 @@ object QueriesText {
          |  CAST(count(*) AS BIGINT) AS n_examples,
          |  CAST(count(DISTINCT rib // 7) AS BIGINT) AS n_batches,
          |  CAST(sum(n) AS BIGINT) AS n_tokens,
-         |  CAST(sum(bucket_cap - n) AS BIGINT) AS n_pad,
+         |  CAST(count(DISTINCT rib // 7) * 7 * bucket_cap - sum(n) AS BIGINT) AS n_pad,
          |  CAST(sum(n) AS DOUBLE)
          |    / (count(DISTINCT rib // 7) * 7 * bucket_cap) AS fill_rate
          |FROM kept GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin) { (s, dir) =>

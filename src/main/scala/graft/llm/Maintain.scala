@@ -1130,7 +1130,8 @@ object Maintain {
         if (fire) {
           Unigram.writeUnigramModel(freshCorpus.get, textCol, name, path,
             meta.vocabSize, meta.maxPieceLen, meta.seedSize, meta.emIters,
-            meta.shrinkFactor, meta.wordPattern, meta.minWordCount)
+            meta.shrinkFactor, meta.wordPattern, meta.minWordCount,
+            byteFallback = meta.byteFallback)
         }
         results += (("oov_drift", oov, policy.maxDriftDelta, fire,
           if (fire) "Unigram.writeUnigramModel(freshCorpus)"

@@ -320,7 +320,8 @@ object Pipeline {
       // (piece → id) is carried only for id-collision bookkeeping —
       // encode embeds uniPieces directly.
       val meta = Unigram.readUniMeta(spark, bw.path)
-      val (pieces, bytes) = Unigram.servingViterbi(spark, bw.name, bw.path)
+      val (pieces, bytes) = Unigram.servingViterbiWith(spark, bw.name,
+        bw.path, meta)
       ResolvedBpe(Nil, pieces.map(p => p._1 -> p._2).toMap,
         bw.eodId, bw.docSpans, byteLevel = false, meta.wordPattern,
         bw.packed, bw.padId, bw.segmentDocs, bw.stride, Some(pieces),

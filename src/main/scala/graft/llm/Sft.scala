@@ -461,10 +461,15 @@ object Sft {
     assigned.groupBy(col("bucket_cap"))
       .agg(count(lit(1)).as("n_examples"),
         countDistinct(col("batch_id")).as("n_batches"),
-        sum(col(nCol).cast("long")).as("n_tokens"),
-        sum(col("pad")).as("n_pad"))
+        sum(col(nCol).cast("long")).as("n_tokens"))
       .select(col("bucket_cap"), col("n_examples"), col("n_batches"),
-        col("n_tokens"), col("n_pad"),
+        col("n_tokens"),
+        // total slots minus real tokens: the missing examples of a
+        // partial final batch cost accelerator time exactly like
+        // per-example padding, so they count (n_tokens + n_pad always
+        // equals n_batches · batchSize · cap)
+        (col("n_batches") * batchSize * col("bucket_cap") -
+          col("n_tokens")).as("n_pad"),
         (col("n_tokens").cast("double") /
           (col("n_batches") * batchSize * col("bucket_cap")).cast("double"))
           .as("fill_rate"))

@@ -479,8 +479,14 @@ object Unigram {
     * never match literal text, so they are partitioned out here, once,
     * for every serve. */
   def servingViterbi(spark: SparkSession, name: String, path: String)
+    : (Seq[(String, Long, Long)], Option[IndexedSeq[Long]]) =
+    servingViterbiWith(spark, name, path, readUniMeta(spark, path))
+
+  /** [[servingViterbi]] under an already-read stamp — every indexed
+    * serve reads the stamp exactly once and passes it here. */
+  private[llm] def servingViterbiWith(spark: SparkSession, name: String,
+                                      path: String, meta: UniMeta)
     : (Seq[(String, Long, Long)], Option[IndexedSeq[Long]]) = {
-    val meta = readUniMeta(spark, path)
     val all = piecesViterbi(spark.table(s"${name}_uni"))
     if (!meta.byteFallback) (all, None)
     else {
@@ -540,7 +546,7 @@ object Unigram {
                        docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     val meta = readUniMeta(spark, path)
-    val (pieces, bytes) = servingViterbi(spark, name, path)
+    val (pieces, bytes) = servingViterbiWith(spark, name, path, meta)
     encodeIds(docs, idCol, textCol, pieces, meta.wordPattern, bytes)
   }
 
@@ -558,7 +564,7 @@ object Unigram {
       TextHashExprs.bpeDecodeIds(ids, pieceMap(spark.table(s"${name}_uni")),
         byteLevel = false)
     else {
-      val (pieces, bytes) = servingViterbi(spark, name, path)
+      val (pieces, bytes) = servingViterbiWith(spark, name, path, meta)
       TextHashExprs.subwordDecodeIds(ids,
         pieces.map(p => p._2 -> p._1).toMap,
         bytes.get.zipWithIndex.map { case (id, b) => id -> b }.toMap)
@@ -572,7 +578,7 @@ object Unigram {
                       docs: DataFrame, textCol: String,
                       groupCol: String): DataFrame = {
     val meta = readUniMeta(spark, path)
-    val (pieces, bytes) = servingViterbi(spark, name, path)
+    val (pieces, bytes) = servingViterbiWith(spark, name, path, meta)
     fertilityReportWith(docs, textCol, groupCol, pieces,
       meta.wordPattern, bytes)
   }
@@ -708,9 +714,11 @@ object Unigram {
     * currency. */
   def uniOovRate(spark: SparkSession, name: String, path: String,
                  fresh: DataFrame, textCol: String): Double = {
-    val (_, bytes) = servingViterbi(spark, name, path)
-    val ids = encodeIdsIndexed(spark, name, path,
-      fresh.select(lit(0L).as("__id__"), col(textCol)), "__id__", textCol)
+    val meta = readUniMeta(spark, path)
+    val (pieces, bytes) = servingViterbiWith(spark, name, path, meta)
+    val ids = encodeIds(
+      fresh.select(lit(0L).as("__id__"), col(textCol)), "__id__", textCol,
+      pieces, meta.wordPattern, bytes)
     val isOov = bytes match {
       case None => col("token_id") < 0
       case Some(b) => col("token_id").isInCollection(b)

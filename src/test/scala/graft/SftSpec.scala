@@ -323,6 +323,11 @@ class SftSpec extends SparkTestBase {
     assert(rep(8L).getAs[Long]("n_examples") === 5L)
     assert(rep(8L).getAs[Long]("n_batches") === 3L)
     assert(rep(8L).getAs[Long]("n_tokens") === 22L) // 3+5+8+2+4
+    // pad counts ALL empty slots: 3 batches x 2 x 8 = 48 slots, 22
+    // real tokens -> 26 (the partial batch's missing example included)
+    assert(rep(8L).getAs[Long]("n_pad") === 26L)
+    assert(rep(8L).getAs[Long]("n_tokens") + rep(8L).getAs[Long]("n_pad")
+      === 3L * 2L * 8L)
     assert(rep(8L).getAs[Double]("fill_rate") === 22.0 / (3 * 2 * 8))
     // an over-boundary example refuses loudly at execution
     val e = intercept[Exception] {

@@ -424,6 +424,15 @@ class UnigramSpec extends SparkTestBase {
         pieces, eodId = Some(bytes.get.head), byteFallback = bytes)
     }
     assert(e.getMessage.contains("byte-fallback"))
+    // a drift-fired retrain REPLAYS the byte-fallback mode (the stamp
+    // is the geometry — losing the mode would silently re-introduce -1)
+    val drifted = df(docSchema, Row(7L, "ŴŴ ŵŵ"), Row(8L, "ŵŵ"))
+    graft.llm.Maintain.maintainUnigram(spark, "unibf", path,
+      freshSample = Some(drifted),
+      freshCorpus = Some(classic.unionByName(drifted)))
+    assert(Unigram.readUniMeta(spark, path).byteFallback)
+    assert(spark.table("unibf_uni")
+      .filter(col("piece").startsWith("<0x")).count() === 256L)
   }
 
   test("byte fallback: import auto-detects the published 256-surface shape") {
