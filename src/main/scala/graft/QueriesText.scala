@@ -5877,6 +5877,120 @@ object QueriesText {
       idxPath
     }
 
+    // WordPiece TRAINING (Schuster & Nakajima 2012 — the likelihood-
+    // scored merge loop): score(a,b) = count(ab)/(count(a)·count(b)),
+    // argmax by EXACT integer cross-multiplication (HUGEINT in the
+    // replay — no float ratio anywhere), code-point tie-break, merged
+    // symbol = left + stripPrefix(right). The planted words make the
+    // signature behavior live: 'zq'×25 + 'zqzq'×12 give rare pairs of
+    // RARE symbols whose likelihood beats pairs hundreds of times more
+    // frequent (BPE's frequency argmax would choose differently from
+    // iteration 1). Six iterations replayed as materialized CTEs; the
+    // score INPUTS (pair/left/right counts) ride the rows so the
+    // objective itself is value-checked, not just the chosen pair.
+    def wpTrainCtes(nMerges: Int): String = {
+      val init =
+        s"""ww0 AS MATERIALIZED (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+           |    ' ' || array_to_string(list_transform(range(1, length(w)+1),
+           |      q -> CASE WHEN q = 1 THEN substr(w, CAST(q AS INTEGER), 1)
+           |           ELSE '##' || substr(w, CAST(q AS INTEGER), 1) END),
+           |      '  ') || ' ' AS sp
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+           |        FROM documents WHERE doc_id < 400
+           |        UNION ALL SELECT 'zq' FROM range(25)
+           |        UNION ALL SELECT 'zqzq' FROM range(12))
+           |  WHERE length(w) >= 1 GROUP BY w)""".stripMargin
+      val iters = (1 to nMerges).map { r =>
+        val p = r - 1
+        s"""wtk$r AS MATERIALIZED (
+           |  SELECT cnt, string_split(trim(sp), '  ') AS toks FROM ww$p),
+           |ws$r AS MATERIALIZED (
+           |  SELECT tok, CAST(SUM(cnt) AS BIGINT) AS c
+           |  FROM (SELECT cnt, unnest(toks) AS tok FROM wtk$r) GROUP BY 1),
+           |wp$r AS MATERIALIZED (
+           |  SELECT toks[CAST(i AS INTEGER)] AS l,
+           |    toks[CAST(i AS INTEGER)+1] AS rr,
+           |    CAST(SUM(cnt) AS BIGINT) AS p
+           |  FROM (SELECT cnt, toks, unnest(range(1, len(toks))) AS i
+           |        FROM wtk$r)
+           |  GROUP BY 1, 2),
+           |wsc$r AS MATERIALIZED (
+           |  SELECT q.l, q.rr, q.p, sl.c AS lc, sr.c AS rc
+           |  FROM wp$r q JOIN ws$r sl ON sl.tok = q.l
+           |              JOIN ws$r sr ON sr.tok = q.rr
+           |  WHERE q.p >= 2),
+           |wb$r AS MATERIALIZED (
+           |  SELECT l, rr, l || substr(rr, 3) AS merged, p, lc, rc
+           |  FROM wsc$r x
+           |  WHERE NOT EXISTS (SELECT 1 FROM wsc$r o
+           |    WHERE CAST(o.p AS HUGEINT) * x.lc * x.rc
+           |            > CAST(x.p AS HUGEINT) * o.lc * o.rc
+           |       OR (CAST(o.p AS HUGEINT) * x.lc * x.rc
+           |             = CAST(x.p AS HUGEINT) * o.lc * o.rc
+           |           AND (o.l < x.l OR (o.l = x.l AND o.rr < x.rr))))),
+           |ww$r AS MATERIALIZED (
+           |  SELECT w, cnt,
+           |    replace(sp, (SELECT ' '||l||'  '||rr||' ' FROM wb$r),
+           |                (SELECT ' '||merged||' ' FROM wb$r)) AS sp
+           |  FROM ww$p)""".stripMargin
+      }
+      (init +: iters).mkString(",\n")
+    }
+
+    def wpTrainFixture(s: org.apache.spark.sql.SparkSession,
+                       dir: String) = {
+      import s.implicits._
+      t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq(
+          (-8L, Array.fill(25)("zq").mkString(" ")),
+          (-9L, Array.fill(12)("zqzq").mkString(" ")))
+          .toDF("doc_id", "text"))
+    }
+
+    r.reg("q_wordpiece_train",
+      s"""WITH ${wpTrainCtes(6)}
+         |${(1 to 6).map(r =>
+             s"""SELECT ${r - 1} AS rank, l AS "left", rr AS "right",
+                |  merged, p AS pair_count, lc AS left_count,
+                |  rc AS right_count FROM wb$r""".stripMargin)
+             .mkString("\nUNION ALL\n")}
+         |ORDER BY rank""".stripMargin) { (s, dir) =>
+      graft.llm.WordPiece.train(wpTrainFixture(s, dir), "text",
+          numMerges = 6, minPairCount = 2L)
+        .orderBy("rank")
+    }
+
+    // The trained vocabulary contract: [UNK] at 0, the alphabet in
+    // code-point order, merged surfaces in rank order, duplicate
+    // surfaces keep the earlier id — recomputed in SQL over the same
+    // six training iterations.
+    r.reg("q_wordpiece_vocab",
+      s"""WITH ${wpTrainCtes(6)},
+         |al AS (SELECT DISTINCT tok FROM ws1),
+         |mg AS (${(1 to 6).map(r =>
+             s"SELECT ${r - 1} AS rank, merged FROM wb$r")
+             .mkString(" UNION ALL ")}),
+         |sq AS (
+         |  SELECT 0 AS grp, CAST(0 AS BIGINT) AS ord, '[UNK]' AS piece
+         |  UNION ALL
+         |  SELECT 1, row_number() OVER (ORDER BY tok), tok FROM al
+         |  UNION ALL
+         |  SELECT 2, rank, merged FROM mg),
+         |dd AS (SELECT piece, grp, ord,
+         |  row_number() OVER (PARTITION BY piece ORDER BY grp, ord) AS occ
+         |  FROM sq)
+         |SELECT row_number() OVER (ORDER BY grp, ord) - 1 AS piece_id,
+         |  piece
+         |FROM dd WHERE occ = 1 ORDER BY piece_id""".stripMargin) { (s, dir) =>
+      val fx = wpTrainFixture(s, dir)
+      graft.llm.WordPiece.trainedVocab(fx, "text",
+          graft.llm.WordPiece.train(fx, "text", numMerges = 6,
+            minPairCount = 2L))
+        .orderBy("piece_id")
+    }
+
     r.reg("q_wordpiece_encode",
       s"""WITH RECURSIVE wt AS (
          |  SELECT DISTINCT w AS word FROM (

@@ -507,6 +507,7 @@ object Maintain {
                                  textCol: String = "text") extends Target
   final case class WordPieceTarget(name: String, path: String,
                                    freshSample: Option[DataFrame] = None,
+                                   freshCorpus: Option[DataFrame] = None,
                                    textCol: String = "text") extends Target
   final case class MultiTarget(name: String, path: String,
                                freshSample: Option[DataFrame] = None,
@@ -570,8 +571,8 @@ object Maintain {
             maintainBpe(spark, n, p, policy, fs, fc, tc)
           case UnigramTarget(n, p, fs, fc, tc) =>
             maintainUnigram(spark, n, p, policy, fs, fc, tc)
-          case WordPieceTarget(n, p, fs, tc) =>
-            maintainWordPiece(spark, n, p, policy, fs, tc)
+          case WordPieceTarget(n, p, fs, fc, tc) =>
+            maintainWordPiece(spark, n, p, policy, fs, fc, tc)
           case MultiTarget(n, p, fs, fsd, lc, tc) =>
             maintainMulti(spark, n, p, policy, fs, fsd, lc, tc)
           case WindowsTarget(op, d, ic, tc, bw, ws, mf) =>
@@ -1156,44 +1157,60 @@ object Maintain {
   }
 
   /** Maintenance pass for the persisted WORDPIECE vocabulary
-    * ([[WordPiece.importWordPieceModel]] table `<name>_wp`) — the
-    * SIXTEENTH maintained family. The family is IMPORT-ONLY by design
-    * (every published BERT-class model ships its vocab.txt; training a
-    * new subword vocabulary is the [[Bpe]]/[[Unigram]] families'
-    * role), so there is never a training corpus to replay: UNK-word
-    * drift of a fresh slice ([[WordPiece.wpUnkRate]]) is INDICATED but
-    * never auto-fired — the corrective is a re-import of a refreshed
-    * published vocabulary, a human decision by construction (the
-    * imported-BPE posture, here structural rather than conditional).
-    * Fragmentation fires [[WordPiece.compactWordPiece]]. */
+    * ([[WordPiece.importWordPieceModel]] /
+    * [[WordPiece.writeWordPieceModel]] table `<name>_wp`) — the
+    * SIXTEENTH maintained family, the [[maintainBpe]] structure: UNK-
+    * word drift of a fresh slice ([[WordPiece.wpUnkRate]]) fires a
+    * stamp-replaying wholesale retrain when the model was TRAINED
+    * in-engine and a refresh corpus is provided; an IMPORTED model
+    * (the published vocab.txt — the production default) has no
+    * training corpus to replay, so drift is indicated but never
+    * auto-fired. Fragmentation fires [[WordPiece.compactWordPiece]]
+    * unless a retrain already rewrote the table. */
   def maintainWordPiece(spark: SparkSession, name: String, path: String,
                         policy: Policy = Policy(),
                         freshSample: Option[DataFrame] = None,
+                        freshCorpus: Option[DataFrame] = None,
                         textCol: String = "text"): DataFrame = {
     val results = scala.collection.mutable.Buffer.empty[(String, Double, Double, Boolean, String)]
     results += (("retraction", Double.NaN, Double.NaN, false,
-      "n/a: import-only family — correct the published vocabulary and re-import (WordPiece.importWordPieceModel)"))
+      "n/a: the vocabulary is an aggregate (imported or trained) — correct the source and re-import/retrain (WordPiece.importWordPieceModel / writeWordPieceModel)"))
 
-    freshSample match {
+    val firedRetrain = freshSample match {
       case None =>
         results += (("unk_drift", Double.NaN, policy.maxDriftDelta, false,
           "skipped: no freshSample provided"))
+        false
       case Some(fs) =>
         val unk = WordPiece.wpUnkRate(spark, name, path, fs, textCol)
         val indicated = unk > policy.maxDriftDelta
-        results += (("unk_drift", unk, policy.maxDriftDelta, false,
-          if (indicated)
-            "indicated: import-only family is retrain-ineligible — re-import a refreshed published vocabulary (WordPiece.importWordPieceModel)"
+        val meta = WordPiece.readWpMeta(spark, path)
+        val fire = indicated && freshCorpus.isDefined && !meta.imported
+        if (fire) {
+          WordPiece.writeWordPieceModel(freshCorpus.get, textCol, name,
+            path, meta.numMerges, meta.minPairCount, meta.maxTypes,
+            meta.contPrefix, meta.maxInputChars, meta.unkPiece,
+            meta.wordPattern, meta.minWordCount)
+        }
+        results += (("unk_drift", unk, policy.maxDriftDelta, fire,
+          if (fire) "WordPiece.writeWordPieceModel(freshCorpus)"
+          else if (indicated && meta.imported)
+            "indicated: imported model is retrain-ineligible — re-import a refreshed published vocabulary (WordPiece.importWordPieceModel)"
+          else if (indicated) "indicated: provide freshCorpus to retrain"
           else "none"))
+        fire
     }
 
     val files = WordPiece.wpReport(spark, name)
       .agg(max(col("files"))).head().getLong(0).toDouble
-    val fireCompact = files > policy.maxFilesFlat
+    val over = files > policy.maxFilesFlat
+    val fireCompact = over && !firedRetrain
     if (fireCompact) WordPiece.compactWordPiece(spark, name)
     results += (("table_files", files, policy.maxFilesFlat.toDouble,
       fireCompact,
-      if (fireCompact) "WordPiece.compactWordPiece" else "none"))
+      if (fireCompact) "WordPiece.compactWordPiece"
+      else if (over) "subsumed: retrain rewrote one file per bucket"
+      else "none"))
 
     import spark.implicits._
     results.toSeq.toDF("check", "observed", "threshold", "fired", "action")

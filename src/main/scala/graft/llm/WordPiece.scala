@@ -57,7 +57,12 @@ object WordPiece {
   final case class WpMeta(unkId: Long, contPrefix: String,
                           maxInputChars: Int,
                           wordPattern: Option[String],
-                          imported: Boolean = true)
+                          imported: Boolean = true,
+                          numMerges: Int = 0,
+                          minPairCount: Long = 2L,
+                          maxTypes: Int = 2000000,
+                          minWordCount: Long = 1L,
+                          unkPiece: String = "[UNK]")
 
   private def stampWpMeta(spark: SparkSession, path: String,
                           meta: WpMeta): Unit = {
@@ -68,7 +73,7 @@ object WordPiece {
       s""","word_pattern":"${esc(pat)}"""")
     val os = fs.create(p, true)
     try os.write(
-      s"""{"unk_id":${meta.unkId},"cont_prefix":"${esc(meta.contPrefix)}","max_input_chars":${meta.maxInputChars},"imported":${meta.imported}$wp}\n"""
+      s"""{"unk_id":${meta.unkId},"cont_prefix":"${esc(meta.contPrefix)}","max_input_chars":${meta.maxInputChars},"imported":${meta.imported},"num_merges":${meta.numMerges},"min_pair_count":${meta.minPairCount},"max_types":${meta.maxTypes},"min_word_count":${meta.minWordCount},"unk_piece":"${esc(meta.unkPiece)}"$wp}\n"""
         .getBytes("UTF-8"))
     finally os.close()
   }
@@ -89,12 +94,185 @@ object WordPiece {
     def long(k: String): Option[Long] =
       (s""""$k"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(txt)
         .map(_.group(1).toLong)
+    val imp = """"imported"\s*:\s*(true|false)""".r.findFirstMatchIn(txt)
+      .forall(_.group(1) == "true")
     (long("unk_id"), str("cont_prefix"), long("max_input_chars")) match {
       case (Some(u), Some(c), Some(m)) =>
-        WpMeta(u, c, m.toInt, str("word_pattern"))
+        WpMeta(u, c, m.toInt, str("word_pattern"), imp,
+          long("num_merges").getOrElse(0L).toInt,
+          long("min_pair_count").getOrElse(2L),
+          long("max_types").getOrElse(2000000L).toInt,
+          long("min_word_count").getOrElse(1L),
+          str("unk_piece").getOrElse("[UNK]"))
       case _ => throw new IllegalStateException(
         s"malformed wordpiece stamp at ${wpMetaFile(path)}: $txt")
     }
+  }
+
+  /** WordPiece symbolization of one word: the first code point plain,
+    * every later code point carrying the continuation prefix — the
+    * initial state of the training merge loop (surrogate-safe). */
+  private[llm] def wpSymbols(word: String, contPrefix: String): Array[String] = {
+    val offs = graft.functions.UnigramKernel.cpOffsets(word)
+    val out = new Array[String](offs.length - 1)
+    var i = 0
+    while (i < offs.length - 1) {
+      val cp = word.substring(offs(i), offs(i + 1))
+      out(i) = if (i == 0) cp else contPrefix + cp
+      i += 1
+    }
+    out
+  }
+
+  /** Merges-table schema: (rank, left, right, merged, pair_count,
+    * left_count, right_count) — the score inputs ride the row so the
+    * driver gate can value-check the LIKELIHOOD argmax, not just the
+    * chosen pair. */
+  val mergesSchema: StructType = StructType(Seq(
+    StructField("rank", IntegerType, nullable = false),
+    StructField("left", StringType, nullable = false),
+    StructField("right", StringType, nullable = false),
+    StructField("merged", StringType, nullable = false),
+    StructField("pair_count", LongType, nullable = false),
+    StructField("left_count", LongType, nullable = false),
+    StructField("right_count", LongType, nullable = false)))
+
+  /** TRAIN a WordPiece vocabulary — the published algorithm (Schuster
+    * & Nakajima 2012; the likelihood-scored variant of the public
+    * BERT/HuggingFace trainers): the [[Bpe.train]] merge loop with the
+    * objective changed from raw pair frequency to the LIKELIHOOD gain
+    * `score(a,b) = count(ab) / (count(a) · count(b))` — a rare pair of
+    * rare symbols beats a frequent pair of ubiquitous ones, which is
+    * exactly where WordPiece and BPE vocabularies diverge. The argmax
+    * compares scores by EXACT integer cross-multiplication (BigInt —
+    * no float ratio anywhere, so the choice is engine-exact and the
+    * oracle replays it in SQL as a HUGEINT comparison); ties break on
+    * (left, right) code-point order, the [[Bpe.train]] contract.
+    * Symbols carry the continuation prefix from symbolization on, so a
+    * merged symbol is `left + stripPrefix(right)` and prefix status is
+    * preserved by construction.
+    *
+    * Scale posture = [[Bpe.train]]'s, stated not hidden: one
+    * distributed word-count shuffle, then a driver-side loop over the
+    * TYPE table (maxTypes-bounded probe with the loud refusal naming
+    * `minWordCount`, the standard crawl-scale frequency cutoff). */
+  def train(corpus: DataFrame, textCol: String, numMerges: Int,
+            minPairCount: Long = 2L,
+            maxTypes: Int = 2000000,
+            contPrefix: String = "##",
+            wordPattern: Option[String] = None,
+            minWordCount: Long = 1L): DataFrame = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    require(minPairCount >= 1, "minPairCount must be >= 1")
+    require(minWordCount >= 1, "minWordCount must be >= 1")
+    require(contPrefix.nonEmpty, "empty continuation prefix")
+    val spark = corpus.sparkSession
+    val wc0 = Bpe.wordCounts(corpus, textCol, wordPattern)
+    val wc =
+      if (minWordCount <= 1L) wc0
+      else wc0.filter(col("cnt") >= minWordCount)
+    val probe = wc.limit(maxTypes + 1).count()
+    require(probe <= maxTypes,
+      s"WordPiece.train: corpus has more than $maxTypes distinct word " +
+        s"types at minWordCount=$minWordCount; raise maxTypes (the merge " +
+        "loop is driver-side over the TYPE table) or raise minWordCount " +
+        "(the standard frequency-cutoff approximation)")
+    var types: Array[(Array[String], Long)] = wc.collect()
+      .map(r => (wpSymbols(r.getString(0), contPrefix), r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var rank = 0
+    var continue = true
+    while (rank < numMerges && continue) {
+      val pairCnt = new java.util.HashMap[(String, String), Long]()
+      val symCnt = new java.util.HashMap[String, Long]()
+      types.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length) {
+          symCnt.merge(syms(i), cnt, (x, y) => x + y)
+          if (i + 1 < syms.length)
+            pairCnt.merge((syms(i), syms(i + 1)), cnt, (x, y) => x + y)
+          i += 1
+        }
+      }
+      // exact rational argmax: p_a/(l_a·r_a) vs p_b/(l_b·r_b) compared
+      // as p_a·l_b·r_b vs p_b·l_a·r_a in BigInt (counts can make the
+      // three-way product exceed Long)
+      var best: (String, String) = null
+      var bestP = 0L; var bestD = BigInt(0)
+      pairCnt.forEach { (k, p) =>
+        if (p >= minPairCount) {
+          val d = BigInt(symCnt.get(k._1)) * BigInt(symCnt.get(k._2))
+          val better =
+            if (best == null) true
+            else {
+              val cmp = (BigInt(p) * bestD).compare(BigInt(bestP) * d)
+              cmp > 0 || (cmp == 0 &&
+                (Bpe.cpLess(k._1, best._1) ||
+                  (k._1 == best._1 && Bpe.cpLess(k._2, best._2))))
+            }
+          if (better) { best = k; bestP = p; bestD = d }
+        }
+      }
+      if (best == null) continue = false
+      else {
+        val mergedSym = best._1 +
+          (if (best._2.startsWith(contPrefix))
+            best._2.substring(contPrefix.length) else best._2)
+        merges += Row(rank, best._1, best._2, mergedSym, bestP,
+          symCnt.get(best._1), symCnt.get(best._2))
+        val (l, r) = best
+        types = types.map { case (syms, cnt) =>
+          if (syms.length < 2) (syms, cnt)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += mergedSym; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, cnt)
+          }
+        }
+        rank += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](merges.toSeq.asJava), mergesSchema)
+  }
+
+  /** The trained vocabulary: the unknown piece at id 0, the ALPHABET
+    * (every symbol of the initial symbolization — first code points
+    * plain, later ones prefixed) in code-point order, then the merged
+    * surfaces in rank order; a merged surface that duplicates an
+    * earlier entry keeps the earlier id (two merge paths can
+    * concatenate to the same string — the [[Bpe]] vocabFrame lesson). */
+  def trainedVocab(corpus: DataFrame, textCol: String, merges: DataFrame,
+                   contPrefix: String = "##",
+                   unkPiece: String = "[UNK]",
+                   wordPattern: Option[String] = None,
+                   minWordCount: Long = 1L): DataFrame = {
+    val spark = corpus.sparkSession
+    val wc0 = Bpe.wordCounts(corpus, textCol, wordPattern)
+    val wc = if (minWordCount <= 1L) wc0
+      else wc0.filter(col("cnt") >= minWordCount)
+    val alpha = wc.select(explode(expr(
+        "transform(sequence(1, length(word)), i -> " +
+          s"CASE WHEN i = 1 THEN substring(word, 1, 1) " +
+          s"ELSE '$contPrefix' || substring(word, i, 1) END)")).as("p"))
+      .distinct().collect().map(_.getString(0))
+      .sortWith(Bpe.cpLess)
+    val mergedSurfaces = merges.select("rank", "merged").collect()
+      .sortBy(_.getInt(0)).map(_.getString(1))
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    seen += unkPiece
+    alpha.foreach(seen += _)
+    mergedSurfaces.foreach(seen += _)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      seen.toSeq.zipWithIndex
+        .map { case (p, i) => Row(i.toLong, p) }.asJava, vocabSchema)
   }
 
   /** Read a published `vocab.txt` — ONE PIECE PER LINE, id = line
@@ -176,6 +354,34 @@ object WordPiece {
       .toBucketedTable(s"${name}_wp", s"$path/wp", 1, Seq("piece"))
     stampWpMeta(spark, path, WpMeta(unkId, contPrefix, maxInputChars,
       wordPattern))
+  }
+
+  /** Build (or wholesale retrain) the persisted model FROM A CORPUS:
+    * [[train]] the likelihood merges, derive [[trainedVocab]], land
+    * the table, stamp LAST with the full training geometry — a
+    * drift-fired retrain ([[Maintain.maintainWordPiece]]) replays
+    * exactly it. The import path remains the production default for
+    * published models; this is for teams training their own
+    * BERT-class vocabulary in-engine. */
+  def writeWordPieceModel(corpus: DataFrame, textCol: String,
+                          name: String, path: String, numMerges: Int,
+                          minPairCount: Long = 2L,
+                          maxTypes: Int = 2000000,
+                          contPrefix: String = "##",
+                          maxInputChars: Int = 200,
+                          unkPiece: String = "[UNK]",
+                          wordPattern: Option[String] = None,
+                          minWordCount: Long = 1L): Unit = {
+    val spark = corpus.sparkSession
+    val merges = train(corpus, textCol, numMerges, minPairCount,
+      maxTypes, contPrefix, wordPattern, minWordCount)
+    val vocab = trainedVocab(corpus, textCol, merges, contPrefix,
+      unkPiece, wordPattern, minWordCount)
+    graft.api.GraftFrame(vocab)
+      .toBucketedTable(s"${name}_wp", s"$path/wp", 1, Seq("piece"))
+    stampWpMeta(spark, path, WpMeta(0L, contPrefix, maxInputChars,
+      wordPattern, imported = false, numMerges, minPairCount, maxTypes,
+      minWordCount, unkPiece))
   }
 
   /** The greedy serving object: (piece, id) — MODEL-sized, embedded

@@ -182,6 +182,78 @@ class WordPieceSpec extends SparkTestBase {
       df(docSchema, Row(1L, "zz qq the")), "text") > 0.5)
   }
 
+  test("training: likelihood argmax beats raw frequency; exact-tie code-point break; early stop; score inputs ride the rows") {
+    // 'aa'x100, 'bb'x100, 'cd'x3: BPE's frequency argmax would merge
+    // (a,##a) first (count 100); WordPiece's likelihood picks (c,##d):
+    // 3/(3*3) = 0.333 >> 100/(100*100) = 0.01
+    val corpus = df(docSchema,
+      Row(1L, Array.fill(100)("aa").mkString(" ")),
+      Row(2L, Array.fill(100)("bb").mkString(" ")),
+      Row(3L, "cd cd cd"))
+    val m = WordPiece.train(corpus, "text", numMerges = 5,
+        minPairCount = 2L)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(m(0) === (("c", "##d", "cd", 3L, 3L, 3L)))
+    // then (a,##a) vs (b,##b): scores exactly equal -> left cp-order
+    assert(m(1) === (("a", "##a", "aa", 100L, 100L, 100L)))
+    assert(m(2) === (("b", "##b", "bb", 100L, 100L, 100L)))
+    // no pair >= minPairCount remains: early stop at 3 of 5
+    assert(m.length === 3)
+    // determinism under repartition
+    val m2 = WordPiece.train(corpus.repartition(7), "text", 5, 2L)
+      .orderBy("rank").collect()
+    assert(m2.map(_.toSeq).toSeq ===
+      WordPiece.train(corpus, "text", 5, 2L)
+        .orderBy("rank").collect().map(_.toSeq).toSeq)
+  }
+
+  test("trained model: vocab contract, serve, stamp-replayed drift retrain; continuation merges keep the prefix") {
+    val corpus = df(docSchema,
+      Row(1L, Array.fill(100)("aa").mkString(" ")),
+      Row(2L, Array.fill(100)("bb").mkString(" ")),
+      Row(3L, "cd cd cd"))
+    val path = tmp("graft_wp_train")
+    WordPiece.writeWordPieceModel(corpus, "text", "wptr", path,
+      numMerges = 5, minPairCount = 2L, maxInputChars = 20)
+    val meta = WordPiece.readWpMeta(spark, path)
+    assert(!meta.imported && meta.unkId === 0L && meta.numMerges === 5)
+    // vocab: [UNK]=0, alphabet cp-ordered ('##a' < 'a'), merges by rank
+    val vocab = spark.table("wptr_wp").orderBy("piece_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(vocab.toSeq === Seq((0L, "[UNK]"), (1L, "##a"), (2L, "##b"),
+      (3L, "##d"), (4L, "a"), (5L, "b"), (6L, "c"), (7L, "cd"),
+      (8L, "aa"), (9L, "bb")))
+    val enc = WordPiece.encodeIdsIndexed(spark, "wptr", path,
+        df(docSchema, Row(1L, "aa cd x ca")), "doc_id", "text")
+      .orderBy("word_pos", "tok_pos").collect().map(_.getLong(3))
+    // 'ca' = c + ##a (greedy over the trained vocab); 'x' is UNK
+    assert(enc.toSeq === Seq(8L, 7L, 0L, 6L, 1L))
+    // drift on an unseen script fires a retrain replaying the stamp
+    val drifted = df(docSchema, Row(7L, "øø øø"), Row(8L, "øø"))
+    val rep = graft.llm.Maintain.maintainWordPiece(spark, "wptr", path,
+      freshSample = Some(drifted),
+      freshCorpus = Some(corpus.unionByName(drifted)))
+      .collect().map(r => (r.getString(0), r.getBoolean(3), r.getString(4)))
+    assert(rep.find(_._1 == "unk_drift").get._2)
+    assert(WordPiece.wpUnkRate(spark, "wptr", path, drifted, "text") === 0.0)
+    val meta2 = WordPiece.readWpMeta(spark, path)
+    assert(!meta2.imported && meta2.numMerges === 5 &&
+      meta2.minPairCount === 2L)
+    // a 3+-symbol chain keeps continuation prefixes through merges:
+    // 'xyz'x50 -> (x,##y)->'xy' or (##y,##z)->'##yz' — either way the
+    // merged CONTINUATION carries ## and the word re-encodes whole
+    val chain = df(docSchema, Row(1L, Array.fill(50)("xyz").mkString(" ")))
+    val cm = WordPiece.train(chain, "text", 2, 2L).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(cm.length === 2)
+    // scores: (x,##y): 50/(50*50), (##y,##z): 50/(50*50) — exact tie,
+    // '##y' < 'x' in code-point order
+    assert(cm(0) === (("##y", "##z", "##yz")))
+    assert(cm(1) === (("x", "##yz", "xyz")))
+  }
+
   test("maintenance: import-only family — drift indicated, NEVER fired; compaction preserves serving") {
     import graft.llm.Maintain
     val path = tmp("graft_wp_maint")
@@ -198,7 +270,7 @@ class WordPieceSpec extends SparkTestBase {
     val d = rep.find(_._1 == "unk_drift").get
     assert(!d._2 && d._3.contains("retrain-ineligible"))
     assert(rep.exists(r => r._1 == "retraction" &&
-      r._3.contains("import-only")))
+      r._3.contains("re-import/retrain")))
     val before = collectSorted(
       WordPiece.encodeIdsIndexed(spark, "wpm", path,
         df(docSchema, Row(1L, "the unaffable hugs")), "doc_id", "text"),
