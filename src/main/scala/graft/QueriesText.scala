@@ -5877,6 +5877,68 @@ object QueriesText {
       idxPath
     }
 
+    // FILL-IN-THE-MIDDLE (Bavarian et al. 2022 — the code-model
+    // pretraining op): a hash-deterministic half of the id sequences
+    // rearranges into [pre] prefix [suf] suffix [mid] middle (psm) /
+    // [suf] suffix [pre] prefix [mid] middle (spm); the Knuth gate,
+    // both seed-folded cut points, the three-way slicing and both
+    // sentinel layouts are recomputed in SQL over id arrays derived
+    // identically from the corpus (per-word lengths — engine-portable
+    // integers). Both modes ride one oracle under a mode tag.
+    r.reg("q_fim", {
+      def hv(off: Int) =
+        s"((((id % 2147483648) + 2147483648) % 2147483648 + ${9 + off})" +
+          " % 2147483648) * 2654435761 % 4294967296"
+      s"""WITH ex AS (
+         |  SELECT doc_id AS id,
+         |    list_transform(list_filter(string_split(text, ' '),
+         |      x -> x <> ''), x -> CAST(length(x) AS BIGINT)) AS ids
+         |  FROM documents WHERE text IS NOT NULL),
+         |cuts AS (
+         |  SELECT id, ids, len(ids) AS n,
+         |    ${hv(0)} < 2147483648 AS applied,
+         |    LEAST((${hv(1)}) % (len(ids) + 1),
+         |          (${hv(2)}) % (len(ids) + 1)) AS c1,
+         |    GREATEST((${hv(1)}) % (len(ids) + 1),
+         |             (${hv(2)}) % (len(ids) + 1)) AS c2
+         |  FROM ex),
+         |forms AS (
+         |  SELECT id, applied,
+         |    CASE WHEN applied THEN
+         |      [CAST(1001 AS BIGINT)] || ids[1:CAST(c1 AS INT)]
+         |        || [CAST(1002 AS BIGINT)]
+         |        || ids[CAST(c2 + 1 AS INT):CAST(n AS INT)]
+         |        || [CAST(1003 AS BIGINT)]
+         |        || ids[CAST(c1 + 1 AS INT):CAST(c2 AS INT)]
+         |      ELSE ids END AS psm,
+         |    CASE WHEN applied THEN
+         |      [CAST(1002 AS BIGINT)]
+         |        || ids[CAST(c2 + 1 AS INT):CAST(n AS INT)]
+         |        || [CAST(1001 AS BIGINT)] || ids[1:CAST(c1 AS INT)]
+         |        || [CAST(1003 AS BIGINT)]
+         |        || ids[CAST(c1 + 1 AS INT):CAST(c2 AS INT)]
+         |      ELSE ids END AS spm
+         |  FROM cuts)
+         |SELECT id, 'psm' AS mode, applied,
+         |  array_to_string(psm, ',') AS ids_csv FROM forms
+         |UNION ALL
+         |SELECT id, 'spm', applied, array_to_string(spm, ',') FROM forms
+         |ORDER BY mode, id""".stripMargin
+    }) { (s, dir) =>
+      val ex = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id").as("id"),
+          transform(filter(split(col("text"), " ", -1),
+            w => length(w) >= 1), w => length(w).cast("long")).as("ids"))
+      def run(mode: String) =
+        graft.llm.Bpe.fimTransform(ex, "id", "ids", rate = 0.5,
+            seed = 9L, preId = 1001L, sufId = 1002L, midId = 1003L,
+            mode = mode)
+          .select(col("id"), lit(mode).as("mode"), col("fim_applied").as("applied"),
+            concat_ws(",", transform(col("ids"), x => x.cast("string")))
+              .as("ids_csv"))
+      run("psm").unionByName(run("spm")).orderBy("mode", "id")
+    }
+
     // WordPiece TRAINING (Schuster & Nakajima 2012 — the likelihood-
     // scored merge loop): score(a,b) = count(ab)/(count(a)·count(b)),
     // argmax by EXACT integer cross-multiplication (HUGEINT in the

@@ -1092,6 +1092,66 @@ object Bpe {
   }
 
   /** Compact both tables to one file per bucket — online-safe flip. */
+  /** FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022 — the
+    * code-model pretraining op): a deterministic per-key fraction of
+    * id sequences is rearranged so the model learns to infill —
+    * two uniform cut points split the sequence into (prefix, middle,
+    * suffix) and the row re-lands with sentinel ids as
+    *
+    *  - `psm`: `[pre] prefix [suf] suffix [mid] middle`
+    *  - `spm`: `[suf] suffix [pre] prefix [mid] middle`
+    *
+    * (the middle always LAST — the trainer's loss target; removing the
+    * three sentinels and undoing the rotation reconstructs the
+    * original, spec-pinned). Everything is hash-deterministic (the
+    * [[graft.api.GraftFrame.sampleByHash]] Knuth gate decides
+    * application; two seed-folded hashes pick the cuts), so the op is
+    * reproducible anywhere, replayable in SQL, and stable under
+    * repartitioning. Sentinel ids must be reserved outside the
+    * vocabulary by the caller (the eodId/padId contract); they must be
+    * mutually distinct and not -1. Blockwise — fuses into the scan, no
+    * shuffle; rows gain `fim_applied` and transformed rows grow by
+    * exactly 3 ids. Tokenizer-agnostic: any id array (a landed window,
+    * a per-doc encode) transforms the same way. */
+  def fimTransform(frame: DataFrame, keyCol: String, idsCol: String,
+                   rate: Double, seed: Long,
+                   preId: Long, sufId: Long, midId: Long,
+                   mode: String = "psm"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    require(mode == "psm" || mode == "spm",
+      s"fimTransform: unknown mode '$mode' — \"psm\" or \"spm\"")
+    val ids = Seq(preId, sufId, midId)
+    require(ids.distinct.length == 3 && !ids.contains(-1L),
+      s"fimTransform: sentinel ids $preId/$sufId/$midId must be mutually " +
+        "distinct and not the -1 OOV sentinel — reserve ids outside the " +
+        "vocabulary (the eodId/padId contract)")
+    val threshold = (rate * 4294967296L).toLong
+    def h(off: Long) = graft.QHelp.keyHash31(
+      pmod(col(keyCol).cast("long"), lit(2147483648L)) +
+        lit((seed + off) % 2147483648L))
+    val n = size(col(idsCol)).cast("long")
+    val u1 = pmod(h(1L), n + lit(1L))
+    val u2 = pmod(h(2L), n + lit(1L))
+    val c1 = least(u1, u2)
+    val c2 = greatest(u1, u2)
+    val prefix = slice(col(idsCol), lit(1), c1.cast("int"))
+    val middle = slice(col(idsCol), (c1 + lit(1L)).cast("int"),
+      (c2 - c1).cast("int"))
+    val suffix = slice(col(idsCol), (c2 + lit(1L)).cast("int"),
+      (n - c2).cast("int"))
+    val rearranged = mode match {
+      case "psm" => concat(array(lit(preId)), prefix,
+        array(lit(sufId)), suffix, array(lit(midId)), middle)
+      case "spm" => concat(array(lit(sufId)), suffix,
+        array(lit(preId)), prefix, array(lit(midId)), middle)
+    }
+    val applied = h(0L) < lit(threshold)
+    val others = frame.columns.filter(_ != idsCol).map(col).toIndexedSeq
+    frame.select(others ++ Seq(
+      when(applied, rearranged).otherwise(col(idsCol)).as(idsCol),
+      applied.as("fim_applied")): _*)
+  }
+
   def compactBpe(spark: SparkSession, name: String): Unit = {
     graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_bpe")
     graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_bpe_vocab")

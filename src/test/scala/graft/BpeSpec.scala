@@ -745,4 +745,63 @@ class BpeSpec extends SparkTestBase {
         new java.io.File(path))
     }
   }
+
+  test("fimTransform: reassembly invariant, rate extremes, determinism, both layouts, refusals") {
+    import spark.implicits._
+    val ex = (1L to 60L).map(i =>
+      (i, (0L until 5L + i % 7).toArray.toSeq)).toDF("id", "ids")
+    val (pre, suf, mid) = (9001L, 9002L, 9003L)
+    def run(rate: Double, mode: String = "psm") =
+      Bpe.fimTransform(ex, "id", "ids", rate, seed = 3L, pre, suf, mid, mode)
+    // rate 0: identity; rate 1: every row transformed, +3 ids each
+    assert(run(0.0).filter(col("fim_applied")).count() === 0L)
+    val all = run(1.0).collect()
+    assert(all.forall(_.getAs[Boolean]("fim_applied")))
+    val orig = ex.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    all.foreach { r =>
+      assert(r.getSeq[Long](1).length === orig(r.getLong(0)).length + 3)
+    }
+    // reassembly: strip sentinels, undo the rotation -> the original
+    def reassemble(ids: Seq[Long], mode: String): Seq[Long] = {
+      if (mode == "psm") {
+        assert(ids.head === pre)
+        val (p, rest) = ids.tail.span(_ != suf)
+        val (sfx, m) = rest.tail.span(_ != mid)
+        p ++ m.tail ++ sfx
+      } else {
+        assert(ids.head === suf)
+        val (sfx, rest) = ids.tail.span(_ != pre)
+        val (p, m) = rest.tail.span(_ != mid)
+        p ++ m.tail ++ sfx
+      }
+    }
+    all.foreach { r =>
+      assert(reassemble(r.getSeq[Long](1), "psm") === orig(r.getLong(0)))
+    }
+    run(1.0, "spm").collect().foreach { r =>
+      assert(reassemble(r.getSeq[Long](1), "spm") === orig(r.getLong(0)))
+    }
+    // partial rate: both populations present, applied set deterministic
+    // under repartitioning
+    val half = run(0.5).collect()
+    assert(half.exists(_.getAs[Boolean]("fim_applied")) &&
+      half.exists(!_.getAs[Boolean]("fim_applied")))
+    val again = Bpe.fimTransform(ex.repartition(7), "id", "ids", 0.5,
+      3L, pre, suf, mid).collect()
+    assert(again.map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getBoolean(2))).toMap ===
+      half.map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getBoolean(2))).toMap)
+    // a different seed picks different cuts on applied rows
+    val other = Bpe.fimTransform(ex, "id", "ids", 1.0, 4L, pre, suf, mid)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(all.exists(r => other(r.getLong(0)) !== r.getSeq[Long](1)))
+    // refusals
+    assert(intercept[IllegalArgumentException] {
+      Bpe.fimTransform(ex, "id", "ids", 0.5, 3L, 1L, 1L, 2L)
+    }.getMessage.contains("distinct"))
+    assert(intercept[IllegalArgumentException] {
+      Bpe.fimTransform(ex, "id", "ids", 0.5, 3L, pre, suf, mid, "xyz")
+    }.getMessage.contains("unknown mode"))
+  }
 }
