@@ -1610,12 +1610,21 @@ object BpeEncode {
     * [aa,aa], not [aa,a,a]). The oracle replays it as a replace over a
     * form with each symbol wrapped in its OWN spaces (double-space
     * separators), which makes occurrences disjoint and IS equivalent. */
-  def mergePair(syms: Array[String], left: String, right: String): Array[String] = {
+  def mergePair(syms: Array[String], left: String, right: String): Array[String] =
+    mergePairInto(syms, left, right, left + right)
+
+  /** [[mergePair]] with an EXPLICIT merged surface — the WordPiece
+    * trainer's form, where merging strips the right symbol's
+    * continuation prefix (merged != left + right). One greedy
+    * left-to-right pass; both trainers share this single body so the
+    * replacement semantics the SQL oracles replay can never diverge. */
+  def mergePairInto(syms: Array[String], left: String, right: String,
+                    merged: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < syms.length) {
       if (i + 1 < syms.length && syms(i) == left && syms(i + 1) == right) {
-        out += left + right; i += 2
+        out += merged; i += 2
       } else { out += syms(i); i += 1 }
     }
     out.toArray

@@ -103,6 +103,31 @@ object Bpe {
     StructField("merged", StringType, nullable = false),
     StructField("pair_count", LongType, nullable = false)))
 
+  /** The shared trainer front door: distributed word counts, the
+    * `minWordCount` frequency cutoff, the O(maxTypes) bounded probe
+    * with the loud refusal naming both knobs, then ONE driver collect
+    * of the type table — [[train]] and [[WordPiece.train]] both start
+    * here so the crawl-scale posture cannot drift between families. */
+  private[llm] def collectTypeTable(corpus: DataFrame, textCol: String,
+                                    wordPattern: Option[String],
+                                    minWordCount: Long, maxTypes: Int,
+                                    who: String): Array[(String, Long)] = {
+    val wc0 = wordCounts(corpus, textCol, wordPattern)
+    val wc =
+      if (minWordCount <= 1L) wc0
+      else wc0.filter(col("cnt") >= minWordCount)
+    // bounded probe, not a full count: the refusal must cost O(maxTypes)
+    val probe = wc.limit(maxTypes + 1).count()
+    require(probe <= maxTypes,
+      s"$who.train: corpus has more than $maxTypes distinct word types " +
+        s"at minWordCount=$minWordCount; raise maxTypes (the merge loop " +
+        "is driver-side over the TYPE table — size the bound to driver " +
+        "memory, ~100 bytes/type) or raise minWordCount (drop rare " +
+        "types before the bound — the standard frequency-cutoff " +
+        "approximation; Zipf's tail carries ~no pair mass)")
+    wc.collect().map(r => (r.getString(0), r.getLong(1)))
+  }
+
   /** Train a BPE merge table: distributed word counts, then `numMerges`
     * iterations over the type table — each picks the most frequent
     * adjacent symbol pair (ties: code-point order) and merges it
@@ -135,21 +160,10 @@ object Bpe {
     require(minPairCount >= 1, "minPairCount must be >= 1")
     require(minWordCount >= 1, "minWordCount must be >= 1")
     val spark = corpus.sparkSession
-    val wc0 = wordCounts(corpus, textCol, wordPattern)
-    val wc =
-      if (minWordCount <= 1L) wc0
-      else wc0.filter(col("cnt") >= minWordCount)
-    // bounded probe, not a full count: the refusal must cost O(maxTypes)
-    val probe = wc.limit(maxTypes + 1).count()
-    require(probe <= maxTypes,
-      s"Bpe.train: corpus has more than $maxTypes distinct word types " +
-        s"at minWordCount=$minWordCount; raise maxTypes (the merge loop " +
-        "is driver-side over the TYPE table — size the bound to driver " +
-        "memory, ~100 bytes/type) or raise minWordCount (drop rare " +
-        "types before the bound — the standard frequency-cutoff " +
-        "approximation; Zipf's tail carries ~no pair mass)")
-    var types: Array[(Array[String], Long)] = wc.collect()
-      .map(r => (BpeEncode.symbols(r.getString(0), byteLevel), r.getLong(1)))
+    var types: Array[(Array[String], Long)] =
+      collectTypeTable(corpus, textCol, wordPattern, minWordCount,
+        maxTypes, "Bpe")
+        .map { case (w, c) => (BpeEncode.symbols(w, byteLevel), c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var rank = 0
     var continue = true
@@ -1091,7 +1105,6 @@ object Bpe {
     one(s"${name}_bpe").unionByName(one(s"${name}_bpe_vocab"))
   }
 
-  /** Compact both tables to one file per bucket — online-safe flip. */
   /** FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022 — the
     * code-model pretraining op): a deterministic per-key fraction of
     * id sequences is rearranged so the model learns to infill —
@@ -1118,6 +1131,19 @@ object Bpe {
                    preId: Long, sufId: Long, midId: Long,
                    mode: String = "psm"): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    // a non-integral key would hash through a NULL cast and silently
+    // no-op every row (fim_applied NULL) — refuse loudly, the
+    // shuffleIndex/bucketByLength key contract
+    frame.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"fimTransform: key column '$keyCol' must be an integral type " +
+          s"(the deterministic gate hashes it as long — factorize or " +
+          s"hash string keys to an id first), got ${other.simpleString}")
+    }
     require(mode == "psm" || mode == "spm",
       s"fimTransform: unknown mode '$mode' — \"psm\" or \"spm\"")
     val ids = Seq(preId, sufId, midId)
@@ -1152,6 +1178,7 @@ object Bpe {
       applied.as("fim_applied")): _*)
   }
 
+  /** Compact both tables to one file per bucket — online-safe flip. */
   def compactBpe(spark: SparkSession, name: String): Unit = {
     graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_bpe")
     graft.api.GraftFrame.compactBucketedTable(spark, s"${name}_bpe_vocab")

@@ -1176,6 +1176,12 @@ object Maintain {
     results += (("retraction", Double.NaN, Double.NaN, false,
       "n/a: the vocabulary is an aggregate (imported or trained) — correct the source and re-import/retrain (WordPiece.importWordPieceModel / writeWordPieceModel)"))
 
+    // measured BEFORE a possible retrain (the maintainBpe structure):
+    // the report must show the fragmentation that existed, with the
+    // compaction marked subsumed when the retrain rewrites the table
+    val files = WordPiece.wpReport(spark, name)
+      .agg(max(col("files"))).head().getLong(0).toDouble
+
     val firedRetrain = freshSample match {
       case None =>
         results += (("unk_drift", Double.NaN, policy.maxDriftDelta, false,
@@ -1201,8 +1207,6 @@ object Maintain {
         fire
     }
 
-    val files = WordPiece.wpReport(spark, name)
-      .agg(max(col("files"))).head().getLong(0).toDouble
     val over = files > policy.maxFilesFlat
     val fireCompact = over && !firedRetrain
     if (fireCompact) WordPiece.compactWordPiece(spark, name)

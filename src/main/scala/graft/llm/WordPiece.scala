@@ -51,9 +51,10 @@ object WordPiece {
 
   /** The persisted model's stamp: the serving contract
     * ([[encodeIdsIndexed]] replays exactly these — the [[Bpe.BpeMeta]]
-    * posture). `imported` is structurally always true for this family
-    * (recorded anyway so the maintenance plane reads one shape across
-    * the three tokenizer families). */
+    * posture) plus, for a TRAINED model ([[writeWordPieceModel]],
+    * `imported = false`), the full training geometry a drift-fired
+    * retrain replays. An imported model keeps `imported = true` and is
+    * retrain-ineligible (no corpus to replay). */
   final case class WpMeta(unkId: Long, contPrefix: String,
                           maxInputChars: Int,
                           wordPattern: Option[String],
@@ -167,18 +168,10 @@ object WordPiece {
     require(minWordCount >= 1, "minWordCount must be >= 1")
     require(contPrefix.nonEmpty, "empty continuation prefix")
     val spark = corpus.sparkSession
-    val wc0 = Bpe.wordCounts(corpus, textCol, wordPattern)
-    val wc =
-      if (minWordCount <= 1L) wc0
-      else wc0.filter(col("cnt") >= minWordCount)
-    val probe = wc.limit(maxTypes + 1).count()
-    require(probe <= maxTypes,
-      s"WordPiece.train: corpus has more than $maxTypes distinct word " +
-        s"types at minWordCount=$minWordCount; raise maxTypes (the merge " +
-        "loop is driver-side over the TYPE table) or raise minWordCount " +
-        "(the standard frequency-cutoff approximation)")
-    var types: Array[(Array[String], Long)] = wc.collect()
-      .map(r => (wpSymbols(r.getString(0), contPrefix), r.getLong(1)))
+    var types: Array[(Array[String], Long)] =
+      Bpe.collectTypeTable(corpus, textCol, wordPattern, minWordCount,
+        maxTypes, "WordPiece")
+        .map { case (w, c) => (wpSymbols(w, contPrefix), c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var rank = 0
     var continue = true
@@ -220,19 +213,11 @@ object WordPiece {
             best._2.substring(contPrefix.length) else best._2)
         merges += Row(rank, best._1, best._2, mergedSym, bestP,
           symCnt.get(best._1), symCnt.get(best._2))
-        val (l, r) = best
         types = types.map { case (syms, cnt) =>
-          if (syms.length < 2) (syms, cnt)
-          else {
-            val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-                out += mergedSym; i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            (out.toArray, cnt)
-          }
+          (if (syms.length >= 2)
+            graft.functions.BpeEncode.mergePairInto(syms, best._1,
+              best._2, mergedSym)
+          else syms, cnt)
         }
         rank += 1
       }
@@ -257,14 +242,26 @@ object WordPiece {
     val wc0 = Bpe.wordCounts(corpus, textCol, wordPattern)
     val wc = if (minWordCount <= 1L) wc0
       else wc0.filter(col("cnt") >= minWordCount)
-    val alpha = wc.select(explode(expr(
-        "transform(sequence(1, length(word)), i -> " +
-          s"CASE WHEN i = 1 THEN substring(word, 1, 1) " +
-          s"ELSE '$contPrefix' || substring(word, i, 1) END)")).as("p"))
-      .distinct().collect().map(_.getString(0))
-      .sortWith(Bpe.cpLess)
+    // the alphabet is the distinct symbol set of [[wpSymbols]] — derived
+    // with the SAME driver-side symbolizer the trainer used, over the
+    // bounded word-type table (train's maxTypes probe already admitted
+    // this corpus), not a second SQL re-implementation that could drift
+    val alpha = wc.select("word").distinct().collect()
+      .flatMap(r => wpSymbols(r.getString(0), contPrefix))
+      .distinct.sortWith(Bpe.cpLess)
     val mergedSurfaces = merges.select("rank", "merged").collect()
       .sortBy(_.getInt(0)).map(_.getString(1))
+    // a merged surface equal to the bare prefix (a corpus containing
+    // the literal '##' word merges '#'+'###' -> '##') cannot join a
+    // greedy vocabulary — its raw form matches the empty string, and
+    // importWordPieceModel refuses exactly this surface. Same refusal
+    // here so a trained vocab always round-trips through export/import.
+    mergedSurfaces.find(_ == contPrefix).foreach(_ =>
+      throw new IllegalArgumentException(
+        s"trainedVocab: a merge produced a piece equal to the " +
+          s"continuation prefix '$contPrefix' (the corpus contains the " +
+          "literal prefix as a word) — pre-normalize the text or choose " +
+          "a different contPrefix"))
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     seen += unkPiece
     alpha.foreach(seen += _)
