@@ -171,11 +171,15 @@ object Bench {
         // with the lineitem/embeddings top-10. r15 adds the eval
         // (strided) landing and the two model gates (q_pipeline_lang,
         // q_nbm_indexed — r14 verdict #4: the most expensive
-        // non-packed entries had no in-record scale evidence)
+        // non-packed entries had no in-record scale evidence). r16
+        // adds the two new tokenizer families' windows landings and
+        // the bucketed batch assembly (r15 verdict #7) — all
+        // one-cumsum + one-shuffle shapes, bound le_10x
         val picks = (autoPicks ++
           Seq("q_pipeline_windows", "q_pipeline_windows_bpe",
             "q_pipeline_windows_packed", "q_eval_windows",
-            "q_pipeline_lang", "q_nbm_indexed")
+            "q_pipeline_lang", "q_nbm_indexed",
+            "q_unigram_windows", "q_wordpiece_windows", "q_sft_buckets")
             .filter(times.contains)).distinct
         // Transient-proofing (r9 verdict: the shipped single-pass
         // record claimed a 301x quadratic that a quiet re-run

@@ -420,8 +420,7 @@ object QueriesEmbed {
     // replay-safe growth, re-train, re-assign, generation flip, search.
     r.reg("q_ivf_retrain", ivfTopkSql) { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val idx = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/ivfrt")
+      val idx = graft.QHelp.qtmpDir("ivfrt")
       org.apache.commons.io.FileUtils.deleteDirectory(idx)
       val path = idx.getAbsolutePath
       val half = e.filter(col("vec_id") < 250)
@@ -569,8 +568,7 @@ object QueriesEmbed {
         |ORDER BY cos_adc DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val corpus = e.filter(col("vec_id") =!= 0)
-      val idx = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/pqrt")
+      val idx = graft.QHelp.qtmpDir("pqrt")
       org.apache.commons.io.FileUtils.deleteDirectory(idx)
       val path = idx.getAbsolutePath
       val half = corpus.filter(col("vec_id") < 250)
@@ -674,8 +672,7 @@ object QueriesEmbed {
       // stamp pattern): the index is read-only for this query, so bench
       // passes time the SERVING shape — probe-cell resolve + pruned ADC
       // scan — not quantizer training and corpus encoding
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/ivfpq")
+      val qdir = graft.QHelp.qtmpDir("ivfpq")
       val idxPath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -851,8 +848,7 @@ object QueriesEmbed {
         |ORDER BY query_id, cos_adc DESC, vec_id""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       // shares the q_ivfpq_topk fixture (same geometry, same stamp dir)
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/ivfpq")
+      val qdir = graft.QHelp.qtmpDir("ivfpq")
       val idxPath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -1001,8 +997,7 @@ object QueriesEmbed {
     r.reg("q_ivfpq_recall", ivfpqRecallSql) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       // shares the q_ivfpq_topk/q_ivfpq_batch fixture
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/ivfpq")
+      val qdir = graft.QHelp.qtmpDir("ivfpq")
       val idxPath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -1121,8 +1116,7 @@ object QueriesEmbed {
         |WHERE norms.nrm > 0 AND qn.nq2 > 0
         |ORDER BY cos_adc DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/ivfpqr")
+      val qdir = graft.QHelp.qtmpDir("ivfpqr")
       val idxPath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -1738,8 +1732,7 @@ object QueriesEmbed {
       // could not move when the (id, bucket, q) serving scan moved).
       // The corpus is read-only for this query, so a stamp check
       // suffices; no restore needed.
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/qidx")
+      val qdir = graft.QHelp.qtmpDir("qidx")
       val qpath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -1900,8 +1893,7 @@ object QueriesEmbed {
       val cbs = graft.llm.Pq.trainCodebooks(e, "vec_id", "embedding",
         dim = 64, m = 8, codes = 16, iters = 0)
       // the persisted IVF+PQ tier shares the q_ivfpq_* fixture
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/ivfpq")
+      val qdir = graft.QHelp.qtmpDir("ivfpq")
       val idxPath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -2143,8 +2135,7 @@ object QueriesEmbed {
       // tmp-dir landing (q_dedup_index posture: runs from any checkout);
       // index rebuilds overwrite and the landing dir is cleared, so
       // repeated runs in one session stay deterministic
-      val base = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/embing")
+      val base = graft.QHelp.qtmpDir("embing")
       val outDir = new java.io.File(base, "out")
       org.apache.commons.io.FileUtils.deleteDirectory(outDir)
       graft.llm.Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding",
@@ -2172,8 +2163,7 @@ object QueriesEmbed {
     // Same fixture, same oracle — only the timing boundary moves.
     r.reg("q_embed_ingest_steady", embedIngestSql) { (s, dir) =>
       val (corpus, shard) = embedIngestFixture(s, dir)
-      val base = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/embst")
+      val base = graft.QHelp.qtmpDir("embst")
       val idx = new java.io.File(base, "idx")
       val ivf = new java.io.File(base, "ivf")
       val out = new java.io.File(base, "out")
@@ -2205,8 +2195,7 @@ object QueriesEmbed {
     r.reg("q_retract_embed",
       embedIngestSqlWhere("vec_id % 23 <> 5")) { (s, dir) =>
       val (corpus, shard) = embedIngestFixture(s, dir)
-      val base = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/embst")
+      val base = graft.QHelp.qtmpDir("embst")
       val idx = new java.io.File(base, "idx")
       val ivf = new java.io.File(base, "ivf")
       val out = new java.io.File(base, "out_retract")
@@ -2327,8 +2316,7 @@ object QueriesEmbed {
           .select(lit(5L).as("vec_id"), col("embedding")))
       // own index name/path: the audit must read a PRISTINE corpus
       // index (q_embed_ingest's run appends survivors to g_embing)
-      val base = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/embaud")
+      val base = graft.QHelp.qtmpDir("embaud")
       graft.llm.Dedup.writeEmbeddingIndex(corpus, "vec_id", "embedding",
         64, "g_embaud", new java.io.File(base, "idx").getAbsolutePath)
       graft.llm.Pipeline.ingestEmbeddingAudit(shard, "vec_id", "embedding",

@@ -927,8 +927,7 @@ object QueriesText {
         .withColumn("doc_id", col("doc_id") + 100000)
       // index landing spot derived from the JVM temp dir, not a repo
       // absolute path: the registered query must run from any checkout
-      val idxPath = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/ndidx")
+      val idxPath = graft.QHelp.qtmpDir("ndidx")
         .getAbsolutePath
       Dedup.writeNearDupIndex(docs, "doc_id", "text", "g_ndi", idxPath)
       Dedup.nearDupPairsAgainstIndex(shard, "doc_id", "text", "g_ndi",
@@ -1004,8 +1003,7 @@ object QueriesText {
       val corpus = docs.filter(col("doc_id") % 3 =!= 0)
       val shard = docs.filter(col("doc_id") % 5 === 0)
         .withColumn("doc_id", col("doc_id") + 200000)
-      val idxPath = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/blmidx")
+      val idxPath = graft.QHelp.qtmpDir("blmidx")
         .getAbsolutePath
       Dedup.writeNearDupIndex(corpus, "doc_id", "text", "g_blm", idxPath)
       graft.llm.KeyBlooms.build(s, "g_blm", idxPath, nBlooms = 8)
@@ -1595,8 +1593,7 @@ object QueriesText {
       val (corpus, shard, bench) = ingestFixture(s, dir)
       // index landing derived from the JVM temp dir (q_dedup_index
       // posture): the registered query must run from any checkout
-      val idxPath = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/ingidx")
+      val idxPath = graft.QHelp.qtmpDir("ingidx")
         .getAbsolutePath
       Dedup.writeNearDupIndex(corpus, "doc_id", "text", "g_ing", idxPath)
       graft.llm.Pipeline.ingestShardFrame(shard, bench, "doc_id", "text",
@@ -1652,10 +1649,8 @@ object QueriesText {
          |FROM wparts GROUP BY split, window_id
          |ORDER BY split, window_id""".stripMargin) { (s, dir) =>
       val (corpus, shard, bench) = ingestFixture(s, dir)
-      val base = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp")
-      val idxPath = new java.io.File(base, "ingwidx").getAbsolutePath
-      val outPath = new java.io.File(base, "ingwout").getAbsolutePath
+      val idxPath = graft.QHelp.qtmpDir("ingwidx").getAbsolutePath
+      val outPath = graft.QHelp.qtmpDir("ingwout").getAbsolutePath
       // a fresh landing every run: the per-shard manifest would
       // otherwise O(1)-return a PREVIOUS scale factor's counts
       val p = new org.apache.hadoop.fs.Path(outPath)
@@ -1687,8 +1682,7 @@ object QueriesText {
          |  AND doc_id NOT IN (SELECT id FROM vsdrop)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val (corpus, shard, bench) = ingestFixture(s, dir)
-      val base = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/ingst")
+      val base = graft.QHelp.qtmpDir("ingst")
       val idx = new java.io.File(base, "idx")
       val out = new java.io.File(base, "out")
       FixtureSnapshot.ensure(s, base, s"ingst|$dir",
@@ -1721,8 +1715,7 @@ object QueriesText {
          |  AND doc_id % 17 <> 3
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val (corpus, shard, bench) = ingestFixture(s, dir)
-      val base = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/ingst")
+      val base = graft.QHelp.qtmpDir("ingst")
       val idx = new java.io.File(base, "idx")
       val out = new java.io.File(base, "out_retract")
       FixtureSnapshot.ensure(s, base, s"ingst|$dir",
@@ -1759,8 +1752,7 @@ object QueriesText {
          |    ELSE 'landed' END AS fate
          |FROM shard s ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
       val (corpus, shard, bench) = ingestFixture(s, dir)
-      val idxPath = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/ingaidx")
+      val idxPath = graft.QHelp.qtmpDir("ingaidx")
         .getAbsolutePath
       // own index name/path: the audit must read a PRISTINE corpus index
       // (q_ingest_gate's run appends its survivors to g_ing)
@@ -1816,8 +1808,7 @@ object QueriesText {
         .select("doc_id", "text")
       val benchDf = docs.filter(col("doc_id") % 10 === 0)
         .select("doc_id", "text")
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/lexdcidx")
+      val qdir = graft.QHelp.qtmpDir("lexdcidx")
       val idxPath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -1929,8 +1920,7 @@ object QueriesText {
          |  coalesce(a.sum_ctx, 0) AS sum_ctx
          |FROM lmcand d LEFT JOIN lmagg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/lmidx")
+      val qdir = graft.QHelp.qtmpDir("lmidx")
       val idxPath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -2067,8 +2057,7 @@ object QueriesText {
     // hash-match the SAME chain as the one-shot q_nb_stats. Fixture
     // builds once per (JVM, sf dir).
     r.reg("q_nb_indexed", nbStatsSql) { (s, dir) =>
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/nbcidx")
+      val qdir = graft.QHelp.qtmpDir("nbcidx")
       val idxPath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -2162,8 +2151,7 @@ object QueriesText {
       s"""WITH $nbmCtes
          |SELECT doc_id, label, n_tokens, n_hit, sum_cnt FROM nbmagg
          |ORDER BY doc_id, label""".stripMargin) { (s, dir) =>
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/nbmidx")
+      val qdir = graft.QHelp.qtmpDir("nbmidx")
       val idxPath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -2615,8 +2603,7 @@ object QueriesText {
          |LEFT JOIN spdocspans sp USING (doc_id)
          |LEFT JOIN sprebuilt r ON r.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/gramidx")
+      val qdir = graft.QHelp.qtmpDir("gramidx")
       val idxPath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -3198,8 +3185,7 @@ object QueriesText {
          |    AND bit_count(xor(c.dhash, s.dhash)) <= 3)
          |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/dhidx")
+      val qdir = graft.QHelp.qtmpDir("dhidx")
       val idxPath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -3323,8 +3309,7 @@ object QueriesText {
          |    AND bit_count(xor(c.ehash, s.ehash)) <= 3)
          |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/ehidx")
+      val qdir = graft.QHelp.qtmpDir("ehidx")
       val idxPath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -3452,8 +3437,7 @@ object QueriesText {
          |    AND bit_count(xor(c.bhash, s.bhash)) <= 3)
          |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/bhidx")
+      val qdir = graft.QHelp.qtmpDir("bhidx")
       val idxPath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -3609,8 +3593,7 @@ object QueriesText {
     // model path.
     def ensurePbpeModel(s: org.apache.spark.sql.SparkSession,
                         dir: String): String = {
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/bpeidx")
+      val qdir = graft.QHelp.qtmpDir("bpeidx")
       val idxPath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -5088,6 +5071,111 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // MULTI-TURN CONVERSATION SFT assembly (r16): each doc's words split
+    // into four quarters form a [user, assistant, user, assistant]
+    // conversation; the chat template opens each turn with its role id
+    // (user mx+3, assistant mx+4), closes with the shared end id (mx+5),
+    // and the document ends with eod (mx+6). Loss lands on assistant
+    // turns only: span = (start of enc(content), |enc| + |suffix|), the
+    // eod joining the LAST span (the final turn is an assistant turn).
+    // The oracle recomputes the per-word encode on every quarter, the
+    // template arithmetic, both spans, and the mask boundary exactly —
+    // quarter boundaries are integer divisions, identical on both
+    // engines at any magnitude.
+    r.reg("q_sft_multiturn",
+      s"""WITH ${bpeTrainCtes(8)},
+         |$bpeVocabCtes,
+         |mt0 AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+         |mt1 AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n
+         |  FROM mt0 WHERE len(ws) >= 4),
+         |mtw AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN i <= n//4 THEN 1
+         |         WHEN i <= n//2 THEN 2
+         |         WHEN i <= (3*n)//4 THEN 3 ELSE 4 END AS q,
+         |    ws[CAST(i AS INT)] AS w
+         |  FROM (SELECT doc_id, n, ws, unnest(range(1, len(ws)+1)) AS i
+         |        FROM mt1)),
+         |mte AS (
+         |  SELECT doc_id, i, q,
+         |    string_split(trim($bpeNestedSql), '  ') AS etoks
+         |  FROM mtw),
+         |mtt AS (
+         |  SELECT doc_id, i, q, CAST(j AS INT) AS j,
+         |    etoks[CAST(j AS INT)] AS token
+         |  FROM (SELECT doc_id, i, q, etoks,
+         |          unnest(range(1, len(etoks)+1)) AS j FROM mte)),
+         |mti AS (
+         |  SELECT t.doc_id, t.i, t.q, t.j,
+         |    COALESCE(v.token_id, -1) AS tid
+         |  FROM mtt t LEFT JOIN bvocab v USING (token)),
+         |mtm AS (SELECT CAST(max(token_id) AS BIGINT) AS mx FROM bvocab),
+         |mta AS (
+         |  SELECT doc_id,
+         |    list(tid ORDER BY i, j) FILTER (WHERE q = 1) AS q1,
+         |    list(tid ORDER BY i, j) FILTER (WHERE q = 2) AS q2,
+         |    list(tid ORDER BY i, j) FILTER (WHERE q = 3) AS q3,
+         |    list(tid ORDER BY i, j) FILTER (WHERE q = 4) AS q4
+         |  FROM mti GROUP BY doc_id)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(
+         |    [mx+3] || q1 || [mx+5] || [mx+4] || q2 || [mx+5] ||
+         |    [mx+3] || q3 || [mx+5] || [mx+4] || q4 || [mx+5] || [mx+6],
+         |    x -> CAST(x AS VARCHAR)), ' ') AS ids_text,
+         |  CAST(len(q1)+len(q2)+len(q3)+len(q4) + 9 AS BIGINT) AS n_tokens,
+         |  (CAST(len(q1)+3 AS VARCHAR) || ':' ||
+         |   CAST(len(q2)+1 AS VARCHAR) || ' ' ||
+         |   CAST(len(q1)+len(q2)+len(q3)+7 AS VARCHAR) || ':' ||
+         |   CAST(len(q4)+2 AS VARCHAR)) AS spans_text,
+         |  CAST(len(q1)+3 AS BIGINT) AS loss_from,
+         |  CAST(4 AS BIGINT) AS n_turns
+         |FROM mta, mtm
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val idxPath = ensurePbpeModel(s, dir)
+      val mx = graft.llm.Bpe
+        .vocabMap(s.table("g_pbpe_bpe_vocab")).values.max
+      val words = filter(split(col("text"), " ", -1), w => length(w) >= 1)
+      def quarter(b0: org.apache.spark.sql.Column,
+                  b1: org.apache.spark.sql.Column) =
+        array_join(slice(col("__ws__"), (b0 + 1).cast("int"),
+          (b1 - b0).cast("int")), " ")
+      val convs = t(s, dir, "documents")
+        .filter(col("doc_id") < 100 && col("text").isNotNull)
+        .withColumn("__ws__", words)
+        .filter(size(col("__ws__")) >= 4)
+        .withColumn("__n__", size(col("__ws__")).cast("long"))
+        .withColumn("__b1__", expr("__n__ div 4"))
+        .withColumn("__b2__", expr("__n__ div 2"))
+        .withColumn("__b3__", expr("(3 * __n__) div 4"))
+        .select(col("doc_id"), array(
+          struct(lit("user").as("role"),
+            quarter(lit(0L), col("__b1__")).as("content")),
+          struct(lit("assistant").as("role"),
+            quarter(col("__b1__"), col("__b2__")).as("content")),
+          struct(lit("user").as("role"),
+            quarter(col("__b2__"), col("__b3__")).as("content")),
+          struct(lit("assistant").as("role"),
+            quarter(col("__b3__"), col("__n__")).as("content")))
+          .as("turns"))
+      graft.llm.Sft.assembleConversationIndexed(s, "g_pbpe", idxPath,
+          convs, "doc_id", "turns",
+          graft.llm.Sft.chatTemplate(
+            Map("user" -> (mx + 3L), "assistant" -> (mx + 4L)), mx + 5L),
+          eodId = Some(mx + 6L))
+        .select(col("doc_id"),
+          concat_ws(" ",
+            transform(col("input_ids"), x => x.cast("string")))
+            .as("ids_text"),
+          col("n_tokens"),
+          concat_ws(" ", transform(col("loss_spans"), sp =>
+            concat_ws(":", sp.getField("pos").cast("string"),
+              sp.getField("len").cast("string")))).as("spans_text"),
+          col("loss_from"), col("n_turns"))
+        .orderBy("doc_id")
+    }
+
     // IMPORTED pretrained tokenizer (r15): the persisted model built
     // from a hand-constructed PUBLISHED-style merges/vocab pair (the
     // GPT-2 merges.txt/vocab.json shape, alias surface forms decoded
@@ -5104,8 +5192,7 @@ object QueriesText {
       ("20", "63"), ("2063", "6174"))
     val impFixture = "the cat theft 中"
     def ensureImpModel(s: org.apache.spark.sql.SparkSession): String = {
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/bpeimp")
+      val qdir = graft.QHelp.qtmpDir("bpeimp")
       val p = qdir.getAbsolutePath
       val fresh = s.catalog.tableExists("g_impbpe_bpe") &&
         new java.io.File(qdir, "_graft_bpe_meta.json").isFile
@@ -5207,8 +5294,7 @@ object QueriesText {
       // bucket-pruned postings scan + stats fold — not index
       // construction. The catalog check matters: a fresh JVM inherits
       // the stamp file but not the table registrations.
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/lexidx")
+      val qdir = graft.QHelp.qtmpDir("lexidx")
       val idxPath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -5255,8 +5341,7 @@ object QueriesText {
          |  FROM fused)
          |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/lexidx")
+      val qdir = graft.QHelp.qtmpDir("lexidx")
       val idxPath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -5695,8 +5780,7 @@ object QueriesText {
         |SELECT piece_id, piece, logp,
         |  CAST(round(logp * 1e6) AS BIGINT) AS logp_micro
         |FROM up ORDER BY piece_id""".stripMargin) { (s, dir) =>
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/uniimp")
+      val qdir = graft.QHelp.qtmpDir("uniimp")
       qdir.mkdirs()
       val tsv = new java.io.File(qdir, "vocab.tsv")
       java.nio.file.Files.write(tsv.toPath,
@@ -5857,8 +5941,7 @@ object QueriesText {
     // import + stamp + indexed serve end to end.
     def ensureWpModel(s: org.apache.spark.sql.SparkSession,
                       dir: String): String = {
-      val qdir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft-qtmp/wpidx")
+      val qdir = graft.QHelp.qtmpDir("wpidx")
       val idxPath = qdir.getAbsolutePath
       val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
       val fresh = stamp.isFile && new String(
@@ -5877,6 +5960,32 @@ object QueriesText {
       idxPath
     }
 
+    // the SAME vocabulary imported under the BERT-uncased stamp
+    // (normalize = lowercase_strip_accents) — the q_wordpiece_encode_norm
+    // fixture: mixed-case/accented text must reproduce the lowercase
+    // vocabulary's ids because the stamp re-runs the normalizer at serve
+    def ensureWpNormModel(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String = {
+      val qdir = graft.QHelp.qtmpDir("wpnidx")
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir &&
+        s.catalog.tableExists("g_pwpn_wp")
+      if (!fresh) {
+        graft.llm.WordPiece.importWordPieceModel(s,
+          s.createDataFrame(
+            java.util.Arrays.asList(wpVocabFixture.map(p =>
+              org.apache.spark.sql.Row(p._2, p._1)): _*),
+            graft.llm.WordPiece.vocabSchema),
+          "g_pwpn", idxPath, maxInputChars = 7,
+          normalize = "lowercase_strip_accents")
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
+      idxPath
+    }
+
     // FILL-IN-THE-MIDDLE (Bavarian et al. 2022 — the code-model
     // pretraining op): a hash-deterministic half of the id sequences
     // rearranges into [pre] prefix [suf] suffix [mid] middle (psm) /
@@ -5886,9 +5995,17 @@ object QueriesText {
     // identically from the corpus (per-word lengths — engine-portable
     // integers). Both modes ride one oracle under a mode tag.
     r.reg("q_fim", {
-      def hv(off: Int) =
-        s"((((id % 2147483648) + 2147483648) % 2147483648 + ${9 + off})" +
-          " % 2147483648) * 2654435761 % 4294967296"
+      // the engine's two-round xorshift-multiply draw (seed 9), the
+      // draw index folded in multiplicatively before the avalanche
+      def hv(off: Int) = {
+        val so = java.lang.Math.floorMod(9L + off * 1779033703L,
+          2147483648L)
+        val s0 = s"((((id % 2147483648) + 2147483648) % 2147483648 + $so)" +
+          " % 2147483648)"
+        val r1 = s"((xor($s0, $s0 >> 15)) * 2654435761 % 4294967296)"
+        val r2 = s"($r1 % 2147483648)"
+        s"((xor($r2, $r2 >> 13)) * 2246822519 % 4294967296)"
+      }
       s"""WITH ex AS (
          |  SELECT doc_id AS id,
          |    list_transform(list_filter(string_split(text, ' '),
@@ -6068,6 +6185,53 @@ object QueriesText {
         .select(explode(split(col("text"), " ", -1)).as("word"))
         .filter(length(col("word")) >= 1).distinct()
       graft.llm.WordPiece.encodeIdsIndexed(s, "g_pwp", idxPath,
+          types.withColumn("text", col("word")), "word", "text")
+        .groupBy(col("word"))
+        .agg(sort_array(collect_list(struct(col("tok_pos"),
+          col("token_id")))).as("ts"))
+        .select(col("word"),
+          concat_ws(",", transform(col("ts"), x =>
+            x.getField("token_id").cast("string"))).as("ids_csv"),
+          size(col("ts")).cast("long").as("n_pieces"))
+        .orderBy("word")
+    }
+
+    // The STAMPED NORMALIZER (r16): the same vocabulary imported under
+    // normalize = lowercase_strip_accents (the BERT-uncased pair) serves
+    // mixed-case/accented text onto the lowercase vocabulary's ids. The
+    // oracle replays the normalizer as lower(strip_accents(w)) — the
+    // DuckDB spelling of the same map (order-insensitive on text where
+    // lowering invents no marks; spec-pinned) — then runs the SAME
+    // greedy walk keyed by the NORMALIZED word and joins back to the
+    // original surface. Planted rows carry the signature behavior the
+    // all-lowercase corpus cannot: case folding ('The'→6), accent
+    // stripping that completes a tokenization ('SCÄN'→sc+##an), a
+    // stall that survives normalization ('QUÉry'→UNK), and the length
+    // bound applied to the NORMALIZED surface ('CUSTOMER' len 8 > 7).
+    r.reg("q_wordpiece_encode_norm",
+      s"""WITH RECURSIVE aw AS (
+         |  SELECT DISTINCT w AS orig FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w
+         |    FROM documents WHERE text IS NOT NULL
+         |    UNION ALL
+         |    SELECT * FROM (VALUES ('The'), ('Thé'), ('SCan'), ('SCÄN'),
+         |      ('WINdow'), ('QUÉry'), ('CUSTOMER'), ('Naïve')) v(w)
+         |  ) s WHERE w <> ''),
+         |wt AS (SELECT DISTINCT lower(strip_accents(orig)) AS word FROM aw),
+         |${wpGreedyCtes(7)}
+         |SELECT a.orig AS word, array_to_string(s.ids, ',') AS ids_csv,
+         |  CAST(len(s.ids) AS BIGINT) AS n_pieces
+         |FROM aw a JOIN wseg s ON s.word = lower(strip_accents(a.orig))
+         |ORDER BY word""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val idxPath = ensureWpNormModel(s, dir)
+      val planted = Seq("The", "Thé", "SCan", "SCÄN", "WINdow",
+        "QUÉry", "CUSTOMER", "Naïve").toDF("word")
+      val types = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ", -1)).as("word"))
+        .filter(length(col("word")) >= 1)
+        .unionByName(planted).distinct()
+      graft.llm.WordPiece.encodeIdsIndexed(s, "g_pwpn", idxPath,
           types.withColumn("text", col("word")), "word", "text")
         .groupBy(col("word"))
         .agg(sort_array(collect_list(struct(col("tok_pos"),

@@ -32,6 +32,21 @@ final class QueryRegistry {
   * end (bit-identical inputs → bit-identical IEEE result).
   */
 object QHelp {
+  /** PER-JVM oracle-fixture root: `java.io.tmpdir`/graft-qtmp-&lt;pid&gt;.
+    * The pid folds in so concurrent evidence runs (a test JVM next to
+    * two verify sweeps — the documented 477/478 repro) can never share
+    * or corrupt each other's persisted-index fixtures; within one JVM
+    * the stamp-file caching across queries still works. Fixture
+    * directories die with the host's tmp cleanup — they are rebuilt
+    * from scratch by construction on every fresh JVM. */
+  lazy val qtmpRoot: java.io.File = new java.io.File(
+    System.getProperty("java.io.tmpdir"),
+    s"graft-qtmp-${java.lang.ProcessHandle.current().pid()}")
+
+  /** A named fixture directory under [[qtmpRoot]]. */
+  def qtmpDir(sub: String): java.io.File =
+    new java.io.File(qtmpRoot, sub)
+
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.table(s, dir, name)
 
@@ -44,6 +59,25 @@ object QHelp {
     * SQL mirror (q_sample_hash). */
   def keyHash31(c: Column): Column =
     pmod(pmod(c, lit(2147483648L)) * 2654435761L, lit(4294967296L))
+
+  /** EXACT integer floor division `⌊a / k⌋` for a positive literal k:
+    * `(a − pmod(a, k)) div k`. The numerator is the largest multiple
+    * of k ≤ a, so integral division's toward-zero truncation equals
+    * floor at ANY magnitude and sign — unlike `floor(a.cast(double) /
+    * k)`, which is only provably exact while |a| < 2^53·(safety
+    * margin), an argument every window/shard-id call site would
+    * otherwise have to carry. Stays in long arithmetic end to end
+    * (whole-stage codegen, no double round trip). */
+  def floorDiv(a: Column, k: Long): Column = {
+    require(k > 0, s"floorDiv: k must be positive, got $k")
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      expression(a - pmod(a, lit(k))), expression(lit(k))))
+  }
+
+  /** EXACT integer ceiling division `⌈a / k⌉` for a positive literal
+    * k: [[floorDiv]] of (a + k − 1). */
+  def ceilDiv(a: Column, k: Long): Column = floorDiv(a + lit(k - 1L), k)
 
   /** Oracle-side decimal→double conversion, VARCHAR-mediated so DuckDB
     * rounds IDENTICALLY to Spark at ANY magnitude. Spark's cast is

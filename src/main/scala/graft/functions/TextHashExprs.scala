@@ -762,6 +762,77 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def prettyName: String = "nfc_normalize"
 }
 
+/** The stamped tokenizer text normalizer — the stage every published
+  * subword pipeline runs BEFORE pre-tokenization (a BERT-uncased
+  * vocab.txt mis-tokenizes mixed-case text unless the same lowercase +
+  * strip-accents ran at serve time). Modes:
+  *
+  *  - `nfc` / `nfkc`: Unicode canonical / compatibility composition
+  *    (JDK normalizer — the ICU-free subset both engines agree on);
+  *  - `lowercase`: `String.toLowerCase(Locale.ROOT)` (locale-pinned:
+  *    a Turkish default locale must not change token ids);
+  *  - `lowercase_strip_accents`: lowercase, then NFD-decompose and
+  *    drop NON_SPACING_MARK (Mn) code points — the published BERT
+  *    `do_lower_case` semantics (lowercase FIRST, then strip), which
+  *    DuckDB replays as `lower(strip_accents(x))` on text where the
+  *    two orders agree (they do unless lowering invents marks).
+  *
+  * Codegen-friendly (reference-object call, no UDF); `none` never
+  * reaches this expression — the dispatcher passes the column through. */
+case class TextNormalize(child: Expression, mode: String)
+    extends UnaryExpression {
+  require(TextNormalize.Modes.contains(mode),
+    s"text_normalize: unknown mode '$mode' — one of " +
+      TextNormalize.Modes.mkString(", "))
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"text_normalize needs STRING, got ${child.dataType}")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textNormalize", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = mode match {
+      case "nfc" =>
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      case "nfkc" =>
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+      case "lowercase" => s.toLowerCase(java.util.Locale.ROOT)
+      case "lowercase_strip_accents" =>
+        val low = java.text.Normalizer.normalize(
+          s.toLowerCase(java.util.Locale.ROOT),
+          java.text.Normalizer.Form.NFD)
+        val sb = new java.lang.StringBuilder(low.length)
+        var i = 0
+        while (i < low.length) {
+          val cp = low.codePointAt(i)
+          if (Character.getType(cp) != Character.NON_SPACING_MARK)
+            sb.appendCodePoint(cp)
+          i += Character.charCount(cp)
+        }
+        sb.toString
+    }
+    UTF8String.fromString(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "text_normalize"
+}
+
+object TextNormalize {
+  /** The non-`none` modes this expression serves. */
+  val Modes: Seq[String] =
+    Seq("nfc", "nfkc", "lowercase", "lowercase_strip_accents")
+}
+
 /** SimHash signature over a text's DISTINCT whitespace tokens —
   * identical math to TextHash.simhash (r12 geometry): per distinct
   * token, hp = tokId mod P; signature bit j is set iff more tokens have
@@ -1676,6 +1747,7 @@ object TextHashExprs {
                    byteLevel: Boolean = false): Column =
     column(BpeDecodeIds(expression(ids), vocab, byteLevel))
 
+
   def shingleHashes(text: Column, k: Int = 3): Column =
     column(ShingleHashes(expression(text), k))
   def simhash(text: Column, bits: Int = 64): Column =
@@ -1698,6 +1770,8 @@ object TextHashExprs {
     column(LshBucket(expression(vec.cast("array<double>")), dim, planes))
   def nfcNormalize(s: Column): Column =
     column(NfcNormalize(expression(s)))
+  def textNormalize(s: Column, mode: String): Column =
+    column(TextNormalize(expression(s), mode))
   def topGramFrac(text: Column, n: Int): Column =
     column(TopGramFrac(expression(text), n))
   def packNextFit(lengths: Column, capacity: Long): Column =

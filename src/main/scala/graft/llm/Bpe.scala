@@ -51,11 +51,21 @@ object Bpe {
     * Spark regexp_extract_all and DuckDB regexp_extract_all agree on
     * the RE2-compatible subset). */
   private[llm] def wordsOf(textCol: String,
-                           wordPattern: Option[String]): org.apache.spark.sql.Column =
+                           wordPattern: Option[String],
+                           normalize: String = "none"): org.apache.spark.sql.Column =
+    wordsOfCol(col(textCol), wordPattern, normalize)
+
+  /** [[wordsOf]] over an arbitrary text COLUMN (a nested struct field,
+    * a computed expression) — the conversation assembler's form. */
+  private[llm] def wordsOfCol(text: org.apache.spark.sql.Column,
+                              wordPattern: Option[String],
+                              normalize: String = "none"): org.apache.spark.sql.Column = {
+    val t = Normalize.colOf(text, normalize)
     wordPattern match {
-      case None => split(col(textCol), " ", -1)
-      case Some(p) => regexp_extract_all(col(textCol), lit(p), lit(0))
+      case None => split(t, " ", -1)
+      case Some(p) => regexp_extract_all(t, lit(p), lit(0))
     }
+  }
 
   /** Distributed word-type counts: one explode + one map-side-combined
     * aggregation — the only corpus-sized pass in training. Empty
@@ -119,7 +129,7 @@ object Bpe {
     // bounded probe, not a full count: the refusal must cost O(maxTypes)
     val probe = wc.limit(maxTypes + 1).count()
     require(probe <= maxTypes,
-      s"$who.train: corpus has more than $maxTypes distinct word types " +
+      s"$who: corpus has more than $maxTypes distinct word types " +
         s"at minWordCount=$minWordCount; raise maxTypes (the merge loop " +
         "is driver-side over the TYPE table — size the bound to driver " +
         "memory, ~100 bytes/type) or raise minWordCount (drop rare " +
@@ -162,7 +172,7 @@ object Bpe {
     val spark = corpus.sparkSession
     var types: Array[(Array[String], Long)] =
       collectTypeTable(corpus, textCol, wordPattern, minWordCount,
-        maxTypes, "Bpe")
+        maxTypes, "Bpe.train")
         .map { case (w, c) => (BpeEncode.symbols(w, byteLevel), c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var rank = 0
@@ -311,6 +321,20 @@ object Bpe {
 
   private def bpeMetaFile(path: String) = s"$path/_graft_bpe_meta.json"
 
+  /** The shared stamp-string escaper: backslash and quote escape; a
+    * control character (newline, tab, …) REFUSES — the regex-based
+    * stamp readers do not un-escape \n-style sequences, so escaping
+    * one would silently break the round trip, and a control char in
+    * a contPrefix/unkPiece/wordPattern is pathological anyway (a
+    * regex wanting a newline writes the two-char `\n` sequence). */
+  private[llm] def jsonEscStamp(s: String, what: String): String = {
+    require(!s.exists(_.isControl),
+      s"$what contains a control character — stamps are single-line " +
+        "JSON and the readers do not un-escape control sequences; use " +
+        "a two-char regex escape (\\n) or drop the character")
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  }
+
   /** The persisted model's stamp, as a typed record: training geometry
     * (replayed verbatim by a drift-fired retrain), symbolization level
     * and pre-tokenizer (they decide the encode/detokenize contract),
@@ -323,7 +347,8 @@ object Bpe {
                            wordPattern: Option[String],
                            minWordCount: Long = 1L,
                            imported: Boolean = false,
-                           specialIds: Seq[Long] = Nil)
+                           specialIds: Seq[Long] = Nil,
+                           normalize: String = "none")
 
   private def stampBpeMeta(spark: SparkSession, path: String,
                            meta: BpeMeta): Unit = {
@@ -332,12 +357,12 @@ object Bpe {
     val os = fs.create(p, true)
     // the pattern carries regex backslashes — JSON-escape them
     val wp = meta.wordPattern.fold("")(pat =>
-      s""","word_pattern":"${pat.replace("\\", "\\\\").replace("\"", "\\\"")}\"""")
+      s""","word_pattern":"${jsonEscStamp(pat, "stampBpeMeta: wordPattern")}\"""")
     val sp =
       if (meta.specialIds.isEmpty) ""
       else s""","special_ids":[${meta.specialIds.mkString(",")}]"""
     try os.write(
-      s"""{"num_merges":${meta.numMerges},"min_pair_count":${meta.minPairCount},"max_types":${meta.maxTypes},"byte_level":${meta.byteLevel},"min_word_count":${meta.minWordCount},"imported":${meta.imported}$sp$wp}\n"""
+      s"""{"num_merges":${meta.numMerges},"min_pair_count":${meta.minPairCount},"max_types":${meta.maxTypes},"byte_level":${meta.byteLevel},"min_word_count":${meta.minWordCount},"imported":${meta.imported},"normalize":"${meta.normalize}"$sp$wp}\n"""
         .getBytes("UTF-8"))
     finally os.close()
   }
@@ -378,9 +403,11 @@ object Bpe {
     val wp = """"word_pattern"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
       .findFirstMatchIn(txt)
       .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    val nz = """"normalize"\s*:\s*"([a-z_]+)"""".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("none") // pre-r16 stamps: unnormalized
     m match {
       case Some(g) => BpeMeta(g.group(1).toInt, g.group(2).toLong, mt, bl,
-        wp, mwc, imp, sp)
+        wp, mwc, imp, sp, nz)
       case None => throw new IllegalStateException(
         s"malformed BPE stamp at ${bpeMetaFile(path)}: $txt")
     }
@@ -396,18 +423,21 @@ object Bpe {
                     maxTypes: Int = 2000000,
                     byteLevel: Boolean = false,
                     wordPattern: Option[String] = None,
-                    minWordCount: Long = 1L): Unit = {
+                    minWordCount: Long = 1L,
+                    normalize: String = "none"): Unit = {
+    Normalize.validate(normalize, "writeBpeModel")
     val spark = corpus.sparkSession
-    val merges = train(corpus, textCol, numMerges, minPairCount,
+    val nc = Normalize.frame(corpus, textCol, normalize)
+    val merges = train(nc, textCol, numMerges, minPairCount,
       maxTypes, byteLevel, wordPattern, minWordCount)
     graft.api.GraftFrame(merges)
       .toBucketedTable(s"${name}_bpe", s"$path/bpe", 1, Seq("merged"))
     graft.api.GraftFrame(
-        vocabFrame(corpus, textCol, merges, byteLevel, wordPattern))
+        vocabFrame(nc, textCol, merges, byteLevel, wordPattern))
       .toBucketedTable(s"${name}_bpe_vocab", s"$path/vocab", 1,
         Seq("token"))
     stampBpeMeta(spark, path, BpeMeta(numMerges, minPairCount, maxTypes,
-      byteLevel, wordPattern, minWordCount))
+      byteLevel, wordPattern, minWordCount, normalize = normalize))
   }
 
   /** The published GPT-2 byte↔printable alias table (the
@@ -628,7 +658,9 @@ object Bpe {
                      wordPattern: Option[String] = Some(Gpt2WordPattern),
                      gpt2Alias: Boolean = false,
                      maxImport: Int = 1000000,
-                     specialTokens: Seq[String] = Nil): Unit = {
+                     specialTokens: Seq[String] = Nil,
+                     normalize: String = "none"): Unit = {
+    Normalize.validate(normalize, "importBpeModel")
     require(!gpt2Alias || byteLevel,
       "importBpeModel: gpt2Alias decodes the published BYTE-alias " +
         "surface forms — it requires byteLevel = true")
@@ -704,7 +736,7 @@ object Bpe {
     stampBpeMeta(spark, path, BpeMeta(mergeRows.length,
       minPairCount = 1L, maxTypes = maxImport, byteLevel = byteLevel,
       wordPattern = wordPattern, imported = true,
-      specialIds = specialIds))
+      specialIds = specialIds, normalize = normalize))
   }
 
   /** The vocab map SERVING paths embed for encode and structural-id
@@ -728,8 +760,8 @@ object Bpe {
                     docs: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
     val meta = readBpeMeta(spark, path)
-    encodeTokens(docs, idCol, textCol,
-      mergeList(spark.table(s"${name}_bpe")), meta.byteLevel,
+    encodeTokens(Normalize.frame(docs, textCol, meta.normalize), idCol,
+      textCol, mergeList(spark.table(s"${name}_bpe")), meta.byteLevel,
       meta.wordPattern)
   }
 
@@ -738,8 +770,8 @@ object Bpe {
                        docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     val meta = readBpeMeta(spark, path)
-    encodeIds(docs, idCol, textCol,
-      mergeList(spark.table(s"${name}_bpe")),
+    encodeIds(Normalize.frame(docs, textCol, meta.normalize), idCol,
+      textCol, mergeList(spark.table(s"${name}_bpe")),
       spark.table(s"${name}_bpe_vocab"), meta.byteLevel, meta.wordPattern)
   }
 
@@ -901,10 +933,10 @@ object Bpe {
     // wf = max(0, floor((s − size)/stride) + 1), wl = floor((e−1)/stride)
     val members = cum.filter(col("__n__") > 0)
       .withColumn("window_first", greatest(lit(0L),
-        floor((col("token_start") - windowSize).cast("double") / stride)
-          .cast("long") + 1))
+        graft.QHelp.floorDiv(col("token_start") - windowSize, stride) +
+          lit(1L)))
       .withColumn("window_last",
-        floor((col("__cum__") - 1).cast("double") / stride).cast("long"))
+        graft.QHelp.floorDiv(col("__cum__") - 1, stride))
       .withColumn("window_id",
         explode(sequence(col("window_first"), col("window_last"))))
       .withColumn("tok_from",
@@ -1059,7 +1091,8 @@ object Bpe {
       w => length(w) >= 1)
     val ids = flatten(transform(words,
       w => TextHashExprs.bpeEncodeIds(w, merges, vocab, meta.byteLevel)))
-    docs.filter(col(textCol).isNotNull)
+    Normalize.frame(docs, textCol, meta.normalize)
+      .filter(col(textCol).isNotNull)
       .select(col(groupCol),
         size(words).cast("long").as("__w__"),
         size(ids).cast("long").as("__t__"),
@@ -1116,16 +1149,29 @@ object Bpe {
     *
     * (the middle always LAST — the trainer's loss target; removing the
     * three sentinels and undoing the rotation reconstructs the
-    * original, spec-pinned). Everything is hash-deterministic (the
-    * [[graft.api.GraftFrame.sampleByHash]] Knuth gate decides
-    * application; two seed-folded hashes pick the cuts), so the op is
-    * reproducible anywhere, replayable in SQL, and stable under
-    * repartitioning. Sentinel ids must be reserved outside the
+    * original, spec-pinned). Everything is hash-deterministic — a
+    * Knuth-style gate decides application and two DECORRELATED draws
+    * pick the cuts: each draw runs a two-round xorshift-multiply mix
+    * (integer ops only, so the whole thing replays in SQL) over the
+    * key with the draw index folded in multiplicatively BEFORE the
+    * avalanche rounds. A single affine hash with an additive offset
+    * would make the second draw a constant shift of the first and the
+    * (prefix, middle, suffix) geometry nearly constant across the
+    * corpus — the cut-point PAIR must be jointly spread, not just
+    * each cut marginally uniform. The op is reproducible anywhere,
+    * replayable in SQL, and stable under repartitioning. Sentinel ids must be reserved outside the
     * vocabulary by the caller (the eodId/padId contract); they must be
     * mutually distinct and not -1. Blockwise — fuses into the scan, no
     * shuffle; rows gain `fim_applied` and transformed rows grow by
     * exactly 3 ids. Tokenizer-agnostic: any id array (a landed window,
     * a per-doc encode) transforms the same way. */
+  /** The [[fimTransform]] parameter record — the form the loader path
+    * ([[Pipeline.loadWindows]]) takes, so the transform rides the load
+    * stream with its parameters recorded in one place. */
+  final case class FimSpec(rate: Double, seed: Long,
+                           preId: Long, sufId: Long, midId: Long,
+                           mode: String = "psm")
+
   def fimTransform(frame: DataFrame, keyCol: String, idsCol: String,
                    rate: Double, seed: Long,
                    preId: Long, sufId: Long, midId: Long,
@@ -1152,9 +1198,23 @@ object Bpe {
         "distinct and not the -1 OOV sentinel — reserve ids outside the " +
         "vocabulary (the eodId/padId contract)")
     val threshold = (rate * 4294967296L).toLong
-    def h(off: Long) = graft.QHelp.keyHash31(
-      pmod(col(keyCol).cast("long"), lit(2147483648L)) +
-        lit((seed + off) % 2147483648L))
+    // two-round xorshift-multiply: the draw index folds into the seed
+    // BEFORE two avalanche rounds, so h(0)/h(1)/h(2) are mutually
+    // decorrelated per key (an affine hash's draws differ by a
+    // CONSTANT mod 2^32 — the cut gap would be corpus-wide constant)
+    def h(off: Long) = {
+      val s0 = pmod(
+        pmod(col(keyCol).cast("long"), lit(2147483648L)) +
+          lit(java.lang.Math.floorMod(seed + off * 1779033703L,
+            2147483648L)),
+        lit(2147483648L))
+      val r1 = pmod(
+        s0.bitwiseXOR(shiftright(s0, 15)) * lit(2654435761L),
+        lit(4294967296L))
+      val r2 = pmod(r1, lit(2147483648L))
+      pmod(r2.bitwiseXOR(shiftright(r2, 13)) * lit(2246822519L),
+        lit(4294967296L))
+    }
     val n = size(col(idsCol)).cast("long")
     val u1 = pmod(h(1L), n + lit(1L))
     val u2 = pmod(h(2L), n + lit(1L))

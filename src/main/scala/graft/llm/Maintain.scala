@@ -1067,7 +1067,8 @@ object Maintain {
         if (fire) {
           Bpe.writeBpeModel(freshCorpus.get, textCol, name, path,
             meta.numMerges, meta.minPairCount, meta.maxTypes,
-            meta.byteLevel, meta.wordPattern, meta.minWordCount)
+            meta.byteLevel, meta.wordPattern, meta.minWordCount,
+            normalize = meta.normalize)
         }
         results += (("oov_drift", oov, policy.maxDriftDelta, fire,
           if (fire) "Bpe.writeBpeModel(freshCorpus)"
@@ -1132,7 +1133,7 @@ object Maintain {
           Unigram.writeUnigramModel(freshCorpus.get, textCol, name, path,
             meta.vocabSize, meta.maxPieceLen, meta.seedSize, meta.emIters,
             meta.shrinkFactor, meta.wordPattern, meta.minWordCount,
-            byteFallback = meta.byteFallback)
+            byteFallback = meta.byteFallback, normalize = meta.normalize)
         }
         results += (("oov_drift", oov, policy.maxDriftDelta, fire,
           if (fire) "Unigram.writeUnigramModel(freshCorpus)"
@@ -1196,7 +1197,8 @@ object Maintain {
           WordPiece.writeWordPieceModel(freshCorpus.get, textCol, name,
             path, meta.numMerges, meta.minPairCount, meta.maxTypes,
             meta.contPrefix, meta.maxInputChars, meta.unkPiece,
-            meta.wordPattern, meta.minWordCount)
+            meta.wordPattern, meta.minWordCount,
+            normalize = meta.normalize)
         }
         results += (("unk_drift", unk, policy.maxDriftDelta, fire,
           if (fire) "WordPiece.writeWordPieceModel(freshCorpus)"

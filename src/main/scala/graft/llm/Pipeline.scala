@@ -232,7 +232,8 @@ object Pipeline {
                                        uniPieces: Option[Seq[(String, Long, Long)]] = None,
                                        wp: Option[WordPiece.WpMeta] = None,
                                        wpVocab: Seq[(String, Long)] = Nil,
-                                       uniBytes: Option[IndexedSeq[Long]] = None) {
+                                       uniBytes: Option[IndexedSeq[Long]] = None,
+                                       normalize: String = "none") {
     /** One word → its token ids, under whichever family is stamped.
       * For the wordpiece family the id-ordered (piece, id) pairs ride
       * `wpVocab` and the greedy contract rides `wp`. */
@@ -246,8 +247,10 @@ object Pipeline {
         case _ => graft.functions.TextHashExprs
           .bpeEncodeIds(w, merges, vocab, byteLevel)
       }
-    def asmChop(docs: DataFrame, idCol: String, textCol: String,
-                windowSize: Long, seed: Long): DataFrame = (uniPieces, wp) match {
+    def asmChop(docs0: DataFrame, idCol: String, textCol: String,
+                windowSize: Long, seed: Long): DataFrame = {
+      val docs = Normalize.frame(docs0, textCol, normalize)
+      (uniPieces, wp) match {
       case (Some(ps), _) => Unigram.assembleWindowsIds(docs, idCol, textCol,
         windowSize, seed, ps, eodId, docSpans, wordPattern, uniBytes)
       case (_, Some(m)) => WordPiece.assembleWindowsIds(docs, idCol,
@@ -256,9 +259,10 @@ object Pipeline {
       case _ => Bpe.assembleWindowsIds(docs, idCol, textCol,
         windowSize, seed, merges, vocab, eodId, docSpans, byteLevel,
         wordPattern)
-    }
-    def asmStrided(docs: DataFrame, idCol: String, textCol: String,
-                   windowSize: Long, st: Long, seed: Long): DataFrame =
+    } }
+    def asmStrided(docs0: DataFrame, idCol: String, textCol: String,
+                   windowSize: Long, st: Long, seed: Long): DataFrame = {
+      val docs = Normalize.frame(docs0, textCol, normalize)
       (uniPieces, wp) match {
         case (Some(ps), _) => Unigram.assembleWindowsIdsStrided(docs, idCol,
           textCol, windowSize, st, seed, ps, eodId, wordPattern, uniBytes)
@@ -268,9 +272,11 @@ object Pipeline {
         case _ => Bpe.assembleWindowsIdsStrided(docs, idCol, textCol,
           windowSize, st, seed, merges, vocab, eodId, byteLevel,
           wordPattern)
-      }
-    def asmPacked(docs: DataFrame, idCol: String, textCol: String,
-                  windowSize: Long, seed: Long): DataFrame = (uniPieces, wp) match {
+      } }
+    def asmPacked(docs0: DataFrame, idCol: String, textCol: String,
+                  windowSize: Long, seed: Long): DataFrame = {
+      val docs = Normalize.frame(docs0, textCol, normalize)
+      (uniPieces, wp) match {
       case (Some(ps), _) => Unigram.assembleWindowsIdsPacked(docs, idCol,
         textCol, windowSize, seed, ps, eodId, padId, docSpans,
         wordPattern, segmentDocs, uniBytes)
@@ -281,7 +287,7 @@ object Pipeline {
       case _ => Bpe.assembleWindowsIdsPacked(docs, idCol, textCol,
         windowSize, seed, merges, vocab, eodId, padId, docSpans,
         byteLevel, wordPattern, segmentDocs)
-    }
+    } }
   }
 
   private def resolveBpe(spark: org.apache.spark.sql.SparkSession,
@@ -313,7 +319,8 @@ object Pipeline {
       val pairs = WordPiece.vocabServing(spark.table(s"${bw.name}_wp"))
       ResolvedBpe(Nil, pairs.toMap, bw.eodId, bw.docSpans,
         byteLevel = false, meta.wordPattern, bw.packed, bw.padId,
-        bw.segmentDocs, bw.stride, None, Some(meta), pairs)
+        bw.segmentDocs, bw.stride, None, Some(meta), pairs,
+        normalize = meta.normalize)
     } else if (bw.tokenizer == "unigram") {
       // the unigram family: ONE piece table, pre-tokenizer from its
       // stamp; a stampless path refuses in readUniMeta. The vocab map
@@ -325,7 +332,7 @@ object Pipeline {
       ResolvedBpe(Nil, pieces.map(p => p._1 -> p._2).toMap,
         bw.eodId, bw.docSpans, byteLevel = false, meta.wordPattern,
         bw.packed, bw.padId, bw.segmentDocs, bw.stride, Some(pieces),
-        uniBytes = bytes)
+        uniBytes = bytes, normalize = meta.normalize)
     } else {
       // a crashed/foreign build refuses here; the SYMBOLIZATION LEVEL
       // and pre-tokenizer ride the stamp — the landing serves exactly
@@ -339,7 +346,8 @@ object Pipeline {
       ResolvedBpe(Bpe.mergeList(spark.table(s"${bw.name}_bpe")),
         Bpe.servingVocabMap(spark, bw.name, bw.path),
         bw.eodId, bw.docSpans, meta.byteLevel, meta.wordPattern,
-        bw.packed, bw.padId, bw.segmentDocs, bw.stride)
+        bw.packed, bw.padId, bw.segmentDocs, bw.stride,
+        normalize = meta.normalize)
     }
   }
 
@@ -1031,11 +1039,28 @@ object Pipeline {
     * shards are added or retracted — the [[globalWindowIds]] contract;
     * address durable work by (shard_label, split, window_id). */
   def loadWindows(spark: org.apache.spark.sql.SparkSession,
-                  outPath: String, split: String): DataFrame =
-    globalWindowIds(spark, outPath)
+                  outPath: String, split: String,
+                  fim: Option[Bpe.FimSpec] = None): DataFrame = {
+    val base = globalWindowIds(spark, outPath)
       .filter(col("split") === split)
+    // FILL-IN-THE-MIDDLE rides the load stream (Bavarian et al. 2022 —
+    // code-model training applies FIM at data-loading time, not at
+    // landing time, so one landing serves both plain and FIM epochs):
+    // the deterministic per-key gate + cuts key on global_id, so the
+    // transformed stream is reproducible across runs and equals
+    // fimTransform over the plain load (spec-pinned). Blockwise — it
+    // fuses into the scan before the one range shuffle.
+    val transformed = fim.fold(base) { f =>
+      require(base.columns.contains("window_ids"),
+        "loadWindows: fim applies to ID landings (window_ids) — a text " +
+          "landing has no id sequence to rearrange")
+      Bpe.fimTransform(base, "global_id", "window_ids",
+        f.rate, f.seed, f.preId, f.sufId, f.midId, f.mode)
+    }
+    transformed
       .repartitionByRange(col("global_id"))
       .sortWithinPartitions("global_id")
+  }
 
   /** [[loadWindows]] with a PER-EPOCH re-shuffle — multi-epoch training
     * over one landing: epoch k streams the SAME window set in a
@@ -1187,7 +1212,8 @@ object Pipeline {
           case Some(rb) =>
             aggregate(
               transform(
-                filter(graft.llm.Bpe.wordsOf(textCol, rb.wordPattern),
+                filter(graft.llm.Bpe.wordsOf(textCol, rb.wordPattern,
+                    rb.normalize),
                   w => length(w) >= 1),
                 w => size(rb.encode(w)).cast("long")),
               // each landed doc carries exactly one EOD id when the
@@ -1306,7 +1332,8 @@ object Pipeline {
         transform(sequence(lit(0), size(ids) - k),
           i => slice(ids, i + 1, lit(k))))
         .otherwise(array())
-    val words = filter(Bpe.wordsOf(benchTextCol, rb.wordPattern),
+    val words = filter(Bpe.wordsOf(benchTextCol, rb.wordPattern,
+        rb.normalize),
       w => length(w) >= 1)
     val benchIds = flatten(transform(words, w => rb.encode(w)))
     val benchGrams = bench.filter(col(benchTextCol).isNotNull)

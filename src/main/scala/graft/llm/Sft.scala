@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHashExprs
@@ -94,11 +94,205 @@ object Sft {
                               maxLen: Option[Long] = None): DataFrame = {
     val meta = Bpe.readBpeMeta(spark, path)
     // serving vocab: stamped specials subtracted, so a published
-    // model's control tokens are usable as sepId/eodId here
-    assembleExamples(pairs, idCol, promptCol, responseCol,
+    // model's control tokens are usable as sepId/eodId here; the
+    // stamped normalizer wraps BOTH text sides before assembly
+    val np = Normalize.frame(
+      Normalize.frame(pairs, promptCol, meta.normalize),
+      responseCol, meta.normalize)
+    assembleExamples(np, idCol, promptCol, responseCol,
       Bpe.mergeList(spark.table(s"${name}_bpe")),
       Bpe.servingVocabMap(spark, name, path),
       sepId, eodId, maxLen, meta.byteLevel, meta.wordPattern)
+  }
+
+  /** One role's slot in a chat template: literal id arrays around the
+    * encoded turn content, whether the trainer computes loss on the
+    * turn, and an optional per-turn loss weight. All ids are
+    * STRUCTURAL — reserved outside the vocabulary (or stamped
+    * specials), the eodId/padId contract. */
+  final case class TurnTemplate(prefix: Seq[Long], suffix: Seq[Long],
+                                loss: Boolean, weight: Double = 1.0)
+
+  /** The standard chat-template shape from stamped special ids: each
+    * role opens with its role id and closes with one shared end-of-turn
+    * id (the <|im_start|>/<|im_end|> geometry); loss lands on
+    * `lossRoles` (assistant turns, conventionally). */
+  def chatTemplate(roleIds: Map[String, Long], endId: Long,
+                   lossRoles: Set[String] = Set("assistant"))
+    : Map[String, TurnTemplate] =
+    roleIds.map { case (role, id) =>
+      role -> TurnTemplate(Seq(id), Seq(endId), lossRoles.contains(role))
+    }
+
+  /** MULTI-TURN CONVERSATION assembly — the modern SFT corpus shape
+    * (virtually all post-training data is conversations, not single
+    * (prompt, response) pairs): each row carries a `turnsCol` array of
+    * `struct<role: string, content: string>` and lands as ONE id
+    * sequence under the chat template, with PER-TURN loss masks.
+    *
+    * Layout: `input_ids = ⊕_turns (prefix(role) ++ enc(content) ++
+    * suffix(role)) ++ [eodId?]`. A turn whose role has `loss = true`
+    * contributes the loss span `(pos = start of enc(content), len =
+    * |enc(content)| + |suffix|)` — the role header is GIVEN (prompt
+    * side), the content and the turn terminator are PREDICTED, exactly
+    * the [[assembleExamples]] convention where the response's eod id
+    * trains; `eodId` joins the LAST span when the final turn is a loss
+    * turn (the document end is predicted after an assistant turn, not
+    * after a user turn). Spans carry the role's `weight` — per-turn
+    * loss weighting rides the same struct.
+    *
+    * Output: idCol, `input_ids`, `n_tokens`, `loss_spans:
+    * array<struct<pos, len, weight>>` (position-ordered, zero-length
+    * spans dropped), `loss_from` (= first loss position — the
+    * [[assembleExamples]] compatibility field), `n_turns`. A
+    * DEGENERATE two-turn template (user: no prefix + sep suffix, no
+    * loss; assistant: no prefix + eod suffix, loss) reproduces
+    * [[assembleExamples]] bit-exactly (spec-pinned).
+    *
+    * Row policy: a null/empty turns array drops; a turn with a role
+    * not in the template REFUSES LOUDLY at execution (silently
+    * dropping a turn corrupts the conversation); null content is the
+    * empty turn (encodes to zero ids — the null-prompt convention); a
+    * conversation with ZERO loss positions drops (nothing to train
+    * on); `maxLen` drops overlong conversations whole (truncating
+    * mid-conversation teaches truncated conversations).
+    *
+    * Feeds [[packExamples]] / [[bucketByLength]] unchanged (they
+    * consume (id, input_ids) only); `doc_spans` + `loss_spans` give a
+    * trainer the per-position mask: position p of packed span
+    * (id, pos0, _) is a loss position with weight w iff some loss span
+    * (ps, ln, w) of id has ps ≤ p − pos0 < ps + ln.
+    *
+    * Scale shape: ONE blockwise pass — the fused memoized per-word
+    * encode inside the scan, the span scan as a bounded per-row
+    * `aggregate` over the turns array; no shuffle, no join; output is
+    * conversation-cardinality. */
+  def assembleConversation(convs: DataFrame, idCol: String,
+                           turnsCol: String,
+                           merges: Seq[(String, String)],
+                           vocab: Map[String, Long],
+                           template: Map[String, TurnTemplate],
+                           eodId: Option[Long] = None,
+                           maxLen: Option[Long] = None,
+                           byteLevel: Boolean = false,
+                           wordPattern: Option[String] = None): DataFrame = {
+    require(template.nonEmpty, "assembleConversation: empty template")
+    val structural = template.valuesIterator
+      .flatMap(t => t.prefix ++ t.suffix).toSeq ++ eodId.toSeq
+    structural.foreach(v =>
+      require(v != -1L && !vocab.valuesIterator.contains(v),
+        s"assembleConversation: structural id $v collides with a vocab " +
+          "id (or the -1 OOV sentinel) — reserve ids outside the " +
+          "vocabulary (stamped specials qualify)"))
+    template.foreach { case (role, t) =>
+      require(t.weight > 0.0,
+        s"assembleConversation: role '$role' has non-positive loss " +
+          s"weight ${t.weight} — a zero-weight turn is a loss=false turn")
+    }
+    maxLen.foreach(l => require(l > 0, s"maxLen must be positive, got $l"))
+    val roles = template.keys.toSeq.sorted
+    def idsLit(ids: Seq[Long]): Column =
+      if (ids.isEmpty) array().cast("array<bigint>")
+      else array(ids.map(lit(_).cast("long")): _*)
+    // per-turn pieces: (prefix ids, enc ids, suffix ids, loss, weight)
+    val pieces = transform(col(turnsCol), t => struct(
+      roles.foldLeft(raise_error(
+          concat(lit("assembleConversation: turn role '"),
+            t.getField("role"),
+            lit(s"' is not in the template (${roles.mkString(", ")})")))
+          .cast("array<bigint>")) { (acc, r) =>
+        when(t.getField("role") === lit(r),
+          idsLit(template(r).prefix)).otherwise(acc)
+      }.as("pre"),
+      flatten(transform(
+        filter(Bpe.wordsOfCol(coalesce(t.getField("content"), lit("")),
+          wordPattern), w => length(w) >= 1),
+        w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel)))
+        .as("enc"),
+      roles.foldLeft(array().cast("array<bigint>")) { (acc, r) =>
+        when(t.getField("role") === lit(r),
+          idsLit(template(r).suffix)).otherwise(acc)
+      }.as("suf"),
+      roles.foldLeft(lit(false)) { (acc, r) =>
+        when(t.getField("role") === lit(r),
+          lit(template(r).loss)).otherwise(acc)
+      }.as("loss"),
+      roles.foldLeft(lit(1.0)) { (acc, r) =>
+        when(t.getField("role") === lit(r),
+          lit(template(r).weight)).otherwise(acc)
+      }.as("weight")))
+    val spanType = "array<struct<pos: bigint, len: bigint, weight: double>>"
+    val base = convs
+      .filter(col(turnsCol).isNotNull && size(col(turnsCol)) >= 1)
+      .withColumn("__pieces__", pieces)
+    val ids0 = flatten(transform(col("__pieces__"),
+      p => concat(p.getField("pre"), p.getField("enc"),
+        p.getField("suf"))))
+    val idsOut = eodId.fold(ids0)(e => concat(ids0, array(lit(e))))
+    // one bounded scan over the turns: running offset + loss spans
+    val scanned = aggregate(col("__pieces__"),
+      struct(lit(0L).as("pos"),
+        expr(s"CAST(array() AS $spanType)").as("spans")),
+      (acc, p) => {
+        val preLen = size(p.getField("pre")).cast("long")
+        val encLen = size(p.getField("enc")).cast("long")
+        val sufLen = size(p.getField("suf")).cast("long")
+        val total = preLen + encLen + sufLen
+        val span = struct(
+          (acc.getField("pos") + preLen).as("pos"),
+          (encLen + sufLen).as("len"),
+          p.getField("weight").as("weight"))
+        struct(
+          (acc.getField("pos") + total).as("pos"),
+          when(p.getField("loss") && (encLen + sufLen) > 0L,
+            concat(acc.getField("spans"), array(span)))
+            .otherwise(acc.getField("spans")).as("spans"))
+      })
+    val lastLoss = element_at(col("__pieces__"), -1).getField("loss")
+    val out = base
+      .withColumn("input_ids", idsOut)
+      .withColumn("__spans0__", scanned.getField("spans"))
+      .withColumn("n_tokens", size(col("input_ids")).cast("long"))
+      // eod joins the last span when the FINAL turn is a loss turn
+      .withColumn("loss_spans",
+        if (eodId.isEmpty) col("__spans0__")
+        else when(lastLoss && size(col("__spans0__")) >= 1,
+          transform(col("__spans0__"), (s, i) =>
+            when(i === size(col("__spans0__")) - 1,
+              struct(s.getField("pos").as("pos"),
+                (s.getField("len") + 1L).as("len"),
+                s.getField("weight").as("weight")))
+              .otherwise(s)))
+          .otherwise(col("__spans0__")))
+      .filter(size(col("loss_spans")) >= 1) // nothing to train on: drop
+      .withColumn("loss_from",
+        element_at(col("loss_spans"), 1).getField("pos"))
+      .withColumn("n_turns", size(col(turnsCol)).cast("long"))
+      .select(col(idCol), col("input_ids"), col("n_tokens"),
+        col("loss_spans"), col("loss_from"), col("n_turns"))
+    maxLen.fold(out)(l => out.filter(col("n_tokens") <= l))
+  }
+
+  /** [[assembleConversation]] served from the persisted BPE model —
+    * tokenizer geometry, stamped normalizer, and declared special ids
+    * all ride the stamp ([[assembleExamplesIndexed]]'s contract). */
+  def assembleConversationIndexed(spark: SparkSession, name: String,
+                                  path: String, convs: DataFrame,
+                                  idCol: String, turnsCol: String,
+                                  template: Map[String, TurnTemplate],
+                                  eodId: Option[Long] = None,
+                                  maxLen: Option[Long] = None): DataFrame = {
+    val meta = Bpe.readBpeMeta(spark, path)
+    val nc =
+      if (meta.normalize == "none") convs
+      else convs.withColumn(turnsCol, transform(col(turnsCol), t =>
+        struct(t.getField("role").as("role"),
+          Normalize.colOf(t.getField("content"), meta.normalize)
+            .as("content"))))
+    assembleConversation(nc, idCol, turnsCol,
+      Bpe.mergeList(spark.table(s"${name}_bpe")),
+      Bpe.servingVocabMap(spark, name, path),
+      template, eodId, maxLen, meta.byteLevel, meta.wordPattern)
   }
 
   /** PREFERENCE-PAIR assembly — the DPO / reward-model data layout
@@ -173,7 +367,9 @@ object Sft {
                                      eodId: Option[Long] = None,
                                      maxLen: Option[Long] = None): DataFrame = {
     val meta = Bpe.readBpeMeta(spark, path)
-    assemblePreferencePairs(pairs, idCol, promptCol, chosenCol,
+    val np = Seq(promptCol, chosenCol, rejectedCol)
+      .foldLeft(pairs)((d, c) => Normalize.frame(d, c, meta.normalize))
+    assemblePreferencePairs(np, idCol, promptCol, chosenCol,
       rejectedCol, Bpe.mergeList(spark.table(s"${name}_bpe")),
       Bpe.servingVocabMap(spark, name, path),
       sepId, eodId, maxLen, meta.byteLevel, meta.wordPattern)
@@ -223,6 +419,56 @@ object Sft {
     val input = pairs.count()
     val assembled = assembleExamplesIndexed(spark, name, path, pairs,
         idCol, promptCol, responseCol, sepId, eodId)
+    landExamples(spark, assembled, idCol, Seq("loss_from"), outPath,
+      windowSize, padId, trainFrac, valFrac, seed, segmentDocs, input)
+  }
+
+  /** [[writeSftWindows]] for MULTI-TURN conversations: rows assemble
+    * under [[assembleConversationIndexed]] (the chat template + stamp)
+    * and land in the same windows-landing schema; the `_losssidecar`
+    * carries the PER-TURN `loss_spans` (plus `loss_from` for
+    * single-boundary consumers) — the trainer reconstructs the full
+    * per-position mask by composing `doc_spans` with `loss_spans`
+    * (position p of packed span (id, pos0, _) trains with weight w iff
+    * some loss span (ps, ln, w) of id has ps ≤ p − pos0 < ps + ln).
+    * Same manifest/O(1)-replay/fsck discipline; [[sftWindowsReport]]
+    * reads this landing unchanged. */
+  def writeConversationWindows(spark: SparkSession, convs: DataFrame,
+                               idCol: String, turnsCol: String,
+                               template: Map[String, TurnTemplate],
+                               name: String, path: String,
+                               outPath: String, windowSize: Long,
+                               eodId: Option[Long] = None,
+                               padId: Option[Long] = None,
+                               trainFrac: Double = 0.9,
+                               valFrac: Double = 0.1,
+                               seed: Long = 0L,
+                               segmentDocs: Int = 512): Map[String, Long] = {
+    Pipeline.readJsonManifest(spark, outPath, SFT_MANIFEST) match {
+      case Some(counts) => return counts // fully landed — O(1) replay
+      case None => ()
+    }
+    val input = convs.count()
+    val assembled = assembleConversationIndexed(spark, name, path,
+      convs, idCol, turnsCol, template, eodId)
+    landExamples(spark, assembled, idCol, Seq("loss_spans", "loss_from"),
+      outPath, windowSize, padId, trainFrac, valFrac, seed, segmentDocs,
+      input)
+  }
+
+  /** The shared landing body of [[writeSftWindows]] /
+    * [[writeConversationWindows]]: hash split (an example can never
+    * migrate between train and val), overlong drop, per-split next-fit
+    * pack under a split-folded seed, windows-landing parquet, the loss
+    * sidecar (`sidecarCols` beside id/split/n_tokens), manifest LAST. */
+  private def landExamples(spark: SparkSession, assembled0: DataFrame,
+                           idCol: String, sidecarCols: Seq[String],
+                           outPath: String, windowSize: Long,
+                           padId: Option[Long], trainFrac: Double,
+                           valFrac: Double, seed: Long,
+                           segmentDocs: Int,
+                           input: Long): Map[String, Long] = {
+    val assembled = assembled0
       .localCheckpoint(true) // read once per split + once for sizing
     val nAssembled = assembled.count()
     val kept = graft.api.GraftFrame(assembled)
@@ -243,8 +489,8 @@ object Sft {
     // (an outPath subdirectory) must land after them; the manifest
     // still lands last, so a crash anywhere replays as a full rebuild
     win.write.mode("overwrite").partitionBy("split").parquet(outPath)
-    kept.select(col(idCol), col("split"), col("loss_from"),
-        col("n_tokens"))
+    kept.select(Seq(col(idCol), col("split")) ++
+        sidecarCols.map(col) ++ Seq(col("n_tokens")): _*)
       .write.mode("overwrite").parquet(s"$outPath/_losssidecar")
     val perSplit = spark.read.parquet(outPath)
       .groupBy("split")

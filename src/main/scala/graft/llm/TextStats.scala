@@ -350,15 +350,15 @@ object TextStats {
     * WindowOps.globalCumSum's scale-safe two-pass plan (range-partitioned
     * local cumsums + an npartitions-row offset frame), so no global
     * single-task window touches the data. The shard id is
-    * floor-of-double-division on exact long inputs — identical on any
-    * engine while total tokens < 2^53 (a 100 TB corpus is ~10^14). */
+    * exact integer floor division ([[graft.QHelp.floorDiv]]) — long
+    * arithmetic end to end, identical on any engine at any corpus
+    * size (no double-rounding bound to argue about). */
   def packIntoShards(docs: DataFrame, idCol: String, tokenCol: String,
                      orderCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, "packIntoShards needs a positive capacity")
     graft.operators.WindowOps.globalCumSum(docs, orderCol, tokenCol, "__cum__")
       .withColumn("shard",
-        floor((col("__cum__") - col(tokenCol)).cast("double") / capacity)
-          .cast("long"))
+        graft.QHelp.floorDiv(col("__cum__") - col(tokenCol), capacity))
       .drop("__cum__")
   }
 
@@ -442,10 +442,11 @@ object TextStats {
     // clamped to the doc's existing chunks — a non-empty range for every
     // p < n (the last chunk reaches the doc end by the stopping rule)
     val cmin = greatest(
-      ceil((col("__p__") - maxTokens + 1).cast("double") / stride)
-        .cast("int"), lit(0))
-    val cmax = least(floor(col("__p__").cast("double") / stride)
-      .cast("int"), nChunks - 1)
+      graft.QHelp.ceilDiv((col("__p__") - maxTokens + 1).cast("long"),
+        stride).cast("int"), lit(0))
+    val cmax = least(
+      graft.QHelp.floorDiv(col("__p__").cast("long"), stride).cast("int"),
+      nChunks - 1)
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol), size(toks).as("__n__"),
         posexplode(toks).as(Seq("__p__", "__tok__")))
@@ -470,8 +471,9 @@ object TextStats {
     *
     * Scale shape: rides [[graft.operators.WindowOps.globalCumSum]]'s
     * two-pass range-partitioned plan — no single-task global window.
-    * Window ids are floor-of-double-division on exact long inputs:
-    * identical on any engine while total tokens < 2^53 (a 100 TB
+    * Window ids are exact integer floor division
+    * ([[graft.QHelp.floorDiv]]): identical on any engine at any
+    * corpus size — no double-rounding bound to argue about (a 100 TB
     * corpus is ~10^14). Keys must be numeric and distinct mod 2^31
     * (the shuffleIndex contract).
     *
@@ -490,11 +492,10 @@ object TextStats {
       .globalCumSum(withH, "__sh__", tokenCol, "__cum__")
       .withColumn("token_start", col("__cum__") - col(tokenCol))
       .withColumn("window_first",
-        floor(col("token_start").cast("double") / windowSize).cast("long"))
+        graft.QHelp.floorDiv(col("token_start"), windowSize))
       .withColumn("window_last",
         when(col(tokenCol) > 0,
-          floor((col("__cum__") - 1).cast("double") / windowSize)
-            .cast("long"))
+          graft.QHelp.floorDiv(col("__cum__") - 1, windowSize))
           .otherwise(col("window_first")))
       .withColumn("n_windows", col("window_last") - col("window_first") + 1)
       .drop("__sh__", "__cum__")
@@ -614,7 +615,7 @@ object TextStats {
           pmod(col(idCol), lit(2147483648L)) + lit(seed % 2147483648L))
           .as("__sh__"))
       .withColumn("__piece__", explode(sequence(lit(0L),
-        floor((col("__n__") - 1).cast("double") / windowSize).cast("long"))))
+        graft.QHelp.floorDiv(col("__n__") - 1, windowSize))))
       .withColumn("__plen__",
         least(lit(windowSize), col("__n__") - col("__piece__") * windowSize))
       // single-column total order == (hash, piece) lexicographic: hash
@@ -627,8 +628,7 @@ object TextStats {
     val ranked = graft.operators.WindowOps
       .globalCumSum(pieces, "__ord__", "__one__", "__rank__")
       .withColumn("__seg__",
-        floor((col("__rank__") - 1).cast("double") / segmentDocs)
-          .cast("long"))
+        graft.QHelp.floorDiv(col("__rank__") - 1, segmentDocs.toLong))
       .withColumn("__spos__",
         pmod(col("__rank__") - 1, lit(segmentDocs.toLong)))
     val segRows = ranked.groupBy(col("__seg__"))

@@ -1,0 +1,343 @@
+package graft.llm
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Import of the MODERN single-file tokenizer exchange format — the
+  * `tokenizer.json` every current model release ships (the HF
+  * tokenizers on-disk schema; public format, e.g. GPT-2/BERT/T5
+  * releases). One escape-aware reader parses the file driver-side
+  * (size-guarded, model-sized by construction) and DISPATCHES on
+  * `model.type` onto the three existing import paths:
+  *
+  *  - `"BPE"`   → [[Bpe.importBpeModel]] (vocab object + merges list;
+  *    a ByteLevel pre-tokenizer selects the GPT-2 byte-alias decode
+  *    and regex pattern — the classic merges.txt/vocab.json semantics)
+  *  - `"WordPiece"` → [[WordPiece.importWordPieceModel]]
+  *    (`continuing_subword_prefix`, `unk_token`,
+  *    `max_input_chars_per_word` all carried)
+  *  - `"Unigram"` → [[Unigram.importUnigramModel]] (the [piece, logp]
+  *    vocab array; `unk_id` refused as OOV is structural here)
+  *
+  * The file's `normalizer` block — the config the classic formats
+  * could never carry — maps onto the stamped [[Normalize]] modes
+  * (NFC/NFKC/Lowercase/BertNormalizer/Sequence-of-those) and rides the
+  * model stamp, so a `tokenizer.json` import serves bit-identically to
+  * the published pipeline without the caller restating anything.
+  * Unknown normalizer or pre-tokenizer types REFUSE LOUDLY — silently
+  * dropping a stage would mis-tokenize every document downstream.
+  * BertNormalizer's `clean_text`/`handle_chinese_chars` sub-steps are
+  * NOT applied (stated: they affect control chars and CJK spacing
+  * only); its case/accent config maps exactly.
+  *
+  * `added_tokens` marked `special: true` that exist in a BPE vocab are
+  * declared as special ids (the [[Bpe.importBpeModel]] specialTokens
+  * contract — usable as structural eod/sep/pad ids downstream).
+  *
+  * Scale posture: everything here is driver-side over a MODEL-sized
+  * file ([[Bpe.readSmallTextFile]]'s bound); nothing touches the
+  * corpus. */
+object TokenizerJson {
+
+  // ---- minimal JSON AST + recursive-descent parser (driver-side) ----
+  sealed trait J
+  final case class JObj(fields: Map[String, J]) extends J
+  final case class JArr(items: Vector[J]) extends J
+  final case class JStr(s: String) extends J
+  final case class JNum(n: Double) extends J
+  final case class JBool(b: Boolean) extends J
+  case object JNull extends J
+
+  /** Parse a complete JSON document — escape-aware (`\uXXXX`, the
+    * two-char escapes), refuses trailing garbage. Recursion depth is
+    * bounded by the document, which is size-guarded upstream. */
+  private[graft] def parse(txt: String): J = {
+    var i = 0
+    val n = txt.length
+    def fail(what: String): Nothing = throw new IllegalArgumentException(
+      s"tokenizer.json: $what at offset $i")
+    def ws(): Unit =
+      while (i < n && (txt.charAt(i) == ' ' || txt.charAt(i) == '\n' ||
+        txt.charAt(i) == '\r' || txt.charAt(i) == '\t')) i += 1
+    def expect(c: Char): Unit = {
+      if (i >= n || txt.charAt(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    def str(): String = {
+      expect('"')
+      val sb = new java.lang.StringBuilder()
+      while (i < n && txt.charAt(i) != '"') {
+        val c = txt.charAt(i)
+        if (c == '\\') {
+          if (i + 1 >= n) fail("dangling escape")
+          txt.charAt(i + 1) match {
+            case '"' => sb.append('"'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case '/' => sb.append('/'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'u' =>
+              if (i + 6 > n) fail("truncated \\u escape")
+              sb.append(Integer.parseInt(
+                txt.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case other => fail(s"unknown escape '\\$other'")
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      expect('"')
+      sb.toString
+    }
+    def value(): J = {
+      ws()
+      if (i >= n) fail("unexpected end")
+      txt.charAt(i) match {
+        case '"' => JStr(str())
+        case '{' =>
+          i += 1; ws()
+          val fields = scala.collection.mutable.LinkedHashMap.empty[String, J]
+          if (i < n && txt.charAt(i) == '}') { i += 1 }
+          else {
+            var more = true
+            while (more) {
+              ws(); val k = str(); ws(); expect(':')
+              fields(k) = value(); ws()
+              if (i < n && txt.charAt(i) == ',') { i += 1 }
+              else { expect('}'); more = false }
+            }
+          }
+          JObj(fields.toMap)
+        case '[' =>
+          i += 1; ws()
+          val items = Vector.newBuilder[J]
+          if (i < n && txt.charAt(i) == ']') { i += 1 }
+          else {
+            var more = true
+            while (more) {
+              items += value(); ws()
+              if (i < n && txt.charAt(i) == ',') { i += 1 }
+              else { expect(']'); more = false }
+            }
+          }
+          JArr(items.result())
+        case 't' =>
+          if (!txt.startsWith("true", i)) fail("bad literal")
+          i += 4; JBool(true)
+        case 'f' =>
+          if (!txt.startsWith("false", i)) fail("bad literal")
+          i += 5; JBool(false)
+        case 'n' =>
+          if (!txt.startsWith("null", i)) fail("bad literal")
+          i += 4; JNull
+        case _ =>
+          val start = i
+          while (i < n && "+-0123456789.eE".indexOf(txt.charAt(i)) >= 0) i += 1
+          if (i == start) fail("unexpected character")
+          JNum(txt.substring(start, i).toDouble)
+      }
+    }
+    val v = value(); ws()
+    if (i != n) fail("trailing content")
+    v
+  }
+
+  private def obj(j: J, what: String): Map[String, J] = j match {
+    case JObj(f) => f
+    case _ => throw new IllegalArgumentException(
+      s"tokenizer.json: $what must be an object")
+  }
+  private def jstr(j: J, what: String): String = j match {
+    case JStr(s) => s
+    case _ => throw new IllegalArgumentException(
+      s"tokenizer.json: $what must be a string")
+  }
+  private def jlong(j: J, what: String): Long = j match {
+    case JNum(d) if d == math.rint(d) => d.toLong
+    case _ => throw new IllegalArgumentException(
+      s"tokenizer.json: $what must be an integer")
+  }
+
+  /** The `normalizer` block → a stamped [[Normalize]] mode. `null` and
+    * absent are `none`; `Sequence` must compose to one supported mode. */
+  private[graft] def normalizeMode(norm: J): String = norm match {
+    case JNull => "none"
+    case JObj(f) => jstr(f.getOrElse("type", JNull), "normalizer.type") match {
+      case "NFC" => "nfc"
+      case "NFKC" => "nfkc"
+      case "Lowercase" => "lowercase"
+      case "BertNormalizer" =>
+        val lower = f.get("lowercase").forall {
+          case JBool(b) => b; case JNull => true; case _ => true
+        }
+        // published semantics: strip_accents null follows `lowercase`
+        val strip = f.get("strip_accents") match {
+          case Some(JBool(b)) => b
+          case _ => lower
+        }
+        (lower, strip) match {
+          case (true, true) => "lowercase_strip_accents"
+          case (true, false) => "lowercase"
+          case (false, false) => "none"
+          case (false, true) => throw new IllegalArgumentException(
+            "tokenizer.json: BertNormalizer strip_accents without " +
+              "lowercase has no stamped normalize mode — import the " +
+              "classic format and pre-normalize, or extend Normalize")
+        }
+      case "Sequence" =>
+        val parts = f.get("normalizers") match {
+          case Some(JArr(items)) => items.map(normalizeMode)
+          case _ => throw new IllegalArgumentException(
+            "tokenizer.json: Sequence normalizer without a normalizers array")
+        }
+        val folded = parts.filterNot(_ == "none")
+        folded match {
+          case Seq() => "none"
+          case Seq(one) => one
+          case Seq("nfc", "lowercase") | Seq("lowercase", "nfc") =>
+            // NFC then lowercase ≈ lowercase on NFC text; we cannot
+            // stamp two stages — refuse rather than approximate
+            throw new IllegalArgumentException(
+              "tokenizer.json: composite normalizer sequence " +
+                s"(${parts.mkString(" → ")}) exceeds the stamped " +
+                "single-mode normalizer — extend Normalize or " +
+                "pre-normalize the corpus")
+          case _ => throw new IllegalArgumentException(
+            "tokenizer.json: composite normalizer sequence " +
+              s"(${parts.mkString(" → ")}) exceeds the stamped " +
+              "single-mode normalizer")
+        }
+      case other => throw new IllegalArgumentException(
+        s"tokenizer.json: unsupported normalizer type '$other' — " +
+          "NFC, NFKC, Lowercase, BertNormalizer, Sequence")
+    }
+    case _ => throw new IllegalArgumentException(
+      "tokenizer.json: normalizer must be an object or null")
+  }
+
+  /** The `pre_tokenizer` block → (byteLevel, wordPattern). ByteLevel is
+    * the GPT-2 contract; Whitespace[Split] and BertPreTokenizer map to
+    * the engine's whitespace/regex splits. */
+  private[graft] def preTokenizer(pre: J): (Boolean, Option[String]) = pre match {
+    case JNull => (false, None)
+    case JObj(f) => jstr(f.getOrElse("type", JNull), "pre_tokenizer.type") match {
+      case "ByteLevel" => (true, Some(Bpe.Gpt2WordPattern))
+      case "WhitespaceSplit" => (false, None)
+      case "Whitespace" =>
+        // the published Whitespace pre-tokenizer is the \w+|[^\w\s]+
+        // regex — carried verbatim so punctuation splits off words
+        (false, Some("""[\w]+|[^\w\s]+"""))
+      case "BertPreTokenizer" =>
+        // whitespace split + punctuation isolation (the BERT basic
+        // tokenizer's split step)
+        (false, Some("""[^\s\p{P}]+|[\p{P}]"""))
+      case other => throw new IllegalArgumentException(
+        s"tokenizer.json: unsupported pre_tokenizer type '$other' — " +
+          "ByteLevel, Whitespace, WhitespaceSplit, BertPreTokenizer")
+    }
+    case _ => throw new IllegalArgumentException(
+      "tokenizer.json: pre_tokenizer must be an object or null")
+  }
+
+  /** Read + dispatch. `name`/`path` follow the family import they
+    * resolve to; returns the family imported ("bpe" | "wordpiece" |
+    * "unigram") so callers wire the right serve. */
+  def importTokenizerJson(spark: SparkSession, jsonPath: String,
+                          name: String, path: String,
+                          maxBytes: Long = 64L << 20,
+                          maxImport: Int = 1000000): String = {
+    val root = obj(parse(Bpe.readSmallTextFile(spark, jsonPath, maxBytes)),
+      "root")
+    val model = obj(root.getOrElse("model", JNull), "model")
+    val mtype = jstr(model.getOrElse("type", JNull), "model.type")
+    val normalize = normalizeMode(root.getOrElse("normalizer", JNull))
+    val (byteLevel, wordPattern) =
+      preTokenizer(root.getOrElse("pre_tokenizer", JNull))
+    import scala.jdk.CollectionConverters._
+    mtype match {
+      case "BPE" =>
+        val vocab = obj(model.getOrElse("vocab", JNull), "model.vocab")
+          .map { case (tok, id) => (tok, jlong(id, s"vocab['$tok']")) }
+        val merges = model.getOrElse("merges", JNull) match {
+          case JArr(items) => items.zipWithIndex.map {
+            case (JStr(s), rank) => // classic "left right" form
+              val sp = s.indexOf(' ')
+              require(sp > 0 && s.indexOf(' ', sp + 1) < 0,
+                s"tokenizer.json: merge '$s' is not 'left right'")
+              (rank, s.substring(0, sp), s.substring(sp + 1))
+            case (JArr(Vector(JStr(l), JStr(r))), rank) => (rank, l, r)
+            case (_, rank) => throw new IllegalArgumentException(
+              s"tokenizer.json: merge #$rank is neither 'left right' " +
+                "nor [left, right]")
+          }
+          case _ => throw new IllegalArgumentException(
+            "tokenizer.json: BPE model without a merges array")
+        }
+        val specials = root.getOrElse("added_tokens", JNull) match {
+          case JArr(items) => items.collect {
+            case JObj(t) if t.get("special").contains(JBool(true)) &&
+                vocab.contains(jstr(t.getOrElse("content", JNull),
+                  "added_token.content")) =>
+              jstr(t("content"), "added_token.content")
+          }
+          case _ => Vector.empty
+        }
+        val mergesDf = spark.createDataFrame(
+          merges.map { case (rank, l, r) => Row(rank, l, r) }.asJava,
+          StructType(Seq(StructField("rank", IntegerType),
+            StructField("left", StringType),
+            StructField("right", StringType))))
+        val vocabDf = spark.createDataFrame(
+          vocab.toSeq.map { case (t, id) => Row(t, id) }.asJava,
+          StructType(Seq(StructField("token", StringType),
+            StructField("token_id", LongType))))
+        Bpe.importBpeModel(spark, mergesDf, vocabDf, name, path,
+          byteLevel = byteLevel, wordPattern = wordPattern,
+          gpt2Alias = byteLevel, maxImport = maxImport,
+          specialTokens = specials, normalize = normalize)
+        "bpe"
+      case "WordPiece" =>
+        val contPrefix = model.get("continuing_subword_prefix")
+          .map(jstr(_, "continuing_subword_prefix")).getOrElse("##")
+        val unkPiece = model.get("unk_token")
+          .map(jstr(_, "unk_token")).getOrElse("[UNK]")
+        val maxChars = model.get("max_input_chars_per_word")
+          .map(jlong(_, "max_input_chars_per_word").toInt).getOrElse(200)
+        val vocab = obj(model.getOrElse("vocab", JNull), "model.vocab")
+          .map { case (p, id) => (p, jlong(id, s"vocab['$p']")) }
+        val vocabDf = spark.createDataFrame(
+          vocab.toSeq.map { case (p, id) => Row(p, id) }.asJava,
+          StructType(Seq(StructField("piece", StringType),
+            StructField("piece_id", LongType))))
+        WordPiece.importWordPieceModel(spark, vocabDf, name, path,
+          unkPiece = unkPiece, contPrefix = contPrefix,
+          maxInputChars = maxChars, wordPattern = wordPattern,
+          normalize = normalize)
+        "wordpiece"
+      case "Unigram" =>
+        val pieces = model.getOrElse("vocab", JNull) match {
+          case JArr(items) => items.zipWithIndex.map {
+            case (JArr(Vector(JStr(p), JNum(lp))), id) => (p, lp, id.toLong)
+            case (_, id) => throw new IllegalArgumentException(
+              s"tokenizer.json: Unigram vocab entry #$id is not " +
+                "[piece, logp]")
+          }
+          case _ => throw new IllegalArgumentException(
+            "tokenizer.json: Unigram model without a vocab array")
+        }
+        val piecesDf = spark.createDataFrame(
+          pieces.map { case (p, lp, id) => Row(p, lp, id) }.asJava,
+          StructType(Seq(StructField("piece", StringType),
+            StructField("logp", DoubleType),
+            StructField("piece_id", LongType))))
+        Unigram.importUnigramModel(spark, piecesDf, name, path,
+          wordPattern = wordPattern, normalize = normalize)
+        "unigram"
+      case other => throw new IllegalArgumentException(
+        s"tokenizer.json: unsupported model.type '$other' — " +
+          "BPE, WordPiece, Unigram")
+    }
+  }
+}

@@ -257,7 +257,8 @@ object Unigram {
                            wordPattern: Option[String],
                            minWordCount: Long = 1L,
                            imported: Boolean = false,
-                           byteFallback: Boolean = false)
+                           byteFallback: Boolean = false,
+                           normalize: String = "none")
 
   /** The 256 reserved byte-piece surfaces of the published
     * SentencePiece `byte_fallback` convention: `<0x00>`..`<0xFF>`.
@@ -277,9 +278,9 @@ object Unigram {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
     val wp = meta.wordPattern.fold("")(pat =>
-      s""","word_pattern":"${pat.replace("\\", "\\\\").replace("\"", "\\\"")}\"""")
+      s""","word_pattern":"${Bpe.jsonEscStamp(pat, "stampUniMeta: wordPattern")}\"""")
     try os.write(
-      s"""{"vocab_size":${meta.vocabSize},"max_piece_len":${meta.maxPieceLen},"seed_size":${meta.seedSize},"em_iters":${meta.emIters},"shrink_factor":${meta.shrinkFactor},"min_word_count":${meta.minWordCount},"imported":${meta.imported},"byte_fallback":${meta.byteFallback}$wp}\n"""
+      s"""{"vocab_size":${meta.vocabSize},"max_piece_len":${meta.maxPieceLen},"seed_size":${meta.seedSize},"em_iters":${meta.emIters},"shrink_factor":${meta.shrinkFactor},"min_word_count":${meta.minWordCount},"imported":${meta.imported},"byte_fallback":${meta.byteFallback},"normalize":"${meta.normalize}"$wp}\n"""
         .getBytes("UTF-8"))
     finally os.close()
   }
@@ -310,7 +311,9 @@ object Unigram {
       long("em_iters"), sf) match {
       case (Some(v), Some(m), Some(s), Some(e), Some(f)) =>
         UniMeta(v.toInt, m.toInt, s.toInt, e.toInt, f, wp,
-          long("min_word_count").getOrElse(1L), imp, bf)
+          long("min_word_count").getOrElse(1L), imp, bf,
+          """"normalize"\s*:\s*"([a-z_]+)"""".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse("none")) // pre-r16: unnormalized
       case _ => throw new IllegalStateException(
         s"malformed unigram stamp at ${uniMetaFile(path)}: $txt")
     }
@@ -331,9 +334,12 @@ object Unigram {
                         shrinkFactor: Double = 0.75,
                         wordPattern: Option[String] = None,
                         minWordCount: Long = 1L,
-                        byteFallback: Boolean = false): Unit = {
+                        byteFallback: Boolean = false,
+                        normalize: String = "none"): Unit = {
+    Normalize.validate(normalize, "writeUnigramModel")
     val spark = corpus.sparkSession
-    val trained = train(corpus, textCol, vocabSize, maxPieceLen, seedSize,
+    val trained = train(Normalize.frame(corpus, textCol, normalize),
+      textCol, vocabSize, maxPieceLen, seedSize,
       emIters, shrinkFactor, wordPattern, minWordCount)
     val model = if (!byteFallback) trained else {
       val rows = trained.collect()
@@ -355,7 +361,7 @@ object Unigram {
     stampUniMeta(spark, path, UniMeta(vocabSize, maxPieceLen,
       if (seedSize > 0) seedSize else 8 * vocabSize, emIters,
       shrinkFactor, wordPattern, minWordCount,
-      byteFallback = byteFallback))
+      byteFallback = byteFallback, normalize = normalize))
   }
 
   /** Import a PRETRAINED unigram model from a published (piece,
@@ -377,7 +383,9 @@ object Unigram {
     * the same bounded read every serve performs. */
   def importUnigramModel(spark: SparkSession, pieces: DataFrame,
                          name: String, path: String,
-                         wordPattern: Option[String] = None): Unit = {
+                         wordPattern: Option[String] = None,
+                         normalize: String = "none"): Unit = {
+    Normalize.validate(normalize, "importUnigramModel")
     val hasIds = pieces.columns.contains("piece_id")
     val rows = (if (hasIds)
         pieces.select(col("piece"), col("logp").cast("double"),
@@ -427,7 +435,8 @@ object Unigram {
     val bf = ByteFallbackSurfaces.forall(s => surfaces.contains(s))
     stampUniMeta(spark, path, UniMeta(withIds.length, maxLen,
       seedSize = 0, emIters = 0, shrinkFactor = 0.5, wordPattern,
-      minWordCount = 1L, imported = true, byteFallback = bf))
+      minWordCount = 1L, imported = true, byteFallback = bf,
+      normalize = normalize))
   }
 
   /** Read a published SentencePiece VOCABULARY TSV — the
@@ -547,7 +556,8 @@ object Unigram {
                        textCol: String): DataFrame = {
     val meta = readUniMeta(spark, path)
     val (pieces, bytes) = servingViterbiWith(spark, name, path, meta)
-    encodeIds(docs, idCol, textCol, pieces, meta.wordPattern, bytes)
+    encodeIds(Normalize.frame(docs, textCol, meta.normalize), idCol,
+      textCol, pieces, meta.wordPattern, bytes)
   }
 
   /** Landed ids back to the surface string (pieces concatenate; OOV
@@ -579,8 +589,8 @@ object Unigram {
                       groupCol: String): DataFrame = {
     val meta = readUniMeta(spark, path)
     val (pieces, bytes) = servingViterbiWith(spark, name, path, meta)
-    fertilityReportWith(docs, textCol, groupCol, pieces,
-      meta.wordPattern, bytes)
+    fertilityReportWith(Normalize.frame(docs, textCol, meta.normalize),
+      textCol, groupCol, pieces, meta.wordPattern, bytes)
   }
 
   /** [[fertilityReport]] under an EXPLICIT serving-object model (the
@@ -717,7 +727,8 @@ object Unigram {
     val meta = readUniMeta(spark, path)
     val (pieces, bytes) = servingViterbiWith(spark, name, path, meta)
     val ids = encodeIds(
-      fresh.select(lit(0L).as("__id__"), col(textCol)), "__id__", textCol,
+      Normalize.frame(fresh.select(lit(0L).as("__id__"), col(textCol)),
+        textCol, meta.normalize), "__id__", textCol,
       pieces, meta.wordPattern, bytes)
     val isOov = bytes match {
       case None => col("token_id") < 0

@@ -63,18 +63,19 @@ object WordPiece {
                           minPairCount: Long = 2L,
                           maxTypes: Int = 2000000,
                           minWordCount: Long = 1L,
-                          unkPiece: String = "[UNK]")
+                          unkPiece: String = "[UNK]",
+                          normalize: String = "none")
 
   private def stampWpMeta(spark: SparkSession, path: String,
                           meta: WpMeta): Unit = {
     val p = new org.apache.hadoop.fs.Path(wpMetaFile(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def esc(s: String) = Bpe.jsonEscStamp(s, "stampWpMeta: stamped string")
     val wp = meta.wordPattern.fold("")(pat =>
       s""","word_pattern":"${esc(pat)}"""")
     val os = fs.create(p, true)
     try os.write(
-      s"""{"unk_id":${meta.unkId},"cont_prefix":"${esc(meta.contPrefix)}","max_input_chars":${meta.maxInputChars},"imported":${meta.imported},"num_merges":${meta.numMerges},"min_pair_count":${meta.minPairCount},"max_types":${meta.maxTypes},"min_word_count":${meta.minWordCount},"unk_piece":"${esc(meta.unkPiece)}"$wp}\n"""
+      s"""{"unk_id":${meta.unkId},"cont_prefix":"${esc(meta.contPrefix)}","max_input_chars":${meta.maxInputChars},"imported":${meta.imported},"num_merges":${meta.numMerges},"min_pair_count":${meta.minPairCount},"max_types":${meta.maxTypes},"min_word_count":${meta.minWordCount},"unk_piece":"${esc(meta.unkPiece)}","normalize":"${meta.normalize}"$wp}\n"""
         .getBytes("UTF-8"))
     finally os.close()
   }
@@ -104,7 +105,8 @@ object WordPiece {
           long("min_pair_count").getOrElse(2L),
           long("max_types").getOrElse(2000000L).toInt,
           long("min_word_count").getOrElse(1L),
-          str("unk_piece").getOrElse("[UNK]"))
+          str("unk_piece").getOrElse("[UNK]"),
+          str("normalize").getOrElse("none")) // pre-r16: unnormalized
       case _ => throw new IllegalStateException(
         s"malformed wordpiece stamp at ${wpMetaFile(path)}: $txt")
     }
@@ -170,7 +172,7 @@ object WordPiece {
     val spark = corpus.sparkSession
     var types: Array[(Array[String], Long)] =
       Bpe.collectTypeTable(corpus, textCol, wordPattern, minWordCount,
-        maxTypes, "WordPiece")
+        maxTypes, "WordPiece.train")
         .map { case (w, c) => (wpSymbols(w, contPrefix), c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var rank = 0
@@ -237,17 +239,18 @@ object WordPiece {
                    contPrefix: String = "##",
                    unkPiece: String = "[UNK]",
                    wordPattern: Option[String] = None,
-                   minWordCount: Long = 1L): DataFrame = {
+                   minWordCount: Long = 1L,
+                   maxTypes: Int = 2000000): DataFrame = {
     val spark = corpus.sparkSession
-    val wc0 = Bpe.wordCounts(corpus, textCol, wordPattern)
-    val wc = if (minWordCount <= 1L) wc0
-      else wc0.filter(col("cnt") >= minWordCount)
     // the alphabet is the distinct symbol set of [[wpSymbols]] — derived
     // with the SAME driver-side symbolizer the trainer used, over the
-    // bounded word-type table (train's maxTypes probe already admitted
-    // this corpus), not a second SQL re-implementation that could drift
-    val alpha = wc.select("word").distinct().collect()
-      .flatMap(r => wpSymbols(r.getString(0), contPrefix))
+    // SAME bounded front door ([[Bpe.collectTypeTable]] — the O(maxTypes)
+    // probe with the loud refusal), so the standalone call refuses on a
+    // crawl-scale corpus instead of silently collecting every word type
+    // to the driver; not a second SQL re-implementation that could drift
+    val alpha = Bpe.collectTypeTable(corpus, textCol, wordPattern,
+        minWordCount, maxTypes, "WordPiece.trainedVocab")
+      .flatMap(t => wpSymbols(t._1, contPrefix))
       .distinct.sortWith(Bpe.cpLess)
     val mergedSurfaces = merges.select("rank", "merged").collect()
       .sortBy(_.getInt(0)).map(_.getString(1))
@@ -309,7 +312,9 @@ object WordPiece {
                            unkPiece: String = "[UNK]",
                            contPrefix: String = "##",
                            maxInputChars: Int = 200,
-                           wordPattern: Option[String] = None): Unit = {
+                           wordPattern: Option[String] = None,
+                           normalize: String = "none"): Unit = {
+    Normalize.validate(normalize, "importWordPieceModel")
     require(contPrefix.nonEmpty,
       "importWordPieceModel: empty continuation prefix")
     require(maxInputChars >= 1,
@@ -322,6 +327,12 @@ object WordPiece {
     rows.foreach { r =>
       require(!r.isNullAt(0) && r.getString(0).nonEmpty,
         "importWordPieceModel: null/empty piece surface")
+      // a null piece_id would read back as 0 (getLong on null) and
+      // silently alias onto id 0 — refuse like the null-surface check
+      require(!hasIds || !r.isNullAt(1),
+        s"importWordPieceModel: null piece_id for piece " +
+          s"'${r.getString(0)}' — a piece_id column must be fully " +
+          "populated (drop the column for dense code-point-order ids)")
       require(r.getString(0) != contPrefix,
         s"importWordPieceModel: piece equal to the continuation prefix " +
           s"'$contPrefix' would match the empty string — malformed vocabulary")
@@ -350,7 +361,7 @@ object WordPiece {
     graft.api.GraftFrame(model)
       .toBucketedTable(s"${name}_wp", s"$path/wp", 1, Seq("piece"))
     stampWpMeta(spark, path, WpMeta(unkId, contPrefix, maxInputChars,
-      wordPattern))
+      wordPattern, unkPiece = unkPiece, normalize = normalize))
   }
 
   /** Build (or wholesale retrain) the persisted model FROM A CORPUS:
@@ -368,17 +379,20 @@ object WordPiece {
                           maxInputChars: Int = 200,
                           unkPiece: String = "[UNK]",
                           wordPattern: Option[String] = None,
-                          minWordCount: Long = 1L): Unit = {
+                          minWordCount: Long = 1L,
+                          normalize: String = "none"): Unit = {
+    Normalize.validate(normalize, "writeWordPieceModel")
     val spark = corpus.sparkSession
-    val merges = train(corpus, textCol, numMerges, minPairCount,
+    val nc = Normalize.frame(corpus, textCol, normalize)
+    val merges = train(nc, textCol, numMerges, minPairCount,
       maxTypes, contPrefix, wordPattern, minWordCount)
-    val vocab = trainedVocab(corpus, textCol, merges, contPrefix,
-      unkPiece, wordPattern, minWordCount)
+    val vocab = trainedVocab(nc, textCol, merges, contPrefix,
+      unkPiece, wordPattern, minWordCount, maxTypes)
     graft.api.GraftFrame(vocab)
       .toBucketedTable(s"${name}_wp", s"$path/wp", 1, Seq("piece"))
     stampWpMeta(spark, path, WpMeta(0L, contPrefix, maxInputChars,
       wordPattern, imported = false, numMerges, minPairCount, maxTypes,
-      minWordCount, unkPiece))
+      minWordCount, unkPiece, normalize))
   }
 
   /** The greedy serving object: (piece, id) — MODEL-sized, embedded
@@ -408,8 +422,8 @@ object WordPiece {
                        docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     val meta = readWpMeta(spark, path)
-    encodeIds(docs, idCol, textCol,
-      vocabServing(spark.table(s"${name}_wp")), meta.unkId,
+    encodeIds(Normalize.frame(docs, textCol, meta.normalize), idCol,
+      textCol, vocabServing(spark.table(s"${name}_wp")), meta.unkId,
       meta.contPrefix, meta.maxInputChars, meta.wordPattern)
   }
 
@@ -426,12 +440,16 @@ object WordPiece {
   def detokenizeIndexed(spark: SparkSession, name: String, path: String,
                         ids: Column): Column = {
     val meta = readWpMeta(spark, path)
-    val mapped = vocabServing(spark.table(s"${name}_wp")).map {
-      case (p, id) if p.startsWith(meta.contPrefix) =>
-        p.substring(meta.contPrefix.length) -> id
-      case (p, id) => (" " + p) -> id
-    }.toMap
-    ltrim(TextHashExprs.bpeDecodeIds(ids, mapped, byteLevel = false))
+    // keyed BY ID: keying by the transformed surface collides when a
+    // continuation's raw surface starts with a space ('## x' strips to
+    // ' x' — initial piece 'x''s key) and silently drops an id
+    val inverse: Map[Long, String] =
+      vocabServing(spark.table(s"${name}_wp")).map {
+        case (p, id) if p.startsWith(meta.contPrefix) =>
+          id -> p.substring(meta.contPrefix.length)
+        case (p, id) => id -> (" " + p)
+      }.toMap
+    ltrim(TextHashExprs.subwordDecodeIds(ids, inverse, Map.empty))
   }
 
   /** Tokenizer fertility / UNK report under an explicit vocabulary —
@@ -474,7 +492,8 @@ object WordPiece {
                       docs: DataFrame, textCol: String,
                       groupCol: String): DataFrame = {
     val meta = readWpMeta(spark, path)
-    fertilityReportWith(docs, textCol, groupCol,
+    fertilityReportWith(Normalize.frame(docs, textCol, meta.normalize),
+      textCol, groupCol,
       vocabServing(spark.table(s"${name}_wp")), meta.unkId,
       meta.contPrefix, meta.maxInputChars, meta.wordPattern)
   }
@@ -488,7 +507,8 @@ object WordPiece {
                 fresh: DataFrame, textCol: String): Double = {
     val meta = readWpMeta(spark, path)
     val row = fertilityReportWith(
-        fresh.select(lit(0L).as("__g__"), col(textCol)), textCol, "__g__",
+        Normalize.frame(fresh.select(lit(0L).as("__g__"), col(textCol)),
+          textCol, meta.normalize), textCol, "__g__",
         vocabServing(spark.table(s"${name}_wp")), meta.unkId,
         meta.contPrefix, meta.maxInputChars, meta.wordPattern)
       .agg(sum(col("n_words")).as("w"), sum(col("n_unk_words")).as("u"))

@@ -796,6 +796,23 @@ class BpeSpec extends SparkTestBase {
     val other = Bpe.fimTransform(ex, "id", "ids", 1.0, 4L, pre, suf, mid)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(all.exists(r => other(r.getLong(0)) !== r.getSeq[Long](1)))
+    // the two draws are DECORRELATED: across many same-length
+    // sequences the middle length (c2 - c1) must spread, not sit on
+    // one or two values (the affine-hash failure mode: h(2) - h(1)
+    // constant mod 2^32 makes the split geometry corpus-wide constant)
+    val fixedLen = (1L to 512L).map(i => (i, (0L until 40L).toSeq))
+      .toDF("id", "ids")
+    val gapCounts = Bpe
+      .fimTransform(fixedLen, "id", "ids", 1.0, 7L, pre, suf, mid)
+      .collect()
+      .map { r =>
+        val ids = r.getSeq[Long](1)
+        val sufPos = ids.indexOf(suf)
+        ids.length - 3 - (sufPos - 1) - (ids.indexOf(mid) - sufPos - 1)
+      } // middle length = n - prefix - suffix
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(gapCounts.size >= 15,
+      s"middle lengths collapsed onto ${gapCounts.size} values: $gapCounts")
     // refusals
     assert(intercept[IllegalArgumentException] {
       Bpe.fimTransform(ex, "id", "ids", 0.5, 3L, 1L, 1L, 2L)

@@ -1338,6 +1338,62 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("loadWindows fim: the transform rides the load stream — equals fimTransform over the plain load, deterministic, text landings refuse") {
+    val tmp = tmpDir("graft_lwf_idx")
+    val mdl = tmpDir("graft_lwf_bpe")
+    val out = tmpDir("graft_lwf_out")
+    val outText = tmpDir("graft_lwf_outt")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      graft.llm.Bpe.writeBpeModel(docs.filter(col("doc_id") < 300), "text",
+        "lwf_bpe", mdl, numMerges = 6)
+      val bw = Pipeline.BpeWindows("lwf_bpe", mdl)
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "lwf_t", tmp)
+      Pipeline.ingestWindowsShard(
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 260),
+        df(docSchema), "doc_id", "text", "lwf_t", tmp, out, 64L, "d01",
+        redactPii = false, bpeWindows = Some(bw))
+      Pipeline.ingestWindowsShard(
+        docs.filter(col("doc_id") >= 260 && col("doc_id") < 280),
+        df(docSchema), "doc_id", "text", "lwf_t", tmp, outText, 64L,
+        "d01", redactPii = false) // text landing: no window_ids
+      val fs = graft.llm.Bpe.FimSpec(rate = 0.5, seed = 11L,
+        preId = 9001L, sufId = 9002L, midId = 9003L)
+      def keyed(d: org.apache.spark.sql.DataFrame) =
+        d.select("global_id", "window_ids", "fim_applied").collect()
+          .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getBoolean(2)))
+          .toMap
+      val viaLoader = keyed(Pipeline.loadWindows(spark, out, "train",
+        fim = Some(fs)))
+      val viaTransform = keyed(graft.llm.Bpe.fimTransform(
+        Pipeline.loadWindows(spark, out, "train"), "global_id",
+        "window_ids", fs.rate, fs.seed, fs.preId, fs.sufId, fs.midId))
+      assert(viaLoader.nonEmpty && viaLoader === viaTransform)
+      // both populations present at rate 0.5; deterministic re-load
+      assert(viaLoader.values.exists(_._2) &&
+        viaLoader.values.exists(!_._2))
+      assert(keyed(Pipeline.loadWindows(spark, out, "train",
+        fim = Some(fs))) === viaLoader)
+      // the loader's stream order is unchanged by the transform
+      val order = Pipeline.loadWindows(spark, out, "train", Some(fs))
+        .select("global_id").collect().map(_.getLong(0)).toSeq
+      assert(order == order.sorted)
+      // a text landing has no id sequence to rearrange
+      val e = intercept[IllegalArgumentException] {
+        Pipeline.loadWindows(spark, outText, "train", fim = Some(fs))
+      }
+      assert(e.getMessage.contains("ID landings"))
+    } finally {
+      dropIndex("lwf_t")
+      Seq("lwf_bpe_bpe", "lwf_bpe_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(tmp, mdl, out, outText).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("STRIDED eval windows: overlapping landing, closed-form fsck, O(1) replay, loader order, refusals") {
     val tmp = tmpDir("graft_sev_idx")
     val mdl = tmpDir("graft_sev_bpe")

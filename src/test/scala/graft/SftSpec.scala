@@ -92,6 +92,109 @@ class SftSpec extends SparkTestBase {
     }
   }
 
+  test("assembleConversation: template layout, per-turn loss spans, eod joins the last assistant span, role refusal, weights") {
+    val mergesDf = Bpe.train(corpus, "text", 8)
+    val merges = Bpe.mergeList(mergesDf)
+    val vocab = Bpe.vocabMap(Bpe.vocabFrame(corpus, "text", mergesDf))
+    val mx = vocab.values.max
+    val (u, a, end, eod) = (mx + 1L, mx + 2L, mx + 3L, mx + 4L)
+    val template = Sft.chatTemplate(
+      Map("user" -> u, "assistant" -> a), end)
+    val turnsType = ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("turns", turnsType)))
+    def turn(role: String, content: String) = Row(role, content)
+    val convs = df(sch,
+      Row(1L, Seq(turn("user", "low"), turn("assistant", "lower"),
+        turn("user", "newest"), turn("assistant", "widest"))),
+      Row(2L, Seq(turn("user", "low"), turn("user", "newest"))), // no loss: drops
+      Row(3L, Seq(turn("user", "low"), turn("assistant", null))), // empty turn
+      Row(4L, null))                                              // drops
+    val got = Sft.assembleConversation(convs, "id", "turns", merges,
+        vocab, template, eodId = Some(eod))
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    val c1 = got(0)
+    // enc: low=[low], lower=[low,e,r], newest=[newest], widest=[w,i,dest]
+    val (lo, e_, r_, ne, w_, i_, de) = (vocab("low"), vocab("e"),
+      vocab("r"), vocab("newest"), vocab("w"), vocab("i"), vocab("dest"))
+    assert(c1.getSeq[Long](1) === Seq(
+      u, lo, end, a, lo, e_, r_, end, u, ne, end, a, w_, i_, de, end, eod))
+    assert(c1.getLong(2) === 17L && c1.getLong(4) === 4L &&
+      c1.getLong(5) === 4L) // n_tokens, loss_from, n_turns
+    val spans1 = c1.getSeq[Row](3)
+      .map(s => (s.getLong(0), s.getLong(1), s.getDouble(2)))
+    // assistant spans: (4, |lower ids|+end = 4), (12, |widest|+end+eod = 5)
+    assert(spans1 === Seq((4L, 4L, 1.0), (12L, 5L, 1.0)))
+    // loss positions decode to exactly content ++ end (++ eod at doc end)
+    assert(spans1.flatMap { case (p, l, _) =>
+      c1.getSeq[Long](1).slice(p.toInt, (p + l).toInt) } ===
+      Seq(lo, e_, r_, end, w_, i_, de, end, eod))
+    // null content: assistant turn trains on its terminator alone
+    val c3 = got(1)
+    assert(c3.getSeq[Long](1) === Seq(u, lo, end, a, end, eod))
+    assert(c3.getSeq[Row](3).map(s => (s.getLong(0), s.getLong(1))) ===
+      Seq((4L, 2L))) // end + eod
+    // per-turn weights ride the spans
+    val weighted = template.updated("assistant",
+      Sft.TurnTemplate(Seq(a), Seq(end), loss = true, weight = 0.25))
+    val ws = Sft.assembleConversation(convs, "id", "turns", merges,
+        vocab, weighted, eodId = Some(eod))
+      .filter(col("id") === 1L).head().getSeq[Row](3)
+    assert(ws.forall(_.getDouble(2) === 0.25))
+    // unknown role refuses loudly at execution
+    val bad = df(sch, Row(9L, Seq(turn("system", "low"))))
+    val err = intercept[Exception] {
+      Sft.assembleConversation(bad, "id", "turns", merges, vocab,
+        template, eodId = Some(eod)).collect()
+    }
+    assert(err.getMessage.contains("not in the template"))
+    // structural-id collision refusal
+    assert(intercept[IllegalArgumentException] {
+      Sft.assembleConversation(convs, "id", "turns", merges, vocab,
+        Sft.chatTemplate(Map("user" -> vocab("low"), "assistant" -> a),
+          end))
+    }.getMessage.contains("collides"))
+  }
+
+  test("assembleConversation: degenerate two-turn template reproduces assembleExamples bit-exactly; output packs") {
+    val mergesDf = Bpe.train(corpus, "text", 8)
+    val merges = Bpe.mergeList(mergesDf)
+    val vocab = Bpe.vocabMap(Bpe.vocabFrame(corpus, "text", mergesDf))
+    val mx = vocab.values.max
+    val (sep, eod) = (mx + 1L, mx + 2L)
+    val pairs = df(pairSchema,
+      Row(1L, "low lower", "newest widest"),
+      Row(2L, null, "low"),
+      Row(3L, "newest", "low low lower"))
+    val viaPairs = Sft.assembleExamples(pairs, "id", "p", "r", merges,
+        vocab, sepId = Some(sep), eodId = Some(eod))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2),
+        r.getLong(3)))
+    val degenerate = Map(
+      "user" -> Sft.TurnTemplate(Nil, Seq(sep), loss = false),
+      "assistant" -> Sft.TurnTemplate(Nil, Seq(eod), loss = true))
+    val convs = pairs.select(col("id"), array(
+      struct(lit("user").as("role"), col("p").as("content")),
+      struct(lit("assistant").as("role"), col("r").as("content")))
+      .as("turns"))
+    val viaConv = Sft.assembleConversation(convs, "id", "turns", merges,
+        vocab, degenerate, eodId = None)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2),
+        r.getLong(4)))
+    // same ids, same token counts, same mask boundary — bit-exact
+    assert(viaConv.toSeq === viaPairs.toSeq)
+    // and the output feeds packExamples unchanged
+    val packed = Sft.packExamples(
+      Sft.assembleConversation(convs, "id", "turns", merges, vocab,
+        degenerate), "id", "input_ids", windowSize = 64,
+      padId = Some(mx + 9L))
+    assert(packed.count() >= 1L)
+  }
+
   test("assemblePreferencePairs: shared prompt prefix, one boundary, both-sides row policy") {
     val mergesDf = Bpe.train(corpus, "text", 8)
     val merges = Bpe.mergeList(mergesDf)
@@ -129,6 +232,86 @@ class SftSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Sft.assemblePreferencePairs(pairs, "id", "p", "c", "r", merges,
         vocab, sepId = Some(vocab("low")))
+    }
+  }
+
+  test("writeConversationWindows: conversations land with a loss-SPANS sidecar; fsck, O(1) replay, mask reconstruction") {
+    val mdl = java.nio.file.Files
+      .createTempDirectory("graft_cvw_mdl").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_cvw_out").toString
+    try {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      Bpe.writeBpeModel(docs.filter(col("doc_id") < 300), "text",
+        "cvw", mdl, numMerges = 6)
+      val mx = Bpe.vocabMap(spark.table("cvw_bpe_vocab")).values.max
+      val (u, a, end, eod, pad) = (mx + 1L, mx + 2L, mx + 3L, mx + 4L,
+        mx + 5L)
+      val words = filter(split(col("text"), " ", -1), w => length(w) >= 1)
+      val convs = docs.filter(col("doc_id") < 120)
+        .withColumn("__ws__", words)
+        .filter(size(col("__ws__")) >= 2)
+        .withColumn("__np__", (size(col("__ws__")) / 2).cast("int"))
+        .select(col("doc_id"), array(
+          struct(lit("user").as("role"),
+            array_join(slice(col("__ws__"), lit(1), col("__np__")), " ")
+              .as("content")),
+          struct(lit("assistant").as("role"),
+            array_join(slice(col("__ws__"), col("__np__") + 1,
+              size(col("__ws__")) - col("__np__")), " ").as("content")))
+          .as("turns"))
+      val template = Sft.chatTemplate(
+        Map("user" -> u, "assistant" -> a), end)
+      val c1 = Sft.writeConversationWindows(spark, convs, "doc_id",
+        "turns", template, "cvw", mdl, out, windowSize = 256L,
+        eodId = Some(eod), padId = Some(pad))
+      assert(c1("input") > 0 && c1("examples") > 0, s"$c1")
+      // windows-landing schema; sidecar carries the spans AND the
+      // single-boundary compatibility field
+      val win = spark.read.parquet(out)
+      assert(win.columns.sorted.sameElements(Array("doc_spans",
+        "n_tokens", "split", "window_id", "window_ids")))
+      val side = spark.read.parquet(s"$out/_losssidecar")
+      assert(side.columns.sorted.sameElements(Array("doc_id",
+        "loss_from", "loss_spans", "n_tokens", "split")))
+      // conservation: landed span mass equals the sidecar example mass
+      val spanMass = win
+        .select(explode(col("doc_spans")).as("sp"))
+        .groupBy(col("sp.id").as("doc_id"))
+        .agg(sum("sp.len").as("m"))
+      val both = spanMass.join(side, Seq("doc_id"))
+      assert(both.count() == side.count() &&
+        both.filter(col("m") =!= col("n_tokens")).count() == 0)
+      // fsck green; report reads the conversation landing unchanged
+      val rep = Sft.sftWindowsReport(spark, out, 256L).collect()
+      assert(rep.nonEmpty && rep.forall(r =>
+        r.getAs[Boolean]("tokens_match") && r.getAs[Boolean]("manifest")),
+        rep.mkString(";"))
+      // mask reconstruction: for one landed example, composing its
+      // doc_span offset with its loss spans lands inside the window and
+      // the first loss position decodes the example's loss_from
+      val ex = side.filter(col("split") === "train").head()
+      val exId = ex.getLong(ex.fieldIndex("doc_id"))
+      val sp = win.select(col("window_ids"),
+          explode(col("doc_spans")).as("sp"))
+        .filter(col("sp.id") === exId).head()
+      val pos0 = sp.getStruct(1).getLong(1)
+      val firstLoss = ex.getSeq[org.apache.spark.sql.Row](
+        ex.fieldIndex("loss_spans")).head.getLong(0)
+      assert(ex.getLong(ex.fieldIndex("loss_from")) === firstLoss)
+      // the first loss position of this example inside the window is
+      // the assistant role id's successor — i.e. a REAL id position
+      assert(pos0 + firstLoss < sp.getSeq[Long](0).length)
+      // O(1) replay
+      assert(Sft.writeConversationWindows(spark, convs.limit(1),
+        "doc_id", "turns", template, "cvw", mdl, out, 256L) == c1)
+    } finally {
+      Seq("cvw_bpe", "cvw_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(mdl, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }
   }
 

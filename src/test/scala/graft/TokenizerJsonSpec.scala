@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.{Bpe, TokenizerJson, Unigram, WordPiece}
+
+/** The modern single-file tokenizer exchange format: the escape-aware
+  * parser, the normalizer/pre-tokenizer mapping, and the dispatcher —
+  * each family's tokenizer.json import must serve BIT-IDENTICALLY to
+  * its classic-format sibling (merges.txt/vocab.json, vocab.txt,
+  * SentencePiece TSV). */
+class TokenizerJsonSpec extends SparkTestBase {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def writeTmp(content: String): String = {
+    val f = java.nio.file.Files.createTempFile("graft_tokjson", ".json")
+    java.nio.file.Files.write(f, content.getBytes("UTF-8"))
+    f.toString
+  }
+
+  private def tmpDir(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("parser: escapes, nesting, numbers, refusals") {
+    import TokenizerJson._
+    val j = parse("""{"a": "q\"\\\nA", "b": [1, -2.5e1, true, null]}""")
+      .asInstanceOf[JObj]
+    assert(j.fields("a") === JStr("q\"\\\nA"))
+    assert(j.fields("b") === JArr(Vector(JNum(1), JNum(-25.0),
+      JBool(true), JNull)))
+    assert(intercept[IllegalArgumentException] {
+      parse("""{"a": 1} trailing""")
+    }.getMessage.contains("trailing"))
+    assert(intercept[IllegalArgumentException] {
+      parse("""{"a": }""")
+    }.getMessage.contains("offset"))
+  }
+
+  test("normalizer mapping: direct types, BertNormalizer semantics, Sequence folding, refusals") {
+    import TokenizerJson._
+    def m(s: String) = normalizeMode(parse(s))
+    assert(m("null") === "none")
+    assert(m("""{"type": "NFC"}""") === "nfc")
+    assert(m("""{"type": "NFKC"}""") === "nfkc")
+    assert(m("""{"type": "Lowercase"}""") === "lowercase")
+    assert(m("""{"type": "BertNormalizer", "lowercase": true}""") ===
+      "lowercase_strip_accents") // strip_accents null follows lowercase
+    assert(m("""{"type": "BertNormalizer", "lowercase": true, "strip_accents": false}""") ===
+      "lowercase")
+    assert(m("""{"type": "BertNormalizer", "lowercase": false}""") === "none")
+    assert(m("""{"type": "Sequence", "normalizers": [{"type": "NFC"}]}""") ===
+      "nfc")
+    assert(intercept[IllegalArgumentException] {
+      m("""{"type": "BertNormalizer", "lowercase": false, "strip_accents": true}""")
+    }.getMessage.contains("no stamped normalize mode"))
+    assert(intercept[IllegalArgumentException] {
+      m("""{"type": "Sequence", "normalizers": [{"type": "NFC"}, {"type": "Lowercase"}]}""")
+    }.getMessage.contains("composite"))
+    assert(intercept[IllegalArgumentException] {
+      m("""{"type": "Strip"}""")
+    }.getMessage.contains("unsupported normalizer"))
+    assert(intercept[IllegalArgumentException] {
+      TokenizerJson.preTokenizer(parse("""{"type": "Metaspace"}"""))
+    }.getMessage.contains("unsupported pre_tokenizer"))
+  }
+
+  test("BPE dispatch: ByteLevel tokenizer.json serves bit-identically to the classic merges/vocab import; specials and stamp carried") {
+    // alias-form vocab: all 256 byte aliases + merged surfaces + one
+    // declared special — the GPT-2 release shape
+    val aliasVocab = (0 until 256).map(b =>
+      (Bpe.gpt2AliasForByte(b), b.toLong)) ++
+      Seq(("th", 256L), ("the", 257L), ("<|endoftext|>", 258L))
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c => c.toString
+    }
+    val vocabJson = aliasVocab
+      .map { case (t, id) => s""""${esc(t)}": $id""" }.mkString(", ")
+    val json = s"""{
+      "version": "1.0",
+      "normalizer": null,
+      "pre_tokenizer": {"type": "ByteLevel", "add_prefix_space": false},
+      "model": {"type": "BPE", "vocab": {$vocabJson},
+                "merges": ["t h", "th e"]},
+      "added_tokens": [{"id": 258, "content": "<|endoftext|>", "special": true}]
+    }"""
+    val pJson = tmpDir("graft_tj_bpe")
+    val fam = TokenizerJson.importTokenizerJson(spark, writeTmp(json),
+      "tjbpe", pJson)
+    assert(fam === "bpe")
+    // classic sibling: same pair through importBpeModel directly
+    val pClassic = tmpDir("graft_tj_bpec")
+    val mergesDf = df(StructType(Seq(StructField("rank", IntegerType),
+      StructField("left", StringType), StructField("right", StringType))),
+      Row(0, "t", "h"), Row(1, "th", "e"))
+    val vocabDf = df(StructType(Seq(StructField("token", StringType),
+      StructField("token_id", LongType))),
+      aliasVocab.map(v => Row(v._1, v._2)): _*)
+    Bpe.importBpeModel(spark, mergesDf, vocabDf, "tjbpec", pClassic,
+      gpt2Alias = true, specialTokens = Seq("<|endoftext|>"))
+    try {
+      val docs = df(docSchema, Row(1L, "the theft th 中"))
+      def ids(name: String, p: String) =
+        Bpe.encodeIdsIndexed(spark, name, p, docs, "doc_id", "text")
+          .orderBy("word_pos", "tok_pos").collect()
+          .map(_.getLong(3)).toSeq
+      val a = ids("tjbpe", pJson)
+      assert(a === ids("tjbpec", pClassic) && a.contains(257L))
+      assert(Bpe.servingVocabMap(spark, "tjbpe", pJson) ===
+        Bpe.servingVocabMap(spark, "tjbpec", pClassic))
+    } finally Seq("tjbpe_bpe", "tjbpe_bpe_vocab", "tjbpec_bpe",
+      "tjbpec_bpe_vocab").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("WordPiece dispatch: BertNormalizer config rides the stamp — mixed-case text reproduces the uncased sibling") {
+    val vocab = Seq(("[UNK]", 0L), ("the", 1L), ("un", 2L),
+      ("##aff", 3L), ("##able", 4L), ("cafe", 5L))
+    val vocabJson = vocab
+      .map { case (p, id) => s""""$p": $id""" }.mkString(", ")
+    val json = s"""{
+      "normalizer": {"type": "BertNormalizer", "lowercase": true},
+      "pre_tokenizer": {"type": "WhitespaceSplit"},
+      "model": {"type": "WordPiece", "unk_token": "[UNK]",
+                "continuing_subword_prefix": "##",
+                "max_input_chars_per_word": 100,
+                "vocab": {$vocabJson}}
+    }"""
+    val pJson = tmpDir("graft_tj_wp")
+    assert(TokenizerJson.importTokenizerJson(spark, writeTmp(json),
+      "tjwp", pJson) === "wordpiece")
+    val pClassic = tmpDir("graft_tj_wpc")
+    WordPiece.importWordPieceModel(spark,
+      df(StructType(Seq(StructField("piece", StringType),
+        StructField("piece_id", LongType))),
+        vocab.map(v => Row(v._1, v._2)): _*),
+      "tjwpc", pClassic, maxInputChars = 100,
+      normalize = "lowercase_strip_accents")
+    try {
+      assert(WordPiece.readWpMeta(spark, pJson).normalize ===
+        "lowercase_strip_accents")
+      val docs = df(docSchema, Row(1L, "The Café unAFFable zz"))
+      def ids(name: String, p: String) =
+        WordPiece.encodeIdsIndexed(spark, name, p, docs, "doc_id", "text")
+          .orderBy("word_pos", "tok_pos").collect()
+          .map(_.getLong(3)).toSeq
+      val a = ids("tjwp", pJson)
+      assert(a === ids("tjwpc", pClassic))
+      assert(a === Seq(1L, 5L, 2L, 3L, 4L, 0L))
+    } finally Seq("tjwp_wp", "tjwpc_wp").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("Unigram dispatch: [piece, logp] vocab serves bit-identically to the TSV-shaped import") {
+    val pieces = Seq(("a", -1.2, 0L), ("b", -2.3, 1L), ("ab", -1.0, 2L),
+      ("ba", -2.0, 3L))
+    val vocabJson = pieces
+      .map { case (p, lp, _) => s"""["$p", $lp]""" }.mkString(", ")
+    val json = s"""{
+      "normalizer": {"type": "NFC"},
+      "pre_tokenizer": {"type": "WhitespaceSplit"},
+      "model": {"type": "Unigram", "vocab": [$vocabJson]}
+    }"""
+    val pJson = tmpDir("graft_tj_uni")
+    assert(TokenizerJson.importTokenizerJson(spark, writeTmp(json),
+      "tjuni", pJson) === "unigram")
+    val pClassic = tmpDir("graft_tj_unic")
+    Unigram.importUnigramModel(spark,
+      df(StructType(Seq(StructField("piece", StringType),
+        StructField("logp", DoubleType), StructField("piece_id", LongType))),
+        pieces.map(p => Row(p._1, p._2, p._3)): _*),
+      "tjunic", pClassic, normalize = "nfc")
+    try {
+      assert(Unigram.readUniMeta(spark, pJson).normalize === "nfc")
+      val docs = df(docSchema, Row(1L, "abab ba x"))
+      def ids(name: String, p: String) =
+        Unigram.encodeIdsIndexed(spark, name, p, docs, "doc_id", "text")
+          .orderBy("word_pos", "tok_pos").collect()
+          .map(_.getLong(3)).toSeq
+      val a = ids("tjuni", pJson)
+      assert(a === ids("tjunic", pClassic))
+    } finally Seq("tjuni_uni", "tjunic_uni").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}

@@ -1745,4 +1745,31 @@ class WindowLlmSpec extends SparkTestBase {
     assert(rows.length == 3) // floor(200/64)=3 frames
     assert(rows.map(_.getAs[Long]("offset")).toSet == Set(0L, 64L, 128L))
   }
+
+  test("floorDiv/ceilDiv: boundary-exact at multiples of the divisor, negative numerators, and beyond 2^53") {
+    import spark.implicits._
+    // planted multiple-of-stride offsets: the window-id formulas'
+    // exact boundaries (a double floor is safe here; the point is the
+    // integer path lands the SAME values at every boundary)
+    val bounds = Seq(-61L, -60L, -59L, -1L, 0L, 1L, 59L, 60L, 61L,
+      119L, 120L)
+    val got = bounds.toDF("a")
+      .select(col("a"), graft.QHelp.floorDiv(col("a"), 60L).as("f"),
+        graft.QHelp.ceilDiv(col("a"), 60L).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    bounds.foreach { a =>
+      assert(got(a)._1 === java.lang.Math.floorDiv(a, 60L), s"floor $a")
+      assert(got(a)._2 === -java.lang.Math.floorDiv(-a, 60L), s"ceil $a")
+    }
+    // beyond 2^53 the double path provably misrounds: 9007199254740995
+    // rounds to ...96 as a double, so floor(x/3.0) gives ...332 — the
+    // integer path must give the exact ...331
+    val big = 9007199254740995L // 3 * 3002399751580331 + 2
+    val exact = Seq(big).toDF("a")
+      .select(graft.QHelp.floorDiv(col("a"), 3L)).head().getLong(0)
+    assert(exact === 3002399751580331L)
+    assert(math.floor(big.toDouble / 3.0).toLong === 3002399751580332L,
+      "the double path should misround here — if not, the fixture is stale")
+  }
 }

@@ -156,6 +156,122 @@ class WordPieceSpec extends SparkTestBase {
     assert(back === "the unaffable [UNK]")
   }
 
+  test("detokenize map is id-keyed: a continuation whose raw surface starts with a space cannot shadow an initial piece") {
+    val path = tmp("graft_wp_spc")
+    // '## x' strips to ' x' — exactly initial piece 'x''s transformed
+    // key; a surface-keyed decode map drops one of the two ids
+    val vocab = Seq(("[UNK]", 0L), ("x", 1L), ("## x", 2L), ("y", 3L))
+    WordPiece.importWordPieceModel(spark,
+      df(StructType(Seq(StructField("piece", StringType),
+        StructField("piece_id", LongType))),
+        vocab.map(p => Row(p._1, p._2)): _*),
+      "wpsc", path)
+    try {
+      val out = df(StructType(Seq(
+          StructField("ids", ArrayType(LongType)))),
+          Row(Seq(1L, 2L)), Row(Seq(3L, 1L)))
+        .select(WordPiece.detokenizeIndexed(spark, "wpsc", path,
+          col("ids")).as("rt"))
+        .collect().map(_.getString(0)).toSeq
+      // id 1 -> ' x' (initial), id 2 -> ' x' (continuation strips to
+      // its raw tail), id 3 -> ' y'; neither id renders U+FFFD
+      assert(out === Seq("x x", "y x"))
+      assert(!out.exists(_.contains("�")))
+    } finally spark.sql("DROP TABLE IF EXISTS wpsc_wp")
+  }
+
+  test("import refuses a null piece_id; stamps refuse control characters; trainedVocab is maxTypes-bounded") {
+    val e1 = intercept[IllegalArgumentException] {
+      WordPiece.importWordPieceModel(spark,
+        df(StructType(Seq(StructField("piece", StringType),
+          StructField("piece_id", LongType))),
+          Row("[UNK]", 0L), Row("ab", null)),
+        "wpnull", tmp("graft_wp_null"))
+    }
+    assert(e1.getMessage.contains("null piece_id"))
+    val e2 = intercept[IllegalArgumentException] {
+      try WordPiece.importWordPieceModel(spark,
+        df(StructType(Seq(StructField("piece", StringType))),
+          Row("[U\nNK]"), Row("ab")),
+        "wpctl", tmp("graft_wp_ctl"), unkPiece = "[U\nNK]")
+      finally spark.sql("DROP TABLE IF EXISTS wpctl_wp")
+    }
+    assert(e2.getMessage.contains("control character"))
+    val corpus = df(docSchema,
+      (1L to 40L).map(i => Row(i, s"w$i x$i y$i")): _*)
+    val merges = WordPiece.train(corpus, "text", numMerges = 0)
+    val e3 = intercept[IllegalArgumentException] {
+      WordPiece.trainedVocab(corpus, "text", merges, maxTypes = 10)
+    }
+    assert(e3.getMessage.contains("distinct word types") &&
+      e3.getMessage.contains("trainedVocab"))
+  }
+
+  test("stamped normalizer: BERT-uncased import reproduces ids on mixed-case text; the unnormalized twin mis-tokenizes; drift retrain keeps the stamp") {
+    val uncased = Seq(("[UNK]", 0L), ("un", 1L), ("##aff", 2L),
+      ("##able", 3L), ("cafe", 4L), ("resume", 5L), ("the", 6L),
+      ("uber", 7L))
+    def importAs(name: String, normalize: String): String = {
+      val p = tmp(s"graft_wp_$name")
+      WordPiece.importWordPieceModel(spark,
+        df(StructType(Seq(StructField("piece", StringType),
+          StructField("piece_id", LongType))),
+          uncased.map(v => Row(v._1, v._2)): _*),
+        name, p, normalize = normalize)
+      p
+    }
+    val pN = importAs("wpnz", "lowercase_strip_accents")
+    val p0 = importAs("wpnz0", "none")
+    try {
+      assert(WordPiece.readWpMeta(spark, pN).normalize ===
+        "lowercase_strip_accents")
+      val mixed = df(docSchema, Row(1L, "The Café RÉSUMÉ Über unAFFable"))
+      def ids(name: String, p: String) =
+        WordPiece.encodeIdsIndexed(spark, name, p, mixed,
+            "doc_id", "text")
+          .orderBy("word_pos", "tok_pos").collect().map(_.getLong(3)).toSeq
+      // the published-uncased contract: mixed-case text reproduces the
+      // lowercase vocabulary's ids
+      assert(ids("wpnz", pN) === Seq(6L, 4L, 5L, 7L, 1L, 2L, 3L))
+      // the SAME vocabulary without the stamp mis-tokenizes — the gap
+      // the stamped normalizer closes ('The'/'Café'/... are all UNK)
+      assert(ids("wpnz0", p0) === Seq(0L, 0L, 0L, 0L, 0L))
+      // detokenization is normalization-lossy by construction
+      val back = df(StructType(Seq(
+          StructField("ids", ArrayType(LongType)))), Row(Seq(6L, 4L)))
+        .select(WordPiece.detokenizeIndexed(spark, "wpnz", pN,
+          col("ids"))).head().getString(0)
+      assert(back === "the cafe")
+    } finally Seq("wpnz_wp", "wpnz0_wp").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // trained family: the mode shapes TRAINING (case-folded counts)
+    // and survives a drift-fired retrain via the stamp
+    val corpus = df(docSchema,
+      Row(1L, Array.fill(60)("Aa").mkString(" ")),
+      Row(2L, Array.fill(50)("AA aa").mkString(" ")))
+    val path = tmp("graft_wp_nztr")
+    try {
+      WordPiece.writeWordPieceModel(corpus, "text", "wpnztr", path,
+        numMerges = 1, normalize = "lowercase")
+      // lowercase folds Aa/AA/aa into 160 'aa' — one (a,##a) merge;
+      // unnormalized, 'Aa' and 'AA' would keep A in the alphabet
+      val vocab = spark.table("wpnztr_wp").collect()
+        .map(r => r.getString(1)).toSet
+      assert(vocab === Set("[UNK]", "a", "##a", "aa"))
+      assert(WordPiece.readWpMeta(spark, path).normalize === "lowercase")
+      val drifted = df(docSchema, Row(7L, "ØØ ØØ"), Row(8L, "ØØ"))
+      graft.llm.Maintain.maintainWordPiece(spark, "wpnztr", path,
+        freshSample = Some(drifted),
+        freshCorpus = Some(corpus.unionByName(drifted))).collect()
+      val meta2 = WordPiece.readWpMeta(spark, path)
+      assert(meta2.normalize === "lowercase",
+        "the drift-fired retrain must replay the stamped normalizer")
+      // the retrained model serves normalized: 'øø' (lowercased) in vocab
+      assert(WordPiece.wpUnkRate(spark, "wpnztr", path,
+        df(docSchema, Row(9L, "ØØ")), "text") === 0.0)
+    } finally spark.sql("DROP TABLE IF EXISTS wpnztr_wp")
+  }
+
   test("fertility report and UNK drift observable") {
     val rep = WordPiece.fertilityReportWith(
         df(StructType(Seq(StructField("lang", StringType),
