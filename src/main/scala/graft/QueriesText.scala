@@ -5520,11 +5520,14 @@ object QueriesText {
     // between them. `idsStep` parameterizes the ids accumulation (the
     // byte-fallback oracle expands OOV edges to UTF-8 byte ids).
     // Emits `ubest(word, score, np, ids)`.
-    def uniPathCtes(idsStep: String = "list_append(p.ids, u.pid)"): String =
+    def uniModelValues(model: Seq[(String, Long, Long)]): String =
+      model.map { case (p, id, lp) =>
+        s"('$p', CAST($id AS BIGINT), CAST($lp AS BIGINT))" }
+        .mkString(", ")
+    def uniPathCtes(idsStep: String = "list_append(p.ids, u.pid)",
+                    modelValues: String = uniModelValues(uniVitModel)): String =
       s"""up(piece, pid, lp) AS (SELECT * FROM (VALUES
-         |  ${uniVitModel.map { case (p, id, lp) =>
-             s"('$p', CAST($id AS BIGINT), CAST($lp AS BIGINT))" }
-             .mkString(", ")}) v),
+         |  $modelValues) v),
          |ext AS (SELECT piece, pid, lp, length(piece) AS plen FROM up
          |        UNION ALL
          |        SELECT NULL, CAST(-1 AS BIGINT),
@@ -5569,6 +5572,79 @@ object QueriesText {
           col("sg.score_micro").as("score_micro"),
           col("sg.n_pieces").cast("long").as("n_pieces"))
         .orderBy("word")
+    }
+
+    // METASPACE pre-tokenization (r16 — the published SentencePiece ▁
+    // convention of the T5/LLaMA-class releases): the stamp-applied
+    // transform prepends ▁ and turns every space into ▁, words are the
+    // ▁-initiated runs (runs of spaces → lone-▁ words), and the model's
+    // ▁-prefixed piece surfaces match verbatim. The oracle replays the
+    // transform ('▁' || replace(text, ' ', '▁')), the run extraction,
+    // and the SAME Viterbi path enumeration under a literal ▁-style
+    // model; a planted doc with leading/double/triple spaces makes the
+    // lone-▁ behavior live. Serving goes END TO END through the stamp
+    // (importUnigramModel(metaspace = true) → encodeIdsIndexed).
+    val uniMsModel: Seq[(String, Long, Long)] = Seq(
+      ("▁", 0L, -2000000L), ("▁the", 1L, -4000000L), ("▁s", 2L, -3000000L),
+      ("▁w", 3L, -3100000L), ("▁b", 4L, -3200000L), ("a", 5L, -2400000L),
+      ("t", 6L, -2350000L), ("e", 7L, -2300000L), ("n", 8L, -2700000L),
+      ("r", 9L, -2600000L), ("o", 10L, -2500000L), ("c", 11L, -2550000L),
+      ("an", 12L, -3500000L), ("ort", 13L, -5000000L),
+      ("in", 14L, -3400000L), ("d", 15L, -2900000L))
+    def ensureUniMsModel(s: org.apache.spark.sql.SparkSession,
+                         dir: String): String = {
+      val qdir = graft.QHelp.qtmpDir("unims")
+      val idxPath = qdir.getAbsolutePath
+      val stamp = new java.io.File(qdir, "_graft_fixture_stamp")
+      val fresh = stamp.isFile && new String(
+        java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8").trim == dir &&
+        s.catalog.tableExists("g_pums_uni")
+      if (!fresh) {
+        import s.implicits._
+        graft.llm.Unigram.importUnigramModel(s,
+          uniMsModel.map { case (p, id, lp) => (p, lp.toDouble / 1e6, id) }
+            .toDF("piece", "logp", "piece_id"),
+          "g_pums", idxPath, metaspace = true)
+        java.nio.file.Files.write(stamp.toPath,
+          (dir + "\n").getBytes("UTF-8"))
+      }
+      idxPath
+    }
+    r.reg("q_unigram_metaspace",
+      s"""WITH RECURSIVE edocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < 60 AND text IS NOT NULL
+         |  UNION ALL SELECT CAST(-7 AS BIGINT), ' scan  sort   batch'),
+         |dtx AS (SELECT doc_id,
+         |  '▁' || replace(text, ' ', '▁') AS t FROM edocs),
+         |ewrd AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS word_pos,
+         |    toks[CAST(i AS INT)] AS w
+         |  FROM (SELECT doc_id, regexp_extract_all(t, '▁[^▁]*') AS toks,
+         |          unnest(range(1,
+         |            len(regexp_extract_all(t, '▁[^▁]*'))+1)) AS i
+         |        FROM dtx)),
+         |wt AS (SELECT DISTINCT w AS word FROM ewrd),
+         |${uniPathCtes(modelValues = uniModelValues(uniMsModel))},
+         |eid AS (SELECT e.doc_id, e.word_pos, b.ids
+         |  FROM ewrd e JOIN ubest b ON e.w = b.word)
+         |SELECT doc_id, word_pos, CAST(j - 1 AS INT) AS tok_pos,
+         |  ids[CAST(j AS INT)] AS token_id
+         |FROM (SELECT doc_id, word_pos, ids,
+         |        unnest(range(1, len(ids)+1)) AS j FROM eid)
+         |ORDER BY doc_id, word_pos, tok_pos""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val idxPath = ensureUniMsModel(s, dir)
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 60 && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq((-7L, " scan  sort   batch"))
+          .toDF("doc_id", "text"))
+      graft.llm.Unigram.encodeIdsIndexed(s, "g_pums", idxPath, docs,
+          "doc_id", "text")
+        .select(col("doc_id"), col("word_pos").cast("int").as("word_pos"),
+          col("tok_pos").cast("int").as("tok_pos"), col("token_id"))
+        .orderBy("doc_id", "word_pos", "tok_pos")
     }
 
     // Unigram token-ID training windows: the full chop assembly under

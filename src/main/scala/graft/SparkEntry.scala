@@ -192,10 +192,12 @@ object SparkEntry {
     "q_unigram_encode", "q_unigram_windows", "q_wordpiece_encode",
     "q_wordpiece_windows", "q_sft_buckets",
     // r16: the conversation assembler (blockwise fused encode + one
-    // bounded per-row span scan, ~linear in conversation tokens) and
-    // the normalized wordpiece serve (the stamped-normalizer cost —
-    // one extra codegen'd string pass in front of the greedy walk)
-    "q_sft_multiturn", "q_wordpiece_encode_norm")
+    // bounded per-row span scan, ~linear in conversation tokens), the
+    // normalized wordpiece serve (the stamped-normalizer cost — one
+    // extra codegen'd string pass in front of the greedy walk), and
+    // the metaspace unigram serve (the ▁ transform + run extraction
+    // in front of the fused Viterbi)
+    "q_sft_multiturn", "q_wordpiece_encode_norm", "q_unigram_metaspace")
 
   /** Untimed per-query preparation Bench runs ONCE before the timed
     * passes (r10 verdict #3): the steady-state ingest entries build and

@@ -1133,7 +1133,8 @@ object Maintain {
           Unigram.writeUnigramModel(freshCorpus.get, textCol, name, path,
             meta.vocabSize, meta.maxPieceLen, meta.seedSize, meta.emIters,
             meta.shrinkFactor, meta.wordPattern, meta.minWordCount,
-            byteFallback = meta.byteFallback, normalize = meta.normalize)
+            byteFallback = meta.byteFallback, normalize = meta.normalize,
+            metaspace = meta.metaspace)
         }
         results += (("oov_drift", oov, policy.maxDriftDelta, fire,
           if (fire) "Unigram.writeUnigramModel(freshCorpus)"

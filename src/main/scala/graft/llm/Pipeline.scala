@@ -233,7 +233,18 @@ object Pipeline {
                                        wp: Option[WordPiece.WpMeta] = None,
                                        wpVocab: Seq[(String, Long)] = Nil,
                                        uniBytes: Option[IndexedSeq[Long]] = None,
-                                       normalize: String = "none") {
+                                       normalize: String = "none",
+                                       uniMetaspace: Boolean = false) {
+    /** The stamped text prep as a column map: normalizer, then the
+      * SentencePiece metaspace transform when stamped (whose word
+      * pattern already rides `wordPattern` from resolveBpe). */
+    def prepText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val n = Normalize.colOf(text, normalize)
+      if (uniMetaspace) Unigram.metaspaceCol(n) else n
+    }
+    private def prepFrame(docs: DataFrame, textCol: String): DataFrame =
+      if (normalize == "none" && !uniMetaspace) docs
+      else docs.withColumn(textCol, prepText(col(textCol)))
     /** One word → its token ids, under whichever family is stamped.
       * For the wordpiece family the id-ordered (piece, id) pairs ride
       * `wpVocab` and the greedy contract rides `wp`. */
@@ -249,7 +260,7 @@ object Pipeline {
       }
     def asmChop(docs0: DataFrame, idCol: String, textCol: String,
                 windowSize: Long, seed: Long): DataFrame = {
-      val docs = Normalize.frame(docs0, textCol, normalize)
+      val docs = prepFrame(docs0, textCol)
       (uniPieces, wp) match {
       case (Some(ps), _) => Unigram.assembleWindowsIds(docs, idCol, textCol,
         windowSize, seed, ps, eodId, docSpans, wordPattern, uniBytes)
@@ -262,7 +273,7 @@ object Pipeline {
     } }
     def asmStrided(docs0: DataFrame, idCol: String, textCol: String,
                    windowSize: Long, st: Long, seed: Long): DataFrame = {
-      val docs = Normalize.frame(docs0, textCol, normalize)
+      val docs = prepFrame(docs0, textCol)
       (uniPieces, wp) match {
         case (Some(ps), _) => Unigram.assembleWindowsIdsStrided(docs, idCol,
           textCol, windowSize, st, seed, ps, eodId, wordPattern, uniBytes)
@@ -275,7 +286,7 @@ object Pipeline {
       } }
     def asmPacked(docs0: DataFrame, idCol: String, textCol: String,
                   windowSize: Long, seed: Long): DataFrame = {
-      val docs = Normalize.frame(docs0, textCol, normalize)
+      val docs = prepFrame(docs0, textCol)
       (uniPieces, wp) match {
       case (Some(ps), _) => Unigram.assembleWindowsIdsPacked(docs, idCol,
         textCol, windowSize, seed, ps, eodId, padId, docSpans,
@@ -330,9 +341,12 @@ object Pipeline {
       val (pieces, bytes) = Unigram.servingViterbiWith(spark, bw.name,
         bw.path, meta)
       ResolvedBpe(Nil, pieces.map(p => p._1 -> p._2).toMap,
-        bw.eodId, bw.docSpans, byteLevel = false, meta.wordPattern,
+        bw.eodId, bw.docSpans, byteLevel = false,
+        if (meta.metaspace) Some(Unigram.MetaspacePattern)
+        else meta.wordPattern,
         bw.packed, bw.padId, bw.segmentDocs, bw.stride, Some(pieces),
-        uniBytes = bytes, normalize = meta.normalize)
+        uniBytes = bytes, normalize = meta.normalize,
+        uniMetaspace = meta.metaspace)
     } else {
       // a crashed/foreign build refuses here; the SYMBOLIZATION LEVEL
       // and pre-tokenizer ride the stamp — the landing serves exactly
@@ -1212,8 +1226,8 @@ object Pipeline {
           case Some(rb) =>
             aggregate(
               transform(
-                filter(graft.llm.Bpe.wordsOf(textCol, rb.wordPattern,
-                    rb.normalize),
+                filter(graft.llm.Bpe.wordsOfCol(
+                    rb.prepText(col(textCol)), rb.wordPattern),
                   w => length(w) >= 1),
                 w => size(rb.encode(w)).cast("long")),
               // each landed doc carries exactly one EOD id when the
@@ -1332,8 +1346,8 @@ object Pipeline {
         transform(sequence(lit(0), size(ids) - k),
           i => slice(ids, i + 1, lit(k))))
         .otherwise(array())
-    val words = filter(Bpe.wordsOf(benchTextCol, rb.wordPattern,
-        rb.normalize),
+    val words = filter(Bpe.wordsOfCol(rb.prepText(col(benchTextCol)),
+        rb.wordPattern),
       w => length(w) >= 1)
     val benchIds = flatten(transform(words, w => rb.encode(w)))
     val benchGrams = bench.filter(col(benchTextCol).isNotNull)

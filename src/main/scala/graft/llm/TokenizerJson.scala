@@ -217,25 +217,53 @@ object TokenizerJson {
       "tokenizer.json: normalizer must be an object or null")
   }
 
-  /** The `pre_tokenizer` block → (byteLevel, wordPattern). ByteLevel is
-    * the GPT-2 contract; Whitespace[Split] and BertPreTokenizer map to
-    * the engine's whitespace/regex splits. */
-  private[graft] def preTokenizer(pre: J): (Boolean, Option[String]) = pre match {
-    case JNull => (false, None)
+  /** A parsed `pre_tokenizer` block: the GPT-2 byte level, a word
+    * regex, or the SentencePiece metaspace convention (Unigram-only —
+    * the dispatch refuses it elsewhere). */
+  private[graft] final case class PreTok(byteLevel: Boolean,
+                                         wordPattern: Option[String],
+                                         metaspace: Boolean = false)
+
+  /** The `pre_tokenizer` block → [[PreTok]]. ByteLevel is the GPT-2
+    * contract; Whitespace[Split] and BertPreTokenizer map to the
+    * engine's whitespace/regex splits; Metaspace (the T5/LLaMA-class
+    * `▁` convention) maps to the Unigram family's stamped transform —
+    * a non-`▁` replacement or `add_prefix_space: false` has no engine
+    * form and refuses. */
+  private[graft] def preTokenizer(pre: J): PreTok = pre match {
+    case JNull => PreTok(byteLevel = false, None)
     case JObj(f) => jstr(f.getOrElse("type", JNull), "pre_tokenizer.type") match {
-      case "ByteLevel" => (true, Some(Bpe.Gpt2WordPattern))
-      case "WhitespaceSplit" => (false, None)
+      case "ByteLevel" => PreTok(byteLevel = true, Some(Bpe.Gpt2WordPattern))
+      case "WhitespaceSplit" => PreTok(byteLevel = false, None)
       case "Whitespace" =>
         // the published Whitespace pre-tokenizer is the \w+|[^\w\s]+
         // regex — carried verbatim so punctuation splits off words
-        (false, Some("""[\w]+|[^\w\s]+"""))
+        PreTok(byteLevel = false, Some("""[\w]+|[^\w\s]+"""))
       case "BertPreTokenizer" =>
         // whitespace split + punctuation isolation (the BERT basic
         // tokenizer's split step)
-        (false, Some("""[^\s\p{P}]+|[\p{P}]"""))
+        PreTok(byteLevel = false, Some("""[^\s\p{P}]+|[\p{P}]"""))
+      case "Metaspace" =>
+        f.get("replacement").foreach { r =>
+          require(jstr(r, "replacement") == "▁",
+            s"tokenizer.json: Metaspace replacement " +
+              s"'${jstr(r, "replacement")}' is not '▁' — the engine " +
+              "serves the published U+2581 convention only")
+        }
+        val prefixOk = f.get("add_prefix_space").forall {
+          case JBool(b) => b; case _ => true
+        } && !f.get("prepend_scheme").exists {
+          case JStr(s) => s == "never"; case _ => false
+        }
+        require(prefixOk,
+          "tokenizer.json: Metaspace without the prefix space " +
+            "(add_prefix_space: false / prepend_scheme: never) has no " +
+            "engine form — the stamped transform always prepends ▁")
+        PreTok(byteLevel = false, None, metaspace = true)
       case other => throw new IllegalArgumentException(
         s"tokenizer.json: unsupported pre_tokenizer type '$other' — " +
-          "ByteLevel, Whitespace, WhitespaceSplit, BertPreTokenizer")
+          "ByteLevel, Whitespace, WhitespaceSplit, BertPreTokenizer, " +
+          "Metaspace")
     }
     case _ => throw new IllegalArgumentException(
       "tokenizer.json: pre_tokenizer must be an object or null")
@@ -253,8 +281,12 @@ object TokenizerJson {
     val model = obj(root.getOrElse("model", JNull), "model")
     val mtype = jstr(model.getOrElse("type", JNull), "model.type")
     val normalize = normalizeMode(root.getOrElse("normalizer", JNull))
-    val (byteLevel, wordPattern) =
-      preTokenizer(root.getOrElse("pre_tokenizer", JNull))
+    val pt = preTokenizer(root.getOrElse("pre_tokenizer", JNull))
+    require(!pt.metaspace || mtype == "Unigram",
+      s"tokenizer.json: the Metaspace pre-tokenizer is the " +
+        s"SentencePiece family's convention — only the Unigram path " +
+        s"serves it (model.type is '$mtype')")
+    val (byteLevel, wordPattern) = (pt.byteLevel, pt.wordPattern)
     import scala.jdk.CollectionConverters._
     mtype match {
       case "BPE" =>
@@ -333,7 +365,8 @@ object TokenizerJson {
             StructField("logp", DoubleType),
             StructField("piece_id", LongType))))
         Unigram.importUnigramModel(spark, piecesDf, name, path,
-          wordPattern = wordPattern, normalize = normalize)
+          wordPattern = wordPattern, normalize = normalize,
+          metaspace = pt.metaspace)
         "unigram"
       case other => throw new IllegalArgumentException(
         s"tokenizer.json: unsupported model.type '$other' — " +

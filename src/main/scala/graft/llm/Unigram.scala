@@ -258,7 +258,39 @@ object Unigram {
                            minWordCount: Long = 1L,
                            imported: Boolean = false,
                            byteFallback: Boolean = false,
-                           normalize: String = "none")
+                           normalize: String = "none",
+                           metaspace: Boolean = false)
+
+  /** The METASPACE pre-tokenization of the published SentencePiece
+    * family (the T5/LLaMA-class convention): every space becomes
+    * U+2581 `▁` and one `▁` is prepended, then words are the
+    * `▁`-initiated runs — so each word CARRIES its leading-space
+    * marker and published `▁`-prefixed piece surfaces match verbatim
+    * (the GPT-2 leading-space idea, with a visible character instead
+    * of the byte alias). Runs of spaces yield lone-`▁` words, exactly
+    * the published behavior. Stamped (`metaspace = true`) so every
+    * serve re-applies the transform; composes AFTER the stamped
+    * normalizer, like the published pipeline order. */
+  val MetaspacePattern: String = "▁[^▁]*"
+
+  /** The metaspace text transform as a column map — shared by frame
+    * wraps and the windows-landing/report column paths. */
+  private[llm] def metaspaceCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("▁"), regexp_replace(text, " ", "▁"))
+
+  private[llm] def metaspaceFrame(docs: DataFrame,
+                                  textCol: String): DataFrame =
+    docs.withColumn(textCol, metaspaceCol(col(textCol)))
+
+  /** The serving-side (docs, wordPattern) prep under a stamp: the
+    * normalizer wrap, then metaspace when stamped (which also fixes
+    * the word pattern — the two travel together). */
+  private def prepServe(docs: DataFrame, textCol: String,
+                        meta: UniMeta): (DataFrame, Option[String]) = {
+    val n = Normalize.frame(docs, textCol, meta.normalize)
+    if (meta.metaspace) (metaspaceFrame(n, textCol), Some(MetaspacePattern))
+    else (n, meta.wordPattern)
+  }
 
   /** The 256 reserved byte-piece surfaces of the published
     * SentencePiece `byte_fallback` convention: `<0x00>`..`<0xFF>`.
@@ -280,7 +312,7 @@ object Unigram {
     val wp = meta.wordPattern.fold("")(pat =>
       s""","word_pattern":"${Bpe.jsonEscStamp(pat, "stampUniMeta: wordPattern")}\"""")
     try os.write(
-      s"""{"vocab_size":${meta.vocabSize},"max_piece_len":${meta.maxPieceLen},"seed_size":${meta.seedSize},"em_iters":${meta.emIters},"shrink_factor":${meta.shrinkFactor},"min_word_count":${meta.minWordCount},"imported":${meta.imported},"byte_fallback":${meta.byteFallback},"normalize":"${meta.normalize}"$wp}\n"""
+      s"""{"vocab_size":${meta.vocabSize},"max_piece_len":${meta.maxPieceLen},"seed_size":${meta.seedSize},"em_iters":${meta.emIters},"shrink_factor":${meta.shrinkFactor},"min_word_count":${meta.minWordCount},"imported":${meta.imported},"byte_fallback":${meta.byteFallback},"normalize":"${meta.normalize}","metaspace":${meta.metaspace}$wp}\n"""
         .getBytes("UTF-8"))
     finally os.close()
   }
@@ -313,7 +345,9 @@ object Unigram {
         UniMeta(v.toInt, m.toInt, s.toInt, e.toInt, f, wp,
           long("min_word_count").getOrElse(1L), imp, bf,
           """"normalize"\s*:\s*"([a-z_]+)"""".r.findFirstMatchIn(txt)
-            .map(_.group(1)).getOrElse("none")) // pre-r16: unnormalized
+            .map(_.group(1)).getOrElse("none"), // pre-r16: unnormalized
+          """"metaspace"\s*:\s*(true|false)""".r.findFirstMatchIn(txt)
+            .exists(_.group(1) == "true"))
       case _ => throw new IllegalStateException(
         s"malformed unigram stamp at ${uniMetaFile(path)}: $txt")
     }
@@ -335,12 +369,20 @@ object Unigram {
                         wordPattern: Option[String] = None,
                         minWordCount: Long = 1L,
                         byteFallback: Boolean = false,
-                        normalize: String = "none"): Unit = {
+                        normalize: String = "none",
+                        metaspace: Boolean = false): Unit = {
     Normalize.validate(normalize, "writeUnigramModel")
+    require(!(metaspace && wordPattern.isDefined),
+      "writeUnigramModel: metaspace fixes the word pattern to the " +
+        s"'$MetaspacePattern' runs — an explicit wordPattern cannot " +
+        "compose with it")
     val spark = corpus.sparkSession
-    val trained = train(Normalize.frame(corpus, textCol, normalize),
+    val nc0 = Normalize.frame(corpus, textCol, normalize)
+    val nc = if (metaspace) metaspaceFrame(nc0, textCol) else nc0
+    val wpEff = if (metaspace) Some(MetaspacePattern) else wordPattern
+    val trained = train(nc,
       textCol, vocabSize, maxPieceLen, seedSize,
-      emIters, shrinkFactor, wordPattern, minWordCount)
+      emIters, shrinkFactor, wpEff, minWordCount)
     val model = if (!byteFallback) trained else {
       val rows = trained.collect()
       rows.foreach(r => require(!isByteSurface(r.getString(1)),
@@ -361,7 +403,8 @@ object Unigram {
     stampUniMeta(spark, path, UniMeta(vocabSize, maxPieceLen,
       if (seedSize > 0) seedSize else 8 * vocabSize, emIters,
       shrinkFactor, wordPattern, minWordCount,
-      byteFallback = byteFallback, normalize = normalize))
+      byteFallback = byteFallback, normalize = normalize,
+      metaspace = metaspace))
   }
 
   /** Import a PRETRAINED unigram model from a published (piece,
@@ -384,8 +427,13 @@ object Unigram {
   def importUnigramModel(spark: SparkSession, pieces: DataFrame,
                          name: String, path: String,
                          wordPattern: Option[String] = None,
-                         normalize: String = "none"): Unit = {
+                         normalize: String = "none",
+                         metaspace: Boolean = false): Unit = {
     Normalize.validate(normalize, "importUnigramModel")
+    require(!(metaspace && wordPattern.isDefined),
+      "importUnigramModel: metaspace fixes the word pattern to the " +
+        s"'$MetaspacePattern' runs — an explicit wordPattern cannot " +
+        "compose with it")
     val hasIds = pieces.columns.contains("piece_id")
     val rows = (if (hasIds)
         pieces.select(col("piece"), col("logp").cast("double"),
@@ -436,7 +484,7 @@ object Unigram {
     stampUniMeta(spark, path, UniMeta(withIds.length, maxLen,
       seedSize = 0, emIters = 0, shrinkFactor = 0.5, wordPattern,
       minWordCount = 1L, imported = true, byteFallback = bf,
-      normalize = normalize))
+      normalize = normalize, metaspace = metaspace))
   }
 
   /** Read a published SentencePiece VOCABULARY TSV — the
@@ -556,8 +604,8 @@ object Unigram {
                        textCol: String): DataFrame = {
     val meta = readUniMeta(spark, path)
     val (pieces, bytes) = servingViterbiWith(spark, name, path, meta)
-    encodeIds(Normalize.frame(docs, textCol, meta.normalize), idCol,
-      textCol, pieces, meta.wordPattern, bytes)
+    val (prepped, wp) = prepServe(docs, textCol, meta)
+    encodeIds(prepped, idCol, textCol, pieces, wp, bytes)
   }
 
   /** Landed ids back to the surface string (pieces concatenate; OOV
@@ -570,15 +618,24 @@ object Unigram {
                         ids: org.apache.spark.sql.Column)
     : org.apache.spark.sql.Column = {
     val meta = readUniMeta(spark, path)
-    if (!meta.byteFallback)
-      TextHashExprs.bpeDecodeIds(ids, pieceMap(spark.table(s"${name}_uni")),
-        byteLevel = false)
-    else {
-      val (pieces, bytes) = servingViterbiWith(spark, name, path, meta)
-      TextHashExprs.subwordDecodeIds(ids,
-        pieces.map(p => p._2 -> p._1).toMap,
-        bytes.get.zipWithIndex.map { case (id, b) => id -> b }.toMap)
-    }
+    val decoded =
+      if (!meta.byteFallback)
+        TextHashExprs.bpeDecodeIds(ids,
+          pieceMap(spark.table(s"${name}_uni")), byteLevel = false)
+      else {
+        val (pieces, bytes) = servingViterbiWith(spark, name, path, meta)
+        TextHashExprs.subwordDecodeIds(ids,
+          pieces.map(p => p._2 -> p._1).toMap,
+          bytes.get.zipWithIndex.map { case (id, b) => id -> b }.toMap)
+      }
+    // under metaspace the pieces carry their leading-space markers —
+    // invert the published transform EXACTLY: strip the one prepended
+    // ▁, then every remaining ▁ is a space (leading spaces in the
+    // original survive as further ▁s, so this is a true inverse on
+    // covered text — not an ltrim that would eat them)
+    if (meta.metaspace)
+      regexp_replace(regexp_replace(decoded, "^▁", ""), "▁", " ")
+    else decoded
   }
 
   /** Tokenizer fertility / OOV report under the unigram model — the
@@ -589,8 +646,8 @@ object Unigram {
                       groupCol: String): DataFrame = {
     val meta = readUniMeta(spark, path)
     val (pieces, bytes) = servingViterbiWith(spark, name, path, meta)
-    fertilityReportWith(Normalize.frame(docs, textCol, meta.normalize),
-      textCol, groupCol, pieces, meta.wordPattern, bytes)
+    val (prepped, wp) = prepServe(docs, textCol, meta)
+    fertilityReportWith(prepped, textCol, groupCol, pieces, wp, bytes)
   }
 
   /** [[fertilityReport]] under an EXPLICIT serving-object model (the
@@ -726,10 +783,9 @@ object Unigram {
                  fresh: DataFrame, textCol: String): Double = {
     val meta = readUniMeta(spark, path)
     val (pieces, bytes) = servingViterbiWith(spark, name, path, meta)
-    val ids = encodeIds(
-      Normalize.frame(fresh.select(lit(0L).as("__id__"), col(textCol)),
-        textCol, meta.normalize), "__id__", textCol,
-      pieces, meta.wordPattern, bytes)
+    val (prepped, wp) = prepServe(
+      fresh.select(lit(0L).as("__id__"), col(textCol)), textCol, meta)
+    val ids = encodeIds(prepped, "__id__", textCol, pieces, wp, bytes)
     val isOov = bytes match {
       case None => col("token_id") < 0
       case Some(b) => col("token_id").isInCollection(b)

@@ -64,7 +64,7 @@ class TokenizerJsonSpec extends SparkTestBase {
       m("""{"type": "Strip"}""")
     }.getMessage.contains("unsupported normalizer"))
     assert(intercept[IllegalArgumentException] {
-      TokenizerJson.preTokenizer(parse("""{"type": "Metaspace"}"""))
+      TokenizerJson.preTokenizer(parse("""{"type": "Digits"}"""))
     }.getMessage.contains("unsupported pre_tokenizer"))
   }
 
@@ -185,5 +185,56 @@ class TokenizerJsonSpec extends SparkTestBase {
       assert(a === ids("tjunic", pClassic))
     } finally Seq("tjuni_uni", "tjunic_uni").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("Metaspace pre-tokenizer: the T5/LLaMA-class tokenizer.json serves identically to the stamped metaspace import; non-Unigram and exotic configs refuse") {
+    val json = s"""{
+      "normalizer": null,
+      "pre_tokenizer": {"type": "Metaspace", "replacement": "▁",
+                        "add_prefix_space": true},
+      "model": {"type": "Unigram", "vocab":
+        [["▁", -2.0], ["▁ab", -2.5], ["▁c", -2.6], ["a", -2.4],
+         ["b", -2.45], ["c", -2.55]]}
+    }"""
+    val pJson = tmpDir("graft_tj_ms")
+    assert(TokenizerJson.importTokenizerJson(spark, writeTmp(json),
+      "tjms", pJson) === "unigram")
+    val pClassic = tmpDir("graft_tj_msc")
+    Unigram.importUnigramModel(spark,
+      df(StructType(Seq(StructField("piece", StringType),
+        StructField("logp", DoubleType), StructField("piece_id", LongType))),
+        Row("▁", -2.0, 0L), Row("▁ab", -2.5, 1L), Row("▁c", -2.6, 2L),
+        Row("a", -2.4, 3L), Row("b", -2.45, 4L), Row("c", -2.55, 5L)),
+      "tjmsc", pClassic, metaspace = true)
+    try {
+      assert(Unigram.readUniMeta(spark, pJson).metaspace)
+      val docs = df(docSchema, Row(1L, " ab  c ab"))
+      def ids(name: String, p: String) =
+        Unigram.encodeIdsIndexed(spark, name, p, docs, "doc_id", "text")
+          .orderBy("word_pos", "tok_pos").collect()
+          .map(_.getLong(3)).toSeq
+      // " ab  c ab" → ▁, ▁ab, ▁, ▁c, ▁ab
+      val a = ids("tjms", pJson)
+      assert(a === ids("tjmsc", pClassic) &&
+        a === Seq(0L, 1L, 0L, 2L, 1L))
+    } finally Seq("tjms_uni", "tjmsc_uni").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // Metaspace is the SentencePiece family's convention
+    assert(intercept[IllegalArgumentException] {
+      TokenizerJson.importTokenizerJson(spark, writeTmp(s"""{
+        "pre_tokenizer": {"type": "Metaspace"},
+        "model": {"type": "WordPiece", "unk_token": "[UNK]",
+                  "vocab": {"[UNK]": 0}}}"""),
+        "tjmsw", tmpDir("graft_tj_msw"))
+    }.getMessage.contains("Unigram"))
+    // a non-▁ replacement or a suppressed prefix space has no engine form
+    assert(intercept[IllegalArgumentException] {
+      TokenizerJson.preTokenizer(TokenizerJson.parse(
+        """{"type": "Metaspace", "replacement": "_"}"""))
+    }.getMessage.contains("U+2581"))
+    assert(intercept[IllegalArgumentException] {
+      TokenizerJson.preTokenizer(TokenizerJson.parse(
+        """{"type": "Metaspace", "add_prefix_space": false}"""))
+    }.getMessage.contains("prefix space"))
   }
 }

@@ -308,6 +308,107 @@ class UnigramSpec extends SparkTestBase {
     }
   }
 
+  test("metaspace: the published ▁ convention — stamped transform, lone-▁ space runs, exact detok inverse, refusals, retrain keeps the stamp") {
+    val msSchema = StructType(Seq(StructField("piece", StringType),
+      StructField("logp", DoubleType), StructField("piece_id", LongType)))
+    val msModel = Seq(("▁", -2.0, 0L), ("▁ab", -2.5, 1L),
+      ("▁c", -2.6, 2L), ("a", -2.4, 3L), ("b", -2.45, 4L),
+      ("c", -2.55, 5L))
+    val path = tmp("graft_uni_ms")
+    Unigram.importUnigramModel(spark,
+      df(msSchema, msModel.map(m => Row(m._1, m._2, m._3)): _*),
+      "unims", path, metaspace = true)
+    try {
+      val meta = Unigram.readUniMeta(spark, path)
+      assert(meta.metaspace && meta.imported)
+      def enc(text: String): Seq[Long] =
+        Unigram.encodeIdsIndexed(spark, "unims", path,
+            df(docSchema, Row(1L, text)), "doc_id", "text")
+          .orderBy("word_pos", "tok_pos").collect().map(_.getLong(3)).toSeq
+      // "ab c ab" → ▁ab ▁c ▁ab — the ▁-prefixed pieces match verbatim
+      assert(enc("ab c ab") === Seq(1L, 2L, 1L))
+      // leading + double spaces become lone-▁ words (published behavior)
+      assert(enc(" ab  c") === Seq(0L, 1L, 0L, 2L))
+      // detok is the EXACT inverse on covered text — leading and
+      // repeated spaces survive (strip one prepended ▁, ▁ → space)
+      def detok(ids: Seq[Long]): String =
+        df(StructType(Seq(StructField("ids", ArrayType(LongType)))),
+            Row(ids))
+          .select(Unigram.detokenizeIndexed(spark, "unims", path,
+            col("ids"))).head().getString(0)
+      assert(detok(Seq(1L, 2L, 1L)) === "ab c ab")
+      assert(detok(Seq(0L, 1L, 0L, 2L)) === " ab  c")
+      // refusal: an explicit wordPattern cannot compose with metaspace
+      assert(intercept[IllegalArgumentException] {
+        Unigram.importUnigramModel(spark,
+          df(msSchema, Row("▁", -2.0, 0L)), "unims2", tmp("graft_ums2"),
+          wordPattern = Some("[a-z]+"), metaspace = true)
+      }.getMessage.contains("metaspace"))
+    } finally spark.sql("DROP TABLE IF EXISTS unims_uni")
+    // trained family: metaspace shapes TRAINING (the ▁-run word unit)
+    // and survives a drift-fired retrain via the stamp
+    val corpus = df(docSchema,
+      (1L to 30L).map(i => Row(i, "ab ab c ab")): _*)
+    val tpath = tmp("graft_uni_mstr")
+    try {
+      Unigram.writeUnigramModel(corpus, "text", "unimtr", tpath,
+        vocabSize = 12, maxPieceLen = 4, seedSize = 30, emIters = 1,
+        metaspace = true)
+      val m1 = Unigram.readUniMeta(spark, tpath)
+      assert(m1.metaspace && !m1.imported)
+      // the trained pieces live in ▁ space
+      val pieces = spark.table("unimtr_uni").collect()
+        .map(_.getString(1)).toSet
+      assert(pieces.exists(_.startsWith("▁")), pieces.toString)
+      val drifted = df(docSchema, Row(77L, "øø øø øø"), Row(78L, "øø"))
+      graft.llm.Maintain.maintainUnigram(spark, "unimtr", tpath,
+        freshSample = Some(drifted),
+        freshCorpus = Some(corpus.unionByName(drifted))).collect()
+      assert(Unigram.readUniMeta(spark, tpath).metaspace,
+        "the drift-fired retrain must replay the stamped metaspace")
+    } finally spark.sql("DROP TABLE IF EXISTS unimtr_uni")
+  }
+
+  test("metaspace windows landing: the stamped transform rides the assembly AND the fsck recompute — conservation in the ▁ unit") {
+    import graft.llm.{Dedup, Pipeline}
+    val idx = tmp("graft_umsw_idx")
+    val mdl = tmp("graft_umsw_uni")
+    val out = tmp("graft_umsw_out")
+    try {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+      Unigram.writeUnigramModel(docs.filter(col("doc_id") < 300), "text",
+        "umsw_uni", mdl, vocabSize = 40, maxPieceLen = 4, seedSize = 80,
+        emIters = 1, metaspace = true)
+      assert(Unigram.readUniMeta(spark, mdl).metaspace)
+      val bw = Pipeline.BpeWindows("umsw_uni", mdl, tokenizer = "unigram")
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") < 200), "doc_id",
+        "text", "umsw_t", idx)
+      Pipeline.ingestWindowsShard(
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 240),
+        df(docSchema), "doc_id", "text", "umsw_t", idx, out, 64L, "m01",
+        redactPii = false, bpeWindows = Some(bw))
+      // the landed mass is in the METASPACE unit (▁-run words) — the
+      // report's independent recompute must agree exactly, proving the
+      // stamp rides both the assembly and the fsck column paths
+      val rep = Pipeline.windowsReport(spark, out, Some(docs),
+        bpeWindows = Some(bw)).collect()
+      assert(rep.nonEmpty && rep.forall(_.getAs[Boolean]("tokens_match")),
+        rep.mkString(";"))
+      // and it differs from what the UNSTAMPED recompute would claim:
+      // a whitespace fsck against this landing must flag
+      val repWs = Pipeline.windowsReport(spark, out, Some(docs)).collect()
+      assert(repWs.forall(!_.getAs[Boolean]("tokens_match")),
+        "whitespace fsck against a metaspace landing must flag")
+    } finally {
+      Seq("umsw_uni", "umsw_t_bands", "umsw_t_shingles").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(idx, mdl, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("importUnigramModel: published (piece, logp, piece_id) serves known ids; total validation") {
     import org.apache.spark.sql.Row
     val path = tmp("graft_uni_imp")
