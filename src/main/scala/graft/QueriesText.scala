@@ -5616,7 +5616,8 @@ object QueriesText {
          |  WHERE doc_id < 60 AND text IS NOT NULL
          |  UNION ALL SELECT CAST(-7 AS BIGINT), ' scan  sort   batch'),
          |dtx AS (SELECT doc_id,
-         |  '▁' || replace(text, ' ', '▁') AS t FROM edocs),
+         |  CASE WHEN text = '' THEN ''
+         |       ELSE '▁' || replace(text, ' ', '▁') END AS t FROM edocs),
          |ewrd AS (
          |  SELECT doc_id, CAST(i - 1 AS INT) AS word_pos,
          |    toks[CAST(i AS INT)] AS w

@@ -34,12 +34,59 @@ import graft.functions.TextHashExprs
   */
 object Sft {
 
-  private def encCol(textCol: String, merges: Seq[(String, String)],
-                     vocab: Map[String, Long], byteLevel: Boolean,
-                     wordPattern: Option[String]): org.apache.spark.sql.Column =
-    flatten(transform(
-      filter(Bpe.wordsOf(textCol, wordPattern), w => length(w) >= 1),
-      w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel)))
+  /** A RESOLVED serving tokenizer for the indexed assemblers — the
+    * family switch the windows landings run ([[Pipeline.BpeWindows]]'
+    * `tokenizer` field), here for post-training assembly: post-training
+    * data MUST tokenize exactly like the pretraining windows, whichever
+    * family the base model stamped. `encode` is the family's fused
+    * per-word expression, `prepText` the stamped normalizer (+ the
+    * unigram metaspace transform), `ids` the vocabulary id set the
+    * structural-id refusals check against. */
+  private final case class Tok(encode: Column => Column,
+                               prepText: Column => Column,
+                               wordPattern: Option[String],
+                               ids: Set[Long]) {
+    def enc(text: Column): Column =
+      flatten(transform(
+        filter(Bpe.wordsOfCol(prepText(text), wordPattern),
+          w => length(w) >= 1),
+        w => encode(w)))
+  }
+
+  private def resolveTok(spark: SparkSession, name: String, path: String,
+                         tokenizer: String): Tok = tokenizer match {
+    case "bpe" =>
+      val meta = Bpe.readBpeMeta(spark, path)
+      val merges = Bpe.mergeList(spark.table(s"${name}_bpe"))
+      // serving vocab: stamped specials subtracted, so a published
+      // model's control tokens are usable as structural ids here
+      val vocab = Bpe.servingVocabMap(spark, name, path)
+      Tok(w => TextHashExprs.bpeEncodeIds(w, merges, vocab, meta.byteLevel),
+        t => Normalize.colOf(t, meta.normalize),
+        meta.wordPattern, vocab.values.toSet)
+    case "wordpiece" =>
+      val meta = WordPiece.readWpMeta(spark, path)
+      val pairs = WordPiece.vocabServing(spark.table(s"${name}_wp"))
+      Tok(w => TextHashExprs.wordPieceEncodeIds(w, pairs, meta.unkId,
+          meta.contPrefix, meta.maxInputChars),
+        t => Normalize.colOf(t, meta.normalize),
+        meta.wordPattern, pairs.map(_._2).toSet)
+    case "unigram" =>
+      val meta = Unigram.readUniMeta(spark, path)
+      val (pieces, bytes) = Unigram.servingViterbiWith(spark, name,
+        path, meta)
+      Tok(w => TextHashExprs.unigramEncodeIds(w, pieces, bytes),
+        t => {
+          val n = Normalize.colOf(t, meta.normalize)
+          if (meta.metaspace) Unigram.metaspaceCol(n) else n
+        },
+        if (meta.metaspace) Some(Unigram.MetaspacePattern)
+        else meta.wordPattern,
+        pieces.map(_._2).toSet ++ bytes.map(_.toSet).getOrElse(Set.empty))
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenizer '$other' — \"bpe\", \"unigram\" or " +
+        "\"wordpiece\" (the BpeWindows switch)")
+  }
 
   /** Assemble (idCol, input_ids, n_tokens, loss_from) from (prompt,
     * response) pairs under an explicit merge list + vocab map. */
@@ -51,9 +98,20 @@ object Sft {
                        eodId: Option[Long] = None,
                        maxLen: Option[Long] = None,
                        byteLevel: Boolean = false,
-                       wordPattern: Option[String] = None): DataFrame = {
+                       wordPattern: Option[String] = None): DataFrame =
+    assembleExamplesWith(pairs, idCol, promptCol, responseCol,
+      Tok(w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel),
+        identity, wordPattern, vocab.values.toSet),
+      sepId, eodId, maxLen)
+
+  private def assembleExamplesWith(pairs: DataFrame, idCol: String,
+                                   promptCol: String, responseCol: String,
+                                   tok: Tok,
+                                   sepId: Option[Long],
+                                   eodId: Option[Long],
+                                   maxLen: Option[Long]): DataFrame = {
     Seq("sepId" -> sepId, "eodId" -> eodId).foreach { case (name, id) =>
-      id.foreach(v => require(v != -1L && !vocab.valuesIterator.contains(v),
+      id.foreach(v => require(v != -1L && !tok.ids.contains(v),
         s"assembleExamples: $name $v collides with a vocab id (or the " +
           "-1 OOV sentinel) — reserve an id outside the vocabulary"))
     }
@@ -63,8 +121,8 @@ object Sft {
     maxLen.foreach(l => require(l > 0, s"maxLen must be positive, got $l"))
     val base = pairs.filter(col(responseCol).isNotNull)
       .withColumn("__sft_p__", coalesce(col(promptCol), lit("")))
-    val pIds = encCol("__sft_p__", merges, vocab, byteLevel, wordPattern)
-    val rIds = encCol(responseCol, merges, vocab, byteLevel, wordPattern)
+    val pIds = tok.enc(col("__sft_p__"))
+    val rIds = tok.enc(col(responseCol))
     val pFull = sepId.fold(pIds)(s => concat(pIds, array(lit(s))))
     val rFull = eodId.fold(rIds)(e => concat(rIds, array(lit(e))))
     val out = base
@@ -91,19 +149,10 @@ object Sft {
                               responseCol: String,
                               sepId: Option[Long] = None,
                               eodId: Option[Long] = None,
-                              maxLen: Option[Long] = None): DataFrame = {
-    val meta = Bpe.readBpeMeta(spark, path)
-    // serving vocab: stamped specials subtracted, so a published
-    // model's control tokens are usable as sepId/eodId here; the
-    // stamped normalizer wraps BOTH text sides before assembly
-    val np = Normalize.frame(
-      Normalize.frame(pairs, promptCol, meta.normalize),
-      responseCol, meta.normalize)
-    assembleExamples(np, idCol, promptCol, responseCol,
-      Bpe.mergeList(spark.table(s"${name}_bpe")),
-      Bpe.servingVocabMap(spark, name, path),
-      sepId, eodId, maxLen, meta.byteLevel, meta.wordPattern)
-  }
+                              maxLen: Option[Long] = None,
+                              tokenizer: String = "bpe"): DataFrame =
+    assembleExamplesWith(pairs, idCol, promptCol, responseCol,
+      resolveTok(spark, name, path, tokenizer), sepId, eodId, maxLen)
 
   /** One role's slot in a chat template: literal id arrays around the
     * encoded turn content, whether the trainer computes loss on the
@@ -175,12 +224,22 @@ object Sft {
                            eodId: Option[Long] = None,
                            maxLen: Option[Long] = None,
                            byteLevel: Boolean = false,
-                           wordPattern: Option[String] = None): DataFrame = {
+                           wordPattern: Option[String] = None): DataFrame =
+    assembleConversationWith(convs, idCol, turnsCol,
+      Tok(w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel),
+        identity, wordPattern, vocab.values.toSet),
+      template, eodId, maxLen)
+
+  private def assembleConversationWith(convs: DataFrame, idCol: String,
+                                       turnsCol: String, tok: Tok,
+                                       template: Map[String, TurnTemplate],
+                                       eodId: Option[Long],
+                                       maxLen: Option[Long]): DataFrame = {
     require(template.nonEmpty, "assembleConversation: empty template")
     val structural = template.valuesIterator
       .flatMap(t => t.prefix ++ t.suffix).toSeq ++ eodId.toSeq
     structural.foreach(v =>
-      require(v != -1L && !vocab.valuesIterator.contains(v),
+      require(v != -1L && !tok.ids.contains(v),
         s"assembleConversation: structural id $v collides with a vocab " +
           "id (or the -1 OOV sentinel) — reserve ids outside the " +
           "vocabulary (stamped specials qualify)"))
@@ -204,11 +263,7 @@ object Sft {
         when(t.getField("role") === lit(r),
           idsLit(template(r).prefix)).otherwise(acc)
       }.as("pre"),
-      flatten(transform(
-        filter(Bpe.wordsOfCol(coalesce(t.getField("content"), lit("")),
-          wordPattern), w => length(w) >= 1),
-        w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel)))
-        .as("enc"),
+      tok.enc(coalesce(t.getField("content"), lit(""))).as("enc"),
       roles.foldLeft(array().cast("array<bigint>")) { (acc, r) =>
         when(t.getField("role") === lit(r),
           idsLit(template(r).suffix)).otherwise(acc)
@@ -281,19 +336,10 @@ object Sft {
                                   idCol: String, turnsCol: String,
                                   template: Map[String, TurnTemplate],
                                   eodId: Option[Long] = None,
-                                  maxLen: Option[Long] = None): DataFrame = {
-    val meta = Bpe.readBpeMeta(spark, path)
-    val nc =
-      if (meta.normalize == "none") convs
-      else convs.withColumn(turnsCol, transform(col(turnsCol), t =>
-        struct(t.getField("role").as("role"),
-          Normalize.colOf(t.getField("content"), meta.normalize)
-            .as("content"))))
-    assembleConversation(nc, idCol, turnsCol,
-      Bpe.mergeList(spark.table(s"${name}_bpe")),
-      Bpe.servingVocabMap(spark, name, path),
-      template, eodId, maxLen, meta.byteLevel, meta.wordPattern)
-  }
+                                  maxLen: Option[Long] = None,
+                                  tokenizer: String = "bpe"): DataFrame =
+    assembleConversationWith(convs, idCol, turnsCol,
+      resolveTok(spark, name, path, tokenizer), template, eodId, maxLen)
 
   /** PREFERENCE-PAIR assembly — the DPO / reward-model data layout
     * (one prompt, two responses, a preference): each row encodes the
@@ -321,9 +367,22 @@ object Sft {
                               eodId: Option[Long] = None,
                               maxLen: Option[Long] = None,
                               byteLevel: Boolean = false,
-                              wordPattern: Option[String] = None): DataFrame = {
+                              wordPattern: Option[String] = None): DataFrame =
+    assemblePreferencePairsWith(pairs, idCol, promptCol, chosenCol,
+      rejectedCol,
+      Tok(w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel),
+        identity, wordPattern, vocab.values.toSet),
+      sepId, eodId, maxLen)
+
+  private def assemblePreferencePairsWith(pairs: DataFrame, idCol: String,
+                                          promptCol: String,
+                                          chosenCol: String,
+                                          rejectedCol: String, tok: Tok,
+                                          sepId: Option[Long],
+                                          eodId: Option[Long],
+                                          maxLen: Option[Long]): DataFrame = {
     Seq("sepId" -> sepId, "eodId" -> eodId).foreach { case (name, id) =>
-      id.foreach(v => require(v != -1L && !vocab.valuesIterator.contains(v),
+      id.foreach(v => require(v != -1L && !tok.ids.contains(v),
         s"assemblePreferencePairs: $name $v collides with a vocab id " +
           "(or the -1 OOV sentinel) — reserve an id outside the " +
           "vocabulary"))
@@ -334,9 +393,9 @@ object Sft {
     val base = pairs
       .filter(col(chosenCol).isNotNull && col(rejectedCol).isNotNull)
       .withColumn("__sft_p__", coalesce(col(promptCol), lit("")))
-    val pIds = encCol("__sft_p__", merges, vocab, byteLevel, wordPattern)
-    val cIds = encCol(chosenCol, merges, vocab, byteLevel, wordPattern)
-    val rIds = encCol(rejectedCol, merges, vocab, byteLevel, wordPattern)
+    val pIds = tok.enc(col("__sft_p__"))
+    val cIds = tok.enc(col(chosenCol))
+    val rIds = tok.enc(col(rejectedCol))
     val pFull = sepId.fold(pIds)(s => concat(pIds, array(lit(s))))
     def full(ids: org.apache.spark.sql.Column) =
       eodId.fold(ids)(e => concat(ids, array(lit(e))))
@@ -365,15 +424,11 @@ object Sft {
                                      rejectedCol: String,
                                      sepId: Option[Long] = None,
                                      eodId: Option[Long] = None,
-                                     maxLen: Option[Long] = None): DataFrame = {
-    val meta = Bpe.readBpeMeta(spark, path)
-    val np = Seq(promptCol, chosenCol, rejectedCol)
-      .foldLeft(pairs)((d, c) => Normalize.frame(d, c, meta.normalize))
-    assemblePreferencePairs(np, idCol, promptCol, chosenCol,
-      rejectedCol, Bpe.mergeList(spark.table(s"${name}_bpe")),
-      Bpe.servingVocabMap(spark, name, path),
-      sepId, eodId, maxLen, meta.byteLevel, meta.wordPattern)
-  }
+                                     maxLen: Option[Long] = None,
+                                     tokenizer: String = "bpe"): DataFrame =
+    assemblePreferencePairsWith(pairs, idCol, promptCol, chosenCol,
+      rejectedCol, resolveTok(spark, name, path, tokenizer),
+      sepId, eodId, maxLen)
 
   private val SFT_MANIFEST = "_graft_sft_manifest.json"
 
@@ -411,14 +466,16 @@ object Sft {
                       padId: Option[Long] = None,
                       trainFrac: Double = 0.9, valFrac: Double = 0.1,
                       seed: Long = 0L,
-                      segmentDocs: Int = 512): Map[String, Long] = {
+                      segmentDocs: Int = 512,
+                      tokenizer: String = "bpe"): Map[String, Long] = {
     Pipeline.readJsonManifest(spark, outPath, SFT_MANIFEST) match {
       case Some(counts) => return counts // fully landed — O(1) replay
       case None => ()
     }
     val input = pairs.count()
     val assembled = assembleExamplesIndexed(spark, name, path, pairs,
-        idCol, promptCol, responseCol, sepId, eodId)
+        idCol, promptCol, responseCol, sepId, eodId,
+        tokenizer = tokenizer)
     landExamples(spark, assembled, idCol, Seq("loss_from"), outPath,
       windowSize, padId, trainFrac, valFrac, seed, segmentDocs, input)
   }
@@ -443,14 +500,15 @@ object Sft {
                                trainFrac: Double = 0.9,
                                valFrac: Double = 0.1,
                                seed: Long = 0L,
-                               segmentDocs: Int = 512): Map[String, Long] = {
+                               segmentDocs: Int = 512,
+                               tokenizer: String = "bpe"): Map[String, Long] = {
     Pipeline.readJsonManifest(spark, outPath, SFT_MANIFEST) match {
       case Some(counts) => return counts // fully landed — O(1) replay
       case None => ()
     }
     val input = convs.count()
     val assembled = assembleConversationIndexed(spark, name, path,
-      convs, idCol, turnsCol, template, eodId)
+      convs, idCol, turnsCol, template, eodId, tokenizer = tokenizer)
     landExamples(spark, assembled, idCol, Seq("loss_spans", "loss_from"),
       outPath, windowSize, padId, trainFrac, valFrac, seed, segmentDocs,
       input)

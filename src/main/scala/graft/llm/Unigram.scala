@@ -274,9 +274,13 @@ object Unigram {
   val MetaspacePattern: String = "▁[^▁]*"
 
   /** The metaspace text transform as a column map — shared by frame
-    * wraps and the windows-landing/report column paths. */
+    * wraps and the windows-landing/report column paths. EMPTY text
+    * stays empty (SentencePiece encodes "" to [] — the prefix marker
+    * belongs to content, so an empty prompt must contribute ZERO ids
+    * to an SFT assembly, not a lone ▁). */
   private[llm] def metaspaceCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    concat(lit("▁"), regexp_replace(text, " ", "▁"))
+    when(length(text) === 0, text)
+      .otherwise(concat(lit("▁"), regexp_replace(text, " ", "▁")))
 
   private[llm] def metaspaceFrame(docs: DataFrame,
                                   textCol: String): DataFrame =

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -232,6 +232,103 @@ class SftSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Sft.assemblePreferencePairs(pairs, "id", "p", "c", "r", merges,
         vocab, sepId = Some(vocab("low")))
+    }
+  }
+
+  test("tokenizer switch: SFT assembly under wordpiece and metaspace-unigram stamps — ids equal the families' own indexed encodes; refusals") {
+    import graft.llm.{Unigram, WordPiece}
+    val docSch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    // --- wordpiece stamp ---
+    val wpPath = java.nio.file.Files
+      .createTempDirectory("graft_sftwp").toString
+    WordPiece.importWordPieceModel(spark,
+      df(StructType(Seq(StructField("piece", StringType),
+        StructField("piece_id", LongType))),
+        Row("[UNK]", 0L), Row("low", 1L), Row("##er", 2L),
+        Row("new", 3L), Row("##est", 4L), Row("wide", 5L)),
+      "sftwp", wpPath)
+    // --- metaspace unigram stamp ---
+    val uniPath = java.nio.file.Files
+      .createTempDirectory("graft_sftuni").toString
+    Unigram.importUnigramModel(spark,
+      df(StructType(Seq(StructField("piece", StringType),
+        StructField("logp", DoubleType), StructField("piece_id", LongType))),
+        Row("▁", -2.0, 0L), Row("▁low", -2.5, 1L), Row("▁new", -2.6, 2L),
+        Row("l", -2.4, 3L), Row("o", -2.45, 4L), Row("w", -2.55, 5L),
+        Row("e", -2.35, 6L), Row("r", -2.65, 7L)),
+      "sftuni", uniPath, metaspace = true)
+    try {
+      val pairs = df(pairSchema,
+        Row(1L, "low lower", "newest wide"),
+        Row(2L, null, "low"))
+      def familyIds(enc: DataFrame => DataFrame, text: String): Seq[Long] =
+        if (text == null) Seq.empty
+        else enc(df(docSch, Row(0L, text)))
+          .orderBy("word_pos", "tok_pos").collect().map(_.getLong(3)).toSeq
+      // wordpiece: the assembled ids must BE the family's indexed
+      // encode of each side, joined by the structural ids
+      val wpEnc = (d: DataFrame) =>
+        WordPiece.encodeIdsIndexed(spark, "sftwp", wpPath, d,
+          "doc_id", "text")
+      val wpGot = graft.llm.Sft.assembleExamplesIndexed(spark, "sftwp",
+          wpPath, pairs, "id", "p", "r", sepId = Some(900L),
+          eodId = Some(901L), tokenizer = "wordpiece")
+        .orderBy("id").collect()
+      assert(wpGot.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+      Seq((wpGot(0), "low lower", "newest wide"),
+        (wpGot(1), null, "low")).foreach { case (row, p, r) =>
+        val exp = familyIds(wpEnc, p) ++ Seq(900L) ++
+          familyIds(wpEnc, r) ++ Seq(901L)
+        assert(row.getSeq[Long](1) === exp, s"prompt '$p'")
+        assert(row.getLong(3) === familyIds(wpEnc, p).length + 1L)
+      }
+      // unigram + metaspace: the stamped ▁ transform rides the SFT
+      // assembly exactly like the family's own serve
+      val uniEnc = (d: DataFrame) =>
+        Unigram.encodeIdsIndexed(spark, "sftuni", uniPath, d,
+          "doc_id", "text")
+      val uniGot = graft.llm.Sft.assembleExamplesIndexed(spark, "sftuni",
+          uniPath, pairs, "id", "p", "r", sepId = Some(900L),
+          eodId = Some(901L), tokenizer = "unigram")
+        .orderBy("id").collect()
+      Seq((uniGot(0), "low lower", "newest wide"),
+        (uniGot(1), null, "low")).foreach { case (row, p, r) =>
+        val exp = familyIds(uniEnc, p) ++ Seq(900L) ++
+          familyIds(uniEnc, r) ++ Seq(901L)
+        assert(row.getSeq[Long](1) === exp, s"prompt '$p'")
+      }
+      // '▁low' (1) must appear — the metaspace pieces, not char salad
+      assert(uniGot(0).getSeq[Long](1).contains(1L))
+      // collision refusal checks the FAMILY's id space
+      assert(intercept[IllegalArgumentException] {
+        graft.llm.Sft.assembleExamplesIndexed(spark, "sftwp", wpPath,
+          pairs, "id", "p", "r", sepId = Some(2L),
+          tokenizer = "wordpiece")
+      }.getMessage.contains("collides"))
+      // unknown switch refuses
+      assert(intercept[IllegalArgumentException] {
+        graft.llm.Sft.assembleExamplesIndexed(spark, "sftwp", wpPath,
+          pairs, "id", "p", "r", tokenizer = "sentencepiece")
+      }.getMessage.contains("unknown tokenizer"))
+      // conversations ride the same switch (degenerate template ≡
+      // examples, here under the wordpiece stamp)
+      val convs = pairs.select(col("id"), array(
+        struct(lit("user").as("role"), col("p").as("content")),
+        struct(lit("assistant").as("role"), col("r").as("content")))
+        .as("turns"))
+      val viaConv = graft.llm.Sft.assembleConversationIndexed(spark,
+          "sftwp", wpPath, convs, "id", "turns",
+          Map("user" -> graft.llm.Sft.TurnTemplate(Nil, Seq(900L), false),
+            "assistant" -> graft.llm.Sft.TurnTemplate(Nil, Seq(901L), true)),
+          tokenizer = "wordpiece")
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(4)))
+      assert(viaConv.toSeq === wpGot.map(r =>
+        (r.getLong(0), r.getSeq[Long](1), r.getLong(3))).toSeq)
+    } finally {
+      Seq("sftwp_wp", "sftuni_uni").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 
