@@ -4861,6 +4861,142 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // PROMPT-LEFT TRUNCATION (r16): the q_sft_examples layout under
+    // maxLen=32 with truncation=prompt_left — the published keep-end
+    // convention: ids drop from the FRONT of the prompt side (the sep
+    // marker at its tail survives) until prompt+response fit the
+    // budget; the response and its loss mask are never cut, and an
+    // example whose response side alone exceeds the budget drops. The
+    // oracle replays the overflow arithmetic (ov = max(0, |p|+|r|-32),
+    // ids = pfull[ov+1:] || rfull, loss_from = |pfull| - ov) over the
+    // same side-tagged encode — both the truncated and the
+    // response-too-long-drop populations are live on the corpus.
+    r.reg("q_sft_truncate",
+      s"""WITH ${bpeTrainCtes(8)},
+         |$bpeVocabCtes,
+         |sft0 AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+         |sft1 AS (SELECT doc_id, ws, CAST(len(ws)//2 AS BIGINT) AS np
+         |  FROM sft0 WHERE len(ws) >= 2),
+         |sftw AS (
+         |  SELECT doc_id, np, i,
+         |    CASE WHEN i <= np THEN 0 ELSE 1 END AS side,
+         |    ws[CAST(i AS INT)] AS w
+         |  FROM (SELECT doc_id, np, ws, unnest(range(1, len(ws)+1)) AS i
+         |        FROM sft1)),
+         |sfte AS (
+         |  SELECT doc_id, np, i, side,
+         |    string_split(trim($bpeNestedSql), '  ') AS etoks
+         |  FROM sftw),
+         |sftt AS (
+         |  SELECT doc_id, np, i, side, CAST(j AS INT) AS j,
+         |    etoks[CAST(j AS INT)] AS token
+         |  FROM (SELECT doc_id, np, i, side, etoks,
+         |          unnest(range(1, len(etoks)+1)) AS j FROM sfte)),
+         |sfti AS (
+         |  SELECT t.doc_id, t.i, t.side, t.j,
+         |    COALESCE(v.token_id, -1) AS tid
+         |  FROM sftt t LEFT JOIN bvocab v USING (token)),
+         |sftm AS (SELECT CAST(max(token_id) AS BIGINT) AS mx FROM bvocab),
+         |sfta AS (
+         |  SELECT doc_id,
+         |    list(tid ORDER BY i, j) FILTER (WHERE side = 0) AS pids,
+         |    list(tid ORDER BY i, j) FILTER (WHERE side = 1) AS rids
+         |  FROM sfti GROUP BY doc_id),
+         |sftz AS (
+         |  SELECT doc_id,
+         |    list_concat(COALESCE(pids, []), [mx+1]) AS pfull,
+         |    list_concat(rids, [mx+2]) AS rfull
+         |  FROM sfta, sftm
+         |  WHERE rids IS NOT NULL AND len(rids) >= 1),
+         |sfty AS (
+         |  SELECT doc_id, pfull, rfull,
+         |    greatest(0, len(pfull) + len(rfull) - 32) AS ov
+         |  FROM sftz WHERE len(rfull) <= 32)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(
+         |    list_concat(pfull[CAST(ov+1 AS INT):], rfull),
+         |    x -> CAST(x AS VARCHAR)), ' ') AS ids_text,
+         |  CAST(len(pfull) - ov + len(rfull) AS BIGINT) AS n_tokens,
+         |  CAST(len(pfull) - ov AS BIGINT) AS loss_from
+         |FROM sfty
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val idxPath = ensurePbpeModel(s, dir)
+      val vocabMax = graft.llm.Bpe
+        .vocabMap(s.table("g_pbpe_bpe_vocab")).values.max
+      val words = filter(split(col("text"), " ", -1), w => length(w) >= 1)
+      val pairs = t(s, dir, "documents")
+        .filter(col("doc_id") < 100 && col("text").isNotNull)
+        .withColumn("__ws__", words)
+        .filter(size(col("__ws__")) >= 2)
+        .withColumn("__np__", (size(col("__ws__")) / 2).cast("int"))
+        .select(col("doc_id"),
+          array_join(slice(col("__ws__"), lit(1), col("__np__")), " ")
+            .as("prompt"),
+          array_join(slice(col("__ws__"), col("__np__") + 1,
+            size(col("__ws__")) - col("__np__")), " ").as("response"))
+      graft.llm.Sft.assembleExamplesIndexed(s, "g_pbpe", idxPath, pairs,
+          "doc_id", "prompt", "response",
+          sepId = Some(vocabMax + 1L), eodId = Some(vocabMax + 2L),
+          maxLen = Some(32L), truncation = "prompt_left")
+        .select(col("doc_id"),
+          concat_ws(" ",
+            transform(col("input_ids"), x => x.cast("string")))
+            .as("ids_text"),
+          col("n_tokens"), col("loss_from"))
+        .orderBy("doc_id")
+    }
+
+    // BEST-OF-N / REJECTION SAMPLING (r16): the RFT selection shape —
+    // N scored candidates per prompt, keep the top k at or above the
+    // score floor, ranked (score DESC, cand_id ASC) so ties never flap.
+    // Candidates derive from documents (three suffix-start variants of
+    // each doc's response half; a deterministic mod-19 score makes ties
+    // and sub-floor rejections live on the corpus); the oracle replays
+    // the admission filter and the window rank exactly.
+    r.reg("q_rft_best",
+      s"""WITH c0 AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents WHERE doc_id < 400 AND text IS NOT NULL),
+         |c1 AS (SELECT doc_id, len(ws) AS n,
+         |    CAST(len(ws)//2 AS BIGINT) AS np
+         |  FROM c0 WHERE len(ws) >= 2),
+         |c2 AS (SELECT doc_id, j,
+         |    doc_id * 3 + j AS cand_id,
+         |    CAST((doc_id * 7 + j * 13) % 19 AS DOUBLE) AS score
+         |  FROM (SELECT doc_id, np, n,
+         |          CAST(unnest([0, 1, 2]) AS BIGINT) AS j FROM c1)
+         |  WHERE np + 1 + j <= n),
+         |c3 AS (SELECT doc_id, j, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cand_id ASC) - 1 AS BIGINT)
+         |      AS cand_rank
+         |  FROM c2 WHERE score >= 3.0)
+         |SELECT doc_id, j, score, cand_rank FROM c3 WHERE cand_rank < 2
+         |ORDER BY doc_id, cand_rank""".stripMargin) { (s, dir) =>
+      val words = filter(split(col("text"), " ", -1), w => length(w) >= 1)
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id") < 400 && col("text").isNotNull)
+        .withColumn("__ws__", words)
+        .filter(size(col("__ws__")) >= 2)
+        .withColumn("__np__", (size(col("__ws__")) / 2).cast("long"))
+      val cands = base
+        .withColumn("j", explode(array(lit(0L), lit(1L), lit(2L))))
+        .filter(col("__np__") + 1 + col("j") <= size(col("__ws__")))
+        .withColumn("cand_id", col("doc_id") * 3 + col("j"))
+        .withColumn("response", array_join(
+          slice(col("__ws__"), (col("__np__") + 1 + col("j")).cast("int"),
+            (size(col("__ws__")) - col("__np__") - col("j")).cast("int")),
+          " "))
+        .withColumn("score",
+          ((col("doc_id") * 7 + col("j") * 13) % 19).cast("double"))
+      graft.llm.Sft.bestOfN(cands, "doc_id", "cand_id", "score",
+          k = 2, minScore = Some(3.0))
+        .select(col("doc_id"), col("j"), col("score"), col("cand_rank"))
+        .orderBy("doc_id", "cand_rank")
+    }
+
     // PACKED SFT windows (r15 cont — the whole post-training chain
     // value-checked): assembled examples (the q_sft_examples layout,
     // maxLen=128) pack whole into fixed-shape 128-id windows via the
@@ -6327,6 +6463,71 @@ object QueriesText {
     // permutation and the boundary-straddling membership formulas, all
     // recomputed in SQL: the THIRD family lands id windows with the
     // same oracle-pinned chop semantics.
+    // SFT assembly UNDER THE TOKENIZER SWITCH (r16): the q_sft_examples
+    // layout served from the WORDPIECE stamp — the greedy unit's ids on
+    // both sides of the loss boundary, structural sep/eod ids 900/901
+    // outside the 0..47 vocabulary. The oracle composes the greedy-walk
+    // replay (wpGreedyCtes — stall/length words as the single UNK) with
+    // the side-tagged assembly arithmetic, so the driver gate
+    // value-checks the switch itself, not just its spec.
+    r.reg("q_sft_examples_wp",
+      s"""WITH RECURSIVE sw0 AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+         |sw1 AS (SELECT doc_id, ws, CAST(len(ws)//2 AS BIGINT) AS np
+         |  FROM sw0 WHERE len(ws) >= 2),
+         |sww AS (
+         |  SELECT doc_id, np, i,
+         |    CASE WHEN i <= np THEN 0 ELSE 1 END AS side,
+         |    ws[CAST(i AS INT)] AS w
+         |  FROM (SELECT doc_id, np, ws, unnest(range(1, len(ws)+1)) AS i
+         |        FROM sw1)),
+         |wt AS (SELECT DISTINCT w AS word FROM sww),
+         |${wpGreedyCtes(7)},
+         |swi AS (
+         |  SELECT t.doc_id, t.i, t.side, s.ids
+         |  FROM sww t JOIN wseg s ON s.word = t.w),
+         |swa AS (
+         |  SELECT doc_id,
+         |    flatten(list(ids ORDER BY i) FILTER (WHERE side = 0)) AS pids,
+         |    flatten(list(ids ORDER BY i) FILTER (WHERE side = 1)) AS rids
+         |  FROM swi GROUP BY doc_id)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(
+         |    list_concat(list_concat(list_concat(
+         |      COALESCE(pids, []), [CAST(900 AS BIGINT)]), rids),
+         |      [CAST(901 AS BIGINT)]),
+         |    x -> CAST(x AS VARCHAR)), ' ') AS ids_text,
+         |  CAST(COALESCE(len(pids), 0) + len(rids) + 2 AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(COALESCE(len(pids), 0) + 1 AS BIGINT) AS loss_from
+         |FROM swa
+         |WHERE rids IS NOT NULL AND len(rids) >= 1
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val idxPath = ensureWpModel(s, dir)
+      val words = filter(split(col("text"), " ", -1), w => length(w) >= 1)
+      val pairs = t(s, dir, "documents")
+        .filter(col("doc_id") < 100 && col("text").isNotNull)
+        .withColumn("__ws__", words)
+        .filter(size(col("__ws__")) >= 2)
+        .withColumn("__np__", (size(col("__ws__")) / 2).cast("int"))
+        .select(col("doc_id"),
+          array_join(slice(col("__ws__"), lit(1), col("__np__")), " ")
+            .as("prompt"),
+          array_join(slice(col("__ws__"), col("__np__") + 1,
+            size(col("__ws__")) - col("__np__")), " ").as("response"))
+      graft.llm.Sft.assembleExamplesIndexed(s, "g_pwp", idxPath, pairs,
+          "doc_id", "prompt", "response",
+          sepId = Some(900L), eodId = Some(901L),
+          tokenizer = "wordpiece")
+        .select(col("doc_id"),
+          concat_ws(" ",
+            transform(col("input_ids"), x => x.cast("string")))
+            .as("ids_text"),
+          col("n_tokens"), col("loss_from"))
+        .orderBy("doc_id")
+    }
+
     r.reg("q_wordpiece_windows", {
       val hv = "((((doc_id % 2147483648) + 2147483648) % 2147483648 + 5)" +
         " % 2147483648) * 2654435761 % 4294967296"

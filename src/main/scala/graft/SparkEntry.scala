@@ -197,7 +197,12 @@ object SparkEntry {
     // extra codegen'd string pass in front of the greedy walk), and
     // the metaspace unigram serve (the ▁ transform + run extraction
     // in front of the fused Viterbi)
-    "q_sft_multiturn", "q_wordpiece_encode_norm", "q_unigram_metaspace")
+    "q_sft_multiturn", "q_wordpiece_encode_norm", "q_unigram_metaspace",
+    "q_sft_examples_wp",
+    // r16 cont: the RFT selection shape — ONE hash shuffle on the
+    // prompt key + a per-group row_number (group size = the sampler
+    // fan-out, a constant; no skew at any corpus scale)
+    "q_rft_best")
 
   /** Untimed per-query preparation Bench runs ONCE before the timed
     * passes (r10 verdict #3): the steady-state ingest entries build and

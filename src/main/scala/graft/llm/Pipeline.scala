@@ -327,7 +327,9 @@ object Pipeline {
       // carried for id-collision bookkeeping; encode embeds the
       // id-ordered pairs directly.
       val meta = WordPiece.readWpMeta(spark, bw.path)
-      val pairs = WordPiece.vocabServing(spark.table(s"${bw.name}_wp"))
+      // stamped specials subtracted from the matching table — their
+      // ids stay structural, so bw.eodId/padId may name them
+      val pairs = WordPiece.vocabServingStamped(spark, bw.name, meta)
       ResolvedBpe(Nil, pairs.toMap, bw.eodId, bw.docSpans,
         byteLevel = false, meta.wordPattern, bw.packed, bw.padId,
         bw.segmentDocs, bw.stride, None, Some(meta), pairs,

@@ -66,7 +66,9 @@ object Sft {
         meta.wordPattern, vocab.values.toSet)
     case "wordpiece" =>
       val meta = WordPiece.readWpMeta(spark, path)
-      val pairs = WordPiece.vocabServing(spark.table(s"${name}_wp"))
+      // stamped specials subtracted — a published model's control
+      // tokens ([SEP]/[PAD]) are usable as structural ids here
+      val pairs = WordPiece.vocabServingStamped(spark, name, meta)
       Tok(w => TextHashExprs.wordPieceEncodeIds(w, pairs, meta.unkId,
           meta.contPrefix, meta.maxInputChars),
         t => Normalize.colOf(t, meta.normalize),
@@ -98,18 +100,20 @@ object Sft {
                        eodId: Option[Long] = None,
                        maxLen: Option[Long] = None,
                        byteLevel: Boolean = false,
-                       wordPattern: Option[String] = None): DataFrame =
+                       wordPattern: Option[String] = None,
+                       truncation: String = "drop"): DataFrame =
     assembleExamplesWith(pairs, idCol, promptCol, responseCol,
       Tok(w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel),
         identity, wordPattern, vocab.values.toSet),
-      sepId, eodId, maxLen)
+      sepId, eodId, maxLen, truncation)
 
   private def assembleExamplesWith(pairs: DataFrame, idCol: String,
                                    promptCol: String, responseCol: String,
                                    tok: Tok,
                                    sepId: Option[Long],
                                    eodId: Option[Long],
-                                   maxLen: Option[Long]): DataFrame = {
+                                   maxLen: Option[Long],
+                                   truncation: String = "drop"): DataFrame = {
     Seq("sepId" -> sepId, "eodId" -> eodId).foreach { case (name, id) =>
       id.foreach(v => require(v != -1L && !tok.ids.contains(v),
         s"assembleExamples: $name $v collides with a vocab id (or the " +
@@ -119,23 +123,53 @@ object Sft {
       "assembleExamples: sepId and eodId must differ — a trainer " +
         "cannot tell the template boundary from the document end")
     maxLen.foreach(l => require(l > 0, s"maxLen must be positive, got $l"))
+    require(truncation == "drop" || truncation == "prompt_left",
+      s"assembleExamples: unknown truncation '$truncation' — \"drop\" " +
+        "(discard overlong examples) or \"prompt_left\" (keep the " +
+        "END of the prompt so the response always fits)")
+    require(truncation == "drop" || maxLen.isDefined,
+      "assembleExamples: truncation=prompt_left without maxLen has " +
+        "nothing to truncate to — pass the length budget")
     val base = pairs.filter(col(responseCol).isNotNull)
       .withColumn("__sft_p__", coalesce(col(promptCol), lit("")))
     val pIds = tok.enc(col("__sft_p__"))
     val rIds = tok.enc(col(responseCol))
     val pFull = sepId.fold(pIds)(s => concat(pIds, array(lit(s))))
     val rFull = eodId.fold(rIds)(e => concat(rIds, array(lit(e))))
-    val out = base
+    val staged = base
       .select(col(idCol), pFull.as("__pi__"), rIds.as("__rr__"),
         rFull.as("__ri__"))
       .filter(size(col("__rr__")) >= 1) // loss over nothing: drop
-      .select(col(idCol),
-        concat(col("__pi__"), col("__ri__")).as("input_ids"),
-        size(col("__pi__")).cast("long").as("loss_from"))
+    val out = truncation match {
+      case "drop" =>
+        staged.select(col(idCol),
+          concat(col("__pi__"), col("__ri__")).as("input_ids"),
+          size(col("__pi__")).cast("long").as("loss_from"))
+      case "prompt_left" =>
+        // the published keep-end convention: drop ids from the FRONT
+        // of the prompt side (the sep marker at its tail survives)
+        // until prompt+response fit the budget; the response and its
+        // loss mask are NEVER cut — an example whose response side
+        // alone exceeds maxLen drops (a truncated loss target would
+        // train on half an answer)
+        val l = maxLen.get
+        staged
+          .filter(size(col("__ri__")) <= l)
+          .withColumn("__over__", greatest(lit(0),
+            size(col("__pi__")) + size(col("__ri__")) - lit(l.toInt)))
+          .select(col(idCol),
+            concat(slice(col("__pi__"), col("__over__") + 1,
+                size(col("__pi__")) - col("__over__")),
+              col("__ri__")).as("input_ids"),
+            (size(col("__pi__")) - col("__over__")).cast("long")
+              .as("loss_from"))
+    }
+    val shaped = out
       .withColumn("n_tokens", size(col("input_ids")).cast("long"))
       .select(col(idCol), col("input_ids"), col("n_tokens"),
         col("loss_from"))
-    maxLen.fold(out)(l => out.filter(col("n_tokens") <= l))
+    if (truncation == "prompt_left") shaped
+    else maxLen.fold(shaped)(l => shaped.filter(col("n_tokens") <= l))
   }
 
   /** [[assembleExamples]] served from a persisted BPE model
@@ -150,9 +184,11 @@ object Sft {
                               sepId: Option[Long] = None,
                               eodId: Option[Long] = None,
                               maxLen: Option[Long] = None,
-                              tokenizer: String = "bpe"): DataFrame =
+                              tokenizer: String = "bpe",
+                              truncation: String = "drop"): DataFrame =
     assembleExamplesWith(pairs, idCol, promptCol, responseCol,
-      resolveTok(spark, name, path, tokenizer), sepId, eodId, maxLen)
+      resolveTok(spark, name, path, tokenizer), sepId, eodId, maxLen,
+      truncation)
 
   /** One role's slot in a chat template: literal id arrays around the
     * encoded turn content, whether the trainer computes loss on the
@@ -430,6 +466,46 @@ object Sft {
       rejectedCol, resolveTok(spark, name, path, tokenizer),
       sepId, eodId, maxLen)
 
+  /** BEST-OF-N / REJECTION-SAMPLING selection — the RFT data shape
+    * (Zelikman et al. 2022 STaR; Dong et al. 2023 RAFT): a sampler
+    * emitted N candidate responses per prompt with a reward/verifier
+    * score; keep the top `k` per prompt (optionally only those at or
+    * above `minScore` — plain rejection sampling), ranked
+    * DETERMINISTICALLY: score descending, then the candidate id
+    * ascending, so ties can never flap between runs. Null scores are
+    * unranked (an unscored candidate cannot be compared) and drop.
+    *
+    * Output: the input columns + `cand_rank` (0-based within the
+    * prompt). Winners feed [[assembleExamplesIndexed]] unchanged; the
+    * (rank 0, rank N−1) extremes feed [[assemblePreferencePairsIndexed]]
+    * as (chosen, rejected).
+    *
+    * Scale shape: ONE hash shuffle on the prompt key + a running
+    * row_number within each group — group size is N (the sampler's
+    * fan-out, a constant), so no skew and no per-group memory
+    * concern even at 100 TB of candidates. */
+  def bestOfN(cands: DataFrame, promptCol: String, candCol: String,
+              scoreCol: String, k: Int = 1,
+              minScore: Option[Double] = None): DataFrame = {
+    require(k >= 1, s"bestOfN: k must be >= 1, got $k")
+    cands.schema(scoreCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"bestOfN: score column '$scoreCol' must be numeric, got " +
+          other.simpleString)
+    }
+    val admitted = cands
+      .filter(col(scoreCol).isNotNull)
+      .filter(minScore.fold(lit(true))(m => col(scoreCol) >= lit(m)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(promptCol))
+      .orderBy(col(scoreCol).desc, col(candCol).asc)
+    admitted
+      .withColumn("cand_rank",
+        (row_number().over(w) - 1).cast("long"))
+      .filter(col("cand_rank") < k)
+  }
+
   private val SFT_MANIFEST = "_graft_sft_manifest.json"
 
   /** LAND packed SFT windows — the post-training analog of
@@ -467,15 +543,21 @@ object Sft {
                       trainFrac: Double = 0.9, valFrac: Double = 0.1,
                       seed: Long = 0L,
                       segmentDocs: Int = 512,
-                      tokenizer: String = "bpe"): Map[String, Long] = {
+                      tokenizer: String = "bpe",
+                      truncation: String = "drop"): Map[String, Long] = {
     Pipeline.readJsonManifest(spark, outPath, SFT_MANIFEST) match {
       case Some(counts) => return counts // fully landed — O(1) replay
       case None => ()
     }
     val input = pairs.count()
+    // truncation=prompt_left turns the landing's overlong-DROP into a
+    // keep-the-response truncation at the window budget — nothing
+    // whose response fits is lost from the training set
     val assembled = assembleExamplesIndexed(spark, name, path, pairs,
         idCol, promptCol, responseCol, sepId, eodId,
-        tokenizer = tokenizer)
+        maxLen = if (truncation == "prompt_left") Some(windowSize)
+                 else None,
+        tokenizer = tokenizer, truncation = truncation)
     landExamples(spark, assembled, idCol, Seq("loss_from"), outPath,
       windowSize, padId, trainFrac, valFrac, seed, segmentDocs, input)
   }

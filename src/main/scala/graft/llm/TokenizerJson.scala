@@ -160,6 +160,22 @@ object TokenizerJson {
       s"tokenizer.json: $what must be an integer")
   }
 
+  /** `added_tokens` marked `special: true` whose content is a real
+    * vocabulary surface — forwarded as declared control pieces to the
+    * family import (an added token OUTSIDE the vocab carries no landed
+    * id to declare, so it is skipped). */
+  private def addedSpecials(root: Map[String, J],
+                            inVocab: String => Boolean): Seq[String] =
+    root.getOrElse("added_tokens", JNull) match {
+      case JArr(items) => items.collect {
+        case JObj(t) if t.get("special").contains(JBool(true)) &&
+            inVocab(jstr(t.getOrElse("content", JNull),
+              "added_token.content")) =>
+          jstr(t("content"), "added_token.content")
+      }
+      case _ => Vector.empty
+    }
+
   /** The `normalizer` block → a stamped [[Normalize]] mode. `null` and
     * absent are `none`; `Sequence` must compose to one supported mode. */
   private[graft] def normalizeMode(norm: J): String = norm match {
@@ -307,15 +323,7 @@ object TokenizerJson {
           case _ => throw new IllegalArgumentException(
             "tokenizer.json: BPE model without a merges array")
         }
-        val specials = root.getOrElse("added_tokens", JNull) match {
-          case JArr(items) => items.collect {
-            case JObj(t) if t.get("special").contains(JBool(true)) &&
-                vocab.contains(jstr(t.getOrElse("content", JNull),
-                  "added_token.content")) =>
-              jstr(t("content"), "added_token.content")
-          }
-          case _ => Vector.empty
-        }
+        val specials = addedSpecials(root, vocab.contains)
         val mergesDf = spark.createDataFrame(
           merges.map { case (rank, l, r) => Row(rank, l, r) }.asJava,
           StructType(Seq(StructField("rank", IntegerType),
@@ -343,10 +351,14 @@ object TokenizerJson {
           vocab.toSeq.map { case (p, id) => Row(p, id) }.asJava,
           StructType(Seq(StructField("piece", StringType),
             StructField("piece_id", LongType))))
+        // [PAD]/[CLS]/[SEP]/[MASK]-style added tokens in the vocab
+        // become stamped structural ids — out of the greedy matching
+        // table, usable as eod/sep/pad downstream
         WordPiece.importWordPieceModel(spark, vocabDf, name, path,
           unkPiece = unkPiece, contPrefix = contPrefix,
           maxInputChars = maxChars, wordPattern = wordPattern,
-          normalize = normalize)
+          normalize = normalize,
+          specialPieces = addedSpecials(root, vocab.contains))
         "wordpiece"
       case "Unigram" =>
         val pieces = model.getOrElse("vocab", JNull) match {
@@ -364,13 +376,187 @@ object TokenizerJson {
           StructType(Seq(StructField("piece", StringType),
             StructField("logp", DoubleType),
             StructField("piece_id", LongType))))
+        // added control pieces (<pad>/</s>-style) in the vocab become
+        // stamped structural ids — out of the lattice, usable as
+        // eod/sep/pad downstream (the BPE specialTokens contract)
+        val pieceSet = pieces.map(_._1).toSet
+        val specials = addedSpecials(root, pieceSet.contains)
         Unigram.importUnigramModel(spark, piecesDf, name, path,
           wordPattern = wordPattern, normalize = normalize,
-          metaspace = pt.metaspace)
+          metaspace = pt.metaspace, specialPieces = specials)
         "unigram"
       case other => throw new IllegalArgumentException(
         s"tokenizer.json: unsupported model.type '$other' — " +
           "BPE, WordPiece, Unigram")
     }
+  }
+
+  /** JSON string escaping for the export writer — quote, backslash,
+    * and every control character (as `\\uXXXX`); everything else
+    * rides as UTF-8. The inverse of [[parse]]'s `str()`. */
+  private def jesc(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** The stamped normalize mode → its `normalizer` block (None =
+    * omit). The exact inverse of [[normalizeMode]]'s mapping, so an
+    * export→import round trip reproduces the stamp. */
+  private def normalizerJson(mode: String): Option[String] = mode match {
+    case "none" => None
+    case "nfc" => Some("""{"type":"NFC"}""")
+    case "nfkc" => Some("""{"type":"NFKC"}""")
+    case "lowercase" => Some("""{"type":"Lowercase"}""")
+    case "lowercase_strip_accents" =>
+      // clean_text/handle_chinese_chars false: this engine never
+      // applies those sub-steps — the export states what it serves
+      Some("""{"type":"BertNormalizer","clean_text":false,"handle_chinese_chars":false,"strip_accents":true,"lowercase":true}""")
+    case other => throw new IllegalArgumentException(
+      s"exportTokenizerJson: stamped normalize mode '$other' has no " +
+        "normalizer block")
+  }
+
+  /** The stamped pre-tokenizer geometry → its `pre_tokenizer` block.
+    * Only the published shapes [[preTokenizer]] can read back are
+    * writable — an exotic word pattern REFUSES rather than exporting a
+    * file that would silently re-import with different splitting. */
+  private def preTokJson(byteLevel: Boolean, wordPattern: Option[String],
+                         metaspace: Boolean): Option[String] =
+    if (byteLevel) {
+      require(wordPattern.contains(Bpe.Gpt2WordPattern),
+        "exportTokenizerJson: a byte-level model whose word pattern is " +
+          "not the GPT-2 regex has no ByteLevel pre_tokenizer form — " +
+          "re-importing would silently change the split")
+      Some("""{"type":"ByteLevel","add_prefix_space":false,"trim_offsets":true,"use_regex":true}""")
+    } else if (metaspace)
+      Some("""{"type":"Metaspace","replacement":"▁","add_prefix_space":true}""")
+    else wordPattern match {
+      case None => Some("""{"type":"WhitespaceSplit"}""")
+      case Some("""[\w]+|[^\w\s]+""") => Some("""{"type":"Whitespace"}""")
+      case Some("""[^\s\p{P}]+|[\p{P}]""") =>
+        Some("""{"type":"BertPreTokenizer"}""")
+      case Some(p) => throw new IllegalArgumentException(
+        s"exportTokenizerJson: word pattern '$p' has no published " +
+          "pre_tokenizer type — serve via the classic format")
+    }
+
+  /** Stamped special ids + the full surface table → the
+    * `added_tokens` fragment ("" when none). */
+  private def addedJson(specialIds: Seq[Long],
+                        surface: Map[Long, String]): String =
+    if (specialIds.isEmpty) ""
+    else {
+      val items = specialIds.map { id =>
+        val s = surface.getOrElse(id, throw new IllegalStateException(
+          s"exportTokenizerJson: stamped special id $id is not in the " +
+            "model table — corrupted model directory"))
+        s"""{"id":$id,"content":"${jesc(s)}","special":true}"""
+      }
+      s""""added_tokens":[${items.mkString(",")}],"""
+    }
+
+  private def writeText(spark: SparkSession, path: String,
+                        text: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(text.getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** EXPORT a persisted model as a `tokenizer.json` — the reverse
+    * direction of [[importTokenizerJson]], so a tokenizer TRAINED
+    * IN-ENGINE ([[Bpe.writeBpeModel]] / [[WordPiece
+    * .writeWordPieceModel]] / [[Unigram.writeUnigramModel]]) serves
+    * every downstream consumer of the published schema. The contract
+    * is the ROUND TRIP: importing the exported file reproduces the
+    * model bit-exactly in this engine (stamp, ids, specials) — which
+    * is also exactly what a schema-conformant external reader sees.
+    * Byte-level BPE surfaces re-alias from the engine's hex-pair
+    * symbols to the published GPT-2 alias alphabet; stamped specials
+    * become `added_tokens(special: true)`; the stamped normalizer and
+    * pre-tokenizer write their published blocks (exotic word patterns
+    * refuse — a file that re-imports with different splitting must
+    * never exist). */
+  def exportTokenizerJson(spark: SparkSession, name: String,
+                          path: String, jsonPath: String,
+                          family: String): Unit = family match {
+    case "bpe" =>
+      val meta = Bpe.readBpeMeta(spark, path)
+      def surf(s: String): String =
+        if (!meta.byteLevel) s
+        else s.grouped(2).map(h =>
+          Bpe.gpt2AliasForByte(Integer.parseInt(h, 16))).mkString
+      val vocab = spark.table(s"${name}_bpe_vocab")
+        .select("token", "token_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+      val merges = Bpe.mergeList(spark.table(s"${name}_bpe"))
+      val vocabJson = vocab
+        .map { case (t, id) => s""""${jesc(surf(t))}":$id""" }
+        .mkString(",")
+      val mergesJson = merges // array form: a space inside a symbol
+        .map { case (l, r) =>  // can never corrupt the file
+          s"""["${jesc(surf(l))}","${jesc(surf(r))}"]""" }
+        .mkString(",")
+      writeText(spark, jsonPath, s"""{"version":"1.0",${
+          normalizerJson(meta.normalize).fold("")(n => s""""normalizer":$n,""")
+        }${
+          preTokJson(meta.byteLevel, meta.wordPattern, metaspace = false)
+            .fold("")(p => s""""pre_tokenizer":$p,""")
+        }${
+          addedJson(meta.specialIds,
+            vocab.map { case (t, id) => id -> surf(t) }.toMap)
+        }"model":{"type":"BPE","vocab":{$vocabJson},"merges":[$mergesJson]}}""")
+    case "wordpiece" =>
+      val meta = WordPiece.readWpMeta(spark, path)
+      val vocab = WordPiece.vocabServing(spark.table(s"${name}_wp"))
+        .sortBy(_._2)
+      val vocabJson = vocab
+        .map { case (p, id) => s""""${jesc(p)}":$id""" }.mkString(",")
+      writeText(spark, jsonPath, s"""{"version":"1.0",${
+          normalizerJson(meta.normalize).fold("")(n => s""""normalizer":$n,""")
+        }${
+          preTokJson(byteLevel = false, meta.wordPattern,
+            metaspace = false).fold("")(p => s""""pre_tokenizer":$p,""")
+        }${
+          addedJson(meta.specialIds,
+            vocab.map { case (p, id) => id -> p }.toMap)
+        }"model":{"type":"WordPiece","unk_token":"${jesc(meta.unkPiece)}","continuing_subword_prefix":"${jesc(meta.contPrefix)}","max_input_chars_per_word":${meta.maxInputChars},"vocab":{$vocabJson}}}""")
+    case "unigram" =>
+      val meta = Unigram.readUniMeta(spark, path)
+      val rows = spark.table(s"${name}_uni")
+        .select("piece", "logp", "piece_id").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._3)
+      // the format assigns ids by ARRAY INDEX — a sparse id space
+      // would silently renumber on re-import
+      rows.iterator.zipWithIndex.foreach { case ((p, _, id), i) =>
+        require(id == i.toLong,
+          s"exportTokenizerJson: unigram piece '$p' has id $id at " +
+            s"position $i — the Unigram vocab array requires DENSE ids " +
+            "0..n-1 (re-import would renumber)")
+      }
+      val vocabJson = rows
+        .map { case (p, lp, _) => s"""["${jesc(p)}",$lp]""" }
+        .mkString(",")
+      writeText(spark, jsonPath, s"""{"version":"1.0",${
+          normalizerJson(meta.normalize).fold("")(n => s""""normalizer":$n,""")
+        }${
+          preTokJson(byteLevel = false,
+            if (meta.metaspace) None else meta.wordPattern,
+            meta.metaspace).fold("")(p => s""""pre_tokenizer":$p,""")
+        }${
+          addedJson(meta.specialIds,
+            rows.map { case (p, _, id) => id -> p }.toMap)
+        }"model":{"type":"Unigram","byte_fallback":${meta.byteFallback},"vocab":[$vocabJson]}}""")
+    case other => throw new IllegalArgumentException(
+      s"exportTokenizerJson: unknown family '$other' — \"bpe\", " +
+        "\"unigram\" or \"wordpiece\"")
   }
 }

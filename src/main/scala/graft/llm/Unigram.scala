@@ -259,7 +259,8 @@ object Unigram {
                            imported: Boolean = false,
                            byteFallback: Boolean = false,
                            normalize: String = "none",
-                           metaspace: Boolean = false)
+                           metaspace: Boolean = false,
+                           specialIds: Seq[Long] = Nil)
 
   /** The METASPACE pre-tokenization of the published SentencePiece
     * family (the T5/LLaMA-class convention): every space becomes
@@ -315,8 +316,11 @@ object Unigram {
     val os = fs.create(p, true)
     val wp = meta.wordPattern.fold("")(pat =>
       s""","word_pattern":"${Bpe.jsonEscStamp(pat, "stampUniMeta: wordPattern")}\"""")
+    val sp =
+      if (meta.specialIds.isEmpty) ""
+      else s""","special_ids":[${meta.specialIds.mkString(",")}]"""
     try os.write(
-      s"""{"vocab_size":${meta.vocabSize},"max_piece_len":${meta.maxPieceLen},"seed_size":${meta.seedSize},"em_iters":${meta.emIters},"shrink_factor":${meta.shrinkFactor},"min_word_count":${meta.minWordCount},"imported":${meta.imported},"byte_fallback":${meta.byteFallback},"normalize":"${meta.normalize}","metaspace":${meta.metaspace}$wp}\n"""
+      s"""{"vocab_size":${meta.vocabSize},"max_piece_len":${meta.maxPieceLen},"seed_size":${meta.seedSize},"em_iters":${meta.emIters},"shrink_factor":${meta.shrinkFactor},"min_word_count":${meta.minWordCount},"imported":${meta.imported},"byte_fallback":${meta.byteFallback},"normalize":"${meta.normalize}","metaspace":${meta.metaspace}$sp$wp}\n"""
         .getBytes("UTF-8"))
     finally os.close()
   }
@@ -351,7 +355,12 @@ object Unigram {
           """"normalize"\s*:\s*"([a-z_]+)"""".r.findFirstMatchIn(txt)
             .map(_.group(1)).getOrElse("none"), // pre-r16: unnormalized
           """"metaspace"\s*:\s*(true|false)""".r.findFirstMatchIn(txt)
-            .exists(_.group(1) == "true"))
+            .exists(_.group(1) == "true"),
+          """"special_ids"\s*:\s*\[([0-9,\s-]*)\]""".r
+            .findFirstMatchIn(txt)
+            .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+              .map(_.toLong).toSeq)
+            .getOrElse(Nil))
       case _ => throw new IllegalStateException(
         s"malformed unigram stamp at ${uniMetaFile(path)}: $txt")
     }
@@ -432,7 +441,8 @@ object Unigram {
                          name: String, path: String,
                          wordPattern: Option[String] = None,
                          normalize: String = "none",
-                         metaspace: Boolean = false): Unit = {
+                         metaspace: Boolean = false,
+                         specialPieces: Seq[String] = Nil): Unit = {
     Normalize.validate(normalize, "importUnigramModel")
     require(!(metaspace && wordPattern.isDefined),
       "importUnigramModel: metaspace fixes the word pattern to the " +
@@ -471,7 +481,25 @@ object Unigram {
           .sortWith((a, b) => Bpe.cpLess(a._1, b._1))
           .zipWithIndex.map { case ((p, lp), i) => (p, lp, i.toLong) }.toSeq
       }
+    // DECLARED CONTROL PIECES (the published SentencePiece shape —
+    // <pad>/</s>/<unk> carry real ids, often logp 0): their ids ride
+    // the stamp as STRUCTURAL ids, so (a) they never enter the Viterbi
+    // lattice — a literal "<pad>" in text encodes per character, the
+    // published semantics — and (b) landings/SFT assembly accept them
+    // as eodId/sepId/padId instead of refusing them as vocab
+    // collisions ([[Bpe.importBpeModel]]'s specialTokens contract).
+    // Detokenization still renders their surfaces.
+    val byPiece = withIds.map(p => p._1 -> p._3).toMap
+    val specialIds = specialPieces.distinct.map(sp =>
+      byPiece.getOrElse(sp, throw new IllegalArgumentException(
+        s"importUnigramModel: special piece '$sp' is not in the piece " +
+          "table — a declared control piece must carry a published id")))
+    val specialSet = specialIds.toSet
+    require(specialSet.size < withIds.size,
+      "importUnigramModel: every piece is declared special — no " +
+        "content vocabulary remains to serve")
     val maxLen = withIds.iterator
+      .filterNot(p => specialSet.contains(p._3))
       .map(p => p._1.codePointCount(0, p._1.length)).max
     import scala.jdk.CollectionConverters._
     val model = spark.createDataFrame(
@@ -488,7 +516,8 @@ object Unigram {
     stampUniMeta(spark, path, UniMeta(withIds.length, maxLen,
       seedSize = 0, emIters = 0, shrinkFactor = 0.5, wordPattern,
       minWordCount = 1L, imported = true, byteFallback = bf,
-      normalize = normalize, metaspace = metaspace))
+      normalize = normalize, metaspace = metaspace,
+      specialIds = specialIds))
   }
 
   /** Read a published SentencePiece VOCABULARY TSV — the
@@ -548,7 +577,12 @@ object Unigram {
   private[llm] def servingViterbiWith(spark: SparkSession, name: String,
                                       path: String, meta: UniMeta)
     : (Seq[(String, Long, Long)], Option[IndexedSeq[Long]]) = {
+    // stamped special ids are STRUCTURAL — they never enter the
+    // lattice (a literal "<pad>" in text encodes per character, the
+    // published semantics); detokenization keeps the full table
+    val specials = meta.specialIds.toSet
     val all = piecesViterbi(spark.table(s"${name}_uni"))
+      .filterNot(p => specials.contains(p._2))
     if (!meta.byteFallback) (all, None)
     else {
       val (bytes, content) = all.partition(p => isByteSurface(p._1))
@@ -627,10 +661,14 @@ object Unigram {
         TextHashExprs.bpeDecodeIds(ids,
           pieceMap(spark.table(s"${name}_uni")), byteLevel = false)
       else {
-        val (pieces, bytes) = servingViterbiWith(spark, name, path, meta)
+        // surfaces from the FULL table (stamped specials must render),
+        // byte pieces partitioned out to the byte map
+        val all = piecesViterbi(spark.table(s"${name}_uni"))
+        val (bytePieces, textPieces) = all.partition(p => isByteSurface(p._1))
         TextHashExprs.subwordDecodeIds(ids,
-          pieces.map(p => p._2 -> p._1).toMap,
-          bytes.get.zipWithIndex.map { case (id, b) => id -> b }.toMap)
+          textPieces.map(p => p._2 -> p._1).toMap,
+          bytePieces.map(p => // "<0xAB>" → 0xAB
+            p._2 -> Integer.parseInt(p._1.substring(3, 5), 16)).toMap)
       }
     // under metaspace the pieces carry their leading-space markers —
     // invert the published transform EXACTLY: strip the one prepended

@@ -64,7 +64,8 @@ object WordPiece {
                           maxTypes: Int = 2000000,
                           minWordCount: Long = 1L,
                           unkPiece: String = "[UNK]",
-                          normalize: String = "none")
+                          normalize: String = "none",
+                          specialIds: Seq[Long] = Nil)
 
   private def stampWpMeta(spark: SparkSession, path: String,
                           meta: WpMeta): Unit = {
@@ -73,9 +74,12 @@ object WordPiece {
     def esc(s: String) = Bpe.jsonEscStamp(s, "stampWpMeta: stamped string")
     val wp = meta.wordPattern.fold("")(pat =>
       s""","word_pattern":"${esc(pat)}"""")
+    val sp =
+      if (meta.specialIds.isEmpty) ""
+      else s""","special_ids":[${meta.specialIds.mkString(",")}]"""
     val os = fs.create(p, true)
     try os.write(
-      s"""{"unk_id":${meta.unkId},"cont_prefix":"${esc(meta.contPrefix)}","max_input_chars":${meta.maxInputChars},"imported":${meta.imported},"num_merges":${meta.numMerges},"min_pair_count":${meta.minPairCount},"max_types":${meta.maxTypes},"min_word_count":${meta.minWordCount},"unk_piece":"${esc(meta.unkPiece)}","normalize":"${meta.normalize}"$wp}\n"""
+      s"""{"unk_id":${meta.unkId},"cont_prefix":"${esc(meta.contPrefix)}","max_input_chars":${meta.maxInputChars},"imported":${meta.imported},"num_merges":${meta.numMerges},"min_pair_count":${meta.minPairCount},"max_types":${meta.maxTypes},"min_word_count":${meta.minWordCount},"unk_piece":"${esc(meta.unkPiece)}","normalize":"${meta.normalize}"$sp$wp}\n"""
         .getBytes("UTF-8"))
     finally os.close()
   }
@@ -106,7 +110,12 @@ object WordPiece {
           long("max_types").getOrElse(2000000L).toInt,
           long("min_word_count").getOrElse(1L),
           str("unk_piece").getOrElse("[UNK]"),
-          str("normalize").getOrElse("none")) // pre-r16: unnormalized
+          str("normalize").getOrElse("none"), // pre-r16: unnormalized
+          """"special_ids"\s*:\s*\[([0-9,\s-]*)\]""".r
+            .findFirstMatchIn(txt)
+            .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+              .map(_.toLong).toSeq)
+            .getOrElse(Nil))
       case _ => throw new IllegalStateException(
         s"malformed wordpiece stamp at ${wpMetaFile(path)}: $txt")
     }
@@ -313,7 +322,8 @@ object WordPiece {
                            contPrefix: String = "##",
                            maxInputChars: Int = 200,
                            wordPattern: Option[String] = None,
-                           normalize: String = "none"): Unit = {
+                           normalize: String = "none",
+                           specialPieces: Seq[String] = Nil): Unit = {
     Normalize.validate(normalize, "importWordPieceModel")
     require(contPrefix.nonEmpty,
       "importWordPieceModel: empty continuation prefix")
@@ -354,6 +364,26 @@ object WordPiece {
         s"importWordPieceModel: unknown piece '$unkPiece' is not in the " +
           "vocabulary — the published contract requires it (every " +
           "unmatched word serves as this token)"))
+    // DECLARED CONTROL PIECES (the published BERT shape — [PAD]/[CLS]/
+    // [SEP]/[MASK] are real vocab.txt rows): their ids ride the stamp
+    // as STRUCTURAL ids, so (a) they never enter the greedy matching
+    // table — a literal "[SEP]" in text encodes per character/UNK, the
+    // published behavior once the basic tokenizer splits brackets —
+    // and (b) landings/SFT assembly accept them as eodId/sepId/padId
+    // instead of refusing them as vocab collisions ([[Bpe
+    // .importBpeModel]]'s specialTokens contract, [[Unigram
+    // .importUnigramModel]]'s mirror). [[detokenizeIndexed]] still
+    // renders their surfaces. Declaring the unknown piece special is
+    // allowed — the kernel emits unkId directly, not via the table.
+    val byPiece = withIds.toMap
+    val specialIds = specialPieces.distinct.map(sp =>
+      byPiece.getOrElse(sp, throw new IllegalArgumentException(
+        s"importWordPieceModel: special piece '$sp' is not in the " +
+          "vocabulary — a declared control piece must carry a " +
+          "published id")))
+    require(specialIds.size < withIds.size,
+      "importWordPieceModel: every piece is declared special — no " +
+        "content vocabulary remains to serve")
     import scala.jdk.CollectionConverters._
     val model = spark.createDataFrame(
       withIds.sortBy(_._2).map { case (p, id) => Row(id, p) }.asJava,
@@ -361,7 +391,8 @@ object WordPiece {
     graft.api.GraftFrame(model)
       .toBucketedTable(s"${name}_wp", s"$path/wp", 1, Seq("piece"))
     stampWpMeta(spark, path, WpMeta(unkId, contPrefix, maxInputChars,
-      wordPattern, unkPiece = unkPiece, normalize = normalize))
+      wordPattern, unkPiece = unkPiece, normalize = normalize,
+      specialIds = specialIds))
   }
 
   /** Build (or wholesale retrain) the persisted model FROM A CORPUS:
@@ -401,6 +432,18 @@ object WordPiece {
     model.select("piece", "piece_id").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
 
+  /** Stamp-guarded serving table: stamped special ids partitioned OUT
+    * of the greedy matching vocabulary — a literal "[SEP]" in text
+    * never matches the control piece (the published semantics); the
+    * ids stay structural (landings/SFT accept them) and
+    * [[detokenizeIndexed]] keeps the FULL table so they render. */
+  private[llm] def vocabServingStamped(spark: SparkSession, name: String,
+                                       meta: WpMeta): Seq[(String, Long)] = {
+    val sp = meta.specialIds.toSet
+    val all = vocabServing(spark.table(s"${name}_wp"))
+    if (sp.isEmpty) all else all.filterNot(p => sp.contains(p._2))
+  }
+
   /** Greedy encode: (id, word_pos, tok_pos, token_id) — the
     * [[Bpe.encodeIds]] / [[Unigram.encodeIds]] shape. Unmatched or
     * over-length words emit the single `unkId`. */
@@ -423,7 +466,7 @@ object WordPiece {
                        textCol: String): DataFrame = {
     val meta = readWpMeta(spark, path)
     encodeIds(Normalize.frame(docs, textCol, meta.normalize), idCol,
-      textCol, vocabServing(spark.table(s"${name}_wp")), meta.unkId,
+      textCol, vocabServingStamped(spark, name, meta), meta.unkId,
       meta.contPrefix, meta.maxInputChars, meta.wordPattern)
   }
 
@@ -494,7 +537,7 @@ object WordPiece {
     val meta = readWpMeta(spark, path)
     fertilityReportWith(Normalize.frame(docs, textCol, meta.normalize),
       textCol, groupCol,
-      vocabServing(spark.table(s"${name}_wp")), meta.unkId,
+      vocabServingStamped(spark, name, meta), meta.unkId,
       meta.contPrefix, meta.maxInputChars, meta.wordPattern)
   }
 
@@ -509,7 +552,7 @@ object WordPiece {
     val row = fertilityReportWith(
         Normalize.frame(fresh.select(lit(0L).as("__g__"), col(textCol)),
           textCol, meta.normalize), textCol, "__g__",
-        vocabServing(spark.table(s"${name}_wp")), meta.unkId,
+        vocabServingStamped(spark, name, meta), meta.unkId,
         meta.contPrefix, meta.maxInputChars, meta.wordPattern)
       .agg(sum(col("n_words")).as("w"), sum(col("n_unk_words")).as("u"))
       .head()

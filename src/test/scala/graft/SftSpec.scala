@@ -92,6 +92,96 @@ class SftSpec extends SparkTestBase {
     }
   }
 
+  test("prompt-left truncation: keep-end prompt, response never cut, overlong-response drop, sep survives, empty-prompt edge, refusals") {
+    val mergesDf = Bpe.train(corpus, "text", 8)
+    val merges = Bpe.mergeList(mergesDf)
+    val vocab = Bpe.vocabMap(Bpe.vocabFrame(corpus, "text", mergesDf))
+    val mx = vocab.values.max
+    val (sep, eod) = (mx + 1L, mx + 2L)
+    val (lo, e, r_, ne, w, i, de) = (vocab("low"), vocab("e"),
+      vocab("r"), vocab("newest"), vocab("w"), vocab("i"), vocab("dest"))
+    val pairs = df(pairSchema,
+      Row(1L, "low lower low lower", "newest"), // truncates: ov=5
+      Row(2L, "low", "newest widest"),          // prompt down to [sep]
+      Row(3L, "low", "newest widest newest widest"), // rfull=9>6: drops
+      Row(4L, "low", "newest"))                 // fits untouched
+    val got = Sft.assembleExamples(pairs, "id", "p", "r", merges, vocab,
+        sepId = Some(sep), eodId = Some(eod), maxLen = Some(6L),
+        truncation = "prompt_left")
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getSeq[Long](1), x.getLong(2),
+        x.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 4L),
+      "the response-alone-overlong example must drop")
+    // pfull = [low,low,e,r,low,low,e,r,sep] (9); budget 6, rfull 2 →
+    // ov=5: the KEPT END is [low,e,r,sep]
+    assert(got(0)._2 == Seq(lo, e, r_, sep, ne, eod) &&
+      got(0)._3 == 6L && got(0)._4 == 4L, s"${got(0)}")
+    // pfull=[low,sep], rfull=[ne,w,i,de,eod] → ov=1: prompt id gone,
+    // the sep at its tail survives
+    assert(got(1)._2 == Seq(sep, ne, w, i, de, eod) &&
+      got(1)._4 == 1L, s"${got(1)}")
+    // within budget: bit-identical to the untruncated layout
+    assert(got(2)._2 == Seq(lo, sep, ne, eod) && got(2)._4 == 2L)
+    // loss window is exactly response ++ eod in every surviving row
+    got.foreach { case (_, ids, n, lf) =>
+      assert(ids.slice(lf.toInt, n.toInt).last == eod)
+    }
+    // empty prompt + overflow: even the sep truncates away, loss_from=0
+    val edge = Sft.assembleExamples(
+        df(pairSchema, Row(5L, null, "newest widest")), "id", "p", "r",
+        merges, vocab, sepId = Some(sep), eodId = Some(eod),
+        maxLen = Some(5L), truncation = "prompt_left")
+      .head()
+    assert(edge.getSeq[Long](1) == Seq(ne, w, i, de, eod) &&
+      edge.getLong(3) == 0L)
+    // refusals: unknown mode; prompt_left without a budget
+    assert(intercept[IllegalArgumentException] {
+      Sft.assembleExamples(pairs, "id", "p", "r", merges, vocab,
+        maxLen = Some(6L), truncation = "right")
+    }.getMessage.contains("unknown truncation"))
+    assert(intercept[IllegalArgumentException] {
+      Sft.assembleExamples(pairs, "id", "p", "r", merges, vocab,
+        truncation = "prompt_left")
+    }.getMessage.contains("nothing to truncate"))
+  }
+
+  test("bestOfN: top-k per prompt, deterministic tie-break on cand id, null-score and sub-floor drop, refusals") {
+    val sch = StructType(Seq(StructField("pid", LongType),
+      StructField("cid", LongType), StructField("score", DoubleType),
+      StructField("resp", StringType)))
+    val cands = df(sch,
+      Row(1L, 10L, 0.7, "a"), Row(1L, 11L, 0.9, "b"),
+      Row(1L, 12L, 0.9, "c"),          // tie with cid 11 — 11 wins
+      Row(1L, 13L, null, "d"),         // unscored: drops
+      Row(2L, 20L, 0.2, "e"),          // below floor with minScore
+      Row(2L, 21L, 0.5, "f"))
+    def sel(k: Int, floor: Option[Double]) =
+      Sft.bestOfN(cands, "pid", "cid", "score", k, floor)
+        .select("pid", "cid", "cand_rank").orderBy("pid", "cand_rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    // k=1: the argmax; the 0.9 tie breaks on the SMALLER cand id
+    assert(sel(1, None) === Seq((1L, 11L, 0L), (2L, 21L, 0L)))
+    // k=2: ranks are dense per prompt; prompt 2 yields both its rows
+    assert(sel(2, None) === Seq((1L, 11L, 0L), (1L, 12L, 1L),
+      (2L, 21L, 0L), (2L, 20L, 1L)))
+    // rejection floor: prompt 2's 0.2 is inadmissible even at k=2
+    assert(sel(2, Some(0.4)) === Seq((1L, 11L, 0L), (1L, 12L, 1L),
+      (2L, 21L, 0L)))
+    // a prompt whose every candidate is rejected vanishes
+    assert(sel(1, Some(0.95)) === Seq.empty)
+    // winners keep their payload columns for downstream assembly
+    assert(Sft.bestOfN(cands, "pid", "cid", "score", 1, None)
+      .filter(col("pid") === 1L).head().getAs[String]("resp") === "b")
+    assert(intercept[IllegalArgumentException] {
+      Sft.bestOfN(cands, "pid", "cid", "score", 0, None)
+    }.getMessage.contains("k must be >= 1"))
+    assert(intercept[IllegalArgumentException] {
+      Sft.bestOfN(cands, "pid", "cid", "resp", 1, None)
+    }.getMessage.contains("must be numeric"))
+  }
+
   test("assembleConversation: template layout, per-turn loss spans, eod joins the last assistant span, role refusal, weights") {
     val mergesDf = Bpe.train(corpus, "text", 8)
     val merges = Bpe.mergeList(mergesDf)

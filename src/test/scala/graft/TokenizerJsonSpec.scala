@@ -117,14 +117,116 @@ class TokenizerJsonSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("export: each family round-trips through its own tokenizer.json — ids, stamp, specials; unexportable shapes refuse") {
+    val wpSch = StructType(Seq(StructField("piece", StringType),
+      StructField("piece_id", LongType)))
+    val uniSch = StructType(Seq(StructField("piece", StringType),
+      StructField("logp", DoubleType), StructField("piece_id", LongType)))
+    val docs = df(docSchema, Row(1L, "The thé ab ba"), Row(2L, "a b"))
+    // --- BPE: byte-level alias surfaces + a declared special
+    val aliasVocab = (0 until 256).map(b =>
+      (Bpe.gpt2AliasForByte(b), b.toLong)) ++
+      Seq(("th", 256L), ("the", 257L), ("<|endoftext|>", 258L))
+    val mergesDf = df(StructType(Seq(StructField("rank", IntegerType),
+      StructField("left", StringType), StructField("right", StringType))),
+      Row(0, "t", "h"), Row(1, "th", "e"))
+    val vocabDf = df(StructType(Seq(StructField("token", StringType),
+      StructField("token_id", LongType))),
+      aliasVocab.map(v => Row(v._1, v._2)): _*)
+    val pB = tmpDir("graft_exp_b")
+    Bpe.importBpeModel(spark, mergesDf, vocabDf, "expb", pB,
+      gpt2Alias = true, specialTokens = Seq("<|endoftext|>"))
+    // --- WordPiece: normalizer + specials
+    val wpVocab = Seq(("[PAD]", 0L), ("[UNK]", 1L), ("[SEP]", 2L),
+      ("the", 3L), ("a", 4L), ("##b", 5L), ("b", 6L))
+    val pW = tmpDir("graft_exp_w")
+    WordPiece.importWordPieceModel(spark,
+      df(wpSch, wpVocab.map(v => Row(v._1, v._2)): _*), "expw", pW,
+      maxInputChars = 64, normalize = "lowercase_strip_accents",
+      specialPieces = Seq("[PAD]", "[SEP]"))
+    // --- Unigram: metaspace + a declared special
+    val uniPieces = Seq(("<pad>", 0.0, 0L), ("▁the", -1.5, 1L),
+      ("▁a", -2.0, 2L), ("▁b", -2.1, 3L), ("a", -3.0, 4L),
+      ("b", -3.1, 5L), ("▁", -3.5, 6L), ("t", -4.0, 7L),
+      ("h", -4.1, 8L), ("e", -4.2, 9L), ("é", -4.3, 10L),
+      ("T", -4.4, 11L))
+    val pU = tmpDir("graft_exp_u")
+    Unigram.importUnigramModel(spark,
+      df(uniSch, uniPieces.map(p => Row(p._1, p._2, p._3)): _*),
+      "expu", pU, metaspace = true, specialPieces = Seq("<pad>"))
+    try {
+      def roundTrip(fam: String, name: String, p: String,
+                    enc: (String, String) => Seq[Long]): String = {
+        val jsonPath = writeTmp("placeholder")
+        TokenizerJson.exportTokenizerJson(spark, name, p, jsonPath, fam)
+        val p2 = tmpDir(s"graft_exp_${fam}2")
+        assert(TokenizerJson.importTokenizerJson(spark, jsonPath,
+          s"${name}2", p2) === fam)
+        assert(enc(name, p) === enc(s"${name}2", p2),
+          s"$fam export/import must serve bit-identically")
+        p2
+      }
+      val pB2 = roundTrip("bpe", "expb", pB, (n, p) =>
+        Bpe.encodeIdsIndexed(spark, n, p, docs, "doc_id", "text")
+          .orderBy("doc_id", "word_pos", "tok_pos").collect()
+          .map(_.getLong(3)).toSeq)
+      val pW2 = roundTrip("wordpiece", "expw", pW, (n, p) =>
+        WordPiece.encodeIdsIndexed(spark, n, p, docs, "doc_id", "text")
+          .orderBy("doc_id", "word_pos", "tok_pos").collect()
+          .map(_.getLong(3)).toSeq)
+      val pU2 = roundTrip("unigram", "expu", pU, (n, p) =>
+        Unigram.encodeIdsIndexed(spark, n, p, docs, "doc_id", "text")
+          .orderBy("doc_id", "word_pos", "tok_pos").collect()
+          .map(_.getLong(3)).toSeq)
+      // the re-imported stamps carry the CONFIG, not just the ids
+      assert(Bpe.servingVocabMap(spark, "expb2", pB2) ===
+        Bpe.servingVocabMap(spark, "expb", pB))
+      val w2 = WordPiece.readWpMeta(spark, pW2)
+      assert(w2.normalize === "lowercase_strip_accents" &&
+        w2.specialIds === Seq(0L, 2L) && w2.maxInputChars === 64 &&
+        w2.unkPiece === "[UNK]" && w2.unkId === 1L)
+      val u2 = Unigram.readUniMeta(spark, pU2)
+      assert(u2.metaspace && u2.specialIds === Seq(0L))
+      // unexportable shapes refuse LOUDLY instead of writing a file
+      // that re-imports with different behavior
+      val pX = tmpDir("graft_exp_x")
+      WordPiece.importWordPieceModel(spark,
+        df(wpSch, Row("[UNK]", 0L), Row("a", 1L)), "expx", pX,
+        wordPattern = Some("[a-z]+"))
+      assert(intercept[IllegalArgumentException] {
+        TokenizerJson.exportTokenizerJson(spark, "expx", pX,
+          writeTmp("x"), "wordpiece")
+      }.getMessage.contains("no published pre_tokenizer type"))
+      val pS = tmpDir("graft_exp_s")
+      Unigram.importUnigramModel(spark,
+        df(uniSch, Row("a", -1.0, 0L), Row("b", -1.1, 2L)), "exps", pS)
+      assert(intercept[IllegalArgumentException] {
+        TokenizerJson.exportTokenizerJson(spark, "exps", pS,
+          writeTmp("x"), "unigram")
+      }.getMessage.contains("DENSE ids"))
+      assert(intercept[IllegalArgumentException] {
+        TokenizerJson.exportTokenizerJson(spark, "expb", pB,
+          writeTmp("x"), "sentencepiece")
+      }.getMessage.contains("unknown family"))
+    } finally Seq("expb_bpe", "expb_bpe_vocab", "expb2_bpe",
+      "expx_wp", "exps_uni",
+      "expb2_bpe_vocab", "expw_wp", "expw2_wp", "expu_uni", "expu2_uni")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("WordPiece dispatch: BertNormalizer config rides the stamp — mixed-case text reproduces the uncased sibling") {
     val vocab = Seq(("[UNK]", 0L), ("the", 1L), ("un", 2L),
-      ("##aff", 3L), ("##able", 4L), ("cafe", 5L))
+      ("##aff", 3L), ("##able", 4L), ("cafe", 5L),
+      ("[PAD]", 6L), ("[SEP]", 7L))
     val vocabJson = vocab
       .map { case (p, id) => s""""$p": $id""" }.mkString(", ")
     val json = s"""{
       "normalizer": {"type": "BertNormalizer", "lowercase": true},
       "pre_tokenizer": {"type": "WhitespaceSplit"},
+      "added_tokens": [
+        {"id": 6, "content": "[PAD]", "special": true},
+        {"id": 7, "content": "[SEP]", "special": true},
+        {"id": 99, "content": "<oov>", "special": true}],
       "model": {"type": "WordPiece", "unk_token": "[UNK]",
                 "continuing_subword_prefix": "##",
                 "max_input_chars_per_word": 100,
@@ -139,10 +241,14 @@ class TokenizerJsonSpec extends SparkTestBase {
         StructField("piece_id", LongType))),
         vocab.map(v => Row(v._1, v._2)): _*),
       "tjwpc", pClassic, maxInputChars = 100,
-      normalize = "lowercase_strip_accents")
+      normalize = "lowercase_strip_accents",
+      specialPieces = Seq("[PAD]", "[SEP]"))
     try {
-      assert(WordPiece.readWpMeta(spark, pJson).normalize ===
-        "lowercase_strip_accents")
+      val metaJson = WordPiece.readWpMeta(spark, pJson)
+      assert(metaJson.normalize === "lowercase_strip_accents")
+      // added_tokens(special) in the vocab ride the stamp; the one
+      // outside the vocab ("<oov>") is skipped — no id to declare
+      assert(metaJson.specialIds === Seq(6L, 7L))
       val docs = df(docSchema, Row(1L, "The Café unAFFable zz"))
       def ids(name: String, p: String) =
         WordPiece.encodeIdsIndexed(spark, name, p, docs, "doc_id", "text")

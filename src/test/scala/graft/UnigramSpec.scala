@@ -409,6 +409,61 @@ class UnigramSpec extends SparkTestBase {
     }
   }
 
+  test("declared special pieces: out of the lattice, usable as structural ids, rendered by detok — the published control-token contract") {
+    val sch = StructType(Seq(StructField("piece", StringType),
+      StructField("logp", DoubleType), StructField("piece_id", LongType)))
+    // the published T5-style head: <pad>=0, </s>=1 at logp 0, then
+    // content pieces — including ones whose characters could spell a
+    // control surface ('<', 'p', 'a', 'd', '>')
+    val pieces = Seq(("<pad>", 0.0, 0L), ("</s>", 0.0, 1L),
+      ("a", -2.4, 2L), ("b", -2.45, 3L), ("ab", -2.0, 4L),
+      ("<", -3.0, 5L), (">", -3.1, 6L), ("p", -3.2, 7L), ("d", -3.3, 8L))
+    val path = tmp("graft_uni_sp")
+    Unigram.importUnigramModel(spark,
+      df(sch, pieces.map(p => Row(p._1, p._2, p._3)): _*),
+      "unisp", path, specialPieces = Seq("<pad>", "</s>"))
+    try {
+      val meta = Unigram.readUniMeta(spark, path)
+      assert(meta.specialIds === Seq(0L, 1L))
+      def enc(text: String): Seq[Long] =
+        Unigram.encodeIdsIndexed(spark, "unisp", path,
+            df(docSchema, Row(1L, text)), "doc_id", "text")
+          .orderBy("word_pos", "tok_pos").collect().map(_.getLong(3)).toSeq
+      // literal control text NEVER matches the special piece — it
+      // encodes per character (the published semantics); id 0/1 absent
+      val lit = enc("<pad>")
+      assert(!lit.contains(0L) && !lit.contains(1L), lit.toString)
+      assert(lit === Seq(5L, 7L, 2L, 8L, 6L)) // < p a d >
+      assert(enc("ab") === Seq(4L))
+      // structural use: the stamped special id serves as the SFT eod
+      // without a collision refusal, and detok renders its surface
+      val got = graft.llm.Sft.assembleExamplesIndexed(spark, "unisp",
+          path, df(StructType(Seq(StructField("id", LongType),
+            StructField("p", StringType), StructField("r", StringType))),
+            Row(1L, "ab", "b a")),
+          "id", "p", "r", sepId = Some(0L), eodId = Some(1L),
+          tokenizer = "unigram")
+        .head().getSeq[Long](1)
+      assert(got === Seq(4L, 0L, 3L, 2L, 1L))
+      val back = df(StructType(Seq(
+          StructField("ids", ArrayType(LongType)))), Row(got))
+        .select(Unigram.detokenizeIndexed(spark, "unisp", path,
+          col("ids"))).head().getString(0)
+      assert(back === "ab<pad>ba</s>")
+      // an undeclared surface refuses; declaring every piece refuses
+      assert(intercept[IllegalArgumentException] {
+        Unigram.importUnigramModel(spark,
+          df(sch, Row("a", -2.0, 0L)), "unisp2", tmp("graft_usp2"),
+          specialPieces = Seq("<unk>"))
+      }.getMessage.contains("not in the piece table"))
+      assert(intercept[IllegalArgumentException] {
+        Unigram.importUnigramModel(spark,
+          df(sch, Row("a", -2.0, 0L)), "unisp3", tmp("graft_usp3"),
+          specialPieces = Seq("a"))
+      }.getMessage.contains("no content vocabulary"))
+    } finally spark.sql("DROP TABLE IF EXISTS unisp_uni")
+  }
+
   test("importUnigramModel: published (piece, logp, piece_id) serves known ids; total validation") {
     import org.apache.spark.sql.Row
     val path = tmp("graft_uni_imp")

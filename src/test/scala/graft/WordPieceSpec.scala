@@ -180,6 +180,58 @@ class WordPieceSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS wpsc_wp")
   }
 
+  test("declared special pieces: out of the greedy table, usable as structural ids, rendered by detok — the published [CLS]/[SEP] contract") {
+    val sch = StructType(Seq(StructField("piece", StringType),
+      StructField("piece_id", LongType)))
+    // the published BERT head: [PAD]/[CLS]/[SEP] are real vocab.txt
+    // rows with real ids, then content pieces
+    val pieces = Seq(("[PAD]", 0L), ("[UNK]", 1L), ("[CLS]", 2L),
+      ("[SEP]", 3L), ("ab", 4L), ("a", 5L), ("##b", 6L), ("b", 7L))
+    val path = tmp("graft_wp_sp")
+    WordPiece.importWordPieceModel(spark,
+      df(sch, pieces.map(p => Row(p._1, p._2)): _*), "wpsp", path,
+      unkPiece = "[UNK]",
+      specialPieces = Seq("[PAD]", "[CLS]", "[SEP]"))
+    try {
+      val meta = WordPiece.readWpMeta(spark, path)
+      assert(meta.specialIds === Seq(0L, 2L, 3L))
+      def enc(text: String): Seq[Long] =
+        WordPiece.encodeIdsIndexed(spark, "wpsp", path,
+            df(docSchema, Row(1L, text)), "doc_id", "text")
+          .orderBy("word_pos", "tok_pos").collect().map(_.getLong(3)).toSeq
+      // literal control text NEVER matches the special piece — greedy
+      // stalls on '[' and the word serves as UNK (all-or-nothing)
+      assert(enc("[SEP]") === Seq(1L))
+      assert(enc("ab") === Seq(4L))
+      // structural use: stamped special ids serve as SFT sep/eod
+      // without a collision refusal, and detok renders their surfaces
+      val got = graft.llm.Sft.assembleExamplesIndexed(spark, "wpsp",
+          path, df(StructType(Seq(StructField("id", LongType),
+            StructField("p", StringType), StructField("r", StringType))),
+            Row(1L, "ab", "b a")),
+          "id", "p", "r", sepId = Some(3L), eodId = Some(2L),
+          tokenizer = "wordpiece")
+        .head().getSeq[Long](1)
+      assert(got === Seq(4L, 3L, 7L, 5L, 2L))
+      val back = df(StructType(Seq(
+          StructField("ids", ArrayType(LongType)))), Row(got))
+        .select(WordPiece.detokenizeIndexed(spark, "wpsp", path,
+          col("ids"))).head().getString(0)
+      assert(back === "ab [SEP] b a [CLS]")
+      // an undeclared surface refuses; declaring every piece refuses
+      assert(intercept[IllegalArgumentException] {
+        WordPiece.importWordPieceModel(spark,
+          df(sch, Row("[UNK]", 0L), Row("a", 1L)), "wpsp2",
+          tmp("graft_wsp2"), specialPieces = Seq("<s>"))
+      }.getMessage.contains("not in the vocabulary"))
+      assert(intercept[IllegalArgumentException] {
+        WordPiece.importWordPieceModel(spark,
+          df(sch, Row("[UNK]", 0L), Row("a", 1L)), "wpsp3",
+          tmp("graft_wsp3"), specialPieces = Seq("[UNK]", "a"))
+      }.getMessage.contains("no content vocabulary"))
+    } finally spark.sql("DROP TABLE IF EXISTS wpsp_wp")
+  }
+
   test("import refuses a null piece_id; stamps refuse control characters; trainedVocab is maxTypes-bounded") {
     val e1 = intercept[IllegalArgumentException] {
       WordPiece.importWordPieceModel(spark,
