@@ -4948,6 +4948,83 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // BINARY-LABELED (KTO) assembly (r16): the q_sft_examples layout
+    // with the UNPAIRED desirable/undesirable bit riding through —
+    // label = (doc_id % 3 = 0) makes both populations live; rows with
+    // doc_id % 7 = 0 carry NULL labels and must drop (an unlabeled row
+    // trains neither direction).
+    r.reg("q_kto_pairs",
+      s"""WITH ${bpeTrainCtes(8)},
+         |$bpeVocabCtes,
+         |sft0 AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+         |sft1 AS (SELECT doc_id, ws, CAST(len(ws)//2 AS BIGINT) AS np
+         |  FROM sft0 WHERE len(ws) >= 2),
+         |sftw AS (
+         |  SELECT doc_id, np, i,
+         |    CASE WHEN i <= np THEN 0 ELSE 1 END AS side,
+         |    ws[CAST(i AS INT)] AS w
+         |  FROM (SELECT doc_id, np, ws, unnest(range(1, len(ws)+1)) AS i
+         |        FROM sft1)),
+         |sfte AS (
+         |  SELECT doc_id, np, i, side,
+         |    string_split(trim($bpeNestedSql), '  ') AS etoks
+         |  FROM sftw),
+         |sftt AS (
+         |  SELECT doc_id, np, i, side, CAST(j AS INT) AS j,
+         |    etoks[CAST(j AS INT)] AS token
+         |  FROM (SELECT doc_id, np, i, side, etoks,
+         |          unnest(range(1, len(etoks)+1)) AS j FROM sfte)),
+         |sfti AS (
+         |  SELECT t.doc_id, t.i, t.side, t.j,
+         |    COALESCE(v.token_id, -1) AS tid
+         |  FROM sftt t LEFT JOIN bvocab v USING (token)),
+         |sftm AS (SELECT CAST(max(token_id) AS BIGINT) AS mx FROM bvocab),
+         |sfta AS (
+         |  SELECT doc_id,
+         |    list(tid ORDER BY i, j) FILTER (WHERE side = 0) AS pids,
+         |    list(tid ORDER BY i, j) FILTER (WHERE side = 1) AS rids
+         |  FROM sfti GROUP BY doc_id)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(
+         |    list_concat(list_concat(list_concat(
+         |      COALESCE(pids, []), [mx+1]), rids), [mx+2]),
+         |    x -> CAST(x AS VARCHAR)), ' ') AS ids_text,
+         |  CAST(COALESCE(len(pids), 0) + len(rids) + 2 AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(COALESCE(len(pids), 0) + 1 AS BIGINT) AS loss_from,
+         |  (doc_id % 3 = 0) AS desirable
+         |FROM sfta, sftm
+         |WHERE rids IS NOT NULL AND len(rids) >= 1 AND doc_id % 7 <> 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val idxPath = ensurePbpeModel(s, dir)
+      val vocabMax = graft.llm.Bpe
+        .vocabMap(s.table("g_pbpe_bpe_vocab")).values.max
+      val words = filter(split(col("text"), " ", -1), w => length(w) >= 1)
+      val rows = t(s, dir, "documents")
+        .filter(col("doc_id") < 100 && col("text").isNotNull)
+        .withColumn("__ws__", words)
+        .filter(size(col("__ws__")) >= 2)
+        .withColumn("__np__", (size(col("__ws__")) / 2).cast("int"))
+        .select(col("doc_id"),
+          array_join(slice(col("__ws__"), lit(1), col("__np__")), " ")
+            .as("prompt"),
+          array_join(slice(col("__ws__"), col("__np__") + 1,
+            size(col("__ws__")) - col("__np__")), " ").as("completion"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("boolean"))
+            .otherwise(col("doc_id") % 3 === 0).as("label"))
+      graft.llm.Sft.assembleBinaryPreference(s, "g_pbpe", idxPath, rows,
+          "doc_id", "prompt", "completion", "label",
+          sepId = Some(vocabMax + 1L), eodId = Some(vocabMax + 2L))
+        .select(col("doc_id"),
+          concat_ws(" ",
+            transform(col("input_ids"), x => x.cast("string")))
+            .as("ids_text"),
+          col("n_tokens"), col("loss_from"), col("desirable"))
+        .orderBy("doc_id")
+    }
+
     // BEST-OF-N / REJECTION SAMPLING (r16): the RFT selection shape —
     // N scored candidates per prompt, keep the top k at or above the
     // score floor, ranked (score DESC, cand_id ASC) so ties never flap.

@@ -37,11 +37,25 @@ object QHelp {
     * two verify sweeps — the documented 477/478 repro) can never share
     * or corrupt each other's persisted-index fixtures; within one JVM
     * the stamp-file caching across queries still works. Fixture
-    * directories die with the host's tmp cleanup — they are rebuilt
-    * from scratch by construction on every fresh JVM. */
-  lazy val qtmpRoot: java.io.File = new java.io.File(
-    System.getProperty("java.io.tmpdir"),
-    s"graft-qtmp-${java.lang.ProcessHandle.current().pid()}")
+    * A shutdown hook deletes the root at JVM exit — without it every
+    * verify/bench/test JVM would leave its full fixture set (indexes,
+    * tokenizer models, ingest snapshots) in tmp, unbounded across CI
+    * sweeps; only the owning pid's hook touches the dir, so the
+    * concurrency isolation is untouched. */
+  lazy val qtmpRoot: java.io.File = {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-qtmp-${java.lang.ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val sub = f.listFiles()
+        if (sub != null) sub.foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }, "graft-qtmp-cleanup"))
+    root
+  }
 
   /** A named fixture directory under [[qtmpRoot]]. */
   def qtmpDir(sub: String): java.io.File =

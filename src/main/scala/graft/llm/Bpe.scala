@@ -51,21 +51,19 @@ object Bpe {
     * Spark regexp_extract_all and DuckDB regexp_extract_all agree on
     * the RE2-compatible subset). */
   private[llm] def wordsOf(textCol: String,
-                           wordPattern: Option[String],
-                           normalize: String = "none"): org.apache.spark.sql.Column =
-    wordsOfCol(col(textCol), wordPattern, normalize)
+                           wordPattern: Option[String]): org.apache.spark.sql.Column =
+    wordsOfCol(col(textCol), wordPattern)
 
   /** [[wordsOf]] over an arbitrary text COLUMN (a nested struct field,
-    * a computed expression) — the conversation assembler's form. */
+    * a computed expression) — the conversation assembler's form.
+    * Normalization happens UPSTREAM ([[Normalize.frame]] / the serve's
+    * prepText) — one normalization point, applied exactly once. */
   private[llm] def wordsOfCol(text: org.apache.spark.sql.Column,
-                              wordPattern: Option[String],
-                              normalize: String = "none"): org.apache.spark.sql.Column = {
-    val t = Normalize.colOf(text, normalize)
+                              wordPattern: Option[String]): org.apache.spark.sql.Column =
     wordPattern match {
-      case None => split(t, " ", -1)
-      case Some(p) => regexp_extract_all(t, lit(p), lit(0))
+      case None => split(text, " ", -1)
+      case Some(p) => regexp_extract_all(text, lit(p), lit(0))
     }
-  }
 
   /** Distributed word-type counts: one explode + one map-side-combined
     * aggregation — the only corpus-sized pass in training. Empty

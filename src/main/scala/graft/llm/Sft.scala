@@ -113,7 +113,8 @@ object Sft {
                                    sepId: Option[Long],
                                    eodId: Option[Long],
                                    maxLen: Option[Long],
-                                   truncation: String = "drop"): DataFrame = {
+                                   truncation: String = "drop",
+                                   passthrough: Seq[String] = Nil): DataFrame = {
     Seq("sepId" -> sepId, "eodId" -> eodId).foreach { case (name, id) =>
       id.foreach(v => require(v != -1L && !tok.ids.contains(v),
         s"assembleExamples: $name $v collides with a vocab id (or the " +
@@ -136,15 +137,16 @@ object Sft {
     val rIds = tok.enc(col(responseCol))
     val pFull = sepId.fold(pIds)(s => concat(pIds, array(lit(s))))
     val rFull = eodId.fold(rIds)(e => concat(rIds, array(lit(e))))
+    val thru = passthrough.map(col)
     val staged = base
-      .select(col(idCol), pFull.as("__pi__"), rIds.as("__rr__"),
-        rFull.as("__ri__"))
+      .select(col(idCol) +: pFull.as("__pi__") +: rIds.as("__rr__") +:
+        rFull.as("__ri__") +: thru: _*)
       .filter(size(col("__rr__")) >= 1) // loss over nothing: drop
     val out = truncation match {
       case "drop" =>
-        staged.select(col(idCol),
-          concat(col("__pi__"), col("__ri__")).as("input_ids"),
-          size(col("__pi__")).cast("long").as("loss_from"))
+        staged.select(col(idCol) +:
+          concat(col("__pi__"), col("__ri__")).as("input_ids") +:
+          size(col("__pi__")).cast("long").as("loss_from") +: thru: _*)
       case "prompt_left" =>
         // the published keep-end convention: drop ids from the FRONT
         // of the prompt side (the sep marker at its tail survives)
@@ -157,17 +159,17 @@ object Sft {
           .filter(size(col("__ri__")) <= l)
           .withColumn("__over__", greatest(lit(0),
             size(col("__pi__")) + size(col("__ri__")) - lit(l.toInt)))
-          .select(col(idCol),
+          .select(col(idCol) +:
             concat(slice(col("__pi__"), col("__over__") + 1,
                 size(col("__pi__")) - col("__over__")),
-              col("__ri__")).as("input_ids"),
+              col("__ri__")).as("input_ids") +:
             (size(col("__pi__")) - col("__over__")).cast("long")
-              .as("loss_from"))
+              .as("loss_from") +: thru: _*)
     }
     val shaped = out
       .withColumn("n_tokens", size(col("input_ids")).cast("long"))
-      .select(col(idCol), col("input_ids"), col("n_tokens"),
-        col("loss_from"))
+      .select(col(idCol) +: col("input_ids") +: col("n_tokens") +:
+        col("loss_from") +: thru: _*)
     if (truncation == "prompt_left") shaped
     else maxLen.fold(shaped)(l => shaped.filter(col("n_tokens") <= l))
   }
@@ -339,21 +341,34 @@ object Sft {
             concat(acc.getField("spans"), array(span)))
             .otherwise(acc.getField("spans")).as("spans"))
       })
-    val lastLoss = element_at(col("__pieces__"), -1).getField("loss")
+    val lastPiece = element_at(col("__pieces__"), -1)
+    val lastLoss = lastPiece.getField("loss")
+    // whether the FINAL turn contributed a span: only then is the last
+    // span element the final turn's — extending it otherwise would
+    // mislabel an intervening position (a later turn's role header) as
+    // a loss position and leave the eod itself unmasked
+    val lastContrib = (size(lastPiece.getField("enc")) +
+      size(lastPiece.getField("suf"))) > 0
     val out = base
       .withColumn("input_ids", idsOut)
       .withColumn("__spans0__", scanned.getField("spans"))
       .withColumn("n_tokens", size(col("input_ids")).cast("long"))
       // eod joins the last span when the FINAL turn is a loss turn
+      // that contributed it; an EMPTY final loss turn gets a fresh
+      // len-1 span on the eod (the model still trains to end there)
       .withColumn("loss_spans",
         if (eodId.isEmpty) col("__spans0__")
-        else when(lastLoss && size(col("__spans0__")) >= 1,
+        else when(lastLoss && lastContrib && size(col("__spans0__")) >= 1,
           transform(col("__spans0__"), (s, i) =>
             when(i === size(col("__spans0__")) - 1,
               struct(s.getField("pos").as("pos"),
                 (s.getField("len") + 1L).as("len"),
                 s.getField("weight").as("weight")))
               .otherwise(s)))
+          .when(lastLoss && !lastContrib,
+            concat(col("__spans0__"), array(struct(
+              (col("n_tokens") - 1L).as("pos"), lit(1L).as("len"),
+              lastPiece.getField("weight").as("weight")))))
           .otherwise(col("__spans0__")))
       .filter(size(col("loss_spans")) >= 1) // nothing to train on: drop
       .withColumn("loss_from",
@@ -466,6 +481,41 @@ object Sft {
       rejectedCol, resolveTok(spark, name, path, tokenizer),
       sepId, eodId, maxLen)
 
+  /** BINARY-LABELED preference assembly — the KTO data shape
+    * (Ethayarajh et al. 2024): UNPAIRED (prompt, completion,
+    * desirable) feedback rows (thumbs up/down — no chosen/rejected
+    * pairing exists) assemble exactly like [[assembleExamplesIndexed]]
+    * (ids = enc(prompt) ++ [sep] ++ enc(completion) ++ [eod],
+    * `loss_from` at the completion boundary) with the BOOLEAN label
+    * carried through as `desirable`. Null labels drop — an unlabeled
+    * row trains neither direction. Blockwise; the label rides the
+    * select chain, no join-back shuffle. */
+  def assembleBinaryPreference(spark: SparkSession, name: String,
+                               path: String, rows: DataFrame,
+                               idCol: String, promptCol: String,
+                               completionCol: String, labelCol: String,
+                               sepId: Option[Long] = None,
+                               eodId: Option[Long] = None,
+                               maxLen: Option[Long] = None,
+                               tokenizer: String = "bpe",
+                               truncation: String = "drop"): DataFrame = {
+    rows.schema(labelCol).dataType match {
+      case org.apache.spark.sql.types.BooleanType => ()
+      case other => throw new IllegalArgumentException(
+        s"assembleBinaryPreference: label column '$labelCol' must be " +
+          s"boolean (the desirable/undesirable bit), got ${other.simpleString}")
+    }
+    require(!Set(idCol, "input_ids", "n_tokens", "loss_from")
+        .contains(labelCol),
+      s"assembleBinaryPreference: label column '$labelCol' collides " +
+        "with an output column name")
+    assembleExamplesWith(
+        rows.filter(col(labelCol).isNotNull), idCol, promptCol,
+        completionCol, resolveTok(spark, name, path, tokenizer),
+        sepId, eodId, maxLen, truncation, passthrough = Seq(labelCol))
+      .withColumnRenamed(labelCol, "desirable")
+  }
+
   /** BEST-OF-N / REJECTION-SAMPLING selection — the RFT data shape
     * (Zelikman et al. 2022 STaR; Dong et al. 2023 RAFT): a sampler
     * emitted N candidate responses per prompt with a reward/verifier
@@ -488,14 +538,20 @@ object Sft {
               scoreCol: String, k: Int = 1,
               minScore: Option[Double] = None): DataFrame = {
     require(k >= 1, s"bestOfN: k must be >= 1, got $k")
-    cands.schema(scoreCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => ()
+    val floating = cands.schema(scoreCol).dataType match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _: org.apache.spark.sql.types.NumericType => false
       case other => throw new IllegalArgumentException(
         s"bestOfN: score column '$scoreCol' must be numeric, got " +
           other.simpleString)
     }
     val admitted = cands
       .filter(col(scoreCol).isNotNull)
+      // NaN is unranked like null — Spark orders NaN ABOVE every
+      // value, so letting it through would crown an unscored
+      // candidate the best-of-N winner
+      .filter(if (floating) !isnan(col(scoreCol)) else lit(true))
       .filter(minScore.fold(lit(true))(m => col(scoreCol) >= lit(m)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(promptCol))

@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
   *    (`continuing_subword_prefix`, `unk_token`,
   *    `max_input_chars_per_word` all carried)
   *  - `"Unigram"` → [[Unigram.importUnigramModel]] (the [piece, logp]
-  *    vocab array; `unk_id` refused as OOV is structural here)
+  *    vocab array; `unk_id` declares its piece a structural special —
+  *    OOV is structural here, and an unk piece at the published
+  *    logp 0 left in the lattice would dominate Viterbi)
   *
   * The file's `normalizer` block — the config the classic formats
   * could never carry — maps onto the stamped [[Normalize]] modes
@@ -233,6 +235,20 @@ object TokenizerJson {
       "tokenizer.json: normalizer must be an object or null")
   }
 
+  /** The published `Whitespace` pre-tokenizer regex, `\w+|[^\w\s]+`
+    * with the RUST engine's UNICODE `\w` — spelled as explicit
+    * property classes so Java (ASCII `\w` by default) and the SQL
+    * replays agree with the published splitting. */
+  private[graft] val WhitespacePattern: String =
+    """[\p{L}\p{M}\p{N}_]+|[^\p{L}\p{M}\p{N}_\s]+"""
+
+  /** The BERT basic-tokenizer split: words vs punctuation, where the
+    * published `is_punctuation` is Unicode P* PLUS the ASCII symbol
+    * characters ($ + < = > ^ ` | ~ — classified Sm/Sk/Sc, not P*, by
+    * Unicode but split by BERT); each punctuation char isolates. */
+  private[graft] val BertPrePattern: String =
+    """[^\s\p{P}$+<=>^`|~]+|[\p{P}$+<=>^`|~]"""
+
   /** A parsed `pre_tokenizer` block: the GPT-2 byte level, a word
     * regex, or the SentencePiece metaspace convention (Unigram-only —
     * the dispatch refuses it elsewhere). */
@@ -249,16 +265,30 @@ object TokenizerJson {
   private[graft] def preTokenizer(pre: J): PreTok = pre match {
     case JNull => PreTok(byteLevel = false, None)
     case JObj(f) => jstr(f.getOrElse("type", JNull), "pre_tokenizer.type") match {
-      case "ByteLevel" => PreTok(byteLevel = true, Some(Bpe.Gpt2WordPattern))
+      case "ByteLevel" =>
+        // the GPT-2 convention this engine serves: no injected prefix
+        // space, regex pre-split — a config that turns either off
+        // would silently shift word-initial ids on every document
+        require(!f.get("add_prefix_space").exists {
+            case JBool(b) => b; case _ => false
+          },
+          "tokenizer.json: ByteLevel add_prefix_space: true has no " +
+            "engine form — the serve never injects a leading space")
+        require(!f.get("use_regex").exists {
+            case JBool(b) => !b; case _ => false
+          },
+          "tokenizer.json: ByteLevel use_regex: false has no engine " +
+            "form — the serve always pre-splits on the GPT-2 regex")
+        PreTok(byteLevel = true, Some(Bpe.Gpt2WordPattern))
       case "WhitespaceSplit" => PreTok(byteLevel = false, None)
       case "Whitespace" =>
-        // the published Whitespace pre-tokenizer is the \w+|[^\w\s]+
-        // regex — carried verbatim so punctuation splits off words
-        PreTok(byteLevel = false, Some("""[\w]+|[^\w\s]+"""))
+        // the published Whitespace pre-tokenizer: Unicode \w runs vs
+        // non-word runs, so punctuation splits off words
+        PreTok(byteLevel = false, Some(WhitespacePattern))
       case "BertPreTokenizer" =>
         // whitespace split + punctuation isolation (the BERT basic
         // tokenizer's split step)
-        PreTok(byteLevel = false, Some("""[^\s\p{P}]+|[\p{P}]"""))
+        PreTok(byteLevel = false, Some(BertPrePattern))
       case "Metaspace" =>
         f.get("replacement").foreach { r =>
           require(jstr(r, "replacement") == "▁",
@@ -298,6 +328,11 @@ object TokenizerJson {
     val mtype = jstr(model.getOrElse("type", JNull), "model.type")
     val normalize = normalizeMode(root.getOrElse("normalizer", JNull))
     val pt = preTokenizer(root.getOrElse("pre_tokenizer", JNull))
+    require(!pt.byteLevel || mtype == "BPE",
+      s"tokenizer.json: a ByteLevel pre_tokenizer on model.type " +
+        s"'$mtype' has no engine form — byte-aliasing is the BPE " +
+        "family's import; dropping the stage would mis-tokenize " +
+        "every document")
     require(!pt.metaspace || mtype == "Unigram",
       s"tokenizer.json: the Metaspace pre-tokenizer is the " +
         s"SentencePiece family's convention — only the Unigram path " +
@@ -378,9 +413,19 @@ object TokenizerJson {
             StructField("piece_id", LongType))))
         // added control pieces (<pad>/</s>-style) in the vocab become
         // stamped structural ids — out of the lattice, usable as
-        // eod/sep/pad downstream (the BPE specialTokens contract)
+        // eod/sep/pad downstream (the BPE specialTokens contract).
+        // model.unk_id names a control piece too (published files
+        // carry it, often at logp 0 — left in the lattice it would
+        // DOMINATE Viterbi): fold it into the declared specials.
         val pieceSet = pieces.map(_._1).toSet
-        val specials = addedSpecials(root, pieceSet.contains)
+        val unkSpecial = model.get("unk_id").toSeq.map { j =>
+          val u = jlong(j, "model.unk_id")
+          require(u >= 0 && u < pieces.length,
+            s"tokenizer.json: unk_id $u is outside the vocab array")
+          pieces(u.toInt)._1
+        }
+        val specials =
+          (addedSpecials(root, pieceSet.contains) ++ unkSpecial).distinct
         Unigram.importUnigramModel(spark, piecesDf, name, path,
           wordPattern = wordPattern, normalize = normalize,
           metaspace = pt.metaspace, specialPieces = specials)
@@ -438,8 +483,8 @@ object TokenizerJson {
       Some("""{"type":"Metaspace","replacement":"▁","add_prefix_space":true}""")
     else wordPattern match {
       case None => Some("""{"type":"WhitespaceSplit"}""")
-      case Some("""[\w]+|[^\w\s]+""") => Some("""{"type":"Whitespace"}""")
-      case Some("""[^\s\p{P}]+|[\p{P}]""") =>
+      case Some(WhitespacePattern) => Some("""{"type":"Whitespace"}""")
+      case Some(BertPrePattern) =>
         Some("""{"type":"BertPreTokenizer"}""")
       case Some(p) => throw new IllegalArgumentException(
         s"exportTokenizerJson: word pattern '$p' has no published " +
@@ -509,6 +554,9 @@ object TokenizerJson {
         }${
           preTokJson(meta.byteLevel, meta.wordPattern, metaspace = false)
             .fold("")(p => s""""pre_tokenizer":$p,""")
+        }${ // external readers re-byte the alias alphabet on decode
+          if (meta.byteLevel) """"decoder":{"type":"ByteLevel"},"""
+          else ""
         }${
           addedJson(meta.specialIds,
             vocab.map { case (t, id) => id -> surf(t) }.toMap)
@@ -524,7 +572,7 @@ object TokenizerJson {
         }${
           preTokJson(byteLevel = false, meta.wordPattern,
             metaspace = false).fold("")(p => s""""pre_tokenizer":$p,""")
-        }${
+        }"decoder":{"type":"WordPiece","prefix":"${jesc(meta.contPrefix)}","cleanup":false},${
           addedJson(meta.specialIds,
             vocab.map { case (p, id) => id -> p }.toMap)
         }"model":{"type":"WordPiece","unk_token":"${jesc(meta.unkPiece)}","continuing_subword_prefix":"${jesc(meta.contPrefix)}","max_input_chars_per_word":${meta.maxInputChars},"vocab":{$vocabJson}}}""")
@@ -551,6 +599,10 @@ object TokenizerJson {
           preTokJson(byteLevel = false,
             if (meta.metaspace) None else meta.wordPattern,
             meta.metaspace).fold("")(p => s""""pre_tokenizer":$p,""")
+        }${ // the ▁→space inverse for external readers
+          if (meta.metaspace)
+            """"decoder":{"type":"Metaspace","replacement":"▁","add_prefix_space":true},"""
+          else ""
         }${
           addedJson(meta.specialIds,
             rows.map { case (p, _, id) => id -> p }.toMap)

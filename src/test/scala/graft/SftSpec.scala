@@ -146,6 +146,53 @@ class SftSpec extends SparkTestBase {
     }.getMessage.contains("nothing to truncate"))
   }
 
+  test("assembleBinaryPreference: the unpaired KTO shape — label rides through, null labels drop, ids equal assembleExamples, refusals") {
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("p", StringType), StructField("r", StringType),
+      StructField("good", BooleanType)))
+    val rows = df(sch,
+      Row(1L, "low lower", "newest widest", true),
+      Row(2L, null, "low", false),
+      Row(3L, "low", "newest", null)) // unlabeled: drops
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_kto").toString
+    try {
+      Bpe.writeBpeModel(corpus, "text", "kto", path, numMerges = 8)
+      val vocab = Bpe.vocabMap(spark.table("kto_bpe_vocab"))
+      val mx = vocab.values.max
+      val got = Sft.assembleBinaryPreference(spark, "kto", path, rows,
+          "id", "p", "r", "good",
+          sepId = Some(mx + 1L), eodId = Some(mx + 2L))
+        .orderBy("id").collect()
+      assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+      assert(got.map(_.getAs[Boolean]("desirable")).toSeq ===
+        Seq(true, false))
+      // ids/loss boundary are exactly the example assembler's
+      val plain = Sft.assembleExamplesIndexed(spark, "kto", path,
+          rows.select("id", "p", "r"), "id", "p", "r",
+          sepId = Some(mx + 1L), eodId = Some(mx + 2L))
+        .orderBy("id").collect()
+      assert(got.map(x => (x.getSeq[Long](1), x.getLong(3))).toSeq ===
+        plain.filter(_.getLong(0) <= 2L)
+          .map(x => (x.getSeq[Long](1), x.getLong(3))).toSeq)
+      // refusals: non-boolean label; output-name collision
+      assert(intercept[IllegalArgumentException] {
+        Sft.assembleBinaryPreference(spark, "kto", path,
+          rows.withColumn("g2", lit(1L)), "id", "p", "r", "g2")
+      }.getMessage.contains("must be boolean"))
+      assert(intercept[IllegalArgumentException] {
+        Sft.assembleBinaryPreference(spark, "kto", path,
+          rows.withColumn("n_tokens", lit(true)), "id", "p", "r",
+          "n_tokens")
+      }.getMessage.contains("collides"))
+    } finally {
+      Seq("kto_bpe", "kto_bpe_vocab").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(path))
+    }
+  }
+
   test("bestOfN: top-k per prompt, deterministic tie-break on cand id, null-score and sub-floor drop, refusals") {
     val sch = StructType(Seq(StructField("pid", LongType),
       StructField("cid", LongType), StructField("score", DoubleType),
@@ -154,8 +201,9 @@ class SftSpec extends SparkTestBase {
       Row(1L, 10L, 0.7, "a"), Row(1L, 11L, 0.9, "b"),
       Row(1L, 12L, 0.9, "c"),          // tie with cid 11 — 11 wins
       Row(1L, 13L, null, "d"),         // unscored: drops
+      Row(1L, 9L, Double.NaN, "g"),    // NaN sorts ABOVE every score
       Row(2L, 20L, 0.2, "e"),          // below floor with minScore
-      Row(2L, 21L, 0.5, "f"))
+      Row(2L, 21L, 0.5, "f"))          //   — unranked like null: drops
     def sel(k: Int, floor: Option[Double]) =
       Sft.bestOfN(cands, "pid", "cid", "score", k, floor)
         .select("pid", "cid", "cand_rank").orderBy("pid", "cand_rank")
@@ -246,6 +294,24 @@ class SftSpec extends SparkTestBase {
         Sft.chatTemplate(Map("user" -> vocab("low"), "assistant" -> a),
           end))
     }.getMessage.contains("collides"))
+    // EMPTY FINAL LOSS TURN under an empty-suffix template: the eod
+    // must NOT extend the earlier assistant's span (that would label
+    // the later user role-header a loss position and leave the eod
+    // unmasked) — it gets its own len-1 span at the document end
+    val bare = Map(
+      "user" -> Sft.TurnTemplate(Seq(u), Nil, loss = false),
+      "assistant" -> Sft.TurnTemplate(Seq(a), Nil, loss = true))
+    val edge = Sft.assembleConversation(
+        df(sch, Row(7L, Seq(turn("user", "low"),
+          turn("assistant", "lower"), turn("user", "newest"),
+          turn("assistant", null)))),
+        "id", "turns", merges, vocab, bare, eodId = Some(eod))
+      .head()
+    assert(edge.getSeq[Long](1) ===
+      Seq(u, lo, a, lo, e_, r_, u, ne, a, eod))
+    assert(edge.getSeq[Row](3).map(s => (s.getLong(0), s.getLong(1))) ===
+      Seq((3L, 3L), (9L, 1L)),
+      "earlier span untouched; the eod trains under its own span")
   }
 
   test("assembleConversation: degenerate two-turn template reproduces assembleExamples bit-exactly; output packs") {

@@ -293,6 +293,53 @@ class TokenizerJsonSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("hardening: ByteLevel refuses off-BPE and exotic options; unk_id declares the unk piece structural") {
+    // a ByteLevel stage on a non-BPE model would be silently dropped
+    // (byte-aliasing is the BPE import's) — refuse instead
+    assert(intercept[IllegalArgumentException] {
+      TokenizerJson.importTokenizerJson(spark, writeTmp(
+        """{"pre_tokenizer": {"type": "ByteLevel"},
+           "model": {"type": "Unigram", "vocab": [["a", -1.0]]}}"""),
+        "tjblu", tmpDir("graft_tj_blu"))
+    }.getMessage.contains("ByteLevel pre_tokenizer on model.type"))
+    // options the serve cannot honor refuse like Metaspace's
+    assert(intercept[IllegalArgumentException] {
+      TokenizerJson.importTokenizerJson(spark, writeTmp(
+        """{"pre_tokenizer": {"type": "ByteLevel", "add_prefix_space": true},
+           "model": {"type": "BPE", "vocab": {"a": 0}, "merges": []}}"""),
+        "tjblp", tmpDir("graft_tj_blp"))
+    }.getMessage.contains("add_prefix_space"))
+    assert(intercept[IllegalArgumentException] {
+      TokenizerJson.importTokenizerJson(spark, writeTmp(
+        """{"pre_tokenizer": {"type": "ByteLevel", "use_regex": false},
+           "model": {"type": "BPE", "vocab": {"a": 0}, "merges": []}}"""),
+        "tjblr", tmpDir("graft_tj_blr"))
+    }.getMessage.contains("use_regex"))
+    // model.unk_id names a control piece (published files carry it at
+    // logp 0 — left in the lattice it would DOMINATE Viterbi): it
+    // stamps structural and never matches literal text
+    val pU = tmpDir("graft_tj_unk")
+    assert(TokenizerJson.importTokenizerJson(spark, writeTmp(
+      """{"model": {"type": "Unigram", "unk_id": 0, "vocab":
+           [["<unk>", 0.0], ["a", -1.0], ["b", -1.2], ["<", -2.0],
+            ["u", -2.1], ["n", -2.2], ["k", -2.3], [">", -2.4]]}}"""),
+      "tjunk", pU) === "unigram")
+    try {
+      assert(Unigram.readUniMeta(spark, pU).specialIds === Seq(0L))
+      val enc = Unigram.encodeIdsIndexed(spark, "tjunk", pU,
+          df(docSchema, Row(1L, "<unk>")), "doc_id", "text")
+        .orderBy("word_pos", "tok_pos").collect().map(_.getLong(3)).toSeq
+      assert(enc === Seq(3L, 4L, 5L, 6L, 7L), enc.toString)
+      // out-of-range unk_id refuses
+      assert(intercept[IllegalArgumentException] {
+        TokenizerJson.importTokenizerJson(spark, writeTmp(
+          """{"model": {"type": "Unigram", "unk_id": 9, "vocab":
+               [["a", -1.0]]}}"""),
+          "tjunk2", tmpDir("graft_tj_unk2"))
+      }.getMessage.contains("outside the vocab array"))
+    } finally spark.sql("DROP TABLE IF EXISTS tjunk_uni")
+  }
+
   test("Metaspace pre-tokenizer: the T5/LLaMA-class tokenizer.json serves identically to the stamped metaspace import; non-Unigram and exotic configs refuse") {
     val json = s"""{
       "normalizer": null,
