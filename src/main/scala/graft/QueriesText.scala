@@ -5025,6 +5025,110 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // T5 SPAN CORRUPTION (r16 cont): the denoising pretraining
+    // objective over per-doc id streams (first 200 ids, key = doc_id,
+    // seed 0, span 3 / block 20, sentinelBase = mx+100). The oracle
+    // replays the ENTIRE geometry in SQL: the two-round
+    // xorshift-multiply per-(key, block) offset draw (>> as integer
+    // ops), the per-block input splice (before-span ++ sentinel_k ++
+    // after-span), the target stream (sentinel_k ++ span ids, closed
+    // by the final sentinel), and the uncorrupted tail passthrough.
+    r.reg("q_span_corrupt",
+      s"""WITH ${bpeTrainCtes(8)},
+         |$bpeVocabCtes,
+         |sc0 AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+         |scw AS (
+         |  SELECT doc_id, i, ws[CAST(i AS INT)] AS w
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS i
+         |        FROM sc0)),
+         |sce AS (
+         |  SELECT doc_id, i,
+         |    string_split(trim($bpeNestedSql), '  ') AS etoks
+         |  FROM scw),
+         |sct AS (
+         |  SELECT doc_id, i, CAST(j AS INT) AS j,
+         |    etoks[CAST(j AS INT)] AS token
+         |  FROM (SELECT doc_id, i, etoks,
+         |          unnest(range(1, len(etoks)+1)) AS j FROM sce)),
+         |sci AS (
+         |  SELECT t.doc_id, t.i, t.j, COALESCE(v.token_id, -1) AS tid
+         |  FROM sct t LEFT JOIN bvocab v USING (token)),
+         |scm AS (SELECT CAST(max(token_id) AS BIGINT) AS mx FROM bvocab),
+         |sca AS (
+         |  SELECT doc_id, (list(tid ORDER BY i, j))[1:200] AS ids
+         |  FROM sci GROUP BY doc_id),
+         |scc AS (
+         |  SELECT doc_id, ids, CAST(len(ids)//20 AS BIGINT) AS nb
+         |  FROM sca WHERE len(ids) >= 1),
+         |scb AS (
+         |  SELECT doc_id, ids, blk,
+         |    (xor(r2, r2 >> 13) * 2246822519) % 4294967296 % 18 AS o,
+         |    mx
+         |  FROM (
+         |    SELECT doc_id, ids, blk, ((xor(s0, s0 >> 15) * 2654435761)
+         |        % 4294967296) % 2147483648 AS r2, mx
+         |    FROM (
+         |      SELECT doc_id, ids,
+         |        (doc_id % 2147483648 +
+         |         (blk * 1779033703) % 2147483648) % 2147483648 AS s0,
+         |        blk, mx
+         |      FROM (SELECT doc_id, ids, unnest(range(0, nb)) AS blk
+         |            FROM scc), scm))),
+         |sck AS (
+         |  SELECT doc_id, blk,
+         |    list_concat(list_concat(
+         |      ids[CAST(blk*20+1 AS INT):CAST(blk*20+o AS INT)],
+         |      [CAST(mx+100-blk AS BIGINT)]),
+         |      ids[CAST(blk*20+o+4 AS INT):CAST((blk+1)*20 AS INT)])
+         |      AS inp_b,
+         |    list_concat([CAST(mx+100-blk AS BIGINT)],
+         |      ids[CAST(blk*20+o+1 AS INT):CAST(blk*20+o+3 AS INT)])
+         |      AS tgt_b
+         |  FROM scb),
+         |scg AS (
+         |  SELECT doc_id,
+         |    flatten(list(inp_b ORDER BY blk)) AS inp,
+         |    flatten(list(tgt_b ORDER BY blk)) AS tgt
+         |  FROM sck GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  array_to_string(list_transform(
+         |    list_concat(COALESCE(g.inp, []),
+         |      d.ids[CAST(d.nb*20+1 AS INT):CAST(len(d.ids) AS INT)]),
+         |    x -> CAST(x AS VARCHAR)), ' ') AS ids_text,
+         |  array_to_string(list_transform(
+         |    list_concat(COALESCE(g.tgt, []),
+         |      [CAST(mx+100-d.nb AS BIGINT)]),
+         |    x -> CAST(x AS VARCHAR)), ' ') AS tgt_text,
+         |  d.nb AS n_spans
+         |FROM scc d LEFT JOIN scg g USING (doc_id), scm
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      ensurePbpeModel(s, dir)
+      val merges = graft.llm.Bpe.mergeList(s.table("g_pbpe_bpe"))
+      val vocab = graft.llm.Bpe.vocabMap(s.table("g_pbpe_bpe_vocab"))
+      val mx = vocab.values.max
+      val words = filter(split(col("text"), " ", -1), w => length(w) >= 1)
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 100 && col("text").isNotNull)
+        .withColumn("__ids__", slice(flatten(transform(words, w =>
+          graft.functions.TextHashExprs.bpeEncodeIds(w, merges, vocab,
+            byteLevel = false))), 1, 200))
+        .filter(size(col("__ids__")) >= 1)
+        .select(col("doc_id"), col("__ids__"))
+      graft.llm.Denoise.spanCorrupt(docs, "doc_id", "__ids__",
+          sentinelBase = mx + 100L)
+        .select(col("doc_id"),
+          concat_ws(" ",
+            transform(col("__ids__"), x => x.cast("string")))
+            .as("ids_text"),
+          concat_ws(" ",
+            transform(col("target_ids"), x => x.cast("string")))
+            .as("tgt_text"),
+          col("n_spans"))
+        .orderBy("doc_id")
+    }
+
     // BEST-OF-N / REJECTION SAMPLING (r16): the RFT selection shape —
     // N scored candidates per prompt, keep the top k at or above the
     // score floor, ranked (score DESC, cand_id ASC) so ties never flap.

@@ -201,8 +201,10 @@ object SparkEntry {
     "q_sft_examples_wp",
     // r16 cont: the RFT selection shape — ONE hash shuffle on the
     // prompt key + a per-group row_number (group size = the sampler
-    // fan-out, a constant; no skew at any corpus scale)
-    "q_rft_best")
+    // fan-out, a constant; no skew at any corpus scale) — and the T5
+    // span-corruption objective (blockwise HOF arithmetic fused into
+    // the scan; ~linear in corpus tokens)
+    "q_rft_best", "q_span_corrupt")
 
   /** Untimed per-query preparation Bench runs ONCE before the timed
     * passes (r10 verdict #3): the steady-state ingest entries build and

@@ -1,0 +1,128 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** T5-style SPAN CORRUPTION — the denoising pretraining objective
+  * (Raffel et al. 2020 §3.1.4: replace token spans with sentinels,
+  * train the model to reconstruct them; the reference corpus op for
+  * encoder-decoder pretraining data).
+  *
+  * Geometry: each window's id stream partitions into fixed BLOCKS of
+  * `blockSize` ids; every complete block corrupts exactly one span of
+  * `spanLen` ids whose offset inside the block draws deterministically
+  * from (key, block). Noise density is exactly spanLen/blockSize (the
+  * published noise_density knob — the default 3/20 is T5's 15% with
+  * mean span 3), spans can never overlap, and the whole placement
+  * replays from the formula alone (integer ops only — the engine
+  * determinism contract; published T5 places spans from an RNG, this
+  * is the same objective under a hash-seeded placement, stated, not
+  * hidden). The draw is the [[Bpe.fimTransform]] two-round
+  * xorshift-multiply with the BLOCK INDEX folded in before the
+  * avalanche rounds — per-block offsets are mutually decorrelated
+  * (an affine hash would make every block's offset a constant shift
+  * of its neighbor's). A trailing partial block passes through
+  * uncorrupted (landed windows are full-size by construction, so at
+  * most one window per stream even has one).
+  *
+  * Layout (the published sentinel convention, descending extra_ids):
+  * inputs replace span k (block k, left to right) with sentinel id
+  * `sentinelBase - k`; targets are `sentinel_k ++ span_k ids`
+  * concatenated over spans, closed by the final sentinel
+  * `sentinelBase - nSpans`. Sentinels must sit OUTSIDE the content id
+  * space — a content id inside the window's live sentinel range
+  * refuses AT EXECUTION (a silent collision would teach the model to
+  * emit text where the mask belongs).
+  *
+  * Scale shape: blockwise higher-order-function arithmetic over the
+  * ids array — fuses into the scan, no shuffle, no driver state;
+  * ~linear in corpus tokens at any scale. */
+object Denoise {
+
+  /** The deterministic per-(key, block) offset draw — column form of
+    * [[Bpe.fimTransform]]'s h(): two xorshift-multiply avalanche
+    * rounds over (key mod 2^31) with (seed + b·1779033703) folded in
+    * first. Replays in SQL with %, xor and >> only. */
+  private def blockHash(key: Column, b: Column, seed: Long): Column = {
+    val s0 = pmod(
+      pmod(key.cast("long"), lit(2147483648L)) +
+        pmod(lit(seed) + b * lit(1779033703L), lit(2147483648L)),
+      lit(2147483648L))
+    val r1 = pmod(
+      s0.bitwiseXOR(shiftright(s0, 15)) * lit(2654435761L),
+      lit(4294967296L))
+    val r2 = pmod(r1, lit(2147483648L))
+    pmod(r2.bitwiseXOR(shiftright(r2, 13)) * lit(2246822519L),
+      lit(4294967296L))
+  }
+
+  /** Corrupt `idsCol` (array&lt;long&gt;) keyed on integral `keyCol`:
+    * output keeps every other column, replaces `idsCol` with the
+    * corrupted encoder input, and adds `target_ids` (the decoder
+    * stream) and `n_spans`. */
+  def spanCorrupt(windows: DataFrame, keyCol: String, idsCol: String,
+                  sentinelBase: Long, spanLen: Int = 3,
+                  blockSize: Int = 20, seed: Long = 0L): DataFrame = {
+    require(spanLen >= 1, s"spanCorrupt: spanLen must be >= 1, got $spanLen")
+    require(spanLen < blockSize,
+      s"spanCorrupt: spanLen $spanLen must be < blockSize $blockSize — " +
+        "a whole-block span leaves no context inside the block " +
+        "(density 1 is deletion, not denoising)")
+    windows.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"spanCorrupt: key column '$keyCol' must be an integral type " +
+          s"(the deterministic draw hashes it as long), got ${other.simpleString}")
+    }
+    val b = lit(blockSize.toLong)
+    val m = lit(spanLen.toLong)
+    val n = size(col(idsCol)).cast("long")
+    // complete blocks; the tail passes through
+    val nb = graft.QHelp.floorDiv(n, blockSize.toLong)
+    val blocks = when(nb >= 1L,
+      sequence(lit(0L), nb - 1L)).otherwise(
+      array().cast("array<bigint>"))
+    def off(blk: Column): Column =
+      pmod(blockHash(col(keyCol), blk, seed), b - m + lit(1L))
+    def intc(c: Column): Column = c.cast("int")
+    val inputBlocks = flatten(transform(blocks, blk => {
+      val o = off(blk)
+      concat(
+        slice(col(idsCol), intc(blk * b + lit(1L)), intc(o)),
+        array(lit(sentinelBase) - blk),
+        slice(col(idsCol), intc(blk * b + o + m + lit(1L)),
+          intc(b - o - m)))
+    }))
+    val tail = slice(col(idsCol), intc(nb * b + lit(1L)),
+      intc(n - nb * b))
+    val targetBlocks = flatten(transform(blocks, blk => {
+      val o = off(blk)
+      concat(array(lit(sentinelBase) - blk),
+        slice(col(idsCol), intc(blk * b + o + lit(1L)), intc(m)))
+    }))
+    // live sentinel range for THIS row: [sentinelBase - nb, sentinelBase]
+    val clash = exists(col(idsCol), x =>
+      x >= lit(sentinelBase) - nb && x <= lit(sentinelBase))
+    val inputIds = when(clash,
+      raise_error(concat(
+        lit(s"spanCorrupt: a content id inside the live sentinel range ["),
+        (lit(sentinelBase) - nb).cast("string"),
+        lit(s", $sentinelBase] — reserve sentinelBase above the " +
+          "vocabulary with headroom for nSpans+1 sentinels")))
+        .cast("array<bigint>"))
+      .otherwise(concat(inputBlocks, tail))
+    val targetIds = concat(targetBlocks,
+      array(lit(sentinelBase) - nb))
+    // target/n_spans BEFORE the in-place ids replacement: in one
+    // select list, Spark's lateral column alias resolution would bind
+    // the target's `ids` reference to the ALREADY-CORRUPTED alias
+    // (spans of sentinels, shifted positions), not the source column
+    windows
+      .withColumn("target_ids", targetIds)
+      .withColumn("n_spans", nb)
+      .withColumn(idsCol, inputIds)
+  }
+}
