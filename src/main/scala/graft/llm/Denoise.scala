@@ -39,6 +39,13 @@ import org.apache.spark.sql.functions._
   * ~linear in corpus tokens at any scale. */
 object Denoise {
 
+  /** The [[spanCorrupt]] parameter record — the form the loader path
+    * ([[Pipeline.loadWindows]]) takes, so the objective rides the load
+    * stream with its parameters recorded in one place (the
+    * [[Bpe.FimSpec]] pattern). */
+  final case class SpanSpec(sentinelBase: Long, spanLen: Int = 3,
+                            blockSize: Int = 20, seed: Long = 0L)
+
   /** The deterministic per-(key, block) offset draw — column form of
     * [[Bpe.fimTransform]]'s h(): two xorshift-multiply avalanche
     * rounds over (key mod 2^31) with (seed + b·1779033703) folded in

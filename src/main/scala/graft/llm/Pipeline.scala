@@ -1056,7 +1056,11 @@ object Pipeline {
     * address durable work by (shard_label, split, window_id). */
   def loadWindows(spark: org.apache.spark.sql.SparkSession,
                   outPath: String, split: String,
-                  fim: Option[Bpe.FimSpec] = None): DataFrame = {
+                  fim: Option[Bpe.FimSpec] = None,
+                  denoise: Option[Denoise.SpanSpec] = None): DataFrame = {
+    require(fim.isEmpty || denoise.isEmpty,
+      "loadWindows: fim and denoise are mutually exclusive — the two " +
+        "objectives rearrange the same id stream; run separate epochs")
     val base = globalWindowIds(spark, outPath)
       .filter(col("split") === split)
     // FILL-IN-THE-MIDDLE rides the load stream (Bavarian et al. 2022 —
@@ -1065,15 +1069,24 @@ object Pipeline {
     // the deterministic per-key gate + cuts key on global_id, so the
     // transformed stream is reproducible across runs and equals
     // fimTransform over the plain load (spec-pinned). Blockwise — it
-    // fuses into the scan before the one range shuffle.
-    val transformed = fim.fold(base) { f =>
+    // fuses into the scan before the one range shuffle. SPAN
+    // CORRUPTION rides the same way (one landing serves causal, FIM
+    // and denoising epochs — the objective is a load-time choice).
+    def requireIds(what: String): Unit =
       require(base.columns.contains("window_ids"),
-        "loadWindows: fim applies to ID landings (window_ids) — a text " +
-          "landing has no id sequence to rearrange")
+        s"loadWindows: $what applies to ID landings (window_ids) — a " +
+          "text landing has no id sequence to rearrange")
+    val transformed = fim.fold(base) { f =>
+      requireIds("fim")
       Bpe.fimTransform(base, "global_id", "window_ids",
         f.rate, f.seed, f.preId, f.sufId, f.midId, f.mode)
     }
-    transformed
+    val corrupted = denoise.fold(transformed) { d =>
+      requireIds("denoise")
+      Denoise.spanCorrupt(transformed, "global_id", "window_ids",
+        d.sentinelBase, d.spanLen, d.blockSize, d.seed)
+    }
+    corrupted
       .repartitionByRange(col("global_id"))
       .sortWithinPartitions("global_id")
   }

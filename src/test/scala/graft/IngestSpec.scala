@@ -1385,6 +1385,31 @@ class IngestSpec extends SparkTestBase {
         Pipeline.loadWindows(spark, outText, "train", fim = Some(fs))
       }
       assert(e.getMessage.contains("ID landings"))
+      // SPAN CORRUPTION rides the same loader: equals spanCorrupt over
+      // the plain load, key-deterministic, same refusals
+      val ds = graft.llm.Denoise.SpanSpec(sentinelBase = 9100L,
+        spanLen = 3, blockSize = 20, seed = 5L)
+      def dkeyed(d: org.apache.spark.sql.DataFrame) =
+        d.select("global_id", "window_ids", "target_ids", "n_spans")
+          .collect()
+          .map(r => r.getLong(0) ->
+            (r.getSeq[Long](1), r.getSeq[Long](2), r.getLong(3)))
+          .toMap
+      val dViaLoader = dkeyed(Pipeline.loadWindows(spark, out, "train",
+        denoise = Some(ds)))
+      val dViaOp = dkeyed(graft.llm.Denoise.spanCorrupt(
+        Pipeline.loadWindows(spark, out, "train"), "global_id",
+        "window_ids", ds.sentinelBase, ds.spanLen, ds.blockSize, ds.seed))
+      assert(dViaLoader.nonEmpty && dViaLoader === dViaOp)
+      assert(dViaLoader.values.exists(_._3 >= 1L),
+        "64-id windows must carry at least 3 complete blocks")
+      assert(intercept[IllegalArgumentException] {
+        Pipeline.loadWindows(spark, outText, "train", denoise = Some(ds))
+      }.getMessage.contains("ID landings"))
+      assert(intercept[IllegalArgumentException] {
+        Pipeline.loadWindows(spark, out, "train", fim = Some(fs),
+          denoise = Some(ds))
+      }.getMessage.contains("mutually exclusive"))
     } finally {
       dropIndex("lwf_t")
       Seq("lwf_bpe_bpe", "lwf_bpe_bpe_vocab").foreach(t =>
