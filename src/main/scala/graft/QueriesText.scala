@@ -4784,19 +4784,14 @@ object QueriesText {
         .orderBy("doc_id", "word_pos", "tok_pos")
     }
 
-    // SFT example assembly (r15): (prompt, response) pairs → training
-    // tensors under the persisted model — input_ids = enc(prompt) ++
-    // [sep] ++ enc(response) ++ [eod] with the loss-mask boundary
-    // loss_from = |enc(prompt)| + 1. Pairs derive from documents (first
-    // half of each doc's words as prompt, rest as response) so the
-    // fixture is corpus-shaped at every scale; the oracle replays the
-    // per-word encode on BOTH sides of the boundary, tags each word's
-    // side, and re-derives the concatenated ids, the structural sep/eod
-    // ids (vocab max + 1/+2) and the mask boundary exactly.
-    r.reg("q_sft_examples",
-      s"""WITH ${bpeTrainCtes(8)},
-         |$bpeVocabCtes,
-         |sft0 AS (SELECT doc_id,
+    // The shared SFT oracle chain (q_sft_examples / q_sft_pack /
+    // q_sft_truncate / q_kto_pairs): each doc's words side-tag into
+    // prompt (first half) and response, replay the per-word BPE
+    // encode, and aggregate into (pids, rids) id lists plus the vocab
+    // max (sftm) — ONE definition so a fix to the encode/side-tagging
+    // arithmetic can never leave the four oracles diverged.
+    val sftSideCtes: String =
+      s"""sft0 AS (SELECT doc_id,
          |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
          |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
          |sft1 AS (SELECT doc_id, ws, CAST(len(ws)//2 AS BIGINT) AS np
@@ -4825,7 +4820,21 @@ object QueriesText {
          |  SELECT doc_id,
          |    list(tid ORDER BY i, j) FILTER (WHERE side = 0) AS pids,
          |    list(tid ORDER BY i, j) FILTER (WHERE side = 1) AS rids
-         |  FROM sfti GROUP BY doc_id)
+         |  FROM sfti GROUP BY doc_id)""".stripMargin
+
+    // SFT example assembly (r15): (prompt, response) pairs → training
+    // tensors under the persisted model — input_ids = enc(prompt) ++
+    // [sep] ++ enc(response) ++ [eod] with the loss-mask boundary
+    // loss_from = |enc(prompt)| + 1. Pairs derive from documents (first
+    // half of each doc's words as prompt, rest as response) so the
+    // fixture is corpus-shaped at every scale; the oracle replays the
+    // per-word encode on BOTH sides of the boundary, tags each word's
+    // side, and re-derives the concatenated ids, the structural sep/eod
+    // ids (vocab max + 1/+2) and the mask boundary exactly.
+    r.reg("q_sft_examples",
+      s"""WITH ${bpeTrainCtes(8)},
+         |$bpeVocabCtes,
+         |$sftSideCtes
          |SELECT doc_id,
          |  array_to_string(list_transform(
          |    list_concat(list_concat(list_concat(
@@ -4874,36 +4883,7 @@ object QueriesText {
     r.reg("q_sft_truncate",
       s"""WITH ${bpeTrainCtes(8)},
          |$bpeVocabCtes,
-         |sft0 AS (SELECT doc_id,
-         |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
-         |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
-         |sft1 AS (SELECT doc_id, ws, CAST(len(ws)//2 AS BIGINT) AS np
-         |  FROM sft0 WHERE len(ws) >= 2),
-         |sftw AS (
-         |  SELECT doc_id, np, i,
-         |    CASE WHEN i <= np THEN 0 ELSE 1 END AS side,
-         |    ws[CAST(i AS INT)] AS w
-         |  FROM (SELECT doc_id, np, ws, unnest(range(1, len(ws)+1)) AS i
-         |        FROM sft1)),
-         |sfte AS (
-         |  SELECT doc_id, np, i, side,
-         |    string_split(trim($bpeNestedSql), '  ') AS etoks
-         |  FROM sftw),
-         |sftt AS (
-         |  SELECT doc_id, np, i, side, CAST(j AS INT) AS j,
-         |    etoks[CAST(j AS INT)] AS token
-         |  FROM (SELECT doc_id, np, i, side, etoks,
-         |          unnest(range(1, len(etoks)+1)) AS j FROM sfte)),
-         |sfti AS (
-         |  SELECT t.doc_id, t.i, t.side, t.j,
-         |    COALESCE(v.token_id, -1) AS tid
-         |  FROM sftt t LEFT JOIN bvocab v USING (token)),
-         |sftm AS (SELECT CAST(max(token_id) AS BIGINT) AS mx FROM bvocab),
-         |sfta AS (
-         |  SELECT doc_id,
-         |    list(tid ORDER BY i, j) FILTER (WHERE side = 0) AS pids,
-         |    list(tid ORDER BY i, j) FILTER (WHERE side = 1) AS rids
-         |  FROM sfti GROUP BY doc_id),
+         |$sftSideCtes,
          |sftz AS (
          |  SELECT doc_id,
          |    list_concat(COALESCE(pids, []), [mx+1]) AS pfull,
@@ -4956,36 +4936,7 @@ object QueriesText {
     r.reg("q_kto_pairs",
       s"""WITH ${bpeTrainCtes(8)},
          |$bpeVocabCtes,
-         |sft0 AS (SELECT doc_id,
-         |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
-         |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
-         |sft1 AS (SELECT doc_id, ws, CAST(len(ws)//2 AS BIGINT) AS np
-         |  FROM sft0 WHERE len(ws) >= 2),
-         |sftw AS (
-         |  SELECT doc_id, np, i,
-         |    CASE WHEN i <= np THEN 0 ELSE 1 END AS side,
-         |    ws[CAST(i AS INT)] AS w
-         |  FROM (SELECT doc_id, np, ws, unnest(range(1, len(ws)+1)) AS i
-         |        FROM sft1)),
-         |sfte AS (
-         |  SELECT doc_id, np, i, side,
-         |    string_split(trim($bpeNestedSql), '  ') AS etoks
-         |  FROM sftw),
-         |sftt AS (
-         |  SELECT doc_id, np, i, side, CAST(j AS INT) AS j,
-         |    etoks[CAST(j AS INT)] AS token
-         |  FROM (SELECT doc_id, np, i, side, etoks,
-         |          unnest(range(1, len(etoks)+1)) AS j FROM sfte)),
-         |sfti AS (
-         |  SELECT t.doc_id, t.i, t.side, t.j,
-         |    COALESCE(v.token_id, -1) AS tid
-         |  FROM sftt t LEFT JOIN bvocab v USING (token)),
-         |sftm AS (SELECT CAST(max(token_id) AS BIGINT) AS mx FROM bvocab),
-         |sfta AS (
-         |  SELECT doc_id,
-         |    list(tid ORDER BY i, j) FILTER (WHERE side = 0) AS pids,
-         |    list(tid ORDER BY i, j) FILTER (WHERE side = 1) AS rids
-         |  FROM sfti GROUP BY doc_id)
+         |$sftSideCtes
          |SELECT doc_id,
          |  array_to_string(list_transform(
          |    list_concat(list_concat(list_concat(
@@ -5192,36 +5143,7 @@ object QueriesText {
         " % 2147483648) * 2654435761 % 4294967296"
       s"""WITH RECURSIVE ${bpeTrainCtes(8)},
          |$bpeVocabCtes,
-         |sft0 AS (SELECT doc_id,
-         |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
-         |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
-         |sft1 AS (SELECT doc_id, ws, CAST(len(ws)//2 AS BIGINT) AS np
-         |  FROM sft0 WHERE len(ws) >= 2),
-         |sftw AS (
-         |  SELECT doc_id, np, i,
-         |    CASE WHEN i <= np THEN 0 ELSE 1 END AS side,
-         |    ws[CAST(i AS INT)] AS w
-         |  FROM (SELECT doc_id, np, ws, unnest(range(1, len(ws)+1)) AS i
-         |        FROM sft1)),
-         |sfte AS (
-         |  SELECT doc_id, np, i, side,
-         |    string_split(trim($bpeNestedSql), '  ') AS etoks
-         |  FROM sftw),
-         |sftt AS (
-         |  SELECT doc_id, np, i, side, CAST(j AS INT) AS j,
-         |    etoks[CAST(j AS INT)] AS token
-         |  FROM (SELECT doc_id, np, i, side, etoks,
-         |          unnest(range(1, len(etoks)+1)) AS j FROM sfte)),
-         |sfti AS (
-         |  SELECT t.doc_id, t.i, t.side, t.j,
-         |    COALESCE(v.token_id, -1) AS tid
-         |  FROM sftt t LEFT JOIN bvocab v USING (token)),
-         |sftm AS (SELECT CAST(max(token_id) AS BIGINT) AS mx FROM bvocab),
-         |sfta AS (
-         |  SELECT doc_id,
-         |    list(tid ORDER BY i, j) FILTER (WHERE side = 0) AS pids,
-         |    list(tid ORDER BY i, j) FILTER (WHERE side = 1) AS rids
-         |  FROM sfti GROUP BY doc_id),
+         |$sftSideCtes,
          |spk0 AS (
          |  SELECT doc_id,
          |    list_concat(list_concat(list_concat(

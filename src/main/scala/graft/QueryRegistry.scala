@@ -36,7 +36,7 @@ object QHelp {
     * The pid folds in so concurrent evidence runs (a test JVM next to
     * two verify sweeps — the documented 477/478 repro) can never share
     * or corrupt each other's persisted-index fixtures; within one JVM
-    * the stamp-file caching across queries still works. Fixture
+    * the stamp-file caching across queries still works.
     * A shutdown hook deletes the root at JVM exit — without it every
     * verify/bench/test JVM would leave its full fixture set (indexes,
     * tokenizer models, ingest snapshots) in tmp, unbounded across CI

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1170,6 +1170,30 @@ object Bpe {
                            preId: Long, sufId: Long, midId: Long,
                            mode: String = "psm")
 
+  /** THE single definition of the deterministic per-(key, draw-index)
+    * hash every hash-seeded data transform draws from ([[fimTransform]]
+    * gates/cuts, [[Denoise.spanCorrupt]] span offsets): two
+    * xorshift-multiply avalanche rounds over (key mod 2^31) with
+    * (seed + idx·1779033703) folded in BEFORE the rounds, so draws at
+    * different indices are mutually decorrelated per key (an affine
+    * hash's draws differ by a CONSTANT mod 2^32 — the r15-ADVICE
+    * corpus-wide-constant-gap defect). Integer ops only (pmod, xor,
+    * shiftright), so oracles replay it verbatim in SQL; a second copy
+    * of the formula could silently diverge from those mirrors — keep
+    * this the only one (the [[graft.QHelp.keyHash31]] discipline). */
+  private[llm] def drawHash(key: Column, idx: Column, seed: Long): Column = {
+    val s0 = pmod(
+      pmod(key.cast("long"), lit(2147483648L)) +
+        pmod(lit(seed) + idx * lit(1779033703L), lit(2147483648L)),
+      lit(2147483648L))
+    val r1 = pmod(
+      s0.bitwiseXOR(shiftright(s0, 15)) * lit(2654435761L),
+      lit(4294967296L))
+    val r2 = pmod(r1, lit(2147483648L))
+    pmod(r2.bitwiseXOR(shiftright(r2, 13)) * lit(2246822519L),
+      lit(4294967296L))
+  }
+
   def fimTransform(frame: DataFrame, keyCol: String, idsCol: String,
                    rate: Double, seed: Long,
                    preId: Long, sufId: Long, midId: Long,
@@ -1196,23 +1220,7 @@ object Bpe {
         "distinct and not the -1 OOV sentinel — reserve ids outside the " +
         "vocabulary (the eodId/padId contract)")
     val threshold = (rate * 4294967296L).toLong
-    // two-round xorshift-multiply: the draw index folds into the seed
-    // BEFORE two avalanche rounds, so h(0)/h(1)/h(2) are mutually
-    // decorrelated per key (an affine hash's draws differ by a
-    // CONSTANT mod 2^32 — the cut gap would be corpus-wide constant)
-    def h(off: Long) = {
-      val s0 = pmod(
-        pmod(col(keyCol).cast("long"), lit(2147483648L)) +
-          lit(java.lang.Math.floorMod(seed + off * 1779033703L,
-            2147483648L)),
-        lit(2147483648L))
-      val r1 = pmod(
-        s0.bitwiseXOR(shiftright(s0, 15)) * lit(2654435761L),
-        lit(4294967296L))
-      val r2 = pmod(r1, lit(2147483648L))
-      pmod(r2.bitwiseXOR(shiftright(r2, 13)) * lit(2246822519L),
-        lit(4294967296L))
-    }
+    def h(off: Long) = drawHash(col(keyCol), lit(off), seed)
     val n = size(col(idsCol)).cast("long")
     val u1 = pmod(h(1L), n + lit(1L))
     val u2 = pmod(h(2L), n + lit(1L))

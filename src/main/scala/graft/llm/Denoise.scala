@@ -46,22 +46,9 @@ object Denoise {
   final case class SpanSpec(sentinelBase: Long, spanLen: Int = 3,
                             blockSize: Int = 20, seed: Long = 0L)
 
-  /** The deterministic per-(key, block) offset draw — column form of
-    * [[Bpe.fimTransform]]'s h(): two xorshift-multiply avalanche
-    * rounds over (key mod 2^31) with (seed + b·1779033703) folded in
-    * first. Replays in SQL with %, xor and >> only. */
-  private def blockHash(key: Column, b: Column, seed: Long): Column = {
-    val s0 = pmod(
-      pmod(key.cast("long"), lit(2147483648L)) +
-        pmod(lit(seed) + b * lit(1779033703L), lit(2147483648L)),
-      lit(2147483648L))
-    val r1 = pmod(
-      s0.bitwiseXOR(shiftright(s0, 15)) * lit(2654435761L),
-      lit(4294967296L))
-    val r2 = pmod(r1, lit(2147483648L))
-    pmod(r2.bitwiseXOR(shiftright(r2, 13)) * lit(2246822519L),
-      lit(4294967296L))
-  }
+  // the per-(key, block) offset draw is [[Bpe.drawHash]] — the ONE
+  // definition of the two-round xorshift-multiply the SQL oracles
+  // mirror (a second copy could silently diverge from them)
 
   /** Corrupt `idsCol` (array&lt;long&gt;) keyed on integral `keyCol`:
     * output keeps every other column, replaces `idsCol` with the
@@ -92,11 +79,14 @@ object Denoise {
     val blocks = when(nb >= 1L,
       sequence(lit(0L), nb - 1L)).otherwise(
       array().cast("array<bigint>"))
-    def off(blk: Column): Column =
-      pmod(blockHash(col(keyCol), blk, seed), b - m + lit(1L))
     def intc(c: Column): Column = c.cast("int")
-    val inputBlocks = flatten(transform(blocks, blk => {
-      val o = off(blk)
+    // one offsets array per row — input and target splice the same
+    // draws without re-running the hash pipeline per consumer
+    val offs = transform(blocks, blk =>
+      pmod(Bpe.drawHash(col(keyCol), blk, seed), b - m + lit(1L)))
+    def oAt(i: Column): Column = element_at(offs, intc(i + 1))
+    val inputBlocks = flatten(transform(blocks, (blk, i) => {
+      val o = oAt(i)
       concat(
         slice(col(idsCol), intc(blk * b + lit(1L)), intc(o)),
         array(lit(sentinelBase) - blk),
@@ -105,24 +95,27 @@ object Denoise {
     }))
     val tail = slice(col(idsCol), intc(nb * b + lit(1L)),
       intc(n - nb * b))
-    val targetBlocks = flatten(transform(blocks, blk => {
-      val o = off(blk)
+    val targetBlocks = flatten(transform(blocks, (blk, i) => {
+      val o = oAt(i)
       concat(array(lit(sentinelBase) - blk),
         slice(col(idsCol), intc(blk * b + o + lit(1L)), intc(m)))
     }))
-    // live sentinel range for THIS row: [sentinelBase - nb, sentinelBase]
+    // live sentinel range for THIS row: [sentinelBase - nb, sentinelBase].
+    // The guard rides BOTH outputs — column pruning on a consumer that
+    // selects only target_ids must not drop it (a silent collision
+    // would teach the model to emit text where the mask belongs)
     val clash = exists(col(idsCol), x =>
       x >= lit(sentinelBase) - nb && x <= lit(sentinelBase))
-    val inputIds = when(clash,
-      raise_error(concat(
-        lit(s"spanCorrupt: a content id inside the live sentinel range ["),
-        (lit(sentinelBase) - nb).cast("string"),
-        lit(s", $sentinelBase] — reserve sentinelBase above the " +
-          "vocabulary with headroom for nSpans+1 sentinels")))
-        .cast("array<bigint>"))
+    def clashError: Column = raise_error(concat(
+      lit(s"spanCorrupt: a content id inside the live sentinel range ["),
+      (lit(sentinelBase) - nb).cast("string"),
+      lit(s", $sentinelBase] — reserve sentinelBase above the " +
+        "vocabulary with headroom for nSpans+1 sentinels")))
+      .cast("array<bigint>")
+    val inputIds = when(clash, clashError)
       .otherwise(concat(inputBlocks, tail))
-    val targetIds = concat(targetBlocks,
-      array(lit(sentinelBase) - nb))
+    val targetIds = when(clash, clashError)
+      .otherwise(concat(targetBlocks, array(lit(sentinelBase) - nb)))
     // target/n_spans BEFORE the in-place ids replacement: in one
     // select list, Spark's lateral column alias resolution would bind
     // the target's `ids` reference to the ALREADY-CORRUPTED alias

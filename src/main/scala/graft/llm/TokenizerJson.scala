@@ -236,11 +236,18 @@ object TokenizerJson {
   }
 
   /** The published `Whitespace` pre-tokenizer regex, `\w+|[^\w\s]+`
-    * with the RUST engine's UNICODE `\w` — spelled as explicit
-    * property classes so Java (ASCII `\w` by default) and the SQL
-    * replays agree with the published splitting. */
-  private[graft] val WhitespacePattern: String =
-    """[\p{L}\p{M}\p{N}_]+|[^\p{L}\p{M}\p{N}_\s]+"""
+    * with the RUST engine's UNICODE `\w` = [Alphabetic, M, Nd, Pc,
+    * Join_Control] — spelled as explicit property classes so Java
+    * (ASCII `\w` by default) and the SQL replays agree with the
+    * published splitting: L+Nl approximates Alphabetic (the published
+    * class adds a few Other_Alphabetic marks, which \p{M} covers),
+    * \p{Nd} NOT \p{N} (superscript ² is a non-word char there),
+    * \p{Pc} NOT bare _ (U+203F undertie is a word char there), and
+    * the two literal Join_Control points (ZWNJ/ZWJ). */
+  private[graft] val WhitespacePattern: String = {
+    val w = "\\p{L}\\p{Nl}\\p{M}\\p{Nd}\\p{Pc}\u200C\u200D"
+    s"[$w]+|[^$w\\s]+"
+  }
 
   /** The BERT basic-tokenizer split: words vs punctuation, where the
     * published `is_punctuation` is Unicode P* PLUS the ASCII symbol
@@ -418,7 +425,9 @@ object TokenizerJson {
         // carry it, often at logp 0 — left in the lattice it would
         // DOMINATE Viterbi): fold it into the declared specials.
         val pieceSet = pieces.map(_._1).toSet
-        val unkSpecial = model.get("unk_id").toSeq.map { j =>
+        // unk_id: null is the published no-unk serialization — absent
+        val unkSpecial = model.get("unk_id").filterNot(_ == JNull)
+          .toSeq.map { j =>
           val u = jlong(j, "model.unk_id")
           require(u >= 0 && u < pieces.length,
             s"tokenizer.json: unk_id $u is outside the vocab array")
@@ -486,6 +495,17 @@ object TokenizerJson {
       case Some(WhitespacePattern) => Some("""{"type":"Whitespace"}""")
       case Some(BertPrePattern) =>
         Some("""{"type":"BertPreTokenizer"}""")
+      // stamps written by the first r16 Whitespace/BertPreTokenizer
+      // mapping (ASCII \w, bare \p{P}) — exporting them as the
+      // published blocks would re-import with DIFFERENT splitting;
+      // name the migration instead of the generic refusal
+      case Some("""[\w]+|[^\w\s]+""") |
+           Some("""[^\s\p{P}]+|[\p{P}]""") =>
+        throw new IllegalArgumentException(
+          "exportTokenizerJson: this stamp carries a superseded r16 " +
+            "pre-release pre-tokenizer pattern (ASCII word classes) — " +
+            "re-import the source tokenizer.json to pick up the " +
+            "published Unicode mapping, then export")
       case Some(p) => throw new IllegalArgumentException(
         s"exportTokenizerJson: word pattern '$p' has no published " +
           "pre_tokenizer type — serve via the classic format")

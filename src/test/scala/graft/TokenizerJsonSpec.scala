@@ -315,6 +315,19 @@ class TokenizerJsonSpec extends SparkTestBase {
            "model": {"type": "BPE", "vocab": {"a": 0}, "merges": []}}"""),
         "tjblr", tmpDir("graft_tj_blr"))
     }.getMessage.contains("use_regex"))
+    // the Whitespace mapping carries the published UNICODE \w
+    // semantics: superscript ² (No) is NOT a word char, undertie ‿
+    // (Pc) IS, ZWJ (Join_Control) IS
+    val wpat = TokenizerJson.WhitespacePattern.r
+    val probe = "x² a‿b c\u200Dd" // superscript-two, undertie, ZWJ
+    assert(wpat.findAllIn(probe).toList ===
+      List("x", "²", "a‿b", "c\u200Dd"))
+    // unk_id: null is the published no-unk serialization — imports
+    assert(TokenizerJson.importTokenizerJson(spark, writeTmp(
+      """{"model": {"type": "Unigram", "unk_id": null, "vocab":
+           [["a", -1.0], ["b", -1.2]]}}"""),
+      "tjnul", tmpDir("graft_tj_nul")) === "unigram")
+    spark.sql("DROP TABLE IF EXISTS tjnul_uni")
     // model.unk_id names a control piece (published files carry it at
     // logp 0 — left in the lattice it would DOMINATE Viterbi): it
     // stamps structural and never matches literal text
