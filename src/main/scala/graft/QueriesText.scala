@@ -5080,6 +5080,78 @@ object QueriesText {
         .orderBy("doc_id")
     }
 
+    // PREFIX-LM split (r16 cont): UL2's S-denoiser over the same
+    // per-doc id streams — ONE deterministic cut c ∈ [1, n−1] drawn
+    // from the shared two-round hash at draw index 0; input = ids[:c],
+    // target = ids[c:]; both sides always non-empty. The oracle
+    // replays the hash and the slice arithmetic exactly.
+    r.reg("q_prefix_lm",
+      s"""WITH ${bpeTrainCtes(8)},
+         |$bpeVocabCtes,
+         |sc0 AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+         |scw AS (
+         |  SELECT doc_id, i, ws[CAST(i AS INT)] AS w
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS i
+         |        FROM sc0)),
+         |sce AS (
+         |  SELECT doc_id, i,
+         |    string_split(trim($bpeNestedSql), '  ') AS etoks
+         |  FROM scw),
+         |sct AS (
+         |  SELECT doc_id, i, CAST(j AS INT) AS j,
+         |    etoks[CAST(j AS INT)] AS token
+         |  FROM (SELECT doc_id, i, etoks,
+         |          unnest(range(1, len(etoks)+1)) AS j FROM sce)),
+         |sci AS (
+         |  SELECT t.doc_id, t.i, t.j, COALESCE(v.token_id, -1) AS tid
+         |  FROM sct t LEFT JOIN bvocab v USING (token)),
+         |sca AS (
+         |  SELECT doc_id, (list(tid ORDER BY i, j))[1:200] AS ids
+         |  FROM sci GROUP BY doc_id),
+         |scc AS (
+         |  SELECT doc_id, ids, len(ids) AS n,
+         |    (xor(r2, r2 >> 13) * 2246822519) % 4294967296
+         |      % (len(ids) - 1) + 1 AS c
+         |  FROM (
+         |    SELECT doc_id, ids, ((xor(s0, s0 >> 15) * 2654435761)
+         |        % 4294967296) % 2147483648 AS r2
+         |    FROM (SELECT doc_id, ids,
+         |            doc_id % 2147483648 AS s0
+         |          FROM sca WHERE len(ids) >= 2)))
+         |SELECT doc_id,
+         |  array_to_string(list_transform(ids[1:CAST(c AS INT)],
+         |    x -> CAST(x AS VARCHAR)), ' ') AS ids_text,
+         |  array_to_string(list_transform(
+         |    ids[CAST(c+1 AS INT):CAST(n AS INT)],
+         |    x -> CAST(x AS VARCHAR)), ' ') AS tgt_text,
+         |  CAST(c AS BIGINT) AS split_at
+         |FROM scc
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      ensurePbpeModel(s, dir)
+      val merges = graft.llm.Bpe.mergeList(s.table("g_pbpe_bpe"))
+      val vocab = graft.llm.Bpe.vocabMap(s.table("g_pbpe_bpe_vocab"))
+      val words = filter(split(col("text"), " ", -1), w => length(w) >= 1)
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 100 && col("text").isNotNull)
+        .withColumn("__ids__", slice(flatten(transform(words, w =>
+          graft.functions.TextHashExprs.bpeEncodeIds(w, merges, vocab,
+            byteLevel = false))), 1, 200))
+        .filter(size(col("__ids__")) >= 1)
+        .select(col("doc_id"), col("__ids__"))
+      graft.llm.Denoise.prefixLm(docs, "doc_id", "__ids__")
+        .select(col("doc_id"),
+          concat_ws(" ",
+            transform(col("__ids__"), x => x.cast("string")))
+            .as("ids_text"),
+          concat_ws(" ",
+            transform(col("target_ids"), x => x.cast("string")))
+            .as("tgt_text"),
+          col("split_at"))
+        .orderBy("doc_id")
+    }
+
     // BEST-OF-N / REJECTION SAMPLING (r16): the RFT selection shape —
     // N scored candidates per prompt, keep the top k at or above the
     // score floor, ranked (score DESC, cand_id ASC) so ties never flap.

@@ -50,6 +50,37 @@ object Denoise {
   // definition of the two-round xorshift-multiply the SQL oracles
   // mirror (a second copy could silently diverge from them)
 
+  /** PREFIX-LM split — UL2's S-denoiser (Tay et al. 2022; the
+    * sequential denoising objective completing the family: R/X
+    * denoising are [[spanCorrupt]] at (3,20)/(8,16)-style geometry,
+    * S is one cut): each window splits at a deterministic per-key
+    * point drawn from the SAME [[Bpe.drawHash]] — input keeps
+    * `ids[0, c)`, `target_ids` carries `ids[c, n)`, and both sides
+    * are always non-empty (c ∈ [1, n−1]; windows shorter than 2 ids
+    * drop — there is nothing to condition on or predict). `split_at`
+    * records c. Blockwise, no shuffle, no sentinels — the decoder
+    * continues the text rather than reconstructing masks. */
+  def prefixLm(windows: DataFrame, keyCol: String, idsCol: String,
+               seed: Long = 0L): DataFrame = {
+    windows.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"prefixLm: key column '$keyCol' must be an integral type " +
+          s"(the deterministic draw hashes it as long), got ${other.simpleString}")
+    }
+    val n = size(col(idsCol)).cast("long")
+    val c = pmod(Bpe.drawHash(col(keyCol), lit(0L), seed), n - 1L) + 1L
+    windows
+      .filter(size(col(idsCol)) >= 2)
+      .withColumn("target_ids",
+        slice(col(idsCol), (c + 1L).cast("int"), (n - c).cast("int")))
+      .withColumn("split_at", c)
+      .withColumn(idsCol, slice(col(idsCol), lit(1), c.cast("int")))
+  }
+
   /** Corrupt `idsCol` (array&lt;long&gt;) keyed on integral `keyCol`:
     * output keeps every other column, replaces `idsCol` with the
     * corrupted encoder input, and adds `target_ids` (the decoder

@@ -82,6 +82,36 @@ class DenoiseSpec extends SparkTestBase {
     assert(two(0) !== two(1))
   }
 
+  test("prefixLm: one hand-replayed cut, both sides non-empty, short windows drop, deterministic") {
+    val ids = (1L to 30L).toSeq
+    val got = Denoise.prefixLm(df(sch, Row(7L, ids)), "key", "ids")
+      .head()
+    // the cut is draw index 0 of the SAME shared hash
+    val s0 = 7L % 2147483648L
+    val r1 = ((s0 ^ (s0 >> 15)) * 2654435761L) % 4294967296L
+    val r2 = r1 % 2147483648L
+    val h = ((r2 ^ (r2 >> 13)) * 2246822519L) % 4294967296L
+    val c = h % 29 + 1
+    assert(got.getLong(3) === c)
+    assert(got.getSeq[Long](1) === ids.take(c.toInt))
+    assert(got.getSeq[Long](2) === ids.drop(c.toInt))
+    // cut range [1, n-1]: both sides non-empty for EVERY key
+    val many = Denoise.prefixLm(
+        df(sch, (1L to 50L).map(k => Row(k, (1L to 5L).toSeq)): _*),
+        "key", "ids")
+      .collect()
+    assert(many.length === 50)
+    assert(many.forall(r => r.getSeq[Long](1).nonEmpty &&
+      r.getSeq[Long](2).nonEmpty))
+    // nothing to condition on or predict: drops
+    assert(Denoise.prefixLm(
+      df(sch, Row(1L, Seq(9L))), "key", "ids").count() === 0L)
+    assert(intercept[IllegalArgumentException] {
+      Denoise.prefixLm(df(sch, Row(1L, Seq(1L, 2L)))
+        .withColumn("k2", lit("x")), "k2", "ids")
+    }.getMessage.contains("integral type"))
+  }
+
   test("refusals: content id in the live sentinel range, non-integral key, whole-block span") {
     val e = intercept[Exception] {
       Denoise.spanCorrupt(
