@@ -597,6 +597,41 @@ class SftSpec extends SparkTestBase {
         sepId = Some(sep), eodId = Some(eod), padId = Some(pad))
       assert(c1("input") > 0 && c1("examples") > 0, s"$c1")
       assert(c1.keys.exists(_.endsWith("_windows")), s"$c1")
+      // truncation=prompt_left at a TIGHT budget: the overlong-drop
+      // count goes to zero — every example whose response fits lands
+      // (prompt truncated to the window), vs the default landing
+      // which drops them whole
+      val outT = java.nio.file.Files
+        .createTempDirectory("graft_sftw_outt").toString
+      val outD = java.nio.file.Files
+        .createTempDirectory("graft_sftw_outd").toString
+      try {
+        // a planted long-prompt/short-response pair: always truncates
+        // IN under prompt_left, always drops under the default
+        val planted = pairs.unionByName(df(
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("prompt", StringType),
+            StructField("response", StringType))),
+          Row(100000L, Seq.fill(200)("low").mkString(" "), "low")))
+        val cT = Sft.writeSftWindows(spark, planted, "doc_id", "prompt",
+          "response", "sftw", mdl, outT, windowSize = 48L,
+          sepId = Some(sep), eodId = Some(eod), padId = Some(pad),
+          truncation = "prompt_left")
+        val cD = Sft.writeSftWindows(spark, planted, "doc_id", "prompt",
+          "response", "sftw", mdl, outD, windowSize = 48L,
+          sepId = Some(sep), eodId = Some(eod), padId = Some(pad))
+        assert(cD("dropped_overlong") > 0,
+          s"the 48-id budget must make the drop population live: $cD")
+        // prompt_left never drops at the landing: everything whose
+        // response fits was truncated to the budget at assembly
+        assert(cT("dropped_overlong") === 0L, s"$cT")
+        val landedT = cT("examples") - cT("dropped_overlong")
+        val landedD = cD("examples") - cD("dropped_overlong")
+        assert(landedT > landedD,
+          s"the planted pair must land truncated ($landedT vs $landedD)")
+      } finally Seq(outT, outD).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(d)))
       // landed schema is the windows-landing schema (+ spans)
       val win = spark.read.parquet(out)
       assert(win.columns.sorted.sameElements(Array("doc_spans",
