@@ -26,6 +26,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Cached plans use AQE too (default false): the pipeline chain
+      // persists 3-4 stage boundaries per build, and without this every
+      // shuffle BELOW a persisted boundary is frozen at the static
+      // shuffle-partition seed — 32 tasks per tiny stage locally, and at
+      // cluster scale cached partitions that ignore runtime statistics.
+      // AQE right-sizes them from observed bytes in both regimes
+      // (measured r16: q_pipeline_e2e 1078→181 tasks, −2.3 s).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -14,6 +14,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // r16 optimization: same session posture as Bench/GraftSession —
+      // cached plans go through AQE (partition sizing from runtime stats)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       // micros (not INT96) so DuckDB reads our timestamps losslessly
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -187,6 +187,74 @@ object Dedup {
     * backstop, not the convergence mechanism (r2's fixed 3-pass budget
     * under-dropped long transitive clusters). */
   def minLabelComponents(pairs: DataFrame, maxIterations: Int = 30): DataFrame = {
+    // r16 optimization — BOUNDED driver fast path: the distributed loop
+    // costs ~4 jobs per iteration (union + min-groupBy + checkpoint
+    // materialization + convergence probe) regardless of graph size; a
+    // fixture-or-shard-scale pair graph (hundreds of candidate pairs)
+    // pays seconds of pure job overhead for microseconds of union-find.
+    // When the pair list fits under `spark.graft.components.driverMaxPairs`
+    // (default 2^20 pairs ≈ 16 MB of longs — a LOUDLY bounded collect in
+    // the repo's bounded-probe posture; at corpus scale the limit probe
+    // stops early and the distributed loop runs unchanged), resolve
+    // components with union-by-min-root + path compression on the driver:
+    // the final root of every node IS its component minimum, bit-identical
+    // to the converged distributed labels. Integral id types only (the
+    // long round-trip is lossless); anything else takes the loop.
+    val driverMax = pairs.sparkSession.conf
+      .getOption("spark.graft.components.driverMaxPairs")
+      .map(_.toInt).getOrElse(1 << 20)
+    val idType = pairs.schema.fields.head.dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integral && driverMax > 0) {
+      val probe = pairs
+        .select(col(pairs.columns(0)).cast("long").as("a"),
+          col(pairs.columns(1)).cast("long").as("b"))
+        .limit(driverMax + 1).collect()
+      if (probe.length <= driverMax) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        probe.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val ids = {
+          val it = parent.keySet().iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (it.hasNext) buf += it.next()
+          buf.sorted
+        }
+        val out = ids.map(id => org.apache.spark.sql.Row(id, find(id)))
+        val spark = pairs.sparkSession
+        val longSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.LongType)))
+        return spark
+          .createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+            longSchema)
+          .select(col("id").cast(idType).as("id"),
+            col("label").cast(idType).as("label"))
+      }
+    }
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .cache()

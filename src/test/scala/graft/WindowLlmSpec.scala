@@ -262,6 +262,9 @@ class WindowLlmSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val sc = spark.sparkContext
     sc.setCheckpointDir(dir)
+    // pin the DISTRIBUTED loop (r16: tiny graphs take the bounded
+    // driver union-find fast path, which never checkpoints)
+    spark.conf.set("spark.graft.components.driverMaxPairs", "0")
     try {
       val labels = Dedup.minLabelComponents(pairs)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -273,7 +276,31 @@ class WindowLlmSpec extends SparkTestBase {
       // restore the local-only default for the rest of the suite
       val f = sc.getClass.getMethods.find(_.getName == "checkpointDir_$eq")
       f.foreach(_.invoke(sc, None))
+      spark.conf.unset("spark.graft.components.driverMaxPairs")
     }
+  }
+
+  test("minLabelComponents: driver union-find ≡ distributed loop (r16)") {
+    // a pseudo-random 300-edge graph over ~200 nodes: chains, stars and
+    // isolated pairs arise naturally; both paths must agree exactly
+    val pairSchema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 300).map { _ =>
+      val a = rnd.nextInt(200).toLong
+      val b = a + 1 + rnd.nextInt(40).toLong
+      Row(a, b)
+    }
+    val pairs = df(pairSchema, rows.distinct: _*)
+    val fast = Dedup.minLabelComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.components.driverMaxPairs", "0")
+    val slow =
+      try Dedup.minLabelComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.components.driverMaxPairs")
+    assert(fast == slow, s"driver and distributed labels diverge: " +
+      s"${(fast.toSet diff slow.toSet).take(5)} vs ${(slow.toSet diff fast.toSet).take(5)}")
   }
 
   test("exact dedup keeps first by id, canonicalizes whitespace/case") {
