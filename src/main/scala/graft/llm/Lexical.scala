@@ -70,9 +70,20 @@ object Lexical {
   def postings(docs: DataFrame, idCol: String, textCol: String,
                minTermLen: Int = 2): DataFrame = {
     val toks = tokensOf(col(textCol), minTermLen)
-    docs.select(col(idCol).as("doc_id"),
-        coalesce(size(toks), lit(0)).as("dl"),
-        explode(toks).as("term"))
+    // r16 optimization: tokenize ONCE PER ROW through a projected
+    // attribute. Inlining `toks` into both size() and explode() let the
+    // generate re-evaluate the split+filter expression per EXPLODED row
+    // (~tokens-per-doc times the tokenization cost — measured 4.5 s vs
+    // 0.25 s on the bench corpus); the two-step projection pins one
+    // evaluation, the Dedup banding precedent. CollapseProject keeps the
+    // split because the alias is referenced twice and non-cheap.
+    // Spread: regex tokenization is still the expensive per-byte stage —
+    // widen sub-parallelism inputs (no-op at real file counts).
+    Spread(docs, target = 256L << 10)
+      .select(col(idCol).as("doc_id"), toks.as("__toks__"))
+      .select(col("doc_id"),
+        coalesce(size(col("__toks__")), lit(0)).as("dl"),
+        explode(col("__toks__")).as("term"))
       .groupBy(col("doc_id"), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .select("doc_id", "term", "tf", "dl")
@@ -84,7 +95,7 @@ object Lexical {
     * rewrite exact). */
   def docLengths(docs: DataFrame, idCol: String, textCol: String,
                  minTermLen: Int = 2): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    Spread(docs, target = 256L << 10).select(col(idCol).as("doc_id"),
       coalesce(size(tokensOf(col(textCol), minTermLen)), lit(0)).as("dl"))
 
   /** Round-trip-exact double literal for oracle SQL: Scala's
@@ -177,8 +188,20 @@ object Lexical {
                minTermLen: Int = 2, logIdf: Boolean = false): DataFrame = {
     require(k >= 1, "bm25TopK needs k >= 1")
     val p = postings(docs, idCol, textCol, minTermLen)
-    val stats = docLengths(docs, idCol, textCol, minTermLen)
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    // r16 optimization — ONE tokenization pass, not two: corpus stats
+    // used to come from a separate docLengths scan that re-tokenized
+    // the whole corpus just to sum dl (measured: the two branches were
+    // the query's two ~4 s jobs). total_len now folds from the postings
+    // pass (per-doc dl rides every postings row; zero-token docs add 0
+    // either way — the coalesce covers the all-zero-token corpus, where
+    // the old sum over dl=0 rows was 0, not NULL), and n_docs is a
+    // column-pruned count over the raw docs — no tokenizer in sight.
+    // The postings subtree feeds both consumers through one exchange
+    // (AQE stage reuse), so the scan+tokenize runs once.
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val lenSum = p.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(coalesce(sum(col("dl")), lit(0L)).as("total_len"))
+    val stats = nDocs.crossJoin(lenSum)
     val qt = queryTerms(queries, qIdCol, qTextCol, minTermLen)
     val restricted = p.join(
       broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
@@ -471,9 +494,13 @@ object Lexical {
     val spark = train.sparkSession
     val (minTermLen, _) = readMeta(spark, path)
     val words = split(col(textCol), " ", -1) // the shingle tokenization
+    // r16 optimization: split once per row through a projected attribute
+    // — inlining `words` into the transform lambda re-evaluated the
+    // split per shingle position (the postings lesson)
     val sh = bench.filter(size(words) >= k)
-      .select(explode(transform(sequence(lit(0), size(words) - k),
-        i => slice(words, i + lit(1), lit(k)))).as("sh"))
+      .select(words.as("__wd__"))
+      .select(explode(transform(sequence(lit(0), size(col("__wd__")) - k),
+        i => slice(col("__wd__"), i + lit(1), lit(k)))).as("sh"))
       .distinct()
     // benchmark-sized, referenced by the refusal probe, the df join and
     // the champion election — evaluated once

@@ -1365,8 +1365,13 @@ object Pipeline {
         rb.wordPattern),
       w => length(w) >= 1)
     val benchIds = flatten(transform(words, w => rb.encode(w)))
+    // r16 optimization: encode once per row through a projected
+    // attribute — posGrams references its argument in the sequence
+    // bound and per slice, so an inline benchIds re-ran the full
+    // per-document BPE encode per gram (the postings lesson)
     val benchGrams = bench.filter(col(benchTextCol).isNotNull)
-      .select(explode(posGrams(benchIds)).as("__g__"))
+      .select(benchIds.as("__bids__"))
+      .select(explode(posGrams(col("__bids__"))).as("__g__"))
       .filter(cleanGram(col("__g__")))
       .select(gramKey(col("__g__")).as("__gram__"))
       .distinct()

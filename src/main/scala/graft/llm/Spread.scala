@@ -27,7 +27,12 @@ import org.apache.spark.sql.DataFrame
   * cores × target and the result is the old full-width spread; results
   * are partition-count independent everywhere by repo discipline. */
 private[graft] object Spread {
-  def apply(df: DataFrame): DataFrame = {
+  /** `target` overrides the per-partition byte goal for stages whose
+    * per-byte CPU cost is far above the text-hash norm (regex
+    * tokenization runs ~2-5 MB/s/core measured against minhash's
+    * ~50-100): a smaller target widens the spread so the expensive
+    * expression still parallelizes. The conf knob wins when set. */
+  def apply(df: DataFrame, target: Long = 2L << 20): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val par = sc.defaultParallelism
     val files = df.inputFiles.length
@@ -35,7 +40,7 @@ private[graft] object Spread {
     else {
       val targetBytes = df.sparkSession.conf
         .getOption("spark.graft.spread.targetBytes")
-        .map(_.toLong).getOrElse(2L << 20)
+        .map(_.toLong).getOrElse(target)
       // analyzed (not raw logical): raw plans may still hold unresolved
       // datasource leaves, which cannot answer computeStats
       val bytes = df.queryExecution.analyzed.stats.sizeInBytes
