@@ -236,8 +236,13 @@ object QueriesText {
           StructField("text", StringType))))
       val docs = t(s, dir, "documents").filter(col("text").isNotNull)
         .select("doc_id", "text").unionByName(extra)
+      // r16 optimization: materialize the report before the sort — the
+      // terminal sort's range exchange SAMPLES its narrow child, so the
+      // scan-fused rule evaluation ran twice per execution (measured as
+      // two identical 8-task jobs); the checkpoint pins one evaluation
+      // of the doc-bounded report. Results identical.
       GraftFrame(TextStats.gopherReport(docs, "doc_id", "text",
-          minStopHits = 1L))
+          minStopHits = 1L).localCheckpoint(true))
         .sortValues(Seq("doc_id" -> true)).df
     }
 
@@ -5488,6 +5493,13 @@ object QueriesText {
           struct(lit("assistant").as("role"),
             quarter(col("__b3__"), col("__n__")).as("content")))
           .as("turns"))
+        // r16 optimization: the fixture is 100 conversations in one scan
+        // split, and per-row assembly cost (4 per-turn encodes + the
+        // template/span HOF chains) dominates — spread across cores so
+        // the assembly isn't a single serial task (measured 2 × ~1.2 s
+        // single-task evaluations: the terminal sort's range sampling
+        // plus the real pass)
+        .repartition(s.sparkContext.defaultParallelism)
       graft.llm.Sft.assembleConversationIndexed(s, "g_pbpe", idxPath,
           convs, "doc_id", "turns",
           graft.llm.Sft.chatTemplate(

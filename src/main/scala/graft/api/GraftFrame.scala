@@ -397,7 +397,9 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
         pmod(col(keyCol), lit(2147483648L)) + lit(seed % 2147483648L)))
       .withColumn("__one__", lit(1L))
     lift(graft.operators.WindowOps
-      .globalCumSum(withH, "__sh__", "__one__", outCol)
+      // hashed form (r16): keyHash31-uniform order key, deterministic
+      // buckets — no boundary-sampling pass over the corpus subtree
+      .globalCumSumHashed(withH, "__sh__", "__one__", outCol, 1L << 32)
       .withColumn(outCol, col(outCol) - 1)
       .drop("__sh__", "__one__"))
   }
@@ -442,7 +444,8 @@ final case class GraftFrame(df: DataFrame, indexCol: Option[String] = None) {
       .withColumn("__sh__", graft.QHelp.keyHash31(
         pmod(col(keyCol), lit(2147483648L)) + lit(seed % 2147483648L)))
     val cum = graft.operators.WindowOps
-      .globalCumSum(withH, "__sh__", "__w__", "__cum__")
+      // hashed form (r16): the shuffleIndex rationale
+      .globalCumSumHashed(withH, "__sh__", "__w__", "__cum__", 1L << 32)
     // W (total mass) as a broadcast 1-row frame. The aggregate
     // descends from cum itself, so this is a SELF-join: a crossJoin +
     // name resolution trips the analyzer's ambiguous-self-join

@@ -807,14 +807,15 @@ object Bpe {
                          eodId: Option[Long] = None,
                          withDocSpans: Boolean = false,
                          byteLevel: Boolean = false,
-                         wordPattern: Option[String] = None): DataFrame = {
+                         wordPattern: Option[String] = None,
+                         groupCols: Seq[String] = Nil): DataFrame = {
     eodId.foreach(e => require(e != -1L && !vocab.valuesIterator.contains(e),
       s"assembleWindowsIds: eodId $e collides with a vocab id (or the " +
         "-1 OOV sentinel) — reserve an id outside the vocabulary, e.g. " +
         "max(token_id) + 1"))
     assembleWindowsIdsFrom(docs, idCol, textCol, windowSize, seed,
       w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel),
-      eodId, withDocSpans, wordPattern)
+      eodId, withDocSpans, wordPattern, groupCols)
   }
 
   /** Tokenizer-generic body of [[assembleWindowsIds]]: the per-word
@@ -829,7 +830,9 @@ object Bpe {
       encode: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       eodId: Option[Long],
       withDocSpans: Boolean,
-      wordPattern: Option[String]): DataFrame = {
+      wordPattern: Option[String],
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val gc = groupCols.map(col)
     val words = filter(wordsOf(textCol, wordPattern),
       w => length(w) >= 1)
     val bare = flatten(transform(words, encode))
@@ -838,16 +841,17 @@ object Bpe {
     // accounting everywhere downstream is docTokens + 1 per doc
     val idsArr = eodId.fold(bare)(e => concat(bare, array(lit(e))))
     val withN = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), idsArr.as("__ids__"))
-      .select(col(idCol), col("__ids__"),
-        size(col("__ids__")).cast("long").as("__n__"))
+      .select(gc ++ Seq(col(idCol), idsArr.as("__ids__")): _*)
+      .select(gc ++ Seq(col(idCol), col("__ids__"),
+        size(col("__ids__")).cast("long").as("__n__")): _*)
     val members = TextStats
-      .tokenWindowMembers(withN, idCol, "__n__", windowSize, seed)
+      .tokenWindowMembers(withN, idCol, "__n__", windowSize, seed,
+        groupCols)
       .filter(col("tok_to") > col("tok_from"))
-      .select(col("window_id"), col("window_pos"),
+      .select(gc ++ Seq(col("window_id"), col("window_pos"),
         col(idCol).cast("long").as("__mid__"),
         slice(col("__ids__"), (col("tok_from") + 1).cast("int"),
-          (col("tok_to") - col("tok_from")).cast("int")).as("__slice__"))
+          (col("tok_to") - col("tok_from")).cast("int")).as("__slice__")): _*)
     val sorted = array_sort(collect_list(struct(col("window_pos"),
       col("__slice__"), col("__mid__"))))
     val aggs = Seq(
@@ -866,7 +870,7 @@ object Bpe {
           size(s.getField("__slice__")).cast("long").as("len")))
           .as("doc_spans"))
        else Nil)
-    members.groupBy("window_id").agg(aggs.head, aggs.tail: _*)
+    members.groupBy(gc :+ col("window_id"): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** SLIDING-window variant of [[assembleWindowsIds]] — the EVAL
@@ -893,7 +897,8 @@ object Bpe {
                                 vocab: Map[String, Long],
                                 eodId: Option[Long] = None,
                                 byteLevel: Boolean = false,
-                                wordPattern: Option[String] = None): DataFrame = {
+                                wordPattern: Option[String] = None,
+                                groupCols: Seq[String] = Nil): DataFrame = {
     require(windowSize > 0, s"windowSize must be positive, got $windowSize")
     require(stride > 0, s"stride must be positive, got $stride")
     eodId.foreach(e => require(e != -1L && !vocab.valuesIterator.contains(e),
@@ -902,7 +907,7 @@ object Bpe {
     assembleWindowsIdsStridedFrom(docs, idCol, textCol, windowSize,
       stride, seed,
       w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel),
-      eodId, wordPattern)
+      eodId, wordPattern, groupCols)
   }
 
   /** Tokenizer-generic body of [[assembleWindowsIdsStrided]] (see
@@ -912,20 +917,25 @@ object Bpe {
       windowSize: Long, stride: Long, seed: Long,
       encode: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       eodId: Option[Long],
-      wordPattern: Option[String]): DataFrame = {
+      wordPattern: Option[String],
+      groupCols: Seq[String] = Nil): DataFrame = {
     require(windowSize > 0, s"windowSize must be positive, got $windowSize")
     require(stride > 0, s"stride must be positive, got $stride")
+    val gc = groupCols.map(col)
     val words = filter(wordsOf(textCol, wordPattern), w => length(w) >= 1)
     val bare = flatten(transform(words, encode))
     val idsArr = eodId.fold(bare)(e => concat(bare, array(lit(e))))
     val withN = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), idsArr.as("__ids__"))
-      .select(col(idCol), col("__ids__"),
-        size(col("__ids__")).cast("long").as("__n__"))
+      .select(gc ++ Seq(col(idCol), idsArr.as("__ids__")): _*)
+      .select(gc ++ Seq(col(idCol), col("__ids__"),
+        size(col("__ids__")).cast("long").as("__n__")): _*)
     val withH = withN.withColumn("__sh__", graft.QHelp.keyHash31(
       pmod(col(idCol), lit(2147483648L)) + lit(seed % 2147483648L)))
     val cum = graft.operators.WindowOps
-      .globalCumSum(withH, "__sh__", "__n__", "__cum__")
+      // hashed form (r16): deterministic buckets over the keyHash31
+      // order key — no boundary-sampling pass re-running the encode
+      .globalCumSumHashed(withH, "__sh__", "__n__", "__cum__", 1L << 32,
+        groupCols)
       .withColumn("token_start", col("__cum__") - col("__n__"))
     // doc [s, e) meets window w iff w·stride < e AND w·stride+size > s:
     // wf = max(0, floor((s − size)/stride) + 1), wl = floor((e−1)/stride)
@@ -946,10 +956,10 @@ object Bpe {
         greatest(col("token_start") - col("window_id") * stride, lit(0L)))
       .filter(col("tok_to") > col("tok_from"))
     members
-      .select(col("window_id"), col("window_pos"),
+      .select(gc ++ Seq(col("window_id"), col("window_pos"),
         slice(col("__ids__"), (col("tok_from") + 1).cast("int"),
-          (col("tok_to") - col("tok_from")).cast("int")).as("__slice__"))
-      .groupBy("window_id")
+          (col("tok_to") - col("tok_from")).cast("int")).as("__slice__")): _*)
+      .groupBy(gc :+ col("window_id"): _*)
       .agg(
         flatten(transform(
           array_sort(collect_list(struct(col("window_pos"),
@@ -988,7 +998,9 @@ object Bpe {
                                withDocSpans: Boolean = false,
                                byteLevel: Boolean = false,
                                wordPattern: Option[String] = None,
-                               segmentDocs: Int = 512): DataFrame = {
+                               segmentDocs: Int = 512,
+                               persisted: Option[scala.collection.mutable.Buffer[DataFrame]] = None,
+                               groupCols: Seq[String] = Nil): DataFrame = {
     eodId.foreach(e => require(e != -1L && !vocab.valuesIterator.contains(e),
       s"assembleWindowsIdsPacked: eodId $e collides with a vocab id (or " +
         "the -1 OOV sentinel) — reserve an id outside the vocabulary"))
@@ -999,7 +1011,8 @@ object Bpe {
         "the vocabulary"))
     assembleWindowsIdsPackedFrom(docs, idCol, textCol, windowSize, seed,
       w => TextHashExprs.bpeEncodeIds(w, merges, vocab, byteLevel),
-      eodId, padId, withDocSpans, wordPattern, segmentDocs)
+      eodId, padId, withDocSpans, wordPattern, segmentDocs, persisted,
+      groupCols)
   }
 
   /** Tokenizer-generic body of [[assembleWindowsIdsPacked]] (see
@@ -1012,24 +1025,39 @@ object Bpe {
       padId: Option[Long],
       withDocSpans: Boolean,
       wordPattern: Option[String],
-      segmentDocs: Int): DataFrame = {
+      segmentDocs: Int,
+      persisted: Option[scala.collection.mutable.Buffer[DataFrame]] = None,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val gc = groupCols.map(col)
     val words = filter(wordsOf(textCol, wordPattern), w => length(w) >= 1)
     val bare = flatten(transform(words, encode))
     val idsArr = eodId.fold(bare)(e => concat(bare, array(lit(e))))
-    val withN = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), idsArr.as("__ids__"))
-      .select(col(idCol), col("__ids__"),
-        size(col("__ids__")).cast("long").as("__n__"))
+    val withN0 = docs.filter(col(textCol).isNotNull)
+      .select(gc ++ Seq(col(idCol), idsArr.as("__ids__")): _*)
+      .select(gc ++ Seq(col(idCol), col("__ids__"),
+        size(col("__ids__")).cast("long").as("__n__")): _*)
+    // r16 optimization: the encoded frame feeds TWO branches — the
+    // scalar piece/membership machinery (only (id, n)) and the id-array
+    // join-back — so an unmaterialized plan runs the corpus encode
+    // twice. When the caller owns a cache lifecycle (the landing's
+    // handles buffer), persist the boundary MEMORY_AND_DISK — the
+    // chain's stage-boundary posture, same data magnitude; a lazy
+    // caller (persisted = None) keeps the old no-cache shape.
+    val withN = persisted.fold(withN0) { b =>
+      val p = withN0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      b += p
+      p
+    }
     val members = TextStats.packedPieceMembers(
-      withN.select(col(idCol), col("__n__")), idCol, "__n__",
-      windowSize, seed, segmentDocs)
+      withN.select(gc ++ Seq(col(idCol), col("__n__")): _*), idCol, "__n__",
+      windowSize, seed, segmentDocs, groupCols)
     val joined = members.join(
       withN.select(col(idCol).cast("long").as("__mid__"), col("__ids__")),
       Seq("__mid__"))
-      .select(col("window_id"), col("__off__"), col("__mid__"),
+      .select(gc ++ Seq(col("window_id"), col("__off__"), col("__mid__"),
         col("__plen__"),
         slice(col("__ids__"), (col("tok_from") + 1).cast("int"),
-          col("__plen__").cast("int")).as("__slice__"))
+          col("__plen__").cast("int")).as("__slice__")): _*)
     val sorted = array_sort(collect_list(struct(col("__off__"),
       col("__slice__"), col("__mid__"), col("__plen__"))))
     val rawIds = flatten(transform(sorted, s => s.getField("__slice__")))
@@ -1044,7 +1072,7 @@ object Bpe {
           s.getField("__off__").as("pos"),
           s.getField("__plen__").as("len"))).as("doc_spans"))
        else Nil)
-    joined.groupBy("window_id").agg(aggs.head, aggs.tail: _*)
+    joined.groupBy(gc :+ col("window_id"): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** DETOKENIZE an id-array column back to its surface string through

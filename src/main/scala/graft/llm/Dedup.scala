@@ -194,8 +194,8 @@ object Dedup {
     // pays seconds of pure job overhead for microseconds of union-find.
     // When the pair list fits under `spark.graft.components.driverMaxPairs`
     // (default 2^20 pairs ≈ 16 MB of longs — a LOUDLY bounded collect in
-    // the repo's bounded-probe posture; at corpus scale the limit probe
-    // stops early and the distributed loop runs unchanged), resolve
+    // the repo's bounded-probe posture; at corpus scale the count gate
+    // fails and the distributed loop runs unchanged), resolve
     // components with union-by-min-root + path compression on the driver:
     // the final root of every node IS its component minimum, bit-identical
     // to the converged distributed labels. Integral id types only (the
@@ -212,11 +212,17 @@ object Dedup {
       case _ => false
     }
     if (integral && driverMax > 0) {
-      val probe = pairs
+      // count-first, not an incremental limit probe: CollectLimit scales
+      // up through partial jobs (1, 4, 16... partitions), re-running the
+      // candidate pipeline per attempt on a cold cache; one count()
+      // materializes the caller's cache in a single parallel pass and the
+      // bounded collect then reads it
+      val slim = pairs
         .select(col(pairs.columns(0)).cast("long").as("a"),
           col(pairs.columns(1)).cast("long").as("b"))
-        .limit(driverMax + 1).collect()
-      if (probe.length <= driverMax) {
+      val n = slim.count()
+      if (n <= driverMax) {
+        val probe = slim.collect()
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {
           var r = x

@@ -259,45 +259,51 @@ object Pipeline {
           .bpeEncodeIds(w, merges, vocab, byteLevel)
       }
     def asmChop(docs0: DataFrame, idCol: String, textCol: String,
-                windowSize: Long, seed: Long): DataFrame = {
+                windowSize: Long, seed: Long,
+                groupCols: Seq[String] = Nil): DataFrame = {
       val docs = prepFrame(docs0, textCol)
       (uniPieces, wp) match {
       case (Some(ps), _) => Unigram.assembleWindowsIds(docs, idCol, textCol,
-        windowSize, seed, ps, eodId, docSpans, wordPattern, uniBytes)
+        windowSize, seed, ps, eodId, docSpans, wordPattern, uniBytes,
+        groupCols)
       case (_, Some(m)) => WordPiece.assembleWindowsIds(docs, idCol,
         textCol, windowSize, seed, wpVocab, m.unkId, m.contPrefix,
-        m.maxInputChars, eodId, docSpans, wordPattern)
+        m.maxInputChars, eodId, docSpans, wordPattern, groupCols)
       case _ => Bpe.assembleWindowsIds(docs, idCol, textCol,
         windowSize, seed, merges, vocab, eodId, docSpans, byteLevel,
-        wordPattern)
+        wordPattern, groupCols)
     } }
     def asmStrided(docs0: DataFrame, idCol: String, textCol: String,
-                   windowSize: Long, st: Long, seed: Long): DataFrame = {
+                   windowSize: Long, st: Long, seed: Long,
+                   groupCols: Seq[String] = Nil): DataFrame = {
       val docs = prepFrame(docs0, textCol)
       (uniPieces, wp) match {
         case (Some(ps), _) => Unigram.assembleWindowsIdsStrided(docs, idCol,
-          textCol, windowSize, st, seed, ps, eodId, wordPattern, uniBytes)
+          textCol, windowSize, st, seed, ps, eodId, wordPattern, uniBytes,
+          groupCols)
         case (_, Some(m)) => WordPiece.assembleWindowsIdsStrided(docs,
           idCol, textCol, windowSize, st, seed, wpVocab, m.unkId,
-          m.contPrefix, m.maxInputChars, eodId, wordPattern)
+          m.contPrefix, m.maxInputChars, eodId, wordPattern, groupCols)
         case _ => Bpe.assembleWindowsIdsStrided(docs, idCol, textCol,
           windowSize, st, seed, merges, vocab, eodId, byteLevel,
-          wordPattern)
+          wordPattern, groupCols)
       } }
     def asmPacked(docs0: DataFrame, idCol: String, textCol: String,
-                  windowSize: Long, seed: Long): DataFrame = {
+                  windowSize: Long, seed: Long,
+                  persisted: Option[scala.collection.mutable.Buffer[DataFrame]] = None,
+                  groupCols: Seq[String] = Nil): DataFrame = {
       val docs = prepFrame(docs0, textCol)
       (uniPieces, wp) match {
       case (Some(ps), _) => Unigram.assembleWindowsIdsPacked(docs, idCol,
         textCol, windowSize, seed, ps, eodId, padId, docSpans,
-        wordPattern, segmentDocs, uniBytes)
+        wordPattern, segmentDocs, uniBytes, persisted, groupCols)
       case (_, Some(m)) => WordPiece.assembleWindowsIdsPacked(docs,
         idCol, textCol, windowSize, seed, wpVocab, m.unkId,
         m.contPrefix, m.maxInputChars, eodId, padId, docSpans,
-        wordPattern, segmentDocs)
+        wordPattern, segmentDocs, persisted, groupCols)
       case _ => Bpe.assembleWindowsIdsPacked(docs, idCol, textCol,
         windowSize, seed, merges, vocab, eodId, padId, docSpans,
-        byteLevel, wordPattern, segmentDocs)
+        byteLevel, wordPattern, segmentDocs, persisted, groupCols)
     } }
   }
 
@@ -715,7 +721,10 @@ object Pipeline {
       temperatureMix.filter(_.up).map(_.maxRepeat + 1L)
         .orElse(budgetMix.map(_.maxRepeat + 1L))
         .orElse(importanceMix.map(_.n + 1L)),
-      bpeWindows.map(resolveBpe(spark, _)))
+      bpeWindows.map(resolveBpe(spark, _)),
+      // the landing owns a cache lifecycle, so the packed assembler may
+      // persist its encoded boundary (released with the other handles)
+      persisted = Some(handles))
     try win.write.mode("overwrite").partitionBy("split").parquet(outPath)
     finally handles.foreach(_.unpersist())
     val counts = landedSplitCounts(spark, outPath, win.schema)
@@ -1488,40 +1497,49 @@ object Pipeline {
                           textCol: String, windowSize: Long, seed: Long,
                           fullWindowsOnly: Boolean,
                           epochScale: Option[Long] = None,
-                          bpe: Option[ResolvedBpe] = None): DataFrame = {
-    val win = Seq("train", "val", "test").map { sp =>
-      val part = corpus.filter(col("split") === sp)
-      val (keyed, key) = epochScale match {
-        case None => (part.select(col(idCol), col(textCol)), idCol)
-        case Some(scale) =>
-          (part.select(
-            (col(idCol).cast("long") * scale + col("epoch")).as("__wkey__"),
-            col(textCol)), "__wkey__")
-      }
-      bpe match {
-        case None =>
-          TextStats.assembleWindows(keyed, key, textCol, windowSize, seed)
-            .select(lit(sp).as("split"), col("window_id"),
-              col("window_text"), col("n_tokens"))
-        case Some(rb) =>
-          require(!(rb.packed && fullWindowsOnly),
-            "packed windows + fullWindowsOnly: packing makes underfull " +
-              "REAL token counts the norm (the shape guarantee is padId) " +
-              "— the filter would drop nearly every window")
-          val cols = Seq(lit(sp).as("split"), col("window_id"),
-            col("window_ids"), col("n_tokens")) ++
-            (if (rb.docSpans) Seq(col("doc_spans")) else Nil)
-          val asm = (rb.packed, rb.stride) match {
-            case (true, _) =>
-              rb.asmPacked(keyed, key, textCol, windowSize, seed)
-            case (false, Some(st)) =>
-              rb.asmStrided(keyed, key, textCol, windowSize, st, seed)
-            case (false, None) =>
-              rb.asmChop(keyed, key, textCol, windowSize, seed)
-          }
-          asm.select(cols: _*)
-      }
-    }.reduce(_.unionByName(_))
+                          bpe: Option[ResolvedBpe] = None,
+                          persisted: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame = {
+    // r16 optimization — SPLIT-FUSED landing: the assemblers run ONCE
+    // with groupCols = Seq("split") (grouped cumsums restart the
+    // permutation stream per split), instead of one full per-split plan
+    // each. Per-split window ids, membership and conservation laws are
+    // bit-identical to the three-plan form — the grouped prefix sums
+    // over (split, hash-order) equal each split's own prefix sums — and
+    // the corpus-side work (scan of the chain output, the fused encode,
+    // the cumsum exchanges) is paid once, not three times.
+    val (keyed, key) = epochScale match {
+      case None =>
+        (corpus.select(col("split"), col(idCol), col(textCol)), idCol)
+      case Some(scale) =>
+        (corpus.select(col("split"),
+          (col(idCol).cast("long") * scale + col("epoch")).as("__wkey__"),
+          col(textCol)), "__wkey__")
+    }
+    val gc = Seq("split")
+    val win = bpe match {
+      case None =>
+        TextStats.assembleWindows(keyed, key, textCol, windowSize, seed, gc)
+          .select(col("split"), col("window_id"),
+            col("window_text"), col("n_tokens"))
+      case Some(rb) =>
+        require(!(rb.packed && fullWindowsOnly),
+          "packed windows + fullWindowsOnly: packing makes underfull " +
+            "REAL token counts the norm (the shape guarantee is padId) " +
+            "— the filter would drop nearly every window")
+        val cols = Seq(col("split"), col("window_id"),
+          col("window_ids"), col("n_tokens")) ++
+          (if (rb.docSpans) Seq(col("doc_spans")) else Nil)
+        val asm = (rb.packed, rb.stride) match {
+          case (true, _) =>
+            rb.asmPacked(keyed, key, textCol, windowSize, seed, persisted,
+              gc)
+          case (false, Some(st)) =>
+            rb.asmStrided(keyed, key, textCol, windowSize, st, seed, gc)
+          case (false, None) =>
+            rb.asmChop(keyed, key, textCol, windowSize, seed, gc)
+        }
+        asm.select(cols: _*)
+    }
     if (fullWindowsOnly) win.filter(col("n_tokens") === windowSize) else win
   }
 

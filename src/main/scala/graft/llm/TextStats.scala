@@ -480,7 +480,8 @@ object TextStats {
     * Output: every input column + token_start (exclusive-cumsum global
     * offset), window_first, window_last, n_windows. */
   def tokenWindows(docs: DataFrame, idCol: String, tokenCol: String,
-                   windowSize: Long, seed: Long = 0L): DataFrame = {
+                   windowSize: Long, seed: Long = 0L,
+                   groupCols: Seq[String] = Nil): DataFrame = {
     require(windowSize > 0, s"windowSize must be positive, got $windowSize")
     val kt = docs.schema(idCol).dataType
     require(kt.isInstanceOf[org.apache.spark.sql.types.NumericType],
@@ -489,7 +490,13 @@ object TextStats {
     val withH = docs.withColumn("__sh__", graft.QHelp.keyHash31(
       pmod(col(idCol), lit(2147483648L)) + lit(seed % 2147483648L)))
     graft.operators.WindowOps
-      .globalCumSum(withH, "__sh__", tokenCol, "__cum__")
+      // hashed form (r16): __sh__ is keyHash31-uniform in [0, 2^32) —
+      // deterministic buckets replace sampled range boundaries, saving
+      // the sampling pass that re-ran the (encode-bearing) child;
+      // groupCols restarts the stream per group (the split-fused
+      // landing), bit-identical to running each group separately
+      .globalCumSumHashed(withH, "__sh__", tokenCol, "__cum__", 1L << 32,
+        groupCols)
       .withColumn("token_start", col("__cum__") - col(tokenCol))
       .withColumn("window_first",
         graft.QHelp.floorDiv(col("token_start"), windowSize))
@@ -516,8 +523,9 @@ object TextStats {
     * bounded by each doc's window span (≤ tokens/windowSize + 2 rows
     * per doc — output ∝ corpus tokens / windowSize + docs). */
   def tokenWindowMembers(docs: DataFrame, idCol: String, tokenCol: String,
-                         windowSize: Long, seed: Long = 0L): DataFrame =
-    tokenWindows(docs, idCol, tokenCol, windowSize, seed)
+                         windowSize: Long, seed: Long = 0L,
+                         groupCols: Seq[String] = Nil): DataFrame =
+    tokenWindows(docs, idCol, tokenCol, windowSize, seed, groupCols)
       .withColumn("window_id",
         explode(sequence(col("window_first"), col("window_last"))))
       .withColumn("tok_from",
@@ -548,17 +556,18 @@ object TextStats {
     * under spark's row limits (a 8k-token window of ~6-byte tokens is
     * ~50 KB). */
   def assembleWindows(docs: DataFrame, idCol: String, textCol: String,
-                      windowSize: Long, seed: Long = 0L): DataFrame = {
+                      windowSize: Long, seed: Long = 0L,
+                      groupCols: Seq[String] = Nil): DataFrame = {
     val toks = split(col(textCol), " ")
     val withN = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), toks.as("__toks__"),
-        size(toks).cast("long").as("__n__"))
-    tokenWindowMembers(withN, idCol, "__n__", windowSize, seed)
+      .select(groupCols.map(col) ++ Seq(col(idCol), toks.as("__toks__"),
+        size(toks).cast("long").as("__n__")): _*)
+    tokenWindowMembers(withN, idCol, "__n__", windowSize, seed, groupCols)
       .filter(col("tok_to") > col("tok_from"))
-      .select(col("window_id"), col("window_pos"),
+      .select(groupCols.map(col) ++ Seq(col("window_id"), col("window_pos"),
         slice(col("__toks__"), (col("tok_from") + 1).cast("int"),
-          (col("tok_to") - col("tok_from")).cast("int")).as("__slice__"))
-      .groupBy("window_id")
+          (col("tok_to") - col("tok_from")).cast("int")).as("__slice__")): _*)
+      .groupBy(groupCols.map(col) :+ col("window_id"): _*)
       .agg(
         array_join(flatten(transform(
           array_sort(collect_list(struct(col("window_pos"),
@@ -601,19 +610,21 @@ object TextStats {
     * mod 2^31 (the shuffleIndex contract). */
   def packedPieceMembers(docs: DataFrame, idCol: String, tokenCol: String,
                          windowSize: Long, seed: Long = 0L,
-                         segmentDocs: Int = 512): DataFrame = {
+                         segmentDocs: Int = 512,
+                         groupCols: Seq[String] = Nil): DataFrame = {
     require(windowSize > 0, s"windowSize must be positive, got $windowSize")
     require(segmentDocs > 0, s"segmentDocs must be positive, got $segmentDocs")
     val kt = docs.schema(idCol).dataType
     require(kt.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"packedPieceMembers: key column '$idCol' must be numeric (got " +
         s"${kt.simpleString}); factorize or hash string keys first")
+    val gc = groupCols.map(col)
     val pieces = docs.filter(col(tokenCol) > 0)
-      .select(col(idCol).cast("long").as("__mid__"),
+      .select(gc ++ Seq(col(idCol).cast("long").as("__mid__"),
         col(tokenCol).cast("long").as("__n__"),
         graft.QHelp.keyHash31(
           pmod(col(idCol), lit(2147483648L)) + lit(seed % 2147483648L))
-          .as("__sh__"))
+          .as("__sh__")): _*)
       .withColumn("__piece__", explode(sequence(lit(0L),
         graft.QHelp.floorDiv(col("__n__") - 1, windowSize))))
       .withColumn("__plen__",
@@ -626,12 +637,15 @@ object TextStats {
         col("__sh__") * lit(2147483648L) + col("__piece__"))
       .withColumn("__one__", lit(1L))
     val ranked = graft.operators.WindowOps
-      .globalCumSum(pieces, "__ord__", "__one__", "__rank__")
+      // hashed form (r16): __ord__ = sh·2^31 + piece with sh uniform in
+      // [0, 2^32), so the key space is uniform in [0, 2^63)
+      .globalCumSumHashed(pieces, "__ord__", "__one__", "__rank__",
+        Long.MaxValue, groupCols)
       .withColumn("__seg__",
         graft.QHelp.floorDiv(col("__rank__") - 1, segmentDocs.toLong))
       .withColumn("__spos__",
         pmod(col("__rank__") - 1, lit(segmentDocs.toLong)))
-    val segRows = ranked.groupBy(col("__seg__"))
+    val segRows = ranked.groupBy(gc :+ col("__seg__"): _*)
       .agg(array_sort(collect_list(struct(col("__spos__"), col("__mid__"),
         col("__piece__"), col("__plen__")))).as("__items__"))
       .withColumn("__packed__", graft.functions.TextHashExprs.packNextFit(
@@ -640,16 +654,16 @@ object TextStats {
       .withColumn("__nwins__",
         element_at(col("__packed__"), -1).getField("win").cast("long") + 1L)
     graft.operators.WindowOps
-      .globalCumSum(segRows, "__seg__", "__nwins__", "__wcum__")
+      .globalCumSum(segRows, "__seg__", "__nwins__", "__wcum__", groupCols)
       .withColumn("__woff__", col("__wcum__") - col("__nwins__"))
-      .select(col("__woff__"), explode(zip_with(col("__items__"),
+      .select(gc ++ Seq(col("__woff__"), explode(zip_with(col("__items__"),
         col("__packed__"), (it, pk) => struct(
           it.getField("__mid__").as("__mid__"),
           it.getField("__piece__").as("__piece__"),
           it.getField("__plen__").as("__plen__"),
           pk.getField("win").cast("long").as("__win__"),
-          pk.getField("off").as("__off__")))).as("__m__"))
-      .select(
+          pk.getField("off").as("__off__")))).as("__m__")): _*)
+      .select(gc ++ Seq(
         (col("__woff__") + col("__m__.__win__")).as("window_id"),
         col("__m__.__mid__").as("__mid__"),
         col("__m__.__piece__").as("__piece__"),
@@ -657,7 +671,7 @@ object TextStats {
         col("__m__.__off__").as("__off__"),
         (col("__m__.__piece__") * windowSize).as("tok_from"),
         (col("__m__.__piece__") * windowSize + col("__m__.__plen__"))
-          .as("tok_to"))
+          .as("tok_to")): _*)
   }
 
   /** Materialize PACKED training windows over whitespace tokens — the

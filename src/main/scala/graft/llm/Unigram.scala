@@ -744,7 +744,8 @@ object Unigram {
                          eodId: Option[Long] = None,
                          withDocSpans: Boolean = false,
                          wordPattern: Option[String] = None,
-                         byteFallback: Option[IndexedSeq[Long]] = None): DataFrame = {
+                         byteFallback: Option[IndexedSeq[Long]] = None,
+                         groupCols: Seq[String] = Nil): DataFrame = {
     eodId.foreach(e => require(e != -1L && !pieces.exists(_._2 == e) &&
         !byteFallback.exists(_.contains(e)),
       s"assembleWindowsIds: eodId $e collides with a piece id, a " +
@@ -752,7 +753,7 @@ object Unigram {
         "outside the vocabulary"))
     Bpe.assembleWindowsIdsFrom(docs, idCol, textCol, windowSize, seed,
       w => TextHashExprs.unigramEncodeIds(w, pieces, byteFallback),
-      eodId, withDocSpans, wordPattern)
+      eodId, withDocSpans, wordPattern, groupCols)
   }
 
   /** SLIDING-window (eval-layout) variant — [[Bpe
@@ -763,7 +764,8 @@ object Unigram {
                                 pieces: Seq[(String, Long, Long)],
                                 eodId: Option[Long] = None,
                                 wordPattern: Option[String] = None,
-                                byteFallback: Option[IndexedSeq[Long]] = None): DataFrame = {
+                                byteFallback: Option[IndexedSeq[Long]] = None,
+                                groupCols: Seq[String] = Nil): DataFrame = {
     eodId.foreach(e => require(e != -1L && !pieces.exists(_._2 == e) &&
         !byteFallback.exists(_.contains(e)),
       s"assembleWindowsIdsStrided: eodId $e collides with a piece id, " +
@@ -771,7 +773,7 @@ object Unigram {
     Bpe.assembleWindowsIdsStridedFrom(docs, idCol, textCol, windowSize,
       stride, seed,
       w => TextHashExprs.unigramEncodeIds(w, pieces, byteFallback),
-      eodId, wordPattern)
+      eodId, wordPattern, groupCols)
   }
 
   /** Doc-aware PACKED variant — [[Bpe.assembleWindowsIdsPacked]]
@@ -785,7 +787,9 @@ object Unigram {
                                withDocSpans: Boolean = false,
                                wordPattern: Option[String] = None,
                                segmentDocs: Int = 512,
-                               byteFallback: Option[IndexedSeq[Long]] = None): DataFrame = {
+                               byteFallback: Option[IndexedSeq[Long]] = None,
+                               persisted: Option[scala.collection.mutable.Buffer[DataFrame]] = None,
+                               groupCols: Seq[String] = Nil): DataFrame = {
     eodId.foreach(e => require(e != -1L && !pieces.exists(_._2 == e) &&
         !byteFallback.exists(_.contains(e)),
       s"assembleWindowsIdsPacked: eodId $e collides with a piece id, a " +
@@ -798,7 +802,8 @@ object Unigram {
         "a distinct id outside the vocabulary"))
     Bpe.assembleWindowsIdsPackedFrom(docs, idCol, textCol, windowSize,
       seed, w => TextHashExprs.unigramEncodeIds(w, pieces, byteFallback),
-      eodId, padId, withDocSpans, wordPattern, segmentDocs)
+      eodId, padId, withDocSpans, wordPattern, segmentDocs, persisted,
+      groupCols)
   }
 
   /** Rewrite the piece table to one file per bucket — the

@@ -584,12 +584,13 @@ object WordPiece {
                          maxInputChars: Int = 200,
                          eodId: Option[Long] = None,
                          withDocSpans: Boolean = false,
-                         wordPattern: Option[String] = None): DataFrame = {
+                         wordPattern: Option[String] = None,
+                         groupCols: Seq[String] = Nil): DataFrame = {
     checkReserved(vocab, unkId, eodId, None, "assembleWindowsIds")
     Bpe.assembleWindowsIdsFrom(docs, idCol, textCol, windowSize, seed,
       w => TextHashExprs.wordPieceEncodeIds(w, vocab, unkId, contPrefix,
         maxInputChars),
-      eodId, withDocSpans, wordPattern)
+      eodId, withDocSpans, wordPattern, groupCols)
   }
 
   /** SLIDING-window (eval-layout) variant. */
@@ -600,13 +601,14 @@ object WordPiece {
                                 contPrefix: String = "##",
                                 maxInputChars: Int = 200,
                                 eodId: Option[Long] = None,
-                                wordPattern: Option[String] = None): DataFrame = {
+                                wordPattern: Option[String] = None,
+                                groupCols: Seq[String] = Nil): DataFrame = {
     checkReserved(vocab, unkId, eodId, None, "assembleWindowsIdsStrided")
     Bpe.assembleWindowsIdsStridedFrom(docs, idCol, textCol, windowSize,
       stride, seed,
       w => TextHashExprs.wordPieceEncodeIds(w, vocab, unkId, contPrefix,
         maxInputChars),
-      eodId, wordPattern)
+      eodId, wordPattern, groupCols)
   }
 
   /** Doc-aware PACKED variant. */
@@ -620,12 +622,15 @@ object WordPiece {
                                padId: Option[Long] = None,
                                withDocSpans: Boolean = false,
                                wordPattern: Option[String] = None,
-                               segmentDocs: Int = 512): DataFrame = {
+                               segmentDocs: Int = 512,
+                               persisted: Option[scala.collection.mutable.Buffer[DataFrame]] = None,
+                               groupCols: Seq[String] = Nil): DataFrame = {
     checkReserved(vocab, unkId, eodId, padId, "assembleWindowsIdsPacked")
     Bpe.assembleWindowsIdsPackedFrom(docs, idCol, textCol, windowSize,
       seed, w => TextHashExprs.wordPieceEncodeIds(w, vocab, unkId,
         contPrefix, maxInputChars),
-      eodId, padId, withDocSpans, wordPattern, segmentDocs)
+      eodId, padId, withDocSpans, wordPattern, segmentDocs, persisted,
+      groupCols)
   }
 
   /** Rewrite the vocabulary table to one file per bucket. */

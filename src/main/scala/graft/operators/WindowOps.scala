@@ -48,15 +48,25 @@ object WindowOps {
     * broadcast. Two shuffles of the data total, no serial chain.
     * `orderCol` must be globally unique for a deterministic result (pass a
     * composite via a struct-ranked column otherwise). */
+  /** `groupCols` (r16): restart the cumulative sum per group — the
+    * grouped form the split-fused window landings use (one pass over
+    * the whole corpus instead of one full plan per split). Range
+    * partitioning is (groupCols, orderCol) lexicographic, so within a
+    * group increasing order keys land in non-decreasing partition ids
+    * and the per-(group, pid) offset carry is exact; the offsets frame
+    * is (groups × npartitions) rows — same cosmetic-window posture. */
   def globalCumSum(df: DataFrame, orderCol: String, valueCol: String,
-                   outCol: String): DataFrame = {
+                   outCol: String,
+                   groupCols: Seq[String] = Nil): DataFrame = {
     // Both consumers below (the windowed frame and the offsets frame)
     // descend from THIS dataframe object — identical logical subplans —
     // so the range exchange is planned once (ReusedExchange) and every
     // branch sees the same sampled boundaries / partition ids.
-    val ranged = df.repartitionByRange(col(orderCol))
+    val g = groupCols.map(col)
+    val ranged = df.repartitionByRange(g :+ col(orderCol): _*)
       .withColumn("__pid__", spark_partition_id())
-    val wIn = Window.partitionBy(col("__pid__")).orderBy(col(orderCol))
+    val wIn = Window.partitionBy(g :+ col("__pid__"): _*)
+      .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = ranged.withColumn("__local__", sum(col(valueCol)).over(wIn))
     // Prefix offsets over the npartitions-row per-range sums. This IS an
@@ -67,14 +77,60 @@ object WindowOps {
     // scanning via .rdd/createDataFrame: that severs the SQL plan, the
     // broadcast branch loses ReusedExchange, and the whole data pipeline
     // executes twice (measured 9.2x at sf0.1).
-    val wOff = Window.orderBy(col("__pid__"))
+    val wOff = (if (g.isEmpty) Window.orderBy(col("__pid__"))
+                else Window.partitionBy(g: _*).orderBy(col("__pid__")))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withLocal.groupBy(col("__pid__"))
+    val offsets = withLocal.groupBy(g :+ col("__pid__"): _*)
       .agg(sum(col(valueCol)).as("__psum__"))
       .withColumn("__offset__",
         coalesce(sum(col("__psum__")).over(wOff), lit(0)))
-      .select(col("__pid__"), col("__offset__"))
-    withLocal.join(broadcast(offsets), "__pid__")
+      .select(g :+ col("__pid__") :+ col("__offset__"): _*)
+    withLocal.join(broadcast(offsets), groupCols :+ "__pid__")
+      .withColumn(outCol, col("__local__") + col("__offset__"))
+      .drop("__pid__", "__local__", "__offset__")
+  }
+
+  /** [[globalCumSum]] for HASH-UNIFORM long order keys in [0, `domain`)
+    * — every id-landing order key here is keyHash31-derived, so the key
+    * space is uniform by construction and the ordered ranges can be
+    * DETERMINISTIC equal-width buckets of the domain instead of sampled
+    * boundaries (r16 optimization). That removes repartitionByRange's
+    * boundary-sampling pass, which re-evaluated the (often
+    * encode-heavy) child subtree once per cumsum before the real map
+    * pass ran it again — the landing assemblies paid the corpus encode
+    * twice per split. One hash exchange on the bucket id total; the
+    * offsets frame aggregates the WINDOWED output so it reuses that
+    * exchange (the globalCumSum reuse discipline); the un-partitioned
+    * offsets window touches ≤ `spark.graft.cumsum.buckets` (default
+    * 1024) rows at any scale — the same cosmetic-warning posture as
+    * [[globalCumSum]]. Bucket ids are pure functions of the data, so
+    * the result is bit-identical to [[globalCumSum]]'s and fully
+    * partition-count independent. */
+  def globalCumSumHashed(df: DataFrame, orderCol: String, valueCol: String,
+                         outCol: String, domain: Long,
+                         groupCols: Seq[String] = Nil): DataFrame = {
+    require(domain > 0, s"globalCumSumHashed: domain must be positive, got $domain")
+    val buckets = df.sparkSession.conf
+      .getOption("spark.graft.cumsum.buckets")
+      .map(_.toInt).getOrElse(1024)
+    val width = math.max(1L, (domain + buckets - 1) / buckets)
+    val g = groupCols.map(col)
+    val withPid = df.withColumn("__pid__",
+      graft.QHelp.floorDiv(col(orderCol), width))
+    val wIn = Window.partitionBy(g :+ col("__pid__"): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = withPid.withColumn("__local__",
+      sum(col(valueCol)).over(wIn))
+    val wOff = (if (g.isEmpty) Window.orderBy(col("__pid__"))
+                else Window.partitionBy(g: _*).orderBy(col("__pid__")))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withLocal.groupBy(g :+ col("__pid__"): _*)
+      .agg(sum(col(valueCol)).as("__psum__"))
+      .withColumn("__offset__",
+        coalesce(sum(col("__psum__")).over(wOff), lit(0)))
+      .select(g :+ col("__pid__") :+ col("__offset__"): _*)
+    withLocal.join(broadcast(offsets), groupCols :+ "__pid__")
       .withColumn(outCol, col("__local__") + col("__offset__"))
       .drop("__pid__", "__local__", "__offset__")
   }
