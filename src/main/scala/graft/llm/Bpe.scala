@@ -1115,14 +1115,20 @@ object Bpe {
     val vocab = vocabMap(spark.table(s"${name}_bpe_vocab"))
     val words = filter(wordsOf(textCol, meta.wordPattern),
       w => length(w) >= 1)
-    val ids = flatten(transform(words,
+    val ids = flatten(transform(col("__wd__"),
       w => TextHashExprs.bpeEncodeIds(w, merges, vocab, meta.byteLevel)))
+    // words/ids projected once (r16): three sibling columns referenced
+    // the same word-extraction and encode expressions, so the optimizer
+    // inlined and re-evaluated them per column — 2x the per-row encode
+    // at any corpus size (the postings lesson)
     Normalize.frame(docs, textCol, meta.normalize)
       .filter(col(textCol).isNotNull)
+      .select(col(groupCol), words.as("__wd__"))
+      .select(col(groupCol), col("__wd__"), ids.as("__ids__"))
       .select(col(groupCol),
-        size(words).cast("long").as("__w__"),
-        size(ids).cast("long").as("__t__"),
-        size(filter(ids, i => i < 0L)).cast("long").as("__o__"))
+        size(col("__wd__")).cast("long").as("__w__"),
+        size(col("__ids__")).cast("long").as("__t__"),
+        size(filter(col("__ids__"), i => i < 0L)).cast("long").as("__o__"))
       .groupBy(col(groupCol))
       .agg(sum(col("__w__")).as("n_words"),
         sum(col("__t__")).as("n_tokens"),

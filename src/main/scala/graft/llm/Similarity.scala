@@ -17,8 +17,15 @@ object Similarity {
   /** Small embedding sets arrive as one parquet split — spread them so
     * the blockwise scoring stage uses every core (at real scale the file
     * count provides this naturally). Keyed off the input file count, not
-    * `.rdd`, to avoid a second physical plan (see [[Spread]]). */
-  private def spread(df: DataFrame): DataFrame = Spread(df)
+    * `.rdd`, to avoid a second physical plan (see [[Spread]]). The
+    * 32 KiB/task target (vs Spread's 2 MiB text default) reflects the
+    * per-byte cost of exact-decimal vector scoring — dense dot products
+    * run orders of magnitude more work per input byte than text hashing,
+    * so a far smaller slice still dwarfs task overhead (r16: the
+    * byte-proportional default serialized the brute-force rankers —
+    * q_ann_batch 2.6x slower — this restores full width at fixture
+    * scale while staying size-adaptive). */
+  private def spread(df: DataFrame): DataFrame = Spread(df, 32L << 10)
 
   /** Order-independent exact dot product of two float-array columns.
     * Accumulator precision stays under Spark's 38-digit cap (adding a

@@ -707,13 +707,17 @@ object Unigram {
     // under byte fallback -1 is structurally absent: n_oov counts the
     // byte-fallback tokens instead (the mode's own OOV currency —
     // fertility then prices the byte blow-up of uncovered scripts)
-    val ids = flatten(transform(words,
+    val ids = flatten(transform(col("__wd__"),
       w => TextHashExprs.unigramEncodeIds(w, pieces, byteFallback)))
+    // words/ids projected once (r16): sibling columns referencing the
+    // same extraction/encode expressions re-evaluated them per column
     docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol), words.as("__wd__"))
+      .select(col(groupCol), col("__wd__"), ids.as("__ids__"))
       .select(col(groupCol),
-        size(words).cast("long").as("__w__"),
-        size(ids).cast("long").as("__t__"),
-        size(filter(ids, i => byteFallback match {
+        size(col("__wd__")).cast("long").as("__w__"),
+        size(col("__ids__")).cast("long").as("__t__"),
+        size(filter(col("__ids__"), i => byteFallback match {
           case None => i < 0L
           case Some(b) => i.isInCollection(b)
         })).cast("long").as("__o__"))

@@ -506,14 +506,18 @@ object WordPiece {
                           wordPattern: Option[String] = None): DataFrame = {
     val words = filter(Bpe.wordsOf(textCol, wordPattern),
       w => length(w) >= 1)
-    val enc = transform(words, w =>
+    val enc = transform(col("__wd__"), w =>
       TextHashExprs.wordPieceEncodeIds(w, vocab, unkId, contPrefix,
         maxInputChars))
+    // words/enc projected once (r16): sibling columns referencing the
+    // same extraction/encode expressions re-evaluated them per column
     docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol), words.as("__wd__"))
+      .select(col(groupCol), col("__wd__"), enc.as("__enc__"))
       .select(col(groupCol),
-        size(words).cast("long").as("__w__"),
-        size(flatten(enc)).cast("long").as("__t__"),
-        size(filter(enc, a =>
+        size(col("__wd__")).cast("long").as("__w__"),
+        size(flatten(col("__enc__"))).cast("long").as("__t__"),
+        size(filter(col("__enc__"), a =>
           size(a) === 1 && a.getItem(0) === unkId))
           .cast("long").as("__u__"))
       .groupBy(col(groupCol))
