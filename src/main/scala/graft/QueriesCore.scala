@@ -28,7 +28,9 @@ object QueriesCore {
 
     r.reg("q_read_csv",
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, dir) =>
-      val path = "/root/repo/target/qtmp/region_csv"
+      // per-JVM root (r16): the literal shared path raced across
+      // concurrent verify JVMs (the r15-verdict fixture-isolation class)
+      val path = graft.QHelp.qtmpDir("region_csv").getAbsolutePath
       GraftFrame(t(s, dir, "region")).toCsv(path)
       GraftFrame.readCsv(s, path)
         .sortValues(Seq("r_regionkey" -> true)).df
@@ -37,7 +39,9 @@ object QueriesCore {
     r.reg("q_to_parquet",
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      val path = "/root/repo/target/qtmp/orders_pq"
+      // per-JVM root (r16): the literal shared path raced across
+      // concurrent verify JVMs (the r15-verdict fixture-isolation class)
+      val path = graft.QHelp.qtmpDir("orders_pq").getAbsolutePath
       GraftFrame(t(s, dir, "orders"))
         .filter(col("o_orderstatus") === "F")
         .select("o_orderkey", "o_totalprice")
@@ -52,7 +56,9 @@ object QueriesCore {
     r.reg("q_json_roundtrip",
       """SELECT event_id, user_id, value FROM events
         |WHERE user_id < 20 ORDER BY event_id""".stripMargin) { (s, dir) =>
-      val path = "/root/repo/target/qtmp/events_json"
+      // per-JVM root (r16): the literal shared path raced across
+      // concurrent verify JVMs (the r15-verdict fixture-isolation class)
+      val path = graft.QHelp.qtmpDir("events_json").getAbsolutePath
       GraftFrame(t(s, dir, "events")).filter(col("user_id") < 20)
         .select("event_id", "user_id", "value")
         .toJson(path)
@@ -66,7 +72,9 @@ object QueriesCore {
     r.reg("q_orc_roundtrip",
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_totalprice > 200000.0 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      val path = "/root/repo/target/qtmp/orders_orc"
+      // per-JVM root (r16): the literal shared path raced across
+      // concurrent verify JVMs (the r15-verdict fixture-isolation class)
+      val path = graft.QHelp.qtmpDir("orders_orc").getAbsolutePath
       GraftFrame(t(s, dir, "orders")).filter(col("o_totalprice") > 200000.0)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .toOrc(path)

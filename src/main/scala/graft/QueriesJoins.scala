@@ -413,7 +413,9 @@ object QueriesJoins {
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
       // repo-local like the other IO queries (QueriesCore qtmp convention);
       // overwrite mode makes reruns idempotent
-      val base = "/root/repo/target/qtmp/bucketed"
+      // per-JVM root (r16): the literal shared path raced across
+      // concurrent verify JVMs (the r15-verdict fixture-isolation class)
+      val base = graft.QHelp.qtmpDir("bucketed").getAbsolutePath
       GraftFrame(t(s, dir, "orders").select("o_custkey", "o_totalprice"))
         .toBucketedTable("g_b_orders", s"$base/orders", 8, Seq("o_custkey"))
       GraftFrame(t(s, dir, "customer")

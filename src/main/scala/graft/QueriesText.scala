@@ -1466,7 +1466,10 @@ object QueriesText {
          |FROM wparts GROUP BY split, window_id
          |ORDER BY split, window_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val out = "/root/repo/target/qtmp/pipeline_windows"
+      // per-JVM root (r16): the literal shared path raced when two
+      // verify JVMs ran concurrently (the r15-verdict fixture-isolation
+      // class, missed for the landing outputs)
+      val out = graft.QHelp.qtmpDir("pipeline_windows").getAbsolutePath
       // a fresh landing every run: the crash-replay manifest guard would
       // otherwise O(1)-return a PREVIOUS scale factor's landing
       val p = new org.apache.hadoop.fs.Path(out)
@@ -3805,7 +3808,10 @@ object QueriesText {
          |ORDER BY split, window_id""".stripMargin) { (s, dir) =>
       val idxPath = ensurePbpeModel(s, dir)
       val docs = t(s, dir, "documents")
-      val out = "/root/repo/target/qtmp/pipeline_windows_bpe"
+      // per-JVM root (r16): the literal shared path raced when two
+      // verify JVMs ran concurrently (the r15-verdict fixture-isolation
+      // class, missed for the landing outputs)
+      val out = graft.QHelp.qtmpDir("pipeline_windows_bpe").getAbsolutePath
       // a fresh landing every run: the crash-replay manifest guard would
       // otherwise O(1)-return a PREVIOUS scale factor's landing
       val p = new org.apache.hadoop.fs.Path(out)
@@ -3895,7 +3901,10 @@ object QueriesText {
          |ORDER BY split, window_id""".stripMargin) { (s, dir) =>
       val idxPath = ensurePbpeModel(s, dir)
       val docs = t(s, dir, "documents")
-      val out = "/root/repo/target/qtmp/eval_windows"
+      // per-JVM root (r16): the literal shared path raced when two
+      // verify JVMs ran concurrently (the r15-verdict fixture-isolation
+      // class, missed for the landing outputs)
+      val out = graft.QHelp.qtmpDir("eval_windows").getAbsolutePath
       // a fresh landing every run: the crash-replay manifest guard would
       // otherwise O(1)-return a PREVIOUS scale factor's landing
       val p = new org.apache.hadoop.fs.Path(out)
@@ -3975,7 +3984,10 @@ object QueriesText {
          |GROUP BY split, window_id
          |ORDER BY split, window_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val out = "/root/repo/target/qtmp/windows_decontam_text"
+      // per-JVM root (r16): the literal shared path raced when two
+      // verify JVMs ran concurrently (the r15-verdict fixture-isolation
+      // class, missed for the landing outputs)
+      val out = graft.QHelp.qtmpDir("windows_decontam_text").getAbsolutePath
       val p = new org.apache.hadoop.fs.Path(out)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       graft.llm.Pipeline.buildAndWriteWindows(
@@ -4105,7 +4117,10 @@ object QueriesText {
         ) { (s, dir) =>
       val idxPath = ensurePbpeModel(s, dir)
       val docs = t(s, dir, "documents")
-      val out = "/root/repo/target/qtmp/windows_decontam"
+      // per-JVM root (r16): the literal shared path raced when two
+      // verify JVMs ran concurrently (the r15-verdict fixture-isolation
+      // class, missed for the landing outputs)
+      val out = graft.QHelp.qtmpDir("windows_decontam").getAbsolutePath
       val p = new org.apache.hadoop.fs.Path(out)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       graft.llm.Pipeline.buildAndWriteWindows(
@@ -4215,7 +4230,10 @@ object QueriesText {
       val vocab = graft.llm.Bpe.vocabMap(s.table("g_pbpe_bpe_vocab"))
       val eod = vocab.values.max + 1L
       val docs = t(s, dir, "documents")
-      val out = "/root/repo/target/qtmp/pipeline_windows_packed"
+      // per-JVM root (r16): the literal shared path raced when two
+      // verify JVMs ran concurrently (the r15-verdict fixture-isolation
+      // class, missed for the landing outputs)
+      val out = graft.QHelp.qtmpDir("pipeline_windows_packed").getAbsolutePath
       val p = new org.apache.hadoop.fs.Path(out)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       graft.llm.Pipeline.buildAndWriteWindows(
