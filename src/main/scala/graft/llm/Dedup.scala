@@ -203,7 +203,7 @@ object Dedup {
     val driverMax = pairs.sparkSession.conf
       .getOption("spark.graft.components.driverMaxPairs")
       .map(_.toInt).getOrElse(1 << 20)
-    val idType = pairs.schema.fields.head.dataType
+    val idType = pairs.schema("id_a").dataType
     val integral = idType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
@@ -216,10 +216,20 @@ object Dedup {
       // up through partial jobs (1, 4, 16... partitions), re-running the
       // candidate pipeline per attempt on a cold cache; one count()
       // materializes the caller's cache in a single parallel pass and the
-      // bounded collect then reads it
+      // bounded collect then reads it. CALLERS CACHE `pairs` (all five
+      // do) so count + collect share one evaluation of the candidate
+      // pipeline. Columns are selected BY NAME and nulls dropped (r16
+      // advice): the positional read diverged from the distributed
+      // branch for frames with extra/reordered columns, and a null id
+      // NPE'd row.getLong where the distributed loop's joins silently
+      // ignore null-keyed edges — both paths now agree (null-id pairs
+      // contribute nothing either way: every caller consumes labels via
+      // `id =!= label`, which is null-safe-false for the orphan rows the
+      // distributed form emits).
       val slim = pairs
-        .select(col(pairs.columns(0)).cast("long").as("a"),
-          col(pairs.columns(1)).cast("long").as("b"))
+        .select(col("id_a").cast("long").as("a"),
+          col("id_b").cast("long").as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull)
       val n = slim.count()
       if (n <= driverMax) {
         val probe = slim.collect()
@@ -871,11 +881,26 @@ object Dedup {
       numHashes, bands)
     // append MUST go through bucketBy+saveAsTable: insertInto drops the
     // bucket spec on datasource tables and would silently land
-    // un-bucketed files, killing the exchange-free read property
-    graft.api.GraftFrame(banded).toBucketedTable(s"${name}_bands",
-      s"$path/bands", buckets, Seq("band", "key"), mode = "append")
-    graft.api.GraftFrame(withSh).toBucketedTable(s"${name}_shingles",
-      s"$path/shingles", buckets, Seq("id"), mode = "append")
+    // un-bucketed files, killing the exchange-free read property.
+    // r17 (guide §2.6 — overlap independent jobs): the bands and
+    // shingles appends are mutually independent sinks over the pinned
+    // `survivors` checkpoint, so they run from a two-thread pool and the
+    // second append's planning+commit overlaps the first's write tail.
+    // The crash-replay contract constrains only blooms-before-keys and
+    // keys-LAST (a keys row is the "append committed" signal the
+    // recovery path reads) — both preserved: the pool JOINS before any
+    // keys-side work. The new crash state this introduces
+    // (shingles-without-bands, impossible under the old sequential
+    // order) replays clean: candidates come only from the bands table,
+    // so a shard doc with only a stale shingles row is simply invisible;
+    // the reverse state (bands-without-shingles) existed before and its
+    // stale candidates drop at the inner shingle-verify join, with
+    // self-id matches excluded by [[nearDupPairsAgainstIndex]].
+    Concur.runAll(Seq(
+      () => graft.api.GraftFrame(banded).toBucketedTable(s"${name}_bands",
+        s"$path/bands", buckets, Seq("band", "key"), mode = "append"),
+      () => graft.api.GraftFrame(withSh).toBucketedTable(s"${name}_shingles",
+        s"$path/shingles", buckets, Seq("id"), mode = "append")))
     // grow the exact-dedup boundary too (skip for a pre-keys-table
     // index so r8-era indexes keep appending without migration)
     if (newDocs.sparkSession.catalog.tableExists(s"${name}_keys")) {
@@ -1610,11 +1635,15 @@ object Dedup {
     val spark = newDocs.sparkSession
     checkParams(spark, table, Map("hammingK" -> hammingK))
     val sigs = sigsOf(newDocs).localCheckpoint(true) // one decode pass
-    // shard-internal components over the signatures (keep minima)
+    // shard-internal components over the signatures (keep minima).
+    // cached like every other minLabelComponents caller (r16 advice):
+    // the fast path inside runs count + collect, which would otherwise
+    // execute the hamming candidate join twice
     val pairs = hammingNearDupPairs(sigs, "id", "sig", 64, hammingK)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")).cache()
     val internalDrop = minLabelComponents(pairs)
       .filter(col("id") =!= col("label")).select(col("id"))
+    pairs.unpersist()
     val internal = sigs.join(internalDrop, Seq("id"), "left_anti")
     // vs-corpus gate on the SAME signatures
     val shardBands = sigBandRows(internal, "sig", 64, hammingK)

@@ -1507,11 +1507,17 @@ object Pipeline {
     // over (split, hash-order) equal each split's own prefix sums — and
     // the corpus-side work (scan of the chain output, the fused encode,
     // the cumsum exchanges) is paid once, not three times.
+    // the static split whitelist the pre-fusion per-split loop enforced
+    // (r16 advice): splitByHash emits exactly these three values, but a
+    // caller-supplied corpus with a custom/null split column must be
+    // EXCLUDED from the landing (the grouped-cumsum join would otherwise
+    // assemble and land it), not silently change landing contents
+    val splits = corpus.filter(col("split").isin("train", "val", "test"))
     val (keyed, key) = epochScale match {
       case None =>
-        (corpus.select(col("split"), col(idCol), col(textCol)), idCol)
+        (splits.select(col("split"), col(idCol), col(textCol)), idCol)
       case Some(scale) =>
-        (corpus.select(col("split"),
+        (splits.select(col("split"),
           (col(idCol).cast("long") * scale + col("epoch")).as("__wkey__"),
           col(textCol)), "__wkey__")
     }
@@ -2396,21 +2402,29 @@ object Pipeline {
           cp.join(unlanded, Seq(idCol), "left_semi")
         }
       val toLand = survivors.unionByName(recovered).localCheckpoint(true)
-      ivfPath.foreach(p => Ivf.appendToIndex(toLand, idCol, vecCol, p))
-      // keep the int8 serving copy in lockstep with the float corpus:
-      // the survivors append in quantized form WITH their LSH bucket
-      // (same dim/planes as the dedup geometry), so the batched
-      // retrieval path (annTopKQuantizedIndexedBatch) never lags the
-      // daily growth and never re-reads floats at query time
-      quantizedPath.foreach(p =>
-        Similarity.writeQuantizedCorpus(toLand, idCol, vecCol, p,
-          bucketDim = Some(dim), planes = planes,
-          shardLabel = Some(shardLabel)))
-      // the PQ serving copy grows in lockstep too — appendToPqCorpus
-      // carries its own replay-safe id guard, so a crash between this
-      // sink and the landing replays to a no-op append
-      pqPath.foreach(p =>
-        Pq.appendToPqCorpus(toLand, idCol, vecCol, p))
+      // r17 (guide §2.6): the IVF, int8 and PQ serving copies are
+      // mutually independent sinks over the pinned `toLand` checkpoint —
+      // each carries its own replay-safe id guard, writes its own
+      // directory, and none reads another's output — so they run from a
+      // small pool instead of back to back. The landing write stays
+      // AFTER the pool joins and the manifest stays last (the
+      // crash-replay contract); a crash mid-pool leaves any subset of
+      // sinks committed, each of which replays to a no-op exactly as a
+      // crash between two sequential sinks always did.
+      //  - IVF: appendToIndex keeps cell routing in lockstep
+      //  - int8: the survivors append in quantized form WITH their LSH
+      //    bucket (same dim/planes as the dedup geometry), so batched
+      //    retrieval (annTopKQuantizedIndexedBatch) never lags the daily
+      //    growth and never re-reads floats at query time
+      //  - PQ: appendToPqCorpus, same id-guarded replay posture
+      Concur.runAll(Seq(
+        ivfPath.map(p => () => Ivf.appendToIndex(toLand, idCol, vecCol, p)),
+        quantizedPath.map(p => () =>
+          Similarity.writeQuantizedCorpus(toLand, idCol, vecCol, p,
+            bucketDim = Some(dim), planes = planes,
+            shardLabel = Some(shardLabel))),
+        pqPath.map(p => () => Pq.appendToPqCorpus(toLand, idCol, vecCol, p))
+      ).flatten)
       toLand.write.mode("overwrite")
         .parquet(s"$outPath/shard_label=$shardLabel")
       val landed = toLand.count() // checkpointed — no re-run

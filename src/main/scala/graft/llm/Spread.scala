@@ -31,15 +31,25 @@ private[graft] object Spread {
     * per-byte CPU cost is far above the text-hash norm (regex
     * tokenization runs ~2-5 MB/s/core measured against minhash's
     * ~50-100): a smaller target widens the spread so the expensive
-    * expression still parallelizes. The conf knob wins when set. */
-  def apply(df: DataFrame, target: Long = 2L << 20): DataFrame = {
+    * expression still parallelizes.
+    *
+    * `confKey` is the knob that overrides THIS call site's target
+    * (r17, from the r16 advice): the call sites deliberately differ by
+    * 64x in per-byte cost class, so one global conf silently
+    * re-serializing the vector rankers while tuning text stages was a
+    * footgun — each cost class now has its own key
+    * (`spark.graft.spread.targetBytes` for the 2 MiB text-hash default,
+    * `...tokenizeTargetBytes` for Lexical's regex tokenize,
+    * `...vectorTargetBytes` for Similarity's batch rankers). */
+  def apply(df: DataFrame, target: Long = 2L << 20,
+            confKey: String = "spark.graft.spread.targetBytes"): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val par = sc.defaultParallelism
     val files = df.inputFiles.length
     if (files >= par) df
     else {
       val targetBytes = df.sparkSession.conf
-        .getOption("spark.graft.spread.targetBytes")
+        .getOption(confKey)
         .map(_.toLong).getOrElse(target)
       // analyzed (not raw logical): raw plans may still hold unresolved
       // datasource leaves, which cannot answer computeStats

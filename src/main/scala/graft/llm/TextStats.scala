@@ -646,15 +646,28 @@ object TextStats {
       .withColumn("__spos__",
         pmod(col("__rank__") - 1, lit(segmentDocs.toLong)))
     val segRows = ranked.groupBy(gc :+ col("__seg__"): _*)
-      .agg(array_sort(collect_list(struct(col("__spos__"), col("__mid__"),
-        col("__piece__"), col("__plen__")))).as("__items__"))
+      // __segord__ = the segment's smallest piece order key: segments
+      // are rank-contiguous, so min(__ord__) is strictly increasing in
+      // __seg__ within a group — ordering by it IS ordering by __seg__
+      // — and it inherits __ord__'s hash-uniformity over [0, 2^63), so
+      // the window-id cumsum below can take the HASHED (deterministic
+      // equal-width bucket) form. r17 optimization: the sampled
+      // repartitionByRange form evaluated this aggregate's whole child
+      // (first cumsum + collect_list + packNextFit) once more for its
+      // boundary-sampling pass before the real pass ran it again.
+      // Result order and values are bit-identical (same total order,
+      // same prefix sums).
+      .agg(min(col("__ord__")).as("__segord__"),
+        array_sort(collect_list(struct(col("__spos__"), col("__mid__"),
+          col("__piece__"), col("__plen__")))).as("__items__"))
       .withColumn("__packed__", graft.functions.TextHashExprs.packNextFit(
         transform(col("__items__"), it => it.getField("__plen__")),
         windowSize))
       .withColumn("__nwins__",
         element_at(col("__packed__"), -1).getField("win").cast("long") + 1L)
     graft.operators.WindowOps
-      .globalCumSum(segRows, "__seg__", "__nwins__", "__wcum__", groupCols)
+      .globalCumSumHashed(segRows, "__segord__", "__nwins__", "__wcum__",
+        Long.MaxValue, groupCols)
       .withColumn("__woff__", col("__wcum__") - col("__nwins__"))
       .select(gc ++ Seq(col("__woff__"), explode(zip_with(col("__items__"),
         col("__packed__"), (it, pk) => struct(

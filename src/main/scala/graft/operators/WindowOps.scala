@@ -113,7 +113,17 @@ object WindowOps {
     val buckets = df.sparkSession.conf
       .getOption("spark.graft.cumsum.buckets")
       .map(_.toInt).getOrElse(1024)
-    val width = math.max(1L, (domain + buckets - 1) / buckets)
+    // overflow-safe ceiling division (r17 fix): the additive form
+    // `(domain + buckets - 1) / buckets` wraps negative for
+    // domain = Long.MaxValue — the packed layout's piece-order domain —
+    // collapsing width to 1, i.e. one "bucket" PER DISTINCT KEY: the
+    // offsets frame silently grew to one row per key and its
+    // un-partitioned carry window became a corpus-sized single task at
+    // scale (the exact shape this function exists to avoid). Cumsum
+    // VALUES were always correct — bucket geometry only affects physical
+    // partitioning — so results are unchanged by the fix.
+    val width = math.max(1L,
+      domain / buckets + (if (domain % buckets == 0) 0L else 1L))
     val g = groupCols.map(col)
     val withPid = df.withColumn("__pid__",
       graft.QHelp.floorDiv(col(orderCol), width))

@@ -81,6 +81,21 @@ object JobProbe {
           for (j <- js.sortBy(jj => -(jj.end - jj.start)).take(12))
             println(f"    job ${j.id}%3d ${(j.end - j.start) / 1e3}%7.3f s " +
               f"stages=${j.stages}%2d tasks=${j.tasks}%4d ${j.desc}")
+          // chronological timeline on pass 2 (the steady state): the gap
+          // column is driver-side think time (planning, catalog ops)
+          // between the previous job's end and this job's start — the
+          // part no task-level tuning can touch
+          if (pass == 2 && sys.env.get("JOBPROBE_TIMELINE").contains("1")) {
+            val ordered = js.sortBy(_.start)
+            var prevEnd = 0L
+            println("  -- timeline (gap = driver think time before job) --")
+            for (j <- ordered) {
+              val gap = if (prevEnd == 0L) 0.0 else (j.start - prevEnd) / 1e3
+              println(f"    t job ${j.id}%3d gap ${gap}%6.3f run " +
+                f"${(j.end - j.start) / 1e3}%6.3f tasks=${j.tasks}%4d ${j.desc}")
+              prevEnd = math.max(prevEnd, j.end)
+            }
+          }
         }
         spark.catalog.clearCache()
       }
